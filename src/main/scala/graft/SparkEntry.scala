@@ -1,13 +1,195 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.CoreQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q01Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (CoreQueries.q01Agg(_, _)),
+    "q02_join_topk" -> (CoreQueries.q02JoinTopk(_, _)),
+    "q03_star_join" -> (CoreQueries.q03StarJoin(_, _)),
+    "q04_window_rank" -> (CoreQueries.q04WindowRank(_, _)),
+    "q05_events_hourly" -> (CoreQueries.q05EventsHourly(_, _)),
+    "q06_sessionize" -> (CoreQueries.q06Sessionize(_, _)),
+    "q10_compare_summary" -> (CoreQueries.q10CompareSummary(_, _)),
+    "q11_compare_changed" -> (CoreQueries.q11CompareChanged(_, _)),
+    "q12_schema_compare" -> (CoreQueries.q12SchemaCompare(_, _)),
+    "q13_surrogate_key_string" -> (CoreQueries.q13SurrogateKeyString(_, _)),
+    "q14_surrogate_key_hash" -> (CoreQueries.q14SurrogateKeyHash(_, _)),
+    "q15_fk_broken" -> (CoreQueries.q15FkBroken(_, _)),
+    "q16_latest_records" -> (CoreQueries.q16LatestRecords(_, _)),
+    "q17_latest_conflicts" -> (CoreQueries.q17LatestConflicts(_, _)),
+    "q18_pk_validate" -> (CoreQueries.q18PkValidate(_, _)),
+    "q19_pk_combinations" -> (CoreQueries.q19PkCombinations(_, _))
+  )
+
+  /** DuckDB-compatible oracle SQL per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q03_star_join" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q04_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk, run_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q05_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hr, event_type""".stripMargin,
+    "q06_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |m AS (SELECT user_id, event_id, ts_sec,
+        |  CASE WHEN lag(ts_sec) OVER w IS NULL THEN 1
+        |       WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |s AS (SELECT user_id, ts_sec,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q10_compare_summary" ->
+      """WITH df1 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |df2 AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |j AS (SELECT
+        |  CASE WHEN df1.o_orderkey IS NULL THEN 'added'
+        |       WHEN df2.o_orderkey IS NULL THEN 'removed'
+        |       WHEN NOT(df1.o_custkey IS NOT DISTINCT FROM df2.o_custkey)
+        |         OR NOT(df1.o_orderstatus IS NOT DISTINCT FROM df2.o_orderstatus)
+        |         OR NOT(df1.o_totalprice IS NOT DISTINCT FROM df2.o_totalprice)
+        |         OR NOT(df1.o_orderdate IS NOT DISTINCT FROM df2.o_orderdate)
+        |         OR NOT(df1.o_orderpriority IS NOT DISTINCT FROM df2.o_orderpriority)
+        |       THEN 'changed' ELSE 'not_changed' END AS category
+        |  FROM df1 FULL OUTER JOIN df2 ON df1.o_orderkey = df2.o_orderkey)
+        |SELECT category, count(*) AS cnt FROM j GROUP BY category ORDER BY category""".stripMargin,
+    "q11_compare_changed" ->
+      """WITH df1 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |df2 AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 'X-' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |sel AS (SELECT d1.o_orderkey AS o_orderkey,
+        |  d1.o_custkey c1, d2.o_custkey c2,
+        |  d1.o_orderstatus s1, d2.o_orderstatus s2,
+        |  d1.o_totalprice p1, d2.o_totalprice p2,
+        |  d1.o_orderdate t1, d2.o_orderdate t2,
+        |  d1.o_orderpriority r1, d2.o_orderpriority r2
+        |  FROM df1 d1 JOIN df2 d2 USING (o_orderkey))
+        |SELECT * FROM (
+        |  SELECT o_orderkey, 'o_custkey' AS column_name, CAST(c1 AS VARCHAR) AS before, CAST(c2 AS VARCHAR) AS after FROM sel WHERE NOT (c1 IS NOT DISTINCT FROM c2)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_orderstatus', CAST(s1 AS VARCHAR), CAST(s2 AS VARCHAR) FROM sel WHERE NOT (s1 IS NOT DISTINCT FROM s2)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_totalprice', CAST(p1 AS VARCHAR), CAST(p2 AS VARCHAR) FROM sel WHERE NOT (p1 IS NOT DISTINCT FROM p2)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_orderdate', CAST(t1 AS VARCHAR), CAST(t2 AS VARCHAR) FROM sel WHERE NOT (t1 IS NOT DISTINCT FROM t2)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_orderpriority', CAST(r1 AS VARCHAR), CAST(r2 AS VARCHAR) FROM sel WHERE NOT (r1 IS NOT DISTINCT FROM r2)
+        |) ORDER BY o_orderkey, column_name""".stripMargin,
+    "q13_surrogate_key_string" ->
+      """SELECT c_custkey,
+        |  '[' || coalesce(rtrim(upper(CAST(c_custkey AS VARCHAR))), '@~<null>~@')
+        |  || ', ' || coalesce(rtrim(upper(c_name)), '@~<null>~@')
+        |  || ', ' || coalesce(rtrim(upper(c_mktsegment)), '@~<null>~@') || ']' AS sk
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q15_fk_broken" ->
+      """SELECT DISTINCT l_suppkey FROM lineitem
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0)
+        |ORDER BY l_suppkey""".stripMargin,
+    "q16_latest_records" ->
+      """WITH ev AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_sec DESC, event_id DESC) AS rn FROM ev)
+        |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, event_type, value, props
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q17_latest_conflicts" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type, CAST(floor(value) AS BIGINT) AS v, props FROM events),
+        |x AS (SELECT *, max(v) OVER (PARTITION BY user_id, event_type) AS mv FROM d),
+        |y AS (SELECT user_id, event_type, v, props, count(*) OVER (PARTITION BY user_id, event_type) AS cnt FROM x WHERE v = mv)
+        |SELECT user_id, event_type, v, props, cnt > 1 AS __has_pk_conflict FROM y
+        |ORDER BY user_id, event_type, props""".stripMargin,
+    "q18_pk_validate" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS combination, count(*) AS duplicate_groups, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS duplicate_records
+        |    FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'l_orderkey,l_linenumber', count(*), CAST(coalesce(sum(cnt), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'l_partkey,l_suppkey', count(*), CAST(coalesce(sum(cnt), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'l_orderkey,l_partkey', count(*), CAST(coalesce(sum(cnt), 0) AS BIGINT)
+        |    FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1)
+        |) ORDER BY combination""".stripMargin,
+    "q19_pk_combinations" ->
+      """WITH v AS (SELECT
+        |  (SELECT count(*) = count(DISTINCT l_orderkey) FROM lineitem) AS v_o,
+        |  (SELECT count(*) = count(DISTINCT l_partkey) FROM lineitem) AS v_p,
+        |  (SELECT count(*) = count(DISTINCT l_suppkey) FROM lineitem) AS v_s,
+        |  (SELECT count(*) = count(DISTINCT (l_orderkey, l_partkey)) FROM lineitem) AS v_op,
+        |  (SELECT count(*) = count(DISTINCT (l_orderkey, l_suppkey)) FROM lineitem) AS v_os,
+        |  (SELECT count(*) = count(DISTINCT (l_partkey, l_suppkey)) FROM lineitem) AS v_ps,
+        |  (SELECT count(*) = count(DISTINCT (l_orderkey, l_partkey, l_suppkey)) FROM lineitem) AS v_ops)
+        |SELECT combination FROM (
+        |  SELECT 'l_orderkey' AS combination FROM v WHERE v_o
+        |  UNION ALL SELECT 'l_partkey' FROM v WHERE v_p
+        |  UNION ALL SELECT 'l_suppkey' FROM v WHERE v_s
+        |  UNION ALL SELECT 'l_orderkey,l_partkey' FROM v WHERE v_op AND NOT v_o AND NOT v_p
+        |  UNION ALL SELECT 'l_orderkey,l_suppkey' FROM v WHERE v_os AND NOT v_o AND NOT v_s
+        |  UNION ALL SELECT 'l_partkey,l_suppkey' FROM v WHERE v_ps AND NOT v_p AND NOT v_s
+        |  UNION ALL SELECT 'l_orderkey,l_partkey,l_suppkey' FROM v
+        |    WHERE v_ops AND NOT v_op AND NOT v_os AND NOT v_ps AND NOT v_o AND NOT v_p AND NOT v_s
+        |) ORDER BY combination""".stripMargin
+  )
 }

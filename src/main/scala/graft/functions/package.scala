@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks. All pure `Column` expressions
+  * (whole-stage-codegen friendly, no UDFs) unless noted.
+  */
+package object functions {
+
+  /** Null replacement token used inside surrogate key strings so that
+    * NULL and the literal empty string hash differently.
+    * (reference: bdq/functions.py:9 null_str_repr)
+    */
+  val NullToken = "@~<null>~@"
+
+  /** Normalized string form of a composite key: optional upper/trim per
+    * column, nulls replaced by [[NullToken]], multi-column keys rendered
+    * through an array cast to string. (reference: bdq/functions.py:9)
+    */
+  def surrogateKeyString(
+      keyColumns: Seq[String],
+      rtrim: Boolean = false,
+      ltrim: Boolean = false,
+      upper: Boolean = true,
+      nullToken: String = NullToken
+  ): Column = {
+    val cols = keyColumns.map { n =>
+      var c: Column = col(n)
+      if (upper) c = org.apache.spark.sql.functions.upper(c)
+      if (rtrim) c = org.apache.spark.sql.functions.rtrim(c)
+      if (ltrim) c = org.apache.spark.sql.functions.ltrim(c)
+      coalesce(c, lit(nullToken)).cast("string")
+    }
+    if (cols.length == 1) cols.head else array(cols: _*).cast("string")
+  }
+
+  /** 160-bit surrogate key: first 160 bits of sha2-224 over
+    * [[surrogateKeyString]], as binary. (reference: bdq/functions.py:28)
+    */
+  def surrogateKeyHash(
+      keyColumns: Seq[String],
+      rtrim: Boolean = false,
+      ltrim: Boolean = false
+  ): Column = {
+    val keyBits = 160
+    val hexLen = 2 * keyBits / 8
+    unhex(sha2(surrogateKeyString(keyColumns, rtrim = rtrim, ltrim = ltrim), 224).substr(1, hexLen))
+  }
+
+  /** Cast a double column carrying an exact 2-decimal value to DECIMAL for
+    * cross-engine-exact aggregation.
+    */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.dag.DAG
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Primary-key candidate validation.
+  * (reference: bdq/dataframe.py:184 validate_primary_key_candidate,
+  *  :197 validate_primary_key_candidate_combinations)
+  *
+  * Scale design: uniqueness of a candidate is one hash aggregation on the
+  * candidate columns with map-side partial aggregation; only groups with
+  * cnt > 1 survive the post-agg filter, so the driver never sees per-key
+  * rows. `duplicateStats` folds the "how many rows are in conflicted
+  * groups" question into the same single shuffle.
+  */
+object PrimaryKey {
+
+  final case class Validation(recordCount: Long, failedRecords: Long) {
+    def isValid: Boolean = failedRecords == 0
+  }
+
+  /** DataFrame of duplicated key tuples: candidate columns + cnt (>1). */
+  def duplicateKeys(df: DataFrame, keyColumns: Seq[String]): DataFrame =
+    df.groupBy(keyColumns.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** One-row stats: total records and records participating in duplicate
+    * key groups. Two jobs like the reference, but the failed count is a
+    * single aggregated scan.
+    */
+  def validateCandidate(df: DataFrame, keyColumns: Seq[String]): Validation = {
+    val total = df.count()
+    val failed = duplicateKeys(df, keyColumns)
+      .agg(coalesce(sum("cnt"), lit(0L)).as("failed"))
+      .head().getLong(0)
+    Validation(total, failed)
+  }
+
+  /** Lazy one-pass stats per candidate combination as a DataFrame:
+    * (combination, duplicate_groups, duplicate_records). Union of grouped
+    * aggregations — Catalyst runs them as independent stages; each is a
+    * single shuffle on its own key set.
+    */
+  def combinationStats(df: DataFrame, combinations: Seq[Seq[String]]): DataFrame = {
+    require(combinations.nonEmpty, "combinations must not be empty")
+    combinations.map { keyCols =>
+      duplicateKeys(df, keyCols)
+        .agg(
+          coalesce(count(lit(1)), lit(0L)).as("duplicate_groups"),
+          coalesce(sum("cnt"), lit(0L)).as("duplicate_records")
+        )
+        .select(lit(keyCols.mkString(",")).as("combination"), col("duplicate_groups"), col("duplicate_records"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Find all combinations that are valid PKs, executing checks as a DAG
+    * where a combination only runs after all of its sub-combinations failed
+    * (a superset of a unique key is trivially unique — reference prunes the
+    * same way via DAG.BREAK, bdq/dataframe.py:197).
+    */
+  def validateCombinations(
+      df: DataFrame,
+      combinations: Seq[Seq[String]],
+      maxWorkers: Int
+  ): Seq[Seq[String]] = {
+    val dag = new DAG("pk-combinations")
+    val solutions = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val nodes = scala.collection.mutable.LinkedHashMap.empty[Seq[String], dag.Node]
+    combinations.foreach { c =>
+      val deps = nodes.collect {
+        case (cols, node) if cols.toSet.subsetOf(c.toSet) && cols.toSet != c.toSet => node
+      }.toSeq
+      val node = dag.node(s"validate(${c.mkString(",")})", dependsOn = deps) { () =>
+        val failed = duplicateKeys(df, c).limit(1).count()
+        if (failed == 0) { solutions.add(c); DAG.Break }
+        else c
+      }
+      nodes(c) = node
+    }
+    dag.execute(maxWorkers)
+    import scala.jdk.CollectionConverters._
+    solutions.iterator().asScala.toSeq
+  }
+}

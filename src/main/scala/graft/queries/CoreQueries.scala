@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions._
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics-core + bdq-parity queries wired to the driver's test tables.
+  * Every query returns a DataFrame whose column NAMES and value types are
+  * engine-portable (decimal-exact aggregates, second-precision timestamp
+  * strings) so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object CoreQueries {
+
+  /** TPC-H Q1-style pricing summary. Decimal casts keep sums exact across
+    * engines; filter pushes down to the parquet scan.
+    */
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: revenue of top orders for one market segment.
+    * customer is small → broadcast; lineitem↔orders shuffles on orderkey.
+    */
+  def q02JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue")
+      )
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style star join: revenue by nation for one region.
+    * region/nation/supplier are tiny → broadcast up the star; only the
+    * orders↔lineitem join shuffles.
+    */
+  def q03StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+
+    val natInRegion = nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select("n_nationkey", "n_name")
+
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .filter(cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(natInRegion), supp("s_nationkey") === natInRegion("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("n_name"))
+  }
+
+  /** Window functions: top-3 orders per customer by value + running spend. */
+  def q04WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val byValue = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val cumulative = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byValue).as("rnk"),
+        sum(dec2(col("o_totalprice"))).over(cumulative).as("run_spend")
+      )
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Event-time hourly rollup (batch twin of the streaming windowed agg).
+    * Timestamp surfaces as a second-precision string (events.ts is
+    * nanosecond-precision parquet; engines disagree past microseconds).
+    */
+  def q05EventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value")
+      )
+      .orderBy("hr", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity). Batch form: lag + cumsum
+    * over one window shuffle on user_id; the streaming twin lives in
+    * graft.streaming. Second-precision epoch keeps engines aligned.
+    */
+  def q06Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_sec"))
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val newSession = when(
+      col("ts_sec") - lag(col("ts_sec"), 1).over(byTime) > 1800, 1
+    ).otherwise(when(lag(col("ts_sec"), 1).over(byTime).isNull, 1).otherwise(0))
+    ev.withColumn("__new", newSession)
+      .withColumn("session_seq", sum(col("__new")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("start_sec"),
+        max(col("ts_sec")).as("end_sec")
+      )
+      .orderBy("user_id", "session_seq")
+  }
+
+  // ---- bdq-parity wiring -------------------------------------------------
+
+  /** Deterministic derived pair of order snapshots for the diff queries:
+    * df1 drops every 7th key; df2 drops every 11th and mutates two string
+    * columns on every 5th/13th key.
+    */
+  def compareInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ord = Tables.orders(s, dir)
+    val df1 = ord.filter(col("o_orderkey") % 7 =!= 0)
+    val df2 = ord.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_orderstatus", when(col("o_orderkey") % 5 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_orderpriority", when(col("o_orderkey") % 13 === 0, concat(lit("X-"), col("o_orderpriority"))).otherwise(col("o_orderpriority")))
+    (df1, df2)
+  }
+
+  def q10CompareSummary(s: SparkSession, dir: String): DataFrame = {
+    val (df1, df2) = compareInputs(s, dir)
+    CompareDataFrames(df1, df2, Seq("o_orderkey")).summary.orderBy("category")
+  }
+
+  def q11CompareChanged(s: SparkSession, dir: String): DataFrame = {
+    val (df1, df2) = compareInputs(s, dir)
+    CompareDataFrames(df1, df2, Seq("o_orderkey")).changedLong
+      .orderBy("o_orderkey", "column_name")
+  }
+
+  /** Schema diff surfaced as a DataFrame (rows-only check; metadata-level). */
+  def q12SchemaCompare(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.SchemaOps
+    val before = Tables.orders(s, dir).schema
+    val after = Tables.orders(s, dir)
+      .drop("o_orderpriority")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+      .withColumn("o_comment", lit(null).cast("string"))
+      .schema
+    val d = SchemaOps.compareSchemas(before, after)
+    val rows =
+      d.added.toSeq.sorted.map(n => (n, "added", null: String, null: String)) ++
+        d.removed.toSeq.sorted.map(n => (n, "removed", null: String, null: String)) ++
+        d.changed.toSeq.sortBy(_._1).map { case (n, (b, a)) => (n, "changed", b, a) } ++
+        d.notChanged.toSeq.sorted.map(n => (n, "not_changed", null: String, null: String))
+    import s.implicits._
+    rows.toDF("column_name", "status", "before", "after")
+  }
+
+  def q13SurrogateKeyString(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        surrogateKeyString(Seq("c_custkey", "c_name", "c_mktsegment"), rtrim = true).as("sk")
+      )
+      .orderBy("c_custkey")
+
+  def q14SurrogateKeyHash(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        lower(hex(surrogateKeyHash(Seq("c_custkey", "c_name", "c_mktsegment"), rtrim = true))).as("sk_hash")
+      )
+      .orderBy("c_custkey")
+
+  /** Broken-FK detection against a deterministically thinned dim. */
+  def q15FkBroken(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir)
+    val dim = Tables.supplier(s, dir).filter(col("s_suppkey") % 3 =!= 0)
+    FactDim.brokenKeys(fact, Seq("l_suppkey"), dim, Seq("s_suppkey")).orderBy("l_suppkey")
+  }
+
+  /** Latest event per user (second-precision ordering, event_id tiebreak). */
+  def q16LatestRecords(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_sec", unix_timestamp(col("ts")))
+    LatestRecords.latest(ev, Seq("user_id"), Seq("ts_sec", "event_id"))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("event_type"), col("value"), col("props")
+      )
+      .orderBy("user_id")
+  }
+
+  /** Latest-with-conflict-flag over a projected event snapshot where ties on
+    * the order-by column are real.
+    */
+  def q17LatestConflicts(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), floor(col("value")).cast("long").as("v"), col("props"))
+    LatestRecords.latestWithConflictFlag(d, Seq("user_id", "event_type"), Seq("v"))
+      .orderBy("user_id", "event_type", "props")
+  }
+
+  def q18PkValidate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    PrimaryKey.combinationStats(
+      li,
+      Seq(
+        Seq("l_orderkey"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_partkey", "l_suppkey"),
+        Seq("l_orderkey", "l_partkey")
+      )
+    ).orderBy("combination")
+  }
+
+  /** Minimal valid PK combinations discovered through the pruning DAG. */
+  def q19PkCombinations(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.SchemaOps
+    val li = Tables.lineitem(s, dir)
+    val combos = SchemaOps.columnCombinations(Seq("l_orderkey", "l_partkey", "l_suppkey")).toSeq
+    val solutions = PrimaryKey.validateCombinations(li, combos, maxWorkers = 4)
+    import s.implicits._
+    solutions.map(_.mkString(",")).sorted.toDF("combination")
+  }
+}
