@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Queries run in name order after a small warmup so
+  * JIT/codegen startup lands on the warmup, not on whichever query a hash
+  * map yields first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +19,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: touch every table + exercise shuffle/window/join machinery once
+    Tables.All.foreach { t =>
+      try Tables.load(spark, sfDir, t).limit(1).count() catch { case _: Throwable => }
+    }
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000).select((col("id") % 97).as("k"), col("id"))
+        .groupBy("k").count().count()
+      // JIT the hot UDF/HOF paths (minhash, cosine) on a tiny slice
+      val docs = Tables.documents(spark, sfDir).limit(300)
+      graft.dedup.MinHashLsh.candidatePairs(docs, "doc_id", "text").count()
+      val vecs = Tables.embeddings(spark, sfDir).limit(300)
+      graft.similarity.Knn.bruteForceTopK(vecs, vecs.limit(3), "vec_id", "embedding", 3).count()
+    } catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

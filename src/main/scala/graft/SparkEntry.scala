@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, LlmQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -27,7 +27,20 @@ object SparkEntry {
     "q16_latest_records" -> (CoreQueries.q16LatestRecords(_, _)),
     "q17_latest_conflicts" -> (CoreQueries.q17LatestConflicts(_, _)),
     "q18_pk_validate" -> (CoreQueries.q18PkValidate(_, _)),
-    "q19_pk_combinations" -> (CoreQueries.q19PkCombinations(_, _))
+    "q19_pk_combinations" -> (CoreQueries.q19PkCombinations(_, _)),
+    "q20_dedup_exact" -> (LlmQueries.q20DedupExact(_, _)),
+    "q21_dedup_minhash" -> (LlmQueries.q21DedupMinhash(_, _)),
+    "q22_dedup_simhash" -> (LlmQueries.q22DedupSimhash(_, _)),
+    "q23_dedup_ngram_jaccard" -> (LlmQueries.q23DedupNgramJaccard(_, _)),
+    "q24_dedup_embedding" -> (LlmQueries.q24DedupEmbedding(_, _)),
+    "q25_knn_brute" -> (LlmQueries.q25KnnBrute(_, _)),
+    "q26_knn_lsh" -> (LlmQueries.q26KnnLsh(_, _)),
+    "q27_lang_id" -> (LlmQueries.q27LangId(_, _)),
+    "q28_text_quality" -> (LlmQueries.q28TextQuality(_, _)),
+    "q29_token_count" -> (LlmQueries.q29TokenCount(_, _)),
+    "q30_fingerprint" -> (LlmQueries.q30Fingerprint(_, _)),
+    "q31_multimodal_meta" -> (LlmQueries.q31MultimodalMeta(_, _)),
+    "q32_multimodal_features" -> (LlmQueries.q32MultimodalFeatures(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -190,6 +203,81 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_partkey,l_suppkey' FROM v WHERE v_ps AND NOT v_p AND NOT v_s
         |  UNION ALL SELECT 'l_orderkey,l_partkey,l_suppkey' FROM v
         |    WHERE v_ops AND NOT v_op AND NOT v_os AND NOT v_ps AND NOT v_o AND NOT v_p AND NOT v_s
-        |) ORDER BY combination""".stripMargin
+        |) ORDER BY combination""".stripMargin,
+    "q20_dedup_exact" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM docs GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q23_dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zyx wvu' FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM docs),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.g, b.g)) / len(list_distinct(a.g || b.g)) AS jaccard
+        |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1000000
+        |  WHERE a.doc_id % 10 = 0 AND len(a.g) > 0 AND len(b.g) > 0)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a""".stripMargin,
+    "q24_dedup_embedding" ->
+      """WITH twins AS (SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  embedding::DOUBLE[] AS v1,
+        |  (CASE WHEN (vec_id + 1000000) % 2 = 0 THEN embedding
+        |        ELSE list_transform(embedding, x -> -x) END)::DOUBLE[] AS v2
+        |  FROM embeddings)
+        |SELECT id_a, id_b FROM twins
+        |WHERE list_cosine_similarity(v1, v2) >= 0.99 ORDER BY id_a""".stripMargin,
+    "q25_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
+        |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+        |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q28_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  length(text) AS len_chars,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+        |  length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS n_punct,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that','it','for','with','as','was','on'], x))) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT doc_id, len_chars, n_words,
+        |  n_alpha / greatest(len_chars, 1) AS alpha_ratio,
+        |  n_punct / greatest(len_chars, 1) AS punct_ratio,
+        |  n_nonspace / greatest(n_words, 1) AS avg_word_len,
+        |  n_stop / greatest(n_words, 1) AS stop_ratio_en
+        |  FROM t)
+        |SELECT doc_id, len_chars, n_words, alpha_ratio, punct_ratio, avg_word_len, stop_ratio_en,
+        |  alpha_ratio * 0.5 + least(stop_ratio_en * 2.0, 1.0) * 0.3
+        |    + CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q29_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_multimodal_meta" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN lower(substring(hex(payload), 1, 16)) LIKE 'ffd8ff%' THEN 'image/jpeg'
+        |       WHEN lower(substring(hex(payload), 1, 16)) LIKE '89504e47%' THEN 'image/png'
+        |       WHEN lower(substring(hex(payload), 1, 16)) LIKE '52494646%' THEN 'audio/wav'
+        |       WHEN lower(substring(hex(payload), 1, 16)) LIKE '494433%' THEN 'audio/mpeg'
+        |       ELSE 'application/octet-stream' END AS mime,
+        |  octet_length(payload) AS n_bytes,
+        |  lower(substring(hex(payload), 1, 16)) AS magic_hex
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,288 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication: hash-groupBy on the content key, keep the smallest
+  * id per group. Content is hashed (sha2-256) before the shuffle so the
+  * exchange carries 32 bytes/row instead of full documents — the difference
+  * between shuffling 100 TB of text and shuffling ~3 TB of digests.
+  */
+object ExactDedup {
+
+  /** One row per distinct content value: keeper id + copy count. */
+  def groups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol), sha2(col(contentCol), 256).as("__ck"))
+      .groupBy(col("__ck"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__ck")
+
+  /** The deduplicated dataset itself (all columns of the keeper row). */
+  def dedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(contentCol), 256)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}
+
+/** Shared text-shingling helpers for the near-dup family. */
+object Shingles {
+  /** Lower-cased whitespace tokens. */
+  def tokens(textCol: Column): Column =
+    split(trim(lower(textCol)), "\\s+")
+
+  /** Word k-grams as strings ("a b c"); empty array when < k tokens. */
+  def wordGrams(toksCol: Column, k: Int): Column =
+    when(size(toksCol) >= k,
+      expr(s"transform(sequence(1, size(__toks) - ${k - 1}), i -> array_join(slice(__toks, i, $k), ' '))"))
+      .otherwise(array().cast("array<string>"))
+}
+
+/** Shared LSH blocking: turn (band, bh, id, payload) rows into unique
+  * in-bucket candidate pairs WITHOUT a self-join. Buckets are collected
+  * (bounded by maxBucketSize) and pairs generated in-place — one shuffle
+  * total, no recomputation of the upstream fingerprint lineage on two join
+  * branches, and degenerate buckets are dropped before anything quadratic.
+  */
+private[dedup] object LshBlocking {
+  /** exploded must have (band, bh, id). Returns unique (id_a < id_b) pairs.
+    * Pairs are generated id-only — payloads (signatures/fingerprints) are
+    * joined back AFTER pair dedup by the caller, so the quadratic step and
+    * the dedup shuffle move 16-byte rows, not signature arrays.
+    */
+  def bucketPairs(exploded: DataFrame, maxBucketSize: Int): DataFrame =
+    exploded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+      )).as("pr"))
+      .select(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+  /** Join a (id, p) payload frame onto deduped id pairs as p_a / p_b. */
+  def attachPayloads(pairs: DataFrame, payloads: DataFrame): DataFrame =
+    pairs
+      .join(payloads.select(col("id").as("id_a"), col("p").as("p_a")), Seq("id_a"))
+      .join(payloads.select(col("id").as("id_b"), col("p").as("p_b")), Seq("id_b"))
+}
+
+/** MinHash + LSH near-duplicate detection.
+  *
+  * Pipeline (all DataFrame ops, one narrow pass to signatures, one shuffle
+  * to band buckets, one shuffle for the pair join):
+  *   tokens → word k-grams → xxhash64 per gram → n affine permutations
+  *   (min per permutation) → signature → b bands of r rows → explode bands →
+  *   self-join on band hash → estimated jaccard from signature agreement.
+  *
+  * Scale: bucket width is capped (`maxBucketSize`) so a degenerate band
+  * (e.g. empty documents) cannot go quadratic; band hashing keys are
+  * (band index, band hash) so all bands share one shuffle. Signatures are
+  * fixed 8·n bytes/doc regardless of document size.
+  */
+object MinHashLsh {
+
+  /** Deterministic affine permutation constants from a fixed seed.
+    * Kept to 30 bits so a*h32 + b stays under 2^62 (ANSI mode: no silent
+    * 64-bit wraparound).
+    */
+  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(((rnd.nextInt(1 << 30).toLong << 1) | 1L, rnd.nextInt(1 << 30).toLong))
+  }
+
+  /** id + minhash signature (array<bigint> of length numHashes).
+    * Tokenization is a codegen'd split; shingling, gram hashing (murmur3)
+    * and the n-way min all run in one compiled per-row loop — interpreted
+    * higher-order-function lambdas cost ~1ms/doc here, the fused loop ~µs.
+    * Narrow (no shuffle), so the distributed plan is unchanged.
+    */
+  def signatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val ab = perms(numHashes, seed).toArray
+    val sigUdf = udf { (toks: Seq[String]) =>
+      if (toks.length < k) None
+      else {
+        val n = ab.length
+        val sig = Array.fill(n)(Long.MaxValue)
+        val arr = toks.toArray
+        val sb = new StringBuilder(64)
+        var i = 0
+        while (i <= arr.length - k) {
+          sb.setLength(0)
+          var t = 0
+          while (t < k) { if (t > 0) sb.append(' '); sb.append(arr(i + t)); t += 1 }
+          // 32-bit murmur widened to [0, 2^32): a*h+b stays under 2^62 (ANSI-safe)
+          val h = scala.util.hashing.MurmurHash3.stringHash(sb.toString, 0x9747b28c).toLong & 0xffffffffL
+          var j = 0
+          while (j < n) {
+            val v = ab(j)._1 * h + ab(j)._2
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        Some(sig)
+      }
+    }
+    df.select(col(idCol), sigUdf(Shingles.tokens(col(textCol))).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** Candidate pairs (idA < idB) with `est_jaccard` = fraction of agreeing
+    * signature positions, filtered to >= minJaccard.
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.7,
+      maxBucketSize: Int = 200,
+      seed: Long = 42L,
+      persistSignatures: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    // The signature frame feeds three plan branches (band explode + both
+    // payload joins); persist it so the corpus is shingled once, not thrice.
+    val sigsRaw = signatures(df, idCol, textCol, k, numHashes, seed)
+    val sigs = if (persistSignatures)
+      sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigsRaw
+
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bh"))
+    }
+    val exploded = sigs
+      .withColumn("__band", explode(array(bandCols: _*)))
+      .select(col("__band.band").as("band"), col("__band.bh").as("bh"),
+        col(idCol).as("id"), col("sig").as("p"))
+
+    val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var eq = 0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / numHashes
+    }
+    val pairs = LshBlocking.bucketPairs(exploded.select("band", "bh", "id"), maxBucketSize)
+    LshBlocking.attachPayloads(pairs, sigs.select(col(idCol).as("id"), col("sig").as("p")))
+      .withColumn("est_jaccard", estUdf(col("p_a"), col("p_b")))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+}
+
+/** SimHash near-duplicate detection: 64-bit token-level simhash with
+  * banded blocking and exact hamming verification (`bit_count(a ^ b)`).
+  */
+object SimHash {
+
+  /** id + 64-bit simhash (long): per-token hash bits vote +1/-1 per
+    * position; sign of the vote forms the fingerprint. Token hashing is a
+    * codegen'd expression; the 64-bit vote loop is a compiled primitive
+    * UDF (narrow, per-row — no change to the distributed plan).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simhashUdf = udf { (hs: Seq[Long]) =>
+      val votes = new Array[Int](64)
+      val it = hs.iterator
+      while (it.hasNext) {
+        val h = it.next()
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    df.select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__th", expr("transform(__toks, t -> xxhash64(t))"))
+      .select(col(idCol), simhashUdf(col("__th")).as("simhash"))
+  }
+
+  /** Pairs (idA < idB) with hamming distance <= maxHamming. Blocking: split
+    * the 64-bit hash into `bands` chunks; by pigeonhole any pair within
+    * maxHamming <= bands-1 shares at least one exact chunk, so candidate
+    * generation is an equi-join per chunk (one shuffle), never all-pairs.
+    */
+  def pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 200
+  ): DataFrame = {
+    require(bands > maxHamming, "need bands > maxHamming for pigeonhole blocking")
+    val bits = 64 / bands
+    val fps = fingerprints(df, idCol, textCol)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"), expr(s"(simhash >> ${j * bits}) & ${(1L << bits) - 1}L").as("bh"))
+    }
+    val exploded = fps.withColumn("__band", explode(array(bandCols: _*)))
+      .select(col("__band.band").as("band"), col("__band.bh").as("bh"),
+        col(idCol).as("id"), col("simhash").as("p"))
+    val pairs = LshBlocking.bucketPairs(exploded.select("band", "bh", "id"), maxBucketSize)
+    LshBlocking.attachPayloads(pairs, fps.select(col(idCol).as("id"), col("simhash").as("p")))
+      .withColumn("hamming", bit_count(col("p_a").bitwiseXOR(col("p_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
+
+/** Exact n-gram Jaccard similarity on candidate pairs.
+  * Candidate generation should come from LSH ([[MinHashLsh.candidatePairs]])
+  * or an explicit pairing; exact verification joins the (distinct) gram sets
+  * back and computes |∩| / |∪| with array intrinsics.
+  */
+object NgramJaccard {
+
+  /** id + distinct word k-gram set. */
+  def gramSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
+      .withColumn("grams", array_distinct(Shingles.wordGrams(col("__toks"), k)))
+      .select(col(idCol), col("grams"))
+
+  /** Exact jaccard for the given candidate pairs (columns id_a, id_b).
+    * Gram sets are computed only for documents that appear in a candidate
+    * pair (semi-join first): at corpus scale the candidate set is orders of
+    * magnitude smaller than the corpus, so shingling the full corpus again
+    * would dominate the cost.
+    */
+  def verify(
+      candidates: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minJaccard: Double = 0.0
+  ): DataFrame = {
+    val wanted = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val needed = df.join(wanted, Seq(idCol), "left_semi")
+    val sets = gramSets(needed, idCol, textCol, k)
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("n_union", size(array_union(col("g_a"), col("g_b"))))
+      .withColumn("jaccard", col("n_inter") / col("n_union"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup._
+import graft.similarity.Knn
+import graft.text.TextAnalysis
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries (SURVEY.md §2.3).
+  *
+  * The synthetic `documents`/`embeddings` tables contain no natural
+  * duplicates, so dedup queries append deterministic "twins" (exact copies,
+  * near copies with two appended tokens, identical/negated vectors) with
+  * id + 1_000_000 — both the Spark side and the DuckDB oracle construct the
+  * same twins, and the operators must find exactly them.
+  */
+object LlmQueries {
+
+  private val TwinOffset = 1000000L
+
+  def docsWithExactCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + TwinOffset)
+    )
+  }
+
+  def docsWithNearCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + TwinOffset)
+        .withColumn("text", concat(col("text"), lit(" zyx wvu")))
+    )
+  }
+
+  def vecsWithTwins(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    e.unionByName(
+      e.withColumn("vec_id", col("vec_id") + TwinOffset)
+        .withColumn(
+          "embedding",
+          when(col("vec_id") % 2 === 0, col("embedding"))
+            .otherwise(transform(col("embedding"), x => -x))
+        )
+    )
+  }
+
+  def q20DedupExact(s: SparkSession, dir: String): DataFrame =
+    ExactDedup.groups(docsWithExactCopies(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def q21DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.candidatePairs(docsWithNearCopies(s, dir), "doc_id", "text", minJaccard = 0.7)
+      .orderBy("id_a", "id_b")
+
+  def q22DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.pairs(docsWithNearCopies(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Exact 3-gram jaccard on the constructed twin pairs (the oracle can
+    * replicate the exact set math; LSH candidate generation is covered by
+    * q21 + specs).
+    */
+  def q23DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearCopies(s, dir)
+    val candidates = docs.filter(col("doc_id") < TwinOffset && col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + TwinOffset).as("id_b"))
+    NgramJaccard.verify(candidates, docs, "doc_id", "text", k = 3, minJaccard = 0.5)
+      .orderBy("id_a")
+  }
+
+  /** Embedding near-dup pairs via LSH buckets; only the identical twins can
+    * clear tau=0.99 (random 64-dim vectors are near-orthogonal). Score is
+    * dropped from the output: last-ulp float sums differ across engines.
+    */
+  def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Knn.nearDupPairs(vecsWithTwins(s, dir), "vec_id", "embedding", tau = 0.99)
+      .select("id_a", "id_b")
+      .orderBy("id_a")
+
+  def q25KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Knn.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  def q26KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Knn.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Predicted-language distribution (heuristic stopword scorer). */
+  def q27LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  def q28TextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(s, dir).select("doc_id", "text"), "text")
+      .select(
+        col("doc_id"), col("n_chars").as("len_chars"), col("n_words"),
+        col("alpha_ratio"), col("punct_ratio"), col("avg_word_len"),
+        col("stop_ratio_en"), col("quality_score")
+      )
+      .orderBy("doc_id")
+
+  def q29TokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+      .orderBy("doc_id")
+
+  def q30Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "fp_md5")
+      .orderBy("doc_id")
+
+  /** Multimodal metadata over binary payloads (deterministic fake payload =
+    * utf-8 bytes of text; metadata extraction is the real, pushdown-safe
+    * production path).
+    */
+  def q31MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.withMeta(withPayload, "payload")
+      .select(
+        col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.magic_hex").as("magic_hex")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Batched (mapPartitions) stub feature extraction — plumbing check. */
+  def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.extractFeatures(s, withPayload, "doc_id", "payload", dim = 16, batchPartitions = Some(8))
+      .select(col("doc_id"), size(col("features")).as("dim"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives + approximate-nearest-neighbor search over
+  * an embedding column (`array<float>` / `array<double>`).
+  *
+  * All math is `Column` expressions (zip_with/aggregate) in double
+  * precision — no UDF, no collect. Brute force is the exactness baseline;
+  * the scale path is [[Knn.lshTopK]]: random-hyperplane buckets shrink each
+  * probe from |corpus| to |bucket|.
+  */
+object Knn {
+
+  /** Sequential-order dot product of two array<double> columns.
+    * Expression form — fine for one-off projections (e.g. LSH bucketing
+    * against a handful of hyperplanes).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Compiled cosine (primitive loop, same left-to-right summation order as
+    * the expression form). Interpreted higher-order-function lambdas cost
+    * ~10x in pairwise hot loops (candidates × dim evaluations).
+    */
+  val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * The (small) query set is broadcast against the corpus — one pass over
+    * the corpus per batch of queries, then one shuffle by query id for the
+    * per-query top-k window.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component i of plane j is a
+    * hash-derived value in [-1, 1). Baked into the plan as literals.
+    */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-of-projection LSH bucket id (0 .. 2^numPlanes-1) for each vector. */
+  def lshBucket(vecCol: Column, numPlanes: Int, dim: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bitCols = planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = array(p.map(lit(_)): _*)
+      when(dot(vecCol.cast("array<double>"), planeArr) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Approximate top-k: only candidates in the query's LSH bucket are
+    * scored. Recall/latency trades via numPlanes (more planes = smaller
+    * buckets). Multi-probe left for a later round.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 7L
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim, seed))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes, dim, seed))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine >= tau, LSH-bucketed so the
+    * pair join is per-bucket instead of all-pairs.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 7L,
+      maxBucketSize: Int = 5000
+  ): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim, seed))
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("v_a"), col("v_b")))
+      .filter(col("score") >= tau)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

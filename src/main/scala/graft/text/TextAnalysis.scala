@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation. All pure Column
+  * expressions (codegen-friendly, engine-portable formulas).
+  */
+object TextAnalysis {
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "with", "as", "was", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "des", "que", "pas", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "no", "por", "para", "con")
+  )
+
+  private def toks(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
+
+  private def arrayLit(xs: Seq[String]): Column = array(xs.map(lit(_)): _*)
+
+  /** Fraction of tokens that are stopwords of the given language. */
+  def stopwordRatio(textCol: Column, lang: String): Column = {
+    val t = toks(textCol)
+    size(filter(t, x => array_contains(arrayLit(Stopwords(lang)), x))) /
+      greatest(size(t), lit(1))
+  }
+
+  /** Heuristic language ID: highest stopword ratio wins (deterministic
+    * first-max tiebreak in Stopwords key order); "zh" when CJK chars
+    * dominate; "und" when nothing matches.
+    */
+  def langId(textCol: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scores = array(langs.map(l => stopwordRatio(textCol, l)): _*)
+    val cjkRatio = length(regexp_replace(textCol, "[^\\x{4e00}-\\x{9fff}]", "")) /
+      greatest(length(textCol), lit(1))
+    when(cjkRatio > 0.2, lit("zh"))
+      .when(array_max(scores) <= 0.0, lit("und"))
+      .otherwise(element_at(array(langs.map(lit(_)): _*), array_position(scores, array_max(scores)).cast("int")))
+  }
+
+  /** Quality features + composite score. Integer counts ratio'd in double —
+    * identical formula is expressible in any ANSI engine.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = toks(t)
+    val nWords = size(words)
+    val nAlpha = length(regexp_replace(lower(t), "[^a-z]", ""))
+    val nPunct = length(regexp_replace(t, "[^.,;:!?'\"]", ""))
+    val nNonSpace = length(regexp_replace(t, "\\s", ""))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("alpha_ratio", nAlpha / greatest(nChars, lit(1)).cast("double"))
+      .withColumn("punct_ratio", nPunct / greatest(nChars, lit(1)).cast("double"))
+      .withColumn("avg_word_len", nNonSpace / greatest(nWords, lit(1)).cast("double"))
+      .withColumn("stop_ratio_en", stopwordRatio(t, "en"))
+      .withColumn(
+        "quality_score",
+        col("alpha_ratio") * 0.5
+          + least(col("stop_ratio_en") * 2.0, lit(1.0)) * 0.3
+          + when(col("avg_word_len").between(3.0, 10.0), 0.2).otherwise(0.0)
+      )
+  }
+
+  /** Whitespace token count + BPE-ish regex token count (letters runs,
+    * digit runs, single non-alnum symbols).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_ws_tokens", size(toks(t)))
+      .withColumn("n_bpe_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
+  }
+
+  /** Content fingerprints: md5 of whitespace-normalized lower-cased text
+    * (engine-portable) + an order-sensitive 64-bit polynomial rolling hash
+    * over token xxhash64s (Spark-native).
+    */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.withColumn("fp_md5", md5(norm))
+      .withColumn(
+        "fp_rolling",
+        // order-sensitive 31-bit polynomial roll; operands stay < 2^38 (ANSI-safe)
+        expr(s"aggregate(transform(split(trim(lower($textCol)), '\\\\s+'), t -> xxhash64(t) & 4294967295L), 17L, (acc, h) -> pmod(acc * 31L + h, 2147483647L))")
+      )
+  }
+}
