@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: watermarked windowed aggregation and
+  * stateful gap-based sessionization. Both accept the streaming OR batch
+  * form of the events table (the batch twin queries q05/q06 verify the
+  * semantics against the DuckDB oracle; the streaming path is spec-tested
+  * with a memory stream).
+  */
+object StreamingOps {
+
+  final case class Event(user_id: Long, event_id: Long, ts_sec: Long)
+  final case class Session(user_id: Long, session_seq: Long, n_events: Long, start_sec: Long, end_sec: Long)
+  final case class OpenSession(session_seq: Long, n_events: Long, start_sec: Long, end_sec: Long)
+
+  /** Event-time hourly rollup. On a streaming input the watermark bounds
+    * state; late rows beyond it are dropped (that is the scale contract:
+    * state size ∝ active windows, not history).
+    */
+  def hourlyRollup(events: DataFrame, tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value")
+      )
+      .select(
+        col("window.start").as("hr"), col("event_type"),
+        col("n_events"), col("sum_value")
+      )
+  }
+
+  /** Stateful gap sessionization over a stream of [[Event]]s: a session
+    * closes when `gapSeconds` pass without activity (tracked per user via
+    * processing-time timeout). Emits closed sessions (Append mode).
+    *
+    * State per key is one open session (constant size) — the streaming twin
+    * of the batch lag+cumsum sessionize (CoreQueries.q06Sessionize).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      timeout: String = "30 seconds"
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()
+      ) { case (userId, rows, state: GroupState[OpenSession]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(s =>
+            Session(userId, s.session_seq, s.n_events, s.start_sec, s.end_sec)).toList
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_sec - s.end_sec <= gapSeconds =>
+                open = Some(s.copy(n_events = s.n_events + 1, end_sec = e.ts_sec))
+              case Some(s) =>
+                closed += Session(userId, s.session_seq, s.n_events, s.start_sec, s.end_sec)
+                open = Some(OpenSession(s.session_seq + 1, 1, e.ts_sec, e.ts_sec))
+              case None =>
+                open = Some(OpenSession(1, 1, e.ts_sec, e.ts_sec))
+            }
+          }
+          open.foreach { s =>
+            state.update(s)
+            state.setTimeoutDuration(timeout)
+          }
+          closed.iterator
+        }
+      }
+  }
+
+  /** File-based streaming read of the events parquet, normalizing the
+    * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
+    * Tables.events does for the batch path.
+    */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // file-stream source requires a directory: stream the sf dir filtered
+    // down to the events file
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream
+    }
+  }
+}

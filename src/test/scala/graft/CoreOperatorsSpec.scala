@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators._
+import graft.schema.SchemaOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mirrors the reference's own test cases (tests/compare_dataframe_test.py,
+  * tests/get_latest_records_test.py, tests/functions_test.py,
+  * tests/schema_columns_test.py) on the graft implementations.
+  */
+class CoreOperatorsSpec extends SparkSpec {
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  lazy val schema = StructType(Seq(
+    StructField("id1", LongType), StructField("id2", LongType),
+    StructField("name", StringType), StructField("first_login_dt", TimestampType),
+    StructField("credits", DoubleType), StructField("likes", LongType),
+    StructField("active", BooleanType)
+  ))
+
+  lazy val df1 = spark.createDataFrame(
+    java.util.List.of(
+      Row(1L, 1L, "Grzegorz", ts("2017-01-01 00:00:00"), 26.7, 123234234345L, true),
+      Row(2L, 1L, "Tim", ts("2018-01-01 00:00:00"), 36.7, 54545L, true),
+      Row(3L, 1L, "Mike", ts("2019-01-01 00:00:00"), 46.7, 5667888989L, false)
+    ), schema)
+
+  lazy val df2 = spark.createDataFrame(
+    java.util.List.of(
+      Row(1L, 1L, "Grzegorz", ts("2018-01-01 00:00:00"), 26.9, 123234234345L, true),
+      Row(3L, 1L, "Mike", ts("2019-01-01 00:00:00"), 46.7, 5667888989L, false),
+      Row(2L, 2L, "Timmy", ts("2018-01-01 00:00:00"), 36.7, 8754857845L, true)
+    ), schema)
+
+  test("compare_dataframes classifies added/removed/changed/not_changed like the reference example") {
+    val c = CompareDataFrames(df1, df2, Seq("id1", "id2"))
+    val counts = CompareDataFrames.counts(c)
+    assert(counts == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L, "not_changed" -> 1L))
+    assert(c.added.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 2L)))
+    assert(c.removed.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L)))
+    val changed = c.changedLong.collect().map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getString(4)))
+    assert(changed.toSet == Set(
+      (1L, "first_login_dt", "2017-01-01 00:00:00", "2018-01-01 00:00:00"),
+      (1L, "credits", "26.7", "26.9")
+    ))
+  }
+
+  test("compare_schemas matches the reference README example semantics") {
+    val s1 = SchemaOps.fromDdl("id1 bigint, name string, likes bigint, first_login_dt date")
+    val s2 = SchemaOps.fromDdl("id1 bigint, name string, likes int, new_data date")
+    val d = SchemaOps.compareSchemas(s1, s2)
+    assert(d.added == Set("first_login_dt"))
+    assert(d.removed == Set("new_data"))
+    assert(d.changed == Map("likes" -> ("bigint", "int")))
+    assert(d.notChanged == Set("id1", "name"))
+  }
+
+  test("surrogate key hash matches the reference README's published sha value") {
+    import graft.functions._
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, 1L, "GrzeGorz", 1L), Row(1L, 1L, "Grzegorz", 1L),
+        Row(1L, 1L, "Grzegorz      ", 1L), Row(1L, null, "Grzegorz", 1L),
+        Row(2L, 1L, "Tim", 1L)
+      ),
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType),
+        StructField("name", StringType), StructField("likes", LongType))))
+    val out = df.select(
+      upper(hex(surrogateKeyHash(Seq("id1", "id2", "name"), rtrim = true))).as("h"),
+      surrogateKeyString(Seq("id1", "id2", "name"), rtrim = true).as("s")
+    ).collect()
+    // reference README shows [6F 21 99 99 4C F2 93 56 2E 7C C3 29 F9 6A 42 2F 6D 62 EC 4B]
+    // for key [1, 1, GRZEGORZ] (bdq README, surrogate key example)
+    val expected = "6F2199994CF293562E7CC329F96A422F6D62EC4B"
+    assert(out.take(3).forall(_.getString(0) == expected))
+    assert(out.take(3).forall(_.getString(1) == "[1, 1, GRZEGORZ]"))
+    assert(out(3).getString(1) == "[1, @~<null>~@, GRZEGORZ]")
+    assert(out(3).getString(0) != expected)
+  }
+
+  test("get_latest_records picks max order-by row per PK") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, 1L, "a"), Row(1L, 2L, "b"), Row(1L, 3L, "c"),
+        Row(2L, 5L, "x"), Row(2L, 4L, "y")
+      ),
+      StructType(Seq(StructField("pk", LongType), StructField("v", LongType), StructField("payload", StringType))))
+    val latest = LatestRecords.latest(df, Seq("pk"), Seq("v")).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(latest == Set((1L, "c"), (2L, "x")))
+  }
+
+  test("latestWithConflictFlag flags ties on the order-by position") {
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, 3L, "a"), Row(1L, 3L, "b"), Row(1L, 2L, "c"), // conflict: two distinct payloads at v=3
+        Row(2L, 5L, "x"), Row(2L, 5L, "x"), // duplicate identical rows: not a conflict
+        Row(3L, 1L, "z")
+      ),
+      StructType(Seq(StructField("pk", LongType), StructField("v", LongType), StructField("payload", StringType))))
+    val out = LatestRecords.latestWithConflictFlag(df, Seq("pk"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out.filter(_._1 == 1L).forall(_._3))
+    assert(out.filter(_._1 == 2L) sameElements Array((2L, "x", false)))
+    assert(out.filter(_._1 == 3L) sameElements Array((3L, "z", false)))
+  }
+
+  test("validate PK candidate + combination pruning") {
+    val li = Tables.lineitem(spark, sf)
+    val v = PrimaryKey.validateCandidate(li, Seq("l_orderkey"))
+    assert(!v.isValid && v.recordCount == 6000L)
+    val ok = PrimaryKey.validateCandidate(li.select("l_orderkey", "l_partkey", "l_suppkey").distinct(),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    assert(ok.isValid)
+  }
+
+  test("columnCombinations mirrors the reference generator") {
+    val combos = SchemaOps.columnCombinations(Seq("a", "b"), fixedColumns = Seq("f")).toSeq
+    assert(combos == Seq(Seq("f"), Seq("f", "a"), Seq("f", "b"), Seq("f", "a", "b")))
+    val capped = SchemaOps.columnCombinations(Seq("a", "b", "c"), maxLen = Some(2)).toSeq
+    assert(capped == Seq(Seq("a"), Seq("b"), Seq("c"), Seq("a", "b"), Seq("a", "c"), Seq("b", "c")))
+  }
+
+  test("fact-dim broken relationship finds orphan FKs and samples records") {
+    val fact = Tables.lineitem(spark, sf)
+    val dim = Tables.supplier(spark, sf).filter(col("s_suppkey") % 3 =!= 0)
+    val broken = FactDim.brokenKeys(fact, Seq("l_suppkey"), dim, Seq("s_suppkey"))
+      .collect().map(_.getLong(0)).toSet
+    assert(broken.nonEmpty && broken.forall(_ % 3 == 0))
+    val sampled = FactDim.brokenRelationship(fact, Seq("l_suppkey"), dim, Seq("s_suppkey"), sampleSize = 2)
+    val rows = sampled.collect()
+    assert(rows.map(_.getLong(0)).toSet == broken)
+    assert(rows.forall(_.getSeq[Row](1).size <= 2))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.dedup._
+import graft.similarity.Knn
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical content") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c "))
+    val g = ExactDedup.groups(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g == Map(1L -> 2L, 3L -> 1L, 4L -> 1L)) // trailing space is distinct content
+    val kept = ExactDedup.dedup(d, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash estimate tracks exact jaccard for near/far pairs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra1 extra2"
+    val far = (100 to 160).map(i => s"other$i").mkString(" ")
+    val d = docs((1L, base), (2L, near), (3L, far))
+    val pairs = MinHashLsh.candidatePairs(d, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.7)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact jaccard of the near pair: shared 58 3-grams of 60-token doc
+    val exact = NgramJaccard.verify(Seq((1L, 2L)).toDF("id_a", "id_b"), d, "doc_id", "text")
+      .select("jaccard").as[Double].head()
+    assert(math.abs(exact - 58.0 / 60.0) < 1e-9)
+    assert(math.abs(pairs((1L, 2L)) - exact) < 0.2) // 64-hash estimate tolerance
+  }
+
+  test("simhash: identical texts collide, near texts within small hamming, far texts blocked or distant") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, base + " tail1 tail2"), (4L, "completely different content entirely"))
+    val fp = SimHash.fingerprints(d, "doc_id", "text").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 6)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 10)
+    val pairs = SimHash.pairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup pairs find identical vectors, reject orthogonal") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.9999f, 0.01f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Knn.nearDupPairs(vecs, "vec_id", "embedding", tau = 0.99, numPlanes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("brute-force knn ranks by cosine with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Knn.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("langId identifies obvious language samples") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun"),
+      (2L, "el gato es un animal y no le gusta el agua para nada"),
+      (3L, "der hund ist ein tier und das ist nicht schlecht für den mann"),
+      (4L, "le chat est un animal et il est dans la maison pour la nuit")
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr"))
+  }
+
+  test("fingerprints: md5 is whitespace/case-insensitive, rolling hash is order-sensitive") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "world hello")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(fp(1L)._1 == fp(2L)._1)
+    assert(fp(2L)._1 != fp(3L)._1)
+    assert(fp(2L)._2 != fp(3L)._2) // rolling hash sees order
+  }
+
+  test("multimodal meta + stub feature extraction plumbing") {
+    import graft.multimodal.Multimodal
+    val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val meta = Multimodal.withMeta(d, "payload").select("doc_id", "meta.n_bytes", "meta.mime").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(meta == Set((1L, 5L, "application/octet-stream"), (2L, 0L, "application/octet-stream")))
+    val feats = Multimodal.extractFeatures(spark, d, "doc_id", "payload", dim = 8, batchPartitions = Some(2))
+    val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1L).length == 8 && rows(2L).length == 8)
+    assert(rows(1L).sum > 0 && rows(2L).sum == 0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.dag.DAG
+import graft.pipeline.{SparkPipeline, SparkUILogger, StateStore}
+
+/** Mirrors reference tests/spark_pipeline_test.py: temp-view steps,
+  * dependencies by step and by output name, success bookkeeping; plus
+  * table steps with observed metrics and the persisted state store.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("temp view pipeline runs steps in dependency order (reference scenario)") {
+    val p = new SparkPipeline("sample", spark)
+    val raw = p.stepSparkTempView("raw_data_single_source") { _ => Seq(spark.range(1, 10).toDF()) }
+    val nice = p.stepSparkTempView("raw_data_custom", outputs = Seq("raw_nice_name")) { _ =>
+      Seq(spark.range(100, 110).toDF())
+    }
+    p.stepSparkTempView("raw_data_multi", outputs = Seq("raw_data1", "raw_data2")) { _ =>
+      Seq(spark.range(1000, 2000).toDF(), spark.range(2000, 3000).toDF())
+    }
+    val combine = p.stepSparkTempView("combine_data",
+      dependsOn = Seq(raw, nice, "raw_data1", "raw_data2")) { _ =>
+      Seq(spark.table("raw_data_single_source")
+        .union(spark.table("raw_nice_name"))
+        .union(spark.table("raw_data1"))
+        .union(spark.table("raw_data2")))
+    }
+    p.stepSparkTempView("split_data", outputs = Seq("odd", "even"), dependsOn = Seq(combine)) { _ =>
+      Seq(spark.table("combine_data").filter("id % 2 == 1"),
+        spark.table("combine_data").filter("id % 2 == 0"))
+    }
+    val ok = p.run(maxConcurrentSteps = 10)
+    assert(p.skippedSteps.isEmpty && p.errorSteps.isEmpty)
+    assert(ok.keySet == Set("raw_data_single_source", "raw_data_custom", "raw_data_multi", "combine_data", "split_data"))
+    assert(spark.table("odd").count() + spark.table("even").count() == 9 + 10 + 1000 + 1000)
+  }
+
+  test("failing step marks pipeline failed and skips dependents") {
+    val p = new SparkPipeline("failing", spark)
+    val a = p.step("a") { _ => Seq(1) }
+    val boom = p.step("boom", dependsOn = Seq(a)) { _ => throw new RuntimeException("bad") }
+    p.step("after", dependsOn = Seq(boom)) { _ => Seq(2) }
+    val err = intercept[IllegalStateException](p.run(4))
+    assert(err.getMessage.contains("boom"))
+    assert(p.errorSteps.keySet == Set("boom"))
+    assert(p.skippedSteps.keySet == Set("after"))
+    assert(p.successSteps.keySet == Set("a"))
+  }
+
+  test("duplicate output registration is rejected") {
+    val p = new SparkPipeline("dup", spark)
+    p.step("s1", outputs = Seq("o")) { _ => Seq(1) }
+    val ex = intercept[IllegalArgumentException] {
+      p.step("s2", outputs = Seq("o")) { _ => Seq(2) }
+    }
+    assert(ex.getMessage.contains("already created"))
+  }
+
+  test("table step writes managed table and records observed metrics") {
+    val p = new SparkPipeline("tbl", spark)
+    val step = p.stepSparkTable("write_orders", outputs = Seq("graft_test_orders"),
+      metricExprs = Map("row_cnt" -> "count(1)", "max_price" -> "max(o_totalprice)")) { _ =>
+      Seq(Tables.orders(spark, sf))
+    }
+    p.run(4)
+    assert(spark.table("graft_test_orders").count() == Tables.orders(spark, sf).count())
+    assert(step.metrics("row_cnt") == Tables.orders(spark, sf).count().toDouble)
+    assert(step.metrics("max_price") > 0)
+    assert(p.metrics.keySet == Set("write_orders.row_cnt", "write_orders.max_price"))
+  }
+
+  test("state store round-trips metrics and pipeline picks up last run") {
+    val ss = new StateStore(spark, "graft_test_state")
+    val p1 = new SparkPipeline("stateful", spark, Some(ss))
+    p1.step("s") { _ => Seq(1) }
+    p1.run(2)
+    val loaded = ss.loadLatest("stateful")
+    assert(loaded.exists(_.pipelineName == "stateful"))
+    val p2 = new SparkPipeline("stateful", spark, Some(ss))
+    assert(p2.lastRunMetrics == loaded.get.metrics)
+  }
+
+  test("state store JSON codec round-trips") {
+    val m = Map("a.b" -> 1.5, "weird\"key" -> -2.0, "n" -> 0.0)
+    assert(StateStore.fromJson(StateStore.toJson(m)) == m)
+    assert(StateStore.fromJson("{}") == Map.empty[String, Double])
+  }
+
+  test("SparkUILogger nests and restores job descriptions") {
+    SparkUILogger.tagged("outer", spark) {
+      assert(SparkUILogger.currentDescription.contains("outer"))
+      SparkUILogger.tagged("inner", spark) {
+        assert(SparkUILogger.currentDescription.contains("outer.inner"))
+      }
+      assert(SparkUILogger.currentDescription.contains("outer"))
+    }
+    assert(SparkUILogger.currentDescription.isEmpty)
+  }
+}

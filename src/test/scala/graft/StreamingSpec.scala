@@ -1,0 +1,75 @@
+package graft
+
+import graft.pipeline.SparkPipeline
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourly rollup on a bounded event stream matches the batch twin") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val stream = StreamingOps.readEventStream(spark, sf)
+    assert(stream.isStreaming)
+    val q = StreamingOps.hourlyRollup(stream).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_out")
+      .select(date_format($"hr", "yyyy-MM-dd HH:mm:ss").as("hr"), $"event_type", $"n_events", $"sum_value")
+    val batch = StreamingOps.hourlyRollup(Tables.events(spark, sf))
+      .select(date_format($"hr", "yyyy-MM-dd HH:mm:ss").as("hr"), $"event_type", $"n_events", $"sum_value")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: two sessions separated by > 1800s; user 2: one session
+    mem.addData(
+      Event(1L, 1L, 1000L), Event(1L, 2L, 1100L),
+      Event(1L, 3L, 5000L),
+      Event(2L, 4L, 1000L)
+    )
+    val q = StreamingOps.sessionize(mem.toDS(), gapSeconds = 1800, timeout = "2 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      // first batch: session (1000..1100) closes when 5000 arrives
+      var deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sess_out").count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      // timeout then flushes both open sessions
+      deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sess_out").count() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val sessions = spark.table("sess_out").as[Session].collect().toSet
+      assert(sessions == Set(
+        Session(1L, 1L, 2L, 1000L, 1100L),
+        Session(1L, 2L, 1L, 5000L, 5000L),
+        Session(2L, 1L, 1L, 1000L, 1000L)
+      ))
+    } finally q.stop()
+  }
+
+  test("pipeline foreachBatch step consumes a bounded stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val p = new SparkPipeline("febpipe", spark)
+    p.conf("spark.sql.streaming.checkpointLocation") = s"$tmp/cp"
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    p.stepForEachBatch("ingest", _ => StreamingOps.readEventStream(spark, sf)) {
+      (df, _, _) => seen.addAndGet(df.count())
+    }
+    p.run(2)
+    assert(p.isSuccess)
+    assert(seen.get() == Tables.events(spark, sf).count())
+  }
+}
