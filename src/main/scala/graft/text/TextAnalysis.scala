@@ -26,19 +26,42 @@ object TextAnalysis {
       greatest(size(t), lit(1))
   }
 
-  /** Heuristic language ID: highest stopword ratio wins (deterministic
-    * first-max tiebreak in Stopwords key order); "zh" when CJK chars
-    * dominate; "und" when nothing matches.
+  /** Heuristic language ID: highest stopword hit-ratio wins (deterministic
+    * first-max tiebreak in en/de/fr/es order); "zh" when CJK chars dominate;
+    * "und" when nothing matches. One compiled pass per document — the
+    * expression form re-tokenized the text once per language (~0.4ms/doc,
+    * hopeless at corpus scale).
     */
-  def langId(textCol: Column): Column = {
-    val langs = Seq("en", "de", "fr", "es")
-    val scores = array(langs.map(l => stopwordRatio(textCol, l)): _*)
-    val cjkRatio = length(regexp_replace(textCol, "[^\\x{4e00}-\\x{9fff}]", "")) /
-      greatest(length(textCol), lit(1))
-    when(cjkRatio > 0.2, lit("zh"))
-      .when(array_max(scores) <= 0.0, lit("und"))
-      .otherwise(element_at(array(langs.map(lit(_)): _*), array_position(scores, array_max(scores)).cast("int")))
+  private val LangIdLangs = Seq("en", "de", "fr", "es")
+  private val LangIdSets: Array[Set[String]] = LangIdLangs.map(l => Stopwords(l).toSet).toArray
+
+  val langIdUdf = udf { (text: String) =>
+    if (text == null) "und"
+    else {
+      var cjk = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c >= '一' && c <= '鿿') cjk += 1
+        i += 1
+      }
+      if (text.nonEmpty && cjk.toDouble / text.length > 0.2) "zh"
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        val hits = new Array[Int](LangIdSets.length)
+        toks.foreach { t =>
+          var j = 0
+          while (j < LangIdSets.length) { if (LangIdSets(j).contains(t)) hits(j) += 1; j += 1 }
+        }
+        var best = -1; var bestHits = 0
+        var j = 0
+        while (j < hits.length) { if (hits(j) > bestHits) { bestHits = hits(j); best = j }; j += 1 }
+        if (best < 0) "und" else LangIdLangs(best)
+      }
+    }
   }
+
+  def langId(textCol: Column): Column = langIdUdf(textCol)
 
   /** Quality features + composite score. Integer counts ratio'd in double —
     * identical formula is expressible in any ANSI engine.
