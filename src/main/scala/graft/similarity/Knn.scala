@@ -23,9 +23,9 @@ object Knn {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Compiled cosine (primitive loop, same left-to-right summation order as
-    * the expression form). Interpreted higher-order-function lambdas cost
-    * ~10x in pairwise hot loops (candidates × dim evaluations).
+  /** Compiled cosine UDF — kept as the reference implementation and for
+    * sessions without codegen; same left-to-right summation order as the
+    * native expression below (bit-identical results).
     */
   val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     val n = math.min(a.length, b.length)
@@ -39,7 +39,15 @@ object Knn {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Native codegen'd Catalyst expression (graft.functions
+    * .ArrayCosineSimilarity) — no UDF serialization boundary; stays inside
+    * whole-stage codegen of the enclosing pair loop.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.ArrayCosineSimilarity(
+        org.apache.spark.sql.graftbridge.expression(a),
+        org.apache.spark.sql.graftbridge.expression(b)))
 
   /** Exact top-k cosine neighbors of each query vector.
     * The (small) query set is broadcast against the corpus — one pass over

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column↔Expression conversions — the standard
+  * technique for third-party Spark extension libraries that add native
+  * Catalyst expressions (the alternative, SQL-name indirection, would
+  * require every session to pre-register extensions).
+  */
+object graftbridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.similarity.Knn
+import org.apache.spark.sql.functions._
+
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_cosine registered via GraftExtensions is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d, 3.0d)) AS c").as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+    val orth = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c").as[Double].head()
+    assert(orth == 0.0)
+  }
+
+  test("native expression matches the compiled UDF bit-for-bit") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = df.as("a")
+    val b = df.as("b")
+    val joined = a.join(b, $"a.vec_id" < $"b.vec_id")
+    val exprVals = joined.select(Knn.cosine($"a.v", $"b.v")).as[Double].collect()
+    val udfVals = joined.select(Knn.cosineUdf($"a.v", $"b.v")).as[Double].collect()
+    assert(exprVals.length == udfVals.length && exprVals.length > 1000)
+    exprVals.zip(udfVals).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("expression survives whole-stage codegen (no fallback exception) and null arrays propagate null") {
+    val out = spark.sql(
+      "SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c").collect()
+    assert(out.head.isNullAt(0))
+  }
+}

@@ -14,6 +14,7 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
