@@ -40,7 +40,8 @@ object SparkEntry {
     "q29_token_count" -> (LlmQueries.q29TokenCount(_, _)),
     "q30_fingerprint" -> (LlmQueries.q30Fingerprint(_, _)),
     "q31_multimodal_meta" -> (LlmQueries.q31MultimodalMeta(_, _)),
-    "q32_multimodal_features" -> (LlmQueries.q32MultimodalFeatures(_, _))
+    "q32_multimodal_features" -> (LlmQueries.q32MultimodalFeatures(_, _)),
+    "q33_knn_ivf" -> (LlmQueries.q33KnnIvf(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins: salt the skewed (large) side, replicate the
+  * other side across the salt domain, join on (keys + salt).
+  *
+  * AQE's skew-join handles most cases at runtime; explicit salting remains
+  * the tool when a single hot key exceeds what split-and-replicate AQE
+  * can absorb (e.g. a null-key flood or one giant customer at 100 TB), or
+  * when the join is followed by an aggregation that must stay co-partitioned.
+  */
+object Skew {
+
+  val SaltCol = "__graft_salt"
+
+  /** Deterministic per-row salt in [0, saltFactor): hash of the whole row.
+    * (Deterministic rather than rand() so retried tasks produce identical
+    * output — a correctness requirement under speculative execution.)
+    */
+  private def rowSalt(df: DataFrame, saltFactor: Int) =
+    pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(saltFactor.toLong)).cast("int")
+
+  /** Inner/left join `skewed` (large, hot-keyed) with `other` (small enough
+    * to replicate saltFactor times) on `keys`.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"unsupported joinType for salting: $joinType")
+    val l = skewed.withColumn(SaltCol, rowSalt(skewed, saltFactor))
+    val r = other.withColumn(SaltCol, explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+
+  /** Skewed-key report: keys whose row count exceeds `threshold` — feed of
+    * the decision "which keys need salting/isolation".
+    */
+  def hotKeys(df: DataFrame, keys: Seq[String], threshold: Long): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+}

@@ -96,6 +96,13 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  def q33KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Knn.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
   /** Predicted-language distribution (heuristic stopword scorer). */
   def q27LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -118,6 +118,56 @@ object Knn {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    * into nlist cells once (index build); each query probes only its
+    * nprobe nearest cells. The scale trade: probe cost drops from |corpus|
+    * to nprobe/nlist of it, recall governed by nprobe.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 7L,
+      maxIter: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+
+    val toVec = udf { (a: Seq[Double]) => Vectors.dense(a.toArray) }
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("features", toVec(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(c)
+    val cells = model.transform(c).select(col("id"), col("v"), col("cell"))
+
+    // driver-side centroid table is tiny (nlist × dim); nearest nprobe
+    // cells per query computed in one compiled pass
+    val centers = model.clusterCenters.map(_.toArray)
+    val probeUdf = udf { (q: Seq[Double]) =>
+      centers.zipWithIndex.map { case (ct, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(ct.length, q.length)) { val t = ct(j) - q(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
   /** Near-duplicate pairs by embedding cosine >= tau, LSH-bucketed so the
     * pair join is per-bucket instead of all-pairs.
     */

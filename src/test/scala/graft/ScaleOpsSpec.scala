@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Skew
+import graft.similarity.Knn
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join (inner and left)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_quantity")
+    val supp = Tables.supplier(spark, sf).filter($"s_suppkey" % 3 =!= 0)
+      .select($"s_suppkey".as("l_suppkey"), $"s_name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = li.join(supp, Seq("l_suppkey"), jt)
+      val salted = Skew.saltedJoin(li, supp, Seq("l_suppkey"), saltFactor = 8, joinType = jt)
+      assert(salted.count() == plain.count())
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    }
+  }
+
+  test("hotKeys reports keys above threshold") {
+    val hot = Skew.hotKeys(Tables.lineitem(spark, sf), Seq("l_suppkey"), threshold = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hot.nonEmpty && hot.values.forall(_ >= 100))
+  }
+
+  test("bucketed join runs without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(Tables.orders(spark, sf), "b_orders",
+        Seq("o_orderkey"), 4, sortCols = Seq("o_orderkey"))
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", Seq("o_orderkey"), 4, sortCols = Seq("o_orderkey"))
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", Seq("o_orderkey"))
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+      assert(Bucketing.isExchangeFree(joined), "bucketed join plan should have no exchange:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+      // contrast: the same join on raw parquet DOES shuffle
+      val raw = Tables.orders(spark, sf).join(
+        Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
+      raw.count()
+      assert(!Bucketing.isExchangeFree(raw))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Knn.ivfTopK(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(ivf.size == exact.size)
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}
