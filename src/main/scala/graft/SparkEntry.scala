@@ -41,7 +41,9 @@ object SparkEntry {
     "q30_fingerprint" -> (LlmQueries.q30Fingerprint(_, _)),
     "q31_multimodal_meta" -> (LlmQueries.q31MultimodalMeta(_, _)),
     "q32_multimodal_features" -> (LlmQueries.q32MultimodalFeatures(_, _)),
-    "q33_knn_ivf" -> (LlmQueries.q33KnnIvf(_, _))
+    "q33_knn_ivf" -> (LlmQueries.q33KnnIvf(_, _)),
+    "q34_asof_join" -> (CoreQueries.q34AsofJoin(_, _)),
+    "q35_range_join" -> (CoreQueries.q35RangeJoin(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -279,6 +281,49 @@ object SparkEntry {
         |       ELSE 'application/octet-stream' END AS mime,
         |  octet_length(payload) AS n_bytes,
         |  lower(substring(hex(payload), 1, 16)) AS magic_hex
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q12_schema_compare" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderpriority', 'added', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('o_comment', 'removed', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('o_totalprice', 'changed', 'double', 'decimal(18,2)'),
+        |  ('o_custkey', 'not_changed', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('o_orderdate', 'not_changed', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('o_orderkey', 'not_changed', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('o_orderstatus', 'not_changed', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+        |) t(column_name, status, before, after)""".stripMargin,
+    "q27_lang_id" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for','with','as','was','on'], x))) AS h_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','für'], x))) AS h_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','des','que','pas','pour','dans'], x))) AS h_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','de','que','no','por','para','con'], x))) AS h_es,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |  length(text) AS n
+        |  FROM t),
+        |p AS (SELECT CASE
+        |  WHEN n > 0 AND cjk * 1.0 / n > 0.2 THEN 'zh'
+        |  WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |  WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+        |  WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+        |  WHEN h_fr >= h_es THEN 'fr'
+        |  ELSE 'es' END AS lang_pred FROM s)
+        |SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    "q32_multimodal_features" ->
+      "SELECT doc_id, 16 AS dim FROM documents ORDER BY doc_id",
+    "q34_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts_sec FROM ev),
+        |r AS (SELECT user_id, ts_sec, max(value) AS profile_value FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts_sec)
+        |SELECT l.event_id, l.user_id, l.ts_sec, r.profile_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+        |ORDER BY event_id""".stripMargin,
+    "q35_range_join" ->
+      """WITH p AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS v FROM events),
+        |iv AS (SELECT n_nationkey, CAST(n_nationkey * 8 AS BIGINT) AS lo, CAST(n_nationkey * 8 + 12 AS BIGINT) AS hi FROM nation)
+        |SELECT n_nationkey, count(*) AS n_pts
+        |FROM p JOIN iv ON p.v BETWEEN iv.lo AND iv.hi
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
   )
 }

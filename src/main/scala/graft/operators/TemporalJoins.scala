@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark lacks as primitives, built by
+  * composition (the preferred path — Catalyst keeps optimizing them):
+  *
+  *  - as-of join: attach the latest right-side row at-or-before each left
+  *    timestamp, per key. Implemented as union + one window pass — ONE
+  *    shuffle on the key, versus the naive approach (inequality join +
+  *    aggregation) which is a quadratic per-key blowup.
+  *  - range join: point-in-interval matching via bucket blocking — an
+  *    equi-join on bucket ids instead of a cross join with a BETWEEN
+  *    filter (Spark would otherwise plan BroadcastNestedLoopJoin).
+  */
+object TemporalJoins {
+
+  /** As-of join (left join semantics): every left row, plus `valueCols`
+    * from the latest right row with rightTs <= leftTs and equal keys.
+    *
+    * Right rows must be unique per (keys, rightTs) — deduplicate first
+    * (ties would be resolved arbitrarily, same caveat as DuckDB's ASOF).
+    *
+    * Scale shape: one hash shuffle of (left ∪ right) on the keys, one sort
+    * within partitions, no join node at all. Window carries only the value
+    * columns forward (`last(..., ignoreNulls)`).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "keys must not be empty")
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+      .select(
+        (keys.map(col) :+ col("__ts") :+ col("__is_left")) ++
+          leftCols.filterNot(keys.contains).map(col) ++
+          valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")): _*
+      )
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__is_left", lit(0))
+      .select(
+        (keys.map(col) :+ col("__ts") :+ col("__is_left")) ++
+          leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          valueCols.map(v => col(v).as(s"__v_$v")): _*
+      )
+    // right sorts before left at equal __ts => inclusive (<=) semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = l.unionByName(r)
+      .select(col("*") +: valueCols.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(w).as(v)): _*)
+    attached
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** Point-in-interval join: rows of `points` matched to every interval
+    * containing them. Bucket blocking: intervals explode onto the fixed
+    * grid of `bucketSize`-wide buckets they overlap; points hash to their
+    * single bucket; the match becomes equi-join(bucket) + BETWEEN filter.
+    * Choose bucketSize near the typical interval width: wider ⇒ more
+    * false candidates per bucket, narrower ⇒ more replicas per interval.
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketSize: Long
+  ): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val p = points.withColumn("__bucket", floor(col(pointCol) / bucketSize).cast("long"))
+    val iv = intervals
+      .withColumn(
+        "__bucket",
+        explode(sequence(
+          floor(col(loCol) / bucketSize).cast("long"),
+          floor(col(hiCol) / bucketSize).cast("long")))
+      )
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__bucket")
+  }
+}

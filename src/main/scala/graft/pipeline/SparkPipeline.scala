@@ -215,7 +215,14 @@ class SparkPipeline(
     dag.execute(maxConcurrentSteps)
     stopTs = Some(new Timestamp(System.currentTimeMillis()))
     stateStore.foreach { ss =>
-      ss.save(ss.State(name, startTs.get, stopTs, metrics))
+      // metrics named progressive_* carry over from the previous run when
+      // the current run did not produce them (e.g. a failed step) —
+      // reference behaviour: bdq/spark_pipeline.py:325 _get_save_state
+      val current = metrics
+      val carried = lastRunMetricsCache.filter { case (k, _) =>
+        k.split('.').lift(1).exists(_.startsWith("progressive_")) && !current.contains(k)
+      }
+      ss.save(ss.State(name, startTs.get, stopTs, current ++ carried))
       lastRunMetricsCache = ss.loadLatest(name).map(_.metrics).getOrElse(Map.empty)
     }
     if (!isSuccess)

@@ -134,6 +134,37 @@ object CoreQueries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** As-of join: attach each user's latest signup value at-or-before every
+    * event. One shuffle (union + window), no inequality join.
+    */
+  def q34AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_type"), col("value"))
+    val left = ev.select("event_id", "user_id", "ts_sec")
+    val right = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_sec")
+      .agg(max(col("value")).as("profile_value"))
+    TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts_sec", "ts_sec", Seq("profile_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range join via bucket blocking: events bucketed into nation-derived
+    * integer intervals — equi-join on grid buckets, never a nested loop.
+    */
+  def q35RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables.events(s, dir)
+      .select(col("event_id"), floor(col("value")).cast("long").as("v"))
+    val intervals = Tables.nation(s, dir)
+      .select(col("n_nationkey"),
+        (col("n_nationkey") * 8).cast("long").as("lo"),
+        (col("n_nationkey") * 8 + 12).cast("long").as("hi"))
+    TemporalJoins.pointInInterval(points, "v", intervals, "lo", "hi", bucketSize = 16)
+      .groupBy("n_nationkey")
+      .agg(count(lit(1)).as("n_pts"))
+      .orderBy("n_nationkey")
+  }
+
   // ---- bdq-parity wiring -------------------------------------------------
 
   /** Deterministic derived pair of order snapshots for the diff queries:

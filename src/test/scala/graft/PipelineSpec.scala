@@ -80,6 +80,24 @@ class PipelineSpec extends SparkSpec {
     assert(p2.lastRunMetrics == loaded.get.metrics)
   }
 
+  test("progressive metrics carry over from last run when current run lacks them") {
+    val ss = new StateStore(spark, "graft_test_progressive")
+    val p1 = new SparkPipeline("prog", spark, Some(ss))
+    p1.stepSparkTable("load", outputs = Seq("graft_prog_t1"),
+      metricExprs = Map("progressive_rows" -> "count(1)", "batch_rows" -> "count(1)")) { _ =>
+      Seq(spark.range(7).toDF())
+    }
+    p1.run(2)
+    assert(ss.loadLatest("prog").get.metrics("load.progressive_rows") == 7.0)
+    // second run: no metrics produced at all
+    val p2 = new SparkPipeline("prog", spark, Some(ss))
+    p2.step("load") { _ => Seq(1) } // same step name, no metric registration
+    p2.run(2)
+    val m2 = ss.loadLatest("prog").get.metrics
+    assert(m2("load.progressive_rows") == 7.0) // carried
+    assert(!m2.contains("load.batch_rows")) // non-progressive not carried
+  }
+
   test("state store JSON codec round-trips") {
     val m = Map("a.b" -> 1.5, "weird\"key" -> -2.0, "n" -> 0.0)
     assert(StateStore.fromJson(StateStore.toJson(m)) == m)

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin attaches latest at-or-before value per key, null when none") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), (2L, 7L, 103L))
+      .toDF("k", "ts", "event")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 99L, "z"))
+      .toDF("k", "ts", "v")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("event", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(
+      100L -> Some("a"),  // ts=10 matches right ts=10 (inclusive)
+      101L -> Some("b"),  // ts=20 -> latest right ts=15
+      102L -> None,       // ts=5, nothing at-or-before
+      103L -> None        // right row is in the future
+    ))
+  }
+
+  test("pointInInterval equals a plain between-join across bucket sizes") {
+    val points = Tables.events(spark, sf)
+      .selectExpr("event_id", "CAST(floor(value) AS BIGINT) AS v")
+    val iv = Tables.nation(spark, sf)
+      .selectExpr("n_nationkey", "CAST(n_nationkey * 8 AS BIGINT) AS lo", "CAST(n_nationkey * 8 + 12 AS BIGINT) AS hi")
+    val naive = points.join(iv, $"v".between($"lo", $"hi")).select("event_id", "n_nationkey")
+    for (bs <- Seq(4L, 16L, 64L)) {
+      val bucketed = TemporalJoins.pointInInterval(points, "v", iv, "lo", "hi", bs)
+        .select("event_id", "n_nationkey")
+      assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty, s"bucketSize=$bs")
+    }
+  }
+}
