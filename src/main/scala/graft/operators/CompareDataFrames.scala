@@ -32,14 +32,21 @@ object CompareDataFrames {
       /** One row per category: (category, cnt) — single-pass counts. */
       summary: DataFrame,
       /** Long form of `changed`: key cols + (column_name, before, after). */
-      changedLong: DataFrame
+      changedLong: DataFrame,
+      /** The persisted joined frame when built with cache=true. */
+      cached: Option[DataFrame] = None
   )
 
-  def apply(df1: DataFrame, df2: DataFrame, keyColumns: Seq[String]): Compared = {
+  /** @param cache persist the joined frame so the category views and
+    *   counts reuse one materialization (reference: cache_results flag,
+    *   bdq/dataframe.py:20). Call [[uncache]] when done.
+    */
+  def apply(df1: DataFrame, df2: DataFrame, keyColumns: Seq[String], cache: Boolean = false): Compared = {
     require(keyColumns.nonEmpty, "keyColumns must not be empty")
     val l = df1.alias("df1")
     val r = df2.alias("df2")
-    val joined = l.join(r, keyColumns.toSeq, "full_outer")
+    val joined0 = l.join(r, keyColumns.toSeq, "full_outer")
+    val joined = if (cache) joined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else joined0
 
     val k0l = col(s"df1.${keyColumns.head}")
     val k0r = col(s"df2.${keyColumns.head}")
@@ -92,8 +99,14 @@ object CompareDataFrames {
         )
     }
 
-    Compared(keyColumns.toSeq, added, removed, changed, notChanged, summary, changedLong)
+    Compared(keyColumns.toSeq, added, removed, changed, notChanged, summary, changedLong,
+      cached = if (cache) Some(joined) else None)
   }
+
+  /** Unpersist what a cached compare pinned (reference:
+    * uncache_compare_dataframes_results, bdq/dataframe.py:86).
+    */
+  def uncache(c: Compared): Unit = c.cached.foreach(_.unpersist())
 
   /** Eagerly compute the four counts (one Spark job). */
   def counts(c: Compared): Map[String, Long] = {

@@ -47,6 +47,31 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("csv and json round-trip preserves data with explicit schemas") {
+    import graft.sources.Formats
+    val src = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_str", "o_orderpriority")
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    Formats.writeCsv(src, s"$base/csv")
+    Formats.writeJson(src, s"$base/json")
+    val csvBack = Formats.readCsv(spark, s"$base/csv", src.schema)
+    val jsonBack = Formats.readJson(spark, s"$base/json", src.schema)
+    assert(csvBack.exceptAll(src).isEmpty && src.exceptAll(csvBack).isEmpty)
+    assert(jsonBack.exceptAll(src).isEmpty && src.exceptAll(jsonBack).isEmpty)
+  }
+
+  test("compare with cache=true materializes once and uncaches cleanly") {
+    import graft.operators.CompareDataFrames
+    val (a, b) = (Tables.orders(spark, sf), Tables.orders(spark, sf).filter($"o_orderkey" % 2 === 0))
+    val c = CompareDataFrames(a, b, Seq("o_orderkey"), cache = true)
+    val counts = CompareDataFrames.counts(c)
+    assert(counts("removed") > 0 && counts("added") == 0)
+    assert(c.cached.exists(_.storageLevel.useMemory))
+    CompareDataFrames.uncache(c)
+    assert(c.cached.exists(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("IVF top-k achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 5)
