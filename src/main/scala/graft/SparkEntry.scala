@@ -43,7 +43,8 @@ object SparkEntry {
     "q32_multimodal_features" -> (LlmQueries.q32MultimodalFeatures(_, _)),
     "q33_knn_ivf" -> (LlmQueries.q33KnnIvf(_, _)),
     "q34_asof_join" -> (CoreQueries.q34AsofJoin(_, _)),
-    "q35_range_join" -> (CoreQueries.q35RangeJoin(_, _))
+    "q35_range_join" -> (CoreQueries.q35RangeJoin(_, _)),
+    "q36_asof_native" -> (CoreQueries.q36AsofNative(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -313,6 +314,13 @@ object SparkEntry {
     "q32_multimodal_features" ->
       "SELECT doc_id, 16 AS dim FROM documents ORDER BY doc_id",
     "q34_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts_sec FROM ev),
+        |r AS (SELECT user_id, ts_sec, max(value) AS profile_value FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts_sec)
+        |SELECT l.event_id, l.user_id, l.ts_sec, r.profile_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+        |ORDER BY event_id""".stripMargin,
+    "q36_asof_native" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value FROM events),
         |l AS (SELECT event_id, user_id, ts_sec FROM ev),
         |r AS (SELECT user_id, ts_sec, max(value) AS profile_value FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts_sec)

@@ -64,6 +64,44 @@ object TemporalJoins {
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** As-of join through the custom planner path (graft.plans.AsOfJoinNode →
+    * AsOfJoinStrategy → AsOfJoinExec): a real sort-merge as-of physical
+    * operator — one clustered exchange + sort per side, single merge pass,
+    * O(1) state. Requires the session to carry [[graft.GraftExtensions]]
+    * (which injects the strategy) and LONG timestamp columns.
+    *
+    * Semantics are identical to [[asOfJoin]]; both are oracle-checked
+    * against DuckDB's native ASOF JOIN (q34/q36).
+    */
+  def asOfJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge
+    import org.apache.spark.sql.types.LongType
+    require(left.schema(leftTs).dataType == LongType, s"$leftTs must be LONG")
+    require(right.schema(rightTs).dataType == LongType, s"$rightTs must be LONG")
+    val lp = graftbridge.analyzed(left)
+    // re-alias every right column: fresh exprIds prevent self-join ambiguity
+    // when left and right share lineage (DeduplicateRelations couldn't tell
+    // which side the node's right-key attributes refer to otherwise)
+    val rightFresh = right.select(right.columns.map(c => right(c).as(c)).toSeq: _*)
+    val rp = graftbridge.analyzed(rightFresh)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"column not found: $n"))
+    graftbridge.ofRows(left.sparkSession, graft.plans.AsOfJoinNode(
+      lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTs), attr(rp, rightTs),
+      valueCols.map(attr(rp, _))
+    ))
+  }
+
   /** Point-in-interval join: rows of `points` matched to every interval
     * containing them. Bucket blocking: intervals explode onto the fixed
     * grid of `bucketSize`-wide buckets they overlap; points hash to their

@@ -149,6 +149,21 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics through the custom planner path (AsOfJoinExec);
+    * requires GraftExtensions on the session.
+    */
+  def q36AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_type"), col("value"))
+    val left = ev.select("event_id", "user_id", "ts_sec")
+    val right = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_sec")
+      .agg(max(col("value")).as("profile_value"))
+    TemporalJoins.asOfJoinNative(left, right, Seq("user_id"), "ts_sec", "ts_sec", Seq("profile_value"))
+      .orderBy("event_id")
+  }
+
   /** Range join via bucket blocking: events bucketed into nation-derived
     * integer intervals — equi-join on grid buckets, never a nested loop.
     */

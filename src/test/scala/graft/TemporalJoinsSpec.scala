@@ -20,6 +20,21 @@ class TemporalJoinsSpec extends SparkSpec {
     ))
   }
 
+  test("native AsOfJoinExec matches the composed as-of join on real events") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "unix_timestamp(ts) AS ts_sec", "event_type", "value")
+    val left = ev.select("event_id", "user_id", "ts_sec")
+    val right = ev.filter($"event_type" === "signup")
+      .groupBy("user_id", "ts_sec").agg(org.apache.spark.sql.functions.max($"value").as("pv"))
+    val composed = TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts_sec", "ts_sec", Seq("pv"))
+    val native = TemporalJoins.asOfJoinNative(left, right, Seq("user_id"), "ts_sec", "ts_sec", Seq("pv"))
+    assert(native.count() == left.count())
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    // and the custom physical operator is actually in the plan
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoinExec") ||
+      native.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
   test("pointInInterval equals a plain between-join across bucket sizes") {
     val points = Tables.events(spark, sf)
       .selectExpr("event_id", "CAST(floor(value) AS BIGINT) AS v")
