@@ -44,7 +44,8 @@ object SparkEntry {
     "q33_knn_ivf" -> (LlmQueries.q33KnnIvf(_, _)),
     "q34_asof_join" -> (CoreQueries.q34AsofJoin(_, _)),
     "q35_range_join" -> (CoreQueries.q35RangeJoin(_, _)),
-    "q36_asof_native" -> (CoreQueries.q36AsofNative(_, _))
+    "q36_asof_native" -> (CoreQueries.q36AsofNative(_, _)),
+    "q37_dedup_clusters" -> (LlmQueries.q37DedupClusters(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -332,6 +333,19 @@ object SparkEntry {
         |iv AS (SELECT n_nationkey, CAST(n_nationkey * 8 AS BIGINT) AS lo, CAST(n_nationkey * 8 + 12 AS BIGINT) AS hi FROM nation)
         |SELECT n_nationkey, count(*) AS n_pts
         |FROM p JOIN iv ON p.v BETWEEN iv.lo AND iv.hi
-        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+    "q37_dedup_clusters" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <= 1),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
+        |)
+        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
   )
 }

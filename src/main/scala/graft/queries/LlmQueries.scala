@@ -96,6 +96,19 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Dedup clustering: chain edges (doc i — i+1 for i%10 ∈ {0,1}) →
+    * connected components via label propagation → (node, component).
+    * The oracle computes the same closure with a recursive CTE.
+    */
+  def q37DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id")
+    val edges = d.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    ConnectedComponents.labelPropagation(edges)
+      .orderBy("node")
+  }
+
   def q33KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Knn.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)

@@ -95,6 +95,22 @@ class DedupSpec extends SparkSpec {
     assert(fp(2L)._2 != fp(3L)._2) // rolling hash sees order
   }
 
+  test("connected components: chains, cycles, and long paths converge to min label") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path of 5
+      (10L, 11L), (11L, 12L), (12L, 10L), // cycle
+      (20L, 21L) // pair
+    ).toDF("src", "dst")
+    val comps = ConnectedComponents.labelPropagation(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+    val cl = ConnectedComponents.clusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 5L, 10L -> 3L, 20L -> 2L))
+  }
+
   test("multimodal meta + stub feature extraction plumbing") {
     import graft.multimodal.Multimodal
     val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
