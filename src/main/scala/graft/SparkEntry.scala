@@ -45,7 +45,8 @@ object SparkEntry {
     "q34_asof_join" -> (CoreQueries.q34AsofJoin(_, _)),
     "q35_range_join" -> (CoreQueries.q35RangeJoin(_, _)),
     "q36_asof_native" -> (CoreQueries.q36AsofNative(_, _)),
-    "q37_dedup_clusters" -> (LlmQueries.q37DedupClusters(_, _))
+    "q37_dedup_clusters" -> (LlmQueries.q37DedupClusters(_, _)),
+    "q38_dq_rules" -> (CoreQueries.q38DqRules(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -346,6 +347,23 @@ object SparkEntry {
         |  UNION
         |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
         |)
-        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
+        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "q38_dq_rules" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS positive_qty,
+        |  sum(CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 1 ELSE 0 END) AS qty_le_45,
+        |  sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 1 ELSE 0 END) AS discount_range,
+        |  sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) AS returnflag_known,
+        |  sum(CASE WHEN NOT coalesce(l_extendedprice < 90000, FALSE) THEN 1 ELSE 0 END) AS price_under_90k,
+        |  sum(CASE WHEN NOT coalesce(l_shipdate < TIMESTAMP '1999-01-01', FALSE) THEN 1 ELSE 0 END) AS ship_before_1999
+        |  FROM lineitem)
+        |SELECT rule, n_rows, CAST(n_failed AS BIGINT) AS n_failed FROM (
+        |  SELECT 'positive_qty' AS rule, n_rows, positive_qty AS n_failed FROM t
+        |  UNION ALL SELECT 'qty_le_45', n_rows, qty_le_45 FROM t
+        |  UNION ALL SELECT 'discount_range', n_rows, discount_range FROM t
+        |  UNION ALL SELECT 'returnflag_known', n_rows, returnflag_known FROM t
+        |  UNION ALL SELECT 'price_under_90k', n_rows, price_under_90k FROM t
+        |  UNION ALL SELECT 'ship_before_1999', n_rows, ship_before_1999 FROM t
+        |) ORDER BY rule""".stripMargin
   )
 }

@@ -1,0 +1,58 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SQL-predicate data-quality rule engine — the "checks at scale" core of
+  * the reference's mission (bdq validates datasets via SQL checks; this is
+  * that idea as a first-class one-pass operator).
+  *
+  * ALL rules evaluate in a SINGLE aggregation pass over the data: one scan,
+  * map-side partial aggregation, no per-rule jobs. A NULL predicate counts
+  * as a failure (unknown quality is bad quality).
+  */
+object RuleEngine {
+
+  final case class Rule(name: String, predicate: String)
+
+  private def failCol(r: Rule): Column = {
+    val p = expr(r.predicate)
+    sum(when(p.isNull || !p, 1L).otherwise(0L)).as(r.name)
+  }
+
+  /** Long-form results: (rule, n_rows, n_failed, failure_rate) — one row
+    * per rule, computed in one scan.
+    */
+  def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "rules must not be empty")
+    require(rules.map(_.name).distinct.length == rules.length, "rule names must be unique")
+    val agged = df.agg(count(lit(1)).as("__n"), rules.map(failCol): _*)
+    agged.select(
+      col("__n"),
+      explode(array(rules.map(r =>
+        struct(lit(r.name).as("rule"), col(r.name).as("n_failed"))): _*)).as("e")
+    ).select(
+      col("e.rule").as("rule"),
+      col("__n").as("n_rows"),
+      col("e.n_failed").as("n_failed"),
+      (col("e.n_failed") / col("__n")).as("failure_rate")
+    )
+  }
+
+  /** Up to `n` failing rows for one rule (triage). */
+  def failedSamples(df: DataFrame, rule: Rule, n: Int = 10): DataFrame = {
+    val p = expr(rule.predicate)
+    df.filter(p.isNull || !p).limit(n)
+  }
+
+  /** Throw when any rule exceeds its allowed failure rate. */
+  def enforce(df: DataFrame, rules: Seq[Rule], maxFailureRate: Double = 0.0): Unit = {
+    val bad = validate(df, rules)
+      .filter(col("failure_rate") > maxFailureRate)
+      .collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => s"${r.getString(0)}: ${r.getLong(2)}/${r.getLong(1)} failed").mkString("; ")
+      throw new IllegalStateException(s"data-quality rules violated: $detail")
+    }
+  }
+}

@@ -180,6 +180,22 @@ object CoreQueries {
       .orderBy("n_nationkey")
   }
 
+  /** One-pass data-quality rule validation over lineitem (rules chosen so
+    * some pass clean and some genuinely fail).
+    */
+  def q38DqRules(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.RuleEngine
+    import graft.quality.RuleEngine.Rule
+    RuleEngine.validate(Tables.lineitem(s, dir), Seq(
+      Rule("positive_qty", "l_quantity > 0"),
+      Rule("qty_le_45", "l_quantity <= 45"),
+      Rule("discount_range", "l_discount BETWEEN 0 AND 0.1"),
+      Rule("returnflag_known", "l_returnflag IN ('A', 'N', 'R')"),
+      Rule("price_under_90k", "l_extendedprice < 90000"),
+      Rule("ship_before_1999", "l_shipdate < TIMESTAMP '1999-01-01'")
+    )).select("rule", "n_rows", "n_failed").orderBy("rule")
+  }
+
   // ---- bdq-parity wiring -------------------------------------------------
 
   /** Deterministic derived pair of order snapshots for the diff queries:
