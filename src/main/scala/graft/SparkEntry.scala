@@ -46,7 +46,8 @@ object SparkEntry {
     "q35_range_join" -> (CoreQueries.q35RangeJoin(_, _)),
     "q36_asof_native" -> (CoreQueries.q36AsofNative(_, _)),
     "q37_dedup_clusters" -> (LlmQueries.q37DedupClusters(_, _)),
-    "q38_dq_rules" -> (CoreQueries.q38DqRules(_, _))
+    "q38_dq_rules" -> (CoreQueries.q38DqRules(_, _)),
+    "q39_quantiles" -> (CoreQueries.q39Quantiles(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -364,6 +365,15 @@ object SparkEntry {
         |  UNION ALL SELECT 'returnflag_known', n_rows, returnflag_known FROM t
         |  UNION ALL SELECT 'price_under_90k', n_rows, price_under_90k FROM t
         |  UNION ALL SELECT 'ship_before_1999', n_rows, ship_before_1999 FROM t
-        |) ORDER BY rule""".stripMargin
+        |) ORDER BY rule""".stripMargin,
+    "q39_quantiles" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

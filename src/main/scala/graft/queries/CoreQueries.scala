@@ -196,6 +196,13 @@ object CoreQueries {
     )).select("rule", "n_rows", "n_failed").orderBy("rule")
   }
 
+  /** Exact per-group quantiles by rank selection (engine-portable). */
+  def q39Quantiles(s: SparkSession, dir: String): DataFrame =
+    Quantiles.exactQuantiles(
+      Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id")),
+      Seq("event_type"), "value", "event_id"
+    ).orderBy("event_type")
+
   // ---- bdq-parity wiring -------------------------------------------------
 
   /** Deterministic derived pair of order snapshots for the diff queries:

@@ -95,6 +95,26 @@ class DedupSpec extends SparkSpec {
     assert(fp(2L)._2 != fp(3L)._2) // rolling hash sees order
   }
 
+  test("MinHashUnion aggregator: union signature equals signature of concatenated docs") {
+    import graft.functions.MinHashUnion
+    val a = (1 to 40).map(i => s"t$i").mkString(" ")
+    val b = (30 to 70).map(i => s"t$i").mkString(" ")
+    val parts = docs((1L, a), (2L, b))
+    val whole = docs((9L, a + " " + b))
+    val sigParts = MinHashLsh.signatures(parts, "doc_id", "text")
+    val sigWhole = MinHashLsh.signatures(whole, "doc_id", "text")
+    val unioned = sigParts.agg(MinHashUnion.column(col("sig")).as("sig"))
+      .collect().head.getSeq[Long](0)
+    val direct = sigWhole.collect().head.getSeq[Long](1)
+    // union of gram sets != concatenation exactly (boundary grams), but the
+    // signatures must agree on almost every position
+    assert(MinHashUnion.estimatedJaccard(unioned, direct) > 0.9)
+    // and unioning a signature with itself is identity
+    val self = sigParts.limit(1).agg(MinHashUnion.column(col("sig"))).collect().head.getSeq[Long](0)
+    val orig = sigParts.orderBy("doc_id").limit(1).collect().head.getSeq[Long](1)
+    assert(self == orig)
+  }
+
   test("connected components: chains, cycles, and long paths converge to min label") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path of 5
