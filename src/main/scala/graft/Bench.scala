@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Measured at sf0.1 on a 32-core box: local[8] beats local[4] (CPU-bound
+    // minhash parallelism) and local[32] (tiny-partition scheduling overhead).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")

@@ -38,21 +38,48 @@ object PrimaryKey {
     Validation(total, failed)
   }
 
-  /** Lazy one-pass stats per candidate combination as a DataFrame:
-    * (combination, duplicate_groups, duplicate_records). Union of grouped
-    * aggregations — Catalyst runs them as independent stages; each is a
-    * single shuffle on its own key set.
+  /** One-pass stats per candidate combination as a DataFrame:
+    * (combination, duplicate_groups, duplicate_records).
+    *
+    * All combinations are fused into a single GROUPING SETS aggregation —
+    * ONE scan of the fact table and one shuffle regardless of how many
+    * candidates are checked (a union of per-candidate groupBys would scan
+    * the table N times; at 100 TB the scan dominates, so this is the
+    * difference between 1× and N× I/O). Map-side partial aggregation
+    * absorbs the grouping-set row expansion before the exchange.
+    * `grouping_id()` identifies which combination each group row belongs
+    * to; combinations with zero duplicates are restored by a broadcast
+    * left join against the (tiny) combination list.
     */
   def combinationStats(df: DataFrame, combinations: Seq[Seq[String]]): DataFrame = {
     require(combinations.nonEmpty, "combinations must not be empty")
-    combinations.map { keyCols =>
-      duplicateKeys(df, keyCols)
-        .agg(
-          coalesce(count(lit(1)), lit(0L)).as("duplicate_groups"),
-          coalesce(sum("cnt"), lit(0L)).as("duplicate_records")
-        )
-        .select(lit(keyCols.mkString(",")).as("combination"), col("duplicate_groups"), col("duplicate_records"))
-    }.reduce(_ unionAll _)
+    val spark = df.sparkSession
+    val allCols = combinations.flatten.distinct
+    // Spark grouping_id(): one bit per groupBy column in declaration order,
+    // leftmost = most significant; bit set = column aggregated away (NOT in
+    // the grouping set). Verified against SQL GROUPING_ID in PrimaryKeySpec.
+    def gidOf(combo: Seq[String]): Long =
+      allCols.zipWithIndex.map { case (c, i) =>
+        if (combo.contains(c)) 0L else 1L << (allCols.length - 1 - i)
+      }.sum
+    val grouped = df
+      .groupingSets(combinations.map(_.map(col)), allCols.map(col): _*)
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
+    val dupStats = grouped
+      .filter(col("cnt") > 1)
+      .groupBy("gid")
+      .agg(count(lit(1)).as("dg"), sum("cnt").as("dr"))
+    import spark.implicits._
+    val labels = combinations
+      .map(c => (gidOf(c), c.mkString(",")))
+      .toDF("gid", "combination")
+    broadcast(labels)
+      .join(dupStats, Seq("gid"), "left")
+      .select(
+        col("combination"),
+        coalesce(col("dg"), lit(0L)).as("duplicate_groups"),
+        coalesce(col("dr"), lit(0L)).as("duplicate_records")
+      )
   }
 
   /** Find all combinations that are valid PKs, executing checks as a DAG

@@ -119,6 +119,25 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(ok.isValid)
   }
 
+  test("combinationStats fuses all candidates into one grouping-sets pass") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Option(1L), "a"), (1L, Option(1L), "b"),   // dup on (k1) and (k1,k2)
+      (2L, None, "a"), (2L, None, "a"),                // null key dup on (k1,k2) and triple
+      (3L, Option(9L), "c")
+    ).toDF("k1", "k2", "k3")
+    val stats = PrimaryKey.combinationStats(d,
+      Seq(Seq("k1"), Seq("k1", "k2"), Seq("k1", "k2", "k3")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("k1") == (2L, 4L))           // keys 1 and 2 both duplicated
+    assert(stats("k1,k2") == (2L, 4L))        // null k2 groups like a value (groupBy semantics)
+    assert(stats("k1,k2,k3") == (1L, 2L))     // only the identical (2,null,"a") rows collide
+    // single physical scan: exactly one Exchange below the grouping-sets agg
+    val plan = PrimaryKey.combinationStats(d, Seq(Seq("k1"), Seq("k1", "k2")))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length == 2, s"expected one Expand (grouping sets) in:\n$plan")
+  }
+
   test("columnCombinations mirrors the reference generator") {
     val combos = SchemaOps.columnCombinations(Seq("a", "b"), fixedColumns = Seq("f")).toSeq
     assert(combos == Seq(Seq("f"), Seq("f", "a"), Seq("f", "b"), Seq("f", "a", "b")))
