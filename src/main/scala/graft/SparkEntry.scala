@@ -47,7 +47,11 @@ object SparkEntry {
     "q36_asof_native" -> (CoreQueries.q36AsofNative(_, _)),
     "q37_dedup_clusters" -> (LlmQueries.q37DedupClusters(_, _)),
     "q38_dq_rules" -> (CoreQueries.q38DqRules(_, _)),
-    "q39_quantiles" -> (CoreQueries.q39Quantiles(_, _))
+    "q39_quantiles" -> (CoreQueries.q39Quantiles(_, _)),
+    "q40_profile" -> (CoreQueries.q40Profile(_, _)),
+    "q41_sample_stratified" -> (CoreQueries.q41SampleStratified(_, _)),
+    "q42_scd2" -> (CoreQueries.q42Scd2(_, _)),
+    "q43_top_tokens" -> (LlmQueries.q43TopTokens(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -374,6 +378,72 @@ object SparkEntry {
         |SELECT event_type, max(n) AS n,
         |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q40_profile" ->
+      """WITH d AS (SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str FROM orders),
+        |a AS (SELECT
+        |  CAST(count(o_custkey) AS VARCHAR) AS c1_nn, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS c1_nu,
+        |  CAST(count(DISTINCT o_custkey) AS VARCHAR) AS c1_di, CAST(min(o_custkey) AS VARCHAR) AS c1_mi, CAST(max(o_custkey) AS VARCHAR) AS c1_ma,
+        |  CAST(count(o_orderstatus) AS VARCHAR) AS c2_nn, CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS c2_nu,
+        |  CAST(count(DISTINCT o_orderstatus) AS VARCHAR) AS c2_di, CAST(min(o_orderstatus) AS VARCHAR) AS c2_mi, CAST(max(o_orderstatus) AS VARCHAR) AS c2_ma,
+        |  CAST(count(o_orderpriority) AS VARCHAR) AS c3_nn, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS c3_nu,
+        |  CAST(count(DISTINCT o_orderpriority) AS VARCHAR) AS c3_di, CAST(min(o_orderpriority) AS VARCHAR) AS c3_mi, CAST(max(o_orderpriority) AS VARCHAR) AS c3_ma,
+        |  CAST(count(o_orderdate_str) AS VARCHAR) AS c4_nn, CAST(sum(CASE WHEN o_orderdate_str IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS c4_nu,
+        |  CAST(count(DISTINCT o_orderdate_str) AS VARCHAR) AS c4_di, CAST(min(o_orderdate_str) AS VARCHAR) AS c4_mi, CAST(max(o_orderdate_str) AS VARCHAR) AS c4_ma
+        |FROM d)
+        |SELECT "column", metric, value FROM (
+        |  SELECT 'o_custkey' AS "column", 'non_nulls' AS metric, c1_nn AS value FROM a
+        |  UNION ALL SELECT 'o_custkey', 'nulls', c1_nu FROM a
+        |  UNION ALL SELECT 'o_custkey', 'distinct', c1_di FROM a
+        |  UNION ALL SELECT 'o_custkey', 'min', c1_mi FROM a
+        |  UNION ALL SELECT 'o_custkey', 'max', c1_ma FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'non_nulls', c2_nn FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'nulls', c2_nu FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'distinct', c2_di FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'min', c2_mi FROM a
+        |  UNION ALL SELECT 'o_orderstatus', 'max', c2_ma FROM a
+        |  UNION ALL SELECT 'o_orderpriority', 'non_nulls', c3_nn FROM a
+        |  UNION ALL SELECT 'o_orderpriority', 'nulls', c3_nu FROM a
+        |  UNION ALL SELECT 'o_orderpriority', 'distinct', c3_di FROM a
+        |  UNION ALL SELECT 'o_orderpriority', 'min', c3_mi FROM a
+        |  UNION ALL SELECT 'o_orderpriority', 'max', c3_ma FROM a
+        |  UNION ALL SELECT 'o_orderdate_str', 'non_nulls', c4_nn FROM a
+        |  UNION ALL SELECT 'o_orderdate_str', 'nulls', c4_nu FROM a
+        |  UNION ALL SELECT 'o_orderdate_str', 'distinct', c4_di FROM a
+        |  UNION ALL SELECT 'o_orderdate_str', 'min', c4_mi FROM a
+        |  UNION ALL SELECT 'o_orderdate_str', 'max', c4_ma FROM a)
+        |ORDER BY "column", metric""".stripMargin,
+    "q41_sample_stratified" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) <
+        |  CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN '800000000000000'
+        |    WHEN '2-HIGH'   THEN '400000000000000'
+        |    WHEN '3-MEDIUM' THEN '200000000000000'
+        |    ELSE NULL END
+        |ORDER BY o_orderkey""".stripMargin,
+    "q42_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |m AS (SELECT user_id, event_id, event_type, ts_sec,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |v AS (SELECT user_id, event_type, ts_sec, event_id FROM m
+        |  WHERE rn = 1 OR NOT (prev IS NOT DISTINCT FROM event_type))
+        |SELECT user_id, event_type,
+        |  ts_sec AS valid_from,
+        |  lead(ts_sec) OVER w2 AS valid_to,
+        |  lead(ts_sec) OVER w2 IS NULL AS is_current
+        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q43_top_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 20""".stripMargin
   )
 }

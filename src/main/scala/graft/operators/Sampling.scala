@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling.
+  *
+  * `df.sample()` is seed-stable only for an identical partitioning of an
+  * identical plan — rerun after a repartition or on another engine and the
+  * sample changes. Training-data pipelines need the OPPOSITE: the same row
+  * keys must select the same rows on any engine, any partitioning, any day,
+  * so that ablations and holdout splits are reproducible.
+  *
+  * Mechanism: md5 of the key columns, compare the first 15 hex chars (60
+  * bits) lexicographically against a per-fraction threshold. Lowercase
+  * fixed-width hex compares lexicographically exactly like the number it
+  * encodes, and md5 is identical everywhere — so the predicate is a plain
+  * string comparison that any engine (Spark, DuckDB, Trino, …) evaluates
+  * identically. The filter is a narrow, codegen'd expression: no shuffle,
+  * no state, pushes through joins/unions like any deterministic predicate.
+  */
+object Sampling {
+
+  /** First 15 hex chars of floor(fraction * 16^15), zero-padded: rows with
+    * md5-prefix strictly below this are in the sample.
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val max = BigInt(16).pow(15)
+    val t = (BigDecimal(max) * BigDecimal(fraction)).toBigInt.min(max)
+    if (t == max) "g" // past every hex digit → selects all rows
+    else "%015x".format(t.bigInteger).takeRight(15)
+  }
+
+  /** Hash column: md5 over the \u0001-joined key columns (cast to string). */
+  def keyHash(keyCols: Seq[Column]): Column =
+    md5(to_binary(concat_ws("\u0001", keyCols.map(_.cast("string")): _*), lit("utf-8")))
+
+  /** Uniform deterministic sample: keep ~fraction of rows, selected purely
+    * by key content.
+    */
+  def deterministic(df: DataFrame, keyCols: Seq[String], fraction: Double): DataFrame =
+    df.filter(substring(keyHash(keyCols.map(col)), 1, 15) < lit(hexThreshold(fraction)))
+
+  /** Stratified deterministic sample: per-stratum fractions (unlisted strata
+    * are dropped). The per-stratum threshold is a small CASE expression —
+    * still a narrow scan-level filter, no shuffle, no per-stratum pass.
+    */
+  def stratified(
+      df: DataFrame,
+      strataCol: String,
+      keyCols: Seq[String],
+      fractions: Map[String, Double]
+  ): DataFrame = {
+    require(fractions.nonEmpty, "fractions must not be empty")
+    val threshold = fractions.foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(substring(keyHash(keyCols.map(col)), 1, 15) < threshold)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Build a slowly-changing-dimension type-2 history from an event/snapshot
+  * log: collapse consecutive rows with unchanged tracked attributes and emit
+  * validity intervals [valid_from, valid_to) per entity, open-ended for the
+  * current row.
+  *
+  * The natural companion to `LatestRecords` (which keeps only the newest
+  * row): SCD2 keeps the full change history — what dimension tables look
+  * like in a warehouse fed by CDC.
+  *
+  * Scale design: one shuffle on the entity key; both window passes (change
+  * detection via `lag`, interval close via `lead`) share the same
+  * partitioning, so Catalyst plans a single Exchange + Sort and runs the
+  * windows back-to-back. No join, no self-union. Entities are independent,
+  * so the operator scales linearly with rows and parallelizes across keys.
+  */
+object Scd2 {
+
+  /** @param df        change log (one row per observation)
+    * @param entityCols entity identity (e.g. user_id)
+    * @param orderCols  observation order within entity (e.g. ts, tiebreaker)
+    * @param trackCols  attributes whose change opens a new version
+    */
+  def build(
+      df: DataFrame,
+      entityCols: Seq[String],
+      orderCols: Seq[String],
+      trackCols: Seq[String]
+  ): DataFrame = {
+    require(entityCols.nonEmpty && orderCols.nonEmpty && trackCols.nonEmpty)
+    val w = Window.partitionBy(entityCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    // a version starts where any tracked attribute differs from the
+    // previous observation (null-safe), or at the first observation
+    val changed = trackCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) || row_number().over(w) === 1
+    val versions = df
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .drop("__chg")
+    // same partitioning: close each version at the next version's start
+    val vw = Window.partitionBy(entityCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    versions
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(vw))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -306,6 +306,53 @@ object CoreQueries {
     ).orderBy("combination")
   }
 
+  /** One-pass column profile of orders (long form). Timestamp column is
+    * pre-formatted to a second-precision string so min/max text-compare
+    * identically across engines.
+    */
+  def q40Profile(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val d = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_str")
+    )
+    Profiler.profile(d, Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate_str"))
+      .orderBy("column", "metric")
+  }
+
+  /** Deterministic stratified sample of orders: per-priority fractions that
+    * are exact in binary (1/2, 1/4, 1/8) so the md5-prefix thresholds are
+    * identical in any engine; strata outside the map are dropped.
+    */
+  def q41SampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(
+      Tables.orders(s, dir),
+      strataCol = "o_orderpriority",
+      keyCols = Seq("o_orderkey"),
+      fractions = Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.25, "3-MEDIUM" -> 0.125)
+    )
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** SCD2 history of each user's event_type changes: one shuffle on
+    * user_id; second-precision epoch ordering (+ event_id tiebreak) keeps
+    * both engines on the same total order.
+    */
+  def q42Scd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      col("ts").cast("long").as("ts_sec")
+    )
+    Scd2.build(ev, Seq("user_id"), Seq("ts_sec", "event_id"), Seq("event_type"))
+      .select(
+        col("user_id"), col("event_type"),
+        col("valid_from"),
+        col("valid_to"),
+        col("is_current")
+      )
+      .orderBy("user_id", "valid_from")
+  }
+
   /** Minimal valid PK combinations discovered through the pruning DAG. */
   def q19PkCombinations(s: SparkSession, dir: String): DataFrame = {
     import graft.schema.SchemaOps

@@ -158,6 +158,13 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact corpus heavy hitters: top-20 tokens; partial map-side counts
+    * absorb the explode before the single shuffle, top-k runs as
+    * TakeOrderedAndProject (never a global sort).
+    */
+  def q43TopTokens(s: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyHitters.topTokens(Tables.documents(s, dir).select("text"), "text", 20)
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

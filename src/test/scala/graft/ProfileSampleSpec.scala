@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Sampling, Scd2}
+import graft.quality.Profiler
+import graft.text.HeavyHitters
+import org.apache.spark.sql.functions._
+
+class ProfileSampleSpec extends SparkSpec {
+
+  test("profiler computes all metrics for all columns in one pass") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (None, "b"), (Some(2L), null)
+    ).toDF("k", "s")
+    val p = Profiler.profile(d, Seq("k", "s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(p(("k", "non_nulls")) == "3" && p(("k", "nulls")) == "1")
+    assert(p(("k", "distinct")) == "2" && p(("k", "min")) == "1" && p(("k", "max")) == "2")
+    assert(p(("s", "non_nulls")) == "3" && p(("s", "nulls")) == "1")
+    assert(p(("s", "distinct")) == "2" && p(("s", "min")) == "a" && p(("s", "max")) == "b")
+    // approx variant agrees on these tiny cardinalities
+    val pa = Profiler.profileApprox(d, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(pa(("k", "distinct")) == "2")
+  }
+
+  test("deterministic sampling: stable rows, exact binary thresholds, plausible rate") {
+    assert(Sampling.hexThreshold(0.5) == "800000000000000")
+    assert(Sampling.hexThreshold(0.25) == "400000000000000")
+    assert(Sampling.hexThreshold(0.0) == "000000000000000")
+    assert(Sampling.hexThreshold(1.0) == "g")
+    val ord = Tables.orders(spark, sf)
+    val s1 = Sampling.deterministic(ord, Seq("o_orderkey"), 0.5)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministic(ord.repartition(7), Seq("o_orderkey"), 0.5)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must be independent of partitioning")
+    val n = ord.count().toDouble
+    assert(math.abs(s1.size / n - 0.5) < 0.1)
+    // nested: the 25% sample is a strict subset of the 50% sample
+    val s3 = Sampling.deterministic(ord, Seq("o_orderkey"), 0.25)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("scd2 collapses unchanged runs and closes intervals") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "B"), (1L, 5L, "A"),
+      (2L, 1L, "X")
+    ).toDF("id", "seq", "st")
+    val h = Scd2.build(log, Seq("id"), Seq("seq"), Seq("st"))
+      .select("id", "st", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(h == Set(
+      (1L, "A", 1L, 3L, false),
+      (1L, "B", 3L, 5L, false),
+      (1L, "A", 5L, -1L, true),
+      (2L, "X", 1L, -1L, true)
+    ))
+  }
+
+  test("heavy hitters: exact counts, deterministic tie-break, grouped top-k") {
+    import spark.implicits._
+    val docs = Seq("b a a", "B c", "a c").toDF("text")
+    val top = HeavyHitters.topTokens(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("a", 3L), ("b", 2L)))
+    val grouped = Seq(("g1", "x x y"), ("g2", "z")).toDF("g", "text")
+    val g = HeavyHitters.topTokensByGroup(grouped, "g", "text", 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(g == Set(("g1", "x", 2L), ("g2", "z", 1L)))
+  }
+}
