@@ -90,6 +90,29 @@ object PrimaryKey {
   def validateCombinations(
       df: DataFrame,
       combinations: Seq[Seq[String]],
+      maxWorkers: Int,
+      cacheProjection: Boolean = true
+  ): Seq[Seq[String]] = {
+    // Each DAG node re-aggregates the same narrow key slice; caching the
+    // projection (only the candidate columns, MEMORY_AND_DISK so wide
+    // tables spill instead of OOM) turns N table scans into one. Callers
+    // at extreme scale can opt out and rely on parquet column pruning.
+    val allCols = combinations.flatten.distinct
+    val keySlice =
+      if (cacheProjection) {
+        val s = df.select(allCols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s.count() // materialize up front: concurrent DAG nodes would otherwise
+                  // race per-block and serialize on the cache locks
+        s
+      } else df
+    try validateCombinationsOn(keySlice, combinations, maxWorkers)
+    finally if (cacheProjection) { keySlice.unpersist(blocking = false); () }
+  }
+
+  private def validateCombinationsOn(
+      df: DataFrame,
+      combinations: Seq[Seq[String]],
       maxWorkers: Int
   ): Seq[Seq[String]] = {
     val dag = new DAG("pk-combinations")
