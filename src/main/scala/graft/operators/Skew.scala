@@ -47,4 +47,38 @@ object Skew {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
+
+  /** Salted two-phase aggregation for hot grouping keys.
+    *
+    * Spark's map-side partial aggregation already absorbs skew for
+    * algebraic aggregates — UNLESS the partial state itself is large
+    * (collect_list/set, exact distincts) or the hot key's groups overflow
+    * the partial hash map and fall through to the exchange. Salting splits
+    * each hot key across `saltFactor` reducers in phase 1, then phase 2
+    * merges the per-salt partials on the real key — the second shuffle
+    * carries keyCount × saltFactor rows, negligible vs the skewed input.
+    *
+    * `aggs` maps output column → (phase1 aggregate, phase2 merge
+    * aggregate), e.g. "n" -> (count(lit(1)), sum). sum/min/max merge with
+    * themselves; count merges with sum.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      aggs: Map[String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]
+  ): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    require(aggs.nonEmpty, "aggs must not be empty")
+    val ordered = aggs.toSeq
+    val phase1 = df
+      .withColumn(SaltCol, rowSalt(df, saltFactor))
+      .groupBy((keys :+ SaltCol).map(col): _*)
+      .agg(ordered.head._2._1.as(s"__p_${ordered.head._1}"),
+        ordered.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(ordered.head._2._2(col(s"__p_${ordered.head._1}")).as(ordered.head._1),
+        ordered.tail.map { case (n, (_, m)) => m(col(s"__p_$n")).as(n) }: _*)
+  }
 }

@@ -80,6 +80,22 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup on key columns. With a watermark column, uses
+    * `dropDuplicatesWithinWatermark` so per-key state EXPIRES once the
+    * event time passes the watermark — the scale contract for an unbounded
+    * stream (plain dropDuplicates state grows forever). Batch inputs fall
+    * back to plain dropDuplicates (same semantics, no state).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

@@ -20,6 +20,19 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedAgg equals direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"), max("l_shipdate").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), "%.4f".format(r.getDouble(2)), r.get(3).toString)).toMap
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"), saltFactor = 7, aggs = Map(
+      "n" -> (count(lit(1)), sum(_)),
+      "q" -> (sum("l_quantity"), sum(_)),
+      "mx" -> (max("l_shipdate"), max(_))
+    )).collect().map(r => r.getString(0) -> (r.getLong(1), "%.4f".format(r.getDouble(2)), r.get(3).toString)).toMap
+    assert(salted == direct)
+  }
+
   test("hotKeys reports keys above threshold") {
     val hot = Skew.hotKeys(Tables.lineitem(spark, sf), Seq("l_suppkey"), threshold = 100)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -27,6 +27,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup within watermark drops duplicate keys across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("k", "ts")
+    val q = StreamingOps.dedupStream(src, Seq("k"), "ts", "10 minutes").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((1L, t("2024-01-01 00:00:00")), (1L, t("2024-01-01 00:00:01")), (2L, t("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 00:00:03")), (3L, t("2024-01-01 00:00:04")))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_out").select("k").as[Long].collect().sorted.toSeq
+    assert(keys == Seq(1L, 2L, 3L), s"got $keys")
+    // batch fallback: plain dropDuplicates
+    val batch = StreamingOps.dedupStream(
+      Seq((1L, t("2024-01-01 00:00:00")), (1L, t("2024-01-01 00:00:09"))).toDF("k", "ts"), Seq("k"))
+    assert(!batch.isStreaming && batch.count() == 1)
+  }
+
   test("stateful sessionization closes sessions on gap and on timeout") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
     implicit val sqlCtx = spark.sqlContext
