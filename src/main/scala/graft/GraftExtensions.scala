@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.ArrayCosineSimilarity
+import graft.functions.{ArrayCosineSimilarity, NullToken}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.StringType
 
 /** Session extensions registering graft's native Catalyst functions so SQL
   * users get them too:
@@ -11,20 +12,46 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * {{{
   * SparkSession.builder().withExtensions(new GraftExtensions) ...
   * spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")
+  * spark.sql("SELECT graft_sk_hash(c_custkey, c_name) ...")
   * }}}
   *
   * (or via `spark.sql.extensions=graft.GraftExtensions`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Catalyst twin of functions.surrogateKeyString (defaults: upper=true,
+    * no trims) — built from raw expressions; the analyzer inserts the same
+    * implicit casts the Column API gets.
+    */
+  private def skString(children: Seq[Expression]): Expression = {
+    require(children.nonEmpty, "graft_sk_string takes at least 1 argument")
+    val parts = children.map(c =>
+      Cast(Coalesce(Seq(Upper(c), Literal(NullToken))), StringType))
+    if (parts.length == 1) parts.head else Cast(CreateArray(parts), StringType)
+  }
+
+  private def skHash(children: Seq[Expression]): Expression =
+    Unhex(Substring(Sha2(skString(children), Literal(224)), Literal(1), Literal(40)))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "graft_cosine takes exactly 2 arguments")
         ArrayCosineSimilarity(children.head, children(1))
       }
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sk_string"),
+      new ExpressionInfo(getClass.getName, "graft_sk_string"),
+      (children: Seq[Expression]) => skString(children)
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sk_hash"),
+      new ExpressionInfo(getClass.getName, "graft_sk_hash"),
+      (children: Seq[Expression]) => skHash(children)
     ))
   }
 }

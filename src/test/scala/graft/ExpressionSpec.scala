@@ -15,6 +15,21 @@ class ExpressionSpec extends SparkSpec {
     assert(orth == 0.0)
   }
 
+  test("graft_sk_string / graft_sk_hash SQL functions match the Column API") {
+    import graft.functions.{surrogateKeyHash, surrogateKeyString}
+    val d = Tables.customer(spark, sf).limit(100)
+    d.createOrReplaceTempView("sk_cust")
+    val api = d.select(
+      surrogateKeyString(Seq("c_custkey", "c_name")).as("s"),
+      surrogateKeyHash(Seq("c_custkey", "c_name")).as("h"))
+    val sql = spark.sql(
+      "SELECT graft_sk_string(c_custkey, c_name) AS s, graft_sk_hash(c_custkey, c_name) AS h FROM sk_cust")
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+    // null handling: NULL and '' produce different keys
+    val nk = spark.sql("SELECT graft_sk_string(CAST(NULL AS STRING)) AS a, graft_sk_string('') AS b").head()
+    assert(nk.getString(0) != nk.getString(1))
+  }
+
   test("native expression matches the compiled UDF bit-for-bit") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
