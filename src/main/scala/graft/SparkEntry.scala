@@ -51,7 +51,10 @@ object SparkEntry {
     "q40_profile" -> (CoreQueries.q40Profile(_, _)),
     "q41_sample_stratified" -> (CoreQueries.q41SampleStratified(_, _)),
     "q42_scd2" -> (CoreQueries.q42Scd2(_, _)),
-    "q43_top_tokens" -> (LlmQueries.q43TopTokens(_, _))
+    "q43_top_tokens" -> (LlmQueries.q43TopTokens(_, _)),
+    "q44_pii_scan" -> (LlmQueries.q44PiiScan(_, _)),
+    "q45_split_assign" -> (LlmQueries.q45SplitAssign(_, _)),
+    "q46_ttr" -> (LlmQueries.q46Ttr(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -444,6 +447,35 @@ object SparkEntry {
         |WHERE token <> ''
         |GROUP BY token
         |ORDER BY cnt DESC, token
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q44_pii_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS BIGINT)) AS n_email,
+        |  sum(CAST(regexp_matches(text, '\+?[0-9][0-9 ()-]{7,}[0-9]') AS BIGINT)) AS n_phone,
+        |  sum(CAST(regexp_matches(text, 'https?://[^ ]+') AS BIGINT)) AS n_url,
+        |  sum(CAST(regexp_matches(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b') AS BIGINT)) AS n_ip
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q45_split_assign" ->
+      """SELECT CASE
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'c00000000000000' THEN 'train'
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'e00000000000000' THEN 'val'
+        |  ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
+    "q46_ttr" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(toks) > 0
+        |       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |       ELSE 0.0 END AS ttr
+        |FROM t
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -42,6 +42,32 @@ object Sampling {
   def deterministic(df: DataFrame, keyCols: Seq[String], fraction: Double): DataFrame =
     df.filter(substring(keyHash(keyCols.map(col)), 1, 15) < lit(hexThreshold(fraction)))
 
+  /** Deterministic train/val/test (or any n-way) split assignment: each row
+    * gets the label of the md5-range its key falls into. Cumulative
+    * thresholds mean the splits are disjoint and exhaustive, and — like
+    * [[deterministic]] — stable across engines, partitionings and reruns,
+    * which is what makes holdout contamination checks possible at all.
+    * Prefer binary-exact fractions (0.75/0.125/0.125) for cross-engine
+    * threshold identity.
+    */
+  def splitAssign(
+      df: DataFrame,
+      keyCols: Seq[String],
+      splits: Seq[(String, Double)],
+      labelCol: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty, "splits must not be empty")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val hash = substring(keyHash(keyCols.map(col)), 1, 15)
+    // when(h < t1, n1).otherwise(when(h < t2, n2).otherwise(lastLabel)):
+    // first matching cumulative range wins
+    val firstMatch = splits.init.zip(cum.init).reverse.foldLeft(lit(splits.last._1): Column) {
+      case (acc, ((name, _), c)) => when(hash < lit(hexThreshold(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(labelCol, firstMatch)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (unlisted strata
     * are dropped). The per-stratum threshold is a small CASE expression —
     * still a narrow scan-level filter, no shuffle, no per-stratum pass.

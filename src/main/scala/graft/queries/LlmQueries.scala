@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup._
+import graft.operators.Sampling
 import graft.similarity.Knn
 import graft.text.TextAnalysis
 import graft.multimodal.Multimodal
@@ -164,6 +165,39 @@ object LlmQueries {
     */
   def q43TopTokens(s: SparkSession, dir: String): DataFrame =
     graft.text.HeavyHitters.topTokens(Tables.documents(s, dir).select("text"), "text", 20)
+
+  /** PII flag rollup per source (clean synthetic corpus → zero counts; the
+    * regex machinery itself is oracle-checked because DuckDB evaluates the
+    * same RE2-compatible patterns).
+    */
+  def q44PiiScan(s: SparkSession, dir: String): DataFrame =
+    graft.text.PiiScan.flags(Tables.documents(s, dir).select("source", "text"), "text")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pii_email").cast("long")).as("n_email"),
+        sum(col("pii_phone").cast("long")).as("n_phone"),
+        sum(col("pii_url").cast("long")).as("n_url"),
+        sum(col("pii_ip").cast("long")).as("n_ip")
+      )
+      .orderBy("source")
+
+  /** Deterministic 75/12.5/12.5 split assignment rollup by split × lang. */
+  def q45SplitAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      Seq("doc_id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    )
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+
+  /** Type-token ratio (repetition filter feature) per document. */
+  def q46Ttr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typeTokenRatio(Tables.documents(s, dir).select("doc_id", "text"), "text")
+      .select("doc_id", "n_tokens", "n_distinct", "ttr")
+      .orderBy("doc_id")
 
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {

@@ -97,6 +97,19 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
   }
 
+  /** Repetition signal: type-token ratio (distinct/total whitespace
+    * tokens) per document — the Gopher-style "repetitious document" filter
+    * feature. Narrow codegen'd array ops, no shuffle.
+    */
+  def typeTokenRatio(df: DataFrame, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0, col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lower-cased text
     * (engine-portable) + an order-sensitive 64-bit polynomial rolling hash
     * over token xxhash64s (Spark-native).

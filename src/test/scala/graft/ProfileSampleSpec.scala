@@ -61,6 +61,56 @@ class ProfileSampleSpec extends SparkSpec {
     ))
   }
 
+  test("pii scan flags and redacts emails/phones/urls/ips") {
+    import spark.implicits._
+    import graft.text.PiiScan
+    val d = Seq(
+      ("mail me at bob@example.com please", true, false, false, false),
+      ("call +1 (555) 123-4567 now", false, true, false, false),
+      ("see https://example.com/x?y=1 for details", false, false, true, false),
+      ("server at 10.0.0.1 is down", false, false, false, true),
+      ("perfectly clean text", false, false, false, false)
+    ).toDF("text", "e", "p", "u", "i")
+    val f = PiiScan.flags(d, "text")
+    val rows = f.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pii_email") == r.getAs[Boolean]("e"), r.getString(0))
+      assert(r.getAs[Boolean]("pii_phone") == r.getAs[Boolean]("p"), r.getString(0))
+      assert(r.getAs[Boolean]("pii_url") == r.getAs[Boolean]("u"), r.getString(0))
+      assert(r.getAs[Boolean]("pii_ip") == r.getAs[Boolean]("i"), r.getString(0))
+    }
+    val red = d.select(PiiScan.redact(col("text")).as("t")).as[String].collect().mkString(" ")
+    assert(!red.contains("bob@example.com") && !red.contains("10.0.0.1"))
+    assert(red.contains("<EMAIL>") && red.contains("<URL>"))
+  }
+
+  test("splitAssign is disjoint, exhaustive, deterministic and roughly proportional") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val n = docs.count().toDouble
+    val s = Sampling.splitAssign(docs, Seq("doc_id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n.toLong)                       // exhaustive
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(math.abs(counts("train") / n - 0.75) < 0.1)
+    val again = Sampling.splitAssign(docs.repartition(5), Seq("doc_id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)                                     // partitioning-independent
+  }
+
+  test("type-token ratio detects repetition") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val d = Seq(("a a a a", 1), ("w x y z", 2)).toDF("text", "id")
+    val t = TextAnalysis.typeTokenRatio(d, "text")
+      .select("id", "n_tokens", "n_distinct", "ttr")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(t(1) == (4L, 1L, 0.25))
+    assert(t(2) == (4L, 4L, 1.0))
+  }
+
   test("heavy hitters: exact counts, deterministic tie-break, grouped top-k") {
     import spark.implicits._
     val docs = Seq("b a a", "B c", "a c").toDF("text")
