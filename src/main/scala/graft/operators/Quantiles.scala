@@ -32,4 +32,25 @@ object Quantiles {
         max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col(valueCol))).as("p90")
       )
   }
+
+  /** Scale path: approximate quantiles via the built-in KLL-style sketch
+    * (`percentile_approx`) — fully partial-aggregatable (no window, no
+    * per-group sort), so the shuffle carries sketches, not rows. `accuracy`
+    * trades sketch size vs error (1/accuracy relative rank error). Use when
+    * groups no longer fit the exact windowed path at 100 TB.
+    */
+  def approxQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      percentiles: Seq[Double] = Seq(0.5, 0.9),
+      accuracy: Int = 10000
+  ): DataFrame = {
+    val pcts = percentiles.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"percentile_approx($valueCol, $pcts, $accuracy)").as("quantiles")
+      )
+  }
 }

@@ -358,7 +358,7 @@ object CoreQueries {
     import graft.schema.SchemaOps
     val li = Tables.lineitem(s, dir)
     val combos = SchemaOps.columnCombinations(Seq("l_orderkey", "l_partkey", "l_suppkey")).toSeq
-    val solutions = PrimaryKey.validateCombinations(li, combos, maxWorkers = 4)
+    val solutions = PrimaryKey.validateCombinations(li, combos, maxWorkers = 8)
     import s.implicits._
     solutions.map(_.mkString(",")).sorted.toDF("combination")
   }

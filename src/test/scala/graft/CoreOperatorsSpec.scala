@@ -138,6 +138,19 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(plan.split("Expand").length == 2, s"expected one Expand (grouping sets) in:\n$plan")
   }
 
+  test("approx quantiles track exact quantiles on real data") {
+    import graft.operators.Quantiles
+    val ev = Tables.events(spark, sf).select("event_type", "event_id", "value")
+    val exact = Quantiles.exactQuantiles(ev, Seq("event_type"), "value", "event_id")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Quantiles.approxQuantiles(ev, Seq("event_type"), "value")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)(0) - p50) <= math.abs(p50) * 0.05 + 1.0, s"$k p50")
+      assert(math.abs(approx(k)(1) - p90) <= math.abs(p90) * 0.05 + 1.0, s"$k p90")
+    }
+  }
+
   test("columnCombinations mirrors the reference generator") {
     val combos = SchemaOps.columnCombinations(Seq("a", "b"), fixedColumns = Seq("f")).toSeq
     assert(combos == Seq(Seq("f"), Seq("f", "a"), Seq("f", "b"), Seq("f", "a", "b")))
