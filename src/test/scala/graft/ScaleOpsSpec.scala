@@ -60,6 +60,24 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned write prunes directories on partition-column filters") {
+    import graft.sources.Partitioned
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Partitioned.writePartitionedByDay(Tables.events(spark, sf), s"$base/ev", "ts")
+    val all = Partitioned.read(spark, s"$base/ev")
+    val days = all.select("part_date").distinct().as[String].collect().sorted
+    assert(days.length > 1, "need multiple partitions for a meaningful prune test")
+    val oneDay = all.filter($"part_date" === days.head)
+    oneDay.count()
+    assert(Partitioned.isPartitionPruned(oneDay),
+      oneDay.queryExecution.executedPlan.toString.take(1500))
+    assert(!Partitioned.isPartitionPruned(all.filter($"user_id" === 1)))
+    // pruned read returns exactly that day's rows
+    val expected = Tables.events(spark, sf)
+      .filter(date_format($"ts", "yyyy-MM-dd") === days.head).count()
+    assert(oneDay.count() == expected)
+  }
+
   test("csv and json round-trip preserves data with explicit schemas") {
     import graft.sources.Formats
     val src = Tables.orders(spark, sf)
