@@ -23,9 +23,12 @@ object ConnectedComponents {
     * @return (node, component) where component = min node id reachable.
     */
   def labelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialized once: every round joins against it, and without the
+    // checkpoint each iteration would re-scan + re-distinct the edge source
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
