@@ -80,6 +80,30 @@ object StreamingOps {
       }
   }
 
+  /** Declarative gap sessionization via Spark's native `session_window` —
+    * the engine merges overlapping [ts, ts+gap) intervals per key itself
+    * (batch: one aggregation; streaming: watermark-bounded state, no
+    * user-managed GroupState). Same gap semantics as [[sessionize]] and the
+    * batch lag+cumsum twin (q06), verified by spec.
+    */
+  def sessionWindowRollup(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")
+      )
+  }
+
   /** Streaming exact dedup on key columns. With a watermark column, uses
     * `dropDuplicatesWithinWatermark` so per-key state EXPIRES once the
     * event time passes the watermark — the scale contract for an unbounded

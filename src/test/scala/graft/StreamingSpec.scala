@@ -27,6 +27,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("session_window rollup matches the batch lag+cumsum sessionizer") {
+    // q06 sessionizes on second-truncated time with a strict >1800s gap;
+    // session_window's end-exclusive interval makes "gap 1801s over
+    // truncated ts" the exact same predicate (new session iff diff >= 1801)
+    val truncated = Tables.events(spark, sf)
+      .select($"user_id", to_timestamp($"ts".cast("long")).as("ts"))
+    val native = StreamingOps.sessionWindowRollup(truncated, gap = "1801 seconds")
+      .select($"user_id",
+        $"session_start".cast("long").as("start_sec"),
+        $"n_events")
+    val batch = graft.queries.CoreQueries.q06Sessionize(spark, sf)
+      .select($"user_id", $"start_sec", $"n_events")
+    assert(native.exceptAll(batch).isEmpty && batch.exceptAll(native).isEmpty,
+      "session_window sessions must equal lag+cumsum sessions")
+  }
+
   test("streaming dedup within watermark drops duplicate keys across batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
