@@ -61,27 +61,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_join_topk" ->
-      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY 1, 2
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""".stripMargin,
+      """SELECT l_orderkey, o_orderdate, CAST(revenue_dec AS DOUBLE) AS revenue FROM (
+        |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY 1, 2
+        |  ORDER BY revenue_dec DESC, o_orderdate, l_orderkey
+        |  LIMIT 10)""".stripMargin,
     "q03_star_join" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -96,14 +97,14 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, rnk, run_spend FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
         |  FROM orders)
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk""".stripMargin,
     "q05_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events
@@ -450,10 +451,10 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
     "q44_pii_scan" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS BIGINT)) AS n_email,
-        |  sum(CAST(regexp_matches(text, '\+?[0-9][0-9 ()-]{7,}[0-9]') AS BIGINT)) AS n_phone,
-        |  sum(CAST(regexp_matches(text, 'https?://[^ ]+') AS BIGINT)) AS n_url,
-        |  sum(CAST(regexp_matches(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b') AS BIGINT)) AS n_ip
+        |  CAST(sum(CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS BIGINT)) AS BIGINT) AS n_email,
+        |  CAST(sum(CAST(regexp_matches(text, '\+?[0-9][0-9 ()-]{7,}[0-9]') AS BIGINT)) AS BIGINT) AS n_phone,
+        |  CAST(sum(CAST(regexp_matches(text, 'https?://[^ ]+') AS BIGINT)) AS BIGINT) AS n_url,
+        |  CAST(sum(CAST(regexp_matches(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b') AS BIGINT)) AS BIGINT) AS n_ip
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,

@@ -19,8 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Frees the executor blocks behind a `localCheckpoint`ed DataFrame.
+    * `Dataset.unpersist()` cannot do this — checkpoint data lives as RDD
+    * storage blocks (not CacheManager entries), so without an explicit
+    * RDD-level unpersist every round's blocks linger until GC.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** @param edges DataFrame with columns (src, dst) — undirected.
     * @return (node, component) where component = min node id reachable.
+    *         The result is materialized (checkpointed); its storage is
+    *         released once the DataFrame is garbage-collected.
     */
   def labelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialized once: every round joins against it, and without the
@@ -29,32 +42,37 @@ object ConnectedComponents {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint()
-
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor minimum per node, then min with own label
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("component")).as("nbr_min"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(
-          col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          (col("nbr_min") < col("component")).as("__changed")
-        )
+    try {
+      // ckpt = the round's materialized checkpoint (freed next round);
+      // labels = the user-facing view of it
+      var ckpt = sym.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node"))
         .localCheckpoint()
-      val changed = updated.filter(col("__changed")).limit(1).count()
-      labels = updated.drop("__changed")
-      converged = changed == 0
-      iter += 1
-    }
-    labels
+      var labels = ckpt
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // neighbor minimum per node, then min with own label
+        val neighborMin = sym
+          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("component")).as("nbr_min"))
+        val updated = labels.join(neighborMin, Seq("node"), "left")
+          .select(
+            col("node"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+            (col("nbr_min") < col("component")).as("__changed")
+          )
+          .localCheckpoint() // eager: materialized here, prior round now free-able
+        val changed = updated.filter(col("__changed")).limit(1).count()
+        freeLocalCheckpoint(ckpt)
+        ckpt = updated
+        labels = updated.drop("__changed")
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally freeLocalCheckpoint(sym)
   }
 
   /** Cluster summary: representative (min id) + member count per component. */

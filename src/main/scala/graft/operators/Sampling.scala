@@ -32,9 +32,17 @@ object Sampling {
     else "%015x".format(t.bigInteger).takeRight(15)
   }
 
-  /** Hash column: md5 over the \u0001-joined key columns (cast to string). */
+  /** Hash column: md5 over the \u0001-joined key columns (cast to string).
+    * Each column is coalesced to [[graft.functions.NullToken]] first:
+    * concat_ws silently skips NULLs, so without the sentinel the keys
+    * (a, NULL, b), (a, b, NULL) and (a, b) would all hash identically and
+    * deterministically land in the same sample/split bucket.
+    */
   def keyHash(keyCols: Seq[Column]): Column =
-    md5(to_binary(concat_ws("\u0001", keyCols.map(_.cast("string")): _*), lit("utf-8")))
+    md5(to_binary(
+      concat_ws("\u0001",
+        keyCols.map(c => coalesce(c.cast("string"), lit(graft.functions.NullToken))): _*),
+      lit("utf-8")))
 
   /** Uniform deterministic sample: keep ~fraction of rows, selected purely
     * by key content.

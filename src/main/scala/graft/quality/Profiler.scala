@@ -24,23 +24,27 @@ object Profiler {
 
   final val Metrics = Seq("non_nulls", "nulls", "distinct", "min", "max")
 
-  private def aggsFor(c: String, distinctAgg: Column => Column): Seq[Column] = Seq(
-    count(col(c)).cast("string").as(s"${c}__non_nulls"),
-    sum(when(col(c).isNull, 1L).otherwise(0L)).cast("string").as(s"${c}__nulls"),
-    distinctAgg(col(c)).cast("string").as(s"${c}__distinct"),
-    min(col(c)).cast("string").as(s"${c}__min"),
-    max(col(c)).cast("string").as(s"${c}__max")
+  /** Internal wide-row names are index-based (`c<i>__<metric>`) so user
+    * column names never appear inside a parsed identifier or SQL literal —
+    * names with quotes/backticks/dots profile fine.
+    */
+  private def aggsFor(df: DataFrame, c: String, i: Int, distinctAgg: Column => Column): Seq[Column] = Seq(
+    count(df(c)).cast("string").as(s"c${i}__non_nulls"),
+    sum(when(df(c).isNull, 1L).otherwise(0L)).cast("string").as(s"c${i}__nulls"),
+    distinctAgg(df(c)).cast("string").as(s"c${i}__distinct"),
+    min(df(c)).cast("string").as(s"c${i}__min"),
+    max(df(c)).cast("string").as(s"c${i}__max")
   )
 
   private def longForm(wide: DataFrame, cols: Seq[String]): DataFrame = {
-    // stack(n, 'col', 'metric', value...) unpivots the single wide row;
+    // unpivot the single wide row via explode of literal-tagged structs;
     // this runs on one row, so the reshape is free.
-    val cells = cols.flatMap { c =>
-      Metrics.flatMap(m => Seq(s"'$c'", s"'$m'", s"`${c}__$m`"))
+    val cells = cols.zipWithIndex.flatMap { case (c, i) =>
+      Metrics.map(m =>
+        struct(lit(c).as("column"), lit(m).as("metric"), col(s"c${i}__$m").cast("string").as("value")))
     }
-    wide.selectExpr(
-      s"stack(${cols.size * Metrics.size}, ${cells.mkString(", ")}) as (column, metric, value)"
-    )
+    wide.select(explode(array(cells: _*)).as("cell"))
+      .select(col("cell.column").as("column"), col("cell.metric").as("metric"), col("cell.value").as("value"))
   }
 
   /** Exact profile: one scan.
@@ -73,38 +77,26 @@ object Profiler {
     val valueCounts = exploded
       .groupBy((col("gid") +: cols.indices.map(j => col(s"v$j"))): _*)
       .agg(count(lit(1)).as("cnt"))
-    val perGid = valueCounts
-      .groupBy("gid")
-      .agg(
-        cols.indices.flatMap { j =>
-          Seq(
-            sum(when(col(s"v$j").isNotNull, col("cnt")).otherwise(0L)).as(s"nn$j"),
-            sum(when(col(s"v$j").isNull, col("cnt")).otherwise(0L)).as(s"nu$j"),
-            count(col(s"v$j")).as(s"di$j"),
-            min(col(s"v$j")).cast("string").as(s"mi$j"),
-            max(col(s"v$j")).cast("string").as(s"ma$j")
-          )
-        }.head,
-        cols.indices.flatMap { j =>
-          Seq(
-            sum(when(col(s"v$j").isNotNull, col("cnt")).otherwise(0L)).as(s"nn$j"),
-            sum(when(col(s"v$j").isNull, col("cnt")).otherwise(0L)).as(s"nu$j"),
-            count(col(s"v$j")).as(s"di$j"),
-            min(col(s"v$j")).cast("string").as(s"mi$j"),
-            max(col(s"v$j")).cast("string").as(s"ma$j")
-          )
-        }.tail: _*
+    val gidAggs = cols.indices.flatMap { j =>
+      Seq(
+        sum(when(col(s"v$j").isNotNull, col("cnt")).otherwise(0L)).as(s"nn$j"),
+        sum(when(col(s"v$j").isNull, col("cnt")).otherwise(0L)).as(s"nu$j"),
+        count(col(s"v$j")).as(s"di$j"),
+        min(col(s"v$j")).cast("string").as(s"mi$j"),
+        max(col(s"v$j")).cast("string").as(s"ma$j")
       )
+    }
+    val perGid = valueCounts.groupBy("gid").agg(gidAggs.head, gidAggs.tail: _*)
     // fold the n per-gid rows into the single wide row longForm expects;
     // nulls within a gid's own slot: the gid=j row may carry cnt for the
     // null group, so nu<j> already includes it.
-    val wideAggs = cols.zipWithIndex.flatMap { case (c, j) =>
+    val wideAggs = cols.indices.flatMap { j =>
       Seq(
-        max(when(col("gid") === j, col(s"nn$j"))).cast("string").as(s"${c}__non_nulls"),
-        max(when(col("gid") === j, col(s"nu$j"))).cast("string").as(s"${c}__nulls"),
-        max(when(col("gid") === j, col(s"di$j"))).cast("string").as(s"${c}__distinct"),
-        max(when(col("gid") === j, col(s"mi$j"))).as(s"${c}__min"),
-        max(when(col("gid") === j, col(s"ma$j"))).as(s"${c}__max")
+        max(when(col("gid") === j, col(s"nn$j"))).cast("string").as(s"c${j}__non_nulls"),
+        max(when(col("gid") === j, col(s"nu$j"))).cast("string").as(s"c${j}__nulls"),
+        max(when(col("gid") === j, col(s"di$j"))).cast("string").as(s"c${j}__distinct"),
+        max(when(col("gid") === j, col(s"mi$j"))).as(s"c${j}__min"),
+        max(when(col("gid") === j, col(s"ma$j"))).as(s"c${j}__max")
       )
     }
     longForm(perGid.agg(wideAggs.head, wideAggs.tail: _*), cols)
@@ -116,7 +108,9 @@ object Profiler {
     */
   def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "cols must not be empty")
-    val aggs = cols.flatMap(c => aggsFor(c, approx_count_distinct(_, rsd)))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      aggsFor(df, c, i, approx_count_distinct(_, rsd))
+    }
     longForm(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 }

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
 
 /** Analytics-core + bdq-parity queries wired to the driver's test tables.
   * Every query returns a DataFrame whose column NAMES and value types are
-  * engine-portable (decimal-exact aggregates, second-precision timestamp
-  * strings) so the DuckDB oracle hash-matches bit-for-bit.
+  * engine-portable: sums run decimal-exact then cast to DOUBLE at the output
+  * boundary (a DECIMAL output stringifies with trailing-zero scale on one
+  * side of the oracle compare and without it on the other), timestamps
+  * surface as second-precision strings, and counts stay BIGINT.
   */
 object CoreQueries {
 
@@ -22,9 +24,9 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("sum_disc_price"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -40,14 +42,14 @@ object CoreQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("revenue"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
       .select(
         col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("revenue")
+        col("revenue_dec").cast("double").as("revenue")
       )
-      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
-      .limit(10)
   }
 
   /** TPC-H Q5-style star join: revenue by nation for one region.
@@ -72,7 +74,7 @@ object CoreQueries {
       .join(broadcast(natInRegion), supp("s_nationkey") === natInRegion("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).as("revenue"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))).cast("double").as("revenue"),
         count(lit(1)).as("n_items")
       )
       .orderBy(col("n_name"))
@@ -88,7 +90,7 @@ object CoreQueries {
     ord.select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(byValue).as("rnk"),
-        sum(dec2(col("o_totalprice"))).over(cumulative).as("run_spend")
+        sum(dec2(col("o_totalprice"))).over(cumulative).cast("double").as("run_spend")
       )
       .filter(col("rnk") <= 3)
       .orderBy("o_custkey", "rnk")
@@ -106,7 +108,7 @@ object CoreQueries {
       )
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec2(col("value"))).as("sum_value"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value")
       )

@@ -108,7 +108,14 @@ object StreamingOps {
     * `dropDuplicatesWithinWatermark` so per-key state EXPIRES once the
     * event time passes the watermark — the scale contract for an unbounded
     * stream (plain dropDuplicates state grows forever). Batch inputs fall
-    * back to plain dropDuplicates (same semantics, no state).
+    * back to plain dropDuplicates.
+    *
+    * Batch/stream parity caveat: the two paths agree only for keys whose
+    * duplicates all arrive within the watermark horizon. A key recurring
+    * AFTER its state expired is re-emitted by the streaming path but
+    * dropped by the batch path — global dedup vs. horizon-bounded dedup is
+    * an inherent difference, not a bug; pick the watermark so real
+    * duplicates land inside it.
     */
   def dedupStream(
       events: DataFrame,

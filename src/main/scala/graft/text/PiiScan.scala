@@ -19,8 +19,12 @@ object PiiScan {
   val Url = "https?://[^ ]+"
   val Ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
-  val Patterns: Map[String, String] =
-    Map("email" -> Email, "phone" -> Phone, "url" -> Url, "ip" -> Ipv4)
+  /** Ordered: patterns overlap (an email inside a URL, an IP inside a URL),
+    * so redaction applies url first, then email, then the rest — a fixed
+    * order, not Map iteration order, keeps output stable.
+    */
+  val Patterns: Seq[(String, String)] =
+    Seq("url" -> Url, "email" -> Email, "phone" -> Phone, "ip" -> Ipv4)
 
   /** Adds one boolean `pii_<kind>` column per pattern. */
   def flags(df: DataFrame, textCol: String): DataFrame =
@@ -28,7 +32,9 @@ object PiiScan {
       d.withColumn(s"pii_$kind", col(textCol).rlike(pat))
     }
 
-  /** Replaces every PII match with `<KIND>` tokens. */
+  /** Replaces every PII match with `<KIND>` tokens, most-enclosing pattern
+    * (url) first.
+    */
   def redact(textCol: Column): Column =
     Patterns.foldLeft(textCol) { case (c, (kind, pat)) =>
       regexp_replace(c, pat, s"<${kind.toUpperCase}>")

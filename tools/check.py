@@ -1,32 +1,58 @@
 #!/usr/bin/env python3
 """Local pre-validation of SparkEntry oracle SQL vs Verify.scala output.
 
-Mimics the driver's t2 gate strictly: for each query, load the Spark result
-parquet and run the oracle SQL in DuckDB over views named after the testdata
-tables; sort columns by name, sort rows, stringify values, compare.
+Mimics the driver's t2 gate strictly: the Spark result parquet is read with
+pandas/pyarrow (decimals stay `Decimal`, int64 stays int64) while the oracle
+SQL runs in DuckDB and is fetched via `.df()` (DECIMAL and HUGEINT both
+collapse to float64).  Round-1 lesson: a Spark DECIMAL(x,2) column therefore
+stringifies as '7611972.00' against the oracle's '7611972.0' and the hash
+mismatches even though values are equal — so queries must emit DOUBLE /
+BIGINT / STRING output columns, never DECIMAL, and oracles must CAST
+sum(BIGINT) (a HUGEINT in DuckDB) back to BIGINT.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, math
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
 
 def norm_cell(v):
     if v is None:
         return "<null>"
     if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
         return repr(v)
+    try:
+        import numpy as np
+        if isinstance(v, np.floating):
+            if math.isnan(float(v)):
+                return "<null>"
+            return repr(float(v))
+        if isinstance(v, np.integer):
+            return str(int(v))
+        if isinstance(v, np.bool_):
+            return str(bool(v))
+    except ImportError:
+        pass
     if isinstance(v, bytes):
         return v.hex()
+    if v is pd.NaT:
+        return "<null>"
     return str(v)
 
-def norm_rows(cols, rows):
+
+def norm_df(df):
+    cols = list(df.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+    rows = [tuple(norm_cell(r[i]) for i in order) for r in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return [cols[i] for i in order], rows
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -40,26 +66,21 @@ def main(sf_dir, out_dir):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        files = glob.glob(f"{qdir}/*.parquet")
+        files = sorted(glob.glob(f"{qdir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
-        rel = con.execute(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        scols = [d[0] for d in rel.description]
-        srows = rel.fetchall()
+        sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
-            status = "rows-only"
-            ok = len(srows) > 0
-            print(f"{'PASS' if ok else 'FAIL'} {name} ({status}, rows={len(srows)})")
+            ok = len(sdf) > 0
+            print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only, rows={len(sdf)})")
             n_pass += ok; n_fail += (not ok)
             continue
         try:
-            orel = con.execute(oracle[name])
-            ocols = [d[0] for d in orel.description]
-            orows = orel.fetchall()
+            odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        sc, sr = norm_rows(scols, srows)
-        oc, orr = norm_rows(ocols, orows)
+        sc, sr = norm_df(sdf)
+        oc, orr = norm_df(odf)
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}"); n_fail += 1; continue
         if len(sr) != len(orr):
@@ -76,6 +97,7 @@ def main(sf_dir, out_dir):
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
