@@ -171,6 +171,14 @@ object SparkEntry {
         |  || ', ' || coalesce(rtrim(upper(c_name)), '@~<null>~@')
         |  || ', ' || coalesce(rtrim(upper(c_mktsegment)), '@~<null>~@') || ']' AS sk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q14_surrogate_key_hash" ->
+      """SELECT c_custkey,
+        |  substring(sha256(
+        |    '[' || coalesce(rtrim(upper(CAST(c_custkey AS VARCHAR))), '@~<null>~@')
+        |    || ', ' || coalesce(rtrim(upper(c_name)), '@~<null>~@')
+        |    || ', ' || coalesce(rtrim(upper(c_mktsegment)), '@~<null>~@') || ']'
+        |  ), 1, 40) AS sk_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q15_fk_broken" ->
       """SELECT DISTINCT l_suppkey FROM lineitem
         |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0)
@@ -225,6 +233,41 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM docs GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q21_dedup_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zyx wvu' FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM docs),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.g, b.g)) / len(list_distinct(a.g || b.g)) AS jaccard
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q22_dedup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zyx wvu' FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM docs
+        |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0),
+        |th AS (SELECT doc_id, unnest(list_transform(w, t ->
+        |    list_reduce(list_transform(range(18, 33), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x))) AS h FROM toks),
+        |votes AS (SELECT doc_id, i.i AS bit,
+        |    sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th, range(60) i(i) GROUP BY doc_id, i.i),
+        |fp AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "q23_dedup_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
@@ -249,6 +292,35 @@ object SparkEntry {
         |SELECT id_a, id_b FROM twins
         |WHERE list_cosine_similarity(v1, v2) >= 0.99 ORDER BY id_a""".stripMargin,
     "q25_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
+        |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+        |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // Replays lshTopK's bucketing exactly: the hyperplanes are plan
+    // literals, so the oracle is generated from the same constants.
+    "q26_knn_lsh" -> {
+      val planeRows = graft.similarity.Knn.hyperplanes(8, 64, 7L).zipWithIndex
+        .map { case (p, j) => s"($j, [${p.mkString(", ")}]::DOUBLE[])" }
+        .mkString(",\n  ")
+      s"""WITH planes(j, pl) AS (VALUES
+         |  $planeRows),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vb AS (SELECT id, CAST(sum(CASE WHEN list_dot_product(v.v, p.pl) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM v, planes p GROUP BY id),
+         |vv AS (SELECT v.id, v.v, vb.bucket FROM v JOIN vb USING (id)),
+         |q AS (SELECT id AS query_id, v AS qv, bucket FROM vv WHERE id < 10),
+         |s AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+         |  FROM vv c JOIN q ON c.bucket = q.bucket AND c.id <> q.query_id),
+         |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+         |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // nprobe = nlist probes every IVF cell, so the index must reproduce
+    // flat search exactly — the oracle is the brute-force ground truth.
+    "q33_knn_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),

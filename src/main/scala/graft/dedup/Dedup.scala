@@ -82,9 +82,17 @@ private[dedup] object LshBlocking {
   */
 object MinHashLsh {
 
+  /** Prime modulus > 2^32 for the universal-hash "permutations". Without
+    * the mod, a*h + b is MONOTONE in h, so every position's min lands on
+    * the same gram and the 64 positions are perfectly correlated — the
+    * estimator degenerates to 0/1 (a twin whose extra gram takes the
+    * minimum base hash then misses entirely; caught by the q21 oracle).
+    */
+  private val MinHashPrime = 4294967311L
+
   /** Deterministic affine permutation constants from a fixed seed.
     * Kept to 30 bits so a*h32 + b stays under 2^62 (ANSI mode: no silent
-    * 64-bit wraparound).
+    * 64-bit wraparound) before the mod.
     */
   private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -122,7 +130,7 @@ object MinHashLsh {
           val h = scala.util.hashing.MurmurHash3.stringHash(sb.toString, 0x9747b28c).toLong & 0xffffffffL
           var j = 0
           while (j < n) {
-            val v = ab(j)._1 * h + ab(j)._2
+            val v = (ab(j)._1 * h + ab(j)._2) % MinHashPrime
             if (v < sig(j)) sig(j) = v
             j += 1
           }
@@ -190,8 +198,15 @@ object SimHash {
     * position; sign of the vote forms the fingerprint. Token hashing is a
     * codegen'd expression; the 64-bit vote loop is a compiled primitive
     * UDF (narrow, per-row — no change to the distributed plan).
+    *
+    * `portableHash = true` swaps the xxhash64 token hash for the lower 60
+    * bits of md5 — slower per token, but recomputable on any engine with
+    * md5 (DuckDB, Trino, ...), which makes the whole fingerprint
+    * cross-engine reproducible (the top 4 bits are then always 0; hamming
+    * distances are unaffected).
     */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      portableHash: Boolean = false): DataFrame = {
     val simhashUdf = udf { (hs: Seq[Long]) =>
       val votes = new Array[Int](64)
       val it = hs.iterator
@@ -208,9 +223,12 @@ object SimHash {
       while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
       out
     }
+    val tokenHash =
+      if (portableHash) "transform(__toks, t -> cast(conv(substring(md5(t), 18, 15), 16, 10) as bigint))"
+      else "transform(__toks, t -> xxhash64(t))"
     df.select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .withColumn("__th", expr("transform(__toks, t -> xxhash64(t))"))
+      .withColumn("__th", expr(tokenHash))
       .select(col(idCol), simhashUdf(col("__th")).as("simhash"))
   }
 
@@ -225,11 +243,12 @@ object SimHash {
       textCol: String,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 200
+      maxBucketSize: Int = 200,
+      portableHash: Boolean = false
   ): DataFrame = {
     require(bands > maxHamming, "need bands > maxHamming for pigeonhole blocking")
     val bits = 64 / bands
-    val fps = fingerprints(df, idCol, textCol)
+    val fps = fingerprints(df, idCol, textCol, portableHash)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"), expr(s"(simhash >> ${j * bits}) & ${(1L << bits) - 1}L").as("bh"))
     }

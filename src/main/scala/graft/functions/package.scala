@@ -35,17 +35,24 @@ package object functions {
     if (cols.length == 1) cols.head else array(cols: _*).cast("string")
   }
 
-  /** 160-bit surrogate key: first 160 bits of sha2-224 over
+  /** 160-bit surrogate key: first 160 bits of sha2 over
     * [[surrogateKeyString]], as binary. (reference: bdq/functions.py:28)
+    *
+    * `shaBits` selects the sha2 family member; 224 is the reference's
+    * choice (and the default). 256 yields the same 160-bit-truncated
+    * contract from a hash that more engines expose (e.g. DuckDB has
+    * sha256 but not sha224), which is what cross-engine pipelines should
+    * pick when the key must be recomputable outside Spark.
     */
   def surrogateKeyHash(
       keyColumns: Seq[String],
       rtrim: Boolean = false,
-      ltrim: Boolean = false
+      ltrim: Boolean = false,
+      shaBits: Int = 224
   ): Column = {
     val keyBits = 160
     val hexLen = 2 * keyBits / 8
-    unhex(sha2(surrogateKeyString(keyColumns, rtrim = rtrim, ltrim = ltrim), 224).substr(1, hexLen))
+    unhex(sha2(surrogateKeyString(keyColumns, rtrim = rtrim, ltrim = ltrim), shaBits).substr(1, hexLen))
   }
 
   /** Cast a double column carrying an exact 2-decimal value to DECIMAL for

@@ -258,11 +258,15 @@ object CoreQueries {
       )
       .orderBy("c_custkey")
 
+  /** sha256 variant of the surrogate hash (same 160-bit truncation) so the
+    * DuckDB oracle can recompute it; the reference's sha224 default is
+    * spec-tested in FunctionsSpec.
+    */
   def q14SurrogateKeyHash(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .select(
         col("c_custkey"),
-        lower(hex(surrogateKeyHash(Seq("c_custkey", "c_name", "c_mktsegment"), rtrim = true))).as("sk_hash")
+        lower(hex(surrogateKeyHash(Seq("c_custkey", "c_name", "c_mktsegment"), rtrim = true, shaBits = 256))).as("sk_hash")
       )
       .orderBy("c_custkey")
 

@@ -54,12 +54,30 @@ object LlmQueries {
     ExactDedup.groups(docsWithExactCopies(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  def q21DedupMinhash(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.candidatePairs(docsWithNearCopies(s, dir), "doc_id", "text", minJaccard = 0.7)
+  /** MinHash-LSH near-dup detection, block → verify: LSH candidate pairs
+    * (generous estimated-jaccard cut) re-scored with EXACT n-gram jaccard —
+    * the production shape (candidates are cheap, verification is what you
+    * act on). Output = verified pairs, so the oracle is the all-pairs exact
+    * jaccard ≥ τ ground truth; equality means LSH recall was 1 on this
+    * corpus (band parameters chosen so a miss at the corpus's similarity
+    * level is ~1e-7).
+    */
+  def q21DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearCopies(s, dir)
+    val candidates = MinHashLsh.candidatePairs(docs, "doc_id", "text", minJaccard = 0.4)
+      .select("id_a", "id_b")
+    NgramJaccard.verify(candidates, docs, "doc_id", "text", k = 3, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
+  }
 
+  /** SimHash near-dup pairs with the portable (md5-based) token hash, so
+    * the DuckDB oracle recomputes the exact same fingerprints. Blocking is
+    * pigeonhole-exact for hamming ≤ bands-1; bucket cap is above the
+    * sf0.01/sf0.1 corpus sizes so no candidate is dropped at test scale.
+    */
   def q22DedupSimhash(s: SparkSession, dir: String): DataFrame =
-    SimHash.pairs(docsWithNearCopies(s, dir), "doc_id", "text", maxHamming = 3)
+    SimHash.pairs(docsWithNearCopies(s, dir), "doc_id", "text", maxHamming = 3,
+        portableHash = true, maxBucketSize = 20000)
       .orderBy("id_a", "id_b")
 
   /** Exact 3-gram jaccard on the constructed twin pairs (the oracle can
@@ -90,10 +108,14 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** LSH-bucketed top-k. Score is excluded from the output (float sums
+    * differ in the last ulp across engines); the oracle replays the same
+    * hyperplane bucketing in DuckDB from the plan's own plane constants.
+    */
   def q26KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Knn.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
@@ -110,10 +132,16 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** IVF top-k with nprobe = nlist: probing every cell is the standard way
+    * to validate an IVF index (it must reproduce flat search exactly), so
+    * the oracle is the brute-force ground truth. The recall/latency trade
+    * at nprobe < nlist is exercised in KnnSpec.
+    */
   def q33KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    Knn.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-      .select("query_id", "rank", "neighbor_id", "score")
+    Knn.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 16)
+      .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 

@@ -73,9 +73,11 @@ object Knn {
   }
 
   /** Deterministic pseudo-random hyperplanes: component i of plane j is a
-    * hash-derived value in [-1, 1). Baked into the plan as literals.
+    * hash-derived value in [-1, 1). Baked into the plan as literals — which
+    * also means an external engine can replay the exact bucketing from the
+    * same constants (SparkEntry renders them into the q26 oracle SQL).
     */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
   }
