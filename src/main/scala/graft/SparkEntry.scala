@@ -54,7 +54,8 @@ object SparkEntry {
     "q43_top_tokens" -> (LlmQueries.q43TopTokens(_, _)),
     "q44_pii_scan" -> (LlmQueries.q44PiiScan(_, _)),
     "q45_split_assign" -> (LlmQueries.q45SplitAssign(_, _)),
-    "q46_ttr" -> (LlmQueries.q46Ttr(_, _))
+    "q46_ttr" -> (LlmQueries.q46Ttr(_, _)),
+    "q47_contamination" -> (LlmQueries.q47Contamination(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -549,6 +550,24 @@ object SparkEntry {
         |       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
         |       ELSE 0.0 END AS ttr
         |FROM t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q47_contamination" ->
+      """WITH s AS (SELECT doc_id, text, CASE
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'c00000000000000' THEN 'train'
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'e00000000000000' THEN 'val'
+        |  ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (SELECT doc_id, split, string_split_regex(trim(lower(text)), '\s+') AS w FROM s),
+        |grams AS (SELECT doc_id, split,
+        |  list_distinct(CASE WHEN len(w) >= 5
+        |    THEN list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |tg AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE split = 'train'),
+        |te AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE split = 'test')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM te JOIN tg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

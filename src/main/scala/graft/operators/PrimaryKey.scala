@@ -110,6 +110,43 @@ object PrimaryKey {
     finally if (cacheProjection) { keySlice.unpersist(blocking = false); () }
   }
 
+  /** Level-batched variant of [[validateCombinations]]: all combinations of
+    * the same size are fused into ONE grouping-sets aggregation per level
+    * (via [[combinationStats]]), with subset pruning between levels — a
+    * superset of a discovered key is never computed. Same results as the
+    * per-node DAG path (spec-asserted); the job count drops from
+    * |combinations| to |levels|, and each level is one scan + one shuffle.
+    * At 100 TB the scan dominates every other cost, so this is the form a
+    * cluster should run; the DAG path remains for reference API parity and
+    * per-candidate early-exit control.
+    */
+  def validateCombinationsBatched(
+      df: DataFrame,
+      combinations: Seq[Seq[String]],
+      cacheProjection: Boolean = true
+  ): Seq[Seq[String]] = {
+    val allCols = combinations.flatten.distinct
+    val keySlice =
+      if (cacheProjection) {
+        val s = df.select(allCols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s
+      } else df
+    try {
+      var solutions = Vector.empty[Seq[String]]
+      combinations.groupBy(_.size).toSeq.sortBy(_._1).foreach { case (_, combos) =>
+        val remaining = combos.filter(c => !solutions.exists(s => s.toSet.subsetOf(c.toSet)))
+        if (remaining.nonEmpty) {
+          val stats = combinationStats(keySlice, remaining).collect()
+          solutions ++= stats.toSeq
+            .filter(_.getAs[Long]("duplicate_records") == 0L)
+            .map(_.getAs[String]("combination").split(",").toSeq)
+        }
+      }
+      solutions
+    } finally if (cacheProjection) { keySlice.unpersist(blocking = false); () }
+  }
+
   private def validateCombinationsOn(
       df: DataFrame,
       combinations: Seq[Seq[String]],

@@ -359,12 +359,15 @@ object CoreQueries {
       .orderBy("user_id", "valid_from")
   }
 
-  /** Minimal valid PK combinations discovered through the pruning DAG. */
+  /** Minimal valid PK combinations, level-batched: one grouping-sets scan
+    * per combination size with subset pruning between levels (the per-node
+    * DAG path is spec-asserted equal in PrimaryKeySpec).
+    */
   def q19PkCombinations(s: SparkSession, dir: String): DataFrame = {
     import graft.schema.SchemaOps
     val li = Tables.lineitem(s, dir)
     val combos = SchemaOps.columnCombinations(Seq("l_orderkey", "l_partkey", "l_suppkey")).toSeq
-    val solutions = PrimaryKey.validateCombinations(li, combos, maxWorkers = 8)
+    val solutions = PrimaryKey.validateCombinationsBatched(li, combos)
     import s.implicits._
     solutions.map(_.mkString(",")).sorted.toDF("combination")
   }

@@ -227,6 +227,24 @@ object LlmQueries {
       .select("doc_id", "n_tokens", "n_distinct", "ttr")
       .orderBy("doc_id")
 
+  /** Train/test contamination: deterministic 75/12.5/12.5 split (same as
+    * q45), then per test doc the count of distinct 5-grams shared with the
+    * train split. The corpus's organic near-duplicates land on both sides
+    * of the split, so the check fires on real signal.
+    */
+  def q47Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Sampling.splitAssign(
+      Tables.documents(s, dir).select("doc_id", "text"),
+      Seq("doc_id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    )
+    graft.text.Contamination.sharedGrams(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"),
+      "doc_id", "text", n = 5
+    ).orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -127,6 +127,79 @@ object StreamingOps {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  final case class AsOfLeft(key: Long, ts: Long, left_id: Long)
+  final case class AsOfRight(key: Long, ts: Long, value: Double)
+  final case class AsOfTagged(key: Long, ts: Long, isLeft: Boolean, left_id: Long,
+      value: Double, event_time: java.sql.Timestamp)
+  final case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Double)])
+  final case class AsOfOut(key: Long, ts: Long, left_id: Long,
+      right_ts: Option[Long], right_value: Option[Double])
+
+  /** Streaming as-of join: each left event is enriched with the LATEST
+    * right row at-or-before its event time — the streaming twin of
+    * `TemporalJoins.asOfJoin` (batch oracle: q34/q36).
+    *
+    * Event-time correct under out-of-order arrival: a left row is emitted
+    * only once the watermark passes its timestamp, at which point every
+    * right row at-or-before it has arrived (later-than-watermark stragglers
+    * are dropped by the engine on both sides — the standard watermark
+    * contract). State per key is bounded: unemitted lefts + rights newer
+    * than the watermark + ONE floor right (the latest at-or-below the
+    * watermark, which future lefts may still need); everything older is
+    * evicted each trigger.
+    *
+    * Same-ts right duplicates: pre-aggregate the right stream (as q34's
+    * batch form does) — with duplicates the kept row is arrival-dependent.
+    */
+  def asOfJoinStream(
+      left: Dataset[AsOfLeft],
+      right: Dataset[AsOfRight],
+      watermarkDelay: String = "10 seconds"
+  ): Dataset[AsOfOut] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.toDF().select(col("key"), col("ts"), lit(true).as("isLeft"),
+      col("left_id"), lit(0.0).as("value"))
+    val r = right.toDF().select(col("key"), col("ts"), lit(false).as("isLeft"),
+      lit(0L).as("left_id"), col("value"))
+    val tagged = l.unionByName(r)
+      .withColumn("event_time", to_timestamp(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[AsOfTagged]
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfBuf, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
+      ) { case (key, rows, state: GroupState[AsOfBuf]) =>
+        val buf = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+        var lefts = buf.lefts
+        var rights = buf.rights
+        rows.foreach { e =>
+          if (e.isLeft) lefts ::= (e.ts, e.left_id) else rights ::= (e.ts, e.value)
+        }
+        val wmSec = state.getCurrentWatermarkMs() / 1000
+        val (ready, pending) = lefts.partition(_._1 <= wmSec)
+        val rSorted = rights.sortBy(_._1)
+        val out = ready.sorted.map { case (ts, id) =>
+          val m = rSorted.takeWhile(_._1 <= ts).lastOption
+          AsOfOut(key, ts, id, m.map(_._1), m.map(_._2))
+        }
+        // rights eviction: one floor row at-or-below the watermark + future
+        val floor = rSorted.filter(_._1 <= wmSec).lastOption
+        val keptRights = floor.toList ++ rSorted.filter(_._1 > wmSec)
+        if (pending.isEmpty && keptRights.isEmpty) state.remove()
+        else {
+          state.update(AsOfBuf(pending, keptRights))
+          if (pending.nonEmpty) {
+            // wake when the watermark reaches the earliest pending left
+            // (must be strictly ahead of the current watermark)
+            val wake = math.max(pending.map(_._1).min, wmSec + 1)
+            state.setTimeoutTimestamp(wake * 1000)
+          }
+        }
+        out.iterator
+      }
+  }
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

@@ -138,6 +138,20 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(plan.split("Expand").length == 2, s"expected one Expand (grouping sets) in:\n$plan")
   }
 
+  test("validateCombinationsBatched matches the per-node DAG path") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "b"), (2L, 2L, "c")
+    ).toDF("k1", "k2", "k3")
+    val combos = SchemaOps.columnCombinations(Seq("k1", "k2", "k3")).toSeq
+    val viaDag = PrimaryKey.validateCombinations(d, combos, maxWorkers = 4)
+    val batched = PrimaryKey.validateCombinationsBatched(d, combos)
+    assert(viaDag.map(_.mkString(",")).sorted == batched.map(_.mkString(",")).sorted)
+    // minimality: (k1,k2) is a key, so no superset of it may be reported
+    assert(batched.contains(Seq("k1", "k2")))
+    assert(!batched.exists(c => c.toSet.size > 2 && Set("k1", "k2").subsetOf(c.toSet)))
+  }
+
   test("approx quantiles track exact quantiles on real data") {
     import graft.operators.Quantiles
     val ev = Tables.events(spark, sf).select("event_type", "event_id", "value")

@@ -115,6 +115,19 @@ class DedupSpec extends SparkSpec {
     assert(self == orig)
   }
 
+  test("contamination: shared n-grams between splits are counted per eval doc") {
+    import graft.text.Contamination
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material here today"))
+    val test_ = docs(
+      (10L, "well the quick brown fox jumps again"), // shares "the quick brown fox jumps"
+      (11L, "nothing in common with anything at all"))
+    val c = Contamination.sharedGrams(train, test_, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c == Map(10L -> 1L), s"got $c")
+  }
+
   test("connected components: chains, cycles, and long paths converge to min label") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path of 5

@@ -99,6 +99,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join enriches lefts with the latest right at-or-before") {
+    import graft.streaming.StreamingOps.{AsOfLeft, AsOfOut, AsOfRight}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-stream").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[AsOfLeft]
+    val rMem = MemoryStream[AsOfRight]
+    val q = StreamingOps.asOfJoinStream(lMem.toDS(), rMem.toDS(), "10 seconds").writeStream
+      .format("memory").queryName("asof_out").outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .start()
+    try {
+      // one batch, arrival order scrambled within it (watermark only moves
+      // AFTER a batch, so intra-batch disorder is the legal kind; rows
+      // older than the moving watermark across batches are late data and
+      // dropped by the engine — that contract is the point of the design)
+      rMem.addData(AsOfRight(1L, 100L, 1.0), AsOfRight(1L, 200L, 2.0))
+      lMem.addData(AsOfLeft(1L, 50L, 10L), AsOfLeft(1L, 150L, 11L), AsOfLeft(1L, 250L, 12L))
+      lMem.addData(AsOfLeft(2L, 150L, 20L))
+      q.processAllAvailable()
+      // sentinels push the watermark past every left (400-10s = 390 ≥ 250);
+      // each extra cycle lets event-time timeouts fire on the new watermark
+      rMem.addData(AsOfRight(99L, 400L, 0.0))
+      q.processAllAvailable()
+      rMem.addData(AsOfRight(99L, 401L, 0.0))
+      q.processAllAvailable()
+      rMem.addData(AsOfRight(99L, 402L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[AsOfOut].collect().toSet
+      assert(got == Set(
+        AsOfOut(1L, 50L, 10L, None, None),
+        AsOfOut(1L, 150L, 11L, Some(100L), Some(1.0)),
+        AsOfOut(1L, 250L, 12L, Some(200L), Some(2.0)),
+        AsOfOut(2L, 150L, 20L, None, None)
+      ), s"got $got")
+    } finally q.stop()
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
