@@ -39,11 +39,16 @@ object Bench {
     } catch { case _: Throwable => }
 
     // two timed passes, keep the per-query minimum: JIT warmup and host
-    // noisy-neighbor jitter otherwise dominate sub-second queries
+    // noisy-neighbor jitter otherwise dominate sub-second queries.
+    // Each query executes FULLY via the noop sink — .count() would let
+    // Catalyst eliminate joins/aggregations that don't change the count
+    // (q18's whole aggregation disappears under count, for one), silently
+    // under-reporting any query whose tail is count-eliminable.
     def timeAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = timeAll().toMap

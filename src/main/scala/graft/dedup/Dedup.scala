@@ -30,12 +30,6 @@ object Shingles {
   /** Lower-cased whitespace tokens. */
   def tokens(textCol: Column): Column =
     split(trim(lower(textCol)), "\\s+")
-
-  /** Word k-grams as strings ("a b c"); empty array when < k tokens. */
-  def wordGrams(toksCol: Column, k: Int): Column =
-    when(size(toksCol) >= k,
-      expr(s"transform(sequence(1, size(__toks) - ${k - 1}), i -> array_join(slice(__toks, i, $k), ' '))"))
-      .otherwise(array().cast("array<string>"))
 }
 
 /** Shared LSH blocking: turn (band, bh, id, payload) rows into unique
@@ -270,11 +264,35 @@ object SimHash {
   */
 object NgramJaccard {
 
+  /** Distinct word k-grams of a token-array column, built in one compiled
+    * per-row loop — the interpreted transform/slice/array_join HOF chain
+    * costs ~1ms/doc (same lesson as the minhash fingerprint pass), the
+    * fused loop ~µs. Narrow, no shuffle.
+    */
+  def gramSetColumn(toksCol: Column, k: Int): Column = {
+    val gramUdf = udf { (toks: Seq[String]) =>
+      if (toks.length < k) Seq.empty[String]
+      else {
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        val arr = toks.toArray
+        val sb = new StringBuilder(64)
+        var i = 0
+        while (i <= arr.length - k) {
+          sb.setLength(0)
+          var t = 0
+          while (t < k) { if (t > 0) sb.append(' '); sb.append(arr(i + t)); t += 1 }
+          out += sb.toString
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+    gramUdf(toksCol)
+  }
+
   /** id + distinct word k-gram set. */
   def gramSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
-      .withColumn("grams", array_distinct(Shingles.wordGrams(col("__toks"), k)))
-      .select(col(idCol), col("grams"))
+    df.select(col(idCol), gramSetColumn(Shingles.tokens(col(textCol)), k).as("grams"))
 
   /** Exact jaccard for the given candidate pairs (columns id_a, id_b).
     * Gram sets are computed only for documents that appear in a candidate

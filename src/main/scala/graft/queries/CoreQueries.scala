@@ -367,7 +367,7 @@ object CoreQueries {
     import graft.schema.SchemaOps
     val li = Tables.lineitem(s, dir)
     val combos = SchemaOps.columnCombinations(Seq("l_orderkey", "l_partkey", "l_suppkey")).toSeq
-    val solutions = PrimaryKey.validateCombinationsBatched(li, combos)
+    val solutions = PrimaryKey.validateCombinationsBatched(li, combos, cacheProjection = false)
     import s.implicits._
     solutions.map(_.mkString(",")).sorted.toDF("combination")
   }

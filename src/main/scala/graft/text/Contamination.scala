@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
 object Contamination {
 
   /** Per-eval-doc count of distinct word n-grams that also occur anywhere
-    * in the training corpus. Docs with zero overlap are absent (inner
-    * join): the result is the contamination worklist, usually tiny.
+    * in the training corpus. Docs with zero overlap are absent (the result
+    * is the contamination worklist, usually tiny).
+    *
+    * One pass over BOTH corpora (tagged union → one gram shuffle → one id
+    * shuffle) instead of shingling each side separately and joining — the
+    * shingling pass is the expensive part, so it runs exactly once.
+    * Requires ids unique across the two inputs (true for any split of one
+    * corpus). The per-gram test-id list is bounded by documents sharing
+    * that exact n-gram; at n ≥ 5 natural language keeps that tiny, and a
+    * degenerate corpus (all-identical boilerplate) should be exact-deduped
+    * before this check anyway.
     */
   def sharedGrams(
       train: DataFrame,
@@ -30,12 +39,19 @@ object Contamination {
       textCol: String,
       n: Int = 5
   ): DataFrame = {
-    val trainGrams = NgramJaccard.gramSets(train, idCol, textCol, n)
-      .select(explode(col("grams")).as("gram"))
-      .distinct()
-    val testGrams = NgramJaccard.gramSets(test, idCol, textCol, n)
-      .select(col(idCol), explode(col("grams")).as("gram"))
-    testGrams.join(trainGrams, Seq("gram"))
+    import graft.dedup.Shingles
+    val tagged = train.select(col(idCol), lit(true).as("__is_train"), col(textCol).as("__text"))
+      .unionByName(test.select(col(idCol), lit(false).as("__is_train"), col(textCol).as("__text")))
+    tagged
+      .select(col(idCol), col("__is_train"),
+        explode(NgramJaccard.gramSetColumn(Shingles.tokens(col("__text")), n)).as("gram"))
+      .groupBy("gram")
+      .agg(
+        max(when(col("__is_train"), 1).otherwise(0)).as("in_train"),
+        collect_list(when(!col("__is_train"), col(idCol))).as("test_ids")
+      )
+      .filter(col("in_train") === 1 && size(col("test_ids")) > 0)
+      .select(explode(col("test_ids")).as(idCol))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
