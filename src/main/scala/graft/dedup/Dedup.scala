@@ -299,6 +299,11 @@ object NgramJaccard {
     * pair (semi-join first): at corpus scale the candidate set is orders of
     * magnitude smaller than the corpus, so shingling the full corpus again
     * would dominate the cost.
+    *
+    * The candidate frame feeds three plan branches (the id universe and
+    * both pair joins); when it comes from an expensive generator (LSH
+    * blocking) `persistCandidates` stores it once — candidate sets are id
+    * pairs, tiny by construction.
     */
   def verify(
       candidates: DataFrame,
@@ -306,14 +311,16 @@ object NgramJaccard {
       idCol: String,
       textCol: String,
       k: Int = 3,
-      minJaccard: Double = 0.0
+      minJaccard: Double = 0.0,
+      persistCandidates: Boolean = true
   ): DataFrame = {
-    val wanted = candidates.select(col("id_a").as(idCol))
-      .unionByName(candidates.select(col("id_b").as(idCol)))
-      .distinct()
+    val cand = if (persistCandidates)
+      candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else candidates
+    val wanted = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val needed = df.join(wanted, Seq(idCol), "left_semi")
     val sets = gramSets(needed, idCol, textCol, k)
-    candidates
+    cand
       .join(sets.select(col(idCol).as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))

@@ -44,19 +44,31 @@ object Multimodal {
     ))
   }
 
-  /** STUB decode: deterministic fake "feature extraction" from raw bytes.
-    * Real implementation would decode the media and run a featurizer; the
-    * signature, batching and output schema are the real contract.
+  /** Pluggable per-payload decoder contract. Implementations ship to
+    * executors, so they must be Serializable and hold no driver-side
+    * resources; heavyweight codec state belongs in a lazy transient field
+    * (initialized once per executor JVM, reused across rows).
     */
-  private[multimodal] def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? real decoder goes here; deterministic byte-fold stand-in below
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xff) / 255.0f
-      i += 1
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB decode: deterministic fake "feature extraction" from raw bytes —
+    * the media codecs are not in this container. The signature, batching
+    * and output schema are the real contract; swap in a real
+    * [[MediaDecoder]] on a cluster with codecs installed.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+      // ??? real decoder goes here; deterministic byte-fold stand-in below
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
     }
-    out
   }
 
   /** Batch feature extraction over payload partitions (the Scala analogue
@@ -69,7 +81,8 @@ object Multimodal {
       idCol: String,
       payloadCol: String,
       dim: Int = 16,
-      batchPartitions: Option[Int] = None
+      batchPartitions: Option[Int] = None,
+      decoder: MediaDecoder = StubDecoder
   ): DataFrame = {
     val input = batchPartitions.map(df.repartition(_)).getOrElse(df)
       .select(col(idCol), col(payloadCol))
@@ -81,7 +94,7 @@ object Multimodal {
     input.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        Row(r.get(0), fakeFeatures(if (bytes == null) Array.emptyByteArray else bytes, dim))
+        Row(r.get(0), decoder.decode(if (bytes == null) Array.emptyByteArray else bytes, dim))
       }
     }(enc)
   }

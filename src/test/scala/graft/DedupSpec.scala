@@ -155,5 +155,13 @@ class DedupSpec extends SparkSpec {
     val rows = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(rows(1L).length == 8 && rows(2L).length == 8)
     assert(rows(1L).sum > 0 && rows(2L).sum == 0)
+    // a custom decoder plugs into the same batched path
+    val constant = new Multimodal.MediaDecoder {
+      def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(bytes.length.toFloat)
+    }
+    val custom = Multimodal.extractFeatures(spark, d, "doc_id", "payload", dim = 4, decoder = constant)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(custom(1L) == Seq(5f, 5f, 5f, 5f) && custom(2L) == Seq(0f, 0f, 0f, 0f))
   }
 }

@@ -39,6 +39,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hot.nonEmpty && hot.values.forall(_ >= 100))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one key owns half the fact side; with low skew thresholds AQE must
+    // mark the sort-merge join skew=true and split that reducer partition
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it a sort-merge join
+    try {
+      val big = spark.range(0, 300000, 1, 8)
+        .select(when($"id" < 150000, lit(7L)).otherwise($"id").as("k"), $"id".as("payload"))
+      val dim = spark.range(300000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = big.join(dim, Seq("k"))
+      // collect() drives THIS Dataset's QueryExecution to its final
+      // adaptive plan (count() would wrap it in a fresh QueryExecution
+      // and leave this one isFinalPlan=false)
+      assert(j.collect().length == 300000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split SMJ in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
