@@ -55,7 +55,8 @@ object SparkEntry {
     "q44_pii_scan" -> (LlmQueries.q44PiiScan(_, _)),
     "q45_split_assign" -> (LlmQueries.q45SplitAssign(_, _)),
     "q46_ttr" -> (LlmQueries.q46Ttr(_, _)),
-    "q47_contamination" -> (LlmQueries.q47Contamination(_, _))
+    "q47_contamination" -> (LlmQueries.q47Contamination(_, _)),
+    "q48_repetition" -> (LlmQueries.q48Repetition(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -568,6 +569,15 @@ object SparkEntry {
         |te AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE split = 'test')
         |SELECT doc_id, count(*) AS n_shared
         |FROM te JOIN tg USING (gram)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q48_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |grams AS (SELECT doc_id, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |x AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM x GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -245,6 +245,14 @@ object LlmQueries {
     ).orderBy("doc_id")
   }
 
+  /** Gopher-style repeated-phrase filter feature: top 2-gram fraction per
+    * document, computed shuffle-free in one compiled pass.
+    */
+  def q48Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgramFraction(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -110,6 +110,39 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Repetition signal #2: top n-gram fraction (occurrences of the most
+    * frequent word n-gram / total n-grams) — the Gopher "repeated phrase"
+    * filter. A looping boilerplate doc scores near 1, natural text well
+    * under 0.2. One compiled per-row pass (token counts in a local hash
+    * map), NO shuffle — the filter predicate stays scan-level at any
+    * corpus size. Docs with < n tokens are dropped (no grams to judge).
+    */
+  def topNgramFraction(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val statsUdf = org.apache.spark.sql.functions.udf { (toksIn: Seq[String]) =>
+      val arr = toksIn.toArray
+      if (arr.length < n) None
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        val sb = new StringBuilder(48)
+        var max = 0
+        var i = 0
+        while (i <= arr.length - n) {
+          sb.setLength(0)
+          var t = 0
+          while (t < n) { if (t > 0) sb.append(' '); sb.append(arr(i + t)); t += 1 }
+          val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+          if (c > max) max = c
+          i += 1
+        }
+        val total = arr.length - n + 1
+        Some((total.toLong, max.toDouble / total.toDouble))
+      }
+    }
+    df.select(col(idCol), statsUdf(toks(col(textCol))).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol), col("__s._1").as("n_grams"), col("__s._2").as("top_frac"))
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lower-cased text
     * (engine-portable) + an order-sensitive 64-bit polynomial rolling hash
     * over token xxhash64s (Spark-native).

@@ -115,6 +115,19 @@ class DedupSpec extends SparkSpec {
     assert(self == orig)
   }
 
+  test("topNgramFraction separates looping boilerplate from varied text") {
+    import graft.text.TextAnalysis
+    val d = docs(
+      (1L, "buy now buy now buy now buy now"),          // 'buy now' dominates
+      (2L, "one two three four five six seven eight"),  // all 2-grams unique
+      (3L, "solo"))                                     // < 2 tokens: dropped
+    val r = TextAnalysis.topNgramFraction(d, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L)._1 == 7L && r(1L)._2 == 4.0 / 7.0) // 'buy now' x4 of 7
+    assert(r(2L)._2 == 1.0 / 7.0)
+  }
+
   test("contamination: shared n-grams between splits are counted per eval doc") {
     import graft.text.Contamination
     val train = docs(
