@@ -238,10 +238,12 @@ object LlmQueries {
       Seq("doc_id"),
       Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
     )
-    graft.text.Contamination.sharedGrams(
-      docs.filter(col("split") === "train"),
-      docs.filter(col("split") === "test"),
-      "doc_id", "text", n = 5
+    // tagged form: both splits come from one table, so the plan keeps a
+    // single documents scan (two filtered branches would scan it twice)
+    graft.text.Contamination.sharedGramsTagged(
+      docs.filter(col("split").isin("train", "test"))
+        .select(col("doc_id"), (col("split") === "train").as("__is_train"), col("text")),
+      "doc_id", "__is_train", "text", n = 5
     ).orderBy("doc_id")
   }
 

@@ -38,13 +38,28 @@ object Contamination {
       idCol: String,
       textCol: String,
       n: Int = 5
+  ): DataFrame =
+    sharedGramsTagged(
+      train.select(col(idCol), lit(true).as("__is_train"), col(textCol).as("__text"))
+        .unionByName(test.select(col(idCol), lit(false).as("__is_train"), col(textCol).as("__text"))),
+      idCol, "__is_train", "__text", n)
+
+  /** Same check over an already-tagged frame (id, isTrain, text). When the
+    * two splits derive from ONE table (the usual case — a split column),
+    * this keeps the plan to a single scan; the two-DataFrame form above
+    * unavoidably plans one scan per side.
+    */
+  def sharedGramsTagged(
+      tagged: DataFrame,
+      idCol: String,
+      isTrainCol: String,
+      textCol: String,
+      n: Int = 5
   ): DataFrame = {
     import graft.dedup.Shingles
-    val tagged = train.select(col(idCol), lit(true).as("__is_train"), col(textCol).as("__text"))
-      .unionByName(test.select(col(idCol), lit(false).as("__is_train"), col(textCol).as("__text")))
     tagged
-      .select(col(idCol), col("__is_train"),
-        explode(NgramJaccard.gramSetColumn(Shingles.tokens(col("__text")), n)).as("gram"))
+      .select(col(idCol), col(isTrainCol).as("__is_train"),
+        explode(NgramJaccard.gramSetColumn(Shingles.tokens(col(textCol)), n)).as("gram"))
       .groupBy("gram")
       .agg(
         max(when(col("__is_train"), 1).otherwise(0)).as("in_train"),
