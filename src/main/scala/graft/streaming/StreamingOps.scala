@@ -200,6 +200,22 @@ object StreamingOps {
       }
   }
 
+  /** Rate-limited file-source read: `maxFilesPerTrigger` bounds how many
+    * files each micro-batch ingests — the backfill/catch-up pattern that
+    * keeps a resumed stream from swallowing months of history in one
+    * giant batch (state growth, executor memory and checkpoint latency
+    * all scale with batch size, not backlog size).
+    */
+  def readFileStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val base = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(base)(n => base.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

@@ -136,6 +136,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-limited file source splits a backlog into bounded micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ratelim").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-ratelim-cp").toString
+    // 6-file backlog
+    val data = spark.range(600).select($"id", ($"id" % 7).as("v"))
+    data.repartition(6).write.mode("overwrite").parquet(s"$dir/in")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = StreamingOps.readFileStream(spark, s"$dir/in", data.schema, maxFilesPerTrigger = Some(2))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) => batches.add(df.count()); () }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val counts = batches.asScala.toSeq
+    assert(counts.sum == 600, s"got $counts")
+    assert(counts.size >= 3, s"expected >= 3 bounded batches, got $counts") // 6 files / 2 per trigger
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
