@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Shape: distinct train grams (one shuffle on gram) semi-joined by eval
   * grams, counted per eval doc. The shuffle carries grams, not documents.
-  * At extreme scale swap the exact distinct-gram join for a bloom filter
-  * build over train grams (same plan shape, approximate membership, no
-  * false negatives missed — false POSITIVES only, which for a
-  * contamination gate is the safe direction).
+  * At extreme scale [[sharedGramsBloom]] swaps the exact gram join for a
+  * broadcast bloom filter over train grams — the eval side never
+  * shuffles at all (narrow filter + one id aggregation), and bloom
+  * membership has false POSITIVES only, which for a contamination gate
+  * is the safe direction (flags a clean doc for review, never clears a
+  * contaminated one).
   */
 object Contamination {
 
@@ -67,6 +69,36 @@ object Contamination {
       )
       .filter(col("in_train") === 1 && size(col("test_ids")) > 0)
       .select(explode(col("test_ids")).as(idCol))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Bloom-filter scale path: the train gram set collapses to a fixed-size
+    * broadcast bloom (built distributed via `stat.bloomFilter`'s
+    * mergeable sketches); the eval side is then a NARROW membership
+    * filter — no gram shuffle, only the tiny per-id count aggregation.
+    * `n_shared` may overcount by the false-positive rate (never under):
+    * size `expectedGrams`/`fpp` for the train corpus, e.g. 1e9 grams at
+    * 1% ≈ 1.2 GB, still broadcastable.
+    */
+  def sharedGramsBloom(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      expectedGrams: Long = 10000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import graft.dedup.Shingles
+    val trainGrams = train
+      .select(explode(NgramJaccard.gramSetColumn(Shingles.tokens(col(textCol)), n)).as("gram"))
+    val bloom = trainGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bc.value.mightContainString(g))
+    test
+      .select(col(idCol), explode(NgramJaccard.gramSetColumn(Shingles.tokens(col(textCol)), n)).as("gram"))
+      .filter(mightContain(col("gram")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }

@@ -139,6 +139,11 @@ class DedupSpec extends SparkSpec {
     val c = Contamination.sharedGrams(train, test_, "doc_id", "text", n = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(c == Map(10L -> 1L), s"got $c")
+    // bloom path: superset of exact (false positives only), equal here
+    val b = Contamination.sharedGramsBloom(train, test_, "doc_id", "text", n = 5,
+        expectedGrams = 1000L, fpp = 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b == c, s"bloom $b vs exact $c")
   }
 
   test("connected components: chains, cycles, and long paths converge to min label") {
