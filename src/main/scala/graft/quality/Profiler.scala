@@ -62,8 +62,20 @@ object Profiler {
     * The row expansion comes from ONE generator (`stack`) over one scan,
     * collapsed map-side by the partial hash agg before the only shuffle.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "cols must not be empty")
+  /** Positional rename of the whole frame: `col(name)`/`df(name)` PARSE
+    * attribute names (an unpaired backtick is a syntax error, a dot is a
+    * struct path), so the profiled columns are resolved by exact schema
+    * index and the frame re-labeled to safe names before any Column
+    * expression is built.
+    */
+  private def safeNames(df: DataFrame, cols: Seq[String]): (DataFrame, Seq[String]) = {
+    val renamed = df.toDF(df.columns.indices.map(i => s"__in$i"): _*)
+    (renamed, cols.map(c => s"__in${df.schema.fieldIndex(c)}"))
+  }
+
+  def profile(df0: DataFrame, cols0: Seq[String]): DataFrame = {
+    require(cols0.nonEmpty, "cols must not be empty")
+    val (df, cols) = safeNames(df0, cols0)
     // one row per (input row, profiled column): gid tags the column, and
     // only v<gid>'s slot is non-null, keeping native types for min/max
     val exploded = df.select(posexplode(array(
@@ -99,18 +111,19 @@ object Profiler {
         max(when(col("gid") === j, col(s"ma$j"))).as(s"c${j}__max")
       )
     }
-    longForm(perGid.agg(wideAggs.head, wideAggs.tail: _*), cols)
+    longForm(perGid.agg(wideAggs.head, wideAggs.tail: _*), cols0)
   }
 
   /** HLL++ profile for very wide/high-cardinality tables: no Expand, every
     * aggregate is partial-aggregatable map-side, `rsd` bounds the distinct
     * estimate error.
     */
-  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
-    require(cols.nonEmpty, "cols must not be empty")
+  def profileApprox(df0: DataFrame, cols0: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols0.nonEmpty, "cols must not be empty")
+    val (df, cols) = safeNames(df0, cols0)
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       aggsFor(df, c, i, approx_count_distinct(_, rsd))
     }
-    longForm(df.agg(aggs.head, aggs.tail: _*), cols)
+    longForm(df.agg(aggs.head, aggs.tail: _*), cols0)
   }
 }

@@ -82,6 +82,39 @@ class ProfileSampleSpec extends SparkSpec {
     val red = d.select(PiiScan.redact(col("text")).as("t")).as[String].collect().mkString(" ")
     assert(!red.contains("bob@example.com") && !red.contains("10.0.0.1"))
     assert(red.contains("<EMAIL>") && red.contains("<URL>"))
+    // ordered redaction: an email-shaped substring INSIDE a url must be
+    // swallowed by the url pass (fixed Seq order), not leave a mangled mix
+    val tricky = Seq("read https://example.com/u/bob@example.com/profile today").toDF("text")
+      .select(PiiScan.redact(col("text")).as("t")).as[String].head()
+    assert(tricky == "read <URL> today", tricky)
+  }
+
+  test("keyHash distinguishes NULL positions in multi-column keys") {
+    import spark.implicits._
+    // concat_ws silently drops NULLs: without the sentinel these three
+    // keys would collide and always land in the same sample/split bucket
+    val d = Seq(
+      (Option("a"), Option("b"), 1L),
+      (Option("a"), None, 2L),
+      (None, Option("b"), 3L),
+      (Option("a"), Option("b"), 4L) // true duplicate of row 1's key
+    ).toDF("k1", "k2", "id")
+    val h = d.select(col("id"), Sampling.keyHash(Seq(col("k1"), col("k2"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(1L) != h(2L) && h(1L) != h(3L) && h(2L) != h(3L))
+    assert(h(1L) == h(4L))
+  }
+
+  test("profiler handles hostile column names (quotes, backticks, dots)") {
+    import spark.implicits._
+    import graft.quality.Profiler
+    val d = Seq((1, "x"), (2, "y"), (2, null))
+      .toDF("weird`col", "it's.dotted")
+    val p = Profiler.profile(d, Seq("weird`col", "it's.dotted"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(p(("weird`col", "distinct")) == "2")
+    assert(p(("it's.dotted", "nulls")) == "1")
+    assert(p(("it's.dotted", "max")) == "y")
   }
 
   test("splitAssign is disjoint, exhaustive, deterministic and roughly proportional") {
