@@ -23,6 +23,29 @@ object ExactDedup {
     val w = Window.partitionBy(sha2(col(contentCol), 256)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Digest frame of a corpus: one `digest` row per distinct content —
+    * what an ingestion pipeline persists between batches (32 bytes/doc,
+    * not the documents).
+    */
+  def digests(df: DataFrame, contentCol: String): DataFrame =
+    df.select(sha2(col(contentCol), 256).as("digest")).distinct()
+
+  /** Incremental exact dedup: dedup `incoming` within itself, then drop
+    * rows whose content digest already exists in `seen` (the persisted
+    * [[digests]] of everything ingested so far). The anti-join shuffles
+    * digests only; at corpus scale the seen set dwarfs each batch, so the
+    * join partitions on the batch side stay small and AQE can broadcast
+    * the batch if it is tiny.
+    */
+  def incremental(
+      incoming: DataFrame,
+      idCol: String,
+      contentCol: String,
+      seen: DataFrame
+  ): DataFrame =
+    dedup(incoming, idCol, contentCol)
+      .join(seen, sha2(col(contentCol), 256) === seen("digest"), "left_anti")
 }
 
 /** Shared text-shingling helpers for the near-dup family. */

@@ -19,6 +19,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("incremental dedup drops batch-internal and already-seen content") {
+    val history = docs((1L, "seen before"), (2L, "also seen"))
+    val seen = ExactDedup.digests(history, "text")
+    val batch = docs(
+      (10L, "brand new"), (11L, "brand new"),   // in-batch duplicate
+      (12L, "seen before"),                      // historical duplicate
+      (13L, "also new"))
+    val kept = ExactDedup.incremental(batch, "doc_id", "text", seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 13L))
+  }
+
   test("minhash estimate tracks exact jaccard for near/far pairs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base + " extra1 extra2"
