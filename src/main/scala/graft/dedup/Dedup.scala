@@ -224,29 +224,55 @@ object SimHash {
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       portableHash: Boolean = false): DataFrame = {
-    val simhashUdf = udf { (hs: Seq[Long]) =>
-      val votes = new Array[Int](64)
-      val it = hs.iterator
-      while (it.hasNext) {
-        val h = it.next()
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-          i += 1
-        }
-      }
+    def votesToHash(votes: Array[Int]): Long = {
       var out = 0L
       var i = 0
       while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
       out
     }
-    val tokenHash =
-      if (portableHash) "transform(__toks, t -> cast(conv(substring(md5(t), 18, 15), 16, 10) as bigint))"
-      else "transform(__toks, t -> xxhash64(t))"
+    // one fused compiled pass per row: token hash + 64-bit vote loop.
+    // (A transform(...) HOF for the token hash is an interpreted lambda —
+    // the same ~1ms/doc trap as gram building.)
+    val simhashUdf =
+      if (portableHash) udf { (toks: Seq[String]) =>
+        // lower 60 bits of md5 = hex chars 18..32 = low nibble of byte 8
+        // then bytes 9..15; identical to conv(substring(md5(t),18,15),16,10)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](64)
+        val it = toks.iterator
+        while (it.hasNext) {
+          val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = (d(8) & 0x0f).toLong
+          var b = 9
+          while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+        votesToHash(votes)
+      }
+      else udf { (toks: Seq[String]) =>
+        // Spark-native token hash (xxhash64 semantics, seed 42) — same
+        // values as the xxhash64() expression, fused into the vote loop
+        val votes = new Array[Int](64)
+        val it = toks.iterator
+        while (it.hasNext) {
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+        votesToHash(votes)
+      }
     df.select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .withColumn("__th", expr(tokenHash))
-      .select(col(idCol), simhashUdf(col("__th")).as("simhash"))
+      .select(col(idCol), simhashUdf(col("__toks")).as("simhash"))
   }
 
   /** Pairs (idA < idB) with hamming distance <= maxHamming. Blocking: split
