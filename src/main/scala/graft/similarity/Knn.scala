@@ -82,14 +82,31 @@ object Knn {
     Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Sign-of-projection LSH bucket id (0 .. 2^numPlanes-1) for each vector. */
+  /** Sign-of-projection LSH bucket id (0 .. 2^numPlanes-1) for each vector.
+    * All plane projections run in ONE compiled loop per row (the
+    * expression form was numPlanes interpreted aggregate/zip_with lambdas
+    * per row); the left-to-right summation order matches both the old
+    * expression and DuckDB's list_dot_product, so the q26 oracle's replay
+    * of the bucketing stays bit-identical.
+    */
   def lshBucket(vecCol: Column, numPlanes: Int, dim: Int, seed: Long = 7L): Column = {
     val planes = hyperplanes(numPlanes, dim, seed)
-    val bitCols = planes.zipWithIndex.map { case (p, j) =>
-      val planeArr = array(p.map(lit(_)): _*)
-      when(dot(vecCol.cast("array<double>"), planeArr) >= 0, lit(1L << j)).otherwise(lit(0L))
+    val bucketUdf = udf { (v: Seq[Double]) =>
+      val varr = v.toArray
+      var bucket = 0L
+      var j = 0
+      while (j < planes.length) {
+        val p = planes(j)
+        val n = math.min(p.length, varr.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += varr(i) * p(i); i += 1 }
+        if (s >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      bucket
     }
-    bitCols.reduce(_ + _)
+    bucketUdf(vecCol.cast("array<double>"))
   }
 
   /** Approximate top-k: only candidates in the query's LSH bucket are
