@@ -26,10 +26,13 @@ object TimeOne {
       sys.error(s"unknown query '$name'; have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     (0 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      // full execution via noop, matching Bench (count() lets Catalyst
+      // eliminate count-invariant subtrees and under-report)
+      df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      if (i > 0) println(f"[timeone] $name rep$i: $dt%.3f s (rows=$n)")
-      else println(f"[timeone] $name warmup: $dt%.3f s (rows=$n)")
+      if (i > 0) println(f"[timeone] $name rep$i: $dt%.3f s")
+      else println(f"[timeone] $name warmup: $dt%.3f s")
     }
     spark.stop()
   }

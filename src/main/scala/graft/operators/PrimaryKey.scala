@@ -55,6 +55,16 @@ object PrimaryKey {
     require(combinations.nonEmpty, "combinations must not be empty")
     val spark = df.sparkSession
     val allCols = combinations.flatten.distinct
+    // The Expand multiplies every input row |combinations|-fold BEFORE the
+    // first exchange, so the whole expansion+partial-agg runs at the
+    // SCAN's parallelism. If the input has fewer splits than cores (small
+    // files, single-row-group parquet), one narrow key-column shuffle
+    // first is far cheaper than serializing the n-fold expansion; with
+    // healthy split counts this is a no-op.
+    val par = spark.sparkContext.defaultParallelism
+    val keySlice = df.select(allCols.map(col): _*)
+    val input =
+      if (keySlice.rdd.getNumPartitions < par) keySlice.repartition(par) else keySlice
     // Spark grouping_id(): one bit per groupBy column in declaration order,
     // leftmost = most significant; bit set = column aggregated away (NOT in
     // the grouping set). Verified against SQL GROUPING_ID in PrimaryKeySpec.
@@ -62,7 +72,7 @@ object PrimaryKey {
       allCols.zipWithIndex.map { case (c, i) =>
         if (combo.contains(c)) 0L else 1L << (allCols.length - 1 - i)
       }.sum
-    val grouped = df
+    val grouped = input
       .groupingSets(combinations.map(_.map(col)), allCols.map(col): _*)
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
     val dupStats = grouped

@@ -76,6 +76,9 @@ object Profiler {
   def profile(df0: DataFrame, cols0: Seq[String]): DataFrame = {
     require(cols0.nonEmpty, "cols must not be empty")
     val (df, cols) = safeNames(df0, cols0)
+    // (a pre-repartition to parallelize the generator was measured a net
+    // LOSS here, unlike combinationStats: the profile slice carries wide
+    // string values, so the extra shuffle outweighs the expansion savings)
     // one row per (input row, profiled column): gid tags the column, and
     // only v<gid>'s slot is non-null, keeping native types for min/max
     val exploded = df.select(posexplode(array(
