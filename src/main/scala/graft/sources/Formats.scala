@@ -30,4 +30,15 @@ object Formats {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC: the other columnar interchange format warehouses speak —
+    * pushdown and column pruning work like parquet's.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -122,10 +122,17 @@ class ScaleOpsSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     Formats.writeCsv(src, s"$base/csv")
     Formats.writeJson(src, s"$base/json")
+    Formats.writeOrc(src, s"$base/orc")
     val csvBack = Formats.readCsv(spark, s"$base/csv", src.schema)
     val jsonBack = Formats.readJson(spark, s"$base/json", src.schema)
+    val orcBack = Formats.readOrc(spark, s"$base/orc")
     assert(csvBack.exceptAll(src).isEmpty && src.exceptAll(csvBack).isEmpty)
     assert(jsonBack.exceptAll(src).isEmpty && src.exceptAll(jsonBack).isEmpty)
+    assert(orcBack.exceptAll(src).isEmpty && src.exceptAll(orcBack).isEmpty)
+    // orc pushdown: predicate reaches the scan like parquet
+    val plan = Formats.readOrc(spark, s"$base/orc").filter($"o_orderkey" === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"), plan)
   }
 
   test("compare with cache=true materializes once and uncaches cleanly") {
