@@ -107,9 +107,11 @@ object Profiler {
     // null group, so nu<j> already includes it.
     val wideAggs = cols.indices.flatMap { j =>
       Seq(
-        max(when(col("gid") === j, col(s"nn$j"))).cast("string").as(s"c${j}__non_nulls"),
-        max(when(col("gid") === j, col(s"nu$j"))).cast("string").as(s"c${j}__nulls"),
-        max(when(col("gid") === j, col(s"di$j"))).cast("string").as(s"c${j}__distinct"),
+        // a zero-row input produces NO per-gid rows: count metrics are 0
+        // there, not NULL (min/max legitimately stay NULL)
+        coalesce(max(when(col("gid") === j, col(s"nn$j"))), lit(0L)).cast("string").as(s"c${j}__non_nulls"),
+        coalesce(max(when(col("gid") === j, col(s"nu$j"))), lit(0L)).cast("string").as(s"c${j}__nulls"),
+        coalesce(max(when(col("gid") === j, col(s"di$j"))), lit(0L)).cast("string").as(s"c${j}__distinct"),
         max(when(col("gid") === j, col(s"mi$j"))).as(s"c${j}__min"),
         max(when(col("gid") === j, col(s"ma$j"))).as(s"c${j}__max")
       )

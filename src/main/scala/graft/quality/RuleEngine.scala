@@ -34,8 +34,10 @@ object RuleEngine {
     ).select(
       col("e.rule").as("rule"),
       col("__n").as("n_rows"),
-      col("e.n_failed").as("n_failed"),
-      (col("e.n_failed") / col("__n")).as("failure_rate")
+      // sum over zero rows is NULL: an empty table has zero failures
+      coalesce(col("e.n_failed"), lit(0L)).as("n_failed"),
+      when(col("__n") > 0, coalesce(col("e.n_failed"), lit(0L)) / col("__n"))
+        .otherwise(lit(0.0)).as("failure_rate")
     )
   }
 

@@ -1,0 +1,81 @@
+package graft
+
+import graft.dedup.{ConnectedComponents, ExactDedup, MinHashLsh}
+import graft.operators._
+import graft.quality.{Profiler, RuleEngine}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: operators must return empty/zero results on
+  * empty or pathological inputs, never throw — at pipeline scale an empty
+  * partition, an empty incremental batch, or an all-null column is an
+  * everyday Tuesday, not an error.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup family on empty and token-free corpora") {
+    assert(ExactDedup.groups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(ExactDedup.dedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(MinHashLsh.candidatePairs(emptyDocs, "doc_id", "text").count() == 0)
+    // documents with no shingle-able content (under k tokens) drop out
+    val tiny = Seq((1L, ""), (2L, "one two"), (3L, "a b")).toDF("doc_id", "text")
+    assert(MinHashLsh.candidatePairs(tiny, "doc_id", "text").count() == 0)
+  }
+
+  test("connected components on empty edge list") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.labelPropagation(edges).count() == 0)
+    assert(ConnectedComponents.clusters(edges).count() == 0)
+  }
+
+  test("compare against an empty side classifies everything removed") {
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val df2 = Seq.empty[(Long, String)].toDF("k", "v")
+    val sum = CompareDataFrames(df1, df2, Seq("k")).summary
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum.getOrElse("removed", 0L) == 2L)
+    assert(sum.getOrElse("added", 0L) == 0L && sum.getOrElse("changed", 0L) == 0L)
+  }
+
+  test("latest records, scd2 and quantiles on empty input") {
+    val ev = Seq.empty[(Long, Long, String)].toDF("k", "ts", "v")
+    assert(LatestRecords.latest(ev, Seq("k"), Seq("ts")).count() == 0)
+    assert(LatestRecords.latestWithConflictFlag(ev, Seq("k"), Seq("ts")).count() == 0)
+    assert(Scd2.build(ev, Seq("k"), Seq("ts"), Seq("v")).count() == 0)
+    val pts = Seq.empty[(String, Long, Double)].toDF("g", "id", "value")
+    assert(Quantiles.exactQuantiles(pts, Seq("g"), "value", "id").count() == 0)
+  }
+
+  test("rule engine and pk validation on empty tables") {
+    val t = Seq.empty[(Long, Double)].toDF("k", "x")
+    val rules = RuleEngine.validate(t, Seq(RuleEngine.Rule("pos", "x > 0")))
+      .collect().map(r => (r.getAs[String]("rule"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_failed")))
+    assert(rules.toSeq == Seq(("pos", 0L, 0L)))
+    val v = PrimaryKey.validateCandidate(t, Seq("k"))
+    assert(v.isValid && v.recordCount == 0L)
+    assert(PrimaryKey.validateCombinationsBatched(t, Seq(Seq("k"), Seq("k", "x")))
+      == Seq(Seq("k"))) // an empty table has no duplicates: first level wins
+  }
+
+  test("profiler on zero rows and all-null columns") {
+    val t = Seq.empty[(Long, String)].toDF("a", "b")
+    val p0 = Profiler.profile(t, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(p0(("a", "non_nulls")) == "0" && p0(("b", "distinct")) == "0")
+    val nulls = Seq((Option.empty[String], 1), (Option.empty[String], 2)).toDF("s", "i")
+    val p = Profiler.profile(nulls, Seq("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(p(("s", "nulls")) == "2" && p(("s", "distinct")) == "0")
+    assert(p(("s", "min")) == null && p(("s", "max")) == null)
+  }
+
+  test("sampling extremes: fraction 0 and 1") {
+    val d = spark.range(100).toDF("id")
+    assert(Sampling.deterministic(d, Seq("id"), 0.0).count() == 0)
+    assert(Sampling.deterministic(d, Seq("id"), 1.0).count() == 100)
+  }
+}
