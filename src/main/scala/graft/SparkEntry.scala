@@ -56,7 +56,8 @@ object SparkEntry {
     "q45_split_assign" -> (LlmQueries.q45SplitAssign(_, _)),
     "q46_ttr" -> (LlmQueries.q46Ttr(_, _)),
     "q47_contamination" -> (LlmQueries.q47Contamination(_, _)),
-    "q48_repetition" -> (LlmQueries.q48Repetition(_, _))
+    "q48_repetition" -> (LlmQueries.q48Repetition(_, _)),
+    "q49_histogram" -> (CoreQueries.q49Histogram(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -578,6 +579,16 @@ object SparkEntry {
         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM x GROUP BY doc_id, gram)
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q49_histogram" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CASE WHEN x < 0.0 THEN CAST(-1 AS BIGINT)
+        |  WHEN x >= 100.0 THEN CAST(20 AS BIGINT)
+        |  ELSE CAST(floor((x - 0.0) / 5.0) AS BIGINT) END AS bucket FROM v)
+        |SELECT bucket,
+        |  CASE WHEN bucket = -1 THEN CAST('-infinity' AS DOUBLE) ELSE 0.0 + bucket * 5.0 END AS lo,
+        |  CASE WHEN bucket = 20 THEN CAST('infinity' AS DOUBLE) ELSE 0.0 + (bucket + 1) * 5.0 END AS hi,
+        |  count(*) AS cnt
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -119,6 +119,32 @@ object Profiler {
     longForm(perGid.agg(wideAggs.head, wideAggs.tail: _*), cols0)
   }
 
+  /** Fixed-bounds equi-width histogram of a numeric column: one pass, one
+    * narrow bucket expression + hash aggregation on ≤ nBuckets+2 groups
+    * (map-side combine collapses everything before the exchange). Values
+    * below `lo` land in bucket -1, at-or-above `hi` in bucket nBuckets —
+    * out-of-range data is a data-quality signal, not a crash. Explicit
+    * bounds keep the bucketing engine-portable and deterministic; derive
+    * them from a prior profile/quantile pass when unknown.
+    */
+  def histogram(df: DataFrame, column: String, lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / nBuckets
+    val v = df(column).cast("double")
+    val bucket = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBuckets.toLong))
+      .otherwise(floor((v - lit(lo)) / lit(width)).cast("long"))
+    df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", when(col("bucket") === -1L, lit(Double.NegativeInfinity))
+        .otherwise(lit(lo) + col("bucket") * lit(width)))
+      .withColumn("hi", when(col("bucket") === nBuckets.toLong, lit(Double.PositiveInfinity))
+        .otherwise(lit(lo) + (col("bucket") + 1L) * lit(width)))
+      .select("bucket", "lo", "hi", "cnt")
+  }
+
   /** HLL++ profile for very wide/high-cardinality tables: no Expand, every
     * aggregate is partial-aggregatable map-side, `rsd` bounds the distinct
     * estimate error.

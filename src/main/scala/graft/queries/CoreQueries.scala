@@ -359,6 +359,15 @@ object CoreQueries {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Fixed-bounds equi-width histogram of event values (20 buckets over
+    * [0, 100), ±inf catch-alls) — one narrow pass, ≤ 22 groups shuffled.
+    */
+  def q49Histogram(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    Profiler.histogram(Tables.events(s, dir), "value", lo = 0.0, hi = 100.0, nBuckets = 20)
+      .orderBy("bucket")
+  }
+
   /** Minimal valid PK combinations, level-batched: one grouping-sets scan
     * per combination size with subset pruning between levels (the per-node
     * DAG path is spec-asserted equal in PrimaryKeySpec).

@@ -73,6 +73,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(p(("s", "min")) == null && p(("s", "max")) == null)
   }
 
+  test("histogram buckets out-of-range and null values safely") {
+    val d = Seq(Some(-5.0), Some(0.0), Some(4.99), Some(5.0), Some(99.9), Some(100.0), None)
+      .toDF("x")
+    val h = Profiler.histogram(d, "x", lo = 0.0, hi = 100.0, nBuckets = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h(-1L) == 1L)          // below range
+    assert(h(0L) == 2L)           // 0.0 and 4.99
+    assert(h(1L) == 1L)           // 5.0 lands in the second bucket exactly
+    assert(h(19L) == 1L)          // 99.9
+    assert(h(20L) == 1L)          // hi is exclusive: 100.0 overflows
+    assert(h.values.sum == 6L)    // null dropped
+  }
+
   test("sampling extremes: fraction 0 and 1") {
     val d = spark.range(100).toDF("id")
     assert(Sampling.deterministic(d, Seq("id"), 0.0).count() == 0)
