@@ -57,7 +57,8 @@ object SparkEntry {
     "q46_ttr" -> (LlmQueries.q46Ttr(_, _)),
     "q47_contamination" -> (LlmQueries.q47Contamination(_, _)),
     "q48_repetition" -> (LlmQueries.q48Repetition(_, _)),
-    "q49_histogram" -> (CoreQueries.q49Histogram(_, _))
+    "q49_histogram" -> (CoreQueries.q49Histogram(_, _)),
+    "q50_asof_forward" -> (CoreQueries.q50AsofForward(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -589,6 +590,14 @@ object SparkEntry {
         |  CASE WHEN bucket = -1 THEN CAST('-infinity' AS DOUBLE) ELSE 0.0 + bucket * 5.0 END AS lo,
         |  CASE WHEN bucket = 20 THEN CAST('infinity' AS DOUBLE) ELSE 0.0 + (bucket + 1) * 5.0 END AS hi,
         |  count(*) AS cnt
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q50_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts_sec FROM ev),
+        |r AS (SELECT user_id, ts_sec, max(value) AS profile_value FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts_sec)
+        |SELECT l.event_id, l.user_id, l.ts_sec,
+        |  CASE WHEN r.ts_sec - l.ts_sec <= 3600 THEN r.profile_value END AS profile_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec
+        |ORDER BY event_id""".stripMargin
   )
 }

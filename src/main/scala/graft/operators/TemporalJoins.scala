@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
 object TemporalJoins {
 
   /** As-of join (left join semantics): every left row, plus `valueCols`
-    * from the latest right row with rightTs <= leftTs and equal keys.
+    * from the nearest right row with equal keys — the latest at-or-before
+    * (`direction = "backward"`, default) or earliest at-or-after
+    * (`"forward"`). With `tolerance = Some(t)` a match further than `t`
+    * timestamp units away is nulled out (pandas merge_asof semantics;
+    * requires numeric timestamps).
     *
     * Right rows must be unique per (keys, rightTs) — deduplicate first
     * (ties would be resolved arbitrarily, same caveat as DuckDB's ASOF).
@@ -33,17 +37,24 @@ object TemporalJoins {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]
+      valueCols: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None
   ): DataFrame = {
     require(keys.nonEmpty, "keys must not be empty")
+    require(Seq("backward", "forward").contains(direction), s"unknown direction: $direction")
     val leftCols = left.columns.toSeq
+    // the matched right timestamp rides along as a pseudo value column so
+    // the tolerance check can see it
+    val carried = valueCols :+ "__rts"
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
       .select(
         (keys.map(col) :+ col("__ts") :+ col("__is_left")) ++
           leftCols.filterNot(keys.contains).map(col) ++
-          valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")): _*
+          valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")) :+
+          lit(null).cast(right.schema(rightTs).dataType).as("__v___rts"): _*
       )
     val r = right
       .withColumn("__ts", col(rightTs))
@@ -51,17 +62,27 @@ object TemporalJoins {
       .select(
         (keys.map(col) :+ col("__ts") :+ col("__is_left")) ++
           leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          valueCols.map(v => col(v).as(s"__v_$v")): _*
+          valueCols.map(v => col(v).as(s"__v_$v")) :+
+          col(rightTs).as("__v___rts"): _*
       )
-    // right sorts before left at equal __ts => inclusive (<=) semantics
+    // right sorts before left at equal __ts => inclusive semantics in
+    // both directions; forward just walks time in reverse
+    val tsOrder = if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__is_left").asc)
+      .orderBy(tsOrder, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val attached = l.unionByName(r)
-      .select(col("*") +: valueCols.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(w).as(v)): _*)
+      .select(col("*") +: carried.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(w).as(v)): _*)
+    val withinTol = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        if (direction == "backward") col("__ts") - col("__rts") <= t
+        else col("__rts") - col("__ts") <= t
+    }
     attached
       .filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => when(withinTol, col(v)).otherwise(lit(null)).as(v)): _*)
   }
 
   /** As-of join through the custom planner path (graft.plans.AsOfJoinNode →

@@ -166,6 +166,22 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of with tolerance: each event matched to the NEXT signup
+    * snapshot within one hour (merge_asof semantics; null past tolerance).
+    */
+  def q50AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_type"), col("value"))
+    val left = ev.select("event_id", "user_id", "ts_sec")
+    val right = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_sec")
+      .agg(max(col("value")).as("profile_value"))
+    TemporalJoins.asOfJoin(left, right, Seq("user_id"), "ts_sec", "ts_sec", Seq("profile_value"),
+        direction = "forward", tolerance = Some(3600L))
+      .orderBy("event_id")
+  }
+
   /** Range join via bucket blocking: events bucketed into nation-derived
     * integer intervals — equi-join on grid buckets, never a nested loop.
     */

@@ -20,6 +20,29 @@ class TemporalJoinsSpec extends SparkSpec {
     ))
   }
 
+  test("asOfJoin forward direction and tolerance (merge_asof semantics)") {
+    val left = Seq((1L, 10L, 100L), (1L, 16L, 101L), (1L, 30L, 102L))
+      .toDF("k", "ts", "event")
+    val right = Seq((1L, 12L, "a"), (1L, 15L, "b"))
+      .toDF("k", "ts", "v")
+    val fwd = TemporalJoins.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        direction = "forward")
+      .select("event", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fwd == Map(
+      100L -> Some("a"),  // next right at-or-after ts=10 is ts=12
+      101L -> None,       // nothing at-or-after ts=16
+      102L -> None
+    ))
+    val tol = TemporalJoins.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        direction = "backward", tolerance = Some(3L))
+      .select("event", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tol == Map(
+      100L -> None,       // no right at-or-before ts=10 at all
+      101L -> Some("b"),  // ts=15 is 1 unit back, within 3
+      102L -> None        // ts=15 is 15 units back, past tolerance
+    ))
+  }
+
   test("native AsOfJoinExec matches the composed as-of join on real events") {
     val ev = Tables.events(spark, sf)
       .selectExpr("event_id", "user_id", "unix_timestamp(ts) AS ts_sec", "event_type", "value")
