@@ -178,7 +178,12 @@ object MinHashLsh {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // The signature frame feeds three plan branches (band explode + both
-    // payload joins); persist it so the corpus is shingled once, not thrice.
+    // payload joins); persist it so the corpus is shingled once, not
+    // thrice. The blocks cannot be freed here (the result is lazy and
+    // still references them); they are reclaimed by the ContextCleaner
+    // once the returned plan is garbage-collected — callers looping over
+    // many corpora should pass persistSignatures = false and persist/
+    // unpersist around their own lifecycle instead.
     val sigsRaw = signatures(df, idCol, textCol, k, numHashes, seed)
     val sigs = if (persistSignatures)
       sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -352,7 +357,10 @@ object NgramJaccard {
     * The candidate frame feeds three plan branches (the id universe and
     * both pair joins); when it comes from an expensive generator (LSH
     * blocking) `persistCandidates` stores it once — candidate sets are id
-    * pairs, tiny by construction.
+    * pairs, tiny by construction. As with signature persistence, the
+    * blocks are reclaimed by the ContextCleaner when the returned plan is
+    * collected; loop-heavy callers should manage persistence themselves
+    * (persistCandidates = false).
     */
   def verify(
       candidates: DataFrame,

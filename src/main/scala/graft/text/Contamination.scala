@@ -93,6 +93,8 @@ object Contamination {
     import graft.dedup.Shingles
     val trainGrams = train
       .select(explode(NgramJaccard.gramSetColumn(Shingles.tokens(col(textCol)), n)).as("gram"))
+    // the broadcast is freed by the ContextCleaner when the returned plan
+    // is collected (destroying it here would break the lazy result)
     val bloom = trainGrams.stat.bloomFilter("gram", expectedGrams, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => bc.value.mightContainString(g))
