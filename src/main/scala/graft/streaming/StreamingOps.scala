@@ -127,6 +127,31 @@ object StreamingOps {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Chained stateful streaming: sessionize (session_window) and then
+    * count the resulting sessions per hour and key — TWO stateful
+    * operators in one streaming query. Event time must propagate through
+    * the chain via the WINDOW STRUCT itself: stage 2 groups by
+    * `window(session_window, "1 hour")` — projecting scalar start/end
+    * out of the struct drops the event-time tag and stalls stage 2
+    * forever (re-watermarking the projection does not recover it; found
+    * the hard way). Batch inputs run the same plan without state.
+    */
+  def sessionsPerHour(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(col("session_window"), "1 hour"), col(keyCol))
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(col("window.start").as("hr"), col(keyCol), col("n_sessions"))
+  }
+
   final case class AsOfLeft(key: Long, ts: Long, left_id: Long)
   final case class AsOfRight(key: Long, ts: Long, value: Double)
   final case class AsOfTagged(key: Long, ts: Long, isLeft: Boolean, left_id: Long,

@@ -136,6 +136,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful streaming: sessionize then count sessions per hour") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("user_id", "ts")
+    val q = StreamingOps.sessionsPerHour(src, gap = "10 minutes", watermark = "5 minutes")
+      .writeStream
+      .format("memory").queryName("chain_out").outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1: two sessions inside hour 10 (gap > 10 min between them)
+      mem.addData(
+        (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")),
+        (1L, t("2024-01-01 10:30:00")),
+        (2L, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // sentinels must CLOSE sessions past hour 11: the stage-2 watermark
+      // is re-anchored on session_end, so it only advances as sessions
+      // close — space sentinels wider than the gap so each cycle closes
+      // the previous one, marching the chain's watermark forward
+      var i = 0
+      while (spark.table("chain_out").isEmpty && i < 10) {
+        mem.addData((99L, t(f"2024-01-01 ${12 + i / 3}%02d:${(i % 3) * 20}%02d:00")))
+        q.processAllAvailable()
+        i += 1
+      }
+      val got = spark.table("chain_out")
+        .select(date_format($"hr", "yyyy-MM-dd HH:mm:ss").as("hr"), $"user_id", $"n_sessions")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.contains(("2024-01-01 10:00:00", 1L, 2L)), s"got $got") // user 1: two sessions
+      assert(got.contains(("2024-01-01 10:00:00", 2L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("rate-limited file source splits a backlog into bounded micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ratelim").toString
     val cp = java.nio.file.Files.createTempDirectory("graft-ratelim-cp").toString
