@@ -58,7 +58,8 @@ object SparkEntry {
     "q47_contamination" -> (LlmQueries.q47Contamination(_, _)),
     "q48_repetition" -> (LlmQueries.q48Repetition(_, _)),
     "q49_histogram" -> (CoreQueries.q49Histogram(_, _)),
-    "q50_asof_forward" -> (CoreQueries.q50AsofForward(_, _))
+    "q50_asof_forward" -> (CoreQueries.q50AsofForward(_, _)),
+    "q51_fd_violations" -> (CoreQueries.q51FdViolations(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -598,6 +599,12 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts_sec,
         |  CASE WHEN r.ts_sec - l.ts_sec <= 3600 THEN r.profile_value END AS profile_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q51_fd_violations" ->
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_dependent_values
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING count(DISTINCT l_suppkey) > 1
+        |ORDER BY l_partkey""".stripMargin
   )
 }

@@ -47,6 +47,24 @@ object RuleEngine {
     df.filter(p.isNull || !p).limit(n)
   }
 
+  /** Functional-dependency check: determinant values for which the
+    * dependent column set takes MORE than one distinct value — i.e. the
+    * witnesses that `determinants → dependents` does NOT hold ("one
+    * customer, two birth dates"). One hash aggregation with a distinct
+    * count (Catalyst plans Expand + two-phase agg, one scan); empty
+    * result = the dependency holds.
+    */
+  def fdViolations(
+      df: DataFrame,
+      determinants: Seq[String],
+      dependents: Seq[String]
+  ): DataFrame = {
+    require(determinants.nonEmpty && dependents.nonEmpty, "column sets must not be empty")
+    df.groupBy(determinants.map(col): _*)
+      .agg(countDistinct(struct(dependents.map(col): _*)).as("n_dependent_values"))
+      .filter(col("n_dependent_values") > 1)
+  }
+
   /** Throw when any rule exceeds its allowed failure rate. */
   def enforce(df: DataFrame, rules: Seq[Rule], maxFailureRate: Double = 0.0): Unit = {
     val bad = validate(df, rules)

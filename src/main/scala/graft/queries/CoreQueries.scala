@@ -214,6 +214,14 @@ object CoreQueries {
     )).select("rule", "n_rows", "n_failed").orderBy("rule")
   }
 
+  /** Functional-dependency audit: parts supplied by more than one
+    * supplier (witnesses that l_partkey → l_suppkey does not hold).
+    */
+  def q51FdViolations(s: SparkSession, dir: String): DataFrame =
+    graft.quality.RuleEngine.fdViolations(
+      Tables.lineitem(s, dir), Seq("l_partkey"), Seq("l_suppkey"))
+      .orderBy("l_partkey")
+
   /** Exact per-group quantiles by rank selection (engine-portable). */
   def q39Quantiles(s: SparkSession, dir: String): DataFrame =
     Quantiles.exactQuantiles(

@@ -27,6 +27,20 @@ class RuleEngineSpec extends SparkSpec {
     assert(rows == Set(2L, 4L))
   }
 
+  test("fdViolations witnesses broken determinism, tolerates nulls") {
+    import spark.implicits._
+    val d = Seq((1, Option("a")), (1, Option("a")), (2, Option("a")), (2, Option("b")), (3, Option.empty[String]))
+      .toDF("k", "v")
+    val viol = RuleEngine.fdViolations(d, Seq("k"), Seq("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viol == Map(2 -> 2L)) // k=1 consistent, k=3 single (null) value
+    // multi-column dependents: (k) -> (v, w) fails only where the PAIR varies
+    val d2 = Seq((1, "a", 1), (1, "a", 2), (2, "a", 1), (2, "a", 1)).toDF("k", "v", "w")
+    val viol2 = RuleEngine.fdViolations(d2, Seq("k"), Seq("v", "w"))
+      .collect().map(r => r.getInt(0)).toSeq
+    assert(viol2 == Seq(1))
+  }
+
   test("enforce throws with rule detail when violated, passes when clean") {
     val ex = intercept[IllegalStateException] {
       RuleEngine.enforce(df, Seq(Rule("amount_positive", "amount > 0")))
