@@ -160,6 +160,43 @@ object MinHashLsh {
       .filter(col("sig").isNotNull)
   }
 
+  /** Banded (band, bh, id) rows for a signature frame — the shared
+    * blocking input.
+    */
+  private def bandedIds(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bh"))
+    }
+    sigs
+      .withColumn("__band", explode(array(bandCols: _*)))
+      .select(col("__band.band").as("band"), col("__band.bh").as("bh"), col(idCol).as("id"))
+  }
+
+  /** Blocking only: unique in-bucket id pairs, NO estimated-jaccard filter
+    * (and therefore no signature joins — the signature frame feeds a
+    * single branch, so it is not persisted). The right input for a
+    * block→verify pipeline whose exact verification is cheap relative to
+    * the candidate volume — with r = numHashes/bands rows per band the
+    * banding itself is already selective; the estimate filter earns its
+    * two joins only under loose banding (small r) where buckets admit
+    * many weak pairs.
+    */
+  def blockedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 200,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sigs = signatures(df, idCol, textCol, k, numHashes, seed)
+    LshBlocking.bucketPairs(bandedIds(sigs, idCol, numHashes, bands), maxBucketSize)
+  }
+
   /** Candidate pairs (idA < idB) with `est_jaccard` = fraction of agreeing
     * signature positions, filtered to >= minJaccard.
     */
@@ -176,7 +213,6 @@ object MinHashLsh {
       persistSignatures: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
     // The signature frame feeds three plan branches (band explode + both
     // payload joins); persist it so the corpus is shingled once, not
     // thrice. The blocks cannot be freed here (the result is lazy and
@@ -189,21 +225,13 @@ object MinHashLsh {
       sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sigsRaw
 
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r)).as("bh"))
-    }
-    val exploded = sigs
-      .withColumn("__band", explode(array(bandCols: _*)))
-      .select(col("__band.band").as("band"), col("__band.bh").as("bh"),
-        col(idCol).as("id"), col("sig").as("p"))
-
     val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var eq = 0; var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
       eq.toDouble / numHashes
     }
-    val pairs = LshBlocking.bucketPairs(exploded.select("band", "bh", "id"), maxBucketSize)
+    val pairs = LshBlocking.bucketPairs(bandedIds(sigs, idCol, numHashes, bands), maxBucketSize)
     LshBlocking.attachPayloads(pairs, sigs.select(col(idCol).as("id"), col("sig").as("p")))
       .withColumn("est_jaccard", estUdf(col("p_a"), col("p_b")))
       .filter(col("est_jaccard") >= minJaccard)

@@ -64,8 +64,10 @@ object LlmQueries {
     */
   def q21DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithNearCopies(s, dir)
-    val candidates = MinHashLsh.candidatePairs(docs, "doc_id", "text", minJaccard = 0.4)
-      .select("id_a", "id_b")
+    // blocking only — r=4 banding is already selective (est filtering
+    // pruned 2 of 823 pairs at sf0.1), and skipping it spares two
+    // signature joins; exact verification is the real filter
+    val candidates = MinHashLsh.blockedPairs(docs, "doc_id", "text")
     NgramJaccard.verify(candidates, docs, "doc_id", "text", k = 3, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
   }
