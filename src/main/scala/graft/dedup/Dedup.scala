@@ -132,7 +132,8 @@ object MinHashLsh {
   ): DataFrame = {
     val ab = perms(numHashes, seed).toArray
     val sigUdf = udf { (toks: Seq[String]) =>
-      if (toks.length < k) None
+      // NULL text reaches the UDF as toks = null (non-primitive param)
+      if (toks == null || toks.length < k) None
       else {
         val n = ab.length
         val sig = Array.fill(n)(Long.MaxValue)
@@ -353,7 +354,10 @@ object NgramJaccard {
     */
   def gramSetColumn(toksCol: Column, k: Int): Column = {
     val gramUdf = udf { (toks: Seq[String]) =>
-      if (toks.length < k) Seq.empty[String]
+      // Seq params are non-primitive, so Spark passes NULL through to the
+      // UDF (a NULL text row reaches here as toks = null); empty gram set
+      // preserves the old null-safe expression behavior
+      if (toks == null || toks.length < k) Seq.empty[String]
       else {
         val out = new scala.collection.mutable.LinkedHashSet[String]
         val arr = toks.toArray

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   * libraries are not in this container. `decodeFeaturesStub` derives a
   * deterministic fake feature vector from the bytes so the Spark-side
   * plumbing (schema, batch iteration, partition sizing) is fully real and
-  * testable; swap `fakeFeatures` for a real decoder on a cluster with
-  * codecs installed.
+  * testable; swap in a real `MediaDecoder` implementation on a cluster
+  * with codecs installed.
   */
 object Multimodal {
 

@@ -51,7 +51,18 @@ object PrimaryKey {
     * to; combinations with zero duplicates are restored by a broadcast
     * left join against the (tiny) combination list.
     */
-  def combinationStats(df: DataFrame, combinations: Seq[Seq[String]]): DataFrame = {
+  def combinationStats(df: DataFrame, combinations: Seq[Seq[String]]): DataFrame =
+    combinationStatsIndexed(df, combinations).drop("cid")
+
+  /** [[combinationStats]] plus a `cid` column carrying each combination's
+    * index in the input Seq — the machine-readable identity callers should
+    * key on (the `combination` label is display-only: column names
+    * containing commas make it ambiguous to parse back).
+    */
+  private[graft] def combinationStatsIndexed(
+      df: DataFrame,
+      combinations: Seq[Seq[String]]
+  ): DataFrame = {
     require(combinations.nonEmpty, "combinations must not be empty")
     val spark = df.sparkSession
     val allCols = combinations.flatten.distinct
@@ -80,15 +91,16 @@ object PrimaryKey {
       .groupBy("gid")
       .agg(count(lit(1)).as("dg"), sum("cnt").as("dr"))
     import spark.implicits._
-    val labels = combinations
-      .map(c => (gidOf(c), c.mkString(",")))
-      .toDF("gid", "combination")
+    val labels = combinations.zipWithIndex
+      .map { case (c, i) => (gidOf(c), c.mkString(","), i) }
+      .toDF("gid", "combination", "cid")
     broadcast(labels)
       .join(dupStats, Seq("gid"), "left")
       .select(
         col("combination"),
         coalesce(col("dg"), lit(0L)).as("duplicate_groups"),
-        coalesce(col("dr"), lit(0L)).as("duplicate_records")
+        coalesce(col("dr"), lit(0L)).as("duplicate_records"),
+        col("cid")
       )
   }
 
@@ -149,7 +161,13 @@ object PrimaryKey {
       } else df
     try {
       var solutions = Vector.empty[Seq[String]]
-      var queue = combinations.groupBy(_.size).toSeq.sortBy(_._1).map(_._2)
+      // Levels (ascending size) pre-split into <= maxExpandPerJob chunks, so
+      // a single wide level (e.g. C(10,5) = 252 combinations) can never blow
+      // the Expand budget in one job. Same-size combinations cannot prune
+      // each other (equal-size distinct sets are never subsets), so the
+      // intra-level split loses nothing.
+      var queue = combinations.groupBy(_.size).toSeq.sortBy(_._1)
+        .flatMap { case (_, lvl) => lvl.grouped(maxExpandPerJob).toSeq }
       while (queue.nonEmpty) {
         var take = 1
         var n = queue.head.size
@@ -160,9 +178,11 @@ object PrimaryKey {
           .filter(c => !solutions.exists(s => s.toSet.subsetOf(c.toSet)))
         queue = queue.drop(take)
         if (batch.nonEmpty) {
-          val valid = combinationStats(keySlice, batch).collect().toSeq
+          // Solutions are recovered via the cid index, never by parsing the
+          // comma-joined label (column names may themselves contain commas).
+          val valid = combinationStatsIndexed(keySlice, batch).collect().toSeq
             .filter(_.getAs[Long]("duplicate_records") == 0L)
-            .map(_.getAs[String]("combination").split(",").toSeq)
+            .map(r => batch(r.getAs[Int]("cid")))
           val all = solutions ++ valid
           solutions ++= valid.filter(c =>
             !all.exists(o => o.toSet != c.toSet && o.toSet.subsetOf(c.toSet)))

@@ -92,6 +92,11 @@ object Knn {
   def lshBucket(vecCol: Column, numPlanes: Int, dim: Int, seed: Long = 7L): Column = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketUdf = udf { (v: Seq[Double]) =>
+      // NULL embedding reaches the UDF as v = null; bucket 0 preserves the
+      // old expression form's behavior (NULL dot products fail every
+      // when(dot >= 0) test, so no bit was ever set)
+      if (v == null) 0L
+      else {
       val varr = v.toArray
       var bucket = 0L
       var j = 0
@@ -105,6 +110,7 @@ object Knn {
         j += 1
       }
       bucket
+      }
     }
     bucketUdf(vecCol.cast("array<double>"))
   }

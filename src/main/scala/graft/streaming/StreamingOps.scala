@@ -214,10 +214,18 @@ object StreamingOps {
         if (pending.isEmpty && keptRights.isEmpty) state.remove()
         else {
           state.update(AsOfBuf(pending, keptRights))
-          if (pending.nonEmpty) {
-            // wake when the watermark reaches the earliest pending left
-            // (must be strictly ahead of the current watermark)
-            val wake = math.max(pending.map(_._1).min, wmSec + 1)
+          // Wake targets (each must be strictly ahead of the watermark):
+          //  - earliest pending left, to emit it once the watermark passes;
+          //  - earliest above-watermark right, so a key that stops receiving
+          //    input still gets re-invoked to compact its rights down to the
+          //    single floor row (otherwise a quiescent key would retain every
+          //    buffered right forever — state must stay bounded per key).
+          // A lone floor row needs no timeout: it is already minimal state,
+          // kept indefinitely for future lefts.
+          val wakeCandidates =
+            pending.map(_._1) ++ keptRights.map(_._1).filter(_ > wmSec)
+          if (wakeCandidates.nonEmpty) {
+            val wake = math.max(wakeCandidates.min, wmSec + 1)
             state.setTimeoutTimestamp(wake * 1000)
           }
         }

@@ -119,9 +119,10 @@ object TextAnalysis {
     */
   def topNgramFraction(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val statsUdf = org.apache.spark.sql.functions.udf { (toksIn: Seq[String]) =>
-      val arr = toksIn.toArray
-      if (arr.length < n) None
+      // NULL text reaches the UDF as toksIn = null (non-primitive param)
+      if (toksIn == null || toksIn.length < n) None
       else {
+        val arr = toksIn.toArray
         val counts = new java.util.HashMap[String, Int]()
         val sb = new StringBuilder(48)
         var max = 0

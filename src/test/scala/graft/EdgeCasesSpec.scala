@@ -91,4 +91,43 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Sampling.deterministic(d, Seq("id"), 0.0).count() == 0)
     assert(Sampling.deterministic(d, Seq("id"), 1.0).count() == 100)
   }
+
+  test("NULL text and NULL embedding rows flow through UDF-backed operators") {
+    // Seq-typed UDF params receive NULL directly (Spark only short-circuits
+    // primitives), so every compiled-loop operator must null-guard; these
+    // rows previously NPE'd the whole job.
+    val docs = Seq(
+      (1L, Option("alpha beta gamma delta epsilon zeta alpha beta gamma delta")),
+      (2L, Option("alpha beta gamma delta epsilon zeta alpha beta gamma delt")),
+      (3L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    assert(MinHashLsh.signatures(docs, "doc_id", "text").count() == 2)
+    val g = graft.dedup.NgramJaccard.gramSets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).size).toMap
+    assert(g(3L) == 0 && g(1L) > 0)
+    assert(graft.text.TextAnalysis.topNgramFraction(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a NULL embedding lands in bucket 0 (every sign test false), not an NPE
+    val vecs = Seq((1L, Option(Seq(1.0, -2.0, 3.0))), (2L, Option.empty[Seq[Double]]))
+      .toDF("id", "v")
+    val b = vecs
+      .select(col("id"), graft.similarity.Knn.lshBucket(col("v"), numPlanes = 4, dim = 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(2L) == 0L)
+  }
+
+  test("batched PK search chunks wide levels and survives comma column names") {
+    val d = Seq(
+      (1L, 1L, "a", "x"), (1L, 2L, "a", "y"), (2L, 1L, "b", "x"), (2L, 2L, "c", "y")
+    ).toDF("k,1", "k,2", "k3", "k4")
+    val cols = Seq("k,1", "k,2", "k3", "k4")
+    val combos = graft.schema.SchemaOps.columnCombinations(cols).toSeq
+    // maxExpandPerJob = 2 < any level width: every level must be chunked,
+    // and solutions must come back via the cid index (the comma-joined
+    // label is ambiguous for these names)
+    val batched = PrimaryKey.validateCombinationsBatched(d, combos, maxExpandPerJob = 2)
+    val viaDag = PrimaryKey.validateCombinations(d, combos, maxWorkers = 4)
+    assert(batched.map(_.sorted).toSet == viaDag.map(_.sorted).toSet)
+    assert(batched.flatten.forall(cols.contains), s"fragmented names in $batched")
+  }
 }

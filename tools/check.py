@@ -24,9 +24,12 @@ def norm_cell(v):
     if v is None:
         return "<null>"
     if isinstance(v, float):
+        # np.float64 subclasses float, so this branch intercepts it too;
+        # repr(float(v)) normalizes both to the plain-Python form
+        # ('0.5', never 'np.float64(0.5)' under numpy >= 2).
         if math.isnan(v):
             return "<null>"
-        return repr(v)
+        return repr(float(v))
     try:
         import numpy as np
         if isinstance(v, np.floating):
