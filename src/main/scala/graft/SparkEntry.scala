@@ -59,7 +59,11 @@ object SparkEntry {
     "q48_repetition" -> (LlmQueries.q48Repetition(_, _)),
     "q49_histogram" -> (CoreQueries.q49Histogram(_, _)),
     "q50_asof_forward" -> (CoreQueries.q50AsofForward(_, _)),
-    "q51_fd_violations" -> (CoreQueries.q51FdViolations(_, _))
+    "q51_fd_violations" -> (CoreQueries.q51FdViolations(_, _)),
+    "q52_gopher_filters" -> (LlmQueries.q52GopherFilters(_, _)),
+    "q53_cdc_upsert" -> (CoreQueries.q53CdcUpsert(_, _)),
+    "q54_weighted_sample" -> (LlmQueries.q54WeightedSample(_, _)),
+    "q55_iqr_outliers" -> (CoreQueries.q55IqrOutliers(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -605,6 +609,65 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_partkey
         |HAVING count(DISTINCT l_suppkey) > 1
-        |ORDER BY l_partkey""".stripMargin
+        |ORDER BY l_partkey""".stripMargin,
+    "q52_gopher_filters" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |  len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+        |  len(regexp_extract_all(' ' || lower(text), '\s[^\s]*[a-z]')) AS n_alpha_words,
+        |  len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS n_stop,
+        |  len(regexp_extract_all(text, chr(10))) + 1 AS n_lines,
+        |  len(regexp_extract_all(chr(10) || text, chr(10) || '[ ' || chr(9) || ']*[-*•]')) AS n_bullet,
+        |  len(regexp_extract_all(text || chr(10), '(\.\.\.|…)[ ' || chr(9) || ']*' || chr(10))) AS n_ellipsis
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_words,
+        |  n_nonspace / greatest(n_words, 1) AS mean_word_len,
+        |  n_sym / greatest(n_words, 1) AS symbol_ratio,
+        |  n_alpha_words / greatest(n_words, 1) AS alpha_word_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stopwords,
+        |  n_bullet / n_lines AS bullet_line_frac,
+        |  n_ellipsis / n_lines AS ellipsis_line_frac
+        |  FROM t)
+        |SELECT *,
+        |  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |  AND symbol_ratio < 0.1 AND alpha_word_frac >= 0.8 AND n_stopwords >= 2
+        |  AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3 AS passes
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q53_cdc_upsert" ->
+      """WITH ch AS (SELECT o_custkey AS k, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+        |  'c#' || CAST(o_custkey AS VARCHAR) AS name_new,
+        |  o_totalprice AS bal_new FROM orders),
+        |latest AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1),
+        |m AS (SELECT coalesce(s.c_custkey, l.k) AS c_custkey,
+        |  CASE WHEN l.k IS NOT NULL THEN l.name_new ELSE s.c_name END AS c_name,
+        |  CASE WHEN l.k IS NOT NULL THEN l.bal_new ELSE s.c_acctbal END AS c_acctbal,
+        |  l.op AS op
+        |  FROM customer s FULL OUTER JOIN latest l ON s.c_custkey = l.k)
+        |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM m WHERE op IS NULL OR op <> 'D' ORDER BY c_custkey""".stripMargin,
+    "q54_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |    (acc, x) -> acc * 16 + x) / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM t
+        |WHERE u < least(1.0, n_chars / 400.0) ORDER BY doc_id""".stripMargin,
+    "q55_iqr_outliers" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |q AS (SELECT *,
+        |  max(CASE WHEN rn = (n + 3) // 4 THEN value END) OVER (PARTITION BY event_type) AS q1,
+        |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) OVER (PARTITION BY event_type) AS q3
+        |  FROM r),
+        |b AS (SELECT event_type, event_id, value,
+        |  q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT event_type, event_id, value, lo, hi FROM b
+        |WHERE value < lo OR value > hi ORDER BY event_id""".stripMargin
   )
 }

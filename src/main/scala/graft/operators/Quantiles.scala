@@ -33,6 +33,34 @@ object Quantiles {
       )
   }
 
+  /** IQR outlier detection per group (Tukey fences): rows outside
+    * [q1 - k·IQR, q3 + k·IQR] with the bounds attached — the distributional
+    * DQ check that complements [[graft.quality.RuleEngine]]'s predicate
+    * rules. Quartiles are exact rank selections (engine-portable, like
+    * [[exactQuantiles]]) computed as additional window aggregates over the
+    * SAME partitioning as the rank — ONE scan, ONE shuffle, no join-back,
+    * so the check costs the same as the quantiles alone at any scale.
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      k: Double = 1.5
+  ): DataFrame = {
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ordered = part.orderBy(col(valueCol), col(tieBreakCol))
+    df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__q1", max(when(col("__rn") === expr("(__n + 3) div 4"), col(valueCol))).over(part))
+      .withColumn("__q3", max(when(col("__rn") === expr("(3 * __n + 3) div 4"), col(valueCol))).over(part))
+      .withColumn("lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+      .filter(col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+      .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi").map(col): _*)
+  }
+
   /** Scale path: approximate quantiles via the built-in KLL-style sketch
     * (`percentile_approx`) — fully partial-aggregatable (no window, no
     * per-group sort), so the shuffle carries sketches, not rows. `accuracy`

@@ -50,6 +50,25 @@ object Sampling {
   def deterministic(df: DataFrame, keyCols: Seq[String], fraction: Double): DataFrame =
     df.filter(substring(keyHash(keyCols.map(col)), 1, 15) < lit(hexThreshold(fraction)))
 
+  /** Deterministic [0,1) uniform per key: the first 60 bits of the key md5
+    * scaled by 2^-60. The 60-bit integer and the power-of-two divisor give
+    * IEEE-identical doubles on every engine, so weight comparisons against
+    * it are engine-portable (unlike the string-threshold path, which needs
+    * the fraction known at plan time).
+    */
+  def uniform01(keyCols: Seq[Column]): Column =
+    conv(substring(keyHash(keyCols), 1, 15), 16, 10).cast("long").cast("double") /
+      lit(1152921504606846976.0) // 2^60
+
+  /** Weighted deterministic sample: each row kept with probability
+    * `weight` (a per-row Column in [0,1], e.g. a quality score) — the
+    * importance-sampling step of data-mixture curation. Same guarantees as
+    * [[deterministic]]: pure key-content identity, no state, narrow
+    * codegen'd filter, reproducible on any engine or partitioning.
+    */
+  def weighted(df: DataFrame, keyCols: Seq[String], weight: Column): DataFrame =
+    df.filter(uniform01(keyCols.map(col)) < weight)
+
   /** Deterministic train/val/test (or any n-way) split assignment: each row
     * gets the label of the md5-range its key falls into. Cumulative
     * thresholds mean the splits are disjoint and exhaustive, and — like

@@ -392,6 +392,36 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** CDC merge: a change feed derived from orders (latest op per customer;
+    * orderkey % 20 = 0 → delete, else update with a full row image) applied
+    * onto the customer snapshot. Decimal balances stay exact through the
+    * merge and cast ONCE to double at the output boundary.
+    */
+  def q53CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+    val changes = Tables.orders(s, dir).select(
+      col("o_custkey").as("c_custkey"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 20 === 0, "D").otherwise("U").as("op"),
+      concat(lit("c#"), col("o_custkey").cast("string")).as("c_name"),
+      col("o_totalprice").as("c_acctbal")
+    )
+    Cdc.applyChanges(cust, changes, Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("double").as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** Tukey-fence outliers on event values per event type: exact-quartile
+    * IQR bounds, one windowed pass, outliers emitted with their bounds.
+    */
+  def q55IqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    Quantiles.iqrOutliers(
+      Tables.events(s, dir).select("event_type", "event_id", "value"),
+      Seq("event_type"), "value", "event_id")
+      .orderBy("event_id")
+  }
+
   /** Minimal valid PK combinations, level-batched: one grouping-sets scan
     * per combination size with subset pruning between levels (the per-node
     * DAG path is spec-asserted equal in PrimaryKeySpec).

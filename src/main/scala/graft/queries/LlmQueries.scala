@@ -257,6 +257,23 @@ object LlmQueries {
       Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text", n = 2)
       .orderBy("doc_id")
 
+  /** Gopher quality gate: all filter rules per document + the pass flag. */
+  def q52GopherFilters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilters(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Quality-weighted deterministic sampling: keep probability scales with
+    * document length (least(1, n_chars/400)) — longer docs oversampled, all
+    * selection reproducible from key content alone.
+    */
+  def q54WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    graft.operators.Sampling.weighted(
+      docs, Seq("doc_id"), least(lit(1.0), col("n_chars") / lit(400.0)))
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -152,6 +152,21 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(!batched.exists(c => c.toSet.size > 2 && Set("k1", "k2").subsetOf(c.toSet)))
   }
 
+  test("CDC applyChanges: insert, delete, multi-op compaction") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val changes = Seq(
+      (1L, 1L, "U", "a1", 11.0),  // superseded by seq=3
+      (1L, 3L, "U", "a2", 12.0),
+      (2L, 2L, "D", "b", 0.0),    // delete
+      (4L, 4L, "I", "d", 40.0)    // insert of an unseen key
+    ).toDF("id", "seq", "op", "name", "bal")
+    val out = graft.operators.Cdc.applyChanges(snap, changes, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("approx quantiles track exact quantiles on real data") {
     import graft.operators.Quantiles
     val ev = Tables.events(spark, sf).select("event_type", "event_id", "value")
