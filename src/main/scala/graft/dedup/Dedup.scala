@@ -268,24 +268,39 @@ object SimHash {
     // (A transform(...) HOF for the token hash is an interpreted lambda —
     // the same ~1ms/doc trap as gram building.)
     val simhashUdf =
-      if (portableHash) udf { (toks: Seq[String]) =>
-        // lower 60 bits of md5 = hex chars 18..32 = low nibble of byte 8
-        // then bytes 9..15; identical to conv(substring(md5(t),18,15),16,10)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val votes = new Array[Int](64)
-        val it = toks.iterator
-        while (it.hasNext) {
-          val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var h = (d(8) & 0x0f).toLong
-          var b = 9
-          while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-            i += 1
+      if (portableHash) udf {
+        // Per-task token→hash memo: md5 is the dominant cost and natural
+        // text repeats tokens heavily (Zipf), so most lookups hit. The map
+        // is created driver-side, so each task deserializes its own copy —
+        // no sharing, no locking; capped so a pathological vocabulary
+        // can't exhaust task memory.
+        val cache = new java.util.HashMap[String, java.lang.Long]()
+        (toks: Seq[String]) => {
+          val votes = new Array[Int](64)
+          val it = toks.iterator
+          while (it.hasNext) {
+            val t = it.next()
+            var boxed = cache.get(t)
+            if (boxed == null) {
+              // lower 60 bits of md5 = hex chars 18..32 = low nibble of byte
+              // 8 then bytes 9..15; same as conv(substring(md5(t),18,15),16,10)
+              val d = java.security.MessageDigest.getInstance("MD5")
+                .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var h = (d(8) & 0x0f).toLong
+              var b = 9
+              while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
+              boxed = java.lang.Long.valueOf(h)
+              if (cache.size < (1 << 20)) cache.put(t, boxed)
+            }
+            val h = boxed.longValue
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+              i += 1
+            }
           }
+          votesToHash(votes)
         }
-        votesToHash(votes)
       }
       else udf { (toks: Seq[String]) =>
         // Spark-native token hash (xxhash64 semantics, seed 42) — same

@@ -146,6 +146,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(c.cached.exists(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("gopher gate is shuffle-free; IQR outliers shuffle exactly once") {
+    import graft.text.TextAnalysis
+    import graft.operators.Quantiles
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val gate = TextAnalysis.gopherFilters(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!gate.contains("Exchange"), s"gopher gate must not shuffle:\n${gate.take(1500)}")
+    val iqr = Quantiles.iqrOutliers(
+      Tables.events(spark, sf).select("event_type", "event_id", "value"),
+      Seq("event_type"), "value", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(iqr.split("Exchange").length == 2,
+      s"IQR check must shuffle exactly once (rank + quartiles + bounds share one partitioning):\n${iqr.take(2000)}")
+  }
+
   test("IVF top-k achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 5)
