@@ -63,7 +63,8 @@ object SparkEntry {
     "q52_gopher_filters" -> (LlmQueries.q52GopherFilters(_, _)),
     "q53_cdc_upsert" -> (CoreQueries.q53CdcUpsert(_, _)),
     "q54_weighted_sample" -> (LlmQueries.q54WeightedSample(_, _)),
-    "q55_iqr_outliers" -> (CoreQueries.q55IqrOutliers(_, _))
+    "q55_iqr_outliers" -> (CoreQueries.q55IqrOutliers(_, _)),
+    "q56_knn_multiprobe" -> (LlmQueries.q56KnnMultiprobe(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -668,6 +669,28 @@ object SparkEntry {
         |b AS (SELECT event_type, event_id, value,
         |  q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
         |SELECT event_type, event_id, value, lo, hi FROM b
-        |WHERE value < lo OR value > hi ORDER BY event_id""".stripMargin
+        |WHERE value < lo OR value > hi ORDER BY event_id""".stripMargin,
+    "q56_knn_multiprobe" -> {
+      val planeRows = graft.similarity.Knn.hyperplanes(8, 64, 7L).zipWithIndex
+        .map { case (p, j) => s"($j, [${p.mkString(", ")}]::DOUBLE[])" }
+        .mkString(",\n  ")
+      val maskRows = graft.similarity.Knn.probeMasks(8, 1)
+        .map(m => s"($m)").mkString(", ")
+      s"""WITH planes(j, pl) AS (VALUES
+         |  $planeRows),
+         |masks(m) AS (VALUES $maskRows),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vb AS (SELECT id, CAST(sum(CASE WHEN list_dot_product(v.v, p.pl) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM v, planes p GROUP BY id),
+         |vv AS (SELECT v.id, v.v, vb.bucket FROM v JOIN vb USING (id)),
+         |q AS (SELECT id AS query_id, v AS qv, xor(bucket, m.m) AS bucket
+         |  FROM vv, masks m WHERE id < 10),
+         |s AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+         |  FROM vv c JOIN q ON c.bucket = q.bucket AND c.id <> q.query_id),
+         |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+         |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

@@ -121,6 +121,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe LSH top-k (probe radius 1): each query scores its own
+    * bucket plus the numPlanes single-bit-flip neighbors — the standard
+    * recall recovery for sign-flip losses. Oracle replays bucketing AND
+    * the probe fan-out from the plan's own hyperplane/mask literals.
+    */
+  def q56KnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Knn.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, probeRadius = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** Dedup clustering: chain edges (doc i — i+1 for i%10 ∈ {0,1}) →
     * connected components via label propagation → (node, component).
     * The oracle computes the same closure with a recursive CTE.

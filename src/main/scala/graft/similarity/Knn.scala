@@ -115,9 +115,22 @@ object Knn {
     bucketUdf(vecCol.cast("array<double>"))
   }
 
-  /** Approximate top-k: only candidates in the query's LSH bucket are
+  /** All XOR masks with at most `radius` of the low `numPlanes` bits set —
+    * the classic multi-probe LSH perturbation set (probe the query's own
+    * bucket plus every bucket within Hamming distance `radius` of it).
+    */
+  private[graft] def probeMasks(numPlanes: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(r =>
+      (0 until numPlanes).combinations(r).map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+
+  /** Approximate top-k: only candidates in the query's LSH bucket(s) are
     * scored. Recall/latency trades via numPlanes (more planes = smaller
-    * buckets). Multi-probe left for a later round.
+    * buckets) and `probeRadius` (multi-probe: each query additionally
+    * probes every bucket within that Hamming distance of its own —
+    * radius 1 multiplies probe cost by numPlanes+1 but recovers most
+    * near-neighbors lost to a single flipped hyperplane sign, the main
+    * recall failure of single-probe LSH). Only the tiny query side fans
+    * out; the corpus is never multiplied, so the scale story is unchanged.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -127,12 +140,19 @@ object Knn {
       k: Int,
       numPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 7L
+      seed: Long = 7L,
+      probeRadius: Int = 0
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), numPlanes, dim, seed))
+    val masks = probeMasks(numPlanes, probeRadius)
+    val probe =
+      if (masks.size == 1) col("bucket0")
+      else explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), numPlanes, dim, seed))
+      .withColumn("bucket0", lshBucket(col("qv"), numPlanes, dim, seed))
+      .withColumn("bucket", probe)
+      .drop("bucket0")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", cosine(col("v"), col("qv")))

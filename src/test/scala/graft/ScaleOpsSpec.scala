@@ -161,6 +161,24 @@ class ScaleOpsSpec extends SparkSpec {
       s"IQR check must shuffle exactly once (rank + quartiles + bounds share one partitioning):\n${iqr.take(2000)}")
   }
 
+  test("multi-probe LSH recall dominates single-probe vs brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 4 planes: wide buckets so recall is meaningful on random synthetic
+    // embeddings (which have no strong cosine structure to exploit)
+    val exact = hits(Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    val single = hits(Knn.lshTopK(e, q, "vec_id", "embedding", k = 5, numPlanes = 4))
+    val multi = hits(Knn.lshTopK(e, q, "vec_id", "embedding", k = 5, numPlanes = 4, probeRadius = 1))
+    val rs = (exact intersect single).size.toDouble / exact.size
+    val rm = (exact intersect multi).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm >= 0.4, s"multi-probe recall too low: $rm")
+    // radius-1 probes = own bucket + one flip per plane
+    assert(Knn.probeMasks(8, 1).toSet == (Set(0L) ++ (0 until 8).map(1L << _)))
+  }
+
   test("IVF top-k achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 5)
