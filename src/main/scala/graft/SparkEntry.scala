@@ -64,7 +64,8 @@ object SparkEntry {
     "q53_cdc_upsert" -> (CoreQueries.q53CdcUpsert(_, _)),
     "q54_weighted_sample" -> (LlmQueries.q54WeightedSample(_, _)),
     "q55_iqr_outliers" -> (CoreQueries.q55IqrOutliers(_, _)),
-    "q56_knn_multiprobe" -> (LlmQueries.q56KnnMultiprobe(_, _))
+    "q56_knn_multiprobe" -> (LlmQueries.q56KnnMultiprobe(_, _)),
+    "q57_dedup_canonical" -> (LlmQueries.q57DedupCanonical(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -691,6 +692,28 @@ object SparkEntry {
          |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
          |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
-    }
+    },
+    "q57_dedup_canonical" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <= 1),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
+        |),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |wc AS (SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        |reps AS (SELECT component, doc_id AS canonical_id FROM (
+        |  SELECT component, doc_id,
+        |    row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM wc) WHERE rn = 1)
+        |SELECT wc.doc_id, wc.component, r.canonical_id,
+        |  wc.doc_id = r.canonical_id AS is_kept
+        |FROM wc JOIN reps r USING (component) ORDER BY wc.doc_id""".stripMargin
   )
 }

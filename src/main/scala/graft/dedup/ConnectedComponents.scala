@@ -80,4 +80,38 @@ object ConnectedComponents {
     labelPropagation(edges, maxIter)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** The dedup END product: map every document to its cluster's
+    * representative — the highest-`scoreCol` member (ties → lowest id) —
+    * so a curation pipeline keeps the best copy of each duplicate cluster
+    * instead of an arbitrary one. Documents in no edge are their own
+    * singleton representative.
+    *
+    * Scale shape: components from [[labelPropagation]]; the representative
+    * argmax is a plain aggregate (`max(struct(score, -id))` — partial
+    * map-side, never a window over the corpus) and the mapping join runs
+    * on the same component key, so AQE reuses one partitioning across
+    * both.
+    *
+    * @return (idCol, component, canonical_id, is_kept) per input document.
+    */
+  def canonicalize(
+      docs: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val comp = labelPropagation(edges, maxIter)
+    val withComp = docs.select(col(idCol), col(scoreCol))
+      .join(comp, col(idCol) === col("node"), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("node")
+    val reps = withComp.groupBy("component")
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("negid"))).as("m"))
+      .select(col("component"), (-col("m.negid")).as("canonical_id"))
+    withComp.join(reps, Seq("component"))
+      .select(col(idCol), col("component"), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("is_kept"))
+  }
 }

@@ -146,6 +146,19 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** Canonical dedup: q37's clusters reduced to one representative per
+    * component (longest doc, ties → lowest id); every doc mapped to its
+    * keeper. Oracle: recursive-CTE closure + windowed argmax.
+    */
+  def q57DedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val edges = d.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    ConnectedComponents.canonicalize(d, edges, "doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** IVF top-k with nprobe = nlist: probing every cell is the standard way
     * to validate an IVF index (it must reproduce flat search exactly), so
     * the oracle is the brute-force ground truth. The recall/latency trade

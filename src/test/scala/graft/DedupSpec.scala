@@ -174,6 +174,20 @@ class DedupSpec extends SparkSpec {
     assert(cl == Map(1L -> 5L, 10L -> 3L, 20L -> 2L))
   }
 
+  test("canonicalize keeps the best-scored member; ties break to lowest id; singletons keep themselves") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 10L),   // cluster {1,2,3}: 2 wins on score
+      (20L, 7L), (21L, 7L),              // cluster {20,21}: tie → lowest id 20
+      (50L, 1L)                          // singleton: own representative
+    ).toDF("doc_id", "score")
+    val edges = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("src", "dst")
+    val out = ConnectedComponents.canonicalize(docs, edges, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (2L, false) && out(2L) == (2L, true) && out(3L) == (2L, false))
+    assert(out(20L) == (20L, true) && out(21L) == (20L, false))
+    assert(out(50L) == (50L, true))
+  }
+
   test("multimodal meta + stub feature extraction plumbing") {
     import graft.multimodal.Multimodal
     val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
