@@ -65,7 +65,9 @@ object SparkEntry {
     "q54_weighted_sample" -> (LlmQueries.q54WeightedSample(_, _)),
     "q55_iqr_outliers" -> (CoreQueries.q55IqrOutliers(_, _)),
     "q56_knn_multiprobe" -> (LlmQueries.q56KnnMultiprobe(_, _)),
-    "q57_dedup_canonical" -> (LlmQueries.q57DedupCanonical(_, _))
+    "q57_dedup_canonical" -> (LlmQueries.q57DedupCanonical(_, _)),
+    "q58_profile_drift" -> (CoreQueries.q58ProfileDrift(_, _)),
+    "q59_dq_rules_by_group" -> (CoreQueries.q59DqRulesByGroup(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -714,6 +716,53 @@ object SparkEntry {
         |  FROM wc) WHERE rn = 1)
         |SELECT wc.doc_id, wc.component, r.canonical_id,
         |  wc.doc_id = r.canonical_id AS is_kept
-        |FROM wc JOIN reps r USING (component) ORDER BY wc.doc_id""".stripMargin
+        |FROM wc JOIN reps r USING (component) ORDER BY wc.doc_id""".stripMargin,
+    "q58_profile_drift" ->
+      """WITH base AS (SELECT o_custkey, o_orderpriority FROM orders),
+        |thin AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderkey % 10 <> 0),
+        |pb AS (
+        |  SELECT 'o_custkey' AS "column", 'non_nulls' AS metric, CAST(count(o_custkey) AS VARCHAR) AS v FROM base
+        |  UNION ALL SELECT 'o_custkey', 'nulls', CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'o_custkey', 'distinct', CAST(count(DISTINCT o_custkey) AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'o_custkey', 'min', CAST(min(o_custkey) AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'o_custkey', 'max', CAST(max(o_custkey) AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'o_orderpriority', 'non_nulls', CAST(count(o_orderpriority) AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'o_orderpriority', 'nulls', CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'o_orderpriority', 'distinct', CAST(count(DISTINCT o_orderpriority) AS VARCHAR) FROM base
+        |  UNION ALL SELECT 'o_orderpriority', 'min', min(o_orderpriority) FROM base
+        |  UNION ALL SELECT 'o_orderpriority', 'max', max(o_orderpriority) FROM base),
+        |pa AS (
+        |  SELECT 'o_custkey' AS "column", 'non_nulls' AS metric, CAST(count(o_custkey) AS VARCHAR) AS v FROM thin
+        |  UNION ALL SELECT 'o_custkey', 'nulls', CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM thin
+        |  UNION ALL SELECT 'o_custkey', 'distinct', CAST(count(DISTINCT o_custkey) AS VARCHAR) FROM thin
+        |  UNION ALL SELECT 'o_custkey', 'min', CAST(min(o_custkey) AS VARCHAR) FROM thin
+        |  UNION ALL SELECT 'o_custkey', 'max', CAST(max(o_custkey) AS VARCHAR) FROM thin
+        |  UNION ALL SELECT 'o_orderpriority', 'non_nulls', CAST(count(o_orderpriority) AS VARCHAR) FROM thin
+        |  UNION ALL SELECT 'o_orderpriority', 'nulls', CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM thin
+        |  UNION ALL SELECT 'o_orderpriority', 'distinct', CAST(count(DISTINCT o_orderpriority) AS VARCHAR) FROM thin
+        |  UNION ALL SELECT 'o_orderpriority', 'min', min(o_orderpriority) FROM thin
+        |  UNION ALL SELECT 'o_orderpriority', 'max', max(o_orderpriority) FROM thin),
+        |d AS (SELECT b."column", b.metric, b.v AS value_before, a.v AS value_after,
+        |  CASE WHEN try_cast(b.v AS DOUBLE) IS NOT NULL AND try_cast(a.v AS DOUBLE) IS NOT NULL
+        |    THEN abs(try_cast(a.v AS DOUBLE) - try_cast(b.v AS DOUBLE))
+        |      / greatest(abs(try_cast(b.v AS DOUBLE)), 1e-12) END AS rel_delta
+        |  FROM pb b JOIN pa a ON b."column" = a."column" AND b.metric = a.metric)
+        |SELECT "column", metric, value_before, value_after, rel_delta,
+        |  CASE WHEN rel_delta IS NOT NULL THEN rel_delta > 0.05
+        |       ELSE value_before IS DISTINCT FROM value_after END AS drifted
+        |FROM d ORDER BY "column", metric""".stripMargin,
+    "q59_dq_rules_by_group" ->
+      """WITH t AS (SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 1 ELSE 0 END) AS r_qty,
+        |  sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 1 ELSE 0 END) AS r_disc,
+        |  sum(CASE WHEN NOT coalesce(l_extendedprice < 90000, FALSE) THEN 1 ELSE 0 END) AS r_price
+        |  FROM lineitem GROUP BY l_returnflag),
+        |u AS (
+        |  SELECT l_returnflag, 'qty_le_45' AS rule, n_rows, r_qty AS n_failed FROM t
+        |  UNION ALL SELECT l_returnflag, 'discount_range', n_rows, r_disc FROM t
+        |  UNION ALL SELECT l_returnflag, 'price_under_90k', n_rows, r_price FROM t)
+        |SELECT l_returnflag, rule, n_rows, CAST(n_failed AS BIGINT) AS n_failed,
+        |  CAST(n_failed AS BIGINT) / n_rows AS failure_rate
+        |FROM u ORDER BY l_returnflag, rule""".stripMargin
   )
 }

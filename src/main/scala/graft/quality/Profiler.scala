@@ -145,6 +145,31 @@ object Profiler {
       .select("bucket", "lo", "hi", "cnt")
   }
 
+  /** Metric drift between two profile snapshots (e.g. yesterday's load vs
+    * today's) — the monitoring half of profiling: a profile is only useful
+    * when something compares it against the last one. Numeric metrics get
+    * a relative delta against `relTol`; non-numeric metrics (min/max of
+    * string columns) drift on inequality. Profiles are a few rows per
+    * column, so this join is trivially broadcast — the expensive scans
+    * already happened when the snapshots were taken.
+    */
+  def drift(before: DataFrame, after: DataFrame, relTol: Double = 0.05): DataFrame = {
+    val a = before.select(col("column"), col("metric"), col("value").as("value_before"))
+    val b = after.select(col("column"), col("metric"), col("value").as("value_after"))
+    // try_cast: non-numeric metric values (string min/max) become NULL
+    // instead of an ANSI cast error
+    val numB = expr("try_cast(value_before AS DOUBLE)")
+    val numA = expr("try_cast(value_after AS DOUBLE)")
+    a.join(b, Seq("column", "metric"), "full_outer")
+      .withColumn("rel_delta",
+        when(numB.isNotNull && numA.isNotNull,
+          abs(numA - numB) / greatest(abs(numB), lit(1e-12))))
+      .withColumn("drifted",
+        when(col("rel_delta").isNotNull, col("rel_delta") > relTol)
+          .otherwise(!(col("value_before") <=> col("value_after"))))
+      .select("column", "metric", "value_before", "value_after", "rel_delta", "drifted")
+  }
+
   /** HLL++ profile for very wide/high-cardinality tables: no Expand, every
     * aggregate is partial-aggregatable map-side, `rsd` bounds the distinct
     * estimate error.

@@ -41,6 +41,30 @@ object RuleEngine {
     )
   }
 
+  /** [[validate]] per group: one grouped aggregation pass evaluates every
+    * rule for every group — the partitioned-DQ shape ("which source/day
+    * went bad?"). Still ONE scan with map-side partial aggregation; the
+    * long-form explode runs on |groups| rows, not the table.
+    */
+  def validateByGroup(df: DataFrame, groupCols: Seq[String], rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "rules must not be empty")
+    require(rules.map(_.name).distinct.length == rules.length, "rule names must be unique")
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), rules.map(failCol): _*)
+    agged.select(
+      groupCols.map(col) :+ col("__n") :+
+        explode(array(rules.map(r =>
+          struct(lit(r.name).as("rule"), col(r.name).as("n_failed"))): _*)).as("e"): _*
+    ).select(
+      groupCols.map(col) ++ Seq(
+        col("e.rule").as("rule"),
+        col("__n").as("n_rows"),
+        col("e.n_failed").as("n_failed"),
+        (col("e.n_failed") / col("__n")).as("failure_rate")
+      ): _*
+    )
+  }
+
   /** Up to `n` failing rows for one rule (triage). */
   def failedSamples(df: DataFrame, rule: Rule, n: Int = 10): DataFrame = {
     val p = expr(rule.predicate)

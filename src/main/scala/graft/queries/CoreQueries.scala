@@ -214,6 +214,34 @@ object CoreQueries {
     )).select("rule", "n_rows", "n_failed").orderBy("rule")
   }
 
+  /** Per-group DQ rules: quantity/discount checks per return flag — one
+    * grouped pass, rates surfaced so a bad partition stands out.
+    */
+  def q59DqRulesByGroup(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.RuleEngine
+    import graft.quality.RuleEngine.Rule
+    RuleEngine.validateByGroup(Tables.lineitem(s, dir), Seq("l_returnflag"), Seq(
+      Rule("qty_le_45", "l_quantity <= 45"),
+      Rule("discount_range", "l_discount BETWEEN 0 AND 0.1"),
+      Rule("price_under_90k", "l_extendedprice < 90000")
+    )).orderBy("l_returnflag", "rule")
+  }
+
+  /** Profile drift: the orders profile against the same profile with every
+    * 10th order dropped — counts drift ~10%, min/max mostly stable. The
+    * drift join itself is broadcast-trivial; the point is the compared
+    * snapshots.
+    */
+  def q58ProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val cols = Seq("o_custkey", "o_orderpriority")
+    val base = Tables.orders(s, dir).select(cols.map(col): _*)
+    val thinned = Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 0)
+      .select(cols.map(col): _*)
+    Profiler.drift(Profiler.profile(base, cols), Profiler.profile(thinned, cols), relTol = 0.05)
+      .orderBy("column", "metric")
+  }
+
   /** Functional-dependency audit: parts supplied by more than one
     * supplier (witnesses that l_partkey → l_suppkey does not hold).
     */
