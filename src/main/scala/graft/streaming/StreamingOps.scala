@@ -249,6 +249,49 @@ object StreamingOps {
     maxFilesPerTrigger.fold(base)(n => base.option("maxFilesPerTrigger", n)).parquet(dir)
   }
 
+  /** Streaming DQ gate: validate every micro-batch against SQL-predicate
+    * rules, append passing rows to `cleanPath` and failing rows (tagged
+    * with the rules they broke) to `quarantinePath` — the
+    * validate-then-quarantine pattern for continuous ingestion, built from
+    * the same [[graft.quality.RuleEngine.Rule]]s as the batch engine so
+    * batch and stream enforce identical contracts.
+    *
+    * Each batch is tagged in ONE narrow pass (no per-rule jobs): a row
+    * fails if any rule predicate is false or NULL. foreachBatch writes
+    * both splits; exactly-once comes from the checkpoint + idempotent
+    * parquet append within a batch id.
+    */
+  def dqGateStream(
+      events: DataFrame,
+      rules: Seq[graft.quality.RuleEngine.Rule],
+      cleanPath: String,
+      quarantinePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rules.nonEmpty, "rules must not be empty")
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val failed = rules
+          .map(r => when(expr(r.predicate).isNull || !expr(r.predicate), r.name))
+        val tagged = batch
+          .withColumn("__failed_rules", array_compact(array(failed: _*)))
+          .persist() // both splits derive from this one pass over the batch
+        try {
+          tagged.filter(size(col("__failed_rules")) === 0)
+            .drop("__failed_rules")
+            .write.mode("append").parquet(cleanPath)
+          tagged.filter(size(col("__failed_rules")) > 0)
+            .withColumn("failed_rules", concat_ws(",", col("__failed_rules")))
+            .drop("__failed_rules")
+            .write.mode("append").parquet(quarantinePath)
+        } finally { tagged.unpersist(blocking = false); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

@@ -192,6 +192,29 @@ class StreamingSpec extends SparkSpec {
     assert(counts.size >= 3, s"expected >= 3 bounded batches, got $counts") // 6 files / 2 per trigger
   }
 
+  test("streaming DQ gate splits batches into clean and quarantined rows") {
+    import graft.quality.RuleEngine.Rule
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dqgate").toString
+    val rules = Seq(
+      Rule("value_nonneg", "value >= 0"),
+      Rule("known_type", "event_type IN ('click', 'view', 'purchase', 'signup', 'error')"))
+    val q = StreamingOps.dqGateStream(
+      StreamingOps.readEventStream(spark, sf), rules,
+      s"$tmp/clean", s"$tmp/quarantine", s"$tmp/cp")
+    q.awaitTermination(120000)
+    val ev = Tables.events(spark, sf)
+    val expectBad = ev.filter("NOT (value >= 0) OR value IS NULL OR " +
+      "NOT (event_type IN ('click', 'view', 'purchase', 'signup', 'error')) OR event_type IS NULL")
+      .count()
+    val clean = spark.read.parquet(s"$tmp/clean")
+    val quarantined = spark.read.parquet(s"$tmp/quarantine")
+    assert(clean.count() + quarantined.count() == ev.count())
+    assert(quarantined.count() == expectBad)
+    assert(quarantined.columns.contains("failed_rules"))
+    // each quarantined row names at least one broken rule from the set
+    assert(quarantined.filter(col("failed_rules") === "").count() == 0)
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
