@@ -71,6 +71,85 @@ object Multimodal {
     }
   }
 
+  /** Pluggable bytes→bytes media transform (image resize, audio resample).
+    * Same executor contract as [[MediaDecoder]].
+    */
+  trait MediaResizer extends Serializable {
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB resize: deterministic stride-sample of the payload down to w·h
+    * bytes — real pixel resampling needs codecs this container lacks. The
+    * schema/NULL/partitioning plumbing is the real contract.
+    */
+  object StubResizer extends MediaResizer {
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // ??? real image decode→resample→encode goes here
+      val target = math.max(1, math.min(w * h, bytes.length))
+      val out = new Array[Byte](target)
+      val stride = math.max(1, bytes.length / target)
+      var i = 0
+      while (i < target) { out(i) = bytes(math.min(i * stride, bytes.length - 1)); i += 1 }
+      out
+    }
+  }
+
+  /** Resized payload column (NULL payloads stay NULL). Narrow codegen'd
+    * projection around the pluggable transform — no shuffle, no plan
+    * change; payload-heavy stages control memory via partition sizing
+    * exactly like [[extractFeatures]].
+    */
+  def resized(
+      df: DataFrame,
+      payloadCol: String,
+      w: Int,
+      h: Int,
+      resizer: MediaResizer = StubResizer
+  ): DataFrame = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null else resizer.resize(bytes, w, h)
+    }
+    df.withColumn("resized", f(col(payloadCol)))
+  }
+
+  /** Pluggable frame sampler (video → every k-th frame). */
+  trait FrameSampler extends Serializable {
+    def frames(bytes: Array[Byte], everyK: Int): Seq[Array[Byte]]
+  }
+
+  /** STUB sampler: treats the payload as fixed 4 KiB "frames" and keeps
+    * every k-th — a real implementation demuxes the container and decodes
+    * keyframes. Deterministic, so the exploded row count is testable.
+    */
+  object StubFrameSampler extends FrameSampler {
+    def frames(bytes: Array[Byte], everyK: Int): Seq[Array[Byte]] = {
+      // ??? real demux/keyframe-decode goes here
+      bytes.grouped(4096).zipWithIndex.collect {
+        case (chunk, i) if i % everyK == 0 => chunk
+      }.toSeq
+    }
+  }
+
+  /** Explode each payload into sampled frames: (idCol, frame_idx, frame).
+    * The explode multiplies rows but stays NARROW (frames land in their
+    * parent's partition — no shuffle); when frames feed a heavy stage,
+    * repartition AFTER sampling so batch memory is governed by frame
+    * count, not source-file skew. NULL/empty payloads produce no rows.
+    */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      everyK: Int = 2,
+      sampler: FrameSampler = StubFrameSampler
+  ): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) Seq.empty[Array[Byte]] else sampler.frames(bytes, everyK)
+    }
+    df.select(col(idCol), posexplode(f(col(payloadCol))).as(Seq("frame_idx", "frame")))
+  }
+
   /** Batch feature extraction over payload partitions (the Scala analogue
     * of arrow-batched pandas UDFs): mapPartitions keeps the decode loop
     * off the driver and lets partition sizing control memory per batch.

@@ -188,6 +188,23 @@ class DedupSpec extends SparkSpec {
     assert(out(50L) == (50L, true))
   }
 
+  test("multimodal resize + frame sampling plumbing") {
+    import graft.multimodal.Multimodal
+    val big = ("x" * 10000)
+    val d = Seq((1L, big), (2L, "tiny"), (3L, null: String)).toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val rz = Multimodal.resized(d, "payload", w = 8, h = 8)
+      .select($"doc_id", length($"resized").as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Int])).toMap
+    assert(rz(1L).contains(64))      // stride-sampled down to w*h
+    assert(rz(2L).contains(4))       // payload smaller than target keeps its size
+    assert(rz(3L).isEmpty)           // NULL payload stays NULL
+    // 10000 bytes = 3 stub frames of 4KiB; everyK=2 keeps frames 0 and 2
+    val fr = Multimodal.sampleFrames(d, "doc_id", "payload", everyK = 2)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fr(1L) == 2L && fr(2L) == 1L && !fr.contains(3L))
+  }
+
   test("multimodal meta + stub feature extraction plumbing") {
     import graft.multimodal.Multimodal
     val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")

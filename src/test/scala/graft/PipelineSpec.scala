@@ -9,6 +9,49 @@ import graft.pipeline.{SparkPipeline, SparkUILogger, StateStore}
   */
 class PipelineSpec extends SparkSpec {
 
+  test("end-to-end curation pipeline: gate -> dedup -> split -> weighted sample") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    import graft.dedup.ExactDedup
+    import graft.operators.Sampling
+    // the full LLM-data curation flow wired through SparkPipeline — each
+    // stage is one of the engine's operators, chained by temp views
+    val p = new SparkPipeline("curation", spark)
+    val gate = p.stepSparkTempView("quality_gate") { _ =>
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      Seq(docs.join(
+        TextAnalysis.gopherFilters(docs, "doc_id", "text", minWords = 10)
+          .filter(col("passes")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    }
+    val dedup = p.stepSparkTempView("dedup", dependsOn = Seq(gate)) { _ =>
+      Seq(ExactDedup.dedup(spark.table("quality_gate"), "doc_id", "text"))
+    }
+    val split = p.stepSparkTempView("split", dependsOn = Seq(dedup)) { _ =>
+      Seq(Sampling.splitAssign(spark.table("dedup"), Seq("doc_id"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)))
+    }
+    val sampled = p.stepSparkTempView("train_sample", dependsOn = Seq(split)) { _ =>
+      Seq(Sampling.weighted(
+        spark.table("split").filter(col("split") === "train"),
+        Seq("doc_id"), least(lit(1.0), length(col("text")) / lit(400.0))))
+    }
+    p.run(2)
+    assert(p.isSuccess)
+    val nDocs = Tables.documents(spark, sf).count()
+    val nGate = spark.table("quality_gate").count()
+    val nDedup = spark.table("dedup").count()
+    val nTrain = spark.table("split").filter(col("split") === "train").count()
+    val nSample = spark.table("train_sample").count()
+    assert(nGate > 0 && nGate <= nDocs)
+    assert(nDedup > 0 && nDedup <= nGate)
+    assert(nTrain > 0 && nTrain <= nDedup)
+    assert(nSample > 0 && nSample <= nTrain)
+    // splits are disjoint + exhaustive over the deduped gate output
+    assert(spark.table("split").groupBy("split").count().count() <= 3)
+    assert(spark.table("split").count() == nDedup)
+  }
+
   test("temp view pipeline runs steps in dependency order (reference scenario)") {
     val p = new SparkPipeline("sample", spark)
     val raw = p.stepSparkTempView("raw_data_single_source") { _ => Seq(spark.range(1, 10).toDF()) }
