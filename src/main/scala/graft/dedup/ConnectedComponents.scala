@@ -88,10 +88,12 @@ object ConnectedComponents {
     * singleton representative.
     *
     * Scale shape: components from [[labelPropagation]]; the representative
-    * argmax is a plain aggregate (`max(struct(score, -id))` — partial
-    * map-side, never a window over the corpus) and the mapping join runs
-    * on the same component key, so AQE reuses one partitioning across
-    * both.
+    * is `first(id)` over a per-component window ordered by (score desc,
+    * id) — ONE pass over the doc+component frame (an agg+join-back form
+    * was measured planning the frame TWICE, once per branch; the window
+    * keeps a single branch and its shuffle doubles as the mapping's
+    * distribution). Components are duplicate clusters — small by nature —
+    * so the within-partition sort never sees a skewed group.
     *
     * @return (idCol, component, canonical_id, is_kept) per input document.
     */
@@ -107,10 +109,10 @@ object ConnectedComponents {
       .join(comp, col(idCol) === col("node"), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
       .drop("node")
-    val reps = withComp.groupBy("component")
-      .agg(max(struct(col(scoreCol), (-col(idCol)).as("negid"))).as("m"))
-      .select(col("component"), (-col("m.negid")).as("canonical_id"))
-    withComp.join(reps, Seq("component"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))
+    withComp
+      .withColumn("canonical_id", first(col(idCol)).over(w))
       .select(col(idCol), col("component"), col("canonical_id"),
         (col(idCol) === col("canonical_id")).as("is_kept"))
   }
