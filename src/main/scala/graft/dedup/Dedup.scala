@@ -198,6 +198,53 @@ object MinHashLsh {
     LshBlocking.bucketPairs(bandedIds(sigs, idCol, numHashes, bands), maxBucketSize)
   }
 
+  /** Incremental near-dup blocking: candidate pairs for a NEW batch
+    * against a persisted signature store — the nightly-ingest twin of
+    * [[blockedPairs]], pairing with [[ExactDedup.incremental]]. Returns
+    * batch-internal pairs plus (batch, stored) cross pairs; stored-stored
+    * pairs are excluded by construction (they were found when those docs
+    * were ingested), so each ingest pays for its batch, never for the
+    * corpus.
+    *
+    * Only the BATCH is shingled/minhashed; the store contributes its
+    * persisted signatures (same `numHashes`/`seed`, caller contract). The
+    * cross join is banded-bucket equi-join — one shuffle of (band, bh, id)
+    * rows; at corpus scale the store side dwarfs the batch side, so AQE
+    * broadcasts the batch's bands and the store is never moved.
+    *
+    * @param storedSigs output of [[signatures]] over previously ingested
+    *   docs (persist THIS, not raw text — 8·numHashes bytes/doc).
+    * @return (id_a, id_b) with id_a < id_b; ids must be disjoint between
+    *   batch and store.
+    */
+  def incrementalBlockedPairs(
+      batch: DataFrame,
+      storedSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 200,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // the batch signature frame feeds both the intra blocking and the
+    // cross join — persist so the batch is shingled once; tiny (one batch)
+    val batchSigs = signatures(batch, idCol, textCol, k, numHashes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = bandedIds(batchSigs, idCol, numHashes, bands)
+    val storedBands = bandedIds(storedSigs, idCol, numHashes, bands)
+      .select(col("band"), col("bh"), col("id").as("id_stored"))
+    val intra = LshBlocking.bucketPairs(batchBands, maxBucketSize)
+    val cross = batchBands.join(storedBands, Seq("band", "bh"))
+      .select(
+        least(col("id"), col("id_stored")).as("id_a"),
+        greatest(col("id"), col("id_stored")).as("id_b"))
+      .distinct()
+    intra.unionByName(cross).distinct()
+  }
+
   /** Candidate pairs (idA < idB) with `est_jaccard` = fraction of agreeing
     * signature positions, filtered to >= minJaccard.
     */

@@ -174,6 +174,29 @@ class DedupSpec extends SparkSpec {
     assert(cl == Map(1L -> 5L, 10L -> 3L, 20L -> 2L))
   }
 
+  test("incremental minhash blocking equals full-corpus blocking for the new batch") {
+    val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // batch: near-dup twins of every 5th corpus doc (one-word tail change)
+    // plus one within-batch duplicate pair
+    val twins = corpus.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val batch = twins.unionByName(
+      twins.limit(1).select(($"doc_id" + 500000).as("doc_id"), $"text"))
+    val stored = MinHashLsh.signatures(corpus, "doc_id", "text")
+    val inc = MinHashLsh.incrementalBlockedPairs(batch, stored, "doc_id", "text",
+        maxBucketSize = 10000)
+      .as[(Long, Long)].collect().toSet
+    val full = MinHashLsh.blockedPairs(corpus.unionByName(batch), "doc_id", "text",
+        maxBucketSize = 10000)
+      .as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val fullBatchPairs = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc == fullBatchPairs, s"diff: ${(inc diff fullBatchPairs) ++ (fullBatchPairs diff inc)}")
+    assert(inc.nonEmpty)
+    // no stored-stored pairs leak in
+    assert(inc.forall(p => batchIds(p._1) || batchIds(p._2)))
+  }
+
   test("canonicalize keeps the best-scored member; ties break to lowest id; singletons keep themselves") {
     val docs = Seq(
       (1L, 10L), (2L, 99L), (3L, 10L),   // cluster {1,2,3}: 2 wins on score
