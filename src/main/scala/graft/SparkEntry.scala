@@ -67,7 +67,8 @@ object SparkEntry {
     "q56_knn_multiprobe" -> (LlmQueries.q56KnnMultiprobe(_, _)),
     "q57_dedup_canonical" -> (LlmQueries.q57DedupCanonical(_, _)),
     "q58_profile_drift" -> (CoreQueries.q58ProfileDrift(_, _)),
-    "q59_dq_rules_by_group" -> (CoreQueries.q59DqRulesByGroup(_, _))
+    "q59_dq_rules_by_group" -> (CoreQueries.q59DqRulesByGroup(_, _)),
+    "q60_mixture_report" -> (LlmQueries.q60MixtureReport(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -763,6 +764,19 @@ object SparkEntry {
         |  UNION ALL SELECT l_returnflag, 'price_under_90k', n_rows, r_price FROM t)
         |SELECT l_returnflag, rule, n_rows, CAST(n_failed AS BIGINT) AS n_failed,
         |  CAST(n_failed AS BIGINT) / n_rows AS failure_rate
-        |FROM u ORDER BY l_returnflag, rule""".stripMargin
+        |FROM u ORDER BY l_returnflag, rule""".stripMargin,
+    "q60_mixture_report" ->
+      """WITH a AS (SELECT doc_id, lang,
+        |  CASE
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'c00000000000000' THEN 'train'
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'e00000000000000' THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |g AS (SELECT split, lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |  FROM a GROUP BY split, lang)
+        |SELECT split, lang, n_docs, n_tokens,
+        |  n_tokens / CAST(sum(n_tokens) OVER (PARTITION BY split) AS BIGINT) AS token_share
+        |FROM g ORDER BY split, lang""".stripMargin
   )
 }

@@ -248,6 +248,16 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split", "lang")
 
+  /** Mixture report: docs + token budget per (split, lang) with token
+    * shares — the closing accounting step of a curation pipeline.
+    */
+  def q60MixtureReport(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureReport(
+      Tables.documents(s, dir).select("doc_id", "text", "lang"),
+      "doc_id", "text", "lang",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .orderBy("split", "lang")
+
   /** Type-token ratio (repetition filter feature) per document. */
   def q46Ttr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenRatio(Tables.documents(s, dir).select("doc_id", "text"), "text")

@@ -138,6 +138,31 @@ object TextAnalysis {
     )
   }
 
+  /** Data-mixture accounting: documents and token budget per
+    * (split, group) with each cell's share of its split's tokens — the
+    * report every training-data pipeline closes with ("how many train
+    * tokens per language, and is the mixture what we designed?"). Splits
+    * via [[graft.operators.Sampling.splitAssign]] (deterministic md5
+    * ranges), so the report is reproducible on any engine. One grouped
+    * scan; the share window runs on the tiny aggregated frame.
+    */
+  def mixtureReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      splits: Seq[(String, Double)]
+  ): DataFrame = {
+    val assigned = graft.operators.Sampling.splitAssign(df, Seq(idCol), splits)
+    assigned
+      .withColumn("__tok", size(toks(col(textCol))).cast("long"))
+      .groupBy(col("split"), col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens") / sum("n_tokens").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("split")))
+  }
+
   /** Whitespace token count + BPE-ish regex token count (letters runs,
     * digit runs, single non-alnum symbols).
     */
