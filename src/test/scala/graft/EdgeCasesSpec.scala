@@ -107,7 +107,8 @@ class EdgeCasesSpec extends SparkSpec {
     assert(g(3L) == 0 && g(1L) > 0)
     assert(graft.text.TextAnalysis.topNgramFraction(docs, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-    // a NULL embedding lands in bucket 0 (every sign test false), not an NPE
+    // a NULL embedding lands in bucket 0 (the old expression form's
+    // behavior: NULL dot products set no bits), not an NPE
     val vecs = Seq((1L, Option(Seq(1.0, -2.0, 3.0))), (2L, Option.empty[Seq[Double]]))
       .toDF("id", "v")
     val b = vecs
