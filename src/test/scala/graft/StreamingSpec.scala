@@ -136,6 +136,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of state for a quiescent key compacts to one floor row") {
+    import graft.streaming.StreamingOps.{AsOfLeft, AsOfRight}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-state").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[AsOfLeft]
+    val rMem = MemoryStream[AsOfRight]
+    val q = StreamingOps.asOfJoinStream(lMem.toDS(), rMem.toDS(), "10 seconds").writeStream
+      .format("memory").queryName("asof_state_out").outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .start()
+    try {
+      // key 1: a burst of rights, then silence — the regression scenario
+      // where right-side state used to be retained forever (no timeout was
+      // registered without pending lefts)
+      rMem.addData((100L to 140L by 10).map(t => AsOfRight(1L, t, t.toDouble)): _*)
+      q.processAllAvailable()
+      // sentinel rights on another key push the watermark far past key 1's
+      // rights; each cycle lets the compaction timeout fire on the new
+      // watermark until key 1 holds only its floor row
+      for (t <- Seq(400L, 401L, 402L, 403L)) {
+        rMem.addData(AsOfRight(99L, t, 0.0))
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      // fix: key 1 compacted to 1 floor row; key 99 retains its (still
+      // above-watermark) sentinels. Without the compaction timeout key 1
+      // kept all 5 rights and this total exceeded 8.
+      assert(stateRows <= 5, s"state not compacted: $stateRows rows")
+      // the floor row still serves future lefts correctly
+      lMem.addData(AsOfLeft(1L, 500L, 1L))
+      rMem.addData(AsOfRight(99L, 600L, 0.0)) // advance watermark past the left
+      q.processAllAvailable()
+      rMem.addData(AsOfRight(99L, 601L, 0.0))
+      q.processAllAvailable()
+      import spark.implicits._
+      val out = spark.table("asof_state_out")
+        .as[graft.streaming.StreamingOps.AsOfOut].collect().toSet
+      assert(out.contains(graft.streaming.StreamingOps.AsOfOut(1L, 500L, 1L, Some(140L), Some(140.0))),
+        s"floor row lost in compaction: $out")
+    } finally q.stop()
+  }
+
   test("chained stateful streaming: sessionize then count sessions per hour") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-chain").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
