@@ -68,7 +68,10 @@ object SparkEntry {
     "q57_dedup_canonical" -> (LlmQueries.q57DedupCanonical(_, _)),
     "q58_profile_drift" -> (CoreQueries.q58ProfileDrift(_, _)),
     "q59_dq_rules_by_group" -> (CoreQueries.q59DqRulesByGroup(_, _)),
-    "q60_mixture_report" -> (LlmQueries.q60MixtureReport(_, _))
+    "q60_mixture_report" -> (LlmQueries.q60MixtureReport(_, _)),
+    "q61_rollup" -> (CoreQueries.q61Rollup(_, _)),
+    "q62_pivot" -> (CoreQueries.q62Pivot(_, _)),
+    "q63_resample" -> (CoreQueries.q63Resample(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -777,6 +780,29 @@ object SparkEntry {
         |  FROM a GROUP BY split, lang)
         |SELECT split, lang, n_docs, n_tokens,
         |  n_tokens / CAST(sum(n_tokens) OVER (PARTITION BY split) AS BIGINT) AS token_share
-        |FROM g ORDER BY split, lang""".stripMargin
+        |FROM g ORDER BY split, lang""".stripMargin,
+    "q61_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "q62_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q63_resample" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS slot FROM events),
+        |c AS (SELECT event_type, slot, count(*) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b)
+        |SELECT s.event_type, strftime(s.slot, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot
+        |ORDER BY s.event_type, hr""".stripMargin
   )
 }

@@ -214,6 +214,47 @@ object CoreQueries {
     )).select("rule", "n_rows", "n_failed").orderBy("rule")
   }
 
+  /** Hierarchical rollup totals: (flag, status), per-flag subtotals and
+    * the grand total in ONE pass (Expand + two-phase hash agg — the same
+    * machinery as grouping sets, no per-level scans). grouping() flags
+    * disambiguate real NULL keys from subtotal rows.
+    */
+  def q61Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("n"),
+        sum("l_quantity").cast("double").as("sum_qty"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+
+  /** Pivoted aggregation: quantity totals by return flag with one column
+    * per line status — Spark's pivot plans as conditional aggregates, so
+    * it stays one scan + one shuffle like any groupBy.
+    */
+  def q62Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("l_quantity"))
+      .select(col("l_returnflag"),
+        col("F").cast("double").as("qty_f"),
+        col("O").cast("double").as("qty_o"))
+      .orderBy("l_returnflag")
+
+  /** Dense hourly event counts per type with zero-filled gaps (resample +
+    * gap-fill via a distributed sequence-explode spine).
+    */
+  def q63Resample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    TimeSeries.resampleCounts(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+      .select(col("event_type"),
+        date_format(col("slot"), "yyyy-MM-dd HH:mm:ss").as("hr"), col("n"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Per-group DQ rules: quantity/discount checks per return flag — one
     * grouped pass, rates surfaced so a bad partition stands out.
     */
