@@ -71,7 +71,9 @@ object SparkEntry {
     "q60_mixture_report" -> (LlmQueries.q60MixtureReport(_, _)),
     "q61_rollup" -> (CoreQueries.q61Rollup(_, _)),
     "q62_pivot" -> (CoreQueries.q62Pivot(_, _)),
-    "q63_resample" -> (CoreQueries.q63Resample(_, _))
+    "q63_resample" -> (CoreQueries.q63Resample(_, _)),
+    "q64_ffill" -> (CoreQueries.q64Ffill(_, _)),
+    "q65_moving_avg" -> (CoreQueries.q65MovingAvg(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -803,6 +805,32 @@ object SparkEntry {
         |SELECT s.event_type, strftime(s.slot, '%Y-%m-%d %H:%M:%S') AS hr,
         |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
         |FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot
-        |ORDER BY s.event_type, hr""".stripMargin
+        |ORDER BY s.event_type, hr""".stripMargin,
+    "q64_ffill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS slot, value FROM events),
+        |c AS (SELECT event_type, slot, max(value) AS v0 FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+        |j AS (SELECT s.event_type, s.slot, c.v0
+        |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot),
+        |f AS (SELECT event_type, slot,
+        |  last_value(v0 IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM j)
+        |SELECT event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS hr, v
+        |FROM f ORDER BY event_type, hr""".stripMargin,
+    "q65_moving_avg" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS slot FROM events),
+        |c AS (SELECT event_type, slot, count(*) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+        |g AS (SELECT s.event_type, s.slot, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot),
+        |m AS (SELECT event_type, slot, n,
+        |  avg(n) OVER (PARTITION BY event_type ORDER BY slot
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma
+        |  FROM g)
+        |SELECT event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS hr, n, ma
+        |FROM m ORDER BY event_type, hr""".stripMargin
   )
 }

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  private def slotted(df: DataFrame, keyCols: Seq[String], tsCol: String, step: String)
+      : (DataFrame, DataFrame) = {
+    val unit = step.split("\\s+").last // "1 hour" -> date_trunc unit "hour"
+    val ev = df.select(
+      (keyCols.map(col) :+ date_trunc(unit, col(tsCol)).as("slot")) ++
+        df.columns.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+    val spine = ev.groupBy(keyCols.map(col): _*)
+      .agg(min("slot").as("__lo"), max("slot").as("__hi"))
+      .select(keyCols.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"), expr(s"interval $step"))).as("slot"): _*)
+    (ev, spine)
+  }
+
   /** Dense per-key counts at `step` granularity ("1 hour", "15 minutes",
     * …): missing slots appear with n = 0. Keys contribute slots only
     * within their own [min, max] event range.
@@ -26,17 +39,55 @@ object TimeSeries {
       tsCol: String,
       step: String = "1 hour"
   ): DataFrame = {
-    val unit = step.split("\\s+").last // "1 hour" -> date_trunc unit "hour"
-    val slot = date_trunc(unit, col(tsCol))
-    val ev = df.select(keyCols.map(col) :+ slot.as("slot"): _*)
+    val (ev, spine) = slotted(df, keyCols, tsCol, step)
     val counts = ev.groupBy(keyCols.map(col) :+ col("slot"): _*)
       .agg(count(lit(1)).as("__n"))
-    val spine = ev.groupBy(keyCols.map(col): _*)
-      .agg(min("slot").as("__lo"), max("slot").as("__hi"))
-      .select(keyCols.map(col) :+
-        explode(sequence(col("__lo"), col("__hi"), expr(s"interval $step"))).as("slot"): _*)
     spine.join(counts, keyCols :+ "slot", "left")
       .select(keyCols.map(col) :+ col("slot") :+
         coalesce(col("__n"), lit(0L)).as("n"): _*)
+  }
+
+  /** Forward-filled per-key series: each slot carries the latest observed
+    * `max(valueCol)` at-or-before it (last-observation-carried-forward
+    * over the gap-filled spine). The per-slot aggregate is max — an
+    * order-independent reduction, so the fill is deterministic on any
+    * engine or partitioning (avg/sum of doubles would not be). One window
+    * over the spine-sized frame, which shares the fill join's (key, slot)
+    * partitioning.
+    */
+  def resampleFill(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      step: String = "1 hour"
+  ): DataFrame = {
+    val (ev, spine) = slotted(df, keyCols, tsCol, step)
+    val slotVals = ev.groupBy(keyCols.map(col) :+ col("slot"): _*)
+      .agg(max(col(valueCol)).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy("slot")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(slotVals, keyCols :+ "slot", "left")
+      .withColumn("v", last(col("__v"), ignoreNulls = true).over(w))
+      .select(keyCols.map(col) :+ col("slot") :+ col("v"): _*)
+  }
+
+  /** Trailing moving average over the gap-filled counts (window of
+    * `window` slots ending at the current one). Counts are integers, so
+    * the average is exact-sum / count — engine-identical doubles.
+    */
+  def movingAverage(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      window: Int = 4,
+      step: String = "1 hour"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy("slot")
+      .rowsBetween(-(window - 1), 0)
+    resampleCounts(df, keyCols, tsCol, step)
+      .withColumn("ma", avg(col("n")).over(w))
   }
 }

@@ -255,6 +255,30 @@ object CoreQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Forward-filled hourly series of the max event value per type (LOCF
+    * over the gap-filled spine; max is order-independent so the fill is
+    * engine-deterministic).
+    */
+  def q64Ffill(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    TimeSeries.resampleFill(
+      Tables.events(s, dir).select("event_type", "ts", "value"),
+      Seq("event_type"), "ts", "value")
+      .select(col("event_type"),
+        date_format(col("slot"), "yyyy-MM-dd HH:mm:ss").as("hr"), col("v"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Trailing 4-slot moving average over gap-filled hourly counts. */
+  def q65MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    TimeSeries.movingAverage(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+      .select(col("event_type"),
+        date_format(col("slot"), "yyyy-MM-dd HH:mm:ss").as("hr"), col("n"), col("ma"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Per-group DQ rules: quantity/discount checks per return flag — one
     * grouped pass, rates surfaced so a bad partition stands out.
     */
