@@ -73,7 +73,8 @@ object SparkEntry {
     "q62_pivot" -> (CoreQueries.q62Pivot(_, _)),
     "q63_resample" -> (CoreQueries.q63Resample(_, _)),
     "q64_ffill" -> (CoreQueries.q64Ffill(_, _)),
-    "q65_moving_avg" -> (CoreQueries.q65MovingAvg(_, _))
+    "q65_moving_avg" -> (CoreQueries.q65MovingAvg(_, _)),
+    "q66_reconcile" -> (CoreQueries.q66Reconcile(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -831,6 +832,29 @@ object SparkEntry {
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma
         |  FROM g)
         |SELECT event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS hr, n, ma
-        |FROM m ORDER BY event_type, hr""".stripMargin
+        |FROM m ORDER BY event_type, hr""".stripMargin,
+    "q66_reconcile" ->
+      """WITH b0 AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 1000 = 0 THEN '9-TAMPERED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey <> 7),
+        |ah AS (SELECT o_orderkey // 500 AS bucket,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(
+        |      CAST(o_orderkey AS VARCHAR) || chr(1) || CAST(o_custkey AS VARCHAR) || chr(1) || o_orderpriority
+        |    ), i, 1)) - 1 AS BIGINT)), (acc, x) -> acc * 16 + x) AS h
+        |  FROM orders),
+        |bh AS (SELECT o_orderkey // 500 AS bucket,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(
+        |      CAST(o_orderkey AS VARCHAR) || chr(1) || CAST(o_custkey AS VARCHAR) || chr(1) || o_orderpriority
+        |    ), i, 1)) - 1 AS BIGINT)), (acc, x) -> acc * 16 + x) AS h
+        |  FROM b0),
+        |ad AS (SELECT bucket, count(*) AS n_a, bit_xor(h) AS digest_a FROM ah GROUP BY bucket),
+        |bd AS (SELECT bucket, count(*) AS n_b, bit_xor(h) AS digest_b FROM bh GROUP BY bucket)
+        |SELECT coalesce(ad.bucket, bd.bucket) AS bucket,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, digest_a, digest_b
+        |FROM ad FULL OUTER JOIN bd ON ad.bucket = bd.bucket
+        |WHERE n_a IS DISTINCT FROM n_b OR digest_a IS DISTINCT FROM digest_b
+        |ORDER BY bucket""".stripMargin
   )
 }

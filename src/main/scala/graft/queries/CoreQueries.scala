@@ -255,6 +255,27 @@ object CoreQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Digest reconciliation: orders vs orders-with-a-perturbation (every
+    * 1000th row's priority changed, one row dropped) — only the buckets
+    * actually containing differences surface. Digest exchange is
+    * O(buckets); the tables never join.
+    */
+  def q66Reconcile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Reconcile
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+    val a = Tables.orders(s, dir).select(cols.map(col): _*)
+    val b = Tables.orders(s, dir)
+      .filter(col("o_orderkey") =!= 7L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 1000 === 0, lit("9-TAMPERED"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    val bucket = (col("o_orderkey") / 500).cast("long")
+    Reconcile.mismatchedBuckets(
+      Reconcile.digests(a, bucket, cols.map(col)),
+      Reconcile.digests(b, bucket, cols.map(col)))
+      .orderBy("bucket")
+  }
+
   /** Forward-filled hourly series of the max event value per type (LOCF
     * over the gap-filled spine; max is order-independent so the fill is
     * engine-deterministic).

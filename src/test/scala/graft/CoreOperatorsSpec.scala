@@ -152,6 +152,23 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(!batched.exists(c => c.toSet.size > 2 && Set("k1", "k2").subsetOf(c.toSet)))
   }
 
+  test("reconcile digests: identical tables agree under any partitioning; edits localize") {
+    import graft.operators.Reconcile
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+    val a = Tables.orders(spark, sf).select(cols.map(col): _*)
+    val bucket = (col("o_orderkey") / 100).cast("long")
+    val dA = Reconcile.digests(a, bucket, cols.map(col))
+    // partitioning-independent: a repartitioned copy digests identically
+    val dA2 = Reconcile.digests(a.repartition(7), bucket, cols.map(col))
+    assert(Reconcile.mismatchedBuckets(dA, dA2).count() == 0)
+    // a single-row edit surfaces exactly its bucket
+    val edited = a.withColumn("o_custkey",
+      when(col("o_orderkey") === 42L, lit(999999L)).otherwise(col("o_custkey")))
+    val bad = Reconcile.mismatchedBuckets(
+      dA, Reconcile.digests(edited, bucket, cols.map(col))).collect()
+    assert(bad.map(_.getLong(0)).toSeq == Seq(0L)) // orderkey 42 -> bucket 0
+  }
+
   test("CDC applyChanges: insert, delete, multi-op compaction") {
     import spark.implicits._
     val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
