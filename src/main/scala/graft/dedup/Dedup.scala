@@ -207,13 +207,26 @@ object MinHashLsh {
     * corpus.
     *
     * Only the BATCH is shingled/minhashed; the store contributes its
-    * persisted signatures (same `numHashes`/`seed`, caller contract). The
-    * cross join is banded-bucket equi-join — one shuffle of (band, bh, id)
-    * rows; at corpus scale the store side dwarfs the batch side, so AQE
-    * broadcasts the batch's bands and the store is never moved.
+    * persisted signatures (same `numHashes`/`seed`, caller contract).
+    * `maxBucketSize` applies to the COMBINED (batch + store) bucket
+    * population — exactly [[blockedPairs]]' degenerate-bucket semantics on
+    * the union — so the result equals full-corpus blocking restricted to
+    * pairs touching the batch (spec-asserted), and one hot bucket can
+    * never go |batch|×|store| quadratic.
+    *
+    * Scale shape: the store is NEVER shuffled — its bands are semi-join
+    * filtered map-side against the broadcast batch buckets, and only the
+    * surviving (batch-relevant) store rows feed the count and pair steps.
+    * Per ingest the store pays two signature scans; everything shuffled is
+    * batch-sized.
     *
     * @param storedSigs output of [[signatures]] over previously ingested
     *   docs (persist THIS, not raw text — 8·numHashes bytes/doc).
+    * @param persistFrames persist the two small frames that feed multiple
+    *   plan branches (batch bands, batch-relevant store bands). As with
+    *   `persistSignatures` elsewhere: loop-heavy ingest drivers should
+    *   pass false and manage persistence around their own lifecycle, since
+    *   the blocks are reclaimed only when the returned plan is GC'd.
     * @return (id_a, id_b) with id_a < id_b; ids must be disjoint between
     *   batch and store.
     */
@@ -226,21 +239,36 @@ object MinHashLsh {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 200,
-      seed: Long = 42L
+      seed: Long = 42L,
+      persistFrames: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // the batch signature frame feeds both the intra blocking and the
-    // cross join — persist so the batch is shingled once; tiny (one batch)
+    def maybePersist(df: DataFrame): DataFrame =
+      if (persistFrames) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val batchSigs = signatures(batch, idCol, textCol, k, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchBands = bandedIds(batchSigs, idCol, numHashes, bands)
-    val storedBands = bandedIds(storedSigs, idCol, numHashes, bands)
-      .select(col("band"), col("bh"), col("id").as("id_stored"))
-    val intra = LshBlocking.bucketPairs(batchBands, maxBucketSize)
-    val cross = batchBands.join(storedBands, Seq("band", "bh"))
+    val batchBands = maybePersist(bandedIds(batchSigs, idCol, numHashes, bands))
+    val batchBuckets = batchBands.select("band", "bh").distinct()
+    // store side: map-side semi filter against the (broadcast) batch
+    // buckets — store rows outside batch buckets never move
+    val relevantStore = maybePersist(
+      bandedIds(storedSigs, idCol, numHashes, bands)
+        .join(broadcast(batchBuckets), Seq("band", "bh"), "left_semi"))
+    val storeCounts = relevantStore.groupBy("band", "bh").agg(count(lit(1)).as("__ns"))
+    val batchCounts = batchBands.groupBy("band", "bh").agg(count(lit(1)).as("__nb"))
+    // combined-population cap: same filter blockedPairs applies on the union
+    val okBuckets = batchCounts.join(storeCounts, Seq("band", "bh"), "left")
+      .filter((col("__nb") + coalesce(col("__ns"), lit(0L))).between(2, maxBucketSize))
+      .select("band", "bh")
+    val batchOk = batchBands.join(broadcast(okBuckets), Seq("band", "bh"), "left_semi")
+    val intra = LshBlocking.bucketPairs(batchOk, maxBucketSize)
+    val cross = relevantStore
+      .join(broadcast(okBuckets), Seq("band", "bh"), "left_semi")
+      .join(broadcast(batchBands.select(col("band"), col("bh"), col("id").as("__bid"))),
+        Seq("band", "bh"))
       .select(
-        least(col("id"), col("id_stored")).as("id_a"),
-        greatest(col("id"), col("id_stored")).as("id_b"))
+        least(col("id"), col("__bid")).as("id_a"),
+        greatest(col("id"), col("__bid")).as("id_b"))
       .distinct()
     intra.unionByName(cross).distinct()
   }

@@ -85,12 +85,15 @@ object Multimodal {
   object StubResizer extends MediaResizer {
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       // ??? real image decode→resample→encode goes here
-      val target = math.max(1, math.min(w * h, bytes.length))
-      val out = new Array[Byte](target)
-      val stride = math.max(1, bytes.length / target)
-      var i = 0
-      while (i < target) { out(i) = bytes(math.min(i * stride, bytes.length - 1)); i += 1 }
-      out
+      if (bytes.isEmpty) bytes // zero-byte payload: nothing to sample
+      else {
+        val target = math.max(1, math.min(w * h, bytes.length))
+        val out = new Array[Byte](target)
+        val stride = math.max(1, bytes.length / target)
+        var i = 0
+        while (i < target) { out(i) = bytes(math.min(i * stride, bytes.length - 1)); i += 1 }
+        out
+      }
     }
   }
 

@@ -18,9 +18,12 @@ object TimeSeries {
 
   private def slotted(df: DataFrame, keyCols: Seq[String], tsCol: String, step: String)
       : (DataFrame, DataFrame) = {
-    val unit = step.split("\\s+").last // "1 hour" -> date_trunc unit "hour"
+    // window(ts, step).start truncates to epoch-aligned slots of ANY
+    // duration ("1 hour", "15 minutes", "2 hours", …) — a date_trunc-based
+    // form only handled single-unit steps and silently produced NULL slots
+    // or spine/count misalignment for everything else
     val ev = df.select(
-      (keyCols.map(col) :+ date_trunc(unit, col(tsCol)).as("slot")) ++
+      (keyCols.map(col) :+ window(col(tsCol), step).getField("start").as("slot")) ++
         df.columns.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
     val spine = ev.groupBy(keyCols.map(col): _*)
       .agg(min("slot").as("__lo"), max("slot").as("__hi"))

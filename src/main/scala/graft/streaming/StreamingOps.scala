@@ -257,9 +257,12 @@ object StreamingOps {
     * batch and stream enforce identical contracts.
     *
     * Each batch is tagged in ONE narrow pass (no per-rule jobs): a row
-    * fails if any rule predicate is false or NULL. foreachBatch writes
-    * both splits; exactly-once comes from the checkpoint + idempotent
-    * parquet append within a batch id.
+    * fails if any rule predicate is false or NULL. Each split lands in a
+    * `batch_id=<n>` subdirectory written with mode OVERWRITE — a replayed
+    * micro-batch (crash between the write and the checkpoint commit)
+    * rewrites its own directory instead of appending duplicates, which is
+    * what makes the foreachBatch sink effectively exactly-once. Readers
+    * load the root path; `batch_id` surfaces as a partition column.
     */
   def dqGateStream(
       events: DataFrame,
@@ -270,20 +273,21 @@ object StreamingOps {
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(rules.nonEmpty, "rules must not be empty")
     events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val failed = rules
           .map(r => when(expr(r.predicate).isNull || !expr(r.predicate), r.name))
         val tagged = batch
           .withColumn("__failed_rules", array_compact(array(failed: _*)))
           .persist() // both splits derive from this one pass over the batch
         try {
+          // overwrite of the batch's OWN directory = idempotent on replay
           tagged.filter(size(col("__failed_rules")) === 0)
             .drop("__failed_rules")
-            .write.mode("append").parquet(cleanPath)
+            .write.mode("overwrite").parquet(s"$cleanPath/batch_id=$batchId")
           tagged.filter(size(col("__failed_rules")) > 0)
             .withColumn("failed_rules", concat_ws(",", col("__failed_rules")))
             .drop("__failed_rules")
-            .write.mode("append").parquet(quarantinePath)
+            .write.mode("overwrite").parquet(s"$quarantinePath/batch_id=$batchId")
         } finally { tagged.unpersist(blocking = false); () }
         ()
       }

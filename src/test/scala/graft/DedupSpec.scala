@@ -195,6 +195,17 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
     // no stored-stored pairs leak in
     assert(inc.forall(p => batchIds(p._1) || batchIds(p._2)))
+    // the bucket cap must apply to the COMBINED batch+store population:
+    // with a tight cap both paths drop the same degenerate buckets
+    val incCap = MinHashLsh.incrementalBlockedPairs(batch, stored, "doc_id", "text",
+        maxBucketSize = 3)
+      .as[(Long, Long)].collect().toSet
+    val fullCap = MinHashLsh.blockedPairs(corpus.unionByName(batch), "doc_id", "text",
+        maxBucketSize = 3)
+      .as[(Long, Long)].collect().toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(incCap == fullCap,
+      s"cap diff: ${(incCap diff fullCap) ++ (fullCap diff incCap)}")
   }
 
   test("canonicalize keeps the best-scored member; ties break to lowest id; singletons keep themselves") {
