@@ -152,6 +152,23 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(!batched.exists(c => c.toSet.size > 2 && Set("k1", "k2").subsetOf(c.toSet)))
   }
 
+  test("resample handles sub-hour and multi-unit steps with dense aligned slots") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    val ts = Seq(
+      (1L, "2024-01-01 00:03:00"), (1L, "2024-01-01 00:17:00"),
+      (1L, "2024-01-01 01:02:00") // 45-min gap -> two empty 15-min slots
+    ).toDF("k", "s").select($"k", to_timestamp($"s").as("ts"))
+    val r15 = TimeSeries.resampleCounts(ts, Seq("k"), "ts", "15 minutes")
+      .orderBy("slot").collect()
+      .map(r => r.getTimestamp(1).toString.substring(11, 16) -> r.getLong(2))
+    assert(r15.toSeq == Seq(
+      "00:00" -> 1L, "00:15" -> 1L, "00:30" -> 0L, "00:45" -> 0L, "01:00" -> 1L))
+    val r2h = TimeSeries.resampleCounts(ts, Seq("k"), "ts", "2 hours")
+      .collect().map(r => r.getLong(2))
+    assert(r2h.toSeq == Seq(3L)) // all three events share one 2h slot
+  }
+
   test("reconcile digests: identical tables agree under any partitioning; edits localize") {
     import graft.operators.Reconcile
     val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
