@@ -20,6 +20,16 @@ object PrimaryKey {
     def isValid: Boolean = failedRecords == 0
   }
 
+  /** If the input has fewer splits than cores (small files, single-row-group
+    * parquet), one narrow key-column shuffle first is far cheaper than
+    * running the whole expansion / sketch pass on the scan's parallelism;
+    * with healthy split counts this is a no-op.
+    */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** DataFrame of duplicated key tuples: candidate columns + cnt (>1). */
   def duplicateKeys(df: DataFrame, keyColumns: Seq[String]): DataFrame =
     df.groupBy(keyColumns.map(col): _*)
@@ -68,14 +78,8 @@ object PrimaryKey {
     val allCols = combinations.flatten.distinct
     // The Expand multiplies every input row |combinations|-fold BEFORE the
     // first exchange, so the whole expansion+partial-agg runs at the
-    // SCAN's parallelism. If the input has fewer splits than cores (small
-    // files, single-row-group parquet), one narrow key-column shuffle
-    // first is far cheaper than serializing the n-fold expansion; with
-    // healthy split counts this is a no-op.
-    val par = spark.sparkContext.defaultParallelism
-    val keySlice = df.select(allCols.map(col): _*)
-    val input =
-      if (keySlice.rdd.getNumPartitions < par) keySlice.repartition(par) else keySlice
+    // SCAN's parallelism — see [[parallelized]].
+    val input = parallelized(df.select(allCols.map(col): _*))
     // Spark grouping_id(): one bit per groupBy column in declaration order,
     // leftmost = most significant; bit set = column aggregated away (NOT in
     // the grouping set). Verified against SQL GROUPING_ID in PrimaryKeySpec.
@@ -147,11 +151,54 @@ object PrimaryKey {
     * the per-node DAG path exactly (spec-asserted); the DAG path remains
     * for reference API parity and per-candidate early-exit control.
     */
+  /** Sketch-then-verify pre-pass for PK discovery: ONE global aggregate
+    * computes `count(*)` plus an HLL `approx_count_distinct` per candidate
+    * combination — sketches only, NO grouping-set row expansion, and the
+    * exchange carries one HLL register set per (partition, combination)
+    * instead of near-table-cardinality group rows. Any combination whose
+    * estimated distinct count falls below `(1 - margin) × rows` provably
+    * (to `margin / rsd` standard errors) has duplicates and is pruned from
+    * the exact check.
+    *
+    * The margin defaults to 6 standard errors of the sketch (rsd 0.05 →
+    * prune only below 70% distinct), so a true PK — whose distinct count
+    * equals the row count exactly — is never pruned in practice, and every
+    * survivor is still verified exactly. At 100 TB this is the difference
+    * between expanding the table |combinations|-fold and one sketch scan
+    * that eliminates the obviously-bad candidates for free.
+    *
+    * Returns the combinations that still need the exact check.
+    */
+  private[graft] def sketchSurvivors(
+      df: DataFrame,
+      combinations: Seq[Seq[String]],
+      rsd: Double,
+      sigmas: Double
+  ): Seq[Seq[String]] = {
+    val margin = (sigmas * rsd).min(0.95)
+    val aggs = count(lit(1)).as("__n") +:
+      combinations.zipWithIndex.map { case (c, i) =>
+        approx_count_distinct(struct(c.map(col): _*), rsd).as(s"__d$i")
+      }
+    // no pre-repartition here: the sketch pass is a handful of register
+    // updates per row — even on a low-split input the narrow scan is
+    // cheaper than a shuffle bought only to spread it
+    val row = df.select(combinations.flatten.distinct.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    combinations.zipWithIndex.collect {
+      case (c, i) if row.getAs[Long](s"__d$i") >= ((1.0 - margin) * n).toLong => c
+    }
+  }
+
   def validateCombinationsBatched(
       df: DataFrame,
       combinations: Seq[Seq[String]],
       cacheProjection: Boolean = true,
-      maxExpandPerJob: Int = 8
+      maxExpandPerJob: Int = 8,
+      sketchPrune: Boolean = false,
+      sketchRsd: Double = 0.05,
+      sketchSigmas: Double = 6.0
   ): Seq[Seq[String]] = {
     val allCols = combinations.flatten.distinct
     val keySlice =
@@ -160,13 +207,16 @@ object PrimaryKey {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else df
     try {
+      val candidates =
+        if (sketchPrune) sketchSurvivors(keySlice, combinations, sketchRsd, sketchSigmas)
+        else combinations
       var solutions = Vector.empty[Seq[String]]
       // Levels (ascending size) pre-split into <= maxExpandPerJob chunks, so
       // a single wide level (e.g. C(10,5) = 252 combinations) can never blow
       // the Expand budget in one job. Same-size combinations cannot prune
       // each other (equal-size distinct sets are never subsets), so the
       // intra-level split loses nothing.
-      var queue = combinations.groupBy(_.size).toSeq.sortBy(_._1)
+      var queue = candidates.groupBy(_.size).toSeq.sortBy(_._1)
         .flatMap { case (_, lvl) => lvl.grouped(maxExpandPerJob).toSeq }
       while (queue.nonEmpty) {
         var take = 1

@@ -538,7 +538,11 @@ object CoreQueries {
 
   /** Minimal valid PK combinations, level-batched: one grouping-sets scan
     * per combination size with subset pruning between levels (the per-node
-    * DAG path is spec-asserted equal in PrimaryKeySpec).
+    * DAG path is spec-asserted equal in PrimaryKeySpec). The HLL
+    * sketch-prune pre-pass (`sketchPrune = true`) is A/B-measured a net
+    * LOSS on this candidate set — the survivors are exactly the near-unique
+    * combos that dominate the exact job, so the sketch scan buys little;
+    * it pays off when wide candidate sets are mostly low-cardinality.
     */
   def q19PkCombinations(s: SparkSession, dir: String): DataFrame = {
     import graft.schema.SchemaOps

@@ -152,6 +152,22 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(!batched.exists(c => c.toSet.size > 2 && Set("k1", "k2").subsetOf(c.toSet)))
   }
 
+  test("sketch-pruned PK discovery matches the exact path and never prunes a true key") {
+    import spark.implicits._
+    // k1 is 25% distinct (clearly prunable); (k1,k2) is a true key the
+    // sketch margin must keep; k3 is constant (maximally prunable)
+    val d = (1L to 200L).map(i => (i % 50, i, "c")).toDF("k1", "k2", "k3")
+    val combos = SchemaOps.columnCombinations(Seq("k1", "k2", "k3")).toSeq
+    val exact = PrimaryKey.validateCombinationsBatched(d, combos)
+    val sketched = PrimaryKey.validateCombinationsBatched(d, combos, sketchPrune = true)
+    assert(exact.map(_.mkString(",")).sorted == sketched.map(_.mkString(",")).sorted)
+    // the sketch pass itself must drop the low-cardinality candidates
+    val survivors = PrimaryKey.sketchSurvivors(d, combos, rsd = 0.05, sigmas = 6.0)
+    assert(!survivors.contains(Seq("k1")))
+    assert(!survivors.contains(Seq("k3")))
+    assert(survivors.exists(_.toSet == Set("k1", "k2")))
+  }
+
   test("resample handles sub-hour and multi-unit steps with dense aligned slots") {
     import graft.operators.TimeSeries
     import spark.implicits._
