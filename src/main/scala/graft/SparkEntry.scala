@@ -74,7 +74,8 @@ object SparkEntry {
     "q63_resample" -> (CoreQueries.q63Resample(_, _)),
     "q64_ffill" -> (CoreQueries.q64Ffill(_, _)),
     "q65_moving_avg" -> (CoreQueries.q65MovingAvg(_, _)),
-    "q66_reconcile" -> (CoreQueries.q66Reconcile(_, _))
+    "q66_reconcile" -> (CoreQueries.q66Reconcile(_, _)),
+    "q67_bloom_join" -> (CoreQueries.q67BloomJoin(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -855,6 +856,13 @@ object SparkEntry {
         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, digest_a, digest_b
         |FROM ad FULL OUTER JOIN bd ON ad.bucket = bd.bucket
         |WHERE n_a IS DISTINCT FROM n_b OR digest_a IS DISTINCT FROM digest_b
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+    "q67_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

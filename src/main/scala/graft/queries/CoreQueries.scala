@@ -552,4 +552,28 @@ object CoreQueries {
     import s.implicits._
     solutions.map(_.mkString(",")).sorted.toDF("combination")
   }
+
+  /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
+    * order subset, with the fact side filtered through a Bloom of the dim
+    * keys BEFORE its exchange. The joined result is provably identical to
+    * the plain join (false positives re-verified by the join itself) — the
+    * oracle is the plain SQL join — while the fact shuffle carries only
+    * ~the matching fifth of lineitem plus the fpp sliver.
+    */
+  def q67BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag")
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val joined = BloomPrune.prunedEquiJoin(
+      li, dim, Seq("l_orderkey"), Seq("o_orderkey"),
+      expectedItems = math.max(dim.count(), 1L), fpp = 0.01)
+    joined.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_okey"),
+        max("l_orderkey").as("max_okey")
+      )
+      .orderBy("l_returnflag")
+  }
 }

@@ -39,6 +39,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hot.nonEmpty && hot.values.forall(_ >= 100))
   }
 
+  test("bloom prune: no false negatives, real pruning, join result exact") {
+    import graft.operators.BloomPrune
+    val dim = Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT")
+      .select("o_orderkey")
+    val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val nDim = dim.count()
+    val bloom = BloomPrune.build(dim, Seq("o_orderkey"), expectedItems = nDim, fpp = 0.01)
+    // no false negatives: every fact row with a dim partner survives the prune
+    val pruned = BloomPrune.prune(fact, Seq("l_orderkey"), bloom)
+    val matching = fact.join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
+    assert(matching.exceptAll(pruned.join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")).isEmpty)
+    // real pruning: the filtered fact is well under the full fact (urgent ≈ 1/5)
+    val total = fact.count()
+    val kept = pruned.count()
+    assert(kept < total * 0.4, s"bloom kept $kept of $total rows — no pruning happened")
+    // and not BELOW the true match count (that would mean dropped matches)
+    assert(kept >= matching.count())
+    // end-to-end: pruned equi-join is exactly the plain join
+    val plain = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+    val viaBloom = BloomPrune.prunedEquiJoin(
+      fact, dim, Seq("l_orderkey"), Seq("o_orderkey"), expectedItems = nDim)
+    assert(viaBloom.count() == plain.count())
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+    // filter size stays broadcast-friendly
+    assert(bloom.sizeBytes < 64 * 1024, s"bloom is ${bloom.sizeBytes} B for $nDim keys")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // one key owns half the fact side; with low skew thresholds AQE must
     // mark the sort-merge join skew=true and split that reducer partition
