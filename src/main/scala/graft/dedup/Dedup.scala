@@ -157,7 +157,10 @@ object MinHashLsh {
         Some(sig)
       }
     }
-    df.select(col(idCol), sigUdf(Shingles.tokens(col(textCol))).as("sig"))
+    // signature cost is ~numHashes × grams hash-ops per row; spread a
+    // low-split input across the cluster first (no-op on healthy splits)
+    graft.sources.Layout.ensureParallelism(df)
+      .select(col(idCol), sigUdf(Shingles.tokens(col(textCol))).as("sig"))
       .filter(col("sig").isNotNull)
   }
 
@@ -394,7 +397,10 @@ object SimHash {
         }
         votesToHash(votes)
       }
-    df.select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
+    // per-row cost is a hash per token (md5 in portable mode) — spread a
+    // low-split input across the cluster first (no-op on healthy splits)
+    graft.sources.Layout.ensureParallelism(df)
+      .select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col(idCol), simhashUdf(col("__toks")).as("simhash"))
   }
