@@ -75,7 +75,9 @@ object SparkEntry {
     "q64_ffill" -> (CoreQueries.q64Ffill(_, _)),
     "q65_moving_avg" -> (CoreQueries.q65MovingAvg(_, _)),
     "q66_reconcile" -> (CoreQueries.q66Reconcile(_, _)),
-    "q67_bloom_join" -> (CoreQueries.q67BloomJoin(_, _))
+    "q67_bloom_join" -> (CoreQueries.q67BloomJoin(_, _)),
+    "q68_dist_drift" -> (CoreQueries.q68DistDrift(_, _)),
+    "q69_source_cap" -> (LlmQueries.q69SourceCap(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -863,6 +865,29 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "q68_dist_drift" ->
+      """WITH b AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+        |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+        |  FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+        |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+        |  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+        |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+        |t AS (SELECT bucket, n_base, n_cur,
+        |    (n_base + 0.5) / (CAST(sum(n_base) OVER () AS BIGINT) + 6.0) AS pb,
+        |    (n_cur + 0.5) / (CAST(sum(n_cur) OVER () AS BIGINT) + 6.0) AS pc
+        |  FROM j)
+        |SELECT bucket, n_base, n_cur, (pc - pb) * (pc - pb) / pb AS chi2_term
+        |FROM t ORDER BY bucket""".stripMargin,
+    "q69_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 15 ORDER BY doc_id""".stripMargin
   )
 }

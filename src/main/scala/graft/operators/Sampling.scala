@@ -95,6 +95,34 @@ object Sampling {
     df.withColumn(labelCol, firstMatch)
   }
 
+  /** Deterministic per-group cap: keep at most `maxPerGroup` rows per group
+    * (domain/source capping — the curation step that stops one crawl host
+    * from dominating a training mix). Which rows survive is decided by
+    * md5-hash order of the key (ties → key order), NOT arrival order, so
+    * the kept set is a stable pseudo-random per-group sample: identical on
+    * any engine, partitioning or rerun, and immune to upstream sort changes.
+    *
+    * Scale shape: one shuffle on the group columns; Spark 4 plans the
+    * row_number ≤ k filter as WindowGroupLimit (Partial → Final), pruning
+    * each map partition to k rows per group BEFORE the exchange — the
+    * shuffle carries at most k·partitions rows per group, not the group.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCols: Seq[String],
+      maxPerGroup: Int
+  ): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    val order = substring(keyHash(keyCols.map(col)), 1, 15).asc +: keyCols.map(col(_).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (unlisted strata
     * are dropped). The per-stratum threshold is a small CASE expression —
     * still a narrow scan-level filter, no shuffle, no per-stratum pass.

@@ -1,6 +1,7 @@
 package graft.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiler: long-form (column, metric, value) summary of a
@@ -143,6 +144,59 @@ object Profiler {
       .withColumn("hi", when(col("bucket") === nBuckets.toLong, lit(Double.PositiveInfinity))
         .otherwise(lit(lo) + (col("bucket") + 1L) * lit(width)))
       .select("bucket", "lo", "hi", "cnt")
+  }
+
+  /** Two-sample distribution drift over a numeric column — the
+    * histogram-level companion to [[drift]]'s metric-level compare, and the
+    * standard shape of an ML-data monitoring check (PSI / chi-square).
+    *
+    * Both snapshots bucket into the SAME fixed equi-width bins (±inf
+    * catch-alls, same geometry as [[histogram]]): one grouped narrow scan
+    * per side, then a full-outer join of two ≤ nBuckets+2-row frames — the
+    * exchanges carry bucket counts, never rows, so the check costs two
+    * scans regardless of table size. Counts are Haldane-smoothed
+    * (`eps` per bucket) so empty buckets contribute finite terms.
+    *
+    * Per bucket: smoothed shares `p_base`/`p_cur`, the chi-square term
+    * `(p_cur-p_base)²/p_base` (pure rational arithmetic on count-derived
+    * doubles — bit-identical on any IEEE engine, so it oracle-compares
+    * exactly) and the PSI term `(p_cur-p_base)·ln(p_cur/p_base)` (ln is
+    * correctly-rounded on common libms but not *guaranteed* bit-identical
+    * across engines — spec-checked with tolerance instead).
+    */
+  def distributionDrift(
+      base: DataFrame,
+      cur: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int,
+      eps: Double = 0.5
+  ): DataFrame = {
+    val hb = histogram(base, column, lo, hi, nBuckets).select(col("bucket"), col("cnt").as("n_base"))
+    val hc = histogram(cur, column, lo, hi, nBuckets).select(col("bucket"), col("cnt").as("n_cur"))
+    val smooth = eps * (nBuckets + 2) // catch-all buckets count toward the smoothing mass
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // single-partition window is safe here: the frame is ≤ nBuckets+2 rows
+    hb.join(hc, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("pb", (col("n_base") + lit(eps)) / (sum("n_base").over(all) + lit(smooth)))
+      .withColumn("pc", (col("n_cur") + lit(eps)) / (sum("n_cur").over(all) + lit(smooth)))
+      .select(
+        col("bucket"), col("n_base"), col("n_cur"),
+        col("pb").as("p_base"), col("pc").as("p_cur"),
+        ((col("pc") - col("pb")) * (col("pc") - col("pb")) / col("pb")).as("chi2_term"),
+        ((col("pc") - col("pb")) * log(col("pc") / col("pb"))).as("psi_term")
+      )
+  }
+
+  /** Scalar drift statistics from [[distributionDrift]]: (chi2, psi).
+    * Conventional PSI reading: < 0.1 stable, 0.1–0.25 moderate shift,
+    * > 0.25 significant.
+    */
+  def driftStats(drift: DataFrame): (Double, Double) = {
+    val r = drift.agg(sum("chi2_term"), sum("psi_term")).head()
+    (r.getDouble(0), r.getDouble(1))
   }
 
   /** Metric drift between two profile snapshots (e.g. yesterday's load vs

@@ -553,6 +553,23 @@ object CoreQueries {
     solutions.map(_.mkString(",")).sorted.toDF("combination")
   }
 
+  /** Histogram-level distribution drift (chi-square terms) between the
+    * even- and odd-user halves of the event stream: same fixed bins on
+    * both sides, bucket-count-only exchanges. Only the chi2 term is in the
+    * hashed output (pure rational arithmetic → bit-identical across
+    * engines); the PSI term's ln() is spec-checked with tolerance instead.
+    */
+  def q68DistDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "value")
+    Profiler.distributionDrift(
+      base = ev.filter(col("user_id") % 2 === 0),
+      cur = ev.filter(col("user_id") % 2 === 1),
+      column = "value", lo = 0.0, hi = 100.0, nBuckets = 10)
+      .select("bucket", "n_base", "n_cur", "chi2_term")
+      .orderBy("bucket")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

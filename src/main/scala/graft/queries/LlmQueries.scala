@@ -309,6 +309,17 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-source document cap: at most 15 docs per source,
+    * chosen by md5-hash order of doc_id — the domain-capping curation step,
+    * reproducible on any engine/partitioning (oracle replays the same
+    * window).
+    */
+  def q69SourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(
+      Tables.documents(s, dir).select("doc_id", "source"),
+      groupCols = Seq("source"), keyCols = Seq("doc_id"), maxPerGroup = 15)
+      .orderBy("doc_id")
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -144,6 +144,44 @@ class ProfileSampleSpec extends SparkSpec {
     assert(t(2) == (4L, 4L, 1.0))
   }
 
+  test("distribution drift: zero on identical snapshots, fires on a real shift") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    // identical distributions → every term ~0 (exactly 0: same smoothed shares)
+    val same = Profiler.distributionDrift(base, base, "v", 0.0, 100.0, 10)
+    val (chi0, psi0) = Profiler.driftStats(same)
+    assert(math.abs(chi0) < 1e-12 && math.abs(psi0) < 1e-12)
+    // shifted: mass moved up by 50 → strong signal on both statistics
+    val shifted = base.select(($"v" + 50.0).as("v"))
+    val (chi1, psi1) = Profiler.driftStats(
+      Profiler.distributionDrift(base, shifted, "v", 0.0, 100.0, 10))
+    assert(chi1 > 0.25 && psi1 > 0.25, s"chi2=$chi1 psi=$psi1")
+    // empty buckets stay finite through smoothing
+    val sparse = Seq(5.0).toDF("v")
+    val terms = Profiler.distributionDrift(base, sparse, "v", 0.0, 100.0, 10)
+      .select("chi2_term", "psi_term").collect()
+    assert(terms.forall(r => !r.getDouble(0).isNaN && !r.getDouble(0).isInfinite
+      && !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+  }
+
+  test("capPerGroup: cap respected, selection content-stable under repartition") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val capped = Sampling.capPerGroup(d, Seq("g"), Seq("id"), 20)
+    val byGroup = capped.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup.values.forall(_ == 20L) && byGroup.size == 3)
+    // identical kept set regardless of physical layout or row order
+    val reshuffled = Sampling.capPerGroup(d.repartition(7).orderBy($"id".desc), Seq("g"), Seq("id"), 20)
+    assert(capped.select("id").collect().map(_.getLong(0)).sorted.sameElements(
+      reshuffled.select("id").collect().map(_.getLong(0)).sorted))
+    // groups under the cap pass through whole
+    val tiny = Seq((1L, "g"), (2L, "g")).toDF("id", "g")
+    assert(Sampling.capPerGroup(tiny, Seq("g"), Seq("id"), 20).count() == 2)
+    // Spark 4 plans the rank filter as a WindowGroupLimit (pre-shuffle prune)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("heavy hitters: exact counts, deterministic tie-break, grouped top-k") {
     import spark.implicits._
     val docs = Seq("b a a", "B c", "a c").toDF("text")
