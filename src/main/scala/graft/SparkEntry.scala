@@ -77,7 +77,8 @@ object SparkEntry {
     "q66_reconcile" -> (CoreQueries.q66Reconcile(_, _)),
     "q67_bloom_join" -> (CoreQueries.q67BloomJoin(_, _)),
     "q68_dist_drift" -> (CoreQueries.q68DistDrift(_, _)),
-    "q69_source_cap" -> (LlmQueries.q69SourceCap(_, _))
+    "q69_source_cap" -> (LlmQueries.q69SourceCap(_, _)),
+    "q70_pack" -> (LlmQueries.q70Pack(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -888,6 +889,18 @@ object SparkEntry {
         |  SELECT doc_id, source, row_number() OVER (
         |    PARTITION BY source
         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
-        |  FROM documents) WHERE rn <= 15 ORDER BY doc_id""".stripMargin
+        |  FROM documents) WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+    "q70_pack" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, CAST((cum - toks) // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_sum
+        |FROM o GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
   )
 }

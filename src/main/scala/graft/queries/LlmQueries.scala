@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup._
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.TextAnalysis
+import graft.text.{Packing, TextAnalysis}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -319,6 +319,18 @@ object LlmQueries {
       Tables.documents(s, dir).select("doc_id", "source"),
       groupCols = Seq("source"), keyCols = Seq("doc_id"), maxPerGroup = 15)
       .orderBy("doc_id")
+
+  /** Sequence packing (concat-then-chunk) of each language's documents
+    * into 512-token training chunks, summarized per chunk. Deterministic
+    * md5-order concatenation — the oracle replays the identical stream.
+    */
+  def q70Pack(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.tokenCounts(
+      Tables.documents(s, dir).select("doc_id", "lang", "text"), "text")
+      .select(col("doc_id"), col("lang"), col("n_ws_tokens").cast("long").as("toks"))
+    Packing.packSummary(docs, Seq("lang"), Seq("doc_id"), "toks", budget = 512L)
+      .orderBy("lang", "bin")
+  }
 
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {

@@ -182,6 +182,34 @@ class ProfileSampleSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("packing: concat-then-chunk semantics, deterministic under repartition") {
+    import graft.text.Packing
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, "g", 10L + (i % 7))).toDF("id", "g", "toks")
+    val a = Packing.chunkAssignments(docs, Seq("g"), Seq("id"), "toks", budget = 64L)
+    val rows = a.orderBy("pack_order")
+      .select("id", "toks", "start_offset", "bin").collect()
+    // concatenation invariant: each start_offset is the previous cum total
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == cum, s"doc ${r.getLong(0)} offset ${r.getLong(2)} != $cum")
+      assert(r.getLong(3) == r.getLong(2) / 64L) // bin = chunk of first token
+      cum += r.getLong(1)
+    }
+    // total mass conserved through the summary
+    val summary = Packing.packSummary(docs, Seq("g"), Seq("id"), "toks", 64L)
+    assert(summary.agg(sum("tok_sum")).head().getLong(0) == cum)
+    // deterministic under physical layout changes
+    val b = Packing.chunkAssignments(docs.repartition(5).orderBy($"id".desc),
+      Seq("g"), Seq("id"), "toks", 64L)
+    assert(a.select("id", "bin").exceptAll(b.select("id", "bin")).isEmpty)
+    // a doc longer than the budget swallows following chunk ids (gaps allowed)
+    val big = Seq((1L, "g", 200L), (2L, "g", 10L), (3L, "g", 10L)).toDF("id", "g", "toks")
+    val bins = Packing.packSummary(big, Seq("g"), Seq("id"), "toks", 64L)
+      .select("bin").collect().map(_.getLong(0)).sorted
+    assert(bins.head == 0L && bins.last >= 3L)
+  }
+
   test("heavy hitters: exact counts, deterministic tie-break, grouped top-k") {
     import spark.implicits._
     val docs = Seq("b a a", "B c", "a c").toDF("text")
