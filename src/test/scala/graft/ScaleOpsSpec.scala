@@ -66,6 +66,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bloom.sizeBytes < 64 * 1024, s"bloom is ${bloom.sizeBytes} B for $nDim keys")
   }
 
+  test("z-order layout gives min/max locality on BOTH clustered columns") {
+    import graft.sources.Layout
+    val ev = Tables.events(spark, sf).select($"user_id".cast("double").as("u"), $"value".as("v"))
+      .filter($"v".isNotNull)
+    def avgSpans(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = laid.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("u") - min("u")).as("su"), (max("v") - min("v")).as("sv"))
+        .agg(avg("su"), avg("sv")).head()
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val full = ev.agg(max("u") - min("u"), max("v") - min("v")).head()
+    val (fullU, fullV) = (full.getDouble(0), full.getDouble(1))
+    // linear sort: leading key localizes; second column gets no clustering
+    // (its per-partition span stays near its natural draw-of-the-data span)
+    val (linU, linV) = avgSpans(ev.repartitionByRange(8, $"u").sortWithinPartitions($"u"))
+    assert(linU < 0.3 * fullU, s"linear layout did not localize its own sort key: $linU vs $fullU")
+    // z-order: BOTH dimensions localize (each partition covers a fraction
+    // of each range, so min/max stats can prune on either predicate)
+    val (zU, zV) = avgSpans(Layout.zorderBy(ev, Seq("u", "v"), outPartitions = 8))
+    assert(zU < 0.7 * fullU, s"z-order did not localize u: $zU vs $fullU")
+    assert(zV < 0.7 * linV, s"z-order v-span $zV not better than linear's $linV")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // one key owns half the fact side; with low skew thresholds AQE must
     // mark the sort-merge join skew=true and split that reducer partition
