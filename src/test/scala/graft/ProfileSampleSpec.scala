@@ -221,4 +221,28 @@ class ProfileSampleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(g == Set(("g1", "x", 2L), ("g2", "z", 1L)))
   }
+
+  test("Misra-Gries sketch recovers the exact top-k on skewed vocabulary") {
+    import spark.implicits._
+    // Zipf-ish: token t_i appears ~600/i times, plus a long unique tail;
+    // rows shuffled across partitions so partial summaries really merge
+    val toks = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"t$i")) ++
+      (1 to 3000).map(i => s"tail$i")
+    val docs = scala.util.Random.shuffle(toks).grouped(25)
+      .map(_.mkString(" ")).toSeq.toDF("text").repartition(8)
+    val exact = HeavyHitters.topTokens(docs, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val approx = HeavyHitters.approxTopTokens(docs, "text", 10, sketchSize = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(approx.map(_._1).sameElements(exact.map(_._1)),
+      s"order differs: exact=${exact.mkString(",")} approx=${approx.mkString(",")}")
+    // MG bound: est undercounts by at most N/(sketchSize+1)
+    val n = toks.size.toLong
+    val bound = n / 513 + 1
+    val exactMap = exact.toMap
+    approx.foreach { case (t, est) =>
+      val tru = exactMap(t)
+      assert(est <= tru && tru - est <= bound, s"$t: est=$est true=$tru bound=$bound")
+    }
+  }
 }
