@@ -78,7 +78,8 @@ object SparkEntry {
     "q67_bloom_join" -> (CoreQueries.q67BloomJoin(_, _)),
     "q68_dist_drift" -> (CoreQueries.q68DistDrift(_, _)),
     "q69_source_cap" -> (LlmQueries.q69SourceCap(_, _)),
-    "q70_pack" -> (LlmQueries.q70Pack(_, _))
+    "q70_pack" -> (LlmQueries.q70Pack(_, _)),
+    "q71_scd2_merge" -> (CoreQueries.q71Scd2Merge(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -901,6 +902,22 @@ object SparkEntry {
         |  FROM d)
         |SELECT lang, CAST((cum - toks) // 512 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_sum
-        |FROM o GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+        |FROM o GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    // the incremental-merge gate: oracle is the FULL from-scratch rebuild
+    "q71_scd2_merge" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |m AS (SELECT user_id, event_id, event_type, ts_sec,
+        |  lag(event_type) OVER w AS prev,
+        |  row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |v AS (SELECT user_id, event_type, ts_sec, event_id FROM m
+        |  WHERE rn = 1 OR NOT (prev IS NOT DISTINCT FROM event_type))
+        |SELECT user_id, event_type,
+        |  ts_sec AS valid_from,
+        |  lead(ts_sec) OVER w2 AS valid_to,
+        |  lead(ts_sec) OVER w2 IS NULL AS is_current
+        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin
   )
 }

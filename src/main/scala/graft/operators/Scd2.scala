@@ -50,4 +50,44 @@ object Scd2 {
       .withColumn("valid_to", lead(col(orderCols.head), 1).over(vw))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incrementally fold a LATER observation batch into an existing SCD2
+    * history — the nightly path: the closed history (the bulk of a
+    * warehouse dimension) passes through UNTOUCHED, with no shuffle and no
+    * window; only the open versions of batch-touched entities re-enter a
+    * [[build]] together with the batch.
+    *
+    * Produces exactly what a full [[build]] over (all old observations ∪
+    * batch) would (spec-asserted, and q71's oracle is the full rebuild),
+    * under the append-only contract: every batch observation orders at or
+    * after ALL prior observations of its entity. Out-of-order (late) data
+    * needs the full rebuild — closed intervals would have to reopen.
+    *
+    * @param history output of [[build]] (or a previous [[merge]]): the
+    *        original observation columns of each version-opening row plus
+    *        valid_from / valid_to / is_current.
+    * @param batch   new observations, same schema as the ones history was
+    *        built from.
+    */
+  def merge(
+      history: DataFrame,
+      batch: DataFrame,
+      entityCols: Seq[String],
+      orderCols: Seq[String],
+      trackCols: Seq[String]
+  ): DataFrame = {
+    val keys = batch.select(entityCols.map(col): _*).distinct()
+    val open = history.filter(col("is_current"))
+    // untouched = every closed version + open versions of entities absent
+    // from the batch; the anti-join's key side is the (small) batch key
+    // set, broadcast when it fits
+    val untouched = history.filter(!col("is_current"))
+      .unionByName(open.join(broadcast(keys), entityCols, "left_anti"))
+    // the open version re-enters as its version-opening observation, so a
+    // batch row extending the same tracked state collapses into it
+    val openObs = open.join(broadcast(keys), entityCols, "left_semi")
+      .drop("valid_from", "valid_to", "is_current")
+    val rebuilt = build(openObs.unionByName(batch), entityCols, orderCols, trackCols)
+    untouched.unionByName(rebuilt)
+  }
 }

@@ -553,6 +553,28 @@ object CoreQueries {
     solutions.map(_.mkString(",")).sorted.toDF("combination")
   }
 
+  /** Incremental SCD2: history built from the first half of the event log,
+    * then the second half folded in with [[Scd2.merge]] — closed versions
+    * never reprocessed. The oracle is the FULL rebuild (same SQL as q42),
+    * so the gate proves incremental == from-scratch.
+    */
+  def q71Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = 1705360000L // ~median event time; any in-range split works
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      col("ts").cast("long").as("ts_sec")
+    )
+    val hist = Scd2.build(
+      ev.filter(col("ts_sec") < cutoff),
+      Seq("user_id"), Seq("ts_sec", "event_id"), Seq("event_type"))
+    Scd2.merge(
+      hist, ev.filter(col("ts_sec") >= cutoff),
+      Seq("user_id"), Seq("ts_sec", "event_id"), Seq("event_type"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
   /** Histogram-level distribution drift (chi-square terms) between the
     * even- and odd-user halves of the event stream: same fixed bins on
     * both sides, bucket-count-only exchanges. Only the chi2 term is in the

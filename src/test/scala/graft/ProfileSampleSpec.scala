@@ -61,6 +61,35 @@ class ProfileSampleSpec extends SparkSpec {
     ))
   }
 
+  test("scd2 merge: incremental fold equals full rebuild; untouched entities pass through") {
+    import spark.implicits._
+    // A changes at the boundary, B extends its open run (must collapse),
+    // C exists only in history, D is batch-new
+    val part1 = Seq(
+      ("A", 1L, "x"), ("A", 2L, "y"),
+      ("B", 1L, "k"), ("B", 3L, "k"),
+      ("C", 2L, "c")
+    ).toDF("e", "t", "v")
+    val part2 = Seq(
+      ("A", 5L, "z"),
+      ("B", 6L, "k"), ("B", 7L, "m"),
+      ("D", 5L, "d")
+    ).toDF("e", "t", "v")
+    val full = Scd2.build(part1.unionByName(part2), Seq("e"), Seq("t"), Seq("v"))
+    val merged = Scd2.merge(Scd2.build(part1, Seq("e"), Seq("t"), Seq("v")), part2,
+      Seq("e"), Seq("t"), Seq("v"))
+    val cols = Seq("e", "v", "valid_from", "valid_to", "is_current").map(col(_))
+    assert(merged.select(cols: _*).exceptAll(full.select(cols: _*)).isEmpty
+      && full.select(cols: _*).exceptAll(merged.select(cols: _*)).isEmpty)
+    // B's open run collapsed across the boundary: still one version from t=1
+    val b = merged.filter($"e" === "B" && $"v" === "k").collect()
+    assert(b.length == 1 && b.head.getAs[Long]("valid_from") == 1L
+      && b.head.getAs[Long]("valid_to") == 7L)
+    // C (untouched) kept its open version
+    val c = merged.filter($"e" === "C").collect()
+    assert(c.length == 1 && c.head.getAs[Boolean]("is_current"))
+  }
+
   test("pii scan flags and redacts emails/phones/urls/ips") {
     import spark.implicits._
     import graft.text.PiiScan
