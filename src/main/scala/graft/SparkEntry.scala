@@ -79,7 +79,8 @@ object SparkEntry {
     "q68_dist_drift" -> (CoreQueries.q68DistDrift(_, _)),
     "q69_source_cap" -> (LlmQueries.q69SourceCap(_, _)),
     "q70_pack" -> (LlmQueries.q70Pack(_, _)),
-    "q71_scd2_merge" -> (CoreQueries.q71Scd2Merge(_, _))
+    "q71_scd2_merge" -> (CoreQueries.q71Scd2Merge(_, _)),
+    "q72_time_align" -> (CoreQueries.q72TimeAlign(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -918,6 +919,32 @@ object SparkEntry {
         |  lead(ts_sec) OVER w2 AS valid_to,
         |  lead(ts_sec) OVER w2 IS NULL AS is_current
         |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
-        |ORDER BY user_id, valid_from""".stripMargin
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q72_time_align" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor("value" / 100) AS BIGINT) AS vband,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |mt AS (SELECT user_id, event_type, ts_sec, event_id,
+        |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |vt AS (SELECT user_id, event_type, ts_sec, event_id FROM mt
+        |  WHERE rn = 1 OR NOT (prev IS NOT DISTINCT FROM event_type)),
+        |ht AS (SELECT user_id, event_type, ts_sec AS a_from,
+        |    coalesce(lead(ts_sec) OVER w2, 9223372036854775807) AS a_to
+        |  FROM vt WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |mb AS (SELECT user_id, vband, ts_sec, event_id,
+        |    lag(vband) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |vb AS (SELECT user_id, vband, ts_sec, event_id FROM mb
+        |  WHERE rn = 1 OR NOT (prev IS NOT DISTINCT FROM vband)),
+        |hb AS (SELECT user_id, vband, ts_sec AS b_from,
+        |    coalesce(lead(ts_sec) OVER w2, 9223372036854775807) AS b_to
+        |  FROM vb WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        |SELECT ht.user_id, event_type, vband,
+        |  greatest(a_from, b_from) AS seg_from,
+        |  NULLIF(least(a_to, b_to), 9223372036854775807) AS seg_to
+        |FROM ht JOIN hb ON ht.user_id = hb.user_id
+        |  AND a_from < b_to AND b_from < a_to
+        |ORDER BY ht.user_id, seg_from""".stripMargin
   )
 }

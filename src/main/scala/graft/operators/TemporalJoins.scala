@@ -151,4 +151,44 @@ object TemporalJoins {
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop("__bucket")
   }
+
+  /** Valid-time alignment join: intersect two interval tables (e.g. two
+    * SCD2 histories tracking different attributes of the same entity) into
+    * the piecewise segments where BOTH were valid — "what was the user's
+    * event_type AND value band between t1 and t2". The standard temporal
+    * warehouse question, answered without any timeline explosion:
+    * equi-join on the entity key (one co-partitioned shuffle per side),
+    * overlap predicate, intersection bounds via greatest/least.
+    *
+    * Interval convention: [start, end) with NULL end = open/current (both
+    * inputs follow [[graft.operators.Scd2]]'s contract). Output carries
+    * both sides' payloads plus `seg_from`/`seg_to` (NULL = open).
+    *
+    * Per-key version counts are naturally small (bounded by change
+    * frequency), so the join fan-out is |versions_a| × |versions_b| per
+    * key only in the worst case and the overlap filter prunes to the
+    * O(|a| + |b|) aligned segments.
+    */
+  def validTimeAlign(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      fromCol: String = "valid_from",
+      toCol: String = "valid_to"
+  ): DataFrame = {
+    val open = Long.MaxValue
+    // suffix collision-prone bound columns; payload columns are the
+    // caller's responsibility to keep distinct across the two sides
+    val la = a.withColumnRenamed(fromCol, "__a_from")
+      .withColumn("__a_to", coalesce(col(toCol).cast("long"), lit(open))).drop(toCol)
+    val lb = b.withColumnRenamed(fromCol, "__b_from")
+      .withColumn("__b_to", coalesce(col(toCol).cast("long"), lit(open))).drop(toCol)
+    la.join(lb, keys)
+      .filter(col("__a_from") < col("__b_to") && col("__b_from") < col("__a_to"))
+      .withColumn("seg_from", greatest(col("__a_from"), col("__b_from")))
+      .withColumn("seg_to",
+        when(least(col("__a_to"), col("__b_to")) === open, lit(null).cast("long"))
+          .otherwise(least(col("__a_to"), col("__b_to"))))
+      .drop("__a_from", "__a_to", "__b_from", "__b_to")
+  }
 }

@@ -575,6 +575,27 @@ object CoreQueries {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Valid-time alignment of two SCD2 timelines per user (event_type
+    * history × value-band history): the piecewise segments where both
+    * attributes were simultaneously valid. Segments form a refinement
+    * partition of each user's timeline, so (user_id, seg_from) is unique
+    * and the output order deterministic.
+    */
+  def q72TimeAlign(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      floor(col("value") / 100).cast("long").as("vband"),
+      col("ts").cast("long").as("ts_sec")
+    )
+    val histType = Scd2.build(ev, Seq("user_id"), Seq("ts_sec", "event_id"), Seq("event_type"))
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+    val histBand = Scd2.build(ev, Seq("user_id"), Seq("ts_sec", "event_id"), Seq("vband"))
+      .select(col("user_id"), col("vband"), col("valid_from"), col("valid_to"))
+    TemporalJoins.validTimeAlign(histType, histBand, Seq("user_id"))
+      .select("user_id", "event_type", "vband", "seg_from", "seg_to")
+      .orderBy("user_id", "seg_from")
+  }
+
   /** Histogram-level distribution drift (chi-square terms) between the
     * even- and odd-user halves of the event stream: same fixed bins on
     * both sides, bucket-count-only exchanges. Only the chi2 term is in the

@@ -20,6 +20,31 @@ class TemporalJoinsSpec extends SparkSpec {
     ))
   }
 
+  test("validTimeAlign intersects two timelines into refinement segments") {
+    val a = Seq((1L, "x", 0L, Some(5L)), (1L, "y", 5L, None), (2L, "q", 0L, None))
+      .toDF("k", "attr_a", "valid_from", "valid_to")
+    val b = Seq((1L, 10L, 0L, Some(3L)), (1L, 20L, 3L, Some(8L)), (1L, 30L, 8L, None))
+      .toDF("k", "attr_b", "valid_from", "valid_to")
+    val out = TemporalJoins.validTimeAlign(a, b, Seq("k"))
+      .select("k", "attr_a", "attr_b", "seg_from", "seg_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set(
+      (1L, "x", 10L, 0L, Some(3L)),  // x ∩ band10 = [0,3)
+      (1L, "x", 20L, 3L, Some(5L)),  // x ∩ band20 = [3,5)
+      (1L, "y", 20L, 5L, Some(8L)),  // y ∩ band20 = [5,8)
+      (1L, "y", 30L, 8L, None)       // open ∩ open stays open
+    ))                                // k=2 has no b-timeline -> no rows
+    // segments partition each key's overlap region: disjoint and ordered
+    val segs = TemporalJoins.validTimeAlign(a, b, Seq("k"))
+      .filter($"k" === 1L).orderBy("seg_from")
+      .select("seg_from", "seg_to").collect()
+    segs.sliding(2).foreach {
+      case Array(p, n) => assert(p.getLong(1) == n.getLong(0), "gap/overlap between segments")
+      case _ =>
+    }
+  }
+
   test("asOfJoin forward direction and tolerance (merge_asof semantics)") {
     val left = Seq((1L, 10L, 100L), (1L, 16L, 101L), (1L, 30L, 102L))
       .toDF("k", "ts", "event")
