@@ -172,9 +172,26 @@ object Profiler {
       hi: Double,
       nBuckets: Int,
       eps: Double = 0.5
+  ): DataFrame =
+    driftFromHistograms(
+      histogram(base, column, lo, hi, nBuckets).select(col("bucket"), col("cnt")),
+      histogram(cur, column, lo, hi, nBuckets).select(col("bucket"), col("cnt")),
+      nBuckets, eps)
+
+  /** [[distributionDrift]] from already-bucketed (bucket, cnt) histograms —
+    * the form a monitoring loop wants: the baseline histogram is computed
+    * ONCE (tiny — ≤ nBuckets+2 rows) and reused against every new
+    * snapshot/micro-batch, so the recurring cost is one grouped scan of
+    * the new data only.
+    */
+  def driftFromHistograms(
+      baseHist: DataFrame,
+      curHist: DataFrame,
+      nBuckets: Int,
+      eps: Double = 0.5
   ): DataFrame = {
-    val hb = histogram(base, column, lo, hi, nBuckets).select(col("bucket"), col("cnt").as("n_base"))
-    val hc = histogram(cur, column, lo, hi, nBuckets).select(col("bucket"), col("cnt").as("n_cur"))
+    val hb = baseHist.select(col("bucket"), col("cnt").as("n_base"))
+    val hc = curHist.select(col("bucket"), col("cnt").as("n_cur"))
     val smooth = eps * (nBuckets + 2) // catch-all buckets count toward the smoothing mass
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // single-partition window is safe here: the frame is ≤ nBuckets+2 rows

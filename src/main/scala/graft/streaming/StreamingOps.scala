@@ -296,6 +296,45 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming distribution-drift monitor: every micro-batch's histogram
+    * of `column` is compared against a FIXED baseline histogram
+    * ([[graft.quality.Profiler.histogram]] of the reference corpus,
+    * computed once — ≤ nBuckets+2 rows, persist it), and a per-batch drift
+    * report lands under `reportPath/batch_id=<n>` with the summed chi2/psi
+    * statistics and a `drifted` verdict. Same idempotent per-batch
+    * overwrite contract as [[dqGateStream]]; recurring cost is one grouped
+    * scan of each batch.
+    */
+  def driftGateStream(
+      events: DataFrame,
+      baselineHist: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int,
+      psiThreshold: Double,
+      reportPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.quality.Profiler
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val report = Profiler.driftFromHistograms(
+          baselineHist,
+          Profiler.histogram(batch, column, lo, hi, nBuckets).select(col("bucket"), col("cnt")),
+          nBuckets)
+        report
+          .agg(sum("chi2_term").as("chi2"), sum("psi_term").as("psi"),
+            sum("n_cur").as("n_rows"))
+          .withColumn("drifted", col("psi") > psiThreshold)
+          .write.mode("overwrite").parquet(s"$reportPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

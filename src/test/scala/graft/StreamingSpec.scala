@@ -257,6 +257,31 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined.filter(col("failed_rules") === "").count() == 0)
   }
 
+  test("streaming drift gate reports undrifted for same-source batches, fires on shift") {
+    import graft.quality.Profiler
+    val tmp = java.nio.file.Files.createTempDirectory("graft-driftgate").toString
+    val ev = Tables.events(spark, sf)
+    val baseline = Profiler.histogram(ev, "value", 0.0, 100.0, 10)
+      .select(col("bucket"), col("cnt")).persist()
+    try {
+      // stream of the SAME corpus → no drift expected
+      val q = StreamingOps.driftGateStream(
+        StreamingOps.readEventStream(spark, sf), baseline,
+        "value", 0.0, 100.0, 10, psiThreshold = 0.1, s"$tmp/report", s"$tmp/cp")
+      q.awaitTermination(120000)
+      val report = spark.read.parquet(s"$tmp/report")
+      assert(report.count() >= 1)
+      assert(report.filter(col("drifted")).count() == 0,
+        "same-source batch flagged as drifted")
+      // a shifted batch against the same baseline must fire (batch form)
+      val shifted = ev.select((col("value") + 60.0).as("value"))
+      val rep = Profiler.driftFromHistograms(baseline,
+        Profiler.histogram(shifted, "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt")), 10)
+      val psi = rep.agg(sum("psi_term")).head().getDouble(0)
+      assert(psi > 0.1, s"shifted psi=$psi")
+    } finally { baseline.unpersist(blocking = false); () }
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
