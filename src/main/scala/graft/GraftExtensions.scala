@@ -4,7 +4,7 @@ import graft.functions.{ArrayCosineSimilarity, NullToken}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Session extensions registering graft's native Catalyst functions so SQL
   * users get them too:
@@ -33,6 +33,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def skHash(children: Seq[Expression]): Expression =
     Unhex(Substring(Sha2(skString(children), Literal(224)), Literal(1), Literal(40)))
 
+  /** Catalyst twin of Sampling.uniform01: first 60 bits of the key md5
+    * scaled by 2^-60 — the deterministic engine-portable uniform draw
+    * behind weighted sampling and split assignment.
+    */
+  private def uniform01(children: Seq[Expression]): Expression = {
+    require(children.nonEmpty, "graft_uniform01 takes at least 1 argument")
+    val joined = ConcatWs(
+      Literal("\u0001") +: children.map(c =>
+        Coalesce(Seq(Cast(c, StringType), Literal(NullToken)))))
+    val hex15 = Substring(Md5(Encode(joined, Literal("UTF-8"))), Literal(1), Literal(15))
+    Divide(
+      Cast(Cast(Conv(hex15, Literal(16), Literal(10)), LongType), DoubleType),
+      Literal(1152921504606846976.0)) // 2^60
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
@@ -52,6 +67,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sk_hash"),
       new ExpressionInfo(getClass.getName, "graft_sk_hash"),
       (children: Seq[Expression]) => skHash(children)
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_uniform01"),
+      new ExpressionInfo(getClass.getName, "graft_uniform01"),
+      (children: Seq[Expression]) => uniform01(children)
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(getClass.getName, "graft_hamming"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_hamming takes exactly 2 arguments")
+        BitwiseCount(BitwiseXor(children.head, children(1)))
+      }
     ))
   }
 }

@@ -30,6 +30,21 @@ class ExpressionSpec extends SparkSpec {
     assert(nk.getString(0) != nk.getString(1))
   }
 
+  test("graft_uniform01 / graft_hamming SQL functions match their Column twins") {
+    import graft.operators.Sampling
+    val d = Tables.customer(spark, sf).limit(100)
+    d.createOrReplaceTempView("u01_cust")
+    val api = d.select(Sampling.uniform01(Seq(col("c_custkey"))).as("u"))
+    val sql = spark.sql("SELECT graft_uniform01(c_custkey) AS u FROM u01_cust")
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+    // uniform01 lands in [0, 1)
+    val bounds = sql.agg(min("u"), max("u")).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) < 1.0)
+    // hamming = popcount of xor
+    val h = spark.sql("SELECT graft_hamming(CAST(11 AS BIGINT), CAST(4 AS BIGINT)) AS h").head().getInt(0)
+    assert(h == 4) // 1011 xor 0100 = 1111
+  }
+
   test("native expression matches the compiled UDF bit-for-bit") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
