@@ -117,6 +117,36 @@ class EdgeCasesSpec extends SparkSpec {
     assert(b(2L) == 0L)
   }
 
+  test("session-3 operators on empty and degenerate inputs") {
+    import graft.text.Packing
+    val emptyKv = Seq.empty[(Long, String, Long)].toDF("id", "g", "toks")
+    // packing: empty input → empty assignment and summary, no window errors
+    assert(Packing.chunkAssignments(emptyKv, Seq("g"), Seq("id"), "toks", 64L).count() == 0)
+    assert(Packing.packSummary(emptyKv, Seq("g"), Seq("id"), "toks", 64L).count() == 0)
+    // per-group cap: empty input, and cap larger than every group
+    assert(Sampling.capPerGroup(emptyKv, Seq("g"), Seq("id"), 5).count() == 0)
+    // bloom: empty dim builds a usable (reject-most) filter; empty fact prunes to empty
+    val dim = Seq.empty[Tuple1[Long]].toDF("k")
+    val bloom = BloomPrune.build(dim, Seq("k"), expectedItems = 1L)
+    val fact = Seq(1L, 2L, 3L).toDF("k")
+    assert(BloomPrune.prune(fact, Seq("k"), bloom).count() == 0) // no bits set
+    assert(BloomPrune.prune(dim, Seq("k"), bloom).count() == 0)
+    // distribution drift: both sides empty → every share is the smoothed
+    // floor, terms finite and zero
+    val ev = Seq.empty[Tuple1[java.lang.Double]].toDF("v")
+    val d = Profiler.distributionDrift(ev, ev, "v", 0.0, 10.0, 5)
+    assert(d.count() == 0) // no buckets observed on either side
+    // valid-time align: one empty timeline → no segments
+    val tl = Seq((1L, "x", 0L, Option.empty[Long])).toDF("k", "a", "valid_from", "valid_to")
+    val none = Seq.empty[(Long, Long, Long, Option[Long])].toDF("k", "b", "valid_from", "valid_to")
+    assert(TemporalJoins.validTimeAlign(tl, none, Seq("k")).count() == 0)
+    // scd2 merge with an empty batch returns history unchanged
+    val hist = Scd2.build(Seq((1L, 1L, "v")).toDF("e", "t", "x"), Seq("e"), Seq("t"), Seq("x"))
+    val mergedEmpty = Scd2.merge(hist,
+      Seq.empty[(Long, Long, String)].toDF("e", "t", "x"), Seq("e"), Seq("t"), Seq("x"))
+    assert(mergedEmpty.count() == hist.count())
+  }
+
   test("batched PK search chunks wide levels and survives comma column names") {
     val d = Seq(
       (1L, 1L, "a", "x"), (1L, 2L, "a", "y"), (2L, 1L, "b", "x"), (2L, 2L, "c", "y")
