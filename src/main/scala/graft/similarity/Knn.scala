@@ -179,30 +179,100 @@ object Knn {
       seed: Long = 7L,
       maxIter: Int = 5
   ): DataFrame = {
+    val index = buildIvfIndex(corpus, idCol, vecCol, nlist, seed, maxIter)
+    ivfTopKPrebuilt(assignCells(corpus, idCol, vecCol, index), index, queries,
+      idCol, vecCol, k, nprobe)
+  }
+
+  /** The IVF index = the k-means cell centroids, as a persistable
+    * DataFrame (cell, centroid). Build it ONCE, write it to parquet next
+    * to the corpus, and reuse across query batches — the index build is
+    * the expensive step (k-means over the corpus), probing is cheap.
+    *
+    * `trainFraction < 1` fits the k-means on a deterministic md5-hash
+    * sample — the standard trade at corpus scale: centroid quality needs a
+    * representative sample, not every vector; assignment still covers the
+    * full corpus in one narrow pass.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      seed: Long = 7L,
+      maxIter: Int = 5,
+      trainFraction: Double = 1.0
+  ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
-
+    val spark = corpus.sparkSession
     val toVec = udf { (a: Seq[Double]) => Vectors.dense(a.toArray) }
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("features", toVec(col("v")))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val train =
+      if (trainFraction >= 1.0) base
+      else graft.operators.Sampling.deterministic(base, Seq("id"), trainFraction)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(c)
-    val cells = model.transform(c).select(col("id"), col("v"), col("cell"))
+      .fit(train.withColumn("features", toVec(col("v"))))
+    import spark.implicits._
+    model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
+      .map { case (ct, i) => (i, ct) }.toSeq
+      .toDF("cell", "centroid")
+  }
 
+  private def centersOf(index: DataFrame): Array[(Int, Array[Double])] =
+    index.select(col("cell"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
+  /** Assign every corpus vector to its nearest index cell — one compiled
+    * narrow pass against the broadcast centroid table.
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String, index: DataFrame): DataFrame = {
+    val centers = centersOf(index)
+    val nearest = udf { (v: Seq[Double]) =>
+      var best = -1; var bestD = Double.MaxValue
+      var i = 0
+      while (i < centers.length) {
+        val ct = centers(i)._2
+        var d = 0.0; var j = 0
+        val n = math.min(ct.length, v.length)
+        while (j < n) { val t = ct(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = centers(i)._1 }
+        i += 1
+      }
+      best
+    }
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearest(col("v")))
+  }
+
+  /** Probe a prebuilt IVF index: each query fans out to its nprobe nearest
+    * cells; only those cells' vectors are scored.
+    */
+  def ivfTopKPrebuilt(
+      cells: DataFrame,
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
     // driver-side centroid table is tiny (nlist × dim); nearest nprobe
     // cells per query computed in one compiled pass
-    val centers = model.clusterCenters.map(_.toArray)
+    val centers = centersOf(index)
     val probeUdf = udf { (q: Seq[Double]) =>
-      centers.zipWithIndex.map { case (ct, i) =>
+      centers.map { case (cell, ct) =>
         var d = 0.0; var j = 0
-        while (j < math.min(ct.length, q.length)) { val t = ct(j) - q(j); d += t * t; j += 1 }
-        (d, i)
+        val n = math.min(ct.length, q.length)
+        while (j < n) { val t = ct(j) - q(j); d += t * t; j += 1 }
+        (d, cell)
       }.sortBy(_._1).take(nprobe).map(_._2)
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
-
     val scored = cells.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", cosine(col("v"), col("qv")))
@@ -238,6 +308,66 @@ object Knn {
       .withColumn("score", cosine(col("v_a"), col("v_b")))
       .filter(col("score") >= tau)
       .select(col("id_a"), col("id_b"), col("score"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Incremental embedding near-dup pairs: a NEW vector batch against the
+    * stored corpus — the embedding twin of
+    * [[graft.dedup.MinHashLsh.incrementalBlockedPairs]]. Returns
+    * batch-internal pairs plus (batch, stored) cross pairs; stored-stored
+    * pairs are excluded by construction, so each ingest pays for its
+    * batch, never the corpus.
+    *
+    * Scale shape mirrors the minhash form: the store is bucket-filtered
+    * MAP-SIDE against the broadcast batch bucket set (store vectors outside
+    * batch buckets never move), and `maxBucketSize` caps the COMBINED
+    * bucket population so one hot bucket can't go |batch|×|store|
+    * quadratic. Result equals [[nearDupPairs]] over (batch ∪ store)
+    * restricted to batch-touching pairs (spec-asserted).
+    *
+    * @return (id_a, id_b, score) with id_a < id_b; ids must be disjoint
+    *   between batch and store.
+    */
+  def incrementalNearDupPairs(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 7L,
+      maxBucketSize: Int = 5000
+  ): DataFrame = {
+    val b = batch.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim, seed))
+      .withColumn("__batch", lit(true))
+    val batchBuckets = b.select("bucket").distinct()
+    val s = store.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim, seed))
+      .join(broadcast(batchBuckets), Seq("bucket"), "left_semi")
+      .withColumn("__batch", lit(false))
+    // cap by the COMBINED (batch + store) bucket population — identical
+    // semantics to nearDupPairs on the union
+    val all = b.unionByName(s)
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val l = all.filter(col("__batch"))
+      .select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = all.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"),
+      col("__batch").as("__batch_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      // batch-batch pairs once (canonical order); batch-store pairs always
+      // taken from the batch side, then normalized below
+      .filter(!col("__batch_b") || col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("v_a"), col("v_b")))
+      .filter(col("score") >= tau)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("score"))
       .dropDuplicates("id_a", "id_b")
   }
 }

@@ -230,6 +230,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Knn.probeMasks(8, 1).toSet == (Set(0L) ++ (0 until 8).map(1L << _)))
   }
 
+  test("prebuilt IVF index roundtrips through parquet; full probe equals flat search") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 8, trainFraction = 0.5)
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    val index = spark.read.parquet(s"$tmp/index")
+    val cells = Knn.assignCells(e, "vec_id", "embedding", index)
+    // probing every cell must reproduce exact flat search, whatever the
+    // (sample-trained) centroids look like
+    val viaIndex = Knn.ivfTopKPrebuilt(cells, index, q, "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val flat = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaIndex == flat)
+  }
+
+  test("incremental embedding near-dup equals full blocking restricted to batch pairs") {
+    val all = graft.queries.LlmQueries.vecsWithTwins(spark, sf)
+    val batch = all.filter($"vec_id" % 5 === 0)
+    val store = all.filter($"vec_id" % 5 =!= 0)
+    val full = Knn.nearDupPairs(all, "vec_id", "embedding", tau = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    val expected = full.filter { case (a, b) => batchIds(a) || batchIds(b) }
+    val inc = Knn.incrementalNearDupPairs(batch, store, "vec_id", "embedding", tau = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc == expected, s"diff: ${(inc diff expected) ++ (expected diff inc)}")
+    assert(expected.nonEmpty, "test vacuous: no twin pair touches the batch")
+  }
+
   test("IVF top-k achieves high recall vs brute force on real embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 5)
