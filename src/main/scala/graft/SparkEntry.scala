@@ -80,7 +80,8 @@ object SparkEntry {
     "q69_source_cap" -> (LlmQueries.q69SourceCap(_, _)),
     "q70_pack" -> (LlmQueries.q70Pack(_, _)),
     "q71_scd2_merge" -> (CoreQueries.q71Scd2Merge(_, _)),
-    "q72_time_align" -> (CoreQueries.q72TimeAlign(_, _))
+    "q72_time_align" -> (CoreQueries.q72TimeAlign(_, _)),
+    "q73_fuzzy_match" -> (CoreQueries.q73FuzzyMatch(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -945,6 +946,19 @@ object SparkEntry {
         |  NULLIF(least(a_to, b_to), 9223372036854775807) AS seg_to
         |FROM ht JOIN hb ON ht.user_id = hb.user_id
         |  AND a_from < b_to AND b_from < a_to
-        |ORDER BY ht.user_id, seg_from""".stripMargin
+        |ORDER BY ht.user_id, seg_from""".stripMargin,
+    "q73_fuzzy_match" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |var AS (SELECT id + 1000000 AS id,
+        |    substr(name, 1, CAST(id % 6 AS INT)) || 'X' ||
+        |    substr(name, CAST(id % 6 AS INT) + 2, 1000) AS name
+        |  FROM base),
+        |b AS (SELECT id, name, substr(name, length(name) - 5, 6) AS blk
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM var))
+        |SELECT x.id AS id_a, y.id AS id_b,
+        |  CAST(levenshtein(x.name, y.name) AS INT) AS dist
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+        |WHERE levenshtein(x.name, y.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -596,6 +596,32 @@ object CoreQueries {
       .orderBy("user_id", "seg_from")
   }
 
+  /** Fuzzy entity matching: customers unioned with deterministically
+    * misspelled twins (one char of the name swapped for 'X' at position
+    * custkey % 6 + 1), matched back by suffix-6 blocking + levenshtein ≤ 2.
+    * Both the misspelling and the edit distance replay identically in the
+    * oracle, so the whole block→verify pipeline hash-matches.
+    */
+  def q73FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val p = (col("id") % 6 + 1).cast("int")
+    val variant = base.select(
+      (col("id") + 1000000L).as("id"),
+      concat(
+        col("name").substr(lit(1), p - 1),
+        lit("X"),
+        col("name").substr(p + 1, lit(1000))
+      ).as("name")
+    )
+    val all = base.unionByName(variant)
+    graft.text.FuzzyMatch.blockedPairs(
+      all, "id", "name",
+      blockKey = expr("substring(name, length(name) - 5, 6)"),
+      maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Histogram-level distribution drift (chi-square terms) between the
     * even- and odd-user halves of the event stream: same fixed bins on
     * both sides, bucket-count-only exchanges. Only the chi2 term is in the

@@ -239,6 +239,25 @@ class ProfileSampleSpec extends SparkSpec {
     assert(bins.head == 0L && bins.last >= 3L)
   }
 
+  test("fuzzy match: blocked levenshtein pairs, caps, null safety") {
+    import graft.text.FuzzyMatch
+    import spark.implicits._
+    val d = Seq(
+      (1L, "jonathan smith"), (2L, "jonathon smith"),   // dist 1, same block
+      (3L, "jane doe"), (4L, "john doe"),               // dist 3, same block
+      (5L, "zz top"), (6L, null.asInstanceOf[String])   // lone block; null never pairs
+    ).toDF("id", "name")
+    val pairs = FuzzyMatch.blockedPairs(d, "id", "name",
+      blockKey = expr("substring(name, length(name) - 3, 4)"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+    // bucket cap drops a degenerate block instead of going quadratic
+    val hot = (1L to 50L).map(i => (i, s"name$i", "same")).toDF("id", "name", "blk")
+    val capped = FuzzyMatch.blockedPairs(hot, "id", "name", col("blk"), maxDist = 100,
+      maxBucketSize = 10)
+    assert(capped.count() == 0)
+  }
+
   test("heavy hitters: exact counts, deterministic tie-break, grouped top-k") {
     import spark.implicits._
     val docs = Seq("b a a", "B c", "a c").toDF("text")
