@@ -81,7 +81,8 @@ object SparkEntry {
     "q70_pack" -> (LlmQueries.q70Pack(_, _)),
     "q71_scd2_merge" -> (CoreQueries.q71Scd2Merge(_, _)),
     "q72_time_align" -> (CoreQueries.q72TimeAlign(_, _)),
-    "q73_fuzzy_match" -> (CoreQueries.q73FuzzyMatch(_, _))
+    "q73_fuzzy_match" -> (CoreQueries.q73FuzzyMatch(_, _)),
+    "q74_anomalies" -> (CoreQueries.q74Anomalies(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -959,6 +960,26 @@ object SparkEntry {
         |  CAST(levenshtein(x.name, y.name) AS INT) AS dist
         |FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
         |WHERE levenshtein(x.name, y.name) <= 2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // trailing-24h 3-sigma breach, evaluated in pure integer arithmetic
+    "q74_anomalies" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS slot FROM events),
+        |c AS (SELECT event_type, slot, count(*) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+        |g AS (SELECT s.event_type, s.slot, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot),
+        |w AS (SELECT event_type, slot, n,
+        |  CAST(count(n) OVER tw AS BIGINT) AS w_n,
+        |  CAST(sum(n) OVER tw AS BIGINT) AS w_sum,
+        |  CAST(sum(n * n) OVER tw AS BIGINT) AS w_sumsq
+        |  FROM g WINDOW tw AS (PARTITION BY event_type ORDER BY slot
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS hr, n, w_sum, w_sumsq
+        |FROM w
+        |WHERE w_n = 24
+        |  AND (w_n - 1) * (n * w_n - w_sum) * (n * w_n - w_sum)
+        |      > 9 * w_n * (w_n * w_sumsq - w_sum * w_sum)
+        |ORDER BY event_type, hr""".stripMargin
   )
 }

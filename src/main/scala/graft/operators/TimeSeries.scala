@@ -93,4 +93,49 @@ object TimeSeries {
     resampleCounts(df, keyCols, tsCol, step)
       .withColumn("ma", avg(col("n")).over(w))
   }
+
+  /** Anomalous slots: gap-filled counts whose value breaches k standard
+    * deviations of the TRAILING window (window excludes the current slot —
+    * a spike must not defend itself). The σ-test is evaluated in pure
+    * INTEGER arithmetic, never a floating stddev:
+    *
+    *   (x − s/n)² > k²·var_samp  ⇔  (n−1)·(x·n − s)² > k²·n·(n·q − s²)
+    *
+    * with s = Σcount, q = Σcount² over the trailing window — so the
+    * verdict is bit-identical on any engine (floating stddev differs in
+    * last-ulp across implementations and can flip a boundary comparison).
+    * Counts are window sums of longs; magnitudes stay far under 2⁶³ for
+    * any sane (window, per-slot count) combination.
+    *
+    * One shuffle on the key columns; the spine join and both window sums
+    * share its partitioning. Emits only the breaching slots, with the
+    * trailing-window aggregates for context.
+    */
+  def anomalies(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      window: Int = 24,
+      k: Int = 3,
+      step: String = "1 hour"
+  ): DataFrame = {
+    require(window >= 2, "need at least 2 trailing slots for a variance")
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy("slot")
+      .rowsBetween(-window, -1)
+    val counts = resampleCounts(df, keyCols, tsCol, step)
+      .withColumn("w_n", count(col("n")).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+    counts
+      .filter(col("w_n") === window) // only slots with a full trailing window
+      .filter(
+        (col("w_n") - 1) * (col("n") * col("w_n") - col("w_sum"))
+          * (col("n") * col("w_n") - col("w_sum"))
+          > lit(k.toLong * k) * col("w_n")
+            * (col("w_n") * col("w_sumsq") - col("w_sum") * col("w_sum")))
+      .select(keyCols.map(col) :+ col("slot") :+ col("n") :+
+        col("w_sum") :+ col("w_sumsq"): _*)
+  }
 }

@@ -255,6 +255,22 @@ object CoreQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Time-series anomaly slots: hourly event counts per type breaching 3σ
+    * of the trailing 24h window — with the σ-test in pure integer
+    * arithmetic, so the breach verdict (a boundary comparison a floating
+    * stddev could flip by an ulp) hash-matches across engines.
+    */
+  def q74Anomalies(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    TimeSeries.anomalies(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts",
+      window = 24, k = 3)
+      .select(col("event_type"),
+        date_format(col("slot"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("n"), col("w_sum"), col("w_sumsq"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Digest reconciliation: orders vs orders-with-a-perturbation (every
     * 1000th row's priority changed, one row dropped) — only the buckets
     * actually containing differences surface. Digest exchange is

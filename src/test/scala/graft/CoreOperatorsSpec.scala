@@ -168,6 +168,28 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(survivors.exists(_.toSet == Set("k1", "k2")))
   }
 
+  test("anomaly slots: spike flagged against trailing window, steady series clean") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    // 30 hourly slots: 2 events/hour steady, then a 40-event spike at hour 28
+    val ts = (0 until 30).flatMap { h =>
+      val cnt = if (h == 28) 40 else 2
+      val day = 1 + h / 24
+      val hh = h % 24
+      Seq.fill(cnt)(("a", java.sql.Timestamp.valueOf(f"2024-03-0$day $hh%02d:30:00")))
+    }.toDF("k", "ts")
+    val out = TimeSeries.anomalies(ts, Seq("k"), "ts", window = 24, k = 3)
+      .collect()
+    assert(out.length == 1, s"expected exactly the spike, got ${out.length}")
+    assert(out.head.getLong(2) == 40L) // n of the flagged slot
+    // steady series (no spike) flags nothing
+    val steady = (0 until 30).flatMap { h =>
+      val day = 1 + h / 24
+      Seq.fill(2)(("a", java.sql.Timestamp.valueOf(f"2024-03-0$day ${h % 24}%02d:30:00")))
+    }.toDF("k", "ts")
+    assert(TimeSeries.anomalies(steady, Seq("k"), "ts", window = 24, k = 3).count() == 0)
+  }
+
   test("resample handles sub-hour and multi-unit steps with dense aligned slots") {
     import graft.operators.TimeSeries
     import spark.implicits._
