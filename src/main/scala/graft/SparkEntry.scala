@@ -82,7 +82,8 @@ object SparkEntry {
     "q71_scd2_merge" -> (CoreQueries.q71Scd2Merge(_, _)),
     "q72_time_align" -> (CoreQueries.q72TimeAlign(_, _)),
     "q73_fuzzy_match" -> (CoreQueries.q73FuzzyMatch(_, _)),
-    "q74_anomalies" -> (CoreQueries.q74Anomalies(_, _))
+    "q74_anomalies" -> (CoreQueries.q74Anomalies(_, _)),
+    "q75_reconcile_repair" -> (CoreQueries.q75ReconcileRepair(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -980,6 +981,24 @@ object SparkEntry {
         |WHERE w_n = 24
         |  AND (w_n - 1) * (n * w_n - w_sum) * (n * w_n - w_sum)
         |      > 9 * w_n * (w_n * w_sumsq - w_sum * w_sum)
-        |ORDER BY event_type, hr""".stripMargin
+        |ORDER BY event_type, hr""".stripMargin,
+    // targeted bucket repair must equal the FULL unrestricted diff
+    "q75_reconcile_repair" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 1000 = 0 THEN '9-TAMPERED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey <> 7),
+        |sel AS (SELECT a.o_orderkey,
+        |    a.o_custkey c1, b.o_custkey c2,
+        |    a.o_orderpriority r1, b.o_orderpriority r2
+        |  FROM a JOIN b USING (o_orderkey))
+        |SELECT * FROM (
+        |  SELECT o_orderkey, 'o_custkey' AS column_name,
+        |    CAST(c1 AS VARCHAR) AS before, CAST(c2 AS VARCHAR) AS after
+        |  FROM sel WHERE NOT (c1 IS NOT DISTINCT FROM c2)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_orderpriority', CAST(r1 AS VARCHAR), CAST(r2 AS VARCHAR)
+        |  FROM sel WHERE NOT (r1 IS NOT DISTINCT FROM r2)
+        |) ORDER BY o_orderkey, column_name""".stripMargin
   )
 }

@@ -45,4 +45,29 @@ object Reconcile {
         !(col("n_a") <=> col("n_b")) || !(col("digest_a") <=> col("digest_b")))
       .select("bucket", "n_a", "n_b", "digest_a", "digest_b")
   }
+
+  /** The drill-down that finishes the reconciliation: both sides are
+    * pruned to the mismatched buckets (broadcast left-semi against the
+    * tiny bucket list — when the bucket derives from a partition column
+    * this is partition pruning, otherwise a map-side filter; either way
+    * the exact compare join only ever sees the differing slivers) and an
+    * exact [[CompareDataFrames]] classifies every divergent row.
+    *
+    * digests → mismatchedBuckets → repair is the full sync pipeline:
+    * O(buckets) exchanged to localize, O(differing sliver) to resolve —
+    * never O(table) joined against O(table).
+    */
+  def repair(
+      a: DataFrame,
+      bucketA: Column,
+      b: DataFrame,
+      bucketB: Column,
+      keyColumns: Seq[String],
+      mismatched: DataFrame
+  ): CompareDataFrames.Compared = {
+    val buckets = broadcast(mismatched.select(col("bucket").as("__mb")).distinct())
+    def slice(df: DataFrame, bucket: Column): DataFrame =
+      df.join(buckets, bucket === col("__mb"), "left_semi")
+    CompareDataFrames(slice(a, bucketA), slice(b, bucketB), keyColumns)
+  }
 }

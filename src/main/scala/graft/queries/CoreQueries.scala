@@ -292,6 +292,31 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** The reconciliation drill-down end-to-end: digest both sides, find
+    * mismatched buckets, exact-compare ONLY those buckets. The oracle is
+    * the FULL unrestricted diff — the gate proves targeted == exact (the
+    * same incremental-equals-rebuild pattern as q71).
+    */
+  def q75ReconcileRepair(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Reconcile
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+    val a = Tables.orders(s, dir).select(cols.map(col): _*)
+    val b = Tables.orders(s, dir)
+      .filter(col("o_orderkey") =!= 7L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 1000 === 0, lit("9-TAMPERED"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    val bucket = (col("o_orderkey") / 500).cast("long")
+    val mismatched = Reconcile.mismatchedBuckets(
+      Reconcile.digests(a, bucket, cols.map(col)),
+      Reconcile.digests(b, bucket, cols.map(col)))
+    val compared = Reconcile.repair(a, bucket, b, bucket, Seq("o_orderkey"), mismatched)
+    compared.changedLong
+      .select(col("o_orderkey"), col("column_name"),
+        col("before").cast("string").as("before"), col("after").cast("string").as("after"))
+      .orderBy("o_orderkey", "column_name")
+  }
+
   /** Forward-filled hourly series of the max event value per type (LOCF
     * over the gap-filled spine; max is order-independent so the fill is
     * engine-deterministic).

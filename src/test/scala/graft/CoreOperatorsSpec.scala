@@ -222,6 +222,18 @@ class CoreOperatorsSpec extends SparkSpec {
     val bad = Reconcile.mismatchedBuckets(
       dA, Reconcile.digests(edited, bucket, cols.map(col))).collect()
     assert(bad.map(_.getLong(0)).toSeq == Seq(0L)) // orderkey 42 -> bucket 0
+    // drill-down: repair over the mismatched buckets classifies the edit
+    // exactly, and a removed row surfaces as 'removed'
+    val dropped = edited.filter(col("o_orderkey") =!= 9L)
+    val mism = Reconcile.mismatchedBuckets(dA, Reconcile.digests(dropped, bucket, cols.map(col)))
+    val rep = Reconcile.repair(a, bucket, dropped, bucket, Seq("o_orderkey"), mism)
+    val chg = rep.changedLong.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(chg == Set((42L, "o_custkey")))
+    assert(rep.removed.select("o_orderkey").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(rep.added.count() == 0)
+    // only the mismatched buckets' rows entered the exact compare
+    assert(rep.notChanged.count() < a.count())
   }
 
   test("CDC applyChanges: insert, delete, multi-op compaction") {
