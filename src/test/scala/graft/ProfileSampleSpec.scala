@@ -256,6 +256,25 @@ class ProfileSampleSpec extends SparkSpec {
     val capped = FuzzyMatch.blockedPairs(hot, "id", "name", col("blk"), maxDist = 100,
       maxBucketSize = 10)
     assert(capped.count() == 0)
+    // phonetic blocking: soundex groups sound-alike spellings into one block
+    val ph = Seq((1L, "smith"), (2L, "smyth"), (3L, "jones")).toDF("id", "name")
+    val phPairs = FuzzyMatch.blockedPairs(ph, "id", "name", soundex(col("name")), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(phPairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("split assignment on a group key keeps every group's rows in one split") {
+    import spark.implicits._
+    // split by SOURCE, not by row: the leakage-safe holdout (all docs of a
+    // crawl host land in the same split, so near-dups can't straddle)
+    val docs = (1L to 300L).map(i => (i, s"src${i % 30}")).toDF("id", "source")
+    val assigned = Sampling.splitAssign(docs, Seq("source"),
+      Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
+    val perGroup = assigned.groupBy("source")
+      .agg(countDistinct("split").as("n_splits"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L), "a source straddled splits")
+    assert(assigned.select("split").distinct().count() >= 2)
   }
 
   test("heavy hitters: exact counts, deterministic tie-break, grouped top-k") {
