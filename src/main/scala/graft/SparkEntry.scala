@@ -83,7 +83,8 @@ object SparkEntry {
     "q72_time_align" -> (CoreQueries.q72TimeAlign(_, _)),
     "q73_fuzzy_match" -> (CoreQueries.q73FuzzyMatch(_, _)),
     "q74_anomalies" -> (CoreQueries.q74Anomalies(_, _)),
-    "q75_reconcile_repair" -> (CoreQueries.q75ReconcileRepair(_, _))
+    "q75_reconcile_repair" -> (CoreQueries.q75ReconcileRepair(_, _)),
+    "q76_curation_pipeline" -> (LlmQueries.q76CurationPipeline(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -999,6 +1000,44 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, 'o_orderpriority', CAST(r1 AS VARCHAR), CAST(r2 AS VARCHAR)
         |  FROM sel WHERE NOT (r1 IS NOT DISTINCT FROM r2)
-        |) ORDER BY o_orderkey, column_name""".stripMargin
+        |) ORDER BY o_orderkey, column_name""".stripMargin,
+    // the full curation pipeline replayed end-to-end:
+    // gate -> dedup -> cap -> split -> mixture
+    "q76_curation_pipeline" ->
+      """WITH docs AS (SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+        |  len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+        |  len(regexp_extract_all(' ' || lower(text), '\s[^\s]*[a-z]')) AS n_alpha_words,
+        |  len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS n_stop,
+        |  len(regexp_extract_all(text, chr(10))) + 1 AS n_lines,
+        |  len(regexp_extract_all(chr(10) || text, chr(10) || '[ ' || chr(9) || ']*[-*•]')) AS n_bullet,
+        |  len(regexp_extract_all(text || chr(10), '(\.\.\.|…)[ ' || chr(9) || ']*' || chr(10))) AS n_ellipsis
+        |  FROM docs),
+        |g AS (SELECT doc_id FROM t WHERE
+        |  (n_words BETWEEN 30 AND 100000)
+        |  AND (n_nonspace / greatest(n_words, 1) BETWEEN 3.0 AND 10.0)
+        |  AND n_sym / greatest(n_words, 1) < 0.1
+        |  AND n_alpha_words / greatest(n_words, 1) >= 0.8
+        |  AND n_stop >= 2
+        |  AND n_bullet / n_lines < 0.9
+        |  AND n_ellipsis / n_lines < 0.3),
+        |gated AS (SELECT d.* FROM docs d JOIN g USING (doc_id)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+        |kept AS (SELECT g2.* FROM gated g2 JOIN keep USING (doc_id)),
+        |capped AS (SELECT * FROM (
+        |  SELECT k.*, row_number() OVER (PARTITION BY source
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
+        |  FROM kept k) WHERE rn <= 20),
+        |sp AS (SELECT *, CASE
+        |    WHEN substring(md5(source), 1, 15) < 'c00000000000000' THEN 'train'
+        |    WHEN substring(md5(source), 1, 15) < 'e00000000000000' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM capped)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }

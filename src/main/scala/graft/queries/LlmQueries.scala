@@ -332,6 +332,40 @@ object LlmQueries {
       .orderBy("lang", "bin")
   }
 
+  /** The WHOLE curation pipeline as one oracle-verified query: quality
+    * gate (Gopher) → exact dedup (keep lowest id per content) → per-source
+    * cap → leakage-safe split (keyed on SOURCE, so every host lands in one
+    * split) → mixture summary per (split, lang). Every stage is
+    * engine-portable, so the DuckDB oracle replays the pipeline end to end
+    * and the final mixture hash-matches — the strongest statement the gate
+    * can make about a multi-stage pipeline.
+    */
+  def q76CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithExactCopiesFull(s, dir)
+    val passIds = TextAnalysis.gopherFilters(docs.select("doc_id", "text"), "doc_id", "text")
+      .filter(col("passes"))
+      .select("doc_id")
+    val gated = docs.join(passIds, Seq("doc_id"), "left_semi")
+    val deduped = ExactDedup.dedup(gated, "doc_id", "text")
+    val capped = graft.operators.Sampling.capPerGroup(
+      deduped, Seq("source"), Seq("doc_id"), maxPerGroup = 20)
+    val split = graft.operators.Sampling.splitAssign(
+      capped, Seq("source"), Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
+    TextAnalysis.tokenCounts(split, "text")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws_tokens").cast("long")).as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  /** [[docsWithExactCopies]] but keeping lang + source (pipeline inputs). */
+  private def docsWithExactCopiesFull(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + TwinOffset)
+    )
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)
