@@ -41,6 +41,38 @@ object RuleEngine {
     )
   }
 
+  /** Close the profile → rules loop: derive candidate DQ rules from a
+    * [[Profiler.profile]] snapshot of a KNOWN-GOOD load, to validate the
+    * next load with. Suggested per column:
+    *  - `NOT NULL` when the baseline had zero nulls;
+    *  - `BETWEEN min AND max` (with `relax`-widened bounds) when the
+    *    baseline min/max parse as numbers.
+    * The profile is a few rows per column, so this is driver-side
+    * bookkeeping — the expensive scan already happened when the profile
+    * was taken. Review before enforcing: a baseline is evidence, not a
+    * contract.
+    */
+  def suggestRules(profile: DataFrame, relax: Double = 0.0): Seq[Rule] = {
+    val byColumn = profile
+      .select(col("column"), col("metric"), col("value"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getString(2)).toMap)
+    def num(s: String): Option[Double] =
+      try Option(s).map(_.toDouble) catch { case _: NumberFormatException => None }
+    byColumn.toSeq.sortBy(_._1).flatMap { case (c, m) =>
+      val q = s"`$c`"
+      val notNull = m.get("nulls").filter(_ == "0")
+        .map(_ => Rule(s"${c}_not_null", s"$q IS NOT NULL"))
+      val range = for {
+        lo <- m.get("min").flatMap(num)
+        hi <- m.get("max").flatMap(num)
+        pad = (hi - lo).abs * relax
+      } yield Rule(s"${c}_range", s"$q BETWEEN ${lo - pad} AND ${hi + pad}")
+      notNull.toSeq ++ range.toSeq
+    }
+  }
+
   /** [[validate]] per group: one grouped aggregation pass evaluates every
     * rule for every group — the partitioned-DQ shape ("which source/day
     * went bad?"). Still ONE scan with map-side partial aggregation; the

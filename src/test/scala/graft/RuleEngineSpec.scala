@@ -49,4 +49,27 @@ class RuleEngineSpec extends SparkSpec {
     RuleEngine.enforce(df, Seq(Rule("id_present", "id IS NOT NULL"))) // no throw
     RuleEngine.enforce(df, Seq(Rule("amount_positive", "amount > 0")), maxFailureRate = 0.6)
   }
+
+  test("suggestRules derives not-null and range rules a good load then passes") {
+    import graft.quality.Profiler
+    import spark.implicits._
+    val good = Seq((1L, 10.0, "a"), (2L, 20.0, null.asInstanceOf[String]), (3L, 15.0, "c"))
+      .toDF("id", "amount", "note")
+    val rules = RuleEngine.suggestRules(
+      Profiler.profile(good, Seq("id", "amount", "note")), relax = 0.1)
+    val names = rules.map(_.name).toSet
+    // id and amount: never null + numeric range; note: nullable, non-numeric
+    assert(names.contains("id_not_null") && names.contains("amount_not_null"))
+    assert(names.contains("id_range") && names.contains("amount_range"))
+    assert(!names.contains("note_not_null") && !names.contains("note_range"))
+    // the baseline itself passes every suggested rule
+    val res = RuleEngine.validate(good, rules)
+      .select("rule", "n_failed").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(res.forall(_._2 == 0L), res.mkString(","))
+    // a drifted load trips the range rule
+    val bad = Seq((9L, 99.0, "x")).toDF("id", "amount", "note")
+    val tripped = RuleEngine.validate(bad, rules)
+      .filter($"n_failed" > 0).select("rule").as[String].collect().toSet
+    assert(tripped == Set("id_range", "amount_range"))
+  }
 }
