@@ -35,7 +35,7 @@ object SpanDedup {
     val n = floor(size(words) / spanWords).cast("int")
     // sequence(0, -1) would generate a DESCENDING [0,-1] — guard zero-span docs
     val idxs = when(n >= 1, sequence(lit(0), n - 1)).otherwise(array().cast("array<int>"))
-    val spanArr = transform(idxs, i => array_join(slice(words, i * spanWords + 1, spanWords), " "))
+    val spanArr = transform(idxs, i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
     df.select(col(idCol), posexplode(spanArr).as(Seq("span_idx", "span")))
   }
 
