@@ -84,7 +84,9 @@ object SparkEntry {
     "q73_fuzzy_match" -> (CoreQueries.q73FuzzyMatch(_, _)),
     "q74_anomalies" -> (CoreQueries.q74Anomalies(_, _)),
     "q75_reconcile_repair" -> (CoreQueries.q75ReconcileRepair(_, _)),
-    "q76_curation_pipeline" -> (LlmQueries.q76CurationPipeline(_, _))
+    "q76_curation_pipeline" -> (LlmQueries.q76CurationPipeline(_, _)),
+    "q77_span_stats" -> (LlmQueries.q77SpanStats(_, _)),
+    "q78_span_rewrite" -> (LlmQueries.q78SpanRewrite(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1038,6 +1040,55 @@ object SparkEntry {
         |  FROM capped)
         |SELECT split, lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
-        |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+        |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // sub-document (C4-style) span dedup: 60-bit md5 span keys are
+    // engine-portable, so DuckDB replays the exact chop/count/rewrite
+    "q77_span_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN 'graft corpus boilerplate header alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(CAST(floor(len(w)/8) AS BIGINT)),
+        |    i -> {'span_idx': i, 'h': substr(md5(array_to_string(w[i*8+1 : i*8+8], ' ')), 1, 15)})) AS s
+        |  FROM toks),
+        |spf AS (SELECT doc_id, s.span_idx AS span_idx, s.h AS h FROM sp),
+        |freq AS (SELECT h, count(*) AS freq FROM spf GROUP BY h)
+        |SELECT spf.doc_id AS doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM spf JOIN freq USING (h)
+        |GROUP BY spf.doc_id ORDER BY doc_id""".stripMargin,
+    "q78_span_rewrite" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN 'graft corpus boilerplate header alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(CAST(floor(len(w)/8) AS BIGINT)),
+        |    i -> {'span_idx': i, 'span': array_to_string(w[i*8+1 : i*8+8], ' ')})) AS s
+        |  FROM toks),
+        |spf AS (SELECT doc_id, s.span_idx AS span_idx, s.span AS span,
+        |        substr(md5(s.span), 1, 15) AS h FROM sp),
+        |firsts AS (
+        |  SELECT h, doc_id AS oid, span_idx AS oidx FROM (
+        |    SELECT h, doc_id, span_idx,
+        |           row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+        |    FROM spf) WHERE rn = 1),
+        |kept AS (
+        |  SELECT spf.doc_id AS doc_id, string_agg(span, ' ' ORDER BY span_idx) AS k
+        |  FROM spf JOIN firsts ON spf.h = firsts.h AND spf.doc_id = firsts.oid AND spf.span_idx = firsts.oidx
+        |  GROUP BY spf.doc_id),
+        |tails AS (
+        |  SELECT doc_id, array_to_string(w[CAST(floor(len(w)/8) AS BIGINT)*8+1 : len(w)], ' ') AS tail
+        |  FROM toks)
+        |SELECT d.doc_id AS doc_id,
+        |  concat_ws(' ', nullif(kept.k, ''), nullif(tails.tail, '')) AS text
+        |FROM docs d LEFT JOIN kept ON d.doc_id = kept.doc_id JOIN tails ON d.doc_id = tails.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -69,6 +69,13 @@ object SpanDedup {
     * Scale shape: the first-occurrence argmin is `min(struct(id, idx))` on
     * the span key — an aggregation, not a corpus window; reassembly is a
     * per-document sort_array over ≤ (words/spanWords) kept spans.
+    *
+    * MEMORY BOUND: reassembly buffers ONE document's kept spans in the
+    * aggregation buffer, so peak per-task memory is the largest single
+    * document, never the corpus. A pathological multi-GB single document
+    * would OOM that buffer — chunk such documents upstream (split on a
+    * size threshold) before calling this; typical web/crawl corpora cap
+    * documents at single-digit MB, which is far below task memory.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       spanWords: Int): DataFrame = {

@@ -357,6 +357,37 @@ object LlmQueries {
       .orderBy("split", "lang")
   }
 
+  /** 16 words = exactly two 8-word spans, so the injected header aligns
+    * with span boundaries and every third document shares its first two
+    * spans corpus-wide — deterministic sub-document duplication both
+    * engines replay identically (the rest of each doc shifts by a whole
+    * number of spans, leaving its own spans unchanged).
+    */
+  private val SpanHeader =
+    "graft corpus boilerplate header alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+  private def docsWithBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(lit(SpanHeader + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** Per-document span-duplication profile (C4-style sub-document dedup,
+    * measurement half): fraction of each doc's 8-word spans that recur
+    * anywhere in the corpus.
+    */
+  def q77SpanStats(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.duplicatedSpanStats(docsWithBoilerplate(s, dir), "doc_id", "text", spanWords = 8)
+      .orderBy("doc_id")
+
+  /** Sub-document rewrite: corpus-duplicated spans removed everywhere but
+    * their first (min (doc_id, span_idx)) occurrence; the injected
+    * boilerplate header survives only in the first doc that carries it.
+    */
+  def q78SpanRewrite(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.removeDuplicateSpans(docsWithBoilerplate(s, dir), "doc_id", "text", spanWords = 8)
+      .orderBy("doc_id")
+
   /** [[docsWithExactCopies]] but keeping lang + source (pipeline inputs). */
   private def docsWithExactCopiesFull(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")

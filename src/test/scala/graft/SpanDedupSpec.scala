@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.SpanDedup
+import org.apache.spark.sql.functions._
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("spans chops non-overlapping word spans, drops trailing fragment") {
+    val d = docs((1L, "a b c d e f g"))  // 7 words, spanWords=3 -> 2 spans, tail "g"
+    val sp = SpanDedup.spans(d, "doc_id", "text", spanWords = 3)
+      .orderBy("span_idx").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(sp.toSeq == Seq((0, "a b c"), (1, "d e f")))
+  }
+
+  test("doc shorter than spanWords yields zero spans; empty input yields empty output") {
+    val d = docs((1L, "a b"), (2L, ""))
+    assert(SpanDedup.spans(d, "doc_id", "text", spanWords = 3).count() == 0)
+    val empty = docs().filter(lit(false))
+    assert(SpanDedup.spans(empty, "doc_id", "text", 3).count() == 0)
+    assert(SpanDedup.duplicatedSpanStats(empty, "doc_id", "text", 3).count() == 0)
+    assert(SpanDedup.removeDuplicateSpans(empty, "doc_id", "text", 3).count() == 0)
+  }
+
+  test("duplicatedSpanStats counts corpus-wide recurring spans") {
+    val d = docs(
+      (1L, "dup dup dup x y z"),   // spans: "dup dup dup", "x y z"
+      (2L, "dup dup dup p q r"),   // shares span 0 with doc 1
+      (3L, "u v w"))               // unique
+    val stats = SpanDedup.duplicatedSpanStats(d, "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(stats.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("removeDuplicateSpans keeps first (min id, idx) occurrence, preserves tail fragment") {
+    val d = docs(
+      (1L, "dup dup dup x y z t1"),
+      (2L, "dup dup dup p q r t2"),
+      (3L, "dup dup dup"))
+    val out = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "dup dup dup x y z t1"),  // first owner keeps the dup span
+      (2L, "p q r t2"),              // dup span stripped, own span + tail kept
+      (3L, "")))                     // all spans removed, no tail -> empty text
+  }
+
+  test("span repeated WITHIN one document keeps only its first occurrence") {
+    val d = docs((1L, "a b c a b c tail"))
+    val out = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", spanWords = 3)
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a b c tail"))
+  }
+
+  test("multi-space tokenization is literal single-space split (empty tokens count)") {
+    // "a  b c" splits to ["a","","b","c"]: one 3-word span "a  b", tail "c"
+    val d = docs((1L, "a  b c"))
+    val sp = SpanDedup.spans(d, "doc_id", "text", spanWords = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(sp.toSeq == Seq((0, "a  b")))
+    val out = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", spanWords = 3)
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a  b c"))  // reassembly reproduces the original text
+  }
+
+  test("text that is an exact span multiple has empty tail and round-trips") {
+    val d = docs((1L, "a b c d e f"))
+    val out = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", spanWords = 3)
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("a b c d e f"))
+  }
+}
