@@ -86,7 +86,8 @@ object SparkEntry {
     "q75_reconcile_repair" -> (CoreQueries.q75ReconcileRepair(_, _)),
     "q76_curation_pipeline" -> (LlmQueries.q76CurationPipeline(_, _)),
     "q77_span_stats" -> (LlmQueries.q77SpanStats(_, _)),
-    "q78_span_rewrite" -> (LlmQueries.q78SpanRewrite(_, _))
+    "q78_span_rewrite" -> (LlmQueries.q78SpanRewrite(_, _)),
+    "q79_json_flatten" -> (CoreQueries.q79JsonFlatten(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1089,6 +1090,14 @@ object SparkEntry {
         |SELECT d.doc_id AS doc_id,
         |  concat_ws(' ', nullif(kept.k, ''), nullif(tails.tail, '')) AS text
         |FROM docs d LEFT JOIN kept ON d.doc_id = kept.doc_id JOIN tails ON d.doc_id = tails.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // flatten replays as direct json_extract (the Spark side must round-trip
+    // the payload losslessly); corrupted rows are known -> NULL inline
+    "q79_json_flatten" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 100 = 0 THEN NULL
+        |       ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS p_k,
+        |  event_type AS j_et, value AS j_v
+        |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin
   )
 }

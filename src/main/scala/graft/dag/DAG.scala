@@ -84,6 +84,34 @@ class DAG(val name: String = "DAG") {
     n.startTs = -1L; n.stopTs = -1L
   }
 
+  /** Graphviz DOT rendering of the DAG with per-node execution state
+    * (reference: bdq/dag.py:236 visualize — there a live ipydagred3 widget;
+    * here a dependency-free DOT string renderable by any graphviz tool,
+    * `dot -Tsvg`, or a notebook cell).
+    */
+  def toDot: String = {
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def q(s: String): String = "\"" + esc(s) + "\""
+    val color: State => String = {
+      case Success => "palegreen"
+      case Error   => "salmon"
+      case Skipped => "lightgray"
+      case Running => "khaki"
+      case Pending => "white"
+    }
+    val sb = new StringBuilder
+    sb ++= s"digraph ${q(name)} {\n  rankdir=LR;\n  node [shape=box, style=filled];\n"
+    nodes.foreach { n =>
+      // \n inside the label is a DOT line break, not an escaped backslash
+      sb ++= s"""  ${q(n.name)} [fillcolor=${color(n.state)}, label="${esc(n.name)}\\n${n.state}"];\n"""
+    }
+    nodes.foreach { n =>
+      n.parents.foreach { p => sb ++= s"  ${q(p.name)} -> ${q(n.name)};\n" }
+    }
+    sb ++= "}\n"
+    sb.result()
+  }
+
   /** Run all runnable nodes with at most `maxWorkers` concurrent threads.
     * Blocks until every node reaches a terminal state.
     */

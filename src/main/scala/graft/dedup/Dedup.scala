@@ -230,6 +230,12 @@ object MinHashLsh {
     *   `persistSignatures` elsewhere: loop-heavy ingest drivers should
     *   pass false and manage persistence around their own lifecycle, since
     *   the blocks are reclaimed only when the returned plan is GC'd.
+    * @param broadcastBatch hint the batch-derived band frames as broadcast
+    *   (default: the incremental contract is a small batch vs a huge store,
+    *   and the hint is what keeps the store out of every shuffle). Pass
+    *   false for an oversized batch — the joins degrade to shuffled
+    *   semi/inner joins (the store then shuffles; above the broadcast limit
+    *   that is the correct trade, not a job failure).
     * @return (id_a, id_b) with id_a < id_b; ids must be disjoint between
     *   batch and store.
     */
@@ -243,12 +249,14 @@ object MinHashLsh {
       bands: Int = 16,
       maxBucketSize: Int = 200,
       seed: Long = 42L,
-      persistFrames: Boolean = true
+      persistFrames: Boolean = true,
+      broadcastBatch: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     def maybePersist(df: DataFrame): DataFrame =
       if (persistFrames) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
+    def hint(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     val batchSigs = signatures(batch, idCol, textCol, k, numHashes, seed)
     val batchBands = maybePersist(bandedIds(batchSigs, idCol, numHashes, bands))
     val batchBuckets = batchBands.select("band", "bh").distinct()
@@ -256,18 +264,18 @@ object MinHashLsh {
     // buckets — store rows outside batch buckets never move
     val relevantStore = maybePersist(
       bandedIds(storedSigs, idCol, numHashes, bands)
-        .join(broadcast(batchBuckets), Seq("band", "bh"), "left_semi"))
+        .join(hint(batchBuckets), Seq("band", "bh"), "left_semi"))
     val storeCounts = relevantStore.groupBy("band", "bh").agg(count(lit(1)).as("__ns"))
     val batchCounts = batchBands.groupBy("band", "bh").agg(count(lit(1)).as("__nb"))
     // combined-population cap: same filter blockedPairs applies on the union
     val okBuckets = batchCounts.join(storeCounts, Seq("band", "bh"), "left")
       .filter((col("__nb") + coalesce(col("__ns"), lit(0L))).between(2, maxBucketSize))
       .select("band", "bh")
-    val batchOk = batchBands.join(broadcast(okBuckets), Seq("band", "bh"), "left_semi")
+    val batchOk = batchBands.join(hint(okBuckets), Seq("band", "bh"), "left_semi")
     val intra = LshBlocking.bucketPairs(batchOk, maxBucketSize)
     val cross = relevantStore
-      .join(broadcast(okBuckets), Seq("band", "bh"), "left_semi")
-      .join(broadcast(batchBands.select(col("band"), col("bh"), col("id").as("__bid"))),
+      .join(hint(okBuckets), Seq("band", "bh"), "left_semi")
+      .join(hint(batchBands.select(col("band"), col("bh"), col("id").as("__bid"))),
         Seq("band", "bh"))
       .select(
         least(col("id"), col("__bid")).as("id_a"),

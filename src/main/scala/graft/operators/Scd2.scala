@@ -68,24 +68,30 @@ object Scd2 {
     *        valid_from / valid_to / is_current.
     * @param batch   new observations, same schema as the ones history was
     *        built from.
+    * @param broadcastKeys hint the batch key set as broadcast (default: the
+    *        incremental contract is a small batch vs a huge history, so the
+    *        hint keeps the history out of any shuffle). Pass false when a
+    *        batch may exceed the broadcast limit — the joins degrade to
+    *        shuffled anti/semi joins instead of failing the job.
     */
   def merge(
       history: DataFrame,
       batch: DataFrame,
       entityCols: Seq[String],
       orderCols: Seq[String],
-      trackCols: Seq[String]
+      trackCols: Seq[String],
+      broadcastKeys: Boolean = true
   ): DataFrame = {
-    val keys = batch.select(entityCols.map(col): _*).distinct()
+    val keys0 = batch.select(entityCols.map(col): _*).distinct()
+    val keys = if (broadcastKeys) broadcast(keys0) else keys0
     val open = history.filter(col("is_current"))
     // untouched = every closed version + open versions of entities absent
-    // from the batch; the anti-join's key side is the (small) batch key
-    // set, broadcast when it fits
+    // from the batch; the anti-join's key side is the (small) batch key set
     val untouched = history.filter(!col("is_current"))
-      .unionByName(open.join(broadcast(keys), entityCols, "left_anti"))
+      .unionByName(open.join(keys, entityCols, "left_anti"))
     // the open version re-enters as its version-opening observation, so a
     // batch row extending the same tracked state collapses into it
-    val openObs = open.join(broadcast(keys), entityCols, "left_semi")
+    val openObs = open.join(keys, entityCols, "left_semi")
       .drop("valid_from", "valid_to", "is_current")
     val rebuilt = build(openObs.unionByName(batch), entityCols, orderCols, trackCols)
     untouched.unionByName(rebuilt)

@@ -136,22 +136,30 @@ class SparkPipeline(
       format: String = "parquet",
       mode: String = "overwrite",
       partitionBy: Seq[String] = Nil,
-      metricExprs: Map[String, String] = Map.empty
+      metricExprs: Map[String, String] = Map.empty,
+      progressiveMetricExprs: Map[String, String] = Map.empty
   )(body: Step => Seq[DataFrame]): Step = {
     val outs = Option(outputs).getOrElse(Seq(name))
     val allowed = Set("overwrite", "append", "errorifexists", "ignore")
     require(allowed.contains(mode), s"Invalid mode: $mode, allowed: $allowed")
-    require(metricExprs.isEmpty || outs.length == 1, "spark metrics require a single output")
+    require((metricExprs.isEmpty && progressiveMetricExprs.isEmpty) || outs.length == 1,
+      "spark metrics require a single output")
+    // progressive metrics (reference: spark_pipeline.py:235
+    // spark_progressive_metric) are observed identically but their recorded
+    // key is prefixed progressive_, which makes run()'s save-state carry the
+    // last run's value forward whenever the current run fails to produce one
+    val allExprs = metricExprs ++
+      progressiveMetricExprs.map { case (k, v) => s"progressive_$k" -> v }
     register(new Step(name, outs, refs(dependsOn), { s =>
       val dfs = body(s)
       require(dfs.length == outs.length, s"Step $name returned ${dfs.length} df(s), expected ${outs.length}")
       dfs.zip(outs).map { case (df0, o) =>
-        val observations = metricExprs.map { case (mName, e) =>
+        val observations = allExprs.map { case (mName, _) =>
           mName -> new Observation(s"$name.$mName")
         }
         var df = df0
         observations.foreach { case (mName, obs) =>
-          df = df.observe(obs, org.apache.spark.sql.functions.expr(metricExprs(mName)).as(mName))
+          df = df.observe(obs, org.apache.spark.sql.functions.expr(allExprs(mName)).as(mName))
         }
         val writer = df.write.format(format).mode(mode)
         (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).saveAsTable(o)
@@ -195,6 +203,20 @@ class SparkPipeline(
       Seq(s.name)
     }))
 
+  /** Instantiate a registered custom step kind by name (reference:
+    * bdq/spark_pipeline.py:346 register_spark_pipeline_step_implementation —
+    * the open plugin mechanism; factories build on the public step
+    * builders, so a custom kind composes dependencies/outputs like any
+    * built-in one).
+    */
+  def stepImpl(impl: String, spec: SparkPipeline.StepSpec): Step =
+    SparkPipeline.stepImplementation(impl)(this, spec).asInstanceOf[Step]
+
+  /** DOT rendering of the step graph with live states (reference:
+    * spark_pipeline.py:232 visualize).
+    */
+  def visualize: String = dag.toDot
+
   def steps: Map[String, Step] = stepsByName.toMap
   def successSteps: Map[String, Step] = stepsByName.filter(_._2.state == DAG.Success).toMap
   def errorSteps: Map[String, Step] = stepsByName.filter(_._2.state == DAG.Error).toMap
@@ -234,4 +256,42 @@ class SparkPipeline(
   }
 }
 
-object SparkPipeline
+object SparkPipeline {
+
+  /** Declarative config a custom step factory receives: identity, wiring,
+    * free-form params, and the user body.
+    */
+  final case class StepSpec(
+      name: String,
+      outputs: Seq[String] = null,
+      dependsOn: Seq[Any] = Nil,
+      params: Map[String, String] = Map.empty,
+      body: SparkPipeline#Step => Seq[Any] = _ => Nil
+  )
+
+  type StepFactory = (SparkPipeline, StepSpec) => SparkPipeline#Step
+
+  private val stepImplementations =
+    scala.collection.concurrent.TrieMap.empty[String, StepFactory]
+
+  /** Register a user-defined step kind once, globally; any pipeline can then
+    * instantiate it via [[SparkPipeline.stepImpl]]. Same contract as the
+    * reference: the name must start with "step" and double registration is
+    * an error.
+    */
+  def registerStepImplementation(name: String)(factory: StepFactory): Unit = {
+    require(name.startsWith("step"), s"invalid name: $name; name must start with 'step'")
+    if (stepImplementations.putIfAbsent(name, factory).isDefined)
+      throw new IllegalArgumentException(s"$name is already registered!")
+  }
+
+  /** Test/liveness hook: drop a registered kind (the reference's module-level
+    * setattr registry has no unregister; long-lived JVMs need one).
+    */
+  def unregisterStepImplementation(name: String): Unit =
+    stepImplementations.remove(name)
+
+  private def stepImplementation(name: String): StepFactory =
+    stepImplementations.getOrElse(name,
+      throw new IllegalArgumentException(s"no step implementation registered under: $name"))
+}

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
 class StateStore(
     val spark: SparkSession,
     val tableName: String,
-    val format: String = "parquet"
+    val format: String = "parquet",
+    val filterExpr: Option[org.apache.spark.sql.Column] = None
 ) {
 
   final case class State(
@@ -44,9 +45,15 @@ class StateStore(
       .write.format(format).mode("append").saveAsTable(tableName)
   }
 
+  /** Run history scoped to one pipeline, then by the optional construction-
+    * time `filterExpr` (reference: bdq/statestore.py:44 — a shared state
+    * table serving many pipelines/tenants loads only its own slice; the
+    * filter prunes BEFORE the latest-row TakeOrdered).
+    */
   def history(pipelineName: String): DataFrame = {
     ensureTable()
-    spark.table(tableName).filter(col("pipeline_name") === pipelineName)
+    val base = spark.table(tableName).filter(col("pipeline_name") === pipelineName)
+    filterExpr.fold(base)(base.filter)
   }
 
   def loadLatest(pipelineName: String): Option[State] = {
@@ -63,6 +70,14 @@ class StateStore(
 }
 
 object StateStore {
+
+  /** Sanitize an arbitrary pipeline name into a legal table name: every
+    * non-alphanumeric char becomes '_' (reference: bdq/statestore.py:118
+    * CatalogPersistedStateStore.clean).
+    */
+  def clean(name: String): String =
+    name.map(c => if (c.isLetterOrDigit) c else '_')
+
   /** Minimal JSON codec for a flat string->double map (no external deps). */
   def toJson(m: Map[String, Double]): String =
     m.toSeq.sortBy(_._1)

@@ -15,9 +15,12 @@ object RuleEngine {
 
   final case class Rule(name: String, predicate: String)
 
-  private def failCol(r: Rule): Column = {
+  // rule results carry positional internal aliases (__r0, __r1, …): a user
+  // rule NAME may contain backticks/dots that col(name) cannot re-parse —
+  // the name surfaces only as a literal label, never as an attribute
+  private def failCol(r: Rule, i: Int): Column = {
     val p = expr(r.predicate)
-    sum(when(p.isNull || !p, 1L).otherwise(0L)).as(r.name)
+    sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__r$i")
   }
 
   /** Long-form results: (rule, n_rows, n_failed, failure_rate) — one row
@@ -26,11 +29,12 @@ object RuleEngine {
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "rules must not be empty")
     require(rules.map(_.name).distinct.length == rules.length, "rule names must be unique")
-    val agged = df.agg(count(lit(1)).as("__n"), rules.map(failCol): _*)
+    val agged = df.agg(count(lit(1)).as("__n"),
+      rules.zipWithIndex.map { case (r, i) => failCol(r, i) }: _*)
     agged.select(
       col("__n"),
-      explode(array(rules.map(r =>
-        struct(lit(r.name).as("rule"), col(r.name).as("n_failed"))): _*)).as("e")
+      explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col(s"__r$i").as("n_failed")) }: _*)).as("e")
     ).select(
       col("e.rule").as("rule"),
       col("__n").as("n_rows"),
@@ -58,10 +62,16 @@ object RuleEngine {
       .collect()
       .groupBy(_.getString(0))
       .view.mapValues(_.map(r => r.getString(1) -> r.getString(2)).toMap)
+    // non-finite bounds ("NaN"/"Infinity" parse as Double) would emit a
+    // degenerate BETWEEN rule — treat them as "not numeric"
     def num(s: String): Option[Double] =
-      try Option(s).map(_.toDouble) catch { case _: NumberFormatException => None }
+      try Option(s).map(_.toDouble).filter(d => !d.isNaN && !d.isInfinite)
+      catch { case _: NumberFormatException => None }
     byColumn.toSeq.sortBy(_._1).flatMap { case (c, m) =>
-      val q = s"`$c`"
+      // Profiler.profile supports hostile column names (backticks/dots/
+      // quotes), so the quoting here must too: a backtick inside a name is
+      // escaped by doubling it, same as Spark's own quoteIfNeeded
+      val q = s"`${c.replace("`", "``")}`"
       val notNull = m.get("nulls").filter(_ == "0")
         .map(_ => Rule(s"${c}_not_null", s"$q IS NOT NULL"))
       val range = for {
@@ -82,11 +92,12 @@ object RuleEngine {
     require(rules.nonEmpty, "rules must not be empty")
     require(rules.map(_.name).distinct.length == rules.length, "rule names must be unique")
     val agged = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"), rules.map(failCol): _*)
+      .agg(count(lit(1)).as("__n"),
+        rules.zipWithIndex.map { case (r, i) => failCol(r, i) }: _*)
     agged.select(
       groupCols.map(col) :+ col("__n") :+
-        explode(array(rules.map(r =>
-          struct(lit(r.name).as("rule"), col(r.name).as("n_failed"))): _*)).as("e"): _*
+        explode(array(rules.zipWithIndex.map { case (r, i) =>
+          struct(lit(r.name).as("rule"), col(s"__r$i").as("n_failed")) }: _*)).as("e"): _*
     ).select(
       groupCols.map(col) ++ Seq(
         col("e.rule").as("rule"),

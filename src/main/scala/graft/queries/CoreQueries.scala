@@ -317,6 +317,30 @@ object CoreQueries {
       .orderBy("o_orderkey", "column_name")
   }
 
+  /** Semi-structured extraction: parse the stored `props` JSON column AND a
+    * constructed `to_json` payload back to typed columns with explicit DDL
+    * schemas ([[graft.operators.Json.flatten]]). Every 100th event's props
+    * is deterministically corrupted (leading garbage — a TRAILING brace
+    * would still parse, Jackson stops at the root object's end) to exercise
+    * the PERMISSIVE malformed-row → NULL path; the payload round-trip
+    * (double → JSON → double) is lossless, so per-row values hash-match.
+    */
+  def q79JsonFlatten(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Json
+    val ev = Tables.events(s, dir)
+      .select("event_id", "event_type", "value", "props")
+      .filter(col("event_id") % 20 === 0)
+      .withColumn("props",
+        when(col("event_id") % 100 === 0, concat(lit("{oops "), col("props")))
+          .otherwise(col("props")))
+      .withColumn("payload",
+        to_json(struct(col("event_type").as("et"), col("value").as("v"))))
+    val flat = Json.flatten(
+      Json.flatten(ev, "props", "k BIGINT", "p_"),
+      "payload", "et STRING, v DOUBLE", "j_")
+    flat.select("event_id", "p_k", "j_et", "j_v").orderBy("event_id")
+  }
+
   /** Forward-filled hourly series of the max event value per type (LOCF
     * over the gap-filled spine; max is order-independent so the fill is
     * engine-deterministic).

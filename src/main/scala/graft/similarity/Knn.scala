@@ -207,7 +207,10 @@ object Knn {
     import org.apache.spark.ml.linalg.Vectors
     val spark = corpus.sparkSession
     val toVec = udf { (a: Seq[Double]) => Vectors.dense(a.toArray) }
+    // NULL vectors can't train or be assigned a centroid — drop them at the
+    // entry (mirrors lshBucket's explicit NULL handling)
     val base = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
     val train =
       if (trainFraction >= 1.0) base
       else graft.operators.Sampling.deterministic(base, Seq("id"), trainFraction)
@@ -232,6 +235,10 @@ object Knn {
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String, index: DataFrame): DataFrame = {
     val centers = centersOf(index)
     val nearest = udf { (v: Seq[Double]) =>
+      // NULL embedding -> sentinel cell -1 (never probed), instead of an
+      // NPE killing the whole assignment job
+      if (v == null) -1
+      else {
       var best = -1; var bestD = Double.MaxValue
       var i = 0
       while (i < centers.length) {
@@ -243,6 +250,7 @@ object Knn {
         i += 1
       }
       best
+      }
     }
     corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", nearest(col("v")))
@@ -325,6 +333,10 @@ object Knn {
     * quadratic. Result equals [[nearDupPairs]] over (batch ∪ store)
     * restricted to batch-touching pairs (spec-asserted).
     *
+    * @param broadcastBatch hint the batch bucket set as broadcast (small-
+    *   batch contract, as in [[graft.dedup.MinHashLsh]]'s incremental form);
+    *   pass false for an oversized batch to fall back to a shuffled semi
+    *   join instead of failing on the broadcast limit.
     * @return (id_a, id_b, score) with id_a < id_b; ids must be disjoint
     *   between batch and store.
     */
@@ -337,15 +349,17 @@ object Knn {
       numPlanes: Int = 8,
       dim: Int = 64,
       seed: Long = 7L,
-      maxBucketSize: Int = 5000
+      maxBucketSize: Int = 5000,
+      broadcastBatch: Boolean = true
   ): DataFrame = {
     val b = batch.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), numPlanes, dim, seed))
       .withColumn("__batch", lit(true))
-    val batchBuckets = b.select("bucket").distinct()
+    val batchBuckets0 = b.select("bucket").distinct()
+    val batchBuckets = if (broadcastBatch) broadcast(batchBuckets0) else batchBuckets0
     val s = store.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), numPlanes, dim, seed))
-      .join(broadcast(batchBuckets), Seq("bucket"), "left_semi")
+      .join(batchBuckets, Seq("bucket"), "left_semi")
       .withColumn("__batch", lit(false))
     // cap by the COMBINED (batch + store) bucket population — identical
     // semantics to nearDupPairs on the union

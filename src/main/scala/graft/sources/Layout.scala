@@ -63,8 +63,10 @@ object Layout {
         max(col(c).cast("double")).as(s"mx_$c"))).tail: _*
     ).head()
     val ranks = cols.map { c =>
-      val mn = stats.getAs[Double](s"mn_$c")
-      val mx = stats.getAs[Double](s"mx_$c")
+      // empty frame / all-NULL column -> null stats; degrade that dimension
+      // to constant rank 0 instead of NPEing (empty input is not an error)
+      val mn = Option(stats.getAs[java.lang.Double](s"mn_$c")).fold(0.0)(_.doubleValue())
+      val mx = Option(stats.getAs[java.lang.Double](s"mx_$c")).fold(0.0)(_.doubleValue())
       val span = if (mx > mn) mx - mn else 1.0
       least(lit(maxRank), greatest(lit(0L),
         floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) / lit(span) * lit(maxRank.toDouble)).cast("long")))

@@ -68,6 +68,31 @@ class DagSpec extends AnyFunSuite {
     assert(maxSeen.get() <= 2)
   }
 
+  test("toDot renders nodes with states, edges, and escaped names") {
+    val dag = new DAG("viz")
+    val a = dag.node("load")(() => 1)
+    val b = dag.node("boom \"q\"", Seq(a))(() => throw new RuntimeException("x"))
+    dag.node("after", Seq(b))(() => 2)
+    dag.execute(2)
+    val dot = dag.toDot
+    assert(dot.startsWith("digraph \"viz\" {"))
+    assert(dot.contains("\"load\" [fillcolor=palegreen, label=\"load\\nSuccess\"]"))
+    assert(dot.contains("\"boom \\\"q\\\"\" [fillcolor=salmon"))
+    assert(dot.contains("label=\"after\\nSkipped\"") && dot.contains("fillcolor=lightgray"))
+    assert(dot.contains("\"load\" -> \"boom \\\"q\\\"\";"))
+    assert(dot.contains("\"boom \\\"q\\\"\" -> \"after\";"))
+  }
+
+  test("pipeline visualize emits the step graph as DOT") {
+    val p = new graft.pipeline.SparkPipeline("vizp", SparkSpec.session)
+    val s1 = p.step("first") { _ => Seq(1) }
+    p.step("second", dependsOn = Seq(s1)) { _ => Seq(2) }
+    p.run(2)
+    val dot = p.visualize
+    assert(dot.contains("\"first\" -> \"second\";"))
+    assert(dot.contains("label=\"second\\nSuccess\""))
+  }
+
   test("re-registering a node name replaces function and dependencies") {
     val dag = new DAG("t5")
     val a = dag.node("a")(() => 1)

@@ -147,6 +147,51 @@ class EdgeCasesSpec extends SparkSpec {
     assert(mergedEmpty.count() == hist.count())
   }
 
+  test("suggestRules escapes backtick names and skips non-finite bounds") {
+    import graft.quality.Profiler
+    val hostile = Seq((1.0, Double.NaN), (2.0, Double.PositiveInfinity))
+      .toDF("we`ird", "all_nan")
+    val rules = RuleEngine.suggestRules(Profiler.profile(hostile, Seq("we`ird", "all_nan")))
+    // the backtick name must produce a parseable, correctly-targeted rule
+    val r = rules.filter(_.name.startsWith("we`ird"))
+    assert(r.nonEmpty)
+    assert(RuleEngine.validate(hostile, r).select("n_failed").as[Long].collect().forall(_ == 0L))
+    // min/max of NaN/Infinity columns must not emit a degenerate range rule
+    assert(!rules.exists(_.name == "all_nan_range"))
+  }
+
+  test("zorder on empty and all-null inputs degrades instead of throwing") {
+    import graft.sources.Layout
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Layout.zorderBy(empty, Seq("u", "v"), outPartitions = 2).count() == 0)
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], 1L), (null, 2L))
+      .toDF("u", "v")
+    // all-NULL clustered column ranks constant 0; layout is a no-op on it
+    assert(Layout.zorderBy(nulls, Seq("u", "v"), outPartitions = 2).count() == 2)
+  }
+
+  test("IVF path tolerates NULL embeddings end to end") {
+    import graft.similarity.Knn
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val withNull = e.unionByName(
+      Seq((999999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val index = Knn.buildIvfIndex(withNull, "vec_id", "embedding", nlist = 4)
+    val cells = Knn.assignCells(withNull, "vec_id", "embedding", index)
+    // the NULL row lands in sentinel cell -1, everything else is assigned
+    assert(cells.filter($"cell" === -1).select("id").as[Long].collect().toSeq == Seq(999999L))
+    assert(cells.filter($"cell" >= 0).count() == e.count())
+  }
+
+  test("scd2 merge without the broadcast hint produces identical history") {
+    val obs = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "x")).toDF("e", "t", "x")
+    val batch = Seq((1L, 3L, "c"), (3L, 3L, "z")).toDF("e", "t", "x")
+    val hist = Scd2.build(obs, Seq("e"), Seq("t"), Seq("x"))
+    def key(df: DataFrame) = df.select("e", "t", "x", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq).toSet
+    assert(key(Scd2.merge(hist, batch, Seq("e"), Seq("t"), Seq("x"), broadcastKeys = false))
+      == key(Scd2.merge(hist, batch, Seq("e"), Seq("t"), Seq("x"))))
+  }
+
   test("batched PK search chunks wide levels and survives comma column names") {
     val d = Seq(
       (1L, 1L, "a", "x"), (1L, 2L, "a", "y"), (2L, 1L, "b", "x"), (2L, 2L, "c", "y")

@@ -141,6 +141,73 @@ class PipelineSpec extends SparkSpec {
     assert(!m2.contains("load.batch_rows")) // non-progressive not carried
   }
 
+  test("progressiveMetricExprs declares progressive metrics first-class") {
+    val ss = new StateStore(spark, "graft_test_progressive2")
+    val p1 = new SparkPipeline("prog2", spark, Some(ss))
+    p1.stepSparkTable("load", outputs = Seq("graft_prog2_t1"),
+      metricExprs = Map("batch_rows" -> "count(1)"),
+      progressiveMetricExprs = Map("total_rows" -> "count(1)")) { _ =>
+      Seq(spark.range(5).toDF())
+    }
+    p1.run(2)
+    val m1 = ss.loadLatest("prog2").get.metrics
+    assert(m1("load.progressive_total_rows") == 5.0 && m1("load.batch_rows") == 5.0)
+    // a run that produces no metrics keeps the progressive one only
+    val p2 = new SparkPipeline("prog2", spark, Some(ss))
+    p2.step("load") { _ => Seq(1) }
+    p2.run(2)
+    val m2 = ss.loadLatest("prog2").get.metrics
+    assert(m2("load.progressive_total_rows") == 5.0)
+    assert(!m2.contains("load.batch_rows"))
+  }
+
+  test("registered step implementation instantiates on any pipeline; bad names and doubles rejected") {
+    SparkPipeline.registerStepImplementation("stepDoubled") { (p, spec) =>
+      p.step(spec.name, outputs = Option(spec.outputs).getOrElse(Seq(spec.name)),
+        dependsOn = spec.dependsOn) { s =>
+        spec.body(s).map { case i: Int => i * 2; case x => x }
+      }
+    }
+    try {
+      val p = new SparkPipeline("plugin", spark)
+      val a = p.step("a") { _ => Seq(21) }
+      val d = p.stepImpl("stepDoubled", SparkPipeline.StepSpec(
+        "dbl", dependsOn = Seq(a), body = _ => Seq(21)))
+      p.run(2)
+      assert(d.result == Seq(42))
+      // double registration is an error (same contract as the reference)
+      val ex = intercept[IllegalArgumentException] {
+        SparkPipeline.registerStepImplementation("stepDoubled")((p, s) => p.step(s.name)(_ => Nil))
+      }
+      assert(ex.getMessage.contains("already registered"))
+      // names must start with "step"
+      intercept[IllegalArgumentException] {
+        SparkPipeline.registerStepImplementation("notAStep")((p, s) => p.step(s.name)(_ => Nil))
+      }
+      // unknown implementation
+      intercept[IllegalArgumentException] {
+        new SparkPipeline("x", spark).stepImpl("stepMissing", SparkPipeline.StepSpec("m"))
+      }
+    } finally SparkPipeline.unregisterStepImplementation("stepDoubled")
+  }
+
+  test("state store filterExpr scopes loads; clean sanitizes table names") {
+    import org.apache.spark.sql.functions._
+    assert(StateStore.clean("my pipeline/v2.1") == "my_pipeline_v2_1")
+    // two stores share one table; each loads only its own tenant's rows
+    val tbl = "graft_test_state_shared"
+    val sA = new StateStore(spark, tbl, filterExpr = Some(expr("metrics LIKE '%tenantA%'")))
+    val sB = new StateStore(spark, tbl, filterExpr = Some(expr("metrics LIKE '%tenantB%'")))
+    val now = new java.sql.Timestamp(1000L)
+    val later = new java.sql.Timestamp(2000L)
+    sA.save(sA.State("p", now, None, Map("tenantA.rows" -> 1.0)))
+    sB.save(sB.State("p", later, None, Map("tenantB.rows" -> 2.0)))
+    // unfiltered latest is tenantB's row; the filtered store still sees its own
+    assert(new StateStore(spark, tbl).loadLatest("p").get.metrics == Map("tenantB.rows" -> 2.0))
+    assert(sA.loadLatest("p").get.metrics == Map("tenantA.rows" -> 1.0))
+    assert(sB.loadLatest("p").get.metrics == Map("tenantB.rows" -> 2.0))
+  }
+
   test("state store JSON codec round-trips") {
     val m = Map("a.b" -> 1.5, "weird\"key" -> -2.0, "n" -> 0.0)
     assert(StateStore.fromJson(StateStore.toJson(m)) == m)
