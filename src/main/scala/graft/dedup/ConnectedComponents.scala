@@ -7,13 +7,24 @@ import org.apache.spark.sql.functions._
   * near-duplicate PAIRS into duplicate CLUSTERS (keep one representative
   * per component).
   *
-  * Algorithm: iterative min-label propagation. Each round every node takes
-  * the minimum label among itself and its neighbors; converges in
-  * O(component diameter) rounds. Near-dup graphs have tiny diameters
-  * (duplicates of a document link to each other), so this typically
-  * finishes in 3-5 rounds even at corpus scale.
+  * Algorithm: iterative min-label propagation with POINTER JUMPING: each
+  * round every node takes the minimum label among itself and its
+  * neighbors, then shortcuts to its label's label (label ids are node
+  * ids, so the mapping composes with itself). The jump halves the
+  * effective distance to the component minimum every round, so
+  * convergence is O(log diameter) — a 1000-link adversarial chain
+  * converges in ~10 rounds, not 1000 — while duplicate clusters (tiny
+  * diameter) still finish in 2-3 rounds. Same idea as the star-contraction
+  * family (large-star/small-star); the jump composes with the neighbor-min
+  * step instead of rewriting the edge set.
   *
-  * Scale notes: each round is one shuffle (join on node + groupBy);
+  * Correctness: a node's label is always the id of some node REACHABLE
+  * from it (neighbor-min picks a neighbor's label; the jump picks a label
+  * reachable from the labelled node), labels only decrease, and the
+  * minimum reachable id is a fixpoint — so the fixpoint is exactly
+  * component = min reachable node.
+  *
+  * Scale notes: each round is two shuffled joins + one aggregation;
   * `localCheckpoint` cuts the lineage every round so plans don't grow
   * exponentially; convergence is detected with a changed-label count.
   */
@@ -57,12 +68,27 @@ object ConnectedComponents {
           .join(labels.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(min(col("component")).as("nbr_min"))
-        val updated = labels.join(neighborMin, Seq("node"), "left")
+        val afterNbr = labels.join(neighborMin, Seq("node"), "left")
           .select(
             col("node"),
             least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-            (col("nbr_min") < col("component")).as("__changed")
+            col("component").as("__old")
           )
+        // pointer jump: shortcut each node to its (post-neighbor-min)
+        // label's label — the exponential-convergence step. The parent map
+        // is the round's materialized `labels` checkpoint (classic pointer
+        // doubling composes the same generation's mapping with itself), so
+        // the self-reference costs a join, not a recompute of neighborMin.
+        val updated = afterNbr.join(
+            labels.select(col("node").as("component"), col("component").as("__parent")),
+            Seq("component"), "left")
+          .select(
+            col("node"),
+            least(col("component"), coalesce(col("__parent"), col("component"))).as("component"),
+            col("__old")
+          )
+          .withColumn("__changed", col("component") < col("__old"))
+          .drop("__old")
           .localCheckpoint() // eager: materialized here, prior round now free-able
         val changed = updated.filter(col("__changed")).limit(1).count()
         freeLocalCheckpoint(ckpt)

@@ -135,17 +135,28 @@ object MinHashLsh {
       // NULL text reaches the UDF as toks = null (non-primitive param)
       if (toks == null || toks.length < k) None
       else {
+        import scala.util.hashing.MurmurHash3
         val n = ab.length
         val sig = Array.fill(n)(Long.MaxValue)
         val arr = toks.toArray
-        val sb = new StringBuilder(64)
+        // each token is murmur-hashed ONCE and grams mix the k token
+        // hashes (order-dependent) — no per-gram string materialization;
+        // the former join-then-stringHash form copied every token into k
+        // gram strings (q21's all-pairs oracle re-verifies recall under
+        // the changed gram-hash values)
+        val tokHash = new Array[Int](arr.length)
+        var p = 0
+        while (p < arr.length) {
+          tokHash(p) = MurmurHash3.stringHash(arr(p), 0x9747b28c)
+          p += 1
+        }
         var i = 0
         while (i <= arr.length - k) {
-          sb.setLength(0)
+          var gh = 0x9747b28c
           var t = 0
-          while (t < k) { if (t > 0) sb.append(' '); sb.append(arr(i + t)); t += 1 }
+          while (t < k) { gh = MurmurHash3.mix(gh, tokHash(i + t)); t += 1 }
           // 32-bit murmur widened to [0, 2^32): a*h+b stays under 2^62 (ANSI-safe)
-          val h = scala.util.hashing.MurmurHash3.stringHash(sb.toString, 0x9747b28c).toLong & 0xffffffffL
+          val h = MurmurHash3.finalizeHash(gh, k).toLong & 0xffffffffL
           var j = 0
           while (j < n) {
             val v = (ab(j)._1 * h + ab(j)._2) % MinHashPrime

@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * predicates (mime, size) push down without touching payloads, and
   * payload-heavy stages control batch shape via partitioning.
   *
-  * The actual media decode (JPEG/PNG/audio codecs) is STUBBED — the decode
-  * libraries are not in this container. `decodeFeaturesStub` derives a
-  * deterministic fake feature vector from the bytes so the Spark-side
-  * plumbing (schema, batch iteration, partition sizing) is fully real and
-  * testable; swap in a real `MediaDecoder` implementation on a cluster
-  * with codecs installed.
+  * IMAGE decode/resize is REAL via the JDK's own codecs
+  * ([[Multimodal.ImageIoDecoder]]/[[Multimodal.ImageIoResizer]]: PNG, JPEG,
+  * BMP, GIF — javax.imageio needs no external dependency). Audio/video
+  * codecs are not in this container, so those paths keep deterministic
+  * STUB implementations behind the same [[Multimodal.MediaDecoder]] /
+  * [[Multimodal.FrameSampler]] contracts; the Spark-side plumbing (schema,
+  * batch iteration, partition sizing) is identical either way.
   */
 object Multimodal {
 
@@ -71,6 +72,51 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder over the JDK's own codecs (javax.imageio: PNG,
+    * JPEG, BMP, GIF, WBMP — no external dependency). Features are
+    * grid-pooled mean luminances: the image is divided into a
+    * ceil(sqrt(dim)) × ceil(sqrt(dim)) grid row-major and each cell
+    * averages its pixels' Rec.601 luma — a real, deterministic visual
+    * signature (downstream dedup/ANN operate on it like any embedding).
+    *
+    * Payloads ImageIO cannot read (actual audio/video, truncated files)
+    * fall back to [[StubDecoder]]'s byte-fold so a mixed-modality corpus
+    * never fails the job; at 100 TB a per-row try/fallback beats a
+    * job-killing throw on the first corrupt file.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0)
+        StubDecoder.decode(bytes, dim)
+      else {
+        val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val sums = new Array[Float](dim)
+        val counts = new Array[Int](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 0.299f +
+              ((rgb >> 8) & 0xff) * 0.587f + (rgb & 0xff) * 0.114f) / 255f
+            val cell = math.min(dim - 1, (y * g / h) * g + (x * g / w))
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < dim) { if (counts(i) > 0) sums(i) /= counts(i); i += 1 }
+        sums
+      }
+    }
+  }
+
   /** Pluggable bytes→bytes media transform (image resize, audio resample).
     * Same executor contract as [[MediaDecoder]].
     */
@@ -93,6 +139,33 @@ object Multimodal {
         var i = 0
         while (i < target) { out(i) = bytes(math.min(i * stride, bytes.length - 1)); i += 1 }
         out
+      }
+    }
+  }
+
+  /** REAL image resize via the JDK: decode (javax.imageio) → bilinear
+    * Graphics2D scale to w×h → re-encode PNG. Unreadable payloads fall
+    * back to [[StubResizer]] (same mixed-corpus rationale as
+    * [[ImageIoDecoder]]).
+    */
+  object ImageIoResizer extends MediaResizer {
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) StubResizer.resize(bytes, w, h)
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, w, h, null)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
       }
     }
   }

@@ -174,6 +174,17 @@ class DedupSpec extends SparkSpec {
     assert(cl == Map(1L -> 5L, 10L -> 3L, 20L -> 2L))
   }
 
+  test("pointer jumping bounds rounds by log(diameter), not diameter") {
+    // a 200-link chain, ids descending so the min label must travel the
+    // whole chain: plain min-propagation needs ~200 rounds; with the
+    // pointer jump log2(200) ≈ 8 — maxIter = 12 must fully converge
+    val chain = (0L until 200L).map(i => (200L - i, 199L - i)).toDF("src", "dst")
+    val comps = ConnectedComponents.labelPropagation(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 201)
+    assert(comps.values.forall(_ == 0L), s"chain not converged: ${comps.filter(_._2 != 0L).take(5)}")
+  }
+
   test("incremental minhash blocking equals full-corpus blocking for the new batch") {
     val corpus = Tables.documents(spark, sf).select($"doc_id", $"text")
     // batch: near-dup twins of every 5th corpus doc (one-word tail change)
@@ -237,6 +248,44 @@ class DedupSpec extends SparkSpec {
     val fr = Multimodal.sampleFrames(d, "doc_id", "payload", everyK = 2)
       .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fr(1L) == 2L && fr(2L) == 1L && !fr.contains(3L))
+  }
+
+  test("ImageIo decoder/resizer run real JDK codecs; unreadable bytes fall back to stubs") {
+    import graft.multimodal.Multimodal
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // left half black, right half white, 16x16
+    val halfed = png(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val feat = Multimodal.ImageIoDecoder.decode(halfed, dim = 4) // 2x2 grid
+    assert(feat.length == 4)
+    assert(feat(0) < 0.01f && feat(2) < 0.01f, s"left cells not black: ${feat.toSeq}")
+    assert(feat(1) > 0.99f && feat(3) > 0.99f, s"right cells not white: ${feat.toSeq}")
+    // resize produces a real w×h PNG that decodes back at the target size
+    val resizedBytes = Multimodal.ImageIoResizer.resize(halfed, 4, 6)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resizedBytes))
+    assert(back.getWidth == 4 && back.getHeight == 6)
+    // non-image bytes: graceful fallback, never a throw
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.ImageIoDecoder.decode(junk, 4).toSeq ==
+      Multimodal.StubDecoder.decode(junk, 4).toSeq)
+    assert(Multimodal.ImageIoResizer.resize(junk, 2, 2).toSeq ==
+      Multimodal.StubResizer.resize(junk, 2, 2).toSeq)
+    // the executor path (extractFeatures/resized) accepts the real codecs
+    val d = Seq((1L, halfed), (2L, junk), (3L, null: Array[Byte])).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(spark, d, "doc_id", "payload",
+        dim = 4, decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == feat.toSeq)
+    assert(feats(3L).forall(_ == 0f)) // NULL payload -> zero vector, no crash
+    val rz = Multimodal.resized(d, "payload", 4, 6, resizer = Multimodal.ImageIoResizer)
+      .filter($"doc_id" === 1L).select("resized").collect().head.getAs[Array[Byte]](0)
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rz)).getWidth == 4)
   }
 
   test("multimodal meta + stub feature extraction plumbing") {
