@@ -87,7 +87,9 @@ object SparkEntry {
     "q76_curation_pipeline" -> (LlmQueries.q76CurationPipeline(_, _)),
     "q77_span_stats" -> (LlmQueries.q77SpanStats(_, _)),
     "q78_span_rewrite" -> (LlmQueries.q78SpanRewrite(_, _)),
-    "q79_json_flatten" -> (CoreQueries.q79JsonFlatten(_, _))
+    "q79_json_flatten" -> (CoreQueries.q79JsonFlatten(_, _)),
+    "q80_shards" -> (LlmQueries.q80Shards(_, _)),
+    "q81_temperature_mix" -> (LlmQueries.q81TemperatureMix(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1098,6 +1100,29 @@ object SparkEntry {
         |  CASE WHEN event_id % 100 = 0 THEN NULL
         |       ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS p_k,
         |  event_type AS j_et, value AS j_v
-        |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+    // 60-bit md5 prefix as integer (same list_reduce idiom as q54) mod 16
+    "q80_shards" ->
+      """SELECT
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |    (acc, x) -> acc * 16 + x) % 16 AS shard,
+        |  count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS weight
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sqrt(n_min/n_g) is an exact integer ratio under a correctly-rounded
+    // sqrt -> per-group probabilities are bit-identical across engines
+    "q81_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS ng FROM documents GROUP BY lang),
+        |m AS (SELECT min(ng) AS nmin FROM c),
+        |p AS (SELECT lang, ng, sqrt(CAST(nmin AS DOUBLE) / CAST(ng AS DOUBLE)) AS pr FROM c, m),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN p USING (lang)
+        |  WHERE list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) / 1152921504606846976.0 < pr)
+        |SELECT p.lang AS lang, CAST(p.ng AS BIGINT) AS n_before, CAST(k.n AS BIGINT) AS n_after
+        |FROM p JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k USING (lang)
+        |ORDER BY lang""".stripMargin
   )
 }

@@ -69,6 +69,36 @@ object Sampling {
   def weighted(df: DataFrame, keyCols: Seq[String], weight: Column): DataFrame =
     df.filter(uniform01(keyCols.map(col)) < weight)
 
+  /** Square-root temperature resampling (T = 2): rebalance a skewed group
+    * mix (languages, crawl sources) toward the rarest group — each group
+    * kept with probability p_g = sqrt(n_min / n_g), so post-sample sizes
+    * are proportional to sqrt(n_g), the standard multilingual/source
+    * rebalancing for pretraining mixtures.
+    *
+    * Engine-portability is why the temperature is FIXED at 2: n_min / n_g
+    * is a correctly-rounded double of an exact integer ratio and IEEE
+    * sqrt is correctly rounded everywhere, so p_g is bit-identical on any
+    * engine; an arbitrary-alpha pow() differs in the last ulp between
+    * libms. Row selection is [[uniform01]] vs p_g — the [[weighted]]
+    * guarantees apply (content-keyed, any partitioning, any rerun).
+    *
+    * Scale shape: one grouped count (map-side combined, |groups| rows), a
+    * broadcast join of the per-group probability, then a narrow filter —
+    * the corpus itself never shuffles.
+    */
+  def sqrtResample(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && keyCols.nonEmpty)
+    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__ng"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val probs = counts
+      .withColumn("__nmin", min(col("__ng")).over(w))
+      .withColumn("__p", sqrt(col("__nmin").cast("double") / col("__ng").cast("double")))
+      .select(groupCols.map(col) :+ col("__p"): _*)
+    df.join(broadcast(probs), groupCols)
+      .filter(uniform01(keyCols.map(col)) < col("__p"))
+      .drop("__p")
+  }
+
   /** Deterministic train/val/test (or any n-way) split assignment: each row
     * gets the label of the md5-range its key falls into. Cumulative
     * thresholds mean the splits are disjoint and exhaustive, and — like

@@ -388,6 +388,27 @@ object LlmQueries {
     SpanDedup.removeDuplicateSpans(docsWithBoilerplate(s, dir), "doc_id", "text", spanWords = 8)
       .orderBy("doc_id")
 
+  /** Deterministic output sharding: the curated corpus split into 16
+    * content-addressed shards with per-shard row/char budgets — the
+    * trainer-facing last step ([[graft.operators.Sharding]]).
+    */
+  def q80Shards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.shardSummary(
+      Tables.documents(s, dir).select("doc_id", "n_chars"),
+      keyCols = Seq("doc_id"), numShards = 16, weightCol = Some("n_chars"))
+      .orderBy("shard")
+
+  /** Square-root temperature resampling of the language mix (T=2): per-lang
+    * keep probability sqrt(n_min/n_lang), reported as before/after counts.
+    */
+  def q81TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang")
+    val kept = graft.operators.Sampling.sqrtResample(docs, Seq("lang"), Seq("doc_id"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(kept.groupBy("lang").agg(count(lit(1)).as("n_after")), Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** [[docsWithExactCopies]] but keeping lang + source (pipeline inputs). */
   private def docsWithExactCopiesFull(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")

@@ -43,6 +43,55 @@ class ProfileSampleSpec extends SparkSpec {
     assert(s3.subsetOf(s1))
   }
 
+  test("sharding: deterministic, partitioning-independent, balanced, complete") {
+    import graft.operators.Sharding
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    val k = 8
+    val a = Sharding.assignShards(docs, Seq("doc_id"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Sharding.assignShards(docs.repartition(7), Seq("doc_id"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b, "shard assignment must be independent of partitioning")
+    assert(a.values.forall(s => s >= 0 && s < k))
+    // balance: no shard more than 2x the ideal share on 500 docs
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == k && sizes.max < 2.0 * a.size / k, s"unbalanced: $sizes")
+    // summary accounts for every row exactly once
+    val summary = Sharding.shardSummary(docs, Seq("doc_id"), k, Some("n_chars"))
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+    assert(summary == docs.count())
+    // layoutByShard: a shard is never split across task partitions
+    val parts = Sharding.layoutByShard(docs, Seq("doc_id"), k)
+      .select("shard").rdd.mapPartitions(it => Iterator(it.map(_.getLong(0)).toSet))
+      .collect()
+    val partitionsPerShard = parts.zipWithIndex
+      .flatMap { case (ss, pi) => ss.map(_ -> pi) }
+      .groupBy(_._1).map(_._2.map(_._2).distinct.length)
+    assert(partitionsPerShard.forall(_ == 1), "a shard spans multiple partitions")
+  }
+
+  test("sqrt temperature resampling rebalances toward the rarest group") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = before.values.min
+    val kept = Sampling.sqrtResample(docs, Seq("lang"), Seq("doc_id"))
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest group keeps everything (p = 1); others shrink toward sqrt scale
+    val rarest = before.minBy(_._2)._1
+    assert(after(rarest) == before(rarest))
+    before.foreach { case (g, n) =>
+      val expected = math.sqrt(nMin.toDouble / n) * n
+      assert(math.abs(after(g) - expected) < 0.35 * expected + 5,
+        s"$g: kept ${after(g)}, expected ~$expected of $n")
+    }
+    // deterministic: same selection on a different partitioning
+    val k2 = Sampling.sqrtResample(docs.repartition(5), Seq("lang"), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k2 == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("scd2 collapses unchanged runs and closes intervals") {
     import spark.implicits._
     val log = Seq(
