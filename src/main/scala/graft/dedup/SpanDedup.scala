@@ -59,6 +59,67 @@ object SpanDedup {
       .withColumn("dup_fraction", col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Persistable span-frequency store for incremental ingest: one row per
+    * distinct span key with its corpus frequency and first owner (min
+    * (id, span_idx)). 8 + 15 bytes + ids per DISTINCT span — persist THIS,
+    * never raw spans; each nightly batch then pays for its batch only.
+    */
+  def spanStore(df: DataFrame, idCol: String, textCol: String, spanWords: Int): DataFrame =
+    spans(df, idCol, textCol, spanWords)
+      .withColumn("h", spanKey(col("span")))
+      .groupBy("h")
+      .agg(
+        count(lit(1)).as("freq"),
+        min(struct(col(idCol).as("oid"), col("span_idx").as("oidx"))).as("own"))
+      .select(col("h"), col("freq"), col("own.oid").as("oid"), col("own.oidx").as("oidx"))
+
+  /** Fold a new batch into an existing store (same semantics as rebuilding
+    * [[spanStore]] over the union, spec-asserted): frequencies add, the
+    * first owner is the struct-min of both sides. One aggregation over
+    * (store ∪ batch-store) — store rows whose spans the batch never
+    * touches still flow through this agg; for append-heavy stores a
+    * partitioned MERGE-style sink is the production variant.
+    */
+  def mergeSpanStore(store: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, spanWords: Int): DataFrame =
+    store.unionByName(spanStore(batch, idCol, textCol, spanWords))
+      .groupBy("h")
+      .agg(
+        sum(col("freq")).as("freq"),
+        min(struct(col("oid"), col("oidx"))).as("own"))
+      .select(col("h"), col("freq"), col("own.oid").as("oid"), col("own.oidx").as("oidx"))
+
+  /** [[duplicatedSpanStats]] for a NEW batch against (batch ∪ store) —
+    * each ingest pays for its batch, never the corpus: the store side is
+    * semi-join filtered map-side against the (broadcast) batch span keys,
+    * so store rows outside batch spans never move.
+    *
+    * @param broadcastBatch same contract as the other incremental ops:
+    *   default assumes a small batch; pass false for an oversized one.
+    */
+  def incrementalStats(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val sp = spans(batch, idCol, textCol, spanWords).withColumn("h", spanKey(col("span")))
+    val batchFreq = sp.groupBy("h").agg(count(lit(1)).as("__bf"))
+    val keys = if (broadcastBatch) broadcast(batchFreq.select("h")) else batchFreq.select("h")
+    val storeFreq = store.join(keys, Seq("h"), "left_semi").select(col("h"), col("freq").as("__sf"))
+    val totals = batchFreq.join(storeFreq, Seq("h"), "left")
+      .select(col("h"), (col("__bf") + coalesce(col("__sf"), lit(0L))).as("freq"))
+    sp.join(totals, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup_spans")
+      )
+      .withColumn("dup_fraction", col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** Rewrite each document with corpus-duplicated spans removed, keeping
     * only the FIRST occurrence (global min (id, span_idx) per span — a
     * deterministic, engine-portable tiebreak). The trailing sub-span

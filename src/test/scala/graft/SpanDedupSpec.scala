@@ -66,6 +66,29 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq("a  b c"))  // reassembly reproduces the original text
   }
 
+  test("incremental span stats equal full-corpus stats restricted to the batch") {
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    // batch: new ids, every 7th doc duplicates a corpus doc's text (so its
+    // spans hit the store), plus one batch-internal duplicate pair
+    val batch = corpus.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .unionByName(docs((900001L, "aa bb cc dd ee ff"), (900002L, "aa bb cc dd ee ff")))
+    val store = SpanDedup.spanStore(corpus, "doc_id", "text", spanWords = 5)
+    val inc = SpanDedup.incrementalStats(batch, store, "doc_id", "text", spanWords = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val full = SpanDedup.duplicatedSpanStats(
+        corpus.unionByName(batch), "doc_id", "text", spanWords = 5)
+      .filter(col("doc_id") >= 500000L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(inc == full, s"diff: ${(inc.toSet diff full.toSet) ++ (full.toSet diff inc.toSet)}")
+    // merged store equals a from-scratch rebuild over the union
+    val merged = SpanDedup.mergeSpanStore(store, batch, "doc_id", "text", 5)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toSet
+    val rebuilt = SpanDedup.spanStore(corpus.unionByName(batch), "doc_id", "text", 5)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toSet
+    assert(merged == rebuilt)
+  }
+
   test("text that is an exact span multiple has empty tail and round-trips") {
     val d = docs((1L, "a b c d e f"))
     val out = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", spanWords = 3)
