@@ -69,35 +69,60 @@ object Sampling {
   def weighted(df: DataFrame, keyCols: Seq[String], weight: Column): DataFrame =
     df.filter(uniform01(keyCols.map(col)) < weight)
 
-  /** Square-root temperature resampling (T = 2): rebalance a skewed group
-    * mix (languages, crawl sources) toward the rarest group — each group
-    * kept with probability p_g = sqrt(n_min / n_g), so post-sample sizes
-    * are proportional to sqrt(n_g), the standard multilingual/source
-    * rebalancing for pretraining mixtures.
+  /** Temperature resampling of a skewed group mix (languages, crawl
+    * sources) toward the rarest group: post-sample sizes ∝ n_g^alpha, the
+    * standard multilingual/source rebalancing for pretraining mixtures
+    * (alpha = 1/2 is "square-root sampling"). Each group is kept with
+    * probability p_g = (n_min / n_g)^(1 − alpha), so the rarest group
+    * keeps everything and dominant groups shrink; lower alpha flattens
+    * the mix harder.
     *
-    * Engine-portability is why the temperature is FIXED at 2: n_min / n_g
-    * is a correctly-rounded double of an exact integer ratio and IEEE
-    * sqrt is correctly rounded everywhere, so p_g is bit-identical on any
-    * engine; an arbitrary-alpha pow() differs in the last ulp between
-    * libms. Row selection is [[uniform01]] vs p_g — the [[weighted]]
-    * guarantees apply (content-keyed, any partitioning, any rerun).
+    * Engine-portability is why alpha is restricted to QUARTERS
+    * (`alphaQuarters`/4 ∈ {1/4, 1/2, 3/4}): n_min / n_g is a correctly-
+    * rounded double of an exact integer ratio, and the exponent chain is
+    * built purely from IEEE sqrt and multiply — both correctly rounded on
+    * every engine — so p_g is bit-identical anywhere (an arbitrary-alpha
+    * pow() differs in the last ulp between libms):
+    * r^(1/4) = sqrt(sqrt(r)), r^(1/2) = sqrt(r),
+    * r^(3/4) = sqrt(r)·sqrt(sqrt(r)).
+    * Row selection is [[uniform01]] vs p_g — the [[weighted]] guarantees
+    * apply (content-keyed, any partitioning, any rerun) — and because the
+    * per-row uniform is shared, samples at different alphas NEST: the
+    * alpha = 1/4 sample ⊆ alpha = 1/2 ⊆ alpha = 3/4 (ablation-friendly).
     *
     * Scale shape: one grouped count (map-side combined, |groups| rows), a
     * broadcast join of the per-group probability, then a narrow filter —
     * the corpus itself never shuffles.
     */
-  def sqrtResample(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String]): DataFrame = {
+  def temperatureResample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCols: Seq[String],
+      alphaQuarters: Int = 2
+  ): DataFrame = {
     require(groupCols.nonEmpty && keyCols.nonEmpty)
+    require(alphaQuarters >= 1 && alphaQuarters <= 3,
+      s"alphaQuarters must be 1..3 (alpha = 1/4, 1/2, 3/4), got $alphaQuarters")
     val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__ng"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val r = col("__nmin").cast("double") / col("__ng").cast("double")
+    val p = (4 - alphaQuarters) match { // exponent numerator of r^(e/4)
+      case 1 => sqrt(sqrt(r))
+      case 2 => sqrt(r)
+      case 3 => sqrt(r) * sqrt(sqrt(r))
+    }
     val probs = counts
       .withColumn("__nmin", min(col("__ng")).over(w))
-      .withColumn("__p", sqrt(col("__nmin").cast("double") / col("__ng").cast("double")))
+      .withColumn("__p", p)
       .select(groupCols.map(col) :+ col("__p"): _*)
     df.join(broadcast(probs), groupCols)
       .filter(uniform01(keyCols.map(col)) < col("__p"))
       .drop("__p")
   }
+
+  /** [[temperatureResample]] at alpha = 1/2 — square-root sampling. */
+  def sqrtResample(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String]): DataFrame =
+    temperatureResample(df, groupCols, keyCols, alphaQuarters = 2)
 
   /** Deterministic train/val/test (or any n-way) split assignment: each row
     * gets the label of the md5-range its key falls into. Cumulative

@@ -90,6 +90,16 @@ class ProfileSampleSpec extends SparkSpec {
     val k2 = Sampling.sqrtResample(docs.repartition(5), Seq("lang"), Seq("doc_id"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(k2 == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // lower alpha flattens harder, and samples at different alphas NEST
+    // (shared per-row uniform vs monotone per-group probability)
+    def ids(aq: Int) = Sampling.temperatureResample(docs, Seq("lang"), Seq("doc_id"), aq)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (a1, a2, a3) = (ids(1), ids(2), ids(3))
+    assert(a1.subsetOf(a2) && a2.subsetOf(a3))
+    val dominant = before.maxBy(_._2)._1
+    def nDominant(s: Set[Long]) = docs.filter(col("lang") === dominant)
+      .select("doc_id").collect().map(_.getLong(0)).count(s)
+    assert(nDominant(a1) < nDominant(a2) && nDominant(a2) < nDominant(a3))
   }
 
   test("scd2 collapses unchanged runs and closes intervals") {
