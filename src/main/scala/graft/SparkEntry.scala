@@ -89,7 +89,8 @@ object SparkEntry {
     "q78_span_rewrite" -> (LlmQueries.q78SpanRewrite(_, _)),
     "q79_json_flatten" -> (CoreQueries.q79JsonFlatten(_, _)),
     "q80_shards" -> (LlmQueries.q80Shards(_, _)),
-    "q81_temperature_mix" -> (LlmQueries.q81TemperatureMix(_, _))
+    "q81_temperature_mix" -> (LlmQueries.q81TemperatureMix(_, _)),
+    "q82_top_fraction" -> (LlmQueries.q82TopFraction(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1123,6 +1124,13 @@ object SparkEntry {
         |      (acc, x) -> acc * 16 + x) / 1152921504606846976.0 < pr)
         |SELECT p.lang AS lang, CAST(p.ng AS BIGINT) AS n_before, CAST(k.n AS BIGINT) AS n_after
         |FROM p JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k USING (lang)
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+    "q82_top_fraction" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin
   )
 }

@@ -150,6 +150,36 @@ object Sampling {
     df.withColumn(labelCol, firstMatch)
   }
 
+  /** Keep the top `fraction` of rows per group by score — the classifier-
+    * threshold curation step ("keep the best-scored 25% of each language").
+    * Rank ties break by `keyCols`, so the kept set is deterministic on any
+    * engine/partitioning; `ceil` keeps at least one row of every nonempty
+    * group for fraction > 0. Prefer binary-exact fractions for cross-engine
+    * threshold identity.
+    *
+    * Scale shape: the rank and the group count share ONE window
+    * partitioning — a single shuffle on the group columns, no join-back.
+    * (Unlike [[capPerGroup]]'s fixed k, the cutoff depends on the group
+    * size, so map-side WindowGroupLimit pruning cannot apply.)
+    */
+  def topFractionByScore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      keyCols: Seq[String],
+      fraction: Double
+  ): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc +: keyCols.map(col): _*)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rn") <= ceil(col("__n") * lit(fraction)))
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic per-group cap: keep at most `maxPerGroup` rows per group
     * (domain/source capping — the curation step that stops one crawl host
     * from dominating a training mix). Which rows survive is decided by

@@ -409,6 +409,17 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** Classifier-threshold selection: the top 25% of each language's docs
+    * by length score (ties → lowest doc_id) — the "keep what the quality
+    * classifier likes best" curation step.
+    */
+  def q82TopFraction(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.topFractionByScore(
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+      groupCols = Seq("lang"), scoreCol = "n_chars", keyCols = Seq("doc_id"),
+      fraction = 0.25)
+      .orderBy("doc_id")
+
   /** [[docsWithExactCopies]] but keeping lang + source (pipeline inputs). */
   private def docsWithExactCopiesFull(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")

@@ -102,6 +102,27 @@ class ProfileSampleSpec extends SparkSpec {
     assert(nDominant(a1) < nDominant(a2) && nDominant(a2) < nDominant(a3))
   }
 
+  test("topFractionByScore keeps the best-scored fraction per group, deterministic ties") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 1.0)
+    ).toDF("g", "id", "score")
+    // 50% of 4 = 2 rows for group a: the two score-30 rows, tie -> lower id
+    // first (both kept here); group b: ceil(1*0.5)=1 keeps its only row
+    val kept = Sampling.topFractionByScore(d, Seq("g"), "score", Seq("id"), 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+    // 25% of 4 = 1 row: the score-30 tie breaks to the LOWER id
+    val kept25 = Sampling.topFractionByScore(d, Seq("g"), "score", Seq("id"), 0.25)
+      .filter($"g" === "a").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept25 == Set(2L))
+    // partitioning-independent
+    val k2 = Sampling.topFractionByScore(d.repartition(3), Seq("g"), "score", Seq("id"), 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k2 == kept)
+  }
+
   test("scd2 collapses unchanged runs and closes intervals") {
     import spark.implicits._
     val log = Seq(
