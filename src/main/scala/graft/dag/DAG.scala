@@ -91,6 +91,7 @@ class DAG(val name: String = "DAG") {
     */
   def toDot: String = {
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r")
     def q(s: String): String = "\"" + esc(s) + "\""
     val color: State => String = {
       case Success => "palegreen"

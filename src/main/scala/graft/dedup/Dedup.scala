@@ -107,6 +107,16 @@ object MinHashLsh {
     */
   private val MinHashPrime = 4294967311L
 
+  /** Version of the signature byte contract (gram hashing + permutation
+    * scheme). Persisted signature stores are only join-compatible with
+    * batches signed under the SAME version — persist this next to the
+    * store and refuse to ingest across versions (a silent mismatch does
+    * not error: cross batch/store near-dup recall just drops to ~zero).
+    * v2: grams hash as murmur-mixed per-token hashes (was: stringHash of
+    * the joined gram text).
+    */
+  val SignatureFormatVersion: Int = 2
+
   /** Deterministic affine permutation constants from a fixed seed.
     * Kept to 30 bits so a*h32 + b stays under 2^62 (ANSI mode: no silent
     * 64-bit wraparound) before the mod.
@@ -235,7 +245,9 @@ object MinHashLsh {
     * batch-sized.
     *
     * @param storedSigs output of [[signatures]] over previously ingested
-    *   docs (persist THIS, not raw text — 8·numHashes bytes/doc).
+    *   docs (persist THIS, not raw text — 8·numHashes bytes/doc), signed
+    *   under the same k/numHashes/seed AND [[SignatureFormatVersion]] —
+    *   see that constant for why a version mismatch is silent recall loss.
     * @param persistFrames persist the two small frames that feed multiple
     *   plan branches (batch bands, batch-relevant store bands). As with
     *   `persistSignatures` elsewhere: loop-heavy ingest drivers should

@@ -85,6 +85,10 @@ object Multimodal {
     * job-killing throw on the first corrupt file.
     */
   object ImageIoDecoder extends MediaDecoder {
+    // executor-hot path: never spill a temp cache file per decoded row
+    // (ImageIO's default wraps every InputStream in a disk-backed cache)
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -96,14 +100,20 @@ object Multimodal {
         val sums = new Array[Float](dim)
         val counts = new Array[Int](dim)
         val (w, h) = (img.getWidth, img.getHeight)
+        // one bulk row fetch per scanline instead of a per-pixel
+        // getRGB(x,y) ColorModel call — the difference between an
+        // O(pixels) loop and O(pixels) JNI-ish dispatch overhead
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          val cellRow = (y * g / h) * g
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             val lum = (((rgb >> 16) & 0xff) * 0.299f +
               ((rgb >> 8) & 0xff) * 0.587f + (rgb & 0xff) * 0.114f) / 255f
-            val cell = math.min(dim - 1, (y * g / h) * g + (x * g / w))
+            val cell = math.min(dim - 1, cellRow + (x * g / w))
             sums(cell) += lum
             counts(cell) += 1
             x += 1
@@ -149,6 +159,8 @@ object Multimodal {
     * [[ImageIoDecoder]]).
     */
   object ImageIoResizer extends MediaResizer {
+    javax.imageio.ImageIO.setUseCache(false) // no per-row temp cache files
+
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -111,13 +111,20 @@ object Sampling {
       case 2 => sqrt(r)
       case 3 => sqrt(r) * sqrt(sqrt(r))
     }
+    // a NULL group value is a group like any other: the prob join must be
+    // null-safe (<=>) or NULL-group rows silently vanish through the
+    // equi-join while still having deflated every other group's n_min
     val probs = counts
       .withColumn("__nmin", min(col("__ng")).over(w))
       .withColumn("__p", p)
-      .select(groupCols.map(col) :+ col("__p"): _*)
-    df.join(broadcast(probs), groupCols)
+      .select(groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") } :+ col("__p"): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__g$i") }
+      .reduce(_ && _)
+    df.join(broadcast(probs), cond)
       .filter(uniform01(keyCols.map(col)) < col("__p"))
       .drop("__p")
+      .drop(groupCols.indices.map(i => s"__g$i"): _*)
   }
 
   /** [[temperatureResample]] at alpha = 1/2 — square-root sampling. */

@@ -39,10 +39,17 @@ object Sharding {
     * per-shard files) and order rows by their own md5 hash — deterministic
     * pre-shuffled shard files with zero additional passes.
     */
-  def layoutByShard(df: DataFrame, keyCols: Seq[String], numShards: Int): DataFrame =
-    assignShards(df, keyCols, numShards)
+  def layoutByShard(df: DataFrame, keyCols: Seq[String], numShards: Int): DataFrame = {
+    // materialize the key hash ONCE: shard id and the within-shard sort
+    // both derive from it, and md5 over the key columns is the expensive
+    // part of this narrow stage
+    val h = substring(Sampling.keyHash(keyCols.map(col)), 1, 15)
+    df.withColumn("__kh", h)
+      .withColumn("shard", conv(col("__kh"), 16, 10).cast("long") % numShards)
       .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"), substring(Sampling.keyHash(keyCols.map(col)), 1, 15))
+      .sortWithinPartitions(col("shard"), col("__kh"))
+      .drop("__kh")
+  }
 
   /** Per-shard balance report: row count plus an optional weight sum (e.g.
     * tokens/bytes) — the check that shards are trainer-ready.

@@ -237,12 +237,14 @@ class SparkPipeline(
     dag.execute(maxConcurrentSteps)
     stopTs = Some(new Timestamp(System.currentTimeMillis()))
     stateStore.foreach { ss =>
-      // metrics named progressive_* carry over from the previous run when
-      // the current run did not produce them (e.g. a failed step) —
+      // metrics whose NAME part (any dot-segment after the step name —
+      // step names may themselves contain dots) starts with the reserved
+      // progressive_ prefix carry over from the previous run when the
+      // current run did not produce them (e.g. a failed step) —
       // reference behaviour: bdq/spark_pipeline.py:325 _get_save_state
       val current = metrics
       val carried = lastRunMetricsCache.filter { case (k, _) =>
-        k.split('.').lift(1).exists(_.startsWith("progressive_")) && !current.contains(k)
+        k.split('.').drop(1).exists(_.startsWith("progressive_")) && !current.contains(k)
       }
       ss.save(ss.State(name, startTs.get, stopTs, current ++ carried))
       lastRunMetricsCache = ss.loadLatest(name).map(_.metrics).getOrElse(Map.empty)

@@ -40,9 +40,16 @@ class StateStore(
   def save(state: State): Unit = {
     ensureTable()
     import spark.implicits._
-    Seq((state.pipelineName, state.startTs, state.stopTs.orNull, StateStore.toJson(state.metrics)))
+    val row = Seq((state.pipelineName, state.startTs, state.stopTs.orNull, StateStore.toJson(state.metrics)))
       .toDF("pipeline_name", "start_ts", "stop_ts", "metrics")
-      .write.format(format).mode("append").saveAsTable(tableName)
+    // a row this store's own filterExpr would hide is a silent corruption:
+    // loadLatest would keep returning the PREVIOUS visible run forever —
+    // fail loudly at save time instead (the check runs on one local row)
+    filterExpr.foreach { f =>
+      require(!row.filter(f).isEmpty,
+        s"state row does not match this store's filterExpr ($f) — it would be invisible to loadLatest")
+    }
+    row.write.format(format).mode("append").saveAsTable(tableName)
   }
 
   /** Run history scoped to one pipeline, then by the optional construction-

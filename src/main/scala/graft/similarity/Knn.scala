@@ -272,12 +272,15 @@ object Knn {
     // cells per query computed in one compiled pass
     val centers = centersOf(index)
     val probeUdf = udf { (q: Seq[Double]) =>
-      centers.map { case (cell, ct) =>
+      // NULL query vector probes nothing (consistent with assignCells'
+      // sentinel cell -1 for NULL corpus vectors — that cell never matches)
+      if (q == null) Seq.empty[Int]
+      else centers.map { case (cell, ct) =>
         var d = 0.0; var j = 0
         val n = math.min(ct.length, q.length)
         while (j < n) { val t = ct(j) - q(j); d += t * t; j += 1 }
         (d, cell)
-      }.sortBy(_._1).take(nprobe).map(_._2)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))

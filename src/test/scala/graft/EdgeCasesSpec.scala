@@ -180,6 +180,11 @@ class EdgeCasesSpec extends SparkSpec {
     // the NULL row lands in sentinel cell -1, everything else is assigned
     assert(cells.filter($"cell" === -1).select("id").as[Long].collect().toSeq == Seq(999999L))
     assert(cells.filter($"cell" >= 0).count() == e.count())
+    // probing with a NULL query vector returns no rows instead of NPEing
+    val q = withNull.filter($"vec_id" === 999999L || $"vec_id" === 0L)
+    val res = Knn.ivfTopKPrebuilt(cells, index, q, "vec_id", "embedding", k = 3, nprobe = 4)
+    assert(res.filter($"query_id" === 999999L).count() == 0)
+    assert(res.filter($"query_id" === 0L).count() == 3)
   }
 
   test("scd2 merge without the broadcast hint produces identical history") {

@@ -206,6 +206,12 @@ class PipelineSpec extends SparkSpec {
     assert(new StateStore(spark, tbl).loadLatest("p").get.metrics == Map("tenantB.rows" -> 2.0))
     assert(sA.loadLatest("p").get.metrics == Map("tenantA.rows" -> 1.0))
     assert(sB.loadLatest("p").get.metrics == Map("tenantB.rows" -> 2.0))
+    // saving a row the store's own filter would hide fails loudly instead
+    // of silently corrupting loadLatest
+    val ex = intercept[IllegalArgumentException] {
+      sA.save(sA.State("p", later, None, Map("tenantB.rows" -> 9.0)))
+    }
+    assert(ex.getMessage.contains("filterExpr"))
   }
 
   test("state store JSON codec round-trips") {

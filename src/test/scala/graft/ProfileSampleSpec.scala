@@ -71,6 +71,7 @@ class ProfileSampleSpec extends SparkSpec {
   }
 
   test("sqrt temperature resampling rebalances toward the rarest group") {
+    import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val before = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -100,6 +101,14 @@ class ProfileSampleSpec extends SparkSpec {
     def nDominant(s: Set[Long]) = docs.filter(col("lang") === dominant)
       .select("doc_id").collect().map(_.getLong(0)).count(s)
     assert(nDominant(a1) < nDominant(a2) && nDominant(a2) < nDominant(a3))
+    // a NULL group is a group like any other: its rows survive the prob
+    // join (null-safe) instead of silently vanishing
+    val withNull = docs.unionByName(
+      Seq((777001L, null.asInstanceOf[String]), (777002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "lang"))
+    val keptNull = Sampling.sqrtResample(withNull, Seq("lang"), Seq("doc_id"))
+      .filter(col("lang").isNull).count()
+    assert(keptNull == 2L, s"NULL-group rows lost: kept $keptNull of 2 (rarest group keeps all)")
   }
 
   test("topFractionByScore keeps the best-scored fraction per group, deterministic ties") {
