@@ -90,7 +90,8 @@ object SparkEntry {
     "q79_json_flatten" -> (CoreQueries.q79JsonFlatten(_, _)),
     "q80_shards" -> (LlmQueries.q80Shards(_, _)),
     "q81_temperature_mix" -> (LlmQueries.q81TemperatureMix(_, _)),
-    "q82_top_fraction" -> (LlmQueries.q82TopFraction(_, _))
+    "q82_top_fraction" -> (LlmQueries.q82TopFraction(_, _)),
+    "q83_knn_pq" -> (LlmQueries.q83KnnPq(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1131,6 +1132,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn,
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
-        |WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin
+        |WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
+    // full-shortlist PQ == flat search: same oracle as q33's full-probe IVF
+    "q83_knn_pq" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
+        |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+        |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -172,6 +172,23 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ two-stage search with the shortlist opened to the WHOLE corpus
+    * (k·rerankFactor ≥ |corpus|): the exact-cosine rerank must then equal
+    * flat search regardless of quantization error — hash-gating the
+    * encode/ADC/rerank machinery (practical-setting recall is spec-tested
+    * in ScaleOpsSpec).
+    */
+  def q83KnnPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(s, dir)
+    val books = Pq.buildCodebooks(e, "vec_id", "embedding", m = 8, codesPerBook = 16)
+    val codes = Pq.encode(e, "vec_id", "embedding", books)
+    Pq.pqTopK(codes, books, e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, rerankFactor = 1000)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** Predicted-language distribution (heuristic stopword scorer). */
   def q27LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -272,4 +272,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ivf.size == exact.size)
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("PQ: codes compress to m ints, codebooks roundtrip parquet, rerank recovers neighbors") {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    // near-random synthetic vectors are the WORST case for quantization:
+    // m=16 (dsub=4) x 32 codes measured recall 0.84 here (vs 0.44 at the
+    // m=8 x 16 defaults that suit clustered real-world embeddings)
+    Pq.buildCodebooks(e, "vec_id", "embedding", m = 16, codesPerBook = 32)
+      .write.mode("overwrite").parquet(s"$tmp/books")
+    val books = spark.read.parquet(s"$tmp/books")
+    assert(books.count() == 16 * 32)
+    val codes = Pq.encode(e, "vec_id", "embedding", books)
+    // the whole corpus rides as 16 small ints per vector (vs 64 floats)
+    assert(codes.select(size($"codes")).distinct().as[Int].collect().toSeq == Seq(16))
+    assert(codes.count() == e.count())
+    val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Pq.pqTopK(codes, books, e, q, "vec_id", "embedding", k = 5, rerankFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == exact.size)
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+    // NULL vectors: encode drops them; a NULL query probes nothing
+    val withNull = e.select("vec_id", "embedding").unionByName(
+      Seq((999999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    assert(Pq.encode(withNull, "vec_id", "embedding", books).count() == e.count())
+    val rNull = Pq.pqTopK(codes, books, e, withNull.filter($"vec_id" === 999999L),
+      "vec_id", "embedding", k = 3)
+    assert(rNull.count() == 0)
+  }
 }
