@@ -181,7 +181,10 @@ object LlmQueries {
   def q83KnnPq(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.Pq
     val e = Tables.embeddings(s, dir)
-    val books = Pq.buildCodebooks(e, "vec_id", "embedding", m = 8, codesPerBook = 16)
+    // full-shortlist rerank is codebook-quality-INDEPENDENT, so the gate
+    // query uses the zero-kmeans sample codebooks (trained-quality recall
+    // is ScaleOpsSpec's job)
+    val books = Pq.sampleCodebooks(e, "vec_id", "embedding", m = 8, codesPerBook = 16)
     val codes = Pq.encode(e, "vec_id", "embedding", books)
     Pq.pqTopK(codes, books, e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, rerankFactor = 1000)

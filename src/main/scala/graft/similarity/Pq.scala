@@ -44,7 +44,8 @@ object Pq {
       codesPerBook: Int = 16,
       seed: Long = 7L,
       maxIter: Int = 5,
-      trainFraction: Double = 1.0
+      trainFraction: Double = 1.0,
+      initMode: String = "k-means||"
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     val spark = corpus.sparkSession
@@ -69,7 +70,8 @@ object Pq {
         val sub = slices.select(
           toVec(slice(col("v"), s * dsub + 1, dsub)).as("features"))
         val model = new KMeans().setK(codesPerBook).setSeed(seed + s)
-          .setMaxIter(maxIter).setFeaturesCol("features").setPredictionCol("code")
+          .setMaxIter(maxIter).setInitMode(initMode)
+          .setFeaturesCol("features").setPredictionCol("code")
           .fit(sub)
         model.clusterCenters.zipWithIndex.map { case (c, i) =>
           (s, i, c.toArray.toSeq)
@@ -77,6 +79,41 @@ object Pq {
       }
       rows.toDF("sub", "code", "centroid")
     } finally { slices.unpersist(false); () }
+  }
+
+  /** Codebooks from a deterministic md5-ordered sample — NO k-means: the
+    * first `codesPerBook` sampled vectors' subvectors become the
+    * centroids. Centroid quality is data-dependent (use [[buildCodebooks]]
+    * for production recall; [[pqTopK]]'s exact rerank is correct under ANY
+    * codebook), but the build is one tiny driver-side collect — the
+    * bootstrap/CI path, and a valid k-means init.
+    */
+  def sampleCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      codesPerBook: Int = 16
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("v", normalized(col("v")))
+      .withColumn("__h", substring(graft.operators.Sampling.keyHash(Seq(col("id"))), 1, 15))
+      .orderBy("__h")
+      .limit(codesPerBook)
+    val sample = base.select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "corpus has no non-null vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val rows = for {
+      s <- 0 until m
+      (vec, i) <- sample.zipWithIndex
+    } yield (s, i, vec.slice(s * dsub, (s + 1) * dsub).toSeq)
+    rows.toDF("sub", "code", "centroid")
   }
 
   private def booksOf(codebooks: DataFrame): Array[Array[Array[Double]]] = {
