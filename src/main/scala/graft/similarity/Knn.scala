@@ -268,22 +268,7 @@ object Knn {
       k: Int,
       nprobe: Int
   ): DataFrame = {
-    // driver-side centroid table is tiny (nlist × dim); nearest nprobe
-    // cells per query computed in one compiled pass
-    val centers = centersOf(index)
-    val probeUdf = udf { (q: Seq[Double]) =>
-      // NULL query vector probes nothing (consistent with assignCells'
-      // sentinel cell -1 for NULL corpus vectors — that cell never matches)
-      if (q == null) Seq.empty[Int]
-      else centers.map { case (cell, ct) =>
-        var d = 0.0; var j = 0
-        val n = math.min(ct.length, q.length)
-        while (j < n) { val t = ct(j) - q(j); d += t * t; j += 1 }
-        (d, cell)
-      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
-    }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
+    val q = probeCells(queries, idCol, vecCol, index, nprobe)
     val scored = cells.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", cosine(col("v"), col("qv")))
@@ -292,6 +277,34 @@ object Knn {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
+  /** (query_id, qv, cell) — each query fanned out to its `nprobe` nearest
+    * index cells. The driver-side centroid table is tiny (nlist × dim);
+    * nearest cells per query computed in one compiled pass. NULL query
+    * vectors probe nothing (consistent with [[assignCells]]' sentinel
+    * cell -1 for NULL corpus vectors — that cell never matches). Shared
+    * probe stage of [[ivfTopKPrebuilt]] and [[Pq.ivfPqTopK]].
+    */
+  def probeCells(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: DataFrame,
+      nprobe: Int
+  ): DataFrame = {
+    val centers = centersOf(index)
+    val probeUdf = udf { (q: Seq[Double]) =>
+      if (q == null) Seq.empty[Int]
+      else centers.map { case (cell, ct) =>
+        var d = 0.0; var j = 0
+        val n = math.min(ct.length, q.length)
+        while (j < n) { val t = ct(j) - q(j); d += t * t; j += 1 }
+        (d, cell)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }
+    queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
   }
 
   /** Near-duplicate pairs by embedding cosine >= tau, LSH-bucketed so the

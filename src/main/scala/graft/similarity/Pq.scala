@@ -192,6 +192,55 @@ object Pq {
       rerankFactor: Int = 4
   ): DataFrame = {
     require(k > 0 && rerankFactor >= 1)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull)
+    val cand = codes.join(broadcast(q), col("id") =!= col("query_id"))
+    adcShortlistRerank(cand, codebooks, corpus, idCol, vecCol, k, rerankFactor)
+  }
+
+  /** IVF × PQ — the production ANN shape at corpus scale: the IVF index
+    * prunes WHICH rows are scanned (nprobe cells per query), the PQ codes
+    * shrink WHAT each scanned row costs (m lookups on m bytes), and the
+    * exact-cosine rerank restores precision on the shortlist.
+    *
+    * @param cells  (id, cell) from [[Knn.assignCells]]
+    * @param ivfIndex (cell, centroid) from [[Knn.buildIvfIndex]]
+    * @param codes  (id, codes) from [[encode]]
+    */
+  def ivfPqTopK(
+      cells: DataFrame,
+      ivfIndex: DataFrame,
+      codes: DataFrame,
+      codebooks: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4
+  ): DataFrame = {
+    require(k > 0 && nprobe > 0 && rerankFactor >= 1)
+    val q = Knn.probeCells(queries, idCol, vecCol, ivfIndex, nprobe)
+    val cand = codes.join(cells.select(col("id"), col("cell")), Seq("id"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+    adcShortlistRerank(cand, codebooks, corpus, idCol, vecCol, k, rerankFactor)
+  }
+
+  /** ADC-score candidates (id, codes, query_id, qv), shortlist the top
+    * rerankFactor·k per query, exact-cosine rerank against the original
+    * vectors.
+    */
+  private def adcShortlistRerank(
+      cand0: DataFrame,
+      codebooks: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerankFactor: Int
+  ): DataFrame = {
     val books = booksOf(codebooks)
     val m = books.length
     val adc = udf {
@@ -226,10 +275,7 @@ object Pq {
           }
       }
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .filter(col("qv").isNotNull)
-    val cand = codes.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("adc", adc(col("codes"), col("qv"), col("query_id")))
+    val cand = cand0.withColumn("adc", adc(col("codes"), col("qv"), col("query_id")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("id"))
     val shortlist = cand
       .withColumn("__r", row_number().over(wAdc))

@@ -304,4 +304,27 @@ class ScaleOpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3)
     assert(rNull.count() == 0)
   }
+
+  test("IVF-PQ composition: full probe + full shortlist equals flat search; pruned probe keeps recall") {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val ivf = Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
+    val cells = Knn.assignCells(e, "vec_id", "embedding", ivf)
+    val books = Pq.buildCodebooks(e, "vec_id", "embedding", m = 16, codesPerBook = 32)
+    val codes = Pq.encode(e, "vec_id", "embedding", books)
+    val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // probe everything + shortlist everything -> quantization cannot matter
+    val full = Pq.ivfPqTopK(cells, ivf, codes, books, e, q, "vec_id", "embedding",
+        k = 5, nprobe = 8, rerankFactor = 1000)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // practical settings: prune to half the cells, modest shortlist
+    val pruned = Pq.ivfPqTopK(cells, ivf, codes, books, e, q, "vec_id", "embedding",
+        k = 5, nprobe = 4, rerankFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pruned).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
 }
