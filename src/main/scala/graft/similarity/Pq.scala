@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * IVF ([[Knn.buildIvfIndex]]) prunes WHICH vectors are scored; PQ shrinks
   * WHAT is scored: each (L2-normalized) vector is chopped into `m`
-  * subvectors, each subvector replaced by the id of its nearest codebook
-  * centroid — the corpus is stored as `m` small ints per vector (8 bytes at
-  * m=8) instead of 4·dim float bytes, a 32× compression at dim=64 that is
-  * the difference between an in-memory corpus scan and an I/O-bound one at
-  * 100 TB. Scoring uses the asymmetric distance computation (ADC): ONE
-  * m×k lookup table of ⟨query-subvector, centroid⟩ dots per query, then
-  * every corpus row costs m table lookups + adds — no per-row float math.
+  * subvectors, each subvector replaced by the byte id of its nearest
+  * codebook centroid — the corpus is stored as a BINARY column of exactly
+  * m bytes per vector (8 bytes at m=8) instead of 4·dim float bytes, a
+  * true 32× compression at dim=64 that is the difference between an
+  * in-memory corpus scan and an I/O-bound one at 100 TB. Scoring uses the
+  * asymmetric distance computation (ADC): ONE m×k lookup table of
+  * ⟨query-subvector, centroid⟩ dots per query, then every corpus row
+  * costs m table lookups + adds — no per-row float math.
   *
   * The ADC score is approximate, so [[pqTopK]] reranks the top
   * `rerankFactor`·k ADC candidates with EXACT cosine against the original
@@ -53,10 +54,13 @@ object Pq {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("v", normalized(col("v")))
+    require(codesPerBook <= 256, "codesPerBook must fit a byte (<= 256)")
     val train =
       if (trainFraction >= 1.0) base
       else graft.operators.Sampling.deterministic(base, Seq("id"), trainFraction)
-    val dim = train.select(size(col("v"))).head().getInt(0)
+    val first = train.select(size(col("v"))).head(1)
+    require(first.nonEmpty, "corpus has no non-null vectors (or the train sample is empty)")
+    val dim = first.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val toVec = udf { (a: Seq[Double]) =>
@@ -106,6 +110,7 @@ object Pq {
       .limit(codesPerBook)
     val sample = base.select("v").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "corpus has no non-null vectors")
+    require(codesPerBook <= 256, "codesPerBook must fit a byte (<= 256)")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -121,34 +126,35 @@ object Pq {
       .select(col("sub"), col("code"), col("centroid").cast("array<double>"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "codebooks frame is empty")
     val m = rows.map(_._1).max + 1
     val out = Array.ofDim[Array[Array[Double]]](m)
     rows.groupBy(_._1).foreach { case (s, rs) =>
       val k = rs.map(_._2).max + 1
+      require(k <= 256, s"codesPerBook $k exceeds 256 — codes would not fit a byte")
       val book = Array.ofDim[Array[Double]](k)
       rs.foreach { case (_, c, v) => book(c) = v }
       out(s) = book
     }
+    require(out.flatMap(_.map(_.length)).distinct.length == 1,
+      "codebooks have inconsistent centroid dimensions")
     out
   }
 
-  /** Encode every corpus vector as its `m` nearest-centroid codes — one
-    * narrow compiled pass against the broadcast codebooks. NULL vectors
-    * encode as NULL (never candidates, mirrors [[Knn.assignCells]]).
-    */
-  def encode(corpus: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame): DataFrame = {
-    val books = booksOf(codebooks)
+  private def encUdf(books: Array[Array[Array[Double]]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = books.length
-    val enc = udf { (v0: Seq[Double]) =>
-      if (v0 == null) null
+    val dsubBook = books(0)(0).length
+    udf { (v0: Seq[Double]) =>
+      // NULL or wrong-dimension vectors (codebooks trained on a different
+      // dim) encode as NULL — dropped, never a silently-truncated code
+      if (v0 == null || v0.length != m * dsubBook) null
       else {
         val v = v0.toArray
         var nrm = 0.0
         var t = 0
         while (t < v.length) { nrm += v(t) * v(t); t += 1 }
         nrm = math.sqrt(nrm)
-        val dsub = v.length / m
-        val codes = new Array[Int](m)
+        val codes = new Array[Byte](m)
         var s = 0
         while (s < m) {
           val book = books(s)
@@ -156,22 +162,52 @@ object Pq {
           var c = 0
           while (c < book.length) {
             var d = 0.0; var j = 0
-            while (j < dsub) {
-              val x = v(s * dsub + j) / nrm - book(c)(j)
+            while (j < dsubBook) {
+              val x = v(s * dsubBook + j) / nrm - book(c)(j)
               d += x * x
               j += 1
             }
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
-          codes(s) = best
+          codes(s) = best.toByte
           s += 1
         }
-        codes.toSeq
+        codes
       }
     }
-    corpus.select(col(idCol).as("id"), enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** Encode every corpus vector as its `m` nearest-centroid codes — a
+    * BINARY column of exactly m bytes (codesPerBook ≤ 256), so the stored
+    * compression ratio really is 4·dim / m. One narrow compiled pass
+    * against the broadcast codebooks; NULL (or wrong-dimension) vectors
+    * encode as NULL (never candidates, mirrors [[Knn.assignCells]]).
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame): DataFrame = {
+    val books = booksOf(codebooks)
+    corpus.select(col(idCol).as("id"),
+        encUdf(books)(col(vecCol).cast("array<double>")).as("codes"))
       .filter(col("codes").isNotNull)
+  }
+
+  /** (id, cell, codes) — the IVF-PQ index frame: cell assignment and PQ
+    * codes attached in ONE narrow pass (no join). Build this once per
+    * corpus at index time; [[ivfPqTopK]] then never touches raw vectors
+    * until its rerank.
+    */
+  def indexCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      ivfIndex: DataFrame
+  ): DataFrame = {
+    val books = booksOf(codebooks)
+    Knn.assignCells(corpus, idCol, vecCol, ivfIndex)
+      .withColumn("codes", encUdf(books)(col("v")))
+      .filter(col("codes").isNotNull)
+      .select(col("id"), col("cell"), col("codes"))
   }
 
   /** Two-stage PQ top-k: ADC candidate scan over the compressed codes
@@ -195,22 +231,25 @@ object Pq {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .filter(col("qv").isNotNull)
     val cand = codes.join(broadcast(q), col("id") =!= col("query_id"))
-    adcShortlistRerank(cand, codebooks, corpus, idCol, vecCol, k, rerankFactor)
+    adcShortlistRerank(cand, q, codebooks, corpus, idCol, vecCol, k, rerankFactor)
   }
 
   /** IVF × PQ — the production ANN shape at corpus scale: the IVF index
     * prunes WHICH rows are scanned (nprobe cells per query), the PQ codes
     * shrink WHAT each scanned row costs (m lookups on m bytes), and the
-    * exact-cosine rerank restores precision on the shortlist.
+    * exact-cosine rerank restores precision on the shortlist. The per-query
+    * path is one broadcast join on `cell` against the prebuilt
+    * [[indexCodes]] frame — the corpus never shuffles (joining separate
+    * cells/codes frames per query batch would have paid a corpus-wide id
+    * shuffle before any pruning, which is why the index frame carries both).
     *
-    * @param cells  (id, cell) from [[Knn.assignCells]]
-    * @param ivfIndex (cell, centroid) from [[Knn.buildIvfIndex]]
-    * @param codes  (id, codes) from [[encode]]
+    * @param cellCodes (id, cell, codes) from [[indexCodes]] — built once
+    *   per corpus at index time.
+    * @param ivfIndex  (cell, centroid) from [[Knn.buildIvfIndex]]
     */
   def ivfPqTopK(
-      cells: DataFrame,
+      cellCodes: DataFrame,
       ivfIndex: DataFrame,
-      codes: DataFrame,
       codebooks: DataFrame,
       corpus: DataFrame,
       queries: DataFrame,
@@ -221,19 +260,23 @@ object Pq {
       rerankFactor: Int = 4
   ): DataFrame = {
     require(k > 0 && nprobe > 0 && rerankFactor >= 1)
-    val q = Knn.probeCells(queries, idCol, vecCol, ivfIndex, nprobe)
-    val cand = codes.join(cells.select(col("id"), col("cell")), Seq("id"))
-      .join(broadcast(q), Seq("cell"))
+    val probed = Knn.probeCells(queries, idCol, vecCol, ivfIndex, nprobe)
+    val q = probed.select(col("query_id"), col("qv")).distinct()
+    val cand = cellCodes.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-    adcShortlistRerank(cand, codebooks, corpus, idCol, vecCol, k, rerankFactor)
+    adcShortlistRerank(cand, q, codebooks, corpus, idCol, vecCol, k, rerankFactor)
   }
 
   /** ADC-score candidates (id, codes, query_id, qv), shortlist the top
     * rerankFactor·k per query, exact-cosine rerank against the original
-    * vectors.
+    * vectors. The query vector is DROPPED before the shortlist window —
+    * the ranking exchange carries (query_id, id, adc) only, never dim
+    * doubles per candidate — and rejoined from the tiny broadcast query
+    * frame for the rerank.
     */
   private def adcShortlistRerank(
       cand0: DataFrame,
+      qFrame: DataFrame,
       codebooks: DataFrame,
       corpus: DataFrame,
       idCol: String,
@@ -243,47 +286,55 @@ object Pq {
   ): DataFrame = {
     val books = booksOf(codebooks)
     val m = books.length
+    val dsubBook = books(0)(0).length
     val adc = udf {
-      new ((Seq[Int], Seq[Double], Long) => java.lang.Double) with Serializable {
+      new ((Array[Byte], Seq[Double], String) => java.lang.Double) with Serializable {
         // per-task instance (Spark deserializes the closure per task, and a
-        // task is single-threaded), so a plain memo map is safe
+        // task is single-threaded), so a plain memo map is safe; the id is
+        // keyed as STRING so any idCol type works (a Long-typed param would
+        // ANSI-fail or null out non-numeric ids)
         @transient private lazy val luts =
-          scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
+          scala.collection.mutable.Map.empty[String, Array[Array[Double]]]
         private def lut(q: Seq[Double]): Array[Array[Double]] = {
           val qa = q.toArray
           var nrm = 0.0
           var t = 0
           while (t < qa.length) { nrm += qa(t) * qa(t); t += 1 }
           nrm = math.sqrt(nrm)
-          val dsub = qa.length / m
           Array.tabulate(m) { s =>
             val book = books(s)
             Array.tabulate(book.length) { c =>
               var d = 0.0; var j = 0
-              while (j < dsub) { d += (qa(s * dsub + j) / nrm) * book(c)(j); j += 1 }
+              while (j < dsubBook) { d += (qa(s * dsubBook + j) / nrm) * book(c)(j); j += 1 }
               d
             }
           }
         }
-        def apply(cs: Seq[Int], qv: Seq[Double], qid: Long): java.lang.Double =
-          if (cs == null || qv == null) null
+        def apply(cs: Array[Byte], qv: Seq[Double], qid: String): java.lang.Double =
+          // wrong-dimension queries score null -> filtered out below (no
+          // silent truncated-LUT ranking)
+          if (cs == null || qv == null || qid == null || qv.length != m * dsubBook) null
           else {
             val table = luts.getOrElseUpdate(qid, lut(qv))
             var sc = 0.0; var s = 0
-            while (s < m) { sc += table(s)(cs(s)); s += 1 }
+            while (s < m) { sc += table(s)(cs(s) & 0xff); s += 1 }
             sc
           }
       }
     }
-    val cand = cand0.withColumn("adc", adc(col("codes"), col("qv"), col("query_id")))
+    val cand = cand0
+      .withColumn("adc", adc(col("codes"), col("qv"), col("query_id").cast("string")))
+      .filter(col("adc").isNotNull)
+      .select(col("query_id"), col("id"), col("adc"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("id"))
     val shortlist = cand
       .withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= k * rerankFactor)
-      .select(col("query_id"), col("id"), col("qv"))
+      .select(col("query_id"), col("id"))
     val exact = shortlist.join(
         corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
         Seq("id"))
+      .join(broadcast(qFrame), Seq("query_id"))
       .withColumn("score", Knn.cosine(col("v"), col("qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
     exact

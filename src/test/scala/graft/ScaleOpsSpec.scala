@@ -273,7 +273,7 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
-  test("PQ: codes compress to m ints, codebooks roundtrip parquet, rerank recovers neighbors") {
+  test("PQ: codes compress to m bytes, codebooks roundtrip parquet, rerank recovers neighbors") {
     import graft.similarity.Pq
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 5)
@@ -286,8 +286,10 @@ class ScaleOpsSpec extends SparkSpec {
     val books = spark.read.parquet(s"$tmp/books")
     assert(books.count() == 16 * 32)
     val codes = Pq.encode(e, "vec_id", "embedding", books)
-    // the whole corpus rides as 16 small ints per vector (vs 64 floats)
-    assert(codes.select(size($"codes")).distinct().as[Int].collect().toSeq == Seq(16))
+    // the whole corpus rides as EXACTLY 16 bytes per vector (vs 256 float
+    // bytes) — codes are a binary column, so the compression claim is real
+    assert(codes.schema("codes").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(codes.select(length($"codes")).distinct().as[Int].collect().toSeq == Seq(16))
     assert(codes.count() == e.count())
     val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -303,6 +305,13 @@ class ScaleOpsSpec extends SparkSpec {
     val rNull = Pq.pqTopK(codes, books, e, withNull.filter($"vec_id" === 999999L),
       "vec_id", "embedding", k = 3)
     assert(rNull.count() == 0)
+    // non-long id types work end-to-end (the ADC memo keys ids as strings;
+    // a Long-typed UDF param would ANSI-fail on string ids)
+    val es = e.select(concat(lit("v"), $"vec_id").as("vec_id"), $"embedding")
+    val qs = es.filter($"vec_id".isin("v0", "v1"))
+    val sCodes = Pq.encode(es, "vec_id", "embedding", books)
+    val sRes = Pq.pqTopK(sCodes, books, es, qs, "vec_id", "embedding", k = 3)
+    assert(sRes.count() == 6)
   }
 
   test("IVF-PQ composition: full probe + full shortlist equals flat search; pruned probe keeps recall") {
@@ -310,18 +319,19 @@ class ScaleOpsSpec extends SparkSpec {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 5)
     val ivf = Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)
-    val cells = Knn.assignCells(e, "vec_id", "embedding", ivf)
     val books = Pq.buildCodebooks(e, "vec_id", "embedding", m = 16, codesPerBook = 32)
-    val codes = Pq.encode(e, "vec_id", "embedding", books)
+    // the one-pass index frame: cell + codes, no join, built once
+    val cellCodes = Pq.indexCodes(e, "vec_id", "embedding", books, ivf)
+    assert(cellCodes.columns.toSeq == Seq("id", "cell", "codes"))
     val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     // probe everything + shortlist everything -> quantization cannot matter
-    val full = Pq.ivfPqTopK(cells, ivf, codes, books, e, q, "vec_id", "embedding",
+    val full = Pq.ivfPqTopK(cellCodes, ivf, books, e, q, "vec_id", "embedding",
         k = 5, nprobe = 8, rerankFactor = 1000)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == exact)
     // practical settings: prune to half the cells, modest shortlist
-    val pruned = Pq.ivfPqTopK(cells, ivf, codes, books, e, q, "vec_id", "embedding",
+    val pruned = Pq.ivfPqTopK(cellCodes, ivf, books, e, q, "vec_id", "embedding",
         k = 5, nprobe = 4, rerankFactor = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect pruned).size.toDouble / exact.size
