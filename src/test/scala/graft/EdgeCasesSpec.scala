@@ -197,6 +197,24 @@ class EdgeCasesSpec extends SparkSpec {
       == key(Scd2.merge(hist, batch, Seq("e"), Seq("t"), Seq("x"))))
   }
 
+  test("round-3 operators degrade to empty output on empty input") {
+    import graft.operators.{Sampling, Sharding}
+    import graft.dedup.SpanDedup
+    val noDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_chars")
+    assert(Sharding.assignShards(noDocs, Seq("doc_id"), 4).count() == 0)
+    assert(Sharding.shardSummary(noDocs, Seq("doc_id"), 4, Some("n_chars")).count() == 0)
+    assert(Sampling.temperatureResample(noDocs, Seq("lang"), Seq("doc_id")).count() == 0)
+    assert(Sampling.topFractionByScore(noDocs, Seq("lang"), "n_chars", Seq("doc_id"), 0.5).count() == 0)
+    val noText = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyStore = SpanDedup.spanStore(noText, "doc_id", "text", 3)
+    assert(emptyStore.count() == 0)
+    // batch against an empty store == plain stats
+    val batch = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val inc = SpanDedup.incrementalStats(batch, emptyStore, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(inc.toSeq == Seq((1L, 2L, 0L)))
+  }
+
   test("batched PK search chunks wide levels and survives comma column names") {
     val d = Seq(
       (1L, 1L, "a", "x"), (1L, 2L, "a", "y"), (2L, 1L, "b", "x"), (2L, 2L, "c", "y")
