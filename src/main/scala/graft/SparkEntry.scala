@@ -91,7 +91,8 @@ object SparkEntry {
     "q80_shards" -> (LlmQueries.q80Shards(_, _)),
     "q81_temperature_mix" -> (LlmQueries.q81TemperatureMix(_, _)),
     "q82_top_fraction" -> (LlmQueries.q82TopFraction(_, _)),
-    "q83_knn_pq" -> (LlmQueries.q83KnnPq(_, _))
+    "q83_knn_pq" -> (LlmQueries.q83KnnPq(_, _)),
+    "q84_embedding_pipeline" -> (LlmQueries.q84EmbeddingPipeline(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1140,6 +1141,25 @@ object SparkEntry {
         |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
         |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
         |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    // embedding pipeline replayed: twin pairs via exact cosine, clusters
+    // ARE the pairs (verified generally by q37/q57), canonical keeps the
+    // lower id, then md5-mod-8 shard counts of the kept set
+    "q84_embedding_pipeline" ->
+      """WITH pairs AS (
+        |  SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
+        |  WHERE list_cosine_similarity(embedding::DOUBLE[],
+        |    (CASE WHEN (vec_id + 1000000) % 2 = 0 THEN embedding
+        |          ELSE list_transform(embedding, x -> -x) END)::DOUBLE[]) >= 0.99),
+        |corpus AS (SELECT vec_id FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 FROM embeddings),
+        |kept AS (SELECT vec_id FROM corpus
+        |  WHERE vec_id NOT IN (SELECT id_b FROM pairs))
+        |SELECT
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |    (acc, x) -> acc * 16 + x) % 8 AS shard,
+        |  count(*) AS n_rows
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

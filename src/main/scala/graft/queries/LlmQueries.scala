@@ -440,6 +440,27 @@ object LlmQueries {
       fraction = 0.25)
       .orderBy("doc_id")
 
+  /** The EMBEDDING-side curation pipeline end-to-end (q76's vector twin):
+    * LSH-bucketed near-dup pairs → connected components → canonical
+    * representative per cluster (ties → lowest id) → deterministic shard
+    * summary of the kept set. The oracle replays every stage from the twin
+    * construction (pairs via exact cosine, clusters are exactly the twin
+    * pairs, canonical keeps the lower id, md5-mod sharding), so the final
+    * per-shard counts hash-match only if ALL four stages are right.
+    */
+  def q84EmbeddingPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.ConnectedComponents
+    val vecs = vecsWithTwins(s, dir)
+    val pairs = Knn.nearDupPairs(vecs, "vec_id", "embedding", tau = 0.99)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val docs = vecs.select(col("vec_id"), lit(1.0).as("score"))
+    val kept = ConnectedComponents.canonicalize(docs, pairs, "vec_id", "score")
+      .filter(col("is_kept"))
+      .select("vec_id")
+    graft.operators.Sharding.shardSummary(kept, Seq("vec_id"), numShards = 8)
+      .orderBy("shard")
+  }
+
   /** [[docsWithExactCopies]] but keeping lang + source (pipeline inputs). */
   private def docsWithExactCopiesFull(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")
