@@ -335,6 +335,55 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming sub-document span dedup: each micro-batch of documents is
+    * scored against the ACCUMULATED span-frequency store
+    * ([[graft.dedup.SpanDedup.incrementalStats]] — per-batch cost, the
+    * store is semi-filtered map-side), its stats land under
+    * `statsPath/batch_id=<n>`, and the store is folded forward as a
+    * versioned snapshot `storePath/v=<n>`
+    * ([[graft.dedup.SpanDedup.mergeSpanStore]]).
+    *
+    * Replay safety: a replayed batch N re-reads the LATEST version BELOW N
+    * and overwrites its own stats dir and `v=N` snapshot — both writes are
+    * deterministic functions of (prior store, batch), so the crash-replay
+    * result is identical (same idempotent-overwrite contract as
+    * [[dqGateStream]]). The version listing is one driver-side FS listing
+    * per batch — store bookkeeping, not data movement.
+    */
+  def spanDedupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int,
+      storePath: String,
+      statsPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.dedup.SpanDedup
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val base = new org.apache.hadoop.fs.Path(storePath)
+        val prior =
+          if (!fs.exists(base)) Array.empty[Long]
+          else fs.listStatus(base).map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+            .filter(_ < batchId)
+        val store =
+          if (prior.isEmpty) SpanDedup.spanStore(batch.limit(0), idCol, textCol, spanWords)
+          else spark.read.parquet(s"$storePath/v=${prior.max}")
+        SpanDedup.incrementalStats(batch, store, idCol, textCol, spanWords)
+          .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
+        SpanDedup.mergeSpanStore(store, batch, idCol, textCol, spanWords)
+          .write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

@@ -282,6 +282,41 @@ class StreamingSpec extends SparkSpec {
     } finally { baseline.unpersist(blocking = false); () }
   }
 
+  test("streaming span dedup accumulates the store across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.SpanDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spanstream").toString
+    val mem = MemoryStream[(Long, String)]
+    // batch 1: two docs sharing a span; batch 2: one doc repeating a
+    // batch-1 span (must be flagged against the STORE) + one fresh doc
+    mem.addData((1L, "aa bb cc xx yy zz"), (2L, "aa bb cc pp qq rr"))
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q1 = StreamingOps.spanDedupStream(docs, "doc_id", "text", spanWords = 3,
+      s"$tmp/store", s"$tmp/stats", s"$tmp/cp")
+    q1.awaitTermination(120000)
+    mem.addData((3L, "aa bb cc uu vv ww"), (4L, "mm nn oo gg hh ii"))
+    val q2 = StreamingOps.spanDedupStream(docs, "doc_id", "text", spanWords = 3,
+      s"$tmp/store", s"$tmp/stats", s"$tmp/cp")
+    q2.awaitTermination(120000)
+    val stats = spark.read.parquet(s"$tmp/stats")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_spans")).toMap
+    assert(stats(1L) == 1L && stats(2L) == 1L) // batch-internal shared span
+    assert(stats(3L) == 1L, "doc 3's repeat of a batch-1 span must hit the store")
+    assert(stats(4L) == 0L)
+    // the final store snapshot equals a from-scratch build over all docs
+    val all = Seq((1L, "aa bb cc xx yy zz"), (2L, "aa bb cc pp qq rr"),
+      (3L, "aa bb cc uu vv ww"), (4L, "mm nn oo gg hh ii")).toDF("doc_id", "text")
+    val versions = new java.io.File(s"$tmp/store").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    val store = spark.read.parquet(s"$tmp/store/v=${versions.max}")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rebuilt = SpanDedup.spanStore(all, "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(store == rebuilt)
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
