@@ -384,6 +384,9 @@ object SimHash {
         // no sharing, no locking; capped so a pathological vocabulary
         // can't exhaust task memory.
         val cache = new java.util.HashMap[String, java.lang.Long]()
+        // one digest instance per task, reset by digest() itself —
+        // getInstance per token miss pays a provider lookup for nothing
+        lazy val md5 = java.security.MessageDigest.getInstance("MD5")
         (toks: Seq[String]) => {
           val votes = new Array[Int](64)
           val it = toks.iterator
@@ -393,8 +396,7 @@ object SimHash {
             if (boxed == null) {
               // lower 60 bits of md5 = hex chars 18..32 = low nibble of byte
               // 8 then bytes 9..15; same as conv(substring(md5(t),18,15),16,10)
-              val d = java.security.MessageDigest.getInstance("MD5")
-                .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val d = md5.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               var h = (d(8) & 0x0f).toLong
               var b = 9
               while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
