@@ -383,34 +383,40 @@ object SimHash {
         // is created driver-side, so each task deserializes its own copy —
         // no sharing, no locking; capped so a pathological vocabulary
         // can't exhaust task memory.
-        val cache = new java.util.HashMap[String, java.lang.Long]()
-        // one digest instance per task, reset by digest() itself —
-        // getInstance per token miss pays a provider lookup for nothing
-        lazy val md5 = java.security.MessageDigest.getInstance("MD5")
-        (toks: Seq[String]) => {
-          val votes = new Array[Int](64)
-          val it = toks.iterator
-          while (it.hasNext) {
-            val t = it.next()
-            var boxed = cache.get(t)
-            if (boxed == null) {
-              // lower 60 bits of md5 = hex chars 18..32 = low nibble of byte
-              // 8 then bytes 9..15; same as conv(substring(md5(t),18,15),16,10)
-              val d = md5.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              var h = (d(8) & 0x0f).toLong
-              var b = 9
-              while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
-              boxed = java.lang.Long.valueOf(h)
-              if (cache.size < (1 << 20)) cache.put(t, boxed)
+        new (Seq[String] => Long) with Serializable {
+          private val cache = new java.util.HashMap[String, java.lang.Long]()
+          // one digest instance per deserialized closure (= per task),
+          // reset by digest() itself — getInstance per token miss pays a
+          // provider lookup for nothing. @transient: MessageDigest is not
+          // serializable, and a driver-side evaluation must not poison the
+          // closure for task serialization.
+          @transient private lazy val md5 =
+            java.security.MessageDigest.getInstance("MD5")
+          def apply(toks: Seq[String]): Long = {
+            val votes = new Array[Int](64)
+            val it = toks.iterator
+            while (it.hasNext) {
+              val t = it.next()
+              var boxed = cache.get(t)
+              if (boxed == null) {
+                // lower 60 bits of md5 = hex chars 18..32 = low nibble of byte
+                // 8 then bytes 9..15; same as conv(substring(md5(t),18,15),16,10)
+                val d = md5.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                var h = (d(8) & 0x0f).toLong
+                var b = 9
+                while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
+                boxed = java.lang.Long.valueOf(h)
+                if (cache.size < (1 << 20)) cache.put(t, boxed)
+              }
+              val h = boxed.longValue
+              var i = 0
+              while (i < 64) {
+                if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+                i += 1
+              }
             }
-            val h = boxed.longValue
-            var i = 0
-            while (i < 64) {
-              if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-              i += 1
-            }
+            votesToHash(votes)
           }
-          votesToHash(votes)
         }
       }
       else udf { (toks: Seq[String]) =>

@@ -360,24 +360,37 @@ object StreamingOps {
       checkpoint: String
   ): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import graft.dedup.SpanDedup
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        val spark = batch0.sparkSession
         val base = new org.apache.hadoop.fs.Path(storePath)
+        // resolve the PATH's filesystem, not fs.defaultFS — storePath may
+        // carry its own scheme (s3a://...) on a cluster
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val prior =
           if (!fs.exists(base)) Array.empty[Long]
           else fs.listStatus(base).map(_.getPath.getName)
             .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
             .filter(_ < batchId)
-        val store =
-          if (prior.isEmpty) SpanDedup.spanStore(batch.limit(0), idCol, textCol, spanWords)
-          else spark.read.parquet(s"$storePath/v=${prior.max}")
-        SpanDedup.incrementalStats(batch, store, idCol, textCol, spanWords)
-          .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
-        SpanDedup.mergeSpanStore(store, batch, idCol, textCol, spanWords)
-          .write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        // both actions (stats + merge) derive from the batch — one source
+        // pass, same contract as dqGateStream's persisted split
+        val batch = batch0.persist()
+        try {
+          val store =
+            if (prior.isEmpty) SpanDedup.spanStore(batch.limit(0), idCol, textCol, spanWords)
+            else spark.read.parquet(s"$storePath/v=${prior.max}")
+          SpanDedup.incrementalStats(batch, store, idCol, textCol, spanWords)
+            .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
+          SpanDedup.mergeSpanStore(store, batch, idCol, textCol, spanWords)
+            .write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+          // retention: replay of a batch only ever needs the latest version
+          // below it — once v=batchId is durable, snapshots older than the
+          // one it was built from are dead weight (unbounded growth
+          // otherwise: N batches -> N full store copies)
+          prior.filter(_ < prior.maxOption.getOrElse(Long.MinValue)).foreach { v =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/v=$v"), true)
+          }
+        } finally { batch.unpersist(blocking = false); () }
         ()
       }
       .option("checkpointLocation", checkpoint)
