@@ -99,13 +99,10 @@ private[dedup] object LshBlocking {
   */
 object MinHashLsh {
 
-  /** Prime modulus > 2^32 for the universal-hash "permutations". Without
-    * the mod, a*h + b is MONOTONE in h, so every position's min lands on
-    * the same gram and the 64 positions are perfectly correlated — the
-    * estimator degenerates to 0/1 (a twin whose extra gram takes the
-    * minimum base hash then misses entirely; caught by the q21 oracle).
-    */
-  private val MinHashPrime = 4294967311L
+  // The permutation scheme (affine mod-p, p > 2^32 — a plain a*h + b is
+  // MONOTONE in h and degenerates the estimator to 0/1, caught by the q21
+  // oracle) lives in graft.functions.MinHashSignature, the native
+  // expression that computes signatures.
 
   /** Version of the signature byte contract (gram hashing + permutation
     * scheme). Persisted signature stores are only join-compatible with
@@ -113,24 +110,21 @@ object MinHashLsh {
     * store and refuse to ingest across versions (a silent mismatch does
     * not error: cross batch/store near-dup recall just drops to ~zero).
     * v2: grams hash as murmur-mixed per-token hashes (was: stringHash of
-    * the joined gram text).
+    * the joined gram text). v3: token hashes are murmur3 over raw UTF-8
+    * bytes inside the native [[graft.functions.MinHashSignature]]
+    * expression (was: scala stringHash over chars).
     */
-  val SignatureFormatVersion: Int = 2
-
-  /** Deterministic affine permutation constants from a fixed seed.
-    * Kept to 30 bits so a*h32 + b stays under 2^62 (ANSI mode: no silent
-    * 64-bit wraparound) before the mod.
-    */
-  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(n)(((rnd.nextInt(1 << 30).toLong << 1) | 1L, rnd.nextInt(1 << 30).toLong))
-  }
+  val SignatureFormatVersion: Int = 3
 
   /** id + minhash signature (array<bigint> of length numHashes).
-    * Tokenization is a codegen'd split; shingling, gram hashing (murmur3)
-    * and the n-way min all run in one compiled per-row loop — interpreted
-    * higher-order-function lambdas cost ~1ms/doc here, the fused loop ~µs.
-    * Narrow (no shuffle), so the distributed plan is unchanged.
+    * Tokenization is a codegen'd split; shingling, gram hashing and the
+    * n-way min run in the NATIVE [[graft.functions.MinHashSignature]]
+    * Catalyst expression — token hashes read UTF8String bytes in place
+    * (no ScalaUDF ArrayData→Seq[String] conversion, no per-token String),
+    * grams mix the k token hashes order-dependently, and the expression
+    * stays inside the projection's whole-stage codegen. Documents with
+    * fewer than k tokens (and NULL text) drop out. Narrow (no shuffle),
+    * so the distributed plan is unchanged.
     */
   def signatures(
       df: DataFrame,
@@ -140,48 +134,13 @@ object MinHashLsh {
       numHashes: Int = 64,
       seed: Long = 42L
   ): DataFrame = {
-    val ab = perms(numHashes, seed).toArray
-    val sigUdf = udf { (toks: Seq[String]) =>
-      // NULL text reaches the UDF as toks = null (non-primitive param)
-      if (toks == null || toks.length < k) None
-      else {
-        import scala.util.hashing.MurmurHash3
-        val n = ab.length
-        val sig = Array.fill(n)(Long.MaxValue)
-        val arr = toks.toArray
-        // each token is murmur-hashed ONCE and grams mix the k token
-        // hashes (order-dependent) — no per-gram string materialization;
-        // the former join-then-stringHash form copied every token into k
-        // gram strings (q21's all-pairs oracle re-verifies recall under
-        // the changed gram-hash values)
-        val tokHash = new Array[Int](arr.length)
-        var p = 0
-        while (p < arr.length) {
-          tokHash(p) = MurmurHash3.stringHash(arr(p), 0x9747b28c)
-          p += 1
-        }
-        var i = 0
-        while (i <= arr.length - k) {
-          var gh = 0x9747b28c
-          var t = 0
-          while (t < k) { gh = MurmurHash3.mix(gh, tokHash(i + t)); t += 1 }
-          // 32-bit murmur widened to [0, 2^32): a*h+b stays under 2^62 (ANSI-safe)
-          val h = MurmurHash3.finalizeHash(gh, k).toLong & 0xffffffffL
-          var j = 0
-          while (j < n) {
-            val v = (ab(j)._1 * h + ab(j)._2) % MinHashPrime
-            if (v < sig(j)) sig(j) = v
-            j += 1
-          }
-          i += 1
-        }
-        Some(sig)
-      }
-    }
+    import org.apache.spark.sql.graftbridge
+    val sigCol = graftbridge.column(graft.functions.MinHashSignature(
+      graftbridge.expression(Shingles.tokens(col(textCol))), k, numHashes, seed))
     // signature cost is ~numHashes × grams hash-ops per row; spread a
     // low-split input across the cluster first (no-op on healthy splits)
     graft.sources.Layout.ensureParallelism(df)
-      .select(col(idCol), sigUdf(Shingles.tokens(col(textCol))).as("sig"))
+      .select(col(idCol), sigCol.as("sig"))
       .filter(col("sig").isNotNull)
   }
 
