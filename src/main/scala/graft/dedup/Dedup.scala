@@ -326,81 +326,20 @@ object SimHash {
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       portableHash: Boolean = false): DataFrame = {
-    def votesToHash(votes: Array[Int]): Long = {
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-    // one fused compiled pass per row: token hash + 64-bit vote loop.
-    // (A transform(...) HOF for the token hash is an interpreted lambda —
-    // the same ~1ms/doc trap as gram building.)
-    val simhashUdf =
-      if (portableHash) udf {
-        // Per-task token→hash memo: md5 is the dominant cost and natural
-        // text repeats tokens heavily (Zipf), so most lookups hit. The map
-        // is created driver-side, so each task deserializes its own copy —
-        // no sharing, no locking; capped so a pathological vocabulary
-        // can't exhaust task memory.
-        new (Seq[String] => Long) with Serializable {
-          private val cache = new java.util.HashMap[String, java.lang.Long]()
-          // one digest instance per deserialized closure (= per task),
-          // reset by digest() itself — getInstance per token miss pays a
-          // provider lookup for nothing. @transient: MessageDigest is not
-          // serializable, and a driver-side evaluation must not poison the
-          // closure for task serialization.
-          @transient private lazy val md5 =
-            java.security.MessageDigest.getInstance("MD5")
-          def apply(toks: Seq[String]): Long = {
-            val votes = new Array[Int](64)
-            val it = toks.iterator
-            while (it.hasNext) {
-              val t = it.next()
-              var boxed = cache.get(t)
-              if (boxed == null) {
-                // lower 60 bits of md5 = hex chars 18..32 = low nibble of byte
-                // 8 then bytes 9..15; same as conv(substring(md5(t),18,15),16,10)
-                val d = md5.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                var h = (d(8) & 0x0f).toLong
-                var b = 9
-                while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
-                boxed = java.lang.Long.valueOf(h)
-                if (cache.size < (1 << 20)) cache.put(t, boxed)
-              }
-              val h = boxed.longValue
-              var i = 0
-              while (i < 64) {
-                if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-                i += 1
-              }
-            }
-            votesToHash(votes)
-          }
-        }
-      }
-      else udf { (toks: Seq[String]) =>
-        // Spark-native token hash (xxhash64 semantics, seed 42) — same
-        // values as the xxhash64() expression, fused into the vote loop
-        val votes = new Array[Int](64)
-        val it = toks.iterator
-        while (it.hasNext) {
-          val u = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-            i += 1
-          }
-        }
-        votesToHash(votes)
-      }
+    // the fused token-hash + vote loop is the NATIVE
+    // graft.functions.SimHashFingerprint expression — no ScalaUDF
+    // ArrayData→Seq conversion, tokens read as UTF8String bytes in place
+    // (md5 memoized per task in portable mode); an interpreted
+    // transform(...) HOF would cost ~1ms/doc, the expression ~µs
+    import org.apache.spark.sql.graftbridge
+    val fp = graftbridge.column(graft.functions.SimHashFingerprint(
+      graftbridge.expression(col("__toks")), portableHash))
     // per-row cost is a hash per token (md5 in portable mode) — spread a
     // low-split input across the cluster first (no-op on healthy splits)
     graft.sources.Layout.ensureParallelism(df)
       .select(col(idCol), Shingles.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .select(col(idCol), simhashUdf(col("__toks")).as("simhash"))
+      .select(col(idCol), fp.as("simhash"))
   }
 
   /** Pairs (idA < idB) with hamming distance <= maxHamming. Blocking: split
