@@ -81,5 +81,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitwiseCount(BitwiseXor(children.head, children(1)))
       }
     ))
+    // graft_minhash(tokens, k, numHashes, seed) — the native minhash
+    // signature kernel; trailing args must be foldable literals
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_minhash takes (tokens, k, numHashes, seed)")
+        def lit(e: Expression, name: String): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case _ => throw new IllegalArgumentException(s"graft_minhash $name must be a literal")
+        }
+        graft.functions.MinHashSignature(children.head,
+          lit(children(1), "k").toInt, lit(children(2), "numHashes").toInt,
+          lit(children(3), "seed"))
+      }
+    ))
+    // graft_simhash(tokens, portable) — the native simhash kernel
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimHashFingerprint].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_simhash takes (tokens, portable)")
+        val portable = children(1) match {
+          case Literal(v: Boolean, _) => v
+          case _ => throw new IllegalArgumentException("graft_simhash portable must be a boolean literal")
+        }
+        graft.functions.SimHashFingerprint(children.head, portable)
+      }
+    ))
   }
 }

@@ -62,4 +62,27 @@ class ExpressionSpec extends SparkSpec {
       "SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c").collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("graft_minhash / graft_simhash SQL forms equal the library paths") {
+    import graft.dedup.{MinHashLsh, SimHash}
+    val docs = Tables.documents(spark, sf).limit(100).select("doc_id", "text")
+    docs.createOrReplaceTempView("mh_docs")
+    val sqlSig = spark.sql(
+      """SELECT doc_id, graft_minhash(split(trim(lower(text)), '\\s+'), 3, 64, 42) AS sig
+        |FROM mh_docs""".stripMargin)
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val apiSig = MinHashLsh.signatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sqlSig == apiSig && apiSig.nonEmpty)
+    val sqlFp = spark.sql(
+      """SELECT doc_id, graft_simhash(split(trim(lower(text)), '\\s+'), true) AS simhash
+        |FROM mh_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apiFp = SimHash.fingerprints(docs, "doc_id", "text", portableHash = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlFp == apiFp && apiFp.nonEmpty)
+    // fewer than k tokens -> NULL signature in SQL too
+    assert(spark.sql("SELECT graft_minhash(array('a','b'), 3, 8, 1)").head().isNullAt(0))
+  }
 }
