@@ -13,13 +13,49 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode/resize is REAL via the JDK's own codecs
   * ([[Multimodal.ImageIoDecoder]]/[[Multimodal.ImageIoResizer]]: PNG, JPEG,
-  * BMP, GIF — javax.imageio needs no external dependency). Audio/video
-  * codecs are not in this container, so those paths keep deterministic
-  * STUB implementations behind the same [[Multimodal.MediaDecoder]] /
-  * [[Multimodal.FrameSampler]] contracts; the Spark-side plumbing (schema,
+  * BMP, GIF — javax.imageio needs no external dependency), and AUDIO
+  * decode is REAL via javax.sound.sampled ([[Multimodal.JavaSoundDecoder]]:
+  * WAV/AU/AIFF PCM, also in the bare JDK). Only VIDEO keeps a deterministic
+  * STUB (the JDK genuinely has no demuxer) behind the same
+  * [[Multimodal.FrameSampler]] contract; the Spark-side plumbing (schema,
   * batch iteration, partition sizing) is identical either way.
   */
 object Multimodal {
+
+  /** Decompression-bomb guard: a hostile payload can declare a huge
+    * width×height that `ImageIO.read` would eagerly allocate — and the
+    * resulting OutOfMemoryError is an Error, so it escapes a
+    * catch-Exception fallback and kills the executor. 2^26 pixels
+    * (8192×8192, ~256 MB as INT_RGB) comfortably covers real corpus
+    * images while bounding the allocation.
+    */
+  val MaxImagePixels: Long = 1L << 26
+
+  /** Decode an image payload with the header checked FIRST: the reader's
+    * `getWidth/getHeight(0)` parse only the header (O(bytes-read) tiny),
+    * so oversized/declared-bomb payloads return null — and take the stub
+    * fallback — without ever allocating the full raster. Returns null for
+    * anything unreadable or over [[MaxImagePixels]].
+    */
+  private def readImageBounded(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) null
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxImagePixels) null
+            else r.read(0)
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => null }
 
   val MetaSchema: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -54,14 +90,17 @@ object Multimodal {
     def decode(bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB decode: deterministic fake "feature extraction" from raw bytes —
-    * the media codecs are not in this container. The signature, batching
-    * and output schema are the real contract; swap in a real
-    * [[MediaDecoder]] on a cluster with codecs installed.
+  /** STUB decode: deterministic fake "feature extraction" from raw bytes.
+    * Serves two roles: the per-row FALLBACK the real decoders
+    * ([[ImageIoDecoder]], [[JavaSoundDecoder]]) take on unreadable
+    * payloads, and the stand-in for formats the bare JDK has no codec
+    * for (MP3/OGG, video). The signature, batching and output schema are
+    * the real contract; swap in a richer [[MediaDecoder]] on a cluster
+    * with those codecs installed.
     */
   object StubDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
-      // ??? real decoder goes here; deterministic byte-fold stand-in below
+      // ??? MP3/OGG/video decoder goes here; deterministic byte-fold stand-in below
       val out = new Array[Float](dim)
       var i = 0
       while (i < bytes.length) {
@@ -90,9 +129,7 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
 
     def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+      val img = readImageBounded(bytes)
       if (img == null || img.getWidth == 0 || img.getHeight == 0)
         StubDecoder.decode(bytes, dim)
       else {
@@ -124,6 +161,110 @@ object Multimodal {
         while (i < dim) { if (counts(i) > 0) sums(i) /= counts(i); i += 1 }
         sums
       }
+    }
+  }
+
+  /** REAL audio decoder over the JDK's own javax.sound.sampled codecs
+    * (WAV, AU, AIFF — PCM plus the built-in ULAW/ALAW converters; no
+    * external dependency, exactly the ImageIO story for images). The
+    * payload is decoded to mono PCM and summarized as `dim` features:
+    * the first half are per-window RMS energies, the second half the
+    * matching per-window zero-crossing rates — a real, deterministic
+    * acoustic signature (energy envelope + coarse spectral brightness)
+    * that downstream dedup/ANN consume like any embedding.
+    *
+    * Payloads javax.sound can't read (MP3/OGG, images, truncated files)
+    * fall back to [[StubDecoder]]'s byte-fold so a mixed-modality corpus
+    * never fails the job. Decode work is bounded by [[MaxAudioSamples]]
+    * regardless of what the header declares.
+    */
+  object JavaSoundDecoder extends MediaDecoder {
+    /** Per-payload decode budget in mono samples (2^24 ≈ 35 min at
+      * 8 kHz): bounds memory/CPU against hostile headers the same way
+      * [[MaxImagePixels]] bounds image rasters.
+      */
+    val MaxAudioSamples: Int = 1 << 24
+
+    def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val samples = readPcmMono(bytes)
+      if (samples == null || samples.length == 0) StubDecoder.decode(bytes, dim)
+      else {
+        val out = new Array[Float](dim)
+        val nw = math.max(1, dim / 2) // windows; RMS in [0,nw), ZCR in [nw,dim)
+        val n = samples.length
+        var w = 0
+        while (w < nw) {
+          val lo = (w.toLong * n / nw).toInt
+          val hi = math.max(lo + 1, ((w + 1).toLong * n / nw).toInt)
+          var sumSq = 0.0
+          var zc = 0
+          var prev = samples(lo)
+          var i = lo
+          while (i < hi) {
+            val s = samples(i)
+            sumSq += s.toDouble * s
+            if ((s >= 0f) != (prev >= 0f)) zc += 1
+            prev = s
+            i += 1
+          }
+          out(w) = math.sqrt(sumSq / (hi - lo)).toFloat
+          if (nw + w < dim) out(nw + w) = zc.toFloat / (hi - lo)
+          w += 1
+        }
+        out
+      }
+    }
+
+    /** Mono float samples in [-1,1], or null when javax.sound can't read
+      * the payload. Multi-channel audio is mixed down by averaging; any
+      * readable source encoding is converted to 16-bit signed PCM by the
+      * JDK's own converters before parsing.
+      */
+    private def readPcmMono(bytes: Array[Byte]): Array[Float] = {
+      import javax.sound.sampled._
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val ch = math.max(1, src.getChannels)
+          val target = new AudioFormat(
+            AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, ch, ch * 2, src.getSampleRate, false)
+          val pcm =
+            if (src.matches(target)) in
+            else AudioSystem.getAudioInputStream(target, in)
+          val maxBytes = math.min(Long.MaxValue, MaxAudioSamples.toLong * 2 * ch).toInt
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var read = 0
+          var total = 0
+          while (read >= 0 && total < maxBytes) {
+            read = pcm.read(chunk, 0, math.min(chunk.length, maxBytes - total))
+            if (read > 0) { buf.write(chunk, 0, read); total += read }
+          }
+          val raw = buf.toByteArray
+          val frameBytes = 2 * ch
+          val nFrames = raw.length / frameBytes
+          if (nFrames == 0) null
+          else {
+            val out = new Array[Float](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var sum = 0f
+              var c = 0
+              while (c < ch) {
+                val o = f * frameBytes + c * 2
+                val s = ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort
+                sum += s / 32768f
+                c += 1
+              }
+              out(f) = sum / ch
+              f += 1
+            }
+            out
+          }
+        } finally in.close()
+      } catch { case _: Exception => null }
     }
   }
 
@@ -162,9 +303,7 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false) // no per-row temp cache files
 
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+      val img = readImageBounded(bytes)
       if (img == null) StubResizer.resize(bytes, w, h)
       else {
         val dst = new java.awt.image.BufferedImage(

@@ -288,6 +288,79 @@ class DedupSpec extends SparkSpec {
     assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rz)).getWidth == 4)
   }
 
+  test("JavaSound decoder extracts real RMS/ZCR features from WAV; unreadable bytes fall back") {
+    import graft.multimodal.Multimodal
+    import javax.sound.sampled._
+    // build a real 16-bit mono PCM WAV entirely with JDK APIs
+    def wav(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate, 16, 1, 2, sampleRate, false)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val sr = 8000f
+    val n = 4000 // 0.5 s
+    // 440 Hz sine at half amplitude: RMS = 0.5/sqrt(2) ≈ 0.354, ZCR = 2·440/8000 = 0.11
+    val sine = wav(sr, Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * 440 * i / sr) * 0.5 * 32767).toShort))
+    val feat = Multimodal.JavaSoundDecoder.decode(sine, dim = 8) // 4 RMS + 4 ZCR windows
+    assert(feat.length == 8)
+    (0 until 4).foreach { w =>
+      assert(math.abs(feat(w) - 0.354f) < 0.02f, s"window $w RMS ${feat(w)}")
+      assert(math.abs(feat(4 + w) - 0.11f) < 0.02f, s"window $w ZCR ${feat(4 + w)}")
+    }
+    // silence: zero energy, zero crossings
+    val silence = wav(sr, Array.fill(n)(0: Short))
+    assert(Multimodal.JavaSoundDecoder.decode(silence, 8).forall(_ == 0f))
+    // meta classifies the RIFF container
+    val d = Seq((1L, sine)).toDF("doc_id", "payload")
+    val mime = Multimodal.withMeta(d, "payload").select("meta.mime").collect().head.getString(0)
+    assert(mime == "audio/wav")
+    // non-audio bytes: graceful per-row fallback to the stub, never a throw
+    val junk = "definitely not audio".getBytes("UTF-8")
+    assert(Multimodal.JavaSoundDecoder.decode(junk, 8).toSeq ==
+      Multimodal.StubDecoder.decode(junk, 8).toSeq)
+    // executor path accepts the real audio codec
+    val feats = Multimodal.extractFeatures(spark, d, "doc_id", "payload",
+        dim = 8, decoder = Multimodal.JavaSoundDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == feat.toSeq)
+  }
+
+  test("image decompression-bomb guard: declared-huge dimensions take the stub path, not an allocation") {
+    import graft.multimodal.Multimodal
+    import java.awt.image.BufferedImage
+    // valid small PNG...
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val smallPng = bos.toByteArray
+    // ...IHDR patched to declare 60000×60000 (3.6 G pixels), CRC fixed up so the
+    // header parses cleanly — without the header-first bound this is the payload
+    // that makes ImageIO.read attempt a multi-GB raster allocation
+    val bomb = smallPng.clone()
+    def putBE(off: Int, v: Int): Unit = {
+      bomb(off) = ((v >> 24) & 0xff).toByte; bomb(off + 1) = ((v >> 16) & 0xff).toByte
+      bomb(off + 2) = ((v >> 8) & 0xff).toByte; bomb(off + 3) = (v & 0xff).toByte
+    }
+    putBE(16, 60000); putBE(20, 60000) // IHDR width, height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type "IHDR" + 13 data bytes
+    putBE(29, crc.getValue.toInt)
+    assert(Multimodal.ImageIoDecoder.decode(bomb, 4).toSeq ==
+      Multimodal.StubDecoder.decode(bomb, 4).toSeq)
+    assert(Multimodal.ImageIoResizer.resize(bomb, 2, 2).toSeq ==
+      Multimodal.StubResizer.resize(bomb, 2, 2).toSeq)
+    // the in-budget original still decodes for real
+    assert(Multimodal.ImageIoDecoder.decode(smallPng, 4).toSeq !=
+      Multimodal.StubDecoder.decode(smallPng, 4).toSeq)
+  }
+
   test("multimodal meta + stub feature extraction plumbing") {
     import graft.multimodal.Multimodal
     val d = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
