@@ -1,0 +1,141 @@
+package graft.dedup
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed, per-bucket-versioned span-frequency store — the
+  * MERGE-style sink for incremental/streaming span dedup.
+  *
+  * Layout: `path/bucket=<b>/v=<version>/part-*.parquet`, where `bucket` is
+  * the span key's own 60-bit md5 prefix mod `numBuckets` (the
+  * [[graft.operators.Sharding.shardId]] md5-mod layout, minus the second
+  * md5 — the span key already IS a uniform hash). A fold reads and
+  * rewrites ONLY buckets containing the batch's span keys; buckets the
+  * batch never touches are not listed, read, or replaced — their files
+  * stay byte-identical. At a 100 TB corpus the store is billions of span
+  * rows, so the O(store)-per-fold rewrite this replaces was the scale
+  * bottleneck; a fold now pays O(touched buckets) ≈ O(batch · store/K)
+  * I/O, tunable via `numBuckets`.
+  *
+  * Per-bucket VERSIONS make folds idempotent: `merge(batch, v)` rebuilds
+  * each touched bucket from that bucket's latest version BELOW `v`, so a
+  * crash-replayed micro-batch deterministically overwrites its own output
+  * instead of double-counting frequencies — the property the full-snapshot
+  * design had, kept at bucket granularity. Superseded versions of touched
+  * buckets are deleted once the new version is durable (same retention
+  * contract: one prior version survives per bucket so the NEXT fold's
+  * replay can still rebuild).
+  *
+  * Driver-side work is store BOOKKEEPING only, never data: the touched
+  * set is ≤ `numBuckets` longs and version discovery is one FS listing of
+  * the touched bucket directories per fold.
+  */
+final class BucketedSpanStore(
+    path: String,
+    numBuckets: Int,
+    idCol: String,
+    textCol: String,
+    spanWords: Int
+) extends Serializable {
+  require(numBuckets > 0, "numBuckets must be positive")
+
+  import BucketedSpanStore.bucketOf
+
+  private def fileSystem(spark: SparkSession) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** bucket id → versions present, from one listing of the store root plus
+    * one listing per bucket directory (bounded by numBuckets, not data).
+    */
+  private def bucketVersions(spark: SparkSession): Map[Long, Seq[Long]] = {
+    val fs = fileSystem(spark)
+    val base = new Path(path)
+    if (!fs.exists(base)) Map.empty
+    else
+      fs.listStatus(base).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .map { bp =>
+          val b = bp.getName.stripPrefix("bucket=").toLong
+          val vs = fs.listStatus(bp).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          b -> vs
+        }.toMap
+  }
+
+  /** Latest store content strictly below `belowVersion` (exclusive — pass
+    * the replaying batch's version to see exactly what that batch saw).
+    * None when no bucket has a qualifying version (fresh store).
+    */
+  def load(spark: SparkSession, belowVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    val dirs = bucketVersions(spark).toSeq.flatMap { case (b, vs) =>
+      vs.filter(_ < belowVersion).maxOption.map(v => s"$path/bucket=$b/v=$v")
+    }
+    if (dirs.isEmpty) None
+    else Some(
+      spark.read.option("basePath", path).parquet(dirs: _*)
+        .select("h", "freq", "oid", "oidx"))
+  }
+
+  /** Fold a document batch into the store at `version` (must increase
+    * across folds; a replay at the same version is idempotent). Semantics
+    * are exactly [[SpanDedup.mergeSpanStore]] — frequencies add, the first
+    * owner is the struct-min — restricted to the touched buckets.
+    */
+  def merge(batch: DataFrame, version: Long): Unit = {
+    val spark = batch.sparkSession
+    val bs = SpanDedup.spanStore(batch, idCol, textCol, spanWords)
+      .withColumn("bucket", bucketOf(col("h"), numBuckets))
+      .persist()
+    try {
+      // ≤ numBuckets values — bookkeeping, not a data collect
+      val touched = bs.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+      if (touched.nonEmpty) {
+        val vmap = bucketVersions(spark)
+        val priorOf = touched.map(b =>
+          b -> vmap.getOrElse(b, Nil).filter(_ < version).maxOption).toMap
+        val priorDirs = priorOf.collect { case (b, Some(v)) => s"$path/bucket=$b/v=$v" }.toSeq
+        val prior =
+          if (priorDirs.isEmpty) bs.select("h", "freq", "oid", "oidx").limit(0)
+          else spark.read.option("basePath", path).parquet(priorDirs: _*)
+            .select("h", "freq", "oid", "oidx")
+        val merged = prior
+          .unionByName(bs.select("h", "freq", "oid", "oidx"))
+          .groupBy("h")
+          .agg(
+            sum(col("freq")).as("freq"),
+            min(struct(col("oid"), col("oidx"))).as("own"))
+          .select(col("h"), col("freq"), col("own.oid").as("oid"), col("own.oidx").as("oidx"))
+          .withColumn("bucket", bucketOf(col("h"), numBuckets))
+          .withColumn("v", lit(version))
+        // dynamic partition overwrite: ONLY the (bucket, v=version) dirs
+        // present in `merged` are replaced at commit — untouched buckets'
+        // files are never rewritten, and a replay overwrites its own output
+        merged.repartition(col("bucket"))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "v")
+          .mode("overwrite")
+          .parquet(path)
+        // retention: keep (latest-below, version) per touched bucket so the
+        // NEXT fold's crash-replay can still rebuild; older versions are
+        // dead weight (unbounded growth otherwise)
+        val fs = fileSystem(spark)
+        touched.foreach { b =>
+          val keep = Set(Some(version), priorOf(b)).flatten
+          vmap.getOrElse(b, Nil).filterNot(keep.contains).foreach { v =>
+            fs.delete(new Path(s"$path/bucket=$b/v=$v"), true)
+          }
+        }
+      }
+    } finally { bs.unpersist(blocking = false); () }
+  }
+}
+
+object BucketedSpanStore {
+  /** Store bucket for a span key: the key's own md5 prefix mod K (no
+    * second hash — [[SpanDedup.spanKey]] output is already uniform).
+    */
+  def bucketOf(h: Column, numBuckets: Int): Column =
+    conv(substring(h, 1, 15), 16, 10).cast("long") % numBuckets
+}

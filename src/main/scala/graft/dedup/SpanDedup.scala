@@ -77,8 +77,10 @@ object SpanDedup {
     * [[spanStore]] over the union, spec-asserted): frequencies add, the
     * first owner is the struct-min of both sides. One aggregation over
     * (store ∪ batch-store) — store rows whose spans the batch never
-    * touches still flow through this agg; for append-heavy stores a
-    * partitioned MERGE-style sink is the production variant.
+    * touches still flow through this agg, so this DataFrame-in/out form
+    * pays O(store) per fold; the production variant is the
+    * [[BucketedSpanStore]] MERGE sink, which rewrites only the hash
+    * buckets the batch's keys land in (same semantics, spec-asserted).
     */
   def mergeSpanStore(store: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, spanWords: Int): DataFrame =

@@ -339,16 +339,20 @@ object StreamingOps {
     * scored against the ACCUMULATED span-frequency store
     * ([[graft.dedup.SpanDedup.incrementalStats]] — per-batch cost, the
     * store is semi-filtered map-side), its stats land under
-    * `statsPath/batch_id=<n>`, and the store is folded forward as a
-    * versioned snapshot `storePath/v=<n>`
-    * ([[graft.dedup.SpanDedup.mergeSpanStore]]).
+    * `statsPath/batch_id=<n>`, and the store is folded forward through a
+    * [[graft.dedup.BucketedSpanStore]] MERGE sink: ONLY buckets containing
+    * the batch's span keys are read and rewritten, so per-batch store I/O
+    * is O(touched buckets), never O(store) — the previous full-snapshot
+    * fold rewrote the whole store every micro-batch, which at a 100 TB
+    * corpus is billions of span rows of I/O for an O(batch) change.
     *
-    * Replay safety: a replayed batch N re-reads the LATEST version BELOW N
-    * and overwrites its own stats dir and `v=N` snapshot — both writes are
-    * deterministic functions of (prior store, batch), so the crash-replay
-    * result is identical (same idempotent-overwrite contract as
-    * [[dqGateStream]]). The version listing is one driver-side FS listing
-    * per batch — store bookkeeping, not data movement.
+    * Replay safety: bucket versions are keyed by batch id, and a replayed
+    * batch N rebuilds each touched bucket from that bucket's latest
+    * version BELOW N — both writes are deterministic functions of
+    * (prior store, batch), so the crash-replay result is identical (same
+    * idempotent-overwrite contract as [[dqGateStream]]). Version discovery
+    * is driver-side FS listing of bucket directories — store bookkeeping,
+    * not data movement.
     */
   def spanDedupStream(
       docs: DataFrame,
@@ -357,39 +361,23 @@ object StreamingOps {
       spanWords: Int,
       storePath: String,
       statsPath: String,
-      checkpoint: String
+      checkpoint: String,
+      numBuckets: Int = 64
   ): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        import graft.dedup.SpanDedup
+        import graft.dedup.{BucketedSpanStore, SpanDedup}
         val spark = batch0.sparkSession
-        val base = new org.apache.hadoop.fs.Path(storePath)
-        // resolve the PATH's filesystem, not fs.defaultFS — storePath may
-        // carry its own scheme (s3a://...) on a cluster
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior =
-          if (!fs.exists(base)) Array.empty[Long]
-          else fs.listStatus(base).map(_.getPath.getName)
-            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-            .filter(_ < batchId)
+        val sink = new BucketedSpanStore(storePath, numBuckets, idCol, textCol, spanWords)
         // both actions (stats + merge) derive from the batch — one source
         // pass, same contract as dqGateStream's persisted split
         val batch = batch0.persist()
         try {
-          val store =
-            if (prior.isEmpty) SpanDedup.spanStore(batch.limit(0), idCol, textCol, spanWords)
-            else spark.read.parquet(s"$storePath/v=${prior.max}")
+          val store = sink.load(spark, belowVersion = batchId)
+            .getOrElse(SpanDedup.spanStore(batch.limit(0), idCol, textCol, spanWords))
           SpanDedup.incrementalStats(batch, store, idCol, textCol, spanWords)
             .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
-          SpanDedup.mergeSpanStore(store, batch, idCol, textCol, spanWords)
-            .write.mode("overwrite").parquet(s"$storePath/v=$batchId")
-          // retention: replay of a batch only ever needs the latest version
-          // below it — once v=batchId is durable, snapshots older than the
-          // one it was built from are dead weight (unbounded growth
-          // otherwise: N batches -> N full store copies)
-          prior.filter(_ < prior.maxOption.getOrElse(Long.MinValue)).foreach { v =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/v=$v"), true)
-          }
+          sink.merge(batch, batchId)
         } finally { batch.unpersist(blocking = false); () }
         ()
       }

@@ -89,6 +89,53 @@ class SpanDedupSpec extends SparkSpec {
     assert(merged == rebuilt)
   }
 
+  test("bucketed span store: folds equal full rebuild, untouched buckets stay byte-identical, replay is idempotent") {
+    import graft.dedup.BucketedSpanStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bss").toString
+    val sink = new BucketedSpanStore(tmp, numBuckets = 8, "doc_id", "text", 3)
+    // base load: enough distinct spans to populate (almost) all 8 buckets
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(60)
+    sink.merge(base, version = 0L)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tmp)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+    // small batch: two docs, few distinct spans -> only a few buckets touched
+    val batch = docs((900001L, "aa bb cc dd ee ff"), (900002L, "aa bb cc zz yy xx"))
+    sink.merge(batch, version = 1L)
+    // (a) fold result == from-scratch rebuild over the union
+    def loaded(): Set[(String, Long, Long, Int)] = sink.load(spark).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val rebuilt = SpanDedup.spanStore(base.unionByName(docs(
+        (900001L, "aa bb cc dd ee ff"), (900002L, "aa bb cc zz yy xx"))),
+        "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(loaded() == rebuilt)
+    // (b) buckets the batch never touched: same files, untouched on disk
+    val touched = graft.dedup.SpanDedup.spans(batch, "doc_id", "text", 3)
+      .select(BucketedSpanStore.bucketOf(
+        graft.dedup.SpanDedup.spanKey(col("span")), 8).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.size < 8, s"batch touched all buckets ($touched) — test needs slack")
+    val after = snapshot()
+    val untouchedBefore = before.filter { case (p, _) =>
+      !touched.exists(b => p.contains(s"/bucket=$b/")) }
+    assert(untouchedBefore.nonEmpty, "no untouched bucket existed before the fold")
+    untouchedBefore.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"untouched bucket file rewritten: $p")
+    }
+    // (c) replaying the same fold at the same version changes nothing
+    sink.merge(batch, version = 1L)
+    assert(loaded() == rebuilt)
+    // (d) a fold that replays with MORE history below it still sees only
+    //     versions below its own id (what batch 1 originally saw)
+    assert(sink.load(spark, belowVersion = 1L).get.count() ==
+      SpanDedup.spanStore(base, "doc_id", "text", 3).count())
+  }
+
   test("text that is an exact span multiple has empty tail and round-trips") {
     val d = docs((1L, "a b c d e f"))
     val out = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", spanWords = 3)

@@ -305,12 +305,12 @@ class StreamingSpec extends SparkSpec {
     assert(stats(1L) == 1L && stats(2L) == 1L) // batch-internal shared span
     assert(stats(3L) == 1L, "doc 3's repeat of a batch-1 span must hit the store")
     assert(stats(4L) == 0L)
-    // the final store snapshot equals a from-scratch build over all docs
+    // the final (bucketed, per-bucket-versioned) store equals a
+    // from-scratch build over all docs
     val all = Seq((1L, "aa bb cc xx yy zz"), (2L, "aa bb cc pp qq rr"),
       (3L, "aa bb cc uu vv ww"), (4L, "mm nn oo gg hh ii")).toDF("doc_id", "text")
-    val versions = new java.io.File(s"$tmp/store").listFiles()
-      .map(_.getName).filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-    val store = spark.read.parquet(s"$tmp/store/v=${versions.max}")
+    val store = new graft.dedup.BucketedSpanStore(s"$tmp/store", 64, "doc_id", "text", 3)
+      .load(spark).get
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val rebuilt = SpanDedup.spanStore(all, "doc_id", "text", 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
