@@ -92,7 +92,14 @@ object SparkEntry {
     "q81_temperature_mix" -> (LlmQueries.q81TemperatureMix(_, _)),
     "q82_top_fraction" -> (LlmQueries.q82TopFraction(_, _)),
     "q83_knn_pq" -> (LlmQueries.q83KnnPq(_, _)),
-    "q84_embedding_pipeline" -> (LlmQueries.q84EmbeddingPipeline(_, _))
+    "q84_embedding_pipeline" -> (LlmQueries.q84EmbeddingPipeline(_, _)),
+    "q85_knn_ivf_prebuilt" -> (LlmQueries.q85KnnIvfPrebuilt(_, _)),
+    "q86_knn_ivfpq" -> (LlmQueries.q86KnnIvfPq(_, _)),
+    "q87_temperature_dyadic" -> (LlmQueries.q87TemperatureMixDyadic(_, _)),
+    // q88 has NO oracleSql entry by design: DuckDB cannot replay iterative
+    // greedy BPE merges — driver records the rows-only check; the kernel
+    // is golden-spec-gated (BpeSpec) and packing is hash-gated via q70
+    "q88_pack_bpe" -> (LlmQueries.q88PackBpe(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1160,6 +1167,38 @@ object SparkEntry {
         |    CAST(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
         |    (acc, x) -> acc * 16 + x) % 8 AS shard,
         |  count(*) AS n_rows
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q85/q86 probe every cell (and q86 opens the shortlist), so both must
+    // reproduce flat search exactly — same brute-force oracle as q33/q83
+    "q85_knn_ivf_prebuilt" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
+        |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+        |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q86_knn_ivfpq" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
+        |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+        |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // alpha = 3/8 ⇒ p = r^(5/8) = sqrt(r)·sqrt(sqrt(sqrt(r))) — the oracle
+    // replays the pinned sqrt/multiply chain literally (bit-identical IEEE)
+    "q87_temperature_dyadic" ->
+      """WITH c AS (SELECT lang, count(*) AS ng FROM documents GROUP BY lang),
+        |m AS (SELECT min(ng) AS nmin FROM c),
+        |p AS (SELECT lang, ng,
+        |  sqrt(CAST(nmin AS DOUBLE) / CAST(ng AS DOUBLE)) *
+        |  sqrt(sqrt(sqrt(CAST(nmin AS DOUBLE) / CAST(ng AS DOUBLE)))) AS pr FROM c, m),
+        |kept AS (
+        |  SELECT d.lang FROM documents d JOIN p USING (lang)
+        |  WHERE list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) / 1152921504606846976.0 < pr)
+        |SELECT p.lang AS lang, CAST(p.ng AS BIGINT) AS n_before, CAST(k.n AS BIGINT) AS n_after
+        |FROM p JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k USING (lang)
+        |ORDER BY lang""".stripMargin
   )
 }

@@ -172,6 +172,58 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Shared prebuilt IVF index (nlist=16) for q85/q86: built ONCE per sf
+    * dir and parquet-roundtripped — the production "the index is corpus
+    * state" shape (an ANN index is built at ingest, not per query batch).
+    * Queries that use it carry zero k-means work at query time; q33 keeps
+    * its in-query build so the bench A/B isolates the fit cost (the
+    * round-3 q33 regression bisect).
+    */
+  private def prebuiltIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      Knn.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** IVF probe against the PREBUILT parquet-roundtripped index — q33's
+    * production twin: same nprobe = nlist = flat-search equality gate
+    * (brute-force oracle), but the only query-time work is assignment +
+    * probe. The q33 − q85 bench delta IS the in-query k-means fit.
+    */
+  def q85KnnIvfPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val index = prebuiltIvfIndex(s, dir)
+    Knn.ivfTopKPrebuilt(Knn.assignCells(e, "vec_id", "embedding", index), index,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 16)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF × PQ composition at full probe (nprobe = nlist) + full shortlist
+    * (rerankFactor ≥ |corpus|/k): cell pruning disabled and rerank opened,
+    * so the composed machinery (indexCodes one-pass cell+code frame →
+    * broadcast probe join → ADC → exact rerank) must reproduce flat search
+    * exactly — promoting the round-3 spec-only identity to the hash gate.
+    * Practical-setting recall stays ScaleOpsSpec's job.
+    */
+  def q86KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(s, dir)
+    val index = prebuiltIvfIndex(s, dir)
+    val books = Pq.sampleCodebooks(e, "vec_id", "embedding", m = 8, codesPerBook = 16)
+    val cellCodes = Pq.indexCodes(e, "vec_id", "embedding", books, index)
+    Pq.ivfPqTopK(cellCodes, index, books, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 16, rerankFactor = 1000)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** PQ two-stage search with the shortlist opened to the WHOLE corpus
     * (k·rerankFactor ≥ |corpus|): the exact-cosine rerank must then equal
     * flat search regardless of quantization error — hash-gating the
@@ -352,6 +404,21 @@ object LlmQueries {
       .orderBy("lang", "bin")
   }
 
+  /** Sequence packing under a REAL subword-BPE token budget (q70's regex
+    * twin): greedy-merge BPE counts ([[graft.text.Bpe]]) drive the
+    * concatenate-then-chunk assignment. NO DuckDB oracle — SQL cannot
+    * replay iterative greedy merges — so the driver records the weaker
+    * rows-only check; the BPE kernel itself is golden-value spec-gated
+    * and the packing machinery is hash-gated via q70.
+    */
+  def q88PackBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.bpeTokenCounts(
+      Tables.documents(s, dir).select("doc_id", "lang", "text"), "text")
+      .select(col("doc_id"), col("lang"), col("n_subword_tokens").cast("long").as("toks"))
+    Packing.packSummary(docs, Seq("lang"), Seq("doc_id"), "toks", budget = 1024L)
+      .orderBy("lang", "bin")
+  }
+
   /** The WHOLE curation pipeline as one oracle-verified query: quality
     * gate (Gopher) → exact dedup (keep lowest id per content) → per-source
     * cap → leakage-safe split (keyed on SOURCE, so every host lands in one
@@ -424,6 +491,20 @@ object LlmQueries {
   def q81TemperatureMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "lang")
     val kept = graft.operators.Sampling.sqrtResample(docs, Seq("lang"), Seq("doc_id"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(kept.groupBy("lang").agg(count(lit(1)).as("n_after")), Seq("lang"))
+      .orderBy("lang")
+  }
+
+  /** [[q81TemperatureMix]] on the general dyadic alpha grid: alpha = 3/8,
+    * keep probability (n_min/n_lang)^(5/8) = sqrt(r)·sqrt(sqrt(sqrt(r))) —
+    * a pinned chain of correctly-rounded IEEE sqrts/multiplies the oracle
+    * replays literally, gating the general-alpha construction hash-exact.
+    */
+  def q87TemperatureMixDyadic(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang")
+    val kept = graft.operators.Sampling.temperatureResampleDyadic(
+      docs, Seq("lang"), Seq("doc_id"), alphaNum = 3, alphaDen = 8)
     docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
       .join(kept.groupBy("lang").agg(count(lit(1)).as("n_after")), Seq("lang"))
       .orderBy("lang")
