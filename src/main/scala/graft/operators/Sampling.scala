@@ -77,12 +77,13 @@ object Sampling {
     * keeps everything and dominant groups shrink; lower alpha flattens
     * the mix harder.
     *
-    * Engine-portability is why alpha is restricted to QUARTERS
-    * (`alphaQuarters`/4 ∈ {1/4, 1/2, 3/4}): n_min / n_g is a correctly-
-    * rounded double of an exact integer ratio, and the exponent chain is
-    * built purely from IEEE sqrt and multiply — both correctly rounded on
-    * every engine — so p_g is bit-identical anywhere (an arbitrary-alpha
-    * pow() differs in the last ulp between libms):
+    * Engine-portability is why alpha is restricted to DYADIC RATIONALS
+    * (p/2^k — this overload keeps the historical quarters API; see
+    * [[temperatureResampleDyadic]] for the general grid): n_min / n_g is
+    * a correctly-rounded double of an exact integer ratio, and the
+    * exponent chain is built purely from IEEE sqrt and multiply — both
+    * correctly rounded on every engine — so p_g is bit-identical anywhere
+    * (an arbitrary-alpha pow() differs in the last ulp between libms):
     * r^(1/4) = sqrt(sqrt(r)), r^(1/2) = sqrt(r),
     * r^(3/4) = sqrt(r)·sqrt(sqrt(r)).
     * Row selection is [[uniform01]] vs p_g — the [[weighted]] guarantees
@@ -100,17 +101,68 @@ object Sampling {
       keyCols: Seq[String],
       alphaQuarters: Int = 2
   ): DataFrame = {
-    require(groupCols.nonEmpty && keyCols.nonEmpty)
     require(alphaQuarters >= 1 && alphaQuarters <= 3,
       s"alphaQuarters must be 1..3 (alpha = 1/4, 1/2, 3/4), got $alphaQuarters")
+    temperatureResampleDyadic(df, groupCols, keyCols, alphaQuarters, 4)
+  }
+
+  /** Bit-portable r^(num/den) for a power-of-two `den`: write num/den in
+    * binary, num/den = Σ_{j: bit_j set} 1/2^j, and multiply the matching
+    * nested-sqrt terms sqrt^j(r) in FIXED ascending-j order. Every sqrt
+    * and multiply is individually correctly rounded under IEEE 754, and
+    * the composition order is pinned, so the result is bit-identical on
+    * any engine — the property an arbitrary-exponent pow() lacks. An
+    * integer part (num ≥ den) composes exact integer powers the same way.
+    */
+  private[graft] def dyadicPow(r: Column, num: Int, den: Int): Column = {
+    require(den > 0 && (den & (den - 1)) == 0, s"den must be a power of two, got $den")
+    require(num > 0, s"num must be positive, got $num")
+    val k = java.lang.Integer.numberOfTrailingZeros(den)
+    var acc: Column = null
+    var intPart = num / den
+    var whole = r
+    while (intPart > 0) { // integer part: left-to-right repeated multiply
+      if ((intPart & 1) == 1) acc = if (acc == null) whole else acc * whole
+      intPart >>= 1
+      if (intPart > 0) whole = whole * whole
+    }
+    var cur = r
+    var j = 1
+    val frac = num % den
+    while (j <= k) {
+      cur = sqrt(cur) // cur = r^(1/2^j)
+      if (((frac >> (k - j)) & 1) == 1) acc = if (acc == null) cur else acc * cur
+      j += 1
+    }
+    acc
+  }
+
+  /** [[temperatureResample]] on the full dyadic-rational alpha grid:
+    * alpha = alphaNum/alphaDen with a power-of-two denominator (3/8, 5/8,
+    * 7/16, …). Same bit-portability contract — the exponent chain
+    * r^((alphaDen−alphaNum)/alphaDen) is composed from correctly-rounded
+    * IEEE sqrts and multiplies in pinned order ([[dyadicPow]]) — and the
+    * same shared per-row uniform, so samples across the WHOLE grid nest:
+    * alpha ≤ alpha' ⇒ sample(alpha) ⊆ sample(alpha').
+    */
+  def temperatureResampleDyadic(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCols: Seq[String],
+      alphaNum: Int,
+      alphaDen: Int
+  ): DataFrame = {
+    require(groupCols.nonEmpty && keyCols.nonEmpty)
+    require(alphaDen > 0 && (alphaDen & (alphaDen - 1)) == 0,
+      s"alphaDen must be a power of two, got $alphaDen")
+    require(alphaNum >= 1 && alphaNum <= alphaDen,
+      s"alpha must be in (0, 1]: got $alphaNum/$alphaDen")
     val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__ng"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     val r = col("__nmin").cast("double") / col("__ng").cast("double")
-    val p = (4 - alphaQuarters) match { // exponent numerator of r^(e/4)
-      case 1 => sqrt(sqrt(r))
-      case 2 => sqrt(r)
-      case 3 => sqrt(r) * sqrt(sqrt(r))
-    }
+    // alpha = 1 ⇒ exponent 0 ⇒ keep everything (p = 1)
+    val p = if (alphaNum == alphaDen) lit(1.0)
+      else dyadicPow(r, alphaDen - alphaNum, alphaDen)
     // a NULL group value is a group like any other: the prob join must be
     // null-safe (<=>) or NULL-group rows silently vanish through the
     // equi-join while still having deflated every other group's n_min

@@ -101,6 +101,22 @@ class ProfileSampleSpec extends SparkSpec {
     def nDominant(s: Set[Long]) = docs.filter(col("lang") === dominant)
       .select("doc_id").collect().map(_.getLong(0)).count(s)
     assert(nDominant(a1) < nDominant(a2) && nDominant(a2) < nDominant(a3))
+    // the general dyadic grid: same sqrt-chain construction, so eighths
+    // that coincide with quarters are bit-identical, and the whole denser
+    // grid still nests (shared uniform + monotone exponent)
+    def dyadic(n: Int, d: Int) = Sampling.temperatureResampleDyadic(
+        docs, Seq("lang"), Seq("doc_id"), n, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dyadic(2, 8) == a1, "alpha 2/8 must equal the quarters 1/4 sample exactly")
+    assert(dyadic(4, 8) == a2 && dyadic(6, 8) == a3)
+    val grid = (1 to 8).map(n => dyadic(n, 8))
+    grid.sliding(2).foreach { w => assert(w(0).subsetOf(w(1)),
+      "dyadic alpha grid must nest") }
+    assert(grid.last == docs.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "alpha = 1 must keep every row")
+    // a finer denominator slots strictly between its neighbors
+    assert(dyadic(4, 16).subsetOf(dyadic(5, 16)) && dyadic(5, 16).subsetOf(dyadic(6, 16)))
+    assert(dyadic(5, 16).size > dyadic(4, 16).size || dyadic(6, 16).size > dyadic(5, 16).size)
     // a NULL group is a group like any other: its rows survive the prob
     // join (null-safe) instead of silently vanishing
     val withNull = docs.unionByName(
