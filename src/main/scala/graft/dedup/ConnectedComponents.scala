@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: each round is two shuffled joins + one aggregation;
   * `localCheckpoint` cuts the lineage every round so plans don't grow
-  * exponentially; convergence is detected with a changed-label count.
+  * exponentially; convergence is detected with a changed-label metric
+  * OBSERVED during the checkpoint's own materialization job
+  * (`Dataset.observe`) — one Spark job per round, where a separate
+  * changed-count probe would double the per-round scheduling latency
+  * that dominates small-round iterative queries.
   */
 object ConnectedComponents {
 
@@ -79,6 +83,9 @@ object ConnectedComponents {
         // is the round's materialized `labels` checkpoint (classic pointer
         // doubling composes the same generation's mapping with itself), so
         // the self-reference costs a join, not a recompute of neighborMin.
+        // the convergence signal rides the checkpoint's OWN
+        // materialization job via observe() — no separate probe job
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
         val updated = afterNbr.join(
             labels.select(col("node").as("component"), col("component").as("__parent")),
             Seq("component"), "left")
@@ -89,8 +96,9 @@ object ConnectedComponents {
           )
           .withColumn("__changed", col("component") < col("__old"))
           .drop("__old")
+          .observe(obs, sum(col("__changed").cast("long")).as("n_changed"))
           .localCheckpoint() // eager: materialized here, prior round now free-able
-        val changed = updated.filter(col("__changed")).limit(1).count()
+        val changed = obs.get.get("n_changed").collect { case l: Long => l }.getOrElse(0L)
         freeLocalCheckpoint(ckpt)
         ckpt = updated
         labels = updated.drop("__changed")
