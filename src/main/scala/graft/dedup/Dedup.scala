@@ -106,9 +106,11 @@ object MinHashLsh {
 
   /** Version of the signature byte contract (gram hashing + permutation
     * scheme). Persisted signature stores are only join-compatible with
-    * batches signed under the SAME version — persist this next to the
-    * store and refuse to ingest across versions (a silent mismatch does
-    * not error: cross batch/store near-dup recall just drops to ~zero).
+    * batches signed under the SAME version — [[signatures]] stamps it on
+    * the `sig` column's schema metadata (parquet-persistent) and
+    * [[incrementalBlockedPairs]] REQUIRES a match, because a silent
+    * mismatch does not error: cross batch/store near-dup recall just
+    * drops to ~zero.
     * v2: grams hash as murmur-mixed per-token hashes (was: stringHash of
     * the joined gram text). v3: token hashes are murmur3 over raw UTF-8
     * bytes inside the native [[graft.functions.MinHashSignature]]
@@ -137,12 +139,33 @@ object MinHashLsh {
     import org.apache.spark.sql.graftbridge
     val sigCol = graftbridge.column(graft.functions.MinHashSignature(
       graftbridge.expression(Shingles.tokens(col(textCol))), k, numHashes, seed))
+    // the byte-contract version rides the sig column's schema METADATA —
+    // zero bytes per row, survives a parquet round-trip (Spark persists
+    // column metadata in the footer schema), and lets incremental ingest
+    // REFUSE a version mismatch instead of silently losing recall
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SignatureVersionKey, SignatureFormatVersion.toLong).build()
     // signature cost is ~numHashes × grams hash-ops per row; spread a
     // low-split input across the cluster first (no-op on healthy splits)
     graft.sources.Layout.ensureParallelism(df)
-      .select(col(idCol), sigCol.as("sig"))
+      .select(col(idCol), sigCol.as("sig", meta))
       .filter(col("sig").isNotNull)
   }
+
+  /** Schema-metadata key carrying [[SignatureFormatVersion]] on the `sig`
+    * column of every [[signatures]] frame.
+    */
+  val SignatureVersionKey = "graft.minhash.signature_version"
+
+  /** The signature version stamped on a signature frame's `sig` column —
+    * None for frames produced before versions were embedded (those must
+    * be re-signed before incremental ingest; there is no way to know what
+    * contract signed them).
+    */
+  def signatureVersionOf(sigs: DataFrame): Option[Long] =
+    sigs.schema.fields.find(_.name == "sig")
+      .filter(_.metadata.contains(SignatureVersionKey))
+      .map(_.metadata.getLong(SignatureVersionKey))
 
   /** Banded (band, bh, id) rows for a signature frame — the shared
     * blocking input.
@@ -235,6 +258,13 @@ object MinHashLsh {
       broadcastBatch: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // a store signed under a different byte contract joins fine and finds
+    // ~nothing — refuse it up front instead of silently losing recall
+    val storeVersion = signatureVersionOf(storedSigs)
+    require(storeVersion.contains(SignatureFormatVersion.toLong),
+      s"signature store version ${storeVersion.getOrElse("<unversioned>")} != current " +
+        s"SignatureFormatVersion=$SignatureFormatVersion; re-sign the store " +
+        "(an unversioned frame predates the version stamp — its contract is unknowable)")
     def maybePersist(df: DataFrame): DataFrame =
       if (persistFrames) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df

@@ -30,6 +30,7 @@ case class SimHashFingerprint(child: Expression, portable: Boolean)
   // per-deserialized-instance (= per task) state; @transient so a
   // driver-side evaluation cannot poison task serialization
   @transient private lazy val cache = new java.util.HashMap[UTF8String, java.lang.Long]()
+  @transient private var cacheBytes = 0L
   @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
 
   private def portableTokenHash(s: UTF8String): Long = {
@@ -43,8 +44,18 @@ case class SimHashFingerprint(child: Expression, portable: Boolean)
       while (b < 16) { h = (h << 8) | (d(b) & 0xff).toLong; b += 1 }
       boxed = java.lang.Long.valueOf(h)
       // the key must be a defensive copy: the looked-up UTF8String may
-      // point into a reused row buffer
-      if (cache.size < (1 << 20)) cache.put(s.clone(), boxed)
+      // point into a reused row buffer. Admission is bounded by a BYTE
+      // budget (key bytes, ~16 MB/task), not an entry count — a corpus of
+      // many long distinct tokens would otherwise hold hundreds of MB per
+      // task before an entry cap engaged — and long tokens are skipped
+      // outright: under Zipf they are the least likely to repeat, so they
+      // pay the md5 each time instead of occupying the memo.
+      val nb = s.numBytes
+      if (nb <= SimHashFingerprint.MaxMemoTokenBytes &&
+          cacheBytes + nb <= SimHashFingerprint.MaxMemoBytes) {
+        cache.put(s.clone(), boxed)
+        cacheBytes += nb
+      }
     }
     boxed.longValue
   }
@@ -83,4 +94,19 @@ case class SimHashFingerprint(child: Expression, portable: Boolean)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object SimHashFingerprint {
+  /** Per-task md5-memo budget in cumulative KEY bytes (~16 MB) — a byte
+    * bound, not an entry bound, so long-token corpora cannot hold
+    * hundreds of MB per task × concurrent tasks before a count cap
+    * engages.
+    */
+  val MaxMemoBytes: Long = 16L << 20
+
+  /** Tokens longer than this skip the memo entirely: under a Zipf token
+    * distribution long tokens repeat the least, so caching them spends
+    * budget on the entries least likely to hit.
+    */
+  val MaxMemoTokenBytes: Int = 64
 }

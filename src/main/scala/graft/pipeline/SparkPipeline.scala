@@ -29,6 +29,10 @@ class SparkPipeline(
   private val dag = new DAG(name)
   private val registeredOutputs = mutable.LinkedHashMap.empty[String, Step]
   private val stepsByName = mutable.LinkedHashMap.empty[String, Step]
+  // full metric keys ("step.progressive_x") registered via
+  // progressiveMetricExprs — the EXPLICIT carry-over set (never inferred
+  // from name shape)
+  private val progressiveKeys = mutable.Set.empty[String]
   val conf: mutable.Map[String, String] = mutable.Map.empty
 
   @volatile var startTs: Option[Timestamp] = None
@@ -150,6 +154,10 @@ class SparkPipeline(
     // last run's value forward whenever the current run fails to produce one
     val allExprs = metricExprs ++
       progressiveMetricExprs.map { case (k, v) => s"progressive_$k" -> v }
+    // registered EXPLICITLY: carry-over must not be inferable from name
+    // shape alone (a step named "x.progressive_y" or a plain metric that
+    // happens to start with progressive_ must not gain carry semantics)
+    progressiveMetricExprs.keys.foreach(k => progressiveKeys += s"$name.progressive_$k")
     register(new Step(name, outs, refs(dependsOn), { s =>
       val dfs = body(s)
       require(dfs.length == outs.length, s"Step $name returned ${dfs.length} df(s), expected ${outs.length}")
@@ -237,14 +245,18 @@ class SparkPipeline(
     dag.execute(maxConcurrentSteps)
     stopTs = Some(new Timestamp(System.currentTimeMillis()))
     stateStore.foreach { ss =>
-      // metrics whose NAME part (any dot-segment after the step name —
-      // step names may themselves contain dots) starts with the reserved
-      // progressive_ prefix carry over from the previous run when the
-      // current run did not produce them (e.g. a failed step) —
-      // reference behaviour: bdq/spark_pipeline.py:325 _get_save_state
+      // carry-over applies to metrics whose FINAL dot-segment (the metric
+      // name — step names may themselves contain dots, including ones with
+      // "progressive_" segments, and must not trigger carry) has the
+      // reserved progressive_ prefix — reference behaviour:
+      // bdq/spark_pipeline.py:325 _get_save_state — plus any key this
+      // pipeline registered via progressiveMetricExprs (covers metric
+      // names that themselves contain dots, where the final-segment
+      // convention can't see the prefix)
       val current = metrics
       val carried = lastRunMetricsCache.filter { case (k, _) =>
-        k.split('.').drop(1).exists(_.startsWith("progressive_")) && !current.contains(k)
+        (progressiveKeys.contains(k) || k.split('.').last.startsWith("progressive_")) &&
+          !current.contains(k)
       }
       ss.save(ss.State(name, startTs.get, stopTs, current ++ carried))
       lastRunMetricsCache = ss.loadLatest(name).map(_.metrics).getOrElse(Map.empty)

@@ -219,6 +219,32 @@ class DedupSpec extends SparkSpec {
       s"cap diff: ${(incCap diff fullCap) ++ (fullCap diff incCap)}")
   }
 
+  test("signature version stamp survives parquet and incremental ingest refuses a mismatched store") {
+    val docs = Tables.documents(spark, sf).limit(50).select("doc_id", "text")
+    val sigs = MinHashLsh.signatures(docs, "doc_id", "text")
+    assert(MinHashLsh.signatureVersionOf(sigs)
+      .contains(MinHashLsh.SignatureFormatVersion.toLong))
+    // the stamp rides schema metadata through a parquet round-trip, so a
+    // persisted store self-describes its byte contract
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    sigs.write.mode("overwrite").parquet(tmp)
+    val roundTripped = spark.read.parquet(tmp)
+    assert(MinHashLsh.signatureVersionOf(roundTripped)
+      .contains(MinHashLsh.SignatureFormatVersion.toLong))
+    val batch = docs.select(($"doc_id" + 1000000).as("doc_id"), $"text")
+    assert(MinHashLsh.incrementalBlockedPairs(batch, roundTripped, "doc_id", "text",
+      maxBucketSize = 10000).columns.nonEmpty) // versions match: accepted
+    // a store whose stamp is stripped (or from a pre-version signer) is
+    // REFUSED — a silent contract mismatch loses recall without erroring
+    val unversioned = roundTripped.select(col("doc_id"),
+      col("sig").as("sig", org.apache.spark.sql.types.Metadata.empty))
+    assert(MinHashLsh.signatureVersionOf(unversioned).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      MinHashLsh.incrementalBlockedPairs(batch, unversioned, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("SignatureFormatVersion"))
+  }
+
   test("canonicalize keeps the best-scored member; ties break to lowest id; singletons keep themselves") {
     val docs = Seq(
       (1L, 10L), (2L, 99L), (3L, 10L),   // cluster {1,2,3}: 2 wins on score

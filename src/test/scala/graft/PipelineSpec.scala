@@ -161,6 +161,21 @@ class PipelineSpec extends SparkSpec {
     assert(!m2.contains("load.batch_rows"))
   }
 
+  test("a step NAME containing a progressive_ segment does not leak carry semantics onto its metrics") {
+    val ss = new StateStore(spark, "graft_test_progressive3")
+    val p1 = new SparkPipeline("prog3", spark, Some(ss))
+    p1.stepSparkTable("x.progressive_y", outputs = Seq("graft_prog3_t1"),
+      metricExprs = Map("m" -> "count(1)")) { _ => Seq(spark.range(3).toDF()) }
+    p1.run(2)
+    assert(ss.loadLatest("prog3").get.metrics("x.progressive_y.m") == 3.0)
+    // next run produces nothing: the plain metric of the oddly-named step
+    // must NOT carry (only the final segment / registered keys qualify)
+    val p2 = new SparkPipeline("prog3", spark, Some(ss))
+    p2.step("x.progressive_y") { _ => Seq(1) }
+    p2.run(2)
+    assert(!ss.loadLatest("prog3").get.metrics.contains("x.progressive_y.m"))
+  }
+
   test("registered step implementation instantiates on any pipeline; bad names and doubles rejected") {
     SparkPipeline.registerStepImplementation("stepDoubled") { (p, spec) =>
       p.step(spec.name, outputs = Option(spec.outputs).getOrElse(Seq(spec.name)),
