@@ -85,4 +85,31 @@ class ExpressionSpec extends SparkSpec {
     // fewer than k tokens -> NULL signature in SQL too
     assert(spark.sql("SELECT graft_minhash(array('a','b'), 3, 8, 1)").head().isNullAt(0))
   }
+
+  test("minhash/simhash fingerprint stages stay inside whole-stage codegen with no UDF nodes") {
+    // protects the native-expression wins (q21 2.16->1.19s): a refactor
+    // that reintroduces a ScalaUDF (or breaks doGenCode, forcing
+    // interpreted fallback out of the WholeStageCodegen span) must fail
+    // here, not silently in the next round's bench
+    import graft.dedup.{MinHashLsh, SimHash}
+    val docs = Tables.documents(spark, sf).limit(100).select("doc_id", "text")
+    def executedPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // drive THIS instance so AQE's final plan (with its
+      df.queryExecution.executedPlan.toString // codegen stages) is printed
+    }
+    // "*(n) " is AdaptiveSparkPlan's compact marker for a WholeStageCodegen
+    // stage: the operator computing the fingerprint must carry it
+    def inCodegenStage(plan: String, exprToken: String): Boolean =
+      plan.linesIterator.exists(l => l.contains(exprToken) && l.contains("*("))
+    val sigPlan = executedPlanOf(MinHashLsh.signatures(docs, "doc_id", "text"))
+    assert(inCodegenStage(sigPlan, "minhash"),
+      s"minhash projection not in a codegen stage:\n$sigPlan")
+    assert(!sigPlan.contains("ScalaUDF") && !sigPlan.contains("BatchEvalPython"),
+      s"UDF node in the signature stage:\n$sigPlan")
+    val fpPlan = executedPlanOf(SimHash.fingerprints(docs, "doc_id", "text", portableHash = true))
+    assert(inCodegenStage(fpPlan, "simhash"),
+      s"simhash projection not in a codegen stage:\n$fpPlan")
+    assert(!fpPlan.contains("ScalaUDF") && !fpPlan.contains("BatchEvalPython"),
+      s"UDF node in the fingerprint stage:\n$fpPlan")
+  }
 }
