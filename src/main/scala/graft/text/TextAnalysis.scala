@@ -172,6 +172,20 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
   }
 
+  /** REAL subword token count per document: exact greedy-merge BPE over a
+    * GPT-2-format merges table ([[Bpe]]) — the budget that packing,
+    * mixture and temperature accounting should use where the regex
+    * estimate of [[tokenCounts]] under-counts. One compiled narrow pass
+    * (per-task word memo); NULL text → NULL count.
+    */
+  def bpeTokenCounts(
+      df: DataFrame,
+      textCol: String,
+      ranks: Map[(String, String), Int] = Bpe.defaultRanks
+  ): DataFrame =
+    df.withColumn("n_subword_tokens",
+      org.apache.spark.sql.functions.udf(new Bpe.Counter(ranks)).apply(col(textCol)))
+
   /** Repetition signal: type-token ratio (distinct/total whitespace
     * tokens) per document — the Gopher-style "repetitious document" filter
     * feature. Narrow codegen'd array ops, no shuffle.

@@ -1,0 +1,63 @@
+package graft
+
+import graft.text.{Bpe, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy merges produce golden subword counts on the checked-in vocab") {
+    val r = Bpe.defaultRanks
+    assert(r.nonEmpty && r(("t", "h")) == 0 && r(("th", "e")) == 1)
+    val golden = Map(
+      "the" -> 1,   // t+h (rank 0), th+e (1)
+      "and" -> 1,   // a+n (3), an+d (8)
+      "that" -> 1,  // t+h, a+t (7), th+at (48)
+      "thing" -> 2, // t+h, i+n (2), in+g (9) -> th|ing
+      "hello" -> 3, // h+e (27), l+l (28) -> he|ll|o
+      "for" -> 2,   // (o,r)=16 outranks (f,o)=42 -> f|or
+      "was" -> 1,   // (w,a)=43 beats (a,s)=44, wa+s (51)
+      "you" -> 2,   // (o,u)=10 outranks (y,o)=47 -> y|ou
+      "whizz" -> 3, // w+h (29), wh+i (49) -> whi|z|z
+      "2024" -> 4,  // digits never merge in this vocab
+      "thth" -> 2,  // BOTH (t,h) occurrences merge in one round
+      "a" -> 1,
+      "" -> 0)
+    golden.foreach { case (w, n) =>
+      assert(Bpe.subwordCount(w, r) == n,
+        s"'$w' expected $n got ${Bpe.subwordCount(w, r)}")
+    }
+  }
+
+  test("bpeTokenCounts: pre-tokenization, NULL text, corpus invariants, partitioning determinism") {
+    val d = Seq(
+      (1L, "the thing that was"),
+      (2L, "the, the!"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenCounts(d, "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[Any]("n_subword_tokens")).map(_.asInstanceOf[Int]))
+      .toMap
+    assert(out(1L).contains(5), s"got ${out(1L)}") // 1+2+1+1
+    assert(out(2L).contains(4), s"got ${out(2L)}") // the , the !
+    assert(out(3L).isEmpty) // NULL text -> NULL count
+    assert(out(4L).contains(0))
+    // every regex pre-token yields >= 1 subword, so the subword count
+    // dominates the regex estimate row-for-row (same pre-token pattern)
+    val docs = Tables.documents(spark, sf).limit(200).select("doc_id", "text")
+    val both = TextAnalysis.bpeTokenCounts(
+      TextAnalysis.tokenCounts(docs, "text"), "text")
+    assert(both.filter(col("n_subword_tokens") < col("n_bpe_tokens")).count() == 0)
+    assert(both.filter(col("n_subword_tokens") > col("n_bpe_tokens")).count() > 0,
+      "multi-subword words must exist in the corpus, else the gate is vacuous")
+    // the per-task memo is an optimization, never state: identical counts
+    // on a different partitioning
+    val a = TextAnalysis.bpeTokenCounts(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_subword_tokens")).toMap
+    val b = TextAnalysis.bpeTokenCounts(docs.repartition(7), "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_subword_tokens")).toMap
+    assert(a == b)
+  }
+}
