@@ -99,7 +99,12 @@ object SparkEntry {
     // q88 has NO oracleSql entry by design: DuckDB cannot replay iterative
     // greedy BPE merges — driver records the rows-only check; the kernel
     // is golden-spec-gated (BpeSpec) and packing is hash-gated via q70
-    "q88_pack_bpe" -> (LlmQueries.q88PackBpe(_, _))
+    "q88_pack_bpe" -> (LlmQueries.q88PackBpe(_, _)),
+    "q89_sliding_chunks" -> (LlmQueries.q89SlidingChunks(_, _)),
+    "q90_csv_roundtrip" -> (CoreQueries.q90CsvRoundtrip(_, _)),
+    "q91_jsonl_roundtrip" -> (CoreQueries.q91JsonlRoundtrip(_, _)),
+    "q92_lm_score" -> (LlmQueries.q92LmScore(_, _)),
+    "q93_cc_incremental" -> (LlmQueries.q93CcIncremental(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1199,6 +1204,86 @@ object SparkEntry {
         |      (acc, x) -> acc * 16 + x) / 1152921504606846976.0 < pr)
         |SELECT p.lang AS lang, CAST(p.ng AS BIGINT) AS n_before, CAST(k.n AS BIGINT) AS n_after
         |FROM p JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k USING (lang)
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+    // chunk geometry replayed from the same single-space split: n<=64 -> 1
+    // chunk, else ceil((n-64)/48)+1, windows of 64 every 48, md5 the text
+    "q89_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) <= 64 THEN 1 ELSE CAST((len(w) - 64 + 47) // 48 AS BIGINT) + 1 END AS nc
+        |  FROM t),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk
+        |  FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i) r)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens,
+        |  md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the oracle aggregates the ORIGINAL parquet — the Spark side must
+    // survive parquet -> CSV -> explicit-schema read bit-exactly to match
+    "q90_csv_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q91_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // bigram-LM signals replayed: train unigram/bigram counts (minCount 2)
+    // on doc_id % 10 < 8, score the held-out rest — all-integer outputs
+    "q92_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |ref AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
+        |scored AS (SELECT * FROM tok WHERE doc_id % 10 >= 8),
+        |uni AS (SELECT u.tok AS token, count(*) AS cnt
+        |  FROM ref, unnest(w) AS u(tok) GROUP BY 1 HAVING count(*) >= 2),
+        |rbi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cnt
+        |  FROM ref, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |su AS (SELECT doc_id, u.tok AS token FROM scored, unnest(w) AS u(tok)),
+        |sustats AS (SELECT doc_id, count(*) AS n_tokens,
+        |  sum(CASE WHEN uni.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM su LEFT JOIN uni ON su.token = uni.token GROUP BY doc_id),
+        |sb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM scored, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+        |sbstats AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  sum(CASE WHEN rbi.w1 IS NULL THEN 0 ELSE 1 END) AS n_bigram_hits
+        |  FROM sb LEFT JOIN rbi ON sb.w1 = rbi.w1 AND sb.w2 = rbi.w2 GROUP BY doc_id)
+        |SELECT s.doc_id AS doc_id,
+        |  CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(s.n_oov AS BIGINT) AS n_oov,
+        |  CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(b.n_bigram_hits, 0) AS BIGINT) AS n_bigram_hits
+        |FROM sustats s LEFT JOIN sbstats b ON s.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // incremental-equals-rebuild: the oracle closes over old AND new edges
+    // from scratch (same recursive CTE as q37)
+    "q93_cc_incremental" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <= 1
+        |  UNION ALL
+        |  SELECT d.doc_id AS src, d.doc_id + 10 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 10
+        |  WHERE d.doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 = 5),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
+        |)
+        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
   )
 }

@@ -115,6 +115,49 @@ object ConnectedComponents {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** Fold NEW edges into an existing (node, component) assignment without
+    * re-clustering the corpus — the nightly-dedup shape (new near-dup
+    * pairs arrive from [[MinHashLsh.incrementalBlockedPairs]]; clusters
+    * must absorb them, including merging previously separate components).
+    *
+    * Only components TOUCHED by a new edge are re-solved: their members
+    * are collapsed to star edges (node — old component; the old component
+    * id is the component's min node id, so min-label semantics carry
+    * over), unioned with the new edges, and re-run through
+    * [[labelPropagation]]; every other assignment row passes through
+    * UNSHUFFLED (left-anti against the touched-component set) — the same
+    * closed-versions-pass-through contract as `Scd2.merge`. Nodes seen
+    * only in new edges join as fresh singleton/cluster members.
+    *
+    * Cost: O(members of touched components + new edges) per fold, never
+    * O(corpus); the touched node/component sets are batch-sized
+    * (broadcast when `broadcastBatch`, the usual incremental contract).
+    *
+    * @param assign (node, component) from a previous [[labelPropagation]]
+    *               (or this function) — component ids must be min node
+    *               ids, which both produce.
+    */
+  def incrementalComponents(
+      assign: DataFrame,
+      newEdges: DataFrame,
+      maxIter: Int = 20,
+      broadcastBatch: Boolean = true
+  ): DataFrame = {
+    def hint(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    val touchedNodes = newEdges.select(col("src").as("node"))
+      .unionByName(newEdges.select(col("dst").as("node")))
+      .distinct()
+    val touchedComps = assign.join(hint(touchedNodes), Seq("node"), "left_semi")
+      .select("component").distinct()
+    val members = assign.join(hint(touchedComps), Seq("component"), "left_semi")
+    val starEdges = members.select(col("node").as("src"), col("component").as("dst"))
+    val resolved = labelPropagation(
+      starEdges.unionByName(newEdges.select(col("src"), col("dst"))), maxIter)
+    assign.join(hint(touchedComps), Seq("component"), "left_anti")
+      .select("node", "component")
+      .unionByName(resolved.select("node", "component"))
+  }
+
   /** The dedup END product: map every document to its cluster's
     * representative — the highest-`scoreCol` member (ties → lowest id) —
     * so a curation pipeline keeps the best copy of each duplicate cluster

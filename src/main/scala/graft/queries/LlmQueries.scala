@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup._
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.{Packing, TextAnalysis}
+import graft.text.{Chunking, LmScore, Packing, TextAnalysis}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -143,6 +143,30 @@ object LlmQueries {
       .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
       .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
     ConnectedComponents.labelPropagation(edges)
+      .orderBy("node")
+  }
+
+  /** Incremental clustering: q37's components absorb a batch of NEW edges
+    * — decade-pair bridges (id, id+10) for id % 20 == 0 MERGE two
+    * previously separate components; fresh (id, id+1) pairs at
+    * id % 10 == 5 add brand-new clusters — via
+    * [[ConnectedComponents.incrementalComponents]], which re-solves only
+    * touched components (star-edges + batch) while every other assignment
+    * passes through untouched. Oracle: the full recursive-CTE closure
+    * over old ∪ new edges — incremental must equal rebuild.
+    */
+  def q93CcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id")
+    def within(e: DataFrame) =
+      e.join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    val oldEdges = within(d.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst")))
+    val newEdges = within(d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst")))
+      .unionByName(within(d.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))))
+    val assign = ConnectedComponents.labelPropagation(oldEdges)
+    ConnectedComponents.incrementalComponents(assign, newEdges)
       .orderBy("node")
   }
 
@@ -402,6 +426,34 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"), col("n_ws_tokens").cast("long").as("toks"))
     Packing.packSummary(docs, Seq("lang"), Seq("doc_id"), "toks", budget = 512L)
       .orderBy("lang", "bin")
+  }
+
+  /** Sliding-window chunking (64-token windows, stride 48 — 25% overlap):
+    * the RAG/embedding-prep unit. Chunk geometry is pure integer
+    * arithmetic on the split; the oracle replays windows from the same
+    * split and must match chunk text md5-exact.
+    */
+  def q89SlidingChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.slidingChunks(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", windowTokens = 64, strideTokens = 48)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(to_binary(col("chunk"), lit("utf-8"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Count-based bigram-LM quality signals (CCNet-style, integer-exact):
+    * the reference model is trained on docs with doc_id % 10 < 8
+    * (minCount 2 prunes hapax n-grams), the held-out rest is scored.
+    * Every output is a count, so the DuckDB oracle replays training AND
+    * scoring exactly — no floating log-prob in the gate.
+    */
+  def q92LmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val ref = d.filter(col("doc_id") % 10 < 8)
+    val scored = d.filter(col("doc_id") % 10 >= 8)
+    LmScore.score(scored, "doc_id", "text",
+        LmScore.unigramCounts(ref, "text", minCount = 2),
+        LmScore.bigramCounts(ref, "text", minCount = 2))
+      .orderBy("doc_id")
   }
 
   /** Sequence packing under a REAL subword-BPE token budget (q70's regex

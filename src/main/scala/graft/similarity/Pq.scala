@@ -215,6 +215,15 @@ object Pq {
     * corpus row then costs m lookups), exact-cosine rerank of the top
     * `rerankFactor`·k candidates against the original vectors.
     *
+    * DELIBERATELY EXHAUSTIVE: this flat variant scores every (row, query)
+    * pair and ranks all N·Q ADC scores through one per-query window — it
+    * is the oracle/validation path (q83 uses it with the shortlist opened
+    * so the identity vs flat search gates the machinery) and the
+    * small-corpus fallback. At corpus scale use [[ivfPqTopK]], where IVF
+    * cells prune the scan before any ranking; bolting a TakeOrdered-style
+    * per-partition pre-filter onto THIS path would just re-implement a
+    * worse cell pruner while complicating the oracle contract.
+    *
     * @param corpus the ORIGINAL vectors (id, vec) for the rerank stage.
     */
   def pqTopK(

@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.TextFormats
+import graft.text.{Chunking, LmScore}
+import org.apache.spark.sql.functions._
+
+class ChunkSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("slidingChunks: window/stride geometry, short docs, NULL text, overlap accounting") {
+    val d = Seq(
+      (1L, "a b c d e f g"), // n=7, W=3, S=2 -> starts 0,2,4
+      (2L, "a b"),           // shorter than window -> one whole-doc chunk
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Chunking.slidingChunks(d, "doc_id", "text", windowTokens = 3, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(out((1L, 0)) == ("a b c", 3))
+    assert(out((1L, 1)) == ("c d e", 3))
+    assert(out((1L, 2)) == ("e f g", 3))
+    assert(out((2L, 0)) == ("a b", 2))
+    assert(out.size == 4) // NULL text contributes nothing
+    // boundary: n == W exactly -> one chunk, no phantom overlap window
+    val exact = Chunking.slidingChunks(
+        Seq((9L, "x y z")).toDF("doc_id", "text"), "doc_id", "text", 3, 2)
+      .collect()
+    assert(exact.length == 1 && exact.head.getString(2) == "x y z")
+    // summary: overlap makes chunk_tokens exceed the doc's own tokens
+    val sum = Chunking.chunkSummary(d, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sum(1L) == (3L, 9L)) // 9 chunk tokens over a 7-token doc
+    assert(sum(2L) == (1L, 2L))
+  }
+
+  test("CSV round-trip: quoting, NULLs, doubles; corrupt line quarantines instead of failing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val d = Seq(
+      (1L, "plain", Some(1.5)),
+      (2L, "comma, inside", Some(-0.25)),
+      (3L, "quote \" and, both", None),
+      (4L, null.asInstanceOf[String], Some(3.0))
+    ).toDF("id", "s", "x")
+    TextFormats.writeCsv(d, s"$tmp/t")
+    // Spark refuses a query touching ONLY the corrupt column on raw files;
+    // cache() is the documented workaround (and what a DQ gate would do)
+    val back = TextFormats.readCsv(spark, s"$tmp/t", "id BIGINT, s STRING, x DOUBLE").cache()
+    val rows = back.collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(rows(2L)._1.contains("comma, inside"))
+    assert(rows(3L)._1.contains("quote \" and, both") && rows(3L)._2.isEmpty)
+    assert(rows(4L)._1.isEmpty && rows(4L)._2.contains(3.0))
+    assert(back.filter(col(TextFormats.CorruptCol).isNotNull).count() == 0)
+    // a malformed row (bad long) lands in the corrupt column, never a throw
+    back.unpersist(blocking = true) // else the re-read reuses the cached (pre-bad-file) plan
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/t/zzz_bad.csv"),
+      "id,s,x\nnot_a_long,oops,nan?\n".getBytes("UTF-8"))
+    val withBad = TextFormats.readCsv(spark, s"$tmp/t", "id BIGINT, s STRING, x DOUBLE").cache()
+    assert(withBad.filter(col(TextFormats.CorruptCol).isNotNull).count() == 1)
+    assert(withBad.count() == 5)
+  }
+
+  test("JSON-lines round-trip: escaping and unicode; corrupt line quarantines") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val d = Seq(
+      (1L, "tab\there \"quoted\" back\\slash"),
+      (2L, "unicode: café 中文"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    TextFormats.writeJsonLines(d, s"$tmp/t")
+    val back = TextFormats.readJsonLines(spark, s"$tmp/t", "id BIGINT, s STRING").cache()
+    val rows = back.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L).contains("tab\there \"quoted\" back\\slash"))
+    assert(rows(2L).contains("unicode: café 中文"))
+    assert(rows(3L).isEmpty)
+    back.unpersist(blocking = true)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/t/zzz_bad.json"),
+      "{\"id\": 7, \"s\": unterminated\n".getBytes("UTF-8"))
+    val withBad = TextFormats.readJsonLines(spark, s"$tmp/t", "id BIGINT, s STRING").cache()
+    assert(withBad.filter(col(TextFormats.CorruptCol).isNotNull).count() == 1)
+  }
+
+  test("LmScore: oov and bigram-hit goldens, minCount pruning, empty-bigram docs") {
+    val ref = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "a dog ran")).toDF("doc_id", "text")
+    // minCount 2: vocab {the(2), cat(2), ran(2)}; bigrams {the cat(2)}
+    val uni = LmScore.unigramCounts(ref, "text", minCount = 2)
+    assert(uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("the" -> 2L, "cat" -> 2L, "ran" -> 2L))
+    val bi = LmScore.bigramCounts(ref, "text", minCount = 2)
+    assert(bi.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      Map(("the", "cat") -> 2L))
+    val scored = Seq(
+      (10L, "the cat zzz"), // 3 tokens, 1 oov; bigrams: (the,cat) hit, (cat,zzz) miss
+      (11L, "qqq"),         // single token, oov, zero bigrams
+      (12L, "ran ran")      // in-vocab, bigram (ran,ran) unattested
+    ).toDF("doc_id", "text")
+    val out = LmScore.score(scored, "doc_id", "text", uni, bi)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(10L) == (3L, 1L, 2L, 1L))
+    assert(out(11L) == (1L, 1L, 0L, 0L))
+    assert(out(12L) == (2L, 0L, 1L, 0L))
+  }
+}

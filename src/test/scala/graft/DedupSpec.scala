@@ -219,6 +219,32 @@ class DedupSpec extends SparkSpec {
       s"cap diff: ${(incCap diff fullCap) ++ (fullCap diff incCap)}")
   }
 
+  test("incrementalComponents equals full rebuild: merges, extensions, fresh clusters, untouched pass-through") {
+    // old graph: {1,2,3}, {10,11}, {20,21} (components 1, 10, 20)
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val assign = ConnectedComponents.labelPropagation(oldEdges)
+    // batch: bridge 3-10 MERGES {1,2,3} with {10,11}; 11-12 EXTENDS it with
+    // a fresh node; 50-51 is a brand-new cluster; {20,21} is untouched
+    val newEdges = Seq((3L, 10L), (11L, 12L), (50L, 51L)).toDF("src", "dst")
+    val inc = ConnectedComponents.incrementalComponents(assign, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = ConnectedComponents.labelPropagation(oldEdges.unionByName(newEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"diff: ${(inc.toSet diff full.toSet) ++ (full.toSet diff inc.toSet)}")
+    assert(inc(12L) == 1L && inc(10L) == 1L) // merged + extended under min id 1
+    assert(inc(50L) == 50L && inc(51L) == 50L) // fresh cluster
+    assert(inc(20L) == 20L && inc(21L) == 20L) // untouched survives verbatim
+    // folding a second batch onto the incremental result still matches
+    val batch2 = Seq((21L, 50L)).toDF("src", "dst")
+    val inc2 = ConnectedComponents.incrementalComponents(
+        ConnectedComponents.incrementalComponents(assign, newEdges), batch2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full2 = ConnectedComponents.labelPropagation(
+        oldEdges.unionByName(newEdges).unionByName(batch2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc2 == full2)
+  }
+
   test("signature version stamp survives parquet and incremental ingest refuses a mismatched store") {
     val docs = Tables.documents(spark, sf).limit(50).select("doc_id", "text")
     val sigs = MinHashLsh.signatures(docs, "doc_id", "text")
