@@ -104,7 +104,9 @@ object SparkEntry {
     "q90_csv_roundtrip" -> (CoreQueries.q90CsvRoundtrip(_, _)),
     "q91_jsonl_roundtrip" -> (CoreQueries.q91JsonlRoundtrip(_, _)),
     "q92_lm_score" -> (LlmQueries.q92LmScore(_, _)),
-    "q93_cc_incremental" -> (LlmQueries.q93CcIncremental(_, _))
+    "q93_cc_incremental" -> (LlmQueries.q93CcIncremental(_, _)),
+    "q94_epoch_plan" -> (LlmQueries.q94EpochPlan(_, _)),
+    "q95_epoch_expand" -> (LlmQueries.q95EpochExpand(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1284,6 +1286,43 @@ object SparkEntry {
         |  UNION
         |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
         |)
-        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
+        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    // exact floor arithmetic replayed: target = (budget*w)//sumw,
+    // epochs = target//tokens, remainder = target % tokens
+    "q94_epoch_plan" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS toks FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs, sum(toks) AS tokens FROM d GROUP BY lang),
+        |w(lang, weight) AS (VALUES ('en', 1), ('de', 3), ('es', 2), ('fr', 4), ('zh', 2)),
+        |sw AS (SELECT sum(weight) AS sumw FROM w)
+        |SELECT g.lang AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tokens AS BIGINT) AS tokens, CAST(weight AS BIGINT) AS weight,
+        |  CAST((2000000 * weight) // sumw AS BIGINT) AS target_tokens,
+        |  CAST(CASE WHEN tokens > 0 THEN ((2000000 * weight) // sumw) // tokens ELSE 0 END AS BIGINT) AS full_epochs,
+        |  CAST(CASE WHEN tokens > 0 THEN ((2000000 * weight) // sumw) % tokens ELSE 0 END AS BIGINT) AS remainder_tokens
+        |FROM g JOIN w ON g.lang = w.lang CROSS JOIN sw ORDER BY lang""".stripMargin,
+    // partial-epoch membership = shared md5 uniform vs remainder/tokens,
+    // both sides replay the identical double divisions
+    "q95_epoch_expand" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS toks FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs, sum(toks) AS tokens FROM d GROUP BY lang),
+        |w(lang, weight) AS (VALUES ('en', 1), ('de', 3), ('es', 2), ('fr', 4), ('zh', 2)),
+        |sw AS (SELECT sum(weight) AS sumw FROM w),
+        |p AS (SELECT g.lang, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(CASE WHEN tokens > 0 THEN ((2000000 * weight) // sumw) // tokens ELSE 0 END AS BIGINT) AS full_epochs,
+        |  CAST(CASE WHEN tokens > 0 THEN ((2000000 * weight) // sumw) % tokens ELSE 0 END AS BIGINT) AS remainder_tokens
+        |  FROM g JOIN w ON g.lang = w.lang CROSS JOIN sw),
+        |m AS (SELECT d.doc_id, d.lang, d.toks, p.full_epochs +
+        |  (CASE WHEN list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) / 1152921504606846976.0 <
+        |    CAST(p.remainder_tokens AS DOUBLE) / CAST(p.tokens AS DOUBLE)
+        |    THEN 1 ELSE 0 END) AS n_epochs
+        |  FROM d JOIN p ON d.lang = p.lang),
+        |e AS (SELECT doc_id, lang, toks, CAST(i AS INT) AS epoch
+        |  FROM m, LATERAL (SELECT unnest(range(1, n_epochs + 1)) AS i) r)
+        |SELECT lang, epoch, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS epoch_tokens
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

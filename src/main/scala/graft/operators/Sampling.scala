@@ -183,6 +183,79 @@ object Sampling {
   def sqrtResample(df: DataFrame, groupCols: Seq[String], keyCols: Seq[String]): DataFrame =
     temperatureResample(df, groupCols, keyCols, alphaQuarters = 2)
 
+  /** Mixture EPOCH planning — the data-repetition side of building a
+    * pretraining mixture: given a total token `budgetTokens` and integer
+    * group `weights` (group → share), each group's token target is
+    * floor(budget·w/Σw), met by repeating the group's documents
+    * `full_epochs` = floor(target/tokens) whole times plus a partial
+    * epoch worth `remainder_tokens` (Muennighoff-style "data-constrained"
+    * repetition, planned not guessed).
+    *
+    * Every output is INTEGER arithmetic (decimal-exact products; the
+    * floor division is (p − p mod s)/s, never a rounded decimal divide),
+    * so the plan is bit-identical on any engine. One grouped count + one
+    * broadcast join of the (tiny) weight table — the corpus never moves.
+    *
+    * @param weights one row per group: groupCols ++ (weight: integral).
+    *                Groups absent from `weights` are excluded (plan only
+    *                what you budget).
+    */
+  def epochPlan(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tokensCol: String,
+      weights: DataFrame,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(groupCols.nonEmpty && budgetTokens > 0)
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol).cast("long")).as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wdf = weights.withColumn("__sumw", sum(col("weight").cast("long")).over(w))
+    val dec = "decimal(38,0)"
+    val prod = lit(budgetTokens).cast(dec) * col("weight").cast(dec)
+    val target = ((prod - pmod(prod, col("__sumw").cast(dec))) / col("__sumw").cast(dec))
+      .cast("long")
+    counts.join(broadcast(wdf), groupCols)
+      .withColumn("target_tokens", target)
+      .withColumn("full_epochs",
+        when(col("tokens") > 0,
+          ((col("target_tokens").cast(dec) - pmod(col("target_tokens"), col("tokens")).cast(dec)) /
+            col("tokens").cast(dec)).cast("long")) // exact: numerator divides evenly (long/long would go through double)
+          .otherwise(lit(0L)))
+      .withColumn("remainder_tokens",
+        when(col("tokens") > 0, pmod(col("target_tokens"), col("tokens"))).otherwise(lit(0L)))
+      .select((groupCols.map(col) ++ Seq(col("n_docs"), col("tokens"),
+        col("weight").cast("long").as("weight"), col("target_tokens"),
+        col("full_epochs"), col("remainder_tokens"))): _*)
+  }
+
+  /** Materialize an [[epochPlan]]: every document of a planned group is
+    * repeated `full_epochs` times (epoch = 1..full_epochs), and belongs
+    * to one final PARTIAL epoch with probability remainder_tokens/tokens
+    * — the shared-uniform [[weighted]] selection, so expected partial
+    * tokens hit the remainder and the whole expansion is reproducible on
+    * any engine/partitioning/rerun. One broadcast plan join + a narrow
+    * sequence-explode: rows multiply, but nothing shuffles.
+    */
+  def epochExpand(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCols: Seq[String],
+      plan: DataFrame
+  ): DataFrame = {
+    val p = broadcast(plan.select(
+      (groupCols.map(col) :+ col("tokens") :+ col("full_epochs") :+ col("remainder_tokens")): _*))
+    val inPartial = uniform01(keyCols.map(col)) <
+      col("remainder_tokens").cast("double") / col("tokens").cast("double")
+    val nEpochs = (col("full_epochs") + when(inPartial, 1L).otherwise(0L)).cast("int")
+    df.join(p, groupCols)
+      .withColumn("epoch",
+        explode(when(nEpochs >= 1, sequence(lit(1), nEpochs))
+          .otherwise(array().cast("array<int>"))))
+      .drop("tokens", "full_epochs", "remainder_tokens")
+  }
+
   /** Deterministic train/val/test (or any n-way) split assignment: each row
     * gets the label of the md5-range its key falls into. Cumulative
     * thresholds mean the splits are disjoint and exhaustive, and — like

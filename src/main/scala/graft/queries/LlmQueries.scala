@@ -562,6 +562,41 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  private def langWeights(s: SparkSession) = {
+    import s.implicits._
+    Seq(("en", 1L), ("de", 3L), ("es", 2L), ("fr", 4L), ("zh", 2L)).toDF("lang", "weight")
+  }
+
+  /** Mixture epoch planning: a 2M-token budget split by per-language
+    * weights (rare languages upweighted); each language's target is met
+    * by whole-corpus repeats + a partial epoch. All-integer outputs —
+    * the oracle replays the exact floor arithmetic.
+    */
+  def q94EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.tokenCounts(
+      Tables.documents(s, dir).select("doc_id", "lang", "text"), "text")
+      .select(col("doc_id"), col("lang"), col("n_ws_tokens").cast("long").as("toks"))
+    graft.operators.Sampling.epochPlan(docs, Seq("lang"), "toks",
+        langWeights(s), budgetTokens = 2000000L)
+      .orderBy("lang")
+  }
+
+  /** q94's plan MATERIALIZED: per (lang, epoch) doc/token counts after
+    * the sequence-explode expansion; the partial-epoch membership is the
+    * shared-uniform threshold the oracle replays per document.
+    */
+  def q95EpochExpand(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.tokenCounts(
+      Tables.documents(s, dir).select("doc_id", "lang", "text"), "text")
+      .select(col("doc_id"), col("lang"), col("n_ws_tokens").cast("long").as("toks"))
+    val plan = graft.operators.Sampling.epochPlan(docs, Seq("lang"), "toks",
+      langWeights(s), budgetTokens = 2000000L)
+    graft.operators.Sampling.epochExpand(docs, Seq("lang"), Seq("doc_id"), plan)
+      .groupBy("lang", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("epoch_tokens"))
+      .orderBy("lang", "epoch")
+  }
+
   /** Classifier-threshold selection: the top 25% of each language's docs
     * by length score (ties → lowest doc_id) — the "keep what the quality
     * classifier likes best" curation step.

@@ -215,6 +215,43 @@ class EdgeCasesSpec extends SparkSpec {
     assert(inc.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("round-4 operators degrade safely on empty/degenerate input") {
+    import graft.dedup.ConnectedComponents
+    import graft.operators.Sampling
+    import graft.text.{Bpe, Chunking, LmScore}
+    val noText = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Chunking.slidingChunks(noText, "doc_id", "text", 8, 4).count() == 0)
+    assert(Chunking.chunkSummary(noText, "doc_id", "text", 8, 4).count() == 0)
+    assert(graft.text.TextAnalysis.bpeTokenCounts(noText, "text").count() == 0)
+    assert(Bpe.subwordCount("", Bpe.defaultRanks) == 0)
+    // LM: empty reference model -> everything is OOV, nothing is attested
+    val uni = LmScore.unigramCounts(noText, "text")
+    val bi = LmScore.bigramCounts(noText, "text")
+    val scored = LmScore.score(Seq((1L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", uni, bi).collect().head
+    assert((scored.getLong(1), scored.getLong(2), scored.getLong(3), scored.getLong(4))
+      == (2L, 2L, 1L, 0L))
+    assert(LmScore.score(noText, "doc_id", "text", uni, bi).count() == 0)
+    // incremental CC: empty batch leaves the assignment untouched; empty
+    // assignment means the batch IS the graph
+    val assign = ConnectedComponents.labelPropagation(
+      Seq((1L, 2L)).toDF("src", "dst"))
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.incrementalComponents(assign, noEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 1L))
+    val emptyAssign = ConnectedComponents.labelPropagation(noEdges)
+    assert(ConnectedComponents.incrementalComponents(emptyAssign,
+        Seq((5L, 6L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(5L -> 5L, 6L -> 5L))
+    // epoch planning: empty corpus and empty weights both yield empty plans
+    val noToks = Seq.empty[(Long, String, Long)].toDF("doc_id", "g", "toks")
+    val w = Seq(("a", 1L)).toDF("g", "weight")
+    assert(Sampling.epochPlan(noToks, Seq("g"), "toks", w, 100L).count() == 0)
+    val plan = Sampling.epochPlan(
+      Seq((1L, "a", 10L)).toDF("doc_id", "g", "toks"), Seq("g"), "toks", w, 100L)
+    assert(Sampling.epochExpand(noToks, Seq("g"), Seq("doc_id"), plan).count() == 0)
+  }
+
   test("batched PK search chunks wide levels and survives comma column names") {
     val d = Seq(
       (1L, 1L, "a", "x"), (1L, 2L, "a", "y"), (2L, 1L, "b", "x"), (2L, 2L, "c", "y")

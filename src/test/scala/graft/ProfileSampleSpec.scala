@@ -127,6 +127,42 @@ class ProfileSampleSpec extends SparkSpec {
     assert(keptNull == 2L, s"NULL-group rows lost: kept $keptNull of 2 (rarest group keeps all)")
   }
 
+  test("epochPlan floor arithmetic goldens; epochExpand materializes full + partial epochs deterministically") {
+    import spark.implicits._
+    // group a: 2 docs, 100 tokens; group b: 1 doc, 50 tokens
+    val docs = Seq((1L, "a", 60L), (2L, "a", 40L), (3L, "b", 50L)).toDF("doc_id", "g", "toks")
+    val weights = Seq(("a", 1L), ("b", 3L)).toDF("g", "weight")
+    // budget 1000, sumw 4: target_a = 250 -> 2 full epochs + 50 remainder;
+    // target_b = 750 -> 15 full epochs + 0 remainder
+    val plan = Sampling.epochPlan(docs, Seq("g"), "toks", weights, budgetTokens = 1000L)
+    val p = plan.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(p("a") == (2L, 100L, 250L, 2L, 50L), s"got ${p("a")}")
+    assert(p("b") == (1L, 50L, 750L, 15L, 0L), s"got ${p("b")}")
+    val exp = Sampling.epochExpand(docs, Seq("g"), Seq("doc_id"), plan)
+    // group b: exactly 15 copies of its one doc, no partial epoch
+    assert(exp.filter(col("g") === "b").count() == 15L)
+    assert(exp.filter(col("g") === "b").agg(max("epoch")).head().getInt(0) == 15)
+    // group a: 2 full epochs of both docs + each doc in the partial epoch
+    // with p = 50/100 — whatever the md5 draw, counts are deterministic
+    val aCounts = exp.filter(col("g") === "a").groupBy("epoch").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(aCounts(1) == 2L && aCounts(2) == 2L)
+    assert(aCounts.getOrElse(3, 0L) <= 2L)
+    // deterministic across partitionings
+    val e1 = exp.select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val e2 = Sampling.epochExpand(docs.repartition(5), Seq("g"), Seq("doc_id"), plan)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(e1 == e2)
+    // a group with zero weight row is excluded; zero-token groups don't divide by zero
+    val zt = Seq((9L, "z", 0L)).toDF("doc_id", "g", "toks")
+    val pz = Sampling.epochPlan(zt, Seq("g"), "toks", Seq(("z", 1L)).toDF("g", "weight"), 100L)
+      .collect().head
+    assert(pz.getLong(5) == 0L && pz.getLong(6) == 0L) // full_epochs, remainder
+    assert(Sampling.epochPlan(docs, Seq("g"), "toks",
+      Seq(("a", 1L)).toDF("g", "weight"), 100L).count() == 1L)
+  }
+
   test("topFractionByScore keeps the best-scored fraction per group, deterministic ties") {
     import spark.implicits._
     val d = Seq(
