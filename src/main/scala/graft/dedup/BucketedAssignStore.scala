@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed, per-bucket-versioned (node, component) assignment store
+  * — [[BucketedSpanStore]]'s sibling for STREAMING/incremental duplicate
+  * clustering: each fold runs [[ConnectedComponents.incrementalResolve]]
+  * against the current assignment and rewrites ONLY buckets holding a
+  * component the batch touched (or created).
+  *
+  * Layout: `path/bucket=<b>/v=<version>/`, bucket = md5(component) mod K
+  * — bucketing by COMPONENT id means a re-solved component's rows are
+  * confined to the (few) buckets its old/new ids hash to, so the write
+  * side is O(touched members), never O(corpus). The read side of a fold
+  * scans the slim (node, component) index once to find batch nodes'
+  * components — two 8-byte columns, the cheapest possible full pass; a
+  * node-keyed secondary index would trade that scan for double writes
+  * (documented trade, not taken).
+  *
+  * Versions are per bucket and keyed by the fold's id, so crash-replay is
+  * idempotent exactly like [[BucketedSpanStore]]: a replayed fold rebuilds
+  * from each bucket's latest version BELOW its own id and overwrites its
+  * own output; superseded versions are deleted with one prior kept.
+  */
+final class BucketedAssignStore(path: String, numBuckets: Int)
+    extends Serializable {
+  require(numBuckets > 0, "numBuckets must be positive")
+
+  import BucketedAssignStore.bucketOf
+
+  private def fileSystem(spark: SparkSession) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketVersions(spark: SparkSession): Map[Long, Seq[Long]] = {
+    val fs = fileSystem(spark)
+    val base = new Path(path)
+    if (!fs.exists(base)) Map.empty
+    else
+      fs.listStatus(base).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .map { bp =>
+          val b = bp.getName.stripPrefix("bucket=").toLong
+          val vs = fs.listStatus(bp).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          b -> vs
+        }.toMap
+  }
+
+  /** Latest assignment strictly below `belowVersion`; None for a fresh
+    * store.
+    */
+  def load(spark: SparkSession, belowVersion: Long = Long.MaxValue): Option[DataFrame] = {
+    val dirs = bucketVersions(spark).toSeq.flatMap { case (b, vs) =>
+      vs.filter(_ < belowVersion).maxOption.map(v => s"$path/bucket=$b/v=$v")
+    }
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(dirs: _*)
+      .select("node", "component"))
+  }
+
+  /** Fold a batch of (src, dst) edges into the assignment at `version`
+    * (monotone across folds; same-version replay is idempotent).
+    * Result semantics == [[ConnectedComponents.labelPropagation]] over
+    * all edges ever folded (spec-asserted).
+    */
+  def merge(newEdges: DataFrame, version: Long, maxIter: Int = 20): Unit = {
+    val spark = newEdges.sparkSession
+    val assign = load(spark, belowVersion = version).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("node", "component")
+        .select(col("node").cast("long"), col("component").cast("long"))
+    }
+    val (touchedComps, resolved0) =
+      ConnectedComponents.incrementalResolve(assign, newEdges, maxIter)
+    // resolved is a checkpointed frame (labelPropagation materializes);
+    // touched is batch-bounded — both small relative to the store
+    val resolved = resolved0
+      .withColumn("bucket", bucketOf(col("component"), numBuckets))
+    // buckets needing a rewrite: where touched components' rows LIVE now
+    // (their old bucket) and where re-solved rows LAND (their new bucket)
+    val affected = touchedComps
+      .select(bucketOf(col("component"), numBuckets).as("bucket"))
+      .unionByName(resolved.select("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted // ≤ numBuckets ids
+    if (affected.nonEmpty) {
+      val affectedCol = affected.toSeq
+      // prior content of affected buckets, minus rows being re-solved
+      val prior = load(spark, belowVersion = version)
+        .map(_.withColumn("bucket", bucketOf(col("component"), numBuckets))
+          .filter(col("bucket").isin(affectedCol: _*))
+          .join(broadcast(touchedComps), Seq("component"), "left_anti"))
+        .getOrElse(resolved.limit(0))
+      val content = prior.select("node", "component", "bucket")
+        .unionByName(resolved.select("node", "component", "bucket"))
+        .withColumn("v", lit(version))
+        .persist()
+      content.repartition(col("bucket"))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "v")
+        .mode("overwrite")
+        .parquet(path)
+      // an affected bucket can end up EMPTY (a merged-away component's
+      // rows all moved to another bucket) — dynamic overwrite writes no
+      // partition for it, which would leave its stale prior version live.
+      // Write an explicit empty v=version dir so the bucket's latest
+      // version advances past the stale rows.
+      val populated = content.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      content.unpersist(blocking = false)
+      affected.filterNot(populated.contains).foreach { b =>
+        resolved.limit(0).select("node", "component")
+          .write.mode("overwrite").parquet(s"$path/bucket=$b/v=$version")
+      }
+      // retention: keep (latest-below, version) per affected bucket
+      val fs = fileSystem(spark)
+      val vmap = bucketVersions(spark)
+      affected.foreach { b =>
+        val vs = vmap.getOrElse(b, Nil)
+        val keep = Set(Some(version), vs.filter(_ < version).maxOption).flatten
+        vs.filterNot(keep.contains).foreach { v =>
+          fs.delete(new Path(s"$path/bucket=$b/v=$v"), true)
+        }
+      }
+    }
+  }
+}
+
+object BucketedAssignStore {
+  /** Store bucket for a component id (md5-mod-K, the
+    * [[graft.operators.Sharding.shardId]] layout).
+    */
+  def bucketOf(component: Column, numBuckets: Int): Column =
+    conv(substring(md5(to_binary(component.cast("string"), lit("utf-8"))), 1, 15), 16, 10)
+      .cast("long") % numBuckets
+}

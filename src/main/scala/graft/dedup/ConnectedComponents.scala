@@ -143,6 +143,27 @@ object ConnectedComponents {
       maxIter: Int = 20,
       broadcastBatch: Boolean = true
   ): DataFrame = {
+    val (touchedComps, resolved) =
+      incrementalResolve(assign, newEdges, maxIter, broadcastBatch)
+    val hint: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast else identity
+    assign.join(hint(touchedComps), Seq("component"), "left_anti")
+      .select("node", "component")
+      .unionByName(resolved.select("node", "component"))
+  }
+
+  /** The incremental core, exposed for sinks that materialize only the
+    * CHANGED part: (old component ids touched by a batch edge, the
+    * re-solved (node, component) assignment covering exactly those
+    * components' members plus batch-only nodes). Rows of `assign` outside
+    * the touched set are — by construction — final and untouched.
+    */
+  private[graft] def incrementalResolve(
+      assign: DataFrame,
+      newEdges: DataFrame,
+      maxIter: Int = 20,
+      broadcastBatch: Boolean = true
+  ): (DataFrame, DataFrame) = {
     def hint(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     val touchedNodes = newEdges.select(col("src").as("node"))
       .unionByName(newEdges.select(col("dst").as("node")))
@@ -153,9 +174,7 @@ object ConnectedComponents {
     val starEdges = members.select(col("node").as("src"), col("component").as("dst"))
     val resolved = labelPropagation(
       starEdges.unionByName(newEdges.select(col("src"), col("dst"))), maxIter)
-    assign.join(hint(touchedComps), Seq("component"), "left_anti")
-      .select("node", "component")
-      .unionByName(resolved.select("node", "component"))
+    (touchedComps, resolved)
   }
 
   /** The dedup END product: map every document to its cluster's

@@ -385,6 +385,32 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming duplicate CLUSTERING: each micro-batch of near-dup edges
+    * (src, dst) — e.g. from incremental minhash blocking — folds into a
+    * [[graft.dedup.BucketedAssignStore]]: only touched components are
+    * re-solved ([[graft.dedup.ConnectedComponents.incrementalResolve]])
+    * and only the buckets holding them are rewritten, with per-bucket
+    * versions keyed by batch id for idempotent crash replay — the
+    * [[spanDedupStream]] contract applied to clustering. The accumulated
+    * assignment always equals a from-scratch labelPropagation over every
+    * edge ever folded (spec-asserted).
+    */
+  def clusterStream(
+      edges: DataFrame,
+      assignPath: String,
+      checkpoint: String,
+      numBuckets: Int = 64
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        new graft.dedup.BucketedAssignStore(assignPath, numBuckets)
+          .merge(batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

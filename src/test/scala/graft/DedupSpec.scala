@@ -245,6 +245,40 @@ class DedupSpec extends SparkSpec {
     assert(inc2 == full2)
   }
 
+  test("bucketed assignment store: folds equal rebuild, untouched buckets stay byte-identical") {
+    import graft.dedup.BucketedAssignStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bas").toString
+    val store = new BucketedAssignStore(tmp, numBuckets = 8)
+    // 40 tiny components spread across (almost) all buckets
+    val base = (0L until 40L).map(i => (i * 100, i * 100 + 1)).toDF("src", "dst")
+    store.merge(base, version = 0L)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tmp)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+    // batch merges components 0 and 100, adds fresh {7777, 7778}
+    val batch = Seq((1L, 100L), (7777L, 7778L)).toDF("src", "dst")
+    store.merge(batch, version = 1L)
+    val got = store.load(spark).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = ConnectedComponents.labelPropagation(base.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rebuilt)
+    // buckets of unaffected components: same files, untouched on disk
+    val affected = Seq(0L, 100L, 7777L).map(c =>
+      spark.range(1).select(BucketedAssignStore.bucketOf(lit(c), 8)).head().getLong(0)).toSet
+    val after = snapshot()
+    val untouched = before.filter { case (p, _) =>
+      !affected.exists(b => p.contains(s"/bucket=$b/")) }
+    assert(untouched.nonEmpty, "test needs at least one unaffected bucket")
+    untouched.foreach { case (p, meta) =>
+      assert(after.get(p).contains(meta), s"unaffected bucket file rewritten: $p")
+    }
+  }
+
   test("signature version stamp survives parquet and incremental ingest refuses a mismatched store") {
     val docs = Tables.documents(spark, sf).limit(50).select("doc_id", "text")
     val sigs = MinHashLsh.signatures(docs, "doc_id", "text")

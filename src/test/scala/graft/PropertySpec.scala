@@ -63,4 +63,85 @@ class PropertySpec extends AnyFunSuite {
     val ts = cum.init.map(Sampling.hexThreshold)
     assert(ts == ts.sorted && ts.distinct.size == ts.size)
   }
+
+  test("BPE subword counts are bounded and merge-monotone") {
+    import graft.text.Bpe
+    val ranks = Bpe.defaultRanks
+    val wordGen = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    check(Prop.forAll(wordGen) { w =>
+      val c = Bpe.subwordCount(w, ranks)
+      // merging only ever reduces: between 1 (full merge) and len (none);
+      // empty words count zero
+      if (w.isEmpty) c == 0 else c >= 1 && c <= w.length
+    })
+    // an empty merges table means no merging at all: count == chars
+    check(Prop.forAll(wordGen) { w =>
+      Bpe.subwordCount(w, Map.empty) == w.length
+    })
+    // appending a character never DECREASES the count by more than the
+    // merges it can participate in (sanity: counts don't jump wildly)
+    check(Prop.forAll(wordGen, Gen.alphaLowerChar) { (w, ch) =>
+      Bpe.subwordCount(w + ch, ranks) <= Bpe.subwordCount(w, ranks) + 1
+    })
+  }
+
+  test("sliding-chunk geometry covers every token exactly ceil-style") {
+    // replicate Chunking.chunkCount's integer formula and check coverage:
+    // chunk starts i*S with window W always cover tokens [0, n) and the
+    // last chunk is never empty
+    check(Prop.forAll(
+      Gen.chooseNum(0, 500), Gen.chooseNum(1, 64)) { (n, wRaw) =>
+      val w = wRaw
+      Prop.forAll(Gen.chooseNum(1, w)) { s =>
+        val nc = if (n <= w) 1 else ((n - w + s - 1) / s) + 1
+        val starts = (0 until nc).map(_ * s)
+        val covered = starts.flatMap(st => st until math.min(st + w, math.max(n, 1)))
+        // every token index < n covered; last chunk start < n (non-empty)
+        (if (n == 0) true else covered.toSet == (0 until n).toSet) &&
+          starts.last < math.max(n, 1)
+      }
+    })
+  }
+
+  test("dyadic sqrt-chain decomposition equals math.pow within rounding slack") {
+    // literal Scala mirror of Sampling.dyadicPow's pinned chain (the
+    // Column form is hash-gated end-to-end by q87 and the quarters
+    // bit-identity spec; this property validates the exponent
+    // DECOMPOSITION across the whole grid): binary-expand num/den,
+    // multiply matching nested sqrts ascending, integer part first
+    def chain(r: Double, num: Int, den: Int): Double = {
+      val k = java.lang.Integer.numberOfTrailingZeros(den)
+      var acc = 1.0
+      var accSet = false
+      def mul(x: Double): Unit = { acc = if (accSet) acc * x else x; accSet = true }
+      var intPart = num / den
+      var whole = r
+      while (intPart > 0) {
+        if ((intPart & 1) == 1) mul(whole)
+        intPart >>= 1
+        if (intPart > 0) whole = whole * whole
+      }
+      var cur = r
+      var j = 1
+      val frac = num % den
+      while (j <= k) {
+        cur = math.sqrt(cur)
+        if (((frac >> (k - j)) & 1) == 1) mul(cur)
+        j += 1
+      }
+      acc
+    }
+    check(Prop.forAll(Gen.choose(1e-6, 1.0), Gen.chooseNum(1, 63)) { (r, num) =>
+      val den = 64
+      val exact = math.pow(r, num.toDouble / den)
+      val got = chain(r, num, den)
+      // k correctly-rounded sqrts + multiplies accumulate a few ulps
+      math.abs(got - exact) <= math.ulp(exact) * 16
+    })
+    // integer + fractional parts compose: r^(5/2) = r^2 * sqrt(r)
+    check(Prop.forAll(Gen.choose(0.1, 2.0)) { r =>
+      math.abs(chain(r, 5, 2) - r * r * math.sqrt(r)) <= math.ulp(r * r) * 8
+    })
+  }
 }

@@ -317,6 +317,37 @@ class StreamingSpec extends SparkSpec {
     assert(store == rebuilt)
   }
 
+  test("streaming clustering folds edge batches into the bucketed assignment store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.{BucketedAssignStore, ConnectedComponents}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccstream").toString
+    val mem = MemoryStream[(Long, Long)]
+    // batch 1: {1,2,3} and {10,11}
+    mem.addData((1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = mem.toDF().toDF("src", "dst")
+    StreamingOps.clusterStream(edges, s"$tmp/assign", s"$tmp/cp", numBuckets = 16)
+      .awaitTermination(120000)
+    // batch 2: bridge 3-10 MERGES the two clusters; 50-51 is brand new
+    mem.addData((3L, 10L), (50L, 51L))
+    StreamingOps.clusterStream(edges, s"$tmp/assign", s"$tmp/cp", numBuckets = 16)
+      .awaitTermination(120000)
+    val store = new BucketedAssignStore(s"$tmp/assign", 16)
+    val got = store.load(spark).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (50L, 51L)).toDF("src", "dst")
+    val rebuilt = ConnectedComponents.labelPropagation(all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rebuilt,
+      s"diff: ${(got.toSet diff rebuilt.toSet) ++ (rebuilt.toSet diff got.toSet)}")
+    assert(got(10L) == 1L && got(50L) == 50L)
+    // replaying the last fold at the same version is a no-op
+    store.merge(Seq((3L, 10L), (50L, 51L)).toDF("src", "dst"), version = 1L)
+    assert(store.load(spark).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == rebuilt)
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
