@@ -106,7 +106,8 @@ object SparkEntry {
     "q92_lm_score" -> (LlmQueries.q92LmScore(_, _)),
     "q93_cc_incremental" -> (LlmQueries.q93CcIncremental(_, _)),
     "q94_epoch_plan" -> (LlmQueries.q94EpochPlan(_, _)),
-    "q95_epoch_expand" -> (LlmQueries.q95EpochExpand(_, _))
+    "q95_epoch_expand" -> (LlmQueries.q95EpochExpand(_, _)),
+    "q96_knn_ivfpq_prebuilt" -> (LlmQueries.q96KnnIvfPqPrebuilt(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1323,6 +1324,15 @@ object SparkEntry {
         |e AS (SELECT doc_id, lang, toks, CAST(i AS INT) AS epoch
         |  FROM m, LATERAL (SELECT unnest(range(1, n_epochs + 1)) AS i) r)
         |SELECT lang, epoch, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS epoch_tokens
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // full probe + full shortlist through the PREBUILT roundtripped
+    // codes: must equal flat search, same oracle as q86
+    "q96_knn_ivfpq_prebuilt" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
+        |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
+        |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

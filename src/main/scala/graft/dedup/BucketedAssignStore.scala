@@ -64,67 +64,83 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
     * (monotone across folds; same-version replay is idempotent).
     * Result semantics == [[ConnectedComponents.labelPropagation]] over
     * all edges ever folded (spec-asserted).
+    *
+    * I/O shape per fold: ONE bucket-directory listing, ONE pass over the
+    * slim (node, component) index (persisted and shared by the resolve
+    * joins and the affected-bucket rewrite), bucket-pruned writes.
     */
   def merge(newEdges: DataFrame, version: Long, maxIter: Int = 20): Unit = {
     val spark = newEdges.sparkSession
-    val assign = load(spark, belowVersion = version).getOrElse {
-      import spark.implicits._
-      Seq.empty[(Long, Long)].toDF("node", "component")
-        .select(col("node").cast("long"), col("component").cast("long"))
+    // single listing serves the load, the write set and retention
+    val vmap = bucketVersions(spark)
+    val priorDirs = vmap.toSeq.flatMap { case (b, vs) =>
+      vs.filter(_ < version).maxOption.map(v => s"$path/bucket=$b/v=$v")
     }
-    val (touchedComps, resolved0) =
-      ConnectedComponents.incrementalResolve(assign, newEdges, maxIter)
-    // resolved is a checkpointed frame (labelPropagation materializes);
-    // touched is batch-bounded — both small relative to the store
-    val resolved = resolved0
-      .withColumn("bucket", bucketOf(col("component"), numBuckets))
-    // buckets needing a rewrite: where touched components' rows LIVE now
-    // (their old bucket) and where re-solved rows LAND (their new bucket)
-    val affected = touchedComps
-      .select(bucketOf(col("component"), numBuckets).as("bucket"))
-      .unionByName(resolved.select("bucket"))
-      .distinct().collect().map(_.getLong(0)).sorted // ≤ numBuckets ids
-    if (affected.nonEmpty) {
-      val affectedCol = affected.toSeq
-      // prior content of affected buckets, minus rows being re-solved
-      val prior = load(spark, belowVersion = version)
-        .map(_.withColumn("bucket", bucketOf(col("component"), numBuckets))
-          .filter(col("bucket").isin(affectedCol: _*))
-          .join(broadcast(touchedComps), Seq("component"), "left_anti"))
-        .getOrElse(resolved.limit(0))
-      val content = prior.select("node", "component", "bucket")
-        .unionByName(resolved.select("node", "component", "bucket"))
-        .withColumn("v", lit(version))
-        .persist()
-      content.repartition(col("bucket"))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket", "v")
-        .mode("overwrite")
-        .parquet(path)
-      // an affected bucket can end up EMPTY (a merged-away component's
-      // rows all moved to another bucket) — dynamic overwrite writes no
-      // partition for it, which would leave its stale prior version live.
-      // Write an explicit empty v=version dir so the bucket's latest
-      // version advances past the stale rows.
-      val populated = content.select("bucket").distinct()
-        .collect().map(_.getLong(0)).toSet
-      content.unpersist(blocking = false)
-      affected.filterNot(populated.contains).foreach { b =>
-        resolved.limit(0).select("node", "component")
-          .write.mode("overwrite").parquet(s"$path/bucket=$b/v=$version")
-      }
-      // retention: keep (latest-below, version) per affected bucket
-      val fs = fileSystem(spark)
-      val vmap = bucketVersions(spark)
-      affected.foreach { b =>
-        val vs = vmap.getOrElse(b, Nil)
-        val keep = Set(Some(version), vs.filter(_ < version).maxOption).flatten
-        vs.filterNot(keep.contains).foreach { v =>
-          fs.delete(new Path(s"$path/bucket=$b/v=$v"), true)
+    val assign = (
+      if (priorDirs.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("node", "component")
+      } else
+        spark.read.option("basePath", path).parquet(priorDirs: _*)
+          .select("node", "component")
+    ).persist()
+    try {
+      val (touchedComps0, resolved0) =
+        ConnectedComponents.incrementalResolve(assign, newEdges, maxIter)
+      val touchedComps = touchedComps0.persist() // batch-bounded
+      try {
+        // resolved is a checkpointed frame (labelPropagation materializes)
+        val resolved = resolved0
+          .withColumn("bucket", bucketOf(col("component"), numBuckets))
+        // buckets needing a rewrite: where touched components' rows LIVE
+        // now (their old bucket) and where re-solved rows LAND
+        val affected = touchedComps
+          .select(bucketOf(col("component"), numBuckets).as("bucket"))
+          .unionByName(resolved.select("bucket"))
+          .distinct().collect().map(_.getLong(0)).sorted // ≤ numBuckets ids
+        if (affected.nonEmpty) {
+          val affectedCol = affected.toSeq
+          // prior content of affected buckets minus re-solved rows —
+          // derived from the PERSISTED assign, not a second store read
+          val prior = assign
+            .withColumn("bucket", bucketOf(col("component"), numBuckets))
+            .filter(col("bucket").isin(affectedCol: _*))
+            .join(broadcast(touchedComps), Seq("component"), "left_anti")
+          val content = prior.select("node", "component", "bucket")
+            .unionByName(resolved.select("node", "component", "bucket"))
+            .withColumn("v", lit(version))
+            .persist()
+          content.repartition(col("bucket"))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "v")
+            .mode("overwrite")
+            .parquet(path)
+          // an affected bucket can end up EMPTY (a merged-away
+          // component's rows all moved to another bucket) — dynamic
+          // overwrite writes no partition for it, which would leave its
+          // stale prior version live. Write an explicit empty v=version
+          // dir so the bucket's latest version advances past it.
+          val populated = content.select("bucket").distinct()
+            .collect().map(_.getLong(0)).toSet
+          content.unpersist(blocking = false)
+          affected.filterNot(populated.contains).foreach { b =>
+            resolved.limit(0).select("node", "component")
+              .write.mode("overwrite").parquet(s"$path/bucket=$b/v=$version")
+          }
+          // retention: keep (latest-below, version) per affected bucket,
+          // from the fold's one listing (v=version is this fold's own)
+          val fs = fileSystem(spark)
+          affected.foreach { b =>
+            val vs = vmap.getOrElse(b, Nil)
+            val keep = Set(Some(version), vs.filter(_ < version).maxOption).flatten
+            vs.filterNot(keep.contains).foreach { v =>
+              fs.delete(new Path(s"$path/bucket=$b/v=$v"), true)
+            }
+          }
         }
-      }
-    }
+      } finally { touchedComps.unpersist(blocking = false); () }
+    } finally { assign.unpersist(blocking = false); () }
   }
 }
 

@@ -50,11 +50,14 @@ case class SimHashFingerprint(child: Expression, portable: Boolean)
       // task before an entry cap engaged — and long tokens are skipped
       // outright: under Zipf they are the least likely to repeat, so they
       // pay the md5 each time instead of occupying the memo.
-      val nb = s.numBytes
-      if (nb <= SimHashFingerprint.MaxMemoTokenBytes &&
-          cacheBytes + nb <= SimHashFingerprint.MaxMemoBytes) {
+      // charge the ~per-entry JVM overhead (HashMap.Node + UTF8String +
+      // byte[] + boxed Long ≈ 100 B), not just key bytes — a memo full
+      // of 2-byte tokens would otherwise hold ~100× the stated budget
+      val entryCost = s.numBytes + SimHashFingerprint.EntryOverheadBytes
+      if (s.numBytes <= SimHashFingerprint.MaxMemoTokenBytes &&
+          cacheBytes + entryCost <= SimHashFingerprint.MaxMemoBytes) {
         cache.put(s.clone(), boxed)
-        cacheBytes += nb
+        cacheBytes += entryCost
       }
     }
     boxed.longValue
@@ -97,12 +100,18 @@ case class SimHashFingerprint(child: Expression, portable: Boolean)
 }
 
 object SimHashFingerprint {
-  /** Per-task md5-memo budget in cumulative KEY bytes (~16 MB) — a byte
-    * bound, not an entry bound, so long-token corpora cannot hold
-    * hundreds of MB per task × concurrent tasks before a count cap
-    * engages.
+  /** Per-task md5-memo budget (~16 MB) charged as key bytes PLUS the
+    * per-entry JVM overhead — bounding real heap, so neither long-token
+    * corpora (many key bytes) nor short-token corpora (many entries)
+    * can hold hundreds of MB per task × concurrent tasks.
     */
   val MaxMemoBytes: Long = 16L << 20
+
+  /** Approximate heap cost of one memo entry beyond its key bytes:
+    * HashMap.Node + cloned UTF8String header + its byte[] header + the
+    * boxed Long value.
+    */
+  val EntryOverheadBytes: Int = 100
 
   /** Tokens longer than this skip the memo entirely: under a Zipf token
     * distribution long tokens repeat the least, so caching them spends

@@ -175,15 +175,20 @@ object Multimodal {
     *
     * Payloads javax.sound can't read (MP3/OGG, images, truncated files)
     * fall back to [[StubDecoder]]'s byte-fold so a mixed-modality corpus
-    * never fails the job. Decode work is bounded by [[MaxAudioSamples]]
-    * regardless of what the header declares.
+    * never fails the job. Decode work is bounded by [[MaxAudioBytes]]
+    * total regardless of what the header declares (channel count
+    * included — it is attacker-controlled input).
     */
   object JavaSoundDecoder extends MediaDecoder {
-    /** Per-payload decode budget in mono samples (2^24 ≈ 35 min at
-      * 8 kHz): bounds memory/CPU against hostile headers the same way
-      * [[MaxImagePixels]] bounds image rasters.
+    /** Per-payload decode budget in PCM BYTES, independent of channel
+      * count (2^25 = 32 MB ≈ 35 min of 8 kHz mono; a 64-channel payload
+      * just gets proportionally fewer frames): bounds memory/CPU against
+      * hostile headers the same way [[MaxImagePixels]] bounds image
+      * rasters — a total-byte bound, because a per-channel sample budget
+      * would scale allocation with the (attacker-controlled) channel
+      * count.
       */
-    val MaxAudioSamples: Int = 1 << 24
+    val MaxAudioBytes: Int = 1 << 25
 
     def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
       val samples = readPcmMono(bytes)
@@ -233,7 +238,7 @@ object Multimodal {
           val pcm =
             if (src.matches(target)) in
             else AudioSystem.getAudioInputStream(target, in)
-          val maxBytes = math.min(Long.MaxValue, MaxAudioSamples.toLong * 2 * ch).toInt
+          val maxBytes = MaxAudioBytes
           val buf = new java.io.ByteArrayOutputStream()
           val chunk = new Array[Byte](64 * 1024)
           var read = 0

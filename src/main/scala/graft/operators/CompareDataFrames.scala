@@ -113,4 +113,45 @@ object CompareDataFrames {
     val base = Map("added" -> 0L, "removed" -> 0L, "changed" -> 0L, "not_changed" -> 0L)
     base ++ c.summary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
+
+  /** Notebook-console rendering of a compare result (reference:
+    * display_compare_dataframes_results, bdq/dataframe.py:90) — returns
+    * the report as a STRING instead of printing, so callers own the side
+    * effect (`println`, a notebook `displayHTML`, a log line). Record
+    * sections reuse `Dataset.showString`-style truncation via
+    * `show`-equivalent collection capped at `maxRows` — bounded driver
+    * work regardless of diff size.
+    */
+  def render(
+      c: Compared,
+      showAdded: Boolean = true,
+      showRemoved: Boolean = true,
+      showChanged: Boolean = true,
+      showNotChanged: Boolean = false,
+      maxRows: Int = 20
+  ): String = {
+    val n = counts(c)
+    def section(title: String, key: String, df: DataFrame, show: Boolean): String = {
+      val head = s"$title count: ${n(key)}"
+      if (!show) head
+      else {
+        val cols = df.columns
+        val rows = df.limit(maxRows).collect().map(_.toSeq.map {
+          case null => "NULL"
+          case v => v.toString
+        })
+        val widths = cols.indices.map(i =>
+          (cols(i).length +: rows.map(_(i).length)).max)
+        def line(vals: Seq[String]) =
+          vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+        (head +: line(cols.toSeq) +: rows.map(r => line(r)).toSeq).mkString("\n")
+      }
+    }
+    Seq(
+      section("Added records", "added", c.added, showAdded),
+      section("Removed records", "removed", c.removed, showRemoved),
+      section("Changed records", "changed", c.changed, showChanged),
+      section("Not changed records", "not_changed", c.notChanged, showNotChanged)
+    ).mkString("\n\n")
+  }
 }

@@ -244,16 +244,22 @@ object Sampling {
       keyCols: Seq[String],
       plan: DataFrame
   ): DataFrame = {
+    // reserved aliases: the input frame may legitimately carry columns
+    // named tokens/full_epochs/remainder_tokens (its token column often
+    // IS "tokens"), and an unqualified reference after the join would
+    // throw AMBIGUOUS_REFERENCE
     val p = broadcast(plan.select(
-      (groupCols.map(col) :+ col("tokens") :+ col("full_epochs") :+ col("remainder_tokens")): _*))
+      (groupCols.map(col) :+ col("tokens").as("__ep_tokens") :+
+        col("full_epochs").as("__ep_full") :+
+        col("remainder_tokens").as("__ep_rem")): _*))
     val inPartial = uniform01(keyCols.map(col)) <
-      col("remainder_tokens").cast("double") / col("tokens").cast("double")
-    val nEpochs = (col("full_epochs") + when(inPartial, 1L).otherwise(0L)).cast("int")
+      col("__ep_rem").cast("double") / col("__ep_tokens").cast("double")
+    val nEpochs = (col("__ep_full") + when(inPartial, 1L).otherwise(0L)).cast("int")
     df.join(p, groupCols)
       .withColumn("epoch",
         explode(when(nEpochs >= 1, sequence(lit(1), nEpochs))
           .otherwise(array().cast("array<int>"))))
-      .drop("tokens", "full_epochs", "remainder_tokens")
+      .drop("__ep_tokens", "__ep_full", "__ep_rem")
   }
 
   /** Deterministic train/val/test (or any n-way) split assignment: each row

@@ -728,20 +728,9 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
-  /** One-time materialization of a text-format copy of a table under the
-    * JVM tmpdir, keyed by sf dir — the fixture both text-source queries
-    * read back. Mirrors LlmQueries.prebuiltIvfIndex's "derived corpus
-    * state is built once, not per query" shape.
-    */
-  private def textCopy(s: SparkSession, dir: String, kind: String)(
-      write: String => Unit): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$key"
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) write(path)
-    path
-  }
+  // text-format fixtures share graft.queries.Fixtures' atomic
+  // build-once-per-sf-dir cache (same contract as the prebuilt ANN
+  // indexes: derived corpus state is built once, not per query)
 
   /** CSV round-trip fidelity gate: lineitem → CSV (quoting, NULLs,
     * floating-point text round-trip, timestamp format) → read back with
@@ -754,7 +743,7 @@ object CoreQueries {
     import graft.sources.TextFormats
     val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
       "l_returnflag", "l_linestatus", "l_shipdate")
-    val path = textCopy(s, dir, "csv_lineitem") { p =>
+    val path = Fixtures.cachedPath(s, dir, "csv_lineitem") { p =>
       TextFormats.writeCsv(Tables.lineitem(s, dir).select(cols.map(col): _*), p)
     }
     val back = TextFormats.readCsv(s, path,
@@ -777,7 +766,7 @@ object CoreQueries {
     */
   def q91JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TextFormats
-    val path = textCopy(s, dir, "jsonl_documents") { p =>
+    val path = Fixtures.cachedPath(s, dir, "jsonl_documents") { p =>
       TextFormats.writeJsonLines(
         Tables.documents(s, dir).select("doc_id", "lang", "text", "n_chars"), p)
     }

@@ -203,17 +203,10 @@ object LlmQueries {
     * its in-query build so the bench A/B isolates the fit cost (the
     * round-3 q33 regression bisect).
     */
-  private def prebuiltIvfIndex(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+  private def prebuiltIvfIndex(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedParquet(s, dir, "ivf_index") {
       Knn.buildIvfIndex(Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+    }
 
   /** IVF probe against the PREBUILT parquet-roundtripped index — q33's
     * production twin: same nprobe = nlist = flat-search equality gate
@@ -242,6 +235,31 @@ object LlmQueries {
     val index = prebuiltIvfIndex(s, dir)
     val books = Pq.sampleCodebooks(e, "vec_id", "embedding", m = 8, codesPerBook = 16)
     val cellCodes = Pq.indexCodes(e, "vec_id", "embedding", books, index)
+    Pq.ivfPqTopK(cellCodes, index, books, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 16, rerankFactor = 1000)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** q86's production twin (the q85 move applied to IVF×PQ): codebooks
+    * AND the one-pass (id, cell, codes) frame are prebuilt and
+    * parquet-roundtripped — the m-byte BINARY codes must survive storage
+    * — so query-time work is probe + ADC + exact rerank only. Same
+    * flat-search oracle; the q86 − q96 bench delta isolates the
+    * codebook-train + encode build cost.
+    */
+  def q96KnnIvfPqPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val e = Tables.embeddings(s, dir)
+    val index = prebuiltIvfIndex(s, dir)
+    val books = Fixtures.cachedParquet(s, dir, "pq_books") {
+      Pq.sampleCodebooks(e, "vec_id", "embedding", m = 8, codesPerBook = 16)
+    }
+    val cellCodes = Fixtures.cachedParquet(s, dir, "pq_cellcodes") {
+      // encode against the ROUNDTRIPPED books so cached codes can never
+      // drift from the cached codebooks
+      Pq.indexCodes(e, "vec_id", "embedding", books, index)
+    }
     Pq.ivfPqTopK(cellCodes, index, books, e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 16, rerankFactor = 1000)
       .select("query_id", "rank", "neighbor_id")

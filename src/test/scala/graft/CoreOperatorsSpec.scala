@@ -49,6 +49,23 @@ class CoreOperatorsSpec extends SparkSpec {
     ))
   }
 
+  test("compare render returns the reference-style console report as a string") {
+    val c = CompareDataFrames(df1, df2, Seq("id1", "id2"))
+    val out = CompareDataFrames.render(c)
+    assert(out.contains("Added records count: 1"))
+    assert(out.contains("Removed records count: 1"))
+    assert(out.contains("Changed records count: 1"))
+    assert(out.contains("Not changed records count: 1"))
+    assert(out.contains("Timmy")) // added record body shown
+    assert(out.contains("id1")) // header row
+    // not_changed body hidden by default (reference default) but count shown
+    assert(!CompareDataFrames.render(c, showAdded = false).contains("Timmy"))
+    // NULLs render as NULL, not a blank or a crash
+    val c2 = CompareDataFrames(df1, df2.withColumn("name", lit(null).cast("string")),
+      Seq("id1", "id2"))
+    assert(CompareDataFrames.render(c2).contains("NULL"))
+  }
+
   test("compare_schemas matches the reference README example semantics") {
     val s1 = SchemaOps.fromDdl("id1 bigint, name string, likes bigint, first_login_dt date")
     val s2 = SchemaOps.fromDdl("id1 bigint, name string, likes int, new_data date")

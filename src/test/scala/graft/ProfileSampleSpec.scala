@@ -154,6 +154,13 @@ class ProfileSampleSpec extends SparkSpec {
     val e2 = Sampling.epochExpand(docs.repartition(5), Seq("g"), Seq("doc_id"), plan)
       .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(e1 == e2)
+    // an input whose token column is literally named "tokens" (colliding
+    // with the plan's own column) must still expand — regression for the
+    // AMBIGUOUS_REFERENCE the reserved plan aliases prevent
+    val collide = docs.withColumnRenamed("toks", "tokens")
+    val planC = Sampling.epochPlan(collide, Seq("g"), "tokens", weights, 1000L)
+    assert(Sampling.epochExpand(collide, Seq("g"), Seq("doc_id"), planC)
+      .filter(col("g") === "b").count() == 15L)
     // a group with zero weight row is excluded; zero-token groups don't divide by zero
     val zt = Seq((9L, "z", 0L)).toDF("doc_id", "g", "toks")
     val pz = Sampling.epochPlan(zt, Seq("g"), "toks", Seq(("z", 1L)).toDF("g", "weight"), 100L)
