@@ -14,6 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (concurrent builder finished first) is detected and the loser's tmp
   * discarded.
   *
+  * LOCAL-MODE PATH: the JVM tmpdir is correct here because the gate
+  * harness runs local[N] (driver and executors share one filesystem).
+  * On a real cluster this base must be SHARED storage (set
+  * `java.io.tmpdir` to a scratch mount or adapt `cachedPath`) — a
+  * node-local path would scatter fixture files across executors.
+  *
   * STALENESS CONTRACT: the cache key is the sf DIRECTORY PATH (md5) —
   * the driver's testdata is immutable within a round, so path identity
   * is content identity here. If parquet under an sf dir is ever
