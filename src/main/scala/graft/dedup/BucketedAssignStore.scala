@@ -1,6 +1,5 @@
 package graft.dedup
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,31 +29,12 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
 
   import BucketedAssignStore.bucketOf
 
-  private def fileSystem(spark: SparkSession) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def bucketVersions(spark: SparkSession): Map[Long, Seq[Long]] = {
-    val fs = fileSystem(spark)
-    val base = new Path(path)
-    if (!fs.exists(base)) Map.empty
-    else
-      fs.listStatus(base).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("bucket="))
-        .map { bp =>
-          val b = bp.getName.stripPrefix("bucket=").toLong
-          val vs = fs.listStatus(bp).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-          b -> vs
-        }.toMap
-  }
-
   /** Latest assignment strictly below `belowVersion`; None for a fresh
     * store.
     */
   def load(spark: SparkSession, belowVersion: Long = Long.MaxValue): Option[DataFrame] = {
-    val dirs = bucketVersions(spark).toSeq.flatMap { case (b, vs) =>
-      vs.filter(_ < belowVersion).maxOption.map(v => s"$path/bucket=$b/v=$v")
-    }
+    val dirs = VersionedBuckets.latestDirs(
+      VersionedBuckets.bucketVersions(spark, path), path, belowVersion)
     if (dirs.isEmpty) None
     else Some(spark.read.option("basePath", path).parquet(dirs: _*)
       .select("node", "component"))
@@ -72,10 +52,8 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
   def merge(newEdges: DataFrame, version: Long, maxIter: Int = 20): Unit = {
     val spark = newEdges.sparkSession
     // single listing serves the load, the write set and retention
-    val vmap = bucketVersions(spark)
-    val priorDirs = vmap.toSeq.flatMap { case (b, vs) =>
-      vs.filter(_ < version).maxOption.map(v => s"$path/bucket=$b/v=$v")
-    }
+    val vmap = VersionedBuckets.bucketVersions(spark, path)
+    val priorDirs = VersionedBuckets.latestDirs(vmap, path, version)
     val assign = (
       if (priorDirs.isEmpty) {
         import spark.implicits._
@@ -110,34 +88,27 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
             .unionByName(resolved.select("node", "component", "bucket"))
             .withColumn("v", lit(version))
             .persist()
-          content.repartition(col("bucket"))
-            .write
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket", "v")
-            .mode("overwrite")
-            .parquet(path)
-          // an affected bucket can end up EMPTY (a merged-away
-          // component's rows all moved to another bucket) — dynamic
-          // overwrite writes no partition for it, which would leave its
-          // stale prior version live. Write an explicit empty v=version
-          // dir so the bucket's latest version advances past it.
-          val populated = content.select("bucket").distinct()
-            .collect().map(_.getLong(0)).toSet
-          content.unpersist(blocking = false)
+          val populated = try {
+            content.repartition(col("bucket"))
+              .write
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket", "v")
+              .mode("overwrite")
+              .parquet(path)
+            // an affected bucket can end up EMPTY (a merged-away
+            // component's rows all moved to another bucket) — dynamic
+            // overwrite writes no partition for it, which would leave its
+            // stale prior version live. Write an explicit empty v=version
+            // dir so the bucket's latest version advances past it.
+            content.select("bucket").distinct()
+              .collect().map(_.getLong(0)).toSet
+          } finally content.unpersist(blocking = false)
           affected.filterNot(populated.contains).foreach { b =>
             resolved.limit(0).select("node", "component")
               .write.mode("overwrite").parquet(s"$path/bucket=$b/v=$version")
           }
-          // retention: keep (latest-below, version) per affected bucket,
-          // from the fold's one listing (v=version is this fold's own)
-          val fs = fileSystem(spark)
-          affected.foreach { b =>
-            val vs = vmap.getOrElse(b, Nil)
-            val keep = Set(Some(version), vs.filter(_ < version).maxOption).flatten
-            vs.filterNot(keep.contains).foreach { v =>
-              fs.delete(new Path(s"$path/bucket=$b/v=$v"), true)
-            }
-          }
+          // retention from the fold's one pre-write listing
+          VersionedBuckets.retain(spark, path, vmap, affected, version)
         }
       } finally { touchedComps.unpersist(blocking = false); () }
     } finally { assign.unpersist(blocking = false); () }
@@ -145,10 +116,11 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
 }
 
 object BucketedAssignStore {
-  /** Store bucket for a component id (md5-mod-K, the
-    * [[graft.operators.Sharding.shardId]] layout).
+  /** Store bucket for a component id — literally
+    * [[graft.operators.Sharding.shardId]], so the md5-mod-K layout has
+    * ONE definition (component ids are non-null longs, for which the
+    * shardId null-token coalesce is a no-op).
     */
   def bucketOf(component: Column, numBuckets: Int): Column =
-    conv(substring(md5(to_binary(component.cast("string"), lit("utf-8"))), 1, 15), 16, 10)
-      .cast("long") % numBuckets
+    graft.operators.Sharding.shardId(Seq(component), numBuckets)
 }

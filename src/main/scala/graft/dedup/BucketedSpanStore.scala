@@ -1,6 +1,5 @@
 package graft.dedup
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,35 +41,13 @@ final class BucketedSpanStore(
 
   import BucketedSpanStore.bucketOf
 
-  private def fileSystem(spark: SparkSession) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** bucket id → versions present, from one listing of the store root plus
-    * one listing per bucket directory (bounded by numBuckets, not data).
-    */
-  private def bucketVersions(spark: SparkSession): Map[Long, Seq[Long]] = {
-    val fs = fileSystem(spark)
-    val base = new Path(path)
-    if (!fs.exists(base)) Map.empty
-    else
-      fs.listStatus(base).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("bucket="))
-        .map { bp =>
-          val b = bp.getName.stripPrefix("bucket=").toLong
-          val vs = fs.listStatus(bp).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-          b -> vs
-        }.toMap
-  }
-
   /** Latest store content strictly below `belowVersion` (exclusive — pass
     * the replaying batch's version to see exactly what that batch saw).
     * None when no bucket has a qualifying version (fresh store).
     */
   def load(spark: SparkSession, belowVersion: Long = Long.MaxValue): Option[DataFrame] = {
-    val dirs = bucketVersions(spark).toSeq.flatMap { case (b, vs) =>
-      vs.filter(_ < belowVersion).maxOption.map(v => s"$path/bucket=$b/v=$v")
-    }
+    val dirs = VersionedBuckets.latestDirs(
+      VersionedBuckets.bucketVersions(spark, path), path, belowVersion)
     if (dirs.isEmpty) None
     else Some(
       spark.read.option("basePath", path).parquet(dirs: _*)
@@ -91,7 +68,7 @@ final class BucketedSpanStore(
       // ≤ numBuckets values — bookkeeping, not a data collect
       val touched = bs.select("bucket").distinct().collect().map(_.getLong(0)).sorted
       if (touched.nonEmpty) {
-        val vmap = bucketVersions(spark)
+        val vmap = VersionedBuckets.bucketVersions(spark, path)
         val priorOf = touched.map(b =>
           b -> vmap.getOrElse(b, Nil).filter(_ < version).maxOption).toMap
         val priorDirs = priorOf.collect { case (b, Some(v)) => s"$path/bucket=$b/v=$v" }.toSeq
@@ -117,16 +94,9 @@ final class BucketedSpanStore(
           .partitionBy("bucket", "v")
           .mode("overwrite")
           .parquet(path)
-        // retention: keep (latest-below, version) per touched bucket so the
-        // NEXT fold's crash-replay can still rebuild; older versions are
-        // dead weight (unbounded growth otherwise)
-        val fs = fileSystem(spark)
-        touched.foreach { b =>
-          val keep = Set(Some(version), priorOf(b)).flatten
-          vmap.getOrElse(b, Nil).filterNot(keep.contains).foreach { v =>
-            fs.delete(new Path(s"$path/bucket=$b/v=$v"), true)
-          }
-        }
+        // retention from the fold's one pre-write listing (shared
+        // keep-one-prior contract)
+        VersionedBuckets.retain(spark, path, vmap, touched, version)
       }
     } finally { bs.unpersist(blocking = false); () }
   }

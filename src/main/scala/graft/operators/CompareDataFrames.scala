@@ -121,6 +121,12 @@ object CompareDataFrames {
     * sections reuse `Dataset.showString`-style truncation via
     * `show`-equivalent collection capped at `maxRows` — bounded driver
     * work regardless of diff size.
+    *
+    * COST: one aggregate plus one bounded collect per shown section, each
+    * an action over the compare join — on large inputs build the compare
+    * with `cache = true` so the shared full-outer join materializes once
+    * (the multi-action pattern `cache` exists for); with the default
+    * cache = false this convenience re-executes the join per section.
     */
   def render(
       c: Compared,

@@ -216,7 +216,16 @@ object Sampling {
     val prod = lit(budgetTokens).cast(dec) * col("weight").cast(dec)
     val target = ((prod - pmod(prod, col("__sumw").cast(dec))) / col("__sumw").cast(dec))
       .cast("long")
-    counts.join(broadcast(wdf), groupCols)
+    // null-safe group join (<=>): a NULL group with a (NULL, weight) row
+    // is a group like any other — same convention as
+    // temperatureResampleDyadic's prob join
+    val wAliased = wdf.select(
+      groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") } ++
+        Seq(col("weight"), col("__sumw")): _*)
+    val joinCond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__g$i") }.reduce(_ && _)
+    counts.join(broadcast(wAliased), joinCond)
+      .drop(groupCols.indices.map(i => s"__g$i"): _*)
       .withColumn("target_tokens", target)
       .withColumn("full_epochs",
         when(col("tokens") > 0,
@@ -244,22 +253,31 @@ object Sampling {
       keyCols: Seq[String],
       plan: DataFrame
   ): DataFrame = {
+    // the output column must not silently clobber caller data (the input
+    // side of the same collision class the aliases below prevent)
+    require(!df.columns.contains("epoch"),
+      "input already has an 'epoch' column — rename it before expanding")
     // reserved aliases: the input frame may legitimately carry columns
     // named tokens/full_epochs/remainder_tokens (its token column often
     // IS "tokens"), and an unqualified reference after the join would
-    // throw AMBIGUOUS_REFERENCE
+    // throw AMBIGUOUS_REFERENCE; the join itself is null-safe (<=>) so
+    // NULL groups expand like any other
     val p = broadcast(plan.select(
-      (groupCols.map(col) :+ col("tokens").as("__ep_tokens") :+
+      (groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__eg$i") } :+
+        col("tokens").as("__ep_tokens") :+
         col("full_epochs").as("__ep_full") :+
         col("remainder_tokens").as("__ep_rem")): _*))
+    val joinCond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__eg$i") }.reduce(_ && _)
     val inPartial = uniform01(keyCols.map(col)) <
       col("__ep_rem").cast("double") / col("__ep_tokens").cast("double")
     val nEpochs = (col("__ep_full") + when(inPartial, 1L).otherwise(0L)).cast("int")
-    df.join(p, groupCols)
+    df.join(p, joinCond)
       .withColumn("epoch",
         explode(when(nEpochs >= 1, sequence(lit(1), nEpochs))
           .otherwise(array().cast("array<int>"))))
       .drop("__ep_tokens", "__ep_full", "__ep_rem")
+      .drop(groupCols.indices.map(i => s"__eg$i"): _*)
   }
 
   /** Deterministic train/val/test (or any n-way) split assignment: each row

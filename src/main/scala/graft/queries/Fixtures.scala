@@ -40,10 +40,18 @@ object Fixtures {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
       val tmp = new Path(s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      write(tmp.toString)
-      if (!fs.rename(tmp, p)) {
-        fs.delete(tmp, true) // lost the build race — the winner's is live
-        require(fs.exists(p), s"fixture build failed for $path")
+      try {
+        write(tmp.toString)
+        // re-check BEFORE renaming: on RawLocalFileSystem a rename onto an
+        // existing directory silently COPIES the source inside it and
+        // reports success, which would corrupt the winner's fixture — the
+        // exists check narrows the race to the window between it and the
+        // rename (fine for the sequential gate harness this serves; a
+        // cross-JVM lock would be the next step if that ever mattered)
+        if (fs.exists(p) || !fs.rename(tmp, p))
+          require(fs.exists(p), s"fixture build failed for $path")
+      } finally {
+        if (fs.exists(tmp)) fs.delete(tmp, true) // loser's tmp or failed build
       }
     }
     path

@@ -32,6 +32,30 @@ class ChunkSourceSpec extends SparkSpec {
     assert(sum(2L) == (1L, 2L))
   }
 
+  test("slidingChunks covers every token across the (n, W, S) grid — the REAL operator, not a formula mirror") {
+    // distinct word per position, so set-union of chunk words == coverage
+    def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val ns = Seq(1, 2, 3, 5, 7, 8, 9, 63, 64, 65, 100)
+    for ((w, s) <- Seq((3, 2), (8, 8), (8, 3), (1, 1), (64, 48))) {
+      val d = ns.map(n => (n.toLong, doc(n))).toDF("doc_id", "text")
+      val chunks = Chunking.slidingChunks(d, "doc_id", "text", w, s)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1)
+      ns.foreach { n =>
+        val expected = if (n <= w) 1 else ((n - w + s - 1) / s) + 1
+        val cs = chunks(n.toLong)
+        assert(cs.length == expected, s"n=$n W=$w S=$s: ${cs.length} chunks, want $expected")
+        val covered = cs.flatMap(_._3.split(" ")).toSet
+        assert(covered == (0 until n).map(i => s"w$i").toSet,
+          s"n=$n W=$w S=$s: coverage hole")
+        // chunk i starts at token i*S (the overlap geometry itself)
+        cs.sortBy(_._2).zipWithIndex.foreach { case ((_, idx, text), i) =>
+          assert(idx == i && text.split(" ").head == s"w${i * s}")
+        }
+      }
+    }
+  }
+
   test("CSV round-trip: quoting, NULLs, doubles; corrupt line quarantines instead of failing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val d = Seq(

@@ -87,9 +87,11 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("sliding-chunk geometry covers every token exactly ceil-style") {
-    // replicate Chunking.chunkCount's integer formula and check coverage:
-    // chunk starts i*S with window W always cover tokens [0, n) and the
-    // last chunk is never empty
+    // formula-level property over the full random grid; the REAL Column
+    // operator is exercised on a deterministic (n, W, S) grid by
+    // ChunkSourceSpec's coverage test (and hash-gated by q89) — this
+    // mirror exists to explore far more (n, W, S) combinations than a
+    // Spark-backed test affordably can
     check(Prop.forAll(
       Gen.chooseNum(0, 500), Gen.chooseNum(1, 64)) { (n, wRaw) =>
       val w = wRaw
