@@ -337,4 +337,31 @@ class ScaleOpsSpec extends SparkSpec {
     val recall = (exact intersect pruned).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("round-4 narrow operators plan shuffle-free: sliding chunks and epoch expansion") {
+    import graft.operators.Sampling
+    import graft.text.Chunking
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    // chunk expansion is scan -> generate -> project: zero exchanges
+    val chunks = Chunking.slidingChunks(docs, "doc_id", "text", 32, 24)
+    val cPlan = chunks.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("Exchange"),
+      s"chunk expansion must not shuffle:\n${cPlan.take(1500)}")
+    // epoch expansion: the corpus side is join(broadcast plan) + explode —
+    // the only exchange in the whole plan is building the tiny plan frame
+    // (grouped count), never the corpus
+    val withToks = docs.withColumn("toks", size(split($"text", " ")).cast("long"))
+    val w = Seq(("en", 1L), ("de", 1L), ("es", 1L), ("fr", 1L), ("zh", 1L))
+      .toDF("lang", "weight")
+    val plan = Sampling.epochPlan(withToks, Seq("lang"), "toks", w, 100000L)
+    val expanded = Sampling.epochExpand(withToks, Seq("lang"), Seq("doc_id"), plan)
+    expanded.write.format("noop").mode("overwrite").save()
+    val ePlan = expanded.queryExecution.executedPlan.toString
+    assert(ePlan.contains("BroadcastHashJoin") || ePlan.contains("BroadcastNestedLoopJoin"),
+      s"plan frame must broadcast:\n${ePlan.take(1500)}")
+    // count exchanges: only the plan-frame aggregation side may shuffle
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(ePlan).size
+    assert(exchanges <= 2, // plan frame's two-phase agg partitions
+      s"corpus side of epochExpand must not shuffle ($exchanges exchanges):\n${ePlan.take(2000)}")
+  }
 }
