@@ -107,7 +107,8 @@ object SparkEntry {
     "q93_cc_incremental" -> (LlmQueries.q93CcIncremental(_, _)),
     "q94_epoch_plan" -> (LlmQueries.q94EpochPlan(_, _)),
     "q95_epoch_expand" -> (LlmQueries.q95EpochExpand(_, _)),
-    "q96_knn_ivfpq_prebuilt" -> (LlmQueries.q96KnnIvfPqPrebuilt(_, _))
+    "q96_knn_ivfpq_prebuilt" -> (LlmQueries.q96KnnIvfPqPrebuilt(_, _)),
+    "q97_cc_incremental_prebuilt" -> (LlmQueries.q97CcIncrementalPrebuilt(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1333,6 +1334,29 @@ object SparkEntry {
         |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS score FROM c, q WHERE id <> query_id),
         |r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM s)
         |SELECT query_id, rank, id AS neighbor_id FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    // incremental fold against the PREBUILT roundtripped base assignment
+    // must STILL equal the from-scratch rebuild — same oracle as q93
+    "q97_cc_incremental_prebuilt" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 <= 1
+        |  UNION ALL
+        |  SELECT d.doc_id AS src, d.doc_id + 10 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 10
+        |  WHERE d.doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 10 = 5),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
+        |)
+        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
   )
 }

@@ -170,6 +170,32 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** q93's production twin (the q85/q96 move applied to clustering): the
+    * pre-existing (node, component) assignment is built ONCE per sf dir
+    * and parquet-roundtripped — assignment state is corpus state produced
+    * by the PREVIOUS fold, not per-query work — so the only query-time
+    * machinery is [[ConnectedComponents.incrementalComponents]] itself.
+    * Same full-rebuild recursive-CTE oracle as q93 (incremental must
+    * equal rebuild); the q93 − q97 bench delta isolates the in-query
+    * base-assignment build cost (two chained iterative CC solves).
+    */
+  def q97CcIncrementalPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id")
+    def within(e: DataFrame) =
+      e.join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    val assign = Fixtures.cachedParquet(s, dir, "cc_base_assign") {
+      ConnectedComponents.labelPropagation(
+        within(d.filter(col("doc_id") % 10 <= 1)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))))
+    }
+    val newEdges = within(d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst")))
+      .unionByName(within(d.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))))
+    ConnectedComponents.incrementalComponents(assign, newEdges)
+      .orderBy("node")
+  }
+
   /** Canonical dedup: q37's clusters reduced to one representative per
     * component (longest doc, ties → lowest id); every doc mapped to its
     * keeper. Oracle: recursive-CTE closure + windowed argmax.
