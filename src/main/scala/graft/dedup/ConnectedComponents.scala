@@ -39,7 +39,7 @@ object ConnectedComponents {
     * storage blocks (not CacheManager entries), so without an explicit
     * RDD-level unpersist every round's blocks linger until GC.
     */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -1,5 +1,8 @@
 package graft.text
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Byte-pair-encoding subword counting — the token accounting that packing
   * (q70/q88), mixture reports (q60) and temperature resampling (q81/q87)
   * should really budget with: a whitespace/regex count systematically
@@ -32,16 +35,182 @@ object Bpe {
   def loadRanks(resource: String): Map[(String, String), Int] = {
     val in = getClass.getResourceAsStream(resource)
     require(in != null, s"missing merges resource $resource")
-    try
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
-        .zipWithIndex
-        .map { case (l, i) =>
-          val parts = l.split(" ")
-          require(parts.length == 2, s"bad merges line: '$l'")
-          (parts(0), parts(1)) -> i
-        }.toMap
+    try parseRanks(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
+  }
+
+  /** Parse merges.txt-format lines (shared by [[loadRanks]] and trained
+    * output fed back through [[formatMerges]]).
+    */
+  def parseRanks(lines: Iterator[String]): Map[(String, String), Int] =
+    lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .zipWithIndex
+      .map { case (l, i) =>
+        val parts = l.split(" ")
+        require(parts.length == 2, s"bad merges line: '$l'")
+        (parts(0), parts(1)) -> i
+      }.toMap
+
+  /** Render trained merges in the merges.txt FORMAT [[parseRanks]] /
+    * [[loadRanks]] read — one `l r` line per merge, rank = line order.
+    */
+  def formatMerges(merges: Seq[(String, String)]): String =
+    ("#version: graft-trained" +: merges.map { case (l, r) => s"$l $r" })
+      .mkString("\n")
+
+  /** Ranks map from an ordered merge list. */
+  def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  // ------------------------------------------------------------- training
+
+  /** One merge step — replace every adjacent (l, r) occurrence, left to
+    * right. Same semantics as [[subwordCount]]'s inner merge, shared by
+    * both trainers so they cannot drift from each other.
+    */
+  def applyMerge(syms: IndexedSeq[String], l: String, r: String): IndexedSeq[String] = {
+    val n = syms.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < n) {
+      if (j < n - 1 && syms(j) == l && syms(j + 1) == r) { out += (l + r); j += 2 }
+      else { out += syms(j); j += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Code-UNIT symbolization — matches [[subwordCount]]'s `charAt`
+    * initialization exactly, so trained merges count the same way they
+    * were learned. (Kept as a kernel rather than `split(w, '')` because
+    * Java-regex splitting is code-POINT aware and would disagree with the
+    * counter on non-BMP input.)
+    */
+  private def symbolize(w: String): IndexedSeq[String] =
+    (0 until w.length).map(i => String.valueOf(w.charAt(i)))
+
+  /** The corpus pass shared by both trainers: pre-tokenize with the SAME
+    * pattern the counter uses, aggregate the (word, freq) dictionary.
+    * This is the only O(corpus) work in BPE training — every merge round
+    * after it touches DISTINCT words only, which Zipf bounds orders of
+    * magnitude below corpus size.
+    */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Distributed BPE training (the standard iterative algorithm of
+    * Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+    * Words with Subword Units"): after the single [[wordDict]] corpus
+    * pass, each merge round is ONE pair-count groupBy over the symbolized
+    * dictionary — explode adjacent symbol pairs weighted by word freq,
+    * take the max-count pair (ties → lexicographic (l, r), so training is
+    * deterministic on any engine/partitioning), apply the merge to every
+    * word, localCheckpoint to cut the growing lineage.
+    *
+    * Scale: per-round cost is a dictionary-sized shuffle + a 1-row
+    * collect; rounds are inherently sequential (each merge depends on the
+    * last), so wall-clock is N × round-latency. For the usual N (32k) use
+    * [[trainMergesLocal]] once the aggregated dictionary fits driver
+    * memory — the SAME loop, driver-side (spec-asserted identical output);
+    * this distributed form is the dictionary-exceeds-memory path and the
+    * semantics reference.
+    *
+    * @return merges in rank order, renderable via [[formatMerges]].
+    */
+  def trainMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 1L
+  ): Seq[(String, String)] = {
+    val symbolizeUdf = udf((w: String) => symbolize(w))
+    val mergeUdf = udf((syms: Seq[String], l: String, r: String) =>
+      applyMerge(syms.toIndexedSeq, l, r))
+    var dict = wordDict(docs, textCol)
+      .select(symbolizeUdf(col("word")).as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val szm1 = greatest(size(col("syms")) - 1, lit(0))
+      val top = dict
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), szm1), slice(col("syms"), lit(2), szm1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect() // 1 row — round bookkeeping, not data
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < minPairCount) done = true
+      else {
+        val (l, r) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
+        merges += ((l, r))
+        val updated = dict
+          .select(mergeUdf(col("syms"), lit(l), lit(r)).as("syms"), col("freq"))
+          .localCheckpoint()
+        graft.dedup.ConnectedComponents.freeLocalCheckpoint(dict)
+        dict = updated
+      }
+    }
+    graft.dedup.ConnectedComponents.freeLocalCheckpoint(dict)
+    merges.toSeq
+  }
+
+  /** [[trainMerges]] on the COLLECTED dictionary — the practical trainer
+    * once the (word, freq) aggregate fits driver memory (it is vocabulary
+    * bookkeeping, like k-means centroids or PQ codebooks, not corpus
+    * data; `maxWords` makes the bound explicit and the failure loud).
+    */
+  def trainMergesLocal(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 1L,
+      maxWords: Int = 1 << 22
+  ): Seq[(String, String)] = {
+    val rows = wordDict(docs, textCol).limit(maxWords + 1).collect()
+    require(rows.length <= maxWords,
+      s"dictionary exceeds maxWords=$maxWords — use trainMerges (distributed)")
+    trainMergesFromDict(
+      rows.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges, minPairCount)
+  }
+
+  /** The driver-side merge loop over an explicit dictionary. Identical
+    * tie-break and merge semantics to [[trainMerges]].
+    */
+  def trainMergesFromDict(
+      dict: Seq[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long = 1L
+  ): Seq[(String, String)] = {
+    var words = dict.map { case (w, f) => (symbolize(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (cnt < minPairCount) done = true
+        else {
+          merges += ((l, r))
+          words = words.map { case (syms, f) =>
+            (if (syms.exists(_ == l)) applyMerge(syms, l, r) else syms, f)
+          }
+        }
+      }
+    }
+    merges.toSeq
   }
 
   /** Exact greedy-merge subword count of ONE pre-token: start from
@@ -95,16 +264,37 @@ object Bpe {
     }
   }
 
+  /** Exact-BPE admission bound: pre-tokens longer than this are counted
+    * per-[[MaxExactWordLen]]-sized chunk instead of whole. [[subwordCount]]
+    * is O(len²·merges) and the `[a-z]+` pre-tokenizer puts no bound on
+    * token length, so ONE hostile multi-MB letter run would otherwise
+    * stall an executor task (and the ≤64-char memo can't amortize it).
+    * Chunked counting is deterministic and linear in len; it can only
+    * differ from the unbounded count at chunk boundaries (merges never
+    * span a chunk seam), which is a counting-accuracy rounding on inputs
+    * that are garbage by construction — same degrade-per-row policy as
+    * the simhash memo and the image decompression-bomb guard.
+    */
+  val MaxExactWordLen: Int = 1024
+
   /** Serializable per-row kernel: pre-tokenize (lowercased regex), sum
     * greedy subword counts with a per-task word memo (entry- and
     * word-length-bounded — long words are the least likely to repeat
-    * under Zipf, same admission policy as the simhash md5 memo).
+    * under Zipf, same admission policy as the simhash md5 memo). Words
+    * over [[MaxExactWordLen]] are counted per chunk (hostile-input bound).
     */
   final class Counter(ranks: Map[(String, String), Int])
       extends (String => Option[Int]) with Serializable {
     @transient private lazy val memo = new java.util.HashMap[String, Integer]()
     @transient private lazy val pat =
       java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+    private def count(w: String): Int =
+      if (w.length <= MaxExactWordLen) subwordCount(w, ranks)
+      else (0 until w.length by MaxExactWordLen)
+        .map(i => subwordCount(
+          w.substring(i, math.min(i + MaxExactWordLen, w.length)), ranks))
+        .sum
 
     def apply(text: String): Option[Int] =
       if (text == null) None
@@ -115,7 +305,7 @@ object Bpe {
           val w = m.group()
           var c = memo.get(w)
           if (c == null) {
-            c = Integer.valueOf(subwordCount(w, ranks))
+            c = Integer.valueOf(count(w))
             if (w.length <= 64 && memo.size < (1 << 18)) memo.put(w, c)
           }
           total += c.intValue()

@@ -60,4 +60,55 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_subword_tokens")).toMap
     assert(a == b)
   }
+
+  test("BPE training reproduces hand-computed merges (Sennrich dictionary)") {
+    // low×5 lower×2 newest×6 widest×3; tie-break (-count, l, r):
+    //   r1 counts: es=9 st=9 we=8 lo=7 ow=7 ne=6 ew=6 ... -> (e,s)
+    //   r2: (es,t)=9  r3: (l,o)=7 ties (o,w)=7, lex -> (l,o)
+    //   r4: (lo,w)=7  r5: (e,w)=6 ties (n,e),(w,est), lex -> (e,w)
+    val dict = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainMergesFromDict(dict, numMerges = 5)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w")),
+      s"got $merges")
+    // counting under the trained ranks agrees with a hand trace
+    val r = Bpe.ranksOf(merges)
+    assert(Bpe.subwordCount("low", r) == 1)     // lo|w -> low
+    assert(Bpe.subwordCount("lowest", r) == 2)  // low|est
+    assert(Bpe.subwordCount("newest", r) == 3)  // n|ew|est
+    assert(Bpe.subwordCount("widest", r) == 4)  // w|i|d|est
+  }
+
+  test("distributed trainMerges == local trainer; merges.txt round-trip") {
+    val docs = Seq(
+      "the thin thing", "the other thing", "this thesis", "thin gin",
+      "other others", "the the the").toDF("text")
+    val local = Bpe.trainMergesLocal(docs, "text", numMerges = 8)
+    val dist = Bpe.trainMerges(docs, "text", numMerges = 8)
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.length == 8)
+    // format -> parse round-trip is exactly ranksOf
+    val parsed = Bpe.parseRanks(Bpe.formatMerges(local).linesIterator)
+    assert(parsed == Bpe.ranksOf(local))
+    // minPairCount stops early, prefix-consistent with the unbounded run
+    val stopped = Bpe.trainMergesLocal(docs, "text", numMerges = 8, minPairCount = 4L)
+    assert(stopped.length < 8 && local.startsWith(stopped))
+  }
+
+  test("hostile long-word input: chunked counting is bounded and deterministic") {
+    val r = Bpe.defaultRanks
+    val n = Bpe.MaxExactWordLen * 3 + 17
+    val w = "a" * n
+    // chunked count == sum over MaxExactWordLen-sized chunks counted exactly
+    val expected = (0 until n by Bpe.MaxExactWordLen)
+      .map(i => Bpe.subwordCount(w.substring(i, math.min(i + Bpe.MaxExactWordLen, n)), r))
+      .sum
+    val c = new Bpe.Counter(r)
+    assert(c(w).contains(expected))
+    // a multi-hundred-KB letter run completes (O(len) via chunks, not O(len²))
+    val huge = "z" * 400000
+    val t0 = System.nanoTime()
+    val got = c(huge)
+    assert(got.contains(400000)) // 'z' never merges in the checked-in vocab
+    assert((System.nanoTime() - t0) < 30e9, "chunked path must not be quadratic")
+  }
 }
