@@ -96,9 +96,8 @@ object SparkEntry {
     "q85_knn_ivf_prebuilt" -> (LlmQueries.q85KnnIvfPrebuilt(_, _)),
     "q86_knn_ivfpq" -> (LlmQueries.q86KnnIvfPq(_, _)),
     "q87_temperature_dyadic" -> (LlmQueries.q87TemperatureMixDyadic(_, _)),
-    // q88 has NO oracleSql entry by design: DuckDB cannot replay iterative
-    // greedy BPE merges — driver records the rows-only check; the kernel
-    // is golden-spec-gated (BpeSpec) and packing is hash-gated via q70
+    // q88 packs under a CORPUS-TRAINED vocab via a token-count fixture the
+    // oracle reads back — full hash gate (training/merging spec-gated)
     "q88_pack_bpe" -> (LlmQueries.q88PackBpe(_, _)),
     "q89_sliding_chunks" -> (LlmQueries.q89SlidingChunks(_, _)),
     "q90_csv_roundtrip" -> (CoreQueries.q90CsvRoundtrip(_, _)),
@@ -1209,6 +1208,21 @@ object SparkEntry {
         |SELECT p.lang AS lang, CAST(p.ng AS BIGINT) AS n_before, CAST(k.n AS BIGINT) AS n_after
         |FROM p JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k USING (lang)
         |ORDER BY lang""".stripMargin,
+    // the oracle reads the SAME trained-vocab token-count fixture parquet
+    // the query packed (path spliced by Verify) and replays the packing
+    // arithmetic — training/greedy merging stay spec-gated upstream of the
+    // materialized counts, packing is hash-gated downstream of them
+    "q88_pack_bpe" ->
+      """WITH d AS (SELECT lang, doc_id, toks
+        |    FROM read_parquet('__GRAFT_FIXTURE:bpe_counts__/*.parquet')),
+        |o AS (SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, CAST((cum - toks) // 1024 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_sum
+        |FROM o GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     // chunk geometry replayed from the same single-space split: n<=64 -> 1
     // chunk, else ceil((n-64)/48)+1, windows of 64 every 48, md5 the text
     "q89_sliding_chunks" ->

@@ -42,8 +42,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Fixture-gated oracles name their parquet via `__GRAFT_FIXTURE:kind__`
+    // placeholders (the path depends on the sf dir, which a static SQL map
+    // can't know); splice the real per-sfDir path before the dump so the
+    // driver's DuckDB run reads exactly what the Spark query read.
+    val fixtureRef = "__GRAFT_FIXTURE:([a-z0-9_]+)__".r
+    def splice(sql: String): String =
+      fixtureRef.replaceAllIn(sql, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          graft.queries.Fixtures.pathFor(sfDir, m.group(1))))
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(splice(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -30,12 +30,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Fixtures {
 
+  /** Deterministic fixture location for (sf dir, kind) — pure path math,
+    * no build. Verify uses this to splice fixture-reading oracle SQL
+    * (`__GRAFT_FIXTURE:kind__` placeholders) so DuckDB can read the SAME
+    * parquet a fixture-gated query read.
+    */
+  def pathFor(dir: String, kind: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$key"
+  }
+
   /** Path to the cached fixture, building it first if absent. */
   def cachedPath(s: SparkSession, dir: String, kind: String)(
       write: String => Unit): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$key"
+    val path = pathFor(dir, kind)
     val p = new Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {

@@ -500,20 +500,36 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Sequence packing under a REAL subword-BPE token budget (q70's regex
-    * twin): greedy-merge BPE counts ([[graft.text.Bpe]]) drive the
-    * concatenate-then-chunk assignment. NO DuckDB oracle — SQL cannot
-    * replay iterative greedy merges — so the driver records the weaker
-    * rows-only check; the BPE kernel itself is golden-value spec-gated
-    * and the packing machinery is hash-gated via q70.
+  /** Per-document token counts under a CORPUS-TRAINED BPE vocabulary,
+    * materialized once per sf dir: train merges on the documents table
+    * ([[graft.text.Bpe.trainMergesLocal]], the Sennrich algorithm — so
+    * budgets come from a vocabulary learned on THIS corpus, not the
+    * checked-in demo table), then count every document under the learned
+    * ranks. SQL cannot replay iterative training or greedy merging (both
+    * are spec-gated: hand-computed merges, distributed==local, golden
+    * counting traces), but it CAN replay everything downstream of the
+    * materialized counts — which is exactly what q88 gates.
     */
-  def q88PackBpe(s: SparkSession, dir: String): DataFrame = {
-    val docs = TextAnalysis.bpeTokenCounts(
-      Tables.documents(s, dir).select("doc_id", "lang", "text"), "text")
-      .select(col("doc_id"), col("lang"), col("n_subword_tokens").cast("long").as("toks"))
-    Packing.packSummary(docs, Seq("lang"), Seq("doc_id"), "toks", budget = 1024L)
+  def bpeTrainedCounts(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedParquet(s, dir, "bpe_counts") {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val merges = graft.text.Bpe.trainMergesLocal(docs, "text", numMerges = 200)
+      TextAnalysis.bpeTokenCounts(docs, "text", graft.text.Bpe.ranksOf(merges))
+        .select(col("doc_id"), col("lang"),
+          col("n_subword_tokens").cast("long").as("toks"))
+    }
+
+  /** Sequence packing under a REAL subword-BPE token budget (q70's regex
+    * twin), vocabulary trained on the corpus itself. The counts fixture
+    * is parquet on disk and the DuckDB oracle reads the SAME files
+    * (`__GRAFT_FIXTURE:bpe_counts__`, spliced by Verify), so chunk
+    * assignment is hash-gated end to end — the fixture boundary is the
+    * replayability line, not a weaker gate.
+    */
+  def q88PackBpe(s: SparkSession, dir: String): DataFrame =
+    Packing.packSummary(bpeTrainedCounts(s, dir),
+        Seq("lang"), Seq("doc_id"), "toks", budget = 1024L)
       .orderBy("lang", "bin")
-  }
 
   /** The WHOLE curation pipeline as one oracle-verified query: quality
     * gate (Gopher) → exact dedup (keep lowest id per content) → per-source
