@@ -58,8 +58,12 @@ final class BucketedSpanStore(
     * across folds; a replay at the same version is idempotent). Semantics
     * are exactly [[SpanDedup.mergeSpanStore]] — frequencies add, the first
     * owner is the struct-min — restricted to the touched buckets.
+    *
+    * `maxPushdownKeys` bounds the batch-key pushdown (see [[foldFrame]]):
+    * micro-batch-sized folds re-aggregate only prior rows that can match
+    * the batch; huge folds fall back to the whole-bucket aggregate.
     */
-  def merge(batch: DataFrame, version: Long): Unit = {
+  def merge(batch: DataFrame, version: Long, maxPushdownKeys: Int = 4096): Unit = {
     val spark = batch.sparkSession
     val bs = SpanDedup.spanStore(batch, idCol, textCol, spanWords)
       .withColumn("bucket", bucketOf(col("h"), numBuckets))
@@ -69,28 +73,16 @@ final class BucketedSpanStore(
       val touched = bs.select("bucket").distinct().collect().map(_.getLong(0)).sorted
       if (touched.nonEmpty) {
         val vmap = VersionedBuckets.bucketVersions(spark, path)
-        val priorOf = touched.map(b =>
-          b -> vmap.getOrElse(b, Nil).filter(_ < version).maxOption).toMap
-        val priorDirs = priorOf.collect { case (b, Some(v)) => s"$path/bucket=$b/v=$v" }.toSeq
-        val prior =
-          if (priorDirs.isEmpty) bs.select("h", "freq", "oid", "oidx").limit(0)
-          else spark.read.option("basePath", path).parquet(priorDirs: _*)
-            .select("h", "freq", "oid", "oidx")
-        val merged = prior
-          .unionByName(bs.select("h", "freq", "oid", "oidx"))
-          .groupBy("h")
-          .agg(
-            sum(col("freq")).as("freq"),
-            min(struct(col("oid"), col("oidx"))).as("own"))
-          .select(col("h"), col("freq"), col("own.oid").as("oid"), col("own.oidx").as("oidx"))
-          .withColumn("bucket", bucketOf(col("h"), numBuckets))
-          .withColumn("v", lit(version))
+        val priorDirs = priorDirsFor(vmap, touched, version)
         // dynamic partition overwrite: ONLY the (bucket, v=version) dirs
-        // present in `merged` are replaced at commit — untouched buckets'
-        // files are never rewritten, and a replay overwrites its own output
-        merged.repartition(col("bucket"))
+        // present in the fold are replaced at commit — untouched buckets'
+        // files are never rewritten, and a replay overwrites its own output.
+        // Files carry parquet bloom filters on h so the NEXT fold's hot
+        // scan can prune row groups inside hot buckets.
+        foldFrame(spark, bs, priorDirs, version, maxPushdownKeys)
           .write
           .option("partitionOverwriteMode", "dynamic")
+          .option("parquet.bloom.filter.enabled#h", "true")
           .partitionBy("bucket", "v")
           .mode("overwrite")
           .parquet(path)
@@ -99,6 +91,90 @@ final class BucketedSpanStore(
         VersionedBuckets.retain(spark, path, vmap, touched, version)
       }
     } finally { bs.unpersist(blocking = false); () }
+  }
+
+  /** Latest-below-`version` dirs of exactly the `touched` buckets. */
+  private def priorDirsFor(
+      vmap: Map[Long, Seq[Long]], touched: Seq[Long], version: Long): Seq[String] =
+    touched.flatMap(b =>
+      vmap.getOrElse(b, Nil).filter(_ < version).maxOption.map(v => s"$path/bucket=$b/v=$v"))
+
+  /** The frame `merge(batch, version)` would write — built, not written.
+    * Spec hook: plan-assert the fold's read contract (only touched-bucket
+    * paths scanned, batch keys pushed, cold rows outside the aggregate)
+    * rather than only its byte-identical output. None when the batch is
+    * empty. Second element = the touched bucket ids.
+    */
+  private[graft] def plannedFold(
+      batch: DataFrame,
+      version: Long,
+      maxPushdownKeys: Int = 4096
+  ): Option[(DataFrame, Seq[Long])] = {
+    val spark = batch.sparkSession
+    val bs = SpanDedup.spanStore(batch, idCol, textCol, spanWords)
+      .withColumn("bucket", bucketOf(col("h"), numBuckets))
+    val touched = bs.select("bucket").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.isEmpty) None
+    else {
+      val vmap = VersionedBuckets.bucketVersions(spark, path)
+      Some((
+        foldFrame(spark, bs, priorDirsFor(vmap, touched, version), version, maxPushdownKeys),
+        touched))
+    }
+  }
+
+  /** The fold's pre-write frame — exposed so specs can plan-assert the
+    * O(touched)/O(batch) contract (scanned paths, pushed filters,
+    * exchange count), not just the byte-identical output.
+    *
+    * Shape: prior rows are split on the batch's distinct span keys when
+    * those are driver-bounded (≤ `maxPushdownKeys` — micro-batch folds,
+    * the store's primary workload). Only the HOT side (rows that can
+    * match a batch key) joins the batch in the h-aggregate; COLD rows are
+    * one-row-per-h already (each bucket version is a previous aggregate's
+    * output) so re-aggregating them was identity work — they bypass the
+    * groupBy straight to the write repartition. Fold shuffle volume drops
+    * from O(touched-bucket rows) to O(batch + hot), and the hot scan's IN
+    * predicate reaches the parquet reader (PushedFilters → row-group
+    * stats/bloom pruning inside hot buckets; large IN lists degrade to a
+    * pushed range under the reader's in-filter threshold, never to a full
+    * scan). Oversized batches keep the old whole-bucket aggregate.
+    */
+  private[graft] def foldFrame(
+      spark: SparkSession,
+      bs: DataFrame,
+      priorDirs: Seq[String],
+      version: Long,
+      maxPushdownKeys: Int
+  ): DataFrame = {
+    val prior =
+      if (priorDirs.isEmpty) bs.select("h", "freq", "oid", "oidx").limit(0)
+      else spark.read.option("basePath", path).parquet(priorDirs: _*)
+        .select("h", "freq", "oid", "oidx")
+    val batchKeys: Option[Seq[String]] =
+      if (priorDirs.isEmpty) Some(Nil) // no prior to split; skip the probe
+      else {
+        val k = bs.select("h").distinct().limit(maxPushdownKeys + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (k.length <= maxPushdownKeys) Some(k) else None
+      }
+    val (hot, cold) = batchKeys match {
+      case Some(Nil) => (prior.limit(0), prior)
+      case Some(ks)  => (prior.filter(col("h").isInCollection(ks)),
+                         prior.filter(!col("h").isInCollection(ks)))
+      case None      => (prior, prior.limit(0))
+    }
+    hot
+      .unionByName(bs.select("h", "freq", "oid", "oidx"))
+      .groupBy("h")
+      .agg(
+        sum(col("freq")).as("freq"),
+        min(struct(col("oid"), col("oidx"))).as("own"))
+      .select(col("h"), col("freq"), col("own.oid").as("oid"), col("own.oidx").as("oidx"))
+      .unionByName(cold)
+      .withColumn("bucket", bucketOf(col("h"), numBuckets))
+      .withColumn("v", lit(version))
+      .repartition(col("bucket"))
   }
 }
 

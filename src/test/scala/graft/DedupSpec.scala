@@ -279,6 +279,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bucketed assign store fold shape: pruned path reads only affected buckets, pushes the exclusion, plans zero pre-write shuffles") {
+    import graft.dedup.BucketedAssignStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bas-plan").toString
+    val store = new BucketedAssignStore(tmp, numBuckets = 8)
+    val base = (0L until 40L).map(i => (i * 100, i * 100 + 1)).toDF("src", "dst")
+    store.merge(base, version = 0L)
+    val batch = Seq((1L, 100L), (7777L, 7778L)).toDF("src", "dst")
+    val (content, affected, _) = store.foldContent(batch, version = 1L).get
+    // read contract: the fold's content reads only affected buckets' files
+    val files = content.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => affected.exists(b => f.contains(s"/bucket=$b/"))),
+      files.mkString("\n"))
+    val plan = content.queryExecution.sparkPlan
+    // commit's repartition(bucket) is the fold's ONLY exchange: the carry
+    // read unions a checkpointed resolve — nothing shuffles before the write
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty, plan.toString)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, plan.toString) // the affected-bucket carry read
+    assert(scans.head.metadata("PushedFilters").contains("Not(In(component"),
+      scans.head.toString)
+  }
+
+  test("assign store: a fold that empties a bucket commits its sentinel version in the same job; no stale assignment resurfaces") {
+    import graft.dedup.BucketedAssignStore
+    val K = 32
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bas-empty").toString
+    val store = new BucketedAssignStore(tmp, K)
+    val bucketMap = spark.range(0, 200).select(col("id"),
+        BucketedAssignStore.bucketOf(col("id"), K).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component {100, 101}, alone in its bucket
+    store.merge(Seq((100L, 101L)).toDF("src", "dst"), version = 0L)
+    // merge it under a smaller id whose bucket differs → the old bucket empties
+    val n = (1L to 99L).find(i => bucketMap(i) != bucketMap(100L)).get
+    store.merge(Seq((n, 100L)).toDF("src", "dst"), version = 1L)
+    val rows = store.load(spark).get.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the crash-window failure mode ADVICE flagged: a node visible under
+    // BOTH its merged-away and its new component id
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"a node appears under two components: $rows")
+    assert(rows.toMap == Map(n -> n, 100L -> n, 101L -> n))
+    // the emptied bucket's latest version is the fold's own sentinel dir —
+    // written by the SAME dynamic-overwrite job as the populated buckets
+    val emptied = new java.io.File(s"$tmp/bucket=${bucketMap(100L)}")
+    assert(emptied.listFiles().map(_.getName).toSet.contains("v=1"),
+      emptied.listFiles().map(_.getName).mkString(","))
+  }
+
   test("signature version stamp survives parquet and incremental ingest refuses a mismatched store") {
     val docs = Tables.documents(spark, sf).limit(50).select("doc_id", "text")
     val sigs = MinHashLsh.signatures(docs, "doc_id", "text")

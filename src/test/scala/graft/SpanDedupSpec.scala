@@ -136,6 +136,36 @@ class SpanDedupSpec extends SparkSpec {
       SpanDedup.spanStore(base, "doc_id", "text", 3).count())
   }
 
+  test("bucketed span store fold shape: only touched buckets scanned, batch keys pushed, cold rows bypass the aggregate") {
+    import graft.dedup.BucketedSpanStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bss-plan").toString
+    val sink = new BucketedSpanStore(tmp, numBuckets = 8, "doc_id", "text", 3)
+    sink.merge(Tables.documents(spark, sf).select("doc_id", "text").limit(60), version = 0L)
+    val batch = docs((900001L, "aa bb cc dd ee ff"))
+    val (frame, touched) = sink.plannedFold(batch, version = 1L).get
+    // read contract: every file the fold reads lives in a touched bucket
+    val files = frame.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => touched.exists(b => f.contains(s"/bucket=$b/"))),
+      files.mkString("\n"))
+    val plan = frame.queryExecution.sparkPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 2, plan.toString) // hot + cold prior reads, nothing else
+    val underAgg = plan.collect { case a: BaseAggregateExec => a }
+      .flatMap(_.collect { case s: FileSourceScanExec => s }).distinct
+    // hot side: the only store scan feeding the h-aggregate; the batch's
+    // span keys reached the parquet reader
+    assert(underAgg.length == 1, plan.toString)
+    assert(underAgg.head.metadata("PushedFilters").contains("In(h"), underAgg.head.toString)
+    // cold side: outside the aggregate (bypasses the groupBy entirely),
+    // with the pushed complement filter
+    val cold = scans.filterNot(underAgg.contains)
+    assert(cold.length == 1, plan.toString)
+    assert(cold.head.metadata("PushedFilters").contains("Not(In(h"), cold.head.toString)
+  }
+
   test("text that is an exact span multiple has empty tail and round-trips") {
     val d = docs((1L, "a b c d e f"))
     val out = SpanDedup.removeDuplicateSpans(d, "doc_id", "text", spanWords = 3)
