@@ -411,6 +411,50 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ANN over a PREBUILT IVF-PQ index — the online form of
+    * [[graft.similarity.Pq.ivfPqTopK]]: the index (one-pass cell+code
+    * frame, IVF centroids, PQ codebooks — the q85/q96 prebuilt-index
+    * contract) is corpus STATE built once and parquet-roundtripped, so
+    * each micro-batch of new query embeddings pays only centroid probe +
+    * ADC scan of nprobe cells + exact rerank — the corpus never shuffles
+    * per batch (`cellCodes` joins the broadcast probed queries on `cell`).
+    * This is the online near-dup/retrieval shape: score arriving
+    * embeddings against the standing corpus before admitting them.
+    *
+    * Each batch's top-k lands under `outPath/batch_id=<n>` with overwrite,
+    * so a crash-replayed batch deterministically rewrites its own output
+    * (same idempotent contract as [[spanDedupStream]]).
+    */
+  def annStream(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCodesPath: String,
+      ivfIndexPath: String,
+      codebooksPath: String,
+      corpusPath: String,
+      outPath: String,
+      checkpoint: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.similarity.Pq.ivfPqTopK(
+            spark.read.parquet(cellCodesPath),
+            spark.read.parquet(ivfIndexPath),
+            spark.read.parquet(codebooksPath),
+            spark.read.parquet(corpusPath),
+            batch, idCol, vecCol, k, nprobe, rerankFactor)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

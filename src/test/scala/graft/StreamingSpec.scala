@@ -348,6 +348,54 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == rebuilt)
   }
 
+  test("streaming ANN over a prebuilt IVF-PQ index equals the batch path per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.similarity.{Knn, Pq}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    // standing corpus + its index state, all parquet-roundtripped (the
+    // q85/q96 prebuilt contract): new embeddings stream in as queries
+    Tables.embeddings(spark, sf).filter(col("vec_id") < 400)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/corpus")
+    val corpusP = spark.read.parquet(s"$tmp/corpus")
+    Knn.buildIvfIndex(corpusP, "vec_id", "embedding", nlist = 8)
+      .write.mode("overwrite").parquet(s"$tmp/ivf")
+    Pq.sampleCodebooks(corpusP, "vec_id", "embedding", m = 8, codesPerBook = 16)
+      .write.mode("overwrite").parquet(s"$tmp/books")
+    Pq.indexCodes(corpusP, "vec_id", "embedding",
+        spark.read.parquet(s"$tmp/books"), spark.read.parquet(s"$tmp/ivf"))
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    val qrows = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 400 && col("vec_id") < 406)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(qrows.length == 6)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def run() = StreamingOps.annStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$tmp/codes", s"$tmp/ivf", s"$tmp/books", s"$tmp/corpus",
+      s"$tmp/out", s"$tmp/cp", k = 5, nprobe = 4, rerankFactor = 4)
+    mem.addData(qrows.take(3): _*)
+    run().awaitTermination(120000)
+    mem.addData(qrows.drop(3): _*)
+    run().awaitTermination(120000)
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    Seq(0 -> qrows.take(3), 1 -> qrows.drop(3)).foreach { case (bid, qs) =>
+      val got = triples(spark.read.parquet(s"$tmp/out/batch_id=$bid"))
+      val expected = triples(Pq.ivfPqTopK(
+        spark.read.parquet(s"$tmp/codes"), spark.read.parquet(s"$tmp/ivf"),
+        spark.read.parquet(s"$tmp/books"), corpusP,
+        qs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 5, nprobe = 4, rerankFactor = 4))
+      assert(got == expected, s"batch $bid diverged from the batch-mode path")
+      assert(got.map(_._1) == qs.map(_._1).toSet) // every query answered
+    }
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
