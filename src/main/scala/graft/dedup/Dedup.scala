@@ -241,6 +241,14 @@ object MinHashLsh {
     *   false for an oversized batch — the joins degrade to shuffled
     *   semi/inner joins (the store then shuffles; above the broadcast limit
     *   that is the correct trade, not a job failure).
+    * @param assumeVersion migration escape hatch for UNVERSIONED stores of
+    *   known provenance (persisted before the stamp existed): asserts "this
+    *   store was signed under contract N" without an O(corpus) re-sign. It
+    *   only fills a MISSING stamp — a store that carries a stamp is always
+    *   believed over the caller, and a contradicting assumption is an error
+    *   (an assumption that silently overrode a real stamp would re-open the
+    *   exact silent-recall-loss hole the stamp closes). The assumed version
+    *   must still equal [[SignatureFormatVersion]] to proceed.
     * @return (id_a, id_b) with id_a < id_b; ids must be disjoint between
     *   batch and store.
     */
@@ -255,16 +263,24 @@ object MinHashLsh {
       maxBucketSize: Int = 200,
       seed: Long = 42L,
       persistFrames: Boolean = true,
-      broadcastBatch: Boolean = true
+      broadcastBatch: Boolean = true,
+      assumeVersion: Option[Int] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // a store signed under a different byte contract joins fine and finds
     // ~nothing — refuse it up front instead of silently losing recall
-    val storeVersion = signatureVersionOf(storedSigs)
+    val stamped = signatureVersionOf(storedSigs)
+    assumeVersion.foreach { v =>
+      require(stamped.forall(_ == v.toLong),
+        s"assumeVersion=$v contradicts the store's own stamp ${stamped.get} — " +
+          "the stamp is authoritative; drop the assumption")
+    }
+    val storeVersion = stamped.orElse(assumeVersion.map(_.toLong))
     require(storeVersion.contains(SignatureFormatVersion.toLong),
       s"signature store version ${storeVersion.getOrElse("<unversioned>")} != current " +
         s"SignatureFormatVersion=$SignatureFormatVersion; re-sign the store " +
-        "(an unversioned frame predates the version stamp — its contract is unknowable)")
+        "(an unversioned frame predates the version stamp — pass assumeVersion " +
+        "only if its signing contract is known from provenance)")
     def maybePersist(df: DataFrame): DataFrame =
       if (persistFrames) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df

@@ -154,9 +154,10 @@ class SparkPipeline(
     // last run's value forward whenever the current run fails to produce one
     val allExprs = metricExprs ++
       progressiveMetricExprs.map { case (k, v) => s"progressive_$k" -> v }
-    // registered EXPLICITLY: carry-over must not be inferable from name
-    // shape alone (a step named "x.progressive_y" or a plain metric that
-    // happens to start with progressive_ must not gain carry semantics)
+    // registered explicitly IN ADDITION to the reserved-prefix convention
+    // run() applies (see the carry-over filter there): the registry covers
+    // metric names that themselves contain dots, where the final-segment
+    // convention can't see the prefix
     progressiveMetricExprs.keys.foreach(k => progressiveKeys += s"$name.progressive_$k")
     register(new Step(name, outs, refs(dependsOn), { s =>
       val dfs = body(s)
@@ -245,14 +246,14 @@ class SparkPipeline(
     dag.execute(maxConcurrentSteps)
     stopTs = Some(new Timestamp(System.currentTimeMillis()))
     stateStore.foreach { ss =>
-      // carry-over applies to metrics whose FINAL dot-segment (the metric
-      // name — step names may themselves contain dots, including ones with
-      // "progressive_" segments, and must not trigger carry) has the
-      // reserved progressive_ prefix — reference behaviour:
-      // bdq/spark_pipeline.py:325 _get_save_state — plus any key this
-      // pipeline registered via progressiveMetricExprs (covers metric
-      // names that themselves contain dots, where the final-segment
-      // convention can't see the prefix)
+      // progressive_ is a RESERVED prefix for the final dot-segment of a
+      // metric key (reference behaviour: bdq/spark_pipeline.py:325
+      // _get_save_state): any metric whose name starts with it gains carry
+      // semantics, registered or not — so plain metrics must not use the
+      // prefix. The explicit progressiveKeys registry ADDS carry for
+      // metric names that themselves contain dots, where the final-segment
+      // convention can't see the prefix. (Step-name segments never
+      // trigger carry — only the final segment is inspected.)
       val current = metrics
       val carried = lastRunMetricsCache.filter { case (k, _) =>
         (progressiveKeys.contains(k) || k.split('.').last.startsWith("progressive_")) &&

@@ -354,6 +354,24 @@ class DedupSpec extends SparkSpec {
       MinHashLsh.incrementalBlockedPairs(batch, unversioned, "doc_id", "text")
     }
     assert(e.getMessage.contains("SignatureFormatVersion"))
+    // migration escape hatch: assumeVersion fills a MISSING stamp (store of
+    // known provenance) without an O(corpus) re-sign...
+    assert(MinHashLsh.incrementalBlockedPairs(batch, unversioned, "doc_id", "text",
+      maxBucketSize = 10000,
+      assumeVersion = Some(MinHashLsh.SignatureFormatVersion)).columns.nonEmpty)
+    // ...but an assumed STALE contract is still refused (the gate is on the
+    // resolved version, not on the assumption being present)...
+    val stale = intercept[IllegalArgumentException] {
+      MinHashLsh.incrementalBlockedPairs(batch, unversioned, "doc_id", "text",
+        assumeVersion = Some(MinHashLsh.SignatureFormatVersion - 1))
+    }
+    assert(stale.getMessage.contains("SignatureFormatVersion"))
+    // ...and an assumption can never override a real stamp it contradicts
+    val contradicted = intercept[IllegalArgumentException] {
+      MinHashLsh.incrementalBlockedPairs(batch, roundTripped, "doc_id", "text",
+        assumeVersion = Some(MinHashLsh.SignatureFormatVersion - 1))
+    }
+    assert(contradicted.getMessage.contains("contradicts"))
   }
 
   test("canonicalize keeps the best-scored member; ties break to lowest id; singletons keep themselves") {
