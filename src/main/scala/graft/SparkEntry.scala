@@ -107,7 +107,10 @@ object SparkEntry {
     "q94_epoch_plan" -> (LlmQueries.q94EpochPlan(_, _)),
     "q95_epoch_expand" -> (LlmQueries.q95EpochExpand(_, _)),
     "q96_knn_ivfpq_prebuilt" -> (LlmQueries.q96KnnIvfPqPrebuilt(_, _)),
-    "q97_cc_incremental_prebuilt" -> (LlmQueries.q97CcIncrementalPrebuilt(_, _))
+    "q97_cc_incremental_prebuilt" -> (LlmQueries.q97CcIncrementalPrebuilt(_, _)),
+    "q98_bm25" -> (LlmQueries.q98Bm25(_, _)),
+    "q99_bm25_prebuilt" -> (LlmQueries.q99Bm25Prebuilt(_, _)),
+    "q100_hybrid_rrf" -> (LlmQueries.q100HybridRrf(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1371,6 +1374,62 @@ object SparkEntry {
         |  UNION
         |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
         |)
-        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
+        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "q98_bm25" -> Bm25OracleSql,
+    // prebuilt inverted-index probe must equal the scan path bit-for-bit
+    // — same oracle as q98 (the q33/q85 pattern applied to lexical search)
+    "q99_bm25_prebuilt" -> Bm25OracleSql,
+    // replays BOTH retrievers (BM25 CTEs + q25's cosine shape for query
+    // vec 0) and the fixed-order RRF arithmetic: integer ranks through
+    // 1.0/(60+rank) and a two-term add are bit-reproducible cross-engine
+    "q100_hybrid_rrf" ->
+      s"""WITH $Bm25Ctes,
+        |lexr AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY CAST(score AS DECIMAL(18,6)) DESC, doc_id) AS rank
+        |  FROM sc WHERE CAST(score AS DECIMAL(18,6)) > 0) WHERE rank <= 100),
+        |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ds AS (SELECT id, list_cosine_similarity(v, qv) AS score FROM c, qv WHERE id <> 0),
+        |denr AS (SELECT id AS doc_id, rank FROM (
+        |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM ds) WHERE rank <= 100),
+        |f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60 + l.rank), 0.0) + coalesce(1.0 / (60 + d.rank), 0.0) AS rrf
+        |  FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id),
+        |rk AS (SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, doc_id,
+        |    CAST(CAST(rrf AS DECIMAL(18,9)) AS DOUBLE) AS rrf_score FROM f)
+        |SELECT rank, doc_id, rrf_score FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
+
+  /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,
+    * k1 = 1.2, b = 0.75): tokenization matches the Spark side
+    * (`split(trim(lower(text)), '\\s+')`), and the score expression
+    * mirrors [[graft.text.Bm25]]'s fold ASSOCIATION ORDER exactly —
+    * every op except `ln` is IEEE correctly-rounded in both engines, and
+    * gates rank on the DECIMAL(18,6) score where the idf ulp can't flip
+    * an order.
+    */
+  private val Bm25Ctes: String =
+    """t AS (SELECT doc_id, len(toks) AS dl,
+      |    len(list_filter(toks, x -> x = 'spark')) AS tf0,
+      |    len(list_filter(toks, x -> x = 'window')) AS tf1,
+      |    len(list_filter(toks, x -> x = 'merge')) AS tf2
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents WHERE text IS NOT NULL)),
+      |st AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM t),
+      |sc AS (SELECT doc_id,
+      |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+      |  FROM t, st)""".stripMargin
+
+  private val Bm25OracleSql: String =
+    s"""WITH $Bm25Ctes,
+      |r AS (SELECT doc_id, CAST(score AS DECIMAL(18,6)) AS bm25 FROM sc
+      |  WHERE CAST(score AS DECIMAL(18,6)) > 0),
+      |rk AS (SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank, doc_id, bm25 FROM r)
+      |SELECT rank, doc_id, CAST(bm25 AS DOUBLE) AS bm25 FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
 }

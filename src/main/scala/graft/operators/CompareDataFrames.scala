@@ -160,4 +160,21 @@ object CompareDataFrames {
       section("Not changed records", "not_changed", c.notChanged, showNotChanged)
     ).mkString("\n\n")
   }
+
+  /** Zero-arg console sugar over [[render]] (the reference's
+    * display_compare_dataframes_results ENDS in a print; `render` is the
+    * scale-safe inversion, this is the parity wrapper). Same bounded
+    * driver cost as render — see its COST note.
+    */
+  def show(
+      c: Compared,
+      showAdded: Boolean = true,
+      showRemoved: Boolean = true,
+      showChanged: Boolean = true,
+      showNotChanged: Boolean = false,
+      maxRows: Int = 20
+  ): Unit =
+    // scalastyle:off println — the console IS this method's contract
+    println(render(c, showAdded, showRemoved, showChanged, showNotChanged, maxRows))
+    // scalastyle:on println
 }

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup._
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.{Chunking, LmScore, Packing, TextAnalysis}
+import graft.text.{Bm25, Chunking, LmScore, Packing, TextAnalysis}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -696,6 +696,93 @@ object LlmQueries {
       d.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + TwinOffset)
     )
+  }
+
+  /** Fixed BM25 query-term set for q98–q100 — words present in the
+    * synthetic vocabulary with differentiated frequencies.
+    */
+  private val Bm25Terms = Seq("spark", "window", "merge")
+
+  /** Rounded-decimal BM25 ranking shared by q98/q99/q100: ranking on the
+    * DECIMAL(18,6)-rounded score (ties → doc_id) is where the idf `ln`'s
+    * cross-engine ulp cannot flip an order; raw doubles stay inside the
+    * engine.
+    */
+  private def bm25Ranked(scored: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .select(col(idCol).as("doc_id"),
+        col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("bm25"))
+      .filter(col("bm25") > 0)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+  }
+
+  /** BM25 top-20 for a fixed term set, ad-hoc scan shape: narrow per-row
+    * term frequencies, one-row broadcast corpus constants, fixed-order
+    * score fold ([[Bm25.scoreScan]]). The oracle replays tokenization,
+    * df/avgdl and the exact fold association in DuckDB, so the
+    * DECIMAL(18,6) scores hash-match — the gate verifies BM25 VALUES, not
+    * just order. The final window ranks only docs matching ≥1 term.
+    */
+  def q98Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(
+      Bm25.scoreScan(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", Bm25Terms), "doc_id")
+      .filter(col("rank") <= 20)
+      // DOUBLE on the gate surface (decimals stringify differently across
+      // the compare harness's readers); ranking already happened on the
+      // rounded decimal
+      .select(col("rank"), col("doc_id"), col("bm25").cast("double").as("bm25"))
+      .orderBy("rank")
+
+  /** q98's production twin (the q85/q96 move applied to lexical search):
+    * the inverted postings index and the one-row corpus stats are built
+    * ONCE per sf dir and parquet-roundtripped — index state is corpus
+    * state — so query-time work is a term-pruned postings read + pivot +
+    * the same fixed score fold ([[Bm25.topKPrebuilt]]). Same oracle as
+    * q98 (prebuilt must equal scan bit-for-bit); the q98 − q99 bench
+    * delta isolates the in-query full-corpus scan.
+    */
+  def q99Bm25Prebuilt(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val postings = Fixtures.cachedParquet(s, dir, "bm25_postings") {
+      Bm25.buildIndex(docs, "doc_id", "text")
+    }
+    val stats = Fixtures.cachedParquet(s, dir, "bm25_stats") {
+      Bm25.corpusStats(docs, "doc_id", "text")
+    }
+    bm25Ranked(Bm25.topKPrebuilt(postings, stats, Bm25Terms), "id")
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("doc_id"), col("bm25").cast("double").as("bm25"))
+      .orderBy("rank")
+  }
+
+  /** Hybrid retrieval: BM25 lexical top-100 fused with dense cosine
+    * top-100 (query = vec_id 0's embedding over the shared 0..N id space)
+    * by Reciprocal Rank Fusion ([[graft.operators.RankFusion.rrfFuse]]),
+    * top-20 by fused score. Every fusion join is rank-list-sized. The
+    * fused score is integer ranks through one division and a fixed
+    * two-term add — bit-reproducible — so the oracle replays BOTH
+    * retrievers and the fusion arithmetic, gating the full hybrid stack.
+    */
+  def q100HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val lex = bm25Ranked(
+      Bm25.scoreScan(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", Bm25Terms), "doc_id")
+      .filter(col("rank") <= 100)
+      .select("doc_id", "rank")
+    val dense = Knn.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 100)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.RankFusion.rrfFuse(Seq(lex, dense), "doc_id", "rank")
+      .withColumn("rank", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("doc_id"),
+        col("rrf").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double").as("rrf_score"))
+      .orderBy("rank")
   }
 
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */

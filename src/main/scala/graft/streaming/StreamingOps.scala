@@ -455,6 +455,40 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming BM25 inverted-index maintenance — [[annStream]]'s lexical
+    * twin: each micro-batch of NEW documents (disjoint ids per batch —
+    * the append-only ingest contract) folds into a postings store as its
+    * own `batch_id=<n>` partition plus a one-row RAW stats partition
+    * ([[graft.text.Bm25.corpusStatsRaw]] — exact longs, so partitions SUM
+    * to corpus stats in any order). Per batch the work is
+    * O(batch postings): the store is never read, never rewritten.
+    * Overwrite-per-batch-dir makes crash replays idempotent (same
+    * contract as [[spanDedupStream]]/[[annStream]]).
+    *
+    * Readers use [[graft.text.Bm25.loadIndex]] +
+    * [[graft.text.Bm25.topKPrebuilt]]; a folded store scores
+    * bit-identically to a from-scratch [[graft.text.Bm25.buildIndex]]
+    * over the same docs (spec-asserted).
+    */
+  def bm25IndexStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.Bm25.buildIndex(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$storePath/postings/batch_id=$batchId")
+        graft.text.Bm25.corpusStatsRaw(batch, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$storePath/stats/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

@@ -1,0 +1,212 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (Okapi BM25, Robertson & Spärck Jones; the
+  * idf uses the Lucene-style `ln(1 + (N - df + 0.5)/(df + 0.5))` floor so
+  * scores are never negative). The training-data use case is lexical
+  * search over a document corpus — contamination probes, targeted
+  * curation pulls, and the sparse half of hybrid (lexical + dense)
+  * retrieval, fused by [[graft.operators.RankFusion]].
+  *
+  * Two execution shapes, same scores:
+  *
+  *  - [[scoreScan]]: ad-hoc scan scoring for a FIXED small term set.
+  *    Per-term frequencies are computed narrowly per row
+  *    (`size(filter(tokens, _ = term))` — no explode, no shuffle), the
+  *    corpus-level constants (N, avgdl, per-term df) reduce to ONE row
+  *    broadcast back over the scan, and the per-document score is a fixed
+  *    left-to-right fold over the term list, so the only wide operations
+  *    are a one-row aggregate and the caller's final top-k. At 100 TB the
+  *    cost is one corpus scan — the right shape when the query set
+  *    changes every time.
+  *  - [[buildIndex]] + [[topKPrebuilt]]: the inverted-index shape for
+  *    REPEATED querying. Postings (term, id, tf, dl) are built once
+  *    (explode + count — the one shuffle, paid at ingest), range-laid-out
+  *    by term so a parquet store prunes row groups on `term IN (...)`
+  *    pushdown; at query time only the query terms' postings are read,
+  *    pivoted to per-term columns, and scored by the SAME fold
+  *    expression, so prebuilt and scan paths agree bit-for-bit (the
+  *    corpus never rescans, never reshuffles).
+  *
+  * Determinism contract (what lets the DuckDB oracle hash-match): every
+  * arithmetic step except the 3-per-query `ln` calls is IEEE
+  * correctly-rounded `+ * /` in a fixed association order, so scores are
+  * reproducible bit-for-bit across engines up to the idf ulp; gates rank
+  * on the DECIMAL(18,6)-rounded score where that ulp cannot surface.
+  */
+object Bm25 {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Whitespace tokens of trimmed lowercased text — the same contract as
+    * [[TextAnalysis]] (`string_split_regex(trim(lower(text)), '\s+')` on
+    * the oracle side).
+    */
+  private def toks(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
+
+  private def tfCol(i: Int) = s"__tf$i"
+  private def dfCol(i: Int) = s"__df$i"
+
+  /** id, __dl, __tf0..__tfN-1 — per-row (narrow) term stats for a fixed
+    * term list. NULL text drops out (no tokens, no score).
+    */
+  private def termStats(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), toks(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(tfCol(i), size(filter(col("__toks"), x => x === lit(t))))
+    }.drop("__toks")
+  }
+
+  /** One-row corpus constants over a termStats frame: n_docs, avgdl,
+    * __df0..__dfN-1 (document frequency per term). avgdl is an exact
+    * long-sum divided once, so it is the same double on any engine.
+    */
+  private def statsRow(stats: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs = Seq(avg(col("__dl")).as("avgdl")) ++ terms.indices.map(i =>
+      sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(dfCol(i)))
+    stats.agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
+
+  /** The BM25 sum for one row given per-term tf columns and the broadcast
+    * constants — a FIXED left-to-right fold so the floating-point
+    * association order is part of the operator contract (`s0 + s1 + s2`,
+    * never an unordered SUM aggregate).
+    */
+  private def scoreExpr(terms: Seq[String], k1: Double, b: Double): Column =
+    terms.indices.map { i =>
+      val tf = col(tfCol(i))
+      val idf = log(lit(1.0) + (col("n_docs") - col(dfCol(i)) + lit(0.5)) / (col(dfCol(i)) + lit(0.5)))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("avgdl")))
+    }.reduceLeft(_ + _)
+
+  /** Ad-hoc BM25 scores for a fixed term set: (idCol, score DOUBLE), one
+    * row per non-NULL-text document (absent terms contribute exactly 0).
+    * One narrow scan + a one-row broadcast aggregate — see the object doc
+    * for the scale shape.
+    */
+  def scoreScan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB
+  ): DataFrame = {
+    val stats = termStats(docs, idCol, textCol, terms)
+    stats
+      .crossJoin(broadcast(statsRow(stats, terms)))
+      .select(col(idCol), scoreExpr(terms, k1, b).as("score"))
+  }
+
+  /** Inverted postings for the corpus: (term, id, tf, dl) — built once at
+    * ingest (the explode + count shuffle), range-partitioned and sorted by
+    * term so a parquet round-trip serves `term IN (...)` probes from
+    * pruned row groups. Persist THIS (plus [[corpusStats]]) for the
+    * repeated-query path.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), toks(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "id")
+
+  /** One-row (n_docs, avgdl) frame for a corpus — the global constants a
+    * prebuilt probe needs without rescanning the corpus (document count
+    * and average length over non-NULL-text docs, matching [[scoreScan]]).
+    */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("__dl")).as("avgdl"))
+
+  /** RAW one-row stats (n_docs, sum_dl) — exact longs, so per-batch raws
+    * SUM to the whole-corpus raw in any order: the mergeable form an
+    * incrementally-maintained index persists per ingest batch (the
+    * derived avgdl double is NOT mergeable; the raw is).
+    */
+  def corpusStatsRaw(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+
+  /** Fold raw per-batch stats rows into the (n_docs, avgdl) frame
+    * [[topKPrebuilt]] takes. avgdl = double(Σ sum_dl) / double(Σ n_docs)
+    * — the same double `avg` produces (Spark's integral Average is a
+    * double sum over exact integers divided once by the count), so an
+    * incrementally-folded index scores bit-identically to a rebuilt one.
+    */
+  def statsFromRaw(raw: DataFrame): DataFrame =
+    raw
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("__sd"))
+      .select(col("n_docs"),
+        (col("__sd").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+
+  /** Read an incrementally-maintained index store (see
+    * [[graft.streaming.StreamingOps.bm25IndexStream]]) back as the
+    * (postings, stats) pair [[topKPrebuilt]] takes. Postings live under
+    * `batch_id=<n>` subdirs — append-only because batch ids are disjoint
+    * doc sets (contract), each sorted by term so row-group pruning holds
+    * per file; periodic compaction (re-running [[buildIndex]] over the
+    * store) is an offline concern, not a correctness one.
+    */
+  def loadIndex(s: org.apache.spark.sql.SparkSession, storePath: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$storePath/postings"),
+      statsFromRaw(s.read.parquet(s"$storePath/stats")))
+
+  /** BM25 scores against a PREBUILT index: (id, score DOUBLE), one row per
+    * document matching ≥1 query term (docs matching none score exactly 0
+    * and are omitted — [[scoreScan]] keeps them; filter `score > 0` there
+    * for set equality). Only the query terms' postings are read (predicate
+    * pushdown on `term`), pivoted to the same per-term tf columns and
+    * scored by the same fixed fold as [[scoreScan]], so the two paths
+    * agree bit-for-bit. Per query the work is O(matching postings), never
+    * a corpus scan.
+    *
+    * @param postings [[buildIndex]] output (parquet round-trip fine)
+    * @param stats [[corpusStats]] output for the SAME corpus
+    */
+  def topKPrebuilt(
+      postings: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB
+  ): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(!terms.exists(Set("id", "dl", "term", "tf")),
+      "query terms colliding with postings column names would break the pivot")
+    // per-term df from the pruned postings read (tiny: ≤ |terms| groups,
+    // broadcast back) — NOT from a full index scan
+    val matched = postings.filter(col("term").isin(terms: _*))
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, lit(1L)).otherwise(0L)).as(dfCol(i))
+    }
+    val dfRow = matched.agg(dfAggs.head, dfAggs.tail: _*)
+    val pivoted = terms.zipWithIndex.foldLeft(
+      matched.groupBy("id", "dl").pivot("term", terms).agg(max(col("tf")))
+    ) { case (df, (t, i)) =>
+      df.withColumn(tfCol(i), coalesce(col(s"`$t`"), lit(0L)))
+    }.withColumnRenamed("dl", "__dl")
+    pivoted
+      .crossJoin(broadcast(dfRow))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), scoreExpr(terms, k1, b).as("score"))
+  }
+}

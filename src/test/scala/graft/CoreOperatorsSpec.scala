@@ -64,6 +64,12 @@ class CoreOperatorsSpec extends SparkSpec {
     val c2 = CompareDataFrames(df1, df2.withColumn("name", lit(null).cast("string")),
       Seq("id1", "id2"))
     assert(CompareDataFrames.render(c2).contains("NULL"))
+    // zero-arg show() sugar prints exactly render() to the console
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      CompareDataFrames.show(c)
+    }
+    assert(buf.toString("UTF-8").trim == CompareDataFrames.render(c).trim)
   }
 
   test("compare_schemas matches the reference README example semantics") {

@@ -396,6 +396,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming BM25 index fold equals a from-scratch rebuild bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.Bm25
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25stream").toString
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 60)
+    val b1 = all.filter(col("doc_id") < 30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b2 = all.filter(col("doc_id") >= 30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    def run() = StreamingOps.bm25IndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/store", s"$tmp/cp")
+    mem.addData(b1: _*)
+    run().awaitTermination(120000)
+    mem.addData(b2: _*)
+    run().awaitTermination(120000)
+    val (postings, stats) = Bm25.loadIndex(spark, s"$tmp/store")
+    val terms = Seq("spark", "window", "merge")
+    def scores(p: org.apache.spark.sql.DataFrame, st: org.apache.spark.sql.DataFrame) =
+      Bm25.topKPrebuilt(p, st, terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val folded = scores(postings, stats)
+    val rebuilt = scores(
+      Bm25.buildIndex(all, "doc_id", "text"), Bm25.corpusStats(all, "doc_id", "text"))
+    assert(folded.nonEmpty && folded == rebuilt) // exact doubles, no tolerance
+    // ...and equals the scan path over the same corpus (full triangle)
+    val scan = Bm25.scoreScan(all, "doc_id", "text", terms)
+      .filter(col("score") > 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(folded == scan)
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)
