@@ -110,7 +110,8 @@ object SparkEntry {
     "q97_cc_incremental_prebuilt" -> (LlmQueries.q97CcIncrementalPrebuilt(_, _)),
     "q98_bm25" -> (LlmQueries.q98Bm25(_, _)),
     "q99_bm25_prebuilt" -> (LlmQueries.q99Bm25Prebuilt(_, _)),
-    "q100_hybrid_rrf" -> (LlmQueries.q100HybridRrf(_, _))
+    "q100_hybrid_rrf" -> (LlmQueries.q100HybridRrf(_, _)),
+    "q101_ks_drift" -> (CoreQueries.q101KsDrift(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -916,6 +917,28 @@ object SparkEntry {
         |  FROM j)
         |SELECT bucket, n_base, n_cur, (pc - pb) * (pc - pb) / pb AS chi2_term
         |FROM t ORDER BY bucket""".stripMargin,
+    // KS drift: same binning CTEs as q68, then integer cumulative sums and
+    // the cross-multiplied numerator — every output column exact
+    "q101_ks_drift" ->
+      """WITH b AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+        |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+        |  FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+        |c AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+        |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+        |  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+        |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+        |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+        |k AS (SELECT bucket, n_base, n_cur,
+        |    CAST(sum(n_base) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_base,
+        |    CAST(sum(n_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur,
+        |    CAST(sum(n_base) OVER () AS BIGINT) AS tot_base,
+        |    CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur
+        |  FROM j)
+        |SELECT bucket, n_base, n_cur, cum_base, cum_cur,
+        |    CAST(abs(cum_base * tot_cur - cum_cur * tot_base) AS BIGINT) AS ks_num
+        |FROM k ORDER BY bucket""".stripMargin,
     "q69_source_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (

@@ -162,7 +162,93 @@ object ConnectedComponents {
       assign: DataFrame,
       newEdges: DataFrame,
       maxIter: Int = 20,
-      broadcastBatch: Boolean = true
+      broadcastBatch: Boolean = true,
+      maxLocalEdges: Int = 1 << 20
+  ): (DataFrame, DataFrame) =
+    localResolve(assign, newEdges, broadcastBatch, maxLocalEdges)
+      .getOrElse(distributedResolve(assign, newEdges, maxIter, broadcastBatch))
+
+  /** Fast path for the usual incremental contract (small batch vs huge
+    * assignment): the only graph that needs SOLVING is the batch edges
+    * CONTRACTED over the old assignment — each endpoint replaced by its
+    * old component id (itself when unassigned) — which is batch-sized by
+    * construction. That graph is union-found ON THE DRIVER (bounded by
+    * `maxLocalEdges`, the same batch-is-small bound the broadcast hints
+    * assert; min-id roots preserve min-label semantics because old
+    * component ids ARE min member ids), and the merged mapping
+    * broadcast-joins back over the touched members — so a fold is ONE
+    * distributed pass with no wide exchange, instead of an O(log
+    * diameter) chain of pointer-jumping jobs whose per-round scheduling
+    * latency dominates at micro-batch sizes. Falls back to
+    * [[distributedResolve]] for oversized batches (`broadcastBatch =
+    * false` or more than `maxLocalEdges` edges) and for non-long id
+    * columns.
+    */
+  private def localResolve(
+      assign: DataFrame,
+      newEdges: DataFrame,
+      broadcastBatch: Boolean,
+      maxLocalEdges: Int
+  ): Option[(DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.types.LongType
+    val longIds = Seq(assign.schema.fields.find(_.name == "node"),
+        assign.schema.fields.find(_.name == "component"),
+        newEdges.schema.fields.find(_.name == "src"),
+        newEdges.schema.fields.find(_.name == "dst"))
+      .forall(_.exists(_.dataType == LongType))
+    if (!broadcastBatch || !longIds) return None
+    val spark = assign.sparkSession
+    import spark.implicits._
+    val pairs = newEdges.select(col("src"), col("dst"))
+      .limit(maxLocalEdges + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (pairs.length > maxLocalEdges) return None
+    val endpoints = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    // old component per batch endpoint — the ONLY assignment rows read
+    // eagerly, bounded by 2·|batch|
+    val endpointAssign = assign
+      .join(broadcast(endpoints.toSeq.toDF("node")), Seq("node"), "left_semi")
+      .select(col("node"), col("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find with min-id roots over contracted keys
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    def key(n: Long): Long = endpointAssign.getOrElse(n, n)
+    pairs.foreach { case (s, d) => union(key(s), key(d)) }
+    val rootOf = parent.keys.map(k => k -> find(k)).toMap
+    val touchedComps = endpointAssign.values.toSeq.distinct.toDF("component")
+    val mapping = rootOf.toSeq.toDF("component", "__newc")
+    val fresh = endpoints.filterNot(endpointAssign.contains)
+      .map(n => (n, rootOf(n))).toSeq.toDF("node", "component")
+    val resolved = assign
+      .join(broadcast(touchedComps), Seq("component"), "left_semi")
+      .join(broadcast(mapping), Seq("component"))
+      .select(col("node"), col("__newc").as("component"))
+      .unionByName(fresh)
+    Some((touchedComps, resolved))
+  }
+
+  /** The generic distributed form: touched members collapse to star edges
+    * (node — old component) and re-run through [[labelPropagation]]
+    * together with the batch — right when the batch itself is too large
+    * to hold on the driver.
+    */
+  private def distributedResolve(
+      assign: DataFrame,
+      newEdges: DataFrame,
+      maxIter: Int,
+      broadcastBatch: Boolean
   ): (DataFrame, DataFrame) = {
     def hint(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     val touchedNodes = newEdges.select(col("src").as("node"))

@@ -216,6 +216,66 @@ object Profiler {
     (r.getDouble(0), r.getDouble(1))
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov drift, INTEGER-EXACT: at every
+    * bucket boundary the CDF gap `|F_base − F_cur|` is compared through
+    * the cross-multiplied integer numerator
+    * `ks_num = |cum_base·tot_cur − cum_cur·tot_base|` over the constant
+    * denominator `tot_base·tot_cur` — no division, no floats, so the
+    * statistic is exactly reproducible on any engine (unlike PSI's `ln`).
+    * The binned D is a lower bound on the unbinned D with bucket-width
+    * resolution — the right trade at scale, where the unbinned statistic
+    * would need a global sort of every distinct value: here each side
+    * pays one grouped narrow scan ([[histogram]]) and the KS fold runs on
+    * two ≤ nBuckets+2-row frames.
+    *
+    * Products are computed in DECIMAL(38,0): at 100 TB row counts the
+    * cross-product exceeds 2^63 (the long would overflow silently).
+    */
+  def ksDriftFromHistograms(baseHist: DataFrame, curHist: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hb = baseHist.select(col("bucket"), col("cnt").as("n_base"))
+    val hc = curHist.select(col("bucket"), col("cnt").as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // single-partition windows safe for the same reason as
+    // driftFromHistograms: the joined frame is ≤ nBuckets+2 rows
+    val upto = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hb.join(hc, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("cum_base", sum("n_base").over(upto))
+      .withColumn("cum_cur", sum("n_cur").over(upto))
+      .withColumn("ks_num", abs(
+        col("cum_base").cast(dec) * sum("n_cur").over(all).cast(dec) -
+          col("cum_cur").cast(dec) * sum("n_base").over(all).cast(dec)))
+      .select("bucket", "n_base", "n_cur", "cum_base", "cum_cur", "ks_num")
+  }
+
+  /** [[ksDriftFromHistograms]] over two raw snapshots — same equi-width
+    * binning geometry as [[distributionDrift]].
+    */
+  def ksDrift(
+      base: DataFrame,
+      cur: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int
+  ): DataFrame =
+    ksDriftFromHistograms(
+      histogram(base, column, lo, hi, nBuckets).select(col("bucket"), col("cnt")),
+      histogram(cur, column, lo, hi, nBuckets).select(col("bucket"), col("cnt")))
+
+  /** The scalar D statistic from a [[ksDriftFromHistograms]] frame:
+    * max(ks_num) / (tot_base · tot_cur) — one exact division at the very
+    * end. Critical-value reading (two-sided, α=0.05):
+    * D > 1.358·sqrt((n+m)/(n·m)) rejects "same distribution".
+    */
+  def ksStat(ks: DataFrame): Double = {
+    val r = ks.agg(max("ks_num"), sum("n_base"), sum("n_cur")).head()
+    val num = r.getDecimal(0)
+    if (num == null) 0.0
+    else num.doubleValue() / (r.getLong(1).toDouble * r.getLong(2).toDouble)
+  }
+
   /** Metric drift between two profile snapshots (e.g. yesterday's load vs
     * today's) — the monitoring half of profiling: a profile is only useful
     * when something compares it against the last one. Numeric metrics get

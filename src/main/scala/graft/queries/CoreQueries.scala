@@ -704,6 +704,25 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** Integer-exact binned KS drift on q68's split (even vs odd users):
+    * every per-bucket column including the cross-multiplied numerator is
+    * an integer, so the oracle replays the whole statistic hash-exactly
+    * (PSI's ln term can't — this is the drift check with a LOSSLESS
+    * cross-engine gate). ks_num fits BIGINT at test SFs; the operator
+    * computes it in DECIMAL(38,0) for 100 TB counts.
+    */
+  def q101KsDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "value")
+    Profiler.ksDrift(
+      base = ev.filter(col("user_id") % 2 === 0),
+      cur = ev.filter(col("user_id") % 2 === 1),
+      column = "value", lo = 0.0, hi = 100.0, nBuckets = 10)
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        col("cum_base"), col("cum_cur"), col("ks_num").cast("long").as("ks_num"))
+      .orderBy("bucket")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

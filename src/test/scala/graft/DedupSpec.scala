@@ -245,6 +245,21 @@ class DedupSpec extends SparkSpec {
     assert(inc2 == full2)
   }
 
+  test("incrementalComponents: distributed fallback equals the driver-local fast path") {
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val assign = ConnectedComponents.labelPropagation(oldEdges)
+    val newEdges = Seq((3L, 10L), (11L, 12L), (50L, 51L)).toDF("src", "dst")
+    val local = ConnectedComponents.incrementalComponents(assign, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // broadcastBatch = false routes to the distributed star-edge re-solve
+    // (the oversized-batch path); outputs must be indistinguishable
+    val dist = ConnectedComponents.incrementalComponents(assign, newEdges,
+        broadcastBatch = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == local,
+      s"diff: ${(dist.toSet diff local.toSet) ++ (local.toSet diff dist.toSet)}")
+  }
+
   test("bucketed assignment store: folds equal rebuild, untouched buckets stay byte-identical") {
     import graft.dedup.BucketedAssignStore
     val tmp = java.nio.file.Files.createTempDirectory("graft-bas").toString

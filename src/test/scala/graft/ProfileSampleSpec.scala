@@ -341,6 +341,34 @@ class ProfileSampleSpec extends SparkSpec {
       && !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
   }
 
+  test("KS drift: hand-computed golden, zero on identical snapshots, decimal numerator") {
+    import spark.implicits._
+    // base = {1,1,2}, cur = {2,3}, 4 unit buckets on [0,4):
+    //   bucket 1: cum_b=2 cum_c=0 → |2·2 − 0·3| = 4
+    //   bucket 2: cum_b=3 cum_c=1 → |3·2 − 1·3| = 3
+    //   bucket 3: cum_b=3 cum_c=2 → |3·2 − 2·3| = 0
+    val base = Seq(1.0, 1.0, 2.0).toDF("v")
+    val cur = Seq(2.0, 3.0).toDF("v")
+    val ks = Profiler.ksDrift(base, cur, "v", 0.0, 4.0, 4)
+    val rows = ks.orderBy("bucket").collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getDecimal(5).longValueExact()))
+      .toMap
+    assert(rows == Map(1L -> ((2L, 0L, 4L)), 2L -> ((3L, 1L, 3L)), 3L -> ((3L, 2L, 0L))))
+    // D = max ks_num / (tot_b·tot_c) = 4/6
+    assert(math.abs(Profiler.ksStat(ks) - 4.0 / 6.0) < 1e-15)
+    // identical snapshots → every numerator exactly zero (integers, not ~0)
+    val same = Profiler.ksDrift(base, base, "v", 0.0, 4.0, 4)
+    assert(same.collect().forall(_.getDecimal(5).signum == 0))
+    assert(Profiler.ksStat(same) == 0.0)
+    // numerator column is DECIMAL(38,0): 100 TB-count products must not
+    // silently wrap a long
+    assert(ks.schema("ks_num").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    // a shift registers: base vs base+2 on the same binning
+    val d = Profiler.ksStat(Profiler.ksDrift(base, base.select(($"v" + 2.0).as("v")), "v", 0.0, 4.0, 4))
+    assert(d > 0.5)
+  }
+
   test("capPerGroup: cap respected, selection content-stable under repartition") {
     import spark.implicits._
     val d = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
