@@ -134,7 +134,8 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
         val starEdges = members.map(m =>
             m.select(col("node").as("src"), col("component").as("dst")))
           .getOrElse(newEdges.select("src", "dst").limit(0))
-        // checkpointed by labelPropagation — safe to branch below
+        // labelPropagation returns a LocalRelation (small edge sets) or a
+        // checkpointed frame — either is safe to branch below
         val resolved = ConnectedComponents.labelPropagation(
             starEdges.unionByName(newEdges.select(col("src"), col("dst"))), maxIter)
           .withColumn("bucket", bucketOf(col("component"), numBuckets))
@@ -170,7 +171,7 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
             ConnectedComponents.incrementalResolve(assign, newEdges, maxIter)
           val touchedComps = touchedComps0.persist() // batch-bounded
           try {
-            // resolved is a checkpointed frame (labelPropagation materializes)
+            // resolved is a LocalRelation or checkpointed frame — see above
             val resolved = resolved0
               .withColumn("bucket", bucketOf(col("component"), numBuckets))
             val affected = touchedComps

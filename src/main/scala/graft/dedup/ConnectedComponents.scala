@@ -46,11 +46,65 @@ object ConnectedComponents {
     }
 
   /** @param edges DataFrame with columns (src, dst) — undirected.
+    * @param localEdgeThreshold edge sets at most this large are solved by
+    *        ONE driver union-find instead of the iterative distributed
+    *        propagation (0 disables). Near-dup edge sets are tiny relative
+    *        to the corpus they came from — blocking emits pairs, not rows —
+    *        so at micro-batch and per-query scale the O(log diameter)
+    *        round chain is pure scheduling latency; the probe pays one
+    *        incremental `limit(n+1).collect()` (CollectLimit stops after
+    *        the first partitions when the set is huge) and falls back.
     * @return (node, component) where component = min node id reachable.
-    *         The result is materialized (checkpointed); its storage is
-    *         released once the DataFrame is garbage-collected.
+    *         Distributed results are materialized (checkpointed); local
+    *         ones are a LocalRelation — deterministic and free to branch.
     */
-  def labelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def labelPropagation(
+      edges: DataFrame,
+      maxIter: Int = 20,
+      localEdgeThreshold: Int = 1 << 20
+  ): DataFrame =
+    localLabelPropagation(edges, localEdgeThreshold)
+      .getOrElse(distributedLabelPropagation(edges, maxIter))
+
+  /** Driver union-find twin of the propagation loop: same fixpoint
+    * (component = min reachable node id), zero Spark jobs after the edge
+    * collect. Bails (None) on oversized edge sets, non-long id columns,
+    * or NULL endpoints — the distributed loop is the semantics owner.
+    */
+  private def localLabelPropagation(
+      edges: DataFrame,
+      localEdgeThreshold: Int
+  ): Option[DataFrame] = {
+    import org.apache.spark.sql.types.LongType
+    val longIds = Seq(edges.schema.fields.find(_.name == "src"),
+        edges.schema.fields.find(_.name == "dst"))
+      .forall(_.exists(_.dataType == LongType))
+    if (localEdgeThreshold <= 0 || !longIds) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges.select(col("src"), col("dst"))
+      .limit(localEdgeThreshold + 1).collect()
+    if (rows.length > localEdgeThreshold) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    Some(parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "component"))
+  }
+
+  private def distributedLabelPropagation(edges: DataFrame, maxIter: Int): DataFrame = {
     // materialized once: every round joins against it, and without the
     // checkpoint each iteration would re-scan + re-distinct the edge source
     val sym = edges.select(col("src"), col("dst"))

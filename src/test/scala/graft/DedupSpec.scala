@@ -177,12 +177,37 @@ class DedupSpec extends SparkSpec {
   test("pointer jumping bounds rounds by log(diameter), not diameter") {
     // a 200-link chain, ids descending so the min label must travel the
     // whole chain: plain min-propagation needs ~200 rounds; with the
-    // pointer jump log2(200) ≈ 8 — maxIter = 12 must fully converge
+    // pointer jump log2(200) ≈ 8 — maxIter = 12 must fully converge.
+    // localEdgeThreshold = 0 forces the DISTRIBUTED loop (the local
+    // union-find twin would solve any chain in zero rounds)
     val chain = (0L until 200L).map(i => (200L - i, 199L - i)).toDF("src", "dst")
-    val comps = ConnectedComponents.labelPropagation(chain, maxIter = 12)
+    val comps = ConnectedComponents.labelPropagation(chain, maxIter = 12,
+        localEdgeThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 201)
     assert(comps.values.forall(_ == 0L), s"chain not converged: ${comps.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("labelPropagation: driver-local fast path equals the distributed loop") {
+    // chains + cycle + pair + self-loop + duplicate/reversed edges — the
+    // local union-find and the iterative propagation must be
+    // output-indistinguishable (same min-label fixpoint)
+    val edges = Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 20L), (30L, 30L), (1L, 2L)
+    ).toDF("src", "dst")
+    val local = ConnectedComponents.labelPropagation(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.labelPropagation(edges, localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist,
+      s"diff: ${(local.toSet diff dist.toSet) ++ (dist.toSet diff local.toSet)}")
+    // oversized-threshold boundary: exactly-at-threshold stays local,
+    // one-under falls back — both identical
+    val under = ConnectedComponents.labelPropagation(edges, localEdgeThreshold = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(under == dist)
   }
 
   test("incremental minhash blocking equals full-corpus blocking for the new batch") {
