@@ -111,7 +111,8 @@ object SparkEntry {
     "q98_bm25" -> (LlmQueries.q98Bm25(_, _)),
     "q99_bm25_prebuilt" -> (LlmQueries.q99Bm25Prebuilt(_, _)),
     "q100_hybrid_rrf" -> (LlmQueries.q100HybridRrf(_, _)),
-    "q101_ks_drift" -> (CoreQueries.q101KsDrift(_, _))
+    "q101_ks_drift" -> (CoreQueries.q101KsDrift(_, _)),
+    "q102_semantic_dedup" -> (LlmQueries.q102SemanticDedup(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -939,6 +940,27 @@ object SparkEntry {
         |SELECT bucket, n_base, n_cur, cum_base, cum_cur,
         |    CAST(abs(cum_base * tot_cur - cum_cur * tot_base) AS BIGINT) AS ks_num
         |FROM k ORDER BY bucket""".stripMargin,
+    // SemDeDup: the oracle reads the SAME (id, v, cell) assignment parquet
+    // the Spark query read (cell assignment is ingest-time corpus state),
+    // then replays within-cell pair generation, the recursive-CTE
+    // component closure, and the min-id keep policy wholly in SQL
+    "q102_semantic_dedup" ->
+      """WITH RECURSIVE a AS (
+        |  SELECT id, v, cell FROM read_parquet('__GRAFT_FIXTURE:semdedup_assign__/*.parquet')),
+        |p AS (SELECT x.id AS src, y.id AS dst FROM a x JOIN a y
+        |    ON x.cell = y.cell AND x.id < y.id
+        |  WHERE x.cell >= 0 AND list_cosine_similarity(x.v, y.v) >= 0.99),
+        |sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |reach AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        |SELECT a.id, coalesce(c.component, a.id) AS component,
+        |  coalesce(c.component, a.id) = a.id AS keep
+        |FROM a LEFT JOIN comp c ON c.node = a.id
+        |ORDER BY a.id""".stripMargin,
     "q69_source_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (

@@ -785,6 +785,43 @@ object LlmQueries {
       .orderBy("rank")
   }
 
+  /** SemDeDup corpus-state fixture: embeddings ∪ exact twins (+1e6 for
+    * even ids, a second +2e6 twin for every 4th id — triangle components)
+    * ∪ negated twins (+1e6 for odd ids — must NOT pair), assigned to the
+    * shared prebuilt IVF index's cells at BUILD time. Cell assignment is
+    * ingest-time corpus state (the q85 framing), so the oracle reads the
+    * same (id, v, cell) parquet instead of replaying the argmin — which
+    * keeps the gate free of cross-engine FP ties in the nearest-centroid
+    * race. Exact/negated twins put every pair decision at cos ≈ ±1, far
+    * from tau, so the threshold can never flip on an ulp.
+    */
+  private def semDedupAssigned(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedParquet(s, dir, "semdedup_assign") {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val corpus = base
+        .unionByName(base.filter(col("id") % 2 === 0)
+          .select((col("id") + TwinOffset).as("id"), col("v")))
+        .unionByName(base.filter(col("id") % 4 === 0)
+          .select((col("id") + 2 * TwinOffset).as("id"), col("v")))
+        .unionByName(base.filter(col("id") % 2 === 1)
+          .select((col("id") + TwinOffset).as("id"),
+            transform(col("v"), x => -x).as("v")))
+      Knn.assignCells(corpus, "id", "v", prebuiltIvfIndex(s, dir))
+    }
+
+  /** Semantic dedup over the prebuilt cell assignment: within-cell cosine
+    * pairs → connected components → min-id representative. Expected
+    * structure: {i, i+1e6} pairs for even i (plus i+2e6 triangles for
+    * i % 4 == 0), negated twins and everything else singleton — but the
+    * oracle replays pairs + recursive-CTE closure + keep over the WHOLE
+    * fixture, so any spurious pair or lost member breaks the hash.
+    */
+  def q102SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    SemanticDedup.semDedup(semDedupAssigned(s, dir), tau = 0.99)
+      .select("id", "component", "keep")
+      .orderBy("id")
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

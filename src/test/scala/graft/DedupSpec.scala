@@ -244,6 +244,46 @@ class DedupSpec extends SparkSpec {
       s"cap diff: ${(incCap diff fullCap) ++ (fullCap diff incCap)}")
   }
 
+  test("semantic dedup: within-cell pairs, components, min-id keep, sentinel cell") {
+    val vA = Seq(1.0, 0.0, 0.0)
+    val vB = Seq(0.0, 1.0, 0.0)
+    val vAneg = Seq(-1.0, 0.0, 0.0)
+    val assigned = Seq(
+      // cell 0: 1≈2≈3 (triangle), 4 orthogonal, 5 negated (anti-dup)
+      (1L, vA, 0), (2L, vA, 0), (3L, vA, 0), (4L, vB, 0), (5L, vAneg, 0),
+      // cell 1: same VECTOR as cell 0's dups — cross-cell pairs must NOT
+      // form (the SemDeDup within-cluster approximation is the contract)
+      (6L, vA, 1), (7L, vA, 1),
+      // sentinel cell -1 (NULL-embedding path) never pairs, still output
+      (8L, vA, -1)
+    ).toDF("id", "v", "cell")
+    val pairs = SemanticDedup.duplicatePairs(assigned, tau = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (6L, 7L)))
+    val out = SemanticDedup.semDedup(assigned, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (5L, true),
+      6L -> (6L, true), 7L -> (6L, false),
+      8L -> (8L, true)))
+  }
+
+  test("semantic dedup composes with assignCells: twins land in one cell and dedup") {
+    // two well-separated directions, exact twins of each; assignCells must
+    // put a vector and its exact twin in the same cell, so semDedup finds
+    // exactly the twin pairs regardless of which cells k-means chose
+    val corpus = Seq(
+      (1L, Seq(10.0, 0.0)), (2L, Seq(10.0, 0.0)),
+      (3L, Seq(0.0, 10.0)), (4L, Seq(0.0, 10.0))
+    ).toDF("id", "v")
+    val index = Knn.buildIvfIndex(corpus, "id", "v", nlist = 2)
+    val out = SemanticDedup.semDedup(
+        Knn.assignCells(corpus, "id", "v", index), tau = 0.99)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("incrementalComponents equals full rebuild: merges, extensions, fresh clusters, untouched pass-through") {
     // old graph: {1,2,3}, {10,11}, {20,21} (components 1, 10, 20)
     val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
