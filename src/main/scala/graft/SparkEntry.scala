@@ -112,7 +112,8 @@ object SparkEntry {
     "q99_bm25_prebuilt" -> (LlmQueries.q99Bm25Prebuilt(_, _)),
     "q100_hybrid_rrf" -> (LlmQueries.q100HybridRrf(_, _)),
     "q101_ks_drift" -> (CoreQueries.q101KsDrift(_, _)),
-    "q102_semantic_dedup" -> (LlmQueries.q102SemanticDedup(_, _))
+    "q102_semantic_dedup" -> (LlmQueries.q102SemanticDedup(_, _)),
+    "q103_dsir_select" -> (LlmQueries.q103DsirSelect(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -940,6 +941,39 @@ object SparkEntry {
         |SELECT bucket, n_base, n_cur, cum_base, cum_cur,
         |    CAST(abs(cum_base * tot_cur - cum_cur * tot_base) AS BIGINT) AS ks_num
         |FROM k ORDER BY bucket""".stripMargin,
+    // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
+    // the q80 trick), integer evidence masses, the cross-multiplied
+    // HUGEINT key, and the grouped top-fraction window — all integer
+    "q103_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
+        |  FROM tok),
+        |b AS (SELECT doc_id, lang,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
+        |  FROM g, unnest(gs) AS u(gram)),
+        |tm AS (SELECT bucket, count(*) AS cnt FROM b WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY 1),
+        |rm AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS t_tot FROM tm),
+        |rt AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS r_tot FROM rm),
+        |sig AS (SELECT doc_id, lang, count(*) AS n_grams,
+        |    sum(coalesce(tm.cnt, 0)) AS target_mass,
+        |    sum(coalesce(rm.cnt, 0)) AS raw_mass
+        |  FROM b LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+        |  GROUP BY doc_id, lang),
+        |k AS (SELECT doc_id, lang, n_grams, target_mass, raw_mass,
+        |    CASE WHEN CAST(target_mass AS HUGEINT) * r_tot + CAST(raw_mass AS HUGEINT) * t_tot = 0 THEN -1
+        |      ELSE CAST((CAST(target_mass AS HUGEINT) * r_tot * 1000000000) //
+        |        (CAST(target_mass AS HUGEINT) * r_tot + CAST(raw_mass AS HUGEINT) * t_tot) AS BIGINT) END AS dsir_key
+        |  FROM sig, tt, rt),
+        |sel AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY dsir_key DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM k)
+        |SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(target_mass AS BIGINT) AS target_mass,
+        |  CAST(raw_mass AS BIGINT) AS raw_mass, dsir_key
+        |FROM sel WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
     // SemDeDup: the oracle reads the SAME (id, v, cell) assignment parquet
     // the Spark query read (cell assignment is ingest-time corpus state),
     // then replays within-cell pair generation, the recursive-CTE

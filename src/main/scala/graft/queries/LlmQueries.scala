@@ -822,6 +822,22 @@ object LlmQueries {
       .select("id", "component", "keep")
       .orderBy("id")
 
+  /** DSIR-style importance selection: English even-id docs as the target
+    * distribution, whole corpus as raw; hashed-gram models (1024
+    * buckets), integer evidence masses, cross-multiplied integer key,
+    * top 25% per language. The oracle replays model fitting, scoring,
+    * the key arithmetic (HUGEINT), and the grouped selection window —
+    * every column integer-exact, so the gate needs no FP tolerance.
+    */
+  def q103DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    graft.text.Dsir.select(d, "doc_id", "text",
+        targetCorpus = d.filter(col("lang") === "en" && col("doc_id") % 2 === 0),
+        fraction = 0.25, numBuckets = 1024, groupCols = Seq("lang"))
+      .select("doc_id", "lang", "n_grams", "target_mass", "raw_mass", "dsir_key")
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

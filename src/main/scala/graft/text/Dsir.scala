@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance selection (Data Selection via Importance
+  * Resampling, Xie et al. 2023, arXiv:2302.03169 — public): pick raw
+  * documents whose hashed n-gram profile looks like a TARGET corpus.
+  * The paper scores log p_target(x) − log p_raw(x) under two hashed
+  * bag-of-ngrams models; floating log-sums differ across engines in the
+  * last ulp and their summation order is not reproducible, so — exactly
+  * like [[LmScore]] — this emits the INTEGER evidence the weight is made
+  * of: per document, the total attested count mass of its grams under
+  * each model. The selection key cross-multiplies with the models' total
+  * masses (size-bias cancels without a division) and floor-divides once
+  * at fixed scale — every output is bit-identical on any engine.
+  *
+  * Scale shape: a model IS a (bucket, cnt) DataFrame with at most
+  * `numBuckets` rows — broadcast size is CHOSEN, not data-dependent
+  * (the paper uses 10^4; the hash absorbs vocabulary growth, so 100 TB
+  * corpora cost the same join build side). Scoring explodes grams once;
+  * both model joins are broadcast; the per-doc roll-up is an integer
+  * sum with map-side combine, so the exchange carries ~one row per
+  * document. Products sit in DECIMAL(38,0): counts to ~1e14 (a 100 TB
+  * corpus) keep key numerators ≤ ~1e37.
+  *
+  * The gram hash is a md5-prefix mod — codegen'd on the Spark side and
+  * replayable in the DuckDB oracle (the q80 hexdigit-fold trick). An
+  * engine-local deployment that never needs cross-engine replay can swap
+  * in xxhash64 one line below.
+  */
+object Dsir {
+
+  private def toks(c: Column) = split(trim(lower(c)), "\\s+")
+
+  /** Unigrams ++ space-joined bigrams, one narrow array expression. */
+  private def gramsOf(w: Column): Column = {
+    val n1 = greatest(size(w) - 1, lit(0))
+    concat(w, zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b)))
+  }
+
+  /** Deterministic engine-replayable gram bucket in [0, numBuckets). */
+  def bucketOf(gram: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 15), 16, 10).cast("long"), lit(numBuckets))
+
+  /** Hashed bag-of-ngrams model: (bucket, cnt), at most numBuckets rows. */
+  def fitModel(corpus: DataFrame, textCol: String, numBuckets: Int): DataFrame =
+    corpus.select(explode(gramsOf(toks(col(textCol)))).as("g"))
+      .select(bucketOf(col("g"), numBuckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document integer importance signals: (id, n_grams, target_mass,
+    * raw_mass) where *_mass = Σ over the doc's grams of the model's count
+    * in that gram's bucket (0 if unattested). High target_mass relative
+    * to raw_mass ⇒ in-distribution for the target.
+    */
+  def importanceSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      raw: DataFrame,
+      numBuckets: Int,
+      carryCols: Seq[String] = Seq.empty
+  ): DataFrame =
+    docs.select(col(idCol) +: carryCols.map(col) :+
+        explode(gramsOf(toks(col(textCol)))).as("g"): _*)
+      .withColumn("bucket", bucketOf(col("g"), numBuckets))
+      .join(broadcast(target.select(col("bucket"), col("cnt").as("__t"))),
+        Seq("bucket"), "left")
+      .join(broadcast(raw.select(col("bucket"), col("cnt").as("__r"))),
+        Seq("bucket"), "left")
+      .groupBy(col(idCol) +: carryCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__t"), lit(0L))).as("target_mass"),
+        sum(coalesce(col("__r"), lit(0L))).as("raw_mass"))
+
+  /** Integer selection key in [0, scale]: the size-debiased target share
+    * floor(t·R·scale / (t·R + r·T)) where T, R are the models' total
+    * masses — cross-multiplied so differing corpus sizes cancel without
+    * a float division; `(p − p mod s)/s` is the repo's exact
+    * floor-division idiom (never a rounded decimal divide). Zero-evidence
+    * docs (no gram attested in either model) get key −1, below every
+    * real key.
+    */
+  def selectionKey(
+      signals: DataFrame,
+      targetTotal: Long,
+      rawTotal: Long,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val num = col("target_mass").cast(dec) * lit(rawTotal).cast(dec) * lit(scale).cast(dec)
+    val den = col("target_mass").cast(dec) * lit(rawTotal).cast(dec) +
+      col("raw_mass").cast(dec) * lit(targetTotal).cast(dec)
+    signals.withColumn("dsir_key",
+      when(den === 0, lit(-1L))
+        .otherwise(((num - pmod(num, den)) / den).cast("long")))
+  }
+
+  /** Full DSIR pass: fit both models, score, key, keep the top fraction
+    * per group by (dsir_key DESC, id ASC). Returns the selected docs'
+    * signals + key. Grouped selection (per-language / per-source budgets,
+    * the realistic curation shape) keeps the ranking window partitioned;
+    * an UNGROUPED global top-fraction funnels the window into one
+    * partition — at corpus scale derive a key threshold instead (the
+    * integer key makes an exact count-based quantile cheap) and filter.
+    */
+  def select(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCorpus: DataFrame,
+      fraction: Double,
+      numBuckets: Int = 1024,
+      groupCols: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val target = fitModel(targetCorpus, textCol, numBuckets)
+    val raw = fitModel(docs.select(col(textCol)), textCol, numBuckets)
+    // model totals are <= numBuckets-row aggregates — driver bookkeeping
+    def total(m: DataFrame): Long =
+      m.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+    val keyed = selectionKey(
+      importanceSignals(docs, idCol, textCol, target, raw, numBuckets,
+        carryCols = groupCols),
+      total(target), total(raw))
+    graft.operators.Sampling.topFractionByScore(
+      keyed, groupCols = groupCols, scoreCol = "dsir_key",
+      keyCols = Seq(idCol), fraction = fraction)
+  }
+}

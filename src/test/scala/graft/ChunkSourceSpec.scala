@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.TextFormats
-import graft.text.{Chunking, LmScore}
+import graft.text.{Chunking, Dsir, LmScore}
 import org.apache.spark.sql.functions._
 
 class ChunkSourceSpec extends SparkSpec {
@@ -126,5 +126,40 @@ class ChunkSourceSpec extends SparkSpec {
     assert(out(10L) == (3L, 1L, 2L, 1L))
     assert(out(11L) == (1L, 1L, 0L, 0L))
     assert(out(12L) == (2L, 0L, 1L, 0L))
+  }
+
+  test("Dsir: selectionKey integer arithmetic golden + zero-evidence sentinel") {
+    val sig = Seq(
+      (1L, 10L, 100L, 200L),
+      (2L, 5L, 0L, 0L),   // no gram attested in either model
+      (3L, 4L, 7L, 3L)
+    ).toDF("doc_id", "n_grams", "target_mass", "raw_mass")
+    val out = Dsir.selectionKey(sig, targetTotal = 50L, rawTotal = 500L)
+      .select("doc_id", "dsir_key").as[(Long, Long)].collect().toMap
+    // t·R = 100·500 = 50000, r·T = 200·50 = 10000 → ⌊50000e9/60000⌋
+    assert(out(1L) == BigInt(50000) * BigInt(1000000000) / BigInt(60000))
+    assert(out(2L) == -1L)
+    assert(out(3L) == BigInt(3500) * BigInt(1000000000) / BigInt(3650))
+  }
+
+  test("Dsir: target-like docs outrank off-target docs; selection is per-group") {
+    val docs = Seq(
+      (1L, "g", "cat cat sat mat"), (2L, "g", "cat sat on the mat"),
+      (3L, "g", "zebra quark flux blip"), (4L, "g", "quark blip www yyy"),
+      (5L, "h", "cat mat cat"), (6L, "h", "flux blip www")
+    ).toDF("doc_id", "lang", "text")
+    val sel = Dsir.select(docs, "doc_id", "text",
+        targetCorpus = docs.filter($"doc_id" <= 2), fraction = 0.5,
+        groupCols = Seq("lang"))
+    // group g keeps ceil(4·0.5)=2 (the two target docs themselves),
+    // group h keeps ceil(2·0.5)=1 (doc 5 shares cat/mat vocabulary with
+    // the target; doc 6 shares nothing)
+    assert(sel.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    // off-target doc with zero target evidence keys at 0 or -1, never above
+    val keys = Dsir.select(docs, "doc_id", "text",
+        targetCorpus = docs.filter($"doc_id" <= 2), fraction = 1.0,
+        groupCols = Seq("lang"))
+      .select("doc_id", "dsir_key").as[(Long, Long)].collect().toMap
+    assert(keys(1L) > keys(3L) && keys(5L) > keys(6L))
   }
 }
