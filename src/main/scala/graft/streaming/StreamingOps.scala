@@ -455,6 +455,72 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming semantic dedup — [[graft.dedup.SemanticDedup]]'s online
+    * admission shape: each micro-batch of new embeddings is assigned to
+    * the PREBUILT IVF index's cells, cosine-compared against the standing
+    * admitted corpus IN ITS TOUCHED CELLS ONLY (an `isin` on ≤ nlist cell
+    * ids prunes the prior scan to those partitions) plus itself, the
+    * duplicate edges fold into a [[graft.dedup.BucketedAssignStore]]
+    * (per-batch versions, replay-idempotent), and the batch's assigned
+    * rows are admitted under `corpusPath/batch_id=<n>` partitioned by
+    * cell. Per batch: O(batch + touched-cell corpus) I/O; the standing
+    * corpus is never rewritten. On crash replay the batch's own
+    * previously-admitted rows are excluded from the prior read so rows
+    * never pair against themselves.
+    */
+  def semanticDedupStream(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ivfIndexPath: String,
+      corpusPath: String,
+      assignPath: String,
+      checkpoint: String,
+      tau: Double,
+      numBuckets: Int = 64
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.dedup.SemanticDedup
+        import graft.similarity.Knn
+        val index = spark.read.parquet(ivfIndexPath)
+        val assigned = Knn.assignCells(batch, idCol, vecCol, index).persist()
+        try {
+          // touched cells: <= nlist ints — driver bookkeeping that turns
+          // the prior-corpus read into a partition-pruned scan
+          val cells = assigned.filter(col("cell") >= 0)
+            .select("cell").distinct().collect().map(_.getInt(0))
+          val corpusDir = new org.apache.hadoop.fs.Path(corpusPath)
+          val fs = corpusDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val prior =
+            if (cells.nonEmpty && fs.exists(corpusDir))
+              Some(spark.read.parquet(corpusPath)
+                .where(col("cell").isin(cells.map(c => c: Any): _*))
+                .filter(col("batch_id") =!= batchId))
+            else None
+          val inBatch = SemanticDedup.duplicatePairs(assigned, tau)
+            .select(col("id_a").as("src"), col("id_b").as("dst"))
+          val edges = prior.map { p =>
+            p.select(col("cell"), col("id").as("src"), col("v").as("pv"))
+              .join(assigned.filter(col("cell") >= 0)
+                .select(col("cell"), col("id").as("dst"), col("v").as("bv")),
+                Seq("cell"))
+              .filter(col("src") =!= col("dst") &&
+                Knn.cosine(col("pv"), col("bv")) >= tau)
+              .select(col("src"), col("dst"))
+              .unionByName(inBatch)
+          }.getOrElse(inBatch)
+          new graft.dedup.BucketedAssignStore(assignPath, numBuckets)
+            .merge(edges, batchId)
+          assigned.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$corpusPath/batch_id=$batchId")
+        } finally { assigned.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming BM25 inverted-index maintenance — [[annStream]]'s lexical
     * twin: each micro-batch of NEW documents (disjoint ids per batch —
     * the append-only ingest contract) folds into a postings store as its

@@ -348,6 +348,60 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == rebuilt)
   }
 
+  test("streaming semantic dedup: cross-batch duplicate admission equals batch-mode semDedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.{BucketedAssignStore, SemanticDedup}
+    import graft.similarity.Knn
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semstream").toString
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 50)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    Knn.buildIvfIndex(base, "id", "v", nlist = 4)
+      .write.mode("overwrite").parquet(s"$tmp/ivf")
+    val vecs = base.filter($"id" < 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // batch 1: vec0, vec1, and an exact twin of vec0 (in-batch dup);
+    // batch 2: ANOTHER twin of vec0 (must hit BOTH stored copies across
+    // the batch boundary) and vec2 (admitted clean)
+    val b1 = Seq((0L, vecs(0L)), (1L, vecs(1L)), (1000L, vecs(0L)))
+    val b2 = Seq((2000L, vecs(0L)), (2L, vecs(2L)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def run() = StreamingOps.semanticDedupStream(
+      mem.toDF().toDF("id", "v"), "id", "v",
+      s"$tmp/ivf", s"$tmp/corpus", s"$tmp/assign", s"$tmp/cp",
+      tau = 0.99, numBuckets = 8)
+    mem.addData(b1: _*)
+    run().awaitTermination(120000)
+    mem.addData(b2: _*)
+    run().awaitTermination(120000)
+    // the assignment store must equal batch-mode semDedup over ALL
+    // admitted rows (non-singleton components — singletons carry no edge)
+    val all = (b1 ++ b2).toDF("id", "v")
+    val batchMode = SemanticDedup.semDedup(
+        Knn.assignCells(all, "id", "v", spark.read.parquet(s"$tmp/ivf")),
+        tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedStore = {
+      val sizes = batchMode.groupBy(_._2).view.mapValues(_.size).toMap
+      batchMode.filter { case (_, c) => sizes(c) > 1 }
+    }
+    val got = new BucketedAssignStore(s"$tmp/assign", 8).load(spark).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expectedStore,
+      s"diff: ${(got.toSet diff expectedStore.toSet) ++ (expectedStore.toSet diff got.toSet)}")
+    assert(got.keySet == Set(0L, 1000L, 2000L) && got.values.forall(_ == 0L))
+    // every admitted row is in the cell-partitioned corpus store
+    val admitted = spark.read.parquet(s"$tmp/corpus")
+    assert(admitted.select("id").as[Long].collect().toSet ==
+      (b1 ++ b2).map(_._1).toSet)
+    // admitted rows carry the same cells batch-mode assignment computes
+    val gotCells = admitted.select("id", "cell").as[(Long, Int)].collect().toMap
+    val expCells = Knn.assignCells(all, "id", "v", spark.read.parquet(s"$tmp/ivf"))
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(gotCells == expCells)
+  }
+
   test("streaming ANN over a prebuilt IVF-PQ index equals the batch path per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.similarity.{Knn, Pq}
