@@ -113,7 +113,8 @@ object SparkEntry {
     "q100_hybrid_rrf" -> (LlmQueries.q100HybridRrf(_, _)),
     "q101_ks_drift" -> (CoreQueries.q101KsDrift(_, _)),
     "q102_semantic_dedup" -> (LlmQueries.q102SemanticDedup(_, _)),
-    "q103_dsir_select" -> (LlmQueries.q103DsirSelect(_, _))
+    "q103_dsir_select" -> (LlmQueries.q103DsirSelect(_, _)),
+    "q104_packed_sequences" -> (LlmQueries.q104PackedSequences(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -941,6 +942,23 @@ object SparkEntry {
         |SELECT bucket, n_base, n_cur, cum_base, cum_cur,
         |    CAST(abs(cum_base * tot_cur - cum_cur * tot_base) AS BIGINT) AS ks_num
         |FROM k ORDER BY bucket""".stripMargin,
+    // Packed-sequence emission: the oracle reads the SAME token-stream
+    // parquet (the greedy merges are the unreplayable part) and replays
+    // the q70-style packing window + per-token position arithmetic
+    "q104_packed_sequences" ->
+      """WITH t AS (SELECT doc_id, lang, toks FROM read_parquet('__GRAFT_FIXTURE:bpe_tokens__/*.parquet')),
+        |a AS (SELECT doc_id, lang, toks,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(sum(len(toks)) OVER (PARTITION BY lang
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |b AS (SELECT doc_id, lang, toks, cum - n AS start_offset,
+        |    CAST((cum - n) // 512 AS BIGINT) AS bin FROM a)
+        |SELECT lang, bin, doc_id,
+        |  CAST(start_offset + i - 1 AS BIGINT) AS gpos, toks[i] AS token
+        |FROM b, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
+        |ORDER BY lang, gpos""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

@@ -519,6 +519,42 @@ object LlmQueries {
           col("n_subword_tokens").cast("long").as("toks"))
     }
 
+  /** Per-document subword token STREAMS under the same corpus-trained
+    * vocabulary (docs subset: every 5th id keeps the gate's exploded-row
+    * count bounded), materialized once per sf dir — the tokens are the
+    * part SQL cannot replay (iterative greedy merges); everything
+    * downstream of the parquet boundary is replayed by the oracle.
+    */
+  private def bpeTrainedTokens(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedParquet(s, dir, "bpe_tokens") {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      val merges = graft.text.Bpe.trainMergesLocal(docs, "text", numMerges = 200)
+      TextAnalysis.bpeTokens(docs, "text", graft.text.Bpe.ranksOf(merges))
+        .select(col("doc_id"), col("lang"), col("toks"))
+    }
+
+  /** Packed-sequence EMISSION — the actual trainer feed, not just q88's
+    * chunk accounting: every token of every (subset) doc lands at an
+    * explicit global stream position `gpos` within its language's
+    * concatenated stream, with `bin` = the training chunk its document
+    * starts in (`gpos // budget` recovers the token's own chunk; docs
+    * straddle — inherent to concatenate-then-chunk). Shuffle story: ONE
+    * exchange (the packing window's partition by lang); the posexplode is
+    * narrow and after the window, so token rows never shuffle.
+    */
+  def q104PackedSequences(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Packing.chunkAssignments(
+      bpeTrainedTokens(s, dir).withColumn("n_toks", size(col("toks")).cast("long")),
+      Seq("lang"), Seq("doc_id"), "n_toks", budget = 512L)
+    assigned
+      .select(col("lang"), col("bin"), col("doc_id"), col("start_offset"),
+        posexplode(col("toks")))
+      .select(col("lang"), col("bin"), col("doc_id"),
+        (col("start_offset") + col("pos")).as("gpos"), col("col").as("token"))
+      .orderBy("lang", "gpos")
+  }
+
   /** Sequence packing under a REAL subword-BPE token budget (q70's regex
     * twin), vocabulary trained on the corpus itself. The counts fixture
     * is parquet on disk and the DuckDB oracle reads the SAME files

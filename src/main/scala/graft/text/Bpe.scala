@@ -219,9 +219,19 @@ object Bpe {
     * worst case but len is a word; the per-task memo in the DataFrame
     * kernel absorbs Zipf repetition.
     */
-  def subwordCount(word: String, ranks: Map[(String, String), Int]): Int = {
+  def subwordCount(word: String, ranks: Map[(String, String), Int]): Int =
+    mergeWord(word, ranks).length
+
+  /** The greedy-merge fixpoint itself: the word's final subword symbol
+    * sequence under `ranks` (merge the best-ranked adjacent pair, all
+    * occurrences left to right, until none applies — the GPT-2 BPE
+    * application rule). [[subwordCount]] is its length; [[Tokenizer]]
+    * emits it per pre-token for trainer-feed output.
+    */
+  def mergeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
     var n = word.length
-    if (n <= 1) n
+    if (n == 0) Array.empty
+    else if (n == 1) Array(word)
     else {
       var syms = new Array[String](n)
       var i = 0
@@ -260,7 +270,7 @@ object Bpe {
           n = o
         }
       }
-      n
+      if (n == syms.length) syms else java.util.Arrays.copyOf(syms, n)
     }
   }
 
@@ -311,6 +321,45 @@ object Bpe {
           total += c.intValue()
         }
         Some(total)
+      }
+  }
+
+  /** [[Counter]]'s sequence-emitting twin: the document's full subword
+    * token stream (pre-tokens in order, each expanded by [[mergeWord]])
+    * — the trainer-feed form that packed-sequence emission consumes.
+    * Same memo admission bounds and the same [[MaxExactWordLen]] chunked
+    * fallback (a chunked word's tokens are the concatenation of its
+    * chunks' tokens, so `tokens.length` always equals [[Counter]]'s
+    * count for the same input).
+    */
+  final class Tokenizer(ranks: Map[(String, String), Int])
+      extends (String => Option[Seq[String]]) with Serializable {
+    @transient private lazy val memo = new java.util.HashMap[String, Array[String]]()
+    @transient private lazy val pat =
+      java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+
+    private def tokens(w: String): Array[String] =
+      if (w.length <= MaxExactWordLen) mergeWord(w, ranks)
+      else (0 until w.length by MaxExactWordLen).iterator
+        .flatMap(i => mergeWord(
+          w.substring(i, math.min(i + MaxExactWordLen, w.length)), ranks))
+        .toArray
+
+    def apply(text: String): Option[Seq[String]] =
+      if (text == null) None
+      else {
+        val m = pat.matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val out = Seq.newBuilder[String]
+        while (m.find()) {
+          val w = m.group()
+          var t = memo.get(w)
+          if (t == null) {
+            t = tokens(w)
+            if (w.length <= 64 && memo.size < (1 << 18)) memo.put(w, t)
+          }
+          out ++= t
+        }
+        Some(out.result())
       }
   }
 }

@@ -186,6 +186,19 @@ object TextAnalysis {
     df.withColumn("n_subword_tokens",
       org.apache.spark.sql.functions.udf(new Bpe.Counter(ranks)).apply(col(textCol)))
 
+  /** The document's full subword token STREAM (pre-token order preserved)
+    * — [[bpeTokenCounts]]' sequence-emitting twin, the form packed-
+    * sequence emission consumes. Same narrow one-pass shape; NULL text →
+    * NULL array.
+    */
+  def bpeTokens(
+      df: DataFrame,
+      textCol: String,
+      ranks: Map[(String, String), Int] = Bpe.defaultRanks
+  ): DataFrame =
+    df.withColumn("toks",
+      org.apache.spark.sql.functions.udf(new Bpe.Tokenizer(ranks)).apply(col(textCol)))
+
   /** Repetition signal: type-token ratio (distinct/total whitespace
     * tokens) per document — the Gopher-style "repetitious document" filter
     * feature. Narrow codegen'd array ops, no shuffle.

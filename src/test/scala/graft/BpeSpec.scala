@@ -94,6 +94,40 @@ class BpeSpec extends SparkSpec {
     assert(stopped.length < 8 && local.startsWith(stopped))
   }
 
+  test("mergeWord emits the golden symbol sequences; Tokenizer streams match Counter lengths") {
+    val r = Bpe.defaultRanks
+    // sequences for the same golden words the count test pins
+    assert(Bpe.mergeWord("the", r).toSeq == Seq("the"))
+    assert(Bpe.mergeWord("thing", r).toSeq == Seq("th", "ing"))
+    assert(Bpe.mergeWord("hello", r).toSeq == Seq("he", "ll", "o"))
+    assert(Bpe.mergeWord("for", r).toSeq == Seq("f", "or"))
+    assert(Bpe.mergeWord("whizz", r).toSeq == Seq("whi", "z", "z"))
+    assert(Bpe.mergeWord("thth", r).toSeq == Seq("th", "th"))
+    assert(Bpe.mergeWord("a", r).toSeq == Seq("a"))
+    assert(Bpe.mergeWord("", r).isEmpty)
+    // concatenating a word's tokens recovers the word
+    Seq("the", "thing", "hello", "whizz", "2024").foreach(w =>
+      assert(Bpe.mergeWord(w, r).mkString == w))
+    // document-level: token stream length == Counter's count, pre-token
+    // order preserved, NULL text -> None; covers the chunked-word path too
+    val tok = new Bpe.Tokenizer(r)
+    val cnt = new Bpe.Counter(r)
+    val texts = Seq("The thing, for you!", "hello  WHIZZ 2024", "",
+      "a" * (Bpe.MaxExactWordLen * 2 + 5))
+    texts.foreach { t =>
+      assert(tok(t).get.length == cnt(t).get, s"length mismatch on '${t.take(30)}'")
+    }
+    assert(tok("the thing").get == Seq("the", "th", "ing"))
+    assert(tok(null).isEmpty && cnt(null).isEmpty)
+    // corpus sample: the invariant holds on real text via the DataFrame API
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(50)
+    val both = TextAnalysis.bpeTokens(docs, "text")
+      .withColumn("n_stream", size(col("toks")).cast("long"))
+    val joined = TextAnalysis.bpeTokenCounts(both, "text")
+      .filter(col("n_stream") =!= col("n_subword_tokens").cast("long"))
+    assert(joined.count() == 0)
+  }
+
   test("hostile long-word input: chunked counting is bounded and deterministic") {
     val r = Bpe.defaultRanks
     val n = Bpe.MaxExactWordLen * 3 + 17
