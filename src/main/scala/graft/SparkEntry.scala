@@ -114,7 +114,8 @@ object SparkEntry {
     "q101_ks_drift" -> (CoreQueries.q101KsDrift(_, _)),
     "q102_semantic_dedup" -> (LlmQueries.q102SemanticDedup(_, _)),
     "q103_dsir_select" -> (LlmQueries.q103DsirSelect(_, _)),
-    "q104_packed_sequences" -> (LlmQueries.q104PackedSequences(_, _))
+    "q104_packed_sequences" -> (LlmQueries.q104PackedSequences(_, _)),
+    "q105_line_dedup_scrub" -> (LlmQueries.q105LineDedupScrub(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -942,6 +943,28 @@ object SparkEntry {
         |SELECT bucket, n_base, n_cur, cum_base, cum_cur,
         |    CAST(abs(cum_base * tot_cur - cum_cur * tot_base) AS BIGINT) AS ks_num
         |FROM k ORDER BY bucket""".stripMargin,
+    // Global line dedup + scrub: first-occurrence by the same integer
+    // (id << 20) + pos encoding, reassembly via ordered string_agg; a
+    // fully-scrubbed doc is '' on both engines (coalesce)
+    "q105_line_dedup_scrub" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id,
+        |    'shared boilerplate header' || chr(10) || text || chr(10) || 'shared boilerplate footer' AS text
+        |  FROM d0),
+        |l AS (SELECT doc_id, i - 1 AS pos, string_split(text, chr(10))[i] AS line
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i) r),
+        |f AS (SELECT md5(line) AS k, min(doc_id * 1048576 + pos) AS first_code
+        |  FROM l GROUP BY 1),
+        |kk AS (SELECT l.doc_id, l.pos, l.line,
+        |    (l.doc_id * 1048576 + l.pos) = f.first_code AS keep
+        |  FROM l JOIN f ON md5(l.line) = f.k)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM kk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Packed-sequence emission: the oracle reads the SAME token-stream
     // parquet (the greedy merges are the unreplayable part) and replays
     // the q70-style packing window + per-token position arithmetic

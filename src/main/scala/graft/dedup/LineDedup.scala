@@ -1,0 +1,70 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Global exact line-level deduplication with text reconstruction — the
+  * C4 pipeline's "discard all but one of any three-sentence span / keep
+  * one occurrence of every line" family (Raffel et al. 2020, public):
+  * boilerplate (headers, footers, cookie banners) repeats across
+  * millions of pages and must be scrubbed CORPUS-globally, keeping only
+  * the first occurrence. The reference corpus has no such operator;
+  * this is part of the LLM-pipeline extension set (SURVEY §2.3).
+  *
+  * Skew contract (100 TB): the na(i)ve formulation — a row_number window
+  * partitioned by line hash — funnels every occurrence of a universal
+  * boilerplate line into ONE reducer. Here first-occurrence is a plain
+  * `min` AGGREGATE over an integer (id, pos) encoding: partial
+  * aggregation combines map-side, so a line repeated a billion times
+  * exchanges one row per upstream partition, not a billion. Reassembly
+  * groups by doc — the second (and last) shuffle; `sort_array` on
+  * (pos, line) structs restores order without a window.
+  *
+  * The (id, pos) encoding packs pos into the low [[PosBits]] bits:
+  * callers need `pos < 2^PosBits` (a million+ lines in ONE document)
+  * and `id < 2^(63-PosBits)`; violations fail fast per-row rather than
+  * silently misorder.
+  */
+object LineDedup {
+
+  val PosBits: Int = 20
+
+  /** Scrub to one global occurrence per distinct line (first by (id,
+    * pos)), reassembling each document. Returns (id, text_clean,
+    * n_lines, n_kept); a document whose every line is scrubbed keeps
+    * its row with empty text.
+    */
+  def scrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"
+  ): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
+      .withColumn("k", md5(col("line")))
+      .withColumn("code",
+        when(col("pos") < lit(1L << PosBits) &&
+             col("id").cast("long") < lit(1L << (63 - PosBits)),
+          shiftleft(col("id").cast("long"), PosBits) + col("pos"))
+          .otherwise(raise_error(
+            format_string("LineDedup (id,pos) encoding overflow: id=%s pos=%s",
+              col("id"), col("pos")))))
+    val firsts = lines.groupBy("k").agg(min(col("code")).as("first_code"))
+    lines.join(firsts, Seq("k"))
+      .withColumn("keep", col("code") === col("first_code"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          sep).as("text_clean"))
+      .select(col("id"), col("text_clean"), col("n_lines"), col("n_kept"))
+  }
+}

@@ -874,6 +874,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** C4-style global line dedup + scrub: every doc gets a shared
+    * boilerplate header and footer line around its body, plus exact
+    * twins — the scrub must keep ONE global occurrence of each line
+    * (first by (id, pos)) and reassemble: the min-id doc keeps the
+    * header/footer, originals keep their bodies, exact twins are
+    * scrubbed to empty. clean_md5 gates the reconstructed TEXT exactly.
+    */
+  def q105LineDedupScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithExactCopies(s, dir)
+      .withColumn("text", concat_ws("\n",
+        lit("shared boilerplate header"), col("text"),
+        lit("shared boilerplate footer")))
+    LineDedup.scrub(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
+        col("n_lines"), col("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

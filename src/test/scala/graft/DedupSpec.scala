@@ -244,6 +244,32 @@ class DedupSpec extends SparkSpec {
       s"cap diff: ${(incCap diff fullCap) ++ (fullCap diff incCap)}")
   }
 
+  test("line dedup scrub: global first occurrence, reconstruction, empty-doc survival") {
+    val d = Seq(
+      (1L, "hdr\nbody one\nftr"),
+      (2L, "hdr\nbody two\nftr"),   // header+footer scrubbed, body kept
+      (3L, "hdr\nbody one\nftr"),   // exact twin of 1 → fully scrubbed
+      (4L, "solo")                  // untouched single-line doc
+    ).toDF("doc_id", "text")
+    val out = LineDedup.scrub(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ("hdr\nbody one\nftr", 3L, 3L))
+    assert(out(2L) == ("body two", 3L, 1L))
+    assert(out(3L) == ("", 3L, 0L)) // row survives with empty text
+    assert(out(4L) == ("solo", 1L, 1L))
+    // first occurrence is by (id, pos), not arbitrary: a line appearing
+    // later in doc 1 and earlier in doc 5 stays with doc 1 (lower id)
+    val d2 = Seq((1L, "x\nshared"), (5L, "shared\ny")).toDF("doc_id", "text")
+    val out2 = LineDedup.scrub(d2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "x\nshared", 5L -> "y"))
+    // encoding overflow fails fast rather than misordering
+    val bad = Seq((1L << 50, "a\nb")).toDF("doc_id", "text")
+    val e = intercept[Exception](LineDedup.scrub(bad, "doc_id", "text").collect())
+    assert(e.getMessage != null)
+  }
+
   test("semantic dedup: within-cell pairs, components, min-id keep, sentinel cell") {
     val vA = Seq(1.0, 0.0, 0.0)
     val vB = Seq(0.0, 1.0, 0.0)
