@@ -115,7 +115,8 @@ object SparkEntry {
     "q102_semantic_dedup" -> (LlmQueries.q102SemanticDedup(_, _)),
     "q103_dsir_select" -> (LlmQueries.q103DsirSelect(_, _)),
     "q104_packed_sequences" -> (LlmQueries.q104PackedSequences(_, _)),
-    "q105_line_dedup_scrub" -> (LlmQueries.q105LineDedupScrub(_, _))
+    "q105_line_dedup_scrub" -> (LlmQueries.q105LineDedupScrub(_, _)),
+    "q106_dsir_prebuilt" -> (LlmQueries.q106DsirPrebuilt(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -985,36 +986,10 @@ object SparkEntry {
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer
-    "q103_dsir_select" ->
-      """WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id, lang,
-        |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
-        |  FROM tok),
-        |b AS (SELECT doc_id, lang,
-        |    list_reduce(list_transform(range(1, 16), i ->
-        |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
-        |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
-        |  FROM g, unnest(gs) AS u(gram)),
-        |tm AS (SELECT bucket, count(*) AS cnt FROM b WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY 1),
-        |rm AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
-        |tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS t_tot FROM tm),
-        |rt AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS r_tot FROM rm),
-        |sig AS (SELECT doc_id, lang, count(*) AS n_grams,
-        |    sum(coalesce(tm.cnt, 0)) AS target_mass,
-        |    sum(coalesce(rm.cnt, 0)) AS raw_mass
-        |  FROM b LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
-        |  GROUP BY doc_id, lang),
-        |k AS (SELECT doc_id, lang, n_grams, target_mass, raw_mass,
-        |    CASE WHEN CAST(target_mass AS HUGEINT) * r_tot + CAST(raw_mass AS HUGEINT) * t_tot = 0 THEN -1
-        |      ELSE CAST((CAST(target_mass AS HUGEINT) * r_tot * 1000000000) //
-        |        (CAST(target_mass AS HUGEINT) * r_tot + CAST(raw_mass AS HUGEINT) * t_tot) AS BIGINT) END AS dsir_key
-        |  FROM sig, tt, rt),
-        |sel AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY dsir_key DESC, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY lang) AS n FROM k)
-        |SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
-        |  CAST(target_mass AS BIGINT) AS target_mass,
-        |  CAST(raw_mass AS BIGINT) AS raw_mass, dsir_key
-        |FROM sel WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin,
+    "q103_dsir_select" -> DsirOracleSql,
+    // prebuilt-models twin must produce IDENTICAL output — the oracle
+    // refits in SQL, so it also re-verifies the fixtures' content
+    "q106_dsir_prebuilt" -> DsirOracleSql,
     // SemDeDup: the oracle reads the SAME (id, v, cell) assignment parquet
     // the Spark query read (cell assignment is ingest-time corpus state),
     // then replays within-cell pair generation, the recursive-CTE
@@ -1545,6 +1520,41 @@ object SparkEntry {
       |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
       |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
       |  FROM t, st)""".stripMargin
+
+  /** Shared by q103 (in-query model fit) and q106 (prebuilt-model
+    * fixtures): the oracle refits both hashed-gram models in SQL, so for
+    * q106 it also re-verifies the fixtures' content.
+    */
+  private val DsirOracleSql: String =
+    """WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id, lang,
+      |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
+      |  FROM tok),
+      |b AS (SELECT doc_id, lang,
+      |    list_reduce(list_transform(range(1, 16), i ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
+      |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
+      |  FROM g, unnest(gs) AS u(gram)),
+      |tm AS (SELECT bucket, count(*) AS cnt FROM b WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY 1),
+      |rm AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+      |tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS t_tot FROM tm),
+      |rt AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS r_tot FROM rm),
+      |sig AS (SELECT doc_id, lang, count(*) AS n_grams,
+      |    sum(coalesce(tm.cnt, 0)) AS target_mass,
+      |    sum(coalesce(rm.cnt, 0)) AS raw_mass
+      |  FROM b LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+      |  GROUP BY doc_id, lang),
+      |k AS (SELECT doc_id, lang, n_grams, target_mass, raw_mass,
+      |    CASE WHEN CAST(target_mass AS HUGEINT) * r_tot + CAST(raw_mass AS HUGEINT) * t_tot = 0 THEN -1
+      |      ELSE CAST((CAST(target_mass AS HUGEINT) * r_tot * 1000000000) //
+      |        (CAST(target_mass AS HUGEINT) * r_tot + CAST(raw_mass AS HUGEINT) * t_tot) AS BIGINT) END AS dsir_key
+      |  FROM sig, tt, rt),
+      |sel AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY dsir_key DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n FROM k)
+      |SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(target_mass AS BIGINT) AS target_mass,
+      |  CAST(raw_mass AS BIGINT) AS raw_mass, dsir_key
+      |FROM sel WHERE rn <= ceil(n * 0.25) ORDER BY doc_id""".stripMargin
 
   private val Bm25OracleSql: String =
     s"""WITH $Bm25Ctes,

@@ -874,6 +874,28 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** q103's production twin (the q33/q85 bisect applied to DSIR): both
+    * hashed-gram models are PREBUILT parquet-roundtripped fixtures —
+    * models are corpus state fit at ingest — so query-time work is
+    * scoring + key + selection only. Same oracle expectation as q103
+    * modulo the fixture read; the q103 − q106 bench delta isolates the
+    * two model-fit corpus passes.
+    */
+  def q106DsirPrebuilt(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    val target = Fixtures.cachedParquet(s, dir, "dsir_target") {
+      graft.text.Dsir.fitModel(
+        d.filter(col("lang") === "en" && col("doc_id") % 2 === 0), "text", 1024)
+    }
+    val raw = Fixtures.cachedParquet(s, dir, "dsir_raw") {
+      graft.text.Dsir.fitModel(d, "text", 1024)
+    }
+    graft.text.Dsir.selectWithModels(d, "doc_id", "text", target, raw,
+        fraction = 0.25, numBuckets = 1024, groupCols = Seq("lang"))
+      .select("doc_id", "lang", "n_grams", "target_mass", "raw_mass", "dsir_key")
+      .orderBy("doc_id")
+  }
+
   /** C4-style global line dedup + scrub: every doc gets a shared
     * boilerplate header and footer line around its body, plus exact
     * twins — the scrub must keep ONE global occurrence of each line

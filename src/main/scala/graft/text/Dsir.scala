@@ -117,8 +117,31 @@ object Dsir {
       numBuckets: Int = 1024,
       groupCols: Seq[String] = Seq.empty
   ): DataFrame = {
-    val target = fitModel(targetCorpus, textCol, numBuckets)
-    val raw = fitModel(docs.select(col(textCol)), textCol, numBuckets)
+    // persisted so the totals() actions and the scoring joins share one
+    // fit each — without this the model lineage (a corpus gram pass)
+    // recomputes per action; models are <= numBuckets rows, so the cache
+    // cost is nil
+    val target = fitModel(targetCorpus, textCol, numBuckets).persist()
+    val raw = fitModel(docs.select(col(textCol)), textCol, numBuckets).persist()
+    selectWithModels(docs, idCol, textCol, target, raw, fraction, numBuckets,
+      groupCols)
+  }
+
+  /** [[select]] against PREBUILT models — the production shape: the two
+    * (bucket, cnt) frames are corpus state fit at ingest (persist them
+    * like any index), so query-time work is scoring + key + selection
+    * only.
+    */
+  def selectWithModels(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      raw: DataFrame,
+      fraction: Double,
+      numBuckets: Int = 1024,
+      groupCols: Seq[String] = Seq.empty
+  ): DataFrame = {
     // model totals are <= numBuckets-row aggregates — driver bookkeeping
     def total(m: DataFrame): Long =
       m.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
