@@ -364,4 +364,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(exchanges <= 2, // plan frame's two-phase agg partitions
       s"corpus side of epochExpand must not shuffle ($exchanges exchanges):\n${ePlan.take(2000)}")
   }
+
+  test("round-5 plan shapes: packed emission one exchange, line scrub window-free, semantic pairs cell-hashed") {
+    import graft.dedup.{LineDedup, SemanticDedup}
+    import graft.text.{Packing, TextAnalysis}
+    def nonBroadcastExchanges(plan: String): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    // packed-sequence emission: the packing window's exchange is the ONLY
+    // one; posexplode is downstream of it so token rows never shuffle
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val toks = TextAnalysis.bpeTokens(docs, "text")
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+    val packed = Packing.chunkAssignments(toks, Seq("lang"), Seq("doc_id"), "n_toks", 512L)
+      .select(col("lang"), col("bin"), posexplode(col("toks")))
+    val pPlan = packed.queryExecution.executedPlan.toString
+    assert(nonBroadcastExchanges(pPlan) == 1,
+      s"packed emission must shuffle exactly once (the packing window):\n${pPlan.take(2000)}")
+    assert(pPlan.contains("Generate"), "posexplode must stay in the plan")
+    // line scrub: the skew contract is that first-occurrence is an
+    // AGGREGATE (map-side combinable), never a per-line-hash Window
+    val scrub = LineDedup.scrub(docs.withColumn("text",
+      concat_ws("\n", lit("hdr"), col("text"))), "doc_id", "text")
+    val sPlan = scrub.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Window"),
+      s"line scrub must not use a window (hot boilerplate key would funnel):\n${sPlan.take(2000)}")
+    assert(sPlan.contains("partial_min") || sPlan.contains("min("),
+      s"first-occurrence must be a min aggregate:\n${sPlan.take(2000)}")
+    // semantic dedup pair generation: a hash join on cell, never a
+    // cartesian product
+    val assigned = Knn.assignCells(
+      Tables.embeddings(spark, sf).limit(200), "vec_id", "embedding",
+      Knn.buildIvfIndex(Tables.embeddings(spark, sf).limit(200), "vec_id", "embedding", nlist = 4))
+    val pairs = SemanticDedup.duplicatePairs(assigned, tau = 0.99)
+    val prPlan = pairs.queryExecution.executedPlan.toString
+    assert(!prPlan.contains("CartesianProduct") && !prPlan.contains("BroadcastNestedLoop"),
+      s"pair generation must hash-join on cell:\n${prPlan.take(2000)}")
+  }
 }
