@@ -555,6 +555,47 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming DSIR admission — [[graft.text.Dsir]]'s online form: the
+    * two hashed-gram models are FROZEN corpus state (parquet fixtures,
+    * the q106 prebuilt contract), each micro-batch of arriving docs is
+    * scored against them and admitted iff its integer selection key
+    * clears `minKey`. A fixed threshold (not a per-batch fraction) is
+    * the correct online semantics: the score scale is set by the frozen
+    * models, so admission is stable across batches and replays. Batch
+    * output overwrites its own `batch_id=<n>` dir (idempotent replay,
+    * same contract as the other ingest streams). Per batch: one gram
+    * pass over the batch + two ≤ numBuckets-row broadcast joins.
+    */
+  def dsirAdmissionStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetModelPath: String,
+      rawModelPath: String,
+      outPath: String,
+      checkpoint: String,
+      minKey: Long,
+      numBuckets: Int = 1024
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.text.Dsir
+        val target = spark.read.parquet(targetModelPath)
+        val raw = spark.read.parquet(rawModelPath)
+        def total(m: DataFrame): Long =
+          m.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+        Dsir.selectionKey(
+            Dsir.importanceSignals(batch, idCol, textCol, target, raw, numBuckets),
+            total(target), total(raw))
+          .filter(col("dsir_key") >= minKey)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

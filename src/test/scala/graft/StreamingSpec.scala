@@ -402,6 +402,51 @@ class StreamingSpec extends SparkSpec {
     assert(gotCells == expCells)
   }
 
+  test("streaming DSIR admission: per-batch keys equal batch mode; threshold is stable across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.Dsir
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    // frozen models: target = even ids, raw = whole reference corpus
+    Dsir.fitModel(corpus.filter($"doc_id" % 2 === 0), "text", 256)
+      .write.mode("overwrite").parquet(s"$tmp/target")
+    Dsir.fitModel(corpus, "text", 256)
+      .write.mode("overwrite").parquet(s"$tmp/raw")
+    val arriving = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = arriving.splitAt(20)
+    val minKey = 500000000L
+    val mem = MemoryStream[(Long, String)]
+    def run() = StreamingOps.dsirAdmissionStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/target", s"$tmp/raw", s"$tmp/out", s"$tmp/cp",
+      minKey = minKey, numBuckets = 256)
+    mem.addData(b1: _*)
+    run().awaitTermination(120000)
+    mem.addData(b2: _*)
+    run().awaitTermination(120000)
+    // batch-mode twin over the SAME frozen models
+    def total(m: org.apache.spark.sql.DataFrame): Long =
+      m.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+    val t = spark.read.parquet(s"$tmp/target"); val r0 = spark.read.parquet(s"$tmp/raw")
+    val expected = Dsir.selectionKey(
+        Dsir.importanceSignals(arriving.toDF("doc_id", "text"), "doc_id", "text",
+          t, r0, 256),
+        total(t), total(r0))
+      .filter(col("dsir_key") >= minKey)
+      .select("doc_id", "dsir_key").as[(Long, Long)].collect().toMap
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "dsir_key").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    assert(got.nonEmpty && got.size < arriving.size,
+      s"threshold should admit some and reject some (admitted ${got.size}/${arriving.size})")
+  }
+
   test("streaming ANN over a prebuilt IVF-PQ index equals the batch path per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.similarity.{Knn, Pq}
