@@ -13,7 +13,24 @@ object Tables {
   )
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The driver's parquet has carried timestamps three ways across data
+    * regenerations: TIMESTAMP(NANOS) (long under nanosAsLong), tz-aware
+    * micros (LTZ), and naive micros — which Spark 4 infers as
+    * TIMESTAMP_NTZ by default. NTZ breaks watermarks and long casts, so
+    * graft's own sessions disable the inference
+    * (`spark.sql.parquet.inferTimestampNTZ.enabled=false`); this cast is
+    * the safety net for FOREIGN sessions (the driver's smoke check)
+    * where that config isn't ours to set. Under a UTC session the cast
+    * preserves the wall-clock reading exactly.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -609,6 +609,10 @@ object StreamingOps {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive micros under NTZ inference: watermarks need LTZ (see
+        // Tables.normalizeNtz); under a UTC session the cast is exact
+        stream.withColumn("ts", col("ts").cast("timestamp"))
       case _ => stream
     }
   }
