@@ -99,6 +99,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lit(children(3), "seed"))
       }
     ))
+    // graft_nfc(text) — Unicode NFC normalization (DuckDB: nfc_normalize)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc takes exactly 1 argument")
+        graft.functions.NfcNormalize(Cast(children.head, StringType))
+      }
+    ))
     // graft_simhash(tokens, portable) — the native simhash kernel
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),

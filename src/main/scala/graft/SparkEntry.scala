@@ -116,7 +116,8 @@ object SparkEntry {
     "q103_dsir_select" -> (LlmQueries.q103DsirSelect(_, _)),
     "q104_packed_sequences" -> (LlmQueries.q104PackedSequences(_, _)),
     "q105_line_dedup_scrub" -> (LlmQueries.q105LineDedupScrub(_, _)),
-    "q106_dsir_prebuilt" -> (LlmQueries.q106DsirPrebuilt(_, _))
+    "q106_dsir_prebuilt" -> (LlmQueries.q106DsirPrebuilt(_, _)),
+    "q107_normalize_scrub" -> (LlmQueries.q107NormalizeScrub(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -983,6 +984,41 @@ object SparkEntry {
         |  CAST(start_offset + i - 1 AS BIGINT) AS gpos, toks[i] AS token
         |FROM b, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
         |ORDER BY lang, gpos""".stripMargin,
+    // Normalization scrub: nfc_normalize + the IDENTICAL regexp chain
+    // (character classes + fixed alternatives only — no group refs, no
+    // lookaround — so RE2 and Java regex agree); messy suffix built from
+    // the same chr() code points the Spark query embeds as \u escapes
+    "q107_normalize_scrub" ->
+      """WITH m AS (SELECT doc_id,
+        |    '  ' || text || chr(13) || chr(10) || 'line with' || chr(9) || 'tabs' || chr(9) || 'and   runs   ' ||
+        |    chr(13) || 'lone cr line' || chr(10) || chr(10) || chr(10) || chr(10) ||
+        |    'cafe' || chr(769) || ' vs caf' || chr(233) ||
+        |    ' zero' || chr(8203) || 'width' || chr(173) || 'soft' ||
+        |    'ctrl' || chr(1) || chr(2) || 'chars' ||
+        |    chr(10) || ' end ' AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text,
+        |    trim(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         regexp_replace(
+        |          regexp_replace(
+        |           nfc_normalize(text),
+        |           '[\x{200B}-\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+        |          '\r\n?', chr(10), 'g'),
+        |         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        '[ \t]+', ' ', 'g'),
+        |       ' ?\n ?', chr(10), 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g'),
+        |     ' ' || chr(10)) AS text_norm
+        |  FROM m)
+        |SELECT doc_id, md5(text_norm) AS norm_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+        |  text_norm <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup._
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.{Bm25, Chunking, LmScore, Packing, TextAnalysis}
+import graft.text.{Bm25, Chunking, LmScore, Normalize, Packing, TextAnalysis}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -911,6 +911,32 @@ object LlmQueries {
     LineDedup.scrub(docs, "doc_id", "text")
       .select(col("id").as("doc_id"), md5(col("text_clean")).as("clean_md5"),
         col("n_lines"), col("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Unicode/whitespace normalization scrub: every document gets a messy
+    * suffix exercising each rule — CRLF + lone CR line endings, tab and
+    * space runs, trailing spaces, a blank-line run, a decomposed-é NFC
+    * pair, zero-width/soft-hyphen invisibles, C0 controls — and the gate
+    * hashes the scrubbed text against DuckDB replaying `nfc_normalize` +
+    * the identical regexp chain.
+    */
+  def q107NormalizeScrub(s: SparkSession, dir: String): DataFrame = {
+    val messy = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        lit("  "), col("text"),
+        lit("\r\nline with\ttabs\tand   runs   "),
+        lit("\rlone cr line"),
+        lit("\n\n\n\n"),
+        lit("cafe\u0301 vs caf\u00e9"),
+        lit(" zero\u200Bwidth\u00ADsoft"),
+        lit("ctrl\u0001\u0002chars"),
+        lit("\n end ")
+      ).as("text"))
+    Normalize.clean(messy, "doc_id", "text")
+      .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"),
+        col("n_chars_raw"), col("n_chars_norm"), col("changed"))
       .orderBy("doc_id")
   }
 
