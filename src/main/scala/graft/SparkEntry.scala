@@ -117,7 +117,8 @@ object SparkEntry {
     "q104_packed_sequences" -> (LlmQueries.q104PackedSequences(_, _)),
     "q105_line_dedup_scrub" -> (LlmQueries.q105LineDedupScrub(_, _)),
     "q106_dsir_prebuilt" -> (LlmQueries.q106DsirPrebuilt(_, _)),
-    "q107_normalize_scrub" -> (LlmQueries.q107NormalizeScrub(_, _))
+    "q107_normalize_scrub" -> (LlmQueries.q107NormalizeScrub(_, _)),
+    "q108_url_canonical" -> (LlmQueries.q108UrlCanonical(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1019,6 +1020,44 @@ object SparkEntry {
         |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
         |  text_norm <> text AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+    // URL canonicalization: same synthesized messy URLs, same regexp
+    // chain (character classes + fixed/non-capturing alternatives only)
+    "q108_url_canonical" ->
+      """WITH d AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'http' ELSE 'https' END) ||
+        |    '://' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'ExAmple' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.COM' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '' ELSE '/Path/' || CAST(doc_id % 13 AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=news&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+        |          WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN '#Sec' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0 FROM d),
+        |q AS (SELECT doc_id, url,
+        |    lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |    regexp_replace(regexp_replace(regexp_extract(u0, '\?(.*)$', 1),
+        |      '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)=[^&]*', '', 'g'), '^&+', '') AS cq
+        |  FROM p),
+        |r AS (SELECT doc_id, url, scheme,
+        |    lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, pth, cq
+        |  FROM q),
+        |t AS (SELECT *,
+        |    regexp_extract(host, '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[a-z][a-z]|[^.]+\.[^.]+)$', 1) AS dom
+        |  FROM r)
+        |SELECT doc_id, url, scheme, host,
+        |  CASE WHEN dom = '' THEN host ELSE dom END AS domain,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443'))
+        |    THEN ':' || port ELSE '' END) ||
+        |  (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |  (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical
+        |FROM t ORDER BY doc_id""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup._
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.{Bm25, Chunking, LmScore, Normalize, Packing, TextAnalysis}
+import graft.text.{Bm25, Chunking, LmScore, Normalize, Packing, TextAnalysis, Urls}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -938,6 +938,31 @@ object LlmQueries {
       .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"),
         col("n_chars_raw"), col("n_chars_norm"), col("changed"))
       .orderBy("doc_id")
+  }
+
+  /** URL canonicalization: every doc gets a synthesized messy URL —
+    * mixed-case schemes/hosts, default and explicit ports, empty and
+    * real paths, tracking params in first/middle positions, fragments
+    * — and the gate hashes scheme/host/registered-domain/canonical
+    * against DuckDB replaying the identical regexp chain.
+    */
+  def q108UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http").otherwise("https"),
+      lit("://"),
+      when(id % 2 === 0, "WWW.").otherwise(""),
+      lit("ExAmple"), (id % 7).cast("string"),
+      when(id % 5 === 0, ".CO.UK").otherwise(".COM"),
+      when(id % 4 === 0, ":443").when(id % 4 === 1, ":8080").otherwise(""),
+      when(id % 6 === 0, "").otherwise(concat(lit("/Path/"), (id % 13).cast("string"))),
+      when(id % 2 === 0,
+        concat(lit("?utm_source=news&id="), id.cast("string"), lit("&utm_campaign=x")))
+        .when(id % 5 === 1, concat(lit("?id="), id.cast("string")))
+        .otherwise(""),
+      when(id % 3 === 2, "#Sec").otherwise(""))
+    val d = Tables.documents(s, dir).select(col("doc_id")).withColumn("url", url)
+    Urls.canonicalReport(d, "doc_id", "url").orderBy("doc_id")
   }
 
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */

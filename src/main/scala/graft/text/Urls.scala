@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registered-domain extraction — the
+  * provenance toolkit of web-corpus curation (CCNet / RefinedWeb
+  * family, public): URL-keyed exact dedup, per-domain caps
+  * ([[graft.operators.Sampling]] capPerGroup), domain blocklists, and
+  * per-domain mixture reporting all need ONE canonical form per page
+  * ("HTTPS://WWW.Ex.COM:443/p?utm_source=x&id=1#top" and
+  * "https://www.ex.com/p?id=1" are the same page).
+  *
+  * Every step is a `regexp_extract`/`regexp_replace` with character
+  * classes, fixed alternatives and non-capturing groups only — no
+  * lookaround, no group references in replacements — so Java regex and
+  * RE2 (the DuckDB oracle) agree byte-for-byte. All narrow
+  * projections: shuffle-free, scan speed at 100 TB.
+  *
+  * Canonical form: lowercase scheme and host, default port dropped
+  * (http:80 / https:443), fragment dropped, tracking parameters
+  * removed (utm_*, fbclid, gclid, msclkid, mc_eid, ref), empty path →
+  * "/". Everything else (path case, param order, percent-encoding) is
+  * preserved — aggressive rewrites there change page identity.
+  */
+object Urls {
+
+  /** Tracking query parameters stripped during canonicalization. */
+  val TrackingParamsPattern = "(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)=[^&]*"
+
+  private def noFrag(url: Column): Column = regexp_replace(url, "#.*$", "")
+
+  /** Lowercased scheme ("" if the value is not a scheme://-style URL). */
+  def scheme(url: Column): Column =
+    lower(regexp_extract(noFrag(url), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  private def hostPort(url: Column): Column =
+    regexp_extract(noFrag(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Lowercased host with any :port suffix removed. */
+  def host(url: Column): Column =
+    lower(regexp_replace(hostPort(url), ":[0-9]*$", ""))
+
+  /** Explicit port as a string, "" when absent. */
+  def port(url: Column): Column =
+    regexp_extract(hostPort(url), ":([0-9]+)$", 1)
+
+  /** Path component; "" when absent (canonicalize maps it to "/"). */
+  def path(url: Column): Column =
+    regexp_extract(noFrag(url), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Query string (no "?"), tracking parameters removed; "" when empty. */
+  def cleanQuery(url: Column): Column = {
+    val q = regexp_extract(noFrag(url), "\\?(.*)$", 1)
+    // each removed param consumes its own leading '&'; a stripped FIRST
+    // param leaves the next param's '&' at position 0 — drop it
+    regexp_replace(regexp_replace(q, TrackingParamsPattern, ""), "^&+", "")
+  }
+
+  /** Registered domain (site identity for caps/blocklists): the last
+    * two host labels, or three when the second-level label is a known
+    * public-suffix pattern (co/com/net/org/gov/ac/edu under a 2-letter
+    * ccTLD — the heuristic core of the public-suffix list; the full
+    * list is a data file, pluggable the same way). Hosts that don't
+    * parse (IPs, single labels) pass through unchanged.
+    */
+  def registeredDomain(h: Column): Column = {
+    val d = regexp_extract(h,
+      "([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z]|[^.]+\\.[^.]+)$", 1)
+    when(d === "", h).otherwise(d)
+  }
+
+  /** The canonical URL (see object doc for the normal form). */
+  def canonicalize(url: Column): Column = {
+    val sch = scheme(url)
+    val h = host(url)
+    val p = port(url)
+    val keepPort = p =!= "" &&
+      !((sch === "http" && p === "80") || (sch === "https" && p === "443"))
+    val pth = path(url)
+    val q = cleanQuery(url)
+    concat(
+      sch, lit("://"), h,
+      when(keepPort, concat(lit(":"), p)).otherwise(lit("")),
+      when(pth === "", lit("/")).otherwise(pth),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Per-row URL report: (id, url, scheme, host, domain, canonical).
+    * One narrow projection — no shuffle.
+    */
+  def canonicalReport(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    df.select(
+      col(idCol),
+      u.as("url"),
+      scheme(u).as("scheme"),
+      host(u).as("host"),
+      registeredDomain(host(u)).as("domain"),
+      canonicalize(u).as("canonical"))
+  }
+}
