@@ -118,7 +118,8 @@ object SparkEntry {
     "q105_line_dedup_scrub" -> (LlmQueries.q105LineDedupScrub(_, _)),
     "q106_dsir_prebuilt" -> (LlmQueries.q106DsirPrebuilt(_, _)),
     "q107_normalize_scrub" -> (LlmQueries.q107NormalizeScrub(_, _)),
-    "q108_url_canonical" -> (LlmQueries.q108UrlCanonical(_, _))
+    "q108_url_canonical" -> (LlmQueries.q108UrlCanonical(_, _)),
+    "q109_training_order" -> (LlmQueries.q109TrainingOrder(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1058,6 +1059,23 @@ object SparkEntry {
         |  (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
         |  (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Training-order interleave: stride scheduling replayed — md5
+    // shuffle ranks per source, floor((2r-1)*scale/2w) integer keys
+    // (DuckDB // is integer floor division), (key, source, rank) order
+    "q109_training_order" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h FROM documents),
+        |w AS (SELECT source, CAST(length(source)*7 % 5 + 1 AS BIGINT) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (SELECT doc_id, source, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS src_rank
+        |  FROM t),
+        |k AS (SELECT r.doc_id, r.source, w.weight, r.src_rank,
+        |    CAST(((2*r.src_rank - 1) * 1000000000) // (2*w.weight) AS BIGINT) AS order_key
+        |  FROM r JOIN w USING (source))
+        |SELECT CAST(row_number() OVER (ORDER BY order_key, source, src_rank) AS BIGINT) AS pos,
+        |  doc_id, source, weight, src_rank, order_key
+        |FROM k ORDER BY pos""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

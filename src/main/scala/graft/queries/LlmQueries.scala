@@ -965,6 +965,27 @@ object LlmQueries {
     Urls.canonicalReport(d, "doc_id", "url").orderBy("doc_id")
   }
 
+  /** Deterministic training-order interleave: weights derived in-query
+    * from the source name (both engines replay the same rule), global
+    * positions materialized at gate scale. The oracle replays the
+    * md5 shuffle ranks, the integer stride-key arithmetic, and the
+    * (key, source, rank) total order.
+    */
+  def q109TrainingOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val weights = docs.select("source").distinct()
+      .withColumn("weight", (length(col("source")) * 7 % 5 + 1).cast("long"))
+    val ordered = graft.operators.Interleave.trainingOrder(
+      docs, "doc_id", "source", weights)
+    ordered
+      .withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("order_key", "source", "src_rank")).cast("long"))
+      .select(col("pos"), col("id").as("doc_id"), col("source"),
+        col("weight"), col("src_rank"), col("order_key"))
+      .orderBy("pos")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

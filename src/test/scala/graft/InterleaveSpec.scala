@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Interleave
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class InterleaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def weightsDf(ws: (String, Long)*) =
+    ws.toSeq.toDF("source", "weight")
+
+  test("every prefix of the global order tracks the weight ratio") {
+    // 300 docs: 100 per source, weights 3:2:1
+    val docs = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val ordered = Interleave.trainingOrder(docs, "id", "src",
+        weightsDf("s0" -> 3L, "s1" -> 2L, "s2" -> 1L))
+      .withColumn("pos", row_number().over(
+        Window.orderBy("order_key", "source", "src_rank")))
+    // after any prefix of n·6 docs the mixture must be exactly 3:2:1
+    // (stride scheduling's lag bound is < 1 doc per source per period)
+    val prefix = ordered.filter(col("pos") <= 60)
+      .groupBy("source").count().orderBy("source")
+      .as[(String, Long)].collect().toSeq
+    assert(prefix == Seq(("s0", 30L), ("s1", 20L), ("s2", 10L)))
+    // equal-weight lag bound: count gap ≤ 1 at EVERY prefix for equal weights
+    val eq = Interleave.trainingOrder(docs, "id", "src",
+        weightsDf("s0" -> 1L, "s1" -> 1L, "s2" -> 1L))
+      .withColumn("pos", row_number().over(
+        Window.orderBy("order_key", "source", "src_rank")))
+      .orderBy("pos").select("source").as[String].collect()
+    val counts = collection.mutable.Map("s0" -> 0, "s1" -> 0, "s2" -> 0)
+    eq.foreach { s =>
+      counts(s) += 1
+      assert(counts.values.max - counts.values.min <= 1,
+        s"unfair prefix at ${counts.values.sum}: $counts")
+    }
+  }
+
+  test("bucketed skew-safe rank equals the naive per-source row_number") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val w = docs.select("source").distinct().withColumn("weight", lit(2L))
+    val got = Interleave.trainingOrder(docs, "doc_id", "source", w)
+    val naive = docs
+      .withColumn("__h", substring(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 15))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("__h", "doc_id")).cast("long"))
+      .select(col("doc_id").as("id"), col("r"))
+    val joined = got.join(naive, "id")
+    assert(joined.filter(col("src_rank") =!= col("r")).isEmpty)
+  }
+
+  test("a source with no weight fails fast") {
+    val docs = Seq((1L, "known"), (2L, "unknown")).toDF("id", "src")
+    val ex = intercept[Exception] {
+      Interleave.trainingOrder(docs, "id", "src", weightsDf("known" -> 1L)).collect()
+    }
+    assert(ex.getMessage.contains("no weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no weight")))
+  }
+
+  test("order keys are the exact stride floor, ties break deterministically") {
+    val docs = (0 until 10).map(i => (i.toLong, "a")).toDF("id", "src")
+    val keys = Interleave.trainingOrder(docs, "id", "src", weightsDf("a" -> 4L), scale = 8L)
+      .orderBy("src_rank").select("order_key").as[Long].collect().toSeq
+    // floor((2r-1)*8 / 8) for r=1..10 = 1,3,5,7,9,11,13,15,17,19
+    assert(keys == Seq(1L, 3L, 5L, 7L, 9L, 11L, 13L, 15L, 17L, 19L))
+    // scale=1 forces collisions: floor((2r-1)/8) — order stays total via rank
+    val collided = Interleave.trainingOrder(docs, "id", "src", weightsDf("a" -> 4L), scale = 1L)
+      .select("order_key").distinct().count()
+    assert(collided < 10)
+  }
+}
