@@ -119,7 +119,8 @@ object SparkEntry {
     "q106_dsir_prebuilt" -> (LlmQueries.q106DsirPrebuilt(_, _)),
     "q107_normalize_scrub" -> (LlmQueries.q107NormalizeScrub(_, _)),
     "q108_url_canonical" -> (LlmQueries.q108UrlCanonical(_, _)),
-    "q109_training_order" -> (LlmQueries.q109TrainingOrder(_, _))
+    "q109_training_order" -> (LlmQueries.q109TrainingOrder(_, _)),
+    "q110_intradoc_repetition" -> (LlmQueries.q110IntraDocRepetition(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1076,6 +1077,33 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY order_key, source, src_rank) AS BIGINT) AS pos,
         |  doc_id, source, weight, src_rank, order_key
         |FROM k ORDER BY pos""".stripMargin,
+    // Intra-doc repetition: same synthesis, same unit splits (LF /
+    // blank-line runs, empties dropped), integer counts, fractions as
+    // single divisions of exact longs
+    "q110_intradoc_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || 'repeat me' || chr(10) || 'repeat me' || chr(10) || 'repeat me'
+        |         WHEN doc_id % 4 = 1 THEN text || chr(10) || chr(10) || 'quoted para' || chr(10) || chr(10) || 'quoted para'
+        |         ELSE text END AS text FROM documents),
+        |l AS (SELECT doc_id, u FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM d) WHERE u <> ''),
+        |lc AS (SELECT doc_id, u, count(*) AS c FROM l GROUP BY 1, 2),
+        |lm AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+        |    sum(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) / CAST(sum(c * length(u)) AS DOUBLE) AS dup_line_char_frac
+        |  FROM lc GROUP BY 1),
+        |p AS (SELECT doc_id, u FROM (SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS u FROM d) WHERE u <> ''),
+        |pc AS (SELECT doc_id, u, count(*) AS c FROM p GROUP BY 1, 2),
+        |pm AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_paras,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dup_para_frac,
+        |    sum(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) / CAST(sum(c * length(u)) AS DOUBLE) AS dup_para_char_frac
+        |  FROM pc GROUP BY 1)
+        |SELECT lm.doc_id, lm.n_lines, lm.dup_line_frac, lm.dup_line_char_frac,
+        |  pm.n_paras, pm.dup_para_frac, pm.dup_para_char_frac,
+        |  (dup_line_frac <= 0.3 AND dup_para_frac <= 0.3
+        |    AND dup_line_char_frac <= 0.2 AND dup_para_char_frac <= 0.2) AS passes_repetition
+        |FROM lm JOIN pm ON lm.doc_id = pm.doc_id ORDER BY lm.doc_id""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

@@ -986,6 +986,21 @@ object LlmQueries {
       .orderBy("pos")
   }
 
+  /** Intra-doc repetition: a quarter of docs get three copies of a
+    * boilerplate line, another quarter a twice-quoted paragraph; the
+    * gate checks all four duplicate fractions and the Gopher threshold
+    * verdict per document.
+    */
+  def q110IntraDocRepetition(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit("\nrepeat me\nrepeat me\nrepeat me")))
+      .when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit("\n\nquoted para\n\nquoted para")))
+      .otherwise(col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), t.as("text"))
+    TextAnalysis.intraDocRepetition(d, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

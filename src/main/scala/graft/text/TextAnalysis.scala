@@ -246,6 +246,50 @@ object TextAnalysis {
       .select(col(idCol), col("__s._1").as("n_grams"), col("__s._2").as("top_frac"))
   }
 
+  /** Repetition signal #3: INTRA-document duplicate line/paragraph
+    * fractions — the other half of Gopher's repetition table (Rae et
+    * al. 2021, appendix A1.1: "duplicate line fraction", "duplicate
+    * paragraph fraction", and their character-mass variants). A page
+    * whose nav bar repeats between sections, or a forum thread quoting
+    * itself, scores high here while its type-token ratio (row 51) and
+    * top-n-gram fraction (row 53) can still look natural.
+    *
+    * Per doc: of its non-empty lines (split on LF) and non-empty
+    * paragraphs (split on blank-line runs), the fraction of UNITS that
+    * occur more than once within the doc, and the fraction of
+    * CHARACTER MASS those units carry. All counts integer; the four
+    * fractions are single divisions of exact longs, so both engines
+    * round identically. `passes_repetition` applies Gopher's published
+    * thresholds (dup fraction ≤ 0.30, dup char fraction ≤ 0.20).
+    *
+    * Shape: explode → groupBy(id, unit) → groupBy(id), twice — partial
+    * aggregation absorbs a line repeated thousands of times within one
+    * doc map-side; no windows. Docs with NULL text or no non-empty
+    * units drop from the report (documented; they have no signal).
+    */
+  def intraDocRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def unitMetrics(splitPattern: String, prefix: String): DataFrame = {
+      val units = df
+        .select(col(idCol).as("id"),
+          explode(split(col(textCol), splitPattern)).as("u"))
+        .filter(col("u") =!= "")
+      units.groupBy("id", "u").agg(count(lit(1)).as("c"))
+        .groupBy("id").agg(
+          sum("c").cast("long").as(s"n_${prefix}s"),
+          (sum(when(col("c") > 1, col("c")).otherwise(0L)) /
+            sum("c").cast("double")).as(s"dup_${prefix}_frac"),
+          (sum(when(col("c") > 1, col("c") * length(col("u"))).otherwise(0L)) /
+            sum(col("c") * length(col("u"))).cast("double"))
+            .as(s"dup_${prefix}_char_frac"))
+    }
+    unitMetrics("\n", "line")
+      .join(unitMetrics("\n{2,}", "para"), Seq("id"))
+      .withColumn("passes_repetition",
+        col("dup_line_frac") <= 0.3 && col("dup_para_frac") <= 0.3 &&
+          col("dup_line_char_frac") <= 0.2 && col("dup_para_char_frac") <= 0.2)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lower-cased text
     * (engine-portable) + an order-sensitive 64-bit polynomial rolling hash
     * over token xxhash64s (Spark-native).
