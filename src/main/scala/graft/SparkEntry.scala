@@ -120,7 +120,9 @@ object SparkEntry {
     "q107_normalize_scrub" -> (LlmQueries.q107NormalizeScrub(_, _)),
     "q108_url_canonical" -> (LlmQueries.q108UrlCanonical(_, _)),
     "q109_training_order" -> (LlmQueries.q109TrainingOrder(_, _)),
-    "q110_intradoc_repetition" -> (LlmQueries.q110IntraDocRepetition(_, _))
+    "q110_intradoc_repetition" -> (LlmQueries.q110IntraDocRepetition(_, _)),
+    "q111_url_pipeline" -> (LlmQueries.q111UrlCurationPipeline(_, _)),
+    "q112_tokenizer_fertility" -> (LlmQueries.q112TokenizerFertility(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1104,6 +1106,42 @@ object SparkEntry {
         |  (dup_line_frac <= 0.3 AND dup_para_frac <= 0.3
         |    AND dup_line_char_frac <= 0.2 AND dup_para_char_frac <= 0.2) AS passes_repetition
         |FROM lm JOIN pm ON lm.doc_id = pm.doc_id ORDER BY lm.doc_id""".stripMargin,
+    // URL curation pipeline: the oracle derives canonicals
+    // INDEPENDENTLY (arithmetic construction — https always, www by
+    // id%3, :443 always dropped, utm query always stripped, fragment
+    // dropped) then replays dedup, the md5-order cap, and the report
+    "q111_url_pipeline" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' ||
+        |    '/p/' || CAST(doc_id % 40 AS VARCHAR) AS canonical,
+        |    'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain
+        |  FROM documents),
+        |f AS (SELECT canonical, min(doc_id) AS doc_id, min(domain) AS domain
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT doc_id, domain FROM (
+        |    SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
+        |    FROM f) WHERE rn <= 2)
+        |SELECT c.domain, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(doc.n_chars) AS BIGINT) AS chars_kept
+        |FROM c JOIN documents doc ON c.doc_id = doc.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Tokenizer fertility: same fixture parquet as q104; list folds +
+    // integer floor division (// in DuckDB), one float division of
+    // exact longs
+    "q112_tokenizer_fertility" ->
+      """WITH t AS (SELECT doc_id, lang, toks
+        |  FROM read_parquet('__GRAFT_FIXTURE:bpe_tokens__/*.parquet')),
+        |a AS (SELECT doc_id, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(toks, x -> length(x) = 1)) AS BIGINT) AS n_single
+        |  FROM t)
+        |SELECT doc_id, lang, n_toks, n_chars, n_single,
+        |  CAST((n_toks * 1000000) // n_chars AS BIGINT) AS toks_per_mchar,
+        |  n_single / CAST(n_toks AS DOUBLE) AS single_tok_frac
+        |FROM a WHERE n_toks > 0 AND n_chars > 0 ORDER BY doc_id""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

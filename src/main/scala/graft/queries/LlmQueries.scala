@@ -1001,6 +1001,61 @@ object LlmQueries {
     TextAnalysis.intraDocRepetition(d, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Provenance curation pipeline, end to end: synthesize messy URLs
+    * with deliberate collisions (www/no-www variants, default ports,
+    * tracking params, fragments) → canonicalize (row 65) → URL-exact
+    * dedup keeping the first occurrence per canonical → per-domain cap
+    * (row 56b, deterministic md5 order) → per-domain provenance
+    * report. The oracle derives the canonical form INDEPENDENTLY
+    * (arithmetic construction, not the regexp chain) and replays
+    * dedup, cap, and report — so composition AND chain cross-check.
+    */
+  def q111UrlCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(id % 3 === 0, "WWW.").otherwise(""),
+      lit("Site"), (id % 20).cast("string"), lit(".COM"),
+      when(id % 4 === 0, ":443").otherwise(""),
+      lit("/p/"), (id % 40).cast("string"),
+      when(id % 2 === 0, "?utm_source=feed").otherwise(""),
+      when(id % 5 === 0, "#frag").otherwise(""))
+    val docs = Tables.documents(s, dir).select(id).withColumn("url", url)
+    val canon = Urls.canonicalReport(docs, "doc_id", "url")
+      .select("doc_id", "domain", "canonical")
+    val firstPer = canon.groupBy("canonical")
+      .agg(min("doc_id").as("doc_id"), min("domain").as("domain"))
+    val capped = Sampling.capPerGroup(firstPer, Seq("domain"), Seq("doc_id"), 2)
+    capped.join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("domain").agg(
+        count(lit(1)).cast("long").as("n_pages"),
+        sum("n_chars").cast("long").as("chars_kept"))
+      .orderBy("domain")
+  }
+
+  /** Tokenizer fertility report over the corpus-trained BPE token
+    * streams (the q104 fixture): tokens, character mass, single-char
+    * token count, exact tokens-per-million-chars (the repo's decimal
+    * floor-division idiom — fertility without a float division), and
+    * the single-token fraction. The dashboard every tokenizer-training
+    * run closes with; a vocabulary too small for its corpus shows up
+    * as high fertility + high single-char fraction.
+    */
+  def q112TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val stats = bpeTrainedTokens(s, dir).select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(transform(toks, t -> CAST(length(t) AS LONG)), 0L, (a, x) -> a + x)").as("n_chars"),
+        expr("CAST(size(filter(toks, t -> length(t) = 1)) AS LONG)").as("n_single"))
+      .filter(col("n_toks") > 0 && col("n_chars") > 0)
+    val num = col("n_toks").cast(dec) * lit(1000000L).cast(dec)
+    val den = col("n_chars").cast(dec)
+    stats
+      .withColumn("toks_per_mchar", ((num - pmod(num, den)) / den).cast("long"))
+      .withColumn("single_tok_frac", col("n_single") / col("n_toks").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)
