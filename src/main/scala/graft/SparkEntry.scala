@@ -1044,7 +1044,7 @@ object SparkEntry {
         |    lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
         |    regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
-        |    regexp_replace(regexp_replace(regexp_extract(u0, '\?(.*)$', 1),
+        |    regexp_replace(regexp_replace(regexp_extract(u0, '\?(.*)', 1),
         |      '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)=[^&]*', '', 'g'), '^&+', '') AS cq
         |  FROM p),
         |r AS (SELECT doc_id, url, scheme,

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * removed (utm_*, fbclid, gclid, msclkid, mc_eid, ref), empty path →
   * "/". Everything else (path case, param order, percent-encoding) is
   * preserved — aggressive rewrites there change page identity.
+  *
+  * Inputs are assumed SINGLE-LINE (RFC 3986 forbids whitespace in
+  * URLs; run [[Normalize]] first on scraped fields): the remaining
+  * `$`-anchored patterns behave differently across engines only when
+  * the value contains a newline.
   */
 object Urls {
 
@@ -49,9 +54,13 @@ object Urls {
   def path(url: Column): Column =
     regexp_extract(noFrag(url), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
-  /** Query string (no "?"), tracking parameters removed; "" when empty. */
+  /** Query string (no "?"), tracking parameters removed; "" when empty.
+    * No `$` anchor: a greedy `.*` already runs to end of input, and
+    * Java's `$` (unlike RE2's) would also match BEFORE a final newline
+    * — one less divergence on malformed multi-line input.
+    */
   def cleanQuery(url: Column): Column = {
-    val q = regexp_extract(noFrag(url), "\\?(.*)$", 1)
+    val q = regexp_extract(noFrag(url), "\\?(.*)", 1)
     // each removed param consumes its own leading '&'; a stripped FIRST
     // param leaves the next param's '&' at position 0 — drop it
     regexp_replace(regexp_replace(q, TrackingParamsPattern, ""), "^&+", "")
