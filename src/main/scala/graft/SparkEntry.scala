@@ -958,15 +958,15 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
         |d AS (SELECT doc_id,
-        |    'shared boilerplate header' || chr(10) || text || chr(10) || 'shared boilerplate footer' AS text
+        |    'shared boilerplate header' || coalesce(chr(10) || text, '') || chr(10) || 'shared boilerplate footer' AS text
         |  FROM d0),
         |l AS (SELECT doc_id, i - 1 AS pos, string_split(text, chr(10))[i] AS line
         |  FROM d, LATERAL (SELECT unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i) r),
         |f AS (SELECT md5(line) AS k, min(doc_id * 1048576 + pos) AS first_code
-        |  FROM l GROUP BY 1),
+        |  FROM l WHERE length(line) >= 1 GROUP BY 1),
         |kk AS (SELECT l.doc_id, l.pos, l.line,
-        |    (l.doc_id * 1048576 + l.pos) = f.first_code AS keep
-        |  FROM l JOIN f ON md5(l.line) = f.k)
+        |    (length(l.line) < 1 OR (l.doc_id * 1048576 + l.pos) = f.first_code) AS keep
+        |  FROM l LEFT JOIN f ON md5(l.line) = f.k)
         |SELECT doc_id,
         |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5,
         |  CAST(count(*) AS BIGINT) AS n_lines,

@@ -88,11 +88,21 @@ final class BucketedAssignStore(path: String, numBuckets: Int)
     * paths, pushed filters, exchange count), not just output equality.
     */
   private[graft] def foldContent(
-      newEdges: DataFrame,
+      newEdgesIn: DataFrame,
       version: Long,
       maxIter: Int = 20,
       maxPushdownKeys: Int = 4096
   ): Option[(DataFrame, Seq[Long], Map[Long, Seq[Long]])] = {
+    // the sentinel id is reserved for empty-bucket placeholder rows:
+    // a real node carrying it would be silently dropped by every scan()
+    // — fail fast per-row instead (the repo's overflow-guard convention)
+    val newEdges = newEdgesIn.select(
+      Seq("src", "dst").map(c =>
+        when(col(c) === lit(SentinelNode),
+          raise_error(format_string(
+            s"BucketedAssignStore: node id %s is reserved (sentinel) — $c",
+            col(c))))
+          .otherwise(col(c)).as(c)): _*)
     val spark = newEdges.sparkSession
     // single listing serves the load, the write set and retention
     val vmap = VersionedBuckets.bucketVersions(spark, path)

@@ -253,8 +253,13 @@ object ConnectedComponents {
     if (!broadcastBatch || !longIds) return None
     val spark = assign.sparkSession
     import spark.implicits._
-    val pairs = newEdges.select(col("src"), col("dst"))
-      .limit(maxLocalEdges + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = newEdges.select(col("src"), col("dst"))
+      .limit(maxLocalEdges + 1).collect()
+    // NULL endpoints: bail to the distributed path (same guard as
+    // localLabelPropagation — null join keys are tolerated there, while
+    // getLong on a null primitive would NPE here)
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     if (pairs.length > maxLocalEdges) return None
     val endpoints = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
     // old component per batch endpoint — the ONLY assignment rows read

@@ -33,12 +33,21 @@ object LineDedup {
     * pos)), reassembling each document. Returns (id, text_clean,
     * n_lines, n_kept); a document whose every line is scrubbed keeps
     * its row with empty text.
+    *
+    * Lines shorter than `minLineChars` are ALWAYS kept (they count in
+    * n_lines and n_kept but never scrub): with the default 1 this
+    * exempts empty lines, whose global dedup would otherwise collapse
+    * every document's blank-line/paragraph structure into whichever doc
+    * holds the corpus-first blank line — the reason the C4 family
+    * dedups content lines, not structure. Raise it to also exempt
+    * short boilerplate-free lines ("*", "-").
     */
   def scrub(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      sep: String = "\n"
+      sep: String = "\n",
+      minLineChars: Int = 1
   ): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = docs
@@ -52,9 +61,11 @@ object LineDedup {
           .otherwise(raise_error(
             format_string("LineDedup (id,pos) encoding overflow: id=%s pos=%s",
               col("id"), col("pos")))))
-    val firsts = lines.groupBy("k").agg(min(col("code")).as("first_code"))
-    lines.join(firsts, Seq("k"))
-      .withColumn("keep", col("code") === col("first_code"))
+    val firsts = lines.filter(length(col("line")) >= minLineChars)
+      .groupBy("k").agg(min(col("code")).as("first_code"))
+    lines.join(firsts, Seq("k"), "left")
+      .withColumn("keep",
+        length(col("line")) < minLineChars || col("code") === col("first_code"))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),

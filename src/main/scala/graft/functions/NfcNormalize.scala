@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: Unicode NFC normalization (canonical
@@ -20,9 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * implementations for assigned code points, so cross-engine gating is
   * sound.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = StringType
+  // analysis-time type check: a non-string child fails in the analyzer
+  // with a clear error, not per-row with a ClassCastException in a task
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def prettyName: String = "graft_nfc"
 
   /** Compiled kernel shared by eval and generated code. */

@@ -72,9 +72,18 @@ object Interleave {
         row_number().over(
           Window.partitionBy("source", "__b").orderBy("__h", "id")))
       .withColumn("src_rank", (col("__off") + col("__rb")).cast("long"))
+    // validate weights BEFORE the long cast: a fractional weight would
+    // silently truncate (0.9 → 0 even divides by zero downstream), and
+    // the stride contract needs integers ≥ 1 — fail fast per-row instead
+    val wchecked = weights.select(col("source"),
+      when(col("weight").cast("double") =!= col("weight").cast("long").cast("double") ||
+           col("weight").cast("long") < 1 || col("weight").isNull,
+        raise_error(format_string(
+          "Interleave: weight for source '%s' must be an integer >= 1, got %s",
+          col("source"), col("weight"))))
+        .otherwise(col("weight").cast("long")).as("weight"))
     val withW = ranked
-      .join(broadcast(weights.select(col("source"), col("weight").cast("long").as("weight"))),
-        Seq("source"), "left")
+      .join(broadcast(wchecked), Seq("source"), "left")
       .withColumn("weight",
         when(col("weight").isNull,
           raise_error(format_string(

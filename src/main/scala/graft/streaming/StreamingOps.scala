@@ -576,18 +576,21 @@ object StreamingOps {
       checkpoint: String,
       minKey: Long,
       numBuckets: Int = 1024
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.text.Dsir
+    // the models are FROZEN corpus state: read + materialize ONCE at
+    // stream definition (≤ numBuckets rows each), not per micro-batch —
+    // per-batch re-reads and total() actions were pure per-batch latency
+    val spark = docs.sparkSession
+    val target = Dsir.materializeModel(spark.read.parquet(targetModelPath))
+    val raw = Dsir.materializeModel(spark.read.parquet(rawModelPath))
+    val targetTotal = Dsir.modelTotal(target)
+    val rawTotal = Dsir.modelTotal(raw)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import graft.text.Dsir
-        val target = spark.read.parquet(targetModelPath)
-        val raw = spark.read.parquet(rawModelPath)
-        def total(m: DataFrame): Long =
-          m.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
         Dsir.selectionKey(
             Dsir.importanceSignals(batch, idCol, textCol, target, raw, numBuckets),
-            total(target), total(raw))
+            targetTotal, rawTotal)
           .filter(col("dsir_key") >= minKey)
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
@@ -595,6 +598,7 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *    broadcast back over the scan, and the per-document score is a fixed
   *    left-to-right fold over the term list, so the only wide operations
   *    are a one-row aggregate and the caller's final top-k. At 100 TB the
-  *    cost is one corpus scan — the right shape when the query set
-  *    changes every time.
+  *    cost is two corpus scans, both narrow and column-pruned (the
+  *    scoring projection and the constants aggregate each read the
+  *    input; the per-doc stats frame is corpus-sized, so persisting it
+  *    to fuse them would cost more than the second scan) — the right
+  *    shape when the query set changes every time.
   *  - [[buildIndex]] + [[topKPrebuilt]]: the inverted-index shape for
   *    REPEATED querying. Postings (term, id, tf, dl) are built once
   *    (explode + count — the one shuffle, paid at ingest), range-laid-out
@@ -91,8 +94,12 @@ object Bm25 {
 
   /** Ad-hoc BM25 scores for a fixed term set: (idCol, score DOUBLE), one
     * row per non-NULL-text document (absent terms contribute exactly 0).
-    * One narrow scan + a one-row broadcast aggregate — see the object doc
-    * for the scale shape.
+    * Cost shape: TWO corpus passes — the scoring projection and the
+    * statsRow aggregate branch each scan the input (both narrow and
+    * column-pruned; nothing is persisted because the per-doc stats frame
+    * is corpus-sized). For repeated queries use [[buildIndex]] +
+    * [[topKPrebuilt]], which pays the scan once at ingest — that split
+    * is exactly what q98 vs q99 measures.
     */
   def scoreScan(
       docs: DataFrame,

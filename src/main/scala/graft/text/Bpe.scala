@@ -79,14 +79,27 @@ object Bpe {
     out.toIndexedSeq
   }
 
-  /** Code-UNIT symbolization — matches [[subwordCount]]'s `charAt`
-    * initialization exactly, so trained merges count the same way they
-    * were learned. (Kept as a kernel rather than `split(w, '')` because
-    * Java-regex splitting is code-POINT aware and would disagree with the
-    * counter on non-BMP input.)
+  /** Code-POINT symbolization — matches [[mergeWord]]'s initialization
+    * exactly, so trained merges count the same way they were learned.
+    * Code points, not UTF-16 units: every symbol is a WELL-FORMED string
+    * (surrogate pairs stay together), which the distributed trainer
+    * depends on — a lone surrogate does not survive the UDF's
+    * String→UTF8String round-trip (it becomes '?', conflating astral
+    * symbols with each other AND with genuine '?' tokens). The
+    * pre-tokenizer's non-ASCII alternative matches one code point, so
+    * only ASCII runs ever produce multi-symbol words and merge behavior
+    * on ASCII corpora is unchanged.
     */
-  private def symbolize(w: String): IndexedSeq[String] =
-    (0 until w.length).map(i => String.valueOf(w.charAt(i)))
+  private def symbolize(w: String): IndexedSeq[String] = {
+    val b = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      b += w.substring(i, i + cc)
+      i += cc
+    }
+    b.result()
+  }
 
   /** The corpus pass shared by both trainers: pre-tokenize with the SAME
     * pattern the counter uses, aggregate the (word, freq) dictionary.
@@ -229,13 +242,21 @@ object Bpe {
     * emits it per pre-token for trainer-feed output.
     */
   def mergeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var n = word.length
+    // code-POINT initial symbols (see symbolize: well-formed strings,
+    // surrogate pairs intact) — n counts symbols, not UTF-16 units
+    var syms = new Array[String](word.length)
+    var n = 0
+    var ci = 0
+    while (ci < word.length) {
+      val cc = Character.charCount(word.codePointAt(ci))
+      syms(n) = word.substring(ci, ci + cc)
+      n += 1
+      ci += cc
+    }
     if (n == 0) Array.empty
     else if (n == 1) Array(word)
     else {
-      var syms = new Array[String](n)
       var i = 0
-      while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
       var done = false
       while (!done && n > 1) {
         var best = Int.MaxValue

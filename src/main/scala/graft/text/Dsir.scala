@@ -117,15 +117,29 @@ object Dsir {
       numBuckets: Int = 1024,
       groupCols: Seq[String] = Seq.empty
   ): DataFrame = {
-    // persisted so the totals() actions and the scoring joins share one
-    // fit each — without this the model lineage (a corpus gram pass)
-    // recomputes per action; models are <= numBuckets rows, so the cache
-    // cost is nil
-    val target = fitModel(targetCorpus, textCol, numBuckets).persist()
-    val raw = fitModel(docs.select(col(textCol)), textCol, numBuckets).persist()
+    // materialized so the totals() actions and the scoring joins share
+    // one fit each — without this the model lineage (a corpus gram
+    // pass) recomputes per action. Driver materialization, NOT persist:
+    // select() returns lazily, so a persist here has no safe unpersist
+    // point and would leak a cache entry per call.
+    val target = materializeModel(fitModel(targetCorpus, textCol, numBuckets))
+    val raw = materializeModel(fitModel(docs.select(col(textCol)), textCol, numBuckets))
     selectWithModels(docs, idCol, textCol, target, raw, fraction, numBuckets,
       groupCols)
   }
+
+  /** Collect a fitted model (≤ numBuckets rows — bookkeeping, like
+    * k-means centroids, not corpus data) and rebuild it as a local
+    * frame: the fit's corpus pass runs exactly once, every later action
+    * replays a LocalRelation, and nothing outlives the call.
+    */
+  def materializeModel(m: DataFrame): DataFrame =
+    m.sparkSession.createDataFrame(
+      java.util.Arrays.asList(m.collect(): _*), m.schema)
+
+  /** Model mass total — a ≤ numBuckets-row aggregate (driver bookkeeping). */
+  def modelTotal(m: DataFrame): Long =
+    m.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
 
   /** [[select]] against PREBUILT models — the production shape: the two
     * (bucket, cnt) frames are corpus state fit at ingest (persist them
@@ -142,13 +156,10 @@ object Dsir {
       numBuckets: Int = 1024,
       groupCols: Seq[String] = Seq.empty
   ): DataFrame = {
-    // model totals are <= numBuckets-row aggregates — driver bookkeeping
-    def total(m: DataFrame): Long =
-      m.agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
     val keyed = selectionKey(
       importanceSignals(docs, idCol, textCol, target, raw, numBuckets,
         carryCols = groupCols),
-      total(target), total(raw))
+      modelTotal(target), modelTotal(raw))
     graft.operators.Sampling.topFractionByScore(
       keyed, groupCols = groupCols, scoreCol = "dsir_key",
       keyCols = Seq(idCol), fraction = fraction)

@@ -94,6 +94,24 @@ class BpeSpec extends SparkSpec {
     assert(stopped.length < 8 && local.startsWith(stopped))
   }
 
+  test("non-BMP symbols survive the distributed trainer (code-point symbols)") {
+    // an astral pre-token (U+1F600) is ONE symbol, never two lone
+    // surrogates — lone surrogates would be mangled to '?' by the UDF's
+    // UTF-8 round-trip and conflated with genuine '?' punctuation
+    val emoji = "😀"
+    assert(Bpe.mergeWord(emoji, Map.empty).toSeq == Seq(emoji))
+    val docs = Seq(s"ab $emoji ab $emoji", s"ab? $emoji?").toDF("text")
+    val local = Bpe.trainMergesLocal(docs, "text", numMerges = 3)
+    val dist = Bpe.trainMerges(docs, "text", numMerges = 3)
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(!local.exists { case (l, r) =>
+      (l + r).exists(c => Character.isSurrogate(c) &&
+        !(l + r).codePoints().toArray.exists(Character.isSupplementaryCodePoint)) })
+    // the tokenizer emits the emoji intact
+    val toks = new Bpe.Tokenizer(Bpe.ranksOf(local))(s"hi $emoji").get
+    assert(toks.contains(emoji))
+  }
+
   test("mergeWord emits the golden symbol sequences; Tokenizer streams match Counter lengths") {
     val r = Bpe.defaultRanks
     // sequences for the same golden words the count test pins

@@ -268,6 +268,17 @@ class DedupSpec extends SparkSpec {
     val bad = Seq((1L << 50, "a\nb")).toDF("doc_id", "text")
     val e = intercept[Exception](LineDedup.scrub(bad, "doc_id", "text").collect())
     assert(e.getMessage != null)
+    // empty lines are STRUCTURE, not content: blank-line/paragraph
+    // layout survives in every doc, not just the corpus-first one
+    val d3 = Seq((1L, "a\n\nb\n\nc"), (2L, "x\n\ny")).toDF("doc_id", "text")
+    val out3 = LineDedup.scrub(d3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out3 == Map(1L -> "a\n\nb\n\nc", 2L -> "x\n\ny"))
+    // minLineChars raises the exemption: 1-char lines never scrub
+    val d4 = Seq((1L, "*\nlong line"), (2L, "*\nlong line")).toDF("doc_id", "text")
+    val out4 = LineDedup.scrub(d4, "doc_id", "text", minLineChars = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out4 == Map(1L -> "*\nlong line", 2L -> "*"))
   }
 
   test("semantic dedup: within-cell pairs, components, min-id keep, sentinel cell") {

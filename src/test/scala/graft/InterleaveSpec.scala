@@ -59,6 +59,26 @@ class InterleaveSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("no weight")))
   }
 
+  test("fractional and non-positive weights fail fast, not truncate") {
+    val docs = Seq((1L, "a")).toDF("id", "src")
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    // 0.9 would silently cast to 0 (division by zero → NULL keys)
+    val frac = Seq(("a", 0.9)).toDF("source", "weight")
+    val e1 = intercept[Exception](
+      Interleave.trainingOrder(docs, "id", "src", frac).collect())
+    assert(deepMsg(e1).contains("integer >= 1"))
+    // 0 and negatives violate the stride contract
+    val zero = Seq(("a", 0L)).toDF("source", "weight")
+    val e2 = intercept[Exception](
+      Interleave.trainingOrder(docs, "id", "src", zero).collect())
+    assert(deepMsg(e2).contains("integer >= 1"))
+    // integral doubles are fine (2.0 == 2)
+    val ok = Seq(("a", 2.0)).toDF("source", "weight")
+    assert(Interleave.trainingOrder(docs, "id", "src", ok).count() == 1)
+  }
+
   test("order keys are the exact stride floor, ties break deterministically") {
     val docs = (0 until 10).map(i => (i.toLong, "a")).toDF("id", "src")
     val keys = Interleave.trainingOrder(docs, "id", "src", weightsDf("a" -> 4L), scale = 8L)
