@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: Unicode NFC normalization (canonical
@@ -21,12 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * sound.
   */
 case class NfcNormalize(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   // analysis-time type check: a non-string child fails in the analyzer
-  // with a clear error, not per-row with a ClassCastException in a task
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // with a clear error, not per-row with a ClassCastException in a task.
+  // (ExpectsInputTypes/AbstractDataType are private[sql], so the check is
+  // hand-rolled — same constraint as ArrayCosineSimilarity.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires a string argument, got ${child.dataType.catalogString}")
   override def prettyName: String = "graft_nfc"
 
   /** Compiled kernel shared by eval and generated code. */
