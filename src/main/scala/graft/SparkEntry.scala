@@ -1009,9 +1009,9 @@ object SparkEntry {
         |       regexp_replace(
         |        regexp_replace(
         |         regexp_replace(
-        |          regexp_replace(
+        |          nfc_normalize(regexp_replace(
         |           nfc_normalize(text),
-        |           '[\x{200B}-\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+        |           '[\x{200B}-\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g')),
         |          '\r\n?', chr(10), 'g'),
         |         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
         |        '[ \t]+', ' ', 'g'),

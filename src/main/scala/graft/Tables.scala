@@ -27,9 +27,21 @@ object Tables {
     */
   def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.TimestampNTZType
-    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
-    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+    import org.apache.spark.sql.types._
+    // recurse: an NTZ nested in a struct/array/map must not slip through
+    // the safety net (casting a struct to the NTZ-free twin type rewrites
+    // the leaf timestamps in place)
+    def replace(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType => StructType(s.fields.map(f => f.copy(dataType = replace(f.dataType))))
+      case ArrayType(e, n) => ArrayType(replace(e), n)
+      case MapType(k, v, n) => MapType(replace(k), replace(v), n)
+      case other => other
+    }
+    val changed = df.schema.fields.collect {
+      case f if replace(f.dataType) != f.dataType => f.name -> replace(f.dataType)
+    }
+    changed.foldLeft(df)((d, c) => d.withColumn(c._1, col(c._1).cast(c._2)))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -74,8 +74,18 @@ object Interleave {
       .withColumn("src_rank", (col("__off") + col("__rb")).cast("long"))
     // validate weights BEFORE the long cast: a fractional weight would
     // silently truncate (0.9 → 0 even divides by zero downstream), and
-    // the stride contract needs integers ≥ 1 — fail fast per-row instead
-    val wchecked = weights.select(col("source"),
+    // the stride contract needs integers ≥ 1 — fail fast per-row instead.
+    // A duplicated source row would fan out the join below and silently
+    // duplicate every document of that source in the emitted order —
+    // fail fast on that too (the weights frame is tiny; the window is free).
+    val wdeduped = weights
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("source"),
+        when(col("__n") > 1, raise_error(format_string(
+          "Interleave: source '%s' appears %s times in weights (must be unique)",
+          col("source"), col("__n"))))
+          .otherwise(col("weight")).as("weight"))
+    val wchecked = wdeduped.select(col("source"),
       when(col("weight").cast("double") =!= col("weight").cast("long").cast("double") ||
            col("weight").cast("long") < 1 || col("weight").isNull,
         raise_error(format_string(

@@ -1023,6 +1023,10 @@ object LlmQueries {
     val docs = Tables.documents(s, dir).select(id).withColumn("url", url)
     val canon = Urls.canonicalReport(docs, "doc_id", "url")
       .select("doc_id", "domain", "canonical")
+      // canonicalize is NULL for non-URL values; URL-exact dedup must
+      // exempt those rows rather than merge them under one NULL key
+      // (all q111 inputs parse, so the gate output is unchanged)
+      .filter(col("canonical").isNotNull)
     val firstPer = canon.groupBy("canonical")
       .agg(min("doc_id").as("doc_id"), min("domain").as("domain"))
     val capped = Sampling.capPerGroup(firstPer, Seq("domain"), Seq("doc_id"), 2)

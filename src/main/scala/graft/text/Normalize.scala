@@ -50,7 +50,12 @@ object Normalize {
     */
   def cleanColumn(text: Column): Column = {
     val t0 = nfc(text)
-    val t1 = regexp_replace(t0, InvisiblesPattern, "")
+    // second NFC after the invisibles strip: removing a ZWJ/soft hyphen
+    // can leave a base char newly adjacent to a combining mark in
+    // decomposed form, and downstream byte-keyed dedup needs composed
+    // output (the reason this operator exists). The kernel's
+    // isNormalized fast path makes the re-check ~free on clean text.
+    val t1 = nfc(regexp_replace(t0, InvisiblesPattern, ""))
     val t2 = regexp_replace(t1, "\\r\\n?", "\n")
     val t3 = regexp_replace(t2, ControlsPattern, "")
     val t4 = regexp_replace(t3, "[ \\t]+", " ")

@@ -66,20 +66,36 @@ object Urls {
     regexp_replace(regexp_replace(q, TrackingParamsPattern, ""), "^&+", "")
   }
 
-  /** Registered domain (site identity for caps/blocklists): the last
-    * two host labels, or three when the second-level label is a known
-    * public-suffix pattern (co/com/net/org/gov/ac/edu under a 2-letter
-    * ccTLD — the heuristic core of the public-suffix list; the full
-    * list is a data file, pluggable the same way). Hosts that don't
-    * parse (IPs, single labels) pass through unchanged.
+  /** Registered domain (site identity for caps/blocklists) per the REAL
+    * Public Suffix List — a native codegen'd kernel over per-JVM static
+    * rule sets ([[graft.functions.Psl]]): `user.github.io` stays
+    * `user.github.io` (private-section suffix), `www.example.co.uk` →
+    * `example.co.uk`, exception rules beat wildcards. Hosts that don't
+    * parse (IPv4/IPv6 literals, single labels, empty labels, hosts that
+    * ARE a public suffix) pass through unchanged. Narrow projection, no
+    * broadcast, no shuffle.
     */
-  def registeredDomain(h: Column): Column = {
+  def registeredDomain(h: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.RegisteredDomain(org.apache.spark.sql.graftbridge.expression(h)))
+
+  /** The 2-letter-ccTLD heuristic core of the PSL as a pure regex —
+    * engine-replayable (the q108 oracle's form); agrees with
+    * [[registeredDomain]] on common `.com` / `co.uk`-style hosts but
+    * not on private-section suffixes (`github.io`) or wildcard rules.
+    */
+  def registeredDomainHeuristic(h: Column): Column = {
     val d = regexp_extract(h,
       "([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[a-z][a-z]|[^.]+\\.[^.]+)$", 1)
     when(d === "", h).otherwise(d)
   }
 
-  /** The canonical URL (see object doc for the normal form). */
+  /** The canonical URL (see object doc for the normal form). NULL when
+    * the value is not a scheme://-style URL at all — otherwise every
+    * malformed input ('example.com/a', 'not a url') would collapse to a
+    * near-identical ":///..." key and URL-exact dedup would silently
+    * merge distinct documents; dedup exempts NULL canonicals instead.
+    */
   def canonicalize(url: Column): Column = {
     val sch = scheme(url)
     val h = host(url)
@@ -88,11 +104,11 @@ object Urls {
       !((sch === "http" && p === "80") || (sch === "https" && p === "443"))
     val pth = path(url)
     val q = cleanQuery(url)
-    concat(
+    when(sch === "", lit(null).cast("string")).otherwise(concat(
       sch, lit("://"), h,
       when(keepPort, concat(lit(":"), p)).otherwise(lit("")),
       when(pth === "", lit("/")).otherwise(pth),
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+      when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
   /** Per-row URL report: (id, url, scheme, host, domain, canonical).

@@ -79,6 +79,17 @@ class InterleaveSpec extends SparkSpec {
     assert(Interleave.trainingOrder(docs, "id", "src", ok).count() == 1)
   }
 
+  test("duplicate sources in weights fail fast, not fan out the join") {
+    val docs = Seq((1L, "a"), (2L, "a")).toDF("id", "src")
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    val dup = Seq(("a", 1L), ("a", 2L)).toDF("source", "weight")
+    val e = intercept[Exception](
+      Interleave.trainingOrder(docs, "id", "src", dup).collect())
+    assert(deepMsg(e).contains("must be unique"))
+  }
+
   test("order keys are the exact stride floor, ties break deterministically") {
     val docs = (0 until 10).map(i => (i.toLong, "a")).toDF("id", "src")
     val keys = Interleave.trainingOrder(docs, "id", "src", weightsDf("a" -> 4L), scale = 8L)

@@ -35,6 +35,14 @@ class NormalizeSpec extends SparkSpec {
     assert(cleanOne("\n\na\n\n") == "a")
   }
 
+  test("output is NFC even when stripping an invisible exposes a combining mark") {
+    // soft hyphen between base char and combining acute: after the strip
+    // the pair is newly adjacent and decomposed -- the second NFC pass
+    // must compose it (byte-keyed dedup downstream relies on this)
+    assert(cleanOne("cafe\u00AD\u0301") == "caf\u00E9")
+    assert(cleanOne("e\u200B\u0301x") == "\u00E9x")
+  }
+
   test("null text stays null; empty stays empty") {
     val r = Seq[(Integer, String)]((1, null), (2, ""), (3, " \n "))
       .toDF("id", "t").select(Normalize.cleanColumn(col("t")).as("c"))

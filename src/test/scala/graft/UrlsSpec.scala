@@ -44,7 +44,48 @@ class UrlsSpec extends SparkSpec {
     assert(dom("www.example.co.uk") == "example.co.uk")
     assert(dom("news.bbc.ac.jp") == "bbc.ac.jp")
     assert(dom("localhost") == "localhost")     // single label: passthrough
-    assert(dom("127.0.0.1") == "0.1")           // numeric hosts are out of scope (documented)
+    assert(dom("127.0.0.1") == "127.0.0.1")     // IPv4: passthrough (not "0.1")
+  }
+
+  test("registered domain: real PSL cases the heuristic cannot know") {
+    assert(dom("user.github.io") == "user.github.io")     // private-section suffix
+    assert(dom("a.user.github.io") == "user.github.io")
+    assert(dom("www.example.com.br") == "example.com.br") // com.br rule
+    assert(dom("foo.bar.ck") == "foo.bar.ck")             // *.ck wildcard
+    assert(dom("www.city.kawasaki.jp") == "city.kawasaki.jp") // !exception beats *.kawasaki.jp
+    assert(dom("example.github.io.com") == "io.com")      // suffix position matters
+    assert(dom("github.io") == "github.io")               // host IS a suffix: passthrough
+    assert(dom("[::1]") == "[::1]")                       // IPv6 literal: passthrough
+    assert(dom("bad..host.com") == "bad..host.com")       // empty label: passthrough
+    assert(dom("WWW.Example.CO.UK") == "Example.CO.UK")   // case-preserving match
+  }
+
+  test("canonicalize is NULL for non-URL values (dedup exempts, not merges)") {
+    def canonOpt(u: String): Option[String] =
+      Seq(u).toDF("u").select(Urls.canonicalize(col("u")).as("c"))
+        .as[Option[String]].head()
+    assert(canonOpt("example.com/a").isEmpty)   // scheme-less
+    assert(canonOpt("not a url").isEmpty)
+    assert(canonOpt("").isEmpty)
+    assert(canonOpt("https://ex.com/a").contains("https://ex.com/a"))
+  }
+
+  test("normalizeNtz rewrites NTZ timestamps nested in structs and arrays") {
+    import org.apache.spark.sql.types._
+    val df = spark.sql(
+      """SELECT named_struct('t', TIMESTAMP_NTZ'2024-01-02 03:04:05', 'x', 1L) AS s,
+        |       array(TIMESTAMP_NTZ'2024-01-02 03:04:05') AS a,
+        |       TIMESTAMP_NTZ'2024-01-02 03:04:05' AS top""".stripMargin)
+    val out = Tables.normalizeNtz(df)
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case ArrayType(e, _) => hasNtz(e)
+      case MapType(k, v, _) => hasNtz(k) || hasNtz(v)
+      case _ => false
+    }
+    assert(!out.schema.fields.exists(f => hasNtz(f.dataType)), out.schema.treeString)
+    assert(out.select("s.x").head().getLong(0) == 1L) // sibling fields survive the cast
   }
 
   test("canonicalReport is shuffle-free on a parquet scan") {
