@@ -867,8 +867,10 @@ object LlmQueries {
     */
   def q103DsirSelect(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
-    graft.text.Dsir.select(d, "doc_id", "text",
-        targetCorpus = d.filter(col("lang") === "en" && col("doc_id") % 2 === 0),
+    // target = a predicate subset of the corpus → the fused single-pass
+    // fit (one gram explosion for BOTH models instead of two)
+    graft.text.Dsir.selectSubset(d, "doc_id", "text",
+        targetPred = col("lang") === "en" && col("doc_id") % 2 === 0,
         fraction = 0.25, numBuckets = 1024, groupCols = Seq("lang"))
       .select("doc_id", "lang", "n_grams", "target_mass", "raw_mass", "dsir_key")
       .orderBy("doc_id")

@@ -50,6 +50,55 @@ object Dsir {
       .select(bucketOf(col("g"), numBuckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Fit the target AND raw models in ONE corpus pass for the common
+    * curation shape where the target is a per-row predicate over the raw
+    * corpus (e.g. "high-quality English half"): each gram is tagged with
+    * its document's target membership, and a single aggregation emits
+    * both counts. Replaces two fit passes (two gram explosions, two
+    * shuffles, two jobs) with one — the explosion dominates fit cost, so
+    * at 100 TB this halves model-build work. Returns (target, raw)
+    * models materialized from one collect (≤ numBuckets rows).
+    */
+  def fitModelsSubset(
+      corpus: DataFrame,
+      textCol: String,
+      targetPred: Column,
+      numBuckets: Int
+  ): (DataFrame, DataFrame) = {
+    val both = materializeModel(
+      corpus.select(col(textCol), targetPred.as("__t"))
+        .select(explode(gramsOf(toks(col(textCol)))).as("g"), col("__t"))
+        .select(bucketOf(col("g"), numBuckets).as("bucket"), col("__t"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("cnt_raw"),
+          sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t")))
+    (both.filter(col("cnt_t") > 0).select(col("bucket"), col("cnt_t").as("cnt")),
+      both.select(col("bucket"), col("cnt_raw").as("cnt")))
+  }
+
+  /** Fit two models over DISTINCT corpora in one job: union with a tag,
+    * one explode pipeline per side but a single shuffle/aggregation
+    * (instead of two jobs with two exchanges). Use [[fitModelsSubset]]
+    * when the target is a subset of `raw` — that also halves the scan.
+    */
+  def fitModels(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      numBuckets: Int
+  ): (DataFrame, DataFrame) = {
+    val u = target.select(col(textCol).as("__text"), lit(true).as("__t"))
+      .unionByName(raw.select(col(textCol).as("__text"), lit(false).as("__t")))
+    val both = materializeModel(
+      u.select(explode(gramsOf(toks(col("__text")))).as("g"), col("__t"))
+        .select(bucketOf(col("g"), numBuckets).as("bucket"), col("__t"))
+        .groupBy("bucket").agg(
+          sum(when(col("__t"), 1L).otherwise(0L)).as("cnt_t"),
+          sum(when(col("__t"), 0L).otherwise(1L)).as("cnt_r")))
+    (both.filter(col("cnt_t") > 0).select(col("bucket"), col("cnt_t").as("cnt")),
+      both.filter(col("cnt_r") > 0).select(col("bucket"), col("cnt_r").as("cnt")))
+  }
+
   /** Per-document integer importance signals: (id, n_grams, target_mass,
     * raw_mass) where *_mass = Σ over the doc's grams of the model's count
     * in that gram's bucket (0 if unattested). High target_mass relative
@@ -117,13 +166,34 @@ object Dsir {
       numBuckets: Int = 1024,
       groupCols: Seq[String] = Seq.empty
   ): DataFrame = {
-    // materialized so the totals() actions and the scoring joins share
-    // one fit each — without this the model lineage (a corpus gram
-    // pass) recomputes per action. Driver materialization, NOT persist:
-    // select() returns lazily, so a persist here has no safe unpersist
-    // point and would leak a cache entry per call.
-    val target = materializeModel(fitModel(targetCorpus, textCol, numBuckets))
-    val raw = materializeModel(fitModel(docs.select(col(textCol)), textCol, numBuckets))
+    // both models from ONE union-fused job (materialized inside
+    // fitModels, so the totals() actions and the scoring joins replay a
+    // LocalRelation — never the corpus gram pass). Driver
+    // materialization, NOT persist: select() returns lazily, so a
+    // persist here has no safe unpersist point and would leak a cache
+    // entry per call.
+    val (target, raw) =
+      fitModels(targetCorpus, docs.select(col(textCol)), textCol, numBuckets)
+    selectWithModels(docs, idCol, textCol, target, raw, fraction, numBuckets,
+      groupCols)
+  }
+
+  /** [[select]] where the target corpus is `docs` rows satisfying
+    * `targetPred` — the fused fast path: ONE model-fit corpus pass
+    * ([[fitModelsSubset]]) instead of two, then scoring. Identical
+    * output to `select(docs, …, docs.filter(targetPred), …)`.
+    */
+  def selectSubset(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      fraction: Double,
+      numBuckets: Int = 1024,
+      groupCols: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val (target, raw) =
+      fitModelsSubset(docs, textCol, targetPred, numBuckets)
     selectWithModels(docs, idCol, textCol, target, raw, fraction, numBuckets,
       groupCols)
   }

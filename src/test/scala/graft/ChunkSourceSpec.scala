@@ -162,4 +162,26 @@ class ChunkSourceSpec extends SparkSpec {
       .select("doc_id", "dsir_key").as[(Long, Long)].collect().toMap
     assert(keys(1L) > keys(3L) && keys(5L) > keys(6L))
   }
+
+  test("Dsir: fused fits (subset and union) equal the two-pass fits exactly") {
+    val docs = Seq(
+      (1L, "cat cat sat mat"), (2L, "cat sat on the mat"),
+      (3L, "zebra quark flux blip"), (4L, "quark blip www yyy")
+    ).toDF("doc_id", "text")
+    val pred = $"doc_id" <= 2
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tRef = m(Dsir.fitModel(docs.filter(pred), "text", 64))
+    val rRef = m(Dsir.fitModel(docs, "text", 64))
+    val (tSub, rSub) = Dsir.fitModelsSubset(docs, "text", pred, 64)
+    assert(m(tSub) == tRef && m(rSub) == rRef)
+    val (tUni, rUni) = Dsir.fitModels(docs.filter(pred), docs, "text", 64)
+    assert(m(tUni) == tRef && m(rUni) == rRef)
+    // and the fused selection path is output-identical to select()
+    val a = Dsir.select(docs, "doc_id", "text", targetCorpus = docs.filter(pred),
+        fraction = 0.5).select("doc_id", "dsir_key").as[(Long, Long)].collect().toSet
+    val b = Dsir.selectSubset(docs, "doc_id", "text", targetPred = pred,
+        fraction = 0.5).select("doc_id", "dsir_key").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }
