@@ -122,7 +122,8 @@ object SparkEntry {
     "q109_training_order" -> (LlmQueries.q109TrainingOrder(_, _)),
     "q110_intradoc_repetition" -> (LlmQueries.q110IntraDocRepetition(_, _)),
     "q111_url_pipeline" -> (LlmQueries.q111UrlCurationPipeline(_, _)),
-    "q112_tokenizer_fertility" -> (LlmQueries.q112TokenizerFertility(_, _))
+    "q112_tokenizer_fertility" -> (LlmQueries.q112TokenizerFertility(_, _)),
+    "q113_cc_distributed" -> (LlmQueries.q113DedupClustersDistributed(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -484,19 +485,10 @@ object SparkEntry {
         |SELECT n_nationkey, count(*) AS n_pts
         |FROM p JOIN iv ON p.v BETWEEN iv.lo AND iv.hi
         |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
-    "q37_dedup_clusters" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
-        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
-        |  WHERE d.doc_id % 10 <= 1),
-        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |nodes AS (SELECT DISTINCT src AS node FROM sym),
-        |reach AS (
-        |  SELECT node, node AS r FROM nodes
-        |  UNION
-        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
-        |)
-        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "q37_dedup_clusters" -> CcClustersOracleSql,
+    // the distributed pointer-jumping twin must produce IDENTICAL
+    // components (q113 runs with localEdgeThreshold = 0)
+    "q113_cc_distributed" -> CcClustersOracleSql,
     "q38_dq_rules" ->
       """WITH t AS (SELECT count(*) AS n_rows,
         |  sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS positive_qty,
@@ -1684,6 +1676,23 @@ object SparkEntry {
     * fixtures): the oracle refits both hashed-gram models in SQL, so for
     * q106 it also re-verifies the fixtures' content.
     */
+  /** Shared by q37 (driver union-find fast path at gate scale) and q113
+    * (forced distributed pointer jumping) — identical expected output.
+    */
+  private val CcClustersOracleSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+      |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+      |  WHERE d.doc_id % 10 <= 1),
+      |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |nodes AS (SELECT DISTINCT src AS node FROM sym),
+      |reach AS (
+      |  SELECT node, node AS r FROM nodes
+      |  UNION
+      |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
+      |)
+      |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
+
   private val DsirOracleSql: String =
     """WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id, lang,

@@ -146,6 +146,22 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** q37's edges through the DISTRIBUTED pointer-jumping path
+    * (`localEdgeThreshold = 0` disables the driver union-find fast
+    * path): at gate scale q37/q57/q93/q102 all ride the local solver,
+    * so this keeps the 100 TB code path under the same hash oracle —
+    * the two paths are additionally spec-asserted equal on random
+    * graphs (DedupSpec).
+    */
+  def q113DedupClustersDistributed(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id")
+    val edges = d.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    ConnectedComponents.labelPropagation(edges, localEdgeThreshold = 0)
+      .orderBy("node")
+  }
+
   /** Incremental clustering: q37's components absorb a batch of NEW edges
     * — decade-pair bridges (id, id+10) for id % 20 == 0 MERGE two
     * previously separate components; fresh (id, id+1) pairs at
