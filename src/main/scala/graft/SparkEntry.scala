@@ -123,7 +123,8 @@ object SparkEntry {
     "q110_intradoc_repetition" -> (LlmQueries.q110IntraDocRepetition(_, _)),
     "q111_url_pipeline" -> (LlmQueries.q111UrlCurationPipeline(_, _)),
     "q112_tokenizer_fertility" -> (LlmQueries.q112TokenizerFertility(_, _)),
-    "q113_cc_distributed" -> (LlmQueries.q113DedupClustersDistributed(_, _))
+    "q113_cc_distributed" -> (LlmQueries.q113DedupClustersDistributed(_, _)),
+    "q114_tokenizer_report" -> (LlmQueries.q114TokenizerReport(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1134,6 +1135,31 @@ object SparkEntry {
         |  CAST((n_toks * 1000000) // n_chars AS BIGINT) AS toks_per_mchar,
         |  n_single / CAST(n_toks AS DOUBLE) AS single_tok_frac
         |FROM a WHERE n_toks > 0 AND n_chars > 0 ORDER BY doc_id""".stripMargin,
+    // Unified tokenizer dashboard: fertility + packing + mixture per
+    // language in one pass over the q104 token-stream fixture; DuckDB
+    // replays the folds, the integer ceil/floor idioms (// is floor
+    // division), and the share divisions of exact longs
+    "q114_tokenizer_report" ->
+      """WITH t AS (SELECT doc_id, lang, toks
+        |  FROM read_parquet('__GRAFT_FIXTURE:bpe_tokens__/*.parquet')),
+        |d AS (SELECT lang,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(toks, x -> length(x) = 1)) AS BIGINT) AS n_single
+        |  FROM t WHERE len(toks) > 0
+        |    AND list_sum(list_transform(toks, x -> length(x))) > 0),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_toks,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(sum(n_single) AS BIGINT) AS n_single
+        |  FROM d GROUP BY 1)
+        |SELECT lang, n_docs, n_toks, n_chars, n_single,
+        |  CAST((n_toks * 1000000) // n_chars AS BIGINT) AS toks_per_mchar,
+        |  n_single / CAST(n_toks AS DOUBLE) AS single_tok_frac,
+        |  CAST((n_toks + 511) // 512 AS BIGINT) AS n_chunks,
+        |  n_toks / CAST(((n_toks + 511) // 512) * 512 AS DOUBLE) AS fill_frac,
+        |  n_toks / CAST((SELECT sum(n_toks) FROM a) AS DOUBLE) AS mixture_frac
+        |FROM a ORDER BY lang""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

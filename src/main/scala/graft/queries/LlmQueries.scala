@@ -1063,20 +1063,23 @@ object LlmQueries {
     * run closes with; a vocabulary too small for its corpus shows up
     * as high fertility + high single-char fraction.
     */
-  def q112TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val stats = bpeTrainedTokens(s, dir).select(col("doc_id"), col("lang"),
-        size(col("toks")).cast("long").as("n_toks"),
-        expr("aggregate(transform(toks, t -> CAST(length(t) AS LONG)), 0L, (a, x) -> a + x)").as("n_chars"),
-        expr("CAST(size(filter(toks, t -> length(t) = 1)) AS LONG)").as("n_single"))
-      .filter(col("n_toks") > 0 && col("n_chars") > 0)
-    val num = col("n_toks").cast(dec) * lit(1000000L).cast(dec)
-    val den = col("n_chars").cast(dec)
-    stats
-      .withColumn("toks_per_mchar", ((num - pmod(num, den)) / den).cast("long"))
-      .withColumn("single_tok_frac", col("n_single") / col("n_toks").cast("double"))
+  def q112TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    graft.text.TokenizerReport.perDoc(bpeTrainedTokens(s, dir), "toks")
+      .select("doc_id", "lang", "n_toks", "n_chars", "n_single",
+        "toks_per_mchar", "single_tok_frac")
       .orderBy("doc_id")
-  }
+
+  /** The unified one-pass tokenizer dashboard (row 69 + packing +
+    * mixture without re-scanning the token stream per report): per
+    * language — fertility, chunk counts at the q104 budget, fill
+    * fraction, and mixture share. Oracle replays the folds, the integer
+    * ceil/floor-division idioms, and the share divisions in DuckDB.
+    */
+  def q114TokenizerReport(s: SparkSession, dir: String): DataFrame =
+    graft.text.TokenizerReport.report(
+        bpeTrainedTokens(s, dir).select("doc_id", "lang", "toks"),
+        groupCols = Seq("lang"), toksCol = "toks", budget = 512L)
+      .orderBy("lang")
 
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {

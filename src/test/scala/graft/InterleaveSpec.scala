@@ -37,6 +37,30 @@ class InterleaveSpec extends SparkSpec {
     }
   }
 
+  test("trainer-materialized order (distributed range sort) keeps the prefix mixture") {
+    // the operator emits an order KEY by design; a trainer materializes
+    // the order with a distributed ORDER BY — this closes the loop
+    // between the key contract and what a trainer actually consumes
+    val docs = spark.range(30000).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("src"))
+    val ordered = Interleave.trainingOrder(docs, "id", "src",
+      weightsDf("s0" -> 3L, "s1" -> 2L, "s2" -> 1L))
+    val sorted = ordered.orderBy("order_key", "source", "src_rank")
+    sorted.collect()
+    // the materialization is a RANGE sort (distributed), never a
+    // one-partition window
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    // positions via zipWithIndex over the sorted partitions — the
+    // distributed trainer-side idiom (partition order IS sort order)
+    val pos = sorted.select("source").rdd.map(_.getString(0)).zipWithIndex()
+    // every W-aligned prefix carries the exact designed mixture
+    val at6000 = pos.filter(_._2 < 6000).map(_._1).countByValue()
+    assert(at6000 == Map("s0" -> 3000L, "s1" -> 2000L, "s2" -> 1000L), at6000)
+    val at12000 = pos.filter(_._2 < 12000).map(_._1).countByValue()
+    assert(at12000 == Map("s0" -> 6000L, "s1" -> 4000L, "s2" -> 2000L), at12000)
+  }
+
   test("bucketed skew-safe rank equals the naive per-source row_number") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
     val w = docs.select("source").distinct().withColumn("weight", lit(2L))

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The plan-shape regression gate: SURVEY §5's load-bearing physical-plan
+  * claims, asserted per query on the AQE FINAL plan (post-execution).
+  * These are the shapes that make the 100 TB story true — a regression
+  * here (a filter that stops pushing, a window that loses its group
+  * limit, a broadcast that demotes to sort-merge, a narrow scrub that
+  * grows a shuffle) silently survives the value-correctness gate, so it
+  * gets its own spec. Regenerate the human-readable audit record with
+  * `runMain graft.PlanAudit <sfDir> <outDir>`.
+  *
+  * Counting rules: `Exchange hash/range/Single` are SHUFFLES
+  * (BroadcastExchange intentionally not counted — broadcast is the
+  * scale-safe shape these claims demand); the trailing range exchange
+  * every gate query pays for its deterministic `orderBy` (the oracle
+  * tax) is allowed everywhere as `maxRange = 1`.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Execute and return the AQE final plan string only. */
+  private def finalPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def count(plan: String, pattern: String): Int =
+    pattern.r.findAllIn(plan).size
+
+  private case class Shape(
+      query: String,
+      maxHash: Int = Int.MaxValue, // shuffle budget (hash exchanges)
+      maxRange: Int = 1,           // the oracle-tax sort, nothing more
+      minBroadcastJoin: Int = 0,
+      requireWindowGroupLimit: Boolean = false,
+      requireTopK: Boolean = false,
+      requirePushedFilter: Option[String] = None,
+      forbidSortMergeJoin: Boolean = false,
+      forbidSortAggregate: Boolean = false,
+      forbidUdf: Boolean = false)
+
+  private val shapes = Seq(
+    // filtered scan + grouped agg: the filter reaches the parquet reader,
+    // ONE aggregation shuffle, hash (not sort) aggregate
+    Shape("q01_agg", maxHash = 1, requirePushedFilter = Some("l_shipdate"),
+      forbidSortAggregate = true, forbidUdf = true),
+    // top-k is TakeOrderedAndProject (k·partitions merge), never a global sort
+    Shape("q02_join_topk", maxHash = 1, requireTopK = true,
+      forbidSortMergeJoin = true, minBroadcastJoin = 1),
+    // every dim a broadcast build side; fact exchanged only for the agg
+    Shape("q03_star_join", maxHash = 1, minBroadcastJoin = 3,
+      forbidSortMergeJoin = true),
+    // latest-records prunes to 1 row/key/partition BEFORE the window shuffle
+    Shape("q16_latest_records", maxHash = 1, requireWindowGroupLimit = true),
+    // exact dedup: one digest-keyed shuffle
+    Shape("q20_dedup_exact", maxHash = 1),
+    // deterministic stratified sampling: a narrow md5-threshold Filter on
+    // the scan — ZERO pre-output shuffles
+    Shape("q41_sample_stratified", maxHash = 0),
+    // heavy hitters: explode → two-phase hash agg → TakeOrderedAndProject
+    Shape("q43_top_tokens", maxHash = 1, requireTopK = true,
+      forbidSortAggregate = true),
+    // repetition gate: compiled count-map kernel directly over the scan —
+    // zero shuffles before the output sort
+    Shape("q48_repetition", maxHash = 0),
+    // IQR outliers: the quantile state and the verdict join share ONE
+    // aggregation exchange
+    Shape("q55_iqr_outliers", maxHash = 1),
+    // per-source cap: WindowGroupLimit prunes before the rank shuffle
+    Shape("q69_source_cap", maxHash = 1, requireWindowGroupLimit = true),
+    // packed-sequence emission: ONE exchange (the packing window);
+    // posexplode is after it, token rows never shuffle
+    Shape("q104_packed_sequences", maxHash = 1),
+    // unicode scrub: codegen'd narrow projection, no UDF, no shuffle
+    Shape("q107_normalize_scrub", maxHash = 0, forbidUdf = true),
+    // URL canonicalization + PSL domains: narrow projection, no shuffle
+    Shape("q108_url_canonical", maxHash = 0, forbidUdf = true)
+  )
+
+  for (s <- shapes) test(s"plan shape: ${s.query}") {
+    val p = finalPlan(s.query)
+    val hash = count(p, "Exchange hash")
+    val range = count(p, "Exchange range") + count(p, "Exchange Single")
+    assert(hash <= s.maxHash, s"expected <=${s.maxHash} hash exchanges, got $hash\n$p")
+    assert(range <= s.maxRange, s"expected <=${s.maxRange} range exchanges, got $range\n$p")
+    val bhj = count(p, "BroadcastHashJoin")
+    assert(bhj >= s.minBroadcastJoin,
+      s"expected >=${s.minBroadcastJoin} BroadcastHashJoin, got $bhj\n$p")
+    if (s.requireWindowGroupLimit)
+      assert(p.contains("WindowGroupLimit"), s"WindowGroupLimit missing\n$p")
+    if (s.requireTopK)
+      assert(p.contains("TakeOrderedAndProject"), s"TakeOrderedAndProject missing\n$p")
+    for (f <- s.requirePushedFilter)
+      assert("PushedFilters: \\[[^\\]]".r.findAllIn(p).nonEmpty && p.contains(f),
+        s"expected a non-empty PushedFilters mentioning $f\n$p")
+    if (s.forbidSortMergeJoin)
+      assert(!p.contains("SortMergeJoin"), s"SortMergeJoin crept in\n$p")
+    if (s.forbidSortAggregate)
+      assert(!p.contains("SortAggregate"), s"SortAggregate crept in\n$p")
+    if (s.forbidUdf)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"non-codegen UDF in the hot path\n$p")
+  }
+}
