@@ -124,7 +124,8 @@ object SparkEntry {
     "q111_url_pipeline" -> (LlmQueries.q111UrlCurationPipeline(_, _)),
     "q112_tokenizer_fertility" -> (LlmQueries.q112TokenizerFertility(_, _)),
     "q113_cc_distributed" -> (LlmQueries.q113DedupClustersDistributed(_, _)),
-    "q114_tokenizer_report" -> (LlmQueries.q114TokenizerReport(_, _))
+    "q114_tokenizer_report" -> (LlmQueries.q114TokenizerReport(_, _)),
+    "q115_perplexity_buckets" -> (LlmQueries.q115PerplexityBuckets(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1160,6 +1161,48 @@ object SparkEntry {
         |  n_toks / CAST(((n_toks + 511) // 512) * 512 AS DOUBLE) AS fill_frac,
         |  n_toks / CAST((SELECT sum(n_toks) FROM a) AS DOUBLE) AS mixture_frac
         |FROM a ORDER BY lang""".stripMargin,
+    // CCNet perplexity triage: replays n-gram model fitting (the q92
+    // pattern over ALL docs), the integer attested-mass key, the
+    // per-language (key DESC, id) rank, the tercile arithmetic
+    // (((rnk-1)*3) // n), and the md5 hex-threshold keep rule
+    // (hexThreshold(0.5) = 8e14 hex, 0.25 = 4e14 hex; head keeps all)
+    "q115_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |ref AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
+        |uni AS (SELECT u.tok AS token, count(*) AS cnt
+        |  FROM ref, unnest(w) AS u(tok) GROUP BY 1 HAVING count(*) >= 2),
+        |rbi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cnt
+        |  FROM ref, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |su AS (SELECT doc_id, u.tok AS token FROM tok, unnest(w) AS u(tok)),
+        |sustats AS (SELECT doc_id, count(*) AS n_tokens,
+        |  sum(CASE WHEN uni.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM su LEFT JOIN uni ON su.token = uni.token GROUP BY doc_id),
+        |sb AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+        |sbstats AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  sum(CASE WHEN rbi.w1 IS NULL THEN 0 ELSE 1 END) AS n_bigram_hits
+        |  FROM sb LEFT JOIN rbi ON sb.w1 = rbi.w1 AND sb.w2 = rbi.w2 GROUP BY doc_id),
+        |sig AS (SELECT t.doc_id, t.lang,
+        |    CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(s.n_oov AS BIGINT) AS n_oov,
+        |    CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(b.n_bigram_hits, 0) AS BIGINT) AS n_bigram_hits
+        |  FROM tok t JOIN sustats s ON t.doc_id = s.doc_id
+        |  LEFT JOIN sbstats b ON t.doc_id = b.doc_id),
+        |k AS (SELECT *, CASE WHEN n_tokens + n_bigrams = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(((n_tokens - n_oov + n_bigram_hits) * 1000000000) // (n_tokens + n_bigrams) AS BIGINT)
+        |    END AS lm_key FROM sig),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY lm_key DESC, doc_id) AS BIGINT) AS q_rank,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n FROM k),
+        |b AS (SELECT *, CAST(((q_rank - 1) * 3) // n AS BIGINT) AS bucket FROM r)
+        |SELECT doc_id, lang, n_tokens, n_oov, n_bigrams, n_bigram_hits, lm_key, q_rank, bucket
+        |FROM b
+        |WHERE bucket = 0
+        |   OR (bucket = 1 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '800000000000000')
+        |   OR (bucket = 2 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '400000000000000')
+        |ORDER BY doc_id""".stripMargin,
     // DSIR: replays hashed-gram model fitting (md5 hexdigit-fold buckets,
     // the q80 trick), integer evidence masses, the cross-multiplied
     // HUGEINT key, and the grouped top-fraction window — all integer

@@ -1081,6 +1081,26 @@ object LlmQueries {
         groupCols = Seq("lang"), toksCol = "toks", budget = 512L)
       .orderBy("lang")
 
+  /** CCNet-style perplexity-bucket triage (row 70): every document
+    * scored against reference n-gram models (ref = 80% of the corpus,
+    * minCount 2), per-language terciles by the integer attested-mass
+    * key, head kept whole / middle at 1/2 / tail at 1/4 via the md5
+    * draw. The oracle replays model fitting, the key, the per-language
+    * rank/bucket arithmetic, and the hex thresholds — all integer.
+    */
+  def q115PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    val ref = d.filter(col("doc_id") % 10 < 8)
+    graft.text.PerplexitySample.sample(
+        d, "doc_id", "text",
+        graft.text.LmScore.unigramCounts(ref, "text", minCount = 2),
+        graft.text.LmScore.bigramCounts(ref, "text", minCount = 2),
+        groupCols = Seq("lang"))
+      .select("doc_id", "lang", "n_tokens", "n_oov", "n_bigrams",
+        "n_bigram_hits", "lm_key", "q_rank", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

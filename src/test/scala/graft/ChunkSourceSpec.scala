@@ -163,6 +163,31 @@ class ChunkSourceSpec extends SparkSpec {
     assert(keys(1L) > keys(3L) && keys(5L) > keys(6L))
   }
 
+  test("PerplexitySample: skew-safe tercile ranks equal the naive window; keep rule nests") {
+    import graft.text.PerplexitySample
+    val sigs = (1 to 90).map { i =>
+      // synthetic signals: key decreases with i; a few zero-evidence docs
+      if (i > 87) (i.toLong, s"g${i % 3}", 0L, 0L, 0L, 0L)
+      else (i.toLong, s"g${i % 3}", 100L, i.toLong, 99L, (99 - i).toLong)
+    }.toDF("doc_id", "lang", "n_tokens", "n_oov", "n_bigrams", "n_bigram_hits")
+    val keyed = PerplexitySample.qualityKey(sigs)
+    val got = PerplexitySample.tercileBuckets(keyed, "doc_id", Seq("lang"))
+    val naive = keyed
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("lm_key").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id2"), col("r"))
+    assert(got.join(naive, got("doc_id") === naive("id2"))
+      .filter(col("q_rank") =!= col("r")).isEmpty)
+    // zero-evidence docs key at -1, rank last, land in the tail bucket
+    val tail = got.filter(col("lm_key") === -1L).select("bucket").distinct()
+      .as[Long].collect().toSeq
+    assert(tail == Seq(2L))
+    // terciles are 10/10/10 per 30-doc group
+    val sizes = got.groupBy("lang", "bucket").count().select("count")
+      .as[Long].collect().toSeq
+    assert(sizes.forall(_ == 10L), sizes)
+  }
+
   test("Dsir: fused fits (subset and union) equal the two-pass fits exactly") {
     val docs = Seq(
       (1L, "cat cat sat mat"), (2L, "cat sat on the mat"),
