@@ -125,7 +125,8 @@ object SparkEntry {
     "q112_tokenizer_fertility" -> (LlmQueries.q112TokenizerFertility(_, _)),
     "q113_cc_distributed" -> (LlmQueries.q113DedupClustersDistributed(_, _)),
     "q114_tokenizer_report" -> (LlmQueries.q114TokenizerReport(_, _)),
-    "q115_perplexity_buckets" -> (LlmQueries.q115PerplexityBuckets(_, _))
+    "q115_perplexity_buckets" -> (LlmQueries.q115PerplexityBuckets(_, _)),
+    "q116_html_extract" -> (LlmQueries.q116HtmlExtract(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1161,6 +1162,43 @@ object SparkEntry {
         |  n_toks / CAST(((n_toks + 511) // 512) * 512 AS DOUBLE) AS fill_frac,
         |  n_toks / CAST((SELECT sum(n_toks) FROM a) AS DOUBLE) AS mixture_frac
         |FROM a ORDER BY lang""".stripMargin,
+    // HTML extraction: same synthesized page, same regexp chain ((?is)
+    // inline flags + non-greedy spans behave identically in Java regex
+    // and RE2); named entities via fixed-string replace (equivalent to
+    // the Spark side's literal-pattern regexp_replace), &amp; decoded
+    // LAST so '&amp;lt;' yields the literal '&lt;'
+    "q116_html_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<!DOCTYPE html><html><head><title>T' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p { color: red; }</style>' ||
+        |    '<script type="text/javascript">var x = 1 < 2;</script></head><body>' ||
+        |    '<!-- comment ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        |    '<h1 class="hd">Heading ' || CAST(doc_id % 7 AS VARCHAR) || '</h1>' ||
+        |    '<p>' || text || '</p>' ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN '<p>first &amp; second &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>'
+        |      ELSE '<div>plain<b>bold</b>tail</div>' END) ||
+        |    '<ul><li>item a</li><li>item b</li></ul></body></html>' AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, html,
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+        |       '(?is)<(?:script|style|noscript)[^>]*>.*?</(?:script|style|noscript)\s*>', '', 'g'),
+        |      '(?i)<(?:br|hr|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote|/pre|/section|/article|/header|/footer)[^>]*>', chr(10), 'g'),
+        |     '<[^>]*>', ' ', 'g') AS t3
+        |  FROM d),
+        |e AS (SELECT doc_id, html,
+        |    replace(replace(replace(replace(replace(replace(
+        |      t3, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS text
+        |  FROM s)
+        |SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(length(html) AS BIGINT) AS n_chars_html,
+        |  CAST(length(text) AS BIGINT) AS n_chars_text
+        |FROM e ORDER BY doc_id""".stripMargin,
     // CCNet perplexity triage: replays n-gram model fitting (the q92
     // pattern over ALL docs), the integer attested-mass key, the
     // per-language (key DESC, id) rank, the tercile arithmetic

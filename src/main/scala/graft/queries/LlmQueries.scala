@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup._
 import graft.operators.Sampling
 import graft.similarity.Knn
-import graft.text.{Bm25, Chunking, LmScore, Normalize, Packing, TextAnalysis, Urls}
+import graft.text.{Bm25, Chunking, HtmlStrip, LmScore, Normalize, Packing, TextAnalysis, Urls}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1098,6 +1098,35 @@ object LlmQueries {
         groupCols = Seq("lang"))
       .select("doc_id", "lang", "n_tokens", "n_oov", "n_bigrams",
         "n_bigram_hits", "lm_key", "q_rank", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** HTML → text extraction (row 71): every doc wrapped in a synthesized
+    * page — doctype, style/script blocks (content must vanish), comments,
+    * block tags (must become newlines), inline tags (must become spaces,
+    * not fuse words), and the five named entities. The gate hashes the
+    * extracted text + tag counts against DuckDB replaying the identical
+    * regexp chain ((?is) inline flags, non-greedy spans — same semantics
+    * in Java regex and RE2).
+    */
+  def q116HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>T"), id.cast("string"),
+      lit("</title><style>p { color: red; }</style>"),
+      lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head><body>"),
+      lit("<!-- comment "), id.cast("string"), lit(" -->"),
+      lit("<h1 class=\"hd\">Heading "), (id % 7).cast("string"), lit("</h1>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(id % 3 === 0,
+        lit("<p>first &amp; second &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"))
+        .otherwise(lit("<div>plain<b>bold</b>tail</div>")),
+      lit("<ul><li>item a</li><li>item b</li></ul></body></html>"))
+    val d = Tables.documents(s, dir).select(id, col("text"))
+      .withColumn("html", html).drop("text")
+    HtmlStrip.extract(d, "doc_id", "html")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_tags"), col("n_chars_html"), col("n_chars_text"))
       .orderBy("doc_id")
   }
 
