@@ -126,7 +126,8 @@ object SparkEntry {
     "q113_cc_distributed" -> (LlmQueries.q113DedupClustersDistributed(_, _)),
     "q114_tokenizer_report" -> (LlmQueries.q114TokenizerReport(_, _)),
     "q115_perplexity_buckets" -> (LlmQueries.q115PerplexityBuckets(_, _)),
-    "q116_html_extract" -> (LlmQueries.q116HtmlExtract(_, _))
+    "q116_html_extract" -> (LlmQueries.q116HtmlExtract(_, _)),
+    "q117_domain_blocklist" -> (LlmQueries.q117DomainBlocklist(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1199,6 +1200,23 @@ object SparkEntry {
         |  CAST(length(html) AS BIGINT) AS n_chars_html,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Domain blocklist: the oracle derives registered domains by
+    // arithmetic construction (never the host/PSL chain) and replays
+    // NOT IN — two blocklist entries hit, two are inert (site7/site12
+    // pair with the other suffix by the id arithmetic), so both
+    // filtering and no-false-positive behavior are cross-checked
+    "q117_domain_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    'site' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) ||
+        |    '/p/' || CAST(doc_id % 40 AS VARCHAR) AS url,
+        |    'site' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END) AS dom
+        |  FROM documents)
+        |SELECT doc_id, url FROM d
+        |WHERE dom NOT IN ('site3.com', 'site7.co.uk', 'site12.com', 'site16.co.uk')
+        |ORDER BY doc_id""".stripMargin,
     // CCNet perplexity triage: replays n-gram model fitting (the q92
     // pattern over ALL docs), the integer attested-mass key, the
     // per-language (key DESC, id) rank, the tercile arithmetic

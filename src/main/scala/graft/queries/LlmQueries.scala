@@ -1130,6 +1130,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Domain blocklist filter (row 72): synthesized URLs with www/ccTLD
+    * variation, a literal blocklist of registered domains, broadcast
+    * anti-join on the PSL registered domain. The oracle derives each
+    * URL's domain INDEPENDENTLY (arithmetic construction, not the
+    * host/PSL chain) and replays NOT IN — so the whole
+    * host→registered-domain path is cross-checked.
+    */
+  def q117DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id")
+    val url = concat(
+      lit("https://"), when(id % 3 === 0, "www.").otherwise(""),
+      lit("site"), (id % 20).cast("string"),
+      when(id % 4 === 0, ".co.uk").otherwise(".com"),
+      lit("/p/"), (id % 40).cast("string"))
+    val docs = Tables.documents(s, dir).select(id).withColumn("url", url)
+    val block = Seq("site3.com", "site7.co.uk", "site12.com", "site16.co.uk")
+      .toDF("domain")
+    Urls.filterByDomain(docs, "url", block, keep = false).orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -111,6 +111,38 @@ object Urls {
       when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
+  /** Filter documents by their URL's registered domain against a
+    * (domain) list frame — the blocklist/allowlist step every web
+    * pipeline runs right after canonicalization (spam/adult/boilerplate
+    * domain lists are site-identity-keyed, which is exactly what the
+    * PSL registered domain provides: blocking `github.io` does NOT
+    * block every user site, blocking `user.github.io` blocks that one).
+    *
+    * `keep = false` (blocklist): drop rows whose domain is listed.
+    * `keep = true` (allowlist): keep ONLY listed domains.
+    * Rows whose URL has no parseable host pass a blocklist (nothing to
+    * match) and fail an allowlist (no identity to allow) — NULL-safe on
+    * both sides.
+    *
+    * Scale shape: domain lists are list-sized (thousands), so this is a
+    * broadcast semi/anti join against a narrow projection — the corpus
+    * never shuffles.
+    */
+  def filterByDomain(
+      df: DataFrame,
+      urlCol: String,
+      domains: DataFrame,
+      keep: Boolean = false
+  ): DataFrame = {
+    val withDom = df.withColumn("__dom", registeredDomain(host(col(urlCol))))
+    val list = broadcast(
+      domains.select(lower(col(domains.columns.head)).as("__dom")).distinct())
+    val joined =
+      if (keep) withDom.join(list, Seq("__dom"), "left_semi")
+      else withDom.join(list, Seq("__dom"), "left_anti")
+    joined.drop("__dom")
+  }
+
   /** Per-row URL report: (id, url, scheme, host, domain, canonical).
     * One narrow projection — no shuffle.
     */

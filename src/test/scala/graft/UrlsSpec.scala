@@ -70,6 +70,26 @@ class UrlsSpec extends SparkSpec {
     assert(canonOpt("https://ex.com/a").contains("https://ex.com/a"))
   }
 
+  test("filterByDomain: blocklist drops listed, allowlist keeps only listed; unparseable hosts") {
+    val docs = Seq(
+      (1L, "https://a.user.github.io/x"), // domain user.github.io
+      (2L, "https://www.example.co.uk/y"), // example.co.uk
+      (3L, "https://other.com/z"),
+      (4L, "not a url")                    // no host → "" domain
+    ).toDF("id", "url")
+    val list = Seq("user.github.io", "EXAMPLE.CO.UK").toDF("domain") // case-folded
+    val blocked = Urls.filterByDomain(docs, "url", list, keep = false)
+      .select("id").as[Long].collect().toSet
+    assert(blocked == Set(3L, 4L)) // listed dropped; unparseable passes a blocklist
+    val allowed = Urls.filterByDomain(docs, "url", list, keep = true)
+      .select("id").as[Long].collect().toSet
+    assert(allowed == Set(1L, 2L)) // unparseable fails an allowlist
+    // broadcast anti-join, never a corpus shuffle
+    val plan = Urls.filterByDomain(docs, "url", list).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("normalizeNtz rewrites NTZ timestamps nested in structs and arrays") {
     import org.apache.spark.sql.types._
     val df = spark.sql(
