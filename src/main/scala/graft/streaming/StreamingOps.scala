@@ -566,6 +566,47 @@ object StreamingOps {
     * same contract as the other ingest streams). Per batch: one gram
     * pass over the batch + two ≤ numBuckets-row broadcast joins.
     */
+  /** Streaming perplexity-triage admission —
+    * [[graft.text.PerplexitySample]]'s online form: the reference
+    * n-gram models (unigram + bigram count frames) are FROZEN corpus
+    * state, each arriving micro-batch is scored ([[graft.text.LmScore]]
+    * integer evidence → the attested-mass `lm_key`) and admitted iff
+    * the key clears `minKey`. Fixed key threshold, not per-batch
+    * terciles: tercile ranks are a corpus-relative notion — online
+    * admission pins the key cutoff derived from the frozen corpus
+    * (e.g. the batch-corpus tail boundary), so admission is stable
+    * across batches and replays. Batch output overwrites its own
+    * `batch_id=<n>` dir (idempotent replay). Per batch: two gram
+    * passes over the batch (uni + bigram) + two broadcast model joins.
+    */
+  def perplexityAdmissionStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      unigramModelPath: String,
+      bigramModelPath: String,
+      outPath: String,
+      checkpoint: String,
+      minKey: Long
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.text.{LmScore, PerplexitySample}
+    val spark = docs.sparkSession
+    // frozen reference models, materialized once at stream definition
+    val uni = graft.text.Dsir.materializeModel(spark.read.parquet(unigramModelPath))
+    val bi = graft.text.Dsir.materializeModel(spark.read.parquet(bigramModelPath))
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        PerplexitySample.qualityKey(
+            LmScore.score(batch, idCol, textCol, uni, bi))
+          .filter(col("lm_key") >= minKey)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   def dsirAdmissionStream(
       docs: DataFrame,
       idCol: String,

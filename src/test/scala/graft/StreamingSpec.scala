@@ -447,6 +447,51 @@ class StreamingSpec extends SparkSpec {
       s"threshold should admit some and reject some (admitted ${got.size}/${arriving.size})")
   }
 
+  test("streaming perplexity admission: per-batch keys equal batch mode at a fixed threshold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.{LmScore, PerplexitySample}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ppxstream").toString
+    val ref = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    // frozen reference n-gram models (the q106-style prebuilt contract)
+    LmScore.unigramCounts(ref, "text", minCount = 2)
+      .write.mode("overwrite").parquet(s"$tmp/uni")
+    LmScore.bigramCounts(ref, "text", minCount = 2)
+      .write.mode("overwrite").parquet(s"$tmp/bi")
+    // odd ids get unique OOV junk so the key actually separates docs
+    // (the tiny-sf vocabulary is otherwise fully attested by ref)
+    val arriving = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") >= 200 && col("doc_id") < 240)
+      .withColumn("text", when(col("doc_id") % 2 === 1,
+        concat(col("text"), lit(" "),
+          concat_ws(" ", (1 to 40).map(i => concat(lit(s"zzqx${i}x"), col("doc_id"))): _*)))
+        .otherwise(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b1, b2) = arriving.splitAt(20)
+    val minKey = 900000000L
+    val mem = MemoryStream[(Long, String)]
+    def run() = StreamingOps.perplexityAdmissionStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/uni", s"$tmp/bi", s"$tmp/out", s"$tmp/cp", minKey = minKey)
+    mem.addData(b1: _*)
+    run().awaitTermination(120000)
+    mem.addData(b2: _*)
+    run().awaitTermination(120000)
+    val uni = spark.read.parquet(s"$tmp/uni"); val bi = spark.read.parquet(s"$tmp/bi")
+    val expected = PerplexitySample.qualityKey(
+        LmScore.score(arriving.toDF("doc_id", "text"), "doc_id", "text", uni, bi))
+      .filter(col("lm_key") >= minKey)
+      .select("doc_id", "lm_key").as[(Long, Long)].collect().toMap
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "lm_key").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    assert(got.nonEmpty && got.size < arriving.size,
+      s"threshold should admit some and reject some (admitted ${got.size}/${arriving.size})")
+  }
+
   test("streaming ANN over a prebuilt IVF-PQ index equals the batch path per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.similarity.{Knn, Pq}
