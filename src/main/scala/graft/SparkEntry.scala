@@ -127,7 +127,8 @@ object SparkEntry {
     "q114_tokenizer_report" -> (LlmQueries.q114TokenizerReport(_, _)),
     "q115_perplexity_buckets" -> (LlmQueries.q115PerplexityBuckets(_, _)),
     "q116_html_extract" -> (LlmQueries.q116HtmlExtract(_, _)),
-    "q117_domain_blocklist" -> (LlmQueries.q117DomainBlocklist(_, _))
+    "q117_domain_blocklist" -> (LlmQueries.q117DomainBlocklist(_, _)),
+    "q118_decontamination_scrub" -> (LlmQueries.q118DecontaminationScrub(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1200,6 +1201,38 @@ object SparkEntry {
         |  CAST(length(html) AS BIGINT) AS n_chars_html,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Decontamination scrub: overlapping eval grams (range(n-k+1)),
+    // non-overlapping train spans (the q78 chop), 60-bit md5 keys,
+    // anti-join via LEFT JOIN + NULL test (string_agg skips NULLs so
+    // hit spans vanish), ordered reassembly + sub-span tail
+    "q118_decontamination_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ev AS (SELECT doc_id, w FROM toks WHERE doc_id % 17 = 0),
+        |evg AS (SELECT DISTINCT substr(md5(array_to_string(w[i+1 : i+8], ' ')), 1, 15) AS h
+        |  FROM ev, LATERAL (SELECT unnest(range(len(w) - 8 + 1)) AS i) r),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(CAST(floor(len(w)/8) AS BIGINT)),
+        |    i -> {'span_idx': i, 'span': array_to_string(w[i*8+1 : i*8+8], ' ')})) AS s
+        |  FROM toks),
+        |spf AS (SELECT doc_id, s.span_idx AS span_idx, s.span AS span,
+        |        substr(md5(s.span), 1, 15) AS h FROM sp),
+        |tagged AS (SELECT spf.doc_id, spf.span_idx, spf.span,
+        |    evg.h IS NOT NULL AS hit
+        |  FROM spf LEFT JOIN evg ON spf.h = evg.h),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+        |    string_agg(CASE WHEN NOT hit THEN span END, ' ' ORDER BY span_idx) AS k
+        |  FROM tagged GROUP BY doc_id),
+        |tails AS (
+        |  SELECT doc_id, array_to_string(w[CAST(floor(len(w)/8) AS BIGINT)*8+1 : len(w)], ' ') AS tail
+        |  FROM toks)
+        |SELECT d.doc_id AS doc_id,
+        |  concat_ws(' ', nullif(agg.k, ''), nullif(tails.tail, '')) AS text,
+        |  CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(agg.n_scrubbed, 0) AS BIGINT) AS n_scrubbed
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |JOIN tails ON d.doc_id = tails.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Domain blocklist: the oracle derives registered domains by
     // arithmetic construction (never the host/PSL chain) and replays
     // NOT IN — two blocklist entries hit, two are inert (site7/site12

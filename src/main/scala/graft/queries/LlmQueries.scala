@@ -1151,6 +1151,21 @@ object LlmQueries {
     Urls.filterByDomain(docs, "url", block, keep = false).orderBy("doc_id")
   }
 
+  /** Decontamination scrub (row 73): eval set = every 17th doc; their
+    * text is removed span-by-span from the whole corpus (including the
+    * eval docs' own rows — decontamination removes eval text wherever
+    * it appears). The oracle replays overlapping eval grams, the 60-bit
+    * span keys, the anti-join, and the ordered reassembly in SQL.
+    */
+  def q118DecontaminationScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    graft.text.Contamination.scrubSpans(
+        d, "doc_id", "text",
+        evalSet = d.filter(col("doc_id") % 17 === 0), evalTextCol = "text",
+        spanWords = 8)
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

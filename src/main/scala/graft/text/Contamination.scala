@@ -104,4 +104,63 @@ object Contamination {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Decontamination SCRUB — remove eval-set text from the training
+    * corpus instead of just flagging it (detection above + the
+    * [[graft.dedup.SpanDedup]] rewrite machinery composed): each train
+    * doc's non-overlapping `spanWords`-word spans are DROPPED when the
+    * same word span occurs anywhere in the eval set. The eval side is
+    * chopped into ALL OVERLAPPING `spanWords`-grams so span alignment
+    * cannot hide a match; eval sets are benchmark-sized, so the distinct
+    * gram-key set broadcasts and the corpus side stays an anti-join on a
+    * 60-bit key — the train corpus shuffles once (per-doc reassembly),
+    * never on text.
+    *
+    * Returns (id, textCol, n_spans, n_scrubbed); reassembly keeps
+    * surviving spans in order plus the sub-span tail, exactly the
+    * [[graft.dedup.SpanDedup.removeDuplicateSpans]] contract.
+    */
+  def scrubSpans(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      spanWords: Int
+  ): DataFrame = {
+    import graft.dedup.SpanDedup
+    require(spanWords > 0, "spanWords must be positive")
+    val ew = split(col(evalTextCol), " ")
+    val en = size(ew) - spanWords + 1
+    val eIdxs = when(en >= 1, sequence(lit(0), en - 1))
+      .otherwise(array().cast("array<int>"))
+    val evalKeys = evalSet
+      .select(explode(transform(eIdxs,
+        i => array_join(slice(ew, i + 1, lit(spanWords)), " "))).as("g"))
+      .select(SpanDedup.spanKey(col("g")).as("h")).distinct()
+      .withColumn("__hit", lit(1))
+    val sp = SpanDedup.spans(train, idCol, textCol, spanWords)
+      .withColumn("h", SpanDedup.spanKey(col("span")))
+    val tagged = sp.join(broadcast(evalKeys), Seq("h"), "left")
+    val perDoc = tagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_scrubbed"),
+      // collect_list skips nulls: hit spans vanish, survivors sort by idx
+      array_join(transform(
+        array_sort(collect_list(when(col("__hit").isNull,
+          struct(col("span_idx"), col("span"))))),
+        s => s.getField("span")), " ").as("__kept"))
+    val words = split(col(textCol), " ")
+    val nFull = floor(size(words) / spanWords).cast("int") * spanWords
+    val tail = array_join(slice(words, nFull + 1, size(words) - nFull), " ")
+    train.select(col(idCol), tail.as("__tail"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          when(length(col("__kept")) > 0, col("__kept")),
+          when(length(col("__tail")) > 0, col("__tail"))).as(textCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_scrubbed"), lit(0L)).as("n_scrubbed"))
+  }
 }

@@ -172,4 +172,27 @@ class SpanDedupSpec extends SparkSpec {
       .collect().map(_.getString(1))
     assert(out.toSeq == Seq("a b c d e f"))
   }
+
+  test("decontamination scrub removes eval spans at ANY alignment; clean docs round-trip") {
+    import graft.text.Contamination
+    // train doc 1's middle span "p q r" appears inside eval text at an
+    // offset that is NOT span-aligned on the eval side — overlapping
+    // eval grams must still catch it. doc 2 is clean. doc 3 IS the eval
+    // doc (its own aligned spans scrub; short tail survives).
+    val train = docs(
+      (1L, "a b c p q r x y z"),   // spans: [a b c][p q r][x y z]
+      (2L, "m n o u v w"),         // clean
+      (3L, "junk1 junk2 p q r k1 k2 k3 tail9 tailX"))
+    val evalSet = docs((99L, "junk1 junk2 p q r k1 k2 k3 tail9 tailX"))
+    val out = Contamination.scrubSpans(train, "doc_id", "text",
+        evalSet, "text", spanWords = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1: "p q r" occurs in eval (as an overlapping gram) → scrubbed
+    assert(out(0) == ((1L, "a b c x y z", 3L, 1L)))
+    // doc 2: untouched, zero scrubbed
+    assert(out(1) == ((2L, "m n o u v w", 2L, 0L)))
+    // doc 3: every aligned span is eval text → only the sub-span tail survives
+    assert(out(2) == ((3L, "tailX", 3L, 3L)))
+  }
 }
