@@ -128,7 +128,8 @@ object SparkEntry {
     "q115_perplexity_buckets" -> (LlmQueries.q115PerplexityBuckets(_, _)),
     "q116_html_extract" -> (LlmQueries.q116HtmlExtract(_, _)),
     "q117_domain_blocklist" -> (LlmQueries.q117DomainBlocklist(_, _)),
-    "q118_decontamination_scrub" -> (LlmQueries.q118DecontaminationScrub(_, _))
+    "q118_decontamination_scrub" -> (LlmQueries.q118DecontaminationScrub(_, _)),
+    "q119_curation_funnel" -> (LlmQueries.q119CurationFunnelV2(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1201,6 +1202,57 @@ object SparkEntry {
         |  CAST(length(html) AS BIGINT) AS n_chars_html,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Curation funnel v2: the q116 strip chain + the q107 normalize
+    // chain replayed verbatim; canonicals/domains derived ARITHMETICALLY
+    // (the q111 cross-check pattern); min-doc-id-per-canonical carries
+    // its own normalized text into the per-domain report
+    "q119_curation_funnel" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<html><head><style>b { color: blue }</style></head><body>' ||
+        |    '<!-- crawler ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+        |    '<p>' || text || '</p>' ||
+        |    '<script>track();</script></body></html>' AS html,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' ||
+        |    '/p/' || CAST(doc_id % 40 AS VARCHAR) AS canonical,
+        |    'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS dom
+        |  FROM documents),
+        |x AS (SELECT doc_id, canonical, dom,
+        |    replace(replace(replace(replace(replace(replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+        |        '(?is)<(?:script|style|noscript)[^>]*>.*?</(?:script|style|noscript)\s*>', '', 'g'),
+        |       '(?i)<(?:br|hr|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote|/pre|/section|/article|/header|/footer)[^>]*>', chr(10), 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS text_x
+        |  FROM d),
+        |n AS (SELECT doc_id, canonical, dom,
+        |    trim(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(
+        |         regexp_replace(
+        |          nfc_normalize(regexp_replace(
+        |           nfc_normalize(text_x),
+        |           '[\x{200B}-\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g')),
+        |          '\r\n?', chr(10), 'g'),
+        |         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        '[ \t]+', ' ', 'g'),
+        |       ' ?\n ?', chr(10), 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g'),
+        |     ' ' || chr(10)) AS text_n
+        |  FROM x),
+        |f AS (SELECT * FROM n WHERE length(text_n) >= 100),
+        |fp AS (SELECT doc_id, canonical, dom, text_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY canonical ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1),
+        |bl AS (SELECT * FROM fp WHERE dom NOT IN ('site4.com', 'site11.com'))
+        |SELECT dom AS domain, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(length(text_n)) AS BIGINT) AS chars_kept
+        |FROM bl GROUP BY 1 ORDER BY 1""".stripMargin,
     // Decontamination scrub: overlapping eval grams (range(n-k+1)),
     // non-overlapping train spans (the q78 chop), 60-bit md5 keys,
     // anti-join via LEFT JOIN + NULL test (string_agg skips NULLs so

@@ -1166,6 +1166,53 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Web-curation funnel v2 (row 74 — the round-6 surface composed in
+    * production order): synthesized HTML pages → [[HtmlStrip]] text
+    * extraction → [[Normalize]] unicode/whitespace scrub → minimum-
+    * length gate → URL canonicalization + first-per-canonical dedup →
+    * registered-domain blocklist → per-domain provenance report
+    * (n_pages, chars_kept over the NORMALIZED text — the funnel's
+    * output mass, not the raw crawl's). The oracle replays the HTML and
+    * normalize chains verbatim but derives canonicals and domains
+    * ARITHMETICALLY (never the regexp/PSL chain), so the composition
+    * and both chains cross-check each other.
+    */
+  def q119CurationFunnelV2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><style>b { color: blue }</style></head><body>"),
+      lit("<!-- crawler "), id.cast("string"), lit(" -->"),
+      lit("<p>"), col("text"), lit("</p>"),
+      lit("<script>track();</script></body></html>"))
+    val url = concat(
+      when(id % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(id % 3 === 0, "WWW.").otherwise(""),
+      lit("Site"), (id % 20).cast("string"), lit(".COM"),
+      lit("/p/"), (id % 40).cast("string"),
+      when(id % 2 === 0, "?utm_source=feed").otherwise(""))
+    val extracted = Tables.documents(s, dir).select(id, col("text"))
+      .withColumn("html", html).withColumn("url", url)
+      .withColumn("text_x", HtmlStrip.textOf(col("html")))
+      .withColumn("text_n", Normalize.cleanColumn(col("text_x")))
+      .filter(length(col("text_n")) >= 100)
+    val canon = Urls.canonicalReport(extracted, "doc_id", "url")
+      .select(col("doc_id"), col("domain"), col("canonical"))
+      .filter(col("canonical").isNotNull)
+      .join(extracted.select(id, col("text_n")), Seq("doc_id"))
+    val firstPer = canon.groupBy("canonical")
+      .agg(min(struct(col("doc_id"), col("domain"), col("text_n"))).as("f"))
+      .select(col("f.doc_id"), col("f.domain"), col("f.text_n"))
+    val block = Seq("site4.com", "site11.com").toDF("domain_b")
+    Urls.filterByDomain(
+        firstPer.withColumn("u2", concat(lit("https://"), col("domain"), lit("/"))),
+        "u2", block, keep = false)
+      .groupBy("domain")
+      .agg(count(lit(1)).cast("long").as("n_pages"),
+        sum(length(col("text_n"))).cast("long").as("chars_kept"))
+      .orderBy("domain")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)
