@@ -129,7 +129,8 @@ object SparkEntry {
     "q116_html_extract" -> (LlmQueries.q116HtmlExtract(_, _)),
     "q117_domain_blocklist" -> (LlmQueries.q117DomainBlocklist(_, _)),
     "q118_decontamination_scrub" -> (LlmQueries.q118DecontaminationScrub(_, _)),
-    "q119_curation_funnel" -> (LlmQueries.q119CurationFunnelV2(_, _))
+    "q119_curation_funnel" -> (LlmQueries.q119CurationFunnelV2(_, _)),
+    "q120_intradoc_line_scrub" -> (LlmQueries.q120IntraDocLineScrub(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1202,6 +1203,26 @@ object SparkEntry {
         |  CAST(length(html) AS BIGINT) AS n_chars_html,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Within-doc line scrub: per-(doc, line) first-position window +
+    // ordered re-aggregation replays the narrow HOF fold; blank lines
+    // (length < 1) always survive, including duplicates
+    "q120_intradoc_line_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'Subscribe now!' || chr(10) || 'More content here indeed' || chr(10) || 'Subscribe now!' || chr(10) || 'Subscribe now!'
+        |         WHEN doc_id % 3 = 1 THEN text || chr(10) || chr(10) || 'Cookie banner' || chr(10) || chr(10) || 'Cookie banner'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS w FROM d),
+        |l AS (SELECT doc_id, i AS pos, w[i] AS line
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM l),
+        |kept AS (SELECT doc_id, pos, line FROM k WHERE length(line) < 1 OR rn = 1),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |    CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_lines FROM t)
+        |SELECT tot.doc_id AS doc_id, agg.text_clean, tot.n_lines, agg.n_kept
+        |FROM tot JOIN agg ON tot.doc_id = agg.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Curation funnel v2: the q116 strip chain + the q107 normalize
     // chain replayed verbatim; canonicals/domains derived ARITHMETICALLY
     // (the q111 cross-check pattern); min-doc-id-per-canonical carries

@@ -78,4 +78,47 @@ object LineDedup {
           sep).as("text_clean"))
       .select(col("id"), col("text_clean"), col("n_lines"), col("n_kept"))
   }
+
+  /** WITHIN-document repeated-line scrub — the page-local half of the
+    * boilerplate problem (nav menus, cookie banners, "Subscribe!" blocks
+    * repeated inside ONE page), where [[scrub]] is the corpus-global
+    * half. Keeps each document's first occurrence of every content line;
+    * lines shorter than `minLineChars` are always kept (the same
+    * structure-preserving exemption as [[scrub]] — with the default 1,
+    * blank lines survive).
+    *
+    * Scale shape: a NARROW higher-order-function fold — zero shuffles,
+    * zero UDFs; the whole operator runs at scan speed inside codegen.
+    * The fold is O(lines² ) per document (array_contains over the kept
+    * prefix), fine for real pages (thousands of lines); a document with
+    * ~10^5+ lines should go through [[scrub]] instead, whose aggregate
+    * formulation is linear.
+    *
+    * Returns (id, text_clean, n_lines, n_kept); NULL text stays NULL.
+    */
+  def scrubWithinDoc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 1
+  ): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = split(col(textCol), sepLit)
+    val kept = aggregate(
+      lines,
+      array().cast("array<string>"),
+      (acc, x) => when(
+        length(x) < minLineChars || !array_contains(acc, x),
+        concat(acc, array(x))).otherwise(acc))
+    docs.select(
+      col(idCol).as("id"),
+      array_join(kept, sep).as("text_clean"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"))
+      // split() never yields NULL elements, but size() is -1 on NULL
+      // arrays — normalize the NULL-text row to NULL metrics
+      .withColumn("n_lines", when(col("n_lines") < 0, lit(null)).otherwise(col("n_lines")))
+      .withColumn("n_kept", when(col("n_kept") < 0, lit(null)).otherwise(col("n_kept")))
+  }
 }

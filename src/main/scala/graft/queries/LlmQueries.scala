@@ -1213,6 +1213,25 @@ object LlmQueries {
       .orderBy("domain")
   }
 
+  /** Within-doc repeated-line scrub (row 75): a third of docs get a
+    * thrice-repeated "Subscribe" line, another third a twice-repeated
+    * banner with blank-line structure; the narrow HOF fold keeps first
+    * occurrences (blank lines always survive). Oracle replays with a
+    * per-(doc, line) first-position window + ordered re-aggregation.
+    */
+  def q120IntraDocLineScrub(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit("\nSubscribe now!\nMore content here indeed\nSubscribe now!\nSubscribe now!")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit("\n\nCookie banner\n\nCookie banner")))
+      .otherwise(col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), t.as("text"))
+    graft.dedup.LineDedup.scrubWithinDoc(d, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -281,6 +281,31 @@ class DedupSpec extends SparkSpec {
     assert(out4 == Map(1L -> "*\nlong line", 2L -> "*"))
   }
 
+  test("within-doc line scrub: narrow fold, first occurrence, blanks survive, no shuffle") {
+    val d = Seq(
+      (1L, "nav\nbody\nnav\nnav\nftr"),    // repeated nav → one survives
+      (2L, "a\n\nb\n\na"),                 // blanks ALWAYS survive; 'a' dedups
+      (3L, "solo"),
+      (4L, "")                             // empty text round-trips
+    ).toDF("doc_id", "text")
+    val out = LineDedup.scrubWithinDoc(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ("nav\nbody\nftr", 5L, 3L))
+    assert(out(2L) == ("a\n\nb\n", 5L, 4L))
+    assert(out(3L) == ("solo", 1L, 1L))
+    assert(out(4L) == ("", 1L, 1L))
+    // duplicate lines in DIFFERENT docs both survive (within-doc scope)
+    val d2 = Seq((1L, "shared\nx"), (2L, "shared\ny")).toDF("doc_id", "text")
+    val out2 = LineDedup.scrubWithinDoc(d2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "shared\nx", 2L -> "shared\ny"))
+    // the whole operator is one narrow projection — zero exchanges
+    val onScan = LineDedup.scrubWithinDoc(
+      Tables.documents(spark, sf), "doc_id", "text")
+    assert(!onScan.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("semantic dedup: within-cell pairs, components, min-id keep, sentinel cell") {
     val vA = Seq(1.0, 0.0, 0.0)
     val vB = Seq(0.0, 1.0, 0.0)
