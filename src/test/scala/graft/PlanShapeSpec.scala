@@ -76,7 +76,33 @@ class PlanShapeSpec extends SparkSpec {
     // unicode scrub: codegen'd narrow projection, no UDF, no shuffle
     Shape("q107_normalize_scrub", maxHash = 0, forbidUdf = true),
     // URL canonicalization + PSL domains: narrow projection, no shuffle
-    Shape("q108_url_canonical", maxHash = 0, forbidUdf = true)
+    Shape("q108_url_canonical", maxHash = 0, forbidUdf = true),
+    // global line dedup: the documented two shuffles (min-aggregate on
+    // the line key + per-doc reassembly), never a per-line-hash window
+    Shape("q105_line_dedup_scrub", maxHash = 2),
+    // interleave ranks: bounded exchanges on (source, bucket) cells +
+    // bookkeeping aggregates; offsets/weights joins broadcast
+    Shape("q109_training_order", maxHash = 4, forbidSortMergeJoin = true),
+    // LSH minhash: signature agg + bucket-pair shuffle only; the verify
+    // joins broadcast; the native kernel is NOT a ScalaUDF
+    Shape("q21_dedup_minhash", maxHash = 2, forbidSortMergeJoin = true),
+    // contamination: ONE documents scan feeding one gram shuffle + one
+    // id shuffle (the two-branch two-scan form was rewritten in r2)
+    Shape("q47_contamination", maxHash = 2, maxRange = 0),
+    // HTML extraction: narrow regexp projection, no UDF, no shuffle
+    Shape("q116_html_extract", maxHash = 0, forbidUdf = true),
+    // domain blocklist: broadcast anti-join; the only hash exchange is
+    // the list-sized blocklist distinct
+    Shape("q117_domain_blocklist", maxHash = 1, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true),
+    // decontamination scrub: eval-key distinct + per-doc reassembly;
+    // the span match itself is a broadcast anti-join
+    Shape("q118_decontamination_scrub", maxHash = 2, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true),
+    // funnel v2: canonical-dedup agg + report agg + blocklist distinct
+    Shape("q119_curation_funnel", maxHash = 3, forbidSortMergeJoin = true),
+    // within-doc line scrub: a single narrow HOF projection
+    Shape("q120_intradoc_line_scrub", maxHash = 0, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
