@@ -58,6 +58,26 @@ object HtmlStrip {
     regexp_replace(e5, "&amp;", "&")
   }
 
+  /** [[textOf]] with FULL entity decoding via the native
+    * [[graft.functions.HtmlEntityDecode]] kernel: numeric character
+    * references (`&#169;`, `&#x1F600;`) decode too — a computed code
+    * point, inexpressible as a replace chain. The production path for
+    * corpora that carry numeric references; [[textOf]] stays the
+    * oracle-gated cross-engine form (the kernel is spec-gated with
+    * goldens — DuckDB has no codepoint-construction SQL, the same
+    * status as the BPE merge kernel). Single-pass, codegen'd,
+    * zero-allocation on entity-free text.
+    */
+  def textOfFull(html: Column): Column = {
+    val t0 = regexp_replace(html, CommentPattern, "")
+    val t1 = regexp_replace(t0, ScriptStylePattern, "")
+    val t2 = regexp_replace(t1, BlockBreakPattern, "\n")
+    val t3 = regexp_replace(t2, TagPattern, " ")
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.HtmlEntityDecode(
+        org.apache.spark.sql.graftbridge.expression(t3)))
+  }
+
   /** Per-document extraction report: (id, text, n_tags, n_chars_html,
     * n_chars_text). `n_tags` counts `<...>` constructs in the RAW html
     * (comment delimiters count as their angle-bracket runs — it is a

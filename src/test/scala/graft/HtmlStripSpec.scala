@@ -29,6 +29,27 @@ class HtmlStripSpec extends SparkSpec {
     assert(strip("&#169;") == "&#169;") // numeric: documented out of scope
   }
 
+  test("textOfFull: numeric entities decode; malformed pass through; equals textOf on named-only input") {
+    def full(h: String): String =
+      Seq(h).toDF("h").select(HtmlStrip.textOfFull(col("h")).as("t")).as[String].head()
+    assert(full("&#169; &#xA9; &#x1F600;") == "© © 😀")
+    assert(full("x &lt;y&gt; &amp; &#39;z&#39; &nbsp;w") == "x <y> & 'z'  w")
+    // malformed / out-of-range pass through verbatim, never dropped
+    assert(full("&#xD800; &#; &#999999999; &copy; &notentity") ==
+      "&#xD800; &#; &#999999999; &copy; &notentity")
+    assert(full("&amp;lt;") == "&lt;") // left-to-right single pass == decode-amp-last
+    // named-only inputs: kernel path ≡ regex-chain path
+    val inputs = Seq("<p>a &amp; b</p>", "x &quot;q&quot; &#39;s&#39;", "plain")
+    val a = inputs.toDF("h").select(HtmlStrip.textOf(col("h")).as("t")).as[String].collect().toSeq
+    val b = inputs.toDF("h").select(HtmlStrip.textOfFull(col("h")).as("t")).as[String].collect().toSeq
+    assert(a == b)
+    // stays codegen'd — no ScalaUDF in the plan
+    val plan = Tables.documents(spark, sf)
+      .select(HtmlStrip.textOfFull(col("text")).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Exchange"), plan)
+  }
+
   test("composes with Normalize for final whitespace policy") {
     val cleaned = Seq("<p>a</p> <div>b  c</div>").toDF("h")
       .select(Normalize.cleanColumn(HtmlStrip.textOf(col("h"))).as("t"))
