@@ -108,6 +108,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.NfcNormalize(Cast(children.head, StringType))
       }
     ))
+    // graft_registered_domain(host) — PSL registered domain (row 65)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_registered_domain"),
+      new ExpressionInfo(classOf[graft.functions.RegisteredDomain].getName, "graft_registered_domain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_registered_domain takes exactly 1 argument")
+        graft.functions.RegisteredDomain(Cast(children.head, StringType))
+      }
+    ))
+    // graft_html_entity_decode(text) — named + numeric entity decode
+    ext.injectFunction((
+      new FunctionIdentifier("graft_html_entity_decode"),
+      new ExpressionInfo(classOf[graft.functions.HtmlEntityDecode].getName, "graft_html_entity_decode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_html_entity_decode takes exactly 1 argument")
+        graft.functions.HtmlEntityDecode(Cast(children.head, StringType))
+      }
+    ))
     // graft_simhash(tokens, portable) — the native simhash kernel
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),

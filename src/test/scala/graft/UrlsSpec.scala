@@ -108,6 +108,16 @@ class UrlsSpec extends SparkSpec {
     assert(out.select("s.x").head().getLong(0) == 1L) // sibling fields survive the cast
   }
 
+  test("graft_registered_domain / graft_html_entity_decode SQL functions match the APIs") {
+    Seq(("user.github.io", "x &#169; &amp; y"))
+      .toDF("h", "t").createOrReplaceTempView("sqlfn_t")
+    val r = spark.sql(
+      "SELECT graft_registered_domain(h) AS d, graft_html_entity_decode(t) AS e FROM sqlfn_t")
+      .head()
+    assert(r.getString(0) == "user.github.io")
+    assert(r.getString(1) == "x © & y")
+  }
+
   test("canonicalReport is shuffle-free on a parquet scan") {
     val d = Tables.documents(spark, sf).select(col("doc_id"),
       concat(lit("https://Ex.COM/p/"), col("doc_id")).as("url"))
