@@ -102,7 +102,13 @@ class PlanShapeSpec extends SparkSpec {
     // funnel v2: canonical-dedup agg + report agg + blocklist distinct
     Shape("q119_curation_funnel", maxHash = 3, forbidSortMergeJoin = true),
     // within-doc line scrub: a single narrow HOF projection
-    Shape("q120_intradoc_line_scrub", maxHash = 0, forbidUdf = true)
+    Shape("q120_intradoc_line_scrub", maxHash = 0, forbidUdf = true),
+    // intra-doc repetition: two grouped roll-up chains, partials
+    // absorbing within-doc repetition map-side
+    Shape("q110_intradoc_repetition", maxHash = 4),
+    // perplexity terciles: LmScore's four roll-ups + id join + the
+    // bookkeeping cell aggregates; every model/offset join broadcasts
+    Shape("q115_perplexity_buckets", maxHash = 8, forbidSortMergeJoin = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
