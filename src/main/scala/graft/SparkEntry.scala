@@ -130,7 +130,8 @@ object SparkEntry {
     "q117_domain_blocklist" -> (LlmQueries.q117DomainBlocklist(_, _)),
     "q118_decontamination_scrub" -> (LlmQueries.q118DecontaminationScrub(_, _)),
     "q119_curation_funnel" -> (LlmQueries.q119CurationFunnelV2(_, _)),
-    "q120_intradoc_line_scrub" -> (LlmQueries.q120IntraDocLineScrub(_, _))
+    "q120_intradoc_line_scrub" -> (LlmQueries.q120IntraDocLineScrub(_, _)),
+    "q121_gopher_repetition" -> (LlmQueries.q121GopherRepetitionTable(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1203,6 +1204,8 @@ object SparkEntry {
         |  CAST(length(html) AS BIGINT) AS n_chars_html,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Full Gopher repetition table: see GopherRepetitionOracleSql
+    "q121_gopher_repetition" -> GopherRepetitionOracleSql,
     // Within-doc line scrub: per-(doc, line) first-position window +
     // ordered re-aggregation replays the narrow HOF fold; blank lines
     // (length < 1) always survive, including duplicates
@@ -1907,6 +1910,56 @@ object SparkEntry {
     * fixtures): the oracle refits both hashed-gram models in SQL, so for
     * q106 it also re-verifies the fixtures' content.
     */
+  /** The q121 oracle, generated: nine structurally identical per-n
+    * chains (gram explode → counts → top-gram select / dup filter →
+    * covered-position DISTINCT → char mass), differing only in n and in
+    * top-vs-dup qualification — generation keeps the nine chains
+    * provably uniform. Fractions are single divisions of exact longs;
+    * the top-gram tie-break (count DESC, length DESC, gram ASC) matches
+    * the kernel's (count, char mass, string) order because char mass =
+    * length − (n−1) at fixed n.
+    */
+  private val GopherRepetitionOracleSql: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val thresholds = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16", 5 -> "0.15",
+      6 -> "0.14", 7 -> "0.13", 8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+    def fracName(n: Int) = if (n <= 4) s"top_${n}gram_char_frac" else s"dup_${n}gram_char_frac"
+    def chain(n: Int): Seq[String] = {
+      val base = Seq(
+        s"g$n AS (SELECT doc_id, i, array_to_string(w[i+1:i+$n], ' ') AS g FROM t, LATERAL (SELECT unnest(range(len(w) - $n + 1)) AS i) r$n)",
+        s"c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2)")
+      val cover =
+        if (n <= 4) Seq(
+          s"s$n AS (SELECT doc_id, g FROM (SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g) AS rn FROM c$n) WHERE rn = 1)",
+          s"p$n AS (SELECT DISTINCT g$n.doc_id AS doc_id, p FROM g$n JOIN s$n ON g$n.doc_id = s$n.doc_id AND g$n.g = s$n.g, LATERAL (SELECT unnest(range(i, i + $n)) AS p) rr$n)")
+        else Seq(
+          s"p$n AS (SELECT DISTINCT g$n.doc_id AS doc_id, p FROM g$n JOIN c$n ON g$n.doc_id = c$n.doc_id AND g$n.g = c$n.g AND c$n.c >= 2, LATERAL (SELECT unnest(range(i, i + $n)) AS p) rr$n)")
+      base ++ cover :+
+        s"m$n AS (SELECT p$n.doc_id, sum(length(t.w[p+1])) AS mass FROM p$n JOIN t ON p$n.doc_id = t.doc_id GROUP BY 1)"
+    }
+    val ns = topNs ++ dupNs
+    val fracExprs = ns.map(n =>
+      s"  CASE WHEN tc.n_chars > 0 THEN coalesce(m$n.mass, 0) / CAST(tc.n_chars AS DOUBLE) ELSE 0.0 END AS ${fracName(n)}")
+    val joins = ns.map(n => s"LEFT JOIN m$n ON tc.doc_id = m$n.doc_id")
+    val passes = ns.map(n => s"${fracName(n)} <= ${thresholds(n)}").mkString(" AND ")
+    (Seq(
+      "WITH d AS (SELECT doc_id,",
+      "    CASE WHEN doc_id % 4 = 0 THEN text || ' click here to subscribe click here to subscribe click here to subscribe'",
+      "         WHEN doc_id % 4 = 1 THEN text || ' the quick brown fox jumped over the lazy dog and then the quick brown fox jumped over the lazy dog'",
+      "         ELSE text END AS text",
+      "  FROM documents),",
+      "t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM d),",
+      "tc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS n_chars FROM t),") ++
+      ns.flatMap(n => chain(n).map(_ + ",")).dropRight(1) ++ Seq(ns.flatMap(chain).last) ++
+      Seq(
+        ", f AS (SELECT tc.doc_id, tc.n_tokens, tc.n_chars,",
+        fracExprs.mkString(",\n"),
+        s"  FROM tc ${joins.mkString(" ")})",
+        s"SELECT *, ($passes) AS passes_repetition FROM f ORDER BY doc_id"))
+      .mkString("\n")
+  }
+
   /** Shared by q37 (driver union-find fast path at gate scale) and q113
     * (forced distributed pointer jumping) — identical expected output.
     */

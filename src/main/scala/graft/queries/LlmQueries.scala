@@ -1232,6 +1232,23 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Full Gopher repetition table (row 76): a quarter of docs get a
+    * thrice-repeated phrase (fires top-gram + short dup-grams), another
+    * quarter a twice-repeated long clause (fires dup-5..10); the gate
+    * checks all nine coverage fractions and the published-threshold
+    * verdict against a DuckDB replay (per-n gram explode → counts →
+    * covered-position distinct → char mass).
+    */
+  def q121GopherRepetitionTable(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" click here to subscribe click here to subscribe click here to subscribe")))
+      .when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit(" the quick brown fox jumped over the lazy dog and then the quick brown fox jumped over the lazy dog")))
+      .otherwise(col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), t.as("text"))
+    TextAnalysis.gopherRepetitionTable(d, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -290,6 +290,106 @@ object TextAnalysis {
       .withColumnRenamed("id", idCol)
   }
 
+  /** The COMPLETE Gopher repetition table (Rae et al. 2021, appendix
+    * A1.1): per document, the fraction of characters covered by the most
+    * frequent 2/3/4-gram and by ANY duplicated 5..10-gram, plus the
+    * published-threshold verdict. Complements [[topNgramFraction]]
+    * (occurrence fraction, one n) and [[intraDocRepetition]]
+    * (line/paragraph granularity).
+    *
+    * Definitions, pinned for cross-engine replay:
+    * - tokens = lowercased whitespace split; char mass of a position =
+    *   its token's length (separators excluded); totalChars = Σ masses.
+    * - all fractions are COVERAGE-based: the char mass of token
+    *   positions covered by ≥1 qualifying gram occurrence, over
+    *   totalChars — bounded ≤ 1 even for self-overlapping grams ("a a
+    *   a"), which the naive count×gramlen formulation is not.
+    * - the top gram is selected by (count DESC, gram char mass DESC,
+    *   gram string ASC) — deterministic, and the ASCII/lower-cased token
+    *   space makes the string order engine-identical.
+    * - docs with < n tokens (or zero chars) score 0.0 for that n.
+    *
+    * One compiled per-row pass (per-n count map + coverage mark), NO
+    * shuffle — the whole table is scan-level at any corpus size, like
+    * [[topNgramFraction]].
+    */
+  def gopherRepetitionTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val statsUdf = org.apache.spark.sql.functions.udf { (toksIn: Seq[String]) =>
+      if (toksIn == null) None
+      else {
+        val arr = toksIn.toArray
+        val len = arr.length
+        var totalChars = 0L
+        locally { var i = 0; while (i < len) { totalChars += arr(i).length; i += 1 } }
+        val fracs = new Array[Double](9)
+        var slot = 0
+        var n = 2
+        while (n <= 10) {
+          val isTop = n <= 4
+          if ((isTop || n >= 5) && len >= n && totalChars > 0) {
+            val keys = new Array[String](len - n + 1)
+            val counts = new java.util.HashMap[String, Int]()
+            val sb = new java.lang.StringBuilder(64)
+            var i = 0
+            while (i <= len - n) {
+              sb.setLength(0)
+              var t = 0
+              while (t < n) { if (t > 0) sb.append(' '); sb.append(arr(i + t)); t += 1 }
+              val k = sb.toString
+              keys(i) = k
+              counts.merge(k, 1, (a, b) => a + b)
+              i += 1
+            }
+            val covered = new Array[Boolean](len)
+            if (isTop) {
+              // select the top gram: count DESC, char mass DESC, gram ASC
+              var bestG: String = null; var bestC = 0; var bestM = -1
+              val it = counts.entrySet().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                val g = e.getKey; val c = e.getValue
+                val m = g.length - (n - 1)
+                if (c > bestC || (c == bestC && (m > bestM ||
+                    (m == bestM && (bestG == null || g.compareTo(bestG) < 0))))) {
+                  bestG = g; bestC = c; bestM = m
+                }
+              }
+              i = 0
+              while (i <= len - n) {
+                if (keys(i) == bestG) { var p = i; while (p < i + n) { covered(p) = true; p += 1 } }
+                i += 1
+              }
+            } else {
+              i = 0
+              while (i <= len - n) {
+                if (counts.get(keys(i)) >= 2) { var p = i; while (p < i + n) { covered(p) = true; p += 1 } }
+                i += 1
+              }
+            }
+            var mass = 0L
+            locally { var p = 0; while (p < len) { if (covered(p)) mass += arr(p).length; p += 1 } }
+            fracs(slot) = mass.toDouble / totalChars.toDouble
+          } else fracs(slot) = 0.0
+          slot += 1
+          n += 1
+        }
+        Some((len.toLong, totalChars, fracs.toSeq))
+      }
+    }
+    // Gopher A1.1 published thresholds, top-2..4 then dup-5..10
+    val thresholds = Seq(0.20, 0.18, 0.16, 0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val names = Seq("top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+      "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+      "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+    val base = df.select(col(idCol), statsUdf(toks(col(textCol))).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select((col(idCol) +: (Seq(
+        col("__s._1").as("n_tokens"), col("__s._2").as("n_chars")) ++
+        names.zipWithIndex.map { case (nm, i) => col("__s._3").getItem(i).as(nm) })): _*)
+    base.withColumn("passes_repetition",
+      names.zip(thresholds).map { case (nm, t) => col(nm) <= t }.reduce(_ && _))
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lower-cased text
     * (engine-portable) + an order-sensitive 64-bit polynomial rolling hash
     * over token xxhash64s (Spark-native).

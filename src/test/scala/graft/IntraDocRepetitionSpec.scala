@@ -52,4 +52,33 @@ class IntraDocRepetitionSpec extends SparkSpec {
       "doc_id", "text")
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("gopher repetition table: coverage goldens, bounded self-overlap, verdict") {
+    val d = Seq(
+      (1L, "a b a b a b"),                         // top-2 covers everything
+      (2L, (1 to 30).map("u" + _).mkString(" ")),  // all unique → clean
+      (3L, "c1 c2 c3 c4 c5 q c1 c2 c3 c4 c5")      // duplicated 5-gram block
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionTable(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // "a b" occurs 3×, its occurrences cover all 6 positions → 1.0 (bounded, not 3·2/6·…)
+    assert(r1.getAs[Double]("top_2gram_char_frac") == 1.0)
+    assert(r1.getAs[Double]("dup_5gram_char_frac") == 0.0) // both 5-grams unique
+    assert(!r1.getAs[Boolean]("passes_repetition"))
+    val r2 = out(2L)
+    // no duplicated grams at all; top-gram coverage is one occurrence's
+    // n tokens over 30 — small on a doc of real length
+    assert((5 to 10).forall(n => r2.getAs[Double](s"dup_${n}gram_char_frac") == 0.0))
+    assert((2 to 4).forall(n => r2.getAs[Double](s"top_${n}gram_char_frac") < 0.16))
+    assert(r2.getAs[Boolean]("passes_repetition"))
+    val r3 = out(3L)
+    // the c1..c5 block repeats: dup-5 covers 10 of 11 positions, 20 of 21 chars
+    assert(math.abs(r3.getAs[Double]("dup_5gram_char_frac") - 20.0 / 21.0) < 1e-12)
+    // tie at count 2 among c-grams → lexicographically first "c1 c2" wins:
+    // occurrences at 0 and 6 cover 4 positions, 8 chars
+    assert(math.abs(r3.getAs[Double]("top_2gram_char_frac") - 8.0 / 21.0) < 1e-12)
+    assert(r3.getAs[Double]("dup_6gram_char_frac") == 0.0) // block is only 5 long
+    assert(!r3.getAs[Boolean]("passes_repetition"))
+  }
 }
