@@ -131,7 +131,8 @@ object SparkEntry {
     "q118_decontamination_scrub" -> (LlmQueries.q118DecontaminationScrub(_, _)),
     "q119_curation_funnel" -> (LlmQueries.q119CurationFunnelV2(_, _)),
     "q120_intradoc_line_scrub" -> (LlmQueries.q120IntraDocLineScrub(_, _)),
-    "q121_gopher_repetition" -> (LlmQueries.q121GopherRepetitionTable(_, _))
+    "q121_gopher_repetition" -> (LlmQueries.q121GopherRepetitionTable(_, _)),
+    "q122_truncate_budget" -> (LlmQueries.q122TruncateBudget(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1204,6 +1205,16 @@ object SparkEntry {
         |  CAST(length(html) AS BIGINT) AS n_chars_html,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Token-budget truncation: same regex split, slice + single-space
+    // rejoin on the long branch, original bytes on the short branch
+    "q122_truncate_budget" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) > 64 THEN array_to_string(w[1:64], ' ') ELSE text END AS text,
+        |  CAST(len(w) AS BIGINT) AS n_tokens_raw,
+        |  CAST(least(len(w), 64) AS BIGINT) AS n_tokens,
+        |  len(w) > 64 AS truncated
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Full Gopher repetition table: see GopherRepetitionOracleSql
     "q121_gopher_repetition" -> GopherRepetitionOracleSql,
     // Within-doc line scrub: per-(doc, line) first-position window +

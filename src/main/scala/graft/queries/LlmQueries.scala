@@ -1249,6 +1249,16 @@ object LlmQueries {
     TextAnalysis.gopherRepetitionTable(d, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Token-budget truncation (row 77): docs cut at 64 whitespace tokens
+    * with a single-space rejoin; untouched docs keep their original
+    * bytes (spacing included — the flag tells the two cases apart).
+    */
+  def q122TruncateBudget(s: SparkSession, dir: String): DataFrame =
+    Packing.truncateToBudget(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", maxTokens = 64)
+      .orderBy("doc_id")
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

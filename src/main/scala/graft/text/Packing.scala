@@ -25,6 +25,32 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Token-budget truncation — the max-sequence-length prep step that
+    * runs before packing: documents longer than `maxTokens` whitespace
+    * tokens are cut at the token boundary (single-space rejoin, the
+    * same tokenization [[chunkAssignments]] budgets with, so a
+    * truncated doc's n_toks is exactly what packing will see). Returns
+    * (id, textCol truncated, n_tokens_raw, n_tokens, truncated). One
+    * narrow projection — no shuffle, no UDF.
+    */
+  def truncateToBudget(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int
+  ): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val w = split(col(textCol), "\\s+")
+    docs.select(
+      col(idCol),
+      when(size(w) > maxTokens,
+        array_join(slice(w, 1, maxTokens), " "))
+        .otherwise(col(textCol)).as(textCol),
+      size(w).cast("long").as("n_tokens_raw"),
+      least(size(w), lit(maxTokens)).cast("long").as("n_tokens"),
+      (size(w) > maxTokens).as("truncated"))
+  }
+
   /** Adds `start_offset` (tokens before this doc in its group's stream),
     * `bin` (chunk index = start_offset / budget) and `pack_order` (position
     * in the stream) to each row.
