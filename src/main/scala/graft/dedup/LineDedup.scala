@@ -79,6 +79,93 @@ object LineDedup {
       .select(col("id"), col("text_clean"), col("n_lines"), col("n_kept"))
   }
 
+  /** Persistable line store: one row per distinct content line —
+    * (k = md5(line), first_code = min (id,pos) encoding) — the corpus
+    * state behind [[incrementalScrub]]. Lines shorter than
+    * `minLineChars` never enter the store (they never scrub).
+    */
+  def lineStore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 1
+  ): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
+      .filter(length(col("line")) >= minLineChars)
+      .select(md5(col("line")).as("k"),
+        (shiftleft(col("id").cast("long"), PosBits) + col("pos")).as("code"))
+      .groupBy("k").agg(min("code").as("first_code"))
+  }
+
+  /** Fold a new batch's lines into an existing store (min-code union) —
+    * the ingest-time maintenance step. Both sides are (k, first_code);
+    * the exchange carries 16-byte keys + one long, map-side combined.
+    */
+  def mergeLineStore(store: DataFrame, batchStore: DataFrame): DataFrame =
+    store.unionByName(batchStore)
+      .groupBy("k").agg(min("first_code").as("first_code"))
+
+  /** Incremental scrub — [[scrub]]'s online form (the ExactDedup /
+    * SpanDedup incremental contract: each ingest pays for its batch,
+    * never the corpus): a batch line survives iff its hash is NOT in
+    * the store AND it is the batch's own first occurrence. The
+    * corpus-sized store is semi-filtered map-side against the
+    * BROADCAST batch key set before the anti-join, so fold I/O is
+    * O(batch ∩ store), never O(store). Returns the same
+    * (id, text_clean, n_lines, n_kept) shape as [[scrub]]; fold the
+    * batch into the store afterwards with
+    * `mergeLineStore(store, lineStore(batch, …))`.
+    */
+  def incrementalScrub(
+      store: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineChars: Int = 1
+  ): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = batch
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
+      .withColumn("k", md5(col("line")))
+      .withColumn("code",
+        when(col("pos") < lit(1L << PosBits) &&
+             col("id").cast("long") < lit(1L << (63 - PosBits)),
+          shiftleft(col("id").cast("long"), PosBits) + col("pos"))
+          .otherwise(raise_error(
+            format_string("LineDedup (id,pos) encoding overflow: id=%s pos=%s",
+              col("id"), col("pos")))))
+    // batch-internal first occurrences (the scrub() aggregate shape)
+    val batchFirsts = lines.filter(length(col("line")) >= minLineChars)
+      .groupBy("k").agg(min(col("code")).as("first_code"))
+    // store hits, bounded by the batch: semi-filter the corpus-sized
+    // store against the broadcast batch key set BEFORE any wide join
+    val storeHits = store.join(broadcast(batchFirsts.select("k")), Seq("k"), "left_semi")
+      .select(col("k"), lit(1).as("__in_store"))
+    lines
+      .join(batchFirsts, Seq("k"), "left")
+      .join(broadcast(storeHits), Seq("k"), "left")
+      .withColumn("keep",
+        length(col("line")) < minLineChars ||
+          (col("__in_store").isNull && col("code") === col("first_code")))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          sep).as("text_clean"))
+      .select(col("id"), col("text_clean"), col("n_lines"), col("n_kept"))
+  }
+
   /** WITHIN-document repeated-line scrub — the page-local half of the
     * boilerplate problem (nav menus, cookie banners, "Subscribe!" blocks
     * repeated inside ONE page), where [[scrub]] is the corpus-global

@@ -281,6 +281,35 @@ class DedupSpec extends SparkSpec {
     assert(out4 == Map(1L -> "*\nlong line", 2L -> "*"))
   }
 
+  test("incremental line scrub equals the full-corpus scrub restricted to the batch") {
+    val old = Seq(
+      (1L, "hdr\nold one\nftr"),
+      (2L, "hdr\nold two\nftr")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "hdr\nnew one\nftr"),      // hdr/ftr in store → scrub
+      (11L, "new one\nnew two"),       // new one: batch-first is doc 10
+      (12L, "hdr\nnew two\n\nnew two") // blank survives; new two first in 11
+    ).toDF("doc_id", "text")
+    val store = LineDedup.lineStore(old, "doc_id", "text")
+    val inc = LineDedup.incrementalScrub(store, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val full = LineDedup.scrub(old.unionByName(batch), "doc_id", "text")
+      .filter(col("id") >= 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(10L) == (("new one", 3L, 1L)))
+    assert(inc(12L) == (("", 4L, 1L))) // only the blank line survives
+    // folding the batch in makes a rerun of the SAME batch scrub everything
+    val store2 = LineDedup.mergeLineStore(store,
+      LineDedup.lineStore(batch, "doc_id", "text"))
+    val replay = LineDedup.incrementalScrub(store2, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // every content line is now store-owned; only blanks survive
+    assert(replay == Map(10L -> 0L, 11L -> 0L, 12L -> 1L))
+  }
+
   test("within-doc line scrub: narrow fold, first occurrence, blanks survive, no shuffle") {
     val d = Seq(
       (1L, "nav\nbody\nnav\nnav\nftr"),    // repeated nav → one survives
