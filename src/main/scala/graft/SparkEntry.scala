@@ -132,7 +132,8 @@ object SparkEntry {
     "q119_curation_funnel" -> (LlmQueries.q119CurationFunnelV2(_, _)),
     "q120_intradoc_line_scrub" -> (LlmQueries.q120IntraDocLineScrub(_, _)),
     "q121_gopher_repetition" -> (LlmQueries.q121GopherRepetitionTable(_, _)),
-    "q122_truncate_budget" -> (LlmQueries.q122TruncateBudget(_, _))
+    "q122_truncate_budget" -> (LlmQueries.q122TruncateBudget(_, _)),
+    "q123_line_scrub_incremental" -> (LlmQueries.q123LineScrubIncremental(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1205,6 +1206,33 @@ object SparkEntry {
         |  CAST(length(html) AS BIGINT) AS n_chars_html,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM e ORDER BY doc_id""".stripMargin,
+    // Incremental line scrub: store membership by line string, batch
+    // firsts by the (id<<20)+pos min-code rule (1048576 = 2^20 =
+    // LineDedup.PosBits), blank lines always kept, ordered reassembly;
+    // string_agg skips scrubbed (NULL) lines, coalesce handles the
+    // fully-scrubbed doc
+    "q123_line_scrub_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'shared header line' || chr(10) || text
+        |         WHEN doc_id % 3 = 1 THEN text || chr(10) || 'shared footer line'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS w FROM d),
+        |l AS (SELECT doc_id, i - 1 AS pos, w[i] AS line
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+        |stl AS (SELECT DISTINCT line FROM l WHERE doc_id < 250 AND length(line) >= 1),
+        |bl AS (SELECT * FROM l WHERE doc_id >= 250),
+        |bf AS (SELECT line, min(doc_id * 1048576 + pos) AS fc
+        |  FROM bl WHERE length(line) >= 1 GROUP BY 1),
+        |k AS (SELECT bl.doc_id, bl.pos, bl.line,
+        |    (length(bl.line) < 1 OR (stl.line IS NULL AND bl.doc_id * 1048576 + bl.pos = bf.fc)) AS keep
+        |  FROM bl LEFT JOIN stl ON bl.line = stl.line
+        |  LEFT JOIN bf ON bl.line = bf.line)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_clean,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Token-budget truncation: same regex split, slice + single-space
     // rejoin on the long branch, original bytes on the short branch
     "q122_truncate_budget" ->

@@ -1259,6 +1259,28 @@ object LlmQueries {
         "doc_id", "text", maxTokens = 64)
       .orderBy("doc_id")
 
+  /** Incremental line scrub (row 63's online form, hash-gated like the
+    * other incremental twins): the corpus splits into an already-
+    * ingested store (doc_id < 250) and an arriving batch; injected
+    * shared header/footer lines collide across the split. The oracle
+    * replays the store membership test, the batch-first (id,pos)
+    * min-code rule, and the ordered reassembly wholly in SQL.
+    */
+  def q123LineScrubIncremental(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 3 === 0,
+        concat(lit("shared header line\n"), col("text")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit("\nshared footer line")))
+      .otherwise(col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), t.as("text"))
+    val store = graft.dedup.LineDedup.lineStore(
+      d.filter(col("doc_id") < 250), "doc_id", "text")
+    graft.dedup.LineDedup.incrementalScrub(
+        store, d.filter(col("doc_id") >= 250), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)
