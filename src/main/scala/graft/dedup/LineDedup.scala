@@ -29,6 +29,27 @@ object LineDedup {
 
   val PosBits: Int = 20
 
+  /** Default cap on batch-distinct line keys eligible for the broadcast
+    * fast path in [[incrementalScrub]] (~4M 16-byte keys ≈ 64 MB on the
+    * driver). Above it the semi-join demotes to a shuffle — slower but
+    * never an OOM.
+    */
+  val MaxBroadcastKeys: Int = 4 << 20
+
+  /** The packed (id, pos) first-occurrence code with the per-row
+    * overflow fail-fast the object doc promises — every encode site
+    * (scrub, lineStore, incrementalScrub) MUST go through this: a
+    * silent wrap would elect a wrong first-occurrence owner.
+    */
+  private def encodedCode(id: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pos < lit(1L << PosBits) &&
+         id.cast("long") < lit(1L << (63 - PosBits)),
+      shiftleft(id.cast("long"), PosBits) + pos)
+      .otherwise(raise_error(
+        format_string("LineDedup (id,pos) encoding overflow: id=%s pos=%s",
+          id, pos)))
+
   /** Scrub to one global occurrence per distinct line (first by (id,
     * pos)), reassembling each document. Returns (id, text_clean,
     * n_lines, n_kept); a document whose every line is scrubbed keeps
@@ -54,13 +75,7 @@ object LineDedup {
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
       .withColumn("k", md5(col("line")))
-      .withColumn("code",
-        when(col("pos") < lit(1L << PosBits) &&
-             col("id").cast("long") < lit(1L << (63 - PosBits)),
-          shiftleft(col("id").cast("long"), PosBits) + col("pos"))
-          .otherwise(raise_error(
-            format_string("LineDedup (id,pos) encoding overflow: id=%s pos=%s",
-              col("id"), col("pos")))))
+      .withColumn("code", encodedCode(col("id"), col("pos")))
     val firsts = lines.filter(length(col("line")) >= minLineChars)
       .groupBy("k").agg(min(col("code")).as("first_code"))
     lines.join(firsts, Seq("k"), "left")
@@ -97,7 +112,7 @@ object LineDedup {
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
       .filter(length(col("line")) >= minLineChars)
       .select(md5(col("line")).as("k"),
-        (shiftleft(col("id").cast("long"), PosBits) + col("pos")).as("code"))
+        encodedCode(col("id"), col("pos")).as("code"))
       .groupBy("k").agg(min("code").as("first_code"))
   }
 
@@ -119,6 +134,15 @@ object LineDedup {
     * (id, text_clean, n_lines, n_kept) shape as [[scrub]]; fold the
     * batch into the store afterwards with
     * `mergeLineStore(store, lineStore(batch, …))`.
+    *
+    * Broadcast guard: the fast path assumes an INGEST-sized batch. The
+    * batch's distinct line-key count is probed eagerly (one extra
+    * O(batch) job — batch-sized by the incremental contract, never
+    * corpus-sized) and compared against `maxBroadcastKeys`
+    * ([[MaxBroadcastKeys]] ≈ 4M keys / 64 MB); a larger batch demotes
+    * BOTH joins to shuffled form — the store pays one extra shuffle
+    * instead of the driver OOMing. Pass `maxBroadcastKeys = 0` to force
+    * the shuffle path (the equality spec's hook).
     */
   def incrementalScrub(
       store: DataFrame,
@@ -126,30 +150,29 @@ object LineDedup {
       idCol: String,
       textCol: String,
       sep: String = "\n",
-      minLineChars: Int = 1
+      minLineChars: Int = 1,
+      maxBroadcastKeys: Int = MaxBroadcastKeys
   ): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = batch
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
       .withColumn("k", md5(col("line")))
-      .withColumn("code",
-        when(col("pos") < lit(1L << PosBits) &&
-             col("id").cast("long") < lit(1L << (63 - PosBits)),
-          shiftleft(col("id").cast("long"), PosBits) + col("pos"))
-          .otherwise(raise_error(
-            format_string("LineDedup (id,pos) encoding overflow: id=%s pos=%s",
-              col("id"), col("pos")))))
+      .withColumn("code", encodedCode(col("id"), col("pos")))
     // batch-internal first occurrences (the scrub() aggregate shape)
     val batchFirsts = lines.filter(length(col("line")) >= minLineChars)
       .groupBy("k").agg(min(col("code")).as("first_code"))
+    val useBroadcast = maxBroadcastKeys > 0 &&
+      batchFirsts.limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
+    def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     // store hits, bounded by the batch: semi-filter the corpus-sized
-    // store against the broadcast batch key set BEFORE any wide join
-    val storeHits = store.join(broadcast(batchFirsts.select("k")), Seq("k"), "left_semi")
+    // store against the (guarded-broadcast) batch key set BEFORE any
+    // wide join
+    val storeHits = store.join(hinted(batchFirsts.select("k")), Seq("k"), "left_semi")
       .select(col("k"), lit(1).as("__in_store"))
     lines
       .join(batchFirsts, Seq("k"), "left")
-      .join(broadcast(storeHits), Seq("k"), "left")
+      .join(hinted(storeHits), Seq("k"), "left")
       .withColumn("keep",
         length(col("line")) < minLineChars ||
           (col("__in_store").isNull && col("code") === col("first_code")))

@@ -17,6 +17,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[RegisteredDomain]] stays a narrow, shuffle-free projection.
   */
 object Psl {
+  // The PSL stores IDN rules in Unicode form only; real crawls carry
+  // both Unicode and punycode (xn--) hosts. Index BOTH forms of every
+  // non-ASCII rule so "foo.xn--p1ai" and "foo.рф" resolve to the same
+  // site identity. IDN.toASCII is the JDK's RFC 3490 encoder; a rule it
+  // rejects simply stays Unicode-only (defensive — the real list is
+  // well-formed).
+  private def addForms(set: java.util.HashSet[String], rule: String): Unit = {
+    set.add(rule)
+    var ascii = true
+    var i = 0
+    while (ascii && i < rule.length) { if (rule.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) {
+      try set.add(java.net.IDN.toASCII(rule).toLowerCase(java.util.Locale.ROOT))
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   // exact rules ("co.uk"), wildcard parents ("kawasaki.jp" for
   // "*.kawasaki.jp"), exception rules minus '!' ("city.kawasaki.jp")
   private lazy val (rules, wildcards, exceptions): (java.util.HashSet[String], java.util.HashSet[String], java.util.HashSet[String]) = {
@@ -30,9 +47,9 @@ object Psl {
       for (raw <- src.getLines()) {
         val line = raw.trim
         if (line.nonEmpty && !line.startsWith("//")) {
-          if (line.startsWith("!")) x.add(line.substring(1))
-          else if (line.startsWith("*.")) w.add(line.substring(2))
-          else r.add(line)
+          if (line.startsWith("!")) addForms(x, line.substring(1))
+          else if (line.startsWith("*.")) addForms(w, line.substring(2))
+          else addForms(r, line)
         }
       }
     } finally src.close()

@@ -81,7 +81,10 @@ object HtmlStrip {
   /** Per-document extraction report: (id, text, n_tags, n_chars_html,
     * n_chars_text). `n_tags` counts `<...>` constructs in the RAW html
     * (comment delimiters count as their angle-bracket runs — it is a
-    * markup-density diagnostic, not a DOM node count). One narrow pass.
+    * markup-density diagnostic, not a DOM node count). One narrow pass;
+    * the 10-regex [[textOf]] chain is projected ONCE (Catalyst does not
+    * reliably CSE a repeated expression tree across a Project) and
+    * n_chars_text derives from the materialized column.
     */
   def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val h = col(htmlCol)
@@ -90,7 +93,7 @@ object HtmlStrip {
       textOf(h).as("text"),
       size(expr(s"regexp_extract_all($htmlCol, '$TagPattern', 0)"))
         .cast("long").as("n_tags"),
-      length(h).cast("long").as("n_chars_html"),
-      length(textOf(h)).cast("long").as("n_chars_text"))
+      length(h).cast("long").as("n_chars_html"))
+      .select(col("*"), length(col("text")).cast("long").as("n_chars_text"))
   }
 }

@@ -59,13 +59,18 @@ object PerplexitySample {
   def tercileBuckets(
       keyed: DataFrame,
       idCol: String,
-      groupCols: Seq[String]
+      groupCols: Seq[String],
+      scale: Long = DefaultScale
   ): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
     val g = groupCols.map(col)
-    // 256 key cells, descending: key=scale → 0, key=0 → 255, key=−1 → 256
+    // 256 key cells, descending: key=scale → 0, key=0 → 255, key=−1 → 256.
+    // The cell grid divides by the SAME scale that produced lm_key — a
+    // mismatched scale would collapse every key into one cell (one reducer
+    // per group, the exact skew this layout exists to avoid).
     val cell = when(col("lm_key") < 0, lit(256L))
       .otherwise(lit(255L) - floorDiv(col("lm_key").cast(dec) * lit(255L).cast(dec),
-        lit(DefaultScale).cast(dec)))
+        lit(scale).cast(dec)))
     val t = keyed.withColumn("__c", cell)
     // ≤ 257·|groups| rows: cumsum window and broadcast are bookkeeping
     val counts = t.groupBy((g :+ col("__c")): _*).count()
@@ -106,7 +111,7 @@ object PerplexitySample {
       // groupCols ride an id-keyed join that reuses the roll-up's
       // partitioning (Exchange reuse), not a second corpus shuffle
       .join(docs.select((idCol +: groupCols).map(col): _*), Seq(idCol))
-    val bucketed = tercileBuckets(qualityKey(signals, scale), idCol, groupCols)
+    val bucketed = tercileBuckets(qualityKey(signals, scale), idCol, groupCols, scale)
     val thr = when(col("bucket") === 0,
         lit(graft.operators.Sampling.hexThreshold(fractions._1)))
       .when(col("bucket") === 1,

@@ -186,6 +186,27 @@ class ChunkSourceSpec extends SparkSpec {
     val sizes = got.groupBy("lang", "bucket").count().select("count")
       .as[Long].collect().toSeq
     assert(sizes.forall(_ == 10L), sizes)
+    // a caller-supplied scale threads into the cell grid: ranks stay
+    // correct AND keys spread across cells (no one-reducer-per-group
+    // degeneration when scale ≠ DefaultScale)
+    val smallKeyed = PerplexitySample.qualityKey(sigs, scale = 1000L)
+    val gotSmall = PerplexitySample
+      .tercileBuckets(smallKeyed, "doc_id", Seq("lang"), scale = 1000L)
+    val naiveSmall = smallKeyed
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("lm_key").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id2"), col("r"))
+    assert(gotSmall.join(naiveSmall, gotSmall("doc_id") === naiveSmall("id2"))
+      .filter(col("q_rank") =!= col("r")).isEmpty)
+    // the spread claim, observed directly: distinct cells > 1 per group
+    val nCells = smallKeyed
+      .withColumn("__c", when(col("lm_key") < 0, lit(256L))
+        .otherwise(lit(255L) - floor(col("lm_key") * 255L / 1000L)))
+      .filter($"lang" === "g0").select("__c").distinct().count()
+    assert(nCells > 10, s"expected spread across cells, got $nCells")
+    intercept[IllegalArgumentException] {
+      PerplexitySample.tercileBuckets(smallKeyed, "doc_id", Seq("lang"), scale = 0L)
+    }
   }
 
   test("Dsir: fused fits (subset and union) equal the two-pass fits exactly") {

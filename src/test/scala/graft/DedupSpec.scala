@@ -308,6 +308,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     // every content line is now store-owned; only blanks survive
     assert(replay == Map(10L -> 0L, 11L -> 0L, 12L -> 1L))
+    // the broadcast guard's shuffle fallback (maxBroadcastKeys = 0 forces
+    // it) is result-identical to the broadcast fast path
+    val fallback = LineDedup.incrementalScrub(store, batch, "doc_id", "text",
+        maxBroadcastKeys = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fallback == inc, s"fallback=$fallback inc=$inc")
+    // lineStore carries the same (id,pos) overflow fail-fast as scrub:
+    // an id >= 2^43 must raise, not silently wrap into a wrong owner
+    val big = Seq((1L << 43, "some line")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      LineDedup.lineStore(big, "doc_id", "text").collect()
+    }
+    assert(e2.getMessage != null)
   }
 
   test("within-doc line scrub: narrow fold, first occurrence, blanks survive, no shuffle") {

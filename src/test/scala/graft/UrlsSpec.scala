@@ -67,6 +67,18 @@ class UrlsSpec extends SparkSpec {
     assert(dom("WWW.Example.CO.UK") == "Example.CO.UK")   // case-preserving match
   }
 
+  test("registered domain: punycode and Unicode forms of an IDN suffix agree") {
+    // 公司.cn is a 2-label PSL rule whose first label is IDN; its
+    // punycode form is xn--55qx5d.cn. Both spellings of the same host
+    // must yield the same-shape site identity (suffix = 2 labels).
+    assert(dom("a.foo.公司.cn") == "foo.公司.cn")
+    assert(dom("a.foo.xn--55qx5d.cn") == "foo.xn--55qx5d.cn")
+    // single-label IDN TLD: рф ↔ xn--p1ai (default rule would give the
+    // same shape here; the multi-label case above is the real gate)
+    assert(dom("www.site.xn--p1ai") == "site.xn--p1ai")
+    assert(dom("www.site.рф") == "site.рф")
+  }
+
   test("canonicalize is NULL for non-URL values (dedup exempts, not merges)") {
     def canonOpt(u: String): Option[String] =
       Seq(u).toDF("u").select(Urls.canonicalize(col("u")).as("c"))
