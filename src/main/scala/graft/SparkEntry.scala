@@ -133,7 +133,8 @@ object SparkEntry {
     "q120_intradoc_line_scrub" -> (LlmQueries.q120IntraDocLineScrub(_, _)),
     "q121_gopher_repetition" -> (LlmQueries.q121GopherRepetitionTable(_, _)),
     "q122_truncate_budget" -> (LlmQueries.q122TruncateBudget(_, _)),
-    "q123_line_scrub_incremental" -> (LlmQueries.q123LineScrubIncremental(_, _))
+    "q123_line_scrub_incremental" -> (LlmQueries.q123LineScrubIncremental(_, _)),
+    "q124_exactsubstr" -> (LlmQueries.q124ExactSubstr(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1233,6 +1234,39 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Exact-substring dedup: overlapping 8-token gram keys (60-bit md5
+    // prefixes, 1-based inclusive list slices), duplicate = freq > 1
+    // gram whose (doc_id<<20)+pos code is not the corpus min; coverage
+    // by EXPANDING each duplicated position to its 8 covered token
+    // indices (the engine merges islands instead — same set); ordered
+    // token re-aggregation; fully-covered docs keep an empty string
+    "q124_exactsubstr" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta ' || text
+        |         WHEN doc_id % 3 = 1 THEN text || ' omega psi chi phi upsilon tau sigma rho'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS h
+        |  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS i) r),
+        |f AS (SELECT h, count(*) AS c, min(doc_id * 1048576 + pos) AS fc FROM g GROUP BY h),
+        |dup AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+        |  WHERE f.c > 1 AND g.doc_id * 1048576 + g.pos <> f.fc),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS tp
+        |  FROM dup, LATERAL (SELECT unnest(range(0, 8)) AS j) e),
+        |tok AS (SELECT doc_id, i - 1 AS tp, w[i] AS tokw
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+        |res AS (SELECT tok.doc_id,
+        |    string_agg(CASE WHEN cov.tp IS NULL THEN tok.tokw END, ' ' ORDER BY tok.tp) AS text_clean,
+        |    count(*) AS n_tokens,
+        |    sum(CASE WHEN cov.tp IS NULL THEN 0 ELSE 1 END) AS n_removed
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+        |  GROUP BY tok.doc_id)
+        |SELECT doc_id, md5(coalesce(text_clean, '')) AS text_md5,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_removed AS BIGINT) AS n_removed
+        |FROM res ORDER BY doc_id""".stripMargin,
     // Token-budget truncation: same regex split, slice + single-space
     // rejoin on the long branch, original bytes on the short branch
     "q122_truncate_budget" ->

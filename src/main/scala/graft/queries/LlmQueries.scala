@@ -1281,6 +1281,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring dedup (row 78, Lee et al. 2021): shared 8-token
+    * boilerplate is prepended/appended by doc_id class so corpus-
+    * duplicated ≥8-token runs exist at every alignment; every non-first
+    * occurrence must scrub. The oracle re-derives gram keys, the
+    * min-code first-occurrence rule, and coverage (by EXPANDING each
+    * duplicated position — a different formulation than the engine's
+    * island merge, same semantics) entirely in SQL.
+    */
+  def q124ExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 3 === 0,
+        concat(lit("alpha beta gamma delta epsilon zeta eta theta "), col("text")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" omega psi chi phi upsilon tau sigma rho")))
+      .otherwise(col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), t.as("text"))
+    graft.dedup.ExactSubstr.scrub(d, "doc_id", "text", k = 8)
+      .select(col("doc_id"), md5(col("text_clean")).as("text_md5"),
+        col("n_tokens"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -721,4 +721,71 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(custom(1L) == Seq(5f, 5f, 5f, 5f) && custom(2L) == Seq(0f, 0f, 0f, 0f))
   }
+
+  private def exactSubstrOut(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("ExactSubstr: shifted duplicated runs scrub at any alignment, first occurrence survives") {
+    val d = docs(
+      (1L, "a b c d e f"),        // owns every duplicated run
+      (2L, "x a b c d y"),        // shares 'a b c d' SHIFTED by one token
+      (3L, "a b c z z d e f"),    // two dup islands with a gap between
+      (4L, "p q r s"),
+      (5L, "p q r s"))            // whole-doc duplicate → empty rewrite
+    val out = exactSubstrOut(ExactSubstr.scrub(d, "doc_id", "text", k = 3))
+    assert(out(1L) == (("a b c d e f", 6L, 0L)))   // first owner: untouched
+    assert(out(2L) == (("x y", 6L, 4L)))           // [1,5) covered
+    assert(out(3L) == (("z z", 8L, 6L)))           // [0,3) ∪ [5,8): gap survives
+    assert(out(4L) == (("p q r s", 4L, 0L)))
+    assert(out(5L) == (("", 4L, 4L)))              // fully covered, row kept
+    // runs shorter than k never scrub (the ≥k-token contract)
+    val short = docs((1L, "u v w1"), (2L, "u v w2"))
+    val outS = exactSubstrOut(ExactSubstr.scrub(short, "doc_id", "text", k = 3))
+    assert(outS(1L)._3 == 0L && outS(2L)._3 == 0L)
+  }
+
+  test("ExactSubstr: adjacent islands merge; overlapping dup regions cover their union") {
+    // doc 2 repeats doc 1's 6-token run; with k=3 the four duplicated
+    // gram windows [0,3)[1,4)[2,5)[3,6) must merge into ONE [0,6) island
+    val d = docs((1L, "m n o p q r tail1"), (2L, "m n o p q r tail2"))
+    val out = exactSubstrOut(ExactSubstr.scrub(d, "doc_id", "text", k = 3))
+    assert(out(1L) == (("m n o p q r tail1", 7L, 0L)))
+    assert(out(2L) == (("tail2", 7L, 6L)))
+  }
+
+  test("ExactSubstr incremental equals full scrub restricted to the batch; store folds") {
+    val old = docs((1L, "a b c d e f"), (2L, "g h i j k l"))
+    val batch = docs(
+      (10L, "x a b c d e y"),     // store-owned run → scrub
+      (11L, "w1 s t u v w2"),
+      (12L, "w3 s t u v w4"))     // batch-internal dup: 11 owns it
+    val store = ExactSubstr.gramStore(old, "doc_id", "text", k = 4)
+    val inc = exactSubstrOut(
+      ExactSubstr.incrementalScrub(store, batch, "doc_id", "text", k = 4))
+    val full = exactSubstrOut(
+      ExactSubstr.scrub(old.unionByName(batch), "doc_id", "text", k = 4)
+        .filter(col("doc_id") >= 10L))
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(10L) == (("x y", 7L, 5L)))
+    assert(inc(12L)._1 == "w3 w4")
+    // forced shuffle path is result-identical to the broadcast path
+    val shuffled = exactSubstrOut(ExactSubstr.incrementalScrub(
+      store, batch, "doc_id", "text", k = 4, broadcastBatch = false))
+    assert(shuffled == inc)
+    // merged store == rebuilt store over the union
+    val merged = ExactSubstr.mergeGramStore(store,
+        ExactSubstr.gramStore(batch, "doc_id", "text", k = 4))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = ExactSubstr.gramStore(
+        old.unionByName(batch), "doc_id", "text", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == rebuilt)
+    // a rerun of the folded batch scrubs every ≥k run it contains
+    val replay = ExactSubstr.incrementalScrub(
+        ExactSubstr.mergeGramStore(store, ExactSubstr.gramStore(batch, "doc_id", "text", k = 4)),
+        batch, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(replay == Map(10L -> 7L, 11L -> 6L, 12L -> 6L))
+  }
 }
