@@ -134,7 +134,8 @@ object SparkEntry {
     "q121_gopher_repetition" -> (LlmQueries.q121GopherRepetitionTable(_, _)),
     "q122_truncate_budget" -> (LlmQueries.q122TruncateBudget(_, _)),
     "q123_line_scrub_incremental" -> (LlmQueries.q123LineScrubIncremental(_, _)),
-    "q124_exactsubstr" -> (LlmQueries.q124ExactSubstr(_, _))
+    "q124_exactsubstr" -> (LlmQueries.q124ExactSubstr(_, _)),
+    "q127_numeric_entities" -> (LlmQueries.q127NumericEntities(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -1234,6 +1235,21 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Numeric entity decode: the oracle CONSTRUCTS the expected decoded
+    // text via chr() on the same arithmetic codepoints (19968 = 0x4E00,
+    // 128512 = 0x1F600) — it never replays the kernel's parse, so the
+    // decode logic is independently cross-checked; malformed/out-of-
+    // range/unknown-named entities appear verbatim in the expectation
+    "q127_numeric_entities" ->
+      """WITH e AS (SELECT doc_id,
+        |    ' a ' || chr(CAST(160 + doc_id % 400 AS INTEGER)) ||
+        |    ' b ' || chr(CAST(19968 + doc_id % 256 AS INTEGER)) ||
+        |    ' c' || chr(10) || ' d ' || chr(CAST(128512 + doc_id % 16 AS INTEGER)) ||
+        |    ' bad &#zz; over &#1234567; amp & mid  copy &copy; end' || chr(10) AS text
+        |  FROM documents)
+        |SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
     // Exact-substring dedup: overlapping 8-token gram keys (60-bit md5
     // prefixes, 1-based inclusive list slices), duplicate = freq > 1
     // gram whose (doc_id<<20)+pos code is not the corpus min; coverage

@@ -1281,6 +1281,32 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Numeric HTML entity decode (row 71 extension): the
+    * [[graft.functions.HtmlEntityDecode]] kernel's numeric path
+    * (`&#NNN;` decimal, `&#xHHHH;` hex incl. supplementary-plane
+    * emoji) gated against DuckDB constructing the expected DECODED
+    * text independently via chr() on the same arithmetic codepoints —
+    * the two sides never share the decode logic. Malformed (`&#zz;`),
+    * out-of-range (`&#1234567;`) and unknown-named (`&copy;`) entities
+    * must pass through verbatim; `&amp;` still decodes; the tag-strip
+    * half of [[HtmlStrip.textOfFull]] rides along.
+    */
+  def q127NumericEntities(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val decCp = (id % 400) + 160           // Latin-1 supplement and beyond
+    val hexCp = (id % 256) + lit(0x4E00L)  // CJK, hex-form entity
+    val emojiCp = (id % 16) + lit(0x1F600L) // supplementary plane
+    val html = concat(
+      lit("<p>a &#"), decCp.cast("string"), lit("; b &#x"), hex(hexCp),
+      lit("; c</p><div>d &#x"), hex(emojiCp),
+      lit("; bad &#zz; over &#1234567; amp &amp;<b>mid</b> copy &copy; end</div>"))
+    Tables.documents(s, dir).select(id).withColumn("html", html)
+      .select(id, HtmlStrip.textOfFull(col("html")).as("text"))
+      .select(id, md5(col("text")).as("text_md5"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring dedup (row 78, Lee et al. 2021): shared 8-token
     * boilerplate is prepended/appended by doc_id class so corpus-
     * duplicated ≥8-token runs exist at every alignment; every non-first
