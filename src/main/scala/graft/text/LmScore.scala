@@ -52,12 +52,57 @@ object LmScore {
       (a, b) => struct(a.as("w1"), b.as("w2")))
   }
 
+  /** (w1 = token, w2 = next token or NULL at the last position) — ONE
+    * struct per token, so a single explode serves both the unigram and
+    * the bigram join ([[score]]'s fusion; the
+    * [[Dsir.fitModelsSubset]] discipline applied to scoring).
+    */
+  private def tokenPairs(w: org.apache.spark.sql.Column) = {
+    val n1 = greatest(size(w) - 1, lit(0))
+    zip_with(
+      w,
+      concat(slice(w, lit(2), n1), array(lit(null).cast("string"))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
   /** Per-document signals vs a reference model: (id, n_tokens, n_oov,
     * n_bigrams, n_bigram_hits). A doc with high oov fraction or low
     * bigram hit fraction is out-of-distribution for the reference —
     * the quality gate thresholds those ratios.
+    *
+    * FUSED plan: one explode emits (token, next-token) structs; the
+    * unigram join keys on w1, the bigram join on (w1, w2) — NULL w2 at
+    * the last position never matches, exactly the bigram count's
+    * semantics — and ONE per-id aggregation folds all four counters.
+    * Versus the two-pass form (kept as [[scoreTwoPass]], spec-asserted
+    * equal): one gram explosion instead of two, one corpus aggregation
+    * instead of two plus an id join.
     */
   def score(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      unigrams: DataFrame,
+      bigrams: DataFrame
+  ): DataFrame =
+    docs.select(col(idCol), explode(tokenPairs(toks(col(textCol)))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(unigrams.select(col("token").as("w1"), lit(1L).as("__hit")),
+        Seq("w1"), "left")
+      .join(bigrams.select(col("w1"), col("w2"), lit(1L).as("__bhit")),
+        Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("w2").isNotNull, 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("__bhit").isNull, 0L).otherwise(1L)).as("n_bigram_hits"))
+
+  /** The unfused two-pass reference formulation (one explode + agg per
+    * n-gram order, id join at the end) — kept for the fused-equality
+    * spec; [[score]] is the production path.
+    */
+  private[graft] def scoreTwoPass(
       docs: DataFrame,
       idCol: String,
       textCol: String,

@@ -126,6 +126,11 @@ class ChunkSourceSpec extends SparkSpec {
     assert(out(10L) == (3L, 1L, 2L, 1L))
     assert(out(11L) == (1L, 1L, 0L, 0L))
     assert(out(12L) == (2L, 0L, 1L, 0L))
+    // the fused single-explode production path equals the two-pass
+    // reference formulation row-for-row
+    val fused = LmScore.score(scored, "doc_id", "text", uni, bi)
+    val twoPass = LmScore.scoreTwoPass(scored, "doc_id", "text", uni, bi)
+    assert(fused.exceptAll(twoPass).isEmpty && twoPass.exceptAll(fused).isEmpty)
   }
 
   test("Dsir: selectionKey integer arithmetic golden + zero-evidence sentinel") {
