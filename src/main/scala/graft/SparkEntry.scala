@@ -135,6 +135,7 @@ object SparkEntry {
     "q122_truncate_budget" -> (LlmQueries.q122TruncateBudget(_, _)),
     "q123_line_scrub_incremental" -> (LlmQueries.q123LineScrubIncremental(_, _)),
     "q124_exactsubstr" -> (LlmQueries.q124ExactSubstr(_, _)),
+    "q125_quality_classifier" -> (LlmQueries.q125QualityClassifier(_, _)),
     "q127_numeric_entities" -> (LlmQueries.q127NumericEntities(_, _))
   )
 
@@ -1235,6 +1236,35 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Quality classifier: the oracle refits the NBSVM-style model —
+    // hexdigit-fold buckets mod 1024 (the q103 idiom), per-bucket
+    // weight floor(2e6·p·N/(p·N+n·P)) − 1e6 in HUGEINT (numerator
+    // non-negative, so // matches Spark's pmod floor-div) — then
+    // replays every doc's margin and the avg-margin ≥ 0 gate
+    "q125_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
+        |  FROM tok),
+        |b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
+        |  FROM g, unnest(gs) AS u(gram)),
+        |cnt AS (SELECT bucket,
+        |    sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS cnt_p,
+        |    sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS cnt_n
+        |  FROM b WHERE doc_id % 5 = 0 OR doc_id % 5 = 3 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_p) AS HUGEINT) AS pt, CAST(sum(cnt_n) AS HUGEINT) AS nt FROM cnt),
+        |wt AS (SELECT bucket,
+        |    CAST((2 * 1000000 * CAST(cnt_p AS HUGEINT) * nt) //
+        |      (CAST(cnt_p AS HUGEINT) * nt + CAST(cnt_n AS HUGEINT) * pt) - 1000000 AS BIGINT) AS w
+        |  FROM cnt, tot),
+        |sig AS (SELECT b.doc_id, count(*) AS n_grams, sum(coalesce(wt.w, 0)) AS margin
+        |  FROM b LEFT JOIN wt USING (bucket) GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(margin AS BIGINT) AS margin, margin >= 0 AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
     // Numeric entity decode: the oracle CONSTRUCTS the expected decoded
     // text via chr() on the same arithmetic codepoints (19968 = 0x4E00,
     // 128512 = 0x1F600) — it never replays the kernel's parse, so the

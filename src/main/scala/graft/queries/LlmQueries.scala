@@ -1281,6 +1281,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality classifier (row 79, fastText-architecture NBSVM weights):
+    * positive corpus = doc_id%5==0, negative = doc_id%5==3, hashed
+    * uni+bigram buckets; every doc scored by its integer margin and
+    * gated on avg-margin ≥ 0. The oracle REFITS the model (hexdigit-
+    * fold buckets, HUGEINT cross-multiplied floor-div weights) and
+    * replays every margin — training and scoring both cross-checked.
+    */
+  def q125QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val model = graft.text.QualityClassifier.train(
+      d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 === 3),
+      "text", numBuckets = 1024)
+    graft.text.QualityClassifier.score(d, "doc_id", "text", model, numBuckets = 1024)
+      .withColumn("keep", col("margin") >= 0)
+      .orderBy("doc_id")
+  }
+
   /** Numeric HTML entity decode (row 71 extension): the
     * [[graft.functions.HtmlEntityDecode]] kernel's numeric path
     * (`&#NNN;` decimal, `&#xHHHH;` hex incl. supplementary-plane

@@ -31,10 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  private def toks(c: Column) = split(trim(lower(c)), "\\s+")
+  private[text] def toks(c: Column) = split(trim(lower(c)), "\\s+")
 
   /** Unigrams ++ space-joined bigrams, one narrow array expression. */
-  private def gramsOf(w: Column): Column = {
+  private[text] def gramsOf(w: Column): Column = {
     val n1 = greatest(size(w) - 1, lit(0))
     concat(w, zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
       (a, b) => concat_ws(" ", a, b)))

@@ -133,6 +133,37 @@ class ChunkSourceSpec extends SparkSpec {
     assert(fused.exceptAll(twoPass).isEmpty && twoPass.exceptAll(fused).isEmpty)
   }
 
+  test("QualityClassifier: pure-corpus extremes hit ±scale, unattested text is neutral, gate keeps by avg margin") {
+    import graft.text.QualityClassifier
+    val S = QualityClassifier.DefaultScale
+    val pos = Seq((1L, "good fine nice"), (2L, "good solid fine")).toDF("doc_id", "text")
+    val neg = Seq((3L, "bad awful junk"), (4L, "bad noisy junk")).toDF("doc_id", "text")
+    val model = QualityClassifier.train(pos, neg, "text", numBuckets = 4096)
+    val docs = Seq(
+      (10L, "good fine"),       // pure positive vocab → every gram at +S
+      (11L, "bad awful"),       // pure negative vocab → every gram at −S
+      (12L, "zzz qqq"),         // unattested → margin 0
+      (13L, "good bad")         // mixed: unigrams cancel, bigram unattested
+    ).toDF("doc_id", "text")
+    val out = QualityClassifier.score(docs, "doc_id", "text", model, numBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((3L, 3L * S)))   // 2 unigrams + 1 bigram, all +S
+    assert(out(11L) == ((3L, -3L * S)))
+    assert(out(12L) == ((3L, 0L)))
+    assert(out(13L) == ((3L, 0L)))       // +S − S + 0
+    val kept = QualityClassifier.filterByQuality(docs, "doc_id", "text", model,
+        numBuckets = 4096)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 13L))   // avg ≥ 0 keeps neutral, drops negative
+    val tight = QualityClassifier.filterByQuality(docs, "doc_id", "text", model,
+        numBuckets = 4096, thrNum = S / 2, thrDen = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight == Set(10L))
+    intercept[IllegalArgumentException] {
+      QualityClassifier.train(pos, Seq.empty[(Long, String)].toDF("doc_id", "text"), "text")
+    }
+  }
+
   test("Dsir: selectionKey integer arithmetic golden + zero-evidence sentinel") {
     val sig = Seq(
       (1L, 10L, 100L, 200L),
