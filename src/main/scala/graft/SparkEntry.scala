@@ -136,6 +136,7 @@ object SparkEntry {
     "q123_line_scrub_incremental" -> (LlmQueries.q123LineScrubIncremental(_, _)),
     "q124_exactsubstr" -> (LlmQueries.q124ExactSubstr(_, _)),
     "q125_quality_classifier" -> (LlmQueries.q125QualityClassifier(_, _)),
+    "q126_image_neardup" -> (LlmQueries.q126ImageNearDup(_, _)),
     "q127_numeric_entities" -> (LlmQueries.q127NumericEntities(_, _))
   )
 
@@ -1265,6 +1266,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  CAST(margin AS BIGINT) AS margin, margin >= 0 AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
+    // Perceptual image near-dup: ALL-PAIRS hamming over the same dHash
+    // fixture parquet the query read — banded blocking must reproduce
+    // the exhaustive answer exactly (recall misses fail the gate)
+    "q126_image_neardup" ->
+      """WITH h AS (SELECT doc_id, ph
+        |    FROM read_parquet('__GRAFT_FIXTURE:image_phash__/*.parquet')
+        |    WHERE ph IS NOT NULL),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.ph, b.ph)) AS hamming
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // Numeric entity decode: the oracle CONSTRUCTS the expected decoded
     // text via chr() on the same arithmetic codepoints (19968 = 0x4E00,
     // 128512 = 0x1F600) — it never replays the kernel's parse, so the

@@ -401,18 +401,35 @@ object SimHash {
       bands: Int = 4,
       maxBucketSize: Int = 200,
       portableHash: Boolean = false
+  ): DataFrame =
+    pairsOfFingerprints(fingerprints(df, idCol, textCol, portableHash),
+      idCol, "simhash", maxHamming, bands, maxBucketSize)
+
+  /** The banded-hamming blocking engine over an EXISTING (id, 64-bit
+    * hash) frame — shared by text simhash and perceptual image hashes
+    * ([[graft.multimodal.ImageHash]]). Pigeonhole: with
+    * bands > maxHamming any qualifying pair shares at least one exact
+    * band, so candidate generation is an equi-join per band, never
+    * all-pairs; exact `bit_count(a ^ b)` verifies.
+    */
+  def pairsOfFingerprints(
+      fps: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxBucketSize: Int = 200
   ): DataFrame = {
     require(bands > maxHamming, "need bands > maxHamming for pigeonhole blocking")
     val bits = 64 / bands
-    val fps = fingerprints(df, idCol, textCol, portableHash)
+    val base = fps.select(col(idCol).as("id"), col(hashCol).as("p"))
     val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"), expr(s"(simhash >> ${j * bits}) & ${(1L << bits) - 1}L").as("bh"))
+      struct(lit(j).as("band"), expr(s"(p >> ${j * bits}) & ${(1L << bits) - 1}L").as("bh"))
     }
-    val exploded = fps.withColumn("__band", explode(array(bandCols: _*)))
-      .select(col("__band.band").as("band"), col("__band.bh").as("bh"),
-        col(idCol).as("id"), col("simhash").as("p"))
-    val pairs = LshBlocking.bucketPairs(exploded.select("band", "bh", "id"), maxBucketSize)
-    LshBlocking.attachPayloads(pairs, fps.select(col(idCol).as("id"), col("simhash").as("p")))
+    val exploded = base.withColumn("__band", explode(array(bandCols: _*)))
+      .select(col("__band.band").as("band"), col("__band.bh").as("bh"), col("id"))
+    val pairs = LshBlocking.bucketPairs(exploded, maxBucketSize)
+    LshBlocking.attachPayloads(pairs, base)
       .withColumn("hamming", bit_count(col("p_a").bitwiseXOR(col("p_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

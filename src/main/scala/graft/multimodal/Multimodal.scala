@@ -37,7 +37,7 @@ object Multimodal {
     * fallback — without ever allocating the full raster. Returns null for
     * anything unreadable or over [[MaxImagePixels]].
     */
-  private def readImageBounded(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  private[multimodal] def readImageBounded(bytes: Array[Byte]): java.awt.image.BufferedImage =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))

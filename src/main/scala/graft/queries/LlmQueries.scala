@@ -1281,6 +1281,56 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, ph) dHash fixture: one deterministic synthetic PNG per doc
+    * (36×32 gray gradient pattern keyed by doc_id%25, plus a global
+    * brightness shift by (doc_id/25)%3 that dHash must be INVARIANT to —
+    * that invariance is what makes the clusters), decoded and hashed by
+    * the real JDK-codec kernel ([[graft.multimodal.ImageHash.dHash64]]).
+    * The decode is the part SQL cannot replay (the q88 BPE-fixture
+    * discipline); everything downstream of this parquet boundary is
+    * oracle-replayed.
+    */
+  private def imagePhashFixture(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedParquet(s, dir, "image_phash") {
+      val mkPng = udf { (id: Long) =>
+        val p = (id % 25).toInt
+        val bright = ((id / 25) % 3).toInt * 8
+        val img = new java.awt.image.BufferedImage(
+          36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 36) {
+            // max 22*10+16 = 236 < 255: the brightness shift never clips,
+            // so within-pattern gradient ORDER (hence dHash) is identical
+            val v = ((x * (p + 3) + y * (p + 7)) % 23) * 10 + bright
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      graft.multimodal.ImageHash.hashes(
+        Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("payload", mkPng(col("doc_id"))),
+        "doc_id", "payload")
+    }
+
+  /** Perceptual image near-dup (row 80): banded-hamming pairs over the
+    * dHash fixture. maxHamming 3 < 4 bands ⇒ blocking is pigeonhole-
+    * LOSSLESS, so the oracle is ALL-PAIRS hamming over the same fixture
+    * (the q21/q22 discipline — a blocking recall miss fails the gate);
+    * bucket cap 2000 clears the sf0.1 cluster size (5000 docs / 25
+    * patterns) so the cap never silently drops a bucket at gate scales.
+    */
+  def q126ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageHash.nearDuplicates(
+        imagePhashFixture(s, dir), "doc_id", maxBucketSize = 2000)
+      .orderBy("id_a", "id_b")
+
   /** Quality classifier (row 79, fastText-architecture NBSVM weights):
     * positive corpus = doc_id%5==0, negative = doc_id%5==3, hashed
     * uni+bigram buckets; every doc scored by its integer margin and

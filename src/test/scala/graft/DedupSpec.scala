@@ -722,6 +722,32 @@ class DedupSpec extends SparkSpec {
     assert(custom(1L) == Seq(5f, 5f, 5f, 5f) && custom(2L) == Seq(0f, 0f, 0f, 0f))
   }
 
+  test("ImageHash: dHash brightness invariance, structure sensitivity, lossless banding") {
+    import graft.multimodal.ImageHash
+    def png(pattern: Int, bright: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val v = ((x * (pattern + 3) + y * (pattern + 7)) % 23) * 10 + bright
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val a = ImageHash.dHash64(png(1, 0)).get
+    val b = ImageHash.dHash64(png(1, 16)).get   // same structure, brighter
+    val c = ImageHash.dHash64(png(9, 0)).get    // different structure
+    assert(a == b, "dHash must be invariant to a non-clipping brightness shift")
+    assert(java.lang.Long.bitCount(a ^ c) > 3, "different patterns must hash far apart")
+    assert(ImageHash.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    val hashed = Seq((1L, Option(a)), (2L, Option(b)), (3L, Option(c)),
+      (4L, Option.empty[Long])).toDF("doc_id", "ph")
+    val pairs = ImageHash.nearDuplicates(hashed, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))           // NULL hash never pairs
+  }
+
   private def exactSubstrOut(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getLong(0) ->
       ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
