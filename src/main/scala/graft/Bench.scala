@@ -39,6 +39,19 @@ object Bench {
       graft.similarity.Knn.bruteForceTopK(vecs, vecs.limit(3), "vec_id", "embedding", 3).count()
     } catch { case _: Throwable => }
 
+    // FIXTURE WARM: per-sf fixture caches (ANN indexes, PQ codebooks,
+    // BPE counts, dHash fixtures, …) build EAGERLY inside query
+    // construction (Fixtures.cachedPath writes on miss) — construct
+    // every query once, untimed, so a post-regen cold cache can never
+    // land inside a timed pass (r6 driver bench showed q85 at 2.12×
+    // for exactly this reason). The cost is logged so a driver run
+    // stays interpretable.
+    val tFix = System.nanoTime()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+    }
+    println(f"[bench] fixture warm + plan construction: ${(System.nanoTime() - tFix) / 1e9}%.1f s")
+
     // two timed passes, keep the per-query minimum: JIT warmup and host
     // noisy-neighbor jitter otherwise dominate sub-second queries.
     // Each query executes FULLY via the noop sink — .count() would let

@@ -108,7 +108,24 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q110_intradoc_repetition", maxHash = 4),
     // perplexity terciles: LmScore's four roll-ups + id join + the
     // bookkeeping cell aggregates; every model/offset join broadcasts
-    Shape("q115_perplexity_buckets", maxHash = 8, forbidSortMergeJoin = true)
+    Shape("q115_perplexity_buckets", maxHash = 8, forbidSortMergeJoin = true),
+    // ANN prebuilt probe paths — the whole value of these queries IS
+    // plan shape: the corpus/index side NEVER exchanges (cells/codebooks
+    // broadcast onto it), only the query-keyed shortlist shuffles
+    // IVF probe: one query_id exchange (per-query top-k), cells
+    // broadcast; no corpus shuffle, no UDF (native cosine expression)
+    Shape("q85_knn_ivf_prebuilt", maxHash = 1, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // IVF×PQ probe: query_id + (query_id, quantizer-cell) exchanges;
+    // codebook/cell joins all broadcast
+    Shape("q96_knn_ivfpq_prebuilt", maxHash = 2, minBroadcastJoin = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // BM25 prebuilt: postings join on (id, dl[, term]) — candidate-set
+    // sized, the two documented hash exchanges; stats ride an
+    // IdentityBroadcast; the global top-20 rank is the one
+    // SinglePartition exchange (shortlist-sized, counted as range)
+    Shape("q99_bm25_prebuilt", maxHash = 2, forbidSortMergeJoin = true,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
