@@ -137,7 +137,9 @@ object SparkEntry {
     "q124_exactsubstr" -> (LlmQueries.q124ExactSubstr(_, _)),
     "q125_quality_classifier" -> (LlmQueries.q125QualityClassifier(_, _)),
     "q126_image_neardup" -> (LlmQueries.q126ImageNearDup(_, _)),
-    "q127_numeric_entities" -> (LlmQueries.q127NumericEntities(_, _))
+    "q127_numeric_entities" -> (LlmQueries.q127NumericEntities(_, _)),
+    "q128_hll_distinct" -> (CoreQueries.q128HllDistinct(_, _)),
+    "q129_cms_top_tokens" -> (CoreQueries.q129CmsTopTokens(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2009,7 +2011,57 @@ object SparkEntry {
         |  FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id),
         |rk AS (SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, doc_id,
         |    CAST(CAST(rrf AS DECIMAL(18,9)) AS DOUBLE) AS rrf_score FROM f)
-        |SELECT rank, doc_id, rrf_score FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |SELECT rank, doc_id, rrf_score FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // HLL registers replayed nibble-for-nibble: 60-bit md5 hash, p=8
+    // buckets, rank = 53 - highest-bit(remainder), harmonic denominator
+    // as an exact BIGINT sum of powers of two, ONE pinned division for
+    // the estimate (IEEE-exact on both engines). sum(BIGINT) is HUGEINT
+    // in DuckDB -> cast back before output/division.
+    "q128_hll_distinct" ->
+      """WITH h AS (SELECT event_type,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv & 255 AS bucket,
+        |    CASE WHEN (hv >> 8) = 0 THEN 53
+        |         ELSE 53 - length(bin(hv >> 8)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, max(rank) AS r FROM r GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS present,
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS dpresent
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type, CAST(256 AS BIGINT) AS m,
+        |  CAST(256 - present AS BIGINT) AS v0,
+        |  dpresent + (256 - present) * (CAST(1 AS BIGINT) << 53) AS dhll,
+        |  4.2399330249068963e+20 /
+        |    CAST(dpresent + (256 - present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS est,
+        |  exact
+        |FROM agg a JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+    // Count-Min counters replayed cell-for-cell: depth-4 salted md5
+    // bucket hashes ("j:token", first 2 nibbles), counter = sum of the
+    // cell's token counts, estimate = min over the 4 rows — one-sided,
+    // est >= exact by construction for every probed token
+    "q129_cms_top_tokens" ->
+      """WITH toks AS (SELECT u.tok AS token
+        |  FROM documents, unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |cells AS (SELECT j.j AS j, token, c,
+        |    CAST(strpos('0123456789abcdef', substring(md5(j.j || ':' || token), 1, 1)) - 1 AS BIGINT) * 16 +
+        |    CAST(strpos('0123456789abcdef', substring(md5(j.j || ':' || token), 2, 1)) - 1 AS BIGINT) AS bucket
+        |  FROM cnt, range(4) j(j)),
+        |counters AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cc
+        |  FROM cells GROUP BY 1, 2),
+        |top AS (SELECT token, CAST(c AS BIGINT) AS exact FROM cnt
+        |  ORDER BY c DESC, token LIMIT 20),
+        |probe AS (SELECT t.token, t.exact, min(co.cc) AS est
+        |  FROM top t JOIN cells pc ON pc.token = t.token
+        |  JOIN counters co ON co.j = pc.j AND co.bucket = pc.bucket
+        |  GROUP BY t.token, t.exact)
+        |SELECT token, exact, est FROM probe ORDER BY exact DESC, token""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches — HyperLogLog distinct
+  * counting (Flajolet et al. 2007) and Count-Min frequency estimation
+  * (Cormode & Muthukrishnan 2005) — built ENGINE-PORTABLY: every hash is
+  * an md5-nibble integer and every sketch cell is exact integer
+  * arithmetic, so a DuckDB oracle replays register-for-register and
+  * counter-for-counter (q128/q129). Library HLL implementations (Spark's
+  * own `approx_count_distinct` included) hash with engine-private
+  * functions and carry float bias tables — fine for one engine, ungateable
+  * across two; determinism is this repo's gate currency, so the hash and
+  * the estimator are pinned to public arithmetic.
+  *
+  * Why sketches at all when exact `count(distinct)` works at gate scale:
+  * at 100 TB an exact per-group distinct is a full shuffle of every
+  * observed value, while an HLL register table is a CONSTANT 256 rows per
+  * group, mergeable by `max` — so daily profiles fold into monthly ones
+  * without touching the data again ([[mergeHllRegisters]]), the
+  * incremental-store discipline of [[graft.dedup.LineDedup]] applied to
+  * profiling. Count-Min likewise: the counter table is `depth × width`
+  * cells regardless of corpus size, mergeable by `sum`, and the heavy-end
+  * estimates stay within the published `εN` bound of the exact counts
+  * that [[graft.text.HeavyHitters]] computes (q129 carries both columns).
+  *
+  * Scale shape: one explode-free pre-aggregation per pass (map-side
+  * combine absorbs hot values), then a scatter into the fixed cell grid —
+  * the exchange carries (group, cell, int) rows bounded by the sketch
+  * size, never the data. No collect; reports are per-group single rows.
+  *
+  * Estimate determinism: the HLL harmonic denominator is an exact BIGINT
+  * (powers of two summed as integers); the only float op is ONE division
+  * of a pinned double literal by that integer — IEEE-754 defines that
+  * rounding exactly, so Spark and DuckDB produce bit-identical doubles.
+  * The small-range linear-counting correction (`m·ln(m/V)`) needs `ln`,
+  * which carries no cross-engine ulp guarantee — it is offered in
+  * [[hllLinearCount]] for users but kept OUT of gated columns.
+  */
+object Sketches {
+
+  /** HLL precision: p=8 → 256 registers, standard error ≈ 1.04/√256 ≈ 6.5%. */
+  val HllP: Int = 8
+  val HllM: Int = 1 << HllP
+  /** Hash width 60 bits (15 md5 nibbles — the [[graft.dedup.SpanDedup]]
+    * key discipline); rank lives in the remaining 52 bits, max rank 53.
+    */
+  val HashBits: Int = 60
+  private val WBits = HashBits - HllP // 52
+  private val MaxRank = WBits + 1 // 53
+
+  /** alpha_m · m² · 2^52+1 for p=8, emitted as the same shortest-repr
+    * double literal the oracle SQL pins (0.7213/(1+1.079/256)·256²·2^53).
+    */
+  val HllNumerator: Double = 4.2399330249068963e20
+
+  /** 60-bit md5 hash of the value's canonical string form. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(to_binary(c.cast("string"), lit("utf-8"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Per-group HLL register table: (groups..., bucket, r) with r =
+    * max over values of rank(bucket's hash remainder). At most
+    * groups × 256 rows; partial aggregation absorbs repeated values
+    * map-side, so a billion-repeat hot value costs its partitions one
+    * register update each.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val hv = hash60(col(valueCol))
+    val w = shiftright(hv, HllP)
+    val rank = when(w === 0L, lit(MaxRank))
+      .otherwise(lit(MaxRank) - length(bin(w)))
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+
+        hv.bitwiseAND(lit((HllM - 1).toLong)).as("bucket") :+
+        rank.as("rank")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rank")).as("r"))
+  }
+
+  /** Fold two register tables — the sketch merge: max per (group, bucket).
+    * Registers from disjoint data slices merge into exactly the registers
+    * of the union (spec-asserted), so stored daily sketches roll up
+    * without re-reading data.
+    */
+  def mergeHllRegisters(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Per-group HLL report from a register table: m, zero-register count
+    * v0, exact-integer harmonic denominator dhll = Σ 2^(53−r) (absent
+    * registers contribute 2^53), and the raw estimate — one pinned
+    * division, bit-identical on any IEEE engine.
+    */
+  def hllReport(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val full = lit(1L << MaxRank)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $MaxRank - r)")).as("dpresent"))
+      .select((groupCols.map(col) :+
+        lit(HllM.toLong).as("m") :+
+        (lit(HllM.toLong) - col("present")).as("v0") :+
+        (col("dpresent") + (lit(HllM.toLong) - col("present")) * full).as("dhll")): _*)
+      .withColumn("est", lit(HllNumerator) / col("dhll").cast("double"))
+  }
+
+  /** One-shot per-group approximate distinct count of `valueCol`. */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllReport(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** Linear-counting small-range correction m·ln(m/v0) — NOT gate-safe
+    * (`ln` has no cross-engine ulp contract); convenience for users whose
+    * cardinalities sit below 5m/2 where raw HLL biases high.
+    */
+  def hllLinearCount(report: DataFrame): DataFrame =
+    report.withColumn("est_lc",
+      when(col("v0") > 0,
+        col("m").cast("double") * log(col("m").cast("double") / col("v0").cast("double")))
+        .otherwise(col("est")))
+
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-Min geometry: depth 4 independent rows (error probability
+    * δ = e^-4... conventionally 1/2^4 here), width 256 buckets
+    * (ε = e/256 of the total count). 1024 cells total.
+    */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = 256
+
+  /** Row-j bucket of a value: first two md5 nibbles of "j:value" —
+    * independent salted hashes, replayable nibble-for-nibble in SQL.
+    * `j` is a column so the depth scatter computes all rows in one pass.
+    */
+  def cmsBucket(v: Column, j: Column): Column =
+    conv(substring(md5(to_binary(concat(j.cast("string"), lit(":"), v.cast("string")), lit("utf-8"))), 1, 2), 16, 10)
+      .cast("long")
+
+  /** Counter table (j, bucket, c) for weighted values: exact
+    * pre-aggregation per value first (map-side combine eats hot values),
+    * then a depth-row scatter into the fixed grid — the exchange after
+    * the pre-agg carries (value, count) once per distinct value, and the
+    * scatter output is ≤ depth·width rows.
+    */
+  def cmsCounters(df: DataFrame, valueCol: String): DataFrame = {
+    val perValue = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    perValue
+      .select(col("v"), col("c"),
+        explode(array((0 until CmsDepth).map(j => lit(j)): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col("v"), col("j")))
+      .groupBy("j", "bucket")
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Merge two counter tables: cell-wise sum. */
+  def mergeCms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("j", "bucket").agg(sum(col("c")).as("c"))
+
+  /** Point estimates for the values in `probes(valueCol)`: min over the
+    * depth rows of the value's cell — the classic one-sided (≥ true
+    * count) CMS estimator. Join is broadcast-sized: the counter table is
+    * ≤ depth·width rows.
+    */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, valueCol: String): DataFrame = {
+    val keyed = probes
+      .select(col(valueCol).as("v"))
+      .distinct()
+      .select(col("v"), explode(array((0 until CmsDepth).map(j => lit(j)): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col("v"), col("j")))
+    keyed
+      .join(broadcast(counters), Seq("j", "bucket"), "left")
+      .groupBy("v")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .withColumnRenamed("v", valueCol)
+  }
+}

@@ -799,4 +799,44 @@ object CoreQueries {
         count(when(col(graft.sources.TextFormats.CorruptCol).isNotNull, 1)).as("n_corrupt"))
       .orderBy("lang")
   }
+
+  /** HLL distinct-count profile, register-for-register gated: per
+    * event_type the approximate distinct user count next to the exact
+    * one. The oracle replays the 60-bit md5 hash, every register, the
+    * exact-integer harmonic denominator, and the single pinned division
+    * ([[graft.operators.Sketches]]) — so a hash-match proves the sketch,
+    * not just the summary.
+    */
+  def q128HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = Tables.events(s, dir).select("event_type", "user_id")
+    val approx = Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    approx.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("m"), col("v0"), col("dhll"),
+        col("est"), col("exact"))
+      .orderBy("event_type")
+  }
+
+  /** Count-Min frequency sketch gated cell-for-cell: estimates for the
+    * top-20 exact-count tokens of the documents corpus, next to the
+    * exact counts — `est >= exact` always (one-sided estimator), and the
+    * oracle recomputes every salted bucket and counter independently.
+    */
+  def q129CmsTopTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val counters = Sketches.cmsCounters(toks, "token")
+    val exactTop = toks.groupBy("token")
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token"))
+      .limit(20)
+    Sketches.cmsEstimate(counters, exactTop, "token")
+      .join(exactTop, Seq("token"))
+      .select(col("token"), col("exact"), col("est"))
+      .orderBy(col("exact").desc, col("token"))
+  }
 }

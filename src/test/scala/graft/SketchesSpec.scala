@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** HLL / Count-Min sketch invariants: merge == rebuild (the mergeable-
+  * store contract), estimator bounds, and determinism of the pinned
+  * division (q128/q129 gate the cross-engine replay; these specs gate
+  * the algebra).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values(n: Int, mod: Int) =
+    (0 until n).map(i => ("g" + (i % 2), (i % mod).toLong)).toDF("g", "v")
+
+  test("hll merge of disjoint slices == registers of the union") {
+    val all = values(4000, 700)
+    val a = all.filter($"v" % 2 === 0)
+    val b = all.filter($"v" % 2 =!= 0)
+    val merged = Sketches.mergeHllRegisters(
+      Sketches.hllRegisters(a, Seq("g"), "v"),
+      Sketches.hllRegisters(b, Seq("g"), "v"), Seq("g"))
+    val direct = Sketches.hllRegisters(all, Seq("g"), "v")
+    assert(merged.orderBy("g", "bucket").collect().toSeq ==
+      direct.orderBy("g", "bucket").collect().toSeq)
+  }
+
+  test("hll estimate lands within the published error band") {
+    // p=8 -> ~6.5% standard error; allow 4 sigma on a single draw
+    val df = values(20000, 5000) // 2500 distinct per group
+    val rep = Sketches.approxDistinct(df, Seq("g"), "v")
+      .select($"g", $"est").collect()
+    assert(rep.length == 2)
+    rep.foreach { r =>
+      val est = r.getDouble(1)
+      assert(math.abs(est - 2500.0) / 2500.0 < 0.26, s"est=$est")
+    }
+  }
+
+  test("hll registers are idempotent under duplicate ingestion") {
+    val once = values(1000, 100)
+    val thrice = once.unionByName(once).unionByName(once)
+    assert(Sketches.hllRegisters(once, Seq("g"), "v")
+      .orderBy("g", "bucket").collect().toSeq ==
+      Sketches.hllRegisters(thrice, Seq("g"), "v")
+        .orderBy("g", "bucket").collect().toSeq)
+  }
+
+  test("cms merge of slices == counters of the union; est >= exact") {
+    val all = (0 until 3000).map(i => "t" + (i % 37)).toDF("token")
+    val a = all.limit(1500)
+    val b = all.exceptAll(a) // multiset complement slice
+    val merged = Sketches.mergeCms(
+      Sketches.cmsCounters(a, "token"), Sketches.cmsCounters(b, "token"))
+    val direct = Sketches.cmsCounters(all, "token")
+    assert(merged.orderBy("j", "bucket").collect().toSeq ==
+      direct.orderBy("j", "bucket").collect().toSeq)
+
+    val exact = all.groupBy("token").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(direct, exact, "token")
+    val joined = est.join(exact, "token").select($"token", $"est", $"exact").collect()
+    assert(joined.length == 37)
+    joined.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"CMS under-estimated ${r.getString(0)}")
+    }
+  }
+
+  test("cms total count is preserved per depth row") {
+    val all = (0 until 2000).map(i => "w" + (i % 97)).toDF("token")
+    val counters = Sketches.cmsCounters(all, "token")
+    val perRow = counters.groupBy("j").agg(sum("c").as("t")).select("t")
+      .collect().map(_.getLong(0)).toSeq
+    assert(perRow == Seq.fill(Sketches.CmsDepth)(2000L))
+  }
+}
