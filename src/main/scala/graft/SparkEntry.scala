@@ -139,7 +139,10 @@ object SparkEntry {
     "q126_image_neardup" -> (LlmQueries.q126ImageNearDup(_, _)),
     "q127_numeric_entities" -> (LlmQueries.q127NumericEntities(_, _)),
     "q128_hll_distinct" -> (CoreQueries.q128HllDistinct(_, _)),
-    "q129_cms_top_tokens" -> (CoreQueries.q129CmsTopTokens(_, _))
+    "q129_cms_top_tokens" -> (CoreQueries.q129CmsTopTokens(_, _)),
+    "q130_orc_roundtrip" -> (CoreQueries.q130OrcRoundtrip(_, _)),
+    "q131_salted_join" -> (CoreQueries.q131SaltedJoin(_, _)),
+    "q132_pagerank" -> (CoreQueries.q132PageRank(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2061,7 +2064,43 @@ object SparkEntry {
         |  FROM top t JOIN cells pc ON pc.token = t.token
         |  JOIN counters co ON co.j = pc.j AND co.bucket = pc.bucket
         |  GROUP BY t.token, t.exact)
-        |SELECT token, exact, est FROM probe ORDER BY exact DESC, token""".stripMargin
+        |SELECT token, exact, est FROM probe ORDER BY exact DESC, token""".stripMargin,
+    // ORC round-trip: the oracle aggregates the parquet directly — a
+    // hash match proves the ORC writer/reader preserved every value
+    "q130_orc_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Salted join vs the plain SQL join — salting must be invisible in
+    // the result
+    "q131_salted_join" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Integer PageRank, all 5 iterations unrolled: damping 85/100,
+    // scale 10^6, base = 150000, truncating division (all operands
+    // non-negative so trunc == floor on both engines), dangling nodes
+    // keep the base share. sum() is HUGEINT in DuckDB -> cast per iter.
+    "q132_pagerank" -> {
+      val head =
+        """WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+          |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+          |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, CAST(sum((p.r * 85) // (100 * deg.d)) AS BIGINT) AS s
+           |  FROM e JOIN it${i - 1} p ON p.node = e.src JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst),
+           |it$i AS (SELECT n.node, 150000 + coalesce(c$i.s, 0) AS r
+           |  FROM n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      head + iters + "\nSELECT node, CAST(r AS BIGINT) AS r FROM it5 ORDER BY node"
+    }
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

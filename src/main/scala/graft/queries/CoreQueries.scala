@@ -839,4 +839,57 @@ object CoreQueries {
       .select(col("token"), col("exact"), col("est"))
       .orderBy(col("exact").desc, col("token"))
   }
+
+  /** ORC round-trip fidelity gate (q90/q91's twin for the second
+    * columnar format): orders → ORC → read back → aggregate vs the
+    * parquet-direct oracle. Exercises the type seams (DATE-ish strings,
+    * DOUBLE totals) through the ORC writer/reader.
+    */
+  def q130OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Columnar
+    val path = Fixtures.cachedPath(s, dir, "orc_orders") { p =>
+      Columnar.writeOrc(Tables.orders(s, dir), p)
+    }
+    Columnar.readOrc(s, path)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Skew-salted join gated against the plain join: orders (hot-keyed
+    * side, salted) ⋈ customer (replicated across the salt domain) must
+    * aggregate to exactly what the unsalted SQL join produces —
+    * upgrading [[graft.operators.Skew]] from spec-only to oracle-gated.
+    */
+  def q131SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val orders = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")
+    val cust = Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey")
+    Skew.saltedJoin(orders, cust, Seq("custkey"), saltFactor = 4)
+      .groupBy("c_mktsegment", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        countDistinct(col("custkey")).as("n_cust"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+  }
+
+  /** Integer PageRank over the symmetrized supplier↔part co-occurrence
+    * graph from lineitem — every one of the 5 iterations is replayed by
+    * the DuckDB oracle (unrolled CTEs), so a hash match proves the
+    * damping arithmetic, the degree normalization, and the dangling
+    * handling, not just a final ordering.
+    */
+  def q132PageRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.PageRank
+    val edges = Tables.lineitem(s, dir)
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+    PageRank.hostAuthority(edges, iters = 5)
+      .orderBy("node")
+  }
 }
