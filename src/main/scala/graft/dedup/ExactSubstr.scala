@@ -86,9 +86,26 @@ object ExactSubstr {
     * overwhelmingly-unique gram mass never joins; one per-doc
     * aggregation; the island merge and rewrite are narrow.
     */
-  def scrub(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val gr = grams(df, idCol, textCol, k)
+  def scrub(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    scrub(df, idCol, textCol, k, persistGrams = true)
+
+  /** As [[scrub]]; `persistGrams` controls whether the gram frame is
+    * persisted (MEMORY_AND_DISK) between its two consumers — the dup
+    * aggregate and the join-back. The kernel (one md5 per token
+    * position) is ~2/3 of the operator's cost, so recomputing it is a
+    * measured ~1.5× slowdown (AbExactSubstr, sf0.1); at 100 TB the same
+    * trade holds — gram rows are ~40 bytes/position, far cheaper to
+    * spill than to rebuild from text. Pass false only when executor
+    * storage is the binding constraint. The persisted RDD is released
+    * by the ContextCleaner once the returned frame is unreferenced.
+    */
+  def scrub(df: DataFrame, idCol: String, textCol: String, k: Int,
+      persistGrams: Boolean): DataFrame = {
+    val grRaw = grams(df, idCol, textCol, k)
       .withColumn("__code", encodedCode(col(idCol), col("pos")))
+    val gr = if (persistGrams)
+      grRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else grRaw
     val dupGrams = gr.groupBy("h")
       .agg(count(lit(1)).as("__freq"), min("__code").as("__fc"))
       .filter(col("__freq") > 1)
@@ -163,8 +180,11 @@ object ExactSubstr {
       k: Int,
       broadcastBatch: Boolean = true
   ): DataFrame = {
+    // batch-sized: persisting between the two consumers (agg + join) is
+    // always safe and skips the second gram-kernel pass (see scrub)
     val gr = grams(batch, idCol, textCol, k)
       .withColumn("__code", encodedCode(col(idCol), col("pos")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchAgg = gr.groupBy("h")
       .agg(count(lit(1)).as("__bf"), min("__code").as("__bfc"))
     def hinted(d: DataFrame): DataFrame = if (broadcastBatch) broadcast(d) else d
