@@ -199,10 +199,13 @@ object LineDedup {
     *
     * Scale shape: a NARROW higher-order-function fold — zero shuffles,
     * zero UDFs; the whole operator runs at scan speed inside codegen.
-    * The fold is O(lines² ) per document (array_contains over the kept
-    * prefix), fine for real pages (thousands of lines); a document with
-    * ~10^5+ lines should go through [[scrub]] instead, whose aggregate
-    * formulation is linear.
+    * The fold is O(lines²) per document (array_contains over the kept
+    * prefix), fine for real pages (thousands of lines). Documents over
+    * `cutoverLines` route through a linear exploded formulation instead
+    * (per-(doc, line) min-position + ordered re-aggregation — one
+    * shuffle carrying ONLY the oversized docs' lines), so an adversarial
+    * 10^6-line page cannot stall a task; the two paths are
+    * spec-asserted equal and union back together.
     *
     * Returns (id, text_clean, n_lines, n_kept); NULL text stays NULL.
     */
@@ -211,17 +214,29 @@ object LineDedup {
       idCol: String,
       textCol: String,
       sep: String = "\n",
-      minLineChars: Int = 1
+      minLineChars: Int = 1,
+      cutoverLines: Int = 4096
   ): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = split(col(textCol), sepLit)
+    // NULL text → size() = -1 → routed to the fold path, which maps it
+    // to NULL output (posexplode would silently DROP the row).
+    // cutoverLines = Int.MaxValue keeps the plan PURE fold (no union, no
+    // Exchange anywhere — the original zero-shuffle shape, spec-locked).
+    val pureNarrow = cutoverLines == Int.MaxValue
+    // coalesce: size(NULL array) is NULL, and a bare comparison would
+    // drop the NULL-text row from BOTH branches
+    val nLines = coalesce(size(lines), lit(-1))
+    val small = if (pureNarrow) docs else docs.filter(nLines <= cutoverLines)
+    val big = docs.filter(nLines > cutoverLines)
+
     val kept = aggregate(
       lines,
       array().cast("array<string>"),
       (acc, x) => when(
         length(x) < minLineChars || !array_contains(acc, x),
         concat(acc, array(x))).otherwise(acc))
-    docs.select(
+    val foldPart = small.select(
       col(idCol).as("id"),
       array_join(kept, sep).as("text_clean"),
       size(lines).cast("long").as("n_lines"),
@@ -230,5 +245,24 @@ object LineDedup {
       // arrays — normalize the NULL-text row to NULL metrics
       .withColumn("n_lines", when(col("n_lines") < 0, lit(null)).otherwise(col("n_lines")))
       .withColumn("n_kept", when(col("n_kept") < 0, lit(null)).otherwise(col("n_kept")))
+    if (pureNarrow) return foldPart
+
+    val ex = big.select(col(idCol).as("id"), posexplode(lines).as(Seq("pos", "line")))
+    val keepFlag = col("pos") === min(when(length(col("line")) >= minLineChars, col("pos")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"), col("line")))
+    val explodedPart = ex
+      .withColumn("keep", length(col("line")) < minLineChars || keepFlag)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("keep"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          sep).as("text_clean"))
+      .select(col("id"), col("text_clean"), col("n_lines"), col("n_kept"))
+    foldPart.unionByName(explodedPart)
   }
 }

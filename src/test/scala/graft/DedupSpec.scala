@@ -343,10 +343,32 @@ class DedupSpec extends SparkSpec {
     val out2 = LineDedup.scrubWithinDoc(d2, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out2 == Map(1L -> "shared\nx", 2L -> "shared\ny"))
-    // the whole operator is one narrow projection — zero exchanges
+    // cutoverLines = MaxValue: PURE narrow projection — zero exchanges
     val onScan = LineDedup.scrubWithinDoc(
-      Tables.documents(spark, sf), "doc_id", "text")
+      Tables.documents(spark, sf), "doc_id", "text",
+      cutoverLines = Int.MaxValue)
     assert(!onScan.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("within-doc scrub: exploded cutover path equals the fold path") {
+    val d = Seq(
+      (1L, "nav\nbody\nnav\nnav\nftr"),
+      (2L, "a\n\nb\n\na"),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, (1 to 50).map(i => s"line${i % 7}").mkString("\n")) // heavy dups
+    ).toDF("doc_id", "text")
+    // cutover 0 forces EVERY non-null doc through the exploded path
+    val viaExplode = LineDedup.scrubWithinDoc(d, "doc_id", "text", cutoverLines = 0)
+      .orderBy("id").collect().toSeq
+    val viaFold = LineDedup.scrubWithinDoc(d, "doc_id", "text",
+      cutoverLines = Int.MaxValue).orderBy("id").collect().toSeq
+    assert(viaExplode == viaFold)
+    // NULL text survives the routing (fold path owns it) on the default
+    val withNull = d.unionByName(Seq((9L, null: String)).toDF("doc_id", "text"))
+    val out = LineDedup.scrubWithinDoc(withNull, "doc_id", "text")
+      .filter($"id" === 9L).collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
   }
 
   test("semantic dedup: within-cell pairs, components, min-id keep, sentinel cell") {
