@@ -641,6 +641,58 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming HLL distinct-count profile —
+    * [[graft.operators.Sketches]]'s online form: each micro-batch's
+    * register table merges (max per (group, bucket)) into a versioned
+    * store, so the standing profile answers "distinct users per group so
+    * far" at 256 rows/group without ever re-reading history. The fold
+    * reads the latest version STRICTLY BELOW the current batch id and
+    * writes `v=<batchId>` — a crash-replayed batch deterministically
+    * recomputes its own version from the same predecessor (idempotent
+    * replay); and because HLL merge is max-idempotent, even a
+    * double-FOLDED batch cannot corrupt the registers. Spec: final
+    * store == registers of all batches unioned (fold == rebuild).
+    */
+  def hllProfileStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val br = graft.operators.Sketches.hllRegisters(batch, groupCols, valueCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.Sketches.mergeHllRegisters(
+            s.read.parquet(p), br, groupCols)
+          case None => br
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Latest committed register version below `beforeId` (replay safety:
+    * a recomputing batch must not read its own partial output).
+    */
+  private[graft] def latestHllVersionBefore(
+      spark: SparkSession, storePath: String, beforeId: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(_ < beforeId)
+      .sorted.lastOption
+      .map(v => s"$storePath/v=$v")
+  }
+
   /** File-based streaming read of the events parquet, normalizing the
     * nanosecond ts (read as long under nanosAsLong) to a µs timestamp like
     * Tables.events does for the batch path.

@@ -317,6 +317,44 @@ class StreamingSpec extends SparkSpec {
     assert(store == rebuilt)
   }
 
+  test("streaming HLL profile fold equals the batch rebuild over all batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hllstream").toString
+    val mem = MemoryStream[(String, Long)]
+    val b1 = (0 until 300).map(i => ("g" + (i % 2), (i % 90).toLong))
+    val b2 = (0 until 300).map(i => ("g" + (i % 2), (i % 151).toLong))
+    val b3 = (0 until 100).map(i => ("g0", (i + 500).toLong))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "v")
+    StreamingOps.hllProfileStream(rows, Seq("g"), "v", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.hllProfileStream(rows, Seq("g"), "v", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b3: _*)
+    StreamingOps.hllProfileStream(rows, Seq("g"), "v", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest)
+      .orderBy("g", "bucket").collect().toSeq
+    val rebuilt = Sketches.hllRegisters(
+      (b1 ++ b2 ++ b3).toDF("g", "v"), Seq("g"), "v")
+      .orderBy("g", "bucket").collect().toSeq
+    assert(folded == rebuilt)
+    // the folded report answers distinct-so-far per group; ~250 distinct
+    // against m=256 registers is the small-range regime where raw HLL
+    // biases high — the linear-counting correction is the right estimator
+    val rep = Sketches.hllLinearCount(
+      Sketches.hllReport(spark.read.parquet(latest), Seq("g")))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val exact = (b1 ++ b2 ++ b3).filter(_._1 == "g0").map(_._2).distinct.size
+    assert(math.abs(rep("g0") - exact) / exact < 0.15,
+      s"lc=${rep("g0")} exact=$exact")
+  }
+
   test("streaming clustering folds edge batches into the bucketed assignment store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.{BucketedAssignStore, ConnectedComponents}
