@@ -125,7 +125,19 @@ class PlanShapeSpec extends SparkSpec {
     // IdentityBroadcast; the global top-20 rank is the one
     // SinglePartition exchange (shortlist-sized, counted as range)
     Shape("q99_bm25_prebuilt", maxHash = 2, forbidSortMergeJoin = true,
-      forbidUdf = true)
+      forbidUdf = true),
+    // HLL gate: register + report aggregates plus the exact-count
+    // comparison column; approx/exact join broadcasts (group-sized)
+    Shape("q128_hll_distinct", maxHash = 8, maxRange = 2,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    // CMS gate: per-value pre-agg + fixed-grid scatter aggregates; the
+    // probe joins the <=1024-cell counter table via broadcast only
+    Shape("q129_cms_top_tokens", maxHash = 8, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // salted join: the replicated (small) side must still broadcast
+    // after the x4 salt explode — salting must never demote the join
+    Shape("q131_salted_join", maxHash = 4, maxRange = 2,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
