@@ -676,6 +676,34 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming Count-Min frequency fold — [[hllProfileStream]]'s
+    * frequency twin. Cell-wise SUM is not idempotent (a re-merged batch
+    * would double-count), so replay safety leans entirely on the version
+    * discipline: v=<batchId> is always recomputed from the latest
+    * version strictly below it, never from itself. The standing counter
+    * table stays ≤ depth·width cells regardless of history.
+    */
+  def cmsProfileStream(
+      rows: DataFrame,
+      valueCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.operators.Sketches.cmsCounters(batch, valueCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.Sketches.mergeCms(s.read.parquet(p), bc)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Latest committed register version below `beforeId` (replay safety:
     * a recomputing batch must not read its own partial output).
     */

@@ -355,6 +355,35 @@ class StreamingSpec extends SparkSpec {
       s"lc=${rep("g0")} exact=$exact")
   }
 
+  test("streaming CMS fold equals the batch rebuild over all batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmsstream").toString
+    val mem = MemoryStream[String]
+    val b1 = (0 until 400).map(i => "t" + (i % 23))
+    val b2 = (0 until 300).map(i => "t" + (i % 41))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("token")
+    StreamingOps.cmsProfileStream(rows, "token", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.cmsProfileStream(rows, "token", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("j", "bucket").collect().toSeq
+    val rebuilt = Sketches.cmsCounters((b1 ++ b2).toDF("token"), "token")
+      .orderBy("j", "bucket").collect().toSeq
+    assert(folded == rebuilt)
+    // standing estimates stay one-sided over the union
+    val est = Sketches.cmsEstimate(spark.read.parquet(latest),
+      Seq("t0", "t1", "t22").toDF("token"), "token")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = (b1 ++ b2).groupBy(identity).view.mapValues(_.size).toMap
+    Seq("t0", "t1", "t22").foreach(t => assert(est(t) >= exact(t).toLong))
+  }
+
   test("streaming clustering folds edge batches into the bucketed assignment store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.{BucketedAssignStore, ConnectedComponents}
