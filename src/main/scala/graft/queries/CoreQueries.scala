@@ -846,11 +846,11 @@ object CoreQueries {
     * DOUBLE totals) through the ORC writer/reader.
     */
   def q130OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.Columnar
+    import graft.sources.Formats
     val path = Fixtures.cachedPath(s, dir, "orc_orders") { p =>
-      Columnar.writeOrc(Tables.orders(s, dir), p)
+      Formats.writeOrc(Tables.orders(s, dir), p)
     }
-    Columnar.readOrc(s, path)
+    Formats.readOrc(s, path)
       .groupBy("o_orderstatus", "o_orderpriority")
       .agg(
         count(lit(1)).as("n_rows"),

@@ -32,7 +32,14 @@ object Formats {
     spark.read.schema(schema).json(path)
 
   /** ORC: the other columnar interchange format warehouses speak —
-    * pushdown and column pruning work like parquet's.
+    * pushdown and column pruning work like parquet's. Round-trip
+    * fidelity is oracle-gated end-to-end by q130 (parquet → ORC → read
+    * → aggregate must hash-match the parquet-direct oracle).
+    *
+    * Avro note: this container's Spark distribution ships avro-core
+    * jars but NOT the spark-avro datasource module, so
+    * `format("avro")` is environment-blocked here (same status as
+    * Kafka); parquet + ORC + CSV/JSONL cover the interchange surface.
     */
   def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
     val w = df.write.mode(mode)

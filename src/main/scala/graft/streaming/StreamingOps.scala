@@ -676,6 +676,50 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact-substring scrub — [[graft.dedup.ExactSubstr]]'s
+    * online form: each micro-batch of arriving docs is scrubbed against
+    * the standing gram store (store-owned ≥ k-token runs drop at any
+    * alignment; within-batch duplicates keep their batch-first), the
+    * cleaned docs land under `outPath/batch_id=<n>` (overwrite —
+    * idempotent replay), and the batch's gram store folds into a
+    * versioned store dir (the [[hllProfileStream]] version discipline:
+    * v=<batchId> computed from the latest strictly-earlier version, so
+    * a crash-replayed batch recomputes rather than double-merges — the
+    * min/sum fold never sees its own output). Per batch: one gram pass
+    * over the batch, the corpus-sized store semi-filtered against the
+    * batch keys before any join.
+    */
+  def exactSubstrStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      storePath: String,
+      outPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = latestHllVersionBefore(s, storePath, batchId)
+          .map(p => s.read.parquet(p))
+        val store = prev.getOrElse(
+          s.emptyDataFrame.select(lit("").as("h"), lit(0L).as("freq"),
+            lit(0L).as("first_code")).limit(0))
+        graft.dedup.ExactSubstr.incrementalScrub(store, batch, idCol, textCol, k)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        val bs = graft.dedup.ExactSubstr.gramStore(batch, idCol, textCol, k)
+        val merged = prev match {
+          case Some(st) => graft.dedup.ExactSubstr.mergeGramStore(st, bs)
+          case None => bs
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Count-Min frequency fold — [[hllProfileStream]]'s
     * frequency twin. Cell-wise SUM is not idempotent (a re-merged batch
     * would double-count), so replay safety leans entirely on the version

@@ -355,6 +355,42 @@ class StreamingSpec extends SparkSpec {
       s"lc=${rep("g0")} exact=$exact")
   }
 
+  test("streaming exact-substring scrub drops store-owned runs from later batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.ExactSubstr
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-esstream").toString
+    val boiler = "one two three four five six seven eight"
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, s"$boiler alpha"), (2L, "clean text only here nothing repeats at all"))
+    val docs = mem.toDF().toDF("doc_id", "text")
+    StreamingOps.exactSubstrStream(docs, "doc_id", "text", k = 8,
+      s"$tmp/store", s"$tmp/out", s"$tmp/cp").awaitTermination(120000)
+    // batch 2: doc 3 repeats batch 1's boilerplate run → scrubbed at
+    // a SHIFTED alignment; doc 4 is clean
+    mem.addData((3L, s"prefix $boiler suffix"), (4L, "wholly novel words"))
+    StreamingOps.exactSubstrStream(docs, "doc_id", "text", k = 8,
+      s"$tmp/store", s"$tmp/out", s"$tmp/cp").awaitTermination(120000)
+    val b0 = spark.read.parquet(s"$tmp/out/batch_id=0")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b0(1L) == s"$boiler alpha") // first occurrence survives
+    val b1 = spark.read.parquet(s"$tmp/out/batch_id=1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b1(3L) == "prefix suffix", s"got ${b1(3L)}")
+    assert(b1(4L) == "wholly novel words")
+    // the folded store equals the rebuild over both batches
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("h").collect().toSeq
+    val all = Seq((1L, s"$boiler alpha"),
+      (2L, "clean text only here nothing repeats at all"),
+      (3L, s"prefix $boiler suffix"), (4L, "wholly novel words"))
+      .toDF("doc_id", "text")
+    val rebuilt = ExactSubstr.gramStore(all, "doc_id", "text", 8)
+      .orderBy("h").collect().toSeq
+    assert(folded == rebuilt)
+  }
+
   test("streaming CMS fold equals the batch rebuild over all batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Sketches
