@@ -142,7 +142,8 @@ object SparkEntry {
     "q129_cms_top_tokens" -> (CoreQueries.q129CmsTopTokens(_, _)),
     "q130_orc_roundtrip" -> (CoreQueries.q130OrcRoundtrip(_, _)),
     "q131_salted_join" -> (CoreQueries.q131SaltedJoin(_, _)),
-    "q132_pagerank" -> (CoreQueries.q132PageRank(_, _))
+    "q132_pagerank" -> (CoreQueries.q132PageRank(_, _)),
+    "q133_containment" -> (LlmQueries.q133Containment(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2100,7 +2101,31 @@ object SparkEntry {
            |  FROM n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
       }.mkString(",\n", ",\n", "")
       head + iters + "\nSELECT node, CAST(r AS BIGINT) AS r FROM it5 ORDER BY node"
-    }
+    },
+    // Containment dedup vs the ALL-PAIRS oracle: fragment docs (first
+    // 60% of tokens of every 10th doc) are contained in their source —
+    // jaccard-blind pairs; any prefix-filter blocking recall miss makes
+    // the hash differ. Containments are single int divisions.
+    "q133_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |toks0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM base),
+        |frags AS (SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(w[1:CAST(floor(len(w) * 0.6) AS INT)], ' ') AS text
+        |  FROM toks0 WHERE doc_id % 10 = 0),
+        |docs AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM frags),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM docs),
+        |grams AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.g, b.g)) AS ni, len(a.g) AS na, len(b.g) AS nb
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+        |SELECT id_a, id_b, ni / na AS c_a_in_b, ni / nb AS c_b_in_a,
+        |  greatest(ni / na, ni / nb) AS containment
+        |FROM p WHERE greatest(ni / na, ni / nb) >= 0.9 ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -515,3 +515,103 @@ object NgramJaccard {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }
+
+/** N-gram CONTAINMENT dedup (Broder 1997's resemblance/containment
+  * split): c(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| — the measure
+  * that catches a short document embedded inside a long one, exactly
+  * where jaccard goes blind (a 100-token doc fully contained in a
+  * 10,000-token doc has jaccard ≈ 0.01 and containment 1.0). The
+  * quote-chain / re-post / article-with-commentary shape in web
+  * corpora.
+  *
+  * Blocking is PREFIX FILTERING (the PPJoin family, Xiao et al. 2008,
+  * reduced to its recall core): order each doc's grams by (corpus
+  * document frequency ASC, gram ASC) and take the first
+  * floor((1−τ)·|A|)+1 as its prefix. If c(A→B) ≥ τ then B misses at
+  * most (1−τ)·|A| of A's grams, so at least one PREFIX gram of A is in
+  * B — joining A-prefixes against the full inverted index is
+  * pigeonhole-LOSSLESS for either direction ≥ τ (the q21/q22 blocking
+  * discipline: the q133 all-pairs oracle catches any recall miss).
+  * Rare-first ordering makes the index join meet in LOW-df buckets —
+  * the candidate mass is Σ_prefix df(g), not Σ df(g)².
+  *
+  * Scale shape: one gram explode + a df aggregate + a per-doc prefix
+  * window (partitioned by doc — bounded by one doc's grams, never a
+  * corpus window) + the inverted-index join exchanging (gram, id)
+  * pairs; verification reuses [[NgramJaccard.verify]]'s semi-join
+  * contract (gram sets built only for docs that appear in a candidate).
+  */
+object Containment {
+
+  /** Candidate unordered pairs (id_a < id_b) whose containment in
+    * EITHER direction can be ≥ tau, by prefix filtering.
+    */
+  def prefixCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.8
+  ): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val sets = NgramJaccard.gramSets(df, idCol, textCol, k)
+      .filter(size(col("grams")) > 0)
+    val exploded = sets.select(col(idCol).as("id"),
+      size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+    val dfreq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    val withDf = exploded.join(dfreq, Seq("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    val prefixes = withDf
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        floor(lit(1.0 - tau) * col("n_grams")).cast("int") + 1)
+      .select(col("gram"), col("id").as("id_p"))
+    prefixes
+      .join(exploded.select(col("gram"), col("id").as("id_f")), Seq("gram"))
+      .filter(col("id_p") =!= col("id_f"))
+      .select(least(col("id_p"), col("id_f")).as("id_a"),
+        greatest(col("id_p"), col("id_f")).as("id_b"))
+      .distinct()
+  }
+
+  /** Exact directional containments for candidate pairs (id_a, id_b):
+    * (c_a_in_b, c_b_in_a, containment = max) kept when the max clears
+    * `minContainment`. Sizes are exact ints; each containment is one
+    * division (engine-deterministic).
+    */
+  def verify(
+      candidates: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minContainment: Double = 0.0
+  ): DataFrame = {
+    val wanted = candidates.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val needed = df.join(wanted, Seq(idCol), "left_semi")
+    val sets = NgramJaccard.gramSets(needed, idCol, textCol, k)
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .filter(size(col("g_a")) > 0 && size(col("g_b")) > 0)
+      .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("c_a_in_b", col("n_inter") / size(col("g_a")))
+      .withColumn("c_b_in_a", col("n_inter") / size(col("g_b")))
+      .withColumn("containment", greatest(col("c_a_in_b"), col("c_b_in_a")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("c_a_in_b"), col("c_b_in_a"), col("containment"))
+  }
+
+  /** Block → verify in one call: all unordered pairs with containment
+    * ≥ tau in at least one direction.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      tau: Double = 0.8
+  ): DataFrame =
+    verify(prefixCandidates(df, idCol, textCol, k, tau), df, idCol, textCol, k, tau)
+}

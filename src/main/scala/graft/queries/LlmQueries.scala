@@ -1396,6 +1396,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Containment dedup gate: every 10th doc gets a contained FRAGMENT
+    * (its first 60% of tokens as a new doc) — jaccard-blind pairs that
+    * only the containment measure catches. The prefix-filter blocking
+    * must find every pair the all-pairs oracle finds (pigeonhole
+    * recall), and each directional containment is an exact int division.
+    */
+  def q133Containment(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val nFrag = floor(size(toks) * lit(0.6)).cast("int")
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val frags = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        array_join(slice(toks, lit(1), nFrag), " ").as("text"))
+    val docs = base.unionByName(frags)
+    graft.dedup.Containment.containmentPairs(docs, "doc_id", "text", k = 3, tau = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

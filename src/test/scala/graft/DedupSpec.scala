@@ -350,6 +350,33 @@ class DedupSpec extends SparkSpec {
     assert(!onScan.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("containment: fragment-in-document pairs found; prefix blocking is lossless") {
+    import graft.dedup.Containment
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val frag = (1 to 20).map(i => s"w$i").mkString(" ")       // c(frag→long)=1.0
+    val half = (11 to 70).map(i => s"w$i").mkString(" ")      // partial overlap
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")   // disjoint
+    val d = Seq((1L, long), (2L, frag), (3L, half), (4L, other)).toDF("doc_id", "text")
+    val got = Containment.containmentPairs(d, "doc_id", "text", k = 3, tau = 0.9)
+      .select("id_a", "id_b", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(t => (t._1, t._2)) == Set((1L, 2L)))
+    assert(got.head._3 == 1.0)
+    // brute-force equality at a lower tau where the partial pair appears:
+    // blocking must reproduce the all-pairs result exactly
+    val ids = d.select("doc_id")
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val tau = 0.5
+    val brute = Containment.verify(allPairs, d, "doc_id", "text", k = 3, tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Containment.containmentPairs(d, "doc_id", "text", k = 3, tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"blocking recall miss: ${brute diff blocked}")
+    assert(brute.contains((1L, 3L))) // the partial pair is present at 0.5
+  }
+
   test("within-doc scrub: exploded cutover path equals the fold path") {
     val d = Seq(
       (1L, "nav\nbody\nnav\nnav\nftr"),
