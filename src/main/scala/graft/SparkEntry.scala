@@ -143,7 +143,8 @@ object SparkEntry {
     "q130_orc_roundtrip" -> (CoreQueries.q130OrcRoundtrip(_, _)),
     "q131_salted_join" -> (CoreQueries.q131SaltedJoin(_, _)),
     "q132_pagerank" -> (CoreQueries.q132PageRank(_, _)),
-    "q133_containment" -> (LlmQueries.q133Containment(_, _))
+    "q133_containment" -> (LlmQueries.q133Containment(_, _)),
+    "q134_chat_template" -> (LlmQueries.q134ChatTemplate(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2125,7 +2126,42 @@ object SparkEntry {
         |  WHERE len(a.g) > 0 AND len(b.g) > 0)
         |SELECT id_a, id_b, ni / na AS c_a_in_b, ni / nb AS c_b_in_a,
         |  greatest(ni / na, ni / nb) AS containment
-        |FROM p WHERE greatest(ni / na, ni / nb) >= 0.9 ORDER BY id_a, id_b""".stripMargin
+        |FROM p WHERE greatest(ni / na, ni / nb) >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // ChatML render + assistant loss-mask spans reconstructed
+    // independently: piece length = 12 (<|im_start|>) + len(role) + 1
+    // (\n) + len(content) + 11 (<|im_end|>\n); span start = prefix
+    // pieces + the turn's own header; all integer arithmetic
+    "q134_chat_template" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |    'you are a helpful assistant' AS sys,
+        |    coalesce(array_to_string(w[1:10], ' '), '') AS u1,
+        |    coalesce(array_to_string(w[11:20], ' '), '') AS a1,
+        |    coalesce(array_to_string(w[21:25], ' '), '') AS u2,
+        |    coalesce(array_to_string(w[26:30], ' '), '') AS a2
+        |  FROM t),
+        |r AS (SELECT doc_id,
+        |    '<|im_start|>system' || chr(10) || sys || '<|im_end|>' || chr(10) ||
+        |    '<|im_start|>user' || chr(10) || u1 || '<|im_end|>' || chr(10) ||
+        |    '<|im_start|>assistant' || chr(10) || a1 || '<|im_end|>' || chr(10) ||
+        |    '<|im_start|>user' || chr(10) || u2 || '<|im_end|>' || chr(10) ||
+        |    '<|im_start|>assistant' || chr(10) || a2 || '<|im_end|>' || chr(10) AS text,
+        |    12 + 6 + 1 + length(sys) + 11 AS p1,
+        |    12 + 4 + 1 + length(u1) + 11 AS p2,
+        |    12 + 9 + 1 + length(a1) + 11 AS p3,
+        |    12 + 4 + 1 + length(u2) + 11 AS p4,
+        |    length(a1) AS la1, length(a2) AS la2
+        |  FROM c),
+        |sp AS (SELECT doc_id, text,
+        |    CAST(p1 + p2 + 22 AS BIGINT) AS s1,
+        |    CAST(p1 + p2 + 22 + la1 AS BIGINT) AS e1,
+        |    CAST(p1 + p2 + p3 + p4 + 22 AS BIGINT) AS s2,
+        |    CAST(p1 + p2 + p3 + p4 + 22 + la2 AS BIGINT) AS e2
+        |  FROM r)
+        |SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  s1 || ':' || e1 || ',' || s2 || ':' || e2 AS spans
+        |FROM sp ORDER BY doc_id""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

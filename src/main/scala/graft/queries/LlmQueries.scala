@@ -1414,6 +1414,36 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Chat-template SFT export gate: deterministic 5-turn conversations
+    * synthesized from token slices, rendered with the ChatML surface
+    * form; the oracle reconstructs the full rendered string AND every
+    * assistant loss-mask span offset independently, so a hash match
+    * proves the template bytes and the prefix-sum arithmetic.
+    */
+  def q134ChatTemplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.ChatTemplate
+    val w = split(trim(lower(col("text"))), "\\s+")
+    def seg(a: Int, n: Int) = array_join(slice(w, a, n), " ")
+    val turns = array(
+      struct(lit("system").as("role"), lit("you are a helpful assistant").as("content")),
+      struct(lit("user").as("role"), seg(1, 10).as("content")),
+      struct(lit("assistant").as("role"), seg(11, 10).as("content")),
+      struct(lit("user").as("role"), seg(21, 5).as("content")),
+      struct(lit("assistant").as("role"), seg(26, 5).as("content")))
+    // NULL text → NULL rendered text → the oracle's n_chars column turns
+    // nullable (float64 in the compare harness); render the empty string
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .select(col("doc_id"), turns.as("turns"))
+    ChatTemplate.renderWithSpans(d, "doc_id", "turns")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        length(col("text")).cast("long").as("n_chars"),
+        array_join(transform(col("assistant_spans"), sp =>
+          concat(sp.getField("s").cast("string"), lit(":"),
+            sp.getField("e").cast("string"))), ",").as("spans"))
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)
