@@ -144,7 +144,8 @@ object SparkEntry {
     "q131_salted_join" -> (CoreQueries.q131SaltedJoin(_, _)),
     "q132_pagerank" -> (CoreQueries.q132PageRank(_, _)),
     "q133_containment" -> (LlmQueries.q133Containment(_, _)),
-    "q134_chat_template" -> (LlmQueries.q134ChatTemplate(_, _))
+    "q134_chat_template" -> (LlmQueries.q134ChatTemplate(_, _)),
+    "q135_triangles" -> (CoreQueries.q135Triangles(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2161,7 +2162,23 @@ object SparkEntry {
         |SELECT doc_id, md5(text) AS text_md5,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  s1 || ':' || e1 || ',' || s2 || ':' || e2 AS spans
-        |FROM sp ORDER BY doc_id""".stripMargin
+        |FROM sp ORDER BY doc_id""".stripMargin,
+    // triangle counting replayed: canonical (a<b) STRING-ordered edges
+    // (both engines compare UTF8 lexicographically), wedge join on the
+    // middle node, closure against the edge set, per-node fold
+    "q135_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT
+        |    least(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS a,
+        |    greatest(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey),
+        |w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a),
+        |tri AS (SELECT w.a, w.b, w.c FROM w JOIN e0 ON e0.a = w.a AND e0.b = w.c),
+        |n AS (SELECT u.node AS node FROM tri, unnest([a, b, c]) AS u(node))
+        |SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -91,3 +91,45 @@ object PageRank {
     ranks(sym, iters, scale)
   }
 }
+
+/** Triangle counting over an undirected graph — the standard
+  * compact-forward / node-ordering formulation (each triangle counted
+  * once via a < b < c). The density diagnostic for near-dup graphs: a
+  * healthy dedup pair set is near-forest (few triangles); a triangle
+  * explosion means a boilerplate template is pairing everything with
+  * everything and the downstream connected-components pass will produce
+  * a giant component — cheaper to detect here than after clustering.
+  *
+  * Scale shape: edges canonicalize to a < b (dedup + self-loop drop),
+  * then ONE self-join on the shared middle node b builds wedges
+  * (a<b<c) and a second join closes them against the edge set — the
+  * exchanged mass is O(Σ deg(b)²) wedges, the algorithm's inherent
+  * cost; per-node counts fold from the closed triangles.
+  */
+object Triangles {
+
+  /** Canonical undirected edge set: (a, b) with a < b as strings. */
+  private def canon(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("string").as("s"), col("dst").cast("string").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+
+  /** All triangles as (a, b, c) with a < b < c, each exactly once. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = canon(edges)
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** (node, n_triangles) for every node in at least one triangle, plus
+    * the global count via `triangles().count()` if needed.
+    */
+  def perNode(edges: DataFrame): DataFrame =
+    triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+}

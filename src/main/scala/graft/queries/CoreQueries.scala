@@ -892,4 +892,23 @@ object CoreQueries {
     PageRank.hostAuthority(edges, iters = 5)
       .orderBy("node")
   }
+
+  /** Per-node triangle counts over the part co-purchase graph (parts
+    * sharing an order are linked) — the supplier↔part graph is
+    * bipartite (triangle-free by construction), so the gate graph is
+    * built where triangles actually exist. The oracle replays edge
+    * canonicalization, wedge building and closure independently.
+    */
+  def q135Triangles(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.Triangles
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("x")
+      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("string").as("src"),
+        col("y.l_partkey").cast("string").as("dst"))
+    Triangles.perNode(edges)
+      .withColumn("node", col("node").cast("long"))
+      .orderBy("node")
+  }
 }

@@ -38,6 +38,22 @@ class GraphSpec extends SparkSpec {
       PageRank.ranks(dup, 3).orderBy("node").collect().toSeq)
   }
 
+  test("triangles: K4 has 4, each node in 3; forest has none; dups/loops ignored") {
+    import graft.graph.Triangles
+    val k4 = (for { a <- Seq("p", "q", "r", "s"); b <- Seq("p", "q", "r", "s") if a < b }
+      yield (a, b)).toDF("src", "dst")
+    assert(Triangles.triangles(k4).count() == 4L)
+    val per = Triangles.perNode(k4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L))
+    val forest = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    assert(Triangles.triangles(forest).count() == 0L)
+    // duplicate edges, reversed orientation and self-loops change nothing
+    val noisy = k4.unionByName(k4.select($"dst".as("src"), $"src".as("dst")))
+      .unionByName(Seq(("p", "p")).toDF("src", "dst"))
+    assert(Triangles.triangles(noisy).count() == 4L)
+  }
+
   test("dangling nodes keep the damped base share") {
     // one edge a -> b (NOT symmetrized): b has no out-edges; after the
     // first iteration a never receives inflow -> base 150000; b gets
