@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated name prefixes — local iteration only
+    // (the driver always times the full set)
+    val only: String => Boolean =
+      if (args.nonEmpty) { val ps = args(0).split(","); n => ps.exists(n.startsWith) }
+      else _ => true
     // Measured at sf0.1 on a 32-core box: local[8] beats local[4] (CPU-bound
     // minhash parallelism) and local[32] (tiny-partition scheduling overhead).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -59,7 +64,7 @@ object Bench {
     // (q18's whole aggregation disappears under count, for one), silently
     // under-reporting any query whose tail is count-eliminable.
     def timeAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(q => only(q._1)).sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

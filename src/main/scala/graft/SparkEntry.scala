@@ -2168,11 +2168,14 @@ object SparkEntry {
     // middle node, closure against the edge set, per-node fold
     "q135_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |e0 AS (SELECT DISTINCT
-        |    least(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS a,
-        |    greatest(CAST(x.l_partkey AS VARCHAR), CAST(y.l_partkey AS VARCHAR)) AS b
+        |sup AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-        |  WHERE x.l_partkey < y.l_partkey),
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT DISTINCT
+        |    least(CAST(pa AS VARCHAR), CAST(pb AS VARCHAR)) AS a,
+        |    greatest(CAST(pa AS VARCHAR), CAST(pb AS VARCHAR)) AS b
+        |  FROM sup),
         |w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
         |  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a),
         |tri AS (SELECT w.a, w.b, w.c FROM w JOIN e0 ON e0.a = w.a AND e0.b = w.c),

