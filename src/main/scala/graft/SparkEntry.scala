@@ -145,7 +145,9 @@ object SparkEntry {
     "q132_pagerank" -> (CoreQueries.q132PageRank(_, _)),
     "q133_containment" -> (LlmQueries.q133Containment(_, _)),
     "q134_chat_template" -> (LlmQueries.q134ChatTemplate(_, _)),
-    "q135_triangles" -> (CoreQueries.q135Triangles(_, _))
+    "q135_triangles" -> (CoreQueries.q135Triangles(_, _)),
+    "q136_funnel" -> (CoreQueries.q136Funnel(_, _)),
+    "q137_retention" -> (CoreQueries.q137Retention(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2181,7 +2183,47 @@ object SparkEntry {
         |tri AS (SELECT w.a, w.b, w.c FROM w JOIN e0 ON e0.a = w.a AND e0.b = w.c),
         |n AS (SELECT u.node AS node FROM tri, unnest([a, b, c]) AS u(node))
         |SELECT CAST(node AS BIGINT) AS node, count(*) AS n_triangles
-        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Funnel greedy match re-derived via stepwise packed-code minimums:
+    // code = ts_sec * 2^20 + event_id gives the fold's (ts, id) total
+    // order as ONE integer; step i+1's code is the min qualifying code
+    // strictly after step i's, within 7 days (second precision) of
+    // step 1. Different formulation than the engine's sorted fold —
+    // deliberate cross-check.
+    "q136_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) * 1048576 + event_id AS code,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(code) AS c1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(code) AS c2
+        |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.code > s1.c1
+        |    AND e.ts_sec - (s1.c1 // 1048576) <= 604800
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(code) AS c3
+        |  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.code > s2.c2
+        |    AND e.ts_sec - (s1.c1 // 1048576) <= 604800
+        |  GROUP BY 1),
+        |counts AS (
+        |  SELECT 1 AS step_idx, 'view' AS step_name, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT step_idx, step_name, CAST(n_users AS BIGINT) AS n_users
+        |FROM counts ORDER BY step_idx""".stripMargin,
+    // weekly cohort retention: cohort = week of first event, offsets in
+    // whole weeks — both engines truncate weeks to Monday
+    "q137_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+        |j AS (SELECT a.user_id, strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+        |    CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.aw AS DATE)) // 7 AS BIGINT) AS week_offset
+        |  FROM a JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

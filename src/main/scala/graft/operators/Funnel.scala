@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events table: ordered-step FUNNEL
+  * conversion and weekly COHORT RETENTION — the two workhorse queries
+  * of product analytics, and (for a training-data engine) the shape of
+  * "did this pipeline stage see, then transform, then emit this
+  * record" audit trails.
+  *
+  * Funnel semantics (the standard greedy/earliest-completion match):
+  * a user reaches step i+1 if an event of the step's type occurs AFTER
+  * the event that completed step i (in (ts, event_id) order — ties
+  * broken by the unique id, so the match is total-order deterministic)
+  * and within `spanSec` of the step-1 completion. Greedy earliest is
+  * the published default (first qualifying event advances the funnel);
+  * spans check at second precision.
+  *
+  * Scale shape: ONE shuffle — events project to (user, ts_sec,
+  * event_id, type), group to a per-user sorted list, and a narrow
+  * `aggregate` fold advances the step counter in a single pass; the
+  * fold accumulator packs (step_idx, step1_ts) into one long, so the
+  * whole match is codegen-resident integer arithmetic. Per-user state
+  * is that user's own events (the [[graft.streaming.StreamingOps]]
+  * sessionization contract), never the corpus. The q136 oracle uses a
+  * DIFFERENT formulation (stepwise packed-code minimums) — the two
+  * derivations cross-check each other.
+  */
+object Funnel {
+
+  private val Pow = 1L << 40 // acc = step_idx * Pow + step1_ts_sec
+
+  /** (userCol, steps_completed ∈ [0, steps.length]) for every user with
+    * at least one event of a funnel-step type.
+    */
+  def stepsCompleted(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      steps: Seq[String],
+      spanSec: Long
+  ): DataFrame = {
+    require(steps.nonEmpty && steps.size < 16, s"1..15 steps, got ${steps.size}")
+    require(spanSec > 0, "spanSec must be positive")
+    val k = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val ev = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(col(tsCol).cast("long").as("ts"),
+          col(idCol).cast("long").as("eid"),
+          col(typeCol).as("t")).as("e"))
+    val folded = ev.groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col(userCol),
+        aggregate(col("es"), lit(0L), (acc, x) => {
+          val t1 = pmod(acc, lit(Pow))
+          val idx = ((acc - t1) / lit(Pow)).cast("long")
+          val need = element_at(stepArr, (idx + 1).cast("int"))
+          val spanOk = (idx === 0) || (x.getField("ts") - t1 <= spanSec)
+          when(idx < k && x.getField("t") === need && spanOk,
+            (idx + 1) * Pow +
+              when(idx === 0, x.getField("ts")).otherwise(t1))
+            .otherwise(acc)
+        }).as("__acc"))
+    folded.select(col(userCol),
+      ((col("__acc") - pmod(col("__acc"), lit(Pow))) / lit(Pow))
+        .cast("long").as("steps_completed"))
+  }
+
+  /** Funnel report: for each step, how many users reached at least it.
+    * (step_idx 1-based, step_name, n_users) — n_users is monotone
+    * non-increasing by construction.
+    */
+  def report(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      steps: Seq[String],
+      spanSec: Long
+  ): DataFrame = {
+    val sc = stepsCompleted(events, userCol, typeCol, tsCol, idCol, steps, spanSec)
+    import events.sparkSession.implicits._
+    val stepFrame = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }
+      .toDF("step_idx", "step_name")
+    sc.join(broadcast(stepFrame), col("steps_completed") >= col("step_idx"))
+      .groupBy("step_idx", "step_name")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of the user's first
+    * event; one row per (cohort_week, week_offset) with the distinct
+    * active-user count. Two aggregations on user + one on the
+    * (cohort, offset) pairs — the pairs frame is weeks², tiny.
+    */
+  def weeklyRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cw"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("aw"))
+      .distinct()
+    active.join(firsts, Seq(userCol))
+      .select(col(userCol),
+        date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        expr("datediff(aw, cw) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

@@ -918,4 +918,23 @@ object CoreQueries {
       .withColumn("node", col("node").cast("long"))
       .orderBy("node")
   }
+
+  /** Funnel conversion gate: view → click → purchase within 7 days of
+    * the view. The Spark side is a one-shuffle sorted fold; the oracle
+    * re-derives the same greedy match via stepwise packed-code minimums
+    * — two formulations of the same semantics cross-checking.
+    */
+  def q136Funnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    Funnel.report(Tables.events(s, dir), "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "purchase"), spanSec = 7L * 86400)
+      .orderBy("step_idx")
+  }
+
+  /** Weekly cohort retention over the events table. */
+  def q137Retention(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    Funnel.weeklyRetention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+/** Funnel greedy-match and retention invariants (q136/q137 gate the
+  * cross-engine replay; these gate the matching semantics on hand-built
+  * sequences).
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "event_id", "sec", "event_type")
+      .select($"user_id", $"event_id", timestamp_seconds($"sec").as("ts"), $"event_type")
+
+  private val steps = Seq("a", "b", "c")
+
+  private def completed(d: org.apache.spark.sql.DataFrame) =
+    Funnel.stepsCompleted(d, "user_id", "event_type", "ts", "event_id", steps, spanSec = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ordered steps convert; out-of-order do not") {
+    val d = ev(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"), // full
+      (2L, 4L, 10L, "b"), (2L, 5L, 20L, "a"), (2L, 6L, 30L, "c"), // b before a: a->c only misses b AFTER a? c counts as step... a@20 then c@30 != b -> stuck at 1? No: after a@20 the next needed is b; c does not advance
+      (3L, 7L, 10L, "a"), (3L, 8L, 20L, "c")) // no b
+    val got = completed(d)
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("span window bounds steps 2+ relative to step 1") {
+    val d = ev(
+      (1L, 1L, 10L, "a"), (1L, 2L, 50L, "b"), (1L, 3L, 109L, "c"),  // within 100s span
+      (2L, 4L, 10L, "a"), (2L, 5L, 50L, "b"), (2L, 6L, 111L, "c"))  // c beyond span
+    val got = completed(d)
+    assert(got == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("greedy earliest match: a later qualifying pair cannot rescue the span") {
+    // the FIRST 'a' starts the clock even though the second 'a' would
+    // have allowed full conversion — greedy semantics, deterministic
+    val d = ev((1L, 1L, 0L, "a"), (1L, 2L, 90L, "a"), (1L, 3L, 95L, "b"), (1L, 4L, 150L, "c"))
+    assert(completed(d) == Map(1L -> 2L))
+  }
+
+  test("same-second events advance in event_id order") {
+    val d = ev((1L, 1L, 10L, "a"), (1L, 2L, 10L, "b"), (1L, 3L, 10L, "c"))
+    assert(completed(d) == Map(1L -> 3L))
+    val rev = ev((1L, 3L, 10L, "a"), (1L, 2L, 10L, "b"), (1L, 1L, 10L, "c"))
+    assert(completed(rev) == Map(1L -> 1L)) // ids order c,b,a -> only 'a' matches
+  }
+
+  test("report counts are monotone and match stepsCompleted") {
+    val d = ev(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 20L, "b"),
+      (3L, 6L, 10L, "a"))
+    val rep = Funnel.report(d, "user_id", "event_type", "ts", "event_id", steps, 100)
+      .orderBy("step_idx").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rep.toSeq == Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
+  }
+
+  test("weekly retention: cohorts anchor at the first event's week") {
+    val day = 86400L
+    val d = ev(
+      (1L, 1L, 0L, "a"),                 // cohort week of 1970-01-01 (Thu) -> Mon 1969-12-29
+      (1L, 2L, 7L * day, "a"),           // next week -> offset 1
+      (1L, 3L, 21L * day, "a"),          // offset 3
+      (2L, 4L, 7L * day, "a"))           // cohort one week later, offset 0
+    val got = Funnel.weeklyRetention(d, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("1969-12-29", 0L, 1L), ("1969-12-29", 1L, 1L), ("1969-12-29", 3L, 1L),
+      ("1970-01-05", 0L, 1L)))
+  }
+}
