@@ -2091,8 +2091,8 @@ object SparkEntry {
     // keep the base share. sum() is HUGEINT in DuckDB -> cast per iter.
     "q132_pagerank" -> {
       val head =
-        """WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-          |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        """WITH e0 AS (SELECT DISTINCT CAST(-l_suppkey - 1 AS BIGINT) AS src,
+          |    CAST(l_partkey AS BIGINT) AS dst FROM lineitem),
           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),

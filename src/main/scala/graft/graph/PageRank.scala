@@ -72,9 +72,13 @@ object PageRank {
     // (possibly expensive) edge-generation lineage once, and it only
     // ever sits on the probe side.
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist(mad)
+    // node ids keep the CALLER's type (a long id shuffles/compares far
+    // cheaper than its string form), and the out-degree fuses into the
+    // edge frame ONCE — each iteration is then a single rank join + one
+    // aggregation over (dst, contribution)
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist(mad)
     nodes.count() // materialize -> accurate stats for the joins below
@@ -83,7 +87,6 @@ object PageRank {
     for (_ <- 0 until iters) {
       val contribs = e
         .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"),
           expr(s"(r * $dampNum) div ($dampDen * outdeg)").as("c"))
         .groupBy("node")

@@ -886,9 +886,12 @@ object CoreQueries {
     */
   def q132PageRank(s: SparkSession, dir: String): DataFrame = {
     import graft.graph.PageRank
+    // suppliers map to the negative id space (-k-1) so the bipartite
+    // node set stays ONE long column — long keys shuffle/compare far
+    // cheaper than the "s<k>"/"p<k>" string encoding they replace
     val edges = Tables.lineitem(s, dir)
-      .select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
+      .select((-col("l_suppkey") - 1).cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
     PageRank.hostAuthority(edges, iters = 5)
       .orderBy("node")
   }
