@@ -147,7 +147,9 @@ object SparkEntry {
     "q134_chat_template" -> (LlmQueries.q134ChatTemplate(_, _)),
     "q135_triangles" -> (CoreQueries.q135Triangles(_, _)),
     "q136_funnel" -> (CoreQueries.q136Funnel(_, _)),
-    "q137_retention" -> (CoreQueries.q137Retention(_, _))
+    "q137_retention" -> (CoreQueries.q137Retention(_, _)),
+    "q138_transitions" -> (CoreQueries.q138Transitions(_, _)),
+    "q139_kcore" -> (CoreQueries.q139KCore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2223,7 +2225,48 @@ object SparkEntry {
         |  FROM a JOIN f USING (user_id))
         |SELECT cohort_week, week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // first-order transition matrix: per-user lag in (ts_sec, event_id)
+    // order; p = one division of exact longs
+    "q138_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |pr AS (SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS from_type
+        |  FROM ev),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS BIGINT) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // 12 unrolled peel rounds of the 3-core: each round recomputes
+    // degrees among survivors and drops nodes under 3; final degrees
+    // over the surviving set
+    "q139_kcore" -> {
+      val head =
+        """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          |sup AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb
+          |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+          |  WHERE x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sym AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM sup UNION SELECT pb, pa FROM sup),
+          |n0 AS (SELECT DISTINCT src AS n FROM sym)""".stripMargin
+      // every round CTE is MATERIALIZED: each d_i references n_{i-1}
+      // TWICE, so inlining (DuckDB's default) would expand the chain
+      // 2^12-fold — the oracle-side twin of the engine-side
+      // lineage-doubling trap this operator's loop checkpoints against
+      val rounds = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT s.src AS n, count(*) AS d FROM sym s
+           |  JOIN n${i - 1} x ON s.src = x.n JOIN n${i - 1} y ON s.dst = y.n
+           |  GROUP BY 1),
+           |n$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 3)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      head + rounds + """,
+        |fin AS (SELECT s.src AS n, count(*) AS d FROM sym s
+        |  JOIN n12 x ON s.src = x.n JOIN n12 y ON s.dst = y.n GROUP BY 1)
+        |SELECT CAST(f.n AS BIGINT) AS node, CAST(f.d AS BIGINT) AS core_degree
+        |FROM fin f JOIN n12 z ON f.n = z.n ORDER BY node""".stripMargin
+    }
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

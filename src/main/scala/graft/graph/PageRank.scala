@@ -195,3 +195,76 @@ object Triangles {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
 }
+
+/** k-core decomposition by iterative peeling (Seidman 1983; the
+  * Batagelj–Zaveršnik peel, expressed as rounds): repeatedly remove
+  * nodes whose degree among the SURVIVORS is < k; what remains is the
+  * k-core — the standard "dense kernel" extractor for near-dup graphs
+  * (a k-core that survives aggressive peeling is a boilerplate cluster;
+  * the forest-like long tail peels away in the first rounds).
+  *
+  * Two forms: [[corePeel]] runs a FIXED number of rounds — extra rounds
+  * after convergence are no-ops, and a fixed count is exactly
+  * replayable by an unrolled SQL oracle (q139); [[core]] loops to the
+  * fixpoint with an early exit (one `count()` per round — the round
+  * result is materialized anyway under the iterative-plan discipline).
+  * Each round is two survivor semi-joins + one degree aggregation —
+  * O(E) — with the survivor frame persisted so its REAL size keeps the
+  * semi-joins broadcast while survivors are small (the PageRank stats
+  * lesson).
+  */
+object KCore {
+
+  private val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Symmetrized distinct (src, dst) with self-loops dropped. */
+  private def sym(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  private def peelLoop(edges: DataFrame, k: Int, rounds: Int,
+      untilStable: Boolean): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 1000, s"rounds out of range: $rounds")
+    import graft.dedup.ConnectedComponents.freeLocalCheckpoint
+    // iterate the ALIVE-EDGE frame with a checkpoint per round: the
+    // iterated frame is referenced by BOTH anti-joins of the next
+    // round, so an un-truncated lineage doubles per round — the plan
+    // tree (and anything that renders it) grows 2^rounds. Exactly the
+    // distributedLabelPropagation shape; each checkpoint materializes
+    // O(E_alive), which shrinks as the graph peels.
+    var alive = sym(edges).localCheckpoint()
+    var i = 0
+    var stable = false
+    while (i < rounds && !stable) {
+      val bad = alive.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select(col("src").as("n"))
+      if (untilStable && bad.isEmpty) stable = true
+      else {
+        val next = alive
+          .join(bad.withColumnRenamed("n", "src"), Seq("src"), "left_anti")
+          .join(bad.withColumnRenamed("n", "dst"), Seq("dst"), "left_anti")
+          .localCheckpoint()
+        freeLocalCheckpoint(alive)
+        alive = next
+      }
+      i += 1
+    }
+    // final degrees among the surviving edge set (all >= k at the
+    // fixpoint; for a fixed non-converged round count this reports the
+    // round's survivor degrees, which is what the oracle replays)
+    alive.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Exactly `rounds` peel rounds (post-convergence rounds are no-ops);
+    * returns (node, core_degree) for the survivors.
+    */
+  def corePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    peelLoop(edges, k, rounds, untilStable = false)
+
+  /** Peel to the fixpoint (true k-core), bounded by `maxRounds`. */
+  def core(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
+    peelLoop(edges, k, maxRounds, untilStable = true)
+}

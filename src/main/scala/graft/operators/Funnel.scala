@@ -94,6 +94,32 @@ object Funnel {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Event-transition matrix (first-order Markov over per-user event
+    * sequences): counts of consecutive (from → to) event types in
+    * (ts, event_id) order, with the row-normalized transition
+    * probability as one exact-long division. One shuffle (the per-user
+    * lag window — state bounded by a user's own events), then a
+    * types²-sized roll-up.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).cast("long"), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    counts.withColumn("p", col("n") / sum(col("n")).over(w2))
+  }
+
   /** Weekly cohort retention: cohort = ISO week of the user's first
     * event; one row per (cohort_week, week_offset) with the distinct
     * active-user count. Two aggregations on user + one on the

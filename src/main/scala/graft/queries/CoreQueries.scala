@@ -940,4 +940,32 @@ object CoreQueries {
     Funnel.weeklyRetention(Tables.events(s, dir), "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** First-order event-transition matrix (Markov counts + one-division
+    * probabilities) over per-user sequences in (ts, event_id) order.
+    */
+  def q138Transitions(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    Funnel.transitionMatrix(Tables.events(s, dir), "user_id", "event_type",
+        "ts", "event_id")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** 3-core of the support≥2 co-purchase graph by a FIXED 12-round peel
+    * (converges in 9 at sf0.01; post-convergence rounds are no-ops) —
+    * every round is replayed by the unrolled oracle.
+    */
+  def q139KCore(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.KCore
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("x")
+      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("pa").cast("long").as("src"), col("pb").cast("long").as("dst"))
+    KCore.corePeel(edges, k = 3, rounds = 12)
+      .orderBy("node")
+  }
 }

@@ -54,6 +54,38 @@ class GraphSpec extends SparkSpec {
     assert(Triangles.triangles(noisy).count() == 4L)
   }
 
+  test("k-core: peel strips the tail, keeps the clique; fixed == stable post-convergence") {
+    import graft.graph.KCore
+    // K4 clique (every node degree 3) + a pendant path hanging off it
+    val k4 = (for { a <- Seq("p", "q", "r", "s"); b <- Seq("p", "q", "r", "s") if a < b }
+      yield (a, b))
+    val e = (k4 ++ Seq(("s", "t"), ("t", "u"))).toDF("src", "dst")
+    val core = KCore.core(e, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L))
+    val fixed = KCore.corePeel(e, k = 3, rounds = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fixed == core)
+    // 2-core keeps only cycles: the pendant path still peels
+    val core2 = KCore.core(e, k = 2).collect().map(_.getString(0)).toSet
+    assert(core2 == Set("p", "q", "r", "s"))
+    // k above the max coreness empties the graph
+    assert(KCore.core(e, k = 4).count() == 0L)
+  }
+
+  test("transition matrix: counts follow (ts, id) order; rows sum to 1") {
+    import graft.operators.Funnel
+    val d = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),
+      (2L, 4L, 10L, "a"), (2L, 5L, 20L, "b"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+      .select($"user_id", $"event_id",
+        timestamp_seconds($"sec").as("ts"), $"event_type")
+    val m = Funnel.transitionMatrix(d, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("dangling nodes keep the damped base share") {
     // one edge a -> b (NOT symmetrized): b has no out-edges; after the
     // first iteration a never receives inflow -> base 150000; b gets
