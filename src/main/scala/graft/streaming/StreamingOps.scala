@@ -676,6 +676,49 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  final case class FunnelEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: String)
+  final case class FunnelState(step_idx: Int, t1_sec: Long)
+  final case class FunnelProgress(user_id: Long, steps_completed: Int)
+
+  /** Streaming funnel — [[graft.operators.Funnel.stepsCompleted]]'s
+    * stateful twin: per-user GroupState carries (step_idx, step1_ts),
+    * each micro-batch's events fold in (ts_sec, event_id) order with
+    * the SAME greedy advance rule, and a row emits whenever a user's
+    * step count changes (Update-style progress feed). Cross-batch
+    * ordering contract: state only ever ADVANCES, so in-order arrival
+    * per user reproduces the batch result exactly (spec-asserted);
+    * an event arriving after a later-timestamped one was already folded
+    * is applied in arrival order — the streaming analogue of the batch
+    * operator's greedy determinism, bounded state (3 numbers per user).
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      spanSec: Long
+  ): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { case (userId, rows, state: GroupState[FunnelState]) =>
+        var st = state.getOption.getOrElse(FunnelState(0, 0L))
+        val before = st.step_idx
+        rows.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+          if (st.step_idx < k && e.event_type == steps(st.step_idx) &&
+              (st.step_idx == 0 || e.ts_sec - st.t1_sec <= spanSec)) {
+            st = FunnelState(st.step_idx + 1,
+              if (st.step_idx == 0) e.ts_sec else st.t1_sec)
+          }
+        }
+        if (st.step_idx != before) {
+          state.update(st)
+          Iterator(FunnelProgress(userId, st.step_idx))
+        } else Iterator.empty
+      }
+  }
+
   /** Streaming exact-substring scrub — [[graft.dedup.ExactSubstr]]'s
     * online form: each micro-batch of arriving docs is scrubbed against
     * the standing gram store (store-owned ≥ k-token runs drop at any

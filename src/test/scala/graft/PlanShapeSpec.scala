@@ -137,7 +137,23 @@ class PlanShapeSpec extends SparkSpec {
     // salted join: the replicated (small) side must still broadcast
     // after the x4 salt explode — salting must never demote the join
     Shape("q131_salted_join", maxHash = 4, maxRange = 2,
-      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true)
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    // chat-template render + span prefix sums: pure narrow HOF
+    // projection — zero shuffles, zero UDFs, scan speed
+    Shape("q134_chat_template", maxHash = 0, forbidUdf = true),
+    // funnel: ONE user shuffle for the sorted fold + the report's
+    // bounded aggregates; the fold itself is codegen integer arithmetic
+    Shape("q136_funnel", maxHash = 4, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // transitions: the per-user lag window + the types²-sized roll-ups
+    Shape("q138_transitions", maxHash = 6, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // k-core final plan reads the checkpointed alive-edge frame: the
+    // peel rounds materialized during construction, so the gate query
+    // itself is one degree aggregation — regression here means the
+    // checkpoint discipline broke and lineage leaked into the plan
+    Shape("q139_kcore", maxHash = 2, forbidSortMergeJoin = true,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -355,6 +355,44 @@ class StreamingSpec extends SparkSpec {
       s"lc=${rep("g0")} exact=$exact")
   }
 
+  test("streaming funnel equals the batch fold under in-order arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.{FunnelEvent, FunnelProgress}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val steps = Seq("view", "click", "buy")
+    val mem = MemoryStream[FunnelEvent]
+    val sink = StreamingOps.funnelStream(mem.toDS(), steps, spanSec = 100)
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    // batch 1: user 1 views+clicks; user 2 views; user 3 clicks only
+    mem.addData(
+      FunnelEvent(1L, 1L, 10L, "view"), FunnelEvent(1L, 2L, 20L, "click"),
+      FunnelEvent(2L, 3L, 10L, "view"), FunnelEvent(3L, 4L, 10L, "click"))
+    sink.start().awaitTermination(120000)
+    // batch 2: user 1 buys (within span); user 2's click lands beyond span
+    mem.addData(
+      FunnelEvent(1L, 5L, 90L, "buy"),
+      FunnelEvent(2L, 6L, 150L, "click"))
+    sink.start().awaitTermination(120000)
+    val progress = spark.table("funnel_sink").as[FunnelProgress].collect()
+    val finalSteps = progress.groupBy(_.user_id)
+      .view.mapValues(_.map(_.steps_completed).max).toMap
+    // batch twin over the union of both batches
+    val all = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 5L, 90L, "buy"),
+      (2L, 3L, 10L, "view"), (2L, 6L, 150L, "click"), (3L, 4L, 10L, "click"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec").as("ts"), $"event_type")
+    val batch = graft.operators.Funnel
+      .stepsCompleted(all, "user_id", "event_type", "ts", "event_id", steps, 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    // users that never advanced emit no progress rows (batch reports 0)
+    assert(finalSteps == batch.filter(_._2 > 0))
+    assert(finalSteps == Map(1L -> 3, 2L -> 1))
+  }
+
   test("streaming exact-substring scrub drops store-owned runs from later batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.ExactSubstr
