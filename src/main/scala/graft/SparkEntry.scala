@@ -149,7 +149,8 @@ object SparkEntry {
     "q136_funnel" -> (CoreQueries.q136Funnel(_, _)),
     "q137_retention" -> (CoreQueries.q137Retention(_, _)),
     "q138_transitions" -> (CoreQueries.q138Transitions(_, _)),
-    "q139_kcore" -> (CoreQueries.q139KCore(_, _))
+    "q139_kcore" -> (CoreQueries.q139KCore(_, _)),
+    "q140_asof_nearest" -> (CoreQueries.q140AsofNearest(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2266,7 +2267,25 @@ object SparkEntry {
         |  JOIN n12 x ON s.src = x.n JOIN n12 y ON s.dst = y.n GROUP BY 1)
         |SELECT CAST(f.n AS BIGINT) AS node, CAST(f.d AS BIGINT) AS core_degree
         |FROM fin f JOIN n12 z ON f.n = z.n ORDER BY node""".stripMargin
-    }
+    },
+    // nearest as-of: BOTH DuckDB ASOF directions + the choice rule
+    // (smaller |Δ| wins, tie -> backward, 1h tolerance each side)
+    "q140_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, ts_sec FROM ev),
+        |r AS (SELECT user_id, ts_sec, max(value) AS profile_value FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts_sec),
+        |b AS (SELECT l.event_id, r.ts_sec AS bts, r.profile_value AS bval
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec),
+        |f AS (SELECT l.event_id, r.ts_sec AS fts, r.profile_value AS fval
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec),
+        |j AS (SELECT l.event_id, l.user_id, l.ts_sec, b.bts, b.bval, f.fts, f.fval,
+        |    (b.bts IS NOT NULL AND l.ts_sec - b.bts <= 3600) AS bvalid,
+        |    (f.fts IS NOT NULL AND f.fts - l.ts_sec <= 3600) AS fvalid
+        |  FROM l JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts_sec,
+        |  CASE WHEN bvalid AND (NOT fvalid OR ts_sec - bts <= fts - ts_sec) THEN bval
+        |       WHEN fvalid THEN fval END AS profile_value
+        |FROM j ORDER BY event_id""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

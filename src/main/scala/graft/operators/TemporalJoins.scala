@@ -85,6 +85,72 @@ object TemporalJoins {
         valueCols.map(v => when(withinTol, col(v)).otherwise(lit(null)).as(v)): _*)
   }
 
+  /** As-of join, `nearest` direction — the third pandas `merge_asof`
+    * direction (backward/forward landed rounds 2/3): each left row takes
+    * the right row with the SMALLEST absolute timestamp distance, ties
+    * broken toward backward (the at-or-before row), `tolerance` bounding
+    * the distance on both sides. One union + ONE keyed exchange with TWO
+    * window passes over it (ascending for the backward candidate,
+    * descending for the forward one) — the same single-shuffle contract
+    * as [[asOfJoin]], one extra sort.
+    */
+  def asOfJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    require(keys.nonEmpty, "keys must not be empty")
+    val leftCols = left.columns.toSeq
+    val carried = valueCols :+ "__rts"
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+      .select(
+        (keys.map(col) :+ col("__ts") :+ col("__is_left")) ++
+          leftCols.filterNot(keys.contains).map(col) ++
+          valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")) :+
+          lit(null).cast(right.schema(rightTs).dataType).as("__v___rts"): _*
+      )
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__is_left", lit(0))
+      .select(
+        (keys.map(col) :+ col("__ts") :+ col("__is_left")) ++
+          leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          valueCols.map(v => col(v).as(s"__v_$v")) :+
+          col(rightTs).as("__v___rts"): _*
+      )
+    // right before left at equal __ts in BOTH orders => inclusive both ways
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = l.unionByName(r).select(
+      col("*") +:
+        (carried.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(wB).as(s"__b_$v")) ++
+          carried.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(wF).as(s"__f_$v"))): _*)
+    val bDist = col("__ts") - col("__b___rts")
+    val fDist = col("__f___rts") - col("__ts")
+    val bValid = col("__b___rts").isNotNull &&
+      tolerance.map(t => bDist <= t).getOrElse(lit(true))
+    val fValid = col("__f___rts").isNotNull &&
+      tolerance.map(t => fDist <= t).getOrElse(lit(true))
+    val chooseB = bValid && (!fValid || bDist <= fDist)
+    attached
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v =>
+          when(chooseB, col(s"__b_$v"))
+            .when(fValid, col(s"__f_$v"))
+            .otherwise(lit(null)).as(v)): _*)
+  }
+
   /** As-of join through the custom planner path (graft.plans.AsOfJoinNode →
     * AsOfJoinStrategy → AsOfJoinExec): a real sort-merge as-of physical
     * operator — one clustered exchange + sort per side, single merge pass,

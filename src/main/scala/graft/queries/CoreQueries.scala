@@ -182,6 +182,24 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** As-of NEAREST (the third merge_asof direction): every event takes
+    * the signup profile row with the smallest |Δts| within 1 h, ties
+    * toward backward. The oracle runs BOTH DuckDB ASOF directions and
+    * replays the choice rule.
+    */
+  def q140AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_type"), col("value"))
+    val left = ev.select("event_id", "user_id", "ts_sec")
+    val right = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id", "ts_sec")
+      .agg(max(col("value")).as("profile_value"))
+    TemporalJoins.asOfJoinNearest(left, right, Seq("user_id"), "ts_sec", "ts_sec",
+        Seq("profile_value"), tolerance = Some(3600L))
+      .orderBy("event_id")
+  }
+
   /** Range join via bucket blocking: events bucketed into nation-derived
     * integer intervals — equi-join on grid buckets, never a nested loop.
     */

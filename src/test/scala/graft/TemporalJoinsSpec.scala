@@ -68,6 +68,26 @@ class TemporalJoinsSpec extends SparkSpec {
     ))
   }
 
+  test("asOfJoinNearest picks the smaller |delta|, ties backward, tolerance both sides") {
+    val left = Seq((1L, 10L, 100L), (1L, 14L, 101L), (1L, 40L, 102L), (2L, 5L, 103L))
+      .toDF("k", "ts", "event")
+    val right = Seq((1L, 8L, "back"), (1L, 16L, "fwd"), (1L, 12L, "mid"))
+      .toDF("k", "ts", "v")
+    val near = TemporalJoins.asOfJoinNearest(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("event", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(near == Map(
+      100L -> Some("back"), // |10-8|=2 beats |10-12|=2? tie -> backward
+      101L -> Some("mid"),  // |14-12|=2 beats |14-16|=2: tie -> backward (12)
+      102L -> Some("fwd"),  // only backward candidates... 16 is nearest (24 back)
+      103L -> None          // key 2 has no rights
+    ))
+    val tol = TemporalJoins.asOfJoinNearest(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        tolerance = Some(5L))
+      .select("event", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tol(102L).isEmpty) // nearest is 24 away, beyond tolerance
+    assert(tol(100L).contains("back"))
+  }
+
   test("native AsOfJoinExec matches the composed as-of join on real events") {
     val ev = Tables.events(spark, sf)
       .selectExpr("event_id", "user_id", "unix_timestamp(ts) AS ts_sec", "event_type", "value")
