@@ -150,7 +150,8 @@ object SparkEntry {
     "q137_retention" -> (CoreQueries.q137Retention(_, _)),
     "q138_transitions" -> (CoreQueries.q138Transitions(_, _)),
     "q139_kcore" -> (CoreQueries.q139KCore(_, _)),
-    "q140_asof_nearest" -> (CoreQueries.q140AsofNearest(_, _))
+    "q140_asof_nearest" -> (CoreQueries.q140AsofNearest(_, _)),
+    "q141_hopping_rollup" -> (CoreQueries.q141HoppingRollup(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2285,7 +2286,19 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_sec,
         |  CASE WHEN bvalid AND (NOT fvalid OR ts_sec - bts <= fts - ts_sec) THEN bval
         |       WHEN fvalid THEN fval END AS profile_value
-        |FROM j ORDER BY event_id""".stripMargin
+        |FROM j ORDER BY event_id""".stripMargin,
+    // hopping windows expanded arithmetically: epoch//900 grid minus
+    // j*900, j in 0..3 — every event in its 4 overlapping windows;
+    // make_timestamp keeps the window start naive (UTC-agnostic)
+    "q141_hopping_rollup" ->
+      """WITH ev AS (SELECT event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |w AS (SELECT event_type, value,
+        |    (ts_sec // 900) * 900 - j.j * 900 AS ws FROM ev, range(4) j(j))
+        |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

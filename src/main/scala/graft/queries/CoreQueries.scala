@@ -200,6 +200,17 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Hopping-window rollup (1 h window, 15 min slide): each event lands
+    * in 4 windows; the oracle expands the assignment arithmetically
+    * (epoch//900 grid minus j·900 for j in 0..3).
+    */
+  def q141HoppingRollup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.hoppingRollup(Tables.events(s, dir))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("w_start", "event_type")
+
   /** Range join via bucket blocking: events bucketed into nation-derived
     * integer intervals — equi-join on grid buckets, never a nested loop.
     */

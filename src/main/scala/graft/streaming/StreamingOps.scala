@@ -33,6 +33,31 @@ object StreamingOps {
       )
   }
 
+  /** Hopping (sliding) window rollup — each event contributes to
+    * windowLen/slide overlapping windows (Spark's `window(ts, len,
+    * slide)`, epoch-aligned). Batch OR streaming input (watermark bounds
+    * streaming state to the active windows); the q141 oracle replays the
+    * window assignment arithmetically (epoch//slide grid minus j·slide).
+    */
+  def hoppingRollup(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value")
+      )
+      .select(
+        col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value")
+      )
+  }
+
   /** Stateful gap sessionization over a stream of [[Event]]s: a session
     * closes when `gapSeconds` pass without activity (tracked per user via
     * processing-time timeout). Emits closed sessions (Append mode).

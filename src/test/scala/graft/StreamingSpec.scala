@@ -27,6 +27,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("hopping rollup on a bounded event stream matches the batch twin") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hopstream").toString
+    val stream = StreamingOps.readEventStream(spark, sf)
+    val q = StreamingOps.hoppingRollup(stream).writeStream
+      .format("memory").queryName("hopping_out").outputMode("complete")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hopping_out")
+      .select(date_format($"w_start", "yyyy-MM-dd HH:mm:ss").as("w"), $"event_type", $"n_events", $"sum_value")
+    val batch = StreamingOps.hoppingRollup(Tables.events(spark, sf))
+      .select(date_format($"w_start", "yyyy-MM-dd HH:mm:ss").as("w"), $"event_type", $"n_events", $"sum_value")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // every event appears in exactly windowLen/slide = 4 windows
+    val total = batch.agg(org.apache.spark.sql.functions.sum($"n_events")).head().getLong(0)
+    assert(total == 4L * Tables.events(spark, sf).count())
+  }
+
   test("session_window rollup matches the batch lag+cumsum sessionizer") {
     // q06 sessionizes on second-truncated time with a strict >1800s gap;
     // session_window's end-exclusive interval makes "gap 1801s over
