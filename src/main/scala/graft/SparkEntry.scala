@@ -151,7 +151,8 @@ object SparkEntry {
     "q138_transitions" -> (CoreQueries.q138Transitions(_, _)),
     "q139_kcore" -> (CoreQueries.q139KCore(_, _)),
     "q140_asof_nearest" -> (CoreQueries.q140AsofNearest(_, _)),
-    "q141_hopping_rollup" -> (CoreQueries.q141HoppingRollup(_, _))
+    "q141_hopping_rollup" -> (CoreQueries.q141HoppingRollup(_, _)),
+    "q142_sentences" -> (LlmQueries.q142Sentences(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2298,7 +2299,31 @@ object SparkEntry {
         |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sentence segmentation: decorated text re-derived independently
+    // (1-based list_transform mirrors the 0-based engine indexes), then
+    // the boundary rule replayed — mark runs of .!? + whitespace with a
+    // US separator (regexp_replace needs the 'g' flag in DuckDB), split,
+    // trim, drop empties; seg_md5 gates exact boundaries
+    "q142_sentences" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w FROM documents),
+        |dec AS (SELECT doc_id, list_reduce(
+        |    list_prepend('', list_transform(range(1, len(w) + 1), i -> w[i] ||
+        |      CASE WHEN (i - 1) % 11 = 10 THEN '!?' || chr(10)
+        |           WHEN (i - 1) % 7 = 6 THEN '.  '
+        |           ELSE ' ' END)),
+        |    (a, x) -> a || x) AS text
+        |  FROM t),
+        |seg AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split(regexp_replace(text, '([.!?]+)[ ' || chr(9) || chr(13) || chr(10) || ']+', '\1' || chr(31), 'g'), chr(31)),
+        |      s -> trim(s)), s -> s <> '') AS ss
+        |  FROM dec)
+        |SELECT doc_id,
+        |  CAST(len(ss) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(list_sum(list_transform(ss, s -> length(s))), 0) AS BIGINT) AS sentence_chars,
+        |  md5(array_to_string(ss, chr(31))) AS seg_md5
+        |FROM seg ORDER BY doc_id""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1444,6 +1444,25 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Sentence segmentation gate: word-salad docs get deterministic
+    * punctuation injected (periods every 7th token, "!?" + newline every
+    * 11th, doubled spaces), then the rule-based segmenter runs; the
+    * oracle re-derives the decorated text AND replays the boundary
+    * rule + trimming independently — seg_md5 gates exact boundaries.
+    */
+  def q142Sentences(s: SparkSession, dir: String): DataFrame = {
+    val w = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
+    val decorated = array_join(
+      transform(w, (t, i) =>
+        concat(t,
+          when(pmod(i, lit(11)) === 10, lit("!?\n"))
+            .when(pmod(i, lit(7)) === 6, lit(".  "))
+            .otherwise(lit(" ")))), "")
+    val d = Tables.documents(s, dir).select(col("doc_id"), decorated.as("text"))
+    graft.text.Chunking.sentenceStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -66,4 +66,39 @@ object Chunking {
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(col("n_chunk_tokens")).as("chunk_tokens"))
+
+  /** Rule-based sentence segmentation — the unit SEMANTIC splitters
+    * chunk on (sentence-grouped chunks beat fixed token windows for
+    * retrieval QA): a sentence ends at a run of `.!?` followed by
+    * horizontal whitespace or a line break. Deliberately NAIVE about
+    * abbreviations ("Dr. Smith" splits) — the rule is documented,
+    * deterministic, and identical on every engine, which a
+    * lookbehind/dictionary segmenter cannot be (RE2 has no lookbehind;
+    * the pattern here is plain character classes + groups, Java ≡ RE2).
+    * Boundary marking writes a unit separator (U+001F) after the
+    * punctuation run, then one split — a narrow two-regexp projection,
+    * zero shuffles.
+    *
+    * Returns (idCol, sentences array<string>) with sentences trimmed
+    * and empties dropped; NULL text → empty array.
+    */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val marked = regexp_replace(col(textCol),
+      "([.!?]+)[ \\t\\r\\n]+", "$1\u001F")
+    val parts = split(marked, "\u001F")
+    df.select(col(idCol),
+      coalesce(
+        filter(transform(parts, s => trim(s)), s => s =!= ""),
+        array().cast("array<string>")).as("sentences"))
+  }
+
+  /** Per-doc sentence stats: count + char mass + md5 of the joined
+    * segmentation (gates the exact boundaries, not just counts).
+    */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    sentences(df, idCol, textCol).select(
+      col(idCol),
+      size(col("sentences")).cast("long").as("n_sentences"),
+      aggregate(col("sentences"), lit(0L), (a, x) => a + length(x)).as("sentence_chars"),
+      md5(to_binary(array_join(col("sentences"), "\u001F"), lit("utf-8"))).as("seg_md5"))
 }

@@ -266,4 +266,27 @@ class ChunkSourceSpec extends SparkSpec {
         fraction = 0.5).select("doc_id", "dsir_key").as[(Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("sentences: boundary runs, trimming, documented abbreviation naivety, empty/null") {
+    val d = Seq(
+      (1L, "One two. Three four!  Five?! Six"),
+      (2L, "Dr. Smith arrived."),          // naive: splits after "Dr."
+      (3L, "No terminator here"),
+      (4L, "Ends exactly. "),              // trailing boundary -> no empty tail
+      (5L, ""),
+      (6L, null: String)
+    ).toDF("id", "text")
+    val got = graft.text.Chunking.sentences(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("One two.", "Three four!", "Five?!", "Six"))
+    assert(got(2L) == Seq("Dr.", "Smith arrived."))
+    assert(got(3L) == Seq("No terminator here"))
+    assert(got(4L) == Seq("Ends exactly."))
+    assert(got(5L) == Seq.empty)
+    assert(got(6L) == Seq.empty)
+    val stats = graft.text.Chunking.sentenceStats(d, "id", "text")
+      .filter($"id" === 1L).head()
+    assert(stats.getLong(1) == 4L)
+    assert(stats.getLong(2) == "One two.Three four!Five?!Six".length.toLong)
+  }
 }
