@@ -568,6 +568,18 @@ object Containment {
       tau: Double
   ): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    // EXACT prefix length: c(A→B) >= tau means |A ∩ B| >= ceil(tau·|A|)
+    // (intersection sizes are integers), so B misses at most
+    // |A| − ceil(tau·|A|) grams and the prefix needs one more than
+    // that. Computed in INTEGER arithmetic at 10^-6 tau granularity —
+    // the float form floor((1.0−tau)·n)+1 undershoots whenever
+    // (1−tau)·n is integral (1.0−0.9 = 0.0999…8, so n=10 got prefix 1
+    // instead of 2) and silently breaks the pigeonhole recall
+    // guarantee at exact-boundary containments.
+    val tauScaled = math.round(tau * 1000000L)
+    val minInter = expr(
+      s"(CAST(n_grams AS BIGINT) * ${tauScaled}L + 999999L) div 1000000L")
+    val prefixLen = (col("n_grams") - minInter + 1L).cast("int")
     // the exploded gram frame feeds THREE branches (df counts, the
     // prefix window, the full inverted index) — persist or the UDF
     // shingling pass recomputes per branch (the ExactSubstr lesson)
@@ -580,8 +592,7 @@ object Containment {
       .partitionBy(col("id")).orderBy(col("df"), col("gram"))
     val prefixes = withDf
       .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <=
-        floor(lit(1.0 - tau) * col("n_grams")).cast("int") + 1)
+      .filter(col("__r") <= prefixLen)
       .select(col("gram"), col("id").as("id_p"))
     prefixes
       .join(exploded.select(col("gram"), col("id").as("id_f")), Seq("gram"))

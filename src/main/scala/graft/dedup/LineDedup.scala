@@ -159,9 +159,15 @@ object LineDedup {
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
       .withColumn("k", md5(col("line")))
       .withColumn("code", encodedCode(col("id"), col("pos")))
-    // batch-internal first occurrences (the scrub() aggregate shape)
+    // batch-internal first occurrences (the scrub() aggregate shape).
+    // PERSISTED: this frame feeds three branches (the broadcast-guard
+    // probe, the store semi-filter, and the wide join) — unpersisted,
+    // the batch's explode + md5 + aggregate lineage re-runs per branch
+    // (the ExactSubstr.incrementalScrub contract; released by the
+    // ContextCleaner once the returned plan is collected)
     val batchFirsts = lines.filter(length(col("line")) >= minLineChars)
       .groupBy("k").agg(min(col("code")).as("first_code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val useBroadcast = maxBroadcastKeys > 0 &&
       batchFirsts.limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
     def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
@@ -217,6 +223,10 @@ object LineDedup {
       minLineChars: Int = 1,
       cutoverLines: Int = 4096
   ): DataFrame = {
+    // a negative cutover would route the NULL-text row (nLines = -1) to
+    // the exploded path, where posexplode silently DROPS it — breaking
+    // the "NULL text stays NULL" contract
+    require(cutoverLines >= 0, s"cutoverLines must be >= 0: $cutoverLines")
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = split(col(textCol), sepLit)
     // NULL text → size() = -1 → routed to the fold path, which maps it

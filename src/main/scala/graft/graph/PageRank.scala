@@ -81,7 +81,14 @@ object PageRank {
     val e = e0.join(deg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist(mad)
-    nodes.count() // materialize -> accurate stats for the joins below
+    val nNodes = nodes.count() // materialize -> accurate stats for the joins below
+    // total rank mass is bounded by N·scale (damping only shrinks it);
+    // the per-edge product multiplies by dampNum before dividing, so
+    // N·scale·dampNum must fit a long or contributions wrap silently
+    // under ANSI-off arithmetic — fail fast instead (the docstring's
+    // promised bound, checked with the N the materialization just paid for)
+    require(nNodes <= Long.MaxValue / dampNum / scale,
+      s"N·scale·dampNum overflows long (N=$nNodes, scale=$scale): lower scale")
     val base = (scale * (dampDen - dampNum)) / dampDen
     var rank = nodes.withColumn("r", lit(scale)).persist(mad)
     for (_ <- 0 until iters) {
@@ -238,9 +245,14 @@ object KCore {
     var i = 0
     var stable = false
     while (i < rounds && !stable) {
+      // bad feeds both anti-joins (+ the stability probe): persist or
+      // the O(E) degree aggregation recomputes per branch — the same
+      // branch-recompute trap fixed in Triangles/Containment/ExactSubstr
       val bad = alive.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") < k).select(col("src").as("n"))
-      if (untilStable && bad.isEmpty) stable = true
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBad = bad.count()
+      if (untilStable && nBad == 0) stable = true
       else {
         val next = alive
           .join(bad.withColumnRenamed("n", "src"), Seq("src"), "left_anti")
@@ -249,6 +261,7 @@ object KCore {
         freeLocalCheckpoint(alive)
         alive = next
       }
+      bad.unpersist(false)
       i += 1
     }
     // final degrees among the surviving edge set (all >= k at the

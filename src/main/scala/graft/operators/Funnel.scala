@@ -89,9 +89,16 @@ object Funnel {
     val stepFrame = steps.zipWithIndex
       .map { case (s, i) => (i + 1, s) }
       .toDF("step_idx", "step_name")
-    sc.join(broadcast(stepFrame), col("steps_completed") >= col("step_idx"))
-      .groupBy("step_idx", "step_name")
-      .agg(countDistinct(col(userCol)).as("n_users"))
+    // stepsCompleted is one row per user, so count(*), not a distinct;
+    // and the report must carry EVERY step — a step nobody reached is a
+    // (step, 0) row, not an absent one (left join from the step frame)
+    val reached = sc
+      .join(broadcast(stepFrame), col("steps_completed") >= col("step_idx"))
+      .groupBy("step_idx")
+      .agg(count(lit(1)).as("__n"))
+    stepFrame.join(reached, Seq("step_idx"), "left")
+      .select(col("step_idx"), col("step_name"),
+        coalesce(col("__n"), lit(0L)).as("n_users"))
   }
 
   /** Event-transition matrix (first-order Markov over per-user event

@@ -377,6 +377,37 @@ class DedupSpec extends SparkSpec {
     assert(brute.contains((1L, 3L))) // the partial pair is present at 0.5
   }
 
+  test("containment blocking is lossless AT the tau boundary (integer prefix math)") {
+    import graft.dedup.Containment
+    // A has exactly 10 grams (12 tokens); B contains exactly 9 of them
+    // (c(A→B) = 0.9 == tau): the float form floor((1.0-0.9)*10)+1 = 1
+    // gave a one-gram prefix, and when that one rarest gram is exactly
+    // the one B misses, the boundary pair was silently dropped. The
+    // integer prefix (10 - ceil(0.9*10) + 1 = 2) must catch it — try
+    // every possible missing gram position to cover whichever gram the
+    // df-ordering puts first.
+    val aTok = (1 to 12).map(i => s"t$i")
+    (0 until 10).foreach { miss =>
+      // B = A's token stream with gram #miss broken by renaming token miss+2
+      val bTok = aTok.updated(miss + 1, s"x$miss") ++ (1 to 30).map(i => s"pad${miss}_$i")
+      val d = Seq((1L, aTok.mkString(" ")), (2L, bTok.mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = Containment.containmentPairs(d, "doc_id", "text", k = 3, tau = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Containment.verify(
+        Seq((1L, 2L)).toDF("id_a", "id_b"), d, "doc_id", "text", 3, 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"boundary recall miss at gram $miss")
+    }
+    // exact boundary at tau itself: 9-of-10 grams contained, tau = 0.9
+    val b9 = aTok.take(11) // grams 1..9 of A, missing the last
+    val d = Seq((1L, aTok.mkString(" ")), (2L, b9.mkString(" "))).toDF("doc_id", "text")
+    val atTau = Containment.containmentPairs(d, "doc_id", "text", k = 3, tau = 0.9)
+      .collect()
+    assert(atTau.length == 1)
+    assert(atTau(0).getDouble(2) == 0.9) // c_a_in_b exactly at tau survives
+  }
+
   test("within-doc scrub: exploded cutover path equals the fold path") {
     val d = Seq(
       (1L, "nav\nbody\nnav\nnav\nftr"),
