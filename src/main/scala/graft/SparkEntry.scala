@@ -152,7 +152,8 @@ object SparkEntry {
     "q139_kcore" -> (CoreQueries.q139KCore(_, _)),
     "q140_asof_nearest" -> (CoreQueries.q140AsofNearest(_, _)),
     "q141_hopping_rollup" -> (CoreQueries.q141HoppingRollup(_, _)),
-    "q142_sentences" -> (LlmQueries.q142Sentences(_, _))
+    "q142_sentences" -> (LlmQueries.q142Sentences(_, _)),
+    "q143_retrieval_eval" -> (LlmQueries.q143RetrievalEval(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2323,7 +2324,46 @@ object SparkEntry {
         |  CAST(len(ss) AS BIGINT) AS n_sentences,
         |  CAST(coalesce(list_sum(list_transform(ss, s -> length(s))), 0) AS BIGINT) AS sentence_chars,
         |  md5(array_to_string(ss, chr(31))) AS seg_md5
-        |FROM seg ORDER BY doc_id""".stripMargin
+        |FROM seg ORDER BY doc_id""".stripMargin,
+    // retrieval eval: BOTH retrievers replayed (the q26 LSH bucketing
+    // and the q25 brute-force truth), then the metric joins — integer
+    // hits/ranks only; queries with empty result lists keep their row
+    "q143_retrieval_eval" -> {
+      val planeRows = graft.similarity.Knn.hyperplanes(8, 64, 7L).zipWithIndex
+        .map { case (p, j) => s"($j, [${p.mkString(", ")}]::DOUBLE[])" }
+        .mkString(",\n  ")
+      s"""WITH planes(j, pl) AS (VALUES
+         |  $planeRows),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vb AS (SELECT id, CAST(sum(CASE WHEN list_dot_product(v.v, p.pl) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM v, planes p GROUP BY id),
+         |vv AS (SELECT v.id, v.v, vb.bucket FROM v JOIN vb USING (id)),
+         |q AS (SELECT id AS query_id, v AS qv, bucket FROM vv WHERE id < 10),
+         |ls AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+         |  FROM vv c JOIN q ON c.bucket = q.bucket AND c.id <> q.query_id),
+         |lr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM ls),
+         |bs AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+         |  FROM vv c, q WHERE c.id <> q.query_id),
+         |tr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bs),
+         |res AS (SELECT query_id, id AS neighbor_id, rank FROM lr WHERE rank <= 5),
+         |tru AS (SELECT query_id, id AS neighbor_id FROM tr WHERE rank <= 5),
+         |j AS (SELECT res.query_id, res.rank,
+         |    CASE WHEN tru.neighbor_id IS NOT NULL THEN 1 END AS hit
+         |  FROM res LEFT JOIN tru ON res.query_id = tru.query_id AND res.neighbor_id = tru.neighbor_id),
+         |pq AS (SELECT query_id, count(*) AS n_results,
+         |    CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits_at_k,
+         |    CAST(min(CASE WHEN hit = 1 THEN rank END) AS BIGINT) AS first_hit_rank
+         |  FROM j GROUP BY 1),
+         |tc AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY 1)
+         |SELECT tc.query_id AS query_id,
+         |  CAST(coalesce(pq.n_results, 0) AS BIGINT) AS n_results,
+         |  CAST(tc.n_truth AS BIGINT) AS n_truth,
+         |  CAST(coalesce(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+         |  pq.first_hit_rank
+         |FROM tc LEFT JOIN pq ON tc.query_id = pq.query_id
+         |ORDER BY tc.query_id""".stripMargin
+    }
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation — the measurement half every ANN/BM25
+  * deployment needs next to the retrievers themselves: approximate
+  * results scored against exact ground truth as recall@k and
+  * first-relevant-rank (the integer core of MRR). Standard IR
+  * methodology (TREC's recall/MRR family, public since forever), kept
+  * ENGINE-EXACT: every per-query metric is an integer (hit counts,
+  * ranks), so the q143 gate compares them hash-exactly; float
+  * aggregates (mean recall, MRR) are one-division summaries a caller
+  * derives from the integer columns.
+  *
+  * Scale shape: both inputs are (query_id, neighbor_id, rank) top-k
+  * lists — k rows per query, never corpus-sized; the join is
+  * query-keyed and the roll-up is one aggregation.
+  */
+object RankEval {
+
+  /** Per-query metrics of `results` against `truth` (both
+    * (query_id, neighbor_id, rank), ranks 1-based): hits_at_k =
+    * |results@k ∩ truth@k|, first_hit_rank = smallest result rank whose
+    * neighbor is in truth@k (NULL if none), n_results, n_truth.
+    * Queries present in truth but missing from results keep a row
+    * (0 hits — a silently-empty retriever must not vanish from its own
+    * evaluation).
+    */
+  def perQuery(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val r = results.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val joined = r.join(t.withColumn("__hit", lit(1)),
+      Seq("query_id", "neighbor_id"), "left")
+    val perQ = joined.groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(coalesce(col("__hit"), lit(0)).cast("long")).as("hits_at_k"),
+        min(when(col("__hit").isNotNull, col("rank"))).as("first_hit_rank"))
+    val truthCounts = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    truthCounts.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_results"), lit(0L)).as("n_results"),
+        col("n_truth"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        col("first_hit_rank"))
+  }
+
+  /** One-row summary: total hits / total truth as recall@k (single
+    * division), plus MRR over the queries with a hit (sum of exact
+    * reciprocals — a float mean, fine for dashboards, NOT gate-safe;
+    * gate on [[perQuery]]'s integers).
+    */
+  def summary(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val pq = perQuery(results, truth, k)
+    pq.agg(
+      count(lit(1)).as("n_queries"),
+      sum(col("hits_at_k")).as("total_hits"),
+      sum(col("n_truth")).as("total_truth"))
+      .withColumn("recall_at_k",
+        col("total_hits").cast("double") / col("total_truth").cast("double"))
+  }
+}

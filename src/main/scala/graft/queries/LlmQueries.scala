@@ -1463,6 +1463,21 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Retrieval evaluation gate: single-probe LSH top-5 scored against
+    * brute-force ground truth — the oracle replays BOTH retrievers (the
+    * q25/q26 CTEs) and then the metric joins, so a hash match proves
+    * hits, first-hit ranks, and the silently-empty-query contract. Also
+    * the honest published number for the LSH path's recall loss.
+    */
+  def q143RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val lsh = Knn.lshTopK(e, queries, "vec_id", "embedding", k = 5)
+    val truth = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+    RankEval.perQuery(lsh, truth, k = 5).orderBy("query_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.RankEval
+
+/** Retrieval-metric invariants (q143 gates the cross-engine replay over
+  * real retrievers; these gate the metric algebra on hand-built lists).
+  */
+class RankEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lists(rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("perfect, partial, disjoint, and silently-empty retrievers") {
+    val truth = lists(
+      (1L, 101L, 1), (1L, 102L, 2),
+      (2L, 201L, 1), (2L, 202L, 2),
+      (3L, 301L, 1),
+      (4L, 401L, 1))
+    val results = lists(
+      (1L, 101L, 1), (1L, 102L, 2),   // perfect
+      (2L, 999L, 1), (2L, 202L, 2),   // partial: first hit at rank 2
+      (3L, 888L, 1))                   // disjoint; query 4 missing entirely
+    val got = RankEval.perQuery(results, truth, k = 5)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 2L, 1),
+      (2L, 2L, 2L, 1L, 2),
+      (3L, 1L, 1L, 0L, -1),
+      (4L, 0L, 1L, 0L, -1))) // empty retriever keeps its row
+    val sum = RankEval.summary(results, truth, k = 5).head()
+    assert(sum.getLong(0) == 4L && sum.getLong(1) == 3L && sum.getLong(2) == 6L)
+    assert(sum.getDouble(3) == 0.5)
+  }
+
+  test("k truncates both sides") {
+    val truth = lists((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3))
+    val results = lists((1L, 13L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val at2 = RankEval.perQuery(results, truth, k = 2).head()
+    // truth@2 = {11,12}; results@2 = {13,11} -> one hit, first at rank 2
+    assert(at2.getLong(3) == 1L && at2.getInt(4) == 2)
+  }
+}
