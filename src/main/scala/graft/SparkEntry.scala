@@ -153,7 +153,8 @@ object SparkEntry {
     "q140_asof_nearest" -> (CoreQueries.q140AsofNearest(_, _)),
     "q141_hopping_rollup" -> (CoreQueries.q141HoppingRollup(_, _)),
     "q142_sentences" -> (LlmQueries.q142Sentences(_, _)),
-    "q143_retrieval_eval" -> (LlmQueries.q143RetrievalEval(_, _))
+    "q143_retrieval_eval" -> (LlmQueries.q143RetrievalEval(_, _)),
+    "q144_classifier_eval" -> (LlmQueries.q144ClassifierEval(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2363,7 +2364,38 @@ object SparkEntry {
          |  pq.first_hit_rank
          |FROM tc LEFT JOIN pq ON tc.query_id = pq.query_id
          |ORDER BY tc.query_id""".stripMargin
-    }
+    },
+    // classifier confusion counts: the q125 refit + margin replay with
+    // a confusion-aggregation tail over the labeled subset
+    "q144_classifier_eval" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
+        |  FROM tok),
+        |b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
+        |  FROM g, unnest(gs) AS u(gram)),
+        |cnt AS (SELECT bucket,
+        |    sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS cnt_p,
+        |    sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS cnt_n
+        |  FROM b WHERE doc_id % 5 = 0 OR doc_id % 5 = 3 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_p) AS HUGEINT) AS pt, CAST(sum(cnt_n) AS HUGEINT) AS nt FROM cnt),
+        |wt AS (SELECT bucket,
+        |    CAST((2 * 1000000 * CAST(cnt_p AS HUGEINT) * nt) //
+        |      (CAST(cnt_p AS HUGEINT) * nt + CAST(cnt_n AS HUGEINT) * pt) - 1000000 AS BIGINT) AS w
+        |  FROM cnt, tot),
+        |sig AS (SELECT b.doc_id, sum(coalesce(wt.w, 0)) AS margin
+        |  FROM b LEFT JOIN wt USING (bucket) GROUP BY 1),
+        |lab AS (SELECT doc_id, doc_id % 5 = 0 AS label FROM documents
+        |  WHERE doc_id % 5 = 0 OR doc_id % 5 = 3)
+        |SELECT
+        |  CAST(sum(CASE WHEN margin >= 0 AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN margin >= 0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN margin < 0 AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN margin < 0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |FROM sig JOIN lab USING (doc_id)""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -63,4 +63,26 @@ object RankEval {
       .withColumn("recall_at_k",
         col("total_hits").cast("double") / col("total_truth").cast("double"))
   }
+
+  /** Binary-classifier confusion counts — the classifier-side twin of
+    * [[perQuery]]: predictions joined to labels on `idCol`, one row of
+    * exact-integer tp/fp/fn/tn (precision/recall/F1 are single
+    * divisions a caller derives; the INTEGERS are what a hash gate can
+    * certify). Ids present on only one side are dropped (inner join —
+    * an unlabeled prediction is not a mistake, it is missing truth).
+    */
+  def confusion(
+      predictions: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      predCol: String = "predicted",
+      labelCol: String = "label"
+  ): DataFrame =
+    predictions.select(col(idCol), col(predCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .agg(
+        sum(when(col(predCol) && col(labelCol), 1L).otherwise(0L)).as("tp"),
+        sum(when(col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col(predCol) && col(labelCol), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("tn"))
 }

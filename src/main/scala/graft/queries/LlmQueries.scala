@@ -1478,6 +1478,27 @@ object LlmQueries {
     RankEval.perQuery(lsh, truth, k = 5).orderBy("query_id")
   }
 
+  /** Classifier evaluation gate: the q125 quality classifier's
+    * training-set confusion counts — tp/fp/fn/tn as exact integers (the
+    * oracle refits the model, replays every margin, and re-derives the
+    * counts). The honest "how separable were the labels" number that
+    * belongs next to any trained gate.
+    */
+  def q144ClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val model = graft.text.QualityClassifier.train(
+      d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 === 3),
+      "text", numBuckets = 1024)
+    val scored = graft.text.QualityClassifier
+      .score(d, "doc_id", "text", model, numBuckets = 1024)
+      .withColumn("predicted", col("margin") >= 0)
+    val labels = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 3)
+      .select(col("doc_id"), (col("doc_id") % 5 === 0).as("label"))
+    RankEval.confusion(scored, labels, "doc_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

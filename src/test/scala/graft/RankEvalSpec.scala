@@ -35,6 +35,16 @@ class RankEvalSpec extends SparkSpec {
     assert(sum.getDouble(3) == 0.5)
   }
 
+  test("confusion counts: quadrants exact, unlabeled predictions dropped") {
+    val preds = Seq((1L, true), (2L, true), (3L, false), (4L, false), (9L, true))
+      .toDF("id", "predicted")
+    val labels = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("id", "label")
+    val c = RankEval.confusion(preds, labels, "id").head()
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((1L, 1L, 1L, 1L))) // id 9 has no label -> not counted anywhere
+  }
+
   test("k truncates both sides") {
     val truth = lists((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3))
     val results = lists((1L, 13L, 1), (1L, 11L, 2), (1L, 12L, 3))
