@@ -72,10 +72,27 @@ object Bench {
       }
     val p1 = timeAll().toMap
     val results = timeAll().map { case (n, t) => n -> math.min(t, p1(n)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision, full-name line FIRST (human/SURVEY diagnostics; the
+    // driver keeps only the last ~2000 bytes of stdout, so this line is
+    // expected to truncate out of the official artifact).
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""[bench-full] {"queries":$fullQs}""")
+    // Official line LAST, sized to fit the driver's 2000-byte stdout tail
+    // even with sbt's trailing "[success]" line: keys shortened to the
+    // numeric qNN prefix (unique across the suite — checked), values
+    // rounded to 2 decimals, emitted in NUMERIC query order so q100+
+    // timings are visible in the artifact (round-7 verdict task 1: the
+    // alphabetical full-name map truncated q100–q144 out of the tail).
+    val num = "q(\\d+)".r
+    def qnum(n: String): Int = num.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0)
+    val compact = results.sortBy(r => (qnum(r._1), r._1)).map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      f""""$short":$v%.2f"""
+    }.mkString("{", ",", "}")
+    val sfName = sfDir.split('/').last
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$compact,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -154,7 +154,8 @@ object SparkEntry {
     "q141_hopping_rollup" -> (CoreQueries.q141HoppingRollup(_, _)),
     "q142_sentences" -> (LlmQueries.q142Sentences(_, _)),
     "q143_retrieval_eval" -> (LlmQueries.q143RetrievalEval(_, _)),
-    "q144_classifier_eval" -> (LlmQueries.q144ClassifierEval(_, _))
+    "q144_classifier_eval" -> (LlmQueries.q144ClassifierEval(_, _)),
+    "q145_bpe_sampled" -> (LlmQueries.q145BpeSampled(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2197,8 +2198,17 @@ object SparkEntry {
     // strictly after step i's, within 7 days (second precision) of
     // step 1. Different formulation than the engine's sorted fold —
     // deliberate cross-check.
+    // NOTE: `code` packs the (ts_sec, event_id) total order as
+    // ts_sec * 2^20 + event_id, which preserves ordering parity with
+    // the engine's exact struct sort ONLY while event_id < 2^20
+    // (~1.05M); the asserted CTE fails the oracle loudly if the fixture
+    // ever outgrows that. (ts_sec * 2^20 stays < 2^60 for the engine's
+    // own 2^40 ts budget, so the product can't overflow BIGINT.)
     "q136_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type,
+      """WITH guard AS (SELECT CASE WHEN max(event_id) >= 1048576
+        |      THEN error('q136 oracle: event_id >= 2^20 breaks packed-code ordering')
+        |      ELSE 1 END AS ok FROM events),
+        |ev AS (SELECT user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) * 1048576 + event_id AS code,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
@@ -2219,7 +2229,7 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |SELECT step_idx, step_name, CAST(n_users AS BIGINT) AS n_users
-        |FROM counts ORDER BY step_idx""".stripMargin,
+        |FROM counts, guard WHERE guard.ok = 1 ORDER BY step_idx""".stripMargin,
     // weekly cohort retention: cohort = week of first event, offsets in
     // whole weeks — both engines truncate weeks to Monday
     "q137_retention" ->
@@ -2357,13 +2367,13 @@ object SparkEntry {
          |    CAST(min(CASE WHEN hit = 1 THEN rank END) AS BIGINT) AS first_hit_rank
          |  FROM j GROUP BY 1),
          |tc AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY 1)
-         |SELECT tc.query_id AS query_id,
+         |SELECT coalesce(tc.query_id, pq.query_id) AS query_id,
          |  CAST(coalesce(pq.n_results, 0) AS BIGINT) AS n_results,
-         |  CAST(tc.n_truth AS BIGINT) AS n_truth,
+         |  CAST(coalesce(tc.n_truth, 0) AS BIGINT) AS n_truth,
          |  CAST(coalesce(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
          |  pq.first_hit_rank
-         |FROM tc LEFT JOIN pq ON tc.query_id = pq.query_id
-         |ORDER BY tc.query_id""".stripMargin
+         |FROM tc FULL OUTER JOIN pq ON tc.query_id = pq.query_id
+         |ORDER BY 1""".stripMargin
     },
     // classifier confusion counts: the q125 refit + margin replay with
     // a confusion-aggregation tail over the labeled subset
@@ -2394,8 +2404,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN margin >= 0 AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
         |  CAST(sum(CASE WHEN margin >= 0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
         |  CAST(sum(CASE WHEN margin < 0 AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        |  CAST(sum(CASE WHEN margin < 0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        |FROM sig JOIN lab USING (doc_id)""".stripMargin
+        |  CAST(sum(CASE WHEN margin < 0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM sig JOIN lab USING (doc_id)""".stripMargin,
+    // sample-trained BPE token streams: greedy merging is spec-gated
+    // (iterative training can't be replayed in SQL); the oracle replays
+    // everything downstream of the materialized stream fixture — the
+    // q88/q104 replayability-line pattern
+    "q145_bpe_sampled" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS n_chars,
+        |  toks[1] AS first_token,
+        |  toks[-1] AS last_token
+        |FROM read_parquet('__GRAFT_FIXTURE:bpe_sampled_tokens__/*.parquet')
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -33,6 +33,23 @@ object Funnel {
 
   /** (userCol, steps_completed ∈ [0, steps.length]) for every user with
     * at least one event of a funnel-step type.
+    *
+    * Packing contract: `tsCol` must be SECONDS in [0, 2^40) — a negative
+    * (pre-1970) or millisecond-scale epoch would corrupt the packed
+    * accumulator, so out-of-range values FAIL FAST (raise_error in the
+    * projection) rather than silently mis-matching.
+    *
+    * `maxEventsPerUser`: optional per-user row-width bound (the
+    * MinHashLsh `maxBucketSize` discipline). The per-user state here is
+    * "that user's own step-typed events", which is the sessionization
+    * contract — but a bot emitting millions of step-typed events would
+    * become one monster `collect_list` row. With the cap set, only the
+    * deterministic EARLIEST cap events per user (by (ts, event_id) —
+    * total order) enter the fold, bounding row width before the
+    * collect; greedy-earliest semantics are unchanged whenever the cap
+    * is ≥ the user's event count. The row_number window hash-partitions
+    * on the user, so the following groupBy reuses the exchange — the
+    * cap costs a per-user sort, not a second shuffle.
     */
   def stepsCompleted(
       events: DataFrame,
@@ -41,18 +58,34 @@ object Funnel {
       tsCol: String,
       idCol: String,
       steps: Seq[String],
-      spanSec: Long
+      spanSec: Long,
+      maxEventsPerUser: Option[Int] = None
   ): DataFrame = {
     require(steps.nonEmpty && steps.size < 16, s"1..15 steps, got ${steps.size}")
     require(spanSec > 0, "spanSec must be positive")
+    require(maxEventsPerUser.forall(_ > 0), "maxEventsPerUser must be positive")
     val k = steps.size
     val stepArr = array(steps.map(lit): _*)
-    val ev = events
+    val tsSec = col(tsCol).cast("long")
+    val tsGuarded = when(tsSec >= 0 && tsSec < Pow, tsSec)
+      .otherwise(raise_error(concat(
+        lit(s"Funnel: $tsCol out of the [0, 2^40) second-precision packing range: "),
+        tsSec.cast("string"))).cast("long"))
+    val typed = events
       .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol),
-        struct(col(tsCol).cast("long").as("ts"),
+        struct(tsGuarded.as("ts"),
           col(idCol).cast("long").as("eid"),
           col(typeCol).as("t")).as("e"))
+    val ev = maxEventsPerUser match {
+      case None => typed
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(userCol))
+          .orderBy(col("e.ts"), col("e.eid"))
+        typed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+    }
     val folded = ev.groupBy(col(userCol))
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .select(col(userCol),
@@ -82,9 +115,11 @@ object Funnel {
       tsCol: String,
       idCol: String,
       steps: Seq[String],
-      spanSec: Long
+      spanSec: Long,
+      maxEventsPerUser: Option[Int] = None
   ): DataFrame = {
-    val sc = stepsCompleted(events, userCol, typeCol, tsCol, idCol, steps, spanSec)
+    val sc = stepsCompleted(events, userCol, typeCol, tsCol, idCol, steps,
+      spanSec, maxEventsPerUser)
     import events.sparkSession.implicits._
     val stepFrame = steps.zipWithIndex
       .map { case (s, i) => (i + 1, s) }

@@ -23,9 +23,11 @@ object RankEval {
     * (query_id, neighbor_id, rank), ranks 1-based): hits_at_k =
     * |results@k ∩ truth@k|, first_hit_rank = smallest result rank whose
     * neighbor is in truth@k (NULL if none), n_results, n_truth.
-    * Queries present in truth but missing from results keep a row
-    * (0 hits — a silently-empty retriever must not vanish from its own
-    * evaluation).
+    * Queries present on only ONE side keep a row: truth-only queries
+    * score 0 hits (a silently-empty retriever must not vanish from its
+    * own evaluation), and results-only queries keep n_truth = 0 (a
+    * retriever answering a query with no ground truth is visible too —
+    * full outer join, symmetric by construction).
     */
   def perQuery(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
@@ -41,10 +43,10 @@ object RankEval {
         sum(coalesce(col("__hit"), lit(0)).cast("long")).as("hits_at_k"),
         min(when(col("__hit").isNotNull, col("rank"))).as("first_hit_rank"))
     val truthCounts = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
-    truthCounts.join(perQ, Seq("query_id"), "left")
+    truthCounts.join(perQ, Seq("query_id"), "full_outer")
       .select(col("query_id"),
         coalesce(col("n_results"), lit(0L)).as("n_results"),
-        col("n_truth"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
         col("first_hit_rank"))
   }
@@ -59,9 +61,13 @@ object RankEval {
     pq.agg(
       count(lit(1)).as("n_queries"),
       sum(col("hits_at_k")).as("total_hits"),
-      sum(col("n_truth")).as("total_truth"))
-      .withColumn("recall_at_k",
-        col("total_hits").cast("double") / col("total_truth").cast("double"))
+      sum(col("n_truth")).as("total_truth"),
+      sum(when(col("first_hit_rank").isNotNull,
+        lit(1.0) / col("first_hit_rank"))).as("__rr_sum"))
+      .select(col("n_queries"), col("total_hits"), col("total_truth"),
+        (col("total_hits").cast("double") / col("total_truth").cast("double"))
+          .as("recall_at_k"),
+        (coalesce(col("__rr_sum"), lit(0.0)) / col("n_queries")).as("mrr"))
   }
 
   /** Binary-classifier confusion counts — the classifier-side twin of
@@ -70,6 +76,10 @@ object RankEval {
     * divisions a caller derives; the INTEGERS are what a hash gate can
     * certify). Ids present on only one side are dropped (inner join —
     * an unlabeled prediction is not a mistake, it is missing truth).
+    * Rows with a NULL prediction or NULL label are excluded BEFORE the
+    * counts (a NULL would otherwise fall out of every when() quadrant
+    * and silently undercount); the `n_rows` column counts the rows that
+    * were scored, so tp+fp+fn+tn == n_rows is a checkable invariant.
     */
   def confusion(
       predictions: DataFrame,
@@ -80,9 +90,11 @@ object RankEval {
   ): DataFrame =
     predictions.select(col(idCol), col(predCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .filter(col(predCol).isNotNull && col(labelCol).isNotNull)
       .agg(
         sum(when(col(predCol) && col(labelCol), 1L).otherwise(0L)).as("tp"),
         sum(when(col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("fp"),
         sum(when(!col(predCol) && col(labelCol), 1L).otherwise(0L)).as("fn"),
-        sum(when(!col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("tn"))
+        sum(when(!col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("tn"),
+        count(lit(1)).as("n_rows"))
 }

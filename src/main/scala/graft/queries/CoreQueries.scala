@@ -958,8 +958,12 @@ object CoreQueries {
     */
   def q136Funnel(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Funnel
+    // maxEventsPerUser bounds hot-user row width; 100000 is far above
+    // the gate corpus's per-user max, so the hash is cap-invariant
+    // (FunnelSpec proves cap ≥ user events ⇒ identical result).
     Funnel.report(Tables.events(s, dir), "user_id", "event_type", "ts",
-        "event_id", Seq("view", "click", "purchase"), spanSec = 7L * 86400)
+        "event_id", Seq("view", "click", "purchase"), spanSec = 7L * 86400,
+        maxEventsPerUser = Some(100000))
       .orderBy("step_idx")
   }
 

@@ -571,6 +571,39 @@ object LlmQueries {
       .orderBy("lang", "gpos")
   }
 
+  /** Token streams under SAMPLE-trained merges (the 100 TB trainer path,
+    * [[graft.text.Bpe.trainMergesSampled]]): vocabulary fit on the
+    * md5-earliest 256 docs only, materialized through TWO parquet
+    * roundtrips — the (rank, l, r) merges frame itself (so the persisted
+    * artifact, not the in-memory fit, is what tokenizes) and the token
+    * streams the oracle replays. Output is per-doc stream geometry:
+    * count, char mass, first/last token — enough that a wrong merge
+    * order, a lost rank on roundtrip, or a sample-selection
+    * nondeterminism each flip the hash.
+    */
+  private def bpeSampledTokens(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cachedParquet(s, dir, "bpe_sampled_tokens") {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+        .filter(col("doc_id") % 5 === 1 && col("text").isNotNull)
+      val merges = graft.text.Bpe.trainMergesSampled(
+        docs, "doc_id", "text", numMerges = 200, sampleDocs = 256)
+      val roundtripped = Fixtures.cachedParquet(s, dir, "bpe_sampled_merges") {
+        graft.text.Bpe.mergesFrame(s, merges)
+      }
+      TextAnalysis.bpeTokens(docs, "text", graft.text.Bpe.ranksFromFrame(roundtripped))
+        .select(col("doc_id"), col("lang"), col("toks"))
+    }
+
+  def q145BpeSampled(s: SparkSession, dir: String): DataFrame =
+    bpeSampledTokens(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)),
+          lit(0L)).as("n_chars"),
+        element_at(col("toks"), 1).as("first_token"),
+        element_at(col("toks"), -1).as("last_token"))
+      .orderBy("doc_id")
+
   /** Sequence packing under a REAL subword-BPE token budget (q70's regex
     * twin), vocabulary trained on the corpus itself. The counts fixture
     * is parquet on disk and the DuckDB oracle reads the SAME files

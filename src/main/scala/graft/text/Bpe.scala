@@ -62,6 +62,25 @@ object Bpe {
   def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  /** Trained merges as a broadcastable (rank, l, r) DataFrame — the
+    * parquet-roundtrip form (the PQ-codebook precedent: a trained
+    * artifact is corpus state, persisted next to the data it was fit
+    * on, not retrained per consumer).
+    */
+  def mergesFrame(s: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }.toDF("rank", "l", "r")
+  }
+
+  /** Ranks map back from a [[mergesFrame]] (possibly parquet-roundtripped;
+    * row order is irrelevant — rank is carried explicitly). Merge-list
+    * bookkeeping, bounded by the vocabulary size, never corpus data.
+    */
+  def ranksFromFrame(df: DataFrame): Map[(String, String), Int] =
+    df.select(col("rank").cast("int"), col("l"), col("r")).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+
   // ------------------------------------------------------------- training
 
   /** One merge step — replace every adjacent (l, r) occurrence, left to
@@ -169,6 +188,39 @@ object Bpe {
     }
     graft.dedup.ConnectedComponents.freeLocalCheckpoint(dict)
     merges.toSeq
+  }
+
+  /** Deterministic BOUNDED-SAMPLE trainer — the 100 TB path. The
+    * full-corpus trainers pay an O(corpus) [[wordDict]] pass and (for
+    * [[trainMergesLocal]]) collect the whole distinct-word dictionary;
+    * at web scale the dictionary itself (typo/URL/numeric tail) grows
+    * with the corpus and neither is acceptable per training run. This
+    * trainer fits on the md5-EARLIEST `sampleDocs` documents (the
+    * [[graft.similarity.Pq.sampleCodebooks]] precedent: content-keyed
+    * deterministic sample → bounded local fit → broadcastable artifact):
+    * selection depends only on id CONTENT, so the same corpus yields the
+    * same merges under any partitioning, cluster size, or read order —
+    * spec-asserted. Vocabulary quality degrades gracefully with sample
+    * size (BPE merge ranks are frequency statistics; Zipf means a few
+    * thousand documents already pin the head merges), and a sample ≥ the
+    * corpus reproduces [[trainMergesLocal]] exactly.
+    */
+  def trainMergesSampled(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int,
+      sampleDocs: Int = 4096,
+      minPairCount: Long = 1L
+  ): Seq[(String, String)] = {
+    require(sampleDocs > 0, s"sampleDocs must be positive: $sampleDocs")
+    val sample = docs
+      .select(col(idCol).as("__id"), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .withColumn("__h", graft.operators.Sampling.keyHash(Seq(col("__id"))))
+      .orderBy(col("__h"), col("__id").cast("string")) // md5 ties can't happen for distinct ids; the id tiebreak makes that explicit
+      .limit(sampleDocs)
+    trainMergesLocal(sample, textCol, numMerges, minPairCount)
   }
 
   /** [[trainMerges]] on the COLLECTED dictionary — the practical trainer

@@ -94,6 +94,33 @@ class BpeSpec extends SparkSpec {
     assert(stopped.length < 8 && local.startsWith(stopped))
   }
 
+  test("sampled trainer: partition-invariant, sample>=corpus == full local fit, frame roundtrip") {
+    val docs = Seq(
+      (10L, "the thing that was the thing"),
+      (11L, "hello hello for you"),
+      (12L, "that was the thing for"),
+      (13L, "whizz whizz 2024 the"),
+      (14L, "you for the that")).toDF("doc_id", "text")
+    val m1 = Bpe.trainMergesSampled(docs, "doc_id", "text", numMerges = 12, sampleDocs = 3)
+    // sample selection is keyed on id CONTENT — any partitioning/order
+    // of the input yields the identical merge list
+    val m7 = Bpe.trainMergesSampled(
+      docs.repartition(7).orderBy(col("text")), "doc_id", "text",
+      numMerges = 12, sampleDocs = 3)
+    assert(m1 == m7)
+    // a below-corpus sample trains on a strict subset: still deterministic
+    // and non-empty on this fixture
+    assert(m1.nonEmpty)
+    // sample >= corpus reproduces the full local fit exactly
+    val full = Bpe.trainMergesLocal(docs, "text", numMerges = 12)
+    val mAll = Bpe.trainMergesSampled(docs, "doc_id", "text", numMerges = 12, sampleDocs = 100)
+    assert(mAll == full)
+    // merges frame: ranks survive the DataFrame (and thus parquet) form,
+    // row order irrelevant
+    val frame = Bpe.mergesFrame(spark, full).orderBy(col("l").desc)
+    assert(Bpe.ranksFromFrame(frame) == Bpe.ranksOf(full))
+  }
+
   test("non-BMP symbols survive the distributed trainer (code-point symbols)") {
     // an astral pre-token (U+1F600) is ONE symbol, never two lone
     // surrogates — lone surrogates would be mangled to '?' by the UDF's

@@ -61,6 +61,40 @@ class FunnelSpec extends SparkSpec {
     assert(rep.toSeq == Seq((1, "a", 3L), (2, "b", 2L), (3, "c", 1L)))
   }
 
+  test("hot-user cap: earliest-k events only, and cap >= events is identity") {
+    // synthetic bot: 5000 step-typed events, the funnel-completing pair
+    // (b, c) arrives only AFTER the first 100 — a cap of 100 must see
+    // the bot stall at step 1, an above-width cap must match uncapped.
+    val bot = (1 to 5000).map(i =>
+      (9L, i.toLong, 1000L + i, if (i == 4000) "b" else if (i == 4500) "c" else "a"))
+    val d = ev(bot :+ ((2L, 9000L, 10L, "a")): _*)
+    def capped(cap: Option[Int]) =
+      Funnel.stepsCompleted(d, "user_id", "event_type", "ts", "event_id",
+          steps, spanSec = 100000, maxEventsPerUser = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uncapped = capped(None)
+    assert(uncapped == Map(9L -> 3L, 2L -> 1L))
+    // cap below the bot's width: only the earliest 100 events (all 'a')
+    // enter the fold — deterministic earliest-k, not an arbitrary sample
+    assert(capped(Some(100)) == Map(9L -> 1L, 2L -> 1L))
+    // cap at/above the max per-user width: bit-identical to uncapped
+    // (the q136 contract: gate hash is cap-invariant for cap >= corpus max)
+    assert(capped(Some(5000)) == uncapped)
+    assert(capped(Some(100000)) == uncapped)
+  }
+
+  test("ts outside [0, 2^40) seconds fails fast, not silently") {
+    val neg = ev((1L, 1L, -5L, "a"))
+    val errNeg = intercept[Exception] { completed(neg) }
+    assert(errNeg.getMessage.contains("packing range")
+      || errNeg.getCause != null && errNeg.getCause.getMessage.contains("packing range"))
+    // millisecond-scale epochs (>= 2^40) are the other corruption mode
+    val ms = ev((1L, 1L, 1700000000000L, "a"))
+    val errMs = intercept[Exception] { completed(ms) }
+    assert(errMs.getMessage.contains("packing range")
+      || errMs.getCause != null && errMs.getCause.getMessage.contains("packing range"))
+  }
+
   test("weekly retention: cohorts anchor at the first event's week") {
     val day = 86400L
     val d = ev(

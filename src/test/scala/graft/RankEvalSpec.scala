@@ -33,6 +33,18 @@ class RankEvalSpec extends SparkSpec {
     val sum = RankEval.summary(results, truth, k = 5).head()
     assert(sum.getLong(0) == 4L && sum.getLong(1) == 3L && sum.getLong(2) == 6L)
     assert(sum.getDouble(3) == 0.5)
+    // MRR: reciprocal ranks 1/1 (q1) + 1/2 (q2), misses contribute 0,
+    // divided by ALL 4 queries
+    assert(sum.getDouble(4) == 1.5 / 4)
+  }
+
+  test("results-only queries keep a row (n_truth = 0), symmetric with truth-only") {
+    val truth = lists((1L, 101L, 1))
+    val results = lists((1L, 101L, 1), (7L, 700L, 1)) // query 7 has no ground truth
+    val got = RankEval.perQuery(results, truth, k = 5)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L, 1L, 1L), (7L, 1L, 0L, 0L)))
   }
 
   test("confusion counts: quadrants exact, unlabeled predictions dropped") {
@@ -43,6 +55,18 @@ class RankEvalSpec extends SparkSpec {
     val c = RankEval.confusion(preds, labels, "id").head()
     assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
       ((1L, 1L, 1L, 1L))) // id 9 has no label -> not counted anywhere
+    assert(c.getLong(4) == 4L) // n_rows: tp+fp+fn+tn == n_rows invariant
+  }
+
+  test("confusion: NULL prediction/label rows are excluded, not silently zeroed") {
+    val preds = Seq((1L, Some(true)), (2L, None), (3L, Some(false)))
+      .toDF("id", "predicted")
+    val labels = Seq((1L, Some(true)), (2L, Some(true)), (3L, None))
+      .toDF("id", "label")
+    val c = RankEval.confusion(preds, labels, "id").head()
+    // only id 1 is fully labeled; ids 2/3 are excluded AND visible via n_rows
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4)) ==
+      ((1L, 0L, 0L, 0L, 1L)))
   }
 
   test("k truncates both sides") {
