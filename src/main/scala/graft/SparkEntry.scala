@@ -155,7 +155,8 @@ object SparkEntry {
     "q142_sentences" -> (LlmQueries.q142Sentences(_, _)),
     "q143_retrieval_eval" -> (LlmQueries.q143RetrievalEval(_, _)),
     "q144_classifier_eval" -> (LlmQueries.q144ClassifierEval(_, _)),
-    "q145_bpe_sampled" -> (LlmQueries.q145BpeSampled(_, _))
+    "q145_bpe_sampled" -> (LlmQueries.q145BpeSampled(_, _)),
+    "q146_sentence_chunks" -> (LlmQueries.q146SentenceChunks(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2418,7 +2419,64 @@ object SparkEntry {
         |  toks[1] AS first_token,
         |  toks[-1] AS last_token
         |FROM read_parquet('__GRAFT_FIXTURE:bpe_sampled_tokens__/*.parquet')
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // sentence-aligned chunking: q142's decoration + segmentation CTEs,
+    // then the greedy ≤5-token fill replayed as a RECURSIVE CTE carrying
+    // (last_chunk, cur_tokens) running state per doc — a different
+    // derivation than the engine's array fold; oversized sentences
+    // expand into budget-sized window pieces via a lateral range unnest
+    "q146_sentence_chunks" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w FROM documents),
+        |dec AS (SELECT doc_id, list_reduce(
+        |    list_prepend('', list_transform(range(1, len(w) + 1), i -> w[i] ||
+        |      CASE WHEN (i - 1) % 11 = 10 THEN '!?' || chr(10)
+        |           WHEN (i - 1) % 7 = 6 THEN '.  '
+        |           ELSE ' ' END)),
+        |    (a, x) -> a || x) AS text
+        |  FROM t),
+        |seg AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split(regexp_replace(text, '([.!?]+)[ ' || chr(9) || chr(13) || chr(10) || ']+', '\1' || chr(31), 'g'), chr(31)),
+        |      s -> trim(s)), s -> s <> '') AS ss
+        |  FROM dec),
+        |sent AS (SELECT doc_id, u.i AS i, ss[u.i] AS s,
+        |    CAST(len(string_split(ss[u.i], ' ')) AS BIGINT) AS t
+        |  FROM seg, unnest(range(1, len(ss) + 1)) AS u(i)),
+        |fill AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS last_chunk,
+        |      CAST(-1 AS BIGINT) AS cur, CAST(NULL AS BIGINT) AS sent_chunk,
+        |      FALSE AS oversized, CAST(0 AS BIGINT) AS t
+        |    FROM seg WHERE len(ss) > 0
+        |  UNION ALL
+        |  SELECT f.doc_id, f.i + 1,
+        |    CASE WHEN s.t > 5 THEN f.last_chunk + ((s.t + 4) // 5)
+        |         WHEN f.cur >= 0 AND f.cur + s.t <= 5 THEN f.last_chunk
+        |         ELSE f.last_chunk + 1 END,
+        |    CASE WHEN s.t > 5 THEN CAST(-1 AS BIGINT)
+        |         WHEN f.cur >= 0 AND f.cur + s.t <= 5 THEN f.cur + s.t
+        |         ELSE s.t END,
+        |    CASE WHEN s.t <= 5 AND f.cur >= 0 AND f.cur + s.t <= 5 THEN f.last_chunk
+        |         ELSE f.last_chunk + 1 END,
+        |    s.t > 5,
+        |    s.t
+        |  FROM fill f JOIN sent s ON s.doc_id = f.doc_id AND s.i = f.i + 1),
+        |norm AS (
+        |  SELECT f.doc_id, f.sent_chunk AS chunk_idx,
+        |    string_agg(s.s, ' ' ORDER BY f.i) AS chunk,
+        |    count(*) AS n_sentences, CAST(sum(s.t) AS BIGINT) AS n_tokens
+        |  FROM fill f JOIN sent s ON s.doc_id = f.doc_id AND s.i = f.i
+        |  WHERE f.i >= 1 AND NOT f.oversized
+        |  GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT f.doc_id, f.sent_chunk + p.j AS chunk_idx,
+        |    array_to_string(list_slice(string_split(s.s, ' '), p.j * 5 + 1, p.j * 5 + 5), ' ') AS chunk,
+        |    CAST(1 AS BIGINT) AS n_sentences,
+        |    CAST(len(list_slice(string_split(s.s, ' '), p.j * 5 + 1, p.j * 5 + 5)) AS BIGINT) AS n_tokens
+        |  FROM fill f, sent s, unnest(range(0, (f.t + 4) // 5)) AS p(j)
+        |  WHERE s.doc_id = f.doc_id AND s.i = f.i AND f.i >= 1 AND f.oversized)
+        |SELECT doc_id, chunk_idx, n_sentences, n_tokens AS n_chunk_tokens, md5(chunk) AS chunk_md5
+        |FROM (SELECT * FROM norm UNION ALL SELECT * FROM ov)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1484,16 +1484,41 @@ object LlmQueries {
     * rule + trimming independently — seg_md5 gates exact boundaries.
     */
   def q142Sentences(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), decoratedSentenceText.as("text"))
+    graft.text.Chunking.sentenceStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** The q142 punctuation decoration (periods every 7th token, "!?" +
+    * newline every 11th, doubled spaces) — shared by the segmentation
+    * (q142) and sentence-chunking (q146) gates so both run the rule on
+    * the same sentence structure.
+    */
+  private def decoratedSentenceText: org.apache.spark.sql.Column = {
     val w = split(trim(lower(coalesce(col("text"), lit("")))), "\\s+")
-    val decorated = array_join(
+    array_join(
       transform(w, (t, i) =>
         concat(t,
           when(pmod(i, lit(11)) === 10, lit("!?\n"))
             .when(pmod(i, lit(7)) === 6, lit(".  "))
             .otherwise(lit(" ")))), "")
-    val d = Tables.documents(s, dir).select(col("doc_id"), decorated.as("text"))
-    graft.text.Chunking.sentenceStats(d, "doc_id", "text")
-      .orderBy("doc_id")
+  }
+
+  /** Sentence-aligned chunking gate: q142's sentences greedily packed
+    * into ≤5-token chunks (budget BELOW the ~7-token sentence cadence so
+    * the oversized token-window fallback fires on real rows, while the
+    * 1–4-token sentences the 7/11 decoration cadence produces exercise
+    * multi-sentence packing). The oracle replays segmentation + the
+    * greedy fill as a RECURSIVE CTE over running (chunk, tokens) state —
+    * a different derivation than the engine's array fold — and gates
+    * chunk geometry AND chunk-text md5.
+    */
+  def q146SentenceChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), decoratedSentenceText.as("text"))
+    graft.text.Chunking.sentenceChunks(d, "doc_id", "text", budgetTokens = 5)
+      .select(col("doc_id"), col("chunk_idx"), col("n_sentences"), col("n_chunk_tokens"),
+        md5(to_binary(col("chunk"), lit("utf-8"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Retrieval evaluation gate: single-probe LSH top-5 scored against

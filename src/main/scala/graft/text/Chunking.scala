@@ -92,6 +92,77 @@ object Chunking {
         array().cast("array<string>")).as("sentences"))
   }
 
+  /** Sentence-ALIGNED chunking — the RAG unit [[slidingChunks]] cannot
+    * produce (a fixed window cuts mid-sentence by construction): pack
+    * [[sentences]] into chunks of at most `budgetTokens` single-space
+    * tokens, breaking ONLY at sentence boundaries. Greedy first-fit in
+    * sentence order: a sentence joins the open chunk while the token sum
+    * stays within budget, else opens a new chunk; a single sentence
+    * LARGER than the budget falls back to the token window (cut into
+    * budget-sized pieces, each its own chunk — the documented degrade
+    * path, so every emitted chunk is ≤ budget tokens, an invariant the
+    * spec asserts). Deterministic on any engine: the fold is sequential
+    * per document and the q146 oracle replays it as a recursive CTE — a
+    * DIFFERENT formulation (running-state recursion vs array fold) so
+    * the two derivations cross-check.
+    *
+    * Returns (idCol, chunk_idx (0-based), chunk, n_sentences,
+    * n_chunk_tokens); docs with no sentences emit no rows.
+    *
+    * Scale shape: one narrow projection — segment, fold, posexplode; no
+    * shuffle, chunks land in their parent's partition. The fold's
+    * accumulator holds the document's own chunk array (append copies it,
+    * so cost is O(sentences²) array-element moves per doc — fine at the
+    * chunking unit, but truncate pathological multi-MB docs upstream
+    * (q122's budget truncation) rather than feeding them through here,
+    * the same pre-filter contract as [[graft.operators.Funnel]]'s
+    * hot-user cap).
+    */
+  def sentenceChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Int
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val B = budgetTokens
+    val init = struct(
+      expr("cast(array() as array<array<string>>)").as("chunks"),
+      lit(-1).as("cur"))
+    def step(acc: Column, s: Column): Column = {
+      val chunks = acc.getField("chunks")
+      val cur = acc.getField("cur")
+      val words = split(s, " ")
+      val t = size(words)
+      // ceil(t / B) pieces for the oversized fallback — t < 2^31 so the
+      // double division is exact
+      val pcount = floor((t.cast("double") + lit(B - 1)) / lit(B)).cast("int")
+      val pieces = transform(sequence(lit(0), pcount - 1), j =>
+        array_join(slice(words, j * B + 1, lit(B)), " "))
+      val oversized = struct(
+        concat(chunks, transform(pieces, p => array(p))).as("chunks"),
+        lit(-1).as("cur")) // next sentence must open a fresh chunk
+      val appendLast = struct(
+        concat(slice(chunks, lit(1), size(chunks) - 1),
+          array(concat(element_at(chunks, -1), array(s)))).as("chunks"),
+        (cur + t).as("cur"))
+      val newChunk = struct(
+        concat(chunks, array(array(s))).as("chunks"),
+        t.as("cur"))
+      when(t > B, oversized)
+        .when(cur >= 0 && cur + t <= B, appendLast)
+        .otherwise(newChunk)
+    }
+    sentences(df, idCol, textCol)
+      .select(col(idCol),
+        aggregate(col("sentences"), init, step).getField("chunks").as("__chunks"))
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_idx", "__sents")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(col("__sents"), " ").as("chunk"),
+        size(col("__sents")).cast("long").as("n_sentences"))
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")).cast("long"))
+  }
+
   /** Per-doc sentence stats: count + char mass + md5 of the joined
     * segmentation (gates the exact boundaries, not just counts).
     */

@@ -289,4 +289,33 @@ class ChunkSourceSpec extends SparkSpec {
     assert(stats.getLong(1) == 4L)
     assert(stats.getLong(2) == "One two.Three four!Five?!Six".length.toLong)
   }
+
+  test("sentenceChunks: greedy fill, exact-boundary pack, oversized window fallback, budget invariant") {
+    val d = Seq(
+      // sentences: "a b." (2) | "c d e." (3) | "f." (1) | "g h i j k l m n." (8) | "o p." (2)
+      (1L, "a b. c d e. f. g h i j k l m n. o p."),
+      (2L, "one two three four five."),  // t=5 == budget exactly: NOT oversized, single chunk
+      (3L, ""),                           // no sentences -> no rows
+      (4L, "x. y. z.")                    // three 1-token sentences pack into one chunk
+    ).toDF("id", "text")
+    val out = Chunking.sentenceChunks(d, "id", "text", budgetTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 1: [a b. | c d e.] (2+3=5 exact fill) [f.] then oversized 8-token
+    // sentence -> two window pieces (5, 3), then [o p.] opens fresh
+    assert(out((1L, 0L)) == ("a b. c d e.", 2L, 5L))
+    assert(out((1L, 1L)) == ("f.", 1L, 1L))
+    assert(out((1L, 2L)) == ("g h i j k", 1L, 5L))
+    assert(out((1L, 3L)) == ("l m n.", 1L, 3L))
+    assert(out((1L, 4L)) == ("o p.", 1L, 2L))
+    assert(out((2L, 0L)) == ("one two three four five.", 1L, 5L))
+    assert(out((4L, 0L)) == ("x. y. z.", 3L, 3L))
+    assert(!out.keys.exists(_._1 == 3L))
+    // THE invariant: every chunk (including window pieces) is <= budget
+    assert(out.values.forall(_._3 <= 5L))
+    // chunk indexes are dense 0..n-1 per doc
+    val byDoc = out.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    byDoc.foreach { case (_, idxs) => assert(idxs == (0L until idxs.length.toLong)) }
+  }
 }
