@@ -156,7 +156,8 @@ object SparkEntry {
     "q143_retrieval_eval" -> (LlmQueries.q143RetrievalEval(_, _)),
     "q144_classifier_eval" -> (LlmQueries.q144ClassifierEval(_, _)),
     "q145_bpe_sampled" -> (LlmQueries.q145BpeSampled(_, _)),
-    "q146_sentence_chunks" -> (LlmQueries.q146SentenceChunks(_, _))
+    "q146_sentence_chunks" -> (LlmQueries.q146SentenceChunks(_, _)),
+    "q147_pii_checksum" -> (LlmQueries.q147PiiChecksum(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2476,7 +2477,61 @@ object SparkEntry {
         |  WHERE s.doc_id = f.doc_id AND s.i = f.i AND f.i >= 1 AND f.oversized)
         |SELECT doc_id, chunk_idx, n_sentences, n_tokens AS n_chunk_tokens, md5(chunk) AS chunk_md5
         |FROM (SELECT * FROM norm UNION ALL SELECT * FROM ov)
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // checksum-validated ids: the oracle recomputes EVERY Luhn mod-10
+    // and IBAN mod-97 checksum digit-for-digit (exact integer folds —
+    // the streaming mod-97 form keeps every intermediate < 970, so
+    // 64-bit on both engines); match order preserved via index unnest
+    "q147_pii_checksum" ->
+      """WITH aug AS (SELECT doc_id,
+        |    coalesce(text, '') || ' pay ' ||
+        |    substring(c16, 1, 4) || ' ' || substring(c16, 5, 4) || ' ' ||
+        |    substring(c16, 9, 4) || ' ' || substring(c16, 13, 4) ||
+        |    ' acct DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |    lpad(CAST((doc_id * 37) % 10000000000 AS VARCHAR), 10, '0') ||
+        |    ' ref ' || c16 AS text
+        |  FROM (SELECT doc_id, text,
+        |      '4' || lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') AS c16
+        |    FROM documents)),
+        |cl AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '\b[0-9][0-9 -]{11,21}[0-9]\b'),
+        |      x -> regexp_replace(x, '[ -]', '', 'g')) AS l
+        |  FROM aug),
+        |cc AS (SELECT doc_id, o.idx AS idx, l[o.idx] AS d
+        |  FROM cl, unnest(range(1, len(l) + 1)) AS o(idx)),
+        |cok AS (SELECT doc_id, idx, d FROM cc
+        |  WHERE length(d) BETWEEN 13 AND 19 AND
+        |    list_sum(list_transform(range(1, length(d) + 1), i ->
+        |      CASE WHEN (i - 1) % 2 = 0 THEN CAST(substring(reverse(d), i, 1) AS BIGINT)
+        |           WHEN CAST(substring(reverse(d), i, 1) AS BIGINT) > 4
+        |             THEN CAST(substring(reverse(d), i, 1) AS BIGINT) * 2 - 9
+        |           ELSE CAST(substring(reverse(d), i, 1) AS BIGINT) * 2 END)) % 10 = 0),
+        |cagg AS (SELECT doc_id, string_agg(d, ',' ORDER BY idx) AS cards,
+        |    count(*) AS n_c FROM cok GROUP BY 1),
+        |il AS (SELECT doc_id, regexp_extract_all(text, '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{8,30}\b') AS l
+        |  FROM aug),
+        |ic AS (SELECT doc_id, o.idx AS idx, l[o.idx] AS c
+        |  FROM il, unnest(range(1, len(l) + 1)) AS o(idx)),
+        |iex AS (SELECT doc_id, idx, c,
+        |    array_to_string(list_transform(range(1, length(rot) + 1), i ->
+        |      CASE WHEN substring(rot, i, 1) BETWEEN '0' AND '9' THEN substring(rot, i, 1)
+        |           ELSE CAST(ascii(substring(rot, i, 1)) - 55 AS VARCHAR) END), '') AS ex
+        |  FROM (SELECT doc_id, idx, c, substring(c, 5) || substring(c, 1, 4) AS rot FROM ic)),
+        |iok AS (SELECT doc_id, idx, c FROM iex
+        |  WHERE length(c) >= 12 AND list_reduce(
+        |    list_transform(range(1, length(ex) + 1), j -> CAST(substring(ex, j, 1) AS BIGINT)),
+        |    (acc, x) -> (acc * 10 + x) % 97) = 1),
+        |iagg AS (SELECT doc_id, string_agg(c, ',' ORDER BY idx) AS ibans,
+        |    count(*) AS n_i FROM iok GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(cagg.n_c, 0) AS BIGINT) AS n_cards_valid,
+        |  CAST(coalesce(iagg.n_i, 0) AS BIGINT) AS n_ibans_valid,
+        |  coalesce(cagg.cards, '') AS cards,
+        |  coalesce(iagg.ibans, '') AS ibans
+        |FROM documents d
+        |LEFT JOIN cagg ON d.doc_id = cagg.doc_id
+        |LEFT JOIN iagg ON d.doc_id = iagg.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1521,6 +1521,33 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Checksum-id gate: every doc gets a deterministic synthetic card
+    * number (spaced AND plain form of the same 16 digits) and a
+    * synthetic IBAN derived from doc_id; whether each validates is
+    * decided by the CHECKSUM, not the injection (~1/10 of cards pass
+    * Luhn, ~1/97 of IBANs pass mod-97), so the oracle must recompute
+    * every checksum digit-for-digit to match counts AND the validated
+    * id lists.
+    */
+  def q147PiiChecksum(s: SparkSession, dir: String): DataFrame = {
+    val card16 = concat(lit("4"),
+      lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"), 15, "0"))
+    val spaced = concat_ws(" ",
+      substring(card16, 1, 4), substring(card16, 5, 4),
+      substring(card16, 9, 4), substring(card16, 13, 4))
+    val iban = concat(lit("DE"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      lpad(((col("doc_id") * 37) % 10000000000L).cast("string"), 10, "0"))
+    val aug = Tables.documents(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(" pay "), spaced,
+        lit(" acct "), iban, lit(" ref "), card16).as("text"))
+    graft.text.PiiScan.checksumScan(aug, "text")
+      .select(col("doc_id"), col("n_cards_valid"), col("n_ibans_valid"),
+        array_join(col("cards_valid"), ",").as("cards"),
+        array_join(col("ibans_valid"), ",").as("ibans"))
+      .orderBy("doc_id")
+  }
+
   /** Retrieval evaluation gate: single-probe LSH top-5 scored against
     * brute-force ground truth — the oracle replays BOTH retrievers (the
     * q25/q26 CTEs) and then the metric joins, so a hash match proves

@@ -266,6 +266,45 @@ class ProfileSampleSpec extends SparkSpec {
     assert(tricky == "read <URL> today", tricky)
   }
 
+  test("checksum ids: Luhn/IBAN goldens, separator stripping, false positives survive") {
+    import spark.implicits._
+    import graft.text.PiiScan
+    // column-level validators against published test values
+    val v = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),  // one digit off
+      ("4532015112830366", true),
+      ("1234567812345678", false),  // 16 digits, NOT Luhn — the false-positive contract
+      ("79927398713", true),        // the ISO worked example
+      ("", false)
+    ).toDF("d", "ok")
+    v.select(PiiScan.luhnValid(col("d")).as("got"), col("ok")).collect()
+      .foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    val ib = Seq(
+      ("GB82WEST12345698765432", true),
+      ("DE89370400440532013000", true),
+      ("DE89370400440532013001", false), // last digit flipped
+      ("", false)
+    ).toDF("c", "ok")
+    ib.select(PiiScan.ibanValid(col("c")).as("got"), col("ok")).collect()
+      .foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    // scan: spaced/dashed forms strip to the same digits; non-Luhn runs
+    // and non-mod-97 IBANs survive the scrubber's attention entirely
+    val d = Seq(
+      (1L, "pay 4111 1111 1111 1111 or 4111-1111-1111-1111 thanks"),
+      (2L, "order id 1234567812345678 is not a card"),
+      (3L, "wire to GB82WEST12345698765432 or DE89370400440532013001"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = PiiScan.checksumScan(d, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Seq[String]]("cards_valid"), r.getAs[Seq[String]]("ibans_valid")))).toMap
+    assert(got(1L) == ((Seq("4111111111111111", "4111111111111111"), Seq.empty)))
+    assert(got(2L) == ((Seq.empty, Seq.empty))) // 16-digit non-Luhn NOT flagged
+    assert(got(3L) == ((Seq.empty, Seq("GB82WEST12345698765432"))))
+    assert(got(4L) == ((Seq.empty, Seq.empty)))
+  }
+
   test("keyHash distinguishes NULL positions in multi-column keys") {
     import spark.implicits._
     // concat_ws silently drops NULLs: without the sentinel these three
