@@ -157,7 +157,8 @@ object SparkEntry {
     "q144_classifier_eval" -> (LlmQueries.q144ClassifierEval(_, _)),
     "q145_bpe_sampled" -> (LlmQueries.q145BpeSampled(_, _)),
     "q146_sentence_chunks" -> (LlmQueries.q146SentenceChunks(_, _)),
-    "q147_pii_checksum" -> (LlmQueries.q147PiiChecksum(_, _))
+    "q147_pii_checksum" -> (LlmQueries.q147PiiChecksum(_, _)),
+    "q148_hll_overlap" -> (CoreQueries.q148HllOverlap(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2531,7 +2532,54 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN cagg ON d.doc_id = cagg.doc_id
         |LEFT JOIN iagg ON d.doc_id = iagg.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // HLL overlap: registers of both halves replayed (the q128 hash/rank
+    // pipeline), union = max-merge of the two register tables, then
+    // inclusion-exclusion in the pinned association order
+    // (est_a + est_b) - est_union; every term is one pinned division of
+    // the alpha numerator by an exact BIGINT denominator
+    "q148_hll_overlap" ->
+      """WITH toks AS (SELECT lang, doc_id, u.tok AS w
+        |  FROM documents, unnest(string_split_regex(trim(lower(text)), '\s+')) AS u(tok)
+        |  WHERE text IS NOT NULL AND u.tok <> ''),
+        |ha AS (SELECT lang,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM toks WHERE doc_id % 2 = 0),
+        |hb AS (SELECT lang,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) AS hv
+        |  FROM toks WHERE doc_id % 2 = 1),
+        |ra AS (SELECT lang, hv & 255 AS bucket,
+        |    max(CASE WHEN (hv >> 8) = 0 THEN 53 ELSE 53 - length(bin(hv >> 8)) END) AS r
+        |  FROM ha GROUP BY 1, 2),
+        |rb AS (SELECT lang, hv & 255 AS bucket,
+        |    max(CASE WHEN (hv >> 8) = 0 THEN 53 ELSE 53 - length(bin(hv >> 8)) END) AS r
+        |  FROM hb GROUP BY 1, 2),
+        |ru AS (SELECT lang, bucket, max(r) AS r
+        |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2),
+        |ea AS (SELECT lang, 4.2399330249068963e+20 / CAST(
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) +
+        |    (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS est_a
+        |  FROM ra GROUP BY 1),
+        |eb AS (SELECT lang, 4.2399330249068963e+20 / CAST(
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) +
+        |    (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS est_b
+        |  FROM rb GROUP BY 1),
+        |eu AS (SELECT lang, 4.2399330249068963e+20 / CAST(
+        |    CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) +
+        |    (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS est_union
+        |  FROM ru GROUP BY 1),
+        |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+        |    SELECT DISTINCT lang, w FROM toks WHERE doc_id % 2 = 0
+        |    INTERSECT
+        |    SELECT DISTINCT lang, w FROM toks WHERE doc_id % 2 = 1) GROUP BY 1)
+        |SELECT lang, est_a, est_b, est_union,
+        |  (est_a + est_b) - est_union AS est_overlap, exact_overlap
+        |FROM ea JOIN eb USING (lang) JOIN eu USING (lang) JOIN ex USING (lang)
+        |ORDER BY lang""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

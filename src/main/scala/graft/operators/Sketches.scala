@@ -112,6 +112,43 @@ object Sketches {
   def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     hllReport(hllRegisters(df, groupCols, valueCol), groupCols)
 
+  /** Audience/corpus overlap report by inclusion–exclusion on register
+    * tables: |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes
+    * from [[mergeHllRegisters]] — the whole point of mergeable sketches
+    * is that the union estimate needs NO second data pass. The
+    * association order is pinned as (est_a + est_b) − est_union: every
+    * term is a bit-identical pinned division (see [[hllReport]]) and
+    * IEEE addition/subtraction of exact doubles is deterministic, so the
+    * overlap estimate is gateable cross-engine (q148 replays both sides'
+    * registers AND the union's). The estimate inherits HLL error from
+    * all three terms (≈ ±1.04/√m each, so the band on the DIFFERENCE is
+    * wider — the q148 spec asserts it against the exact intersection);
+    * it can go slightly negative for near-disjoint sides, which is
+    * reported as-is, not clamped (clamping would hide the error band).
+    *
+    * Groups are joined INNER: a group absent from one side has no
+    * sketch there (unknown), which is different from an observed-empty
+    * side; callers wanting absent == empty should union in empty
+    * register tables explicitly.
+    *
+    * Both inputs feed two consumers (their own report + the merge), so
+    * they are persisted here — register tables are ≤ groups×256 rows,
+    * the cost is nil and it saves re-deriving each sketch from its
+    * corpus twice (the multi-branch-lineage lesson of SURVEY §5.8).
+    */
+  def hllOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val pa = a.persist()
+    val pb = b.persist()
+    pa.count(); pb.count() // materialize so the planner sees real sizes
+    val gc = groupCols.map(col)
+    val ra = hllReport(pa, groupCols).select((gc :+ col("est").as("est_a")): _*)
+    val rb = hllReport(pb, groupCols).select((gc :+ col("est").as("est_b")): _*)
+    val ru = hllReport(mergeHllRegisters(pa, pb, groupCols), groupCols)
+      .select((gc :+ col("est").as("est_union")): _*)
+    ra.join(rb, groupCols).join(ru, groupCols)
+      .withColumn("est_overlap", (col("est_a") + col("est_b")) - col("est_union"))
+  }
+
   /** Linear-counting small-range correction m·ln(m/v0) — NOT gate-safe
     * (`ln` has no cross-engine ulp contract); convenience for users whose
     * cardinalities sit below 5m/2 where raw HLL biases high.

@@ -848,6 +848,34 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** HLL set-operation gate: per-language vocabulary overlap between the
+    * even- and odd-doc halves of the corpus by inclusion–exclusion on
+    * register tables ([[graft.operators.Sketches.hllOverlap]]); the
+    * oracle replays the registers of BOTH sides and the merged union,
+    * then the same pinned-order arithmetic. exact_overlap (true distinct
+    * intersection) rides along as the honesty column — the spec asserts
+    * the estimate's error band against it.
+    */
+  def q148HllOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val ta = toks.filter(col("doc_id") % 2 === 0)
+    val tb = toks.filter(col("doc_id") % 2 === 1)
+    val a = Sketches.hllRegisters(ta, Seq("lang"), "w")
+    val b = Sketches.hllRegisters(tb, Seq("lang"), "w")
+    val ov = Sketches.hllOverlap(a, b, Seq("lang"))
+    val exact = ta.select("lang", "w").distinct()
+      .join(tb.select("lang", "w").distinct(), Seq("lang", "w"))
+      .groupBy("lang").agg(countDistinct(col("w")).as("exact_overlap"))
+    ov.join(exact, Seq("lang"))
+      .select(col("lang"), col("est_a"), col("est_b"), col("est_union"),
+        col("est_overlap"), col("exact_overlap"))
+      .orderBy("lang")
+  }
+
   /** Count-Min frequency sketch gated cell-for-cell: estimates for the
     * top-20 exact-count tokens of the documents corpus, next to the
     * exact counts — `est >= exact` always (one-sided estimator), and the

@@ -38,6 +38,34 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll overlap: inclusion-exclusion identity and error band vs exact intersection") {
+    // A = [0, 1000), B = [600, 1600) as strings-of-longs -> exact overlap 400
+    val a = (0 until 1000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val b = (600 until 1600).map(i => ("g", i.toLong)).toDF("g", "v")
+    val ra = Sketches.hllRegisters(a, Seq("g"), "v")
+    val rb = Sketches.hllRegisters(b, Seq("g"), "v")
+    val row = Sketches.hllOverlap(ra, rb, Seq("g")).head()
+    val (estA, estB, estU, estO) =
+      (row.getAs[Double]("est_a"), row.getAs[Double]("est_b"),
+        row.getAs[Double]("est_union"), row.getAs[Double]("est_overlap"))
+    // the estimate IS the pinned-order identity, bit-for-bit
+    assert(estO == (estA + estB) - estU)
+    // error band: three ~6.5%-sigma terms on ~1000-scale cardinalities;
+    // allow a combined 3-sigma-ish absolute band on the difference
+    assert(math.abs(estO - 400.0) < 300.0, s"est_overlap $estO vs exact 400")
+    // each side's own estimate stays in its single-sketch band
+    assert(math.abs(estA - 1000.0) < 1000 * 0.065 * 4)
+    assert(math.abs(estB - 1000.0) < 1000 * 0.065 * 4)
+    // near-disjoint sides: overlap estimate may be small/negative but the
+    // union estimate must not exceed est_a + est_b
+    val c = (5000 until 6000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val rowD = Sketches.hllOverlap(ra,
+      Sketches.hllRegisters(c, Seq("g"), "v"), Seq("g")).head()
+    assert(rowD.getAs[Double]("est_union") <=
+      rowD.getAs[Double]("est_a") + rowD.getAs[Double]("est_b"))
+    assert(math.abs(rowD.getAs[Double]("est_overlap")) < 300.0)
+  }
+
   test("hll registers are idempotent under duplicate ingestion") {
     val once = values(1000, 100)
     val thrice = once.unionByName(once).unionByName(once)
