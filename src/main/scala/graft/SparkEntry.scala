@@ -158,7 +158,8 @@ object SparkEntry {
     "q145_bpe_sampled" -> (LlmQueries.q145BpeSampled(_, _)),
     "q146_sentence_chunks" -> (LlmQueries.q146SentenceChunks(_, _)),
     "q147_pii_checksum" -> (LlmQueries.q147PiiChecksum(_, _)),
-    "q148_hll_overlap" -> (CoreQueries.q148HllOverlap(_, _))
+    "q148_hll_overlap" -> (CoreQueries.q148HllOverlap(_, _)),
+    "q149_ndcg_eval" -> (LlmQueries.q149NdcgEval(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2579,7 +2580,56 @@ object SparkEntry {
         |SELECT lang, est_a, est_b, est_union,
         |  (est_a + est_b) - est_union AS est_overlap, exact_overlap
         |FROM ea JOIN eb USING (lang) JOIN eu USING (lang) JOIN ex USING (lang)
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+    // graded retrieval (nDCG@5): both retrievers replayed (the q143
+    // CTEs), grades pinned by truth rank, and the log2 discounts spliced
+    // as the SAME StrictMath-computed integers the engine uses — no
+    // logarithm is evaluated by either engine (the ln rule)
+    "q149_ndcg_eval" -> {
+      val planeRows = graft.similarity.Knn.hyperplanes(8, 64, 7L).zipWithIndex
+        .map { case (p, j) => s"($j, [${p.mkString(", ")}]::DOUBLE[])" }
+        .mkString(",\n  ")
+      val discRows = graft.operators.RankEval.ndcgDiscounts.take(5).zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, CAST($d AS BIGINT))" }
+        .mkString(",\n  ")
+      s"""WITH planes(j, pl) AS (VALUES
+         |  $planeRows),
+         |disc(i, d) AS (VALUES
+         |  $discRows),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vb AS (SELECT id, CAST(sum(CASE WHEN list_dot_product(v.v, p.pl) >= 0
+         |    THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM v, planes p GROUP BY id),
+         |vv AS (SELECT v.id, v.v, vb.bucket FROM v JOIN vb USING (id)),
+         |q AS (SELECT id AS query_id, v AS qv, bucket FROM vv WHERE id < 10),
+         |ls AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+         |  FROM vv c JOIN q ON c.bucket = q.bucket AND c.id <> q.query_id),
+         |lr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM ls),
+         |bs AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+         |  FROM vv c, q WHERE c.id <> q.query_id),
+         |tr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bs),
+         |res AS (SELECT query_id, id AS neighbor_id, rank FROM lr WHERE rank <= 5),
+         |g AS (SELECT query_id, id AS neighbor_id,
+         |    CASE WHEN rank = 1 THEN 3 WHEN rank <= 3 THEN 2 ELSE 1 END AS rel
+         |  FROM tr WHERE rank <= 5),
+         |dcg AS (SELECT res.query_id,
+         |    CAST(sum(coalesce(g.rel, 0) * d.d) AS BIGINT) AS dcg_scaled
+         |  FROM res
+         |  LEFT JOIN g ON res.query_id = g.query_id AND res.neighbor_id = g.neighbor_id
+         |  JOIN disc d ON d.i = res.rank GROUP BY 1),
+         |ideal AS (SELECT query_id, CAST(sum(rel * d.d) AS BIGINT) AS idcg_scaled FROM (
+         |    SELECT query_id, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS ir
+         |    FROM g) x
+         |  JOIN disc d ON d.i = x.ir WHERE x.ir <= 5 GROUP BY 1)
+         |SELECT ideal.query_id,
+         |  CAST(coalesce(dcg.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+         |  idcg_scaled,
+         |  CASE WHEN idcg_scaled > 0
+         |    THEN CAST(coalesce(dcg.dcg_scaled, 0) AS DOUBLE) / CAST(idcg_scaled AS DOUBLE) END AS ndcg
+         |FROM ideal LEFT JOIN dcg USING (query_id)
+         |ORDER BY ideal.query_id""".stripMargin
+    }
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -70,6 +70,65 @@ object RankEval {
         (coalesce(col("__rr_sum"), lit(0.0)) / col("n_queries")).as("mrr"))
   }
 
+  /** Graded-relevance evaluation (nDCG@k) with PINNED integer discounts.
+    * The log2 discount is the classic ln-rule problem (no cross-engine
+    * ulp contract), so the discounts are not computed by either engine:
+    * [[ndcgDiscounts]] is a fixed table d_i = floor(10^9 / log2(i+1))
+    * evaluated ONCE with StrictMath (bit-exact by Java spec) and treated
+    * as DATA — the q149 oracle receives these exact integers as spliced
+    * literals. DCG/IDCG are then exact 64-bit sums (rel ≤ 2^10, k ≤ 64,
+    * d ≤ 10^9 keeps every sum far under 2^53), and ndcg is ONE division
+    * of two exact longs — bit-identical on any IEEE engine.
+    */
+  val NdcgScale: Long = 1000000000L
+  val MaxNdcgRank: Int = 64
+  lazy val ndcgDiscounts: Array[Long] =
+    (1 to MaxNdcgRank).map(i =>
+      (NdcgScale / (StrictMath.log(i + 1.0) / StrictMath.log(2.0))).toLong).toArray
+
+  /** Per-query nDCG@k of `results` (query_id, neighbor_id, rank) against
+    * graded `truth` (query_id, neighbor_id, relCol ≥ 0). DCG sums
+    * rel·d_rank over the result list (unjudged neighbors score 0); IDCG
+    * re-ranks the truth by (rel desc, neighbor_id) — the tie-break only
+    * permutes equal-rel rows across adjacent discounts, so the SUM is
+    * tie-break-invariant. Queries with no results keep a row (dcg 0,
+    * the perQuery contract); ndcg is NULL when idcg is 0 (no positive
+    * relevance to normalize by — emitting NaN/inf would be
+    * engine-divergent).
+    */
+  def ndcg(
+      results: DataFrame,
+      truth: DataFrame,
+      k: Int,
+      relCol: String = "rel"
+  ): DataFrame = {
+    require(k > 0 && k <= MaxNdcgRank, s"k must be in [1, $MaxNdcgRank]: $k")
+    val dArr = array(ndcgDiscounts.take(k).map(lit): _*)
+    val r = results.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val t = truth.select(col("query_id"), col("neighbor_id"),
+      col(relCol).cast("long").as("__rel"))
+    val dcg = r.join(t, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__rel"), lit(0L)) *
+          element_at(dArr, col("rank").cast("int"))).as("__g"))
+      .groupBy("query_id").agg(sum(col("__g")).as("dcg_scaled"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__rel").desc, col("neighbor_id"))
+    val idcg = t.withColumn("__ir", row_number().over(w))
+      .filter(col("__ir") <= k)
+      .select(col("query_id"),
+        (col("__rel") * element_at(dArr, col("__ir"))).as("__g"))
+      .groupBy("query_id").agg(sum(col("__g")).as("idcg_scaled"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        col("idcg_scaled"),
+        when(col("idcg_scaled") > 0,
+          coalesce(col("dcg_scaled"), lit(0L)).cast("double") /
+            col("idcg_scaled").cast("double")).as("ndcg"))
+  }
+
   /** Binary-classifier confusion counts — the classifier-side twin of
     * [[perQuery]]: predictions joined to labels on `idCol`, one row of
     * exact-integer tp/fp/fn/tn (precision/recall/F1 are single

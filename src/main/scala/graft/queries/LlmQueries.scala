@@ -1563,6 +1563,24 @@ object LlmQueries {
     RankEval.perQuery(lsh, truth, k = 5).orderBy("query_id")
   }
 
+  /** Graded-retrieval gate (nDCG@5): LSH top-5 scored against
+    * brute-force truth with pinned grades (rank 1 → rel 3, ranks 2–3 →
+    * 2, ranks 4–5 → 1); discounts are the [[graft.operators.RankEval]]
+    * pinned integer table, which the oracle receives as spliced
+    * literals — neither engine computes a logarithm, the ln rule
+    * satisfied by construction.
+    */
+  def q149NdcgEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val lsh = Knn.lshTopK(e, queries, "vec_id", "embedding", k = 5)
+    val graded = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .withColumn("rel",
+        when(col("rank") === 1, 3L).when(col("rank") <= 3, 2L).otherwise(1L))
+    RankEval.ndcg(lsh, graded, k = 5).orderBy("query_id")
+  }
+
   /** Classifier evaluation gate: the q125 quality classifier's
     * training-set confusion counts — tp/fp/fn/tn as exact integers (the
     * oracle refits the model, replays every margin, and re-derives the

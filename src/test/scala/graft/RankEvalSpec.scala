@@ -69,6 +69,36 @@ class RankEvalSpec extends SparkSpec {
       ((1L, 0L, 0L, 0L, 1L)))
   }
 
+  test("ndcg: pinned discounts, hand-computed golden, perfect == 1.0, tie-break invariance") {
+    // the discount table is DATA — pin the head so a drift in its
+    // generation breaks loudly (floor(1e9 / log2(i+1)))
+    assert(RankEval.ndcgDiscounts.take(5).toSeq ==
+      Seq(1000000000L, 630929753L, 500000000L, 430676558L, 386852807L))
+    val truth = Seq((1L, 11L, 3L), (1L, 12L, 2L), (1L, 13L, 1L))
+      .toDF("query_id", "neighbor_id", "rel")
+    val results = lists((1L, 12L, 1), (1L, 11L, 2), (1L, 99L, 3)) // unjudged at rank 3
+    val d = RankEval.ndcgDiscounts
+    val row = RankEval.ndcg(results, truth, k = 5).head()
+    val expDcg = 2 * d(0) + 3 * d(1) // rel(12)=2 at rank 1, rel(11)=3 at rank 2
+    val expIdcg = 3 * d(0) + 2 * d(1) + 1 * d(2)
+    assert(row.getLong(1) == expDcg && row.getLong(2) == expIdcg)
+    assert(row.getDouble(3) == expDcg.toDouble / expIdcg.toDouble)
+    // ideal ordering retrieved exactly -> ndcg == 1.0 bit-for-bit
+    val perfect = lists((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3))
+    assert(RankEval.ndcg(perfect, truth, k = 5).head().getDouble(3) == 1.0)
+    // equal-rel tie-break permutes adjacent discounts only: idcg invariant
+    val truthTied = Seq((1L, 11L, 2L), (1L, 12L, 2L), (1L, 13L, 1L))
+      .toDF("query_id", "neighbor_id", "rel")
+    val truthTiedRev = Seq((1L, 12L, 2L), (1L, 11L, 2L), (1L, 13L, 1L))
+      .toDF("query_id", "neighbor_id", "rel")
+    assert(RankEval.ndcg(perfect, truthTied, 5).head().getLong(2) ==
+      RankEval.ndcg(perfect, truthTiedRev, 5).head().getLong(2))
+    // a query with truth but no results keeps its row with dcg 0, ndcg 0
+    val twoQ = truth.union(Seq((2L, 21L, 1L)).toDF("query_id", "neighbor_id", "rel"))
+    val q2 = RankEval.ndcg(results, twoQ, 5).filter($"query_id" === 2L).head()
+    assert(q2.getLong(1) == 0L && q2.getDouble(3) == 0.0)
+  }
+
   test("k truncates both sides") {
     val truth = lists((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3))
     val results = lists((1L, 13L, 1), (1L, 11L, 2), (1L, 12L, 3))
