@@ -159,7 +159,10 @@ object SparkEntry {
     "q146_sentence_chunks" -> (LlmQueries.q146SentenceChunks(_, _)),
     "q147_pii_checksum" -> (LlmQueries.q147PiiChecksum(_, _)),
     "q148_hll_overlap" -> (CoreQueries.q148HllOverlap(_, _)),
-    "q149_ndcg_eval" -> (LlmQueries.q149NdcgEval(_, _))
+    "q149_ndcg_eval" -> (LlmQueries.q149NdcgEval(_, _)),
+    "q150_skew_profile" -> (CoreQueries.q150SkewProfile(_, _)),
+    "q151_embedding_quality" -> (CoreQueries.q151EmbeddingQuality(_, _)),
+    "q152_mad_outliers" -> (CoreQueries.q152MadOutliers(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2629,7 +2632,73 @@ object SparkEntry {
          |    THEN CAST(coalesce(dcg.dcg_scaled, 0) AS DOUBLE) / CAST(idcg_scaled AS DOUBLE) END AS ndcg
          |FROM ideal LEFT JOIN dcg USING (query_id)
          |ORDER BY ideal.query_id""".stripMargin
-    }
+    },
+    // skew decision report: exact counts, integer div for ppm share and
+    // the ceil-div salt recommendation (float-division floor could
+    // round across the boundary — integer div on both engines)
+    "q150_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |top AS (SELECT o_custkey, CAST(cnt AS BIGINT) AS cnt FROM c
+        |  ORDER BY cnt DESC, o_custkey LIMIT 5)
+        |SELECT o_custkey, cnt,
+        |  (cnt * 1000000) // total AS share_ppm,
+        |  greatest(CAST(1 AS BIGINT), (cnt + 9) // 10) AS recommended_salt
+        |FROM top, t ORDER BY cnt DESC, o_custkey""".stripMargin,
+    // embedding DQ: injected NULL / wrong-dim / NaN / zero rows must
+    // count exactly once each; norm-squared is a left fold with pinned
+    // association (list_prepend 0.0 mirrors the engine's aggregate init)
+    "q151_embedding_quality" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL SELECT -1, NULL
+        |  UNION ALL SELECT -2, [1.0, 2.0]::DOUBLE[]
+        |  UNION ALL SELECT -3, list_transform(range(64), x -> 'NaN'::DOUBLE)
+        |  UNION ALL SELECT -4, list_transform(range(64), x -> 0.0::DOUBLE)),
+        |m AS (SELECT
+        |    v IS NULL AS is_nl,
+        |    v IS NOT NULL AND len(v) <> 64 AS is_bad,
+        |    v IS NOT NULL AND len(list_filter(v, x -> isnan(x))) > 0 AS has_nan,
+        |    CASE WHEN v IS NOT NULL
+        |      THEN list_reduce(list_prepend(0.0, v), (a, x) -> a + x * x) END AS n2
+        |  FROM base),
+        |f AS (SELECT *, NOT is_nl AND NOT is_bad AND NOT has_nan AS clean FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN is_nl THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+        |  CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  CAST(sum(CASE WHEN clean AND n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  min(CASE WHEN clean THEN n2 END) AS min_norm2,
+        |  max(CASE WHEN clean THEN n2 END) AS max_norm2
+        |FROM f""".stripMargin,
+    // median/MAD outliers: both centers are LOWER-MEDIAN rank selections
+    // (actual data values, no interpolation), deviations exact integer
+    // subtractions; planted +500 spikes on every 997th order key
+    "q152_mad_outliers" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) +
+        |      CASE WHEN l_orderkey % 997 = 0 THEN 500 ELSE 0 END AS qty,
+        |    l_orderkey || ':' || l_linenumber AS tb
+        |  FROM lineitem),
+        |med AS (SELECT l_returnflag,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS med FROM (
+        |    SELECT l_returnflag, qty,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY qty, tb) AS rn,
+        |      count(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM li) GROUP BY 1),
+        |dv AS (SELECT li.l_returnflag, abs(qty - med) AS dev, tb, med
+        |  FROM li JOIN med USING (l_returnflag)),
+        |w1 AS (SELECT l_returnflag, med, dev,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY dev, tb) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM dv),
+        |w2 AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+        |    OVER (PARTITION BY l_returnflag) AS mad FROM w1)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(med) AS BIGINT) AS med,
+        |  CAST(max(mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM w2 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -33,6 +33,55 @@ object Quantiles {
       )
   }
 
+  /** Robust outlier report per group via median/MAD (Hampel-style
+    * identifier) — the IQR fences' heavier-tailed sibling: MAD stays
+    * meaningful up to 50% contamination where quartiles already move.
+    * ENGINE-EXACT by the same discipline as [[exactQuantiles]]: both the
+    * median and the MAD are LOWER-MEDIAN rank selections (actual data
+    * values, no interpolation), deviations are one IEEE subtraction
+    * each, and the fence compare uses an integer multiplier — so the
+    * q152 oracle replays every number bit-for-bit.
+    *
+    * Returns per group: n, med, mad, n_outliers (rows with
+    * |x − med| > k·mad). Note the k·mad fence with a rank-selected MAD:
+    * when more than half the group sits at one value, mad = 0 and every
+    * other value is an outlier — the documented behavior of the exact
+    * (unsmoothed) identifier.
+    *
+    * Scale shape: two window passes + a rejoin, all partitioned on the
+    * group keys — AQE reuses the exchange; per-group state is the
+    * window sort, never a collect.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val med = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .withColumn("__rn", row_number().over(part.orderBy(col(valueCol), col(tieBreakCol))))
+      .withColumn("__n", count(lit(1)).over(part))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), col(valueCol))).as("med"))
+    val dev = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .join(med, keyCols)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    dev
+      .withColumn("__rn", row_number().over(part.orderBy(col("__dev"), col(tieBreakCol))))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__mad",
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("__dev"))).over(part))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("med")).as("med"),
+        max(col("__mad")).as("mad"),
+        sum((col("__dev") > lit(k.toDouble) * col("__mad")).cast("long")).as("n_outliers"))
+  }
+
   /** IQR outlier detection per group (Tukey fences): rows outside
     * [q1 - k·IQR, q3 + k·IQR] with the bounds attached — the distributional
     * DQ check that complements [[graft.quality.RuleEngine]]'s predicate

@@ -48,6 +48,48 @@ object Skew {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
 
+  /** Join-skew DECISION report — the measurement [[hotKeys]]/[[saltedJoin]]
+    * act on: the top-`topK` heaviest key values with exact row counts,
+    * corpus share in ppm, and the saltFactor that would bound each key's
+    * reducer load at `targetPerTask` rows. All integer arithmetic
+    * (share = cnt·10⁶ div total; salt = ceil-div), so the q150 oracle
+    * replays every number exactly. At 100 TB this is the query you run
+    * BEFORE a big join: it tells you whether AQE's split-and-replicate
+    * will cope or a key needs explicit salting/isolation.
+    *
+    * Scale shape: one groupBy over the input (map-side combine absorbs
+    * the hot keys themselves), then a TakeOrdered top-k and a 1-row
+    * total — the counts frame feeds both, so it persists here (it is
+    * distinct-keys-sized; MEMORY_AND_DISK spills gracefully if the key
+    * space is huge).
+    */
+  def skewProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      targetPerTask: Long,
+      topK: Int
+  ): DataFrame = {
+    require(targetPerTask > 0, "targetPerTask must be positive")
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // materialize once for both consumers
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val top = counts
+      .orderBy((col("cnt").desc +: keys.map(col)): _*) // pinned tie-break
+      .limit(topK)
+    // integer `div` (truncation == floor for non-negative operands) on
+    // both engines — a float-division floor could round across the
+    // boundary and diverge by one
+    top.crossJoin(broadcast(total))
+      .select((keys.map(col) :+
+        col("cnt") :+
+        expr("(cnt * 1000000) div __total").as("share_ppm") :+
+        greatest(lit(1L),
+          expr(s"(cnt + ${targetPerTask - 1}) div $targetPerTask")).as("recommended_salt")): _*)
+  }
+
   /** Salted two-phase aggregation for hot grouping keys.
     *
     * Spark's map-side partial aggregation already absorbs skew for

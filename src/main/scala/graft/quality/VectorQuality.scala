@@ -1,0 +1,50 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-column data quality — the gate you run BEFORE building an
+  * ANN index or training on vectors at 100 TB: a handful of NaN or
+  * zero vectors silently poison cosine ranking (NaN propagates through
+  * every dot product it touches; zero vectors make cosine undefined),
+  * and a single wrong-dimension row fails a whole PQ/IVF build late
+  * instead of early.
+  *
+  * Every count is an exact integer and the norm² extremes are
+  * left-fold doubles with a PINNED association order (Spark `aggregate`
+  * and DuckDB `list_reduce` both fold left), so the q151 oracle replays
+  * the report bit-for-bit — float-origin values widen to double
+  * exactly, and x² and + are single correctly-rounded IEEE ops.
+  *
+  * Scale shape: one narrow projection + one global aggregation; no
+  * shuffle beyond the final 1-row combine.
+  */
+object VectorQuality {
+
+  /** One-row report over `vecCol` (array of float/double):
+    * n_rows, n_null_vec, n_bad_dim (non-null with length ≠ expectedDim),
+    * n_nan (contains a NaN element), n_zero (all-zero — cosine
+    * undefined), and min/max norm² over the clean (non-null, right-dim,
+    * NaN-free) rows.
+    */
+  def report(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame = {
+    require(expectedDim > 0, "expectedDim must be positive")
+    val v = col(vecCol).cast("array<double>")
+    val isNull = v.isNull
+    val badDim = !isNull && size(v) =!= expectedDim
+    val hasNan = !isNull && exists(v, isnan(_))
+    val norm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    val clean = !isNull && !badDim && !hasNan
+    val isZero = clean && norm2 === 0.0
+    df.select(isNull.as("__null"), badDim.as("__bad"), hasNan.as("__nan"),
+        isZero.as("__zero"), clean.as("__clean"), norm2.as("__n2"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__null").cast("long")).as("n_null_vec"),
+        sum(col("__bad").cast("long")).as("n_bad_dim"),
+        sum(col("__nan").cast("long")).as("n_nan"),
+        sum(col("__zero").cast("long")).as("n_zero"),
+        min(when(col("__clean"), col("__n2"))).as("min_norm2"),
+        max(when(col("__clean"), col("__n2"))).as("max_norm2"))
+  }
+}

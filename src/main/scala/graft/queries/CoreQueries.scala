@@ -876,6 +876,53 @@ object CoreQueries {
       .orderBy("lang")
   }
 
+  /** Skew decision report over the orders fact: the top-5 heaviest
+    * customer keys with exact counts, ppm share, and the ceil-div salt
+    * recommendation — integer arithmetic end to end, replayed exactly.
+    */
+  def q150SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    Skew.skewProfile(Tables.orders(s, dir), Seq("o_custkey"),
+        targetPerTask = 10L, topK = 5)
+      .orderBy(col("cnt").desc, col("o_custkey"))
+  }
+
+  /** Embedding-column DQ gate: the report every ANN build should run
+    * first. The corpus vectors are synthetic-clean, so the interesting
+    * rows are INJECTED: a NULL vector, a wrong-dimension vector, a NaN
+    * carrier, and an all-zero vector are unioned in with negative ids —
+    * the counts must come out exactly 1 each and the norm² extremes must
+    * ignore them.
+    */
+  def q151EmbeddingQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.VectorQuality
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val bad = s.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(-1 AS BIGINT), CAST(NULL AS ARRAY<FLOAT>)),
+        |  (CAST(-2 AS BIGINT), CAST(ARRAY(1.0, 2.0) AS ARRAY<FLOAT>)),
+        |  (CAST(-3 AS BIGINT), array_repeat(CAST('NaN' AS FLOAT), 64)),
+        |  (CAST(-4 AS BIGINT), array_repeat(CAST(0.0 AS FLOAT), 64))
+        |  AS t(vec_id, embedding)""".stripMargin)
+    VectorQuality.report(e.unionByName(bad), "embedding", expectedDim = 64)
+  }
+
+  /** Robust-outlier gate: median/MAD on an integer-valued measure with
+    * DETERMINISTICALLY PLANTED spikes (+500 on every 997th order key),
+    * grouped by return flag — nonzero outlier counts, every number a
+    * rank-selected data value or an exact op on two of them.
+    */
+  def q152MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      (col("l_quantity").cast("long") +
+        when(col("l_orderkey") % 997 === 0, 500L).otherwise(0L)).as("qty"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("tb"))
+    Quantiles.madOutliers(li, Seq("l_returnflag"), "qty", "tb", k = 3)
+      .orderBy("l_returnflag")
+  }
+
   /** Count-Min frequency sketch gated cell-for-cell: estimates for the
     * top-20 exact-count tokens of the documents corpus, next to the
     * exact counts — `est >= exact` always (one-sided estimator), and the

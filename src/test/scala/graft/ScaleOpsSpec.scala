@@ -8,6 +8,42 @@ import org.apache.spark.sql.functions._
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("skewProfile: exact counts, ppm share, ceil-div salt, pinned tie-break") {
+    // key a: 25 rows, b: 10, c: 10, d: 3, e: 2 -> total 50
+    val rows = Seq.fill(25)("a") ++ Seq.fill(10)("b") ++ Seq.fill(10)("c") ++
+      Seq.fill(3)("d") ++ Seq.fill(2)("e")
+    val d = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    val got = Skew.skewProfile(d, Seq("k"), targetPerTask = 10L, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // share_ppm = cnt*1e6 div 50; salt = ceil(cnt/10); b before c by key tie-break
+    assert(got == Seq(
+      ("a", 25L, 500000L, 3L),
+      ("b", 10L, 200000L, 1L),
+      ("c", 10L, 200000L, 1L)))
+    // an under-target key still recommends salt 1, never 0
+    val tail = Skew.skewProfile(d, Seq("k"), targetPerTask = 10L, topK = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tail("e") == 1L)
+  }
+
+  test("madOutliers: hand-computed median/MAD, planted spikes, degenerate mad=0") {
+    import graft.operators.Quantiles
+    // group g: values 1..9 plus two spikes of 100 -> n=11, med = rank-6
+    // value of [1..9,100,100] = 6; devs sorted [0,1,1,2,2,3,3,4,5,94,94]
+    // -> mad at rank 6 = 3; fence 9 -> the two 94s are outliers
+    val g = ((1 to 9).map(_.toLong) ++ Seq(100L, 100L)).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }
+    // group h: nine 7s and one 8 -> med 7, mad 0, the 8 is an outlier of
+    // the exact (unsmoothed) identifier — documented degenerate behavior
+    val h = (Seq.fill(9)(7L) :+ 8L).zipWithIndex.map { case (v, i) => ("h", v, i.toLong) }
+    val d = (g ++ h).toDF("grp", "v", "id")
+    val got = Quantiles.madOutliers(d, Seq("grp"), "v", "id", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("g") == ((11L, 6L, 3L, 2L)))
+    assert(got("h") == ((10L, 7L, 0L, 1L)))
+  }
+
   test("saltedJoin equals plain join (inner and left)") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_quantity")
     val supp = Tables.supplier(spark, sf).filter($"s_suppkey" % 3 =!= 0)
@@ -363,6 +399,25 @@ class ScaleOpsSpec extends SparkSpec {
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(ePlan).size
     assert(exchanges <= 2, // plan frame's two-phase agg partitions
       s"corpus side of epochExpand must not shuffle ($exchanges exchanges):\n${ePlan.take(2000)}")
+  }
+
+  test("round-8 narrow operators plan shuffle-free: sentence chunks and checksum scan") {
+    import graft.text.{Chunking, PiiScan}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // sentence-aligned chunking is segment -> fold -> posexplode: the
+    // whole greedy fill stays in the parent row's partition
+    val sc = Chunking.sentenceChunks(docs, "doc_id", "text", budgetTokens = 32)
+    val sPlan = sc.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Exchange"),
+      s"sentenceChunks must not shuffle:\n${sPlan.take(1500)}")
+    // checksum scan is extract -> strip -> checksum-filter in one
+    // projection: no shuffle, no UDF (codegen'd higher-order functions)
+    val cs = PiiScan.checksumScan(docs, "text")
+    val cPlan = cs.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("Exchange"),
+      s"checksumScan must not shuffle:\n${cPlan.take(1500)}")
+    assert(!cPlan.contains("BatchEvalPython") && !cPlan.toLowerCase.contains("scalaudf"),
+      s"checksumScan must stay UDF-free:\n${cPlan.take(1500)}")
   }
 
   test("round-5 plan shapes: packed emission one exchange, line scrub window-free, semantic pairs cell-hashed") {
