@@ -162,7 +162,8 @@ object SparkEntry {
     "q149_ndcg_eval" -> (LlmQueries.q149NdcgEval(_, _)),
     "q150_skew_profile" -> (CoreQueries.q150SkewProfile(_, _)),
     "q151_embedding_quality" -> (CoreQueries.q151EmbeddingQuality(_, _)),
-    "q152_mad_outliers" -> (CoreQueries.q152MadOutliers(_, _))
+    "q152_mad_outliers" -> (CoreQueries.q152MadOutliers(_, _)),
+    "q153_harmonic" -> (CoreQueries.q153Harmonic(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2698,7 +2699,39 @@ object SparkEntry {
         |  CAST(max(med) AS BIGINT) AS med,
         |  CAST(max(mad) AS BIGINT) AS mad,
         |  CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM w2 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM w2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sampled harmonic centrality: the three BFS rounds unrolled as
+    // MATERIALIZED CTEs (the q139 2^rounds inlining lesson), distances
+    // exact integers, 1/d as 1000000 // d — no float anywhere
+    "q153_harmonic" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |sup AS MATERIALIZED (SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM sup
+        |  UNION SELECT pb AS src, pa AS dst FROM sup),
+        |srcs AS MATERIALIZED (SELECT src AS node FROM (SELECT DISTINCT src FROM e)
+        |  ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT 8),
+        |v0 AS MATERIALIZED (SELECT node AS s, node, 0 AS d FROM srcs),
+        |f1 AS MATERIALIZED (SELECT DISTINCT r.s, e.dst AS node
+        |  FROM v0 r JOIN e ON e.src = r.node),
+        |n1 AS MATERIALIZED (SELECT f1.s, f1.node, 1 AS d FROM f1
+        |  LEFT JOIN v0 ON v0.s = f1.s AND v0.node = f1.node WHERE v0.node IS NULL),
+        |v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT r.s, e.dst AS node
+        |  FROM n1 r JOIN e ON e.src = r.node),
+        |n2 AS MATERIALIZED (SELECT f2.s, f2.node, 2 AS d FROM f2
+        |  LEFT JOIN v1 ON v1.s = f2.s AND v1.node = f2.node WHERE v1.node IS NULL),
+        |v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT r.s, e.dst AS node
+        |  FROM n2 r JOIN e ON e.src = r.node),
+        |n3 AS MATERIALIZED (SELECT f3.s, f3.node, 3 AS d FROM f3
+        |  LEFT JOIN v2 ON v2.s = f3.s AND v2.node = f3.node WHERE v2.node IS NULL),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_sources_reached,
+        |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_scaled
+        |FROM v3 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -281,3 +281,97 @@ object KCore {
   def core(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
     peelLoop(edges, k, maxRounds, untilStable = true)
 }
+
+/** Harmonic centrality by sampled multi-source BFS — the "how reachable
+  * is this node" number next to PageRank's "how endorsed" (Boldi &
+  * Vigna 2014, "Axioms for Centrality", name the harmonic form the
+  * principled one for disconnected graphs; Eppstein & Wang 2001 give
+  * the source-sampling estimator). H(v) = Σ_{u: d(u,v) < ∞} 1/d(u,v);
+  * exact H needs all-pairs BFS (O(n·m) — a non-starter at 100 TB), so
+  * the estimator runs BFS from a DETERMINISTIC md5-earliest sample of
+  * sources and reports the partial sum — content-keyed selection, so
+  * the same graph yields the same report under any partitioning.
+  *
+  * ENGINE-EXACT: distances are integers, and 1/d is summed as the
+  * exact integer `scale div d` (the q149 pinned-rational discipline) —
+  * no float ever appears, the q153 oracle unrolls each BFS round as a
+  * materialized CTE and replays every distance and every division.
+  *
+  * Scale shape: each round is frontier ⋈ edges → distinct → anti-join
+  * visited, persist+count per round (real statistics for the planner —
+  * the SURVEY §5.8 iterative-plan discipline; lineage stays truncated
+  * because every frame referenced twice is materialized). Frontier and
+  * visited are ≤ sources × nodes rows; rounds = maxDepth, after which
+  * 1/d terms fall below scale resolution anyway.
+  */
+object Harmonic {
+
+  private val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Symmetrized distinct edge set, self-loops dropped. */
+  private def sym(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** The md5-earliest `k` nodes of the (symmetrized) edge set — the
+    * deterministic source sample (ties broken by node, though md5 of
+    * distinct nodes cannot collide at this width).
+    */
+  def sampleSources(edges: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    sym(edges).select(col("src").as("node")).distinct()
+      .orderBy(md5(to_binary(col("node").cast("string"), lit("utf-8"))), col("node"))
+      .limit(k)
+  }
+
+  /** (node, n_sources_reached, harmonic_scaled) over every node reached
+    * by at least one sampled source within `maxDepth` hops, where
+    * harmonic_scaled = Σ over reaching sources of `scale div d`. The
+    * node's own source row (d = 0) is excluded — 1/0 is not a term.
+    * Unreached nodes emit no row (their partial harmonic sum is 0).
+    */
+  def sampledHarmonic(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxDepth: Int,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, s"maxDepth out of range: $maxDepth")
+    require(scale > 0, "scale must be positive")
+    val e = sym(edges).persist(mad)
+    e.count()
+    var visited = sources.select(col("node").as("s"), col("node"), lit(0).as("d"))
+      .persist(mad)
+    visited.count()
+    var frontier = visited
+    var prevFrontier: DataFrame = null
+    var depth = 1
+    var exhausted = false
+    while (depth <= maxDepth && !exhausted) {
+      val fresh = frontier.select(col("s"), col("node"))
+        .join(e.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("s"), col("dst").as("node")).distinct()
+        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
+        .withColumn("d", lit(depth))
+        .persist(mad)
+      val n = fresh.count()
+      val grown = visited.unionByName(fresh).persist(mad)
+      grown.count()
+      visited.unpersist(false)
+      if (prevFrontier != null) prevFrontier.unpersist(false)
+      prevFrontier = fresh
+      frontier = fresh
+      visited = grown
+      exhausted = n == 0
+      depth += 1
+    }
+    if (prevFrontier != null) prevFrontier.unpersist(false)
+    e.unpersist(false)
+    visited.filter(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(
+        count(lit(1)).as("n_sources_reached"),
+        sum(expr(s"$scale div d")).as("harmonic_scaled"))
+  }
+}

@@ -1026,6 +1026,28 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** Sampled harmonic centrality over the q135 support≥2 co-purchase
+    * graph: BFS from the 8 md5-earliest nodes to depth 3, 1/d summed as
+    * exact `1000000 div d` integers — the oracle unrolls all three BFS
+    * rounds as materialized CTEs (the k-core discipline) and replays
+    * every distance and division.
+    */
+  def q153Harmonic(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.Harmonic
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("x")
+      .join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey"))
+      .filter(col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("pa").cast("long").as("src"), col("pb").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // feeds source sampling AND the BFS — materialize once
+    val srcs = Harmonic.sampleSources(edges, 8)
+    Harmonic.sampledHarmonic(edges, srcs, maxDepth = 3).orderBy("node")
+  }
+
   /** Funnel conversion gate: view → click → purchase within 7 days of
     * the view. The Spark side is a one-shuffle sorted fold; the oracle
     * re-derives the same greedy match via stepwise packed-code minimums

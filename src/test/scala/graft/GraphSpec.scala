@@ -73,6 +73,33 @@ class GraphSpec extends SparkSpec {
     assert(KCore.core(e, k = 4).count() == 0L)
   }
 
+  test("harmonic: path-graph golden, depth bound, disconnected nodes absent, deterministic sources") {
+    import graft.graph.Harmonic
+    // path 1-2-3-4-5 plus a disconnected pair 100-101
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+      .toDF("src", "dst")
+    val srcs = Seq(1L).toDF("node")
+    val got = Harmonic.sampledHarmonic(edges, srcs, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // from source 1: d(2)=1, d(3)=2, d(4)=3; node 5 beyond depth; the
+    // source itself (d=0) and the 100-101 island emit no rows
+    assert(got == Map(
+      2L -> ((1L, 1000000L)),
+      3L -> ((1L, 500000L)),
+      4L -> ((1L, 333333L))))
+    // two sources: sums add per reaching source (node 3 reached by both
+    // ends of the path at d=2 each)
+    val got2 = Harmonic.sampledHarmonic(edges, Seq(1L, 5L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2(3L) == ((2L, 1000000L)))
+    assert(got2(2L) == ((2L, 1000000L + 333333L)))
+    // source sampling is content-keyed: partitioning/order-invariant
+    val s1 = Harmonic.sampleSources(edges, 3).collect().map(_.getLong(0)).toSeq
+    val s2 = Harmonic.sampleSources(edges.repartition(7).orderBy($"dst"), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.size == 3)
+  }
+
   test("transition matrix: counts follow (ts, id) order; rows sum to 1") {
     import graft.operators.Funnel
     val d = Seq(
