@@ -163,7 +163,8 @@ object SparkEntry {
     "q150_skew_profile" -> (CoreQueries.q150SkewProfile(_, _)),
     "q151_embedding_quality" -> (CoreQueries.q151EmbeddingQuality(_, _)),
     "q152_mad_outliers" -> (CoreQueries.q152MadOutliers(_, _)),
-    "q153_harmonic" -> (CoreQueries.q153Harmonic(_, _))
+    "q153_harmonic" -> (CoreQueries.q153Harmonic(_, _)),
+    "q154_quantile_sketch" -> (CoreQueries.q154QuantileSketch(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2731,7 +2732,37 @@ object SparkEntry {
         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_sources_reached,
         |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_scaled
-        |FROM v3 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM v3 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bottom-k quantile sketch: the md5 row-identity order, the k-cut,
+    // and the rank selections all replayed; chr(1) is the keyHash
+    // column separator
+    "q154_quantile_sketch" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    md5(CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)) AS h,
+        |    l_orderkey || ':' || l_linenumber AS tb
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |sk AS (SELECT l_returnflag, h, qty FROM (
+        |    SELECT l_returnflag, h, qty,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |    FROM li) WHERE rn <= 200),
+        |rep AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_sample,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS p50,
+        |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END) AS p90
+        |  FROM (SELECT l_returnflag, qty,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY qty, h) AS rn,
+        |      count(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM sk) GROUP BY 1),
+        |ex AS (SELECT l_returnflag,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS exact_p50,
+        |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN qty END) AS exact_p90
+        |  FROM (SELECT l_returnflag, qty,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY qty, tb) AS rn,
+        |      count(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM li) GROUP BY 1)
+        |SELECT r.l_returnflag, n_sample,
+        |  CAST(p50 AS BIGINT) AS p50, CAST(p90 AS BIGINT) AS p90,
+        |  CAST(exact_p50 AS BIGINT) AS exact_p50, CAST(exact_p90 AS BIGINT) AS exact_p90
+        |FROM rep r JOIN ex USING (l_returnflag) ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

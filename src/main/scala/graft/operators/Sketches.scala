@@ -159,6 +159,79 @@ object Sketches {
         col("m").cast("double") * log(col("m").cast("double") / col("v0").cast("double")))
         .otherwise(col("est")))
 
+  // ------------------------------------------------- bottom-k quantiles
+
+  /** Mergeable QUANTILE sketch — the third leg of the profiling family
+    * (HLL: distinct, CMS: frequency, this: distribution): keep the k
+    * rows with the SMALLEST md5 row-identity hash per group. Because
+    * selection is keyed on row identity (not value), the kept rows are
+    * a uniform sample of the group's rows, and because bottom-k by a
+    * total order is EXACTLY mergeable — bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)) for disjoint row sets
+    * (spec-asserted) — daily sketches fold into monthly ones without
+    * re-reading data, the [[mergeHllRegisters]] contract for
+    * distributions. Quantiles over the sample are then LOWER-MEDIAN
+    * rank selections ([[graft.operators.Quantiles]] discipline): actual
+    * data values, engine-exact, hash-gateable. Standard error of a
+    * sample quantile q is √(q(1−q)/k) in rank space — k=1024 puts the
+    * median within ±1.6 rank-percent at one sigma.
+    *
+    * Unlike randomized KLL/t-digest, every choice here is content-keyed
+    * and deterministic — the q154 oracle replays the hash order, the
+    * cut, and the rank selections bit-for-bit.
+    *
+    * Scale shape: one window (partition by group, order by hash) with
+    * the rank filter pushed — the shuffle carries (group, hash, value)
+    * triples; the sketch itself is ≤ groups × k rows forever after.
+    */
+  def quantileSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h = graft.operators.Sampling.keyHash(idCols.map(col))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ h.as("h") :+ col(valueCol).as("v")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Fold two quantile sketches built with the same k: union, re-cut to
+    * bottom-k per group.
+    */
+  def mergeQuantileSketch(a: DataFrame, b: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    a.unionByName(b)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Per-group report from a quantile sketch: sample size and
+    * rank-selected p50/p90 over the sampled VALUES (hash as the
+    * deterministic tie-break).
+    */
+  def quantileSketchReport(sketch: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    sketch
+      .withColumn("__rn", row_number().over(part.orderBy(col("v"), col("h"))))
+      .withColumn("__n", count(lit(1)).over(part))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("__n")).as("n_sample"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("v"))).as("p50"),
+        max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col("v"))).as("p90"))
+  }
+
   // ---------------------------------------------------------------- CMS
 
   /** Count-Min geometry: depth 4 independent rows (error probability

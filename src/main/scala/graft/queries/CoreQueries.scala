@@ -1026,6 +1026,30 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** Mergeable quantile-sketch gate: bottom-k row-hash sample per
+    * return flag (k=200), rank-selected p50/p90 over the sample with the
+    * exact full-data quantiles as honesty columns — the oracle replays
+    * the hash order, the cut, and every rank selection.
+    */
+  def q154QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Quantiles, Sketches}
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_orderkey"), col("l_linenumber"))
+    val sk = Sketches.quantileSketch(li, Seq("l_returnflag"), "qty",
+      Seq("l_orderkey", "l_linenumber"), k = 200)
+    val rep = Sketches.quantileSketchReport(sk, Seq("l_returnflag"))
+    val exact = Quantiles.exactQuantiles(
+      li.withColumn("tb", concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
+      Seq("l_returnflag"), "qty", "tb")
+      .select(col("l_returnflag"), col("p50").as("exact_p50"), col("p90").as("exact_p90"))
+    rep.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_sample"), col("p50"), col("p90"),
+        col("exact_p50"), col("exact_p90"))
+      .orderBy("l_returnflag")
+  }
+
   /** Sampled harmonic centrality over the q135 support≥2 co-purchase
     * graph: BFS from the 8 md5-earliest nodes to depth 3, 1/d summed as
     * exact `1000000 div d` integers — the oracle unrolls all three BFS

@@ -75,6 +75,39 @@ class SketchesSpec extends SparkSpec {
         .orderBy("g", "bucket").collect().toSeq)
   }
 
+  test("quantile sketch: exact bottom-k mergeability, k-cut, full-sample == exact quantiles") {
+    val all = (0 until 2000).map(i => ("g" + (i % 2), (i * 7 % 100).toLong, i.toLong))
+      .toDF("g", "v", "id")
+    val a = all.filter($"id" % 2 === 0)
+    val b = all.filter($"id" % 2 =!= 0)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g", "h").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // bottom-k(A ∪ B) == merge(bottom-k(A), bottom-k(B)) — exact, not approximate
+    val direct = Sketches.quantileSketch(all, Seq("g"), "v", Seq("id"), k = 64)
+    val merged = Sketches.mergeQuantileSketch(
+      Sketches.quantileSketch(a, Seq("g"), "v", Seq("id"), k = 64),
+      Sketches.quantileSketch(b, Seq("g"), "v", Seq("id"), k = 64), Seq("g"), k = 64)
+    assert(canon(direct) == canon(merged))
+    assert(direct.groupBy("g").count().collect().forall(_.getLong(1) == 64L))
+    // k >= group size: the sketch IS the group, so sample quantiles equal
+    // the exact rank selections
+    val big = Sketches.quantileSketchReport(
+      Sketches.quantileSketch(all, Seq("g"), "v", Seq("id"), k = 5000), Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    import graft.operators.Quantiles
+    val exact = Quantiles.exactQuantiles(
+      all.withColumn("tb", $"id".cast("string")), Seq("g"), "v", "tb")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(big == exact)
+    // k below group size: sample quantiles land near the true ones
+    val approx = Sketches.quantileSketchReport(direct, Seq("g")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    approx.foreach { case (g, (p50, p90)) =>
+      assert(math.abs(p50 - exact(g)._2) <= 15, s"$g p50 $p50 vs ${exact(g)._2}")
+      assert(math.abs(p90 - exact(g)._3) <= 15, s"$g p90 $p90 vs ${exact(g)._3}")
+    }
+  }
+
   test("cms merge of slices == counters of the union; est >= exact") {
     val all = (0 until 3000).map(i => "t" + (i % 37)).toDF("token")
     val a = all.limit(1500)
