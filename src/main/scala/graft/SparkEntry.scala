@@ -164,7 +164,8 @@ object SparkEntry {
     "q151_embedding_quality" -> (CoreQueries.q151EmbeddingQuality(_, _)),
     "q152_mad_outliers" -> (CoreQueries.q152MadOutliers(_, _)),
     "q153_harmonic" -> (CoreQueries.q153Harmonic(_, _)),
-    "q154_quantile_sketch" -> (CoreQueries.q154QuantileSketch(_, _))
+    "q154_quantile_sketch" -> (CoreQueries.q154QuantileSketch(_, _)),
+    "q155_join_cardinality" -> (CoreQueries.q155JoinCardinality(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2762,7 +2763,19 @@ object SparkEntry {
         |SELECT r.l_returnflag, n_sample,
         |  CAST(p50 AS BIGINT) AS p50, CAST(p90 AS BIGINT) AS p90,
         |  CAST(exact_p50 AS BIGINT) AS exact_p50, CAST(exact_p90 AS BIGINT) AS exact_p90
-        |FROM rep r JOIN ex USING (l_returnflag) ORDER BY 1""".stripMargin
+        |FROM rep r JOIN ex USING (l_returnflag) ORDER BY 1""".stripMargin,
+    // join-cardinality forecast: sum/max of per-key count products,
+    // plus the real join's count proving forecast == actual
+    "q155_join_cardinality" ->
+      """WITH ca AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+        |p AS (SELECT ca.ca * cb.cb AS prod FROM ca JOIN cb USING (k)),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
+        |    CAST(coalesce(sum(prod), 0) AS BIGINT) AS join_rows,
+        |    CAST(coalesce(max(prod), 0) AS BIGINT) AS max_key_rows FROM p),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT * FROM f, a""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

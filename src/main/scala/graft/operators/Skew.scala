@@ -90,6 +90,28 @@ object Skew {
           expr(s"(cnt + ${targetPerTask - 1}) div $targetPerTask")).as("recommended_salt")): _*)
   }
 
+  /** Pre-join cardinality + skew forecast — the other number you want
+    * BEFORE a 100 TB join: inner-join output size is EXACTLY
+    * Σ_k cntA(k)·cntB(k), computable from two per-key count frames
+    * whose join is KEYS-sized, not data-sized. Returns one row:
+    * n_matching_keys, join_rows (the exact future output size), and
+    * max_key_rows (the largest single key's contribution — the reducer
+    * that will hurt; feed it to [[skewProfile]]/[[saltedJoin]] if it
+    * dwarfs the rest). All exact integers; the q155 oracle recomputes
+    * the products AND runs the real join to confirm `join_rows` is a
+    * forecast, not an estimate.
+    */
+  def joinCardinality(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val ca = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, keys)
+      .select((col("__ca") * col("__cb")).as("__prod"))
+      .agg(
+        count(lit(1)).as("n_matching_keys"),
+        coalesce(sum(col("__prod")), lit(0L)).as("join_rows"),
+        coalesce(max(col("__prod")), lit(0L)).as("max_key_rows"))
+  }
+
   /** Salted two-phase aggregation for hot grouping keys.
     *
     * Spark's map-side partial aggregation already absorbs skew for

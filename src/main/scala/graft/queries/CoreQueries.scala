@@ -1026,6 +1026,19 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** Pre-join cardinality forecast gate: lineitem ⋈ orders on the order
+    * key, forecast from per-key counts only, with the REAL join's row
+    * count as the honesty column — forecast == actual because inner-join
+    * cardinality is exactly Σ cntA·cntB per key.
+    */
+  def q155JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+    val actual = li.join(ord, Seq("k")).agg(count(lit(1)).as("actual_rows"))
+    Skew.joinCardinality(li, ord, Seq("k")).crossJoin(actual)
+  }
+
   /** Mergeable quantile-sketch gate: bottom-k row-hash sample per
     * return flag (k=200), rank-selected p50/p90 over the sample with the
     * exact full-data quantiles as honesty columns — the oracle replays

@@ -701,6 +701,43 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming quantile-sketch profile — the distribution leg of the
+    * online profiling trio next to [[hllProfileStream]] (distinct) and
+    * the CMS fold (frequency): each micro-batch's bottom-k row-hash
+    * sample ([[graft.operators.Sketches.quantileSketch]]) merges into a
+    * versioned store by union + re-cut, so the standing profile answers
+    * "p50/p90 so far" at ≤ groups×k rows without re-reading history.
+    * Same version discipline as the HLL/CMS folds (v=<batchId> from the
+    * latest strictly-earlier version): bottom-k merge assumes DISJOINT
+    * row sets — a double-merged batch would duplicate (h, v) rows
+    * inside the cut — so crash replays must recompute, never re-merge,
+    * exactly the non-idempotent-CMS reasoning.
+    */
+  def quantileSketchStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCols: Seq[String],
+      k: Int,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bs = graft.operators.Sketches.quantileSketch(batch, groupCols, valueCol, idCols, k)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.Sketches.mergeQuantileSketch(
+            s.read.parquet(p), bs, groupCols, k)
+          case None => bs
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class FunnelEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: String)
   final case class FunnelState(step_idx: Int, t1_sec: Long)
   final case class FunnelProgress(user_id: Long, steps_completed: Int)

@@ -44,6 +44,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got("h") == ((10L, 7L, 0L, 1L)))
   }
 
+  test("joinCardinality: forecast equals the real join, max flags the hot key, disjoint is zero") {
+    // a: k1 x3, k2 x2, k9 x1;  b: k1 x4, k2 x1, k7 x5
+    val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") :+ "k9").toDF("k")
+    val b = (Seq.fill(4)("k1") ++ Seq("k2") ++ Seq.fill(5)("k7")).toDF("k")
+    val r = Skew.joinCardinality(a, b, Seq("k")).head()
+    // matching keys k1, k2; rows 3*4 + 2*1 = 14; hot key k1 contributes 12
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 14L, 12L)))
+    assert(a.join(b, Seq("k")).count() == 14L)
+    // no shared keys -> all zeros, not an empty frame
+    val z = Skew.joinCardinality(a, Seq("zz").toDF("k"), Seq("k")).head()
+    assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("saltedJoin equals plain join (inner and left)") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey", "l_quantity")
     val supp = Tables.supplier(spark, sf).filter($"s_suppkey" % 3 =!= 0)

@@ -374,6 +374,31 @@ class StreamingSpec extends SparkSpec {
       s"lc=${rep("g0")} exact=$exact")
   }
 
+  test("streaming quantile-sketch fold equals the batch sketch over all batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qsstream").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = (0 until 400).map(i => ("g" + (i % 2), (i * 7 % 100).toLong, i.toLong))
+    val b2 = (400 until 900).map(i => ("g" + (i % 2), (i * 13 % 80).toLong, i.toLong))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "v", "id")
+    StreamingOps.quantileSketchStream(rows, Seq("g"), "v", Seq("id"), 64,
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.quantileSketchStream(rows, Seq("g"), "v", Seq("id"), 64,
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest)
+      .orderBy("g", "h").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val rebuilt = Sketches.quantileSketch(
+      (b1 ++ b2).toDF("g", "v", "id"), Seq("g"), "v", Seq("id"), 64)
+      .orderBy("g", "h").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(folded == rebuilt)
+  }
+
   test("streaming funnel equals the batch fold under in-order arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.{FunnelEvent, FunnelProgress}
