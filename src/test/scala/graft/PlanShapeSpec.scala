@@ -153,7 +153,32 @@ class PlanShapeSpec extends SparkSpec {
     // itself is one degree aggregation — regression here means the
     // checkpoint discipline broke and lineage leaked into the plan
     Shape("q139_kcore", maxHash = 2, forbidSortMergeJoin = true,
-      forbidUdf = true)
+      forbidUdf = true),
+    // sentence-aligned chunking: segment → fold → posexplode, a single
+    // narrow projection — zero shuffles, zero UDFs
+    Shape("q146_sentence_chunks", maxHash = 0, forbidUdf = true),
+    // checksum ids: extract → strip → checksum-filter in one codegen'd
+    // projection — zero shuffles, zero UDFs
+    Shape("q147_pii_checksum", maxHash = 0, forbidUdf = true),
+    // skew profile: ONE counts aggregation (cached across both
+    // consumers), top-k via TakeOrdered, total rides a broadcast —
+    // never a global sort of the counts frame
+    Shape("q150_skew_profile", maxHash = 2, maxRange = 2, requireTopK = true,
+      forbidUdf = true),
+    // MAD outliers: two key-partitioned windows + the med rejoin —
+    // bounded exchanges on the group keys, no sort-merge join (the med
+    // frame is groups-sized and must broadcast)
+    Shape("q152_mad_outliers", maxHash = 6, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // quantile sketch: the hash-cut window + the report window + the
+    // exact-quantile honesty chain; the groups-sized report join
+    // broadcasts
+    Shape("q154_quantile_sketch", maxHash = 6, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // join-cardinality forecast: two per-key count aggregations + the
+    // keys-sized counts join + two 1-row combines — the whole point is
+    // that no data-sized frame shuffles beyond its own count
+    Shape("q155_join_cardinality", maxHash = 6, maxRange = 4, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
