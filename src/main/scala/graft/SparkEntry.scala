@@ -165,7 +165,9 @@ object SparkEntry {
     "q152_mad_outliers" -> (CoreQueries.q152MadOutliers(_, _)),
     "q153_harmonic" -> (CoreQueries.q153Harmonic(_, _)),
     "q154_quantile_sketch" -> (CoreQueries.q154QuantileSketch(_, _)),
-    "q155_join_cardinality" -> (CoreQueries.q155JoinCardinality(_, _))
+    "q155_join_cardinality" -> (CoreQueries.q155JoinCardinality(_, _)),
+    "q156_k_anonymity" -> (CoreQueries.q156KAnonymity(_, _)),
+    "q157_temporal_split" -> (CoreQueries.q157TemporalSplit(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2775,7 +2777,28 @@ object SparkEntry {
         |    CAST(coalesce(max(prod), 0) AS BIGINT) AS max_key_rows FROM p),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |SELECT * FROM f, a""".stripMargin
+        |SELECT * FROM f, a""".stripMargin,
+    // k-anonymity: exact quasi-identifier group counts, sub-k listing
+    "q156_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS cnt
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, bal_bucket, CAST(cnt AS BIGINT) AS cnt
+        |FROM g WHERE cnt < 5
+        |ORDER BY cnt, c_nationkey, c_mktsegment, bal_bucket""".stripMargin,
+    // temporal embargo split: second-truncated comparisons, the 2-day
+    // gap before the cutoff excluded from both sides
+    "q157_temporal_split" ->
+      """WITH e AS (SELECT ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |s AS (SELECT CASE WHEN tsec < 1705881600 - 172800 THEN 'train'
+        |         WHEN tsec >= 1705881600 THEN 'test' END AS split, ts
+        |  FROM e)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM s WHERE split IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -306,6 +306,32 @@ object Sampling {
     df.withColumn(labelCol, firstMatch)
   }
 
+  /** Leakage-safe TEMPORAL split with an embargo gap — the time-series
+    * counterpart of [[splitAssign]]'s hash split: train is everything
+    * STRICTLY BEFORE `cutoff − embargoSec`, test is everything AT or
+    * AFTER `cutoff`, and the embargo window in between is DROPPED —
+    * the standard guard against look-ahead leakage through
+    * autocorrelated features (a model scored on t ≥ cutoff must not
+    * have trained on rows whose windows/lags overlap the test period).
+    * Pure second-precision integer comparisons on the event time —
+    * deterministic, engine-exact, no shuffle (one narrow filter +
+    * projection).
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      cutoffSec: Long,
+      embargoSec: Long,
+      labelCol: String = "split"
+  ): DataFrame = {
+    require(embargoSec >= 0, "embargoSec must be >= 0")
+    val t = col(tsCol).cast("long")
+    df.withColumn(labelCol,
+        when(t < cutoffSec - embargoSec, "train")
+          .when(t >= cutoffSec, "test"))
+      .filter(col(labelCol).isNotNull)
+  }
+
   /** Keep the top `fraction` of rows per group by score — the classifier-
     * threshold curation step ("keep the best-scored 25% of each language").
     * Rank ties break by `keyCols`, so the kept set is deterministic on any

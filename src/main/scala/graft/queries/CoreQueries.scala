@@ -1026,6 +1026,36 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** k-anonymity audit gate: customer quasi-identifiers
+    * (nation, segment, account-balance kilobucket) — the sub-k groups
+    * with exact sizes, smallest first; the oracle replays every count.
+    */
+  def q156KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Anonymity
+    val c = Tables.customer(s, dir).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+    Anonymity.kAnonymityViolations(
+        c, Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
+      .orderBy(col("cnt"), col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+  }
+
+  /** Temporal split gate: train strictly before cutoff − 2-day embargo,
+    * test at/after the cutoff, the gap dropped — per-split counts and
+    * boundary timestamps prove the embargo actually excluded its window.
+    */
+  def q157TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    // cutoff 2024-01-22 00:00:00 UTC over the 2024-01 events corpus
+    Sampling.temporalSplit(Tables.events(s, dir), "ts",
+        cutoffSec = 1705881600L, embargoSec = 172800L)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .orderBy("split")
+  }
+
   /** Pre-join cardinality forecast gate: lineitem ⋈ orders on the order
     * key, forecast from per-key counts only, with the REAL join's row
     * count as the honesty column — forecast == actual because inner-join

@@ -266,6 +266,38 @@ class ProfileSampleSpec extends SparkSpec {
     assert(tricky == "read <URL> today", tricky)
   }
 
+  test("k-anonymity: sub-k groups listed exactly, summary counts rows at risk") {
+    import spark.implicits._
+    import graft.quality.Anonymity
+    val d = (Seq.fill(5)(("x", 1)) ++ Seq.fill(2)(("x", 2)) ++ Seq(("y", 1)))
+      .toDF("a", "b")
+    val v = Anonymity.kAnonymityViolations(d, Seq("a", "b"), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(v == Set(("x", 2, 2L), ("y", 1, 1L)))
+    val s = Anonymity.kAnonymitySummary(d, Seq("a", "b"), k = 3).head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+      ((3L, 2L, 3L, 1L)))
+    // k larger than every group: everything violates, all rows at risk
+    val all = Anonymity.kAnonymitySummary(d, Seq("a", "b"), k = 100).head()
+    assert(all.getLong(1) == 3L && all.getLong(2) == 8L)
+  }
+
+  test("temporalSplit: embargo window excluded from BOTH sides") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val d = Seq(0L, 50L, 99L, 100L, 150L, 199L, 200L, 300L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "sec")
+      .select($"id", timestamp_seconds($"sec").as("ts"))
+    val got = Sampling.temporalSplit(d, "ts", cutoffSec = 200L, embargoSec = 100L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // train: sec < 100; embargo [100, 200) dropped; test: sec >= 200
+    assert(got == Map(0L -> "train", 1L -> "train", 2L -> "train",
+      6L -> "test", 7L -> "test"))
+    // zero embargo degenerates to a plain cutoff split, nothing dropped
+    val z = Sampling.temporalSplit(d, "ts", cutoffSec = 200L, embargoSec = 0L)
+    assert(z.count() == 8L)
+  }
+
   test("vector quality: each defect counted once, extremes ignore defective rows") {
     import spark.implicits._
     import graft.quality.VectorQuality
