@@ -108,6 +108,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.NfcNormalize(Cast(children.head, StringType))
       }
     ))
+    // graft_nfkc(text) — Unicode NFKC normalization (the dedup-key form;
+    // no SQL engine in the gate stack ships NFKC, so its gate replays
+    // pinned expansions — see NfkcNormalize scaladoc)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[graft.functions.NfkcNormalize].getName, "graft_nfkc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfkc takes exactly 1 argument")
+        graft.functions.NfkcNormalize(Cast(children.head, StringType))
+      }
+    ))
     // graft_registered_domain(host) — PSL registered domain (row 65)
     ext.injectFunction((
       new FunctionIdentifier("graft_registered_domain"),

@@ -167,7 +167,8 @@ object SparkEntry {
     "q154_quantile_sketch" -> (CoreQueries.q154QuantileSketch(_, _)),
     "q155_join_cardinality" -> (CoreQueries.q155JoinCardinality(_, _)),
     "q156_k_anonymity" -> (CoreQueries.q156KAnonymity(_, _)),
-    "q157_temporal_split" -> (CoreQueries.q157TemporalSplit(_, _))
+    "q157_temporal_split" -> (CoreQueries.q157TemporalSplit(_, _)),
+    "q158_nfkc_keys" -> (CoreQueries.q158NfkcKeys(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2798,7 +2799,25 @@ object SparkEntry {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
-        |FROM s WHERE split IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM s WHERE split IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NFKC keys: the expansions are PINNED literals (Unicode stability
+    // policy fixes them for assigned chars); the oracle never
+    // normalizes — it constructs the expected output directly, so a
+    // kernel that folds wrong, folds extra, or touches the ASCII base
+    // fails the hash
+    "q158_nfkc_keys" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || ' ' || CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'ﬁle' WHEN 1 THEN '②nd' WHEN 2 THEN '5㎞'
+        |      WHEN 3 THEN 'Ｈi' ELSE '½' END AS raw,
+        |    text || ' ' || CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'file' WHEN 1 THEN '2nd' WHEN 2 THEN '5km'
+        |      WHEN 3 THEN 'Hi' ELSE '1⁄2' END AS expected
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(expected) AS BIGINT) AS n_chars_norm,
+        |  md5(expected) AS norm_md5
+        |FROM aug ORDER BY doc_id""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1026,6 +1026,30 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** NFKC dedup-key gate: compatibility characters (ligature, enclosed
+    * digit, unit square, fullwidth letter, vulgar fraction) injected per
+    * doc_id; the oracle replays their PINNED expansions as literals (the
+    * q149 pinned-data rule — no engine in the gate stack ships NFKC), so
+    * the hash certifies the kernel folded each injected char exactly and
+    * touched nothing else (the ASCII base text must pass through
+    * identical).
+    */
+  def q158NfkcKeys(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Normalize
+    val suffix = element_at(
+      array(lit("ﬁle"), lit("②nd"), lit("5㎞"), lit("Ｈi"), lit("½")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"), lit(" "), suffix).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_chars_raw"),
+        Normalize.nfkc(col("raw")).as("norm"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        md5(to_binary(col("norm"), lit("utf-8"))).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   /** k-anonymity audit gate: customer quasi-identifiers
     * (nation, segment, account-balance kilobucket) — the sub-k groups
     * with exact sizes, smallest first; the oracle replays every count.

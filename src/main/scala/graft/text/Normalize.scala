@@ -30,6 +30,16 @@ object Normalize {
     org.apache.spark.sql.graftbridge.column(
       graft.functions.NfcNormalize(org.apache.spark.sql.graftbridge.expression(c)))
 
+  /** Unicode NFKC (compatibility) normalization — the DEDUP-KEY form:
+    * ligatures, fullwidth forms, compat digits and unit squares fold to
+    * their plain equivalents so visually-identical variants hash
+    * identically. Lossy by design — normalize the key, keep the
+    * original column for display.
+    */
+  def nfkc(c: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.NfkcNormalize(org.apache.spark.sql.graftbridge.expression(c)))
+
   /** Zero-width and invisible format characters removed outright:
     * ZWSP/ZWNJ/ZWJ (200B-200D), word joiner (2060), BOM/ZWNBSP (FEFF),
     * soft hyphen (00AD). Escaped `\x{...}` syntax — identical in Java

@@ -59,6 +59,25 @@ class NormalizeSpec extends SparkSpec {
     assert(out(1) == ((false, 3L, 3L)))
   }
 
+  test("NFKC folds compatibility forms; lossy by design; ASCII identity; idempotent") {
+    def nfkcOne(s: String): String =
+      Seq(s).toDF("t").select(Normalize.nfkc(col("t")).as("n")).as[String].head()
+    // the pinned mappings the q158 oracle hard-codes
+    assert(nfkcOne("ﬁle") == "file")       // ﬁ ligature
+    assert(nfkcOne("②nd") == "2nd")        // ② enclosed digit
+    assert(nfkcOne("5㎞") == "5km")         // ㎞ unit square
+    assert(nfkcOne("Ｈi") == "Hi")          // Ｈ fullwidth
+    assert(nfkcOne("½") == "1⁄2")     // ½ -> 1⁄2 (fraction slash)
+    // NFC leaves all of these alone — the two forms are NOT interchangeable
+    assert(cleanOne("ﬁle") == "ﬁle")
+    // ASCII identity and idempotence
+    assert(nfkcOne("plain ascii") == "plain ascii")
+    assert(nfkcOne(nfkcOne("ﬁ②㎞")) == nfkcOne("ﬁ②㎞"))
+    // SQL registration
+    val sql = spark.sql("SELECT graft_nfkc('ﬁle') AS n").as[String].head()
+    assert(sql == "file")
+  }
+
   test("graft_nfc SQL function matches the Column API and survives codegen") {
     val df = Seq("cafe\u0301", "abc", "A\u030Angstro\u0308m").toDF("t")
     df.createOrReplaceTempView("nfc_t")

@@ -399,6 +399,25 @@ class StreamingSpec extends SparkSpec {
     assert(folded == rebuilt)
   }
 
+  test("store maintenance: prune keeps the newest self-contained versions") {
+    import graft.streaming.StoreMaintenance
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    // three versions; each rewrites the FULL state (the fold contract)
+    for (v <- Seq(0L, 3L, 7L))
+      Seq(("g", v)).toDF("g", "latest").write.parquet(s"$tmp/store/v=$v")
+    assert(StoreMaintenance.versions(spark, s"$tmp/store") == Seq(0L, 3L, 7L))
+    val pruned = StoreMaintenance.pruneVersions(spark, s"$tmp/store", keepLast = 2)
+    assert(pruned == Seq(0L))
+    assert(StoreMaintenance.versions(spark, s"$tmp/store") == Seq(3L, 7L))
+    // the fold's version resolution still works after pruning
+    assert(StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue)
+      .get.endsWith("v=7"))
+    // idempotent; and a missing store is an empty report, not an error
+    assert(StoreMaintenance.pruneVersions(spark, s"$tmp/store", 2).isEmpty)
+    assert(StoreMaintenance.versions(spark, s"$tmp/nope").isEmpty)
+  }
+
   test("streaming funnel equals the batch fold under in-order arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.{FunnelEvent, FunnelProgress}
