@@ -168,7 +168,8 @@ object SparkEntry {
     "q155_join_cardinality" -> (CoreQueries.q155JoinCardinality(_, _)),
     "q156_k_anonymity" -> (CoreQueries.q156KAnonymity(_, _)),
     "q157_temporal_split" -> (CoreQueries.q157TemporalSplit(_, _)),
-    "q158_nfkc_keys" -> (CoreQueries.q158NfkcKeys(_, _))
+    "q158_nfkc_keys" -> (CoreQueries.q158NfkcKeys(_, _)),
+    "q159_debounce" -> (CoreQueries.q159Debounce(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2817,7 +2818,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,
         |  CAST(length(expected) AS BIGINT) AS n_chars_norm,
         |  md5(expected) AS norm_md5
-        |FROM aug ORDER BY doc_id""".stripMargin
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    // debounce: the lag window and every gap comparison replayed; the
+    // id checksum is order-free so the hash doesn't depend on row order
+    "q159_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |l AS (SELECT *, lag(tsec) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY tsec, event_id) AS prev
+        |  FROM e),
+        |k AS (SELECT * FROM l WHERE prev IS NULL OR tsec - prev >= 3600)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

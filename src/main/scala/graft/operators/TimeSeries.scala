@@ -111,6 +111,36 @@ object TimeSeries {
     * share its partitioning. Emits only the breaching slots, with the
     * trailing-window aggregates for context.
     */
+  /** Debounce / burst dedup — telemetry's "the button was pressed once,
+    * not forty times": within each key, a maximal CHAIN of events whose
+    * consecutive gaps are all < `cooldownSec` collapses to its FIRST
+    * event (in (ts, id) order — total, deterministic). Gap-based
+    * chain semantics, i.e. session-first with `cooldownSec` as the
+    * session gap: an event `cooldownSec` after the chain's LAST event
+    * starts a new chain — NOT "cooldown from the last KEPT event"
+    * (that variant needs a sequential fold; this one is a single lag
+    * window, which is why it scales — and it is what sessionization
+    * already means in this codebase, see q06).
+    *
+    * One shuffle (the per-key window); per-key state is the sort, never
+    * a collect.
+    */
+  def debounce(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      cooldownSec: Long
+  ): DataFrame = {
+    require(cooldownSec > 0, "cooldownSec must be positive")
+    val tsec = col(tsCol).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(tsec, col(idCol))
+    df.withColumn("__prev", lag(tsec, 1).over(w))
+      .filter(col("__prev").isNull || tsec - col("__prev") >= cooldownSec)
+      .drop("__prev")
+  }
+
   def anomalies(
       df: DataFrame,
       keyCols: Seq[String],

@@ -1026,6 +1026,20 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** Debounce gate: events collapsed to chain-first per (user, type)
+    * with a 1-hour cooldown; per-type kept counts + an order-free id
+    * checksum, every lag and gap replayed.
+    */
+  def q159Debounce(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    TimeSeries.debounce(Tables.events(s, dir),
+        Seq("user_id", "event_type"), "ts", "event_id", cooldownSec = 3600L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
   /** NFKC dedup-key gate: compatibility characters (ligature, enclosed
     * digit, unit square, fullwidth letter, vulgar fraction) injected per
     * doc_id; the oracle replays their PINNED expansions as literals (the

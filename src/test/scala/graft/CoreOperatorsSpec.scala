@@ -191,6 +191,26 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(survivors.exists(_.toSet == Set("k1", "k2")))
   }
 
+  test("debounce: chain-first semantics, per-key independence, same-second id tie-break") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    val d = Seq(
+      // user 1: chain 0-5-12 (gaps 5, 7 — both < 10) keeps only ts=0;
+      // ts=30 (gap 18) starts a new chain. NOTE ts=12 is 12s after the
+      // KEPT event but only 7s after the chain's last — the documented
+      // gap-based (session-first) semantics, not cooldown-from-last-kept
+      (1L, 10L, 0L, "a"), (1L, 11L, 5L, "a"), (1L, 12L, 12L, "a"), (1L, 13L, 30L, "a"),
+      // other key: independent chain
+      (2L, 20L, 1L, "a"),
+      // same second: event_id order decides the chain head
+      (3L, 32L, 50L, "a"), (3L, 31L, 50L, "a"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+      .select($"user_id", $"event_id", timestamp_seconds($"sec").as("ts"), $"event_type")
+    val kept = TimeSeries.debounce(d, Seq("user_id", "event_type"), "ts", "event_id", 10L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 13L, 20L, 31L))
+  }
+
   test("anomaly slots: spike flagged against trailing window, steady series clean") {
     import graft.operators.TimeSeries
     import spark.implicits._
