@@ -165,10 +165,10 @@ class PlanShapeSpec extends SparkSpec {
     // never a global sort of the counts frame
     Shape("q150_skew_profile", maxHash = 2, maxRange = 2, requireTopK = true,
       forbidUdf = true),
-    // MAD outliers: two key-partitioned windows + the med rejoin —
-    // bounded exchanges on the group keys, no sort-merge join (the med
-    // frame is groups-sized and must broadcast)
-    Shape("q152_mad_outliers", maxHash = 6, forbidSortMergeJoin = true,
+    // MAD outliers: ONE group-key exchange shared by every window (med
+    // attaches as a window aggregate, not a rejoin — the r8 1.64× fix)
+    // and the final aggregation; no join at all
+    Shape("q152_mad_outliers", maxHash = 1, forbidSortMergeJoin = true,
       forbidUdf = true),
     // quantile sketch: the hash-cut window + the report window + the
     // exact-quantile honesty chain; the groups-sized report join
