@@ -169,7 +169,8 @@ object SparkEntry {
     "q156_k_anonymity" -> (CoreQueries.q156KAnonymity(_, _)),
     "q157_temporal_split" -> (CoreQueries.q157TemporalSplit(_, _)),
     "q158_nfkc_keys" -> (CoreQueries.q158NfkcKeys(_, _)),
-    "q159_debounce" -> (CoreQueries.q159Debounce(_, _))
+    "q159_debounce" -> (CoreQueries.q159Debounce(_, _)),
+    "q160_line_lang_profile" -> (LlmQueries.q160LineLangProfile(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2830,7 +2831,61 @@ object SparkEntry {
         |k AS (SELECT * FROM l WHERE prev IS NULL OR tsec - prev >= 3600)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-line language profile: the q27 rule replayed on every LINE of
+    // the injected multilingual text; dominant = first max in the fixed
+    // en/de/fr/es/zh/und order; foreign_ppm by integer div
+    "q160_line_lang_profile" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 1 THEN chr(10) || 'le chat est sur la table et il est pas pour dans'
+        |      WHEN 2 THEN chr(10) || 'le chat est sur la table et il est pas pour dans' ||
+        |        chr(10) || 'der hund ist nicht mit der katze und das ist ein haus'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || '这是一个中文句子测试' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |ln AS (SELECT doc_id, u.l AS line FROM aug, unnest(string_split(text, chr(10))) AS u(l)
+        |  WHERE trim(u.l) <> ''),
+        |s AS (SELECT doc_id, line,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for','with','as','was','on'], x))) AS h_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von','für'], x))) AS h_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','des','que','pas','pour','dans'], x))) AS h_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','un','una','de','que','no','por','para','con'], x))) AS h_es,
+        |  length(regexp_replace(line, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |  length(line) AS n
+        |  FROM (SELECT doc_id, line, string_split_regex(trim(lower(line)), '\s+') AS toks FROM ln)),
+        |p AS (SELECT doc_id, CASE
+        |  WHEN n > 0 AND cjk * 1.0 / n > 0.2 THEN 'zh'
+        |  WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |  WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+        |  WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+        |  WHEN h_fr >= h_es THEN 'fr'
+        |  ELSE 'es' END AS lp FROM s),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN lp = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN lp = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        |  CAST(sum(CASE WHEN lp = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        |  CAST(sum(CASE WHEN lp = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+        |  CAST(sum(CASE WHEN lp = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+        |  CAST(sum(CASE WHEN lp = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+        |  FROM p GROUP BY 1)
+        |SELECT a.doc_id,
+        |  coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(n_en, 0) AS n_en, coalesce(n_de, 0) AS n_de,
+        |  coalesce(n_fr, 0) AS n_fr, coalesce(n_es, 0) AS n_es,
+        |  coalesce(n_zh, 0) AS n_zh, coalesce(n_und, 0) AS n_und,
+        |  CASE WHEN coalesce(n_lines, 0) = 0 THEN 'und'
+        |    WHEN n_en = greatest(n_en, n_de, n_fr, n_es, n_zh, n_und) THEN 'en'
+        |    WHEN n_de = greatest(n_en, n_de, n_fr, n_es, n_zh, n_und) THEN 'de'
+        |    WHEN n_fr = greatest(n_en, n_de, n_fr, n_es, n_zh, n_und) THEN 'fr'
+        |    WHEN n_es = greatest(n_en, n_de, n_fr, n_es, n_zh, n_und) THEN 'es'
+        |    WHEN n_zh = greatest(n_en, n_de, n_fr, n_es, n_zh, n_und) THEN 'zh'
+        |    ELSE 'und' END AS dominant_lang,
+        |  CASE WHEN coalesce(n_lines, 0) > 0
+        |    THEN (n_lines - greatest(n_en, n_de, n_fr, n_es, n_zh, n_und)) * 1000000 // n_lines
+        |    ELSE 0 END AS foreign_ppm
+        |FROM aug a LEFT JOIN cnt ON a.doc_id = cnt.doc_id
+        |ORDER BY a.doc_id""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

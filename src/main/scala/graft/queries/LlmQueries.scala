@@ -1521,6 +1521,32 @@ object LlmQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Per-line language profile gate (CCNet-style): deterministic
+    * multilingual line injection (French/German by doc_id % 3, a CJK
+    * line by doc_id % 7), then per-line langid counts, the
+    * fixed-tie-break dominant language, and foreign_ppm — the oracle
+    * replays the q27 rule on every LINE.
+    */
+  def q160LineLangProfile(s: SparkSession, dir: String): DataFrame = {
+    val fr = "le chat est sur la table et il est pas pour dans"
+    val de = "der hund ist nicht mit der katze und das ist ein haus"
+    val zh = "这是一个中文句子测试"
+    val aug = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 1, lit("\n" + fr))
+          .when(col("doc_id") % 3 === 2, lit("\n" + fr + "\n" + de))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\n" + zh)).otherwise(lit(""))).as("text"))
+    TextAnalysis.lineLanguageProfile(aug, "doc_id", "text")
+      .select(col("doc_id"),
+        col("n_lines").cast("long").as("n_lines"),
+        col("n_en").cast("long").as("n_en"), col("n_de").cast("long").as("n_de"),
+        col("n_fr").cast("long").as("n_fr"), col("n_es").cast("long").as("n_es"),
+        col("n_zh").cast("long").as("n_zh"), col("n_und").cast("long").as("n_und"),
+        col("dominant_lang"), col("foreign_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Checksum-id gate: every doc gets a deterministic synthetic card
     * number (spaced AND plain form of the same 16 digits) and a
     * synthetic IBAN derived from doc_id; whether each validates is

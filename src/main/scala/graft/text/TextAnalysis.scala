@@ -35,33 +35,97 @@ object TextAnalysis {
   private val LangIdLangs = Seq("en", "de", "fr", "es")
   private val LangIdSets: Array[Set[String]] = LangIdLangs.map(l => Stopwords(l).toSet).toArray
 
-  val langIdUdf = udf { (text: String) =>
-    if (text == null) "und"
+  /** The compiled kernel shared by the document-level UDF and the
+    * per-line profile: exactly the q27 rule on one string.
+    */
+  private def langOf(text: String): String = {
+    if (text == null) return "und"
+    var cjk = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= '一' && c <= '鿿') cjk += 1
+      i += 1
+    }
+    if (text.nonEmpty && cjk.toDouble / text.length > 0.2) "zh"
     else {
-      var cjk = 0
-      var i = 0
-      while (i < text.length) {
-        val c = text.charAt(i)
-        if (c >= '一' && c <= '鿿') cjk += 1
-        i += 1
-      }
-      if (text.nonEmpty && cjk.toDouble / text.length > 0.2) "zh"
-      else {
-        val toks = text.trim.toLowerCase.split("\\s+")
-        val hits = new Array[Int](LangIdSets.length)
-        toks.foreach { t =>
-          var j = 0
-          while (j < LangIdSets.length) { if (LangIdSets(j).contains(t)) hits(j) += 1; j += 1 }
-        }
-        var best = -1; var bestHits = 0
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val hits = new Array[Int](LangIdSets.length)
+      toks.foreach { t =>
         var j = 0
-        while (j < hits.length) { if (hits(j) > bestHits) { bestHits = hits(j); best = j }; j += 1 }
-        if (best < 0) "und" else LangIdLangs(best)
+        while (j < LangIdSets.length) { if (LangIdSets(j).contains(t)) hits(j) += 1; j += 1 }
       }
+      var best = -1; var bestHits = 0
+      var j = 0
+      while (j < hits.length) { if (hits(j) > bestHits) { bestHits = hits(j); best = j }; j += 1 }
+      if (best < 0) "und" else LangIdLangs(best)
     }
   }
 
+  val langIdUdf = udf { (text: String) => langOf(text) }
+
   def langId(textCol: Column): Column = langIdUdf(textCol)
+
+  /** Per-LINE language counts — the CCNet-style unit (Wenzek et al.
+    * 2020 filter per line, not per document: web pages mix navigation
+    * boilerplate, quotes and body text in different languages, and a
+    * document-level vote hides exactly the lines you want to drop).
+    * One compiled pass over the document's lines (the [[langId]]
+    * rationale: the expression form would re-tokenize every line once
+    * per language); blank lines are skipped.
+    */
+  private case class LineLangCounts(
+      n_lines: Int, n_en: Int, n_de: Int, n_fr: Int, n_es: Int,
+      n_zh: Int, n_und: Int)
+
+  private val lineLangUdf = udf { (text: String) =>
+    if (text == null) LineLangCounts(0, 0, 0, 0, 0, 0, 0)
+    else {
+      var en = 0; var de = 0; var fr = 0; var es = 0; var zh = 0; var und = 0
+      var n = 0
+      text.split("\n", -1).foreach { line =>
+        if (line.trim.nonEmpty) {
+          n += 1
+          langOf(line) match {
+            case "en" => en += 1
+            case "de" => de += 1
+            case "fr" => fr += 1
+            case "es" => es += 1
+            case "zh" => zh += 1
+            case _ => und += 1
+          }
+        }
+      }
+      LineLangCounts(n, en, de, fr, es, zh, und)
+    }
+  }
+
+  /** Per-document line-language profile: per-language line counts, the
+    * dominant line language (max count, ties broken in the FIXED order
+    * en/de/fr/es/zh/und — deterministic on any engine), and
+    * foreign_ppm = (n_lines − n_dominant)·10⁶ div n_lines — the "how
+    * much of this page is not its main language" number a CCNet-style
+    * line scrub thresholds on. Narrow one-pass projection, no shuffle.
+    */
+  def lineLanguageProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = lineLangUdf(col(textCol))
+    val counts = Seq("en", "de", "fr", "es", "zh", "und")
+    val out = df.select(col(idCol), p.as("__p"))
+      .select((col(idCol) +: (("n_lines" +: counts.map("n_" + _))
+        .map(f => col(s"__p.$f").as(f)))): _*)
+    val maxCnt = greatest(counts.map(l => col("n_" + l)): _*)
+    val dominant = counts.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col("n_" + l) === maxCnt, lit(l)).otherwise(acc)
+    }
+    // foldRight builds when(en==max,'en').otherwise(when(de==max,...)):
+    // the FIRST language in the fixed order hitting the max wins
+    out.withColumn("dominant_lang",
+        when(col("n_lines") === 0, lit("und")).otherwise(dominant))
+      .withColumn("foreign_ppm",
+        when(col("n_lines") > 0,
+          expr("(CAST(n_lines AS BIGINT) - greatest(n_en, n_de, n_fr, n_es, n_zh, n_und)) * 1000000 div n_lines"))
+          .otherwise(lit(0L)))
+  }
 
   /** Quality features + composite score. Integer counts ratio'd in double —
     * identical formula is expressible in any ANSI engine.

@@ -98,6 +98,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr"))
   }
 
+  test("lineLanguageProfile: per-line counts, fixed-order dominant tie-break, blanks skipped") {
+    val d = Seq(
+      (1L, "the cat is on the table\n" +
+        "le chat est sur la table et il est pas\n" +
+        "der hund ist nicht mit der katze\n" +
+        "\n" + // blank line skipped
+        "这是一个中文句子测试"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "xyzzy qwerty\nfoo bar baz"), // no stopword hits anywhere
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineLanguageProfile(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_lines"), r.getAs[Int]("n_en"), r.getAs[Int]("n_fr"),
+          r.getAs[Int]("n_de"), r.getAs[Int]("n_zh"), r.getAs[Int]("n_und"),
+          r.getAs[String]("dominant_lang"), r.getAs[Long]("foreign_ppm")))).toMap
+    // four non-blank lines, one per language; all tie at 1 -> the FIXED
+    // order says 'en'; foreign = 3 of 4 lines
+    assert(got(1L) == ((4, 1, 1, 1, 1, 0, "en", 750000L)))
+    assert(got(2L) == ((0, 0, 0, 0, 0, 0, "und", 0L)))
+    assert(got(3L) == ((2, 0, 0, 0, 0, 2, "und", 0L)))
+    assert(got(4L) == ((0, 0, 0, 0, 0, 0, "und", 0L)))
+  }
+
   test("fingerprints: md5 is whitespace/case-insensitive, rolling hash is order-sensitive") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "world hello")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(d, "text").collect()
