@@ -178,7 +178,25 @@ class PlanShapeSpec extends SparkSpec {
     // join-cardinality forecast: two per-key count aggregations + the
     // keys-sized counts join + two 1-row combines — the whole point is
     // that no data-sized frame shuffles beyond its own count
-    Shape("q155_join_cardinality", maxHash = 6, maxRange = 4, forbidUdf = true)
+    Shape("q155_join_cardinality", maxHash = 6, maxRange = 4, forbidUdf = true),
+    // harmonic centrality: the BFS rounds materialized during
+    // construction (persist+count discipline) — the gate plan itself is
+    // the final filter+aggregation over the cached visited frame; a
+    // regression here means lineage leaked into the plan
+    // (3: the node aggregation + the cached visited frame's rendered
+    // subtree — InMemoryTableScan prints its build plan)
+    Shape("q153_harmonic", maxHash = 3, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // NFKC keys: a narrow native-expression projection — zero shuffles,
+    // and the kernel must be the codegen'd expression, not a ScalaUDF
+    Shape("q158_nfkc_keys", maxHash = 0, forbidUdf = true),
+    // debounce: ONE key-partitioned lag window + the report aggregation
+    // reusing its exchange
+    Shape("q159_debounce", maxHash = 2, forbidUdf = true),
+    // line-language profile: one compiled pass, no shuffle before the
+    // output sort (the UDF is deliberate — see langId's rationale — so
+    // no forbidUdf here)
+    Shape("q160_line_lang_profile", maxHash = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
