@@ -738,6 +738,38 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  final case class DebounceEvent(key: String, event_id: Long, ts_sec: Long)
+
+  /** Streaming debounce — [[graft.operators.TimeSeries.debounce]]'s
+    * stateful twin: per-key GroupState carries ONE number (the last
+    * SEEN event's ts — gap-CHAIN semantics track the last event, kept
+    * or not), each micro-batch folds in (ts_sec, event_id) order, and
+    * chain-head events emit. Same cross-batch contract as
+    * [[funnelStream]]: in-order arrival per key reproduces the batch
+    * result exactly (spec-asserted); late events apply in arrival
+    * order. Bounded state: one long per key.
+    */
+  def debounceStream(
+      events: Dataset[DebounceEvent],
+      cooldownSec: Long
+  ): Dataset[DebounceEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DebounceEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { case (_, rows, state: GroupState[Long]) =>
+        var last = state.getOption.getOrElse(Long.MinValue)
+        val kept = Seq.newBuilder[DebounceEvent]
+        rows.toSeq.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+          if (last == Long.MinValue || e.ts_sec - last >= cooldownSec) kept += e
+          last = e.ts_sec
+        }
+        state.update(last)
+        kept.result().iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: String)
   final case class FunnelState(step_idx: Int, t1_sec: Long)
   final case class FunnelProgress(user_id: Long, steps_completed: Int)

@@ -456,6 +456,39 @@ class StreamingSpec extends SparkSpec {
     assert(finalSteps == Map(1L -> 3, 2L -> 1))
   }
 
+  test("streaming debounce equals the batch operator under in-order arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.DebounceEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DebounceEvent]
+    val sink = StreamingOps.debounceStream(mem.toDS(), cooldownSec = 10L)
+      .writeStream.format("memory").queryName("debounce_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    // batch 1: key a chain 0-5; key b lone event
+    mem.addData(
+      DebounceEvent("a", 1L, 0L), DebounceEvent("a", 2L, 5L),
+      DebounceEvent("b", 3L, 0L))
+    sink.start().awaitTermination(120000)
+    // batch 2: a@12 continues the chain ACROSS the batch boundary (gap 7
+    // from the last SEEN event 5 — dropped); a@30 starts a new chain
+    mem.addData(DebounceEvent("a", 4L, 12L), DebounceEvent("a", 5L, 30L))
+    sink.start().awaitTermination(120000)
+    val streamKept = spark.table("debounce_sink").as[DebounceEvent]
+      .collect().map(_.event_id).toSet
+    assert(streamKept == Set(1L, 3L, 5L))
+    // batch twin over the union of both batches
+    val all = Seq(("a", 1L, 0L), ("a", 2L, 5L), ("b", 3L, 0L),
+        ("a", 4L, 12L), ("a", 5L, 30L))
+      .toDF("key", "event_id", "sec")
+      .select($"key", $"event_id",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec").as("ts"))
+    val batchKept = graft.operators.TimeSeries
+      .debounce(all, Seq("key"), "ts", "event_id", 10L)
+      .select("event_id").as[Long].collect().toSet
+    assert(streamKept == batchKept)
+  }
+
   test("streaming exact-substring scrub drops store-owned runs from later batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.ExactSubstr
