@@ -170,7 +170,8 @@ object SparkEntry {
     "q157_temporal_split" -> (CoreQueries.q157TemporalSplit(_, _)),
     "q158_nfkc_keys" -> (CoreQueries.q158NfkcKeys(_, _)),
     "q159_debounce" -> (CoreQueries.q159Debounce(_, _)),
-    "q160_line_lang_profile" -> (LlmQueries.q160LineLangProfile(_, _))
+    "q160_line_lang_profile" -> (LlmQueries.q160LineLangProfile(_, _)),
+    "q161_top_paths" -> (CoreQueries.q161TopPaths(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2885,7 +2886,19 @@ object SparkEntry {
         |    THEN (n_lines - greatest(n_en, n_de, n_fr, n_es, n_zh, n_und)) * 1000000 // n_lines
         |    ELSE 0 END AS foreign_ppm
         |FROM aug a LEFT JOIN cnt ON a.doc_id = cnt.doc_id
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+    // top paths: both lags over the same per-user (ts, id) order, full
+    // windows only, pinned (count desc, path) top-10
+    "q161_top_paths" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |l AS (SELECT user_id, event_type,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS l2,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS l1
+        |  FROM e),
+        |p AS (SELECT l2 || '>' || l1 || '>' || event_type AS path FROM l WHERE l2 IS NOT NULL)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -162,6 +162,42 @@ object Funnel {
     counts.withColumn("p", col("n") / sum(col("n")).over(w2))
   }
 
+  /** Top event PATHS — [[transitionMatrix]]'s higher-order sibling and
+    * the discovery tool funnels are built FROM: count every window of
+    * `pathLen` consecutive event types per user (in (ts, event_id)
+    * order) and keep the `topK` most frequent paths, ties broken by the
+    * path string — "what do users actually do in sequence", before you
+    * commit to a steps list.
+    *
+    * Scale shape: one per-user window shuffle (pathLen−1 lags share its
+    * sort), a paths-sized roll-up with map-side combine, and a
+    * TakeOrdered top-k — never a global sort.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      pathLen: Int,
+      topK: Int
+  ): DataFrame = {
+    require(pathLen >= 2 && pathLen <= 8, s"pathLen must be in [2, 8]: $pathLen")
+    require(topK > 0, "topK must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).cast("long"), col(idCol))
+    val lagged = (pathLen - 1 to 1 by -1).map(i =>
+      lag(col(typeCol), i).over(w)) :+ col(typeCol)
+    events
+      .select(concat_ws(">", lagged: _*).as("path"),
+        lagged.head.isNotNull.as("__full"))
+      .filter(col("__full")) // windows that reach back before the user's first event drop
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Weekly cohort retention: cohort = ISO week of the user's first
     * event; one row per (cohort_week, week_offset) with the distinct
     * active-user count. Two aggregations on user + one on the

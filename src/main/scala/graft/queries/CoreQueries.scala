@@ -1026,6 +1026,16 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** Top event paths gate: the 10 most frequent 3-step sequences with a
+    * pinned (count desc, path) order — every lag, concat and count
+    * replayed.
+    */
+  def q161TopPaths(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Funnel
+    Funnel.topPaths(Tables.events(s, dir), "user_id", "event_type", "ts",
+      "event_id", pathLen = 3, topK = 10)
+  }
+
   /** Debounce gate: events collapsed to chain-first per (user, type)
     * with a 1-hour cooldown; per-type kept counts + an order-free id
     * checksum, every lag and gap replayed.

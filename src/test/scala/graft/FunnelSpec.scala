@@ -95,6 +95,23 @@ class FunnelSpec extends SparkSpec {
       || errMs.getCause != null && errMs.getCause.getMessage.contains("packing range"))
   }
 
+  test("topPaths: windows per user in (ts, id) order; short histories drop; pinned ties") {
+    val d = ev(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"), (1L, 4L, 40L, "b"),
+      (2L, 5L, 10L, "a"), (2L, 6L, 20L, "b"), (2L, 7L, 30L, "c"),
+      (3L, 8L, 10L, "a"), (3L, 9L, 20L, "b")) // only 2 events: no 3-window
+    val got = Funnel.topPaths(d, "user_id", "event_type", "ts", "event_id",
+        pathLen = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a>b>c appears for users 1 and 2; b>c>b only for user 1; ties break
+    // by path string after count
+    assert(got == Seq(("a>b>c", 2L), ("b>c>b", 1L)))
+    // pathLen 2 degenerates to transition pairs
+    val pairs = Funnel.topPaths(d, "user_id", "event_type", "ts", "event_id", 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pairs == Map("a>b" -> 3L, "b>c" -> 2L, "c>b" -> 1L))
+  }
+
   test("weekly retention: cohorts anchor at the first event's week") {
     val day = 86400L
     val d = ev(
