@@ -171,7 +171,9 @@ object SparkEntry {
     "q158_nfkc_keys" -> (CoreQueries.q158NfkcKeys(_, _)),
     "q159_debounce" -> (CoreQueries.q159Debounce(_, _)),
     "q160_line_lang_profile" -> (LlmQueries.q160LineLangProfile(_, _)),
-    "q161_top_paths" -> (CoreQueries.q161TopPaths(_, _))
+    "q161_top_paths" -> (CoreQueries.q161TopPaths(_, _)),
+    "q162_l_diversity" -> (CoreQueries.q162LDiversity(_, _)),
+    "q163_calibration" -> (LlmQueries.q163Calibration(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2898,7 +2900,55 @@ object SparkEntry {
         |  FROM e),
         |p AS (SELECT l2 || '>' || l1 || '>' || event_type AS path FROM l WHERE l2 IS NOT NULL)
         |SELECT path, CAST(count(*) AS BIGINT) AS n
-        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // l-diversity: exact distinct-sensitive counts per quasi group
+    "q162_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    c_mktsegment
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, bal_bucket, count(*) AS cnt,
+        |    count(DISTINCT c_mktsegment) AS n_sensitive
+        |  FROM c GROUP BY 1, 2)
+        |SELECT c_nationkey, bal_bucket, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(n_sensitive AS BIGINT) AS n_sensitive
+        |FROM g WHERE n_sensitive < 4
+        |ORDER BY c_nationkey, bal_bucket""".stripMargin,
+    // calibration: the q144 refit + margin replay, then EXPLICIT
+    // integer bucket edges ((rank-1)*10 // n + 1 — not ntile, whose
+    // remainder rule is an engine detail)
+    "q163_calibration" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
+        |  FROM tok),
+        |b AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
+        |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
+        |  FROM g, unnest(gs) AS u(gram)),
+        |cnt AS (SELECT bucket,
+        |    sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS cnt_p,
+        |    sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS cnt_n
+        |  FROM b WHERE doc_id % 5 = 0 OR doc_id % 5 = 3 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_p) AS HUGEINT) AS pt, CAST(sum(cnt_n) AS HUGEINT) AS nt FROM cnt),
+        |wt AS (SELECT bucket,
+        |    CAST((2 * 1000000 * CAST(cnt_p AS HUGEINT) * nt) //
+        |      (CAST(cnt_p AS HUGEINT) * nt + CAST(cnt_n AS HUGEINT) * pt) - 1000000 AS BIGINT) AS w
+        |  FROM cnt, tot),
+        |sig AS (SELECT b.doc_id, sum(coalesce(wt.w, 0)) AS margin
+        |  FROM b LEFT JOIN wt USING (bucket) GROUP BY 1),
+        |lab AS (SELECT doc_id, doc_id % 5 = 0 AS label FROM documents
+        |  WHERE doc_id % 5 = 0 OR doc_id % 5 = 3),
+        |j AS (SELECT s.doc_id, CAST(s.margin AS BIGINT) AS margin, l.label
+        |  FROM sig s JOIN lab l USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (ORDER BY margin, doc_id) AS rn,
+        |    count(*) OVER () AS n FROM j),
+        |bk AS (SELECT (CAST(rn AS BIGINT) - 1) * 10 // n + 1 AS bucket, margin, label FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  min(margin) AS min_score, max(margin) AS max_score
+        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -129,6 +129,47 @@ object RankEval {
             col("idcg_scaled").cast("double")).as("ndcg"))
   }
 
+  /** Score-calibration buckets — the honesty report behind any
+    * threshold choice: rows ranked by (score, id), cut into `nBuckets`
+    * EXPLICIT integer-arithmetic buckets (bucket = (rank−1)·B div n + 1
+    * — not ntile, whose remainder-distribution rule is an engine
+    * implementation detail), each reporting exact row/positive counts
+    * and the actual min/max score. A well-calibrated scorer shows
+    * positives monotone in bucket; a cliff says the margin is a vote,
+    * not a probability. All integers and data values — fully
+    * hash-gateable when scores are integers (the NBSVM margins are).
+    *
+    * The global rank runs in ONE partition by construction — fine for a
+    * labeled EVAL set (bounded by labeling budget), not for corpus-wide
+    * scores; sample first if you must calibrate at corpus scale.
+    */
+  def calibration(
+      predictions: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String = "label",
+      nBuckets: Int = 10
+  ): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol), col(idCol))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    predictions.select(col(idCol), col(scoreCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("bucket",
+        expr(s"(CAST(__rn AS BIGINT) - 1) * $nBuckets div __n + 1"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+  }
+
   /** Binary-classifier confusion counts — the classifier-side twin of
     * [[perQuery]]: predictions joined to labels on `idCol`, one row of
     * exact-integer tp/fp/fn/tn (precision/recall/F1 are single

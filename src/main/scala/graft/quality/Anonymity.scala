@@ -41,4 +41,24 @@ object Anonymity {
         sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("n_rows_at_risk"),
         min(col("cnt")).as("min_group_size"))
   }
+
+  /** l-diversity violations (Machanavajjhala et al. 2007) — k-anonymity's
+    * necessary complement: a quasi group can be large (k-anonymous) yet
+    * reveal everyone's sensitive value when all its rows SHARE that
+    * value (the homogeneity attack). Groups whose sensitive column
+    * carries fewer than `l` distinct values, with size and distinct
+    * count — exact integers, one aggregation on the quasi key.
+    */
+  def lDiversityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long
+  ): DataFrame = {
+    require(l > 1, s"l must be > 1: $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
 }

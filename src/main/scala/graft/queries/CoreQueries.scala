@@ -1088,6 +1088,21 @@ object CoreQueries {
       .orderBy(col("cnt"), col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
   }
 
+  /** l-diversity gate: (nation, kilobucket) groups whose market-segment
+    * column carries fewer than 4 distinct values — the homogeneity-
+    * attack audit on groups q156's size check alone would pass.
+    */
+  def q162LDiversity(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Anonymity
+    val c = Tables.customer(s, dir).select(
+      col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+      col("c_mktsegment"))
+    Anonymity.lDiversityViolations(c, Seq("c_nationkey", "bal_bucket"),
+        "c_mktsegment", l = 4)
+      .orderBy(col("c_nationkey"), col("bal_bucket"))
+  }
+
   /** Temporal split gate: train strictly before cutoff − 2-day embargo,
     * test at/after the cutoff, the gap dropped — per-split counts and
     * boundary timestamps prove the embargo actually excluded its window.

@@ -1628,6 +1628,27 @@ object LlmQueries {
     RankEval.confusion(scored, labels, "doc_id")
   }
 
+  /** Calibration gate: the q125 classifier's margins cut into 10
+    * integer-arithmetic rank buckets over the labeled split — positives
+    * per bucket + actual margin extremes, the "is this margin a
+    * probability or just a vote" report. The oracle refits the model,
+    * replays every margin, and re-derives every bucket edge.
+    */
+  def q163Calibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val model = graft.text.QualityClassifier.train(
+      d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 === 3),
+      "text", numBuckets = 1024)
+    val scored = graft.text.QualityClassifier
+      .score(d, "doc_id", "text", model, numBuckets = 1024)
+    val labels = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 3)
+      .select(col("doc_id"), (col("doc_id") % 5 === 0).as("label"))
+    RankEval.calibration(scored, labels, "doc_id", "margin", "label", nBuckets = 10)
+      .orderBy("bucket")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -282,6 +282,22 @@ class ProfileSampleSpec extends SparkSpec {
     assert(all.getLong(1) == 3L && all.getLong(2) == 8L)
   }
 
+  test("l-diversity: homogeneous groups flagged even when k-anonymous") {
+    import spark.implicits._
+    import graft.quality.Anonymity
+    val d = Seq(
+      // group x: 5 rows, 3 distinct sensitive values -> diverse at l=3
+      ("x", "s1"), ("x", "s1"), ("x", "s2"), ("x", "s3"), ("x", "s2"),
+      // group y: 4 rows, ONE sensitive value -> k-anonymous at k=4 but
+      // homogeneous: every member's value is revealed
+      ("y", "s1"), ("y", "s1"), ("y", "s1"), ("y", "s1"))
+      .toDF("q", "s")
+    val v = Anonymity.lDiversityViolations(d, Seq("q"), "s", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(v == Seq(("y", 4L, 1L)))
+    assert(Anonymity.kAnonymityViolations(d, Seq("q"), k = 4).count() == 0)
+  }
+
   test("temporalSplit: embargo window excluded from BOTH sides") {
     import spark.implicits._
     import graft.operators.Sampling

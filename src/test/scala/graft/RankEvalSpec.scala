@@ -99,6 +99,30 @@ class RankEvalSpec extends SparkSpec {
     assert(q2.getLong(1) == 0L && q2.getDouble(3) == 0.0)
   }
 
+  test("calibration: explicit integer bucket edges, exact counts, NULLs excluded") {
+    // 10 rows, 5 buckets -> 2 rows each; scores already sorted by
+    // (score, id); positives concentrate in the top buckets
+    val preds = (1 to 10).map(i => (i.toLong, i.toLong * 10)).toDF("id", "score")
+    val labels = (1 to 10).map(i => (i.toLong, i > 6)).toDF("id", "label")
+    val got = RankEval.calibration(preds, labels, "id", "score", "label", nBuckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 10L, 20L), (2L, 2L, 0L, 30L, 40L), (3L, 2L, 0L, 50L, 60L),
+      (4L, 2L, 2L, 70L, 80L), (5L, 2L, 2L, 90L, 100L)))
+    // non-divisible n: buckets differ by at most one row and cover all rows
+    val p7 = (1 to 7).map(i => (i.toLong, i.toLong)).toDF("id", "score")
+    val l7 = (1 to 7).map(i => (i.toLong, true)).toDF("id", "label")
+    val sizes = RankEval.calibration(p7, l7, "id", "score", nBuckets = 3)
+      .collect().map(r => r.getLong(1))
+    assert(sizes.sum == 7L && sizes.max - sizes.min <= 1)
+    // a NULL label row is excluded entirely, not zero-counted
+    val ln = Seq((1L, Some(true)), (2L, None: Option[Boolean])).toDF("id", "label")
+    val pn = Seq((1L, 5L), (2L, 6L)).toDF("id", "score")
+    assert(RankEval.calibration(pn, ln, "id", "score", nBuckets = 2)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0) == 1L)
+  }
+
   test("k truncates both sides") {
     val truth = lists((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3))
     val results = lists((1L, 13L, 1), (1L, 11L, 2), (1L, 12L, 3))
