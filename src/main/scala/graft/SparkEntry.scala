@@ -173,7 +173,8 @@ object SparkEntry {
     "q160_line_lang_profile" -> (LlmQueries.q160LineLangProfile(_, _)),
     "q161_top_paths" -> (CoreQueries.q161TopPaths(_, _)),
     "q162_l_diversity" -> (CoreQueries.q162LDiversity(_, _)),
-    "q163_calibration" -> (LlmQueries.q163Calibration(_, _))
+    "q163_calibration" -> (LlmQueries.q163Calibration(_, _)),
+    "q164_centroid_drift" -> (CoreQueries.q164CentroidDrift(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2948,7 +2949,23 @@ object SparkEntry {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  min(margin) AS min_score, max(margin) AS max_score
-        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // centroid drift: floor(x * 2^20) is exact (power-of-two scaling),
+    // BIGINT sums are partition-order-free, the cross-multiplied mean
+    // difference keeps the n_a*n_b denominator implicit — no float
+    "q164_centroid_drift" ->
+      """WITH q AS (SELECT vec_id, u.i AS dim,
+        |    CAST(floor(v[u.i + 1] * 1048576) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE embedding IS NOT NULL),
+        |    unnest(range(0, len(v))) AS u(i)),
+        |a AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS sum_a,
+        |    CAST(count(*) AS BIGINT) AS n_a FROM q WHERE vec_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS sum_b,
+        |    CAST(count(*) AS BIGINT) AS n_b FROM q WHERE vec_id % 2 = 1 GROUP BY 1)
+        |SELECT CAST(dim AS INT) AS dim, sum_a, n_a, sum_b, n_b,
+        |  sum_a * n_b - sum_b * n_a AS diff_scaled
+        |FROM a JOIN b USING (dim) ORDER BY dim""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -47,4 +47,40 @@ object VectorQuality {
         min(when(col("__clean"), col("__n2"))).as("min_norm2"),
         max(when(col("__clean"), col("__n2"))).as("max_norm2"))
   }
+
+  /** Quantization scale for [[centroidDrift]]: a POWER OF TWO, so
+    * x·2²⁰ is exact in IEEE for any float x (power-of-two scaling only
+    * shifts the exponent) and the subsequent floor is exact — the whole
+    * drift report is then integer arithmetic.
+    */
+  val DriftScale: Long = 1L << 20
+
+  /** Embedding-distribution drift between two corpus slices — the
+    * "has my embedding space moved, is the ANN index stale" check run
+    * between index builds. Float mean vectors are UNGATEABLE (a global
+    * float sum depends on partition order), so each component is first
+    * quantized to floor(x · 2²⁰) — exact, see [[DriftScale]] — and
+    * summed as BIGINT (associative: any partitioning gives the same
+    * sum). Output is one row per dimension: both sides' exact component
+    * sums and counts, plus diff_scaled = sum_a·n_b − sum_b·n_a (the
+    * cross-multiplied mean difference with denominator n_a·n_b kept
+    * implicit — no division, no float, hash-exact). Callers derive
+    * dist² = Σ (diff/(n_a·n_b))² or feed the per-dim diffs to a
+    * threshold.
+    *
+    * Scale shape: posexplode → (dim, q) partial-aggregated per
+    * partition before the exchange — the shuffle carries dims ×
+    * partitions rows, never n × dims.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def sums(df: DataFrame, sumName: String, nName: String): DataFrame =
+      df.select(col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull && !exists(col("v"), isnan(_)))
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("dim"), floor(col("x") * lit(DriftScale)).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(sum(col("q")).as(sumName), count(lit(1)).as(nName))
+    sums(a, "sum_a", "n_a").join(sums(b, "sum_b", "n_b"), Seq("dim"))
+      .withColumn("diff_scaled", col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+  }
 }

@@ -1088,6 +1088,19 @@ object CoreQueries {
       .orderBy(col("cnt"), col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
   }
 
+  /** Embedding centroid drift gate: even vs odd vec_id halves — 64
+    * per-dimension rows of exact quantized sums and the cross-multiplied
+    * mean difference, every number an integer the oracle replays.
+    */
+  def q164CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.VectorQuality
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    VectorQuality.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "embedding")
+      .orderBy("dim")
+  }
+
   /** l-diversity gate: (nation, kilobucket) groups whose market-segment
     * column carries fewer than 4 distinct values — the homogeneity-
     * attack audit on groups q156's size check alone would pass.

@@ -314,6 +314,25 @@ class ProfileSampleSpec extends SparkSpec {
     assert(z.count() == 8L)
   }
 
+  test("centroidDrift: exact power-of-two quantization, negative floors, cross-multiplied diff") {
+    import spark.implicits._
+    import graft.quality.VectorQuality
+    val a = Seq((1L, Seq(1.0f, -0.5f)), (2L, Seq(0.5f, 0.25f))).toDF("id", "v")
+    val b = Seq((3L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val got = VectorQuality.centroidDrift(a, b, "v")
+      .orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val S = VectorQuality.DriftScale // 2^20: scaling is EXACT, incl. negatives
+    assert(got.toSeq == Seq(
+      (0, (S + S / 2), 2L, 0L, 1L, (S + S / 2) * 1 - 0 * 2),
+      (1, (-S / 2 + S / 4), 2L, S, 1L, (-S / 2 + S / 4) * 1 - S * 2)))
+    // identical slices -> every diff is exactly zero
+    val same = VectorQuality.centroidDrift(a, a, "v")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.abs(col("diff_scaled")))).head().getLong(0)
+    assert(same == 0L)
+  }
+
   test("vector quality: each defect counted once, extremes ignore defective rows") {
     import spark.implicits._
     import graft.quality.VectorQuality
