@@ -51,10 +51,11 @@ object Quantiles {
     * Scale shape: ONE exchange — every window (value rank, group count,
     * med broadcast-within-partition, deviation rank, mad) shares the
     * group-key partitioning, so the med attaches as a window aggregate
-    * instead of a groupBy+rejoin (measured 1.64× on the q152 shape at
-    * sf0.1: the rejoin forced a second scan + exchange of the fact),
-    * and the final aggregation reuses the same keys. Per-group state is
-    * the window sort, never a collect.
+    * instead of a groupBy+rejoin (the rejoin forced a second scan +
+    * exchange of the fact — 1.85× min-of-3 on the q152 shape at sf0.1,
+    * same-JVM alternating A/B with arm equivalence asserted:
+    * [[graft.AbMad]]), and the final aggregation reuses the same keys.
+    * Per-group state is the window sort, never a collect.
     */
   def madOutliers(
       df: DataFrame,
