@@ -89,12 +89,18 @@ object Bench {
     // q100–q144 out of the tail).
     val num = "q(\\d+)".r
     def qnum(n: String): Int = num.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0)
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"duplicate qNN short keys would silently drop a timing: " +
+        shortKeys.groupBy(identity).filter(_._2.size > 1).keys.mkString(","))
     val compact = results.sortBy(r => (qnum(r._1), r._1)).map { case (k, v) =>
-      val short = k.takeWhile(_ != '_')
-      s""""$short":${math.round(v * 1000)}"""
+      s""""${k.takeWhile(_ != '_')}":${math.round(v * 1000)}"""
     }.mkString("{", ",", "}")
     val sfName = sfDir.split('/').last
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_unit":"ms","queries":$compact,"sf":"$sfName"}""")
+    // Locale.ROOT: the f-interpolator is locale-sensitive — a
+    // comma-decimal JVM locale would emit invalid JSON
+    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries_unit":"ms","queries":$compact,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -2666,18 +2666,21 @@ object SparkEntry {
         |  UNION ALL SELECT -1, NULL
         |  UNION ALL SELECT -2, [1.0, 2.0]::DOUBLE[]
         |  UNION ALL SELECT -3, list_transform(range(64), x -> 'NaN'::DOUBLE)
-        |  UNION ALL SELECT -4, list_transform(range(64), x -> 0.0::DOUBLE)),
+        |  UNION ALL SELECT -4, list_transform(range(64), x -> 0.0::DOUBLE)
+        |  UNION ALL SELECT -5, list_prepend(NULL::DOUBLE, list_transform(range(63), x -> 1.0::DOUBLE))),
         |m AS (SELECT
         |    v IS NULL AS is_nl,
-        |    v IS NOT NULL AND len(v) <> 64 AS is_bad,
-        |    v IS NOT NULL AND len(list_filter(v, x -> isnan(x))) > 0 AS has_nan,
+        |    coalesce(v IS NOT NULL AND len(v) <> 64, FALSE) AS is_bad,
+        |    coalesce(v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) > 0, FALSE) AS has_ne,
+        |    coalesce(v IS NOT NULL AND len(list_filter(v, x -> coalesce(isnan(x), FALSE))) > 0, FALSE) AS has_nan,
         |    CASE WHEN v IS NOT NULL
         |      THEN list_reduce(list_prepend(0.0, v), (a, x) -> a + x * x) END AS n2
         |  FROM base),
-        |f AS (SELECT *, NOT is_nl AND NOT is_bad AND NOT has_nan AS clean FROM m)
+        |f AS (SELECT *, NOT is_nl AND NOT is_bad AND NOT has_ne AND NOT has_nan AS clean FROM m)
         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN is_nl THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
         |  CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |  CAST(sum(CASE WHEN has_ne THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
         |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
         |  CAST(sum(CASE WHEN clean AND n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  min(CASE WHEN clean THEN n2 END) AS min_norm2,
@@ -2894,7 +2897,8 @@ object SparkEntry {
     // windows only, pinned (count desc, path) top-10
     "q161_top_paths" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+        |  WHERE event_type IS NOT NULL),
         |l AS (SELECT user_id, event_type,
         |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS l2,
         |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS l1
@@ -2957,7 +2961,8 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id, u.i AS dim,
         |    CAST(floor(v[u.i + 1] * 1048576) AS BIGINT) AS qv
         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |        WHERE embedding IS NOT NULL),
+        |        WHERE embedding IS NOT NULL
+        |          AND len(list_filter(embedding::DOUBLE[], x -> coalesce(isnan(x), FALSE))) = 0),
         |    unnest(range(0, len(v))) AS u(i)),
         |a AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS sum_a,
         |    CAST(count(*) AS BIGINT) AS n_a FROM q WHERE vec_id % 2 = 0 GROUP BY 1),

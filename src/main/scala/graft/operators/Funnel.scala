@@ -67,10 +67,12 @@ object Funnel {
     val k = steps.size
     val stepArr = array(steps.map(lit): _*)
     val tsSec = col(tsCol).cast("long")
+    // coalesce in the message: a NULL ts must fail with the diagnostic,
+    // not a message-less NULL-propagated error
     val tsGuarded = when(tsSec >= 0 && tsSec < Pow, tsSec)
       .otherwise(raise_error(concat(
         lit(s"Funnel: $tsCol out of the [0, 2^40) second-precision packing range: "),
-        tsSec.cast("string"))).cast("long"))
+        coalesce(tsSec.cast("string"), lit("NULL")))).cast("long"))
     val typed = events
       .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol),
@@ -189,6 +191,12 @@ object Funnel {
     val lagged = (pathLen - 1 to 1 by -1).map(i =>
       lag(col(typeCol), i).over(w)) :+ col(typeCol)
     events
+      // NULL-typed events are excluded BEFORE the window: concat_ws
+      // silently drops NULL components, so a (a, NULL, c) window would
+      // otherwise emit "a>c" — a malformed 2-element string counted as
+      // a pathLen-path (and diverging from the oracle's NULL-propagating
+      // || concatenation)
+      .filter(col(typeCol).isNotNull)
       .select(concat_ws(">", lagged: _*).as("path"),
         lagged.head.isNotNull.as("__full"))
       .filter(col("__full")) // windows that reach back before the user's first event drop

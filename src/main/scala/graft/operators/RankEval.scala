@@ -153,8 +153,12 @@ object RankEval {
   ): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol), col(idCol))
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    // the total rides the SAME sorted window as the rank (unbounded
+    // frame) — a separate partitionBy(lit(1)) window would plan a
+    // second exchange + sort over the same rows
+    val all = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     predictions.select(col(idCol), col(scoreCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)

@@ -61,7 +61,12 @@ object Skew {
     * the hot keys themselves), then a TakeOrdered top-k and a 1-row
     * total — the counts frame feeds both, so it persists here (it is
     * distinct-keys-sized; MEMORY_AND_DISK spills gracefully if the key
-    * space is huge).
+    * space is huge). CACHE LIFECYCLE: the cached counts back the
+    * returned lazy plan, so they cannot be unpersisted here; they live
+    * until the session drops them (LRU) or the caller runs
+    * `spark.catalog.clearCache()` between unrelated jobs — the Bench
+    * A/B discipline. Same contract as [[graft.operators.Sketches
+    * .hllOverlap]] and [[graft.graph.Harmonic.sampledHarmonic]].
     */
   def skewProfile(
       df: DataFrame,

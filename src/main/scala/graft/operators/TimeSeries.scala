@@ -136,7 +136,12 @@ object TimeSeries {
     val tsec = col(tsCol).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(tsec, col(idCol))
-    df.withColumn("__prev", lag(tsec, 1).over(w))
+    // NULL-timestamp rows have no position in time: they would sort
+    // first and each pass the __prev-null escape as a phantom "chain
+    // head" — dropped instead (a burst of 40 NULL-ts duplicates must
+    // not emit 40 kept events)
+    df.filter(tsec.isNotNull)
+      .withColumn("__prev", lag(tsec, 1).over(w))
       .filter(col("__prev").isNull || tsec - col("__prev") >= cooldownSec)
       .drop("__prev")
   }

@@ -23,25 +23,32 @@ object VectorQuality {
 
   /** One-row report over `vecCol` (array of float/double):
     * n_rows, n_null_vec, n_bad_dim (non-null with length ≠ expectedDim),
-    * n_nan (contains a NaN element), n_zero (all-zero — cosine
-    * undefined), and min/max norm² over the clean (non-null, right-dim,
-    * NaN-free) rows.
+    * n_null_elem (contains a NULL element — poisons dot products exactly
+    * like NaN, and under three-valued logic would otherwise slip through
+    * EVERY count uncounted), n_nan (contains a NaN element), n_zero
+    * (all-zero — cosine undefined), and min/max norm² over the clean
+    * (non-null, right-dim, element-complete, NaN-free) rows. Every
+    * defect predicate is coalesced to a definite boolean so a defective
+    * row is always counted somewhere.
     */
   def report(df: DataFrame, vecCol: String, expectedDim: Int): DataFrame = {
     require(expectedDim > 0, "expectedDim must be positive")
     val v = col(vecCol).cast("array<double>")
     val isNull = v.isNull
-    val badDim = !isNull && size(v) =!= expectedDim
-    val hasNan = !isNull && exists(v, isnan(_))
+    val badDim = coalesce(!isNull && size(v) =!= expectedDim, lit(false))
+    val hasNullElem = coalesce(!isNull && exists(v, _.isNull), lit(false))
+    val hasNan = coalesce(!isNull && exists(v, x => coalesce(isnan(x), lit(false))),
+      lit(false))
     val norm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
-    val clean = !isNull && !badDim && !hasNan
+    val clean = !isNull && !badDim && !hasNullElem && !hasNan
     val isZero = clean && norm2 === 0.0
-    df.select(isNull.as("__null"), badDim.as("__bad"), hasNan.as("__nan"),
-        isZero.as("__zero"), clean.as("__clean"), norm2.as("__n2"))
+    df.select(isNull.as("__null"), badDim.as("__bad"), hasNullElem.as("__nelem"),
+        hasNan.as("__nan"), isZero.as("__zero"), clean.as("__clean"), norm2.as("__n2"))
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("__null").cast("long")).as("n_null_vec"),
         sum(col("__bad").cast("long")).as("n_bad_dim"),
+        sum(col("__nelem").cast("long")).as("n_null_elem"),
         sum(col("__nan").cast("long")).as("n_nan"),
         sum(col("__zero").cast("long")).as("n_zero"),
         min(when(col("__clean"), col("__n2"))).as("min_norm2"),

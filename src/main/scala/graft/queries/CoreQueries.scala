@@ -902,7 +902,9 @@ object CoreQueries {
         |  (CAST(-1 AS BIGINT), CAST(NULL AS ARRAY<FLOAT>)),
         |  (CAST(-2 AS BIGINT), CAST(ARRAY(1.0, 2.0) AS ARRAY<FLOAT>)),
         |  (CAST(-3 AS BIGINT), array_repeat(CAST('NaN' AS FLOAT), 64)),
-        |  (CAST(-4 AS BIGINT), array_repeat(CAST(0.0 AS FLOAT), 64))
+        |  (CAST(-4 AS BIGINT), array_repeat(CAST(0.0 AS FLOAT), 64)),
+        |  (CAST(-5 AS BIGINT), concat(array(CAST(NULL AS FLOAT)),
+        |     array_repeat(CAST(1.0 AS FLOAT), 63)))
         |  AS t(vec_id, embedding)""".stripMargin)
     VectorQuality.report(e.unionByName(bad), "embedding", expectedDim = 64)
   }

@@ -209,6 +209,15 @@ class CoreOperatorsSpec extends SparkSpec {
     val kept = TimeSeries.debounce(d, Seq("user_id", "event_type"), "ts", "event_id", 10L)
       .select("event_id").as[Long].collect().toSet
     assert(kept == Set(10L, 13L, 20L, 31L))
+    // NULL-ts rows are dropped, never phantom chain heads
+    val withNulls = Seq((9L, 90L, Some(5L), "a"), (9L, 91L, None, "a"), (9L, 92L, None, "a"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+      .select($"user_id", $"event_id",
+        timestamp_seconds($"sec").as("ts"), $"event_type")
+    val keptN = TimeSeries.debounce(withNulls, Seq("user_id", "event_type"),
+        "ts", "event_id", 10L)
+      .select("event_id").as[Long].collect().toSet
+    assert(keptN == Set(90L))
   }
 
   test("anomaly slots: spike flagged against trailing window, steady series clean") {

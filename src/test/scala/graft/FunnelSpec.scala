@@ -110,6 +110,17 @@ class FunnelSpec extends SparkSpec {
     val pairs = Funnel.topPaths(d, "user_id", "event_type", "ts", "event_id", 2, 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(pairs == Map("a>b" -> 3L, "b>c" -> 2L, "c>b" -> 1L))
+    // NULL-typed events are excluded entirely — a (a, NULL, c) window
+    // must not emit a malformed "a>c" counted as a 3-path
+    val withNull = Seq(
+      (7L, 1L, 10L, Some("a")), (7L, 2L, 20L, None), (7L, 3L, 30L, Some("c")),
+      (7L, 4L, 40L, Some("d")))
+      .toDF("user_id", "event_id", "sec", "event_type")
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.timestamp_seconds($"sec").as("ts"), $"event_type")
+    val gotN = Funnel.topPaths(withNull, "user_id", "event_type", "ts", "event_id", 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotN == Seq(("a>c>d", 1L))) // the NULL event is skipped, not concatenated around
   }
 
   test("weekly retention: cohorts anchor at the first event's week") {

@@ -337,23 +337,26 @@ class ProfileSampleSpec extends SparkSpec {
     import spark.implicits._
     import graft.quality.VectorQuality
     val rows = Seq(
-      (1L, Some(Seq(3.0f, 4.0f))),              // norm2 25
-      (2L, Some(Seq(1.0f, 0.0f))),              // norm2 1
-      (3L, None),                                // null vector
-      (4L, Some(Seq(1.0f))),                     // wrong dim
-      (5L, Some(Seq(Float.NaN, 2.0f))),          // NaN carrier (right dim)
-      (6L, Some(Seq(0.0f, 0.0f)))                // zero vector
+      (1L, Some(Seq(Some(3.0f), Some(4.0f)))),     // norm2 25
+      (2L, Some(Seq(Some(1.0f), Some(0.0f)))),     // norm2 1
+      (3L, None),                                   // null vector
+      (4L, Some(Seq(Some(1.0f)))),                  // wrong dim
+      (5L, Some(Seq(Some(Float.NaN), Some(2.0f)))), // NaN carrier (right dim)
+      (6L, Some(Seq(Some(0.0f), Some(0.0f)))),      // zero vector
+      (7L, Some(Seq(None, Some(1.0f))))             // NULL element — the
+        // three-valued-logic blind spot: must count, not slip through
     ).toDF("id", "v")
     val r = VectorQuality.report(rows, "v", expectedDim = 2).head()
-    assert(r.getLong(0) == 6L)                    // n_rows
-    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 1L)
-    assert(r.getDouble(5) == 0.0)                 // min over clean rows includes the zero vec
-    assert(r.getDouble(6) == 25.0)
+    assert(r.getLong(0) == 7L)                    // n_rows
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L
+      && r.getLong(4) == 1L && r.getLong(5) == 1L)
+    assert(r.getDouble(6) == 0.0)                 // min over clean rows includes the zero vec
+    assert(r.getDouble(7) == 25.0)
     // NaN in a wrong-dim row counts as bad dim AND nan? no: defect flags
     // are independent observations, each row can carry several
-    val both = Seq((7L, Some(Seq(Float.NaN)))).toDF("id", "v")
+    val both = Seq((8L, Some(Seq(Float.NaN)))).toDF("id", "v")
     val b = VectorQuality.report(both, "v", expectedDim = 2).head()
-    assert(b.getLong(2) == 1L && b.getLong(3) == 1L)
+    assert(b.getLong(2) == 1L && b.getLong(4) == 1L)
   }
 
   test("checksum ids: Luhn/IBAN goldens, separator stripping, false positives survive") {
