@@ -174,7 +174,8 @@ object SparkEntry {
     "q161_top_paths" -> (CoreQueries.q161TopPaths(_, _)),
     "q162_l_diversity" -> (CoreQueries.q162LDiversity(_, _)),
     "q163_calibration" -> (LlmQueries.q163Calibration(_, _)),
-    "q164_centroid_drift" -> (CoreQueries.q164CentroidDrift(_, _))
+    "q164_centroid_drift" -> (CoreQueries.q164CentroidDrift(_, _)),
+    "q165_personalized_pagerank" -> (CoreQueries.q165PersonalizedPagerank(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2970,7 +2971,32 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n_b FROM q WHERE vec_id % 2 = 1 GROUP BY 1)
         |SELECT CAST(dim AS INT) AS dim, sum_a, n_a, sum_b, n_b,
         |  sum_a * n_b - sum_b * n_a AS diff_scaled
-        |FROM a JOIN b USING (dim) ORDER BY dim""".stripMargin
+        |FROM a JOIN b USING (dim) ORDER BY dim""".stripMargin,
+    // personalized PageRank: the q132 unroll with a seed-conditional
+    // base — seeds (md5-earliest 4 of the symmetrized node set) start
+    // at scale and keep the damped base; non-seeds start at 0
+    "q165_personalized_pagerank" -> {
+      val head =
+        """WITH e0 AS (SELECT DISTINCT CAST(-l_suppkey - 1 AS BIGINT) AS src,
+          |    CAST(l_partkey AS BIGINT) AS dst FROM lineitem),
+          |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |seeds AS (SELECT node FROM n ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 4),
+          |sn AS (SELECT n.node, seeds.node IS NOT NULL AS s
+          |  FROM n LEFT JOIN seeds ON n.node = seeds.node),
+          |it0 AS (SELECT node, CASE WHEN s THEN CAST(1000000 AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT) END AS r FROM sn)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, CAST(sum((p.r * 85) // (100 * deg.d)) AS BIGINT) AS s2
+           |  FROM e JOIN it${i - 1} p ON p.node = e.src JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst),
+           |it$i AS (SELECT sn.node,
+           |    CASE WHEN sn.s THEN 150000 ELSE 0 END + coalesce(c$i.s2, 0) AS r
+           |  FROM sn LEFT JOIN c$i ON c$i.node = sn.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      head + iters + "\nSELECT node, CAST(r AS BIGINT) AS r FROM it5 ORDER BY node"
+    }
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -53,6 +53,36 @@ object PageRank {
       scale: Long = DefaultScale,
       dampNum: Long = 85L,
       dampDen: Long = 100L
+  ): DataFrame =
+    rankLoop(edges, None, iters, scale, dampNum, dampDen)
+
+  /** PERSONALIZED PageRank / random walk with restart (Haveliwala 2002,
+    * "Topic-Sensitive PageRank"): teleport mass returns ONLY to the
+    * `seeds` set — the seed-expansion tool web curation uses to grow a
+    * trusted domain list ("rank everything by proximity to these known-
+    * good hosts"). Identical integer discipline to [[ranks]]: seeds
+    * start at `scale` and keep the damped base share, non-seeds start
+    * at 0 and receive only in-flowing mass — every iteration
+    * bit-identical under any partitioning, q165 replays all of them.
+    * With seeds = the whole node set this IS [[ranks]] (same loop).
+    */
+  def personalizedRanks(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 5,
+      scale: Long = DefaultScale,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L
+  ): DataFrame =
+    rankLoop(edges, Some(seeds), iters, scale, dampNum, dampDen)
+
+  private def rankLoop(
+      edges: DataFrame,
+      seedsOpt: Option[DataFrame],
+      iters: Int,
+      scale: Long,
+      dampNum: Long,
+      dampDen: Long
   ): DataFrame = {
     require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
     require(scale > 0 && dampNum > 0 && dampDen >= dampNum,
@@ -79,8 +109,17 @@ object PageRank {
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = e0.join(deg, "src").localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist(mad)
+    val nodesBase = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // __seed marks teleport targets: everyone for plain PageRank, the
+    // seed set for the personalized walk
+    val nodes = (seedsOpt match {
+      case None => nodesBase.withColumn("__seed", lit(true))
+      case Some(s) => nodesBase
+        .join(s.select(col("node")).distinct().withColumn("__s", lit(1)),
+          Seq("node"), "left")
+        .withColumn("__seed", col("__s").isNotNull).drop("__s")
+    }).persist(mad)
     val nNodes = nodes.count() // materialize -> accurate stats for the joins below
     // total rank mass is bounded by N·scale (damping only shrinks it);
     // the per-edge product multiplies by dampNum before dividing, so
@@ -90,7 +129,10 @@ object PageRank {
     require(nNodes <= Long.MaxValue / dampNum / scale,
       s"N·scale·dampNum overflows long (N=$nNodes, scale=$scale): lower scale")
     val base = (scale * (dampDen - dampNum)) / dampDen
-    var rank = nodes.withColumn("r", lit(scale)).persist(mad)
+    var rank = nodes
+      .select(col("node"),
+        when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+      .persist(mad)
     for (_ <- 0 until iters) {
       val contribs = e
         .join(rank.withColumnRenamed("node", "src"), "src")
@@ -102,7 +144,8 @@ object PageRank {
       val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+          (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("inflow"), lit(0L))).as("r"))
         .persist(mad)
       next.count() // materialize before dropping the previous generation
       prev.unpersist(false)

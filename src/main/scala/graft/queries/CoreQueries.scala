@@ -1002,6 +1002,21 @@ object CoreQueries {
       .orderBy("node")
   }
 
+  /** Personalized PageRank gate: the q132 supplier↔part graph walked
+    * from the 4 md5-earliest seed nodes — seeds keep the damped base,
+    * everyone else only receives flowing mass; all 5 iterations
+    * unrolled in the oracle with the seed-conditional base.
+    */
+  def q165PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.graph.{Harmonic, PageRank}
+    val edges = Tables.lineitem(s, dir)
+      .select((-col("l_suppkey") - 1).cast("long").as("src"),
+        col("l_partkey").cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Harmonic.sampleSources(edges, 4)
+    PageRank.personalizedRanks(sym, seeds, iters = 5).orderBy("node")
+  }
+
   /** Per-node triangle counts over the part co-purchase graph (parts
     * sharing an order are linked) — the supplier↔part graph is
     * bipartite (triangle-free by construction), so the gate graph is

@@ -73,6 +73,25 @@ class GraphSpec extends SparkSpec {
     assert(KCore.core(e, k = 4).count() == 0L)
   }
 
+  test("personalized ranks: seeds-only teleport, island isolation, seeds==all is plain PageRank") {
+    import graft.graph.PageRank
+    // two 2-cycles: mass from seed 1 can never reach the 3-4 island
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val p = PageRank.personalizedRanks(e, Seq(1L).toDF("node"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p(3L) == 0L && p(4L) == 0L)
+    // both island members of the seed hold mass (in a 2-cycle the bulk
+    // OSCILLATES between the endpoints per iteration — no p(1) > p(2)
+    // invariant at a fixed iteration count, only positivity)
+    assert(p(1L) > 0L && p(2L) > 0L)
+    // seeds == every node reproduces plain PageRank bit-for-bit
+    val all = e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct()
+    val pa = PageRank.personalizedRanks(e, all, iters = 5)
+      .orderBy("node").collect().toSeq
+    val plain = PageRank.ranks(e, iters = 5).orderBy("node").collect().toSeq
+    assert(pa == plain)
+  }
+
   test("harmonic: path-graph golden, depth bound, disconnected nodes absent, deterministic sources") {
     import graft.graph.Harmonic
     // path 1-2-3-4-5 plus a disconnected pair 100-101
