@@ -196,7 +196,11 @@ class PlanShapeSpec extends SparkSpec {
     // line-language profile: one compiled pass, no shuffle before the
     // output sort (the UDF is deliberate — see langId's rationale — so
     // no forbidUdf here)
-    Shape("q160_line_lang_profile", maxHash = 0)
+    Shape("q160_line_lang_profile", maxHash = 0),
+    // top paths: the per-user lag window + the paths roll-up, then a
+    // TakeOrdered top-k — never a global sort of the path counts
+    Shape("q161_top_paths", maxHash = 2, maxRange = 0, requireTopK = true,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
