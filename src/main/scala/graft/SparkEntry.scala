@@ -175,7 +175,8 @@ object SparkEntry {
     "q162_l_diversity" -> (CoreQueries.q162LDiversity(_, _)),
     "q163_calibration" -> (LlmQueries.q163Calibration(_, _)),
     "q164_centroid_drift" -> (CoreQueries.q164CentroidDrift(_, _)),
-    "q165_personalized_pagerank" -> (CoreQueries.q165PersonalizedPagerank(_, _))
+    "q165_personalized_pagerank" -> (CoreQueries.q165PersonalizedPagerank(_, _)),
+    "q166_graph_ann_eval" -> (LlmQueries.q166GraphAnnEval(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2996,7 +2997,34 @@ object SparkEntry {
            |  FROM sn LEFT JOIN c$i ON c$i.node = sn.node)""".stripMargin
       }.mkString(",\n", ",\n", "")
       head + iters + "\nSELECT node, CAST(r AS BIGINT) AS r FROM it5 ORDER BY node"
-    }
+    },
+    // graph-ANN eval: search results from the fixture (greedy walks
+    // don't replay in SQL), exact brute truth + metric joins replayed —
+    // the same evaluation tail as q143
+    "q166_graph_ann_eval" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < 10),
+        |bs AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+        |  FROM v c, q WHERE c.id <> q.query_id),
+        |tr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bs),
+        |res AS (SELECT query_id, neighbor_id, rank
+        |  FROM read_parquet('__GRAFT_FIXTURE:nsw_topk__/*.parquet') WHERE rank <= 5),
+        |tru AS (SELECT query_id, id AS neighbor_id FROM tr WHERE rank <= 5),
+        |j AS (SELECT res.query_id, res.rank,
+        |    CASE WHEN tru.neighbor_id IS NOT NULL THEN 1 END AS hit
+        |  FROM res LEFT JOIN tru ON res.query_id = tru.query_id AND res.neighbor_id = tru.neighbor_id),
+        |pq AS (SELECT query_id, count(*) AS n_results,
+        |    CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits_at_k,
+        |    CAST(min(CASE WHEN hit = 1 THEN rank END) AS BIGINT) AS first_hit_rank
+        |  FROM j GROUP BY 1),
+        |tc AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY 1)
+        |SELECT coalesce(tc.query_id, pq.query_id) AS query_id,
+        |  CAST(coalesce(pq.n_results, 0) AS BIGINT) AS n_results,
+        |  CAST(coalesce(tc.n_truth, 0) AS BIGINT) AS n_truth,
+        |  CAST(coalesce(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+        |  pq.first_hit_rank
+        |FROM tc FULL OUTER JOIN pq ON tc.query_id = pq.query_id
+        |ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1649,6 +1649,32 @@ object LlmQueries {
       .orderBy("bucket")
   }
 
+  /** Graph-ANN evaluation gate: NSW-style beam search results are a
+    * parquet FIXTURE (a greedy walk can't be replayed in SQL — the
+    * replayability-line pattern), the oracle replays exact brute truth
+    * and the RankEval joins, and the integer metrics carry the hash.
+    * Doubles as the published recall number for the graph path.
+    */
+  def q166GraphAnnEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val results = Fixtures.cachedParquet(s, dir, "nsw_topk") {
+      val assigned = Knn.assignCells(e, "vec_id", "embedding",
+          Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 16))
+        .persist()
+      assigned.count() // feeds the graph build AND the entry sample
+      val graph = GraphAnn.buildGraph(assigned, graphDegree = 8)
+      val out = GraphAnn.searchTopK(graph, e, queries, "vec_id", "embedding",
+        GraphAnn.entryPoints(assigned, 8), k = 5, beam = 16, hops = 4)
+      assigned.unpersist(false)
+      out.select("query_id", "neighbor_id", "rank")
+    }
+    val truth = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+    RankEval.perQuery(results, truth, k = 5).orderBy("query_id")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

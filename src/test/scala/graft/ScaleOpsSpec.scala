@@ -322,6 +322,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("graph ANN: navigable recall vs brute force; build and search partition-invariant") {
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val assigned = Knn.assignCells(e, "vec_id", "embedding",
+      Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)).persist()
+    assigned.count()
+    val graph = GraphAnn.buildGraph(assigned, graphDegree = 8).persist()
+    graph.count()
+    val entries = GraphAnn.entryPoints(assigned, 8)
+    def results(corpus: org.apache.spark.sql.DataFrame) =
+      GraphAnn.searchTopK(graph, corpus, q, "vec_id", "embedding", entries,
+          k = 5, beam = 16, hops = 4)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+        .collect().toSet
+    val got = results(e)
+    val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val gotPairs = got.map(t => (t._1, t._3))
+    val recall = (exact intersect gotPairs).size.toDouble / exact.size
+    assert(gotPairs.size == exact.size)
+    assert(recall >= 0.6, s"recall=$recall")
+    // determinism: identical (query, rank, neighbor) triples when the
+    // corpus arrives partitioned/ordered differently
+    assert(results(e.repartition(7).orderBy($"vec_id".desc)) == got)
+    // symmetric degree-bounded graph: every edge has its reverse
+    val edges = graph.as[(Long, Long)].collect().toSet
+    assert(edges.forall { case (s2, d2) => edges.contains((d2, s2)) })
+    graph.unpersist(false); assigned.unpersist(false)
+  }
+
   test("PQ: codes compress to m bytes, codebooks roundtrip parquet, rerank recovers neighbors") {
     import graft.similarity.Pq
     val e = Tables.embeddings(spark, sf)
