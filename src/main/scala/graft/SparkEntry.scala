@@ -176,7 +176,10 @@ object SparkEntry {
     "q163_calibration" -> (LlmQueries.q163Calibration(_, _)),
     "q164_centroid_drift" -> (CoreQueries.q164CentroidDrift(_, _)),
     "q165_personalized_pagerank" -> (CoreQueries.q165PersonalizedPagerank(_, _)),
-    "q166_graph_ann_eval" -> (LlmQueries.q166GraphAnnEval(_, _))
+    "q166_graph_ann_eval" -> (LlmQueries.q166GraphAnnEval(_, _)),
+    "q167_graph_ann_fold" -> (LlmQueries.q167GraphAnnFold(_, _)),
+    "q168_classifier_auc" -> (LlmQueries.q168ClassifierAuc(_, _)),
+    "q169_t_closeness" -> (CoreQueries.q169TCloseness(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -2399,28 +2402,7 @@ object SparkEntry {
     // classifier confusion counts: the q125 refit + margin replay with
     // a confusion-aggregation tail over the labeled subset
     "q144_classifier_eval" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
-        |  FROM tok),
-        |b AS (SELECT doc_id,
-        |    list_reduce(list_transform(range(1, 16), i ->
-        |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
-        |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
-        |  FROM g, unnest(gs) AS u(gram)),
-        |cnt AS (SELECT bucket,
-        |    sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS cnt_p,
-        |    sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS cnt_n
-        |  FROM b WHERE doc_id % 5 = 0 OR doc_id % 5 = 3 GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cnt_p) AS HUGEINT) AS pt, CAST(sum(cnt_n) AS HUGEINT) AS nt FROM cnt),
-        |wt AS (SELECT bucket,
-        |    CAST((2 * 1000000 * CAST(cnt_p AS HUGEINT) * nt) //
-        |      (CAST(cnt_p AS HUGEINT) * nt + CAST(cnt_n AS HUGEINT) * pt) - 1000000 AS BIGINT) AS w
-        |  FROM cnt, tot),
-        |sig AS (SELECT b.doc_id, sum(coalesce(wt.w, 0)) AS margin
-        |  FROM b LEFT JOIN wt USING (bucket) GROUP BY 1),
-        |lab AS (SELECT doc_id, doc_id % 5 = 0 AS label FROM documents
-        |  WHERE doc_id % 5 = 0 OR doc_id % 5 = 3)
+      s"""WITH $QualityRefitCtes
         |SELECT
         |  CAST(sum(CASE WHEN margin >= 0 AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
         |  CAST(sum(CASE WHEN margin >= 0 AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -2639,13 +2621,13 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS ir
          |    FROM g) x
          |  JOIN disc d ON d.i = x.ir WHERE x.ir <= 5 GROUP BY 1)
-         |SELECT ideal.query_id,
+         |SELECT query_id,
          |  CAST(coalesce(dcg.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
          |  idcg_scaled,
          |  CASE WHEN idcg_scaled > 0
          |    THEN CAST(coalesce(dcg.dcg_scaled, 0) AS DOUBLE) / CAST(idcg_scaled AS DOUBLE) END AS ndcg
-         |FROM ideal LEFT JOIN dcg USING (query_id)
-         |ORDER BY ideal.query_id""".stripMargin
+         |FROM ideal FULL JOIN dcg USING (query_id)
+         |ORDER BY query_id""".stripMargin
     },
     // skew decision report: exact counts, integer div for ppm share and
     // the ceil-div salt recommendation (float-division floor could
@@ -2925,28 +2907,7 @@ object SparkEntry {
     // integer bucket edges ((rank-1)*10 // n + 1 — not ntile, whose
     // remainder rule is an engine detail)
     "q163_calibration" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
-        |  FROM tok),
-        |b AS (SELECT doc_id,
-        |    list_reduce(list_transform(range(1, 16), i ->
-        |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
-        |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
-        |  FROM g, unnest(gs) AS u(gram)),
-        |cnt AS (SELECT bucket,
-        |    sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS cnt_p,
-        |    sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS cnt_n
-        |  FROM b WHERE doc_id % 5 = 0 OR doc_id % 5 = 3 GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cnt_p) AS HUGEINT) AS pt, CAST(sum(cnt_n) AS HUGEINT) AS nt FROM cnt),
-        |wt AS (SELECT bucket,
-        |    CAST((2 * 1000000 * CAST(cnt_p AS HUGEINT) * nt) //
-        |      (CAST(cnt_p AS HUGEINT) * nt + CAST(cnt_n AS HUGEINT) * pt) - 1000000 AS BIGINT) AS w
-        |  FROM cnt, tot),
-        |sig AS (SELECT b.doc_id, sum(coalesce(wt.w, 0)) AS margin
-        |  FROM b LEFT JOIN wt USING (bucket) GROUP BY 1),
-        |lab AS (SELECT doc_id, doc_id % 5 = 0 AS label FROM documents
-        |  WHERE doc_id % 5 = 0 OR doc_id % 5 = 3),
+      s"""WITH $QualityRefitCtes,
         |j AS (SELECT s.doc_id, CAST(s.margin AS BIGINT) AS margin, l.label
         |  FROM sig s JOIN lab l USING (doc_id)),
         |r AS (SELECT *, row_number() OVER (ORDER BY margin, doc_id) AS rn,
@@ -3024,7 +2985,85 @@ object SparkEntry {
         |  CAST(coalesce(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
         |  pq.first_hit_rank
         |FROM tc FULL OUTER JOIN pq ON tc.query_id = pq.query_id
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // incremental graph-ANN: the folded graph's search results from the
+    // fixture (the q166 replayability line), brute truth + metric joins
+    // replayed in full
+    "q167_graph_ann_fold" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < 10),
+        |bs AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+        |  FROM v c, q WHERE c.id <> q.query_id),
+        |tr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bs),
+        |res AS (SELECT query_id, neighbor_id, rank
+        |  FROM read_parquet('__GRAFT_FIXTURE:nsw_fold_topk__/*.parquet') WHERE rank <= 5),
+        |tru AS (SELECT query_id, id AS neighbor_id FROM tr WHERE rank <= 5),
+        |j AS (SELECT res.query_id, res.rank,
+        |    CASE WHEN tru.neighbor_id IS NOT NULL THEN 1 END AS hit
+        |  FROM res LEFT JOIN tru ON res.query_id = tru.query_id AND res.neighbor_id = tru.neighbor_id),
+        |pq AS (SELECT query_id, count(*) AS n_results,
+        |    CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits_at_k,
+        |    CAST(min(CASE WHEN hit = 1 THEN rank END) AS BIGINT) AS first_hit_rank
+        |  FROM j GROUP BY 1),
+        |tc AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY 1)
+        |SELECT coalesce(tc.query_id, pq.query_id) AS query_id,
+        |  CAST(coalesce(pq.n_results, 0) AS BIGINT) AS n_results,
+        |  CAST(coalesce(tc.n_truth, 0) AS BIGINT) AS n_truth,
+        |  CAST(coalesce(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+        |  pq.first_hit_rank
+        |FROM tc FULL OUTER JOIN pq ON tc.query_id = pq.query_id
+        |ORDER BY 1""".stripMargin,
+    // exact ROC-AUC: the q144 refit + margin replay, then Mann–Whitney
+    // pair counting from per-distinct-margin cumulative sums — every
+    // pair count an exact BIGINT, auc ONE division of exact integers
+    "q168_classifier_auc" ->
+      s"""WITH $QualityRefitCtes,
+        |j AS (SELECT s.doc_id, CAST(s.margin AS BIGINT) AS margin, l.label
+        |  FROM sig s JOIN lab l USING (doc_id)),
+        |ps AS (SELECT margin,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM j GROUP BY 1),
+        |cum AS (SELECT np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY margin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+        |  FROM ps),
+        |a AS (SELECT
+        |    CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+        |    CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+        |    CAST(coalesce(sum(np * neg_below), 0) AS BIGINT) AS concordant,
+        |    CAST(coalesce(sum(np * nn), 0) AS BIGINT) AS tied
+        |  FROM cum)
+        |SELECT n_pos, n_neg, concordant, tied,
+        |  n_pos * n_neg - concordant - tied AS discordant,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST(2 * concordant + tied AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+        |FROM a""".stripMargin,
+    // t-closeness: exact cross-multiplied TVD gap per (group × value)
+    // cell with zero-count completion; the threshold compare runs in
+    // HUGEINT (mirroring the engine's decimal(38,0)) so no float ever
+    // decides the boundary; tvd is one division of exact integers
+    "q169_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket, c_mktsegment
+        |  FROM customer WHERE c_mktsegment IS NOT NULL),
+        |gc AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cv_all FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM c),
+        |grp AS (SELECT c_nationkey, bal_bucket, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+        |gv AS (SELECT c_nationkey, bal_bucket, c_mktsegment, CAST(count(*) AS BIGINT) AS cv
+        |  FROM c GROUP BY 1, 2, 3),
+        |cell AS (SELECT grp.c_nationkey, grp.bal_bucket, grp.cnt,
+        |    abs(coalesce(gv.cv, 0) * tot.n_all - gc.cv_all * grp.cnt) AS term
+        |  FROM grp CROSS JOIN gc CROSS JOIN tot
+        |  LEFT JOIN gv ON gv.c_nationkey = grp.c_nationkey
+        |    AND gv.bal_bucket = grp.bal_bucket AND gv.c_mktsegment = gc.c_mktsegment),
+        |d AS (SELECT c_nationkey, bal_bucket, cnt, CAST(sum(term) AS BIGINT) AS dist_num
+        |  FROM cell GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, bal_bucket, cnt, dist_num,
+        |  CAST(dist_num AS DOUBLE) / CAST(2 * cnt * n_all AS DOUBLE) AS tvd
+        |FROM d CROSS JOIN tot
+        |WHERE CAST(dist_num AS HUGEINT) * 1000000 > CAST(2 AS HUGEINT) * 300000 * cnt * n_all
+        |ORDER BY c_nationkey, bal_bucket""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,
@@ -3035,6 +3074,36 @@ object SparkEntry {
     * gates rank on the DECIMAL(18,6) score where the idf ulp can't flip
     * an order.
     */
+  /** Shared q125-model refit CTEs (q144 confusion, q163 calibration,
+    * q168 AUC): hashed uni+bigram buckets, integer NBSVM weights
+    * (HUGEINT cross-multiplication — no float in the fit), per-doc
+    * margin replay, and the labeled split. One definition so the three
+    * evaluation gates provably score the SAME model.
+    */
+  private val QualityRefitCtes: String =
+    """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |    list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gs
+      |  FROM tok),
+      |b AS (SELECT doc_id,
+      |    list_reduce(list_transform(range(1, 16), i ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(u.gram), i, 1)) - 1 AS BIGINT)),
+      |      (acc, x) -> acc * 16 + x) % 1024 AS bucket
+      |  FROM g, unnest(gs) AS u(gram)),
+      |cnt AS (SELECT bucket,
+      |    sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS cnt_p,
+      |    sum(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS cnt_n
+      |  FROM b WHERE doc_id % 5 = 0 OR doc_id % 5 = 3 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt_p) AS HUGEINT) AS pt, CAST(sum(cnt_n) AS HUGEINT) AS nt FROM cnt),
+      |wt AS (SELECT bucket,
+      |    CAST((2 * 1000000 * CAST(cnt_p AS HUGEINT) * nt) //
+      |      (CAST(cnt_p AS HUGEINT) * nt + CAST(cnt_n AS HUGEINT) * pt) - 1000000 AS BIGINT) AS w
+      |  FROM cnt, tot),
+      |sig AS (SELECT b.doc_id, sum(coalesce(wt.w, 0)) AS margin
+      |  FROM b LEFT JOIN wt USING (bucket) GROUP BY 1),
+      |lab AS (SELECT doc_id, doc_id % 5 = 0 AS label FROM documents
+      |  WHERE doc_id % 5 = 0 OR doc_id % 5 = 3)""".stripMargin
+
   private val Bm25Ctes: String =
     """t AS (SELECT doc_id, len(toks) AS dl,
       |    len(list_filter(toks, x -> x = 'spark')) AS tf0,

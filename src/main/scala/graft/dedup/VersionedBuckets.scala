@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * fix to version parsing / listing / retention cannot silently miss one
   * of the stores.
   */
-private[dedup] object VersionedBuckets {
+private[graft] object VersionedBuckets {
 
   def fileSystem(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -52,9 +52,10 @@ object Quantiles {
     * med broadcast-within-partition, deviation rank, mad) shares the
     * group-key partitioning, so the med attaches as a window aggregate
     * instead of a groupBy+rejoin (the rejoin forced a second scan +
-    * exchange of the fact — 1.85× min-of-3 on the q152 shape at sf0.1,
-    * same-JVM alternating A/B with arm equivalence asserted:
-    * [[graft.AbMad]]), and the final aggregation reuses the same keys.
+    * exchange of the fact — [[graft.AbMad]] min-of-3 at sf0.1 measured
+    * 1.5–1.9× across reruns (1.85 r8 initial, 1.64 r8 rerun, 1.53 r9),
+    * always over the 1.3× adopt bar, arm equivalence asserted), and the
+    * final aggregation reuses the same keys.
     * Per-group state is the window sort, never a collect.
     */
   def madOutliers(
@@ -67,6 +68,10 @@ object Quantiles {
     require(k > 0, "k must be positive")
     val part = Window.partitionBy(keyCols.map(col): _*)
     df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      // NULL values would sort first in both rank windows and inflate
+      // __n, silently shifting the lower-median rank selection for med
+      // AND mad — exclude them up front (the quantileSketch contract)
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(part.orderBy(col(valueCol), col(tieBreakCol))))
       .withColumn("__n", count(lit(1)).over(part))
       .withColumn("__med",

@@ -91,10 +91,11 @@ object RankEval {
     * rel·d_rank over the result list (unjudged neighbors score 0); IDCG
     * re-ranks the truth by (rel desc, neighbor_id) — the tie-break only
     * permutes equal-rel rows across adjacent discounts, so the SUM is
-    * tie-break-invariant. Queries with no results keep a row (dcg 0,
-    * the perQuery contract); ndcg is NULL when idcg is 0 (no positive
-    * relevance to normalize by — emitting NaN/inf would be
-    * engine-divergent).
+    * tie-break-invariant. Queries present on only ONE side keep a row
+    * (full outer join — the perQuery symmetry): truth-only queries get
+    * dcg 0, and results-only queries surface with idcg NULL; ndcg is
+    * NULL when idcg is absent or 0 (no positive relevance to normalize
+    * by — emitting NaN/inf would be engine-divergent).
     */
   def ndcg(
       results: DataFrame,
@@ -120,7 +121,7 @@ object RankEval {
       .select(col("query_id"),
         (col("__rel") * element_at(dArr, col("__ir"))).as("__g"))
       .groupBy("query_id").agg(sum(col("__g")).as("idcg_scaled"))
-    idcg.join(dcg, Seq("query_id"), "left")
+    idcg.join(dcg, Seq("query_id"), "full_outer")
       .select(col("query_id"),
         coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
         col("idcg_scaled"),
@@ -185,6 +186,61 @@ object RankEval {
     * and silently undercount); the `n_rows` column counts the rows that
     * were scored, so tp+fp+fn+tn == n_rows is a checkable invariant.
     */
+  /** Exact ROC-AUC by Mann–Whitney pair counting — the threshold-free
+    * ranking metric next to [[confusion]] (one threshold's quadrants)
+    * and [[calibration]] (bucketed honesty): over all positive×negative
+    * pairs, concordant = pairs the positive outscores, tied = equal
+    * scores, discordant = the rest — ALL EXACT LONGS, counted via
+    * per-distinct-score cumulative sums (never pair enumeration), and
+    * AUC = (2·concordant + tied) / (2·n_pos·n_neg) is ONE division of
+    * two exact integers (ties count half, the Mann–Whitney convention)
+    * — bit-identical on any IEEE engine, so the q168 gate hashes it.
+    * AUC is NULL when either class is empty (0/0 would be
+    * engine-divergent NaN).
+    *
+    * Rows joined on `idCol` (inner — unlabeled predictions are missing
+    * truth, the confusion contract); NULL score/label rows are excluded
+    * before counting. The cumulative window is global-ordered but runs
+    * over the per-DISTINCT-SCORE frame, bounded by score cardinality
+    * (integer classifier margins), not rows — the calibration scale
+    * caveat applies only when scores are near-unique at corpus scale.
+    */
+  def auc(
+      predictions: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String = "label"
+  ): DataFrame = {
+    val perScore = predictions.select(col(idCol), col(scoreCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("__np"),
+        sum((!col(labelCol)).cast("long")).as("__nn"))
+    val below = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__negBelow", coalesce(sum(col("__nn")).over(below), lit(0L)))
+      .agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * col("__negBelow")).as("concordant"),
+        sum(col("__np") * col("__nn")).as("tied"))
+      .select(
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("tied"), lit(0L)).as("tied"))
+      .withColumn("discordant",
+        col("n_pos") * col("n_neg") - col("concordant") - col("tied"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (lit(2L) * col("concordant") + col("tied")).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+  }
+
   def confusion(
       predictions: DataFrame,
       labels: DataFrame,

@@ -61,4 +61,64 @@ object Anonymity {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter(col("n_sensitive") < l)
   }
+
+  /** t-closeness violations (Li, Li & Venkatasubramanian 2007) — the
+    * privacy trio's third leg: a group can be k-anonymous AND l-diverse
+    * yet still leak by SKEW — nine A's and one B in a 50/50-A/B world
+    * tells an attacker plenty (the skewness attack l-diversity's
+    * distinct-count cannot see). A group violates when its sensitive-
+    * value distribution sits further than `t` from the corpus-wide
+    * distribution; for a categorical sensitive attribute the
+    * equal-ground-distance EMD is the total variation distance
+    * TVD = ½·Σᵢ|pᵢ − qᵢ|.
+    *
+    * ENGINE-EXACT by the cross-multiplied-CDF-gap idiom
+    * ([[Profiler.ksDrift]], q101): with group size n, corpus size N,
+    * group value counts cᵢ and corpus value counts Cᵢ, the scaled gap
+    * dist_num = Σᵢ|cᵢ·N − Cᵢ·n| is an exact long (≤ 2·n·N — fine to
+    * N ≈ 2·10⁹ rows; beyond that, audit a stratified sample), the
+    * threshold compare runs in decimal(38,0) (dist_num·10⁶ vs
+    * 2·t_ppm·n·N — never a float rounding at the boundary; `tPpm` is t
+    * in exact parts-per-million), and tvd = dist_num / (2·n·N) is ONE
+    * division of exact integers. Rows with a NULL sensitive value are
+    * excluded from both distributions (the countDistinct convention
+    * one operator up).
+    *
+    * Scale shape: two aggregations on quasi / quasi+value keys
+    * (map-side combine), a value-count frame and a 1-row total that
+    * both BROADCAST, and the zero-count completion cross joins
+    * group-sized × value-sized frames — bounded by quasi-group count ×
+    * sensitive cardinality (a categorical audit input by contract),
+    * never data-sized.
+    */
+  def tClosenessViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tPpm: Long
+  ): DataFrame = {
+    require(tPpm > 0 && tPpm < 1000000L, s"tPpm must be in (0, 1e6): $tPpm")
+    val base = df.select((quasiCols :+ sensitiveCol).map(col): _*)
+      .filter(col(sensitiveCol).isNotNull)
+    val globalCounts = base.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("__cAll"))
+    val total = base.agg(count(lit(1)).as("__N"))
+    val groups = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val groupValue = base.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // every (group × sensitive value) cell, zero-filled — a value absent
+    // from the group still contributes |0 − Cᵢ·n| to the gap
+    groups.crossJoin(broadcast(globalCounts))
+      .join(groupValue, quasiCols :+ sensitiveCol, "left")
+      .crossJoin(broadcast(total))
+      .groupBy((quasiCols.map(col) :+ col("cnt") :+ col("__N")): _*)
+      .agg(sum(abs(coalesce(col("__c"), lit(0L)) * col("__N") -
+        col("__cAll") * col("cnt"))).as("dist_num"))
+      .filter(col("dist_num").cast("decimal(38,0)") * lit(1000000L) >
+        lit(2L).cast("decimal(38,0)") * lit(tPpm) * col("cnt") * col("__N"))
+      .select((quasiCols.map(col) :+ col("cnt") :+ col("dist_num") :+
+        (col("dist_num").cast("double") /
+          (lit(2L) * col("cnt") * col("__N")).cast("double")).as("tvd")): _*)
+  }
 }

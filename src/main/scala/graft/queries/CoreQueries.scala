@@ -1133,6 +1133,24 @@ object CoreQueries {
       .orderBy(col("c_nationkey"), col("bal_bucket"))
   }
 
+  /** t-closeness gate — the privacy trio's third leg on the same
+    * (nation, kilobucket) → market-segment shape as q156/q162: groups
+    * whose segment distribution sits further than t = 0.30 (total
+    * variation) from the corpus-wide distribution — the skewness attack
+    * both the size check and the distinct-count pass. dist_num is the
+    * exact cross-multiplied gap the oracle replays; tvd one division.
+    */
+  def q169TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Anonymity
+    val c = Tables.customer(s, dir).select(
+      col("c_nationkey"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+      col("c_mktsegment"))
+    Anonymity.tClosenessViolations(c, Seq("c_nationkey", "bal_bucket"),
+        "c_mktsegment", tPpm = 300000L)
+      .orderBy(col("c_nationkey"), col("bal_bucket"))
+  }
+
   /** Temporal split gate: train strictly before cutoff − 2-day embargo,
     * test at/after the cutoff, the gap dropped — per-split counts and
     * boundary timestamps prove the embargo actually excluded its window.

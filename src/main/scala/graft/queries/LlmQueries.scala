@@ -1675,6 +1675,66 @@ object LlmQueries {
     RankEval.perQuery(results, truth, k = 5).orderBy("query_id")
   }
 
+  /** Incremental graph-ANN gate: the standing corpus's block-edge store
+    * folded forward with a new batch ([[graft.similarity.GraphAnn
+    * .foldBatch]] — exactly rebuild-equivalent, spec-asserted), then the
+    * assembled graph searched with cell-diverse entry points and scored
+    * against brute truth over the FULL (standing + batch) corpus. Same
+    * fixture/replay discipline as q166; this is the gate that proves the
+    * last rebuild-only index now folds forward like IVF/PQ/BM25.
+    */
+  def q167GraphAnnFold(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val results = Fixtures.cachedParquet(s, dir, "nsw_fold_topk") {
+      val batchPred = col("vec_id") % 7 === 3
+      val corpus0 = e.filter(!batchPred)
+      // the IVF index is corpus state: built on the STANDING corpus, the
+      // batch assigned against the same centers (the q85 prebuilt contract)
+      val index = Knn.buildIvfIndex(corpus0, "vec_id", "embedding", nlist = 16)
+      val assigned0 = Knn.assignCells(corpus0, "vec_id", "embedding", index).persist()
+      val assignedB = Knn.assignCells(e.filter(batchPred), "vec_id", "embedding", index).persist()
+      assigned0.count(); assignedB.count()
+      val store = GraphAnn.blockEdges(assigned0, graphDegree = 8).persist()
+      store.count() // the standing graph state a real deployment persists
+      val folded = GraphAnn.foldBatch(store, assigned0, assignedB, graphDegree = 8)
+      val allAssigned = assigned0.unionByName(assignedB)
+      val out = GraphAnn.searchTopK(GraphAnn.assembleGraph(folded), e, queries,
+        "vec_id", "embedding", GraphAnn.entryPointsPerCell(allAssigned, perCell = 1),
+        k = 5, beam = 16, hops = 4)
+        .select("query_id", "neighbor_id", "rank")
+      val materialized = out.persist()
+      materialized.count()
+      assigned0.unpersist(false); assignedB.unpersist(false); store.unpersist(false)
+      materialized
+    }
+    val truth = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+    RankEval.perQuery(results, truth, k = 5).orderBy("query_id")
+  }
+
+  /** Threshold-free classifier-ranking gate: exact ROC-AUC of the q125
+    * quality classifier over its labeled split via Mann–Whitney pair
+    * counting — concordant/discordant/tied pair counts are EXACT LONGS
+    * (counted from per-distinct-margin cumulative sums, never pair
+    * enumeration), AUC one division of exact integers; the oracle
+    * refits the model, replays every margin, and recounts the pairs.
+    */
+  def q168ClassifierAuc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val model = graft.text.QualityClassifier.train(
+      d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 === 3),
+      "text", numBuckets = 1024)
+    val scored = graft.text.QualityClassifier
+      .score(d, "doc_id", "text", model, numBuckets = 1024)
+    val labels = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 3)
+      .select(col("doc_id"), (col("doc_id") % 5 === 0).as("label"))
+    RankEval.auc(scored, labels, "doc_id", "margin")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

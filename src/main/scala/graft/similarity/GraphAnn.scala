@@ -30,6 +30,99 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** Every node keyed by BOTH blockings — kind "cell" (its k-means
+    * cell) and kind "lsh" (its random-hyperplane bucket). Two rows per
+    * node; (kind, b) is the unit a batch fold touches.
+    */
+  def blockKeyed(
+      assigned: DataFrame,
+      lshPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L
+  ): DataFrame = {
+    val ok = assigned.filter(col("cell") >= 0)
+      .select(col("id"), col("v"), col("cell"))
+    ok.select(lit("cell").as("kind"), col("cell").cast("string").as("b"),
+        col("id"), col("v"))
+      .unionByName(ok.select(lit("lsh").as("kind"),
+        Knn.lshBucket(col("v"), lshPlanes, dim, seed).cast("string").as("b"),
+        col("id"), col("v")))
+  }
+
+  /** Deterministic sub-split of over-full blocks: within each (kind, b),
+    * nodes are ranked by (md5(id), id) and cut into chunks of EXACTLY
+    * ≤ `maxBlockSize` — so the all-pairs work per sub-block is hard-bounded
+    * at maxBlockSize² regardless of how degenerate the blocking gets (the
+    * [[graft.dedup.LshBlocking.bucketPairs]] maxBucketSize discipline:
+    * LSH at `lshPlanes` planes is a FIXED 2^planes buckets, so without
+    * this cut bucket population — and the build's pair count — grows
+    * quadratically with the corpus). The md5 order is content-keyed, so
+    * the cut is bit-stable under any partitioning; a sub-split block
+    * loses only cross-chunk edges, which the OTHER blocking and the
+    * symmetrized walk re-supply (same argument as the dual blocking
+    * itself).
+    */
+  def subSplit(keyed: DataFrame, maxBlockSize: Int): DataFrame = {
+    require(maxBlockSize > 1, s"maxBlockSize must be > 1: $maxBlockSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("b"))
+      .orderBy(md5(to_binary(col("id").cast("string"), lit("utf-8"))), col("id"))
+    keyed.withColumn("__rn", row_number().over(w))
+      .withColumn("sub", expr(s"(CAST(__rn AS BIGINT) - 1) div $maxBlockSize"))
+      .drop("__rn")
+  }
+
+  /** Per-block directed top lists — the PERSISTABLE pre-symmetrization
+    * state of the navigable graph, keyed by (kind, b) so [[foldBatch]]
+    * can replace exactly the touched blocks (the bucketed-store fold
+    * discipline). Per node and kind: its `graphDegree` best in-block
+    * neighbors by (cosine desc, id), pairs generated within the
+    * sub-split bound.
+    */
+  def blockEdges(
+      assigned: DataFrame,
+      graphDegree: Int,
+      lshPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L,
+      maxBlockSize: Int = DefaultMaxBlockSize
+  ): DataFrame =
+    edgesFromKeyed(blockKeyed(assigned, lshPlanes, dim, seed),
+      graphDegree, maxBlockSize)
+
+  private def edgesFromKeyed(
+      keyed: DataFrame, graphDegree: Int, maxBlockSize: Int): DataFrame = {
+    require(graphDegree > 0, "graphDegree must be positive")
+    val blocked = subSplit(keyed, maxBlockSize)
+    val a = blocked.select(col("kind"), col("b"), col("sub"),
+      col("id").as("src"), col("v").as("va"))
+    val bb = blocked.select(col("kind"), col("b"), col("sub"),
+      col("id").as("dst"), col("v").as("vb"))
+    // each node sits in exactly one (b, sub) per kind, so per-(kind, src)
+    // ranking == per-sub-block ranking and the window reuses the join keys
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("src")).orderBy(col("score").desc, col("dst"))
+    a.join(bb, Seq("kind", "b", "sub"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("kind"), col("b"), col("src"), col("dst"),
+        Knn.cosine(col("va"), col("vb")).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= graphDegree)
+      .select("kind", "b", "src", "dst")
+  }
+
+  /** The searchable graph from a block-edge store: undirected
+    * (symmetrized) distinct (src, dst). */
+  def assembleGraph(edges: DataFrame): DataFrame = {
+    val top = edges.select("src", "dst")
+    top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Hard bound on all-pairs block population. 1024² pairs per sub-block
+    * max; gate corpora (≤2k vectors) never hit it, so the r8 graphs are
+    * reproduced bit-identically. */
+  val DefaultMaxBlockSize: Int = 1024
+
   /** Navigable kNN graph over `assigned` (id, v, cell — the
     * [[Knn.assignCells]] output): per node, its `graphDegree` best
     * neighbors by (cosine desc, id) WITHIN EACH OF TWO COMPLEMENTARY
@@ -39,35 +132,59 @@ object GraphAnn {
     * 0.32 recall at beam 8: a walk cannot cross a cell it has no edge
     * into); the second, differently-shaped partition supplies the
     * cross-boundary links, the multi-blocking discipline MinHash/SimHash
-    * dedup already uses. Both blocks are bounded all-pairs (never corpus
-    * all-pairs); per-node degree ≤ 2·graphDegree before symmetrization.
+    * dedup already uses. Both blocks are bounded all-pairs — the cell
+    * side because nlist scales with the corpus (the SemanticDedup
+    * contract), the LSH side by the [[subSplit]] hard cap (`maxBlockSize`)
+    * — never corpus all-pairs; per-node degree ≤ 2·graphDegree before
+    * symmetrization.
     */
   def buildGraph(
       assigned: DataFrame,
       graphDegree: Int,
       lshPlanes: Int = 4,
       dim: Int = 64,
-      seed: Long = 7L
+      seed: Long = 7L,
+      maxBlockSize: Int = DefaultMaxBlockSize
+  ): DataFrame =
+    assembleGraph(blockEdges(assigned, graphDegree, lshPlanes, dim, seed, maxBlockSize))
+
+  /** Fold a new embedding batch into a standing block-edge store WITHOUT
+    * a corpus-wide rebuild — the incremental contract every other index
+    * in this repo already honors (IVF q85, PQ q96, BM25 postings).
+    * EXACTLY rebuild-equivalent (spec-asserted): blocks untouched by the
+    * batch keep their stored edges verbatim; blocks containing ≥1 batch
+    * node are recomputed IN FULL over their combined (standing + batch)
+    * membership — full recompute is what makes the fold exact, because a
+    * new node can both displace an old node's neighbor AND shift the
+    * deterministic sub-split cut within its block. The standing corpus
+    * is semi-filtered to touched blocks map-side (touched-block list
+    * broadcast), so fold cost is O(touched blocks × bounded block work),
+    * never corpus-sized.
+    *
+    * `corpusAssigned` is the standing corpus (WITHOUT the batch),
+    * assigned against the SAME IVF index the store was built with (the
+    * index is corpus state); `batchAssigned` is the new batch assigned
+    * against that same index.
+    */
+  def foldBatch(
+      store: DataFrame,
+      corpusAssigned: DataFrame,
+      batchAssigned: DataFrame,
+      graphDegree: Int,
+      lshPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L,
+      maxBlockSize: Int = DefaultMaxBlockSize,
+      broadcastTouched: Boolean = true
   ): DataFrame = {
-    require(graphDegree > 0, "graphDegree must be positive")
-    def topWithin(blockCol: DataFrame => DataFrame): DataFrame = {
-      val blocked = blockCol(assigned.filter(col("cell") >= 0))
-      val a = blocked.select(col("b"), col("id").as("src"), col("v").as("va"))
-      val bb = blocked.select(col("b"), col("id").as("dst"), col("v").as("vb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
-      a.join(bb, Seq("b"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), Knn.cosine(col("va"), col("vb")).as("score"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= graphDegree)
-        .select("src", "dst")
-    }
-    val byCell = topWithin(_.withColumn("b", col("cell").cast("string")))
-    val byLsh = topWithin(_.withColumn("b",
-      Knn.lshBucket(col("v"), lshPlanes, dim, seed).cast("string")))
-    val top = byCell.union(byLsh)
-    top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val batchKeys = blockKeyed(batchAssigned, lshPlanes, dim, seed)
+    val touched0 = batchKeys.select("kind", "b").distinct()
+    val touched = if (broadcastTouched) broadcast(touched0) else touched0
+    val members = blockKeyed(corpusAssigned, lshPlanes, dim, seed)
+      .join(touched, Seq("kind", "b"), "left_semi")
+      .unionByName(batchKeys)
+    store.join(touched, Seq("kind", "b"), "left_anti")
+      .unionByName(edgesFromKeyed(members, graphDegree, maxBlockSize))
   }
 
   /** Fixed entry points: the md5-earliest `e` corpus ids — content-keyed
@@ -78,6 +195,25 @@ object GraphAnn {
     assigned.select(col("id").as("node"))
       .orderBy(md5(to_binary(col("id").cast("string"), lit("utf-8"))), col("node"))
       .limit(e)
+  }
+
+  /** Cell-diverse entry points: the md5-earliest `perCell` nodes of EACH
+    * k-means cell — one beam seed per region of the space instead of `e`
+    * draws from one global shuffle, so a query far from every global
+    * entry still starts its walk near home. Same content-keyed
+    * determinism as [[entryPoints]]; output size = perCell × live cells
+    * (nlist-bounded, a broadcastable frame at any corpus size).
+    */
+  def entryPointsPerCell(assigned: DataFrame, perCell: Int = 1): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(md5(to_binary(col("id").cast("string"), lit("utf-8"))), col("id"))
+    assigned.filter(col("cell") >= 0)
+      .select(col("id"), col("cell"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCell)
+      .select(col("id").as("node"))
   }
 
   /** Beam search: every query starts at the entry points, expands its

@@ -45,4 +45,40 @@ object StoreMaintenance {
     }
     doomed
   }
+
+  /** Per-bucket version ids of a per-bucket-versioned store
+    * (`bucket=<b>/v=<v>` layout — [[graft.dedup.BucketedSpanStore]],
+    * [[graft.dedup.BucketedAssignStore]]), ascending within each bucket.
+    */
+  def bucketVersions(spark: SparkSession, storePath: String): Map[Long, Seq[Long]] =
+    graft.dedup.VersionedBuckets.bucketVersions(spark, storePath)
+      .view.mapValues(_.sorted).toMap
+
+  /** [[pruneVersions]] for the per-bucket layout: keep the newest
+    * `keepLast` versions of EACH bucket, delete the rest; returns the
+    * pruned (bucket, version) pairs. The bucketed folds already retain
+    * at most {latest-below, current} per TOUCHED bucket at write time
+    * (VersionedBuckets.retain), but buckets whose last touch predates a
+    * crash-recovery window — and deployments that want to reclaim the
+    * safety copy once a batch is committed downstream (`keepLast = 1`)
+    * — need this explicit maintenance pass. Same replay contract as the
+    * flat layout: a replayed fold at version N reads each bucket's
+    * latest version STRICTLY BELOW N, so `keepLast` ≥ 2 until N is
+    * durably committed. Idempotent; newer concurrent versions are safe
+    * (only ids below each bucket's keep set are touched). Cost: one
+    * listing per bucket + one delete per doomed dir — bucket-count-
+    * bounded, never data-sized.
+    */
+  def pruneBucketVersions(
+      spark: SparkSession, storePath: String, keepLast: Int): Seq[(Long, Long)] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val base = new org.apache.hadoop.fs.Path(storePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bucketVersions(spark, storePath).toSeq.sortBy(_._1).flatMap { case (b, vs) =>
+      vs.dropRight(keepLast).map { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/bucket=$b/v=$v"), true)
+        (b, v)
+      }
+    }
+  }
 }

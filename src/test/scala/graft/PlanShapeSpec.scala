@@ -166,8 +166,8 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q150_skew_profile", maxHash = 2, maxRange = 2, requireTopK = true,
       forbidUdf = true),
     // MAD outliers: ONE group-key exchange shared by every window (med
-    // attaches as a window aggregate, not a rejoin — the r8 1.64× fix)
-    // and the final aggregation; no join at all
+    // attaches as a window aggregate, not a rejoin — the r8 fix, AbMad
+    // 1.5–1.9× across reruns) and the final aggregation; no join at all
     Shape("q152_mad_outliers", maxHash = 1, forbidSortMergeJoin = true,
       forbidUdf = true),
     // quantile sketch: the hash-cut window + the report window + the

@@ -298,6 +298,32 @@ class ProfileSampleSpec extends SparkSpec {
     assert(Anonymity.kAnonymityViolations(d, Seq("q"), k = 4).count() == 0)
   }
 
+  test("t-closeness: skewed groups flagged though k-anonymous AND l-diverse; exact strict boundary") {
+    import spark.implicits._
+    import graft.quality.Anonymity
+    // global A/B split 15/15 over N=30; g1 = 9A+1B and g2 = 1A+9B are
+    // both size-10 (k-anonymous at k=10) and 2-valued (l-diverse at
+    // l=2), yet each sits TVD = 0.4 from the global distribution — the
+    // skewness attack only the third leg sees; g3 = 5A+5B matches it
+    val d = ((Seq.fill(9)(("g1", "A")) :+ (("g1", "B"))) ++
+      ((("g2", "A")) +: Seq.fill(9)(("g2", "B"))) ++
+      Seq.fill(5)(("g3", "A")) ++ Seq.fill(5)(("g3", "B"))).toDF("q", "s")
+    val v = Anonymity.tClosenessViolations(d, Seq("q"), "s", tPpm = 300000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // dist_num per skewed group: |9·30 − 15·10| + |1·30 − 15·10| = 240;
+    // tvd = 240 / (2·10·30) = 0.4 exactly
+    assert(v == Set(("g1", 10L, 240L, 0.4), ("g2", 10L, 240L, 0.4)))
+    assert(Anonymity.kAnonymityViolations(d, Seq("q"), k = 10).count() == 0)
+    assert(Anonymity.lDiversityViolations(d, Seq("q"), "s", l = 2).count() == 0)
+    // STRICT boundary, decided in integers: tvd exactly == t passes
+    assert(Anonymity.tClosenessViolations(d, Seq("q"), "s", tPpm = 400000L).count() == 0)
+    // NULL sensitive rows sit in neither distribution
+    val dn = d.union(Seq(("g3", Option.empty[String])).toDF("q", "s"))
+    val vn = Anonymity.tClosenessViolations(dn, Seq("q"), "s", tPpm = 300000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(vn == v)
+  }
+
   test("temporalSplit: embargo window excluded from BOTH sides") {
     import spark.implicits._
     import graft.operators.Sampling

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.RankEval
+import org.apache.spark.sql.functions.lit
 
 /** Retrieval-metric invariants (q143 gates the cross-engine replay over
   * real retrievers; these gate the metric algebra on hand-built lists).
@@ -97,6 +98,42 @@ class RankEvalSpec extends SparkSpec {
     val twoQ = truth.union(Seq((2L, 21L, 1L)).toDF("query_id", "neighbor_id", "rel"))
     val q2 = RankEval.ndcg(results, twoQ, 5).filter($"query_id" === 2L).head()
     assert(q2.getLong(1) == 0L && q2.getDouble(3) == 0.0)
+    // a query with results but NO truth keeps its row too (full outer —
+    // the perQuery symmetry): idcg absent -> NULL, ndcg NULL, dcg 0
+    // (every retrieved neighbor is unjudged)
+    val extra = results.union(lists((9L, 901L, 1)))
+    val q9 = RankEval.ndcg(extra, truth, 5).filter($"query_id" === 9L).head()
+    assert(q9.getLong(1) == 0L && q9.isNullAt(2) && q9.isNullAt(3))
+  }
+
+  test("auc: hand-computed Mann–Whitney pair counts, ties half, degenerate classes NULL") {
+    val preds = Seq((1L, 10L), (2L, 8L), (3L, 8L), (4L, 5L), (5L, 3L), (6L, 1L))
+      .toDF("id", "score")
+    val labels = Seq((1L, true), (2L, false), (3L, true), (4L, true),
+      (5L, false), (6L, false)).toDF("id", "label")
+    // 3×3 pairs: concordant 7 (pos outscores), tied 1 (both at 8),
+    // discordant 1 (5 < 8) -> AUC = (2·7 + 1) / (2·9) = 15/18
+    val r = RankEval.auc(preds, labels, "id", "score").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 3L, 7L, 1L, 1L)))
+    assert(r.getDouble(5) == 15.0 / 18.0)
+    // all scores equal: every pair tied, AUC exactly 0.5
+    val flat = RankEval.auc(preds.withColumn("score", lit(7L)), labels, "id", "score").head()
+    assert(flat.getLong(3) == 9L && flat.getDouble(5) == 0.5)
+    // perfect separation: AUC exactly 1.0
+    val sep = Seq((1L, 9L), (3L, 8L), (4L, 7L), (2L, 2L), (5L, 1L), (6L, 0L))
+      .toDF("id", "score")
+    assert(RankEval.auc(sep, labels, "id", "score").head().getDouble(5) == 1.0)
+    // one class empty -> counts exact, auc NULL (no 0/0 NaN)
+    val onePos = RankEval.auc(preds, labels.withColumn("label", lit(true)),
+      "id", "score").head()
+    assert(onePos.getLong(0) == 6L && onePos.getLong(1) == 0L && onePos.isNullAt(5))
+    // NULL score/label rows excluded before counting, unlabeled ids dropped
+    val withNull = preds.union(Seq((7L, Option.empty[Long])).toDF("id", "score"))
+      .union(Seq((99L, 50L)).toDF("id", "score"))
+    val labNull = labels.union(Seq((7L, Option.empty[Boolean])).toDF("id", "label"))
+    val rn = RankEval.auc(withNull, labNull, "id", "score").head()
+    assert((rn.getLong(0), rn.getLong(1)) == ((3L, 3L)) && rn.getDouble(5) == 15.0 / 18.0)
   }
 
   test("calibration: explicit integer bucket edges, exact counts, NULLs excluded") {

@@ -36,7 +36,12 @@ class ScaleOpsSpec extends SparkSpec {
     // group h: nine 7s and one 8 -> med 7, mad 0, the 8 is an outlier of
     // the exact (unsmoothed) identifier — documented degenerate behavior
     val h = (Seq.fill(9)(7L) :+ 8L).zipWithIndex.map { case (v, i) => ("h", v, i.toLong) }
-    val d = (g ++ h).toDF("grp", "v", "id")
+    // NULL values must not shift the rank selection: they'd sort first
+    // and inflate __n — madOutliers excludes them before the windows
+    val withNulls = (g ++ h).toDF("grp", "v", "id")
+      .union(Seq(("g", Option.empty[Long], 90L), ("h", Option.empty[Long], 91L))
+        .toDF("grp", "v", "id"))
+    val d = withNulls
     val got = Quantiles.madOutliers(d, Seq("grp"), "v", "id", k = 3)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
@@ -350,6 +355,90 @@ class ScaleOpsSpec extends SparkSpec {
     // symmetric degree-bounded graph: every edge has its reverse
     val edges = graph.as[(Long, Long)].collect().toSet
     assert(edges.forall { case (s2, d2) => edges.contains((d2, s2)) })
+    graph.unpersist(false); assigned.unpersist(false)
+  }
+
+  test("graph ANN: degenerate blocking is hard-bounded by subSplit; bounded build still covers every node") {
+    import graft.similarity.GraphAnn
+    // 300 identical-DIRECTION vectors (scaled copies): ONE cell and ONE
+    // lsh bucket — exactly the fixed-bucket O(n²) trap the sub-split cap
+    // exists for (lshPlanes=4 is 16 buckets at ANY corpus size)
+    val dim = 8
+    val assigned = (0L until 300L)
+      .map(i => (i, Array.fill(dim)(1.0 + i * 1e-3), 0))
+      .toDF("id", "v", "cell")
+    val keyed = GraphAnn.blockKeyed(assigned, lshPlanes = 4, dim = dim)
+    assert(keyed.groupBy("kind", "b").count()
+      .collect().forall(_.getLong(2) == 300L), "corpus not degenerate — test vacuous")
+    val sizes = GraphAnn.subSplit(keyed, maxBlockSize = 50)
+      .groupBy("kind", "b", "sub").count().collect().map(_.getLong(3))
+    // EXACT bound: no sub-block exceeds the cap; 300/50 = 6 chunks × 2 kinds
+    assert(sizes.forall(_ <= 50L) && sizes.length == 12, sizes.mkString(","))
+    // the bounded build completes with every node covered and the edge
+    // count degree-shaped (≤ 2 kinds × degree, symmetrized), nowhere
+    // near the 300·299 all-pairs of the unbounded build
+    val graph = GraphAnn.buildGraph(assigned, graphDegree = 4,
+      lshPlanes = 4, dim = dim, maxBlockSize = 50)
+    assert(graph.select("src").distinct().count() == 300L)
+    assert(graph.count() <= 300L * 2 * 4 * 2)
+    // determinism: the content-keyed cut is partition-invariant
+    val again = GraphAnn.buildGraph(assigned.repartition(7).orderBy($"id".desc),
+      graphDegree = 4, lshPlanes = 4, dim = dim, maxBlockSize = 50)
+    assert(again.as[(Long, Long)].collect().toSet ==
+      graph.as[(Long, Long)].collect().toSet)
+  }
+
+  test("graph ANN: foldBatch equals full rebuild exactly; untouched blocks exercised") {
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(spark, sf)
+    val batchPred = $"vec_id" % 97 === 3
+    val corpus0 = e.filter(!batchPred)
+    // index built on the STANDING corpus; both sides assigned against it
+    val index = Knn.buildIvfIndex(corpus0, "vec_id", "embedding", nlist = 8)
+    val assigned0 = Knn.assignCells(corpus0, "vec_id", "embedding", index).persist()
+    val assignedB = Knn.assignCells(e.filter(batchPred), "vec_id", "embedding", index).persist()
+    assert(assignedB.count() > 0, "empty batch — test vacuous")
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val store = GraphAnn.blockEdges(assigned0, graphDegree = 6)
+    val folded = edgeSet(GraphAnn.foldBatch(store, assigned0, assignedB, graphDegree = 6))
+    val rebuilt = edgeSet(GraphAnn.blockEdges(
+      assigned0.unionByName(assignedB), graphDegree = 6))
+    assert(folded == rebuilt)
+    // the fold's cheap path (untouched blocks carried verbatim) actually ran
+    val touched = GraphAnn.blockKeyed(assignedB).select("kind", "b").distinct().count()
+    val all = GraphAnn.blockKeyed(assigned0.unionByName(assignedB))
+      .select("kind", "b").distinct().count()
+    assert(touched < all, s"batch touched all $all blocks — untouched path not exercised")
+    assigned0.unpersist(false); assignedB.unpersist(false)
+  }
+
+  test("graph ANN: cell-diverse entry points cover cells; recall does not degrade with beam") {
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val assigned = Knn.assignCells(e, "vec_id", "embedding",
+      Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)).persist()
+    assigned.count()
+    // one md5-earliest seed per live cell, deterministic under reshuffle
+    val eps = GraphAnn.entryPointsPerCell(assigned, perCell = 1)
+    val liveCells = assigned.filter($"cell" >= 0).select("cell").distinct().count()
+    assert(eps.count() == liveCells)
+    val eps2 = GraphAnn.entryPointsPerCell(assigned.repartition(5), perCell = 1)
+    assert(eps2.as[Long].collect().toSet == eps.as[Long].collect().toSet)
+    val graph = GraphAnn.buildGraph(assigned, graphDegree = 8).persist()
+    graph.count()
+    val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(beam: Int): Double = {
+      val got = GraphAnn.searchTopK(graph, e, q, "vec_id", "embedding", eps,
+          k = 5, beam = beam, hops = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r8 = recall(8); val r32 = recall(32)
+    assert(r32 >= r8, s"beam 32 recall $r32 below beam 8 recall $r8")
+    assert(r32 >= 0.8, s"recall at beam 32 too low: $r32")
     graph.unpersist(false); assigned.unpersist(false)
   }
 

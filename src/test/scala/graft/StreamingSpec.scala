@@ -418,6 +418,41 @@ class StreamingSpec extends SparkSpec {
     assert(StoreMaintenance.versions(spark, s"$tmp/nope").isEmpty)
   }
 
+  test("store maintenance: per-bucket prune keeps newest per bucket, standing state intact") {
+    import graft.streaming.StoreMaintenance
+    import graft.dedup.{BucketedSpanStore, SpanDedup}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bprune").toString
+    val sink = new BucketedSpanStore(s"$tmp/store", numBuckets = 4, "doc_id", "text", 3)
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(40)
+    val b1 = Seq((900001L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val b2 = Seq((900002L, "aa bb cc zz yy xx")).toDF("doc_id", "text")
+    sink.merge(base, version = 0L)
+    sink.merge(b1, version = 1L)
+    sink.merge(b2, version = 2L)
+    val before = StoreMaintenance.bucketVersions(spark, s"$tmp/store")
+    assert(before.values.exists(_.size > 1), "vacuous: no bucket carries history")
+    // deep prune to 1: reclaim the fold-time safety copy (legitimate
+    // once version 2 is durably committed downstream)
+    val pruned = StoreMaintenance.pruneBucketVersions(spark, s"$tmp/store", keepLast = 1)
+    assert(pruned.nonEmpty)
+    val after = StoreMaintenance.bucketVersions(spark, s"$tmp/store")
+    assert(after.values.forall(_.size == 1))
+    after.foreach { case (b, vs) =>
+      assert(vs.head == before(b).max, s"bucket $b lost its newest version")
+    }
+    // the newest per-bucket version is self-contained: load == rebuild
+    val loaded = sink.load(spark).get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val rebuilt = SpanDedup.spanStore(
+        base.unionByName(b1).unionByName(b2), "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(loaded == rebuilt)
+    // idempotent; missing store is an empty report
+    assert(StoreMaintenance.pruneBucketVersions(spark, s"$tmp/store", 1).isEmpty)
+    assert(StoreMaintenance.bucketVersions(spark, s"$tmp/nope").isEmpty)
+  }
+
   test("streaming funnel equals the batch fold under in-order arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.{FunnelEvent, FunnelProgress}
