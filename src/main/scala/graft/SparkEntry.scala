@@ -179,7 +179,8 @@ object SparkEntry {
     "q166_graph_ann_eval" -> (LlmQueries.q166GraphAnnEval(_, _)),
     "q167_graph_ann_fold" -> (LlmQueries.q167GraphAnnFold(_, _)),
     "q168_classifier_auc" -> (LlmQueries.q168ClassifierAuc(_, _)),
-    "q169_t_closeness" -> (CoreQueries.q169TCloseness(_, _))
+    "q169_t_closeness" -> (CoreQueries.q169TCloseness(_, _)),
+    "q170_quantiles_bucketed" -> (CoreQueries.q170QuantilesBucketed(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3063,7 +3064,18 @@ object SparkEntry {
         |  CAST(dist_num AS DOUBLE) / CAST(2 * cnt * n_all AS DOUBLE) AS tvd
         |FROM d CROSS JOIN tot
         |WHERE CAST(dist_num AS HUGEINT) * 1000000 > CAST(2 AS HUGEINT) * 300000 * cnt * n_all
-        |ORDER BY c_nationkey, bal_bucket""".stripMargin
+        |ORDER BY c_nationkey, bal_bucket""".stripMargin,
+    // skew-safe bucketed rank selection must pick the SAME values as the
+    // plain rank replay — the oracle is layout-independent by design
+    "q170_quantiles_bucketed" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -116,6 +116,75 @@ object Quantiles {
       .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi").map(col): _*)
   }
 
+  /** Skew-safe exact rank selection — same output contract as
+    * [[exactQuantiles]] (n, p50, p90; lower-median integer ranks, no
+    * interpolation, bit-identical selections), but NO per-group sort on
+    * one reducer: the [[graft.text.PerplexitySample]]/Interleave bucketed-
+    * rank layout generalized to an unbounded numeric column.
+    *
+    * Pass 1 aggregates per-group (min, max, n) — a tiny broadcast frame.
+    * Each row then maps to one of `cells` value-range cells (monotone in
+    * the value, NULLs to cell −1 — they sort first, matching the window
+    * arm's null ordering); per-(group, cell) counts roll into cumulative
+    * offsets on a ≤(cells+1)·|groups| frame, which pins each target rank
+    * ((n+1) div 2 and (9n+9) div 10) to exactly ONE cell. Only rows of
+    * those target cells are ranked — `row_number` partitioned by
+    * (group, cell), so the largest sort is a cell population
+    * (~group/cells for spread values), never the group.
+    *
+    * Costs one extra scan (the stats pass) vs the windowed arm's single
+    * shuffle — the [[graft.AbQuantiles]] A/B on a one-hot-group corpus
+    * measures which dominates at which shape. Caveat: a group whose hot
+    * VALUE repeats (not just a hot KEY) collapses into one cell and
+    * re-creates the single-reducer sort; value-identical groups are
+    * where [[approxQuantiles]] is the honest scale path.
+    */
+  def exactQuantilesBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      cells: Int = 256
+  ): DataFrame = {
+    require(cells > 1, s"cells must be > 1: $cells")
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+    val stats = base.groupBy(g: _*).agg(
+      min(col(valueCol)).as("__lo"),
+      max(col(valueCol)).as("__hi"))
+    // cell is monotone in the value: equal ranks land in cell order, so
+    // per-cell rank + cumulative offset IS the group rank
+    val cell = when(col(valueCol).isNull, lit(-1L))
+      .when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit(cells - 1L),
+        floor((col(valueCol) - col("__lo")).cast("double") * cells /
+          (col("__hi") - col("__lo")).cast("double"))))
+    val celled = base.join(broadcast(stats), keyCols).withColumn("__c", cell)
+    val counts = celled.groupBy((g :+ col("__c")): _*).agg(count(lit(1)).as("__cnt"))
+    val offs = counts
+      .withColumn("__off",
+        sum("__cnt").over(Window.partitionBy(g: _*).orderBy("__c")) - col("__cnt"))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(g: _*)))
+      .withColumn("__r50", expr("(__n + 1) div 2"))
+      .withColumn("__r90", expr("(9 * __n + 9) div 10"))
+      // keep only the (group, cell) pairs holding a target rank — the
+      // whole corpus outside those cells never enters a rank window
+      .filter((col("__r50") > col("__off") && col("__r50") <= col("__off") + col("__cnt")) ||
+        (col("__r90") > col("__off") && col("__r90") <= col("__off") + col("__cnt")))
+      .select((g :+ col("__c") :+ col("__off") :+ col("__n") :+
+        col("__r50") :+ col("__r90")): _*)
+    celled.join(broadcast(offs), keyCols :+ "__c")
+      .withColumn("__rn",
+        col("__off") + row_number().over(
+          Window.partitionBy((g :+ col("__c")): _*)
+            .orderBy(col(valueCol), col(tieBreakCol))))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(when(col("__rn") === col("__r50"), col(valueCol))).as("p50"),
+        max(when(col("__rn") === col("__r90"), col(valueCol))).as("p90"))
+  }
+
   /** Scale path: approximate quantiles via the built-in KLL-style sketch
     * (`percentile_approx`) — fully partial-aggregatable (no window, no
     * per-group sort), so the shuffle carries sketches, not rows. `accuracy`

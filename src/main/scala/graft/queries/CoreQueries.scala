@@ -437,6 +437,19 @@ object CoreQueries {
       Seq("event_type"), "value", "event_id"
     ).orderBy("event_type")
 
+  /** Skew-safe exact quantiles gate — [[Quantiles.exactQuantilesBucketed]]
+    * on the q39 shape, proving the bucketed-rank path (no per-group
+    * single-reducer sort; [[graft.AbQuantiles]] measured 3.9× at a 4M-row
+    * hot group) selects BIT-IDENTICAL values: the oracle is the same
+    * plain rank-selection replay q39 uses — rank selection has one right
+    * answer regardless of which layout computed it.
+    */
+  def q170QuantilesBucketed(s: SparkSession, dir: String): DataFrame =
+    Quantiles.exactQuantilesBucketed(
+      Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id")),
+      Seq("event_type"), "value", "event_id"
+    ).orderBy("event_type")
+
   // ---- bdq-parity wiring -------------------------------------------------
 
   /** Deterministic derived pair of order snapshots for the diff queries:

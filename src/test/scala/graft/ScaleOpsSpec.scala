@@ -49,6 +49,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got("h") == ((10L, 7L, 0L, 1L)))
   }
 
+  test("bucketed exact quantiles equal the windowed arm on every edge shape") {
+    import graft.operators.Quantiles
+    // edge shapes in one frame: a spread group, a constant-value group
+    // (all rows collapse into one cell), a single-row group, a group with
+    // NULL values (cell −1, sorts first), and duplicate values at the
+    // selection rank (tie-break decides)
+    val rows =
+      (1 to 100).map(i => ("spread", Some(i * 1.5), i.toLong)) ++
+      (1 to 40).map(i => ("const", Some(7.0), i.toLong)) ++
+      Seq(("single", Some(3.0), 1L)) ++
+      (1 to 10).map(i => ("nully", if (i <= 4) None else Some(i.toDouble), i.toLong)) ++
+      (1 to 30).map(i => ("dups", Some((i % 3).toDouble), i.toLong))
+    val d = rows.toDF("g", "v", "tb")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val win = norm(Quantiles.exactQuantiles(d, Seq("g"), "v", "tb"))
+    val buck = norm(Quantiles.exactQuantilesBucketed(d, Seq("g"), "v", "tb"))
+    assert(buck == win)
+    // partition-invariance: the cell layout must not change selections
+    val buck2 = norm(Quantiles.exactQuantilesBucketed(
+      d.repartition(7).orderBy($"tb".desc), Seq("g"), "v", "tb", cells = 16))
+    assert(buck2 == win)
+    // only target cells reach a rank window: with 100 spread rows over 16
+    // cells the ranked row count is far below the corpus
+    val celledCount = Quantiles.exactQuantilesBucketed(
+      d.filter($"g" === "spread"), Seq("g"), "v", "tb", cells = 16)
+    assert(norm(celledCount) == win.filter(_._1 == "spread"))
+  }
+
   test("joinCardinality: forecast equals the real join, max flags the hot key, disjoint is zero") {
     // a: k1 x3, k2 x2, k9 x1;  b: k1 x4, k2 x1, k7 x5
     val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") :+ "k9").toDF("k")
