@@ -180,7 +180,9 @@ object SparkEntry {
     "q167_graph_ann_fold" -> (LlmQueries.q167GraphAnnFold(_, _)),
     "q168_classifier_auc" -> (LlmQueries.q168ClassifierAuc(_, _)),
     "q169_t_closeness" -> (CoreQueries.q169TCloseness(_, _)),
-    "q170_quantiles_bucketed" -> (CoreQueries.q170QuantilesBucketed(_, _))
+    "q170_quantiles_bucketed" -> (CoreQueries.q170QuantilesBucketed(_, _)),
+    "q171_winsorize" -> (CoreQueries.q171Winsorize(_, _)),
+    "q172_chi_square_drift" -> (CoreQueries.q172ChiSquareDrift(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3075,7 +3077,39 @@ object SparkEntry {
         |SELECT event_type, max(n) AS n,
         |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // winsorize: exact-rank bounds at (p*(n+1)) div 100 clamped to [1,n],
+    // applied row-by-row -- every clamp decision hashes
+    "q171_winsorize" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |  max(CASE WHEN rn = greatest(1, least(n, (5 * (n + 1)) // 100)) THEN value END) AS lo,
+        |  max(CASE WHEN rn = greatest(1, least(n, (95 * (n + 1)) // 100)) THEN value END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_type, r.event_id, r.value, b.lo, b.hi,
+        |  greatest(b.lo, least(b.hi, r.value)) AS v_wins
+        |FROM r JOIN b USING (event_type)
+        |ORDER BY r.event_type, r.event_id""".stripMargin,
+    // categorical chi-square drift: exact cross-multiplied numerators,
+    // zero-filled full-outer value frame, division deferred off-gate
+    "q172_chi_square_drift" ->
+      """WITH b AS (SELECT o_orderpriority AS value, count(*) AS n_base
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |c AS (SELECT o_orderpriority AS value, count(*) AS n_cur
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(b.value, c.value) AS value,
+        |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM b FULL JOIN c ON b.value = c.value),
+        |t AS (SELECT CAST(sum(n_base) AS HUGEINT) AS bt, CAST(sum(n_cur) AS HUGEINT) AS ct FROM j)
+        |SELECT value, n_base, n_cur,
+        |  CAST((n_base * ct - n_cur * bt) * (n_base * ct - n_cur * bt) AS BIGINT) AS chi_num,
+        |  n_base + n_cur AS cell_tot
+        |FROM j CROSS JOIN t
+        |ORDER BY value""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -116,6 +116,47 @@ object Quantiles {
       .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi").map(col): _*)
   }
 
+  /** Winsorization: clamp each value into the per-group exact-rank
+    * [p_lo, p_hi] bounds — the standard heavy-tail taming before
+    * training-data statistics (cap, don't drop: dropping shifts counts,
+    * capping only shifts mass). Bounds are LOWER-RANK selections at
+    * rank (p·(n+1)) div 100 clamped to [1, n] — the [[exactQuantiles]]
+    * generalization ((n+1) div 2 at p=50, (9n+9) div 10 at p=90), actual
+    * data values, no interpolation, so clamped outputs are bit-identical
+    * on any engine and the gate hashes every row.
+    *
+    * ONE shuffle: rank, count and both bound selections are window
+    * aggregates over the same group-key partitioning (the [[iqrOutliers]]
+    * shape); the clamp is a narrow projection. Appends `v_wins` plus the
+    * bounds; NULL-valued rows are EXCLUDED (they have no rank and no
+    * clamp — callers keeping them re-join on the tie-break key).
+    * Per-group window state is the sort — for hot groups past ~1M rows
+    * the [[exactQuantilesBucketed]] layout supplies the bounds instead.
+    */
+  def winsorize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      loPct: Int = 5,
+      hiPct: Int = 95
+  ): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct < 100,
+      s"need 0 < loPct < hiPct < 100: $loPct, $hiPct")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ordered = part.orderBy(col(valueCol), col(tieBreakCol))
+    def rankAt(p: Int) =
+      greatest(lit(1L), least(col("__n"), expr(s"($p * (__n + 1)) div 100")))
+    df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("lo", max(when(col("__rn") === rankAt(loPct), col(valueCol))).over(part))
+      .withColumn("hi", max(when(col("__rn") === rankAt(hiPct), col(valueCol))).over(part))
+      .withColumn("v_wins", greatest(col("lo"), least(col("hi"), col(valueCol))))
+      .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi" :+ "v_wins").map(col): _*)
+  }
+
   /** Skew-safe exact rank selection — same output contract as
     * [[exactQuantiles]] (n, p50, p90; lower-median integer ranks, no
     * interpolation, bit-identical selections), but NO per-group sort on

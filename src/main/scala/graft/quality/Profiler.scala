@@ -249,6 +249,60 @@ object Profiler {
       .select("bucket", "n_base", "n_cur", "cum_base", "cum_cur", "ks_num")
   }
 
+  /** Two-sample chi-square drift for a CATEGORICAL column, INTEGER-EXACT
+    * — the categorical sibling of [[ksDriftFromHistograms]] (KS needs an
+    * order; categories have none): per value v with counts b_v / c_v and
+    * totals B / C, the homogeneity statistic is
+    * χ² = Σ_v (b_v·C − c_v·B)² / (B·C·(b_v+c_v)) (algebraically equal to
+    * the textbook Σ(O−E)²/E over the 2×K table), and this emits the
+    * per-value EXACT cross-multiplied numerator
+    * `chi_num = (b_v·C − c_v·B)²` plus `cell_tot = b_v + c_v` in
+    * DECIMAL(38,0) (the ksDrift discipline: no division, no floats, so
+    * the gate hashes every cell on any engine; products at 100 TB counts
+    * overflow a long). A value absent from one side still contributes
+    * (full-outer join, zero-filled) — that IS drift. One grouped narrow
+    * scan per side; the join frame is value-cardinality-sized.
+    *
+    * [[chiSquareStat]] folds the frame to the scalar (χ², df) driver-side
+    * with ONE division per value at the very end, summed in value order —
+    * deterministic, value-cardinality work.
+    */
+  def chiSquareDrift(base: DataFrame, cur: DataFrame, column: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hb = base.select(col(column).cast("string").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("n_base"))
+    val hc = cur.select(col(column).cast("string").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the joined frame is value-cardinality-sized (a categorical audit
+    // input by contract) — the all-frame window is bookkeeping, not scale
+    hb.join(hc, Seq("value"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("__gap",
+        col("n_base").cast(dec) * sum("n_cur").over(all).cast(dec) -
+          col("n_cur").cast(dec) * sum("n_base").over(all).cast(dec))
+      .withColumn("chi_num", col("__gap") * col("__gap"))
+      .withColumn("cell_tot", col("n_base") + col("n_cur"))
+      .select("value", "n_base", "n_cur", "chi_num", "cell_tot")
+  }
+
+  /** Scalar (χ², degrees of freedom) from a [[chiSquareDrift]] frame:
+    * χ² = (1/(B·C)) · Σ_v chi_num_v / cell_tot_v, the division deferred to
+    * this driver-side fold (value-order summation — deterministic);
+    * df = (#values − 1). Reading: reject homogeneity when χ² exceeds the
+    * df's critical value (3.84 at df=1, 9.49 at df=4, α=0.05).
+    */
+  def chiSquareStat(drift: DataFrame): (Double, Long) = {
+    val rows = drift.select("value", "n_base", "n_cur", "chi_num", "cell_tot")
+      .collect().sortBy(r => Option(r.getString(0)).getOrElse(""))
+    if (rows.isEmpty) return (0.0, 0L)
+    val bTot = rows.map(_.getLong(1)).sum.toDouble
+    val cTot = rows.map(_.getLong(2)).sum.toDouble
+    if (bTot == 0 || cTot == 0) return (0.0, (rows.length - 1).max(0).toLong)
+    val sum = rows.map(r => r.getDecimal(3).doubleValue() / r.getLong(4)).sum
+    (sum / (bTot * cTot), (rows.length - 1).max(0).toLong)
+  }
+
   /** [[ksDriftFromHistograms]] over two raw snapshots — same equi-width
     * binning geometry as [[distributionDrift]].
     */

@@ -450,6 +450,16 @@ object CoreQueries {
       Seq("event_type"), "value", "event_id"
     ).orderBy("event_type")
 
+  /** Winsorization gate: every event value clamped into its type's exact
+    * [p05, p95] rank bounds — each output row hashes the clamp decision,
+    * so the gate proves bounds AND application, not just the summary.
+    */
+  def q171Winsorize(s: SparkSession, dir: String): DataFrame =
+    Quantiles.winsorize(
+      Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id")),
+      Seq("event_type"), "value", "event_id", loPct = 5, hiPct = 95
+    ).orderBy("event_type", "event_id")
+
   // ---- bdq-parity wiring -------------------------------------------------
 
   /** Deterministic derived pair of order snapshots for the diff queries:
@@ -763,6 +773,24 @@ object CoreQueries {
       .select(col("bucket"), col("n_base"), col("n_cur"),
         col("cum_base"), col("cum_cur"), col("ks_num").cast("long").as("ks_num"))
       .orderBy("bucket")
+  }
+
+  /** Categorical chi-square drift gate — the q101 discipline for columns
+    * with no order: per order-priority value, the exact cross-multiplied
+    * numerator (b·C − c·B)² and cell total between the even- and
+    * odd-orderkey halves of orders. Every column an exact integer; the
+    * one division lives in the driver-side chiSquareStat fold.
+    */
+  def q172ChiSquareDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    Profiler.chiSquareDrift(
+      base = o.filter(col("o_orderkey") % 2 === 0),
+      cur = o.filter(col("o_orderkey") % 2 === 1),
+      column = "o_orderpriority")
+      .select(col("value"), col("n_base"), col("n_cur"),
+        col("chi_num").cast("long").as("chi_num"), col("cell_tot"))
+      .orderBy("value")
   }
 
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority

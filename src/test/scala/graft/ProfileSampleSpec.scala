@@ -527,6 +527,34 @@ class ProfileSampleSpec extends SparkSpec {
     assert(d > 0.5)
   }
 
+  test("chi-square drift: hand-computed golden, absent value contributes, zero on identical") {
+    import spark.implicits._
+    // base = {a,a,b}, cur = {b,b,c}: B=3, C=3, N=6
+    //   a: (2·3 − 0·3)² = 36, cell 2;  b: (1·3 − 2·3)² = 9, cell 3
+    //   c: (0·3 − 1·3)² = 9, cell 1 — the value ABSENT from base drifts
+    val base = Seq("a", "a", "b").toDF("k")
+    val cur = Seq("b", "b", "c").toDF("k")
+    val d = Profiler.chiSquareDrift(base, cur, "k")
+    val rows = d.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact(), r.getLong(4)))).toMap
+    assert(rows == Map(
+      "a" -> ((2L, 0L, 36L, 2L)),
+      "b" -> ((1L, 2L, 9L, 3L)),
+      "c" -> ((0L, 1L, 9L, 1L))))
+    // χ² = (1/(B·C)) · Σ num/tot = (18 + 3 + 9)/9 = 10/3 — cross-checked
+    // against the textbook Σ(O−E)²/E on the same 2×3 table:
+    // 2·(1/1) + 2·(0.25/1.5) + 2·(0.25/0.5) = 2 + 1/3 + 1
+    val (chi, df) = Profiler.chiSquareStat(d)
+    assert(math.abs(chi - 10.0 / 3.0) < 1e-12 && df == 2L)
+    // identical snapshots → every numerator exactly zero, χ² = 0
+    val same = Profiler.chiSquareDrift(base, base, "k")
+    assert(same.collect().forall(_.getDecimal(3).signum == 0))
+    assert(Profiler.chiSquareStat(same)._1 == 0.0)
+    // decimal(38,0) numerator — 100 TB-count products must not wrap a long
+    assert(d.schema("chi_num").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+  }
+
   test("capPerGroup: cap respected, selection content-stable under repartition") {
     import spark.implicits._
     val d = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")

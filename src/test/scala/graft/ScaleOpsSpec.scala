@@ -79,6 +79,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(norm(celledCount) == win.filter(_._1 == "spread"))
   }
 
+  test("winsorize: hand-computed rank bounds, tails clamped, body untouched, NULLs excluded") {
+    import graft.operators.Quantiles
+    // 1..20 in one group: at lo=5/hi=95, rank_lo = max(1, 105 div 100) = 1,
+    // rank_hi = min(20, 1995 div 100) = 19 -> bounds [1, 19]
+    val d = ((1 to 20).map(i => ("g", Some(i.toDouble), i.toLong)) :+
+      (("g", None: Option[Double], 99L))).toDF("g", "v", "tb")
+    val got = Quantiles.winsorize(d, Seq("g"), "v", "tb").collect()
+      .map(r => (r.getLong(1), r.getDouble(5))).toMap
+    assert(got.size == 20, "NULL row must be excluded")
+    assert(got(20L) == 19.0, "upper tail clamps to the p95 rank value")
+    assert(got(1L) == 1.0 && got(10L) == 10.0 && got(19L) == 19.0)
+    // exactly one shuffle: all windows share the group-key exchange
+    val plan = Quantiles.winsorize(d, Seq("g"), "v", "tb")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
   test("joinCardinality: forecast equals the real join, max flags the hot key, disjoint is zero") {
     // a: k1 x3, k2 x2, k9 x1;  b: k1 x4, k2 x1, k7 x5
     val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") :+ "k9").toDF("k")
