@@ -182,7 +182,8 @@ object SparkEntry {
     "q169_t_closeness" -> (CoreQueries.q169TCloseness(_, _)),
     "q170_quantiles_bucketed" -> (CoreQueries.q170QuantilesBucketed(_, _)),
     "q171_winsorize" -> (CoreQueries.q171Winsorize(_, _)),
-    "q172_chi_square_drift" -> (CoreQueries.q172ChiSquareDrift(_, _))
+    "q172_chi_square_drift" -> (CoreQueries.q172ChiSquareDrift(_, _)),
+    "q173_sorted_neighborhood" -> (LlmQueries.q173SortedNeighborhood(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3109,7 +3110,17 @@ object SparkEntry {
         |  CAST((n_base * ct - n_cur * bt) * (n_base * ct - n_cur * bt) AS BIGINT) AS chi_num,
         |  n_base + n_cur AS cell_tot
         |FROM j CROSS JOIN t
-        |ORDER BY value""".stripMargin
+        |ORDER BY value""".stripMargin,
+    // sorted-neighborhood pairs: rank self-join over the (key, id) total
+    // order -- the layout-independent definition of the window pair set
+    "q173_sorted_neighborhood" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b)
+        |SELECT a.id AS id_a, c.id AS id_b, a.k AS key_a, c.k AS key_b
+        |FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -1735,6 +1735,21 @@ object LlmQueries {
     RankEval.auc(scored, labels, "doc_id", "margin")
   }
 
+  /** Sorted-neighborhood candidate gate: every pair within a 4-row window
+    * of the (lang:text-prefix, doc_id) total order — the blocking family
+    * that catches sort-adjacent near-misses hashes scatter; the oracle
+    * replays the identical pair set from one SQL rank self-join, so the
+    * gate proves the bucketed-rank layout computes the TRUE global order.
+    */
+  def q173SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    SortedNeighborhood.candidatePairs(d, "doc_id", "snkey", window = 4, prefixLen = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

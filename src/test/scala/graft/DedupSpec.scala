@@ -918,4 +918,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(replay == Map(10L -> 7L, 11L -> 6L, 12L -> 6L))
   }
+
+  test("sorted neighborhood: exact window pairs, cross-cell boundaries, NULL keys out, partition-invariant") {
+    import spark.implicits._
+    import graft.dedup.SortedNeighborhood
+    // sorted key order: aa1(1) ab1(2) ab2(3) ba1(4) bb1(5); prefixLen=2
+    // puts every adjacent pair in a DIFFERENT cell except ab1/ab2 -- the
+    // cross-cell probe path carries most of the window
+    val d = Seq(
+      (1L, Some("aa1")), (2L, Some("ab1")), (3L, Some("ab2")),
+      (4L, Some("ba1")), (5L, Some("bb1")), (9L, None)
+    ).toDF("id", "k")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      SortedNeighborhood.candidatePairs(df, "id", "k", window = 3, prefixLen = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = pairs(d)
+    // w=3: ranks within distance 1 or 2
+    val want = Set((1L,2L),(1L,3L),(2L,3L),(2L,4L),(3L,4L),(3L,5L),(4L,5L))
+    assert(got == want, s"got $got")
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L), "NULL key must be excluded")
+    // candidate count bound: n*(w-1) minus the tail shortfall
+    assert(got.size == 5 * 2 - 3)
+    // the pair set is content-keyed: any partitioning, same pairs
+    assert(pairs(d.repartition(4).orderBy($"id".desc)) == want)
+    // a deeper prefix changes cells, never the pair set
+    assert(SortedNeighborhood.candidatePairs(d, "id", "k", 3, prefixLen = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == want)
+  }
 }
