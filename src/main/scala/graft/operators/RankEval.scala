@@ -211,17 +211,44 @@ object RankEval {
       idCol: String,
       scoreCol: String,
       labelCol: String = "label"
-  ): DataFrame = {
-    val perScore = predictions.select(col(idCol), col(scoreCol))
+  ): DataFrame =
+    aucFromHistogram(aucHistogram(predictions, labels, idCol, scoreCol, labelCol))
+
+  /** The MERGEABLE state behind [[auc]]: per-distinct-score positive /
+    * negative counts `(score, np, nn)` — plain sums, so two histograms
+    * over DISJOINT row sets fold by [[mergeAucHistogram]] into exactly
+    * the rebuild's histogram (spec-asserted), the incremental contract
+    * every count-shaped metric here honors. Persist it (score-cardinality
+    * rows) and a new eval batch folds forward without re-scoring history;
+    * like the CMS/bottom-k folds, the sum-merge is NON-idempotent — crash
+    * replays recompute the batch, never re-merge it.
+    */
+  def aucHistogram(
+      predictions: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String = "label"
+  ): DataFrame =
+    predictions.select(col(idCol), col(scoreCol))
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).as("__s"))
+      .groupBy(col(scoreCol).as("score"))
       .agg(
-        sum(col(labelCol).cast("long")).as("__np"),
-        sum((!col(labelCol)).cast("long")).as("__nn"))
-    val below = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+        sum(col(labelCol).cast("long")).as("np"),
+        sum((!col(labelCol)).cast("long")).as("nn"))
+
+  /** Fold two [[aucHistogram]] frames over disjoint row sets. */
+  def mergeAucHistogram(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("score")
+      .agg(sum("np").as("np"), sum("nn").as("nn"))
+
+  /** The [[auc]] tail from a (merged) histogram — cumulative-sum pair
+    * counting over the score-cardinality frame only. */
+  def aucFromHistogram(hist: DataFrame): DataFrame = {
+    val below = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    perScore
+    hist.select(col("score"), col("np").as("__np"), col("nn").as("__nn"))
       .withColumn("__negBelow", coalesce(sum(col("__nn")).over(below), lit(0L)))
       .agg(
         sum(col("__np")).as("n_pos"),

@@ -136,6 +136,28 @@ class RankEvalSpec extends SparkSpec {
     assert((rn.getLong(0), rn.getLong(1)) == ((3L, 3L)) && rn.getDouble(5) == 15.0 / 18.0)
   }
 
+  test("auc histogram folds: merge over disjoint batches equals the rebuild exactly") {
+    val labels = Seq((1L, true), (2L, false), (3L, true), (4L, true),
+      (5L, false), (6L, false)).toDF("id", "label")
+    val all = Seq((1L, 10L), (2L, 8L), (3L, 8L), (4L, 5L), (5L, 3L), (6L, 1L))
+      .toDF("id", "score")
+    val batch1 = all.filter($"id" <= 3)
+    val batch2 = all.filter($"id" > 3)
+    val folded = RankEval.mergeAucHistogram(
+      RankEval.aucHistogram(batch1, labels, "id", "score"),
+      RankEval.aucHistogram(batch2, labels, "id", "score"))
+    val rebuilt = RankEval.aucHistogram(all, labels, "id", "score")
+    def h(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(h(folded) == h(rebuilt))
+    // shared score 8 split across batches must SUM, not duplicate
+    assert(h(folded).count(_._1 == 8L) == 1)
+    // the AUC from the folded state is the full-corpus AUC bit-for-bit
+    val a = RankEval.aucFromHistogram(folded).head()
+    val b = RankEval.auc(all, labels, "id", "score").head()
+    assert(a.toSeq == b.toSeq && a.getDouble(5) == 15.0 / 18.0)
+  }
+
   test("calibration: explicit integer bucket edges, exact counts, NULLs excluded") {
     // 10 rows, 5 buckets -> 2 rows each; scores already sorted by
     // (score, id); positives concentrate in the top buckets
