@@ -49,6 +49,16 @@ object AbGraphAnn {
       val hits = res.join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(f"degree=$degree%2d entries=$ename%-9s beam=$beam%2d hops=$hops recall@5=${hits / nTruth}%.3f ($hits/${nTruth.toLong})")
     }
+    // layered (HNSW) arm: same degree, content-keyed levels, descent seeds
+    val leveled = GraphAnn.assignLevels(assigned, maxLevel = 2).persist()
+    val layers = GraphAnn.buildLayers(assigned, graphDegree = degree, maxLevel = 2).persist()
+    leveled.count(); layers.count()
+    for (beam <- Seq(8, 16, 32); hops <- Seq(2, 3, 4)) {
+      val res = GraphAnn.searchLayered(layers, e, queries, "vec_id", "embedding",
+        leveled, maxLevel = 2, k = 5, beam = beam, hops = hops, upperBeam = 8)
+      val hits = res.join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"degree=$degree%2d entries=layered    beam=$beam%2d hops=$hops recall@5=${hits / nTruth}%.3f ($hits/${nTruth.toLong})")
+    }
     spark.stop()
   }
 }

@@ -183,7 +183,8 @@ object SparkEntry {
     "q170_quantiles_bucketed" -> (CoreQueries.q170QuantilesBucketed(_, _)),
     "q171_winsorize" -> (CoreQueries.q171Winsorize(_, _)),
     "q172_chi_square_drift" -> (CoreQueries.q172ChiSquareDrift(_, _)),
-    "q173_sorted_neighborhood" -> (LlmQueries.q173SortedNeighborhood(_, _))
+    "q173_sorted_neighborhood" -> (LlmQueries.q173SortedNeighborhood(_, _)),
+    "q174_graph_ann_layered" -> (LlmQueries.q174GraphAnnLayered(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3120,7 +3121,33 @@ object SparkEntry {
         |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b)
         |SELECT a.id AS id_a, c.id AS id_b, a.k AS key_a, c.k AS key_b
         |FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // hierarchical graph-ANN: brute truth + metric joins replayed over
+    // the layered-descent fixture (the q166/q167 replayability line)
+    "q174_graph_ann_layered" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < 10),
+        |bs AS (SELECT q.query_id, c.id, list_cosine_similarity(c.v, q.qv) AS score
+        |  FROM v c, q WHERE c.id <> q.query_id),
+        |tr AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bs),
+        |res AS (SELECT query_id, neighbor_id, rank
+        |  FROM read_parquet('__GRAFT_FIXTURE:nsw_layered_topk__/*.parquet') WHERE rank <= 5),
+        |tru AS (SELECT query_id, id AS neighbor_id FROM tr WHERE rank <= 5),
+        |j AS (SELECT res.query_id, res.rank,
+        |    CASE WHEN tru.neighbor_id IS NOT NULL THEN 1 END AS hit
+        |  FROM res LEFT JOIN tru ON res.query_id = tru.query_id AND res.neighbor_id = tru.neighbor_id),
+        |pq AS (SELECT query_id, count(*) AS n_results,
+        |    CAST(sum(coalesce(hit, 0)) AS BIGINT) AS hits_at_k,
+        |    CAST(min(CASE WHEN hit = 1 THEN rank END) AS BIGINT) AS first_hit_rank
+        |  FROM j GROUP BY 1),
+        |tc AS (SELECT query_id, count(*) AS n_truth FROM tru GROUP BY 1)
+        |SELECT coalesce(tc.query_id, pq.query_id) AS query_id,
+        |  CAST(coalesce(pq.n_results, 0) AS BIGINT) AS n_results,
+        |  CAST(coalesce(tc.n_truth, 0) AS BIGINT) AS n_truth,
+        |  CAST(coalesce(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+        |  pq.first_hit_rank
+        |FROM tc FULL OUTER JOIN pq ON tc.query_id = pq.query_id
+        |ORDER BY 1""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

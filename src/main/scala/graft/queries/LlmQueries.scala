@@ -1735,6 +1735,36 @@ object LlmQueries {
     RankEval.auc(scored, labels, "doc_id", "margin")
   }
 
+  /** Hierarchical (HNSW-proper) graph-ANN gate: content-keyed geometric
+    * levels, one navigable graph per layer, and the layered descent —
+    * top-layer seeds routed down through narrow upper-layer walks into
+    * the full-width layer-0 search. Same fixture/brute-truth replay
+    * discipline as q166/q167.
+    */
+  def q174GraphAnnLayered(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val results = Fixtures.cachedParquet(s, dir, "nsw_layered_topk") {
+      val assigned = Knn.assignCells(e, "vec_id", "embedding",
+          Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 16)).persist()
+      assigned.count()
+      val leveled = GraphAnn.assignLevels(assigned, maxLevel = 2).persist()
+      val layers = GraphAnn.buildLayers(assigned, graphDegree = 8, maxLevel = 2).persist()
+      leveled.count(); layers.count() // the hierarchy is corpus state
+      val out = GraphAnn.searchLayered(layers, e, queries, "vec_id", "embedding",
+        leveled, maxLevel = 2, k = 5, beam = 16, hops = 4, upperBeam = 8)
+        .select("query_id", "neighbor_id", "rank")
+      val materialized = out.persist()
+      materialized.count()
+      assigned.unpersist(false); leveled.unpersist(false); layers.unpersist(false)
+      materialized
+    }
+    val truth = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+    RankEval.perQuery(results, truth, k = 5).orderBy("query_id")
+  }
+
   /** Sorted-neighborhood candidate gate: every pair within a 4-row window
     * of the (lang:text-prefix, doc_id) total order — the blocking family
     * that catches sort-adjacent near-misses hashes scatter; the oracle

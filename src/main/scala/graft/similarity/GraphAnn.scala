@@ -234,9 +234,30 @@ object GraphAnn {
       beam: Int = 8,
       hops: Int = 3
   ): DataFrame = {
+    val perQuery = queries.select(col(idCol).as("query_id"))
+      .crossJoin(entries.select(col("node")))
+    searchTopKFrom(graph, corpus, queries, idCol, vecCol, perQuery, k, beam, hops)
+  }
+
+  /** [[searchTopK]] with PER-QUERY entry points (`perQueryEntries` =
+    * (query_id, node)) — the layered-descent building block: each layer's
+    * result beam seeds the next layer's walk, so seeds differ per query.
+    * `searchTopK` is the uniform-seed special case (every query × the
+    * shared entry list).
+    */
+  def searchTopKFrom(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      perQueryEntries: DataFrame,
+      k: Int,
+      beam: Int = 8,
+      hops: Int = 3
+  ): DataFrame = {
     require(k > 0 && beam >= k, s"need beam >= k > 0: beam=$beam k=$k")
     require(hops >= 1 && hops <= 16, s"hops out of range: $hops")
-    val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vecs = corpus.select(col(idCol).as("node"), col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
@@ -250,21 +271,107 @@ object GraphAnn {
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("node"))
     def cut(frame: DataFrame, n: Int): DataFrame = frame
       .withColumn("__rn", row_number().over(bw)).filter(col("__rn") <= n).drop("__rn")
-    var beamF = cut(score(q.select(col("query_id")).crossJoin(entries)), beam).persist(mad)
-    beamF.count()
+    // localCheckpoint, not persist: each hop's plan references the graph
+    // AND the previous beam — under layered descent that lineage compounds
+    // exponentially (the ConnectedComponents iterative discipline; a
+    // plain cache keeps the full logical tree and the plan STRING alone
+    // overflows the driver after a few nested walks)
+    var beamF = cut(score(perQueryEntries.select(col("query_id"), col("node"))), beam)
+      .localCheckpoint()
     for (_ <- 0 until hops) {
       val cand = beamF.select(col("query_id"), col("node"))
         .join(graph.withColumnRenamed("src", "node"), "node")
         .select(col("query_id"), col("dst").as("node")).distinct()
       val merged = beamF.unionByName(score(cand))
         .groupBy("query_id", "node").agg(max(col("score")).as("score"))
-      val prev = beamF
-      beamF = cut(merged, beam).persist(mad)
-      beamF.count()
-      prev.unpersist(false)
+      beamF = cut(merged, beam).localCheckpoint()
     }
     cut(beamF, k)
       .withColumn("rank", row_number().over(bw))
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"), col("score"))
+  }
+
+  // ---- hierarchical (HNSW-proper) layers ---------------------------------
+
+  /** Content-keyed geometric layer assignment — the HNSW level draw
+    * (Malkov–Yashunin 2018 §4: level ~ floor(−ln(U)·mL)) made
+    * DETERMINISTIC: a node's level is the length of the maximal `[0-3]`
+    * prefix of md5(id) (each hex char lands in 0–3 with p = 1/4, so
+    * P(level ≥ ℓ) = 4^{-ℓ} — the paper's geometric with mL = 1/ln 4),
+    * capped at `maxLevel`. Content-keyed ⇒ a node keeps its level under
+    * any partitioning AND across incremental folds — no RNG state to
+    * persist. Appends `level`.
+    */
+  def assignLevels(assigned: DataFrame, maxLevel: Int): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 12, s"maxLevel out of range: $maxLevel")
+    assigned.withColumn("level",
+      least(lit(maxLevel),
+        length(regexp_extract(
+          md5(to_binary(col("id").cast("string"), lit("utf-8"))), "^([0-3]*)", 1))))
+  }
+
+  /** The layered navigable structure: for each layer ℓ ∈ [0, maxLevel],
+    * a [[buildGraph]] over the nodes with level ≥ ℓ, tagged `layer` — one
+    * frame holding every layer's symmetrized edges. Layer populations
+    * shrink ×4 per level, so the whole hierarchy costs ≈ 4/3 of the base
+    * graph build (geometric series) and upper layers are tiny frames.
+    * Upper layers use the SAME dual blocking; a layer whose population
+    * is below `graphDegree` becomes near-complete — exactly the
+    * long-range links the descent needs.
+    */
+  def buildLayers(
+      assigned: DataFrame,
+      graphDegree: Int,
+      maxLevel: Int,
+      lshPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L,
+      maxBlockSize: Int = DefaultMaxBlockSize
+  ): DataFrame = {
+    val leveled = assignLevels(assigned, maxLevel)
+    (0 to maxLevel).map { l =>
+      buildGraph(leveled.filter(col("level") >= l), graphDegree,
+          lshPlanes, dim, seed, maxBlockSize)
+        .select(lit(l).as("layer"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** HNSW-style layered descent: the walk starts among the handful of
+    * top-layer nodes (every node with level ≥ maxLevel — a layer so small
+    * it IS the entry list), beam-searches each upper layer with a narrow
+    * beam (`upperBeam`, few hops — upper layers route, they don't rank),
+    * and hands each query's result beam to the layer below as its
+    * per-query seeds; layer 0 runs the full-width search. vs the flat
+    * walk: entry quality no longer depends on fixed global seeds — the
+    * descent lands each query NEAR ITS REGION in O(log n) routed hops
+    * before the expensive wide-beam walk spends its hops locally.
+    * Determinism: levels, builds and every beam cut are content-keyed /
+    * id-broken, so the full descent is partition-invariant.
+    */
+  def searchLayered(
+      layers: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      leveled: DataFrame,
+      maxLevel: Int,
+      k: Int,
+      beam: Int = 16,
+      hops: Int = 3,
+      upperBeam: Int = 4,
+      upperHops: Int = 2
+  ): DataFrame = {
+    require(upperBeam >= 1, s"upperBeam must be >= 1: $upperBeam")
+    val top = leveled.filter(col("level") >= maxLevel).select(col("id").as("node"))
+    var entries = queries.select(col(idCol).as("query_id")).crossJoin(top)
+    for (l <- maxLevel to 1 by -1) {
+      entries = searchTopKFrom(layers.filter(col("layer") === l).select("src", "dst"),
+          corpus, queries, idCol, vecCol, entries,
+          k = upperBeam, beam = upperBeam, hops = upperHops)
+        .select(col("query_id"), col("neighbor_id").as("node"))
+    }
+    searchTopKFrom(layers.filter(col("layer") === 0).select("src", "dst"),
+      corpus, queries, idCol, vecCol, entries, k = k, beam = beam, hops = hops)
   }
 }

@@ -489,6 +489,53 @@ class ScaleOpsSpec extends SparkSpec {
     graph.unpersist(false); assigned.unpersist(false)
   }
 
+  test("graph ANN layered: geometric levels, descent deterministic, low-hop recall beats flat") {
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 10)
+    val assigned = Knn.assignCells(e, "vec_id", "embedding",
+      Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 8)).persist()
+    assigned.count()
+    // content-keyed geometric levels: ~n/4 per step, stable under reshuffle
+    val leveled = GraphAnn.assignLevels(assigned, maxLevel = 2).persist()
+    val byLevel = leveled.groupBy("level").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = byLevel.values.sum
+    assert(byLevel.getOrElse(1, 0L) + byLevel.getOrElse(2, 0L) > n / 8 &&
+      byLevel.getOrElse(1, 0L) + byLevel.getOrElse(2, 0L) < n / 2,
+      s"level mass off geometric: $byLevel")
+    val again = GraphAnn.assignLevels(assigned.repartition(7), maxLevel = 2)
+      .select("id", "level").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == leveled.select("id", "level").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    val layers = GraphAnn.buildLayers(assigned, graphDegree = 8, maxLevel = 2).persist()
+    // layer populations (distinct sources) shrink with the level
+    val srcs = layers.groupBy("layer").agg(countDistinct("src"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(srcs(0) > srcs(1) && srcs(1) > srcs(2), s"layers not shrinking: $srcs")
+    val exact = Knn.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def layered(qs: org.apache.spark.sql.DataFrame) =
+      GraphAnn.searchLayered(layers, e, qs, "vec_id", "embedding", leveled,
+          maxLevel = 2, k = 5, beam = 16, hops = 2, upperBeam = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = layered(q)
+    // the descent is deterministic end to end
+    assert(layered(q.repartition(3).orderBy($"vec_id".desc)) == got)
+    val rl = (exact intersect got).size.toDouble / exact.size
+    // at a LOW hop budget the routed seeds must beat fixed global entries
+    // (the hierarchy's point: seeding replaces walk hops)
+    val flat = GraphAnn.searchTopK(
+        layers.filter($"layer" === 0).select("src", "dst"), e, q,
+        "vec_id", "embedding", GraphAnn.entryPoints(assigned, 8),
+        k = 5, beam = 16, hops = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rf = (exact intersect flat).size.toDouble / exact.size
+    assert(rl >= rf, s"layered $rl below flat $rf at hops=2")
+    assert(rl >= 0.5, s"layered low-hop recall too low: $rl")
+    layers.unpersist(false); leveled.unpersist(false); assigned.unpersist(false)
+  }
+
   test("PQ: codes compress to m bytes, codebooks roundtrip parquet, rerank recovers neighbors") {
     import graft.similarity.Pq
     val e = Tables.embeddings(spark, sf)
