@@ -885,6 +885,44 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ROC-AUC — the online leg of the evaluation trio next to
+    * the HLL/CMS/quantile-sketch profile folds: each micro-batch of
+    * labeled scores rolls into its per-distinct-score histogram
+    * ([[graft.operators.RankEval.aucHistogram]] — plain pos/neg sums,
+    * so the fold over disjoint batches IS the rebuild, spec-asserted),
+    * merged into a versioned store; the standing state answers "AUC so
+    * far" at score-cardinality rows via `aucFromHistogram` without
+    * re-scoring history. Sum-merge is NON-idempotent ⇒ same replay
+    * discipline as the CMS fold (v=<batchId> from the latest strictly
+    * earlier version — a crash replay recomputes, never re-merges).
+    */
+  def aucHistogramStream(
+      rows: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bh = graft.operators.RankEval.aucHistogram(
+          batch.select(col(idCol), col(scoreCol)),
+          batch.select(col(idCol), col(labelCol)),
+          idCol, scoreCol, labelCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.RankEval.mergeAucHistogram(
+            s.read.parquet(p), bh)
+          case None => bh
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Latest committed register version below `beforeId` (replay safety:
     * a recomputing batch must not read its own partial output).
     */

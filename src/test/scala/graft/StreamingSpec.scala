@@ -399,6 +399,35 @@ class StreamingSpec extends SparkSpec {
     assert(folded == rebuilt)
   }
 
+  test("streaming AUC fold: standing histogram answers full-corpus AUC exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.RankEval
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-aucstream").toString
+    val mem = MemoryStream[(Long, Long, Boolean)]
+    // deterministic labeled scores with deliberate cross-batch score ties
+    val b1 = (0 until 300).map(i => (i.toLong, (i * 7 % 40).toLong, i % 3 == 0))
+    val b2 = (300 until 700).map(i => (i.toLong, (i * 11 % 40).toLong, i % 3 == 0))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("id", "score", "label")
+    StreamingOps.aucHistogramStream(rows, "id", "score", "label",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.aucHistogramStream(rows, "id", "score", "label",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val hist = spark.read.parquet(latest)
+    val all = (b1 ++ b2).toDF("id", "score", "label")
+    // folded histogram == rebuild, and the AUC row is bit-identical
+    assert(hist.orderBy("score").collect().toSeq ==
+      RankEval.aucHistogram(all.select("id", "score"), all.select("id", "label"),
+        "id", "score").orderBy("score").collect().toSeq)
+    assert(RankEval.aucFromHistogram(hist).head().toSeq ==
+      RankEval.auc(all.select("id", "score"), all.select("id", "label"),
+        "id", "score").head().toSeq)
+  }
+
   test("store maintenance: prune keeps the newest self-contained versions") {
     import graft.streaming.StoreMaintenance
     import spark.implicits._
