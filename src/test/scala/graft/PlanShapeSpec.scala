@@ -200,7 +200,34 @@ class PlanShapeSpec extends SparkSpec {
     // top paths: the per-user lag window + the paths roll-up, then a
     // TakeOrdered top-k — never a global sort of the path counts
     Shape("q161_top_paths", maxHash = 2, maxRange = 0, requireTopK = true,
-      forbidUdf = true)
+      forbidUdf = true),
+    // exact AUC: after the refit's broadcast model joins, the pair count
+    // runs entirely on the per-distinct-score frame — two hash exchanges
+    // (score agg + the n-gram bucket agg) + the single-partition cum-sum
+    Shape("q168_classifier_auc", maxHash = 2, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // t-closeness: value-count + total frames BROADCAST onto the group
+    // frame (the crossJoins are broadcast nested loops on value-
+    // cardinality rows); three aggregation exchanges, never a data-sized
+    // join exchange
+    Shape("q169_t_closeness", maxHash = 3, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // bucketed rank selection: stats + offsets attach as BROADCASTS;
+    // the only sorts are per-(group, cell)
+    Shape("q170_quantiles_bucketed", maxHash = 6, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // winsorize: rank, count and BOTH bound selections share ONE
+    // group-key exchange
+    Shape("q171_winsorize", maxHash = 1, forbidUdf = true),
+    // chi-square drift: two grouped narrow scans + the value-cardinality
+    // fold; the full-outer of two tiny value frames may sort-merge (5
+    // rows), so no SMJ ban -- the lock is the shuffle budget
+    Shape("q172_chi_square_drift", maxHash = 2, maxRange = 2, forbidUdf = true),
+    // sorted neighborhood: offsets broadcast onto the celled frame, the
+    // pair equi-join on rank; per-cell sorts only, no global sort beyond
+    // the oracle tax
+    Shape("q173_sorted_neighborhood", maxHash = 4, maxRange = 3,
+      minBroadcastJoin = 2, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
