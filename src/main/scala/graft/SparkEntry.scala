@@ -184,7 +184,8 @@ object SparkEntry {
     "q171_winsorize" -> (CoreQueries.q171Winsorize(_, _)),
     "q172_chi_square_drift" -> (CoreQueries.q172ChiSquareDrift(_, _)),
     "q173_sorted_neighborhood" -> (LlmQueries.q173SortedNeighborhood(_, _)),
-    "q174_graph_ann_layered" -> (LlmQueries.q174GraphAnnLayered(_, _))
+    "q174_graph_ann_layered" -> (LlmQueries.q174GraphAnnLayered(_, _)),
+    "q175_sorted_neighborhood_fold" -> (LlmQueries.q175SortedNeighborhoodFold(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3121,6 +3122,17 @@ object SparkEntry {
         |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b)
         |SELECT a.id AS id_a, c.id AS id_b, a.k AS key_a, c.k AS key_b
         |FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // incremental sorted neighborhood: oracle re-ranks the WHOLE union
+    // and keeps pairs touching the batch -- the fold must match exactly
+    "q175_sorted_neighborhood_fold" ->
+      """WITH b AS (SELECT doc_id AS id, doc_id % 7 = 3 AS is_batch,
+        |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT id, k, is_batch, row_number() OVER (ORDER BY k, id) AS rank FROM b)
+        |SELECT a.id AS id_a, c.id AS id_b, a.k AS key_a, c.k AS key_b
+        |FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4
+        |WHERE a.is_batch OR c.is_batch
         |ORDER BY id_a, id_b""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)

@@ -65,4 +65,93 @@ object SortedNeighborhood {
         Seq("rank"))
       .select("id_a", "id_b", "key_a", "key_b")
   }
+
+  /** Incremental fold — the NEW candidate pairs created by inserting
+    * `batch` into `standing`: exactly the (standing ∪ batch) window pairs
+    * with ≥1 batch side (spec-asserted against the full rebuild).
+    * Standing–standing pairs were emitted when the standing corpus was
+    * processed; pairs are a monotone stream into
+    * [[ConnectedComponents.incrementalComponents]], so that is the
+    * complete delta. (Insertions can also push old neighbors APART — a
+    * candidate stream never retracts; downstream verification owns
+    * precision, the blocking owns recall.)
+    *
+    * Cost is O(touched), never O(standing): a batch row reaches at most
+    * w−1 positions past its own PREFIX CELL, so only the batch's cells
+    * plus the w−1 sort-adjacent rows on each side of every touched cell
+    * (walked across as many neighbor cells as it takes — a tiny cell
+    * doesn't truncate the reach) are ranked; each such contiguous
+    * segment's local order equals the global order, so distances are
+    * exact. The walk runs on the per-cell COUNT list (cell-count-sized,
+    * the bounded-collect contract); the standing corpus is semi-joined
+    * map-side to the needed cells before any window.
+    */
+  def incrementalPairs(
+      standing: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      keyCol: String,
+      window: Int,
+      prefixLen: Int = 2
+  ): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val spark = standing.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame, isBatch: Boolean) =
+      df.select(col(idCol).as("id"), col(keyCol).as("k"))
+        .filter(col("k").isNotNull)
+        .withColumn("is_batch", lit(isBatch))
+        .withColumn("__c", substring(col("k"), 1, prefixLen))
+    val all = prep(standing, isBatch = false).unionByName(prep(batch, isBatch = true))
+    // sorted (cell, rows) list + the batch's touched set — both bounded
+    // by cell cardinality, not data
+    val cellCounts = all.groupBy("__c").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val touched = prep(batch, isBatch = true).select("__c").distinct()
+      .collect().map(_.getString(0)).toSet
+    val idx = cellCounts.map(_._1).zipWithIndex.toMap
+    // per segment (= touched cell): itself in full, plus tail/head slices
+    // of as many preceding/following cells as the w−1 reach needs
+    val mapping = touched.toSeq.sorted.flatMap { t =>
+      val self = Seq((t, t, "all", 0L))
+      def walk(dir: Int, side: String) = {
+        var need = (window - 1).toLong
+        var i = idx(t) + dir
+        val out = Seq.newBuilder[(String, String, String, Long)]
+        while (need > 0 && i >= 0 && i < cellCounts.length) {
+          val (c, n) = cellCounts(i)
+          val take = math.min(need, n)
+          out += ((t, c, side, take))
+          need -= take
+          i += dir
+        }
+        out.result()
+      }
+      self ++ walk(-1, "tail") ++ walk(+1, "head")
+    }
+    val mapDf = broadcast(mapping.toDF("seg", "__c", "side", "take"))
+    // rank within each needed cell once (asc + desc), slice to the takes
+    val needed = all.join(mapDf.select("__c").distinct(), Seq("__c"), "left_semi")
+    val cw = Window.partitionBy("__c").orderBy(col("k"), col("id"))
+    val sliced = needed
+      .withColumn("__ra", row_number().over(cw))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__c")))
+      .join(mapDf, Seq("__c"))
+      .filter(col("side") === "all" ||
+        (col("side") === "head" && col("__ra") <= col("take")) ||
+        (col("side") === "tail" && col("__n") - col("__ra") < col("take")))
+    // each segment is globally contiguous: local rank == global order
+    val sw = Window.partitionBy("seg").orderBy(col("k"), col("id"))
+    val ranked = sliced.withColumn("rank", row_number().over(sw))
+      .select(col("seg"), col("id"), col("k"), col("is_batch"), col("rank"))
+    val probes = ranked.select(col("seg"), col("id").as("id_a"), col("k").as("key_a"),
+        col("is_batch").as("ba"),
+        explode(sequence(col("rank") + 1, col("rank") + (window - 1))).as("rank"))
+    probes.join(ranked.select(col("seg"), col("id").as("id_b"), col("k").as("key_b"),
+          col("is_batch").as("bb"), col("rank")),
+        Seq("seg", "rank"))
+      .filter(col("ba") || col("bb"))
+      .select("id_a", "id_b", "key_a", "key_b")
+      .dropDuplicates("id_a", "id_b")
+  }
 }

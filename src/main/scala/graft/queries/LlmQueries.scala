@@ -1780,6 +1780,24 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental sorted-neighborhood gate: the NEW window pairs from
+    * folding the doc_id%7==3 batch into the standing corpus — computed
+    * touching only batch cells + w−1 boundary rows, while the oracle
+    * re-ranks the ENTIRE union and filters to batch-involving pairs;
+    * hash equality proves the bounded fold sees exactly the full
+    * reorder's delta.
+    */
+  def q175SortedNeighborhoodFold(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    SortedNeighborhood.incrementalPairs(
+      d.filter(col("doc_id") % 7 =!= 3), d.filter(col("doc_id") % 7 === 3),
+      "doc_id", "snkey", window = 4, prefixLen = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -945,4 +945,51 @@ class DedupSpec extends SparkSpec {
     assert(SortedNeighborhood.candidatePairs(d, "id", "k", 3, prefixLen = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet == want)
   }
+
+  test("sorted neighborhood incremental: fold equals rebuild delta; tiny-cell chains; untouched cells never ranked") {
+    import spark.implicits._
+    import graft.dedup.SortedNeighborhood
+    // standing: cells a (3 rows), b (1 row -- TINY, forces the boundary
+    // walk to chain past it), c (3), e (3), z (3, far away / untouched)
+    val standing = Seq(
+      (1L, "aa1"), (2L, "ab1"), (3L, "ac1"),
+      (4L, "bb1"),
+      (5L, "ca1"), (6L, "cb1"), (7L, "cc1"),
+      (8L, "ea1"), (9L, "eb1"), (10L, "ec1"),
+      (11L, "za1"), (12L, "zb1"), (13L, "zc1")
+    ).toDF("id", "k")
+    // batch: one row into existing cell c, one into BRAND-NEW cell d
+    val batch = Seq((101L, "cb5"), (102L, "da1")).toDF("id", "k")
+    val w = 4
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val inc = pairSet(SortedNeighborhood.incrementalPairs(
+      standing, batch, "id", "k", window = w, prefixLen = 1))
+    val full = pairSet(SortedNeighborhood.candidatePairs(
+      standing.unionByName(batch), "id", "k", window = w, prefixLen = 1))
+    val batchIds = Set(101L, 102L)
+    val want = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc == want, s"inc $inc\nwant $want")
+    // the tiny-cell chain actually mattered: 101 reaches back past cell b
+    assert(inc.exists(p => p._1 == 4L && p._2 == 101L) ||
+      inc.exists(p => Set(p._1, p._2) == Set(4L, 101L)))
+    // new-cell batch row pairs across its boundary in both directions
+    assert(want.exists(p => Set(p._1, p._2).contains(102L)))
+    // untouched far cell contributes nothing
+    assert(!inc.exists(p => Set(11L, 12L, 13L).contains(p._1) ||
+      Set(11L, 12L, 13L).contains(p._2)))
+    // determinism under repartition
+    val inc2 = pairSet(SortedNeighborhood.incrementalPairs(
+      standing.repartition(5), batch.repartition(3), "id", "k", w, prefixLen = 1))
+    assert(inc2 == inc)
+    // adjacent touched cells: a second batch lands rows in c AND d -- the
+    // overlapping segments must still produce the exact delta, once each
+    val batch2 = Seq((201L, "cz1"), (202L, "db1"), (203L, "dc1")).toDF("id", "k")
+    val inc3 = pairSet(SortedNeighborhood.incrementalPairs(
+      standing.unionByName(batch), batch2, "id", "k", w, prefixLen = 1))
+    val full3 = pairSet(SortedNeighborhood.candidatePairs(
+      standing.unionByName(batch).unionByName(batch2), "id", "k", w, prefixLen = 1))
+    val b2 = Set(201L, 202L, 203L)
+    assert(inc3 == full3.filter(p => b2(p._1) || b2(p._2)))
+  }
 }
