@@ -336,6 +336,65 @@ object GraphAnn {
     }.reduce(_ unionByName _)
   }
 
+  /** The hierarchy's PERSISTABLE form: per-layer [[blockEdges]] stores
+    * tagged `layer` — the unit [[foldBatchLayers]] replaces per (layer,
+    * kind, block). [[buildLayers]] ≡ assembling this store layer by
+    * layer.
+    */
+  def blockEdgesLayers(
+      assigned: DataFrame,
+      graphDegree: Int,
+      maxLevel: Int,
+      lshPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L,
+      maxBlockSize: Int = DefaultMaxBlockSize
+  ): DataFrame = {
+    val leveled = assignLevels(assigned, maxLevel)
+    (0 to maxLevel).map { l =>
+      blockEdges(leveled.filter(col("level") >= l), graphDegree,
+          lshPlanes, dim, seed, maxBlockSize)
+        .select(lit(l).as("layer"), col("kind"), col("b"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[foldBatch]] for the whole hierarchy: the batch's content-keyed
+    * levels decide which layers each new node joins (a node folds into
+    * every layer ≤ its level — the same membership rule the build used,
+    * so fold == rebuild exactly, spec-asserted); each layer folds
+    * independently with its own touched-block list. Rebuild-equivalence
+    * holds layer by layer because [[assignLevels]] is content-keyed —
+    * standing nodes keep their levels without any persisted RNG state.
+    */
+  def foldBatchLayers(
+      store: DataFrame,
+      corpusAssigned: DataFrame,
+      batchAssigned: DataFrame,
+      graphDegree: Int,
+      maxLevel: Int,
+      lshPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L,
+      maxBlockSize: Int = DefaultMaxBlockSize
+  ): DataFrame = {
+    val corpusLeveled = assignLevels(corpusAssigned, maxLevel)
+    val batchLeveled = assignLevels(batchAssigned, maxLevel)
+    (0 to maxLevel).map { l =>
+      foldBatch(store.filter(col("layer") === l).drop("layer"),
+          corpusLeveled.filter(col("level") >= l),
+          batchLeveled.filter(col("level") >= l),
+          graphDegree, lshPlanes, dim, seed, maxBlockSize)
+        .select(lit(l).as("layer"), col("kind"), col("b"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Assemble every layer's searchable graph from a layered block-edge
+    * store — the [[searchLayered]] input. */
+  def assembleLayers(store: DataFrame): DataFrame =
+    store.select("layer", "src", "dst")
+      .unionByName(store.select(col("layer"), col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
   /** HNSW-style layered descent: the walk starts among the handful of
     * top-layer nodes (every node with level ≥ maxLevel — a layer so small
     * it IS the entry list), beam-searches each upper layer with a narrow

@@ -536,6 +536,40 @@ class ScaleOpsSpec extends SparkSpec {
     layers.unpersist(false); leveled.unpersist(false); assigned.unpersist(false)
   }
 
+  test("graph ANN layered fold: per-layer foldBatch equals hierarchy rebuild; store assembles to buildLayers") {
+    import graft.similarity.GraphAnn
+    val e = Tables.embeddings(spark, sf)
+    val batchPred = $"vec_id" % 5 === 2
+    val corpus0 = e.filter(!batchPred)
+    val index = Knn.buildIvfIndex(corpus0, "vec_id", "embedding", nlist = 8)
+    val assigned0 = Knn.assignCells(corpus0, "vec_id", "embedding", index).persist()
+    val assignedB = Knn.assignCells(e.filter(batchPred), "vec_id", "embedding", index).persist()
+    assert(assignedB.count() > 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val store = GraphAnn.blockEdgesLayers(assigned0, graphDegree = 6, maxLevel = 2)
+    val folded = rows(GraphAnn.foldBatchLayers(store, assigned0, assignedB,
+      graphDegree = 6, maxLevel = 2))
+    val rebuilt = rows(GraphAnn.blockEdgesLayers(
+      assigned0.unionByName(assignedB), graphDegree = 6, maxLevel = 2))
+    assert(folded == rebuilt)
+    // the assembled store is exactly what buildLayers produces
+    val viaStore = GraphAnn.assembleLayers(
+        GraphAnn.blockEdgesLayers(assigned0, graphDegree = 6, maxLevel = 2))
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = GraphAnn.buildLayers(assigned0, graphDegree = 6, maxLevel = 2)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(viaStore == direct)
+    // upper layers saw batch nodes only at their own levels: a layer the
+    // batch has no nodes in passes through verbatim (vacuous here only if
+    // every batch node reached level 2 -- make sure that's not the case)
+    val bl = GraphAnn.assignLevels(assignedB, 2).groupBy("level").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bl.getOrElse(0, 0L) > 0, s"no level-0-only batch nodes: $bl")
+    assigned0.unpersist(false); assignedB.unpersist(false)
+  }
+
   test("PQ: codes compress to m bytes, codebooks roundtrip parquet, rerank recovers neighbors") {
     import graft.similarity.Pq
     val e = Tables.embeddings(spark, sf)
