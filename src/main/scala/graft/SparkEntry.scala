@@ -185,7 +185,8 @@ object SparkEntry {
     "q172_chi_square_drift" -> (CoreQueries.q172ChiSquareDrift(_, _)),
     "q173_sorted_neighborhood" -> (LlmQueries.q173SortedNeighborhood(_, _)),
     "q174_graph_ann_layered" -> (LlmQueries.q174GraphAnnLayered(_, _)),
-    "q175_sorted_neighborhood_fold" -> (LlmQueries.q175SortedNeighborhoodFold(_, _))
+    "q175_sorted_neighborhood_fold" -> (LlmQueries.q175SortedNeighborhoodFold(_, _)),
+    "q176_judge_kappa" -> (LlmQueries.q176JudgeKappa(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3134,6 +3135,25 @@ object SparkEntry {
         |FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4
         |WHERE a.is_batch OR c.is_batch
         |ORDER BY id_a, id_b""".stripMargin,
+    // Cohen's kappa between the refit classifier judge and the length
+    // heuristic: contingency, marginal pe join, one division
+    "q176_judge_kappa" ->
+      s"""WITH $QualityRefitCtes,
+        |j AS (SELECT s.doc_id, s.margin >= 0 AS a, d.n_chars >= 256 AS b
+        |  FROM sig s JOIN documents d USING (doc_id)),
+        |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM c GROUP BY 1),
+        |cc AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |pe AS (SELECT CAST(coalesce(sum(CAST(ra AS HUGEINT) * cb), 0) AS HUGEINT) AS pe_num
+        |  FROM r JOIN cc ON r.a = cc.b),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+        |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree FROM c)
+        |SELECT n_items, n_agree, CAST(pe_num AS BIGINT) AS pe_num,
+        |  (n_agree * 1000000) // n_items AS agree_ppm,
+        |  CASE WHEN CAST(n_items AS HUGEINT) * n_items <> pe_num THEN
+        |    CAST(CAST(n_items AS HUGEINT) * n_agree - pe_num AS DOUBLE) /
+        |      CAST(CAST(n_items AS HUGEINT) * n_items - pe_num AS DOUBLE) END AS kappa
+        |FROM t CROSS JOIN pe""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

@@ -268,6 +268,62 @@ object RankEval {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
   }
 
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    * CATEGORICAL judges over the same items: with contingency counts
+    * n_ab, marginals R_a / C_b and N items,
+    * κ = (N·Σ n_aa − Σ_a R_a·C_a) / (N² − Σ_a R_a·C_a) — the
+    * (po − pe)/(1 − pe) definition cross-multiplied into ONE division of
+    * exact integers (products in DECIMAL(38,0): marginal products at
+    * 100 TB counts overflow a long). The pipeline use: do the heuristic
+    * filter and the learned classifier agree beyond what their base
+    * rates force — raw agreement flatters judges that both say "keep"
+    * 95% of the time.
+    *
+    * Rows with a NULL label on either side are excluded. Output:
+    * n_items, n_agree, agree_ppm (exact floor), pe_num = Σ R_a·C_a, and
+    * κ (NULL when N² == pe_num — a constant judge has no chance
+    * correction, 0/0 would be engine-divergent). Landis–Koch reading:
+    * < 0.2 slight, 0.2–0.4 fair, 0.4–0.6 moderate, 0.6–0.8 substantial.
+    * Scale shape: one grouped count on (a, b) — category²-sized after
+    * the map-side combine; everything downstream is marginal-frame
+    * arithmetic.
+    */
+  def cohenKappa(
+      ratings: DataFrame,
+      labelACol: String,
+      labelBCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = ratings
+      .filter(col(labelACol).isNotNull && col(labelBCol).isNotNull)
+      .groupBy(col(labelACol).cast("string").as("__a"),
+        col(labelBCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rowTot = cnt.groupBy("__a").agg(sum("__n").as("__ra"))
+    val colTot = cnt.groupBy("__b").agg(sum("__n").as("__cb"))
+    // pe carries ONE R_a·C_a term per category BOTH judges use — joined
+    // on the marginals, NOT summed over diagonal cells: a category the
+    // judges never agree on has no (a, a) cell yet still contributes
+    val pe = rowTot.join(colTot, col("__a") === col("__b"))
+      .agg(sum(col("__ra").cast(dec) * col("__cb").cast(dec)).as("pe_num"))
+    val tot = cnt.agg(
+      sum(col("__n")).as("n_items"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).as("n_agree"))
+    tot.crossJoin(broadcast(pe))
+      .select(
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        coalesce(col("pe_num"), lit(0).cast(dec)).as("pe_num"))
+      .withColumn("agree_ppm",
+        when(col("n_items") > 0, expr("(n_agree * 1000000L) div n_items")))
+      .withColumn("kappa", {
+        val n = col("n_items").cast(dec)
+        val num = n * col("n_agree").cast(dec) - col("pe_num")
+        val den = n * n - col("pe_num")
+        when(den =!= lit(0).cast(dec), num.cast("double") / den.cast("double"))
+      })
+  }
+
   def confusion(
       predictions: DataFrame,
       labels: DataFrame,

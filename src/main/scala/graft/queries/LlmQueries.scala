@@ -1798,6 +1798,30 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Judge-agreement gate: Cohen's κ between the learned quality
+    * classifier (margin ≥ 0) and the blunt length heuristic
+    * (n_chars ≥ 256) over every document — the chance-corrected number
+    * that says whether the cheap filter can stand in for the model.
+    * Every count and the pe numerator are exact integers the oracle
+    * recomputes from its own model refit; κ is one division.
+    */
+  def q176JudgeKappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir).select("doc_id", "text", "n_chars")
+    val model = graft.text.QualityClassifier.train(
+      d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 === 3),
+      "text", numBuckets = 1024)
+    val scored = graft.text.QualityClassifier
+      .score(d, "doc_id", "text", model, numBuckets = 1024)
+    val ratings = scored.join(d.select("doc_id", "n_chars"), Seq("doc_id"))
+      .select((col("margin") >= 0).as("judge_model"),
+        (col("n_chars") >= 256).as("judge_length"))
+    RankEval.cohenKappa(ratings, "judge_model", "judge_length")
+      .select(col("n_items"), col("n_agree"),
+        col("pe_num").cast("long").as("pe_num"), col("agree_ppm"), col("kappa"))
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -158,6 +158,35 @@ class RankEvalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq && a.getDouble(5) == 15.0 / 18.0)
   }
 
+  test("cohen kappa: hand-computed golden, never-agreed category still in pe, constant judge NULL") {
+    import graft.operators.RankEval
+    // classic 2x2: a=(x,x):20 (x,y):5 (y,x):10 (y,y):15, N=50
+    // po = 35/50; R_x=25 C_x=30, R_y=25 C_y=20 -> pe_num = 750+500 = 1250
+    // kappa = (50*35 - 1250)/(2500 - 1250) = 500/1250 = 0.4
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    val r = RankEval.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact(), r.getLong(3)) ==
+      ((50L, 35L, 1250L, 700000L)))
+    assert(r.getDouble(4) == 0.4)
+    // a category BOTH judges use but NEVER agree on must still reach pe:
+    // (x,z):1 and (z,x):1 -- no (z,z) cell, yet R_z*C_z = 1 contributes
+    val sk = Seq(("x", "z"), ("z", "x"), ("x", "x")).toDF("a", "b")
+    val r2 = RankEval.cohenKappa(sk, "a", "b").head()
+    // N=3, agree=1; R_x=2 C_x=2, R_z=1 C_z=1 -> pe_num = 5
+    assert((r2.getLong(0), r2.getLong(1), r2.getDecimal(2).longValueExact()) ==
+      ((3L, 1L, 5L)))
+    assert(math.abs(r2.getDouble(4) - (3.0 * 1 - 5) / (9.0 - 5)) < 1e-15)
+    // both judges constant and identical: pe_num == N^2, kappa NULL
+    val const = Seq.fill(4)(("k", "k")).toDF("a", "b")
+    val r3 = RankEval.cohenKappa(const, "a", "b").head()
+    assert(r3.getLong(1) == 4L && r3.isNullAt(4))
+    // NULL-labeled rows are excluded
+    val withNull = rows.toDF("a", "b")
+      .unionByName(Seq((null.asInstanceOf[String], "x")).toDF("a", "b"))
+    assert(RankEval.cohenKappa(withNull, "a", "b").head().getLong(0) == 50L)
+  }
+
   test("calibration: explicit integer bucket edges, exact counts, NULLs excluded") {
     // 10 rows, 5 buckets -> 2 rows each; scores already sorted by
     // (score, id); positives concentrate in the top buckets
