@@ -186,7 +186,8 @@ object SparkEntry {
     "q173_sorted_neighborhood" -> (LlmQueries.q173SortedNeighborhood(_, _)),
     "q174_graph_ann_layered" -> (LlmQueries.q174GraphAnnLayered(_, _)),
     "q175_sorted_neighborhood_fold" -> (LlmQueries.q175SortedNeighborhoodFold(_, _)),
-    "q176_judge_kappa" -> (LlmQueries.q176JudgeKappa(_, _))
+    "q176_judge_kappa" -> (LlmQueries.q176JudgeKappa(_, _)),
+    "q177_correlation" -> (CoreQueries.q177Correlation(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3154,6 +3155,25 @@ object SparkEntry {
         |    CAST(CAST(n_items AS HUGEINT) * n_agree - pe_num AS DOUBLE) /
         |      CAST(CAST(n_items AS HUGEINT) * n_items - pe_num AS DOUBLE) END AS kappa
         |FROM t CROSS JOIN pe""".stripMargin,
+    // Pearson from exact HUGEINT moments; r a fixed IEEE dag
+    "q177_correlation" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM s GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+        |    greatest(-1.0, least(1.0,
+        |      CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |        (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) *
+        |         sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))))) END AS r
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

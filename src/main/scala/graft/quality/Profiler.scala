@@ -249,6 +249,53 @@ object Profiler {
       .select("bucket", "n_base", "n_cur", "cum_base", "cum_cur", "ks_num")
   }
 
+  /** Per-group Pearson correlation from EXACT integer moments — the
+    * bivariate leg of the profiler: callers pass INTEGER-VALUED columns
+    * (pre-scale decimals to fixed units — cents, ppm — the q177
+    * discipline) and every moment (n, Σx, Σy, Σxy, Σx², Σy²) accumulates
+    * in DECIMAL(38,0): zero float error in the sums, so any engine
+    * reaches the identical r — the naive double-sum Pearson diverges
+    * across engines by summation order. The final
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²ᵗᵒᵗ)·√(nΣy²−Σy²ᵗᵒᵗ)) is a fixed
+    * dag of correctly-rounded IEEE ops over exact inputs — bit-identical
+    * everywhere, so the gate hashes it. Moments surface as DOUBLE (cast
+    * from the exact decimal — deterministic; a DECIMAL output column
+    * would hash differently across engines).
+    *
+    * r is NULL when either variance is zero (a constant column has no
+    * correlation; 0/0 would be engine-divergent). Rows with a NULL on
+    * either side are excluded pairwise. ONE aggregation, fully map-side
+    * partial — the scale cost is a scan.
+    */
+  def correlation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .select((keyCols.map(col) :+ col("n") :+
+        col("__sx").cast("double").as("sum_x") :+
+        col("__sy").cast("double").as("sum_y") :+ {
+          val n = col("n").cast(dec)
+          val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+          val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+          val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+          // clamp: √dx·√dy ≠ √(dx·dy) in IEEE, so a perfect linear
+          // relation can land at 1 + 1ulp — cap to the mathematical range
+          when(dx > 0 && dy > 0,
+            greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy))))).as("r")
+        }): _*)
+  }
+
   /** Two-sample chi-square drift for a CATEGORICAL column, INTEGER-EXACT
     * — the categorical sibling of [[ksDriftFromHistograms]] (KS needs an
     * order; categories have none): per value v with counts b_v / c_v and

@@ -793,6 +793,21 @@ object CoreQueries {
       .orderBy("value")
   }
 
+  /** Exact-moment Pearson gate: quantity–price correlation per return
+    * flag, inputs pre-scaled to integer cents so every moment is an
+    * exact decimal both engines reproduce digit-for-digit; r is a fixed
+    * dag of correctly-rounded IEEE ops over those exact moments.
+    */
+  def q177Correlation(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    Profiler.correlation(li, Seq("l_returnflag"), "qty_c", "price_c")
+      .orderBy("l_returnflag")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

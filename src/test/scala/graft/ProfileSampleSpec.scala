@@ -555,6 +555,30 @@ class ProfileSampleSpec extends SparkSpec {
       org.apache.spark.sql.types.DecimalType(38, 0))
   }
 
+  test("correlation: golden r, perfect/anti/constant shapes, pairwise NULL exclusion") {
+    import spark.implicits._
+    // golden: x=(1,2,3), y=(2,1,4) -> n=3 sx=6 sy=7 sxy=16 sxx=14 syy=21
+    // num=48-42=6, dx=42-36=6, dy=63-49=14 -> r = 6/sqrt(84)
+    val g = Seq(("g", 1L, 2L), ("g", 2L, 1L), ("g", 3L, 4L)).toDF("k", "x", "y")
+    val r = Profiler.correlation(g, Seq("k"), "x", "y").head()
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 6.0 && r.getDouble(3) == 7.0)
+    assert(r.getDouble(4) == 6.0 / math.sqrt(6.0 * 14.0))
+    // exact linear relation in both directions
+    val perfect = (1 to 9).map(i => ("p", i.toLong, 3L * i + 7)).toDF("k", "x", "y")
+    assert(Profiler.correlation(perfect, Seq("k"), "x", "y").head().getDouble(4) == 1.0)
+    val anti = (1 to 9).map(i => ("a", i.toLong, -2L * i)).toDF("k", "x", "y")
+    assert(Profiler.correlation(anti, Seq("k"), "x", "y").head().getDouble(4) == -1.0)
+    // constant column: zero variance -> r NULL, moments still exact
+    val const = (1 to 5).map(i => ("c", i.toLong, 4L)).toDF("k", "x", "y")
+    val rc = Profiler.correlation(const, Seq("k"), "x", "y").head()
+    assert(rc.getDouble(3) == 20.0 && rc.isNullAt(4))
+    // a NULL on either side drops the PAIR only
+    val withNull = g.unionByName(
+      Seq(("g", Option.empty[Long], Option(9L)),
+        ("g", Option(9L), Option.empty[Long])).toDF("k", "x", "y"))
+    assert(Profiler.correlation(withNull, Seq("k"), "x", "y").head().getLong(1) == 3L)
+  }
+
   test("capPerGroup: cap respected, selection content-stable under repartition") {
     import spark.implicits._
     val d = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
