@@ -187,7 +187,8 @@ object SparkEntry {
     "q174_graph_ann_layered" -> (LlmQueries.q174GraphAnnLayered(_, _)),
     "q175_sorted_neighborhood_fold" -> (LlmQueries.q175SortedNeighborhoodFold(_, _)),
     "q176_judge_kappa" -> (LlmQueries.q176JudgeKappa(_, _)),
-    "q177_correlation" -> (CoreQueries.q177Correlation(_, _))
+    "q177_correlation" -> (CoreQueries.q177Correlation(_, _)),
+    "q178_split_leakage" -> (LlmQueries.q178SplitLeakage(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3174,6 +3175,23 @@ object SparkEntry {
         |        (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) *
         |         sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))))) END AS r
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // split leakage: SNM pairs x hash split -> unordered split matrix
+    "q178_split_leakage" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b),
+        |p AS (SELECT a.id AS id_a, c.id AS id_b
+        |  FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4),
+        |sp AS (SELECT doc_id AS id, CASE
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'c00000000000000' THEN 'train'
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'e00000000000000' THEN 'val'
+        |  ELSE 'test' END AS split FROM documents),
+        |j AS (SELECT least(coalesce(sa.split, '(unassigned)'), coalesce(sb.split, '(unassigned)')) AS split_lo,
+        |    greatest(coalesce(sa.split, '(unassigned)'), coalesce(sb.split, '(unassigned)')) AS split_hi
+        |  FROM p LEFT JOIN sp sa ON p.id_a = sa.id LEFT JOIN sp sb ON p.id_b = sb.id)
+        |SELECT split_lo, split_hi, count(*) AS n_pairs
+        |FROM j GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

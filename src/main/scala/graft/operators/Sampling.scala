@@ -306,6 +306,70 @@ object Sampling {
     df.withColumn(labelCol, firstMatch)
   }
 
+  /** Near-dup leakage audit of a split: given candidate/confirmed dup
+    * PAIRS (any blocking's output — MinHash, SNM, embedding cosine) and
+    * a per-id split assignment, count pairs per unordered split
+    * combination. The (train, test) and (train, val) rows ARE the
+    * leakage — a test document with a training near-twin scores as
+    * memorization, not generalization; a random hash split makes such
+    * pairs INEVITABLE (dups land in splits independently), which is why
+    * this audit follows every split of a deduped-but-not-canonicalized
+    * corpus. Two broadcast-or-shuffle id joins + a 9-cell roll-up.
+    * Pairs with an id missing from `assign` count under split
+    * "(unassigned)" rather than vanishing — an id outside the split
+    * universe is itself a finding.
+    */
+  def splitLeakage(
+      pairs: DataFrame,
+      assign: DataFrame,
+      idCol: String = "id",
+      splitCol: String = "split",
+      idACol: String = "id_a",
+      idBCol: String = "id_b"
+  ): DataFrame = {
+    val miss = "(unassigned)"
+    val sa = assign.select(col(idCol).as(idACol), col(splitCol).as("__sa"))
+    val sb = assign.select(col(idCol).as(idBCol), col(splitCol).as("__sb"))
+    pairs.select(idACol, idBCol)
+      .join(sa, Seq(idACol), "left")
+      .join(sb, Seq(idBCol), "left")
+      .select(
+        least(coalesce(col("__sa"), lit(miss)), coalesce(col("__sb"), lit(miss))).as("split_lo"),
+        greatest(coalesce(col("__sa"), lit(miss)), coalesce(col("__sb"), lit(miss))).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The repair for what [[splitLeakage]] finds: drop from the TRAIN
+    * split every id near-dup-paired with a protected (val/test) id —
+    * the Lee/Brown decontamination direction (holdouts define the
+    * benchmark; train is what bends). Returns `assign` minus the leaky
+    * train rows; val/test rows always pass through. One anti-join
+    * against the (train-side id of each crossing pair) frame.
+    */
+  def scrubSplitLeakage(
+      assign: DataFrame,
+      pairs: DataFrame,
+      trainSplit: String = "train",
+      idCol: String = "id",
+      splitCol: String = "split",
+      idACol: String = "id_a",
+      idBCol: String = "id_b"
+  ): DataFrame = {
+    val sa = assign.select(col(idCol).as(idACol), col(splitCol).as("__sa"))
+    val sb = assign.select(col(idCol).as(idBCol), col(splitCol).as("__sb"))
+    val joined = pairs.select(idACol, idBCol)
+      .join(sa, Seq(idACol)).join(sb, Seq(idBCol))
+    val leakyTrain = joined
+      .filter(col("__sa") === trainSplit && col("__sb") =!= trainSplit)
+      .select(col(idACol).as(idCol))
+      .unionByName(joined
+        .filter(col("__sb") === trainSplit && col("__sa") =!= trainSplit)
+        .select(col(idBCol).as(idCol)))
+      .distinct()
+    assign.join(leakyTrain, Seq(idCol), "left_anti")
+  }
+
   /** Leakage-safe TEMPORAL split with an embargo gap — the time-series
     * counterpart of [[splitAssign]]'s hash split: train is everything
     * STRICTLY BEFORE `cutoff − embargoSec`, test is everything AT or

@@ -1822,6 +1822,28 @@ object LlmQueries {
         col("pe_num").cast("long").as("pe_num"), col("agree_ppm"), col("kappa"))
   }
 
+  /** Split-leakage audit gate: sorted-neighborhood near-dup pairs crossed
+    * with the 75/12.5/12.5 hash split — the (train, test)/(train, val)
+    * counts are the memorization risk a random split of an un-canonical
+    * corpus always carries. Oracle replays pairs, split, and the
+    * unordered matrix from scratch.
+    */
+  def q178SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    import graft.operators.Sampling
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    val pairs = SortedNeighborhood.candidatePairs(d, "doc_id", "snkey",
+      window = 4, prefixLen = 3)
+    val assign = Sampling.splitAssign(
+      Tables.documents(s, dir).select("doc_id"), Seq("doc_id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    Sampling.splitLeakage(pairs, assign, idCol = "doc_id",
+        idACol = "id_a", idBCol = "id_b")
+      .orderBy("split_lo", "split_hi")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -698,4 +698,27 @@ class ProfileSampleSpec extends SparkSpec {
       assert(est <= tru && tru - est <= bound, s"$t: est=$est true=$tru bound=$bound")
     }
   }
+
+  test("split leakage: matrix exact, unassigned surfaces, scrub drops only leaky train rows") {
+    import spark.implicits._
+    val assign = Seq(
+      (1L, "train"), (2L, "train"), (3L, "train"),
+      (4L, "val"), (5L, "test")).toDF("id", "split")
+    // pairs: train-train (1,2), train-val (2,4), train-test (3,5),
+    // val-test (4,5), and a pair to an id with no assignment (1,99)
+    val pairs = Seq((1L, 2L), (2L, 4L), (3L, 5L), (4L, 5L), (1L, 99L))
+      .toDF("id_a", "id_b")
+    val m = Sampling.splitLeakage(pairs, assign)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(
+      ("train", "train") -> 1L, ("train", "val") -> 1L,
+      ("test", "train") -> 1L, ("test", "val") -> 1L,
+      ("(unassigned)", "train") -> 1L))
+    // scrub: 2 (paired to val) and 3 (paired to test) leave train;
+    // 1 stays (its cross pair is unassigned-side; its other pair is
+    // train-train); val/test rows untouched
+    val kept = Sampling.scrubSplitLeakage(assign, pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(1L -> "train", 4L -> "val", 5L -> "test"))
+  }
 }
