@@ -188,7 +188,8 @@ object SparkEntry {
     "q175_sorted_neighborhood_fold" -> (LlmQueries.q175SortedNeighborhoodFold(_, _)),
     "q176_judge_kappa" -> (LlmQueries.q176JudgeKappa(_, _)),
     "q177_correlation" -> (CoreQueries.q177Correlation(_, _)),
-    "q178_split_leakage" -> (LlmQueries.q178SplitLeakage(_, _))
+    "q178_split_leakage" -> (LlmQueries.q178SplitLeakage(_, _)),
+    "q179_bootstrap" -> (LlmQueries.q179Bootstrap(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3192,6 +3193,36 @@ object SparkEntry {
         |  FROM p LEFT JOIN sp sa ON p.id_a = sa.id LEFT JOIN sp sb ON p.id_b = sb.id)
         |SELECT split_lo, split_hi, count(*) AS n_pairs
         |FROM j GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
+    // Poisson bootstrap: per-(doc, replicate) md5 uniform -> pinned
+    // inverse-CDF weight -> exact HUGEINT replicate sums, one division
+    "q179_bootstrap" ->
+      """WITH x AS (SELECT doc_id, n_chars, b
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+        |  WHERE n_chars IS NOT NULL),
+        |u AS (SELECT b, n_chars, list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || chr(1) || CAST(b AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |    (acc, v) -> acc * 16 + v) / 1152921504606846976.0 AS u
+        |  FROM x),
+        |w AS (SELECT b, n_chars, CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238463 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    WHEN u < 0.999916758850712 THEN 6
+        |    WHEN u < 0.9999897508033253 THEN 7
+        |    WHEN u < 0.999998874797402 THEN 8
+        |    WHEN u < 0.9999998885745216 THEN 9
+        |    ELSE 10 END AS w
+        |  FROM u)
+        |SELECT CAST(b AS INTEGER) AS b,
+        |  CAST(sum(w) AS BIGINT) AS n_drawn,
+        |  CAST(sum(CAST(w AS HUGEINT) * n_chars) AS BIGINT) AS sum_v,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    CAST(sum(CAST(w AS HUGEINT) * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS mean
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

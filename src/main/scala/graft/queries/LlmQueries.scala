@@ -1844,6 +1844,21 @@ object LlmQueries {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** Poisson-bootstrap gate: 32 deterministic resamples of the corpus,
+    * each replicate's (Σw, Σw·n_chars) exact and its mean one division —
+    * the oracle redraws every (doc, replicate) Poisson weight from the
+    * same md5 uniform and pinned CDF thresholds and re-sums.
+    */
+  def q179Bootstrap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bootstrap
+    Bootstrap.replicateMeans(
+      Tables.documents(s, dir).select("doc_id", "n_chars"),
+      Seq("doc_id"), "n_chars", reps = 32)
+      .select(col("b"), col("n_drawn"),
+        col("sum_v").cast("long").as("sum_v"), col("mean"))
+      .orderBy("b")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

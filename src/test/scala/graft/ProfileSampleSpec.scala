@@ -721,4 +721,38 @@ class ProfileSampleSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept == Map(1L -> "train", 4L -> "val", 5L -> "test"))
   }
+
+  test("poisson bootstrap: deterministic draws, plausible weights, exact sums, CI rank selection") {
+    import spark.implicits._
+    import graft.operators.Bootstrap
+    val d = (1 to 400).map(i => (i.toLong, (100 + i % 50).toLong)).toDF("id", "v")
+    val r1 = Bootstrap.replicateMeans(d, Seq("id"), "v", reps = 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDecimal(2).longValueExact()))
+      .toMap
+    assert(r1.size == 16)
+    // content-keyed: identical replicates under any partitioning
+    val r2 = Bootstrap.replicateMeans(d.repartition(7).orderBy($"id".desc),
+        Seq("id"), "v", reps = 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDecimal(2).longValueExact()))
+      .toMap
+    assert(r2 == r1)
+    // Poisson(1): each replicate draws ~n rows (mean 1 per row); across 16
+    // replicates of 400 rows a 4-sigma band is +-80
+    r1.values.foreach { case (n, _) => assert(n > 320 && n < 480, s"n_drawn=$n") }
+    // replicate means sit near the population mean (~124.6)
+    val means = Bootstrap.replicateMeans(d, Seq("id"), "v", 16)
+      .collect().map(_.getDouble(3))
+    assert(means.forall(m => m > 115 && m < 135))
+    // CI: exact rank selection over the replicate means, lo <= hi, both
+    // actual replicate values
+    val ci = Bootstrap.meanCi(Bootstrap.replicateMeans(d, Seq("id"), "v", 16)).head()
+    assert(ci.getLong(0) == 16L)
+    val (lo, hi) = (ci.getDouble(2), ci.getDouble(3))
+    assert(lo <= hi && means.contains(lo) && means.contains(hi))
+    // inverse CDF golden: thresholds map u to the right weight
+    val probe = Seq(0.1, 0.5, 0.8, 0.99999, 0.9999998, 0.99999995).toDF("u")
+      .select(Bootstrap.poissonInverse(col("u")).as("w"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(probe == Seq(0, 1, 2, 8, 9, 10), s"got $probe")
+  }
 }
