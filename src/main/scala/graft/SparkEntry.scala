@@ -189,7 +189,9 @@ object SparkEntry {
     "q176_judge_kappa" -> (LlmQueries.q176JudgeKappa(_, _)),
     "q177_correlation" -> (CoreQueries.q177Correlation(_, _)),
     "q178_split_leakage" -> (LlmQueries.q178SplitLeakage(_, _)),
-    "q179_bootstrap" -> (LlmQueries.q179Bootstrap(_, _))
+    "q179_bootstrap" -> (LlmQueries.q179Bootstrap(_, _)),
+    "q180_cusum" -> (CoreQueries.q180Cusum(_, _)),
+    "q181_benford" -> (CoreQueries.q181Benford(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3223,6 +3225,45 @@ object SparkEntry {
         |  CASE WHEN sum(w) > 0 THEN
         |    CAST(sum(CAST(w AS HUGEINT) * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS mean
         |FROM w GROUP BY b ORDER BY b""".stripMargin,
+    // CUSUM: prefix sum + running extrema over (ts, event_id) order --
+    // the recursive chart unrolled into windows, all integer-exact
+    "q180_cusum" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events WHERE value IS NOT NULL),
+        |pp AS (SELECT event_type, ts, event_id, v_milli,
+        |    sum(v_milli - 50000) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM e),
+        |x AS (SELECT event_type, event_id, v_milli, p,
+        |    min(p) OVER w2 AS pmin, max(p) OVER w2 AS pmax
+        |  FROM pp
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, v_milli,
+        |  CAST(p - pmin AS BIGINT) AS cusum_hi, CAST(pmax - p AS BIGINT) AS cusum_lo,
+        |  p - pmin > 2000000 AS breach_hi, pmax - p > 2000000 AS breach_lo
+        |FROM x ORDER BY event_type, event_id""".stripMargin,
+    // Benford: exact digit counts vs pinned log10(1+1/d) ppm targets
+    "q181_benford" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) <> 0),
+        |c AS (SELECT CAST(substring(CAST(abs(x) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1),
+        |exp AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |    (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |    (9, 45757)) AS t(digit, expected_ppm)),
+        |j AS (SELECT exp.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |    CAST(expected_ppm AS BIGINT) AS expected_ppm
+        |  FROM exp LEFT JOIN c USING (digit)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM j)
+        |SELECT digit, n,
+        |  CASE WHEN nn > 0 THEN (n * 1000000) // nn END AS actual_ppm,
+        |  expected_ppm,
+        |  CAST(abs(CAST(n AS HUGEINT) * 1000000 - CAST(nn AS HUGEINT) * expected_ppm) AS BIGINT) AS dev_num
+        |FROM j CROSS JOIN t ORDER BY digit""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

@@ -173,4 +173,45 @@ object TimeSeries {
       .select(keyCols.map(col) :+ col("slot") :+ col("n") :+
         col("w_sum") :+ col("w_sumsq"): _*)
   }
+
+  /** Two-sided CUSUM change detection (Page 1954), INTEGER-EXACT: with
+    * integer-unit values x and target μ (pre-scale — the q177 cents/ppm
+    * discipline), the high-side statistic is
+    * S⁺_t = P_t − min_{j≤t} P_j and the low side
+    * S⁻_t = max_{j≤t} P_j − P_t, where P is the prefix sum of (x − μ) —
+    * the classical recursive max(0, S+x−μ) UNROLLED into a cumulative
+    * sum plus a running extremum, which windows compute without a
+    * sequential fold and any engine reproduces digit-for-digit. This is
+    * the DETECTION form (no post-breach reset): S keeps growing past the
+    * alarm, so it finds the FIRST sustained mean shift in each
+    * direction; a resetting chart is a sequential recurrence — that's
+    * the streaming twin's job, not a window's.
+    *
+    * Emits per row: the exact S⁺/S⁻ and breach flags (S > `threshold`,
+    * same integer units·slots). ONE key-partitioned exchange; all three
+    * windows (cumsum, running min, running max) share it. Detection
+    * reading: threshold h·σ with h ≈ 4–5 catches a 1σ shift in ~h slots.
+    */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      target: Long,
+      threshold: Long
+  ): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select((keyCols ++ orderCols :+ valueCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__p", sum(col(valueCol) - lit(target)).over(w))
+      .withColumn("cusum_hi", col("__p") - min(col("__p")).over(w))
+      .withColumn("cusum_lo", max(col("__p")).over(w) - col("__p"))
+      .withColumn("breach_hi", col("cusum_hi") > threshold)
+      .withColumn("breach_lo", col("cusum_lo") > threshold)
+      .drop("__p")
+  }
 }

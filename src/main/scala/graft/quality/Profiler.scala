@@ -296,6 +296,50 @@ object Profiler {
         }): _*)
   }
 
+  /** Benford first-digit ppm targets, floor(log10(1+1/d)·10⁶) — pinned
+    * integer constants (the q149 rule: constants are data). */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit (Newcomb 1881 / Benford 1938 — the
+    * classic fabricated-numbers screen: naturally occurring multi-scale
+    * magnitudes put digit d first with probability log10(1+1/d); invented
+    * or constrained figures don't): per digit 1–9, the EXACT count, the
+    * exact observed share in ppm (integer floor div), the pinned expected
+    * ppm, and the exact scaled gap |n·10⁶ − N·expected_ppm| — every gate
+    * column an integer, the q101/q172 no-float-in-the-statistic
+    * discipline. Digits the data never uses still get a row (missing
+    * digits are the loudest Benford signal).
+    *
+    * `column` is INTEGER-VALUED (the cents/ppm pre-scale discipline —
+    * first digit of a double would hang on engine float-to-string);
+    * zeros and NULLs are excluded (no first significant digit), signs are
+    * stripped. One narrow grouped scan; everything after is a 9-row
+    * frame. Interpretation: compare against the [[chiSquareStat]]-style
+    * critical value at df=8, or eyeball dev_num — fabricated uniform
+    * digits put ~111111 ppm on every digit.
+    */
+  def benford(df: DataFrame, column: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val counts = df.select(col(column).cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") =!= 0L)
+      .select(substring(abs(col("__v")).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = BenfordPpm.toDF("digit", "expected_ppm")
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("__N", sum("n").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("digit"), col("n"),
+        when(col("__N") > 0, expr("(n * 1000000L) div __N")).as("actual_ppm"),
+        col("expected_ppm"),
+        abs(col("n").cast(dec) * lit(1000000L) -
+          col("__N").cast(dec) * col("expected_ppm")).cast("long").as("dev_num"))
+  }
+
   /** Two-sample chi-square drift for a CATEGORICAL column, INTEGER-EXACT
     * — the categorical sibling of [[ksDriftFromHistograms]] (KS needs an
     * order; categories have none): per value v with counts b_v / c_v and

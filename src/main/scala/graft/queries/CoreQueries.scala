@@ -808,6 +808,36 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** CUSUM change-detection gate: per event type, the exact two-sided
+    * Page statistic over milli-scaled values in (ts, event_id) order —
+    * cumsum + running extrema replayed digit-for-digit by the oracle,
+    * breach flags included in the hash.
+    */
+  def q180Cusum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val ev = Tables.events(s, dir).select(col("event_type"), col("ts"), col("event_id"),
+      round(col("value") * 1000).cast("long").as("v_milli"))
+    TimeSeries.cusum(ev, Seq("event_type"), Seq("ts", "event_id"), "v_milli",
+        target = 50000L, threshold = 2000000L)
+      .select("event_type", "event_id", "v_milli",
+        "cusum_hi", "cusum_lo", "breach_hi", "breach_lo")
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Benford first-digit gate over price cents: exact digit counts,
+    * integer ppm shares, pinned expected ppm, exact scaled gaps — the
+    * oracle re-extracts every first digit and re-derives all four
+    * integers.
+    */
+  def q181Benford(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    Profiler.benford(
+      Tables.lineitem(s, dir).select(
+        round(col("l_extendedprice") * 100).cast("long").as("price_c")),
+      "price_c")
+      .orderBy("digit")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

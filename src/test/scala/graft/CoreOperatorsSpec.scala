@@ -334,4 +334,32 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == broken)
     assert(rows.forall(_.getSeq[Row](1).size <= 2))
   }
+
+  test("cusum: window form equals the recursive chart, planted shift breaches at the right row") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // 20 on-target slots then a sustained +3 shift: with target 10 and
+    // threshold 12, the high side must alarm on the 5th shifted row
+    val vals = Seq.fill(20)(10L) ++ Seq.fill(10)(13L)
+    val d = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("g", "t", "v")
+    val got = TimeSeries.cusum(d, Seq("g"), Seq("t"), "v", target = 10L, threshold = 12L)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    // reference: the classical recursive chart (no reset)
+    var (sHi, sLo) = (0L, 0L)
+    val want = vals.zipWithIndex.map { case (v, i) =>
+      sHi = math.max(0L, sHi + (v - 10L)); sLo = math.max(0L, sLo + (10L - v))
+      (i.toLong, sHi, sLo, sHi > 12L, sLo > 12L)
+    }
+    assert(got.toSeq == want)
+    val firstAlarm = got.find(_._4).map(_._1)
+    assert(firstAlarm.contains(24L), s"alarm at $firstAlarm")
+    // a low-side shift alarms the other chart only
+    val dLow = (Seq.fill(20)(10L) ++ Seq.fill(10)(6L)).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("g", "t", "v")
+    val low = TimeSeries.cusum(dLow, Seq("g"), Seq("t"), "v", 10L, 12L)
+      .orderBy("t").collect()
+    assert(low.exists(_.getBoolean(6)) && !low.exists(_.getBoolean(5)))
+  }
 }

@@ -755,4 +755,23 @@ class ProfileSampleSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(probe == Seq(0, 1, 2, 8, 9, 10), s"got $probe")
   }
+
+  test("benford: golden counts, missing digit keeps a row, zeros/negatives/NULLs handled") {
+    import spark.implicits._
+    // values whose first digits are 1,1,2,9; 0 and NULL excluded; sign stripped
+    val d = Seq(Some(123L), Some(-1500L), Some(25L), Some(900L), Some(0L), None)
+      .toDF("v")
+    val got = Profiler.benford(d, "v").orderBy("digit").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(got.size == 9, "all nine digits must have a row")
+    // N=4: digit 1 n=2 ppm=500000 dev=|2e6-4*301029|=795884
+    assert(got(1) == (2L, 500000L, 795884L))
+    assert(got(2) == (1L, 250000L, 295636L))
+    assert(got(9) == (1L, 250000L, 816972L))
+    // digit 5 unused: n=0, dev = 4*79181
+    assert(got(5) == (0L, 0L, 316724L))
+    // expected ppm column carries the pinned constants
+    val exp = Profiler.benford(d, "v").orderBy("digit").collect().map(_.getLong(3)).toSeq
+    assert(exp == Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L))
+  }
 }
