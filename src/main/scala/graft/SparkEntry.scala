@@ -191,7 +191,8 @@ object SparkEntry {
     "q178_split_leakage" -> (LlmQueries.q178SplitLeakage(_, _)),
     "q179_bootstrap" -> (LlmQueries.q179Bootstrap(_, _)),
     "q180_cusum" -> (CoreQueries.q180Cusum(_, _)),
-    "q181_benford" -> (CoreQueries.q181Benford(_, _))
+    "q181_benford" -> (CoreQueries.q181Benford(_, _)),
+    "q182_bootstrap_by_source" -> (LlmQueries.q182BootstrapBySource(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3264,6 +3265,35 @@ object SparkEntry {
         |  expected_ppm,
         |  CAST(abs(CAST(n AS HUGEINT) * 1000000 - CAST(nn AS HUGEINT) * expected_ppm) AS BIGINT) AS dev_num
         |FROM j CROSS JOIN t ORDER BY digit""".stripMargin,
+    // grouped Poisson bootstrap: same per-(doc, b) draw, group roll-up
+    "q182_bootstrap_by_source" ->
+      """WITH x AS (SELECT source, doc_id, n_chars, b
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+        |  WHERE n_chars IS NOT NULL),
+        |u AS (SELECT source, b, n_chars, list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substring(
+        |      md5(CAST(doc_id AS VARCHAR) || chr(1) || CAST(b AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |    (acc, v) -> acc * 16 + v) / 1152921504606846976.0 AS u
+        |  FROM x),
+        |w AS (SELECT source, b, n_chars, CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238463 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    WHEN u < 0.999916758850712 THEN 6
+        |    WHEN u < 0.9999897508033253 THEN 7
+        |    WHEN u < 0.999998874797402 THEN 8
+        |    WHEN u < 0.9999998885745216 THEN 9
+        |    ELSE 10 END AS w
+        |  FROM u)
+        |SELECT source, CAST(b AS INTEGER) AS b,
+        |  CAST(sum(w) AS BIGINT) AS n_drawn,
+        |  CAST(sum(CAST(w AS HUGEINT) * n_chars) AS BIGINT) AS sum_v,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    CAST(sum(CAST(w AS HUGEINT) * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS mean
+        |FROM w GROUP BY source, b ORDER BY source, b""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

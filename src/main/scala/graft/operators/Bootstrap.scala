@@ -72,6 +72,56 @@ object Bootstrap {
           col("sum_v").cast("double") / col("n_drawn").cast("double")))
   }
 
+  /** [[replicateMeans]] per GROUP — one (group, replicate) row, same
+    * content-keyed draw (a row's weight in replicate b is identical
+    * whether it's resampled alone or within its group, so grouped and
+    * ungrouped runs are consistent). The A/B building block.
+    */
+  def replicateMeansBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCols: Seq[String],
+      valueCol: String,
+      reps: Int
+  ): DataFrame = {
+    require(reps >= 2 && reps <= 4096, s"reps out of range: $reps")
+    val dec = "decimal(38,0)"
+    val withB = df.select((groupCols ++ keyCols :+ valueCol).distinct.map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+    val u = Sampling.uniform01(keyCols.map(col) :+ col("b"))
+    withB
+      .withColumn("__w", poissonInverse(u))
+      .groupBy((groupCols.map(col) :+ col("b")): _*)
+      .agg(
+        sum(col("__w").cast("long")).as("n_drawn"),
+        sum(col("__w").cast(dec) * col(valueCol).cast(dec)).as("sum_v"))
+      .withColumn("mean",
+        when(col("n_drawn") > 0,
+          col("sum_v").cast("double") / col("n_drawn").cast("double")))
+  }
+
+  /** Bootstrap CI of the A−B mean DIFFERENCE — the two-sample question
+    * every A/B readout asks ("is the shift real or resampling noise"):
+    * per replicate, Δ_b = mean_A,b − mean_B,b (each side's own Poisson
+    * resample — independent draws because the (key, b) uniform differs
+    * across disjoint id sets), then the exact-rank percentile interval
+    * over the B deltas. A CI excluding 0 is the bootstrap's significance
+    * verdict. Replicates where either side drew empty are dropped.
+    */
+  def deltaCi(
+      repsA: DataFrame,
+      repsB: DataFrame,
+      loPct: Int = 5,
+      hiPct: Int = 95
+  ): DataFrame = {
+    val deltas = repsA.select(col("b"), col("mean").as("__ma"))
+      .join(repsB.select(col("b"), col("mean").as("__mb")), Seq("b"))
+      .filter(col("__ma").isNotNull && col("__mb").isNotNull)
+      .select(col("b"), (col("__ma") - col("__mb")).as("mean"))
+    meanCi(deltas, loPct, hiPct)
+  }
+
   /** Percentile-bootstrap confidence interval from a [[replicateMeans]]
     * frame: the exact-rank (loPct, hiPct) selections over the B replicate
     * means (the [[Quantiles]] lower-rank rule at rank (p·(B+1)) div 100

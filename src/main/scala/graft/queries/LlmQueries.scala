@@ -1859,6 +1859,20 @@ object LlmQueries {
       .orderBy("b")
   }
 
+  /** Grouped bootstrap gate: per-source replicate means of document
+    * length, 16 deterministic resamples each — the A/B harness's state;
+    * the oracle redraws every (doc, replicate) weight inside its group.
+    */
+  def q182BootstrapBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bootstrap
+    Bootstrap.replicateMeansBy(
+      Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+      Seq("source"), Seq("doc_id"), "n_chars", reps = 16)
+      .select(col("source"), col("b"), col("n_drawn"),
+        col("sum_v").cast("long").as("sum_v"), col("mean"))
+      .orderBy("source", "b")
+  }
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

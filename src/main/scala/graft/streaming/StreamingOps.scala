@@ -770,6 +770,47 @@ object StreamingOps {
       }
   }
 
+  final case class CusumPoint(key: String, t: Long, v: Long)
+  final case class CusumState(s_hi: Long, s_lo: Long)
+  final case class CusumAlarm(key: String, t: Long, side: String, stat: Long)
+
+  /** Streaming CUSUM with RESET — the form [[graft.operators.TimeSeries
+    * .cusum]]'s window unrolling explicitly cannot express (a
+    * post-alarm reset is a sequential recurrence): per-key GroupState
+    * carries the classical (S⁺, S⁻) pair, each micro-batch folds its
+    * points in `t` order with S = max(0, S + (v − target)) per side, an
+    * alarm row emits whenever a side crosses `threshold`, and THAT SIDE
+    * resets to 0 (the other keeps accumulating — a mean shift up says
+    * nothing about the low chart). Same cross-batch contract as
+    * debounce/funnel: in-order arrival per key reproduces the
+    * sequential chart exactly (spec-asserted vs a driver-side recursive
+    * reference); state is two longs per key.
+    */
+  def cusumStream(
+      points: Dataset[CusumPoint],
+      target: Long,
+      threshold: Long
+  ): Dataset[CusumAlarm] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { case (key, rows, state: GroupState[CusumState]) =>
+        var s = state.getOption.getOrElse(CusumState(0L, 0L))
+        val alarms = Seq.newBuilder[CusumAlarm]
+        rows.toSeq.sortBy(_.t).foreach { p =>
+          var hi = math.max(0L, s.s_hi + (p.v - target))
+          var lo = math.max(0L, s.s_lo + (target - p.v))
+          if (hi > threshold) { alarms += CusumAlarm(key, p.t, "hi", hi); hi = 0L }
+          if (lo > threshold) { alarms += CusumAlarm(key, p.t, "lo", lo); lo = 0L }
+          s = CusumState(hi, lo)
+        }
+        state.update(s)
+        alarms.result().iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: String)
   final case class FunnelState(step_idx: Int, t1_sec: Long)
   final case class FunnelProgress(user_id: Long, steps_completed: Int)

@@ -774,4 +774,28 @@ class ProfileSampleSpec extends SparkSpec {
     val exp = Profiler.benford(d, "v").orderBy("digit").collect().map(_.getLong(3)).toSeq
     assert(exp == Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L))
   }
+
+  test("grouped bootstrap: draws consistent with ungrouped, delta CI brackets a planted shift") {
+    import spark.implicits._
+    import graft.operators.Bootstrap
+    val a = (1 to 300).map(i => ("A", i.toLong, (200 + i % 20).toLong))
+    val bg = (1 to 300).map(i => ("B", (1000 + i).toLong, (100 + i % 20).toLong))
+    val d = (a ++ bg).toDF("g", "id", "v")
+    val grouped = Bootstrap.replicateMeansBy(d, Seq("g"), Seq("id"), "v", reps = 16)
+    // the group roll-up of A equals running A alone: the (id, b) draw is
+    // content-keyed, not group-dependent
+    val aAlone = Bootstrap.replicateMeans(d.filter($"g" === "A").select("id", "v"),
+        Seq("id"), "v", reps = 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDecimal(2).longValueExact())).toMap
+    val aGrouped = grouped.filter($"g" === "A")
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDecimal(3).longValueExact())).toMap
+    assert(aGrouped == aAlone)
+    // A sits ~100 above B: the delta CI must bracket the true shift and
+    // exclude zero decisively
+    val ci = Bootstrap.deltaCi(
+      grouped.filter($"g" === "A").select("b", "mean"),
+      grouped.filter($"g" === "B").select("b", "mean")).head()
+    val (lo, hi) = (ci.getDouble(2), ci.getDouble(3))
+    assert(lo <= hi && lo > 90 && hi < 110, s"delta CI [$lo, $hi]")
+  }
 }

@@ -553,6 +553,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamKept == batchKept)
   }
 
+  test("streaming cusum: alarms + resets equal the sequential chart across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.{CusumAlarm, CusumPoint}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[CusumPoint]
+    val sink = StreamingOps.cusumStream(mem.toDS(), target = 10L, threshold = 12L)
+      .writeStream.format("memory").queryName("cusum_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    // two sustained +5 shifts with an on-target stretch between; the chart
+    // must alarm in BOTH shifts (reset re-arms it), with state carrying
+    // across the batch boundary mid-shift
+    val vals = Seq.fill(5)(10L) ++ Seq.fill(4)(15L) ++ Seq.fill(5)(10L) ++ Seq.fill(4)(15L)
+    val pts = vals.zipWithIndex.map { case (v, i) => CusumPoint("k", i.toLong, v) }
+    mem.addData(pts.take(7): _*)
+    sink.start().awaitTermination(120000)
+    mem.addData(pts.drop(7): _*)
+    sink.start().awaitTermination(120000)
+    val got = spark.table("cusum_sink").as[CusumAlarm]
+      .collect().map(a => (a.t, a.side, a.stat)).sortBy(_._1).toSeq
+    // reference: sequential chart with reset
+    var (hi, lo) = (0L, 0L)
+    val want = vals.zipWithIndex.flatMap { case (v, i) =>
+      hi = math.max(0L, hi + (v - 10L)); lo = math.max(0L, lo + (10L - v))
+      val out = (if (hi > 12L) Seq((i.toLong, "hi", hi)) else Nil) ++
+        (if (lo > 12L) Seq((i.toLong, "lo", lo)) else Nil)
+      if (hi > 12L) hi = 0L
+      if (lo > 12L) lo = 0L
+      out
+    }
+    assert(got == want, s"got $got want $want")
+    assert(got.size == 2, "both shifts must alarm")
+  }
+
   test("streaming exact-substring scrub drops store-owned runs from later batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.ExactSubstr
