@@ -227,7 +227,29 @@ class PlanShapeSpec extends SparkSpec {
     // pair equi-join on rank; per-cell sorts only, no global sort beyond
     // the oracle tax
     Shape("q173_sorted_neighborhood", maxHash = 4, maxRange = 3,
-      minBroadcastJoin = 2, forbidUdf = true)
+      minBroadcastJoin = 2, forbidUdf = true),
+    // incremental SNM: cell slices broadcast-joined, per-cell/per-segment
+    // windows only -- the shuffle budget is the O(touched) claim
+    Shape("q175_sorted_neighborhood_fold", maxHash = 12, maxRange = 2,
+      minBroadcastJoin = 4, forbidUdf = true),
+    // kappa: contingency + marginal frames, category-sized after the aggs
+    Shape("q176_judge_kappa", maxHash = 8, maxRange = 3, forbidUdf = true),
+    // correlation: ONE aggregation exchange, fully map-side partial
+    Shape("q177_correlation", maxHash = 1, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // leakage matrix: split assignment is a narrow projection; the two
+    // id joins + the 9-cell roll-up
+    Shape("q178_split_leakage", maxHash = 5, maxRange = 3,
+      minBroadcastJoin = 2, forbidUdf = true),
+    // bootstrap: the x32 explosion collapses MAP-SIDE -- one exchange
+    // carrying B rows per partition is the whole scale claim
+    Shape("q179_bootstrap", maxHash = 1, forbidUdf = true),
+    // cusum: cumsum + extrema share ONE key exchange
+    Shape("q180_cusum", maxHash = 1, forbidUdf = true),
+    // benford: one grouped narrow scan; 9-row bookkeeping after
+    Shape("q181_benford", maxHash = 1, maxRange = 2, forbidUdf = true),
+    // grouped bootstrap: same single-exchange collapse as q179
+    Shape("q182_bootstrap_by_source", maxHash = 1, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
