@@ -192,7 +192,8 @@ object SparkEntry {
     "q179_bootstrap" -> (LlmQueries.q179Bootstrap(_, _)),
     "q180_cusum" -> (CoreQueries.q180Cusum(_, _)),
     "q181_benford" -> (CoreQueries.q181Benford(_, _)),
-    "q182_bootstrap_by_source" -> (LlmQueries.q182BootstrapBySource(_, _))
+    "q182_bootstrap_by_source" -> (LlmQueries.q182BootstrapBySource(_, _)),
+    "q183_generalize" -> (CoreQueries.q183Generalize(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3294,6 +3295,33 @@ object SparkEntry {
         |  CASE WHEN sum(w) > 0 THEN
         |    CAST(sum(CAST(w AS HUGEINT) * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS mean
         |FROM w GROUP BY source, b ORDER BY source, b""".stripMargin,
+    // global recoding: the oracle re-checks every ladder rung's min
+    // group size, picks the first passing level, re-groups
+    "q183_generalize" ->
+      """WITH m0 AS (SELECT min(cnt) AS m FROM (SELECT count(*) AS cnt FROM customer
+        |    GROUP BY c_nationkey, CAST(floor(c_acctbal / 100) AS BIGINT))),
+        |m1 AS (SELECT min(cnt) AS m FROM (SELECT count(*) AS cnt FROM customer
+        |    GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT))),
+        |m2 AS (SELECT min(cnt) AS m FROM (SELECT count(*) AS cnt FROM customer
+        |    GROUP BY c_nationkey, CAST(floor(c_acctbal / 10000) AS BIGINT))),
+        |lvl AS (SELECT CASE WHEN (SELECT m FROM m0) >= 5 THEN 0
+        |    WHEN (SELECT m FROM m1) >= 5 THEN 1
+        |    WHEN (SELECT m FROM m2) >= 5 THEN 2 ELSE 3 END AS lv),
+        |g AS (
+        |  SELECT c_nationkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket, 0 AS gen_level
+        |    FROM customer WHERE (SELECT lv FROM lvl) = 0
+        |  UNION ALL
+        |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT), 1
+        |    FROM customer WHERE (SELECT lv FROM lvl) = 1
+        |  UNION ALL
+        |  SELECT c_nationkey, CAST(floor(c_acctbal / 10000) AS BIGINT), 2
+        |    FROM customer WHERE (SELECT lv FROM lvl) = 2
+        |  UNION ALL
+        |  SELECT c_nationkey, CAST(NULL AS BIGINT), 3
+        |    FROM customer WHERE (SELECT lv FROM lvl) = 3)
+        |SELECT c_nationkey, bal_bucket, CAST(gen_level AS INTEGER) AS gen_level,
+        |  count(*) AS cnt
+        |FROM g GROUP BY 1, 2, 3 ORDER BY c_nationkey, bal_bucket""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

@@ -121,4 +121,45 @@ object Anonymity {
         (col("dist_num").cast("double") /
           (lit(2L) * col("cnt") * col("__N")).cast("double")).as("tvd")): _*)
   }
+
+  /** The REPAIR for what [[kAnonymityViolations]] finds — global
+    * recoding (Samarati 2001's full-domain generalization): the caller
+    * supplies a LADDER of quasi-identifier projections, coarsest last
+    * (e.g. full zip → zip3 → zip1 → suppressed); the operator walks the
+    * ladder IN ORDER and applies the FIRST level whose smallest group
+    * reaches `k` (falling back to the last level — the caller's
+    * suppression floor — when none does). Global recoding keeps the
+    * released schema uniform (every row generalized the same amount),
+    * which is what makes the result auditable by the same
+    * `kAnonymityViolations` pass — local recoding trades that for
+    * utility and is a different operator.
+    *
+    * Deterministic and replayable: "first passing level" is a pure
+    * function of the data (the q183 oracle re-derives it by computing
+    * every level's min group size). Cost: one SMALL aggregation per
+    * level until one passes (level count is single digits by
+    * construction) + one projection; the per-level check is
+    * group-count-sized after its map-side combine. Returns the
+    * generalized frame with a `gen_level` literal column.
+    */
+  def generalizeGlobal(
+      df: DataFrame,
+      ladder: Seq[Seq[(String, org.apache.spark.sql.Column)]],
+      k: Long
+  ): DataFrame = {
+    require(ladder.nonEmpty, "ladder must not be empty")
+    require(k > 1, s"k must be > 1: $k")
+    val names = ladder.head.map(_._1)
+    require(ladder.forall(_.map(_._1) == names),
+      "every ladder level must project the same output column names")
+    def level(i: Int): DataFrame =
+      df.select(ladder(i).map { case (n, c) => c.as(n) }: _*)
+    val chosen = (0 until ladder.length - 1).find { i =>
+      val r = level(i).groupBy(names.map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt"))).head()
+      r.isNullAt(0) || r.getLong(0) >= k // empty data is vacuously anonymous
+    }.getOrElse(ladder.length - 1)
+    level(chosen).withColumn("gen_level", lit(chosen))
+  }
 }

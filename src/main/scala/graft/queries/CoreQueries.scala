@@ -838,6 +838,26 @@ object CoreQueries {
       .orderBy("digit")
   }
 
+  /** k-anonymity repair gate: global recoding over the balance-bucket
+    * ladder (100s → 1000s → 10000s → suppressed) — the FIRST level whose
+    * smallest (nation, bucket) group reaches k = 5 is applied uniformly;
+    * the audit output (group sizes at the chosen level + the level
+    * itself) is what the oracle re-derives by checking every rung.
+    */
+  def q183Generalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Anonymity
+    val c = Tables.customer(s, dir)
+    val ladder = Seq(100L, 1000L, 10000L).map { unit =>
+      Seq("c_nationkey" -> col("c_nationkey"),
+        "bal_bucket" -> floor(col("c_acctbal") / unit).cast("long"))
+    } :+ Seq("c_nationkey" -> col("c_nationkey"),
+      "bal_bucket" -> lit(null).cast("long"))
+    Anonymity.generalizeGlobal(c, ladder, k = 5L)
+      .groupBy("c_nationkey", "bal_bucket", "gen_level")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_nationkey", "bal_bucket")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

@@ -798,4 +798,39 @@ class ProfileSampleSpec extends SparkSpec {
     val (lo, hi) = (ci.getDouble(2), ci.getDouble(3))
     assert(lo <= hi && lo > 90 && hi < 110, s"delta CI [$lo, $hi]")
   }
+
+  test("generalizeGlobal: first passing rung applied uniformly, suppression floor, empty vacuous") {
+    import spark.implicits._
+    import graft.quality.Anonymity
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    // zips 10000..10003 x 1 row each, 10010 x 4: full zip fails k=5,
+    // zip3 (div 10) gives groups {1000x:4+... } -- div 10: 1000->{0..3}=4+{10}=... let's
+    // use values where div 10 yields exactly two groups of sizes 4 and 4 (fails),
+    // div 100 one group of 8 (passes)
+    val d = (Seq(10L, 11L, 12L, 13L) ++ Seq(20L, 21L, 22L, 23L)).toDF("z")
+    val ladder = Seq(
+      Seq("z" -> col("z")),                                  // 8 singleton groups
+      Seq("z" -> floor(col("z") / 10).cast("long")),         // two groups of 4
+      Seq("z" -> floor(col("z") / 100).cast("long")),        // one group of 8
+      Seq("z" -> lit(null).cast("long")))                    // floor
+    val g5 = Anonymity.generalizeGlobal(d, ladder, k = 5L)
+    assert(g5.select("gen_level").distinct().head().getInt(0) == 2)
+    assert(g5.select("z").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // k=4 stops one rung earlier
+    val g4 = Anonymity.generalizeGlobal(d, ladder, k = 4L)
+    assert(g4.select("gen_level").distinct().head().getInt(0) == 1)
+    // the repaired output passes its own audit
+    assert(Anonymity.kAnonymityViolations(g4.drop("gen_level"), Seq("z"), 4L).count() == 0)
+    // div100 collapses the sparse rows into one group of 3 -> rung 2
+    val sparse = Seq(10L, 20L, 30L).toDF("z")
+    assert(Anonymity.generalizeGlobal(sparse, ladder, k = 2L)
+      .select("gen_level").distinct().head().getInt(0) == 2)
+    // NO rung can reach k=5 with 3 rows: fall to the suppression floor
+    assert(Anonymity.generalizeGlobal(sparse, ladder, k = 5L)
+      .select("gen_level").distinct().head().getInt(0) == 3)
+    // empty input is vacuously anonymous at the first rung
+    assert(Anonymity.generalizeGlobal(d.filter(col("z") < 0), ladder, k = 5L)
+      .select("gen_level").schema.nonEmpty)
+    assert(Anonymity.generalizeGlobal(d.filter(col("z") < 0), ladder, k = 5L).count() == 0)
+  }
 }
