@@ -193,7 +193,8 @@ object SparkEntry {
     "q180_cusum" -> (CoreQueries.q180Cusum(_, _)),
     "q181_benford" -> (CoreQueries.q181Benford(_, _)),
     "q182_bootstrap_by_source" -> (LlmQueries.q182BootstrapBySource(_, _)),
-    "q183_generalize" -> (CoreQueries.q183Generalize(_, _))
+    "q183_generalize" -> (CoreQueries.q183Generalize(_, _)),
+    "q184_readability" -> (LlmQueries.q184Readability(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3322,6 +3323,20 @@ object SparkEntry {
         |SELECT c_nationkey, bal_bucket, CAST(gen_level AS INTEGER) AS gen_level,
         |  count(*) AS cnt
         |FROM g GROUP BY 1, 2, 3 ORDER BY c_nationkey, bal_bucket""".stripMargin,
+    // Flesch: three regexp counts + the pinned-coefficient IEEE formula
+    "q184_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+        |  CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0 THEN
+        |    206.835
+        |    - 1.015 * (CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)
+        |        / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |        / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)) END AS flesch
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

@@ -1873,6 +1873,15 @@ object LlmQueries {
       .orderBy("source", "b")
   }
 
+  /** Readability gate: Flesch reading ease per document from three exact
+    * regexp counts; the oracle recomputes every count and the fixed IEEE
+    * formula — the score itself hashes.
+    */
+  def q184Readability(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.readability(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Batched (mapPartitions) stub feature extraction — plumbing check. */
   def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withPayload = Tables.documents(s, dir)

@@ -467,4 +467,35 @@ object TextAnalysis {
         expr(s"aggregate(transform(split(trim(lower($textCol)), '\\\\s+'), t -> xxhash64(t) & 4294967295L), 17L, (acc, h) -> pmod(acc * 31L + h, 2147483647L))")
       )
   }
+
+  /** Flesch reading ease (Flesch 1948; the readability feature every
+    * text-quality stack carries): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), from three ENGINE-EXACT regexp counts —
+    * whitespace words, sentence-terminator runs `[.!?]+`, and vowel-group
+    * syllables `[aeiouy]+` over the lowercased text (a vowel group never
+    * crosses a whitespace word boundary, so the text-wide count IS the
+    * per-word sum; zero-vowel tokens contribute 0 — the documented
+    * deviation from the min-1-per-word variant, identical on any regex
+    * engine where the classes agree, which ASCII classes do). Sentences
+    * floor at 1 (a fragment is one sentence); the score is a fixed dag of
+    * correctly-rounded IEEE ops over exact longs — hash-gateable. NULL
+    * when the text has no words. Reading: 90–100 5th-grade, 60–70 plain
+    * English, < 30 academic. Narrow codegen projection — zero shuffles.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lowered = lower(t)
+    val nWords = size(toks(t)).cast("long")
+    val nSent = greatest(lit(1L), regexp_count(t, lit("[.!?]+")).cast("long"))
+    val nSyl = regexp_count(lowered, lit("[aeiouy]+")).cast("long")
+    df.select(col(idCol), t.as(textCol))
+      .filter(t.isNotNull)
+      .select(col(idCol),
+        nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
+  }
 }

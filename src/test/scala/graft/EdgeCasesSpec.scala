@@ -266,4 +266,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(batched.map(_.sorted).toSet == viaDag.map(_.sorted).toSet)
     assert(batched.flatten.forall(cols.contains), s"fragmented names in $batched")
   }
+
+  test("readability: hand-computed flesch, fragment floors at one sentence, vowelless text") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // "the cat sat. it ran!" -> words 5, sentences 2, vowel groups:
+    // e/a/a/i/a -> 5 syllables; flesch = 206.835 - 1.015*2.5 - 84.6*1.0
+    val d = Seq(
+      (1L, "the cat sat. it ran!"),
+      (2L, "word"),
+      (3L, "hmm grr brr")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L)._1 == 5L && got(1L)._2 == 2L && got(1L)._3 == 5L)
+    assert(got(1L)._4 == 206.835 - 1.015 * 2.5 - 84.6 * 1.0)
+    // no terminator: floors at one sentence; one word, one vowel group
+    assert(got(2L) == ((1L, 1L, 1L, 206.835 - 1.015 * 1.0 - 84.6 * 1.0)))
+    // vowelless tokens: 0 syllables (the documented deviation), formula defined
+    assert(got(3L)._3 == 0L && got(3L)._4 == 206.835 - 1.015 * 3.0)
+    // zero shuffles: a narrow codegen projection
+    val plan = TextAnalysis.readability(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
