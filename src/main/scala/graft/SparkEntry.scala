@@ -194,7 +194,8 @@ object SparkEntry {
     "q181_benford" -> (CoreQueries.q181Benford(_, _)),
     "q182_bootstrap_by_source" -> (LlmQueries.q182BootstrapBySource(_, _)),
     "q183_generalize" -> (CoreQueries.q183Generalize(_, _)),
-    "q184_readability" -> (LlmQueries.q184Readability(_, _))
+    "q184_readability" -> (LlmQueries.q184Readability(_, _)),
+    "q185_correlation_matrix" -> (CoreQueries.q185CorrelationMatrix(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3337,6 +3338,41 @@ object SparkEntry {
         |        / CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)) END AS flesch
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // all-pairs Pearson from one HUGEINT moments pass, listwise NULLs
+    "q185_correlation_matrix" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS price_c,
+        |    CAST(round(l_discount * 1000) AS HUGEINT) AS disc_m
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(qty_c) AS sq, sum(price_c) AS sp, sum(disc_m) AS sd,
+        |    sum(qty_c * qty_c) AS sqq, sum(price_c * price_c) AS spp,
+        |    sum(disc_m * disc_m) AS sdd,
+        |    sum(qty_c * price_c) AS sqp, sum(qty_c * disc_m) AS sqd,
+        |    sum(price_c * disc_m) AS spd
+        |  FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT l_returnflag, 'qty_c' AS col_x, 'price_c' AS col_y, n,
+        |    CAST(n AS HUGEINT) * sqp - sq * sp AS num,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq AS dx,
+        |    CAST(n AS HUGEINT) * spp - sp * sp AS dy FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * sqd - sq * sd,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * spd - sp * sd,
+        |    CAST(n AS HUGEINT) * spp - sp * sp,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m)
+        |SELECT l_returnflag, col_x, col_y, n,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    greatest(-1.0, least(1.0, CAST(num AS DOUBLE) /
+        |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))) END AS r
+        |FROM p ORDER BY l_returnflag, col_x, col_y""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

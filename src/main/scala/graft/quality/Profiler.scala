@@ -340,6 +340,72 @@ object Profiler {
           col("__N").cast(dec) * col("expected_ppm")).cast("long").as("dev_num"))
   }
 
+  /** The MERGEABLE state behind [[correlation]], for ALL pairs of
+    * `cols` at once: one row per group carrying n plus each column's
+    * Σx/Σx² and each ordered pair's Σxy — ONE aggregation over ONE scan
+    * (n·(n+3)/2 decimal sums wide), so profiling every pairwise
+    * relationship costs the same scan as profiling one. Plain sums ⇒
+    * two moment frames over disjoint row sets fold by
+    * [[mergeCorrelationMoments]] into exactly the rebuild's state (the
+    * aucHistogram incremental contract; spec-asserted) — Pearson over a
+    * growing corpus without rescanning history. Rows with a NULL in ANY
+    * profiled column are excluded (matrix-consistent listwise deletion —
+    * pairwise deletion would need per-pair n and breaks mergeability).
+    */
+  def correlationMoments(
+      df: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String]
+  ): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = "decimal(38,0)"
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val aggs =
+      cols.map(c => sum(col(c).cast(dec)).as(s"s__$c")) ++
+      (for (i <- cols.indices; j <- i until cols.length) yield
+        sum(col(cols(i)).cast(dec) * col(cols(j)).cast(dec))
+          .as(s"p__${cols(i)}__${cols(j)}"))
+    base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Fold two [[correlationMoments]] frames over disjoint row sets. */
+  def mergeCorrelationMoments(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val momentCols = a.columns.filterNot(keyCols.contains)
+    a.unionByName(b).groupBy(keyCols.map(col): _*)
+      .agg(sum(momentCols.head).as(momentCols.head),
+        momentCols.tail.map(c => sum(c).as(c)): _*)
+  }
+
+  /** The long-form correlation MATRIX from a (merged) moments frame:
+    * one row per group × unordered column pair with the exact n and the
+    * clamped Pearson r ([[correlation]]'s formula verbatim, so the two
+    * paths agree bit-for-bit — spec-asserted). Pair-count work on a
+    * group-sized frame.
+    */
+  def correlationFromMoments(
+      moments: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String]
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.length)
+      yield (cols(i), cols(j))
+    pairs.map { case (x, y) =>
+      val n = col("n").cast(dec)
+      val (sx, sy) = (col(s"s__$x"), col(s"s__$y"))
+      val sxy = col(s"p__${x}__${y}")
+      val (sxx, syy) = (col(s"p__${x}__${x}"), col(s"p__${y}__${y}"))
+      val num = (n * sxy - sx * sy).cast("double")
+      val dx = (n * sxx - sx * sx).cast("double")
+      val dy = (n * syy - sy * sy).cast("double")
+      moments.select((keyCols.map(col) :+
+        lit(x).as("col_x") :+ lit(y).as("col_y") :+ col("n") :+
+        when(dx > 0 && dy > 0,
+          greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy))))).as("r")): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Two-sample chi-square drift for a CATEGORICAL column, INTEGER-EXACT
     * — the categorical sibling of [[ksDriftFromHistograms]] (KS needs an
     * order; categories have none): per value v with counts b_v / c_v and

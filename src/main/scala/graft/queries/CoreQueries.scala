@@ -858,6 +858,25 @@ object CoreQueries {
       .orderBy("c_nationkey", "bal_bucket")
   }
 
+  /** Correlation-matrix gate: all three pairwise Pearson r's over
+    * (quantity, price, discount) in integer units, per return flag, from
+    * ONE moments aggregation — the oracle recomputes every moment and
+    * every clamped r.
+    */
+  def q185CorrelationMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      round(col("l_discount") * 1000).cast("long").as("disc_m"))
+    val cols = Seq("qty_c", "price_c", "disc_m")
+    Profiler.correlationFromMoments(
+      Profiler.correlationMoments(li, Seq("l_returnflag"), cols),
+      Seq("l_returnflag"), cols)
+      .orderBy("l_returnflag", "col_x", "col_y")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

@@ -833,4 +833,40 @@ class ProfileSampleSpec extends SparkSpec {
       .select("gen_level").schema.nonEmpty)
     assert(Anonymity.generalizeGlobal(d.filter(col("z") < 0), ladder, k = 5L).count() == 0)
   }
+
+  test("correlation moments: matrix agrees with the pair operator, fold equals rebuild") {
+    import spark.implicits._
+    val d = (1 to 60).map(i =>
+      ("g" + (i % 2), i.toLong, (3L * i + i % 7), (100L - i))).toDF("k", "x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    val m = Profiler.correlationMoments(d, Seq("k"), cols)
+    val matrix = Profiler.correlationFromMoments(m, Seq("k"), cols)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(matrix.size == 6) // 2 groups x 3 pairs
+    // each pair bit-identical to the dedicated two-column operator
+    for (Seq(a, b) <- cols.combinations(2)) {
+      val solo = Profiler.correlation(d, Seq("k"), a, b)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+      for (g <- Seq("g0", "g1"))
+        assert(matrix((g, a, b)) == solo(g), s"$g $a $b")
+    }
+    // fold over disjoint halves == rebuild, moment for moment
+    val folded = Profiler.mergeCorrelationMoments(
+      Profiler.correlationMoments(d.filter($"x" <= 30), Seq("k"), cols),
+      Profiler.correlationMoments(d.filter($"x" > 30), Seq("k"), cols), Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(rows(folded) == rows(m))
+    // and the matrix from folded state is bit-identical
+    assert(rows(Profiler.correlationFromMoments(folded, Seq("k"), cols).orderBy("k", "col_x", "col_y"))
+      == rows(matrix2df(matrix)))
+  }
+
+  private def matrix2df(m: Map[(String, String, String), (Long, Double)]) = {
+    import spark.implicits._
+    m.toSeq.map { case ((k, a, b), (n, r)) => (k, a, b, n, r) }
+      .sortBy(t => (t._1, t._2, t._3))
+      .toDF("k", "col_x", "col_y", "n", "r")
+  }
 }
