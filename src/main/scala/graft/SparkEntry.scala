@@ -195,7 +195,8 @@ object SparkEntry {
     "q182_bootstrap_by_source" -> (LlmQueries.q182BootstrapBySource(_, _)),
     "q183_generalize" -> (CoreQueries.q183Generalize(_, _)),
     "q184_readability" -> (LlmQueries.q184Readability(_, _)),
-    "q185_correlation_matrix" -> (CoreQueries.q185CorrelationMatrix(_, _))
+    "q185_correlation_matrix" -> (CoreQueries.q185CorrelationMatrix(_, _)),
+    "q186_gini" -> (CoreQueries.q186Gini(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3373,6 +3374,21 @@ object SparkEntry {
         |    greatest(-1.0, least(1.0, CAST(num AS DOUBLE) /
         |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))) END AS r
         |FROM p ORDER BY l_returnflag, col_x, col_y""".stripMargin,
+    // Gini: rank-weighted exact numerator, one terminal division
+    "q186_gini" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sum_v,
+        |    CAST(sum((2 * CAST(rn AS HUGEINT) - n - 1) * n_chars) AS HUGEINT) AS gini_num
+        |  FROM r GROUP BY 1)
+        |SELECT source, n, CAST(sum_v AS BIGINT) AS sum_v,
+        |  CAST(gini_num AS BIGINT) AS gini_num,
+        |  CASE WHEN sum_v > 0 THEN
+        |    CAST(gini_num AS DOUBLE) / CAST(CAST(n AS HUGEINT) * sum_v AS DOUBLE) END AS gini
+        |FROM g ORDER BY source""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

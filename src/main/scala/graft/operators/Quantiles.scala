@@ -226,6 +226,48 @@ object Quantiles {
         max(when(col("__rn") === col("__r90"), col(valueCol))).as("p90"))
   }
 
+  /** Gini coefficient per group, INTEGER-EXACT: over the ascending-sorted
+    * non-negative values x₁..x_n (integer units — the cents/ppm
+    * discipline), G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) — the mean-absolute-
+    * difference form reduced to one rank window; the numerator is exact
+    * in DECIMAL(38,0) (tie-order invariant: within a tied block the
+    * weights sum identically under any permutation, so the id tie-break
+    * only pins determinism, never the value), and G is ONE division —
+    * the gate hashes it. The corpus-balance use: G ≈ 0 means sources/
+    * documents contribute evenly, G → 1 means a few rows carry all the
+    * mass (the "one domain is half the corpus" smell).
+    *
+    * NULL values are excluded; negative values are a contract violation
+    * (Gini is defined on non-negative supports) — require clean input or
+    * pre-clamp. G is NULL when the group sums to 0. One group-key
+    * exchange; the per-group sort is the window — the
+    * [[exactQuantilesBucketed]] hot-group caveat applies unchanged.
+    */
+  def gini(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(part.orderBy(col(valueCol), col(tieBreakCol))))
+      .withColumn("__n", count(lit(1)).over(part))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col("__n")).as("n"),
+        sum(col(valueCol).cast(dec)).as("__sum"),
+        sum((lit(2L) * col("__rn") - col("__n") - lit(1L)).cast(dec) *
+          col(valueCol).cast(dec)).as("__num"))
+      .select((keyCols.map(col) :+ col("n") :+
+        col("__sum").as("sum_v") :+ col("__num").as("gini_num") :+
+        when(col("__sum") > 0,
+          col("__num").cast("double") /
+            (col("n").cast(dec) * col("__sum")).cast("double")).as("gini")): _*)
+  }
+
   /** Scale path: approximate quantiles via the built-in KLL-style sketch
     * (`percentile_approx`) — fully partial-aggregatable (no window, no
     * per-group sort), so the shuffle carries sketches, not rows. `accuracy`

@@ -877,6 +877,20 @@ object CoreQueries {
       .orderBy("l_returnflag", "col_x", "col_y")
   }
 
+  /** Gini gate: per-source document-length inequality — the corpus-
+    * balance diagnostic; numerator exact, coefficient one division the
+    * oracle replays rank-for-rank.
+    */
+  def q186Gini(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    Quantiles.gini(
+      Tables.documents(s, dir).select("source", "n_chars", "doc_id"),
+      Seq("source"), "n_chars", "doc_id")
+      .select(col("source"), col("n"), col("sum_v").cast("long").as("sum_v"),
+        col("gini_num").cast("long").as("gini_num"), col("gini"))
+      .orderBy("source")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

@@ -96,6 +96,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 
+  test("gini: golden values, perfect equality zero, max concentration, tie invariance") {
+    import graft.operators.Quantiles
+    // {1,2,3,4}: num = (-3)*1 + (-1)*2 + 1*3 + 3*4 = 10; G = 10/(4*10) = 0.25
+    val d = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L))
+      .toDF("k", "v", "tb")
+    val r = Quantiles.gini(d, Seq("k"), "v", "tb").head()
+    assert(r.getLong(1) == 4L && r.getDecimal(3).longValueExact() == 10L)
+    assert(r.getDouble(4) == 0.25)
+    // perfect equality -> exactly 0 (integer numerator, not ~0)
+    val eq = Seq.fill(8)(5L).zipWithIndex.map { case (v, i) => ("e", v, i.toLong) }
+      .toDF("k", "v", "tb")
+    assert(Quantiles.gini(eq, Seq("k"), "v", "tb").head().getDecimal(3).signum == 0)
+    // one row holds everything -> (n-1)/n
+    val conc = (Seq.fill(9)(0L) :+ 100L).zipWithIndex.map { case (v, i) => ("c", v, i.toLong) }
+      .toDF("k", "v", "tb")
+    assert(Quantiles.gini(conc, Seq("k"), "v", "tb").head().getDouble(4) == 0.9)
+    // tied values: any permutation of the tie-break gives the same numerator
+    val t1 = Seq(("t", 7L, 1L), ("t", 7L, 2L), ("t", 3L, 3L)).toDF("k", "v", "tb")
+    val t2 = Seq(("t", 7L, 9L), ("t", 7L, 0L), ("t", 3L, 5L)).toDF("k", "v", "tb")
+    assert(Quantiles.gini(t1, Seq("k"), "v", "tb").head().getDecimal(3) ==
+      Quantiles.gini(t2, Seq("k"), "v", "tb").head().getDecimal(3))
+    // all-zero group: gini NULL, sums exact zero
+    val z = Seq(("z", 0L, 1L), ("z", 0L, 2L)).toDF("k", "v", "tb")
+    assert(Quantiles.gini(z, Seq("k"), "v", "tb").head().isNullAt(4))
+  }
+
   test("joinCardinality: forecast equals the real join, max flags the hot key, disjoint is zero") {
     // a: k1 x3, k2 x2, k9 x1;  b: k1 x4, k2 x1, k7 x5
     val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") :+ "k9").toDF("k")
