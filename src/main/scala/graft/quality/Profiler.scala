@@ -391,7 +391,9 @@ object Profiler {
     val dec = "decimal(38,0)"
     val pairs = for (i <- cols.indices; j <- (i + 1) until cols.length)
       yield (cols(i), cols(j))
-    pairs.map { case (x, y) =>
+    // ONE generator over the group-sized moments frame — a per-pair
+    // union would re-run the moments aggregation once per pair
+    val cells = pairs.map { case (x, y) =>
       val n = col("n").cast(dec)
       val (sx, sy) = (col(s"s__$x"), col(s"s__$y"))
       val sxy = col(s"p__${x}__${y}")
@@ -399,11 +401,17 @@ object Profiler {
       val num = (n * sxy - sx * sy).cast("double")
       val dx = (n * sxx - sx * sx).cast("double")
       val dy = (n * syy - sy * sy).cast("double")
-      moments.select((keyCols.map(col) :+
-        lit(x).as("col_x") :+ lit(y).as("col_y") :+ col("n") :+
+      struct(
+        lit(x).as("col_x"), lit(y).as("col_y"),
         when(dx > 0 && dy > 0,
-          greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy))))).as("r")): _*)
-    }.reduce(_ unionByName _)
+          greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy))))).as("r"))
+    }
+    moments
+      .select((keyCols.map(col) :+ col("n") :+
+        explode(array(cells: _*)).as("__pair")): _*)
+      .select((keyCols.map(col) :+
+        col("__pair.col_x").as("col_x") :+ col("__pair.col_y").as("col_y") :+
+        col("n") :+ col("__pair.r").as("r")): _*)
   }
 
   /** Two-sample chi-square drift for a CATEGORICAL column, INTEGER-EXACT

@@ -249,7 +249,15 @@ class PlanShapeSpec extends SparkSpec {
     // benford: one grouped narrow scan; 9-row bookkeeping after
     Shape("q181_benford", maxHash = 1, maxRange = 2, forbidUdf = true),
     // grouped bootstrap: same single-exchange collapse as q179
-    Shape("q182_bootstrap_by_source", maxHash = 1, forbidUdf = true)
+    Shape("q182_bootstrap_by_source", maxHash = 1, forbidUdf = true),
+    // readability: narrow codegen projection, zero pre-output shuffles
+    Shape("q184_readability", maxHash = 0, forbidUdf = true),
+    // correlation matrix: ALL pairs from ONE moments aggregation (the
+    // per-pair-union shape re-ran it once per pair -- locked out)
+    Shape("q185_correlation_matrix", maxHash = 1,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // gini: rank + aggregation share one group-key exchange
+    Shape("q186_gini", maxHash = 1, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
