@@ -196,7 +196,8 @@ object SparkEntry {
     "q183_generalize" -> (CoreQueries.q183Generalize(_, _)),
     "q184_readability" -> (LlmQueries.q184Readability(_, _)),
     "q185_correlation_matrix" -> (CoreQueries.q185CorrelationMatrix(_, _)),
-    "q186_gini" -> (CoreQueries.q186Gini(_, _))
+    "q186_gini" -> (CoreQueries.q186Gini(_, _)),
+    "q187_spearman" -> (CoreQueries.q187Spearman(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3389,6 +3390,32 @@ object SparkEntry {
         |  CASE WHEN sum_v > 0 THEN
         |    CAST(gini_num AS DOUBLE) / CAST(CAST(n AS HUGEINT) * sum_v AS DOUBLE) END AS gini
         |FROM g ORDER BY source""".stripMargin,
+    // Spearman: doubled average-tie ranks (2*rank + tiecount - 1), then
+    // the exact-moment Pearson with the same clamp
+    "q187_spearman" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT l_returnflag,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+        |      + count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS HUGEINT) AS rx2,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+        |      + count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS HUGEINT) AS ry2
+        |  FROM s),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
+        |    sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS BIGINT) AS sum_rx2, CAST(sy AS BIGINT) AS sum_ry2,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+        |    greatest(-1.0, least(1.0,
+        |      CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |        (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) *
+        |         sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))))) END AS rho
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // hierarchical graph-ANN: brute truth + metric joins replayed over
     // the layered-descent fixture (the q166/q167 replayability line)
     "q174_graph_ann_layered" ->

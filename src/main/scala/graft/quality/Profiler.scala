@@ -414,6 +414,42 @@ object Profiler {
         col("n") :+ col("__pair.r").as("r")): _*)
   }
 
+  /** Spearman rank correlation, EXACT under ties: ρ = Pearson over the
+    * per-group average-tie ranks, carried as INTEGERS by doubling —
+    * a tie block's average rank is min_rank + (block−1)/2, so
+    * 2·avg_rank = 2·rank() + count_over_(group, value) − 1 is an exact
+    * long — and the doubling cancels in Pearson (shift/scale
+    * invariance), so this IS textbook Spearman with average ties, not
+    * the row_number approximation. Reuses [[correlation]]'s exact-moment
+    * machinery verbatim (same clamp, same NULL row exclusion — pairwise
+    * on the two columns). The monotone-association companion to q177's
+    * linear r: outlier-robust, catches nonlinear monotone structure.
+    * Two rank windows + the one moments aggregation share the group-key
+    * exchange.
+    */
+  def spearman(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ xCol :+ yCol).map(col): _*)
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    def rank2(c: String, as: String) = Seq(
+      rank().over(Window.partitionBy(g: _*).orderBy(col(c))).as(s"__rk_$as"),
+      count(lit(1)).over(Window.partitionBy((g :+ col(c)): _*)).as(s"__ct_$as"))
+    val ranked = base
+      .select((g ++ rank2(xCol, "x") ++ rank2(yCol, "y")): _*)
+      .select((g :+
+        (lit(2L) * col("__rk_x") + col("__ct_x") - 1L).as("__rx2") :+
+        (lit(2L) * col("__rk_y") + col("__ct_y") - 1L).as("__ry2")): _*)
+    correlation(ranked, keyCols, "__rx2", "__ry2")
+      .withColumnRenamed("sum_x", "sum_rx2")
+      .withColumnRenamed("sum_y", "sum_ry2")
+      .withColumnRenamed("r", "rho")
+  }
+
   /** Two-sample chi-square drift for a CATEGORICAL column, INTEGER-EXACT
     * — the categorical sibling of [[ksDriftFromHistograms]] (KS needs an
     * order; categories have none): per value v with counts b_v / c_v and

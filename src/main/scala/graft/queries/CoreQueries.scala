@@ -891,6 +891,24 @@ object CoreQueries {
       .orderBy("source")
   }
 
+  /** Spearman gate: rank correlation of quantity vs price per return
+    * flag — integer doubled average-tie ranks (quantity is 1–50, so tie
+    * blocks are thousands deep: the average-tie arithmetic carries the
+    * gate), then the exact-moment Pearson replayed by the oracle.
+    */
+  def q187Spearman(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    Profiler.spearman(li, Seq("l_returnflag"), "qty_c", "price_c")
+      .select(col("l_returnflag"), col("n"),
+        col("sum_rx2").cast("long").as("sum_rx2"),
+        col("sum_ry2").cast("long").as("sum_ry2"), col("rho"))
+      .orderBy("l_returnflag")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

@@ -869,4 +869,26 @@ class ProfileSampleSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2, t._3))
       .toDF("k", "col_x", "col_y", "n", "r")
   }
+
+  test("spearman: monotone nonlinear = 1, ties use average ranks, reversal = -1") {
+    import spark.implicits._
+    // y = x^3 is monotone nonlinear: Pearson < 1 but Spearman EXACTLY 1
+    val cube = (1 to 20).map(i => ("m", i.toLong, (i.toLong * i * i))).toDF("k", "x", "y")
+    assert(Profiler.spearman(cube, Seq("k"), "x", "y").head().getDouble(4) == 1.0)
+    assert(Profiler.correlation(cube, Seq("k"), "x", "y").head().getDouble(4) < 1.0)
+    // strict reversal: exactly -1
+    val rev = (1 to 15).map(i => ("r", i.toLong, (100L - i))).toDF("k", "x", "y")
+    assert(Profiler.spearman(rev, Seq("k"), "x", "y").head().getDouble(4) == -1.0)
+    // tie handling golden: x = (1,1,2), y = (10,20,30).
+    // avg ranks x: (1.5, 1.5, 3) -> rx2 = (3,3,6); y ranks (1,2,3) -> ry2 = (2,4,6)
+    // Pearson((3,3,6),(2,4,6)): n=3 sx=12 sy=12 sxy=3*2+3*4+6*6=54
+    // sxx=9+9+36=54 syy=4+16+36=56; num=162-144=18, dx=162-144=18, dy=168-144=24
+    // rho = 18/sqrt(18*24)
+    val t = Seq(("t", 1L, 10L), ("t", 1L, 20L), ("t", 2L, 30L)).toDF("k", "x", "y")
+    val rho = Profiler.spearman(t, Seq("k"), "x", "y").head().getDouble(4)
+    assert(rho == 18.0 / (math.sqrt(18.0) * math.sqrt(24.0)), s"rho $rho")
+    // constant column: no rank variance -> NULL
+    val const = (1 to 5).map(i => ("c", i.toLong, 7L)).toDF("k", "x", "y")
+    assert(Profiler.spearman(const, Seq("k"), "x", "y").head().isNullAt(4))
+  }
 }
