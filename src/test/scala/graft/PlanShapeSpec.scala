@@ -257,7 +257,13 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q185_correlation_matrix", maxHash = 1,
       forbidSortMergeJoin = true, forbidUdf = true),
     // gini: rank + aggregation share one group-key exchange
-    Shape("q186_gini", maxHash = 1, forbidUdf = true)
+    Shape("q186_gini", maxHash = 1, forbidUdf = true),
+    // spearman: BOTH columns' rank + tie-count windows and the moments
+    // aggregation share ONE group exchange (hashpartitioning(g)
+    // satisfies the (g, value) clustering) -- sort-bound, never
+    // shuffle-bound
+    Shape("q187_spearman", maxHash = 1, forbidSortMergeJoin = true,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
