@@ -468,12 +468,31 @@ object Profiler {
     * with ONE division per value at the very end, summed in value order —
     * deterministic, value-cardinality work.
     */
-  def chiSquareDrift(base: DataFrame, cur: DataFrame, column: String): DataFrame = {
+  def chiSquareDrift(base: DataFrame, cur: DataFrame, column: String): DataFrame =
+    chiSquareDriftFromCounts(valueCounts(base, column), valueCounts(cur, column))
+
+  /** Per-value count histogram of a categorical column — the MERGEABLE
+    * state behind [[chiSquareDrift]] (the [[ksDriftFromHistograms]] API
+    * symmetry): plain sums, so snapshots over disjoint row sets fold by
+    * [[mergeValueCounts]] into exactly the rebuild's histogram — drift
+    * against a growing baseline without rescanning it (the aucHistogram
+    * incremental contract; sum-merge is non-idempotent ⇒ the CMS replay
+    * discipline when persisted).
+    */
+  def valueCounts(df: DataFrame, column: String): DataFrame =
+    df.select(col(column).cast("string").as("value"))
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+
+  /** Fold two [[valueCounts]] histograms over disjoint row sets. */
+  def mergeValueCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("value").agg(sum("cnt").as("cnt"))
+
+  /** [[chiSquareDrift]] from two (possibly folded) [[valueCounts]]
+    * histograms. */
+  def chiSquareDriftFromCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val hb = base.select(col(column).cast("string").as("value"))
-      .groupBy("value").agg(count(lit(1)).as("n_base"))
-    val hc = cur.select(col(column).cast("string").as("value"))
-      .groupBy("value").agg(count(lit(1)).as("n_cur"))
+    val hb = baseCounts.select(col("value"), col("cnt").as("n_base"))
+    val hc = curCounts.select(col("value"), col("cnt").as("n_cur"))
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // the joined frame is value-cardinality-sized (a categorical audit
     // input by contract) — the all-frame window is bookkeeping, not scale

@@ -891,4 +891,20 @@ class ProfileSampleSpec extends SparkSpec {
     val const = (1 to 5).map(i => ("c", i.toLong, 7L)).toDF("k", "x", "y")
     assert(Profiler.spearman(const, Seq("k"), "x", "y").head().isNullAt(4))
   }
+
+  test("chi-square value counts fold: merged snapshots drift exactly like the rebuild") {
+    import spark.implicits._
+    val base = Seq("a", "a", "b").toDF("k")
+    val cur1 = Seq("b", "b").toDF("k")
+    val cur2 = Seq("c", "b").toDF("k")
+    val folded = Profiler.mergeValueCounts(
+      Profiler.valueCounts(cur1, "k"), Profiler.valueCounts(cur2, "k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("value").collect().map(_.toSeq).toSeq
+    // folded histogram == rebuild (shared value b must SUM)
+    assert(rows(folded) == rows(Profiler.valueCounts(cur1.unionByName(cur2), "k")))
+    // drift from the folded state is bit-identical to the direct path
+    assert(rows(Profiler.chiSquareDriftFromCounts(Profiler.valueCounts(base, "k"), folded))
+      == rows(Profiler.chiSquareDrift(base, cur1.unionByName(cur2), "k")))
+  }
 }
