@@ -3247,8 +3247,10 @@ object SparkEntry {
         |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_type, event_id, v_milli,
-        |  CAST(p - pmin AS BIGINT) AS cusum_hi, CAST(pmax - p AS BIGINT) AS cusum_lo,
-        |  p - pmin > 2000000 AS breach_hi, pmax - p > 2000000 AS breach_lo
+        |  CAST(p - least(0, pmin) AS BIGINT) AS cusum_hi,
+        |  CAST(greatest(0, pmax) - p AS BIGINT) AS cusum_lo,
+        |  p - least(0, pmin) > 2000000 AS breach_hi,
+        |  greatest(0, pmax) - p > 2000000 AS breach_lo
         |FROM x ORDER BY event_type, event_id""".stripMargin,
     // Benford: exact digit counts vs pinned log10(1+1/d) ppm targets
     "q181_benford" ->
@@ -3308,9 +3310,9 @@ object SparkEntry {
         |    GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT))),
         |m2 AS (SELECT min(cnt) AS m FROM (SELECT count(*) AS cnt FROM customer
         |    GROUP BY c_nationkey, CAST(floor(c_acctbal / 10000) AS BIGINT))),
-        |lvl AS (SELECT CASE WHEN (SELECT m FROM m0) >= 5 THEN 0
-        |    WHEN (SELECT m FROM m1) >= 5 THEN 1
-        |    WHEN (SELECT m FROM m2) >= 5 THEN 2 ELSE 3 END AS lv),
+        |lvl AS (SELECT CASE WHEN coalesce((SELECT m FROM m0), 9223372036854775807) >= 5 THEN 0
+        |    WHEN coalesce((SELECT m FROM m1), 9223372036854775807) >= 5 THEN 1
+        |    WHEN coalesce((SELECT m FROM m2), 9223372036854775807) >= 5 THEN 2 ELSE 3 END AS lv),
         |g AS (
         |  SELECT c_nationkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket, 0 AS gen_level
         |    FROM customer WHERE (SELECT lv FROM lvl) = 0

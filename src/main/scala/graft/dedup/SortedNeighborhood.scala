@@ -102,12 +102,13 @@ object SortedNeighborhood {
         .filter(col("k").isNotNull)
         .withColumn("is_batch", lit(isBatch))
         .withColumn("__c", substring(col("k"), 1, prefixLen))
-    val all = prep(standing, isBatch = false).unionByName(prep(batch, isBatch = true))
+    val batchPrepped = prep(batch, isBatch = true)
+    val all = prep(standing, isBatch = false).unionByName(batchPrepped)
     // sorted (cell, rows) list + the batch's touched set — both bounded
-    // by cell cardinality, not data
+    // by cell cardinality, not data (one prep of the batch feeds both)
     val cellCounts = all.groupBy("__c").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val touched = prep(batch, isBatch = true).select("__c").distinct()
+    val touched = batchPrepped.select("__c").distinct()
       .collect().map(_.getString(0)).toSet
     val idx = cellCounts.map(_._1).zipWithIndex.toMap
     // per segment (= touched cell): itself in full, plus tail/head slices

@@ -200,7 +200,16 @@ object Quantiles {
       .otherwise(least(lit(cells - 1L),
         floor((col(valueCol) - col("__lo")).cast("double") * cells /
           (col("__hi") - col("__lo")).cast("double"))))
-    val celled = base.join(broadcast(stats), keyCols).withColumn("__c", cell)
+    // NULL-SAFE key joins throughout: a NULL-keyed group is a group (the
+    // windowed arm's partitionBy treats it as one) — a plain equi-join
+    // would drop it here and break the documented arm equivalence
+    def nsJoin(left: DataFrame, right: DataFrame, cols: Seq[String]): DataFrame = {
+      val renamed = right.toDF(right.columns.map(c =>
+        if (cols.contains(c)) s"__r_$c" else c): _*)
+      val cond = cols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+      left.join(broadcast(renamed), cond).drop(cols.map(c => s"__r_$c"): _*)
+    }
+    val celled = nsJoin(base, stats, keyCols).withColumn("__c", cell)
     val counts = celled.groupBy((g :+ col("__c")): _*).agg(count(lit(1)).as("__cnt"))
     val offs = counts
       .withColumn("__off",
@@ -214,7 +223,7 @@ object Quantiles {
         (col("__r90") > col("__off") && col("__r90") <= col("__off") + col("__cnt")))
       .select((g :+ col("__c") :+ col("__off") :+ col("__n") :+
         col("__r50") :+ col("__r90")): _*)
-    celled.join(broadcast(offs), keyCols :+ "__c")
+    nsJoin(celled, offs, keyCols :+ "__c")
       .withColumn("__rn",
         col("__off") + row_number().over(
           Window.partitionBy((g :+ col("__c")): _*)

@@ -177,8 +177,10 @@ object TimeSeries {
   /** Two-sided CUSUM change detection (Page 1954), INTEGER-EXACT: with
     * integer-unit values x and target μ (pre-scale — the q177 cents/ppm
     * discipline), the high-side statistic is
-    * S⁺_t = P_t − min_{j≤t} P_j and the low side
-    * S⁻_t = max_{j≤t} P_j − P_t, where P is the prefix sum of (x − μ) —
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) and the low side
+    * S⁻_t = max(0, max_{j≤t} P_j) − P_t, where P is the prefix sum of
+    * (x − μ) and the 0 is the empty prefix P₀ (the chart starts at
+    * S₀ = 0 — dropping it silences any shift that begins at row 1) —
     * the classical recursive max(0, S+x−μ) UNROLLED into a cumulative
     * sum plus a running extremum, which windows compute without a
     * sequential fold and any engine reproduces digit-for-digit. This is
@@ -208,8 +210,12 @@ object TimeSeries {
     df.select((keyCols ++ orderCols :+ valueCol).map(col): _*)
       .filter(col(valueCol).isNotNull)
       .withColumn("__p", sum(col(valueCol) - lit(target)).over(w))
-      .withColumn("cusum_hi", col("__p") - min(col("__p")).over(w))
-      .withColumn("cusum_lo", max(col("__p")).over(w) - col("__p"))
+      // the classical chart starts at S_0 = 0, i.e. the EMPTY PREFIX's
+      // sum P_0 = 0 belongs to the extremum set — without it a shift
+      // beginning at the very first row can never breach (min P over
+      // rows alone equals P_1, zeroing S)
+      .withColumn("cusum_hi", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("cusum_lo", greatest(lit(0L), max(col("__p")).over(w)) - col("__p"))
       .withColumn("breach_hi", col("cusum_hi") > threshold)
       .withColumn("breach_lo", col("cusum_lo") > threshold)
       .drop("__p")

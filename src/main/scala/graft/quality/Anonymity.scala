@@ -108,9 +108,18 @@ object Anonymity {
     val groupValue = base.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
     // every (group × sensitive value) cell, zero-filled — a value absent
-    // from the group still contributes |0 − Cᵢ·n| to the gap
+    // from the group still contributes |0 − Cᵢ·n| to the gap. The
+    // groupValue join is NULL-SAFE on the quasi keys: a group keyed by a
+    // NULL quasi value (missing zip) is a group like any other — a plain
+    // equi-join would never match it to its own counts and misreport a
+    // perfectly conforming group at tvd = 0.5
+    val gv = groupValue.toDF(
+      (quasiCols.map(c => s"__gv_$c") :+ s"__gv_$sensitiveCol" :+ "__c"): _*)
+    val joinCond = (quasiCols.map(c => col(c) <=> col(s"__gv_$c")) :+
+      (col(sensitiveCol) <=> col(s"__gv_$sensitiveCol"))).reduce(_ && _)
     groups.crossJoin(broadcast(globalCounts))
-      .join(groupValue, quasiCols :+ sensitiveCol, "left")
+      .join(gv, joinCond, "left")
+      .drop((quasiCols.map(c => s"__gv_$c") :+ s"__gv_$sensitiveCol"): _*)
       .crossJoin(broadcast(total))
       .groupBy((quasiCols.map(col) :+ col("cnt") :+ col("__N")): _*)
       .agg(sum(abs(coalesce(col("__c"), lit(0L)) * col("__N") -

@@ -491,12 +491,18 @@ object Profiler {
     * histograms. */
   def chiSquareDriftFromCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val hb = baseCounts.select(col("value"), col("cnt").as("n_base"))
-    val hc = curCounts.select(col("value"), col("cnt").as("n_cur"))
+    val hb = baseCounts.select(col("value").as("__vb"), col("cnt").as("n_base"))
+    val hc = curCounts.select(col("value").as("__vc"), col("cnt").as("n_cur"))
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // the joined frame is value-cardinality-sized (a categorical audit
-    // input by contract) — the all-frame window is bookkeeping, not scale
-    hb.join(hc, Seq("value"), "full_outer")
+    // input by contract) — the all-frame window is bookkeeping, not scale.
+    // NULL-SAFE equality: the NULL category (valueCounts keeps it — NULL
+    // rows are a distribution mass like any other) must match ITSELF
+    // across the two histograms; a plain equi-join splits it into two
+    // one-sided rows and fabricates drift on identical snapshots
+    hb.join(hc, col("__vb") <=> col("__vc"), "full_outer")
+      .select(coalesce(col("__vb"), col("__vc")).as("value"),
+        col("n_base"), col("n_cur"))
       .na.fill(0L, Seq("n_base", "n_cur"))
       .withColumn("__gap",
         col("n_base").cast(dec) * sum("n_cur").over(all).cast(dec) -

@@ -422,9 +422,17 @@ object GraphAnn {
       upperHops: Int = 2
   ): DataFrame = {
     require(upperBeam >= 1, s"upperBeam must be >= 1: $upperBeam")
-    val top = leveled.filter(col("level") >= maxLevel).select(col("id").as("node"))
+    // the top layer is a geometric tail (P(level ≥ L) = 4^-L): on a small
+    // corpus it can be EMPTY, and empty seeds would propagate an empty
+    // beam through every layer — silently answering nothing. Seed from
+    // the highest POPULATED level instead (one count per probed level,
+    // against the level-count-sized persisted frame).
+    val startLevel = (maxLevel to 0 by -1)
+      .find(l => leveled.filter(col("level") >= l).limit(1).count() > 0)
+      .getOrElse(0)
+    val top = leveled.filter(col("level") >= startLevel).select(col("id").as("node"))
     var entries = queries.select(col(idCol).as("query_id")).crossJoin(top)
-    for (l <- maxLevel to 1 by -1) {
+    for (l <- startLevel to 1 by -1) {
       entries = searchTopKFrom(layers.filter(col("layer") === l).select("src", "dst"),
           corpus, queries, idCol, vecCol, entries,
           k = upperBeam, beam = upperBeam, hops = upperHops)

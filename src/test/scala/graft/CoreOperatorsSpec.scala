@@ -361,5 +361,14 @@ class CoreOperatorsSpec extends SparkSpec {
     val low = TimeSeries.cusum(dLow, Seq("g"), Seq("t"), "v", 10L, 12L)
       .orderBy("t").collect()
     assert(low.exists(_.getBoolean(6)) && !low.exists(_.getBoolean(5)))
+    // a shift starting at the VERY FIRST row must breach: the chart's
+    // implicit S_0 = 0 (empty-prefix P_0) is part of the extremum set —
+    // min over existing rows alone would zero S and silence it forever
+    val head = Seq(30L, 10L, 10L).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("g", "t", "v")
+    val hc = TimeSeries.cusum(head, Seq("g"), Seq("t"), "v", 10L, 12L)
+      .orderBy("t").collect()
+    assert(hc(0).getLong(3) == 20L && hc(0).getBoolean(5),
+      s"row-1 shift must alarm: ${hc(0)}")
   }
 }

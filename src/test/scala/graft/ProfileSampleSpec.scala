@@ -322,6 +322,14 @@ class ProfileSampleSpec extends SparkSpec {
     val vn = Anonymity.tClosenessViolations(dn, Seq("q"), "s", tPpm = 300000L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(vn == v)
+    // a NULL-QUASI group is a group like any other: one whose sensitive
+    // distribution matches the corpus must NOT be flagged (the equi-join
+    // never matched NULL keys to their own counts -> phantom tvd 0.5)
+    val dq = (Seq.fill(5)((Option.empty[String], "A")) ++
+      Seq.fill(5)((Option.empty[String], "B")) ++
+      Seq.fill(5)((Option("z"), "A")) ++ Seq.fill(5)((Option("z"), "B")))
+      .toDF("q", "s")
+    assert(Anonymity.tClosenessViolations(dq, Seq("q"), "s", tPpm = 100000L).count() == 0)
   }
 
   test("temporalSplit: embargo window excluded from BOTH sides") {
@@ -553,6 +561,13 @@ class ProfileSampleSpec extends SparkSpec {
     // decimal(38,0) numerator — 100 TB-count products must not wrap a long
     assert(d.schema("chi_num").dataType ==
       org.apache.spark.sql.types.DecimalType(38, 0))
+    // the NULL category matches ITSELF across snapshots: identical
+    // distributions containing NULLs must show ZERO drift (a plain
+    // equi-join split the NULL row into two one-sided cells)
+    val withNull = Seq(Some("a"), None, Some("a"), None).toDF("k")
+    val nd = Profiler.chiSquareDrift(withNull, withNull, "k")
+    assert(nd.count() == 2 && nd.collect().forall(_.getDecimal(3).signum == 0))
+    assert(Profiler.chiSquareStat(nd)._1 == 0.0)
   }
 
   test("correlation: golden r, perfect/anti/constant shapes, pairwise NULL exclusion") {

@@ -77,6 +77,17 @@ class ScaleOpsSpec extends SparkSpec {
     val celledCount = Quantiles.exactQuantilesBucketed(
       d.filter($"g" === "spread"), Seq("g"), "v", "tb", cells = 16)
     assert(norm(celledCount) == win.filter(_._1 == "spread"))
+    // a NULL-keyed GROUP survives both arms identically (the equi-join
+    // with the stats frame silently dropped it before the null-safe fix)
+    val gn = (Seq((Option.empty[String], Some(1.0), 1L),
+      (Option.empty[String], Some(3.0), 2L),
+      (Option("x"), Some(5.0), 3L))).toDF("g", "v", "tb")
+    def normN(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+    assert(normN(Quantiles.exactQuantilesBucketed(gn, Seq("g"), "v", "tb"))
+      == normN(Quantiles.exactQuantiles(gn, Seq("g"), "v", "tb")))
+    assert(normN(Quantiles.exactQuantilesBucketed(gn, Seq("g"), "v", "tb"))
+      .exists(_._1.isEmpty), "NULL-keyed group must be present")
   }
 
   test("winsorize: hand-computed rank bounds, tails clamped, body untouched, NULLs excluded") {
@@ -559,6 +570,16 @@ class ScaleOpsSpec extends SparkSpec {
     val rf = (exact intersect flat).size.toDouble / exact.size
     assert(rl >= rf, s"layered $rl below flat $rf at hops=2")
     assert(rl >= 0.5, s"layered low-hop recall too low: $rl")
+    // an UNPOPULATED top layer must not silently answer nothing: at
+    // maxLevel 6 (P = 4^-6 per node) the top is almost surely empty on
+    // 500 nodes — the descent must seed from the highest POPULATED level
+    val deepLeveled = GraphAnn.assignLevels(assigned, maxLevel = 6).persist()
+    val deepLayers = GraphAnn.buildLayers(assigned, graphDegree = 8, maxLevel = 6).persist()
+    val deep = GraphAnn.searchLayered(deepLayers, e, q, "vec_id", "embedding",
+        deepLeveled, maxLevel = 6, k = 5, beam = 16, hops = 2, upperBeam = 8)
+    assert(deep.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L),
+      "every query must still get k results when the top layer is empty")
+    deepLayers.unpersist(false); deepLeveled.unpersist(false)
     layers.unpersist(false); leveled.unpersist(false); assigned.unpersist(false)
   }
 
