@@ -221,8 +221,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q171_winsorize", maxHash = 1, forbidUdf = true),
     // chi-square drift: two grouped narrow scans + the value-cardinality
     // fold; the full-outer of two tiny value frames may sort-merge (5
-    // rows), so no SMJ ban -- the lock is the shuffle budget
-    Shape("q172_chi_square_drift", maxHash = 2, maxRange = 2, forbidUdf = true),
+    // rows), so no SMJ ban. The NULL-SAFE join (r9 fix: the NULL category
+    // must match itself) hashes on a coalesced key expression, so the agg
+    // exchanges can't be reused -- 2 extra exchanges of value-cardinality
+    // frames, bought deliberately for correctness
+    Shape("q172_chi_square_drift", maxHash = 4, maxRange = 2, forbidUdf = true),
     // sorted neighborhood: offsets broadcast onto the celled frame, the
     // pair equi-join on rank; per-cell sorts only, no global sort beyond
     // the oracle tax
