@@ -46,12 +46,49 @@ object AbQuantiles {
       f().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val win = () => graft.operators.Quantiles
-      .exactQuantiles(input(), Seq("grp"), "v", "tb")
-    val buck = () => graft.operators.Quantiles
-      .exactQuantilesBucketed(input(), Seq("grp"), "v", "tb")
-    val a = win().orderBy("grp").collect().toSeq
-    val b = buck().orderBy("grp").collect().toSeq
+    // 4th arg picks the statistic: quantiles (default) | gini |
+    // spearman | winsorize — same hot-group corpus, same methodology,
+    // so the round-10 bucketed family A/Bs on the exact shape the
+    // quantile adopt decision used. gini needs integer non-negative
+    // values (cents); spearman pairs v with a second monotone-with-noise
+    // column derived from the tie-break hash.
+    val op = args.lift(3).getOrElse("quantiles")
+    import graft.operators.Quantiles
+    import graft.quality.Profiler
+    def giniIn() = input().select(col("grp"),
+      (col("v") * 100).cast("long").as("v"), col("tb"))
+    def spIn() = input().select(col("grp"),
+      (col("v") * 100).cast("long").as("x"),
+      ((col("v") * 100).cast("long") * 3 +
+        (conv(substring(md5(col("tb")), 1, 4), 16, 10).cast("long") % 997)).as("y"))
+    val (win, buck): (() => DataFrame, () => DataFrame) = op match {
+      case "quantiles" => (
+        () => Quantiles.exactQuantiles(input(), Seq("grp"), "v", "tb"),
+        () => Quantiles.exactQuantilesBucketed(input(), Seq("grp"), "v", "tb"))
+      case "gini" => (
+        () => Quantiles.gini(giniIn(), Seq("grp"), "v", "tb"),
+        () => Quantiles.giniBucketed(giniIn(), Seq("grp"), "v", "tb"))
+      case "winsorize" => (
+        () => Quantiles.winsorize(input(), Seq("grp"), "v", "tb"),
+        () => Quantiles.winsorizeBucketed(input(), Seq("grp"), "v", "tb"))
+      case "spearman" => (
+        () => Profiler.spearman(spIn(), Seq("grp"), "x", "y"),
+        () => Profiler.spearmanBucketed(spIn(), Seq("grp"), "x", "y"))
+      case other => sys.error(s"unknown op: $other")
+    }
+    // winsorize emits row-per-input (millions at amp 8) — arm equivalence
+    // checks an exact per-group reduction (count + decimal clamp sum +
+    // bounds) instead of a driver-sized collect; the per-row identity is
+    // the ScaleOpsSpec arm-equivalence spec's job at spec scale
+    def armView(df: DataFrame) =
+      if (op == "winsorize")
+        df.groupBy("grp").agg(
+          count(lit(1)).as("n"),
+          sum(col("v_wins").cast("decimal(38,6)")).as("s"),
+          min("lo").as("lo"), max("hi").as("hi"))
+      else df
+    val a = armView(win()).orderBy("grp").collect().toSeq
+    val b = armView(buck()).orderBy("grp").collect().toSeq
     require(a == b, s"arms disagree:\n${a.take(5)}\n${b.take(5)}")
     run(win); run(buck)
     val (ws, bs) = (Array.ofDim[Double](reps), Array.ofDim[Double](reps))

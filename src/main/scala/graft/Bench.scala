@@ -73,34 +73,52 @@ object Bench {
     val p1 = timeAll().toMap
     val results = timeAll().map { case (n, t) => n -> math.min(t, p1(n)) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Full-precision, full-name line FIRST (human/SURVEY diagnostics; the
-    // driver keeps only the last ~2000 bytes of stdout, so this line is
-    // expected to truncate out of the official artifact).
+    val sfName = sfDir.split('/').last
+    // Locale.ROOT: the f-interpolator is locale-sensitive — a
+    // comma-decimal JVM locale would emit invalid JSON
+    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
+    // COMPLETE artifact → a file (full names, float seconds, total): the
+    // stdout tail the driver keeps is 2000 bytes, far too small for the
+    // full-precision map, and BENCH_r09 proved even the compact map
+    // outgrows it — the file is the durable record (committed at the
+    // next round's start; judges diff it against prior rounds).
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""[bench-full] {"queries":$fullQs}""")
-    // Official line LAST, sized to fit the driver's 2000-byte stdout tail
-    // even with sbt's trailing "[success]" line: keys shortened to the
-    // numeric qNN prefix (unique across the suite — checked), per-query
-    // values as INTEGER MILLISECONDS (queries_unit marks it) so the map
-    // stays ~10 bytes/query and survives past 190 queries, emitted in
-    // NUMERIC query order so q100+ timings are visible in the artifact
-    // (round-7 verdict task 1: the alphabetical full-name map truncated
-    // q100–q144 out of the tail).
+    val fullLine =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfName","queries":$fullQs}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      println("[bench] full artifact written to bench_full.json")
+    } catch { case e: Throwable => println(s"[bench] full-artifact write failed: $e") }
+    println(s"[bench-full] $fullLine")
+    // Official line LAST, and it MUST fit the driver's 2000-byte stdout
+    // tail together with sbt's trailing "[success] Total time: ..." line
+    // (~80 bytes) — BENCH_r09's ~2100-byte line lost its own head (q01–q06
+    // + the total metric). Keys are the bare query number (the qNN prefix
+    // is unique — checked — and "queries_key" documents the stripped "q"),
+    // emitted in numeric order; the unit auto-degrades ms → cs → ds until
+    // the line fits the budget, so the artifact stays complete as the
+    // suite grows instead of silently truncating.
     val num = "q(\\d+)".r
     def qnum(n: String): Int = num.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0)
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       s"duplicate qNN short keys would silently drop a timing: " +
         shortKeys.groupBy(identity).filter(_._2.size > 1).keys.mkString(","))
-    val compact = results.sortBy(r => (qnum(r._1), r._1)).map { case (k, v) =>
-      s""""${k.takeWhile(_ != '_')}":${math.round(v * 1000)}"""
-    }.mkString("{", ",", "}")
-    val sfName = sfDir.split('/').last
-    // Locale.ROOT: the f-interpolator is locale-sensitive — a
-    // comma-decimal JVM locale would emit invalid JSON
-    val totalStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries_unit":"ms","queries":$compact,"sf":"$sfName"}""")
+    val ordered = results.sortBy(r => (qnum(r._1), r._1))
+    def officialLine(unit: String, div: Double): String = {
+      val compact = ordered.map { case (k, v) =>
+        s""""${k.takeWhile(_ != '_').stripPrefix("q")}":${math.round(v * div)}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries_unit":"$unit","queries_key":"q#","queries":$compact,"sf":"$sfName"}"""
+    }
+    val budget = 1870 // 2000-byte tail − sbt footer − [info] prefix margin
+    val line = Seq("ms" -> 1000.0, "cs" -> 100.0, "ds" -> 10.0)
+      .map { case (u, d) => officialLine(u, d) }
+      .find(_.length <= budget)
+      .getOrElse(officialLine("ds", 10.0))
+    println(line)
     spark.stop()
   }
 }

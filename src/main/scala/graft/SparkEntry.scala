@@ -197,11 +197,31 @@ object SparkEntry {
     "q184_readability" -> (LlmQueries.q184Readability(_, _)),
     "q185_correlation_matrix" -> (CoreQueries.q185CorrelationMatrix(_, _)),
     "q186_gini" -> (CoreQueries.q186Gini(_, _)),
-    "q187_spearman" -> (CoreQueries.q187Spearman(_, _))
+    "q187_spearman" -> (CoreQueries.q187Spearman(_, _)),
+    "q188_spearman_bucketed" -> (CoreQueries.q188SpearmanBucketed(_, _)),
+    "q189_gini_bucketed" -> (CoreQueries.q189GiniBucketed(_, _)),
+    "q190_winsorize_bucketed" -> (CoreQueries.q190WinsorizeBucketed(_, _)),
+    "q191_spearman_sketch" -> (CoreQueries.q191SpearmanSketch(_, _)),
+    "q192_spearman_matrix" -> (CoreQueries.q192SpearmanMatrix(_, _)),
+    "q193_correlation_drift" -> (CoreQueries.q193CorrelationDrift(_, _)),
+    "q194_split_leakage_fold" -> (LlmQueries.q194SplitLeakageFold(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
-  def oracleSql: Map[String, String] = Map(
+  /** The skew-safe ("bucketed") twins select the SAME exact statistics as
+    * their windowed arms — rank selection has one right answer regardless
+    * of layout — so they share the arm's oracle verbatim: a divergence is
+    * a layout bug by definition.
+    */
+  def oracleSql: Map[String, String] = oracleBase ++ Map(
+    "q188_spearman_bucketed" -> oracleBase("q187_spearman"),
+    "q189_gini_bucketed" -> oracleBase("q186_gini"),
+    "q190_winsorize_bucketed" -> oracleBase("q171_winsorize"))
+
+  // lazy: entries interpolate/reference shared SQL vals declared LATER in
+  // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
+  // would capture their pre-init nulls
+  private lazy val oracleBase: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -3121,7 +3141,7 @@ object SparkEntry {
         |  FROM b FULL JOIN c ON b.value = c.value),
         |t AS (SELECT CAST(sum(n_base) AS HUGEINT) AS bt, CAST(sum(n_cur) AS HUGEINT) AS ct FROM j)
         |SELECT value, n_base, n_cur,
-        |  CAST((n_base * ct - n_cur * bt) * (n_base * ct - n_cur * bt) AS BIGINT) AS chi_num,
+        |  CAST((n_base * ct - n_cur * bt) * (n_base * ct - n_cur * bt) AS VARCHAR) AS chi_num,
         |  n_base + n_cur AS cell_tot
         |FROM j CROSS JOIN t
         |ORDER BY value""".stripMargin,
@@ -3377,6 +3397,161 @@ object SparkEntry {
         |    greatest(-1.0, least(1.0, CAST(num AS DOUBLE) /
         |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))) END AS r
         |FROM p ORDER BY l_returnflag, col_x, col_y""".stripMargin,
+    // sketch-path Spearman: replay the bottom-k row-identity cut, the
+    // sample's doubled average-tie ranks + moments (rho_est), AND the
+    // full-corpus exact rho (rho_exact) — the q154 honesty chain
+    "q191_spearman_sketch" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    md5(CAST(l_orderkey AS VARCHAR) || chr(1) || CAST(l_linenumber AS VARCHAR)) AS h
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |sk AS (SELECT l_returnflag, x, y FROM (
+        |    SELECT l_returnflag, x, y,
+        |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |    FROM li) WHERE rn <= 200),
+        |rs AS (SELECT l_returnflag,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+        |      + count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS HUGEINT) AS rx2,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+        |      + count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS HUGEINT) AS ry2
+        |  FROM sk),
+        |ms AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
+        |    sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+        |  FROM rs GROUP BY 1),
+        |rf AS (SELECT l_returnflag,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+        |      + count(*) OVER (PARTITION BY l_returnflag, x) - 1 AS HUGEINT) AS rx2,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+        |      + count(*) OVER (PARTITION BY l_returnflag, y) - 1 AS HUGEINT) AS ry2
+        |  FROM li),
+        |mf AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2 * ry2) AS sxy,
+        |    sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+        |  FROM rf GROUP BY 1)
+        |SELECT ms.l_returnflag, ms.n AS n_sample,
+        |  CASE WHEN CAST(ms.n AS HUGEINT) * ms.sxx - ms.sx * ms.sx > 0
+        |        AND CAST(ms.n AS HUGEINT) * ms.syy - ms.sy * ms.sy > 0 THEN
+        |    greatest(-1.0, least(1.0,
+        |      CAST(CAST(ms.n AS HUGEINT) * ms.sxy - ms.sx * ms.sy AS DOUBLE) /
+        |        (sqrt(CAST(CAST(ms.n AS HUGEINT) * ms.sxx - ms.sx * ms.sx AS DOUBLE)) *
+        |         sqrt(CAST(CAST(ms.n AS HUGEINT) * ms.syy - ms.sy * ms.sy AS DOUBLE))))) END AS rho_est,
+        |  CASE WHEN CAST(mf.n AS HUGEINT) * mf.sxx - mf.sx * mf.sx > 0
+        |        AND CAST(mf.n AS HUGEINT) * mf.syy - mf.sy * mf.sy > 0 THEN
+        |    greatest(-1.0, least(1.0,
+        |      CAST(CAST(mf.n AS HUGEINT) * mf.sxy - mf.sx * mf.sy AS DOUBLE) /
+        |        (sqrt(CAST(CAST(mf.n AS HUGEINT) * mf.sxx - mf.sx * mf.sx AS DOUBLE)) *
+        |         sqrt(CAST(CAST(mf.n AS HUGEINT) * mf.syy - mf.sy * mf.sy AS DOUBLE))))) END AS rho_exact
+        |FROM ms JOIN mf ON ms.l_returnflag = mf.l_returnflag
+        |ORDER BY 1""".stripMargin,
+    // Spearman matrix: every column re-ranked (doubled average ties),
+    // then the q185 moments/pair replay over the ranks
+    "q192_spearman_matrix" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 1000) AS BIGINT) AS disc_m
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |r AS (SELECT l_returnflag,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY qty_c)
+        |      + count(*) OVER (PARTITION BY l_returnflag, qty_c) - 1 AS HUGEINT) AS rq,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY price_c)
+        |      + count(*) OVER (PARTITION BY l_returnflag, price_c) - 1 AS HUGEINT) AS rp,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY disc_m)
+        |      + count(*) OVER (PARTITION BY l_returnflag, disc_m) - 1 AS HUGEINT) AS rd
+        |  FROM s),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rq) AS sq, sum(rp) AS sp, sum(rd) AS sd,
+        |    sum(rq * rq) AS sqq, sum(rp * rp) AS spp, sum(rd * rd) AS sdd,
+        |    sum(rq * rp) AS sqp, sum(rq * rd) AS sqd, sum(rp * rd) AS spd
+        |  FROM r GROUP BY 1),
+        |p AS (
+        |  SELECT l_returnflag, 'qty_c' AS col_x, 'price_c' AS col_y, n,
+        |    CAST(n AS HUGEINT) * sqp - sq * sp AS num,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq AS dx,
+        |    CAST(n AS HUGEINT) * spp - sp * sp AS dy FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * sqd - sq * sd,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * spd - sp * sd,
+        |    CAST(n AS HUGEINT) * spp - sp * sp,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m)
+        |SELECT l_returnflag, col_x, col_y, n,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    greatest(-1.0, least(1.0, CAST(num AS DOUBLE) /
+        |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))) END AS rho
+        |FROM p ORDER BY l_returnflag, col_x, col_y""".stripMargin,
+    // correlation-matrix drift: both halves' exact moments + clamped r,
+    // drift = one IEEE subtraction of two bit-identical doubles
+    "q193_correlation_drift" ->
+      """WITH s AS (SELECT l_orderkey % 2 AS half, l_returnflag,
+        |    CAST(round(l_quantity * 100) AS HUGEINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS price_c,
+        |    CAST(round(l_discount * 1000) AS HUGEINT) AS disc_m
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |m AS (SELECT half, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(qty_c) AS sq, sum(price_c) AS sp, sum(disc_m) AS sd,
+        |    sum(qty_c * qty_c) AS sqq, sum(price_c * price_c) AS spp,
+        |    sum(disc_m * disc_m) AS sdd,
+        |    sum(qty_c * price_c) AS sqp, sum(qty_c * disc_m) AS sqd,
+        |    sum(price_c * disc_m) AS spd
+        |  FROM s GROUP BY 1, 2),
+        |p AS (
+        |  SELECT half, l_returnflag, 'qty_c' AS col_x, 'price_c' AS col_y, n,
+        |    CAST(n AS HUGEINT) * sqp - sq * sp AS num,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq AS dx,
+        |    CAST(n AS HUGEINT) * spp - sp * sp AS dy FROM m
+        |  UNION ALL
+        |  SELECT half, l_returnflag, 'qty_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * sqd - sq * sd,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m
+        |  UNION ALL
+        |  SELECT half, l_returnflag, 'price_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * spd - sp * sd,
+        |    CAST(n AS HUGEINT) * spp - sp * sp,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m),
+        |r AS (SELECT half, l_returnflag, col_x, col_y, n,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    greatest(-1.0, least(1.0, CAST(num AS DOUBLE) /
+        |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))) END AS r
+        |  FROM p)
+        |SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+        |  coalesce(a.col_x, b.col_x) AS col_x,
+        |  coalesce(a.col_y, b.col_y) AS col_y,
+        |  a.n AS n_base, b.n AS n_cur, a.r AS r_base, b.r AS r_cur,
+        |  b.r - a.r AS drift
+        |FROM (SELECT * FROM r WHERE half = 0) a
+        |FULL JOIN (SELECT * FROM r WHERE half = 1) b
+        |  ON a.l_returnflag = b.l_returnflag AND a.col_x = b.col_x AND a.col_y = b.col_y
+        |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
+    // batch-admission leakage: the rebuild's window pairs restricted to
+    // >=1 batch side (the SNM incremental law) through the q178 split
+    // matrix
+    "q194_split_leakage_fold" ->
+      """WITH b AS (SELECT doc_id AS id, doc_id % 7 = 3 AS is_batch,
+        |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT id, k, is_batch, row_number() OVER (ORDER BY k, id) AS rank FROM b),
+        |p AS (SELECT a.id AS id_a, c.id AS id_b
+        |  FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4
+        |  WHERE a.is_batch OR c.is_batch),
+        |sp AS (SELECT doc_id AS id, CASE
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'c00000000000000' THEN 'train'
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) < 'e00000000000000' THEN 'val'
+        |  ELSE 'test' END AS split FROM documents),
+        |j AS (SELECT least(coalesce(sa.split, '(unassigned)'), coalesce(sb.split, '(unassigned)')) AS split_lo,
+        |    greatest(coalesce(sa.split, '(unassigned)'), coalesce(sb.split, '(unassigned)')) AS split_hi
+        |  FROM p LEFT JOIN sp sa ON p.id_a = sa.id LEFT JOIN sp sb ON p.id_b = sb.id)
+        |SELECT split_lo, split_hi, count(*) AS n_pairs
+        |FROM j GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
     // Gini: rank-weighted exact numerator, one terminal division
     "q186_gini" ->
       """WITH r AS (SELECT source, n_chars, doc_id,

@@ -38,6 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object SortedNeighborhood {
 
+  /** Driver-side string ordering that matches Spark's UTF8String binary
+    * comparison (UTF-8 byte order = code-POINT order). Scala's default
+    * String ordering compares UTF-16 code UNITS, which disagrees for
+    * strings mixing U+E000–U+FFFF with supplementary-plane chars — the
+    * neighbor-cell walk in [[incrementalPairs]] would slice the wrong
+    * adjacent cells there and lose/gain boundary pairs vs the rebuild
+    * (regression spec: the U+E000-vs-U+10000 trap in DedupSpec).
+    */
+  private[dedup] val utf8Order: Ordering[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   def candidatePairs(
       df: DataFrame,
       idCol: String,
@@ -107,13 +120,13 @@ object SortedNeighborhood {
     // sorted (cell, rows) list + the batch's touched set — both bounded
     // by cell cardinality, not data (one prep of the batch feeds both)
     val cellCounts = all.groupBy("__c").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)(utf8Order)
     val touched = batchPrepped.select("__c").distinct()
       .collect().map(_.getString(0)).toSet
     val idx = cellCounts.map(_._1).zipWithIndex.toMap
     // per segment (= touched cell): itself in full, plus tail/head slices
     // of as many preceding/following cells as the w−1 reach needs
-    val mapping = touched.toSeq.sorted.flatMap { t =>
+    val mapping = touched.toSeq.sorted(utf8Order).flatMap { t =>
       val self = Seq((t, t, "all", 0L))
       def walk(dir: Int, side: String) = {
         var need = (window - 1).toLong

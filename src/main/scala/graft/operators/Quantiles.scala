@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,51 @@ object Quantiles {
       .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi" :+ "v_wins").map(col): _*)
   }
 
+  /** Skew-safe twin of [[winsorize]] — BIT-IDENTICAL output (rank
+    * selection has one right answer regardless of layout), but the
+    * per-group reducer sort is gone: the [[cellScaffold]] offsets pin
+    * each bound rank to exactly ONE value cell, only those cells are
+    * ranked (the [[exactQuantilesBucketed]] target-cell move — the rest
+    * of the corpus never enters a window), and the group-sized bounds
+    * frame broadcast-joins back onto the rows for the clamp. At a 100 TB
+    * hot group the heaviest sort is a cell population; everything else
+    * is map-side aggregation + a narrow projection.
+    */
+  def winsorizeBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      loPct: Int = 5,
+      hiPct: Int = 95,
+      cells: Int = 256
+  ): DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct < 100,
+      s"need 0 < loPct < hiPct < 100: $loPct, $hiPct")
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+    def rankAt(p: Int) =
+      greatest(lit(1L), least(col("__n"), expr(s"($p * (__n + 1)) div 100")))
+    val sc = cellScaffold(base, keyCols, valueCol, cells)
+      .withColumn("__rlo", rankAt(loPct))
+      .withColumn("__rhi", rankAt(hiPct))
+    def holds(r: Column) = r > col("__off") && r <= col("__off") + col("__cnt")
+    val bounds = sc
+      .filter(holds(col("__rlo")) || holds(col("__rhi")))
+      .withColumn("__rn",
+        col("__off") + row_number().over(
+          Window.partitionBy((g :+ col("__c")): _*)
+            .orderBy(col(valueCol), col(tieBreakCol))))
+      .groupBy(g: _*)
+      .agg(
+        max(when(col("__rn") === col("__rlo"), col(valueCol))).as("lo"),
+        max(when(col("__rn") === col("__rhi"), col(valueCol))).as("hi"))
+    nsJoin(base, bounds, keyCols)
+      .withColumn("v_wins", greatest(col("lo"), least(col("hi"), col(valueCol))))
+      .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi" :+ "v_wins").map(col): _*)
+  }
+
   /** Skew-safe exact rank selection — same output contract as
     * [[exactQuantiles]] (n, p50, p90; lower-median integer ranks, no
     * interpolation, bit-identical selections), but NO per-group sort on
@@ -193,23 +238,8 @@ object Quantiles {
     val stats = base.groupBy(g: _*).agg(
       min(col(valueCol)).as("__lo"),
       max(col(valueCol)).as("__hi"))
-    // cell is monotone in the value: equal ranks land in cell order, so
-    // per-cell rank + cumulative offset IS the group rank
-    val cell = when(col(valueCol).isNull, lit(-1L))
-      .when(col("__hi") === col("__lo"), lit(0L))
-      .otherwise(least(lit(cells - 1L),
-        floor((col(valueCol) - col("__lo")).cast("double") * cells /
-          (col("__hi") - col("__lo")).cast("double"))))
-    // NULL-SAFE key joins throughout: a NULL-keyed group is a group (the
-    // windowed arm's partitionBy treats it as one) — a plain equi-join
-    // would drop it here and break the documented arm equivalence
-    def nsJoin(left: DataFrame, right: DataFrame, cols: Seq[String]): DataFrame = {
-      val renamed = right.toDF(right.columns.map(c =>
-        if (cols.contains(c)) s"__r_$c" else c): _*)
-      val cond = cols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
-      left.join(broadcast(renamed), cond).drop(cols.map(c => s"__r_$c"): _*)
-    }
-    val celled = nsJoin(base, stats, keyCols).withColumn("__c", cell)
+    val celled = nsJoin(base, stats, keyCols)
+      .withColumn("__c", cellOf(valueCol, cells))
     val counts = celled.groupBy((g :+ col("__c")): _*).agg(count(lit(1)).as("__cnt"))
     val offs = counts
       .withColumn("__off",
@@ -235,6 +265,70 @@ object Quantiles {
         max(when(col("__rn") === col("__r90"), col(valueCol))).as("p90"))
   }
 
+  /** Monotone value→cell map shared by the bucketed-rank family: equal
+    * values share a cell and cells follow the value order, so per-cell
+    * rank + cumulative cell offset IS the global per-group rank. NULLs
+    * map to cell −1 (they sort first, matching the windowed arms'
+    * null-first ordering); a constant group collapses to cell 0.
+    * Expects `__lo`/`__hi` (per-group min/max) already attached.
+    */
+  private def cellOf(valueCol: String, cells: Int) =
+    when(col(valueCol).isNull, lit(-1L))
+      .when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit(cells - 1L),
+        floor((col(valueCol) - col("__lo")).cast("double") * cells /
+          (col("__hi") - col("__lo")).cast("double"))))
+
+  /** NULL-SAFE broadcast key join: a NULL-keyed group is a group (the
+    * windowed arms' partitionBy treats it as one) — a plain equi-join
+    * would drop it and break the documented arm equivalences.
+    */
+  private[graft] def nsJoin(left: DataFrame, right: DataFrame, cols: Seq[String]): DataFrame = {
+    val renamed = right.toDF(right.columns.map(c =>
+      if (cols.contains(c)) s"__r_$c" else c): _*)
+    val cond = cols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    left.join(broadcast(renamed), cond).drop(cols.map(c => s"__r_$c"): _*)
+  }
+
+  /** Skew-safe GLOBAL per-group rank scaffolding — [[exactQuantilesBucketed]]'s
+    * cell layout exposed for the rest of the exact rank family (Gini,
+    * Spearman, winsorize bounds): appends to every input row
+    *   `__c`   the monotone value cell (ties always share a cell),
+    *   `__cnt` the (group, cell) population,
+    *   `__off` the group's row count in earlier cells,
+    *   `__n`   the group size,
+    * so `__off + <rank over (keys, __c) ordered by (valueCol, …)>` IS the
+    * exact global per-group rank while the largest sort anywhere is one
+    * cell's population (~group/cells for spread values) — never the
+    * group. Stats and offsets attach as NULL-safe broadcasts; input
+    * passes through wide (callers narrow first). The hot-VALUE caveat of
+    * [[exactQuantilesBucketed]] applies: a group dominated by one exact
+    * value collapses into one cell and re-creates the single-reducer
+    * sort.
+    */
+  private[graft] def cellScaffold(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      cells: Int
+  ): DataFrame = {
+    require(cells > 1, s"cells must be > 1: $cells")
+    val g = keyCols.map(col)
+    val stats = df.groupBy(g: _*).agg(
+      min(col(valueCol)).as("__lo"),
+      max(col(valueCol)).as("__hi"))
+    val celled = nsJoin(df, stats, keyCols)
+      .withColumn("__c", cellOf(valueCol, cells))
+      .drop("__lo", "__hi")
+    val counts = celled.groupBy((g :+ col("__c")): _*).agg(count(lit(1)).as("__cnt"))
+    val offs = counts
+      .withColumn("__off",
+        sum("__cnt").over(Window.partitionBy(g: _*).orderBy("__c")) - col("__cnt"))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(g: _*)))
+      .select((g :+ col("__c") :+ col("__cnt") :+ col("__off") :+ col("__n")): _*)
+    nsJoin(celled, offs, keyCols :+ "__c")
+  }
+
   /** Gini coefficient per group, INTEGER-EXACT: over the ascending-sorted
     * non-negative values x₁..x_n (integer units — the cents/ppm
     * discipline), G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) — the mean-absolute-
@@ -258,12 +352,49 @@ object Quantiles {
       valueCol: String,
       tieBreakCol: String
   ): DataFrame = {
-    val dec = "decimal(38,0)"
     val part = Window.partitionBy(keyCols.map(col): _*)
-    df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+    val ranked = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
       .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(part.orderBy(col(valueCol), col(tieBreakCol))))
       .withColumn("__n", count(lit(1)).over(part))
+    giniAgg(ranked, keyCols, valueCol)
+  }
+
+  /** Skew-safe twin of [[gini]] — BIT-IDENTICAL output (the weight sum is
+    * tie-order invariant, and the global rank from cell offset + per-cell
+    * row_number is the same integer), but the per-group single-reducer
+    * sort is replaced by the [[cellScaffold]] layout: the largest sort is
+    * one value cell, the aggregation is map-side partial — the 100×
+    * hot-group path the windowed form can't take. Costs the scaffold's
+    * extra stats/counts passes; [[graft.AbQuantiles]] measures the
+    * crossover (~1M rows/group, same corpus as the quantile A/B).
+    */
+  def giniBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      cells: Int = 256
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+    val ranked = cellScaffold(base, keyCols, valueCol, cells)
+      .withColumn("__rn",
+        col("__off") + row_number().over(
+          Window.partitionBy((g :+ col("__c")): _*)
+            .orderBy(col(valueCol), col(tieBreakCol))))
+    giniAgg(ranked, keyCols, valueCol)
+  }
+
+  /** Shared Gini reduction over a frame carrying exact global per-group
+    * ranks `__rn` and group sizes `__n` — both layouts (one window /
+    * cell scaffold) produce the same integers, so this is the proof the
+    * arms agree by construction.
+    */
+  private def giniAgg(ranked: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    ranked
       .groupBy(keyCols.map(col): _*)
       .agg(
         max(col("__n")).as("n"),

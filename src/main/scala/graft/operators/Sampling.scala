@@ -340,6 +340,37 @@ object Sampling {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Batch-admission leakage check — the INCREMENTAL twin of
+    * [[splitLeakage]]: the new leakage created by inserting `batch` into
+    * `standing`, i.e. [[graft.dedup.SortedNeighborhood.incrementalPairs]]'s
+    * O(touched) pair delta (exactly the union's window pairs with ≥1
+    * batch side — spec'd against the rebuild) fed through the same
+    * unordered split matrix. The admission question "does this new batch
+    * near-dup-pair into a protected split?" costs the batch's touched
+    * cells, never a standing-corpus rescan — the store-fold discipline
+    * applied to the leakage audit, so it can run on every ingest.
+    * Standing–standing leakage was counted when those rows were admitted;
+    * admissions over a monotone ingest accumulate a SUPERSET of the
+    * final rebuild's pairs (spec-asserted): a candidate stream never
+    * retracts, and later insertions can push once-adjacent rows apart —
+    * recall is monotone, downstream verification owns precision (the
+    * [[graft.dedup.SortedNeighborhood.incrementalPairs]] contract).
+    */
+  def splitLeakageDelta(
+      standing: DataFrame,
+      batch: DataFrame,
+      assign: DataFrame,
+      idCol: String,
+      keyCol: String,
+      window: Int,
+      prefixLen: Int = 2,
+      splitCol: String = "split"
+  ): DataFrame =
+    splitLeakage(
+      graft.dedup.SortedNeighborhood.incrementalPairs(
+        standing, batch, idCol, keyCol, window, prefixLen),
+      assign, idCol = idCol, splitCol = splitCol)
+
   /** The repair for what [[splitLeakage]] finds: drop from the TRAIN
     * split every id near-dup-paired with a protected (val/test) id —
     * the Lee/Brown decontamination direction (holdouts define the

@@ -232,6 +232,75 @@ object Sketches {
         max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col("v"))).as("p90"))
   }
 
+  // -------------------------------------------- bottom-k rank correlation
+
+  /** Mergeable SPEARMAN sketch — the bivariate leg of the bottom-k
+    * family: keep the k rows with the smallest md5 ROW-IDENTITY hash per
+    * group, carrying BOTH coordinates. Selection is keyed on identity
+    * (never the values), so the kept rows are a uniform sample of the
+    * group's (x, y) pairs and the [[quantileSketch]] merge law carries
+    * over unchanged: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)) for disjoint row sets — daily sketches fold into
+    * monthly ones without re-reading data. Rows with a NULL on either
+    * side are excluded up front (the pairwise rule
+    * [[graft.quality.Profiler.spearman]] applies), so the sample
+    * estimates the same population the exact operator measures.
+    *
+    * This is the honest 100 TB rank-correlation path when exact ranks
+    * are unaffordable: the windowed exact form sorts each group on one
+    * reducer, the bucketed form ([[graft.quality.Profiler
+    * .spearmanBucketed]]) fixes hot KEYS but still collapses on hot
+    * VALUES — the sketch's cost is one bounded window regardless, and
+    * the estimate's s.e. is ≈ 1/√k under independence (k = 1024 →
+    * ±0.03 at one sigma; the spec asserts the band vs exact ρ on the
+    * gate corpus — the q154 honesty-chain pattern).
+    */
+  def spearmanSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      idCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h = graft.operators.Sampling.keyHash(idCols.map(col))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((groupCols.map(col) :+ h.as("h") :+
+        col(xCol).as("x") :+ col(yCol).as("y")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Fold two Spearman sketches built with the same k: union, re-cut to
+    * bottom-k per group (disjoint row sets — the [[mergeQuantileSketch]]
+    * contract).
+    */
+  def mergeSpearmanSketch(a: DataFrame, b: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    a.unionByName(b)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Per-group ρ estimate from a Spearman sketch: the EXACT average-tie
+    * Spearman over the sampled pairs ([[graft.quality.Profiler.spearman]]
+    * verbatim — content-keyed cut + integer doubled ranks + exact
+    * moments, so an oracle replays the estimate bit-for-bit). Returns
+    * (groups…, n_sample, rho_est).
+    */
+  def spearmanSketchReport(sketch: DataFrame, groupCols: Seq[String]): DataFrame =
+    graft.quality.Profiler.spearman(sketch, groupCols, "x", "y")
+      .withColumnRenamed("n", "n_sample")
+      .withColumnRenamed("rho", "rho_est")
+      .drop("sum_rx2", "sum_ry2")
+
   // ---------------------------------------------------------------- CMS
 
   /** Count-Min geometry: depth 4 independent rows (error probability

@@ -444,9 +444,128 @@ object Profiler {
       .select((g :+
         (lit(2L) * col("__rk_x") + col("__ct_x") - 1L).as("__rx2") :+
         (lit(2L) * col("__rk_y") + col("__ct_y") - 1L).as("__ry2")): _*)
+    spearmanFromDoubledRanks(ranked, keyCols)
+  }
+
+  /** The shared Spearman tail: exact-moment Pearson over doubled
+    * average-tie ranks `__rx2`/`__ry2`, renamed to the rho surface —
+    * both layouts ([[spearman]]'s one-exchange windows and
+    * [[spearmanBucketed]]'s cell scaffold) produce the same integers, so
+    * funneling them here makes the arm equivalence structural.
+    */
+  private def spearmanFromDoubledRanks(ranked: DataFrame, keyCols: Seq[String]): DataFrame =
     correlation(ranked, keyCols, "__rx2", "__ry2")
       .withColumnRenamed("sum_x", "sum_rx2")
       .withColumnRenamed("sum_y", "sum_ry2")
+      .withColumnRenamed("r", "rho")
+
+  /** Skew-safe twin of [[spearman]] — BIT-IDENTICAL output, no per-group
+    * reducer sort: each column's global min-rank comes from the
+    * [[graft.operators.Quantiles.cellScaffold]] layout (cell offset +
+    * rank within the (group, cell) window — ties always share a cell, so
+    * the offset arithmetic is exact under ties), and the tie-block count
+    * rides the SAME window as a `range between current row and current
+    * row` frame — no (group, value) shuffle, no hot-value partition. The
+    * two columns scaffold sequentially (x's doubled rank is carried
+    * through y's layout — 8 bytes/row, no self-join, no id column
+    * needed), then the one map-side-partial moments aggregation.
+    *
+    * Cost shape: two (group, cell) exchanges + the moments exchange vs
+    * the windowed arm's ONE exchange — but the largest sort anywhere is
+    * a cell population, so this is the 100× hot-group path
+    * ([[graft.AbQuantiles]] measures the crossover; the quantile A/B's
+    * 3.91× at 4.8M rows/group is the same layout). Hot-VALUE groups
+    * still collapse into one cell — [[graft.operators.Sketches]]' bottom-k
+    * sample path is the honest answer there.
+    */
+  def spearmanBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      cells: Int = 256
+  ): DataFrame = {
+    import graft.operators.Quantiles
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ xCol :+ yCol).map(col): _*)
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    def doubledRank(frame: DataFrame, c: String, as: String): DataFrame = {
+      val w = Window.partitionBy((g :+ col("__c")): _*).orderBy(col(c))
+      Quantiles.cellScaffold(frame, keyCols, c, cells)
+        .withColumn(as,
+          lit(2L) * (col("__off") + rank().over(w)) +
+            count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)) - 1L)
+        .drop("__c", "__cnt", "__off", "__n")
+    }
+    val ranked = doubledRank(doubledRank(base, xCol, "__rx2"), yCol, "__ry2")
+      .select((g :+ col("__rx2") :+ col("__ry2")): _*)
+    spearmanFromDoubledRanks(ranked, keyCols)
+  }
+
+  /** Correlation-matrix DRIFT between two snapshots — "did the linear
+    * RELATIONSHIP between columns change", the bivariate companion of
+    * [[chiSquareDrift]]/[[ksDriftFromHistograms]] (those watch one
+    * column's distribution; this watches the structure between columns —
+    * a feature pipeline can keep every marginal identical and still
+    * break the correlations training depends on). Inputs are
+    * [[correlationMoments]] frames, i.e. MERGEABLE state: either side
+    * may be a fold of stored daily frames ([[mergeCorrelationMoments]]),
+    * so drift against a growing baseline costs no rescan. Per group ×
+    * pair: both sides' n and exact-moment clamped r, plus
+    * drift = r_cur − r_base — one IEEE subtraction of two doubles that
+    * are themselves bit-identical fixed dags over exact integers
+    * (the q185 gate argument), so the drift column hashes cross-engine.
+    * A pair whose r is NULL on one side (constant column there) yields
+    * NULL drift but keeps its row — a column going constant IS drift,
+    * surfaced rather than dropped; groups present on one side only
+    * survive the full-outer, NULL-safe join the same way.
+    */
+  def correlationMatrixDrift(
+      momentsBase: DataFrame,
+      momentsCur: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String]
+  ): DataFrame = {
+    val a = correlationFromMoments(momentsBase, keyCols, cols)
+      .withColumnRenamed("n", "n_base").withColumnRenamed("r", "r_base")
+    val b = correlationFromMoments(momentsCur, keyCols, cols)
+      .withColumnRenamed("n", "n_cur").withColumnRenamed("r", "r_cur")
+    val joinCols = keyCols :+ "col_x" :+ "col_y"
+    val bb = b.toDF(b.columns.map(c =>
+      if (joinCols.contains(c)) s"__r_$c" else c): _*)
+    val cond = joinCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    a.join(bb, cond, "full_outer")
+      .select((joinCols.map(c => coalesce(col(c), col(s"__r_$c")).as(c)) ++
+        Seq(col("n_base"), col("n_cur"), col("r_base"), col("r_cur"),
+          (col("r_cur") - col("r_base")).as("drift"))): _*)
+  }
+
+  /** Spearman correlation MATRIX: the monotone-association companion of
+    * [[correlationFromMoments]] — every unordered column pair's EXACT
+    * average-tie ρ at the cost of ONE scan + the rank windows: each
+    * column is replaced by its doubled integer average-tie rank (the
+    * [[spearman]] arithmetic, column by column — all rank windows share
+    * the group-key exchange, hashpartitioning(g) satisfies every
+    * (g[, c]) clustering), then the one map-side-partial moments
+    * aggregation and the same clamped pair generator. Listwise NULL
+    * deletion — matrix-consistent like the Pearson matrix (q187's
+    * pairwise rule would need per-pair rank passes and break the shared
+    * moments scan); pairwise equivalence vs [[spearman]] on NULL-free
+    * input is spec-asserted. Output: group × pair rows with n and rho.
+    */
+  def spearmanMatrix(
+      df: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String]
+  ): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val g = keyCols.map(col)
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val ranked = base.select((g ++ cols.map { c =>
+      (lit(2L) * rank().over(Window.partitionBy(g: _*).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy((g :+ col(c)): _*)) - 1L).as(c)
+    }): _*)
+    correlationFromMoments(correlationMoments(ranked, keyCols, cols), keyCols, cols)
       .withColumnRenamed("r", "rho")
   }
 

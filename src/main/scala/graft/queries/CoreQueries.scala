@@ -780,6 +780,11 @@ object CoreQueries {
     * numerator (b·C − c·B)² and cell total between the even- and
     * odd-orderkey halves of orders. Every column an exact integer; the
     * one division lives in the driver-side chiSquareStat fold.
+    * chi_num is hashed as the DECIMAL's digit STRING: the operator keeps
+    * it in decimal(38,0) precisely because the square overflows a long at
+    * large counts, and a narrowing long cast here would silently NULL on
+    * overflow (non-ANSI Spark) while the oracle's HUGEINT→BIGINT cast
+    * errors — the string gate is exact at any corpus size.
     */
   def q172ChiSquareDrift(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.Profiler
@@ -789,7 +794,7 @@ object CoreQueries {
       cur = o.filter(col("o_orderkey") % 2 === 1),
       column = "o_orderpriority")
       .select(col("value"), col("n_base"), col("n_cur"),
-        col("chi_num").cast("long").as("chi_num"), col("cell_tot"))
+        col("chi_num").cast("string").as("chi_num"), col("cell_tot"))
       .orderBy("value")
   }
 
@@ -907,6 +912,121 @@ object CoreQueries {
         col("sum_rx2").cast("long").as("sum_rx2"),
         col("sum_ry2").cast("long").as("sum_ry2"), col("rho"))
       .orderBy("l_returnflag")
+  }
+
+  /** Skew-safe Spearman gate — [[graft.quality.Profiler.spearmanBucketed]]
+    * on the q187 shape: the same doubled average-tie ranks and the same
+    * moments, but the global rank comes from the cell layout (offset +
+    * per-cell rank), so NO per-group reducer sort survives. The oracle is
+    * q187's replay verbatim — exact rank statistics have one right answer
+    * regardless of which layout computed them.
+    */
+  def q188SpearmanBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    Profiler.spearmanBucketed(li, Seq("l_returnflag"), "qty_c", "price_c")
+      .select(col("l_returnflag"), col("n"),
+        col("sum_rx2").cast("long").as("sum_rx2"),
+        col("sum_ry2").cast("long").as("sum_ry2"), col("rho"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Skew-safe Gini gate — [[graft.operators.Quantiles.giniBucketed]] on
+    * the q186 shape; oracle shared with q186 (bit-identical integers by
+    * construction — the weight sum is tie-order invariant and the global
+    * rank is the same integer under either layout).
+    */
+  def q189GiniBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    Quantiles.giniBucketed(
+      Tables.documents(s, dir).select("source", "n_chars", "doc_id"),
+      Seq("source"), "n_chars", "doc_id")
+      .select(col("source"), col("n"), col("sum_v").cast("long").as("sum_v"),
+        col("gini_num").cast("long").as("gini_num"), col("gini"))
+      .orderBy("source")
+  }
+
+  /** Skew-safe winsorization gate — [[graft.operators.Quantiles
+    * .winsorizeBucketed]] on the q171 shape: bound ranks pinned to their
+    * target cells (only those cells ranked), bounds broadcast back for
+    * the clamp; every per-row clamp decision hashes against q171's
+    * oracle.
+    */
+  def q190WinsorizeBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    Quantiles.winsorizeBucketed(
+      Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id")),
+      Seq("event_type"), "value", "event_id", loPct = 5, hiPct = 95)
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Sketch-path Spearman gate — the q154 honesty-chain pattern applied
+    * to rank correlation: the bottom-k row-identity sample's exact ρ
+    * ([[graft.operators.Sketches.spearmanSketch]], k = 200) next to the
+    * full-corpus exact ρ, both replayed by the oracle (hash order, cut,
+    * doubled average-tie ranks, moments — bit-for-bit). The gate hashes
+    * the ESTIMATE and the TRUTH side by side, so the sketch can never
+    * silently drift from the population it claims to summarize.
+    */
+  def q191SpearmanSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      col("l_orderkey"), col("l_linenumber"))
+    val est = Sketches.spearmanSketchReport(
+      Sketches.spearmanSketch(li, Seq("l_returnflag"), "qty_c", "price_c",
+        Seq("l_orderkey", "l_linenumber"), k = 200),
+      Seq("l_returnflag"))
+    val exact = Profiler.spearman(li, Seq("l_returnflag"), "qty_c", "price_c")
+      .select(col("l_returnflag"), col("rho").as("rho_exact"))
+    est.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
+  }
+
+  /** Spearman-matrix gate: all three pairwise exact average-tie ρ's over
+    * (quantity, price, discount) per return flag — the q185 one-scan
+    * moments generator composed over doubled integer ranks; the oracle
+    * re-ranks every column and recomputes every moment and clamped ρ.
+    */
+  def q192SpearmanMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      round(col("l_discount") * 1000).cast("long").as("disc_m"))
+    Profiler.spearmanMatrix(li, Seq("l_returnflag"),
+        Seq("qty_c", "price_c", "disc_m"))
+      .orderBy("l_returnflag", "col_x", "col_y")
+  }
+
+  /** Correlation-matrix drift gate: the even-/odd-orderkey halves of
+    * lineitem as base/current snapshots — each side's moments replayed,
+    * every pair's clamped r on both sides, and drift = r_cur − r_base
+    * (one IEEE subtraction of two bit-identical doubles). A structure
+    * change between halves would surface here even with identical
+    * marginals.
+    */
+  def q193CorrelationDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      round(col("l_discount") * 1000).cast("long").as("disc_m"))
+    val cols = Seq("qty_c", "price_c", "disc_m")
+    Profiler.correlationMatrixDrift(
+      Profiler.correlationMoments(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), cols),
+      Profiler.correlationMoments(
+        li.filter(col("l_orderkey") % 2 === 1), Seq("l_returnflag"), cols),
+      Seq("l_returnflag"), cols)
+      .orderBy("l_returnflag", "col_x", "col_y")
   }
 
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority

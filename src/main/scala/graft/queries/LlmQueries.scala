@@ -1844,6 +1844,29 @@ object LlmQueries {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** Batch-admission leakage gate — q178's audit made incremental: the
+    * q175 standing/batch split (doc_id % 7), the q178 key and hash
+    * split, and [[graft.operators.Sampling.splitLeakageDelta]]'s
+    * O(touched) matrix of the NEW pairs only. The oracle replays the
+    * full rebuild restricted to ≥1 batch side (the incremental law the
+    * SNM fold spec asserts) plus the split matrix.
+    */
+  def q194SplitLeakageFold(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    val assign = Sampling.splitAssign(
+      Tables.documents(s, dir).select("doc_id"), Seq("doc_id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    Sampling.splitLeakageDelta(
+        standing = d.filter(col("doc_id") % 7 =!= 3),
+        batch = d.filter(col("doc_id") % 7 === 3),
+        assign = assign, idCol = "doc_id", keyCol = "snkey",
+        window = 4, prefixLen = 3)
+      .orderBy("split_lo", "split_hi")
+  }
+
   /** Poisson-bootstrap gate: 32 deterministic resamples of the corpus,
     * each replicate's (Σw, Σw·n_chars) exact and its mean one division —
     * the oracle redraws every (doc, replicate) Poisson weight from the

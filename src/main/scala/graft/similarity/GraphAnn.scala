@@ -271,20 +271,22 @@ object GraphAnn {
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("node"))
     def cut(frame: DataFrame, n: Int): DataFrame = frame
       .withColumn("__rn", row_number().over(bw)).filter(col("__rn") <= n).drop("__rn")
-    // localCheckpoint, not persist: each hop's plan references the graph
+    // Lineage truncation, not persist: each hop's plan references the graph
     // AND the previous beam — under layered descent that lineage compounds
     // exponentially (the ConnectedComponents iterative discipline; a
     // plain cache keeps the full logical tree and the plan STRING alone
-    // overflows the driver after a few nested walks)
-    var beamF = cut(score(perQueryEntries.select(col("query_id"), col("node"))), beam)
-      .localCheckpoint()
+    // overflows the driver after a few nested walks). On a cluster set a
+    // checkpoint dir so the truncation is fault-tolerant ([[graft.plans
+    // .Lineage.truncate]] — localCheckpoint blocks die with an executor).
+    var beamF = graft.plans.Lineage.truncate(
+      cut(score(perQueryEntries.select(col("query_id"), col("node"))), beam))
     for (_ <- 0 until hops) {
       val cand = beamF.select(col("query_id"), col("node"))
         .join(graph.withColumnRenamed("src", "node"), "node")
         .select(col("query_id"), col("dst").as("node")).distinct()
       val merged = beamF.unionByName(score(cand))
         .groupBy("query_id", "node").agg(max(col("score")).as("score"))
-      beamF = cut(merged, beam).localCheckpoint()
+      beamF = graft.plans.Lineage.truncate(cut(merged, beam))
     }
     cut(beamF, k)
       .withColumn("rank", row_number().over(bw))

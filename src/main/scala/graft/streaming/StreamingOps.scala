@@ -738,6 +738,43 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming Spearman-sketch profile — the rank-correlation leg of the
+    * online profiling family: each micro-batch's bottom-k row-identity
+    * pair sample ([[graft.operators.Sketches.spearmanSketch]]) merges
+    * into a versioned store by union + re-cut, so the standing profile
+    * answers "ρ(x, y) so far" at ≤ groups×k rows without re-reading
+    * history ([[graft.operators.Sketches.spearmanSketchReport]] over the
+    * latest version). Same version discipline as [[quantileSketchStream]]:
+    * bottom-k merge assumes DISJOINT row sets, so crash replays recompute
+    * from the latest strictly-earlier version, never re-merge.
+    */
+  def spearmanSketchStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      idCols: Seq[String],
+      k: Int,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bs = graft.operators.Sketches.spearmanSketch(
+          batch, groupCols, xCol, yCol, idCols, k)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.Sketches.mergeSpearmanSketch(
+            s.read.parquet(p), bs, groupCols, k)
+          case None => bs
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class DebounceEvent(key: String, event_id: Long, ts_sec: Long)
 
   /** Streaming debounce — [[graft.operators.TimeSeries.debounce]]'s

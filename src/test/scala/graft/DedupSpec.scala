@@ -992,4 +992,35 @@ class DedupSpec extends SparkSpec {
     val b2 = Set(201L, 202L, 203L)
     assert(inc3 == full3.filter(p => b2(p._1) || b2(p._2)))
   }
+
+  test("sorted neighborhood incremental: UTF-16 vs UTF-8 order trap — supplementary-plane cells walk correctly") {
+    import spark.implicits._
+    import graft.dedup.SortedNeighborhood
+    // Cells whose FIRST CHAR is U+E000 (private use, one UTF-16 unit
+    // 0xE000) vs U+10000 (surrogate pair 0xD800 0xDC00): Scala's default
+    // String order puts U+10000 FIRST (code units), Spark's UTF8String
+    // order puts U+E000 first (code points) — the r9 driver-side
+    // neighbor-cell walk sorted by the former and could slice the wrong
+    // adjacent cells (ADVICE-r9). Keys sit in three cells: "a…",
+    // "…", "𐀀…" — under code-point order the batch row
+    // in the U+E000 cell must reach BACK into "a" and FORWARD into the
+    // supplementary cell.
+    val supp = new String(Character.toChars(0x10000))
+    val standing = Seq(
+      (1L, "a1"), (2L, "a2"),
+      (3L, "x1"),
+      (4L, supp + "y1"), (5L, supp + "y2")
+    ).toDF("id", "k")
+    val batch = Seq((100L, "x5")).toDF("id", "k")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for (w <- Seq(3, 4); pl <- Seq(1, 2)) {
+      val inc = pairSet(SortedNeighborhood.incrementalPairs(
+        standing, batch, "id", "k", window = w, prefixLen = pl))
+      val full = pairSet(SortedNeighborhood.candidatePairs(
+        standing.unionByName(batch), "id", "k", window = w, prefixLen = pl))
+      val want = full.filter(p => p._1 == 100L || p._2 == 100L)
+      assert(inc == want, s"w=$w pl=$pl: inc $inc\nwant $want")
+    }
+  }
 }

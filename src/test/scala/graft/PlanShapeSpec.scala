@@ -125,7 +125,7 @@ class PlanShapeSpec extends SparkSpec {
     // IdentityBroadcast; the global top-20 rank is the one
     // SinglePartition exchange (shortlist-sized, counted as range)
     Shape("q99_bm25_prebuilt", maxHash = 2, forbidSortMergeJoin = true,
-      forbidUdf = true),
+      forbidUdf = true, requireTopK = true),
     // HLL gate: register + report aggregates plus the exact-count
     // comparison column; approx/exact join broadcasts (group-sized)
     Shape("q128_hll_distinct", maxHash = 8, maxRange = 2,
@@ -266,7 +266,32 @@ class PlanShapeSpec extends SparkSpec {
     // satisfies the (g, value) clustering) -- sort-bound, never
     // shuffle-bound
     Shape("q187_spearman", maxHash = 1, forbidSortMergeJoin = true,
-      forbidUdf = true)
+      forbidUdf = true),
+    // skew-safe spearman: stats/offsets attach as BROADCASTS, ranks are
+    // per-(group, cell) windows, tie counts ride the same window as a
+    // range frame -- more exchanges than q187's one, but none of them
+    // sorts a whole group on one reducer (the 100x hot-group claim)
+    Shape("q188_spearman_bucketed", maxHash = 10, minBroadcastJoin = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // skew-safe gini: one scaffold + the map-side-partial reduction
+    Shape("q189_gini_bucketed", maxHash = 6, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // skew-safe winsorize: only the two bound-holding cells are ranked;
+    // the group-sized bounds frame broadcasts back for the clamp
+    Shape("q190_winsorize_bucketed", maxHash = 6, minBroadcastJoin = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // retrieval global top-20: the limit-adjacent rank filter MUST stay
+    // pushed -- Spark plans it as TakeOrderedAndProject(limit=20)
+    // (k-per-partition merge; the Window then ranks only 20 rows), so
+    // requireTopK is the lock; without it these become true global
+    // sorts of every scored doc (VERDICT-r9 nit: the shape was right
+    // but unlocked; a refactor dropping the rank filter would silently
+    // regress at corpus scale). q100 keeps WindowGroupLimit too: the
+    // two retrievers' rank<=100 cuts must prune before the fuse.
+    Shape("q98_bm25", requireTopK = true, maxRange = 2,
+      forbidUdf = true),
+    Shape("q100_hybrid_rrf", requireTopK = true,
+      requireWindowGroupLimit = true, maxRange = 3, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

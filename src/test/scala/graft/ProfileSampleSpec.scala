@@ -737,6 +737,105 @@ class ProfileSampleSpec extends SparkSpec {
     assert(kept == Map(1L -> "train", 4L -> "val", 5L -> "test"))
   }
 
+  test("splitLeakageDelta: admission == rebuild-restricted-to-batch; monotone ingest accumulates a superset of the rebuild's pairs") {
+    import spark.implicits._
+    import graft.dedup.SortedNeighborhood
+    // keys engineered so sort-adjacency crosses the batch boundary
+    val rows = (0 until 60).map(i => (i.toLong, f"k${i * 7 % 40}%03d-$i"))
+      .toDF("id", "k")
+    val initial = rows.filter($"id" % 3 === 0)
+    val batch1 = rows.filter($"id" % 3 === 1)
+    val batch2 = rows.filter($"id" % 3 === 2)
+    val assign = Sampling.splitAssign(rows.select("id"), Seq("id"),
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+    def mat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // admission matrix == the corpus-at-that-time rebuild restricted to
+    // >=1 batch side, through the same split matrix
+    val d1 = mat(Sampling.splitLeakageDelta(initial, batch1, assign,
+      "id", "k", window = 3))
+    val c1 = initial.unionByName(batch1)
+    val batchIds = batch1.select($"id").collect().map(_.getLong(0)).toSet
+    val restricted = SortedNeighborhood.candidatePairs(c1, "id", "k", window = 3)
+      .filter($"id_a".isin(batchIds.toSeq: _*) || $"id_b".isin(batchIds.toSeq: _*))
+    assert(d1 == mat(Sampling.splitLeakage(restricted, assign, idCol = "id")))
+    // monotone ingest: admission PAIRS accumulate a superset of the final
+    // rebuild's pairs (a candidate stream never retracts; later inserts
+    // can push once-adjacent rows apart, so equality is NOT the contract)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed =
+      pairSet(SortedNeighborhood.candidatePairs(initial, "id", "k", window = 3)) ++
+      pairSet(SortedNeighborhood.incrementalPairs(initial, batch1, "id", "k", window = 3)) ++
+      pairSet(SortedNeighborhood.incrementalPairs(c1, batch2, "id", "k", window = 3))
+    val rebuild = pairSet(SortedNeighborhood.candidatePairs(rows, "id", "k", window = 3))
+    assert(rebuild.subsetOf(streamed),
+      s"missing from stream: ${rebuild.diff(streamed).take(5)}")
+    // and the delta matrices count only batch-touching pairs: cell sums
+    // over the stream are >= the rebuild's cells (monotone recall)
+    val d2 = mat(Sampling.splitLeakageDelta(c1, batch2, assign, "id", "k", window = 3))
+    val internal = mat(Sampling.splitLeakage(
+      SortedNeighborhood.candidatePairs(initial, "id", "k", window = 3),
+      assign, idCol = "id"))
+    val full = mat(Sampling.splitLeakage(
+      SortedNeighborhood.candidatePairs(rows, "id", "k", window = 3),
+      assign, idCol = "id"))
+    full.foreach { case (cell, n) =>
+      val s = d1.getOrElse(cell, 0L) + d2.getOrElse(cell, 0L) + internal.getOrElse(cell, 0L)
+      assert(s >= n, s"cell $cell: streamed $s < rebuild $n")
+    }
+  }
+
+  test("correlationMatrixDrift: identical snapshots zero, structure flip surfaces, constant/one-sided rows kept") {
+    import spark.implicits._
+    val a = (1 to 30).map(i => ("g", i.toLong, i.toLong * 2, 5L)).toDF("k", "x", "y", "z")
+    // same marginals for y (a permutation), flipped relationship
+    val b = (1 to 30).map(i => ("g", i.toLong, (31 - i).toLong * 2, 5L)).toDF("k", "x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    def mom(d: org.apache.spark.sql.DataFrame) =
+      Profiler.correlationMoments(d, Seq("k"), cols)
+    val self = Profiler.correlationMatrixDrift(mom(a), mom(a), Seq("k"), cols)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (Option(r.get(5)), Option(r.get(7)))).toMap
+    // identical snapshots: identical moments -> identical r -> drift
+    // EXACTLY 0 (same-double subtraction, no tolerance needed)
+    assert(self(("x", "y"))._1.exists(_.asInstanceOf[Double] > 0.999999))
+    assert(self(("x", "y"))._2 == Some(0.0))
+    assert(self(("x", "z")) == ((None, None)), "constant column keeps its row, NULL drift")
+    val flip = Profiler.correlationMatrixDrift(mom(a), mom(b), Seq("k"), cols)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> Option(r.get(7))).toMap
+    // perfect flip: drift = -1 - (+1) = -2 up to the sqrt ulp
+    assert(flip(("x", "y")).exists(d => math.abs(d.asInstanceOf[Double] + 2.0) < 1e-12),
+      s"flip drift ${flip(("x", "y"))}")
+    // a group present only in the current snapshot survives the full outer
+    val b2 = (1 to 10).map(i => ("h", i.toLong, i.toLong, i.toLong * 3)).toDF("k", "x", "y", "z")
+    val oneSided = Profiler.correlationMatrixDrift(mom(a), mom(b2), Seq("k"), cols)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(oneSided.contains(("h", "x", "y")) && oneSided.contains(("g", "x", "y")))
+  }
+
+  test("spearmanMatrix: every pair equals the pairwise exact spearman; labels ordered") {
+    import spark.implicits._
+    val d = (1 to 80).map { i =>
+      val x = (i * 13 % 23).toLong
+      ("g" + (i % 2), x, x * x, (100 - i % 17).toLong)
+    }.toDF("k", "x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    val m = Profiler.spearmanMatrix(d, Seq("k"), cols).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(m.size == 6, s"2 groups x 3 pairs: $m")
+    for (g <- Seq("g0", "g1"); (cx, cy) <- Seq(("x", "y"), ("x", "z"), ("y", "z"))) {
+      val exact = Profiler.spearman(d.filter($"k" === g), Seq("k"), cx, cy)
+        .head()
+      assert(m((g, cx, cy)) == ((exact.getLong(1), exact.getDouble(4))),
+        s"$g ($cx,$cy): matrix ${m((g, cx, cy))} vs pairwise ${exact}")
+    }
+    // y = x^2 over non-negative x is a monotone function of x's ranks:
+    // the matrix must report EXACTLY 1 there (ties aligned)
+    assert(m(("g0", "x", "y"))._2 == 1.0)
+  }
+
   test("poisson bootstrap: deterministic draws, plausible weights, exact sums, CI rank selection") {
     import spark.implicits._
     import graft.operators.Bootstrap

@@ -133,6 +133,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Quantiles.gini(z, Seq("k"), "v", "tb").head().isNullAt(4))
   }
 
+  test("bucketed gini / winsorize / spearman equal their windowed arms on every edge shape") {
+    import graft.operators.Quantiles
+    import graft.quality.Profiler
+    // the q170 edge corpus: spread values, constant group (one cell),
+    // single row, NULLs, heavy ties at the selection ranks
+    val rows =
+      (1 to 100).map(i => ("spread", Some((i * 3 % 47).toDouble), i.toLong)) ++
+      (1 to 40).map(i => ("const", Some(7.0), i.toLong)) ++
+      Seq(("single", Some(3.0), 1L)) ++
+      (1 to 10).map(i => ("nully", if (i <= 4) None else Some(i.toDouble), i.toLong)) ++
+      (1 to 30).map(i => ("dups", Some((i % 3).toDouble), i.toLong))
+    val d = rows.toDF("g", "v", "tb")
+    def rows2set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(i =>
+        Option(r.get(i)).map(_.toString)).toVector).toSet
+    // gini needs non-negative integer-ish values: reuse |v| as longs
+    val gd = d.filter($"v".isNotNull).select($"g", abs($"v").cast("long").as("v"), $"tb")
+    assert(rows2set(Quantiles.giniBucketed(gd, Seq("g"), "v", "tb", cells = 8))
+      == rows2set(Quantiles.gini(gd, Seq("g"), "v", "tb")))
+    // winsorize: every per-row clamp decision must match, not just bounds
+    assert(rows2set(Quantiles.winsorizeBucketed(d, Seq("g"), "v", "tb", cells = 8)
+        .orderBy("g", "tb"))
+      == rows2set(Quantiles.winsorize(d, Seq("g"), "v", "tb").orderBy("g", "tb")))
+    // spearman: tie-heavy pair columns — average-tie arithmetic must
+    // survive the cell layout (ties share a cell by construction)
+    val sp = (1 to 60).map(i =>
+      ("a", (i % 7).toLong, (i % 5).toLong)) ++ (1 to 25).map(i =>
+      ("b", i.toLong, (i * i).toLong)) :+ (("c", 1L, 1L))
+    val sdf = sp.toDF("g", "x", "y")
+    assert(rows2set(Profiler.spearmanBucketed(sdf, Seq("g"), "x", "y", cells = 4))
+      == rows2set(Profiler.spearman(sdf, Seq("g"), "x", "y")))
+    // partition invariance + NULL-keyed group survival, all three ops
+    val gn = Seq((Option.empty[String], Some(1.0), 1L),
+      (Option.empty[String], Some(3.0), 2L), (Option("x"), Some(5.0), 3L))
+      .toDF("g", "v", "tb").repartition(5)
+    assert(rows2set(Quantiles.winsorizeBucketed(gn, Seq("g"), "v", "tb"))
+      == rows2set(Quantiles.winsorize(gn, Seq("g"), "v", "tb")))
+    val gnl = gn.filter($"v".isNotNull).select($"g", $"v".cast("long").as("v"), $"tb")
+    assert(rows2set(Quantiles.giniBucketed(gnl, Seq("g"), "v", "tb"))
+      == rows2set(Quantiles.gini(gnl, Seq("g"), "v", "tb")))
+    val gns = gn.filter($"v".isNotNull)
+      .select($"g", $"v".cast("long").as("x"), ($"tb" * 2).as("y"))
+    assert(rows2set(Profiler.spearmanBucketed(gns, Seq("g"), "x", "y"))
+      == rows2set(Profiler.spearman(gns, Seq("g"), "x", "y")))
+  }
+
   test("joinCardinality: forecast equals the real join, max flags the hot key, disjoint is zero") {
     // a: k1 x3, k2 x2, k9 x1;  b: k1 x4, k2 x1, k7 x5
     val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") :+ "k9").toDF("k")

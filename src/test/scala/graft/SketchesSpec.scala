@@ -108,6 +108,44 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("spearman sketch: exact mergeability, full-sample == exact rho, error band at k<<n") {
+    import graft.quality.Profiler
+    // monotone-with-noise pairs + a NULL sprinkle (pairwise-excluded)
+    val all = (0 until 3000).map { i =>
+      val x = (i * 13 % 500).toLong
+      ("g" + (i % 2), i.toLong, x, x * 3 + (i * 7 % 97) - 48,
+        if (i % 31 == 0) None else Some(1L))
+    }.toDF("g", "id", "x0", "y0", "keep")
+      .select($"g", $"id",
+        when($"keep".isNotNull, $"x0").as("x"), $"y0".as("y"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g", "h").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = all.filter($"id" % 2 === 0)
+    val b = all.filter($"id" % 2 =!= 0)
+    // bottom-k(A ∪ B) == merge(bottom-k(A), bottom-k(B)) — exact
+    val direct = Sketches.spearmanSketch(all, Seq("g"), "x", "y", Seq("id"), k = 64)
+    val merged = Sketches.mergeSpearmanSketch(
+      Sketches.spearmanSketch(a, Seq("g"), "x", "y", Seq("id"), k = 64),
+      Sketches.spearmanSketch(b, Seq("g"), "x", "y", Seq("id"), k = 64), Seq("g"), k = 64)
+    assert(canon(direct) == canon(merged))
+    // k >= population: the sample IS the group — rho_est equals exact rho
+    val exact = Profiler.spearman(all, Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val full = Sketches.spearmanSketchReport(
+      Sketches.spearmanSketch(all, Seq("g"), "x", "y", Seq("id"), k = 5000), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(full == exact)
+    // k = 64 << n: the estimate lands within the documented ~1/sqrt(k)
+    // band of the truth (3 sigma)
+    val est = Sketches.spearmanSketchReport(direct, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    est.foreach { case (g, rho) =>
+      assert(math.abs(rho - exact(g)) <= 3.0 / math.sqrt(64.0),
+        s"$g est $rho vs exact ${exact(g)}")
+    }
+  }
+
   test("cms merge of slices == counters of the union; est >= exact") {
     val all = (0 until 3000).map(i => "t" + (i % 37)).toDF("token")
     val a = all.limit(1500)

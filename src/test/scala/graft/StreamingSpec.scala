@@ -399,6 +399,41 @@ class StreamingSpec extends SparkSpec {
     assert(folded == rebuilt)
   }
 
+  test("streaming spearman-sketch fold equals the batch sketch; report answers rho-so-far") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spstream").toString
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val b1 = (0 until 400).map(i =>
+      ("g" + (i % 2), i.toLong, (i * 7 % 100).toLong, (i * 7 % 100).toLong * 2 + i % 5))
+    val b2 = (400 until 900).map(i =>
+      ("g" + (i % 2), i.toLong, (i * 13 % 80).toLong, (i * 13 % 80).toLong * 2 + i % 5))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "id", "x", "y")
+    StreamingOps.spearmanSketchStream(rows, Seq("g"), "x", "y", Seq("id"), 64,
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.spearmanSketchStream(rows, Seq("g"), "x", "y", Seq("id"), 64,
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    def canon(d: org.apache.spark.sql.DataFrame) = d.orderBy("g", "h").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val folded = canon(spark.read.parquet(latest).select("g", "h", "x", "y"))
+    val rebuilt = canon(Sketches.spearmanSketch(
+      (b1 ++ b2).toDF("g", "id", "x", "y"), Seq("g"), "x", "y", Seq("id"), 64))
+    assert(folded == rebuilt)
+    // the standing report is the rebuild's report verbatim
+    val rep = Sketches.spearmanSketchReport(spark.read.parquet(latest), Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rrep = Sketches.spearmanSketchReport(
+      Sketches.spearmanSketch((b1 ++ b2).toDF("g", "id", "x", "y"),
+        Seq("g"), "x", "y", Seq("id"), 64), Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rep == rrep)
+  }
+
   test("streaming AUC fold: standing histogram answers full-corpus AUC exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.RankEval
