@@ -204,7 +204,11 @@ object SparkEntry {
     "q191_spearman_sketch" -> (CoreQueries.q191SpearmanSketch(_, _)),
     "q192_spearman_matrix" -> (CoreQueries.q192SpearmanMatrix(_, _)),
     "q193_correlation_drift" -> (CoreQueries.q193CorrelationDrift(_, _)),
-    "q194_split_leakage_fold" -> (LlmQueries.q194SplitLeakageFold(_, _))
+    "q194_split_leakage_fold" -> (LlmQueries.q194SplitLeakageFold(_, _)),
+    "q195_edit_distance_pairs" -> (LlmQueries.q195EditDistancePairs(_, _)),
+    "q196_simpson_diversity" -> (CoreQueries.q196SimpsonDiversity(_, _)),
+    "q197_spearman_matrix_bucketed" -> (CoreQueries.q197SpearmanMatrixBucketed(_, _)),
+    "q198_spearman_drift" -> (CoreQueries.q198SpearmanDrift(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -216,7 +220,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleBase ++ Map(
     "q188_spearman_bucketed" -> oracleBase("q187_spearman"),
     "q189_gini_bucketed" -> oracleBase("q186_gini"),
-    "q190_winsorize_bucketed" -> oracleBase("q171_winsorize"))
+    "q190_winsorize_bucketed" -> oracleBase("q171_winsorize"),
+    "q197_spearman_matrix_bucketed" -> oracleBase("q192_spearman_matrix"))
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3532,6 +3537,86 @@ object SparkEntry {
         |FULL JOIN (SELECT * FROM r WHERE half = 1) b
         |  ON a.l_returnflag = b.l_returnflag AND a.col_x = b.col_x AND a.col_y = b.col_y
         |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
+    // spearman drift: both halves re-ranked WITHIN their snapshot, then
+    // the q193 moments/rho/subtraction replay
+    "q198_spearman_drift" ->
+      """WITH s AS (SELECT l_orderkey % 2 AS half, l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 1000) AS BIGINT) AS disc_m
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |r AS (SELECT half, l_returnflag,
+        |    CAST(2 * rank() OVER (PARTITION BY half, l_returnflag ORDER BY qty_c)
+        |      + count(*) OVER (PARTITION BY half, l_returnflag, qty_c) - 1 AS HUGEINT) AS rq,
+        |    CAST(2 * rank() OVER (PARTITION BY half, l_returnflag ORDER BY price_c)
+        |      + count(*) OVER (PARTITION BY half, l_returnflag, price_c) - 1 AS HUGEINT) AS rp,
+        |    CAST(2 * rank() OVER (PARTITION BY half, l_returnflag ORDER BY disc_m)
+        |      + count(*) OVER (PARTITION BY half, l_returnflag, disc_m) - 1 AS HUGEINT) AS rd
+        |  FROM s),
+        |m AS (SELECT half, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(rq) AS sq, sum(rp) AS sp, sum(rd) AS sd,
+        |    sum(rq * rq) AS sqq, sum(rp * rp) AS spp, sum(rd * rd) AS sdd,
+        |    sum(rq * rp) AS sqp, sum(rq * rd) AS sqd, sum(rp * rd) AS spd
+        |  FROM r GROUP BY 1, 2),
+        |p AS (
+        |  SELECT half, l_returnflag, 'qty_c' AS col_x, 'price_c' AS col_y, n,
+        |    CAST(n AS HUGEINT) * sqp - sq * sp AS num,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq AS dx,
+        |    CAST(n AS HUGEINT) * spp - sp * sp AS dy FROM m
+        |  UNION ALL
+        |  SELECT half, l_returnflag, 'qty_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * sqd - sq * sd,
+        |    CAST(n AS HUGEINT) * sqq - sq * sq,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m
+        |  UNION ALL
+        |  SELECT half, l_returnflag, 'price_c', 'disc_m', n,
+        |    CAST(n AS HUGEINT) * spd - sp * sd,
+        |    CAST(n AS HUGEINT) * spp - sp * sp,
+        |    CAST(n AS HUGEINT) * sdd - sd * sd FROM m),
+        |rr AS (SELECT half, l_returnflag, col_x, col_y, n,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    greatest(-1.0, least(1.0, CAST(num AS DOUBLE) /
+        |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))) END AS rho
+        |  FROM p)
+        |SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+        |  coalesce(a.col_x, b.col_x) AS col_x,
+        |  coalesce(a.col_y, b.col_y) AS col_y,
+        |  a.n AS n_base, b.n AS n_cur,
+        |  round(a.rho, 9) AS rho_base, round(b.rho, 9) AS rho_cur,
+        |  round(b.rho - a.rho, 9) AS drift
+        |FROM (SELECT * FROM rr WHERE half = 0) a
+        |FULL JOIN (SELECT * FROM rr WHERE half = 1) b
+        |  ON a.l_returnflag = b.l_returnflag AND a.col_x = b.col_x AND a.col_y = b.col_y
+        |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
+    // blocked edit-distance verify: the q173 rank self-join + integer
+    // Levenshtein (definitionally identical in both engines)
+    "q195_edit_distance_pairs" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b),
+        |p AS (SELECT a.id AS id_a, c.id AS id_b, a.k AS key_a, c.k AS key_b
+        |  FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4)
+        |SELECT id_a, id_b, key_a, key_b,
+        |  CAST(levenshtein(key_a, key_b) AS INT) AS dist
+        |FROM p WHERE levenshtein(key_a, key_b) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Simpson diversity: exact pair-count numerator, lambda/diversity
+    // one pinned division each
+    "q196_simpson_diversity" ->
+      """WITH c AS (SELECT lang, CAST(source AS VARCHAR) AS cat, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cats,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS num
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_cats, n, CAST(num AS DOUBLE) AS simpson_num,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(num AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) END AS lambda,
+        |  1.0 - CASE WHEN n > 1 THEN
+        |    CAST(num AS DOUBLE) / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) END AS diversity
+        |FROM g ORDER BY lang""".stripMargin,
     // batch-admission leakage: the rebuild's window pairs restricted to
     // >=1 batch side (the SNM incremental law) through the q178 split
     // matrix

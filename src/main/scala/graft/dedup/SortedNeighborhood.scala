@@ -79,6 +79,30 @@ object SortedNeighborhood {
       .select("id_a", "id_b", "key_a", "key_b")
   }
 
+  /** Merge/purge COMPLETED — blocking + verify in one call (Hernández &
+    * Stolfo's pipeline shape: the window proposes, a distance decides):
+    * [[candidatePairs]] filtered to pairs within `maxDist` Levenshtein
+    * edits, the standard record-linkage verify for exactly the
+    * typo-shaped near-misses this blocking is built to surface. The
+    * distance is Spark's codegen'd builtin — INTEGER, unit-cost, and
+    * definitionally identical in DuckDB, so the q195 gate hashes every
+    * surviving pair's distance. Verify cost is per-candidate (bounded by
+    * n·(w−1)); `dist` is appended for downstream thresholds/weights.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      window: Int,
+      prefixLen: Int = 2,
+      maxDist: Int = 2
+  ): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    candidatePairs(df, idCol, keyCol, window, prefixLen)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Incremental fold — the NEW candidate pairs created by inserting
     * `batch` into `standing`: exactly the (standing ∪ batch) window pairs
     * with ≥1 batch side (spec-asserted against the full rebuild).

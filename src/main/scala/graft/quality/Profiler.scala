@@ -502,6 +502,53 @@ object Profiler {
     spearmanFromDoubledRanks(ranked, keyCols)
   }
 
+  /** Simpson diversity per group (Simpson 1949) — the corpus-mixture
+    * diagnostic next to [[graft.operators.Quantiles.gini]]'s mass
+    * balance: λ = Σᵢ nᵢ(nᵢ−1) / (N(N−1)) is the probability two draws
+    * WITHOUT replacement share a category (1 − λ the Gini–Simpson
+    * diversity) — "how source-diverse is each shard/language/day"
+    * without Shannon entropy's `ln` (no cross-engine ulp contract; this
+    * is pure rational arithmetic, so the gate hashes λ itself). Emits
+    * per group: n_cats, N, the EXACT DECIMAL(38,0) numerator (100 TB
+    * counts square past a long), and λ / diversity as one pinned
+    * division each — NULL when N < 2 (no unordered pair to draw). A
+    * NULL category is a category (a missing source is mixture signal).
+    * Scale: two map-side-partial aggregations, the second over the
+    * (group, category)-count frame — nothing data-sized shuffles twice.
+    */
+  def simpsonDiversity(
+      df: DataFrame,
+      keyCols: Seq[String],
+      catCol: String
+  ): DataFrame =
+    simpsonDiversityFromCounts(
+      df.groupBy((keyCols.map(col) :+ col(catCol).cast("string").as("__cat")): _*)
+        .agg(count(lit(1)).as("__n")),
+      keyCols)
+
+  /** [[simpsonDiversity]] from a per-(group, category) count frame — the
+    * MERGEABLE form: counts are plain sums, so per-group [[valueCounts]]-
+    * shaped snapshots over disjoint row sets fold by summing per
+    * (group, category) into exactly the rebuild's counts (the
+    * chi-square/KS histogram discipline) and the standing diversity
+    * tracks a growing corpus without rescans. Expects columns
+    * (keyCols…, __cat, __n).
+    */
+  def simpsonDiversityFromCounts(counts: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dec = "decimal(38,0)"
+    counts.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_cats"),
+        sum(col("__n")).as("n"),
+        sum((col("__n").cast(dec)) * (col("__n") - 1L).cast(dec)).as("__num"))
+      .select((keyCols.map(col) :+ col("n_cats") :+ col("n") :+
+        col("__num").cast("double").as("simpson_num") :+ {
+          val denom = (col("n").cast(dec) * (col("n") - 1L).cast(dec)).cast("double")
+          when(col("n") > 1L, col("__num").cast("double") / denom).as("lambda")
+        }): _*)
+      .withColumn("diversity", lit(1.0) - col("lambda"))
+  }
+
   /** Correlation-matrix DRIFT between two snapshots — "did the linear
     * RELATIONSHIP between columns change", the bivariate companion of
     * [[chiSquareDrift]]/[[ksDriftFromHistograms]] (those watch one
@@ -557,6 +604,23 @@ object Profiler {
       df: DataFrame,
       keyCols: Seq[String],
       cols: Seq[String]
+  ): DataFrame =
+    correlationFromMoments(spearmanMoments(df, keyCols, cols), keyCols, cols)
+      .withColumnRenamed("r", "rho")
+
+  /** The moments frame behind [[spearmanMatrix]] — [[correlationMoments]]
+    * over each column's doubled average-tie rank. Exposed for
+    * [[correlationMatrixDrift]]: feeding two snapshots' rank-moments
+    * gives the SPEARMAN drift matrix ("did the monotone association
+    * change") with zero new machinery. CAUTION, unlike raw-value
+    * moments these do NOT fold across batches (ranks are
+    * corpus-relative — re-rank per snapshot, don't merge); drift yes,
+    * incremental fold no.
+    */
+  def spearmanMoments(
+      df: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String]
   ): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val g = keyCols.map(col)
@@ -565,6 +629,37 @@ object Profiler {
       (lit(2L) * rank().over(Window.partitionBy(g: _*).orderBy(col(c))) +
         count(lit(1)).over(Window.partitionBy((g :+ col(c)): _*)) - 1L).as(c)
     }): _*)
+    correlationMoments(ranked, keyCols, cols)
+  }
+
+  /** Skew-safe twin of [[spearmanMatrix]] — BIT-IDENTICAL output: every
+    * column's doubled average-tie rank comes from the
+    * [[spearmanBucketed]] cell layout (sequential scaffolds, one per
+    * column — no per-group reducer sort anywhere), then the same one
+    * moments aggregation and pair generator. Cost: one (group, cell)
+    * exchange per column instead of the shared single exchange — the
+    * hot-group trade [[graft.AbQuantiles]] prices (`spearman` op)
+    * applied per column.
+    */
+  def spearmanMatrixBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String],
+      cells: Int = 256
+  ): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    import graft.operators.Quantiles
+    val g = keyCols.map(col)
+    val base = df.select((keyCols ++ cols).map(col): _*)
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val ranked = cols.foldLeft(base) { (frame, c) =>
+      val w = Window.partitionBy((g :+ col("__c")): _*).orderBy(col(c))
+      Quantiles.cellScaffold(frame, keyCols, c, cells)
+        .withColumn(s"__r2_$c",
+          lit(2L) * (col("__off") + rank().over(w)) +
+            count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)) - 1L)
+        .drop("__c", "__cnt", "__off", "__n")
+    }.select((g ++ cols.map(c => col(s"__r2_$c").as(c))): _*)
     correlationFromMoments(correlationMoments(ranked, keyCols, cols), keyCols, cols)
       .withColumnRenamed("r", "rho")
   }

@@ -1029,6 +1029,68 @@ object CoreQueries {
       .orderBy("l_returnflag", "col_x", "col_y")
   }
 
+  /** Skew-safe Spearman-matrix gate — q192 through the cell layout
+    * (one scaffold per column, no per-group reducer sort); oracle shared
+    * with q192: bit-identical by the row-141 argument.
+    */
+  def q197SpearmanMatrixBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      round(col("l_discount") * 1000).cast("long").as("disc_m"))
+    Profiler.spearmanMatrixBucketed(li, Seq("l_returnflag"),
+        Seq("qty_c", "price_c", "disc_m"))
+      .orderBy("l_returnflag", "col_x", "col_y")
+  }
+
+  /** Spearman-drift gate: q193's relationship-drift question asked of the
+    * MONOTONE association — two snapshots' rank-moments through the same
+    * drift machinery (ranks are per-snapshot, so this composes with zero
+    * new code); the oracle re-ranks both halves and replays every moment,
+    * ρ, and subtraction. The ρ/drift columns gate at 9 decimals (the
+    * BM25 rounded-surface idiom): at sf0.1 the per-half rank moments are
+    * ~1e16–1e17 and the two engines' exact-integer→double casts disagree
+    * by 1–2 ulp at those magnitudes (observed: 19th digit), so the raw
+    * doubles stay inside each engine and the gate hashes the statistic
+    * at the precision both provably share.
+    */
+  def q198SpearmanDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      round(col("l_discount") * 1000).cast("long").as("disc_m"))
+    val cols = Seq("qty_c", "price_c", "disc_m")
+    Profiler.correlationMatrixDrift(
+      Profiler.spearmanMoments(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), cols),
+      Profiler.spearmanMoments(
+        li.filter(col("l_orderkey") % 2 === 1), Seq("l_returnflag"), cols),
+      Seq("l_returnflag"), cols)
+      .select(col("l_returnflag"), col("col_x"), col("col_y"),
+        col("n_base"), col("n_cur"),
+        round(col("r_base"), 9).as("rho_base"),
+        round(col("r_cur"), 9).as("rho_cur"),
+        round(col("drift"), 9).as("drift"))
+      .orderBy("l_returnflag", "col_x", "col_y")
+  }
+
+  /** Simpson-diversity gate: per language, how source-diverse is the
+    * corpus — λ and 1−λ from the exact pair-count numerator, pure
+    * rational arithmetic the oracle replays (the no-`ln` alternative to
+    * Shannon entropy for mixture diagnostics).
+    */
+  def q196SimpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    Profiler.simpsonDiversity(
+      Tables.documents(s, dir).select("lang", "source"),
+      Seq("lang"), "source")
+      .orderBy("lang")
+  }
+
   /** Bloom-pruned fact⋈dim join: lineitem joined to the urgent-priority
     * order subset, with the fact side filtered through a Bloom of the dim
     * keys BEFORE its exchange. The joined result is provably identical to

@@ -1867,6 +1867,22 @@ object LlmQueries {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** Blocked edit-distance near-dup gate — the merge/purge pipeline
+    * completed: q173's sorted-neighborhood window proposes, Levenshtein
+    * decides ([[graft.dedup.SortedNeighborhood.editDistancePairs]]).
+    * Integer distances, definitionally identical in DuckDB — every
+    * surviving pair AND its distance hash.
+    */
+  def q195EditDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    SortedNeighborhood.editDistancePairs(d, "doc_id", "snkey",
+        window = 4, prefixLen = 3, maxDist = 6)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Poisson-bootstrap gate: 32 deterministic resamples of the corpus,
     * each replicate's (Σw, Σw·n_chars) exact and its mean one division —
     * the oracle redraws every (doc, replicate) Poisson weight from the

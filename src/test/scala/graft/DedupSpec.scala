@@ -993,6 +993,25 @@ class DedupSpec extends SparkSpec {
     assert(inc3 == full3.filter(p => b2(p._1) || b2(p._2)))
   }
 
+  test("editDistancePairs: window proposes, levenshtein decides — golden distances, threshold exact") {
+    import spark.implicits._
+    import graft.dedup.SortedNeighborhood
+    // sort-adjacent keys with known distances: abcde~abcdx = 1,
+    // abcdx~abxdx = 1, abcde~abxdx = 2, zzzzz far from all
+    val d = Seq((1L, "abcde"), (2L, "abcdx"), (3L, "abxdx"), (4L, "zzzzz"))
+      .toDF("id", "k")
+    val got = SortedNeighborhood.editDistancePairs(d, "id", "k",
+        window = 4, prefixLen = 1, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 2, (2L, 3L) -> 1), s"$got")
+    // maxDist 0 keeps only exact-equal keys
+    val dupd = d.union(Seq((5L, "abcde")).toDF("id", "k"))
+    val exact = SortedNeighborhood.editDistancePairs(dupd, "id", "k",
+        window = 4, prefixLen = 1, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 5L)))
+  }
+
   test("sorted neighborhood incremental: UTF-16 vs UTF-8 order trap — supplementary-plane cells walk correctly") {
     import spark.implicits._
     import graft.dedup.SortedNeighborhood

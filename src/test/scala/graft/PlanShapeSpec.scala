@@ -291,7 +291,19 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q98_bm25", requireTopK = true, maxRange = 2,
       forbidUdf = true),
     Shape("q100_hybrid_rrf", requireTopK = true,
-      requireWindowGroupLimit = true, maxRange = 3, forbidUdf = true)
+      requireWindowGroupLimit = true, maxRange = 3, forbidUdf = true),
+    // blocked edit-distance verify: q173's shape + a codegen'd
+    // levenshtein filter on the candidate frame -- no new exchange
+    Shape("q195_edit_distance_pairs", maxHash = 4, maxRange = 3,
+      minBroadcastJoin = 2, forbidUdf = true),
+    // simpson diversity: two map-side-partial aggregations, no join
+    Shape("q196_simpson_diversity", maxHash = 2, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // skew-safe spearman matrix: one cell scaffold per column (stats +
+    // counts + offsets + per-cell rank, all broadcasts) + the single
+    // moments aggregation -- no per-group reducer sort anywhere
+    Shape("q197_spearman_matrix_bucketed", maxHash = 15,
+      minBroadcastJoin = 6, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

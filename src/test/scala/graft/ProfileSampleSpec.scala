@@ -814,6 +814,31 @@ class ProfileSampleSpec extends SparkSpec {
     assert(oneSided.contains(("h", "x", "y")) && oneSided.contains(("g", "x", "y")))
   }
 
+  test("spearman drift via rank moments: identical snapshots zero, flip surfaces, sides equal pairwise spearman") {
+    import spark.implicits._
+    val a = (1 to 40).map { i =>
+      val x = (i % 11).toLong; ("g", x, x * x, (i % 7).toLong)
+    }.toDF("k", "x", "y", "z")
+    val b = a.select($"k", $"x", (-$"y").as("y"), $"z") // monotone flip of y
+    val cols = Seq("x", "y", "z")
+    def mom(d: org.apache.spark.sql.DataFrame) = Profiler.spearmanMoments(d, Seq("k"), cols)
+    val self = Profiler.correlationMatrixDrift(mom(a), mom(a), Seq("k"), cols)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(7)).toMap
+    assert(self.values.forall(_ == 0.0), s"identical snapshots must drift 0: $self")
+    val flip = Profiler.correlationMatrixDrift(mom(a), mom(b), Seq("k"), cols)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(7)).toMap
+    // rho(x, x^2) = 1 (aligned ranks); flipped -> -1; drift -2 up to
+    // the sqrt ulp (the clamp only caps magnitudes ABOVE 1)
+    assert(math.abs(flip(("x", "y")) + 2.0) < 1e-12, s"flip drift ${flip(("x", "y"))}")
+    // each side's rho equals the pairwise exact spearman
+    val base = Profiler.correlationMatrixDrift(mom(a), mom(b), Seq("k"), cols)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(5)).toMap
+    for ((cx, cy) <- Seq(("x", "y"), ("x", "z"), ("y", "z"))) {
+      val exact = Profiler.spearman(a, Seq("k"), cx, cy).head().getDouble(4)
+      assert(base((cx, cy)) == exact, s"($cx,$cy): ${base((cx, cy))} vs $exact")
+    }
+  }
+
   test("spearmanMatrix: every pair equals the pairwise exact spearman; labels ordered") {
     import spark.implicits._
     val d = (1 to 80).map { i =>
@@ -834,6 +859,41 @@ class ProfileSampleSpec extends SparkSpec {
     // y = x^2 over non-negative x is a monotone function of x's ranks:
     // the matrix must report EXACTLY 1 there (ties aligned)
     assert(m(("g0", "x", "y"))._2 == 1.0)
+  }
+
+  test("simpsonDiversity: golden lambda, monoculture zero, singleton NULL, NULL category counts") {
+    import spark.implicits._
+    // counts [2, 2]: N=4, num = 2*1 + 2*1 = 4, lambda = 4/12 = 1/3
+    val d = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"),
+      ("m", "x"), ("m", "x"), ("m", "x"), // monoculture: lambda 1, div 0
+      ("s", "only"), // singleton group: no unordered pair -> NULL
+      ("n", "a"), ("n", null), ("n", null)) // NULL category is a category
+      .toDF("k", "cat")
+    val got = Profiler.simpsonDiversity(d, Seq("k"), "cat").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(got("g") == ((2L, 4L, 4.0, Some(4.0 / 12.0), Some(1.0 - 4.0 / 12.0))))
+    assert(got("m") == ((1L, 3L, 6.0, Some(1.0), Some(0.0))))
+    assert(got("s")._4.isEmpty && got("s")._5.isEmpty)
+    // n: counts [1, 2] -> num = 0 + 2 = 2, lambda = 2/6
+    assert(got("n") == ((2L, 3L, 2.0, Some(2.0 / 6.0), Some(1.0 - 2.0 / 6.0))))
+    // mergeable form: per-(group, category) counts over disjoint slices
+    // fold by plain sum into exactly the rebuild's diversity
+    val half1 = d.limit(5)
+    val half2 = d.exceptAll(half1)
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"k", $"cat".cast("string").as("__cat"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+    val folded = counts(half1).unionByName(counts(half2))
+      .groupBy("k", "__cat")
+      .agg(org.apache.spark.sql.functions.sum("__n").as("__n"))
+    val viaFold = Profiler.simpsonDiversityFromCounts(folded, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).map(Option(_))).toMap
+    val direct = Profiler.simpsonDiversity(d, Seq("k"), "cat")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).map(Option(_))).toMap
+    assert(viaFold == direct)
   }
 
   test("poisson bootstrap: deterministic draws, plausible weights, exact sums, CI rank selection") {

@@ -177,6 +177,13 @@ class ScaleOpsSpec extends SparkSpec {
       .select($"g", $"v".cast("long").as("x"), ($"tb" * 2).as("y"))
     assert(rows2set(Profiler.spearmanBucketed(gns, Seq("g"), "x", "y"))
       == rows2set(Profiler.spearman(gns, Seq("g"), "x", "y")))
+    // matrix twin: three columns, tiny cells, ties everywhere
+    val md = (1 to 60).map(i =>
+      ("a" + (i % 2), (i % 7).toLong, (i % 5).toLong, (i * 3 % 11).toLong))
+      .toDF("g", "x", "y", "z")
+    assert(rows2set(Profiler.spearmanMatrixBucketed(md, Seq("g"),
+        Seq("x", "y", "z"), cells = 4))
+      == rows2set(Profiler.spearmanMatrix(md, Seq("g"), Seq("x", "y", "z"))))
   }
 
   test("joinCardinality: forecast equals the real join, max flags the hot key, disjoint is zero") {
