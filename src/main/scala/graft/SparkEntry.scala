@@ -208,7 +208,8 @@ object SparkEntry {
     "q195_edit_distance_pairs" -> (LlmQueries.q195EditDistancePairs(_, _)),
     "q196_simpson_diversity" -> (CoreQueries.q196SimpsonDiversity(_, _)),
     "q197_spearman_matrix_bucketed" -> (CoreQueries.q197SpearmanMatrixBucketed(_, _)),
-    "q198_spearman_drift" -> (CoreQueries.q198SpearmanDrift(_, _))
+    "q198_spearman_drift" -> (CoreQueries.q198SpearmanDrift(_, _)),
+    "q199_rbo" -> (LlmQueries.q199Rbo(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3537,6 +3538,46 @@ object SparkEntry {
         |FULL JOIN (SELECT * FROM r WHERE half = 1) b
         |  ON a.l_returnflag = b.l_returnflag AND a.col_x = b.col_x AND a.col_y = b.col_y
         |ORDER BY l_returnflag, col_x, col_y""".stripMargin,
+    // RBO: both retrievers' top-20 replayed (the q100 CTEs), pinned
+    // 0.9^d weight table (RankEval.RboPPow verbatim), fixed-order
+    // prepend-0 left fold over the d-sorted terms — bit-identical to
+    // Spark's aggregate(sort_array(...)) fold
+    "q199_rbo" ->
+      s"""WITH $Bm25Ctes,
+        |lexr AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY CAST(score AS DECIMAL(18,6)) DESC, doc_id) AS rank
+        |  FROM sc WHERE CAST(score AS DECIMAL(18,6)) > 0) WHERE rank <= 20),
+        |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ds AS (SELECT id, list_cosine_similarity(v, qv) AS score FROM c, qv WHERE id <> 0),
+        |denr AS (SELECT id AS doc_id, rank FROM (
+        |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM ds) WHERE rank <= 20),
+        |mm AS (SELECT greatest(l.rank, d.rank) AS m
+        |  FROM lexr l JOIN denr d ON l.doc_id = d.doc_id),
+        |w(d, wt) AS (VALUES
+        |  (1, 1.0e0), (2, 0.9e0), (3, 0.81e0), (4, 0.7290000000000001e0),
+        |  (5, 0.6561000000000001e0), (6, 0.5904900000000002e0),
+        |  (7, 0.5314410000000002e0), (8, 0.47829690000000014e0),
+        |  (9, 0.43046721000000016e0), (10, 0.38742048900000015e0),
+        |  (11, 0.34867844010000015e0), (12, 0.31381059609000017e0),
+        |  (13, 0.28242953648100017e0), (14, 0.25418658283290013e0),
+        |  (15, 0.22876792454961012e0), (16, 0.2058911320946491e0),
+        |  (17, 0.1853020188851842e0), (18, 0.16677181699666577e0),
+        |  (19, 0.1500946352969992e0), (20, 0.13508517176729928e0)),
+        |rx AS (SELECT w.d, w.wt, CAST(count(mm.m) AS BIGINT) AS xd
+        |  FROM w LEFT JOIN mm ON mm.m <= w.d GROUP BY 1, 2),
+        |rt AS (SELECT d, xd, wt * (CAST(xd AS DOUBLE) / CAST(d AS DOUBLE)) AS term FROM rx),
+        |f AS (SELECT
+        |    list_reduce(
+        |      list_prepend(0.0,
+        |        list_transform(list_sort(list(struct_pack(d := d, term := term))),
+        |          s -> s.term)),
+        |      (acc, e2) -> acc + e2) AS ssum,
+        |    max(CASE WHEN d = 20 THEN xd END) AS overlap_k
+        |  FROM rt)
+        |SELECT 20 AS k, overlap_k, 0.1e0 * ssum AS rbo_base,
+        |  0.1e0 * ssum + 0.12157665459056936e0 * (CAST(overlap_k AS DOUBLE) / 20.0e0) AS rbo_ext
+        |FROM f""".stripMargin,
     // spearman drift: both halves re-ranked WITHIN their snapshot, then
     // the q193 moments/rho/subtraction replay
     "q198_spearman_drift" ->

@@ -340,4 +340,77 @@ object RankEval {
         sum(when(!col(predCol) && col(labelCol), 1L).otherwise(0L)).as("fn"),
         sum(when(!col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("tn"),
         count(lit(1)).as("n_rows"))
+
+  /** 0.9^d for d = 0..20, by repeated double multiplication — PINNED
+    * literals (the BenfordPpm rule: constants are data), shared verbatim
+    * with the q199 oracle so the [[rbo]] weight table is bit-identical
+    * cross-engine.
+    */
+  val RboP: Double = 0.9
+  val RboPPow: Seq[Double] = Seq(
+    1.0, 0.9, 0.81, 0.7290000000000001, 0.6561000000000001,
+    0.5904900000000002, 0.5314410000000002, 0.47829690000000014,
+    0.43046721000000016, 0.38742048900000015, 0.34867844010000015,
+    0.31381059609000017, 0.28242953648100017, 0.25418658283290013,
+    0.22876792454961012, 0.2058911320946491, 0.1853020188851842,
+    0.16677181699666577, 0.1500946352969992, 0.13508517176729928,
+    0.12157665459056936)
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    * top-k rankings — "how similar are these two retrievers' ANSWER
+    * LISTS", top-weighted (disagreement at rank 1 costs more than at
+    * rank 20): RBO = (1−p)·Σ_d p^(d−1)·A_d with agreement
+    * A_d = |S∩T within depth d| / d, persistence p = 0.9 pinned. The
+    * index-migration diagnostic recall@k can't give (recall needs
+    * truth; RBO compares two systems directly — did the new index
+    * change what users actually see).
+    *
+    * Engine-exact by construction: X_d (the depth-d overlap) is an
+    * integer; each term is w_d · (X_d / d) with w_d from the PINNED
+    * [[RboPPow]] table; the depth sum is a FIXED-ORDER left fold over
+    * the d-sorted term array (IEEE addition is order-sensitive — an
+    * unordered SQL sum would be engine-divergent; the oracle replays
+    * the same prepend-0 fold), rbo_base = 0.1 · sum one multiply, and
+    * rbo_ext adds the standard p^k·A_k extrapolation. The gate hashes
+    * both.
+    *
+    * Inputs: (idCol, rankCol) frames, ranks 1-based; rows past k are
+    * ignored. Both frames are top-k-list-sized — everything here is
+    * bounded by k, never the corpus.
+    */
+  def rbo(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      rankCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k < RboPPow.length, s"k must be in [1, ${RboPPow.length - 1}]: $k")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val sa = a.select(col(idCol).as("__id"), col(rankCol).as("__ra"))
+      .filter(col("__ra") <= k)
+    val sb = b.select(col(idCol).as("__id"), col(rankCol).as("__rb"))
+      .filter(col("__rb") <= k)
+    val matched = sa.join(sb, "__id")
+      .select(greatest(col("__ra"), col("__rb")).as("m"))
+    val weights = (1 to k).map(d => (d, RboPPow(d - 1))).toDF("d", "w")
+    val terms = broadcast(weights)
+      .join(matched, col("m") <= col("d"), "left")
+      .groupBy("d", "w")
+      .agg(count(col("m")).as("xd"))
+      .select(col("d"), col("xd"),
+        (col("w") * (col("xd").cast("double") / col("d").cast("double"))).as("term"))
+    terms.agg(
+        aggregate(
+          sort_array(collect_list(struct(col("d"), col("term")))),
+          lit(0.0), (acc, s) => acc + s.getField("term")).as("__sum"),
+        max(when(col("d") === k, col("xd"))).as("overlap_k"))
+      .select(
+        lit(k).as("k"), col("overlap_k"),
+        (lit(0.1) * col("__sum")).as("rbo_base"),
+        (lit(0.1) * col("__sum") +
+          lit(RboPPow(k)) * (col("overlap_k").cast("double") / lit(k.toDouble)))
+          .as("rbo_ext"))
+  }
 }

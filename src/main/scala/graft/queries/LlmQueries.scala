@@ -870,6 +870,27 @@ object LlmQueries {
       .orderBy("rank")
   }
 
+  /** Rank-biased-overlap gate: RBO@20 (p = 0.9) between the lexical
+    * BM25 top-20 and the dense cosine top-20 over the shared id space —
+    * "how much do the two retrievers agree, top-weighted", the direct
+    * system-vs-system diagnostic recall can't give. The oracle replays
+    * both retrievers (the q100 CTEs), the pinned weight table, and the
+    * fixed-order depth fold.
+    */
+  def q199Rbo(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val e = Tables.embeddings(s, dir)
+    val lex = bm25Ranked(
+      Bm25.scoreScan(Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", Bm25Terms), "doc_id")
+      .filter(col("rank") <= 20)
+      .select("doc_id", "rank")
+    val dense = Knn.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    RankEval.rbo(lex, dense, "doc_id", "rank", k = 20)
+  }
+
   /** SemDeDup corpus-state fixture: embeddings ∪ exact twins (+1e6 for
     * even ids, a second +2e6 twin for every 4th id — triangle components)
     * ∪ negated twins (+1e6 for odd ids — must NOT pair), assigned to the

@@ -218,4 +218,25 @@ class RankEvalSpec extends SparkSpec {
     // truth@2 = {11,12}; results@2 = {13,11} -> one hit, first at rank 2
     assert(at2.getLong(3) == 1L && at2.getInt(4) == 2)
   }
+
+  test("rbo: identical lists ~1, disjoint exactly 0, hand-computed k=2, top-weighting") {
+    import spark.implicits._
+    def ranked(ids: Seq[String]) =
+      ids.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("id", "rank")
+    val s5 = ranked(Seq("a", "b", "c", "d", "e"))
+    val same = RankEval.rbo(s5, s5, "id", "rank", k = 5).head()
+    assert(same.getLong(1) == 5L, "overlap@5 = 5")
+    assert(math.abs(same.getDouble(3) - 1.0) < 1e-12, s"identical ext ${same.getDouble(3)}")
+    val disj = RankEval.rbo(s5, ranked(Seq("v", "w", "x", "y", "z")), "id", "rank", 5).head()
+    assert(disj.getLong(1) == 0L && disj.getDouble(2) == 0.0 && disj.getDouble(3) == 0.0)
+    // hand case k=2: S=[a,b], T=[a,c]: X1=1, X2=1 ->
+    // base = 0.1*(1*1 + 0.9*0.5) = 0.145; ext = base + 0.81*0.5 = 0.55
+    val h = RankEval.rbo(ranked(Seq("a", "b")), ranked(Seq("a", "c")), "id", "rank", 2).head()
+    assert(math.abs(h.getDouble(2) - 0.145) < 1e-12 && math.abs(h.getDouble(3) - 0.55) < 1e-12)
+    // top-weighting: agreeing at the TOP scores higher than agreeing at
+    // the BOTTOM for the same overlap count
+    val top = RankEval.rbo(ranked(Seq("a", "x", "y")), ranked(Seq("a", "u", "v")), "id", "rank", 3).head()
+    val bot = RankEval.rbo(ranked(Seq("x", "y", "a")), ranked(Seq("u", "v", "a")), "id", "rank", 3).head()
+    assert(top.getDouble(3) > bot.getDouble(3))
+  }
 }
