@@ -303,7 +303,27 @@ class PlanShapeSpec extends SparkSpec {
     // counts + offsets + per-cell rank, all broadcasts) + the single
     // moments aggregation -- no per-group reducer sort anywhere
     Shape("q197_spearman_matrix_bucketed", maxHash = 15,
-      minBroadcastJoin = 6, forbidSortMergeJoin = true, forbidUdf = true)
+      minBroadcastJoin = 6, forbidSortMergeJoin = true, forbidUdf = true),
+    // spearman sketch honesty chain: the bottom-k cut window + the
+    // sample's rank windows + both moments aggs share group exchanges;
+    // the est/exact join is group-sized
+    Shape("q191_spearman_sketch", maxHash = 4, maxRange = 2,
+      forbidUdf = true),
+    // correlation drift: two moments aggregations; the pair-frame
+    // full-outer may sort-merge (9 rows) so no SMJ ban
+    Shape("q193_correlation_drift", maxHash = 4, maxRange = 2,
+      forbidUdf = true),
+    // spearman drift: one group exchange per half's rank windows +
+    // moments; tiny pair full-outer
+    Shape("q198_spearman_drift", maxHash = 6, maxRange = 3,
+      forbidUdf = true),
+    // batch-admission leakage: the SNM fold budget + two id joins + the
+    // 9-cell roll-up -- the shuffle budget IS the O(touched) claim
+    Shape("q194_split_leakage_fold", maxHash = 16, maxRange = 2,
+      minBroadcastJoin = 3, forbidUdf = true),
+    // RBO: both retrievers bounded (BM25 roll-ups + the top-20
+    // TakeOrdered), the depth/term frames are k-sized
+    Shape("q199_rbo", requireTopK = true, maxRange = 3, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
