@@ -114,10 +114,31 @@ object Bench {
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries_unit":"$unit","queries_key":"q#","queries":$compact,"sf":"$sfName"}"""
     }
     val budget = 1870 // 2000-byte tail − sbt footer − [info] prefix margin
+    // last-resort degradation: when even deciseconds can't fit the full
+    // map (~400+ queries), emit the total + the slowest queries that DO
+    // fit + an explicit omission marker — a short, parseable line beats
+    // a silently head-truncated complete one (the BENCH_r09 failure
+    // mode); the complete map is always in bench_full.json.
+    def truncatedLine(): String = {
+      val byCost = results.sortBy(-_._2)
+      val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      var len = 220 // prefix + omission fields, conservatively
+      for ((k, v) <- byCost if len < budget - 14) {
+        val entry = s""""${k.takeWhile(_ != '_').stripPrefix("q")}":${math.round(v * 100)}"""
+        if (len + entry.length + 1 <= budget) { kept += (k -> v); len += entry.length + 1 }
+      }
+      val compact = kept.sortBy(r => (qnum(r._1), r._1)).map { case (k, v) =>
+        s""""${k.takeWhile(_ != '_').stripPrefix("q")}":${math.round(v * 100)}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries_unit":"cs","queries_key":"q#","queries_omitted":${results.size - kept.size},"queries":$compact,"sf":"$sfName","full":"bench_full.json"}"""
+    }
     val line = Seq("ms" -> 1000.0, "cs" -> 100.0, "ds" -> 10.0)
       .map { case (u, d) => officialLine(u, d) }
       .find(_.length <= budget)
-      .getOrElse(officialLine("ds", 10.0))
+      .getOrElse {
+        println(s"[bench] WARNING: full per-query map exceeds the ${budget}B stdout budget even at ds; emitting slowest-first truncated map (complete artifact in bench_full.json)")
+        truncatedLine()
+      }
     println(line)
     spark.stop()
   }

@@ -485,21 +485,38 @@ object Profiler {
       yCol: String,
       cells: Int = 256
   ): DataFrame = {
-    import graft.operators.Quantiles
     val g = keyCols.map(col)
     val base = df.select((keyCols :+ xCol :+ yCol).map(col): _*)
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    def doubledRank(frame: DataFrame, c: String, as: String): DataFrame = {
-      val w = Window.partitionBy((g :+ col("__c")): _*).orderBy(col(c))
-      Quantiles.cellScaffold(frame, keyCols, c, cells)
-        .withColumn(as,
-          lit(2L) * (col("__off") + rank().over(w)) +
-            count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)) - 1L)
-        .drop("__c", "__cnt", "__off", "__n")
-    }
-    val ranked = doubledRank(doubledRank(base, xCol, "__rx2"), yCol, "__ry2")
+    val ranked =
+      doubledRankFromScaffold(
+        doubledRankFromScaffold(base, keyCols, xCol, "__rx2", cells),
+        keyCols, yCol, "__ry2", cells)
       .select((g :+ col("__rx2") :+ col("__ry2")): _*)
     spearmanFromDoubledRanks(ranked, keyCols)
+  }
+
+  /** The ONE definition of "doubled average-tie rank via the cell
+    * scaffold" — 2·(offset + per-cell min-rank) + tie-count − 1, the
+    * tie count riding the SAME (group, cell) window as a current-row
+    * range frame. Shared by [[spearmanBucketed]] and
+    * [[spearmanMatrixBucketed]] so the bit-identity contract with the
+    * windowed arms has a single implementation to break.
+    */
+  private def doubledRankFromScaffold(
+      frame: DataFrame,
+      keyCols: Seq[String],
+      c: String,
+      as: String,
+      cells: Int
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val w = Window.partitionBy((g :+ col("__c")): _*).orderBy(col(c))
+    graft.operators.Quantiles.cellScaffold(frame, keyCols, c, cells)
+      .withColumn(as,
+        lit(2L) * (col("__off") + rank().over(w)) +
+          count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)) - 1L)
+      .drop("__c", "__cnt", "__off", "__n")
   }
 
   /** Simpson diversity per group (Simpson 1949) — the corpus-mixture
@@ -648,17 +665,11 @@ object Profiler {
       cells: Int = 256
   ): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
-    import graft.operators.Quantiles
     val g = keyCols.map(col)
     val base = df.select((keyCols ++ cols).map(col): _*)
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val ranked = cols.foldLeft(base) { (frame, c) =>
-      val w = Window.partitionBy((g :+ col("__c")): _*).orderBy(col(c))
-      Quantiles.cellScaffold(frame, keyCols, c, cells)
-        .withColumn(s"__r2_$c",
-          lit(2L) * (col("__off") + rank().over(w)) +
-            count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)) - 1L)
-        .drop("__c", "__cnt", "__off", "__n")
+      doubledRankFromScaffold(frame, keyCols, c, s"__r2_$c", cells)
     }.select((g ++ cols.map(c => col(s"__r2_$c").as(c))): _*)
     correlationFromMoments(correlationMoments(ranked, keyCols, cols), keyCols, cols)
       .withColumnRenamed("r", "rho")
