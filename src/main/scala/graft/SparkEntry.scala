@@ -209,7 +209,16 @@ object SparkEntry {
     "q196_simpson_diversity" -> (CoreQueries.q196SimpsonDiversity(_, _)),
     "q197_spearman_matrix_bucketed" -> (CoreQueries.q197SpearmanMatrixBucketed(_, _)),
     "q198_spearman_drift" -> (CoreQueries.q198SpearmanDrift(_, _)),
-    "q199_rbo" -> (LlmQueries.q199Rbo(_, _))
+    "q199_rbo" -> (LlmQueries.q199Rbo(_, _)),
+    "q200_association" -> (CoreQueries.q200Association(_, _)),
+    "q201_mutual_information" -> (CoreQueries.q201MutualInformation(_, _)),
+    "q202_token_entropy" -> (LlmQueries.q202TokenEntropy(_, _)),
+    "q203_js_divergence" -> (CoreQueries.q203JsDivergence(_, _)),
+    "q204_zipf" -> (LlmQueries.q204Zipf(_, _)),
+    "q205_heaps" -> (LlmQueries.q205Heaps(_, _)),
+    "q206_ewma" -> (CoreQueries.q206Ewma(_, _)),
+    "q207_kendall" -> (CoreQueries.q207Kendall(_, _)),
+    "q208_fellegi_sunter" -> (LlmQueries.q208FellegiSunter(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -227,6 +236,38 @@ object SparkEntry {
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
   // would capture their pre-init nulls
+  /** q206 oracle, generated: the EWMA truncated kernel is a fixed
+    * 32-term dag (one lag column per k, integer weight 3^k·4^(31−k)),
+    * so the SQL is mechanical — built here rather than hand-unrolled.
+    * Mirrors TimeSeries.ewmaChart term for term (k = 0 is the row's own
+    * n; the dense resample spine means n is never NULL, head lags are).
+    */
+  private lazy val ewmaOracle: String = {
+    val weights = (0 until 32).map(k => math.pow(3.0, k).toLong * (1L << (2 * (31 - k))))
+    def term(k: Int) = if (k == 0) "n" else s"lag(n, $k) OVER (PARTITION BY event_type ORDER BY slot)"
+    val numTerms = weights.zipWithIndex.map { case (wt, k) =>
+      s"CASE WHEN ${term(k)} IS NOT NULL THEN CAST($wt AS HUGEINT) * ${term(k)} ELSE CAST(0 AS HUGEINT) END"
+    }.mkString(" +\n    ")
+    val denTerms = weights.zipWithIndex.map { case (wt, k) =>
+      s"CASE WHEN ${term(k)} IS NOT NULL THEN CAST($wt AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString(" +\n    ")
+    s"""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS slot FROM events),
+       |c AS (SELECT event_type, slot, count(*) AS n FROM ev GROUP BY 1, 2),
+       |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+       |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+       |x AS (SELECT s.event_type, s.slot, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+       |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot),
+       |e AS (SELECT event_type, slot, n,
+       |    ($numTerms) AS num,
+       |    ($denTerms) AS den
+       |  FROM x)
+       |SELECT event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS hr, n,
+       |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) AS ewma,
+       |  num > CAST(4 AS HUGEINT) * den AS breach_hi,
+       |  num < CAST(2 AS HUGEINT) * den AS breach_lo
+       |FROM e ORDER BY event_type, hr""".stripMargin
+  }
+
   private lazy val oracleBase: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3744,7 +3785,209 @@ object SparkEntry {
         |  CAST(coalesce(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
         |  pq.first_hit_rank
         |FROM tc FULL OUTER JOIN pq ON tc.query_id = pq.query_id
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    // categorical association cells: exact counts/marginals, chi-square
+    // numerator as digit string, MI term nano-scaled before any sum
+    "q200_association" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+        |    count(*) AS n FROM documents GROUP BY 1, 2),
+        |m AS (SELECT x, y, CAST(n AS BIGINT) AS n,
+        |    CAST(sum(n) OVER (PARTITION BY x) AS BIGINT) AS row_tot,
+        |    CAST(sum(n) OVER (PARTITION BY y) AS BIGINT) AS col_tot,
+        |    CAST(sum(n) OVER () AS BIGINT) AS n_tot FROM c),
+        |g AS (SELECT x, y, n, row_tot, col_tot, n_tot,
+        |    CAST(n AS HUGEINT) * n_tot - CAST(row_tot AS HUGEINT) * col_tot AS gap FROM m)
+        |SELECT x, y, n, row_tot, col_tot, n_tot,
+        |  CAST(gap * gap AS VARCHAR) AS chi_num,
+        |  CAST(round((CAST(n AS DOUBLE) / n_tot) *
+        |    ln(CAST(n AS DOUBLE) * n_tot / (CAST(row_tot AS DOUBLE) * col_tot)) * 1e9) AS BIGINT) AS mi_term_n9
+        |FROM g ORDER BY x, y""".stripMargin,
+    // per-source MI between language and length bucket: nano-int sum,
+    // one pinned division; normalized form at 9 decimals
+    "q201_mutual_information" ->
+      """WITH d AS (SELECT source, CAST(lang AS VARCHAR) AS x,
+        |    CAST(n_chars // 512 AS VARCHAR) AS y FROM documents),
+        |c AS (SELECT source, x, y, count(*) AS n FROM d GROUP BY 1, 2, 3),
+        |m AS (SELECT source, x, y, CAST(n AS BIGINT) AS n,
+        |    CAST(sum(n) OVER (PARTITION BY source, x) AS BIGINT) AS row_tot,
+        |    CAST(sum(n) OVER (PARTITION BY source, y) AS BIGINT) AS col_tot,
+        |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_tot FROM c),
+        |t AS (SELECT source, x, y, n, n_tot,
+        |    CAST(round((CAST(n AS DOUBLE) / n_tot) *
+        |      ln(CAST(n AS DOUBLE) * n_tot / (CAST(row_tot AS DOUBLE) * col_tot)) * 1e9) AS BIGINT) AS mi9
+        |  FROM m),
+        |g AS (SELECT source, CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+        |    CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+        |    CAST(max(n_tot) AS BIGINT) AS n, CAST(sum(mi9) AS BIGINT) AS s9
+        |  FROM t GROUP BY 1)
+        |SELECT source, n_x, n_y, n, CAST(s9 AS DOUBLE) / 1e9 AS mi,
+        |  CASE WHEN least(n_x, n_y) > 1 THEN
+        |    round((CAST(s9 AS DOUBLE) / 1e9) / ln(CAST(least(n_x, n_y) AS DOUBLE)), 9) END AS mi_norm
+        |FROM g ORDER BY source""".stripMargin,
+    // per-language token entropy: -p ln p nano-scaled per term, integer
+    // sum, one division
+    "q202_token_entropy" ->
+      """WITH t AS (SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS cat
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |c AS (SELECT lang, cat, count(*) AS n FROM t WHERE cat <> '' GROUP BY 1, 2),
+        |w AS (SELECT lang, n, CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot FROM c),
+        |h AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cats, CAST(max(tot) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / tot) *
+        |      ln(CAST(n AS DOUBLE) / tot) * 1e9) AS BIGINT)) AS BIGINT) AS s9
+        |  FROM w GROUP BY 1)
+        |SELECT lang, n_cats, n, CAST(s9 AS DOUBLE) / 1e9 AS entropy,
+        |  CASE WHEN n_cats > 1 THEN
+        |    round((CAST(s9 AS DOUBLE) / 1e9) / ln(CAST(n_cats AS DOUBLE)), 9) END AS entropy_norm
+        |FROM h ORDER BY lang""".stripMargin,
+    // Jensen-Shannon token drift: per-token nano term, 0*ln 0 = 0 on
+    // one-sided values, NULL-free after the token filter
+    "q203_js_divergence" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |hb AS (SELECT token AS vb, count(*) AS n_base FROM tk WHERE doc_id % 2 = 0 GROUP BY 1),
+        |hc AS (SELECT token AS vc, count(*) AS n_cur FROM tk WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(vb, vc) AS value,
+        |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM hb FULL JOIN hc ON vb = vc),
+        |w AS (SELECT value, n_base, n_cur,
+        |    CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+        |    CAST(sum(n_cur) OVER () AS BIGINT) AS tc FROM j)
+        |SELECT value, n_base, n_cur,
+        |  CAST(round((CASE WHEN n_base > 0 THEN
+        |      (CAST(n_base AS DOUBLE) / tb) * ln((CAST(n_base AS DOUBLE) / tb) /
+        |        ((CAST(n_base AS DOUBLE) / tb + CAST(n_cur AS DOUBLE) / tc) / 2)) / 2
+        |    ELSE 0 END +
+        |    CASE WHEN n_cur > 0 THEN
+        |      (CAST(n_cur AS DOUBLE) / tc) * ln((CAST(n_cur AS DOUBLE) / tc) /
+        |        ((CAST(n_base AS DOUBLE) / tb + CAST(n_cur AS DOUBLE) / tc) / 2)) / 2
+        |    ELSE 0 END) * 1e9) AS BIGINT) AS js_term_n9
+        |FROM w ORDER BY value""".stripMargin,
+    // Zipf OLS over top-1000 tokens: nano-int normal equations in
+    // HUGEINT, slope/intercept one division each
+    "q204_zipf" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token, count(*) AS cnt FROM t WHERE token <> '' GROUP BY 1),
+        |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 1000),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM top),
+        |l AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS lr,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT) AS lc FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(CAST(lr AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(lc AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(lr AS HUGEINT) * lc) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(lr AS HUGEINT) * lr) AS HUGEINT) AS sxx FROM l),
+        |f AS (SELECT n_points, sx, sy,
+        |    CAST(n_points AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n_points AS HUGEINT) * sxx - sx * sx AS den FROM s)
+        |SELECT n_points, CAST(num AS VARCHAR) AS ols_num, CAST(den AS VARCHAR) AS ols_den,
+        |  CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) END AS slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    (CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END) * CAST(sx AS DOUBLE)) /
+        |    (CAST(n_points AS DOUBLE) * 1e9), 9) AS intercept
+        |FROM f""".stripMargin,
+    // Heaps checkpoints: all-integer prefix totals from first-occurrence
+    // doc ids — lossless
+    "q205_heaps" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |t AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM d),
+        |tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |fd AS (SELECT token, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+        |dt AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS m FROM d),
+        |cks AS (SELECT (CAST(1 AS BIGINT) << k) AS ck
+        |  FROM (SELECT unnest(generate_series(0, 62)) AS k), mx
+        |  WHERE (CAST(1 AS BIGINT) << k) >= 64 AND (CAST(1 AS BIGINT) << k) <= m),
+        |v AS (SELECT ck, CAST(count(*) AS BIGINT) AS vocab_cum
+        |  FROM cks JOIN fd ON first_doc <= ck GROUP BY 1),
+        |tt AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS tokens_cum
+        |  FROM cks JOIN dt ON doc_id <= ck GROUP BY 1)
+        |SELECT tt.ck, tt.n_docs, tt.tokens_cum,
+        |  CAST(coalesce(v.vocab_cum, 0) AS BIGINT) AS vocab_cum
+        |FROM tt LEFT JOIN v ON tt.ck = v.ck ORDER BY tt.ck""".stripMargin,
+    "q206_ewma" -> ewmaOracle,
+    // exact Kendall tau-b from distinct-value cells: every pair class an
+    // exact HUGEINT, tau one fixed dag at 9 decimals
+    "q207_kendall" ->
+      """WITH s AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_discount * 1000) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |c AS (SELECT l_returnflag, x, y, count(*) AS n FROM s GROUP BY 1, 2, 3),
+        |p AS (SELECT a.l_returnflag,
+        |    CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS c_pairs,
+        |    CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS d_pairs,
+        |    CAST(sum(CASE WHEN a.x = b.x AND a.y < b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS t_x,
+        |    CAST(sum(CASE WHEN a.x < b.x AND a.y = b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS t_y
+        |  FROM c a JOIN c b ON a.l_returnflag = b.l_returnflag
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |  GROUP BY 1),
+        |g AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n AS HUGEINT) * (n - 1)) / 2 AS HUGEINT) AS t_xy FROM c GROUP BY 1)
+        |SELECT g.l_returnflag, g.n,
+        |  CAST(coalesce(p.c_pairs, 0) AS VARCHAR) AS c_pairs,
+        |  CAST(coalesce(p.d_pairs, 0) AS VARCHAR) AS d_pairs,
+        |  CAST(coalesce(p.t_x, 0) AS VARCHAR) AS t_x,
+        |  CAST(coalesce(p.t_y, 0) AS VARCHAR) AS t_y,
+        |  CAST(g.t_xy AS VARCHAR) AS t_xy,
+        |  CASE WHEN coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_x, 0) > 0
+        |      AND coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_y, 0) > 0 THEN
+        |    round(CAST(coalesce(p.c_pairs, 0) - coalesce(p.d_pairs, 0) AS DOUBLE) /
+        |      (sqrt(CAST(coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_x, 0) AS DOUBLE)) *
+        |       sqrt(CAST(coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_y, 0) AS DOUBLE))), 9) END AS tau_b
+        |FROM g LEFT JOIN p ON g.l_returnflag = p.l_returnflag
+        |ORDER BY g.l_returnflag""".stripMargin,
+    // Fellegi-Sunter over the q195 blocking: u from exact collision
+    // counts (clamped), weights nano-scaled, decision an integer compare
+    "q208_fellegi_sunter" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k,
+        |    CAST(lang AS VARCHAR) AS f_lang, CAST(n_chars // 256 AS VARCHAR) AS f_len,
+        |    CAST(source AS VARCHAR) AS f_src
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT id, k, f_lang, f_len, f_src, row_number() OVER (ORDER BY k, id) AS rank
+        |  FROM b WHERE k IS NOT NULL),
+        |p AS (SELECT a.id AS id_a, c.id AS id_b,
+        |    a.f_lang AS al, c.f_lang AS bl, a.f_len AS an, c.f_len AS bn,
+        |    a.f_src AS asr, c.f_src AS bsr
+        |  FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4),
+        |u1 AS (SELECT CAST(least(greatest(sum(CAST(c AS HUGEINT) * (c - 1)), 1),
+        |      CAST(sum(c) AS HUGEINT) * (sum(c) - 1) - 1) AS HUGEINT) AS num,
+        |    CAST(CAST(sum(c) AS HUGEINT) * (sum(c) - 1) AS HUGEINT) AS den
+        |  FROM (SELECT count(*) AS c FROM b GROUP BY f_lang)),
+        |u2 AS (SELECT CAST(least(greatest(sum(CAST(c AS HUGEINT) * (c - 1)), 1),
+        |      CAST(sum(c) AS HUGEINT) * (sum(c) - 1) - 1) AS HUGEINT) AS num,
+        |    CAST(CAST(sum(c) AS HUGEINT) * (sum(c) - 1) AS HUGEINT) AS den
+        |  FROM (SELECT count(*) AS c FROM b GROUP BY f_len)),
+        |u3 AS (SELECT CAST(least(greatest(sum(CAST(c AS HUGEINT) * (c - 1)), 1),
+        |      CAST(sum(c) AS HUGEINT) * (sum(c) - 1) - 1) AS HUGEINT) AS num,
+        |    CAST(CAST(sum(c) AS HUGEINT) * (sum(c) - 1) AS HUGEINT) AS den
+        |  FROM (SELECT count(*) AS c FROM b GROUP BY f_src)),
+        |w AS (SELECT
+        |    CAST(round(ln(0.95 * CAST(u1.den AS DOUBLE) / CAST(u1.num AS DOUBLE)) * 1e9) AS BIGINT) AS wa1,
+        |    CAST(round(ln((1.0 - 0.95) * CAST(u1.den AS DOUBLE) / CAST(u1.den - u1.num AS DOUBLE)) * 1e9) AS BIGINT) AS wd1,
+        |    CAST(round(ln(0.95 * CAST(u2.den AS DOUBLE) / CAST(u2.num AS DOUBLE)) * 1e9) AS BIGINT) AS wa2,
+        |    CAST(round(ln((1.0 - 0.95) * CAST(u2.den AS DOUBLE) / CAST(u2.den - u2.num AS DOUBLE)) * 1e9) AS BIGINT) AS wd2,
+        |    CAST(round(ln(0.95 * CAST(u3.den AS DOUBLE) / CAST(u3.num AS DOUBLE)) * 1e9) AS BIGINT) AS wa3,
+        |    CAST(round(ln((1.0 - 0.95) * CAST(u3.den AS DOUBLE) / CAST(u3.den - u3.num AS DOUBLE)) * 1e9) AS BIGINT) AS wd3
+        |  FROM u1, u2, u3),
+        |sc AS (SELECT id_a, id_b,
+        |    (al IS NOT DISTINCT FROM bl) AS agree_lang,
+        |    (an IS NOT DISTINCT FROM bn) AS agree_len_b,
+        |    (asr IS NOT DISTINCT FROM bsr) AS agree_source,
+        |    (CASE WHEN al IS NOT DISTINCT FROM bl THEN wa1 ELSE wd1 END +
+        |     CASE WHEN an IS NOT DISTINCT FROM bn THEN wa2 ELSE wd2 END +
+        |     CASE WHEN asr IS NOT DISTINCT FROM bsr THEN wa3 ELSE wd3 END) AS s9
+        |  FROM p, w)
+        |SELECT id_a, id_b, agree_lang, agree_len_b, agree_source,
+        |  CAST(s9 AS DOUBLE) / 1e9 AS score,
+        |  CASE WHEN s9 >= 4000000000 THEN 'link'
+        |       WHEN s9 <= -4000000000 THEN 'non_link'
+        |       ELSE 'possible' END AS decision
+        |FROM sc ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

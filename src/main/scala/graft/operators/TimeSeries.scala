@@ -220,4 +220,71 @@ object TimeSeries {
       .withColumn("breach_lo", col("cusum_lo") > threshold)
       .drop("__p")
   }
+
+  /** EWMA control chart (Roberts 1959) over integer-unit observations,
+    * in the TRUNCATED-KERNEL form that keeps it exact: the classical
+    * recursion s_t = λ·x_t + (1−λ)·s_{t−1} is a sequential float fold
+    * no engine reproduces bit-for-bit, so the operator pins λ = 1/4 and
+    * defines the statistic as the kernel truncated at `Lags` = 32
+    * observations — the dropped tail carries weight (3/4)³² < 1.1e-4 of
+    * the total, far below any control limit a chart would use. With
+    * λ = a/b rational, every kernel weight is the exact INTEGER
+    * w_k = 3^k·4^(31−k) (λ(1−λ)^k scaled by 4³²), so
+    *
+    *   ewma_t = Σ_k w_k·x_{t−k} / Σ_k w_k    (k over PRESENT lags)
+    *
+    * is one division of two exact DECIMAL(38,0) sums — the head of a
+    * series simply normalizes over the lags that exist (no s₀ bias),
+    * and both engines replay numerator and denominator digit-for-digit
+    * (each lag is its own column: the sum is a fixed 32-term dag, not
+    * an order-dependent aggregation). Breach flags compare EXACT
+    * integers: num ≷ (target ± band)·den — no float ever decides an
+    * alarm. Gate ewma at 9 decimals (>2^53 decimal→double cast ulp).
+    *
+    * Same partitioned-window shape as [[cusum]] (ONE key exchange; lag
+    * semantics = last 32 OBSERVATIONS, not wall-clock slots — resample
+    * first if calendar spacing matters). EWMA vs CUSUM reading: CUSUM
+    * finds sustained small shifts fastest; EWMA tracks the current
+    * level and catches drifts — a monitoring stack runs both.
+    */
+  def ewmaChart(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      target: Long,
+      band: Long
+  ): DataFrame = {
+    require(band > 0, s"band must be positive: $band")
+    val Lags = 32
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    // w_k = 3^k · 4^(31−k): largest 4^31 = 2^62 — each fits a long,
+    // their total 4^32 − 3^32·(…) does not, hence DECIMAL sums
+    val weights: IndexedSeq[Long] =
+      (0 until Lags).map(k => math.pow(3.0, k).toLong * (1L << (2 * (Lags - 1 - k))))
+    val x = col(valueCol)
+    def lagged(k: Int) = if (k == 0) x else lag(x, k).over(w)
+    val num = (0 until Lags).map { k =>
+      when(lagged(k).isNotNull,
+        lit(weights(k)).cast(dec) * lagged(k).cast(dec))
+        .otherwise(lit(0L).cast(dec))
+    }.reduce(_ + _)
+    val den = (0 until Lags).map { k =>
+      when(lagged(k).isNotNull, lit(weights(k)).cast(dec))
+        .otherwise(lit(0L).cast(dec))
+    }.reduce(_ + _)
+    df.select((keyCols ++ orderCols :+ valueCol).map(col): _*)
+      .filter(x.isNotNull)
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .withColumn("ewma", col("__num").cast("double") / col("__den").cast("double"))
+      .withColumn("breach_hi",
+        col("__num") > lit(target + band).cast(dec) * col("__den"))
+      .withColumn("breach_lo",
+        col("__num") < lit(target - band).cast(dec) * col("__den"))
+      .drop("__num", "__den")
+  }
 }

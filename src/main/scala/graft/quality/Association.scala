@@ -1,0 +1,335 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical association statistics over contingency counts: mutual
+  * information (Shannon 1948), chi-square independence / Cramér's V
+  * (Cramér 1946), Shannon entropy, and Jensen–Shannon divergence
+  * (Lin 1991) — the "are these two columns related, and how mixed is
+  * this one" audit family next to [[Profiler]]'s drift checks (those
+  * compare SNAPSHOTS of one column; this measures structure BETWEEN
+  * columns, or a single column's mixture, inside one snapshot). A
+  * training-data pipeline uses these to catch label leakage
+  * (high MI between a feature and the split column), collapsed
+  * mixtures (entropy dropping), and corpus shift (JS divergence
+  * between yesterday's and today's token distribution — symmetric and
+  * bounded at ln 2, unlike KL).
+  *
+  * House determinism rules, same as the chi-square/KS drift family:
+  * ALL mass state is integer (counts, cross-multiplied numerators in
+  * DECIMAL(38,0) where squares outrun a long), and every transcendental
+  * surface is NANO-SCALED — each per-cell `ln` term is rounded to an
+  * integer count of 1e-9 units BEFORE summation, so per-group sums are
+  * order-free integer arithmetic and the statistic both engines emit is
+  * the SAME number by construction (the q198 9-decimal idiom, moved
+  * before the sum so group aggregation never adds doubles). The nano
+  * surface differs from the unrounded float statistic by < #cells·5e-10
+  * — documented, deterministic, and hashable at any scale.
+  *
+  * Scale: the contingency frame is value-cardinality-sized (a
+  * categorical audit input by contract — bucket continuous columns
+  * first), so everything after the one counting aggregation is
+  * bookkeeping. Counts are MERGEABLE: per-snapshot frames over disjoint
+  * row sets fold by summing per cell into exactly the rebuild's counts
+  * (the valueCounts discipline), so a standing audit tracks a growing
+  * corpus without rescans.
+  */
+object Association {
+
+  private val dec = "decimal(38,0)"
+
+  /** Per-(group, x, y) contingency counts — the mergeable state. NULL
+    * is a category (missing IS signal, the chiSquareDrift rule); both
+    * columns surface as strings so one schema covers every input type.
+    * Columns: keyCols…, x, y, n.
+    */
+  def contingencyCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame =
+    df.groupBy((keyCols.map(col) :+
+        col(xCol).cast("string").as("x") :+
+        col(yCol).cast("string").as("y")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold two [[contingencyCounts]] frames over disjoint row sets. */
+  def mergeContingencyCounts(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("x") :+ col("y")): _*)
+      .agg(sum("n").as("n"))
+
+  /** Per-cell association frame from (possibly folded) counts. Emits,
+    * per (group, x, y): the cell count `n`, marginals `row_tot` (x) and
+    * `col_tot` (y), group total `n_tot` — all exact integers — plus:
+    *
+    *  - `chi_num` = (n·N − row_tot·col_tot)² in DECIMAL(38,0): the
+    *    cross-multiplied chi-square numerator over the common
+    *    denominator N·row_tot·col_tot (q172's lossless form — the one
+    *    division lives in the driver-side [[associationStat]] fold);
+    *  - `mi_term_n9` = round(1e9 · (n/N)·ln(n·N/(row_tot·col_tot)))
+    *    as a long: the cell's mutual-information contribution in nats,
+    *    nano-scaled so [[mutualInformation]] sums integers.
+    *
+    * Marginals ride three window sums over the cell frame itself —
+    * value-cardinality-sized bookkeeping, not a data-sized shuffle.
+    */
+  def associationCells(counts: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val all = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byX = Window.partitionBy((g :+ col("x")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byY = Window.partitionBy((g :+ col("y")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withMarg = counts
+      .withColumn("row_tot", sum("n").over(byX))
+      .withColumn("col_tot", sum("n").over(byY))
+      .withColumn("n_tot", sum("n").over(all))
+    val gap = col("n").cast(dec) * col("n_tot").cast(dec) -
+      col("row_tot").cast(dec) * col("col_tot").cast(dec)
+    // n ≥ 1 in every cell (it's a count frame), so the log argument is
+    // a strictly positive ratio of exact integers; the double casts are
+    // exact below 2^53 and documented 1–2 ulp above — absorbed by the
+    // nano rounding (q198 finding).
+    val miTerm = (col("n").cast("double") / col("n_tot")) *
+      log(col("n").cast("double") * col("n_tot") /
+        (col("row_tot").cast("double") * col("col_tot")))
+    withMarg
+      .withColumn("chi_num", gap * gap)
+      .withColumn("mi_term_n9", round(miTerm * 1e9d).cast("long"))
+      .select((g :+ col("x") :+ col("y") :+ col("n") :+ col("row_tot") :+
+        col("col_tot") :+ col("n_tot") :+ col("chi_num") :+ col("mi_term_n9")): _*)
+  }
+
+  /** Per-group mutual information (nats) between the two columns of an
+    * [[associationCells]] frame: MI = Σ_cells mi_term, summed as
+    * nano-ints (order-free, exact) with ONE terminal pinned division.
+    * Also emits the cardinalities (n_x, n_y), the group total, and
+    * normalized MI / max-possible ln(min(n_x, n_y)) — the 0-to-1 "how
+    * much does knowing x tell you about y" reading (NULL for a 1×k
+    * table, where MI is identically 0 and normalization is undefined).
+    */
+  def mutualInformation(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    cells.groupBy(g: _*)
+      .agg(
+        countDistinct(col("x")).as("n_x"),
+        countDistinct(col("y")).as("n_y"),
+        max("n_tot").as("n"),
+        sum("mi_term_n9").as("__mi_n9"))
+      .withColumn("mi", col("__mi_n9").cast("double") / 1e9d)
+      .withColumn("mi_norm",
+        when(least(col("n_x"), col("n_y")) > 1L,
+          col("mi") / log(least(col("n_x"), col("n_y")).cast("double"))))
+      .drop("__mi_n9")
+  }
+
+  /** Driver-side scalar fold of ONE group's [[associationCells]] rows:
+    * (chi-square, Cramer's V, degrees of freedom). The count frame
+    * carries only OBSERVED (x, y) cells, but a contingency table's
+    * STRUCTURAL ZEROS contribute (0-E)^2/E = E each, so the fold uses
+    * the expansion that absorbs them exactly:
+    * chi^2 = N * (sum over observed cells of n^2/(row_tot*col_tot)) - N
+    * (the zero cells' sum of E is N minus the observed cells' E).
+    * Cell-order summation after a deterministic sort, divisions
+    * deferred here (the chiSquareStat discipline);
+    * V = sqrt(chi^2 / (N*(min(r,c)-1))), df = (r-1)(c-1).
+    */
+  def associationStat(cells: DataFrame): (Double, Double, Long) = {
+    val rows = cells
+      .select("x", "y", "n", "row_tot", "col_tot", "n_tot")
+      .collect()
+      .sortBy(r => (Option(r.getString(0)).getOrElse(""), Option(r.getString(1)).getOrElse("")))
+    if (rows.isEmpty) return (0.0, 0.0, 0L)
+    val nTot = rows.head.getLong(5).toDouble
+    val nX = rows.map(r => Option(r.getString(0))).distinct.length
+    val nY = rows.map(r => Option(r.getString(1))).distinct.length
+    val ratio = rows.map { r =>
+      val n = r.getLong(2).toDouble
+      n * n / (r.getLong(3).toDouble * r.getLong(4).toDouble)
+    }.sum
+    val chi = nTot * ratio - nTot
+    val minDim = math.min(nX, nY) - 1
+    val v = if (minDim > 0 && nTot > 0) math.sqrt(math.max(chi, 0.0) / (nTot * minDim)) else 0.0
+    (chi, v, (nX - 1).toLong * (nY - 1))
+  }
+
+  /** Per-group Shannon entropy (nats) of one categorical column, from a
+    * per-(group, category) count frame shaped like
+    * [[Profiler.simpsonDiversityFromCounts]]'s input (keyCols…, __cat,
+    * __n) — the `ln`-family companion Simpson deliberately avoids,
+    * gateable here because each cell's −p·ln p term is nano-scaled
+    * before the (integer, order-free) sum. Emits n_cats, n, entropy,
+    * and entropy_norm = H/ln(n_cats) (NULL when n_cats < 2).
+    */
+  def entropyFromCounts(counts: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val all = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("__tot", sum("__n").over(all))
+      .withColumn("__h_n9",
+        round(-(col("__n").cast("double") / col("__tot")) *
+          log(col("__n").cast("double") / col("__tot")) * 1e9d).cast("long"))
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_cats"),
+        max("__tot").as("n"),
+        sum("__h_n9").as("__sum_n9"))
+      .withColumn("entropy", col("__sum_n9").cast("double") / 1e9d)
+      .withColumn("entropy_norm",
+        when(col("n_cats") > 1L, col("entropy") / log(col("n_cats").cast("double"))))
+      .drop("__sum_n9")
+  }
+
+  /** [[entropyFromCounts]] over raw rows. */
+  def entropy(df: DataFrame, keyCols: Seq[String], catCol: String): DataFrame =
+    entropyFromCounts(
+      df.groupBy((keyCols.map(col) :+ col(catCol).cast("string").as("__cat")): _*)
+        .agg(count(lit(1)).as("__n")),
+      keyCols)
+
+  /** Jensen–Shannon divergence between two (possibly folded)
+    * [[Profiler.valueCounts]] histograms — the SYMMETRIC, ln(2)-bounded
+    * drift statistic for distributions with no order (chi-square tests
+    * homogeneity; JS measures DISTANCE, comparable across column pairs
+    * and over time). Per value: both counts and
+    * `js_term_n9` = round(1e9·(½p·ln(p/m) + ½q·ln(q/m))), p = n_base/N_base,
+    * q = n_cur/N_cur, m = (p+q)/2 — a one-sided value contributes its
+    * ½p·ln 2 (resp. ½q·ln 2) term exactly (0·ln 0 ≡ 0). NULL-safe on the
+    * NULL category like the chi-square join. [[jsStat]] folds the frame
+    * to the scalar; both sides mergeable, so a standing JS audit needs
+    * no baseline rescan.
+    */
+  def jsDivergenceFromCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val hb = baseCounts.select(col("value").as("__vb"), col("cnt").as("n_base"))
+    val hc = curCounts.select(col("value").as("__vc"), col("cnt").as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = hb.join(hc, col("__vb") <=> col("__vc"), "full_outer")
+      .select(coalesce(col("__vb"), col("__vc")).as("value"), col("n_base"), col("n_cur"))
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("__tb", sum("n_base").over(all))
+      .withColumn("__tc", sum("n_cur").over(all))
+    val p = col("n_base").cast("double") / col("__tb")
+    val q = col("n_cur").cast("double") / col("__tc")
+    val m = (p + q) / 2d
+    val term =
+      when(col("n_base") > 0L, p * log(p / m) / 2d).otherwise(0d) +
+        when(col("n_cur") > 0L, q * log(q / m) / 2d).otherwise(0d)
+    joined
+      .withColumn("js_term_n9", round(term * 1e9d).cast("long"))
+      .select("value", "n_base", "n_cur", "js_term_n9")
+  }
+
+  /** [[jsDivergenceFromCounts]] over raw snapshots. */
+  def jsDivergence(base: DataFrame, cur: DataFrame, column: String): DataFrame =
+    jsDivergenceFromCounts(Profiler.valueCounts(base, column), Profiler.valueCounts(cur, column))
+
+  /** Scalar JS divergence (nats) from the per-value frame: one integer
+    * sum, one pinned division. 0 ≤ JS ≤ ln 2 ≈ 0.6931.
+    */
+  def jsStat(frame: DataFrame): Double = {
+    val s = frame.agg(sum("js_term_n9")).collect()(0)
+    if (s.isNullAt(0)) 0.0 else s.getLong(0).toDouble / 1e9
+  }
+
+  /** Per-(group, x, y) cell counts for [[kendallFromCells]] — like
+    * [[contingencyCounts]] but the values keep their ORIGINAL (orderable)
+    * type: Kendall needs <, not just =. Mergeable (plain sums). NULLs in
+    * either column are dropped — a rank correlation over an unordered
+    * missing marker has no defined sign.
+    */
+  def kendallCells(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame =
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ col(xCol).as("x") :+ col(yCol).as("y")): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Exact Kendall τ-b (Kendall 1938; τ-b tie correction as in Kruskal
+    * 1958) from a cell-count frame — the rank correlation whose exact
+    * distributed form the repo's Spearman family can't reach (Spearman
+    * needs each row's global rank; Kendall needs only PAIR ORDER
+    * relations, which aggregate over distinct-value CELLS):
+    *
+    *   C  = Σ n_a·n_b over cell pairs with x_a<x_b, y_a<y_b (concordant)
+    *   D  = Σ over x_a<x_b, y_a>y_b                        (discordant)
+    *   Ty = Σ over x_a<x_b, y_a=y_b (tied y only)
+    *   Tx = Σ over x_a=x_b, y_a<y_b (tied x only)
+    *   Txy= Σ n(n−1)/2 within cells (tied both)
+    *   τ-b = (C−D) / (√(C+D+Tx) · √(C+D+Ty))
+    *
+    * Every count is an exact DECIMAL(38,0) (pair products square past a
+    * long at corpus scale); τ-b is a fixed dag of two √ and one ÷ over
+    * their double casts — gate at 9 decimals (q198 cast-ulp finding).
+    *
+    * SCALE: cost is O(cells²) per group and INDEPENDENT of row count —
+    * the join runs on the (group, x, y) count frame, so 100 TB of rows
+    * over bounded-cardinality values (categorical, bucketed, or
+    * integer-scaled measures) costs the same join as 60k rows. This is
+    * the skew-safe shape by construction: no per-group row sort exists
+    * anywhere. For genuinely continuous columns, bucket first (the
+    * operator composes with any monotone discretization; τ is then the
+    * τ of the buckets, stated plainly). Cells are MERGEABLE counts, so
+    * the standing τ audit folds batches like the chi-square family.
+    */
+  def kendallFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val a = cells.select((g :+ col("x").as("__xa") :+ col("y").as("__ya") :+
+      col("n").as("__na")): _*)
+    val b = cells.select((g :+ col("x").as("__xb") :+ col("y").as("__yb") :+
+      col("n").as("__nb")): _*)
+    // each unordered pair of DISTINCT cells appears exactly once:
+    // (x ascending) or (x tied, y ascending)
+    val pairCond = (col("__xa") < col("__xb")) ||
+      (col("__xa") === col("__xb") && col("__ya") < col("__yb"))
+    val joined =
+      if (keyCols.isEmpty) a.join(b, pairCond)
+      else a.join(b, keyCols.map(k => a(k) === b(k)).reduce(_ && _) && pairCond)
+        .select((keyCols.map(k => a(k).as(k)) ++ Seq(
+          col("__xa"), col("__ya"), col("__na"),
+          col("__xb"), col("__yb"), col("__nb"))): _*)
+    val prod = col("__na").cast(dec) * col("__nb").cast(dec)
+    val zero = lit(0L).cast(dec)
+    val pairAgg = joined.groupBy(g: _*).agg(
+      sum(when(col("__xa") < col("__xb") && col("__ya") < col("__yb"), prod)
+        .otherwise(zero)).as("c_pairs"),
+      sum(when(col("__xa") < col("__xb") && col("__ya") > col("__yb"), prod)
+        .otherwise(zero)).as("d_pairs"),
+      sum(when(col("__xa") < col("__xb") && col("__ya") === col("__yb"), prod)
+        .otherwise(zero)).as("t_y"),
+      sum(when(col("__xa") === col("__xb") && col("__ya") < col("__yb"), prod)
+        .otherwise(zero)).as("t_x"))
+    val cellAgg = cells.groupBy(g: _*).agg(
+      sum("n").as("n"),
+      (sum(col("n").cast(dec) * (col("n") - 1L).cast(dec)) / 2).cast(dec).as("t_xy"))
+    // single-cell groups produce no pair rows — keep them (τ undefined,
+    // counts zero) via the outer join + zero fill
+    val frame =
+      if (keyCols.isEmpty) cellAgg.crossJoin(pairAgg)
+      else cellAgg.join(pairAgg, keyCols, "left_outer")
+    val filled = frame
+      .select((g :+ col("n") :+
+        coalesce(col("c_pairs"), zero).as("c_pairs") :+
+        coalesce(col("d_pairs"), zero).as("d_pairs") :+
+        coalesce(col("t_x"), zero).as("t_x") :+
+        coalesce(col("t_y"), zero).as("t_y") :+
+        col("t_xy")): _*)
+    val dx = (col("c_pairs") + col("d_pairs") + col("t_x")).cast("double")
+    val dy = (col("c_pairs") + col("d_pairs") + col("t_y")).cast("double")
+    filled.withColumn("tau_b",
+      when(dx > 0d && dy > 0d,
+        (col("c_pairs") - col("d_pairs")).cast("double") / (sqrt(dx) * sqrt(dy))))
+  }
+
+  /** [[kendallFromCells]] over raw rows. */
+  def kendall(df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String): DataFrame =
+    kendallFromCells(kendallCells(df, keyCols, xCol, yCol), keyCols)
+}

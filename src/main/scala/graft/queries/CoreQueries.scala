@@ -1626,4 +1626,101 @@ object CoreQueries {
     KCore.corePeel(edges, k = 3, rounds = 12)
       .orderBy("node")
   }
+
+  /** Categorical-association cells gate: the full lang × source
+    * contingency audit frame — exact counts/marginals, the
+    * cross-multiplied chi-square numerator as a DECIMAL digit string
+    * (the q172 no-silent-overflow rule), and each cell's
+    * mutual-information term nano-scaled to a long, which the oracle
+    * replays ln-for-ln.
+    */
+  def q200Association(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    Association.associationCells(
+      Association.contingencyCounts(
+        Tables.documents(s, dir).select("lang", "source"), Nil, "lang", "source"),
+      Nil)
+      .select(col("x"), col("y"), col("n"), col("row_tot"), col("col_tot"),
+        col("n_tot"), col("chi_num").cast("string").as("chi_num"), col("mi_term_n9"))
+      .orderBy("x", "y")
+  }
+
+  /** Per-source mutual information between language and length bucket —
+    * "does this source's language mix depend on document size" (a
+    * leakage/imbalance probe). MI is an integer nano-sum over one pinned
+    * division (hash-exact); the normalized form divides by ln(min
+    * cardinality) and gates at 9 decimals.
+    */
+  def q201MutualInformation(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("lang"), (col("n_chars") / 512L).cast("long").as("len_b"))
+    Association.mutualInformation(
+      Association.associationCells(
+        Association.contingencyCounts(d, Seq("source"), "lang", "len_b"), Seq("source")),
+      Seq("source"))
+      .select(col("source"), col("n_x"), col("n_y"), col("n"), col("mi"),
+        round(col("mi_norm"), 9).as("mi_norm"))
+      .orderBy("source")
+  }
+
+  /** Jensen–Shannon token-distribution divergence between the even- and
+    * odd-doc_id halves of the corpus — the symmetric, ln(2)-bounded
+    * drift frame per token; every count exact, every ln term nano-scaled
+    * before any sum.
+    */
+  def q203JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val tok = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    Association.jsDivergence(
+      base = tok.filter(col("doc_id") % 2 === 0),
+      cur = tok.filter(col("doc_id") % 2 === 1),
+      column = "token")
+      .orderBy("value")
+  }
+
+  /** EWMA control-chart gate: hourly event counts per type through the
+    * exact truncated-kernel chart (λ = 1/4, 32 lags, integer weights
+    * 3^k·4^(31−k)) — numerator/denominator are DECIMAL sums the oracle
+    * replays digit-for-digit, ewma gates at 9 decimals, and the breach
+    * flags are exact integer comparisons (target 3, band 1).
+    */
+  def q206Ewma(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+    TimeSeries.ewmaChart(counts, Seq("event_type"), Seq("slot"), "n",
+        target = 3L, band = 1L)
+      .select(col("event_type"),
+        date_format(col("slot"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("n"), round(col("ewma"), 9).as("ewma"),
+        col("breach_hi"), col("breach_lo"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Exact Kendall τ-b gate: quantity–discount rank association per
+    * return flag via the distinct-value CELL join (O(cells²),
+    * row-count-independent — the skew-safe-by-construction rank
+    * statistic). All five pair counts are DECIMAL digit strings; τ-b
+    * gates at 9 decimals.
+    */
+  def q207Kendall(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_discount") * 1000).cast("long").as("disc_m"))
+    Association.kendall(li, Seq("l_returnflag"), "qty", "disc_m")
+      .select(col("l_returnflag"), col("n"),
+        col("c_pairs").cast("string").as("c_pairs"),
+        col("d_pairs").cast("string").as("d_pairs"),
+        col("t_x").cast("string").as("t_x"),
+        col("t_y").cast("string").as("t_y"),
+        col("t_xy").cast("string").as("t_xy"),
+        round(col("tau_b"), 9).as("tau_b"))
+      .orderBy("l_returnflag")
+  }
 }

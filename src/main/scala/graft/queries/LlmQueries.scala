@@ -1950,4 +1950,69 @@ object LlmQueries {
       .select(col("doc_id"), size(col("features")).as("dim"))
       .orderBy("doc_id")
   }
+
+  /** Shannon token-entropy gate: per language, the vocabulary mixture
+    * entropy H = −Σ p·ln p over exact token counts — the ln companion
+    * to q196's Simpson λ, gateable because every term is nano-scaled to
+    * an integer BEFORE the (order-free) sum; H itself is one pinned
+    * division, hash-exact.
+    */
+  def q202TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val counts = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("__cat"))
+      .filter(col("__cat") =!= "")
+      .groupBy("lang", "__cat").agg(count(lit(1)).as("__n"))
+    Association.entropyFromCounts(counts, Seq("lang"))
+      .select(col("lang"), col("n_cats"), col("n"), col("entropy"),
+        round(col("entropy_norm"), 9).as("entropy_norm"))
+      .orderBy("lang")
+  }
+
+  /** Zipf rank–frequency gate: one-row OLS fit of ln(count) on ln(rank)
+    * over the top-1000 tokens — the normal-equation sums are exact
+    * nano-int DECIMALs (digit strings), slope/intercept their one
+    * division each at 9 decimals.
+    */
+  def q204Zipf(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusLaws
+    CorpusLaws.zipfSlope(
+      Tables.documents(s, dir).filter(col("text").isNotNull).select("text"),
+      "text", topN = 1000)
+      .select(col("n_points"), col("ols_num"), col("ols_den"),
+        round(col("slope"), 9).as("slope"),
+        round(col("intercept"), 9).as("intercept"))
+  }
+
+  /** Heaps'-law vocabulary-growth gate: per power-of-two doc-id
+    * checkpoint, the EXACT docs / cumulative-token / cumulative-vocab
+    * counts from the single-scan first-occurrence form — an all-integer
+    * frame, lossless cross-engine.
+    */
+  def q205Heaps(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.heapsCheckpoints(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("ck")
+
+  /** Fellegi–Sunter linkage gate: sorted-neighborhood candidates scored
+    * by the agreement vector over (lang, length bucket, source) with
+    * data-estimated u (exact collision counts) and pinned m = 0.95 —
+    * each weight one nano-scaled ln, each score an integer sum, the
+    * link/possible/non-link decision an integer threshold compare.
+    */
+  def q208FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Linkage
+    val d = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("doc_id"),
+        concat(col("lang"), lit(":"),
+          substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"),
+        col("lang"), (col("n_chars") / 256L).cast("long").as("len_b"), col("source"))
+    Linkage.fellegiSunter(d, "doc_id", "snkey",
+        fields = Seq("lang", "len_b", "source"), window = 4, prefixLen = 3)
+      .select(col("id_a"), col("id_b"), col("agree_lang"), col("agree_len_b"),
+        col("agree_source"), col("score"), col("decision"))
+      .orderBy("id_a", "id_b")
+  }
 }

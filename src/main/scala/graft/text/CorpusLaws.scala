@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics laws: Zipf rank–frequency slope (Zipf 1949) and
+  * Heaps/Herdan vocabulary growth (Heaps 1978) — the two numbers a
+  * training-data curator reads FIRST when a corpus arrives: a healthy
+  * natural-language crawl has a Zipf slope near −1 and a Heaps exponent
+  * β ≈ 0.4–0.6; template spam, boilerplate floods, and synthetic
+  * word-salad bend both (repetition flattens the Zipf tail; a collapsed
+  * vocabulary flattens Heaps). Complements the per-document quality
+  * scores (q28/q52) with CORPUS-level shape diagnostics.
+  *
+  * Determinism: token counts / checkpoint totals are exact integers;
+  * every `ln` is nano-scaled to a long BEFORE any sum (the Association
+  * discipline), and the OLS normal equations then run in exact
+  * DECIMAL(38,0) over those nano-ints — num and den are integers both
+  * engines reproduce digit-for-digit, the slope is their one double
+  * division (gate at 9 decimals for the >2^53 cast ulp, q198 finding).
+  *
+  * Tokenization is the house whitespace split (HeavyHitters/q43), so
+  * the DuckDB oracle replays it with regexp_split_to_array.
+  */
+object CorpusLaws {
+
+  private val dec = "decimal(38,0)"
+
+  /** (token, cnt) counts — one explode, map-side partial agg. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** One-row Zipf OLS fit over the top-`topN` tokens: regress
+    * ln(cnt) on ln(rank), rank assigned by (cnt DESC, token ASC) —
+    * fully deterministic tie order. Emits n_points, the exact nano-int
+    * normal-equation sums (digit strings — the q172 no-silent-overflow
+    * rule), and slope / intercept.
+    *
+    * SCALE: the top-N selection is TakeOrderedAndProject over the
+    * map-side-combined count frame (never a global sort of the
+    * vocabulary); the rank window then runs on N ≤ topN rows — a
+    * bounded frame by construction, same contract as the q43 top-k.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val top = tokenCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+    // bounded-frame window: ≤ topN rows reach it
+    val ranked = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("__lr", round(log(col("rank").cast("double")) * 1e9d).cast("long"))
+      .withColumn("__lc", round(log(col("cnt").cast("double")) * 1e9d).cast("long"))
+    val s = ranked.agg(
+      count(lit(1)).as("n_points"),
+      sum(col("__lr").cast(dec)).as("__sx"),
+      sum(col("__lc").cast(dec)).as("__sy"),
+      sum(col("__lr").cast(dec) * col("__lc").cast(dec)).as("__sxy"),
+      sum(col("__lr").cast(dec) * col("__lr").cast(dec)).as("__sxx"))
+    val n = col("n_points").cast(dec)
+    s.withColumn("__num", n * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den", n * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("__den") > 0, col("__num").cast("double") / col("__den").cast("double")))
+      // intercept in ln-count space, back on the NANO scale's /1e9:
+      // (Σy − slope·Σx) / n — slope is the one double above, the rest
+      // exact casts; 9-decimal gate surface like slope
+      .withColumn("intercept",
+        (col("__sy").cast("double") - col("slope") * col("__sx").cast("double")) /
+          (col("n_points").cast("double") * 1e9d))
+      .select(col("n_points"),
+        col("__num").cast("string").as("ols_num"),
+        col("__den").cast("string").as("ols_den"),
+        col("slope"), col("intercept"))
+  }
+
+  /** Heaps'-law vocabulary-growth checkpoints: for each doc-id
+    * checkpoint ck (powers of two ≥ `minCheckpoint`, up to the max id),
+    * the EXACT n_docs / tokens_cum / vocab_cum over the prefix
+    * doc_id ≤ ck — all integers, a lossless cross-engine gate. β is the
+    * OLS slope of ln(vocab) on ln(tokens) over these rows
+    * ([[heapsBeta]]).
+    *
+    * SCALE — the single-scan form: a token's prefix membership is
+    * decided by its FIRST-occurrence doc id (one agg over the exploded
+    * tokens), so vocab(ck) = |{tokens: first_doc ≤ ck}| needs no
+    * per-prefix rescan; the checkpoint frame (≤ ~40 rows) broadcasts
+    * onto the vocabulary- and doc-sized count frames. Nothing
+    * corpus-token-sized is joined more than once.
+    */
+  def heapsCheckpoints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCheckpoint: Long = 64L
+  ): DataFrame = {
+    require(minCheckpoint >= 1, s"minCheckpoint must be >= 1: $minCheckpoint")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .filter(col("doc_id").isNotNull && col("__text").isNotNull)
+    val tok = docs.select(col("doc_id"),
+        explode(split(lower(col("__text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val firstDoc = tok.groupBy("token").agg(min("doc_id").as("first_doc"))
+    val docTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    // checkpoint frame: powers of two in [minCheckpoint, maxId] — built
+    // from a 1-row max, broadcast everywhere
+    val cks = docs.agg(max("doc_id").as("__max"))
+      .select(explode(sequence(lit(0), lit(62))).as("__k"), col("__max"))
+      .withColumn("ck", expr("shiftleft(CAST(1 AS BIGINT), __k)"))
+      .filter(col("ck") >= minCheckpoint && col("ck") <= col("__max"))
+      .select("ck")
+    val vocab = broadcast(cks).join(firstDoc, col("first_doc") <= col("ck"))
+      .groupBy("ck").agg(count(lit(1)).as("vocab_cum"))
+    val toks = broadcast(cks).join(docTok, col("doc_id") <= col("ck"))
+      .groupBy("ck").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_cum"))
+    toks.join(vocab, Seq("ck"), "left_outer")
+      .na.fill(0L, Seq("vocab_cum"))
+      .select("ck", "n_docs", "tokens_cum", "vocab_cum")
+  }
+
+  /** One-row Heaps exponent β: OLS slope of ln(vocab_cum) on
+    * ln(tokens_cum) over a [[heapsCheckpoints]] frame, same nano-int
+    * normal equations as [[zipfSlope]]. */
+  def heapsBeta(checkpoints: DataFrame): DataFrame = {
+    val pts = checkpoints
+      .filter(col("tokens_cum") > 0L && col("vocab_cum") > 0L)
+      .withColumn("__lx", round(log(col("tokens_cum").cast("double")) * 1e9d).cast("long"))
+      .withColumn("__ly", round(log(col("vocab_cum").cast("double")) * 1e9d).cast("long"))
+    val s = pts.agg(
+      count(lit(1)).as("n_points"),
+      sum(col("__lx").cast(dec)).as("__sx"),
+      sum(col("__ly").cast(dec)).as("__sy"),
+      sum(col("__lx").cast(dec) * col("__ly").cast(dec)).as("__sxy"),
+      sum(col("__lx").cast(dec) * col("__lx").cast(dec)).as("__sxx"))
+    val n = col("n_points").cast(dec)
+    s.withColumn("__num", n * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den", n * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("beta",
+        when(col("__den") > 0, col("__num").cast("double") / col("__den").cast("double")))
+      .select(col("n_points"), col("beta"))
+  }
+}

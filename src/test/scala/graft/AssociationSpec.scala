@@ -1,0 +1,246 @@
+package graft
+
+import graft.quality.Association
+import graft.text.CorpusLaws
+import graft.operators.TimeSeries
+import graft.dedup.Linkage
+import org.apache.spark.sql.functions._
+
+/** Goldens + fold laws for the round-10 statistics family: categorical
+  * association (MI / chi-square / Cramér's V), Shannon entropy, JS
+  * divergence, Kendall τ-b cells, Zipf/Heaps corpus laws, the EWMA
+  * truncated-kernel chart, and Fellegi–Sunter linkage. Each golden is
+  * computed independently in the test (replaying the nano-scaling where
+  * the operator defines its surface through it), so a formula edit on
+  * either side breaks the pair.
+  */
+class AssociationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nano(x: Double): Long = math.round(x * 1e9)
+
+  // --- mutual information ---------------------------------------------
+
+  test("MI: perfectly dependent 2x2 is ln 2; independent is 0") {
+    val dep = (Seq.fill(5)(("a", "1")) ++ Seq.fill(5)(("b", "2"))).toDF("x0", "y0")
+    val cells = Association.associationCells(
+      Association.contingencyCounts(dep, Nil, "x0", "y0"), Nil)
+    val mi = Association.mutualInformation(cells, Nil).collect()(0)
+    // each cell: (1/2)*ln( (5*10)/(5*5) ) = 0.5*ln 2, nano-rounded, x2
+    val expected = 2 * nano(0.5 * math.log(2.0))
+    assert(mi.getAs[Double]("mi") === expected.toDouble / 1e9)
+    assert(math.abs(mi.getAs[Double]("mi") - math.log(2.0)) < 1e-8)
+    assert(math.abs(mi.getAs[Double]("mi_norm") - 1.0) < 1e-8)
+
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("1", "2"); _ <- 1 to 3 }
+      yield (x, y)).toDF("x0", "y0")
+    val mi0 = Association.mutualInformation(
+      Association.associationCells(
+        Association.contingencyCounts(ind, Nil, "x0", "y0"), Nil), Nil).collect()(0)
+    assert(mi0.getAs[Double]("mi") === 0.0) // every term ln(1) = 0 exactly
+  }
+
+  test("associationStat: chi-square counts structural zero cells (2x2 perfect = N, V = 1)") {
+    val dep = (Seq.fill(5)(("a", "1")) ++ Seq.fill(5)(("b", "2"))).toDF("x0", "y0")
+    val cells = Association.associationCells(
+      Association.contingencyCounts(dep, Nil, "x0", "y0"), Nil)
+    val (chi, v, df) = Association.associationStat(cells)
+    // only 2 observed cells, but the (a,2)/(b,1) zeros contribute E=2.5
+    // each: chi^2 of a perfect 2x2 is N = 10, NOT 5
+    assert(math.abs(chi - 10.0) < 1e-9)
+    assert(math.abs(v - 1.0) < 1e-9)
+    assert(df === 1L)
+  }
+
+  test("contingency counts fold: merged disjoint snapshots == rebuild") {
+    val d = (1 to 40).map(i => (s"x${i % 3}", s"y${i % 4}", i)).toDF("x0", "y0", "i")
+    val full = Association.contingencyCounts(d, Nil, "x0", "y0")
+    val merged = Association.mergeContingencyCounts(
+      Association.contingencyCounts(d.filter($"i" % 2 === 0), Nil, "x0", "y0"),
+      Association.contingencyCounts(d.filter($"i" % 2 === 1), Nil, "x0", "y0"), Nil)
+    assert(merged.orderBy("x", "y").collect().toSeq ===
+      full.orderBy("x", "y").collect().toSeq)
+  }
+
+  // --- entropy ---------------------------------------------------------
+
+  test("entropy: uniform 4 categories = ln 4 (nano-exact); single category = 0, norm NULL") {
+    val u = (for { c <- Seq("a", "b", "c", "d"); _ <- 1 to 25 } yield c).toDF("cat")
+    val h = Association.entropy(u, Nil, "cat").collect()(0)
+    val expected = 4 * nano(-(0.25 * math.log(0.25)))
+    assert(h.getAs[Double]("entropy") === expected.toDouble / 1e9)
+    assert(math.abs(h.getAs[Double]("entropy") - math.log(4.0)) < 1e-8)
+
+    val one = Seq.fill(10)("only").toDF("cat")
+    val h1 = Association.entropy(one, Nil, "cat").collect()(0)
+    assert(h1.getAs[Double]("entropy") === 0.0)
+    assert(h1.isNullAt(h1.fieldIndex("entropy_norm")))
+  }
+
+  // --- Jensen-Shannon --------------------------------------------------
+
+  test("JS divergence: identical = 0, disjoint = ln 2, symmetric") {
+    val a = Seq("t1", "t1", "t2").toDF("v")
+    val b = Seq("t3", "t4", "t4").toDF("v")
+    assert(Association.jsStat(Association.jsDivergence(a, a, "v")) === 0.0)
+    val dis = Association.jsStat(Association.jsDivergence(a, b, "v"))
+    assert(math.abs(dis - math.log(2.0)) < 1e-8)
+    val ba = Association.jsStat(Association.jsDivergence(b, a, "v"))
+    assert(dis === ba) // symmetric term-for-term
+  }
+
+  // --- Kendall tau-b ---------------------------------------------------
+
+  private def tau(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+    Association.kendall(rows.toDF("x0", "y0"), Nil, "x0", "y0").collect()(0)
+
+  test("Kendall: perfect concordance +1, reversal -1, balanced ties 0") {
+    val up = tau(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    assert(up.getAs[java.math.BigDecimal]("c_pairs").longValueExact() === 6L)
+    assert(math.abs(up.getAs[Double]("tau_b") - 1.0) < 1e-12)
+    val down = tau(Seq((1L, 4L), (2L, 3L), (3L, 2L), (4L, 1L)))
+    assert(down.getAs[java.math.BigDecimal]("d_pairs").longValueExact() === 6L)
+    assert(math.abs(down.getAs[Double]("tau_b") + 1.0) < 1e-12)
+    // x=(1,1,2,2), y=(1,2,1,2): C=1, D=1, Tx=2, Ty=2, Txy=0 -> tau 0
+    val t = tau(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+    assert(t.getAs[java.math.BigDecimal]("c_pairs").longValueExact() === 1L)
+    assert(t.getAs[java.math.BigDecimal]("d_pairs").longValueExact() === 1L)
+    assert(t.getAs[java.math.BigDecimal]("t_x").longValueExact() === 2L)
+    assert(t.getAs[java.math.BigDecimal]("t_y").longValueExact() === 2L)
+    assert(t.getAs[Double]("tau_b") === 0.0)
+  }
+
+  test("Kendall: tau-b undefined (NULL) when one column is constant; multiplicity via cells") {
+    val const = tau(Seq((1L, 7L), (2L, 7L), (3L, 7L)))
+    assert(const.isNullAt(const.fieldIndex("tau_b"))) // dy = 0
+    // duplicated rows ride cell counts: 2 copies of a concordant pair
+    val dup = tau(Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 2L)))
+    assert(dup.getAs[java.math.BigDecimal]("c_pairs").longValueExact() === 4L)
+    assert(dup.getAs[java.math.BigDecimal]("t_xy").longValueExact() === 2L)
+    assert(math.abs(dup.getAs[Double]("tau_b") - 1.0) < 1e-12)
+  }
+
+  test("Kendall cells fold: merged disjoint halves == rebuild (bit-identical)") {
+    val rows = (1 to 60).map(i => ((i % 7).toLong, (i % 5).toLong, i))
+    val d = rows.toDF("x0", "y0", "i")
+    val full = Association.kendall(d, Nil, "x0", "y0").collect()(0)
+    val mergedCells = Association.kendallCells(d.filter($"i" % 2 === 0), Nil, "x0", "y0")
+      .unionByName(Association.kendallCells(d.filter($"i" % 2 === 1), Nil, "x0", "y0"))
+      .groupBy("x", "y").agg(sum("n").as("n"))
+    val folded = Association.kendallFromCells(mergedCells, Nil).collect()(0)
+    assert(folded.toSeq === full.toSeq)
+  }
+
+  // --- corpus laws -----------------------------------------------------
+
+  test("Zipf slope: nano-int OLS replayed over known counts") {
+    // corpus with token counts w1:8 w2:4 w3:2 w4:1
+    val docs = (Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++ Seq.fill(2)("w3") ++ Seq("w4"))
+      .map(t => Tuple1(t)).toDF("text")
+    val got = CorpusLaws.zipfSlope(docs, "text", topN = 10).collect()(0)
+    assert(got.getAs[Long]("n_points") === 4L)
+    // replay: rank i+1 with counts desc
+    val cnts = Seq(8L, 4L, 2L, 1L)
+    val lr = cnts.indices.map(i => BigInt(nano(math.log(i + 1.0))))
+    val lc = cnts.map(c => BigInt(nano(math.log(c.toDouble))))
+    val n = BigInt(4)
+    val sx = lr.sum; val sy = lc.sum
+    val sxy = lr.zip(lc).map { case (a, b) => a * b }.sum
+    val sxx = lr.map(a => a * a).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    assert(got.getAs[String]("ols_num") === num.toString)
+    assert(got.getAs[String]("ols_den") === den.toString)
+    val slope = num.toDouble / den.toDouble
+    assert(math.abs(got.getAs[Double]("slope") - slope) < 1e-12)
+    // counts 8,4,2,1 over ranks 1..4 are NOT a perfect power law in
+    // rank (2^-k in k, not in ln rank) -- just sanity the direction
+    assert(slope < -0.5)
+  }
+
+  test("Heaps checkpoints: exact prefix totals on a hand corpus") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "a b c"), (4L, "d"), (5L, "a e f")
+    ).toDF("doc_id", "text")
+    val got = CorpusLaws.heapsCheckpoints(docs, "doc_id", "text", minCheckpoint = 1L)
+      .orderBy("ck").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ck=1: doc1 -> 2 tokens, vocab {a,b}; ck=2: +doc2 -> 4 tokens,
+    // vocab {a,b,c}; ck=4: +docs3,4 -> 8 tokens, vocab {a,b,c,d}
+    assert(got.toSeq === Seq((1L, 1L, 2L, 2L), (2L, 2L, 4L, 3L), (4L, 4L, 8L, 4L)))
+    val beta = CorpusLaws.heapsBeta(
+      CorpusLaws.heapsCheckpoints(docs, "doc_id", "text", minCheckpoint = 1L)).collect()(0)
+    assert(beta.getAs[Long]("n_points") === 3L)
+    val b = beta.getAs[Double]("beta")
+    assert(b > 0.0 && b < 1.0) // sub-linear vocabulary growth
+  }
+
+  // --- EWMA ------------------------------------------------------------
+
+  test("EWMA: constant series reproduces the value exactly at every row incl. the head") {
+    val d = (1 to 50).map(i => ("k", i, 7L)).toDF("k", "t", "v")
+    val got = TimeSeries.ewmaChart(d, Seq("k"), Seq("t"), "v", target = 7L, band = 1L)
+      .orderBy("t").collect()
+    assert(got.length === 50)
+    // num/den = 7*W/W -- including the first row (den = w_0 only);
+    // both sides cast DECIMAL(~1e19) -> double before the divide, so
+    // allow the cast ulp (q198 finding), not exact 7.0
+    assert(got.forall(r => math.abs(r.getAs[Double]("ewma") - 7.0) < 1e-9))
+    assert(got.forall(r => !r.getAs[Boolean]("breach_hi") && !r.getAs[Boolean]("breach_lo")))
+  }
+
+  test("EWMA: kernel replay on a step change, breach flags are exact integer compares") {
+    // 40 zeros then 10 tens; lambda=1/4 -> after the step the chart
+    // climbs toward 10 at rate 1-(3/4)^j
+    val vals = Seq.fill(40)(0L) ++ Seq.fill(10)(10L)
+    val d = vals.zipWithIndex.map { case (v, i) => ("k", i, v) }.toDF("k", "t", "v")
+    val got = TimeSeries.ewmaChart(d, Seq("k"), Seq("t"), "v", target = 0L, band = 5L)
+      .orderBy("t").collect()
+    val weights = (0 until 32).map(k => BigInt(math.pow(3.0, k).toLong) * (BigInt(1) << (2 * (31 - k))))
+    def expected(i: Int): Double = {
+      val lags = (0 until 32).filter(k => i - k >= 0)
+      val num = lags.map(k => weights(k) * BigInt(vals(i - k))).sum
+      val den = lags.map(weights(_)).sum
+      num.toDouble / den.toDouble
+    }
+    for (i <- Seq(0, 5, 39, 40, 41, 45, 49))
+      assert(math.abs(got(i).getAs[Double]("ewma") - expected(i)) < 1e-9, s"row $i")
+    // breach_hi fires when num > (0+5)*den, i.e. ewma crosses 5:
+    // 1-(3/4)^j > 0.5 first at j=3 (row 42)
+    assert(!got(41).getAs[Boolean]("breach_hi"))
+    assert(got(42).getAs[Boolean]("breach_hi"))
+  }
+
+  // --- Fellegi-Sunter --------------------------------------------------
+
+  test("Fellegi-Sunter: weights replayed from exact collision u; all-agree pair scores sum of agreement weights") {
+    // 6 records, two identical pairs on every field
+    val d = Seq(
+      (1L, "aa:x", "en", 1L, "s1"), (2L, "aa:x", "en", 1L, "s1"),
+      (3L, "bb:y", "de", 2L, "s2"), (4L, "bb:y", "de", 2L, "s2"),
+      (5L, "cc:z", "fr", 3L, "s3"), (6L, "dd:w", "zh", 4L, "s4")
+    ).toDF("id", "k", "lang", "len_b", "source")
+    val got = Linkage.fellegiSunter(d, "id", "k", Seq("lang", "len_b", "source"),
+      window = 2, prefixLen = 2, m = 0.95,
+      upperN9 = 2_000_000_000L, lowerN9 = -2_000_000_000L)
+      .orderBy("id_a", "id_b").collect()
+    // u per field: lang counts (2,2,1,1): raw = 2+2 = 4, den = 30
+    def w(raw: Long, den: Long, agree: Boolean): Long = {
+      val num = math.max(1L, math.min(raw, den - 1))
+      if (agree) nano(math.log(0.95 * den.toDouble / num.toDouble))
+      else nano(math.log((1.0 - 0.95) * den.toDouble / (den - num).toDouble))
+    }
+    val allAgree = (w(4, 30, agree = true) * 3).toDouble / 1e9
+    val pair12 = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(pair12.getAs[Boolean]("agree_lang"))
+    assert(pair12.getAs[Double]("score") === allAgree)
+    assert(pair12.getAs[String]("decision") === "link")
+    // every emitted decision is consistent with its score vs thresholds
+    got.foreach { r =>
+      val s9 = math.round(r.getAs[Double]("score") * 1e9)
+      val want = if (s9 >= 2_000_000_000L) "link"
+        else if (s9 <= -2_000_000_000L) "non_link" else "possible"
+      assert(r.getAs[String]("decision") === want)
+    }
+  }
+}

@@ -323,7 +323,39 @@ class PlanShapeSpec extends SparkSpec {
       minBroadcastJoin = 3, forbidUdf = true),
     // RBO: both retrievers bounded (BM25 roll-ups + the top-20
     // TakeOrdered), the depth/term frames are k-sized
-    Shape("q199_rbo", requireTopK = true, maxRange = 3, forbidUdf = true)
+    Shape("q199_rbo", requireTopK = true, maxRange = 3, forbidUdf = true),
+    // association cells: ONE counting shuffle; the marginal windows run
+    // on the value-cardinality cell frame (bookkeeping, not scale)
+    Shape("q200_association", maxHash = 1, forbidUdf = true),
+    // grouped MI: counts agg + three cell-frame marginal windows
+    Shape("q201_mutual_information", maxHash = 4, forbidUdf = true),
+    // token entropy: explode absorbed by map-side partials; one count
+    // shuffle + the per-group total window/agg
+    Shape("q202_token_entropy", maxHash = 2, forbidUdf = true,
+      forbidSortAggregate = true),
+    // JS divergence: two half-histogram aggs + the vocabulary-sized
+    // full-outer merge (sort-merge IS the right shape for two
+    // unbounded-cardinality histograms -- neither side broadcastable)
+    Shape("q203_js_divergence", maxHash = 4, forbidUdf = true),
+    // Zipf: ONE token-count shuffle, top-1000 via TakeOrderedAndProject
+    // (never a vocabulary sort); OLS on the bounded frame
+    Shape("q204_zipf", maxHash = 1, maxRange = 0, requireTopK = true,
+      forbidUdf = true),
+    // Heaps: first-occurrence/doc-token aggs; the checkpoint frame
+    // BROADCASTS onto them (nested-loop on <=40 rows by design)
+    Shape("q205_heaps", maxHash = 4, maxRange = 2, forbidUdf = true),
+    // EWMA: resample agg + ONE key-partitioned window exchange; the
+    // 32-term kernel is a fixed projection, not 32 windows
+    Shape("q206_ewma", maxHash = 2, minBroadcastJoin = 1, forbidUdf = true),
+    // Kendall cells: cell agg (exchange REUSED across the self-join's
+    // sides) + pair/cell roll-ups; the cell self-join broadcasts --
+    // cells are value-cardinality-bounded, never corpus-sized
+    Shape("q207_kendall", maxHash = 5, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Fellegi-Sunter: SNM blocking budget + two id joins (broadcast) +
+    // per-field 1-row u aggs; the weight frame broadcasts onto pairs
+    Shape("q208_fellegi_sunter", maxHash = 6, maxRange = 5,
+      minBroadcastJoin = 4, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
