@@ -218,7 +218,9 @@ object SparkEntry {
     "q205_heaps" -> (LlmQueries.q205Heaps(_, _)),
     "q206_ewma" -> (CoreQueries.q206Ewma(_, _)),
     "q207_kendall" -> (CoreQueries.q207Kendall(_, _)),
-    "q208_fellegi_sunter" -> (LlmQueries.q208FellegiSunter(_, _))
+    "q208_fellegi_sunter" -> (LlmQueries.q208FellegiSunter(_, _)),
+    "q209_association_summary" -> (CoreQueries.q209AssociationSummary(_, _)),
+    "q210_kendall_bucketed" -> (CoreQueries.q210KendallBucketed(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -3987,7 +3989,72 @@ object SparkEntry {
         |  CASE WHEN s9 >= 4000000000 THEN 'link'
         |       WHEN s9 <= -4000000000 THEN 'non_link'
         |       ELSE 'possible' END AS decision
-        |FROM sc ORDER BY id_a, id_b""".stripMargin
+        |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    // association summary: chi2/V/MI/H/Theil U per group, every surface
+    // a fixed dag over nano-int sums
+    "q209_association_summary" ->
+      """WITH d AS (SELECT source, CAST(lang AS VARCHAR) AS x,
+        |    CAST(n_chars // 512 AS VARCHAR) AS y FROM documents),
+        |c AS (SELECT source, x, y, count(*) AS n FROM d GROUP BY 1, 2, 3),
+        |m AS (SELECT source, x, y, CAST(n AS BIGINT) AS n,
+        |    CAST(sum(n) OVER (PARTITION BY source, x) AS BIGINT) AS row_tot,
+        |    CAST(sum(n) OVER (PARTITION BY source, y) AS BIGINT) AS col_tot,
+        |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_tot FROM c),
+        |base AS (SELECT source, CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+        |    CAST(count(DISTINCT y) AS BIGINT) AS n_y, CAST(max(n_tot) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(CAST(n AS DOUBLE) * n /
+        |      (CAST(row_tot AS DOUBLE) * col_tot) * 1e9) AS BIGINT)) AS BIGINT) AS chi9,
+        |    CAST(sum(CAST(round((CAST(n AS DOUBLE) / n_tot) *
+        |      ln(CAST(n AS DOUBLE) * n_tot / (CAST(row_tot AS DOUBLE) * col_tot)) * 1e9) AS BIGINT)) AS BIGINT) AS mi9
+        |  FROM m GROUP BY 1),
+        |hx AS (SELECT source, CAST(sum(CAST(round(-(CAST(row_tot AS DOUBLE) / n_tot) *
+        |      ln(CAST(row_tot AS DOUBLE) / n_tot) * 1e9) AS BIGINT)) AS BIGINT) AS hx9
+        |  FROM (SELECT DISTINCT source, x, row_tot, n_tot FROM m) GROUP BY 1),
+        |hy AS (SELECT source, CAST(sum(CAST(round(-(CAST(col_tot AS DOUBLE) / n_tot) *
+        |      ln(CAST(col_tot AS DOUBLE) / n_tot) * 1e9) AS BIGINT)) AS BIGINT) AS hy9
+        |  FROM (SELECT DISTINCT source, y, col_tot, n_tot FROM m) GROUP BY 1)
+        |SELECT b.source, n_x, n_y, n,
+        |  round(CAST(n AS DOUBLE) * (CAST(chi9 AS DOUBLE) / 1e9) - n, 9) AS chi2,
+        |  CASE WHEN least(n_x, n_y) > 1 AND n > 0 THEN
+        |    round(sqrt(greatest(CAST(n AS DOUBLE) * (CAST(chi9 AS DOUBLE) / 1e9) - n, 0) /
+        |      (CAST(n AS DOUBLE) * (least(n_x, n_y) - 1))), 9) END AS cramers_v,
+        |  CAST(mi9 AS DOUBLE) / 1e9 AS mi,
+        |  CAST(hx9 AS DOUBLE) / 1e9 AS h_x, CAST(hy9 AS DOUBLE) / 1e9 AS h_y,
+        |  CASE WHEN hx9 > 0 THEN round(CAST(mi9 AS DOUBLE) / hx9, 9) END AS theil_u_x,
+        |  CASE WHEN hy9 > 0 THEN round(CAST(mi9 AS DOUBLE) / hy9, 9) END AS theil_u_y
+        |FROM base b JOIN hx USING (source) JOIN hy USING (source)
+        |ORDER BY source""".stripMargin,
+    // bucketed-continuous Kendall: the q207 replay over $1000 price
+    // buckets
+    "q210_kendall_bucketed" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS x,
+        |    CAST(round(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (SELECT l_returnflag, x, y, count(*) AS n FROM s GROUP BY 1, 2, 3),
+        |p AS (SELECT a.l_returnflag,
+        |    CAST(sum(CASE WHEN a.x < b.x AND a.y < b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS c_pairs,
+        |    CAST(sum(CASE WHEN a.x < b.x AND a.y > b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS d_pairs,
+        |    CAST(sum(CASE WHEN a.x = b.x AND a.y < b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS t_x,
+        |    CAST(sum(CASE WHEN a.x < b.x AND a.y = b.y THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS HUGEINT) AS t_y
+        |  FROM c a JOIN c b ON a.l_returnflag = b.l_returnflag
+        |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+        |  GROUP BY 1),
+        |g AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(n AS HUGEINT) * (n - 1)) / 2 AS HUGEINT) AS t_xy FROM c GROUP BY 1)
+        |SELECT g.l_returnflag, g.n,
+        |  CAST(coalesce(p.c_pairs, 0) AS VARCHAR) AS c_pairs,
+        |  CAST(coalesce(p.d_pairs, 0) AS VARCHAR) AS d_pairs,
+        |  CAST(coalesce(p.t_x, 0) AS VARCHAR) AS t_x,
+        |  CAST(coalesce(p.t_y, 0) AS VARCHAR) AS t_y,
+        |  CAST(g.t_xy AS VARCHAR) AS t_xy,
+        |  CASE WHEN coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_x, 0) > 0
+        |      AND coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_y, 0) > 0 THEN
+        |    round(CAST(coalesce(p.c_pairs, 0) - coalesce(p.d_pairs, 0) AS DOUBLE) /
+        |      (sqrt(CAST(coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_x, 0) AS DOUBLE)) *
+        |       sqrt(CAST(coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_y, 0) AS DOUBLE))), 9) END AS tau_b
+        |FROM g LEFT JOIN p ON g.l_returnflag = p.l_returnflag
+        |ORDER BY g.l_returnflag""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

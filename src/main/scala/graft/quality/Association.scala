@@ -158,6 +158,69 @@ object Association {
     (chi, v, (nX - 1).toLong * (nY - 1))
   }
 
+  /** Per-group association SUMMARY — the gateable one-row-per-group
+    * companion of the driver-side [[associationStat]]: chi-square,
+    * Cramér's V (Cramér 1946), mutual information, and BOTH Theil
+    * uncertainty coefficients (Theil 1970) U(x|y) = MI/H(x),
+    * U(y|x) = MI/H(y) — the asymmetric "how much of x's uncertainty
+    * does y explain" reading a symmetric V can't give.
+    *
+    * Engine-exact construction: chi² uses the structural-zero-absorbing
+    * identity χ² = N·Σ_observed n²/(rᵢcⱼ) − N with each cell ratio
+    * nano-scaled to a long before the (order-free, integer) sum; the
+    * marginal entropies H(x), H(y) are nano-sums over the DISTINCT
+    * marginal rows; MI is the [[mutualInformation]] nano-sum. Every
+    * emitted statistic is then a fixed dag over exact integers —
+    * gate at 9 decimals for the √/÷ steps. NULL V when min(r,c) < 2;
+    * NULL U when the corresponding marginal entropy is 0 (a constant
+    * column explains nothing and has nothing to explain).
+    */
+  def associationSummary(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    def nanoEntropy(marginal: DataFrame, totCol: String, as: String): DataFrame =
+      marginal
+        .withColumn("__t",
+          round(-(col(totCol).cast("double") / col("n_tot")) *
+            log(col(totCol).cast("double") / col("n_tot")) * 1e9d).cast("long"))
+        .groupBy(g: _*)
+        .agg(sum("__t").as(as))
+    val hx = nanoEntropy(
+      cells.select((g :+ col("x") :+ col("row_tot") :+ col("n_tot")): _*).distinct(),
+      "row_tot", "__hx_n9")
+    val hy = nanoEntropy(
+      cells.select((g :+ col("y") :+ col("col_tot") :+ col("n_tot")): _*).distinct(),
+      "col_tot", "__hy_n9")
+    val base = cells
+      .withColumn("__chi_t",
+        round(col("n").cast("double") * col("n") /
+          (col("row_tot").cast("double") * col("col_tot")) * 1e9d).cast("long"))
+      .groupBy(g: _*)
+      .agg(
+        countDistinct(col("x")).as("n_x"),
+        countDistinct(col("y")).as("n_y"),
+        max("n_tot").as("n"),
+        sum("__chi_t").as("__chi_n9"),
+        sum("mi_term_n9").as("__mi_n9"))
+    val joined =
+      if (keyCols.isEmpty) base.crossJoin(hx).crossJoin(hy)
+      else base.join(hx, keyCols).join(hy, keyCols)
+    joined
+      .withColumn("chi2",
+        col("n").cast("double") * (col("__chi_n9").cast("double") / 1e9d) - col("n"))
+      .withColumn("cramers_v",
+        when(least(col("n_x"), col("n_y")) > 1L && col("n") > 0L,
+          sqrt(greatest(col("chi2"), lit(0d)) /
+            (col("n").cast("double") * (least(col("n_x"), col("n_y")) - 1L)))))
+      .withColumn("mi", col("__mi_n9").cast("double") / 1e9d)
+      .withColumn("h_x", col("__hx_n9").cast("double") / 1e9d)
+      .withColumn("h_y", col("__hy_n9").cast("double") / 1e9d)
+      .withColumn("theil_u_x",
+        when(col("__hx_n9") > 0L, col("__mi_n9").cast("double") / col("__hx_n9")))
+      .withColumn("theil_u_y",
+        when(col("__hy_n9") > 0L, col("__mi_n9").cast("double") / col("__hy_n9")))
+      .drop("__chi_n9", "__mi_n9", "__hx_n9", "__hy_n9")
+  }
+
   /** Per-group Shannon entropy (nats) of one categorical column, from a
     * per-(group, category) count frame shaped like
     * [[Profiler.simpsonDiversityFromCounts]]'s input (keyCols…, __cat,

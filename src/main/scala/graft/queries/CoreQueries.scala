@@ -1723,4 +1723,48 @@ object CoreQueries {
         round(col("tau_b"), 9).as("tau_b"))
       .orderBy("l_returnflag")
   }
+
+  /** Per-group association summary gate: chi-square, Cramér's V, MI,
+    * both marginal entropies and both Theil uncertainty coefficients in
+    * one row per source — every statistic a fixed dag over nano-int
+    * sums (mi/h exact by construction; the √/÷ surfaces at 9 decimals).
+    */
+  def q209AssociationSummary(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("lang"), (col("n_chars") / 512L).cast("long").as("len_b"))
+    Association.associationSummary(
+      Association.associationCells(
+        Association.contingencyCounts(d, Seq("source"), "lang", "len_b"), Seq("source")),
+      Seq("source"))
+      .select(col("source"), col("n_x"), col("n_y"), col("n"),
+        round(col("chi2"), 9).as("chi2"),
+        round(col("cramers_v"), 9).as("cramers_v"),
+        col("mi"), col("h_x"), col("h_y"),
+        round(col("theil_u_x"), 9).as("theil_u_x"),
+        round(col("theil_u_y"), 9).as("theil_u_y"))
+      .orderBy("source")
+  }
+
+  /** Kendall over a CONTINUOUS measure via monotone bucketing — the
+    * documented scale path for unbounded-cardinality columns: τ-b of
+    * ($1000 price bucket, quantity) per return flag through the same
+    * cell join; the oracle replays the bucketing and every pair class.
+    */
+  def q210KendallBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      (round(col("l_extendedprice") * 100).cast("long") / 100000L).cast("long").as("price_kb"),
+      round(col("l_quantity")).cast("long").as("qty"))
+    Association.kendall(li, Seq("l_returnflag"), "price_kb", "qty")
+      .select(col("l_returnflag"), col("n"),
+        col("c_pairs").cast("string").as("c_pairs"),
+        col("d_pairs").cast("string").as("d_pairs"),
+        col("t_x").cast("string").as("t_x"),
+        col("t_y").cast("string").as("t_y"),
+        col("t_xy").cast("string").as("t_xy"),
+        round(col("tau_b"), 9).as("tau_b"))
+      .orderBy("l_returnflag")
+  }
 }

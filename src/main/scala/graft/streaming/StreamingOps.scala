@@ -848,6 +848,54 @@ object StreamingOps {
       }
   }
 
+  final case class EwmaPoint(key: String, t: Long, v: Long)
+  final case class EwmaState(recent: Seq[Long])
+  final case class EwmaOut(key: String, t: Long, v: Long, ewma: Double,
+      breach_hi: Boolean, breach_lo: Boolean)
+
+  /** Streaming EWMA chart — [[graft.operators.TimeSeries.ewmaChart]]'s
+    * stateful twin with the SAME truncated-kernel definition (λ = 1/4,
+    * 32 lags, integer weights 3^k·4^(31−k)): per-key GroupState carries
+    * the last ≤32 observations (newest first), each micro-batch folds
+    * its points in `t` order, and every point emits its exact
+    * num/den — BigInt arithmetic, so the breach flags are the SAME
+    * integer comparisons as the window form (in-order arrival per key
+    * reproduces the batch chart exactly; spec-asserted, flags
+    * bit-identical, ewma to the decimal→double cast ulp). Bounded
+    * state: ≤32 longs per key — the truncation is what makes the
+    * streaming form possible at all (the classical recursion's float
+    * state would drift from the batch chart; the kernel's is exact).
+    */
+  def ewmaStream(
+      points: Dataset[EwmaPoint],
+      target: Long,
+      band: Long
+  ): Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    val Lags = 32
+    val weights: IndexedSeq[BigInt] =
+      (0 until Lags).map(k => BigInt(math.pow(3.0, k).toLong) * (BigInt(1) << (2 * (Lags - 1 - k))))
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+      ) { case (key, rows, state: GroupState[EwmaState]) =>
+        var recent = state.getOption.map(_.recent.toList).getOrElse(Nil)
+        val out = Seq.newBuilder[EwmaOut]
+        rows.toSeq.sortBy(_.t).foreach { p =>
+          recent = (p.v :: recent).take(Lags)
+          val num = recent.iterator.zipWithIndex
+            .map { case (x, k) => weights(k) * BigInt(x) }.sum
+          val den = recent.indices.map(weights(_)).sum
+          out += EwmaOut(key, p.t, p.v, num.toDouble / den.toDouble,
+            num > BigInt(target + band) * den,
+            num < BigInt(target - band) * den)
+        }
+        state.update(EwmaState(recent))
+        out.result().iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_id: Long, ts_sec: Long, event_type: String)
   final case class FunnelState(step_idx: Int, t1_sec: Long)
   final case class FunnelProgress(user_id: Long, steps_completed: Int)

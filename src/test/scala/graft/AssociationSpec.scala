@@ -52,6 +52,36 @@ class AssociationSpec extends SparkSpec {
     assert(df === 1L)
   }
 
+  test("associationSummary: perfect table gives V=1 and Theil U=1; independence gives 0; constant column NULLs") {
+    val dep = (Seq.fill(5)(("a", "1")) ++ Seq.fill(5)(("b", "2"))).toDF("x0", "y0")
+    val s = Association.associationSummary(
+      Association.associationCells(
+        Association.contingencyCounts(dep, Nil, "x0", "y0"), Nil), Nil).collect()(0)
+    // chi9 = 2*round(1e9*25/25) -> chi2 = 10*2 - 10 = 10 exactly
+    assert(s.getAs[Double]("chi2") === 10.0)
+    assert(math.abs(s.getAs[Double]("cramers_v") - 1.0) < 1e-12)
+    // mi9 and hx9 are the SAME nano sum (2*nano(0.5*ln 2)) -> U exactly 1
+    assert(s.getAs[Double]("theil_u_x") === 1.0)
+    assert(s.getAs[Double]("theil_u_y") === 1.0)
+
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("1", "2"); _ <- 1 to 3 }
+      yield (x, y)).toDF("x0", "y0")
+    val si = Association.associationSummary(
+      Association.associationCells(
+        Association.contingencyCounts(ind, Nil, "x0", "y0"), Nil), Nil).collect()(0)
+    assert(si.getAs[Double]("chi2") === 0.0) // each ratio term exactly 0.25
+    assert(si.getAs[Double]("cramers_v") === 0.0)
+    assert(si.getAs[Double]("theil_u_x") === 0.0)
+
+    val const = (Seq(("a", "z"), ("b", "z"), ("c", "z"))).toDF("x0", "y0")
+    val sc = Association.associationSummary(
+      Association.associationCells(
+        Association.contingencyCounts(const, Nil, "x0", "y0"), Nil), Nil).collect()(0)
+    assert(sc.isNullAt(sc.fieldIndex("cramers_v"))) // min dim 1
+    assert(sc.getAs[Double]("h_y") === 0.0)
+    assert(sc.isNullAt(sc.fieldIndex("theil_u_y"))) // nothing to explain
+  }
+
   test("contingency counts fold: merged disjoint snapshots == rebuild") {
     val d = (1 to 40).map(i => (s"x${i % 3}", s"y${i % 4}", i)).toDF("x0", "y0", "i")
     val full = Association.contingencyCounts(d, Nil, "x0", "y0")

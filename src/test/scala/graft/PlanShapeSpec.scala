@@ -355,7 +355,16 @@ class PlanShapeSpec extends SparkSpec {
     // Fellegi-Sunter: SNM blocking budget + two id joins (broadcast) +
     // per-field 1-row u aggs; the weight frame broadcasts onto pairs
     Shape("q208_fellegi_sunter", maxHash = 6, maxRange = 5,
-      minBroadcastJoin = 4, forbidSortMergeJoin = true, forbidUdf = true)
+      minBroadcastJoin = 4, forbidSortMergeJoin = true, forbidUdf = true),
+    // association summary: counts + marginal windows + the two distinct
+    // marginal-entropy aggs, all on cell-cardinality frames; the
+    // summary joins broadcast (group-sized)
+    Shape("q209_association_summary", maxHash = 8, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // bucketed Kendall keeps the q207 shape: cell-agg exchange reused,
+    // broadcast-only joins
+    Shape("q210_kendall_bucketed", maxHash = 5, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

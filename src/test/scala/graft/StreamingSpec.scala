@@ -588,6 +588,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamKept == batchKept)
   }
 
+  test("streaming ewma: exact kernel state equals the batch window chart across batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.{EwmaOut, EwmaPoint}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EwmaPoint]
+    val sink = StreamingOps.ewmaStream(mem.toDS(), target = 0L, band = 5L)
+      .writeStream.format("memory").queryName("ewma_sink")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    // a step series long enough that the 32-lag ring crosses the batch
+    // boundary mid-kernel (state carries 32 observations, not 2 floats)
+    val vals = Seq.fill(38)(0L) ++ Seq.fill(12)(10L)
+    val pts = vals.zipWithIndex.map { case (v, i) => EwmaPoint("k", i.toLong, v) }
+    mem.addData(pts.take(41): _*)
+    sink.start().awaitTermination(120000)
+    mem.addData(pts.drop(41): _*)
+    sink.start().awaitTermination(120000)
+    val got = spark.table("ewma_sink").as[EwmaOut]
+      .collect().sortBy(_.t)
+    val batch = graft.operators.TimeSeries.ewmaChart(
+      pts.toDF(), Seq("key"), Seq("t"), "v", target = 0L, band = 5L)
+      .orderBy("t").collect()
+    assert(got.length === batch.length)
+    got.zip(batch).foreach { case (s, b) =>
+      // breach flags are integer compares on the SAME exact num/den:
+      // bit-identical; ewma only to the decimal->double cast ulp
+      assert(s.breach_hi === b.getAs[Boolean]("breach_hi"), s"t=${s.t}")
+      assert(s.breach_lo === b.getAs[Boolean]("breach_lo"), s"t=${s.t}")
+      assert(math.abs(s.ewma - b.getAs[Double]("ewma")) < 1e-9, s"t=${s.t}")
+    }
+    assert(got.exists(_.breach_hi), "the step must alarm")
+  }
+
   test("streaming cusum: alarms + resets equal the sequential chart across batch boundaries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.{CusumAlarm, CusumPoint}
