@@ -220,7 +220,8 @@ object SparkEntry {
     "q207_kendall" -> (CoreQueries.q207Kendall(_, _)),
     "q208_fellegi_sunter" -> (LlmQueries.q208FellegiSunter(_, _)),
     "q209_association_summary" -> (CoreQueries.q209AssociationSummary(_, _)),
-    "q210_kendall_bucketed" -> (CoreQueries.q210KendallBucketed(_, _))
+    "q210_kendall_bucketed" -> (CoreQueries.q210KendallBucketed(_, _)),
+    "q211_jaro_winkler" -> (LlmQueries.q211JaroWinkler(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -4054,7 +4055,20 @@ object SparkEntry {
         |      (sqrt(CAST(coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_x, 0) AS DOUBLE)) *
         |       sqrt(CAST(coalesce(p.c_pairs, 0) + coalesce(p.d_pairs, 0) + coalesce(p.t_y, 0) AS DOUBLE))), 9) END AS tau_b
         |FROM g LEFT JOIN p ON g.l_returnflag = p.l_returnflag
-        |ORDER BY g.l_returnflag""".stripMargin
+        |ORDER BY g.l_returnflag""".stripMargin,
+    // Jaro/Jaro-Winkler over the q195 blocking: DuckDB's own builtins
+    // ARE the oracle for the native expression
+    "q211_jaro_winkler" ->
+      """WITH b AS (SELECT doc_id AS id,
+        |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b),
+        |p AS (SELECT a.id AS id_a, c.id AS id_b, a.k AS ka, c.k AS kb
+        |  FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4)
+        |SELECT id_a, id_b,
+        |  round(jaro_similarity(ka, kb), 9) AS jaro,
+        |  round(jaro_winkler_similarity(ka, kb), 9) AS jw
+        |FROM p ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -59,4 +59,16 @@ package object functions {
     * cross-engine-exact aggregation.
     */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Native codegen'd Jaro–Winkler similarity (see [[JaroWinkler]]). */
+  def jaroWinklerSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.column(JaroWinklerSimilarity(
+      org.apache.spark.sql.graftbridge.expression(a),
+      org.apache.spark.sql.graftbridge.expression(b)))
+
+  /** Native codegen'd un-boosted Jaro similarity. */
+  def jaroSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.column(JaroSimilarity(
+      org.apache.spark.sql.graftbridge.expression(a),
+      org.apache.spark.sql.graftbridge.expression(b)))
 }

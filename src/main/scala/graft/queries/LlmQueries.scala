@@ -2015,4 +2015,23 @@ object LlmQueries {
         col("agree_source"), col("score"), col("decision"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Jaro/Jaro–Winkler gate: the native codegen'd expression over the
+    * q195 blocking pairs, 9-decimal surfaces against DuckDB's own
+    * jaro_similarity / jaro_winkler_similarity — the fuzzy-compare
+    * verify where Levenshtein's unit-edit model is wrong (JW weights
+    * prefix agreement, the identifier-typo shape).
+    */
+  def q211JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    import graft.functions.{jaroSim, jaroWinklerSim}
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    SortedNeighborhood.candidatePairs(d, "doc_id", "snkey", window = 4, prefixLen = 3)
+      .select(col("id_a"), col("id_b"),
+        round(jaroSim(col("key_a"), col("key_b")), 9).as("jaro"),
+        round(jaroWinklerSim(col("key_a"), col("key_b")), 9).as("jw"))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -112,4 +112,39 @@ class ExpressionSpec extends SparkSpec {
     assert(!fpPlan.contains("ScalaUDF") && !fpPlan.contains("BatchEvalPython"),
       s"UDF node in the fingerprint stage:\n$fpPlan")
   }
+  test("jaro-winkler: classic goldens incl. boost threshold, empties, unicode code points") {
+    import graft.functions.{jaroSim, jaroWinklerSim}
+    import spark.implicits._
+    val pairs = Seq(
+      ("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
+      ("abc", "abc"), ("abc", ""), ("", ""), ("a", "b"), ("dwayne", "duane"),
+      ("aaa", "aaaa"), ("abcdefgh", "abzyxwvu"), ("crate", "trace")
+    ).toDF("a", "b")
+    val got = pairs.select(jaroSim($"a", $"b").as("j"), jaroWinklerSim($"a", $"b").as("jw"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // reference values from DuckDB's jaro_similarity/jaro_winkler_similarity
+    val want = Seq(
+      (0.9444444444444445, 0.9611111111111111), (0.7666666666666666, 0.8133333333333332),
+      (0.8962962962962964, 0.8962962962962964), (1.0, 1.0), (0.0, 0.0), (0.0, 0.0),
+      (0.0, 0.0), (0.8222222222222223, 0.8400000000000001),
+      (0.9166666666666666, 0.9416666666666667),
+      (0.5, 0.5), // prefix 2 but jaro < 0.7: the boost threshold holds it back
+      (0.7333333333333334, 0.7333333333333334))
+    got.zip(want).zipWithIndex.foreach { case (((gj, gjw), (wj, wjw)), i) =>
+      assert(math.abs(gj - wj) < 1e-12, s"jaro case $i")
+      assert(math.abs(gjw - wjw) < 1e-12, s"jw case $i")
+    }
+    // ODD out-of-order count: the reference FLOORS k/2 (t=7 from k=15
+    // here, not 7.5) -- the real-corpus case that caught it, DuckDB 9dp
+    val odd = Seq(("en:batch window spark order", "en:column agg stream window")).toDF("a", "b")
+    assert(math.abs(odd.select(jaroSim($"a", $"b")).head().getDouble(0)
+      - 0.7104938271604938) < 1e-12)
+    // supplementary-plane code points count as ONE unit each
+    val uni = Seq(("\uD83D\uDE00ab", "\uD83D\uDE00ab")).toDF("a", "b")
+    assert(uni.select(jaroWinklerSim($"a", $"b")).head().getDouble(0) === 1.0)
+    // null propagation via BinaryExpression's default handling
+    val withNull = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+    assert(withNull.select(jaroWinklerSim($"a", $"b")).head().isNullAt(0))
+  }
+
 }

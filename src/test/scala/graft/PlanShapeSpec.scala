@@ -364,7 +364,11 @@ class PlanShapeSpec extends SparkSpec {
     // bucketed Kendall keeps the q207 shape: cell-agg exchange reused,
     // broadcast-only joins
     Shape("q210_kendall_bucketed", maxHash = 5, minBroadcastJoin = 2,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Jaro-Winkler: the native expression stays a codegen'd projection
+    // over the SNM blocking budget -- never a UDF
+    Shape("q211_jaro_winkler", maxHash = 3, maxRange = 2,
+      minBroadcastJoin = 2, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
