@@ -221,7 +221,9 @@ object SparkEntry {
     "q208_fellegi_sunter" -> (LlmQueries.q208FellegiSunter(_, _)),
     "q209_association_summary" -> (CoreQueries.q209AssociationSummary(_, _)),
     "q210_kendall_bucketed" -> (CoreQueries.q210KendallBucketed(_, _)),
-    "q211_jaro_winkler" -> (LlmQueries.q211JaroWinkler(_, _))
+    "q211_jaro_winkler" -> (LlmQueries.q211JaroWinkler(_, _)),
+    "q212_collocations" -> (LlmQueries.q212Collocations(_, _)),
+    "q213_rolling_correlation" -> (CoreQueries.q213RollingCorrelation(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -4068,7 +4070,75 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  round(jaro_similarity(ka, kb), 9) AS jaro,
         |  round(jaro_winkler_similarity(ka, kb), 9) AS jw
-        |FROM p ORDER BY id_a, id_b""".stripMargin
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+    // collocations: filtered-token bigram stream, PMI + probability-form
+    // Dunning LLR with nano terms
+    "q212_collocations" ->
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS l FROM documents WHERE text IS NOT NULL),
+        |bg0 AS (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z FROM t),
+        |bc AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_xy
+        |  FROM bg0 GROUP BY 1, 2),
+        |uc AS (SELECT unnest(l) AS w FROM t),
+        |u AS (SELECT w, count(*) AS c FROM uc GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM bc) AS b_tot,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM u) AS n_tot),
+        |j AS (SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |    CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y, b_tot, n_tot
+        |  FROM bc JOIN u ux ON bc.w1 = ux.w JOIN u uy ON bc.w2 = uy.w, tot
+        |  WHERE c_xy >= 5),
+        |k AS (SELECT *, c_xy AS k11,
+        |    greatest(c_x - c_xy, 0) AS k12, greatest(c_y - c_xy, 0) AS k21,
+        |    greatest(b_tot - c_x - c_y + c_xy, 0) AS k22 FROM j),
+        |s AS (SELECT *, k11 + k12 AS r1, k21 + k22 AS r2,
+        |    k11 + k21 AS c1, k12 + k22 AS c2 FROM k),
+        |f AS (SELECT w1, w2, c_xy, c_x, c_y, b_tot, n_tot,
+        |  ln((CAST(c_xy AS DOUBLE) / b_tot) /
+        |    ((CAST(c_x AS DOUBLE) / n_tot) * (CAST(c_y AS DOUBLE) / n_tot))) AS pmi,
+        |  (CASE WHEN k11 > 0 THEN CAST(round((CAST(k11 AS DOUBLE) / b_tot) *
+        |      ln((CAST(k11 AS DOUBLE) / b_tot) /
+        |        ((CAST(r1 AS DOUBLE) / b_tot) * (CAST(c1 AS DOUBLE) / b_tot))) * 1e9) AS BIGINT) ELSE 0 END +
+        |   CASE WHEN k12 > 0 THEN CAST(round((CAST(k12 AS DOUBLE) / b_tot) *
+        |      ln((CAST(k12 AS DOUBLE) / b_tot) /
+        |        ((CAST(r1 AS DOUBLE) / b_tot) * (CAST(c2 AS DOUBLE) / b_tot))) * 1e9) AS BIGINT) ELSE 0 END +
+        |   CASE WHEN k21 > 0 THEN CAST(round((CAST(k21 AS DOUBLE) / b_tot) *
+        |      ln((CAST(k21 AS DOUBLE) / b_tot) /
+        |        ((CAST(r2 AS DOUBLE) / b_tot) * (CAST(c1 AS DOUBLE) / b_tot))) * 1e9) AS BIGINT) ELSE 0 END +
+        |   CASE WHEN k22 > 0 THEN CAST(round((CAST(k22 AS DOUBLE) / b_tot) *
+        |      ln((CAST(k22 AS DOUBLE) / b_tot) /
+        |        ((CAST(r2 AS DOUBLE) / b_tot) * (CAST(c2 AS DOUBLE) / b_tot))) * 1e9) AS BIGINT) ELSE 0 END) AS s9
+        |  FROM s)
+        |SELECT w1, w2, c_xy, c_x, c_y, b_tot, n_tot,
+        |  round(pmi, 9) AS pmi,
+        |  round(2.0 * CAST(b_tot AS DOUBLE) * (CAST(s9 AS DOUBLE) / 1e9), 9) AS llr
+        |FROM f ORDER BY c_xy DESC, w1, w2 LIMIT 100""".stripMargin,
+    // rolling 24h exact-moment correlation between two hourly series
+    "q213_rolling_correlation" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(round(value * 1000) AS BIGINT) AS v_m FROM events),
+        |c AS (SELECT hr, CAST(sum(v_m) AS BIGINT) AS x_m FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT hr, CAST(sum(v_m) AS BIGINT) AS y_m FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |j AS (SELECT c.hr, x_m, y_m FROM c JOIN v ON c.hr = v.hr
+        |  WHERE x_m IS NOT NULL AND y_m IS NOT NULL),
+        |w AS (SELECT hr, x_m, y_m,
+        |    CAST(count(*) OVER win AS BIGINT) AS w_n,
+        |    sum(CAST(x_m AS HUGEINT)) OVER win AS sx,
+        |    sum(CAST(y_m AS HUGEINT)) OVER win AS sy,
+        |    sum(CAST(x_m AS HUGEINT) * y_m) OVER win AS sxy,
+        |    sum(CAST(x_m AS HUGEINT) * x_m) OVER win AS sxx,
+        |    sum(CAST(y_m AS HUGEINT) * y_m) OVER win AS syy
+        |  FROM j WINDOW win AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT hr, x_m, y_m, w_n,
+        |    CAST(w_n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(w_n AS HUGEINT) * sxx - sx * sx AS dx,
+        |    CAST(w_n AS HUGEINT) * syy - sy * sy AS dy FROM w)
+        |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, x_m, y_m, w_n,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    round(greatest(-1.0, least(1.0, CAST(num AS DOUBLE) /
+        |      (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))))), 9) END AS r
+        |FROM r ORDER BY hr""".stripMargin
   )
 
   /** Shared BM25 replay CTEs (terms spark/window/merge = tf0/tf1/tf2,

@@ -296,6 +296,52 @@ object Profiler {
         }): _*)
   }
 
+  /** ROLLING exact-moment Pearson r over a trailing row window — "is
+    * the relationship between these two series stable over time", the
+    * time-local companion of [[correlation]] (one number) and
+    * [[correlationMatrixDrift]] (two snapshots): a feature pipeline's
+    * regime changes show up here first. Same integer-unit contract as
+    * [[correlation]] (cents/ppm pre-scale): the five window sums are
+    * EXACT decimal moments over the trailing `window` rows, r is the
+    * q177 clamp dag per row — deterministic cross-engine, gate at 9
+    * decimals for the >2^53 cast ulp. Rows with a partial head window
+    * emit with their actual w_n (the EWMA head-normalization stance —
+    * dropping them hides the series start); ONE key-partitioned
+    * exchange carries all five sums.
+    */
+  def rollingCorrelation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      window: Int
+  ): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), 0)
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+      .withColumn("r", {
+        val n = col("w_n").cast(dec)
+        val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+        val dx = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+        val dy = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+        when(dx > 0 && dy > 0,
+          greatest(lit(-1.0), least(lit(1.0), num / (sqrt(dx) * sqrt(dy)))))
+      })
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
   /** Benford first-digit ppm targets, floor(log10(1+1/d)·10⁶) — pinned
     * integer constants (the q149 rule: constants are data). */
   val BenfordPpm: Seq[(Int, Long)] = Seq(

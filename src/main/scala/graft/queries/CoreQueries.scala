@@ -1767,4 +1767,25 @@ object CoreQueries {
         round(col("tau_b"), 9).as("tau_b"))
       .orderBy("l_returnflag")
   }
+
+  /** Rolling-correlation gate: trailing-24h exact-moment Pearson r
+    * between the hourly click and view value series (milli-scaled
+    * integers; the q177 clamp dag per row, 9 decimals; head rows emit
+    * with their actual w_n).
+    */
+  def q213RollingCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hr"),
+      round(col("value") * 1000).cast("long").as("v_m"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("hr").agg(sum("v_m").as("x_m"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("hr").agg(sum("v_m").as("y_m"))
+    Profiler.rollingCorrelation(clicks.join(views, "hr"), Nil, Seq("hr"),
+        "x_m", "y_m", window = 24)
+      .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("x_m"), col("y_m"), col("w_n"), round(col("r"), 9).as("r"))
+      .orderBy("hr")
+  }
 }

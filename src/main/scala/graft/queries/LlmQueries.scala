@@ -2034,4 +2034,18 @@ object LlmQueries {
         round(jaroWinklerSim(col("key_a"), col("key_b")), 9).as("jw"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Collocation gate: top bigrams with exact counts and both scores —
+    * PMI (one fixed ln dag) and Dunning LLR (probability-form nano
+    * terms, 2B·sum one dag) at 9 decimals; the oracle replays the
+    * filtered-token pair stream and every term.
+    */
+  def q212Collocations(s: SparkSession, dir: String): DataFrame =
+    graft.text.Collocations.collocations(
+      Tables.documents(s, dir).select("text"), "text", minCount = 5L, k = 100)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("b_tot"), col("n_tot"),
+        round(col("pmi"), 9).as("pmi"),
+        round(col("llr"), 9).as("llr"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
 }

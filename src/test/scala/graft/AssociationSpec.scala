@@ -205,6 +205,62 @@ class AssociationSpec extends SparkSpec {
     assert(b > 0.0 && b < 1.0) // sub-linear vocabulary growth
   }
 
+  test("collocations: adjacency over the FILTERED token sequence; PMI/LLR replayed") {
+    import graft.text.Collocations
+    // "a  b" (double space) must still pair (a,b): empties filtered first
+    val docs = (Seq.fill(6)("a  b") ++ Seq.fill(5)("c d") ++ Seq.fill(3)("a d"))
+      .map(Tuple1(_)).toDF("text")
+    val got = Collocations.collocations(docs, "text", minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // bigrams: (a,b) x6, (c,d) x5, (a,d) x3 -> minCount 5 keeps two
+    assert(got.toSeq === Seq(("a", "b", 6L), ("c", "d", 5L)))
+    val full = Collocations.collocations(docs, "text", minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8))).head
+    // replay PMI for (a,b): B=14 bigrams, N=28 tokens, c_a=9, c_b=6
+    val (_, cxy, cx, cy, b, n, pmi, llr) = full
+    assert((cxy, cx, cy, b, n) === ((6L, 9L, 6L, 14L, 28L)))
+    val wantPmi = math.log((6.0 / 14) / ((9.0 / 28) * (6.0 / 28)))
+    assert(math.abs(pmi - wantPmi) < 1e-12)
+    // replay LLR probability-form nano terms
+    val (k11, k12, k21, k22) = (6L, 3L, 0L, 5L)
+    val (r1, r2, c1, c2) = (9L, 5L, 6L, 8L)
+    def t(k: Long, r: Long, c: Long): Long =
+      if (k == 0) 0L
+      else nano((k.toDouble / 14) * math.log((k.toDouble / 14) / ((r.toDouble / 14) * (c.toDouble / 14))))
+    val s9 = t(k11, r1, c1) + t(k12, r1, c2) + t(k21, r2, c1) + t(k22, r2, c2)
+    assert(llr === 2.0 * 14.0 * (s9.toDouble / 1e9))
+    assert(llr > 0.0)
+  }
+
+  test("rolling correlation: perfect linear windows are ±1, constant x is NULL, last full window equals the global r") {
+    import graft.quality.Profiler
+    val lin = (1 to 30).map(i => (i, i.toLong, 2L * i)).toDF("t", "x0", "y0")
+    val got = Profiler.rollingCorrelation(lin, Nil, Seq("t"), "x0", "y0", window = 8)
+      .orderBy("t").collect()
+    assert(got.head.getLong(got.head.fieldIndex("w_n")) === 1L) // head emits
+    // single-point window: dx = 0 -> NULL r
+    assert(got.head.isNullAt(got.head.fieldIndex("r")))
+    // sqrt(dx)*sqrt(dy) may land 1 ulp BELOW 1 for a perfect relation
+    // (the clamp only caps the high side) -- tolerance, not exactness
+    assert(got.drop(1).forall(r => math.abs(r.getAs[Double]("r") - 1.0) < 1e-12))
+    val anti = (1 to 30).map(i => (i, i.toLong, -3L * i)).toDF("t", "x0", "y0")
+    val gotA = Profiler.rollingCorrelation(anti, Nil, Seq("t"), "x0", "y0", window = 8)
+      .orderBy("t").collect()
+    assert(gotA.drop(1).forall(r => math.abs(r.getAs[Double]("r") + 1.0) < 1e-12))
+    val const = (1 to 10).map(i => (i, 5L, i.toLong)).toDF("t", "x0", "y0")
+    val gotC = Profiler.rollingCorrelation(const, Nil, Seq("t"), "x0", "y0", window = 4)
+      .orderBy("t").collect()
+    assert(gotC.forall(_.isNullAt(gotC.head.fieldIndex("r"))))
+    // law: window >= series length makes the LAST row's r the global r
+    val rows = (1 to 12).map(i => (i, (i * i % 7).toLong, (3 * i % 5).toLong))
+    val d = rows.toDF("t", "x0", "y0")
+    val lastR = Profiler.rollingCorrelation(d, Nil, Seq("t"), "x0", "y0", window = 12)
+      .orderBy("t").collect().last.getAs[Double]("r")
+    val globalR = Profiler.correlation(d, Nil, "x0", "y0").collect()(0).getAs[Double]("r")
+    assert(lastR === globalR)
+  }
+
   // --- EWMA ------------------------------------------------------------
 
   test("EWMA: constant series reproduces the value exactly at every row incl. the head") {

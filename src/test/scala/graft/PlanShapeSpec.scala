@@ -368,7 +368,16 @@ class PlanShapeSpec extends SparkSpec {
     // Jaro-Winkler: the native expression stays a codegen'd projection
     // over the SNM blocking budget -- never a UDF
     Shape("q211_jaro_winkler", maxHash = 3, maxRange = 2,
-      minBroadcastJoin = 2, forbidSortMergeJoin = true, forbidUdf = true)
+      minBroadcastJoin = 2, forbidSortMergeJoin = true, forbidUdf = true),
+    // collocations: bigram + unigram aggs (explode absorbed map-side),
+    // vocab-keyed marginal joins, top-k via TakeOrdered (SMJ not
+    // forbidden: the vocab joins may legitimately sort-merge at scale)
+    Shape("q212_collocations", maxHash = 4, maxRange = 2,
+      requireTopK = true, forbidUdf = true),
+    // rolling correlation: two series aggs; ALL five moment sums share
+    // one window exchange
+    Shape("q213_rolling_correlation", maxHash = 2, minBroadcastJoin = 1,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
