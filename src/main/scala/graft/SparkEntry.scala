@@ -223,7 +223,13 @@ object SparkEntry {
     "q210_kendall_bucketed" -> (CoreQueries.q210KendallBucketed(_, _)),
     "q211_jaro_winkler" -> (LlmQueries.q211JaroWinkler(_, _)),
     "q212_collocations" -> (LlmQueries.q212Collocations(_, _)),
-    "q213_rolling_correlation" -> (CoreQueries.q213RollingCorrelation(_, _))
+    "q213_rolling_correlation" -> (CoreQueries.q213RollingCorrelation(_, _)),
+    "q214_acf" -> (CoreQueries.q214Acf(_, _)),
+    "q215_kruskal_wallis" -> (CoreQueries.q215KruskalWallis(_, _)),
+    "q216_mann_kendall" -> (CoreQueries.q216MannKendall(_, _)),
+    "q217_theil_sen" -> (CoreQueries.q217TheilSen(_, _)),
+    "q218_triangles" -> (LlmQueries.q218Triangles(_, _)),
+    "q219_weighted_sample" -> (LlmQueries.q219WeightedSample(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -271,6 +277,72 @@ object SparkEntry {
        |  num > CAST(4 AS HUGEINT) * den AS breach_hi,
        |  num < CAST(2 AS HUGEINT) * den AS breach_lo
        |FROM e ORDER BY event_type, hr""".stripMargin
+  }
+
+  /** Shared dense hourly-count spine — the resampleCounts replay the
+    * time-series oracles (q214/q216/q217) build on; q206 predates it and
+    * inlines the same CTEs.
+    */
+  private val HourlySpineCtes: String =
+    """ev AS (SELECT event_type, date_trunc('hour', ts) AS slot FROM events),
+      |c AS (SELECT event_type, slot, count(*) AS n FROM ev GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+      |x AS (SELECT s.event_type, s.slot, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot)""".stripMargin
+
+  /** q214 oracle, generated like [[ewmaOracle]]: per lag k the exact
+    * integer numerator n²·Σx_t·x_{t+k} − n·S·(head+tail) + (n−k)·S² and
+    * shared denominator n²·Σx² − n·S² in HUGEINT, r = one division, and
+    * the Ljung–Box sum over 1e-15-scaled integer terms — term for term
+    * the dag [[graft.operators.TimeSeries.acf]] evaluates.
+    */
+  private lazy val acfOracle: String = {
+    val L = 6
+    val lagCols = (1 to L).map(k => s"lag(n, $k) OVER w AS l$k").mkString(",\n    ")
+    val aggCols = (1 to L).map { k =>
+      s"""coalesce(sum(CASE WHEN l$k IS NOT NULL THEN CAST(n AS HUGEINT) * l$k END), 0) AS sxy$k,
+         |    coalesce(sum(CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS HUGEINT) END), 0) AS a$k,
+         |    coalesce(sum(CASE WHEN l$k IS NOT NULL THEN CAST(n AS HUGEINT) END), 0) AS b$k""".stripMargin
+    }.mkString(",\n    ")
+    val numCols = (1 to L).map(k =>
+      s"nn*nn*sxy$k - nn*s*(a$k + b$k) + (nn - $k)*s*s AS num$k").mkString(",\n    ")
+    val rCols = (1 to L).map(k =>
+      s"CASE WHEN nn > $k AND den > 0 THEN CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE) END AS r$k")
+      .mkString(",\n    ")
+    val tCols = (1 to L).map(k =>
+      s"CASE WHEN r$k IS NOT NULL THEN CAST(round(r$k * r$k / CAST(nn - $k AS DOUBLE) * 1e15) AS BIGINT) ELSE 0 END AS t$k")
+      .mkString(",\n    ")
+    val rows = (1 to L).map { k =>
+      val cum = (1 to k).map(j => s"t$j").mkString(" + ")
+      s"""SELECT event_type, $k AS lag, CAST(nn AS BIGINT) AS n, CAST(num$k AS VARCHAR) AS num,
+         |  CAST(den AS VARCHAR) AS den, round(r$k, 9) AS r,
+         |  CASE WHEN r$k IS NOT NULL THEN round(CAST(nn*(nn+2) AS DOUBLE) * (CAST($cum AS DOUBLE) / 1e15), 9) END AS lb_q
+         |FROM t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $HourlySpineCtes,
+       |l AS (SELECT event_type, n,
+       |    $lagCols
+       |  FROM x WINDOW w AS (PARTITION BY event_type ORDER BY slot)),
+       |a AS (SELECT event_type,
+       |    CAST(count(*) AS HUGEINT) AS nn,
+       |    CAST(sum(CAST(n AS HUGEINT)) AS HUGEINT) AS s,
+       |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sxx,
+       |    $aggCols
+       |  FROM l GROUP BY 1),
+       |d AS (SELECT *, nn*nn*sxx - nn*s*s AS den FROM a),
+       |f AS (SELECT *,
+       |    $numCols
+       |  FROM d),
+       |r AS (SELECT *,
+       |    $rCols
+       |  FROM f),
+       |t AS (SELECT *,
+       |    $tCols
+       |  FROM r)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY event_type, lag""".stripMargin
   }
 
   private lazy val oracleBase: Map[String, String] = Map(

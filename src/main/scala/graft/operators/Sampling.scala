@@ -502,4 +502,48 @@ object Sampling {
     }
     df.filter(substring(keyHash(keyCols.map(col)), 1, 15) < threshold)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (A-ES,
+    * Efraimidis & Spirakis 2006): per group, the k rows with the largest
+    * key u^(1/w) — the exponential-race construction under which every
+    * row's inclusion probability is proportional to its weight among the
+    * survivors, the right primitive for "keep 50 docs per language,
+    * length-weighted" mixture curation where [[weighted]]'s independent
+    * coin flips can't hit an exact k.
+    *
+    * Engine-portable determinism: u is the house [[uniform01]] shifted to
+    * (0, 2⁶⁰]/2⁶⁰ (so ln is finite), maximizing u^(1/w) ⇔ maximizing
+    * ln(u)/w; ln(u) is NANO-PINNED to the integer l9 = round(1e9·ln u)
+    * (the idiom every MI/entropy gate already relies on both engines
+    * agreeing about), the sort key is the IEEE division l9/w, and ties —
+    * including distinct (l9, w) pairs that collide as doubles — break on
+    * the id columns, so both engines select the SAME k rows. Zero or
+    * negative weights never sample (filtered, documented).
+    *
+    * Plan shape: one narrow projection + a per-group top-k window that
+    * Spark plans as WindowGroupLimit (k rows per partition pre-merge,
+    * never a per-group full sort materialized downstream). Emits the
+    * sampled rows + l9 + rank.
+    */
+  def weightedSampleWithoutReplacement(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCols: Seq[String],
+      weightCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val m = conv(substring(keyHash(idCols.map(col)), 1, 15), 16, 10).cast("long")
+    val u = (m + 1L).cast("double") / lit(1.152921504606846976e18) // 2^60
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy((col("__key").desc +: idCols.map(col(_).asc)): _*)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0L)
+      .withColumn("__l9", round(log(u) * 1e9d).cast("long"))
+      .withColumn("__key", col("__l9").cast("double") / col(weightCol).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumnRenamed("__l9", "l9")
+      .drop("__key")
+  }
 }

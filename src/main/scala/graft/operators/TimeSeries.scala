@@ -247,6 +247,262 @@ object TimeSeries {
     * finds sustained small shifts fastest; EWMA tracks the current
     * level and catches drifts — a monitoring stack runs both.
     */
+  /** Sample autocorrelation function r_1..r_maxLag (the Box–Jenkins
+    * identification tool: is this series white noise, AR-ish, seasonal?)
+    * plus the Ljung–Box portmanteau statistic Q_k (Ljung & Box 1978) at
+    * every lag — EXACT integer state end to end. With S = Σx and n the
+    * series length, the mean-centered products clear denominators via
+    * (x_t − S/n)(x_{t+k} − S/n)·n² = (n·x_t − S)(n·x_{t+k} − S), so
+    *
+    *   num_k = n²·Σ_{t≤n−k} x_t·x_{t+k} − n·S·(head_k + tail_k) + (n−k)·S²
+    *   den   = n²·Σx² − n·S²          (head/tail = the first/last n−k x's)
+    *
+    * are exact DECIMAL(38,0) sums (emitted as digit strings) and
+    * r_k = num_k/den is ONE pinned division per lag. Q_k is a fixed dag
+    * over the r's: each term r_j²/(n−j) is scaled to an integer count of
+    * 1e-15 units BEFORE the (order-free) sum — the nano idiom at 1e15,
+    * affordable because every term is ≤ 1 — then
+    * Q_k = n(n+2)·Σ_{j≤k} term_j/1e15. No sequential float fold anywhere.
+    *
+    * Plan shape: ONE key-partitioned window exchange (all maxLag lag
+    * columns share it) and the groupBy reuses its hashpartitioning —
+    * per-key state is the series sort, the output is keys × maxLag rows.
+    * r_k is NULL when n ≤ k or the series is constant (den = 0); Q
+    * follows r. NULL values are dropped (no position in the recursion);
+    * resample first if calendar spacing matters (lags are OBSERVATIONS).
+    */
+  def acf(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      maxLag: Int
+  ): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 48, s"maxLag out of range: $maxLag")
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val xL = col(valueCol).cast("long")
+    val base = df
+      .filter(xL.isNotNull)
+      .select((keyCols ++ orderCols).map(col) :+ xL.as("__x"): _*)
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__x"), k).over(w))
+    }
+    val xD = col("__x").cast(dec)
+    val zero = lit(0L).cast(dec)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(
+        count(lit(1)).as("__n"),
+        sum(xD).as("__s"),
+        sum(xD * xD).as("__sxx")) ++
+        (1 to maxLag).flatMap { k =>
+          val lk = col(s"__l$k")
+          val lkD = lk.cast(dec)
+          Seq(
+            coalesce(sum(when(lk.isNotNull, xD * lkD)), zero).as(s"__sxy$k"),
+            coalesce(sum(when(lk.isNotNull, lkD)), zero).as(s"__a$k"),
+            coalesce(sum(when(lk.isNotNull, xD)), zero).as(s"__b$k"))
+        }
+    val agg =
+      if (keyCols.isEmpty) lagged.groupBy().agg(aggs.head, aggs.tail: _*)
+      else lagged.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val nD = col("__n").cast(dec)
+    val withDen = agg.withColumn("__den",
+      nD * nD * col("__sxx") - nD * col("__s") * col("__s"))
+    // per-lag columns: exact numerator, r, nano-term, cumulative Q
+    val withLags = (1 to maxLag).foldLeft(withDen) { (d, k) =>
+      d.withColumn(s"__num$k",
+          nD * nD * col(s"__sxy$k") -
+            nD * col("__s") * (col(s"__a$k") + col(s"__b$k")) +
+            (nD - k) * col("__s") * col("__s"))
+        .withColumn(s"__r$k",
+          when(col("__n") > k && col("__den") > lit(0L).cast(dec),
+            col(s"__num$k").cast("double") / col("__den").cast("double")))
+        .withColumn(s"__t$k",
+          when(col(s"__r$k").isNotNull,
+            round(col(s"__r$k") * col(s"__r$k") /
+              (col("__n") - k).cast("double") * 1e15d).cast("long"))
+            .otherwise(lit(0L)))
+    }
+    val withQ = (1 to maxLag).foldLeft(withLags) { (d, k) =>
+      val cum = (1 to k).map(j => col(s"__t$j")).reduce(_ + _)
+      d.withColumn(s"__q$k",
+        when(col(s"__r$k").isNotNull,
+          (nD * (nD + 2)).cast("double") * (cum.cast("double") / 1e15d)))
+    }
+    val rows = (1 to maxLag).map { k =>
+      struct(
+        lit(k).as("lag"),
+        col(s"__num$k").cast("string").as("num"),
+        col(s"__r$k").as("r"),
+        col(s"__q$k").as("lb_q"))
+    }
+    withQ
+      .withColumn("__row", explode(array(rows: _*)))
+      .select(keyCols.map(col) :+
+        col("__row.lag").as("lag") :+
+        col("__n").as("n") :+
+        col("__row.num").as("num") :+
+        col("__den").cast("string").as("den") :+
+        col("__row.r").as("r") :+
+        col("__row.lb_q").as("lb_q"): _*)
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall's S with the tie-aware
+    * variance, Kendall 1975): is a series monotonically trending, without
+    * assuming linearity or a distribution? S = Σ_{i<j} sgn(y_j − y_i)
+    * over time order — an exact integer from one bounded self-join — and
+    * the null variance stays integer as
+    *
+    *   var18 = 18·Var(S) = n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)
+    *
+    * (t_v = tie multiplicities from the value-count frame), both emitted
+    * as DECIMAL digit strings. The z statistic (continuity-corrected:
+    * (S∓1)/√(Var S)) is a fixed dag over their casts — gate at 9
+    * decimals — and the TREND VERDICT at α = 0.05 never touches a float
+    * boundary: z > 1.96 is decided as the exact integer comparison
+    * (S−1)²·180000 > 38416·var18 (1.96² = 38416/10⁴, cross-multiplied
+    * through the /18), so the call is bit-identical on any engine.
+    *
+    * Scale: the pair join is O(series²) per key — series here means a
+    * RESAMPLED sequence (hourly/daily slots), whose length is bounded by
+    * the time span, not the corpus; 100 TB of events resampled to a year
+    * of hours is still 8760 rows per key. The tie frame is
+    * value-cardinality-sized. NULL values/timestamps are dropped.
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(g :+ col(orderCol).as("__t") :+ col(valueCol).cast("long").as("__y"): _*)
+    val a = base.select(g :+ col("__t").as("__ta") :+ col("__y").as("__ya"): _*)
+    val b = base.select(g :+ col("__t").as("__tb") :+ col("__y").as("__yb"): _*)
+    val joined =
+      if (keyCols.isEmpty) a.join(b, col("__ta") < col("__tb"))
+      else a.join(b, keyCols.map(k => a(k) === b(k)).reduce(_ && _) &&
+          col("__ta") < col("__tb"))
+        .select(keyCols.map(k => a(k).as(k)) ++ Seq(col("__ya"), col("__yb")): _*)
+    val sgn = when(col("__yb") > col("__ya"), 1L)
+      .when(col("__yb") < col("__ya"), -1L).otherwise(0L)
+    val sAgg =
+      if (keyCols.isEmpty) joined.groupBy().agg(sum(sgn.cast(dec)).as("__s"))
+      else joined.groupBy(g: _*).agg(sum(sgn.cast(dec)).as("__s"))
+    val tD = col("__tv").cast(dec)
+    val tieAgg0 = base.groupBy(g :+ col("__y"): _*).agg(count(lit(1)).as("__tv"))
+    val tieAgg =
+      if (keyCols.isEmpty)
+        tieAgg0.groupBy().agg(
+          sum("__tv").as("n"),
+          sum(tD * (tD - 1) * (tD * 2 + 5)).as("__tsum"))
+      else
+        tieAgg0.groupBy(g: _*).agg(
+          sum("__tv").as("n"),
+          sum(tD * (tD - 1) * (tD * 2 + 5)).as("__tsum"))
+    val frame =
+      if (keyCols.isEmpty) tieAgg.crossJoin(sAgg)
+      else tieAgg.join(sAgg, keyCols)
+    val nD = col("n").cast(dec)
+    val zeroD = lit(0L).cast(dec)
+    val withVar = frame
+      // a single-row group produces no pairs: S is the empty sum
+      .withColumn("__s", coalesce(col("__s"), zeroD))
+      .withColumn("__var18", nD * (nD - 1) * (nD * 2 + 5) - col("__tsum"))
+    val varD = col("__var18").cast("double") / 18d
+    val z = when(col("__s") > zeroD,
+        (col("__s").cast("double") - 1d) / sqrt(varD))
+      .when(col("__s") < zeroD,
+        (col("__s").cast("double") + 1d) / sqrt(varD))
+      .otherwise(lit(0d))
+    // exact verdict: |S∓1|² · 18 · 10⁴ > 38416 · var18, sign-guarded
+    val up = col("__s") > lit(1L).cast(dec) &&
+      (col("__s") - 1) * (col("__s") - 1) * 180000 > col("__var18") * 38416
+    val down = col("__s") < lit(-1L).cast(dec) &&
+      (col("__s") + 1) * (col("__s") + 1) * 180000 > col("__var18") * 38416
+    withVar
+      .withColumn("s", col("__s").cast("string"))
+      .withColumn("var18", col("__var18").cast("string"))
+      .withColumn("z", when(col("__var18") > zeroD, z))
+      .withColumn("trend",
+        when(col("__var18") <= zeroD, lit(null).cast("string"))
+          .when(up, "increasing").when(down, "decreasing").otherwise("none"))
+      .select(g :+ col("n") :+ col("s") :+ col("var18") :+ col("z") :+ col("trend"): _*)
+  }
+
+  /** Theil–Sen robust trend line (Theil 1950; Sen 1968): slope = the
+    * median of all pairwise slopes (y_j − y_i)/(t_j − t_i), intercept =
+    * the median residual y − slope·t — breakdown point 29%, the trend
+    * estimate outliers can't drag the way OLS's single leverage point
+    * can. Selection is EXACT and pinned: pairs order by the IEEE
+    * division dy/dx (deterministic on any engine) with ties broken by
+    * (dy, dx, t_a, t_b) — two distinct rationals that collide as doubles
+    * are ordered by the pin, so both engines select the SAME pair — and
+    * the chosen pair's exact (dy, dx) integers are emitted alongside the
+    * one-division slope. The intercept median orders residuals (a fixed
+    * dag over the selected slope) with the same lower-median rank rule.
+    *
+    * Scale: O(series²) pairs per key over a RESAMPLED series (the
+    * [[mannKendall]] bound — span-sized, not corpus-sized); the median
+    * rank windows run per key over those pairs. Equal-time pairs
+    * (dx = 0) have no slope and are excluded; keys with no pair emit
+    * nothing.
+    */
+  def theilSen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(g :+ col(orderCol).cast("long").as("__t") :+
+        col(valueCol).cast("long").as("__y"): _*)
+    val a = base.select(g :+ col("__t").as("__ta") :+ col("__y").as("__ya"): _*)
+    val b = base.select(g :+ col("__t").as("__tb") :+ col("__y").as("__yb"): _*)
+    val pairs =
+      (if (keyCols.isEmpty) a.join(b, col("__ta") < col("__tb"))
+       else a.join(b, keyCols.map(k => a(k) === b(k)).reduce(_ && _) &&
+           col("__ta") < col("__tb"))
+         .select(keyCols.map(k => a(k).as(k)) ++
+           Seq(col("__ta"), col("__ya"), col("__tb"), col("__yb")): _*))
+        .withColumn("__dy", col("__yb") - col("__ya"))
+        .withColumn("__dx", col("__tb") - col("__ta"))
+        .filter(col("__dx") > 0L)
+        .withColumn("__key", col("__dy").cast("double") / col("__dx").cast("double"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*)
+      .orderBy(col("__key"), col("__dy"), col("__dx"), col("__ta"), col("__tb"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val med = pairs
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(col("__rk") === floor((col("m") + 1L) / 2d).cast("long"))
+      .withColumn("slope", col("__key"))
+      .select(g :+ col("m") :+ col("__dy").cast("string").as("dy") :+
+        col("__dx").cast("string").as("dx") :+ col("slope"): _*)
+    // intercept: lower-median residual under the selected slope
+    val resid =
+      (if (keyCols.isEmpty) base.crossJoin(med)
+       else base.join(med, keyCols))
+        .withColumn("__res", col("__y").cast("double") - col("slope") * col("__t").cast("double"))
+    val wRes = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__res"), col("__t"))
+    resid
+      .withColumn("__rk", row_number().over(wRes))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rk") === floor((col("__n") + 1L) / 2d).cast("long"))
+      .select(g :+ col("m") :+ col("dy") :+ col("dx") :+ col("slope") :+
+        col("__res").as("intercept"): _*)
+  }
+
   def ewmaChart(
       df: DataFrame,
       keyCols: Seq[String],

@@ -395,4 +395,95 @@ object Association {
   /** [[kendallFromCells]] over raw rows. */
   def kendall(df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String): DataFrame =
     kendallFromCells(kendallCells(df, keyCols, xCol, yCol), keyCols)
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952): do k groups share a
+    * location, judged on RANKS — the distribution-free one-way ANOVA a
+    * pipeline reaches for when per-group means are skew-poisoned. Exact
+    * integer construction on the CELL layout (no per-row rank window
+    * anywhere — the Kendall discipline, not the Spearman one):
+    *
+    *  - per distinct value v: tie count t_v and the DOUBLED average
+    *    rank R2_v = 2·(#smaller) + t_v + 1, from ONE cumulative window
+    *    over the value-cardinality-sized distinct-value frame;
+    *  - per group g: the doubled rank sum R2_g = Σ_v c_{g,v}·R2_v and
+    *    the exact deviation D_g = R2_g − n_g·(N+1) (both DECIMAL digit
+    *    strings; Σ_g D_g = 0 is a built-in invariant);
+    *  - H = 3/(N(N+1)) · Σ_g D_g²/n_g: each group's term is nano-scaled
+    *    to a long as round(1e9·3·(D²/n_g)/N/(N+1)) — a fixed dag both
+    *    engines replay — then summed order-free; the tie-corrected
+    *    H* = H/(1 − ΣT_v/(N³−N)) with T_v = t_v³−t_v kept exact until
+    *    its one division. Gate H at 9 decimals.
+    *
+    * SCALE: everything after the (group, value) counting aggregation is
+    * value-cardinality-sized bookkeeping (bucket continuous columns
+    * first, as with [[kendall]]); the only ordered window runs over
+    * DISTINCT VALUES per key — never a per-group row sort, so a 500M-row
+    * hot group costs the same as its value cardinality. NULL values and
+    * NULL group labels are dropped.
+    *
+    * Emits one row per (keys, grp): n_g, r2_sum, d (digit strings), and
+    * the key-level n, h, h_tie replicated per group row.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vals = cells.groupBy(g :+ col("__v"): _*).agg(sum("__c").as("__t"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("__cum", coalesce(sum("__t").over(wCum), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cum") + col("__t") + lit(1L))
+    val tD = col("__t").cast(dec)
+    val tot =
+      if (keyCols.isEmpty)
+        ranked.groupBy().agg(
+          sum("__t").as("n"),
+          sum(tD * tD * tD - tD).as("__ties"))
+      else
+        ranked.groupBy(g: _*).agg(
+          sum("__t").as("n"),
+          sum(tD * tD * tD - tD).as("__ties"))
+    val joinCols = keyCols :+ "__v"
+    val grpAgg = cells
+      .join(ranked.select(g :+ col("__v") :+ col("__r2"): _*), joinCols)
+      .groupBy(g :+ col("grp"): _*)
+      .agg(
+        sum("__c").as("n_g"),
+        sum(col("__c").cast(dec) * col("__r2").cast(dec)).as("__r2sum"))
+    val frame =
+      if (keyCols.isEmpty) grpAgg.crossJoin(tot)
+      else grpAgg.join(tot, keyCols)
+    val nD = col("n").cast(dec)
+    val withD = frame.withColumn("__d", col("__r2sum") - col("n_g").cast(dec) * (nD + 1))
+    // nano term: 3·(D/2)²/n_g/N/(N+1)·1e9 — D is DOUBLED, so /4 folds in:
+    // term = 3·D²/(4·n_g·N·(N+1)); the dag order below is the oracle's
+    val dDbl = col("__d").cast("double")
+    val term9 = round(
+      dDbl * dDbl / col("n_g").cast("double") / col("n").cast("double") /
+        (col("n").cast("double") + 1d) * 0.75d * 1e9d).cast("long")
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withH = withD
+      .withColumn("__h9", sum(term9).over(wKey))
+      .withColumn("h", col("__h9").cast("double") / 1e9d)
+    // tie correction: H* = H / (1 − T/(N³−N)); NULL when N < 2 or the
+    // column is constant (T = N³−N — every rank tied, nothing to test)
+    val n3n = nD * nD * nD - nD
+    withH
+      .withColumn("h_tie",
+        when(col("n") > 1L && col("__ties").cast(dec) < n3n,
+          col("h") / (lit(1d) - col("__ties").cast("double") / n3n.cast("double"))))
+      .select(g :+ col("grp") :+ col("n_g") :+
+        col("__r2sum").cast("string").as("r2_sum") :+
+        col("__d").cast("string").as("d") :+
+        col("n") :+ col("h") :+ col("h_tie"): _*)
+  }
 }

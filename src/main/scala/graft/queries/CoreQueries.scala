@@ -1788,4 +1788,66 @@ object CoreQueries {
         col("x_m"), col("y_m"), col("w_n"), round(col("r"), 9).as("r"))
       .orderBy("hr")
   }
+
+  /** ACF + Ljung–Box gate: autocorrelation of the dense hourly event
+    * count series per type at lags 1..6 — num/den exact DECIMAL digit
+    * strings the oracle replays in HUGEINT, r one pinned division at 9
+    * decimals, Q the nano(1e15)-term portmanteau sum.
+    */
+  def q214Acf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+    TimeSeries.acf(counts, Seq("event_type"), Seq("slot"), "n", maxLag = 6)
+      .select(col("event_type"), col("lag"), col("n"), col("num"), col("den"),
+        round(col("r"), 9).as("r"), round(col("lb_q"), 9).as("lb_q"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Kruskal–Wallis gate: does event value (milli-scaled) share a
+    * location across event types — the rank ANOVA on the cell layout.
+    * Per-group doubled rank sums and deviations are exact digit strings;
+    * H and its tie-corrected form gate at 9 decimals.
+    */
+  def q215KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 1000).cast("long").as("v_m"))
+    Association.kruskalWallis(ev, Nil, "event_type", "v_m")
+      .select(col("grp"), col("n_g"), col("r2_sum"), col("d"), col("n"),
+        round(col("h"), 9).as("h"), round(col("h_tie"), 9).as("h_tie"))
+      .orderBy("grp")
+  }
+
+  /** Mann–Kendall trend gate: is each event type's hourly count series
+    * monotonically trending — S and 18·Var(S) exact digit strings, z at
+    * 9 decimals, and the α = 0.05 verdict decided by the exact integer
+    * comparison (S∓1)²·180000 ≷ 38416·var18 (never a float boundary).
+    */
+  def q216MannKendall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+    TimeSeries.mannKendall(counts, Seq("event_type"), "slot", "n")
+      .select(col("event_type"), col("n"), col("s"), col("var18"),
+        round(col("z"), 9).as("z"), col("trend"))
+      .orderBy("event_type")
+  }
+
+  /** Theil–Sen gate: the robust trend line of each type's hourly count
+    * series — the median pair's exact (dy, dx) digit strings, slope one
+    * pinned division, intercept the lower-median residual; the oracle
+    * replays the pair enumeration and both median selections.
+    */
+  def q217TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+        Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+      .withColumn("t", col("slot").cast("long"))
+    TimeSeries.theilSen(counts, Seq("event_type"), "t", "n")
+      .select(col("event_type"), col("m"), col("dy"), col("dx"),
+        round(col("slope") * 3600d, 9).as("slope_hr"),
+        round(col("intercept"), 9).as("intercept"))
+      .orderBy("event_type")
+  }
 }

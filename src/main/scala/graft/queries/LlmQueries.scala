@@ -2048,4 +2048,40 @@ object LlmQueries {
         round(col("pmi"), 9).as("pmi"),
         round(col("llr"), 9).as("llr"))
       .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+
+  /** Triangle-count gate: the q195 near-dup graph (sorted-neighborhood
+    * blocking + Levenshtein verify) through degree-ordered triangle
+    * counting — per node the exact degree, triangle count, and local
+    * clustering coefficient (how clique-like is this doc's near-dup
+    * neighborhood); the oracle replays the blocking, the canonical edge
+    * set, and the a<b<c triple join.
+    */
+  def q218Triangles(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    import graft.graph.Triangles
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    val edges = SortedNeighborhood.editDistancePairs(d, "doc_id", "snkey",
+      window = 4, prefixLen = 3, maxDist = 6)
+    Triangles.triangleCounts(edges, "id_a", "id_b")
+      .select(col("node"), col("deg"), col("tri"), round(col("coeff"), 9).as("coeff"))
+      .orderBy("node")
+  }
+
+  /** Weighted-sample gate (A-ES without replacement): the 50
+    * longest-weighted docs per language by the u^(1/w) exponential race —
+    * the oracle replays md5 → 60-bit uniform → nano-pinned ln → the
+    * l9/w sort key and the id tie-break, so membership, l9 and rank all
+    * hash.
+    */
+  def q219WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.weightedSampleWithoutReplacement(
+        Tables.documents(s, dir).select("lang", "doc_id", "n_chars"),
+        groupCols = Seq("lang"), idCols = Seq("doc_id"),
+        weightCol = "n_chars", k = 50)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("l9"), col("rank"))
+      .orderBy("lang", "rank")
+  }
 }
