@@ -242,7 +242,13 @@ object SparkEntry {
     "q188_spearman_bucketed" -> oracleBase("q187_spearman"),
     "q189_gini_bucketed" -> oracleBase("q186_gini"),
     "q190_winsorize_bucketed" -> oracleBase("q171_winsorize"),
-    "q197_spearman_matrix_bucketed" -> oracleBase("q192_spearman_matrix"))
+    "q197_spearman_matrix_bucketed" -> oracleBase("q192_spearman_matrix"),
+    "q214_acf" -> acfOracle,
+    "q215_kruskal_wallis" -> kruskalWallisOracle,
+    "q216_mann_kendall" -> mannKendallOracle,
+    "q217_theil_sen" -> theilSenOracle,
+    "q218_triangles" -> trianglesOracle,
+    "q219_weighted_sample" -> weightedSampleOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -344,6 +350,144 @@ object SparkEntry {
        |$rows
        |) ORDER BY event_type, lag""".stripMargin
   }
+
+  /** q215 oracle: [[graft.quality.Association.kruskalWallis]] replayed —
+    * cell counts, the one distinct-value cumulative window for doubled
+    * ranks, per-group HUGEINT rank sums/deviations, the nano-scaled H
+    * term dag in the operator's exact division order, and the tie-
+    * corrected form's exact-integer guard.
+    */
+  private lazy val kruskalWallisOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |cells AS (SELECT grp, v, count(*) AS c FROM ev GROUP BY 1, 2),
+      |vals AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+      |ranked AS (SELECT v, t,
+      |    coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM vals),
+      |r2 AS (SELECT v, t, 2 * cum + t + 1 AS r2 FROM ranked),
+      |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM r2),
+      |grp AS (SELECT cells.grp, CAST(sum(c) AS BIGINT) AS n_g,
+      |    sum(CAST(c AS HUGEINT) * r2.r2) AS r2sum
+      |  FROM cells JOIN r2 ON cells.v = r2.v GROUP BY 1),
+      |f AS (SELECT grp.*, tot.n, tot.ties,
+      |    r2sum - CAST(n_g AS HUGEINT) * (n + 1) AS d FROM grp, tot),
+      |t9 AS (SELECT *, CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+      |      / CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + 1.0)
+      |      * 0.75 * 1e9) AS BIGINT) AS term9 FROM f),
+      |h AS (SELECT *, CAST(sum(term9) OVER () AS DOUBLE) / 1e9 AS h FROM t9)
+      |SELECT grp, n_g, CAST(r2sum AS VARCHAR) AS r2_sum, CAST(d AS VARCHAR) AS d, n,
+      |  round(h, 9) AS h,
+      |  CASE WHEN n > 1 AND ties < CAST(n AS HUGEINT) * n * n - n
+      |    THEN round(h / (1.0 - CAST(ties AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 9) END AS h_tie
+      |FROM h ORDER BY grp""".stripMargin
+
+  /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
+    * the shared hourly spine — the full t_a < t_b sign-pair sum (exact
+    * HUGEINT), tie-corrected 18·Var(S), the (S∓1)/√(var/18) z, and the
+    * exact-integer α = 0.05 verdict (S∓1)²·180000 ≷ 38416·var18.
+    */
+  private lazy val mannKendallOracle: String =
+    s"""WITH $HourlySpineCtes,
+       |pr AS (SELECT a.event_type,
+       |    CASE WHEN bb.n > a.n THEN 1 WHEN bb.n < a.n THEN -1 ELSE 0 END AS sg
+       |  FROM x a JOIN x bb ON a.event_type = bb.event_type AND a.slot < bb.slot),
+       |sA AS (SELECT event_type, sum(CAST(sg AS HUGEINT)) AS s FROM pr GROUP BY 1),
+       |tv AS (SELECT event_type, n AS y, count(*) AS t FROM x GROUP BY 1, 2),
+       |tieA AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+       |    sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)) AS tsum FROM tv GROUP BY 1),
+       |f AS (SELECT tieA.event_type, tieA.n, coalesce(sA.s, 0) AS s,
+       |    CAST(tieA.n AS HUGEINT) * (tieA.n - 1) * (tieA.n * 2 + 5) - tsum AS var18
+       |  FROM tieA LEFT JOIN sA ON tieA.event_type = sA.event_type)
+       |SELECT event_type, n, CAST(s AS VARCHAR) AS s, CAST(var18 AS VARCHAR) AS var18,
+       |  CASE WHEN var18 > 0 THEN round(
+       |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+       |         WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+       |         ELSE 0.0 END, 9) END AS z,
+       |  CASE WHEN var18 <= 0 THEN NULL
+       |       WHEN s > 1 AND (s - 1) * (s - 1) * 180000 > var18 * 38416 THEN 'increasing'
+       |       WHEN s < -1 AND (s + 1) * (s + 1) * 180000 > var18 * 38416 THEN 'decreasing'
+       |       ELSE 'none' END AS trend
+       |FROM f ORDER BY event_type""".stripMargin
+
+  /** q217 oracle: [[graft.operators.TimeSeries.theilSen]] replayed — the
+    * full t_a < t_b pair enumeration over the hourly spine, the median
+    * pair selected by the operator's exact (key, dy, dx, ta, tb) pin at
+    * rank ⌊(m+1)/2⌋, and the lower-median residual intercept under the
+    * selected slope.
+    */
+  private lazy val theilSenOracle: String =
+    s"""WITH $HourlySpineCtes,
+       |xx AS (SELECT event_type, CAST(epoch(slot) AS BIGINT) AS t, n AS y FROM x),
+       |p AS (SELECT a.event_type, a.t AS ta, a.y AS ya, bb.t AS tb, bb.y AS yb,
+       |    bb.y - a.y AS dy, bb.t - a.t AS dx
+       |  FROM xx a JOIN xx bb ON a.event_type = bb.event_type AND a.t < bb.t
+       |  WHERE bb.t - a.t > 0),
+       |k AS (SELECT *, CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS key,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx, ta, tb) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS m
+       |  FROM p),
+       |med AS (SELECT event_type, m, dy, dx, key AS slope FROM k
+       |  WHERE rk = CAST(floor((m + 1) / 2.0) AS BIGINT)),
+       |res AS (SELECT xx.event_type, med.m, med.dy, med.dx, med.slope,
+       |    CAST(xx.y AS DOUBLE) - med.slope * CAST(xx.t AS DOUBLE) AS r, xx.t,
+       |    row_number() OVER (PARTITION BY xx.event_type
+       |      ORDER BY CAST(xx.y AS DOUBLE) - med.slope * CAST(xx.t AS DOUBLE), xx.t) AS rk,
+       |    count(*) OVER (PARTITION BY xx.event_type) AS nn
+       |  FROM xx JOIN med ON xx.event_type = med.event_type)
+       |SELECT event_type, m, CAST(dy AS VARCHAR) AS dy, CAST(dx AS VARCHAR) AS dx,
+       |  round(slope * 3600.0, 9) AS slope_hr, round(r, 9) AS intercept
+       |FROM res WHERE rk = CAST(floor((nn + 1) / 2.0) AS BIGINT)
+       |ORDER BY event_type""".stripMargin
+
+  /** q218 oracle: the q195 sorted-neighborhood + Levenshtein edge
+    * generation replayed verbatim, then [[graft.graph.Triangles
+    * .triangleCounts]]'s canonical edge set, degree aggregation, and
+    * id-ordered a<b<c triple join (the triangle SET is orientation-
+    * independent, so the plain id ordering here hash-matches the
+    * engine's degree-ordered enumeration), and the one pinned coeff
+    * division.
+    */
+  private lazy val trianglesOracle: String =
+    """WITH b AS (SELECT doc_id AS id,
+      |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 24) AS k
+      |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b),
+      |p AS (SELECT a.id AS id_a, c.id AS id_b, a.k AS key_a, c.k AS key_b
+      |  FROM r a JOIN r c ON c.rank > a.rank AND c.rank < a.rank + 4),
+      |ed AS (SELECT id_a, id_b FROM p WHERE levenshtein(key_a, key_b) <= 6),
+      |e0 AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      |  FROM ed WHERE id_a IS NOT NULL AND id_b IS NOT NULL AND id_a <> id_b),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) GROUP BY 1),
+      |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u),
+      |tri0 AS (SELECT w.a, w.b, w.c FROM w JOIN e0 ON e0.u = w.a AND e0.v = w.c),
+      |nt AS (SELECT node, count(*) AS tri FROM (SELECT unnest([a, b, c]) AS node FROM tri0) GROUP BY 1)
+      |SELECT deg.node, deg.deg, coalesce(nt.tri, 0) AS tri,
+      |  CASE WHEN deg.deg > 1 THEN
+      |    round(2.0 * coalesce(nt.tri, 0) / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 9) END AS coeff
+      |FROM deg LEFT JOIN nt USING (node) ORDER BY node""".stripMargin
+
+  /** q219 oracle: [[graft.operators.Sampling.weightedSampleWithoutReplacement]]
+    * replayed — md5(doc_id) → 60-bit uniform (the q54 idiom), the
+    * nano-pinned ln, the l9/w descending race with the id tie-break,
+    * top-50 per language.
+    */
+  private lazy val weightedSampleOracle: String =
+    """WITH t AS (SELECT lang, doc_id, n_chars,
+      |    list_reduce(list_transform(range(1, 16), i ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+      |      (acc, x) -> acc * 16 + x) AS m
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |l AS (SELECT lang, doc_id, n_chars,
+      |    CAST(round(ln((m + 1) / 1152921504606846976.0) * 1e9) AS BIGINT) AS l9 FROM t),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY CAST(l9 AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank FROM l)
+      |SELECT lang, doc_id, n_chars, l9, CAST(rank AS INTEGER) AS rank
+      |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin
 
   private lazy val oracleBase: Map[String, String] = Map(
     "q01_agg" ->
