@@ -260,7 +260,10 @@ object SparkEntry {
     * n; the dense resample spine means n is never NULL, head lags are).
     */
   private lazy val ewmaOracle: String = {
-    val weights = (0 until 32).map(k => math.pow(3.0, k).toLong * (1L << (2 * (31 - k))))
+    // 3^k by iterative Long multiplication — mirrors ewmaChart's exact
+    // weight construction
+    val pow3 = (1 until 32).scanLeft(1L)((a, _) => a * 3L).toIndexedSeq
+    val weights = (0 until 32).map(k => pow3(k) * (1L << (2 * (31 - k))))
     def term(k: Int) = if (k == 0) "n" else s"lag(n, $k) OVER (PARTITION BY event_type ORDER BY slot)"
     val numTerms = weights.zipWithIndex.map { case (wt, k) =>
       s"CASE WHEN ${term(k)} IS NOT NULL THEN CAST($wt AS HUGEINT) * ${term(k)} ELSE CAST(0 AS HUGEINT) END"
@@ -376,7 +379,7 @@ object SparkEntry {
       |    r2sum - CAST(n_g AS HUGEINT) * (n + 1) AS d FROM grp, tot),
       |t9 AS (SELECT *, CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
       |      / CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + 1.0)
-      |      * 0.75 * 1e9) AS BIGINT) AS term9 FROM f),
+      |      * 3.0 * 1e9) AS BIGINT) AS term9 FROM f),
       |h AS (SELECT *, CAST(sum(term9) OVER () AS DOUBLE) / 1e9 AS h FROM t9)
       |SELECT grp, n_g, CAST(r2sum AS VARCHAR) AS r2_sum, CAST(d AS VARCHAR) AS d, n,
       |  round(h, 9) AS h,
@@ -4221,8 +4224,8 @@ object SparkEntry {
         |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_tot FROM c),
         |base AS (SELECT source, CAST(count(DISTINCT x) AS BIGINT) AS n_x,
         |    CAST(count(DISTINCT y) AS BIGINT) AS n_y, CAST(max(n_tot) AS BIGINT) AS n,
-        |    CAST(sum(CAST(round(CAST(n AS DOUBLE) * n /
-        |      (CAST(row_tot AS DOUBLE) * col_tot) * 1e9) AS BIGINT)) AS BIGINT) AS chi9,
+        |    sum(CAST(round(CAST(n_tot AS DOUBLE) * n * n /
+        |      (CAST(row_tot AS DOUBLE) * col_tot) * 1e9) AS HUGEINT)) AS chi9,
         |    CAST(sum(CAST(round((CAST(n AS DOUBLE) / n_tot) *
         |      ln(CAST(n AS DOUBLE) * n_tot / (CAST(row_tot AS DOUBLE) * col_tot)) * 1e9) AS BIGINT)) AS BIGINT) AS mi9
         |  FROM m GROUP BY 1),
@@ -4233,9 +4236,9 @@ object SparkEntry {
         |      ln(CAST(col_tot AS DOUBLE) / n_tot) * 1e9) AS BIGINT)) AS BIGINT) AS hy9
         |  FROM (SELECT DISTINCT source, y, col_tot, n_tot FROM m) GROUP BY 1)
         |SELECT b.source, n_x, n_y, n,
-        |  round(CAST(n AS DOUBLE) * (CAST(chi9 AS DOUBLE) / 1e9) - n, 9) AS chi2,
+        |  round(CAST(chi9 AS DOUBLE) / 1e9 - n, 9) AS chi2,
         |  CASE WHEN least(n_x, n_y) > 1 AND n > 0 THEN
-        |    round(sqrt(greatest(CAST(n AS DOUBLE) * (CAST(chi9 AS DOUBLE) / 1e9) - n, 0) /
+        |    round(sqrt(greatest(CAST(chi9 AS DOUBLE) / 1e9 - n, 0) /
         |      (CAST(n AS DOUBLE) * (least(n_x, n_y) - 1))), 9) END AS cramers_v,
         |  CAST(mi9 AS DOUBLE) / 1e9 AS mi,
         |  CAST(hx9 AS DOUBLE) / 1e9 AS h_x, CAST(hy9 AS DOUBLE) / 1e9 AS h_y,
@@ -4299,15 +4302,19 @@ object SparkEntry {
         |u AS (SELECT w, count(*) AS c FROM uc GROUP BY 1),
         |tot AS (SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM bc) AS b_tot,
         |    (SELECT CAST(sum(c) AS BIGINT) FROM u) AS n_tot),
-        |j AS (SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
-        |    CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y, b_tot, n_tot
-        |  FROM bc JOIN u ux ON bc.w1 = ux.w JOIN u uy ON bc.w2 = uy.w, tot
+        |lm AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x_b FROM bc GROUP BY 1),
+        |rm AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y_b FROM bc GROUP BY 1),
+        |j AS (SELECT bc.w1, bc.w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |    CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+        |    c_x_b, c_y_b, b_tot, n_tot
+        |  FROM bc JOIN u ux ON bc.w1 = ux.w JOIN u uy ON bc.w2 = uy.w
+        |    JOIN lm ON bc.w1 = lm.w1 JOIN rm ON bc.w2 = rm.w2, tot
         |  WHERE c_xy >= 5),
         |k AS (SELECT *, c_xy AS k11,
-        |    greatest(c_x - c_xy, 0) AS k12, greatest(c_y - c_xy, 0) AS k21,
-        |    greatest(b_tot - c_x - c_y + c_xy, 0) AS k22 FROM j),
-        |s AS (SELECT *, k11 + k12 AS r1, k21 + k22 AS r2,
-        |    k11 + k21 AS c1, k12 + k22 AS c2 FROM k),
+        |    c_x_b - c_xy AS k12, c_y_b - c_xy AS k21,
+        |    b_tot - c_x_b - c_y_b + c_xy AS k22 FROM j),
+        |s AS (SELECT *, c_x_b AS r1, b_tot - c_x_b AS r2,
+        |    c_y_b AS c1, b_tot - c_y_b AS c2 FROM k),
         |f AS (SELECT w1, w2, c_xy, c_x, c_y, b_tot, n_tot,
         |  ln((CAST(c_xy AS DOUBLE) / b_tot) /
         |    ((CAST(c_x AS DOUBLE) / n_tot) * (CAST(c_y AS DOUBLE) / n_tot))) AS pmi,

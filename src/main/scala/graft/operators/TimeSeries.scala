@@ -518,9 +518,14 @@ object TimeSeries {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     // w_k = 3^k · 4^(31−k): largest 4^31 = 2^62 — each fits a long,
-    // their total 4^32 − 3^32·(…) does not, hence DECIMAL sums
+    // their total 4^32 − 3^32·(…) does not, hence DECIMAL sums.
+    // 3^k by iterative Long multiplication: exact by construction
+    // (math.pow().toLong would TRUNCATE a 1-ulp-low result to 3^k − 1
+    // and silently break the pinned-integer-weight contract shared
+    // with the oracle and the streaming twin)
+    val pow3: IndexedSeq[Long] = (1 until Lags).scanLeft(1L)((a, _) => a * 3L).toIndexedSeq
     val weights: IndexedSeq[Long] =
-      (0 until Lags).map(k => math.pow(3.0, k).toLong * (1L << (2 * (Lags - 1 - k))))
+      (0 until Lags).map(k => pow3(k) * (1L << (2 * (Lags - 1 - k))))
     val x = col(valueCol)
     def lagged(k: Int) = if (k == 0) x else lag(x, k).over(w)
     val num = (0 until Lags).map { k =>

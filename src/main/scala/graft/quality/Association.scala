@@ -166,8 +166,11 @@ object Association {
     * does y explain" reading a symmetric V can't give.
     *
     * Engine-exact construction: chi² uses the structural-zero-absorbing
-    * identity χ² = N·Σ_observed n²/(rᵢcⱼ) − N with each cell ratio
-    * nano-scaled to a long before the (order-free, integer) sum; the
+    * identity χ² = Σ_observed N·n²/(rᵢcⱼ) − N with each cell term
+    * nano-scaled AFTER the ×N scaling (so the rounding error stays
+    * < #cells·5e-10 in χ² itself, independent of N — rounding the bare
+    * ratio first would amplify the per-cell error by N) and summed as
+    * DECIMAL(38,0) (N·1e9 per cell overflows a long at corpus scale); the
     * marginal entropies H(x), H(y) are nano-sums over the DISTINCT
     * marginal rows; MI is the [[mutualInformation]] nano-sum. Every
     * emitted statistic is then a fixed dag over exact integers —
@@ -192,8 +195,8 @@ object Association {
       "col_tot", "__hy_n9")
     val base = cells
       .withColumn("__chi_t",
-        round(col("n").cast("double") * col("n") /
-          (col("row_tot").cast("double") * col("col_tot")) * 1e9d).cast("long"))
+        round(col("n_tot").cast("double") * col("n") * col("n") /
+          (col("row_tot").cast("double") * col("col_tot")) * 1e9d).cast("decimal(38,0)"))
       .groupBy(g: _*)
       .agg(
         countDistinct(col("x")).as("n_x"),
@@ -206,7 +209,7 @@ object Association {
       else base.join(hx, keyCols).join(hy, keyCols)
     joined
       .withColumn("chi2",
-        col("n").cast("double") * (col("__chi_n9").cast("double") / 1e9d) - col("n"))
+        col("__chi_n9").cast("double") / 1e9d - col("n"))
       .withColumn("cramers_v",
         when(least(col("n_x"), col("n_y")) > 1L && col("n") > 0L,
           sqrt(greatest(col("chi2"), lit(0d)) /
@@ -463,12 +466,13 @@ object Association {
       else grpAgg.join(tot, keyCols)
     val nD = col("n").cast(dec)
     val withD = frame.withColumn("__d", col("__r2sum") - col("n_g").cast(dec) * (nD + 1))
-    // nano term: 3·(D/2)²/n_g/N/(N+1)·1e9 — D is DOUBLED, so /4 folds in:
-    // term = 3·D²/(4·n_g·N·(N+1)); the dag order below is the oracle's
+    // nano term: H = 12/(N(N+1))·Σ n_g(R̄_g−R̄)² and n_g(R̄_g−R̄) = D/2
+    // (D is DOUBLED), so per group term = 12·(D/2)²/(n_g·N·(N+1)) =
+    // 3·D²/(n_g·N·(N+1)); the dag order below is the oracle's
     val dDbl = col("__d").cast("double")
     val term9 = round(
       dDbl * dDbl / col("n_g").cast("double") / col("n").cast("double") /
-        (col("n").cast("double") + 1d) * 0.75d * 1e9d).cast("long")
+        (col("n").cast("double") + 1d) * 3d * 1e9d).cast("long")
     val wKey = Window.partitionBy(g: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withH = withD

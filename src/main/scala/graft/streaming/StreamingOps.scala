@@ -873,8 +873,10 @@ object StreamingOps {
   ): Dataset[EwmaOut] = {
     import points.sparkSession.implicits._
     val Lags = 32
+    // 3^k exact by iterative multiplication — same contract note as
+    // TimeSeries.ewmaChart (pow().toLong truncation hazard)
     val weights: IndexedSeq[BigInt] =
-      (0 until Lags).map(k => BigInt(math.pow(3.0, k).toLong) * (BigInt(1) << (2 * (Lags - 1 - k))))
+      (0 until Lags).map(k => (BigInt(3) pow k) * (BigInt(1) << (2 * (Lags - 1 - k))))
     points
       .groupByKey(_.key)
       .flatMapGroupsWithState[EwmaState, EwmaOut](

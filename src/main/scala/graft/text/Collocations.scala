@@ -58,32 +58,42 @@ object Collocations {
       .groupBy("w").agg(count(lit(1)).as("c"))
     val totals = bigrams.agg(sum("c_xy").as("b_tot"))
       .crossJoin(unigrams.agg(sum("c").as("n_tot")))
+    // bigram-scale margins, from the bigram frame itself (vocab-sized,
+    // map-side combined; the exchange under `bigrams` is reused)
+    val leftMargin = bigrams.groupBy("w1").agg(sum("c_xy").as("c_x_b"))
+    val rightMargin = bigrams.groupBy("w2").agg(sum("c_xy").as("c_y_b"))
     val joined = bigrams
       .filter(col("c_xy") >= minCount)
       .join(unigrams.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
       .join(unigrams.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .join(leftMargin, Seq("w1"))
+      .join(rightMargin, Seq("w2"))
       .crossJoin(broadcast(totals))
     val bD = col("b_tot").cast("double")
     val nD = col("n_tot").cast("double")
     val pmi = log((col("c_xy").cast("double") / bD) /
       ((col("c_x").cast("double") / nD) * (col("c_y").cast("double") / nD)))
-    // Dunning 2x2 over bigram events: k11 = c_xy, k12 = c_x' - c_xy,
-    // k21 = c_y' - c_xy, k22 = B - c_x' - c_y' + c_xy, with the
-    // marginals taken on the BIGRAM scale (occurrences of x as a left
-    // word: sum over k of c_xk = its bigram row margin). Using unigram
-    // counts as the margin proxy is the standard practical choice; we
-    // clamp at >=0 where a word ends more documents than it starts.
+    // Dunning 2x2 over bigram events: k11 = c_xy, k12 = c_x' − c_xy,
+    // k21 = c_y' − c_xy, k22 = B − c_x' − c_y' + c_xy, with the
+    // marginals taken on the BIGRAM scale FROM THE BIGRAM FRAME ITSELF
+    // (c_x' = Σ_w c_{xw}, the left-position margin; c_y' = Σ_w c_{wy})
+    // — so the table is consistent by construction: cells are ≥ 0 with
+    // no clamp, rows/columns sum to their margins, everything sums to
+    // B, and the nano-scaled probability terms normalize exactly as G²
+    // requires. (Unigram counts would over- or under-shoot the margin
+    // whenever a word starts fewer bigrams than it occurs — sentence-
+    // final words — breaking the table identity in unbounded ways.)
     def term(kc: org.apache.spark.sql.Column, rp: org.apache.spark.sql.Column,
         cp: org.apache.spark.sql.Column) = {
       val p = kc.cast("double") / bD
       when(kc > 0L, round(p * log(p / (rp * cp)) * lit(1e9d)).cast("long")).otherwise(0L)
     }
     val k11 = col("c_xy")
-    val k12 = greatest(col("c_x") - col("c_xy"), lit(0L))
-    val k21 = greatest(col("c_y") - col("c_xy"), lit(0L))
-    val k22 = greatest(col("b_tot") - col("c_x") - col("c_y") + col("c_xy"), lit(0L))
-    val r1 = k11 + k12; val r2 = k21 + k22
-    val c1 = k11 + k21; val c2 = k12 + k22
+    val k12 = col("c_x_b") - col("c_xy")
+    val k21 = col("c_y_b") - col("c_xy")
+    val k22 = col("b_tot") - col("c_x_b") - col("c_y_b") + col("c_xy")
+    val r1 = col("c_x_b"); val r2 = col("b_tot") - col("c_x_b")
+    val c1 = col("c_y_b"); val c2 = col("b_tot") - col("c_y_b")
     val llrN9 =
       term(k11, r1.cast("double") / bD, c1.cast("double") / bD) +
         term(k12, r1.cast("double") / bD, c2.cast("double") / bD) +

@@ -57,7 +57,7 @@ class AssociationSpec extends SparkSpec {
     val s = Association.associationSummary(
       Association.associationCells(
         Association.contingencyCounts(dep, Nil, "x0", "y0"), Nil), Nil).collect()(0)
-    // chi9 = 2*round(1e9*25/25) -> chi2 = 10*2 - 10 = 10 exactly
+    // chi9 = 2*round(1e9*10*25/25) -> chi2 = 20 - 10 = 10 exactly
     assert(s.getAs[Double]("chi2") === 10.0)
     assert(math.abs(s.getAs[Double]("cramers_v") - 1.0) < 1e-12)
     // mi9 and hx9 are the SAME nano sum (2*nano(0.5*ln 2)) -> U exactly 1
