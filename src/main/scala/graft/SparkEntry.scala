@@ -229,7 +229,8 @@ object SparkEntry {
     "q216_mann_kendall" -> (CoreQueries.q216MannKendall(_, _)),
     "q217_theil_sen" -> (CoreQueries.q217TheilSen(_, _)),
     "q218_triangles" -> (LlmQueries.q218Triangles(_, _)),
-    "q219_weighted_sample" -> (LlmQueries.q219WeightedSample(_, _))
+    "q219_weighted_sample" -> (LlmQueries.q219WeightedSample(_, _)),
+    "q220_theil_sen_bucketed" -> (CoreQueries.q220TheilSenBucketed(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -248,7 +249,8 @@ object SparkEntry {
     "q216_mann_kendall" -> mannKendallOracle,
     "q217_theil_sen" -> theilSenOracle,
     "q218_triangles" -> trianglesOracle,
-    "q219_weighted_sample" -> weightedSampleOracle)
+    "q219_weighted_sample" -> weightedSampleOracle,
+    "q220_theil_sen_bucketed" -> theilSenOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

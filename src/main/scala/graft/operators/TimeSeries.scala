@@ -454,7 +454,15 @@ object TimeSeries {
     * (dx = 0) have no slope and are excluded; keys with no pair emit
     * nothing.
     */
-  def theilSen(
+  /** The i<j slope-pair frame both Theil–Sen arms select from: one row
+    * per time pair with exact (dy, dx) integers and the IEEE dy/dx sort
+    * key. O(series²) rows per key — the CONTRACT is a resampled,
+    * span-bounded series (the [[mannKendall]] bound): at n = 8760 (a
+    * year of hours) that is 38M pairs per key, which the join fans out
+    * fine but which NO single reducer may then sort — use
+    * [[theilSenBucketed]] beyond ~2k points per key.
+    */
+  private def tsPairs(
       df: DataFrame,
       keyCols: Seq[String],
       orderCol: String,
@@ -467,16 +475,56 @@ object TimeSeries {
         col(valueCol).cast("long").as("__y"): _*)
     val a = base.select(g :+ col("__t").as("__ta") :+ col("__y").as("__ya"): _*)
     val b = base.select(g :+ col("__t").as("__tb") :+ col("__y").as("__yb"): _*)
-    val pairs =
-      (if (keyCols.isEmpty) a.join(b, col("__ta") < col("__tb"))
-       else a.join(b, keyCols.map(k => a(k) === b(k)).reduce(_ && _) &&
-           col("__ta") < col("__tb"))
-         .select(keyCols.map(k => a(k).as(k)) ++
-           Seq(col("__ta"), col("__ya"), col("__tb"), col("__yb")): _*))
-        .withColumn("__dy", col("__yb") - col("__ya"))
-        .withColumn("__dx", col("__tb") - col("__ta"))
-        .filter(col("__dx") > 0L)
-        .withColumn("__key", col("__dy").cast("double") / col("__dx").cast("double"))
+    (if (keyCols.isEmpty) a.join(b, col("__ta") < col("__tb"))
+     else a.join(b, keyCols.map(k => a(k) === b(k)).reduce(_ && _) &&
+         col("__ta") < col("__tb"))
+       .select(keyCols.map(k => a(k).as(k)) ++
+         Seq(col("__ta"), col("__ya"), col("__tb"), col("__yb")): _*))
+      .withColumn("__dy", col("__yb") - col("__ya"))
+      .withColumn("__dx", col("__tb") - col("__ta"))
+      .filter(col("__dx") > 0L)
+      .withColumn("__key", col("__dy").cast("double") / col("__dx").cast("double"))
+  }
+
+  /** Intercept stage shared by both arms: the lower-median residual
+    * under the selected slope — series-sized (n rows per key, never
+    * n²), so the windowed form is the right layout in both.
+    */
+  private def tsIntercept(
+      df: DataFrame,
+      med: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(g :+ col(orderCol).cast("long").as("__t") :+
+        col(valueCol).cast("long").as("__y"): _*)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val resid =
+      (if (keyCols.isEmpty) base.crossJoin(med)
+       else base.join(med, keyCols))
+        .withColumn("__res", col("__y").cast("double") - col("slope") * col("__t").cast("double"))
+    val wRes = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__res"), col("__t"))
+    resid
+      .withColumn("__rk", row_number().over(wRes))
+      .withColumn("__nr", count(lit(1)).over(wAll))
+      .filter(col("__rk") === floor((col("__nr") + 1L) / 2d).cast("long"))
+      .select(g :+ col("m") :+ col("dy") :+ col("dx") :+ col("slope") :+
+        col("__res").as("intercept"): _*)
+  }
+
+  def theilSen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val pairs = tsPairs(df, keyCols, orderCol, valueCol)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*)
       .orderBy(col("__key"), col("__dy"), col("__dx"), col("__ta"), col("__tb"))
@@ -488,19 +536,52 @@ object TimeSeries {
       .withColumn("slope", col("__key"))
       .select(g :+ col("m") :+ col("__dy").cast("string").as("dy") :+
         col("__dx").cast("string").as("dx") :+ col("slope"): _*)
-    // intercept: lower-median residual under the selected slope
-    val resid =
-      (if (keyCols.isEmpty) base.crossJoin(med)
-       else base.join(med, keyCols))
-        .withColumn("__res", col("__y").cast("double") - col("slope") * col("__t").cast("double"))
-    val wRes = org.apache.spark.sql.expressions.Window
-      .partitionBy(g: _*).orderBy(col("__res"), col("__t"))
-    resid
-      .withColumn("__rk", row_number().over(wRes))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .filter(col("__rk") === floor((col("__n") + 1L) / 2d).cast("long"))
-      .select(g :+ col("m") :+ col("dy") :+ col("dx") :+ col("slope") :+
-        col("__res").as("intercept"): _*)
+    tsIntercept(df, med, keyCols, orderCol, valueCol)
+  }
+
+  /** Skew-safe twin of [[theilSen]] — BIT-IDENTICAL output (rank
+    * selection has one right answer regardless of layout; the q217
+    * oracle is shared verbatim), but the median-of-pairs selection runs
+    * through the [[Quantiles.cellScaffold]] cell layout: slope pairs
+    * bucket by their dy/dx value cell, only the ONE cell containing the
+    * target rank ⌊(m+1)/2⌋ is sorted (ordered by the arm's exact
+    * (key, dy, dx, ta, tb) pin), so the largest sort anywhere is one
+    * cell's pair population (~m/cells for spread slopes) — never the
+    * O(n²) pair set a year-of-hours series (38M pairs) would push
+    * through a single reducer in the windowed arm. The pair JOIN is
+    * still O(n²) rows — inherent to the exact estimator — but joins fan
+    * out across executors; it is the per-key sort that didn't.
+    */
+  def theilSenBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      cells: Int = 256
+  ): DataFrame = if (keyCols.isEmpty) {
+    // the scaffold's NULL-safe key join needs ≥1 key column — a keyless
+    // call runs under a constant key and drops it
+    theilSenBucketed(df.withColumn("__g1", lit(1)), Seq("__g1"),
+      orderCol, valueCol, cells).drop("__g1")
+  } else {
+    val g = keyCols.map(col)
+    val pairs = tsPairs(df, keyCols, orderCol, valueCol)
+    val scaff = Quantiles.cellScaffold(pairs, keyCols, "__key", cells)
+      .withColumn("__target", floor((col("__n") + 1L) / 2d).cast("long"))
+      // prune to the single cell holding the target rank BEFORE any
+      // sort: __off < target <= __off + __cnt
+      .filter(col("__off") < col("__target") &&
+        col("__target") <= col("__off") + col("__cnt"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy((g :+ col("__c")): _*)
+      .orderBy(col("__key"), col("__dy"), col("__dx"), col("__ta"), col("__tb"))
+    val med = scaff
+      .withColumn("__rk", col("__off") + row_number().over(wCell))
+      .filter(col("__rk") === col("__target"))
+      .withColumn("slope", col("__key"))
+      .select(g :+ col("__n").as("m") :+ col("__dy").cast("string").as("dy") :+
+        col("__dx").cast("string").as("dx") :+ col("slope"): _*)
+    tsIntercept(df, med, keyCols, orderCol, valueCol)
   }
 
   def ewmaChart(

@@ -319,6 +319,12 @@ object Association {
       .groupBy((keyCols.map(col) :+ col(xCol).as("x") :+ col(yCol).as("y")): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Fold two [[kendallCells]] frames over disjoint row sets. */
+  def mergeKendallCells(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("x") :+ col("y")): _*)
+      .agg(sum("n").as("n"))
+
   /** Exact Kendall τ-b (Kendall 1938; τ-b tie correction as in Kruskal
     * 1958) from a cell-count frame — the rank correlation whose exact
     * distributed form the repo's Spearman family can't reach (Spearman

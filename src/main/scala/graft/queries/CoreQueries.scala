@@ -1850,4 +1850,20 @@ object CoreQueries {
         round(col("intercept"), 9).as("intercept"))
       .orderBy("event_type")
   }
+
+  /** Skew-safe twin of [[q217TheilSen]] — the cellScaffold median
+    * selection (largest sort = one slope cell, never the O(n²) pair
+    * set); same exact statistic, q217's oracle shared verbatim.
+    */
+  def q220TheilSenBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+        Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+      .withColumn("t", col("slot").cast("long"))
+    TimeSeries.theilSenBucketed(counts, Seq("event_type"), "t", "n")
+      .select(col("event_type"), col("m"), col("dy"), col("dx"),
+        round(col("slope") * 3600d, 9).as("slope_hr"),
+        round(col("intercept"), 9).as("intercept"))
+      .orderBy("event_type")
+  }
 }

@@ -775,6 +775,73 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming contingency-count fold — the association family's online
+    * state: each micro-batch's (group, x, y) count frame
+    * ([[graft.quality.Association.contingencyCounts]]) merges into a
+    * versioned store, so the standing table answers "chi²/MI/V so far"
+    * (via `associationCells` → `associationSummary` over the latest
+    * version) at category² rows/group without re-reading history. Counts
+    * are ADDITIVE, not idempotent — crash replays must recompute from
+    * the latest STRICTLY-EARLIER version, never re-merge (the CMS
+    * reasoning, not the HLL one). Spec: fold == rebuild over all batches.
+    */
+  def contingencyStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.Association.contingencyCounts(batch, keyCols, xCol, yCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.Association.mergeContingencyCounts(
+            s.read.parquet(p), bc, keyCols)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Streaming Kendall cell fold — the τ-b companion of
+    * [[contingencyStream]]: per-batch
+    * [[graft.quality.Association.kendallCells]] (values keep their
+    * ORDERABLE type) merged additively into a versioned store; the
+    * standing cells answer "τ-b so far" via `kendallFromCells` at
+    * value-cardinality² rows/group (bucket continuous columns first —
+    * the q210 discipline — or the cell frame itself grows unbounded).
+    * Same non-idempotent version discipline as the CMS/contingency folds.
+    */
+  def kendallCellsStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.Association.kendallCells(batch, keyCols, xCol, yCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.Association.mergeKendallCells(
+            s.read.parquet(p), bc, keyCols)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class DebounceEvent(key: String, event_id: Long, ts_sec: Long)
 
   /** Streaming debounce — [[graft.operators.TimeSeries.debounce]]'s

@@ -372,11 +372,45 @@ class PlanShapeSpec extends SparkSpec {
     // collocations: bigram + unigram aggs (explode absorbed map-side),
     // vocab-keyed marginal joins, top-k via TakeOrdered (SMJ not
     // forbidden: the vocab joins may legitimately sort-merge at scale)
-    Shape("q212_collocations", maxHash = 4, maxRange = 2,
+    // + the two bigram-scale margin aggs/joins (round 11's consistent
+    // Dunning table) — all vocab-keyed, none corpus-sized
+    Shape("q212_collocations", maxHash = 8, maxRange = 2,
       requireTopK = true, forbidUdf = true),
     // rolling correlation: two series aggs; ALL five moment sums share
     // one window exchange
     Shape("q213_rolling_correlation", maxHash = 2, minBroadcastJoin = 1,
+      forbidUdf = true),
+    // ACF: one keyed window exchange + one agg exchange; the lag frame
+    // and totals meet in a broadcast — never a sort-merge
+    Shape("q214_acf", maxHash = 2, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidSortAggregate = true, forbidUdf = true),
+    // Kruskal-Wallis (keyless gate): cell/value/group aggs; the global
+    // distinct-value window and 1-row totals cross are the extra
+    // single-partition exchanges (value-cardinality-sized by contract)
+    Shape("q215_kruskal_wallis", maxHash = 5, maxRange = 3,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    // Mann-Kendall: the bounded-series pair join (SMJ on the key +
+    // range condition) + tie/sign aggs; S and tie frames meet broadcast
+    Shape("q216_mann_kendall", maxHash = 4, minBroadcastJoin = 2,
+      forbidSortAggregate = true, forbidUdf = true),
+    // Theil-Sen windowed arm: same pair join; median/residual windows
+    // partition by key (series-bounded by contract — see q220)
+    Shape("q217_theil_sen", maxHash = 4, minBroadcastJoin = 2,
+      forbidUdf = true),
+    // triangles: SNM blocking + canonical-edge/degree/wedge aggs; the
+    // degree and closure joins stay broadcast at gate scale, and the
+    // checkpointed edge set bounds the exchange count regardless of the
+    // expensive upstream
+    Shape("q218_triangles", maxHash = 6, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // A-ES sample: ONE exchange (the per-language race window) over a
+    // narrow md5 projection — no join anywhere
+    Shape("q219_weighted_sample", maxHash = 1, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true),
+    // bucketed Theil-Sen: the scaffold's stats/counts attach as
+    // NULL-safe BROADCASTS (that is the point — no pair-set-sized
+    // sort-merge), target-cell prune before the one cell-local window
+    Shape("q220_theil_sen_bucketed", maxHash = 8, minBroadcastJoin = 6,
       forbidUdf = true)
   )
 

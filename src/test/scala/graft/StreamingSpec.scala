@@ -720,6 +720,69 @@ class StreamingSpec extends SparkSpec {
     Seq("t0", "t1", "t22").foreach(t => assert(est(t) >= exact(t).toLong))
   }
 
+  test("streaming contingency fold equals the batch rebuild; standing summary matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.quality.Association
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ctgstream").toString
+    val mem = MemoryStream[(String, String, String)]
+    val b1 = (0 until 300).map(i => ("s" + (i % 2), "x" + (i % 3), "y" + (i % 4)))
+    val b2 = (0 until 200).map(i => ("s" + (i % 2), "x" + (i % 5), "y" + (i % 3)))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("src", "xc", "yc")
+    StreamingOps.contingencyStream(rows, Seq("src"), "xc", "yc", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.contingencyStream(rows, Seq("src"), "xc", "yc", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("src", "x", "y").collect().toSeq
+    val rebuilt = Association.contingencyCounts(
+      (b1 ++ b2).toDF("src", "xc", "yc"), Seq("src"), "xc", "yc")
+      .orderBy("src", "x", "y").collect().toSeq
+    assert(folded == rebuilt)
+    // the standing summary over the fold is the rebuild's summary verbatim
+    val sumFold = Association.associationSummary(
+      Association.associationCells(spark.read.parquet(latest), Seq("src")), Seq("src"))
+      .orderBy("src").collect().toSeq
+    val sumFull = Association.associationSummary(
+      Association.associationCells(Association.contingencyCounts(
+        (b1 ++ b2).toDF("src", "xc", "yc"), Seq("src"), "xc", "yc"), Seq("src")), Seq("src"))
+      .orderBy("src").collect().toSeq
+    assert(sumFold == sumFull)
+  }
+
+  test("streaming Kendall cell fold equals the batch rebuild; standing tau-b matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.quality.Association
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kdcstream").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = (0 until 250).map(i => ("g" + (i % 2), (i * 7 % 13).toLong, (i * 11 % 9).toLong))
+    val b2 = (250 until 450).map(i => ("g" + (i % 2), (i * 5 % 17).toLong, (i * 3 % 7).toLong))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "xv", "yv")
+    StreamingOps.kendallCellsStream(rows, Seq("g"), "xv", "yv", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.kendallCellsStream(rows, Seq("g"), "xv", "yv", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("g", "x", "y").collect().toSeq
+    val rebuilt = Association.kendallCells(
+      (b1 ++ b2).toDF("g", "xv", "yv"), Seq("g"), "xv", "yv")
+      .orderBy("g", "x", "y").collect().toSeq
+    assert(folded == rebuilt)
+    val tauFold = Association.kendallFromCells(spark.read.parquet(latest), Seq("g"))
+      .orderBy("g").collect().toSeq
+    val tauFull = Association.kendall(
+      (b1 ++ b2).toDF("g", "xv", "yv"), Seq("g"), "xv", "yv")
+      .orderBy("g").collect().toSeq
+    assert(tauFold == tauFull)
+  }
+
   test("streaming clustering folds edge batches into the bucketed assignment store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.{BucketedAssignStore, ConnectedComponents}

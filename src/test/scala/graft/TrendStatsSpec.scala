@@ -1,0 +1,219 @@
+package graft
+
+import graft.graph.Triangles
+import graft.operators.{Sampling, TimeSeries}
+import graft.quality.Association
+import org.apache.spark.sql.functions._
+
+/** Goldens + arm/parity invariants for the trend/rank-test family the
+  * round-10 snapshot shipped unpinned (q214–q219) and the round-11
+  * bucketed Theil–Sen twin (q220): ACF against a hand-computed series,
+  * Kruskal–Wallis against the textbook table (the golden that caught
+  * the factor-4 H bug), Mann–Kendall on planted trends, Theil–Sen's
+  * outlier-robustness plus windowed==bucketed arm equality, triangle
+  * counts against K4/path goldens and the q135 enumeration core, and
+  * the A-ES weighted sample replayed key-for-key from md5.
+  */
+class TrendStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- ACF -------------------------------------------------------------
+
+  test("acf: hand-computed series 1,2,3,4 (r1=0.25, r2=-0.3, r3=-0.45; exact num/den)") {
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 3L), ("k", 4L, 4L))
+      .toDF("g", "t", "x")
+    val out = TimeSeries.acf(df, Seq("g"), Seq("t"), "x", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(out.length === 3)
+    // den = n^2*Sxx - n*S^2 = 16*30 - 4*100 = 80 for every lag
+    assert(out.forall(_.getAs[String]("den") === "80"))
+    // num1 = 16*20 - 4*10*(6+9) + 3*100 = 20; num2 = -24; num3 = -36+...
+    // lag3: Sxy=4, head=1, tail=4: 16*4 - 40*5 + 1*100 = -36
+    assert(out(0).getAs[String]("num") === "20")
+    assert(out(1).getAs[String]("num") === "-24")
+    assert(out(2).getAs[String]("num") === "-36")
+    assert(math.abs(out(0).getAs[Double]("r") - 0.25) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("r") + 0.3) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("r") + 0.45) < 1e-12)
+    // Ljung-Box Q1 = n(n+2)*r1^2/(n-1) = 24*0.0625/3 = 0.5
+    assert(math.abs(out(0).getAs[Double]("lb_q") - 0.5) < 1e-8)
+    // Q2 = Q1 + 24*0.09/2 = 0.5 + 1.08 = 1.58
+    assert(math.abs(out(1).getAs[Double]("lb_q") - 1.58) < 1e-8)
+  }
+
+  test("acf: constant series has zero denominator -> r and lb_q NULL") {
+    val df = (1 to 6).map(t => ("k", t.toLong, 7L)).toDF("g", "t", "x")
+    val out = TimeSeries.acf(df, Seq("g"), Seq("t"), "x", maxLag = 2).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("r"))))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("lb_q"))))
+  }
+
+  // --- Kruskal–Wallis ----------------------------------------------------
+
+  test("kruskalWallis: textbook [1,2] vs [3,4] gives H = 2.4 (caught the /4 bug)") {
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("grp0", "v")
+    val out = Association.kruskalWallis(df, Nil, "grp0", "v")
+      .orderBy("grp").collect()
+    assert(out.map(_.getAs[String]("d")).toSeq === Seq("-4", "4"))
+    assert(out.forall(r => math.abs(r.getAs[Double]("h") - 2.4) < 1e-9))
+    assert(out.forall(r => math.abs(r.getAs[Double]("h_tie") - 2.4) < 1e-9))
+  }
+
+  test("kruskalWallis: tied pairs [1,1] vs [2,2] -> H = 2.4, tie-corrected 3.0") {
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L)).toDF("grp0", "v")
+    val out = Association.kruskalWallis(df, Nil, "grp0", "v").collect()
+    assert(out.forall(r => math.abs(r.getAs[Double]("h") - 2.4) < 1e-9))
+    // T = 2*(2^3-2) = 12, N^3-N = 60: H* = 2.4/(1 - 0.2) = 3.0
+    assert(out.forall(r => math.abs(r.getAs[Double]("h_tie") - 3.0) < 1e-9))
+  }
+
+  test("kruskalWallis: constant column -> every rank tied, h_tie NULL; deviations sum to 0") {
+    val df = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("grp0", "v")
+    val out = Association.kruskalWallis(df, Nil, "grp0", "v").collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("h_tie"))))
+    assert(out.map(_.getAs[String]("d").toLong).sum === 0L)
+  }
+
+  // --- Mann–Kendall ------------------------------------------------------
+
+  test("mannKendall: planted monotone trends and the tie-only degenerate") {
+    val up = (1 to 10).map(t => ("k", t.toLong, t.toLong)).toDF("g", "t", "y")
+    val r1 = TimeSeries.mannKendall(up, Seq("g"), "t", "y").collect()(0)
+    assert(r1.getAs[String]("s") === "45")
+    assert(r1.getAs[String]("var18") === "2250") // 10*9*25, no ties
+    assert(math.abs(r1.getAs[Double]("z") - 44d / math.sqrt(125d)) < 1e-12)
+    assert(r1.getAs[String]("trend") === "increasing")
+
+    val down = (1 to 10).map(t => ("k", t.toLong, (11 - t).toLong)).toDF("g", "t", "y")
+    val r2 = TimeSeries.mannKendall(down, Seq("g"), "t", "y").collect()(0)
+    assert(r2.getAs[String]("s") === "-45")
+    assert(r2.getAs[String]("trend") === "decreasing")
+
+    val const = (1 to 10).map(t => ("k", t.toLong, 3L)).toDF("g", "t", "y")
+    val r3 = TimeSeries.mannKendall(const, Seq("g"), "t", "y").collect()(0)
+    assert(r3.getAs[String]("s") === "0")
+    assert(r3.getAs[String]("var18") === "0") // tsum == n(n-1)(2n+5)
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+    assert(r3.isNullAt(r3.fieldIndex("trend")))
+  }
+
+  test("mannKendall: short noisy series is 'none' at alpha=0.05") {
+    val df = Seq(1L, 3L, 2L, 4L, 3L).zipWithIndex
+      .map { case (y, t) => ("k", t.toLong, y) }.toDF("g", "t", "y")
+    val r = TimeSeries.mannKendall(df, Seq("g"), "t", "y").collect()(0)
+    assert(r.getAs[String]("trend") === "none")
+  }
+
+  // --- Theil–Sen ----------------------------------------------------------
+
+  test("theilSen: exact line with one outlier recovers slope 3, intercept 7") {
+    val pts = (1 to 9).map(t => ("k", t.toLong, if (t == 5) 100L else 3L * t + 7L))
+    val df = pts.toDF("g", "t", "y")
+    val r = TimeSeries.theilSen(df, Seq("g"), "t", "y").collect()(0)
+    assert(r.getAs[Long]("m") === 36L)
+    assert(r.getAs[Double]("slope") === 3.0)
+    assert(r.getAs[Double]("intercept") === 7.0)
+  }
+
+  test("theilSenBucketed == theilSen bit-identically (multi-key, multi-cell, keyless)") {
+    // pseudorandom-but-deterministic series, 2 keys x 60 points
+    def y(g: Int, t: Int): Long = ((t * 2654435761L + g * 40503L) % 97L) + 3L * t
+    val df = (for { g <- 1 to 2; t <- 1 to 60 } yield (s"g$g", t.toLong, y(g, t)))
+      .toDF("g", "t", "y")
+    val win = TimeSeries.theilSen(df, Seq("g"), "t", "y")
+      .orderBy("g").collect().toSeq
+    val buk = TimeSeries.theilSenBucketed(df, Seq("g"), "t", "y", cells = 4)
+      .orderBy("g").collect().toSeq
+    assert(win === buk)
+    // keyless path (constant-key wrapper)
+    val w0 = TimeSeries.theilSen(df.filter($"g" === "g1"), Nil, "t", "y").collect().toSeq
+    val b0 = TimeSeries.theilSenBucketed(df.filter($"g" === "g1"), Nil, "t", "y", cells = 4)
+      .collect().toSeq
+    assert(w0 === b0)
+  }
+
+  // --- Triangles ------------------------------------------------------------
+
+  test("triangleCounts: K4 (with reversed/duplicate/self-loop noise) and a path") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), (4L, 4L)) // noise: reversed dups + self-loop
+    val out = Triangles.triangleCounts(k4.toDF("a", "b"), "a", "b")
+      .orderBy("node").collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getAs[Long]("deg") === 3L))
+    assert(out.forall(_.getAs[Long]("tri") === 3L))
+    assert(out.forall(_.getAs[Double]("coeff") === 1.0))
+    val summary = Triangles.transitivity(
+      Triangles.triangleCounts(k4.toDF("a", "b"), "a", "b")).collect()(0)
+    assert(summary.getAs[Long]("nodes") === 4L)
+    assert(summary.getAs[Long]("edges") === 6L)
+    assert(summary.getAs[Long]("triangles") === 4L)
+    assert(summary.getAs[Long]("wedges") === 12L)
+    assert(summary.getAs[Double]("transitivity") === 1.0)
+
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Triangles.triangleCounts(path, "a", "b").orderBy("node").collect()
+    assert(p.map(_.getAs[Long]("tri")).toSeq === Seq(0L, 0L, 0L))
+    assert(p(0).isNullAt(p(0).fieldIndex("coeff"))) // deg 1
+    assert(p(1).getAs[Double]("coeff") === 0.0)     // deg 2, open wedge
+  }
+
+  test("triangleCounts parity with the q135 enumeration core on a random graph") {
+    // deterministic pseudo-random graph: 40 nodes, ~160 edges
+    val edges = (for (i <- 1 to 320) yield {
+      val u = (i * 2654435761L % 40) + 1
+      val v = (i * 40503L % 40) + 1
+      (u, v)
+    }).toDF("a", "b")
+    val counts = Triangles.triangleCounts(edges, "a", "b")
+    val triTotal = counts.agg(sum("tri")).collect()(0).getLong(0)
+    val enumTotal = Triangles.triangles(
+      edges.select(col("a").as("src"), col("b").as("dst"))).count()
+    assert(triTotal === 3L * enumTotal) // each triangle counted at 3 nodes
+    // per-node parity against perNode (nodes in >= 1 triangle)
+    val byCounts = counts.filter(col("tri") > 0L)
+      .select(col("node").cast("string"), col("tri")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byEnum = Triangles.perNode(
+      edges.select(col("a").as("src"), col("b").as("dst"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCounts === byEnum)
+  }
+
+  // --- A-ES weighted sampling -------------------------------------------------
+
+  test("weightedSampleWithoutReplacement: md5 race replayed key-for-key") {
+    def l9Of(id: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val m = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      math.round(math.log((m + 1).toDouble / 1.152921504606846976e18) * 1e9)
+    }
+    val rows = (1 to 30).map(i => (s"g${i % 2}", i.toLong, (i % 7 + 1).toLong * 10L))
+    val df = rows.toDF("g", "id", "w")
+    val out = Sampling.weightedSampleWithoutReplacement(df, Seq("g"), Seq("id"), "w", k = 5)
+      .orderBy("g", "rank").collect()
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, id, w) => (id, w, l9Of(id.toString), l9Of(id.toString).toDouble / w) }
+        .sortWith { case ((ida, _, _, ka), (idb, _, _, kb)) => ka > kb || (ka == kb && ida < idb) }
+        .take(5).zipWithIndex
+        .map { case ((id, w, l9, _), i) => (g, id, w, l9, i + 1) }
+    }
+    assert(out.map(r => (r.getAs[String]("g"), r.getAs[Long]("id"), r.getAs[Long]("w"),
+      r.getAs[Long]("l9"), r.getAs[Int]("rank"))).toSeq === expected)
+  }
+
+  test("weightedSampleWithoutReplacement: k >= group size keeps all rows, dense ranks") {
+    val df = (1 to 4).map(i => ("g", i.toLong, 5L)).toDF("g", "id", "w")
+    val out = Sampling.weightedSampleWithoutReplacement(df, Seq("g"), Seq("id"), "w", k = 10)
+      .orderBy("rank").collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3, 4))
+    // equal weights: the race reduces to the raw u-order (l9 descending)
+    assert(out.map(_.getAs[Long]("l9")).toSeq.sliding(2).forall(s => s(0) >= s(1)))
+    // zero/negative/null weights are excluded by contract
+    val bad = Seq(("g", 9L, 0L), ("g", 10L, -3L)).toDF("g", "id", "w")
+    assert(Sampling.weightedSampleWithoutReplacement(bad, Seq("g"), Seq("id"), "w", 3).count() === 0L)
+  }
+}
