@@ -230,7 +230,11 @@ object SparkEntry {
     "q217_theil_sen" -> (CoreQueries.q217TheilSen(_, _)),
     "q218_triangles" -> (LlmQueries.q218Triangles(_, _)),
     "q219_weighted_sample" -> (LlmQueries.q219WeightedSample(_, _)),
-    "q220_theil_sen_bucketed" -> (CoreQueries.q220TheilSenBucketed(_, _))
+    "q220_theil_sen_bucketed" -> (CoreQueries.q220TheilSenBucketed(_, _)),
+    "q221_mann_whitney" -> (CoreQueries.q221MannWhitney(_, _)),
+    "q222_wasserstein_drift" -> (CoreQueries.q222WassersteinDrift(_, _)),
+    "q223_seasonal_anomalies" -> (CoreQueries.q223SeasonalAnomalies(_, _)),
+    "q224_cooccurrence" -> (LlmQueries.q224Cooccurrence(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -250,7 +254,11 @@ object SparkEntry {
     "q217_theil_sen" -> theilSenOracle,
     "q218_triangles" -> trianglesOracle,
     "q219_weighted_sample" -> weightedSampleOracle,
-    "q220_theil_sen_bucketed" -> theilSenOracle)
+    "q220_theil_sen_bucketed" -> theilSenOracle,
+    "q221_mann_whitney" -> mannWhitneyOracle,
+    "q222_wasserstein_drift" -> wassersteinOracle,
+    "q223_seasonal_anomalies" -> seasonalOracle,
+    "q224_cooccurrence" -> cooccurrenceOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -389,6 +397,131 @@ object SparkEntry {
       |    THEN round(h / (1.0 - CAST(ties AS DOUBLE) /
       |      CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)), 9) END AS h_tie
       |FROM h ORDER BY grp""".stripMargin
+
+  /** q221 oracle: [[graft.quality.Association.mannWhitney]] replayed —
+    * the KW cell/rank machinery restricted to two groups, the ≤2-label
+    * pivot, 2·U₁ and the tie-corrected variance numerator in HUGEINT,
+    * z the operator's exact two-division dag.
+    */
+  private lazy val mannWhitneyOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+      |cells AS (SELECT grp, v, count(*) AS c FROM ev GROUP BY 1, 2),
+      |vals AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+      |ranked AS (SELECT v, t,
+      |    coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM vals),
+      |r2 AS (SELECT v, t, 2 * cum + t + 1 AS r2 FROM ranked),
+      |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM r2),
+      |ga AS (SELECT cells.grp, CAST(sum(c) AS BIGINT) AS ng,
+      |    sum(CAST(c AS HUGEINT) * r2.r2) AS r2sum
+      |  FROM cells JOIN r2 ON cells.v = r2.v GROUP BY 1),
+      |lab AS (SELECT *, count(*) OVER () AS ngrps,
+      |    min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi FROM ga),
+      |wide AS (SELECT grp_lo, grp_hi, ngrps,
+      |    max(CASE WHEN grp = grp_lo THEN ng END) AS ng_lo,
+      |    max(CASE WHEN grp = grp_hi THEN ng END) AS ng_hi,
+      |    max(CASE WHEN grp = grp_lo THEN r2sum END) AS r2sum
+      |  FROM lab GROUP BY 1, 2, 3),
+      |f AS (SELECT wide.*, tot.n, tot.ties,
+      |    r2sum - CAST(ng_lo AS HUGEINT) * (ng_lo + 1) AS two_u1,
+      |    CAST(ng_lo AS HUGEINT) * ng_hi * ((CAST(n AS HUGEINT) + 1) * n * (n - 1) - ties) AS var_num
+      |  FROM wide, tot)
+      |SELECT grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN ng_lo END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN ng_hi END AS n_hi,
+      |  CASE WHEN ngrps = 2 THEN CAST(two_u1 AS VARCHAR) END AS u2_lo,
+      |  CASE WHEN ngrps = 2 THEN CAST(CAST(ng_lo AS HUGEINT) * ng_hi * 2 - two_u1 AS VARCHAR) END AS u2_hi,
+      |  CASE WHEN ngrps = 2 THEN CAST(var_num AS VARCHAR) END AS var_num,
+      |  CASE WHEN ngrps = 2 AND var_num > 0 THEN
+      |    round(CAST(two_u1 - CAST(ng_lo AS HUGEINT) * ng_hi AS DOUBLE) /
+      |      (2.0 * sqrt(CAST(var_num AS DOUBLE) /
+      |        (12.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 9) END AS z
+      |FROM f ORDER BY grp_lo""".stripMargin
+
+  /** q222 oracle: [[graft.quality.Profiler.wassersteinDrift]] replayed —
+    * bucket counts per half, full-outer bucket join, both cumulative
+    * CDFs, the |cum_A·n_B − cum_B·n_A|·gap HUGEINT sum, W₁ one division.
+    */
+  private lazy val wassersteinOracle: String =
+    """WITH ev AS (SELECT event_id,
+      |    CAST(round(value * 1000) AS BIGINT) // 5000 AS bkt
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT bkt AS bucket, count(*) AS cnt FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+      |c AS (SELECT bkt AS bucket, count(*) AS cnt FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+      |    coalesce(b.cnt, 0) AS nb, coalesce(c.cnt, 0) AS nc
+      |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+      |w AS (SELECT bucket, nb, nc,
+      |    sum(nb) OVER (ORDER BY bucket) AS cb,
+      |    sum(nc) OVER (ORDER BY bucket) AS cc,
+      |    lead(bucket) OVER (ORDER BY bucket) - bucket AS gap,
+      |    sum(nb) OVER () AS tb, sum(nc) OVER () AS tc FROM j),
+      |s AS (SELECT max(tb) AS tb, max(tc) AS tc,
+      |    sum(CASE WHEN gap IS NOT NULL
+      |      THEN abs(CAST(cb AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tb) * gap
+      |      ELSE CAST(0 AS HUGEINT) END) AS w1n FROM w)
+      |SELECT CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_cur,
+      |  CAST(w1n AS VARCHAR) AS w1_num,
+      |  CASE WHEN tb > 0 AND tc > 0 THEN
+      |    round(CAST(w1n AS DOUBLE) / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)), 9)
+      |  END AS w1
+      |FROM s""".stripMargin
+
+  /** q223 oracle: [[graft.operators.TimeSeries.seasonalAnomalies]]
+    * replayed on the shared hourly spine — per (type, hour-of-day) the
+    * HUGEINT count/sum/sum-of-squares, the pinned mean/deviation
+    * divisions, and the exact (n·x−S)² > 9(nQ−S²) flag.
+    */
+  private lazy val seasonalOracle: String =
+    s"""WITH $HourlySpineCtes,
+       |p AS (SELECT event_type, slot, n,
+       |    CAST(extract(hour FROM slot) AS INTEGER) AS ph FROM x),
+       |a AS (SELECT event_type, ph, CAST(count(*) AS BIGINT) AS np,
+       |    sum(CAST(n AS HUGEINT)) AS sp,
+       |    sum(CAST(n AS HUGEINT) * n) AS qp
+       |  FROM p GROUP BY 1, 2)
+       |SELECT p.event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS hr,
+       |  n, p.ph, np AS n_phase,
+       |  round(CAST(sp AS DOUBLE) / CAST(np AS DOUBLE), 9) AS phase_mean,
+       |  round(CAST(CAST(np AS HUGEINT) * n - sp AS DOUBLE) / CAST(np AS DOUBLE), 9) AS dev,
+       |  (CAST(np AS HUGEINT) * n - sp) * (CAST(np AS HUGEINT) * n - sp) >
+       |    (CAST(np AS HUGEINT) * qp - sp * sp) * 9 AS is_anomaly
+       |FROM p JOIN a ON p.event_type = a.event_type AND p.ph = a.ph
+       |ORDER BY p.event_type, hr""".stripMargin
+
+  /** q224 oracle: [[graft.text.Collocations.cooccurrence]] replayed —
+    * one zip per distance d (with the SAME greatest(len−d, 0) guard the
+    * engine uses: DuckDB's negative slice ends WRAP, so an unguarded
+    * len−d on a short doc slices from the back and list_zip pads a
+    * spurious NULL pair), least/greatest canonicalization, exact
+    * counts, the pair-scale PMI dag.
+    */
+  private lazy val cooccurrenceOracle: String = {
+    val zips = (1 to 3).map(d =>
+      s"""SELECT unnest(list_zip(l[1:greatest(len(l) - $d, 0)],
+         |    l[${1 + d}:len(l)])) AS z FROM t""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x <> '') AS l FROM documents WHERE text IS NOT NULL),
+       |pr AS (
+       |$zips),
+       |pc AS (SELECT least(z[1], z[2]) AS w1, greatest(z[1], z[2]) AS w2,
+       |    count(*) AS c_xy FROM pr GROUP BY 1, 2),
+       |uc AS (SELECT unnest(l) AS w FROM t),
+       |u AS (SELECT w, count(*) AS c FROM uc GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM pc) AS p_tot,
+       |    (SELECT CAST(sum(c) AS BIGINT) FROM u) AS n_tot)
+       |SELECT pc.w1, pc.w2, CAST(c_xy AS BIGINT) AS c_xy,
+       |  CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y, p_tot, n_tot,
+       |  round(ln((CAST(c_xy AS DOUBLE) / p_tot) /
+       |    ((CAST(ux.c AS DOUBLE) / n_tot) * (CAST(uy.c AS DOUBLE) / n_tot))), 9) AS pmi
+       |FROM pc JOIN u ux ON pc.w1 = ux.w JOIN u uy ON pc.w2 = uy.w, tot
+       |WHERE c_xy >= 5
+       |ORDER BY c_xy DESC, w1, w2 LIMIT 100""".stripMargin
+  }
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

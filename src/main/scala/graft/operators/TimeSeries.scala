@@ -584,6 +584,55 @@ object TimeSeries {
     tsIntercept(df, med, keyCols, orderCol, valueCol)
   }
 
+  /** Seasonal-profile anomaly detection: group rows by their cycle
+    * PHASE (hour-of-day, day-of-week — the caller computes `phaseCol`,
+    * so any period works) and flag values > 3σ from their OWN phase's
+    * population — the "is 3am traffic weird FOR 3AM" reading that
+    * whole-series control charts ([[ewmaChart]], [[cusum]]) blur: a
+    * daily cycle IS signal to them and baseline here.
+    *
+    * EXACT integer core: per (keys, phase) the count n_p, sum S_p and
+    * sum-of-squares Q_p accumulate in DECIMAL(38,0) over ONE
+    * (keys, phase)-partitioned window; the per-row deviation is the
+    * pinned division (n_p·x − S_p)/n_p, and the 3σ flag is the exact
+    * integer comparison (n_p·x − S_p)² > 9·(n_p·Q_p − S_p²) — no float
+    * ever decides an alarm (the [[mannKendall]] verdict discipline;
+    * note both sides are n_p²-scaled: (x−μ)² vs 9σ² cleared of their
+    * common denominator). A constant phase population flags nothing
+    * (0 > 0 is false). Gate mean/dev at 9 decimals.
+    *
+    * SCALE: one hash exchange on (keys, phase) — no ordered window, no
+    * join; phase cardinality is fixed (24, 168…), so partitions stay
+    * balanced wherever the series is long.
+    */
+  def seasonalAnomalies(
+      df: DataFrame,
+      keyCols: Seq[String],
+      phaseCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ phaseCol).map(col): _*)
+    val x = col(valueCol).cast("long")
+    val xD = x.cast(dec)
+    val base = df.filter(x.isNotNull && col(phaseCol).isNotNull)
+      .withColumn("__np", count(lit(1)).over(w))
+      .withColumn("__sp", sum(xD).over(w))
+      .withColumn("__qp", sum(xD * xD).over(w))
+    val nD = col("__np").cast(dec)
+    val devNum = nD * xD - col("__sp")
+    base
+      .withColumn("n_phase", col("__np"))
+      .withColumn("phase_mean",
+        col("__sp").cast("double") / col("__np").cast("double"))
+      .withColumn("dev",
+        devNum.cast("double") / col("__np").cast("double"))
+      .withColumn("is_anomaly",
+        devNum * devNum > (nD * col("__qp") - col("__sp") * col("__sp")) * 9)
+      .drop("__np", "__sp", "__qp")
+  }
+
   def ewmaChart(
       df: DataFrame,
       keyCols: Seq[String],

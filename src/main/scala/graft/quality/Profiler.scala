@@ -783,6 +783,73 @@ object Profiler {
       .select("value", "n_base", "n_cur", "chi_num", "cell_tot")
   }
 
+  /** Per-(ordered integer bucket) counts — the mergeable state for
+    * [[wassersteinFromCounts]]. NULLs are dropped: W₁ is defined on an
+    * ordered support and a missing marker has no position on it (unlike
+    * [[valueCounts]], where NULL is a category). Continuous columns
+    * bucket first (the τ/KW rule) — the frame is value-cardinality-
+    * sized by contract.
+    */
+  def bucketCounts(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNotNull)
+      .select(col(column).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Fold two [[bucketCounts]] frames over disjoint row sets. */
+  def mergeBucketCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(sum("cnt").as("cnt"))
+
+  /** Wasserstein-1 (earth-mover) distance between two bucketed
+    * distributions — the drift measure that SEES HOW FAR mass moved,
+    * which χ²/PSI/JS (bucket-membership tests, shift-distance-blind)
+    * and KS (max single gap) cannot: shifting every value up one bucket
+    * is small χ² noise but exactly 1.0 bucket of W₁. On a sorted
+    * support v₀<v₁<…: W₁ = Σᵢ |F_A(vᵢ) − F_B(vᵢ)|·(vᵢ₊₁ − vᵢ), in the
+    * COLUMN'S OWN UNITS. EXACT: per row the integer
+    * |cum_A·n_B − cum_B·n_A|·gap accumulates in DECIMAL(38,0) (digit
+    * string `w1_num`); W₁ = num/(n_A·n_B) is ONE division. The last
+    * support point contributes 0 by construction (both CDFs are 1).
+    * Scale: full-outer bucket join + one bucket-ordered window over the
+    * value-cardinality-sized frame — the chiSquareDrift shape exactly.
+    */
+  def wassersteinFromCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hb = baseCounts.select(col("bucket").as("__bb"), col("cnt").as("__nb"))
+    val hc = curCounts.select(col("bucket").as("__bc"), col("cnt").as("__nc"))
+    val ord = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = hb.join(hc, col("__bb") === col("__bc"), "full_outer")
+      .select(coalesce(col("__bb"), col("__bc")).as("bucket"),
+        coalesce(col("__nb"), lit(0L)).as("n_base"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+      .withColumn("__cb", sum("n_base").over(ord))
+      .withColumn("__cc", sum("n_cur").over(ord))
+      .withColumn("__gap",
+        lead(col("bucket"), 1).over(Window.orderBy("bucket")) - col("bucket"))
+      .withColumn("__tb", sum("n_base").over(all))
+      .withColumn("__tc", sum("n_cur").over(all))
+      .withColumn("__term",
+        when(col("__gap").isNotNull,
+          abs(col("__cb").cast(dec) * col("__tc").cast(dec) -
+            col("__cc").cast(dec) * col("__tb").cast(dec)) * col("__gap").cast(dec))
+          .otherwise(lit(0L).cast(dec)))
+    joined
+      .agg(
+        max("__tb").as("n_base"),
+        max("__tc").as("n_cur"),
+        sum("__term").as("__w1n"))
+      .select(col("n_base"), col("n_cur"),
+        col("__w1n").cast("string").as("w1_num"),
+        when(col("n_base") > 0L && col("n_cur") > 0L,
+          col("__w1n").cast("double") /
+            (col("n_base").cast("double") * col("n_cur").cast("double"))).as("w1"))
+  }
+
+  /** [[wassersteinFromCounts]] over raw rows. */
+  def wassersteinDrift(base: DataFrame, cur: DataFrame, column: String): DataFrame =
+    wassersteinFromCounts(bucketCounts(base, column), bucketCounts(cur, column))
+
   /** Scalar (χ², degrees of freedom) from a [[chiSquareDrift]] frame:
     * χ² = (1/(B·C)) · Σ_v chi_num_v / cell_tot_v, the division deferred to
     * this driver-side fold (value-order summation — deterministic);

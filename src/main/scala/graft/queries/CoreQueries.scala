@@ -1851,6 +1851,60 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Wasserstein-1 drift gate: how far did the event-value distribution
+    * MOVE between the even- and odd-keyed halves — 5-unit buckets, the
+    * exact integer CDF-gap·support-gap sum as a digit string, W₁ one
+    * division (in bucket units).
+    */
+  def q222WassersteinDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"),
+        (round(col("value") * 1000).cast("long") / 5000L).cast("long").as("bkt"))
+    Profiler.wassersteinDrift(
+      base = ev.filter(col("event_id") % 2 === 0),
+      cur = ev.filter(col("event_id") % 2 === 1),
+      column = "bkt")
+      .select(col("n_base"), col("n_cur"), col("w1_num"),
+        round(col("w1"), 9).as("w1"))
+  }
+
+  /** Seasonal anomaly gate: hourly counts judged against their OWN
+    * hour-of-day population — n_phase/sums exact, mean and deviation
+    * pinned divisions, the 3σ flag an exact integer comparison.
+    */
+  def q223SeasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+        Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+      .withColumn("ph", hour(col("slot")))
+    TimeSeries.seasonalAnomalies(counts, Seq("event_type"), "ph", "n")
+      .select(col("event_type"),
+        date_format(col("slot"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("n"), col("ph"), col("n_phase"),
+        round(col("phase_mean"), 9).as("phase_mean"),
+        round(col("dev"), 9).as("dev"),
+        col("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Mann–Whitney gate: do click and view events share a value
+    * location — the two-sample rank test on the cell layout; doubled
+    * rank sums, 2·U, and the tie-corrected variance numerator are exact
+    * digit strings; z gates at 9 decimals.
+    */
+  def q221MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 1000).cast("long").as("v_m"))
+    Association.mannWhitney(ev, Nil, "event_type", "v_m")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("u2_lo"), col("u2_hi"), col("var_num"),
+        round(col("z"), 9).as("z"))
+      .orderBy("grp_lo")
+  }
+
   /** Skew-safe twin of [[q217TheilSen]] — the cellScaffold median
     * selection (largest sort = one slope cell, never the O(n²) pair
     * set); same exact statistic, q217's oracle shared verbatim.

@@ -2049,6 +2049,19 @@ object LlmQueries {
         round(col("llr"), 9).as("llr"))
       .orderBy(col("c_xy").desc, col("w1"), col("w2"))
 
+  /** Skip-gram co-occurrence gate: unordered token pairs within a
+    * ±3-token window, PMI on the pair scale — counts exact, PMI at 9
+    * decimals; the oracle replays the per-distance zips, the
+    * least/greatest canonicalization, and every margin.
+    */
+  def q224Cooccurrence(s: SparkSession, dir: String): DataFrame =
+    graft.text.Collocations.cooccurrence(
+      Tables.documents(s, dir).select("text"), "text",
+      window = 3, minCount = 5L, k = 100)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("p_tot"), col("n_tot"), round(col("pmi"), 9).as("pmi"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+
   /** Triangle-count gate: the q195 near-dup graph (sorted-neighborhood
     * blocking + Levenshtein verify) through degree-ordered triangle
     * counting — per node the exact degree, triangle count, and local

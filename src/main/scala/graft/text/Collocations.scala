@@ -106,4 +106,62 @@ object Collocations {
       .orderBy(col("c_xy").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Windowed (skip-gram) co-occurrence — the word2vec-style context
+    * counts adjacency-only [[collocations]] can't give: every UNORDERED
+    * token pair at distance 1..`window` counts once (symmetric context,
+    * canonicalized least/greatest — "deep learning" and "learning deep"
+    * are the same association), scored by PMI on the pair scale
+    * p(x,y) = c_xy/P against unigram marginals p(w) = c_w/N. The raw
+    * count frame is the training-corpus co-occurrence matrix a
+    * downstream embedding fit consumes; the PMI top-k is the audit view.
+    *
+    * Construction mirrors [[collocations]]: cleaned token arrays, one
+    * NARROW projection per distance d (zip the array with its d-shifted
+    * self — no positional explode, no self-join; fan-out ≤ window per
+    * token), union, count. Determinism: exact counts, PMI one fixed ln
+    * dag, top-k by (c_xy desc, w1, w2) — gate at 9 decimals. Scale: the
+    * pair frame is min(vocab², corpus·window)-bounded and map-side
+    * combined; marginal joins vocab-keyed; totals broadcast;
+    * TakeOrdered for the view.
+    */
+  def cooccurrence(
+      df: DataFrame,
+      textCol: String,
+      window: Int = 3,
+      minCount: Long = 5L,
+      k: Int = 100
+  ): DataFrame = {
+    require(window >= 1 && window <= 16, s"window out of range: $window")
+    val toks = df
+      .filter(col(textCol).isNotNull)
+      .select(expr(s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')").as("__t"))
+    val pairsByD = (1 to window).map { d =>
+      toks.select(explode(arrays_zip(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - d, lit(0))),
+        slice(col("__t"), lit(1 + d), greatest(size(col("__t")) - d, lit(0))))).as("__pg"))
+        .select(col("__pg.0").as("__a"), col("__pg.1").as("__b"))
+    }
+    val pairs = pairsByD.reduce(_ unionAll _)
+      .select(least(col("__a"), col("__b")).as("w1"),
+        greatest(col("__a"), col("__b")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val unigrams = toks
+      .select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = pairs.agg(sum("c_xy").as("p_tot"))
+      .crossJoin(unigrams.agg(sum("c").as("n_tot")))
+    val pD = col("p_tot").cast("double")
+    val nD = col("n_tot").cast("double")
+    pairs
+      .filter(col("c_xy") >= minCount)
+      .join(unigrams.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(unigrams.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", log((col("c_xy").cast("double") / pD) /
+        ((col("c_x").cast("double") / nD) * (col("c_y").cast("double") / nD))))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "p_tot", "n_tot", "pmi")
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -82,6 +82,36 @@ class AssociationSpec extends SparkSpec {
     assert(sc.isNullAt(sc.fieldIndex("theil_u_y"))) // nothing to explain
   }
 
+  test("mannWhitney: textbook separation, tie-heavy null, degenerate, 3-group contract") {
+    // A=[1,2,3] B=[4,5,6]: 2U1 = 12-12 = 0, z = -4.5/sqrt(5.25)
+    val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("B", 6L))
+      .toDF("g0", "v")
+    val r = Association.mannWhitney(sep, Nil, "g0", "v").collect()(0)
+    assert(r.getAs[String]("u2_lo") === "0")
+    assert(r.getAs[String]("u2_hi") === "18")
+    assert(r.getAs[String]("var_num") === "1890") // 9*(7*6*5 - 0)
+    assert(math.abs(r.getAs[Double]("z") - (-4.5 / math.sqrt(5.25))) < 1e-12)
+
+    // identical distributions: z exactly 0 (2U1 == n1*n2)
+    val eq = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g0", "v")
+    val re = Association.mannWhitney(eq, Nil, "g0", "v").collect()(0)
+    assert(re.getAs[String]("u2_lo") === "4")
+    assert(re.getAs[Double]("z") === 0.0)
+
+    // every value tied: variance 0 -> z NULL
+    val const = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("g0", "v")
+    val rc = Association.mannWhitney(const, Nil, "g0", "v").collect()(0)
+    assert(rc.getAs[String]("var_num") === "0")
+    assert(rc.isNullAt(rc.fieldIndex("z")))
+
+    // three groups: contract violation flagged, statistics NULL
+    val three = Seq(("A", 1L), ("B", 2L), ("C", 3L)).toDF("g0", "v")
+    val r3 = Association.mannWhitney(three, Nil, "g0", "v").collect()(0)
+    assert(r3.getAs[Long]("n_groups") === 3L)
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+    assert(r3.isNullAt(r3.fieldIndex("u2_lo")))
+  }
+
   test("contingency counts fold: merged disjoint snapshots == rebuild") {
     val d = (1 to 40).map(i => (s"x${i % 3}", s"y${i % 4}", i)).toDF("x0", "y0", "i")
     val full = Association.contingencyCounts(d, Nil, "x0", "y0")
@@ -231,6 +261,33 @@ class AssociationSpec extends SparkSpec {
     val s9 = t(k11, r1, c1) + t(k12, r1, c2) + t(k21, r2, c1) + t(k22, r2, c2)
     assert(llr === 2.0 * 14.0 * (s9.toDouble / 1e9))
     assert(llr > 0.0)
+  }
+
+  test("cooccurrence: windowed unordered pairs, short-doc guard, window=1 = unordered bigrams") {
+    import graft.text.Collocations
+    // "a b c d": d=1 pairs ab,bc,cd; d=2 ac,bd; d=3 ad; "x" alone: none
+    val docs = (Seq.fill(6)("a b c d") :+ "x").map(Tuple1(_)).toDF("text")
+    val got = Collocations.cooccurrence(docs, "text", window = 3, minCount = 5L, k = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // each of the 6 distance-pairs appears once per doc = 6 times
+    assert(got.toSeq === Seq(("a", "b", 6L), ("a", "c", 6L), ("a", "d", 6L),
+      ("b", "c", 6L), ("b", "d", 6L), ("c", "d", 6L)))
+    // PMI replay for (a,b): P=36 pairs, N=25 tokens, c_a=c_b=6
+    val full = Collocations.cooccurrence(docs, "text", window = 3, minCount = 5L, k = 20)
+      .collect().head
+    assert(full.getAs[Long]("p_tot") === 36L)
+    assert(full.getAs[Long]("n_tot") === 25L)
+    val wantPmi = math.log((6.0 / 36) / ((6.0 / 25) * (6.0 / 25)))
+    assert(math.abs(full.getAs[Double]("pmi") - wantPmi) < 1e-12)
+    // unordered canonicalization: "b a" counts into (a, b)
+    val sym = (Seq.fill(3)("a b") ++ Seq.fill(3)("b a")).map(Tuple1(_)).toDF("text")
+    val gs = Collocations.cooccurrence(sym, "text", window = 2, minCount = 5L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(gs.toSeq === Seq(("a", "b", 6L)))
+    // window=1 over the filtered stream == unordered adjacency counts
+    val adj = Collocations.cooccurrence(docs, "text", window = 1, minCount = 5L, k = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(adj.toSeq === Seq(("a", "b", 6L), ("b", "c", 6L), ("c", "d", 6L)))
   }
 
   test("rolling correlation: perfect linear windows are ±1, constant x is NULL, last full window equals the global r") {

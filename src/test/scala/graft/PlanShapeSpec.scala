@@ -350,7 +350,10 @@ class PlanShapeSpec extends SparkSpec {
     // Kendall cells: cell agg (exchange REUSED across the self-join's
     // sides) + pair/cell roll-ups; the cell self-join broadcasts --
     // cells are value-cardinality-bounded, never corpus-sized
-    Shape("q207_kendall", maxHash = 5, minBroadcastJoin = 2,
+    // round 11: dense-grid prefix layout — 12 exchanges, ALL on
+    // cells/grid-sized frames (the 80M-row pairwise join is gone);
+    // bounded sides broadcast, no SMJ anywhere
+    Shape("q207_kendall", maxHash = 13, minBroadcastJoin = 4,
       forbidSortMergeJoin = true, forbidUdf = true),
     // Fellegi-Sunter: SNM blocking budget + two id joins (broadcast) +
     // per-field 1-row u aggs; the weight frame broadcasts onto pairs
@@ -363,7 +366,7 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // bucketed Kendall keeps the q207 shape: cell-agg exchange reused,
     // broadcast-only joins
-    Shape("q210_kendall_bucketed", maxHash = 5, minBroadcastJoin = 2,
+    Shape("q210_kendall_bucketed", maxHash = 13, minBroadcastJoin = 4,
       forbidSortMergeJoin = true, forbidUdf = true),
     // Jaro-Winkler: the native expression stays a codegen'd projection
     // over the SNM blocking budget -- never a UDF

@@ -7,6 +7,36 @@ import org.apache.spark.sql.functions._
 
 class ProfileSampleSpec extends SparkSpec {
 
+  test("wasserstein drift: zero on identical, unit shift = 1.0, sparse gaps weighted, scale-free") {
+    import spark.implicits._
+    import graft.quality.Profiler
+    val a = (Seq.fill(5)(0L) ++ Seq.fill(5)(1L)).map(Tuple1(_)).toDF("v")
+    val same = Profiler.wassersteinDrift(a, a, "v").collect()(0)
+    assert(same.getAs[String]("w1_num") === "0")
+    assert(same.getAs[Double]("w1") === 0.0)
+
+    // every value shifted up one bucket: W1 exactly 1.0
+    val b = (Seq.fill(5)(1L) ++ Seq.fill(5)(2L)).map(Tuple1(_)).toDF("v")
+    val shift = Profiler.wassersteinDrift(a, b, "v").collect()(0)
+    assert(shift.getAs[String]("w1_num") === "100")
+    assert(shift.getAs[Double]("w1") === 1.0)
+
+    // sparse support: mass moved 10 buckets = W1 10.0 (KS/chi2 would
+    // read this the same as a 1-bucket move)
+    val p = Seq(Tuple1(0L)).toDF("v")
+    val q = Seq(Tuple1(10L)).toDF("v")
+    assert(Profiler.wassersteinDrift(p, q, "v").collect()(0).getAs[Double]("w1") === 10.0)
+
+    // doubling one side's counts leaves the distribution (and W1) fixed
+    val b2 = (Seq.fill(10)(1L) ++ Seq.fill(10)(2L)).map(Tuple1(_)).toDF("v")
+    assert(Profiler.wassersteinDrift(a, b2, "v").collect()(0).getAs[Double]("w1") === 1.0)
+
+    // one side empty -> NULL W1 (nothing to compare)
+    val e = spark.emptyDataFrame.withColumn("v", org.apache.spark.sql.functions.lit(1L)).limit(0)
+    val r0 = Profiler.wassersteinDrift(a, e.select("v"), "v").collect()(0)
+    assert(r0.isNullAt(r0.fieldIndex("w1")))
+  }
+
   test("profiler computes all metrics for all columns in one pass") {
     import spark.implicits._
     val d = Seq(

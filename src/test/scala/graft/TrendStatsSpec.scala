@@ -133,6 +133,27 @@ class TrendStatsSpec extends SparkSpec {
     assert(w0 === b0)
   }
 
+  // --- Seasonal anomalies -----------------------------------------------------
+
+  test("seasonalAnomalies: 3-sigma flag by exact integers; constant phase flags nothing") {
+    // phase 0: twelve 10s + one 100 -> spike is 3.46 sigma (flagged),
+    // the 10s are 0.16 sigma (not); phase 1: constant (0 > 0 never flags)
+    val rows = (1 to 12).map(i => ("k", 0, 10L)) ++ Seq(("k", 0, 100L)) ++
+      (1 to 3).map(i => ("k", 1, 7L))
+    val out = TimeSeries.seasonalAnomalies(rows.toDF("g", "ph", "x"), Seq("g"), "ph", "x")
+      .collect()
+    val spike = out.filter(_.getAs[Long]("x") === 100L)
+    assert(spike.length === 1 && spike.head.getAs[Boolean]("is_anomaly"))
+    // mean/dev are the pinned divisions: mu = 220/13, dev = 1080/13
+    assert(math.abs(spike.head.getAs[Double]("phase_mean") - 220d / 13d) < 1e-12)
+    assert(math.abs(spike.head.getAs[Double]("dev") - 1080d / 13d) < 1e-12)
+    assert(out.filter(_.getAs[Long]("x") === 10L).forall(!_.getAs[Boolean]("is_anomaly")))
+    val ph1 = out.filter(_.getAs[Int]("ph") === 1)
+    assert(ph1.length === 3)
+    assert(ph1.forall(!_.getAs[Boolean]("is_anomaly")))
+    assert(ph1.forall(_.getAs[Double]("dev") === 0.0))
+  }
+
   // --- Triangles ------------------------------------------------------------
 
   test("triangleCounts: K4 (with reversed/duplicate/self-loop noise) and a path") {
