@@ -414,7 +414,25 @@ class PlanShapeSpec extends SparkSpec {
     // NULL-safe BROADCASTS (that is the point — no pair-set-sized
     // sort-merge), target-cell prune before the one cell-local window
     Shape("q220_theil_sen_bucketed", maxHash = 8, minBroadcastJoin = 6,
-      forbidUdf = true)
+      forbidUdf = true),
+    // Mann-Whitney (keyless gate): the KW cell/rank shape — value-
+    // cardinality aggs, global distinct-value window + 1-row totals
+    // cross as the single-partition exchanges
+    Shape("q221_mann_whitney", maxHash = 5, maxRange = 3,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    // Wasserstein drift: two bucket aggs + the full-outer histogram
+    // join (full-outer cannot broadcast — SMJ on the value-cardinality-
+    // bounded frames is bookkeeping, not scale) + one ordered window
+    Shape("q222_wasserstein_drift", maxHash = 2, forbidUdf = true),
+    // seasonal anomalies: ONE (key, phase) window exchange over the
+    // spine; the spine meets counts in a broadcast
+    Shape("q223_seasonal_anomalies", maxHash = 2, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // skip-gram co-occurrence: pair/unigram aggs (vocab-keyed), margin
+    // joins, totals broadcast, TakeOrdered top-k
+    Shape("q224_cooccurrence", maxHash = 4, maxRange = 2,
+      minBroadcastJoin = 1, requireTopK = true,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
