@@ -234,7 +234,10 @@ object SparkEntry {
     "q221_mann_whitney" -> (CoreQueries.q221MannWhitney(_, _)),
     "q222_wasserstein_drift" -> (CoreQueries.q222WassersteinDrift(_, _)),
     "q223_seasonal_anomalies" -> (CoreQueries.q223SeasonalAnomalies(_, _)),
-    "q224_cooccurrence" -> (LlmQueries.q224Cooccurrence(_, _))
+    "q224_cooccurrence" -> (LlmQueries.q224Cooccurrence(_, _)),
+    "q225_regression" -> (CoreQueries.q225Regression(_, _)),
+    "q226_changepoint" -> (CoreQueries.q226Changepoint(_, _)),
+    "q227_waterfill" -> (CoreQueries.q227Waterfill(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -258,7 +261,10 @@ object SparkEntry {
     "q221_mann_whitney" -> mannWhitneyOracle,
     "q222_wasserstein_drift" -> wassersteinOracle,
     "q223_seasonal_anomalies" -> seasonalOracle,
-    "q224_cooccurrence" -> cooccurrenceOracle)
+    "q224_cooccurrence" -> cooccurrenceOracle,
+    "q225_regression" -> regressionOracle,
+    "q226_changepoint" -> changepointOracle,
+    "q227_waterfill" -> waterfillOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -522,6 +528,77 @@ object SparkEntry {
        |WHERE c_xy >= 5
        |ORDER BY c_xy DESC, w1, w2 LIMIT 100""".stripMargin
   }
+
+  /** q225 oracle: [[graft.quality.Profiler.regressionFromMoments]]
+    * replayed — HUGEINT moments, the num/den/intercept rationals, R²'s
+    * double-square dag.
+    */
+  private lazy val regressionOracle: String =
+    """WITH li AS (SELECT l_returnflag AS rf,
+      |    CAST(round(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |m AS (SELECT rf, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM li GROUP BY 1),
+      |f AS (SELECT rf, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |    sy * sxx - sx * sxy AS inum, n * syy - sy * sy AS dy FROM m)
+      |SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den,
+      |  CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) END AS slope,
+      |  CASE WHEN den > 0 THEN round(CAST(inum AS DOUBLE) / CAST(den AS DOUBLE), 9) END AS intercept,
+      |  CASE WHEN den > 0 AND dy > 0 THEN
+      |    round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+      |      (CAST(den AS DOUBLE) * CAST(dy AS DOUBLE)), 9) END AS r2
+      |FROM f ORDER BY l_returnflag""".stripMargin
+
+  /** q226 oracle: [[graft.operators.TimeSeries.changepoint]] replayed —
+    * prefix/total sums over the hourly spine, D_t = n·S_t − t·S_n in
+    * HUGEINT, the earliest-argmax pick, the bridge statistic, and the
+    * 10⁶·D² ≷ 1844164·(nQ−S²)·n verdict.
+    */
+  private lazy val changepointOracle: String =
+    s"""WITH $HourlySpineCtes,
+       |o AS (SELECT event_type, slot, n,
+       |    CAST(row_number() OVER w AS HUGEINT) AS t,
+       |    sum(CAST(n AS HUGEINT)) OVER w AS st,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS nn,
+       |    sum(CAST(n AS HUGEINT)) OVER (PARTITION BY event_type) AS sn,
+       |    sum(CAST(n AS HUGEINT) * n) OVER (PARTITION BY event_type) AS q
+       |  FROM x WINDOW w AS (PARTITION BY event_type ORDER BY slot)),
+       |d AS (SELECT *, nn * st - t * sn AS dd FROM o WHERE t < nn),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY abs(dd) DESC, t) AS rk,
+       |    nn * q - sn * sn AS varn FROM d)
+       |SELECT event_type, strftime(slot, '%Y-%m-%d %H:%M:%S') AS cp_hr,
+       |  CAST(t AS BIGINT) AS cp_t, CAST(nn AS BIGINT) AS n, CAST(dd AS VARCHAR) AS d,
+       |  CASE WHEN varn > 0 THEN round(CAST(abs(dd) AS DOUBLE) /
+       |    (sqrt(CAST(varn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))), 9) END AS stat,
+       |  CASE WHEN varn > 0 THEN dd * dd * 1000000 > varn * nn * 1844164 END AS changed
+       |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** q227 oracle: [[graft.operators.Sampling.waterfillAllocation]]
+    * replayed — ascending cumulative sums, the per-boundary floor-
+    * division candidate, the first-valid pick via arg_min, max-n
+    * fallback.
+    */
+  private lazy val waterfillOracle: String =
+    """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      |a AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_docs) AS j,
+      |    coalesce(sum(CAST(n_docs AS HUGEINT)) OVER (PARTITION BY lang ORDER BY n_docs
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+      |    count(*) OVER (PARTITION BY lang) AS k,
+      |    max(n_docs) OVER (PARTITION BY lang) AS maxn
+      |  FROM c),
+      |cd AS (SELECT *, CAST((CAST(120 AS HUGEINT) - cum) // (k - j + 1) AS BIGINT) AS cand FROM a),
+      |v AS (SELECT lang, arg_min(cand, j) AS cap FROM cd
+      |  WHERE cand >= 0 AND cand < n_docs GROUP BY 1)
+      |SELECT a.lang, a.source, a.n_docs,
+      |  coalesce(v.cap, a.maxn) AS cap,
+      |  least(a.n_docs, coalesce(v.cap, a.maxn)) AS alloc
+      |FROM a LEFT JOIN v USING (lang) ORDER BY lang, source""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

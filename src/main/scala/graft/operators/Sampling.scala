@@ -546,4 +546,65 @@ object Sampling {
       .withColumnRenamed("__l9", "l9")
       .drop("__key")
   }
+
+  /** Waterfilling budget allocation: per key, the largest integer cap
+    * `c` with Σᵢ min(nᵢ, c) ≤ budget, and each row's allocation
+    * min(nᵢ, c) — the standard "cap the heavy sources, keep the small
+    * ones whole" mixture solver a token-budget pipeline runs before
+    * sampling (the caps/temperature family's missing exact-budget
+    * member: temperature reweights proportions, this one hits a hard
+    * budget). Integer slack < #rows by construction (equal caps can't
+    * land exactly on the budget); the deterministic fix-up is the
+    * caller's policy (document: sample the slack from the capped rows).
+    *
+    * EXACT and deterministic: rows sort ascending by n (tie order
+    * provably irrelevant — equal n swap identical cumulative terms);
+    * at boundary j the candidate cap is ⌊(budget − cum_{j−1})/(k−j+1)⌋
+    * in DECIMAL; the TRUE boundary is the FIRST row whose candidate
+    * falls below its own n (earlier rows then can't be fully funded);
+    * no such row → everything is affordable and the cap is max n.
+    *
+    * SCALE: two windows + one aggregation on the allocation-target
+    * frame (source-cardinality-sized by contract — this runs on a
+    * per-source COUNT frame, never on rows); the cap frame broadcasts
+    * back.
+    */
+  def waterfillAllocation(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      nCol: String,
+      budget: Long
+  ): DataFrame = if (keyCols.isEmpty) {
+    waterfillAllocation(counts.withColumn("__g1", lit(1)), Seq("__g1"), nCol, budget)
+      .drop("__g1")
+  } else {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col(nCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val annotated = counts
+      .filter(col(nCol).isNotNull && col(nCol) >= 0L)
+      .withColumn("__j", row_number().over(wOrd).cast("long"))
+      .withColumn("__cum", coalesce(
+        sum(col(nCol).cast(dec)).over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L).cast(dec)))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__maxn", max(col(nCol)).over(wAll))
+    val cand = floor((lit(budget).cast(dec) - col("__cum")) /
+      (col("__k") - col("__j") + 1L).cast(dec)).cast("long")
+    val caps = annotated
+      .withColumn("__cand", cand)
+      .filter(col("__cand") >= 0L && col("__cand") < col(nCol))
+      .groupBy(g: _*)
+      .agg(min(struct(col("__j"), col("__cand"))).as("__pick"))
+      .select((g :+ col("__pick").getField("__cand").as("__cap")): _*)
+    annotated
+      .join(broadcast(caps), keyCols, "left_outer")
+      .withColumn("cap", coalesce(col("__cap"), col("__maxn")))
+      .withColumn("alloc", least(col(nCol), col("cap")))
+      .drop("__j", "__cum", "__k", "__maxn", "__cap", "__cand")
+  }
 }

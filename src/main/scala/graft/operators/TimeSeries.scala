@@ -584,6 +584,71 @@ object TimeSeries {
     tsIntercept(df, med, keyCols, orderCol, valueCol)
   }
 
+  /** Single-changepoint detection by the maximum-CUSUM statistic
+    * (Page 1955; the Brownian-bridge normalization as in Csörgő &
+    * Horváth 1997): over a per-key ordered series, the candidate
+    * changepoint is argmax_t |S_t − (t/n)·S_n| — where the cumulative
+    * sum strays farthest from the no-change diagonal. EXACT state:
+    * D_t = n·S_t − t·S_n in DECIMAL(38,0) (the selected row's D is a
+    * digit string; ties break to the EARLIEST t), the normalized
+    * statistic |D_t|/(√(nQ−S²)·√n) is a fixed two-√ dag (gate at 9
+    * decimals), and the α = 0.05 verdict compares exact integers:
+    * 10⁶·D² > 1844164·(nQ−S²)·n (1.358² = 1.844164, the asymptotic
+    * Kolmogorov–Smirnov critical value — stated; NULL when the series
+    * is constant). Detects ONE level shift; recurse on the halves for
+    * more (binary segmentation — the split is deterministic, so the
+    * recursion replays).
+    *
+    * SCALE: two windows share one key exchange over the span-bounded
+    * resampled series (the [[mannKendall]] contract); no join, no
+    * pairs.
+    */
+  def changepoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__o"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val x = col(valueCol).cast("long")
+    val base = df
+      .filter(x.isNotNull && col(orderCol).isNotNull)
+      .select(g :+ col(orderCol).as("__o") :+ x.as("__x"): _*)
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .withColumn("__st", sum(col("__x").cast(dec)).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("__x").cast(dec)).over(wAll))
+      .withColumn("__q", sum((col("__x").cast(dec)) * col("__x").cast(dec)).over(wAll))
+    val nD = col("__n").cast(dec)
+    val d = nD * col("__st") - col("__t").cast(dec) * col("__sn")
+    val scored = base
+      .withColumn("__d", d)
+      .withColumn("__absd", abs(d))
+      // interior candidates only: t = n is the full prefix (D_n = 0 by
+      // construction, but exclude it anyway for the n = 1 degenerate)
+      .filter(col("__t") < col("__n"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__absd").desc, col("__t").asc)
+    val varN = nD * col("__q") - col("__sn") * col("__sn")
+    scored
+      .withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") === 1)
+      .withColumn("stat",
+        when(varN > 0,
+          col("__absd").cast("double") /
+            (sqrt(varN.cast("double")) * sqrt(col("__n").cast("double")))))
+      .withColumn("changed",
+        when(varN > 0,
+          col("__d") * col("__d") * 1000000L > varN * nD * 1844164L))
+      .select(g :+ col("__o").as("cp_at") :+ col("__t").as("cp_t") :+
+        col("__n").as("n") :+ col("__d").cast("string").as("d") :+
+        col("stat") :+ col("changed"): _*)
+  }
+
   /** Seasonal-profile anomaly detection: group rows by their cycle
     * PHASE (hour-of-day, day-of-week — the caller computes `phaseCol`,
     * so any period works) and flag values > 3σ from their OWN phase's

@@ -460,6 +460,52 @@ object Profiler {
         col("n") :+ col("__pair.r").as("r")): _*)
   }
 
+  /** Simple OLS regression y = a + b·x from a (merged)
+    * [[correlationMoments]] frame — the LINE the correlation family
+    * (q177 r, q213 rolling r) only scores: slope, intercept and R² as
+    * pure rationals over the exact integer moments, each ONE division:
+    *
+    *   b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)      (num/den digit strings)
+    *   a = (Σy·Σx² − Σx·Σxy) / den                 (the b-free identity —
+    *       no slope float ever feeds the intercept)
+    *   R² = num² / (den·(n·Σy² − (Σy)²))
+    *
+    * NULL all three when x is constant (den ≤ 0); R² NULL when y is
+    * constant too. Gate at 9 decimals. Inherits the moments frame's
+    * integer-units contract (cents/ppm) and its fold law — a streaming
+    * regression is mergeCorrelationMoments + this, free.
+    */
+  def regressionFromMoments(
+      moments: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val n = col("n").cast(dec)
+    val (sx, sy) = (col(s"s__$xCol"), col(s"s__$yCol"))
+    val sxy = col(s"p__${xCol}__${yCol}")
+    val (sxx, syy) = (col(s"p__${xCol}__${xCol}"), col(s"p__${yCol}__${yCol}"))
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val intNum = sy * sxx - sx * sxy
+    val dy = n * syy - sy * sy
+    moments.select((keyCols.map(col) :+ col("n") :+
+      num.cast("string").as("num") :+
+      den.cast("string").as("den") :+
+      when(den > 0, num.cast("double") / den.cast("double")).as("slope") :+
+      when(den > 0, intNum.cast("double") / den.cast("double")).as("intercept") :+
+      when(den > 0 && dy > 0,
+        // squares on DOUBLES: num² at corpus scale clears DECIMAL(38,0)
+        num.cast("double") * num.cast("double") /
+          (den.cast("double") * dy.cast("double"))).as("r2")): _*)
+  }
+
+  /** [[regressionFromMoments]] over raw rows. */
+  def regression(df: DataFrame, keyCols: Seq[String], xCol: String, yCol: String): DataFrame =
+    regressionFromMoments(
+      correlationMoments(df, keyCols, Seq(xCol, yCol)), keyCols, xCol, yCol)
+
   /** Spearman rank correlation, EXACT under ties: ρ = Pearson over the
     * per-group average-tie ranks, carried as INTEGERS by doubling —
     * a tie block's average rank is min_rank + (block−1)/2, so

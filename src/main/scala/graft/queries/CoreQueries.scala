@@ -1851,6 +1851,54 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** OLS regression gate: the price-on-quantity line per return flag —
+    * slope/intercept/R² as pure rationals over exact integer moments
+    * (num/den digit strings; each surface one division, R² on doubles).
+    */
+  def q225Regression(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    Profiler.regression(li, Seq("l_returnflag"), "qty", "price_c")
+      .select(col("l_returnflag"), col("n"), col("num"), col("den"),
+        round(col("slope"), 9).as("slope"),
+        round(col("intercept"), 9).as("intercept"),
+        round(col("r2"), 9).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Changepoint gate: where does each type's hourly count series stray
+    * farthest from its no-change diagonal — the selected row's exact D
+    * digit string, the Brownian-bridge statistic at 9 decimals, and the
+    * exact-integer α = 0.05 verdict.
+    */
+  def q226Changepoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+    TimeSeries.changepoint(counts, Seq("event_type"), "slot", "n")
+      .select(col("event_type"),
+        date_format(col("cp_at"), "yyyy-MM-dd HH:mm:ss").as("cp_hr"),
+        col("cp_t"), col("n"), col("d"),
+        round(col("stat"), 9).as("stat"), col("changed"))
+      .orderBy("event_type")
+  }
+
+  /** Waterfilling gate: a 120-doc budget per language across sources —
+    * the exact integer cap (heavy sources capped, light ones whole) and
+    * each source's allocation.
+    */
+  def q227Waterfill(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val counts = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    Sampling.waterfillAllocation(counts, Seq("lang"), "n_docs", budget = 120L)
+      .select(col("lang"), col("source"), col("n_docs"), col("cap"), col("alloc"))
+      .orderBy("lang", "source")
+  }
+
   /** Wasserstein-1 drift gate: how far did the event-value distribution
     * MOVE between the even- and odd-keyed halves — 5-unit buckets, the
     * exact integer CDF-gap·support-gap sum as a digit string, W₁ one

@@ -432,6 +432,19 @@ class PlanShapeSpec extends SparkSpec {
     // joins, totals broadcast, TakeOrdered top-k
     Shape("q224_cooccurrence", maxHash = 4, maxRange = 2,
       minBroadcastJoin = 1, requireTopK = true,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // OLS from moments: ONE aggregation exchange — the whole regression
+    // is a projection over it
+    Shape("q225_regression", maxHash = 1, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true),
+    // changepoint: prefix/total windows share one key exchange over the
+    // spine (+ the spine's own agg); no join beyond the spine broadcast
+    Shape("q226_changepoint", maxHash = 2, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // waterfill: count agg + two windows + the first-valid pick on the
+    // source-cardinality frame (min(struct) plans as SortAggregate
+    // there — bounded bookkeeping); the cap frame broadcasts back
+    Shape("q227_waterfill", maxHash = 4, minBroadcastJoin = 1,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

@@ -7,6 +7,46 @@ import org.apache.spark.sql.functions._
 
 class ProfileSampleSpec extends SparkSpec {
 
+  test("regression: exact line recovered, degenerates NULL, r2 == r*r, fold law") {
+    import spark.implicits._
+    import graft.quality.Profiler
+    val line = (1 to 9).map(i => ("k", i.toLong, 3L * i + 7L)).toDF("g", "x0", "y0")
+    val r = Profiler.regression(line, Seq("g"), "x0", "y0").collect()(0)
+    assert(r.getAs[Double]("slope") === 3.0)
+    assert(r.getAs[Double]("intercept") === 7.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+
+    val constX = (1 to 5).map(i => ("k", 4L, i.toLong)).toDF("g", "x0", "y0")
+    val rx = Profiler.regression(constX, Seq("g"), "x0", "y0").collect()(0)
+    assert(rx.isNullAt(rx.fieldIndex("slope")))
+    assert(rx.isNullAt(rx.fieldIndex("intercept")))
+    assert(rx.isNullAt(rx.fieldIndex("r2")))
+
+    val constY = (1 to 5).map(i => ("k", i.toLong, 9L)).toDF("g", "x0", "y0")
+    val ry = Profiler.regression(constY, Seq("g"), "x0", "y0").collect()(0)
+    assert(ry.getAs[Double]("slope") === 0.0)
+    assert(ry.getAs[Double]("intercept") === 9.0)
+    assert(ry.isNullAt(ry.fieldIndex("r2"))) // nothing to explain
+
+    // cross-operator law: r2 equals correlation's r squared
+    val noisy = (1 to 40).map(i => ("k", i.toLong, (i * 7 % 13 + 2 * i).toLong))
+      .toDF("g", "x0", "y0")
+    val r2 = Profiler.regression(noisy, Seq("g"), "x0", "y0")
+      .collect()(0).getAs[Double]("r2")
+    val rr = Profiler.correlation(noisy, Seq("g"), "x0", "y0")
+      .collect()(0).getAs[Double]("r")
+    assert(math.abs(r2 - rr * rr) < 1e-12)
+
+    // fold law: merged disjoint halves regress identically to the rebuild
+    val h1 = Profiler.correlationMoments(noisy.filter($"x0" % 2 === 0), Seq("g"), Seq("x0", "y0"))
+    val h2 = Profiler.correlationMoments(noisy.filter($"x0" % 2 === 1), Seq("g"), Seq("x0", "y0"))
+    val folded = Profiler.regressionFromMoments(
+      Profiler.mergeCorrelationMoments(h1, h2, Seq("g")), Seq("g"), "x0", "y0")
+      .collect().toSeq
+    val rebuilt = Profiler.regression(noisy, Seq("g"), "x0", "y0").collect().toSeq
+    assert(folded === rebuilt)
+  }
+
   test("wasserstein drift: zero on identical, unit shift = 1.0, sparse gaps weighted, scale-free") {
     import spark.implicits._
     import graft.quality.Profiler

@@ -202,6 +202,72 @@ class TrendStatsSpec extends SparkSpec {
     assert(byCounts === byEnum)
   }
 
+  // --- Changepoint ------------------------------------------------------------
+
+  test("changepoint: planted level shift found at the boundary; constant series NULL verdict") {
+    val shift = (1 to 20).map(t => ("k", t.toLong, if (t <= 10) 0L else 10L))
+      .toDF("g", "t", "y")
+    val r = TimeSeries.changepoint(shift, Seq("g"), "t", "y").collect()(0)
+    assert(r.getAs[Long]("cp_t") === 10L)
+    assert(r.getAs[Long]("cp_at") === 10L)
+    assert(r.getAs[String]("d") === "-1000") // 20*S_10 - 10*S_20 = -1000
+    // stat = 1000/(sqrt(20*1000 - 100^2)*sqrt(20)) = 1000/(100*sqrt(20))
+    assert(math.abs(r.getAs[Double]("stat") - 1000d / (100d * math.sqrt(20d))) < 1e-12)
+    assert(r.getAs[Boolean]("changed"))
+
+    val const = (1 to 10).map(t => ("k", t.toLong, 5L)).toDF("g", "t", "y")
+    val rc = TimeSeries.changepoint(const, Seq("g"), "t", "y").collect()(0)
+    assert(rc.getAs[Long]("cp_t") === 1L) // all D = 0, earliest tie wins
+    assert(rc.isNullAt(rc.fieldIndex("stat")))
+    assert(rc.isNullAt(rc.fieldIndex("changed")))
+
+    // a single-point series has no interior candidate: emits nothing
+    val one = Seq(("k", 1L, 5L)).toDF("g", "t", "y")
+    assert(TimeSeries.changepoint(one, Seq("g"), "t", "y").count() === 0L)
+
+    // pure noise well under the 1.358 critical value: changed = false
+    val noise = (1 to 20).map(t => ("k", t.toLong, (t % 2).toLong)).toDF("g", "t", "y")
+    val rn = TimeSeries.changepoint(noise, Seq("g"), "t", "y").collect()(0)
+    assert(!rn.getAs[Boolean]("changed"))
+  }
+
+  // --- Waterfilling -------------------------------------------------------------
+
+  test("waterfillAllocation: boundary cases, budget respected, all-affordable fallback") {
+    import graft.operators.Sampling
+    // n = [2, 5, 10], B = 12 -> cap 5, allocs 2+5+5 = 12 (exact)
+    val c1 = Seq(("k", "a", 2L), ("k", "b", 5L), ("k", "c", 10L)).toDF("g", "s", "n")
+    val r1 = Sampling.waterfillAllocation(c1, Seq("g"), "n", 12L)
+      .orderBy("s").collect()
+    assert(r1.forall(_.getAs[Long]("cap") === 5L))
+    assert(r1.map(_.getAs[Long]("alloc")).toSeq === Seq(2L, 5L, 5L))
+    // B >= total -> everything funded, cap = max n
+    val r2 = Sampling.waterfillAllocation(c1, Seq("g"), "n", 100L)
+      .orderBy("s").collect()
+    assert(r2.forall(_.getAs[Long]("cap") === 10L))
+    assert(r2.map(_.getAs[Long]("alloc")).toSeq === Seq(2L, 5L, 10L))
+    // tiny budget: cap floor(B/k), slack < k
+    val r3 = Sampling.waterfillAllocation(c1, Seq("g"), "n", 5L)
+      .orderBy("s").collect()
+    assert(r3.forall(_.getAs[Long]("cap") === 1L))
+    assert(r3.map(_.getAs[Long]("alloc")).sum === 3L)
+    // property sweep: allocation never exceeds budget, slack < #rows,
+    // and every row gets min(n, cap)
+    for (b <- Seq(0L, 1L, 7L, 16L, 17L, 18L, 40L)) {
+      val rows = Seq(("k", "a", 3L), ("k", "b", 3L), ("k", "c", 11L), ("k", "d", 0L))
+        .toDF("g", "s", "n")
+      val out = Sampling.waterfillAllocation(rows, Seq("g"), "n", b).collect()
+      val total = out.map(_.getAs[Long]("alloc")).sum
+      val cap = out.head.getAs[Long]("cap")
+      assert(total <= math.max(b, 17L), s"b=$b total=$total")
+      if (b < 17L) assert(b - total < 4L, s"b=$b slack=${b - total}")
+      assert(out.forall(r => r.getAs[Long]("alloc") === math.min(r.getAs[Long]("n"), cap)))
+    }
+    // keyless wrapper
+    val r0 = Sampling.waterfillAllocation(c1.drop("g"), Nil, "n", 12L).collect()
+    assert(r0.map(_.getAs[Long]("alloc")).sum === 12L)
+  }
+
   // --- A-ES weighted sampling -------------------------------------------------
 
   test("weightedSampleWithoutReplacement: md5 race replayed key-for-key") {
