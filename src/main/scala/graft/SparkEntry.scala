@@ -237,7 +237,10 @@ object SparkEntry {
     "q224_cooccurrence" -> (LlmQueries.q224Cooccurrence(_, _)),
     "q225_regression" -> (CoreQueries.q225Regression(_, _)),
     "q226_changepoint" -> (CoreQueries.q226Changepoint(_, _)),
-    "q227_waterfill" -> (CoreQueries.q227Waterfill(_, _))
+    "q227_waterfill" -> (CoreQueries.q227Waterfill(_, _)),
+    "q228_apportion" -> (CoreQueries.q228Apportion(_, _)),
+    "q229_two_proportion" -> (CoreQueries.q229TwoProportion(_, _)),
+    "q230_vocab_profile" -> (LlmQueries.q230VocabProfile(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -264,7 +267,10 @@ object SparkEntry {
     "q224_cooccurrence" -> cooccurrenceOracle,
     "q225_regression" -> regressionOracle,
     "q226_changepoint" -> changepointOracle,
-    "q227_waterfill" -> waterfillOracle)
+    "q227_waterfill" -> waterfillOracle,
+    "q228_apportion" -> apportionOracle,
+    "q229_two_proportion" -> twoProportionOracle,
+    "q230_vocab_profile" -> vocabProfileOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -599,6 +605,72 @@ object SparkEntry {
       |  coalesce(v.cap, a.maxn) AS cap,
       |  least(a.n_docs, coalesce(v.cap, a.maxn)) AS alloc
       |FROM a LEFT JOIN v USING (lang) ORDER BY lang, source""".stripMargin
+
+  /** q228 oracle: [[graft.operators.Sampling.apportion]] replayed —
+    * HUGEINT floor-division quotas, exact remainders, largest-remainder
+    * leftovers with the lang tie-break.
+    */
+  private lazy val apportionOracle: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS tot FROM c),
+      |b AS (SELECT lang, n_docs,
+      |    (CAST(1000 AS HUGEINT) * n_docs) // tot AS base,
+      |    CAST(1000 AS HUGEINT) * n_docs - ((CAST(1000 AS HUGEINT) * n_docs) // tot) * tot AS rem
+      |  FROM c, t),
+      |l AS (SELECT *, 1000 - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b)
+      |SELECT lang, n_docs, CAST(rem AS VARCHAR) AS remainder,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
+      |FROM l ORDER BY lang""".stripMargin
+
+  /** q229 oracle: [[graft.quality.Association.twoProportion]] replayed —
+    * per-variant success/total counts, the ≤2-label pivot, the
+    * s_lo·m_hi − s_hi·m_lo numerator in HUGEINT, z's three-√ dag.
+    */
+  private lazy val twoProportionOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hi
+      |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |ga AS (SELECT grp, CAST(count(*) AS BIGINT) AS m, CAST(sum(hi) AS BIGINT) AS s
+      |  FROM ev GROUP BY 1),
+      |lab AS (SELECT *, count(*) OVER () AS ngrps,
+      |    min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi FROM ga),
+      |wide AS (SELECT grp_lo, grp_hi, ngrps,
+      |    max(CASE WHEN grp = grp_lo THEN m END) AS m_lo,
+      |    max(CASE WHEN grp = grp_lo THEN s END) AS s_lo,
+      |    max(CASE WHEN grp = grp_hi THEN m END) AS m_hi,
+      |    max(CASE WHEN grp = grp_hi THEN s END) AS s_hi
+      |  FROM lab GROUP BY 1, 2, 3),
+      |f AS (SELECT *, CAST(s_lo AS HUGEINT) * m_hi - CAST(s_hi AS HUGEINT) * m_lo AS num,
+      |    CAST(m_lo AS HUGEINT) + m_hi AS n, CAST(s_lo AS HUGEINT) + s_hi AS s FROM wide)
+      |SELECT grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups, m_lo, s_lo, m_hi, s_hi,
+      |  CAST(num AS VARCHAR) AS num,
+      |  CASE WHEN s * (n - s) > 0 THEN
+      |    round(CAST(num AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) /
+      |      (sqrt(CAST(CAST(m_lo AS HUGEINT) * m_hi AS DOUBLE)) *
+      |       sqrt(CAST(s * (n - s) AS DOUBLE))), 9) END AS z
+      |FROM f ORDER BY grp_lo""".stripMargin
+
+  /** q230 oracle: [[graft.text.CorpusLaws.vocabProfile]] replayed —
+    * per-(lang, token) counts, the (cnt desc, token) head rank, exact
+    * profile integers, pinned ratio divisions.
+    */
+  private lazy val vocabProfileOracle: String =
+    """WITH t AS (SELECT lang,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk FROM c),
+      |a AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |    CAST(sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) AS BIGINT) AS top_mass
+      |  FROM r GROUP BY 1)
+      |SELECT lang, n_tokens, n_types, hapax, top_mass,
+      |  round(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 9) AS hapax_ratio,
+      |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS type_token_ratio,
+      |  round(CAST(top_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS top_share
+      |FROM a ORDER BY lang""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

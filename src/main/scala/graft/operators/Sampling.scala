@@ -569,6 +569,68 @@ object Sampling {
     * per-source COUNT frame, never on rows); the cap frame broadcasts
     * back.
     */
+  /** Hamilton (largest-remainder) apportionment: split `seats` integer
+    * slots across rows PROPORTIONALLY to nᵢ — the exact-integer quota
+    * solver for balanced sampling plans ([[waterfillAllocation]] caps
+    * heavy rows under a budget; THIS one hands every row its
+    * proportional share: per-class eval quotas, per-source epoch
+    * plans). base_i = ⌊seats·nᵢ/N⌋ by exact DECIMAL floor division, the
+    * L = seats − Σbase leftovers go to the L largest remainders
+    * rᵢ = seats·nᵢ − baseᵢ·N (exact integers — N·fractional part, same
+    * order), ties to the smaller tie column value. Σseats_i = seats
+    * EXACTLY (no float quota ever drifts the total). Rows with n = 0
+    * get 0 (they hold remainder 0, ranked last among ties only if L
+    * reaches them — it cannot: L < #rows and every positive-n remainder
+    * outranks... a zero row CAN draw a leftover only when every
+    * remainder is 0, in which case L = 0). NULL/negative n excluded.
+    *
+    * SCALE: class-cardinality frame (counts, not rows); one rank window
+    * + one agg; 1-row totals broadcast.
+    */
+  def apportion(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      nCol: String,
+      tieCol: String,
+      seats: Long
+  ): DataFrame = if (keyCols.isEmpty) {
+    apportion(counts.withColumn("__g1", lit(1)), Seq("__g1"), nCol, tieCol, seats)
+      .drop("__g1")
+  } else {
+    require(seats >= 0, s"seats must be >= 0: $seats")
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val nD = col(nCol).cast(dec)
+    val tot = sum(nD).over(wAll)
+    val scaled = counts
+      .filter(col(nCol).isNotNull && col(nCol) >= 0L)
+      .withColumn("__tot", tot)
+      .filter(col("__tot") > 0L)
+      // exact floor: the DECIMAL division rounds at scale 6, which can
+      // cross an integer boundary when N > 10⁶ — verify the candidate's
+      // remainder and correct ±1 (rem must land in [0, N))
+      .withColumn("__b0", floor((lit(seats).cast(dec) * nD) / col("__tot")).cast(dec))
+      .withColumn("__r0", lit(seats).cast(dec) * nD - col("__b0") * col("__tot"))
+      .withColumn("__bD",
+        when(col("__r0") < 0L, col("__b0") - 1)
+          .when(col("__r0") >= col("__tot"), col("__b0") + 1)
+          .otherwise(col("__b0")))
+      .withColumn("__base", col("__bD").cast("long"))
+      .withColumn("__rem",
+        lit(seats).cast(dec) * nD - col("__bD") * col("__tot"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*)
+      .orderBy(col("__rem").desc, col(tieCol).asc)
+    scaled
+      .withColumn("__leftover", lit(seats) - sum("__base").over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("seats",
+        col("__base") + when(col("__rk") <= col("__leftover"), 1L).otherwise(0L))
+      .withColumn("remainder", col("__rem").cast("string"))
+      .drop("__tot", "__b0", "__r0", "__bD", "__base", "__rem", "__leftover", "__rk")
+  }
+
   def waterfillAllocation(
       counts: DataFrame,
       keyCols: Seq[String],

@@ -521,6 +521,68 @@ object Association {
         col("n") :+ col("h") :+ col("h_tie"): _*)
   }
 
+  /** Two-proportion z-test (the pooled-variance form; equivalent to the
+    * 2×2 chi-square, z² = χ² — spec-asserted against
+    * [[associationStat]]): do two variants share a success RATE — the
+    * A/B primitive for curation-filter pass rates, dedup hit rates,
+    * label prevalences. Per (keys, group ∈ {lo, hi by label order}):
+    * successes s and totals m as exact longs, the rate-difference
+    * numerator s_lo·m_hi − s_hi·m_lo as a digit string, and
+    *
+    *   z = num·√n / (√(m_lo·m_hi)·√(s·(n−s)))    (s = s_lo+s_hi, n = m_lo+m_hi)
+    *
+    * a fixed three-√ dag over exact integers (the algebraic collapse of
+    * (p̂_lo−p̂_hi)/√(p̂(1−p̂)(1/m_lo+1/m_hi)) — no intermediate rate float).
+    * NULL z when every trial succeeded or failed (pooled variance 0).
+    * No continuity correction (stated). Input: one row per trial with a
+    * boolean/0-1 success column; >2 groups flagged like [[mannWhitney]].
+    */
+  def twoProportion(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      successCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(col(successCol).cast("long")).as("__s"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__m"))).as("__m_lo"),
+        max(when(col("grp") === col("grp_lo"), col("__s"))).as("__s_lo"),
+        max(when(col("grp") === col("grp_hi"), col("__m"))).as("__m_hi"),
+        max(when(col("grp") === col("grp_hi"), col("__s"))).as("__s_hi"))
+    val two = col("__ngrps") === 2L
+    val mLo = col("__m_lo").cast(dec); val mHi = col("__m_hi").cast(dec)
+    val sLo = col("__s_lo").cast(dec); val sHi = col("__s_hi").cast(dec)
+    val n = mLo + mHi
+    val s = sLo + sHi
+    val num = sLo * mHi - sHi * mLo
+    val varCore = s * (n - s)
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("m_lo", when(two, col("__m_lo")))
+      .withColumn("s_lo", when(two, col("__s_lo")))
+      .withColumn("m_hi", when(two, col("__m_hi")))
+      .withColumn("s_hi", when(two, col("__s_hi")))
+      .withColumn("num", when(two, num.cast("string")))
+      .withColumn("z", when(two && varCore > 0,
+        num.cast("double") * sqrt(n.cast("double")) /
+          (sqrt((mLo * mHi).cast("double")) * sqrt(varCore.cast("double")))))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("m_lo") :+ col("s_lo") :+ col("m_hi") :+ col("s_hi") :+
+        col("num") :+ col("z"): _*)
+  }
+
   /** Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947;
     * Wilcoxon 1945) — "do these TWO samples share a location", the
     * two-sample sibling of [[kruskalWallis]] (k samples) and the

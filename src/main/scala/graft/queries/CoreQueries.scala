@@ -1851,6 +1851,35 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Hamilton apportionment gate: 1000 sample slots split across
+    * languages proportionally to doc counts — exact floor quotas,
+    * remainder digit strings, Σseats = 1000 exactly.
+    */
+  def q228Apportion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val counts = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    Sampling.apportion(counts, Nil, "n_docs", "lang", seats = 1000L)
+      .select(col("lang"), col("n_docs"), col("remainder"), col("seats"))
+      .orderBy("lang")
+  }
+
+  /** Two-proportion z gate: do click and view share the high-value
+    * rate (value ≥ 250) — exact success/total counts, the rate-diff
+    * numerator digit string, z a fixed three-√ dag.
+    */
+  def q229TwoProportion(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select(col("event_type"), (col("value") >= 250d).cast("long").as("hi"))
+    Association.twoProportion(ev, Nil, "event_type", "hi")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("m_lo"), col("s_lo"), col("m_hi"), col("s_hi"),
+        col("num"), round(col("z"), 9).as("z"))
+      .orderBy("grp_lo")
+  }
+
   /** OLS regression gate: the price-on-quantity line per return flag —
     * slope/intercept/R² as pure rationals over exact integer moments
     * (num/den digit strings; each surface one division, R² on doubles).

@@ -2062,6 +2062,20 @@ object LlmQueries {
         col("p_tot"), col("n_tot"), round(col("pmi"), 9).as("pmi"))
       .orderBy(col("c_xy").desc, col("w1"), col("w2"))
 
+  /** Vocabulary-profile gate: the per-language corpus health card —
+    * token/type/hapax counts exact, every ratio one pinned division,
+    * top-100 head mass via the one rank window.
+    */
+  def q230VocabProfile(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.vocabProfile(
+      Tables.documents(s, dir).select("lang", "text"), Seq("lang"), "text", topK = 100)
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("hapax"),
+        col("top_mass"),
+        round(col("hapax_ratio"), 9).as("hapax_ratio"),
+        round(col("type_token_ratio"), 9).as("type_token_ratio"),
+        round(col("top_share"), 9).as("top_share"))
+      .orderBy("lang")
+
   /** Triangle-count gate: the q195 near-dup graph (sorted-neighborhood
     * blocking + Levenshtein verify) through degree-ordered triangle
     * counting — per node the exact degree, triangle count, and local

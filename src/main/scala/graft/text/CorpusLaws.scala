@@ -143,4 +143,53 @@ object CorpusLaws {
         when(col("__den") > 0, col("__num").cast("double") / col("__den").cast("double")))
       .select(col("n_points"), col("beta"))
   }
+
+  /** Per-group vocabulary PROFILE — the one-row corpus health card the
+    * Zipf/Heaps fits read pointwise: token count, type count, hapax
+    * legomena count and ratio (the "how much of this vocabulary is
+    * noise/typos/URLs" smell — a healthy natural corpus sits near
+    * 0.4–0.6, deduped boilerplate collapses it), type-token ratio, and
+    * the mass share of the top-`topK` types (head concentration — the
+    * boilerplate-template complement of hapax). Exact integer counts;
+    * every ratio ONE pinned division.
+    *
+    * SCALE: per-(group, token) counts are map-side combined; the
+    * profile aggregations are vocabulary-keyed; the top-K head mass is
+    * the ONLY ordered step — one rank window over the per-group vocab
+    * frame (vocabulary-cardinality-sized; for a single global profile
+    * prefer... the grouped form keeps partitions lang-sized). Emits one
+    * row per group.
+    */
+  def vocabProfile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      textCol: String,
+      topK: Int = 100
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val g = keyCols.map(col)
+    val counts = df
+      .filter(col(textCol).isNotNull)
+      .select((g :+ explode(expr(
+        s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')")).as("token")): _*)
+      .groupBy((g :+ col("token")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("__rk", row_number().over(wRank))
+      .groupBy(g: _*)
+      .agg(
+        sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("__rk") <= topK, col("cnt")).otherwise(0L)).cast("long")
+          .as("top_mass"))
+      .withColumn("hapax_ratio",
+        col("hapax").cast("double") / col("n_types").cast("double"))
+      .withColumn("type_token_ratio",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("top_share",
+        col("top_mass").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -445,7 +445,19 @@ class PlanShapeSpec extends SparkSpec {
     // source-cardinality frame (min(struct) plans as SortAggregate
     // there — bounded bookkeeping); the cap frame broadcasts back
     Shape("q227_waterfill", maxHash = 4, minBroadcastJoin = 1,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Hamilton apportionment: ONE count exchange; quotas/remainders/
+    // leftover ranks all on the class-cardinality frame
+    Shape("q228_apportion", maxHash = 1, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true),
+    // two-proportion z: ONE variant-count exchange; the <=2-label pivot
+    // and the z dag are bookkeeping on a 2-row frame
+    Shape("q229_two_proportion", maxHash = 1, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true),
+    // vocab profile: token-count agg + the per-lang head-rank window;
+    // profile agg shares the window's exchange
+    Shape("q230_vocab_profile", maxHash = 2, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -268,6 +268,81 @@ class TrendStatsSpec extends SparkSpec {
     assert(r0.map(_.getAs[Long]("alloc")).sum === 12L)
   }
 
+  // --- Hamilton apportionment ----------------------------------------------------
+
+  test("apportion: largest-remainder goldens, exact totals, ties to the smaller label") {
+    import graft.operators.Sampling
+    val c = Seq(("a", 4L), ("b", 3L), ("c", 2L)).toDF("cls", "n")
+    val r = Sampling.apportion(c, Nil, "n", "cls", seats = 10L)
+      .orderBy("cls").collect()
+    assert(r.map(_.getAs[Long]("seats")).toSeq === Seq(5L, 3L, 2L))
+    assert(r.map(_.getAs[String]("remainder")).toSeq === Seq("4", "3", "2"))
+
+    // remainder tie: the smaller tie-column label wins the leftover
+    val tie = Seq(("a", 1L), ("b", 1L)).toDF("cls", "n")
+    val rt = Sampling.apportion(tie, Nil, "n", "cls", seats = 3L)
+      .orderBy("cls").collect()
+    assert(rt.map(_.getAs[Long]("seats")).toSeq === Seq(2L, 1L))
+
+    // zero-count rows get zero; totals exact under a sweep
+    for (k <- Seq(0L, 1L, 7L, 100L, 1001L)) {
+      val cc = Seq(("a", 0L), ("b", 7L), ("c", 13L), ("d", 1L)).toDF("cls", "n")
+      val out = Sampling.apportion(cc, Nil, "n", "cls", k).collect()
+      assert(out.map(_.getAs[Long]("seats")).sum === k, s"k=$k")
+      assert(out.filter(_.getAs[String]("cls") == "a").forall(r =>
+        k == 0L || r.getAs[Long]("seats") <= 1L)) // zero row draws at most a tie leftover
+    }
+  }
+
+  // --- Two-proportion z ------------------------------------------------------------
+
+  test("twoProportion: golden z, z^2 == 2x2 chi-square, degenerate NULL, 3-group flag") {
+    import graft.quality.Association
+    val ab = ((1 to 8).map(_ => ("A", 1L)) ++ (1 to 2).map(_ => ("A", 0L)) ++
+      (1 to 2).map(_ => ("B", 1L)) ++ (1 to 8).map(_ => ("B", 0L))).toDF("v", "hi")
+    val r = Association.twoProportion(ab, Nil, "v", "hi").collect()(0)
+    assert(r.getAs[String]("num") === "60") // 8*10 - 2*10
+    val z = r.getAs[Double]("z")
+    assert(math.abs(z - 60d * math.sqrt(20d) / (10d * 10d)) < 1e-12)
+    // z^2 is the 2x2 chi-square (the pooled-variance identity)
+    val cells = Association.associationCells(
+      Association.contingencyCounts(ab, Nil, "v", "hi"), Nil)
+    val (chi, _, dfree) = Association.associationStat(cells)
+    assert(dfree === 1L)
+    assert(math.abs(z * z - chi) < 1e-9)
+
+    val allHit = Seq(("A", 1L), ("A", 1L), ("B", 1L)).toDF("v", "hi")
+    val rd = Association.twoProportion(allHit, Nil, "v", "hi").collect()(0)
+    assert(rd.isNullAt(rd.fieldIndex("z"))) // pooled variance 0
+
+    val three = Seq(("A", 1L), ("B", 0L), ("C", 1L)).toDF("v", "hi")
+    val r3 = Association.twoProportion(three, Nil, "v", "hi").collect()(0)
+    assert(r3.getAs[Long]("n_groups") === 3L)
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+  }
+
+  // --- Vocabulary profile -----------------------------------------------------------
+
+  test("vocabProfile: exact counts, hapax/TTR/head-share divisions, per-group isolation") {
+    import graft.text.CorpusLaws
+    val docs = Seq(("en", "a  a b"), ("en", "a c"), ("de", "x y"))
+      .toDF("lang", "text")
+    val out = CorpusLaws.vocabProfile(docs, Seq("lang"), "text", topK = 2)
+      .orderBy("lang").collect()
+    val en = out(1)
+    assert(en.getAs[Long]("n_tokens") === 5L)
+    assert(en.getAs[Long]("n_types") === 3L)
+    assert(en.getAs[Long]("hapax") === 2L)
+    assert(en.getAs[Long]("top_mass") === 4L) // a(3) + b(1): tie b<c by token
+    assert(en.getAs[Double]("hapax_ratio") === 2d / 3d)
+    assert(en.getAs[Double]("type_token_ratio") === 3d / 5d)
+    assert(en.getAs[Double]("top_share") === 4d / 5d)
+    val de = out(0)
+    assert(de.getAs[Long]("n_types") === 2L)
+    assert(de.getAs[Double]("hapax_ratio") === 1.0)
+    assert(de.getAs[Double]("top_share") === 1.0) // topK covers everything
+  }
+
   // --- A-ES weighted sampling -------------------------------------------------
 
   test("weightedSampleWithoutReplacement: md5 race replayed key-for-key") {
