@@ -240,7 +240,10 @@ object SparkEntry {
     "q227_waterfill" -> (CoreQueries.q227Waterfill(_, _)),
     "q228_apportion" -> (CoreQueries.q228Apportion(_, _)),
     "q229_two_proportion" -> (CoreQueries.q229TwoProportion(_, _)),
-    "q230_vocab_profile" -> (LlmQueries.q230VocabProfile(_, _))
+    "q230_vocab_profile" -> (LlmQueries.q230VocabProfile(_, _)),
+    "q231_cluster_sizes" -> (LlmQueries.q231ClusterSizes(_, _)),
+    "q232_hellinger_drift" -> (LlmQueries.q232HellingerDrift(_, _)),
+    "q233_effective_sample_size" -> (LlmQueries.q233EffectiveSampleSize(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -270,7 +273,10 @@ object SparkEntry {
     "q227_waterfill" -> waterfillOracle,
     "q228_apportion" -> apportionOracle,
     "q229_two_proportion" -> twoProportionOracle,
-    "q230_vocab_profile" -> vocabProfileOracle)
+    "q230_vocab_profile" -> vocabProfileOracle,
+    "q231_cluster_sizes" -> clusterSizesOracle,
+    "q232_hellinger_drift" -> hellingerOracle,
+    "q233_effective_sample_size" -> essOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -670,6 +676,63 @@ object SparkEntry {
       |  round(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 9) AS hapax_ratio,
       |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS type_token_ratio,
       |  round(CAST(top_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS top_share
+      |FROM a ORDER BY lang""".stripMargin
+
+  /** q231 oracle: the q113 recursive-CTE component assignment
+    * ([[CcClustersOracleSql]]'s CTE verbatim) folded to the size
+    * histogram + duplication summary.
+    */
+  private lazy val clusterSizesOracle: String =
+    CcClustersOracleSql.replace(
+      "SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node",
+      """, assign AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |sz AS (SELECT component, count(*) AS size FROM assign GROUP BY 1),
+        |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1),
+        |f AS (SELECT size, n_clusters, size * n_clusters AS n_nodes,
+        |    sum(size * n_clusters) OVER () AS total_nodes,
+        |    sum(n_clusters) OVER () AS total_clusters FROM h)
+        |SELECT CAST(size AS BIGINT) AS size, n_clusters,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(total_nodes AS BIGINT) AS total_nodes,
+        |  CAST(total_clusters AS BIGINT) AS total_clusters,
+        |  round(CAST(total_nodes - total_clusters AS DOUBLE) /
+        |    CAST(total_nodes AS DOUBLE), 9) AS dup_factor
+        |FROM f ORDER BY size""".stripMargin)
+
+  /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
+    * replayed — per-half bucket histograms, the full-outer value join,
+    * nano √(p·q) cell terms, the H²/H dag.
+    */
+  private lazy val hellingerOracle: String =
+    """WITH ev AS (SELECT event_id,
+      |    CAST(CAST(round(value * 1000) AS BIGINT) // 5000 AS VARCHAR) AS bkt
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT bkt AS v, count(*) AS nb FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+      |c AS (SELECT bkt AS v, count(*) AS nc FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT coalesce(b.v, c.v) AS v, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      |  FROM b FULL OUTER JOIN c ON b.v = c.v),
+      |w AS (SELECT *, sum(nb) OVER () AS tb, sum(nc) OVER () AS tc FROM j),
+      |t AS (SELECT *, CAST(round(sqrt((CAST(nb AS DOUBLE) / tb) *
+      |    (CAST(nc AS DOUBLE) / tc)) * 1e9) AS BIGINT) AS bc9 FROM w)
+      |SELECT CAST(max(tb) AS BIGINT) AS n_base, CAST(max(tc) AS BIGINT) AS n_cur,
+      |  CAST(sum(bc9) AS BIGINT) AS bc9,
+      |  round(1.0 - CAST(sum(bc9) AS DOUBLE) / 1e9, 9) AS h2,
+      |  round(sqrt(greatest(1.0 - CAST(sum(bc9) AS DOUBLE) / 1e9, 0.0)), 9) AS hellinger
+      |FROM t""".stripMargin
+
+  /** q233 oracle: [[graft.operators.Sampling.effectiveSampleSize]]
+    * replayed — HUGEINT weight sums, the double-square ESS dag.
+    */
+  private lazy val essOracle: String =
+    """WITH d AS (SELECT lang, CAST(n_chars AS HUGEINT) AS w FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars >= 0),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, sum(w) AS sw, sum(w * w) AS sww
+      |  FROM d GROUP BY 1)
+      |SELECT lang, n, CAST(sw AS VARCHAR) AS sw, CAST(sww AS VARCHAR) AS sww,
+      |  CASE WHEN sww > 0 THEN
+      |    round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE), 9) END AS ess,
+      |  CASE WHEN sww > 0 THEN
+      |    round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 9) END AS ess_ratio
       |FROM a ORDER BY lang""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on

@@ -169,6 +169,34 @@ object ConnectedComponents {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** Cluster-SIZE histogram + duplication summary from a
+    * (node, component) assignment — the one-screen dedup health read:
+    * how big are the near-dup families (a fat tail = a boilerplate
+    * template pairing everything), and what fraction of the corpus is
+    * redundant (dup_factor = (nodes − clusters)/nodes — keeping one doc
+    * per cluster removes exactly that share of the EDGE-TOUCHED corpus;
+    * singletons never enter an edge list, so feed assignments that
+    * include them, or read the factor as edge-touched-only — stated).
+    * One row per distinct size: size, n_clusters, n_nodes (= their
+    * product, exact), plus the replicated totals and the ONE pinned
+    * dup_factor division. Size-cardinality output; two aggregations +
+    * one all-frame window over the histogram — nothing corpus-sized
+    * after the first groupBy.
+    */
+  def clusterSizeProfile(assign: DataFrame): DataFrame = {
+    val sizes = assign.groupBy(col("component")).agg(count(lit(1)).as("size"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sizes.groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_nodes", col("size") * col("n_clusters"))
+      .withColumn("total_nodes", sum("n_nodes").over(all))
+      .withColumn("total_clusters", sum("n_clusters").over(all))
+      .withColumn("dup_factor",
+        (col("total_nodes") - col("total_clusters")).cast("double") /
+          col("total_nodes").cast("double"))
+  }
+
   /** Fold NEW edges into an existing (node, component) assignment without
     * re-clustering the corpus — the nightly-dedup shape (new near-dup
     * pairs arrive from [[MinHashLsh.incrementalBlockedPairs]]; clusters

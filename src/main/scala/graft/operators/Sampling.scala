@@ -569,6 +569,40 @@ object Sampling {
     * per-source COUNT frame, never on rows); the cap frame broadcasts
     * back.
     */
+  /** Effective sample size of a weighted corpus (Kish 1965):
+    * ESS = (Σw)²/Σw² per key — how many EQUAL-weight rows the weighted
+    * set is statistically worth; ess_ratio = ESS/n is the mixture-audit
+    * number (1 = uniform weights, → 1/n = one row carries everything —
+    * a temperature/DSIR reweighting that collapses ESS has destroyed
+    * its own sample). Exact DECIMAL sums emitted as digit strings; ESS
+    * a fixed dag with the square on DOUBLES ((Σw)² clears DECIMAL(38,0)
+    * at corpus scale). NULL/negative weights excluded; n = 0 keys emit
+    * nothing. ONE aggregation exchange.
+    */
+  def effectiveSampleSize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      weightCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val wD = col(weightCol).cast(dec)
+    df.filter(col(weightCol).isNotNull && col(weightCol) >= 0L)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(wD).as("__sw"),
+        sum(wD * wD).as("__sww"))
+      .withColumn("sw", col("__sw").cast("string"))
+      .withColumn("sww", col("__sww").cast("string"))
+      .withColumn("ess",
+        when(col("__sww") > 0L,
+          col("__sw").cast("double") * col("__sw").cast("double") /
+            col("__sww").cast("double")))
+      .withColumn("ess_ratio", col("ess") / col("n").cast("double"))
+      .drop("__sw", "__sww")
+  }
+
   /** Hamilton (largest-remainder) apportionment: split `seats` integer
     * slots across rows PROPORTIONALLY to nᵢ — the exact-integer quota
     * solver for balanced sampling plans ([[waterfillAllocation]] caps

@@ -896,6 +896,43 @@ object Profiler {
   def wassersteinDrift(base: DataFrame, cur: DataFrame, column: String): DataFrame =
     wassersteinFromCounts(bucketCounts(base, column), bucketCounts(cur, column))
 
+  /** Hellinger distance between two (possibly folded) [[valueCounts]]
+    * histograms — the bounded [0,1] drift metric whose per-cell term
+    * √(p·q) REWARDS overlap (JS penalizes divergence; Hellinger's
+    * √-geometry is the right one when small-mass cells matter — it's
+    * the Bhattacharyya complement √(1−BC)). Each cell's
+    * round(1e9·√((n_b/B)·(n_c/C))) is a nano long summed order-free
+    * (the JS discipline); H² = 1 − Σ/1e9 and H = √(max(H², 0)) are a
+    * fixed dag — gate at 9 decimals. One-sided cells contribute 0
+    * naturally (√(p·0) = 0); the NULL category matches itself (the
+    * chiSquareDrift NULL-safe-join rule). Value-cardinality frame.
+    */
+  def hellingerFromCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val hb = baseCounts.select(col("value").as("__vb"), col("cnt").as("n_base"))
+    val hc = curCounts.select(col("value").as("__vc"), col("cnt").as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hb.join(hc, col("__vb") <=> col("__vc"), "full_outer")
+      .select(coalesce(col("__vb"), col("__vc")).as("value"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("__tb", sum("n_base").over(all))
+      .withColumn("__tc", sum("n_cur").over(all))
+      .withColumn("__bc9",
+        round(sqrt((col("n_base").cast("double") / col("__tb")) *
+          (col("n_cur").cast("double") / col("__tc"))) * 1e9d).cast("long"))
+      .groupBy()
+      .agg(
+        max("__tb").cast("long").as("n_base"),
+        max("__tc").cast("long").as("n_cur"),
+        sum("__bc9").as("bc9"))
+      .withColumn("h2", lit(1d) - col("bc9").cast("double") / 1e9d)
+      .withColumn("hellinger", sqrt(greatest(col("h2"), lit(0d))))
+  }
+
+  /** [[hellingerFromCounts]] over raw rows. */
+  def hellingerDrift(base: DataFrame, cur: DataFrame, column: String): DataFrame =
+    hellingerFromCounts(valueCounts(base, column), valueCounts(cur, column))
+
   /** Scalar (χ², degrees of freedom) from a [[chiSquareDrift]] frame:
     * χ² = (1/(B·C)) · Σ_v chi_num_v / cell_tot_v, the division deferred to
     * this driver-side fold (value-order summation — deterministic);

@@ -2062,6 +2062,56 @@ object LlmQueries {
         col("p_tot"), col("n_tot"), round(col("pmi"), 9).as("pmi"))
       .orderBy(col("c_xy").desc, col("w1"), col("w2"))
 
+  /** Cluster-size histogram gate: the q113 component assignment folded
+    * to the dedup health card — per cluster size the cluster/node
+    * counts (exact), totals replicated, dup_factor one division.
+    */
+  def q231ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id")
+    val edges = d.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    ConnectedComponents.clusterSizeProfile(
+      ConnectedComponents.labelPropagation(edges, localEdgeThreshold = 0))
+      .select(col("size"), col("n_clusters"), col("n_nodes"),
+        col("total_nodes"), col("total_clusters"),
+        round(col("dup_factor"), 9).as("dup_factor"))
+      .orderBy("size")
+  }
+
+  /** Hellinger-drift gate: the bounded [0,1] distance between the
+    * even/odd-half event-value histograms — per-cell nano √(p·q) terms
+    * summed order-free, H²/H a fixed dag.
+    */
+  def q232HellingerDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"),
+        (round(col("value") * 1000).cast("long") / 5000L).cast("long").as("bkt"))
+    Profiler.hellingerDrift(
+      base = ev.filter(col("event_id") % 2 === 0),
+      cur = ev.filter(col("event_id") % 2 === 1),
+      column = "bkt")
+      .select(col("n_base"), col("n_cur"), col("bc9"),
+        round(col("h2"), 9).as("h2"),
+        round(col("hellinger"), 9).as("hellinger"))
+  }
+
+  /** Effective-sample-size gate: how many equal-weight docs each
+    * language's n_chars-weighted corpus is worth — exact Σw/Σw² digit
+    * strings, ESS and its ratio fixed dags.
+    */
+  def q233EffectiveSampleSize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.effectiveSampleSize(
+      Tables.documents(s, dir).select("lang", "n_chars"), Seq("lang"), "n_chars")
+      .select(col("lang"), col("n"), col("sw"), col("sww"),
+        round(col("ess"), 9).as("ess"),
+        round(col("ess_ratio"), 9).as("ess_ratio"))
+      .orderBy("lang")
+  }
+
   /** Vocabulary-profile gate: the per-language corpus health card —
     * token/type/hapax counts exact, every ratio one pinned division,
     * top-100 head mass via the one rank window.

@@ -457,7 +457,16 @@ class PlanShapeSpec extends SparkSpec {
     // vocab profile: token-count agg + the per-lang head-rank window;
     // profile agg shares the window's exchange
     Shape("q230_vocab_profile", maxHash = 2, forbidSortMergeJoin = true,
-      forbidSortAggregate = true, forbidUdf = true)
+      forbidSortAggregate = true, forbidUdf = true),
+    // cluster sizes: the CC loop's own exchanges are audited at q113;
+    // the profile adds size/histogram aggs on component-sized frames
+    Shape("q231_cluster_sizes", maxHash = 2, forbidUdf = true),
+    // Hellinger: two half histograms + the full-outer value join (SMJ
+    // on cardinality-bounded frames, the q222 reading) + one summary agg
+    Shape("q232_hellinger_drift", maxHash = 4, forbidUdf = true),
+    // ESS: ONE aggregation exchange, the rest a projection
+    Shape("q233_effective_sample_size", maxHash = 1,
+      forbidSortMergeJoin = true, forbidSortAggregate = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

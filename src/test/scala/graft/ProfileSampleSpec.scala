@@ -77,6 +77,28 @@ class ProfileSampleSpec extends SparkSpec {
     assert(r0.isNullAt(r0.fieldIndex("w1")))
   }
 
+  test("hellinger drift: zero on identical, one on disjoint, half-overlap golden") {
+    import spark.implicits._
+    import graft.quality.Profiler
+    val a = (Seq.fill(5)("x") ++ Seq.fill(5)("y")).map(Tuple1(_)).toDF("v")
+    val same = Profiler.hellingerDrift(a, a, "v").collect()(0)
+    assert(same.getAs[Double]("h2") === 0.0) // 2 * nano(0.5) sums to exactly 1e9
+    assert(same.getAs[Double]("hellinger") === 0.0)
+
+    val b = (Seq.fill(5)("p") ++ Seq.fill(5)("q")).map(Tuple1(_)).toDF("v")
+    val disj = Profiler.hellingerDrift(a, b, "v").collect()(0)
+    assert(disj.getAs[Long]("bc9") === 0L)
+    assert(disj.getAs[Double]("hellinger") === 1.0)
+
+    // A all-x vs B half-x: BC = sqrt(1 * 0.5), H = sqrt(1 - BC)
+    val ax = Seq.fill(4)("x").map(Tuple1(_)).toDF("v")
+    val bx = (Seq.fill(2)("x") ++ Seq.fill(2)("z")).map(Tuple1(_)).toDF("v")
+    val r = Profiler.hellingerDrift(ax, bx, "v").collect()(0)
+    val bc = math.round(math.sqrt(0.5) * 1e9).toDouble / 1e9
+    assert(math.abs(r.getAs[Double]("h2") - (1.0 - bc)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("hellinger") - math.sqrt(1.0 - bc)) < 1e-12)
+  }
+
   test("profiler computes all metrics for all columns in one pass") {
     import spark.implicits._
     val d = Seq(

@@ -343,6 +343,48 @@ class TrendStatsSpec extends SparkSpec {
     assert(de.getAs[Double]("top_share") === 1.0) // topK covers everything
   }
 
+  // --- Effective sample size -------------------------------------------------------
+
+  test("effectiveSampleSize: uniform weights give ESS = n; a dominant weight collapses it") {
+    import graft.operators.Sampling
+    val uni = Seq(("k", 2L), ("k", 2L), ("k", 2L)).toDF("g", "w")
+    val ru = Sampling.effectiveSampleSize(uni, Seq("g"), "w").collect()(0)
+    assert(ru.getAs[Double]("ess") === 3.0)
+    assert(ru.getAs[Double]("ess_ratio") === 1.0)
+    assert(ru.getAs[String]("sw") === "6" && ru.getAs[String]("sww") === "12")
+
+    val skew = Seq(("k", 3L), ("k", 1L)).toDF("g", "w")
+    val rs = Sampling.effectiveSampleSize(skew, Seq("g"), "w").collect()(0)
+    assert(rs.getAs[Double]("ess") === 1.6) // 16/10
+
+    val dom = (Seq(("k", 1000000L)) ++ (1 to 9).map(_ => ("k", 1L))).toDF("g", "w")
+    val rd = Sampling.effectiveSampleSize(dom, Seq("g"), "w").collect()(0)
+    assert(rd.getAs[Double]("ess") < 1.001) // one row carries everything
+
+    val zeros = Seq(("k", 0L), ("k", 0L)).toDF("g", "w")
+    val rz = Sampling.effectiveSampleSize(zeros, Seq("g"), "w").collect()(0)
+    assert(rz.isNullAt(rz.fieldIndex("ess"))) // sww = 0: nothing weighted
+  }
+
+  // --- Cluster-size profile -----------------------------------------------------------
+
+  test("clusterSizeProfile: histogram exact, totals replicated, dup factor one division") {
+    import graft.dedup.ConnectedComponents
+    val assign = Seq(
+      ("a", 1L), ("b", 1L), ("c", 1L), // size 3
+      ("d", 2L), ("e", 2L),            // size 2
+      ("f", 3L), ("g", 3L),            // size 2
+      ("h", 4L)                        // size 1
+    ).toDF("node", "component")
+    val out = ConnectedComponents.clusterSizeProfile(assign)
+      .orderBy("size").collect()
+    assert(out.map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_clusters"),
+      r.getAs[Long]("n_nodes"))).toSeq === Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 3L)))
+    assert(out.forall(_.getAs[Long]("total_nodes") === 8L))
+    assert(out.forall(_.getAs[Long]("total_clusters") === 4L))
+    assert(out.forall(_.getAs[Double]("dup_factor") === 0.5))
+  }
+
   // --- A-ES weighted sampling -------------------------------------------------
 
   test("weightedSampleWithoutReplacement: md5 race replayed key-for-key") {
