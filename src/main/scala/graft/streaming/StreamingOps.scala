@@ -842,6 +842,37 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming bucket-count fold — the Wasserstein/drift family's
+    * online state: each micro-batch's integer-bucket histogram
+    * ([[graft.quality.Profiler.bucketCounts]]) merges additively into a
+    * versioned store, so the standing histogram answers "W₁ vs any
+    * reference so far" ([[graft.quality.Profiler.wassersteinFromCounts]]
+    * over the latest version) at value-cardinality rows. Same
+    * non-idempotent recompute-on-replay version discipline as
+    * [[contingencyStream]].
+    */
+  def bucketCountsStream(
+      rows: DataFrame,
+      column: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.Profiler.bucketCounts(batch, column)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.Profiler.mergeBucketCounts(
+            s.read.parquet(p), bc)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class DebounceEvent(key: String, event_id: Long, ts_sec: Long)
 
   /** Streaming debounce — [[graft.operators.TimeSeries.debounce]]'s

@@ -783,6 +783,35 @@ class StreamingSpec extends SparkSpec {
     assert(tauFold == tauFull)
   }
 
+  test("streaming bucket-count fold equals the batch rebuild; standing W1 matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.quality.Profiler
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bktstream").toString
+    val mem = MemoryStream[Long]
+    val b1 = (0 until 300).map(i => (i % 7).toLong)
+    val b2 = (0 until 200).map(i => (i % 11).toLong)
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("v")
+    StreamingOps.bucketCountsStream(rows, "v", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.bucketCountsStream(rows, "v", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("bucket").collect().toSeq
+    val rebuilt = Profiler.bucketCounts((b1 ++ b2).map(Tuple1(_)).toDF("v"), "v")
+      .orderBy("bucket").collect().toSeq
+    assert(folded == rebuilt)
+    // standing W1 vs a fixed reference == the rebuild's W1
+    val ref = Profiler.bucketCounts((0 until 100).map(i => Tuple1((i % 5).toLong)).toDF("v"), "v")
+    val wFold = Profiler.wassersteinFromCounts(ref, spark.read.parquet(latest)).collect()(0)
+    val wFull = Profiler.wassersteinFromCounts(ref,
+      Profiler.bucketCounts((b1 ++ b2).map(Tuple1(_)).toDF("v"), "v")).collect()(0)
+    assert(wFold === wFull)
+  }
+
   test("streaming clustering folds edge batches into the bucketed assignment store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.{BucketedAssignStore, ConnectedComponents}
