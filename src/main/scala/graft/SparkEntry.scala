@@ -243,7 +243,8 @@ object SparkEntry {
     "q230_vocab_profile" -> (LlmQueries.q230VocabProfile(_, _)),
     "q231_cluster_sizes" -> (LlmQueries.q231ClusterSizes(_, _)),
     "q232_hellinger_drift" -> (LlmQueries.q232HellingerDrift(_, _)),
-    "q233_effective_sample_size" -> (LlmQueries.q233EffectiveSampleSize(_, _))
+    "q233_effective_sample_size" -> (LlmQueries.q233EffectiveSampleSize(_, _)),
+    "q234_krippendorff" -> (LlmQueries.q234Krippendorff(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -276,7 +277,8 @@ object SparkEntry {
     "q230_vocab_profile" -> vocabProfileOracle,
     "q231_cluster_sizes" -> clusterSizesOracle,
     "q232_hellinger_drift" -> hellingerOracle,
-    "q233_effective_sample_size" -> essOracle)
+    "q233_effective_sample_size" -> essOracle,
+    "q234_krippendorff" -> krippendorffOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -734,6 +736,41 @@ object SparkEntry {
       |  CASE WHEN sww > 0 THEN
       |    round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 9) END AS ess_ratio
       |FROM a ORDER BY lang""".stripMargin
+
+  /** q234 oracle: [[graft.operators.RankEval.krippendorffAlpha]]
+    * replayed — the three-judge long form, m ≥ 2 unit filter, per-unit
+    * nano disagreement terms, kept-unit margins, the α dag.
+    */
+  private lazy val krippendorffOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars, text FROM documents),
+      |r AS (
+      |  SELECT doc_id, CAST(n_chars >= 256 AS VARCHAR) AS label FROM d
+      |  UNION ALL SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 40 AS VARCHAR)
+      |    FROM d WHERE text IS NOT NULL
+      |  UNION ALL SELECT doc_id, CAST(doc_id % 2 = 0 AS VARCHAR) FROM d WHERE doc_id % 4 <> 1),
+      |cells AS (SELECT doc_id, label, count(*) AS n FROM r WHERE label IS NOT NULL GROUP BY 1, 2),
+      |u AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS m,
+      |    sum(CAST(n AS HUGEINT) * n) AS sq
+      |  FROM cells GROUP BY 1 HAVING sum(n) >= 2),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+      |    CAST(sum(m) AS BIGINT) AS n_pairable,
+      |    sum(CAST(round(CAST(CAST(m AS HUGEINT) * m - sq AS DOUBLE) /
+      |      (CAST(m AS DOUBLE) - 1.0) * 1e9) AS HUGEINT)) AS obs9 FROM u),
+      |mg AS (SELECT sum(CAST(nv AS HUGEINT) * nv) AS sqv FROM (
+      |  SELECT cells.label, CAST(sum(cells.n) AS BIGINT) AS nv
+      |  FROM cells JOIN u ON cells.doc_id = u.doc_id GROUP BY 1)),
+      |f AS (SELECT n_units, n_pairable, obs9,
+      |    CAST(n_pairable AS HUGEINT) * n_pairable - sqv AS den,
+      |    CAST(obs9 AS DOUBLE) / 1e9 / CAST(n_pairable AS DOUBLE) AS d_obs,
+      |    CAST(CAST(n_pairable AS HUGEINT) * n_pairable - sqv AS DOUBLE) /
+      |      CAST(CAST(n_pairable AS HUGEINT) * (CAST(n_pairable AS HUGEINT) - 1) AS DOUBLE) AS d_exp
+      |  FROM o, mg)
+      |SELECT n_units, n_pairable, CAST(obs9 AS VARCHAR) AS obs9,
+      |  CAST(den AS VARCHAR) AS de_num,
+      |  round(d_obs, 9) AS d_obs, round(d_exp, 9) AS d_exp,
+      |  CASE WHEN den > 0 AND n_pairable > 1 THEN round(1.0 - d_obs / d_exp, 9) END AS alpha
+      |FROM f""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

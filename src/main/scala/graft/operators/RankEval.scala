@@ -324,6 +324,72 @@ object RankEval {
       })
   }
 
+  /** Krippendorff's alpha, nominal data (Krippendorff 1970/2004) — the
+    * agreement coefficient [[cohenKappa]] can't be: ANY number of
+    * annotators, MISSING ratings tolerated (a unit rated once simply
+    * has no pairable values and drops), one number for the whole panel.
+    * Input is LONG form: one row per (unit, rating); annotator identity
+    * is irrelevant under nominal α (only the per-unit label multiset
+    * matters).
+    *
+    *   D_o = Σ_u (m_u² − Σ_v n_uv²)/(m_u − 1) / N    (N = Σ m_u, m_u ≥ 2)
+    *   D_e = (N² − Σ_v n_v²) / (N(N−1))
+    *   α   = 1 − D_o/D_e
+    *
+    * Determinism: each unit's disagreement term has its OWN (m_u − 1)
+    * denominator, so the per-unit term is nano-scaled to a long
+    * (round(1e9·(m²−Σn²)/(m−1)) — a fixed dag per unit) and summed
+    * order-free in DECIMAL (a long sum could clip past ~10⁹ units);
+    * margins and D_e stay exact integers; α is a fixed dag over the
+    * pieces, gated at 9 decimals. NULL α when D_e = 0 (one label total
+    * — nothing to disagree about). Label margins count KEPT units only
+    * (the m_u ≥ 2 filter precedes them — Krippendorff's own rule).
+    *
+    * SCALE: (unit, label) counts are map-side combined; everything
+    * after is unit- or label-cardinality bookkeeping; no window, no
+    * join beyond two 1-row crosses.
+    */
+  def krippendorffAlpha(
+      ratings: DataFrame,
+      unitCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = ratings
+      .filter(col(unitCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(labelCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val units = cells.groupBy("__u")
+      .agg(sum("__n").as("__m"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__sq"))
+      .filter(col("__m") >= 2L)
+    val mD = col("__m").cast(dec)
+    val term9 = round(
+      (mD * mD - col("__sq")).cast("double") /
+        (col("__m").cast("double") - 1d) * 1e9d).cast("long")
+    val obs = units.agg(
+      count(lit(1)).as("n_units"),
+      sum("__m").as("n_pairable"),
+      sum(term9.cast(dec)).as("__obs9"))
+    val margins = cells
+      .join(units.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__v").agg(sum("__n").as("__nv"))
+      .agg(sum(col("__nv").cast(dec) * col("__nv").cast(dec)).as("__sqv"))
+    val nD = col("n_pairable").cast(dec)
+    obs.crossJoin(broadcast(margins))
+      .withColumn("obs9", col("__obs9").cast("string"))
+      .withColumn("de_num", (nD * nD - col("__sqv")).cast("string"))
+      .withColumn("d_obs",
+        col("__obs9").cast("double") / 1e9d / col("n_pairable").cast("double"))
+      .withColumn("d_exp",
+        (nD * nD - col("__sqv")).cast("double") /
+          (nD * (nD - 1)).cast("double"))
+      .withColumn("alpha",
+        when((nD * nD - col("__sqv")) > 0L && col("n_pairable") > 1L,
+          lit(1d) - col("d_obs") / col("d_exp")))
+      .select("n_units", "n_pairable", "obs9", "de_num", "d_obs", "d_exp", "alpha")
+  }
+
   def confusion(
       predictions: DataFrame,
       labels: DataFrame,

@@ -2112,6 +2112,28 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** Krippendorff-alpha gate: a three-judge panel (length, word-count,
+    * and a doc-id-parity noise judge that skips every 4th doc — the
+    * missing-rating case kappa can't take) — per-unit nano disagreement
+    * terms, exact margins, α a fixed dag.
+    */
+  def q234Krippendorff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars", "text")
+    val j1 = d.select(col("doc_id"),
+      (col("n_chars") >= 256L).cast("string").as("label"))
+    val j2 = d.select(col("doc_id"),
+      (size(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")) >= 40)
+        .cast("string").as("label"))
+    val j3 = d.filter(col("doc_id") % 4 =!= 1)
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).cast("string").as("label"))
+    RankEval.krippendorffAlpha(j1.unionAll(j2).unionAll(j3), "doc_id", "label")
+      .select(col("n_units"), col("n_pairable"), col("obs9"), col("de_num"),
+        round(col("d_obs"), 9).as("d_obs"),
+        round(col("d_exp"), 9).as("d_exp"),
+        round(col("alpha"), 9).as("alpha"))
+  }
+
   /** Vocabulary-profile gate: the per-language corpus health card —
     * token/type/hapax counts exact, every ratio one pinned division,
     * top-100 head mass via the one rank window.

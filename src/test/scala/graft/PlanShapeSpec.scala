@@ -466,7 +466,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q232_hellinger_drift", maxHash = 4, forbidUdf = true),
     // ESS: ONE aggregation exchange, the rest a projection
     Shape("q233_effective_sample_size", maxHash = 1,
-      forbidSortMergeJoin = true, forbidSortAggregate = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidSortAggregate = true, forbidUdf = true),
+    // Krippendorff: three judge scans + (unit, label) cells + unit/
+    // margin aggs; the kept-unit semi-join and 1-row crosses broadcast
+    Shape("q234_krippendorff", maxHash = 8, maxRange = 2,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

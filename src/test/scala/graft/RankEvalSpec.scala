@@ -239,4 +239,35 @@ class RankEvalSpec extends SparkSpec {
     val bot = RankEval.rbo(ranked(Seq("x", "y", "a")), ranked(Seq("u", "v", "a")), "id", "rank", 3).head()
     assert(top.getDouble(3) > bot.getDouble(3))
   }
+
+  test("krippendorffAlpha: hand golden 4/9, perfect = 1, single-rating units drop, one-label NULL") {
+    import spark.implicits._
+    // units {a,a}, {a,b}, {b,b}: D_o = 2/6, D_e = 18/30, alpha = 4/9
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (3L, "b"))
+      .toDF("u", "l")
+    val out = RankEval.krippendorffAlpha(r, "u", "l").collect()(0)
+    assert(out.getAs[Long]("n_units") === 3L)
+    assert(out.getAs[Long]("n_pairable") === 6L)
+    assert(out.getAs[String]("obs9") === "2000000000")
+    assert(out.getAs[String]("de_num") === "18")
+    assert(math.abs(out.getAs[Double]("alpha") - 4d / 9d) < 1e-9)
+
+    // a unit rated once has no pairable values: identical alpha
+    val withSingle = r.unionAll(Seq((4L, "a")).toDF("u", "l"))
+    val o2 = RankEval.krippendorffAlpha(withSingle, "u", "l").collect()(0)
+    assert(o2.getAs[Long]("n_units") === 3L)
+    assert(math.abs(o2.getAs[Double]("alpha") - 4d / 9d) < 1e-9)
+
+    // perfect agreement across 3 annotators: alpha = 1 exactly
+    val perfect = (1 to 5).flatMap(u => Seq.fill(3)((u.toLong, s"lab${u % 2}")))
+      .toDF("u", "l")
+    val op = RankEval.krippendorffAlpha(perfect, "u", "l").collect()(0)
+    assert(op.getAs[String]("obs9") === "0")
+    assert(op.getAs[Double]("alpha") === 1.0)
+
+    // one label in the whole panel: D_e = 0, alpha NULL
+    val mono = (1 to 3).flatMap(u => Seq.fill(2)((u.toLong, "x"))).toDF("u", "l")
+    val om = RankEval.krippendorffAlpha(mono, "u", "l").collect()(0)
+    assert(om.isNullAt(om.fieldIndex("alpha")))
+  }
 }
