@@ -244,7 +244,8 @@ object SparkEntry {
     "q231_cluster_sizes" -> (LlmQueries.q231ClusterSizes(_, _)),
     "q232_hellinger_drift" -> (LlmQueries.q232HellingerDrift(_, _)),
     "q233_effective_sample_size" -> (LlmQueries.q233EffectiveSampleSize(_, _)),
-    "q234_krippendorff" -> (LlmQueries.q234Krippendorff(_, _))
+    "q234_krippendorff" -> (LlmQueries.q234Krippendorff(_, _)),
+    "q235_association_matrix" -> (CoreQueries.q235AssociationMatrix(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -278,7 +279,8 @@ object SparkEntry {
     "q231_cluster_sizes" -> clusterSizesOracle,
     "q232_hellinger_drift" -> hellingerOracle,
     "q233_effective_sample_size" -> essOracle,
-    "q234_krippendorff" -> krippendorffOracle)
+    "q234_krippendorff" -> krippendorffOracle,
+    "q235_association_matrix" -> associationMatrixOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -771,6 +773,48 @@ object SparkEntry {
       |  round(d_obs, 9) AS d_obs, round(d_exp, 9) AS d_exp,
       |  CASE WHEN den > 0 AND n_pairable > 1 THEN round(1.0 - d_obs / d_exp, 9) END AS alpha
       |FROM f""".stripMargin
+
+  /** q235 oracle: [[graft.quality.Association.associationMatrix]]
+    * replayed — the three-pair long form, then the q209 summary math
+    * keyed by the pair label (chi terms N-scaled before the nano round,
+    * the round-11 rule).
+    */
+  private lazy val associationMatrixOracle: String =
+    """WITH d AS (SELECT CAST(lang AS VARCHAR) AS c0, CAST(source AS VARCHAR) AS c1,
+      |    CAST(n_chars // 512 AS VARCHAR) AS c2 FROM documents),
+      |lg AS (
+      |  SELECT 'lang|source' AS pair, c0 AS x, c1 AS y FROM d
+      |  UNION ALL SELECT 'lang|len_b', c0, c2 FROM d
+      |  UNION ALL SELECT 'source|len_b', c1, c2 FROM d),
+      |c AS (SELECT pair, x, y, count(*) AS n FROM lg GROUP BY 1, 2, 3),
+      |m AS (SELECT pair, x, y, CAST(n AS BIGINT) AS n,
+      |    CAST(sum(n) OVER (PARTITION BY pair, x) AS BIGINT) AS row_tot,
+      |    CAST(sum(n) OVER (PARTITION BY pair, y) AS BIGINT) AS col_tot,
+      |    CAST(sum(n) OVER (PARTITION BY pair) AS BIGINT) AS n_tot FROM c),
+      |base AS (SELECT pair, CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+      |    CAST(count(DISTINCT y) AS BIGINT) AS n_y, CAST(max(n_tot) AS BIGINT) AS n,
+      |    sum(CAST(round(CAST(n_tot AS DOUBLE) * n * n /
+      |      (CAST(row_tot AS DOUBLE) * col_tot) * 1e9) AS HUGEINT)) AS chi9,
+      |    CAST(sum(CAST(round((CAST(n AS DOUBLE) / n_tot) *
+      |      ln(CAST(n AS DOUBLE) * n_tot / (CAST(row_tot AS DOUBLE) * col_tot)) * 1e9) AS BIGINT)) AS BIGINT) AS mi9
+      |  FROM m GROUP BY 1),
+      |hx AS (SELECT pair, CAST(sum(CAST(round(-(CAST(row_tot AS DOUBLE) / n_tot) *
+      |      ln(CAST(row_tot AS DOUBLE) / n_tot) * 1e9) AS BIGINT)) AS BIGINT) AS hx9
+      |  FROM (SELECT DISTINCT pair, x, row_tot, n_tot FROM m) GROUP BY 1),
+      |hy AS (SELECT pair, CAST(sum(CAST(round(-(CAST(col_tot AS DOUBLE) / n_tot) *
+      |      ln(CAST(col_tot AS DOUBLE) / n_tot) * 1e9) AS BIGINT)) AS BIGINT) AS hy9
+      |  FROM (SELECT DISTINCT pair, y, col_tot, n_tot FROM m) GROUP BY 1)
+      |SELECT b.pair, n_x, n_y, n,
+      |  round(CAST(chi9 AS DOUBLE) / 1e9 - n, 9) AS chi2,
+      |  CASE WHEN least(n_x, n_y) > 1 AND n > 0 THEN
+      |    round(sqrt(greatest(CAST(chi9 AS DOUBLE) / 1e9 - n, 0) /
+      |      (CAST(n AS DOUBLE) * (least(n_x, n_y) - 1))), 9) END AS cramers_v,
+      |  CAST(mi9 AS DOUBLE) / 1e9 AS mi,
+      |  CAST(hx9 AS DOUBLE) / 1e9 AS h_x, CAST(hy9 AS DOUBLE) / 1e9 AS h_y,
+      |  CASE WHEN hx9 > 0 THEN round(CAST(mi9 AS DOUBLE) / hx9, 9) END AS theil_u_x,
+      |  CASE WHEN hy9 > 0 THEN round(CAST(mi9 AS DOUBLE) / hy9, 9) END AS theil_u_y
+      |FROM base b JOIN hx USING (pair) JOIN hy USING (pair)
+      |ORDER BY pair""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

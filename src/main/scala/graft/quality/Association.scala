@@ -521,6 +521,45 @@ object Association {
         col("n") :+ col("h") :+ col("h_tie"): _*)
   }
 
+  /** Pairwise association MATRIX over categorical columns — the
+    * [[associationSummary]] of every unordered column pair in ONE
+    * pass, the categorical companion of the Pearson/Spearman matrices
+    * (q185/q192): which metadata fields are redundant, which explain
+    * which (the asymmetric Theil U pair per row says both directions).
+    * Construction: one NARROW generator per row (explode over the pair
+    * structs — fan-out = #pairs, documented), one (pair, x, y) count
+    * aggregation, then the existing cells→summary machinery with the
+    * pair LABEL as an extra key — so every determinism property (nano
+    * MI terms, N-scaled chi terms in DECIMAL, pinned divisions) is
+    * inherited, not re-implemented. NULL stays a category (the
+    * contingency rule). Emits one row per (keys, pair "a|b").
+    *
+    * SCALE: the exploded frame is rows×pairs (bounded fan-out); the one
+    * count agg map-side combines; everything after is
+    * category-cardinality bookkeeping per pair.
+    */
+  def associationMatrix(
+      df: DataFrame,
+      keyCols: Seq[String],
+      cols: Seq[String]
+  ): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns: $cols")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
+      yield (cols(i), cols(j))
+    val structs = pairs.map { case (a, b) =>
+      struct(lit(s"$a|$b").as("pair"),
+        col(a).cast("string").as("x"), col(b).cast("string").as("y"))
+    }
+    val long = df
+      .select((keyCols.map(col) :+ explode(array(structs: _*)).as("__p")): _*)
+      .select((keyCols.map(col) :+ col("__p").getField("pair").as("pair") :+
+        col("__p").getField("x").as("x") :+ col("__p").getField("y").as("y")): _*)
+    val counts = long
+      .groupBy((keyCols.map(col) :+ col("pair") :+ col("x") :+ col("y")): _*)
+      .agg(count(lit(1)).as("n"))
+    associationSummary(associationCells(counts, keyCols :+ "pair"), keyCols :+ "pair")
+  }
+
   /** Two-proportion z-test (the pooled-variance form; equivalent to the
     * 2×2 chi-square, z² = χ² — spec-asserted against
     * [[associationStat]]): do two variants share a success RATE — the

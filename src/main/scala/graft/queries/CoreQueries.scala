@@ -1851,6 +1851,24 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Association-matrix gate: every unordered pair of (lang, source,
+    * length-bucket) through the q209 summary machinery in one pass —
+    * chi²/V/MI/entropies/Theil U per pair row.
+    */
+  def q235AssociationMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir).select(col("lang"), col("source"),
+      (col("n_chars") / 512L).cast("long").as("len_b"))
+    Association.associationMatrix(d, Nil, Seq("lang", "source", "len_b"))
+      .select(col("pair"), col("n_x"), col("n_y"), col("n"),
+        round(col("chi2"), 9).as("chi2"),
+        round(col("cramers_v"), 9).as("cramers_v"),
+        col("mi"), col("h_x"), col("h_y"),
+        round(col("theil_u_x"), 9).as("theil_u_x"),
+        round(col("theil_u_y"), 9).as("theil_u_y"))
+      .orderBy("pair")
+  }
+
   /** Hamilton apportionment gate: 1000 sample slots split across
     * languages proportionally to doc counts — exact floor quotas,
     * remainder digit strings, Σseats = 1000 exactly.

@@ -82,6 +82,25 @@ class AssociationSpec extends SparkSpec {
     assert(sc.isNullAt(sc.fieldIndex("theil_u_y"))) // nothing to explain
   }
 
+  test("associationMatrix: every pair row equals the pairwise summary; labels ordered") {
+    val d = (1 to 60).map(i => (s"a${i % 3}", s"b${i % 4}", s"c${i % 2}"))
+      .toDF("ca", "cb", "cc")
+    val mat = Association.associationMatrix(d, Nil, Seq("ca", "cb", "cc"))
+      .orderBy("pair").collect()
+    assert(mat.map(_.getAs[String]("pair")).toSeq ===
+      Seq("ca|cb", "ca|cc", "cb|cc"))
+    for ((a, b) <- Seq(("ca", "cb"), ("ca", "cc"), ("cb", "cc"))) {
+      val single = Association.associationSummary(
+        Association.associationCells(
+          Association.contingencyCounts(d, Nil, a, b), Nil), Nil).collect()(0)
+      val row = mat.find(_.getAs[String]("pair") == s"$a|$b").get
+      for (c <- Seq("n_x", "n_y", "n"))
+        assert(row.getAs[Long](c) === single.getAs[Long](c), s"$a|$b $c")
+      for (c <- Seq("chi2", "mi", "h_x", "h_y"))
+        assert(row.getAs[Double](c) === single.getAs[Double](c), s"$a|$b $c")
+    }
+  }
+
   test("mannWhitney: textbook separation, tie-heavy null, degenerate, 3-group contract") {
     // A=[1,2,3] B=[4,5,6]: 2U1 = 12-12 = 0, z = -4.5/sqrt(5.25)
     val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("B", 6L))

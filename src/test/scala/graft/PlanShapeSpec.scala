@@ -470,7 +470,11 @@ class PlanShapeSpec extends SparkSpec {
     // Krippendorff: three judge scans + (unit, label) cells + unit/
     // margin aggs; the kept-unit semi-join and 1-row crosses broadcast
     Shape("q234_krippendorff", maxHash = 8, maxRange = 2,
-      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true)
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    // association matrix: ONE (pair, x, y) count agg over the bounded
+    // pair fan-out; cells/summary bookkeeping inherits q209's shape
+    Shape("q235_association_matrix", maxHash = 8, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
