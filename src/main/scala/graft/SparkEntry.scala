@@ -245,7 +245,8 @@ object SparkEntry {
     "q232_hellinger_drift" -> (LlmQueries.q232HellingerDrift(_, _)),
     "q233_effective_sample_size" -> (LlmQueries.q233EffectiveSampleSize(_, _)),
     "q234_krippendorff" -> (LlmQueries.q234Krippendorff(_, _)),
-    "q235_association_matrix" -> (CoreQueries.q235AssociationMatrix(_, _))
+    "q235_association_matrix" -> (CoreQueries.q235AssociationMatrix(_, _)),
+    "q236_quantile_normalize" -> (CoreQueries.q236QuantileNormalize(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -280,7 +281,8 @@ object SparkEntry {
     "q232_hellinger_drift" -> hellingerOracle,
     "q233_effective_sample_size" -> essOracle,
     "q234_krippendorff" -> krippendorffOracle,
-    "q235_association_matrix" -> associationMatrixOracle)
+    "q235_association_matrix" -> associationMatrixOracle,
+    "q236_quantile_normalize" -> quantileNormalizeOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -815,6 +817,24 @@ object SparkEntry {
       |  CASE WHEN hy9 > 0 THEN round(CAST(mi9 AS DOUBLE) / hy9, 9) END AS theil_u_y
       |FROM base b JOIN hx USING (pair) JOIN hy USING (pair)
       |ORDER BY pair""".stripMargin
+
+  /** q236 oracle: [[graft.operators.Quantiles.quantileNormalize]]
+    * replayed — per-source (value, id) ranks, the exact ⌈r·m/n⌉ via
+    * HUGEINT floor division, the reference CDF interval join.
+    */
+  private lazy val quantileNormalizeOracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents WHERE n_chars IS NOT NULL),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank,
+      |    count(*) OVER (PARTITION BY source) AS n FROM d),
+      |ref AS (SELECT CAST(n_chars AS BIGINT) AS bucket, count(*) AS cnt FROM d GROUP BY 1),
+      |rc AS (SELECT bucket AS norm,
+      |    sum(cnt) OVER (ORDER BY bucket) - cnt + 1 AS lo,
+      |    sum(cnt) OVER (ORDER BY bucket) AS hi FROM ref),
+      |m AS (SELECT CAST(sum(cnt) AS HUGEINT) AS mm FROM ref),
+      |w AS (SELECT rk.*, (CAST(rank AS HUGEINT) * mm + n - 1) // n AS t FROM rk, m)
+      |SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank,
+      |  CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS ref_pos, norm
+      |FROM w JOIN rc ON t >= lo AND t <= hi ORDER BY doc_id""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

@@ -428,4 +428,72 @@ object Quantiles {
         expr(s"percentile_approx($valueCol, $pcts, $accuracy)").as("quantiles")
       )
   }
+
+  /** Quantile normalization: map each row's value to the REFERENCE
+    * distribution's value at the same quantile — the cross-source score
+    * calibrator (per-source quality/length scores drift in scale; after
+    * this, "top decile" means the same thing everywhere — the
+    * microarray-era quantile-normalization standard applied to corpus
+    * scores). Exact and deterministic end to end:
+    *
+    *  - each row's per-key rank r comes from the [[cellScaffold]]
+    *    layout (cell offset + within-cell row_number ordered by
+    *    (value, tieBreak)) — the skew-safe global rank, largest sort =
+    *    one cell;
+    *  - its reference position t = ⌈r·m/n⌉ (m = reference mass, n =
+    *    group size) is exact DECIMAL arithmetic with the floor-division
+    *    remainder-verified ±1 correction (the row-178 rule — a scale-6
+    *    decimal quotient may cross an integer at corpus magnitudes);
+    *  - the normalized value is the reference bucket whose cumulative
+    *    interval [cum−cnt+1, cum] contains t — a broadcast range join
+    *    against the value-cardinality-sized reference CDF.
+    *
+    * The reference is a [[graft.quality.Profiler.bucketCounts]]-shaped
+    * (bucket, cnt) frame — foldable, so the calibrator composes with
+    * the streaming histogram fold. Self-normalization law (spec'd):
+    * normalizing a group to its own value counts returns its own
+    * multiset. NULL values drop (no rank); an EMPTY reference emits
+    * nothing (inner range join, stated).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      refCounts: DataFrame,
+      cells: Int = 256
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val base = df.filter(col(valueCol).isNotNull)
+    val scaff = cellScaffold(base, keyCols, valueCol, cells)
+    val wCell = Window.partitionBy((g :+ col("__c")): _*)
+      .orderBy(col(valueCol), col(tieBreakCol))
+    val ranked = scaff
+      .withColumn("rank", col("__off") + row_number().over(wCell))
+      .withColumn("n", col("__n"))
+      .drop("__c", "__cnt", "__off", "__n")
+    val ref = refCounts
+      .withColumn("__cum", sum("cnt").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lo", col("__cum") - col("cnt") + 1L)
+      .select(col("bucket").as("norm"), col("__lo"), col("__cum").as("__hi"))
+    val mTot = refCounts.agg(sum("cnt").cast(dec).as("__m"))
+    // t = ceil(rank·m/n): floor((rank·m + n − 1)/n) with the exact ±1
+    // remainder correction
+    val rmD = col("rank").cast(dec) * col("__m") + col("n").cast(dec) - 1
+    val nD = col("n").cast(dec)
+    val withT = ranked.crossJoin(broadcast(mTot))
+      .withColumn("__q0", floor(rmD / nD).cast(dec))
+      .withColumn("__r0", rmD - col("__q0") * nD)
+      .withColumn("__t",
+        when(col("__r0") < 0L, col("__q0") - 1)
+          .when(col("__r0") >= nD, col("__q0") + 1)
+          .otherwise(col("__q0")))
+    withT
+      .join(broadcast(ref),
+        col("__t") >= col("__lo").cast(dec) && col("__t") <= col("__hi").cast(dec))
+      .withColumn("ref_pos", col("__t").cast("long"))
+      .drop("__m", "__q0", "__r0", "__t", "__lo", "__hi")
+  }
 }

@@ -1851,6 +1851,20 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Quantile-normalization gate: each source's doc-length scores
+    * mapped onto the GLOBAL length distribution — scaffold ranks, the
+    * exact ⌈r·m/n⌉ reference position, the broadcast CDF range join.
+    */
+  def q236QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val ref = graft.quality.Profiler.bucketCounts(d, "n_chars")
+    Quantiles.quantileNormalize(d, Seq("source"), "n_chars", "doc_id", ref)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank"), col("n"), col("ref_pos"), col("norm"))
+      .orderBy("doc_id")
+  }
+
   /** Association-matrix gate: every unordered pair of (lang, source,
     * length-bucket) through the q209 summary machinery in one pass —
     * chi²/V/MI/entropies/Theil U per pair row.

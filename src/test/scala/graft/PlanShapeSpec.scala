@@ -474,7 +474,12 @@ class PlanShapeSpec extends SparkSpec {
     // association matrix: ONE (pair, x, y) count agg over the bounded
     // pair fan-out; cells/summary bookkeeping inherits q209's shape
     Shape("q235_association_matrix", maxHash = 8, minBroadcastJoin = 2,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // quantile normalize: scaffold rank exchanges + the reference CDF
+    // range join as a BROADCAST nested loop (ref is value-cardinality-
+    // bounded); no sort-merge anywhere, rows never reshuffle for the ref
+    Shape("q236_quantile_normalize", maxHash = 6, maxRange = 3,
+      minBroadcastJoin = 2, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -1,12 +1,42 @@
 package graft
 
-import graft.operators.Skew
+import graft.operators.{Quantiles, Skew}
 import graft.similarity.Knn
 import graft.sources.Bucketing
 import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("quantileNormalize: golden mapping, interval ties, self-normalization identity") {
+    val rows = Seq((1L, "s", 1L), (2L, "s", 5L), (3L, "s", 9L)).toDF("id", "g", "v")
+    val ref3 = Seq((10L, 1L), (20L, 1L), (30L, 1L)).toDF("bucket", "cnt")
+    val got = Quantiles.quantileNormalize(rows, Seq("g"), "v", "id", ref3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("norm")).toSeq === Seq(10L, 20L, 30L))
+    assert(got.map(_.getAs[Long]("ref_pos")).toSeq === Seq(1L, 2L, 3L))
+
+    // skewed reference: cum intervals [1,2] -> 100, [3,4] -> 200
+    val rows2 = Seq((1L, "s", 7L), (2L, "s", 8L)).toDF("id", "g", "v")
+    val ref4 = Seq((100L, 2L), (200L, 2L)).toDF("bucket", "cnt")
+    val g2 = Quantiles.quantileNormalize(rows2, Seq("g"), "v", "id", ref4)
+      .orderBy("rank").collect()
+    assert(g2.map(_.getAs[Long]("norm")).toSeq === Seq(100L, 200L))
+
+    // self-normalization: a group mapped onto its own counts returns
+    // its own value multiset
+    val vals = Seq(3L, 3L, 7L, 9L, 9L, 9L, 20L)
+    val self = vals.zipWithIndex.map { case (v, i) => (i.toLong, "s", v) }
+      .toDF("id", "g", "v")
+    val refSelf = graft.quality.Profiler.bucketCounts(self, "v")
+    val norms = Quantiles.quantileNormalize(self, Seq("g"), "v", "id", refSelf)
+      .collect().map(_.getAs[Long]("norm")).sorted.toSeq
+    assert(norms === vals.sorted)
+    // and the last rank always lands on the last reference bucket
+    val last = Quantiles.quantileNormalize(self, Seq("g"), "v", "id", ref4)
+      .orderBy(col("rank").desc).collect().head
+    assert(last.getAs[Long]("norm") === 200L)
+  }
 
   test("skewProfile: exact counts, ppm share, ceil-div salt, pinned tie-break") {
     // key a: 25 rows, b: 10, c: 10, d: 3, e: 2 -> total 50
