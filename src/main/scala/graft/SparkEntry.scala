@@ -246,7 +246,8 @@ object SparkEntry {
     "q233_effective_sample_size" -> (LlmQueries.q233EffectiveSampleSize(_, _)),
     "q234_krippendorff" -> (LlmQueries.q234Krippendorff(_, _)),
     "q235_association_matrix" -> (CoreQueries.q235AssociationMatrix(_, _)),
-    "q236_quantile_normalize" -> (CoreQueries.q236QuantileNormalize(_, _))
+    "q236_quantile_normalize" -> (CoreQueries.q236QuantileNormalize(_, _)),
+    "q237_kfold" -> (LlmQueries.q237KFold(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -282,7 +283,8 @@ object SparkEntry {
     "q233_effective_sample_size" -> essOracle,
     "q234_krippendorff" -> krippendorffOracle,
     "q235_association_matrix" -> associationMatrixOracle,
-    "q236_quantile_normalize" -> quantileNormalizeOracle)
+    "q236_quantile_normalize" -> quantileNormalizeOracle,
+    "q237_kfold" -> kFoldOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -835,6 +837,18 @@ object SparkEntry {
       |SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank,
       |  CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS ref_pos, norm
       |FROM w JOIN rc ON t >= lo AND t <= hi ORDER BY doc_id""".stripMargin
+
+  /** q237 oracle: [[graft.operators.Sampling.kFoldAssign]] replayed —
+    * md5 rank per language, fold = (rank−1)·k // n in HUGEINT.
+    */
+  private lazy val kFoldOracle: String =
+    """WITH d AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rank,
+      |    count(*) OVER (PARTITION BY lang) AS n FROM d)
+      |SELECT lang, doc_id, rank,
+      |  CAST((CAST(rank - 1 AS HUGEINT) * 5) // n AS INTEGER) AS fold
+      |FROM r ORDER BY lang, rank""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

@@ -569,6 +569,51 @@ object Sampling {
     * per-source COUNT frame, never on rows); the cap frame broadcasts
     * back.
     */
+  /** Deterministic stratified k-fold assignment: within every stratum,
+    * rows rank by their md5 content hash (the [[keyHash]] currency — no
+    * seed, no partitioning dependence) and fold = ⌊(rank−1)·k/n⌋, so
+    * fold sizes within a stratum differ by AT MOST ONE row (exact
+    * balance — a hash-mod fold only balances in expectation) and every
+    * stratum contributes proportionally to every fold: the
+    * cross-validation / eval-shard splitter whose folds are replayable
+    * from id content alone. The fold expression is pure integer
+    * arithmetic ((rank−1)·k as DECIMAL, the remainder-verified floor —
+    * rank·k at corpus scale clears a long times small k but not the
+    * scale-6 division subtlety). Emits rank (within stratum, md5 order,
+    * id tie-break) and fold ∈ [0, k).
+    *
+    * SCALE: one rank window per stratum over the md5 projection (the
+    * A-ES shape — for hot strata, rank through [[graft.operators
+    * .Quantiles]]' cellScaffold on the hash instead; the fold map is
+    * rank-only so any exact-rank layout drops in).
+    */
+  def kFoldAssign(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy((col("__h").asc +: idCols.map(col(_).asc)): _*)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    val rkD = (col("rank") - 1L).cast(dec) * k
+    val nD = col("__n").cast(dec)
+    df.withColumn("__h", keyHash(idCols.map(col)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__q0", floor(rkD / nD).cast(dec))
+      .withColumn("__r0", rkD - col("__q0") * nD)
+      .withColumn("fold",
+        when(col("__r0") < 0L, col("__q0") - 1)
+          .when(col("__r0") >= nD, col("__q0") + 1)
+          .otherwise(col("__q0")).cast("int"))
+      .drop("__h", "__n", "__q0", "__r0")
+  }
+
   /** Effective sample size of a weighted corpus (Kish 1965):
     * ESS = (Σw)²/Σw² per key — how many EQUAL-weight rows the weighted
     * set is statistically worth; ess_ratio = ESS/n is the mixture-audit

@@ -2112,6 +2112,18 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** k-fold gate: 5 folds per language, md5-ranked — fold sizes within
+    * a stratum differ by at most one row, assignment replayable from id
+    * content alone.
+    */
+  def q237KFold(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.kFoldAssign(
+      Tables.documents(s, dir).select("lang", "doc_id"), Seq("lang"), Seq("doc_id"), k = 5)
+      .select(col("lang"), col("doc_id"), col("rank"), col("fold"))
+      .orderBy("lang", "rank")
+  }
+
   /** Krippendorff-alpha gate: a three-judge panel (length, word-count,
     * and a doc-id-parity noise judge that skips every 4th doc — the
     * missing-rating case kappa can't take) — per-unit nano disagreement

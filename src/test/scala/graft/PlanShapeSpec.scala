@@ -479,7 +479,10 @@ class PlanShapeSpec extends SparkSpec {
     // range join as a BROADCAST nested loop (ref is value-cardinality-
     // bounded); no sort-merge anywhere, rows never reshuffle for the ref
     Shape("q236_quantile_normalize", maxHash = 6, maxRange = 3,
-      minBroadcastJoin = 2, forbidSortMergeJoin = true, forbidUdf = true)
+      minBroadcastJoin = 2, forbidSortMergeJoin = true, forbidUdf = true),
+    // k-fold: ONE stratum rank-window exchange over the md5 projection
+    Shape("q237_kfold", maxHash = 1, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

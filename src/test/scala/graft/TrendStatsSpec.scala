@@ -385,6 +385,28 @@ class TrendStatsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("dup_factor") === 0.5))
   }
 
+  // --- k-fold assignment ----------------------------------------------------------
+
+  test("kFoldAssign: exact balance per stratum, content-stable, folds partition rows") {
+    import graft.operators.Sampling
+    val rows = (1 to 23).map(i => (s"s${i % 2}", i.toLong)).toDF("g", "id")
+    val out = Sampling.kFoldAssign(rows, Seq("g"), Seq("id"), k = 5).collect()
+    assert(out.length === 23)
+    assert(out.forall(r => r.getAs[Int]("fold") >= 0 && r.getAs[Int]("fold") < 5))
+    // fold sizes within each stratum differ by at most one
+    for (g <- Seq("s0", "s1")) {
+      val sizes = out.filter(_.getAs[String]("g") == g)
+        .groupBy(_.getAs[Int]("fold")).map(_._2.length).toSeq
+      assert(sizes.size === 5)
+      assert(sizes.max - sizes.min <= 1, s"$g sizes=$sizes")
+    }
+    // content stability: the assignment is a pure function of (g, id)
+    val again = Sampling.kFoldAssign(rows.repartition(7), Seq("g"), Seq("id"), k = 5)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id")) -> r.getAs[Int]("fold")).toMap
+    assert(out.forall(r =>
+      again((r.getAs[String]("g"), r.getAs[Long]("id"))) === r.getAs[Int]("fold")))
+  }
+
   // --- A-ES weighted sampling -------------------------------------------------
 
   test("weightedSampleWithoutReplacement: md5 race replayed key-for-key") {
