@@ -247,7 +247,9 @@ object SparkEntry {
     "q234_krippendorff" -> (LlmQueries.q234Krippendorff(_, _)),
     "q235_association_matrix" -> (CoreQueries.q235AssociationMatrix(_, _)),
     "q236_quantile_normalize" -> (CoreQueries.q236QuantileNormalize(_, _)),
-    "q237_kfold" -> (LlmQueries.q237KFold(_, _))
+    "q237_kfold" -> (LlmQueries.q237KFold(_, _)),
+    "q238_allocated_sample" -> (LlmQueries.q238AllocatedSample(_, _)),
+    "q239_threshold_sweep" -> (LlmQueries.q239ThresholdSweep(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -284,7 +286,9 @@ object SparkEntry {
     "q234_krippendorff" -> krippendorffOracle,
     "q235_association_matrix" -> associationMatrixOracle,
     "q236_quantile_normalize" -> quantileNormalizeOracle,
-    "q237_kfold" -> kFoldOracle)
+    "q237_kfold" -> kFoldOracle,
+    "q238_allocated_sample" -> allocatedSampleOracle,
+    "q239_threshold_sweep" -> thresholdSweepOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -849,6 +853,73 @@ object SparkEntry {
       |SELECT lang, doc_id, rank,
       |  CAST((CAST(rank - 1 AS HUGEINT) * 5) // n AS INTEGER) AS fold
       |FROM r ORDER BY lang, rank""".stripMargin
+
+  /** q238 oracle: the q228 apportionment CTE (seats = 100) composed
+    * with the q219 A-ES race, joined and cut at each language's quota.
+    */
+  private lazy val allocatedSampleOracle: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS tot FROM c),
+      |b AS (SELECT lang, n_docs,
+      |    (CAST(100 AS HUGEINT) * n_docs) // tot AS base,
+      |    CAST(100 AS HUGEINT) * n_docs - ((CAST(100 AS HUGEINT) * n_docs) // tot) * tot AS rem
+      |  FROM c, t),
+      |l AS (SELECT *, 100 - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b),
+      |st AS (SELECT lang,
+      |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats FROM l),
+      |w AS (SELECT lang, doc_id, n_chars,
+      |    list_reduce(list_transform(range(1, 16), i ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+      |      (acc, x) -> acc * 16 + x) AS m
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |l9t AS (SELECT lang, doc_id, n_chars,
+      |    CAST(round(ln((m + 1) / 1152921504606846976.0) * 1e9) AS BIGINT) AS l9 FROM w),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY CAST(l9 AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank FROM l9t)
+      |SELECT r.lang, doc_id, n_chars, l9, CAST(rank AS INTEGER) AS rank, seats
+      |FROM r JOIN st ON r.lang = st.lang WHERE rank <= seats
+      |ORDER BY r.lang, rank""".stripMargin
+
+  /** q239 oracle, generated: the q195 blocked-pair CTE with the dist
+    * column retained, then per threshold t ∈ 0..6 its own symmetrized
+    * recursive-CTE component assignment and summary row — 7 generated
+    * blocks, one UNION.
+    */
+  private lazy val thresholdSweepOracle: String = {
+    val perT = (0 to 6).map { t =>
+      s"""sym$t AS (SELECT id_a AS src, id_b AS dst FROM ed WHERE dist <= $t
+         |  UNION SELECT id_b, id_a FROM ed WHERE dist <= $t),
+         |nodes$t AS (SELECT DISTINCT src AS node FROM sym$t),
+         |reach$t AS (
+         |  SELECT node, node AS r FROM nodes$t
+         |  UNION
+         |  SELECT s.dst AS node, reach$t.r FROM reach$t JOIN sym$t s ON s.src = reach$t.node),
+         |asg$t AS (SELECT node, min(r) AS component FROM reach$t GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 6).map { t =>
+      s"""SELECT $t AS threshold,
+         |  (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM ed WHERE dist <= $t)) AS n_pairs,
+         |  (SELECT count(*) FROM asg$t) AS n_nodes,
+         |  (SELECT count(DISTINCT component) FROM asg$t) AS n_clusters,
+         |  CASE WHEN (SELECT count(*) FROM asg$t) > 0 THEN
+         |    round(CAST((SELECT count(*) FROM asg$t) - (SELECT count(DISTINCT component) FROM asg$t) AS DOUBLE) /
+         |      CAST((SELECT count(*) FROM asg$t) AS DOUBLE), 9)
+         |  ELSE 0.0 END AS dup_factor""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE b AS (SELECT doc_id AS id,
+       |    lang || ':' || substring(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 24) AS k
+       |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+       |r0 AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rank FROM b),
+       |p AS (SELECT a.id AS id_a, c.id AS id_b, a.k AS key_a, c.k AS key_b
+       |  FROM r0 a JOIN r0 c ON c.rank > a.rank AND c.rank < a.rank + 4),
+       |ed AS (SELECT id_a, id_b, CAST(levenshtein(key_a, key_b) AS INT) AS dist
+       |  FROM p WHERE levenshtein(key_a, key_b) <= 6),
+       |$perT
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY threshold""".stripMargin
+  }
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

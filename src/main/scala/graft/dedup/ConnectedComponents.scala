@@ -197,6 +197,44 @@ object ConnectedComponents {
           col("total_nodes").cast("double"))
   }
 
+  /** Dedup THRESHOLD sweep: for every candidate verification threshold,
+    * the clustering that WOULD result — one summary row per threshold t
+    * with the edge count, touched-node count, cluster count, and
+    * duplication factor of the graph restricted to edges with
+    * `distCol` ≤ t. The maxDist tuning curve read directly: where the
+    * dup_factor elbow sits is where the verifier should cut. Runs one
+    * [[labelPropagation]] per threshold over the ALREADY-BLOCKED pair
+    * frame (bounded by the blocking contract — thresholds are few and
+    * the pair set is the small thing; the corpus is never touched), so
+    * each row is exact, not extrapolated.
+    */
+  def thresholdClusterSweep(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      distCol: String,
+      thresholds: Seq[Int]
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val perT = thresholds.map { t =>
+      val e = pairs.filter(col(distCol) <= t)
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      val summary = clusters(e)
+        .agg(
+          coalesce(sum("n_members"), lit(0L)).as("n_nodes"),
+          count(lit(1)).as("n_clusters"))
+      val nPairs = pairs.filter(col(distCol) <= t)
+        .select(col(srcCol), col(dstCol)).distinct()
+        .agg(count(lit(1)).as("n_pairs"))
+      summary.crossJoin(nPairs).select(
+        lit(t).as("threshold"), col("n_pairs"), col("n_nodes"), col("n_clusters"),
+        when(col("n_nodes") > 0L,
+          (col("n_nodes") - col("n_clusters")).cast("double") /
+            col("n_nodes").cast("double")).otherwise(lit(0d)).as("dup_factor"))
+    }
+    perT.reduce(_ unionAll _)
+  }
+
   /** Fold NEW edges into an existing (node, component) assignment without
     * re-clustering the corpus — the nightly-dedup shape (new near-dup
     * pairs arrive from [[MinHashLsh.incrementalBlockedPairs]]; clusters

@@ -2124,6 +2124,43 @@ object LlmQueries {
       .orderBy("lang", "rank")
   }
 
+  /** Allocation→sampling composition gate: Hamilton-apportion 100
+    * sample slots across languages by doc count, then draw each
+    * language's exact quota with the A-ES race — the end-to-end
+    * "balanced sampling plan" pipeline in one deterministic dag.
+    */
+  def q238AllocatedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = Tables.documents(s, dir).select("lang", "doc_id", "n_chars")
+    val seats = Sampling.apportion(
+        d.groupBy("lang").agg(count(lit(1)).as("n_docs")),
+        Nil, "n_docs", "lang", seats = 100L)
+      .select(col("lang"), col("seats"))
+    Sampling.weightedSampleWithoutReplacement(d, Seq("lang"), Seq("doc_id"), "n_chars", k = 500)
+      .join(broadcast(seats), Seq("lang"))
+      .filter(col("rank") <= col("seats"))
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("l9"),
+        col("rank"), col("seats"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Threshold-sweep gate: the q195 blocked pair set clustered at every
+    * maxDist 0..6 — per threshold the exact pair/node/cluster counts
+    * and duplication factor (the verifier-cutoff tuning curve).
+    */
+  def q239ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    val pairs = SortedNeighborhood.editDistancePairs(d, "doc_id", "snkey",
+      window = 4, prefixLen = 3, maxDist = 6)
+    ConnectedComponents.thresholdClusterSweep(pairs, "id_a", "id_b", "dist", 0 to 6)
+      .select(col("threshold"), col("n_pairs"), col("n_nodes"),
+        col("n_clusters"), round(col("dup_factor"), 9).as("dup_factor"))
+      .orderBy("threshold")
+  }
+
   /** Krippendorff-alpha gate: a three-judge panel (length, word-count,
     * and a doc-id-parity noise judge that skips every 4th doc — the
     * missing-rating case kappa can't take) — per-unit nano disagreement

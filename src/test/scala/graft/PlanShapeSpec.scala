@@ -482,7 +482,16 @@ class PlanShapeSpec extends SparkSpec {
       minBroadcastJoin = 2, forbidSortMergeJoin = true, forbidUdf = true),
     // k-fold: ONE stratum rank-window exchange over the md5 projection
     Shape("q237_kfold", maxHash = 1, forbidSortMergeJoin = true,
-      forbidSortAggregate = true, forbidUdf = true)
+      forbidSortAggregate = true, forbidUdf = true),
+    // allocation->sampling composition: the race window + count agg;
+    // the quota frame broadcasts onto the sampled rows
+    Shape("q238_allocated_sample", maxHash = 2, maxRange = 2,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    // threshold sweep: 7 independent CC loops over the BLOCKED pair
+    // frame (bounded by the blocking contract) — many exchanges, all
+    // pair-set-sized; nothing corpus-sized repeats
+    Shape("q239_threshold_sweep", maxHash = 24, maxRange = 16,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

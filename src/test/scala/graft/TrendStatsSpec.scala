@@ -407,6 +407,43 @@ class TrendStatsSpec extends SparkSpec {
       again((r.getAs[String]("g"), r.getAs[Long]("id"))) === r.getAs[Int]("fold")))
   }
 
+  // --- Threshold cluster sweep -------------------------------------------------------
+
+  test("thresholdClusterSweep: exact per-threshold clustering, including the empty threshold") {
+    import graft.dedup.ConnectedComponents
+    val pairs = Seq((1L, 2L, 0), (2L, 3L, 1), (4L, 5L, 2)).toDF("id_a", "id_b", "dist")
+    val out = ConnectedComponents.thresholdClusterSweep(pairs, "id_a", "id_b", "dist", Seq(0, 1, 2))
+      .orderBy("threshold").collect()
+    assert(out.map(r => (r.getAs[Int]("threshold"), r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("n_nodes"), r.getAs[Long]("n_clusters"))).toSeq ===
+      Seq((0, 1L, 2L, 1L), (1, 2L, 3L, 1L), (2, 3L, 5L, 2L)))
+    assert(out(0).getAs[Double]("dup_factor") === 0.5)
+    assert(math.abs(out(1).getAs[Double]("dup_factor") - 2d / 3d) < 1e-12)
+    assert(out(2).getAs[Double]("dup_factor") === 0.6)
+    // a threshold below every distance clusters nothing
+    val empty = ConnectedComponents.thresholdClusterSweep(
+      pairs.filter($"dist" > 0), "id_a", "id_b", "dist", Seq(0)).collect()(0)
+    assert(empty.getAs[Long]("n_nodes") === 0L)
+    assert(empty.getAs[Double]("dup_factor") === 0.0)
+  }
+
+  test("apportion + A-ES composition: every group draws exactly its quota") {
+    import graft.operators.Sampling
+    val d = (1 to 60).map(i => (s"g${i % 3}", i.toLong, (i % 9 + 1).toLong))
+      .toDF("g", "id", "w")
+    val seats = Sampling.apportion(
+      d.groupBy("g").agg(count(lit(1)).as("n")), Nil, "n", "g", seats = 12L)
+      .select(col("g"), col("seats"))
+    val drawn = Sampling.weightedSampleWithoutReplacement(d, Seq("g"), Seq("id"), "w", k = 100)
+      .join(seats, Seq("g"))
+      .filter(col("rank") <= col("seats"))
+    val perG = drawn.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = seats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perG === quota.filter(_._2 > 0))
+    assert(perG.values.sum === 12L)
+  }
+
   // --- A-ES weighted sampling -------------------------------------------------
 
   test("weightedSampleWithoutReplacement: md5 race replayed key-for-key") {
