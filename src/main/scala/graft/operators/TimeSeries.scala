@@ -670,6 +670,63 @@ object TimeSeries {
     * join; phase cardinality is fixed (24, 168…), so partitions stay
     * balanced wherever the series is long.
     */
+  /** Mergeable per-(keys, phase) moment state for the seasonal family:
+    * n, Σx, Σx² as exact DECIMAL counts — additive ([[mergeSeasonalStats]]),
+    * so the standing phase profile folds batch-by-batch (the streaming
+    * twin [[graft.streaming.StreamingOps.seasonalStatsStream]]) and
+    * [[seasonalAnomaliesFromStats]] scores any frame against it.
+    */
+  def seasonalStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      phaseCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(valueCol).cast("long")
+    val xD = x.cast(dec)
+    df.filter(x.isNotNull && col(phaseCol).isNotNull)
+      .groupBy((keyCols :+ phaseCol).map(col): _*)
+      .agg(count(lit(1)).as("n_phase"), sum(xD).as("s_phase"),
+        sum(xD * xD).as("q_phase"))
+  }
+
+  /** Fold two [[seasonalStats]] frames over disjoint row sets. */
+  def mergeSeasonalStats(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      phaseCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols :+ phaseCol).map(col): _*)
+      .agg(sum("n_phase").as("n_phase"), sum("s_phase").as("s_phase"),
+        sum("q_phase").as("q_phase"))
+
+  /** Score rows against a (possibly folded) [[seasonalStats]] profile —
+    * the join form of [[seasonalAnomalies]] (spec-asserted equal when
+    * the profile is the frame's own stats): the standing-profile reader
+    * a streaming monitor uses, where today's hours are flagged against
+    * ALL history's phase populations, not just today's.
+    */
+  def seasonalAnomaliesFromStats(
+      df: DataFrame,
+      stats: DataFrame,
+      keyCols: Seq[String],
+      phaseCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(valueCol).cast("long")
+    val xD = x.cast(dec)
+    val nD = col("n_phase").cast(dec)
+    val devNum = nD * xD - col("s_phase")
+    df.filter(x.isNotNull && col(phaseCol).isNotNull)
+      .join(broadcast(stats), keyCols :+ phaseCol)
+      .withColumn("phase_mean",
+        col("s_phase").cast("double") / col("n_phase").cast("double"))
+      .withColumn("dev", devNum.cast("double") / col("n_phase").cast("double"))
+      .withColumn("is_anomaly",
+        devNum * devNum > (nD * col("q_phase") - col("s_phase") * col("s_phase")) * 9)
+      .drop("s_phase", "q_phase")
+  }
+
   def seasonalAnomalies(
       df: DataFrame,
       keyCols: Seq[String],

@@ -873,6 +873,41 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming seasonal-profile fold — the monitoring twin of
+    * [[graft.operators.TimeSeries.seasonalAnomalies]]: each
+    * micro-batch's per-(keys, phase) moment state
+    * ([[graft.operators.TimeSeries.seasonalStats]]) merges additively
+    * into a versioned store, so the standing profile scores NEW hours
+    * against ALL history's phase populations
+    * (`seasonalAnomaliesFromStats` over the latest version). Same
+    * non-idempotent recompute-on-replay discipline as
+    * [[contingencyStream]]. Phase cardinality is fixed (24/168), so the
+    * store is keys×phase rows forever.
+    */
+  def seasonalStatsStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      phaseCol: String,
+      valueCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bs = graft.operators.TimeSeries.seasonalStats(batch, keyCols, phaseCol, valueCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.TimeSeries.mergeSeasonalStats(
+            s.read.parquet(p), bs, keyCols, phaseCol)
+          case None => bs
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class DebounceEvent(key: String, event_id: Long, ts_sec: Long)
 
   /** Streaming debounce — [[graft.operators.TimeSeries.debounce]]'s

@@ -812,6 +812,39 @@ class StreamingSpec extends SparkSpec {
     assert(wFold === wFull)
   }
 
+  test("streaming seasonal-stats fold equals the batch rebuild; standing flags match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TimeSeries
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seastream").toString
+    val mem = MemoryStream[(String, Int, Long)]
+    val b1 = (0 until 200).map(i => ("k", i % 24, (i % 7 + 10).toLong))
+    val b2 = (0 until 150).map(i => ("k", i % 24, (i % 5 + 9).toLong)) :+ (("k", 3, 500L))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "ph", "x")
+    StreamingOps.seasonalStatsStream(rows, Seq("g"), "ph", "x", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.seasonalStatsStream(rows, Seq("g"), "ph", "x", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val all = (b1 ++ b2).toDF("g", "ph", "x")
+    val folded = spark.read.parquet(latest).orderBy("g", "ph").collect().toSeq
+    val rebuilt = TimeSeries.seasonalStats(all, Seq("g"), "ph", "x")
+      .orderBy("g", "ph").collect().toSeq
+    assert(folded === rebuilt)
+    // scoring against the standing profile == scoring against the rebuild,
+    // and the planted phase-3 spike flags
+    val flagsFold = TimeSeries.seasonalAnomaliesFromStats(all, spark.read.parquet(latest),
+      Seq("g"), "ph", "x").orderBy("g", "ph", "x").collect().toSeq
+    val flagsFull = TimeSeries.seasonalAnomaliesFromStats(all,
+      TimeSeries.seasonalStats(all, Seq("g"), "ph", "x"),
+      Seq("g"), "ph", "x").orderBy("g", "ph", "x").collect().toSeq
+    assert(flagsFold === flagsFull)
+    assert(flagsFold.exists(r => r.getAs[Long]("x") === 500L && r.getAs[Boolean]("is_anomaly")))
+  }
+
   test("streaming clustering folds edge batches into the bucketed assignment store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.{BucketedAssignStore, ConnectedComponents}

@@ -154,6 +154,27 @@ class TrendStatsSpec extends SparkSpec {
     assert(ph1.forall(_.getAs[Double]("dev") === 0.0))
   }
 
+  test("seasonalAnomaliesFromStats(self) == seasonalAnomalies; merged stats == rebuild") {
+    val rows = ((1 to 12).map(i => ("k", 0, 10L)) ++ Seq(("k", 0, 100L)) ++
+      (1 to 5).map(i => ("k", 1, (i % 3 + 5).toLong))).zipWithIndex
+      .map { case ((g, p, x), i) => (g, p, x, i.toLong) }
+    val df = rows.toDF("g", "ph", "x", "id")
+    val win = TimeSeries.seasonalAnomalies(df, Seq("g"), "ph", "x")
+      .select("g", "ph", "x", "id", "n_phase", "phase_mean", "dev", "is_anomaly")
+      .orderBy("id").collect().toSeq
+    val stats = TimeSeries.seasonalStats(df, Seq("g"), "ph", "x")
+    val joined = TimeSeries.seasonalAnomaliesFromStats(df, stats, Seq("g"), "ph", "x")
+      .select("g", "ph", "x", "id", "n_phase", "phase_mean", "dev", "is_anomaly")
+      .orderBy("id").collect().toSeq
+    assert(win === joined)
+    // fold law: disjoint halves merged == rebuild
+    val h1 = TimeSeries.seasonalStats(df.filter($"id" % 2 === 0), Seq("g"), "ph", "x")
+    val h2 = TimeSeries.seasonalStats(df.filter($"id" % 2 === 1), Seq("g"), "ph", "x")
+    val merged = TimeSeries.mergeSeasonalStats(h1, h2, Seq("g"), "ph")
+      .orderBy("g", "ph").collect().toSeq
+    assert(merged === stats.orderBy("g", "ph").collect().toSeq)
+  }
+
   // --- Triangles ------------------------------------------------------------
 
   test("triangleCounts: K4 (with reversed/duplicate/self-loop noise) and a path") {
