@@ -249,7 +249,8 @@ object SparkEntry {
     "q236_quantile_normalize" -> (CoreQueries.q236QuantileNormalize(_, _)),
     "q237_kfold" -> (LlmQueries.q237KFold(_, _)),
     "q238_allocated_sample" -> (LlmQueries.q238AllocatedSample(_, _)),
-    "q239_threshold_sweep" -> (LlmQueries.q239ThresholdSweep(_, _))
+    "q239_threshold_sweep" -> (LlmQueries.q239ThresholdSweep(_, _)),
+    "q240_vocab_churn" -> (LlmQueries.q240VocabChurn(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -288,7 +289,8 @@ object SparkEntry {
     "q236_quantile_normalize" -> quantileNormalizeOracle,
     "q237_kfold" -> kFoldOracle,
     "q238_allocated_sample" -> allocatedSampleOracle,
-    "q239_threshold_sweep" -> thresholdSweepOracle)
+    "q239_threshold_sweep" -> thresholdSweepOracle,
+    "q240_vocab_churn" -> vocabChurnOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -920,6 +922,36 @@ object SparkEntry {
        |$rows
        |) ORDER BY threshold""".stripMargin
   }
+
+  /** q240 oracle: [[graft.text.CorpusLaws.vocabChurn]] replayed —
+    * per-half token counts, the full-outer vocabulary join, exact
+    * type/mass churn sums, pinned rate divisions.
+    */
+  private lazy val vocabChurnOracle: String =
+    """WITH tb AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '')) AS token FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      |tc AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> x <> '')) AS token FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+      |b AS (SELECT token, count(*) AS cnt FROM tb GROUP BY 1),
+      |c AS (SELECT token, count(*) AS cnt FROM tc GROUP BY 1),
+      |j AS (SELECT coalesce(b.cnt, 0) AS nb, coalesce(c.cnt, 0) AS nc
+      |  FROM b FULL OUTER JOIN c ON b.token = c.token),
+      |a AS (SELECT
+      |    CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS types_base,
+      |    CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS types_cur,
+      |    CAST(sum(CASE WHEN nb > 0 AND nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS types_shared,
+      |    CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS types_new,
+      |    CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS types_dropped,
+      |    CAST(sum(nb) AS BIGINT) AS mass_base,
+      |    CAST(sum(nc) AS BIGINT) AS mass_cur,
+      |    CAST(sum(CASE WHEN nb > 0 THEN nc ELSE 0 END) AS BIGINT) AS cur_mass_in_base
+      |  FROM j)
+      |SELECT *,
+      |  CASE WHEN mass_cur > 0 THEN
+      |    round(CAST(mass_cur - cur_mass_in_base AS DOUBLE) / CAST(mass_cur AS DOUBLE), 9) END AS oov_rate,
+      |  CASE WHEN types_cur > 0 THEN
+      |    round(CAST(types_new AS DOUBLE) / CAST(types_cur AS DOUBLE), 9) END AS new_type_rate
+      |FROM a""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

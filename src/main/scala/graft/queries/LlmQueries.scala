@@ -2183,6 +2183,23 @@ object LlmQueries {
         round(col("alpha"), 9).as("alpha"))
   }
 
+  /** Vocabulary-churn gate: even-half vocabulary as the "fitted
+    * tokenizer", odd half as the new corpus — exact type/mass churn and
+    * the OOV mass rate that prices a refit.
+    */
+  def q240VocabChurn(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusLaws
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    CorpusLaws.vocabChurn(
+      CorpusLaws.tokenCounts(d.filter(col("doc_id") % 2 === 0).select("text"), "text"),
+      CorpusLaws.tokenCounts(d.filter(col("doc_id") % 2 === 1).select("text"), "text"))
+      .select(col("types_base"), col("types_cur"), col("types_shared"),
+        col("types_new"), col("types_dropped"),
+        col("mass_base"), col("mass_cur"), col("cur_mass_in_base"),
+        round(col("oov_rate"), 9).as("oov_rate"),
+        round(col("new_type_rate"), 9).as("new_type_rate"))
+  }
+
   /** Vocabulary-profile gate: the per-language corpus health card —
     * token/type/hapax counts exact, every ratio one pinned division,
     * top-100 head mass via the one rank window.

@@ -908,6 +908,47 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming A-ES weighted sample — the standing top-k-per-group
+    * sample over everything seen so far, folded batch-by-batch: the
+    * exponential race key is CONTENT-derived (md5 of the id columns),
+    * so top-k(standing ∪ batch-top-k) == top-k(all rows ever) exactly —
+    * the classic mergeable-reservoir property, here bit-exact, not just
+    * distributionally. Each fold re-runs the race on the deduplicated
+    * union (identical rows collapse), which also makes a double-FOLDED
+    * crash replay harmless (HLL-like idempotence) on top of the usual
+    * recompute-from-earlier version discipline. Store stays ≤ groups×k
+    * rows forever.
+    */
+  def weightedSampleStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      idCols: Seq[String],
+      weightCol: String,
+      k: Int,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bs = graft.operators.Sampling.weightedSampleWithoutReplacement(
+          batch, groupCols, idCols, weightCol, k)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) =>
+            val standing = s.read.parquet(p).drop("l9", "rank")
+            graft.operators.Sampling.weightedSampleWithoutReplacement(
+              standing.unionByName(bs.drop("l9", "rank"))
+                .dropDuplicates(groupCols ++ idCols),
+              groupCols, idCols, weightCol, k)
+          case None => bs
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class DebounceEvent(key: String, event_id: Long, ts_sec: Long)
 
   /** Streaming debounce — [[graft.operators.TimeSeries.debounce]]'s

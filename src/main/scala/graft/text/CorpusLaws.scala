@@ -160,6 +160,40 @@ object CorpusLaws {
     * prefer... the grouped form keeps partitions lang-sized). Emits one
     * row per group.
     */
+  /** Vocabulary CHURN between two (token, cnt) snapshots — the
+    * tokenizer-maintenance read [[vocabProfile]] can't give: how much
+    * of the current corpus is out-of-vocabulary for a tokenizer fitted
+    * on the base (oov_rate, by MASS — the number that prices a refit),
+    * how many types appeared/dropped, and how much mass each side puts
+    * on the shared vocabulary. One full-outer token join
+    * (vocabulary-keyed); exact integer counts/masses; every rate ONE
+    * pinned division. One row out.
+    */
+  def vocabChurn(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val b = baseCounts.select(col("token").as("__tb"), col("cnt").as("__nb"))
+    val c = curCounts.select(col("token").as("__tc"), col("cnt").as("__nc"))
+    b.join(c, col("__tb") === col("__tc"), "full_outer")
+      .select(
+        coalesce(col("__nb"), lit(0L)).as("nb"),
+        coalesce(col("__nc"), lit(0L)).as("nc"))
+      .agg(
+        sum(when(col("nb") > 0L, 1L).otherwise(0L)).as("types_base"),
+        sum(when(col("nc") > 0L, 1L).otherwise(0L)).as("types_cur"),
+        sum(when(col("nb") > 0L && col("nc") > 0L, 1L).otherwise(0L)).as("types_shared"),
+        sum(when(col("nb") === 0L, 1L).otherwise(0L)).as("types_new"),
+        sum(when(col("nc") === 0L, 1L).otherwise(0L)).as("types_dropped"),
+        sum("nb").cast("long").as("mass_base"),
+        sum("nc").cast("long").as("mass_cur"),
+        sum(when(col("nb") > 0L, col("nc")).otherwise(0L)).cast("long").as("cur_mass_in_base"))
+      .withColumn("oov_rate",
+        when(col("mass_cur") > 0L,
+          (col("mass_cur") - col("cur_mass_in_base")).cast("double") /
+            col("mass_cur").cast("double")))
+      .withColumn("new_type_rate",
+        when(col("types_cur") > 0L,
+          col("types_new").cast("double") / col("types_cur").cast("double")))
+  }
+
   def vocabProfile(
       df: DataFrame,
       keyCols: Seq[String],

@@ -491,7 +491,10 @@ class PlanShapeSpec extends SparkSpec {
     // frame (bounded by the blocking contract) — many exchanges, all
     // pair-set-sized; nothing corpus-sized repeats
     Shape("q239_threshold_sweep", maxHash = 24, maxRange = 16,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // vocab churn: two token aggs + the full-outer vocabulary join (the
+    // q222 full-outer-can't-broadcast reading; vocab-keyed frames)
+    Shape("q240_vocab_churn", maxHash = 2, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

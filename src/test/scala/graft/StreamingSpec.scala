@@ -845,6 +845,31 @@ class StreamingSpec extends SparkSpec {
     assert(flagsFold.exists(r => r.getAs[Long]("x") === 500L && r.getAs[Boolean]("is_anomaly")))
   }
 
+  test("streaming A-ES sample fold equals the batch rebuild bit-for-bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sampling
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-aesstream").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = (1 to 120).map(i => ("g" + (i % 2), i.toLong, (i % 9 + 1).toLong))
+    val b2 = (121 to 260).map(i => ("g" + (i % 2), i.toLong, (i % 7 + 1).toLong))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "id", "w")
+    StreamingOps.weightedSampleStream(rows, Seq("g"), Seq("id"), "w", 10,
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.weightedSampleStream(rows, Seq("g"), Seq("id"), "w", 10,
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest)
+      .orderBy("g", "rank").collect().toSeq
+    val rebuilt = Sampling.weightedSampleWithoutReplacement(
+      (b1 ++ b2).toDF("g", "id", "w"), Seq("g"), Seq("id"), "w", 10)
+      .orderBy("g", "rank").collect().toSeq
+    assert(folded === rebuilt)
+  }
+
   test("streaming clustering folds edge batches into the bucketed assignment store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.{BucketedAssignStore, ConnectedComponents}
