@@ -250,7 +250,8 @@ object SparkEntry {
     "q237_kfold" -> (LlmQueries.q237KFold(_, _)),
     "q238_allocated_sample" -> (LlmQueries.q238AllocatedSample(_, _)),
     "q239_threshold_sweep" -> (LlmQueries.q239ThresholdSweep(_, _)),
-    "q240_vocab_churn" -> (LlmQueries.q240VocabChurn(_, _))
+    "q240_vocab_churn" -> (LlmQueries.q240VocabChurn(_, _)),
+    "q241_mad_bucketed" -> (CoreQueries.q241MadOutliersBucketed(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -264,6 +265,7 @@ object SparkEntry {
     "q189_gini_bucketed" -> oracleBase("q186_gini"),
     "q190_winsorize_bucketed" -> oracleBase("q171_winsorize"),
     "q197_spearman_matrix_bucketed" -> oracleBase("q192_spearman_matrix"),
+    "q241_mad_bucketed" -> oracleBase("q152_mad_outliers"),
     "q214_acf" -> acfOracle,
     "q215_kruskal_wallis" -> kruskalWallisOracle,
     "q216_mann_kendall" -> mannKendallOracle,

@@ -88,6 +88,58 @@ object Quantiles {
         sum((col("__dev") > lit(k.toDouble) * col("__mad")).cast("long")).as("n_outliers"))
   }
 
+  /** Skew-safe twin of [[madOutliers]] — BIT-IDENTICAL output (both
+    * medians are the same lower-median rank selections; q152's oracle
+    * is shared verbatim), but each of the two rank selections (median
+    * of values, median of absolute deviations) runs through the
+    * [[cellScaffold]] layout with the single target-rank cell pruned
+    * BEFORE any sort — so the largest sort anywhere is one cell's
+    * population, never the group, twice (the windowed arm's two
+    * full-group rank windows are what spill on a 500M-row hot group).
+    * Costs two scaffold passes + two broadcast med/mad attachments —
+    * the usual bucketed-twin trade: not a local wall-clock win,
+    * adopted for the per-reducer memory bound.
+    */
+  def madOutliersBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      k: Int = 3,
+      cells: Int = 256
+  ): DataFrame = if (keyCols.isEmpty) {
+    madOutliersBucketed(df.withColumn("__g1", lit(1)), Seq("__g1"),
+      valueCol, tieBreakCol, k, cells).drop("__g1")
+  } else {
+    require(k > 0, "k must be positive")
+    val g = keyCols.map(col)
+    // lower-median rank selection over `sel`, scaffold layout
+    def medianOf(frame: DataFrame, vCol: String, as: String): DataFrame = {
+      val s = cellScaffold(frame, keyCols, vCol, cells)
+        .withColumn("__target", expr("(__n + 1) div 2"))
+        .filter(col("__off") < col("__target") &&
+          col("__target") <= col("__off") + col("__cnt"))
+      val w = Window.partitionBy((g :+ col("__c")): _*)
+        .orderBy(col(vCol), col(tieBreakCol))
+      s.withColumn("__rk", col("__off") + row_number().over(w))
+        .filter(col("__rk") === col("__target"))
+        .select((g :+ col(vCol).as(as) :+ col("__n").as(s"__n_$as")): _*)
+    }
+    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+    val med = medianOf(base, valueCol, "med")
+    val withDev = base.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = medianOf(withDev, "__dev", "mad")
+    withDev.join(broadcast(mad.select((g :+ col("mad")): _*)), keyCols)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum((col("__dev") > lit(k.toDouble) * col("mad")).cast("long")).as("n_outliers"))
+  }
+
   /** IQR outlier detection per group (Tukey fences): rows outside
     * [q1 - k·IQR, q3 + k·IQR] with the bounds attached — the distributional
     * DQ check that complements [[graft.quality.RuleEngine]]'s predicate

@@ -1865,6 +1865,21 @@ object CoreQueries {
       .orderBy("doc_id")
   }
 
+  /** Skew-safe twin of [[q152MadOutliers]] — both median selections
+    * through the cellScaffold layout; same exact statistic, q152's
+    * oracle shared verbatim.
+    */
+  def q241MadOutliersBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      (col("l_quantity").cast("long") +
+        when(col("l_orderkey") % 997 === 0, 500L).otherwise(0L)).as("qty"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("tb"))
+    Quantiles.madOutliersBucketed(li, Seq("l_returnflag"), "qty", "tb", k = 3)
+      .orderBy("l_returnflag")
+  }
+
   /** Association-matrix gate: every unordered pair of (lang, source,
     * length-bucket) through the q209 summary machinery in one pass —
     * chi²/V/MI/entropies/Theil U per pair row.

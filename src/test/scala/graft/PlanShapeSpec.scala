@@ -494,7 +494,12 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // vocab churn: two token aggs + the full-outer vocabulary join (the
     // q222 full-outer-can't-broadcast reading; vocab-keyed frames)
-    Shape("q240_vocab_churn", maxHash = 2, forbidUdf = true)
+    Shape("q240_vocab_churn", maxHash = 2, forbidUdf = true),
+    // bucketed MAD: two scaffold passes (stats/counts/offsets attach as
+    // NULL-safe broadcasts) + broadcast med/mad — no group-sized sort,
+    // no SMJ anywhere
+    Shape("q241_mad_bucketed", maxHash = 10, minBroadcastJoin = 8,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -8,6 +8,28 @@ import org.apache.spark.sql.functions._
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("madOutliersBucketed == madOutliers bit-identically (multi-cell, keyless, hot value)") {
+    def v(i: Int): Long = (i * 2654435761L % 211L) + (if (i % 97 == 0) 500L else 0L)
+    val d = (1 to 400).map(i => (s"g${i % 3}", v(i), i.toLong)).toDF("g", "x", "tb")
+    val win = Quantiles.madOutliers(d, Seq("g"), "x", "tb", k = 3)
+      .orderBy("g").collect().toSeq
+    val buk = Quantiles.madOutliersBucketed(d, Seq("g"), "x", "tb", k = 3, cells = 8)
+      .orderBy("g").collect().toSeq
+    assert(win === buk)
+    // keyless wrapper
+    val w0 = Quantiles.madOutliers(d.filter($"g" === "g1"), Nil, "x", "tb", 3).collect().toSeq
+    val b0 = Quantiles.madOutliersBucketed(d.filter($"g" === "g1"), Nil, "x", "tb", 3, 8)
+      .collect().toSeq
+    assert(w0 === b0)
+    // hot value: > half the group at one value -> mad 0, both arms agree
+    val hot = ((1 to 30).map(i => ("h", 7L, i.toLong)) ++
+      (1 to 10).map(i => ("h", (i + 100).toLong, (i + 50).toLong))).toDF("g", "x", "tb")
+    val hw = Quantiles.madOutliers(hot, Seq("g"), "x", "tb", 3).collect().toSeq
+    val hb = Quantiles.madOutliersBucketed(hot, Seq("g"), "x", "tb", 3, 8).collect().toSeq
+    assert(hw === hb)
+    assert(hw.head.getAs[Long]("mad") === 0L)
+  }
+
   test("quantileNormalize: golden mapping, interval ties, self-normalization identity") {
     val rows = Seq((1L, "s", 1L), (2L, "s", 5L), (3L, "s", 9L)).toDF("id", "g", "v")
     val ref3 = Seq((10L, 1L), (20L, 1L), (30L, 1L)).toDF("bucket", "cnt")
