@@ -251,7 +251,9 @@ object SparkEntry {
     "q238_allocated_sample" -> (LlmQueries.q238AllocatedSample(_, _)),
     "q239_threshold_sweep" -> (LlmQueries.q239ThresholdSweep(_, _)),
     "q240_vocab_churn" -> (LlmQueries.q240VocabChurn(_, _)),
-    "q241_mad_bucketed" -> (CoreQueries.q241MadOutliersBucketed(_, _))
+    "q241_mad_bucketed" -> (CoreQueries.q241MadOutliersBucketed(_, _)),
+    "q242_iqr_bucketed" -> (CoreQueries.q242IqrBucketed(_, _)),
+    "q243_trimmed_mean" -> (CoreQueries.q243TrimmedMean(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -266,6 +268,8 @@ object SparkEntry {
     "q190_winsorize_bucketed" -> oracleBase("q171_winsorize"),
     "q197_spearman_matrix_bucketed" -> oracleBase("q192_spearman_matrix"),
     "q241_mad_bucketed" -> oracleBase("q152_mad_outliers"),
+    "q242_iqr_bucketed" -> oracleBase("q55_iqr_outliers"),
+    "q243_trimmed_mean" -> trimmedMeanOracle,
     "q214_acf" -> acfOracle,
     "q215_kruskal_wallis" -> kruskalWallisOracle,
     "q216_mann_kendall" -> mannKendallOracle,
@@ -954,6 +958,26 @@ object SparkEntry {
       |  CASE WHEN types_cur > 0 THEN
       |    round(CAST(types_new AS DOUBLE) / CAST(types_cur AS DOUBLE), 9) END AS new_type_rate
       |FROM a""".stripMargin
+
+  /** q243 oracle: [[graft.operators.Quantiles.trimmedMean]] replayed —
+    * (value, tie) ranks, the (n·pct) div 100 cut, the HUGEINT kept sum
+    * and its one division.
+    */
+  private lazy val trimmedMeanOracle: String =
+    """WITH li AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS qty,
+      |    l_orderkey || ':' || l_linenumber AS tb
+      |  FROM lineitem WHERE l_quantity IS NOT NULL),
+      |r AS (SELECT rf, qty,
+      |    row_number() OVER (PARTITION BY rf ORDER BY qty, tb) AS rk,
+      |    count(*) OVER (PARTITION BY rf) AS n FROM li),
+      |d AS (SELECT *, (n * 10) // 100 AS dd FROM r)
+      |SELECT rf AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(dd) AS BIGINT) AS n_trimmed_each_side,
+      |  CAST(sum(CASE WHEN rk > dd AND rk <= n - dd THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rk > dd AND rk <= n - dd THEN CAST(qty AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS VARCHAR) AS sum_kept,
+      |  round(CAST(sum(CASE WHEN rk > dd AND rk <= n - dd THEN CAST(qty AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) /
+      |    CAST(sum(CASE WHEN rk > dd AND rk <= n - dd THEN 1 ELSE 0 END) AS DOUBLE), 9) AS trimmed_mean
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

@@ -168,6 +168,92 @@ object Quantiles {
       .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi").map(col): _*)
   }
 
+  /** Skew-safe twin of [[iqrOutliers]] — BIT-IDENTICAL output (q1/q3
+    * are the same exact rank selections at (n+3) div 4 and
+    * (3n+3) div 4; q55's oracle is shared verbatim), with both quartile
+    * selections through the [[cellScaffold]] layout (only cells holding
+    * a target rank are sorted) and the bounds attached as a broadcast —
+    * the group-sized rank window disappears.
+    */
+  def iqrOutliersBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      k: Double = 1.5,
+      cells: Int = 256
+  ): DataFrame = if (keyCols.isEmpty) {
+    iqrOutliersBucketed(df.withColumn("__g1", lit(1)), Seq("__g1"),
+      valueCol, tieBreakCol, k, cells).drop("__g1")
+  } else {
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+    val scaff = cellScaffold(base, keyCols, valueCol, cells)
+      .withColumn("__t1", expr("(__n + 3) div 4"))
+      .withColumn("__t3", expr("(3 * __n + 3) div 4"))
+    val w = Window.partitionBy((g :+ col("__c")): _*)
+      .orderBy(col(valueCol), col(tieBreakCol))
+    val picked = scaff
+      .filter((col("__off") < col("__t1") && col("__t1") <= col("__off") + col("__cnt")) ||
+        (col("__off") < col("__t3") && col("__t3") <= col("__off") + col("__cnt")))
+      .withColumn("__rk", col("__off") + row_number().over(w))
+      .filter(col("__rk") === col("__t1") || col("__rk") === col("__t3"))
+    val bounds = picked.groupBy(g: _*).agg(
+      max(when(col("__rk") === col("__t1"), col(valueCol))).as("__q1"),
+      max(when(col("__rk") === col("__t3"), col(valueCol))).as("__q3"))
+    base.join(broadcast(bounds), keyCols)
+      .withColumn("lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+      .filter(col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+      .select((keyCols :+ tieBreakCol :+ valueCol :+ "lo" :+ "hi").map(col): _*)
+  }
+
+  /** Trimmed mean on the [[cellScaffold]] layout (skew-safe from day
+    * one — every row needs its exact rank, so the scaffold IS the
+    * layout, not a twin): drop the d = (n·trimPct) div 100 lowest and
+    * highest ranks per group and average the rest — the outlier-robust
+    * location estimate between the mean (trim 0) and the median
+    * (trim 50). EXACT: d and the kept-rank interval are integer
+    * arithmetic, the kept sum is DECIMAL(38,0) (digit string), the mean
+    * ONE division. NULL values excluded (no rank); n ≤ 2d groups emit
+    * NULL mean (nothing kept).
+    */
+  def trimmedMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      trimPct: Int,
+      cells: Int = 256
+  ): DataFrame = if (keyCols.isEmpty) {
+    trimmedMean(df.withColumn("__g1", lit(1)), Seq("__g1"),
+      valueCol, tieBreakCol, trimPct, cells).drop("__g1")
+  } else {
+    require(trimPct >= 0 && trimPct < 50, s"trimPct out of range: $trimPct")
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+    val w = Window.partitionBy((g :+ col("__c")): _*)
+      .orderBy(col(valueCol), col(tieBreakCol))
+    cellScaffold(base, keyCols, valueCol, cells)
+      .withColumn("__rk", col("__off") + row_number().over(w))
+      .withColumn("__d", expr(s"(__n * $trimPct) div 100"))
+      .groupBy(g: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__d")).as("n_trimmed_each_side"),
+        sum(when(col("__rk") > col("__d") && col("__rk") <= col("__n") - col("__d"),
+          col(valueCol).cast(dec)).otherwise(lit(0L).cast(dec))).as("__sum"),
+        sum(when(col("__rk") > col("__d") && col("__rk") <= col("__n") - col("__d"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .withColumn("sum_kept", col("__sum").cast("string"))
+      .withColumn("trimmed_mean",
+        when(col("n_kept") > 0L,
+          col("__sum").cast("double") / col("n_kept").cast("double")))
+      .drop("__sum")
+  }
+
   /** Winsorization: clamp each value into the per-group exact-rank
     * [p_lo, p_hi] bounds — the standard heavy-tail taming before
     * training-data statistics (cap, don't drop: dropping shifts counts,

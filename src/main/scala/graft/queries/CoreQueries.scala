@@ -1880,6 +1880,33 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Skew-safe twin of [[q55IqrOutliers]] — quartiles through the
+    * cellScaffold; same exact fences, q55's oracle shared verbatim.
+    */
+  def q242IqrBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    Quantiles.iqrOutliersBucketed(
+      Tables.events(s, dir).select("event_type", "event_id", "value"),
+      Seq("event_type"), "value", "event_id")
+      .orderBy("event_id")
+  }
+
+  /** Trimmed-mean gate: the 10%-each-side robust location of quantity
+    * per return flag — exact kept-rank interval, DECIMAL kept sum,
+    * one division.
+    */
+  def q243TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("tb"))
+    Quantiles.trimmedMean(li, Seq("l_returnflag"), "qty", "tb", trimPct = 10)
+      .select(col("l_returnflag"), col("n"), col("n_trimmed_each_side"),
+        col("n_kept"), col("sum_kept"),
+        round(col("trimmed_mean"), 9).as("trimmed_mean"))
+      .orderBy("l_returnflag")
+  }
+
   /** Association-matrix gate: every unordered pair of (lang, source,
     * length-bucket) through the q209 summary machinery in one pass —
     * chi²/V/MI/entropies/Theil U per pair row.

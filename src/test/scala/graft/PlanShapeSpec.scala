@@ -499,6 +499,12 @@ class PlanShapeSpec extends SparkSpec {
     // NULL-safe broadcasts) + broadcast med/mad — no group-sized sort,
     // no SMJ anywhere
     Shape("q241_mad_bucketed", maxHash = 10, minBroadcastJoin = 8,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // bucketed IQR: one scaffold pass + broadcast fences
+    Shape("q242_iqr_bucketed", maxHash = 5, minBroadcastJoin = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // trimmed mean: one scaffold pass + the kept-interval agg
+    Shape("q243_trimmed_mean", maxHash = 5, minBroadcastJoin = 2,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

@@ -30,6 +30,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hw.head.getAs[Long]("mad") === 0L)
   }
 
+  test("iqrOutliersBucketed == iqrOutliers bit-identically; trimmedMean goldens") {
+    def v(i: Int): Long = (i * 40503L % 83L) + (if (i % 61 == 0) 900L else 0L)
+    val d = (1 to 300).map(i => (s"g${i % 2}", v(i), i.toLong)).toDF("g", "x", "tb")
+    val win = Quantiles.iqrOutliers(d, Seq("g"), "x", "tb")
+      .orderBy("tb").collect().toSeq
+    val buk = Quantiles.iqrOutliersBucketed(d, Seq("g"), "x", "tb", cells = 8)
+      .orderBy("tb").collect().toSeq
+    assert(win.nonEmpty && win === buk)
+
+    // trimmed mean: trim 0 == plain mean; the spike vanishes at trim 10
+    val base = (1 to 19).map(i => ("k", i.toLong, i.toLong)) :+ (("k", 10000L, 20L))
+    val df = base.toDF("g", "x", "tb")
+    val t0 = Quantiles.trimmedMean(df, Seq("g"), "x", "tb", trimPct = 0).collect()(0)
+    assert(t0.getAs[Long]("n_kept") === 20L)
+    assert(t0.getAs[Double]("trimmed_mean") === (190d + 10000d) / 20d)
+    val t10 = Quantiles.trimmedMean(df, Seq("g"), "x", "tb", trimPct = 10).collect()(0)
+    // d = 2: drop ranks {1,2} and {19,20} -> keep 3..18, sum 168, mean 10.5
+    assert(t10.getAs[Long]("n_trimmed_each_side") === 2L)
+    assert(t10.getAs[String]("sum_kept") === "168")
+    assert(t10.getAs[Double]("trimmed_mean") === 10.5)
+    val t49 = Quantiles.trimmedMean(
+      (1 to 4).map(i => ("k", i.toLong, i.toLong)).toDF("g", "x", "tb"),
+      Seq("g"), "x", "tb", trimPct = 49).collect()(0)
+    assert(t49.getAs[Long]("n_trimmed_each_side") === 1L)
+    assert(t49.getAs[Double]("trimmed_mean") === 2.5) // keep ranks 2,3
+  }
+
   test("quantileNormalize: golden mapping, interval ties, self-normalization identity") {
     val rows = Seq((1L, "s", 1L), (2L, "s", 5L), (3L, "s", 9L)).toDF("id", "g", "v")
     val ref3 = Seq((10L, 1L), (20L, 1L), (30L, 1L)).toDF("bucket", "cnt")
