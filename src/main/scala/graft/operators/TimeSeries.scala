@@ -50,6 +50,54 @@ object TimeSeries {
         coalesce(col("__n"), lit(0L)).as("n"): _*)
   }
 
+  /** SPARSE per-(keys, slot) event counts — the additive, mergeable
+    * state behind [[resampleCounts]] (which densifies immediately):
+    * fold batches with [[mergeSlotCounts]], densify the standing store
+    * with [[densifyCounts]], and every trend operator (ACF, MK,
+    * Theil–Sen, changepoint, seasonal, EWMA) runs over ALL history
+    * without re-reading it — the [[graft.streaming.StreamingOps
+    * .slotCountsStream]] contract. Store size = keys × active slots
+    * (span-bounded), not events.
+    */
+  def slotCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      step: String = "1 hour"
+  ): DataFrame =
+    // window(ts, step).start, NOT date_trunc — the [[slotted]] rule:
+    // epoch-aligned slots of ANY duration, and bit-agreement with
+    // resampleCounts' own truncation
+    df.filter(col(tsCol).isNotNull)
+      .groupBy(keyCols.map(col) :+
+        window(col(tsCol), step).getField("start").as("slot"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold two [[slotCounts]] frames over disjoint row sets. */
+  def mergeSlotCounts(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col) :+ col("slot"): _*)
+      .agg(sum("n").as("n"))
+
+  /** Densify a (possibly folded) [[slotCounts]] frame to the gap-filled
+    * spine [[resampleCounts]] emits — spec-asserted identical to
+    * resampleCounts over the same rows, so the trend family reads a
+    * standing store exactly as it reads a batch.
+    */
+  def densifyCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      step: String = "1 hour"
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val bounds = counts.groupBy(g: _*)
+      .agg(min("slot").as("__lo"), max("slot").as("__hi"))
+    val spine = bounds.select(g :+
+      explode(expr(s"sequence(__lo, __hi, interval $step)")).as("slot"): _*)
+    spine.join(counts, keyCols :+ "slot", "left")
+      .select(g :+ col("slot") :+ coalesce(col("n"), lit(0L)).as("n"): _*)
+  }
+
   /** Forward-filled per-key series: each slot carries the latest observed
     * `max(valueCol)` at-or-before it (last-observation-carried-forward
     * over the gap-filled spine). The per-slot aggregate is max — an

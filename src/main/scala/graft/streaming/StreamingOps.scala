@@ -949,6 +949,40 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming slot-count fold — the state that makes the WHOLE trend
+    * family streaming-capable with one store: each micro-batch's sparse
+    * per-(keys, slot) counts ([[graft.operators.TimeSeries.slotCounts]])
+    * merge additively into a versioned store; densify the latest
+    * version ([[graft.operators.TimeSeries.densifyCounts]]) and run
+    * ACF / Mann–Kendall / Theil–Sen / changepoint / seasonal / EWMA
+    * over ALL history without re-reading events. Store = keys × active
+    * slots (span-bounded). Same non-idempotent recompute-on-replay
+    * version discipline as [[contingencyStream]].
+    */
+  def slotCountsStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      storePath: String,
+      checkpoint: String,
+      step: String = "1 hour"
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.operators.TimeSeries.slotCounts(batch, keyCols, tsCol, step)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.TimeSeries.mergeSlotCounts(
+            s.read.parquet(p), bc, keyCols)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class DebounceEvent(key: String, event_id: Long, ts_sec: Long)
 
   /** Streaming debounce — [[graft.operators.TimeSeries.debounce]]'s

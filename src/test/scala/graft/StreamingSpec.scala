@@ -870,6 +870,41 @@ class StreamingSpec extends SparkSpec {
     assert(folded === rebuilt)
   }
 
+  test("streaming slot-count fold: standing series drives the trend family == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TimeSeries
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-slotstream").toString
+    val mem = MemoryStream[(String, Long)]
+    // a planted level shift at hour 12 of 24, split across two batches
+    def sec(h: Int, i: Int): Long = h * 3600L + (i % 60) * 7L
+    val b1 = for (h <- 0 until 12; i <- 0 until 5) yield ("k", sec(h, i))
+    val b2 = for (h <- 12 until 24; i <- 0 until 15) yield ("k", sec(h, i))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    StreamingOps.slotCountsStream(rows, Seq("g"), "ts", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.slotCountsStream(rows, Seq("g"), "ts", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val all = (b1 ++ b2).toDF("g", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val standing = TimeSeries.densifyCounts(spark.read.parquet(latest), Seq("g"))
+    val batchDense = TimeSeries.resampleCounts(all, Seq("g"), "ts")
+    assert(standing.orderBy("g", "slot").collect().toSeq ===
+      batchDense.orderBy("g", "slot").collect().toSeq)
+    // the standing series drives changepoint exactly like the batch,
+    // and finds the planted shift at the hour-12 boundary
+    val cpFold = TimeSeries.changepoint(standing, Seq("g"), "slot", "n").collect()(0)
+    val cpBatch = TimeSeries.changepoint(batchDense, Seq("g"), "slot", "n").collect()(0)
+    assert(cpFold === cpBatch)
+    assert(cpFold.getAs[Long]("cp_t") === 12L)
+    assert(cpFold.getAs[Boolean]("changed"))
+  }
+
   test("streaming clustering folds edge batches into the bucketed assignment store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.{BucketedAssignStore, ConnectedComponents}

@@ -175,6 +175,25 @@ class TrendStatsSpec extends SparkSpec {
     assert(merged === stats.orderBy("g", "ph").collect().toSeq)
   }
 
+  test("densifyCounts(slotCounts) == resampleCounts; merged slot counts == rebuild") {
+    val rows = Seq(100L, 3700L, 3800L, 11000L, 11500L, 25000L).zipWithIndex
+      .map { case (sec, i) => ("k" + (i % 2), sec) }
+    val df = rows.toDF("g", "sec")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val dense = TimeSeries.densifyCounts(
+      TimeSeries.slotCounts(df, Seq("g"), "ts"), Seq("g"))
+      .orderBy("g", "slot").collect().toSeq
+    val direct = TimeSeries.resampleCounts(df, Seq("g"), "ts")
+      .orderBy("g", "slot").collect().toSeq
+    assert(dense === direct)
+    val h1 = TimeSeries.slotCounts(df.filter($"ts".cast("long") % 2 === 0), Seq("g"), "ts")
+    val h2 = TimeSeries.slotCounts(df.filter($"ts".cast("long") % 2 === 1), Seq("g"), "ts")
+    val merged = TimeSeries.mergeSlotCounts(h1, h2, Seq("g"))
+      .orderBy("g", "slot").collect().toSeq
+    assert(merged === TimeSeries.slotCounts(df, Seq("g"), "ts")
+      .orderBy("g", "slot").collect().toSeq)
+  }
+
   // --- Triangles ------------------------------------------------------------
 
   test("triangleCounts: K4 (with reversed/duplicate/self-loop noise) and a path") {
