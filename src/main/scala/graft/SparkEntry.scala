@@ -253,7 +253,8 @@ object SparkEntry {
     "q240_vocab_churn" -> (LlmQueries.q240VocabChurn(_, _)),
     "q241_mad_bucketed" -> (CoreQueries.q241MadOutliersBucketed(_, _)),
     "q242_iqr_bucketed" -> (CoreQueries.q242IqrBucketed(_, _)),
-    "q243_trimmed_mean" -> (CoreQueries.q243TrimmedMean(_, _))
+    "q243_trimmed_mean" -> (CoreQueries.q243TrimmedMean(_, _)),
+    "q244_gap_analysis" -> (CoreQueries.q244GapAnalysis(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -270,6 +271,7 @@ object SparkEntry {
     "q241_mad_bucketed" -> oracleBase("q152_mad_outliers"),
     "q242_iqr_bucketed" -> oracleBase("q55_iqr_outliers"),
     "q243_trimmed_mean" -> trimmedMeanOracle,
+    "q244_gap_analysis" -> gapAnalysisOracle,
     "q214_acf" -> acfOracle,
     "q215_kruskal_wallis" -> kruskalWallisOracle,
     "q216_mann_kendall" -> mannKendallOracle,
@@ -978,6 +980,41 @@ object SparkEntry {
       |  round(CAST(sum(CASE WHEN rk > dd AND rk <= n - dd THEN CAST(qty AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) /
       |    CAST(sum(CASE WHEN rk > dd AND rk <= n - dd THEN 1 ELSE 0 END) AS DOUBLE), 9) AS trimmed_mean
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q244 oracle: [[graft.operators.TimeSeries.gapAnalysis]] replayed —
+    * the 15-minute epoch-floored spine (floor(epoch/900)·900 — Spark's
+    * window() truncation, NOT DuckDB's rounding double→int cast), the
+    * two-rank run grouping, and the (len desc, start) longest-run pick.
+    */
+  private lazy val gapAnalysisOracle: String =
+    """WITH ev AS (SELECT event_type,
+      |    to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900) AS slot
+      |  FROM events),
+      |c AS (SELECT event_type, slot, count(*) AS n FROM ev GROUP BY 1, 2),
+      |bb AS (SELECT event_type, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY 1),
+      |spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS slot FROM bb),
+      |x AS (SELECT s.event_type, s.slot, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.slot = c.slot),
+      |r AS (SELECT *, (n = 0) AS z,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slot) AS t,
+      |    row_number() OVER (PARTITION BY event_type, (n = 0) ORDER BY slot) AS tf,
+      |    count(*) OVER (PARTITION BY event_type) AS ns FROM x),
+      |runs AS (SELECT event_type, z, t - tf AS rid, max(ns) AS ns,
+      |    CAST(count(*) AS BIGINT) AS len, min(slot) AS strt, max(t) AS endt
+      |  FROM r GROUP BY 1, 2, 3),
+      |a AS (SELECT event_type, CAST(max(ns) AS BIGINT) AS n_slots,
+      |    CAST(sum(CASE WHEN z THEN len ELSE 0 END) AS BIGINT) AS zero_slots,
+      |    CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_runs,
+      |    CAST(max(CASE WHEN z AND endt = ns THEN len ELSE 0 END) AS BIGINT) AS trailing_gap
+      |  FROM runs GROUP BY 1),
+      |best AS (SELECT event_type, len AS longest_zero_run, strt FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY len DESC, strt) AS rk
+      |    FROM runs WHERE z) WHERE rk = 1)
+      |SELECT a.event_type, n_slots, zero_slots, n_zero_runs,
+      |  coalesce(best.longest_zero_run, 0) AS longest_zero_run, trailing_gap,
+      |  strftime(best.strt, '%Y-%m-%d %H:%M:%S') AS longest_run_start
+      |FROM a LEFT JOIN best USING (event_type)
+      |ORDER BY a.event_type""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

@@ -98,6 +98,59 @@ object TimeSeries {
       .select(g :+ col("slot") :+ coalesce(col("n"), lit(0L)).as("n"): _*)
   }
 
+  /** Gap analysis over a dense per-key series: zero-run statistics —
+    * how LONG does each key go dark (the ingestion-health read a plain
+    * count can't give: 24 scattered empty hours are noise, one 24-hour
+    * run is an outage). Classic two-rank run grouping (rownum over the
+    * series minus rownum within the zero/nonzero class = a stable run
+    * id), then exact integer aggregation: per key the slot count, zero
+    * slot count, number of zero runs, the LONGEST run's length and
+    * start (ties to the earliest start), and the trailing gap (a run
+    * that touches the series end — an outage still in progress). No
+    * join; the windows share one key exchange over the span-bounded
+    * spine.
+    */
+  def gapAnalysis(
+      df: DataFrame,
+      keyCols: Seq[String],
+      slotCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col(slotCol))
+    val wFlag = org.apache.spark.sql.expressions.Window
+      .partitionBy((g :+ col("__z")): _*).orderBy(col(slotCol))
+    val runs = df
+      .withColumn("__z", col(valueCol) === 0L)
+      .withColumn("__rid", row_number().over(wOrd) - row_number().over(wFlag))
+      .withColumn("__t", row_number().over(wOrd))
+      .withColumn("__nslots", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .groupBy((g :+ col("__z") :+ col("__rid")): _*)
+      .agg(
+        max("__nslots").as("__nslots"),
+        count(lit(1)).as("__len"),
+        min(col(slotCol)).as("__start"),
+        max("__t").as("__endT"))
+    runs
+      .groupBy(g: _*)
+      .agg(
+        max("__nslots").as("n_slots"),
+        sum(when(col("__z"), col("__len")).otherwise(0L)).as("zero_slots"),
+        sum(when(col("__z"), 1L).otherwise(0L)).as("n_zero_runs"),
+        max(when(col("__z"), struct(col("__len"),
+          (lit(0L) - unix_timestamp(col("__start"))).as("__negStart")))).as("__best"),
+        max(when(col("__z") && col("__endT") === col("__nslots"), col("__len"))
+          .otherwise(0L)).as("trailing_gap"))
+      .withColumn("longest_zero_run",
+        coalesce(col("__best").getField("__len"), lit(0L)))
+      .withColumn("longest_run_start",
+        when(col("__best").isNotNull,
+          (lit(0L) - col("__best").getField("__negStart")).cast("timestamp")))
+      .drop("__best")
+  }
+
   /** Forward-filled per-key series: each slot carries the latest observed
     * `max(valueCol)` at-or-before it (last-observation-carried-forward
     * over the gap-filled spine). The per-slot aggregate is max — an

@@ -1880,6 +1880,24 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Gap-analysis gate: zero-run statistics of each type's 15-minute
+    * event series — run grouping by the two-rank trick, exact lengths,
+    * longest-run selection with the earliest-start tie pin, trailing
+    * (still-open) gap.
+    */
+  def q244GapAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+      Tables.events(s, dir).select("event_type", "ts"),
+      Seq("event_type"), "ts", step = "15 minutes")
+    TimeSeries.gapAnalysis(counts, Seq("event_type"), "slot", "n")
+      .select(col("event_type"), col("n_slots"), col("zero_slots"),
+        col("n_zero_runs"), col("longest_zero_run"), col("trailing_gap"),
+        date_format(col("longest_run_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("longest_run_start"))
+      .orderBy("event_type")
+  }
+
   /** Skew-safe twin of [[q55IqrOutliers]] — quartiles through the
     * cellScaffold; same exact fences, q55's oracle shared verbatim.
     */

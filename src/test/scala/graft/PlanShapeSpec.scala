@@ -505,6 +505,10 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // trimmed mean: one scaffold pass + the kept-interval agg
     Shape("q243_trimmed_mean", maxHash = 5, minBroadcastJoin = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // gap analysis: the spine + ONE key exchange shared by both run
+    // windows and the aggregations
+    Shape("q244_gap_analysis", maxHash = 2, minBroadcastJoin = 1,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

@@ -194,6 +194,36 @@ class TrendStatsSpec extends SparkSpec {
       .orderBy("g", "slot").collect().toSeq)
   }
 
+  test("gapAnalysis: run lengths, earliest-start tie pin, trailing gap, no-zero key") {
+    def ts(i: Int) = new java.sql.Timestamp(i * 3600L * 1000L)
+    val vals = Seq(0L, 0L, 3L, 0L, 1L, 0L, 0L, 0L, 2L, 0L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", ts(i + 1), v) }
+      .toDF("g", "slot", "n")
+    val r = TimeSeries.gapAnalysis(df, Seq("g"), "slot", "n").collect()(0)
+    assert(r.getAs[Long]("n_slots") === 10L)
+    assert(r.getAs[Long]("zero_slots") === 7L)
+    assert(r.getAs[Long]("n_zero_runs") === 4L)
+    assert(r.getAs[Long]("longest_zero_run") === 3L)
+    assert(r.getAs[java.sql.Timestamp]("longest_run_start") === ts(6))
+    assert(r.getAs[Long]("trailing_gap") === 1L)
+
+    // tie between two max runs: the EARLIEST start wins
+    val tie = Seq(0L, 0L, 5L, 0L, 0L).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }.toDF("g", "slot", "n")
+    val rt = TimeSeries.gapAnalysis(tie, Seq("g"), "slot", "n").collect()(0)
+    assert(rt.getAs[Long]("longest_zero_run") === 2L)
+    assert(rt.getAs[java.sql.Timestamp]("longest_run_start") === ts(1))
+    assert(rt.getAs[Long]("trailing_gap") === 2L)
+
+    // a key with no zeros: zero stats empty, NULL start
+    val full = (1 to 4).map(i => ("k", ts(i), i.toLong)).toDF("g", "slot", "n")
+    val rf = TimeSeries.gapAnalysis(full, Seq("g"), "slot", "n").collect()(0)
+    assert(rf.getAs[Long]("n_zero_runs") === 0L)
+    assert(rf.getAs[Long]("longest_zero_run") === 0L)
+    assert(rf.isNullAt(rf.fieldIndex("longest_run_start")))
+    assert(rf.getAs[Long]("trailing_gap") === 0L)
+  }
+
   // --- Triangles ------------------------------------------------------------
 
   test("triangleCounts: K4 (with reversed/duplicate/self-loop noise) and a path") {
