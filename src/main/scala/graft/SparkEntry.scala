@@ -254,7 +254,8 @@ object SparkEntry {
     "q241_mad_bucketed" -> (CoreQueries.q241MadOutliersBucketed(_, _)),
     "q242_iqr_bucketed" -> (CoreQueries.q242IqrBucketed(_, _)),
     "q243_trimmed_mean" -> (CoreQueries.q243TrimmedMean(_, _)),
-    "q244_gap_analysis" -> (CoreQueries.q244GapAnalysis(_, _))
+    "q244_gap_analysis" -> (CoreQueries.q244GapAnalysis(_, _)),
+    "q245_cmh" -> (CoreQueries.q245Cmh(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -272,6 +273,7 @@ object SparkEntry {
     "q242_iqr_bucketed" -> oracleBase("q55_iqr_outliers"),
     "q243_trimmed_mean" -> trimmedMeanOracle,
     "q244_gap_analysis" -> gapAnalysisOracle,
+    "q245_cmh" -> cmhOracle,
     "q214_acf" -> acfOracle,
     "q215_kruskal_wallis" -> kruskalWallisOracle,
     "q216_mann_kendall" -> mannKendallOracle,
@@ -1015,6 +1017,43 @@ object SparkEntry {
       |  strftime(best.strt, '%Y-%m-%d %H:%M:%S') AS longest_run_start
       |FROM a LEFT JOIN best USING (event_type)
       |ORDER BY a.event_type""".stripMargin
+
+  /** q245 oracle: [[graft.quality.Association.cmh]] replayed — the
+    * per-stratum 2×2 pivot, nano E/Var terms in the operator's exact
+    * dag order, HUGEINT sums, the pooled statistic.
+    */
+  private lazy val cmhOracle: String =
+    """WITH d AS (SELECT lang AS s,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+      |    CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END AS hit
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      |c AS (SELECT s, grp, hit, count(*) AS n FROM d GROUP BY 1, 2, 3),
+      |l AS (SELECT *, min(grp) OVER (PARTITION BY s) AS grp_lo FROM c),
+      |w AS (SELECT s,
+      |    CAST(sum(CASE WHEN grp = grp_lo AND hit = 1 THEN n ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN grp = grp_lo AND hit = 0 THEN n ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN grp <> grp_lo AND hit = 1 THEN n ELSE 0 END) AS BIGINT) AS c2_,
+      |    CAST(sum(CASE WHEN grp <> grp_lo AND hit = 0 THEN n ELSE 0 END) AS BIGINT) AS d2_
+      |  FROM l GROUP BY 1),
+      |t AS (SELECT *, CAST(a + b + c2_ + d2_ AS DOUBLE) AS nn,
+      |    CAST(a + b AS DOUBLE) AS r1, CAST(c2_ + d2_ AS DOUBLE) AS r2,
+      |    CAST(a + c2_ AS DOUBLE) AS cc1, CAST(b + d2_ AS DOUBLE) AS cc2,
+      |    (a + b + c2_ + d2_ >= 2 AND a + b > 0 AND c2_ + d2_ > 0
+      |      AND a + c2_ > 0 AND b + d2_ > 0) AS ok FROM w),
+      |e AS (SELECT *,
+      |    CASE WHEN ok THEN CAST(round(r1 * cc1 / nn * 1e9) AS BIGINT) ELSE 0 END AS e9,
+      |    CASE WHEN ok THEN CAST(round(r1 * r2 * cc1 * cc2 / (nn * nn * (nn - 1)) * 1e9) AS BIGINT) ELSE 0 END AS v9
+      |  FROM t)
+      |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+      |  CAST(sum(CASE WHEN ok THEN a ELSE 0 END) AS BIGINT) AS sum_a,
+      |  CAST(sum(CAST(e9 AS HUGEINT)) AS VARCHAR) AS e_sum9,
+      |  CAST(sum(CAST(v9 AS HUGEINT)) AS VARCHAR) AS var_sum9,
+      |  CASE WHEN sum(CAST(v9 AS HUGEINT)) > 0 THEN round(
+      |    (CAST(sum(CASE WHEN ok THEN a ELSE 0 END) AS DOUBLE) - CAST(sum(CAST(e9 AS HUGEINT)) AS DOUBLE) / 1e9) *
+      |    (CAST(sum(CASE WHEN ok THEN a ELSE 0 END) AS DOUBLE) - CAST(sum(CAST(e9 AS HUGEINT)) AS DOUBLE) / 1e9) /
+      |    (CAST(sum(CAST(v9 AS HUGEINT)) AS DOUBLE) / 1e9), 9) END AS cmh
+      |FROM e""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on
     * the shared hourly spine — the full t_a < t_b sign-pair sum (exact

@@ -521,6 +521,85 @@ object Association {
         col("n") :+ col("h") :+ col("h_tie"): _*)
   }
 
+  /** Cochran–Mantel–Haenszel test (Cochran 1954; Mantel & Haenszel
+    * 1959): the two-group success-rate comparison ADJUSTED for a
+    * stratifying confounder — "is variant A's pass rate really higher,
+    * or does it just have more English?" — the Simpson's-paradox-proof
+    * form of [[twoProportion]] (at ONE stratum CMH = (n−1)/n · z² —
+    * the hypergeometric variance carries the finite-population n−1;
+    * spec-asserted; no continuity correction, like z).
+    *
+    *   CMH = (Σₛ aₛ − Σₛ E ₛ)² / Σₛ Varₛ,   with per stratum s
+    *   E = r₁·c₁/n,  Var = r₁·r₂·c₁·c₂/(n²(n−1))
+    *
+    * Determinism: E and Var carry per-stratum denominators, so each
+    * stratum's E and Var are nano-scaled longs (fixed dags), summed
+    * order-free in DECIMAL; the final statistic is one fixed dag over
+    * the three sums, gated at 9 decimals. Group-lo = the smaller label
+    * (the [[mannWhitney]] pivot rule); `a` = (group-lo, success) count.
+    * Strata with n < 2 or a degenerate margin contribute 0 to every sum
+    * (their Var is 0 — the standard convention). NULL statistic when
+    * ΣVar = 0. SCALE: one (stratum, group, success) count agg; the
+    * pivot and the sums are stratum-cardinality bookkeeping.
+    */
+  def cmh(
+      df: DataFrame,
+      strataCol: String,
+      groupCol: String,
+      successCol: String
+  ): DataFrame = {
+    val counts = df
+      .filter(col(strataCol).isNotNull && col(groupCol).isNotNull &&
+        col(successCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("__s"),
+        col(groupCol).cast("string").as("grp"),
+        col(successCol).cast("long").as("__hit"))
+      .agg(count(lit(1)).as("__n"))
+    val wS = Window.partitionBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = counts
+      .withColumn("grp_lo", min("grp").over(wS))
+      .withColumn("grp_hi", max("grp").over(wS))
+      .groupBy(col("__s"), col("grp_lo"), col("grp_hi"))
+      .agg(
+        sum(when(col("grp") === col("grp_lo") && col("__hit") === 1L, col("__n"))
+          .otherwise(0L)).as("__a"),
+        sum(when(col("grp") === col("grp_lo") && col("__hit") === 0L, col("__n"))
+          .otherwise(0L)).as("__b"),
+        sum(when(col("grp") =!= col("grp_lo") && col("__hit") === 1L, col("__n"))
+          .otherwise(0L)).as("__c"),
+        sum(when(col("grp") =!= col("grp_lo") && col("__hit") === 0L, col("__n"))
+          .otherwise(0L)).as("__d"))
+    val (a, b, c, d) = (col("__a"), col("__b"), col("__c"), col("__d"))
+    val n = (a + b + c + d).cast("double")
+    val r1 = (a + b).cast("double"); val r2 = (c + d).cast("double")
+    val c1 = (a + c).cast("double"); val c2 = (b + d).cast("double")
+    val usable = (a + b + c + d) >= 2L && r1 > 0d && r2 > 0d && c1 > 0d && c2 > 0d
+    val e9 = when(usable, round(r1 * c1 / n * 1e9d).cast("long")).otherwise(0L)
+    val v9 = when(usable,
+      round(r1 * r2 * c1 * c2 / (n * n * (n - 1d)) * 1e9d).cast("long")).otherwise(0L)
+    val dec2 = "decimal(38,0)"
+    val sums = wide
+      .withColumn("__e9", e9).withColumn("__v9", v9)
+      // a USABLE stratum contributes a, E and Var together — a
+      // degenerate stratum (one group / empty margin) contributes to
+      // NONE of them (counting its a with a zero E would bias the
+      // deviation; the textbook convention drops the stratum whole)
+      .agg(
+        count(lit(1)).as("n_strata"),
+        sum(when(usable, 1L).otherwise(0L)).as("n_used"),
+        sum(when(usable, a).otherwise(0L)).cast("long").as("sum_a"),
+        sum(col("__e9").cast(dec2)).as("__se9"),
+        sum(col("__v9").cast(dec2)).as("__sv9"))
+    val dev = col("sum_a").cast("double") - col("__se9").cast("double") / 1e9d
+    sums
+      .withColumn("e_sum9", col("__se9").cast("string"))
+      .withColumn("var_sum9", col("__sv9").cast("string"))
+      .withColumn("cmh",
+        when(col("__sv9") > 0L, dev * dev / (col("__sv9").cast("double") / 1e9d)))
+      .drop("__se9", "__sv9")
+  }
+
   /** Pairwise association MATRIX over categorical columns — the
     * [[associationSummary]] of every unordered column pair in ONE
     * pass, the categorical companion of the Pearson/Spearman matrices

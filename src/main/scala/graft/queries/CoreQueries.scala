@@ -1880,6 +1880,21 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** CMH gate: does doc-id parity predict the long-doc rate AFTER
+    * controlling for language — per-stratum nano E/Var terms, the
+    * paradox-proof pooled statistic.
+    */
+  def q245Cmh(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir).select(
+      col("lang"),
+      when(col("doc_id") % 2 === 0, "even").otherwise("odd").as("variant"),
+      (col("n_chars") >= 256L).cast("long").as("hi"))
+    Association.cmh(d, "lang", "variant", "hi")
+      .select(col("n_strata"), col("n_used"), col("sum_a"),
+        col("e_sum9"), col("var_sum9"), round(col("cmh"), 9).as("cmh"))
+  }
+
   /** Gap-analysis gate: zero-run statistics of each type's 15-minute
     * event series — run grouping by the two-rank trick, exact lengths,
     * longest-run selection with the earliest-start tie pin, trailing

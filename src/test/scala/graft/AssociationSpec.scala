@@ -101,6 +101,38 @@ class AssociationSpec extends SparkSpec {
     }
   }
 
+  test("cmh: single stratum equals z^2 of twoProportion; paradox strata pool correctly") {
+    // one stratum: CMH == (n-1)/n * z^2 — the hypergeometric variance
+    // carries the finite-population (n-1), the pooled z^2 does not
+    val ab = ((1 to 8).map(_ => ("s1", "A", 1L)) ++ (1 to 2).map(_ => ("s1", "A", 0L)) ++
+      (1 to 2).map(_ => ("s1", "B", 1L)) ++ (1 to 8).map(_ => ("s1", "B", 0L)))
+      .toDF("st", "v", "hi")
+    val c1 = Association.cmh(ab, "st", "v", "hi").collect()(0)
+    val z = Association.twoProportion(ab.drop("st"), Nil, "v", "hi")
+      .collect()(0).getAs[Double]("z")
+    assert(math.abs(c1.getAs[Double]("cmh") - z * z * 19d / 20d) < 1e-6)
+    assert(c1.getAs[Long]("sum_a") === 8L)
+
+    // two perfectly balanced strata with NO within-stratum effect:
+    // CMH ~ 0 even though the pooled table shows an effect (Simpson)
+    val s1 = (1 to 8).map(_ => ("x", "A", 1L)) ++ (1 to 2).map(_ => ("x", "A", 0L)) ++
+      (1 to 4).map(_ => ("x", "B", 1L)) ++ (1 to 1).map(_ => ("x", "B", 0L))
+    val s2 = (1 to 2).map(_ => ("y", "A", 1L)) ++ (1 to 8).map(_ => ("y", "A", 0L)) ++
+      (1 to 1).map(_ => ("y", "B", 1L)) ++ (1 to 4).map(_ => ("y", "B", 0L))
+    val bal = (s1 ++ s2).toDF("st", "v", "hi")
+    val cb = Association.cmh(bal, "st", "v", "hi").collect()(0)
+    assert(cb.getAs[Long]("n_strata") === 2L)
+    assert(math.abs(cb.getAs[Double]("cmh")) < 1e-6) // identical rates within strata
+
+    // a degenerate one-group stratum contributes nothing
+    val withDegen = bal.unionAll(Seq(("z", "A", 1L), ("z", "A", 0L)).toDF("st", "v", "hi"))
+    val cd = Association.cmh(withDegen, "st", "v", "hi").collect()(0)
+    assert(cd.getAs[String]("var_sum9") === cb.getAs[String]("var_sum9"))
+    assert(cd.getAs[Long]("n_used") === 2L && cd.getAs[Long]("n_strata") === 3L)
+    assert(cd.getAs[Long]("sum_a") === cb.getAs[Long]("sum_a")) // z's a excluded whole
+    assert(cd.getAs[Double]("cmh") === cb.getAs[Double]("cmh"))
+  }
+
   test("mannWhitney: textbook separation, tie-heavy null, degenerate, 3-group contract") {
     // A=[1,2,3] B=[4,5,6]: 2U1 = 12-12 = 0, z = -4.5/sqrt(5.25)
     val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("B", 6L))

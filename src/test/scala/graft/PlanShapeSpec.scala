@@ -509,7 +509,11 @@ class PlanShapeSpec extends SparkSpec {
     // gap analysis: the spine + ONE key exchange shared by both run
     // windows and the aggregations
     Shape("q244_gap_analysis", maxHash = 2, minBroadcastJoin = 1,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // CMH: one (stratum, group, success) count agg; the 2x2 pivot and
+    // the pooled sums are stratum-cardinality bookkeeping
+    Shape("q245_cmh", maxHash = 2, forbidSortMergeJoin = true,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
