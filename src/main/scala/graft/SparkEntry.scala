@@ -1042,7 +1042,9 @@ object SparkEntry {
       |      AND a + c2_ > 0 AND b + d2_ > 0) AS ok FROM w),
       |e AS (SELECT *,
       |    CASE WHEN ok THEN CAST(round(r1 * cc1 / nn * 1e9) AS BIGINT) ELSE 0 END AS e9,
-      |    CASE WHEN ok THEN CAST(round(r1 * r2 * cc1 * cc2 / (nn * nn * (nn - 1)) * 1e9) AS BIGINT) ELSE 0 END AS v9
+      |    CASE WHEN ok THEN CAST(round(r1 * r2 * cc1 * cc2 / (nn * nn * (nn - 1)) * 1e9) AS BIGINT) ELSE 0 END AS v9,
+      |    CASE WHEN ok THEN CAST(round(CAST(a AS DOUBLE) * CAST(d2_ AS DOUBLE) / nn * 1e9) AS BIGINT) ELSE 0 END AS on9,
+      |    CASE WHEN ok THEN CAST(round(CAST(b AS DOUBLE) * CAST(c2_ AS DOUBLE) / nn * 1e9) AS BIGINT) ELSE 0 END AS od9
       |  FROM t)
       |SELECT CAST(count(*) AS BIGINT) AS n_strata,
       |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
@@ -1052,7 +1054,10 @@ object SparkEntry {
       |  CASE WHEN sum(CAST(v9 AS HUGEINT)) > 0 THEN round(
       |    (CAST(sum(CASE WHEN ok THEN a ELSE 0 END) AS DOUBLE) - CAST(sum(CAST(e9 AS HUGEINT)) AS DOUBLE) / 1e9) *
       |    (CAST(sum(CASE WHEN ok THEN a ELSE 0 END) AS DOUBLE) - CAST(sum(CAST(e9 AS HUGEINT)) AS DOUBLE) / 1e9) /
-      |    (CAST(sum(CAST(v9 AS HUGEINT)) AS DOUBLE) / 1e9), 9) END AS cmh
+      |    (CAST(sum(CAST(v9 AS HUGEINT)) AS DOUBLE) / 1e9), 9) END AS cmh,
+      |  CASE WHEN sum(CAST(od9 AS HUGEINT)) > 0 THEN round(
+      |    CAST(sum(CAST(on9 AS HUGEINT)) AS DOUBLE) /
+      |    CAST(sum(CAST(od9 AS HUGEINT)) AS DOUBLE), 9) END AS or_mh
       |FROM e""".stripMargin
 
   /** q216 oracle: [[graft.operators.TimeSeries.mannKendall]] replayed on

@@ -578,9 +578,16 @@ object Association {
     val e9 = when(usable, round(r1 * c1 / n * 1e9d).cast("long")).otherwise(0L)
     val v9 = when(usable,
       round(r1 * r2 * c1 * c2 / (n * n * (n - 1d)) * 1e9d).cast("long")).otherwise(0L)
+    // Mantel–Haenszel common odds-ratio terms: OR = Σ(a·d/n)/Σ(b·c/n)
+    // — same per-stratum nano discipline, same usable gate
+    val orNum9 = when(usable,
+      round(a.cast("double") * d.cast("double") / n * 1e9d).cast("long")).otherwise(0L)
+    val orDen9 = when(usable,
+      round(b.cast("double") * c.cast("double") / n * 1e9d).cast("long")).otherwise(0L)
     val dec2 = "decimal(38,0)"
     val sums = wide
       .withColumn("__e9", e9).withColumn("__v9", v9)
+      .withColumn("__on9", orNum9).withColumn("__od9", orDen9)
       // a USABLE stratum contributes a, E and Var together — a
       // degenerate stratum (one group / empty margin) contributes to
       // NONE of them (counting its a with a zero E would bias the
@@ -590,14 +597,19 @@ object Association {
         sum(when(usable, 1L).otherwise(0L)).as("n_used"),
         sum(when(usable, a).otherwise(0L)).cast("long").as("sum_a"),
         sum(col("__e9").cast(dec2)).as("__se9"),
-        sum(col("__v9").cast(dec2)).as("__sv9"))
+        sum(col("__v9").cast(dec2)).as("__sv9"),
+        sum(col("__on9").cast(dec2)).as("__son9"),
+        sum(col("__od9").cast(dec2)).as("__sod9"))
     val dev = col("sum_a").cast("double") - col("__se9").cast("double") / 1e9d
     sums
       .withColumn("e_sum9", col("__se9").cast("string"))
       .withColumn("var_sum9", col("__sv9").cast("string"))
       .withColumn("cmh",
         when(col("__sv9") > 0L, dev * dev / (col("__sv9").cast("double") / 1e9d)))
-      .drop("__se9", "__sv9")
+      .withColumn("or_mh",
+        when(col("__sod9") > 0L,
+          col("__son9").cast("double") / col("__sod9").cast("double")))
+      .drop("__se9", "__sv9", "__son9", "__sod9")
   }
 
   /** Pairwise association MATRIX over categorical columns — the

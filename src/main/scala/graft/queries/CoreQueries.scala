@@ -1892,7 +1892,8 @@ object CoreQueries {
       (col("n_chars") >= 256L).cast("long").as("hi"))
     Association.cmh(d, "lang", "variant", "hi")
       .select(col("n_strata"), col("n_used"), col("sum_a"),
-        col("e_sum9"), col("var_sum9"), round(col("cmh"), 9).as("cmh"))
+        col("e_sum9"), col("var_sum9"), round(col("cmh"), 9).as("cmh"),
+        round(col("or_mh"), 9).as("or_mh"))
   }
 
   /** Gap-analysis gate: zero-run statistics of each type's 15-minute

@@ -131,6 +131,12 @@ class AssociationSpec extends SparkSpec {
     assert(cd.getAs[Long]("n_used") === 2L && cd.getAs[Long]("n_strata") === 3L)
     assert(cd.getAs[Long]("sum_a") === cb.getAs[Long]("sum_a")) // z's a excluded whole
     assert(cd.getAs[Double]("cmh") === cb.getAs[Double]("cmh"))
+
+    // MH common odds ratio: identical within-stratum rates -> OR = 1
+    // exactly (each stratum's a*d/n == b*c/n): s1 8*1/15 vs 2*4/15
+    assert(math.abs(cb.getAs[Double]("or_mh") - 1.0) < 1e-9)
+    // and the separated single stratum has OR = (8*8)/(2*2) = 16
+    assert(math.abs(c1.getAs[Double]("or_mh") - 16.0) < 1e-6)
   }
 
   test("mannWhitney: textbook separation, tie-heavy null, degenerate, 3-group contract") {
