@@ -1028,8 +1028,10 @@ object SparkEntry {
       |    CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END AS hit
       |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
       |c AS (SELECT s, grp, hit, count(*) AS n FROM d GROUP BY 1, 2, 3),
-      |l AS (SELECT *, min(grp) OVER (PARTITION BY s) AS grp_lo FROM c),
-      |w AS (SELECT s,
+      |g AS (SELECT s, count(DISTINCT grp) AS ng FROM c GROUP BY 1),
+      |l AS (SELECT c.*, g.ng, min(grp) OVER (PARTITION BY c.s) AS grp_lo
+      |  FROM c JOIN g ON c.s = g.s),
+      |w AS (SELECT s, max(ng) AS ng,
       |    CAST(sum(CASE WHEN grp = grp_lo AND hit = 1 THEN n ELSE 0 END) AS BIGINT) AS a,
       |    CAST(sum(CASE WHEN grp = grp_lo AND hit = 0 THEN n ELSE 0 END) AS BIGINT) AS b,
       |    CAST(sum(CASE WHEN grp <> grp_lo AND hit = 1 THEN n ELSE 0 END) AS BIGINT) AS c2_,
@@ -1038,7 +1040,7 @@ object SparkEntry {
       |t AS (SELECT *, CAST(a + b + c2_ + d2_ AS DOUBLE) AS nn,
       |    CAST(a + b AS DOUBLE) AS r1, CAST(c2_ + d2_ AS DOUBLE) AS r2,
       |    CAST(a + c2_ AS DOUBLE) AS cc1, CAST(b + d2_ AS DOUBLE) AS cc2,
-      |    (a + b + c2_ + d2_ >= 2 AND a + b > 0 AND c2_ + d2_ > 0
+      |    (ng = 2 AND a + b + c2_ + d2_ >= 2 AND a + b > 0 AND c2_ + d2_ > 0
       |      AND a + c2_ > 0 AND b + d2_ > 0) AS ok FROM w),
       |e AS (SELECT *,
       |    CASE WHEN ok THEN CAST(round(r1 * cc1 / nn * 1e9) AS BIGINT) ELSE 0 END AS e9,
@@ -1048,6 +1050,7 @@ object SparkEntry {
       |  FROM t)
       |SELECT CAST(count(*) AS BIGINT) AS n_strata,
       |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+      |  CAST(sum(CASE WHEN ng > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
       |  CAST(sum(CASE WHEN ok THEN a ELSE 0 END) AS BIGINT) AS sum_a,
       |  CAST(sum(CAST(e9 AS HUGEINT)) AS VARCHAR) AS e_sum9,
       |  CAST(sum(CAST(v9 AS HUGEINT)) AS VARCHAR) AS var_sum9,

@@ -216,7 +216,10 @@ object Quantiles {
     * (trim 50). EXACT: d and the kept-rank interval are integer
     * arithmetic, the kept sum is DECIMAL(38,0) (digit string), the mean
     * ONE division. NULL values excluded (no rank); n ≤ 2d groups emit
-    * NULL mean (nothing kept).
+    * NULL mean (nothing kept). Values follow the integer-units
+    * discipline (cents/ppm): fractional inputs are TRUNCATED via
+    * cast('long') — the repo-wide rule and the oracle's CAST AS BIGINT
+    * — never decimal half-up rounding.
     */
   def trimmedMean(
       df: DataFrame,
@@ -244,7 +247,7 @@ object Quantiles {
         max(col("__n")).as("n"),
         max(col("__d")).as("n_trimmed_each_side"),
         sum(when(col("__rk") > col("__d") && col("__rk") <= col("__n") - col("__d"),
-          col(valueCol).cast(dec)).otherwise(lit(0L).cast(dec))).as("__sum"),
+          col(valueCol).cast("long").cast(dec)).otherwise(lit(0L).cast(dec))).as("__sum"),
         sum(when(col("__rk") > col("__d") && col("__rk") <= col("__n") - col("__d"), 1L)
           .otherwise(0L)).as("n_kept"))
       .withColumn("sum_kept", col("__sum").cast("string"))

@@ -538,9 +538,13 @@ object Association {
     * the three sums, gated at 9 decimals. Group-lo = the smaller label
     * (the [[mannWhitney]] pivot rule); `a` = (group-lo, success) count.
     * Strata with n < 2 or a degenerate margin contribute 0 to every sum
-    * (their Var is 0 — the standard convention). NULL statistic when
-    * ΣVar = 0. SCALE: one (stratum, group, success) count agg; the
-    * pivot and the sums are stratum-cardinality bookkeeping.
+    * (their Var is 0 — the standard convention). The test is a
+    * TWO-group test: a stratum with >2 distinct group labels is a
+    * contract violation — it is dropped whole (NOT lumped into a fake
+    * hi arm) and counted in `n_multi`, the [[mannWhitney]]
+    * flag-don't-guess convention. NULL statistic when ΣVar = 0.
+    * SCALE: one (stratum, group, success) count agg; the pivot and the
+    * sums are stratum-cardinality bookkeeping.
     */
   def cmh(
       df: DataFrame,
@@ -555,12 +559,36 @@ object Association {
         col(groupCol).cast("string").as("grp"),
         col(successCol).cast("long").as("__hit"))
       .agg(count(lit(1)).as("__n"))
+    cmhFromCounts(counts, "__s", "grp", "__hit", "__n")
+  }
+
+  /** [[cmh]] from a pre-aggregated (stratum, group, success, n) count
+    * frame — the shape [[contingencyCounts]] emits with the stratum as
+    * key (x = group, y = success), so a VERSIONED contingency fold
+    * ([[graft.streaming.StreamingOps.contingencyStream]]) IS the CMH
+    * streaming state: the standing store answers "confounder-adjusted
+    * A/B so far" without re-reading trials. Success values cast to long
+    * (string "0"/"1" from the contingency cast round-trips).
+    */
+  def cmhFromCounts(
+      countsIn: DataFrame,
+      strataCol: String,
+      groupCol: String,
+      successCol: String,
+      nCol: String
+  ): DataFrame = {
+    val counts = countsIn.select(
+      col(strataCol).cast("string").as("__s"),
+      col(groupCol).cast("string").as("grp"),
+      col(successCol).cast("long").as("__hit"),
+      col(nCol).cast("long").as("__n"))
     val wS = Window.partitionBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wide = counts
       .withColumn("grp_lo", min("grp").over(wS))
       .withColumn("grp_hi", max("grp").over(wS))
-      .groupBy(col("__s"), col("grp_lo"), col("grp_hi"))
+      .withColumn("n_grps", size(collect_set(col("grp")).over(wS)))
+      .groupBy(col("__s"), col("grp_lo"), col("grp_hi"), col("n_grps"))
       .agg(
         sum(when(col("grp") === col("grp_lo") && col("__hit") === 1L, col("__n"))
           .otherwise(0L)).as("__a"),
@@ -574,7 +602,8 @@ object Association {
     val n = (a + b + c + d).cast("double")
     val r1 = (a + b).cast("double"); val r2 = (c + d).cast("double")
     val c1 = (a + c).cast("double"); val c2 = (b + d).cast("double")
-    val usable = (a + b + c + d) >= 2L && r1 > 0d && r2 > 0d && c1 > 0d && c2 > 0d
+    val usable = col("n_grps") === 2 &&
+      (a + b + c + d) >= 2L && r1 > 0d && r2 > 0d && c1 > 0d && c2 > 0d
     val e9 = when(usable, round(r1 * c1 / n * 1e9d).cast("long")).otherwise(0L)
     val v9 = when(usable,
       round(r1 * r2 * c1 * c2 / (n * n * (n - 1d)) * 1e9d).cast("long")).otherwise(0L)
@@ -595,6 +624,7 @@ object Association {
       .agg(
         count(lit(1)).as("n_strata"),
         sum(when(usable, 1L).otherwise(0L)).as("n_used"),
+        sum(when(col("n_grps") > 2, 1L).otherwise(0L)).as("n_multi"),
         sum(when(usable, a).otherwise(0L)).cast("long").as("sum_a"),
         sum(col("__e9").cast(dec2)).as("__se9"),
         sum(col("__v9").cast(dec2)).as("__sv9"),

@@ -1891,7 +1891,7 @@ object CoreQueries {
       when(col("doc_id") % 2 === 0, "even").otherwise("odd").as("variant"),
       (col("n_chars") >= 256L).cast("long").as("hi"))
     Association.cmh(d, "lang", "variant", "hi")
-      .select(col("n_strata"), col("n_used"), col("sum_a"),
+      .select(col("n_strata"), col("n_used"), col("n_multi"), col("sum_a"),
         col("e_sum9"), col("var_sum9"), round(col("cmh"), 9).as("cmh"),
         round(col("or_mh"), 9).as("or_mh"))
   }
@@ -2045,7 +2045,9 @@ object CoreQueries {
     import graft.quality.Profiler
     val ev = Tables.events(s, dir)
       .select(col("event_id"),
-        (round(col("value") * 1000).cast("long") / 5000L).cast("long").as("bkt"))
+        // FLOOR division — DuckDB's `//` floors while a /-then-cast
+        // truncates toward zero; they diverge on negative supports
+        floor(round(col("value") * 1000).cast("long") / lit(5000d)).cast("long").as("bkt"))
     Profiler.wassersteinDrift(
       base = ev.filter(col("event_id") % 2 === 0),
       cur = ev.filter(col("event_id") % 2 === 1),

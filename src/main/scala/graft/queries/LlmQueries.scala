@@ -2088,7 +2088,8 @@ object LlmQueries {
     val ev = Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .select(col("event_id"),
-        (round(col("value") * 1000).cast("long") / 5000L).cast("long").as("bkt"))
+        // FLOOR division, matching the oracle's `//` on negative supports
+        floor(round(col("value") * 1000).cast("long") / lit(5000d)).cast("long").as("bkt"))
     Profiler.hellingerDrift(
       base = ev.filter(col("event_id") % 2 === 0),
       cur = ev.filter(col("event_id") % 2 === 1),

@@ -137,6 +137,46 @@ class AssociationSpec extends SparkSpec {
     assert(math.abs(cb.getAs[Double]("or_mh") - 1.0) < 1e-9)
     // and the separated single stratum has OR = (8*8)/(2*2) = 16
     assert(math.abs(c1.getAs[Double]("or_mh") - 16.0) < 1e-6)
+
+    // a >2-group stratum is a contract violation: dropped WHOLE (never
+    // lumped into a fake hi arm) and flagged in n_multi
+    val withMulti = bal.unionAll(
+      Seq(("m", "A", 1L), ("m", "B", 0L), ("m", "C", 1L), ("m", "C", 0L))
+        .toDF("st", "v", "hi"))
+    val cm = Association.cmh(withMulti, "st", "v", "hi").collect()(0)
+    assert(cm.getAs[Long]("n_strata") === 3L)
+    assert(cm.getAs[Long]("n_used") === 2L)
+    assert(cm.getAs[Long]("n_multi") === 1L)
+    assert(cm.getAs[String]("var_sum9") === cb.getAs[String]("var_sum9"))
+    assert(cm.getAs[Long]("sum_a") === cb.getAs[Long]("sum_a"))
+    assert(cm.getAs[Double]("cmh") === cb.getAs[Double]("cmh"))
+    assert(cb.getAs[Long]("n_multi") === 0L)
+  }
+
+  test("cmhFromCounts over a folded contingency store equals cmh over all trials") {
+    val s1 = (1 to 8).map(_ => ("x", "A", 1L)) ++ (1 to 2).map(_ => ("x", "A", 0L)) ++
+      (1 to 4).map(_ => ("x", "B", 1L)) ++ (1 to 1).map(_ => ("x", "B", 0L))
+    val s2 = (1 to 2).map(_ => ("y", "A", 1L)) ++ (1 to 8).map(_ => ("y", "A", 0L)) ++
+      (1 to 1).map(_ => ("y", "B", 1L)) ++ (1 to 4).map(_ => ("y", "B", 0L))
+    val all = (s1 ++ s2).toDF("st", "v", "hi")
+    // three disjoint batches folded through the contingency merge — the
+    // contingencyStream state IS the CMH streaming state
+    val batches = (s1 ++ s2).zipWithIndex
+    def batch(i: Int) = batches.collect { case (r, j) if j % 3 == i => r }
+      .toDF("st", "v", "hi")
+    val folded = (1 to 2).foldLeft(
+        Association.contingencyCounts(batch(0), Seq("st"), "v", "hi")) { (acc, i) =>
+      Association.mergeContingencyCounts(
+        acc, Association.contingencyCounts(batch(i), Seq("st"), "v", "hi"), Seq("st"))
+    }
+    val fromStore = Association.cmhFromCounts(folded, "st", "x", "y", "n").collect()(0)
+    val direct = Association.cmh(all, "st", "v", "hi").collect()(0)
+    for (c <- Seq("n_strata", "n_used", "n_multi", "sum_a"))
+      assert(fromStore.getAs[Long](c) === direct.getAs[Long](c), c)
+    for (c <- Seq("e_sum9", "var_sum9"))
+      assert(fromStore.getAs[String](c) === direct.getAs[String](c), c)
+    assert(fromStore.getAs[Double]("cmh") === direct.getAs[Double]("cmh"))
+    assert(fromStore.getAs[Double]("or_mh") === direct.getAs[Double]("or_mh"))
   }
 
   test("mannWhitney: textbook separation, tie-heavy null, degenerate, 3-group contract") {
