@@ -154,11 +154,10 @@ object CorpusLaws {
     * every ratio ONE pinned division.
     *
     * SCALE: per-(group, token) counts are map-side combined; the
-    * profile aggregations are vocabulary-keyed; the top-K head mass is
-    * the ONLY ordered step — one rank window over the per-group vocab
-    * frame (vocabulary-cardinality-sized; for a single global profile
-    * prefer... the grouped form keeps partitions lang-sized). Emits one
-    * row per group.
+    * profile aggregations are vocabulary-keyed and UNORDERED; the top-K
+    * head mass is the only ordered step and runs on a
+    * WindowGroupLimit-pruned topK-rows-per-group twin (see
+    * [[vocabProfileFromCounts]]). Emits one row per group.
     */
   /** Vocabulary CHURN between two (token, cnt) snapshots — the
     * tokenizer-maintenance read [[vocabProfile]] can't give: how much
@@ -208,17 +207,47 @@ object CorpusLaws {
         s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')")).as("token")): _*)
       .groupBy((g :+ col("token")): _*)
       .agg(count(lit(1)).as("cnt"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(g: _*).orderBy(col("cnt").desc, col("token").asc)
-    counts
-      .withColumn("__rk", row_number().over(wRank))
+    vocabProfileFromCounts(counts, keyCols, topK)
+  }
+
+  /** [[vocabProfile]] from a pre-aggregated per-(keys, token) `cnt`
+    * frame — the standing-store reader: fold batch token counts with
+    * [[mergeTokenCounts]] and the health card reads ALL history without
+    * re-tokenizing it.
+    *
+    * SCALE: token/type/hapax are UNORDERED aggregates (no window at
+    * all); the head mass ranks a `row_number <= topK`-FILTERED twin, so
+    * Spark's WindowGroupLimit prunes each group to its topK rows
+    * map-side BEFORE the rank shuffle sort — no reducer ever sorts a
+    * whole language's vocabulary (the q188-q190 re-lay; the old form
+    * fed the rank into a conditional sum, which disabled the prune and
+    * made this the repo's last group-unbounded sort). The two branches
+    * share the count frame's exchange (ReuseExchange); the join-back is
+    * group-cardinality-sized.
+    */
+  def vocabProfileFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      topK: Int = 100
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val g = keyCols.map(col)
+    val prof = counts
       .groupBy(g: _*)
       .agg(
         sum("cnt").cast("long").as("n_tokens"),
         count(lit(1)).as("n_types"),
-        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax"),
-        sum(when(col("__rk") <= topK, col("cnt")).otherwise(0L)).cast("long")
-          .as("top_mass"))
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("cnt").desc, col("token").asc)
+    val head = counts
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") <= topK)
+      .groupBy(g: _*)
+      .agg(sum("cnt").cast("long").as("top_mass"))
+    // inner join: every nonempty group has a rank-1 row, so head covers
+    // exactly prof's key set
+    prof.join(head, keyCols)
       .withColumn("hapax_ratio",
         col("hapax").cast("double") / col("n_types").cast("double"))
       .withColumn("type_token_ratio",
@@ -226,4 +255,23 @@ object CorpusLaws {
       .withColumn("top_share",
         col("top_mass").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Per-(keys, token) counts — the grouped [[tokenCounts]], emitted in
+    * the mergeable-store shape [[vocabProfileFromCounts]] and
+    * [[vocabChurn]] read. */
+  def groupedTokenCounts(df: DataFrame, keyCols: Seq[String], textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select((keyCols.map(col) :+ explode(expr(
+        s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')")).as("token")): _*)
+      .groupBy((keyCols.map(col) :+ col("token")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold two token-count frames over disjoint row sets — additive, the
+    * [[graft.streaming.StreamingOps.contingencyStream]] discipline
+    * (non-idempotent: crash replays recompute from the latest
+    * strictly-earlier version, never re-merge). */
+  def mergeTokenCounts(a: DataFrame, b: DataFrame, keyCols: Seq[String] = Nil): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("token")): _*)
+      .agg(sum("cnt").as("cnt"))
 }

@@ -454,9 +454,12 @@ class PlanShapeSpec extends SparkSpec {
     // and the z dag are bookkeeping on a 2-row frame
     Shape("q229_two_proportion", maxHash = 1, forbidSortMergeJoin = true,
       forbidSortAggregate = true, forbidUdf = true),
-    // vocab profile: token-count agg + the per-lang head-rank window;
-    // profile agg shares the window's exchange
-    Shape("q230_vocab_profile", maxHash = 2, forbidSortMergeJoin = true,
+    // vocab profile: unordered profile agg + a WindowGroupLimit-PRUNED
+    // topK head twin broadcast-joined back — the rank sort sees at most
+    // topK rows per group per partition, never the vocabulary (r11's
+    // last group-unbounded sort, re-laid r12)
+    Shape("q230_vocab_profile", maxHash = 4, minBroadcastJoin = 1,
+      requireWindowGroupLimit = true, forbidSortMergeJoin = true,
       forbidSortAggregate = true, forbidUdf = true),
     // cluster sizes: the CC loop's own exchanges are audited at q113;
     // the profile adds size/histogram aggs on component-sized frames

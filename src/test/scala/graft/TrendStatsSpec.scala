@@ -413,6 +413,36 @@ class TrendStatsSpec extends SparkSpec {
     assert(de.getAs[Double]("top_share") === 1.0) // topK covers everything
   }
 
+  test("vocabProfile fold: profile from merged batch token counts equals rebuild") {
+    import graft.text.CorpusLaws
+    val docs = Seq(("en", "a  a b", 0), ("en", "a c", 1), ("de", "x y", 0),
+      ("en", "b b c d", 2), ("de", "x", 1))
+      .toDF("lang", "text", "b")
+    val folded = (1 to 2).foldLeft(
+        CorpusLaws.groupedTokenCounts(docs.filter(col("b") === 0), Seq("lang"), "text")) {
+      (acc, i) => CorpusLaws.mergeTokenCounts(acc,
+        CorpusLaws.groupedTokenCounts(docs.filter(col("b") === i), Seq("lang"), "text"),
+        Seq("lang"))
+    }
+    val fromStore = CorpusLaws.vocabProfileFromCounts(folded, Seq("lang"), topK = 2)
+      .orderBy("lang").collect()
+    val rebuild = CorpusLaws.vocabProfile(docs, Seq("lang"), "text", topK = 2)
+      .orderBy("lang").collect()
+    assert(fromStore.toSeq === rebuild.toSeq)
+    // and churn reads the same store shape: base = batch 0, cur = rest
+    val base = CorpusLaws.groupedTokenCounts(
+      docs.filter(col("b") === 0).select("text"), Nil, "text")
+    val cur = CorpusLaws.mergeTokenCounts(
+      CorpusLaws.groupedTokenCounts(docs.filter(col("b") === 1).select("text"), Nil, "text"),
+      CorpusLaws.groupedTokenCounts(docs.filter(col("b") === 2).select("text"), Nil, "text"))
+    val churnFold = CorpusLaws.vocabChurn(base, cur).collect()(0)
+    val churnRebuild = CorpusLaws.vocabChurn(
+      CorpusLaws.tokenCounts(docs.filter(col("b") === 0).select("text"), "text"),
+      CorpusLaws.tokenCounts(docs.filter(col("b") =!= 0).select("text"), "text"))
+      .collect()(0)
+    assert(churnFold.toSeq === churnRebuild.toSeq)
+  }
+
   // --- Effective sample size -------------------------------------------------------
 
   test("effectiveSampleSize: uniform weights give ESS = n; a dominant weight collapses it") {
