@@ -202,37 +202,120 @@ object ConnectedComponents {
     * with the edge count, touched-node count, cluster count, and
     * duplication factor of the graph restricted to edges with
     * `distCol` ≤ t. The maxDist tuning curve read directly: where the
-    * dup_factor elbow sits is where the verifier should cut. Runs one
-    * [[labelPropagation]] per threshold over the ALREADY-BLOCKED pair
-    * frame (bounded by the blocking contract — thresholds are few and
-    * the pair set is the small thing; the corpus is never touched), so
-    * each row is exact, not extrapolated.
+    * dup_factor elbow sits is where the verifier should cut.
+    *
+    * The thresholds are NESTED (edges at t are a subset of t+1), so the
+    * whole curve is ONE incremental union-find sweep, not a clustering
+    * per threshold: the pair frame collapses to per-(src, dst) MIN
+    * distance (one aggregation — a pair is "in" at t iff its min dist
+    * is), the distinct pairs are collected (bounded by the blocking
+    * contract, same `localEdgeThreshold` bound as [[labelPropagation]]'s
+    * driver path, which these gate-scale pair sets already ride) and
+    * processed in ascending-dist order; every threshold's
+    * (pairs, nodes, clusters) snapshot falls out of the running
+    * union-find counters. Oversized pair sets fall back to one
+    * [[labelPropagation]] per threshold over the SHARED checkpointed
+    * min-dist frame (the blocking+verify chain is computed once, not
+    * once per threshold).
     */
   def thresholdClusterSweep(
       pairs: DataFrame,
       srcCol: String,
       dstCol: String,
       distCol: String,
-      thresholds: Seq[Int]
+      thresholds: Seq[Int],
+      localPairThreshold: Int = 1 << 20
   ): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val perT = thresholds.map { t =>
-      val e = pairs.filter(col(distCol) <= t)
-        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      val summary = clusters(e)
-        .agg(
-          coalesce(sum("n_members"), lit(0L)).as("n_nodes"),
-          count(lit(1)).as("n_clusters"))
-      val nPairs = pairs.filter(col(distCol) <= t)
-        .select(col(srcCol), col(dstCol)).distinct()
-        .agg(count(lit(1)).as("n_pairs"))
-      summary.crossJoin(nPairs).select(
-        lit(t).as("threshold"), col("n_pairs"), col("n_nodes"), col("n_clusters"),
-        when(col("n_nodes") > 0L,
-          (col("n_nodes") - col("n_clusters")).cast("double") /
-            col("n_nodes").cast("double")).otherwise(lit(0d)).as("dup_factor"))
+    val grouped = pairs
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull && col(distCol).isNotNull)
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(min(col(distCol).cast("double")).as("d"))
+    localThresholdSweep(grouped, thresholds, localPairThreshold)
+      .getOrElse(distributedThresholdSweep(grouped, thresholds))
+  }
+
+  /** The single-pass driver sweep over collected (src, dst, min dist)
+    * rows. Bails (None) on oversized pair sets or non-long id columns —
+    * the per-threshold distributed loop is the semantics owner.
+    */
+  private def localThresholdSweep(
+      grouped: DataFrame,
+      thresholds: Seq[Int],
+      localPairThreshold: Int
+  ): Option[DataFrame] = {
+    import org.apache.spark.sql.types.LongType
+    val longIds = Seq(grouped.schema.fields.find(_.name == "src"),
+        grouped.schema.fields.find(_.name == "dst"))
+      .forall(_.exists(_.dataType == LongType))
+    if (localPairThreshold <= 0 || !longIds) return None
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    val rows = grouped.limit(localPairThreshold + 1).collect()
+    if (rows.length > localPairThreshold) return None
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._3, e._1, e._2))
+    // incremental union-find with running node/component counters
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    var nNodes = 0L
+    var nClusters = 0L
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
-    perT.reduce(_ unionAll _)
+    def touch(x: Long): Unit =
+      if (!parent.contains(x)) { parent(x) = x; nNodes += 1; nClusters += 1 }
+    var i = 0
+    val out = thresholds.sorted.map { t =>
+      while (i < edges.length && edges(i)._3 <= t.toDouble) {
+        val (s, d, _) = edges(i)
+        touch(s); touch(d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) {
+          if (rs < rd) parent(rd) = rs else parent(rs) = rd
+          nClusters -= 1
+        }
+        i += 1
+      }
+      val dup = if (nNodes > 0L) (nNodes - nClusters).toDouble / nNodes.toDouble else 0d
+      (t, i.toLong, nNodes, nClusters, dup)
+    }
+    // ascending snapshots re-ordered to the caller's threshold order
+    val byT = out.map(r => r._1 -> r).toMap
+    Some(thresholds.map(byT)
+      .toDF("threshold", "n_pairs", "n_nodes", "n_clusters", "dup_factor"))
+  }
+
+  /** Per-threshold fallback for pair sets too large to collect: one
+    * [[labelPropagation]] per threshold, all over the ONE checkpointed
+    * min-dist frame (summaries are collected eagerly — threshold-count
+    * rows — so the checkpoint can be freed before returning).
+    */
+  private def distributedThresholdSweep(
+      grouped: DataFrame,
+      thresholds: Seq[Int]
+  ): DataFrame = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    val ckpt = grouped.localCheckpoint()
+    try {
+      val out = thresholds.map { t =>
+        val e = ckpt.filter(col("d") <= t.toDouble).select(col("src"), col("dst"))
+        val s = clusters(e)
+          .agg(
+            coalesce(sum("n_members"), lit(0L)).as("n_nodes"),
+            count(lit(1)).as("n_clusters"))
+          .collect()(0)
+        val nPairs = ckpt.filter(col("d") <= t.toDouble).count()
+        val (nNodes, nClusters) = (s.getLong(0), s.getLong(1))
+        val dup = if (nNodes > 0L) (nNodes - nClusters).toDouble / nNodes.toDouble else 0d
+        (t, nPairs, nNodes, nClusters, dup)
+      }
+      out.toDF("threshold", "n_pairs", "n_nodes", "n_clusters", "dup_factor")
+    } finally freeLocalCheckpoint(ckpt)
   }
 
   /** Fold NEW edges into an existing (node, component) assignment without

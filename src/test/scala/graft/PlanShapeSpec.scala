@@ -490,10 +490,12 @@ class PlanShapeSpec extends SparkSpec {
     // the quota frame broadcasts onto the sampled rows
     Shape("q238_allocated_sample", maxHash = 2, maxRange = 2,
       minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
-    // threshold sweep: 7 independent CC loops over the BLOCKED pair
-    // frame (bounded by the blocking contract) — many exchanges, all
-    // pair-set-sized; nothing corpus-sized repeats
-    Shape("q239_threshold_sweep", maxHash = 24, maxRange = 16,
+    // threshold sweep: ONE incremental union-find sweep over the
+    // collected min-dist pair frame (nested thresholds; blocking-
+    // bounded) — the result is a LocalRelation, the only jobs are the
+    // pair agg + collect during construction (r11's 7 CC fixpoints
+    // collapsed to one pass, r12)
+    Shape("q239_threshold_sweep", maxHash = 1, maxRange = 1,
       forbidSortMergeJoin = true, forbidUdf = true),
     // vocab churn: two token aggs + the full-outer vocabulary join (the
     // q222 full-outer-can't-broadcast reading; vocab-keyed frames)

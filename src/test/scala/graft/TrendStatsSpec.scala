@@ -527,6 +527,32 @@ class TrendStatsSpec extends SparkSpec {
     assert(empty.getAs[Double]("dup_factor") === 0.0)
   }
 
+  test("thresholdClusterSweep: driver sweep equals the per-threshold distributed loop") {
+    import graft.dedup.ConnectedComponents
+    val rnd = new scala.util.Random(12012)
+    // random multigraph with duplicate pairs at different distances —
+    // the per-(src,dst) MIN-dist collapse must make them count once
+    val pairs = (1 to 400).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong, rnd.nextInt(8))
+    }.toDF("id_a", "id_b", "dist")
+    val ts = Seq(0, 2, 5, 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("threshold").collect().map(r => (r.getAs[Int]("threshold"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_clusters"), r.getAs[Double]("dup_factor"))).toSeq
+    val fast = rows(ConnectedComponents.thresholdClusterSweep(
+      pairs, "id_a", "id_b", "dist", ts))
+    val dist = rows(ConnectedComponents.thresholdClusterSweep(
+      pairs, "id_a", "id_b", "dist", ts, localPairThreshold = 0))
+    assert(fast === dist)
+    // caller's threshold order is preserved even when unsorted
+    val shuffled = ConnectedComponents.thresholdClusterSweep(
+      pairs, "id_a", "id_b", "dist", Seq(5, 0, 7, 2)).collect()
+    assert(shuffled.map(_.getAs[Int]("threshold")).toSeq === Seq(5, 0, 7, 2))
+    assert(rows(ConnectedComponents.thresholdClusterSweep(
+      pairs, "id_a", "id_b", "dist", Seq(5, 0, 7, 2))) === fast)
+  }
+
   test("apportion + A-ES composition: every group draws exactly its quota") {
     import graft.operators.Sampling
     val d = (1 to 60).map(i => (s"g${i % 3}", i.toLong, (i % 9 + 1).toLong))
