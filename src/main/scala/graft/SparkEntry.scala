@@ -255,7 +255,11 @@ object SparkEntry {
     "q242_iqr_bucketed" -> (CoreQueries.q242IqrBucketed(_, _)),
     "q243_trimmed_mean" -> (CoreQueries.q243TrimmedMean(_, _)),
     "q244_gap_analysis" -> (CoreQueries.q244GapAnalysis(_, _)),
-    "q245_cmh" -> (CoreQueries.q245Cmh(_, _))
+    "q245_cmh" -> (CoreQueries.q245Cmh(_, _)),
+    "q246_changepoint_from_store" -> (CoreQueries.q246ChangepointFromStore(_, _)),
+    "q247_vocab_profile_from_store" -> (LlmQueries.q247VocabProfileFromStore(_, _)),
+    "q248_cluster_sizes_incremental" -> (LlmQueries.q248ClusterSizesIncremental(_, _)),
+    "q249_cmh_from_store" -> (CoreQueries.q249CmhFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -300,7 +304,14 @@ object SparkEntry {
     "q237_kfold" -> kFoldOracle,
     "q238_allocated_sample" -> allocatedSampleOracle,
     "q239_threshold_sweep" -> thresholdSweepOracle,
-    "q240_vocab_churn" -> vocabChurnOracle)
+    "q240_vocab_churn" -> vocabChurnOracle,
+    // from-STORE twins: a fold must equal the rebuild, so each shares
+    // its batch arm's oracle verbatim — a divergence is a fold bug by
+    // definition (the q188/q241 twin convention applied to state)
+    "q246_changepoint_from_store" -> changepointOracle,
+    "q247_vocab_profile_from_store" -> vocabProfileOracle,
+    "q248_cluster_sizes_incremental" -> clusterSizesIncrementalOracle,
+    "q249_cmh_from_store" -> cmhOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -708,6 +719,28 @@ object SparkEntry {
     */
   private lazy val clusterSizesOracle: String =
     CcClustersOracleSql.replace(
+      "SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node",
+      """, assign AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |sz AS (SELECT component, count(*) AS size FROM assign GROUP BY 1),
+        |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1),
+        |f AS (SELECT size, n_clusters, size * n_clusters AS n_nodes,
+        |    sum(size * n_clusters) OVER () AS total_nodes,
+        |    sum(n_clusters) OVER () AS total_clusters FROM h)
+        |SELECT CAST(size AS BIGINT) AS size, n_clusters,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(total_nodes AS BIGINT) AS total_nodes,
+        |  CAST(total_clusters AS BIGINT) AS total_clusters,
+        |  round(CAST(total_nodes - total_clusters AS DOUBLE) /
+        |    CAST(total_nodes AS DOUBLE), 9) AS dup_factor
+        |FROM f ORDER BY size""".stripMargin)
+
+  /** q248 oracle: the q93 from-scratch closure over old ∪ new edges
+    * ([[CcIncrementalOracleSql]]'s CTEs verbatim) folded to the size
+    * histogram + duplication summary — the [[clusterSizesOracle]]
+    * suffix on the incremental edge set.
+    */
+  private lazy val clusterSizesIncrementalOracle: String =
+    CcIncrementalOracleSql.replace(
       "SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node",
       """, assign AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
         |sz AS (SELECT component, count(*) AS size FROM assign GROUP BY 1),
@@ -2923,27 +2956,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // incremental-equals-rebuild: the oracle closes over old AND new edges
     // from scratch (same recursive CTE as q37)
-    "q93_cc_incremental" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
-        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
-        |  WHERE d.doc_id % 10 <= 1
-        |  UNION ALL
-        |  SELECT d.doc_id AS src, d.doc_id + 10 AS dst FROM documents d
-        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 10
-        |  WHERE d.doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
-        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
-        |  WHERE d.doc_id % 10 = 5),
-        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |nodes AS (SELECT DISTINCT src AS node FROM sym),
-        |reach AS (
-        |  SELECT node, node AS r FROM nodes
-        |  UNION
-        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
-        |)
-        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "q93_cc_incremental" -> CcIncrementalOracleSql,
     // exact floor arithmetic replayed: target = (budget*w)//sumw,
     // epochs = target//tokens, remainder = target % tokens
     "q94_epoch_plan" ->
@@ -2992,27 +3005,7 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
     // incremental fold against the PREBUILT roundtripped base assignment
     // must STILL equal the from-scratch rebuild — same oracle as q93
-    "q97_cc_incremental_prebuilt" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
-        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
-        |  WHERE d.doc_id % 10 <= 1
-        |  UNION ALL
-        |  SELECT d.doc_id AS src, d.doc_id + 10 AS dst FROM documents d
-        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 10
-        |  WHERE d.doc_id % 20 = 0
-        |  UNION ALL
-        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
-        |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
-        |  WHERE d.doc_id % 10 = 5),
-        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |nodes AS (SELECT DISTINCT src AS node FROM sym),
-        |reach AS (
-        |  SELECT node, node AS r FROM nodes
-        |  UNION
-        |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
-        |)
-        |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "q97_cc_incremental_prebuilt" -> CcIncrementalOracleSql,
     "q98_bm25" -> Bm25OracleSql,
     // prebuilt inverted-index probe must equal the scan path bit-for-bit
     // — same oracle as q98 (the q33/q85 pattern applied to lexical search)
@@ -5157,6 +5150,31 @@ object SparkEntry {
       |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
       |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
       |  WHERE d.doc_id % 10 <= 1),
+      |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |nodes AS (SELECT DISTINCT src AS node FROM sym),
+      |reach AS (
+      |  SELECT node, node AS r FROM nodes
+      |  UNION
+      |  SELECT s.dst AS node, reach.r FROM reach JOIN sym s ON s.src = reach.node
+      |)
+      |SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  /** Shared by q93/q97 (incremental folds must equal the from-scratch
+    * closure over old ∪ new edges) and — histogram-suffixed — q248.
+    */
+  private val CcIncrementalOracleSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+      |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+      |  WHERE d.doc_id % 10 <= 1
+      |  UNION ALL
+      |  SELECT d.doc_id AS src, d.doc_id + 10 AS dst FROM documents d
+      |  JOIN documents d2 ON d2.doc_id = d.doc_id + 10
+      |  WHERE d.doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+      |  JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+      |  WHERE d.doc_id % 10 = 5),
       |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
       |nodes AS (SELECT DISTINCT src AS node FROM sym),
       |reach AS (

@@ -2023,6 +2023,56 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Changepoint-from-STORE gate: hourly slot counts folded in three
+    * disjoint batches through the [[graft.operators.TimeSeries
+    * .mergeSlotCounts]] streaming state (the
+    * `StreamingOps.slotCountsStream` discipline), densified, and
+    * scanned for the max-CUSUM changepoint — so the standing-store path
+    * the whole trend family rides at 100 TB carries its own
+    * CORRECTNESS row under the SAME oracle as the batch q226:
+    * fold == rebuild, hash-gated.
+    */
+  def q246ChangepointFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val ev = Tables.events(s, dir).select("event_type", "ts", "event_id")
+    def batch(i: Int) = TimeSeries.slotCounts(
+      ev.filter(col("event_id") % 3 === i).select("event_type", "ts"),
+      Seq("event_type"), "ts")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      TimeSeries.mergeSlotCounts(acc, batch(i), Seq("event_type")))
+    val counts = TimeSeries.densifyCounts(folded, Seq("event_type"))
+    TimeSeries.changepoint(counts, Seq("event_type"), "slot", "n")
+      .select(col("event_type"),
+        date_format(col("cp_at"), "yyyy-MM-dd HH:mm:ss").as("cp_hr"),
+        col("cp_t"), col("n"), col("d"),
+        round(col("stat"), 9).as("stat"), col("changed"))
+      .orderBy("event_type")
+  }
+
+  /** CMH-from-STORE gate: the per-stratum (variant, success) counts
+    * folded in three disjoint batches through
+    * [[graft.quality.Association.mergeContingencyCounts]] — the
+    * `contingencyStream` state IS the CMH streaming state — then read
+    * by [[graft.quality.Association.cmhFromCounts]] under q245's
+    * oracle: fold == rebuild, hash-gated.
+    */
+  def q249CmhFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      when(col("doc_id") % 2 === 0, "even").otherwise("odd").as("variant"),
+      (col("n_chars") >= 256L).cast("long").as("hi"))
+      .filter(col("lang").isNotNull && col("hi").isNotNull)
+    def batch(i: Int) = Association.contingencyCounts(
+      d.filter(col("doc_id") % 3 === i), Seq("lang"), "variant", "hi")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Association.mergeContingencyCounts(acc, batch(i), Seq("lang")))
+    Association.cmhFromCounts(folded, "lang", "x", "y", "n")
+      .select(col("n_strata"), col("n_used"), col("n_multi"), col("sum_a"),
+        col("e_sum9"), col("var_sum9"), round(col("cmh"), 9).as("cmh"),
+        round(col("or_mh"), 9).as("or_mh"))
+  }
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

@@ -2215,6 +2215,55 @@ object LlmQueries {
         round(col("top_share"), 9).as("top_share"))
       .orderBy("lang")
 
+  /** Vocab-profile-from-STORE gate: per-(lang, token) counts folded in
+    * three disjoint batches through
+    * [[graft.text.CorpusLaws.mergeTokenCounts]] (the standing
+    * tokenizer-health store), then read by
+    * [[graft.text.CorpusLaws.vocabProfileFromCounts]] under q230's
+    * oracle: fold == rebuild, hash-gated.
+    */
+  def q247VocabProfileFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusLaws
+    val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    def batch(i: Int) = CorpusLaws.groupedTokenCounts(
+      d.filter(col("doc_id") % 3 === i), Seq("lang"), "text")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      CorpusLaws.mergeTokenCounts(acc, batch(i), Seq("lang")))
+    CorpusLaws.vocabProfileFromCounts(folded, Seq("lang"), topK = 100)
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("hapax"),
+        col("top_mass"),
+        round(col("hapax_ratio"), 9).as("hapax_ratio"),
+        round(col("type_token_ratio"), 9).as("type_token_ratio"),
+        round(col("top_share"), 9).as("top_share"))
+      .orderBy("lang")
+  }
+
+  /** Cluster-sizes-from-INCREMENTAL-store gate: q93's incremental
+    * component fold (old q37 clusters absorbing merge + fresh batch
+    * edges through [[ConnectedComponents.incrementalComponents]])
+    * read by the [[ConnectedComponents.clusterSizeProfile]] health
+    * card — the standing dedup-store path under the from-scratch
+    * closure oracle: fold == rebuild, hash-gated.
+    */
+  def q248ClusterSizesIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id")
+    def within(e: DataFrame) =
+      e.join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    val oldEdges = within(d.filter(col("doc_id") % 10 <= 1)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst")))
+    val newEdges = within(d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst")))
+      .unionByName(within(d.filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))))
+    val assign = ConnectedComponents.labelPropagation(oldEdges)
+    ConnectedComponents.clusterSizeProfile(
+      ConnectedComponents.incrementalComponents(assign, newEdges))
+      .select(col("size"), col("n_clusters"), col("n_nodes"),
+        col("total_nodes"), col("total_clusters"),
+        round(col("dup_factor"), 9).as("dup_factor"))
+      .orderBy("size")
+  }
+
   /** Triangle-count gate: the q195 near-dup graph (sorted-neighborhood
     * blocking + Levenshtein verify) through degree-ordered triangle
     * counting — per node the exact degree, triangle count, and local

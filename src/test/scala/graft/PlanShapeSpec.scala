@@ -518,6 +518,18 @@ class PlanShapeSpec extends SparkSpec {
     // CMH: one (stratum, group, success) count agg; the 2x2 pivot and
     // the pooled sums are stratum-cardinality bookkeeping
     Shape("q245_cmh", maxHash = 2, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // from-store twins: per-batch state aggs + ONE merge agg, then the
+    // reader's own (locked) shape — nothing event/corpus-sized repeats
+    Shape("q246_changepoint_from_store", maxHash = 7, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q247_vocab_profile_from_store", maxHash = 9,
+      requireWindowGroupLimit = true, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidSortAggregate = true,
+      forbidUdf = true),
+    Shape("q248_cluster_sizes_incremental", maxHash = 4, maxRange = 2,
+      forbidUdf = true),
+    Shape("q249_cmh_from_store", maxHash = 6, forbidSortMergeJoin = true,
       forbidUdf = true)
   )
 
