@@ -809,6 +809,39 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming token-count fold — the vocabulary family's online state:
+    * each micro-batch's per-(keys, token) counts
+    * ([[graft.text.CorpusLaws.groupedTokenCounts]]) merge additively
+    * into a versioned store, so the standing vocabulary answers "health
+    * card so far" ([[graft.text.CorpusLaws.vocabProfileFromCounts]])
+    * and "churn vs a fitted base" ([[graft.text.CorpusLaws.vocabChurn]])
+    * without re-tokenizing history. Store = keys × vocabulary rows.
+    * Same non-idempotent recompute-on-replay version discipline as
+    * [[contingencyStream]].
+    */
+  def tokenCountsStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      textCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.text.CorpusLaws.groupedTokenCounts(batch, keyCols, textCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.text.CorpusLaws.mergeTokenCounts(
+            s.read.parquet(p), bc, keyCols)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Kendall cell fold — the τ-b companion of
     * [[contingencyStream]]: per-batch
     * [[graft.quality.Association.kendallCells]] (values keep their

@@ -753,6 +753,47 @@ class StreamingSpec extends SparkSpec {
     assert(sumFold == sumFull)
   }
 
+  test("streaming token-count fold equals the batch rebuild; standing vocab profile and churn match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.CorpusLaws
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tokstream").toString
+    val mem = MemoryStream[(String, String)]
+    val b1 = (0 until 120).map(i => ("l" + (i % 2), s"w${i % 17} w${i % 5}  w${i % 29}"))
+    val b2 = (0 until 90).map(i => ("l" + (i % 2), s"w${i % 31} w${i % 7}"))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("lang", "text")
+    StreamingOps.tokenCountsStream(rows, Seq("lang"), "text", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.tokenCountsStream(rows, Seq("lang"), "text", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("lang", "token").collect().toSeq
+    val rebuilt = CorpusLaws.groupedTokenCounts(
+      (b1 ++ b2).toDF("lang", "text"), Seq("lang"), "text")
+      .orderBy("lang", "token").collect().toSeq
+    assert(folded == rebuilt)
+    // the standing health card over the fold is the rebuild's verbatim
+    val profFold = CorpusLaws.vocabProfileFromCounts(
+      spark.read.parquet(latest), Seq("lang"), topK = 5)
+      .orderBy("lang").collect().toSeq
+    val profFull = CorpusLaws.vocabProfile(
+      (b1 ++ b2).toDF("lang", "text"), Seq("lang"), "text", topK = 5)
+      .orderBy("lang").collect().toSeq
+    assert(profFold == profFull)
+    // and churn prices the standing store against a fitted base
+    val base = CorpusLaws.tokenCounts(b1.toDF("lang", "text").select("text"), "text")
+    val curFold = spark.read.parquet(latest).groupBy("token")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val churnFold = CorpusLaws.vocabChurn(base, curFold).collect()(0)
+    val churnFull = CorpusLaws.vocabChurn(base,
+      CorpusLaws.tokenCounts((b1 ++ b2).toDF("lang", "text").select("text"), "text"))
+      .collect()(0)
+    assert(churnFold.toSeq == churnFull.toSeq)
+  }
+
   test("streaming Kendall cell fold equals the batch rebuild; standing tau-b matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.quality.Association
