@@ -1,0 +1,313 @@
+package graft
+
+import graft.quality.{Association, Profiler}
+import graft.operators.{Quantiles, RankEval, TimeSeries}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Differential fuzz harness for the statistics layer — the class of
+  * check the round-11 Kruskal–Wallis ×4 bug proved necessary: the
+  * DuckDB oracle replays the operator's OWN dag, so a formula-level
+  * error survives the gate and dies only to an INDEPENDENT formulation.
+  * Every test here generates seeded random datasets (small n, heavy
+  * ties — the regime where rank/tie corrections go wrong) and compares
+  * the graft operator against a from-the-textbook naive Scala
+  * implementation written directly from the published formula, sharing
+  * no code and no dag with the operator. Tolerance 1e-6 absorbs the
+  * operators' documented nano(1e9) term rounding.
+  */
+class StatFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Trials = 6
+  private val Tol = 1e-6
+
+  private def rng(stat: String, trial: Int) = new Random(stat.hashCode * 1000 + trial)
+
+  /** 1-based midranks (average rank over ties). */
+  private def midranks(vs: Seq[Long]): Map[Long, Double] = {
+    val byValue = vs.sorted.zipWithIndex.groupBy(_._1)
+    byValue.map { case (v, ps) => v -> ps.map(_._2 + 1).sum.toDouble / ps.size }
+  }
+
+  private def tieSum3(vs: Seq[Long]): Double =
+    vs.groupBy(identity).values.map { t =>
+      val s = t.size.toDouble; s * s * s - s
+    }.sum
+
+  private def approx(a: Double, b: Double, label: String): Unit =
+    assert(math.abs(a - b) < Tol, s"$label: graft=$a naive=$b")
+
+  private def approxOpt(a: Option[Double], b: Option[Double], label: String): Unit =
+    (a, b) match {
+      case (Some(x), Some(y)) => approx(x, y, label)
+      case (None, None)       => ()
+      case _ => fail(s"$label: null mismatch graft=$a naive=$b")
+    }
+
+  private def optDouble(r: org.apache.spark.sql.Row, c: String): Option[Double] = {
+    val i = r.fieldIndex(c)
+    if (r.isNullAt(i)) None else Some(r.getDouble(i))
+  }
+
+  // --- Kruskal–Wallis ---------------------------------------------------------------
+
+  test("fuzz: Kruskal-Wallis H and tie-corrected H vs the rank-ANOVA formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("kw", t)
+      val k = 2 + r.nextInt(4)
+      val span = 2 + r.nextInt(12) // tiny spans force heavy ties
+      val data = (0 until 20 + r.nextInt(60)).map { _ =>
+        ("g" + r.nextInt(k), r.nextInt(span).toLong)
+      }
+      val groups = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val all = data.map(_._2)
+      val n = all.size
+      val ranks = midranks(all)
+      val hNaive = 12.0 / (n * (n + 1.0)) * groups.values.map { g =>
+        val rg = g.map(ranks).sum
+        rg * rg / g.size
+      }.sum - 3.0 * (n + 1)
+      val denom = 1.0 - tieSum3(all) / (n.toDouble * n * n - n)
+      val hTieNaive = if (n > 1 && denom > 0) Some(hNaive / denom) else None
+      val row = Association.kruskalWallis(data.toDF("g", "v"), Nil, "g", "v")
+        .collect()(0)
+      approx(row.getAs[Double]("h"), hNaive, s"kw h trial $t")
+      approxOpt(optDouble(row, "h_tie"), hTieNaive, s"kw h_tie trial $t")
+    }
+  }
+
+  // --- Mann–Whitney -----------------------------------------------------------------
+
+  test("fuzz: Mann-Whitney 2U and z vs the rank-sum formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("mw", t)
+      val span = 2 + r.nextInt(10)
+      val lo = (0 until 8 + r.nextInt(30)).map(_ => r.nextInt(span).toLong)
+      val hi = (0 until 8 + r.nextInt(30)).map(_ => (r.nextInt(span) + r.nextInt(3)).toLong)
+      val all = lo ++ hi
+      val n = all.size
+      val ranks = midranks(all)
+      val r1 = lo.map(ranks).sum
+      val twoU1 = 2.0 * r1 - lo.size.toDouble * (lo.size + 1)
+      val varU = lo.size.toDouble * hi.size / 12.0 *
+        ((n + 1) - tieSum3(all) / (n.toDouble * (n - 1)))
+      val zNaive =
+        if (varU > 0) Some((twoU1 / 2.0 - lo.size.toDouble * hi.size / 2.0) / math.sqrt(varU))
+        else None
+      val df = (lo.map(("A", _)) ++ hi.map(("B", _))).toDF("g", "v")
+      val row = Association.mannWhitney(df, Nil, "g", "v").collect()(0)
+      assert(row.getAs[String]("u2_lo").toDouble === twoU1, s"mw 2U trial $t")
+      approxOpt(optDouble(row, "z"), zNaive, s"mw z trial $t")
+    }
+  }
+
+  // --- Kendall tau-b ----------------------------------------------------------------
+
+  test("fuzz: Kendall tau-b vs the O(n^2) concordance loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("kendall", t)
+      val span = 2 + r.nextInt(8)
+      val pts = (0 until 15 + r.nextInt(50)).map { _ =>
+        val x = r.nextInt(span).toLong
+        (x, (x + r.nextInt(span) - span / 2).toLong)
+      }
+      var c, d, tx, ty = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.size) {
+        val ((xi, yi), (xj, yj)) = (pts(i), pts(j))
+        val sx = java.lang.Long.compare(xi, xj)
+        val sy = java.lang.Long.compare(yi, yj)
+        if (sx == 0 && sy != 0) tx += 1
+        else if (sx != 0 && sy == 0) ty += 1
+        else if (sx * sy > 0) c += 1
+        else if (sx * sy < 0) d += 1
+      }
+      val tauNaive =
+        if (c + d + tx > 0 && c + d + ty > 0)
+          Some((c - d).toDouble / (math.sqrt((c + d + tx).toDouble) * math.sqrt((c + d + ty).toDouble)))
+        else None
+      val row = Association.kendall(pts.toDF("x", "y"), Nil, "x", "y").collect()(0)
+      assert(row.getDecimal(row.fieldIndex("c_pairs")).longValueExact() === c, s"kendall C trial $t")
+      assert(row.getDecimal(row.fieldIndex("d_pairs")).longValueExact() === d, s"kendall D trial $t")
+      approxOpt(optDouble(row, "tau_b"), tauNaive, s"kendall tau trial $t")
+    }
+  }
+
+  // --- Spearman rho -----------------------------------------------------------------
+
+  test("fuzz: Spearman rho vs Pearson over midranks") {
+    for (t <- 1 to Trials) {
+      val r = rng("spearman", t)
+      val span = 2 + r.nextInt(9)
+      val pts = (0 until 12 + r.nextInt(50)).map { _ =>
+        val x = r.nextInt(span).toLong
+        (x, (x * (if (r.nextBoolean()) 1 else -1) + r.nextInt(span)).toLong)
+      }
+      val rx = midranks(pts.map(_._1)); val ry = midranks(pts.map(_._2))
+      val xs = pts.map(p => rx(p._1)); val ys = pts.map(p => ry(p._2))
+      val n = pts.size.toDouble
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xs.map(a => (a - mx) * (a - mx)).sum
+      val vy = ys.map(b => (b - my) * (b - my)).sum
+      val rhoNaive =
+        if (vx > 0 && vy > 0) Some(cov / math.sqrt(vx * vy)) else None
+      val row = Profiler.spearman(pts.toDF("x", "y"), Nil, "x", "y").collect()(0)
+      approxOpt(optDouble(row, "rho"), rhoNaive, s"spearman trial $t")
+    }
+  }
+
+  // --- Krippendorff alpha -----------------------------------------------------------
+
+  test("fuzz: Krippendorff nominal alpha vs the disagreement formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("kripp", t)
+      val labels = 2 + r.nextInt(3)
+      val ratings = (0 until 12 + r.nextInt(25)).flatMap { u =>
+        (0 until 1 + r.nextInt(4)).map(_ => (u.toLong, "c" + r.nextInt(labels)))
+      }
+      val byUnit = ratings.groupBy(_._1).filter(_._2.size >= 2)
+      val bigN = byUnit.values.map(_.size).sum
+      val dObsNaive = byUnit.values.map { rs =>
+        val m = rs.size.toDouble
+        val sq = rs.groupBy(_._2).values.map(g => g.size.toDouble * g.size).sum
+        (m * m - sq) / (m - 1)
+      }.sum / bigN
+      val sqv = byUnit.values.flatten.groupBy(_._2).values
+        .map(g => g.size.toDouble * g.size).sum
+      val deNum = bigN.toDouble * bigN - sqv
+      val alphaNaive =
+        if (deNum > 0 && bigN > 1)
+          Some(1.0 - dObsNaive / (deNum / (bigN.toDouble * (bigN - 1))))
+        else None
+      val row = RankEval.krippendorffAlpha(ratings.toDF("u", "label"), "u", "label")
+        .collect()(0)
+      assert(row.getAs[Long]("n_pairable") === bigN.toLong, s"kripp N trial $t")
+      approxOpt(optDouble(row, "alpha"), alphaNaive, s"kripp alpha trial $t")
+    }
+  }
+
+  // --- Cochran–Mantel–Haenszel ------------------------------------------------------
+
+  test("fuzz: CMH statistic and MH odds ratio vs the per-stratum 2x2 formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("cmh", t)
+      val strata = (0 until 2 + r.nextInt(5)).map { s =>
+        // counts (a, b, c, d); occasionally degenerate margins
+        ("s" + s, r.nextInt(12).toLong, r.nextInt(12).toLong,
+          r.nextInt(12).toLong, r.nextInt(12).toLong)
+      }
+      var sumA, sumE, sumV, orN, orD = 0.0
+      strata.foreach { case (_, a, b, c, d) =>
+        val n = (a + b + c + d).toDouble
+        val usable = a + b + c + d >= 2 && a + b > 0 && c + d > 0 && a + c > 0 && b + d > 0
+        if (usable) {
+          sumA += a
+          sumE += (a + b) * (a + c) / n
+          sumV += (a + b).toDouble * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+          orN += a.toDouble * d / n
+          orD += b.toDouble * c / n
+        }
+      }
+      val cmhNaive = if (sumV > 0) Some((sumA - sumE) * (sumA - sumE) / sumV) else None
+      val orNaive = if (orD > 0) Some(orN / orD) else None
+      val rows = strata.flatMap { case (s, a, b, c, d) =>
+        Seq.fill(a.toInt)((s, "A", 1L)) ++ Seq.fill(b.toInt)((s, "A", 0L)) ++
+          Seq.fill(c.toInt)((s, "B", 1L)) ++ Seq.fill(d.toInt)((s, "B", 0L))
+      }
+      val row = Association.cmh(rows.toDF("s", "g", "hit"), "s", "g", "hit").collect()(0)
+      approxOpt(optDouble(row, "cmh"), cmhNaive, s"cmh trial $t")
+      approxOpt(optDouble(row, "or_mh"), orNaive, s"cmh OR trial $t")
+    }
+  }
+
+  // --- Wasserstein-1 ----------------------------------------------------------------
+
+  test("fuzz: Wasserstein-1 vs the CDF-gap sum, including negative supports") {
+    for (t <- 1 to Trials) {
+      val r = rng("w1", t)
+      val base = (0 until 20 + r.nextInt(60)).map(_ => (r.nextInt(20) - 6).toLong)
+      val cur = (0 until 20 + r.nextInt(60)).map(_ => (r.nextInt(20) - 2).toLong)
+      val support = (base ++ cur).distinct.sorted
+      val fa = support.map(v => base.count(_ <= v).toDouble / base.size)
+      val fb = support.map(v => cur.count(_ <= v).toDouble / cur.size)
+      val w1Naive = support.indices.dropRight(1).map { i =>
+        math.abs(fa(i) - fb(i)) * (support(i + 1) - support(i))
+      }.sum
+      val row = Profiler.wassersteinDrift(
+        base.map(Tuple1(_)).toDF("v"), cur.map(Tuple1(_)).toDF("v"), "v").collect()(0)
+      approx(row.getAs[Double]("w1"), w1Naive, s"w1 trial $t")
+    }
+  }
+
+  // --- Mann–Kendall -----------------------------------------------------------------
+
+  test("fuzz: Mann-Kendall S, tie-corrected variance and z vs the sign-pair loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("mk", t)
+      val drift = r.nextInt(5) - 2
+      val ys = (0 until 10 + r.nextInt(40)).map(i => (r.nextInt(6) + i * drift / 4).toLong)
+      var s = 0L
+      for (i <- ys.indices; j <- (i + 1) until ys.size)
+        s += java.lang.Long.compare(ys(j), ys(i)).sign
+      val n = ys.size.toDouble
+      val var18 = n * (n - 1) * (2 * n + 5) -
+        ys.groupBy(identity).values.map { g =>
+          val tt = g.size.toDouble; tt * (tt - 1) * (2 * tt + 5)
+        }.sum
+      val zNaive =
+        if (var18 <= 0) None
+        else if (s > 0) Some((s - 1) / math.sqrt(var18 / 18))
+        else if (s < 0) Some((s + 1) / math.sqrt(var18 / 18))
+        else Some(0.0)
+      val df = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }.toDF("ts", "y")
+      val row = TimeSeries.mannKendall(df, Nil, "ts", "y").collect()(0)
+      assert(row.getAs[String]("s").toLong === s, s"mk S trial $t")
+      assert(row.getAs[String]("var18").toDouble === var18, s"mk var trial $t")
+      approxOpt(optDouble(row, "z"), zNaive, s"mk z trial $t")
+    }
+  }
+
+  // --- Theil–Sen (both arms) --------------------------------------------------------
+
+  test("fuzz: Theil-Sen slope and intercept vs the sorted pairwise-median loop, both arms") {
+    for (t <- 1 to Trials) {
+      val r = rng("ts", t)
+      val n = 8 + r.nextInt(25)
+      val pts = (0 until n).map(i => (i.toLong, (i * (r.nextInt(7) - 3) / 2 + r.nextInt(9)).toLong))
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.size
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)).sorted
+      val m = slopes.size
+      val slopeNaive = slopes((m + 1) / 2 - 1)
+      val residuals = pts.map { case (tt, y) => (y - slopeNaive * tt, tt) }.sorted
+      val interceptNaive = residuals((n + 1) / 2 - 1)._1
+      val df = pts.toDF("ts", "y")
+      for ((arm, out) <- Seq(
+          "windowed" -> TimeSeries.theilSen(df, Nil, "ts", "y"),
+          "bucketed" -> TimeSeries.theilSenBucketed(df, Nil, "ts", "y"))) {
+        val row = out.collect()(0)
+        approx(row.getAs[Double]("slope"), slopeNaive, s"ts slope $arm trial $t")
+        approx(row.getAs[Double]("intercept"), interceptNaive, s"ts intercept $arm trial $t")
+      }
+    }
+  }
+
+  // --- Trimmed mean -----------------------------------------------------------------
+
+  test("fuzz: trimmed mean vs the sort-drop-average loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("trim", t)
+      val vs = (0 until 10 + r.nextInt(50)).map(i => (i.toLong, r.nextInt(40).toLong - 8))
+      val pct = Seq(5, 10, 20, 25)(r.nextInt(4))
+      val d = vs.size * pct / 100
+      val kept = vs.map(_._2).sorted.slice(d, vs.size - d)
+      val meanNaive = if (kept.nonEmpty) Some(kept.sum.toDouble / kept.size) else None
+      val row = Quantiles.trimmedMean(
+        vs.toDF("id", "v"), Nil, "v", "id", trimPct = pct).collect()(0)
+      assert(row.getAs[Long]("n_kept") === kept.size.toLong, s"trim n trial $t")
+      approxOpt(optDouble(row, "trimmed_mean"), meanNaive, s"trim mean trial $t")
+    }
+  }
+}
