@@ -259,7 +259,13 @@ object SparkEntry {
     "q246_changepoint_from_store" -> (CoreQueries.q246ChangepointFromStore(_, _)),
     "q247_vocab_profile_from_store" -> (LlmQueries.q247VocabProfileFromStore(_, _)),
     "q248_cluster_sizes_incremental" -> (LlmQueries.q248ClusterSizesIncremental(_, _)),
-    "q249_cmh_from_store" -> (CoreQueries.q249CmhFromStore(_, _))
+    "q249_cmh_from_store" -> (CoreQueries.q249CmhFromStore(_, _)),
+    "q250_brown_forsythe" -> (CoreQueries.q250BrownForsythe(_, _)),
+    "q251_bh_fdr" -> (CoreQueries.q251BhFdr(_, _)),
+    "q252_vocab_richness" -> (LlmQueries.q252VocabRichness(_, _)),
+    "q253_vocab_overlap" -> (LlmQueries.q253VocabOverlap(_, _)),
+    "q254_mcnemar" -> (CoreQueries.q254Mcnemar(_, _)),
+    "q255_runs_test" -> (CoreQueries.q255RunsTest(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -311,7 +317,13 @@ object SparkEntry {
     "q246_changepoint_from_store" -> changepointOracle,
     "q247_vocab_profile_from_store" -> vocabProfileOracle,
     "q248_cluster_sizes_incremental" -> clusterSizesIncrementalOracle,
-    "q249_cmh_from_store" -> cmhOracle)
+    "q249_cmh_from_store" -> cmhOracle,
+    "q250_brown_forsythe" -> brownForsytheOracle,
+    "q251_bh_fdr" -> bhFdrOracle,
+    "q252_vocab_richness" -> vocabRichnessOracle,
+    "q253_vocab_overlap" -> vocabOverlapOracle,
+    "q254_mcnemar" -> mcnemarOracle,
+    "q255_runs_test" -> runsTestOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -755,6 +767,167 @@ object SparkEntry {
         |  round(CAST(total_nodes - total_clusters AS DOUBLE) /
         |    CAST(total_nodes AS DOUBLE), 9) AS dup_factor
         |FROM f ORDER BY size""".stripMargin)
+
+  /** q250 oracle: [[graft.quality.Association.brownForsythe]] replayed
+    * — the per-group cumulative-cell lower median, exact z/S/Q
+    * integers, the DECIMAL deviations D = N·S_g − n_g·S and
+    * E = n_g·Q_g − S_g², nano between/within terms, W one fixed dag.
+    */
+  private lazy val brownForsytheOracle: String =
+    """WITH d AS (SELECT event_type AS grp, CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cm,
+      |    sum(c) OVER (PARTITION BY grp) AS ng FROM c),
+      |med AS (SELECT grp, v AS med FROM cum
+      |  WHERE cm < (ng + 1) // 2 AND (ng + 1) // 2 <= cm + c),
+      |z AS (SELECT cum.grp, cum.c, cum.ng, med.med,
+      |    CAST(abs(cum.v - med.med) AS HUGEINT) AS zv
+      |  FROM cum JOIN med ON cum.grp = med.grp),
+      |ga AS (SELECT grp, CAST(max(ng) AS BIGINT) AS n_g, max(med) AS med,
+      |    sum(CAST(c AS HUGEINT) * zv) AS s, sum(CAST(c AS HUGEINT) * zv * zv) AS q
+      |  FROM z GROUP BY 1),
+      |tot AS (SELECT *, sum(n_g) OVER () AS n, count(*) OVER () AS k,
+      |    sum(s) OVER () AS stot FROM ga),
+      |t9 AS (SELECT *,
+      |    CAST(round(CAST(CAST(n AS HUGEINT) * s - CAST(n_g AS HUGEINT) * stot AS DOUBLE) *
+      |      CAST(CAST(n AS HUGEINT) * s - CAST(n_g AS HUGEINT) * stot AS DOUBLE) /
+      |      (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e9) AS HUGEINT) AS b9,
+      |    CAST(round(CAST(CAST(n_g AS HUGEINT) * q - s * s AS DOUBLE) /
+      |      CAST(n_g AS DOUBLE) * 1e9) AS HUGEINT) AS w9
+      |  FROM tot),
+      |f AS (SELECT *, sum(b9) OVER () AS b9s, sum(w9) OVER () AS w9s FROM t9)
+      |SELECT grp, n_g, CAST(med AS BIGINT) AS med, CAST(s AS VARCHAR) AS s_abs,
+      |  CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  CASE WHEN k >= 2 AND n > k AND w9s > 0 THEN
+      |    round(CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE) *
+      |      (CAST(b9s AS DOUBLE) / CAST(w9s AS DOUBLE)), 9) END AS w
+      |FROM f ORDER BY grp""".stripMargin
+
+  /** q251 oracle: [[graft.quality.MultipleTesting.benjaminiHochberg]]
+    * replayed — the md5-uniform nano p battery (the q95 60-bit fold,
+    * mod 1e9), (p9, id) rank, the exact integer step inequality
+    * p9·m·100 ≤ rank·5·1e9, and the step-up max-candidate closure.
+    */
+  private lazy val bhFdrOracle: String =
+    """WITH ids AS (SELECT DISTINCT lang || ':' || source AS id FROM documents),
+      |p AS (SELECT id,
+      |    list_reduce(list_transform(range(1, 16), i ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(id), i, 1)) - 1 AS BIGINT)),
+      |      (acc, x) -> acc * 16 + x) % 1000000000 AS p9
+      |  FROM ids),
+      |r AS (SELECT id, p9,
+      |    CAST(row_number() OVER (ORDER BY p9, id) AS BIGINT) AS rank,
+      |    count(*) OVER () AS m FROM p),
+      |c AS (SELECT *,
+      |    CAST(p9 AS HUGEINT) * m * 100 <= CAST(rank AS HUGEINT) * 5 * 1000000000 AS is_candidate
+      |  FROM r),
+      |f AS (SELECT *, max(CASE WHEN is_candidate THEN rank ELSE 0 END) OVER () AS cut FROM c)
+      |SELECT id, p9, rank, CAST(m AS BIGINT) AS m, is_candidate,
+      |  rank <= cut AS rejected
+      |FROM f ORDER BY rank""".stripMargin
+
+  /** q252 oracle: [[graft.text.CorpusLaws.vocabRichness]] replayed —
+    * per-(lang, token) counts, exact type/mass/f1/f2 integers, the
+    * bias-corrected Chao1 and Good–Turing coverage divisions.
+    */
+  private lazy val vocabRichnessOracle: String =
+    """WITH t AS (SELECT lang,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(cnt) AS BIGINT) AS mass,
+      |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM c GROUP BY 1)
+      |SELECT lang, n_types, mass, f1, f2,
+      |  round(CAST(n_types AS DOUBLE) +
+      |    CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE)), 9) AS chao1,
+      |  CASE WHEN mass > 0 THEN
+      |    round(CAST(f1 AS DOUBLE) / CAST(mass AS DOUBLE), 9) END AS gt_unseen_mass,
+      |  CASE WHEN mass > 0 THEN
+      |    round(1.0 - CAST(f1 AS DOUBLE) / CAST(mass AS DOUBLE), 9) END AS coverage
+      |FROM a ORDER BY lang""".stripMargin
+
+  /** q253 oracle: [[graft.text.CorpusLaws.vocabOverlap]] replayed —
+    * distinct (source, token) membership, the token-keyed a<b
+    * self-join, the full source-pair grid with zero-overlap fills, and
+    * the four pinned coefficient divisions.
+    */
+  private lazy val vocabOverlapOracle: String =
+    """WITH t AS (SELECT DISTINCT source AS src,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |sz AS (SELECT src, count(*) AS n_types FROM t GROUP BY 1),
+      |inter AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+      |  FROM t a JOIN t b ON a.token = b.token AND a.src < b.src GROUP BY 1, 2),
+      |grid AS (SELECT a.src AS source_a, a.n_types AS types_a,
+      |    b.src AS source_b, b.n_types AS types_b
+      |  FROM sz a JOIN sz b ON a.src < b.src),
+      |f AS (SELECT g.source_a, g.source_b, g.types_a, g.types_b,
+      |    coalesce(i.n_shared, 0) AS n_shared
+      |  FROM grid g LEFT JOIN inter i
+      |    ON g.source_a = i.source_a AND g.source_b = i.source_b)
+      |SELECT source_a, source_b, types_a, types_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / CAST(types_a + types_b - n_shared AS DOUBLE), 9) AS jaccard,
+      |  round(CAST(n_shared AS DOUBLE) / CAST(least(types_a, types_b) AS DOUBLE), 9) AS overlap,
+      |  round(CAST(n_shared AS DOUBLE) / CAST(types_a AS DOUBLE), 9) AS containment_a,
+      |  round(CAST(n_shared AS DOUBLE) / CAST(types_b AS DOUBLE), 9) AS containment_b
+      |FROM f ORDER BY source_a, source_b""".stripMargin
+
+  /** q254 oracle: [[graft.quality.Association.mcnemar]] replayed —
+    * exact quadrant counts on the paired length/word-count gates, the
+    * discordant statistic, the integer 38416 verdict.
+    */
+  private lazy val mcnemarOracle: String =
+    """WITH d AS (SELECT n_chars >= 256 AS a,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) >= 40 AS b
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      |q AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+      |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+      |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+      |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS neither
+      |  FROM d)
+      |SELECT n, both_pass, only_a, only_b, neither,
+      |  CASE WHEN only_a + only_b > 0 THEN
+      |    round(CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE) /
+      |      CAST(only_a + only_b AS DOUBLE), 9) END AS mcnemar,
+      |  CASE WHEN only_a + only_b > 0 THEN
+      |    (only_a - only_b) * (only_a - only_b) * 10000 > (only_a + only_b) * 38416
+      |  END AS significant
+      |FROM q""".stripMargin
+
+  /** q255 oracle: [[graft.operators.TimeSeries.runsTest]] replayed on
+    * the hourly spine — the (n, slot)-ranked lower median, the >= med
+    * indicator, run counting via one lag, and the exact
+    * 2n0n1(2n0n1−N) variance numerator under the z dag.
+    */
+  private lazy val runsTestOracle: String =
+    s"""WITH $HourlySpineCtes,
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n, slot) AS rk,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt FROM x),
+       |med AS (SELECT event_type, n AS med FROM rk WHERE rk = (cnt + 1) // 2),
+       |fl AS (SELECT x.event_type, x.slot,
+       |    CASE WHEN x.n >= med.med THEN 1 ELSE 0 END AS above
+       |  FROM x JOIN med ON x.event_type = med.event_type),
+       |lg AS (SELECT event_type, above,
+       |    lag(above) OVER (PARTITION BY event_type ORDER BY slot) AS prev FROM fl),
+       |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> above THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r
+       |  FROM lg GROUP BY 1),
+       |v AS (SELECT *, CAST(2 AS HUGEINT) * n0 * n1 * (CAST(2 AS HUGEINT) * n0 * n1 - n) AS var_num
+       |  FROM ag)
+       |SELECT event_type, n, n0, n1, r, CAST(var_num AS VARCHAR) AS var_num,
+       |  CASE WHEN n0 > 0 AND n1 > 0 AND n > 1 AND var_num > 0 THEN
+       |    round((CAST(r AS DOUBLE) - (CAST(CAST(2 AS HUGEINT) * n0 * n1 AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)) /
+       |      sqrt(CAST(var_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 9)
+       |  END AS z
+       |FROM v ORDER BY event_type""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

@@ -537,6 +537,61 @@ object TimeSeries {
       .select(g :+ col("n") :+ col("s") :+ col("var18") :+ col("z") :+ col("trend"): _*)
   }
 
+  /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940): is a per-key 0/1
+    * sequence RANDOM in its ordering — too few runs means clustering
+    * (an outage, a burst, autocorrelation), too many means oscillation
+    * — the orthogonal read to [[mannKendall]] (monotone trend) and
+    * [[graft.quality.Association.brownForsythe]] (scale): a series can
+    * be trend-free and variance-stable and still arrive in suspicious
+    * clumps. R = number of runs (1 + order-flips via one lag), and
+    *
+    *   z = (R − μ)/σ,  μ = 2·n0·n1/N + 1,
+    *   σ² = 2·n0·n1·(2·n0·n1 − N) / (N²·(N−1))
+    *
+    * Exact integers throughout (r, n0, n1 and the DECIMAL σ² numerator
+    * 2n0n1(2n0n1−N) as a digit string); z is one fixed dag over them,
+    * gated at 9 decimals. NULL z when a class is empty or N < 2 (σ = 0
+    * — nothing to test). Indicator rows with NULL flag or order are
+    * dropped. SCALE: one lag window per key over the series (the
+    * resampled span-bounded [[mannKendall]] contract) + one aggregation.
+    */
+  def runsTest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      flagCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val base = df
+      .filter(col(flagCol).isNotNull && col(orderCol).isNotNull)
+      .select(g :+ col(orderCol).as("__o") :+
+        col(flagCol).cast("long").as("__x"): _*)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__o"))
+    val flips = base
+      .withColumn("__prev", lag(col("__x"), 1).over(wLag))
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__x") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__x") === 0L, 1L).otherwise(0L)).as("n0"),
+        (sum(when(col("__prev").isNotNull && col("__prev") =!= col("__x"), 1L)
+          .otherwise(0L)) + 1L).as("r"))
+    val twoP = lit(2L).cast(dec) * col("n0").cast(dec) * col("n1").cast(dec)
+    val varNum = twoP * (twoP - col("n").cast(dec))
+    val nD = col("n").cast("double")
+    val mu = twoP.cast("double") / nD + 1d
+    val sigma = sqrt(varNum.cast("double") / (nD * nD * (nD - 1d)))
+    flips
+      .withColumn("var_num", varNum.cast("string"))
+      .withColumn("z",
+        when(col("n0") > 0L && col("n1") > 0L && col("n") > 1L && varNum > 0L,
+          (col("r").cast("double") - mu) / sigma))
+      .select(g :+ col("n") :+ col("n0") :+ col("n1") :+ col("r") :+
+        col("var_num") :+ col("z"): _*)
+  }
+
   /** Theil–Sen robust trend line (Theil 1950; Sen 1968): slope = the
     * median of all pairwise slopes (y_j − y_i)/(t_j − t_i), intercept =
     * the median residual y − slope·t — breakdown point 29%, the trend

@@ -835,4 +835,130 @@ object Association {
         col("n_lo") :+ col("n_hi") :+ col("u2_lo") :+ col("u2_hi") :+
         col("var_num") :+ col("z"): _*)
   }
+
+  /** Brown–Forsythe test (Brown & Forsythe 1974): do k groups share a
+    * SCALE — the robust (median-centered) Levene variance-equality
+    * test, the dispersion companion of [[kruskalWallis]]'s location
+    * test: a curation change that leaves every group's median alone but
+    * fattens one group's tails is invisible to KW and lights this up.
+    * One-way ANOVA on z = |x − med_g| with med_g the LOWER-MEDIAN exact
+    * rank selection (rank (n_g+1) div 2 — the madOutliers pin):
+    *
+    *   W = (N−k)/(k−1) · Σ_g n_g(z̄_g − z̄)² / Σ_g Σ_i (z_gi − z̄_g)²
+    *
+    * Determinism (the KW discipline — exact integer deviations FIRST,
+    * nano terms second): values cast long (integer-units contract), so
+    * z, S_g = Σz and Q_g = Σz² are exact; the between deviation
+    * D_g = N·S_g − n_g·S and the within numerator E_g = n_g·Q_g − S_g²
+    * are DECIMAL integer differences (no float cancellation anywhere);
+    * each group's between/within terms are nano longs
+    * round(1e9·D_g²/(n_g·N²)) / round(1e9·E_g/n_g) summed order-free,
+    * and W is one fixed dag over the two sums, gated at 9 decimals.
+    * NULL when k < 2, N ≤ k, or the within sum is 0.
+    *
+    * SCALE: the cell layout throughout — the median comes from the
+    * cumulative window over the per-(keys, grp) DISTINCT-VALUE frame
+    * (never a row sort; the [[kruskalWallis]] bound), z/S/Q are
+    * cell-weighted sums, and everything after is group-cardinality
+    * bookkeeping. Emits one row per (keys, grp): n_g, med, s_abs digit
+    * string, with N, k and W replicated (the KW surface shape).
+    */
+  def brownForsythe(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val gg = g :+ col("grp")
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(gg: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGrp = Window.partitionBy(gg: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withCum = cells
+      .withColumn("__cum", coalesce(sum("__c").over(wCum), lit(0L)))
+      .withColumn("__ng", sum("__c").over(wGrp))
+    val medRank = expr("(__ng + 1) div 2")
+    val med = withCum
+      .filter(col("__cum") < medRank && medRank <= col("__cum") + col("__c"))
+      .select(gg :+ col("__v").as("__med"): _*)
+    val zD = abs(col("__v") - col("__med")).cast(dec)
+    val grpAgg = withCum.join(med, keyCols :+ "grp")
+      .groupBy(gg: _*)
+      .agg(
+        max(col("__ng")).as("n_g"),
+        max(col("__med")).as("med"),
+        sum(col("__c").cast(dec) * zD).as("__s"),
+        sum(col("__c").cast(dec) * zD * zD).as("__q"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = grpAgg
+      .withColumn("n", sum("n_g").over(wKey))
+      .withColumn("k", count(lit(1)).over(wKey))
+      .withColumn("__stot", sum("__s").over(wKey))
+    val nD = col("n").cast(dec)
+    val bigD = nD * col("__s") - col("n_g").cast(dec) * col("__stot")
+    val bigE = col("n_g").cast(dec) * col("__q") - col("__s") * col("__s")
+    // nano terms land in DECIMAL directly — with integer-unit values the
+    // scaled between term can pass 10^25, far outside a long
+    val b9 = round(bigD.cast("double") * bigD.cast("double") /
+      (col("n_g").cast("double") * col("n").cast("double") * col("n").cast("double")) *
+      1e9d).cast(dec)
+    val w9 = round(bigE.cast("double") / col("n_g").cast("double") * 1e9d).cast(dec)
+    val sums = tot
+      .withColumn("__b9s", sum(b9).over(wKey))
+      .withColumn("__w9s", sum(w9).over(wKey))
+    sums
+      .withColumn("w",
+        when(col("k") >= 2L && col("n") > col("k") && col("__w9s") > 0L,
+          (col("n") - col("k")).cast("double") / (col("k") - 1L).cast("double") *
+            (col("__b9s").cast("double") / col("__w9s").cast("double"))))
+      .select(g :+ col("grp") :+ col("n_g") :+ col("med") :+
+        col("__s").cast("string").as("s_abs") :+
+        col("n") :+ col("k") :+ col("w"): _*)
+  }
+
+  /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
+    * — the "new curation filter vs old, on the SAME documents" A/B that
+    * [[twoProportion]] (independent groups) gets wrong on paired data:
+    * only the discordant units carry signal. Exact integer quadrant
+    * counts (both / only_a / only_b / neither), the statistic
+    * (b−c)²/(b+c) with NO continuity correction (stated), NULL when
+    * every unit agrees (b+c = 0), and the α = 0.05 verdict decided by
+    * the exact integer comparison (b−c)²·10⁴ ≷ 38416·(b+c) (the χ²₁
+    * critical value 3.8416 — the [[mannKendall]] never-a-float-boundary
+    * rule). One count aggregation; one row per key set.
+    */
+  def mcnemar(
+      df: DataFrame,
+      keyCols: Seq[String],
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val agg = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("both_pass"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("only_a"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("only_b"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("neither"))
+    val diff = col("only_a") - col("only_b")
+    val disc = col("only_a") + col("only_b")
+    agg
+      .withColumn("mcnemar",
+        when(disc > 0L, (diff * diff).cast("double") / disc.cast("double")))
+      .withColumn("significant",
+        when(disc === 0L, lit(null).cast("boolean"))
+          .otherwise(diff * diff * 10000L > disc * 38416L))
+  }
 }

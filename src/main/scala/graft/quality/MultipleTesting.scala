@@ -1,0 +1,67 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multiple-testing control for the monitoring battery. A pipeline that
+  * runs the drift/association family across hundreds of (table, column,
+  * slice) cells every night fires false alarms at the per-test α rate —
+  * the standing dashboard needs the battery-level correction, not
+  * another per-test statistic.
+  */
+object MultipleTesting {
+
+  private val dec = "decimal(38,0)"
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+    * 1995): order the battery's p-values ascending, find the largest
+    * rank i with p_(i) ≤ i·α/m, reject tests 1..i. Controls the
+    * expected false-discovery RATE at α — the right guarantee for "of
+    * the alarms we page on tonight, what fraction are noise", where
+    * Bonferroni's familywise bound silences everything at scale.
+    *
+    * EXACT: p-values arrive nano-scaled (`p9`, a long count of 1e-9 —
+    * the house transcendental surface), α = alphaNum/alphaDen is a
+    * rational, and the step condition is the integer cross-product
+    * p9·m·alphaDen ≤ rank·alphaNum·1e9 in DECIMAL — no float boundary
+    * decides a rejection. Rank ties break by `idCols` (total order, so
+    * both engines rank identically). Per (keys) battery: one rank
+    * window + one cutoff window over the battery-sized frame (a battery
+    * is test-cardinality-sized by contract — thousands, not rows).
+    *
+    * Emits per test: keys, idCols, p9, rank, m, is_candidate (its own
+    * step inequality) and rejected (rank ≤ the largest candidate rank —
+    * the step-UP closure that can reject a non-candidate below a later
+    * candidate).
+    */
+  def benjaminiHochberg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCols: Seq[String],
+      p9Col: String,
+      alphaNum: Int = 5,
+      alphaDen: Int = 100
+  ): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"need 0 < alpha < 1: $alphaNum/$alphaDen")
+    val g = keyCols.map(col)
+    val wRank = Window.partitionBy(g: _*)
+      .orderBy(col(p9Col).asc +: idCols.map(col(_).asc): _*)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .filter(col(p9Col).isNotNull)
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wKey))
+    val candidate =
+      col(p9Col).cast(dec) * col("m").cast(dec) * lit(alphaDen.toLong).cast(dec) <=
+        col("rank").cast(dec) * lit(alphaNum.toLong).cast(dec) * lit(1000000000L).cast(dec)
+    ranked
+      .withColumn("is_candidate", candidate)
+      .withColumn("__cut",
+        max(when(candidate, col("rank")).otherwise(0L)).over(wKey))
+      .withColumn("rejected", col("rank") <= col("__cut"))
+      .drop("__cut")
+  }
+}

@@ -2073,6 +2073,83 @@ object CoreQueries {
         round(col("or_mh"), 9).as("or_mh"))
   }
 
+  /** Brown–Forsythe gate: do event types share a SCALE of milli-values
+    * — the median-centered variance ANOVA on the cell layout (exact
+    * integer medians and deviations, nano between/within terms, W one
+    * fixed dag). The dispersion companion of q215's location test.
+    */
+  def q250BrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 1000).cast("long").as("v_m"))
+    Association.brownForsythe(ev, Nil, "event_type", "v_m")
+      .select(col("grp"), col("n_g"), col("med"), col("s_abs"),
+        col("n"), col("k"), round(col("w"), 9).as("w"))
+      .orderBy("grp")
+  }
+
+  /** Benjamini–Hochberg gate: a 25-test battery (one test per
+    * (lang, source) cell, p-values the deterministic md5 uniform — the
+    * q95 convention, so the CONTROL MECHANICS are what's gated), exact
+    * integer step inequality, step-up closure. The alarm-pager's
+    * battery-level correction.
+    */
+  def q251BhFdr(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.MultipleTesting
+    val battery = Tables.documents(s, dir)
+      .select(concat(col("lang"), lit(":"), col("source")).as("id"))
+      .distinct()
+      .withColumn("p9",
+        conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long") % 1000000000L)
+    MultipleTesting.benjaminiHochberg(battery, Nil, Seq("id"), "p9")
+      .select(col("id"), col("p9"), col("rank"), col("m"),
+        col("is_candidate"), col("rejected"))
+      .orderBy("rank")
+  }
+
+  /** McNemar gate: the paired filter A/B on the SAME documents — does
+    * the char-length gate (n_chars >= 256) agree with the word-count
+    * gate (>= 40 tokens); exact quadrant counts, the discordant-pair
+    * statistic, the exact-integer alpha = .05 verdict.
+    */
+  def q254Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(
+        (col("n_chars") >= 256L).as("a"),
+        (size(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")) >= 40).as("b"))
+    Association.mcnemar(d, Nil, "a", "b")
+      .select(col("n"), col("both_pass"), col("only_a"), col("only_b"),
+        col("neither"), round(col("mcnemar"), 9).as("mcnemar"), col("significant"))
+  }
+
+  /** Runs-test gate: is each type's hourly count series RANDOM around
+    * its own lower median — the clumping/oscillation read orthogonal to
+    * q216's monotone trend; exact run/class counts and the integer
+    * variance numerator, z one fixed dag.
+    */
+  def q255RunsTest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val counts = TimeSeries.resampleCounts(
+      Tables.events(s, dir).select("event_type", "ts"), Seq("event_type"), "ts")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n"), col("slot"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val med = counts
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .filter(col("__rk") === expr("(__cnt + 1) div 2"))
+      .select(col("event_type"), col("n").as("__med"))
+    val flagged = counts.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("slot"),
+        (col("n") >= col("__med")).cast("long").as("above"))
+    TimeSeries.runsTest(flagged, Seq("event_type"), "slot", "above")
+      .select(col("event_type"), col("n"), col("n0"), col("n1"), col("r"),
+        col("var_num"), round(col("z"), 9).as("z"))
+      .orderBy("event_type")
+  }
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

@@ -2264,6 +2264,40 @@ object LlmQueries {
       .orderBy("size")
   }
 
+  /** Vocabulary-richness gate: per language the Chao1 unseen-types
+    * estimate and Good–Turing coverage off the SAME token-count store
+    * the profile reads — exact type/mass/singleton/doubleton integers,
+    * every estimate a pinned division.
+    */
+  def q252VocabRichness(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusLaws
+    CorpusLaws.vocabRichness(
+      CorpusLaws.groupedTokenCounts(
+        Tables.documents(s, dir).select("lang", "text"), Seq("lang"), "text"),
+      Seq("lang"))
+      .select(col("lang"), col("n_types"), col("mass"), col("f1"), col("f2"),
+        round(col("chao1"), 9).as("chao1"),
+        round(col("gt_unseen_mass"), 9).as("gt_unseen_mass"),
+        round(col("coverage"), 9).as("coverage"))
+      .orderBy("lang")
+  }
+
+  /** Vocabulary-overlap gate: every unordered source pair's shared-type
+    * count and Jaccard/overlap/containment coefficients — which sources
+    * are lexically the same corpus; exact integers, pinned divisions,
+    * zero-overlap pairs emitted from the size grid.
+    */
+  def q253VocabOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.vocabOverlap(
+      Tables.documents(s, dir).select("source", "text"), "source", "text")
+      .select(col("source_a"), col("source_b"), col("types_a"), col("types_b"),
+        col("n_shared"),
+        round(col("jaccard"), 9).as("jaccard"),
+        round(col("overlap"), 9).as("overlap"),
+        round(col("containment_a"), 9).as("containment_a"),
+        round(col("containment_b"), 9).as("containment_b"))
+      .orderBy("source_a", "source_b")
+
   /** Triangle-count gate: the q195 near-dup graph (sorted-neighborhood
     * blocking + Levenshtein verify) through degree-ordered triangle
     * counting — per node the exact degree, triangle count, and local

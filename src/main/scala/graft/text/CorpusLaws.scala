@@ -256,6 +256,81 @@ object CorpusLaws {
         col("top_mass").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Vocabulary RICHNESS estimators from a (possibly folded) per-(keys,
+    * token) count frame — what [[vocabProfileFromCounts]]'s observed
+    * counts can't say: how much vocabulary is this corpus slice STILL
+    * HIDING. Chao1's abundance estimate (Chao 1984, bias-corrected
+    * form — defined even with no doubletons):
+    *
+    *   chao1 = types + f1·(f1−1) / (2·(f2+1))
+    *
+    * with f1/f2 the singleton/doubleton TYPE counts, and Good–Turing
+    * coverage (Good 1953): the probability mass of UNSEEN types is
+    * estimated by the singleton mass share, coverage = 1 − f1/mass —
+    * the "is this crawl slice saturated or still discovering" dial that
+    * decides whether more of the same source buys new vocabulary.
+    * Exact integer counts; chao1 and the coverage pair are pinned
+    * divisions. Emits one row per key set; reads the SAME mergeable
+    * store as the profile, so the standing card gets richness for free.
+    */
+  def vocabRichness(counts: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val agg = counts.groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("cnt").cast("long").as("mass"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("f2"))
+    agg
+      .withColumn("chao1",
+        col("n_types").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2d) * (col("f2") + 1L).cast("double")))
+      .withColumn("gt_unseen_mass",
+        when(col("mass") > 0L, col("f1").cast("double") / col("mass").cast("double")))
+      .withColumn("coverage", lit(1d) - col("gt_unseen_mass"))
+  }
+
+  /** Cross-source vocabulary OVERLAP matrix: for every unordered source
+    * pair, the shared-type count and the Jaccard / overlap / both
+    * containment coefficients — "which sources are lexically the same
+    * corpus in different wrappers" (near-1 containment of a small
+    * source in a big one = the small one buys nothing), the source-level
+    * companion of the per-document dedup family. Construction: the
+    * DISTINCT (source, token) membership frame, one token-keyed
+    * self-join (a < b — each shared token fans out to the source pairs
+    * holding it, bounded by source-cardinality², with sources small by
+    * contract), per-source type counts broadcast on, every coefficient
+    * ONE pinned division. Pairs sharing nothing emit 0-overlap rows
+    * (the full pair grid comes from the source-cardinality² cross of
+    * the size frame, never from the data). Exact integers throughout.
+    */
+  def vocabOverlap(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val toks = groupedTokenCounts(df, Seq(sourceCol), textCol)
+      .select(col(sourceCol).cast("string").as("src"), col("token"))
+    val sizes = toks.groupBy("src").agg(count(lit(1)).as("n_types"))
+    val inter = toks.select(col("src").as("source_a"), col("token"))
+      .join(toks.select(col("src").as("source_b"), col("token")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val grid = broadcast(sizes.select(col("src").as("source_a"), col("n_types").as("types_a")))
+      .crossJoin(broadcast(sizes.select(col("src").as("source_b"), col("n_types").as("types_b"))))
+      .filter(col("source_a") < col("source_b"))
+    grid.join(inter, Seq("source_a", "source_b"), "left_outer")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("types_a") + col("types_b") - col("n_shared")).cast("double"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") /
+          least(col("types_a"), col("types_b")).cast("double"))
+      .withColumn("containment_a",
+        col("n_shared").cast("double") / col("types_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_shared").cast("double") / col("types_b").cast("double"))
+  }
+
   /** Per-(keys, token) counts — the grouped [[tokenCounts]], emitted in
     * the mergeable-store shape [[vocabProfileFromCounts]] and
     * [[vocabChurn]] read. */

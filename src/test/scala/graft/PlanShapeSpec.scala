@@ -530,7 +530,30 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q248_cluster_sizes_incremental", maxHash = 4, maxRange = 2,
       forbidUdf = true),
     Shape("q249_cmh_from_store", maxHash = 6, forbidSortMergeJoin = true,
-      forbidUdf = true)
+      forbidUdf = true),
+    // Brown-Forsythe: cell agg + cumulative-median windows + broadcast
+    // med attach + group/key bookkeeping — never a row sort
+    Shape("q250_brown_forsythe", maxHash = 6, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // BH: battery-sized distinct + the one global rank window (Single
+    // exchanges — a battery is test-cardinality-sized by contract)
+    Shape("q251_bh_fdr", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // richness: the token-count agg + one lang agg — windowless
+    Shape("q252_vocab_richness", maxHash = 3, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true),
+    // overlap: the token-keyed membership self-join is the one SMJ
+    // (vocab-keyed, neither side broadcastable); the pair grid crosses
+    // as broadcasts
+    Shape("q253_vocab_overlap", maxHash = 8, minBroadcastJoin = 1,
+      forbidUdf = true),
+    // McNemar: ONE counting aggregation
+    Shape("q254_mcnemar", maxHash = 1, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true),
+    // runs test: the spine + median-rank window + broadcast med attach
+    // + one lag window + aggregation
+    Shape("q255_runs_test", maxHash = 8, maxRange = 2, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

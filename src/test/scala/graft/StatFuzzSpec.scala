@@ -294,6 +294,101 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Brown–Forsythe ---------------------------------------------------------------
+
+  test("fuzz: Brown-Forsythe W vs the median-centered ANOVA formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("bf", t)
+      val k = 2 + r.nextInt(4)
+      val data = (0 until 20 + r.nextInt(60)).map { _ =>
+        val gi = r.nextInt(k)
+        ("g" + gi, (r.nextInt(8 + gi * 6) - gi).toLong) // scales differ by group
+      }
+      val groups = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def lowerMedian(vs: Seq[Long]): Long = vs.sorted.apply((vs.size + 1) / 2 - 1)
+      val zs = groups.map { case (gname, vs) =>
+        val med = lowerMedian(vs)
+        gname -> vs.map(v => math.abs(v - med).toDouble)
+      }
+      val n = data.size
+      val zAll = zs.values.flatten
+      val zBar = zAll.sum / n
+      val ssb = zs.values.map { z =>
+        val m = z.sum / z.size
+        z.size * (m - zBar) * (m - zBar)
+      }.sum
+      val ssw = zs.values.map { z =>
+        val m = z.sum / z.size
+        z.map(v => (v - m) * (v - m)).sum
+      }.sum
+      val wNaive =
+        if (groups.size >= 2 && n > groups.size && ssw > 0)
+          Some((n - groups.size).toDouble / (groups.size - 1) * ssb / ssw)
+        else None
+      val row = Association.brownForsythe(data.toDF("g", "v"), Nil, "g", "v")
+        .collect()(0)
+      approxOpt(optDouble(row, "w"), wNaive, s"bf trial $t")
+    }
+  }
+
+  // --- McNemar ----------------------------------------------------------------------
+
+  test("fuzz: McNemar statistic vs the discordant-pair formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("mcnemar", t)
+      val pairs = (0 until 15 + r.nextInt(60)).map(_ => (r.nextBoolean(), r.nextBoolean()))
+      val b = pairs.count(p => p._1 && !p._2)
+      val c = pairs.count(p => !p._1 && p._2)
+      val statNaive =
+        if (b + c > 0) Some((b - c).toDouble * (b - c) / (b + c)) else None
+      val row = Association.mcnemar(pairs.toDF("a", "b"), Nil, "a", "b").collect()(0)
+      approxOpt(optDouble(row, "mcnemar"), statNaive, s"mcnemar trial $t")
+      if (b + c > 0)
+        assert(row.getAs[Boolean]("significant") ===
+          ((b - c).toDouble * (b - c) / (b + c) > 3.8416), s"mcnemar verdict trial $t")
+    }
+  }
+
+  // --- Runs test --------------------------------------------------------------------
+
+  test("fuzz: Wald-Wolfowitz runs z vs the run-count formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("runs", t)
+      val xs = (0 until 10 + r.nextInt(60)).map(_ => r.nextInt(2).toLong)
+      val runs = 1 + xs.sliding(2).count(w => w.size == 2 && w(0) != w(1))
+      val n1 = xs.count(_ == 1L); val n0 = xs.size - n1
+      val bigN = xs.size.toDouble
+      val mu = 2.0 * n0 * n1 / bigN + 1
+      val v = 2.0 * n0 * n1 * (2.0 * n0 * n1 - bigN) / (bigN * bigN * (bigN - 1))
+      val zNaive = if (n0 > 0 && n1 > 0 && v > 0) Some((runs - mu) / math.sqrt(v)) else None
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("t", "x")
+      val row = TimeSeries.runsTest(df, Nil, "t", "x").collect()(0)
+      assert(row.getAs[Long]("r") === runs.toLong, s"runs R trial $t")
+      approxOpt(optDouble(row, "z"), zNaive, s"runs z trial $t")
+    }
+  }
+
+  // --- Benjamini–Hochberg -----------------------------------------------------------
+
+  test("fuzz: BH rejections vs the naive sorted step-up scan") {
+    import graft.quality.MultipleTesting
+    for (t <- 1 to Trials) {
+      val r = rng("bh", t)
+      val m = 5 + r.nextInt(40)
+      val ps = (0 until m).map(i => (s"t$i", r.nextInt(1000000000).toLong))
+      val sorted = ps.sortBy(p => (p._2, p._1))
+      val cut = (1 to m).filter(i =>
+        BigInt(sorted(i - 1)._2) * m * 100 <= BigInt(i) * 5 * 1000000000L)
+        .lastOption.getOrElse(0)
+      val rejectedNaive = sorted.take(cut).map(_._1).toSet
+      val out = MultipleTesting.benjaminiHochberg(ps.toDF("id", "p9"), Nil, Seq("id"), "p9")
+        .collect()
+      val rejected = out.filter(_.getAs[Boolean]("rejected"))
+        .map(_.getAs[String]("id")).toSet
+      assert(rejected === rejectedNaive, s"bh trial $t")
+    }
+  }
+
   // --- Trimmed mean -----------------------------------------------------------------
 
   test("fuzz: trimmed mean vs the sort-drop-average loop") {

@@ -605,4 +605,140 @@ class TrendStatsSpec extends SparkSpec {
     val bad = Seq(("g", 9L, 0L), ("g", 10L, -3L)).toDF("g", "id", "w")
     assert(Sampling.weightedSampleWithoutReplacement(bad, Seq("g"), Seq("id"), "w", 3).count() === 0L)
   }
+
+  // --- Brown–Forsythe ----------------------------------------------------------------
+
+  test("brownForsythe: hand golden, equal-scale null, degenerate one-group NULL") {
+    import graft.quality.Association
+    // A = [1,2,3,4,10] (med 3, z = 2,1,0,1,7), B = [5,5,5,5,5] (z = 0):
+    // SSB = 12.1, SSW = 30.8, W = 8 * 12.1/30.8 = 22/7
+    val d = (Seq(1L, 2L, 3L, 4L, 10L).map(("A", _)) ++
+      Seq.fill(5)(("B", 5L))).toDF("g", "v")
+    val out = Association.brownForsythe(d, Nil, "g", "v")
+      .orderBy("grp").collect()
+    assert(out.map(_.getAs[String]("grp")).toSeq === Seq("A", "B"))
+    assert(out(0).getAs[Long]("med") === 3L)
+    assert(out(0).getAs[String]("s_abs") === "11")
+    assert(out(1).getAs[Long]("med") === 5L)
+    assert(out(1).getAs[String]("s_abs") === "0")
+    assert(out.forall(_.getAs[Long]("n") === 10L))
+    assert(math.abs(out(0).getAs[Double]("w") - 22d / 7d) < 1e-8)
+    // identical groups: W = 0 exactly (every deviation 0)
+    val same = (Seq(1L, 2L, 9L).map(("A", _)) ++ Seq(1L, 2L, 9L).map(("B", _)))
+      .toDF("g", "v")
+    val rs = Association.brownForsythe(same, Nil, "g", "v").collect()(0)
+    assert(rs.getAs[Double]("w") === 0.0)
+    // one group: k < 2 -> NULL
+    val one = Seq(("A", 1L), ("A", 5L)).toDF("g", "v")
+    val r1 = Association.brownForsythe(one, Nil, "g", "v").collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("w")))
+  }
+
+  // --- McNemar -----------------------------------------------------------------------
+
+  test("mcnemar: quadrant goldens, exact verdict boundary, all-agree NULL") {
+    import graft.quality.Association
+    def mk(both: Int, onlyA: Int, onlyB: Int, neither: Int) =
+      (Seq.fill(both)((true, true)) ++ Seq.fill(onlyA)((true, false)) ++
+        Seq.fill(onlyB)((false, true)) ++ Seq.fill(neither)((false, false)))
+        .toDF("a", "b")
+    val r = Association.mcnemar(mk(8, 6, 2, 4), Nil, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") === 20L && r.getAs[Long]("both_pass") === 8L)
+    assert(r.getAs[Long]("only_a") === 6L && r.getAs[Long]("only_b") === 2L)
+    assert(r.getAs[Double]("mcnemar") === 2.0)
+    assert(r.getAs[Boolean]("significant") === false) // 2.0 < 3.8416
+    val sig = Association.mcnemar(mk(0, 10, 1, 0), Nil, "a", "b").collect()(0)
+    assert(math.abs(sig.getAs[Double]("mcnemar") - 81d / 11d) < 1e-12)
+    assert(sig.getAs[Boolean]("significant") === true) // 7.36 > 3.8416
+    val agree = Association.mcnemar(mk(3, 0, 0, 2), Nil, "a", "b").collect()(0)
+    assert(agree.isNullAt(agree.fieldIndex("mcnemar")))
+    assert(agree.isNullAt(agree.fieldIndex("significant")))
+  }
+
+  // --- Runs test ---------------------------------------------------------------------
+
+  test("runsTest: textbook goldens, alternation z, one-class NULL") {
+    import graft.operators.TimeSeries
+    // 0,0,1,1,0,1,0,0,1,1 -> R = 6 = mu exactly -> z = 0
+    val s1 = Seq(0L, 0L, 1L, 1L, 0L, 1L, 0L, 0L, 1L, 1L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("t", "x")
+    val r1 = TimeSeries.runsTest(s1, Nil, "t", "x").collect()(0)
+    assert(r1.getAs[Long]("r") === 6L && r1.getAs[Long]("n0") === 5L)
+    assert(r1.getAs[Double]("z") === 0.0)
+    // perfect alternation 0,1,0,1,0,1: R = 6, mu = 4, var_num = 216,
+    // z = 2/sqrt(1.2)
+    val s2 = Seq(0L, 1L, 0L, 1L, 0L, 1L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("t", "x")
+    val r2 = TimeSeries.runsTest(s2, Nil, "t", "x").collect()(0)
+    assert(r2.getAs[Long]("r") === 6L)
+    assert(r2.getAs[String]("var_num") === "216")
+    assert(math.abs(r2.getAs[Double]("z") - 2d / math.sqrt(1.2)) < 1e-12)
+    // all one class: sigma = 0 -> NULL z
+    val s3 = Seq((0L, 1L), (1L, 1L), (2L, 1L)).toDF("t", "x")
+    val r3 = TimeSeries.runsTest(s3, Nil, "t", "x").collect()(0)
+    assert(r3.getAs[Long]("r") === 1L)
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+  }
+
+  // --- Benjamini–Hochberg ------------------------------------------------------------
+
+  test("benjaminiHochberg: textbook battery, step-up closure over a non-candidate") {
+    import graft.quality.MultipleTesting
+    // p = .001 .010 .016 .030 .045 .300 at alpha .05: reject ranks 1-4
+    val p1 = Seq(1000000L, 10000000L, 16000000L, 30000000L, 45000000L, 300000000L)
+      .zipWithIndex.map { case (p, i) => (s"t$i", p) }.toDF("id", "p9")
+    val out1 = MultipleTesting.benjaminiHochberg(p1, Nil, Seq("id"), "p9")
+      .orderBy("rank").collect()
+    assert(out1.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, true, true, true, false, false))
+    assert(out1.map(_.getAs[Boolean]("is_candidate")).toSeq ===
+      Seq(true, true, true, true, false, false))
+    // step-up closure: p = .020 .030 .050 — rank 1 is NOT its own
+    // candidate (.02 > .0167) but ranks 2 and 3 are, so ALL reject
+    val p2 = Seq(20000000L, 30000000L, 50000000L)
+      .zipWithIndex.map { case (p, i) => (s"t$i", p) }.toDF("id", "p9")
+    val out2 = MultipleTesting.benjaminiHochberg(p2, Nil, Seq("id"), "p9")
+      .orderBy("rank").collect()
+    assert(out2.map(_.getAs[Boolean]("is_candidate")).toSeq === Seq(false, true, true))
+    assert(out2.map(_.getAs[Boolean]("rejected")).toSeq === Seq(true, true, true))
+    // the boundary is exact: p = i*alpha/m holds with equality at rank 3
+    assert(out2(2).getAs[Boolean]("is_candidate"))
+  }
+
+  // --- Vocabulary richness -----------------------------------------------------------
+
+  test("vocabRichness: Chao1 and Good-Turing coverage goldens") {
+    import graft.text.CorpusLaws
+    val counts = Seq(("g", "a", 1L), ("g", "b", 1L), ("g", "c", 1L),
+      ("g", "d", 2L), ("g", "e", 2L), ("g", "f", 5L)).toDF("k", "token", "cnt")
+    val r = CorpusLaws.vocabRichness(counts, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("n_types") === 6L && r.getAs[Long]("mass") === 12L)
+    assert(r.getAs[Long]("f1") === 3L && r.getAs[Long]("f2") === 2L)
+    assert(r.getAs[Double]("chao1") === 7.0) // 6 + 3*2/(2*3)
+    assert(r.getAs[Double]("gt_unseen_mass") === 0.25)
+    assert(r.getAs[Double]("coverage") === 0.75)
+    // no doubletons: the bias-corrected form stays finite
+    val nof2 = Seq(("g", "a", 1L), ("g", "b", 1L), ("g", "c", 3L)).toDF("k", "token", "cnt")
+    val r2 = CorpusLaws.vocabRichness(nof2, Seq("k")).collect()(0)
+    assert(r2.getAs[Double]("chao1") === 3.0 + 2.0 / 2.0)
+  }
+
+  // --- Vocabulary overlap ------------------------------------------------------------
+
+  test("vocabOverlap: pairwise Jaccard/containment, zero-overlap pairs emitted") {
+    import graft.text.CorpusLaws
+    val docs = Seq(("s1", "a b c"), ("s2", "b c d"), ("s3", "x")).toDF("src", "text")
+    val out = CorpusLaws.vocabOverlap(docs, "src", "text")
+      .orderBy("source_a", "source_b").collect()
+    assert(out.length === 3)
+    val m = out.map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+    val ab = m(("s1", "s2"))
+    assert(ab.getAs[Long]("n_shared") === 2L)
+    assert(ab.getAs[Double]("jaccard") === 0.5)
+    assert(math.abs(ab.getAs[Double]("overlap") - 2d / 3d) < 1e-15)
+    assert(math.abs(ab.getAs[Double]("containment_a") - 2d / 3d) < 1e-15)
+    val ax = m(("s1", "s3"))
+    assert(ax.getAs[Long]("n_shared") === 0L)
+    assert(ax.getAs[Double]("jaccard") === 0.0)
+  }
 }
