@@ -265,7 +265,10 @@ object SparkEntry {
     "q252_vocab_richness" -> (LlmQueries.q252VocabRichness(_, _)),
     "q253_vocab_overlap" -> (LlmQueries.q253VocabOverlap(_, _)),
     "q254_mcnemar" -> (CoreQueries.q254Mcnemar(_, _)),
-    "q255_runs_test" -> (CoreQueries.q255RunsTest(_, _))
+    "q255_runs_test" -> (CoreQueries.q255RunsTest(_, _)),
+    "q256_kw_from_store" -> (CoreQueries.q256KwFromStore(_, _)),
+    "q257_mw_from_store" -> (CoreQueries.q257MwFromStore(_, _)),
+    "q258_bf_from_store" -> (CoreQueries.q258BfFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -323,7 +326,11 @@ object SparkEntry {
     "q252_vocab_richness" -> vocabRichnessOracle,
     "q253_vocab_overlap" -> vocabOverlapOracle,
     "q254_mcnemar" -> mcnemarOracle,
-    "q255_runs_test" -> runsTestOracle)
+    "q255_runs_test" -> runsTestOracle,
+    // rank-family from-STORE twins: fold == rebuild, batch oracles verbatim
+    "q256_kw_from_store" -> kruskalWallisOracle,
+    "q257_mw_from_store" -> mannWhitneyOracle,
+    "q258_bf_from_store" -> brownForsytheOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

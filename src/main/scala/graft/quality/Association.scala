@@ -457,17 +457,49 @@ object Association {
     * Emits one row per (keys, grp): n_g, r2_sum, d (digit strings), and
     * the key-level n, h, h_tie replicated per group row.
     */
+  /** Per-(keys, group, value) counts — the ADDITIVE, mergeable state
+    * the whole rank-test family reduces over: [[kruskalWallisFromCells]],
+    * [[mannWhitneyFromCells]] and [[brownForsytheFromCells]] all read
+    * this one frame, so a versioned fold of it (the
+    * [[contingencyCounts]] discipline) makes location, scale and
+    * two-sample tests STANDING reads over all history. The value keeps
+    * its ORDERABLE type (ranks need an order — the [[kendallCells]]
+    * rule, not the contingency string cast); value cardinality is the
+    * store bound (bucket continuous columns first).
+    */
+  def rankCells(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(groupCol).cast("string").as("grp") :+
+        col(valueCol).as("v"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold two [[rankCells]] frames over disjoint row sets. */
+  def mergeRankCells(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col) :+ col("grp") :+ col("v"): _*)
+      .agg(sum("n").as("n"))
+
+  private def fromRankCells(cellsIn: DataFrame, keyCols: Seq[String]): DataFrame =
+    cellsIn.select(keyCols.map(col) :+ col("grp") :+ col("v").as("__v") :+
+      col("n").cast("long").as("__c"): _*)
+
   def kruskalWallis(
       df: DataFrame,
       keyCols: Seq[String],
       groupCol: String,
       valueCol: String
-  ): DataFrame = {
+  ): DataFrame =
+    kruskalWallisFromCells(rankCells(df, keyCols, groupCol, valueCol), keyCols)
+
+  /** [[kruskalWallis]] from a (possibly folded) [[rankCells]] frame. */
+  def kruskalWallisFromCells(cellsIn: DataFrame, keyCols: Seq[String]): DataFrame = {
     val g = keyCols.map(col)
-    val cells = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+ col(valueCol).as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
+    val cells = fromRankCells(cellsIn, keyCols)
     val vals = cells.groupBy(g :+ col("__v"): _*).agg(sum("__c").as("__t"))
     val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -774,12 +806,13 @@ object Association {
       keyCols: Seq[String],
       groupCol: String,
       valueCol: String
-  ): DataFrame = {
+  ): DataFrame =
+    mannWhitneyFromCells(rankCells(df, keyCols, groupCol, valueCol), keyCols)
+
+  /** [[mannWhitney]] from a (possibly folded) [[rankCells]] frame. */
+  def mannWhitneyFromCells(cellsIn: DataFrame, keyCols: Seq[String]): DataFrame = {
     val g = keyCols.map(col)
-    val cells = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+ col(valueCol).as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
+    val cells = fromRankCells(cellsIn, keyCols)
     val vals = cells.groupBy(g :+ col("__v"): _*).agg(sum("__c").as("__t"))
     val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -868,14 +901,18 @@ object Association {
       keyCols: Seq[String],
       groupCol: String,
       valueCol: String
-  ): DataFrame = {
+  ): DataFrame =
+    brownForsytheFromCells(
+      rankCells(df.withColumn("__bf_v", col(valueCol).cast("long")),
+        keyCols, groupCol, "__bf_v"), keyCols)
+
+  /** [[brownForsythe]] from a (possibly folded) [[rankCells]] frame —
+    * values must already be long (the integer-units contract). */
+  def brownForsytheFromCells(cellsIn: DataFrame, keyCols: Seq[String]): DataFrame = {
     val g = keyCols.map(col)
     val gg = g :+ col("grp")
-    val cells = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+
-        col(valueCol).cast("long").as("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
+    val cells = fromRankCells(cellsIn, keyCols)
+      .withColumn("__v", col("__v").cast("long"))
     val wCum = Window.partitionBy(gg: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wGrp = Window.partitionBy(gg: _*)

@@ -2150,6 +2150,58 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Rank-family from-STORE gates (q256–q258): the [[graft.quality
+    * .Association.rankCells]] state folded in three disjoint batches
+    * through [[graft.quality.Association.mergeRankCells]], then read by
+    * each test's FromCells form under the batch arm's oracle verbatim —
+    * location (KW), two-sample (MW) and scale (BF) all standing reads
+    * over one store.
+    */
+  def q256KwFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+      round(col("value") * 1000).cast("long").as("v_m"))
+    def batch(i: Int) = Association.rankCells(
+      ev.filter(col("event_id") % 3 === i), Nil, "event_type", "v_m")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Association.mergeRankCells(acc, batch(i), Nil))
+    Association.kruskalWallisFromCells(folded, Nil)
+      .select(col("grp"), col("n_g"), col("r2_sum"), col("d"), col("n"),
+        round(col("h"), 9).as("h"), round(col("h_tie"), 9).as("h_tie"))
+      .orderBy("grp")
+  }
+
+  def q257MwFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1000).cast("long").as("v_m"))
+    def batch(i: Int) = Association.rankCells(
+      ev.filter(col("event_id") % 3 === i), Nil, "event_type", "v_m")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Association.mergeRankCells(acc, batch(i), Nil))
+    Association.mannWhitneyFromCells(folded, Nil)
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("u2_lo"), col("u2_hi"), col("var_num"),
+        round(col("z"), 9).as("z"))
+      .orderBy("grp_lo")
+  }
+
+  def q258BfFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+      round(col("value") * 1000).cast("long").as("v_m"))
+    def batch(i: Int) = Association.rankCells(
+      ev.filter(col("event_id") % 3 === i), Nil, "event_type", "v_m")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Association.mergeRankCells(acc, batch(i), Nil))
+    Association.brownForsytheFromCells(folded, Nil)
+      .select(col("grp"), col("n_g"), col("med"), col("s_abs"),
+        col("n"), col("k"), round(col("w"), 9).as("w"))
+      .orderBy("grp")
+  }
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

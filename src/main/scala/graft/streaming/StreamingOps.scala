@@ -842,6 +842,40 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming rank-cell fold — the rank-test family's online state:
+    * each micro-batch's per-(keys, group, value) counts
+    * ([[graft.quality.Association.rankCells]]) merge additively into a
+    * versioned store, so the standing cells answer location
+    * (`kruskalWallisFromCells`), two-sample (`mannWhitneyFromCells`)
+    * AND scale (`brownForsytheFromCells`) over all history at
+    * value-cardinality rows (bucket continuous columns first — the
+    * q210 discipline). Same non-idempotent recompute-on-replay version
+    * discipline as [[contingencyStream]].
+    */
+  def rankCellsStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.Association.rankCells(batch, keyCols, groupCol, valueCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.Association.mergeRankCells(
+            s.read.parquet(p), bc, keyCols)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Kendall cell fold — the τ-b companion of
     * [[contingencyStream]]: per-batch
     * [[graft.quality.Association.kendallCells]] (values keep their

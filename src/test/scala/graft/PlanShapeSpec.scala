@@ -553,6 +553,14 @@ class PlanShapeSpec extends SparkSpec {
     // runs test: the spine + median-rank window + broadcast med attach
     // + one lag window + aggregation
     Shape("q255_runs_test", maxHash = 8, maxRange = 2, minBroadcastJoin = 1,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // rank-family from-store twins: 3 per-batch cell aggs + one merge
+    // agg + the reader's cell-layout bookkeeping
+    Shape("q256_kw_from_store", maxHash = 10, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q257_mw_from_store", maxHash = 10, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q258_bf_from_store", maxHash = 8, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

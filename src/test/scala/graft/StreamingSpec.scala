@@ -794,6 +794,38 @@ class StreamingSpec extends SparkSpec {
     assert(churnFold.toSeq == churnFull.toSeq)
   }
 
+  test("streaming rank-cell fold equals the batch rebuild; standing KW/MW/BF match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.quality.Association
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rnkstream").toString
+    val mem = MemoryStream[(String, Long)]
+    val b1 = (0 until 200).map(i => ("g" + (i % 2), (i * 7 % 23).toLong))
+    val b2 = (0 until 150).map(i => ("g" + (i % 2), (i * 5 % 31).toLong))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "v0")
+    StreamingOps.rankCellsStream(rows, Nil, "g", "v0", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.rankCellsStream(rows, Nil, "g", "v0", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("grp", "v").collect().toSeq
+    val all = (b1 ++ b2).toDF("g", "v0")
+    val rebuilt = Association.rankCells(all, Nil, "g", "v0")
+      .orderBy("grp", "v").collect().toSeq
+    assert(folded == rebuilt)
+    // every standing test over the fold == its batch rebuild verbatim
+    val store = spark.read.parquet(latest)
+    assert(Association.kruskalWallisFromCells(store, Nil).orderBy("grp").collect().toSeq ==
+      Association.kruskalWallis(all, Nil, "g", "v0").orderBy("grp").collect().toSeq)
+    assert(Association.mannWhitneyFromCells(store, Nil).collect().toSeq ==
+      Association.mannWhitney(all, Nil, "g", "v0").collect().toSeq)
+    assert(Association.brownForsytheFromCells(store, Nil).orderBy("grp").collect().toSeq ==
+      Association.brownForsythe(all, Nil, "g", "v0").orderBy("grp").collect().toSeq)
+  }
+
   test("streaming Kendall cell fold equals the batch rebuild; standing tau-b matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.quality.Association
