@@ -268,7 +268,9 @@ object SparkEntry {
     "q255_runs_test" -> (CoreQueries.q255RunsTest(_, _)),
     "q256_kw_from_store" -> (CoreQueries.q256KwFromStore(_, _)),
     "q257_mw_from_store" -> (CoreQueries.q257MwFromStore(_, _)),
-    "q258_bf_from_store" -> (CoreQueries.q258BfFromStore(_, _))
+    "q258_bf_from_store" -> (CoreQueries.q258BfFromStore(_, _)),
+    "q259_script_profile" -> (LlmQueries.q259ScriptProfile(_, _)),
+    "q260_boilerplate_prefix" -> (LlmQueries.q260BoilerplatePrefix(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -330,7 +332,9 @@ object SparkEntry {
     // rank-family from-STORE twins: fold == rebuild, batch oracles verbatim
     "q256_kw_from_store" -> kruskalWallisOracle,
     "q257_mw_from_store" -> mannWhitneyOracle,
-    "q258_bf_from_store" -> brownForsytheOracle)
+    "q258_bf_from_store" -> brownForsytheOracle,
+    "q259_script_profile" -> scriptProfileOracle,
+    "q260_boilerplate_prefix" -> boilerplatePrefixOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -510,7 +514,10 @@ object SparkEntry {
       |  CASE WHEN ngrps = 2 AND var_num > 0 THEN
       |    round(CAST(two_u1 - CAST(ng_lo AS HUGEINT) * ng_hi AS DOUBLE) /
       |      (2.0 * sqrt(CAST(var_num AS DOUBLE) /
-      |        (12.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 9) END AS z
+      |        (12.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 9) END AS z,
+      |  CASE WHEN ngrps = 2 AND ng_lo > 0 AND ng_hi > 0 THEN
+      |    round(CAST(two_u1 - (CAST(ng_lo AS HUGEINT) * ng_hi * 2 - two_u1) AS DOUBLE) /
+      |      (2.0 * CAST(ng_lo AS DOUBLE) * CAST(ng_hi AS DOUBLE)), 9) END AS cliffs_delta
       |FROM f ORDER BY grp_lo""".stripMargin
 
   /** q222 oracle: [[graft.quality.Profiler.wassersteinDrift]] replayed —
@@ -935,6 +942,46 @@ object SparkEntry {
        |      sqrt(CAST(var_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 9)
        |  END AS z
        |FROM v ORDER BY event_type""".stripMargin
+
+  /** q259 oracle: [[graft.text.TextAnalysis.scriptProfile]] replayed —
+    * per-class regexp_replace lengths (RE2 needs the 'g' flag and
+    * \x{…} where Java regex writes \uXXXX), exact sums, pinned ratios.
+    */
+  private lazy val scriptProfileOracle: String =
+    """WITH c AS (SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS latin,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(length(regexp_replace(text, '[^\s]', '', 'g')) AS BIGINT) AS ws,
+      |    CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS cjk,
+      |    CAST(length(regexp_replace(text, '[^\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS cyr
+      |  FROM documents WHERE text IS NOT NULL),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(chars) AS BIGINT) AS chars, CAST(sum(latin) AS BIGINT) AS latin,
+      |    CAST(sum(digit) AS BIGINT) AS digit, CAST(sum(ws) AS BIGINT) AS whitespace,
+      |    CAST(sum(cjk) AS BIGINT) AS cjk, CAST(sum(cyr) AS BIGINT) AS cyrillic
+      |  FROM c GROUP BY 1)
+      |SELECT lang, n_docs, chars, latin, digit, whitespace, cjk, cyrillic,
+      |  chars - latin - digit - whitespace - cjk - cyrillic AS other,
+      |  CASE WHEN chars > 0 THEN round(CAST(latin AS DOUBLE) / CAST(chars AS DOUBLE), 9) END AS latin_ratio,
+      |  CASE WHEN chars > 0 THEN round(CAST(cjk AS DOUBLE) / CAST(chars AS DOUBLE), 9) END AS cjk_ratio,
+      |  CASE WHEN chars > 0 THEN round(
+      |    CAST(chars - latin - digit - whitespace - cjk - cyrillic AS DOUBLE) /
+      |      CAST(chars AS DOUBLE), 9) END AS other_ratio
+      |FROM a ORDER BY lang""".stripMargin
+
+  /** q260 oracle: [[graft.text.TextAnalysis.boilerplatePrefix]]
+    * replayed — the first-8-token md5 prefix key, share counts, the
+    * >= 3 flag.
+    */
+  private lazy val boilerplatePrefixOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    md5(array_to_string(list_slice(
+      |      string_split_regex(trim(lower(text)), '\s+'), 1, 8), ' ')) AS prefix_key
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT prefix_key, count(*) AS n_sharing FROM t GROUP BY 1)
+      |SELECT t.doc_id, t.prefix_key, CAST(c.n_sharing AS BIGINT) AS n_sharing,
+      |  c.n_sharing >= 3 AS is_boilerplate
+      |FROM t JOIN c USING (prefix_key) ORDER BY doc_id""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

@@ -864,9 +864,17 @@ object Association {
       .withColumn("var_num", when(two, varNum.cast("string")))
       .withColumn("z", when(two && varNum > lit(0L).cast(dec),
         zNum.cast("double") / zDen))
+      // Cliff's delta (Cliff 1993) — the effect SIZE beside the test
+      // (the cmh/or_mh pairing rule): δ = (#(lo>hi) − #(lo<hi))/(n₁n₂).
+      // The ½-tie terms inside each U cancel in the difference, so
+      // δ = (2U₁ − 2U₂)/(2n₁n₂) EXACTLY from the doubled integers —
+      // one pinned division, no new pass
+      .withColumn("cliffs_delta", when(two && col("__ng_lo") > 0L && col("__ng_hi") > 0L,
+        (twoU1 - (n1D * n2D * 2 - twoU1)).cast("double") /
+          (lit(2d) * col("__ng_lo").cast("double") * col("__ng_hi").cast("double"))))
       .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
         col("n_lo") :+ col("n_hi") :+ col("u2_lo") :+ col("u2_hi") :+
-        col("var_num") :+ col("z"): _*)
+        col("var_num") :+ col("z") :+ col("cliffs_delta"): _*)
   }
 
   /** Brown–Forsythe test (Brown & Forsythe 1974): do k groups share a

@@ -2184,7 +2184,8 @@ object CoreQueries {
     Association.mannWhitneyFromCells(folded, Nil)
       .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
         col("n_hi"), col("u2_lo"), col("u2_hi"), col("var_num"),
-        round(col("z"), 9).as("z"))
+        round(col("z"), 9).as("z"),
+        round(col("cliffs_delta"), 9).as("cliffs_delta"))
       .orderBy("grp_lo")
   }
 
@@ -2267,7 +2268,8 @@ object CoreQueries {
     Association.mannWhitney(ev, Nil, "event_type", "v_m")
       .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
         col("n_hi"), col("u2_lo"), col("u2_hi"), col("var_num"),
-        round(col("z"), 9).as("z"))
+        round(col("z"), 9).as("z"),
+        round(col("cliffs_delta"), 9).as("cliffs_delta"))
       .orderBy("grp_lo")
   }
 

@@ -2298,6 +2298,30 @@ object LlmQueries {
         round(col("containment_b"), 9).as("containment_b"))
       .orderBy("source_a", "source_b")
 
+  /** Script-profile gate: per-language Unicode character-class
+    * composition — exact per-class char counts via codegen'd
+    * regexp_replace lengths, ratios pinned divisions.
+    */
+  def q259ScriptProfile(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.scriptProfile(
+      Tables.documents(s, dir).select("lang", "text"), Seq("lang"), "text")
+      .select(col("lang"), col("n_docs"), col("chars"), col("latin"),
+        col("digit"), col("whitespace"), col("cjk"), col("cyrillic"),
+        col("other"),
+        round(col("latin_ratio"), 9).as("latin_ratio"),
+        round(col("cjk_ratio"), 9).as("cjk_ratio"),
+        round(col("other_ratio"), 9).as("other_ratio"))
+      .orderBy("lang")
+
+  /** Boilerplate-prefix gate: documents sharing their first-8-token
+    * head — per doc the md5 prefix key, share count, and the >=3 flag;
+    * the templated-header pattern near-dup thresholds let through.
+    */
+  def q260BoilerplatePrefix(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.boilerplatePrefix(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Triangle-count gate: the q195 near-dup graph (sorted-neighborhood
     * blocking + Levenshtein verify) through degree-ordered triangle
     * counting — per node the exact degree, triangle count, and local

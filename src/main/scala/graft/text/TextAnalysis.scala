@@ -498,4 +498,73 @@ object TextAnalysis {
             lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
             lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
   }
+
+  /** Per-group Unicode script / character-class composition — the
+    * multilingual-curation read the n-gram langid (q27) can't give:
+    * "this 'English' slice is 30% CJK bytes" means mislabeled crawl,
+    * script-mixed spam, or markup bleed. Counts per key: total chars
+    * plus Latin letters, ASCII digits, whitespace, CJK (U+4E00–9FFF),
+    * Cyrillic (U+0400–04FF) and OTHER (the remainder — emoji,
+    * punctuation, everything else), each a codegen'd
+    * length(regexp_replace) over the scan (exact integers; ratios
+    * pinned divisions). One aggregation; no UDF, no shuffle beyond it.
+    */
+  def scriptProfile(df: DataFrame, keyCols: Seq[String], textCol: String): DataFrame = {
+    val g = keyCols.map(col)
+    val t = col(textCol)
+    def keep(cls: String) =
+      length(regexp_replace(t, s"[^$cls]", "")).cast("long")
+    val base = df.filter(t.isNotNull)
+      .select(g :+ length(t).cast("long").as("__chars") :+
+        keep("a-zA-Z").as("__latin") :+
+        keep("0-9").as("__digit") :+
+        keep("\\s").as("__space") :+
+        keep("\\u4e00-\\u9fff").as("__cjk") :+
+        keep("\\u0400-\\u04ff").as("__cyr"): _*)
+    base.groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__chars").as("chars"),
+        sum("__latin").as("latin"),
+        sum("__digit").as("digit"),
+        sum("__space").as("whitespace"),
+        sum("__cjk").as("cjk"),
+        sum("__cyr").as("cyrillic"))
+      .withColumn("other",
+        col("chars") - col("latin") - col("digit") - col("whitespace") -
+          col("cjk") - col("cyrillic"))
+      .withColumn("latin_ratio",
+        when(col("chars") > 0L, col("latin").cast("double") / col("chars").cast("double")))
+      .withColumn("cjk_ratio",
+        when(col("chars") > 0L, col("cjk").cast("double") / col("chars").cast("double")))
+      .withColumn("other_ratio",
+        when(col("chars") > 0L, col("other").cast("double") / col("chars").cast("double")))
+  }
+
+  /** Boilerplate-HEAD detection: documents sharing their first-`k`-token
+    * prefix — the crawl pattern exact/minhash dedup underweights (pages
+    * differing only past a templated header survive near-dup thresholds
+    * but poison next-token training on the head). Per document: the
+    * md5 prefix key, how many documents share it, and the boilerplate
+    * flag at `minShare`. SCALE: one prefix-keyed count aggregation +
+    * one join back on the md5 key (prefix-cardinality-sized counts;
+    * the join redistributes doc rows once); the prefix is a narrow
+    * codegen projection — no explode, no token shuffle.
+    */
+  def boilerplatePrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minShare: Long = 3L
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val prefix = array_join(slice(toks(col(textCol)), 1, k), " ")
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(prefix).as("prefix_key"))
+    val counts = keyed.groupBy("prefix_key").agg(count(lit(1)).as("n_sharing"))
+    keyed.join(counts, Seq("prefix_key"))
+      .withColumn("is_boilerplate", col("n_sharing") >= minShare)
+      .select(col(idCol), col("prefix_key"), col("n_sharing"), col("is_boilerplate"))
+  }
 }

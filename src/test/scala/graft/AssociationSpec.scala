@@ -188,6 +188,8 @@ class AssociationSpec extends SparkSpec {
     assert(r.getAs[String]("u2_hi") === "18")
     assert(r.getAs[String]("var_num") === "1890") // 9*(7*6*5 - 0)
     assert(math.abs(r.getAs[Double]("z") - (-4.5 / math.sqrt(5.25))) < 1e-12)
+    // complete separation downward: Cliff's delta = -1 exactly
+    assert(r.getAs[Double]("cliffs_delta") === -1.0)
 
     // identical distributions: z exactly 0 (2U1 == n1*n2)
     val eq = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g0", "v")

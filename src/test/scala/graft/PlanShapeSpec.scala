@@ -561,7 +561,12 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q257_mw_from_store", maxHash = 10, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true),
     Shape("q258_bf_from_store", maxHash = 8, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // script profile: codegen'd per-class regexp lengths + ONE agg
+    Shape("q259_script_profile", maxHash = 1, forbidSortMergeJoin = true,
+      forbidSortAggregate = true, forbidUdf = true),
+    // boilerplate prefix: one prefix-key count agg + the join back
+    Shape("q260_boilerplate_prefix", maxHash = 3, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

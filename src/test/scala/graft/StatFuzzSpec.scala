@@ -100,6 +100,10 @@ class StatFuzzSpec extends SparkSpec {
       val row = Association.mannWhitney(df, Nil, "g", "v").collect()(0)
       assert(row.getAs[String]("u2_lo").toDouble === twoU1, s"mw 2U trial $t")
       approxOpt(optDouble(row, "z"), zNaive, s"mw z trial $t")
+      // Cliff's delta vs the direct dominance count (ties contribute 0)
+      val dom = (for (a <- lo; b <- hi) yield java.lang.Long.compare(a, b).sign).sum
+      approx(row.getAs[Double]("cliffs_delta"),
+        dom.toDouble / (lo.size.toDouble * hi.size), s"mw delta trial $t")
     }
   }
 
