@@ -270,7 +270,10 @@ object SparkEntry {
     "q257_mw_from_store" -> (CoreQueries.q257MwFromStore(_, _)),
     "q258_bf_from_store" -> (CoreQueries.q258BfFromStore(_, _)),
     "q259_script_profile" -> (LlmQueries.q259ScriptProfile(_, _)),
-    "q260_boilerplate_prefix" -> (LlmQueries.q260BoilerplatePrefix(_, _))
+    "q260_boilerplate_prefix" -> (LlmQueries.q260BoilerplatePrefix(_, _)),
+    "q261_w1_from_store" -> (CoreQueries.q261W1FromStore(_, _)),
+    "q262_hellinger_from_store" -> (LlmQueries.q262HellingerFromStore(_, _)),
+    "q263_profile_cube" -> (CoreQueries.q263ProfileCube(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -334,7 +337,15 @@ object SparkEntry {
     "q257_mw_from_store" -> mannWhitneyOracle,
     "q258_bf_from_store" -> brownForsytheOracle,
     "q259_script_profile" -> scriptProfileOracle,
-    "q260_boilerplate_prefix" -> boilerplatePrefixOracle)
+    "q260_boilerplate_prefix" -> boilerplatePrefixOracle,
+    // drift-family from-STORE twins: fold == rebuild, batch oracles verbatim
+    "q261_w1_from_store" -> wassersteinOracle,
+    "q262_hellinger_from_store" -> hellingerOracle,
+    "q263_profile_cube" ->
+      """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, lang, source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

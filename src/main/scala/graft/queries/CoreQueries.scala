@@ -2203,6 +2203,45 @@ object CoreQueries {
       .orderBy("grp")
   }
 
+  /** W₁-from-STORE gate: BOTH halves' bucket histograms folded in three
+    * disjoint batches through [[graft.quality.Profiler
+    * .mergeBucketCounts]] (the bucketCountsStream state), then
+    * [[graft.quality.Profiler.wassersteinFromCounts]] over the two
+    * standing stores — q222's oracle verbatim.
+    */
+  def q261W1FromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"),
+        floor(round(col("value") * 1000).cast("long") / lit(5000d)).cast("long").as("bkt"))
+    def fold(half: DataFrame) = (1 to 2).foldLeft(
+        Profiler.bucketCounts(half.filter(col("event_id") % 6 < 2), "bkt")) { (acc, i) =>
+      Profiler.mergeBucketCounts(acc,
+        Profiler.bucketCounts(
+          half.filter(col("event_id") % 6 >= i * 2 && col("event_id") % 6 < i * 2 + 2), "bkt"))
+    }
+    Profiler.wassersteinFromCounts(
+      fold(ev.filter(col("event_id") % 2 === 0)),
+      fold(ev.filter(col("event_id") % 2 === 1)))
+      .select(col("n_base"), col("n_cur"), col("w1_num"),
+        round(col("w1"), 9).as("w1"))
+  }
+
+  /** OLAP cube gate: the profile card at EVERY aggregation level in one
+    * pass — native GROUPING SETS (Spark cube == DuckDB CUBE), exact
+    * counts/sums, grouping_id disambiguating aggregated-NULL from
+    * data-NULL. The "slice the corpus by anything" dashboard read.
+    */
+  def q263ProfileCube(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .cube(col("lang"), col("source"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars"))
+      .select(col("gid"), col("lang"), col("source"), col("n_docs"), col("chars"))
+      .orderBy(col("gid"), col("lang"), col("source"))
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

@@ -2298,6 +2298,32 @@ object LlmQueries {
         round(col("containment_b"), 9).as("containment_b"))
       .orderBy("source_a", "source_b")
 
+  /** Hellinger-from-STORE gate: both halves' value histograms folded in
+    * three disjoint batches through [[graft.quality.Profiler
+    * .mergeValueCounts]], then [[graft.quality.Profiler
+    * .hellingerFromCounts]] over the standing stores — q232's oracle
+    * verbatim.
+    */
+  def q262HellingerFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"),
+        floor(round(col("value") * 1000).cast("long") / lit(5000d)).cast("long").as("bkt"))
+    def fold(half: DataFrame) = (1 to 2).foldLeft(
+        Profiler.valueCounts(half.filter(col("event_id") % 6 < 2), "bkt")) { (acc, i) =>
+      Profiler.mergeValueCounts(acc,
+        Profiler.valueCounts(
+          half.filter(col("event_id") % 6 >= i * 2 && col("event_id") % 6 < i * 2 + 2), "bkt"))
+    }
+    Profiler.hellingerFromCounts(
+      fold(ev.filter(col("event_id") % 2 === 0)),
+      fold(ev.filter(col("event_id") % 2 === 1)))
+      .select(col("n_base"), col("n_cur"), col("bc9"),
+        round(col("h2"), 9).as("h2"),
+        round(col("hellinger"), 9).as("hellinger"))
+  }
+
   /** Script-profile gate: per-language Unicode character-class
     * composition — exact per-class char counts via codegen'd
     * regexp_replace lengths, ratios pinned divisions.

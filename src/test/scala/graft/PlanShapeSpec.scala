@@ -566,7 +566,14 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q259_script_profile", maxHash = 1, forbidSortMergeJoin = true,
       forbidSortAggregate = true, forbidUdf = true),
     // boilerplate prefix: one prefix-key count agg + the join back
-    Shape("q260_boilerplate_prefix", maxHash = 3, forbidUdf = true)
+    Shape("q260_boilerplate_prefix", maxHash = 3, forbidUdf = true),
+    // drift from-store twins: per-batch histogram aggs + merge aggs +
+    // the reader's full-outer value join on cardinality-bounded frames
+    Shape("q261_w1_from_store", maxHash = 10, maxRange = 2, forbidUdf = true),
+    Shape("q262_hellinger_from_store", maxHash = 10, maxRange = 2, forbidUdf = true),
+    // cube: ONE Expand + aggregation pass over the scan
+    Shape("q263_profile_cube", maxHash = 1, forbidSortMergeJoin = true,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
