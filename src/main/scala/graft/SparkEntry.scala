@@ -273,7 +273,10 @@ object SparkEntry {
     "q260_boilerplate_prefix" -> (LlmQueries.q260BoilerplatePrefix(_, _)),
     "q261_w1_from_store" -> (CoreQueries.q261W1FromStore(_, _)),
     "q262_hellinger_from_store" -> (LlmQueries.q262HellingerFromStore(_, _)),
-    "q263_profile_cube" -> (CoreQueries.q263ProfileCube(_, _))
+    "q263_profile_cube" -> (CoreQueries.q263ProfileCube(_, _)),
+    "q264_weighted_median" -> (CoreQueries.q264WeightedMedian(_, _)),
+    "q265_embedding_audit" -> (LlmQueries.q265EmbeddingAudit(_, _)),
+    "q266_neyman_allocation" -> (CoreQueries.q266NeymanAllocation(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -345,7 +348,10 @@ object SparkEntry {
       """SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, lang, source,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY CUBE(lang, source)
-        |ORDER BY gid, lang, source""".stripMargin)
+        |ORDER BY gid, lang, source""".stripMargin,
+    "q264_weighted_median" -> weightedMedianOracle,
+    "q265_embedding_audit" -> embeddingAuditOracle,
+    "q266_neyman_allocation" -> neymanOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -993,6 +999,80 @@ object SparkEntry {
       |SELECT t.doc_id, t.prefix_key, CAST(c.n_sharing AS BIGINT) AS n_sharing,
       |  c.n_sharing >= 3 AS is_boilerplate
       |FROM t JOIN c USING (prefix_key) ORDER BY doc_id""".stripMargin
+
+  /** q264 oracle: [[graft.operators.Quantiles.weightedMedian]] replayed
+    * — per-(flag, qty) price-weight cells, the exclusive cumulative,
+    * the (W+1)//2 pin.
+    */
+  private lazy val weightedMedianOracle: String =
+    """WITH li AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS w
+      |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |    AND CAST(floor(l_extendedprice) AS BIGINT) > 0),
+      |c AS (SELECT rf, qty, sum(w) AS w FROM li GROUP BY 1, 2),
+      |cum AS (SELECT *, coalesce(sum(w) OVER (PARTITION BY rf ORDER BY qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cm,
+      |    sum(w) OVER (PARTITION BY rf) AS tw FROM c)
+      |SELECT rf AS l_returnflag, CAST(tw AS BIGINT) AS total_w,
+      |  CAST((tw + 1) // 2 AS BIGINT) AS med_rank, qty AS median
+      |FROM cum WHERE cm < (tw + 1) // 2 AND (tw + 1) // 2 <= cm + w
+      |ORDER BY 1""".stripMargin
+
+  /** q265 oracle: [[graft.similarity.EmbeddingAudit.audit]] replayed —
+    * the prepend-0 left fold for each squared norm (same IEEE addition
+    * order as Spark's `aggregate`), nano norms summed in HUGEINT,
+    * order-free min/max.
+    */
+  private lazy val embeddingAuditOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |r AS (SELECT vec_id, v IS NULL AS nullv,
+      |    CASE WHEN v IS NOT NULL THEN len(v) END AS dim,
+      |    CASE WHEN v IS NOT NULL THEN
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(v, x -> x * x)), (a, b) -> a + b) END AS ss
+      |  FROM e),
+      |f AS (SELECT *, ss IS NOT NULL AND NOT isnan(ss) AND NOT isinf(ss) AS finite FROM r),
+      |n AS (SELECT *, CASE WHEN finite THEN sqrt(ss) END AS nrm,
+      |    CASE WHEN finite THEN CAST(round(sqrt(ss) * 1e9) AS BIGINT) END AS n9 FROM f)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN nullv THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(min(dim) AS INTEGER) AS dim_min, CAST(max(dim) AS INTEGER) AS dim_max,
+      |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+      |  CAST(sum(CASE WHEN NOT nullv AND NOT finite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+      |  CAST(sum(CASE WHEN finite AND ss = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(CASE WHEN finite THEN 1 ELSE 0 END) AS BIGINT) AS n_normed,
+      |  CAST(sum(CAST(n9 AS HUGEINT)) AS VARCHAR) AS norm9_sum,
+      |  round(min(nrm), 9) AS norm_min, round(max(nrm), 9) AS norm_max,
+      |  CASE WHEN sum(CASE WHEN finite THEN 1 ELSE 0 END) > 0 THEN
+      |    round(CAST(sum(CAST(n9 AS HUGEINT)) AS DOUBLE) / 1e9 /
+      |      CAST(sum(CASE WHEN finite THEN 1 ELSE 0 END) AS DOUBLE), 9) END AS norm_mean
+      |FROM n""".stripMargin
+
+  /** q266 oracle: [[graft.operators.Sampling.neymanAllocation]]
+    * replayed — exact HUGEINT variance numerators, the micro-scaled √
+    * weight, and the q228 Hamilton solver over those weights.
+    */
+  private lazy val neymanOracle: String =
+    """WITH d AS (SELECT lang AS stratum, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      |g AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_h,
+      |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS ss
+      |  FROM d GROUP BY 1),
+      |a AS (SELECT *, CAST(n_h AS HUGEINT) * ss - s * s AS va FROM g),
+      |w AS (SELECT *, CAST(round(sqrt(CAST(va AS DOUBLE)) * 1e6) AS BIGINT) AS w6 FROM a),
+      |t AS (SELECT *, sum(CAST(w6 AS HUGEINT)) OVER () AS tot FROM w),
+      |b AS (SELECT *, (CAST(200 AS HUGEINT) * w6) // tot AS b0 FROM t),
+      |c AS (SELECT *,
+      |    CASE WHEN CAST(200 AS HUGEINT) * w6 - b0 * tot < 0 THEN b0 - 1
+      |         WHEN CAST(200 AS HUGEINT) * w6 - b0 * tot >= tot THEN b0 + 1
+      |         ELSE b0 END AS bd FROM b),
+      |r AS (SELECT *, CAST(200 AS HUGEINT) * w6 - bd * tot AS rem,
+      |    sum(bd) OVER () AS sb FROM c),
+      |k AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
+      |    200 - sb AS leftover FROM r)
+      |SELECT stratum, n_h, CAST(va AS VARCHAR) AS var_num, w6,
+      |  CAST(bd + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
+      |FROM k ORDER BY stratum""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

@@ -637,4 +637,47 @@ object Quantiles {
       .withColumn("ref_pos", col("__t").cast("long"))
       .drop("__m", "__q0", "__r0", "__t", "__lo", "__hi")
   }
+
+  /** Exact WEIGHTED median per group — the location read for weighted
+    * corpora (mixture weights, token counts, importance weights), where
+    * the unweighted median answers the wrong question: the median
+    * DOCUMENT length is not the median length of a sampled TOKEN. The
+    * lower weighted median: the smallest value v with
+    * cum_w(< v) < r ≤ cum_w(≤ v) at target rank r = (W+1) div 2 —
+    * reduces to the house lower-median pin at unit weights (spec'd).
+    * Weights cast long (the integer-units contract); NULL values /
+    * weights and w ≤ 0 rows excluded; groups with W = 0 emit nothing.
+    *
+    * SCALE: the [[graft.quality.Association.kruskalWallis]] cell
+    * discipline — per-(keys, value) weight sums, ONE cumulative window
+    * over the value-cardinality-sized distinct-value frame, never a row
+    * sort. Emits one row per key set: total_w, med_rank, median.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      weightCol: String
+  ): DataFrame = if (keyCols.isEmpty) {
+    weightedMedian(df.withColumn("__g1", lit(1)), Seq("__g1"), valueCol, weightCol)
+      .drop("__g1")
+  } else {
+    val g = keyCols.map(col)
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("long") > 0L)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val r = expr("(__tw + 1) div 2")
+    cells
+      .withColumn("__cum", coalesce(sum("__w").over(wCum), lit(0L)))
+      .withColumn("__tw", sum("__w").over(wAll))
+      .filter(col("__cum") < r && r <= col("__cum") + col("__w"))
+      .select(g :+ col("__tw").as("total_w") :+ r.as("med_rank") :+
+        col("__v").as("median"): _*)
+  }
 }

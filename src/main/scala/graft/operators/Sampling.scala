@@ -748,4 +748,46 @@ object Sampling {
       .withColumn("alloc", least(col(nCol), col("cap")))
       .drop("__j", "__cum", "__k", "__maxn", "__cap", "__cand")
   }
+
+  /** Neyman (optimal) allocation (Neyman 1934): split a sample budget
+    * across strata ∝ N_h·σ_h — the variance-MINIMIZING stratified
+    * design, vs [[apportion]]'s size-proportional split: a stratum
+    * that's big but homogeneous (boilerplate) needs few samples; a
+    * small high-variance stratum needs many. The estimator-quality
+    * companion of the sampling family.
+    *
+    * EXACT construction: N_h·σ_h = √(n_h·Σv² − (Σv)²) — the argument
+    * is an exact DECIMAL integer (no mean subtraction in floats), the
+    * weight is its √ micro-scaled to a long (round(1e6·√A), a fixed
+    * dag both engines replay), and the integer seats come from
+    * [[apportion]]'s largest-remainder solver (Σseats = budget
+    * exactly). Strata with zero variance weigh 0 (they need ONE sample
+    * in theory — take it from the apportioned plan's floor, stated);
+    * all-zero-variance batteries emit nothing (nothing to allocate
+    * by). Values cast long (integer-units contract).
+    *
+    * SCALE: one moment aggregation + the apportion bookkeeping on the
+    * stratum-cardinality frame.
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      strataCol: String,
+      valueCol: String,
+      budget: Long
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val vD = col(valueCol).cast("long").cast(dec)
+    val stats = df
+      .filter(col(strataCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(strataCol).cast("string").as("stratum"): _*)
+      .agg(count(lit(1)).as("n_h"), sum(vD).as("__s"), sum(vD * vD).as("__ss"))
+      .withColumn("__a", col("n_h").cast(dec) * col("__ss") - col("__s") * col("__s"))
+      .withColumn("w6", round(sqrt(col("__a").cast("double")) * 1e6d).cast("long"))
+    apportion(stats, keyCols, "w6", "stratum", budget)
+      .select(g :+ col("stratum") :+ col("n_h") :+
+        col("__a").cast("string").as("var_num") :+ col("w6") :+
+        col("seats"): _*)
+  }
 }

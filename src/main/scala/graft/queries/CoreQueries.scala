@@ -2242,6 +2242,35 @@ object CoreQueries {
       .select(col("gid"), col("lang"), col("source"), col("n_docs"), col("chars"))
       .orderBy(col("gid"), col("lang"), col("source"))
 
+  /** Weighted-median gate: the price-weighted median quantity per
+    * return flag — per-(key, value) weight cells, one cumulative window
+    * over distinct values, the (W+1) div 2 lower-median pin.
+    */
+  def q264WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+      // FLOOR before the long cast: cents decimals truncate the same
+      // way on both engines (DuckDB's decimal->int cast rounds)
+      floor(col("l_extendedprice")).cast("long").as("w"))
+    Quantiles.weightedMedian(li, Seq("l_returnflag"), "qty", "w")
+      .select(col("l_returnflag"), col("total_w"), col("med_rank"), col("median"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Neyman-allocation gate: 200 eval slots across languages ∝ N_h·σ_h
+    * of document length — exact DECIMAL variance numerators, the
+    * micro-scaled √ weight, Hamilton seats summing to the budget.
+    */
+  def q266NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.neymanAllocation(
+      Tables.documents(s, dir).select("lang", "n_chars"),
+      Nil, "lang", "n_chars", budget = 200L)
+      .select(col("stratum"), col("n_h"), col("var_num"), col("w6"), col("seats"))
+      .orderBy("stratum")
+  }
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

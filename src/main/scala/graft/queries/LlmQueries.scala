@@ -2324,6 +2324,20 @@ object LlmQueries {
         round(col("hellinger"), 9).as("hellinger"))
   }
 
+  /** Embedding-audit gate: the ANN pre-flight hygiene card over the
+    * embeddings store — null/zero/non-finite vectors, dimension drift,
+    * and the norm distribution (nano-exact mean, order-free min/max).
+    */
+  def q265EmbeddingAudit(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.EmbeddingAudit.audit(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"), "vec_id", "embedding")
+      .select(col("n_vecs"), col("n_null"), col("dim_min"), col("dim_max"),
+        col("n_dims"), col("n_nonfinite"), col("n_zero"), col("n_normed"),
+        col("norm9_sum"),
+        round(col("norm_min"), 9).as("norm_min"),
+        round(col("norm_max"), 9).as("norm_max"),
+        round(col("norm_mean"), 9).as("norm_mean"))
+
   /** Script-profile gate: per-language Unicode character-class
     * composition — exact per-class char counts via codegen'd
     * regexp_replace lengths, ratios pinned divisions.

@@ -573,7 +573,17 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q262_hellinger_from_store", maxHash = 10, maxRange = 2, forbidUdf = true),
     // cube: ONE Expand + aggregation pass over the scan
     Shape("q263_profile_cube", maxHash = 1, forbidSortMergeJoin = true,
-      forbidUdf = true)
+      forbidUdf = true),
+    // weighted median: the KW cell discipline — weight cells + the
+    // cumulative distinct-value window, never a row sort
+    Shape("q264_weighted_median", maxHash = 2, forbidSortMergeJoin = true,
+      forbidUdf = true),
+    // embedding audit: narrow fold projection + ONE aggregation
+    Shape("q265_embedding_audit", maxHash = 2, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Neyman: one moment agg + the apportion bookkeeping
+    Shape("q266_neyman_allocation", maxHash = 3, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
