@@ -606,6 +606,65 @@ class TrendStatsSpec extends SparkSpec {
     assert(Sampling.weightedSampleWithoutReplacement(bad, Seq("g"), Seq("id"), "w", 3).count() === 0L)
   }
 
+  // --- Weighted median ---------------------------------------------------------------
+
+  test("weightedMedian: hand golden, unit weights reduce to the lower median") {
+    import graft.operators.Quantiles
+    // values 1(w5), 2(w1), 3(w10): W=16, rank (16+1) div 2 = 8 -> in 3's block
+    val d = Seq(("g", 1L, 5L), ("g", 2L, 1L), ("g", 3L, 10L)).toDF("k", "v", "w")
+    val r = Quantiles.weightedMedian(d, Seq("k"), "v", "w").collect()(0)
+    assert(r.getAs[Long]("total_w") === 16L)
+    assert(r.getAs[Long]("med_rank") === 8L)
+    assert(r.getAs[Long]("median") === 3L)
+    // unit weights == the house lower median ((n+1) div 2)
+    val u = Seq(1L, 2L, 3L, 4L).map(("g", _, 1L)).toDF("k", "v", "w")
+    assert(Quantiles.weightedMedian(u, Seq("k"), "v", "w")
+      .collect()(0).getAs[Long]("median") === 2L)
+    // zero/negative weights excluded
+    val z = Seq(("g", 9L, 0L), ("g", 1L, 2L)).toDF("k", "v", "w")
+    assert(Quantiles.weightedMedian(z, Seq("k"), "v", "w")
+      .collect()(0).getAs[Long]("median") === 1L)
+  }
+
+  // --- Neyman allocation -------------------------------------------------------------
+
+  test("neymanAllocation: variance-proportional seats, zero-variance strata weigh 0") {
+    import graft.operators.Sampling
+    // stratum a: values {0, 10} x5 -> n=10, sd=5, N*sd = 50
+    // stratum b: values {0, 30} x5 -> n=10, sd=15, N*sd = 150
+    // stratum c: constant -> weight 0
+    val d = ((1 to 5).flatMap(_ => Seq(("a", 0L), ("a", 10L))) ++
+      (1 to 5).flatMap(_ => Seq(("b", 0L), ("b", 30L))) ++
+      (1 to 4).map(_ => ("c", 7L))).toDF("s", "v")
+    val out = Sampling.neymanAllocation(d, Nil, "s", "v", budget = 8L)
+      .orderBy("stratum").collect()
+    val seats = out.map(r => r.getAs[String]("stratum") -> r.getAs[Long]("seats")).toMap
+    assert(seats === Map("a" -> 2L, "b" -> 6L, "c" -> 0L)) // 50:150:0 of 8
+    assert(out.map(_.getAs[Long]("seats")).sum === 8L)
+    // var_num is the exact integer (N*sdN)^2: a -> 10*500-50^2 = 2500
+    assert(out(0).getAs[String]("var_num") === "2500")
+  }
+
+  // --- Embedding audit ---------------------------------------------------------------
+
+  test("embeddingAudit: nulls, zero vectors, dimension drift, exact norm card") {
+    import graft.similarity.EmbeddingAudit
+    val rows = Seq(
+      (1L, Array(3f, 4f)),          // norm 5
+      (2L, Array(0f, 0f)),          // zero vector
+      (3L, Array(1f, 0f, 0f)),      // dim drift, norm 1
+      (4L, null.asInstanceOf[Array[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    val r = EmbeddingAudit.audit(df, "vec_id", "embedding").collect()(0)
+    assert(r.getAs[Long]("n_vecs") === 4L && r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[Int]("dim_min") === 2 && r.getAs[Int]("dim_max") === 3)
+    assert(r.getAs[Long]("n_dims") === 2L)
+    assert(r.getAs[Long]("n_zero") === 1L && r.getAs[Long]("n_nonfinite") === 0L)
+    assert(r.getAs[Double]("norm_min") === 0.0 && r.getAs[Double]("norm_max") === 5.0)
+    assert(r.getAs[String]("norm9_sum") === "6000000000") // 5 + 0 + 1 nano
+    assert(r.getAs[Double]("norm_mean") === 2.0)
+  }
+
   // --- Brown–Forsythe ----------------------------------------------------------------
 
   test("brownForsythe: hand golden, equal-scale null, degenerate one-group NULL") {
