@@ -276,7 +276,9 @@ object SparkEntry {
     "q263_profile_cube" -> (CoreQueries.q263ProfileCube(_, _)),
     "q264_weighted_median" -> (CoreQueries.q264WeightedMedian(_, _)),
     "q265_embedding_audit" -> (LlmQueries.q265EmbeddingAudit(_, _)),
-    "q266_neyman_allocation" -> (CoreQueries.q266NeymanAllocation(_, _))
+    "q266_neyman_allocation" -> (CoreQueries.q266NeymanAllocation(_, _)),
+    "q267_quantile_shift" -> (CoreQueries.q267QuantileShift(_, _)),
+    "q268_mixture_distance" -> (LlmQueries.q268MixtureDistance(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -351,7 +353,9 @@ object SparkEntry {
         |ORDER BY gid, lang, source""".stripMargin,
     "q264_weighted_median" -> weightedMedianOracle,
     "q265_embedding_audit" -> embeddingAuditOracle,
-    "q266_neyman_allocation" -> neymanOracle)
+    "q266_neyman_allocation" -> neymanOracle,
+    "q267_quantile_shift" -> quantileShiftOracle,
+    "q268_mixture_distance" -> mixtureDistanceOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1073,6 +1077,76 @@ object SparkEntry {
       |SELECT stratum, n_h, CAST(va AS VARCHAR) AS var_num, w6,
       |  CAST(bd + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
       |FROM k ORDER BY stratum""".stripMargin
+
+  /** q267 oracle: [[graft.operators.Quantiles.quantileShift]] replayed
+    * — per-half (v, tie) ranks, the clamped (p·(n+1))//100 selections,
+    * the long-form pivot and one subtraction.
+    */
+  private lazy val quantileShiftOracle: String =
+    """WITH ev AS (SELECT event_type AS g, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT g, event_id % 2 AS h, v,
+      |    row_number() OVER (PARTITION BY g, event_id % 2 ORDER BY v, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY g, event_id % 2) AS n FROM ev),
+      |ps(p) AS (VALUES (10), (25), (50), (75), (90)),
+      |q AS (SELECT g, h, p, max(n) AS n,
+      |    max(CASE WHEN rn = greatest(1, least(n, (p * (n + 1)) // 100)) THEN v END) AS qv
+      |  FROM r CROSS JOIN ps GROUP BY 1, 2, 3)
+      |SELECT b.g AS event_type, CAST(b.n AS BIGINT) AS n_base,
+      |  CAST(c.n AS BIGINT) AS n_cur, b.p, b.qv AS v_base, c.qv AS v_cur,
+      |  c.qv - b.qv AS shift
+      |FROM q b JOIN q c ON b.g = c.g AND b.p = c.p AND b.h = 0 AND c.h = 1
+      |ORDER BY 1, 4""".stripMargin
+
+  /** q268 oracle: [[graft.text.CorpusLaws.mixtureDistanceMatrix]]
+    * replayed — per-source token counts, the a<b shared-token join
+    * with per-pair nano JS terms, and the exact one-sided ½·ln 2 mass
+    * closure over the full pair grid.
+    */
+  private lazy val mixtureDistanceOracle: String =
+    """WITH t AS (SELECT source AS src,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT src, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS mass,
+      |    CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY 1),
+      |sh AS (SELECT a.src AS source_a, b.src AS source_b,
+      |    CAST(count(*) AS BIGINT) AS shared_types,
+      |    CAST(sum(a.cnt) AS BIGINT) AS shared_mass_a,
+      |    CAST(sum(b.cnt) AS BIGINT) AS shared_mass_b,
+      |    sum(CAST(round((
+      |      (a.cnt / CAST(ta.mass AS DOUBLE)) *
+      |        ln((a.cnt / CAST(ta.mass AS DOUBLE)) /
+      |          ((a.cnt / CAST(ta.mass AS DOUBLE) + b.cnt / CAST(tb.mass AS DOUBLE)) / 2)) / 2 +
+      |      (b.cnt / CAST(tb.mass AS DOUBLE)) *
+      |        ln((b.cnt / CAST(tb.mass AS DOUBLE)) /
+      |          ((a.cnt / CAST(ta.mass AS DOUBLE) + b.cnt / CAST(tb.mass AS DOUBLE)) / 2)) / 2
+      |      ) * 1e9) AS HUGEINT)) AS s9
+      |  FROM c a JOIN c b ON a.token = b.token AND a.src < b.src
+      |  JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src
+      |  GROUP BY 1, 2),
+      |grid AS (SELECT a.src AS source_a, a.mass AS mass_a,
+      |    b.src AS source_b, b.mass AS mass_b
+      |  FROM tot a JOIN tot b ON a.src < b.src),
+      |f AS (SELECT g.source_a, g.source_b, g.mass_a, g.mass_b,
+      |    coalesce(s.shared_types, 0) AS shared_types,
+      |    coalesce(s.shared_mass_a, 0) AS shared_mass_a,
+      |    coalesce(s.shared_mass_b, 0) AS shared_mass_b,
+      |    coalesce(CAST(s.s9 AS DOUBLE), 0) / 1e9 AS shared_js
+      |  FROM grid g LEFT JOIN sh s
+      |    ON g.source_a = s.source_a AND g.source_b = s.source_b)
+      |SELECT source_a, source_b, mass_a, mass_b,
+      |  CAST(shared_types AS BIGINT) AS shared_types,
+      |  CAST(shared_mass_a AS BIGINT) AS shared_mass_a,
+      |  CAST(shared_mass_b AS BIGINT) AS shared_mass_b,
+      |  round(shared_js + 0.6931471805599453 / 2 *
+      |    ((1.0 - shared_mass_a / CAST(mass_a AS DOUBLE)) +
+      |     (1.0 - shared_mass_b / CAST(mass_b AS DOUBLE))), 9) AS js,
+      |  round((shared_js + 0.6931471805599453 / 2 *
+      |    ((1.0 - shared_mass_a / CAST(mass_a AS DOUBLE)) +
+      |     (1.0 - shared_mass_b / CAST(mass_b AS DOUBLE)))) / 0.6931471805599453, 9) AS js_norm
+      |FROM f ORDER BY source_a, source_b""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

@@ -638,6 +638,62 @@ object Quantiles {
       .drop("__m", "__q0", "__r0", "__t", "__lo", "__hi")
   }
 
+  /** Quantile-SHIFT drift: the per-quantile movement between two
+    * snapshots — WHERE the distribution moved, which the scalar drift
+    * family (χ² membership, KS max gap, W₁ total mass, JS distance)
+    * compresses away: "p50 unchanged, p90 up 40%" is a tail regression
+    * no single number shows. Each side's quantiles are the house exact
+    * LOWER-RANK selections at rank (p·(n+1)) div 100 clamped to [1, n]
+    * (the [[winsorize]] generalization — actual data values, engine-
+    * exact, no interpolation); output is LONG form, one row per
+    * (keys, p): both n's, both values, and the one-subtraction shift.
+    * Groups present on only one side emit nothing (stated — there is no
+    * shift to read).
+    *
+    * SCALE: one rank window per side (use the [[exactQuantilesBucketed]]
+    * layout per side for hot groups) + a group-cardinality join.
+    */
+  def quantileShift(
+      base: DataFrame,
+      cur: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      ps: Seq[Int] = Seq(10, 25, 50, 75, 90)
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 99),
+      s"percentiles must be in [1, 99]: $ps")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ordered = part.orderBy(col(valueCol), col(tieBreakCol))
+    def quantileAgg(df: DataFrame, suffix: String): DataFrame = {
+      def rankAt(p: Int) =
+        greatest(lit(1L), least(col("__n"), expr(s"($p * (__n + 1)) div 100")))
+      val aggs = max(col("__n")).as(s"n_$suffix") +:
+        ps.map(p => max(when(col("__rn") === rankAt(p), col(valueCol)))
+          .as(s"__q${p}_$suffix"))
+      df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+        .filter(col(valueCol).isNotNull)
+        .withColumn("__rn", row_number().over(ordered))
+        .withColumn("__n", count(lit(1)).over(part))
+        .groupBy(keyCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val b = quantileAgg(base, "base")
+    val c = quantileAgg(cur, "cur")
+    val joined = b.join(c, keyCols)
+    val pairs = ps.map { p =>
+      struct(lit(p).as("p"),
+        col(s"__q${p}_base").as("v_base"), col(s"__q${p}_cur").as("v_cur"))
+    }
+    joined
+      .select((keyCols.map(col) :+ col("n_base") :+ col("n_cur") :+
+        explode(array(pairs: _*)).as("__q")): _*)
+      .select((keyCols.map(col) :+ col("n_base") :+ col("n_cur") :+
+        col("__q.p").as("p") :+ col("__q.v_base").as("v_base") :+
+        col("__q.v_cur").as("v_cur")): _*)
+      .withColumn("shift", col("v_cur") - col("v_base"))
+  }
+
   /** Exact WEIGHTED median per group — the location read for weighted
     * corpora (mixture weights, token counts, importance weights), where
     * the unweighted median answers the wrong question: the median

@@ -2271,6 +2271,26 @@ object CoreQueries {
       .orderBy("stratum")
   }
 
+  /** Quantile-shift gate: per-quantile movement of event milli-values
+    * between the even/odd halves — exact lower-rank selections at
+    * p10/25/50/75/90 per side, long-form (keys, p) rows, one
+    * subtraction per shift.
+    */
+  def q267QuantileShift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v_m"))
+    Quantiles.quantileShift(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1),
+      Seq("event_type"), "v_m", "event_id")
+      .select(col("event_type"), col("n_base"), col("n_cur"), col("p"),
+        col("v_base"), col("v_cur"), col("shift"))
+      .orderBy("event_type", "p")
+  }
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

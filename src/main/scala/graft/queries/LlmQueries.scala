@@ -2338,6 +2338,20 @@ object LlmQueries {
         round(col("norm_max"), 9).as("norm_max"),
         round(col("norm_mean"), 9).as("norm_mean"))
 
+  /** Mixture-distance gate: pairwise JS divergence between every two
+    * sources' unigram distributions — shared-token nano terms + the
+    * exact one-sided mass closure; zero-overlap pairs read
+    * js_norm = 1 exactly.
+    */
+  def q268MixtureDistance(s: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusLaws.mixtureDistanceMatrix(
+      Tables.documents(s, dir).select("source", "text"), "source", "text")
+      .select(col("source_a"), col("source_b"), col("mass_a"), col("mass_b"),
+        col("shared_types"), col("shared_mass_a"), col("shared_mass_b"),
+        round(col("js"), 9).as("js"),
+        round(col("js_norm"), 9).as("js_norm"))
+      .orderBy("source_a", "source_b")
+
   /** Script-profile gate: per-language Unicode character-class
     * composition — exact per-class char counts via codegen'd
     * regexp_replace lengths, ratios pinned divisions.

@@ -331,6 +331,71 @@ object CorpusLaws {
         col("n_shared").cast("double") / col("types_b").cast("double"))
   }
 
+  /** Pairwise MIXTURE-DISTANCE matrix: Jensen–Shannon divergence
+    * between every two sources' unigram token distributions — the
+    * distributional companion of [[vocabOverlap]]'s set view (two
+    * sources can share every type yet weight them oppositely — same
+    * Jaccard, large JS; the mixture designer needs both). Symmetric,
+    * ln 2-bounded, comparable across pairs.
+    *
+    * Construction without materializing per-pair full-outer joins: the
+    * SHARED-token terms come from one token-keyed a<b self-join of the
+    * per-source count frame (each side's total attached broadcast),
+    * each term nano-rounded like
+    * [[graft.quality.Association.jsDivergenceFromCounts]]'s cells; the
+    * ONE-SIDED remainder needs no token enumeration at all — every
+    * one-sided value's term is ½p·ln 2, so it folds to
+    * ½·ln 2·((1 − sp_a) + (1 − sp_b)) with sp the EXACT shared-mass
+    * fractions (integer masses, two pinned divisions; ln 2 enters once,
+    * pinned). Emits one row per source pair a<b: masses, shared type
+    * count and masses, js (nats) and js_norm = js/ln 2; zero-overlap
+    * pairs read js_norm = 1 exactly.
+    *
+    * SCALE: vocabulary-keyed join with source-cardinality² bounded
+    * fan-out per token; totals broadcast; nothing document-sized after
+    * the count aggregation.
+    */
+  def mixtureDistanceMatrix(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = groupedTokenCounts(df, Seq(sourceCol), textCol)
+      .select(col(sourceCol).cast("string").as("src"), col("token"), col("cnt"))
+    val totals = counts.groupBy("src")
+      .agg(sum("cnt").cast("long").as("mass"), count(lit(1)).as("n_types"))
+    val a = counts.select(col("src").as("source_a"), col("token"), col("cnt").as("na"))
+      .join(broadcast(totals.select(col("src").as("source_a"), col("mass").as("ma"))),
+        Seq("source_a"))
+    val b = counts.select(col("src").as("source_b"), col("token"), col("cnt").as("nb"))
+      .join(broadcast(totals.select(col("src").as("source_b"), col("mass").as("mb"))),
+        Seq("source_b"))
+    val p = col("na").cast("double") / col("ma").cast("double")
+    val q = col("nb").cast("double") / col("mb").cast("double")
+    val m = (p + q) / lit(2d)
+    val shared = a.join(b, Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("__t9", round((p * log(p / m) / 2d + q * log(q / m) / 2d) * 1e9d)
+        .cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_types"),
+        sum("na").cast("long").as("shared_mass_a"),
+        sum("nb").cast("long").as("shared_mass_b"),
+        sum(col("__t9").cast("decimal(38,0)")).as("__s9"))
+    val grid = broadcast(totals.select(col("src").as("source_a"),
+        col("mass").as("mass_a"), col("n_types").as("types_a")))
+      .crossJoin(broadcast(totals.select(col("src").as("source_b"),
+        col("mass").as("mass_b"), col("n_types").as("types_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val ln2 = lit(0.6931471805599453) // pinned, the RboPPow rule
+    grid.join(shared, Seq("source_a", "source_b"), "left_outer")
+      .na.fill(0L, Seq("shared_types", "shared_mass_a", "shared_mass_b"))
+      .withColumn("__shared9",
+        coalesce(col("__s9").cast("double"), lit(0d)) / 1e9d)
+      .withColumn("js",
+        col("__shared9") + ln2 / 2d *
+          ((lit(1d) - col("shared_mass_a").cast("double") / col("mass_a").cast("double")) +
+           (lit(1d) - col("shared_mass_b").cast("double") / col("mass_b").cast("double"))))
+      .withColumn("js_norm", col("js") / ln2)
+      .drop("__s9", "__shared9")
+  }
+
   /** Per-(keys, token) counts — the grouped [[tokenCounts]], emitted in
     * the mergeable-store shape [[vocabProfileFromCounts]] and
     * [[vocabChurn]] read. */

@@ -583,7 +583,13 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // Neyman: one moment agg + the apportion bookkeeping
     Shape("q266_neyman_allocation", maxHash = 3, maxRange = 2,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // quantile shift: one rank window per half + a group-keyed join
+    Shape("q267_quantile_shift", maxHash = 4, forbidUdf = true),
+    // mixture distance: the token-keyed a<b self-join is the one SMJ
+    // (vocab-keyed); totals + grid broadcast
+    Shape("q268_mixture_distance", maxHash = 8, minBroadcastJoin = 2,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -665,6 +665,45 @@ class TrendStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("norm_mean") === 2.0)
   }
 
+  // --- Quantile shift ----------------------------------------------------------------
+
+  test("quantileShift: identity law, known shift, one-sided groups dropped") {
+    import graft.operators.Quantiles
+    val base = (1 to 100).map(i => ("g", i.toLong, i.toLong)).toDF("k", "v", "id")
+    // identical snapshots: every shift 0
+    val same = Quantiles.quantileShift(base, base, Seq("k"), "v", "id").collect()
+    assert(same.length === 5)
+    assert(same.forall(_.getAs[Long]("shift") === 0L))
+    // +7 uniform shift moves every quantile by exactly 7
+    val cur = (1 to 100).map(i => ("g", i.toLong + 7L, i.toLong)).toDF("k", "v", "id")
+    val out = Quantiles.quantileShift(base, cur, Seq("k"), "v", "id")
+      .orderBy("p").collect()
+    assert(out.forall(_.getAs[Long]("shift") === 7L))
+    // p50 of 1..100 at rank (50*101) div 100 = 50
+    assert(out(2).getAs[Int]("p") === 50 && out(2).getAs[Long]("v_base") === 50L)
+    // a group present on one side only emits nothing
+    val lone = (1 to 10).map(i => ("only", i.toLong, i.toLong)).toDF("k", "v", "id")
+    assert(Quantiles.quantileShift(base, lone, Seq("k"), "v", "id").count() === 0L)
+  }
+
+  // --- Mixture distance --------------------------------------------------------------
+
+  test("mixtureDistanceMatrix: identical sources -> 0, disjoint -> ln 2, vs direct JS") {
+    import graft.text.CorpusLaws
+    import graft.quality.Association
+    val docs = Seq(("s1", "a a b c"), ("s2", "a a b c"), ("s3", "x y z"),
+      ("s4", "a b b b")).toDF("src", "text")
+    val out = CorpusLaws.mixtureDistanceMatrix(docs, "src", "text")
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r).toMap
+    assert(out.size === 6)
+    assert(math.abs(out(("s1", "s2")).getAs[Double]("js")) < 1e-9) // identical
+    assert(math.abs(out(("s1", "s3")).getAs[Double]("js_norm") - 1.0) < 1e-12) // disjoint
+    // cross-check a partial-overlap pair against the direct two-snapshot JS
+    val direct = Association.jsStat(Association.jsDivergence(
+      Seq("a", "a", "b", "c").toDF("tok"), Seq("a", "b", "b", "b").toDF("tok"), "tok"))
+    assert(math.abs(out(("s1", "s4")).getAs[Double]("js") - direct) < 1e-6)
+  }
+
   // --- Brown–Forsythe ----------------------------------------------------------------
 
   test("brownForsythe: hand golden, equal-scale null, degenerate one-group NULL") {
