@@ -393,6 +393,25 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Weighted median --------------------------------------------------------------
+
+  test("fuzz: weighted median vs the naive cumulative-weight scan") {
+    import graft.operators.Quantiles
+    for (t <- 1 to Trials) {
+      val r = rng("wmed", t)
+      val rows = (0 until 10 + r.nextInt(50)).map(_ =>
+        ((r.nextInt(12) - 3).toLong, (r.nextInt(9) + 1).toLong))
+      val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val w = byV.map(_._2).sum
+      val target = (w + 1) / 2
+      var cum = 0L
+      val medNaive = byV.find { case (_, wv) => cum += wv; cum >= target }.get._1
+      val row = Quantiles.weightedMedian(rows.toDF("v", "w"), Nil, "v", "w").collect()(0)
+      assert(row.getAs[Long]("total_w") === w, s"wmed W trial $t")
+      assert(row.getAs[Long]("median") === medNaive, s"wmed trial $t")
+    }
+  }
+
   // --- Trimmed mean -----------------------------------------------------------------
 
   test("fuzz: trimmed mean vs the sort-drop-average loop") {
