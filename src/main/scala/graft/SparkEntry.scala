@@ -278,7 +278,8 @@ object SparkEntry {
     "q265_embedding_audit" -> (LlmQueries.q265EmbeddingAudit(_, _)),
     "q266_neyman_allocation" -> (CoreQueries.q266NeymanAllocation(_, _)),
     "q267_quantile_shift" -> (CoreQueries.q267QuantileShift(_, _)),
-    "q268_mixture_distance" -> (LlmQueries.q268MixtureDistance(_, _))
+    "q268_mixture_distance" -> (LlmQueries.q268MixtureDistance(_, _)),
+    "q269_friedman" -> (LlmQueries.q269Friedman(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -355,7 +356,8 @@ object SparkEntry {
     "q265_embedding_audit" -> embeddingAuditOracle,
     "q266_neyman_allocation" -> neymanOracle,
     "q267_quantile_shift" -> quantileShiftOracle,
-    "q268_mixture_distance" -> mixtureDistanceOracle)
+    "q268_mixture_distance" -> mixtureDistanceOracle,
+    "q269_friedman" -> friedmanOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1147,6 +1149,44 @@ object SparkEntry {
       |    ((1.0 - shared_mass_a / CAST(mass_a AS DOUBLE)) +
       |     (1.0 - shared_mass_b / CAST(mass_b AS DOUBLE)))) / 0.6931471805599453, 9) AS js_norm
       |FROM f ORDER BY source_a, source_b""".stripMargin
+
+  /** q269 oracle: [[graft.quality.Association.friedman]] replayed —
+    * the three-judge long frame, per-block doubled midranks, exact
+    * HUGEINT rank sums/deviations, nano χ² terms, the tie correction
+    * over b·(k³−k) = 24b, and W = χ²_tie/(2b). All blocks complete by
+    * construction (k = 3 judges per document).
+    */
+  private lazy val friedmanOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |l AS (
+      |  SELECT doc_id AS b, 'chars' AS j, CAST(n_chars AS BIGINT) AS v FROM d
+      |  UNION ALL SELECT doc_id, 'tokens', CAST(len(toks) AS BIGINT) FROM d
+      |  UNION ALL SELECT doc_id, 'types', CAST(len(list_distinct(toks)) AS BIGINT) FROM d),
+      |r AS (SELECT b, j,
+      |    2 * rank() OVER (PARTITION BY b ORDER BY v) +
+      |      count(*) OVER (PARTITION BY b, v) - 1 AS r2 FROM l),
+      |tv AS (SELECT b, v, count(*) AS tcnt FROM l GROUP BY 1, 2),
+      |ties AS (SELECT coalesce(sum(CAST(tcnt AS HUGEINT) * tcnt * tcnt - tcnt), 0) AS tsum FROM tv),
+      |pt AS (SELECT j, CAST(count(*) AS BIGINT) AS bb,
+      |    sum(CAST(r2 AS HUGEINT)) AS r2sum FROM r GROUP BY 1),
+      |wd AS (SELECT *, r2sum - CAST(bb AS HUGEINT) * 4 AS dd FROM pt),
+      |t9 AS (SELECT *, CAST(round(CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE) * 3 /
+      |    (CAST(bb AS DOUBLE) * 3 * 4) * 1e9) AS HUGEINT) AS tt9 FROM wd),
+      |ch AS (SELECT *, sum(tt9) OVER () AS chi9 FROM t9),
+      |f AS (SELECT ch.*, ties.tsum,
+      |    1.0 - CAST(ties.tsum AS DOUBLE) / (CAST(ch.bb AS DOUBLE) * 24) AS cfac
+      |  FROM ch, ties)
+      |SELECT j AS treatment, bb AS b, CAST(3 AS BIGINT) AS k,
+      |  CAST(0 AS BIGINT) AS n_incomplete,
+      |  CAST(r2sum AS VARCHAR) AS r2_sum, CAST(dd AS VARCHAR) AS d,
+      |  round(CAST(chi9 AS DOUBLE) / 1e9, 9) AS chi2,
+      |  CASE WHEN cfac > 0 THEN round(CAST(chi9 AS DOUBLE) / 1e9 / cfac, 9) END AS chi2_tie,
+      |  CASE WHEN cfac > 0 THEN
+      |    round(CAST(chi9 AS DOUBLE) / 1e9 / cfac / (CAST(bb AS DOUBLE) * 2), 9)
+      |  END AS w
+      |FROM f ORDER BY treatment""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

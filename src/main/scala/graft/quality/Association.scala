@@ -968,6 +968,94 @@ object Association {
         col("n") :+ col("k") :+ col("w"): _*)
   }
 
+  /** Friedman test + Kendall's W (Friedman 1937; Kendall & Babington
+    * Smith 1939): do k TREATMENTS (judges, scorers, model versions)
+    * differ systematically across b matched blocks (documents) — the
+    * repeated-measures rank ANOVA. Only WITHIN-block ranks enter, so
+    * judges on arbitrary different scales compare directly — the
+    * multi-judge generalization of [[mcnemar]]'s paired read, with
+    * Kendall's W = χ²/(b(k−1)) as the [0,1] concordance effect size
+    * (the cmh/or pairing rule).
+    *
+    *   χ² = 3·Σ_j D_j² / (b·k·(k+1)),   D_j = R2_j − b(k+1)
+    *
+    * with R2_j the DOUBLED midrank sum of treatment j (the Spearman
+    * rank2 trick: 2·rank + t − 1 per cell; Σ_j D_j = 0 built-in) and
+    * the tie correction χ²/(1 − ΣT/(b·(k³−k))), T = Σ_blocks Σ_v
+    * (t³−t). KW discipline throughout: D_j exact DECIMAL, per-treatment
+    * nano terms, fixed dags at 9 decimals.
+    *
+    * COMPLETE blocks only (the test's own requirement): a block is kept
+    * iff it has exactly ONE observation of EVERY treatment; dropped
+    * blocks are counted in `n_incomplete` (flag, never guess — the
+    * mannWhitney convention). NULL tie-corrected statistics when k < 2
+    * or every block is fully tied (C ≤ 0); zero complete blocks emit
+    * nothing. The treatment-universe and completeness probes are two
+    * bounded driver counts (block-cardinality bookkeeping).
+    * SCALE: the only ordered window is per BLOCK —
+    * k rows each by construction; everything else is treatment- or
+    * block-cardinality bookkeeping. Emits one row per treatment with
+    * key-level statistics replicated.
+    */
+  def friedman(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val obs = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(treatmentCol).cast("string").as("__t"),
+        col(valueCol).as("__v"))
+    // the treatment universe and per-block completeness
+    val k = obs.select("__t").distinct().count()
+    val blockProfile = obs.groupBy("__b")
+      .agg(countDistinct("__t").as("__kd"), count(lit(1)).as("__cnt"))
+      .withColumn("__complete", col("__kd") === k && col("__cnt") === k)
+    val nIncomplete = blockProfile.filter(!col("__complete")).count()
+    val kept = obs.join(
+      blockProfile.filter(col("__complete")).select("__b"), Seq("__b"), "left_semi")
+    // doubled midranks within each (k-row) block
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wTie = Window.partitionBy(col("__b"), col("__v"))
+    val ranked = kept
+      .withColumn("__r2", lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - 1L)
+    val tD = col("__tv").cast(dec)
+    val ties = kept.groupBy("__b", "__v").agg(count(lit(1)).as("__tv"))
+      .agg(coalesce(sum(tD * tD * tD - tD), lit(0L).cast(dec)).as("__tsum3"),
+        countDistinct("__b").as("__bT"))
+    val perT = ranked.groupBy("__t")
+      .agg(count(lit(1)).as("b"), sum(col("__r2").cast(dec)).as("__r2sum"))
+    val kD = lit(k).cast(dec)
+    val bD = col("b").cast(dec)
+    val withD = perT
+      .withColumn("__d", col("__r2sum") - bD * (kD + 1))
+    val t9 = round(col("__d").cast("double") * col("__d").cast("double") * 3d /
+      (col("b").cast("double") * k.toDouble * (k.toDouble + 1d)) * 1e9d).cast(dec)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withChi = withD
+      .withColumn("__chi9", sum(t9).over(wAll))
+      .withColumn("chi2", col("__chi9").cast("double") / 1e9d)
+      .crossJoin(broadcast(ties))
+    // tie correction C = 1 − T/(b·(k³−k)); all-tied blocks → C ≤ 0 → NULL
+    val denom = col("b").cast("double") * (k.toDouble * k * k - k)
+    val cFac = lit(1d) - col("__tsum3").cast("double") / denom
+    withChi
+      .withColumn("k", lit(k))
+      .withColumn("n_incomplete", lit(nIncomplete))
+      .withColumn("chi2_tie",
+        when(lit(k) >= 2L && col("b") > 0L && cFac > 0d, col("chi2") / cFac))
+      .withColumn("w",
+        when(lit(k) >= 2L && col("b") > 0L && cFac > 0d,
+          col("chi2") / cFac / (col("b").cast("double") * (k.toDouble - 1d))))
+      .select(col("__t").as("treatment"), col("b"), col("k"), col("n_incomplete"),
+        col("__r2sum").cast("string").as("r2_sum"),
+        col("__d").cast("string").as("d"),
+        col("chi2"), col("chi2_tie"), col("w"))
+  }
+
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
     * — the "new curation filter vs old, on the SAME documents" A/B that
     * [[twoProportion]] (independent groups) gets wrong on paired data:

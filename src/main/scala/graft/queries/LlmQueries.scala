@@ -2352,6 +2352,33 @@ object LlmQueries {
         round(col("js_norm"), 9).as("js_norm"))
       .orderBy("source_a", "source_b")
 
+  /** Friedman gate: do three deterministic "judges" (char length, token
+    * count, distinct-token count) rank documents consistently — the
+    * repeated-measures rank ANOVA over complete per-doc blocks, with
+    * Kendall's W concordance. Judges on different scales compare
+    * directly because only within-block ranks enter.
+    */
+  def q269Friedman(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("__toks"))
+    val long = d.select(col("doc_id"), lit("chars").as("judge"),
+        col("n_chars").cast("long").as("score"))
+      .unionByName(d.select(col("doc_id"), lit("tokens").as("judge"),
+        size(col("__toks")).cast("long").as("score")))
+      .unionByName(d.select(col("doc_id"), lit("types").as("judge"),
+        size(array_distinct(col("__toks"))).cast("long").as("score")))
+    Association.friedman(long, "doc_id", "judge", "score")
+      .select(col("treatment"), col("b"), col("k"), col("n_incomplete"),
+        col("r2_sum"), col("d"),
+        round(col("chi2"), 9).as("chi2"),
+        round(col("chi2_tie"), 9).as("chi2_tie"),
+        round(col("w"), 9).as("w"))
+      .orderBy("treatment")
+  }
+
   /** Script-profile gate: per-language Unicode character-class
     * composition — exact per-class char counts via codegen'd
     * regexp_replace lengths, ratios pinned divisions.

@@ -589,7 +589,10 @@ class PlanShapeSpec extends SparkSpec {
     // mixture distance: the token-keyed a<b self-join is the one SMJ
     // (vocab-keyed); totals + grid broadcast
     Shape("q268_mixture_distance", maxHash = 8, minBroadcastJoin = 2,
-      forbidUdf = true)
+      forbidUdf = true),
+    // Friedman: per-BLOCK rank windows (k rows each) + treatment/tie
+    // bookkeeping; the completeness semi-join stays block-keyed
+    Shape("q269_friedman", maxHash = 10, maxRange = 2, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -393,6 +393,36 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Friedman / Kendall's W -------------------------------------------------------
+
+  test("fuzz: Friedman chi2 and Kendall's W vs the per-block midrank formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("friedman", t)
+      val k = 2 + r.nextInt(4)
+      val b = 5 + r.nextInt(20)
+      val span = 2 + r.nextInt(6) // heavy within-block ties
+      val data = for (bi <- 0 until b; ti <- 0 until k)
+        yield (s"b$bi", s"t$ti", r.nextInt(span).toLong)
+      val blocks = data.groupBy(_._1).values.toSeq
+      val rsum = Array.fill(k)(0.0)
+      var tieSum = 0.0
+      blocks.foreach { rows =>
+        val ranks = midranks(rows.map(_._3))
+        rows.foreach { case (_, tn, v) => rsum(tn.drop(1).toInt) += ranks(v) }
+        tieSum += tieSum3(rows.map(_._3))
+      }
+      val chi = 12.0 / (b * k * (k + 1)) * rsum.map(x => x * x).sum - 3.0 * b * (k + 1)
+      val c = 1.0 - tieSum / (b.toDouble * (k.toDouble * k * k - k))
+      val chiTie = if (c > 0) Some(chi / c) else None
+      val wNaive = chiTie.map(_ / (b.toDouble * (k - 1)))
+      val row = Association.friedman(data.toDF("blk", "j", "v"), "blk", "j", "v")
+        .collect()(0)
+      approx(row.getAs[Double]("chi2"), chi, s"friedman chi trial $t")
+      approxOpt(optDouble(row, "chi2_tie"), chiTie, s"friedman tie trial $t")
+      approxOpt(optDouble(row, "w"), wNaive, s"friedman W trial $t")
+    }
+  }
+
   // --- Weighted median --------------------------------------------------------------
 
   test("fuzz: weighted median vs the naive cumulative-weight scan") {

@@ -732,6 +732,36 @@ class TrendStatsSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("w")))
   }
 
+  // --- Friedman ----------------------------------------------------------------------
+
+  test("friedman: textbook golden, incomplete-block drop, all-tied NULL") {
+    import graft.quality.Association
+    // ranks per block: (1,2,3), (1,3,2), (1,2,3) -> R = 3,7,8
+    // chi2 = 12/(3*3*4)*(9+49+64) - 3*3*4 = 4.666..., W = chi2/6
+    val d = Seq(
+      ("b1", "A", 10L), ("b1", "B", 20L), ("b1", "C", 30L),
+      ("b2", "A", 1L), ("b2", "B", 9L), ("b2", "C", 5L),
+      ("b3", "A", 2L), ("b3", "B", 4L), ("b3", "C", 9L)).toDF("blk", "j", "v")
+    val out = Association.friedman(d, "blk", "j", "v").orderBy("treatment").collect()
+    assert(out.map(_.getAs[String]("treatment")).toSeq === Seq("A", "B", "C"))
+    assert(out.map(_.getAs[String]("r2_sum")).toSeq === Seq("6", "14", "16"))
+    assert(out.map(_.getAs[String]("d")).toSeq === Seq("-6", "2", "4"))
+    assert(out.forall(r => math.abs(r.getAs[Double]("chi2") - 14d / 3d) < 1e-8))
+    assert(out.forall(r => math.abs(r.getAs[Double]("chi2_tie") - 14d / 3d) < 1e-8))
+    assert(out.forall(r => math.abs(r.getAs[Double]("w") - 7d / 9d) < 1e-8))
+    assert(out.forall(_.getAs[Long]("n_incomplete") === 0L))
+    // an incomplete block drops whole and is flagged
+    val withBad = d.unionAll(Seq(("b4", "A", 5L)).toDF("blk", "j", "v"))
+    val ob = Association.friedman(withBad, "blk", "j", "v").orderBy("treatment").collect()
+    assert(ob.forall(_.getAs[Long]("n_incomplete") === 1L))
+    assert(ob.map(_.getAs[String]("r2_sum")).toSeq === Seq("6", "14", "16"))
+    // every block fully tied: C <= 0 -> NULL tie-corrected stats
+    val tied = Seq(("b1", "A", 5L), ("b1", "B", 5L), ("b2", "A", 3L), ("b2", "B", 3L))
+      .toDF("blk", "j", "v")
+    val ot = Association.friedman(tied, "blk", "j", "v").collect()(0)
+    assert(ot.isNullAt(ot.fieldIndex("chi2_tie")) && ot.isNullAt(ot.fieldIndex("w")))
+  }
+
   // --- McNemar -----------------------------------------------------------------------
 
   test("mcnemar: quadrant goldens, exact verdict boundary, all-agree NULL") {
