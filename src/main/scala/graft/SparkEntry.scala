@@ -279,7 +279,9 @@ object SparkEntry {
     "q266_neyman_allocation" -> (CoreQueries.q266NeymanAllocation(_, _)),
     "q267_quantile_shift" -> (CoreQueries.q267QuantileShift(_, _)),
     "q268_mixture_distance" -> (LlmQueries.q268MixtureDistance(_, _)),
-    "q269_friedman" -> (LlmQueries.q269Friedman(_, _))
+    "q269_friedman" -> (LlmQueries.q269Friedman(_, _)),
+    "q270_cronbach" -> (LlmQueries.q270Cronbach(_, _)),
+    "q271_cohens_d" -> (CoreQueries.q271CohensD(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -357,7 +359,9 @@ object SparkEntry {
     "q266_neyman_allocation" -> neymanOracle,
     "q267_quantile_shift" -> quantileShiftOracle,
     "q268_mixture_distance" -> mixtureDistanceOracle,
-    "q269_friedman" -> friedmanOracle)
+    "q269_friedman" -> friedmanOracle,
+    "q270_cronbach" -> cronbachOracle,
+    "q271_cohens_d" -> cohensDOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1187,6 +1191,76 @@ object SparkEntry {
       |    round(CAST(chi9 AS DOUBLE) / 1e9 / cfac / (CAST(bb AS DOUBLE) * 2), 9)
       |  END AS w
       |FROM f ORDER BY treatment""".stripMargin
+
+  /** q270 oracle: [[graft.operators.RankEval.cronbachAlpha]] replayed —
+    * the q269 judge trio, exact HUGEINT per-judge and total-score
+    * variance numerators, α one fixed dag (all units complete by
+    * construction).
+    */
+  private lazy val cronbachOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |l AS (
+      |  SELECT doc_id AS u, 'chars' AS j, CAST(n_chars AS BIGINT) AS v FROM d
+      |  UNION ALL SELECT doc_id, 'tokens', CAST(len(toks) AS BIGINT) FROM d
+      |  UNION ALL SELECT doc_id, 'types', CAST(len(list_distinct(toks)) AS BIGINT) FROM d),
+      |pj AS (SELECT j, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q FROM l GROUP BY 1),
+      |vj AS (SELECT max(n) AS n_units,
+      |    sum(CAST(n AS HUGEINT) * q - s * s) AS sumvj FROM pj),
+      |tu AS (SELECT u, sum(CAST(v AS HUGEINT)) AS tsc FROM l GROUP BY 1),
+      |vt AS (SELECT CAST(count(*) AS HUGEINT) * sum(tsc * tsc) - sum(tsc) * sum(tsc) AS vtn FROM tu)
+      |SELECT CAST(3 AS BIGINT) AS k, n_units, CAST(0 AS BIGINT) AS n_incomplete,
+      |  CAST(sumvj AS VARCHAR) AS sum_var_num, CAST(vtn AS VARCHAR) AS total_var_num,
+      |  CASE WHEN n_units >= 2 AND vtn > 0 THEN
+      |    round(3.0 / 2.0 * (1.0 - CAST(sumvj AS DOUBLE) / CAST(vtn AS DOUBLE)), 9) END AS alpha
+      |FROM vj, vt""".stripMargin
+
+  /** q271 oracle: [[graft.quality.Association.cohensD]] replayed —
+    * exact HUGEINT variance numerators and mean-diff cross product,
+    * the pooled-s dag and the Hedges correction.
+    */
+  private lazy val cohensDOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+      |ga AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+      |  FROM ev GROUP BY 1),
+      |lab AS (SELECT *, count(*) OVER () AS ngrps,
+      |    min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi FROM ga),
+      |wide AS (SELECT grp_lo, grp_hi, ngrps,
+      |    max(CASE WHEN grp = grp_lo THEN n END) AS n1,
+      |    max(CASE WHEN grp = grp_hi THEN n END) AS n2,
+      |    max(CASE WHEN grp = grp_lo THEN s END) AS s1,
+      |    max(CASE WHEN grp = grp_hi THEN s END) AS s2,
+      |    max(CASE WHEN grp = grp_lo THEN q END) AS q1,
+      |    max(CASE WHEN grp = grp_hi THEN q END) AS q2
+      |  FROM lab GROUP BY 1, 2, 3),
+      |f AS (SELECT *,
+      |    CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS v1,
+      |    CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS v2,
+      |    s1 * CAST(n2 AS HUGEINT) - s2 * CAST(n1 AS HUGEINT) AS dnum
+      |  FROM wide),
+      |e AS (SELECT *,
+      |    CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+      |      sqrt((CAST(v1 AS DOUBLE) / CAST(n1 AS DOUBLE) +
+      |            CAST(v2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+      |           (CAST(n1 + n2 AS DOUBLE) - 2.0)) AS dd,
+      |    ngrps = 2 AND n1 > 0 AND n2 > 0 AND n1 + n2 > 2 AND v1 + v2 > 0 AS ok
+      |  FROM f)
+      |SELECT grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN n1 END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN n2 END AS n_hi,
+      |  CASE WHEN ngrps = 2 THEN CAST(dnum AS VARCHAR) END AS diff_num,
+      |  CASE WHEN ngrps = 2 THEN CAST(v1 AS VARCHAR) END AS var_num_lo,
+      |  CASE WHEN ngrps = 2 THEN CAST(v2 AS VARCHAR) END AS var_num_hi,
+      |  CASE WHEN ok THEN round(dd, 9) END AS d,
+      |  CASE WHEN ok THEN
+      |    round(dd * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 9)
+      |  END AS g_hedges
+      |FROM e""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

@@ -349,6 +349,70 @@ object RankEval {
     * after is unit- or label-cardinality bookkeeping; no window, no
     * join beyond two 1-row crosses.
     */
+  /** Cronbach's α (Cronbach 1951): internal CONSISTENCY of k numeric
+    * scorers over the same units — "do these k quality signals measure
+    * one underlying thing", the scale-reliability read beside
+    * [[krippendorffAlpha]]'s categorical agreement and
+    * [[graft.quality.Association.friedman]]'s systematic-difference
+    * test (three different questions over the same judge panel):
+    *
+    *   α = k/(k−1) · (1 − ΣV_j / V_T)
+    *
+    * with V_j = n·Σx_j² − (Σx_j)² each judge's exact DECIMAL variance
+    * numerator and V_T the same for the per-unit TOTAL score — both
+    * share the n(n−1) denominator, so the ratio is exact integer over
+    * integer, α one fixed dag at 9dp. COMPLETE units only (every judge
+    * exactly once — the [[graft.quality.Association.friedman]] rule);
+    * incomplete units drop whole into `n_incomplete`. NULL when k < 2,
+    * n < 2, or V_T = 0. Values cast long (integer-units contract).
+    * SCALE: one unit-total aggregation + one per-judge moments
+    * aggregation; two bounded driver probes (judge universe,
+    * completeness). One row out.
+    */
+  def cronbachAlpha(
+      ratings: DataFrame,
+      unitCol: String,
+      judgeCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val obs = ratings
+      .filter(col(unitCol).isNotNull && col(judgeCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(unitCol).cast("string").as("__u"),
+        col(judgeCol).cast("string").as("__j"),
+        col(valueCol).cast("long").as("__v"))
+    val k = obs.select("__j").distinct().count()
+    val unitProfile = obs.groupBy("__u")
+      .agg(countDistinct("__j").as("__kd"), count(lit(1)).as("__cnt"))
+      .withColumn("__complete", col("__kd") === k && col("__cnt") === k)
+    val nIncomplete = unitProfile.filter(!col("__complete")).count()
+    val kept = obs.join(
+      unitProfile.filter(col("__complete")).select("__u"), Seq("__u"), "left_semi")
+    val vD = col("__v").cast(dec)
+    val perJudge = kept.groupBy("__j")
+      .agg(count(lit(1)).as("__n"), sum(vD).as("__s"), sum(vD * vD).as("__q"))
+      .withColumn("__vj", col("__n").cast(dec) * col("__q") - col("__s") * col("__s"))
+      .agg(max("__n").as("n_units"),
+        sum("__vj").as("__sumvj"))
+    val totals = kept.groupBy("__u").agg(sum("__v").as("__t"))
+      .agg(count(lit(1)).as("__nt"),
+        sum(col("__t").cast(dec)).as("__st"),
+        sum(col("__t").cast(dec) * col("__t").cast(dec)).as("__qt"))
+      .withColumn("__vt", col("__nt").cast(dec) * col("__qt") - col("__st") * col("__st"))
+      .select("__vt")
+    perJudge.crossJoin(broadcast(totals))
+      .withColumn("k", lit(k))
+      .withColumn("n_incomplete", lit(nIncomplete))
+      .withColumn("sum_var_num", col("__sumvj").cast("string"))
+      .withColumn("total_var_num", col("__vt").cast("string"))
+      .withColumn("alpha",
+        when(lit(k) >= 2L && col("n_units") >= 2L && col("__vt") > 0L,
+          lit(k.toDouble) / (k.toDouble - 1d) *
+            (lit(1d) - col("__sumvj").cast("double") / col("__vt").cast("double"))))
+      .select("k", "n_units", "n_incomplete", "sum_var_num", "total_var_num", "alpha")
+  }
+
   def krippendorffAlpha(
       ratings: DataFrame,
       unitCol: String,

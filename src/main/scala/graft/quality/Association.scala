@@ -1056,6 +1056,79 @@ object Association {
         col("chi2"), col("chi2_tie"), col("w"))
   }
 
+  /** Cohen's d + Hedges' g (Cohen 1969; Hedges 1981): the MEAN-based
+    * two-group effect size — the parametric companion of
+    * [[mannWhitney]]'s Cliff's delta (δ reads dominance, d reads
+    * standardized mean distance; a heavy-tailed shift can move one and
+    * not the other, report both):
+    *
+    *   d = (m̄₁ − m̄₂) / s_p,  s_p² = (V₁/n₁ + V₂/n₂)/(n₁+n₂−2)
+    *   g = d · (1 − 3/(4(n₁+n₂) − 9))     (small-sample correction)
+    *
+    * with V_i = n_i·Σx² − (Σx)² the EXACT DECIMAL variance numerators
+    * (no float mean subtraction — the Neyman/OLS discipline) and the
+    * mean difference the exact cross product S₁n₂ − S₂n₁ over n₁n₂.
+    * Values cast long (integer-units contract); d/g fixed dags at 9dp;
+    * NULL when a side is empty, n ≤ 2, or s_p = 0. >2 groups flagged
+    * via n_groups with NULL statistics (the [[mannWhitney]] pivot and
+    * convention — lo = smaller label). SCALE: one moments aggregation +
+    * group-cardinality pivot.
+    */
+  def cohensD(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val vD = col(valueCol).cast("long").cast(dec)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__n"), sum(vD).as("__s"), sum(vD * vD).as("__q"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_lo"), col("__s"))).as("__s1"),
+        max(when(col("grp") === col("grp_hi"), col("__s"))).as("__s2"),
+        max(when(col("grp") === col("grp_lo"), col("__q"))).as("__q1"),
+        max(when(col("grp") === col("grp_hi"), col("__q"))).as("__q2"))
+    val n1D = col("__n1").cast(dec); val n2D = col("__n2").cast(dec)
+    val v1 = n1D * col("__q1") - col("__s1") * col("__s1")
+    val v2 = n2D * col("__q2") - col("__s2") * col("__s2")
+    val diffNum = col("__s1") * n2D - col("__s2") * n1D
+    val two = col("__ngrps") === 2L
+    val nTot = col("__n1") + col("__n2")
+    val sp2 = (v1.cast("double") / col("__n1").cast("double") +
+      v2.cast("double") / col("__n2").cast("double")) /
+      (nTot.cast("double") - 2d)
+    val dStat = diffNum.cast("double") /
+      (col("__n1").cast("double") * col("__n2").cast("double")) / sqrt(sp2)
+    val ok = two && col("__n1") > 0L && col("__n2") > 0L && nTot > 2L &&
+      (v1 + v2) > 0L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("diff_num", when(two, diffNum.cast("string")))
+      .withColumn("var_num_lo", when(two, v1.cast("string")))
+      .withColumn("var_num_hi", when(two, v2.cast("string")))
+      .withColumn("d", when(ok, dStat))
+      .withColumn("g_hedges", when(ok,
+        dStat * (lit(1d) - lit(3d) / (lit(4d) * nTot.cast("double") - 9d))))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("diff_num") :+
+        col("var_num_lo") :+ col("var_num_hi") :+ col("d") :+
+        col("g_hedges"): _*)
+  }
+
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
     * — the "new curation filter vs old, on the SAME documents" A/B that
     * [[twoProportion]] (independent groups) gets wrong on paired data:

@@ -2291,6 +2291,23 @@ object CoreQueries {
       .orderBy("event_type", "p")
   }
 
+  /** Cohen's-d gate: the mean-based effect size between click and view
+    * milli-values — exact DECIMAL variance numerators and mean-diff
+    * cross product, d and Hedges' g fixed dags; the parametric
+    * companion of q221's Cliff's delta.
+    */
+  def q271CohensD(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 1000).cast("long").as("v_m"))
+    Association.cohensD(ev, Nil, "event_type", "v_m")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("diff_num"), col("var_num_lo"), col("var_num_hi"),
+        round(col("d"), 9).as("d"),
+        round(col("g_hedges"), 9).as("g_hedges"))
+  }
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

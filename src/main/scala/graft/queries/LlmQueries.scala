@@ -2379,6 +2379,28 @@ object LlmQueries {
       .orderBy("treatment")
   }
 
+  /** Cronbach-alpha gate: internal consistency of the q269 judge trio
+    * (char/token/type counts) — exact per-judge and total-score
+    * variance numerators sharing one denominator, alpha a fixed dag.
+    */
+  def q270Cronbach(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("__toks"))
+    val long = d.select(col("doc_id"), lit("chars").as("judge"),
+        col("n_chars").cast("long").as("score"))
+      .unionByName(d.select(col("doc_id"), lit("tokens").as("judge"),
+        size(col("__toks")).cast("long").as("score")))
+      .unionByName(d.select(col("doc_id"), lit("types").as("judge"),
+        size(array_distinct(col("__toks"))).cast("long").as("score")))
+    RankEval.cronbachAlpha(long, "doc_id", "judge", "score")
+      .select(col("k"), col("n_units"), col("n_incomplete"),
+        col("sum_var_num"), col("total_var_num"),
+        round(col("alpha"), 9).as("alpha"))
+  }
+
   /** Script-profile gate: per-language Unicode character-class
     * composition — exact per-class char counts via codegen'd
     * regexp_replace lengths, ratios pinned divisions.

@@ -592,7 +592,13 @@ class PlanShapeSpec extends SparkSpec {
       forbidUdf = true),
     // Friedman: per-BLOCK rank windows (k rows each) + treatment/tie
     // bookkeeping; the completeness semi-join stays block-keyed
-    Shape("q269_friedman", maxHash = 10, maxRange = 2, forbidUdf = true)
+    Shape("q269_friedman", maxHash = 10, maxRange = 2, forbidUdf = true),
+    // Cronbach: one unit-total agg + one per-judge moments agg +
+    // bounded probes; windowless
+    Shape("q270_cronbach", maxHash = 10, maxRange = 2, forbidUdf = true),
+    // Cohen's d: ONE moments agg + the 2-label pivot bookkeeping
+    Shape("q271_cohens_d", maxHash = 2, forbidSortMergeJoin = true,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

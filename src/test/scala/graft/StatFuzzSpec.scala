@@ -423,6 +423,55 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Cronbach / Cohen's d ---------------------------------------------------------
+
+  test("fuzz: Cronbach alpha vs the variance-ratio formula") {
+    import graft.operators.RankEval
+    for (t <- 1 to Trials) {
+      val r = rng("cronbach", t)
+      val k = 2 + r.nextInt(4)
+      val n = 5 + r.nextInt(25)
+      val base = (0 until n).map(_ => r.nextInt(10))
+      val data = for (u <- 0 until n; j <- 0 until k)
+        yield (u.toLong, s"j$j", (base(u) * (j % 2 + 1) + r.nextInt(5)).toLong)
+      def varN(xs: Seq[Long]): Double = {
+        val m = xs.sum.toDouble / xs.size
+        xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+      }
+      val byJ = data.groupBy(_._2).values.map(rows => varN(rows.sortBy(_._1).map(_._3)))
+      val totals = data.groupBy(_._1).values.map(_.map(_._3).sum).toSeq
+      val vT = varN(totals)
+      val alphaNaive =
+        if (vT > 0) Some(k.toDouble / (k - 1) * (1 - byJ.sum / vT)) else None
+      val row = RankEval.cronbachAlpha(data.toDF("u", "j", "v"), "u", "j", "v")
+        .collect()(0)
+      approxOpt(optDouble(row, "alpha"), alphaNaive, s"cronbach trial $t")
+    }
+  }
+
+  test("fuzz: Cohen's d and Hedges g vs the pooled-variance formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("cohend", t)
+      val lo = (0 until 5 + r.nextInt(30)).map(_ => r.nextInt(20).toLong)
+      val hi = (0 until 5 + r.nextInt(30)).map(_ => (r.nextInt(20) + r.nextInt(8)).toLong)
+      def varN(xs: Seq[Long]): Double = {
+        val m = xs.sum.toDouble / xs.size
+        xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+      }
+      val n1 = lo.size; val n2 = hi.size
+      val sp2 = ((n1 - 1) * varN(lo) + (n2 - 1) * varN(hi)) / (n1 + n2 - 2)
+      val dNaive =
+        if (sp2 > 0)
+          Some((lo.sum.toDouble / n1 - hi.sum.toDouble / n2) / math.sqrt(sp2))
+        else None
+      val gNaive = dNaive.map(_ * (1 - 3.0 / (4.0 * (n1 + n2) - 9)))
+      val df = (lo.map(("A", _)) ++ hi.map(("B", _))).toDF("g", "v")
+      val row = Association.cohensD(df, Nil, "g", "v").collect()(0)
+      approxOpt(optDouble(row, "d"), dNaive, s"cohend trial $t")
+      approxOpt(optDouble(row, "g_hedges"), gNaive, s"hedges trial $t")
+    }
+  }
+
   // --- Weighted median --------------------------------------------------------------
 
   test("fuzz: weighted median vs the naive cumulative-weight scan") {

@@ -762,6 +762,58 @@ class TrendStatsSpec extends SparkSpec {
     assert(ot.isNullAt(ot.fieldIndex("chi2_tie")) && ot.isNullAt(ot.fieldIndex("w")))
   }
 
+  // --- Cronbach ----------------------------------------------------------------------
+
+  test("cronbachAlpha: duplicate judge -> 1, zero total variance -> NULL, negative alpha") {
+    import graft.operators.RankEval
+    // a judge duplicated exactly: perfectly consistent scale, alpha = 1
+    val dup = (1 to 4).flatMap(i => Seq((i.toLong, "X", i.toLong), (i.toLong, "Y", i.toLong)))
+      .toDF("u", "j", "v")
+    val rd = RankEval.cronbachAlpha(dup, "u", "j", "v").collect()(0)
+    assert(rd.getAs[Double]("alpha") === 1.0)
+    assert(rd.getAs[Long]("k") === 2L && rd.getAs[Long]("n_units") === 4L)
+    // anti-correlated judges with constant totals: V_T = 0 -> NULL
+    val anti = Seq((1L, "X", 1L), (1L, "Y", 2L), (2L, "X", 2L), (2L, "Y", 1L))
+      .toDF("u", "j", "v")
+    val ra = RankEval.cronbachAlpha(anti, "u", "j", "v").collect()(0)
+    assert(ra.getAs[String]("total_var_num") === "0")
+    assert(ra.isNullAt(ra.fieldIndex("alpha")))
+    // X=[1,2,3], Y=[3,1,2]: sum V_j = 12, V_T = 6 -> alpha = 2(1-2) = -2
+    val neg = Seq((1L, "X", 1L), (2L, "X", 2L), (3L, "X", 3L),
+      (1L, "Y", 3L), (2L, "Y", 1L), (3L, "Y", 2L)).toDF("u", "j", "v")
+    val rn = RankEval.cronbachAlpha(neg, "u", "j", "v").collect()(0)
+    assert(rn.getAs[String]("sum_var_num") === "12")
+    assert(rn.getAs[String]("total_var_num") === "6")
+    assert(rn.getAs[Double]("alpha") === -2.0)
+    // an incomplete unit drops whole and is flagged
+    val withBad = dup.unionAll(Seq((9L, "X", 5L)).toDF("u", "j", "v"))
+    val rb = RankEval.cronbachAlpha(withBad, "u", "j", "v").collect()(0)
+    assert(rb.getAs[Long]("n_incomplete") === 1L && rb.getAs[Long]("n_units") === 4L)
+  }
+
+  // --- Cohen's d ---------------------------------------------------------------------
+
+  test("cohensD: textbook golden, pooled-variance NULL, 3-group flag") {
+    import graft.quality.Association
+    // A=[1,2,3] B=[4,5,6]: d = (2-5)/1 = -3, g = -3*(1 - 3/15) = -2.4
+    val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("B", 6L))
+      .toDF("g0", "v")
+    val r = Association.cohensD(sep, Nil, "g0", "v").collect()(0)
+    assert(r.getAs[String]("diff_num") === "-27") // 6*3 - 15*3
+    assert(r.getAs[String]("var_num_lo") === "6" && r.getAs[String]("var_num_hi") === "6")
+    assert(math.abs(r.getAs[Double]("d") - (-3.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("g_hedges") - (-2.4)) < 1e-12)
+    // both groups constant: pooled variance 0 -> NULL d
+    val const = Seq(("A", 2L), ("A", 2L), ("B", 7L), ("B", 7L)).toDF("g0", "v")
+    val rc = Association.cohensD(const, Nil, "g0", "v").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("d")))
+    // >2 groups: flagged, NULL statistics
+    val three = Seq(("A", 1L), ("B", 2L), ("C", 3L)).toDF("g0", "v")
+    val rt = Association.cohensD(three, Nil, "g0", "v").collect()(0)
+    assert(rt.getAs[Long]("n_groups") === 3L)
+    assert(rt.isNullAt(rt.fieldIndex("d")))
+  }
+
   // --- McNemar -----------------------------------------------------------------------
 
   test("mcnemar: quadrant goldens, exact verdict boundary, all-agree NULL") {
