@@ -281,7 +281,8 @@ object SparkEntry {
     "q268_mixture_distance" -> (LlmQueries.q268MixtureDistance(_, _)),
     "q269_friedman" -> (LlmQueries.q269Friedman(_, _)),
     "q270_cronbach" -> (LlmQueries.q270Cronbach(_, _)),
-    "q271_cohens_d" -> (CoreQueries.q271CohensD(_, _))
+    "q271_cohens_d" -> (CoreQueries.q271CohensD(_, _)),
+    "q272_ks_from_store" -> (CoreQueries.q272KsFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -361,7 +362,8 @@ object SparkEntry {
     "q268_mixture_distance" -> mixtureDistanceOracle,
     "q269_friedman" -> friedmanOracle,
     "q270_cronbach" -> cronbachOracle,
-    "q271_cohens_d" -> cohensDOracle)
+    "q271_cohens_d" -> cohensDOracle,
+    "q272_ks_from_store" -> oracleBase("q101_ks_drift"))
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

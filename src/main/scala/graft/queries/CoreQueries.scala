@@ -775,6 +775,33 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** KS-from-STORE gate: both halves' equi-width histograms folded in
+    * three disjoint batches through [[graft.quality.Profiler
+    * .mergeBucketCounts]] (histogram rows are (bucket, cnt) — the same
+    * mergeable shape), then [[graft.quality.Profiler
+    * .ksDriftFromHistograms]] over the standing stores — q101's oracle
+    * verbatim, completing the drift-store family beside W₁ (q261) and
+    * Hellinger (q262).
+    */
+  def q272KsFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    def fold(half: DataFrame) = (1 to 2).foldLeft(
+        Profiler.histogram(half.filter(col("event_id") % 6 < 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt"))) { (acc, i) =>
+      Profiler.mergeBucketCounts(acc,
+        Profiler.histogram(
+          half.filter(col("event_id") % 6 >= i * 2 && col("event_id") % 6 < i * 2 + 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt")))
+    }
+    Profiler.ksDriftFromHistograms(
+      fold(ev.filter(col("user_id") % 2 === 0)),
+      fold(ev.filter(col("user_id") % 2 === 1)))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        col("cum_base"), col("cum_cur"), col("ks_num").cast("long").as("ks_num"))
+      .orderBy("bucket")
+  }
+
   /** Categorical chi-square drift gate — the q101 discipline for columns
     * with no order: per order-priority value, the exact cross-multiplied
     * numerator (b·C − c·B)² and cell total between the even- and

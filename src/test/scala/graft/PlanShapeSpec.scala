@@ -598,7 +598,10 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q270_cronbach", maxHash = 10, maxRange = 2, forbidUdf = true),
     // Cohen's d: ONE moments agg + the 2-label pivot bookkeeping
     Shape("q271_cohens_d", maxHash = 2, forbidSortMergeJoin = true,
-      forbidUdf = true)
+      forbidUdf = true),
+    // KS from-store: per-batch histogram aggs + merges + the full-outer
+    // bucket join on the 12-row frames
+    Shape("q272_ks_from_store", maxHash = 10, maxRange = 3, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
