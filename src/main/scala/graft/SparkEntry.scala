@@ -861,13 +861,15 @@ object SparkEntry {
       |      (acc, x) -> acc * 16 + x) % 1000000000 AS p9
       |  FROM ids),
       |r AS (SELECT id, p9,
+      |    sum(CASE WHEN p9 IS NULL THEN 1 ELSE 0 END) OVER () AS n_null,
       |    CAST(row_number() OVER (ORDER BY p9, id) AS BIGINT) AS rank,
       |    count(*) OVER () AS m FROM p),
       |c AS (SELECT *,
       |    CAST(p9 AS HUGEINT) * m * 100 <= CAST(rank AS HUGEINT) * 5 * 1000000000 AS is_candidate
       |  FROM r),
       |f AS (SELECT *, max(CASE WHEN is_candidate THEN rank ELSE 0 END) OVER () AS cut FROM c)
-      |SELECT id, p9, rank, CAST(m AS BIGINT) AS m, is_candidate,
+      |SELECT id, p9, rank, CAST(m AS BIGINT) AS m,
+      |  coalesce(CAST(n_null AS BIGINT), 0) AS n_null, is_candidate,
       |  rank <= cut AS rejected
       |FROM f ORDER BY rank""".stripMargin
 
@@ -922,7 +924,7 @@ object SparkEntry {
 
   /** q254 oracle: [[graft.quality.Association.mcnemar]] replayed —
     * exact quadrant counts on the paired length/word-count gates, the
-    * discordant statistic, the integer 38416 verdict.
+    * discordant statistic, the integer 3841459 verdict.
     */
   private lazy val mcnemarOracle: String =
     """WITH d AS (SELECT n_chars >= 256 AS a,
@@ -939,7 +941,7 @@ object SparkEntry {
       |    round(CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE) /
       |      CAST(only_a + only_b AS DOUBLE), 9) END AS mcnemar,
       |  CASE WHEN only_a + only_b > 0 THEN
-      |    (only_a - only_b) * (only_a - only_b) * 10000 > (only_a + only_b) * 38416
+      |    (only_a - only_b) * (only_a - only_b) * 1000000 > (only_a + only_b) * 3841459
       |  END AS significant
       |FROM q""".stripMargin
 

@@ -366,8 +366,9 @@ object RankEval {
     * incomplete units drop whole into `n_incomplete`. NULL when k < 2,
     * n < 2, or V_T = 0. Values cast long (integer-units contract).
     * SCALE: one unit-total aggregation + one per-judge moments
-    * aggregation; two bounded driver probes (judge universe,
-    * completeness). One row out.
+    * aggregation; the judge universe and the completeness flag are
+    * broadcast 1-row frames inside the dag (r12 ran them as two
+    * separate driver count jobs; folded r13). One row out.
     */
   def cronbachAlpha(
       ratings: DataFrame,
@@ -382,11 +383,18 @@ object RankEval {
       .select(col(unitCol).cast("string").as("__u"),
         col(judgeCol).cast("string").as("__j"),
         col(valueCol).cast("long").as("__v"))
-    val k = obs.select("__j").distinct().count()
+    // the judge universe as a broadcast 1-row frame — part of the dag,
+    // not a driver count job
+    val kUni = obs.agg(countDistinct("__j").as("__k"))
     val unitProfile = obs.groupBy("__u")
       .agg(countDistinct("__j").as("__kd"), count(lit(1)).as("__cnt"))
-      .withColumn("__complete", col("__kd") === k && col("__cnt") === k)
-    val nIncomplete = unitProfile.filter(!col("__complete")).count()
+      .crossJoin(broadcast(kUni))
+      .withColumn("__complete",
+        col("__kd") === col("__k") && col("__cnt") === col("__k"))
+    val meta = unitProfile.agg(
+      coalesce(max("__k"), lit(0L)).as("__k"),
+      coalesce(sum(when(col("__complete"), 0L).otherwise(1L)), lit(0L))
+        .as("__ninc"))
     val kept = obs.join(
       unitProfile.filter(col("__complete")).select("__u"), Seq("__u"), "left_semi")
     val vD = col("__v").cast(dec)
@@ -401,14 +409,15 @@ object RankEval {
         sum(col("__t").cast(dec) * col("__t").cast(dec)).as("__qt"))
       .withColumn("__vt", col("__nt").cast(dec) * col("__qt") - col("__st") * col("__st"))
       .select("__vt")
-    perJudge.crossJoin(broadcast(totals))
-      .withColumn("k", lit(k))
-      .withColumn("n_incomplete", lit(nIncomplete))
+    val kDbl = col("__k").cast("double")
+    perJudge.crossJoin(broadcast(totals)).crossJoin(broadcast(meta))
+      .withColumn("k", col("__k"))
+      .withColumn("n_incomplete", col("__ninc"))
       .withColumn("sum_var_num", col("__sumvj").cast("string"))
       .withColumn("total_var_num", col("__vt").cast("string"))
       .withColumn("alpha",
-        when(lit(k) >= 2L && col("n_units") >= 2L && col("__vt") > 0L,
-          lit(k.toDouble) / (k.toDouble - 1d) *
+        when(col("__k") >= 2L && col("n_units") >= 2L && col("__vt") > 0L,
+          kDbl / (kDbl - 1d) *
             (lit(1d) - col("__sumvj").cast("double") / col("__vt").cast("double"))))
       .select("k", "n_units", "n_incomplete", "sum_var_num", "total_var_num", "alpha")
   }

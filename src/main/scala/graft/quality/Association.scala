@@ -600,7 +600,12 @@ object Association {
     * ([[graft.streaming.StreamingOps.contingencyStream]]) IS the CMH
     * streaming state: the standing store answers "confounder-adjusted
     * A/B so far" without re-reading trials. Success values cast to long
-    * (string "0"/"1" from the contingency cast round-trips).
+    * (string "0"/"1" from the contingency cast round-trips), falling
+    * back to a boolean cast ("true"/"false" from a boolean-column
+    * contingency cast). Trials whose success value survives NEITHER
+    * cast enter no quadrant and are counted into `n_bad_success`
+    * (flag, never guess — the n_multi convention): a nonzero flag
+    * means the store's success column isn't the 0/1 contract.
     */
   def cmhFromCounts(
       countsIn: DataFrame,
@@ -609,11 +614,19 @@ object Association {
       successCol: String,
       nCol: String
   ): DataFrame = {
+    // try_cast, not cast: a malformed success value must FLAG, not
+    // abort the whole read under ANSI / silently NULL under legacy
+    val hit = coalesce(
+      expr(s"try_cast(`$successCol` AS BIGINT)"),
+      expr(s"try_cast(`$successCol` AS BOOLEAN)").cast("long"))
     val counts = countsIn.select(
       col(strataCol).cast("string").as("__s"),
       col(groupCol).cast("string").as("grp"),
-      col(successCol).cast("long").as("__hit"),
-      col(nCol).cast("long").as("__n"))
+      hit.as("__hit"),
+      col(nCol).cast("long").as("__n"),
+      // trials whose success value survives neither cast — flagged out
+      when(col(successCol).isNotNull && hit.isNull, col(nCol).cast("long"))
+        .otherwise(0L).as("__bad"))
     val wS = Window.partitionBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wide = counts
@@ -629,7 +642,8 @@ object Association {
         sum(when(col("grp") =!= col("grp_lo") && col("__hit") === 1L, col("__n"))
           .otherwise(0L)).as("__c"),
         sum(when(col("grp") =!= col("grp_lo") && col("__hit") === 0L, col("__n"))
-          .otherwise(0L)).as("__d"))
+          .otherwise(0L)).as("__d"),
+        sum(col("__bad")).as("__badS"))
     val (a, b, c, d) = (col("__a"), col("__b"), col("__c"), col("__d"))
     val n = (a + b + c + d).cast("double")
     val r1 = (a + b).cast("double"); val r2 = (c + d).cast("double")
@@ -657,6 +671,7 @@ object Association {
         count(lit(1)).as("n_strata"),
         sum(when(usable, 1L).otherwise(0L)).as("n_used"),
         sum(when(col("n_grps") > 2, 1L).otherwise(0L)).as("n_multi"),
+        sum(col("__badS")).cast("long").as("n_bad_success"),
         sum(when(usable, a).otherwise(0L)).cast("long").as("sum_a"),
         sum(col("__e9").cast(dec2)).as("__se9"),
         sum(col("__v9").cast(dec2)).as("__sv9"),
@@ -891,10 +906,14 @@ object Association {
     * nano terms second): values cast long (integer-units contract), so
     * z, S_g = Σz and Q_g = Σz² are exact; the between deviation
     * D_g = N·S_g − n_g·S and the within numerator E_g = n_g·Q_g − S_g²
-    * are DECIMAL integer differences (no float cancellation anywhere);
-    * each group's between/within terms are nano longs
-    * round(1e9·D_g²/(n_g·N²)) / round(1e9·E_g/n_g) summed order-free,
-    * and W is one fixed dag over the two sums, gated at 9 decimals.
+    * are DECIMAL integer differences — the DEVIATIONS are exact; the
+    * nano TERMS round(1e9·D_g²/(n_g·N²)) / round(1e9·E_g/n_g) pass
+    * through double (D_g² can exceed 10²⁵, past double's 2⁵³ exact
+    * range), so the 9-decimal result is exact up to that documented
+    * double rounding of each term's fixed dag — the same
+    * deviations-exact / terms-rounded split as [[kruskalWallis]] —
+    * summed order-free, and W is one fixed dag over the two sums,
+    * gated at 9 decimals.
     * NULL when k < 2, N ≤ k, or the within sum is 0.
     *
     * SCALE: the cell layout throughout — the median comes from the
@@ -988,10 +1007,13 @@ object Association {
     * COMPLETE blocks only (the test's own requirement): a block is kept
     * iff it has exactly ONE observation of EVERY treatment; dropped
     * blocks are counted in `n_incomplete` (flag, never guess — the
-    * mannWhitney convention). NULL tie-corrected statistics when k < 2
-    * or every block is fully tied (C ≤ 0); zero complete blocks emit
-    * nothing. The treatment-universe and completeness probes are two
-    * bounded driver counts (block-cardinality bookkeeping).
+    * mannWhitney convention). NULL chi2 / tie-corrected statistics when
+    * k < 2 (a one-treatment panel has no between-treatment variation to
+    * test) or every block is fully tied (C ≤ 0); zero complete blocks
+    * emit nothing. The treatment universe and the completeness flag are
+    * broadcast 1-row frames INSIDE the dag (r12 ran them as two
+    * separate driver count jobs — a 100 TB caller paid two extra
+    * full-scan actions per call; folded r13).
     * SCALE: the only ordered window is per BLOCK —
     * k rows each by construction; everything else is treatment- or
     * block-cardinality bookkeeping. Emits one row per treatment with
@@ -1009,12 +1031,20 @@ object Association {
       .select(col(blockCol).cast("string").as("__b"),
         col(treatmentCol).cast("string").as("__t"),
         col(valueCol).as("__v"))
-    // the treatment universe and per-block completeness
-    val k = obs.select("__t").distinct().count()
+    // the treatment universe as a broadcast 1-row frame — part of the
+    // dag, not a driver count job
+    val kUni = obs.agg(countDistinct("__t").as("__k"))
     val blockProfile = obs.groupBy("__b")
       .agg(countDistinct("__t").as("__kd"), count(lit(1)).as("__cnt"))
-      .withColumn("__complete", col("__kd") === k && col("__cnt") === k)
-    val nIncomplete = blockProfile.filter(!col("__complete")).count()
+      .crossJoin(broadcast(kUni))
+      .withColumn("__complete",
+        col("__kd") === col("__k") && col("__cnt") === col("__k"))
+    // the universe and the incomplete-block count ride ONE broadcast
+    // 1-row bookkeeping frame onto the per-treatment output
+    val meta = blockProfile.agg(
+      coalesce(max("__k"), lit(0L)).as("__k"),
+      coalesce(sum(when(col("__complete"), 0L).otherwise(1L)), lit(0L))
+        .as("__ninc"))
     val kept = obs.join(
       blockProfile.filter(col("__complete")).select("__b"), Seq("__b"), "left_semi")
     // doubled midranks within each (k-row) block
@@ -1024,32 +1054,36 @@ object Association {
       .withColumn("__r2", lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - 1L)
     val tD = col("__tv").cast(dec)
     val ties = kept.groupBy("__b", "__v").agg(count(lit(1)).as("__tv"))
-      .agg(coalesce(sum(tD * tD * tD - tD), lit(0L).cast(dec)).as("__tsum3"),
-        countDistinct("__b").as("__bT"))
+      .agg(coalesce(sum(tD * tD * tD - tD), lit(0L).cast(dec)).as("__tsum3"))
     val perT = ranked.groupBy("__t")
       .agg(count(lit(1)).as("b"), sum(col("__r2").cast(dec)).as("__r2sum"))
-    val kD = lit(k).cast(dec)
+      .crossJoin(broadcast(meta))
+    val kD = col("__k").cast(dec)
+    val kDbl = col("__k").cast("double")
     val bD = col("b").cast(dec)
     val withD = perT
       .withColumn("__d", col("__r2sum") - bD * (kD + 1))
     val t9 = round(col("__d").cast("double") * col("__d").cast("double") * 3d /
-      (col("b").cast("double") * k.toDouble * (k.toDouble + 1d)) * 1e9d).cast(dec)
+      (col("b").cast("double") * kDbl * (kDbl + 1d)) * 1e9d).cast(dec)
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withChi = withD
       .withColumn("__chi9", sum(t9).over(wAll))
-      .withColumn("chi2", col("__chi9").cast("double") / 1e9d)
+      // k = 1 has no between-treatment variation — chi2 is meaningless
+      // there, NULLed under the same guard as chi2_tie/w
+      .withColumn("chi2",
+        when(col("__k") >= 2L, col("__chi9").cast("double") / 1e9d))
       .crossJoin(broadcast(ties))
     // tie correction C = 1 − T/(b·(k³−k)); all-tied blocks → C ≤ 0 → NULL
-    val denom = col("b").cast("double") * (k.toDouble * k * k - k)
+    val denom = col("b").cast("double") * (kDbl * kDbl * kDbl - kDbl)
     val cFac = lit(1d) - col("__tsum3").cast("double") / denom
     withChi
-      .withColumn("k", lit(k))
-      .withColumn("n_incomplete", lit(nIncomplete))
+      .withColumn("k", col("__k"))
+      .withColumn("n_incomplete", col("__ninc"))
       .withColumn("chi2_tie",
-        when(lit(k) >= 2L && col("b") > 0L && cFac > 0d, col("chi2") / cFac))
+        when(col("__k") >= 2L && col("b") > 0L && cFac > 0d, col("chi2") / cFac))
       .withColumn("w",
-        when(lit(k) >= 2L && col("b") > 0L && cFac > 0d,
-          col("chi2") / cFac / (col("b").cast("double") * (k.toDouble - 1d))))
+        when(col("__k") >= 2L && col("b") > 0L && cFac > 0d,
+          col("chi2") / cFac / (col("b").cast("double") * (kDbl - 1d))))
       .select(col("__t").as("treatment"), col("b"), col("k"), col("n_incomplete"),
         col("__r2sum").cast("string").as("r2_sum"),
         col("__d").cast("string").as("d"),
@@ -1136,9 +1170,12 @@ object Association {
     * counts (both / only_a / only_b / neither), the statistic
     * (b−c)²/(b+c) with NO continuity correction (stated), NULL when
     * every unit agrees (b+c = 0), and the α = 0.05 verdict decided by
-    * the exact integer comparison (b−c)²·10⁴ ≷ 38416·(b+c) (the χ²₁
-    * critical value 3.8416 — the [[mannKendall]] never-a-float-boundary
-    * rule). One count aggregation; one row per key set.
+    * the exact integer comparison (b−c)²·10⁶ ≷ 3841459·(b+c) (the χ²₁
+    * 0.95 critical value 3.841459 to 6 decimals — the [[mannKendall]]
+    * never-a-float-boundary rule, at a precision that keeps statistics
+    * in (3.841459, 3.8416] significant, which the 1.96²-rounded 3.8416
+    * constant would misreport). One count aggregation; one row per key
+    * set.
     */
   def mcnemar(
       df: DataFrame,
@@ -1165,6 +1202,6 @@ object Association {
         when(disc > 0L, (diff * diff).cast("double") / disc.cast("double")))
       .withColumn("significant",
         when(disc === 0L, lit(null).cast("boolean"))
-          .otherwise(diff * diff * 10000L > disc * 38416L))
+          .otherwise(diff * diff * 1000000L > disc * 3841459L))
   }
 }

@@ -30,10 +30,17 @@ object MultipleTesting {
     * window + one cutoff window over the battery-sized frame (a battery
     * is test-cardinality-sized by contract — thousands, not rows).
     *
-    * Emits per test: keys, idCols, p9, rank, m, is_candidate (its own
-    * step inequality) and rejected (rank ≤ the largest candidate rank —
-    * the step-UP closure that can reject a non-candidate below a later
-    * candidate).
+    * Emits per test: keys, idCols, p9, rank, m, n_null, is_candidate
+    * (its own step inequality) and rejected (rank ≤ the largest
+    * candidate rank — the step-UP closure that can reject a
+    * non-candidate below a later candidate).
+    *
+    * NULL p-values cannot be ranked, so those tests DROP from the
+    * output and from m — the correction runs over the battery that
+    * actually produced a p-value. The drop is flagged, never silent:
+    * every surviving row carries `n_null`, the count of dropped tests
+    * in its battery, so a shrunken (hence more lenient) battery is
+    * visible to the caller (the flag-don't-guess convention).
     */
   def benjaminiHochberg(
       df: DataFrame,
@@ -50,7 +57,12 @@ object MultipleTesting {
       .orderBy(col(p9Col).asc +: idCols.map(col(_).asc): _*)
     val wKey = Window.partitionBy(g: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // n_null rides a window over the UNFILTERED battery frame (same
+    // battery-sized partition), so the dropped-test count costs no
+    // extra scan and survives onto every ranked row
     val ranked = df
+      .withColumn("n_null",
+        sum(when(col(p9Col).isNull, 1L).otherwise(0L)).over(wKey))
       .filter(col(p9Col).isNotNull)
       .withColumn("rank", row_number().over(wRank))
       .withColumn("m", count(lit(1)).over(wKey))

@@ -2129,7 +2129,7 @@ object CoreQueries {
       .withColumn("p9",
         conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long") % 1000000000L)
     MultipleTesting.benjaminiHochberg(battery, Nil, Seq("id"), "p9")
-      .select(col("id"), col("p9"), col("rank"), col("m"),
+      .select(col("id"), col("p9"), col("rank"), col("m"), col("n_null"),
         col("is_candidate"), col("rejected"))
       .orderBy("rank")
   }

@@ -349,7 +349,8 @@ class StatFuzzSpec extends SparkSpec {
       approxOpt(optDouble(row, "mcnemar"), statNaive, s"mcnemar trial $t")
       if (b + c > 0)
         assert(row.getAs[Boolean]("significant") ===
-          ((b - c).toDouble * (b - c) / (b + c) > 3.8416), s"mcnemar verdict trial $t")
+          ((b - c).toLong * (b - c) * 1000000L > (b + c).toLong * 3841459L),
+          s"mcnemar verdict trial $t")
     }
   }
 
