@@ -282,7 +282,11 @@ object SparkEntry {
     "q269_friedman" -> (LlmQueries.q269Friedman(_, _)),
     "q270_cronbach" -> (LlmQueries.q270Cronbach(_, _)),
     "q271_cohens_d" -> (CoreQueries.q271CohensD(_, _)),
-    "q272_ks_from_store" -> (CoreQueries.q272KsFromStore(_, _))
+    "q272_ks_from_store" -> (CoreQueries.q272KsFromStore(_, _)),
+    "q273_quantile_shift_bucketed" -> (CoreQueries.q273QuantileShiftBucketed(_, _)),
+    "q274_threshold_sweep_dist" -> (LlmQueries.q274ThresholdSweepDist(_, _)),
+    "q275_auc_from_store" -> (LlmQueries.q275AucFromStore(_, _)),
+    "q276_quantile_shift_from_store" -> (CoreQueries.q276QuantileShiftFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -363,7 +367,14 @@ object SparkEntry {
     "q269_friedman" -> friedmanOracle,
     "q270_cronbach" -> cronbachOracle,
     "q271_cohens_d" -> cohensDOracle,
-    "q272_ks_from_store" -> oracleBase("q101_ks_drift"))
+    "q272_ks_from_store" -> oracleBase("q101_ks_drift"),
+    // the bucketed twin, the distributed-fallback arm and the two
+    // standing-store reads select the SAME exact statistics as their
+    // primary arms — each reuses the primary's oracle verbatim
+    "q273_quantile_shift_bucketed" -> quantileShiftOracle,
+    "q274_threshold_sweep_dist" -> thresholdSweepOracle,
+    "q275_auc_from_store" -> oracleBase("q168_classifier_auc"),
+    "q276_quantile_shift_from_store" -> quantileShiftOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

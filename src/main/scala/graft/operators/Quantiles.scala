@@ -650,8 +650,10 @@ object Quantiles {
     * Groups present on only one side emit nothing (stated — there is no
     * shift to read).
     *
-    * SCALE: one rank window per side (use the [[exactQuantilesBucketed]]
-    * layout per side for hot groups) + a group-cardinality join.
+    * SCALE: one rank window per side + a group-cardinality join. The
+    * rank is consumed by an equality against a data-dependent target,
+    * so WindowGroupLimit cannot prune it — hot groups take
+    * [[quantileShiftBucketed]], the bit-identical cell-pruned twin.
     */
   def quantileShift(
       base: DataFrame,
@@ -661,13 +663,10 @@ object Quantiles {
       tieBreakCol: String,
       ps: Seq[Int] = Seq(10, 25, 50, 75, 90)
   ): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 99),
-      s"percentiles must be in [1, 99]: $ps")
+    requirePs(ps)
     val part = Window.partitionBy(keyCols.map(col): _*)
     val ordered = part.orderBy(col(valueCol), col(tieBreakCol))
     def quantileAgg(df: DataFrame, suffix: String): DataFrame = {
-      def rankAt(p: Int) =
-        greatest(lit(1L), least(col("__n"), expr(s"($p * (__n + 1)) div 100")))
       val aggs = max(col("__n")).as(s"n_$suffix") +:
         ps.map(p => max(when(col("__rn") === rankAt(p), col(valueCol)))
           .as(s"__q${p}_$suffix"))
@@ -678,8 +677,106 @@ object Quantiles {
         .groupBy(keyCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
     }
-    val b = quantileAgg(base, "base")
-    val c = quantileAgg(cur, "cur")
+    shiftTail(quantileAgg(base, "base"), quantileAgg(cur, "cur"), keyCols, ps)
+  }
+
+  /** Skew-safe twin of [[quantileShift]] — BIT-IDENTICAL output (the
+    * global per-group rank from cell offset + per-cell row_number is the
+    * same integer the windowed arm assigns, so every lower-rank
+    * selection picks the same value), but each snapshot side rides the
+    * [[exactQuantilesBucketed]] layout instead of a full per-group rank
+    * window: per-(group, cell) counts pin every target rank
+    * (p·(n+1)) div 100 to its one cell, ONLY those cells' rows are
+    * ranked, and the largest sort anywhere is a cell population —
+    * never the group. The 100× hot-group path the windowed arm can't
+    * take (its rank is consumed by an equality against a data-dependent
+    * rank, so WindowGroupLimit can never prune it — the q230 lesson).
+    * Costs each side the scaffold's extra stats/counts passes; the
+    * [[graft.AbTwinSkew]] A/B measures the crossover. The hot-VALUE
+    * caveat of [[exactQuantilesBucketed]] applies per side.
+    */
+  def quantileShiftBucketed(
+      base: DataFrame,
+      cur: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      ps: Seq[Int] = Seq(10, 25, 50, 75, 90),
+      cells: Int = 256
+  ): DataFrame = {
+    requirePs(ps)
+    require(cells > 1, s"cells must be > 1: $cells")
+    shiftTail(
+      quantilesBucketedAt(base, keyCols, valueCol, tieBreakCol, ps, "base", cells),
+      quantilesBucketedAt(cur, keyCols, valueCol, tieBreakCol, ps, "cur", cells),
+      keyCols, ps)
+  }
+
+  /** One snapshot side of the bucketed shift arm: exact lower-rank
+    * selections at every p in `ps` via the [[exactQuantilesBucketed]]
+    * cell prune — (group, cell) pairs holding NO target rank never
+    * enter a rank window. NULL values are FILTERED (the
+    * [[quantileShift]] contract), not celled to −1.
+    */
+  private def quantilesBucketedAt(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      ps: Seq[Int],
+      suffix: String,
+      cells: Int
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+    val stats = base.groupBy(g: _*).agg(
+      min(col(valueCol)).as("__lo"),
+      max(col(valueCol)).as("__hi"))
+    val celled = nsJoin(base, stats, keyCols)
+      .withColumn("__c", cellOf(valueCol, cells))
+    val counts = celled.groupBy((g :+ col("__c")): _*).agg(count(lit(1)).as("__cnt"))
+    val offs = counts
+      .withColumn("__off",
+        sum("__cnt").over(Window.partitionBy(g: _*).orderBy("__c")) - col("__cnt"))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(g: _*)))
+      // keep only the (group, cell) pairs holding at least one target
+      // rank — the rest of the corpus never enters a rank window
+      .filter(ps.map(p =>
+        rankAt(p) > col("__off") && rankAt(p) <= col("__off") + col("__cnt"))
+        .reduce(_ || _))
+      .select((g :+ col("__c") :+ col("__off") :+ col("__n")): _*)
+    val aggs = max(col("__n")).as(s"n_$suffix") +:
+      ps.map(p => max(when(col("__rn") === rankAt(p), col(valueCol)))
+        .as(s"__q${p}_$suffix"))
+    nsJoin(celled, offs, keyCols :+ "__c")
+      .withColumn("__rn",
+        col("__off") + row_number().over(
+          Window.partitionBy((g :+ col("__c")): _*)
+            .orderBy(col(valueCol), col(tieBreakCol))))
+      .groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The clamped lower-rank pin shared by both shift arms:
+    * max(1, min(n, (p·(n+1)) div 100)) over the attached `__n`. */
+  private def rankAt(p: Int) =
+    greatest(lit(1L), least(col("__n"), expr(s"($p * (__n + 1)) div 100")))
+
+  private def requirePs(ps: Seq[Int]): Unit =
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 99),
+      s"percentiles must be in [1, 99]: $ps")
+
+  /** The shared shift tail: inner-join the two per-side quantile frames
+    * on the group keys (one-sided groups emit nothing — stated), pivot
+    * to long form, one subtraction per (keys, p) row.
+    */
+  private def shiftTail(
+      b: DataFrame,
+      c: DataFrame,
+      keyCols: Seq[String],
+      ps: Seq[Int]
+  ): DataFrame = {
     val joined = b.join(c, keyCols)
     val pairs = ps.map { p =>
       struct(lit(p).as("p"),
@@ -718,12 +815,58 @@ object Quantiles {
     weightedMedian(df.withColumn("__g1", lit(1)), Seq("__g1"), valueCol, weightCol)
       .drop("__g1")
   } else {
+    weightedMedianFromCells(
+      valueCells(df, keyCols, valueCol, Some(weightCol)), keyCols)
+  }
+
+  /** Per-(keys, value) weight cells — the ADDITIVE, mergeable state the
+    * whole location/spread/shift family reduces over:
+    * [[weightedMedianFromCells]] and [[quantileShiftFromCells]] read
+    * this one frame, so a versioned fold of it (the
+    * [[graft.quality.Association.rankCells]] discipline —
+    * [[graft.streaming.StreamingOps.valueCellsStream]]) makes medians
+    * and quantile drift STANDING reads over all history. With
+    * `weightCol` the cell weight is the summed long weight (NULL / ≤0
+    * weights excluded — the [[weightedMedian]] contract); without it
+    * every row weighs 1 and the cells are plain value counts. The
+    * value keeps its ORDERABLE type (quantiles need an order); value
+    * cardinality is the store bound (bucket continuous columns first —
+    * the q210 discipline).
+    */
+  def valueCells(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      weightCol: Option[String] = None
+  ): DataFrame = {
     val g = keyCols.map(col)
-    val cells = df
-      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol).cast("long") > 0L)
-      .groupBy(g :+ col(valueCol).as("__v"): _*)
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val base = weightCol match {
+      case Some(w) =>
+        df.filter(col(valueCol).isNotNull && col(w).isNotNull &&
+            col(w).cast("long") > 0L)
+          .select(g :+ col(valueCol).as("v") :+
+            col(w).cast("long").as("__w1"): _*)
+      case None =>
+        df.filter(col(valueCol).isNotNull)
+          .select(g :+ col(valueCol).as("v") :+ lit(1L).as("__w1"): _*)
+    }
+    base.groupBy(g :+ col("v"): _*).agg(sum("__w1").as("w"))
+  }
+
+  /** Fold two [[valueCells]] frames over disjoint row sets. */
+  def mergeValueCells(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col) :+ col("v"): _*)
+      .agg(sum("w").as("w"))
+
+  /** [[weightedMedian]] from a (possibly folded) [[valueCells]] frame —
+    * the standing-store read: one cumulative window over the
+    * value-cardinality frame, never a row sort.
+    */
+  def weightedMedianFromCells(cellsIn: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val cells = cellsIn.select(
+      g :+ col("v").as("__v") :+ col("w").cast("long").as("__w"): _*)
     val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(g: _*)
@@ -735,5 +878,42 @@ object Quantiles {
       .filter(col("__cum") < r && r <= col("__cum") + col("__w"))
       .select(g :+ col("__tw").as("total_w") :+ r.as("med_rank") :+
         col("__v").as("median"): _*)
+  }
+
+  /** [[quantileShift]] from two (possibly folded) [[valueCells]]
+    * frames — quantile DRIFT as a standing-store read: each side's
+    * lower-rank selection at rank (p·(N+1)) div 100 clamped to [1, N]
+    * reduces over the per-(keys, value) cells (the value at global rank
+    * r IS the value whose cumulative weight interval contains r —
+    * tie-break-invariant by construction), so with unit-weight cells
+    * over the same rows the output is BIT-IDENTICAL to
+    * [[quantileShift]] while no row ever enters a sort: both windows
+    * run over the value-cardinality cell frame.
+    */
+  def quantileShiftFromCells(
+      baseCells: DataFrame,
+      curCells: DataFrame,
+      keyCols: Seq[String],
+      ps: Seq[Int] = Seq(10, 25, 50, 75, 90)
+  ): DataFrame = {
+    requirePs(ps)
+    val g = keyCols.map(col)
+    def side(cellsIn: DataFrame, suffix: String): DataFrame = {
+      val wCum = Window.partitionBy(g: _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(g: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val aggs = max(col("__n")).as(s"n_$suffix") +:
+        ps.map(p => max(when(
+          rankAt(p) > col("__cum") && rankAt(p) <= col("__cum") + col("__w"),
+          col("v"))).as(s"__q${p}_$suffix"))
+      cellsIn
+        .select(g :+ col("v") :+ col("w").cast("long").as("__w"): _*)
+        .withColumn("__cum", coalesce(sum("__w").over(wCum), lit(0L)))
+        .withColumn("__n", sum("__w").over(wAll))
+        .groupBy(g: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    shiftTail(side(baseCells, "base"), side(curCells, "cur"), keyCols, ps)
   }
 }

@@ -1047,16 +1047,22 @@ object Association {
         .as("__ninc"))
     val kept = obs.join(
       blockProfile.filter(col("__complete")).select("__b"), Seq("__b"), "left_semi")
-    // doubled midranks within each (k-row) block
+    // doubled midranks within each (k-row) block; the per-row tie count
+    // __tcnt doubles as the tie-correction carrier — a (block, value)
+    // tie group of t rows contributes (t² − 1) per row, so
+    // Σ_rows (t² − 1) = Σ_groups (t³ − t) EXACTLY, folding the tie sum
+    // into the one per-treatment aggregation instead of a second
+    // kept-consuming branch (one fewer evaluation of the whole
+    // obs → completeness → semi-join subtree)
     val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
     val wTie = Window.partitionBy(col("__b"), col("__v"))
     val ranked = kept
-      .withColumn("__r2", lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - 1L)
-    val tD = col("__tv").cast(dec)
-    val ties = kept.groupBy("__b", "__v").agg(count(lit(1)).as("__tv"))
-      .agg(coalesce(sum(tD * tD * tD - tD), lit(0L).cast(dec)).as("__tsum3"))
+      .withColumn("__tcnt", count(lit(1)).over(wTie))
+      .withColumn("__r2", lit(2L) * rank().over(wRank) + col("__tcnt") - 1L)
+    val tcD = col("__tcnt").cast(dec)
     val perT = ranked.groupBy("__t")
-      .agg(count(lit(1)).as("b"), sum(col("__r2").cast(dec)).as("__r2sum"))
+      .agg(count(lit(1)).as("b"), sum(col("__r2").cast(dec)).as("__r2sum"),
+        sum(tcD * tcD - 1).as("__t3t"))
       .crossJoin(broadcast(meta))
     val kD = col("__k").cast(dec)
     val kDbl = col("__k").cast("double")
@@ -1068,11 +1074,12 @@ object Association {
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withChi = withD
       .withColumn("__chi9", sum(t9).over(wAll))
+      .withColumn("__tsum3",
+        coalesce(sum(col("__t3t")).over(wAll), lit(0L).cast(dec)))
       // k = 1 has no between-treatment variation — chi2 is meaningless
       // there, NULLed under the same guard as chi2_tie/w
       .withColumn("chi2",
         when(col("__k") >= 2L, col("__chi9").cast("double") / 1e9d))
-      .crossJoin(broadcast(ties))
     // tie correction C = 1 − T/(b·(k³−k)); all-tied blocks → C ≤ 0 → NULL
     val denom = col("b").cast("double") * (kDbl * kDbl * kDbl - kDbl)
     val cFac = lit(1d) - col("__tsum3").cast("double") / denom

@@ -2318,6 +2318,58 @@ object CoreQueries {
       .orderBy("event_type", "p")
   }
 
+  /** Skew-safe quantile-shift gate — [[graft.operators.Quantiles
+    * .quantileShiftBucketed]] on the q267 shape: each side's target
+    * ranks pinned to their value cells, only those cells' rows ranked,
+    * bit-identical long-form output under q267's oracle verbatim. The
+    * twin that closes the last group-unbounded sort in the repo.
+    */
+  def q273QuantileShiftBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v_m"))
+    Quantiles.quantileShiftBucketed(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1),
+      Seq("event_type"), "v_m", "event_id")
+      .select(col("event_type"), col("n_base"), col("n_cur"), col("p"),
+        col("v_base"), col("v_cur"), col("shift"))
+      .orderBy("event_type", "p")
+  }
+
+  /** Quantile-shift from-STORE gate: BOTH snapshots' value cells folded
+    * in three disjoint batches through [[graft.operators.Quantiles
+    * .mergeValueCells]] (the valueCellsStream state), then
+    * [[graft.operators.Quantiles.quantileShiftFromCells]] over the two
+    * standing stores — q267's oracle verbatim; no row ever enters a
+    * sort, both windows run over the value-cardinality cell frames.
+    */
+  def q276QuantileShiftFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v_m"))
+    def fold(half: DataFrame) = (1 to 2).foldLeft(
+        Quantiles.valueCells(half.filter(col("event_id") % 6 < 2),
+          Seq("event_type"), "v_m")) { (acc, i) =>
+      Quantiles.mergeValueCells(acc,
+        Quantiles.valueCells(
+          half.filter(col("event_id") % 6 >= i * 2 && col("event_id") % 6 < i * 2 + 2),
+          Seq("event_type"), "v_m"),
+        Seq("event_type"))
+    }
+    Quantiles.quantileShiftFromCells(
+      fold(ev.filter(col("event_id") % 2 === 0)),
+      fold(ev.filter(col("event_id") % 2 === 1)),
+      Seq("event_type"))
+      .select(col("event_type"), col("n_base"), col("n_cur"), col("p"),
+        col("v_base"), col("v_cur"), col("shift"))
+      .orderBy("event_type", "p")
+  }
+
   /** Cohen's-d gate: the mean-based effect size between click and view
     * milli-values — exact DECIMAL variance numerators and mean-diff
     * cross product, d and Hedges' g fixed dags; the parametric

@@ -1756,6 +1756,33 @@ object LlmQueries {
     RankEval.auc(scored, labels, "doc_id", "margin")
   }
 
+  /** AUC from-STORE gate: the q168 margins' per-distinct-score
+    * histogram ([[graft.operators.RankEval.aucHistogram]]) folded in
+    * three disjoint prediction batches through
+    * [[graft.operators.RankEval.mergeAucHistogram]], then the
+    * cumulative pair-counting tail
+    * ([[graft.operators.RankEval.aucFromHistogram]]) over the standing
+    * store — q168's oracle verbatim; the last mergeable store family
+    * gains its own CORRECTNESS row (the q256–q262 discipline).
+    */
+  def q275AucFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val model = graft.text.QualityClassifier.train(
+      d.filter(col("doc_id") % 5 === 0),
+      d.filter(col("doc_id") % 5 === 3),
+      "text", numBuckets = 1024)
+    val scored = graft.text.QualityClassifier
+      .score(d, "doc_id", "text", model, numBuckets = 1024)
+    val labels = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 3)
+      .select(col("doc_id"), (col("doc_id") % 5 === 0).as("label"))
+    def batch(i: Int) = RankEval.aucHistogram(
+      scored.filter(col("doc_id") % 3 === i), labels, "doc_id", "margin")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      RankEval.mergeAucHistogram(acc, batch(i)))
+    RankEval.aucFromHistogram(folded)
+  }
+
   /** Hierarchical (HNSW-proper) graph-ANN gate: content-keyed geometric
     * levels, one navigable graph per layer, and the layered descent —
     * top-layer seeds routed down through narrow upper-layer walks into
@@ -2157,6 +2184,28 @@ object LlmQueries {
     val pairs = SortedNeighborhood.editDistancePairs(d, "doc_id", "snkey",
       window = 4, prefixLen = 3, maxDist = 6)
     ConnectedComponents.thresholdClusterSweep(pairs, "id_a", "id_b", "dist", 0 to 6)
+      .select(col("threshold"), col("n_pairs"), col("n_nodes"),
+        col("n_clusters"), round(col("dup_factor"), 9).as("dup_factor"))
+      .orderBy("threshold")
+  }
+
+  /** Distributed threshold-sweep gate — the q239 chain with
+    * `localPairThreshold = 0`, forcing the per-threshold
+    * [[ConnectedComponents.labelPropagation]] fallback over the one
+    * shared checkpointed min-dist frame: the path an oversized 100 TB
+    * pair set actually takes, under q239's oracle verbatim (the q113
+    * discipline — the scale arm carries its own CORRECTNESS row, not
+    * spec-only trust).
+    */
+  def q274ThresholdSweepDist(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SortedNeighborhood
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit(":"),
+        substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, 24)).as("snkey"))
+    val pairs = SortedNeighborhood.editDistancePairs(d, "doc_id", "snkey",
+      window = 4, prefixLen = 3, maxDist = 6)
+    ConnectedComponents.thresholdClusterSweep(pairs, "id_a", "id_b", "dist", 0 to 6,
+      localPairThreshold = 0)
       .select(col("threshold"), col("n_pairs"), col("n_nodes"),
         col("n_clusters"), round(col("dup_factor"), 9).as("dup_factor"))
       .orderBy("threshold")

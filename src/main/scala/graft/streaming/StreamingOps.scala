@@ -876,6 +876,42 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming value-cell fold — the location/spread/shift family's
+    * online state: each micro-batch's per-(keys, value) weight cells
+    * ([[graft.operators.Quantiles.valueCells]], unit weights when
+    * `weightCol` is None) merge additively into a versioned store, so
+    * the standing cells answer "weighted median so far"
+    * ([[graft.operators.Quantiles.weightedMedianFromCells]]) and
+    * "quantile drift vs any other store"
+    * ([[graft.operators.Quantiles.quantileShiftFromCells]]) without
+    * re-reading history, at value-cardinality rows (bucket continuous
+    * columns first — the q210 discipline). Same non-idempotent
+    * recompute-on-replay version discipline as [[contingencyStream]].
+    */
+  def valueCellsStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      storePath: String,
+      checkpoint: String,
+      weightCol: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.operators.Quantiles.valueCells(batch, keyCols, valueCol, weightCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.Quantiles.mergeValueCells(
+            s.read.parquet(p), bc, keyCols)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Kendall cell fold — the τ-b companion of
     * [[contingencyStream]]: per-batch
     * [[graft.quality.Association.kendallCells]] (values keep their

@@ -265,6 +265,76 @@ class ScaleOpsSpec extends SparkSpec {
       == rows2set(Profiler.spearmanMatrix(md, Seq("g"), Seq("x", "y", "z"))))
   }
 
+  test("quantileShiftBucketed / quantileShiftFromCells equal the windowed arm on every edge shape") {
+    import graft.operators.Quantiles
+    // the q170 edge corpus, split into two snapshots by tie-break parity:
+    // spread values, constant group (one cell), single-row groups (one
+    // side may be empty -> group emits nothing), NULLs filtered, heavy
+    // ties at the selection ranks
+    val rows =
+      (1 to 100).map(i => ("spread", Some((i * 3 % 47).toDouble), i.toLong)) ++
+      (1 to 40).map(i => ("const", Some(7.0), i.toLong)) ++
+      Seq(("single", Some(3.0), 1L)) ++
+      (1 to 10).map(i => ("nully", if (i <= 4) None else Some(i.toDouble), i.toLong)) ++
+      (1 to 30).map(i => ("dups", Some((i % 3).toDouble), i.toLong))
+    val d = rows.toDF("g", "v", "tb")
+    val base = d.filter($"tb" % 2 === 0)
+    val cur = d.filter($"tb" % 2 === 1)
+    def rows2set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(i =>
+        Option(r.get(i)).map(_.toString)).toVector).toSet
+    val win = rows2set(Quantiles.quantileShift(base, cur, Seq("g"), "v", "tb"))
+    assert(rows2set(Quantiles.quantileShiftBucketed(
+      base, cur, Seq("g"), "v", "tb", cells = 8)) == win)
+    // partition invariance of the bucketed arm
+    assert(rows2set(Quantiles.quantileShiftBucketed(
+      base.repartition(7), cur.repartition(5).orderBy($"tb".desc),
+      Seq("g"), "v", "tb", cells = 16)) == win)
+    // the from-cells read over unit-weight value cells is the same shift
+    assert(rows2set(Quantiles.quantileShiftFromCells(
+      Quantiles.valueCells(base, Seq("g"), "v"),
+      Quantiles.valueCells(cur, Seq("g"), "v"), Seq("g"))) == win)
+    // NULL-keyed group survives all three arms
+    val gn = Seq((Option.empty[String], Some(1.0), 2L),
+      (Option.empty[String], Some(3.0), 4L), (Option.empty[String], Some(5.0), 1L),
+      (Option.empty[String], Some(2.0), 3L), (Option("x"), Some(5.0), 5L),
+      (Option("x"), Some(6.0), 6L)).toDF("g", "v", "tb")
+    val gb = gn.filter($"tb" % 2 === 0); val gc = gn.filter($"tb" % 2 === 1)
+    val winN = rows2set(Quantiles.quantileShift(gb, gc, Seq("g"), "v", "tb"))
+    assert(winN.nonEmpty)
+    assert(rows2set(Quantiles.quantileShiftBucketed(gb, gc, Seq("g"), "v", "tb")) == winN)
+    assert(rows2set(Quantiles.quantileShiftFromCells(
+      Quantiles.valueCells(gb, Seq("g"), "v"),
+      Quantiles.valueCells(gc, Seq("g"), "v"), Seq("g"))) == winN)
+  }
+
+  test("value-cell store: fold == rebuild; weightedMedianFromCells == weightedMedian") {
+    import graft.operators.Quantiles
+    val rows = (1 to 120).map(i =>
+      ("g" + (i % 3), (i * 7 % 13).toLong, (i % 5 + 1).toLong))
+    val d = rows.toDF("g", "v0", "w0")
+    // three disjoint batches fold to exactly the rebuild's cells
+    val batches = (0 to 2).map(i => d.filter($"v0" % 3 === i))
+    val folded = batches.tail.foldLeft(
+        Quantiles.valueCells(batches.head, Seq("g"), "v0", Some("w0"))) { (acc, b) =>
+      Quantiles.mergeValueCells(acc,
+        Quantiles.valueCells(b, Seq("g"), "v0", Some("w0")), Seq("g"))
+    }
+    val rebuilt = Quantiles.valueCells(d, Seq("g"), "v0", Some("w0"))
+    assert(folded.orderBy("g", "v").collect().toSeq ==
+      rebuilt.orderBy("g", "v").collect().toSeq)
+    // the standing read equals the direct operator verbatim
+    assert(Quantiles.weightedMedianFromCells(folded, Seq("g"))
+        .orderBy("g").collect().toSeq ==
+      Quantiles.weightedMedian(d, Seq("g"), "v0", "w0")
+        .orderBy("g").collect().toSeq)
+    // unit-weight cells: w counts rows; NULL values excluded
+    val withNull = d.select($"g", when($"v0" > 2L, $"v0").as("v0"))
+    val cells = Quantiles.valueCells(withNull, Seq("g"), "v0")
+    assert(cells.agg(sum("w")).head().getLong(0) ==
+      withNull.filter($"v0".isNotNull).count())
+  }
+
   test("joinCardinality: forecast equals the real join, max flags the hot key, disjoint is zero") {
     // a: k1 x3, k2 x2, k9 x1;  b: k1 x4, k2 x1, k7 x5
     val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") :+ "k9").toDF("k")

@@ -826,6 +826,42 @@ class StreamingSpec extends SparkSpec {
       Association.brownForsythe(all, Nil, "g", "v0").orderBy("grp").collect().toSeq)
   }
 
+  test("streaming value-cell fold equals the batch rebuild; standing median/shift match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Quantiles
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vcstream").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = (0 until 200).map(i => ("g" + (i % 2), (i * 7 % 23).toLong, (i % 4 + 1).toLong))
+    val b2 = (0 until 150).map(i => ("g" + (i % 2), (i * 5 % 31).toLong, (i % 3 + 1).toLong))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "v0", "w0")
+    StreamingOps.valueCellsStream(rows, Seq("g"), "v0", s"$tmp/store", s"$tmp/cp",
+      weightCol = Some("w0")).awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.valueCellsStream(rows, Seq("g"), "v0", s"$tmp/store", s"$tmp/cp",
+      weightCol = Some("w0")).awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val folded = spark.read.parquet(latest).orderBy("g", "v").collect().toSeq
+    val all = (b1 ++ b2).toDF("g", "v0", "w0")
+    val rebuilt = Quantiles.valueCells(all, Seq("g"), "v0", Some("w0"))
+      .orderBy("g", "v").collect().toSeq
+    assert(folded == rebuilt)
+    // the standing reads over the fold == their batch twins verbatim
+    val store = spark.read.parquet(latest)
+    assert(Quantiles.weightedMedianFromCells(store, Seq("g")).orderBy("g").collect().toSeq ==
+      Quantiles.weightedMedian(all, Seq("g"), "v0", "w0").orderBy("g").collect().toSeq)
+    // quantile drift between the standing store and a fresh snapshot
+    val snap = (0 until 120).map(i => ("g" + (i % 2), (i * 11 % 29).toLong))
+      .toDF("g", "v1")
+    val snapCells = Quantiles.valueCells(snap, Seq("g"), "v1")
+    val shiftFromStore = Quantiles.quantileShiftFromCells(
+      store.select($"g", $"v", $"w"), snapCells, Seq("g"))
+      .orderBy("g", "p").collect().toSeq
+    assert(shiftFromStore.nonEmpty)
+  }
+
   test("streaming Kendall cell fold equals the batch rebuild; standing tau-b matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.quality.Association
