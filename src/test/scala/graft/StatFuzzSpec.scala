@@ -492,6 +492,185 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Drift family (r13: these verified only against oracles that replay
+  // the same dag until now — each gets an independent textbook formula) ---------------
+
+  test("fuzz: binned two-sample KS D vs the max-CDF-gap loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("ks", t)
+      val nb = 4 + r.nextInt(8)
+      def hist() = (0 until nb).flatMap { b =>
+        val c = r.nextInt(9).toLong // 0 -> bucket absent from the frame
+        if (c > 0) Some((b.toLong, c)) else None
+      } match { case h if h.nonEmpty => h; case _ => Seq((0L, 1L)) }
+      val hb = hist(); val hc = hist()
+      val tb = hb.map(_._2).sum.toDouble; val tc = hc.map(_._2).sum.toDouble
+      val mb = hb.toMap; val mc = hc.toMap
+      val buckets = (hb.map(_._1) ++ hc.map(_._1)).distinct.sorted
+      var cb = 0L; var cc = 0L
+      val dNaive = buckets.map { b =>
+        cb += mb.getOrElse(b, 0L); cc += mc.getOrElse(b, 0L)
+        math.abs(cb / tb - cc / tc)
+      }.max
+      val dGraft = Profiler.ksStat(Profiler.ksDriftFromHistograms(
+        hb.toDF("bucket", "cnt"), hc.toDF("bucket", "cnt")))
+      approx(dGraft, dNaive, s"ks D trial $t")
+    }
+  }
+
+  test("fuzz: chi-square drift vs the textbook (O-E)^2/E homogeneity sum") {
+    for (t <- 1 to Trials) {
+      val r = rng("chi2drift", t)
+      val cats = 2 + r.nextInt(6)
+      def sample() = (0 until 20 + r.nextInt(60)).map(_ =>
+        if (r.nextInt(12) == 0) Option.empty[String] else Some("c" + r.nextInt(cats)))
+      val base = sample(); val cur = sample()
+      def counts(s: Seq[Option[String]]) =
+        s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (bm, cm) = (counts(base), counts(cur))
+      val bTot = base.size.toDouble; val cTot = cur.size.toDouble
+      val n = bTot + cTot
+      val chiNaive = (bm.keySet ++ cm.keySet).toSeq.map { v =>
+        val b = bm.getOrElse(v, 0L).toDouble; val c = cm.getOrElse(v, 0L).toDouble
+        val eb = bTot * (b + c) / n; val ec = cTot * (b + c) / n
+        (b - eb) * (b - eb) / eb + (c - ec) * (c - ec) / ec
+      }.sum
+      val (chiGraft, dfGraft) = Profiler.chiSquareStat(Profiler.chiSquareDrift(
+        base.toDF("v"), cur.toDF("v"), "v"))
+      approx(chiGraft, chiNaive, s"chi2 drift trial $t")
+      assert(dfGraft === (bm.keySet ++ cm.keySet).size.toLong - 1L, s"chi2 df trial $t")
+    }
+  }
+
+  test("fuzz: PSI and histogram chi-square vs the smoothed-share formulas") {
+    for (t <- 1 to Trials) {
+      val r = rng("psi", t)
+      val nb = 4 + r.nextInt(6)
+      val eps = 0.5
+      def hist() = (0 until nb).flatMap { b =>
+        val c = r.nextInt(15).toLong
+        if (c > 0) Some((b.toLong, c)) else None
+      } match { case h if h.nonEmpty => h; case _ => Seq((0L, 2L)) }
+      val hb = hist(); val hc = hist()
+      val mb = hb.toMap; val mc = hc.toMap
+      val smooth = eps * (nb + 2)
+      val tb = hb.map(_._2).sum + smooth; val tc = hc.map(_._2).sum + smooth
+      val (chiNaive, psiNaive) = (mb.keySet ++ mc.keySet).toSeq.map { b =>
+        val pb = (mb.getOrElse(b, 0L) + eps) / tb
+        val pc = (mc.getOrElse(b, 0L) + eps) / tc
+        ((pc - pb) * (pc - pb) / pb, (pc - pb) * math.log(pc / pb))
+      }.foldLeft((0d, 0d)) { case ((a, b), (x, y)) => (a + x, b + y) }
+      val (chiGraft, psiGraft) = Profiler.driftStats(Profiler.driftFromHistograms(
+        hb.toDF("bucket", "cnt"), hc.toDF("bucket", "cnt"), nb, eps))
+      approx(chiGraft, chiNaive, s"hist chi2 trial $t")
+      approx(psiGraft, psiNaive, s"psi trial $t")
+    }
+  }
+
+  test("fuzz: Jensen-Shannon divergence vs the half-KL-to-midpoint sum") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("js", t)
+      val cats = 2 + r.nextInt(6)
+      def sample() = (0 until 15 + r.nextInt(60)).map(_ =>
+        if (r.nextInt(10) == 0) Option.empty[String] else Some("c" + r.nextInt(cats)))
+      val base = sample(); val cur = sample()
+      def counts(s: Seq[Option[String]]) =
+        s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (bm, cm) = (counts(base), counts(cur))
+      val tb = base.size.toDouble; val tc = cur.size.toDouble
+      val jsNaive = (bm.keySet ++ cm.keySet).toSeq.map { v =>
+        val p = bm.getOrElse(v, 0L) / tb; val q = cm.getOrElse(v, 0L) / tc
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) / 2 else 0d) +
+          (if (q > 0) q * math.log(q / m) / 2 else 0d)
+      }.sum
+      val jsGraft = Association.jsStat(Association.jsDivergence(
+        base.toDF("v"), cur.toDF("v"), "v"))
+      approx(jsGraft, jsNaive, s"js trial $t")
+    }
+  }
+
+  test("fuzz: Hellinger distance vs the Bhattacharyya-complement formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("hellinger", t)
+      val cats = 2 + r.nextInt(6)
+      def sample() = (0 until 15 + r.nextInt(60)).map(_ =>
+        if (r.nextInt(10) == 0) Option.empty[String] else Some("c" + r.nextInt(cats)))
+      val base = sample(); val cur = sample()
+      def counts(s: Seq[Option[String]]) =
+        s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (bm, cm) = (counts(base), counts(cur))
+      val tb = base.size.toDouble; val tc = cur.size.toDouble
+      val bc = (bm.keySet ++ cm.keySet).toSeq.map { v =>
+        math.sqrt((bm.getOrElse(v, 0L) / tb) * (cm.getOrElse(v, 0L) / tc))
+      }.sum
+      val hNaive = math.sqrt(math.max(1d - bc, 0d))
+      val row = Profiler.hellingerDrift(base.toDF("v"), cur.toDF("v"), "v").collect()(0)
+      approx(row.getAs[Double]("hellinger"), hNaive, s"hellinger trial $t")
+    }
+  }
+
+  test("fuzz: CUSUM chart vs the classical max(0, S + x - target) recursion") {
+    for (t <- 1 to Trials) {
+      val r = rng("cusum", t)
+      val target = 10L
+      val n = 20 + r.nextInt(60)
+      val shiftAt = n / 2 + r.nextInt(n / 3)
+      val vs = (0 until n).map { i =>
+        val drift = if (i >= shiftAt) r.nextInt(4).toLong else 0L
+        (i.toLong, 8L + r.nextInt(5) + drift)
+      }
+      val threshold = 5L + r.nextInt(10)
+      var hi = 0L; var lo = 0L
+      val naive = vs.map { case (i, x) =>
+        hi = math.max(0L, hi + (x - target))
+        lo = math.max(0L, lo - (x - target))
+        (i, hi, lo, hi > threshold, lo > threshold)
+      }
+      val got = TimeSeries.cusum(vs.toDF("t", "v"), Nil, Seq("t"), "v", target, threshold)
+        .orderBy("t").collect()
+        .map(rr => (rr.getAs[Long]("t"), rr.getAs[Long]("cusum_hi"),
+          rr.getAs[Long]("cusum_lo"), rr.getAs[Boolean]("breach_hi"),
+          rr.getAs[Boolean]("breach_lo"))).toSeq
+      assert(got === naive, s"cusum trial $t")
+    }
+  }
+
+  test("fuzz: changepoint argmax/stat/verdict vs the exact BigInt prefix-deviation loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("changepoint", t)
+      val n = 12 + r.nextInt(40)
+      val shiftAt = 3 + r.nextInt(n - 6)
+      val vs = (0 until n).map { i =>
+        (i.toLong, (r.nextInt(7) + (if (i >= shiftAt) r.nextInt(3) * 4 else 0)).toLong)
+      }
+      val xs = vs.map(_._2)
+      val bN = BigInt(n); val sN = BigInt(xs.sum)
+      val q = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val varN = bN * q - sN * sN
+      var st = BigInt(0)
+      val cands = (1 until n).map { tt => // interior prefixes only
+        st += xs(tt - 1)
+        (tt.toLong, bN * st - BigInt(tt) * sN)
+      }
+      val (cpT, dBest) = cands.maxBy { case (tt, d) => (d.abs, -tt) }
+      val statNaive =
+        if (varN > 0)
+          Some(dBest.abs.toDouble / (math.sqrt(varN.toDouble) * math.sqrt(n.toDouble)))
+        else None
+      val changedNaive =
+        if (varN > 0) Some(dBest * dBest * 1000000 > varN * bN * 1844164) else None
+      val row = TimeSeries.changepoint(vs.toDF("t", "v"), Nil, "t", "v").collect()(0)
+      assert(row.getAs[Long]("cp_t") === cpT, s"cp argmax trial $t")
+      assert(BigInt(row.getAs[String]("d")) === dBest, s"cp d trial $t")
+      approxOpt(optDouble(row, "stat"), statNaive, s"cp stat trial $t")
+      val gotChanged = if (row.isNullAt(row.fieldIndex("changed"))) None
+        else Some(row.getAs[Boolean]("changed"))
+      assert(gotChanged === changedNaive, s"cp verdict trial $t")
+    }
+  }
+
   // --- Trimmed mean -----------------------------------------------------------------
 
   test("fuzz: trimmed mean vs the sort-drop-average loop") {
