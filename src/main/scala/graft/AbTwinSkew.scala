@@ -62,7 +62,9 @@ object AbTwinSkew {
     }
     def checksum(df: DataFrame): Seq[Any] = {
       val cs = df.columns.toSeq.map(c => col(c).cast("string"))
-      df.agg(count(lit(1)), sum(xxhash64(cs: _*))).collect()(0).toSeq
+      // DECIMAL sum: full-range hash longs overflow a long sum under ANSI
+      df.agg(count(lit(1)), sum(xxhash64(cs: _*).cast("decimal(38,0)")))
+        .collect()(0).toSeq
     }
     def ab(name: String, win: () => DataFrame, bkt: () => DataFrame,
         oneRow: Boolean): Unit = {
@@ -101,6 +103,15 @@ object AbTwinSkew {
       () => Quantiles.trimmedMean(hot(), Seq("g"), "v", "tb", trimPct = 10),
       () => Quantiles.trimmedMean(hot(), Seq("g"), "v", "tb", trimPct = 10),
       oneRow = true) // scaffold-only op: self-A/B = run-to-run noise floor
+    // quantile shift: the hot frame split into two snapshots by replica
+    // parity — each arm pays its per-side rank machinery twice
+    def half(parity: Int): DataFrame = hot()
+      .withColumn("__h", xxhash64(col("tb")) % 2)
+      .filter(abs(col("__h")) === parity).drop("__h")
+    ab("qshift",
+      () => Quantiles.quantileShift(half(0), half(1), Seq("g"), "v", "tb"),
+      () => Quantiles.quantileShiftBucketed(half(0), half(1), Seq("g"), "v", "tb"),
+      oneRow = false)
     val n = 3000
     ab("theilsen",
       () => TimeSeries.theilSen(series(n), Nil, "t", "yv"),
