@@ -286,7 +286,11 @@ object SparkEntry {
     "q273_quantile_shift_bucketed" -> (CoreQueries.q273QuantileShiftBucketed(_, _)),
     "q274_threshold_sweep_dist" -> (LlmQueries.q274ThresholdSweepDist(_, _)),
     "q275_auc_from_store" -> (LlmQueries.q275AucFromStore(_, _)),
-    "q276_quantile_shift_from_store" -> (CoreQueries.q276QuantileShiftFromStore(_, _))
+    "q276_quantile_shift_from_store" -> (CoreQueries.q276QuantileShiftFromStore(_, _)),
+    "q277_fleiss_kappa" -> (CoreQueries.q277FleissKappa(_, _)),
+    "q278_anova_f" -> (CoreQueries.q278AnovaF(_, _)),
+    "q279_welch_t" -> (CoreQueries.q279WelchT(_, _)),
+    "q280_cvm_drift" -> (CoreQueries.q280CvmDrift(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -374,7 +378,11 @@ object SparkEntry {
     "q273_quantile_shift_bucketed" -> quantileShiftOracle,
     "q274_threshold_sweep_dist" -> thresholdSweepOracle,
     "q275_auc_from_store" -> oracleBase("q168_classifier_auc"),
-    "q276_quantile_shift_from_store" -> quantileShiftOracle)
+    "q276_quantile_shift_from_store" -> quantileShiftOracle,
+    "q277_fleiss_kappa" -> fleissKappaOracle,
+    "q278_anova_f" -> anovaOracle,
+    "q279_welch_t" -> welchTOracle,
+    "q280_cvm_drift" -> cvmOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1276,6 +1284,147 @@ object SparkEntry {
       |    round(dd * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 9)
       |  END AS g_hedges
       |FROM e""".stripMargin
+
+  /** q277 oracle: [[graft.operators.RankEval.fleissKappa]] replayed —
+    * the 3+partial-4th judge panel, per-(doc, label) counts, the m = 3
+    * completeness drop, exact A/B numerators, κ one division.
+    */
+  private lazy val fleissKappaOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, CAST(n_chars >= 256 AS VARCHAR) AS label FROM d
+      |  UNION ALL SELECT doc_id, CAST(toks >= 40 AS VARCHAR) FROM d
+      |  UNION ALL SELECT doc_id, CAST(doc_id % 2 = 0 AS VARCHAR) FROM d
+      |  UNION ALL SELECT doc_id, CAST(n_chars >= 512 AS VARCHAR) FROM d WHERE doc_id % 5 = 0),
+      |c AS (SELECT doc_id, label, CAST(count(*) AS HUGEINT) AS n
+      |  FROM r WHERE doc_id IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+      |u AS (SELECT doc_id, sum(n) AS mu, sum(n * n) AS sq FROM c GROUP BY 1),
+      |meta AS (SELECT CAST(sum(CASE WHEN mu = 3 THEN 0 ELSE 1 END) AS BIGINT) AS ninc FROM u),
+      |kept AS (SELECT * FROM u WHERE mu = 3),
+      |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+      |    coalesce(sum(sq), 0) AS sumsq FROM kept),
+      |mar AS (SELECT coalesce(sum(cv * cv), 0) AS b FROM (
+      |  SELECT c.label, sum(c.n) AS cv FROM c JOIN kept ON c.doc_id = kept.doc_id
+      |  GROUP BY 1)),
+      |k AS (SELECT n_units, sumsq - CAST(n_units AS HUGEINT) * 3 AS a,
+      |    CAST(n_units AS HUGEINT) * 6 AS d1,
+      |    CAST(n_units AS HUGEINT) * 3 * CAST(n_units AS HUGEINT) * 3 AS n2,
+      |    b, ninc
+      |  FROM obs CROSS JOIN mar CROSS JOIN meta)
+      |SELECT n_units, CAST(3 AS BIGINT) AS m, ninc AS n_incomplete,
+      |  CAST(a AS VARCHAR) AS p_num, CAST(b AS VARCHAR) AS pe_num,
+      |  CASE WHEN n_units > 0 THEN round(CAST(a AS DOUBLE) / CAST(d1 AS DOUBLE), 9) END AS p_obs,
+      |  CASE WHEN n_units > 0 THEN round(CAST(b AS DOUBLE) / CAST(n2 AS DOUBLE), 9) END AS p_exp,
+      |  CASE WHEN n_units > 0 AND n2 <> b THEN
+      |    round(CAST(a * n2 - b * d1 AS DOUBLE) / CAST(d1 * (n2 - b) AS DOUBLE), 9)
+      |  END AS kappa
+      |FROM k""".stripMargin
+
+  /** q278 oracle: [[graft.quality.Association.oneWayAnova]] replayed —
+    * exact per-group moments, DECIMAL deviations D = N·S_g − n_g·S and
+    * E = n_g·Q_g − S_g², nano between/within terms, F one fixed dag
+    * (the q250 Brown–Forsythe dag with z = x).
+    */
+  private lazy val anovaOracle: String =
+    """WITH d AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |ga AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+      |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+      |  FROM d GROUP BY 1),
+      |tot AS (SELECT *, sum(n_g) OVER () AS n, count(*) OVER () AS k,
+      |    sum(s) OVER () AS stot FROM ga),
+      |t9 AS (SELECT *,
+      |    CAST(round(CAST(CAST(n AS HUGEINT) * s - CAST(n_g AS HUGEINT) * stot AS DOUBLE) *
+      |      CAST(CAST(n AS HUGEINT) * s - CAST(n_g AS HUGEINT) * stot AS DOUBLE) /
+      |      (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e9) AS HUGEINT) AS b9,
+      |    CAST(round(CAST(CAST(n_g AS HUGEINT) * q - s * s AS DOUBLE) /
+      |      CAST(n_g AS DOUBLE) * 1e9) AS HUGEINT) AS w9
+      |  FROM tot),
+      |f AS (SELECT *, sum(b9) OVER () AS b9s, sum(w9) OVER () AS w9s FROM t9)
+      |SELECT grp, n_g, CAST(s AS VARCHAR) AS s, CAST(n AS BIGINT) AS n,
+      |  CAST(k AS BIGINT) AS k,
+      |  CASE WHEN k >= 2 AND n > k AND w9s > 0 THEN
+      |    round(CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE) *
+      |      (CAST(b9s AS DOUBLE) / CAST(w9s AS DOUBLE)), 9)
+      |  END AS f
+      |FROM f ORDER BY grp""".stripMargin
+
+  /** q279 oracle: [[graft.quality.Association.welchT]] replayed — the
+    * q271 moments/pivot CTEs, v_i/n_i fixed dags, t and the
+    * Welch–Satterthwaite df.
+    */
+  private lazy val welchTOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+      |ga AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+      |  FROM ev GROUP BY 1),
+      |lab AS (SELECT *, count(*) OVER () AS ngrps,
+      |    min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi FROM ga),
+      |wide AS (SELECT grp_lo, grp_hi, ngrps,
+      |    max(CASE WHEN grp = grp_lo THEN n END) AS n1,
+      |    max(CASE WHEN grp = grp_hi THEN n END) AS n2,
+      |    max(CASE WHEN grp = grp_lo THEN s END) AS s1,
+      |    max(CASE WHEN grp = grp_hi THEN s END) AS s2,
+      |    max(CASE WHEN grp = grp_lo THEN q END) AS q1,
+      |    max(CASE WHEN grp = grp_hi THEN q END) AS q2
+      |  FROM lab GROUP BY 1, 2, 3),
+      |f AS (SELECT *,
+      |    CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS v1,
+      |    CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS v2,
+      |    s1 * CAST(n2 AS HUGEINT) - s2 * CAST(n1 AS HUGEINT) AS dnum
+      |  FROM wide),
+      |e AS (SELECT *,
+      |    CAST(v1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+      |      (CAST(n1 AS DOUBLE) - 1.0)) AS se1,
+      |    CAST(v2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+      |      (CAST(n2 AS DOUBLE) - 1.0)) AS se2,
+      |    ngrps = 2 AND n1 >= 2 AND n2 >= 2 AND v1 + v2 > 0 AS ok
+      |  FROM f)
+      |SELECT grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN n1 END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN n2 END AS n_hi,
+      |  CASE WHEN ngrps = 2 THEN CAST(dnum AS VARCHAR) END AS diff_num,
+      |  CASE WHEN ngrps = 2 THEN CAST(v1 AS VARCHAR) END AS var_num_lo,
+      |  CASE WHEN ngrps = 2 THEN CAST(v2 AS VARCHAR) END AS var_num_hi,
+      |  CASE WHEN ok THEN
+      |    round(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+      |      sqrt(se1 + se2), 9) END AS t,
+      |  CASE WHEN ok THEN
+      |    round((se1 + se2) * (se1 + se2) /
+      |      (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
+      |       se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 9) END AS df
+      |FROM e""".stripMargin
+
+  /** q280 oracle: [[graft.quality.Profiler.cvmFromHistograms]] replayed
+    * — the q101 bucket CTEs with the SIGNED cross-multiplied gap and
+    * the per-bucket combined mass.
+    */
+  private lazy val cvmOracle: String =
+    """WITH b AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+      |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+      |  FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+      |c AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+      |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+      |  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+      |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+      |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+      |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+      |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+      |k AS (SELECT bucket, n_base, n_cur,
+      |    CAST(sum(n_base) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_base,
+      |    CAST(sum(n_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur,
+      |    CAST(sum(n_base) OVER () AS BIGINT) AS tot_base,
+      |    CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur
+      |  FROM j)
+      |SELECT bucket, n_base, n_cur, cum_base, cum_cur,
+      |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
+      |    n_base + n_cur AS cell_tot
+      |FROM k ORDER BY bucket""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

@@ -463,6 +463,82 @@ object RankEval {
       .select("n_units", "n_pairable", "obs9", "de_num", "d_obs", "d_exp", "alpha")
   }
 
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement of a FIXED
+    * panel of m raters over n units with categorical labels — the
+    * missing member between [[cohenKappa]] (exactly two raters) and
+    * [[krippendorffAlpha]] (any raggedness): the "did our m judges
+    * agree beyond base rates" read when every unit is rated exactly m
+    * times. Rater identity is irrelevant (only each unit's label
+    * multiset enters — the α rule). With per-(unit, label) counts
+    * n_uv, category margins c_v = Σ_u n_uv and N = n·m:
+    *
+    *   P̄  = (Σ_u Σ_v n_uv² − N) / (n·m(m−1))      (observed agreement)
+    *   P̄e = Σ_v c_v² / N²                          (chance agreement)
+    *   κ  = (P̄ − P̄e)/(1 − P̄e)
+    *      = (A·N² − B·D₁) / (D₁·(N² − B))          (one division)
+    *
+    * with A = Σn_uv² − N and B = Σc_v² EXACT DECIMAL integers and
+    * D₁ = n·m(m−1) — κ is integer-over-integer, bit-identical on any
+    * engine, gated by hash. Units rated ≠ m times drop WHOLE into
+    * `n_incomplete` (flag, never guess — the Friedman/Cronbach
+    * completeness rule; Fleiss' own fixed-m requirement); margins count
+    * kept units only. NULL κ when N² = B (all mass on one category — no
+    * chance correction) or no units survive. SCALE: (unit, label)
+    * counts map-side combine; everything after is unit- or
+    * label-cardinality bookkeeping + broadcast 1-row crosses (the
+    * in-dag probe discipline — no driver count jobs). One row out:
+    * n_units, m, n_incomplete, p_num/pe_num digit strings, p_obs,
+    * p_exp, kappa.
+    */
+  def fleissKappa(
+      ratings: DataFrame,
+      unitCol: String,
+      labelCol: String,
+      m: Int
+  ): DataFrame = {
+    require(m >= 2, s"fleissKappa needs m >= 2 raters per unit: $m")
+    val dec = "decimal(38,0)"
+    val cells = ratings
+      .filter(col(unitCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(labelCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val units = cells.groupBy("__u")
+      .agg(sum("__n").as("__mu"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__sq"))
+    val meta = units.agg(
+      coalesce(sum(when(col("__mu") === m.toLong, 0L).otherwise(1L)), lit(0L))
+        .as("__ninc"))
+    val keptUnits = units.filter(col("__mu") === m.toLong)
+    val obs = keptUnits.agg(
+      count(lit(1)).as("n_units"),
+      coalesce(sum("__sq"), lit(0L).cast(dec)).as("__sumsq"))
+    val margins = cells
+      .join(keptUnits.select("__u"), Seq("__u"), "left_semi")
+      .groupBy("__v").agg(sum("__n").as("__cv"))
+      .agg(coalesce(sum(col("__cv").cast(dec) * col("__cv").cast(dec)),
+        lit(0L).cast(dec)).as("__b"))
+    val nU = col("n_units").cast(dec)
+    val bigN = nU * m.toLong // N = n·m
+    val a = col("__sumsq") - bigN
+    val d1 = nU * (m.toLong * (m.toLong - 1L))
+    val n2 = bigN * bigN
+    obs.crossJoin(broadcast(margins)).crossJoin(broadcast(meta))
+      .withColumn("m", lit(m.toLong))
+      .withColumn("n_incomplete", col("__ninc"))
+      .withColumn("p_num", a.cast("string"))
+      .withColumn("pe_num", col("__b").cast("string"))
+      .withColumn("p_obs",
+        when(col("n_units") > 0L, a.cast("double") / d1.cast("double")))
+      .withColumn("p_exp",
+        when(col("n_units") > 0L, col("__b").cast("double") / n2.cast("double")))
+      .withColumn("kappa",
+        when(col("n_units") > 0L && n2 =!= col("__b"),
+          (a * n2 - col("__b") * d1).cast("double") /
+            (d1 * (n2 - col("__b"))).cast("double")))
+      .select("n_units", "m", "n_incomplete", "p_num", "pe_num",
+        "p_obs", "p_exp", "kappa")
+  }
+
   def confusion(
       predictions: DataFrame,
       labels: DataFrame,

@@ -1170,6 +1170,140 @@ object Association {
         col("g_hedges"): _*)
   }
 
+  /** One-way ANOVA F (Fisher 1925): do k groups share a MEAN — the
+    * parametric companion of [[kruskalWallis]] (KW reads rank location,
+    * F reads mean location under the equal-variance normal model; a
+    * heavy-tailed corpus can move one and not the other — run both,
+    * the d/δ pairing rule) and the location sibling of
+    * [[brownForsythe]]'s scale test, whose exact dag this reuses with
+    * z = x instead of |x − med| (no median pass needed):
+    *
+    *   F = (N−k)/(k−1) · Σ_g n_g(x̄_g − x̄)² / Σ_g Σ_i (x_gi − x̄_g)²
+    *
+    * Determinism (the KW/BF discipline): values cast long
+    * (integer-units contract) so S_g = Σx and Q_g = Σx² are exact; the
+    * between deviation D_g = N·S_g − n_g·S and the within numerator
+    * E_g = n_g·Q_g − S_g² are DECIMAL integer differences (the
+    * deviations are exact; the nano terms round(1e9·D_g²/(n_g·N²)) /
+    * round(1e9·E_g/n_g) pass through double — the BF terms-rounded
+    * split), summed order-free; F is one fixed dag over the two sums,
+    * gated at 9 decimals. NULL when k < 2, N ≤ k, or the within sum
+    * is 0. NULL group labels / values dropped.
+    *
+    * SCALE: ONE moments aggregation (map-side partial) + group-
+    * cardinality bookkeeping windows. Emits one row per (keys, grp):
+    * n_g, s digit string, with N, k and F replicated (the BF surface).
+    */
+  def oneWayAnova(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val vD = col(valueCol).cast("long").cast(dec)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("n_g"),
+        sum(vD).as("__s"),
+        sum(vD * vD).as("__q"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = grpAgg
+      .withColumn("n", sum("n_g").over(wKey))
+      .withColumn("k", count(lit(1)).over(wKey))
+      .withColumn("__stot", sum("__s").over(wKey))
+    val nD = col("n").cast(dec)
+    val bigD = nD * col("__s") - col("n_g").cast(dec) * col("__stot")
+    val bigE = col("n_g").cast(dec) * col("__q") - col("__s") * col("__s")
+    val b9 = round(bigD.cast("double") * bigD.cast("double") /
+      (col("n_g").cast("double") * col("n").cast("double") * col("n").cast("double")) *
+      1e9d).cast(dec)
+    val w9 = round(bigE.cast("double") / col("n_g").cast("double") * 1e9d).cast(dec)
+    val sums = tot
+      .withColumn("__b9s", sum(b9).over(wKey))
+      .withColumn("__w9s", sum(w9).over(wKey))
+    sums
+      .withColumn("f",
+        when(col("k") >= 2L && col("n") > col("k") && col("__w9s") > 0L,
+          (col("n") - col("k")).cast("double") / (col("k") - 1L).cast("double") *
+            (col("__b9s").cast("double") / col("__w9s").cast("double"))))
+      .select(g :+ col("grp") :+ col("n_g") :+
+        col("__s").cast("string").as("s") :+
+        col("n") :+ col("k") :+ col("f"): _*)
+  }
+
+  /** Welch's t (Welch 1947): the two-group mean test that does NOT
+    * assume equal variances — the inference companion of [[cohensD]]
+    * (d sizes the gap, t/df test it) and the parametric sibling of
+    * [[mannWhitney]]'s rank test, sharing both their conventions
+    * (values cast long; >2 groups flagged via n_groups with NULL
+    * statistics; lo = smaller label):
+    *
+    *   t  = (x̄₁ − x̄₂) / √(v₁/n₁ + v₂/n₂),  v_i = V_i/(n_i(n_i−1))
+    *   df = (v₁/n₁ + v₂/n₂)² / ((v₁/n₁)²/(n₁−1) + (v₂/n₂)²/(n₂−1))
+    *
+    * with V_i = n_i·Σx² − (Σx)² the EXACT DECIMAL variance numerators
+    * and the mean difference the exact cross product S₁n₂ − S₂n₁ over
+    * n₁n₂ (no float mean subtraction); t and the Welch–Satterthwaite
+    * df are fixed dags at 9dp. NULL when either n_i < 2 or both
+    * variances are 0. SCALE: one moments aggregation + the 2-label
+    * pivot (the cohensD shape).
+    */
+  def welchT(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val vD = col(valueCol).cast("long").cast(dec)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__n"), sum(vD).as("__s"), sum(vD * vD).as("__q"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_lo"), col("__s"))).as("__s1"),
+        max(when(col("grp") === col("grp_hi"), col("__s"))).as("__s2"),
+        max(when(col("grp") === col("grp_lo"), col("__q"))).as("__q1"),
+        max(when(col("grp") === col("grp_hi"), col("__q"))).as("__q2"))
+    val n1D = col("__n1").cast(dec); val n2D = col("__n2").cast(dec)
+    val v1 = n1D * col("__q1") - col("__s1") * col("__s1")
+    val v2 = n2D * col("__q2") - col("__s2") * col("__s2")
+    val diffNum = col("__s1") * n2D - col("__s2") * n1D
+    val two = col("__ngrps") === 2L
+    // v_i/n_i = V_i / (n_i²(n_i−1)) — each a fixed dag over exact pieces
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val se1 = v1.cast("double") / (n1 * n1 * (n1 - 1d))
+    val se2 = v2.cast("double") / (n2 * n2 * (n2 - 1d))
+    val se = se1 + se2
+    val tStat = diffNum.cast("double") / (n1 * n2) / sqrt(se)
+    val dfWs = se * se / (se1 * se1 / (n1 - 1d) + se2 * se2 / (n2 - 1d))
+    val ok = two && col("__n1") >= 2L && col("__n2") >= 2L && (v1 + v2) > 0L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("diff_num", when(two, diffNum.cast("string")))
+      .withColumn("var_num_lo", when(two, v1.cast("string")))
+      .withColumn("var_num_hi", when(two, v2.cast("string")))
+      .withColumn("t", when(ok, tStat))
+      .withColumn("df", when(ok, dfWs))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("diff_num") :+
+        col("var_num_lo") :+ col("var_num_hi") :+ col("t") :+ col("df"): _*)
+  }
+
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
     * — the "new curation filter vs old, on the SAME documents" A/B that
     * [[twoProportion]] (independent groups) gets wrong on paired data:

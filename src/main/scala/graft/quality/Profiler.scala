@@ -977,6 +977,84 @@ object Profiler {
     else num.doubleValue() / (r.getLong(1).toDouble * r.getLong(2).toDouble)
   }
 
+  /** Binned two-sample Cramér–von Mises drift, INTEGER-EXACT — the
+    * INTEGRATED CDF gap beside [[ksDriftFromHistograms]]'s MAX gap: KS
+    * sees the single worst crossing and is blind to a distribution that
+    * is slightly off EVERYWHERE; CvM weights every bucket boundary by
+    * its combined mass,
+    *
+    *   T = Σ_b (n_b+m_b)·(F_base(b) − F_cur(b))² · B·C/N²
+    *     = Σ_b (n_b+m_b)·gap_b² / (N²·B·C),
+    *   gap_b = cum_base·C − cum_cur·B
+    *
+    * Per bucket this emits the EXACT DECIMAL cross-multiplied gap
+    * `gap_num = cum_base·C − cum_cur·B` plus `cell_tot = n_b+m_b` (the
+    * ksDrift/chiSquareDrift discipline: no division, no floats in the
+    * gated frame; the SQUARE is deliberately NOT materialized — gap² at
+    * 100 TB counts overflows even DECIMAL(38,0), the chi_num lesson
+    * inverted). [[cvmStat]] folds the frame to T driver-side with the
+    * per-bucket square-and-divide in double and a bucket-order sum —
+    * deterministic, bucket-cardinality work (the chiSquareStat shape).
+    * Same inputs as the KS fold — two (bucket, cnt) histograms,
+    * mergeable via [[mergeBucketCounts]], so the standing drift store
+    * answers both statistics from one state. Binned T lower-bounds the
+    * unbinned statistic with bucket-width resolution.
+    */
+  def cvmFromHistograms(baseHist: DataFrame, curHist: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hb = baseHist.select(col("bucket"), col("cnt").as("n_base"))
+    val hc = curHist.select(col("bucket"), col("cnt").as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ≤ nBuckets+2-row frame — the ksDriftFromHistograms reading
+    val upto = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hb.join(hc, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("cum_base", sum("n_base").over(upto))
+      .withColumn("cum_cur", sum("n_cur").over(upto))
+      .withColumn("gap_num",
+        col("cum_base").cast(dec) * sum("n_cur").over(all).cast(dec) -
+          col("cum_cur").cast(dec) * sum("n_base").over(all).cast(dec))
+      .withColumn("cell_tot", col("n_base") + col("n_cur"))
+      .select("bucket", "n_base", "n_cur", "cum_base", "cum_cur",
+        "gap_num", "cell_tot")
+  }
+
+  /** [[cvmFromHistograms]] over raw snapshots, same equi-width binning
+    * as [[ksDrift]]. */
+  def cvmDrift(
+      base: DataFrame,
+      cur: DataFrame,
+      column: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int
+  ): DataFrame =
+    cvmFromHistograms(
+      histogram(base, column, lo, hi, nBuckets).select(col("bucket"), col("cnt")),
+      histogram(cur, column, lo, hi, nBuckets).select(col("bucket"), col("cnt")))
+
+  /** The scalar T from a [[cvmFromHistograms]] frame: per bucket
+    * cell_tot·(gap_num/(B·C))², summed in bucket order driver-side
+    * (deterministic — the [[chiSquareStat]] fold), scaled by B·C/N².
+    * Large-sample reading (two-sided, α = 0.05): T > 0.461 rejects
+    * "same distribution" (Anderson 1962's limiting ω² table).
+    */
+  def cvmStat(cvm: DataFrame): Double = {
+    val rows = cvm.select("bucket", "gap_num", "cell_tot", "n_base", "n_cur")
+      .collect().sortBy(_.getLong(0))
+    if (rows.isEmpty) return 0.0
+    val b = rows.map(_.getLong(3)).sum.toDouble
+    val c = rows.map(_.getLong(4)).sum.toDouble
+    if (b == 0d || c == 0d) return 0.0
+    val n = b + c
+    var acc = 0.0
+    for (r <- rows) {
+      val gapFrac = r.getDecimal(1).doubleValue() / (b * c)
+      acc += r.getLong(2).toDouble * gapFrac * gapFrac
+    }
+    acc * b * c / (n * n)
+  }
+
   /** Metric drift between two profile snapshots (e.g. yesterday's load vs
     * today's) — the monitoring half of profiling: a profile is only useful
     * when something compares it against the last one. Numeric metrics get

@@ -2387,6 +2387,83 @@ object CoreQueries {
         round(col("g_hedges"), 9).as("g_hedges"))
   }
 
+  /** Fleiss-kappa gate: a FIXED three-judge panel (char-length,
+    * word-count, doc-id-parity gates) over every document, m = 3 — plus
+    * a partial fourth judge on every 5th doc, so those units carry 4
+    * ratings and drop WHOLE into n_incomplete (the fixed-m flag). Exact
+    * DECIMAL agreement/margin numerators, κ one integer-over-integer
+    * division.
+    */
+  def q277FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars", "text")
+    val j1 = d.select(col("doc_id"),
+      (col("n_chars") >= 256L).cast("string").as("label"))
+    val j2 = d.select(col("doc_id"),
+      (size(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")) >= 40)
+        .cast("string").as("label"))
+    val j3 = d.select(col("doc_id"), (col("doc_id") % 2 === 0).cast("string").as("label"))
+    val j4 = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), (col("n_chars") >= 512L).cast("string").as("label"))
+    RankEval.fleissKappa(j1.unionAll(j2).unionAll(j3).unionAll(j4), "doc_id", "label", m = 3)
+      .select(col("n_units"), col("m"), col("n_incomplete"),
+        col("p_num"), col("pe_num"),
+        round(col("p_obs"), 9).as("p_obs"),
+        round(col("p_exp"), 9).as("p_exp"),
+        round(col("kappa"), 9).as("kappa"))
+  }
+
+  /** One-way ANOVA gate: do event types share a MEAN of milli-values —
+    * the parametric location companion of q215's Kruskal–Wallis and
+    * q250's Brown–Forsythe scale test (same exact-moments dag with
+    * z = x, no median pass); exact DECIMAL deviations, nano
+    * between/within terms, F one fixed dag.
+    */
+  def q278AnovaF(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 1000).cast("long").as("v_m"))
+    Association.oneWayAnova(ev, Nil, "event_type", "v_m")
+      .select(col("grp"), col("n_g"), col("s"), col("n"), col("k"),
+        round(col("f"), 9).as("f"))
+      .orderBy("grp")
+  }
+
+  /** Welch-t gate: click vs view milli-values under unequal variances —
+    * the inference companion of q271's Cohen's d (same exact moments,
+    * same 2-label pivot); t and the Welch–Satterthwaite df fixed dags.
+    */
+  def q279WelchT(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 1000).cast("long").as("v_m"))
+    Association.welchT(ev, Nil, "event_type", "v_m")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("diff_num"), col("var_num_lo"), col("var_num_hi"),
+        round(col("t"), 9).as("t"),
+        round(col("df"), 9).as("df"))
+  }
+
+  /** Binned Cramér–von Mises gate: the INTEGRATED CDF gap on the q101
+    * histogram shape (even vs odd users' event values) — per bucket the
+    * exact cross-multiplied gap and combined mass; KS's max-gap blind
+    * spot (everywhere-slightly-off drift) covered by the same standing
+    * histogram store.
+    */
+  def q280CvmDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "value")
+    Profiler.cvmDrift(
+      base = ev.filter(col("user_id") % 2 === 0),
+      cur = ev.filter(col("user_id") % 2 === 1),
+      column = "value", lo = 0.0, hi = 100.0, nBuckets = 10)
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        col("cum_base"), col("cum_cur"),
+        col("gap_num").cast("long").as("gap_num"), col("cell_tot"))
+      .orderBy("bucket")
+  }
+
   /** Waterfilling gate: a 120-doc budget per language across sources —
     * the exact integer cap (heavy sources capped, light ones whole) and
     * each source's allocation.

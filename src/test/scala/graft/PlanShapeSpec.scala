@@ -625,7 +625,22 @@ class PlanShapeSpec extends SparkSpec {
     // merges; both windows run over the value-cardinality cell frame —
     // row count never enters a sort
     Shape("q276_quantile_shift_from_store", maxHash = 18, maxRange = 3,
-      forbidUdf = true)
+      forbidUdf = true),
+    // Fleiss kappa: (unit, label) count agg + unit/margin bookkeeping +
+    // broadcast 1-row meta crosses (in-dag probes, the q269 discipline —
+    // plan-string duplication, runtime ReusedExchange)
+    Shape("q277_fleiss_kappa", maxHash = 22, maxRange = 7,
+      minBroadcastJoin = 2, forbidUdf = true),
+    // one-way ANOVA: ONE moments aggregation + group-cardinality
+    // bookkeeping windows — the BF dag without the median pass
+    Shape("q278_anova_f", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Welch t: ONE moments agg + the 2-label pivot bookkeeping
+    Shape("q279_welch_t", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // CvM: two grouped narrow scans + the full-outer bucket join on
+    // <= nBuckets+2-row frames (SMJ allowed there — the q232 reading)
+    Shape("q280_cvm_drift", maxHash = 4, maxRange = 3, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

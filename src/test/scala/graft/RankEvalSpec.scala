@@ -270,4 +270,30 @@ class RankEvalSpec extends SparkSpec {
     val om = RankEval.krippendorffAlpha(mono, "u", "l").collect()(0)
     assert(om.isNullAt(om.fieldIndex("alpha")))
   }
+
+  test("fleissKappa: hand golden 1/3, perfect = 1, incomplete units drop, one-label NULL") {
+    // u1 {a,a}, u2 {a,b}, u3 {b,b} at m=2: A = 10-6 = 4, P = 2/3;
+    // margins 3/3 -> B = 18, Pe = 1/2; kappa = (2/3 - 1/2)/(1/2) = 1/3
+    val d = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (3L, "b"))
+      .toDF("u", "l")
+    val r = RankEval.fleissKappa(d, "u", "l", m = 2).collect()(0)
+    assert(r.getAs[Long]("n_units") == 3L && r.getAs[Long]("m") == 2L)
+    assert(r.getAs[String]("p_num") == "4" && r.getAs[String]("pe_num") == "18")
+    assert(math.abs(r.getAs[Double]("kappa") - 1d / 3d) < 1e-12)
+    // incomplete units (1 and 3 ratings) drop whole and are flagged;
+    // the kept statistic is unchanged
+    val ragged = d.unionAll(Seq((4L, "a"), (5L, "a"), (5L, "b"), (5L, "b"))
+      .toDF("u", "l"))
+    val rr = RankEval.fleissKappa(ragged, "u", "l", m = 2).collect()(0)
+    assert(rr.getAs[Long]("n_units") == 3L && rr.getAs[Long]("n_incomplete") == 2L)
+    assert(math.abs(rr.getAs[Double]("kappa") - 1d / 3d) < 1e-12)
+    // perfect agreement = exactly 1
+    val perf = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("u", "l")
+    assert(RankEval.fleissKappa(perf, "u", "l", m = 2)
+      .collect()(0).getAs[Double]("kappa") == 1d)
+    // one label total: no chance correction -> NULL
+    val one = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")).toDF("u", "l")
+    val or = RankEval.fleissKappa(one, "u", "l", m = 2).collect()(0)
+    assert(or.isNullAt(or.fieldIndex("kappa")))
+  }
 }

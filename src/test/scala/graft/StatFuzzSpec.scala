@@ -671,6 +671,112 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- One-way ANOVA ----------------------------------------------------------------
+
+  test("fuzz: one-way ANOVA F vs the SSB/SSW decomposition") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("anova", t)
+      val k = 2 + r.nextInt(4)
+      val data = (0 until 20 + r.nextInt(60)).map(_ =>
+        ("g" + r.nextInt(k), (r.nextInt(25) - 5).toLong))
+      val groups = data.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+      val n = data.size
+      val grand = data.map(_._2).sum.toDouble / n
+      val ssb = groups.values.map { g =>
+        val m = g.sum / g.size; g.size * (m - grand) * (m - grand)
+      }.sum
+      val ssw = groups.values.map { g =>
+        val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum
+      }.sum
+      val fNaive =
+        if (groups.size >= 2 && n > groups.size && ssw > 0)
+          Some((ssb / (groups.size - 1)) / (ssw / (n - groups.size)))
+        else None
+      val row = Association.oneWayAnova(data.toDF("g", "v"), Nil, "g", "v")
+        .collect()(0)
+      approxOpt(optDouble(row, "f"), fNaive, s"anova F trial $t")
+    }
+  }
+
+  // --- Welch's t --------------------------------------------------------------------
+
+  test("fuzz: Welch t and Welch-Satterthwaite df vs the unequal-variance formulas") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("welch", t)
+      val lo = (0 until 5 + r.nextInt(40)).map(_ => r.nextInt(30).toLong)
+      val hi = (0 until 5 + r.nextInt(40)).map(_ => (r.nextInt(50) - 5).toLong)
+      def varS(xs: Seq[Long]): Double = {
+        val m = xs.sum.toDouble / xs.size
+        xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+      }
+      val (se1, se2) = (varS(lo) / lo.size, varS(hi) / hi.size)
+      val se = se1 + se2
+      val (tNaive, dfNaive) =
+        if (se > 0)
+          (Some((lo.sum.toDouble / lo.size - hi.sum.toDouble / hi.size) / math.sqrt(se)),
+            Some(se * se / (se1 * se1 / (lo.size - 1) + se2 * se2 / (hi.size - 1))))
+        else (None, None)
+      val df = (lo.map(("A", _)) ++ hi.map(("B", _))).toDF("g", "v")
+      val row = Association.welchT(df, Nil, "g", "v").collect()(0)
+      approxOpt(optDouble(row, "t"), tNaive, s"welch t trial $t")
+      approxOpt(optDouble(row, "df"), dfNaive, s"welch df trial $t")
+    }
+  }
+
+  // --- Fleiss' kappa ----------------------------------------------------------------
+
+  test("fuzz: Fleiss kappa vs the per-unit P_i mean formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("fleiss", t)
+      val m = 2 + r.nextInt(4)
+      val cats = 2 + r.nextInt(3)
+      val n = 8 + r.nextInt(30)
+      val ratings = (0 until n).flatMap(u =>
+        (0 until m).map(_ => (u.toLong, "c" + r.nextInt(cats))))
+      val byUnit = ratings.groupBy(_._1).values.toSeq
+        .map(_.groupBy(_._2).view.mapValues(_.size).toMap)
+      val pBar = byUnit.map(cnt =>
+        (cnt.values.map(x => x * x).sum - m).toDouble / (m * (m - 1))).sum / n
+      val margins = ratings.groupBy(_._2).view.mapValues(_.size.toDouble / (n * m))
+      val pe = margins.values.map(p => p * p).sum
+      val kNaive = if (pe < 1d) Some((pBar - pe) / (1d - pe)) else None
+      val row = RankEval.fleissKappa(ratings.toDF("u", "l"), "u", "l", m)
+        .collect()(0)
+      assert(row.getAs[Long]("n_units") === n.toLong, s"fleiss n trial $t")
+      approxOpt(optDouble(row, "kappa"), kNaive, s"fleiss kappa trial $t")
+    }
+  }
+
+  // --- Cramér–von Mises -------------------------------------------------------------
+
+  test("fuzz: binned CvM T vs the mass-weighted squared-CDF-gap loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("cvm", t)
+      val nb = 4 + r.nextInt(8)
+      def hist() = (0 until nb).flatMap { b =>
+        val c = r.nextInt(9).toLong
+        if (c > 0) Some((b.toLong, c)) else None
+      } match { case h if h.nonEmpty => h; case _ => Seq((0L, 1L)) }
+      val hb = hist(); val hc = hist()
+      val tb = hb.map(_._2).sum.toDouble; val tc = hc.map(_._2).sum.toDouble
+      val nTot = tb + tc
+      val mb = hb.toMap; val mc = hc.toMap
+      val buckets = (hb.map(_._1) ++ hc.map(_._1)).distinct.sorted
+      var cb = 0L; var cc = 0L
+      val tNaive = buckets.map { b =>
+        val (nbk, nck) = (mb.getOrElse(b, 0L), mc.getOrElse(b, 0L))
+        cb += nbk; cc += nck
+        val gap = cb / tb - cc / tc
+        (nbk + nck) * gap * gap
+      }.sum * tb * tc / (nTot * nTot)
+      val tGraft = Profiler.cvmStat(Profiler.cvmFromHistograms(
+        hb.toDF("bucket", "cnt"), hc.toDF("bucket", "cnt")))
+      approx(tGraft, tNaive, s"cvm T trial $t")
+    }
+  }
+
   // --- Trimmed mean -----------------------------------------------------------------
 
   test("fuzz: trimmed mean vs the sort-drop-average loop") {

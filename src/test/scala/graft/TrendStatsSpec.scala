@@ -732,6 +732,80 @@ class TrendStatsSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("w")))
   }
 
+  // --- One-way ANOVA -----------------------------------------------------------------
+
+  test("oneWayAnova: hand golden F = 13.5, identical groups 0, degenerates NULL") {
+    import graft.quality.Association
+    // A = [1,2,3], B = [4,5,6]: SSB = 13.5, SSW = 4,
+    // F = (6-2)/(2-1) * 13.5/4 = 13.5
+    val d = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(4L, 5L, 6L).map(("B", _)))
+      .toDF("g", "v")
+    val out = Association.oneWayAnova(d, Nil, "g", "v").orderBy("grp").collect()
+    assert(out.map(_.getAs[String]("grp")).toSeq === Seq("A", "B"))
+    assert(out(0).getAs[String]("s") === "6" && out(1).getAs[String]("s") === "15")
+    assert(out.forall(r => r.getAs[Long]("n") === 6L && r.getAs[Long]("k") === 2L))
+    assert(math.abs(out(0).getAs[Double]("f") - 13.5) < 1e-8)
+    // identical groups: between sum exactly 0 -> F = 0
+    val same = (Seq(1L, 2L, 9L).map(("A", _)) ++ Seq(1L, 2L, 9L).map(("B", _)))
+      .toDF("g", "v")
+    assert(Association.oneWayAnova(same, Nil, "g", "v")
+      .collect()(0).getAs[Double]("f") === 0.0)
+    // one group (k < 2) and zero-within (constant groups) -> NULL
+    val one = Seq(("A", 1L), ("A", 5L)).toDF("g", "v")
+    val r1 = Association.oneWayAnova(one, Nil, "g", "v").collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("f")))
+    val const = Seq(("A", 2L), ("A", 2L), ("B", 7L), ("B", 7L)).toDF("g", "v")
+    val rc = Association.oneWayAnova(const, Nil, "g", "v").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("f")))
+  }
+
+  // --- Welch's t ---------------------------------------------------------------------
+
+  test("welchT: hand golden t/df, 3-group flag, tiny-side NULL") {
+    import graft.quality.Association
+    // lo = [1,2,3] (var 1), hi = [2,4,6,8] (var 20/3):
+    // se = 1/3 + 5/3 = 2, t = -3/sqrt(2), df = 4/(1/18 + 25/27)
+    val d = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 4L, 6L, 8L).map(("b", _)))
+      .toDF("g", "v")
+    val r = Association.welchT(d, Nil, "g", "v").collect()(0)
+    assert(r.getAs[String]("grp_lo") === "a" && r.getAs[String]("grp_hi") === "b")
+    assert(r.getAs[Long]("n_lo") === 3L && r.getAs[Long]("n_hi") === 4L)
+    assert(r.getAs[String]("var_num_lo") === "6" && r.getAs[String]("var_num_hi") === "80")
+    assert(math.abs(r.getAs[Double]("t") - (-3d / math.sqrt(2d))) < 1e-10)
+    assert(math.abs(r.getAs[Double]("df") - 4d / (1d / 18d + 25d / 27d)) < 1e-10)
+    // >2 groups: flagged, statistics NULL (the mannWhitney pivot rule)
+    val three = d.unionAll(Seq(("c", 9L)).toDF("g", "v"))
+    val r3 = Association.welchT(three, Nil, "g", "v").collect()(0)
+    assert(r3.getAs[Long]("n_groups") === 3L && r3.isNullAt(r3.fieldIndex("t")))
+    // a 1-observation side has no variance estimate -> NULL
+    val tiny = Seq(("a", 1L), ("b", 4L), ("b", 6L)).toDF("g", "v")
+    val rt = Association.welchT(tiny, Nil, "g", "v").collect()(0)
+    assert(rt.isNullAt(rt.fieldIndex("t")))
+  }
+
+  // --- Cramér–von Mises --------------------------------------------------------------
+
+  test("cvm: hand golden T, identical histograms exactly 0, gap sign preserved") {
+    import graft.quality.Profiler
+    // base {b0: 2}, cur {b0: 1, b1: 1}: gap(b0) = 2*2 - 1*2 = 2,
+    // gap(b1) = 0; T = [3*(2/4)^2] * 4/16 = 0.1875
+    val hb = Seq((0L, 2L)).toDF("bucket", "cnt")
+    val hc = Seq((0L, 1L), (1L, 1L)).toDF("bucket", "cnt")
+    val frame = Profiler.cvmFromHistograms(hb, hc).orderBy("bucket").collect()
+    assert(frame(0).getDecimal(5).longValueExact() === 2L)
+    assert(frame(0).getAs[Long]("cell_tot") === 3L)
+    assert(frame(1).getDecimal(5).longValueExact() === 0L)
+    assert(Profiler.cvmStat(Profiler.cvmFromHistograms(hb, hc)) === 0.1875)
+    // identical histograms: every gap integer-exact 0, T = 0
+    val same = Seq((0L, 3L), (1L, 2L), (5L, 4L)).toDF("bucket", "cnt")
+    val id = Profiler.cvmFromHistograms(same, same).collect()
+    assert(id.forall(_.getDecimal(5).signum == 0))
+    assert(Profiler.cvmStat(Profiler.cvmFromHistograms(same, same)) === 0.0)
+    // the gap is SIGNED (unlike ks_num): flipping sides flips the sign
+    val flipped = Profiler.cvmFromHistograms(hc, hb).orderBy("bucket").collect()
+    assert(flipped(0).getDecimal(5).longValueExact() === -2L)
+  }
+
   // --- Friedman ----------------------------------------------------------------------
 
   test("friedman: textbook golden, incomplete-block drop, all-tied NULL") {
