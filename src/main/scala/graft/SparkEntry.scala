@@ -290,7 +290,8 @@ object SparkEntry {
     "q277_fleiss_kappa" -> (CoreQueries.q277FleissKappa(_, _)),
     "q278_anova_f" -> (CoreQueries.q278AnovaF(_, _)),
     "q279_welch_t" -> (CoreQueries.q279WelchT(_, _)),
-    "q280_cvm_drift" -> (CoreQueries.q280CvmDrift(_, _))
+    "q280_cvm_drift" -> (CoreQueries.q280CvmDrift(_, _)),
+    "q281_weighted_median_from_store" -> (CoreQueries.q281WeightedMedianFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -382,7 +383,8 @@ object SparkEntry {
     "q277_fleiss_kappa" -> fleissKappaOracle,
     "q278_anova_f" -> anovaOracle,
     "q279_welch_t" -> welchTOracle,
-    "q280_cvm_drift" -> cvmOracle)
+    "q280_cvm_drift" -> cvmOracle,
+    "q281_weighted_median_from_store" -> weightedMedianOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

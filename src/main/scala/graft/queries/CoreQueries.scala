@@ -2285,6 +2285,27 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Weighted-median from-STORE gate: the q264 weight cells folded in
+    * three disjoint batches through [[graft.operators.Quantiles
+    * .mergeValueCells]] (the valueCellsStream state), read by
+    * [[graft.operators.Quantiles.weightedMedianFromCells]] — q264's
+    * oracle verbatim; the location read of the value-cell store family
+    * (q276 gates its shift read).
+    */
+  def q281WeightedMedianFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+      floor(col("l_extendedprice")).cast("long").as("w"))
+    def batch(i: Int) = Quantiles.valueCells(
+      li.filter(col("l_orderkey") % 3 === i), Seq("l_returnflag"), "qty", Some("w"))
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Quantiles.mergeValueCells(acc, batch(i), Seq("l_returnflag")))
+    Quantiles.weightedMedianFromCells(folded, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("total_w"), col("med_rank"), col("median"))
+      .orderBy("l_returnflag")
+  }
+
   /** Neyman-allocation gate: 200 eval slots across languages ∝ N_h·σ_h
     * of document length — exact DECIMAL variance numerators, the
     * micro-scaled √ weight, Hamilton seats summing to the budget.
