@@ -291,7 +291,10 @@ object SparkEntry {
     "q278_anova_f" -> (CoreQueries.q278AnovaF(_, _)),
     "q279_welch_t" -> (CoreQueries.q279WelchT(_, _)),
     "q280_cvm_drift" -> (CoreQueries.q280CvmDrift(_, _)),
-    "q281_weighted_median_from_store" -> (CoreQueries.q281WeightedMedianFromStore(_, _))
+    "q281_weighted_median_from_store" -> (CoreQueries.q281WeightedMedianFromStore(_, _)),
+    "q282_cvm_from_store" -> (CoreQueries.q282CvmFromStore(_, _)),
+    "q283_holm_fwer" -> (CoreQueries.q283HolmFwer(_, _)),
+    "q284_g_test_drift" -> (CoreQueries.q284GTestDrift(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -384,7 +387,10 @@ object SparkEntry {
     "q278_anova_f" -> anovaOracle,
     "q279_welch_t" -> welchTOracle,
     "q280_cvm_drift" -> cvmOracle,
-    "q281_weighted_median_from_store" -> weightedMedianOracle)
+    "q281_weighted_median_from_store" -> weightedMedianOracle,
+    "q282_cvm_from_store" -> cvmOracle,
+    "q283_holm_fwer" -> holmOracle,
+    "q284_g_test_drift" -> gTestOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1427,6 +1433,59 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q283 oracle: [[graft.quality.MultipleTesting.holmBonferroni]]
+    * replayed — the q251 md5-uniform battery, the step-down integer
+    * inequality p9·(m−rank+1)·100 ≤ 5·1e9, and the first-failure stop.
+    */
+  private lazy val holmOracle: String =
+    """WITH ids AS (SELECT DISTINCT lang || ':' || source AS id FROM documents),
+      |p AS (SELECT id,
+      |    list_reduce(list_transform(range(1, 16), i ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(id), i, 1)) - 1 AS BIGINT)),
+      |      (acc, x) -> acc * 16 + x) % 1000000000 AS p9
+      |  FROM ids),
+      |r AS (SELECT id, p9,
+      |    sum(CASE WHEN p9 IS NULL THEN 1 ELSE 0 END) OVER () AS n_null,
+      |    CAST(row_number() OVER (ORDER BY p9, id) AS BIGINT) AS rank,
+      |    count(*) OVER () AS m FROM p),
+      |c AS (SELECT *,
+      |    CAST(p9 AS HUGEINT) * (m - rank + 1) * 100 <= CAST(5 AS HUGEINT) * 1000000000
+      |      AS is_candidate
+      |  FROM r),
+      |f AS (SELECT *, min(CASE WHEN NOT is_candidate THEN rank END) OVER () AS stop
+      |  FROM c)
+      |SELECT id, p9, rank, CAST(m AS BIGINT) AS m,
+      |  coalesce(CAST(n_null AS BIGINT), 0) AS n_null, is_candidate,
+      |  rank < coalesce(stop, m + 1) AS rejected
+      |FROM f ORDER BY rank""".stripMargin
+
+  /** q284 oracle: [[graft.quality.Profiler.gTestFromCounts]] replayed
+    * — the q172 halves, per-value expected counts from the margins,
+    * nano 2·O·ln(O/E) terms (0·ln 0 ≡ 0; one-sided values keep their
+    * full term).
+    */
+  private lazy val gTestOracle: String =
+    """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS value, count(*) AS n
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS value, count(*) AS n
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+      |j AS (SELECT coalesce(b.value, c.value) AS value,
+      |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+      |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+      |  FROM b FULL OUTER JOIN c ON b.value IS NOT DISTINCT FROM c.value),
+      |t AS (SELECT *, CAST(sum(n_base) OVER () AS DOUBLE) AS tb,
+      |    CAST(sum(n_cur) OVER () AS DOUBLE) AS tc FROM j)
+      |SELECT value, n_base, n_cur,
+      |  CAST(round((
+      |    CASE WHEN n_base > 0 THEN CAST(n_base AS DOUBLE) *
+      |      ln(CAST(n_base AS DOUBLE) * (tb + tc) /
+      |         (tb * CAST(n_base + n_cur AS DOUBLE))) ELSE 0 END +
+      |    CASE WHEN n_cur > 0 THEN CAST(n_cur AS DOUBLE) *
+      |      ln(CAST(n_cur AS DOUBLE) * (tb + tc) /
+      |         (tc * CAST(n_base + n_cur AS DOUBLE))) ELSE 0 END
+      |  ) * 2 * 1e9) AS BIGINT) AS g_term_n9
+      |FROM t ORDER BY value""".stripMargin
 
   /** q232 oracle: [[graft.quality.Profiler.hellingerFromCounts]]
     * replayed — per-half bucket histograms, the full-outer value join,

@@ -76,4 +76,59 @@ object MultipleTesting {
       .withColumn("rejected", col("rank") <= col("__cut"))
       .drop("__cut")
   }
+
+  /** Holm–Bonferroni step-DOWN FWER control (Holm 1979) — the
+    * FAMILYWISE guarantee beside [[benjaminiHochberg]]'s FDR: "with
+    * probability ≥ 1−α, ZERO of tonight's pages are false" (the right
+    * bar when a single false alarm triggers an expensive rollback),
+    * uniformly more powerful than plain Bonferroni at the same
+    * guarantee. Order p ascending; reject down the list while
+    * p_(i) ≤ α/(m−i+1) and STOP at the first failure (everything at
+    * and after it survives, candidates or not — the step-down dual of
+    * BH's step-up closure).
+    *
+    * Same exactness/NULL contract as BH: the step condition is the
+    * integer cross-product p9·(m−rank+1)·alphaDen ≤ alphaNum·1e9 in
+    * DECIMAL (no float boundary decides), rank ties break by `idCols`,
+    * NULL-p tests drop flagged via `n_null`, and the battery frame is
+    * test-cardinality bookkeeping: one rank window + one stop-rank
+    * window. Emits keys, idCols, p9, rank, m, n_null, is_candidate
+    * (its own inequality) and rejected (rank < the first
+    * non-candidate's rank).
+    */
+  def holmBonferroni(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCols: Seq[String],
+      p9Col: String,
+      alphaNum: Int = 5,
+      alphaDen: Int = 100
+  ): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"need 0 < alpha < 1: $alphaNum/$alphaDen")
+    val g = keyCols.map(col)
+    val wRank = Window.partitionBy(g: _*)
+      .orderBy(col(p9Col).asc +: idCols.map(col(_).asc): _*)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .withColumn("n_null",
+        sum(when(col(p9Col).isNull, 1L).otherwise(0L)).over(wKey))
+      .filter(col(p9Col).isNotNull)
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wKey))
+    val candidate =
+      col(p9Col).cast(dec) * (col("m") - col("rank") + 1L).cast(dec) *
+        lit(alphaDen.toLong).cast(dec) <=
+        lit(alphaNum.toLong).cast(dec) * lit(1000000000L).cast(dec)
+    ranked
+      .withColumn("is_candidate", candidate)
+      // the step-down stop: the smallest non-candidate rank caps every
+      // rejection below it; an all-candidate battery rejects everything
+      .withColumn("__stop",
+        min(when(!candidate, col("rank"))).over(wKey))
+      .withColumn("rejected",
+        col("rank") < coalesce(col("__stop"), col("m") + 1L))
+      .drop("__stop")
+  }
 }

@@ -829,6 +829,62 @@ object Profiler {
       .select("value", "n_base", "n_cur", "chi_num", "cell_tot")
   }
 
+  /** G-test (log-likelihood-ratio) drift from two (possibly folded)
+    * [[valueCounts]] histograms — the likelihood-ratio member of the
+    * categorical drift family beside [[chiSquareDriftFromCounts]]
+    * (Pearson's χ² SECOND-ORDER-approximates this; they diverge exactly
+    * where drift decisions are made — cells whose observed count is far
+    * from expected, where G is the better-calibrated statistic and the
+    * one additive over data splits):
+    *
+    *   G = 2·Σ_cells O·ln(O/E),  E_bv = B·t_v/N, E_cv = C·t_v/N,
+    *   t_v = b_v + c_v, N = B + C   (0·ln 0 ≡ 0)
+    *
+    * Per value this emits both counts and `g_term_n9` =
+    * round(1e9·2·[b·ln(b/E_b) + c·ln(c/E_c)]) — the JS nano-term
+    * discipline (ln is correctly-rounded on common libms; the fixed
+    * per-value dag plus order-free integer summation makes [[gStat]]
+    * cross-engine reproducible at 9 decimals). One-sided values
+    * contribute their full 2·O·ln(N/B) (resp. ln(N/C)) term — that IS
+    * drift. NULL-safe on the NULL category (the chi-square join rule).
+    * Value-cardinality frame; same mergeable [[valueCounts]] state as
+    * χ², so one standing store answers both.
+    */
+  def gTestFromCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val hb = baseCounts.select(col("value").as("__vb"), col("cnt").as("n_base"))
+    val hc = curCounts.select(col("value").as("__vc"), col("cnt").as("n_cur"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = hb.join(hc, col("__vb") <=> col("__vc"), "full_outer")
+      .select(coalesce(col("__vb"), col("__vc")).as("value"),
+        col("n_base"), col("n_cur"))
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("__tb", sum("n_base").over(all))
+      .withColumn("__tc", sum("n_cur").over(all))
+    val b = col("n_base").cast("double"); val c = col("n_cur").cast("double")
+    val bTot = col("__tb").cast("double"); val cTot = col("__tc").cast("double")
+    val t = b + c; val n = bTot + cTot
+    val term =
+      when(col("n_base") > 0L, b * log(b * n / (bTot * t))).otherwise(0d) +
+        when(col("n_cur") > 0L, c * log(c * n / (cTot * t))).otherwise(0d)
+    joined
+      .withColumn("g_term_n9", round(term * 2d * 1e9d).cast("long"))
+      .select("value", "n_base", "n_cur", "g_term_n9")
+  }
+
+  /** [[gTestFromCounts]] over raw snapshots. */
+  def gTestDrift(base: DataFrame, cur: DataFrame, column: String): DataFrame =
+    gTestFromCounts(valueCounts(base, column), valueCounts(cur, column))
+
+  /** Scalar (G, degrees of freedom) from the per-value frame: one
+    * integer sum, one pinned division; df = #values − 1. G is χ²(df)
+    * under homogeneity — same critical values as [[chiSquareStat]].
+    */
+  def gStat(frame: DataFrame): (Double, Long) = {
+    val r = frame.agg(sum("g_term_n9"), count(lit(1))).head()
+    if (r.isNullAt(0)) (0.0, 0L)
+    else (r.getLong(0).toDouble / 1e9, math.max(r.getLong(1) - 1L, 0L))
+  }
+
   /** Per-(ordered integer bucket) counts — the mergeable state for
     * [[wassersteinFromCounts]]. NULLs are dropped: W₁ is defined on an
     * ordered support and a missing marker has no position on it (unlike

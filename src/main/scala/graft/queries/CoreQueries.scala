@@ -802,6 +802,65 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** CvM from-STORE gate: the q272 folded histogram stores read by
+    * [[graft.quality.Profiler.cvmFromHistograms]] — the integrated-gap
+    * statistic from the SAME standing state that answers KS, under
+    * q280's oracle verbatim (fold sums == rebuild's histogram).
+    */
+  def q282CvmFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    def fold(half: DataFrame) = (1 to 2).foldLeft(
+        Profiler.histogram(half.filter(col("event_id") % 6 < 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt"))) { (acc, i) =>
+      Profiler.mergeBucketCounts(acc,
+        Profiler.histogram(
+          half.filter(col("event_id") % 6 >= i * 2 && col("event_id") % 6 < i * 2 + 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt")))
+    }
+    Profiler.cvmFromHistograms(
+      fold(ev.filter(col("user_id") % 2 === 0)),
+      fold(ev.filter(col("user_id") % 2 === 1)))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        col("cum_base"), col("cum_cur"),
+        col("gap_num").cast("long").as("gap_num"), col("cell_tot"))
+      .orderBy("bucket")
+  }
+
+  /** Holm step-down gate: the q251 battery under the FAMILYWISE
+    * guarantee — exact integer step inequalities p9·(m−i+1)·100 ≤ 5·1e9
+    * and the first-failure stop; the rollback-pager's correction beside
+    * BH's alarm-pager FDR.
+    */
+  def q283HolmFwer(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.MultipleTesting
+    val battery = Tables.documents(s, dir)
+      .select(concat(col("lang"), lit(":"), col("source")).as("id"))
+      .distinct()
+      .withColumn("p9",
+        conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long") % 1000000000L)
+    MultipleTesting.holmBonferroni(battery, Nil, Seq("id"), "p9")
+      .select(col("id"), col("p9"), col("rank"), col("m"), col("n_null"),
+        col("is_candidate"), col("rejected"))
+      .orderBy("rank")
+  }
+
+  /** G-test drift gate: the likelihood-ratio companion of q172's χ² on
+    * the same order-priority halves — per value both counts and the
+    * nano 2·O·ln(O/E) term; the statistic additive over data splits
+    * where Pearson's is not.
+    */
+  def q284GTestDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    Profiler.gTestDrift(
+      base = o.filter(col("o_orderkey") % 2 === 0),
+      cur = o.filter(col("o_orderkey") % 2 === 1),
+      column = "o_orderpriority")
+      .select(col("value"), col("n_base"), col("n_cur"), col("g_term_n9"))
+      .orderBy("value")
+  }
+
   /** Categorical chi-square drift gate — the q101 discipline for columns
     * with no order: per order-priority value, the exact cross-multiplied
     * numerator (b·C − c·B)² and cell total between the even- and

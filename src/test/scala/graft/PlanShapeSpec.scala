@@ -640,7 +640,17 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // CvM: two grouped narrow scans + the full-outer bucket join on
     // <= nBuckets+2-row frames (SMJ allowed there — the q232 reading)
-    Shape("q280_cvm_drift", maxHash = 4, maxRange = 3, forbidUdf = true)
+    Shape("q280_cvm_drift", maxHash = 4, maxRange = 3, forbidUdf = true),
+    // CvM from-store: per-batch histogram aggs + merges + the bounded
+    // full-outer bucket join (the q272 reading)
+    Shape("q282_cvm_from_store", maxHash = 12, maxRange = 3, forbidUdf = true),
+    // Holm: one battery rank window + the stop-rank window — same
+    // exchanges as BH (q251)
+    Shape("q283_holm_fwer", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // G-test: the chi-square drift shape — two grouped narrow scans +
+    // the value-cardinality full-outer (bounded SMJ allowed)
+    Shape("q284_g_test_drift", maxHash = 8, maxRange = 3, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

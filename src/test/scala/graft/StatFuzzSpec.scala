@@ -671,6 +671,61 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: Holm rejections vs the naive step-down walk; Holm subset of BH") {
+    import graft.quality.MultipleTesting
+    for (t <- 1 to Trials) {
+      val r = rng("holm", t)
+      val m = 5 + r.nextInt(25)
+      val ps = (0 until m).map(i => (s"t$i", r.nextInt(1000000000).toLong))
+      val sorted = ps.map(_._2).sorted
+      // naive walk: reject while p_(i) <= alpha/(m-i+1), stop at first failure
+      var stop = m
+      var i = 0
+      while (i < m && stop == m) {
+        if (!(BigInt(sorted(i)) * (m - i) * 100 <= BigInt(5) * 1000000000L)) stop = i
+        i += 1
+      }
+      val naiveRejected = sorted.take(stop).toSet
+      val out = MultipleTesting.holmBonferroni(ps.toDF("id", "p9"), Nil, Seq("id"), "p9")
+        .collect().map(row => row.getAs[Long]("p9") -> row.getAs[Boolean]("rejected"))
+      for ((p, rej) <- out)
+        assert(rej === naiveRejected.contains(p), s"holm p=$p trial $t")
+      // Holm (FWER) never rejects what BH (FDR) retains
+      val bh = MultipleTesting.benjaminiHochberg(ps.toDF("id", "p9"), Nil, Seq("id"), "p9")
+        .collect().map(row => row.getAs[Long]("p9") -> row.getAs[Boolean]("rejected")).toMap
+      for ((p, rej) <- out if rej)
+        assert(bh(p), s"holm rejected $p that BH retained, trial $t")
+    }
+  }
+
+  test("fuzz: G statistic vs the 2*sum O ln(O/E) loop, chi2 agreement on mild drift") {
+    for (t <- 1 to Trials) {
+      val r = rng("gtest", t)
+      val cats = 2 + r.nextInt(5)
+      def sample() = (0 until 30 + r.nextInt(60)).map(_ => "c" + r.nextInt(cats))
+      val base = sample(); val cur = sample()
+      def counts(s: Seq[String]) = s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (bm, cm) = (counts(base), counts(cur))
+      val (bt, ct) = (base.size.toDouble, cur.size.toDouble)
+      val n = bt + ct
+      val gNaive = 2d * (bm.keySet ++ cm.keySet).toSeq.map { v =>
+        val b = bm.getOrElse(v, 0L).toDouble; val c = cm.getOrElse(v, 0L).toDouble
+        val tv = b + c
+        (if (b > 0) b * math.log(b / (bt * tv / n)) else 0d) +
+          (if (c > 0) c * math.log(c / (ct * tv / n)) else 0d)
+      }.sum
+      val (g, df) = Profiler.gStat(Profiler.gTestDrift(
+        base.toDF("v"), cur.toDF("v"), "v"))
+      approx(g, gNaive, s"gtest trial $t")
+      assert(df === (bm.keySet ++ cm.keySet).size.toLong - 1L, s"gtest df trial $t")
+      // sanity: G and Pearson chi2 agree to first order on same-universe drift
+      val (chi, _) = Profiler.chiSquareStat(Profiler.chiSquareDrift(
+        base.toDF("v"), cur.toDF("v"), "v"))
+      assert(g >= 0d && math.abs(g - chi) < math.max(4d, 0.8 * chi + 4d),
+        s"gtest vs chi2 sanity trial $t: g=$g chi=$chi")
+    }
+  }
+
   // --- One-way ANOVA ----------------------------------------------------------------
 
   test("fuzz: one-way ANOVA F vs the SSB/SSW decomposition") {

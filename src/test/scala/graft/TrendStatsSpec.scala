@@ -959,6 +959,57 @@ class TrendStatsSpec extends SparkSpec {
     assert(out2(2).getAs[Boolean]("is_candidate"))
   }
 
+  test("holmBonferroni: textbook battery, first-failure stop blocks later candidates") {
+    import graft.quality.MultipleTesting
+    // p = .001 .010 .016 .030 .045 .300 at alpha .05, m = 6:
+    // thresholds alpha/(m-i+1) = .00833 .01 .0125 .0167 .025 .05 —
+    // rank 1 passes, rank 2 passes (equality .01 = .01), rank 3 fails
+    // (.016 > .0125) and STOPS the walk: only ranks 1-2 reject, even
+    // though rank 4 (.030) would NOT pass its own .0167 either way
+    val p1 = Seq(1000000L, 10000000L, 16000000L, 30000000L, 45000000L, 300000000L)
+      .zipWithIndex.map { case (p, i) => (s"t$i", p) }.toDF("id", "p9")
+    val out1 = MultipleTesting.holmBonferroni(p1, Nil, Seq("id"), "p9")
+      .orderBy("rank").collect()
+    assert(out1.map(_.getAs[Boolean]("is_candidate")).toSeq ===
+      Seq(true, true, false, false, false, false))
+    assert(out1.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, true, false, false, false, false))
+    // all-pass battery: p = .005 .016 .030 at thresholds .0167 .025 .05
+    // — every rank passes its own bar, stop is NULL, everything rejects
+    val p2 = Seq(5000000L, 16000000L, 30000000L)
+      .zipWithIndex.map { case (p, i) => (s"t$i", p) }.toDF("id", "p9")
+    val out2 = MultipleTesting.holmBonferroni(p2, Nil, Seq("id"), "p9")
+      .orderBy("rank").collect()
+    assert(out2.map(_.getAs[Boolean]("rejected")).toSeq === Seq(true, true, true))
+    // all-candidate battery rejects everything (coalesce(stop, m+1) arm)
+    assert(out2.map(_.getAs[Boolean]("is_candidate")).toSeq === Seq(true, true, true))
+  }
+
+  // --- G-test drift ------------------------------------------------------------------
+
+  test("gTest: identical snapshots exactly 0, hand golden, one-sided value keeps its term") {
+    import graft.quality.Profiler
+    val base = Seq("a", "a", "b").toDF("v")
+    // identical: every O = E, every nano term round(0) = 0
+    val id = Profiler.gTestDrift(base, base, "v").collect()
+    assert(id.forall(_.getAs[Long]("g_term_n9") === 0L))
+    assert(Profiler.gStat(Profiler.gTestDrift(base, base, "v"))._1 === 0.0)
+    // hand golden: base {a:2, b:2}, cur {a:1, b:3}; N = 8, B = C = 4
+    // E(a,base) = 4*3/8 = 1.5, E(b,base) = 2.5 etc.
+    // G = 2*[2 ln(2/1.5) + 1 ln(1/1.5) + 2 ln(2/2.5) + 3 ln(3/2.5)]
+    val b2 = Seq("a", "a", "b", "b").toDF("v")
+    val c2 = Seq("a", "b", "b", "b").toDF("v")
+    val (g, df) = Profiler.gStat(Profiler.gTestDrift(b2, c2, "v"))
+    val gNaive = 2d * (2 * math.log(2 / 1.5) + 1 * math.log(1 / 1.5) +
+      2 * math.log(2 / 2.5) + 3 * math.log(3 / 2.5))
+    assert(math.abs(g - gNaive) < 1e-8 && df === 1L)
+    // a value on one side only contributes its full 2 O ln(N/B) term
+    val disjoint = Profiler.gTestDrift(Seq("x").toDF("v"), Seq("y").toDF("v"), "v")
+      .orderBy("value").collect()
+    assert(disjoint.forall(r =>
+      math.abs(r.getAs[Long]("g_term_n9") - math.round(2e9 * math.log(2d))) <= 1L))
+  }
+
   // --- Vocabulary richness -----------------------------------------------------------
 
   test("vocabRichness: Chao1 and Good-Turing coverage goldens") {
