@@ -294,7 +294,8 @@ object SparkEntry {
     "q281_weighted_median_from_store" -> (CoreQueries.q281WeightedMedianFromStore(_, _)),
     "q282_cvm_from_store" -> (CoreQueries.q282CvmFromStore(_, _)),
     "q283_holm_fwer" -> (CoreQueries.q283HolmFwer(_, _)),
-    "q284_g_test_drift" -> (CoreQueries.q284GTestDrift(_, _))
+    "q284_g_test_drift" -> (CoreQueries.q284GTestDrift(_, _)),
+    "q285_kaplan_meier" -> (CoreQueries.q285KaplanMeier(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -390,7 +391,8 @@ object SparkEntry {
     "q281_weighted_median_from_store" -> weightedMedianOracle,
     "q282_cvm_from_store" -> cvmOracle,
     "q283_holm_fwer" -> holmOracle,
-    "q284_g_test_drift" -> gTestOracle)
+    "q284_g_test_drift" -> gTestOracle,
+    "q285_kaplan_meier" -> kaplanMeierOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1433,6 +1435,55 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
+    * per-user lifetimes + the 72 h censoring rule, (duration) cells,
+    * reverse-cumulative at-risk counts, duration-ordered nano
+    * ln(1 − d/n) and Greenwood sums, exp/√ fixed dags; d = n pins
+    * survival to exactly 0.
+    */
+  private lazy val kaplanMeierOracle: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
+      |hz AS (SELECT max(h) AS horizon FROM e),
+      |subj AS (SELECT l - f + 1 AS t,
+      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
+      |  FROM pu CROSS JOIN hz),
+      |cells AS (SELECT t,
+      |    CAST(sum(ev) AS BIGINT) AS n_event,
+      |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      |  FROM subj GROUP BY 1),
+      |risk AS (SELECT *,
+      |    CAST(sum(n_event + n_censored) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM cells),
+      |terms AS (SELECT *,
+      |    CASE WHEN n_event = 0 THEN 0
+      |         WHEN n_event < n_risk THEN CAST(round(ln(
+      |           (CAST(n_risk AS DOUBLE) - CAST(n_event AS DOUBLE)) /
+      |             CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS ln9,
+      |    CASE WHEN n_event = 0 THEN 0
+      |         WHEN n_event < n_risk THEN CAST(round(
+      |           CAST(n_event AS DOUBLE) / (CAST(n_risk AS DOUBLE) *
+      |             (CAST(n_risk AS DOUBLE) - CAST(n_event AS DOUBLE))) * 1e9) AS BIGINT)
+      |    END AS gw9
+      |  FROM risk),
+      |acc AS (SELECT *,
+      |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS dead,
+      |    sum(ln9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum9,
+      |    sum(gw9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gwsum9
+      |  FROM terms)
+      |SELECT t, n_risk, n_event, n_censored,
+      |  round(CASE WHEN dead THEN 0.0
+      |    ELSE exp(CAST(lnsum9 AS DOUBLE) / 1e9) END, 9) AS survival,
+      |  CASE WHEN NOT dead THEN round(
+      |    exp(CAST(lnsum9 AS DOUBLE) / 1e9) *
+      |      sqrt(CAST(gwsum9 AS DOUBLE) / 1e9), 9) END AS se_greenwood
+      |FROM acc ORDER BY t""".stripMargin
 
   /** q283 oracle: [[graft.quality.MultipleTesting.holmBonferroni]]
     * replayed — the q251 md5-uniform battery, the step-down integer

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survival analysis under RIGHT-CENSORING — the read plain retention
+  * curves (graft.operators.Funnel.retention) get wrong on a live
+  * corpus: a user whose last event is yesterday hasn't churned, they
+  * just haven't been observed long enough, and counting them as
+  * churned biases every lifetime estimate downward. Reference scope:
+  * none (the reference has no statistics); this extends the q136–q141
+  * behavioral family the same way the drift/test layers extend
+  * profiling.
+  */
+object Survival {
+
+  /** Kaplan–Meier product-limit estimator (Kaplan & Meier 1958): the
+    * survival curve S(t) from one row per subject — `durationCol` (long
+    * integer units: hours, days) and `eventCol` (1 = the terminal event
+    * was OBSERVED at that duration, 0 = right-censored there: still
+    * alive when observation ended):
+    *
+    *   S(t) = Π_{s ≤ t, d_s > 0} (1 − d_s/n_s)
+    *
+    * with d_s the events at duration s and n_s the at-risk count
+    * (subjects with duration ≥ s — censored-at-s subjects ARE at risk
+    * at s and leave after, the standard events-before-censors
+    * convention). Greenwood's variance rides the same pass:
+    * se(t) = S(t)·√(Σ_{s≤t} d/(n(n−d))).
+    *
+    * Determinism (the house product-form discipline, the PageRank/JS
+    * nano rule): each event time's ln(1 − d/n) and Greenwood increment
+    * d/(n(n−d)) are nano-scaled longs — fixed per-row dags — summed in
+    * duration order by ONE cumulative window over the
+    * duration-cardinality frame; S = exp(Σ/1e9) and se are fixed dags,
+    * gated at 9 decimals. When n_t = d_t (everyone at risk dies) S is
+    * EXACTLY 0 from t on (flagged through `__dead`, not ln(0)). Counts
+    * (n_risk, n_event, n_censored) are exact longs.
+    *
+    * SCALE: one (keys, duration) counting aggregation (map-side
+    * combine) + cumulative windows over the duration-cardinality frame
+    * (integer durations by contract — bucket continuous times first,
+    * the q210 discipline; NEVER a per-subject sort). Emits one row per
+    * (keys, duration): n_risk, n_event, n_censored, survival,
+    * se_greenwood (NULL once S = 0).
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val dur = col(durationCol).cast("long")
+    val ev = col(eventCol).cast("long")
+    val cells = df
+      .filter(dur.isNotNull && ev.isNotNull)
+      .groupBy(g :+ dur.as("t"): _*)
+      .agg(
+        sum(when(ev =!= 0L, 1L).otherwise(0L)).as("n_event"),
+        sum(when(ev =!= 0L, 0L).otherwise(1L)).as("n_censored"))
+    val wRisk = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = cells
+      .withColumn("n_risk", sum(col("n_event") + col("n_censored")).over(wRisk))
+    val nD = col("n_risk").cast("double")
+    val dD = col("n_event").cast("double")
+    // nano terms: a no-event time contributes exactly 0 to both sums
+    val ln9 = when(col("n_event") === 0L, 0L)
+      .when(col("n_event") < col("n_risk"),
+        round(log((nD - dD) / nD) * 1e9d).cast("long"))
+    val gw9 = when(col("n_event") === 0L, 0L)
+      .when(col("n_event") < col("n_risk"),
+        round(dD / (nD * (nD - dD)) * 1e9d).cast("long"))
+    withRisk
+      .withColumn("__ln9", ln9)
+      .withColumn("__gw9", gw9)
+      // the exhaustion flag: once some s <= t had d_s = n_s, S is 0
+      .withColumn("__dead",
+        max(when(col("n_event") === col("n_risk"), 1L).otherwise(0L)).over(wCum) === 1L)
+      .withColumn("__lnsum9", sum("__ln9").over(wCum))
+      .withColumn("__gwsum9", sum("__gw9").over(wCum))
+      .withColumn("survival",
+        when(col("__dead"), 0d)
+          .otherwise(exp(col("__lnsum9").cast("double") / 1e9d)))
+      .withColumn("se_greenwood",
+        when(!col("__dead"),
+          col("survival") * sqrt(col("__gwsum9").cast("double") / 1e9d)))
+      .select(g :+ col("t") :+ col("n_risk") :+ col("n_event") :+
+        col("n_censored") :+ col("survival") :+ col("se_greenwood"): _*)
+  }
+
+  /** Median survival time — the smallest duration with S(t) ≤ 1/2,
+    * read off a [[kaplanMeier]] frame: one filtered min per key set
+    * (NULL when the curve never crosses — more than half the cohort
+    * outlives the observation window, the right answer a naive median
+    * of durations gets wrong under censoring).
+    */
+  def medianSurvival(km: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    if (keyCols.isEmpty)
+      km.agg(min(when(col("survival") <= 0.5d, col("t"))).as("median_survival"))
+    else
+      km.groupBy(g: _*)
+        .agg(min(when(col("survival") <= 0.5d, col("t"))).as("median_survival"))
+  }
+}

@@ -802,6 +802,33 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** Kaplan–Meier gate: user lifetime (hours between first and last
+    * event, inclusive) under RIGHT-CENSORING — a user whose last event
+    * is within 72 h of the observation horizon hasn't churned, only
+    * left the window (event = 0); everyone else's lifetime ended
+    * observed (event = 1). Product-limit survival via duration-ordered
+    * nano ln(1 − d/n) sums, Greenwood SE on the same pass — the
+    * retention read q140's plain curve gets wrong on a live corpus.
+    */
+  def q285KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("h").as("__first"), max("h").as("__last"))
+    val horizon = ev.agg(max("h").as("__horizon"))
+    val subjects = perUser.crossJoin(broadcast(horizon))
+      .select(
+        (col("__last") - col("__first") + 1L).as("duration"),
+        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
+    Survival.kaplanMeier(subjects, Nil, "duration", "event")
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        round(col("survival"), 9).as("survival"),
+        round(col("se_greenwood"), 9).as("se_greenwood"))
+      .orderBy("t")
+  }
+
   /** CvM from-STORE gate: the q272 folded histogram stores read by
     * [[graft.quality.Profiler.cvmFromHistograms]] — the integrated-gap
     * statistic from the SAME standing state that answers KS, under

@@ -650,7 +650,12 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // G-test: the chi-square drift shape — two grouped narrow scans +
     // the value-cardinality full-outer (bounded SMJ allowed)
-    Shape("q284_g_test_drift", maxHash = 8, maxRange = 3, forbidUdf = true)
+    Shape("q284_g_test_drift", maxHash = 8, maxRange = 3, forbidUdf = true),
+    // Kaplan-Meier: per-user lifetime agg + horizon broadcast + (t)
+    // cells; all ordered windows run over the duration-cardinality
+    // frame, never a per-subject sort
+    Shape("q285_kaplan_meier", maxHash = 4, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -832,6 +832,62 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Kaplan–Meier -----------------------------------------------------------------
+
+  test("fuzz: Kaplan-Meier survival and Greenwood SE vs the product-limit loop") {
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("km", t)
+      val subjects = (0 until 15 + r.nextInt(60)).map(_ =>
+        ((1 + r.nextInt(12)).toLong, r.nextInt(3).min(1).toLong)) // ~2/3 events
+      val byT = subjects.groupBy(_._1).view
+        .mapValues(s => (s.count(_._2 == 1L).toLong, s.count(_._2 == 0L).toLong))
+        .toMap
+      val times = byT.keys.toSeq.sorted
+      var atRisk = subjects.size.toLong
+      var sNaive = 1.0
+      var gwNaive = 0.0
+      var dead = false
+      val expected = times.map { tt =>
+        val (d, c) = byT(tt)
+        val n = atRisk
+        if (d > 0 && d < n) {
+          sNaive *= (n - d).toDouble / n // Tol absorbs the operator's nano-ln rounding
+          gwNaive += d.toDouble / (n.toDouble * (n - d))
+        }
+        if (d == n) dead = true
+        atRisk -= (d + c)
+        (tt, n, d, c, if (dead) 0.0 else sNaive, dead)
+      }
+      val got = Survival.kaplanMeier(subjects.toDF("dur", "ev"), Nil, "dur", "ev")
+        .orderBy("t").collect()
+      for (((tt, n, d, c, sv, isDead), row) <- expected.zip(got)) {
+        assert(row.getAs[Long]("t") === tt && row.getAs[Long]("n_risk") === n,
+          s"km risk trial $t")
+        assert(row.getAs[Long]("n_event") === d && row.getAs[Long]("n_censored") === c,
+          s"km counts trial $t")
+        approx(row.getAs[Double]("survival"), sv, s"km S(t=$tt) trial $t")
+        if (!isDead && sv > 0)
+          approx(row.getAs[Double]("se_greenwood"), sv * math.sqrt(gwAt(subjects, tt)),
+            s"km se(t=$tt) trial $t")
+      }
+    }
+  }
+
+  /** Greenwood inner sum up to and including time tt, from scratch. */
+  private def gwAt(subjects: Seq[(Long, Long)], tt: Long): Double = {
+    val byT = subjects.groupBy(_._1).view
+      .mapValues(s => (s.count(_._2 == 1L).toLong, s.count(_._2 == 0L).toLong)).toMap
+    var atRisk = subjects.size.toLong
+    var acc = 0.0
+    for (time <- byT.keys.toSeq.sorted if time <= tt) {
+      val (d, c) = byT(time)
+      if (d > 0 && d < atRisk) acc += d.toDouble / (atRisk.toDouble * (atRisk - d))
+      atRisk -= (d + c)
+    }
+    acc
+  }
+
   // --- Trimmed mean -----------------------------------------------------------------
 
   test("fuzz: trimmed mean vs the sort-drop-average loop") {

@@ -985,6 +985,41 @@ class TrendStatsSpec extends SparkSpec {
     assert(out2.map(_.getAs[Boolean]("is_candidate")).toSeq === Seq(true, true, true))
   }
 
+  // --- Kaplan–Meier ------------------------------------------------------------------
+
+  test("kaplanMeier: hand golden curve, censored-at-t at risk, d=n pins S to 0, median") {
+    import graft.operators.Survival
+    // (t, event): deaths at 1,2,3; censors at 2,4
+    // n_risk: 5,4,2,1; S: .8, .8*3/4=.6, .6*1/2=.3, .3 (no event at 4)
+    val d = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)).toDF("dur", "ev")
+    val km = Survival.kaplanMeier(d, Nil, "dur", "ev").orderBy("t").collect()
+    assert(km.map(_.getAs[Long]("n_risk")).toSeq === Seq(5L, 4L, 2L, 1L))
+    assert(km.map(_.getAs[Long]("n_event")).toSeq === Seq(1L, 1L, 1L, 0L))
+    assert(km.map(_.getAs[Long]("n_censored")).toSeq === Seq(0L, 1L, 0L, 1L))
+    val s = km.map(_.getAs[Double]("survival"))
+    assert(math.abs(s(0) - 0.8) < 1e-9 && math.abs(s(1) - 0.6) < 1e-9)
+    assert(math.abs(s(2) - 0.3) < 1e-9 && math.abs(s(3) - 0.3) < 1e-9)
+    // Greenwood at t=2: se = .6 * sqrt(1/20 + 1/12)
+    assert(math.abs(km(1).getAs[Double]("se_greenwood") -
+      0.6 * math.sqrt(1d / 20d + 1d / 12d)) < 1e-9)
+    // median survival: first t with S <= 1/2 is 3
+    assert(Survival.medianSurvival(
+      Survival.kaplanMeier(d, Nil, "dur", "ev"), Nil)
+      .collect()(0).getAs[Long]("median_survival") === 3L)
+    // everyone at risk dies: survival EXACTLY 0 from there, se NULL
+    val ext = Seq((1L, 1L), (1L, 1L)).toDF("dur", "ev")
+    val r0 = Survival.kaplanMeier(ext, Nil, "dur", "ev").collect()(0)
+    assert(r0.getAs[Double]("survival") === 0.0)
+    assert(r0.isNullAt(r0.fieldIndex("se_greenwood")))
+    // all-censored cohort: the curve never drops and the median is NULL
+    val cen = Seq((2L, 0L), (5L, 0L)).toDF("dur", "ev")
+    val kc = Survival.kaplanMeier(cen, Nil, "dur", "ev").collect()
+    assert(kc.forall(_.getAs[Double]("survival") === 1.0))
+    val mc = Survival.medianSurvival(
+      Survival.kaplanMeier(cen, Nil, "dur", "ev"), Nil).collect()(0)
+    assert(mc.isNullAt(mc.fieldIndex("median_survival")))
+  }
+
   // --- G-test drift ------------------------------------------------------------------
 
   test("gTest: identical snapshots exactly 0, hand golden, one-sided value keeps its term") {
