@@ -295,7 +295,8 @@ object SparkEntry {
     "q282_cvm_from_store" -> (CoreQueries.q282CvmFromStore(_, _)),
     "q283_holm_fwer" -> (CoreQueries.q283HolmFwer(_, _)),
     "q284_g_test_drift" -> (CoreQueries.q284GTestDrift(_, _)),
-    "q285_kaplan_meier" -> (CoreQueries.q285KaplanMeier(_, _))
+    "q285_kaplan_meier" -> (CoreQueries.q285KaplanMeier(_, _)),
+    "q286_log_rank" -> (CoreQueries.q286LogRank(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -392,7 +393,8 @@ object SparkEntry {
     "q282_cvm_from_store" -> cvmOracle,
     "q283_holm_fwer" -> holmOracle,
     "q284_g_test_drift" -> gTestOracle,
-    "q285_kaplan_meier" -> kaplanMeierOracle)
+    "q285_kaplan_meier" -> kaplanMeierOracle,
+    "q286_log_rank" -> logRankOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1435,6 +1437,66 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q286 oracle: [[graft.operators.Survival.logRank]] replayed — the
+    * q285 subjects split by user parity, per-(cohort, t) cells on the
+    * pooled spine, reverse-cumulative at-risk, nano hypergeometric
+    * E/V terms, z/χ² dags.
+    */
+  private lazy val logRankOracle: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
+      |hz AS (SELECT max(h) AS horizon FROM e),
+      |subj AS (SELECT CAST(user_id % 2 = 0 AS VARCHAR) AS grp, l - f + 1 AS t,
+      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
+      |  FROM pu CROSS JOIN hz),
+      |cells AS (SELECT grp, t,
+      |    CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2),
+      |lab AS (SELECT *, min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi
+      |  FROM cells),
+      |spine AS (SELECT grp_lo, grp_hi, t,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN d ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN c ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN d ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN c ELSE 0 END) AS BIGINT) AS c2
+      |  FROM lab GROUP BY 1, 2, 3),
+      |risk AS (SELECT *,
+      |    CAST(sum(d1 + c1) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+      |    CAST(sum(d2 + c2) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
+      |  FROM spine),
+      |terms AS (SELECT *,
+      |    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(round(
+      |      CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+      |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS e9,
+      |    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(round(
+      |      CAST(d1 + d2 AS DOUBLE) *
+      |        (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        (CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - CAST(d1 + d2 AS DOUBLE)) /
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS v9
+      |  FROM risk),
+      |s AS (SELECT grp_lo, grp_hi,
+      |    CAST(sum(d1) AS BIGINT) AS o_lo,
+      |    CAST(sum(d1 + c1) AS BIGINT) AS n_lo,
+      |    CAST(sum(d2 + c2) AS BIGINT) AS n_hi,
+      |    sum(CAST(e9 AS HUGEINT)) AS e9s, sum(CAST(v9 AS HUGEINT)) AS v9s
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT grp_lo, grp_hi, CAST(2 AS BIGINT) AS n_groups, n_lo, n_hi, o_lo,
+      |  CAST(e9s AS VARCHAR) AS e_lo_9, CAST(v9s AS VARCHAR) AS v_9,
+      |  CASE WHEN v9s > 0 THEN round((CAST(o_lo AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9) /
+      |    sqrt(CAST(v9s AS DOUBLE) / 1e9), 9) END AS z,
+      |  CASE WHEN v9s > 0 THEN round(
+      |    ((CAST(o_lo AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9) /
+      |      sqrt(CAST(v9s AS DOUBLE) / 1e9)) *
+      |    ((CAST(o_lo AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9) /
+      |      sqrt(CAST(v9s AS DOUBLE) / 1e9)), 9) END AS chi2
+      |FROM s""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * per-user lifetimes + the 72 h censoring rule, (duration) cells,

@@ -93,6 +93,101 @@ object Survival {
         col("n_censored") :+ col("survival") :+ col("se_greenwood"): _*)
   }
 
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972): do two
+    * cohorts' SURVIVAL CURVES differ — the inference companion of
+    * [[kaplanMeier]] (KM draws the curves, log-rank tests them), and
+    * the right A/B for "does the new onboarding change user lifetime"
+    * where a means test ignores censoring. At every pooled event time
+    * t, group 1's observed events d₁ₜ are compared to the
+    * hypergeometric expectation under "same hazard":
+    *
+    *   E₁ₜ = dₜ·n₁ₜ/nₜ
+    *   Vₜ  = dₜ·(n₁ₜ/nₜ)·(n₂ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1)
+    *   z   = (O₁ − ΣE₁ₜ)/√ΣVₜ,   χ² = z²  ~ χ²₁
+    *
+    * Determinism: subject counts are exact longs (O₁ is an exact
+    * integer); each time's E and V are nano longs (fixed per-row dags —
+    * the KM discipline) summed order-free; z/χ² are fixed dags at 9dp.
+    * Conventions shared with [[graft.quality.Association.mannWhitney]]:
+    * groups pivot to (grp_lo, grp_hi) = (min, max) label, ≠2 groups
+    * flagged via n_groups with NULL statistics; censored-at-t subjects
+    * are at risk at t. NULL z when ΣV = 0 (no comparable event time).
+    *
+    * SCALE: one (group, duration) counting aggregation; everything
+    * after runs on the pooled duration-cardinality frame (reverse
+    * cumulative at-risk windows + one summary aggregation) — never a
+    * per-subject sort. One row out.
+    */
+  def logRank(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      durationCol: String,
+      eventCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val dur = col(durationCol).cast("long")
+    val ev = col(eventCol).cast("long")
+    val cells = df
+      .filter(dur.isNotNull && ev.isNotNull && col(groupCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+ dur.as("t"): _*)
+      .agg(
+        sum(when(ev =!= 0L, 1L).otherwise(0L)).as("__d"),
+        sum(when(ev =!= 0L, 0L).otherwise(1L)).as("__c"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // 2-group pivot onto the POOLED time spine (one row per (keys, t))
+    val labeled = cells
+      .withColumn("__ngrps", size(collect_set(col("grp")).over(wKey)))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+    val spine = labeled
+      .groupBy(g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps") :+ col("t"): _*)
+      .agg(
+        sum(when(col("grp") === col("grp_lo"), col("__d")).otherwise(0L)).as("__d1"),
+        sum(when(col("grp") === col("grp_lo"), col("__c")).otherwise(0L)).as("__c1"),
+        sum(when(col("grp") =!= col("grp_lo"), col("__d")).otherwise(0L)).as("__d2"),
+        sum(when(col("grp") =!= col("grp_lo"), col("__c")).otherwise(0L)).as("__c2"))
+    val wRisk = Window
+      .partitionBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withRisk = spine
+      .withColumn("__n1", sum(col("__d1") + col("__c1")).over(wRisk))
+      .withColumn("__n2", sum(col("__d2") + col("__c2")).over(wRisk))
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val n = n1 + n2
+    val d = (col("__d1") + col("__d2")).cast("double")
+    val atEvent = (col("__d1") + col("__d2")) > 0L && (col("__n1") + col("__n2")) > 1L
+    val e9 = when(atEvent, round(d * n1 / n * 1e9d).cast("long")).otherwise(0L)
+    val v9 = when(atEvent,
+      round(d * (n1 / n) * (n2 / n) * (n - d) / (n - 1d) * 1e9d).cast("long"))
+      .otherwise(0L)
+    val sums = withRisk
+      .withColumn("__e9", e9)
+      .withColumn("__v9", v9)
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        sum("__d1").as("o_lo"),
+        sum(col("__d1") + col("__c1")).as("n_lo"),
+        sum(col("__d2") + col("__c2")).as("n_hi"),
+        sum(col("__e9").cast("decimal(38,0)")).as("__e9s"),
+        sum(col("__v9").cast("decimal(38,0)")).as("__v9s"))
+    val two = col("__ngrps") === 2
+    val zStat = (col("o_lo").cast("double") - col("__e9s").cast("double") / 1e9d) /
+      sqrt(col("__v9s").cast("double") / 1e9d)
+    val ok = two && col("__v9s") > 0L
+    sums
+      .withColumn("n_groups", col("__ngrps").cast("long"))
+      .withColumn("e_lo_9", when(two, col("__e9s").cast("string")))
+      .withColumn("v_9", when(two, col("__v9s").cast("string")))
+      .withColumn("z", when(ok, zStat))
+      .withColumn("chi2", when(ok, zStat * zStat))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("o_lo") :+ col("e_lo_9") :+
+        col("v_9") :+ col("z") :+ col("chi2"): _*)
+  }
+
   /** Median survival time — the smallest duration with S(t) ≤ 1/2,
     * read off a [[kaplanMeier]] frame: one filtered min per key set
     * (NULL when the curve never crosses — more than half the cohort

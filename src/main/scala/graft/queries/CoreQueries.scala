@@ -829,6 +829,30 @@ object CoreQueries {
       .orderBy("t")
   }
 
+  /** Log-rank gate: do even- and odd-user cohorts share a lifetime
+    * curve — the q285 subjects split by user parity, hypergeometric
+    * per-time expectations/variances as nano terms, z/χ² fixed dags;
+    * the censoring-aware A/B a means test gets wrong.
+    */
+  def q286LogRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("h").as("__first"), max("h").as("__last"))
+    val horizon = ev.agg(max("h").as("__horizon"))
+    val subjects = perUser.crossJoin(broadcast(horizon))
+      .select(
+        (col("user_id") % 2 === 0).cast("string").as("cohort"),
+        (col("__last") - col("__first") + 1L).as("duration"),
+        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
+    Survival.logRank(subjects, Nil, "cohort", "duration", "event")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("o_lo"), col("e_lo_9"), col("v_9"),
+        round(col("z"), 9).as("z"), round(col("chi2"), 9).as("chi2"))
+  }
+
   /** CvM from-STORE gate: the q272 folded histogram stores read by
     * [[graft.quality.Profiler.cvmFromHistograms]] — the integrated-gap
     * statistic from the SAME standing state that answers KS, under

@@ -655,6 +655,10 @@ class PlanShapeSpec extends SparkSpec {
     // cells; all ordered windows run over the duration-cardinality
     // frame, never a per-subject sort
     Shape("q285_kaplan_meier", maxHash = 4, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // log-rank: per-user lifetime agg + (cohort, t) cells; at-risk and
+    // E/V terms ride the pooled duration-cardinality spine
+    Shape("q286_log_rank", maxHash = 5, maxRange = 5,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

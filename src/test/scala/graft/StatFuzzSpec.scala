@@ -874,6 +874,37 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: log-rank z and chi2 vs the hypergeometric O-E loop") {
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("logrank", t)
+      val subjects = (0 until 20 + r.nextInt(60)).map { i =>
+        val grp = if (r.nextBoolean()) "A" else "B"
+        val dur = (1 + r.nextInt(10) + (if (grp == "A") r.nextInt(3) else 0)).toLong
+        (grp, dur, r.nextInt(3).min(1).toLong)
+      }
+      val times = subjects.map(_._2).distinct.sorted
+      var o1 = 0L; var e1 = 0.0; var v = 0.0
+      for (tt <- times) {
+        val n1 = subjects.count(s => s._1 == "A" && s._2 >= tt).toDouble
+        val n2 = subjects.count(s => s._1 == "B" && s._2 >= tt).toDouble
+        val d1 = subjects.count(s => s._1 == "A" && s._2 == tt && s._3 == 1L)
+        val d2 = subjects.count(s => s._1 == "B" && s._2 == tt && s._3 == 1L)
+        val n = n1 + n2; val d = (d1 + d2).toDouble
+        o1 += d1
+        if (d > 0 && n > 1) {
+          e1 += d * n1 / n
+          v += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+        }
+      }
+      val zNaive = if (v > 0) Some((o1 - e1) / math.sqrt(v)) else None
+      val row = Survival.logRank(subjects.toDF("g", "dur", "ev"),
+        Nil, "g", "dur", "ev").collect()(0)
+      assert(row.getAs[Long]("o_lo") === o1, s"logrank O trial $t")
+      approxOpt(optDouble(row, "z"), zNaive, s"logrank z trial $t")
+    }
+  }
+
   /** Greenwood inner sum up to and including time tt, from scratch. */
   private def gwAt(subjects: Seq[(Long, Long)], tt: Long): Double = {
     val byT = subjects.groupBy(_._1).view

@@ -1020,6 +1020,27 @@ class TrendStatsSpec extends SparkSpec {
     assert(mc.isNullAt(mc.fieldIndex("median_survival")))
   }
 
+  test("logRank: symmetric cohorts z = 0, hand golden z = sqrt(3), 3-group flag") {
+    import graft.operators.Survival
+    // perfectly symmetric cohorts: O = E at every time, z exactly 0
+    val sym = Seq(("a", 1L, 1L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("b", 1L, 0L), ("b", 2L, 1L), ("b", 3L, 1L)).toDF("g", "dur", "ev")
+    val rs = Survival.logRank(sym, Nil, "g", "dur", "ev").collect()(0)
+    assert(rs.getAs[Long]("o_lo") === 2L)
+    assert(rs.getAs[Double]("z") === 0.0 && rs.getAs[Double]("chi2") === 0.0)
+    // g1 dies at 1, g2 censored at 3: O1 = 2, E1 = 1, V = 1/3, z = sqrt(3)
+    val asym = Seq(("a", 1L, 1L), ("a", 1L, 1L), ("b", 3L, 0L), ("b", 3L, 0L))
+      .toDF("g", "dur", "ev")
+    val ra = Survival.logRank(asym, Nil, "g", "dur", "ev").collect()(0)
+    assert(ra.getAs[Long]("n_lo") === 2L && ra.getAs[Long]("n_hi") === 2L)
+    assert(math.abs(ra.getAs[Double]("z") - math.sqrt(3d)) < 1e-8)
+    assert(math.abs(ra.getAs[Double]("chi2") - 3d) < 1e-8)
+    // >2 cohorts: flagged with NULL statistics (the mannWhitney rule)
+    val three = sym.unionAll(Seq(("c", 2L, 1L)).toDF("g", "dur", "ev"))
+    val r3 = Survival.logRank(three, Nil, "g", "dur", "ev").collect()(0)
+    assert(r3.getAs[Long]("n_groups") === 3L && r3.isNullAt(r3.fieldIndex("z")))
+  }
+
   // --- G-test drift ------------------------------------------------------------------
 
   test("gTest: identical snapshots exactly 0, hand golden, one-sided value keeps its term") {
