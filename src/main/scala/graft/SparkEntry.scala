@@ -296,7 +296,8 @@ object SparkEntry {
     "q283_holm_fwer" -> (CoreQueries.q283HolmFwer(_, _)),
     "q284_g_test_drift" -> (CoreQueries.q284GTestDrift(_, _)),
     "q285_kaplan_meier" -> (CoreQueries.q285KaplanMeier(_, _)),
-    "q286_log_rank" -> (CoreQueries.q286LogRank(_, _))
+    "q286_log_rank" -> (CoreQueries.q286LogRank(_, _)),
+    "q287_km_from_store" -> (CoreQueries.q287KmFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -394,7 +395,8 @@ object SparkEntry {
     "q283_holm_fwer" -> holmOracle,
     "q284_g_test_drift" -> gTestOracle,
     "q285_kaplan_meier" -> kaplanMeierOracle,
-    "q286_log_rank" -> logRankOracle)
+    "q286_log_rank" -> logRankOracle,
+    "q287_km_from_store" -> kaplanMeierOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

@@ -50,16 +50,43 @@ object Survival {
       keyCols: Seq[String],
       durationCol: String,
       eventCol: String
+  ): DataFrame =
+    kaplanMeierFromCells(lifetimeCells(df, keyCols, durationCol, eventCol), keyCols)
+
+  /** Per-(keys, duration) event/censor counts — the ADDITIVE, mergeable
+    * state the survival family reduces over: [[kaplanMeierFromCells]]
+    * (and through it [[medianSurvival]]) reads this one frame, so a
+    * versioned fold of it (the rankCells/valueCells discipline) makes
+    * the survival curve a STANDING read over all observed cohorts
+    * without rescanning subjects. Duration cardinality is the store
+    * bound (integer durations by contract — bucket continuous times
+    * first, the q210 discipline).
+    */
+  def lifetimeCells(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventCol: String
   ): DataFrame = {
     val g = keyCols.map(col)
     val dur = col(durationCol).cast("long")
     val ev = col(eventCol).cast("long")
-    val cells = df
-      .filter(dur.isNotNull && ev.isNotNull)
+    df.filter(dur.isNotNull && ev.isNotNull)
       .groupBy(g :+ dur.as("t"): _*)
       .agg(
         sum(when(ev =!= 0L, 1L).otherwise(0L)).as("n_event"),
         sum(when(ev =!= 0L, 0L).otherwise(1L)).as("n_censored"))
+  }
+
+  /** Fold two [[lifetimeCells]] frames over disjoint subject sets. */
+  def mergeLifetimeCells(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col) :+ col("t"): _*)
+      .agg(sum("n_event").as("n_event"), sum("n_censored").as("n_censored"))
+
+  /** [[kaplanMeier]] from a (possibly folded) [[lifetimeCells]] frame. */
+  def kaplanMeierFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
     val wRisk = Window.partitionBy(g: _*).orderBy(col("t"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val wCum = Window.partitionBy(g: _*).orderBy(col("t"))

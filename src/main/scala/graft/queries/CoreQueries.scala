@@ -829,6 +829,35 @@ object CoreQueries {
       .orderBy("t")
   }
 
+  /** KM from-STORE gate: the q285 subjects' lifetime cells folded in
+    * three disjoint user batches through [[graft.operators.Survival
+    * .mergeLifetimeCells]], read by
+    * [[graft.operators.Survival.kaplanMeierFromCells]] — q285's oracle
+    * verbatim; the survival curve as a standing read.
+    */
+  def q287KmFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("h").as("__first"), max("h").as("__last"))
+    val horizon = ev.agg(max("h").as("__horizon"))
+    val subjects = perUser.crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        (col("__last") - col("__first") + 1L).as("duration"),
+        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
+    def batch(i: Int) = Survival.lifetimeCells(
+      subjects.filter(col("user_id") % 3 === i), Nil, "duration", "event")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Survival.mergeLifetimeCells(acc, batch(i), Nil))
+    Survival.kaplanMeierFromCells(folded, Nil)
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        round(col("survival"), 9).as("survival"),
+        round(col("se_greenwood"), 9).as("se_greenwood"))
+      .orderBy("t")
+  }
+
   /** Log-rank gate: do even- and odd-user cohorts share a lifetime
     * curve — the q285 subjects split by user parity, hypergeometric
     * per-time expectations/variances as nano terms, z/χ² fixed dags;

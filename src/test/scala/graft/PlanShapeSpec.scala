@@ -659,6 +659,10 @@ class PlanShapeSpec extends SparkSpec {
     // log-rank: per-user lifetime agg + (cohort, t) cells; at-risk and
     // E/V terms ride the pooled duration-cardinality spine
     Shape("q286_log_rank", maxHash = 5, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // KM from-store: three batch lifetime-cell aggs + two sum-merges +
+    // the duration-cardinality curve windows
+    Shape("q287_km_from_store", maxHash = 10, maxRange = 8,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 
