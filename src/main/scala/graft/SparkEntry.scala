@@ -297,7 +297,9 @@ object SparkEntry {
     "q284_g_test_drift" -> (CoreQueries.q284GTestDrift(_, _)),
     "q285_kaplan_meier" -> (CoreQueries.q285KaplanMeier(_, _)),
     "q286_log_rank" -> (CoreQueries.q286LogRank(_, _)),
-    "q287_km_from_store" -> (CoreQueries.q287KmFromStore(_, _))
+    "q287_km_from_store" -> (CoreQueries.q287KmFromStore(_, _)),
+    "q288_nelson_aalen" -> (CoreQueries.q288NelsonAalen(_, _)),
+    "q289_weighted_kappa" -> (CoreQueries.q289WeightedKappa(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -396,7 +398,9 @@ object SparkEntry {
     "q284_g_test_drift" -> gTestOracle,
     "q285_kaplan_meier" -> kaplanMeierOracle,
     "q286_log_rank" -> logRankOracle,
-    "q287_km_from_store" -> kaplanMeierOracle)
+    "q287_km_from_store" -> kaplanMeierOracle,
+    "q288_nelson_aalen" -> nelsonAalenOracle,
+    "q289_weighted_kappa" -> weightedKappaOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1439,6 +1443,72 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q288 oracle: [[graft.operators.Survival.nelsonAalen]] replayed —
+    * the q285 cells, reverse-cumulative at-risk, nano d/n and d/n²
+    * terms, cumulative H/variance, e^(−H).
+    */
+  private lazy val nelsonAalenOracle: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
+      |hz AS (SELECT max(h) AS horizon FROM e),
+      |subj AS (SELECT l - f + 1 AS t,
+      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
+      |  FROM pu CROSS JOIN hz),
+      |cells AS (SELECT t,
+      |    CAST(sum(ev) AS BIGINT) AS n_event,
+      |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      |  FROM subj GROUP BY 1),
+      |risk AS (SELECT *,
+      |    CAST(sum(n_event + n_censored) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM cells),
+      |terms AS (SELECT *,
+      |    CASE WHEN n_event = 0 THEN 0 ELSE CAST(round(
+      |      CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e9) AS BIGINT)
+      |    END AS h9,
+      |    CASE WHEN n_event = 0 THEN 0 ELSE CAST(round(
+      |      CAST(n_event AS DOUBLE) /
+      |        (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+      |    END AS v9
+      |  FROM risk),
+      |acc AS (SELECT *,
+      |    sum(h9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hsum9,
+      |    sum(v9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vsum9
+      |  FROM terms)
+      |SELECT t, n_risk, n_event, n_censored,
+      |  round(CAST(hsum9 AS DOUBLE) / 1e9, 9) AS hazard,
+      |  round(sqrt(CAST(vsum9 AS DOUBLE) / 1e9), 9) AS se_hazard,
+      |  round(exp(-(CAST(hsum9 AS DOUBLE) / 1e9)), 9) AS surv_fh
+      |FROM acc ORDER BY t""".stripMargin
+
+  /** q289 oracle: [[graft.operators.RankEval.weightedKappa]] replayed
+    * — ordinal tercile judges, quadratic (a−b)² weights on the
+    * observed contingency and the marginal grid, κ_w one division.
+    */
+  private lazy val weightedKappaOracle: String =
+    """WITH d AS (SELECT least(n_chars // 512, 2) AS a,
+      |    least(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x <> '')) // 40, 2) AS b
+      |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      |cnt AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n FROM d GROUP BY 1, 2),
+      |rt AS (SELECT a, sum(n) AS ra FROM cnt GROUP BY 1),
+      |ct AS (SELECT b, sum(n) AS cb FROM cnt GROUP BY 1),
+      |wo AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+      |    coalesce(sum(CAST((a - b) * (a - b) AS HUGEINT) * n), 0) AS w_obs
+      |  FROM cnt),
+      |we AS (SELECT coalesce(sum(CAST((rt.a - ct.b) * (rt.a - ct.b) AS HUGEINT) *
+      |    rt.ra * ct.cb), 0) AS we_num FROM rt CROSS JOIN ct)
+      |SELECT n_items,
+      |  CAST(w_obs * n_items AS VARCHAR) AS wo_num,
+      |  CAST(we_num AS VARCHAR) AS we_num,
+      |  CASE WHEN we_num > 0 THEN
+      |    round(1.0 - CAST(w_obs * n_items AS DOUBLE) / CAST(we_num AS DOUBLE), 9)
+      |  END AS kappa_w
+      |FROM wo CROSS JOIN we""".stripMargin
 
   /** q286 oracle: [[graft.operators.Survival.logRank]] replayed — the
     * q285 subjects split by user parity, per-(cohort, t) cells on the

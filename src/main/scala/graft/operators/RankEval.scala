@@ -463,6 +463,66 @@ object RankEval {
       .select("n_units", "n_pairable", "obs9", "de_num", "d_obs", "d_exp", "alpha")
   }
 
+  /** Weighted Cohen's kappa (Cohen 1968): chance-corrected agreement of
+    * two ORDINAL judges where near-misses count — plain κ
+    * ([[cohenKappa]]) scores "4 vs 5" and "1 vs 5" as equally wrong,
+    * which is the wrong read for graded quality labels; κ_w weights
+    * each disagreement cell by w_ij = (i−j)² (quadratic, the default —
+    * equivalent to an ICC) or |i−j| (linear):
+    *
+    *   κ_w = 1 − Σ w_ij·O_ij / Σ w_ij·E_ij
+    *       = 1 − N·Σ w_ij·O_ij / Σ w_ij·R_i·C_j    (one division)
+    *
+    * with O the observed contingency counts, R/C the marginals — every
+    * numerator an exact DECIMAL integer (weights are integer by
+    * construction; marginal products at 100 TB counts overflow a long),
+    * so κ_w is integer-over-integer, hash-gateable. Labels must cast to
+    * long (ordinal levels — the integer-units contract); rows where
+    * either side's cast fails or is NULL are excluded. NULL κ_w when
+    * the expected weighted disagreement is 0 (both judges constant on
+    * the same level). Scale shape: one (a, b) count aggregation
+    * (category²-sized after map-side combine) + marginal-frame
+    * arithmetic, the [[cohenKappa]] shape.
+    */
+  def weightedKappa(
+      ratings: DataFrame,
+      labelACol: String,
+      labelBCol: String,
+      quadratic: Boolean = true
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = expr(s"try_cast(`$labelACol` AS BIGINT)")
+    val b = expr(s"try_cast(`$labelBCol` AS BIGINT)")
+    val cnt = ratings
+      .filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    def w(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) = {
+      val d = abs(i - j).cast(dec)
+      if (quadratic) d * d else d
+    }
+    val rowTot = cnt.groupBy("__a").agg(sum("__n").as("__ra"))
+    val colTot = cnt.groupBy("__b").agg(sum("__n").as("__cb"))
+    // expected weighted disagreement: the categories² marginal grid
+    // (bounded by contract), never a data-sized join
+    val we = rowTot.crossJoin(colTot)
+      .agg(coalesce(sum(w(col("__a"), col("__b")) *
+        col("__ra").cast(dec) * col("__cb").cast(dec)), lit(0L).cast(dec))
+        .as("we_num"))
+    val wo = cnt.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_items"),
+      coalesce(sum(w(col("__a"), col("__b")) * col("__n").cast(dec)),
+        lit(0L).cast(dec)).as("__wo"))
+    wo.crossJoin(broadcast(we))
+      .withColumn("kappa_w",
+        when(col("we_num") > 0L,
+          lit(1d) - (col("__wo") * col("n_items").cast(dec)).cast("double") /
+            col("we_num").cast("double")))
+      .withColumn("wo_num", (col("__wo") * col("n_items").cast(dec)).cast("string"))
+      .withColumn("we_num", col("we_num").cast("string"))
+      .select("n_items", "wo_num", "we_num", "kappa_w")
+  }
+
   /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement of a FIXED
     * panel of m raters over n units with categorical labels — the
     * missing member between [[cohenKappa]] (exactly two raters) and

@@ -120,6 +120,57 @@ object Survival {
         col("n_censored") :+ col("survival") :+ col("se_greenwood"): _*)
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) from the
+    * same [[lifetimeCells]] state as [[kaplanMeierFromCells]] — the
+    * HAZARD view of the curve: H(t) = Σ_{s≤t} d_s/n_s accumulates risk
+    * additively, so cohort hazards compare by subtraction where
+    * survival curves only compare by ratio, and the Fleming–Harrington
+    * survival S̃ = e^(−H) is the better-behaved small-sample estimator
+    * (never hits exact 0 while anyone is at risk). Aalen's variance
+    * Σ d/n² rides the same pass.
+    *
+    * Determinism: each time's d/n and d/n² are nano longs (fixed
+    * per-row dags), ONE duration-ordered cumulative window over the
+    * duration-cardinality frame; H, se and S̃ are fixed dags at 9dp.
+    * Emits one row per (keys, t): n_risk, n_event, n_censored, hazard,
+    * se_hazard, surv_fh.
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventCol: String
+  ): DataFrame =
+    nelsonAalenFromCells(lifetimeCells(df, keyCols, durationCol, eventCol), keyCols)
+
+  /** [[nelsonAalen]] from a (possibly folded) [[lifetimeCells]] frame. */
+  def nelsonAalenFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val wRisk = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = cells
+      .withColumn("n_risk", sum(col("n_event") + col("n_censored")).over(wRisk))
+    val nD = col("n_risk").cast("double")
+    val dD = col("n_event").cast("double")
+    val h9 = when(col("n_event") === 0L, 0L)
+      .otherwise(round(dD / nD * 1e9d).cast("long"))
+    val v9 = when(col("n_event") === 0L, 0L)
+      .otherwise(round(dD / (nD * nD) * 1e9d).cast("long"))
+    withRisk
+      .withColumn("__h9", h9)
+      .withColumn("__v9", v9)
+      .withColumn("__hsum9", sum("__h9").over(wCum))
+      .withColumn("__vsum9", sum("__v9").over(wCum))
+      .withColumn("hazard", col("__hsum9").cast("double") / 1e9d)
+      .withColumn("se_hazard", sqrt(col("__vsum9").cast("double") / 1e9d))
+      .withColumn("surv_fh", exp(-col("__hsum9").cast("double") / 1e9d))
+      .select(g :+ col("t") :+ col("n_risk") :+ col("n_event") :+
+        col("n_censored") :+ col("hazard") :+ col("se_hazard") :+
+        col("surv_fh"): _*)
+  }
+
   /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972): do two
     * cohorts' SURVIVAL CURVES differ — the inference companion of
     * [[kaplanMeier]] (KM draws the curves, log-rank tests them), and

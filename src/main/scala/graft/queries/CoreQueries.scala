@@ -858,6 +858,51 @@ object CoreQueries {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen gate: the cumulative-hazard view of the q285 subjects
+    * from the SAME lifetime cells — nano d/n and d/n² terms, one
+    * duration-ordered cumulative window, Fleming–Harrington survival
+    * e^(−H) beside KM's product form.
+    */
+  def q288NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("h").as("__first"), max("h").as("__last"))
+    val horizon = ev.agg(max("h").as("__horizon"))
+    val subjects = perUser.crossJoin(broadcast(horizon))
+      .select(
+        (col("__last") - col("__first") + 1L).as("duration"),
+        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
+    Survival.nelsonAalen(subjects, Nil, "duration", "event")
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        round(col("hazard"), 9).as("hazard"),
+        round(col("se_hazard"), 9).as("se_hazard"),
+        round(col("surv_fh"), 9).as("surv_fh"))
+      .orderBy("t")
+  }
+
+  /** Weighted-kappa gate: two ORDINAL judges — the length tercile
+    * (n_chars div 512, capped at 2) vs the token tercile (tokens
+    * div 40, capped at 2) — under quadratic weights; near-misses count
+    * less than two-level misses, exact integer numerators, κ_w one
+    * division.
+    */
+  def q289WeightedKappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val d = Tables.documents(s, dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(
+        least(expr("n_chars div 512"), lit(2L)).as("a"),
+        least(
+          (size(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')"))
+            .cast("long") / lit(40L)).cast("long"), lit(2L)).as("b"))
+    RankEval.weightedKappa(d, "a", "b", quadratic = true)
+      .select(col("n_items"), col("wo_num"), col("we_num"),
+        round(col("kappa_w"), 9).as("kappa_w"))
+  }
+
   /** Log-rank gate: do even- and odd-user cohorts share a lifetime
     * curve — the q285 subjects split by user parity, hypergeometric
     * per-time expectations/variances as nano terms, z/χ² fixed dags;

@@ -663,6 +663,13 @@ class PlanShapeSpec extends SparkSpec {
     // KM from-store: three batch lifetime-cell aggs + two sum-merges +
     // the duration-cardinality curve windows
     Shape("q287_km_from_store", maxHash = 10, maxRange = 8,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Nelson-Aalen: same lifetime-cell shape as q285
+    Shape("q288_nelson_aalen", maxHash = 4, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // weighted kappa: one (a, b) count agg + the categories-squared
+    // marginal grid (bounded nested-loop cross) + 1-row crosses
+    Shape("q289_weighted_kappa", maxHash = 10, maxRange = 5,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

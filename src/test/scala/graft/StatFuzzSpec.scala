@@ -905,6 +905,34 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: weighted kappa vs the double-loop contingency formula, both weightings") {
+    for (t <- 1 to Trials) {
+      val r = rng("wkappa", t)
+      val levels = 3 + r.nextInt(3)
+      val pairs = (0 until 20 + r.nextInt(60)).map { _ =>
+        val a = r.nextInt(levels)
+        val b = math.max(0, math.min(levels - 1, a + r.nextInt(5) - 2)) // correlated
+        (a.toLong, b.toLong)
+      }
+      val n = pairs.size.toDouble
+      for (quad <- Seq(true, false)) {
+        def w(i: Long, j: Long): Double = {
+          val d = math.abs(i - j).toDouble; if (quad) d * d else d
+        }
+        val wObs = pairs.map { case (a, b) => w(a, b) }.sum
+        val ra = pairs.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+        val cb = pairs.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+        // keys.toSeq: a for over two key SETS would dedupe equal terms
+        val wExp = (for (i <- ra.keys.toSeq; j <- cb.keys.toSeq)
+          yield w(i, j) * ra(i) * cb(j) / n).sum
+        val kNaive = if (wExp > 0) Some(1d - wObs / wExp) else None
+        val row = RankEval.weightedKappa(pairs.toDF("a", "b"), "a", "b", quad)
+          .collect()(0)
+        approxOpt(optDouble(row, "kappa_w"), kNaive, s"wkappa quad=$quad trial $t")
+      }
+    }
+  }
+
   /** Greenwood inner sum up to and including time tt, from scratch. */
   private def gwAt(subjects: Seq[(Long, Long)], tt: Long): Double = {
     val byT = subjects.groupBy(_._1).view

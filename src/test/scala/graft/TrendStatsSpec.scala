@@ -1020,6 +1020,59 @@ class TrendStatsSpec extends SparkSpec {
     assert(mc.isNullAt(mc.fieldIndex("median_survival")))
   }
 
+  test("nelsonAalen: hand hazard curve, exp(-H) below KM survival, fold == rebuild") {
+    import graft.operators.Survival
+    // same cells as the KM golden: d/n = 1/5, 1/4, 1/2, 0
+    val d = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)).toDF("dur", "ev")
+    val na = Survival.nelsonAalen(d, Nil, "dur", "ev").orderBy("t").collect()
+    val h = na.map(_.getAs[Double]("hazard"))
+    assert(math.abs(h(0) - 0.2) < 1e-9 && math.abs(h(1) - 0.45) < 1e-9)
+    assert(math.abs(h(2) - 0.95) < 1e-9 && math.abs(h(3) - 0.95) < 1e-9)
+    assert(math.abs(na(1).getAs[Double]("se_hazard") -
+      math.sqrt(1d / 25d + 1d / 16d)) < 1e-9)
+    // Fleming-Harrington survival sits at/above the KM product everywhere
+    val km = Survival.kaplanMeier(d, Nil, "dur", "ev").orderBy("t").collect()
+    for ((n, k) <- na.zip(km))
+      assert(n.getAs[Double]("surv_fh") >= k.getAs[Double]("survival") - 1e-12)
+    // lifetime-cell fold == rebuild, and the hazard read matches
+    val b0 = Survival.lifetimeCells(d.filter($"dur" % 2 === 0), Nil, "dur", "ev")
+    val b1 = Survival.lifetimeCells(d.filter($"dur" % 2 === 1), Nil, "dur", "ev")
+    val folded = Survival.mergeLifetimeCells(b0, b1, Nil)
+    assert(Survival.nelsonAalenFromCells(folded, Nil).orderBy("t").collect().toSeq ===
+      na.toSeq)
+  }
+
+  test("weightedKappa: perfect = 1, quadratic golden, constant judges NULL, linear < quadratic on near-miss data") {
+    import graft.operators.RankEval
+    // perfect agreement: w_obs = 0 -> kappa exactly 1
+    val perf = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(RankEval.weightedKappa(perf, "a", "b")
+      .collect()(0).getAs[Double]("kappa_w") === 1.0)
+    // hand golden: pairs (0,0), (0,1), (2,2), (2,0) on levels {0,1,2}
+    // O: w(0,0)=0, w(0,1)=1, w(2,2)=0, w(2,0)=4 -> w_obs = 5, N = 4
+    // margins R = {0:2, 2:2}, C = {0:2, 1:1, 2:1}
+    // we = sum w(a,b) Ra Cb = (0:0->0)+(0:1->1*2*1=2)+(0:2->4*2*1=8)
+    //    + (2:0->4*2*2=16)+(2:1->1*2*1=2)+(2:2->0) = 28
+    // kappa_w = 1 - 4*5/28 = 2/7
+    val d = Seq((0L, 0L), (0L, 1L), (2L, 2L), (2L, 0L)).toDF("a", "b")
+    val r = RankEval.weightedKappa(d, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[String]("wo_num") === "20" && r.getAs[String]("we_num") === "28")
+    assert(math.abs(r.getAs[Double]("kappa_w") - 2d / 7d) < 1e-12)
+    // both judges constant on the same level: no expected disagreement -> NULL
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    val rc = RankEval.weightedKappa(const, "a", "b").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("kappa_w")))
+    // near-miss-only disagreement: quadratic forgives it more than linear
+    val near = Seq((0L, 0L), (1L, 2L), (2L, 1L), (0L, 0L), (1L, 1L), (2L, 2L))
+      .toDF("a", "b")
+    val kq = RankEval.weightedKappa(near, "a", "b", quadratic = true)
+      .collect()(0).getAs[Double]("kappa_w")
+    val kl = RankEval.weightedKappa(near, "a", "b", quadratic = false)
+      .collect()(0).getAs[Double]("kappa_w")
+    assert(kq > kl)
+  }
+
   test("logRank: symmetric cohorts z = 0, hand golden z = sqrt(3), 3-group flag") {
     import graft.operators.Survival
     // perfectly symmetric cohorts: O = E at every time, z exactly 0
