@@ -299,7 +299,9 @@ object SparkEntry {
     "q286_log_rank" -> (CoreQueries.q286LogRank(_, _)),
     "q287_km_from_store" -> (CoreQueries.q287KmFromStore(_, _)),
     "q288_nelson_aalen" -> (CoreQueries.q288NelsonAalen(_, _)),
-    "q289_weighted_kappa" -> (CoreQueries.q289WeightedKappa(_, _))
+    "q289_weighted_kappa" -> (CoreQueries.q289WeightedKappa(_, _)),
+    "q290_yule_k" -> (CoreQueries.q290YuleK(_, _)),
+    "q291_rmst" -> (CoreQueries.q291Rmst(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -400,7 +402,9 @@ object SparkEntry {
     "q286_log_rank" -> logRankOracle,
     "q287_km_from_store" -> kaplanMeierOracle,
     "q288_nelson_aalen" -> nelsonAalenOracle,
-    "q289_weighted_kappa" -> weightedKappaOracle)
+    "q289_weighted_kappa" -> weightedKappaOracle,
+    "q290_yule_k" -> yuleKOracle,
+    "q291_rmst" -> rmstOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1443,6 +1447,76 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q290 oracle: [[graft.text.CorpusLaws.yuleK]] replayed — per-lang
+    * token counts, exact Σcnt², K = 10⁴·(Σcnt² − N)/N².
+    */
+  private lazy val yuleKOracle: String =
+    """WITH t AS (SELECT lang,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(cnt) AS BIGINT) AS mass,
+      |    sum(CAST(cnt AS HUGEINT) * cnt) AS s2
+      |  FROM c GROUP BY 1)
+      |SELECT lang, n_types, mass, CAST(s2 AS VARCHAR) AS s2,
+      |  CASE WHEN mass > 0 THEN round(
+      |    1e4 * CAST(s2 - mass AS DOUBLE) /
+      |      (CAST(mass AS DOUBLE) * CAST(mass AS DOUBLE)), 9)
+      |  END AS yule_k
+      |FROM a ORDER BY lang""".stripMargin
+
+  /** q291 oracle: [[graft.operators.Survival.rmst]] replayed — the q285
+    * KM chain with UNROUNDED survivals, τ-truncated steps, nano-landed
+    * step survivals × integer widths, one division.
+    */
+  private lazy val rmstOracle: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
+      |hz AS (SELECT max(h) AS horizon FROM e),
+      |subj AS (SELECT l - f + 1 AS t,
+      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
+      |  FROM pu CROSS JOIN hz),
+      |cells AS (SELECT t,
+      |    CAST(sum(ev) AS BIGINT) AS n_event,
+      |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      |  FROM subj GROUP BY 1),
+      |risk AS (SELECT *,
+      |    CAST(sum(n_event + n_censored) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM cells),
+      |terms AS (SELECT *,
+      |    CASE WHEN n_event = 0 THEN 0
+      |         WHEN n_event < n_risk THEN CAST(round(ln(
+      |           (CAST(n_risk AS DOUBLE) - CAST(n_event AS DOUBLE)) /
+      |             CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS ln9
+      |  FROM risk),
+      |acc AS (SELECT *,
+      |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS dead,
+      |    sum(ln9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum9
+      |  FROM terms),
+      |km AS (SELECT t,
+      |    CASE WHEN dead THEN 0.0 ELSE exp(CAST(lnsum9 AS DOUBLE) / 1e9) END AS s
+      |  FROM acc WHERE t <= 48),
+      |steps AS (SELECT t, s,
+      |    lag(s, 1, 1.0) OVER (ORDER BY t) AS prev_s,
+      |    lag(t, 1, 0) OVER (ORDER BY t) AS prev_t,
+      |    row_number() OVER (ORDER BY t DESC) = 1 AS is_last
+      |  FROM km),
+      |seg AS (SELECT
+      |    CAST(round(prev_s * 1e9) AS HUGEINT) * (t - prev_t) +
+      |      CASE WHEN is_last THEN CAST(round(s * 1e9) AS HUGEINT) * (48 - t)
+      |           ELSE 0 END AS seg9,
+      |    CASE WHEN is_last THEN t END AS tl
+      |  FROM steps)
+      |SELECT CAST(48 AS BIGINT) AS tau,
+      |  coalesce(CAST(max(tl) AS BIGINT), 0) AS t_last,
+      |  coalesce(round(CAST(sum(seg9) AS DOUBLE) / 1e9, 9), 48.0) AS rmst
+      |FROM seg""".stripMargin
 
   /** q288 oracle: [[graft.operators.Survival.nelsonAalen]] replayed —
     * the q285 cells, reverse-cumulative at-risk, nano d/n and d/n²

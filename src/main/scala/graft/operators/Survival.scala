@@ -266,6 +266,62 @@ object Survival {
         col("v_9") :+ col("z") :+ col("chi2"): _*)
   }
 
+  /** Restricted mean survival time (Royston & Parmar 2013 popularized;
+    * the τ-truncated area under the KM curve): the "average lifetime
+    * within the first τ units" summary that stays defined under heavy
+    * censoring where the plain mean doesn't and the median may never
+    * cross — AND the difference of two cohorts' RMSTs is the
+    * honest "extra lifetime bought" effect size the hazard ratio isn't.
+    * Read off a [[kaplanMeier]] frame:
+    *
+    *   RMST(τ) = Σ_i S(t_{i−1})·(t_i − t_{i−1}) + S(t_k)·(τ − t_k)
+    *   (t₀ = 0, S(t₀) = 1, over event times t_i ≤ τ)
+    *
+    * Determinism: each step's survival is nano-landed FIRST
+    * (round(1e9·S) — S is already a fixed dag) and multiplied by the
+    * exact integer width, so the segment sum is an exact DECIMAL
+    * integer summed order-free and RMST is one division — bit-identical
+    * cross-engine (a raw double running sum would be order-sensitive).
+    * Within 5e-10·τ of the unrounded area (stated). Groups whose curve
+    * has no point ≤ τ never dropped below 1: their RMST is exactly τ —
+    * emitted via the full key frame, not silently absent. Emits one row
+    * per key set: tau, t_last (the last step ≤ τ; 0 when none), rmst.
+    */
+  def rmst(km: DataFrame, keyCols: Seq[String], tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    def grouped(df: DataFrame) =
+      if (keyCols.isEmpty) df.groupBy() else df.groupBy(g: _*)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("t"))
+    val wLast = Window.partitionBy(g: _*).orderBy(col("t").desc)
+    val kept = km.filter(col("t") <= tau)
+      .select((g :+ col("t") :+ col("survival")): _*)
+      .withColumn("__prevS", lag("survival", 1, 1.0d).over(wOrd))
+      .withColumn("__prevT", lag("t", 1, 0L).over(wOrd))
+      .withColumn("__isLast", row_number().over(wLast) === 1)
+    val seg9 = round(col("__prevS") * 1e9d).cast(dec) *
+      (col("t") - col("__prevT")).cast(dec) +
+      when(col("__isLast"),
+        round(col("survival") * 1e9d).cast(dec) * (lit(tau) - col("t")).cast(dec))
+        .otherwise(lit(0L).cast(dec))
+    val sums = grouped(kept.withColumn("__seg9", seg9))
+      .agg(max(when(col("__isLast"), col("t"))).as("t_last"),
+        sum("__seg9").as("__rm9"))
+    // groups with no step <= tau (possible when tau undercuts every
+    // duration): the curve is still 1 there, RMST = tau exactly
+    val universe = grouped(km.select((g :+ col("t")): _*)).agg(count(lit(1)).as("__k"))
+    val joined =
+      if (keyCols.isEmpty) sums
+      else universe.join(sums, keyCols, "left_outer")
+    joined
+      .withColumn("tau", lit(tau))
+      .withColumn("t_last", coalesce(col("t_last"), lit(0L)))
+      .withColumn("rmst",
+        coalesce(col("__rm9").cast("double") / 1e9d, lit(tau.toDouble)))
+      .select((g :+ col("tau") :+ col("t_last") :+ col("rmst")): _*)
+  }
+
   /** Median survival time — the smallest duration with S(t) ≤ 1/2,
     * read off a [[kaplanMeier]] frame: one filtered min per key set
     * (NULL when the curve never crosses — more than half the cohort

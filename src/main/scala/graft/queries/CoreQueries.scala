@@ -858,6 +858,42 @@ object CoreQueries {
       .orderBy("t")
   }
 
+  /** Yule's-K gate: per-language lexical concentration of documents —
+    * Σcnt² over the token-count store, exact DECIMAL, K one division;
+    * the length-invariant repetitiveness dial beside q252's richness.
+    */
+  def q290YuleK(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.CorpusLaws
+    CorpusLaws.yuleK(
+      CorpusLaws.groupedTokenCounts(
+        Tables.documents(s, dir).select("lang", "text"), Seq("lang"), "text"),
+      Seq("lang"))
+      .select(col("lang"), col("n_types"), col("mass"), col("s2"),
+        round(col("yule_k"), 9).as("yule_k"))
+      .orderBy("lang")
+  }
+
+  /** RMST gate: mean user lifetime within the first 48 h of the q285
+    * curve — nano-landed step survivals × exact integer widths summed
+    * order-free, one division; the censoring-proof effect-size summary.
+    */
+  def q291Rmst(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min("h").as("__first"), max("h").as("__last"))
+    val horizon = ev.agg(max("h").as("__horizon"))
+    val subjects = perUser.crossJoin(broadcast(horizon))
+      .select(
+        (col("__last") - col("__first") + 1L).as("duration"),
+        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
+    Survival.rmst(
+      Survival.kaplanMeier(subjects, Nil, "duration", "event"), Nil, tau = 48L)
+      .select(col("tau"), col("t_last"), round(col("rmst"), 9).as("rmst"))
+  }
+
   /** Nelson–Aalen gate: the cumulative-hazard view of the q285 subjects
     * from the SAME lifetime cells — nano d/n and d/n² terms, one
     * duration-ordered cumulative window, Fleming–Harrington survival

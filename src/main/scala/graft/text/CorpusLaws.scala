@@ -291,6 +291,40 @@ object CorpusLaws {
       .withColumn("coverage", lit(1d) - col("gt_unseen_mass"))
   }
 
+  /** Yule's K lexical concentration (Yule 1944) — the LENGTH-INVARIANT
+    * repetitiveness characteristic beside [[vocabRichness]]'s discovery
+    * dials: K = 10⁴·(Σ_v cnt_v² − N)/N² rises when a few types carry
+    * the mass (templated/boilerplate text) and is famously stable under
+    * corpus growth, so cross-slice K values compare directly where raw
+    * type/token ratios can't (they fall with length). The classic
+    * frequency-spectrum form 10⁴·(Σ_m m²·V_m − N)/N² reduces to Σcnt²
+    * over the types — no spectrum pass needed.
+    *
+    * Exact: Σcnt² in DECIMAL (a hot type's square passes a long at
+    * corpus scale), N exact, K ONE division of exact integers at 9dp —
+    * hash-gateable. Reads the SAME mergeable token-count store as the
+    * profile/richness family (the tokenCountsStream state), so the
+    * standing vocabulary answers concentration for free. NULL K at
+    * N = 0. One aggregation over the (keys, token) frame.
+    */
+  def yuleK(counts: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val c = col("cnt").cast("long").cast(dec)
+    counts.groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cnt").cast("long")).as("mass"),
+        sum(c * c).as("__s2"))
+      .withColumn("s2", col("__s2").cast("string"))
+      .withColumn("yule_k",
+        when(col("mass") > 0L,
+          lit(1e4d) * (col("__s2") - col("mass").cast(dec)).cast("double") /
+            (col("mass").cast("double") * col("mass").cast("double"))))
+      .select((g :+ col("n_types") :+ col("mass") :+ col("s2") :+
+        col("yule_k")): _*)
+  }
+
   /** Cross-source vocabulary OVERLAP matrix: for every unordered source
     * pair, the shared-type count and the Jaccard / overlap / both
     * containment coefficients — "which sources are lexically the same

@@ -670,6 +670,12 @@ class PlanShapeSpec extends SparkSpec {
     // weighted kappa: one (a, b) count agg + the categories-squared
     // marginal grid (bounded nested-loop cross) + 1-row crosses
     Shape("q289_weighted_kappa", maxHash = 10, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Yule's K: explode -> two-phase token-count agg -> one key agg
+    Shape("q290_yule_k", maxHash = 4, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // RMST: the q285 chain + step lags on the duration-cardinality frame
+    Shape("q291_rmst", maxHash = 4, maxRange = 6,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

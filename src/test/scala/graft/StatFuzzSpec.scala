@@ -933,6 +933,37 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: Yule's K vs the frequency-spectrum formula; RMST vs the step-area loop") {
+    import graft.text.CorpusLaws
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("yule", t)
+      val tokens = (0 until 30 + r.nextInt(80)).map(_ => "w" + r.nextInt(12))
+      val cnts = tokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val n = tokens.size.toDouble
+      // the classic spectrum form: 1e4 * (sum_m m^2 V_m - N) / N^2
+      val spectrum = cnts.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val kNaive = 1e4 * (spectrum.map { case (m, vm) => m.toDouble * m * vm }.sum - n) / (n * n)
+      val row = CorpusLaws.yuleK(
+        cnts.map { case (tok, c) => ("g", tok, c) }.toDF("k", "token", "cnt"),
+        Seq("k")).collect()(0)
+      approx(row.getAs[Double]("yule_k"), kNaive, s"yule trial $t")
+      // RMST: random censored cohort, naive step-area walk over the km rows
+      val subjects = (0 until 10 + r.nextInt(40)).map(_ =>
+        ((1 + r.nextInt(9)).toLong, r.nextInt(3).min(1).toLong))
+      val tau = (3 + r.nextInt(8)).toLong
+      val km = Survival.kaplanMeier(subjects.toDF("dur", "ev"), Nil, "dur", "ev")
+      val steps = km.select("t", "survival").collect()
+        .map(rr => (rr.getLong(0), rr.getDouble(1))).sortBy(_._1)
+        .filter(_._1 <= tau)
+      var prevT = 0L; var prevS = 1.0; var area = 0.0
+      for ((tt, s) <- steps) { area += prevS * (tt - prevT); prevT = tt; prevS = s }
+      area += prevS * (tau - prevT)
+      val got = Survival.rmst(km, Nil, tau).collect()(0).getAs[Double]("rmst")
+      approx(got, area, s"rmst trial $t")
+    }
+  }
+
   /** Greenwood inner sum up to and including time tt, from scratch. */
   private def gwAt(subjects: Seq[(Long, Long)], tt: Long): Double = {
     val byT = subjects.groupBy(_._1).view

@@ -1073,6 +1073,43 @@ class TrendStatsSpec extends SparkSpec {
     assert(kq > kl)
   }
 
+  test("rmst: hand areas at three taus, no-step-below-tau group = tau, keyed groups") {
+    import graft.operators.Survival
+    val d = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)).toDF("dur", "ev")
+    val km = Survival.kaplanMeier(d, Nil, "dur", "ev")
+    // S = .8@1, .6@2, .3@3, .3@4; tau=6: 1 + .8 + .6 + .3 + .3*2 = 3.3
+    val r6 = Survival.rmst(km, Nil, tau = 6L).collect()(0)
+    assert(r6.getAs[Long]("t_last") === 4L)
+    assert(math.abs(r6.getAs[Double]("rmst") - 3.3) < 1e-8)
+    // tau=2 truncates: 1*1 + .8*1 + .6*0 = 1.8
+    assert(math.abs(Survival.rmst(km, Nil, tau = 2L)
+      .collect()(0).getAs[Double]("rmst") - 1.8) < 1e-8)
+    // tau below every duration: the curve is still 1 -> rmst = tau exactly
+    val late = Seq((5L, 1L), (7L, 0L)).toDF("dur", "ev")
+    val rl = Survival.rmst(Survival.kaplanMeier(late, Nil, "dur", "ev"), Nil, 3L)
+      .collect()(0)
+    assert(rl.getAs[Double]("rmst") === 3.0 && rl.getAs[Long]("t_last") === 0L)
+    // keyed: one group with steps <= tau, one without — both rows emitted
+    val two = Seq(("a", 1L, 1L), ("a", 2L, 0L), ("b", 9L, 1L)).toDF("g", "dur", "ev")
+    val rk = Survival.rmst(Survival.kaplanMeier(two, Seq("g"), "dur", "ev"), Seq("g"), 4L)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("rmst")).toMap
+    // a: S(1)=.5 -> 1*1 + .5*(2-1) + .5*(4-2) = 2.5 ; b: flat 1 -> 4
+    assert(math.abs(rk("a") - 2.5) < 1e-8)
+    assert(rk("b") === 4.0)
+  }
+
+  test("yuleK: hand golden 3750, uniform counts exactly 0, from the same store as richness") {
+    import graft.text.CorpusLaws
+    val counts = Seq(("g", "a", 3L), ("g", "b", 1L)).toDF("k", "token", "cnt")
+    val r = CorpusLaws.yuleK(counts, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("n_types") === 2L && r.getAs[Long]("mass") === 4L)
+    assert(r.getAs[String]("s2") === "10")
+    assert(r.getAs[Double]("yule_k") === 1e4 * 6 / 16) // 3750
+    // every type once: S2 = N -> K exactly 0 (hapax-only text)
+    val uni = Seq(("g", "a", 1L), ("g", "b", 1L), ("g", "c", 1L)).toDF("k", "token", "cnt")
+    assert(CorpusLaws.yuleK(uni, Seq("k")).collect()(0).getAs[Double]("yule_k") === 0.0)
+  }
+
   test("logRank: symmetric cohorts z = 0, hand golden z = sqrt(3), 3-group flag") {
     import graft.operators.Survival
     // perfectly symmetric cohorts: O = E at every time, z exactly 0
