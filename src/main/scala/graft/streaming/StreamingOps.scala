@@ -876,6 +876,41 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming value-COUNT fold — the categorical drift family's online
+    * state: each micro-batch's per-value counts
+    * ([[graft.quality.Profiler.valueCounts]]; NULL is a category) merge
+    * additively into a versioned store, so the standing histogram
+    * answers χ² ([[graft.quality.Profiler.chiSquareDriftFromCounts]]),
+    * JS ([[graft.quality.Association.jsDivergenceFromCounts]]),
+    * G ([[graft.quality.Profiler.gTestFromCounts]]) and Hellinger
+    * ([[graft.quality.Profiler.hellingerFromCounts]]) against any other
+    * store without rescanning history — ONE state, four gated reads.
+    * Value cardinality is the store bound (a categorical audit input by
+    * contract). Same non-idempotent recompute-on-replay version
+    * discipline as [[contingencyStream]].
+    */
+  def valueCountsStream(
+      rows: DataFrame,
+      column: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.Profiler.valueCounts(batch, column)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.Profiler.mergeValueCounts(
+            s.read.parquet(p), bc)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming value-cell fold — the location/spread/shift family's
     * online state: each micro-batch's per-(keys, value) weight cells
     * ([[graft.operators.Quantiles.valueCells]], unit weights when

@@ -862,6 +862,44 @@ class StreamingSpec extends SparkSpec {
     assert(shiftFromStore.nonEmpty)
   }
 
+  test("streaming value-count fold equals the batch rebuild; standing chi2/JS/G/Hellinger match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.quality.{Association, Profiler}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vcntstream").toString
+    val mem = MemoryStream[String]
+    val b1 = (0 until 200).map(i => "c" + (i * 7 % 5))
+    val b2 = (0 until 150).map(i => "c" + (i * 3 % 4))
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("v")
+    StreamingOps.valueCountsStream(rows, "v", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.valueCountsStream(rows, "v", s"$tmp/store", s"$tmp/cp")
+      .awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val all = (b1 ++ b2).toDF("v")
+    val folded = spark.read.parquet(latest).orderBy("value").collect().toSeq
+    val rebuilt = Profiler.valueCounts(all, "v").orderBy("value").collect().toSeq
+    assert(folded == rebuilt)
+    // every categorical drift read over the standing store == its batch twin
+    val store = spark.read.parquet(latest)
+    val other = (0 until 120).map(i => "c" + (i * 11 % 6)).toDF("v")
+    val otherCounts = Profiler.valueCounts(other, "v")
+    assert(Profiler.chiSquareDriftFromCounts(store, otherCounts)
+        .orderBy("value").collect().toSeq ==
+      Profiler.chiSquareDrift(all, other, "v").orderBy("value").collect().toSeq)
+    assert(Association.jsDivergenceFromCounts(store, otherCounts)
+        .orderBy("value").collect().toSeq ==
+      Association.jsDivergence(all, other, "v").orderBy("value").collect().toSeq)
+    assert(Profiler.gTestFromCounts(store, otherCounts)
+        .orderBy("value").collect().toSeq ==
+      Profiler.gTestDrift(all, other, "v").orderBy("value").collect().toSeq)
+    assert(Profiler.hellingerFromCounts(store, otherCounts).collect().toSeq ==
+      Profiler.hellingerDrift(all, other, "v").collect().toSeq)
+  }
+
   test("streaming Kendall cell fold equals the batch rebuild; standing tau-b matches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.quality.Association
