@@ -301,7 +301,8 @@ object SparkEntry {
     "q288_nelson_aalen" -> (CoreQueries.q288NelsonAalen(_, _)),
     "q289_weighted_kappa" -> (CoreQueries.q289WeightedKappa(_, _)),
     "q290_yule_k" -> (CoreQueries.q290YuleK(_, _)),
-    "q291_rmst" -> (CoreQueries.q291Rmst(_, _))
+    "q291_rmst" -> (CoreQueries.q291Rmst(_, _)),
+    "q292_proportion_effects" -> (CoreQueries.q292ProportionEffects(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -404,7 +405,8 @@ object SparkEntry {
     "q288_nelson_aalen" -> nelsonAalenOracle,
     "q289_weighted_kappa" -> weightedKappaOracle,
     "q290_yule_k" -> yuleKOracle,
-    "q291_rmst" -> rmstOracle)
+    "q291_rmst" -> rmstOracle,
+    "q292_proportion_effects" -> proportionEffectsOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1447,6 +1449,63 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q292 oracle: [[graft.quality.Association.proportionEffects]]
+    * replayed — the q229 variant counts, the 2-label pivot, exact risk
+    * cross product, Woolf ln-CI and arcsine h fixed dags.
+    */
+  private lazy val proportionEffectsOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hi
+      |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |ga AS (SELECT grp, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(hi) AS BIGINT) AS s FROM ev GROUP BY 1),
+      |lab AS (SELECT *, count(*) OVER () AS ngrps,
+      |    min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi FROM ga),
+      |wide AS (SELECT grp_lo, grp_hi, ngrps,
+      |    max(CASE WHEN grp = grp_lo THEN m END) AS m1,
+      |    max(CASE WHEN grp = grp_lo THEN s END) AS s1,
+      |    max(CASE WHEN grp = grp_hi THEN m END) AS m2,
+      |    max(CASE WHEN grp = grp_hi THEN s END) AS s2
+      |  FROM lab GROUP BY 1, 2, 3),
+      |f AS (SELECT *,
+      |    s1 AS a, m1 - s1 AS b, s2 AS c, m2 - s2 AS d,
+      |    CAST(s1 AS HUGEINT) * m2 - CAST(s2 AS HUGEINT) * m1 AS rdnum,
+      |    (CASE WHEN s1 = 0 THEN 1 ELSE 0 END + CASE WHEN m1 - s1 = 0 THEN 1 ELSE 0 END +
+      |     CASE WHEN s2 = 0 THEN 1 ELSE 0 END + CASE WHEN m2 - s2 = 0 THEN 1 ELSE 0 END)
+      |      AS zc
+      |  FROM wide),
+      |e AS (SELECT *,
+      |    ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) /
+      |       (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) AS lnor,
+      |    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE) +
+      |         1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS seln,
+      |    ngrps = 2 AND m1 > 0 AND m2 > 0 AS okb
+      |  FROM f)
+      |SELECT grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN m1 END AS m_lo,
+      |  CASE WHEN ngrps = 2 THEN s1 END AS s_lo,
+      |  CASE WHEN ngrps = 2 THEN m2 END AS m_hi,
+      |  CASE WHEN ngrps = 2 THEN s2 END AS s_hi,
+      |  CASE WHEN ngrps = 2 THEN CAST(rdnum AS VARCHAR) END AS rd_num,
+      |  CASE WHEN okb THEN round(CAST(rdnum AS DOUBLE) /
+      |    (CAST(m1 AS DOUBLE) * CAST(m2 AS DOUBLE)), 9) END AS risk_diff,
+      |  CASE WHEN okb AND c > 0 THEN round(
+      |    (CAST(a AS DOUBLE) * CAST(m2 AS DOUBLE)) /
+      |    (CAST(c AS DOUBLE) * CAST(m1 AS DOUBLE)), 9) END AS risk_ratio,
+      |  CASE WHEN ngrps = 2 THEN CAST(zc AS BIGINT) END AS n_zero_cells,
+      |  CASE WHEN okb AND zc = 0 THEN round(
+      |    (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) /
+      |    (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 9) END AS odds_ratio,
+      |  CASE WHEN okb AND zc = 0 THEN round(exp(lnor - 1.959964 * seln), 9)
+      |  END AS or_ci_lo,
+      |  CASE WHEN okb AND zc = 0 THEN round(exp(lnor + 1.959964 * seln), 9)
+      |  END AS or_ci_hi,
+      |  CASE WHEN okb THEN round(
+      |    2.0 * asin(sqrt(CAST(a AS DOUBLE) / CAST(m1 AS DOUBLE))) -
+      |    2.0 * asin(sqrt(CAST(c AS DOUBLE) / CAST(m2 AS DOUBLE))), 9)
+      |  END AS cohens_h
+      |FROM e""".stripMargin
 
   /** q290 oracle: [[graft.text.CorpusLaws.yuleK]] replayed — per-lang
     * token counts, exact Σcnt², K = 10⁴·(Σcnt² − N)/N².

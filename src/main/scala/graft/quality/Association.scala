@@ -1170,6 +1170,96 @@ object Association {
         col("g_hedges"): _*)
   }
 
+  /** Two-proportion EFFECT SIZES — the magnitude panel beside
+    * [[twoProportion]]'s z (the test+effect pairing rule: a 100 TB
+    * corpus makes a 0.01 pp difference "significant"; these say whether
+    * anyone should care). From the same (group, 0/1-success) input and
+    * 2-label pivot, with a = s_lo, b = m_lo−s_lo, c = s_hi,
+    * d = m_hi−s_hi:
+    *
+    *   risk_diff  = a/m₁ − c/m₂       (exact cross product / m₁m₂)
+    *   risk_ratio = (a·m₂)/(c·m₁)     (one division; NULL at c = 0)
+    *   odds_ratio = ad/bc with Woolf's CI exp(ln OR ± 1.96·√Σ1/cell)
+    *                (NULL + n_zero_cells flag on any empty cell —
+    *                flag, never Haldane-correct silently)
+    *   cohens_h   = 2·asin(√p₁) − 2·asin(√p₂)   (the arcsine-stabilized
+    *                effect whose detectability doesn't depend on where
+    *                the baseline sits)
+    *
+    * Integer numerators exact in DECIMAL; every surfaced ratio ONE
+    * division / fixed transcendental dag at 9dp (the ln/asin
+    * correctly-rounded-libm convention). >2 groups flagged via
+    * n_groups with NULL statistics. One counting aggregation.
+    */
+  def proportionEffects(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      successCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__m"), sum(col(successCol).cast("long")).as("__s"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__m"))).as("__m1"),
+        max(when(col("grp") === col("grp_lo"), col("__s"))).as("__s1"),
+        max(when(col("grp") === col("grp_hi"), col("__m"))).as("__m2"),
+        max(when(col("grp") === col("grp_hi"), col("__s"))).as("__s2"))
+    val two = col("__ngrps") === 2L
+    val a = col("__s1"); val b = col("__m1") - col("__s1")
+    val c = col("__s2"); val d = col("__m2") - col("__s2")
+    val m1D = col("__m1").cast(dec); val m2D = col("__m2").cast(dec)
+    val rdNum = col("__s1").cast(dec) * m2D - col("__s2").cast(dec) * m1D
+    val okBase = two && col("__m1") > 0L && col("__m2") > 0L
+    val zeroCells = (when(a === 0L, 1).otherwise(0) + when(b === 0L, 1).otherwise(0) +
+      when(c === 0L, 1).otherwise(0) + when(d === 0L, 1).otherwise(0))
+    val lnOr = log((a.cast("double") * d.cast("double")) /
+      (b.cast("double") * c.cast("double")))
+    val seLn = sqrt(lit(1d) / a.cast("double") + lit(1d) / b.cast("double") +
+      lit(1d) / c.cast("double") + lit(1d) / d.cast("double"))
+    val p1 = a.cast("double") / col("__m1").cast("double")
+    val p2 = c.cast("double") / col("__m2").cast("double")
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("m_lo", when(two, col("__m1")))
+      .withColumn("s_lo", when(two, col("__s1")))
+      .withColumn("m_hi", when(two, col("__m2")))
+      .withColumn("s_hi", when(two, col("__s2")))
+      .withColumn("rd_num", when(two, rdNum.cast("string")))
+      .withColumn("risk_diff",
+        when(okBase, rdNum.cast("double") /
+          (col("__m1").cast("double") * col("__m2").cast("double"))))
+      .withColumn("risk_ratio",
+        when(okBase && c > 0L,
+          (a.cast("double") * col("__m2").cast("double")) /
+            (c.cast("double") * col("__m1").cast("double"))))
+      .withColumn("n_zero_cells", when(two, zeroCells.cast("long")))
+      .withColumn("odds_ratio",
+        when(okBase && zeroCells === 0,
+          (a.cast("double") * d.cast("double")) /
+            (b.cast("double") * c.cast("double"))))
+      .withColumn("or_ci_lo",
+        when(okBase && zeroCells === 0, exp(lnOr - lit(1.959964d) * seLn)))
+      .withColumn("or_ci_hi",
+        when(okBase && zeroCells === 0, exp(lnOr + lit(1.959964d) * seLn)))
+      .withColumn("cohens_h",
+        when(okBase, lit(2d) * asin(sqrt(p1)) - lit(2d) * asin(sqrt(p2))))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("m_lo") :+ col("s_lo") :+ col("m_hi") :+ col("s_hi") :+
+        col("rd_num") :+ col("risk_diff") :+ col("risk_ratio") :+
+        col("n_zero_cells") :+ col("odds_ratio") :+ col("or_ci_lo") :+
+        col("or_ci_hi") :+ col("cohens_h"): _*)
+  }
+
   /** One-way ANOVA F (Fisher 1925): do k groups share a MEAN — the
     * parametric companion of [[kruskalWallis]] (KW reads rank location,
     * F reads mean location under the equal-variance normal model; a

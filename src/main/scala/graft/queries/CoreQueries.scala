@@ -2235,6 +2235,28 @@ object CoreQueries {
       .orderBy("grp_lo")
   }
 
+  /** Proportion-effects gate: the magnitude panel on the q229 shape —
+    * risk difference (exact cross product), risk ratio, odds ratio with
+    * Woolf's CI, and Cohen's arcsine h; the "should anyone care" panel
+    * beside the z that goes significant at 100 TB regardless.
+    */
+  def q292ProportionEffects(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select(col("event_type"), (col("value") >= 250d).cast("long").as("hi"))
+    Association.proportionEffects(ev, Nil, "event_type", "hi")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("m_lo"), col("s_lo"), col("m_hi"), col("s_hi"), col("rd_num"),
+        round(col("risk_diff"), 9).as("risk_diff"),
+        round(col("risk_ratio"), 9).as("risk_ratio"),
+        col("n_zero_cells"),
+        round(col("odds_ratio"), 9).as("odds_ratio"),
+        round(col("or_ci_lo"), 9).as("or_ci_lo"),
+        round(col("or_ci_hi"), 9).as("or_ci_hi"),
+        round(col("cohens_h"), 9).as("cohens_h"))
+  }
+
   /** OLS regression gate: the price-on-quantity line per return flag —
     * slope/intercept/R² as pure rationals over exact integer moments
     * (num/den digit strings; each surface one division, R² on doubles).

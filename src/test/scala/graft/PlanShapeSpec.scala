@@ -676,6 +676,10 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // RMST: the q285 chain + step lags on the duration-cardinality frame
     Shape("q291_rmst", maxHash = 4, maxRange = 6,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // proportion effects: ONE variant-count exchange + the 2-label
+    // pivot bookkeeping (the q229 shape)
+    Shape("q292_proportion_effects", maxHash = 2, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

@@ -726,6 +726,36 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: proportion effect sizes vs the direct 2x2 formulas") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("propeff", t)
+      val lo = (0 until 10 + r.nextInt(50)).map(_ => (r.nextInt(3) == 0))
+      val hi = (0 until 10 + r.nextInt(50)).map(_ => (r.nextInt(2) == 0))
+      val df = (lo.map(("A", _)) ++ hi.map(("B", _)))
+        .map { case (grp, s) => (grp, if (s) 1L else 0L) }.toDF("g", "s")
+      val (m1, s1) = (lo.size.toDouble, lo.count(identity).toDouble)
+      val (m2, s2) = (hi.size.toDouble, hi.count(identity).toDouble)
+      val (a, b, c, d) = (s1, m1 - s1, s2, m2 - s2)
+      val row = Association.proportionEffects(df, Nil, "g", "s").collect()(0)
+      approx(row.getAs[Double]("risk_diff"), s1 / m1 - s2 / m2, s"rd trial $t")
+      approxOpt(optDouble(row, "risk_ratio"),
+        if (c > 0) Some((s1 / m1) / (s2 / m2)) else None, s"rr trial $t")
+      val zc = Seq(a, b, c, d).count(_ == 0d)
+      assert(row.getAs[Long]("n_zero_cells") === zc.toLong, s"zc trial $t")
+      approxOpt(optDouble(row, "odds_ratio"),
+        if (zc == 0) Some(a * d / (b * c)) else None, s"or trial $t")
+      if (zc == 0) {
+        val se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+        approx(row.getAs[Double]("or_ci_lo"),
+          math.exp(math.log(a * d / (b * c)) - 1.959964 * se), s"ci trial $t")
+      }
+      approx(row.getAs[Double]("cohens_h"),
+        2 * math.asin(math.sqrt(s1 / m1)) - 2 * math.asin(math.sqrt(s2 / m2)),
+        s"h trial $t")
+    }
+  }
+
   // --- One-way ANOVA ----------------------------------------------------------------
 
   test("fuzz: one-way ANOVA F vs the SSB/SSW decomposition") {
