@@ -302,7 +302,8 @@ object SparkEntry {
     "q289_weighted_kappa" -> (CoreQueries.q289WeightedKappa(_, _)),
     "q290_yule_k" -> (CoreQueries.q290YuleK(_, _)),
     "q291_rmst" -> (CoreQueries.q291Rmst(_, _)),
-    "q292_proportion_effects" -> (CoreQueries.q292ProportionEffects(_, _))
+    "q292_proportion_effects" -> (CoreQueries.q292ProportionEffects(_, _)),
+    "q293_page_trend" -> (CoreQueries.q293PageTrend(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -406,7 +407,8 @@ object SparkEntry {
     "q289_weighted_kappa" -> weightedKappaOracle,
     "q290_yule_k" -> yuleKOracle,
     "q291_rmst" -> rmstOracle,
-    "q292_proportion_effects" -> proportionEffectsOracle)
+    "q292_proportion_effects" -> proportionEffectsOracle,
+    "q293_page_trend" -> pageTrendOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1449,6 +1451,39 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q293 oracle: [[graft.quality.Association.pageTrend]] replayed —
+    * the three planted scorer versions, per-block doubled midranks,
+    * exact L2 = Σ j·R2_j, the classical E/Var and one-sided z.
+    */
+  private lazy val pageTrendOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+      |obs AS (
+      |  SELECT doc_id AS b, CAST(0 AS BIGINT) AS t, n_chars AS v FROM d
+      |  UNION ALL SELECT doc_id, 1, n_chars + 1 * (doc_id % 7) FROM d
+      |  UNION ALL SELECT doc_id, 2, n_chars + 2 * (doc_id % 7) FROM d),
+      |r AS (SELECT *,
+      |    2 * rank() OVER (PARTITION BY b ORDER BY v) +
+      |      count(*) OVER (PARTITION BY b, v) - 1 AS r2
+      |  FROM obs),
+      |pt AS (SELECT t, CAST(count(*) AS BIGINT) AS nb,
+      |    sum(CAST(r2 AS HUGEINT)) AS r2sum FROM r GROUP BY 1),
+      |pj AS (SELECT *, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS j,
+      |    count(*) OVER () AS k FROM pt),
+      |l AS (SELECT *, sum(CAST(j AS HUGEINT) * r2sum) OVER () AS l2 FROM pj)
+      |SELECT t AS treatment, j, nb AS b, CAST(r2sum AS VARCHAR) AS r2_sum,
+      |  CAST(k AS BIGINT) AS k, CAST(0 AS BIGINT) AS n_incomplete,
+      |  CAST(l2 AS VARCHAR) AS l2,
+      |  CASE WHEN k >= 2 AND nb > 0 THEN round(
+      |    (CAST(l2 AS DOUBLE) / 2.0 -
+      |      CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) *
+      |        (CAST(k AS DOUBLE) + 1.0) / 4.0) /
+      |    sqrt(CAST(nb AS DOUBLE) *
+      |      (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - CAST(k AS DOUBLE)) *
+      |      (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - CAST(k AS DOUBLE)) /
+      |      (144.0 * (CAST(k AS DOUBLE) - 1.0))), 9)
+      |  END AS z
+      |FROM l ORDER BY treatment""".stripMargin
 
   /** q292 oracle: [[graft.quality.Association.proportionEffects]]
     * replayed — the q229 variant counts, the 2-label pivot, exact risk

@@ -1097,6 +1097,81 @@ object Association {
         col("chi2"), col("chi2_tie"), col("w"))
   }
 
+  /** Page's trend test (Page 1963): do k ORDERED treatments trend
+    * monotonically across b matched blocks — the ordered-alternatives
+    * [[friedman]] (Friedman asks "any difference"; Page asks "does
+    * quality rise with model version v1 < v2 < v3", which is usually
+    * the actual question): L = Σ_j j·R_j over the hypothesized order
+    * index j (the treatment's NUMERIC order — treatments must cast to
+    * long, the ordinal contract), with
+    *
+    *   E[L] = b·k·(k+1)²/4,   Var[L] = b·(k³−k)²/(144·(k−1))
+    *   z    = (L − E)/√Var    (large-b normal; one-sided — positive z
+    *                           means the ranks RISE with j)
+    *
+    * Friedman discipline throughout: complete blocks only (dropped
+    * blocks flagged in n_incomplete), doubled midranks so L2 = Σ j·R2_j
+    * is an EXACT DECIMAL integer (L = L2/2), universe/completeness as
+    * in-dag broadcast 1-row frames, z a fixed dag at 9dp. The variance
+    * is the classical NO-TIES form — midranks keep L exact under ties
+    * but Var is then an approximation (stated; the tie-heavy caveat).
+    * NULL z when k < 2 or b = 0. Emits one row per treatment:
+    * treatment, j, b, r2_sum, with k, n_incomplete, l2, z replicated.
+    */
+  def pageTrend(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val obs = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(treatmentCol).cast("long").as("__t"),
+        col(valueCol).as("__v"))
+    val kUni = obs.agg(countDistinct("__t").as("__k"))
+    val blockProfile = obs.groupBy("__b")
+      .agg(countDistinct("__t").as("__kd"), count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(kUni))
+      .withColumn("__complete",
+        col("__kd") === col("__k") && col("__cnt") === col("__k"))
+    val meta = blockProfile.agg(
+      coalesce(max("__k"), lit(0L)).as("__k"),
+      coalesce(sum(when(col("__complete"), 0L).otherwise(1L)), lit(0L))
+        .as("__ninc"))
+    val kept = obs.join(
+      blockProfile.filter(col("__complete")).select("__b"), Seq("__b"), "left_semi")
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wTie = Window.partitionBy(col("__b"), col("__v"))
+    val ranked = kept
+      .withColumn("__r2", lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - 1L)
+    // the hypothesized order index: the treatment's rank by its own
+    // numeric value, on the treatment-cardinality frame
+    val perT = ranked.groupBy("__t")
+      .agg(count(lit(1)).as("b"), sum(col("__r2").cast(dec)).as("__r2sum"))
+      .withColumn("j", row_number().over(Window.orderBy(col("__t"))).cast("long"))
+      .crossJoin(broadcast(meta))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val kDbl = col("__k").cast("double")
+    val bDbl = col("b").cast("double")
+    val l2 = sum(col("j").cast(dec) * col("__r2sum")).over(wAll)
+    val e = bDbl * kDbl * (kDbl + 1d) * (kDbl + 1d) / 4d
+    val v = bDbl * (kDbl * kDbl * kDbl - kDbl) * (kDbl * kDbl * kDbl - kDbl) /
+      (lit(144d) * (kDbl - 1d))
+    perT
+      .withColumn("__l2", l2)
+      .withColumn("k", col("__k"))
+      .withColumn("n_incomplete", col("__ninc"))
+      .withColumn("l2", col("__l2").cast("string"))
+      .withColumn("z",
+        when(col("__k") >= 2L && col("b") > 0L,
+          (col("__l2").cast("double") / 2d - e) / sqrt(v)))
+      .select(col("__t").as("treatment"), col("j"), col("b"),
+        col("__r2sum").cast("string").as("r2_sum"),
+        col("k"), col("n_incomplete"), col("l2"), col("z"))
+  }
+
   /** Cohen's d + Hedges' g (Cohen 1969; Hedges 1981): the MEAN-based
     * two-group effect size — the parametric companion of
     * [[mannWhitney]]'s Cliff's delta (δ reads dominance, d reads

@@ -2257,6 +2257,27 @@ object CoreQueries {
         round(col("cohens_h"), 9).as("cohens_h"))
   }
 
+  /** Page-trend gate: three ORDERED synthetic scorer versions (t = 0,
+    * 1, 2; score = n_chars + t·(doc_id mod 7) — a planted monotone
+    * lift) over every document block — exact doubled-midrank L2, the
+    * ordered-alternatives z; the "does quality rise with version"
+    * question Friedman's any-difference χ² doesn't answer.
+    */
+  def q293PageTrend(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir)
+      .filter(col("n_chars").isNotNull)
+      .select("doc_id", "n_chars")
+    val obs = (0 to 2).map(t => d.select(col("doc_id"), lit(t.toLong).as("t"),
+      (col("n_chars") + lit(t.toLong) * (col("doc_id") % 7)).as("score")))
+      .reduce(_ unionAll _)
+    Association.pageTrend(obs, "doc_id", "t", "score")
+      .select(col("treatment"), col("j"), col("b"), col("r2_sum"),
+        col("k"), col("n_incomplete"), col("l2"),
+        round(col("z"), 9).as("z"))
+      .orderBy("treatment")
+  }
+
   /** OLS regression gate: the price-on-quantity line per return flag —
     * slope/intercept/R² as pure rationals over exact integer moments
     * (num/den digit strings; each surface one division, R² on doubles).

@@ -680,7 +680,10 @@ class PlanShapeSpec extends SparkSpec {
     // proportion effects: ONE variant-count exchange + the 2-label
     // pivot bookkeeping (the q229 shape)
     Shape("q292_proportion_effects", maxHash = 2, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Page trend: the friedman shape (per-block k-row windows, in-dag
+    // probe fold -> plan-string duplication, runtime ReusedExchange)
+    Shape("q293_page_trend", maxHash = 22, maxRange = 11, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -756,6 +756,34 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: Page trend L and z vs the ordered midrank-sum formula") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("page", t)
+      val k = 3 + r.nextInt(3)
+      val b = 4 + r.nextInt(12)
+      val span = 3 + r.nextInt(10)
+      val data = for (blk <- 0 until b; tr <- 0 until k)
+        yield (blk.toLong, tr.toLong, (r.nextInt(span) + tr).toLong)
+      val byBlock = data.groupBy(_._1)
+      val rSums = Array.fill(k)(0.0)
+      for ((_, rows) <- byBlock) {
+        val ranks = midranks(rows.map(_._3))
+        for ((_, tr, v) <- rows) rSums(tr.toInt) += ranks(v)
+      }
+      val lNaive = (1 to k).map(j => j * rSums(j - 1)).sum
+      val e = b.toDouble * k * (k + 1) * (k + 1) / 4d
+      val v = b.toDouble * (k.toDouble * k * k - k) * (k.toDouble * k * k - k) /
+        (144d * (k - 1))
+      val zNaive = (lNaive - e) / math.sqrt(v)
+      val row = Association.pageTrend(data.toDF("blk", "t", "v"), "blk", "t", "v")
+        .collect()(0)
+      assert(BigInt(row.getAs[String]("l2")) === BigInt((2 * lNaive).round),
+        s"page L2 trial $t")
+      approx(row.getAs[Double]("z"), zNaive, s"page z trial $t")
+    }
+  }
+
   // --- One-way ANOVA ----------------------------------------------------------------
 
   test("fuzz: one-way ANOVA F vs the SSB/SSW decomposition") {

@@ -985,6 +985,26 @@ class TrendStatsSpec extends SparkSpec {
     assert(out2.map(_.getAs[Boolean]("is_candidate")).toSeq === Seq(true, true, true))
   }
 
+  test("pageTrend: perfect ascending block z = sqrt(2), reversal negates, incomplete drop") {
+    import graft.quality.Association
+    // one block, values rise with the order: L = 1+4+9 = 14, E = 12,
+    // V = (24)^2/(144*2) = 2 -> z = sqrt(2); L2 = 2L = 28
+    val up = Seq((1L, 0L, 10L), (1L, 1L, 20L), (1L, 2L, 30L)).toDF("blk", "t", "v")
+    val r = Association.pageTrend(up, "blk", "t", "v").orderBy("treatment").collect()
+    assert(r.map(_.getAs[Long]("j")).toSeq === Seq(1L, 2L, 3L))
+    assert(r(0).getAs[String]("l2") === "28")
+    assert(math.abs(r(0).getAs[Double]("z") - math.sqrt(2d)) < 1e-10)
+    // reversal: L = 3+4+3 = 10 -> z = -sqrt(2)
+    val down = Seq((1L, 0L, 30L), (1L, 1L, 20L), (1L, 2L, 10L)).toDF("blk", "t", "v")
+    val rd = Association.pageTrend(down, "blk", "t", "v").collect()(0)
+    assert(math.abs(rd.getAs[Double]("z") + math.sqrt(2d)) < 1e-10)
+    // a block missing one treatment drops whole and is flagged
+    val ragged = up.unionAll(Seq((2L, 0L, 5L), (2L, 1L, 6L)).toDF("blk", "t", "v"))
+    val rr = Association.pageTrend(ragged, "blk", "t", "v").collect()(0)
+    assert(rr.getAs[Long]("n_incomplete") === 1L)
+    assert(rr.getAs[String]("l2") === "28")
+  }
+
   // --- Kaplan–Meier ------------------------------------------------------------------
 
   test("kaplanMeier: hand golden curve, censored-at-t at risk, d=n pins S to 0, median") {
