@@ -257,6 +257,11 @@ object Survival {
     val ok = two && col("__v9s") > 0L
     sums
       .withColumn("n_groups", col("__ngrps").cast("long"))
+      // the mannWhitney flag rule: with ≠2 cohorts every per-side
+      // column is NULL (grp_hi would otherwise silently lump groups)
+      .withColumn("n_lo", when(two, col("n_lo")))
+      .withColumn("n_hi", when(two, col("n_hi")))
+      .withColumn("o_lo", when(two, col("o_lo")))
       .withColumn("e_lo_9", when(two, col("__e9s").cast("string")))
       .withColumn("v_9", when(two, col("__v9s").cast("string")))
       .withColumn("z", when(ok, zStat))
