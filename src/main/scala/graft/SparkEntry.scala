@@ -1681,7 +1681,8 @@ object SparkEntry {
   /** q286 oracle: [[graft.operators.Survival.logRank]] replayed — the
     * q285 subjects split by user parity, per-(cohort, t) cells on the
     * pooled spine, reverse-cumulative at-risk, nano hypergeometric
-    * E/V terms, z/χ² dags.
+    * E/V terms, z/χ² dags. E accumulates at EVERY event time (the
+    * R-survdiff n = 1 convention); only V carries the n > 1 guard.
     */
   private lazy val logRankOracle: String =
     """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
@@ -1709,7 +1710,7 @@ object SparkEntry {
       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
       |  FROM spine),
       |terms AS (SELECT *,
-      |    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(round(
+      |    CASE WHEN d1 + d2 > 0 THEN CAST(round(
       |      CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) /
       |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT)
       |    ELSE 0 END AS e9,

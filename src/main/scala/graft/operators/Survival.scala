@@ -190,6 +190,10 @@ object Survival {
     * groups pivot to (grp_lo, grp_hi) = (min, max) label, ≠2 groups
     * flagged via n_groups with NULL statistics; censored-at-t subjects
     * are at risk at t. NULL z when ΣV = 0 (no comparable event time).
+    * The n = 1 boundary follows R `survdiff`/lifelines: E accumulates
+    * at EVERY event time (n₁/n is well-defined at n = 1, netting O − E
+    * to zero when the last at-risk subject dies), and only V's n − 1
+    * divisor needs the n > 1 guard (its contribution is 0 there).
     *
     * SCALE: one (group, duration) counting aggregation; everything
     * after runs on the pooled duration-cardinality frame (reverse
@@ -202,32 +206,106 @@ object Survival {
       groupCol: String,
       durationCol: String,
       eventCol: String
+  ): DataFrame =
+    logRankFromCells(
+      lifetimeCells(df.filter(col(groupCol).isNotNull), keyCols :+ groupCol,
+        durationCol, eventCol),
+      keyCols, groupCol)
+
+  /** [[logRank]] from a (possibly folded) [[lifetimeCells]] frame whose
+    * key set is `keyCols :+ groupCol` — the standing censoring-aware
+    * A/B: a [[graft.streaming.StreamingOps.lifetimeCellsStream]] fold
+    * keyed by the cohort answers "do the arms' curves differ so far"
+    * without rescanning subjects, from the SAME state that draws each
+    * arm's KM curve ([[kaplanMeierFromCells]]).
+    */
+  def logRankFromCells(
+      cellsIn: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String
+  ): DataFrame =
+    logRankPooled(cellsIn, keyCols, Nil, groupCol).drop("n_strata")
+
+  /** Stratified log-rank (Mantel 1966 §6 — the CMH-over-strata form):
+    * the confounder-adjusted censoring-aware A/B. Within every stratum
+    * the per-event-time hypergeometric O/E/V terms are computed exactly
+    * as in [[logRank]] (arms compared only against same-stratum
+    * subjects — a language/source mix shift between arms can no longer
+    * masquerade as a lifetime effect), then pooled across strata:
+    *
+    *   z = (Σₛ O₁ₛ − Σₛ ΣE₁ₛₜ) / √(Σₛ ΣVₛₜ),   χ² = z²  ~ χ²₁
+    *
+    * Determinism: the [[logRank]] nano-term discipline per (stratum,
+    * time) row, pooled order-free in DECIMAL — exactly
+    * [[graft.quality.Association.cmhFromCounts]]'s pooling discipline.
+    * The (grp_lo, grp_hi) pivot is GLOBAL per key set (the same arm is
+    * "lo" in every stratum); a stratum where only one arm is at risk
+    * self-cancels (E = O, V = 0 — the textbook convention). ≠2 groups
+    * overall → NULL statistics via n_groups (the [[logRank]] rule).
+    * Emits one row per key set with `n_strata` beside the [[logRank]]
+    * columns. SCALE: one (stratum, group, duration) counting
+    * aggregation; windows over per-stratum duration-cardinality frames.
+    */
+  def logRankStratified(
+      df: DataFrame,
+      keyCols: Seq[String],
+      strataCol: String,
+      groupCol: String,
+      durationCol: String,
+      eventCol: String
+  ): DataFrame =
+    logRankPooled(
+      lifetimeCells(
+        df.filter(col(groupCol).isNotNull && col(strataCol).isNotNull),
+        keyCols ++ Seq(strataCol, groupCol), durationCol, eventCol),
+      keyCols, Seq(strataCol), groupCol)
+
+  /** [[logRankStratified]] from a (possibly folded) [[lifetimeCells]]
+    * frame whose key set is `keyCols ++ strataCols :+ groupCol`.
+    */
+  def logRankStratifiedFromCells(
+      cellsIn: DataFrame,
+      keyCols: Seq[String],
+      strataCol: String,
+      groupCol: String
+  ): DataFrame =
+    logRankPooled(cellsIn, keyCols, Seq(strataCol), groupCol)
+
+  /** Shared spine: per-(keys, strata, t) hypergeometric terms, pooled
+    * over strata per key set. `strataCols` empty = plain log-rank
+    * (n_strata = 1 dropped by the caller).
+    */
+  private def logRankPooled(
+      cellsIn: DataFrame,
+      keyCols: Seq[String],
+      strataCols: Seq[String],
+      groupCol: String
   ): DataFrame = {
     val g = keyCols.map(col)
-    val dur = col(durationCol).cast("long")
-    val ev = col(eventCol).cast("long")
-    val cells = df
-      .filter(dur.isNotNull && ev.isNotNull && col(groupCol).isNotNull)
-      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+ dur.as("t"): _*)
-      .agg(
-        sum(when(ev =!= 0L, 1L).otherwise(0L)).as("__d"),
-        sum(when(ev =!= 0L, 0L).otherwise(1L)).as("__c"))
+    val st = strataCols.map(col)
+    val cells = cellsIn
+      .filter(col(groupCol).isNotNull && strataCols
+        .map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select(g ++ st ++ Seq(col(groupCol).cast("string").as("grp"), col("t"),
+        col("n_event").as("__d"), col("n_censored").as("__c")): _*)
     val wKey = Window.partitionBy(g: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // 2-group pivot onto the POOLED time spine (one row per (keys, t))
+    // GLOBAL 2-group pivot (per key set, across all strata), then the
+    // per-stratum pooled time spine (one row per (keys, strata, t))
     val labeled = cells
       .withColumn("__ngrps", size(collect_set(col("grp")).over(wKey)))
       .withColumn("grp_lo", min("grp").over(wKey))
       .withColumn("grp_hi", max("grp").over(wKey))
+    val spineKeys = g ++ Seq(col("grp_lo"), col("grp_hi"), col("__ngrps")) ++ st
     val spine = labeled
-      .groupBy(g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps") :+ col("t"): _*)
+      .groupBy(spineKeys :+ col("t"): _*)
       .agg(
         sum(when(col("grp") === col("grp_lo"), col("__d")).otherwise(0L)).as("__d1"),
         sum(when(col("grp") === col("grp_lo"), col("__c")).otherwise(0L)).as("__c1"),
         sum(when(col("grp") =!= col("grp_lo"), col("__d")).otherwise(0L)).as("__d2"),
         sum(when(col("grp") =!= col("grp_lo"), col("__c")).otherwise(0L)).as("__c2"))
     val wRisk = Window
-      .partitionBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .partitionBy(spineKeys: _*)
       .orderBy(col("t"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val withRisk = spine
@@ -236,16 +314,20 @@ object Survival {
     val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
     val n = n1 + n2
     val d = (col("__d1") + col("__d2")).cast("double")
-    val atEvent = (col("__d1") + col("__d2")) > 0L && (col("__n1") + col("__n2")) > 1L
+    // E at EVERY event time (n1/n is defined at n = 1 — R survdiff's
+    // convention); only V's n−1 divisor needs the n > 1 guard
+    val atEvent = (col("__d1") + col("__d2")) > 0L
     val e9 = when(atEvent, round(d * n1 / n * 1e9d).cast("long")).otherwise(0L)
-    val v9 = when(atEvent,
+    val v9 = when(atEvent && (col("__n1") + col("__n2")) > 1L,
       round(d * (n1 / n) * (n2 / n) * (n - d) / (n - 1d) * 1e9d).cast("long"))
       .otherwise(0L)
-    val sums = withRisk
+    val pooled = withRisk
       .withColumn("__e9", e9)
       .withColumn("__v9", v9)
       .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
       .agg(
+        (if (strataCols.isEmpty) lit(1L)
+         else size(collect_set(struct(st: _*))).cast("long")).as("n_strata"),
         sum("__d1").as("o_lo"),
         sum(col("__d1") + col("__c1")).as("n_lo"),
         sum(col("__d2") + col("__c2")).as("n_hi"),
@@ -255,7 +337,7 @@ object Survival {
     val zStat = (col("o_lo").cast("double") - col("__e9s").cast("double") / 1e9d) /
       sqrt(col("__v9s").cast("double") / 1e9d)
     val ok = two && col("__v9s") > 0L
-    sums
+    pooled
       .withColumn("n_groups", col("__ngrps").cast("long"))
       // the mannWhitney flag rule: with ≠2 cohorts every per-side
       // column is NULL (grp_hi would otherwise silently lump groups)
@@ -267,8 +349,8 @@ object Survival {
       .withColumn("z", when(ok, zStat))
       .withColumn("chi2", when(ok, zStat * zStat))
       .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
-        col("n_lo") :+ col("n_hi") :+ col("o_lo") :+ col("e_lo_9") :+
-        col("v_9") :+ col("z") :+ col("chi2"): _*)
+        col("n_strata") :+ col("n_lo") :+ col("n_hi") :+ col("o_lo") :+
+        col("e_lo_9") :+ col("v_9") :+ col("z") :+ col("chi2"): _*)
   }
 
   /** Restricted mean survival time (Royston & Parmar 2013 popularized;
@@ -325,6 +407,129 @@ object Survival {
       .withColumn("rmst",
         coalesce(col("__rm9").cast("double") / 1e9d, lit(tau.toDouble)))
       .select((g :+ col("tau") :+ col("t_last") :+ col("rmst")): _*)
+  }
+
+  /** Per-(keys, duration, event-type) counts — the competing-risks
+    * extension of [[lifetimeCells]]: `eventTypeCol` = 0 marks a
+    * right-censored subject, any other value a DISTINCT terminal event
+    * (doc deduped-away vs filtered; user converts vs churns). Additive
+    * and mergeable ([[mergeLifetimeCellsByType]]); (duration × type)
+    * cardinality is the store bound.
+    */
+  def lifetimeCellsByType(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventTypeCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val dur = col(durationCol).cast("long")
+    val ty = col(eventTypeCol).cast("long")
+    df.filter(dur.isNotNull && ty.isNotNull)
+      .groupBy(g :+ dur.as("t") :+ ty.as("ev_type"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fold two [[lifetimeCellsByType]] frames over disjoint subjects. */
+  def mergeLifetimeCellsByType(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col) :+ col("t") :+ col("ev_type"): _*)
+      .agg(sum("n").as("n"))
+
+  /** Aalen–Johansen cumulative incidence (Aalen & Johansen 1978): under
+    * COMPETING RISKS, "1 − KM-treating-other-causes-as-censored"
+    * overstates every cause's incidence (the classic Gooley et al. 1999
+    * bias) — the honest per-cause probability is
+    *
+    *   CIF_k(t) = Σ_{s ≤ t} S(s⁻) · d_{k,s}/n_s
+    *
+    * with S the ALL-CAUSE Kaplan–Meier (every non-zero type an event)
+    * and d_{k,s} the type-k events at s. KM is the 2-state special
+    * case: with ONE event type, CIF_1(t) = 1 − S(t) (spec-asserted
+    * invariant), and Σ_k CIF_k(t) + S(t) = 1 at every t.
+    *
+    * Determinism: S(s⁻) rides the [[kaplanMeierFromCells]] nano-ln
+    * chain over PRECEDING rows only, landed to a nano long; each
+    * (s, k) term is that long × the nano d_k/n long — an exact
+    * DECIMAL product in 10⁻¹⁸ units, summed by one cumulative window
+    * per (keys, type) — order-free, gated at 9 decimals. Once some
+    * s ≤ t exhausted the risk set (d_s = n_s), S(s⁻) is exactly 0
+    * and every later term vanishes (the __dead discipline).
+    *
+    * SCALE: one (keys, duration, type) counting aggregation; the grid
+    * is (duration-cardinality × type-cardinality) — windows only over
+    * bounded frames, never a per-subject sort. Emits one row per
+    * (keys, t, ev_type ≠ 0): n_risk, n_event (type-k events AT t),
+    * survival (all-cause S(t), shared across types), cif.
+    */
+  def aalenJohansen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventTypeCol: String
+  ): DataFrame =
+    aalenJohansenFromCells(
+      lifetimeCellsByType(df, keyCols, durationCol, eventTypeCol), keyCols)
+
+  /** [[aalenJohansen]] from a (possibly folded) [[lifetimeCellsByType]]
+    * frame — the standing competing-risks read.
+    */
+  def aalenJohansenFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val dec = "decimal(38,0)"
+    // all-cause spine: one row per (keys, t)
+    val spine = cells
+      .groupBy(g :+ col("t"): _*)
+      .agg(
+        sum(when(col("ev_type") =!= 0L, col("n")).otherwise(0L)).as("__d"),
+        sum(when(col("ev_type") === 0L, col("n")).otherwise(0L)).as("__c"))
+    val wRisk = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nD = col("n_risk").cast("double")
+    val dD = col("__d").cast("double")
+    val ln9 = when(col("__d") === 0L, 0L)
+      .when(col("__d") < col("n_risk"), round(log((nD - dD) / nD) * 1e9d).cast("long"))
+    val withS = spine
+      .withColumn("n_risk", sum(col("__d") + col("__c")).over(wRisk))
+      .withColumn("__ln9", ln9)
+      .withColumn("__dead",
+        coalesce(max(when(col("__d") === col("n_risk"), 1L).otherwise(0L))
+          .over(wCum), lit(0L)) === 1L)
+      .withColumn("__deadPrev",
+        coalesce(max(when(col("__d") === col("n_risk"), 1L).otherwise(0L))
+          .over(wPrev), lit(0L)) === 1L)
+      .withColumn("survival",
+        when(col("__dead"), 0d)
+          .otherwise(exp(sum("__ln9").over(wCum).cast("double") / 1e9d)))
+      // S(t⁻) landed to nano: the left limit the CIF terms multiply
+      .withColumn("__sPrev9",
+        when(col("__deadPrev"), 0L)
+          .otherwise(round(
+            exp(coalesce(sum("__ln9").over(wPrev), lit(0L)).cast("double") / 1e9d)
+              * 1e9d).cast("long")))
+    // (t × observed-type) grid: every type's CIF readable at every time
+    val types = cells.filter(col("ev_type") =!= 0L)
+      .select(g :+ col("ev_type"): _*).distinct()
+    val grid =
+      if (keyCols.isEmpty) withS.crossJoin(broadcast(types))
+      else withS.join(types, keyCols)
+    val typed = cells.filter(col("ev_type") =!= 0L)
+      .select(g :+ col("t") :+ col("ev_type") :+ col("n").as("__dk"): _*)
+    val joined = grid.join(typed, keyCols ++ Seq("t", "ev_type"), "left_outer")
+      .withColumn("n_event", coalesce(col("__dk"), lit(0L)))
+    val hk9 = when(col("n_event") === 0L, 0L)
+      .otherwise(round(col("n_event").cast("double") / nD * 1e9d).cast("long"))
+    val wCumK = Window.partitionBy(g :+ col("ev_type"): _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("__term18", col("__sPrev9").cast(dec) * hk9.cast(dec))
+      .withColumn("cif", sum("__term18").over(wCumK).cast("double") / 1e18d)
+      .select(g :+ col("t") :+ col("ev_type") :+ col("n_risk") :+
+        col("n_event") :+ col("survival") :+ col("cif"): _*)
   }
 
   /** Median survival time — the smallest duration with S(t) ≤ 1/2,

@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -602,10 +602,15 @@ object Association {
     * A/B so far" without re-reading trials. Success values cast to long
     * (string "0"/"1" from the contingency cast round-trips), falling
     * back to a boolean cast ("true"/"false" from a boolean-column
-    * contingency cast). Trials whose success value survives NEITHER
-    * cast enter no quadrant and are counted into `n_bad_success`
-    * (flag, never guess — the n_multi convention): a nonzero flag
-    * means the store's success column isn't the 0/1 contract.
+    * contingency cast). Trials whose success value enters NO quadrant —
+    * it survives neither cast, casts to something other than 0/1 (a
+    * count like 2 is NOT a Bernoulli outcome), or is NULL (a store fold
+    * that lost the outcome; the subject-level [[cmh]] excludes NULL
+    * success at intake, so a NULL HERE is out-of-contract, not an
+    * excluded trial) — are counted into `n_bad_success` (flag, never
+    * guess — the n_multi convention): a nonzero flag means the store's
+    * success column isn't the 0/1 contract, and exactly the flagged
+    * trials were dropped.
     */
   def cmhFromCounts(
       countsIn: DataFrame,
@@ -624,8 +629,9 @@ object Association {
       col(groupCol).cast("string").as("grp"),
       hit.as("__hit"),
       col(nCol).cast("long").as("__n"),
-      // trials whose success value survives neither cast — flagged out
-      when(col(successCol).isNotNull && hit.isNull, col(nCol).cast("long"))
+      // every trial entering no quadrant — uncastable, non-0/1 (e.g. a
+      // count of 2), or NULL success — is flagged, none silently dropped
+      when(hit.isNull || (hit =!= 0L && hit =!= 1L), col(nCol).cast("long"))
         .otherwise(0L).as("__bad"))
     val wS = Window.partitionBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1467,6 +1473,123 @@ object Association {
       .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
         col("n_lo") :+ col("n_hi") :+ col("diff_num") :+
         col("var_num_lo") :+ col("var_num_hi") :+ col("t") :+ col("df"): _*)
+  }
+
+  /** CUPED variance-reduced A/B (Deng, Xu, Kohavi & Walker 2013):
+    * adjust the experiment metric y by a PRE-PERIOD covariate x —
+    * y′ = y − θ(x − x̄) with θ = cov(y,x)/var(x) pooled — shrinking the
+    * effect's variance by the factor 1 − ρ²(x,y): the standard "half
+    * the sample size for free" read on top of [[welchT]] when the
+    * pre-period metric correlates with the outcome. Randomization makes
+    * the adjustment unbiased (x̄_lo ≈ x̄_hi in expectation); the POINT
+    * estimate moves exactly when the arms' pre-period means differ —
+    * the seasonality/imbalance CUPED exists to remove.
+    *
+    *   effect = (ȳ_lo − θx̄_lo) − (ȳ_hi − θx̄_hi)
+    *   se²    = s²_lo(y−θx)/n_lo + s²_hi(y−θx)/n_hi,  CI ±1.959964·se
+    *
+    * Determinism: values cast long (the [[welchT]] rule); ALL moments —
+    * pooled n/Σx/Σy/Σxy/Σxx and per-arm n/Σx/Σy/Σxx/Σyy/Σxy — are
+    * EXACT DECIMAL sums (one aggregation, order-free); θ is one
+    * division of exact cross-products (n·Σxy − ΣxΣy over n·Σxx − Σx²),
+    * and effect/se/CI are fixed dags over the exact pieces, gated at
+    * 9dp. Conventions: (grp_lo, grp_hi) = (min, max) label, effect
+    * oriented lo − hi (the welchT sign), ≠2 groups flagged via
+    * n_groups with NULL statistics, NULL when var(x) = 0 (θ undefined
+    * — use plain Welch) or either n_i < 2. Also emits theta and
+    * rho2 = cov²/ (var_x·var_y) — the achieved variance-reduction
+    * fraction — plus the UNADJUSTED effect for the side-by-side.
+    * SCALE: one moments aggregation + the 2-label pivot; one row out.
+    */
+  def cuped(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      yCol: String,
+      xCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val yD = col(yCol).cast("long").cast(dec)
+    val xD = col(xCol).cast("long").cast(dec)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(yCol).isNotNull && col(xCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(xD).as("__sx"), sum(yD).as("__sy"),
+        sum(xD * xD).as("__sxx"), sum(yD * yD).as("__syy"),
+        sum(xD * yD).as("__sxy"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("__sx"))).as("__sx1"),
+        max(when(col("grp") === col("grp_lo"), col("__sy"))).as("__sy1"),
+        max(when(col("grp") === col("grp_lo"), col("__sxx"))).as("__sxx1"),
+        max(when(col("grp") === col("grp_lo"), col("__syy"))).as("__syy1"),
+        max(when(col("grp") === col("grp_lo"), col("__sxy"))).as("__sxy1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("__sx"))).as("__sx2"),
+        max(when(col("grp") === col("grp_hi"), col("__sy"))).as("__sy2"),
+        max(when(col("grp") === col("grp_hi"), col("__sxx"))).as("__sxx2"),
+        max(when(col("grp") === col("grp_hi"), col("__syy"))).as("__syy2"),
+        max(when(col("grp") === col("grp_hi"), col("__sxy"))).as("__sxy2"))
+    val two = col("__ngrps") === 2L
+    val nT = (col("__n1") + col("__n2")).cast(dec)
+    val sxT = col("__sx1") + col("__sx2"); val syT = col("__sy1") + col("__sy2")
+    val sxxT = col("__sxx1") + col("__sxx2"); val syyT = col("__syy1") + col("__syy2")
+    val sxyT = col("__sxy1") + col("__sxy2")
+    // pooled θ from exact cross-products: cov/var with the common n²
+    // normalizer cancelled — one division of two DECIMAL integers
+    val covNum = nT * sxyT - sxT * syT
+    val varXNum = nT * sxxT - sxT * sxT
+    val varYNum = nT * syyT - syT * syT
+    val theta = covNum.cast("double") / varXNum.cast("double")
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    // adjusted arm means: ȳᵢ − θ·x̄ᵢ (the common +θx̄ shift cancels in
+    // the difference); raw effect from the exact cross product
+    val rawEff = (col("__sy1") * col("__n2").cast(dec) -
+      col("__sy2") * col("__n1").cast(dec)).cast("double") / (n1 * n2)
+    val adjEff = rawEff -
+      theta * (col("__sx1") * col("__n2").cast(dec) -
+        col("__sx2") * col("__n1").cast(dec)).cast("double") / (n1 * n2)
+    // per-arm sample variance of z = y − θx:
+    //   [n·Szz − Sz²]/(n(n−1)),  Szz = Syy − 2θSxy + θ²Sxx, Sz = Sy − θSx
+    def varAdj(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column = {
+      val szz = syy.cast("double") - lit(2d) * theta * sxy.cast("double") +
+        theta * theta * sxx.cast("double")
+      val sz = sy.cast("double") - theta * sx.cast("double")
+      val nDd = n.cast("double")
+      (nDd * szz - sz * sz) / (nDd * nDd * (nDd - 1d))
+    }
+    val se = sqrt(
+      varAdj(col("__n1"), col("__sx1"), col("__sy1"), col("__sxx1"),
+        col("__syy1"), col("__sxy1")) +
+      varAdj(col("__n2"), col("__sx2"), col("__sy2"), col("__sxx2"),
+        col("__syy2"), col("__sxy2")))
+    val rho2 = covNum.cast("double") * covNum.cast("double") /
+      (varXNum.cast("double") * varYNum.cast("double"))
+    val ok = two && col("__n1") >= 2L && col("__n2") >= 2L && varXNum > 0L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("theta", when(ok, theta))
+      .withColumn("rho2", when(ok && varYNum > 0L, rho2))
+      .withColumn("effect_raw", when(two, rawEff))
+      .withColumn("effect_cuped", when(ok, adjEff))
+      .withColumn("se_cuped", when(ok, se))
+      .withColumn("ci_lo", when(ok, adjEff - lit(1.959964d) * se))
+      .withColumn("ci_hi", when(ok, adjEff + lit(1.959964d) * se))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("theta") :+ col("rho2") :+
+        col("effect_raw") :+ col("effect_cuped") :+ col("se_cuped") :+
+        col("ci_lo") :+ col("ci_hi"): _*)
   }
 
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change

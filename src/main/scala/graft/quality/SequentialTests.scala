@@ -1,0 +1,171 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ALWAYS-VALID sequential tests (mixture SPRT — Robbins 1970; Johari,
+  * Koomen, Pekelis & Walker 2017/2022 "Peeking at A/B tests"): the
+  * standing drift/A/B stores are re-read at every fold version, and a
+  * fixed-α test repeated at 100 TB monitoring cadence is GUARANTEED to
+  * false-alarm (each peek resamples the same α). The mSPRT's mixture
+  * likelihood ratio against H₀: Δ = 0 under a N(0, τ²) prior on the
+  * effect,
+  *
+  *   Λ_n = √(V_n/(V_n + τ²)) · exp( Δ̂_n² · τ² / (2·V_n·(V_n + τ²)) )
+  *
+  * (V_n the variance of the running estimate Δ̂_n), is a nonnegative
+  * martingale with E Λ = 1 under H₀, so by Ville's inequality
+  * P(∃n: Λ_n ≥ 1/α) ≤ α — the always-valid p-value
+  * p_n = min(1, min_{m ≤ n} 1/Λ_m) is valid at EVERY peek
+  * simultaneously, at any stopping rule. Reference scope: none (the
+  * reference has no statistics); this is the inference layer the
+  * versioned-store folds ([[graft.streaming.StreamingOps]]) were
+  * missing.
+  *
+  * Determinism (the house nano rule): cumulative counts/moment sums are
+  * exact (longs / DECIMAL); each peek's ln Λ is ONE fixed dag over them
+  * landed to a nano long; the running-best evidence is an integer max
+  * over the peek-ordered window; the reject verdict is the integer
+  * comparison max ln Λ₉ ≥ round(ln(1/α)·10⁹) (the mannKendall
+  * never-a-float-boundary rule); p is one exp dag, gated at 9dp.
+  *
+  * SCALE: input is one row per (keys, peek) of per-batch INCREMENTS —
+  * exactly what a versioned store fold emits per version — cumulated by
+  * peek-ordered windows over the peek-cardinality frame. Never rescans
+  * trials.
+  */
+object SequentialTests {
+
+  private val dec = "decimal(38,0)"
+
+  private def lnLr9(deltaHat: Column, v: Column, tau2: Double): Column = {
+    val t2 = lit(tau2)
+    round((lit(0.5d) * log(v / (v + t2)) +
+      deltaHat * deltaHat * t2 / (lit(2d) * v * (v + t2))) * 1e9d).cast("long")
+  }
+
+  private def finish(
+      cum: DataFrame,
+      g: Seq[Column],
+      peek: Column,
+      lnCol: Column,
+      usable: Column,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha > 0d && alpha < 1d, s"alpha must be in (0,1): $alpha")
+    val wCum = Window.partitionBy(g: _*).orderBy(peek)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ln(1/α) as a nano-long constant: the reject boundary is an exact
+    // integer comparison, never a float equality at the threshold
+    val bound9 = math.round(math.log(1d / alpha) * 1e9d)
+    cum
+      .withColumn("ln_lr9", when(usable, lnCol))
+      // max over the window skips NULL (unusable) peeks: evidence only
+      // ever accumulates from peeks where Λ is defined
+      .withColumn("__best9", max(col("ln_lr9")).over(wCum))
+      .withColumn("p_always_valid",
+        when(col("__best9").isNull || col("__best9") <= 0L, 1d)
+          .otherwise(exp(-col("__best9").cast("double") / 1e9d)))
+      .withColumn("reject",
+        coalesce(col("__best9") >= bound9, lit(false)))
+      .drop("__best9")
+  }
+
+  /** mSPRT for a TWO-PROPORTION drift/A/B from incremental count state:
+    * one row per (keys, peek) with that batch's trials and successes
+    * per arm — the [[graft.quality.Association.contingencyCounts]] /
+    * valueCounts fold shape. Δ̂ = p̂₁ − p̂₂ on the CUMULATIVE counts,
+    * V = p̂(1−p̂)(1/N₁ + 1/N₂) with p̂ pooled. Peeks where Λ is
+    * undefined (an empty arm, or a degenerate pooled p̂ ∈ {0,1} — where
+    * necessarily Δ̂ = 0) carry NULL ln_lr9 and contribute no evidence.
+    * Emits per (keys, peek): cumulative n/s per arm, delta, ln_lr9,
+    * p_always_valid (≤ α at ANY peek ⇒ reject is valid), reject.
+    */
+  def msprtTwoProportion(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      n1Col: String, s1Col: String,
+      n2Col: String, s2Col: String,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(tau2 > 0d, s"tau2 must be positive: $tau2")
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col(peekCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(n1Col).cast("long").as("__dn1") :+ col(s1Col).cast("long").as("__ds1") :+
+        col(n2Col).cast("long").as("__dn2") :+ col(s2Col).cast("long").as("__ds2"): _*)
+      .withColumn("n_lo", sum("__dn1").over(wCum))
+      .withColumn("s_lo", sum("__ds1").over(wCum))
+      .withColumn("n_hi", sum("__dn2").over(wCum))
+      .withColumn("s_hi", sum("__ds2").over(wCum))
+    val n1 = col("n_lo").cast("double"); val n2 = col("n_hi").cast("double")
+    val s1 = col("s_lo").cast("double"); val s2 = col("s_hi").cast("double")
+    // exact cross product for the difference (no float mean subtraction)
+    val delta = (col("s_lo").cast(dec) * col("n_hi").cast(dec) -
+      col("s_hi").cast(dec) * col("n_lo").cast(dec)).cast("double") / (n1 * n2)
+    val pPool = (s1 + s2) / (n1 + n2)
+    val v = pPool * (lit(1d) - pPool) * (lit(1d) / n1 + lit(1d) / n2)
+    val usable = col("n_lo") > 0L && col("n_hi") > 0L &&
+      (col("s_lo") + col("s_hi")) > 0L &&
+      (col("s_lo") + col("s_hi")) < (col("n_lo") + col("n_hi"))
+    finish(cum, g, col("peek"), lnLr9(delta, v, tau2), usable, alpha)
+      .withColumn("delta", when(usable, delta))
+      .select(g :+ col("peek") :+ col("n_lo") :+ col("s_lo") :+ col("n_hi") :+
+        col("s_hi") :+ col("delta") :+ col("ln_lr9") :+
+        col("p_always_valid") :+ col("reject"): _*)
+  }
+
+  /** mSPRT for a MEAN drift/A/B from incremental moment state: one row
+    * per (keys, peek) with that batch's count / Σy / Σy² per arm (exact
+    * — y long by the [[graft.quality.Association.welchT]] contract).
+    * Δ̂ = ȳ₁ − ȳ₂ on cumulative sums via the exact cross product;
+    * V = s²₁/N₁ + s²₂/N₂ from the exact variance numerators (the Welch
+    * plug-in). Peeks with either arm under 2 observations or zero
+    * variance carry NULL ln_lr9 — no evidence, never a guess.
+    */
+  def msprtMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      n1Col: String, s1Col: String, q1Col: String,
+      n2Col: String, s2Col: String, q2Col: String,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(tau2 > 0d, s"tau2 must be positive: $tau2")
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col(peekCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(n1Col).cast("long").as("__dn1") :+
+        col(s1Col).cast(dec).as("__ds1") :+ col(q1Col).cast(dec).as("__dq1") :+
+        col(n2Col).cast("long").as("__dn2") :+
+        col(s2Col).cast(dec).as("__ds2") :+ col(q2Col).cast(dec).as("__dq2"): _*)
+      .withColumn("n_lo", sum("__dn1").over(wCum))
+      .withColumn("__s1", sum("__ds1").over(wCum))
+      .withColumn("__q1", sum("__dq1").over(wCum))
+      .withColumn("n_hi", sum("__dn2").over(wCum))
+      .withColumn("__s2", sum("__ds2").over(wCum))
+      .withColumn("__q2", sum("__dq2").over(wCum))
+    val n1D = col("n_lo").cast(dec); val n2D = col("n_hi").cast(dec)
+    val n1 = col("n_lo").cast("double"); val n2 = col("n_hi").cast("double")
+    // exact variance numerators V_i = n·Σy² − (Σy)² (the welchT pieces)
+    val v1 = n1D * col("__q1") - col("__s1") * col("__s1")
+    val v2 = n2D * col("__q2") - col("__s2") * col("__s2")
+    val delta = (col("__s1") * n2D - col("__s2") * n1D).cast("double") / (n1 * n2)
+    val v = v1.cast("double") / (n1 * n1 * (n1 - 1d)) +
+      v2.cast("double") / (n2 * n2 * (n2 - 1d))
+    val usable = col("n_lo") >= 2L && col("n_hi") >= 2L && (v1 + v2) > 0L
+    finish(cum, g, col("peek"), lnLr9(delta, v, tau2), usable, alpha)
+      .withColumn("delta", when(usable, delta))
+      .withColumn("sum_lo", col("__s1").cast("string"))
+      .withColumn("sum_hi", col("__s2").cast("string"))
+      .select(g :+ col("peek") :+ col("n_lo") :+ col("sum_lo") :+ col("n_hi") :+
+        col("sum_hi") :+ col("delta") :+ col("ln_lr9") :+
+        col("p_always_valid") :+ col("reject"): _*)
+  }
+}

@@ -947,6 +947,44 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming lifetime-cell fold — the survival family's online state:
+    * each micro-batch's per-(keys, duration) event/censor counts
+    * ([[graft.operators.Survival.lifetimeCells]]) merge additively into
+    * a versioned store, so the standing cells answer the WHOLE
+    * censoring-aware dashboard without rescanning subjects: the KM
+    * curve + Greenwood ([[graft.operators.Survival.kaplanMeierFromCells]]),
+    * cumulative hazard ([[graft.operators.Survival.nelsonAalenFromCells]]),
+    * the log-rank A/B ([[graft.operators.Survival.logRankFromCells]]
+    * when `keyCols` ends with the cohort column) and RMST/median via
+    * the KM read — ONE state, four reads. Duration cardinality is the
+    * store bound (integer durations by contract — bucket continuous
+    * times first, the q210 discipline). Same non-idempotent
+    * recompute-on-replay version discipline as [[contingencyStream]].
+    */
+  def lifetimeCellsStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.operators.Survival.lifetimeCells(batch, keyCols, durationCol, eventCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.operators.Survival.mergeLifetimeCells(
+            s.read.parquet(p), bc, keyCols)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Kendall cell fold — the τ-b companion of
     * [[contingencyStream]]: per-batch
     * [[graft.quality.Association.kendallCells]] (values keep their

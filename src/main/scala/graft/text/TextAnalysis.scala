@@ -3,6 +3,19 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** [[TextAnalysis.lineLanguageProfile]]'s per-document result row.
+  * TOP-LEVEL and public on purpose: Spark serializes a UDF's case-class
+  * result through a generated UnsafeProjection, and Janino cannot call
+  * the accessors of a `private case class` nested in an object — the
+  * projection silently falls back to INTERPRETED mode ("Expr codegen
+  * error and falling back to interpreter mode" in the logs), an
+  * interpreted per-document projection on the CCNet line-scrub hot
+  * path. Guarded by the codegen regression test in PlanShapeSpec.
+  */
+case class LineLangCounts(
+    n_lines: Int, n_en: Int, n_de: Int, n_fr: Int, n_es: Int,
+    n_zh: Int, n_und: Int)
+
 /** Text-analysis operators for training-data curation. All pure Column
   * expressions (codegen-friendly, engine-portable formulas).
   */
@@ -72,12 +85,9 @@ object TextAnalysis {
     * document-level vote hides exactly the lines you want to drop).
     * One compiled pass over the document's lines (the [[langId]]
     * rationale: the expression form would re-tokenize every line once
-    * per language); blank lines are skipped.
+    * per language); blank lines are skipped. Result type is the
+    * top-level [[LineLangCounts]] — see its scaladoc for why.
     */
-  private case class LineLangCounts(
-      n_lines: Int, n_en: Int, n_de: Int, n_fr: Int, n_es: Int,
-      n_zh: Int, n_und: Int)
-
   private val lineLangUdf = udf { (text: String) =>
     if (text == null) LineLangCounts(0, 0, 0, 0, 0, 0, 0)
     else {

@@ -179,6 +179,21 @@ class AssociationSpec extends SparkSpec {
     assert(fromStore.getAs[Double]("or_mh") === direct.getAs[Double]("or_mh"))
   }
 
+  test("cmhFromCounts: EVERY no-quadrant trial flags — uncastable, non-0/1, NULL success") {
+    // 0/1 contract violations: "x" (neither cast), "2" (casts fine but
+    // is not a Bernoulli outcome), NULL (a fold that lost the outcome)
+    // — 3 + 5 + 7 trials, all flagged, none silently dropped
+    val counts = Seq(
+      ("s", "A", "1", 4L), ("s", "A", "0", 2L),
+      ("s", "B", "1", 1L), ("s", "B", "0", 3L),
+      ("s", "A", "x", 3L), ("s", "B", "2", 5L), ("s", "A", null, 7L))
+      .toDF("st", "g", "hi", "n")
+    val r = Association.cmhFromCounts(counts, "st", "g", "hi", "n").collect()(0)
+    assert(r.getAs[Long]("n_bad_success") === 15L)
+    // the clean quadrants are untouched by the flagged trials
+    assert(r.getAs[Long]("sum_a") === 4L)
+  }
+
   test("mannWhitney: textbook separation, tie-heavy null, degenerate, 3-group contract") {
     // A=[1,2,3] B=[4,5,6]: 2U1 = 12-12 = 0, z = -4.5/sqrt(5.25)
     val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("B", 6L))

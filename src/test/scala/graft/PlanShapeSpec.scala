@@ -710,4 +710,34 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
         s"non-codegen UDF in the hot path\n$p")
   }
+
+  // The silent-interpreted-fallback guard: a UDF returning a case class
+  // Janino can't reach (e.g. a private nested one) makes UnsafeProjection
+  // fall back to interpreted mode with only a WARN — correct results, an
+  // interpreted per-document projection at 100 TB. CODEGEN_ONLY disables
+  // the fallback so the regression FAILS here instead of logging.
+  test("codegen: per-document text kernels compile under CODEGEN_ONLY (no interpreted fallback)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Seq(
+        (1L, "the quick fox\nder schnelle fuchs\n\nthe end"),
+        (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val prof = graft.text.TextAnalysis.lineLanguageProfile(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(prof(0).getAs[Int]("n_lines") === 3 && prof(0).getAs[Int]("n_en") === 2)
+      assert(prof(0).getAs[String]("dominant_lang") === "en")
+      assert(prof(1).getAs[Int]("n_lines") === 0)
+      // the document-level language vote rides the same kernel
+      val lang = docs.select(graft.text.TextAnalysis.langId($"text").as("l"))
+        .collect().map(_.getAs[String]("l"))
+      assert(lang.contains("en"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }

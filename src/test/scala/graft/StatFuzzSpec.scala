@@ -950,9 +950,12 @@ class StatFuzzSpec extends SparkSpec {
         val d2 = subjects.count(s => s._1 == "B" && s._2 == tt && s._3 == 1L)
         val n = n1 + n2; val d = (d1 + d2).toDouble
         o1 += d1
-        if (d > 0 && n > 1) {
+        // canonical Mantel: E at EVERY event time (defined at n = 1 —
+        // netting O−E to 0 when the last at-risk subject dies); only
+        // V's n−1 divisor needs the n > 1 guard
+        if (d > 0) {
           e1 += d * n1 / n
-          v += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+          if (n > 1) v += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
         }
       }
       val zNaive = if (v > 0) Some((o1 - e1) / math.sqrt(v)) else None

@@ -1149,6 +1149,14 @@ class TrendStatsSpec extends SparkSpec {
     val three = sym.unionAll(Seq(("c", 2L, 1L)).toDF("g", "dur", "ev"))
     val r3 = Survival.logRank(three, Nil, "g", "dur", "ev").collect()(0)
     assert(r3.getAs[Long]("n_groups") === 3L && r3.isNullAt(r3.fieldIndex("z")))
+    // n = 1 boundary (R survdiff convention): the last at-risk subject
+    // is in grp_lo and dies at t=2 — E accumulates d·n1/n = 1 there
+    // (netting O−E), V contributes 0. t=1: E = 4/3, V = 2/9;
+    // z = (2 − 7/3)/√(2/9) = −1/√2 — the old skip inflated it to +√2·…
+    val edge = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("b", 1L, 1L)).toDF("g", "dur", "ev")
+    val re = Survival.logRank(edge, Nil, "g", "dur", "ev").collect()(0)
+    assert(re.getAs[Long]("o_lo") === 2L)
+    assert(math.abs(re.getAs[Double]("z") - (-1d / math.sqrt(2d))) < 1e-8)
   }
 
   // --- G-test drift ------------------------------------------------------------------
