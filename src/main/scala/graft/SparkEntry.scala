@@ -303,7 +303,16 @@ object SparkEntry {
     "q290_yule_k" -> (CoreQueries.q290YuleK(_, _)),
     "q291_rmst" -> (CoreQueries.q291Rmst(_, _)),
     "q292_proportion_effects" -> (CoreQueries.q292ProportionEffects(_, _)),
-    "q293_page_trend" -> (CoreQueries.q293PageTrend(_, _))
+    "q293_page_trend" -> (CoreQueries.q293PageTrend(_, _)),
+    "q294_log_rank_from_store" -> (CoreQueries.q294LogRankFromStore(_, _)),
+    "q295_rmst_from_store" -> (CoreQueries.q295RmstFromStore(_, _)),
+    "q296_log_rank_stratified" -> (CoreQueries.q296LogRankStratified(_, _)),
+    "q297_aalen_johansen" -> (CoreQueries.q297AalenJohansen(_, _)),
+    "q298_cuped" -> (CoreQueries.q298Cuped(_, _)),
+    "q299_msprt_two_prop" -> (CoreQueries.q299MsprtTwoProp(_, _)),
+    "q300_msprt_mean" -> (CoreQueries.q300MsprtMean(_, _)),
+    "q301_cif_from_store" -> (CoreQueries.q301CifFromStore(_, _)),
+    "q302_median_survival" -> (CoreQueries.q302MedianSurvival(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -408,7 +417,18 @@ object SparkEntry {
     "q290_yule_k" -> yuleKOracle,
     "q291_rmst" -> rmstOracle,
     "q292_proportion_effects" -> proportionEffectsOracle,
-    "q293_page_trend" -> pageTrendOracle)
+    "q293_page_trend" -> pageTrendOracle,
+    // the from-store reads share their primary gate's oracle verbatim:
+    // a fold that drifts from the rebuild is a state bug by definition
+    "q294_log_rank_from_store" -> logRankOracle,
+    "q295_rmst_from_store" -> rmstOracle,
+    "q296_log_rank_stratified" -> logRankStratifiedOracle,
+    "q297_aalen_johansen" -> aalenJohansenOracle,
+    "q298_cuped" -> cupedOracle,
+    "q299_msprt_two_prop" -> msprtTwoPropOracle,
+    "q300_msprt_mean" -> msprtMeanOracle,
+    "q301_cif_from_store" -> aalenJohansenOracle,
+    "q302_median_survival" -> medianSurvivalOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1561,18 +1581,30 @@ object SparkEntry {
       |  END AS yule_k
       |FROM a ORDER BY lang""".stripMargin
 
+  /** Shared oracle CTE for the survival family: the
+    * [[graft.queries.CoreQueries]] `survivalSubjects` fixture — hours
+    * to first purchase inside a 96 h administrative window from the
+    * user's first event, else right-censored at 96. `subj` columns:
+    * user_id, t, ev.
+    */
+  private lazy val SurvivalSubjCte: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |pu AS (SELECT user_id, min(h) AS f,
+      |    min(CASE WHEN event_type = 'purchase' THEN h END) AS p
+      |  FROM e GROUP BY 1),
+      |subj AS (SELECT user_id,
+      |    CASE WHEN p IS NOT NULL AND p - f + 1 <= 96 THEN p - f + 1 ELSE 96 END AS t,
+      |    CASE WHEN p IS NOT NULL AND p - f + 1 <= 96 THEN 1 ELSE 0 END AS ev
+      |  FROM pu)""".stripMargin
+
   /** q291 oracle: [[graft.operators.Survival.rmst]] replayed — the q285
     * KM chain with UNROUNDED survivals, τ-truncated steps, nano-landed
     * step survivals × integer widths, one division.
     */
   private lazy val rmstOracle: String =
-    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
-      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
-      |hz AS (SELECT max(h) AS horizon FROM e),
-      |subj AS (SELECT l - f + 1 AS t,
-      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
-      |  FROM pu CROSS JOIN hz),
+    s"""$SurvivalSubjCte,
       |cells AS (SELECT t,
       |    CAST(sum(ev) AS BIGINT) AS n_event,
       |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
@@ -1617,13 +1649,7 @@ object SparkEntry {
     * terms, cumulative H/variance, e^(−H).
     */
   private lazy val nelsonAalenOracle: String =
-    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
-      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
-      |hz AS (SELECT max(h) AS horizon FROM e),
-      |subj AS (SELECT l - f + 1 AS t,
-      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
-      |  FROM pu CROSS JOIN hz),
+    s"""$SurvivalSubjCte,
       |cells AS (SELECT t,
       |    CAST(sum(ev) AS BIGINT) AS n_event,
       |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
@@ -1685,14 +1711,8 @@ object SparkEntry {
     * R-survdiff n = 1 convention); only V carries the n > 1 guard.
     */
   private lazy val logRankOracle: String =
-    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
-      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
-      |hz AS (SELECT max(h) AS horizon FROM e),
-      |subj AS (SELECT CAST(user_id % 2 = 0 AS VARCHAR) AS grp, l - f + 1 AS t,
-      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
-      |  FROM pu CROSS JOIN hz),
-      |cells AS (SELECT grp, t,
+    s"""$SurvivalSubjCte,
+      |cells AS (SELECT CAST(user_id % 2 = 0 AS VARCHAR) AS grp, t,
       |    CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
       |  FROM subj GROUP BY 1, 2),
       |lab AS (SELECT *, min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi
@@ -1739,20 +1759,358 @@ object SparkEntry {
       |      sqrt(CAST(v9s AS DOUBLE) / 1e9)), 9) END AS chi2
       |FROM s""".stripMargin
 
+  /** q296 oracle: [[graft.operators.Survival.logRankStratified]]
+    * replayed — the q286 cells keyed additionally by user_id mod 3,
+    * per-stratum reverse-cumulative at-risk + nano hypergeometric
+    * terms (the q286 n = 1 convention), pooled over strata in HUGEINT.
+    */
+  private lazy val logRankStratifiedOracle: String =
+    s"""$SurvivalSubjCte,
+      |cells AS (SELECT CAST(user_id % 3 AS VARCHAR) AS st,
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS grp, t,
+      |    CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2, 3),
+      |lab AS (SELECT *, min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi
+      |  FROM cells),
+      |spine AS (SELECT grp_lo, grp_hi, st, t,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN d ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN c ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN d ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN c ELSE 0 END) AS BIGINT) AS c2
+      |  FROM lab GROUP BY 1, 2, 3, 4),
+      |risk AS (SELECT *,
+      |    CAST(sum(d1 + c1) OVER (PARTITION BY st ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+      |    CAST(sum(d2 + c2) OVER (PARTITION BY st ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
+      |  FROM spine),
+      |terms AS (SELECT *,
+      |    CASE WHEN d1 + d2 > 0 THEN CAST(round(
+      |      CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+      |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS e9,
+      |    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(round(
+      |      CAST(d1 + d2 AS DOUBLE) *
+      |        (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        (CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - CAST(d1 + d2 AS DOUBLE)) /
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS v9
+      |  FROM risk),
+      |s AS (SELECT grp_lo, grp_hi,
+      |    CAST(count(DISTINCT st) AS BIGINT) AS n_strata,
+      |    CAST(sum(d1) AS BIGINT) AS o_lo,
+      |    CAST(sum(d1 + c1) AS BIGINT) AS n_lo,
+      |    CAST(sum(d2 + c2) AS BIGINT) AS n_hi,
+      |    sum(CAST(e9 AS HUGEINT)) AS e9s, sum(CAST(v9 AS HUGEINT)) AS v9s
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT grp_lo, grp_hi, CAST(2 AS BIGINT) AS n_groups, n_strata,
+      |  n_lo, n_hi, o_lo,
+      |  CAST(e9s AS VARCHAR) AS e_lo_9, CAST(v9s AS VARCHAR) AS v_9,
+      |  CASE WHEN v9s > 0 THEN round((CAST(o_lo AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9) /
+      |    sqrt(CAST(v9s AS DOUBLE) / 1e9), 9) END AS z,
+      |  CASE WHEN v9s > 0 THEN round(
+      |    ((CAST(o_lo AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9) /
+      |      sqrt(CAST(v9s AS DOUBLE) / 1e9)) *
+      |    ((CAST(o_lo AS DOUBLE) - CAST(e9s AS DOUBLE) / 1e9) /
+      |      sqrt(CAST(v9s AS DOUBLE) / 1e9)), 9) END AS chi2
+      |FROM s""".stripMargin
+
+  /** q297/q301 oracle: [[graft.operators.Survival.aalenJohansen]]
+    * replayed — the purchase-vs-error race inside the 96 h window
+    * (cause 1 = purchase first, 2 = error first, tie → purchase;
+    * neither → censored at 96), all-cause KM chain for S(t⁻)
+    * (nano-landed), per-(t, cause) nano d_k/n, CIF as the cumulative
+    * HUGEINT sum of 10⁻¹⁸ products over the (t × cause) grid.
+    */
+  private lazy val aalenJohansenOracle: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |pu AS (SELECT user_id, min(h) AS f,
+      |    min(CASE WHEN event_type = 'purchase' THEN h END) AS p,
+      |    min(CASE WHEN event_type = 'error' THEN h END) AS er
+      |  FROM e GROUP BY 1),
+      |d0 AS (SELECT user_id, p - f + 1 AS tp, er - f + 1 AS te,
+      |    least(coalesce(p - f + 1, 97), coalesce(er - f + 1, 97)) AS tm
+      |  FROM pu),
+      |subj AS (SELECT user_id,
+      |    CASE WHEN tm <= 96 THEN tm ELSE 96 END AS t,
+      |    CASE WHEN tm > 96 THEN 0
+      |         WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+      |         ELSE 2 END AS cause
+      |  FROM d0),
+      |cells AS (SELECT t, cause, CAST(count(*) AS BIGINT) AS n
+      |  FROM subj GROUP BY 1, 2),
+      |spine AS (SELECT t,
+      |    CAST(sum(CASE WHEN cause <> 0 THEN n ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN cause = 0 THEN n ELSE 0 END) AS BIGINT) AS c
+      |  FROM cells GROUP BY 1),
+      |risk AS (SELECT *,
+      |    CAST(sum(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM spine),
+      |terms AS (SELECT *,
+      |    CASE WHEN d = 0 THEN 0
+      |         WHEN d < n_risk THEN CAST(round(ln(
+      |           (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)) /
+      |             CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS ln9
+      |  FROM risk),
+      |acc AS (SELECT *,
+      |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS dead,
+      |    coalesce(max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1 AS dead_prev,
+      |    sum(ln9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum9,
+      |    coalesce(sum(ln9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lnprev9
+      |  FROM terms),
+      |sg AS (SELECT *,
+      |    CASE WHEN dead THEN 0.0
+      |         ELSE exp(CAST(lnsum9 AS DOUBLE) / 1e9) END AS survival,
+      |    CASE WHEN dead_prev THEN 0
+      |         ELSE CAST(round(exp(CAST(lnprev9 AS DOUBLE) / 1e9) * 1e9) AS BIGINT)
+      |    END AS sprev9
+      |  FROM acc),
+      |ks AS (SELECT DISTINCT CAST(cause AS BIGINT) AS ev_type
+      |  FROM subj WHERE cause <> 0),
+      |grid AS (SELECT g.*, k.ev_type FROM sg g CROSS JOIN ks k),
+      |typed AS (SELECT t, CAST(cause AS BIGINT) AS ev_type, n AS dk
+      |  FROM cells WHERE cause <> 0),
+      |j AS (SELECT grid.*, coalesce(typed.dk, 0) AS n_event,
+      |    CASE WHEN coalesce(typed.dk, 0) = 0 THEN 0
+      |         ELSE CAST(round(CAST(typed.dk AS DOUBLE) /
+      |           CAST(grid.n_risk AS DOUBLE) * 1e9) AS BIGINT) END AS hk9
+      |  FROM grid LEFT JOIN typed
+      |    ON grid.t = typed.t AND grid.ev_type = typed.ev_type),
+      |cum AS (SELECT *,
+      |    sum(CAST(sprev9 AS HUGEINT) * hk9) OVER (PARTITION BY ev_type
+      |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t18
+      |  FROM j)
+      |SELECT t, ev_type, n_risk, n_event,
+      |  round(survival, 9) AS survival,
+      |  round(CAST(t18 AS DOUBLE) / 1e18, 9) AS cif
+      |FROM cum ORDER BY t, ev_type""".stripMargin
+
+  /** q302 oracle: [[graft.operators.Survival.medianSurvival]] replayed
+    * — the q285 KM chain per parity cohort, smallest t with S ≤ 1/2
+    * (the nano ln-sum integer spacing keeps the crossing off any float
+    * boundary), NULL when the curve never crosses.
+    */
+  private lazy val medianSurvivalOracle: String =
+    s"""$SurvivalSubjCte,
+      |cells AS (SELECT CAST(user_id % 2 = 0 AS VARCHAR) AS cohort, t,
+      |    CAST(sum(ev) AS BIGINT) AS n_event,
+      |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      |  FROM subj GROUP BY 1, 2),
+      |risk AS (SELECT *,
+      |    CAST(sum(n_event + n_censored) OVER (PARTITION BY cohort ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM cells),
+      |terms AS (SELECT *,
+      |    CASE WHEN n_event = 0 THEN 0
+      |         WHEN n_event < n_risk THEN CAST(round(ln(
+      |           (CAST(n_risk AS DOUBLE) - CAST(n_event AS DOUBLE)) /
+      |             CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS ln9
+      |  FROM risk),
+      |acc AS (SELECT *,
+      |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY cohort ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS dead,
+      |    sum(ln9) OVER (PARTITION BY cohort ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum9
+      |  FROM terms),
+      |km AS (SELECT cohort, t,
+      |    CASE WHEN dead THEN 0.0
+      |         ELSE exp(CAST(lnsum9 AS DOUBLE) / 1e9) END AS s
+      |  FROM acc)
+      |SELECT cohort, min(CASE WHEN s <= 0.5 THEN t END) AS median_survival
+      |FROM km GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q298 oracle: [[graft.quality.Association.cuped]] replayed — exact
+    * HUGEINT moments per parity arm over the per-user even/odd event
+    * counts, pooled θ one division, the adjusted-effect / variance /
+    * CI dags term for term.
+    */
+  private lazy val cupedOracle: String =
+    """WITH pu AS (SELECT
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS arm,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pu GROUP BY 1),
+      |lab AS (SELECT *, min(arm) OVER () AS grp_lo, max(arm) OVER () AS grp_hi
+      |  FROM g),
+      |wide AS (SELECT grp_lo, grp_hi,
+      |    max(CASE WHEN arm = grp_lo THEN n END) AS n1,
+      |    max(CASE WHEN arm = grp_lo THEN sx END) AS sx1,
+      |    max(CASE WHEN arm = grp_lo THEN sy END) AS sy1,
+      |    max(CASE WHEN arm = grp_lo THEN sxx END) AS sxx1,
+      |    max(CASE WHEN arm = grp_lo THEN syy END) AS syy1,
+      |    max(CASE WHEN arm = grp_lo THEN sxy END) AS sxy1,
+      |    max(CASE WHEN arm = grp_hi THEN n END) AS n2,
+      |    max(CASE WHEN arm = grp_hi THEN sx END) AS sx2,
+      |    max(CASE WHEN arm = grp_hi THEN sy END) AS sy2,
+      |    max(CASE WHEN arm = grp_hi THEN sxx END) AS sxx2,
+      |    max(CASE WHEN arm = grp_hi THEN syy END) AS syy2,
+      |    max(CASE WHEN arm = grp_hi THEN sxy END) AS sxy2
+      |  FROM lab GROUP BY 1, 2),
+      |c1 AS (SELECT *,
+      |    CAST(n1 + n2 AS HUGEINT) AS nt,
+      |    sx1 + sx2 AS sxt, sy1 + sy2 AS syt,
+      |    sxx1 + sxx2 AS sxxt, syy1 + syy2 AS syyt, sxy1 + sxy2 AS sxyt
+      |  FROM wide),
+      |c2 AS (SELECT *,
+      |    nt * sxyt - sxt * syt AS covnum,
+      |    nt * sxxt - sxt * sxt AS varxnum,
+      |    nt * syyt - syt * syt AS varynum
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE) AS theta,
+      |    CAST(sy1 * n2 - sy2 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS raweff,
+      |    CAST(sx1 * n2 - sx2 * n1 AS DOUBLE) AS xcross
+      |  FROM c2),
+      |c4 AS (SELECT *,
+      |    raweff - theta * xcross / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS adjeff,
+      |    (CAST(n1 AS DOUBLE) * (CAST(syy1 AS DOUBLE) - 2 * theta * CAST(sxy1 AS DOUBLE) +
+      |        theta * theta * CAST(sxx1 AS DOUBLE)) -
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE)) *
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE))) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |    (CAST(n2 AS DOUBLE) * (CAST(syy2 AS DOUBLE) - 2 * theta * CAST(sxy2 AS DOUBLE) +
+      |        theta * theta * CAST(sxx2 AS DOUBLE)) -
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE)) *
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE))) /
+      |      (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2,
+      |    CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE) /
+      |      (CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE)) AS rho2
+      |  FROM c3),
+      |c5 AS (SELECT *, sqrt(v1 + v2) AS se FROM c4)
+      |SELECT grp_lo, grp_hi, CAST(2 AS BIGINT) AS n_groups, n1 AS n_lo, n2 AS n_hi,
+      |  round(theta, 9) AS theta, round(rho2, 9) AS rho2,
+      |  round(raweff, 9) AS effect_raw, round(adjeff, 9) AS effect_cuped,
+      |  round(se, 9) AS se_cuped,
+      |  round(adjeff - 1.959964 * se, 9) AS ci_lo,
+      |  round(adjeff + 1.959964 * se, 9) AS ci_hi
+      |FROM c5""".stripMargin
+
+  /** q299 oracle: [[graft.quality.SequentialTests.msprtTwoProportion]]
+    * replayed — cumulative exact counts over the 12 peeks, the pooled-p
+    * variance, the nano mixture-LR dag (τ² = 2⁻¹²), the running-best
+    * integer max, and the ln(20)-nano reject boundary 2995732274.
+    */
+  private lazy val msprtTwoPropOracle: String =
+    """WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo AS DOUBLE) + CAST(s_hi AS DOUBLE)) /
+      |      (CAST(n_lo AS DOUBLE) + CAST(n_hi AS DOUBLE)) AS pp,
+      |    n_lo > 0 AND n_hi > 0 AND (s_lo + s_hi) > 0 AND
+      |      (s_lo + s_hi) < (n_lo + n_hi) AS usable
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    pp * (1 - pp) * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)) AS vv
+      |  FROM t),
+      |l AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.000244140625)) +
+      |      delta * delta * 0.000244140625 /
+      |        (2 * vv * (vv + 0.000244140625))) * 1e9) AS BIGINT) END AS ln_lr9
+      |  FROM v),
+      |b AS (SELECT *, max(ln_lr9) OVER (ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM l)
+      |SELECT peek, n_lo, s_lo, n_hi, s_hi,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta, ln_lr9,
+      |  round(CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
+      |  coalesce(best9 >= 2995732274, false) AS reject
+      |FROM b ORDER BY peek""".stripMargin
+
+  /** q300 oracle: [[graft.quality.SequentialTests.msprtMean]] replayed
+    * — cumulative exact moment sums of floor(value) per arm, the Welch
+    * plug-in variance from HUGEINT numerators, the nano mixture-LR dag
+    * (τ² = 1), running-best max, the same ln(20) boundary.
+    */
+  private lazy val msprtMeanOracle: String =
+    """WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CAST(floor(value) AS BIGINT) AS m
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN ev_even THEN m ELSE 0 END) AS HUGEINT) AS bs1,
+      |    CAST(sum(CASE WHEN ev_even THEN m * m ELSE 0 END) AS HUGEINT) AS bq1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN m ELSE 0 END) AS HUGEINT) AS bs2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN m * m ELSE 0 END) AS HUGEINT) AS bq2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS HUGEINT) AS s1,
+      |    CAST(sum(bq1) OVER w AS HUGEINT) AS q1,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS HUGEINT) AS s2,
+      |    CAST(sum(bq2) OVER w AS HUGEINT) AS q2
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    n_lo * q1 - s1 * s1 AS v1n, n_hi * q2 - s2 * s2 AS v2n,
+      |    CAST(s1 * n_hi - s2 * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    CAST(v1n AS DOUBLE) / (CAST(n_lo AS DOUBLE) * CAST(n_lo AS DOUBLE) *
+      |      (CAST(n_lo AS DOUBLE) - 1.0)) +
+      |    CAST(v2n AS DOUBLE) / (CAST(n_hi AS DOUBLE) * CAST(n_hi AS DOUBLE) *
+      |      (CAST(n_hi AS DOUBLE) - 1.0)) AS vv,
+      |    n_lo >= 2 AND n_hi >= 2 AND (v1n + v2n) > 0 AS usable
+      |  FROM t),
+      |l AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 1.0)) +
+      |      delta * delta * 1.0 / (2 * vv * (vv + 1.0))) * 1e9) AS BIGINT)
+      |    END AS ln_lr9
+      |  FROM v),
+      |b AS (SELECT *, max(ln_lr9) OVER (ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM l)
+      |SELECT peek, n_lo, CAST(s1 AS VARCHAR) AS sum_lo,
+      |  n_hi, CAST(s2 AS VARCHAR) AS sum_hi,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta, ln_lr9,
+      |  round(CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
+      |  coalesce(best9 >= 2995732274, false) AS reject
+      |FROM b ORDER BY peek""".stripMargin
+
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
-    * per-user lifetimes + the 72 h censoring rule, (duration) cells,
+    * time-to-first-purchase + the 96 h window rule, (duration) cells,
     * reverse-cumulative at-risk counts, duration-ordered nano
     * ln(1 − d/n) and Greenwood sums, exp/√ fixed dags; d = n pins
     * survival to exactly 0.
     */
   private lazy val kaplanMeierOracle: String =
-    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
-      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-      |pu AS (SELECT user_id, min(h) AS f, max(h) AS l FROM e GROUP BY 1),
-      |hz AS (SELECT max(h) AS horizon FROM e),
-      |subj AS (SELECT l - f + 1 AS t,
-      |    CASE WHEN l < horizon - 72 THEN 1 ELSE 0 END AS ev
-      |  FROM pu CROSS JOIN hz),
+    s"""$SurvivalSubjCte,
       |cells AS (SELECT t,
       |    CAST(sum(ev) AS BIGINT) AS n_event,
       |    CAST(sum(1 - ev) AS BIGINT) AS n_censored

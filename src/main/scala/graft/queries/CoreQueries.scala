@@ -802,27 +802,16 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
-  /** Kaplan–Meier gate: user lifetime (hours between first and last
-    * event, inclusive) under RIGHT-CENSORING — a user whose last event
-    * is within 72 h of the observation horizon hasn't churned, only
-    * left the window (event = 0); everyone else's lifetime ended
-    * observed (event = 1). Product-limit survival via duration-ordered
-    * nano ln(1 − d/n) sums, Greenwood SE on the same pass — the
-    * retention read q140's plain curve gets wrong on a live corpus.
+  /** Kaplan–Meier gate: time-to-first-purchase under RIGHT-CENSORING
+    * (the [[survivalSubjects]] 96 h window — users who didn't purchase
+    * inside it are censored, not failures). Product-limit survival via
+    * duration-ordered nano ln(1 − d/n) sums, Greenwood SE on the same
+    * pass — the conversion read q140's plain curve gets wrong when
+    * observation windows differ.
     */
   def q285KaplanMeier(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val ev = Tables.events(s, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
-    val perUser = ev.groupBy("user_id")
-      .agg(min("h").as("__first"), max("h").as("__last"))
-    val horizon = ev.agg(max("h").as("__horizon"))
-    val subjects = perUser.crossJoin(broadcast(horizon))
-      .select(
-        (col("__last") - col("__first") + 1L).as("duration"),
-        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
-    Survival.kaplanMeier(subjects, Nil, "duration", "event")
+    Survival.kaplanMeier(survivalSubjects(s, dir), Nil, "duration", "event")
       .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
         round(col("survival"), 9).as("survival"),
         round(col("se_greenwood"), 9).as("se_greenwood"))
@@ -837,16 +826,7 @@ object CoreQueries {
     */
   def q287KmFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val ev = Tables.events(s, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
-    val perUser = ev.groupBy("user_id")
-      .agg(min("h").as("__first"), max("h").as("__last"))
-    val horizon = ev.agg(max("h").as("__horizon"))
-    val subjects = perUser.crossJoin(broadcast(horizon))
-      .select(col("user_id"),
-        (col("__last") - col("__first") + 1L).as("duration"),
-        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
+    val subjects = survivalSubjects(s, dir)
     def batch(i: Int) = Survival.lifetimeCells(
       subjects.filter(col("user_id") % 3 === i), Nil, "duration", "event")
     val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
@@ -879,18 +859,9 @@ object CoreQueries {
     */
   def q291Rmst(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val ev = Tables.events(s, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
-    val perUser = ev.groupBy("user_id")
-      .agg(min("h").as("__first"), max("h").as("__last"))
-    val horizon = ev.agg(max("h").as("__horizon"))
-    val subjects = perUser.crossJoin(broadcast(horizon))
-      .select(
-        (col("__last") - col("__first") + 1L).as("duration"),
-        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
     Survival.rmst(
-      Survival.kaplanMeier(subjects, Nil, "duration", "event"), Nil, tau = 48L)
+      Survival.kaplanMeier(survivalSubjects(s, dir), Nil, "duration", "event"),
+      Nil, tau = 48L)
       .select(col("tau"), col("t_last"), round(col("rmst"), 9).as("rmst"))
   }
 
@@ -901,17 +872,7 @@ object CoreQueries {
     */
   def q288NelsonAalen(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val ev = Tables.events(s, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
-    val perUser = ev.groupBy("user_id")
-      .agg(min("h").as("__first"), max("h").as("__last"))
-    val horizon = ev.agg(max("h").as("__horizon"))
-    val subjects = perUser.crossJoin(broadcast(horizon))
-      .select(
-        (col("__last") - col("__first") + 1L).as("duration"),
-        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
-    Survival.nelsonAalen(subjects, Nil, "duration", "event")
+    Survival.nelsonAalen(survivalSubjects(s, dir), Nil, "duration", "event")
       .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
         round(col("hazard"), 9).as("hazard"),
         round(col("se_hazard"), 9).as("se_hazard"),
@@ -946,17 +907,8 @@ object CoreQueries {
     */
   def q286LogRank(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val ev = Tables.events(s, dir)
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 3600L).as("h"))
-    val perUser = ev.groupBy("user_id")
-      .agg(min("h").as("__first"), max("h").as("__last"))
-    val horizon = ev.agg(max("h").as("__horizon"))
-    val subjects = perUser.crossJoin(broadcast(horizon))
-      .select(
-        (col("user_id") % 2 === 0).cast("string").as("cohort"),
-        (col("__last") - col("__first") + 1L).as("duration"),
-        (col("__last") < col("__horizon") - 72L).cast("long").as("event"))
+    val subjects = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
     Survival.logRank(subjects, Nil, "cohort", "duration", "event")
       .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
         col("n_hi"), col("o_lo"), col("e_lo_9"), col("v_9"),
@@ -2276,6 +2228,234 @@ object CoreQueries {
         col("k"), col("n_incomplete"), col("l2"),
         round(col("z"), 9).as("z"))
       .orderBy("treatment")
+  }
+
+  /** The shared survival fixture (q285–q288/q291 and the round-14
+    * gates): hours from each user's FIRST event to their first
+    * 'purchase', observed only within a 96 h administrative window — no
+    * purchase inside the window ⇒ right-censored at 96. Replaces r13's
+    * last-event-vs-horizon rule, which on this synthetic stream (every
+    * user active to the horizon) produced a 100%-censored cohort — the
+    * oracles only ever exercised the all-censored path. Here sf0.01 has
+    * 133 events / 17 censored over 61 distinct durations: a real curve.
+    */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val tp = col("__p") - col("__f") + 1L
+    val seen = col("__p").isNotNull && tp <= 96L
+    ev.groupBy("user_id")
+      .agg(min("h").as("__f"),
+        min(when(col("event_type") === "purchase", col("h"))).as("__p"))
+      .select(col("user_id"),
+        when(seen, tp).otherwise(96L).as("duration"),
+        when(seen, 1L).otherwise(0L).as("event"))
+  }
+
+  /** The competing-risks fixture (q297/q301): first 'purchase' vs first
+    * 'error' from the user's first event, whichever comes first inside
+    * the same 96 h window (tie → purchase, deterministic); neither ⇒
+    * censored at 96. Cause 1 = purchase, 2 = error, 0 = censored.
+    */
+  private def competingSubjects(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val tp = col("__p") - col("__f") + 1L
+    val te = col("__e") - col("__f") + 1L
+    val tMin = least(coalesce(tp, lit(97L)), coalesce(te, lit(97L)))
+    ev.groupBy("user_id")
+      .agg(min("h").as("__f"),
+        min(when(col("event_type") === "purchase", col("h"))).as("__p"),
+        min(when(col("event_type") === "error", col("h"))).as("__e"))
+      .select(col("user_id"),
+        when(tMin <= 96L, tMin).otherwise(96L).as("duration"),
+        when(tMin > 96L, 0L)
+          .when(tp.isNotNull && (te.isNull || tp <= te), 1L)
+          .otherwise(2L).as("cause"))
+  }
+
+  /** Log-rank from-STORE gate: the q286 subjects' (cohort, duration)
+    * lifetime cells folded in three disjoint user batches — the
+    * `lifetimeCellsStream` state — read by
+    * [[graft.operators.Survival.logRankFromCells]] under q286's oracle
+    * verbatim: the censoring-aware A/B as a standing read.
+    */
+  def q294LogRankFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
+    def batch(i: Int) = Survival.lifetimeCells(
+      subj.filter(col("user_id") % 3 === i), Seq("cohort"), "duration", "event")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Survival.mergeLifetimeCells(acc, batch(i), Seq("cohort")))
+    Survival.logRankFromCells(folded, Nil, "cohort")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("o_lo"), col("e_lo_9"), col("v_9"),
+        round(col("z"), 9).as("z"), round(col("chi2"), 9).as("chi2"))
+  }
+
+  /** RMST from-STORE gate: the q285 lifetime cells folded in three
+    * disjoint user batches, read through
+    * [[graft.operators.Survival.kaplanMeierFromCells]] →
+    * [[graft.operators.Survival.rmst]] under q291's oracle verbatim:
+    * the censoring-proof effect summary as a standing read.
+    */
+  def q295RmstFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+    def batch(i: Int) = Survival.lifetimeCells(
+      subj.filter(col("user_id") % 3 === i), Nil, "duration", "event")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Survival.mergeLifetimeCells(acc, batch(i), Nil))
+    Survival.rmst(Survival.kaplanMeierFromCells(folded, Nil), Nil, tau = 48L)
+      .select(col("tau"), col("t_last"), round(col("rmst"), 9).as("rmst"))
+  }
+
+  /** Stratified log-rank gate: the q286 parity A/B adjusted for the
+    * user_id mod 3 stratum — per-stratum hypergeometric O/E/V pooled
+    * as exact DECIMAL sums (the CMH discipline); the confounder-safe
+    * censoring-aware A/B.
+    */
+  def q296LogRankStratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
+      .withColumn("stratum", (col("user_id") % 3).cast("string"))
+    Survival.logRankStratified(subj, Nil, "stratum", "cohort", "duration", "event")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_strata"),
+        col("n_lo"), col("n_hi"), col("o_lo"), col("e_lo_9"), col("v_9"),
+        round(col("z"), 9).as("z"), round(col("chi2"), 9).as("chi2"))
+  }
+
+  /** Aalen–Johansen gate: time-to-first-outcome under COMPETING causes
+    * (the [[competingSubjects]] purchase-vs-error race) — per-cause
+    * cumulative incidence CIF_k(t) = Σ S(t⁻)·d_k/n beside the
+    * all-cause KM curve; the read "1 − cause-censored KM" overstates.
+    */
+  def q297AalenJohansen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    Survival.aalenJohansen(competingSubjects(s, dir), Nil, "duration", "cause")
+      .select(col("t"), col("ev_type"), col("n_risk"), col("n_event"),
+        round(col("survival"), 9).as("survival"),
+        round(col("cif"), 9).as("cif"))
+      .orderBy("t", "ev_type")
+  }
+
+  /** CIF from-STORE gate: the q297 typed lifetime cells folded in three
+    * disjoint user batches through
+    * [[graft.operators.Survival.mergeLifetimeCellsByType]], read by
+    * [[graft.operators.Survival.aalenJohansenFromCells]] under q297's
+    * oracle verbatim: competing-risks incidence as a standing read.
+    */
+  def q301CifFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = competingSubjects(s, dir)
+    def batch(i: Int) = Survival.lifetimeCellsByType(
+      subj.filter(col("user_id") % 3 === i), Nil, "duration", "cause")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Survival.mergeLifetimeCellsByType(acc, batch(i), Nil))
+    Survival.aalenJohansenFromCells(folded, Nil)
+      .select(col("t"), col("ev_type"), col("n_risk"), col("n_event"),
+        round(col("survival"), 9).as("survival"),
+        round(col("cif"), 9).as("cif"))
+      .orderBy("t", "ev_type")
+  }
+
+  /** Median-survival gate: the smallest duration each parity cohort's
+    * KM curve reaches S ≤ 1/2 — NULL when more than half the cohort
+    * outlives the window (the answer a naive duration median gets
+    * wrong under censoring). The nano-integer ln-sum spacing keeps the
+    * 0.5 crossing off any float boundary.
+    */
+  def q302MedianSurvival(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
+    Survival.medianSurvival(
+      Survival.kaplanMeier(subj, Seq("cohort"), "duration", "event"),
+      Seq("cohort"))
+      .orderBy("cohort")
+  }
+
+  /** CUPED gate: the parity A/B on per-user odd-half event count,
+    * adjusted by the even-half count as the pre-period covariate —
+    * exact DECIMAL moments, pooled θ one division, the variance-reduced
+    * effect + CI beside the raw difference, rho2 the reduction bought.
+    */
+  def q298Cuped(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val perUser = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2 === 0).cast("string"))
+    Association.cuped(perUser, Nil, "arm", "y", "x")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), round(col("theta"), 9).as("theta"),
+        round(col("rho2"), 9).as("rho2"),
+        round(col("effect_raw"), 9).as("effect_raw"),
+        round(col("effect_cuped"), 9).as("effect_cuped"),
+        round(col("se_cuped"), 9).as("se_cuped"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
+
+  /** mSPRT two-proportion gate: the always-valid monitor over 12
+    * sequential peeks (event_id mod 12) of the parity A/B on
+    * P(value ≥ 250) — cumulative exact counts, nano ln Λ per peek,
+    * running-best evidence, always-valid p and the integer-boundary
+    * reject verdict at α = 0.05. τ² = 2⁻¹² (binary-exact).
+    */
+  def q299MsprtTwoProp(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("event_id") % 12).as("peek"),
+        (col("user_id") % 2 === 0).as("__even"),
+        (col("value") >= 250d).cast("long").as("__hit"))
+    val incr = ev.groupBy("peek").agg(
+      sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__even"), col("__hit")).otherwise(0L)).as("s1"),
+      sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("__even"), col("__hit")).otherwise(0L)).as("s2"))
+    SequentialTests.msprtTwoProportion(incr, Nil, "peek",
+        "n1", "s1", "n2", "s2", tau2 = 0.000244140625d, alpha = 0.05d)
+      .select(col("peek"), col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"))
+      .orderBy("peek")
+  }
+
+  /** mSPRT mean-drift gate: the same 12 peeks monitoring the parity
+    * arms' mean floor(value) — exact cumulative moment sums, the Welch
+    * plug-in variance, nano ln Λ, always-valid p. τ² = 1 (exact).
+    */
+  def q300MsprtMean(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("event_id") % 12).as("peek"),
+        (col("user_id") % 2 === 0).as("__even"),
+        floor(col("value")).cast("long").as("__m"))
+    val incr = ev.groupBy("peek").agg(
+      sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__even"), col("__m")).otherwise(0L)).as("s1"),
+      sum(when(col("__even"), col("__m") * col("__m")).otherwise(0L)).as("q1"),
+      sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("__even"), col("__m")).otherwise(0L)).as("s2"),
+      sum(when(!col("__even"), col("__m") * col("__m")).otherwise(0L)).as("q2"))
+    SequentialTests.msprtMean(incr, Nil, "peek",
+        "n1", "s1", "q1", "n2", "s2", "q2", tau2 = 1.0d, alpha = 0.05d)
+      .select(col("peek"), col("n_lo"), col("sum_lo"), col("n_hi"), col("sum_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"))
+      .orderBy("peek")
   }
 
   /** OLS regression gate: the price-on-quantity line per return flag —
