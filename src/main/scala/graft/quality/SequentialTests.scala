@@ -93,7 +93,9 @@ object SequentialTests {
   ): DataFrame = {
     require(tau2 > 0d, s"tau2 must be positive: $tau2")
     val g = keyCols.map(col)
-    val wCum = Window.partitionBy(g: _*).orderBy(col(peekCol))
+    // the select below renames peekCol to "peek" — the window must
+    // order by the POST-select name
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = df.select(g :+ col(peekCol).as("peek") :+
         col(n1Col).cast("long").as("__dn1") :+ col(s1Col).cast("long").as("__ds1") :+
@@ -138,7 +140,7 @@ object SequentialTests {
   ): DataFrame = {
     require(tau2 > 0d, s"tau2 must be positive: $tau2")
     val g = keyCols.map(col)
-    val wCum = Window.partitionBy(g: _*).orderBy(col(peekCol))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = df.select(g :+ col(peekCol).as("peek") :+
         col(n1Col).cast("long").as("__dn1") :+

@@ -683,7 +683,38 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // Page trend: the friedman shape (per-block k-row windows, in-dag
     // probe fold -> plan-string duplication, runtime ReusedExchange)
-    Shape("q293_page_trend", maxHash = 22, maxRange = 11, forbidUdf = true)
+    Shape("q293_page_trend", maxHash = 22, maxRange = 11, forbidUdf = true),
+    // log-rank from-store: three batch lifetime-cell aggs + two merges
+    // + the pooled-spine windows (the q287 store shape)
+    Shape("q294_log_rank_from_store", maxHash = 12, maxRange = 8,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // RMST from-store: the q287 fold + the step-lag windows
+    Shape("q295_rmst_from_store", maxHash = 12, maxRange = 10,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // stratified log-rank: ONE (stratum, cohort, t) cell agg; windows
+    // ride per-stratum duration-cardinality frames, pooled in one agg
+    Shape("q296_log_rank_stratified", maxHash = 6, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Aalen-Johansen: one typed-cell agg, spine windows, the bounded
+    // (t x cause) grid via broadcast joins - never a subject sort
+    Shape("q297_aalen_johansen", maxHash = 10, maxRange = 6,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // CIF from-store: q297 + three batch arms, each re-deriving the
+    // per-user race agg (2 exchanges) + its typed-cell agg + merges
+    Shape("q301_cif_from_store", maxHash = 20, maxRange = 6,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // CUPED: ONE per-user agg + ONE moments agg + the 2-label pivot
+    Shape("q298_cuped", maxHash = 4, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // mSPRT gates: one peek-count agg + peek-cardinality cumulative
+    // windows (the documented bounded unpartitioned frame)
+    Shape("q299_msprt_two_prop", maxHash = 2, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q300_msprt_mean", maxHash = 2, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // median survival: the q285 per-cohort KM chain + one filtered min
+    Shape("q302_median_survival", maxHash = 4, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -1055,4 +1055,162 @@ class StatFuzzSpec extends SparkSpec {
       approxOpt(optDouble(row, "trimmed_mean"), meanNaive, s"trim mean trial $t")
     }
   }
+
+  // --- stratified log-rank ----------------------------------------------------------
+
+  test("fuzz: stratified log-rank vs the per-stratum hypergeometric pooling loop") {
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("strlogrank", t)
+      val nStrata = 2 + r.nextInt(3)
+      val subjects = (0 until 30 + r.nextInt(60)).map { _ =>
+        val st = "s" + r.nextInt(nStrata)
+        val grp = if (r.nextBoolean()) "A" else "B"
+        val dur = (1 + r.nextInt(8) + (if (grp == "A") r.nextInt(3) else 0)).toLong
+        (st, grp, dur, r.nextInt(3).min(1).toLong)
+      }
+      var o1 = 0L; var e1 = 0.0; var v = 0.0
+      for (st <- subjects.map(_._1).distinct) {
+        val ss = subjects.filter(_._1 == st)
+        for (tt <- ss.map(_._3).distinct.sorted) {
+          val n1 = ss.count(s => s._2 == "A" && s._3 >= tt).toDouble
+          val n2 = ss.count(s => s._2 == "B" && s._3 >= tt).toDouble
+          val d1 = ss.count(s => s._2 == "A" && s._3 == tt && s._4 == 1L)
+          val d2 = ss.count(s => s._2 == "B" && s._3 == tt && s._4 == 1L)
+          val n = n1 + n2; val d = (d1 + d2).toDouble
+          o1 += d1
+          if (d > 0) {
+            e1 += d * n1 / n
+            if (n > 1) v += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+          }
+        }
+      }
+      val zNaive = if (v > 0) Some((o1 - e1) / math.sqrt(v)) else None
+      val row = Survival.logRankStratified(subjects.toDF("st", "g", "dur", "ev"),
+        Nil, "st", "g", "dur", "ev").collect()(0)
+      assert(row.getAs[Long]("o_lo") === o1, s"strat logrank O trial $t")
+      approxOpt(optDouble(row, "z"), zNaive, s"strat logrank z trial $t")
+    }
+  }
+
+  // --- Aalen–Johansen ---------------------------------------------------------------
+
+  test("fuzz: Aalen-Johansen CIF vs the textbook S(t-)*d_k/n walk") {
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("aj", t)
+      val nTypes = 1 + r.nextInt(3)
+      val subjects = (0 until 25 + r.nextInt(50)).map { _ =>
+        val dur = (1 + r.nextInt(8)).toLong
+        val cause = if (r.nextInt(4) == 0) 0L else (1 + r.nextInt(nTypes)).toLong
+        (dur, cause)
+      }
+      val times = subjects.map(_._1).distinct.sorted
+      var s = 1.0
+      var cif = Map.empty[Long, Double].withDefaultValue(0.0)
+      val expect = scala.collection.mutable.Map.empty[(Long, Long), (Double, Double)]
+      for (tt <- times) {
+        val n = subjects.count(_._1 >= tt).toDouble
+        val d = subjects.count(x => x._1 == tt && x._2 != 0L).toDouble
+        for (k <- 1L to nTypes.toLong) {
+          val dk = subjects.count(x => x._1 == tt && x._2 == k).toDouble
+          cif += k -> (cif(k) + s * dk / n)
+        }
+        s = if (d >= n) 0.0 else s * (1 - d / n)
+        for (k <- 1L to nTypes.toLong) expect((tt, k)) = (s, cif(k))
+      }
+      val got = Survival.aalenJohansen(subjects.toDF("dur", "cv"), Nil, "dur", "cv")
+        .collect()
+      assert(got.nonEmpty, s"aj empty trial $t")
+      for (row <- got) {
+        val key = (row.getAs[Long]("t"), row.getAs[Long]("ev_type"))
+        approx(row.getAs[Double]("survival"), expect(key)._1, s"aj S$key trial $t")
+        approx(row.getAs[Double]("cif"), expect(key)._2, s"aj CIF$key trial $t")
+      }
+      if (nTypes == 1) got.foreach { row =>
+        approx(row.getAs[Double]("cif"), 1d - row.getAs[Double]("survival"),
+          s"aj KM-reduction trial $t")
+      }
+    }
+  }
+
+  // --- CUPED ------------------------------------------------------------------------
+
+  test("fuzz: CUPED theta, adjusted effect, se and rho2 vs the direct covariance formulas") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("cuped", t)
+      val rows = (0 until 30 + r.nextInt(60)).map { _ =>
+        val x = r.nextInt(20).toLong
+        val arm = if (r.nextBoolean()) "A" else "B"
+        val y = x + r.nextInt(10).toLong + (if (arm == "A") 2L else 0L)
+        (arm, y, x)
+      }
+      val n = rows.size.toDouble
+      val xbar = rows.map(_._3).sum.toDouble / n
+      val ybar = rows.map(_._2).sum.toDouble / n
+      val cov = rows.map(p => (p._3 - xbar) * (p._2 - ybar)).sum / n
+      val varx = rows.map(p => (p._3 - xbar) * (p._3 - xbar)).sum / n
+      val vary = rows.map(p => (p._2 - ybar) * (p._2 - ybar)).sum / n
+      val theta = cov / varx
+      def arm(a: String) = rows.filter(_._1 == a)
+      def meanZ(a: String) = arm(a).map(p => p._2 - theta * p._3).sum / arm(a).size
+      def varZ(a: String) = {
+        val zs = arm(a).map(p => p._2 - theta * p._3)
+        val m = zs.sum / zs.size
+        zs.map(z => (z - m) * (z - m)).sum / (zs.size - 1)
+      }
+      val adjNaive = meanZ("A") - meanZ("B")
+      val seNaive = math.sqrt(varZ("A") / arm("A").size + varZ("B") / arm("B").size)
+      val row = Association.cuped(rows.toDF("arm", "y", "x"), Nil, "arm", "y", "x")
+        .collect()(0)
+      approx(row.getAs[Double]("theta"), theta, s"cuped theta trial $t")
+      approx(row.getAs[Double]("effect_cuped"), adjNaive, s"cuped effect trial $t")
+      approx(row.getAs[Double]("se_cuped"), seNaive, s"cuped se trial $t")
+      approx(row.getAs[Double]("rho2"), cov * cov / (varx * vary), s"cuped rho2 trial $t")
+    }
+  }
+
+  // --- mSPRT ------------------------------------------------------------------------
+
+  test("fuzz: mSPRT lnLR / always-valid p vs the direct mixture-likelihood computation") {
+    import graft.quality.SequentialTests
+    val tau2 = 0.01
+    for (t <- 1 to Trials) {
+      val r = rng("msprt", t)
+      val peeks = 5 + r.nextInt(8)
+      val incr = (0 until peeks).map { p =>
+        val n1 = 5 + r.nextInt(30); val n2 = 5 + r.nextInt(30)
+        (p.toLong, n1.toLong, r.nextInt(n1 + 1).toLong, n2.toLong, r.nextInt(n2 + 1).toLong)
+      }
+      var cn1 = 0L; var cs1 = 0L; var cn2 = 0L; var cs2 = 0L
+      var best = Option.empty[Double]
+      val expect = incr.map { case (p, n1, s1, n2, s2) =>
+        cn1 += n1; cs1 += s1; cn2 += n2; cs2 += s2
+        val pp = (cs1 + cs2).toDouble / (cn1 + cn2)
+        val usable = cn1 > 0 && cn2 > 0 && (cs1 + cs2) > 0 && (cs1 + cs2) < (cn1 + cn2)
+        val ln = if (!usable) None else {
+          val delta = cs1.toDouble / cn1 - cs2.toDouble / cn2
+          val v = pp * (1 - pp) * (1.0 / cn1 + 1.0 / cn2)
+          Some(0.5 * math.log(v / (v + tau2)) + delta * delta * tau2 / (2 * v * (v + tau2)))
+        }
+        best = (best.toSeq ++ ln.toSeq).reduceOption((a: Double, b: Double) => math.max(a, b))
+        val pav = best match {
+          case Some(b) if b > 0 => math.exp(-b)
+          case _ => 1.0
+        }
+        (p, ln, pav)
+      }
+      val got = SequentialTests.msprtTwoProportion(
+        incr.toDF("pk", "n1", "s1", "n2", "s2"), Nil, "pk",
+        "n1", "s1", "n2", "s2", tau2, alpha = 0.05).orderBy("peek").collect()
+      for (((p, ln, pav), row) <- expect.zip(got)) {
+        assert(row.getAs[Long]("peek") === p)
+        val gotLn = if (row.isNullAt(row.fieldIndex("ln_lr9"))) None
+          else Some(row.getAs[Long]("ln_lr9").toDouble / 1e9)
+        approxOpt(gotLn, ln, s"msprt lnLR peek $p trial $t")
+        approx(row.getAs[Double]("p_always_valid"), pav, s"msprt p peek $p trial $t")
+      }
+    }
+  }
 }

@@ -1311,6 +1311,48 @@ class StreamingSpec extends SparkSpec {
     assert(folded == scan)
   }
 
+  test("streaming lifetime-cell fold equals the batch rebuild; standing KM/hazard/log-rank/RMST match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Survival
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ltstream").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    // cohort-keyed subjects: durations 1..9, ~1/3 censored, arm A lives longer
+    def subj(seed: Int, n: Int) = (0 until n).map { i =>
+      val g = if ((i * 7 + seed) % 2 == 0) "A" else "B"
+      val d = 1L + (i * 11 + seed) % 9 + (if (g == "A") 2L else 0L)
+      (g, d, if ((i * 5 + seed) % 3 == 0) 0L else 1L)
+    }
+    val b1 = subj(1, 60); val b2 = subj(2, 45)
+    mem.addData(b1: _*)
+    val rows = mem.toDF().toDF("g", "dur", "ev")
+    StreamingOps.lifetimeCellsStream(rows, Seq("g"), "dur", "ev",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.lifetimeCellsStream(rows, Seq("g"), "dur", "ev",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val store = spark.read.parquet(latest)
+    val all = (b1 ++ b2).toDF("g", "dur", "ev")
+    val rebuilt = Survival.lifetimeCells(all, Seq("g"), "dur", "ev")
+      .orderBy("g", "t").collect().toSeq
+    assert(store.orderBy("g", "t").collect().toSeq == rebuilt)
+    // the whole censoring-aware dashboard reads the ONE standing state:
+    // per-cohort curve, hazard, the A/B test, and RMST — each equals
+    // its batch twin verbatim
+    assert(Survival.kaplanMeierFromCells(store, Seq("g")).orderBy("g", "t").collect().toSeq ==
+      Survival.kaplanMeier(all, Seq("g"), "dur", "ev").orderBy("g", "t").collect().toSeq)
+    assert(Survival.nelsonAalenFromCells(store, Seq("g")).orderBy("g", "t").collect().toSeq ==
+      Survival.nelsonAalen(all, Seq("g"), "dur", "ev").orderBy("g", "t").collect().toSeq)
+    assert(Survival.logRankFromCells(store, Nil, "g").collect().toSeq ==
+      Survival.logRank(all, Nil, "g", "dur", "ev").collect().toSeq)
+    assert(Survival.rmst(Survival.kaplanMeierFromCells(store, Seq("g")), Seq("g"), 6L)
+      .orderBy("g").collect().toSeq ==
+      Survival.rmst(Survival.kaplanMeier(all, Seq("g"), "dur", "ev"), Seq("g"), 6L)
+        .orderBy("g").collect().toSeq)
+  }
+
   test("pipeline foreachBatch step consumes a bounded stream") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-feb").toString
     val p = new SparkPipeline("febpipe", spark)

@@ -1220,4 +1220,189 @@ class TrendStatsSpec extends SparkSpec {
     assert(ax.getAs[Long]("n_shared") === 0L)
     assert(ax.getAs[Double]("jaccard") === 0.0)
   }
+
+  // --- stratified log-rank ----------------------------------------------------------
+
+  test("logRankStratified: one stratum equals plain logRank; duplicated strata scale z by sqrt(2); flags") {
+    import graft.operators.Survival
+    val base = Seq(("a", 1L, 1L), ("a", 1L, 1L), ("b", 3L, 0L), ("b", 3L, 0L))
+    val one = base.map { case (g, d, e) => ("s0", g, d, e) }
+      .toDF("st", "g", "dur", "ev")
+    val rs = Survival.logRankStratified(one, Nil, "st", "g", "dur", "ev").collect()(0)
+    val rp = Survival.logRank(base.toDF("g", "dur", "ev"), Nil, "g", "dur", "ev").collect()(0)
+    assert(rs.getAs[Long]("n_strata") === 1L)
+    for (c <- Seq("grp_lo", "grp_hi", "n_groups", "n_lo", "n_hi", "o_lo", "e_lo_9", "v_9"))
+      assert(rs.getAs[Any](c) === rp.getAs[Any](c), c)
+    assert(rs.getAs[Double]("z") === rp.getAs[Double]("z"))
+    // the same cohort contrast in TWO identical strata: O−E and V both
+    // double, so z scales by exactly sqrt(2) (and chi2 by 2)
+    val two = (base.map { case (g, d, e) => ("s0", g, d, e) } ++
+      base.map { case (g, d, e) => ("s1", g, d, e) }).toDF("st", "g", "dur", "ev")
+    val r2 = Survival.logRankStratified(two, Nil, "st", "g", "dur", "ev").collect()(0)
+    assert(r2.getAs[Long]("n_strata") === 2L)
+    assert(math.abs(r2.getAs[Double]("z") - math.sqrt(2d) * rp.getAs[Double]("z")) < 1e-8)
+    assert(math.abs(r2.getAs[Double]("chi2") - 2d * rp.getAs[Double]("chi2")) < 1e-8)
+    // Simpson-style confounding: within each stratum A dies strictly
+    // earlier, but stratum sizes would mislead the pooled (unstratified)
+    // read — the stratified z must stay negative-signed toward grp_lo=a
+    val conf = Seq(
+      ("u", "a", 1L, 1L), ("u", "a", 1L, 1L), ("u", "b", 2L, 1L), ("u", "b", 2L, 1L),
+      ("v", "a", 3L, 1L), ("v", "b", 5L, 1L), ("v", "b", 5L, 1L), ("v", "b", 5L, 1L))
+      .toDF("st", "g", "dur", "ev")
+    val rc = Survival.logRankStratified(conf, Nil, "st", "g", "dur", "ev").collect()(0)
+    assert(rc.getAs[Double]("z") > 0d) // more a-deaths than expected -> O>E
+    // >2 groups overall: NULL statistics via n_groups (the logRank rule)
+    val three = two.unionAll(Seq(("s0", "c", 2L, 1L)).toDF("st", "g", "dur", "ev"))
+    val r3 = Survival.logRankStratified(three, Nil, "st", "g", "dur", "ev").collect()(0)
+    assert(r3.getAs[Long]("n_groups") === 3L && r3.isNullAt(r3.fieldIndex("z")))
+  }
+
+  test("logRankFromCells: a two-batch fold equals the direct read (the standing A/B)") {
+    import graft.operators.Survival
+    val b1 = Seq(("a", 1L, 1L), ("a", 4L, 0L), ("b", 2L, 1L), ("b", 5L, 1L))
+      .toDF("g", "dur", "ev")
+    val b2 = Seq(("a", 2L, 1L), ("a", 3L, 1L), ("b", 5L, 0L), ("b", 2L, 1L))
+      .toDF("g", "dur", "ev")
+    val folded = Survival.mergeLifetimeCells(
+      Survival.lifetimeCells(b1, Seq("g"), "dur", "ev"),
+      Survival.lifetimeCells(b2, Seq("g"), "dur", "ev"), Seq("g"))
+    assert(Survival.logRankFromCells(folded, Nil, "g").collect().toSeq ==
+      Survival.logRank(b1.unionAll(b2), Nil, "g", "dur", "ev").collect().toSeq)
+  }
+
+  // --- Aalen–Johansen ---------------------------------------------------------------
+
+  test("aalenJohansen: hand golden, KM reduction with one cause, CIFs + S sum to 1 at the end") {
+    import graft.operators.Survival
+    // 4 subjects: t=1 cause1; t=2 cause2; t=3 censored; t=4 cause1
+    // S(1-)=1, n=4: CIF1(1)=1/4;             S(1)=3/4
+    // S(2-)=3/4, n=3: CIF2(2)=3/4 * 1/3=1/4; S(2)=1/2
+    // t=3 censor;  t=4: S(4-)=1/2, n=1: CIF1(4)=1/4 + 1/2 = 3/4, S=0
+    val d = Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 1L)).toDF("dur", "cv")
+    val out = Survival.aalenJohansen(d, Nil, "dur", "cv")
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[Long]("ev_type")) ->
+        (r.getAs[Double]("cif"), r.getAs[Double]("survival"))).toMap
+    def ck(t: Long, k: Long, cif: Double, s: Double): Unit = {
+      val (gc, gs) = out((t, k))
+      assert(math.abs(gc - cif) < 1e-8, s"cif($t,$k)")
+      assert(math.abs(gs - s) < 1e-8, s"surv($t,$k)")
+    }
+    ck(1L, 1L, 0.25, 0.75); ck(1L, 2L, 0.0, 0.75)
+    ck(2L, 1L, 0.25, 0.5); ck(2L, 2L, 0.25, 0.5)
+    ck(3L, 1L, 0.25, 0.5); ck(3L, 2L, 0.25, 0.5)
+    ck(4L, 1L, 0.75, 0.0); ck(4L, 2L, 0.25, 0.0)
+    // one cause only: CIF_1 = 1 − S at every time (the KM special case)
+    val km1 = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (5L, 0L)).toDF("dur", "cv")
+    Survival.aalenJohansen(km1, Nil, "dur", "cv").collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("cif") - (1d - r.getAs[Double]("survival"))) < 1e-7)
+    }
+    // competing closure at the last time: sum_k CIF_k + S = 1 when the
+    // risk set exhausts (here: every subject ends in SOME cause)
+    val full = Seq((1L, 1L), (2L, 2L), (2L, 1L), (4L, 2L)).toDF("dur", "cv")
+    val last = Survival.aalenJohansen(full, Nil, "dur", "cv")
+      .filter(col("t") === 4L).collect()
+    val tot = last.map(_.getAs[Double]("cif")).sum + last.head.getAs[Double]("survival")
+    assert(math.abs(tot - 1d) < 1e-7)
+  }
+
+  test("aalenJohansenFromCells: a two-batch typed fold equals the direct read") {
+    import graft.operators.Survival
+    val b1 = Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 1L)).toDF("dur", "cv")
+    val b2 = Seq((2L, 1L), (2L, 0L), (5L, 2L)).toDF("dur", "cv")
+    val folded = Survival.mergeLifetimeCellsByType(
+      Survival.lifetimeCellsByType(b1, Nil, "dur", "cv"),
+      Survival.lifetimeCellsByType(b2, Nil, "dur", "cv"), Nil)
+    assert(Survival.aalenJohansenFromCells(folded, Nil).orderBy("t", "ev_type").collect().toSeq ==
+      Survival.aalenJohansen(b1.unionAll(b2), Nil, "dur", "cv")
+        .orderBy("t", "ev_type").collect().toSeq)
+  }
+
+  // --- CUPED ------------------------------------------------------------------------
+
+  test("cuped: uncorrelated covariate leaves the effect, y=x covariate kills the variance, flags") {
+    import graft.quality.Association
+    // balanced arms; x CONSTANT within the pairing so cov(y,x)=0 would
+    // be degenerate — instead use x independent of arm with spread
+    val rows = Seq(
+      ("A", 10L, 1L), ("A", 12L, 2L), ("A", 14L, 3L), ("A", 16L, 4L),
+      ("B", 9L, 1L), ("B", 11L, 2L), ("B", 13L, 3L), ("B", 15L, 4L))
+      .toDF("arm", "y", "x")
+    val r = Association.cuped(rows, Nil, "arm", "y", "x").collect()(0)
+    // y = 8 + 2x (arm A) and 7 + 2x (arm B): theta = 2 exactly, the
+    // adjusted residuals are constant per arm -> se exactly 0, and the
+    // effect is the pure arm offset 1
+    assert(r.getAs[String]("grp_lo") === "A" && r.getAs[Long]("n_lo") === 4L)
+    assert(math.abs(r.getAs[Double]("theta") - 2d) < 1e-9)
+    assert(math.abs(r.getAs[Double]("effect_cuped") - 1d) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_cuped")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("effect_raw") - 1d) < 1e-9)
+    // rho2 < 1 here (y has arm variance x can't explain) but large
+    assert(r.getAs[Double]("rho2") > 0.9 && r.getAs[Double]("rho2") < 1d)
+    // var(x) = 0: theta undefined -> NULL statistics, raw effect kept
+    val flat = Seq(("A", 3L, 7L), ("A", 5L, 7L), ("B", 4L, 7L), ("B", 8L, 7L))
+      .toDF("arm", "y", "x")
+    val rf = Association.cuped(flat, Nil, "arm", "y", "x").collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("theta")) && rf.isNullAt(rf.fieldIndex("effect_cuped")))
+    assert(!rf.isNullAt(rf.fieldIndex("effect_raw")))
+    // three arms: flagged, every statistic NULL (the welchT rule)
+    val three = rows.unionAll(Seq(("C", 1L, 1L)).toDF("arm", "y", "x"))
+    val r3 = Association.cuped(three, Nil, "arm", "y", "x").collect()(0)
+    assert(r3.getAs[Long]("n_groups") === 3L && r3.isNullAt(r3.fieldIndex("effect_cuped")))
+  }
+
+  // --- mSPRT ------------------------------------------------------------------------
+
+  test("msprt: null data never rejects, planted effect rejects, p is non-increasing") {
+    import graft.quality.SequentialTests
+    import graft.quality.SequentialTests.{msprtMean, msprtTwoProportion}
+    // perfectly symmetric arms at every peek: delta = 0, lnLR < 0, p = 1
+    val nullIncr = (0L to 7L).map(p => (p, 50L, 20L, 50L, 20L)).toDF("pk", "n1", "s1", "n2", "s2")
+    val rn = msprtTwoProportion(nullIncr, Nil, "pk", "n1", "s1", "n2", "s2",
+      tau2 = 0.01, alpha = 0.05).orderBy("peek").collect()
+    assert(rn.forall(!_.getAs[Boolean]("reject")))
+    assert(rn.forall(_.getAs[Double]("p_always_valid") === 1d))
+    assert(rn.forall(_.getAs[Long]("ln_lr9") < 0L))
+    // a planted 30-point gap accumulates evidence -> rejects, and the
+    // always-valid p never increases as peeks accumulate
+    val eff = (0L to 7L).map(p => (p, 100L, 70L, 100L, 40L)).toDF("pk", "n1", "s1", "n2", "s2")
+    val re = msprtTwoProportion(eff, Nil, "pk", "n1", "s1", "n2", "s2",
+      tau2 = 0.01, alpha = 0.05).orderBy("peek").collect()
+    assert(re.last.getAs[Boolean]("reject"))
+    val ps = re.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 })
+    // mean variant: moment state built from REAL value batches (so the
+    // cumulative variance numerators stay consistent)
+    def mom(vs: Seq[Long]) = (vs.size.toLong, vs.sum, vs.map(v => v * v).sum)
+    val meanIncr = (0L to 5L).map { p =>
+      val a = (0 until 40).map(i => (i % 7 + p % 3).toLong)
+      val b = (0 until 40).map(i => (i % 5).toLong)
+      val (na, sa, qa) = mom(a); val (nb, sb, qb) = mom(b)
+      (p, na, sa, qa, nb, sb, qb)
+    }.toDF("pk", "n1", "s1", "q1", "n2", "s2", "q2")
+    val rm = msprtMean(meanIncr, Nil, "pk", "n1", "s1", "q1", "n2", "s2", "q2",
+      tau2 = 1.0, alpha = 0.05).orderBy("peek").collect()
+    assert(rm.length === 6 && rm.forall(r => !r.isNullAt(r.fieldIndex("ln_lr9"))))
+    val pm = rm.map(_.getAs[Double]("p_always_valid"))
+    assert(pm.zip(pm.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+
+  test("msprt: empirical H0 crossing rate over 120 paths stays within the Ville alpha bound") {
+    import graft.quality.SequentialTests
+    // 120 independent null streams (both arms Bernoulli(0.4)), 15 peeks
+    // of 40 trials/arm each, deterministic seeds. Ville: P(ever reject)
+    // <= alpha = 0.05; the mixture boundary is conservative in practice.
+    val rows = for (path <- 0 until 120; pk <- 0 until 15) yield {
+      val r = new scala.util.Random(77000 + path * 131 + pk)
+      val s1 = (0 until 40).count(_ => r.nextDouble() < 0.4).toLong
+      val s2 = (0 until 40).count(_ => r.nextDouble() < 0.4).toLong
+      (path.toLong, pk.toLong, 40L, s1, 40L, s2)
+    }
+    val out = SequentialTests.msprtTwoProportion(
+      rows.toDF("path", "pk", "n1", "s1", "n2", "s2"),
+      Seq("path"), "pk", "n1", "s1", "n2", "s2", tau2 = 0.01, alpha = 0.05)
+    val crossed = out.filter(col("reject")).select("path").distinct().count()
+    // binomial slack: at true rate exactly 0.05 the 120-path sd is ~0.02
+    assert(crossed.toDouble / 120d <= 0.05 + 0.033,
+      s"H0 crossing rate ${crossed / 120d} above the alpha envelope")
+  }
 }
