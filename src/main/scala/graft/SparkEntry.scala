@@ -312,7 +312,13 @@ object SparkEntry {
     "q299_msprt_two_prop" -> (CoreQueries.q299MsprtTwoProp(_, _)),
     "q300_msprt_mean" -> (CoreQueries.q300MsprtMean(_, _)),
     "q301_cif_from_store" -> (CoreQueries.q301CifFromStore(_, _)),
-    "q302_median_survival" -> (CoreQueries.q302MedianSurvival(_, _))
+    "q302_median_survival" -> (CoreQueries.q302MedianSurvival(_, _)),
+    "q303_anderson_darling" -> (CoreQueries.q303AndersonDarling(_, _)),
+    "q304_ad_from_store" -> (CoreQueries.q304AdFromStore(_, _)),
+    "q305_delta_ratio" -> (CoreQueries.q305DeltaRatio(_, _)),
+    "q306_srm_check" -> (CoreQueries.q306SrmCheck(_, _)),
+    "q307_cochran_q" -> (CoreQueries.q307CochranQ(_, _)),
+    "q308_jonckheere" -> (CoreQueries.q308Jonckheere(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -428,7 +434,13 @@ object SparkEntry {
     "q299_msprt_two_prop" -> msprtTwoPropOracle,
     "q300_msprt_mean" -> msprtMeanOracle,
     "q301_cif_from_store" -> aalenJohansenOracle,
-    "q302_median_survival" -> medianSurvivalOracle)
+    "q302_median_survival" -> medianSurvivalOracle,
+    "q303_anderson_darling" -> andersonDarlingOracle,
+    "q304_ad_from_store" -> andersonDarlingOracle,
+    "q305_delta_ratio" -> deltaRatioOracle,
+    "q306_srm_check" -> srmOracle,
+    "q307_cochran_q" -> cochranQOracle,
+    "q308_jonckheere" -> jonckheereOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1471,6 +1483,211 @@ object SparkEntry {
       |    CAST(cum_base * tot_cur - cum_cur * tot_base AS BIGINT) AS gap_num,
       |    n_base + n_cur AS cell_tot
       |FROM k ORDER BY bucket""".stripMargin
+
+  /** q303/q304 oracle: [[graft.quality.Profiler.andersonDarling]]
+    * replayed — the q280 histogram CTEs, then each bucket's nano AD
+    * term l·gapFrac²·B·C·N/(B_j(N−B_j)) in the exact float order of the
+    * Spark dag (trailing B_j = N block excluded), A² one division.
+    * q304's three-batch fold merges to the identical histograms, so the
+    * from-store read shares this oracle verbatim.
+    */
+  private lazy val andersonDarlingOracle: String =
+    """WITH b AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+      |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+      |  FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+      |c AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+      |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+      |  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+      |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+      |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+      |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+      |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+      |k AS (SELECT bucket, n_base, n_cur,
+      |    CAST(sum(n_base) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_base,
+      |    CAST(sum(n_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur,
+      |    CAST(sum(n_base) OVER () AS BIGINT) AS tot_base,
+      |    CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur
+      |  FROM j),
+      |t AS (SELECT *,
+      |    CASE WHEN n_base + n_cur = 0 OR cum_base + cum_cur = tot_base + tot_cur
+      |      THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round(CAST(n_base + n_cur AS DOUBLE) *
+      |        (CAST(cum_base * tot_cur - cum_cur * tot_base AS DOUBLE) /
+      |          (CAST(tot_base AS DOUBLE) * CAST(tot_cur AS DOUBLE))) *
+      |        (CAST(cum_base * tot_cur - cum_cur * tot_base AS DOUBLE) /
+      |          (CAST(tot_base AS DOUBLE) * CAST(tot_cur AS DOUBLE))) *
+      |        CAST(tot_base AS DOUBLE) * CAST(tot_cur AS DOUBLE) *
+      |        (CAST(tot_base AS DOUBLE) + CAST(tot_cur AS DOUBLE)) /
+      |        (CAST(cum_base + cum_cur AS DOUBLE) *
+      |          ((CAST(tot_base AS DOUBLE) + CAST(tot_cur AS DOUBLE)) -
+      |            CAST(cum_base + cum_cur AS DOUBLE))) * 1e9) AS BIGINT)
+      |    END AS t9 FROM k)
+      |SELECT CAST(max(tot_base) AS BIGINT) AS n_base,
+      |  CAST(max(tot_cur) AS BIGINT) AS n_cur,
+      |  CAST(sum(CASE WHEN n_base + n_cur > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins,
+      |  round(CAST(sum(t9) AS DOUBLE) / 1e9, 9) AS a2
+      |FROM t""".stripMargin
+
+  /** q305 oracle: [[graft.quality.Association.deltaRatio]] replayed —
+    * per-user click/event totals, exact per-arm moments, each arm's
+    * ratio and delta-method variance in the Spark dag's float order,
+    * effect + CI.
+    */
+  private lazy val deltaRatioOracle: String =
+    """WITH pu AS (SELECT
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS arm,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pu GROUP BY 1),
+      |lab AS (SELECT *, min(arm) OVER () AS grp_lo, max(arm) OVER () AS grp_hi
+      |  FROM g),
+      |wide AS (SELECT grp_lo, grp_hi,
+      |    max(CASE WHEN arm = grp_lo THEN n END) AS n1,
+      |    max(CASE WHEN arm = grp_lo THEN sx END) AS sx1,
+      |    max(CASE WHEN arm = grp_lo THEN sy END) AS sy1,
+      |    max(CASE WHEN arm = grp_lo THEN sxx END) AS sxx1,
+      |    max(CASE WHEN arm = grp_lo THEN syy END) AS syy1,
+      |    max(CASE WHEN arm = grp_lo THEN sxy END) AS sxy1,
+      |    max(CASE WHEN arm = grp_hi THEN n END) AS n2,
+      |    max(CASE WHEN arm = grp_hi THEN sx END) AS sx2,
+      |    max(CASE WHEN arm = grp_hi THEN sy END) AS sy2,
+      |    max(CASE WHEN arm = grp_hi THEN sxx END) AS sxx2,
+      |    max(CASE WHEN arm = grp_hi THEN syy END) AS syy2,
+      |    max(CASE WHEN arm = grp_hi THEN sxy END) AS sxy2
+      |  FROM lab GROUP BY 1, 2),
+      |c1 AS (SELECT *,
+      |    CAST(sx1 AS DOUBLE) / CAST(sy1 AS DOUBLE) AS r1,
+      |    CAST(sx2 AS DOUBLE) / CAST(sy2 AS DOUBLE) AS r2
+      |  FROM wide),
+      |c2 AS (SELECT *,
+      |    (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) -
+      |      2 * r1 * CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) +
+      |      r1 * r1 * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) /
+      |      (CAST(n1 AS DOUBLE) * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+      |        (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS v1,
+      |    (CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) -
+      |      2 * r2 * CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE) +
+      |      r2 * r2 * CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE)) /
+      |      (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) /
+      |      (CAST(n2 AS DOUBLE) * (CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+      |        (CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS v2
+      |  FROM c1),
+      |c3 AS (SELECT *, r1 - r2 AS eff, sqrt(v1 + v2) AS se FROM c2)
+      |SELECT grp_lo, grp_hi, CAST(2 AS BIGINT) AS n_groups, n1 AS n_lo, n2 AS n_hi,
+      |  round(r1, 9) AS ratio_lo, round(r2, 9) AS ratio_hi,
+      |  round(eff, 9) AS effect, round(se, 9) AS se,
+      |  round(eff - 1.959964 * se, 9) AS ci_lo,
+      |  round(eff + 1.959964 * se, 9) AS ci_hi
+      |FROM c3""".stripMargin
+
+  /** q306 oracle: [[graft.quality.Association.srmCheck]] replayed —
+    * exact arm counts over the broken decile split, the designed-arm
+    * total, per-arm nano χ² terms in the Spark dag's float order, and
+    * the off-design traffic count.
+    */
+  private lazy val srmOracle: String =
+    """WITH e AS (SELECT CASE WHEN user_id % 10 < 5 THEN 'A'
+      |    WHEN user_id % 10 < 9 THEN 'B' ELSE 'C' END AS arm
+      |  FROM events WHERE user_id IS NOT NULL),
+      |cnt AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+      |  FROM e),
+      |t AS (SELECT *, na + nb AS nt,
+      |    CAST(round((CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) *
+      |      (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) /
+      |      (CAST(na + nb AS DOUBLE) * 0.5) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) *
+      |      (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) /
+      |      (CAST(na + nb AS DOUBLE) * 0.5) * 1e9) AS BIGINT) AS chi9
+      |  FROM cnt)
+      |SELECT CAST(nt AS BIGINT) AS n_total, CAST(2 AS BIGINT) AS n_arms,
+      |  nc AS n_unexpected, CAST(1 AS BIGINT) AS df,
+      |  round(CAST(chi9 AS DOUBLE) / 1e9, 9) AS chi2
+      |FROM t""".stripMargin
+
+  /** q307 oracle: [[graft.quality.Association.cochranQ]] replayed —
+    * the three filters stacked long-form, complete-unit row/column
+    * totals as exact integers, Q the one rational.
+    */
+  private lazy val cochranQOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars, text, lang FROM documents),
+      |obs AS (
+      |  SELECT doc_id AS u, 'len180' AS t, CASE WHEN n_chars >= 180 THEN 1 ELSE 0 END AS y
+      |    FROM d WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |  UNION ALL SELECT doc_id, 'digit', CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+      |    FROM d WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |  UNION ALL SELECT doc_id, 'is_en', CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+      |    FROM d WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+      |units AS (SELECT u, CAST(count(DISTINCT t) AS BIGINT) AS kd,
+      |    CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS r
+      |  FROM obs GROUP BY 1),
+      |meta AS (SELECT
+      |    CAST(3 AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN kd = 3 AND cnt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_units,
+      |    CAST(sum(CASE WHEN kd = 3 AND cnt = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_incomplete,
+      |    CAST(sum(CASE WHEN kd = 3 AND cnt = 3 THEN r ELSE 0 END) AS HUGEINT) AS tt,
+      |    CAST(sum(CASE WHEN kd = 3 AND cnt = 3 THEN r * r ELSE 0 END) AS HUGEINT) AS rr
+      |  FROM units),
+      |perT AS (SELECT o.t AS treatment, CAST(sum(o.y) AS BIGINT) AS flagged_n
+      |  FROM obs o JOIN units ut ON o.u = ut.u AND ut.kd = 3 AND ut.cnt = 3
+      |  GROUP BY 1),
+      |cc AS (SELECT sum(CAST(flagged_n AS HUGEINT) * flagged_n) AS c2 FROM perT)
+      |SELECT p.treatment, p.flagged_n, m.n_units, m.k, m.n_incomplete,
+      |  round(CAST((m.k - 1) * (m.k * cc.c2 - m.tt * m.tt) AS DOUBLE) /
+      |    CAST(m.k * m.tt - m.rr AS DOUBLE), 9) AS q,
+      |  CAST(m.k - 1 AS BIGINT) AS df
+      |FROM perT p, meta m, cc
+      |ORDER BY p.treatment""".stripMargin
+
+  /** q308 oracle: [[graft.quality.Association.jonckheereTerpstra]]
+    * replayed — (priority, price-bucket) cells, 2J over ordered cell
+    * pairs as an exact integer, the three tie-corrected variance pieces
+    * in the Spark dag's float order, z one division.
+    */
+  private lazy val jonckheereOracle: String =
+    """WITH o AS (SELECT o_orderpriority AS grp,
+      |    CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS v
+      |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      |cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+      |j AS (SELECT coalesce(sum(CAST(a.c AS HUGEINT) * b.c *
+      |    (CASE WHEN a.v < b.v THEN 2 ELSE 1 END)), 0) AS j2
+      |  FROM cells a JOIN cells b ON a.grp < b.grp AND a.v <= b.v),
+      |gs AS (SELECT grp, CAST(sum(c) AS HUGEINT) AS n FROM cells GROUP BY 1),
+      |ga AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(n) AS nt,
+      |    sum(n * n) AS sn2,
+      |    sum(n * (n - 1) * (n * 2 + 5)) AS sn125,
+      |    sum(n * (n - 1) * (n - 2)) AS sn12,
+      |    sum(n * (n - 1)) AS sn1
+      |  FROM gs),
+      |ts AS (SELECT v, CAST(sum(c) AS HUGEINT) AS t FROM cells GROUP BY 1),
+      |ta AS (SELECT
+      |    sum(t * (t - 1) * (t * 2 + 5)) AS st125,
+      |    sum(t * (t - 1) * (t - 2)) AS st12,
+      |    sum(t * (t - 1)) AS st1
+      |  FROM ts),
+      |vv AS (SELECT ga.*, ta.*, j.j2,
+      |    ga.nt * ga.nt - ga.sn2 AS ej4,
+      |    CAST(ga.nt * (ga.nt - 1) * (ga.nt * 2 + 5) - ga.sn125 - ta.st125 AS DOUBLE)
+      |      / 72.0 +
+      |    CAST(ga.sn12 AS DOUBLE) * CAST(ta.st12 AS DOUBLE) /
+      |      (36.0 * CAST(ga.nt AS DOUBLE) * (CAST(ga.nt AS DOUBLE) - 1.0) *
+      |        (CAST(ga.nt AS DOUBLE) - 2.0)) +
+      |    CAST(ga.sn1 AS DOUBLE) * CAST(ta.st1 AS DOUBLE) /
+      |      (8.0 * CAST(ga.nt AS DOUBLE) * (CAST(ga.nt AS DOUBLE) - 1.0)) AS varj
+      |  FROM ga, ta, j)
+      |SELECT k AS n_groups, CAST(nt AS BIGINT) AS n_total,
+      |  CAST(j2 AS VARCHAR) AS j2, CAST(ej4 AS VARCHAR) AS ej4,
+      |  round(CAST(2 * j2 - ej4 AS DOUBLE) / (4.0 * sqrt(varj)), 9) AS z
+      |FROM vv""".stripMargin
 
   /** q293 oracle: [[graft.quality.Association.pageTrend]] replayed —
     * the three planted scorer versions, per-block doubled midranks,

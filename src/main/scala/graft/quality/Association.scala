@@ -1592,6 +1592,375 @@ object Association {
         col("ci_lo") :+ col("ci_hi"): _*)
   }
 
+  /** Delta-method ratio-metric A/B (Deng, Knoblich & Lu 2018 — "Applying
+    * the Delta method in metric analytics"): the CI for a RATIO metric
+    * (clicks/views, bad-tokens/tokens, cost/query) randomized by UNIT
+    * when the ratio's denominator varies per unit — the read a naive
+    * per-row proportion test gets wrong because rows within a unit are
+    * correlated. Per arm the metric is R = Σx/Σy over per-unit
+    * (x = numerator, y = denominator) totals, and the delta method gives
+    *
+    *   var(R) = (s²_x − 2R·s_xy + R²·s²_y) / (n·ȳ²)
+    *   effect = R_lo − R_hi,  se = √(var_lo + var_hi),  CI ±1.959964·se
+    *
+    * Determinism: per-unit values cast long (the [[welchT]] rule); the
+    * ONLY aggregation is per-arm n/Σx/Σy/Σxx/Σyy/Σxy as EXACT DECIMAL
+    * sums (order-free); each R is one division of exact integers and
+    * var/se/CI are fixed dags, gated at 9dp. Conventions: (grp_lo,
+    * grp_hi) = (min, max) label, effect oriented lo − hi (the [[welchT]]
+    * sign), ≠2 groups flagged via n_groups with NULL statistics; NULL
+    * ratio when an arm's Σy = 0; NULL se/CI when either n < 2 or either
+    * Σy = 0. SCALE: one moments aggregation (map-side combined) + the
+    * 2-label pivot; one row out per key set.
+    */
+  def deltaRatio(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      numCol: String,
+      denCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val xD = col(numCol).cast("long").cast(dec)
+    val yD = col(denCol).cast("long").cast(dec)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(numCol).isNotNull && col(denCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(xD).as("__sx"), sum(yD).as("__sy"),
+        sum(xD * xD).as("__sxx"), sum(yD * yD).as("__syy"),
+        sum(xD * yD).as("__sxy"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("__sx"))).as("__sx1"),
+        max(when(col("grp") === col("grp_lo"), col("__sy"))).as("__sy1"),
+        max(when(col("grp") === col("grp_lo"), col("__sxx"))).as("__sxx1"),
+        max(when(col("grp") === col("grp_lo"), col("__syy"))).as("__syy1"),
+        max(when(col("grp") === col("grp_lo"), col("__sxy"))).as("__sxy1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("__sx"))).as("__sx2"),
+        max(when(col("grp") === col("grp_hi"), col("__sy"))).as("__sy2"),
+        max(when(col("grp") === col("grp_hi"), col("__sxx"))).as("__sxx2"),
+        max(when(col("grp") === col("grp_hi"), col("__syy"))).as("__syy2"),
+        max(when(col("grp") === col("grp_hi"), col("__sxy"))).as("__sxy2"))
+    val two = col("__ngrps") === 2L
+    // per-arm ratio + delta-method variance from the exact moments:
+    //   s²_x − 2R·s_xy + R²·s²_y over n·ȳ² with the shared (n−1)
+    //   sample-variance denominator
+    def ratio(sx: Column, sy: Column): Column =
+      when(sy =!= lit(0L).cast(dec), sx.cast("double") / sy.cast("double"))
+    def varR(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column = {
+      val nDd = n.cast("double")
+      val r = sx.cast("double") / sy.cast("double")
+      val sx2 = (n.cast(dec) * sxx - sx * sx).cast("double")
+      val sy2 = (n.cast(dec) * syy - sy * sy).cast("double")
+      val sxy2 = (n.cast(dec) * sxy - sx * sy).cast("double")
+      val yBar = sy.cast("double") / nDd
+      // the n(n−1) normalizer of the exact central cross-products,
+      // then /(n·ȳ²): var(R) in one fixed dag
+      (sx2 - lit(2d) * r * sxy2 + r * r * sy2) /
+        (nDd * (nDd - 1d)) / (nDd * yBar * yBar)
+    }
+    val r1 = ratio(col("__sx1"), col("__sy1"))
+    val r2 = ratio(col("__sx2"), col("__sy2"))
+    val eff = r1 - r2
+    val okArm = col("__sy1") =!= lit(0L).cast(dec) && col("__sy2") =!= lit(0L).cast(dec)
+    val ok = two && okArm && col("__n1") >= 2L && col("__n2") >= 2L
+    val se = sqrt(
+      varR(col("__n1"), col("__sx1"), col("__sy1"), col("__sxx1"),
+        col("__syy1"), col("__sxy1")) +
+      varR(col("__n2"), col("__sx2"), col("__sy2"), col("__sxx2"),
+        col("__syy2"), col("__sxy2")))
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("ratio_lo", when(two, r1))
+      .withColumn("ratio_hi", when(two, r2))
+      .withColumn("effect", when(two && okArm, eff))
+      .withColumn("se", when(ok, se))
+      .withColumn("ci_lo", when(ok, eff - lit(1.959964d) * se))
+      .withColumn("ci_hi", when(ok, eff + lit(1.959964d) * se))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("ratio_lo") :+ col("ratio_hi") :+
+        col("effect") :+ col("se") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
+  /** Sample-ratio-mismatch check (the SRM guardrail — Fabijan et al.
+    * 2019's "diagnosing sample ratio mismatch"): BEFORE reading any A/B
+    * effect, verify the arms' traffic split matches the design — a
+    * mismatched split (broken bucketing, bot filtering one arm, crashed
+    * variant) invalidates every downstream statistic, and at 100 TB
+    * cadence it is the most common way an experiment silently lies.
+    * χ² goodness-of-fit of observed arm counts against the design
+    * weights:
+    *
+    *   χ² = Σ_arms (n_i − N·w_i)² / (N·w_i),   df = k − 1
+    *
+    * `weights` DEFINES the arm universe (normalized internally, so
+    * 50/50 and 1/1 mean the same): a designed arm with zero traffic
+    * still contributes its full expected count, and observed groups NOT
+    * in the design are excluded from χ² but surfaced in `n_unexpected`
+    * — a nonzero value there is itself an SRM. Determinism: counts
+    * exact longs; each arm's (n−Nw)²/(Nw) is a fixed per-row dag landed
+    * to a nano long, summed order-free in DECIMAL; χ² gates at 9dp.
+    * Reading (k = 2, α = 0.001 — the conventional SRM alarm level):
+    * χ² > 10.828 rejects the designed split. SCALE: one counting
+    * aggregation (map-side combined) + a broadcast k-row design frame;
+    * one row out per key set.
+    */
+  def srmCheck(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      weights: Seq[(String, Double)]
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0d),
+      s"weights must be non-empty and positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate arm in weights: $weights")
+    val wSum = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = broadcast(
+      weights.toDF("grp", "__w").withColumn("__w", col("__w") / wSum))
+    val g = keyCols.map(col)
+    val counts = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__n"))
+    // the design universe per key set: every designed arm present even
+    // at zero traffic (a vanished arm is the loudest SRM there is)
+    val keyUni =
+      if (keyCols.isEmpty) design
+      else counts.select(g: _*).distinct().crossJoin(design)
+    val joined = keyUni.join(counts, keyCols :+ "grp", "full_outer")
+      .na.fill(0L, Seq("__n"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // N counts DESIGNED arms only — unexpected traffic is its own flag,
+    // not a distortion of every expected count
+    val withTot = joined
+      .withColumn("__nDesigned",
+        sum(when(col("__w").isNotNull, col("__n")).otherwise(0L)).over(wKey))
+    val exp = col("__nDesigned").cast("double") * col("__w")
+    val dev = col("__n").cast("double") - exp
+    val t9 = when(col("__w").isNotNull && col("__nDesigned") > 0L,
+      round(dev * dev / exp * 1e9d).cast("long")).otherwise(0L)
+    withTot
+      .withColumn("__t9", t9)
+      .groupBy(g: _*)
+      .agg(
+        max("__nDesigned").as("n_total"),
+        sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("n_arms"),
+        sum(when(col("__w").isNull, col("__n")).otherwise(0L)).as("n_unexpected"),
+        sum(when(col("__w").isNotNull, col("__t9")).otherwise(0L)
+          .cast(dec)).as("__chi9"))
+      .withColumn("df", col("n_arms") - 1L)
+      .withColumn("chi2",
+        when(col("n_total") > 0L, col("__chi9").cast("double") / 1e9d))
+      .select(g :+ col("n_total") :+ col("n_arms") :+ col("n_unexpected") :+
+        col("df") :+ col("chi2"): _*)
+  }
+
+  /** Cochran's Q (Cochran 1950): did k MATCHED binary treatments differ
+    * — [[mcnemar]]'s k-treatment generalization and [[friedman]]'s
+    * binary special case: "do the k versions of a quality filter flag
+    * the same documents", where per-document matching removes the
+    * between-document variance [[twoProportion]] would drown in.
+    *
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)   ~ χ²_{k−1}
+    *
+    * (C_j = treatment column totals, R_i = unit row totals, T = grand
+    * total, over COMPLETE units — the [[friedman]] completeness rule:
+    * units missing any treatment drop, counted in n_incomplete.)
+    * Determinism: Q is a pure rational of exact integer counts — ΣC_j²
+    * and T as DECIMAL sums over the k-bounded treatment frame, ΣR_i²
+    * folded map-side into the same one unit-level aggregation — one
+    * division, gated at 9dp. NULL when k < 2 or every complete unit is
+    * all-0/all-1 (k·T = ΣR_i² — no discordance, [[mcnemar]]'s b+c = 0
+    * boundary). Emits one row per treatment (the [[friedman]] frame
+    * shape): treatment, flagged_n (= C_j), n_units, k, n_incomplete, q,
+    * df. SCALE: one (unit)-level aggregation (map-side combined) + one
+    * k-bounded treatment aggregation + broadcast 1-row metas; never a
+    * per-unit sort.
+    */
+  def cochranQ(
+      df: DataFrame,
+      unitCol: String,
+      treatmentCol: String,
+      outcomeCol: String
+  ): DataFrame = {
+    val obs = df
+      .filter(col(unitCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(unitCol).cast("string").as("__u"),
+        col(treatmentCol).cast("string").as("__t"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    // the treatment universe as a broadcast 1-row frame — part of the
+    // dag, not a driver count job (the friedman discipline)
+    val kUni = obs.agg(countDistinct("__t").as("__k"))
+    val unitProfile = obs.groupBy("__u")
+      .agg(countDistinct("__t").as("__kd"), count(lit(1)).as("__cnt"),
+        sum("__y").as("__r"))
+      .crossJoin(broadcast(kUni))
+      .withColumn("__complete",
+        col("__kd") === col("__k") && col("__cnt") === col("__k"))
+    // T, ΣR², unit counts and k ride ONE broadcast 1-row frame
+    val meta = unitProfile.agg(
+      coalesce(max("__k"), lit(0L)).as("k"),
+      coalesce(sum(when(col("__complete"), 1L).otherwise(0L)), lit(0L))
+        .as("n_units"),
+      coalesce(sum(when(col("__complete"), 0L).otherwise(1L)), lit(0L))
+        .as("n_incomplete"),
+      coalesce(sum(when(col("__complete"), col("__r")).otherwise(0L))
+        .cast(dec), lit(0L).cast(dec)).as("__tT"),
+      coalesce(sum(when(col("__complete"), col("__r") * col("__r"))
+        .otherwise(0L)).cast(dec), lit(0L).cast(dec)).as("__rr"))
+    val kept = obs.join(
+      unitProfile.filter(col("__complete")).select("__u"), Seq("__u"), "left_semi")
+    val perT = kept.groupBy("__t")
+      .agg(sum("__y").as("flagged_n"))
+      .crossJoin(broadcast(meta))
+    val kD = col("k").cast(dec)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cc = sum(col("flagged_n").cast(dec) * col("flagged_n").cast(dec)).over(wAll)
+    val qNum = (kD - lit(1L).cast(dec)) * (kD * cc - col("__tT") * col("__tT"))
+    val qDen = kD * col("__tT") - col("__rr")
+    perT
+      .withColumn("__qn", qNum)
+      .withColumn("__qd", qDen)
+      .withColumn("q",
+        when(col("k") >= 2L && col("__qd") > lit(0L).cast(dec),
+          col("__qn").cast("double") / col("__qd").cast("double")))
+      .withColumn("df", when(col("k") >= 2L, col("k") - 1L))
+      .select(col("__t").as("treatment"), col("flagged_n"), col("n_units"),
+        col("k"), col("n_incomplete"), col("q"), col("df"))
+  }
+
+  /** Jonckheere–Terpstra test (Terpstra 1952; Jonckheere 1954): the
+    * ORDERED-alternatives location test across k independent groups —
+    * [[kruskalWallis]] asks "do the groups differ ANYHOW"; JT asks "does
+    * the value RISE with the group order" (quality with model version,
+    * latency with batch-size tier) and buys its power from that
+    * direction, exactly as [[pageTrend]] does for matched blocks. Groups
+    * order by the natural ascending order of the group column's string
+    * form (the [[pageTrend]] treatment-order rule — encode the intended
+    * order in the label). The statistic is the pairwise Mann–Whitney sum
+    *
+    *   J = Σ_{i<j} U_ij,  U_ij = #{x_i < x_j} + ½·#{x_i = x_j}
+    *   E[J] = (N² − Σn_i²)/4,  z = (J − E[J])/√var
+    *
+    * with the tie-corrected null variance (Hollander & Wolfe eq. 6.19,
+    * the Kendall-S form over group sizes n_i and pooled tie-group sizes
+    * t_u):
+    *
+    *   var = [N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σtᵤ(tᵤ−1)(2tᵤ+5)]/72
+    *       + [Σnᵢ(nᵢ−1)(nᵢ−2)·Σtᵤ(tᵤ−1)(tᵤ−2)]/[36N(N−1)(N−2)]
+    *       + [Σnᵢ(nᵢ−1)·Σtᵤ(tᵤ−1)]/[8N(N−1)]
+    *
+    * Determinism: values cast long (the [[welchT]] rule) and reduced to
+    * (group, value) CELLS first; 2J (half-units doubled away — the
+    * doubled-midrank rule) is an exact DECIMAL sum over ordered cell
+    * pairs; E[J] in quarter-units and every variance piece are exact
+    * DECIMAL rationals; z is fixed-dag divisions, gated at 9dp. NULL z
+    * when k < 2 or var = 0 (all values tied). Emits one row per key
+    * set: n_groups, n_total, j2 (= 2J, digit string), ej4 (= 4E[J]),
+    * var_num/var-pieces folded to z. SCALE: the pair sum runs on the
+    * CELL grid — (group × distinct value)², NOT rows², so the value
+    * column must be bounded-cardinality by contract (bucket continuous
+    * metrics first — the q210 discipline); one cells aggregation
+    * (map-side combined), one key-partitioned cell self-join, k- and
+    * tie-bounded bookkeeping aggregations.
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("__grp") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // 2J over ordered cell pairs: lower group strictly before higher,
+    // 2·(count of <) + 1·(count of =) — an exact integer
+    val a = cells.select(g :+ col("__grp").as("__ga") :+ col("__v").as("__va") :+
+      col("__cnt").as("__ca"): _*)
+    val b = cells.select(g :+ col("__grp").as("__gb") :+ col("__v").as("__vb") :+
+      col("__cnt").as("__cb"): _*)
+    val pairCond = col("__ga") < col("__gb") && col("__va") <= col("__vb")
+    val pairs =
+      (if (keyCols.isEmpty) a.crossJoin(b) else a.join(b, keyCols))
+        .filter(pairCond)
+        .withColumn("__j2c",
+          col("__ca").cast(dec) * col("__cb").cast(dec) *
+            when(col("__va") < col("__vb"), 2L).otherwise(1L).cast(dec))
+    def grouped(d: DataFrame) =
+      if (keyCols.isEmpty) d.groupBy() else d.groupBy(g: _*)
+    val j2 = grouped(pairs).agg(sum("__j2c").as("__j2"))
+    // group-size pieces: n_i from cells (k-bounded)
+    val perG = grouped(cells.groupBy(g :+ col("__grp"): _*)
+        .agg(sum("__cnt").as("__n")).withColumn("__nD", col("__n").cast(dec)))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__nD")).as("__nT"),
+        sum(col("__nD") * col("__nD")).as("__sn2"),
+        sum(col("__nD") * (col("__nD") - 1) * (col("__nD") * 2 + 5)).as("__sn125"),
+        sum(col("__nD") * (col("__nD") - 1) * (col("__nD") - 2)).as("__sn12"),
+        sum(col("__nD") * (col("__nD") - 1)).as("__sn1"))
+    // pooled tie-group pieces: t_u from value cells across groups
+    val perV = grouped(cells.groupBy(g :+ col("__v"): _*)
+        .agg(sum("__cnt").as("__t")).withColumn("__tD", col("__t").cast(dec)))
+      .agg(
+        sum(col("__tD") * (col("__tD") - 1) * (col("__tD") * 2 + 5)).as("__st125"),
+        sum(col("__tD") * (col("__tD") - 1) * (col("__tD") - 2)).as("__st12"),
+        sum(col("__tD") * (col("__tD") - 1)).as("__st1"))
+    // perG is the base frame (always one row per key set); an empty
+    // pair set is a LEGITIMATE J = 0 (every lo-group value above every
+    // hi-group value), not an absent statistic
+    val joined =
+      (if (keyCols.isEmpty) perG.crossJoin(perV).crossJoin(j2)
+       else perG.join(perV, keyCols).join(j2, keyCols, "left_outer"))
+        .withColumn("__j2", coalesce(col("__j2"), lit(0L).cast(dec)))
+    val nT = col("__nT")
+    val nD = nT.cast("double")
+    // E[J] in quarter-units: 4E = N² − Σn² (exact)
+    val ej4 = nT * nT - col("__sn2")
+    val v1 = (nT * (nT - 1) * (nT * 2 + 5) - col("__sn125") - col("__st125"))
+      .cast("double") / 72d
+    // N ≤ 2 zeroes the v2/v3 NUMERATORS exactly (every n_i, t_u ≤ 2 ⇒
+    // Σn(n−1)(n−2) = 0), so guarding the vanishing denominators with a
+    // literal 0 is the formula's own limit, not an approximation
+    val v2 = when(nT > 2,
+      col("__sn12").cast("double") * col("__st12").cast("double") /
+        (lit(36d) * nD * (nD - 1d) * (nD - 2d))).otherwise(lit(0d))
+    val v3 = when(nT > 1,
+      col("__sn1").cast("double") * col("__st1").cast("double") /
+        (lit(8d) * nD * (nD - 1d))).otherwise(lit(0d))
+    val varJ = v1 + v2 + v3
+    // z from doubled/quadrupled integers: (J − E)/√var = (4J − 4E)/(4√var)
+    val zv = (lit(2L).cast(dec) * col("__j2") - ej4).cast("double") /
+      (lit(4d) * sqrt(varJ))
+    val ok = col("n_groups") >= 2L && varJ > 0d
+    joined
+      .withColumn("n_total", nT.cast("long"))
+      .withColumn("j2", col("__j2").cast("string"))
+      .withColumn("ej4", ej4.cast("string"))
+      .withColumn("z", when(ok, zv))
+      .select(g :+ col("n_groups") :+ col("n_total") :+ col("j2") :+
+        col("ej4") :+ col("z"): _*)
+  }
+
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
     * — the "new curation filter vs old, on the SAME documents" A/B that
     * [[twoProportion]] (independent groups) gets wrong on paired data:

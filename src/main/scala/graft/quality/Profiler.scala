@@ -1111,6 +1111,67 @@ object Profiler {
     acc * b * c / (n * n)
   }
 
+  /** Binned two-sample Anderson–Darling drift (Pettitt 1976; the
+    * tie-adjusted k-sample form of Scholz & Stephens 1987 eq. 6 at
+    * k = 2) — the TAIL-WEIGHTED member of the EDF-test family the
+    * standing histogram store already answers: KS sees the single worst
+    * CDF crossing, CvM integrates every gap by combined mass, and AD
+    * re-weights each gap by 1/(B_j(N−B_j)) so divergence in the TAILS
+    * (where B_j(N−B_j) is small — exactly where contamination and
+    * truncation bugs live) counts hardest. On binned data (ties at
+    * bucket boundaries) the two samples' terms collapse onto the SAME
+    * cross-multiplied gap [[cvmFromHistograms]] materializes —
+    * N·M_base,j − B·B_j = cum_base·C − cum_cur·B = gap_num and the cur
+    * term is its negation — so
+    *
+    *   A² = (N/(B·C)) · Σ_{j: B_j<N} l_j · gap_num²/(B·C)² · (B·C)²/(B_j(N−B_j))
+    *      = Σ_j l_j · gapFrac_j² · B·C·N/(B_j(N−B_j)),  gapFrac = gap_num/(B·C)
+    *
+    * (l_j = cell_tot, B_j = cum_base+cum_cur; the trailing B_j = N
+    * block contributes nothing and is excluded per Scholz–Stephens).
+    * INPUT IS a [[cvmFromHistograms]] frame — one more statistic from
+    * the same mergeable (bucket, cnt) state, zero new state. Reading
+    * (two-sided, α = 0.05): A² > 2.492 rejects "same distribution"
+    * (Pettitt 1976's asymptotic table — binned A² lower-bounds the
+    * unbinned statistic with bucket-width resolution).
+    *
+    * Determinism: every per-bucket term is a fixed dag over exact
+    * integers (counts, cums, the DECIMAL gap) landed to a nano long,
+    * summed order-free in DECIMAL; A² is one final division, gated at
+    * 9 decimals. NULL when either side is empty. SCALE: one window +
+    * one aggregation over the ≤ nBuckets+2-row frame (the
+    * [[ksDriftFromHistograms]] reading) — nothing touches row-scale
+    * data beyond the histogram the store already holds.
+    */
+  def andersonDarling(cvm: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTot = cvm
+      .withColumn("__b", sum("n_base").over(all))
+      .withColumn("__c", sum("n_cur").over(all))
+    val bD = col("__b").cast("double"); val cD = col("__c").cast("double")
+    val nD = bD + cD
+    val bj = (col("cum_base") + col("cum_cur")).cast("double")
+    val gapFrac = col("gap_num").cast("double") / (bD * cD)
+    // the empty-side guard must sit IN the term (ANSI: gapFrac's B·C
+    // divisor errors, it doesn't NaN) — a2 is NULLed below anyway
+    val t9 = when(col("__b") === 0L || col("__c") === 0L ||
+        col("cell_tot") === 0L ||
+        col("cum_base") + col("cum_cur") === col("__b") + col("__c"), 0L)
+      .otherwise(round(col("cell_tot").cast("double") * gapFrac * gapFrac *
+        bD * cD * nD / (bj * (nD - bj)) * 1e9d).cast("long"))
+    withTot
+      .withColumn("__t9", t9)
+      .agg(
+        max("__b").as("n_base"), max("__c").as("n_cur"),
+        sum(when(col("cell_tot") > 0L, 1L).otherwise(0L)).as("n_bins"),
+        sum(col("__t9").cast(dec)).as("__a29"))
+      .withColumn("a2",
+        when(col("n_base") > 0L && col("n_cur") > 0L,
+          col("__a29").cast("double") / 1e9d))
+      .select(col("n_base"), col("n_cur"), col("n_bins"), col("a2"))
+  }
+
   /** Metric drift between two profile snapshots (e.g. yesterday's load vs
     * today's) — the monitoring half of profiling: a profile is only useful
     * when something compares it against the last one. Numeric metrics get

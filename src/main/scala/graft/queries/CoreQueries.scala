@@ -3013,4 +3013,122 @@ object CoreQueries {
         round(col("intercept"), 9).as("intercept"))
       .orderBy("event_type")
   }
+
+  /** Anderson–Darling gate: the tail-weighted EDF statistic on the
+    * q280 fixture (even vs odd users' event values, the same standing
+    * histogram) — per-bucket nano terms over the shared cvm gap frame,
+    * A² one division, gated at 9dp.
+    */
+  def q303AndersonDarling(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "value")
+    Profiler.andersonDarling(Profiler.cvmDrift(
+      base = ev.filter(col("user_id") % 2 === 0),
+      cur = ev.filter(col("user_id") % 2 === 1),
+      column = "value", lo = 0.0, hi = 100.0, nBuckets = 10))
+      .select(col("n_base"), col("n_cur"), col("n_bins"),
+        round(col("a2"), 9).as("a2"))
+  }
+
+  /** AD-from-store gate: the q282 three-batch histogram fold per side,
+    * then [[graft.quality.Profiler.andersonDarling]] over the folded
+    * store — fold == rebuild under the q303 oracle verbatim: the
+    * standing drift store now answers KS, CvM AND AD from one state.
+    */
+  def q304AdFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    def fold(half: DataFrame) = (1 to 2).foldLeft(
+        Profiler.histogram(half.filter(col("event_id") % 6 < 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt"))) { (acc, i) =>
+      Profiler.mergeBucketCounts(acc,
+        Profiler.histogram(
+          half.filter(col("event_id") % 6 >= i * 2 && col("event_id") % 6 < i * 2 + 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt")))
+    }
+    Profiler.andersonDarling(Profiler.cvmFromHistograms(
+      fold(ev.filter(col("user_id") % 2 === 0)),
+      fold(ev.filter(col("user_id") % 2 === 1))))
+      .select(col("n_base"), col("n_cur"), col("n_bins"),
+        round(col("a2"), 9).as("a2"))
+  }
+
+  /** Delta-method ratio-metric gate: the parity A/B on per-user
+    * click-through (clicks / events per user) — the unit-randomized
+    * ratio whose per-row proportion test would be wrong; exact DECIMAL
+    * moments, per-arm delta-method variance, effect + CI at 9dp.
+    */
+  def q305DeltaRatio(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val perUser = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        count(lit(1)).as("n_events"))
+      .withColumn("arm", (col("user_id") % 2 === 0).cast("string"))
+    Association.deltaRatio(perUser, Nil, "arm", "clicks", "n_events")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), round(col("ratio_lo"), 9).as("ratio_lo"),
+        round(col("ratio_hi"), 9).as("ratio_hi"),
+        round(col("effect"), 9).as("effect"),
+        round(col("se"), 9).as("se"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
+
+  /** SRM gate: a deliberately broken 50/50 design — arms A (user
+    * deciles 0–4) and B (deciles 5–8) with decile 9 routed to an
+    * off-design arm C — so the check must both reject the split (B
+    * under target) AND surface the unexpected traffic. Exact counts,
+    * per-arm nano χ² terms, df = k−1.
+    */
+  def q306SrmCheck(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("arm",
+        when(col("user_id") % 10 < 5, "A")
+          .when(col("user_id") % 10 < 9, "B")
+          .otherwise("C"))
+    Association.srmCheck(ev, Nil, "arm", Seq("A" -> 0.5, "B" -> 0.5))
+      .select(col("n_total"), col("n_arms"), col("n_unexpected"),
+        col("df"), round(col("chi2"), 9).as("chi2"))
+  }
+
+  /** Cochran's Q gate: three binary quality filters (length ≥ 180
+    * chars, contains a digit, lang = en) judged on the SAME documents —
+    * the matched k-treatment read; Q a pure rational of exact counts,
+    * one row per filter with its flag total.
+    */
+  def q307CochranQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"), col("lang"))
+    val long = d.select(col("doc_id"), lit("len180").as("check"),
+        (col("n_chars") >= 180L).as("pass"))
+      .unionByName(d.select(col("doc_id"), lit("digit").as("check"),
+        col("text").rlike("[0-9]").as("pass")))
+      .unionByName(d.select(col("doc_id"), lit("is_en").as("check"),
+        (col("lang") === "en").as("pass")))
+    Association.cochranQ(long, "doc_id", "check", "pass")
+      .select(col("treatment"), col("flagged_n"), col("n_units"), col("k"),
+        col("n_incomplete"), round(col("q"), 9).as("q"), col("df"))
+      .orderBy("treatment")
+  }
+
+  /** Jonckheere–Terpstra gate: does order value RISE with priority —
+    * the ordered-alternatives read over o_orderpriority's natural label
+    * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact
+    * over the cell grid, tie-corrected variance, z at 9dp.
+    */
+  def q308Jonckheere(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") / 10000d).cast("long").as("price_b"))
+    Association.jonckheereTerpstra(o, Nil, "o_orderpriority", "price_b")
+      .select(col("n_groups"), col("n_total"), col("j2"), col("ej4"),
+        round(col("z"), 9).as("z"))
+  }
 }

@@ -1,0 +1,211 @@
+package graft
+
+import graft.quality.{Association, Profiler}
+import org.apache.spark.sql.functions._
+
+/** Goldens + closure invariants for the round-14 A/B-guardrail family:
+  * Anderson–Darling (hand-computed 295/36 golden on the shared cvm gap
+  * frame, zero-drift and empty-side boundaries, fold == rebuild),
+  * delta-method ratio CI (a perfectly-proportional arm has EXACTLY zero
+  * variance — the property a moments bug breaks first), SRM (exact 4.0
+  * golden, zero-traffic designed arm, off-design traffic flag),
+  * Cochran's Q (hand 4-unit golden, incomplete-unit drop, the
+  * no-discordance NULL boundary), and Jonckheere–Terpstra (hand 2J/E/var
+  * golden with ties, the J = 0 boundary, and the k = 2 reduction onto
+  * Mann–Whitney's |z|).
+  */
+class AbTestStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Anderson–Darling -------------------------------------------------
+
+  private def adOf(base: Seq[(Long, Long)], cur: Seq[(Long, Long)]) =
+    Profiler.andersonDarling(Profiler.cvmFromHistograms(
+      base.toDF("bucket", "cnt"), cur.toDF("bucket", "cnt"))).collect()(0)
+
+  test("andersonDarling: hand golden {1,1,2} vs {2,3} gives A2 = 295/36") {
+    // per-bucket: j=1 gap=4 Bj=2 l=2; j=2 gap=3 Bj=4 l=2; j=3 Bj=N dropped
+    // A2 = (5/6)·(2·16/(2·3) + 2·9/(4·1)) = (5/6)·(59/6) = 295/36
+    val r = adOf(Seq(1L -> 2L, 2L -> 1L), Seq(2L -> 1L, 3L -> 1L))
+    assert(r.getAs[Long]("n_base") === 3L)
+    assert(r.getAs[Long]("n_cur") === 2L)
+    assert(r.getAs[Long]("n_bins") === 3L)
+    assert(math.abs(r.getAs[Double]("a2") - 295.0 / 36.0) < 1e-8)
+  }
+
+  test("andersonDarling: identical histograms -> A2 exactly 0") {
+    val h = Seq(1L -> 3L, 2L -> 5L, 5L -> 2L)
+    val r = adOf(h, h)
+    assert(r.getAs[Double]("a2") === 0.0)
+  }
+
+  test("andersonDarling: empty side -> NULL A2 (flag, not crash)") {
+    val r = adOf(Seq(1L -> 3L), Seq.empty[(Long, Long)])
+    assert(r.getAs[Long]("n_base") === 3L)
+    assert(r.getAs[Long]("n_cur") === 0L)
+    assert(r.isNullAt(r.fieldIndex("a2")))
+  }
+
+  test("andersonDarling: fold == rebuild over the mergeable histogram state") {
+    val b1 = Seq(1L -> 2L, 2L -> 1L); val b2 = Seq(1L -> 1L, 3L -> 4L)
+    val c1 = Seq(2L -> 3L); val c2 = Seq(1L -> 1L, 3L -> 1L)
+    val folded = Profiler.andersonDarling(Profiler.cvmFromHistograms(
+      Profiler.mergeBucketCounts(b1.toDF("bucket", "cnt"), b2.toDF("bucket", "cnt")),
+      Profiler.mergeBucketCounts(c1.toDF("bucket", "cnt"), c2.toDF("bucket", "cnt"))))
+      .collect()(0)
+    val rebuilt = adOf(Seq(1L -> 3L, 2L -> 1L, 3L -> 4L), Seq(1L -> 1L, 2L -> 3L, 3L -> 1L))
+    assert(folded.getAs[Double]("a2") === rebuilt.getAs[Double]("a2"))
+    assert(folded.getAs[Long]("n_bins") === rebuilt.getAs[Long]("n_bins"))
+  }
+
+  // --- delta-method ratio -----------------------------------------------
+
+  test("deltaRatio: hand golden — proportional arm has zero variance, se = 2/9") {
+    // arm a: (1,2),(2,4),(3,6) -> R = 0.5, x = 0.5y exactly => var 0
+    // arm b: (1,1),(3,2) -> R = 4/3, var = (2 - 8/3 + 8/9)/(2·2.25) = 4/81
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 1L, 1L), ("b", 3L, 2L)).toDF("arm", "x", "y")
+    val r = Association.deltaRatio(df, Nil, "arm", "x", "y").collect()(0)
+    assert(r.getAs[String]("grp_lo") === "a" && r.getAs[String]("grp_hi") === "b")
+    assert(r.getAs[Long]("n_lo") === 3L && r.getAs[Long]("n_hi") === 2L)
+    assert(math.abs(r.getAs[Double]("ratio_lo") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ratio_hi") - 4.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("effect") + 5.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se") - 2.0 / 9.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_lo") - (-5.0 / 6.0 - 1.959964 * 2.0 / 9.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_hi") - (-5.0 / 6.0 + 1.959964 * 2.0 / 9.0)) < 1e-9)
+  }
+
+  test("deltaRatio: zero-denominator arm -> NULL ratio/se; one group -> NULL stats") {
+    val r = Association.deltaRatio(
+      Seq(("a", 1L, 0L), ("a", 2L, 0L), ("b", 1L, 2L), ("b", 1L, 3L))
+        .toDF("arm", "x", "y"), Nil, "arm", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.isNullAt(r.fieldIndex("ratio_lo")))
+    assert(!r.isNullAt(r.fieldIndex("ratio_hi")))
+    assert(r.isNullAt(r.fieldIndex("effect")) && r.isNullAt(r.fieldIndex("se")))
+    val one = Association.deltaRatio(
+      Seq(("a", 1L, 2L), ("a", 2L, 3L)).toDF("arm", "x", "y"),
+      Nil, "arm", "x", "y").collect()(0)
+    assert(one.getAs[Long]("n_groups") === 1L)
+    assert(one.isNullAt(one.fieldIndex("ratio_lo")) &&
+      one.isNullAt(one.fieldIndex("effect")))
+  }
+
+  // --- SRM ---------------------------------------------------------------
+
+  test("srmCheck: 60/40 on a 50/50 design gives chi2 exactly 4.0; off-design traffic flagged") {
+    val rows = Seq.fill(60)("A") ++ Seq.fill(40)("B") ++ Seq.fill(7)("Z")
+    val r = Association.srmCheck(rows.toDF("arm"), Nil, "arm",
+      Seq("A" -> 1.0, "B" -> 1.0)).collect()(0)
+    assert(r.getAs[Long]("n_total") === 100L) // designed arms only
+    assert(r.getAs[Long]("n_arms") === 2L && r.getAs[Long]("df") === 1L)
+    assert(r.getAs[Long]("n_unexpected") === 7L)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0) < 1e-9)
+  }
+
+  test("srmCheck: a designed arm with ZERO traffic still pays its expected count") {
+    // A=2, B=2, C=0 on equal thirds: chi2 = 2·(2/3)²/(4/3) + (4/3)²/(4/3) = 2
+    val r = Association.srmCheck(Seq("A", "A", "B", "B").toDF("arm"), Nil, "arm",
+      Seq("A" -> 1.0, "B" -> 1.0, "C" -> 1.0)).collect()(0)
+    assert(r.getAs[Long]("n_arms") === 3L && r.getAs[Long]("df") === 2L)
+    assert(r.getAs[Long]("n_total") === 4L)
+    // 1e-8: the thirds land each nano term on a .33/.67 rounding edge
+    assert(math.abs(r.getAs[Double]("chi2") - 2.0) < 1e-8)
+  }
+
+  test("srmCheck: perfect split -> chi2 0; empty input -> NULL chi2") {
+    val ok = Association.srmCheck(Seq("A", "B").toDF("arm"), Nil, "arm",
+      Seq("A" -> 0.5, "B" -> 0.5)).collect()(0)
+    assert(ok.getAs[Double]("chi2") === 0.0)
+    val empty = Association.srmCheck(Seq.empty[String].toDF("arm"), Nil, "arm",
+      Seq("A" -> 0.5, "B" -> 0.5)).collect()(0)
+    assert(empty.getAs[Long]("n_total") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("chi2")))
+  }
+
+  // --- Cochran's Q --------------------------------------------------------
+
+  private def longForm(rows: Seq[(String, Seq[Int])]) =
+    rows.flatMap { case (u, ys) =>
+      ys.zipWithIndex.map { case (y, i) => (u, s"t$i", y) }
+    }.toDF("u", "t", "y")
+
+  test("cochranQ: hand golden 4 units × 3 treatments gives Q = 3.0") {
+    // C=(3,2,1) T=6 R=(2,1,3,0): Q = 2·(3·14−36)/(3·6−14) = 12/4 = 3
+    val df = longForm(Seq(
+      "u1" -> Seq(1, 1, 0), "u2" -> Seq(1, 0, 0),
+      "u3" -> Seq(1, 1, 1), "u4" -> Seq(0, 0, 0)))
+    val out = Association.cochranQ(df, "u", "t", "y").orderBy("treatment").collect()
+    assert(out.map(_.getAs[String]("treatment")).toSeq === Seq("t0", "t1", "t2"))
+    assert(out.map(_.getAs[Long]("flagged_n")).toSeq === Seq(3L, 2L, 1L))
+    assert(out.forall(_.getAs[Long]("n_units") === 4L))
+    assert(out.forall(_.getAs[Long]("k") === 3L))
+    assert(out.forall(_.getAs[Long]("df") === 2L))
+    assert(out.forall(r => math.abs(r.getAs[Double]("q") - 3.0) < 1e-9))
+  }
+
+  test("cochranQ: incomplete units drop and are counted; Q unchanged") {
+    val complete = longForm(Seq(
+      "u1" -> Seq(1, 1, 0), "u2" -> Seq(1, 0, 0),
+      "u3" -> Seq(1, 1, 1), "u4" -> Seq(0, 0, 0)))
+    val withPartial = complete.unionByName(
+      Seq(("u5", "t0", 1), ("u5", "t1", 0)).toDF("u", "t", "y"))
+    val out = Association.cochranQ(withPartial, "u", "t", "y")
+      .orderBy("treatment").collect()
+    assert(out.forall(_.getAs[Long]("n_incomplete") === 1L))
+    assert(out.forall(_.getAs[Long]("n_units") === 4L))
+    assert(out.forall(r => math.abs(r.getAs[Double]("q") - 3.0) < 1e-9))
+  }
+
+  test("cochranQ: no discordance (all units all-1) -> NULL Q (the b+c=0 boundary)") {
+    val df = longForm(Seq("u1" -> Seq(1, 1), "u2" -> Seq(1, 1)))
+    val out = Association.cochranQ(df, "u", "t", "y").collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("q"))))
+    assert(out.forall(_.getAs[Long]("df") === 1L))
+  }
+
+  // --- Jonckheere–Terpstra -------------------------------------------------
+
+  test("jonckheereTerpstra: hand golden with ties — 2J=15, 4E=16, var=52/15") {
+    // g1={1,2} g2={2,3} g3={4}: U12=3.5 U13=2 U23=2 -> J=7.5 E=4
+    // v1=(300−36−18)/72, v2=0, v3=4·2/160 -> var=52/15
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 2L), ("g2", 3L), ("g3", 4L))
+      .toDF("grp0", "v")
+    val r = Association.jonckheereTerpstra(df, Nil, "grp0", "v").collect()(0)
+    assert(r.getAs[Long]("n_groups") === 3L && r.getAs[Long]("n_total") === 5L)
+    assert(r.getAs[String]("j2") === "15")
+    assert(r.getAs[String]("ej4") === "16")
+    assert(math.abs(r.getAs[Double]("z") - 3.5 / math.sqrt(52.0 / 15.0)) < 1e-9)
+  }
+
+  test("jonckheereTerpstra: J = 0 when every lo value exceeds every hi value") {
+    val df = Seq(("a", 9L), ("a", 8L), ("b", 1L), ("b", 2L)).toDF("grp0", "v")
+    val r = Association.jonckheereTerpstra(df, Nil, "grp0", "v").collect()(0)
+    assert(r.getAs[String]("j2") === "0")
+    assert(r.getAs[Double]("z") < 0d)
+  }
+
+  test("jonckheereTerpstra: one group or all-tied values -> NULL z") {
+    val one = Association.jonckheereTerpstra(
+      Seq(("a", 1L), ("a", 2L)).toDF("grp0", "v"), Nil, "grp0", "v").collect()(0)
+    assert(one.getAs[Long]("n_groups") === 1L)
+    assert(one.isNullAt(one.fieldIndex("z")))
+    val tied = Association.jonckheereTerpstra(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("grp0", "v"),
+      Nil, "grp0", "v").collect()(0)
+    assert(tied.getAs[String]("j2") === "2") // 2·(½·#ties)=2·1
+    assert(tied.isNullAt(tied.fieldIndex("z")))
+  }
+
+  test("jonckheereTerpstra: keyed variant computes per-key independently") {
+    val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
+      ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")
+    val out = Association.jonckheereTerpstra(df, Seq("key"), "grp0", "v")
+      .orderBy("key").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_total") === 4L)
+    assert(out(1).getAs[String]("j2") === "1")
+    assert(out(1).isNullAt(out(1).fieldIndex("z")))
+  }
+}

@@ -714,7 +714,27 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // median survival: the q285 per-cohort KM chain + one filtered min
     Shape("q302_median_survival", maxHash = 4, maxRange = 5,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // AD: the q280 cvm chain (two grouped narrow scans + the bounded
+    // full-outer bucket join, SMJ allowed there) + one summary agg
+    Shape("q303_anderson_darling", maxHash = 5, maxRange = 3, forbidUdf = true),
+    // AD from-store: the q282 fold chain + the summary agg
+    Shape("q304_ad_from_store", maxHash = 13, maxRange = 3, forbidUdf = true),
+    // delta ratio: ONE per-user agg + ONE moments agg + the 2-label
+    // pivot (the q298 CUPED shape)
+    Shape("q305_delta_ratio", maxHash = 3, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // SRM: one arm-count agg + the broadcast k-row design join + the
+    // k-bounded summary
+    Shape("q306_srm_check", maxHash = 3, maxRange = 2, forbidUdf = true),
+    // Cochran's Q: one unit-level agg + the semi-join back + one
+    // k-bounded treatment agg; the Single exchanges are the 1-row meta
+    // folds + the k-row output sort, never row-scale data
+    Shape("q307_cochran_q", maxHash = 6, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // JT: one cells agg + the bounded cell pair join; the Single
+    // exchanges are the three bookkeeping folds over cell-bounded frames
+    Shape("q308_jonckheere", maxHash = 6, maxRange = 3, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -1213,4 +1213,171 @@ class StatFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // --- Anderson–Darling ---------------------------------------------------
+
+  test("fuzz: Anderson-Darling vs the per-sample Scholz-Stephens loop") {
+    // the operator rides the shared gap identity (both samples' terms
+    // collapse onto gap_num); the naive here runs the PUBLISHED per-sample
+    // double loop — a genuinely different formulation
+    for (t <- 1 to Trials) {
+      val r = rng("ad", t)
+      val span = 2 + r.nextInt(10)
+      val base = Seq.fill(10 + r.nextInt(50))(r.nextInt(span).toLong)
+      val cur = Seq.fill(10 + r.nextInt(50))(r.nextInt(span).toLong)
+      val bN = base.size.toDouble; val cN = cur.size.toDouble
+      val n = bN + cN
+      val zs = (base ++ cur).distinct.sorted
+      var acc = 0.0
+      for (z <- zs) {
+        val lj = (base ++ cur).count(_ == z).toDouble
+        val bj = (base ++ cur).count(_ <= z).toDouble
+        if (bj < n) {
+          val mB = base.count(_ <= z).toDouble
+          val mC = cur.count(_ <= z).toDouble
+          acc += lj * (n * mB - bN * bj) * (n * mB - bN * bj) / (bj * (n - bj)) / bN
+          acc += lj * (n * mC - cN * bj) * (n * mC - cN * bj) / (bj * (n - bj)) / cN
+        }
+      }
+      val got = Profiler.andersonDarling(Profiler.cvmFromHistograms(
+        base.groupBy(identity).toSeq.map { case (v, xs) => (v, xs.size.toLong) }
+          .toDF("bucket", "cnt"),
+        cur.groupBy(identity).toSeq.map { case (v, xs) => (v, xs.size.toLong) }
+          .toDF("bucket", "cnt"))).collect()(0)
+      approx(got.getAs[Double]("a2"), acc, s"ad trial $t")
+    }
+  }
+
+  // --- delta-method ratio ---------------------------------------------------
+
+  test("fuzz: deltaRatio vs two-pass centered moments") {
+    for (t <- 1 to Trials) {
+      val r = rng("dratio", t)
+      val mk = () => Seq.fill(5 + r.nextInt(40))(
+        (r.nextInt(20).toLong, 1L + r.nextInt(30).toLong))
+      val a = mk(); val b = mk()
+      def armStats(u: Seq[(Long, Long)]): (Double, Double) = {
+        val nn = u.size.toDouble
+        val sx = u.map(_._1).sum.toDouble; val sy = u.map(_._2).sum.toDouble
+        val ratio = sx / sy
+        val mx = sx / nn; val my = sy / nn
+        val vx = u.map(p => (p._1 - mx) * (p._1 - mx)).sum / (nn - 1)
+        val vy = u.map(p => (p._2 - my) * (p._2 - my)).sum / (nn - 1)
+        val cxy = u.map(p => (p._1 - mx) * (p._2 - my)).sum / (nn - 1)
+        val v = (vx - 2 * ratio * cxy + ratio * ratio * vy) / (nn * my * my)
+        (ratio, v)
+      }
+      val (r1, v1) = armStats(a); val (r2, v2) = armStats(b)
+      val df = (a.map(p => ("a", p._1, p._2)) ++ b.map(p => ("b", p._1, p._2)))
+        .toDF("arm", "x", "y")
+      val row = Association.deltaRatio(df, Nil, "arm", "x", "y").collect()(0)
+      approx(row.getAs[Double]("ratio_lo"), r1, s"dratio r1 trial $t")
+      approx(row.getAs[Double]("ratio_hi"), r2, s"dratio r2 trial $t")
+      approx(row.getAs[Double]("effect"), r1 - r2, s"dratio eff trial $t")
+      approx(row.getAs[Double]("se"), math.sqrt(v1 + v2), s"dratio se trial $t")
+    }
+  }
+
+  // --- SRM --------------------------------------------------------------------
+
+  test("fuzz: srmCheck vs the direct goodness-of-fit sum on skewed splits") {
+    for (t <- 1 to Trials) {
+      val r = rng("srm", t)
+      val k = 2 + r.nextInt(4)
+      val w = Seq.tabulate(k)(i => s"a$i" -> (1.0 + r.nextInt(5)))
+      val wTot = w.map(_._2).sum
+      val counts = Seq.tabulate(k)(i => r.nextInt(200))
+      val nTot = counts.sum.toDouble
+      val naive = w.zip(counts).map { case ((_, wi), ni) =>
+        val e = nTot * (wi / wTot)
+        math.round((ni - e) * (ni - e) / e * 1e9).toDouble / 1e9
+      }.sum
+      val rows = w.zip(counts).flatMap { case ((arm, _), ni) => Seq.fill(ni)(arm) }
+      val row = Association.srmCheck(rows.toDF("arm"), Nil, "arm", w).collect()(0)
+      assert(row.getAs[Long]("n_total") === nTot.toLong)
+      approx(row.getAs[Double]("chi2"), naive, s"srm trial $t")
+    }
+  }
+
+  // --- Cochran's Q ---------------------------------------------------------
+
+  test("fuzz: cochranQ vs the published row/column-total formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("cochran", t)
+      val k = 2 + r.nextInt(4)
+      val units = Seq.tabulate(8 + r.nextInt(40))(u =>
+        s"u$u" -> Seq.fill(k)(r.nextInt(2)))
+      val cj = Seq.tabulate(k)(j => units.map(_._2(j)).sum.toDouble)
+      val ri = units.map(_._2.sum.toDouble)
+      val tT = ri.sum
+      val qd = k * tT - ri.map(x => x * x).sum
+      val naive = if (qd > 0)
+        Some((k - 1) * (k * cj.map(x => x * x).sum - tT * tT) / qd) else None
+      val df = units.flatMap { case (u, ys) =>
+        ys.zipWithIndex.map { case (y, j) => (u, s"t$j", y) }
+      }.toDF("u", "t", "y")
+      val out = Association.cochranQ(df, "u", "t", "y").collect()
+      assert(out.length === k)
+      approxOpt(optDouble(out(0), "q"), naive, s"cochran trial $t")
+    }
+  }
+
+  // --- Jonckheere–Terpstra -----------------------------------------------------
+
+  test("fuzz: Jonckheere-Terpstra vs the naive ordered-pair loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("jt", t)
+      val k = 2 + r.nextInt(4)
+      val span = 2 + r.nextInt(10) // heavy ties
+      val data = (0 until 15 + r.nextInt(60)).map { _ =>
+        ("g" + r.nextInt(k), r.nextInt(span).toLong)
+      }
+      val groups = data.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+      var j = 0.0
+      for (i <- groups.indices; l <- (i + 1) until groups.size;
+           x <- groups(i); y <- groups(l)) {
+        if (x < y) j += 1.0 else if (x == y) j += 0.5
+      }
+      val ns = groups.map(_.size.toDouble)
+      val nT = ns.sum
+      val ej = (nT * nT - ns.map(x => x * x).sum) / 4.0
+      val ties = data.map(_._2).groupBy(identity).values.map(_.size.toDouble)
+      def p125(x: Double) = x * (x - 1) * (2 * x + 5)
+      val v1 = (p125(nT) - ns.map(p125).sum - ties.map(p125).sum) / 72.0
+      val v2 = ns.map(x => x * (x - 1) * (x - 2)).sum *
+        ties.map(x => x * (x - 1) * (x - 2)).sum /
+        (36.0 * nT * (nT - 1) * (nT - 2))
+      val v3 = ns.map(x => x * (x - 1)).sum * ties.map(x => x * (x - 1)).sum /
+        (8.0 * nT * (nT - 1))
+      val varJ = v1 + v2 + v3
+      val naive = if (varJ > 0) Some((j - ej) / math.sqrt(varJ)) else None
+      val row = Association.jonckheereTerpstra(
+        data.toDF("g", "v"), Nil, "g", "v").collect()(0)
+      assert(row.getAs[String]("j2").toDouble === 2 * j, s"jt J trial $t")
+      approxOpt(optDouble(row, "z"), naive, s"jt z trial $t")
+    }
+  }
+
+  test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
+    // J = U and the Kendall-form variance reduces to MW's tie-corrected
+    // variance — a formula-level identity neither implementation shares
+    for (t <- 1 to Trials) {
+      val r = rng("jtmw", t)
+      val span = 2 + r.nextInt(8)
+      val data = (0 until 12 + r.nextInt(50)).map { _ =>
+        ("g" + r.nextInt(2), r.nextInt(span).toLong)
+      }
+      if (data.map(_._1).distinct.size == 2) {
+        val df = data.toDF("g", "v")
+        val jt = Association.jonckheereTerpstra(df, Nil, "g", "v").collect()(0)
+        val mw = Association.mannWhitney(df, Nil, "g", "v").collect()(0)
+        (optDouble(jt, "z"), optDouble(mw, "z")) match {
+          case (Some(a), Some(b)) =>
+            approx(math.abs(a), math.abs(b), s"jt-mw |z| trial $t")
+          case (None, None) => ()
+          case other => fail(s"jt-mw null mismatch: $other trial $t")
+        }
+      }
+    }
+  }
 }
