@@ -318,7 +318,10 @@ object SparkEntry {
     "q305_delta_ratio" -> (CoreQueries.q305DeltaRatio(_, _)),
     "q306_srm_check" -> (CoreQueries.q306SrmCheck(_, _)),
     "q307_cochran_q" -> (CoreQueries.q307CochranQ(_, _)),
-    "q308_jonckheere" -> (CoreQueries.q308Jonckheere(_, _))
+    "q308_jonckheere" -> (CoreQueries.q308Jonckheere(_, _)),
+    "q309_ece" -> (CoreQueries.q309Ece(_, _)),
+    "q310_hosmer_lemeshow" -> (CoreQueries.q310HosmerLemeshow(_, _)),
+    "q311_calibration_from_store" -> (CoreQueries.q311CalibrationFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -440,7 +443,10 @@ object SparkEntry {
     "q305_delta_ratio" -> deltaRatioOracle,
     "q306_srm_check" -> srmOracle,
     "q307_cochran_q" -> cochranQOracle,
-    "q308_jonckheere" -> jonckheereOracle)
+    "q308_jonckheere" -> jonckheereOracle,
+    "q309_ece" -> eceOracle,
+    "q310_hosmer_lemeshow" -> hosmerLemeshowOracle,
+    "q311_calibration_from_store" -> eceOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1688,6 +1694,93 @@ object SparkEntry {
       |  CAST(j2 AS VARCHAR) AS j2, CAST(ej4 AS VARCHAR) AS ej4,
       |  round(CAST(2 * j2 - ej4 AS DOUBLE) / (4.0 * sqrt(varj)), 9) AS z
       |FROM vv""".stripMargin
+
+  /** Shared CTEs for q309/q310/q311: the calibration cell state
+    * replayed — value/100 probability score, the deterministic label,
+    * the 10-bucket histogram-convention binning, exact n/n_pos and the
+    * nano score sums.
+    */
+  private lazy val CalibCellCtes: String =
+    """WITH e AS (SELECT value / 100.0 AS sc,
+      |    CASE WHEN (user_id + CAST(floor(value) AS BIGINT)) % 5 < 2
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |bk AS (SELECT CASE WHEN sc < 0.0 THEN -1 WHEN sc >= 1.0 THEN 10
+      |    ELSE CAST(floor((sc - 0.0) / 0.1) AS BIGINT) END AS bucket, sc, y
+      |  FROM e),
+      |cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS np,
+      |    CAST(sum(CAST(round(sc * 1e9) AS BIGINT)) AS HUGEINT) AS s9
+      |  FROM bk GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(np) AS BIGINT) AS pt,
+      |    CAST(count(*) AS BIGINT) AS nb FROM cells),
+      |g AS (SELECT c.*, t.nt, t.pt, t.nb,
+      |    CAST(c.np AS HUGEINT) * 1000000000 - c.s9 AS gap9
+      |  FROM cells c, tot t)""".stripMargin
+
+  /** q309/q311 oracle: [[graft.operators.RankEval.expectedCalibrationError]]
+    * replayed — exact |gap9| sums for ECE, per-bucket nano REL/RES terms
+    * in the Spark dag's float order, the Murphy decomposition. q311's
+    * three-batch fold merges to the identical cells, sharing this
+    * verbatim.
+    */
+  private lazy val eceOracle: String =
+    CalibCellCtes + """,
+      |terms AS (SELECT *,
+      |    abs(gap9) AS ag,
+      |    CAST(round((CAST(gap9 AS DOUBLE) / 1e9) * (CAST(gap9 AS DOUBLE) / 1e9) /
+      |      CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS rel9,
+      |    CAST(round(CAST(n AS DOUBLE) *
+      |      (CAST(CAST(np AS HUGEINT) * nt - CAST(n AS HUGEINT) * pt AS DOUBLE) /
+      |        (CAST(n AS DOUBLE) * CAST(nt AS DOUBLE))) *
+      |      (CAST(CAST(np AS HUGEINT) * nt - CAST(n AS HUGEINT) * pt AS DOUBLE) /
+      |        (CAST(n AS DOUBLE) * CAST(nt AS DOUBLE))) * 1e9) AS BIGINT) AS res9,
+      |    abs(CAST(gap9 AS DOUBLE)) / (CAST(n AS DOUBLE) * 1e9) AS mceb
+      |  FROM g),
+      |s AS (SELECT max(nt) AS n_total, max(pt) AS n_pos, max(nb) AS n_bins,
+      |    sum(ag) AS ecenum, max(mceb) AS mce,
+      |    sum(CAST(rel9 AS HUGEINT)) AS rel, sum(CAST(res9 AS HUGEINT)) AS res
+      |  FROM terms),
+      |f AS (SELECT *,
+      |    CAST(rel AS DOUBLE) / 1e9 / CAST(n_total AS DOUBLE) AS brier_rel,
+      |    CAST(res AS DOUBLE) / 1e9 / CAST(n_total AS DOUBLE) AS brier_res,
+      |    CAST(n_pos AS DOUBLE) * CAST(n_total - n_pos AS DOUBLE) /
+      |      (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS brier_unc
+      |  FROM s)
+      |SELECT n_total, n_pos, n_bins,
+      |  round(CAST(ecenum AS DOUBLE) / (CAST(n_total AS DOUBLE) * 1e9), 9) AS ece,
+      |  round(mce, 9) AS mce,
+      |  round(brier_rel, 9) AS brier_rel, round(brier_res, 9) AS brier_res,
+      |  round(brier_unc, 9) AS brier_unc,
+      |  round(brier_rel - brier_res + brier_unc, 9) AS brier_binned
+      |FROM f""".stripMargin
+
+  /** q310 oracle: [[graft.operators.RankEval.hosmerLemeshow]] replayed —
+    * per-bucket (O−E)²·n/(E(n−E)) nano terms over the same cells,
+    * degenerate buckets skipped and counted.
+    */
+  private lazy val hosmerLemeshowOracle: String =
+    CalibCellCtes + """,
+      |terms AS (SELECT *,
+      |    CASE WHEN s9 > 0 AND s9 < CAST(n AS HUGEINT) * 1000000000
+      |      THEN 1 ELSE 0 END AS usable,
+      |    CASE WHEN s9 > 0 AND s9 < CAST(n AS HUGEINT) * 1000000000
+      |      THEN CAST(round((CAST(gap9 AS DOUBLE) / 1e9) *
+      |        (CAST(gap9 AS DOUBLE) / 1e9) * CAST(n AS DOUBLE) /
+      |        ((CAST(s9 AS DOUBLE) / 1e9) *
+      |          (CAST(n AS DOUBLE) - CAST(s9 AS DOUBLE) / 1e9)) * 1e9) AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END AS t9
+      |  FROM g),
+      |s AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      |    CAST(sum(usable) AS BIGINT) AS n_bins_used,
+      |    CAST(sum(1 - usable) AS BIGINT) AS n_degenerate,
+      |    sum(CAST(t9 AS HUGEINT)) AS chi9
+      |  FROM terms)
+      |SELECT n_total, n_bins_used, n_degenerate,
+      |  CASE WHEN n_bins_used >= 3 THEN n_bins_used - 2 END AS df,
+      |  CASE WHEN n_bins_used >= 3
+      |    THEN round(CAST(chi9 AS DOUBLE) / 1e9, 9) END AS chi2
+      |FROM s""".stripMargin
 
   /** q293 oracle: [[graft.quality.Association.pageTrend]] replayed —
     * the three planted scorer versions, per-block doubled midranks,

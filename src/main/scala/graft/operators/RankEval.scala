@@ -268,6 +268,165 @@ object RankEval {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
   }
 
+  /** The MERGEABLE state behind probability calibration — the missing
+    * eval twin of [[aucHistogram]]: AUC certifies RANKING (does the
+    * scorer order positives above negatives), calibration certifies
+    * MEANING (does "0.8" happen 80% of the time) — a scorer can ace one
+    * and fail the other, and every threshold/budget decision downstream
+    * of an LLM-judge score leans on the second. Scores bucketed on
+    * FIXED [lo, hi) equi-width bins (the Profiler.histogram convention:
+    * < lo → −1, ≥ hi → nBuckets — probability 1.0 lands in the
+    * overflow bucket, deliberately visible), each cell carrying exact
+    * n / n_pos and the nano-landed score sum s9 = Σ round(score·10⁹)
+    * (an exact DECIMAL integer — the state stays hash-exact and
+    * additive). [[mergeCalibrationCells]] folds disjoint eval batches;
+    * bucket cardinality is the store bound. NON-idempotent sum-merge
+    * (the [[aucHistogram]] crash-replay contract).
+    */
+  def calibrationCells(
+      predictions: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String = "label",
+      nBuckets: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0
+  ): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val dec = "decimal(38,0)"
+    val w = (hi - lo) / nBuckets
+    val s = col(scoreCol)
+    predictions.select(col(idCol), col(scoreCol))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      .filter(s.isNotNull && col(labelCol).isNotNull)
+      .withColumn("bucket",
+        when(s < lo, lit(-1L))
+          .when(s >= hi, lit(nBuckets.toLong))
+          .otherwise(floor((s - lo) / w).cast("long")))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(round(s * 1e9d).cast("long").cast(dec)).as("s9"))
+  }
+
+  /** Fold two [[calibrationCells]] frames over disjoint eval batches. */
+  def mergeCalibrationCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket")
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"), sum("s9").as("s9"))
+
+  /** Expected calibration error + the Murphy (1973) Brier decomposition
+    * from a (folded) [[calibrationCells]] frame — the one-row honesty
+    * panel:
+    *
+    *   ECE = Σ_b (n_b/N)·|acc_b − conf_b|,  MCE = max_b |acc_b − conf_b|
+    *   REL = Σ (n_b/N)(conf_b − acc_b)²   (reliability — calibration)
+    *   RES = Σ (n_b/N)(acc_b − base)²     (resolution — discrimination)
+    *   UNC = base(1 − base),  binned Brier = REL − RES + UNC
+    *
+    * Exactness: per bucket n_b·(acc_b − conf_b) = n_pos_b·10⁹ − s9_b in
+    * nano units — an EXACT DECIMAL integer — so ECE's numerator
+    * Σ|gap9_b| is exact and ECE is ONE division. MCE and the REL/RES
+    * terms are fixed per-bucket dags nano-landed and summed order-free
+    * (the house rule); UNC is one division of exact counts. NULL panel
+    * when N = 0. SCALE: everything runs on the ≤ nBuckets+2-row frame.
+    */
+  def expectedCalibrationError(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val gap9 = col("n_pos").cast(dec) * lit(1000000000L).cast(dec) - col("s9")
+    val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withTot = cells
+      .withColumn("__N", sum("n").over(all))
+      .withColumn("__P", sum("n_pos").over(all))
+    val nD = col("__N").cast("double"); val pD = col("__P").cast("double")
+    val nbD = col("n").cast("double")
+    val gD = gap9.cast("double") / 1e9d
+    // rel_b = (gap/1e9)²/n_b ≤ n_b; res_b = n_b·(acc_b − base)²
+    val rel9 = round(gD * gD / nbD * 1e9d).cast("long")
+    val accMinusBase = (col("n_pos").cast(dec) * col("__N").cast(dec) -
+      col("n").cast(dec) * col("__P").cast(dec)).cast("double") / (nbD * nD)
+    val res9 = round(nbD * accMinusBase * accMinusBase * 1e9d).cast("long")
+    val mceB = abs(gap9.cast("double")) / (nbD * 1e9d)
+    withTot
+      .withColumn("__absGap9", abs(gap9))
+      .withColumn("__rel9", rel9)
+      .withColumn("__res9", res9)
+      .withColumn("__mceB", mceB)
+      .agg(
+        max("__N").as("n_total"),
+        max("__P").as("n_pos"),
+        count(lit(1)).as("n_bins"),
+        sum(col("__absGap9")).as("__eceNum"),
+        max("__mceB").as("__mce"),
+        sum(col("__rel9").cast(dec)).as("__rel"),
+        sum(col("__res9").cast(dec)).as("__res"))
+      .withColumn("__ok", col("n_total").isNotNull && col("n_total") > 0L)
+      .withColumn("ece",
+        when(col("__ok"), col("__eceNum").cast("double") /
+          (col("n_total").cast("double") * 1e9d)))
+      .withColumn("mce", when(col("__ok"), col("__mce")))
+      .withColumn("brier_rel",
+        when(col("__ok"), col("__rel").cast("double") / 1e9d /
+          col("n_total").cast("double")))
+      .withColumn("brier_res",
+        when(col("__ok"), col("__res").cast("double") / 1e9d /
+          col("n_total").cast("double")))
+      .withColumn("brier_unc",
+        when(col("__ok"),
+          col("n_pos").cast("double") *
+            (col("n_total") - col("n_pos")).cast("double") /
+            (col("n_total").cast("double") * col("n_total").cast("double"))))
+      .withColumn("brier_binned",
+        when(col("__ok"), col("brier_rel") - col("brier_res") + col("brier_unc")))
+      .select(col("n_total"), col("n_pos"), col("n_bins"), col("ece"),
+        col("mce"), col("brier_rel"), col("brier_res"), col("brier_unc"),
+        col("brier_binned"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit (Hosmer & Lemeshow 1980, the
+    * fixed-bin H statistic) from the same [[calibrationCells]] state —
+    * the TEST beside [[expectedCalibrationError]]'s effect size:
+    *
+    *   χ² = Σ_b (O_b − E_b)² · n_b / (E_b · (n_b − E_b)),  E_b = Σ scores
+    *
+    * ~ χ²_{B−2} under "the probabilities are honest". Degenerate
+    * buckets (E_b ≤ 0 or E_b ≥ n_b — expected counts of 0) carry no
+    * finite term: skipped and COUNTED in n_degenerate, never silently
+    * absorbed. Per-bucket terms are fixed dags over the exact cell
+    * integers, nano-landed, summed order-free; χ² gates at 9dp, NULL
+    * when fewer than 3 usable buckets (df ≤ 0).
+    */
+  def hosmerLemeshow(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    // E in nano units is s9 exactly; O − E in nano is gap9
+    val gap9 = col("n_pos").cast(dec) * lit(1000000000L).cast(dec) - col("s9")
+    val usable = col("s9") > 0L && col("s9") < col("n").cast(dec) * lit(1000000000L).cast(dec)
+    val gD = gap9.cast("double") / 1e9d
+    val eD = col("s9").cast("double") / 1e9d
+    val t9 = when(usable,
+      round(gD * gD * col("n").cast("double") /
+        (eD * (col("n").cast("double") - eD)) * 1e9d).cast("long"))
+      .otherwise(0L)
+    cells
+      .withColumn("__t9", t9)
+      .withColumn("__usable", when(usable, 1L).otherwise(0L))
+      .agg(
+        coalesce(sum("n"), lit(0L)).as("n_total"),
+        coalesce(sum("__usable"), lit(0L)).as("n_bins_used"),
+        coalesce(sum(lit(1L) - col("__usable")), lit(0L)).as("n_degenerate"),
+        sum(col("__t9").cast(dec)).as("__chi9"))
+      .withColumn("df",
+        when(col("n_bins_used") >= 3L, col("n_bins_used") - 2L))
+      .withColumn("chi2",
+        when(col("n_bins_used") >= 3L, col("__chi9").cast("double") / 1e9d))
+      .select(col("n_total"), col("n_bins_used"), col("n_degenerate"),
+        col("df"), col("chi2"))
+  }
+
   /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
     * CATEGORICAL judges over the same items: with contingency counts
     * n_ab, marginals R_a / C_b and N items,

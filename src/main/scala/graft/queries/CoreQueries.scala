@@ -3117,6 +3117,73 @@ object CoreQueries {
       .orderBy("treatment")
   }
 
+  /** Shared calibration fixture: event "probability" score value/100
+    * against a deterministic label — the per-event (id, score) and
+    * (id, label) frames the calibration family joins.
+    */
+  private def calibFrames(s: SparkSession, dir: String) = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+    val preds = ev.select(col("event_id"), (col("value") / lit(100.0d)).as("score"))
+    val labels = ev.select(col("event_id"),
+      ((col("user_id") + floor(col("value")).cast("long")) % 5 < 2).as("label"))
+    (preds, labels)
+  }
+
+  /** ECE gate: the calibration honesty panel — exact integer gap
+    * numerators per bucket (n_pos·10⁹ − Σ nano scores), ECE one
+    * division, MCE, and the Murphy Brier decomposition off one
+    * 10-bucket cell state.
+    */
+  def q309Ece(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val (preds, labels) = calibFrames(s, dir)
+    RankEval.expectedCalibrationError(RankEval.calibrationCells(
+      preds, labels, "event_id", "score", "label", nBuckets = 10))
+      .select(col("n_total"), col("n_pos"), col("n_bins"),
+        round(col("ece"), 9).as("ece"), round(col("mce"), 9).as("mce"),
+        round(col("brier_rel"), 9).as("brier_rel"),
+        round(col("brier_res"), 9).as("brier_res"),
+        round(col("brier_unc"), 9).as("brier_unc"),
+        round(col("brier_binned"), 9).as("brier_binned"))
+  }
+
+  /** Hosmer–Lemeshow gate: the goodness-of-fit test beside q309's
+    * effect size, same cell state — per-bucket nano terms over exact
+    * O/E integers, degenerate buckets counted not absorbed.
+    */
+  def q310HosmerLemeshow(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val (preds, labels) = calibFrames(s, dir)
+    RankEval.hosmerLemeshow(RankEval.calibrationCells(
+      preds, labels, "event_id", "score", "label", nBuckets = 10))
+      .select(col("n_total"), col("n_bins_used"), col("n_degenerate"),
+        col("df"), round(col("chi2"), 9).as("chi2"))
+  }
+
+  /** Calibration-from-store gate: three disjoint eval batches folded
+    * through the mergeable cell state, then the q309 panel — fold ==
+    * rebuild under the q309 oracle verbatim.
+    */
+  def q311CalibrationFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val (preds, labels) = calibFrames(s, dir)
+    def batch(i: Int) = {
+      val p = preds.filter(col("event_id") % 3 === i)
+      RankEval.calibrationCells(p, labels, "event_id", "score", "label",
+        nBuckets = 10)
+    }
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      RankEval.mergeCalibrationCells(acc, batch(i)))
+    RankEval.expectedCalibrationError(folded)
+      .select(col("n_total"), col("n_pos"), col("n_bins"),
+        round(col("ece"), 9).as("ece"), round(col("mce"), 9).as("mce"),
+        round(col("brier_rel"), 9).as("brier_rel"),
+        round(col("brier_res"), 9).as("brier_res"),
+        round(col("brier_unc"), 9).as("brier_unc"),
+        round(col("brier_binned"), 9).as("brier_binned"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

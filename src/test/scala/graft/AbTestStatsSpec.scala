@@ -198,6 +198,86 @@ class AbTestStatsSpec extends SparkSpec {
     assert(tied.isNullAt(tied.fieldIndex("z")))
   }
 
+  // --- calibration (ECE / Brier decomposition / Hosmer–Lemeshow) ----------
+
+  import graft.operators.RankEval
+
+  test("calibration: hand golden — ECE 0.25, REL = RES = 0.0625, UNC 0.1875") {
+    // bucket 0: scores .25/.25, one positive; bucket 1: .75/.75, two
+    val preds = Seq((1L, 0.25), (2L, 0.25), (3L, 0.75), (4L, 0.75))
+      .toDF("id", "score")
+    val labels = Seq((1L, true), (2L, false), (3L, true), (4L, true))
+      .toDF("id", "label")
+    val cells = RankEval.calibrationCells(preds, labels, "id", "score", "label",
+      nBuckets = 2)
+    val r = RankEval.expectedCalibrationError(cells).collect()(0)
+    assert(r.getAs[Long]("n_total") === 4L && r.getAs[Long]("n_pos") === 3L)
+    assert(r.getAs[Long]("n_bins") === 2L)
+    assert(math.abs(r.getAs[Double]("ece") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mce") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("brier_rel") - 0.0625) < 1e-9)
+    assert(math.abs(r.getAs[Double]("brier_res") - 0.0625) < 1e-9)
+    assert(math.abs(r.getAs[Double]("brier_unc") - 0.1875) < 1e-9)
+    assert(math.abs(r.getAs[Double]("brier_binned") - 0.1875) < 1e-9)
+  }
+
+  test("calibration: perfectly calibrated cells -> ECE/MCE/REL exactly-ish 0") {
+    // each bucket's mean score equals its positive rate exactly
+    val preds = Seq((1L, 0.5), (2L, 0.5), (3L, 1.0), (4L, 1.0)).toDF("id", "score")
+    val labels = Seq((1L, true), (2L, false), (3L, true), (4L, true))
+      .toDF("id", "label")
+    val r = RankEval.expectedCalibrationError(
+      RankEval.calibrationCells(preds, labels, "id", "score", "label", 2))
+      .collect()(0)
+    assert(r.getAs[Double]("ece") === 0.0)
+    assert(r.getAs[Double]("mce") === 0.0)
+    assert(r.getAs[Double]("brier_rel") === 0.0)
+  }
+
+  test("calibration: fold == rebuild over the mergeable cell state; empty -> NULL") {
+    val preds = Seq((1L, 0.1), (2L, 0.3), (3L, 0.6), (4L, 0.9), (5L, 0.25))
+      .toDF("id", "score")
+    val labels = Seq((1L, false), (2L, true), (3L, true), (4L, true), (5L, false))
+      .toDF("id", "label")
+    def cellsOf(p: org.apache.spark.sql.DataFrame) =
+      RankEval.calibrationCells(p, labels, "id", "score", "label", 4)
+    val folded = RankEval.mergeCalibrationCells(
+      cellsOf(preds.filter($"id" % 2 === 0)), cellsOf(preds.filter($"id" % 2 === 1)))
+    val a = RankEval.expectedCalibrationError(folded).collect()(0)
+    val b = RankEval.expectedCalibrationError(cellsOf(preds)).collect()(0)
+    assert(a.getAs[Double]("ece") === b.getAs[Double]("ece"))
+    assert(a.getAs[Double]("brier_binned") === b.getAs[Double]("brier_binned"))
+    val empty = RankEval.expectedCalibrationError(
+      cellsOf(preds.filter($"id" > 100))).collect()(0)
+    assert(empty.isNullAt(empty.fieldIndex("ece")))
+  }
+
+  test("hosmerLemeshow: hand golden chi2 = 4/3; degenerate buckets counted not absorbed") {
+    val cells = Seq(
+      (0L, 2L, 1L, BigDecimal(500000000L)),
+      (1L, 2L, 2L, BigDecimal(1500000000L)),
+      (2L, 4L, 1L, BigDecimal(1000000000L)),
+      (3L, 2L, 0L, BigDecimal(0L))) // E = 0: degenerate
+      .toDF("bucket", "n", "n_pos", "s9")
+      .withColumn("s9", col("s9").cast("decimal(38,0)"))
+    val r = RankEval.hosmerLemeshow(cells).collect()(0)
+    assert(r.getAs[Long]("n_total") === 10L)
+    assert(r.getAs[Long]("n_bins_used") === 3L)
+    assert(r.getAs[Long]("n_degenerate") === 1L)
+    assert(r.getAs[Long]("df") === 1L)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0 / 3.0) < 1e-8)
+  }
+
+  test("hosmerLemeshow: fewer than 3 usable buckets -> NULL chi2 (df <= 0)") {
+    val cells = Seq((0L, 2L, 1L, BigDecimal(500000000L)),
+      (1L, 2L, 2L, BigDecimal(1500000000L)))
+      .toDF("bucket", "n", "n_pos", "s9")
+      .withColumn("s9", col("s9").cast("decimal(38,0)"))
+    val r = RankEval.hosmerLemeshow(cells).collect()(0)
+    assert(r.getAs[Long]("n_bins_used") === 2L)
+    assert(r.isNullAt(r.fieldIndex("chi2")) && r.isNullAt(r.fieldIndex("df")))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

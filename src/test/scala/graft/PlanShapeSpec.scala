@@ -734,7 +734,14 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // JT: one cells agg + the bounded cell pair join; the Single
     // exchanges are the three bookkeeping folds over cell-bounded frames
-    Shape("q308_jonckheere", maxHash = 6, maxRange = 3, forbidUdf = true)
+    Shape("q308_jonckheere", maxHash = 6, maxRange = 3, forbidUdf = true),
+    // calibration: the id-keyed pred⋈label join + ONE cell agg; the
+    // panel/test run on the ≤ nBuckets+2-row frame
+    Shape("q309_ece", maxHash = 4, maxRange = 2, forbidUdf = true),
+    Shape("q310_hosmer_lemeshow", maxHash = 4, maxRange = 2, forbidUdf = true),
+    // from-store: three batch cell aggs + merges feeding the same panel
+    Shape("q311_calibration_from_store", maxHash = 12, maxRange = 2,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

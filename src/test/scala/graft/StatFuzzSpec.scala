@@ -1358,6 +1358,64 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- calibration -------------------------------------------------------
+
+  test("fuzz: ECE/Brier decomposition/HL vs the naive binned loop + the Murphy identity") {
+    import graft.operators.RankEval
+    for (t <- 1 to Trials) {
+      val r = rng("calib", t)
+      val nB = 4 + r.nextInt(8)
+      val rows = Seq.fill(30 + r.nextInt(100))(
+        (r.nextDouble(), r.nextInt(2) == 1))
+      // naive: replicate the binning, then the published formulas
+      val binned = rows.groupBy { case (s, _) =>
+        if (s < 0) -1L else if (s >= 1) nB.toLong else math.floor(s * nB).toLong
+      }
+      val n = rows.size.toDouble
+      val p = rows.count(_._2).toDouble
+      val cells = binned.map { case (_, xs) =>
+        val nb = xs.size.toDouble
+        val np = xs.count(_._2).toDouble
+        // the operator nano-lands each score before summing
+        val s9 = xs.map(x => math.round(x._1 * 1e9)).sum.toDouble
+        (nb, np, s9 / 1e9)
+      }.toSeq
+      val ece = cells.map { case (nb, np, s) => math.abs(np - s) }.sum / n
+      val mce = cells.map { case (nb, np, s) => math.abs(np - s) / nb }.max
+      val rel = cells.map { case (nb, np, s) =>
+        (np - s) * (np - s) / nb }.sum / n
+      val res = cells.map { case (nb, np, _) =>
+        nb * (np / nb - p / n) * (np / nb - p / n) }.sum / n
+      val unc = p / n * (1 - p / n)
+      // HL on the same cells
+      val usable = cells.filter { case (nb, _, s) => s > 0 && s < nb }
+      val hl = if (usable.size >= 3)
+        Some(usable.map { case (nb, np, s) =>
+          (np - s) * (np - s) * nb / (s * (nb - s)) }.sum) else None
+      val preds = rows.zipWithIndex.map { case ((s, _), i) => (i.toLong, s) }
+        .toDF("id", "score")
+      val labels = rows.zipWithIndex.map { case ((_, y), i) => (i.toLong, y) }
+        .toDF("id", "label")
+      val cellsDf = RankEval.calibrationCells(preds, labels, "id", "score",
+        "label", nB)
+      val e = RankEval.expectedCalibrationError(cellsDf).collect()(0)
+      approx(e.getAs[Double]("ece"), ece, s"calib ece trial $t")
+      approx(e.getAs[Double]("mce"), mce, s"calib mce trial $t")
+      approx(e.getAs[Double]("brier_rel"), rel, s"calib rel trial $t")
+      approx(e.getAs[Double]("brier_res"), res, s"calib res trial $t")
+      approx(e.getAs[Double]("brier_unc"), unc, s"calib unc trial $t")
+      // the Murphy identity: REL − RES + UNC == the Brier score of
+      // predicting each bucket's mean confidence — an independent route
+      val brierDirect = cells.map { case (nb, np, s) =>
+        val conf = s / nb
+        np * (conf - 1) * (conf - 1) + (nb - np) * conf * conf
+      }.sum / n
+      approx(e.getAs[Double]("brier_binned"), brierDirect, s"calib murphy trial $t")
+      val h = RankEval.hosmerLemeshow(cellsDf).collect()(0)
+      approxOpt(optDouble(h, "chi2"), hl, s"calib hl trial $t")
+    }
+  }
+
   test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
     // J = U and the Kendall-form variance reduces to MW's tie-corrected
     // variance — a formula-level identity neither implementation shares
