@@ -321,7 +321,9 @@ object SparkEntry {
     "q308_jonckheere" -> (CoreQueries.q308Jonckheere(_, _)),
     "q309_ece" -> (CoreQueries.q309Ece(_, _)),
     "q310_hosmer_lemeshow" -> (CoreQueries.q310HosmerLemeshow(_, _)),
-    "q311_calibration_from_store" -> (CoreQueries.q311CalibrationFromStore(_, _))
+    "q311_calibration_from_store" -> (CoreQueries.q311CalibrationFromStore(_, _)),
+    "q312_concordance" -> (CoreQueries.q312Concordance(_, _)),
+    "q313_concordance_from_store" -> (CoreQueries.q313ConcordanceFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -446,7 +448,9 @@ object SparkEntry {
     "q308_jonckheere" -> jonckheereOracle,
     "q309_ece" -> eceOracle,
     "q310_hosmer_lemeshow" -> hosmerLemeshowOracle,
-    "q311_calibration_from_store" -> eceOracle)
+    "q311_calibration_from_store" -> eceOracle,
+    "q312_concordance" -> concordanceOracle,
+    "q313_concordance_from_store" -> concordanceOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1781,6 +1785,44 @@ object SparkEntry {
       |  CASE WHEN n_bins_used >= 3
       |    THEN round(CAST(chi9 AS DOUBLE) / 1e9, 9) END AS chi2
       |FROM s""".stripMargin
+
+  /** q312/q313 oracle: [[graft.operators.Survival.concordanceFromCells]]
+    * replayed — the survival subjects, 16-bucket risk cells, the dense
+    * (score × duration) grid with the duration-suffix "outlived" window
+    * and the score-prefix dominance split, exact HUGEINT pair counts, C
+    * one division. q313's fold merges to identical cells (shared
+    * verbatim).
+    */
+  private lazy val concordanceOracle: String =
+    s"""$SurvivalSubjCte,
+      |cc AS (SELECT user_id % 16 AS s, t,
+      |    CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2),
+      |su AS (SELECT DISTINCT s FROM cc),
+      |tu AS (SELECT DISTINCT t FROM cc),
+      |f AS (SELECT su.s, tu.t, coalesce(cc.d, 0) AS d, coalesce(cc.c, 0) AS c
+      |  FROM su CROSS JOIN tu LEFT JOIN cc ON su.s = cc.s AND tu.t = cc.t),
+      |o AS (SELECT *, coalesce(sum(d + c) OVER (PARTITION BY s ORDER BY t
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) + c AS outl
+      |  FROM f),
+      |sp AS (SELECT *,
+      |    coalesce(sum(outl) OVER (PARTITION BY t ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lowr,
+      |    sum(outl) OVER (PARTITION BY t) AS tot
+      |  FROM o),
+      |ag AS (SELECT
+      |    sum(CAST(d AS HUGEINT) * lowr) AS conc,
+      |    sum(CAST(d AS HUGEINT) * (tot - lowr - outl)) AS disc,
+      |    sum(CAST(d AS HUGEINT) * outl) AS tied
+      |  FROM sp)
+      |SELECT CAST(conc AS VARCHAR) AS concordant,
+      |  CAST(disc AS VARCHAR) AS discordant,
+      |  CAST(tied AS VARCHAR) AS tied_score,
+      |  CAST(conc + disc + tied AS VARCHAR) AS n_comparable,
+      |  CASE WHEN conc + disc + tied > 0 THEN
+      |    round(CAST(2 * conc + tied AS DOUBLE) /
+      |      CAST(2 * (conc + disc + tied) AS DOUBLE), 9) END AS c_index
+      |FROM ag""".stripMargin
 
   /** q293 oracle: [[graft.quality.Association.pageTrend]] replayed —
     * the three planted scorer versions, per-block doubled midranks,

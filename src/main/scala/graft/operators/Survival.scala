@@ -532,6 +532,123 @@ object Survival {
         col("n_event") :+ col("survival") :+ col("cif"): _*)
   }
 
+  /** Per-(keys, score-bucket, duration) event/censor counts — the
+    * mergeable state behind [[concordanceFromCells]]: score cardinality
+    * × duration cardinality is the store bound (bucket continuous
+    * scores first — the q210 discipline; a near-unique score column
+    * makes the grid rows², which is the contract violation, not a slow
+    * path). Additive; [[mergeConcordanceCells]] folds disjoint subjects.
+    */
+  def concordanceCells(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      durationCol: String,
+      eventCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val s = col(scoreCol).cast("long")
+    val dur = col(durationCol).cast("long")
+    val ev = col(eventCol).cast("long")
+    df.filter(s.isNotNull && dur.isNotNull && ev.isNotNull)
+      .groupBy(g :+ s.as("s") :+ dur.as("t"): _*)
+      .agg(
+        sum(when(ev =!= 0L, 1L).otherwise(0L)).as("n_event"),
+        sum(when(ev =!= 0L, 0L).otherwise(1L)).as("n_censored"))
+  }
+
+  /** Fold two [[concordanceCells]] frames over disjoint subjects. */
+  def mergeConcordanceCells(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keyCols.map(col) :+ col("s") :+ col("t"): _*)
+      .agg(sum("n_event").as("n_event"), sum("n_censored").as("n_censored"))
+
+  /** Harrell's concordance index (Harrell et al. 1982) from a (folded)
+    * [[concordanceCells]] frame — does a RISK SCORE predict censored
+    * lifetime: over comparable subject pairs, the fraction where the
+    * earlier-failing subject carried the HIGHER score. The
+    * censoring-aware AUC — [[graft.operators.RankEval.auc]] on survival
+    * data silently treats censored subjects as real lifetimes and
+    * biases the ranking read; C uses exactly the pairs censoring leaves
+    * decidable. Conventions (Harrell classic, the scikit-survival
+    * rules, stated): pair (i, j) is COMPARABLE iff i has an event and j
+    * outlives it — t_j > t_i, or t_j = t_i with j censored
+    * (events-before-censors, the [[kaplanMeier]] convention); two
+    * events at the SAME time are not comparable; score ties among
+    * comparable pairs count ½ (the [[graft.operators.RankEval.auc]]
+    * tie rule). C = (concordant + ½·tied)/comparable.
+    *
+    * Exactness: all pair counts are EXACT DECIMAL integers — never pair
+    * enumeration: on the dense (score × duration) grid, "outlived
+    * (s, t)" is one duration-suffix window per score, and the
+    * lower/higher-score splits are one score-prefix window per duration
+    * (the 2D dominance count); concordant/discordant/tied are
+    * Σ d_{s,t}·split products. C is ONE division of exact integers
+    * (2·conc + tied over 2·comparable), NULL when no pair is comparable.
+    *
+    * SCALE: one counting aggregation over subjects; the grid is
+    * (score-cardinality × duration-cardinality) with windows over its
+    * bounded rows and columns — never a per-subject sort, never pairs².
+    */
+  def concordanceFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val dec = "decimal(38,0)"
+    val sUni = cells.select(g :+ col("s"): _*).distinct()
+    val tUni = cells.select(g :+ col("t"): _*).distinct()
+    val grid =
+      if (keyCols.isEmpty) sUni.crossJoin(tUni)
+      else sUni.join(tUni, keyCols)
+    val full = grid.join(cells, keyCols ++ Seq("s", "t"), "left_outer")
+      .na.fill(0L, Seq("n_event", "n_censored"))
+    val wSuf = Window.partitionBy(g :+ col("s"): _*).orderBy(col("t"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wLower = Window.partitionBy(g :+ col("t"): _*).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAllS = Window.partitionBy(g :+ col("t"): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withOut = full
+      // subjects of score s that OUTLIVE an event at t: later durations
+      // plus the censored-at-t (events-before-censors)
+      .withColumn("__out",
+        coalesce(sum(col("n_event") + col("n_censored")).over(wSuf), lit(0L)) +
+          col("n_censored"))
+    val split = withOut
+      .withColumn("__lower", coalesce(sum(col("__out")).over(wLower), lit(0L)))
+      .withColumn("__totOut", sum(col("__out")).over(wAllS))
+      .withColumn("__higher", col("__totOut") - col("__lower") - col("__out"))
+    def grouped(d: DataFrame) =
+      if (keyCols.isEmpty) d.groupBy() else d.groupBy(g: _*)
+    val dd = col("n_event").cast(dec)
+    val agg = grouped(split)
+      .agg(
+        sum(dd * col("__lower").cast(dec)).as("__conc"),
+        sum(dd * col("__higher").cast(dec)).as("__disc"),
+        sum(dd * col("__out").cast(dec)).as("__tied"))
+    val comparable = col("__conc") + col("__disc") + col("__tied")
+    agg
+      .withColumn("concordant", col("__conc").cast("string"))
+      .withColumn("discordant", col("__disc").cast("string"))
+      .withColumn("tied_score", col("__tied").cast("string"))
+      .withColumn("n_comparable", comparable.cast("string"))
+      .withColumn("c_index",
+        when(comparable > lit(0L).cast(dec),
+          (lit(2L).cast(dec) * col("__conc") + col("__tied")).cast("double") /
+            (lit(2L).cast(dec) * comparable).cast("double")))
+      .select(g :+ col("concordant") :+ col("discordant") :+
+        col("tied_score") :+ col("n_comparable") :+ col("c_index"): _*)
+  }
+
+  /** [[concordanceFromCells]] over raw subjects. */
+  def concordance(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      durationCol: String,
+      eventCol: String
+  ): DataFrame =
+    concordanceFromCells(
+      concordanceCells(df, keyCols, scoreCol, durationCol, eventCol), keyCols)
+
   /** Median survival time — the smallest duration with S(t) ≤ 1/2,
     * read off a [[kaplanMeier]] frame: one filtered min per key set
     * (NULL when the curve never crosses — more than half the cohort

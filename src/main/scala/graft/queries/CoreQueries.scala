@@ -3184,6 +3184,37 @@ object CoreQueries {
         round(col("brier_binned"), 9).as("brier_binned"))
   }
 
+  /** Concordance gate: does a 16-bucket risk score predict the censored
+    * time-to-purchase — Harrell's C from the (score × duration) cell
+    * grid, exact pair counts via the 2D dominance windows, C one
+    * division.
+    */
+  def q312Concordance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("risk", col("user_id") % 16)
+    Survival.concordance(subj, Nil, "risk", "duration", "event")
+      .select(col("concordant"), col("discordant"), col("tied_score"),
+        col("n_comparable"), round(col("c_index"), 9).as("c_index"))
+  }
+
+  /** Concordance-from-store gate: the q312 cells folded in three
+    * disjoint user batches — fold == rebuild under the q312 oracle
+    * verbatim; the censoring-aware score eval as a standing read.
+    */
+  def q313ConcordanceFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("risk", col("user_id") % 16)
+    def batch(i: Int) = Survival.concordanceCells(
+      subj.filter(col("user_id") % 3 === i), Nil, "risk", "duration", "event")
+    val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
+      Survival.mergeConcordanceCells(acc, batch(i), Nil))
+    Survival.concordanceFromCells(folded, Nil)
+      .select(col("concordant"), col("discordant"), col("tied_score"),
+        col("n_comparable"), round(col("c_index"), 9).as("c_index"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

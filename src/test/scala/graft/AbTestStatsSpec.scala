@@ -278,6 +278,36 @@ class AbTestStatsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("chi2")) && r.isNullAt(r.fieldIndex("df")))
   }
 
+  // --- Harrell's C -----------------------------------------------------
+
+  import graft.operators.Survival
+
+  test("concordance: hand golden — conc 2, tied 1, C = 5/6") {
+    // A(s3,t2,ev) outlived by B(s1,t4,ev) conc, C(s2,t3,cens) conc,
+    // D(s3,t2,cens-at-event-time) tied; B's event at t4 has no outliver
+    val subj = Seq((3L, 2L, 1L), (1L, 4L, 1L), (2L, 3L, 0L), (3L, 2L, 0L))
+      .toDF("risk", "dur", "ev")
+    val r = Survival.concordance(subj, Nil, "risk", "dur", "ev").collect()(0)
+    assert(r.getAs[String]("concordant") === "2")
+    assert(r.getAs[String]("discordant") === "0")
+    assert(r.getAs[String]("tied_score") === "1")
+    assert(r.getAs[String]("n_comparable") === "3")
+    assert(math.abs(r.getAs[Double]("c_index") - 5.0 / 6.0) < 1e-12)
+  }
+
+  test("concordance: all censored -> no comparable pair, NULL C") {
+    val subj = Seq((1L, 2L, 0L), (2L, 3L, 0L)).toDF("risk", "dur", "ev")
+    val r = Survival.concordance(subj, Nil, "risk", "dur", "ev").collect()(0)
+    assert(r.getAs[String]("n_comparable") === "0")
+    assert(r.isNullAt(r.fieldIndex("c_index")))
+  }
+
+  test("concordance: tied event times are NOT comparable (the Harrell rule)") {
+    val subj = Seq((1L, 5L, 1L), (9L, 5L, 1L)).toDF("risk", "dur", "ev")
+    val r = Survival.concordance(subj, Nil, "risk", "dur", "ev").collect()(0)
+    assert(r.getAs[String]("n_comparable") === "0")
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -741,6 +741,13 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q310_hosmer_lemeshow", maxHash = 4, maxRange = 2, forbidUdf = true),
     // from-store: three batch cell aggs + merges feeding the same panel
     Shape("q311_calibration_from_store", maxHash = 12, maxRange = 2,
+      forbidUdf = true),
+    // Harrell's C: per-user race agg + (s, t) cells + the dense-grid
+    // dominance windows (exchanges on s then t, bounded frames)
+    Shape("q312_concordance", maxHash = 9, maxRange = 3, forbidUdf = true),
+    // 18 = three batch arms each re-deriving the per-user race agg +
+    // cell agg, plus merges and the grid windows (the q301 reading)
+    Shape("q313_concordance_from_store", maxHash = 18, maxRange = 3,
       forbidUdf = true)
   )
 

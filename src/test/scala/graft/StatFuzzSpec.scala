@@ -1416,6 +1416,40 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Harrell's C ---------------------------------------------------------
+
+  test("fuzz: Harrell's C vs the naive pair loop, plus the score-flip symmetry") {
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("cindex", t)
+      val subs = Seq.fill(15 + r.nextInt(60))(
+        (r.nextInt(8).toLong, 1L + r.nextInt(12).toLong, r.nextInt(2).toLong))
+      var conc = 0L; var disc = 0L; var tied = 0L
+      for ((si, ti, ei) <- subs if ei == 1L; (sj, tj, ej) <- subs) {
+        val outlives = tj > ti || (tj == ti && ej == 0L)
+        if (outlives) {
+          if (si > sj) conc += 1 else if (si == sj) tied += 1 else disc += 1
+        }
+      }
+      val cNaive = if (conc + disc + tied > 0)
+        Some((2.0 * conc + tied) / (2.0 * (conc + disc + tied))) else None
+      val df = subs.toDF("risk", "dur", "ev")
+      val row = Survival.concordance(df, Nil, "risk", "dur", "ev").collect()(0)
+      assert(row.getAs[String]("concordant").toLong === conc, s"cidx conc trial $t")
+      assert(row.getAs[String]("discordant").toLong === disc, s"cidx disc trial $t")
+      assert(row.getAs[String]("tied_score").toLong === tied, s"cidx tied trial $t")
+      approxOpt(optDouble(row, "c_index"), cNaive, s"cidx C trial $t")
+      // flipping the score's sign swaps conc/disc: C' = 1 − C exactly
+      val flipped = Survival.concordance(
+        df.withColumn("risk", -col("risk")), Nil, "risk", "dur", "ev").collect()(0)
+      (optDouble(row, "c_index"), optDouble(flipped, "c_index")) match {
+        case (Some(a), Some(b)) => approx(b, 1.0 - a, s"cidx flip trial $t")
+        case (None, None)       => ()
+        case other => fail(s"cidx flip null mismatch: $other trial $t")
+      }
+    }
+  }
+
   test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
     // J = U and the Kendall-form variance reduces to MW's tie-corrected
     // variance — a formula-level identity neither implementation shares
