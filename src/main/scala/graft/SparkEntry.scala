@@ -323,7 +323,9 @@ object SparkEntry {
     "q310_hosmer_lemeshow" -> (CoreQueries.q310HosmerLemeshow(_, _)),
     "q311_calibration_from_store" -> (CoreQueries.q311CalibrationFromStore(_, _)),
     "q312_concordance" -> (CoreQueries.q312Concordance(_, _)),
-    "q313_concordance_from_store" -> (CoreQueries.q313ConcordanceFromStore(_, _))
+    "q313_concordance_from_store" -> (CoreQueries.q313ConcordanceFromStore(_, _)),
+    "q314_always_valid_ci" -> (CoreQueries.q314AlwaysValidCi(_, _)),
+    "q315_chapman" -> (CoreQueries.q315Chapman(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -450,7 +452,9 @@ object SparkEntry {
     "q310_hosmer_lemeshow" -> hosmerLemeshowOracle,
     "q311_calibration_from_store" -> eceOracle,
     "q312_concordance" -> concordanceOracle,
-    "q313_concordance_from_store" -> concordanceOracle)
+    "q313_concordance_from_store" -> concordanceOracle,
+    "q314_always_valid_ci" -> alwaysValidCiOracle,
+    "q315_chapman" -> chapmanOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2454,6 +2458,83 @@ object SparkEntry {
       |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
       |  coalesce(best9 >= 2995732274, false) AS reject
       |FROM b ORDER BY peek""".stripMargin
+
+  /** q314 oracle: [[graft.quality.SequentialTests.alwaysValidCiMean]]
+    * replayed — the q300 cumulative moment CTEs, then the CI radius
+    * √(V(V+τ²)/τ²·ln((V+τ²)/(α²V))) in the Spark dag's float order
+    * (τ² = 1, α = 0.05).
+    */
+  private lazy val alwaysValidCiOracle: String =
+    """WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CAST(floor(value) AS BIGINT) AS m
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN ev_even THEN m ELSE 0 END) AS HUGEINT) AS bs1,
+      |    CAST(sum(CASE WHEN ev_even THEN m * m ELSE 0 END) AS HUGEINT) AS bq1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN m ELSE 0 END) AS HUGEINT) AS bs2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN m * m ELSE 0 END) AS HUGEINT) AS bq2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS HUGEINT) AS s1,
+      |    CAST(sum(bq1) OVER w AS HUGEINT) AS q1,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS HUGEINT) AS s2,
+      |    CAST(sum(bq2) OVER w AS HUGEINT) AS q2
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    n_lo * q1 - s1 * s1 AS v1n, n_hi * q2 - s2 * s2 AS v2n,
+      |    CAST(s1 * n_hi - s2 * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    CAST(v1n AS DOUBLE) / (CAST(n_lo AS DOUBLE) * CAST(n_lo AS DOUBLE) *
+      |      (CAST(n_lo AS DOUBLE) - 1.0)) +
+      |    CAST(v2n AS DOUBLE) / (CAST(n_hi AS DOUBLE) * CAST(n_hi AS DOUBLE) *
+      |      (CAST(n_hi AS DOUBLE) - 1.0)) AS vv,
+      |    n_lo >= 2 AND n_hi >= 2 AND (v1n + v2n) > 0 AS usable
+      |  FROM t),
+      |r AS (SELECT *,
+      |    sqrt(vv * (vv + 1.0) / 1.0 * ln((vv + 1.0) / (0.05 * 0.05 * vv))) AS radius
+      |  FROM v)
+      |SELECT peek, n_lo, n_hi,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta,
+      |  CASE WHEN usable THEN round(radius, 9) END AS radius,
+      |  CASE WHEN usable THEN round(delta - radius, 9) END AS ci_lo,
+      |  CASE WHEN usable THEN round(delta + radius, 9) END AS ci_hi
+      |FROM r ORDER BY peek""".stripMargin
+
+  /** q315 oracle: [[graft.quality.Profiler.chapmanEstimate]] replayed —
+    * exact detector quadrant counts, the bias-corrected N̂ and variance
+    * single divisions.
+    */
+  private lazy val chapmanOracle: String =
+    """WITH d AS (SELECT
+      |    n_chars % 3 = 0 AS fa,
+      |    regexp_matches(text, '[0-9]') AS fb
+      |  FROM documents),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |    CAST(sum(CASE WHEN fa OR fb THEN 1 ELSE 0 END) AS BIGINT) AS n_either
+      |  FROM d WHERE fa IS NOT NULL AND fb IS NOT NULL),
+      |e AS (SELECT *,
+      |    CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) AS DOUBLE) /
+      |      CAST(n_both + 1 AS DOUBLE) - 1.0 AS n_hat,
+      |    sqrt(CAST(CAST(n_a + 1 AS HUGEINT) * (n_b + 1) * (n_a - n_both) *
+      |        (n_b - n_both) AS DOUBLE) /
+      |      CAST(CAST(n_both + 1 AS HUGEINT) * (n_both + 1) * (n_both + 2)
+      |        AS DOUBLE)) AS se_hat
+      |  FROM c)
+      |SELECT n_a, n_b, n_both, n_either,
+      |  round(n_hat, 9) AS n_hat, round(se_hat, 9) AS se_hat,
+      |  round(n_hat - CAST(n_either AS DOUBLE), 9) AS missed_hat
+      |FROM e""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

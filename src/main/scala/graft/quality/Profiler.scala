@@ -1172,6 +1172,59 @@ object Profiler {
       .select(col("n_base"), col("n_cur"), col("n_bins"), col("a2"))
   }
 
+  /** Chapman capture–recapture estimate (Chapman 1951; the
+    * bias-corrected Lincoln–Petersen): how many duplicates (or any
+    * defect) exist IN TOTAL — including the ones every detector missed
+    * — from two INDEPENDENT detectors' catches on the same corpus: with
+    * n_a caught by A, n_b by B and m by both,
+    *
+    *   N̂ = (n_a+1)(n_b+1)/(m+1) − 1
+    *   var̂ = (n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2))
+    *
+    * The pipeline read: run MinHash and SimHash dup detection on the
+    * same sample; the overlap calibrates the residual-duplicate rate
+    * the union still misses (missed_hat = N̂ − n_either — the number
+    * that actually prices a third pass). ASSUMPTION (stated, it is the
+    * method's): detectors independent with homogeneous catchability —
+    * two near-identical detectors violate it and N̂ collapses toward
+    * the union. Determinism: the four counts are exact longs from ONE
+    * counting aggregation; N̂ and var̂ are single divisions of exact
+    * DECIMAL products (Chapman's +1s keep every denominator positive —
+    * no m = 0 special case), gated at 9dp. One row per key set.
+    */
+  def chapmanEstimate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      flagACol: String,
+      flagBCol: String
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val a = col(flagACol).cast("boolean"); val b = col(flagBCol).cast("boolean")
+    def grouped(d: DataFrame) =
+      if (keyCols.isEmpty) d.groupBy() else d.groupBy(g: _*)
+    val counts = grouped(df.filter(a.isNotNull && b.isNotNull))
+      .agg(
+        coalesce(sum(when(a, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(b, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(a && b, 1L).otherwise(0L)), lit(0L)).as("n_both"),
+        coalesce(sum(when(a || b, 1L).otherwise(0L)), lit(0L)).as("n_either"))
+    val na1 = (col("n_a") + 1L).cast(dec); val nb1 = (col("n_b") + 1L).cast(dec)
+    val m1 = (col("n_both") + 1L).cast(dec)
+    val nHat = (na1 * nb1).cast("double") / m1.cast("double") - lit(1d)
+    val varNum = na1 * nb1 * (col("n_a") - col("n_both")).cast(dec) *
+      (col("n_b") - col("n_both")).cast(dec)
+    val varDen = m1 * m1 * (col("n_both") + 2L).cast(dec)
+    val se = sqrt(varNum.cast("double") / varDen.cast("double"))
+    counts
+      .withColumn("n_hat", nHat)
+      .withColumn("se_hat", se)
+      .withColumn("missed_hat", nHat - col("n_either").cast("double"))
+      .select(g :+ col("n_a") :+ col("n_b") :+ col("n_both") :+
+        col("n_either") :+ col("n_hat") :+ col("se_hat") :+
+        col("missed_hat"): _*)
+  }
+
   /** Metric drift between two profile snapshots (e.g. yesterday's load vs
     * today's) — the monitoring half of profiling: a profile is only useful
     * when something compares it against the last one. Numeric metrics get

@@ -121,6 +121,68 @@ object SequentialTests {
         col("p_always_valid") :+ col("reject"): _*)
   }
 
+  /** The ALWAYS-VALID CONFIDENCE SEQUENCE dual of [[msprtMean]] (Johari
+    * et al.'s CI inversion): the set of effects δ₀ the mixture test
+    * does NOT reject at peek n,
+    *
+    *   CI_n = Δ̂_n ± √( V(V+τ²)/τ² · ln((V+τ²)/(α²·V)) )
+    *
+    * (from Λ_n(δ₀) ≥ 1/α solved for |Δ̂ − δ₀|; the 2·ln(1/α) and the
+    * mixture's ½·ln((V+τ²)/V) fold into one log). Coverage is
+    * SIMULTANEOUS: P(∃n: δ ∉ CI_n) ≤ α at any stopping rule — the CI a
+    * dashboard can show at every fold version without peeking penalty.
+    * By construction 0 ∉ CI_n exactly when the peek's own ln Λ clears
+    * the ln(1/α) boundary — the reject/CI duality is spec-asserted
+    * against [[msprtMean]] per peek. Emits per (keys, peek): cumulative
+    * n per arm, delta, radius, ci_lo/ci_hi (NULL on unusable peeks —
+    * the [[msprtMean]] rule). Determinism: same exact cumulative
+    * moments; radius is one fixed dag over them, gated at 9dp.
+    */
+  def alwaysValidCiMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      n1Col: String, s1Col: String, q1Col: String,
+      n2Col: String, s2Col: String, q2Col: String,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(tau2 > 0d, s"tau2 must be positive: $tau2")
+    require(alpha > 0d && alpha < 1d, s"alpha must be in (0,1): $alpha")
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(n1Col).cast("long").as("__dn1") :+
+        col(s1Col).cast(dec).as("__ds1") :+ col(q1Col).cast(dec).as("__dq1") :+
+        col(n2Col).cast("long").as("__dn2") :+
+        col(s2Col).cast(dec).as("__ds2") :+ col(q2Col).cast(dec).as("__dq2"): _*)
+      .withColumn("n_lo", sum("__dn1").over(wCum))
+      .withColumn("__s1", sum("__ds1").over(wCum))
+      .withColumn("__q1", sum("__dq1").over(wCum))
+      .withColumn("n_hi", sum("__dn2").over(wCum))
+      .withColumn("__s2", sum("__ds2").over(wCum))
+      .withColumn("__q2", sum("__dq2").over(wCum))
+    val n1D = col("n_lo").cast(dec); val n2D = col("n_hi").cast(dec)
+    val n1 = col("n_lo").cast("double"); val n2 = col("n_hi").cast("double")
+    val v1 = n1D * col("__q1") - col("__s1") * col("__s1")
+    val v2 = n2D * col("__q2") - col("__s2") * col("__s2")
+    val delta = (col("__s1") * n2D - col("__s2") * n1D).cast("double") / (n1 * n2)
+    val v = v1.cast("double") / (n1 * n1 * (n1 - 1d)) +
+      v2.cast("double") / (n2 * n2 * (n2 - 1d))
+    val t2 = lit(tau2)
+    val radius = sqrt(v * (v + t2) / t2 *
+      log((v + t2) / (lit(alpha) * lit(alpha) * v)))
+    val usable = col("n_lo") >= 2L && col("n_hi") >= 2L && (v1 + v2) > 0L
+    cum
+      .withColumn("delta", when(usable, delta))
+      .withColumn("radius", when(usable, radius))
+      .withColumn("ci_lo", when(usable, delta - radius))
+      .withColumn("ci_hi", when(usable, delta + radius))
+      .select(g :+ col("peek") :+ col("n_lo") :+ col("n_hi") :+ col("delta") :+
+        col("radius") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
   /** mSPRT for a MEAN drift/A/B from incremental moment state: one row
     * per (keys, peek) with that batch's count / Σy / Σy² per arm (exact
     * — y long by the [[graft.quality.Association.welchT]] contract).

@@ -3215,6 +3215,51 @@ object CoreQueries {
         col("n_comparable"), round(col("c_index"), 9).as("c_index"))
   }
 
+  /** Always-valid CI gate: the q300 mean monitor's confidence-sequence
+    * dual — per peek the mSPRT-inverted interval Δ̂ ± √(V(V+τ²)/τ² ·
+    * ln((V+τ²)/(α²V))), simultaneously valid at every peek.
+    */
+  def q314AlwaysValidCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("event_id") % 12).as("peek"),
+        (col("user_id") % 2 === 0).as("__even"),
+        floor(col("value")).cast("long").as("__m"))
+    val incr = ev.groupBy("peek").agg(
+      sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__even"), col("__m")).otherwise(0L)).as("s1"),
+      sum(when(col("__even"), col("__m") * col("__m")).otherwise(0L)).as("q1"),
+      sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("__even"), col("__m")).otherwise(0L)).as("s2"),
+      sum(when(!col("__even"), col("__m") * col("__m")).otherwise(0L)).as("q2"))
+    SequentialTests.alwaysValidCiMean(incr, Nil, "peek",
+        "n1", "s1", "q1", "n2", "s2", "q2", tau2 = 1.0d, alpha = 0.05d)
+      .select(col("peek"), col("n_lo"), col("n_hi"),
+        round(col("delta"), 9).as("delta"),
+        round(col("radius"), 9).as("radius"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+      .orderBy("peek")
+  }
+
+  /** Chapman capture–recapture gate: two deterministic "dup detectors"
+    * over the same documents — exact quadrant counts, the
+    * bias-corrected N̂/se single divisions, and the residual-miss
+    * estimate the union still owes.
+    */
+  def q315Chapman(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val d = Tables.documents(s, dir)
+      .withColumn("det_a", col("n_chars") % 3 === 0)
+      .withColumn("det_b", col("text").rlike("[0-9]"))
+    Profiler.chapmanEstimate(d, Nil, "det_a", "det_b")
+      .select(col("n_a"), col("n_b"), col("n_both"), col("n_either"),
+        round(col("n_hat"), 9).as("n_hat"),
+        round(col("se_hat"), 9).as("se_hat"),
+        round(col("missed_hat"), 9).as("missed_hat"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

@@ -308,6 +308,61 @@ class AbTestStatsSpec extends SparkSpec {
     assert(r.getAs[String]("n_comparable") === "0")
   }
 
+  // --- always-valid CI / Chapman ------------------------------------------
+
+  test("alwaysValidCiMean: radius matches the closed form on a hand fixture") {
+    import graft.quality.SequentialTests
+    // one peek: arm1 = {1,3} (n=2, s=4, q=10), arm2 = {2,6} (n=2, s=8, q=40)
+    val incr = Seq((1L, 2L, 4L, 10L, 2L, 8L, 40L))
+      .toDF("peek", "n1", "s1", "q1", "n2", "s2", "q2")
+    val r = SequentialTests.alwaysValidCiMean(incr, Nil, "peek",
+      "n1", "s1", "q1", "n2", "s2", "q2", tau2 = 1.0, alpha = 0.05).collect()(0)
+    // delta = 2 − 4 = −2; v = s1²/.. : var1 = (2·10−16)/(2·1)=2 → /2 = 1
+    // var2 = (2·40−64)/2 = 8 → /2 = 4; v = 1 + 4 = 5
+    val v = 5.0
+    val radius = math.sqrt(v * (v + 1) / 1.0 * math.log((v + 1) / (0.05 * 0.05 * v)))
+    assert(math.abs(r.getAs[Double]("delta") + 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("radius") - radius) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_lo") - (-2.0 - radius)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_hi") - (-2.0 + radius)) < 1e-9)
+  }
+
+  test("alwaysValidCiMean: unusable peeks (n < 2 or zero variance) carry NULL CI") {
+    import graft.quality.SequentialTests
+    val incr = Seq((1L, 1L, 4L, 16L, 2L, 8L, 40L), // arm1 n=1
+      (2L, 1L, 4L, 16L, 0L, 0L, 0L)) // cumulative: arm1 {4,4} zero var? no: arm2 var
+      .toDF("peek", "n1", "s1", "q1", "n2", "s2", "q2")
+    val out = SequentialTests.alwaysValidCiMean(incr, Nil, "peek",
+      "n1", "s1", "q1", "n2", "s2", "q2", tau2 = 1.0, alpha = 0.05)
+      .orderBy("peek").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("ci_lo")))
+    // peek 2 cumulative: arm1 = {4,4} n=2 var 0, arm2 = {2,6} var 8 -> usable
+    assert(!out(1).isNullAt(out(1).fieldIndex("ci_lo")))
+  }
+
+  test("chapmanEstimate: textbook golden 10/15/5 -> N=85/3, se=sqrt(8800/252)") {
+    import graft.quality.Profiler
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Profiler.chapmanEstimate(rows.toDF("fa", "fb"), Nil, "fa", "fb")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("n_b") === 15L)
+    assert(r.getAs[Long]("n_both") === 5L && r.getAs[Long]("n_either") === 20L)
+    assert(math.abs(r.getAs[Double]("n_hat") - (11.0 * 16 / 6 - 1)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_hat") - math.sqrt(8800.0 / 252)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("missed_hat") - (11.0 * 16 / 6 - 1 - 20)) < 1e-9)
+  }
+
+  test("chapmanEstimate: zero overlap and empty input stay finite (the +1 corrections)") {
+    import graft.quality.Profiler
+    val noOverlap = Seq((true, false), (false, true)).toDF("fa", "fb")
+    val r = Profiler.chapmanEstimate(noOverlap, Nil, "fa", "fb").collect()(0)
+    assert(math.abs(r.getAs[Double]("n_hat") - 3.0) < 1e-12) // 2·2/1 − 1
+    val empty = Profiler.chapmanEstimate(
+      Seq.empty[(Boolean, Boolean)].toDF("fa", "fb"), Nil, "fa", "fb").collect()(0)
+    assert(r != null && empty.getAs[Double]("n_hat") === 0.0)
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -748,7 +748,14 @@ class PlanShapeSpec extends SparkSpec {
     // 18 = three batch arms each re-deriving the per-user race agg +
     // cell agg, plus merges and the grid windows (the q301 reading)
     Shape("q313_concordance_from_store", maxHash = 18, maxRange = 3,
-      forbidUdf = true)
+      forbidUdf = true),
+    // always-valid CI: the q300 shape — one peek-count agg + the
+    // peek-cardinality cumulative windows
+    Shape("q314_always_valid_ci", maxHash = 2, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Chapman: ONE counting aggregation over the scan
+    Shape("q315_chapman", maxHash = 1, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -1450,6 +1450,43 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- always-valid CI ------------------------------------------------------
+
+  test("fuzz: always-valid CI duality — 0 outside CI exactly when the peek's mSPRT lnLR clears the boundary") {
+    import graft.quality.SequentialTests
+    val tau2 = 0.5
+    val bound = math.log(1 / 0.05)
+    for (t <- 1 to Trials) {
+      val r = rng("avci", t)
+      val incr = (0 until 6).map { p =>
+        val mk = () => Seq.fill(3 + r.nextInt(12))(r.nextInt(10).toLong)
+        val a = mk(); val b = mk()
+        (p.toLong, a.size.toLong, a.sum, a.map(x => x * x).sum,
+          b.size.toLong, b.sum, b.map(x => x * x).sum)
+      }
+      val df = incr.toDF("peek", "n1", "s1", "q1", "n2", "s2", "q2")
+      val ci = SequentialTests.alwaysValidCiMean(df, Nil, "peek",
+        "n1", "s1", "q1", "n2", "s2", "q2", tau2, alpha = 0.05)
+        .orderBy("peek").collect()
+      val ms = SequentialTests.msprtMean(df, Nil, "peek",
+        "n1", "s1", "q1", "n2", "s2", "q2", tau2, alpha = 0.05)
+        .orderBy("peek").collect()
+      for ((c, m) <- ci.zip(ms)) {
+        (optDouble(c, "ci_lo"), optDouble(c, "ci_hi")) match {
+          case (Some(lo), Some(hi)) =>
+            val lnLr = m.getAs[Long]("ln_lr9").toDouble / 1e9
+            val excludes0 = lo > 0 || hi < 0
+            // skip the knife-edge (nano rounding owns the boundary)
+            if (math.abs(lnLr - bound) > 1e-6)
+              assert(excludes0 === (lnLr > bound),
+                s"avci duality peek ${c.getAs[Long]("peek")} trial $t: " +
+                  s"lnLr=$lnLr bound=$bound ci=[$lo,$hi]")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
     // J = U and the Kendall-form variance reduces to MW's tie-corrected
     // variance — a formula-level identity neither implementation shares
