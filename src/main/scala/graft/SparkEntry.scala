@@ -325,7 +325,9 @@ object SparkEntry {
     "q312_concordance" -> (CoreQueries.q312Concordance(_, _)),
     "q313_concordance_from_store" -> (CoreQueries.q313ConcordanceFromStore(_, _)),
     "q314_always_valid_ci" -> (CoreQueries.q314AlwaysValidCi(_, _)),
-    "q315_chapman" -> (CoreQueries.q315Chapman(_, _))
+    "q315_chapman" -> (CoreQueries.q315Chapman(_, _)),
+    "q316_benjamini_yekutieli" -> (CoreQueries.q316BenjaminiYekutieli(_, _)),
+    "q317_post_stratified" -> (CoreQueries.q317PostStratified(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -454,7 +456,9 @@ object SparkEntry {
     "q312_concordance" -> concordanceOracle,
     "q313_concordance_from_store" -> concordanceOracle,
     "q314_always_valid_ci" -> alwaysValidCiOracle,
-    "q315_chapman" -> chapmanOracle)
+    "q315_chapman" -> chapmanOracle,
+    "q316_benjamini_yekutieli" -> benjaminiYekutieliOracle,
+    "q317_post_stratified" -> postStratifiedOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2535,6 +2539,78 @@ object SparkEntry {
       |  round(n_hat, 9) AS n_hat, round(se_hat, 9) AS se_hat,
       |  round(n_hat - CAST(n_either AS DOUBLE), 9) AS missed_hat
       |FROM e""".stripMargin
+
+  /** q316 oracle: [[graft.quality.MultipleTesting.benjaminiYekutieli]]
+    * replayed — the q283 md5 battery, the once-per-battery harmonic
+    * constant c18 = Σ round(10¹⁸/i), the step-up closure under the
+    * shrunk boundary as exact HUGEINT cross-products.
+    */
+  private lazy val benjaminiYekutieliOracle: String =
+    """WITH ids AS (SELECT DISTINCT lang || ':' || source AS id FROM documents),
+      |p AS (SELECT id,
+      |    list_reduce(list_transform(range(1, 16), i ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(id), i, 1)) - 1 AS BIGINT)),
+      |      (acc, x) -> acc * 16 + x) % 1000000000 AS p9
+      |  FROM ids),
+      |r AS (SELECT id, p9,
+      |    sum(CASE WHEN p9 IS NULL THEN 1 ELSE 0 END) OVER () AS n_null,
+      |    CAST(row_number() OVER (ORDER BY p9, id) AS BIGINT) AS rank,
+      |    count(*) OVER () AS m FROM p),
+      |h AS (SELECT *,
+      |    sum(CAST(round(1e18 / CAST(rank AS DOUBLE)) AS HUGEINT)) OVER () AS c18
+      |  FROM r),
+      |c AS (SELECT *,
+      |    CAST(p9 AS HUGEINT) * m * 100 * c18 <=
+      |      CAST(rank AS HUGEINT) * 5 * 1000000000 * 1000000000000000000
+      |      AS is_candidate
+      |  FROM h),
+      |f AS (SELECT *, max(CASE WHEN is_candidate THEN rank ELSE 0 END) OVER () AS cut
+      |  FROM c)
+      |SELECT id, p9, rank, CAST(m AS BIGINT) AS m,
+      |  coalesce(CAST(n_null AS BIGINT), 0) AS n_null,
+      |  CAST(c18 AS VARCHAR) AS c18, is_candidate,
+      |  rank <= cut AS rejected
+      |FROM f ORDER BY rank""".stripMargin
+
+  /** q317 oracle: [[graft.operators.Sampling.postStratified]] replayed
+    * — per-language exact moments, the literal weight normalization in
+    * the same partial-sum order, nano W·ȳ / W²s²/n terms, the
+    * off-design zh count.
+    */
+  private lazy val postStratifiedOracle: String =
+    """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS y FROM documents
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM d GROUP BY 1),
+      |w AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.15), ('es', 0.15),
+      |    ('fr', 0.1)) AS t(lang, wr)),
+      |j AS (SELECT w.lang, w.wr / (0.5 + 0.15 + 0.15 + 0.1) AS ww,
+      |    coalesce(m.n, 0) AS n, m.sy, m.syy
+      |  FROM w LEFT JOIN m ON w.lang = m.lang),
+      |t AS (SELECT *,
+      |    CAST(round(ww * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+      |      AS BIGINT) AS t9,
+      |    CAST(round(ww * ww *
+      |      (CAST(n * syy - sy * sy AS DOUBLE) /
+      |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) /
+      |      CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS v9
+      |  FROM j),
+      |off AS (SELECT coalesce(sum(n), 0) AS noff FROM m
+      |  WHERE lang NOT IN ('en', 'de', 'es', 'fr')),
+      |s AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      |    CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_strata,
+      |    sum(sy) AS syt,
+      |    sum(CAST(t9 AS HUGEINT)) AS est9, sum(CAST(v9 AS HUGEINT)) AS var9
+      |  FROM t)
+      |SELECT s.n_total, s.n_strata, s.n_empty_strata,
+      |  CAST(off.noff AS BIGINT) AS n_off_design,
+      |  round(CAST(s.syt AS DOUBLE) / CAST(s.n_total AS DOUBLE), 9) AS mean_raw,
+      |  round(CAST(s.est9 AS DOUBLE) / 1e9, 9) AS mean_post,
+      |  round(sqrt(CAST(s.var9 AS DOUBLE) / 1e9), 9) AS se_post
+      |FROM s, off""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

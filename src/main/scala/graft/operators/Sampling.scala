@@ -790,4 +790,92 @@ object Sampling {
         col("__a").cast("string").as("var_num") :+ col("w6") :+
         col("seats"): _*)
   }
+
+  /** Post-stratified mean (classical survey estimation — Cochran 1977
+    * §5A): re-weight a metric measured on a NON-representative sample
+    * (a labeled eval set, a judged subset) to KNOWN population strata
+    * proportions — the read a raw mean gets wrong whenever the eval
+    * set over-samples easy strata:
+    *
+    *   ȳ_post = Σ_s W_s·ȳ_s,   se² = Σ_s W_s²·s²_s/n_s
+    *
+    * `weights` are the population proportions (normalized internally)
+    * and DEFINE the strata universe: observed strata NOT in the design
+    * are excluded and counted in n_off_design (the srmCheck rule); a
+    * designed stratum with NO observations makes the estimate NULL with
+    * n_empty_strata > 0 (an unestimable stratum must not silently
+    * reweight onto the others — flag, never guess). se is NULL when any
+    * designed stratum has n < 2. Values cast long (the welchT rule);
+    * per-stratum Σy/Σy² are exact DECIMAL sums; each stratum's W·ȳ and
+    * W²s²/n terms are fixed dags nano-landed and summed order-free;
+    * raw mean rides the same aggregation for the side-by-side. SCALE:
+    * one moments aggregation (map-side combined) + a broadcast k-row
+    * design frame; one row out per key set.
+    */
+  def postStratified(
+      df: DataFrame,
+      keyCols: Seq[String],
+      strataCol: String,
+      valueCol: String,
+      weights: Seq[(String, Double)]
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0d),
+      s"weights must be non-empty and positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate stratum in weights: $weights")
+    val dec = "decimal(38,0)"
+    val wSum = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = broadcast(
+      weights.toDF("stratum", "__w").withColumn("__w", col("__w") / wSum))
+    val g = keyCols.map(col)
+    val yD = col(valueCol).cast("long").cast(dec)
+    val perS = df
+      .filter(col(strataCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(strataCol).cast("string").as("stratum"): _*)
+      .agg(count(lit(1)).as("__n"), sum(yD).as("__sy"), sum(yD * yD).as("__syy"))
+    val keyUni =
+      if (keyCols.isEmpty) design
+      else perS.select(g: _*).distinct().crossJoin(design)
+    val joined = keyUni.join(perS, keyCols :+ "stratum", "full_outer")
+      .na.fill(0L, Seq("__n"))
+    val nD = col("__n").cast("double")
+    val yBar = col("__sy").cast("double") / nD
+    // s² from the exact numerator n·Σy² − (Σy)² over n(n−1)
+    val s2 = (col("__n").cast(dec) * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double") / (nD * (nD - 1d))
+    val designed = col("__w").isNotNull
+    val term9 = when(designed && col("__n") > 0L,
+      round(col("__w") * yBar * 1e9d).cast("long"))
+    val var9 = when(designed && col("__n") >= 2L,
+      round(col("__w") * col("__w") * s2 / nD * 1e9d).cast("long"))
+    joined
+      .withColumn("__t9", term9)
+      .withColumn("__v9", var9)
+      .groupBy(g: _*)
+      .agg(
+        coalesce(sum(when(designed, col("__n")).otherwise(0L)), lit(0L)).as("n_total"),
+        coalesce(sum(when(designed, 1L).otherwise(0L)), lit(0L)).as("n_strata"),
+        coalesce(sum(when(designed && col("__n") === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("n_empty_strata"),
+        coalesce(sum(when(!designed, col("__n")).otherwise(0L)), lit(0L))
+          .as("n_off_design"),
+        sum(when(designed, col("__sy"))).as("__syT"),
+        sum(when(designed && col("__n") >= 2L, 1L).otherwise(0L)).as("__nBig"),
+        sum(col("__t9").cast(dec)).as("__est9"),
+        sum(col("__v9").cast(dec)).as("__var9"))
+      .withColumn("mean_raw",
+        when(col("n_total") > 0L,
+          col("__syT").cast("double") / col("n_total").cast("double")))
+      .withColumn("mean_post",
+        when(col("n_empty_strata") === 0L && col("n_total") > 0L,
+          col("__est9").cast("double") / 1e9d))
+      .withColumn("se_post",
+        when(col("n_empty_strata") === 0L && col("__nBig") === col("n_strata"),
+          sqrt(col("__var9").cast("double") / 1e9d)))
+      .select(g :+ col("n_total") :+ col("n_strata") :+ col("n_empty_strata") :+
+        col("n_off_design") :+ col("mean_raw") :+ col("mean_post") :+
+        col("se_post"): _*)
+  }
 }

@@ -77,6 +77,68 @@ object MultipleTesting {
       .drop("__cut")
   }
 
+  /** Benjamini–Yekutieli step-up FDR control (Benjamini & Yekutieli
+    * 2001) — [[benjaminiHochberg]] under ARBITRARY dependence: BH's
+    * guarantee assumes independent (or PRDS) p-values, and a drift
+    * battery over overlapping slices of the same table is neither; BY
+    * buys validity under any dependence by shrinking the boundary to
+    * i·α/(m·c(m)), c(m) = Σ_{i=1}^m 1/i — the honest (if conservative)
+    * nightly pager when slices share rows.
+    *
+    * Exactness: the harmonic constant is landed ONCE per battery as
+    * c18 = Σ_i round(10¹⁸/i) — each term the correctly-rounded IEEE
+    * double of 10¹⁸/i (quantized past 2⁵³ but bit-identical on every
+    * engine), summed as exact integers over the ranked battery frame;
+    * c18 deviates from the true c(m)·10¹⁸ by ≲ m·10⁻¹⁶ relative —
+    * astronomically below the p9 grid's 10⁻⁹ resolution, so it can
+    * never decide a rejection the true constant wouldn't — and
+    * the step condition is the DECIMAL cross-product
+    * p9·m·alphaDen·c18 ≤ rank·alphaNum·10⁹·10¹⁸. Same NULL/tie/window
+    * contract as [[benjaminiHochberg]]; emits its columns plus `c18`
+    * (digit string). A BY rejection set is always a subset of BH's at
+    * the same α (c(m) ≥ 1) — spec-asserted.
+    */
+  def benjaminiYekutieli(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCols: Seq[String],
+      p9Col: String,
+      alphaNum: Int = 5,
+      alphaDen: Int = 100
+  ): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"need 0 < alpha < 1: $alphaNum/$alphaDen")
+    val g = keyCols.map(col)
+    val wRank = Window.partitionBy(g: _*)
+      .orderBy(col(p9Col).asc +: idCols.map(col(_).asc): _*)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .withColumn("n_null",
+        sum(when(col(p9Col).isNull, 1L).otherwise(0L)).over(wKey))
+      .filter(col(p9Col).isNotNull)
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wKey))
+      // the harmonic constant: Σ 1/i over the battery, each term an
+      // exact 10⁻¹⁸-landed integer (1e18/rank rounds identically on
+      // both engines — integer-input fixed dag)
+      .withColumn("c18",
+        sum(round(lit(1e18d) / col("rank").cast("double")).cast("long")
+          .cast(dec)).over(wKey))
+    val candidate =
+      col(p9Col).cast(dec) * col("m").cast(dec) *
+        lit(alphaDen.toLong).cast(dec) * col("c18") <=
+        col("rank").cast(dec) * lit(alphaNum.toLong).cast(dec) *
+          lit(1000000000L).cast(dec) * lit(1000000000000000000L).cast(dec)
+    ranked
+      .withColumn("is_candidate", candidate)
+      .withColumn("__cut",
+        max(when(candidate, col("rank")).otherwise(0L)).over(wKey))
+      .withColumn("rejected", col("rank") <= col("__cut"))
+      .withColumn("c18", col("c18").cast("string"))
+      .drop("__cut")
+  }
+
   /** Holm–Bonferroni step-DOWN FWER control (Holm 1979) — the
     * FAMILYWISE guarantee beside [[benjaminiHochberg]]'s FDR: "with
     * probability ≥ 1−α, ZERO of tonight's pages are false" (the right

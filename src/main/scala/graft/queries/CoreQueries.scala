@@ -3260,6 +3260,40 @@ object CoreQueries {
         round(col("missed_hat"), 9).as("missed_hat"))
   }
 
+  /** Benjamini–Yekutieli gate: the q283/q251 battery under ARBITRARY
+    * dependence — the harmonic-shrunk boundary as one exact DECIMAL
+    * cross-product per test, c18 landed once per battery.
+    */
+  def q316BenjaminiYekutieli(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.MultipleTesting
+    val battery = Tables.documents(s, dir)
+      .select(concat(col("lang"), lit(":"), col("source")).as("id"))
+      .distinct()
+      .withColumn("p9",
+        conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long") % 1000000000L)
+    MultipleTesting.benjaminiYekutieli(battery, Nil, Seq("id"), "p9")
+      .select(col("id"), col("p9"), col("rank"), col("m"), col("n_null"),
+        col("c18"), col("is_candidate"), col("rejected"))
+      .orderBy("rank")
+  }
+
+  /** Post-stratified mean gate: document length re-weighted to a
+    * four-language design (zh deliberately off-design) — per-stratum
+    * exact moments, nano W·ȳ and W²s²/n terms, raw mean beside the
+    * re-weighted one.
+    */
+  def q317PostStratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+    Sampling.postStratified(d, Nil, "lang", "n_chars",
+      Seq("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1))
+      .select(col("n_total"), col("n_strata"), col("n_empty_strata"),
+        col("n_off_design"),
+        round(col("mean_raw"), 9).as("mean_raw"),
+        round(col("mean_post"), 9).as("mean_post"),
+        round(col("se_post"), 9).as("se_post"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

@@ -363,6 +363,70 @@ class AbTestStatsSpec extends SparkSpec {
     assert(r != null && empty.getAs[Double]("n_hat") === 0.0)
   }
 
+  // --- Benjamini–Yekutieli / post-stratification ---------------------------
+
+  test("benjaminiYekutieli: hand battery — harmonic shrink drops BH's second rejection") {
+    import graft.quality.MultipleTesting
+    // c(4) = 25/12; BY boundary i·0.05/(4·c): rank1 0.006, rank2 0.012
+    val battery = Seq(("a", 4000000L), ("b", 20000000L), ("c", 500000000L),
+      ("d", 900000000L)).toDF("id", "p9")
+    val by = MultipleTesting.benjaminiYekutieli(battery, Nil, Seq("id"), "p9")
+      .orderBy("rank").collect()
+    assert(by.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, false, false, false))
+    val bh = MultipleTesting.benjaminiHochberg(battery, Nil, Seq("id"), "p9")
+      .orderBy("rank").collect()
+    assert(bh.map(_.getAs[Boolean]("rejected")).toSeq ===
+      Seq(true, true, false, false))
+    // c18 = 1e18 + 5e17 + double(1e18/3) + 25e16 — the /3 term is the
+    // correctly-rounded IEEE double 333333333333333312 (values past 2^53
+    // are quantized; deterministic cross-engine, ~1e-16 off the true
+    // harmonic — far below the p9 grid)
+    assert(by.head.getAs[String]("c18") === "2083333333333333312")
+  }
+
+  test("benjaminiYekutieli: rejection set is always a subset of BH's (fuzz)") {
+    import graft.quality.MultipleTesting
+    val r = new scala.util.Random(4414)
+    for (t <- 1 to 4) {
+      val battery = Seq.tabulate(20 + r.nextInt(60))(i =>
+        (s"t$i", r.nextLong(1000000000L))).toDF("id", "p9")
+      val by = MultipleTesting.benjaminiYekutieli(battery, Nil, Seq("id"), "p9")
+        .filter(col("rejected")).select("id").collect().map(_.getString(0)).toSet
+      val bh = MultipleTesting.benjaminiHochberg(battery, Nil, Seq("id"), "p9")
+        .filter(col("rejected")).select("id").collect().map(_.getString(0)).toSet
+      assert(by.subsetOf(bh), s"BY ⊄ BH trial $t: ${by -- bh}")
+    }
+  }
+
+  test("postStratified: hand golden — reweighted mean 4.5, se = sqrt(0.8125)") {
+    import graft.operators.Sampling
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 10L), ("B", 14L)).toDF("st", "y")
+    val r = Sampling.postStratified(df, Nil, "st", "y",
+      Seq("A" -> 0.75, "B" -> 0.25)).collect()(0)
+    assert(r.getAs[Long]("n_total") === 4L && r.getAs[Long]("n_strata") === 2L)
+    assert(r.getAs[Long]("n_empty_strata") === 0L)
+    assert(r.getAs[Long]("n_off_design") === 0L)
+    assert(math.abs(r.getAs[Double]("mean_raw") - 7.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_post") - 4.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_post") - math.sqrt(0.8125)) < 1e-6)
+  }
+
+  test("postStratified: empty designed stratum -> NULL estimate; off-design counted; n=1 stratum -> NULL se only") {
+    import graft.operators.Sampling
+    val base = Seq(("A", 1L), ("A", 3L), ("Z", 9L)).toDF("st", "y")
+    val emptyB = Sampling.postStratified(base, Nil, "st", "y",
+      Seq("A" -> 0.5, "B" -> 0.5)).collect()(0)
+    assert(emptyB.getAs[Long]("n_empty_strata") === 1L)
+    assert(emptyB.getAs[Long]("n_off_design") === 1L)
+    assert(emptyB.isNullAt(emptyB.fieldIndex("mean_post")))
+    val single = Sampling.postStratified(
+      Seq(("A", 1L), ("A", 3L), ("B", 10L)).toDF("st", "y"), Nil, "st", "y",
+      Seq("A" -> 0.5, "B" -> 0.5)).collect()(0)
+    assert(!single.isNullAt(single.fieldIndex("mean_post")))
+    assert(single.isNullAt(single.fieldIndex("se_post")))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

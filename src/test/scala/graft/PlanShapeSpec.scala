@@ -755,7 +755,14 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // Chapman: ONE counting aggregation over the scan
     Shape("q315_chapman", maxHash = 1, maxRange = 2,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // BY: the q283 battery shape — one distinct agg + the battery-frame
+    // rank/harmonic windows
+    Shape("q316_benjamini_yekutieli", maxHash = 2, maxRange = 3,
+      forbidUdf = true),
+    // post-stratification: ONE moments agg + the broadcast k-row design
+    Shape("q317_post_stratified", maxHash = 3, maxRange = 2,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
