@@ -327,7 +327,9 @@ object SparkEntry {
     "q314_always_valid_ci" -> (CoreQueries.q314AlwaysValidCi(_, _)),
     "q315_chapman" -> (CoreQueries.q315Chapman(_, _)),
     "q316_benjamini_yekutieli" -> (CoreQueries.q316BenjaminiYekutieli(_, _)),
-    "q317_post_stratified" -> (CoreQueries.q317PostStratified(_, _))
+    "q317_post_stratified" -> (CoreQueries.q317PostStratified(_, _)),
+    "q318_cochran_armitage" -> (CoreQueries.q318CochranArmitage(_, _)),
+    "q319_fleming_harrington" -> (CoreQueries.q319FlemingHarrington(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -458,7 +460,9 @@ object SparkEntry {
     "q314_always_valid_ci" -> alwaysValidCiOracle,
     "q315_chapman" -> chapmanOracle,
     "q316_benjamini_yekutieli" -> benjaminiYekutieliOracle,
-    "q317_post_stratified" -> postStratifiedOracle)
+    "q317_post_stratified" -> postStratifiedOracle,
+    "q318_cochran_armitage" -> cochranArmitageOracle,
+    "q319_fleming_harrington" -> flemingHarringtonOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2611,6 +2615,109 @@ object SparkEntry {
       |  round(CAST(s.est9 AS DOUBLE) / 1e9, 9) AS mean_post,
       |  round(sqrt(CAST(s.var9 AS DOUBLE) / 1e9), 9) AS se_post
       |FROM s, off""".stripMargin
+
+  /** q318 oracle: [[graft.quality.Association.cochranArmitage]]
+    * replayed — per-priority exact pass counts, rank scores 1..k by
+    * label order, the exact-integer trend numerator and variance, z
+    * one division.
+    */
+  private lazy val cochranArmitageOracle: String =
+    """WITH o AS (SELECT o_orderpriority AS grp,
+      |    CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS hit
+      |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      |pg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(hit) AS BIGINT) AS r
+      |  FROM o GROUP BY 1),
+      |sc AS (SELECT *, CAST(row_number() OVER (ORDER BY grp) AS HUGEINT) AS w
+      |  FROM pg),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(n) AS HUGEINT) AS nt, CAST(sum(r) AS HUGEINT) AS rt,
+      |    sum(w * n) AS wn, sum(w * r) AS wr, sum(w * w * n) AS wwn
+      |  FROM sc),
+      |f AS (SELECT *, nt * wr - rt * wn AS num,
+      |    rt * (nt - rt) * (nt * wwn - wn * wn) AS varnum
+      |  FROM ag)
+      |SELECT n_groups, CAST(nt AS BIGINT) AS n_total, CAST(rt AS BIGINT) AS n_pass,
+      |  CAST(num AS VARCHAR) AS trend_num,
+      |  CASE WHEN n_groups >= 2 AND rt > 0 AND rt < nt AND varnum > 0 THEN
+      |    round(CAST(num AS DOUBLE) /
+      |      sqrt(CAST(varnum AS DOUBLE) / CAST(nt AS DOUBLE)), 9) END AS z
+      |FROM f""".stripMargin
+
+  /** q319 oracle: [[graft.operators.Survival.logRankWeighted]] G(0,1)
+    * replayed — the q286 spine + reverse-cumulative at-risk, the pooled
+    * KM left-limit nano chain, w = 1 − Ŝ(t⁻), weighted deviation and
+    * w²·V nano terms in the Spark dag's float order.
+    */
+  private lazy val flemingHarringtonOracle: String =
+    s"""$SurvivalSubjCte,
+      |cells AS (SELECT CAST(user_id % 2 = 0 AS VARCHAR) AS grp, t,
+      |    CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2),
+      |lab AS (SELECT *, min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi
+      |  FROM cells),
+      |spine AS (SELECT grp_lo, grp_hi, t,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN d ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN c ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN d ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN c ELSE 0 END) AS BIGINT) AS c2
+      |  FROM lab GROUP BY 1, 2, 3),
+      |risk AS (SELECT *,
+      |    CAST(sum(d1 + c1) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+      |    CAST(sum(d2 + c2) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
+      |  FROM spine),
+      |lnc AS (SELECT *,
+      |    CASE WHEN d1 + d2 = 0 THEN CAST(0 AS BIGINT)
+      |      WHEN d1 + d2 < n1 + n2 THEN CAST(round(ln(
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - CAST(d1 + d2 AS DOUBLE)) /
+      |          (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * 1e9) AS BIGINT)
+      |    END AS ln9
+      |  FROM risk),
+      |sp AS (SELECT *,
+      |    coalesce(max(CASE WHEN d1 + d2 = n1 + n2 THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS deadprev,
+      |    coalesce(sum(ln9) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lnprev
+      |  FROM lnc),
+      |wgt AS (SELECT *,
+      |    CASE WHEN deadprev = 1 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round(exp(CAST(lnprev AS DOUBLE) / 1e9) * 1e9) AS BIGINT)
+      |    END AS sprev9
+      |  FROM sp),
+      |terms AS (SELECT *,
+      |    1.0 * (1.0 - CAST(sprev9 AS DOUBLE) / 1e9) AS w,
+      |    CASE WHEN d1 + d2 > 0 THEN CAST(round(
+      |      (1.0 * (1.0 - CAST(sprev9 AS DOUBLE) / 1e9)) *
+      |      (CAST(d1 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+      |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS t9,
+      |    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(round(
+      |      (1.0 * (1.0 - CAST(sprev9 AS DOUBLE) / 1e9)) *
+      |      (1.0 * (1.0 - CAST(sprev9 AS DOUBLE) / 1e9)) *
+      |      (CAST(d1 + d2 AS DOUBLE) *
+      |        (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        (CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - CAST(d1 + d2 AS DOUBLE)) /
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS v9
+      |  FROM wgt),
+      |s AS (SELECT grp_lo, grp_hi,
+      |    CAST(sum(d1 + c1) AS BIGINT) AS n_lo,
+      |    CAST(sum(d2 + c2) AS BIGINT) AS n_hi,
+      |    sum(CAST(t9 AS HUGEINT)) AS t9s, sum(CAST(v9 AS HUGEINT)) AS v9s
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT grp_lo, grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  CAST(0 AS BIGINT) AS rho, CAST(1 AS BIGINT) AS gamma, n_lo, n_hi,
+      |  CAST(t9s AS VARCHAR) AS wdev_9, CAST(v9s AS VARCHAR) AS wvar_9,
+      |  CASE WHEN v9s > 0 THEN round((CAST(t9s AS DOUBLE) / 1e9) /
+      |    sqrt(CAST(v9s AS DOUBLE) / 1e9), 9) END AS z,
+      |  CASE WHEN v9s > 0 THEN round(
+      |    ((CAST(t9s AS DOUBLE) / 1e9) / sqrt(CAST(v9s AS DOUBLE) / 1e9)) *
+      |    ((CAST(t9s AS DOUBLE) / 1e9) / sqrt(CAST(v9s AS DOUBLE) / 1e9)), 9)
+      |  END AS chi2
+      |FROM s""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

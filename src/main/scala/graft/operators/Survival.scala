@@ -353,6 +353,142 @@ object Survival {
         col("e_lo_9") :+ col("v_9") :+ col("z") :+ col("chi2"): _*)
   }
 
+  /** Fleming–Harrington G(ρ, γ) weighted log-rank (Fleming & Harrington
+    * 1991 §7; Harrington & Fleming 1982): the log-rank family tuned to
+    * WHERE the curves differ — plain log-rank (ρ = γ = 0) weights every
+    * event time equally and has weak power against effects that only
+    * open up late (churn interventions, decaying treatment effects) or
+    * early (onboarding changes); G(ρ, γ) weights each event time by
+    * w_t = Ŝ(t⁻)^ρ·(1 − Ŝ(t⁻))^γ with Ŝ the POOLED Kaplan–Meier, so
+    * (ρ=1, γ=0) is the Prentice–Wilcoxon early-difference test and
+    * (ρ=0, γ=1) the late-difference test:
+    *
+    *   z = Σ_t w_t(O₁ₜ − E₁ₜ) / √(Σ_t w_t²·Vₜ),   χ² = z²
+    *
+    * (E/V the [[logRank]] hypergeometrics, same n = 1 and ≠2-group
+    * conventions). ρ = γ = 0 gives w ≡ 1 exactly (empty products) and
+    * reduces to [[logRank]] — spec-asserted. Determinism: Ŝ(t⁻) rides
+    * the pooled nano-ln chain over PRECEDING spine rows (the
+    * [[aalenJohansenFromCells]] discipline) landed to a nano long; w is
+    * integer-exponent repeated multiplication (fixed dag); each
+    * weighted term lands to a nano long and sums order-free in DECIMAL;
+    * z is one division, gated at 9dp. SCALE: the [[logRank]] shape —
+    * one (group, duration) counting aggregation + pooled
+    * duration-cardinality windows; one row out.
+    */
+  def logRankWeighted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      durationCol: String,
+      eventCol: String,
+      rho: Int,
+      gamma: Int
+  ): DataFrame =
+    logRankWeightedFromCells(
+      lifetimeCells(df.filter(col(groupCol).isNotNull), keyCols :+ groupCol,
+        durationCol, eventCol),
+      keyCols, groupCol, rho, gamma)
+
+  /** [[logRankWeighted]] from a (possibly folded) [[lifetimeCells]]
+    * frame keyed by `keyCols :+ groupCol` — the standing weighted A/B.
+    */
+  def logRankWeightedFromCells(
+      cellsIn: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      rho: Int,
+      gamma: Int
+  ): DataFrame = {
+    require(rho >= 0 && gamma >= 0, s"need rho, gamma >= 0: ($rho, $gamma)")
+    val g = keyCols.map(col)
+    val cells = cellsIn
+      .filter(col(groupCol).isNotNull)
+      .select(g ++ Seq(col(groupCol).cast("string").as("grp"), col("t"),
+        col("n_event").as("__d"), col("n_censored").as("__c")): _*)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val labeled = cells
+      .withColumn("__ngrps", size(collect_set(col("grp")).over(wKey)))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+    val spineKeys = g ++ Seq(col("grp_lo"), col("grp_hi"), col("__ngrps"))
+    val spine = labeled
+      .groupBy(spineKeys :+ col("t"): _*)
+      .agg(
+        sum(when(col("grp") === col("grp_lo"), col("__d")).otherwise(0L)).as("__d1"),
+        sum(when(col("grp") === col("grp_lo"), col("__c")).otherwise(0L)).as("__c1"),
+        sum(when(col("grp") =!= col("grp_lo"), col("__d")).otherwise(0L)).as("__d2"),
+        sum(when(col("grp") =!= col("grp_lo"), col("__c")).otherwise(0L)).as("__c2"))
+    val wRisk = Window.partitionBy(spineKeys: _*).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(spineKeys: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = spine
+      .withColumn("__n1", sum(col("__d1") + col("__c1")).over(wRisk))
+      .withColumn("__n2", sum(col("__d2") + col("__c2")).over(wRisk))
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val nn = n1 + n2
+    val dL = col("__d1") + col("__d2")
+    val d = dL.cast("double")
+    val nL = col("__n1") + col("__n2")
+    // pooled KM left limit: the aalenJohansen __sPrev9 discipline
+    val ln9 = when(dL === 0L, 0L)
+      .when(dL < nL, round(log((nn - d) / nn) * 1e9d).cast("long"))
+    val withS = withRisk
+      .withColumn("__ln9", ln9)
+      .withColumn("__deadPrev",
+        coalesce(max(when(col("__d1") + col("__d2") === nL, 1L).otherwise(0L))
+          .over(wPrev), lit(0L)) === 1L)
+      .withColumn("__sPrev9",
+        when(col("__deadPrev"), 0L)
+          .otherwise(round(
+            exp(coalesce(sum("__ln9").over(wPrev), lit(0L)).cast("double") / 1e9d)
+              * 1e9d).cast("long")))
+    // w = S^ρ·(1−S)^γ by integer-exponent repeated multiplication —
+    // ρ = γ = 0 is the empty product, EXACTLY 1
+    val sD = col("__sPrev9").cast("double") / 1e9d
+    val wCol = (Seq.fill(rho)(sD) ++ Seq.fill(gamma)(lit(1d) - sD))
+      .foldLeft(lit(1d))(_ * _)
+    val atEvent = dL > 0L
+    // weighted deviation w·(O₁ − E₁) and weighted variance w²·V, each a
+    // nano-landed fixed dag (the logRank E/V conventions inside)
+    val t9 = when(atEvent,
+      round(wCol * (col("__d1").cast("double") - d * n1 / nn) * 1e9d).cast("long"))
+      .otherwise(0L)
+    val v9 = when(atEvent && nL > 1L,
+      round(wCol * wCol *
+        (d * (n1 / nn) * (n2 / nn) * (nn - d) / (nn - 1d)) * 1e9d).cast("long"))
+      .otherwise(0L)
+    val dec2 = "decimal(38,0)"
+    val pooled = withS
+      .withColumn("__t9", t9)
+      .withColumn("__v9", v9)
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        sum(col("__d1") + col("__c1")).as("n_lo"),
+        sum(col("__d2") + col("__c2")).as("n_hi"),
+        sum(col("__t9").cast(dec2)).as("__t9s"),
+        sum(col("__v9").cast(dec2)).as("__v9s"))
+    val two = col("__ngrps") === 2
+    val zStat = (col("__t9s").cast("double") / 1e9d) /
+      sqrt(col("__v9s").cast("double") / 1e9d)
+    val ok = two && col("__v9s") > 0L
+    pooled
+      .withColumn("n_groups", col("__ngrps").cast("long"))
+      .withColumn("rho", lit(rho.toLong))
+      .withColumn("gamma", lit(gamma.toLong))
+      .withColumn("n_lo", when(two, col("n_lo")))
+      .withColumn("n_hi", when(two, col("n_hi")))
+      .withColumn("wdev_9", when(two, col("__t9s").cast("string")))
+      .withColumn("wvar_9", when(two, col("__v9s").cast("string")))
+      .withColumn("z", when(ok, zStat))
+      .withColumn("chi2", when(ok, zStat * zStat))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("rho") :+ col("gamma") :+ col("n_lo") :+ col("n_hi") :+
+        col("wdev_9") :+ col("wvar_9") :+ col("z") :+ col("chi2"): _*)
+  }
+
   /** Restricted mean survival time (Royston & Parmar 2013 popularized;
     * the τ-truncated area under the KM curve): the "average lifetime
     * within the first τ units" summary that stays defined under heavy

@@ -1961,6 +1961,65 @@ object Association {
         col("ej4") :+ col("z"): _*)
   }
 
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): does a
+    * PASS RATE trend monotonically across k ORDERED groups — the
+    * binary-outcome member of the ordered-alternatives family
+    * ([[jonckheereTerpstra]] for locations, [[pageTrend]] for matched
+    * blocks): "does the filter pass rate rise with model version" asked
+    * directly of the (group, pass) counts. Groups order by the natural
+    * ascending order of the group label (the [[pageTrend]] rule) with
+    * integer scores w = 1..k; with T = Σw·r − p̄·Σw·n,
+    *
+    *   z = T/√var,   var = p̄(1−p̄)·[Σw²n − (Σwn)²/N]
+    *
+    * ENTIRELY RATIONAL-EXACT: every piece (N, R, Σwn, Σwr, Σw²n) is an
+    * exact integer, the numerator N·Σwr − R·Σwn is an exact DECIMAL,
+    * and z = num/√(R(N−R)(N·Σw²n − (Σwn)²)/N) is ONE division over one
+    * √ of exact-integer dags — no nano landing anywhere. Sign: positive
+    * z = pass rate RISING with the label order. NULL z when k < 2, all
+    * pass (R = N), none pass (R = 0), or degenerate scores. Emits one
+    * row per key set with the exact num digits beside z. SCALE: one
+    * (group) counting aggregation + the k-bounded score window; never
+    * touches rows after the count.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      hitCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val perG = df
+      .filter(col(groupCol).isNotNull && col(hitCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("__grp"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("__r"))
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__grp"))
+    val scored = perG.withColumn("__w", row_number().over(wOrd).cast("long"))
+    def grouped(d: DataFrame) =
+      if (keyCols.isEmpty) d.groupBy() else d.groupBy(g: _*)
+    val agg = grouped(scored).agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("__n")).as("n_total"),
+      sum(col("__r")).as("n_pass"),
+      sum(col("__w").cast(dec) * col("__n").cast(dec)).as("__wn"),
+      sum(col("__w").cast(dec) * col("__r").cast(dec)).as("__wr"),
+      sum(col("__w").cast(dec) * col("__w").cast(dec) * col("__n").cast(dec))
+        .as("__wwn"))
+    val nD = col("n_total").cast(dec); val rD = col("n_pass").cast(dec)
+    val num = nD * col("__wr") - rD * col("__wn")
+    val varNum = rD * (nD - rD) * (nD * col("__wwn") - col("__wn") * col("__wn"))
+    val ok = col("n_groups") >= 2L && col("n_pass") > 0L &&
+      col("n_pass") < col("n_total") && varNum > lit(0L).cast(dec)
+    val z = num.cast("double") /
+      sqrt(varNum.cast("double") / col("n_total").cast("double"))
+    agg
+      .withColumn("trend_num", num.cast("string"))
+      .withColumn("z", when(ok, z))
+      .select(g :+ col("n_groups") :+ col("n_total") :+ col("n_pass") :+
+        col("trend_num") :+ col("z"): _*)
+  }
+
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
     * — the "new curation filter vs old, on the SAME documents" A/B that
     * [[twoProportion]] (independent groups) gets wrong on paired data:

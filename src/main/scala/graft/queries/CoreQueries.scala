@@ -3294,6 +3294,36 @@ object CoreQueries {
         round(col("se_post"), 9).as("se_post"))
   }
 
+  /** Cochran–Armitage gate: does the high-value pass rate trend across
+    * o_orderpriority's label order — the binary ordered-alternatives
+    * read beside q308's JT; entirely rational-exact, z one division.
+    */
+  def q318CochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice") >= 150000d).as("big"))
+    Association.cochranArmitage(o, Nil, "o_orderpriority", "big")
+      .select(col("n_groups"), col("n_total"), col("n_pass"),
+        col("trend_num"), round(col("z"), 9).as("z"))
+  }
+
+  /** Fleming–Harrington G(0,1) gate: the LATE-difference weighted
+    * log-rank on the parity survival A/B — event times weighted by
+    * 1 − Ŝ(t⁻) off the pooled KM nano chain; the churn-intervention
+    * read plain log-rank under-powers.
+    */
+  def q319FlemingHarrington(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
+    Survival.logRankWeighted(subj, Nil, "cohort", "duration", "event",
+        rho = 0, gamma = 1)
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("rho"),
+        col("gamma"), col("n_lo"), col("n_hi"), col("wdev_9"), col("wvar_9"),
+        round(col("z"), 9).as("z"), round(col("chi2"), 9).as("chi2"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

@@ -427,6 +427,59 @@ class AbTestStatsSpec extends SparkSpec {
     assert(single.isNullAt(single.fieldIndex("se_post")))
   }
 
+  // --- Cochran–Armitage / Fleming–Harrington --------------------------------
+
+  test("cochranArmitage: hand golden — 2/10, 5/10, 8/10 gives z = 180/sqrt(4500)") {
+    val rows = Seq.fill(2)(("a", true)) ++ Seq.fill(8)(("a", false)) ++
+      Seq.fill(5)(("b", true)) ++ Seq.fill(5)(("b", false)) ++
+      Seq.fill(8)(("c", true)) ++ Seq.fill(2)(("c", false))
+    val r = Association.cochranArmitage(rows.toDF("g", "hit"), Nil, "g", "hit")
+      .collect()(0)
+    assert(r.getAs[Long]("n_total") === 30L && r.getAs[Long]("n_pass") === 15L)
+    assert(r.getAs[String]("trend_num") === "180")
+    assert(math.abs(r.getAs[Double]("z") - 180.0 / math.sqrt(4500.0)) < 1e-9)
+  }
+
+  test("cochranArmitage: reversing the label order flips z exactly; degenerate -> NULL") {
+    val rows = Seq.fill(2)(("a", true)) ++ Seq.fill(8)(("a", false)) ++
+      Seq.fill(8)(("c", true)) ++ Seq.fill(2)(("c", false))
+    val fwd = Association.cochranArmitage(rows.toDF("g", "hit"), Nil, "g", "hit")
+      .collect()(0).getAs[Double]("z")
+    val rev = Association.cochranArmitage(
+      rows.map { case (g, h) => (if (g == "a") "c" else "a", h) }.toDF("g", "hit"),
+      Nil, "g", "hit").collect()(0).getAs[Double]("z")
+    assert(math.abs(fwd + rev) < 1e-12)
+    val allPass = Association.cochranArmitage(
+      Seq(("a", true), ("b", true)).toDF("g", "hit"), Nil, "g", "hit").collect()(0)
+    assert(allPass.isNullAt(allPass.fieldIndex("z")))
+    val oneGroup = Association.cochranArmitage(
+      Seq(("a", true), ("a", false)).toDF("g", "hit"), Nil, "g", "hit").collect()(0)
+    assert(oneGroup.isNullAt(oneGroup.fieldIndex("z")))
+  }
+
+  test("logRankWeighted: rho = gamma = 0 reduces to the plain log-rank z") {
+    val r = new scala.util.Random(1919)
+    val subj = Seq.fill(80)(
+      ((r.nextInt(2) == 0).toString, 1L + r.nextInt(10).toLong, r.nextInt(2).toLong))
+      .toDF("cohort", "dur", "ev")
+    val w = Survival.logRankWeighted(subj, Nil, "cohort", "dur", "ev", 0, 0)
+      .collect()(0)
+    val plain = Survival.logRank(subj, Nil, "cohort", "dur", "ev").collect()(0)
+    assert(math.abs(w.getAs[Double]("z") - plain.getAs[Double]("z")) < 1e-7)
+  }
+
+  test("logRankWeighted: G(0,1) zero-weights the first event time (S(t-) = 1)") {
+    // the only between-group difference is AT the first event time:
+    // G(0,1) must see (near) nothing while plain log-rank sees plenty
+    val subj = (Seq.fill(10)(("a", 1L, 1L)) ++ Seq.fill(10)(("b", 5L, 0L)))
+      .toDF("cohort", "dur", "ev")
+    val late = Survival.logRankWeighted(subj, Nil, "cohort", "dur", "ev", 0, 1)
+      .collect()(0)
+    // every event sits at t = 1 where w = 1 − S(0) = 0 → no evidence
+    assert(late.getAs[String]("wdev_9") === "0")
+    assert(late.isNullAt(late.fieldIndex("z")))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -762,7 +762,13 @@ class PlanShapeSpec extends SparkSpec {
       forbidUdf = true),
     // post-stratification: ONE moments agg + the broadcast k-row design
     Shape("q317_post_stratified", maxHash = 3, maxRange = 2,
-      forbidUdf = true)
+      forbidUdf = true),
+    // Cochran-Armitage: one group-count agg + the k-bounded score window
+    Shape("q318_cochran_armitage", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // FH weighted log-rank: the q286 spine shape + the pooled-KM chain
+    Shape("q319_fleming_harrington", maxHash = 5, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

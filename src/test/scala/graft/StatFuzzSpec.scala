@@ -1487,6 +1487,72 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Cochran–Armitage -----------------------------------------------------
+
+  test("fuzz: Cochran-Armitage vs the direct trend formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("ca", t)
+      val k = 2 + r.nextInt(4)
+      val data = (0 until 20 + r.nextInt(80)).map { _ =>
+        ("g" + r.nextInt(k), r.nextInt(2) == 1)
+      }
+      val byG = data.groupBy(_._1).toSeq.sortBy(_._1)
+      val n = byG.map(_._2.size.toDouble)
+      val rr = byG.map(_._2.count(_._2).toDouble)
+      val w = byG.indices.map(i => (i + 1).toDouble)
+      val nT = n.sum; val rT = rr.sum
+      val wn = w.zip(n).map { case (a, b) => a * b }.sum
+      val wr = w.zip(rr).map { case (a, b) => a * b }.sum
+      val wwn = w.zip(n).map { case (a, b) => a * a * b }.sum
+      val num = nT * wr - rT * wn
+      val varNum = rT * (nT - rT) * (nT * wwn - wn * wn)
+      val naive = if (rT > 0 && rT < nT && varNum > 0)
+        Some(num / math.sqrt(varNum / nT)) else None
+      val row = Association.cochranArmitage(data.toDF("g", "hit"), Nil, "g", "hit")
+        .collect()(0)
+      assert(row.getAs[String]("trend_num").toDouble === num, s"ca num trial $t")
+      approxOpt(optDouble(row, "z"), naive, s"ca z trial $t")
+    }
+  }
+
+  // --- Fleming–Harrington ------------------------------------------------------
+
+  test("fuzz: Fleming-Harrington G(rho,gamma) vs the naive pooled-KM weighted loop") {
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("fh", t)
+      val rho = r.nextInt(2); val gamma = r.nextInt(2)
+      val subs = Seq.fill(25 + r.nextInt(60))(
+        (if (r.nextInt(2) == 0) "a" else "b",
+          1L + r.nextInt(8).toLong, r.nextInt(2).toLong))
+      // naive: sorted pooled times, KM left limit, hypergeometric terms
+      val times = subs.map(_._2).distinct.sorted
+      var s = 1.0
+      var num = 0.0; var vv = 0.0
+      for (tt <- times) {
+        val at = subs.filter(_._2 >= tt)
+        val n1 = at.count(x => x._1 == "a" && true).toDouble
+        val n2 = at.count(_._1 == "b").toDouble
+        val nn = n1 + n2
+        val d1 = subs.count(x => x._1 == "a" && x._2 == tt && x._3 == 1L).toDouble
+        val d2 = subs.count(x => x._1 == "b" && x._2 == tt && x._3 == 1L).toDouble
+        val d = d1 + d2
+        val wgt = math.pow(s, rho) * math.pow(1 - s, gamma)
+        if (d > 0) {
+          num += wgt * (d1 - d * n1 / nn)
+          if (nn > 1)
+            vv += wgt * wgt * (d * (n1 / nn) * (n2 / nn) * (nn - d) / (nn - 1))
+          if (d < nn) s *= (nn - d) / nn else s = 0.0
+        }
+      }
+      val naive = if (vv > 0) Some(num / math.sqrt(vv)) else None
+      val row = Survival.logRankWeighted(
+        subs.toDF("cohort", "dur", "ev"), Nil, "cohort", "dur", "ev", rho, gamma)
+        .collect()(0)
+      approxOpt(optDouble(row, "z"), naive, s"fh z trial $t (rho=$rho gamma=$gamma)")
+    }
+  }
+
   test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
     // J = U and the Kendall-form variance reduces to MW's tie-corrected
     // variance — a formula-level identity neither implementation shares
