@@ -329,7 +329,9 @@ object SparkEntry {
     "q316_benjamini_yekutieli" -> (CoreQueries.q316BenjaminiYekutieli(_, _)),
     "q317_post_stratified" -> (CoreQueries.q317PostStratified(_, _)),
     "q318_cochran_armitage" -> (CoreQueries.q318CochranArmitage(_, _)),
-    "q319_fleming_harrington" -> (CoreQueries.q319FlemingHarrington(_, _))
+    "q319_fleming_harrington" -> (CoreQueries.q319FlemingHarrington(_, _)),
+    "q320_brunner_munzel" -> (CoreQueries.q320BrunnerMunzel(_, _)),
+    "q321_mood_median" -> (CoreQueries.q321MoodMedian(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -462,7 +464,9 @@ object SparkEntry {
     "q316_benjamini_yekutieli" -> benjaminiYekutieliOracle,
     "q317_post_stratified" -> postStratifiedOracle,
     "q318_cochran_armitage" -> cochranArmitageOracle,
-    "q319_fleming_harrington" -> flemingHarringtonOracle)
+    "q319_fleming_harrington" -> flemingHarringtonOracle,
+    "q320_brunner_munzel" -> brunnerMunzelOracle,
+    "q321_mood_median" -> moodMedianOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2718,6 +2722,103 @@ object SparkEntry {
       |    ((CAST(t9s AS DOUBLE) / 1e9) / sqrt(CAST(v9s AS DOUBLE) / 1e9)), 9)
       |  END AS chi2
       |FROM s""".stripMargin
+
+  /** q320 oracle: [[graft.quality.Association.brunnerMunzel]] replayed
+    * — pooled + within-group doubled midranks, the exact A_i variance
+    * numerators, BM/df/p̂ in the Spark dag's float order.
+    */
+  private lazy val brunnerMunzelOracle: String =
+    """WITH e AS (SELECT event_type AS grp, CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+      |cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+      |rk AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+      |  FROM vals),
+      |wq AS (SELECT cells.grp, cells.v, cells.c,
+      |    2 * coalesce(sum(cells.c) OVER (PARTITION BY cells.grp ORDER BY cells.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cells.c + 1 AS r2i,
+      |    rk.r2
+      |  FROM cells JOIN rk ON cells.v = rk.v),
+      |wg AS (SELECT *,
+      |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS ng,
+      |    sum(CAST(c AS HUGEINT) * (r2 - r2i)) OVER (PARTITION BY grp) AS t2
+      |  FROM wq),
+      |ga AS (SELECT grp, max(ng) AS n,
+      |    sum(CAST(c AS HUGEINT) * r2) AS r2sum,
+      |    sum(CAST(c AS HUGEINT) *
+      |      (CAST(ng AS HUGEINT) * (r2 - r2i) - t2) *
+      |      (CAST(ng AS HUGEINT) * (r2 - r2i) - t2)) AS a
+      |  FROM wg GROUP BY 1),
+      |wide AS (SELECT
+      |    max(CASE WHEN grp = 'click' THEN n END) AS n1,
+      |    max(CASE WHEN grp = 'click' THEN r2sum END) AS rs1,
+      |    max(CASE WHEN grp = 'click' THEN a END) AS a1,
+      |    max(CASE WHEN grp = 'view' THEN n END) AS n2,
+      |    max(CASE WHEN grp = 'view' THEN r2sum END) AS rs2,
+      |    max(CASE WHEN grp = 'view' THEN a END) AS a2
+      |  FROM ga),
+      |f AS (SELECT *,
+      |    CAST(a1 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+      |      AS ns1,
+      |    CAST(a2 AS DOUBLE) / (4.0 * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+      |      AS ns2,
+      |    CAST(n1 AS HUGEINT) * rs2 - CAST(n2 AS HUGEINT) * rs1 AS num
+      |  FROM wide)
+      |SELECT 'click' AS grp_lo, 'view' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  n1 AS n_lo, n2 AS n_hi,
+      |  round(CAST(rs2 - CAST(n2 AS HUGEINT) * (n2 + 1) AS DOUBLE) /
+      |    (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS p_hat,
+      |  CAST(a1 AS VARCHAR) AS a_lo, CAST(a2 AS VARCHAR) AS a_hi,
+      |  round((CAST(num AS DOUBLE) / 2) /
+      |    ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * sqrt(ns1 + ns2)), 9) AS bm,
+      |  round((ns1 + ns2) * (ns1 + ns2) /
+      |    (ns1 * ns1 / (CAST(n1 AS DOUBLE) - 1.0) +
+      |     ns2 * ns2 / (CAST(n2 AS DOUBLE) - 1.0)), 9) AS df
+      |FROM f""".stripMargin
+
+  /** q321 oracle: [[graft.quality.Association.moodMedian]] replayed —
+    * exact lower-median selection on the value cells, per-type
+    * above/≤ counts, nano χ² terms.
+    */
+  private lazy val moodMedianOracle: String =
+    """WITH e AS (SELECT event_type AS grp, CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+      |cm AS (SELECT v, sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(t) OVER () AS nt FROM vals),
+      |med AS (SELECT min(CASE WHEN 2 * cum >= nt THEN v END) AS median FROM cm),
+      |pg AS (SELECT grp, med.median, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN v > med.median THEN c ELSE 0 END) AS BIGINT) AS n_above
+      |  FROM cells, med GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(n) OVER () AS BIGINT) AS nt,
+      |    CAST(sum(n_above) OVER () AS BIGINT) AS at FROM pg),
+      |u AS (SELECT *,
+      |    CASE WHEN at > 0 AND at < nt THEN CAST(round(
+      |      ((CAST(n_above AS DOUBLE) -
+      |          CAST(n AS DOUBLE) * CAST(at AS DOUBLE) / CAST(nt AS DOUBLE)) *
+      |        (CAST(n_above AS DOUBLE) -
+      |          CAST(n AS DOUBLE) * CAST(at AS DOUBLE) / CAST(nt AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * CAST(at AS DOUBLE) / CAST(nt AS DOUBLE)) +
+      |       (CAST(n - n_above AS DOUBLE) -
+      |          CAST(n AS DOUBLE) * (CAST(nt AS DOUBLE) - CAST(at AS DOUBLE)) /
+      |            CAST(nt AS DOUBLE)) *
+      |        (CAST(n - n_above AS DOUBLE) -
+      |          CAST(n AS DOUBLE) * (CAST(nt AS DOUBLE) - CAST(at AS DOUBLE)) /
+      |            CAST(nt AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * (CAST(nt AS DOUBLE) - CAST(at AS DOUBLE)) /
+      |          CAST(nt AS DOUBLE))) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS t9
+      |  FROM t),
+      |w AS (SELECT *, sum(CAST(t9 AS HUGEINT)) OVER () AS chi9 FROM u)
+      |SELECT grp, median, n, n_above,
+      |  CASE WHEN k >= 2 AND at > 0 AND at < nt
+      |    THEN round(CAST(chi9 AS DOUBLE) / 1e9, 9) END AS chi2,
+      |  CASE WHEN k >= 2 THEN k - 1 END AS df
+      |FROM w ORDER BY grp""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

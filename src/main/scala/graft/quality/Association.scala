@@ -2020,6 +2020,189 @@ object Association {
         col("trend_num") :+ col("z"): _*)
   }
 
+  /** Brunner–Munzel test (Brunner & Munzel 2000): the two-sample rank
+    * test for H₀: P(X < Y) + ½P(X = Y) = ½ that stays valid when the
+    * two groups' RANK VARIANCES differ — [[mannWhitney]] assumes
+    * exchangeable spread under H₀ (its variance is a pooled constant)
+    * and over/under-rejects when one cohort is rank-noisier; BM
+    * studentizes with per-group empirical rank variances and a
+    * Welch–Satterthwaite df (the modern default recommendation, e.g.
+    * R's lawstat). With pooled midranks R and within-group midranks
+    * R⁽ⁱ⁾,
+    *
+    *   S_i² = 1/(n_i−1)·Σ_k (R_k − R_k⁽ⁱ⁾ − R̄_i + (n_i+1)/2)²
+    *   BM = (R̄₂ − R̄₁)·n₁n₂ / (N·√(n₁S₁² + n₂S₂²))
+    *   df = (n₁S₁² + n₂S₂²)² / ((n₁S₁²)²/(n₁−1) + (n₂S₂²)²/(n₂−1))
+    *
+    * plus p̂ = P(lo < hi) + ½P(=) — the stochastic-superiority effect
+    * size (= (R̄₂ − (n₂+1)/2)/n₁, exact).
+    *
+    * Determinism: the [[mannWhitney]] doubled-midrank discipline — per
+    * cell Q2 = 2R − 2R⁽ⁱ⁾ is an exact integer, the variance numerator
+    * A_i = Σ c·(n_i·Q2 − ΣcQ2)² an exact DECIMAL (count contract:
+    * n_i³ ≲ 10³⁸ per key set — DECIMAL's bound, stated), S_i² and
+    * BM/df/p̂ single divisions of exact pieces, gated at 9dp.
+    * Conventions: values cast long, (grp_lo, grp_hi) = (min, max), ≠2
+    * groups flagged with NULL statistics, NULL BM/df when either n < 2
+    * or both A_i = 0 (every value tied). BM > 0 ⟺ the HI-labeled group
+    * stochastically larger. SCALE: the [[mannWhitneyFromCells]] shape —
+    * one cells aggregation, value- and (group × value)-cardinality
+    * windows, one row out.
+    */
+  def brunnerMunzel(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame =
+    brunnerMunzelFromCells(
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .groupBy(keyCols.map(col) :+ col(groupCol).cast("string").as("grp") :+
+          col(valueCol).cast("long").as("__v"): _*)
+        .agg(count(lit(1)).as("__c")),
+      keyCols)
+
+  /** [[brunnerMunzel]] from a (grp, __v, __c) cell frame. */
+  def brunnerMunzelFromCells(cellsIn: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val cells = cellsIn.select(g ++ Seq(col("grp"), col("__v"), col("__c")): _*)
+    // pooled doubled midranks per value (the mannWhitney machinery)
+    val vals = cells.groupBy(g :+ col("__v"): _*).agg(sum("__c").as("__t"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("__cum", coalesce(sum("__t").over(wCum), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cum") + col("__t") + lit(1L))
+    // within-group doubled midranks per cell
+    val wCumG = Window.partitionBy(g :+ col("grp"): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGrp = Window.partitionBy(g :+ col("grp"): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withQ = cells
+      .withColumn("__cumg", coalesce(sum("__c").over(wCumG), lit(0L)))
+      .withColumn("__r2i", lit(2L) * col("__cumg") + col("__c") + lit(1L))
+      .join(ranked.select(g :+ col("__v") :+ col("__r2"): _*), keyCols :+ "__v")
+      .withColumn("__q2", col("__r2") - col("__r2i"))
+      .withColumn("__ng", sum("__c").over(wGrp))
+      .withColumn("__t2", sum(col("__c").cast(dec) * col("__q2").cast(dec)).over(wGrp))
+    val devNum = col("__ng").cast(dec) * col("__q2").cast(dec) - col("__t2")
+    val grpAgg = withQ
+      .groupBy(g :+ col("grp"): _*)
+      .agg(
+        max("__ng").as("__n"),
+        sum(col("__c").cast(dec) * col("__r2").cast(dec)).as("__r2sum"),
+        sum(col("__c").cast(dec) * devNum * devNum).as("__a"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("__r2sum"))).as("__rs1"),
+        max(when(col("grp") === col("grp_lo"), col("__a"))).as("__a1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("__r2sum"))).as("__rs2"),
+        max(when(col("grp") === col("grp_hi"), col("__a"))).as("__a2"))
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val n1D = col("__n1").cast(dec); val n2D = col("__n2").cast(dec)
+    val nn = n1 + n2
+    // (R̄₂ − R̄₁)·n₁n₂ in doubled units: (n₁·R2sum₂ − n₂·R2sum₁)/2
+    val num = n1D * col("__rs2") - n2D * col("__rs1")
+    // n_i·S_i² = A_i/(4·n_i·(n_i−1))
+    val ns1 = col("__a1").cast("double") / (lit(4d) * n1 * (n1 - 1d))
+    val ns2 = col("__a2").cast("double") / (lit(4d) * n2 * (n2 - 1d))
+    val bm = (num.cast("double") / 2d) / (nn * sqrt(ns1 + ns2))
+    val dfW = (ns1 + ns2) * (ns1 + ns2) /
+      (ns1 * ns1 / (n1 - 1d) + ns2 * ns2 / (n2 - 1d))
+    // p̂ = (R2sum₂ − n₂(n₂+1))/(2·n₁·n₂), exact numerator
+    val pHat = (col("__rs2") - n2D * (n2D + 1)).cast("double") / (lit(2d) * n1 * n2)
+    val two = col("__ngrps") === 2L
+    val ok = two && col("__n1") >= 2L && col("__n2") >= 2L &&
+      (col("__a1") + col("__a2")) > lit(0L).cast(dec)
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("p_hat", when(two && col("__n1") > 0L && col("__n2") > 0L, pHat))
+      .withColumn("a_lo", when(two, col("__a1").cast("string")))
+      .withColumn("a_hi", when(two, col("__a2").cast("string")))
+      .withColumn("bm", when(ok, bm))
+      .withColumn("df", when(ok, dfW))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("p_hat") :+ col("a_lo") :+
+        col("a_hi") :+ col("bm") :+ col("df"): _*)
+  }
+
+  /** Mood's median test (Mood 1950): do k groups share the pooled
+    * MEDIAN — the blunt-but-assumption-free location check beside
+    * [[kruskalWallis]] (which needs similar shapes to read as a median
+    * test): dichotomize every value at the pooled median (lower-median
+    * convention: the smallest value with 2·cum ≥ N — an exact integer
+    * rank selection on the value-cell frame, never a sort of rows),
+    * then the k×2 Pearson χ² on (group × above/≤) counts with
+    * expecteds from the margins. Per-group nano χ² terms over exact
+    * integers; χ² at 9dp, df = k−1; NULL when a margin is empty (all
+    * values on one side — every value equal to the median). Emits one
+    * row per (keys, group): n, n_above, median (the pooled one), plus
+    * the shared chi2/df. SCALE: one cells aggregation + value-cell
+    * windows + a k-bounded group aggregation.
+    */
+  def moodMedian(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+
+        col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val vals = cells.groupBy(g :+ col("__v"): _*).agg(sum("__c").as("__t"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = vals
+      .withColumn("__cum", sum("__t").over(wCum))
+      .withColumn("__N", sum("__t").over(wKey))
+      .withColumn("__isMed", lit(2L) * col("__cum") >= col("__N"))
+      .groupBy(g: _*)
+      .agg(min(when(col("__isMed"), col("__v"))).as("median"))
+    val joined =
+      if (keyCols.isEmpty) cells.crossJoin(broadcast(med))
+      else cells.join(med, keyCols)
+    val perG = joined
+      .groupBy(g :+ col("grp") :+ col("median"): _*)
+      .agg(sum("__c").as("n"),
+        sum(when(col("__v") > col("median"), col("__c")).otherwise(0L)).as("n_above"))
+    val withTot = perG
+      .withColumn("__k", count(lit(1)).over(wKey))
+      .withColumn("__N", sum("n").over(wKey))
+      .withColumn("__A", sum("n_above").over(wKey))
+    val nD = col("__N").cast("double"); val aD = col("__A").cast("double")
+    val e1 = col("n").cast("double") * aD / nD
+    val e0 = col("n").cast("double") * (nD - aD) / nD
+    val d1 = col("n_above").cast("double") - e1
+    val d0 = (col("n") - col("n_above")).cast("double") - e0
+    val t9 = when(col("__A") > 0L && col("__A") < col("__N"),
+      round((d1 * d1 / e1 + d0 * d0 / e0) * 1e9d).cast("long")).otherwise(0L)
+    val dec2 = "decimal(38,0)"
+    withTot
+      .withColumn("__t9", t9)
+      .withColumn("__chi9", sum(col("__t9").cast(dec2)).over(wKey))
+      .withColumn("chi2",
+        when(col("__k") >= 2L && col("__A") > 0L && col("__A") < col("__N"),
+          col("__chi9").cast("double") / 1e9d))
+      .withColumn("df", when(col("__k") >= 2L, col("__k") - 1L))
+      .select(g :+ col("grp") :+ col("median") :+ col("n") :+ col("n_above") :+
+        col("chi2") :+ col("df"): _*)
+  }
+
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
     * — the "new curation filter vs old, on the SAME documents" A/B that
     * [[twoProportion]] (independent groups) gets wrong on paired data:

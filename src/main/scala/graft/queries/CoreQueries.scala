@@ -3324,6 +3324,37 @@ object CoreQueries {
         round(col("z"), 9).as("z"), round(col("chi2"), 9).as("chi2"))
   }
 
+  /** Brunner–Munzel gate: the q221 click-vs-view location read under
+    * UNEQUAL rank variances — per-group exact A_i variance numerators
+    * on doubled midranks, BM/df/p̂ single divisions.
+    */
+  def q320BrunnerMunzel(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 1000).cast("long").as("v_m"))
+    Association.brunnerMunzel(ev, Nil, "event_type", "v_m")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), round(col("p_hat"), 9).as("p_hat"),
+        col("a_lo"), col("a_hi"),
+        round(col("bm"), 9).as("bm"), round(col("df"), 9).as("df"))
+  }
+
+  /** Mood's median gate: do the five event types share the pooled
+    * value median — exact integer median selection on the value cells,
+    * per-group above/≤ counts, nano χ² terms.
+    */
+  def q321MoodMedian(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 1000).cast("long").as("v_m"))
+    Association.moodMedian(ev, Nil, "event_type", "v_m")
+      .select(col("grp"), col("median"), col("n"), col("n_above"),
+        round(col("chi2"), 9).as("chi2"), col("df"))
+      .orderBy("grp")
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

@@ -480,6 +480,51 @@ class AbTestStatsSpec extends SparkSpec {
     assert(late.isNullAt(late.fieldIndex("z")))
   }
 
+  // --- Brunner–Munzel / Mood's median ---------------------------------------
+
+  test("brunnerMunzel: the Hollander-Wolfe pain-relief golden (lawstat: 3.1375, df 17.68, p-hat 0.789)") {
+    val x = Seq(1L, 2L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 2L, 4L, 1L, 1L)
+    val y = Seq(3L, 3L, 4L, 3L, 1L, 2L, 3L, 1L, 1L, 5L, 4L)
+    val df = (x.map(("a", _)) ++ y.map(("b", _))).toDF("g", "v")
+    val r = Association.brunnerMunzel(df, Nil, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n_lo") === 14L && r.getAs[Long]("n_hi") === 11L)
+    assert(math.abs(r.getAs[Double]("p_hat") - 0.788961) < 1e-5)
+    assert(math.abs(r.getAs[Double]("bm") - 3.1375) < 5e-4)
+    assert(math.abs(r.getAs[Double]("df") - 17.683) < 5e-3)
+  }
+
+  test("brunnerMunzel: label swap flips bm and reflects p-hat; all-tied -> NULL") {
+    val rws = Seq(("a", 1L), ("a", 3L), ("a", 5L), ("b", 2L), ("b", 4L), ("b", 4L))
+    val fwd = Association.brunnerMunzel(rws.toDF("g", "v"), Nil, "g", "v").collect()(0)
+    val swp = Association.brunnerMunzel(
+      rws.map { case (g, v) => (if (g == "a") "z" else "b", v) }.toDF("g", "v"),
+      Nil, "g", "v").collect()(0)
+    assert(math.abs(fwd.getAs[Double]("bm") + swp.getAs[Double]("bm")) < 1e-9)
+    assert(math.abs(fwd.getAs[Double]("p_hat") + swp.getAs[Double]("p_hat") - 1.0) < 1e-9)
+    val tied = Association.brunnerMunzel(
+      Seq(("a", 7L), ("a", 7L), ("b", 7L), ("b", 7L)).toDF("g", "v"),
+      Nil, "g", "v").collect()(0)
+    assert(math.abs(tied.getAs[Double]("p_hat") - 0.5) < 1e-12)
+    assert(tied.isNullAt(tied.fieldIndex("bm")))
+  }
+
+  test("moodMedian: hand golden — disjoint {1,2,3} vs {4,5,6} gives chi2 = 6") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L), ("b", 6L))
+      .toDF("g", "v")
+    val out = Association.moodMedian(df, Nil, "g", "v").orderBy("grp").collect()
+    assert(out.forall(_.getAs[Long]("median") === 3L))
+    assert(out.map(_.getAs[Long]("n_above")).toSeq === Seq(0L, 3L))
+    assert(out.forall(r => math.abs(r.getAs[Double]("chi2") - 6.0) < 1e-8))
+    assert(out.forall(_.getAs[Long]("df") === 1L))
+  }
+
+  test("moodMedian: every value equal -> NULL chi2 (empty above-margin)") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    val out = Association.moodMedian(df, Nil, "g", "v").collect()
+    assert(out.forall(_.getAs[Long]("median") === 5L))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("chi2"))))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -768,7 +768,11 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // FH weighted log-rank: the q286 spine shape + the pooled-KM chain
     Shape("q319_fleming_harrington", maxHash = 5, maxRange = 5,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // BM: the q221 cell shape + the within-group rank windows
+    Shape("q320_brunner_munzel", maxHash = 6, maxRange = 5, forbidUdf = true),
+    // Mood: cells + the value-frame median selection + k-bounded counts
+    Shape("q321_mood_median", maxHash = 6, maxRange = 5, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -1553,6 +1553,70 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Brunner–Munzel / Mood -----------------------------------------------
+
+  test("fuzz: Brunner-Munzel vs the per-observation midrank formula") {
+    for (t <- 1 to Trials) {
+      val r = rng("bm", t)
+      val span = 2 + r.nextInt(10)
+      val mk = () => Seq.fill(8 + r.nextInt(40))(r.nextInt(span).toLong)
+      val a = mk(); val b = mk()
+      val all = a ++ b
+      val pooled = midranks(all)
+      val inA = midranks(a); val inB = midranks(b)
+      val n1 = a.size.toDouble; val n2 = b.size.toDouble
+      val rb1 = a.map(pooled).sum / n1
+      val rb2 = b.map(pooled).sum / n2
+      def s2(vs: Seq[Long], own: Map[Long, Double], rb: Double, n: Double) =
+        vs.map(v => math.pow(pooled(v) - own(v) - rb + (n + 1) / 2, 2)).sum / (n - 1)
+      val sa = s2(a, inA, rb1, n1); val sb = s2(b, inB, rb2, n2)
+      val pooledVar = n1 * sa + n2 * sb
+      val naive =
+        if (pooledVar > 0)
+          Some((rb2 - rb1) * n1 * n2 / ((n1 + n2) * math.sqrt(pooledVar)))
+        else None
+      val dfNaive =
+        if (pooledVar > 0)
+          Some(pooledVar * pooledVar /
+            (math.pow(n1 * sa, 2) / (n1 - 1) + math.pow(n2 * sb, 2) / (n2 - 1)))
+        else None
+      val pNaive = (rb2 - (n2 + 1) / 2) / n1
+      val row = Association.brunnerMunzel(
+        (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v"), Nil, "g", "v")
+        .collect()(0)
+      approx(row.getAs[Double]("p_hat"), pNaive, s"bm p_hat trial $t")
+      approxOpt(optDouble(row, "bm"), naive, s"bm stat trial $t")
+      approxOpt(optDouble(row, "df"), dfNaive, s"bm df trial $t")
+    }
+  }
+
+  test("fuzz: Mood's median vs the naive dichotomize-and-chi2 loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("mood", t)
+      val k = 2 + r.nextInt(4)
+      val span = 3 + r.nextInt(10)
+      val data = (0 until 20 + r.nextInt(60)).map { _ =>
+        ("g" + r.nextInt(k), r.nextInt(span).toLong)
+      }
+      val sortedVals = data.map(_._2).sorted
+      val n = sortedVals.size
+      // lower median: smallest v with 2·cum >= N
+      val median = sortedVals.zipWithIndex
+        .collectFirst { case (v, i) if 2 * (i + 1) >= n => v }.get
+      val byG = data.groupBy(_._1)
+      val aT = data.count(_._2 > median).toDouble
+      val naive = if (aT > 0 && aT < n) Some(byG.values.map { vs =>
+        val ng = vs.size.toDouble
+        val above = vs.count(_._2 > median).toDouble
+        val e1 = ng * aT / n; val e0 = ng * (n - aT) / n
+        math.pow(above - e1, 2) / e1 + math.pow(ng - above - e0, 2) / e0
+      }.sum) else None
+      val out = Association.moodMedian(data.toDF("g", "v"), Nil, "g", "v").collect()
+      assert(out.forall(_.getAs[Long]("median") === median), s"mood median trial $t")
+      approxOpt(optDouble(out(0), "chi2"), naive, s"mood chi2 trial $t")
+    }
+  }
+
   test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
     // J = U and the Kendall-form variance reduces to MW's tie-corrected
     // variance — a formula-level identity neither implementation shares
