@@ -331,7 +331,9 @@ object SparkEntry {
     "q318_cochran_armitage" -> (CoreQueries.q318CochranArmitage(_, _)),
     "q319_fleming_harrington" -> (CoreQueries.q319FlemingHarrington(_, _)),
     "q320_brunner_munzel" -> (CoreQueries.q320BrunnerMunzel(_, _)),
-    "q321_mood_median" -> (CoreQueries.q321MoodMedian(_, _))
+    "q321_mood_median" -> (CoreQueries.q321MoodMedian(_, _)),
+    "q322_log_rank_trend" -> (CoreQueries.q322LogRankTrend(_, _)),
+    "q323_av_ci_two_prop" -> (CoreQueries.q323AvCiTwoProp(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -466,7 +468,9 @@ object SparkEntry {
     "q318_cochran_armitage" -> cochranArmitageOracle,
     "q319_fleming_harrington" -> flemingHarringtonOracle,
     "q320_brunner_munzel" -> brunnerMunzelOracle,
-    "q321_mood_median" -> moodMedianOracle)
+    "q321_mood_median" -> moodMedianOracle,
+    "q322_log_rank_trend" -> logRankTrendOracle,
+    "q323_av_ci_two_prop" -> avCiTwoPropOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2819,6 +2823,100 @@ object SparkEntry {
       |    THEN round(CAST(chi9 AS DOUBLE) / 1e9, 9) END AS chi2,
       |  CASE WHEN k >= 2 THEN k - 1 END AS df
       |FROM w ORDER BY grp""".stripMargin
+
+  /** q322 oracle: [[graft.operators.Survival.logRankTrend]] replayed —
+    * the mod-3 cohorts, row_number scores, the dense (t × cohort) grid
+    * with reverse-cumulative at-risk, per-time nano deviation and
+    * score-variance terms in the Spark dag's float order.
+    */
+  private lazy val logRankTrendOracle: String =
+    s"""$SurvivalSubjCte,
+      |cells AS (SELECT CAST(user_id % 3 AS VARCHAR) AS grp, t,
+      |    CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2),
+      |grps AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp) AS BIGINT) AS sc
+      |  FROM (SELECT DISTINCT grp FROM cells)),
+      |tu AS (SELECT DISTINCT t FROM cells),
+      |dense AS (SELECT g.grp, g.sc, tu.t,
+      |    coalesce(cells.d, 0) AS d, coalesce(cells.c, 0) AS c
+      |  FROM grps g CROSS JOIN tu
+      |  LEFT JOIN cells ON g.grp = cells.grp AND tu.t = cells.t),
+      |risk AS (SELECT *,
+      |    CAST(sum(d + c) OVER (PARTITION BY grp ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS ng
+      |  FROM dense),
+      |pt AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt, CAST(sum(ng) AS BIGINT) AS nt,
+      |    CAST(sum(CAST(sc AS HUGEINT) * d) AS HUGEINT) AS cd,
+      |    CAST(sum(CAST(sc AS HUGEINT) * ng) AS HUGEINT) AS cn,
+      |    CAST(sum(CAST(sc AS HUGEINT) * sc * ng) AS HUGEINT) AS ccn
+      |  FROM risk GROUP BY 1),
+      |terms AS (SELECT *,
+      |    CASE WHEN dt > 0 THEN CAST(round((CAST(cd AS DOUBLE) -
+      |      CAST(dt AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE)) * 1e9)
+      |      AS BIGINT) ELSE 0 END AS t9,
+      |    CASE WHEN dt > 0 AND nt > 1 THEN CAST(round(
+      |      CAST(dt AS DOUBLE) * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE)) /
+      |        (CAST(nt AS DOUBLE) - 1.0) *
+      |      (CAST(ccn AS DOUBLE) / CAST(nt AS DOUBLE) -
+      |        (CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE)) *
+      |        (CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE))) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS v9
+      |  FROM pt),
+      |s AS (SELECT CAST(max(nt) AS BIGINT) AS n_total,
+      |    sum(CAST(t9 AS HUGEINT)) AS t9s, sum(CAST(v9 AS HUGEINT)) AS v9s
+      |  FROM terms)
+      |SELECT CAST(3 AS BIGINT) AS n_groups, n_total,
+      |  CAST(t9s AS VARCHAR) AS tdev_9, CAST(v9s AS VARCHAR) AS tvar_9,
+      |  CASE WHEN v9s > 0 THEN round((CAST(t9s AS DOUBLE) / 1e9) /
+      |    sqrt(CAST(v9s AS DOUBLE) / 1e9), 9) END AS z,
+      |  CASE WHEN v9s > 0 THEN round(
+      |    ((CAST(t9s AS DOUBLE) / 1e9) / sqrt(CAST(v9s AS DOUBLE) / 1e9)) *
+      |    ((CAST(t9s AS DOUBLE) / 1e9) / sqrt(CAST(v9s AS DOUBLE) / 1e9)), 9)
+      |  END AS chi2
+      |FROM s""".stripMargin
+
+  /** q323 oracle: [[graft.quality.SequentialTests.alwaysValidCiTwoProportion]]
+    * replayed — the q299 cumulative count CTEs, the pooled-p variance,
+    * the CI radius in the Spark dag's float order (τ² = 2⁻¹²,
+    * α = 0.05).
+    */
+  private lazy val avCiTwoPropOracle: String =
+    """WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo + s_hi AS DOUBLE) / CAST(n_lo + n_hi AS DOUBLE)) *
+      |      (1.0 - CAST(s_lo + s_hi AS DOUBLE) / CAST(n_lo + n_hi AS DOUBLE)) *
+      |      (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)) AS vv,
+      |    n_lo > 0 AND n_hi > 0 AND s_lo + s_hi > 0 AND s_lo + s_hi < n_lo + n_hi
+      |      AS usable
+      |  FROM cum),
+      |r AS (SELECT *,
+      |    sqrt(vv * (vv + 0.000244140625) / 0.000244140625 *
+      |      ln((vv + 0.000244140625) / (0.05 * 0.05 * vv))) AS radius
+      |  FROM t)
+      |SELECT peek, n_lo, s_lo, n_hi, s_hi,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta,
+      |  CASE WHEN usable THEN round(radius, 9) END AS radius,
+      |  CASE WHEN usable THEN round(delta - radius, 9) END AS ci_lo,
+      |  CASE WHEN usable THEN round(delta + radius, 9) END AS ci_hi
+      |FROM r ORDER BY peek""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

@@ -489,6 +489,123 @@ object Survival {
         col("wdev_9") :+ col("wvar_9") :+ col("z") :+ col("chi2"): _*)
   }
 
+  /** Log-rank trend test (Tarone 1975; the ordered-alternatives
+    * log-rank): does LIFETIME rise with k ORDERED cohorts (model
+    * version, batch tier) — the censoring-aware member of the
+    * ordered-alternatives family ([[graft.quality.Association.jonckheereTerpstra]]
+    * for locations, cochranArmitage for rates): with integer scores
+    * c_j = 1..k by label order (the pageTrend rule),
+    *
+    *   T = Σ_t Σ_j c_j·(O_jt − E_jt),   E_jt = d_t·n_jt/n_t
+    *   Var = Σ_t d_t(n_t−d_t)/(n_t−1) · (Σ c_j²·n_jt/n_t − (Σ c_j·n_jt/n_t)²)
+    *
+    * (the hypergeometric covariance collapsed onto the linear score
+    * combination), z = T/√Var. At k = 2 the score combination nets to
+    * ±(O − E) and |z| equals the plain [[logRank]] |z| EXACTLY —
+    * spec-asserted. Sign: positive z = MORE events than expected in
+    * high-scored cohorts, i.e. lifetime FALLING with the order.
+    *
+    * Determinism: per-(t) deviation and variance terms are fixed dags
+    * over exact at-risk/event integers, nano-landed, summed order-free
+    * in DECIMAL; z one division at 9dp. NULL when k < 2 or Var = 0.
+    * SCALE: one (group, duration) counting aggregation; per-group
+    * reverse-cumulative at-risk windows + one k-bounded per-time
+    * aggregation over the (duration × group) spine. One row out.
+    */
+  def logRankTrend(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      durationCol: String,
+      eventCol: String
+  ): DataFrame =
+    logRankTrendFromCells(
+      lifetimeCells(df.filter(col(groupCol).isNotNull), keyCols :+ groupCol,
+        durationCol, eventCol),
+      keyCols, groupCol)
+
+  /** [[logRankTrend]] from a (possibly folded) [[lifetimeCells]] frame
+    * keyed by `keyCols :+ groupCol` — the standing ordered A/B/n.
+    */
+  def logRankTrendFromCells(
+      cellsIn: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val dec = "decimal(38,0)"
+    val cells = cellsIn
+      .filter(col(groupCol).isNotNull)
+      .select(g ++ Seq(col(groupCol).cast("string").as("grp"), col("t"),
+        col("n_event").as("__d"), col("n_censored").as("__c")): _*)
+    // integer scores 1..k by label order, attached per group
+    val grps = cells.select(g :+ col("grp"): _*).distinct()
+      .withColumn("__score",
+        row_number().over(Window.partitionBy(g: _*).orderBy(col("grp")))
+          .cast("long"))
+    val perGT = cells
+      .groupBy(g ++ Seq(col("grp"), col("t")): _*)
+      .agg(sum("__d").as("__dg"), sum("__c").as("__cg"))
+    // the (t) spine: k-bounded per-time aggregation of score moments.
+    // A group with NO cell at time t is still at risk there — its n_jt
+    // must enter the score moments, so the spine is densified over the
+    // (t × group) grid first (the aalenJohansen grid discipline) and
+    // the at-risk count recovered as the reverse running sum over the
+    // DENSE grid (total entering at or after t)
+    val tUni = cells.select(g :+ col("t"): _*).distinct()
+    val grid =
+      (if (keyCols.isEmpty) tUni.crossJoin(grps) else tUni.join(grps, keyCols))
+    val dense = grid.join(perGT, keyCols ++ Seq("grp", "t"), "left_outer")
+      .na.fill(0L, Seq("__dg", "__cg"))
+      .withColumn("__ngFill",
+        sum(col("__dg") + col("__cg")).over(
+          Window.partitionBy(g :+ col("grp"): _*).orderBy(col("t"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val perT = dense
+      .groupBy(g :+ col("t"): _*)
+      .agg(
+        sum("__dg").as("__dt"),
+        sum("__ngFill").as("__nt"),
+        sum(col("__score").cast(dec) * col("__dg").cast(dec)).as("__cd"),
+        sum(col("__score").cast(dec) * col("__ngFill").cast(dec)).as("__cn"),
+        sum(col("__score").cast(dec) * col("__score").cast(dec) *
+          col("__ngFill").cast(dec)).as("__ccn"))
+    val dT = col("__dt").cast("double"); val nT = col("__nt").cast("double")
+    // deviation Σc(O−E) = Σc·d − d·(Σc·n)/n ; variance per time
+    val dev = col("__cd").cast("double") -
+      dT * col("__cn").cast("double") / nT
+    val meanC = col("__cn").cast("double") / nT
+    val varT = dT * (nT - dT) / (nT - 1d) *
+      (col("__ccn").cast("double") / nT - meanC * meanC)
+    val t9 = when(col("__dt") > 0L,
+      round(dev * 1e9d).cast("long")).otherwise(0L)
+    val v9 = when(col("__dt") > 0L && col("__nt") > 1L,
+      round(varT * 1e9d).cast("long")).otherwise(0L)
+    def grouped(d: DataFrame) =
+      if (keyCols.isEmpty) d.groupBy() else d.groupBy(g: _*)
+    val kUni = grouped(grps).agg(count(lit(1)).as("n_groups"))
+    val agg = grouped(perT
+        .withColumn("__t9", t9)
+        .withColumn("__v9", v9))
+      .agg(
+        max("__nt").as("__nMax"),
+        sum(col("__t9").cast(dec)).as("__t9s"),
+        sum(col("__v9").cast(dec)).as("__v9s"))
+    val joined =
+      if (keyCols.isEmpty) agg.crossJoin(kUni) else agg.join(kUni, keyCols)
+    val z = (col("__t9s").cast("double") / 1e9d) /
+      sqrt(col("__v9s").cast("double") / 1e9d)
+    val ok = col("n_groups") >= 2L && col("__v9s") > 0L
+    joined
+      .withColumn("n_total", col("__nMax"))
+      .withColumn("tdev_9", col("__t9s").cast("string"))
+      .withColumn("tvar_9", col("__v9s").cast("string"))
+      .withColumn("z", when(ok, z))
+      .withColumn("chi2", when(ok, z * z))
+      .select(g :+ col("n_groups") :+ col("n_total") :+ col("tdev_9") :+
+        col("tvar_9") :+ col("z") :+ col("chi2"): _*)
+  }
+
   /** Restricted mean survival time (Royston & Parmar 2013 popularized;
     * the τ-truncated area under the KM curve): the "average lifetime
     * within the first τ units" summary that stays defined under heavy

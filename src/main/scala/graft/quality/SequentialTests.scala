@@ -183,6 +183,58 @@ object SequentialTests {
         col("radius") :+ col("ci_lo") :+ col("ci_hi"): _*)
   }
 
+  /** The always-valid confidence sequence dual of [[msprtTwoProportion]]
+    * — the [[alwaysValidCiMean]] inversion on the pooled-p plug-in
+    * variance: CI_n = Δ̂ ± √(V(V+τ²)/τ²·ln((V+τ²)/(α²V))) with
+    * Δ̂ = p̂₁ − p̂₂ (exact cross-product) and V = p̂(1−p̂)(1/N₁+1/N₂).
+    * Simultaneous coverage at any stopping rule; 0 leaves the CI
+    * exactly when the peek's own ln Λ clears ln(1/α) (the duality,
+    * spec-asserted against [[msprtTwoProportion]]). Unusable peeks
+    * (empty arm, degenerate pooled p̂) carry NULL.
+    */
+  def alwaysValidCiTwoProportion(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      n1Col: String, s1Col: String,
+      n2Col: String, s2Col: String,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(tau2 > 0d, s"tau2 must be positive: $tau2")
+    require(alpha > 0d && alpha < 1d, s"alpha must be in (0,1): $alpha")
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(n1Col).cast("long").as("__dn1") :+ col(s1Col).cast("long").as("__ds1") :+
+        col(n2Col).cast("long").as("__dn2") :+ col(s2Col).cast("long").as("__ds2"): _*)
+      .withColumn("n_lo", sum("__dn1").over(wCum))
+      .withColumn("s_lo", sum("__ds1").over(wCum))
+      .withColumn("n_hi", sum("__dn2").over(wCum))
+      .withColumn("s_hi", sum("__ds2").over(wCum))
+    val n1 = col("n_lo").cast("double"); val n2 = col("n_hi").cast("double")
+    val s1 = col("s_lo").cast("double"); val s2 = col("s_hi").cast("double")
+    val delta = (col("s_lo").cast(dec) * col("n_hi").cast(dec) -
+      col("s_hi").cast(dec) * col("n_lo").cast(dec)).cast("double") / (n1 * n2)
+    val pPool = (s1 + s2) / (n1 + n2)
+    val v = pPool * (lit(1d) - pPool) * (lit(1d) / n1 + lit(1d) / n2)
+    val t2 = lit(tau2)
+    val radius = sqrt(v * (v + t2) / t2 *
+      log((v + t2) / (lit(alpha) * lit(alpha) * v)))
+    val usable = col("n_lo") > 0L && col("n_hi") > 0L &&
+      (col("s_lo") + col("s_hi")) > 0L &&
+      (col("s_lo") + col("s_hi")) < (col("n_lo") + col("n_hi"))
+    cum
+      .withColumn("delta", when(usable, delta))
+      .withColumn("radius", when(usable, radius))
+      .withColumn("ci_lo", when(usable, delta - radius))
+      .withColumn("ci_hi", when(usable, delta + radius))
+      .select(g :+ col("peek") :+ col("n_lo") :+ col("s_lo") :+ col("n_hi") :+
+        col("s_hi") :+ col("delta") :+ col("radius") :+ col("ci_lo") :+
+        col("ci_hi"): _*)
+  }
+
   /** mSPRT for a MEAN drift/A/B from incremental moment state: one row
     * per (keys, peek) with that batch's count / Σy / Σy² per arm (exact
     * — y long by the [[graft.quality.Association.welchT]] contract).

@@ -3355,6 +3355,46 @@ object CoreQueries {
       .orderBy("grp")
   }
 
+  /** Log-rank trend gate: does time-to-purchase trend across three
+    * ordered cohorts (user_id mod 3) — Tarone's score combination over
+    * the (duration × cohort) dense grid, nano deviation/variance
+    * terms, z one division.
+    */
+  def q322LogRankTrend(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 3).cast("string"))
+    Survival.logRankTrend(subj, Nil, "cohort", "duration", "event")
+      .select(col("n_groups"), col("n_total"), col("tdev_9"), col("tvar_9"),
+        round(col("z"), 9).as("z"), round(col("chi2"), 9).as("chi2"))
+  }
+
+  /** Two-proportion always-valid CI gate: the q299 monitor's
+    * confidence-sequence dual — per peek the mSPRT-inverted interval on
+    * the exact cumulative counts, simultaneously valid at every peek.
+    */
+  def q323AvCiTwoProp(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("event_id") % 12).as("peek"),
+        (col("user_id") % 2 === 0).as("__even"),
+        (col("value") >= 250d).cast("long").as("__hit"))
+    val incr = ev.groupBy("peek").agg(
+      sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__even"), col("__hit")).otherwise(0L)).as("s1"),
+      sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("__even"), col("__hit")).otherwise(0L)).as("s2"))
+    SequentialTests.alwaysValidCiTwoProportion(incr, Nil, "peek",
+        "n1", "s1", "n2", "s2", tau2 = 0.000244140625d, alpha = 0.05d)
+      .select(col("peek"), col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("delta"), 9).as("delta"),
+        round(col("radius"), 9).as("radius"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+      .orderBy("peek")
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

@@ -525,6 +525,48 @@ class AbTestStatsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("chi2"))))
   }
 
+  // --- log-rank trend / two-prop always-valid CI ----------------------------
+
+  test("logRankTrend: k = 2 collapses onto the plain log-rank |z|") {
+    val r = new scala.util.Random(2222)
+    val subj = Seq.fill(70)(
+      ((r.nextInt(2) == 0).toString, 1L + r.nextInt(9).toLong, r.nextInt(2).toLong))
+      .toDF("cohort", "dur", "ev")
+    val tr = Survival.logRankTrend(subj, Nil, "cohort", "dur", "ev").collect()(0)
+    val plain = Survival.logRank(subj, Nil, "cohort", "dur", "ev").collect()(0)
+    assert(math.abs(math.abs(tr.getAs[Double]("z")) -
+      math.abs(plain.getAs[Double]("z"))) < 1e-7)
+  }
+
+  test("logRankTrend: one cohort or all-censored -> NULL z") {
+    val one = Survival.logRankTrend(
+      Seq(("a", 1L, 1L), ("a", 2L, 0L)).toDF("c", "d", "e"), Nil, "c", "d", "e")
+      .collect()(0)
+    assert(one.getAs[Long]("n_groups") === 1L && one.isNullAt(one.fieldIndex("z")))
+    val cens = Survival.logRankTrend(
+      Seq(("a", 1L, 0L), ("b", 2L, 0L), ("c", 3L, 0L)).toDF("c", "d", "e"),
+      Nil, "c", "d", "e").collect()(0)
+    assert(cens.getAs[String]("tvar_9") === "0")
+    assert(cens.isNullAt(cens.fieldIndex("z")))
+  }
+
+  test("alwaysValidCiTwoProportion: radius matches the closed form; degenerate peeks NULL") {
+    import graft.quality.SequentialTests
+    // one peek: arm1 40/100 hits, arm2 60/100
+    val incr = Seq((1L, 100L, 40L, 100L, 60L))
+      .toDF("peek", "n1", "s1", "n2", "s2")
+    val r = SequentialTests.alwaysValidCiTwoProportion(incr, Nil, "peek",
+      "n1", "s1", "n2", "s2", tau2 = 0.25, alpha = 0.05).collect()(0)
+    val v = 0.5 * 0.5 * (1.0 / 100 + 1.0 / 100)
+    val radius = math.sqrt(v * (v + 0.25) / 0.25 * math.log((v + 0.25) / (0.05 * 0.05 * v)))
+    assert(math.abs(r.getAs[Double]("delta") + 0.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("radius") - radius) < 1e-9)
+    val degen = SequentialTests.alwaysValidCiTwoProportion(
+      Seq((1L, 50L, 0L, 50L, 0L)).toDF("peek", "n1", "s1", "n2", "s2"),
+      Nil, "peek", "n1", "s1", "n2", "s2", tau2 = 0.25, alpha = 0.05).collect()(0)
+    assert(degen.isNullAt(degen.fieldIndex("ci_lo")))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

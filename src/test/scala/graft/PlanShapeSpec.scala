@@ -772,7 +772,14 @@ class PlanShapeSpec extends SparkSpec {
     // BM: the q221 cell shape + the within-group rank windows
     Shape("q320_brunner_munzel", maxHash = 6, maxRange = 5, forbidUdf = true),
     // Mood: cells + the value-frame median selection + k-bounded counts
-    Shape("q321_mood_median", maxHash = 6, maxRange = 5, forbidUdf = true)
+    Shape("q321_mood_median", maxHash = 6, maxRange = 5, forbidUdf = true),
+    // trend log-rank: the survival cell agg + the dense (t × cohort)
+    // grid windows + one per-time aggregation
+    Shape("q322_log_rank_trend", maxHash = 8, maxRange = 5,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // two-prop always-valid CI: the q299 shape
+    Shape("q323_av_ci_two_prop", maxHash = 2, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

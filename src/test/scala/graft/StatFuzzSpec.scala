@@ -1617,6 +1617,70 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- log-rank trend --------------------------------------------------------
+
+  test("fuzz: log-rank trend vs the naive per-time score-moment loop") {
+    import graft.operators.Survival
+    for (t <- 1 to Trials) {
+      val r = rng("lrt", t)
+      val k = 2 + r.nextInt(3)
+      val subs = Seq.fill(30 + r.nextInt(60))(
+        ("g" + r.nextInt(k), 1L + r.nextInt(8).toLong, r.nextInt(2).toLong))
+      val labels = subs.map(_._1).distinct.sorted
+      val score = labels.zipWithIndex.map { case (l, i) => l -> (i + 1).toDouble }.toMap
+      var dev = 0.0; var vv = 0.0
+      for (tt <- subs.map(_._2).distinct.sorted) {
+        val dT = subs.count(x => x._2 == tt && x._3 == 1L).toDouble
+        if (dT > 0) {
+          val at = subs.filter(_._2 >= tt)
+          val nT = at.size.toDouble
+          val cd = labels.map(l =>
+            score(l) * subs.count(x => x._1 == l && x._2 == tt && x._3 == 1L)).sum
+          val cn = labels.map(l => score(l) * at.count(_._1 == l)).sum
+          val ccn = labels.map(l => score(l) * score(l) * at.count(_._1 == l)).sum
+          dev += cd - dT * cn / nT
+          if (nT > 1)
+            vv += dT * (nT - dT) / (nT - 1) * (ccn / nT - (cn / nT) * (cn / nT))
+        }
+      }
+      val naive = if (vv > 0) Some(dev / math.sqrt(vv)) else None
+      val row = Survival.logRankTrend(
+        subs.toDF("cohort", "dur", "ev"), Nil, "cohort", "dur", "ev").collect()(0)
+      approxOpt(optDouble(row, "z"), naive, s"lrt z trial $t")
+    }
+  }
+
+  // --- two-prop always-valid CI -----------------------------------------------
+
+  test("fuzz: two-prop always-valid CI duality with msprtTwoProportion per peek") {
+    import graft.quality.SequentialTests
+    val tau2 = 0.000244140625
+    val bound = math.log(1 / 0.05)
+    for (t <- 1 to Trials) {
+      val r = rng("avci2", t)
+      val incr = (0 until 6).map { p =>
+        val n1 = 5L + r.nextInt(40); val n2 = 5L + r.nextInt(40)
+        (p.toLong, n1, r.nextInt(n1.toInt + 1).toLong,
+          n2, r.nextInt(n2.toInt + 1).toLong)
+      }
+      val df = incr.toDF("peek", "n1", "s1", "n2", "s2")
+      val ci = SequentialTests.alwaysValidCiTwoProportion(df, Nil, "peek",
+        "n1", "s1", "n2", "s2", tau2, 0.05).orderBy("peek").collect()
+      val ms = SequentialTests.msprtTwoProportion(df, Nil, "peek",
+        "n1", "s1", "n2", "s2", tau2, 0.05).orderBy("peek").collect()
+      for ((c, m) <- ci.zip(ms)) {
+        (optDouble(c, "ci_lo"), optDouble(c, "ci_hi")) match {
+          case (Some(lo), Some(hi)) =>
+            val lnLr = m.getAs[Long]("ln_lr9").toDouble / 1e9
+            if (math.abs(lnLr - bound) > 1e-6)
+              assert((lo > 0 || hi < 0) === (lnLr > bound),
+                s"avci2 duality peek ${c.getAs[Long]("peek")} trial $t")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
     // J = U and the Kendall-form variance reduces to MW's tie-corrected
     // variance — a formula-level identity neither implementation shares
