@@ -333,7 +333,9 @@ object SparkEntry {
     "q320_brunner_munzel" -> (CoreQueries.q320BrunnerMunzel(_, _)),
     "q321_mood_median" -> (CoreQueries.q321MoodMedian(_, _)),
     "q322_log_rank_trend" -> (CoreQueries.q322LogRankTrend(_, _)),
-    "q323_av_ci_two_prop" -> (CoreQueries.q323AvCiTwoProp(_, _))
+    "q323_av_ci_two_prop" -> (CoreQueries.q323AvCiTwoProp(_, _)),
+    "q324_wilson_ci" -> (CoreQueries.q324WilsonCi(_, _)),
+    "q325_icc_deff" -> (CoreQueries.q325IccDeff(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -470,7 +472,9 @@ object SparkEntry {
     "q320_brunner_munzel" -> brunnerMunzelOracle,
     "q321_mood_median" -> moodMedianOracle,
     "q322_log_rank_trend" -> logRankTrendOracle,
-    "q323_av_ci_two_prop" -> avCiTwoPropOracle)
+    "q323_av_ci_two_prop" -> avCiTwoPropOracle,
+    "q324_wilson_ci" -> wilsonCiOracle,
+    "q325_icc_deff" -> iccDeffOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2917,6 +2921,67 @@ object SparkEntry {
       |  CASE WHEN usable THEN round(delta - radius, 9) END AS ci_lo,
       |  CASE WHEN usable THEN round(delta + radius, 9) END AS ci_hi
       |FROM r ORDER BY peek""".stripMargin
+
+  /** q324 oracle: [[graft.quality.Association.wilsonInterval]] replayed
+    * — exact per-type pass counts, the score-interval center/half in
+    * the Spark dag's float order (z = 1.959964).
+    */
+  private lazy val wilsonCiOracle: String =
+    """WITH e AS (SELECT event_type AS grp,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(hit) AS BIGINT) AS np FROM e GROUP BY 1),
+      |f AS (SELECT *,
+      |    CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE) AS dn
+      |  FROM c),
+      |g AS (SELECT *,
+      |    (p + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE))) / dn AS center,
+      |    1.959964 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) +
+      |      (1.959964 * 1.959964) /
+      |        (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / dn AS half
+      |  FROM f)
+      |SELECT grp, n, np AS n_pass, round(p, 9) AS p_hat,
+      |  round(center - half, 9) AS ci_lo, round(center + half, 9) AS ci_hi
+      |FROM g ORDER BY grp""".stripMargin
+
+  /** q325 oracle: [[graft.quality.Association.iccDesignEffect]]
+    * replayed — per-user exact moments, nano S²/n terms, the one-way
+    * ANOVA components and Kish deff in the Spark dag's float order.
+    */
+  private lazy val iccDeffOracle: String =
+    """WITH e AS (SELECT user_id AS cl, CAST(floor(value) AS BIGINT) AS v
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |pc AS (SELECT cl, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS syy
+      |  FROM e GROUP BY 1),
+      |t AS (SELECT *, CAST(round(CAST(sy * sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    * 1e9) AS BIGINT) AS sn9 FROM pc),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+      |    sum(sy) AS syt, sum(syy) AS syyt,
+      |    sum(CAST(n AS HUGEINT) * n) AS nn,
+      |    sum(CAST(sn9 AS HUGEINT)) AS sn9t
+      |  FROM t),
+      |f AS (SELECT *, CAST(sn9t AS DOUBLE) / 1e9 AS snt,
+      |    CAST(syt * syt AS DOUBLE) / CAST(nt AS DOUBLE) AS grand
+      |  FROM a),
+      |g AS (SELECT *,
+      |    (snt - grand) / (CAST(k AS DOUBLE) - 1.0) AS msb,
+      |    (CAST(syyt AS DOUBLE) - snt) /
+      |      (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+      |    (CAST(nt AS DOUBLE) - CAST(nn AS DOUBLE) / CAST(nt AS DOUBLE)) /
+      |      (CAST(k AS DOUBLE) - 1.0) AS n0
+      |  FROM f),
+      |h AS (SELECT *, (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc FROM g),
+      |i AS (SELECT *,
+      |    1.0 + (CAST(nt AS DOUBLE) / CAST(k AS DOUBLE) - 1.0) * icc AS deff
+      |  FROM h)
+      |SELECT nt AS n_total, k AS n_clusters, round(icc, 9) AS icc,
+      |  round(deff, 9) AS deff,
+      |  round(CAST(nt AS DOUBLE) / deff, 9) AS n_effective
+      |FROM i""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

@@ -2203,6 +2203,121 @@ object Association {
         col("chi2") :+ col("df"): _*)
   }
 
+  /** Wilson score interval (Wilson 1927) per group: the proportion CI
+    * that stays HONEST at small n and extreme p̂ — the Wald interval
+    * p̂ ± z√(p̂(1−p̂)/n) collapses to zero width at p̂ ∈ {0, 1} and
+    * undercovers badly below n ≈ 40, exactly the regime of per-slice
+    * pass-rate dashboards:
+    *
+    *   center = (p̂ + z²/2n)/(1 + z²/n)
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)
+    *
+    * z = 1.959964 (the house 95% constant). Exact counts from ONE
+    * aggregation; the bounds are fixed dags over them, gated at 9dp;
+    * NULL bounds when n = 0 never crash. By construction the interval
+    * always lies inside [0, 1] and is non-degenerate at p̂ ∈ {0, 1} —
+    * both spec-asserted. One row per (keys, group). SCALE: one counting
+    * aggregation, map-side combined.
+    */
+  def wilsonInterval(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      hitCol: String,
+      z: Double = 1.959964d
+  ): DataFrame = {
+    require(z > 0d, s"z must be positive: $z")
+    val g = keyCols.map(col)
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(hitCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("n_pass"))
+    val nD = col("n").cast("double")
+    val p = col("n_pass").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1d) + z2 / nD
+    val center = (p + z2 / (lit(2d) * nD)) / denom
+    val half = lit(z) * sqrt(p * (lit(1d) - p) / nD +
+      z2 / (lit(4d) * nD * nD)) / denom
+    counts
+      .withColumn("p_hat", when(col("n") > 0L, p))
+      .withColumn("ci_lo", when(col("n") > 0L, center - half))
+      .withColumn("ci_hi", when(col("n") > 0L, center + half))
+      .select(g :+ col("grp") :+ col("n") :+ col("n_pass") :+ col("p_hat") :+
+        col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
+  /** Intraclass correlation + design effect (one-way random effects —
+    * Fisher's ANOVA estimator; Kish 1965 for deff): events cluster by
+    * USER, documents by SOURCE — and a per-row test on clustered rows
+    * overstates its sample size by the design effect
+    * deff = 1 + (m̄ − 1)·ICC (effective n = N/deff), the correction
+    * every q279/q299-style per-event read silently owes when the
+    * randomization unit is the cluster:
+    *
+    *   MSB = SSB/(k−1),  MSW = SSW/(N−k)
+    *   n₀  = (N − Σn_i²/N)/(k−1)   (the unbalanced-size adjustment)
+    *   ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW),  m̄ = N/k
+    *
+    * Determinism: values cast long; per-cluster n/Σy/Σy² are exact
+    * DECIMAL sums; each cluster's S_i²/n_i lands as a nano long (fixed
+    * per-cluster dag) so SSB/SSW assemble from exact pieces order-free;
+    * ICC/deff are fixed dags at 9dp. NULL when k < 2, N = k (no
+    * within-cluster replication → MSW undefined), or zero total
+    * variance. Emits one row per key set: n_total, n_clusters, icc,
+    * deff, n_effective. SCALE: one cluster-level aggregation (map-side
+    * combined) + one k-bounded fold; never a second pass over rows.
+    */
+  def iccDesignEffect(
+      df: DataFrame,
+      keyCols: Seq[String],
+      clusterCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val yD = col(valueCol).cast("long").cast(dec)
+    val perC = df
+      .filter(col(clusterCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(clusterCol).cast("string").as("__cl"): _*)
+      .agg(count(lit(1)).as("__n"), sum(yD).as("__sy"), sum(yD * yD).as("__syy"))
+    // per-cluster S_i²/n_i as a nano long — the only non-integer piece
+    val sn9 = round((col("__sy") * col("__sy")).cast("double") /
+      col("__n").cast("double") * 1e9d).cast("long")
+    def grouped(d: DataFrame) =
+      if (keyCols.isEmpty) d.groupBy() else d.groupBy(g: _*)
+    val agg = grouped(perC.withColumn("__sn9", sn9))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum("__n"), lit(0L)).as("n_total"),
+        sum(col("__sy")).as("__syT"),
+        sum(col("__syy")).as("__syyT"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__nn"),
+        sum(col("__sn9").cast(dec)).as("__sn9T"))
+    val nD = col("n_total").cast("double"); val kD = col("n_clusters").cast("double")
+    // ANSI: every division sits under a when-guard (NULL propagates to
+    // `ok`, and when() treats a NULL condition as false)
+    val basic = col("n_clusters") >= 2L && col("n_total") > col("n_clusters")
+    val snT = col("__sn9T").cast("double") / 1e9d // Σ S_i²/n_i
+    val grand = when(basic, (col("__syT") * col("__syT")).cast("double") / nD)
+    val ssb = snT - grand
+    val ssw = col("__syyT").cast("double") - snT
+    val msb = when(basic, ssb / (kD - 1d))
+    val msw = when(basic, ssw / (nD - kD))
+    val n0 = when(basic, (nD - col("__nn").cast("double") / nD) / (kD - 1d))
+    val iccDen = msb + (n0 - 1d) * msw
+    val icc = (msb - msw) / iccDen
+    val mBar = nD / kD
+    val deff = lit(1d) + (mBar - 1d) * icc
+    val ok = basic && iccDen > 0d
+    agg
+      .withColumn("icc", when(ok, icc))
+      .withColumn("deff", when(ok, deff))
+      .withColumn("n_effective", when(ok && deff > 0d, nD / deff))
+      .select(g :+ col("n_total") :+ col("n_clusters") :+ col("icc") :+
+        col("deff") :+ col("n_effective"): _*)
+  }
+
   /** McNemar's test (McNemar 1947): did a PAIRED binary outcome change
     * — the "new curation filter vs old, on the SAME documents" A/B that
     * [[twoProportion]] (independent groups) gets wrong on paired data:

@@ -3395,6 +3395,39 @@ object CoreQueries {
       .orderBy("peek")
   }
 
+  /** Wilson interval gate: per-event-type high-value pass rates with
+    * the small-n-safe score bounds — exact counts, fixed-dag bounds.
+    */
+  def q324WilsonCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (col("value") >= 250d).as("hit"))
+    Association.wilsonInterval(ev, Nil, "event_type", "hit")
+      .select(col("grp"), col("n"), col("n_pass"),
+        round(col("p_hat"), 9).as("p_hat"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+      .orderBy("grp")
+  }
+
+  /** ICC/design-effect gate: how much do events cluster by user — the
+    * effective-sample-size correction every per-event A/B on
+    * user-randomized traffic owes; exact per-user moments, nano
+    * S²/n terms, ICC/deff fixed dags.
+    */
+  def q325IccDeff(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), floor(col("value")).cast("long").as("v"))
+    Association.iccDesignEffect(ev, Nil, "user_id", "v")
+      .select(col("n_total"), col("n_clusters"),
+        round(col("icc"), 9).as("icc"),
+        round(col("deff"), 9).as("deff"),
+        round(col("n_effective"), 9).as("n_effective"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

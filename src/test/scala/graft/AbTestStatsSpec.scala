@@ -567,6 +567,47 @@ class AbTestStatsSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("ci_lo")))
   }
 
+  // --- Wilson / ICC ----------------------------------------------------------
+
+  test("wilsonInterval: zero successes give the textbook [0, z2/(n+z2)] — never Wald's [0,0]") {
+    val z2 = 1.959964 * 1.959964
+    val df = (Seq.fill(10)(("a", false)) ++ Seq.fill(4)(("b", true))).toDF("g", "hit")
+    val out = Association.wilsonInterval(df, Nil, "g", "hit").orderBy("grp").collect()
+    val a = out(0)
+    assert(a.getAs[Double]("p_hat") === 0.0)
+    assert(math.abs(a.getAs[Double]("ci_lo")) < 1e-12)
+    assert(math.abs(a.getAs[Double]("ci_hi") - z2 / (10 + z2)) < 1e-9)
+    val b = out(1) // all passes: hi pins to 1, lo to n/(n+z2)
+    assert(b.getAs[Double]("p_hat") === 1.0)
+    assert(math.abs(b.getAs[Double]("ci_hi") - 1.0) < 1e-12)
+    assert(math.abs(b.getAs[Double]("ci_lo") - 4.0 / (4 + z2)) < 1e-9)
+    assert(out.forall(r => r.getAs[Double]("ci_lo") >= -1e-12 &&
+      r.getAs[Double]("ci_hi") <= 1 + 1e-12))
+  }
+
+  test("iccDesignEffect: perfect clustering gives ICC 1 / deff = cluster size; anti-clustering hits the -1/(n0-1) floor with NULL n_effective") {
+    val perfect = Seq(("c1", 0L), ("c1", 0L), ("c2", 1L), ("c2", 1L))
+      .toDF("cl", "v")
+    val p = Association.iccDesignEffect(perfect, Nil, "cl", "v").collect()(0)
+    assert(math.abs(p.getAs[Double]("icc") - 1.0) < 1e-9)
+    assert(math.abs(p.getAs[Double]("deff") - 2.0) < 1e-9)
+    assert(math.abs(p.getAs[Double]("n_effective") - 2.0) < 1e-9)
+    val anti = Seq(("c1", 0L), ("c1", 1L), ("c2", 0L), ("c2", 1L)).toDF("cl", "v")
+    val a = Association.iccDesignEffect(anti, Nil, "cl", "v").collect()(0)
+    assert(math.abs(a.getAs[Double]("icc") + 1.0) < 1e-9)
+    assert(math.abs(a.getAs[Double]("deff")) < 1e-9)
+    assert(a.isNullAt(a.fieldIndex("n_effective"))) // deff = 0: no finite n_eff
+  }
+
+  test("iccDesignEffect: one cluster or no replication -> NULL (never a crash)") {
+    val one = Association.iccDesignEffect(
+      Seq(("c1", 1L), ("c1", 2L)).toDF("cl", "v"), Nil, "cl", "v").collect()(0)
+    assert(one.getAs[Long]("n_clusters") === 1L && one.isNullAt(one.fieldIndex("icc")))
+    val singletons = Association.iccDesignEffect(
+      Seq(("c1", 1L), ("c2", 2L)).toDF("cl", "v"), Nil, "cl", "v").collect()(0)
+    assert(singletons.isNullAt(singletons.fieldIndex("icc"))) // N = k: MSW undefined
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -779,6 +779,12 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // two-prop always-valid CI: the q299 shape
     Shape("q323_av_ci_two_prop", maxHash = 2, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Wilson: ONE counting aggregation, bounds are projections
+    Shape("q324_wilson_ci", maxHash = 1, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // ICC/deff: ONE cluster-level moments agg + the k-bounded fold
+    Shape("q325_icc_deff", maxHash = 2, maxRange = 2,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

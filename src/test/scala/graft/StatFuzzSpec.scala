@@ -1681,6 +1681,51 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Wilson / ICC ------------------------------------------------------------
+
+  test("fuzz: Wilson interval vs the direct closed form") {
+    val z = 1.959964; val z2 = z * z
+    for (t <- 1 to Trials) {
+      val r = rng("wilson", t)
+      val n = 1 + r.nextInt(200)
+      val s = r.nextInt(n + 1)
+      val rows = Seq.fill(s)(("g", true)) ++ Seq.fill(n - s)(("g", false))
+      val p = s.toDouble / n
+      val dn = 1 + z2 / n
+      val center = (p + z2 / (2.0 * n)) / dn
+      val half = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) / dn
+      val row = Association.wilsonInterval(rows.toDF("g", "hit"), Nil, "g", "hit")
+        .collect()(0)
+      approx(row.getAs[Double]("ci_lo"), center - half, s"wilson lo trial $t")
+      approx(row.getAs[Double]("ci_hi"), center + half, s"wilson hi trial $t")
+    }
+  }
+
+  test("fuzz: ICC/deff vs the naive one-way ANOVA loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("icc", t)
+      val k = 2 + r.nextInt(10)
+      val data = (0 until k).flatMap { c =>
+        Seq.fill(2 + r.nextInt(8))((s"c$c", r.nextInt(20).toLong))
+      }
+      val byC = data.groupBy(_._1).values.map(_.map(_._2.toDouble)).toSeq
+      val nT = data.size.toDouble
+      val grand = data.map(_._2).sum / nT
+      val ssb = byC.map(c => c.size * math.pow(c.sum / c.size - grand, 2)).sum
+      val ssw = byC.map(c => { val m = c.sum / c.size; c.map(x => (x - m) * (x - m)).sum }).sum
+      val msb = ssb / (k - 1)
+      val msw = ssw / (nT - k)
+      val n0 = (nT - byC.map(c => c.size.toDouble * c.size).sum / nT) / (k - 1)
+      val den = msb + (n0 - 1) * msw
+      val naive = if (den > 0) Some((msb - msw) / den) else None
+      val deffN = naive.map(i => 1 + (nT / k - 1) * i)
+      val row = Association.iccDesignEffect(data.toDF("cl", "v"), Nil, "cl", "v")
+        .collect()(0)
+      approxOpt(optDouble(row, "icc"), naive, s"icc trial $t")
+      approxOpt(optDouble(row, "deff"), deffN, s"deff trial $t")
+    }
+  }
+
   test("fuzz: Jonckheere-Terpstra at k=2 collapses onto Mann-Whitney's |z|") {
     // J = U and the Kendall-form variance reduces to MW's tie-corrected
     // variance — a formula-level identity neither implementation shares
