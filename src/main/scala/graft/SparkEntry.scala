@@ -1520,7 +1520,7 @@ object SparkEntry {
 
   /** q303/q304 oracle: [[graft.quality.Profiler.andersonDarling]]
     * replayed — the q280 histogram CTEs, then each bucket's nano AD
-    * term l·gapFrac²·B·C·N/(B_j(N−B_j)) in the exact float order of the
+    * term l·gapFrac²·B·C/(B_j(N−B_j)) in the exact float order of the
     * Spark dag (trailing B_j = N block excluded), A² one division.
     * q304's three-batch fold merges to the identical histograms, so the
     * from-store read shares this oracle verbatim.
@@ -1550,8 +1550,7 @@ object SparkEntry {
       |          (CAST(tot_base AS DOUBLE) * CAST(tot_cur AS DOUBLE))) *
       |        (CAST(cum_base * tot_cur - cum_cur * tot_base AS DOUBLE) /
       |          (CAST(tot_base AS DOUBLE) * CAST(tot_cur AS DOUBLE))) *
-      |        CAST(tot_base AS DOUBLE) * CAST(tot_cur AS DOUBLE) *
-      |        (CAST(tot_base AS DOUBLE) + CAST(tot_cur AS DOUBLE)) /
+      |        CAST(tot_base AS DOUBLE) * CAST(tot_cur AS DOUBLE) /
       |        (CAST(cum_base + cum_cur AS DOUBLE) *
       |          ((CAST(tot_base AS DOUBLE) + CAST(tot_cur AS DOUBLE)) -
       |            CAST(cum_base + cum_cur AS DOUBLE))) * 1e9) AS BIGINT)

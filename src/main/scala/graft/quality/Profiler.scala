@@ -1122,10 +1122,11 @@ object Profiler {
     * bucket boundaries) the two samples' terms collapse onto the SAME
     * cross-multiplied gap [[cvmFromHistograms]] materializes —
     * N·M_base,j − B·B_j = cum_base·C − cum_cur·B = gap_num and the cur
-    * term is its negation — so
+    * term is its negation — so (eq. 6's per-sample 1/n_i weights sum to
+    * N/(B·C) and its per-value weight is l_j/N; the Ns cancel)
     *
-    *   A² = (N/(B·C)) · Σ_{j: B_j<N} l_j · gap_num²/(B·C)² · (B·C)²/(B_j(N−B_j))
-    *      = Σ_j l_j · gapFrac_j² · B·C·N/(B_j(N−B_j)),  gapFrac = gap_num/(B·C)
+    *   A² = (N/(B·C)) · Σ_{j: B_j<N} (l_j/N) · gap_num²/(B_j(N−B_j))
+    *      = Σ_j l_j · gapFrac_j² · B·C/(B_j(N−B_j)),  gapFrac = gap_num/(B·C)
     *
     * (l_j = cell_tot, B_j = cum_base+cum_cur; the trailing B_j = N
     * block contributes nothing and is excluded per Scholz–Stephens).
@@ -1159,7 +1160,7 @@ object Profiler {
         col("cell_tot") === 0L ||
         col("cum_base") + col("cum_cur") === col("__b") + col("__c"), 0L)
       .otherwise(round(col("cell_tot").cast("double") * gapFrac * gapFrac *
-        bD * cD * nD / (bj * (nD - bj)) * 1e9d).cast("long"))
+        bD * cD / (bj * (nD - bj)) * 1e9d).cast("long"))
     withTot
       .withColumn("__t9", t9)
       .agg(

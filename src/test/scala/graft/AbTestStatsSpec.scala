@@ -4,8 +4,10 @@ import graft.quality.{Association, Profiler}
 import org.apache.spark.sql.functions._
 
 /** Goldens + closure invariants for the round-14 A/B-guardrail family:
-  * Anderson–Darling (hand-computed 295/36 golden on the shared cvm gap
-  * frame, zero-drift and empty-side boundaries, fold == rebuild),
+  * Anderson–Darling (hand-computed 59/36 golden on the shared cvm gap
+  * frame — Scholz–Stephens 1987 eq. 6 at k = 2 applied term-by-term,
+  * the derivation every reader can replay; zero-drift and empty-side
+  * boundaries, fold == rebuild),
   * delta-method ratio CI (a perfectly-proportional arm has EXACTLY zero
   * variance — the property a moments bug breaks first), SRM (exact 4.0
   * golden, zero-traffic designed arm, off-design traffic flag),
@@ -23,14 +25,20 @@ class AbTestStatsSpec extends SparkSpec {
     Profiler.andersonDarling(Profiler.cvmFromHistograms(
       base.toDF("bucket", "cnt"), cur.toDF("bucket", "cnt"))).collect()(0)
 
-  test("andersonDarling: hand golden {1,1,2} vs {2,3} gives A2 = 295/36") {
-    // per-bucket: j=1 gap=4 Bj=2 l=2; j=2 gap=3 Bj=4 l=2; j=3 Bj=N dropped
-    // A2 = (5/6)·(2·16/(2·3) + 2·9/(4·1)) = (5/6)·(59/6) = 295/36
+  test("andersonDarling: hand golden {1,1,2} vs {2,3} gives A2 = 59/36") {
+    // Scholz–Stephens eq. 6, k = 2: A² = Σ_i (1/n_i) Σ_{j:Bj<N}
+    // (l_j/N)·(N·M_ij − n_i·B_j)²/(B_j(N−B_j)); B=3, C=2, N=5.
+    //   j=1 (z=1): l=2, Bj=2, M_b=2 M_c=0 → per-sample gaps ±4
+    //     term = (2/5)·16/(2·3)·(1/3 + 1/2) = (2/5)·(16/6)·(5/6) = 8/9
+    //   j=2 (z=2): l=2, Bj=4, gaps ±3
+    //     term = (2/5)·9/(4·1)·(5/6) = 3/4
+    //   j=3 (z=3): Bj = N → dropped
+    // A² = 8/9 + 3/4 = 59/36 (scipy anderson_ksamp midrank=False agrees)
     val r = adOf(Seq(1L -> 2L, 2L -> 1L), Seq(2L -> 1L, 3L -> 1L))
     assert(r.getAs[Long]("n_base") === 3L)
     assert(r.getAs[Long]("n_cur") === 2L)
     assert(r.getAs[Long]("n_bins") === 3L)
-    assert(math.abs(r.getAs[Double]("a2") - 295.0 / 36.0) < 1e-8)
+    assert(math.abs(r.getAs[Double]("a2") - 59.0 / 36.0) < 1e-8)
   }
 
   test("andersonDarling: identical histograms -> A2 exactly 0") {

@@ -1235,8 +1235,8 @@ class StatFuzzSpec extends SparkSpec {
         if (bj < n) {
           val mB = base.count(_ <= z).toDouble
           val mC = cur.count(_ <= z).toDouble
-          acc += lj * (n * mB - bN * bj) * (n * mB - bN * bj) / (bj * (n - bj)) / bN
-          acc += lj * (n * mC - cN * bj) * (n * mC - cN * bj) / (bj * (n - bj)) / cN
+          acc += lj / n * (n * mB - bN * bj) * (n * mB - bN * bj) / (bj * (n - bj)) / bN
+          acc += lj / n * (n * mC - cN * bj) * (n * mC - cN * bj) / (bj * (n - bj)) / cN
         }
       }
       val got = Profiler.andersonDarling(Profiler.cvmFromHistograms(
