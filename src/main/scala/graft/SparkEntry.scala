@@ -335,7 +335,9 @@ object SparkEntry {
     "q322_log_rank_trend" -> (CoreQueries.q322LogRankTrend(_, _)),
     "q323_av_ci_two_prop" -> (CoreQueries.q323AvCiTwoProp(_, _)),
     "q324_wilson_ci" -> (CoreQueries.q324WilsonCi(_, _)),
-    "q325_icc_deff" -> (CoreQueries.q325IccDeff(_, _))
+    "q325_icc_deff" -> (CoreQueries.q325IccDeff(_, _)),
+    "q326_ab_dashboard" -> (CoreQueries.q326AbDashboard(_, _)),
+    "q327_ab_dashboard_from_store" -> (CoreQueries.q327AbDashboardFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -474,7 +476,9 @@ object SparkEntry {
     "q322_log_rank_trend" -> logRankTrendOracle,
     "q323_av_ci_two_prop" -> avCiTwoPropOracle,
     "q324_wilson_ci" -> wilsonCiOracle,
-    "q325_icc_deff" -> iccDeffOracle)
+    "q325_icc_deff" -> iccDeffOracle,
+    "q326_ab_dashboard" -> abDashboardOracle,
+    "q327_ab_dashboard_from_store" -> abDashboardOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2981,6 +2985,186 @@ object SparkEntry {
       |  round(deff, 9) AS deff,
       |  round(CAST(nt AS DOUBLE) / deff, 9) AS n_effective
       |FROM i""".stripMargin
+
+  /** q326/q327 oracle: the ENTIRE composed A/B dashboard chain replayed
+    * from raw events — per-user units (x/y even/odd event counts,
+    * any-value≥250 conversion, the q306 broken decile split, 6 peeks),
+    * per-(arm, peek) HUGEINT moment cells, the (arm × peek) spine,
+    * cumulative windows per arm, then every stage in its gated dag's
+    * float order: the q306 SRM nano χ² on cumulative designed counts +
+    * off-design traffic, the q298 CUPED θ/effect/variance pivot on
+    * cumulative moments, the q324 Wilson center/half per arm, and the
+    * q299 mSPRT recursion (τ² = 2⁻¹², nano ln Λ, running-best max,
+    * the ln(20) nano boundary 2995732274) on the per-peek increments.
+    * q327's three-batch fold merges to identical cells, so the
+    * from-store read shares this oracle verbatim.
+    */
+  private lazy val abDashboardOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CASE WHEN user_id % 10 < 5 THEN 'A'
+      |      WHEN user_id % 10 < 9 THEN 'B' ELSE 'C' END AS arm,
+      |    CAST(user_id % 6 AS BIGINT) AS peek,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    CASE WHEN max(CASE WHEN value >= 250 THEN 1 ELSE 0 END) > 0
+      |      THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |cells AS (SELECT arm, peek, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(hit) AS BIGINT) AS s_hit,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pu GROUP BY 1, 2),
+      |spine AS (SELECT a.arm, p.peek
+      |  FROM (SELECT DISTINCT arm FROM cells) a
+      |  CROSS JOIN (SELECT DISTINCT peek FROM cells) p),
+      |fullc AS (SELECT sp.arm, sp.peek,
+      |    coalesce(c.n, 0) AS n, coalesce(c.s_hit, 0) AS s_hit,
+      |    coalesce(c.sx, 0) AS sx, coalesce(c.sy, 0) AS sy,
+      |    coalesce(c.sxx, 0) AS sxx, coalesce(c.syy, 0) AS syy,
+      |    coalesce(c.sxy, 0) AS sxy
+      |  FROM spine sp LEFT JOIN cells c ON sp.arm = c.arm AND sp.peek = c.peek),
+      |cum AS (SELECT arm, peek,
+      |    CAST(sum(n) OVER w AS BIGINT) AS n,
+      |    CAST(sum(s_hit) OVER w AS BIGINT) AS s_hit,
+      |    CAST(sum(sx) OVER w AS HUGEINT) AS sx,
+      |    CAST(sum(sy) OVER w AS HUGEINT) AS sy,
+      |    CAST(sum(sxx) OVER w AS HUGEINT) AS sxx,
+      |    CAST(sum(syy) OVER w AS HUGEINT) AS syy,
+      |    CAST(sum(sxy) OVER w AS HUGEINT) AS sxy
+      |  FROM fullc
+      |  WINDOW w AS (PARTITION BY arm ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |srm AS (SELECT peek,
+      |    CAST(sum(CASE WHEN arm NOT IN ('A','B') THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_unexpected,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN n ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN n ELSE 0 END) AS BIGINT) AS nb
+      |  FROM cum GROUP BY 1),
+      |srm2 AS (SELECT peek, n_unexpected,
+      |    CAST(round((CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) *
+      |      (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) /
+      |      (CAST(na + nb AS DOUBLE) * 0.5) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) *
+      |      (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) * 0.5) /
+      |      (CAST(na + nb AS DOUBLE) * 0.5) * 1e9) AS BIGINT) AS chi9
+      |  FROM srm),
+      |wide AS (SELECT peek,
+      |    max(CASE WHEN arm = 'A' THEN n END) AS n1,
+      |    max(CASE WHEN arm = 'A' THEN sx END) AS sx1,
+      |    max(CASE WHEN arm = 'A' THEN sy END) AS sy1,
+      |    max(CASE WHEN arm = 'A' THEN sxx END) AS sxx1,
+      |    max(CASE WHEN arm = 'A' THEN syy END) AS syy1,
+      |    max(CASE WHEN arm = 'A' THEN sxy END) AS sxy1,
+      |    max(CASE WHEN arm = 'B' THEN n END) AS n2,
+      |    max(CASE WHEN arm = 'B' THEN sx END) AS sx2,
+      |    max(CASE WHEN arm = 'B' THEN sy END) AS sy2,
+      |    max(CASE WHEN arm = 'B' THEN sxx END) AS sxx2,
+      |    max(CASE WHEN arm = 'B' THEN syy END) AS syy2,
+      |    max(CASE WHEN arm = 'B' THEN sxy END) AS sxy2
+      |  FROM cum WHERE arm IN ('A','B') GROUP BY 1),
+      |c1 AS (SELECT *, CAST(n1 + n2 AS HUGEINT) AS nt,
+      |    sx1 + sx2 AS sxt, sy1 + sy2 AS syt,
+      |    sxx1 + sxx2 AS sxxt, syy1 + syy2 AS syyt, sxy1 + sxy2 AS sxyt
+      |  FROM wide),
+      |c2 AS (SELECT *,
+      |    nt * sxyt - sxt * syt AS covnum,
+      |    nt * sxxt - sxt * sxt AS varxnum,
+      |    nt * syyt - syt * syt AS varynum
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE) AS theta,
+      |    CAST(sy1 * n2 - sy2 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS raweff,
+      |    CAST(sx1 * n2 - sx2 * n1 AS DOUBLE) AS xcross
+      |  FROM c2),
+      |c4 AS (SELECT *,
+      |    raweff - theta * xcross / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS adjeff,
+      |    (CAST(n1 AS DOUBLE) * (CAST(syy1 AS DOUBLE) - 2 * theta * CAST(sxy1 AS DOUBLE) +
+      |        theta * theta * CAST(sxx1 AS DOUBLE)) -
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE)) *
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE))) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |    (CAST(n2 AS DOUBLE) * (CAST(syy2 AS DOUBLE) - 2 * theta * CAST(sxy2 AS DOUBLE) +
+      |        theta * theta * CAST(sxx2 AS DOUBLE)) -
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE)) *
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE))) /
+      |      (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2,
+      |    CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE) /
+      |      (CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE)) AS rho2
+      |  FROM c3),
+      |cup AS (SELECT *, sqrt(v1 + v2) AS se FROM c4),
+      |wil AS (SELECT peek, arm, n, s_hit,
+      |    CAST(s_hit AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE) AS dn
+      |  FROM cum WHERE arm IN ('A','B')),
+      |wil2 AS (SELECT *,
+      |    (p + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE))) / dn AS center,
+      |    1.959964 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) +
+      |      (1.959964 * 1.959964) /
+      |        (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / dn AS half
+      |  FROM wil),
+      |wilw AS (SELECT peek,
+      |    max(CASE WHEN arm = 'A' THEN p END) AS p_lo,
+      |    max(CASE WHEN arm = 'A' THEN center - half END) AS wlo_lo,
+      |    max(CASE WHEN arm = 'A' THEN center + half END) AS wlo_hi,
+      |    max(CASE WHEN arm = 'B' THEN p END) AS p_hi,
+      |    max(CASE WHEN arm = 'B' THEN center - half END) AS whi_lo,
+      |    max(CASE WHEN arm = 'B' THEN center + half END) AS whi_hi
+      |  FROM wil2 GROUP BY 1),
+      |mincr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN n ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN s_hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN n ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN s_hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM fullc WHERE arm IN ('A','B') GROUP BY 1),
+      |mt AS (SELECT peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM mincr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |mv AS (SELECT *,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo AS DOUBLE) + CAST(s_hi AS DOUBLE)) /
+      |      (CAST(n_lo AS DOUBLE) + CAST(n_hi AS DOUBLE)) AS pp,
+      |    n_lo > 0 AND n_hi > 0 AND (s_lo + s_hi) > 0 AND
+      |      (s_lo + s_hi) < (n_lo + n_hi) AS usable
+      |  FROM mt),
+      |ml AS (SELECT *,
+      |    pp * (1 - pp) * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)) AS vv
+      |  FROM mv),
+      |mr AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.000244140625)) +
+      |      delta * delta * 0.000244140625 /
+      |        (2 * vv * (vv + 0.000244140625))) * 1e9) AS BIGINT) END AS ln_lr9
+      |  FROM ml),
+      |mb AS (SELECT *, max(ln_lr9) OVER (ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM mr)
+      |SELECT m.peek, m.n_lo, m.s_lo, m.n_hi, m.s_hi,
+      |  s.n_unexpected,
+      |  round(CAST(s.chi9 AS DOUBLE) / 1e9, 9) AS srm_chi2,
+      |  round(c.theta, 9) AS theta, round(c.rho2, 9) AS rho2,
+      |  round(c.raweff, 9) AS effect_raw, round(c.adjeff, 9) AS effect_cuped,
+      |  round(c.se, 9) AS se_cuped,
+      |  round(c.adjeff - 1.959964 * c.se, 9) AS cuped_ci_lo,
+      |  round(c.adjeff + 1.959964 * c.se, 9) AS cuped_ci_hi,
+      |  round(w.p_lo, 9) AS p_lo,
+      |  round(w.wlo_lo, 9) AS wilson_lo_lo, round(w.wlo_hi, 9) AS wilson_lo_hi,
+      |  round(w.p_hi, 9) AS p_hi,
+      |  round(w.whi_lo, 9) AS wilson_hi_lo, round(w.whi_hi, 9) AS wilson_hi_hi,
+      |  CASE WHEN m.usable THEN round(m.delta, 9) END AS delta, m.ln_lr9,
+      |  round(CASE WHEN m.best9 IS NULL OR m.best9 <= 0 THEN 1.0
+      |    ELSE exp(-CAST(m.best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
+      |  coalesce(m.best9 >= 2995732274, false) AS reject
+      |FROM mb m
+      |JOIN srm2 s ON m.peek = s.peek
+      |JOIN cup c ON m.peek = c.peek
+      |JOIN wilw w ON m.peek = w.peek
+      |ORDER BY m.peek""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

@@ -1,0 +1,209 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed A/B dashboard: ONE standing per-(arm, peek) moment-cell
+  * state answering the ENTIRE guardrail-to-inference chain in one read —
+  * SRM traffic check ([[Association.srmFromCounts]], the q306 dag) →
+  * CUPED variance-reduced effect ([[Association.cupedFromMoments]], the
+  * q298 dag) → per-arm Wilson score CIs
+  * ([[Association.wilsonFromCounts]], the q324 dag) → the mSPRT
+  * always-valid monitor ([[SequentialTests.msprtTwoProportion]], the
+  * q299 dag) — each stage the SAME gated operator the standalone queries
+  * run, fed from the same cells, never a re-implementation.
+  *
+  * The state is the A/B analogue of the survival family's
+  * lifetime-cell store: per (arm, peek) the unit count, conversion
+  * count, and the exact DECIMAL moment sums Σx/Σy/Σxx/Σyy/Σxy of the
+  * per-UNIT outcome y and pre-period covariate x — additively mergeable
+  * ([[mergeAbCells]] is associative + commutative, fold == rebuild
+  * spec-pinned), so batches fold in O(touched cells) and every
+  * dashboard stage reads cardinality-bounded state (arms × peeks rows),
+  * never unit-level history. The peeking problem continuous store reads
+  * create is handled where it belongs: the monitor column is the
+  * always-valid p, and the fixed-CI columns (CUPED, Wilson) are labeled
+  * reads of the CURRENT cumulative state.
+  *
+  * UNIT CONTRACT: rows in [[abCells]] are one per experiment UNIT (the
+  * randomization unit — user, session), each unit entirely inside one
+  * peek; the fold contract is that a unit's row lands in exactly one
+  * batch (the complete-unit-per-batch rule every per-unit store fold in
+  * this repo shares).
+  *
+  * SCALE: [[abCells]] is the only row-scale pass — one counting/moment
+  * aggregation, map-side combined. Everything downstream (spines,
+  * cumulative windows, the four stage reads, the final peek joins) runs
+  * over the (arms × peeks)-row cell frame: unpartitioned windows and
+  * tiny joins on a documented cardinality-bounded frame.
+  */
+object AbDashboard {
+
+  private val dec = "decimal(38,0)"
+
+  /** Per-(arm, peek) experiment moment cells from per-UNIT rows: unit
+    * count n, conversion count s_hit, and exact DECIMAL sums of the
+    * long-cast (the [[Association.welchT]] rule) outcome y and
+    * pre-period covariate x — everything every dashboard stage needs,
+    * in one aggregation. NULL arm/peek/y/x/hit rows drop (the house
+    * filter rule).
+    */
+  def abCells(
+      perUnit: DataFrame,
+      armCol: String,
+      peekCol: String,
+      yCol: String,
+      xCol: String,
+      hitCol: String
+  ): DataFrame = {
+    val yD = col(yCol).cast("long").cast(dec)
+    val xD = col(xCol).cast("long").cast(dec)
+    perUnit
+      .filter(col(armCol).isNotNull && col(peekCol).isNotNull &&
+        col(yCol).isNotNull && col(xCol).isNotNull && col(hitCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"),
+        col(peekCol).cast("long").as("peek"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("s_hit"),
+        sum(xD).as("sx"), sum(yD).as("sy"),
+        sum(xD * xD).as("sxx"), sum(yD * yD).as("syy"),
+        sum(xD * yD).as("sxy"))
+  }
+
+  /** Additive merge of two [[abCells]] frames — associative and
+    * commutative (exact integer/DECIMAL sums), so any batch fold order
+    * rebuilds the same state.
+    */
+  def mergeAbCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("arm"), col("peek"))
+      .agg(sum("n").as("n"), sum("s_hit").as("s_hit"),
+        sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy"))
+
+  /** The one dashboard read: per peek (cumulative state up to and
+    * including it), every stage of the A/B chain —
+    *
+    *   - `n_lo/s_lo/n_hi/s_hi`: cumulative units/conversions per
+    *     designed arm (lo/hi = min/max arm label, the house orientation)
+    *   - `n_unexpected`, `srm_chi2`: the q306 traffic guardrail on the
+    *     cumulative counts — designed arms against `weights`, off-design
+    *     traffic surfaced, χ² vs the k−1 = 1 table (α = 0.001 → 10.828)
+    *   - `theta/rho2/effect_raw/effect_cuped/se_cuped/cuped_ci_lo/
+    *     cuped_ci_hi`: the q298 CUPED read on the cumulative moments —
+    *     the FIXED-HORIZON effect CI a dashboard shows beside the monitor
+    *   - `p_lo/wilson_lo_lo/wilson_lo_hi` (and `_hi_` twins): the q324
+    *     per-arm conversion CIs on the cumulative counts
+    *   - `delta/ln_lr9/p_always_valid/reject`: the q299 mSPRT monitor on
+    *     the per-peek INCREMENTS — the column that stays valid under
+    *     continuous peeking at every fold version
+    *
+    * `weights` names EXACTLY TWO designed arms (the two-arm dashboard;
+    * k-arm designs read [[Association.srmFromCounts]] directly). Arms in
+    * the cells but not the design feed `n_unexpected` only. Peeks where
+    * an arm has no cells yet contribute zero rows via the (arm × peek)
+    * spine — stages NULL their statistics there per their own guards
+    * rather than crash. Determinism: every stage is the gated operator's
+    * own fixed dag over exact cumulative counts/moments; outputs gate at
+    * 9dp in the query layer. One row per peek, peek-ordered reads.
+    */
+  def abDashboardFromCells(
+      cells: DataFrame,
+      weights: Seq[(String, Double)],
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(weights.size == 2, s"the two-arm dashboard needs exactly 2 designed arms: $weights")
+    val lo = weights.map(_._1).min
+    val hi = weights.map(_._1).max
+    val spark = cells.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // materialize the cell state ONCE as a local relation (arm × peek
+    // cardinality — the store bound, the house bounded-driver-fold
+    // idiom): the four stage reads fan out from it, so the row-scale
+    // cell aggregation upstream executes exactly once instead of once
+    // per stage branch — the shape that makes the one-read claim true
+    // in the physical plan, not just the API
+    val local = spark.createDataFrame(
+      cells.collect().toSeq.asJava, cells.schema)
+    // (arm × peek) spine: designed arms always present (a vanished arm
+    // still SRM-checks and NULLs its effect columns), every arm carried
+    // through every peek so cumulative windows see complete series
+    val peeks = local.select(col("peek")).distinct()
+    val arms = local.select(col("arm")).distinct()
+      .unionByName(weights.map(_._1).toDF("arm")).distinct()
+    val zeroD = lit(0L).cast(dec)
+    val full = peeks.crossJoin(broadcast(arms))
+      .join(local, Seq("arm", "peek"), "left")
+      .select(col("arm"), col("peek"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("s_hit"), lit(0L)).as("s_hit"),
+        coalesce(col("sx"), zeroD).as("sx"),
+        coalesce(col("sy"), zeroD).as("sy"),
+        coalesce(col("sxx"), zeroD).as("sxx"),
+        coalesce(col("syy"), zeroD).as("syy"),
+        coalesce(col("sxy"), zeroD).as("sxy"))
+    // cumulative state per arm in peek order — the "dashboard at peek p"
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.select(col("arm"), col("peek"),
+      sum("n").over(wCum).as("n"),
+      sum("s_hit").over(wCum).as("s_hit"),
+      sum("sx").over(wCum).cast(dec).as("sx"),
+      sum("sy").over(wCum).cast(dec).as("sy"),
+      sum("sxx").over(wCum).cast(dec).as("sxx"),
+      sum("syy").over(wCum).cast(dec).as("syy"),
+      sum("sxy").over(wCum).cast(dec).as("sxy"))
+    val designed = col("arm") === lo || col("arm") === hi
+    // stage 1 — SRM on the cumulative counts (all arms: off-design
+    // traffic is the q306 n_unexpected read)
+    val srm = Association.srmFromCounts(
+      cum.select(col("peek"), col("arm").as("grp"), col("n").as("__n")),
+      Seq("peek"), weights)
+      .select(col("peek"), col("n_unexpected"), col("chi2").as("srm_chi2"))
+    // stage 2 — CUPED on the cumulative designed-arm moments
+    val cup = Association.cupedFromMoments(
+      cum.filter(designed).select(col("peek"), col("arm").as("grp"),
+        col("n").as("__n"), col("sx").as("__sx"), col("sy").as("__sy"),
+        col("sxx").as("__sxx"), col("syy").as("__syy"), col("sxy").as("__sxy")),
+      Seq("peek"))
+      .select(col("peek"), col("theta"), col("rho2"), col("effect_raw"),
+        col("effect_cuped"), col("se_cuped"),
+        col("ci_lo").as("cuped_ci_lo"), col("ci_hi").as("cuped_ci_hi"))
+    // stage 3 — per-arm Wilson CIs on the cumulative conversion counts
+    val wil = Association.wilsonFromCounts(
+      cum.filter(designed).select(col("peek"), col("arm").as("grp"),
+        col("n"), col("s_hit").as("n_pass")),
+      Seq("peek"))
+    val wilW = wil.groupBy(col("peek")).agg(
+      max(when(col("grp") === lo, col("p_hat"))).as("p_lo"),
+      max(when(col("grp") === lo, col("ci_lo"))).as("wilson_lo_lo"),
+      max(when(col("grp") === lo, col("ci_hi"))).as("wilson_lo_hi"),
+      max(when(col("grp") === hi, col("p_hat"))).as("p_hi"),
+      max(when(col("grp") === hi, col("ci_lo"))).as("wilson_hi_lo"),
+      max(when(col("grp") === hi, col("ci_hi"))).as("wilson_hi_hi"))
+    // stage 4 — the always-valid monitor on the per-peek INCREMENTS
+    // (the exact fold shape the store emits per version)
+    val incr = full.filter(designed).groupBy(col("peek")).agg(
+      sum(when(col("arm") === lo, col("n")).otherwise(0L)).as("bn1"),
+      sum(when(col("arm") === lo, col("s_hit")).otherwise(0L)).as("bs1"),
+      sum(when(col("arm") === hi, col("n")).otherwise(0L)).as("bn2"),
+      sum(when(col("arm") === hi, col("s_hit")).otherwise(0L)).as("bs2"))
+    val mon = SequentialTests.msprtTwoProportion(incr, Nil, "peek",
+      "bn1", "bs1", "bn2", "bs2", tau2, alpha)
+    // one row per peek: joins over the peek-cardinality frames only
+    mon
+      .join(srm, Seq("peek"))
+      .join(cup, Seq("peek"))
+      .join(wilW, Seq("peek"))
+      .select(col("peek"), col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        col("n_unexpected"), col("srm_chi2"),
+        col("theta"), col("rho2"), col("effect_raw"), col("effect_cuped"),
+        col("se_cuped"), col("cuped_ci_lo"), col("cuped_ci_hi"),
+        col("p_lo"), col("wilson_lo_lo"), col("wilson_lo_hi"),
+        col("p_hi"), col("wilson_hi_lo"), col("wilson_hi_hi"),
+        col("delta"), col("ln_lr9"), col("p_always_valid"), col("reject"))
+  }
+}

@@ -1518,6 +1518,19 @@ object Association {
         sum(xD).as("__sx"), sum(yD).as("__sy"),
         sum(xD * xD).as("__sxx"), sum(yD * yD).as("__syy"),
         sum(xD * yD).as("__sxy"))
+    cupedFromMoments(grpAgg, keyCols)
+  }
+
+  /** [[cuped]] from a (possibly folded) per-(keys, grp) moment frame —
+    * columns `grp, __n, __sx, __sy, __sxx, __syy, __sxy` with the sums
+    * exact DECIMAL(38,0), the shape [[cuped]]'s own aggregation emits
+    * and an additive store fold preserves. This is the from-cells twin
+    * the composed A/B dashboard reads (cumulative per-peek moments keyed
+    * by peek), so the adjustment a standing store answers is THE q298
+    * dag, not a re-implementation.
+    */
+  def cupedFromMoments(grpAgg: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
     val wKey = Window.partitionBy(g: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wide = grpAgg
@@ -1552,6 +1565,9 @@ object Association {
     val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
     // adjusted arm means: ȳᵢ − θ·x̄ᵢ (the common +θx̄ shift cancels in
     // the difference); raw effect from the exact cross product
+    // ANSI: the raw-effect division needs live arms — an all-zero
+    // moment row (a store spine's empty peek) must NULL, not divide by 0
+    val bothLive = col("__n1") > 0L && col("__n2") > 0L
     val rawEff = (col("__sy1") * col("__n2").cast(dec) -
       col("__sy2") * col("__n1").cast(dec)).cast("double") / (n1 * n2)
     val adjEff = rawEff -
@@ -1581,7 +1597,7 @@ object Association {
       .withColumn("n_hi", when(two, col("__n2")))
       .withColumn("theta", when(ok, theta))
       .withColumn("rho2", when(ok && varYNum > 0L, rho2))
-      .withColumn("effect_raw", when(two, rawEff))
+      .withColumn("effect_raw", when(two && bothLive, rawEff))
       .withColumn("effect_cuped", when(ok, adjEff))
       .withColumn("se_cuped", when(ok, se))
       .withColumn("ci_lo", when(ok, adjEff - lit(1.959964d) * se))
@@ -1723,20 +1739,35 @@ object Association {
       groupCol: String,
       weights: Seq[(String, Double)]
   ): DataFrame = {
-    require(weights.nonEmpty && weights.forall(_._2 > 0d),
-      s"weights must be non-empty and positive: $weights")
-    require(weights.map(_._1).distinct.size == weights.size,
-      s"duplicate arm in weights: $weights")
-    val wSum = weights.map(_._2).sum
-    val spark = df.sparkSession
-    import spark.implicits._
-    val design = broadcast(
-      weights.toDF("grp", "__w").withColumn("__w", col("__w") / wSum))
     val g = keyCols.map(col)
     val counts = df
       .filter(col(groupCol).isNotNull)
       .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
       .agg(count(lit(1)).as("__n"))
+    srmFromCounts(counts, keyCols, weights)
+  }
+
+  /** [[srmCheck]] from a (possibly folded) per-(keys, grp) count frame —
+    * columns `grp, __n`, the shape [[srmCheck]]'s own aggregation emits
+    * and an additive store fold preserves; the composed A/B dashboard
+    * reads it on cumulative per-peek counts so the guardrail a standing
+    * store answers is THE q306 dag.
+    */
+  def srmFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      weights: Seq[(String, Double)]
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0d),
+      s"weights must be non-empty and positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate arm in weights: $weights")
+    val wSum = weights.map(_._2).sum
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val design = broadcast(
+      weights.toDF("grp", "__w").withColumn("__w", col("__w") / wSum))
+    val g = keyCols.map(col)
     // the design universe per key set: every designed arm present even
     // at zero traffic (a vanished arm is the loudest SRM there is)
     val keyUni =
@@ -2226,13 +2257,28 @@ object Association {
       hitCol: String,
       z: Double = 1.959964d
   ): DataFrame = {
-    require(z > 0d, s"z must be positive: $z")
     val g = keyCols.map(col)
     val counts = df
       .filter(col(groupCol).isNotNull && col(hitCol).isNotNull)
       .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
       .agg(count(lit(1)).as("n"),
         sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("n_pass"))
+    wilsonFromCounts(counts, keyCols, z)
+  }
+
+  /** [[wilsonInterval]] from a (possibly folded) per-(keys, grp) count
+    * frame — columns `grp, n, n_pass`, the shape [[wilsonInterval]]'s
+    * own aggregation emits and an additive store fold preserves; the
+    * composed A/B dashboard reads it on cumulative per-peek counts so
+    * the per-arm CI a standing store answers is THE q324 dag.
+    */
+  def wilsonFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      z: Double = 1.959964d
+  ): DataFrame = {
+    require(z > 0d, s"z must be positive: $z")
+    val g = keyCols.map(col)
     val nD = col("n").cast("double")
     val p = col("n_pass").cast("double") / nD
     val z2 = lit(z * z)

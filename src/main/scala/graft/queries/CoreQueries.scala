@@ -3428,6 +3428,89 @@ object CoreQueries {
         round(col("n_effective"), 9).as("n_effective"))
   }
 
+  /** Shared A/B-dashboard fixture: one row per USER (the randomization
+    * unit) with the q298 even/odd event-count covariate x / outcome y,
+    * a conversion flag (any event's value ≥ 250), the q306 broken
+    * decile split (designed arms A/B at 50/50, decile 9 leaking to an
+    * off-design arm C — so the SRM stage has a real mismatch AND real
+    * unexpected traffic to flag), and 6 sequential peeks (user_id mod
+    * 6 — each unit entirely inside one peek, the per-unit fold
+    * contract).
+    */
+  private def abPerUser(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"),
+        max(when(col("value") >= 250d, 1L).otherwise(0L)).as("__h"))
+      .withColumn("hit", col("__h") > 0L)
+      .withColumn("arm",
+        when(col("user_id") % 10 < 5, "A")
+          .when(col("user_id") % 10 < 9, "B")
+          .otherwise("C"))
+      .withColumn("peek", col("user_id") % 6)
+
+  /** Spec access to the q326 per-unit fixture — the fixture-adequacy
+    * assertions (AbDashboardSpec) pin its teeth.
+    */
+  def abPerUserForSpec(s: SparkSession, dir: String): DataFrame = abPerUser(s, dir)
+
+  private val abDesign = Seq("A" -> 0.5, "B" -> 0.5)
+  private val abTau2 = 0.000244140625d // 2⁻¹², binary-exact
+
+  private def abDashboardSelect(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        col("n_unexpected"), round(col("srm_chi2"), 9).as("srm_chi2"),
+        round(col("theta"), 9).as("theta"), round(col("rho2"), 9).as("rho2"),
+        round(col("effect_raw"), 9).as("effect_raw"),
+        round(col("effect_cuped"), 9).as("effect_cuped"),
+        round(col("se_cuped"), 9).as("se_cuped"),
+        round(col("cuped_ci_lo"), 9).as("cuped_ci_lo"),
+        round(col("cuped_ci_hi"), 9).as("cuped_ci_hi"),
+        round(col("p_lo"), 9).as("p_lo"),
+        round(col("wilson_lo_lo"), 9).as("wilson_lo_lo"),
+        round(col("wilson_lo_hi"), 9).as("wilson_lo_hi"),
+        round(col("p_hi"), 9).as("p_hi"),
+        round(col("wilson_hi_lo"), 9).as("wilson_hi_lo"),
+        round(col("wilson_hi_hi"), 9).as("wilson_hi_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"))
+      .orderBy("peek")
+
+  /** The composed A/B dashboard gate: ONE per-(arm, peek) moment-cell
+    * state feeding the whole chain in one read — SRM traffic guardrail
+    * (q306 dag) → CUPED effect + CI (q298 dag) → per-arm Wilson CIs
+    * (q324 dag) → the mSPRT always-valid monitor (q299 dag) — one row
+    * per peek, every stage cumulative to that peek. The oracle replays
+    * the ENTIRE chain from raw events.
+    */
+  def q326AbDashboard(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    abDashboardSelect(AbDashboard.abDashboardFromCells(
+      AbDashboard.abCells(abPerUser(s, dir), "arm", "peek", "y", "x", "hit"),
+      abDesign, tau2 = abTau2, alpha = 0.05d))
+  }
+
+  /** The q326 dashboard FROM THE STORE: the per-user frame split into
+    * three complete-unit batches (user_id mod 3), each batch's cells
+    * folded via [[graft.quality.AbDashboard.mergeAbCells]], the same
+    * one-read dashboard over the folded state — fold == rebuild under
+    * the q326 oracle verbatim.
+    */
+  def q327AbDashboardFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    val pu = abPerUser(s, dir)
+    def cellsOf(i: Int) = AbDashboard.abCells(
+      pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      AbDashboard.mergeAbCells(acc, cellsOf(i))
+    }
+    abDashboardSelect(AbDashboard.abDashboardFromCells(
+      folded, abDesign, tau2 = abTau2, alpha = 0.05d))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

@@ -985,6 +985,46 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming A/B moment-cell fold — the experiment dashboard's online
+    * state: each micro-batch's per-(arm, peek) unit/conversion counts
+    * and exact outcome/covariate moments
+    * ([[graft.quality.AbDashboard.abCells]]) merge additively into a
+    * versioned store, so the standing cells answer the WHOLE A/B chain
+    * in one read ([[graft.quality.AbDashboard.abDashboardFromCells]]:
+    * SRM → CUPED → per-arm Wilson → the mSPRT always-valid monitor)
+    * without rescanning units. Batches carry COMPLETE units (one row
+    * per randomization unit, each unit in exactly one batch — the
+    * per-unit fold contract). Arm × peek cardinality is the store
+    * bound. Same non-idempotent recompute-on-replay version discipline
+    * as [[contingencyStream]].
+    */
+  def abCellsStream(
+      rows: DataFrame,
+      armCol: String,
+      peekCol: String,
+      yCol: String,
+      xCol: String,
+      hitCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.AbDashboard.abCells(
+          batch, armCol, peekCol, yCol, xCol, hitCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.AbDashboard.mergeAbCells(
+            s.read.parquet(p), bc)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Kendall cell fold — the τ-b companion of
     * [[contingencyStream]]: per-batch
     * [[graft.quality.Association.kendallCells]] (values keep their

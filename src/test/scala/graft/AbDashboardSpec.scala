@@ -1,0 +1,164 @@
+package graft
+
+import graft.quality.{AbDashboard, Association, SequentialTests}
+import graft.queries.CoreQueries
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed A/B dashboard's closure invariants: the store state folds
+  * (batch and streaming) rebuild exactly; the one-read dashboard's LAST
+  * peek equals each standalone gated operator run directly on the full
+  * per-unit frame (SRM = q306 dag, CUPED = q298 dag, Wilson = q324 dag,
+  * mSPRT = q299 dag) — composition adds NOTHING to any stage's numbers;
+  * degenerate states (an arm with zero traffic) NULL their statistics
+  * under ANSI instead of crashing; and the gate fixture actually
+  * exercises every stage's defining case (the r13 vacuous-fixture
+  * lesson): a real SRM + real off-design traffic, conversions strictly
+  * inside (0, n), covariate variance > 0, every (designed arm, peek)
+  * cell live.
+  */
+class AbDashboardSpec extends SparkSpec {
+  import spark.implicits._
+
+  // toy units: (unit, arm, peek, y, x, hit)
+  private def units(n: Int, seed: Int): Seq[(Long, String, Long, Long, Long, Boolean)] =
+    (0 until n).map { i =>
+      val arm = if ((i + seed) % 2 == 0) "A" else "B"
+      val peek = ((i * 3 + seed) % 4).toLong
+      val x = ((i * 7 + seed) % 5).toLong
+      val y = x + ((i * 11 + seed) % 3).toLong
+      (i.toLong, arm, peek, y, x, (i * 5 + seed) % 3 == 0)
+    }
+
+  private def cellsOf(df: DataFrame): DataFrame =
+    AbDashboard.abCells(df, "arm", "peek", "y", "x", "hit")
+
+  private def toDf(u: Seq[(Long, String, Long, Long, Long, Boolean)]): DataFrame =
+    u.toDF("unit", "arm", "peek", "y", "x", "hit")
+
+  test("abCells fold == rebuild: mergeAbCells over splits equals one pass") {
+    val all = units(120, 1)
+    val parts = all.grouped(40).toSeq
+    val folded = parts.tail.foldLeft(cellsOf(toDf(parts.head))) { (acc, p) =>
+      AbDashboard.mergeAbCells(acc, cellsOf(toDf(p)))
+    }
+    val rebuilt = cellsOf(toDf(all))
+    assert(folded.orderBy("arm", "peek").collect().toSeq ==
+      rebuilt.orderBy("arm", "peek").collect().toSeq)
+  }
+
+  test("streaming abCellsStream fold equals the batch rebuild; the standing dashboard matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-abstream").toString
+    val mem = MemoryStream[(Long, String, Long, Long, Long, Boolean)]
+    val b1 = units(80, 2); val b2 = units(60, 5)
+    val rows = mem.toDF().toDF("unit", "arm", "peek", "y", "x", "hit")
+    mem.addData(b1: _*)
+    StreamingOps.abCellsStream(rows, "arm", "peek", "y", "x", "hit",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.abCellsStream(rows, "arm", "peek", "y", "x", "hit",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val store = spark.read.parquet(latest)
+    val rebuilt = cellsOf(toDf(b1 ++ b2))
+    assert(store.orderBy("arm", "peek").collect().toSeq ==
+      rebuilt.orderBy("arm", "peek").collect().toSeq)
+    // the standing state answers the same dashboard as the batch twin
+    val design = Seq("A" -> 0.5, "B" -> 0.5)
+    assert(AbDashboard.abDashboardFromCells(store, design, tau2 = 0.25)
+        .orderBy("peek").collect().toSeq ==
+      AbDashboard.abDashboardFromCells(rebuilt, design, tau2 = 0.25)
+        .orderBy("peek").collect().toSeq)
+  }
+
+  test("last-peek dashboard row equals every standalone gated operator on the full frame") {
+    val u = toDf(units(150, 3))
+    val design = Seq("A" -> 0.5, "B" -> 0.5)
+    val dash = AbDashboard.abDashboardFromCells(cellsOf(u), design, tau2 = 0.25)
+      .orderBy("peek").collect()
+    val last = dash.last
+    // SRM: the q306 dag on the full unit frame
+    val srm = Association.srmCheck(u, Nil, "arm", design).collect()(0)
+    assert(last.getAs[Double]("srm_chi2") === srm.getAs[Double]("chi2"))
+    assert(last.getAs[Long]("n_unexpected") === srm.getAs[Long]("n_unexpected"))
+    // CUPED: the q298 dag
+    val cup = Association.cuped(u, Nil, "arm", "y", "x").collect()(0)
+    for (c <- Seq("theta", "rho2", "effect_raw", "effect_cuped", "se_cuped"))
+      assert(last.getAs[Double](c) === cup.getAs[Double](c), c)
+    assert(last.getAs[Double]("cuped_ci_lo") === cup.getAs[Double]("ci_lo"))
+    assert(last.getAs[Double]("cuped_ci_hi") === cup.getAs[Double]("ci_hi"))
+    // Wilson: the q324 dag per arm
+    val wil = Association.wilsonInterval(u, Nil, "arm", "hit")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(last.getAs[Double]("p_lo") === wil("A").getAs[Double]("p_hat"))
+    assert(last.getAs[Double]("wilson_lo_lo") === wil("A").getAs[Double]("ci_lo"))
+    assert(last.getAs[Double]("wilson_lo_hi") === wil("A").getAs[Double]("ci_hi"))
+    assert(last.getAs[Double]("p_hi") === wil("B").getAs[Double]("p_hat"))
+    assert(last.getAs[Double]("wilson_hi_lo") === wil("B").getAs[Double]("ci_lo"))
+    assert(last.getAs[Double]("wilson_hi_hi") === wil("B").getAs[Double]("ci_hi"))
+    // mSPRT: the q299 dag on the same per-peek increments
+    val incr = u.groupBy("peek").agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === "A" && col("hit"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("arm") === "B" && col("hit"), 1L).otherwise(0L)).as("s2"))
+    val mon = SequentialTests.msprtTwoProportion(incr, Nil, "peek",
+      "n1", "s1", "n2", "s2", tau2 = 0.25).orderBy("peek").collect()
+    for ((d, m) <- dash.zip(mon);
+        c <- Seq("n_lo", "s_lo", "n_hi", "s_hi", "delta", "ln_lr9",
+          "p_always_valid", "reject"))
+      // null-safe Any compare: getAs[Long] unboxes a NULL asymmetrically
+      assert(d.get(d.fieldIndex(c)) === m.get(m.fieldIndex(c)), c)
+  }
+
+  test("a designed arm with zero traffic NULLs its statistics, never crashes (ANSI)") {
+    // only arm A ever arrives; B exists in the design alone
+    val u = toDf(units(60, 4).map(t => t.copy(_2 = "A")))
+    val rows = AbDashboard.abDashboardFromCells(
+      cellsOf(u), Seq("A" -> 0.5, "B" -> 0.5), tau2 = 0.25)
+      .orderBy("peek").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_hi") === 0L)
+      // SRM still fires (a vanished arm is the loudest SRM there is)
+      assert(r.getAs[Double]("srm_chi2") > 0d)
+      // effect stages NULL per their own guards
+      for (c <- Seq("theta", "effect_raw", "effect_cuped", "p_hi",
+          "wilson_hi_lo", "delta"))
+        assert(r.isNullAt(r.fieldIndex(c)), c)
+      // no evidence ever accumulates from unusable peeks
+      assert(r.getAs[Double]("p_always_valid") === 1.0d)
+      assert(!r.getAs[Boolean]("reject"))
+    }
+  }
+
+  test("gate fixture adequacy: every stage's defining case is exercised at the oracle SF") {
+    // the r13 lesson: a gate whose fixture can't exercise the operator's
+    // defining case is green but vacuous — pin the q326 fixture's teeth
+    // AT sf0.01, the SF the driver's oracle gate actually runs
+    val cells = cellsOf(
+      CoreQueries.abPerUserForSpec(spark, "/root/testdata/sf0.01")).collect()
+    val byArm = cells.groupBy(_.getAs[String]("arm"))
+    // all three arms flow: the designed two AND the off-design leak
+    assert(byArm.keySet === Set("A", "B", "C"))
+    // every (designed arm, peek) cell is live — no vacuous peek anywhere
+    for (arm <- Seq("A", "B"); p <- 0L to 5L)
+      assert(byArm(arm).exists(r => r.getAs[Long]("peek") == p &&
+        r.getAs[Long]("n") > 0L), s"empty cell $arm/$p")
+    // conversions strictly inside (0, n): Wilson non-degenerate, the
+    // mSPRT pooled p̂ never 0 or 1
+    for (r <- cells if r.getAs[String]("arm") != "C") {
+      assert(r.getAs[Long]("s_hit") > 0L)
+      assert(r.getAs[Long]("s_hit") < r.getAs[Long]("n"))
+    }
+    // the covariate varies: θ is defined (n·Σxx − (Σx)² > 0 pooled)
+    val a = cells.filter(_.getAs[String]("arm") != "C")
+    val n = a.map(_.getAs[Long]("n")).sum
+    val sx = a.map(_.getAs[java.math.BigDecimal]("sx").longValueExact()).sum
+    val sxx = a.map(_.getAs[java.math.BigDecimal]("sxx").longValueExact()).sum
+    assert(BigInt(n) * BigInt(sxx) - BigInt(sx) * BigInt(sx) > 0)
+  }
+}

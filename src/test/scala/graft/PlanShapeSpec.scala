@@ -785,7 +785,18 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // ICC/deff: ONE cluster-level moments agg + the k-bounded fold
     Shape("q325_icc_deff", maxHash = 2, maxRange = 2,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // composed A/B dashboard: the row-scale per-user + cell aggs execute
+    // ONCE (the cell state is materialized as a local relation before the
+    // stage fan-out — the bounded driver fold, arm × peek cardinality);
+    // all remaining exchanges move the ≤ (arms × peeks)-row cell frame
+    // through the four stage reads and the peek joins
+    Shape("q326_ab_dashboard", maxHash = 20, maxRange = 8, forbidUdf = true),
+    // from-store twin: the three batch arms' per-user + cell aggs + the
+    // merge land in the SAME one-time materialization; the dashboard
+    // stages downstream are identical
+    Shape("q327_ab_dashboard_from_store", maxHash = 24, maxRange = 8,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
