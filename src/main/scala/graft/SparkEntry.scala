@@ -337,7 +337,9 @@ object SparkEntry {
     "q324_wilson_ci" -> (CoreQueries.q324WilsonCi(_, _)),
     "q325_icc_deff" -> (CoreQueries.q325IccDeff(_, _)),
     "q326_ab_dashboard" -> (CoreQueries.q326AbDashboard(_, _)),
-    "q327_ab_dashboard_from_store" -> (CoreQueries.q327AbDashboardFromStore(_, _))
+    "q327_ab_dashboard_from_store" -> (CoreQueries.q327AbDashboardFromStore(_, _)),
+    "q328_power_two_prop" -> (CoreQueries.q328PowerTwoProp(_, _)),
+    "q329_power_mean" -> (CoreQueries.q329PowerMean(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -478,7 +480,9 @@ object SparkEntry {
     "q324_wilson_ci" -> wilsonCiOracle,
     "q325_icc_deff" -> iccDeffOracle,
     "q326_ab_dashboard" -> abDashboardOracle,
-    "q327_ab_dashboard_from_store" -> abDashboardOracle)
+    "q327_ab_dashboard_from_store" -> abDashboardOracle,
+    "q328_power_two_prop" -> powerTwoPropOracle,
+    "q329_power_mean" -> powerMeanOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3165,6 +3169,79 @@ object SparkEntry {
       |JOIN cup c ON m.peek = c.peek
       |JOIN wilw w ON m.peek = w.peek
       |ORDER BY m.peek""".stripMargin
+
+  /** q328 oracle: [[graft.quality.Association.powerTwoProportionFromCounts]]
+    * replayed — the q326 per-user CTE, designed-arm exact counts, pooled
+    * p̄, the pinned-z MDE/required-n closed forms with the z-sum and
+    * squares formed as literal additions/multiplications (the engines'
+    * doubles then agree bit-for-bit).
+    */
+  private lazy val powerTwoPropOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CASE WHEN user_id % 10 < 5 THEN 'A'
+      |      WHEN user_id % 10 < 9 THEN 'B' ELSE 'C' END AS arm,
+      |    CASE WHEN max(CASE WHEN value >= 250 THEN 1 ELSE 0 END) > 0
+      |      THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN hit ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN hit ELSE 0 END) AS BIGINT) AS s2
+      |  FROM pu WHERE arm IN ('A','B')),
+      |f AS (SELECT *,
+      |    CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+      |  FROM c),
+      |g AS (SELECT *,
+      |    (1.959964 + 0.841621) *
+      |      sqrt(pp * (1.0 - pp) * (1.0 / CAST(n1 AS DOUBLE) +
+      |        1.0 / CAST(n2 AS DOUBLE))) AS mde
+      |  FROM f)
+      |SELECT 'A' AS grp_lo, 'B' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  n1 AS n_lo, n2 AS n_hi, round(pp, 9) AS p_pool,
+      |  round(mde, 9) AS mde_abs, round(mde / pp, 9) AS mde_rel,
+      |  CAST(ceil(2.0 * (pp * (1.0 - pp)) *
+      |    ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
+      |    (0.05 * 0.05)) AS BIGINT) AS n_required_per_arm
+      |FROM g""".stripMargin
+
+  /** q329 oracle: [[graft.quality.Association.powerMeanFromMoments]]
+    * replayed — the q326 per-user outcome y, designed-arm exact HUGEINT
+    * moments, the (V₁/n₁ + V₂/n₂)/(n₁+n₂−2) pooled variance and the
+    * pinned-z MDE/required-n dags.
+    */
+  private lazy val powerMeanOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CASE WHEN user_id % 10 < 5 THEN 'A'
+      |      WHEN user_id % 10 < 9 THEN 'B' ELSE 'C' END AS arm,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS HUGEINT) AS sy1,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+      |      AS HUGEINT) AS syy1,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS HUGEINT) AS sy2,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+      |      AS HUGEINT) AS syy2
+      |  FROM pu WHERE arm IN ('A','B')),
+      |f AS (SELECT *,
+      |    CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS v1,
+      |    CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS v2
+      |  FROM c),
+      |g AS (SELECT *,
+      |    (v1 + v2) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) AS sig2
+      |  FROM f)
+      |SELECT 'A' AS grp_lo, 'B' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  n1 AS n_lo, n2 AS n_hi, round(sig2, 9) AS sigma2_pool,
+      |  round((1.959964 + 0.841621) *
+      |    sqrt(sig2 * (1.0 / CAST(n1 AS DOUBLE) +
+      |      1.0 / CAST(n2 AS DOUBLE))), 9) AS mde_abs,
+      |  CAST(ceil(2.0 * sig2 *
+      |    ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
+      |    (1.0 * 1.0)) AS BIGINT) AS n_required_per_arm
+      |FROM g""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

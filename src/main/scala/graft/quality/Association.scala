@@ -2294,6 +2294,198 @@ object Association {
         col("ci_lo") :+ col("ci_hi"): _*)
   }
 
+  /** Pinned normal quantiles for the power family — the q149
+    * pinned-data rule: no erf inversion anywhere, the supported
+    * (α, power) grid is explicit and each z is the published 6dp
+    * constant (two-sided z_{α/2}; one-sided z_{1−β}).
+    */
+  private val zTwoSided: Map[Double, Double] = Map(
+    0.10 -> 1.644854d, 0.05 -> 1.959964d, 0.01 -> 2.575829d)
+  private val zPower: Map[Double, Double] = Map(
+    0.5 -> 0.0d, 0.8 -> 0.841621d, 0.9 -> 1.281552d, 0.95 -> 1.644854d)
+
+  private def zSumCols(alpha: Double, power: Double): (Column, Column) = {
+    require(zTwoSided.contains(alpha),
+      s"alpha must be one of ${zTwoSided.keys.toSeq.sorted}: $alpha")
+    require(zPower.contains(power),
+      s"power must be one of ${zPower.keys.toSeq.sorted}: $power")
+    // the SUM is formed in the engine (lit+lit), so the oracle's
+    // (zA + zB) literal addition reproduces the identical double
+    val zs = lit(zTwoSided(alpha)) + lit(zPower(power))
+    (zs, zs * zs)
+  }
+
+  /** Power / minimum-detectable-effect panel for a TWO-PROPORTION A/B
+    * (the normal-approximation closed forms every experiment sizing
+    * table publishes — e.g. Fleiss, Levin & Paik 2003 ch. 4's pooled
+    * form): from the SAME per-arm count state the monitors and Wilson
+    * CIs read, answer the two design questions a dashboard owes BEFORE
+    * any effect is read —
+    *
+    *   MDE(n)  = (z_{α/2} + z_{1−β}) · √(p̄(1−p̄)(1/n₁ + 1/n₂))
+    *   n(MDE)  = ⌈ 2·p̄(1−p̄)·(z_{α/2}+z_{1−β})² / MDE² ⌉  per arm
+    *
+    * with p̄ the pooled conversion rate the state already holds (the
+    * planning-stage stand-in for the baseline). At power = 0.5 the MDE
+    * reduces EXACTLY to the Wald radius z_{α/2}·se — the fixed-test
+    * closure the spec pins. Determinism: exact counts; z's from the
+    * pinned table (never an erf inversion); every output a fixed dag
+    * over them, gated at 9dp; ⌈·⌉ an integer long. Conventions:
+    * (grp_lo, grp_hi) = (min, max) label; ≠2 groups flagged via
+    * n_groups with NULL statistics; NULL when either arm is empty or
+    * p̄ ∈ {0, 1} (no variance to power against). One row per key set;
+    * SCALE: the pivot + fixed dags over the already-bounded count
+    * frame — nothing row-scale happens here.
+    */
+  def powerTwoProportionFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      targetMde: Double,
+      alpha: Double = 0.05d,
+      power: Double = 0.8d
+  ): DataFrame = {
+    require(targetMde > 0d, s"targetMde must be positive: $targetMde")
+    val (zs, zs2) = zSumCols(alpha, power)
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = counts
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("n_pass"))).as("__s1"),
+        max(when(col("grp") === col("grp_hi"), col("n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("n_pass"))).as("__s2"))
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val pPool = (col("__s1") + col("__s2")).cast("double") /
+      (col("__n1") + col("__n2")).cast("double")
+    val pq = pPool * (lit(1d) - pPool)
+    val mde = zs * sqrt(pq * (lit(1d) / n1 + lit(1d) / n2))
+    val nReq = ceil(lit(2d) * pq * zs2 / (lit(targetMde) * lit(targetMde)))
+      .cast("long")
+    val two = col("__ngrps") === 2L
+    val live = two && col("__n1") > 0L && col("__n2") > 0L
+    val ok = live && (col("__s1") + col("__s2")) > 0L &&
+      (col("__s1") + col("__s2")) < (col("__n1") + col("__n2"))
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("p_pool", when(live, pPool))
+      .withColumn("mde_abs", when(ok, mde))
+      .withColumn("mde_rel", when(ok, mde / pPool))
+      .withColumn("n_required_per_arm", when(ok, nReq))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("p_pool") :+ col("mde_abs") :+
+        col("mde_rel") :+ col("n_required_per_arm"): _*)
+  }
+
+  /** Row-level wrapper of [[powerTwoProportionFromCounts]] — the
+    * [[wilsonInterval]] counting aggregation, then the panel.
+    */
+  def powerTwoProportion(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      hitCol: String,
+      targetMde: Double,
+      alpha: Double = 0.05d,
+      power: Double = 0.8d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(hitCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("n_pass"))
+    powerTwoProportionFromCounts(counts, keyCols, targetMde, alpha, power)
+  }
+
+  /** Power / MDE panel for a MEAN-metric A/B (the normal-approximation
+    * two-sample forms): from per-arm exact moment state (n, Σy, Σy² —
+    * the [[cuped]]/mSPRT fold shape),
+    *
+    *   σ̂²_pool = (V₁/n₁ + V₂/n₂) / (n₁+n₂−2),  V = n·Σy² − (Σy)²
+    *   MDE(n)  = (z_{α/2}+z_{1−β}) · √(σ̂²(1/n₁ + 1/n₂))
+    *   n(MDE)  = ⌈ 2·σ̂²·(z_{α/2}+z_{1−β})² / MDE² ⌉  per arm
+    *
+    * (V/n = (n−1)s² — the pooled variance assembles from the exact
+    * DECIMAL numerators in one fixed dag). Same conventions, pinned-z
+    * determinism and NULL guards as the proportion panel; NULL when
+    * either n < 2 or σ̂² = 0. One row per key set.
+    */
+  def powerMeanFromMoments(
+      moments: DataFrame,
+      keyCols: Seq[String],
+      targetMde: Double,
+      alpha: Double = 0.05d,
+      power: Double = 0.8d
+  ): DataFrame = {
+    require(targetMde > 0d, s"targetMde must be positive: $targetMde")
+    val (zs, zs2) = zSumCols(alpha, power)
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = moments
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("__s"))).as("__sy1"),
+        max(when(col("grp") === col("grp_lo"), col("__q"))).as("__syy1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("__s"))).as("__sy2"),
+        max(when(col("grp") === col("grp_hi"), col("__q"))).as("__syy2"))
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val v1 = (col("__n1").cast(dec) * col("__syy1") -
+      col("__sy1") * col("__sy1")).cast("double") / n1
+    val v2 = (col("__n2").cast(dec) * col("__syy2") -
+      col("__sy2") * col("__sy2")).cast("double") / n2
+    val sig2 = (v1 + v2) / (n1 + n2 - lit(2d))
+    val mde = zs * sqrt(sig2 * (lit(1d) / n1 + lit(1d) / n2))
+    val nReq = ceil(lit(2d) * sig2 * zs2 / (lit(targetMde) * lit(targetMde)))
+      .cast("long")
+    val two = col("__ngrps") === 2L
+    val live = two && col("__n1") >= 2L && col("__n2") >= 2L
+    val ok = live && (v1 + v2) > lit(0d)
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("sigma2_pool", when(ok, sig2))
+      .withColumn("mde_abs", when(ok, mde))
+      .withColumn("n_required_per_arm", when(ok, nReq))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("sigma2_pool") :+ col("mde_abs") :+
+        col("n_required_per_arm"): _*)
+  }
+
+  /** Row-level wrapper of [[powerMeanFromMoments]] — the [[welchT]]
+    * long-cast moment aggregation, then the panel.
+    */
+  def powerMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      targetMde: Double,
+      alpha: Double = 0.05d,
+      power: Double = 0.8d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val yD = col(valueCol).cast("long").cast(dec)
+    val moments = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__n"), sum(yD).as("__s"), sum(yD * yD).as("__q"))
+    powerMeanFromMoments(moments, keyCols, targetMde, alpha, power)
+  }
+
   /** Intraclass correlation + design effect (one-way random effects —
     * Fisher's ANOVA estimator; Kish 1965 for deff): events cluster by
     * USER, documents by SOURCE — and a per-row test on clustered rows

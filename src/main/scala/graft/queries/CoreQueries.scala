@@ -3511,6 +3511,46 @@ object CoreQueries {
       folded, abDesign, tau2 = abTau2, alpha = 0.05d))
   }
 
+  /** Power/MDE gate (two-proportion): the design questions answered
+    * FROM THE SAME cell state the q326 dashboard reads — roll the
+    * designed arms' (n, s_hit) up over peeks, then the pinned-z normal
+    * closed forms: the MDE the current traffic can detect at 80% power
+    * and the per-arm n a 5-point conversion lift would need.
+    */
+  def q328PowerTwoProp(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, Association}
+    val cells = AbDashboard.abCells(abPerUser(s, dir), "arm", "peek", "y", "x", "hit")
+    val counts = cells.filter(col("arm").isin("A", "B"))
+      .groupBy(col("arm").as("grp"))
+      .agg(sum("n").as("n"), sum("s_hit").as("n_pass"))
+    Association.powerTwoProportionFromCounts(counts, Nil,
+        targetMde = 0.05d, alpha = 0.05d, power = 0.8d)
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), round(col("p_pool"), 9).as("p_pool"),
+        round(col("mde_abs"), 9).as("mde_abs"),
+        round(col("mde_rel"), 9).as("mde_rel"),
+        col("n_required_per_arm"))
+  }
+
+  /** Power/MDE gate (mean metric): the same cell state's exact
+    * (n, Σy, Σy²) rolled up per arm, the pooled-variance normal forms —
+    * the MDE on the outcome mean at 80% power and the per-arm n a
+    * one-unit lift would need.
+    */
+  def q329PowerMean(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, Association}
+    val cells = AbDashboard.abCells(abPerUser(s, dir), "arm", "peek", "y", "x", "hit")
+    val moments = cells.filter(col("arm").isin("A", "B"))
+      .groupBy(col("arm").as("grp"))
+      .agg(sum("n").as("__n"), sum("sy").as("__s"), sum("syy").as("__q"))
+    Association.powerMeanFromMoments(moments, Nil,
+        targetMde = 1.0d, alpha = 0.05d, power = 0.8d)
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), round(col("sigma2_pool"), 9).as("sigma2_pool"),
+        round(col("mde_abs"), 9).as("mde_abs"),
+        col("n_required_per_arm"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

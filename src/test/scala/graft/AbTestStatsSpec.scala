@@ -616,6 +616,100 @@ class AbTestStatsSpec extends SparkSpec {
     assert(singletons.isNullAt(singletons.fieldIndex("icc"))) // N = k: MSW undefined
   }
 
+  // --- Power / MDE panel --------------------------------------------------
+
+  private val zSum = 1.959964 + 0.841621 // α = 0.05 two-sided, power 0.8
+
+  test("powerTwoProportion: the published n-per-arm anchor (p̄ = 0.5, MDE 0.1 -> 393)") {
+    // the classic sizing-table figure: n = 2·p̄(1−p̄)(z_{α/2}+z_β)²/δ²
+    // = 2·0.25·(1.959964+0.841621)²/0.01 = 392.44 → ⌈·⌉ = 393 (Fleiss,
+    // Levin & Paik 2003 ch. 4 pooled form; published tables quote ≈393)
+    val counts = Seq(("A", 1000L, 600L), ("B", 1000L, 400L))
+      .toDF("grp", "n", "n_pass")
+    val r = Association.powerTwoProportionFromCounts(
+      counts, Nil, targetMde = 0.1d).collect()(0)
+    assert(r.getAs[Double]("p_pool") === 0.5d)
+    assert(r.getAs[Long]("n_required_per_arm") === 393L)
+    val mde = zSum * math.sqrt(0.25 * (1.0 / 1000 + 1.0 / 1000))
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / 0.5) < 1e-12)
+  }
+
+  test("powerTwoProportion: power = 0.5 reduces the MDE to the Wald radius (fixed-test closure)") {
+    val counts = Seq(("A", 400L, 120L), ("B", 600L, 150L))
+      .toDF("grp", "n", "n_pass")
+    val m50 = Association.powerTwoProportionFromCounts(
+      counts, Nil, targetMde = 0.1d, power = 0.5d).collect()(0)
+    val m80 = Association.powerTwoProportionFromCounts(
+      counts, Nil, targetMde = 0.1d, power = 0.8d).collect()(0)
+    val pq = 0.27 * 0.73 // p̄ = 270/1000
+    val wald = 1.959964 * math.sqrt(pq * (1.0 / 400 + 1.0 / 600))
+    assert(math.abs(m50.getAs[Double]("mde_abs") - wald) < 1e-12)
+    // and the two powers differ by exactly the z-sum ratio
+    assert(math.abs(m80.getAs[Double]("mde_abs") / m50.getAs[Double]("mde_abs") -
+      zSum / 1.959964) < 1e-12)
+  }
+
+  test("powerTwoProportion: degenerate p̄ ∈ {0,1}, an empty arm, or one group -> NULL") {
+    def oneRow(c: Seq[(String, Long, Long)]) =
+      Association.powerTwoProportionFromCounts(
+        c.toDF("grp", "n", "n_pass"), Nil, targetMde = 0.1d).collect()(0)
+    val allHit = oneRow(Seq(("A", 10L, 10L), ("B", 10L, 10L)))
+    assert(allHit.isNullAt(allHit.fieldIndex("mde_abs")))
+    assert(allHit.getAs[Double]("p_pool") === 1.0d)
+    val empty = oneRow(Seq(("A", 10L, 3L), ("B", 0L, 0L)))
+    assert(empty.isNullAt(empty.fieldIndex("mde_abs")))
+    assert(empty.isNullAt(empty.fieldIndex("p_pool")))
+    val one = oneRow(Seq(("A", 10L, 3L)))
+    assert(one.getAs[Long]("n_groups") === 1L)
+    assert(one.isNullAt(one.fieldIndex("n_lo")))
+  }
+
+  test("powerTwoProportion: row wrapper equals the from-counts read") {
+    val rows = (0 until 200).map(i =>
+      (if (i % 2 == 0) "A" else "B", i % 7 == 0)).toDF("arm", "hit")
+    val a = Association.powerTwoProportion(
+      rows, Nil, "arm", "hit", targetMde = 0.05d).collect()(0)
+    val counts = rows.groupBy(col("arm").as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("hit"), 1L).otherwise(0L)).as("n_pass"))
+    val b = Association.powerTwoProportionFromCounts(
+      counts, Nil, targetMde = 0.05d).collect()(0)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("powerMean: hand moments golden (σ² = 2, MDE 1 -> 32 per arm)") {
+    // A = {0,2}, B = {1,3}: V₁ = 2·4−4 = 4, V₂ = 2·10−16 = 4,
+    // σ̂² = (4/2 + 4/2)/2 = 2; n = ⌈2·2·(z-sum)²⌉ = ⌈31.3955⌉ = 32 —
+    // the textbook 2σ²(z_{α/2}+z_β)²/δ² per-arm figure
+    val rows = Seq(("A", 0L), ("A", 2L), ("B", 1L), ("B", 3L)).toDF("arm", "v")
+    val r = Association.powerMean(rows, Nil, "arm", "v", targetMde = 1.0d)
+      .collect()(0)
+    assert(r.getAs[Double]("sigma2_pool") === 2.0d)
+    assert(r.getAs[Long]("n_required_per_arm") === 32L)
+    val mde = zSum * math.sqrt(2.0 * (0.5 + 0.5))
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-12)
+  }
+
+  test("powerMean: zero variance or n < 2 -> NULL; unsupported alpha/power throw") {
+    val flat = Association.powerMean(
+      Seq(("A", 5L), ("A", 5L), ("B", 5L), ("B", 5L)).toDF("arm", "v"),
+      Nil, "arm", "v", targetMde = 1.0d).collect()(0)
+    assert(flat.isNullAt(flat.fieldIndex("mde_abs")))
+    val tiny = Association.powerMean(
+      Seq(("A", 1L), ("B", 2L), ("B", 4L)).toDF("arm", "v"),
+      Nil, "arm", "v", targetMde = 1.0d).collect()(0)
+    assert(tiny.isNullAt(tiny.fieldIndex("mde_abs")))
+    intercept[IllegalArgumentException] {
+      Association.powerMean(Seq(("A", 1L)).toDF("arm", "v"),
+        Nil, "arm", "v", targetMde = 1.0d, alpha = 0.03d)
+    }
+    intercept[IllegalArgumentException] {
+      Association.powerMean(Seq(("A", 1L)).toDF("arm", "v"),
+        Nil, "arm", "v", targetMde = 1.0d, power = 0.85d)
+    }
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

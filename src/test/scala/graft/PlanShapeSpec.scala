@@ -796,7 +796,13 @@ class PlanShapeSpec extends SparkSpec {
     // merge land in the SAME one-time materialization; the dashboard
     // stages downstream are identical
     Shape("q327_ab_dashboard_from_store", maxHash = 24, maxRange = 8,
-      forbidUdf = true)
+      forbidUdf = true),
+    // power panels: the per-user + cell aggs, one roll-up, the 2-label
+    // pivot — fixed dags after, nothing row-scale twice
+    Shape("q328_power_two_prop", maxHash = 4, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q329_power_mean", maxHash = 4, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

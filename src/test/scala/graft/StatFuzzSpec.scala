@@ -1248,6 +1248,47 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Power / MDE panel ----------------------------------------------------
+
+  test("fuzz: power/MDE panels vs the naive closed-form arithmetic") {
+    val zA = 1.959964; val zB = 0.841621
+    for (t <- 1 to Trials) {
+      val r = rng("pw", t)
+      val n1 = 2L + r.nextInt(500); val n2 = 2L + r.nextInt(500)
+      val s1 = 1L + r.nextInt(n1.toInt); val s2 = r.nextInt(n2.toInt).toLong
+      val tgt = 0.01 + r.nextDouble() * 0.3
+      val got = Association.powerTwoProportionFromCounts(
+        Seq(("A", n1, math.min(s1, n1 - 1)), ("B", n2, s2))
+          .toDF("grp", "n", "n_pass"), Nil, targetMde = tgt).collect()(0)
+      val pp = (math.min(s1, n1 - 1) + s2).toDouble / (n1 + n2)
+      if (pp > 0d && pp < 1d) {
+        val mde = (zA + zB) * math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+        approx(got.getAs[Double]("mde_abs"), mde, s"pw mde trial $t")
+        assert(got.getAs[Long]("n_required_per_arm") ===
+          math.ceil(2 * (pp * (1 - pp)) * ((zA + zB) * (zA + zB)) / (tgt * tgt)).toLong,
+          s"pw nreq trial $t")
+      } else assert(got.isNullAt(got.fieldIndex("mde_abs")), s"pw null trial $t")
+      // mean panel on random integer outcomes
+      val ys1 = Seq.fill(2 + r.nextInt(40))(r.nextInt(30).toLong)
+      val ys2 = Seq.fill(2 + r.nextInt(40))(r.nextInt(30).toLong)
+      val rows = (ys1.map("A" -> _) ++ ys2.map("B" -> _)).toDF("arm", "v")
+      val gm = Association.powerMean(rows, Nil, "arm", "v", targetMde = tgt)
+        .collect()(0)
+      def vOf(ys: Seq[Long]) = {
+        val n = ys.size.toDouble
+        (n * ys.map(y => y.toDouble * y).sum - math.pow(ys.map(_.toDouble).sum, 2)) / n
+      }
+      val sig2 = (vOf(ys1) + vOf(ys2)) / (ys1.size + ys2.size - 2).toDouble
+      if (sig2 > 0d) {
+        val mde = (zA + zB) * math.sqrt(sig2 * (1.0 / ys1.size + 1.0 / ys2.size))
+        approx(gm.getAs[Double]("mde_abs"), mde, s"pw mean mde trial $t")
+        assert(gm.getAs[Long]("n_required_per_arm") ===
+          math.ceil(2 * sig2 * ((zA + zB) * (zA + zB)) / (tgt * tgt)).toLong,
+          s"pw mean nreq trial $t")
+      } else assert(gm.isNullAt(gm.fieldIndex("mde_abs")), s"pw mean null trial $t")
+    }
+  }
+
   // --- delta-method ratio ---------------------------------------------------
 
   test("fuzz: deltaRatio vs two-pass centered moments") {
