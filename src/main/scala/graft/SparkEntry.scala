@@ -339,7 +339,9 @@ object SparkEntry {
     "q326_ab_dashboard" -> (CoreQueries.q326AbDashboard(_, _)),
     "q327_ab_dashboard_from_store" -> (CoreQueries.q327AbDashboardFromStore(_, _)),
     "q328_power_two_prop" -> (CoreQueries.q328PowerTwoProp(_, _)),
-    "q329_power_mean" -> (CoreQueries.q329PowerMean(_, _))
+    "q329_power_mean" -> (CoreQueries.q329PowerMean(_, _)),
+    "q330_group_seq_obf" -> (CoreQueries.q330GroupSeqObf(_, _)),
+    "q331_group_seq_pocock" -> (CoreQueries.q331GroupSeqPocock(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -482,7 +484,9 @@ object SparkEntry {
     "q326_ab_dashboard" -> abDashboardOracle,
     "q327_ab_dashboard_from_store" -> abDashboardOracle,
     "q328_power_two_prop" -> powerTwoPropOracle,
-    "q329_power_mean" -> powerMeanOracle)
+    "q329_power_mean" -> powerMeanOracle,
+    "q330_group_seq_obf" -> gsOracle("obf"),
+    "q331_group_seq_pocock" -> gsOracle("pocock"))
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3169,6 +3173,67 @@ object SparkEntry {
       |JOIN cup c ON m.peek = c.peek
       |JOIN wilw w ON m.peek = w.peek
       |ORDER BY m.peek""".stripMargin
+
+  /** q330/q331 oracle, generated per spending shape: the q299 cumulative
+    * count CTEs, z = Δ̂/√V in the Spark dag's float order, the nano |z|
+    * landing, then the boundary comparison against the SAME pinned
+    * Lan–DeMets constants the operator broadcasts (full-precision
+    * Double.toString round-trips — the solver is spec-anchored to the
+    * published tables, so the oracle replays the data path and the
+    * constants are the design). The crossed flag is the running max.
+    */
+  private def gsOracle(spending: String): String = {
+    val vals = graft.quality.GroupSequential.boundaries(12, 0.05d, spending)
+      .map(b => s"(${b.look}, ${b.t}, ${b.alphaSpent}, ${b.z}, " +
+        s"${math.round(b.z * 1e9d)})")
+      .mkString(",\n      |    ")
+    s"""WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(row_number() OVER (ORDER BY peek) AS INT) AS look,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo AS DOUBLE) + CAST(s_hi AS DOUBLE)) /
+      |      (CAST(n_lo AS DOUBLE) + CAST(n_hi AS DOUBLE)) AS pp,
+      |    n_lo > 0 AND n_hi > 0 AND (s_lo + s_hi) > 0 AND
+      |      (s_lo + s_hi) < (n_lo + n_hi) AS usable
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    delta / sqrt(pp * (1 - pp) *
+      |      (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE))) AS z
+      |  FROM t),
+      |zz AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round(abs(z) * 1e9) AS BIGINT) END AS z9
+      |  FROM v),
+      |b(look, t_frac, alpha_spent, z_bound, zb9) AS (VALUES
+      |    $vals),
+      |j AS (SELECT zz.*, b.t_frac, b.alpha_spent, b.z_bound, b.zb9,
+      |    CASE WHEN zz.z9 IS NOT NULL THEN zz.z9 >= b.zb9 END AS reject_at
+      |  FROM zz JOIN b ON zz.look = b.look)
+      |SELECT peek, look, round(t_frac, 9) AS t_frac, n_lo, s_lo, n_hi, s_hi,
+      |  CASE WHEN usable THEN round(z, 9) END AS z,
+      |  round(alpha_spent, 9) AS alpha_spent, round(z_bound, 9) AS z_bound,
+      |  reject_at,
+      |  coalesce(max(CASE WHEN reject_at THEN 1 ELSE 0 END)
+      |    OVER (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0,
+      |    false) AS crossed
+      |FROM j ORDER BY peek""".stripMargin
+  }
 
   /** q328 oracle: [[graft.quality.Association.powerTwoProportionFromCounts]]
     * replayed — the q326 per-user CTE, designed-arm exact counts, pooled

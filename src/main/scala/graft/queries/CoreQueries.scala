@@ -2414,23 +2414,59 @@ object CoreQueries {
     */
   def q299MsprtTwoProp(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.SequentialTests
-    val ev = Tables.events(s, dir)
-      .filter(col("user_id").isNotNull && col("value").isNotNull)
-      .select((col("event_id") % 12).as("peek"),
-        (col("user_id") % 2 === 0).as("__even"),
-        (col("value") >= 250d).cast("long").as("__hit"))
-    val incr = ev.groupBy("peek").agg(
-      sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
-      sum(when(col("__even"), col("__hit")).otherwise(0L)).as("s1"),
-      sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
-      sum(when(!col("__even"), col("__hit")).otherwise(0L)).as("s2"))
-    SequentialTests.msprtTwoProportion(incr, Nil, "peek",
+    SequentialTests.msprtTwoProportion(peekIncrements(s, dir), Nil, "peek",
         "n1", "s1", "n2", "s2", tau2 = 0.000244140625d, alpha = 0.05d)
       .select(col("peek"), col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
         round(col("delta"), 9).as("delta"), col("ln_lr9"),
         round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"))
       .orderBy("peek")
   }
+
+  /** The q299 12-peek two-proportion increment state — shared by the
+    * mSPRT monitor and the group-sequential boundaries (both fixed and
+    * always-valid monitors read the SAME fold shape).
+    */
+  private def peekIncrements(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("event_id") % 12).as("peek"),
+        (col("user_id") % 2 === 0).as("__even"),
+        (col("value") >= 250d).cast("long").as("__hit"))
+    ev.groupBy("peek").agg(
+      sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__even"), col("__hit")).otherwise(0L)).as("s1"),
+      sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("__even"), col("__hit")).otherwise(0L)).as("s2"))
+  }
+
+  private def gsQuery(s: SparkSession, dir: String, spending: String): DataFrame = {
+    import graft.quality.GroupSequential
+    GroupSequential.groupSequentialTwoProportion(peekIncrements(s, dir),
+        Nil, "peek", "n1", "s1", "n2", "s2",
+        k = 12, alpha = 0.05d, spending = spending)
+      .select(col("peek"), col("look"), round(col("t_frac"), 9).as("t_frac"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("z"), 9).as("z"),
+        round(col("alpha_spent"), 9).as("alpha_spent"),
+        round(col("z_bound"), 9).as("z_bound"),
+        col("reject_at"), col("crossed"))
+      .orderBy("peek")
+  }
+
+  /** Group-sequential gate (O'Brien–Fleming-like spending): the q299
+    * increment state read through the FIXED-HORIZON industry standard —
+    * 12 planned looks, Lan–DeMets boundaries from the deterministic
+    * driver-side recursion (published-table-anchored), nano-integer
+    * boundary comparisons, the monotone crossed flag.
+    */
+  def q330GroupSeqObf(s: SparkSession, dir: String): DataFrame =
+    gsQuery(s, dir, "obf")
+
+  /** Group-sequential gate (Pocock-like spending): same state, the
+    * aggressive-early-look boundary family.
+    */
+  def q331GroupSeqPocock(s: SparkSession, dir: String): DataFrame =
+    gsQuery(s, dir, "pocock")
 
   /** mSPRT mean-drift gate: the same 12 peeks monitoring the parity
     * arms' mean floor(value) — exact cumulative moment sums, the Welch

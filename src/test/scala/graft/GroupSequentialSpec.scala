@@ -1,0 +1,112 @@
+package graft
+
+import graft.quality.GroupSequential
+import org.apache.spark.sql.functions._
+
+/** The group-sequential boundary solver's anchors and the monitor's
+  * closure invariants: K = 1 reduces to the fixed test at every pinned
+  * α; the K = 5 and K = 2 OBF boundaries reproduce the published
+  * Lan–DeMets tables (DeMets & Lan 1994 — an EXTERNAL anchor, the
+  * convention the r14 ADVICE prescribed); Pocock-like boundaries match
+  * their published first look and keep their structural shape; each
+  * look's first-crossing probability re-verifies against an INDEPENDENT
+  * bivariate-normal quadrature (Simpson over the conditional tail — a
+  * different formulation than the solver's grid recursion + bisection);
+  * and the Spark monitor is monotone, boundary-safe, and NULL-correct
+  * past the planned K.
+  */
+class GroupSequentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("K = 1 reduces to the fixed test at every pinned alpha") {
+    for ((a, z) <- Seq(0.05 -> 1.959964, 0.01 -> 2.575829, 0.10 -> 1.644854);
+        sp <- Seq("obf", "pocock")) {
+      val b = GroupSequential.boundaries(1, a, sp)
+      assert(b.size === 1)
+      assert(math.abs(b.head.z - z) < 2e-4, s"$sp alpha $a")
+      assert(math.abs(b.head.alphaSpent - a) < 1e-9)
+    }
+  }
+
+  test("OBF boundaries reproduce the published Lan-DeMets tables (external anchor)") {
+    // DeMets & Lan 1994, two-sided alpha = 0.05, equally spaced looks
+    val k5 = GroupSequential.boundaries(5, 0.05, "obf").map(_.z)
+    for ((got, pub) <- k5.zip(Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)))
+      assert(math.abs(got - pub) < 1e-3, s"K=5 got $got want $pub")
+    val k2 = GroupSequential.boundaries(2, 0.05, "obf").map(_.z)
+    for ((got, pub) <- k2.zip(Seq(2.9626, 1.9686)))
+      assert(math.abs(got - pub) < 1e-3, s"K=2 got $got want $pub")
+  }
+
+  test("Pocock-like boundaries: published first look, near-flat decreasing shape, full spend") {
+    val bs = GroupSequential.boundaries(5, 0.05, "pocock")
+    assert(math.abs(bs.head.z - 2.4380) < 1e-3) // ldbounds/gsDesign first look
+    for (Seq(a, b) <- bs.map(_.z).sliding(2))
+      assert(a > b, "Pocock-like boundaries decrease")
+    assert(bs.last.z > 1.959964) // always above the fixed test
+    assert(math.abs(bs.last.alphaSpent - 0.05) < 1e-12)
+    // OBF is more conservative early, less at the end
+    val obf = GroupSequential.boundaries(5, 0.05, "obf")
+    assert(obf.head.z > bs.head.z && obf.last.z < bs.last.z)
+  }
+
+  test("first-crossing probabilities re-verify against an independent bivariate quadrature") {
+    // P(first crossing at look 2 of K=2) = ∫_{-∞}^{b1} φ_{t1}(y)·
+    // (1 − Φ((b2−y)/√Δ)) dy — Simpson on a fine grid, a genuinely
+    // different path than the solver's trapezoid recursion + bisection
+    for (sp <- Seq("obf", "pocock"); a <- Seq(0.05, 0.01)) {
+      val bs = GroupSequential.boundaries(2, a, sp)
+      val t1 = 0.5; val d = 0.5
+      val b1 = bs(0).z * math.sqrt(t1)
+      val b2 = bs(1).z * math.sqrt(1.0)
+      val lo = -8.0 * math.sqrt(t1)
+      val n = 16000 // even
+      val h = (b1 - lo) / n
+      def f(y: Double): Double =
+        math.exp(-0.5 * y * y / t1) / math.sqrt(2.0 * math.Pi * t1) *
+          (1.0 - GroupSequential.phi((b2 - y) / math.sqrt(d)))
+      var s = f(lo) + f(b1)
+      for (i <- 1 until n)
+        s += (if (i % 2 == 1) 4.0 else 2.0) * f(lo + i * h)
+      val p2 = s * h / 3.0
+      val inc = GroupSequential.spend(1.0, a, sp) - GroupSequential.spend(t1, a, sp)
+      // the solver's design budget: grid O(h²) + the barrier-cell cut
+      // ⇒ |Δp| ≲ 3e-5 per look (|Δz| ≲ 1e-3 — what the published-table
+      // anchors confirm); the quadrature must agree within that budget
+      assert(math.abs(p2 - inc) < 5e-5, s"$sp alpha $a: quad $p2 vs spend $inc")
+    }
+  }
+
+  test("monitor: immediate huge effect crosses at look 1; null effect never crosses; monotone") {
+    val big = Seq((1L, 1000L, 900L, 1000L, 100L), (2L, 100L, 50L, 100L, 50L))
+      .toDF("peek", "n1", "s1", "n2", "s2")
+    val rb = GroupSequential.groupSequentialTwoProportion(
+      big, Nil, "peek", "n1", "s1", "n2", "s2", k = 2).orderBy("peek").collect()
+    assert(rb(0).getAs[Boolean]("reject_at") && rb(0).getAs[Boolean]("crossed"))
+    assert(rb(1).getAs[Boolean]("crossed")) // monotone even if look 2 is quiet
+    val nul = Seq((1L, 500L, 100L, 500L, 100L), (2L, 500L, 100L, 500L, 100L))
+      .toDF("peek", "n1", "s1", "n2", "s2")
+    val rn = GroupSequential.groupSequentialTwoProportion(
+      nul, Nil, "peek", "n1", "s1", "n2", "s2", k = 2).orderBy("peek").collect()
+    assert(rn.forall(r => !r.getAs[Boolean]("reject_at")))
+    assert(rn.forall(r => !r.getAs[Boolean]("crossed")))
+    assert(rn(0).getAs[Double]("z") === -rn(0).getAs[Double]("z") * -1.0) // defined
+  }
+
+  test("monitor: looks past the planned K carry NULL boundary, never drop; unusable peeks NULL z") {
+    val df = Seq((1L, 100L, 30L, 100L, 20L), (2L, 100L, 30L, 100L, 20L),
+      (3L, 100L, 30L, 100L, 20L)).toDF("peek", "n1", "s1", "n2", "s2")
+    val r = GroupSequential.groupSequentialTwoProportion(
+      df, Nil, "peek", "n1", "s1", "n2", "s2", k = 2).orderBy("peek").collect()
+    assert(r.length === 3)
+    val third = r(2)
+    assert(third.isNullAt(third.fieldIndex("z_bound")))
+    assert(third.isNullAt(third.fieldIndex("reject_at")))
+    // empty-arm peek: z NULL, no crash (ANSI), no evidence
+    val e = GroupSequential.groupSequentialTwoProportion(
+      Seq((1L, 100L, 30L, 0L, 0L)).toDF("peek", "n1", "s1", "n2", "s2"),
+      Nil, "peek", "n1", "s1", "n2", "s2", k = 1).collect()(0)
+    assert(e.isNullAt(e.fieldIndex("z")))
+    assert(!e.getAs[Boolean]("crossed"))
+  }
+}

@@ -802,7 +802,14 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q328_power_two_prop", maxHash = 4, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true),
     Shape("q329_power_mean", maxHash = 4, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // group-sequential monitors: the q299 shape (one peek-count agg +
+    // peek-cardinality cumulative windows) + the broadcast K-row
+    // boundary join
+    Shape("q330_group_seq_obf", maxHash = 2, maxRange = 4,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q331_group_seq_pocock", maxHash = 2, maxRange = 4,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
