@@ -2278,6 +2278,15 @@ object CoreQueries {
           .otherwise(2L).as("cause"))
   }
 
+  /** Spec access to the survival fixtures — the fixture-adequacy
+    * assertions (FixtureAdequacySpec) pin that they exercise events AND
+    * censors / both competing causes, the r13 vacuous-fixture lesson.
+    */
+  def survivalSubjectsForSpec(s: SparkSession, dir: String): DataFrame =
+    survivalSubjects(s, dir)
+  def competingSubjectsForSpec(s: SparkSession, dir: String): DataFrame =
+    competingSubjects(s, dir)
+
   /** Log-rank from-STORE gate: the q286 subjects' (cohort, duration)
     * lifetime cells folded in three disjoint user batches — the
     * `lifetimeCellsStream` state — read by
