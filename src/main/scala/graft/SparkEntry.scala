@@ -341,7 +341,8 @@ object SparkEntry {
     "q328_power_two_prop" -> (CoreQueries.q328PowerTwoProp(_, _)),
     "q329_power_mean" -> (CoreQueries.q329PowerMean(_, _)),
     "q330_group_seq_obf" -> (CoreQueries.q330GroupSeqObf(_, _)),
-    "q331_group_seq_pocock" -> (CoreQueries.q331GroupSeqPocock(_, _))
+    "q331_group_seq_pocock" -> (CoreQueries.q331GroupSeqPocock(_, _)),
+    "q332_group_seq_mean" -> (CoreQueries.q332GroupSeqMean(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -486,7 +487,8 @@ object SparkEntry {
     "q328_power_two_prop" -> powerTwoPropOracle,
     "q329_power_mean" -> powerMeanOracle,
     "q330_group_seq_obf" -> gsOracle("obf"),
-    "q331_group_seq_pocock" -> gsOracle("pocock"))
+    "q331_group_seq_pocock" -> gsOracle("pocock"),
+    "q332_group_seq_mean" -> gsMeanOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3226,6 +3228,72 @@ object SparkEntry {
       |    CASE WHEN zz.z9 IS NOT NULL THEN zz.z9 >= b.zb9 END AS reject_at
       |  FROM zz JOIN b ON zz.look = b.look)
       |SELECT peek, look, round(t_frac, 9) AS t_frac, n_lo, s_lo, n_hi, s_hi,
+      |  CASE WHEN usable THEN round(z, 9) END AS z,
+      |  round(alpha_spent, 9) AS alpha_spent, round(z_bound, 9) AS z_bound,
+      |  reject_at,
+      |  coalesce(max(CASE WHEN reject_at THEN 1 ELSE 0 END)
+      |    OVER (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0,
+      |    false) AS crossed
+      |FROM j ORDER BY peek""".stripMargin
+  }
+
+  /** q332 oracle: [[graft.quality.GroupSequential.groupSequentialMean]]
+    * replayed — the q300 cumulative HUGEINT moment CTEs, the Welch
+    * plug-in z in the Spark dag's float order, the nano |z| landing,
+    * the same pinned OBF K = 12 constants as q330.
+    */
+  private lazy val gsMeanOracle: String = {
+    val vals = graft.quality.GroupSequential.boundaries(12, 0.05d, "obf")
+      .map(b => s"(${b.look}, ${b.t}, ${b.alphaSpent}, ${b.z}, " +
+        s"${math.round(b.z * 1e9d)})")
+      .mkString(",\n      |    ")
+    s"""WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CAST(floor(value) AS BIGINT) AS m
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN ev_even THEN m ELSE 0 END) AS HUGEINT) AS bs1,
+      |    CAST(sum(CASE WHEN ev_even THEN m * m ELSE 0 END) AS HUGEINT) AS bq1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN m ELSE 0 END) AS HUGEINT) AS bs2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN m * m ELSE 0 END) AS HUGEINT) AS bq2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(row_number() OVER (ORDER BY peek) AS INT) AS look,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS HUGEINT) AS s1,
+      |    CAST(sum(bq1) OVER w AS HUGEINT) AS q1,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS HUGEINT) AS s2,
+      |    CAST(sum(bq2) OVER w AS HUGEINT) AS q2
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    n_lo * q1 - s1 * s1 AS v1n, n_hi * q2 - s2 * s2 AS v2n,
+      |    CAST(s1 * n_hi - s2 * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    CAST(v1n AS DOUBLE) / (CAST(n_lo AS DOUBLE) * CAST(n_lo AS DOUBLE) *
+      |      (CAST(n_lo AS DOUBLE) - 1.0)) +
+      |    CAST(v2n AS DOUBLE) / (CAST(n_hi AS DOUBLE) * CAST(n_hi AS DOUBLE) *
+      |      (CAST(n_hi AS DOUBLE) - 1.0)) AS vv,
+      |    n_lo >= 2 AND n_hi >= 2 AND (v1n + v2n) > 0 AS usable
+      |  FROM t),
+      |zz AS (SELECT *,
+      |    CASE WHEN usable THEN delta / sqrt(vv) END AS z,
+      |    CASE WHEN usable THEN
+      |      CAST(round(abs(delta / sqrt(vv)) * 1e9) AS BIGINT) END AS z9
+      |  FROM v),
+      |b(look, t_frac, alpha_spent, z_bound, zb9) AS (VALUES
+      |    $vals),
+      |j AS (SELECT zz.*, b.t_frac, b.alpha_spent, b.z_bound, b.zb9,
+      |    CASE WHEN zz.z9 IS NOT NULL THEN zz.z9 >= b.zb9 END AS reject_at
+      |  FROM zz JOIN b ON zz.look = b.look)
+      |SELECT peek, look, round(t_frac, 9) AS t_frac,
+      |  n_lo, CAST(s1 AS VARCHAR) AS sum_lo,
+      |  n_hi, CAST(s2 AS VARCHAR) AS sum_hi,
       |  CASE WHEN usable THEN round(z, 9) END AS z,
       |  round(alpha_spent, 9) AS alpha_spent, round(z_bound, 9) AS z_bound,
       |  reject_at,

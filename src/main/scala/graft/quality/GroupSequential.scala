@@ -233,4 +233,72 @@ object GroupSequential {
         col("z") :+ col("alpha_spent") :+ col("z_bound") :+
         col("reject_at") :+ col("crossed"): _*)
   }
+
+  /** [[groupSequentialTwoProportion]]'s MEAN-metric twin on the
+    * [[SequentialTests.msprtMean]] increment state (per-peek n/Σy/Σy²
+    * per arm): cumulative exact moments, Δ̂ from the exact cross
+    * product, the Welch plug-in variance V = V₁/(n₁²(n₁−1)) +
+    * V₂/(n₂²(n₂−1)), z = Δ̂/√V against the same pinned boundaries with
+    * the same nano-integer compare. Unusable peeks (either n < 2 or
+    * zero pooled variance) carry NULL z and contribute no crossing.
+    */
+  def groupSequentialMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      n1Col: String, s1Col: String, q1Col: String,
+      n2Col: String, s2Col: String, q2Col: String,
+      k: Int,
+      alpha: Double = 0.05d,
+      spending: String = "obf"
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bs = boundaries(k, alpha, spending)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bFrame = broadcast(bs.map(b =>
+        (b.look, b.t, b.alphaSpent, b.z, math.round(b.z * 1e9d)))
+      .toDF("look", "t_frac", "alpha_spent", "z_bound", "__zb9"))
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLook = Window.partitionBy(g: _*).orderBy(col("peek"))
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(n1Col).cast("long").as("__dn1") :+
+        col(s1Col).cast(dec).as("__ds1") :+ col(q1Col).cast(dec).as("__dq1") :+
+        col(n2Col).cast("long").as("__dn2") :+
+        col(s2Col).cast(dec).as("__ds2") :+ col(q2Col).cast(dec).as("__dq2"): _*)
+      .withColumn("n_lo", sum("__dn1").over(wCum))
+      .withColumn("__s1", sum("__ds1").over(wCum))
+      .withColumn("__q1", sum("__dq1").over(wCum))
+      .withColumn("n_hi", sum("__dn2").over(wCum))
+      .withColumn("__s2", sum("__ds2").over(wCum))
+      .withColumn("__q2", sum("__dq2").over(wCum))
+      .withColumn("look", row_number().over(wLook))
+    val n1D = col("n_lo").cast(dec); val n2D = col("n_hi").cast(dec)
+    val n1 = col("n_lo").cast("double"); val n2 = col("n_hi").cast("double")
+    val v1 = n1D * col("__q1") - col("__s1") * col("__s1")
+    val v2 = n2D * col("__q2") - col("__s2") * col("__s2")
+    val delta = (col("__s1") * n2D - col("__s2") * n1D).cast("double") / (n1 * n2)
+    val v = v1.cast("double") / (n1 * n1 * (n1 - 1d)) +
+      v2.cast("double") / (n2 * n2 * (n2 - 1d))
+    val usable = col("n_lo") >= 2L && col("n_hi") >= 2L && (v1 + v2) > 0L
+    val z = delta / sqrt(v)
+    val withZ = cum
+      .withColumn("z", when(usable, z))
+      .withColumn("__z9", when(usable, round(abs(z) * 1e9d).cast("long")))
+      .join(bFrame, Seq("look"), "left")
+    val rejectAt = when(col("__zb9").isNotNull && col("__z9").isNotNull,
+      col("__z9") >= col("__zb9"))
+    withZ
+      .withColumn("reject_at", rejectAt)
+      .withColumn("crossed", coalesce(
+        max(when(rejectAt, 1L).otherwise(0L)).over(wCum) > 0L, lit(false)))
+      .withColumn("sum_lo", col("__s1").cast("string"))
+      .withColumn("sum_hi", col("__s2").cast("string"))
+      .select(g :+ col("peek") :+ col("look") :+ col("t_frac") :+
+        col("n_lo") :+ col("sum_lo") :+ col("n_hi") :+ col("sum_hi") :+
+        col("z") :+ col("alpha_spent") :+ col("z_bound") :+
+        col("reject_at") :+ col("crossed"): _*)
+  }
 }

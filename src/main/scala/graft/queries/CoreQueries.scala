@@ -2481,21 +2481,45 @@ object CoreQueries {
     * arms' mean floor(value) — exact cumulative moment sums, the Welch
     * plug-in variance, nano ln Λ, always-valid p. τ² = 1 (exact).
     */
-  def q300MsprtMean(s: SparkSession, dir: String): DataFrame = {
-    import graft.quality.SequentialTests
+  /** The q300 12-peek mean-moment increment state — shared by the mSPRT
+    * mean monitor and its group-sequential twin.
+    */
+  private def peekMeanIncrements(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("user_id").isNotNull && col("value").isNotNull)
       .select((col("event_id") % 12).as("peek"),
         (col("user_id") % 2 === 0).as("__even"),
         floor(col("value")).cast("long").as("__m"))
-    val incr = ev.groupBy("peek").agg(
+    ev.groupBy("peek").agg(
       sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
       sum(when(col("__even"), col("__m")).otherwise(0L)).as("s1"),
       sum(when(col("__even"), col("__m") * col("__m")).otherwise(0L)).as("q1"),
       sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
       sum(when(!col("__even"), col("__m")).otherwise(0L)).as("s2"),
       sum(when(!col("__even"), col("__m") * col("__m")).otherwise(0L)).as("q2"))
-    SequentialTests.msprtMean(incr, Nil, "peek",
+  }
+
+  /** Group-sequential gate (mean metric): the q300 moment state read
+    * through the Lan–DeMets OBF boundaries — the Welch plug-in z per
+    * look against the same pinned constants as q330.
+    */
+  def q332GroupSeqMean(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.GroupSequential
+    GroupSequential.groupSequentialMean(peekMeanIncrements(s, dir),
+        Nil, "peek", "n1", "s1", "q1", "n2", "s2", "q2",
+        k = 12, alpha = 0.05d, spending = "obf")
+      .select(col("peek"), col("look"), round(col("t_frac"), 9).as("t_frac"),
+        col("n_lo"), col("sum_lo"), col("n_hi"), col("sum_hi"),
+        round(col("z"), 9).as("z"),
+        round(col("alpha_spent"), 9).as("alpha_spent"),
+        round(col("z_bound"), 9).as("z_bound"),
+        col("reject_at"), col("crossed"))
+      .orderBy("peek")
+  }
+
+  def q300MsprtMean(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    SequentialTests.msprtMean(peekMeanIncrements(s, dir), Nil, "peek",
         "n1", "s1", "q1", "n2", "s2", "q2", tau2 = 1.0d, alpha = 0.05d)
       .select(col("peek"), col("n_lo"), col("sum_lo"), col("n_hi"), col("sum_hi"),
         round(col("delta"), 9).as("delta"), col("ln_lr9"),

@@ -93,6 +93,29 @@ class GroupSequentialSpec extends SparkSpec {
     assert(rn(0).getAs[Double]("z") === -rn(0).getAs[Double]("z") * -1.0) // defined
   }
 
+  test("mean monitor: hand Welch z, K = 1 fixed-test boundary, tiny-arm NULL") {
+    // one look: A moments n=4 Σ=12 Σ²=56 (values 0,2,4,6), B n=4 Σ=4 Σ²=6
+    // (1,1,1,1 → zero variance contributes V2=n·q−s²=24−16=8... use 0,1,1,2:
+    // Σ=4 Σ²=6, V2 = 4·6−16 = 8)
+    val df = Seq((1L, 4L, 12L, 56L, 4L, 4L, 6L))
+      .toDF("peek", "n1", "s1", "q1", "n2", "s2", "q2")
+    val r = GroupSequential.groupSequentialMean(
+      df, Nil, "peek", "n1", "s1", "q1", "n2", "s2", "q2", k = 1).collect()(0)
+    val v1 = 4.0 * 56 - 144; val v2 = 4.0 * 6 - 16
+    val v = v1 / (4.0 * 4 * 3) + v2 / (4.0 * 4 * 3)
+    val z = (12.0 * 4 - 4.0 * 4) / (4.0 * 4) / math.sqrt(v)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z_bound") - 1.959964) < 2e-4)
+    assert(r.getAs[Boolean]("reject_at") === (math.abs(z) >= r.getAs[Double]("z_bound")))
+    // n < 2 on an arm: NULL z, no crossing, no crash (ANSI)
+    val tiny = GroupSequential.groupSequentialMean(
+      Seq((1L, 1L, 5L, 25L, 4L, 4L, 6L))
+        .toDF("peek", "n1", "s1", "q1", "n2", "s2", "q2"),
+      Nil, "peek", "n1", "s1", "q1", "n2", "s2", "q2", k = 1).collect()(0)
+    assert(tiny.isNullAt(tiny.fieldIndex("z")))
+    assert(!tiny.getAs[Boolean]("crossed"))
+  }
+
   test("monitor: looks past the planned K carry NULL boundary, never drop; unusable peeks NULL z") {
     val df = Seq((1L, 100L, 30L, 100L, 20L), (2L, 100L, 30L, 100L, 20L),
       (3L, 100L, 30L, 100L, 20L)).toDF("peek", "n1", "s1", "n2", "s2")

@@ -809,6 +809,8 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q330_group_seq_obf", maxHash = 2, maxRange = 4,
       minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
     Shape("q331_group_seq_pocock", maxHash = 2, maxRange = 4,
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q332_group_seq_mean", maxHash = 2, maxRange = 4,
       minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true)
   )
 
