@@ -96,10 +96,23 @@ object GroupSequential {
   final case class GsBoundary(look: Int, t: Double, alphaSpent: Double, z: Double)
 
   /** The K equally-spaced boundaries for two-sided `alpha` under the
-    * named spending function. Driver-side, deterministic, O(K·G²) on
-    * the fixed grid — milliseconds for any realistic K.
+    * named spending function. Driver-side and deterministic, so the
+    * solve is memoized per (K, α, spending) — query re-construction
+    * (bench passes, plan audits) must not re-pay the O(K·G²) grid.
     */
+  private val boundaryCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double, String), Seq[GsBoundary]]()
+
   def boundaries(k: Int, alpha: Double, spending: String): Seq[GsBoundary] = {
+    val key = (k, alpha, spending)
+    val hit = boundaryCache.get(key)
+    if (hit != null) return hit
+    val solved = solveBoundaries(k, alpha, spending)
+    boundaryCache.putIfAbsent(key, solved)
+    solved
+  }
+
+  private def solveBoundaries(k: Int, alpha: Double, spending: String): Seq[GsBoundary] = {
     require(k >= 1 && k <= 50, s"K must be in [1, 50]: $k")
     require(alpha > 0d && alpha < 1d, s"alpha must be in (0,1): $alpha")
     val g = math.round(2 * GridSpan / GridH).toInt + 1
