@@ -342,7 +342,8 @@ object SparkEntry {
     "q329_power_mean" -> (CoreQueries.q329PowerMean(_, _)),
     "q330_group_seq_obf" -> (CoreQueries.q330GroupSeqObf(_, _)),
     "q331_group_seq_pocock" -> (CoreQueries.q331GroupSeqPocock(_, _)),
-    "q332_group_seq_mean" -> (CoreQueries.q332GroupSeqMean(_, _))
+    "q332_group_seq_mean" -> (CoreQueries.q332GroupSeqMean(_, _)),
+    "q333_srm_sequential" -> (CoreQueries.q333SrmSequential(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -488,7 +489,8 @@ object SparkEntry {
     "q329_power_mean" -> powerMeanOracle,
     "q330_group_seq_obf" -> gsOracle("obf"),
     "q331_group_seq_pocock" -> gsOracle("pocock"),
-    "q332_group_seq_mean" -> gsMeanOracle)
+    "q332_group_seq_mean" -> gsMeanOracle,
+    "q333_srm_sequential" -> srmSequentialOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3302,6 +3304,45 @@ object SparkEntry {
       |    false) AS crossed
       |FROM j ORDER BY peek""".stripMargin
   }
+
+  /** q333 oracle: [[graft.quality.SequentialTests.msprtOneProportion]]
+    * replayed — the q326 per-user arm CTE, designed-unit increments per
+    * peek, cumulative counts, Δ̂ = p̂ − 0.5 with the H₀-exact variance
+    * 0.25/N, the nano mixture-LR dag (τ² = 2⁻¹²), running-best max,
+    * the ln(20) boundary.
+    */
+  private lazy val srmSequentialOracle: String =
+    """WITH pu AS (SELECT DISTINCT user_id,
+      |    CASE WHEN user_id % 10 < 5 THEN 'A'
+      |      WHEN user_id % 10 < 9 THEN 'B' ELSE 'C' END AS arm,
+      |    CAST(user_id % 6 AS BIGINT) AS peek
+      |  FROM events WHERE user_id IS NOT NULL),
+      |incr AS (SELECT peek, CAST(count(*) AS BIGINT) AS bn,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS bs
+      |  FROM pu WHERE arm IN ('A','B') GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(bn) OVER w AS BIGINT) AS n,
+      |    CAST(sum(bs) OVER w AS BIGINT) AS s
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - 0.5 AS delta,
+      |    (0.5 * (1.0 - 0.5)) / CAST(n AS DOUBLE) AS vv,
+      |    n > 0 AS usable
+      |  FROM cum),
+      |l AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.000244140625)) +
+      |      delta * delta * 0.000244140625 /
+      |        (2 * vv * (vv + 0.000244140625))) * 1e9) AS BIGINT) END AS ln_lr9
+      |  FROM t),
+      |b AS (SELECT *, max(ln_lr9) OVER (ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM l)
+      |SELECT peek, n, s,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta, ln_lr9,
+      |  round(CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
+      |  coalesce(best9 >= 2995732274, false) AS reject
+      |FROM b ORDER BY peek""".stripMargin
 
   /** q328 oracle: [[graft.quality.Association.powerTwoProportionFromCounts]]
     * replayed — the q326 per-user CTE, designed-arm exact counts, pooled

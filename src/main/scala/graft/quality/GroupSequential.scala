@@ -76,7 +76,10 @@ object GroupSequential {
   /** ONE-SIDED spending function value s₁(t) for a two-sided design of
     * total size α — the standard construction spends α/2 per side, so
     * s₁(1) = α/2 (the symmetric two-sided bound then uses each look's
-    * one-sided increment for its |z| barrier).
+    * one-sided increment for its |z| barrier). Shapes: "obf", "pocock",
+    * and the Kim–DeMets power family "power<ρ>" (s₁(t) = (α/2)·t^ρ,
+    * ρ > 0 — ρ = 1 spends linearly, ρ = 3 approximates the OBF shape;
+    * Kim & DeMets 1987).
     */
   def spend(t: Double, alpha: Double, spending: String): Double = {
     require(t > 0d && t <= 1d, s"t must be in (0,1]: $t")
@@ -84,8 +87,12 @@ object GroupSequential {
     spending match {
       case "obf" => 2.0 * upperTail(phiInv(1.0 - a / 2.0) / math.sqrt(t))
       case "pocock" => a * math.log(1.0 + (math.E - 1.0) * t)
+      case p if p.startsWith("power") =>
+        val rho = p.stripPrefix("power").toDouble
+        require(rho > 0d, s"power spending needs rho > 0: $spending")
+        a * math.pow(t, rho)
       case other => throw new IllegalArgumentException(
-        s"spending must be obf|pocock: $other")
+        s"spending must be obf|pocock|power<rho>: $other")
     }
   }
 
@@ -101,19 +108,35 @@ object GroupSequential {
     * (bench passes, plan audits) must not re-pay the O(K·G²) grid.
     */
   private val boundaryCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Double, String), Seq[GsBoundary]]()
+    new java.util.concurrent.ConcurrentHashMap[(Seq[Double], Double, String), Seq[GsBoundary]]()
 
   def boundaries(k: Int, alpha: Double, spending: String): Seq[GsBoundary] = {
-    val key = (k, alpha, spending)
+    require(k >= 1 && k <= 50, s"K must be in [1, 50]: $k")
+    boundariesAt((1 to k).map(_.toDouble / k), alpha, spending)
+  }
+
+  /** [[boundaries]] at ARBITRARY information fractions — the read real
+    * dashboards need, where looks land at observed traffic fractions
+    * rather than the planned grid (the Lan–DeMets point: the spending
+    * function, not the look schedule, is the design). `ts` strictly
+    * increasing in (0, 1], last element 1 for a full-spend design.
+    */
+  def boundariesAt(ts: Seq[Double], alpha: Double,
+      spending: String): Seq[GsBoundary] = {
+    val key = (ts, alpha, spending)
     val hit = boundaryCache.get(key)
     if (hit != null) return hit
-    val solved = solveBoundaries(k, alpha, spending)
+    val solved = solveBoundaries(ts, alpha, spending)
     boundaryCache.putIfAbsent(key, solved)
     solved
   }
 
-  private def solveBoundaries(k: Int, alpha: Double, spending: String): Seq[GsBoundary] = {
-    require(k >= 1 && k <= 50, s"K must be in [1, 50]: $k")
+  private def solveBoundaries(ts: Seq[Double], alpha: Double,
+      spending: String): Seq[GsBoundary] = {
+    require(ts.nonEmpty && ts.size <= 50, s"1..50 looks: ${ts.size}")
+    require(ts.forall(t => t > 0d && t <= 1d) &&
+      ts.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+      s"information fractions must be strictly increasing in (0,1]: $ts")
     require(alpha > 0d && alpha < 1d, s"alpha must be in (0,1): $alpha")
     val g = math.round(2 * GridSpan / GridH).toInt + 1
     val xs = Array.tabulate(g)(i => -GridSpan + i * GridH)
@@ -123,8 +146,8 @@ object GroupSequential {
     var tPrev = 0.0
     var spentPrev = 0.0
     val out = Vector.newBuilder[GsBoundary]
-    for (j <- 1 to k) {
-      val t = j.toDouble / k
+    for (j <- 1 to ts.size) {
+      val t = ts(j - 1)
       val sd = math.sqrt(t - tPrev)
       val spentNow = spend(t, alpha, spending) // one-sided s₁(t)
       val inc = math.max(0.0, spentNow - spentPrev)

@@ -72,6 +72,47 @@ object SequentialTests {
       .drop("__best9")
   }
 
+  /** mSPRT for a ONE-SAMPLE proportion against a KNOWN null p₀ — the
+    * SEQUENTIAL SRM monitor: the design says arm A should carry weight
+    * p₀ of the designed traffic, and the always-valid p on
+    * Δ̂ = p̂ − p₀ makes CONTINUOUS traffic monitoring sound (the fixed
+    * χ² SRM read at every fold version is exactly the peeking problem).
+    * V = p₀(1−p₀)/N — exact under H₀, no estimate, so the monitor's
+    * variance never depends on the drifted data. Same mixture ln Λ,
+    * running-best evidence, and ln(1/α) integer boundary as
+    * [[msprtTwoProportion]]. Peeks with N = 0 carry NULL ln_lr9.
+    * Input: one row per (keys, peek) with that batch's designed-unit
+    * count and arm-A count — the [[graft.quality.AbDashboard.abCells]]
+    * fold shape rolled to increments.
+    */
+  def msprtOneProportion(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      nCol: String, sCol: String,
+      p0: Double,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(p0 > 0d && p0 < 1d, s"p0 must be in (0,1): $p0")
+    require(tau2 > 0d, s"tau2 must be positive: $tau2")
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(nCol).cast("long").as("__dn") :+ col(sCol).cast("long").as("__ds"): _*)
+      .withColumn("n", sum("__dn").over(wCum))
+      .withColumn("s", sum("__ds").over(wCum))
+    val nD = col("n").cast("double")
+    val delta = col("s").cast("double") / nD - lit(p0)
+    val v = lit(p0 * (1d - p0)) / nD
+    val usable = col("n") > 0L
+    finish(cum, g, col("peek"), lnLr9(delta, v, tau2), usable, alpha)
+      .withColumn("delta", when(usable, delta))
+      .select(g :+ col("peek") :+ col("n") :+ col("s") :+ col("delta") :+
+        col("ln_lr9") :+ col("p_always_valid") :+ col("reject"): _*)
+  }
+
   /** mSPRT for a TWO-PROPORTION drift/A/B from incremental count state:
     * one row per (keys, peek) with that batch's trials and successes
     * per arm — the [[graft.quality.Association.contingencyCounts]] /

@@ -3620,6 +3620,26 @@ object CoreQueries {
         col("n_required_per_arm"))
   }
 
+  /** Sequential-SRM gate: the q326 dashboard's traffic guardrail made
+    * PEEKING-SOUND — arm A's share of designed traffic monitored
+    * against the 50/50 design by a one-sample mSPRT (H₀-exact variance
+    * p₀(1−p₀)/N), always-valid p per peek. The fixture's broken 5:4
+    * split is a REAL drift, so the monitor accumulates evidence.
+    */
+  def q333SrmSequential(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    val incr = abPerUser(s, dir).filter(col("arm").isin("A", "B"))
+      .groupBy("peek").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("s"))
+    SequentialTests.msprtOneProportion(incr, Nil, "peek", "n", "s",
+        p0 = 0.5d, tau2 = abTau2, alpha = 0.05d)
+      .select(col("peek"), col("n"), col("s"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"))
+      .orderBy("peek")
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

@@ -710,6 +710,39 @@ class AbTestStatsSpec extends SparkSpec {
     }
   }
 
+  // --- Sequential SRM (one-sample mSPRT) -----------------------------------
+
+  test("msprtOneProportion: exactly-on-design traffic accumulates no evidence") {
+    import graft.quality.SequentialTests
+    val incr = Seq((1L, 100L, 50L), (2L, 60L, 30L), (3L, 200L, 100L))
+      .toDF("peek", "n", "s")
+    val r = SequentialTests.msprtOneProportion(incr, Nil, "peek", "n", "s",
+      p0 = 0.5d, tau2 = 0.25d).orderBy("peek").collect()
+    for (row <- r) {
+      assert(row.getAs[Double]("delta") === 0.0d)
+      assert(row.getAs[Long]("ln_lr9") < 0L) // pure mixture penalty
+      assert(row.getAs[Double]("p_always_valid") === 1.0d)
+      assert(!row.getAs[Boolean]("reject"))
+    }
+  }
+
+  test("msprtOneProportion: a real split drift rejects; p is non-increasing; H0 variance") {
+    import graft.quality.SequentialTests
+    // 60/40 split, 400 designed units per peek → evidence accumulates
+    val incr = (1L to 8L).map(p => (p, 400L, 240L)).toDF("peek", "n", "s")
+    val r = SequentialTests.msprtOneProportion(incr, Nil, "peek", "n", "s",
+      p0 = 0.5d, tau2 = 0.000244140625d).orderBy("peek").collect()
+    assert(r.last.getAs[Boolean]("reject"))
+    val ps = r.map(_.getAs[Double]("p_always_valid"))
+    for (Array(a, b) <- ps.sliding(2)) assert(b <= a + 1e-12)
+    // the first peek's lnΛ replays the closed form with V = p0(1−p0)/N
+    val d = 240.0 / 400 - 0.5
+    val v = 0.25 / 400
+    val t2 = 0.000244140625
+    val ln = 0.5 * math.log(v / (v + t2)) + d * d * t2 / (2 * v * (v + t2))
+    assert(r.head.getAs[Long]("ln_lr9") === math.round(ln * 1e9))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -50,11 +50,46 @@ class GroupSequentialSpec extends SparkSpec {
     assert(obf.head.z > bs.head.z && obf.last.z < bs.last.z)
   }
 
+  test("power-family spending: K = 1 reduction, full spend, the rho ordering") {
+    for (sp <- Seq("power1", "power3", "power0.5")) {
+      val b1 = GroupSequential.boundaries(1, 0.05, sp)
+      assert(math.abs(b1.head.z - 1.959964) < 2e-4, sp)
+      val b5 = GroupSequential.boundaries(5, 0.05, sp)
+      assert(math.abs(b5.last.alphaSpent - 0.05) < 1e-12, sp)
+    }
+    // bigger rho spends later: first boundaries order power0.5 < power1
+    // < power3, and power3's last look sits near OBF's (both back-load)
+    def first(sp: String) = GroupSequential.boundaries(5, 0.05, sp).head.z
+    assert(first("power0.5") < first("power1") && first("power1") < first("power3"))
+    val p3 = GroupSequential.boundaries(5, 0.05, "power3").last.z
+    val obf = GroupSequential.boundaries(5, 0.05, "obf").last.z
+    assert(math.abs(p3 - obf) < 0.15, s"power3 last $p3 vs obf last $obf")
+    intercept[IllegalArgumentException] {
+      GroupSequential.boundaries(2, 0.05, "power0")
+    }
+  }
+
+  test("boundariesAt: arbitrary information fractions — equal-grid consistency + unequal looks") {
+    val eq = GroupSequential.boundaries(2, 0.05, "obf")
+    val at = GroupSequential.boundariesAt(Seq(0.5, 1.0), 0.05, "obf")
+    assert(eq.map(_.z) === at.map(_.z))
+    val un = GroupSequential.boundariesAt(Seq(0.3, 0.6, 1.0), 0.05, "obf")
+    assert(un.map(_.t) === Seq(0.3, 0.6, 1.0))
+    assert(math.abs(un.last.alphaSpent - 0.05) < 1e-12)
+    for (Seq(a, b) <- un.map(_.z).sliding(2)) assert(a > b)
+    // late first look spends more than the equally-spaced first look
+    val eqFirstSpend = GroupSequential.spend(1.0 / 3, 0.05, "obf")
+    assert(GroupSequential.spend(0.3, 0.05, "obf") < eqFirstSpend)
+    intercept[IllegalArgumentException] {
+      GroupSequential.boundariesAt(Seq(0.5, 0.4), 0.05, "obf")
+    }
+  }
+
   test("first-crossing probabilities re-verify against an independent bivariate quadrature") {
     // P(first crossing at look 2 of K=2) = ∫_{-∞}^{b1} φ_{t1}(y)·
     // (1 − Φ((b2−y)/√Δ)) dy — Simpson on a fine grid, a genuinely
     // different path than the solver's trapezoid recursion + bisection
-    for (sp <- Seq("obf", "pocock"); a <- Seq(0.05, 0.01)) {
+    for (sp <- Seq("obf", "pocock", "power2"); a <- Seq(0.05, 0.01)) {
       val bs = GroupSequential.boundaries(2, a, sp)
       val t1 = 0.5; val d = 0.5
       val b1 = bs(0).z * math.sqrt(t1)

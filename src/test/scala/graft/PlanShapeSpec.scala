@@ -811,7 +811,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q331_group_seq_pocock", maxHash = 2, maxRange = 4,
       minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
     Shape("q332_group_seq_mean", maxHash = 2, maxRange = 4,
-      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true)
+      minBroadcastJoin = 1, forbidSortMergeJoin = true, forbidUdf = true),
+    // sequential SRM: per-user agg + peek-count agg + the cumulative
+    // windows over the peek frame
+    Shape("q333_srm_sequential", maxHash = 3, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -1248,6 +1248,41 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Sequential SRM (one-sample mSPRT) -------------------------------------
+
+  test("fuzz: one-sample mSPRT vs the naive cumulative-recursion loop") {
+    import graft.quality.SequentialTests
+    val t2 = 0.0625
+    for (t <- 1 to Trials) {
+      val r = rng("srm1", t)
+      val p0 = Seq(0.3, 0.5, 0.7)(r.nextInt(3))
+      val peeks = 2 + r.nextInt(8)
+      val incr = (1 to peeks).map { p =>
+        val n = 5L + r.nextInt(200)
+        (p.toLong, n, r.nextInt(n.toInt + 1).toLong)
+      }
+      var cn = 0L; var cs = 0L; var best = Long.MinValue
+      val expect = incr.map { case (_, dn, ds) =>
+        cn += dn; cs += ds
+        val d = cs.toDouble / cn - p0
+        val v = p0 * (1 - p0) / cn
+        val ln = math.round((0.5 * math.log(v / (v + t2)) +
+          d * d * t2 / (2 * v * (v + t2))) * 1e9)
+        best = math.max(best, ln)
+        val pav = if (best <= 0) 1.0 else math.exp(-best.toDouble / 1e9)
+        (ln, pav, best >= math.round(math.log(20.0) * 1e9))
+      }
+      val got = SequentialTests.msprtOneProportion(
+        incr.toDF("peek", "n", "s"), Nil, "peek", "n", "s", p0, t2)
+        .orderBy("peek").collect()
+      for (((ln, pav, rej), row) <- expect.zip(got)) {
+        assert(row.getAs[Long]("ln_lr9") === ln, s"srm1 ln trial $t")
+        approx(row.getAs[Double]("p_always_valid"), pav, s"srm1 p trial $t")
+        assert(row.getAs[Boolean]("reject") === rej, s"srm1 rej trial $t")
+      }
+    }
+  }
+
   // --- Power / MDE panel ----------------------------------------------------
 
   test("fuzz: power/MDE panels vs the naive closed-form arithmetic") {
