@@ -343,7 +343,8 @@ object SparkEntry {
     "q330_group_seq_obf" -> (CoreQueries.q330GroupSeqObf(_, _)),
     "q331_group_seq_pocock" -> (CoreQueries.q331GroupSeqPocock(_, _)),
     "q332_group_seq_mean" -> (CoreQueries.q332GroupSeqMean(_, _)),
-    "q333_srm_sequential" -> (CoreQueries.q333SrmSequential(_, _))
+    "q333_srm_sequential" -> (CoreQueries.q333SrmSequential(_, _)),
+    "q334_meta_effects" -> (CoreQueries.q334MetaEffects(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -490,7 +491,8 @@ object SparkEntry {
     "q330_group_seq_obf" -> gsOracle("obf"),
     "q331_group_seq_pocock" -> gsOracle("pocock"),
     "q332_group_seq_mean" -> gsMeanOracle,
-    "q333_srm_sequential" -> srmSequentialOracle)
+    "q333_srm_sequential" -> srmSequentialOracle,
+    "q334_meta_effects" -> metaEffectsOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3343,6 +3345,76 @@ object SparkEntry {
       |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
       |  coalesce(best9 >= 2995732274, false) AS reject
       |FROM b ORDER BY peek""".stripMargin
+
+  /** q334 oracle: [[graft.quality.Association.metaAnalysis]] replayed —
+    * per-event-type exact counts, the Wald risk-difference effect/se in
+    * the Spark dag's float order, then the two ORDERED cumulative
+    * window passes (binary stratum order, left-to-right double fold —
+    * exactly the operator's summation order) for the fixed pool, Q/I²,
+    * DL τ², and the random pool.
+    */
+  private lazy val metaEffectsOracle: String =
+    """WITH ev AS (SELECT event_type AS stratum,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |cells AS (SELECT stratum,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN ev_even THEN hit ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN hit ELSE 0 END) AS BIGINT) AS s2
+      |  FROM ev GROUP BY 1),
+      |eff AS (SELECT stratum,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+      |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS e,
+      |    sqrt(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) *
+      |        (1.0 - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE) +
+      |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) *
+      |        (1.0 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+      |      AS se
+      |  FROM cells),
+      |p1 AS (SELECT stratum, e, se, 1.0 / (se * se) AS w,
+      |    sum(1.0 / (se * se)) OVER wo AS sw,
+      |    sum(1.0 / (se * se) * e) OVER wo AS swe,
+      |    sum(1.0 / (se * se) * e * e) OVER wo AS swe2,
+      |    sum((1.0 / (se * se)) * (1.0 / (se * se))) OVER wo AS sww,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(row_number() OVER (ORDER BY stratum) AS BIGINT) AS rn
+      |  FROM eff WHERE se > 0 AND e IS NOT NULL
+      |  WINDOW wo AS (ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s1g AS (SELECT * FROM p1 WHERE rn = k),
+      |s2g AS (SELECT *,
+      |    swe / sw AS eff_f, sqrt(1.0 / sw) AS se_f,
+      |    swe2 - swe * swe / sw AS q, CAST(k AS DOUBLE) - 1.0 AS dfq
+      |  FROM s1g),
+      |s3g AS (SELECT *,
+      |    CASE WHEN q > dfq THEN (q - dfq) / q ELSE 0.0 END AS i2,
+      |    CASE WHEN q > dfq AND (sw - sww / sw) > 0
+      |      THEN (q - dfq) / (sw - sww / sw) ELSE 0.0 END AS tau2
+      |  FROM s2g),
+      |p2 AS (SELECT f.stratum, f.e,
+      |    1.0 / (f.se * f.se + g.tau2) AS wr,
+      |    sum(1.0 / (f.se * f.se + g.tau2)) OVER wo AS swr,
+      |    sum(1.0 / (f.se * f.se + g.tau2) * f.e) OVER wo AS swre,
+      |    CAST(count(*) OVER () AS BIGINT) AS k2,
+      |    CAST(row_number() OVER (ORDER BY f.stratum) AS BIGINT) AS rn
+      |  FROM eff f CROSS JOIN s3g g WHERE f.se > 0 AND f.e IS NOT NULL
+      |  WINDOW wo AS (ORDER BY f.stratum ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |rnd AS (SELECT swre / swr AS eff_r, sqrt(1.0 / swr) AS se_r
+      |  FROM p2 WHERE rn = k2),
+      |drp AS (SELECT CAST(sum(CASE WHEN se > 0 AND e IS NOT NULL THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_dropped FROM eff)
+      |SELECT g.k AS n_strata, d.n_dropped,
+      |  round(g.eff_f, 9) AS effect_fixed, round(g.se_f, 9) AS se_fixed,
+      |  round(g.eff_f - 1.959964 * g.se_f, 9) AS ci_fixed_lo,
+      |  round(g.eff_f + 1.959964 * g.se_f, 9) AS ci_fixed_hi,
+      |  round(g.q, 9) AS q, CAST(g.dfq AS BIGINT) AS df,
+      |  round(g.i2, 9) AS i2, round(g.tau2, 9) AS tau2_dl,
+      |  round(r.eff_r, 9) AS effect_random, round(r.se_r, 9) AS se_random,
+      |  round(r.eff_r - 1.959964 * r.se_r, 9) AS ci_random_lo,
+      |  round(r.eff_r + 1.959964 * r.se_r, 9) AS ci_random_hi
+      |FROM s3g g CROSS JOIN rnd r CROSS JOIN drp d""".stripMargin
 
   /** q328 oracle: [[graft.quality.Association.powerTwoProportionFromCounts]]
     * replayed — the q326 per-user CTE, designed-arm exact counts, pooled

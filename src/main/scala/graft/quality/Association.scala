@@ -2486,6 +2486,111 @@ object Association {
     powerMeanFromMoments(moments, keyCols, targetMde, alpha, power)
   }
 
+  /** Meta-analysis panel over per-stratum effects (inverse-variance
+    * pooling; DerSimonian & Laird 1986 for τ²; Higgins & Thompson 2003
+    * for I²): the "does the effect REPLICATE across strata" read a
+    * segmented experiment owes before anyone trusts a pooled number —
+    * one row per key set from k (stratum, effect, se) rows:
+    *
+    *   w_i = 1/se_i²,  θ̂_F = Σw·e/Σw,  se_F = √(1/Σw)
+    *   Q   = Σw·e² − (Σw·e)²/Σw,  df = k−1
+    *   I²  = max(0, (Q−df)/Q),  τ²_DL = max(0, (Q−df)/(Σw − Σw²/Σw))
+    *   w*_i = 1/(se_i² + τ²) → θ̂_R, se_R  (the random-effects pool)
+    *
+    * Q rejecting (χ²_{k−1}) says the strata disagree beyond chance —
+    * read θ̂_R with its wider CI, not θ̂_F. Determinism: inputs are the
+    * upstream dags' doubles; every Σ here is an ORDERED cumulative
+    * window over the k-bounded stratum frame (binary stratum order,
+    * left-to-right float fold — the engines agree bitwise), never an
+    * order-free double sum; two window passes (the second carries
+    * τ² back over the strata), fixed dags after, z = 1.959964 CIs.
+    * Conventions: NULL/non-positive-se strata drop into n_dropped;
+    * k = 1 emits the single effect as both pools with NULL Q/I²/τ²;
+    * Q = 0 (or ≤ df) → I² = 0, τ² = 0 and the pools coincide. SCALE:
+    * the input frame is one row per stratum — everything here is
+    * k-bounded; the row-scale work lives in whatever built the
+    * per-stratum effects.
+    */
+  def metaAnalysis(
+      df: DataFrame,
+      keyCols: Seq[String],
+      strataCol: String,
+      effectCol: String,
+      seCol: String,
+      z: Double = 1.959964d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val valid = col(seCol).isNotNull && col(seCol) > 0d && col(effectCol).isNotNull
+    val base = df.select(g :+ col(strataCol).cast("string").as("__st") :+
+        col(effectCol).cast("double").as("__e") :+
+        col(seCol).cast("double").as("__se") :+
+        when(valid, 1L).otherwise(0L).as("__ok"): _*)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__st"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = lit(1d) / (col("__se") * col("__se"))
+    val pass1 = base.filter(col("__ok") === 1L)
+      .withColumn("__w", w)
+      .withColumn("__sw", sum(col("__w")).over(wOrd))
+      .withColumn("__swe", sum(col("__w") * col("__e")).over(wOrd))
+      .withColumn("__swe2", sum(col("__w") * col("__e") * col("__e")).over(wOrd))
+      .withColumn("__sww", sum(col("__w") * col("__w")).over(wOrd))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("__st"))))
+      .filter(col("__rn") === col("__k"))
+    val kD = col("__k").cast("double")
+    val efF = col("__swe") / col("__sw")
+    val seF = sqrt(lit(1d) / col("__sw"))
+    val q = col("__swe2") - col("__swe") * col("__swe") / col("__sw")
+    val dfQ = kD - lit(1d)
+    val i2 = when(q > dfQ, (q - dfQ) / q).otherwise(lit(0d))
+    val cDen = col("__sw") - col("__sww") / col("__sw")
+    val tau2 = when(q > dfQ && cDen > 0d, (q - dfQ) / cDen).otherwise(lit(0d))
+    val multi = col("__k") >= 2L
+    val summary = pass1.select(g :+ col("__k").as("n_strata") :+
+      efF.as("effect_fixed") :+ seF.as("se_fixed") :+
+      when(multi, q).as("q") :+
+      when(multi, dfQ.cast("long")).as("df") :+
+      when(multi, i2).as("i2") :+
+      when(multi, tau2).otherwise(lit(0d)).as("tau2_dl"): _*)
+    // pass 2: the random-effects pool with τ² carried back over strata
+    val joined =
+      if (keyCols.isEmpty)
+        base.filter(col("__ok") === 1L).crossJoin(
+          broadcast(summary.select(col("tau2_dl").as("__t2"))))
+      else base.filter(col("__ok") === 1L).join(
+        broadcast(summary.select(g :+ col("tau2_dl").as("__t2"): _*)),
+        keyCols)
+    val wr = lit(1d) / (col("__se") * col("__se") + col("__t2"))
+    val pass2 = joined
+      .withColumn("__wr", wr)
+      .withColumn("__swr", sum(col("__wr")).over(wOrd))
+      .withColumn("__swre", sum(col("__wr") * col("__e")).over(wOrd))
+      .withColumn("__k2", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("__st"))))
+      .filter(col("__rn") === col("__k2"))
+      .select(g :+ (col("__swre") / col("__swr")).as("effect_random") :+
+        sqrt(lit(1d) / col("__swr")).as("se_random"): _*)
+    val dropped =
+      if (keyCols.isEmpty)
+        base.groupBy().agg(sum(lit(1L) - col("__ok")).as("n_dropped"))
+      else base.groupBy(g: _*).agg(sum(lit(1L) - col("__ok")).as("n_dropped"))
+    val out =
+      if (keyCols.isEmpty) summary.crossJoin(broadcast(pass2)).crossJoin(broadcast(dropped))
+      else summary.join(pass2, keyCols).join(dropped, keyCols)
+    out.select(g :+ col("n_strata") :+ col("n_dropped") :+
+      col("effect_fixed") :+ col("se_fixed") :+
+      (col("effect_fixed") - lit(z) * col("se_fixed")).as("ci_fixed_lo") :+
+      (col("effect_fixed") + lit(z) * col("se_fixed")).as("ci_fixed_hi") :+
+      col("q") :+ col("df") :+ col("i2") :+ col("tau2_dl") :+
+      col("effect_random") :+ col("se_random") :+
+      (col("effect_random") - lit(z) * col("se_random")).as("ci_random_lo") :+
+      (col("effect_random") + lit(z) * col("se_random")).as("ci_random_hi"): _*)
+  }
+
   /** Intraclass correlation + design effect (one-way random effects —
     * Fisher's ANOVA estimator; Kish 1965 for deff): events cluster by
     * USER, documents by SOURCE — and a per-row test on clustered rows

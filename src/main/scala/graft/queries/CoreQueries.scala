@@ -3640,6 +3640,46 @@ object CoreQueries {
       .orderBy("peek")
   }
 
+  /** Meta-analysis gate: the parity A/B's risk difference on
+    * P(value ≥ 250) computed PER EVENT-TYPE stratum (exact counts, Wald
+    * unpooled se), then the full inverse-variance panel — fixed pool,
+    * Cochran Q / I² heterogeneity, DerSimonian–Laird τ², random pool —
+    * the "does the effect replicate across segments" read.
+    */
+  def q334MetaEffects(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type").as("stratum"),
+        (col("user_id") % 2 === 0).as("__even"),
+        (col("value") >= 250d).cast("long").as("__hit"))
+    val cells = ev.groupBy("stratum").agg(
+      sum(when(col("__even"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__even"), col("__hit")).otherwise(0L)).as("s1"),
+      sum(when(!col("__even"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("__even"), col("__hit")).otherwise(0L)).as("s2"))
+    val p1 = col("s1").cast("double") / col("n1").cast("double")
+    val p2 = col("s2").cast("double") / col("n2").cast("double")
+    val eff = cells.select(col("stratum"),
+      (p1 - p2).as("effect"),
+      sqrt(p1 * (lit(1d) - p1) / col("n1").cast("double") +
+        p2 * (lit(1d) - p2) / col("n2").cast("double")).as("se"))
+    Association.metaAnalysis(eff, Nil, "stratum", "effect", "se")
+      .select(col("n_strata"), col("n_dropped"),
+        round(col("effect_fixed"), 9).as("effect_fixed"),
+        round(col("se_fixed"), 9).as("se_fixed"),
+        round(col("ci_fixed_lo"), 9).as("ci_fixed_lo"),
+        round(col("ci_fixed_hi"), 9).as("ci_fixed_hi"),
+        round(col("q"), 9).as("q"), col("df"),
+        round(col("i2"), 9).as("i2"),
+        round(col("tau2_dl"), 9).as("tau2_dl"),
+        round(col("effect_random"), 9).as("effect_random"),
+        round(col("se_random"), 9).as("se_random"),
+        round(col("ci_random_lo"), 9).as("ci_random_lo"),
+        round(col("ci_random_hi"), 9).as("ci_random_hi"))
+  }
+
   /** Jonckheere–Terpstra gate: does order value RISE with priority —
     * the ordered-alternatives read over o_orderpriority's natural label
     * order (1-URGENT < … < 5-LOW) on 10k-unit price buckets; 2J exact

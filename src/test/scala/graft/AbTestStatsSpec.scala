@@ -743,6 +743,51 @@ class AbTestStatsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("ln_lr9") === math.round(ln * 1e9))
   }
 
+  // --- Meta-analysis panel --------------------------------------------------
+
+  test("metaAnalysis: hand golden e=(1,2,4), se=1 — every statistic a replayable rational") {
+    // w = 1 each: θ̂_F = 7/3, se_F = 1/√3, Q = 21 − 49/3 = 14/3, df = 2,
+    // I² = (14/3−2)/(14/3) = 4/7, C = 3 − 3/3 = 2, τ² = (8/3)/2 = 4/3,
+    // w* = 3/7 each → θ̂_R = 7/3 (equal weights), se_R = √(7/9)
+    val eff = Seq(("a", 1.0, 1.0), ("b", 2.0, 1.0), ("c", 4.0, 1.0))
+      .toDF("st", "e", "se")
+    val r = Association.metaAnalysis(eff, Nil, "st", "e", "se").collect()(0)
+    assert(math.abs(r.getAs[Double]("effect_fixed") - 7.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_fixed") - 1.0 / math.sqrt(3)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("q") - 14.0 / 3) < 1e-12)
+    assert(r.getAs[Long]("df") === 2L)
+    assert(math.abs(r.getAs[Double]("i2") - 4.0 / 7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("tau2_dl") - 4.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("effect_random") - 7.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_random") - math.sqrt(7.0 / 9)) < 1e-12)
+  }
+
+  test("metaAnalysis: homogeneous strata — Q = 0, I² = 0, τ² = 0, pools coincide") {
+    val eff = Seq(("a", 0.3, 0.5), ("b", 0.3, 0.2), ("c", 0.3, 1.1))
+      .toDF("st", "e", "se")
+    val r = Association.metaAnalysis(eff, Nil, "st", "e", "se").collect()(0)
+    assert(math.abs(r.getAs[Double]("q")) < 1e-12)
+    assert(r.getAs[Double]("i2") === 0.0d)
+    assert(r.getAs[Double]("tau2_dl") === 0.0d)
+    assert(math.abs(r.getAs[Double]("effect_fixed") - 0.3) < 1e-12)
+    assert(r.getAs[Double]("effect_random") === r.getAs[Double]("effect_fixed"))
+    assert(r.getAs[Double]("se_random") === r.getAs[Double]("se_fixed"))
+  }
+
+  test("metaAnalysis: k = 1 NULLs heterogeneity; invalid strata drop into n_dropped") {
+    val rows = Seq[(String, Option[Double], Option[Double])](
+      ("a", Some(0.7), Some(0.25)), ("b", Some(0.1), Some(0.0)),
+      ("c", Some(0.1), Some(-1.0)), ("d", None, Some(1.0)))
+    val r = Association.metaAnalysis(
+      rows.toDF("st", "e", "se"), Nil, "st", "e", "se").collect()(0)
+    assert(r.getAs[Long]("n_strata") === 1L)
+    assert(r.getAs[Long]("n_dropped") === 3L)
+    assert(r.isNullAt(r.fieldIndex("q")) && r.isNullAt(r.fieldIndex("i2")))
+    assert(math.abs(r.getAs[Double]("effect_fixed") - 0.7) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_fixed") - 0.25) < 1e-12)
+    assert(r.getAs[Double]("effect_random") === r.getAs[Double]("effect_fixed"))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -815,6 +815,10 @@ class PlanShapeSpec extends SparkSpec {
     // sequential SRM: per-user agg + peek-count agg + the cumulative
     // windows over the peek frame
     Shape("q333_srm_sequential", maxHash = 3, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // meta-analysis: one stratum-cell agg; both pooling passes are
+    // ordered windows + broadcast 1-row summaries over the k-frame
+    Shape("q334_meta_effects", maxHash = 4, maxRange = 8,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

@@ -1283,6 +1283,37 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Meta-analysis panel ----------------------------------------------------
+
+  test("fuzz: metaAnalysis vs the naive inverse-variance loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("meta", t)
+      val k = 2 + r.nextInt(8)
+      val strata = (0 until k).map { i =>
+        (f"s$i%02d", r.nextDouble() * 4 - 2, 0.05 + r.nextDouble() * 2)
+      }
+      val got = Association.metaAnalysis(
+        strata.toDF("st", "e", "se"), Nil, "st", "e", "se").collect()(0)
+      val ws = strata.map { case (_, _, se) => 1.0 / (se * se) }
+      val sw = ws.sum
+      val swe = strata.zip(ws).map { case ((_, e, _), w) => w * e }.sum
+      val swe2 = strata.zip(ws).map { case ((_, e, _), w) => w * e * e }.sum
+      val sww = ws.map(w => w * w).sum
+      val q = swe2 - swe * swe / sw
+      val dfq = k - 1.0
+      val i2 = if (q > dfq) (q - dfq) / q else 0.0
+      val tau2 = if (q > dfq && sw - sww / sw > 0) (q - dfq) / (sw - sww / sw) else 0.0
+      val wr = strata.map { case (_, _, se) => 1.0 / (se * se + tau2) }
+      val effR = strata.zip(wr).map { case ((_, e, _), w) => w * e }.sum / wr.sum
+      approx(got.getAs[Double]("effect_fixed"), swe / sw, s"meta ef trial $t")
+      approx(got.getAs[Double]("q"), q, s"meta q trial $t")
+      approx(got.getAs[Double]("i2"), i2, s"meta i2 trial $t")
+      approx(got.getAs[Double]("tau2_dl"), tau2, s"meta tau2 trial $t")
+      approx(got.getAs[Double]("effect_random"), effR, s"meta er trial $t")
+      approx(got.getAs[Double]("se_random"), math.sqrt(1.0 / wr.sum), s"meta ser trial $t")
+    }
+  }
+
   // --- Power / MDE panel ----------------------------------------------------
 
   test("fuzz: power/MDE panels vs the naive closed-form arithmetic") {
