@@ -344,7 +344,8 @@ object SparkEntry {
     "q331_group_seq_pocock" -> (CoreQueries.q331GroupSeqPocock(_, _)),
     "q332_group_seq_mean" -> (CoreQueries.q332GroupSeqMean(_, _)),
     "q333_srm_sequential" -> (CoreQueries.q333SrmSequential(_, _)),
-    "q334_meta_effects" -> (CoreQueries.q334MetaEffects(_, _))
+    "q334_meta_effects" -> (CoreQueries.q334MetaEffects(_, _)),
+    "q335_conditional_power" -> (CoreQueries.q335ConditionalPower(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -492,7 +493,8 @@ object SparkEntry {
     "q331_group_seq_pocock" -> gsOracle("pocock"),
     "q332_group_seq_mean" -> gsMeanOracle,
     "q333_srm_sequential" -> srmSequentialOracle,
-    "q334_meta_effects" -> metaEffectsOracle)
+    "q334_meta_effects" -> metaEffectsOracle,
+    "q335_conditional_power" -> conditionalPowerOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3345,6 +3347,62 @@ object SparkEntry {
       |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
       |  coalesce(best9 >= 2995732274, false) AS reject
       |FROM b ORDER BY peek""".stripMargin
+
+  /** q335 oracle: [[graft.quality.GroupSequential.conditionalPowerTwoProportion]]
+    * replayed — the q299 cumulative count CTEs, z/B(t) in the Spark
+    * dag's float order, then the three CP conventions with Φ rendered
+    * by the SAME NR-Chebyshev fragment the operator evaluates in-engine
+    * ([[graft.quality.GroupSequential.phiSqlFragment]] — one source of
+    * truth for both float dags).
+    */
+  private lazy val conditionalPowerOracle: String = {
+    import graft.quality.GroupSequential.phiSqlFragment
+    def cp(theta: String): String =
+      "1.0 - " + phiSqlFragment(
+        s"((1.959964 - b - $theta * (1.0 - t_frac)) / sqrt(1.0 - t_frac))")
+    s"""WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(row_number() OVER (ORDER BY peek) AS INT) AS look,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    CAST(look AS DOUBLE) / 12.0 AS t_frac,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo AS DOUBLE) + CAST(s_hi AS DOUBLE)) /
+      |      (CAST(n_lo AS DOUBLE) + CAST(n_hi AS DOUBLE)) AS pp,
+      |    n_lo > 0 AND n_hi > 0 AND (s_lo + s_hi) > 0 AND
+      |      (s_lo + s_hi) < (n_lo + n_hi) AS usable
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    pp * (1 - pp) * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)) AS vv
+      |  FROM t),
+      |zb AS (SELECT *,
+      |    delta / sqrt(vv) AS z,
+      |    delta / sqrt(vv) * sqrt(t_frac) AS b,
+      |    usable AND look < 12 AS interim
+      |  FROM v)
+      |SELECT peek, look, round(t_frac, 9) AS t_frac, n_lo, s_lo, n_hi, s_hi,
+      |  CASE WHEN usable THEN round(z, 9) END AS z,
+      |  CASE WHEN interim THEN round(${cp("0.0")}, 9) END AS cp_null,
+      |  CASE WHEN interim THEN round(${cp("(b / t_frac)")}, 9) END AS cp_trend,
+      |  CASE WHEN interim THEN
+      |    round(${cp("(0.02 / (sqrt(vv) * sqrt(t_frac)))")}, 9) END AS cp_design
+      |FROM zb ORDER BY peek""".stripMargin
+  }
 
   /** q334 oracle: [[graft.quality.Association.metaAnalysis]] replayed —
     * per-event-type exact counts, the Wald risk-difference effect/se in

@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,6 +268,111 @@ object GroupSequential {
         col("n_lo") :+ col("s_lo") :+ col("n_hi") :+ col("s_hi") :+
         col("z") :+ col("alpha_spent") :+ col("z_bound") :+
         col("reject_at") :+ col("crossed"): _*)
+  }
+
+  /** Φ as a COLUMN dag — the same NR-Chebyshev erfc as [[phi]], written
+    * in Column arithmetic so conditional power evaluates inside the
+    * engine (Spark has no normal-CDF builtin); [[phiSqlFragment]] emits
+    * the identical expression as DuckDB SQL, so the oracle's doubles
+    * match bitwise. Keep the two in lockstep: same coefficients, same
+    * association order.
+    */
+  def phiCol(x: Column): Column = {
+    val y = x / lit(math.sqrt(2.0)) * lit(-1.0) // erfc argument
+    val ax = abs(y)
+    val t = lit(1.0) / (lit(1.0) + lit(0.5) * ax)
+    val poly = t * exp(lit(-1.0) * ax * ax - lit(1.26551223) +
+      t * (lit(1.00002368) + t * (lit(0.37409196) + t * (lit(0.09678418) +
+      t * (lit(-0.18628806) + t * (lit(0.27886807) + t * (lit(-1.13520398) +
+      t * (lit(1.48851587) + t * (lit(-0.82215223) + t * lit(0.17087277))))))))))
+    val erfc = when(y >= 0d, poly).otherwise(lit(2.0) - poly)
+    lit(0.5) * erfc
+  }
+
+  /** The DuckDB rendering of [[phiCol]] over the SQL expression `x` —
+    * substituted where the oracle needs Φ. `x` must be a parenthesized
+    * expression.
+    */
+  def phiSqlFragment(x: String): String = {
+    val sqrt2 = math.sqrt(2.0).toString
+    val y = s"($x / $sqrt2 * -1.0)"
+    val ax = s"abs($y)"
+    val t = s"(1.0 / (1.0 + 0.5 * $ax))"
+    val poly = s"($t * exp(-1.0 * $ax * $ax - 1.26551223 + " +
+      s"$t * (1.00002368 + $t * (0.37409196 + $t * (0.09678418 + " +
+      s"$t * (-0.18628806 + $t * (0.27886807 + $t * (-1.13520398 + " +
+      s"$t * (1.48851587 + $t * (-0.82215223 + $t * 0.17087277))))))))))"
+    s"(0.5 * (CASE WHEN $y >= 0 THEN $poly ELSE 2.0 - $poly END))"
+  }
+
+  /** Conditional power at each interim look (Lan & Wittes 1988's
+    * B-value formulation; Proschan, Lan & Wittes 2006 ch. 3) — the
+    * futility read beside the boundaries: with B(t) = z_t·√t Brownian
+    * with drift θ·t, the probability the FIXED final test (|z| ≥
+    * z_{α/2}, the house pinned 1.959964 at α = 0.05) still rejects is
+    *
+    *   CP(θ) = 1 − Φ( (z_{α/2} − B(t) − θ(1−t)) / √(1−t) )
+    *
+    * evaluated under three conventions per look: θ = 0 (`cp_null` — the
+    * drift vanishes from here on), θ̂ = B(t)/t (`cp_trend` — the current
+    * trend continues; the standard futility input, stop when it falls
+    * below ~0.1), and θ_d = δ_design/(se_t·√t) (`cp_design` — the
+    * originally powered effect; se_t from the pooled-p variance, so
+    * θ_d uses the observed information rate). The final look (t = 1)
+    * carries NULL CPs — the fixed test itself answers there. Same
+    * increment state, cumulative counts, and determinism rules as
+    * [[groupSequentialTwoProportion]]; Φ evaluates in-engine via
+    * [[phiCol]].
+    */
+  def conditionalPowerTwoProportion(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      n1Col: String, s1Col: String,
+      n2Col: String, s2Col: String,
+      k: Int,
+      deltaDesign: Double,
+      zAlpha: Double = 1.959964d
+  ): DataFrame = {
+    require(k >= 1, s"K must be >= 1: $k")
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLook = Window.partitionBy(g: _*).orderBy(col("peek"))
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(n1Col).cast("long").as("__dn1") :+ col(s1Col).cast("long").as("__ds1") :+
+        col(n2Col).cast("long").as("__dn2") :+ col(s2Col).cast("long").as("__ds2"): _*)
+      .withColumn("n_lo", sum("__dn1").over(wCum))
+      .withColumn("s_lo", sum("__ds1").over(wCum))
+      .withColumn("n_hi", sum("__dn2").over(wCum))
+      .withColumn("s_hi", sum("__ds2").over(wCum))
+      .withColumn("look", row_number().over(wLook))
+    val n1 = col("n_lo").cast("double"); val n2 = col("n_hi").cast("double")
+    val s1 = col("s_lo").cast("double"); val s2 = col("s_hi").cast("double")
+    val delta = (col("s_lo").cast(dec) * col("n_hi").cast(dec) -
+      col("s_hi").cast(dec) * col("n_lo").cast(dec)).cast("double") / (n1 * n2)
+    val pPool = (s1 + s2) / (n1 + n2)
+    val v = pPool * (lit(1d) - pPool) * (lit(1d) / n1 + lit(1d) / n2)
+    val usable = col("n_lo") > 0L && col("n_hi") > 0L &&
+      (col("s_lo") + col("s_hi")) > 0L &&
+      (col("s_lo") + col("s_hi")) < (col("n_lo") + col("n_hi"))
+    val t = col("look").cast("double") / lit(k.toDouble)
+    val z = delta / sqrt(v)
+    val b = z * sqrt(t)
+    val interim = usable && col("look") < k
+    def cp(theta: Column): Column = when(interim,
+      lit(1.0) - phiCol((lit(zAlpha) - b - theta * (lit(1.0) - t)) /
+        sqrt(lit(1.0) - t)))
+    cum
+      .withColumn("t_frac", t)
+      .withColumn("z", when(usable, z))
+      .withColumn("cp_null", cp(lit(0.0)))
+      .withColumn("cp_trend", cp(b / t))
+      .withColumn("cp_design", cp(lit(deltaDesign) / (sqrt(v) * sqrt(t))))
+      .select(g :+ col("peek") :+ col("look") :+ col("t_frac") :+
+        col("n_lo") :+ col("s_lo") :+ col("n_hi") :+ col("s_hi") :+
+        col("z") :+ col("cp_null") :+ col("cp_trend") :+ col("cp_design"): _*)
   }
 
   /** [[groupSequentialTwoProportion]]'s MEAN-metric twin on the

@@ -2477,6 +2477,24 @@ object CoreQueries {
   def q331GroupSeqPocock(s: SparkSession, dir: String): DataFrame =
     gsQuery(s, dir, "pocock")
 
+  /** Conditional-power gate: the futility read over the q299 increment
+    * state — at each of the 12 looks, the probability the fixed final
+    * test still rejects under θ = 0, the current trend, and the
+    * designed 2-point effect (Lan–Wittes B-values, Φ in-engine).
+    */
+  def q335ConditionalPower(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.GroupSequential
+    GroupSequential.conditionalPowerTwoProportion(peekIncrements(s, dir),
+        Nil, "peek", "n1", "s1", "n2", "s2", k = 12, deltaDesign = 0.02d)
+      .select(col("peek"), col("look"), round(col("t_frac"), 9).as("t_frac"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("z"), 9).as("z"),
+        round(col("cp_null"), 9).as("cp_null"),
+        round(col("cp_trend"), 9).as("cp_trend"),
+        round(col("cp_design"), 9).as("cp_design"))
+      .orderBy("peek")
+  }
+
   /** mSPRT mean-drift gate: the same 12 peeks monitoring the parity
     * arms' mean floor(value) — exact cumulative moment sums, the Welch
     * plug-in variance, nano ln Λ, always-valid p. τ² = 1 (exact).

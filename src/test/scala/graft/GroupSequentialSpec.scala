@@ -151,6 +151,59 @@ class GroupSequentialSpec extends SparkSpec {
     assert(!tiny.getAs[Boolean]("crossed"))
   }
 
+  test("phiCol evaluates the driver Phi bit-for-bit in-engine") {
+    import spark.implicits._
+    val xs = Seq(-6.0, -2.5, -1.0, -0.1, 0.0, 0.3, 1.0, 1.959964, 3.7, 6.0)
+    val got = xs.toDF("x").select(GroupSequential.phiCol(col("x")).as("p"))
+      .collect().map(_.getDouble(0))
+    for ((x, p) <- xs.zip(got))
+      assert(p === GroupSequential.phi(x), s"phi($x)")
+  }
+
+  test("conditional power: hand B-value replay, trend==null at z=0, certain-win, last-look NULL") {
+    // one experiment, 2 of 4 looks observed: counts chosen so z is stable
+    val incr = Seq((1L, 400L, 140L, 400L, 100L), (2L, 400L, 120L, 400L, 120L),
+      (3L, 400L, 130L, 400L, 110L), (4L, 400L, 130L, 400L, 110L))
+      .toDF("peek", "n1", "s1", "n2", "s2")
+    val r = GroupSequential.conditionalPowerTwoProportion(
+      incr, Nil, "peek", "n1", "s1", "n2", "s2", k = 4, deltaDesign = 0.05)
+      .orderBy("peek").collect()
+    // hand replay at look 1 (t = 1/4): delta/v from the cumulative counts
+    val (n1, s1, n2, s2) = (400.0, 140.0, 400.0, 100.0)
+    val delta = (s1 * n2 - s2 * n1) / (n1 * n2)
+    val pp = (s1 + s2) / (n1 + n2)
+    val v = pp * (1 - pp) * (1 / n1 + 1 / n2)
+    val t = 0.25
+    val b = delta / math.sqrt(v) * math.sqrt(t)
+    def cp(theta: Double) = 1.0 - GroupSequential.phi(
+      (1.959964 - b - theta * (1 - t)) / math.sqrt(1 - t))
+    assert(math.abs(r(0).getAs[Double]("cp_null") - cp(0.0)) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("cp_trend") - cp(b / t)) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("cp_design") -
+      cp(0.05 / (math.sqrt(v) * math.sqrt(t)))) < 1e-12)
+    // the trend CP of a strong positive start dominates the null CP
+    assert(r(0).getAs[Double]("cp_trend") > r(0).getAs[Double]("cp_null"))
+    // final look: the fixed test answers, CPs are NULL
+    val last = r.last
+    for (c <- Seq("cp_null", "cp_trend", "cp_design"))
+      assert(last.isNullAt(last.fieldIndex(c)), c)
+    // balanced arms → z = 0 → B = 0 → cp_trend == cp_null exactly
+    val flat = GroupSequential.conditionalPowerTwoProportion(
+      Seq((1L, 400L, 100L, 400L, 100L), (2L, 400L, 100L, 400L, 100L))
+        .toDF("peek", "n1", "s1", "n2", "s2"),
+      Nil, "peek", "n1", "s1", "n2", "s2", k = 2, deltaDesign = 0.05)
+      .orderBy("peek").collect()(0)
+    assert(flat.getAs[Double]("cp_trend") === flat.getAs[Double]("cp_null"))
+    // an overwhelming interim effect makes every CP ≈ 1
+    val win = GroupSequential.conditionalPowerTwoProportion(
+      Seq((1L, 1000L, 900L, 1000L, 100L), (2L, 10L, 5L, 10L, 5L))
+        .toDF("peek", "n1", "s1", "n2", "s2"),
+      Nil, "peek", "n1", "s1", "n2", "s2", k = 2, deltaDesign = 0.05)
+      .orderBy("peek").collect()(0)
+    for (c <- Seq("cp_null", "cp_trend", "cp_design"))
+      assert(win.getAs[Double](c) > 0.999, c)
+  }
+
   test("monitor: looks past the planned K carry NULL boundary, never drop; unusable peeks NULL z") {
     val df = Seq((1L, 100L, 30L, 100L, 20L), (2L, 100L, 30L, 100L, 20L),
       (3L, 100L, 30L, 100L, 20L)).toDF("peek", "n1", "s1", "n2", "s2")

@@ -819,6 +819,9 @@ class PlanShapeSpec extends SparkSpec {
     // meta-analysis: one stratum-cell agg; both pooling passes are
     // ordered windows + broadcast 1-row summaries over the k-frame
     Shape("q334_meta_effects", maxHash = 4, maxRange = 8,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // conditional power: the q299 shape — Φ is a pure projection dag
+    Shape("q335_conditional_power", maxHash = 2, maxRange = 4,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 
