@@ -345,7 +345,10 @@ object SparkEntry {
     "q332_group_seq_mean" -> (CoreQueries.q332GroupSeqMean(_, _)),
     "q333_srm_sequential" -> (CoreQueries.q333SrmSequential(_, _)),
     "q334_meta_effects" -> (CoreQueries.q334MetaEffects(_, _)),
-    "q335_conditional_power" -> (CoreQueries.q335ConditionalPower(_, _))
+    "q335_conditional_power" -> (CoreQueries.q335ConditionalPower(_, _)),
+    "q336_survival_dashboard" -> (CoreQueries.q336SurvivalDashboard(_, _)),
+    "q337_survival_dashboard_from_store" ->
+      (CoreQueries.q337SurvivalDashboardFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -494,7 +497,9 @@ object SparkEntry {
     "q332_group_seq_mean" -> gsMeanOracle,
     "q333_srm_sequential" -> srmSequentialOracle,
     "q334_meta_effects" -> metaEffectsOracle,
-    "q335_conditional_power" -> conditionalPowerOracle)
+    "q335_conditional_power" -> conditionalPowerOracle,
+    "q336_survival_dashboard" -> survivalDashboardOracle,
+    "q337_survival_dashboard_from_store" -> survivalDashboardOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3403,6 +3408,118 @@ object SparkEntry {
       |    round(${cp("(0.02 / (sqrt(vv) * sqrt(t_frac)))")}, 9) END AS cp_design
       |FROM zb ORDER BY peek""".stripMargin
   }
+
+  /** q336/q337 oracle: the ENTIRE composed survival dashboard replayed
+    * from raw events — the shared subject CTE split by cohort, per-
+    * cohort KM chains (nano ln terms, exhaustion rule), medians (min t
+    * with S ≤ 0.5), τ = 48 RMST segments (UNROUNDED survivals into the
+    * nano segment products, the q291 dag), per-cohort event totals, and
+    * the q286 log-rank chain — pivoted onto (grp_lo, grp_hi) with the
+    * RMST difference from the unrounded values. q337's three-batch fold
+    * merges to identical cells, so the from-store read shares this
+    * oracle verbatim.
+    */
+  private lazy val survivalDashboardOracle: String =
+    s"""$SurvivalSubjCte,
+      |sc AS (SELECT CAST(user_id % 2 = 0 AS VARCHAR) AS grp, t,
+      |    CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2),
+      |riskk AS (SELECT *,
+      |    CAST(sum(d + c) OVER (PARTITION BY grp ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM sc),
+      |termsk AS (SELECT *,
+      |    CASE WHEN d = 0 THEN 0
+      |         WHEN d < n_risk THEN CAST(round(ln(
+      |           (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE)) /
+      |             CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS ln9
+      |  FROM riskk),
+      |acck AS (SELECT *,
+      |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (PARTITION BY grp
+      |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS dead,
+      |    sum(ln9) OVER (PARTITION BY grp ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum9
+      |  FROM termsk),
+      |kmx AS (SELECT grp, t,
+      |    CASE WHEN dead THEN 0.0 ELSE exp(CAST(lnsum9 AS DOUBLE) / 1e9) END AS s
+      |  FROM acck),
+      |med AS (SELECT grp, min(CASE WHEN s <= 0.5 THEN t END) AS med FROM kmx GROUP BY 1),
+      |stepsr AS (SELECT grp, t, s,
+      |    lag(s, 1, 1.0) OVER (PARTITION BY grp ORDER BY t) AS prev_s,
+      |    lag(t, 1, 0) OVER (PARTITION BY grp ORDER BY t) AS prev_t,
+      |    row_number() OVER (PARTITION BY grp ORDER BY t DESC) = 1 AS is_last
+      |  FROM kmx WHERE t <= 48),
+      |segr AS (SELECT grp,
+      |    CAST(round(prev_s * 1e9) AS HUGEINT) * (t - prev_t) +
+      |      CASE WHEN is_last THEN CAST(round(s * 1e9) AS HUGEINT) * (48 - t)
+      |           ELSE 0 END AS seg9
+      |  FROM stepsr),
+      |rmu AS (SELECT u.grp,
+      |    coalesce(CAST(q.s9 AS DOUBLE) / 1e9, 48.0) AS rmst
+      |  FROM (SELECT DISTINCT grp FROM kmx) u
+      |  LEFT JOIN (SELECT grp, sum(seg9) AS s9 FROM segr GROUP BY 1) q
+      |    ON u.grp = q.grp),
+      |ec AS (SELECT grp, CAST(sum(d) AS BIGINT) AS events FROM sc GROUP BY 1),
+      |lab AS (SELECT *, min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi
+      |  FROM sc),
+      |spine AS (SELECT grp_lo, grp_hi, t,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN d ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN c ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN d ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN c ELSE 0 END) AS BIGINT) AS c2
+      |  FROM lab GROUP BY 1, 2, 3),
+      |riskl AS (SELECT *,
+      |    CAST(sum(d1 + c1) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+      |    CAST(sum(d2 + c2) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
+      |  FROM spine),
+      |termsl AS (SELECT *,
+      |    CASE WHEN d1 + d2 > 0 THEN CAST(round(
+      |      CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+      |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS e9,
+      |    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(round(
+      |      CAST(d1 + d2 AS DOUBLE) *
+      |        (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        (CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - CAST(d1 + d2 AS DOUBLE)) /
+      |        ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS v9
+      |  FROM riskl),
+      |lrs AS (SELECT grp_lo, grp_hi,
+      |    CAST(sum(d1) AS BIGINT) AS o_lo,
+      |    CAST(sum(d1 + c1) AS BIGINT) AS n_lo,
+      |    CAST(sum(d2 + c2) AS BIGINT) AS n_hi,
+      |    sum(CAST(e9 AS HUGEINT)) AS e9s, sum(CAST(v9 AS HUGEINT)) AS v9s
+      |  FROM termsl GROUP BY 1, 2),
+      |per AS (SELECT e.grp, e.events, m.med, r.rmst
+      |  FROM ec e JOIN med m ON e.grp = m.grp JOIN rmu r ON e.grp = r.grp),
+      |piv AS (SELECT
+      |    max(CASE WHEN p.grp = l.grp_lo THEN p.events END) AS events_lo,
+      |    max(CASE WHEN p.grp = l.grp_hi THEN p.events END) AS events_hi,
+      |    max(CASE WHEN p.grp = l.grp_lo THEN p.med END) AS median_lo,
+      |    max(CASE WHEN p.grp = l.grp_hi THEN p.med END) AS median_hi,
+      |    max(CASE WHEN p.grp = l.grp_lo THEN p.rmst END) AS rmst_lo,
+      |    max(CASE WHEN p.grp = l.grp_hi THEN p.rmst END) AS rmst_hi
+      |  FROM per p CROSS JOIN (SELECT DISTINCT grp_lo, grp_hi FROM lab) l)
+      |SELECT s.grp_lo, s.grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  s.n_lo, s.n_hi, p.events_lo, p.events_hi,
+      |  CAST(p.median_lo AS BIGINT) AS median_lo,
+      |  CAST(p.median_hi AS BIGINT) AS median_hi,
+      |  CAST(48 AS BIGINT) AS tau,
+      |  round(p.rmst_lo, 9) AS rmst_lo, round(p.rmst_hi, 9) AS rmst_hi,
+      |  round(p.rmst_lo - p.rmst_hi, 9) AS rmst_diff,
+      |  s.o_lo, CAST(s.e9s AS VARCHAR) AS e_lo_9, CAST(s.v9s AS VARCHAR) AS v_9,
+      |  CASE WHEN s.v9s > 0 THEN round((CAST(s.o_lo AS DOUBLE) -
+      |    CAST(s.e9s AS DOUBLE) / 1e9) / sqrt(CAST(s.v9s AS DOUBLE) / 1e9), 9)
+      |  END AS z,
+      |  CASE WHEN s.v9s > 0 THEN round(
+      |    ((CAST(s.o_lo AS DOUBLE) - CAST(s.e9s AS DOUBLE) / 1e9) /
+      |      sqrt(CAST(s.v9s AS DOUBLE) / 1e9)) *
+      |    ((CAST(s.o_lo AS DOUBLE) - CAST(s.e9s AS DOUBLE) / 1e9) /
+      |      sqrt(CAST(s.v9s AS DOUBLE) / 1e9)), 9) END AS chi2
+      |FROM lrs s CROSS JOIN piv p""".stripMargin
 
   /** q334 oracle: [[graft.quality.Association.metaAnalysis]] replayed —
     * per-event-type exact counts, the Wald risk-difference effect/se in

@@ -916,4 +916,59 @@ object Survival {
       km.groupBy(g: _*)
         .agg(min(when(col("survival") <= 0.5d, col("t"))).as("median_survival"))
   }
+
+  /** The composed SURVIVAL dashboard — the q326 pattern applied to the
+    * lifetime-cell store: ONE (cohort, duration) cell state answering
+    * the whole censoring-aware A/B in one read — per-cohort event
+    * totals, [[kaplanMeierFromCells]] → [[medianSurvival]] medians and
+    * [[rmst]] restricted means (and their difference, the effect-size
+    * read), plus the [[logRankFromCells]] test — every stage THE gated
+    * operator, fed from the same cells, pivoted onto the (grp_lo,
+    * grp_hi) = (min, max) house orientation. The cell state is
+    * materialized ONCE as a local relation before the stage fan-out
+    * (the bounded driver fold, duration × cohort cardinality), so
+    * reading the dashboard from a standing store touches no row-scale
+    * data at all. ≠2 cohorts NULL the comparative columns via the
+    * [[logRank]] n_groups flag; per-cohort facts (events, median, rmst)
+    * stay populated. One row out.
+    */
+  def survivalDashboardFromCells(
+      cells: DataFrame,
+      groupCol: String,
+      tau: Long
+  ): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val spark = cells.sparkSession
+    import scala.jdk.CollectionConverters._
+    val local = spark.createDataFrame(
+      cells.collect().toSeq.asJava, cells.schema)
+    val km = kaplanMeierFromCells(local, Seq(groupCol))
+    val med = medianSurvival(km, Seq(groupCol))
+    val rm = rmst(km, Seq(groupCol), tau).select(col(groupCol), col("rmst"))
+    val counts = local.groupBy(col(groupCol))
+      .agg(sum(col("n_event")).as("__d"))
+    val per = counts.join(med, Seq(groupCol)).join(rm, Seq(groupCol))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val piv = per
+      .withColumn("grp_lo", min(col(groupCol)).over(wAll))
+      .withColumn("grp_hi", max(col(groupCol)).over(wAll))
+      .groupBy(col("grp_lo"), col("grp_hi"))
+      .agg(
+        max(when(col(groupCol) === col("grp_lo"), col("__d"))).as("events_lo"),
+        max(when(col(groupCol) === col("grp_hi"), col("__d"))).as("events_hi"),
+        max(when(col(groupCol) === col("grp_lo"), col("median_survival"))).as("median_lo"),
+        max(when(col(groupCol) === col("grp_hi"), col("median_survival"))).as("median_hi"),
+        max(when(col(groupCol) === col("grp_lo"), col("rmst"))).as("rmst_lo"),
+        max(when(col(groupCol) === col("grp_hi"), col("rmst"))).as("rmst_hi"))
+    val lr = logRankFromCells(local, Nil, groupCol)
+    val two = col("n_groups") === 2L
+    lr.join(piv, Seq("grp_lo", "grp_hi"))
+      .withColumn("tau", lit(tau))
+      .withColumn("rmst_diff", when(two, col("rmst_lo") - col("rmst_hi")))
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("n_lo"), col("n_hi"), col("events_lo"), col("events_hi"),
+        col("median_lo"), col("median_hi"), col("tau"),
+        col("rmst_lo"), col("rmst_hi"), col("rmst_diff"),
+        col("o_lo"), col("e_lo_9"), col("v_9"), col("z"), col("chi2"))
+  }
 }

@@ -2287,6 +2287,47 @@ object CoreQueries {
   def competingSubjectsForSpec(s: SparkSession, dir: String): DataFrame =
     competingSubjects(s, dir)
 
+  private def survivalDashboardSelect(d: DataFrame): DataFrame =
+    d.select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+      col("n_lo"), col("n_hi"), col("events_lo"), col("events_hi"),
+      col("median_lo"), col("median_hi"), col("tau"),
+      round(col("rmst_lo"), 9).as("rmst_lo"),
+      round(col("rmst_hi"), 9).as("rmst_hi"),
+      round(col("rmst_diff"), 9).as("rmst_diff"),
+      col("o_lo"), col("e_lo_9"), col("v_9"),
+      round(col("z"), 9).as("z"), round(col("chi2"), 9).as("chi2"))
+
+  /** Composed survival dashboard gate: the q326 pattern on the lifetime
+    * store — ONE (cohort, duration) cell state feeding per-cohort
+    * events/median/RMST, the RMST difference, and the log-rank test in
+    * one read; the oracle replays the entire chain from raw events.
+    */
+  def q336SurvivalDashboard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
+    survivalDashboardSelect(Survival.survivalDashboardFromCells(
+      Survival.lifetimeCells(subj, Seq("cohort"), "duration", "event"),
+      "cohort", tau = 48L))
+  }
+
+  /** The q336 dashboard FROM THE STORE: three disjoint user batches
+    * folded via [[graft.operators.Survival.mergeLifetimeCells]] — fold
+    * == rebuild under the q336 oracle verbatim.
+    */
+  def q337SurvivalDashboardFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = survivalSubjects(s, dir)
+      .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
+    def cellsOf(i: Int) = Survival.lifetimeCells(
+      subj.filter(col("user_id") % 3 === i), Seq("cohort"), "duration", "event")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      Survival.mergeLifetimeCells(acc, cellsOf(i), Seq("cohort"))
+    }
+    survivalDashboardSelect(
+      Survival.survivalDashboardFromCells(folded, "cohort", tau = 48L))
+  }
+
   /** Log-rank from-STORE gate: the q286 subjects' (cohort, duration)
     * lifetime cells folded in three disjoint user batches — the
     * `lifetimeCellsStream` state — read by

@@ -822,7 +822,15 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // conditional power: the q299 shape — Φ is a pure projection dag
     Shape("q335_conditional_power", maxHash = 2, maxRange = 4,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // composed survival dashboard: the ONE row-scale per-user + cell
+    // aggs execute before the materialized local relation; the KM /
+    // median / RMST / log-rank stages fan out over the (cohort ×
+    // duration) cell frame
+    Shape("q336_survival_dashboard", maxHash = 10, maxRange = 10,
+      forbidUdf = true),
+    Shape("q337_survival_dashboard_from_store", maxHash = 16, maxRange = 10,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -1405,4 +1405,59 @@ class TrendStatsSpec extends SparkSpec {
     assert(crossed.toDouble / 120d <= 0.05 + 0.033,
       s"H0 crossing rate ${crossed / 120d} above the alpha envelope")
   }
+
+  // --- composed survival dashboard -----------------------------------------
+
+  test("survival dashboard: one read equals every standalone operator; fold == rebuild") {
+    import graft.operators.Survival
+    import spark.implicits._
+    def subj(seed: Int, n: Int) = (0 until n).map { i =>
+      val g = if ((i * 7 + seed) % 2 == 0) "A" else "B"
+      val d = 1L + (i * 11 + seed) % 9 + (if (g == "A") 2L else 0L)
+      (i.toLong, g, d, if ((i * 5 + seed) % 3 == 0) 0L else 1L)
+    }
+    val all = subj(1, 80).toDF("u", "cohort", "dur", "ev")
+    val cells = Survival.lifetimeCells(all, Seq("cohort"), "dur", "ev")
+    val dash = Survival.survivalDashboardFromCells(cells, "cohort", tau = 6L)
+      .collect()(0)
+    val km = Survival.kaplanMeierFromCells(cells, Seq("cohort"))
+    val med = Survival.medianSurvival(km, Seq("cohort")).collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+    val rm = Survival.rmst(km, Seq("cohort"), 6L).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("rmst")).toMap
+    val lr = Survival.logRankFromCells(cells, Nil, "cohort").collect()(0)
+    assert(dash.getAs[String]("grp_lo") === "A" && dash.getAs[String]("grp_hi") === "B")
+    assert(dash.get(dash.fieldIndex("median_lo")) === med("A"))
+    assert(dash.get(dash.fieldIndex("median_hi")) === med("B"))
+    assert(dash.getAs[Double]("rmst_lo") === rm("A"))
+    assert(dash.getAs[Double]("rmst_hi") === rm("B"))
+    assert(dash.getAs[Double]("rmst_diff") === rm("A") - rm("B"))
+    for (c <- Seq("n_lo", "n_hi", "o_lo", "e_lo_9", "v_9", "z", "chi2"))
+      assert(dash.get(dash.fieldIndex(c)) === lr.get(lr.fieldIndex(c)), c)
+    // fold == rebuild: disjoint-unit batches merge to the same dashboard
+    val parts = subj(1, 80).grouped(27).toSeq
+    val folded = parts.tail.foldLeft(Survival.lifetimeCells(
+        parts.head.toDF("u", "cohort", "dur", "ev"), Seq("cohort"), "dur", "ev")) {
+      (acc, p) => Survival.mergeLifetimeCells(acc,
+        Survival.lifetimeCells(p.toDF("u", "cohort", "dur", "ev"),
+          Seq("cohort"), "dur", "ev"), Seq("cohort"))
+    }
+    assert(Survival.survivalDashboardFromCells(folded, "cohort", 6L)
+      .collect()(0).toSeq === dash.toSeq)
+  }
+
+  test("survival dashboard: one cohort NULLs the comparison, keeps the facts") {
+    import graft.operators.Survival
+    import spark.implicits._
+    val one = Seq((1L, "A", 3L, 1L), (2L, "A", 5L, 0L), (3L, "A", 2L, 1L))
+      .toDF("u", "cohort", "dur", "ev")
+    val d = Survival.survivalDashboardFromCells(
+      Survival.lifetimeCells(one, Seq("cohort"), "dur", "ev"), "cohort", 6L)
+      .collect()(0)
+    assert(d.getAs[Long]("n_groups") === 1L)
+    for (c <- Seq("n_lo", "n_hi", "z", "chi2", "rmst_diff"))
+      assert(d.isNullAt(d.fieldIndex(c)), c)
+    assert(d.getAs[Long]("events_lo") === 2L) // per-cohort facts survive
+    assert(d.getAs[Double]("rmst_lo") > 0d)
+  }
 }
