@@ -348,7 +348,8 @@ object SparkEntry {
     "q335_conditional_power" -> (CoreQueries.q335ConditionalPower(_, _)),
     "q336_survival_dashboard" -> (CoreQueries.q336SurvivalDashboard(_, _)),
     "q337_survival_dashboard_from_store" ->
-      (CoreQueries.q337SurvivalDashboardFromStore(_, _))
+      (CoreQueries.q337SurvivalDashboardFromStore(_, _)),
+    "q338_data_card" -> (CoreQueries.q338DataCard(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -499,7 +500,8 @@ object SparkEntry {
     "q334_meta_effects" -> metaEffectsOracle,
     "q335_conditional_power" -> conditionalPowerOracle,
     "q336_survival_dashboard" -> survivalDashboardOracle,
-    "q337_survival_dashboard_from_store" -> survivalDashboardOracle)
+    "q337_survival_dashboard_from_store" -> survivalDashboardOracle,
+    "q338_data_card" -> dataCardOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3520,6 +3522,50 @@ object SparkEntry {
       |    ((CAST(s.o_lo AS DOUBLE) - CAST(s.e9s AS DOUBLE) / 1e9) /
       |      sqrt(CAST(s.v9s AS DOUBLE) / 1e9)), 9) END AS chi2
       |FROM lrs s CROSS JOIN piv p""".stripMargin
+
+  /** q338 oracle: the corpus data card replayed — md5 digests for the
+    * exact-dup surplus, the q289 whitespace-token split, the
+    * exactQuantiles rank rules ((n+1) div 2, (9n+9) div 10 on
+    * (n_chars, doc_id) order), and the count-desc/lang-asc top-language
+    * selection, all per source.
+    */
+  private lazy val dataCardOracle: String =
+    """WITH d AS (SELECT doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |    AND lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL),
+      |base AS (SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> x <> ''))) AS BIGINT) AS total_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM d GROUP BY 1),
+      |rk AS (SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM d),
+      |qs AS (SELECT source,
+      |    max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+      |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars
+      |  FROM rk GROUP BY 1),
+      |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+      |top AS (SELECT source, lang AS top_lang, c AS topc FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY c DESC, lang) AS rn FROM lc) WHERE rn = 1)
+      |SELECT b.source, b.n_docs,
+      |  b.n_docs - b.uniq AS n_exact_dups,
+      |  round(CAST(b.n_docs - b.uniq AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 9)
+      |    AS dup_rate,
+      |  b.total_tokens,
+      |  round(CAST(b.chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 9) AS mean_chars,
+      |  q.p50_chars, q.p90_chars, b.n_langs, t.top_lang,
+      |  round(CAST(t.topc AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 9)
+      |    AS top_lang_share
+      |FROM base b JOIN qs q ON b.source = q.source
+      |JOIN top t ON b.source = t.source
+      |ORDER BY b.source""".stripMargin
 
   /** q334 oracle: [[graft.quality.Association.metaAnalysis]] replayed —
     * per-event-type exact counts, the Wald risk-difference effect/se in

@@ -3679,6 +3679,50 @@ object CoreQueries {
         col("n_required_per_arm"))
   }
 
+  /** Corpus data-card gate: the cross-pillar one-read summary a corpus
+    * release ships (Datasheets-for-Datasets style) — per SOURCE: doc
+    * count, exact-duplicate surplus + rate (md5 digests), whitespace
+    * token totals, mean/median/p90 length (the exactQuantiles rank
+    * rules), language count and the dominant language with its share
+    * (count-desc, lang-asc deterministic tie-break). Every stage an
+    * existing gated discipline; one row per source.
+    */
+  def q338DataCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("lang").isNotNull && col("source").isNotNull &&
+        col("n_chars").isNotNull)
+    val toks = size(org.apache.spark.sql.functions.filter(
+      split(col("text"), "\\s+"), x => x =!= lit("")))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("__uniq"),
+      sum(toks.cast("long")).as("total_tokens"),
+      sum(col("n_chars")).as("__chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val q = Quantiles.exactQuantiles(d, Seq("source"), "n_chars", "doc_id")
+      .select(col("source"), col("p50").as("p50_chars"), col("p90").as("p90_chars"))
+    val top = d.groupBy("source", "lang").agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("__c").desc, col("lang"))))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("__c").as("__topc"))
+    base.join(q, "source").join(top, "source")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("__uniq")).as("n_exact_dups"),
+        round((col("n_docs") - col("__uniq")).cast("double") /
+          col("n_docs").cast("double"), 9).as("dup_rate"),
+        col("total_tokens"),
+        round(col("__chars").cast("double") / col("n_docs").cast("double"), 9)
+          .as("mean_chars"),
+        col("p50_chars"), col("p90_chars"), col("n_langs"), col("top_lang"),
+        round(col("__topc").cast("double") / col("n_docs").cast("double"), 9)
+          .as("top_lang_share"))
+      .orderBy("source")
+  }
+
   /** Sequential-SRM gate: the q326 dashboard's traffic guardrail made
     * PEEKING-SOUND — arm A's share of designed traffic monitored
     * against the 50/50 design by a one-sample mSPRT (H₀-exact variance

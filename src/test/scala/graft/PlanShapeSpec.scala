@@ -830,7 +830,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q336_survival_dashboard", maxHash = 10, maxRange = 10,
       forbidUdf = true),
     Shape("q337_survival_dashboard_from_store", maxHash = 16, maxRange = 10,
-      forbidUdf = true)
+      forbidUdf = true),
+    // data card: three source-keyed scans (counts+digests, the rank
+    // windows, lang counts) joined on the tiny source frame
+    Shape("q338_data_card", maxHash = 8, maxRange = 3,
+      forbidSortMergeJoin = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
