@@ -349,7 +349,9 @@ object SparkEntry {
     "q336_survival_dashboard" -> (CoreQueries.q336SurvivalDashboard(_, _)),
     "q337_survival_dashboard_from_store" ->
       (CoreQueries.q337SurvivalDashboardFromStore(_, _)),
-    "q338_data_card" -> (CoreQueries.q338DataCard(_, _))
+    "q338_data_card" -> (CoreQueries.q338DataCard(_, _)),
+    "q339_rate_ratio" -> (CoreQueries.q339RateRatio(_, _)),
+    "q340_diff_in_diff" -> (CoreQueries.q340DiffInDiff(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -501,7 +503,9 @@ object SparkEntry {
     "q335_conditional_power" -> conditionalPowerOracle,
     "q336_survival_dashboard" -> survivalDashboardOracle,
     "q337_survival_dashboard_from_store" -> survivalDashboardOracle,
-    "q338_data_card" -> dataCardOracle)
+    "q338_data_card" -> dataCardOracle,
+    "q339_rate_ratio" -> rateRatioOracle,
+    "q340_diff_in_diff" -> diffInDiffOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3566,6 +3570,96 @@ object SparkEntry {
       |FROM base b JOIN qs q ON b.source = q.source
       |JOIN top t ON b.source = t.source
       |ORDER BY b.source""".stripMargin
+
+  /** q339 oracle: [[graft.quality.Association.rateRatio]] replayed —
+    * per-user exact event counts + distinct-active-hour exposure, arm
+    * sums, the rate/ln-RR/exp-CI dags in the Spark float order.
+    */
+  private lazy val rateRatioOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(count(*) AS BIGINT) AS ev,
+      |    CAST(count(DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS BIGINT)
+      |      AS hours,
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS arm
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 'false' THEN ev ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN arm = 'false' THEN hours ELSE 0 END) AS BIGINT) AS t1,
+      |    CAST(sum(CASE WHEN arm = 'true' THEN ev ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN arm = 'true' THEN hours ELSE 0 END) AS BIGINT) AS t2
+      |  FROM pu),
+      |f AS (SELECT *,
+      |    CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS r1,
+      |    CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS r2,
+      |    sqrt(1.0 / CAST(c1 AS DOUBLE) + 1.0 / CAST(c2 AS DOUBLE)) AS se
+      |  FROM c)
+      |SELECT 'false' AS grp_lo, 'true' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  c1 AS events_lo, t1 AS exposure_lo, c2 AS events_hi, t2 AS exposure_hi,
+      |  round(r1, 9) AS rate_lo, round(r2, 9) AS rate_hi,
+      |  round(r1 / r2, 9) AS rate_ratio, round(se, 9) AS se_ln_rr,
+      |  round(exp(ln(r1 / r2) - 1.959964 * se), 9) AS ci_lo,
+      |  round(exp(ln(r1 / r2) + 1.959964 * se), 9) AS ci_hi
+      |FROM f""".stripMargin
+
+  /** q340 oracle: [[graft.quality.Association.diffInDiff]] replayed —
+    * the 2×2 (parity group × hour-parity period) exact HUGEINT moment
+    * cells, per-cell means and sample variances, the DiD and four-cell
+    * se dags in the Spark float order.
+    */
+  private lazy val diffInDiffOracle: String =
+    """WITH ev AS (SELECT
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS grp,
+      |    CASE WHEN CAST(floor(epoch(ts) / 3600) AS BIGINT) % 2 = 0
+      |      THEN 'p0_pre' ELSE 'p1_post' END AS per,
+      |    CAST(floor(value) AS BIGINT) AS y
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL),
+      |cells AS (SELECT grp, per, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+      |  FROM ev GROUP BY 1, 2),
+      |w AS (SELECT
+      |    max(CASE WHEN grp = 'false' AND per = 'p0_pre' THEN n END) AS n_cl,
+      |    max(CASE WHEN grp = 'false' AND per = 'p0_pre' THEN s END) AS s_cl,
+      |    max(CASE WHEN grp = 'false' AND per = 'p0_pre' THEN q END) AS q_cl,
+      |    max(CASE WHEN grp = 'false' AND per = 'p1_post' THEN n END) AS n_ch,
+      |    max(CASE WHEN grp = 'false' AND per = 'p1_post' THEN s END) AS s_ch,
+      |    max(CASE WHEN grp = 'false' AND per = 'p1_post' THEN q END) AS q_ch,
+      |    max(CASE WHEN grp = 'true' AND per = 'p0_pre' THEN n END) AS n_tl,
+      |    max(CASE WHEN grp = 'true' AND per = 'p0_pre' THEN s END) AS s_tl,
+      |    max(CASE WHEN grp = 'true' AND per = 'p0_pre' THEN q END) AS q_tl,
+      |    max(CASE WHEN grp = 'true' AND per = 'p1_post' THEN n END) AS n_th,
+      |    max(CASE WHEN grp = 'true' AND per = 'p1_post' THEN s END) AS s_th,
+      |    max(CASE WHEN grp = 'true' AND per = 'p1_post' THEN q END) AS q_th
+      |  FROM cells),
+      |f AS (SELECT *,
+      |    (CAST(s_th AS DOUBLE) / CAST(n_th AS DOUBLE) -
+      |     CAST(s_tl AS DOUBLE) / CAST(n_tl AS DOUBLE)) -
+      |    (CAST(s_ch AS DOUBLE) / CAST(n_ch AS DOUBLE) -
+      |     CAST(s_cl AS DOUBLE) / CAST(n_cl AS DOUBLE)) AS did,
+      |    sqrt(
+      |      CAST(n_th * q_th - s_th * s_th AS DOUBLE) /
+      |        (CAST(n_th AS DOUBLE) * CAST(n_th AS DOUBLE) * (CAST(n_th AS DOUBLE) - 1.0)) +
+      |      CAST(n_tl * q_tl - s_tl * s_tl AS DOUBLE) /
+      |        (CAST(n_tl AS DOUBLE) * CAST(n_tl AS DOUBLE) * (CAST(n_tl AS DOUBLE) - 1.0)) +
+      |      CAST(n_ch * q_ch - s_ch * s_ch AS DOUBLE) /
+      |        (CAST(n_ch AS DOUBLE) * CAST(n_ch AS DOUBLE) * (CAST(n_ch AS DOUBLE) - 1.0)) +
+      |      CAST(n_cl * q_cl - s_cl * s_cl AS DOUBLE) /
+      |        (CAST(n_cl AS DOUBLE) * CAST(n_cl AS DOUBLE) * (CAST(n_cl AS DOUBLE) - 1.0))
+      |    ) AS se
+      |  FROM w)
+      |SELECT 'false' AS grp_lo, 'true' AS grp_hi,
+      |  'p0_pre' AS per_lo, 'p1_post' AS per_hi,
+      |  CAST(2 AS BIGINT) AS n_groups, CAST(2 AS BIGINT) AS n_periods,
+      |  round(CAST(s_cl AS DOUBLE) / CAST(n_cl AS DOUBLE), 9) AS mean_ctrl_pre,
+      |  round(CAST(s_ch AS DOUBLE) / CAST(n_ch AS DOUBLE), 9) AS mean_ctrl_post,
+      |  round(CAST(s_tl AS DOUBLE) / CAST(n_tl AS DOUBLE), 9) AS mean_treat_pre,
+      |  round(CAST(s_th AS DOUBLE) / CAST(n_th AS DOUBLE), 9) AS mean_treat_post,
+      |  round(did, 9) AS did, round(se, 9) AS se_did,
+      |  round(did - 1.959964 * se, 9) AS ci_lo,
+      |  round(did + 1.959964 * se, 9) AS ci_hi
+      |FROM f""".stripMargin
 
   /** q334 oracle: [[graft.quality.Association.metaAnalysis]] replayed —
     * per-event-type exact counts, the Wald risk-difference effect/se in

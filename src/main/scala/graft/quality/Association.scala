@@ -2486,6 +2486,189 @@ object Association {
     powerMeanFromMoments(moments, keyCols, targetMde, alpha, power)
   }
 
+  /** Poisson rate-ratio A/B (the classic two-rate comparison — e.g.
+    * Rothman & Greenland's person-time methods): COUNT metrics with
+    * EXPOSURE (crashes per active-hour, errors per request, purchases
+    * per user-day) compared as rates λ = C/T, with the log-rate-ratio's
+    * Poisson standard error
+    *
+    *   RR = λ_lo/λ_hi,  se(ln RR) = √(1/C_lo + 1/C_hi),
+    *   CI = exp(ln RR ± z·se),  z = 1.959964
+    *
+    * (exposure enters the point estimate, counts alone the variance —
+    * the Poisson likelihood's exact information). Determinism: C/T are
+    * exact long sums from ONE aggregation; rates/RR/CI are fixed dags,
+    * gated at 9dp. Conventions: (grp_lo, grp_hi) = (min, max) label;
+    * ≠2 groups flagged via n_groups with NULL statistics; NULL RR when
+    * either side's T = 0; NULL se/CI when either C = 0 (no events — an
+    * infinite-information boundary the normal approximation cannot
+    * price). One row per key set. SCALE: one counting aggregation
+    * (map-side combined) + the 2-label pivot.
+    */
+  def rateRatioFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      z: Double = 1.959964d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = counts
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("events"))).as("__c1"),
+        max(when(col("grp") === col("grp_lo"), col("exposure"))).as("__t1"),
+        max(when(col("grp") === col("grp_hi"), col("events"))).as("__c2"),
+        max(when(col("grp") === col("grp_hi"), col("exposure"))).as("__t2"))
+    val r1 = col("__c1").cast("double") / col("__t1").cast("double")
+    val r2 = col("__c2").cast("double") / col("__t2").cast("double")
+    val rr = r1 / r2
+    val lnRr = log(rr)
+    val se = sqrt(lit(1d) / col("__c1").cast("double") +
+      lit(1d) / col("__c2").cast("double"))
+    val two = col("__ngrps") === 2L
+    val exposed = two && col("__t1") > 0L && col("__t2") > 0L
+    val ok = exposed && col("__c1") > 0L && col("__c2") > 0L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("events_lo", when(two, col("__c1")))
+      .withColumn("exposure_lo", when(two, col("__t1")))
+      .withColumn("events_hi", when(two, col("__c2")))
+      .withColumn("exposure_hi", when(two, col("__t2")))
+      .withColumn("rate_lo", when(two && col("__t1") > 0L, r1))
+      .withColumn("rate_hi", when(two && col("__t2") > 0L, r2))
+      .withColumn("rate_ratio", when(exposed && col("__c2") > 0L, rr))
+      .withColumn("se_ln_rr", when(ok, se))
+      .withColumn("ci_lo", when(ok, exp(lnRr - lit(z) * se)))
+      .withColumn("ci_hi", when(ok, exp(lnRr + lit(z) * se)))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("events_lo") :+ col("exposure_lo") :+ col("events_hi") :+
+        col("exposure_hi") :+ col("rate_lo") :+ col("rate_hi") :+
+        col("rate_ratio") :+ col("se_ln_rr") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
+  /** Row-level wrapper of [[rateRatioFromCounts]]: per-(keys, grp)
+    * exact event/exposure sums (long-cast, the house rule), then the
+    * panel.
+    */
+  def rateRatio(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      eventsCol: String,
+      exposureCol: String,
+      z: Double = 1.959964d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(eventsCol).isNotNull &&
+        col(exposureCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(sum(col(eventsCol).cast("long")).as("events"),
+        sum(col(exposureCol).cast("long")).as("exposure"))
+    rateRatioFromCounts(counts, keyCols, z)
+  }
+
+  /** Difference-in-differences (the canonical 2×2 quasi-experimental
+    * read — Card & Krueger 1994's design): when assignment is NOT
+    * randomized but both groups are observed before AND after the
+    * change, the treatment effect estimate is the divergence of the two
+    * groups' pre→post deltas — the parallel-trends counterfactual:
+    *
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *   se² = Σ_{4 cells} s²_cell/n_cell,  CI ±1.959964·se
+    *
+    * Determinism: values cast long; per-(group, period) n/Σy/Σy² are
+    * exact DECIMAL sums from ONE aggregation; each cell's sample
+    * variance assembles from the exact pieces ((n·Σy² − (Σy)²)/
+    * (n(n−1))); DiD/se/CI fixed dags at 9dp. Conventions: group labels
+    * (grp_lo, grp_hi) = (min, max) — grp_hi is conventionally TREATED
+    * (document the mapping at the call site); periods compare
+    * period_hi − period_lo (max − min label, "post − pre"); ≠2 groups
+    * or ≠2 periods flagged via n_groups/n_periods with NULL statistics;
+    * NULL se/CI when any cell has n < 2. One row per key set. SCALE:
+    * one moments aggregation (map-side combined) + the 4-cell pivot.
+    */
+  def diffInDiff(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      periodCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val yD = col(valueCol).cast("long").cast(dec)
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp") :+
+        col(periodCol).cast("string").as("per"): _*)
+      .agg(count(lit(1)).as("__n"), sum(yD).as("__s"), sum(yD * yD).as("__q"))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lab = cells
+      .withColumn("__ngrps", size(collect_set(col("grp")).over(wKey)).cast("long"))
+      .withColumn("__npers", size(collect_set(col("per")).over(wKey)).cast("long"))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .withColumn("per_lo", min("per").over(wKey))
+      .withColumn("per_hi", max("per").over(wKey))
+    def cell(gSide: String, pSide: String, c: String, as: String) =
+      max(when(col("grp") === col(gSide) && col("per") === col(pSide),
+        col(c))).as(as)
+    val wide = lab
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("per_lo") :+
+        col("per_hi") :+ col("__ngrps") :+ col("__npers")): _*)
+      .agg(
+        cell("grp_lo", "per_lo", "__n", "__n_cl"), cell("grp_lo", "per_lo", "__s", "__s_cl"),
+        cell("grp_lo", "per_lo", "__q", "__q_cl"),
+        cell("grp_lo", "per_hi", "__n", "__n_ch"), cell("grp_lo", "per_hi", "__s", "__s_ch"),
+        cell("grp_lo", "per_hi", "__q", "__q_ch"),
+        cell("grp_hi", "per_lo", "__n", "__n_tl"), cell("grp_hi", "per_lo", "__s", "__s_tl"),
+        cell("grp_hi", "per_lo", "__q", "__q_tl"),
+        cell("grp_hi", "per_hi", "__n", "__n_th"), cell("grp_hi", "per_hi", "__s", "__s_th"),
+        cell("grp_hi", "per_hi", "__q", "__q_th"))
+    def mean(n: String, s: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def varOverN(n: String, s: String, q: String) = {
+      val nD = col(n).cast("double")
+      (col(n).cast(dec) * col(q) - col(s) * col(s)).cast("double") /
+        (nD * nD * (nD - lit(1d)))
+    }
+    val did = (mean("__n_th", "__s_th") - mean("__n_tl", "__s_tl")) -
+      (mean("__n_ch", "__s_ch") - mean("__n_cl", "__s_cl"))
+    val se = sqrt(varOverN("__n_th", "__s_th", "__q_th") +
+      varOverN("__n_tl", "__s_tl", "__q_tl") +
+      varOverN("__n_ch", "__s_ch", "__q_ch") +
+      varOverN("__n_cl", "__s_cl", "__q_cl"))
+    val grid = col("__ngrps") === 2L && col("__npers") === 2L &&
+      col("__n_cl").isNotNull && col("__n_ch").isNotNull &&
+      col("__n_tl").isNotNull && col("__n_th").isNotNull
+    val live = grid && col("__n_cl") > 0L && col("__n_ch") > 0L &&
+      col("__n_tl") > 0L && col("__n_th") > 0L
+    val ok = grid && col("__n_cl") >= 2L && col("__n_ch") >= 2L &&
+      col("__n_tl") >= 2L && col("__n_th") >= 2L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_periods", col("__npers"))
+      .withColumn("mean_ctrl_pre", when(live, mean("__n_cl", "__s_cl")))
+      .withColumn("mean_ctrl_post", when(live, mean("__n_ch", "__s_ch")))
+      .withColumn("mean_treat_pre", when(live, mean("__n_tl", "__s_tl")))
+      .withColumn("mean_treat_post", when(live, mean("__n_th", "__s_th")))
+      .withColumn("did", when(live, did))
+      .withColumn("se_did", when(ok, se))
+      .withColumn("ci_lo", when(ok, did - lit(1.959964d) * se))
+      .withColumn("ci_hi", when(ok, did + lit(1.959964d) * se))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("per_lo") :+
+        col("per_hi") :+ col("n_groups") :+ col("n_periods") :+
+        col("mean_ctrl_pre") :+ col("mean_ctrl_post") :+
+        col("mean_treat_pre") :+ col("mean_treat_post") :+
+        col("did") :+ col("se_did") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
   /** Meta-analysis panel over per-stratum effects (inverse-variance
     * pooling; DerSimonian & Laird 1986 for τ²; Higgins & Thompson 2003
     * for I²): the "does the effect REPLICATE across strata" read a

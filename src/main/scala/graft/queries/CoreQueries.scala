@@ -3723,6 +3723,56 @@ object CoreQueries {
       .orderBy("source")
   }
 
+  /** Rate-ratio gate: the COUNT-metric A/B — events per active hour per
+    * user, parity arms; exact event/exposure sums, the Poisson
+    * log-rate-ratio CI.
+    */
+  def q339RateRatio(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val pu = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ev"),
+        countDistinct(floor(unix_timestamp(col("ts")) / 3600L)).as("hours"))
+      .withColumn("arm", (col("user_id") % 2 === 0).cast("string"))
+    Association.rateRatio(pu, Nil, "arm", "ev", "hours")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("events_lo"), col("exposure_lo"), col("events_hi"),
+        col("exposure_hi"),
+        round(col("rate_lo"), 9).as("rate_lo"),
+        round(col("rate_hi"), 9).as("rate_hi"),
+        round(col("rate_ratio"), 9).as("rate_ratio"),
+        round(col("se_ln_rr"), 9).as("se_ln_rr"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
+
+  /** Difference-in-differences gate: parity groups × even/odd-hour
+    * periods on floor(value) — the 2×2 cell means, the parallel-trends
+    * DiD with its four-cell variance.
+    */
+  def q340DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select((col("user_id") % 2 === 0).cast("string").as("grp0"),
+        when(floor(unix_timestamp(col("ts")) / 3600L) % 2 === 0, "p0_pre")
+          .otherwise("p1_post").as("per0"),
+        floor(col("value")).cast("long").as("y"))
+    Association.diffInDiff(ev, Nil, "grp0", "per0", "y")
+      .select(col("grp_lo"), col("grp_hi"), col("per_lo"), col("per_hi"),
+        col("n_groups"), col("n_periods"),
+        round(col("mean_ctrl_pre"), 9).as("mean_ctrl_pre"),
+        round(col("mean_ctrl_post"), 9).as("mean_ctrl_post"),
+        round(col("mean_treat_pre"), 9).as("mean_treat_pre"),
+        round(col("mean_treat_post"), 9).as("mean_treat_post"),
+        round(col("did"), 9).as("did"),
+        round(col("se_did"), 9).as("se_did"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
+
   /** Sequential-SRM gate: the q326 dashboard's traffic guardrail made
     * PEEKING-SOUND — arm A's share of designed traffic monitored
     * against the 50/50 design by a one-sample mSPRT (H₀-exact variance

@@ -788,6 +788,83 @@ class AbTestStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("effect_random") === r.getAs[Double]("effect_fixed"))
   }
 
+  // --- Rate ratio -----------------------------------------------------------
+
+  test("rateRatio: hand golden 50/100 vs 25/100 — RR = 2 with the Poisson CI") {
+    val counts = Seq(("A", 50L, 100L), ("B", 25L, 100L))
+      .toDF("grp", "events", "exposure")
+    val r = Association.rateRatioFromCounts(counts, Nil).collect()(0)
+    assert(r.getAs[Double]("rate_lo") === 0.5d)
+    assert(r.getAs[Double]("rate_hi") === 0.25d)
+    assert(r.getAs[Double]("rate_ratio") === 2.0d)
+    val se = math.sqrt(1.0 / 50 + 1.0 / 25)
+    assert(math.abs(r.getAs[Double]("se_ln_rr") - se) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_lo") -
+      math.exp(math.log(2.0) - 1.959964 * se)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_hi") -
+      math.exp(math.log(2.0) + 1.959964 * se)) < 1e-12)
+  }
+
+  test("rateRatio: zero events or zero exposure NULL per their boundaries") {
+    val zeroEv = Association.rateRatioFromCounts(
+      Seq(("A", 0L, 100L), ("B", 25L, 100L)).toDF("grp", "events", "exposure"),
+      Nil).collect()(0)
+    assert(zeroEv.getAs[Double]("rate_lo") === 0.0d)
+    assert(zeroEv.getAs[Double]("rate_ratio") === 0.0d)
+    assert(zeroEv.isNullAt(zeroEv.fieldIndex("se_ln_rr"))) // infinite information gap
+    val zeroExp = Association.rateRatioFromCounts(
+      Seq(("A", 5L, 0L), ("B", 25L, 100L)).toDF("grp", "events", "exposure"),
+      Nil).collect()(0)
+    assert(zeroExp.isNullAt(zeroExp.fieldIndex("rate_lo")))
+    assert(zeroExp.isNullAt(zeroExp.fieldIndex("rate_ratio")))
+    val one = Association.rateRatioFromCounts(
+      Seq(("A", 5L, 10L)).toDF("grp", "events", "exposure"), Nil).collect()(0)
+    assert(one.getAs[Long]("n_groups") === 1L)
+    assert(one.isNullAt(one.fieldIndex("rate_lo")))
+  }
+
+  // --- Difference-in-differences ---------------------------------------------
+
+  test("diffInDiff: hand 2x2 golden — DiD = 3, se = sqrt(7)") {
+    // ctrl pre {0,2} post {1,3}; treat pre {0,2} post {3,7}:
+    // means 1, 2, 1, 5 → DiD = (5−1) − (2−1) = 3; per-cell s²/n = 1,1,1,4
+    val rows = Seq(
+      ("c", "pre", 0L), ("c", "pre", 2L), ("c", "zpost", 1L), ("c", "zpost", 3L),
+      ("t", "pre", 0L), ("t", "pre", 2L), ("t", "zpost", 3L), ("t", "zpost", 7L))
+      .toDF("grp0", "per0", "y")
+    val r = Association.diffInDiff(rows, Nil, "grp0", "per0", "y").collect()(0)
+    assert(r.getAs[String]("grp_lo") === "c" && r.getAs[String]("grp_hi") === "t")
+    assert(r.getAs[String]("per_lo") === "pre" && r.getAs[String]("per_hi") === "zpost")
+    assert(r.getAs[Double]("mean_ctrl_pre") === 1.0d)
+    assert(r.getAs[Double]("mean_ctrl_post") === 2.0d)
+    assert(r.getAs[Double]("mean_treat_pre") === 1.0d)
+    assert(r.getAs[Double]("mean_treat_post") === 5.0d)
+    assert(r.getAs[Double]("did") === 3.0d)
+    assert(math.abs(r.getAs[Double]("se_did") - math.sqrt(7.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_lo") - (3.0 - 1.959964 * math.sqrt(7.0))) < 1e-12)
+  }
+
+  test("diffInDiff: a missing cell or a single period flags, never lies") {
+    val threeCells = Association.diffInDiff(
+      Seq(("c", "pre", 1L), ("c", "post", 2L), ("t", "post", 3L))
+        .toDF("grp0", "per0", "y"), Nil, "grp0", "per0", "y").collect()(0)
+    assert(threeCells.getAs[Long]("n_groups") === 2L)
+    assert(threeCells.getAs[Long]("n_periods") === 2L)
+    assert(threeCells.isNullAt(threeCells.fieldIndex("did"))) // treat-pre absent
+    val onePeriod = Association.diffInDiff(
+      Seq(("c", "pre", 1L), ("t", "pre", 2L)).toDF("grp0", "per0", "y"),
+      Nil, "grp0", "per0", "y").collect()(0)
+    assert(onePeriod.getAs[Long]("n_periods") === 1L)
+    assert(onePeriod.isNullAt(onePeriod.fieldIndex("did")))
+    // singleton cells: DiD defined, se NULL (n < 2 somewhere); note the
+    // per_hi = max-label = post convention needs post-sorting labels
+    val singleton = Association.diffInDiff(
+      Seq(("c", "pre", 1L), ("c", "zpost", 2L), ("t", "pre", 1L), ("t", "zpost", 4L))
+        .toDF("grp0", "per0", "y"), Nil, "grp0", "per0", "y").collect()(0)
+    assert(singleton.getAs[Double]("did") === 2.0d)
+    assert(singleton.isNullAt(singleton.fieldIndex("se_did")))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

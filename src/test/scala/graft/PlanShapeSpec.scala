@@ -834,7 +834,13 @@ class PlanShapeSpec extends SparkSpec {
     // data card: three source-keyed scans (counts+digests, the rank
     // windows, lang counts) joined on the tiny source frame
     Shape("q338_data_card", maxHash = 8, maxRange = 3,
-      forbidSortMergeJoin = true)
+      forbidSortMergeJoin = true),
+    // rate ratio: per-user agg (+ the distinct-hour expansion) + pivot
+    Shape("q339_rate_ratio", maxHash = 4, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // DiD: ONE 2×2 moments agg + the cell pivot
+    Shape("q340_diff_in_diff", maxHash = 3, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

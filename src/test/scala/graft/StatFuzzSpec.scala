@@ -1283,6 +1283,40 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Rate ratio + DiD --------------------------------------------------------
+
+  test("fuzz: rateRatio and diffInDiff vs the naive closed forms") {
+    for (t <- 1 to Trials) {
+      val r = rng("rrdid", t)
+      val (c1, t1) = (1L + r.nextInt(500), 1L + r.nextInt(1000))
+      val (c2, t2) = (1L + r.nextInt(500), 1L + r.nextInt(1000))
+      val got = Association.rateRatioFromCounts(
+        Seq(("A", c1, t1), ("B", c2, t2)).toDF("grp", "events", "exposure"),
+        Nil).collect()(0)
+      val rr = (c1.toDouble / t1) / (c2.toDouble / t2)
+      val se = math.sqrt(1.0 / c1 + 1.0 / c2)
+      approx(got.getAs[Double]("rate_ratio"), rr, s"rr trial $t")
+      approx(got.getAs[Double]("ci_lo"),
+        math.exp(math.log(rr) - 1.959964 * se), s"rr ci trial $t")
+      // DiD: 4 random cells, ≥2 values each
+      def cellVals() = Seq.fill(2 + r.nextInt(20))(r.nextInt(40).toLong)
+      val cp = cellVals(); val cq = cellVals(); val tp = cellVals(); val tq = cellVals()
+      val rows = cp.map(("c", "a_pre", _)) ++ cq.map(("c", "b_post", _)) ++
+        tp.map(("t", "a_pre", _)) ++ tq.map(("t", "b_post", _))
+      val gd = Association.diffInDiff(rows.toDF("g0", "p0", "y"),
+        Nil, "g0", "p0", "y").collect()(0)
+      def m(v: Seq[Long]) = v.sum.toDouble / v.size
+      def vn(v: Seq[Long]) = {
+        val n = v.size.toDouble
+        (n * v.map(x => x.toDouble * x).sum -
+          math.pow(v.map(_.toDouble).sum, 2)) / (n * n * (n - 1))
+      }
+      approx(gd.getAs[Double]("did"), (m(tq) - m(tp)) - (m(cq) - m(cp)), s"did trial $t")
+      approx(gd.getAs[Double]("se_did"),
+        math.sqrt(vn(tq) + vn(tp) + vn(cq) + vn(cp)), s"did se trial $t")
+    }
+  }
+
   // --- Meta-analysis panel ----------------------------------------------------
 
   test("fuzz: metaAnalysis vs the naive inverse-variance loop") {
