@@ -351,7 +351,8 @@ object SparkEntry {
       (CoreQueries.q337SurvivalDashboardFromStore(_, _)),
     "q338_data_card" -> (CoreQueries.q338DataCard(_, _)),
     "q339_rate_ratio" -> (CoreQueries.q339RateRatio(_, _)),
-    "q340_diff_in_diff" -> (CoreQueries.q340DiffInDiff(_, _))
+    "q340_diff_in_diff" -> (CoreQueries.q340DiffInDiff(_, _)),
+    "q341_eb_shrinkage" -> (CoreQueries.q341EbShrinkage(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -505,7 +506,8 @@ object SparkEntry {
     "q337_survival_dashboard_from_store" -> survivalDashboardOracle,
     "q338_data_card" -> dataCardOracle,
     "q339_rate_ratio" -> rateRatioOracle,
-    "q340_diff_in_diff" -> diffInDiffOracle)
+    "q340_diff_in_diff" -> diffInDiffOracle,
+    "q341_eb_shrinkage" -> ebShrinkageOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3570,6 +3572,50 @@ object SparkEntry {
       |FROM base b JOIN qs q ON b.source = q.source
       |JOIN top t ON b.source = t.source
       |ORDER BY b.source""".stripMargin
+
+  /** q341 oracle: [[graft.quality.Association.ebShrinkRates]] replayed
+    * — per-type exact counts, the ORDERED cumulative moment fold over
+    * the segment frame (last_value carries the full left-to-right sum
+    * back, exactly the operator's window trick), the method-of-moments
+    * α/β and posterior-mean dags in the Spark float order.
+    */
+  private lazy val ebShrinkageOracle: String =
+    """WITH e AS (SELECT event_type AS grp,
+      |    CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(hit) AS BIGINT) AS n_pass FROM e GROUP BY 1),
+      |m AS (SELECT *,
+      |    CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(count(*) OVER () AS BIGINT) AS k
+      |  FROM c WHERE n > 0),
+      |m2 AS (SELECT grp, n, n_pass, p, k,
+      |    last_value(sp) OVER (ORDER BY grp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS spt,
+      |    last_value(sp2) OVER (ORDER BY grp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sp2t
+      |  FROM (SELECT *,
+      |      sum(p) OVER wo AS sp, sum(p * p) OVER wo AS sp2 FROM m
+      |    WINDOW wo AS (ORDER BY grp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))),
+      |f AS (SELECT *,
+      |    spt / CAST(k AS DOUBLE) AS m1,
+      |    sp2t / CAST(k AS DOUBLE) -
+      |      (spt / CAST(k AS DOUBLE)) * (spt / CAST(k AS DOUBLE)) AS v
+      |  FROM m2),
+      |g AS (SELECT *,
+      |    (m1 * (1.0 - m1) - v) / v AS ab
+      |  FROM f),
+      |h AS (SELECT *,
+      |    m1 * ab AS alpha, ab - m1 * ab AS beta,
+      |    k >= 2 AND v > 0 AND m1 * (1.0 - m1) > v AS ok
+      |  FROM g)
+      |SELECT grp, n, n_pass, round(p, 9) AS p_raw,
+      |  CASE WHEN ok THEN round(alpha, 9) END AS alpha,
+      |  CASE WHEN ok THEN round(beta, 9) END AS beta,
+      |  CASE WHEN ok THEN round((CAST(n_pass AS DOUBLE) + alpha) /
+      |    (CAST(n AS DOUBLE) + ab), 9) END AS p_shrunk
+      |FROM h ORDER BY grp""".stripMargin
 
   /** q339 oracle: [[graft.quality.Association.rateRatio]] replayed —
     * per-user exact event counts + distinct-active-hour exposure, arm

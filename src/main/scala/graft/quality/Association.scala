@@ -2669,6 +2669,90 @@ object Association {
         col("did") :+ col("se_did") :+ col("ci_lo") :+ col("ci_hi"): _*)
   }
 
+  /** Empirical-Bayes rate shrinkage (the Efron & Morris 1975 program,
+    * beta-binomial method-of-moments — Robinson's canonical batting-
+    * average treatment): per-segment success rates p̂ᵢ = sᵢ/nᵢ ranked
+    * RAW put every tiny-n segment at the extremes; fit Beta(α, β) to
+    * the OBSERVED rate distribution by moments and shrink each segment
+    * toward the grand mean in proportion to its evidence:
+    *
+    *   m₁ = Σp̂/k,  v = Σp̂²/k − m₁²
+    *   α+β = (m₁(1−m₁) − v)/v,  α = m₁(α+β)
+    *   p̃ᵢ = (sᵢ + α)/(nᵢ + α + β)
+    *
+    * — the posterior-mean ranking a per-slice pass-rate dashboard
+    * should sort by. Determinism: exact per-segment counts from ONE
+    * aggregation; the moment sums are ORDERED cumulative windows over
+    * the k-bounded segment frame (the [[metaAnalysis]] discipline —
+    * never an order-free double sum); α/β/p̃ fixed dags at 9dp.
+    * Conventions: segments with n = 0 drop; MoM undefined (v = 0 —
+    * identical rates, nothing to shrink toward — or m₁(1−m₁) ≤ v —
+    * more dispersion than a Beta can carry, α would be ≤ 0) → NULL
+    * alpha/beta/p_shrunk on every row, p_raw intact, the flag rule.
+    * Emits one row per (keys, grp): n, n_pass, p_raw, alpha, beta,
+    * p_shrunk. SCALE: one counting aggregation + two k-bounded window
+    * passes.
+    */
+  def ebShrinkRatesFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val live = counts.filter(col("n") > 0L)
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("n_pass").cast("double") / col("n").cast("double")
+    val withM = live
+      .withColumn("__p", p)
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__sp", sum(col("__p")).over(wOrd))
+      .withColumn("__sp2", sum(col("__p") * col("__p")).over(wOrd))
+      // the FINAL cumulative value, broadcast back over the frame: the
+      // last row in grp order holds the full ordered fold
+      .withColumn("__spT", last(col("__sp")).over(
+        Window.partitionBy(g: _*).orderBy(col("grp"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__sp2T", last(col("__sp2")).over(
+        Window.partitionBy(g: _*).orderBy(col("grp"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val kD = col("__k").cast("double")
+    val m1 = col("__spT") / kD
+    val v = col("__sp2T") / kD - m1 * m1
+    val ab = (m1 * (lit(1d) - m1) - v) / v
+    val alpha = m1 * ab
+    val beta = ab - alpha
+    val ok = col("__k") >= 2L && v > 0d && m1 * (lit(1d) - m1) > v
+    val shrunk = (col("n_pass").cast("double") + alpha) /
+      (col("n").cast("double") + ab)
+    withM
+      .withColumn("p_raw", col("__p"))
+      .withColumn("alpha", when(ok, alpha))
+      .withColumn("beta", when(ok, beta))
+      .withColumn("p_shrunk", when(ok, shrunk))
+      .select(g :+ col("grp") :+ col("n") :+ col("n_pass") :+
+        col("p_raw") :+ col("alpha") :+ col("beta") :+ col("p_shrunk"): _*)
+  }
+
+  /** Row-level wrapper of [[ebShrinkRatesFromCounts]] — the
+    * [[wilsonInterval]] counting aggregation, then the shrinkage.
+    */
+  def ebShrinkRates(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      hitCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(hitCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("n_pass"))
+    ebShrinkRatesFromCounts(counts, keyCols)
+  }
+
   /** Meta-analysis panel over per-stratum effects (inverse-variance
     * pooling; DerSimonian & Laird 1986 for τ²; Higgins & Thompson 2003
     * for I²): the "does the effect REPLICATE across strata" read a

@@ -3723,6 +3723,25 @@ object CoreQueries {
       .orderBy("source")
   }
 
+  /** Empirical-Bayes shrinkage gate: the q324 per-event-type conversion
+    * counts shrunk toward the grand rate via the beta-binomial
+    * method-of-moments fit — the posterior-mean ranking a per-slice
+    * dashboard should sort by.
+    */
+  def q341EbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), (col("value") >= 250d).as("hit"))
+    Association.ebShrinkRates(ev, Nil, "event_type", "hit")
+      .select(col("grp"), col("n"), col("n_pass"),
+        round(col("p_raw"), 9).as("p_raw"),
+        round(col("alpha"), 9).as("alpha"),
+        round(col("beta"), 9).as("beta"),
+        round(col("p_shrunk"), 9).as("p_shrunk"))
+      .orderBy("grp")
+  }
+
   /** Rate-ratio gate: the COUNT-metric A/B — events per active hour per
     * user, parity arms; exact event/exposure sums, the Poisson
     * log-rate-ratio CI.

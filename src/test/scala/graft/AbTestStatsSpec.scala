@@ -865,6 +865,53 @@ class AbTestStatsSpec extends SparkSpec {
     assert(singleton.isNullAt(singleton.fieldIndex("se_did")))
   }
 
+  // --- Empirical-Bayes shrinkage ---------------------------------------------
+
+  test("ebShrinkRates: hand golden rates {0.2, 0.5, 0.8} — α = β = 19/12, the 43/158 posterior") {
+    // m₁ = 0.5, v = 0.31 − 0.25 = 0.06, α+β = (0.25−0.06)/0.06 = 19/6,
+    // α = β = 19/12; segment (n=10, s=2): p̃ = (2+19/12)/(10+19/6) = 43/158
+    val counts = Seq(("a", 10L, 2L), ("b", 10L, 5L), ("c", 10L, 8L))
+      .toDF("grp", "n", "n_pass")
+    val rows = Association.ebShrinkRatesFromCounts(counts, Nil)
+      .orderBy("grp").collect()
+    val a = rows(0)
+    assert(math.abs(a.getAs[Double]("alpha") - 19.0 / 12) < 1e-12)
+    assert(math.abs(a.getAs[Double]("beta") - 19.0 / 12) < 1e-12)
+    assert(math.abs(a.getAs[Double]("p_shrunk") - 43.0 / 158) < 1e-12)
+    // every off-mean segment moves strictly toward the grand mean
+    for (r <- rows; pr = r.getAs[Double]("p_raw"); ps = r.getAs[Double]("p_shrunk")
+        if pr != 0.5)
+      assert(math.abs(ps - 0.5) < math.abs(pr - 0.5), r.getAs[String]("grp"))
+    // the on-mean segment stays put
+    assert(rows(1).getAs[Double]("p_shrunk") === 0.5d)
+  }
+
+  test("ebShrinkRates: small-n segments shrink more; degenerate fits flag NULL") {
+    val counts = Seq(("big", 500L, 400L), ("small", 5L, 4L), ("lo", 100L, 20L))
+      .toDF("grp", "n", "n_pass")
+    val byGrp = Association.ebShrinkRatesFromCounts(counts, Nil)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val m1 = (0.8 + 0.8 + 0.2) / 3
+    def pull(g: String) = {
+      val r = byGrp(g)
+      math.abs(r.getAs[Double]("p_raw") - r.getAs[Double]("p_shrunk"))
+    }
+    assert(pull("small") > pull("big")) // same rate, less evidence → more shrinkage
+    assert(math.abs(byGrp("small").getAs[Double]("p_raw") - 0.8) < 1e-12 && m1 < 0.8)
+    // identical rates: v = 0, nothing to shrink toward → NULL fit, raw kept
+    val flat = Association.ebShrinkRatesFromCounts(
+      Seq(("a", 10L, 3L), ("b", 20L, 6L)).toDF("grp", "n", "n_pass"), Nil)
+      .collect()(0)
+    assert(flat.isNullAt(flat.fieldIndex("alpha")))
+    assert(flat.isNullAt(flat.fieldIndex("p_shrunk")))
+    assert(flat.getAs[Double]("p_raw") === 0.3d)
+    // maximal dispersion {0, 1}: v = m₁(1−m₁), a Beta cannot carry it → NULL
+    val wide = Association.ebShrinkRatesFromCounts(
+      Seq(("a", 5L, 0L), ("b", 5L, 5L)).toDF("grp", "n", "n_pass"), Nil)
+      .collect()(0)
+    assert(wide.isNullAt(wide.fieldIndex("alpha")))
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -840,6 +840,9 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // DiD: ONE 2×2 moments agg + the cell pivot
     Shape("q340_diff_in_diff", maxHash = 3, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // EB shrinkage: one count agg + the ordered k-frame moment windows
+    Shape("q341_eb_shrinkage", maxHash = 2, maxRange = 4,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 

@@ -1317,6 +1317,34 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  // --- Empirical-Bayes shrinkage -----------------------------------------------
+
+  test("fuzz: ebShrinkRates vs the naive method-of-moments loop") {
+    for (t <- 1 to Trials) {
+      val r = rng("eb", t)
+      val k = 3 + r.nextInt(10)
+      val segs = (0 until k).map { i =>
+        val n = 2L + r.nextInt(300)
+        (f"s$i%02d", n, r.nextInt(n.toInt + 1).toLong)
+      }
+      val got = Association.ebShrinkRatesFromCounts(
+        segs.toDF("grp", "n", "n_pass"), Nil).orderBy("grp").collect()
+      val ps = segs.map { case (_, n, s) => s.toDouble / n }
+      val m1 = ps.sum / k
+      val v = ps.map(x => x * x).sum / k - m1 * m1
+      if (v > 0 && m1 * (1 - m1) > v) {
+        val ab = (m1 * (1 - m1) - v) / v
+        val alpha = m1 * ab
+        for ((row, (_, n, s)) <- got.zip(segs)) {
+          approx(row.getAs[Double]("alpha"), alpha, s"eb alpha trial $t")
+          approx(row.getAs[Double]("p_shrunk"),
+            (s + alpha) / (n + ab), s"eb shrunk trial $t")
+        }
+      } else got.foreach(row =>
+        assert(row.isNullAt(row.fieldIndex("p_shrunk")), s"eb null trial $t"))
+    }
+  }
+
   // --- Meta-analysis panel ----------------------------------------------------
 
   test("fuzz: metaAnalysis vs the naive inverse-variance loop") {
