@@ -352,7 +352,8 @@ object SparkEntry {
     "q338_data_card" -> (CoreQueries.q338DataCard(_, _)),
     "q339_rate_ratio" -> (CoreQueries.q339RateRatio(_, _)),
     "q340_diff_in_diff" -> (CoreQueries.q340DiffInDiff(_, _)),
-    "q341_eb_shrinkage" -> (CoreQueries.q341EbShrinkage(_, _))
+    "q341_eb_shrinkage" -> (CoreQueries.q341EbShrinkage(_, _)),
+    "q342_mh_rate_ratio" -> (CoreQueries.q342MhRateRatio(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -507,7 +508,8 @@ object SparkEntry {
     "q338_data_card" -> dataCardOracle,
     "q339_rate_ratio" -> rateRatioOracle,
     "q340_diff_in_diff" -> diffInDiffOracle,
-    "q341_eb_shrinkage" -> ebShrinkageOracle)
+    "q341_eb_shrinkage" -> ebShrinkageOracle,
+    "q342_mh_rate_ratio" -> mhRateRatioOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3616,6 +3618,62 @@ object SparkEntry {
       |  CASE WHEN ok THEN round((CAST(n_pass AS DOUBLE) + alpha) /
       |    (CAST(n AS DOUBLE) + ab), 9) END AS p_shrunk
       |FROM h ORDER BY grp""".stripMargin
+
+  /** q342 oracle: [[graft.quality.Association.mhRateRatioFromCounts]]
+    * replayed — the q339 per-user CTE keyed additionally by user_id
+    * mod 3, per-(stratum, arm) exact sums, per-stratum nano MH
+    * numerator/denominator/variance terms in the Spark float order,
+    * HUGEINT pooling, the ln-RR CI dags.
+    */
+  private lazy val mhRateRatioOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(count(*) AS BIGINT) AS ev,
+      |    CAST(count(DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS BIGINT)
+      |      AS hours,
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS arm,
+      |    CAST(user_id % 3 AS VARCHAR) AS st
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id),
+      |c AS (SELECT st,
+      |    CAST(sum(CASE WHEN arm = 'false' THEN ev ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN arm = 'false' THEN hours ELSE 0 END) AS BIGINT) AS t1,
+      |    CAST(sum(CASE WHEN arm = 'true' THEN ev ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN arm = 'true' THEN hours ELSE 0 END) AS BIGINT) AS t2
+      |  FROM pu GROUP BY 1),
+      |t AS (SELECT *,
+      |    CASE WHEN t1 + t2 = 0 THEN 0 ELSE CAST(round(
+      |      CAST(c1 AS DOUBLE) * CAST(t2 AS DOUBLE) /
+      |        CAST(t1 + t2 AS DOUBLE) * 1e9) AS BIGINT) END AS n9,
+      |    CASE WHEN t1 + t2 = 0 THEN 0 ELSE CAST(round(
+      |      CAST(c2 AS DOUBLE) * CAST(t1 AS DOUBLE) /
+      |        CAST(t1 + t2 AS DOUBLE) * 1e9) AS BIGINT) END AS d9,
+      |    CASE WHEN t1 + t2 = 0 THEN 0 ELSE CAST(round(
+      |      CAST(c1 + c2 AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE) /
+      |        (CAST(t1 + t2 AS DOUBLE) * CAST(t1 + t2 AS DOUBLE)) * 1e9) AS BIGINT)
+      |    END AS v9
+      |  FROM c),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum(c1) AS BIGINT) AS events_lo,
+      |    CAST(sum(t1) AS BIGINT) AS exposure_lo,
+      |    CAST(sum(c2) AS BIGINT) AS events_hi,
+      |    CAST(sum(t2) AS BIGINT) AS exposure_hi,
+      |    sum(CAST(n9 AS HUGEINT)) AS num9, sum(CAST(d9 AS HUGEINT)) AS den9,
+      |    sum(CAST(v9 AS HUGEINT)) AS var9
+      |  FROM t),
+      |f AS (SELECT *,
+      |    CAST(num9 AS DOUBLE) / 1e9 AS numd,
+      |    CAST(den9 AS DOUBLE) / 1e9 AS dend
+      |  FROM s),
+      |g AS (SELECT *,
+      |    numd / dend AS rr,
+      |    sqrt(CAST(var9 AS DOUBLE) / 1e9 / (numd * dend)) AS se
+      |  FROM f)
+      |SELECT 'false' AS grp_lo, 'true' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  n_strata, events_lo, exposure_lo, events_hi, exposure_hi,
+      |  round(rr, 9) AS rate_ratio_mh, round(se, 9) AS se_ln_rr,
+      |  round(exp(ln(rr) - 1.959964 * se), 9) AS ci_lo,
+      |  round(exp(ln(rr) + 1.959964 * se), 9) AS ci_hi
+      |FROM g""".stripMargin
 
   /** q339 oracle: [[graft.quality.Association.rateRatio]] replayed —
     * per-user exact event counts + distinct-active-hour exposure, arm

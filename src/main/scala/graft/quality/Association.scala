@@ -2572,6 +2572,85 @@ object Association {
     rateRatioFromCounts(counts, keyCols, z)
   }
 
+  /** Mantel–Haenszel pooled rate ratio (Greenland & Robins 1985's
+    * person-time estimator and variance): [[rateRatioFromCounts]]
+    * ADJUSTED for a confounder — per stratum i with arm events/exposure
+    * (c₁ᵢ, t₁ᵢ, c₂ᵢ, t₂ᵢ), Tᵢ = t₁ᵢ + t₂ᵢ:
+    *
+    *   RR_MH = Σᵢ c₁ᵢ·t₂ᵢ/Tᵢ / Σᵢ c₂ᵢ·t₁ᵢ/Tᵢ
+    *   var(ln RR_MH) = Σᵢ (c₁ᵢ+c₂ᵢ)·t₁ᵢ·t₂ᵢ/Tᵢ² / (num·den)
+    *
+    * — the stratified-pooling triple beside [[cmhFromCounts]] (odds)
+    * and the stratified log-rank (lifetimes): a traffic-mix shift
+    * between arms can no longer masquerade as a rate effect.
+    * Determinism: each stratum's three terms are fixed dags over exact
+    * longs landed to nano longs, pooled order-free in DECIMAL (the
+    * [[cmhFromCounts]] discipline); RR/CI fixed dags at 9dp, gated.
+    * Conventions: input one row per (keys, stratum, grp) with `events`/
+    * `exposure`; (grp_lo, grp_hi) = global (min, max); a stratum with
+    * zero exposure on either side contributes nothing (its Tᵢ-weighted
+    * terms are 0 by construction when the ARM's t is 0 — the textbook
+    * self-cancellation); NULL RR when either pooled term is 0; NULL
+    * se/CI additionally when the variance numerator is 0. One row per
+    * key set. SCALE: one counting aggregation upstream + one
+    * stratum-bounded pooling aggregation here.
+    */
+  def mhRateRatioFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      z: Double = 1.959964d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = counts
+      .withColumn("__ngrps", size(collect_set(col("grp")).over(wKey)).cast("long"))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps") :+
+        col("stratum")): _*)
+      .agg(
+        coalesce(max(when(col("grp") === col("grp_lo"), col("events"))), lit(0L)).as("__c1"),
+        coalesce(max(when(col("grp") === col("grp_lo"), col("exposure"))), lit(0L)).as("__t1"),
+        coalesce(max(when(col("grp") === col("grp_hi"), col("events"))), lit(0L)).as("__c2"),
+        coalesce(max(when(col("grp") === col("grp_hi"), col("exposure"))), lit(0L)).as("__t2"))
+    val tT = (col("__t1") + col("__t2")).cast("double")
+    val dec2 = "decimal(38,0)"
+    def nano(x: Column): Column =
+      when(col("__t1") + col("__t2") === 0L, 0L)
+        .otherwise(round(x * 1e9d).cast("long"))
+    val num9 = nano(col("__c1").cast("double") * col("__t2").cast("double") / tT)
+    val den9 = nano(col("__c2").cast("double") * col("__t1").cast("double") / tT)
+    val var9 = nano((col("__c1") + col("__c2")).cast("double") *
+      col("__t1").cast("double") * col("__t2").cast("double") / (tT * tT))
+    val pooled = wide
+      .withColumn("__n9", num9).withColumn("__d9", den9).withColumn("__v9", var9)
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("__c1")).as("events_lo"), sum(col("__t1")).as("exposure_lo"),
+        sum(col("__c2")).as("events_hi"), sum(col("__t2")).as("exposure_hi"),
+        sum(col("__n9").cast(dec2)).as("__num9"),
+        sum(col("__d9").cast(dec2)).as("__den9"),
+        sum(col("__v9").cast(dec2)).as("__var9"))
+    val two = col("__ngrps") === 2L
+    val numD = col("__num9").cast("double") / 1e9d
+    val denD = col("__den9").cast("double") / 1e9d
+    val rr = numD / denD
+    val se = sqrt(col("__var9").cast("double") / 1e9d / (numD * denD))
+    val okRr = two && col("__num9") > 0L && col("__den9") > 0L
+    val ok = okRr && col("__var9") > 0L
+    pooled
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("rate_ratio_mh", when(okRr, rr))
+      .withColumn("se_ln_rr", when(ok, se))
+      .withColumn("ci_lo", when(ok, exp(log(rr) - lit(z) * se)))
+      .withColumn("ci_hi", when(ok, exp(log(rr) + lit(z) * se)))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_strata") :+ col("events_lo") :+ col("exposure_lo") :+
+        col("events_hi") :+ col("exposure_hi") :+ col("rate_ratio_mh") :+
+        col("se_ln_rr") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
   /** Difference-in-differences (the canonical 2×2 quasi-experimental
     * read — Card & Krueger 1994's design): when assignment is NOT
     * randomized but both groups are observed before AND after the

@@ -3766,6 +3766,31 @@ object CoreQueries {
         round(col("ci_hi"), 9).as("ci_hi"))
   }
 
+  /** Mantel–Haenszel rate-ratio gate: the q339 per-user event/exposure
+    * state stratified by user_id mod 3 — the confounder-adjusted
+    * pooled rate ratio with the Greenland–Robins variance.
+    */
+  def q342MhRateRatio(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val pu = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ev"),
+        countDistinct(floor(unix_timestamp(col("ts")) / 3600L)).as("hours"))
+      .withColumn("arm", (col("user_id") % 2 === 0).cast("string"))
+      .withColumn("stratum", (col("user_id") % 3).cast("string"))
+    val counts = pu.groupBy(col("stratum"), col("arm").as("grp"))
+      .agg(sum("ev").as("events"), sum("hours").as("exposure"))
+    Association.mhRateRatioFromCounts(counts, Nil)
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_strata"),
+        col("events_lo"), col("exposure_lo"), col("events_hi"),
+        col("exposure_hi"),
+        round(col("rate_ratio_mh"), 9).as("rate_ratio_mh"),
+        round(col("se_ln_rr"), 9).as("se_ln_rr"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
+
   /** Difference-in-differences gate: parity groups × even/odd-hour
     * periods on floor(value) — the 2×2 cell means, the parallel-trends
     * DiD with its four-cell variance.

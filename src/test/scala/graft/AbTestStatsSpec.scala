@@ -823,6 +823,43 @@ class AbTestStatsSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("rate_lo")))
   }
 
+  test("mhRateRatio: one stratum reduces exactly to the crude rate ratio; hand pooled golden") {
+    // single stratum: RR_MH = (c1·t2/T)/(c2·t1/T) = crude RR
+    val one = Association.mhRateRatioFromCounts(
+      Seq(("s0", "A", 50L, 100L), ("s0", "B", 25L, 100L))
+        .toDF("stratum", "grp", "events", "exposure"), Nil).collect()(0)
+    val crude = Association.rateRatioFromCounts(
+      Seq(("A", 50L, 100L), ("B", 25L, 100L)).toDF("grp", "events", "exposure"),
+      Nil).collect()(0)
+    assert(math.abs(one.getAs[Double]("rate_ratio_mh") -
+      crude.getAs[Double]("rate_ratio")) < 1e-9)
+    // two strata, hand numbers: s1 (10, 100 | 10, 100): n = 10·100/200 = 5,
+    // d = 5; s2 (40, 100 | 10, 300): n = 40·300/400 = 30, d = 10·100/400 = 2.5
+    // → RR_MH = 35/7.5 = 14/3
+    val r = Association.mhRateRatioFromCounts(
+      Seq(("s1", "A", 10L, 100L), ("s1", "B", 10L, 100L),
+        ("s2", "A", 40L, 100L), ("s2", "B", 10L, 300L))
+        .toDF("stratum", "grp", "events", "exposure"), Nil).collect()(0)
+    assert(r.getAs[Long]("n_strata") === 2L)
+    assert(math.abs(r.getAs[Double]("rate_ratio_mh") - 14.0 / 3) < 1e-8)
+    // Greenland–Robins: var = (20·100·100/200² + 50·100·300/400²)/(35·7.5)
+    val varLn = (20.0 * 100 * 100 / (200.0 * 200) +
+      50.0 * 100 * 300 / (400.0 * 400)) / (35.0 * 7.5)
+    assert(math.abs(r.getAs[Double]("se_ln_rr") - math.sqrt(varLn)) < 1e-8)
+  }
+
+  test("mhRateRatio: an all-zero side NULLs RR; one group flags") {
+    val zero = Association.mhRateRatioFromCounts(
+      Seq(("s0", "A", 0L, 100L), ("s0", "B", 25L, 100L))
+        .toDF("stratum", "grp", "events", "exposure"), Nil).collect()(0)
+    assert(zero.isNullAt(zero.fieldIndex("rate_ratio_mh"))) // pooled num = 0
+    val one = Association.mhRateRatioFromCounts(
+      Seq(("s0", "A", 5L, 10L)).toDF("stratum", "grp", "events", "exposure"),
+      Nil).collect()(0)
+    assert(one.getAs[Long]("n_groups") === 1L)
+    assert(one.isNullAt(one.fieldIndex("rate_ratio_mh")))
+  }
+
   // --- Difference-in-differences ---------------------------------------------
 
   test("diffInDiff: hand 2x2 golden — DiD = 3, se = sqrt(7)") {

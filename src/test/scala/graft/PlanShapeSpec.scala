@@ -843,6 +843,10 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // EB shrinkage: one count agg + the ordered k-frame moment windows
     Shape("q341_eb_shrinkage", maxHash = 2, maxRange = 4,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // MH rate ratio: per-user agg + per-(stratum, arm) agg + the
+    // stratum-bounded pooling fold
+    Shape("q342_mh_rate_ratio", maxHash = 5, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 
