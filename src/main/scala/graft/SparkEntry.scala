@@ -353,7 +353,9 @@ object SparkEntry {
     "q339_rate_ratio" -> (CoreQueries.q339RateRatio(_, _)),
     "q340_diff_in_diff" -> (CoreQueries.q340DiffInDiff(_, _)),
     "q341_eb_shrinkage" -> (CoreQueries.q341EbShrinkage(_, _)),
-    "q342_mh_rate_ratio" -> (CoreQueries.q342MhRateRatio(_, _))
+    "q342_mh_rate_ratio" -> (CoreQueries.q342MhRateRatio(_, _)),
+    "q343_drift_card" -> (CoreQueries.q343DriftCard(_, _)),
+    "q344_drift_card_from_store" -> (CoreQueries.q344DriftCardFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -509,7 +511,9 @@ object SparkEntry {
     "q339_rate_ratio" -> rateRatioOracle,
     "q340_diff_in_diff" -> diffInDiffOracle,
     "q341_eb_shrinkage" -> ebShrinkageOracle,
-    "q342_mh_rate_ratio" -> mhRateRatioOracle)
+    "q342_mh_rate_ratio" -> mhRateRatioOracle,
+    "q343_drift_card" -> driftCardOracle,
+    "q344_drift_card_from_store" -> driftCardOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3907,6 +3911,77 @@ object SparkEntry {
       |    ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
       |    (1.0 * 1.0)) AS BIGINT) AS n_required_per_arm
       |FROM g""".stripMargin
+
+  /** q343/q344 oracle: [[graft.quality.Profiler.edfDriftCard]] replayed
+    * — the q303 histogram CTEs, then all three EDF statistics from the
+    * shared gap frame in the Spark dags' float order: the KS max-gap
+    * and its Smirnov critical value, the nano-landed CvM sum scaled
+    * B·C/N², the corrected AD term, and the three nano-integer
+    * verdicts. q344's fold merges to identical histograms — same
+    * oracle verbatim.
+    */
+  private lazy val driftCardOracle: String =
+    """WITH b AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+      |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+      |  FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+      |c AS (SELECT CASE WHEN value < 0.0 THEN -1 WHEN value >= 100.0 THEN 10
+      |    ELSE CAST(floor((value - 0.0) / 10.0) AS BIGINT) END AS bucket, count(*) AS n
+      |  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+      |j AS (SELECT coalesce(b.bucket, c.bucket) AS bucket,
+      |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+      |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+      |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+      |k AS (SELECT bucket, n_base, n_cur,
+      |    CAST(sum(n_base) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_base,
+      |    CAST(sum(n_cur) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur,
+      |    CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+      |    CAST(sum(n_cur) OVER () AS BIGINT) AS tc
+      |  FROM j),
+      |t AS (SELECT *,
+      |    CAST(cum_base * tot2 - cum_cur * tot1 AS HUGEINT) AS gap_num,
+      |    n_base + n_cur AS cell_tot
+      |  FROM (SELECT k.*, tb AS tot1, tc AS tot2 FROM k)),
+      |terms AS (SELECT *,
+      |    CASE WHEN tot1 = 0 OR tot2 = 0 OR cell_tot = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round(CAST(cell_tot AS DOUBLE) *
+      |        (CAST(gap_num AS DOUBLE) / (CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE))) *
+      |        (CAST(gap_num AS DOUBLE) / (CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE))) *
+      |        1e9) AS BIGINT) END AS cvm9,
+      |    CASE WHEN cell_tot = 0 OR cum_base + cum_cur = tot1 + tot2
+      |      THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round(CAST(cell_tot AS DOUBLE) *
+      |        (CAST(gap_num AS DOUBLE) / (CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE))) *
+      |        (CAST(gap_num AS DOUBLE) / (CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE))) *
+      |        CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE) /
+      |        (CAST(cum_base + cum_cur AS DOUBLE) *
+      |          ((CAST(tot1 AS DOUBLE) + CAST(tot2 AS DOUBLE)) -
+      |            CAST(cum_base + cum_cur AS DOUBLE))) * 1e9) AS BIGINT)
+      |    END AS ad9
+      |  FROM t),
+      |agg AS (SELECT max(tot1) AS n_base, max(tot2) AS n_cur,
+      |    CAST(sum(CASE WHEN cell_tot > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins,
+      |    max(abs(gap_num)) AS ksnum,
+      |    sum(CAST(cvm9 AS HUGEINT)) AS cvm9s,
+      |    sum(CAST(ad9 AS HUGEINT)) AS ad9s
+      |  FROM terms),
+      |f AS (SELECT *,
+      |    CAST(ksnum AS DOUBLE) / (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS ks,
+      |    1.358 * sqrt((CAST(n_base AS DOUBLE) + CAST(n_cur AS DOUBLE)) /
+      |      (CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE))) AS ks_crit,
+      |    CAST(cvm9s AS DOUBLE) / 1e9 * CAST(n_base AS DOUBLE) * CAST(n_cur AS DOUBLE) /
+      |      ((CAST(n_base AS DOUBLE) + CAST(n_cur AS DOUBLE)) *
+      |       (CAST(n_base AS DOUBLE) + CAST(n_cur AS DOUBLE))) AS cvm_t,
+      |    CAST(ad9s AS DOUBLE) / 1e9 AS a2
+      |  FROM agg)
+      |SELECT n_base, n_cur, n_bins,
+      |  round(ks, 9) AS ks, round(ks_crit, 9) AS ks_crit,
+      |  CAST(round(ks * 1e9) AS BIGINT) >= CAST(round(ks_crit * 1e9) AS BIGINT)
+      |    AS ks_reject,
+      |  round(cvm_t, 9) AS cvm_t,
+      |  CAST(round(cvm_t * 1e9) AS BIGINT) >= 461000000 AS cvm_reject,
+      |  round(a2, 9) AS a2,
+      |  CAST(round(a2 * 1e9) AS BIGINT) >= 2492000000 AS ad_reject
+      |FROM f""".stripMargin
 
   /** q285 oracle: [[graft.operators.Survival.kaplanMeier]] replayed —
     * time-to-first-purchase + the 96 h window rule, (duration) cells,

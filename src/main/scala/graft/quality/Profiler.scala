@@ -1173,6 +1173,66 @@ object Profiler {
       .select(col("n_base"), col("n_cur"), col("n_bins"), col("a2"))
   }
 
+  /** The EDF drift card — the composed read of the histogram store:
+    * from ONE [[cvmFromHistograms]] gap frame, all three EDF statistics
+    * AND their decisions in one row — KS (the worst CDF crossing,
+    * max|gap_num|/(B·C), critical value 1.358·√((B+C)/(B·C)) at
+    * α = 0.05 — Smirnov's two-sample table), Cramér–von Mises T
+    * (every gap integrated by combined mass: Σl·gapFrac² · B·C/N²,
+    * 0.461 — Anderson 1962), and Anderson–Darling A² (tail-weighted,
+    * via [[andersonDarling]], 2.492 — Pettitt 1976). One state, three
+    * lenses, three verdicts: the drift page a monitoring dashboard
+    * renders per column per fold version. Every reject is a
+    * nano-integer comparison (never a float equality at a threshold);
+    * the CvM sum rides the same per-bucket nano landing as the AD term
+    * (order-free DECIMAL). NULL statistics when either side is empty.
+    * SCALE: two aggregations + one 1×1 join over the ≤ nBuckets+2-row
+    * frame — nothing row-scale.
+    */
+  def edfDriftCard(cvm: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTot = cvm
+      .withColumn("__b", sum("n_base").over(all))
+      .withColumn("__c", sum("n_cur").over(all))
+    val bD = col("__b").cast("double"); val cD = col("__c").cast("double")
+    val nD = bD + cD
+    val gapFrac = col("gap_num").cast("double") / (bD * cD)
+    val cvm9 = when(col("__b") === 0L || col("__c") === 0L ||
+        col("cell_tot") === 0L, 0L)
+      .otherwise(round(col("cell_tot").cast("double") * gapFrac * gapFrac * 1e9d)
+        .cast("long"))
+    val stats = withTot
+      .withColumn("__cvm9", cvm9)
+      .agg(
+        max("__b").as("n_base"), max("__c").as("n_cur"),
+        sum(when(col("cell_tot") > 0L, 1L).otherwise(0L)).as("n_bins"),
+        max(abs(col("gap_num")).cast(dec)).as("__ksnum"),
+        sum(col("__cvm9").cast(dec)).as("__cvm9s"))
+    val b2 = col("n_base").cast("double"); val c2 = col("n_cur").cast("double")
+    val n2 = b2 + c2
+    val live = col("n_base") > 0L && col("n_cur") > 0L
+    val ks = col("__ksnum").cast("double") / (b2 * c2)
+    val ksCrit = lit(1.358d) * sqrt((b2 + c2) / (b2 * c2))
+    val cvmT = col("__cvm9s").cast("double") / 1e9d * b2 * c2 / (n2 * n2)
+    val withKs = stats
+      .withColumn("ks", when(live, ks))
+      .withColumn("ks_crit", when(live, ksCrit))
+      .withColumn("ks_reject", when(live,
+        round(ks * 1e9d).cast("long") >= round(ksCrit * 1e9d).cast("long")))
+      .withColumn("cvm_t", when(live, cvmT))
+      .withColumn("cvm_reject", when(live,
+        round(cvmT * 1e9d).cast("long") >= lit(461000000L)))
+    val ad = andersonDarling(cvm).select(col("a2"))
+    withKs.crossJoin(broadcast(ad))
+      .withColumn("ad_reject", when(col("a2").isNotNull,
+        round(col("a2") * 1e9d).cast("long") >= lit(2492000000L)))
+      .select(col("n_base"), col("n_cur"), col("n_bins"),
+        col("ks"), col("ks_crit"), col("ks_reject"),
+        col("cvm_t"), col("cvm_reject"),
+        col("a2"), col("ad_reject"))
+  }
+
   /** Chapman capture–recapture estimate (Chapman 1951; the
     * bias-corrected Lincoln–Petersen): how many duplicates (or any
     * defect) exist IN TOTAL — including the ones every detector missed

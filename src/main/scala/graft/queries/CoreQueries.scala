@@ -3181,6 +3181,45 @@ object CoreQueries {
         round(col("a2"), 9).as("a2"))
   }
 
+  private def edfCardSelect(d: DataFrame): DataFrame =
+    d.select(col("n_base"), col("n_cur"), col("n_bins"),
+      round(col("ks"), 9).as("ks"), round(col("ks_crit"), 9).as("ks_crit"),
+      col("ks_reject"), round(col("cvm_t"), 9).as("cvm_t"), col("cvm_reject"),
+      round(col("a2"), 9).as("a2"), col("ad_reject"))
+
+  /** EDF drift-card gate: the composed read of the q303 histogram pair
+    * — KS + CvM + AD with their nano-integer verdicts in ONE row from
+    * one store state (the drift trilogy's third composition).
+    */
+  def q343DriftCard(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "value")
+    edfCardSelect(Profiler.edfDriftCard(Profiler.cvmDrift(
+      base = ev.filter(col("user_id") % 2 === 0),
+      cur = ev.filter(col("user_id") % 2 === 1),
+      column = "value", lo = 0.0, hi = 100.0, nBuckets = 10)))
+  }
+
+  /** Drift card FROM THE STORE: the q304 three-batch histogram fold per
+    * side, then the same one-read card — fold == rebuild under the q343
+    * oracle verbatim.
+    */
+  def q344DriftCardFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Profiler
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "value")
+    def fold(half: DataFrame) = (1 to 2).foldLeft(
+        Profiler.histogram(half.filter(col("event_id") % 6 < 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt"))) { (acc, i) =>
+      Profiler.mergeBucketCounts(acc,
+        Profiler.histogram(
+          half.filter(col("event_id") % 6 >= i * 2 && col("event_id") % 6 < i * 2 + 2),
+          "value", 0.0, 100.0, 10).select(col("bucket"), col("cnt")))
+    }
+    edfCardSelect(Profiler.edfDriftCard(Profiler.cvmFromHistograms(
+      fold(ev.filter(col("user_id") % 2 === 0)),
+      fold(ev.filter(col("user_id") % 2 === 1)))))
+  }
+
   /** Delta-method ratio-metric gate: the parity A/B on per-user
     * click-through (clicks / events per user) — the unit-randomized
     * ratio whose per-row proportion test would be wrong; exact DECIMAL

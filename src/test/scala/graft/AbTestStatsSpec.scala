@@ -41,6 +41,42 @@ class AbTestStatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("a2") - 59.0 / 36.0) < 1e-8)
   }
 
+  test("edfDriftCard: one read equals the standalone EDF statistics; verdicts fire correctly") {
+    val base = Seq(1L -> 30L, 2L -> 10L, 3L -> 5L)
+    val cur = Seq(1L -> 5L, 2L -> 10L, 3L -> 30L) // strong shift
+    val cvm = Profiler.cvmFromHistograms(
+      base.toDF("bucket", "cnt"), cur.toDF("bucket", "cnt"))
+    val card = Profiler.edfDriftCard(cvm).collect()(0)
+    // AD column IS the andersonDarling read
+    val ad = Profiler.andersonDarling(cvm).collect()(0)
+    assert(card.getAs[Double]("a2") === ad.getAs[Double]("a2"))
+    // KS = max |gap| / (B·C) from the same frame
+    val maxGap = cvm.agg(max(abs(col("gap_num")))).collect()(0)
+      .getDecimal(0).doubleValue()
+    assert(card.getAs[Double]("ks") === maxGap / (45.0 * 45.0))
+    // CvM agrees with the driver-side ordered fold within the nano grain
+    val t = Profiler.cvmStat(cvm)
+    assert(math.abs(card.getAs[Double]("cvm_t") - t) < 1e-6)
+    // a shift this strong trips all three verdicts
+    assert(card.getAs[Boolean]("ks_reject"))
+    assert(card.getAs[Boolean]("cvm_reject"))
+    assert(card.getAs[Boolean]("ad_reject"))
+    // identical histograms: all three zero, nothing rejects
+    val same = Profiler.edfDriftCard(Profiler.cvmFromHistograms(
+      base.toDF("bucket", "cnt"), base.toDF("bucket", "cnt"))).collect()(0)
+    assert(same.getAs[Double]("ks") === 0.0d)
+    assert(same.getAs[Double]("cvm_t") === 0.0d)
+    assert(same.getAs[Double]("a2") === 0.0d)
+    assert(!same.getAs[Boolean]("ks_reject") && !same.getAs[Boolean]("cvm_reject") &&
+      !same.getAs[Boolean]("ad_reject"))
+    // an empty side NULLs every statistic, never crashes
+    val empty = Profiler.edfDriftCard(Profiler.cvmFromHistograms(
+      base.toDF("bucket", "cnt"), Seq.empty[(Long, Long)].toDF("bucket", "cnt")))
+      .collect()(0)
+    for (cName <- Seq("ks", "cvm_t", "a2"))
+      assert(empty.isNullAt(empty.fieldIndex(cName)), cName)
+  }
+
   test("andersonDarling: identical histograms -> A2 exactly 0") {
     val h = Seq(1L -> 3L, 2L -> 5L, 5L -> 2L)
     val r = adOf(h, h)

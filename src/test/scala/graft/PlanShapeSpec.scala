@@ -847,7 +847,12 @@ class PlanShapeSpec extends SparkSpec {
     // MH rate ratio: per-user agg + per-(stratum, arm) agg + the
     // stratum-bounded pooling fold
     Shape("q342_mh_rate_ratio", maxHash = 5, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // EDF drift card: the q303 cvm chain feeding TWO bounded summary
+    // aggs (stats + AD) joined 1×1
+    Shape("q343_drift_card", maxHash = 10, maxRange = 6, forbidUdf = true),
+    Shape("q344_drift_card_from_store", maxHash = 26, maxRange = 6,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
