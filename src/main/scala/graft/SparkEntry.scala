@@ -355,7 +355,8 @@ object SparkEntry {
     "q341_eb_shrinkage" -> (CoreQueries.q341EbShrinkage(_, _)),
     "q342_mh_rate_ratio" -> (CoreQueries.q342MhRateRatio(_, _)),
     "q343_drift_card" -> (CoreQueries.q343DriftCard(_, _)),
-    "q344_drift_card_from_store" -> (CoreQueries.q344DriftCardFromStore(_, _))
+    "q344_drift_card_from_store" -> (CoreQueries.q344DriftCardFromStore(_, _)),
+    "q345_ab_dashboard_karm" -> (CoreQueries.q345AbDashboardKArm(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -513,7 +514,8 @@ object SparkEntry {
     "q341_eb_shrinkage" -> ebShrinkageOracle,
     "q342_mh_rate_ratio" -> mhRateRatioOracle,
     "q343_drift_card" -> driftCardOracle,
-    "q344_drift_card_from_store" -> driftCardOracle)
+    "q344_drift_card_from_store" -> driftCardOracle,
+    "q345_ab_dashboard_karm" -> abDashboardKArmOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3201,6 +3203,218 @@ object SparkEntry {
       |JOIN wilw w ON m.peek = w.peek
       |ORDER BY m.peek""".stripMargin
 
+  /** q345 oracle: the ENTIRE k-arm dashboard chain replayed from raw
+    * events — per-user units on the 5-way user_id mod 20 split with the
+    * arm-dependent conversion threshold, per-(arm, peek) HUGEINT moment
+    * cells, the (arm × peek) spine, cumulative windows per arm, then:
+    * the k-arm q306 SRM (four nano χ² terms against the 40/30/20/10
+    * design, E surfaced as unexpected), the q298 CUPED pivot PER
+    * COMPARISON (B/C/D each against control A — A is the lexical min,
+    * so lo = control in every battery), the q324 Wilson dags per arm,
+    * the q299 mSPRT recursion per comparison on per-peek increments,
+    * and the q320 BH step-up across the 3 monitor p-values per peek
+    * (nano p9 grid, exact HUGEINT step inequality, cmp tie-break).
+    */
+  private lazy val abDashboardKArmOracle: String =
+    """WITH pu0 AS (SELECT user_id,
+      |    CASE WHEN user_id % 20 < 8 THEN 'A'
+      |      WHEN user_id % 20 < 14 THEN 'B'
+      |      WHEN user_id % 20 < 18 THEN 'C'
+      |      WHEN user_id % 20 < 19 THEN 'D' ELSE 'E' END AS arm,
+      |    CAST(user_id % 6 AS BIGINT) AS peek,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    max(value) AS maxv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |pu AS (SELECT arm, peek, x, y,
+      |    CASE WHEN coalesce(maxv >= CASE WHEN arm = 'B' THEN 200.0
+      |      WHEN arm = 'D' THEN 300.0 ELSE 250.0 END, false)
+      |      THEN 1 ELSE 0 END AS hit
+      |  FROM pu0),
+      |cells AS (SELECT arm, peek, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(hit) AS BIGINT) AS s_hit,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pu GROUP BY 1, 2),
+      |spine AS (SELECT a.arm, p.peek
+      |  FROM (SELECT DISTINCT arm FROM cells) a
+      |  CROSS JOIN (SELECT DISTINCT peek FROM cells) p),
+      |fullc AS (SELECT sp.arm, sp.peek,
+      |    coalesce(c.n, 0) AS n, coalesce(c.s_hit, 0) AS s_hit,
+      |    coalesce(c.sx, 0) AS sx, coalesce(c.sy, 0) AS sy,
+      |    coalesce(c.sxx, 0) AS sxx, coalesce(c.syy, 0) AS syy,
+      |    coalesce(c.sxy, 0) AS sxy
+      |  FROM spine sp LEFT JOIN cells c ON sp.arm = c.arm AND sp.peek = c.peek),
+      |cum AS (SELECT arm, peek,
+      |    CAST(sum(n) OVER w AS BIGINT) AS n,
+      |    CAST(sum(s_hit) OVER w AS BIGINT) AS s_hit,
+      |    CAST(sum(sx) OVER w AS HUGEINT) AS sx,
+      |    CAST(sum(sy) OVER w AS HUGEINT) AS sy,
+      |    CAST(sum(sxx) OVER w AS HUGEINT) AS sxx,
+      |    CAST(sum(syy) OVER w AS HUGEINT) AS syy,
+      |    CAST(sum(sxy) OVER w AS HUGEINT) AS sxy
+      |  FROM fullc
+      |  WINDOW w AS (PARTITION BY arm ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |srm AS (SELECT peek,
+      |    CAST(sum(CASE WHEN arm NOT IN ('A','B','C','D') THEN n ELSE 0 END)
+      |      AS BIGINT) AS n_unexpected,
+      |    CAST(sum(CASE WHEN arm IN ('A','B','C','D') THEN n ELSE 0 END)
+      |      AS DOUBLE) AS nd,
+      |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+      |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+      |    max(CASE WHEN arm = 'C' THEN n END) AS nc,
+      |    max(CASE WHEN arm = 'D' THEN n END) AS ndd
+      |  FROM cum GROUP BY 1),
+      |srm2 AS (SELECT peek, n_unexpected,
+      |    CAST(round((CAST(na AS DOUBLE) - nd * 0.4) *
+      |      (CAST(na AS DOUBLE) - nd * 0.4) / (nd * 0.4) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(nb AS DOUBLE) - nd * 0.3) *
+      |      (CAST(nb AS DOUBLE) - nd * 0.3) / (nd * 0.3) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(nc AS DOUBLE) - nd * 0.2) *
+      |      (CAST(nc AS DOUBLE) - nd * 0.2) / (nd * 0.2) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(ndd AS DOUBLE) - nd * 0.1) *
+      |      (CAST(ndd AS DOUBLE) - nd * 0.1) / (nd * 0.1) * 1e9) AS BIGINT) AS chi9
+      |  FROM srm),
+      |cmpm AS (SELECT * FROM (VALUES ('B'), ('C'), ('D')) t(cmp)),
+      |wide AS (SELECT m.cmp, c.peek,
+      |    max(CASE WHEN c.arm = 'A' THEN c.n END) AS n1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx END) AS sx1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sy END) AS sy1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sxx END) AS sxx1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.syy END) AS syy1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sxy END) AS sxy1,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.n END) AS n2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx END) AS sx2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sy END) AS sy2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sxx END) AS sxx2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.syy END) AS syy2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sxy END) AS sxy2
+      |  FROM cum c JOIN cmpm m ON c.arm = m.cmp OR c.arm = 'A'
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT *, CAST(n1 + n2 AS HUGEINT) AS nt,
+      |    sx1 + sx2 AS sxt, sy1 + sy2 AS syt,
+      |    sxx1 + sxx2 AS sxxt, syy1 + syy2 AS syyt, sxy1 + sxy2 AS sxyt
+      |  FROM wide),
+      |c2 AS (SELECT *,
+      |    nt * sxyt - sxt * syt AS covnum,
+      |    nt * sxxt - sxt * sxt AS varxnum,
+      |    nt * syyt - syt * syt AS varynum
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE) AS theta,
+      |    CAST(sy1 * n2 - sy2 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS raweff,
+      |    CAST(sx1 * n2 - sx2 * n1 AS DOUBLE) AS xcross
+      |  FROM c2),
+      |c4 AS (SELECT *,
+      |    raweff - theta * xcross / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS adjeff,
+      |    (CAST(n1 AS DOUBLE) * (CAST(syy1 AS DOUBLE) - 2 * theta * CAST(sxy1 AS DOUBLE) +
+      |        theta * theta * CAST(sxx1 AS DOUBLE)) -
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE)) *
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE))) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |    (CAST(n2 AS DOUBLE) * (CAST(syy2 AS DOUBLE) - 2 * theta * CAST(sxy2 AS DOUBLE) +
+      |        theta * theta * CAST(sxx2 AS DOUBLE)) -
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE)) *
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE))) /
+      |      (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2,
+      |    CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE) /
+      |      (CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE)) AS rho2,
+      |    n1 >= 2 AND n2 >= 2 AND varxnum > 0 AS cok,
+      |    n1 > 0 AND n2 > 0 AS bothlive
+      |  FROM c3),
+      |cup AS (SELECT *, sqrt(v1 + v2) AS se FROM c4),
+      |wil AS (SELECT peek, arm, n, s_hit,
+      |    CAST(s_hit AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE) AS dn
+      |  FROM cum WHERE arm IN ('A','B','C','D')),
+      |wil2 AS (SELECT *,
+      |    (p + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE))) / dn AS center,
+      |    1.959964 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) +
+      |      (1.959964 * 1.959964) /
+      |        (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / dn AS half
+      |  FROM wil),
+      |mincr AS (SELECT m.cmp, f.peek,
+      |    CAST(sum(CASE WHEN f.arm = 'A' THEN f.n ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN f.arm = 'A' THEN f.s_hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN f.arm = m.cmp THEN f.n ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN f.arm = m.cmp THEN f.s_hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM fullc f JOIN cmpm m ON f.arm = m.cmp OR f.arm = 'A'
+      |  GROUP BY 1, 2),
+      |mt AS (SELECT cmp, peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM mincr
+      |  WINDOW w AS (PARTITION BY cmp ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |mv AS (SELECT *,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo AS DOUBLE) + CAST(s_hi AS DOUBLE)) /
+      |      (CAST(n_lo AS DOUBLE) + CAST(n_hi AS DOUBLE)) AS pp,
+      |    n_lo > 0 AND n_hi > 0 AND (s_lo + s_hi) > 0 AND
+      |      (s_lo + s_hi) < (n_lo + n_hi) AS usable
+      |  FROM mt),
+      |ml AS (SELECT *,
+      |    pp * (1 - pp) * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)) AS vv
+      |  FROM mv),
+      |mr AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.000244140625)) +
+      |      delta * delta * 0.000244140625 /
+      |        (2 * vv * (vv + 0.000244140625))) * 1e9) AS BIGINT) END AS ln_lr9
+      |  FROM ml),
+      |mb AS (SELECT *, max(ln_lr9) OVER (PARTITION BY cmp ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM mr),
+      |mp AS (SELECT *,
+      |    CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |      ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END AS p_av
+      |  FROM mb),
+      |bh AS (SELECT *, CAST(round(p_av * 1e9) AS BIGINT) AS p9 FROM mp),
+      |bh2 AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY peek ORDER BY p9, cmp) AS BIGINT)
+      |      AS bh_rank,
+      |    CAST(count(*) OVER (PARTITION BY peek) AS BIGINT) AS bh_m
+      |  FROM bh),
+      |bh3 AS (SELECT *,
+      |    CAST(p9 AS HUGEINT) * bh_m * 100 <=
+      |      CAST(bh_rank AS HUGEINT) * 5 * 1000000000 AS is_cand
+      |  FROM bh2),
+      |bh4 AS (SELECT *, max(CASE WHEN is_cand THEN bh_rank ELSE 0 END)
+      |    OVER (PARTITION BY peek) AS cut
+      |  FROM bh3)
+      |SELECT m.peek, m.cmp AS arm, 'A' AS grp_lo, m.cmp AS grp_hi,
+      |  CAST(4 AS BIGINT) AS n_arms, s.n_unexpected,
+      |  round(CAST(s.chi9 AS DOUBLE) / 1e9, 9) AS srm_chi2,
+      |  m.n_lo, m.s_lo, m.n_hi, m.s_hi,
+      |  CASE WHEN c.cok THEN round(c.theta, 9) END AS theta,
+      |  CASE WHEN c.cok AND c.varynum > 0 THEN round(c.rho2, 9) END AS rho2,
+      |  CASE WHEN c.bothlive THEN round(c.raweff, 9) END AS effect_raw,
+      |  CASE WHEN c.cok THEN round(c.adjeff, 9) END AS effect_cuped,
+      |  CASE WHEN c.cok THEN round(c.se, 9) END AS se_cuped,
+      |  CASE WHEN c.cok THEN round(c.adjeff - 1.959964 * c.se, 9) END AS cuped_ci_lo,
+      |  CASE WHEN c.cok THEN round(c.adjeff + 1.959964 * c.se, 9) END AS cuped_ci_hi,
+      |  round(wc.p, 9) AS p_ctl,
+      |  round(wc.center - wc.half, 9) AS wilson_ctl_lo,
+      |  round(wc.center + wc.half, 9) AS wilson_ctl_hi,
+      |  round(wa.p, 9) AS p_arm,
+      |  round(wa.center - wa.half, 9) AS wilson_arm_lo,
+      |  round(wa.center + wa.half, 9) AS wilson_arm_hi,
+      |  CASE WHEN m.usable THEN round(m.delta, 9) END AS delta, m.ln_lr9,
+      |  round(m.p_av, 9) AS p_always_valid,
+      |  coalesce(m.best9 >= 2995732274, false) AS reject,
+      |  m.p9, m.bh_rank, m.bh_m, m.bh_rank <= m.cut AS reject_fdr
+      |FROM bh4 m
+      |JOIN srm2 s ON m.peek = s.peek
+      |JOIN cup c ON m.cmp = c.cmp AND m.peek = c.peek
+      |JOIN wil2 wa ON m.cmp = wa.arm AND m.peek = wa.peek
+      |JOIN wil2 wc ON wc.arm = 'A' AND m.peek = wc.peek
+      |ORDER BY m.peek, m.cmp""".stripMargin
+
   /** q330/q331 oracle, generated per spending shape: the q299 cumulative
     * count CTEs, z = Δ̂/√V in the Spark dag's float order, the nano |z|
     * landing, then the boundary comparison against the SAME pinned
@@ -3645,6 +3859,7 @@ object SparkEntry {
       |    CAST(sum(CASE WHEN arm = 'true' THEN hours ELSE 0 END) AS BIGINT) AS t2
       |  FROM pu GROUP BY 1),
       |t AS (SELECT *,
+      |    (c1 > 0 AND t1 = 0) OR (c2 > 0 AND t2 = 0) AS bad,
       |    CASE WHEN t1 + t2 = 0 THEN 0 ELSE CAST(round(
       |      CAST(c1 AS DOUBLE) * CAST(t2 AS DOUBLE) /
       |        CAST(t1 + t2 AS DOUBLE) * 1e9) AS BIGINT) END AS n9,
@@ -3656,13 +3871,16 @@ object SparkEntry {
       |        (CAST(t1 + t2 AS DOUBLE) * CAST(t1 + t2 AS DOUBLE)) * 1e9) AS BIGINT)
       |    END AS v9
       |  FROM c),
-      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
-      |    CAST(sum(c1) AS BIGINT) AS events_lo,
-      |    CAST(sum(t1) AS BIGINT) AS exposure_lo,
-      |    CAST(sum(c2) AS BIGINT) AS events_hi,
-      |    CAST(sum(t2) AS BIGINT) AS exposure_hi,
-      |    sum(CAST(n9 AS HUGEINT)) AS num9, sum(CAST(d9 AS HUGEINT)) AS den9,
-      |    sum(CAST(v9 AS HUGEINT)) AS var9
+      |s AS (SELECT
+      |    CAST(sum(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_strata,
+      |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_strata_dropped,
+      |    CAST(sum(CASE WHEN bad THEN 0 ELSE c1 END) AS BIGINT) AS events_lo,
+      |    CAST(sum(CASE WHEN bad THEN 0 ELSE t1 END) AS BIGINT) AS exposure_lo,
+      |    CAST(sum(CASE WHEN bad THEN 0 ELSE c2 END) AS BIGINT) AS events_hi,
+      |    CAST(sum(CASE WHEN bad THEN 0 ELSE t2 END) AS BIGINT) AS exposure_hi,
+      |    sum(CAST(CASE WHEN bad THEN 0 ELSE n9 END AS HUGEINT)) AS num9,
+      |    sum(CAST(CASE WHEN bad THEN 0 ELSE d9 END AS HUGEINT)) AS den9,
+      |    sum(CAST(CASE WHEN bad THEN 0 ELSE v9 END AS HUGEINT)) AS var9
       |  FROM t),
       |f AS (SELECT *,
       |    CAST(num9 AS DOUBLE) / 1e9 AS numd,
@@ -3673,7 +3891,8 @@ object SparkEntry {
       |    sqrt(CAST(var9 AS DOUBLE) / 1e9 / (numd * dend)) AS se
       |  FROM f)
       |SELECT 'false' AS grp_lo, 'true' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
-      |  n_strata, events_lo, exposure_lo, events_hi, exposure_hi,
+      |  n_strata, n_strata_dropped,
+      |  events_lo, exposure_lo, events_hi, exposure_hi,
       |  round(rr, 9) AS rate_ratio_mh, round(se, 9) AS se_ln_rr,
       |  round(exp(ln(rr) - 1.959964 * se), 9) AS ci_lo,
       |  round(exp(ln(rr) + 1.959964 * se), 9) AS ci_hi

@@ -108,32 +108,33 @@ object AbDashboard {
     * own fixed dag over exact cumulative counts/moments; outputs gate at
     * 9dp in the query layer. One row per peek, peek-ordered reads.
     */
-  def abDashboardFromCells(
-      cells: DataFrame,
-      weights: Seq[(String, Double)],
-      tau2: Double,
-      alpha: Double = 0.05d
-  ): DataFrame = {
-    require(weights.size == 2, s"the two-arm dashboard needs exactly 2 designed arms: $weights")
-    val lo = weights.map(_._1).min
-    val hi = weights.map(_._1).max
-    val spark = cells.sparkSession
-    import spark.implicits._
+  /** Materialize the cell state ONCE as a local relation (arm × peek
+    * cardinality — the store bound, the house bounded-driver-fold
+    * idiom): the stage reads fan out from it, so the row-scale cell
+    * aggregation upstream executes exactly once instead of once per
+    * stage branch — the shape that makes the one-read claim true in
+    * the physical plan, not just the API.
+    */
+  private def materialize(cells: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    // materialize the cell state ONCE as a local relation (arm × peek
-    // cardinality — the store bound, the house bounded-driver-fold
-    // idiom): the four stage reads fan out from it, so the row-scale
-    // cell aggregation upstream executes exactly once instead of once
-    // per stage branch — the shape that makes the one-read claim true
-    // in the physical plan, not just the API
-    val local = spark.createDataFrame(
+    cells.sparkSession.createDataFrame(
       cells.collect().toSeq.asJava, cells.schema)
-    // (arm × peek) spine: designed arms always present (a vanished arm
-    // still SRM-checks and NULLs its effect columns), every arm carried
-    // through every peek so cumulative windows see complete series
+  }
+
+  /** The (arm × peek) spine + per-arm cumulative state over a local
+    * cell frame: designed arms always present (a vanished arm still
+    * SRM-checks and NULLs its effect columns), every arm carried
+    * through every peek so cumulative windows see complete series.
+    * Returns (full = per-peek increments on the spine, cum = cumulative
+    * state per arm in peek order — the "dashboard at peek p").
+    */
+  private def spineCum(local: DataFrame,
+      designedArms: Seq[String]): (DataFrame, DataFrame) = {
+    val spark = local.sparkSession
+    import spark.implicits._
     val peeks = local.select(col("peek")).distinct()
     val arms = local.select(col("arm")).distinct()
-      .unionByName(weights.map(_._1).toDF("arm")).distinct()
+      .unionByName(designedArms.toDF("arm")).distinct()
     val zeroD = lit(0L).cast(dec)
     val full = peeks.crossJoin(broadcast(arms))
       .join(local, Seq("arm", "peek"), "left")
@@ -145,7 +146,6 @@ object AbDashboard {
         coalesce(col("sxx"), zeroD).as("sxx"),
         coalesce(col("syy"), zeroD).as("syy"),
         coalesce(col("sxy"), zeroD).as("sxy"))
-    // cumulative state per arm in peek order — the "dashboard at peek p"
     val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = full.select(col("arm"), col("peek"),
@@ -156,6 +156,20 @@ object AbDashboard {
       sum("sxx").over(wCum).cast(dec).as("sxx"),
       sum("syy").over(wCum).cast(dec).as("syy"),
       sum("sxy").over(wCum).cast(dec).as("sxy"))
+    (full, cum)
+  }
+
+  def abDashboardFromCells(
+      cells: DataFrame,
+      weights: Seq[(String, Double)],
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(weights.size == 2, s"the two-arm dashboard needs exactly 2 designed arms: $weights")
+    val lo = weights.map(_._1).min
+    val hi = weights.map(_._1).max
+    val local = materialize(cells)
+    val (full, cum) = spineCum(local, weights.map(_._1))
     val designed = col("arm") === lo || col("arm") === hi
     // stage 1 — SRM on the cumulative counts (all arms: off-design
     // traffic is the q306 n_unexpected read)
@@ -205,5 +219,137 @@ object AbDashboard {
         col("p_lo"), col("wilson_lo_lo"), col("wilson_lo_hi"),
         col("p_hi"), col("wilson_hi_lo"), col("wilson_hi_hi"),
         col("delta"), col("ln_lr9"), col("p_always_valid"), col("reject"))
+  }
+
+  /** The K-ARM dashboard read — [[abDashboardFromCells]] generalized to
+    * the shape real experiment platforms run (3–10 arms, one control):
+    * per peek and per TREATMENT arm, every stage of the chain from the
+    * SAME (arm × peek) cell state —
+    *
+    *   - k-arm SRM ([[Association.srmFromCounts]] IS k-arm): one χ²
+    *     against all `weights` on the cumulative counts, off-design
+    *     traffic in `n_unexpected` — repeated onto each comparison row
+    *     of its peek
+    *   - per-comparison CUPED ([[Association.cupedFromMoments]] keyed
+    *     by (cmp, peek) over the {control, treatment} cumulative
+    *     moments): theta/rho2/effect/se/CI per treatment-vs-control,
+    *     oriented the operator's own lo − hi (min/max label — the house
+    *     welchT sign), with `grp_lo`/`grp_hi` on the row so the
+    *     orientation is explicit
+    *   - per-arm Wilson CIs ([[Association.wilsonFromCounts]]): the
+    *     row's treatment arm beside the control arm
+    *   - per-comparison mSPRT monitor
+    *     ([[SequentialTests.msprtTwoProportion]] keyed by cmp) on the
+    *     per-peek increments, arm 1 = the comparison's lo label
+    *   - MULTIPLICITY across the k−1 comparisons
+    *     ([[MultipleTesting.benjaminiHochberg]], battery = peek): the
+    *     k−1 always-valid monitor p-values land on the nano grid
+    *     (p9 = round(p·10⁹) — exact thereafter) and the BH step-up
+    *     runs per peek with `cmp` as the deterministic tie-break;
+    *     `reject_fdr` is the column a k-arm scorecard pages on, `bh_*`
+    *     the audit trail. FDR is the right battery guarantee here
+    *     (Holm/BY stand beside it in [[MultipleTesting]] for FWER /
+    *     arbitrary-dependence batteries).
+    *
+    * `control` must be one of the `weights` arms; the k = 2 read
+    * reproduces [[abDashboardFromCells]]'s values column-for-column
+    * (spec-pinned). Same unit/fold/scale contract as the two-arm
+    * dashboard: ONE row-scale pass upstream, every stage here on the
+    * (arms × peeks)-bounded local cell frame. One row per
+    * (peek, treatment arm), peek-then-arm ordered reads.
+    */
+  def abDashboardKArmFromCells(
+      cells: DataFrame,
+      weights: Seq[(String, Double)],
+      control: String,
+      tau2: Double,
+      alpha: Double = 0.05d,
+      fdrNum: Int = 5,
+      fdrDen: Int = 100
+  ): DataFrame = {
+    require(weights.size >= 2, s"need >= 2 designed arms: $weights")
+    require(weights.exists(_._1 == control),
+      s"control '$control' must be a designed arm: $weights")
+    val treatments = weights.map(_._1).filterNot(_ == control).sorted
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val local = materialize(cells)
+    val (full, cum) = spineCum(local, weights.map(_._1))
+    val designedArms = weights.map(_._1)
+    val designed = col("arm").isin(designedArms: _*)
+    // the comparison spine: each treatment arm paired with the control
+    // (a tiny broadcast map over the bounded cell frame)
+    val cmps = broadcast(treatments.toDF("cmp"))
+    val inCmp = col("arm") === col("cmp") || col("arm") === lit(control)
+    // stage 1 — ONE k-arm SRM on the cumulative counts (all arms:
+    // off-design traffic is the q306 n_unexpected read)
+    val srm = Association.srmFromCounts(
+      cum.select(col("peek"), col("arm").as("grp"), col("n").as("__n")),
+      Seq("peek"), weights)
+      .select(col("peek"), col("n_arms"), col("n_unexpected"),
+        col("chi2").as("srm_chi2"))
+    // stage 2 — CUPED per (cmp, peek) on the {control, treatment}
+    // cumulative moments; the operator orients lo − hi by label itself
+    val cup = Association.cupedFromMoments(
+      cum.crossJoin(cmps).filter(inCmp)
+        .select(col("cmp"), col("peek"), col("arm").as("grp"),
+          col("n").as("__n"), col("sx").as("__sx"), col("sy").as("__sy"),
+          col("sxx").as("__sxx"), col("syy").as("__syy"), col("sxy").as("__sxy")),
+      Seq("cmp", "peek"))
+      .select(col("cmp"), col("peek"), col("grp_lo"), col("grp_hi"),
+        col("theta"), col("rho2"), col("effect_raw"), col("effect_cuped"),
+        col("se_cuped"),
+        col("ci_lo").as("cuped_ci_lo"), col("ci_hi").as("cuped_ci_hi"))
+    // stage 3 — per-arm Wilson CIs once over the designed arms, then the
+    // row's treatment beside the control
+    val wil = Association.wilsonFromCounts(
+      cum.filter(designed).select(col("peek"), col("arm").as("grp"),
+        col("n"), col("s_hit").as("n_pass")),
+      Seq("peek"))
+    val wilArm = wil.select(col("peek"), col("grp").as("cmp"),
+      col("p_hat").as("p_arm"),
+      col("ci_lo").as("wilson_arm_lo"), col("ci_hi").as("wilson_arm_hi"))
+    val wilCtl = wil.filter(col("grp") === control)
+      .select(col("peek"), col("p_hat").as("p_ctl"),
+        col("ci_lo").as("wilson_ctl_lo"), col("ci_hi").as("wilson_ctl_hi"))
+    // stage 4 — the always-valid monitor per comparison on the per-peek
+    // INCREMENTS (arm 1 = the comparison's lo label, so delta carries
+    // the same lo − hi orientation as the CUPED effect)
+    val loArm = least(lit(control), col("cmp"))
+    val hiArm = greatest(lit(control), col("cmp"))
+    val incr = full.crossJoin(cmps).filter(inCmp)
+      .groupBy(col("cmp"), col("peek")).agg(
+        sum(when(col("arm") === loArm, col("n")).otherwise(0L)).as("bn1"),
+        sum(when(col("arm") === loArm, col("s_hit")).otherwise(0L)).as("bs1"),
+        sum(when(col("arm") === hiArm, col("n")).otherwise(0L)).as("bn2"),
+        sum(when(col("arm") === hiArm, col("s_hit")).otherwise(0L)).as("bs2"))
+    val mon = SequentialTests.msprtTwoProportion(incr, Seq("cmp"), "peek",
+      "bn1", "bs1", "bn2", "bs2", tau2, alpha)
+    // stage 5 — BH across the k−1 monitor p-values per peek: the
+    // always-valid p lands on the nano grid and the step-up is the
+    // exact-integer q320 dag (battery = peek, tie-break = cmp)
+    val adj = MultipleTesting.benjaminiHochberg(
+      mon.withColumn("p9", round(col("p_always_valid") * 1e9d).cast("long")),
+      Seq("peek"), Seq("cmp"), "p9", fdrNum, fdrDen)
+      .select(col("cmp"), col("peek"), col("n_lo"), col("s_lo"),
+        col("n_hi"), col("s_hi"), col("delta"), col("ln_lr9"),
+        col("p_always_valid"), col("reject"), col("p9"),
+        col("rank").cast("long").as("bh_rank"), col("m").as("bh_m"),
+        col("rejected").as("reject_fdr"))
+    // one row per (peek, treatment): joins over (k−1)·peek-bounded frames
+    adj
+      .join(srm, Seq("peek"))
+      .join(cup, Seq("cmp", "peek"))
+      .join(wilArm, Seq("cmp", "peek"))
+      .join(wilCtl, Seq("peek"))
+      .select(col("peek"), col("cmp").as("arm"), col("grp_lo"), col("grp_hi"),
+        col("n_arms"), col("n_unexpected"), col("srm_chi2"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        col("theta"), col("rho2"), col("effect_raw"), col("effect_cuped"),
+        col("se_cuped"), col("cuped_ci_lo"), col("cuped_ci_hi"),
+        col("p_ctl"), col("wilson_ctl_lo"), col("wilson_ctl_hi"),
+        col("p_arm"), col("wilson_arm_lo"), col("wilson_arm_hi"),
+        col("delta"), col("ln_lr9"), col("p_always_valid"), col("reject"),
+        col("p9"), col("bh_rank"), col("bh_m"), col("reject_fdr"))
   }
 }

@@ -2587,13 +2587,18 @@ object Association {
     * longs landed to nano longs, pooled order-free in DECIMAL (the
     * [[cmhFromCounts]] discipline); RR/CI fixed dags at 9dp, gated.
     * Conventions: input one row per (keys, stratum, grp) with `events`/
-    * `exposure`; (grp_lo, grp_hi) = global (min, max); a stratum with
-    * zero exposure on either side contributes nothing (its Tᵢ-weighted
-    * terms are 0 by construction when the ARM's t is 0 — the textbook
-    * self-cancellation); NULL RR when either pooled term is 0; NULL
-    * se/CI additionally when the variance numerator is 0. One row per
-    * key set. SCALE: one counting aggregation upstream + one
-    * stratum-bounded pooling aggregation here.
+    * `exposure`; (grp_lo, grp_hi) = global (min, max); an arm absent
+    * from a stratum (or present with 0 events and 0 exposure)
+    * self-cancels — its Tᵢ-weighted terms are 0 by construction. A
+    * MALFORMED stratum — an arm reporting events > 0 with exposure = 0
+    * — would contribute one-sidedly (only to the numerator or only the
+    * denominator) and silently bias the pooled ratio, so it is EXCLUDED
+    * from the pooled terms AND the count totals, surfaced via
+    * `n_strata_dropped` (the flag-don't-guess convention). NULL RR when
+    * either pooled term is 0; NULL se/CI additionally when the variance
+    * numerator is 0. One row per key set. SCALE: one counting
+    * aggregation upstream + one stratum-bounded pooling aggregation
+    * here.
     */
   def mhRateRatioFromCounts(
       counts: DataFrame,
@@ -2616,6 +2621,10 @@ object Association {
         coalesce(max(when(col("grp") === col("grp_hi"), col("exposure"))), lit(0L)).as("__t2"))
     val tT = (col("__t1") + col("__t2")).cast("double")
     val dec2 = "decimal(38,0)"
+    // malformed: events with zero exposure on an arm — its c·t/T term
+    // hits only one side of the pooled ratio (one-sided bias)
+    val bad = (col("__c1") > 0L && col("__t1") === 0L) ||
+      (col("__c2") > 0L && col("__t2") === 0L)
     def nano(x: Column): Column =
       when(col("__t1") + col("__t2") === 0L, 0L)
         .otherwise(round(x * 1e9d).cast("long"))
@@ -2624,14 +2633,18 @@ object Association {
     val var9 = nano((col("__c1") + col("__c2")).cast("double") *
       col("__t1").cast("double") * col("__t2").cast("double") / (tT * tT))
     val pooled = wide
+      .withColumn("__bad", bad)
       .withColumn("__n9", num9).withColumn("__d9", den9).withColumn("__v9", var9)
       .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
-      .agg(count(lit(1)).as("n_strata"),
-        sum(col("__c1")).as("events_lo"), sum(col("__t1")).as("exposure_lo"),
-        sum(col("__c2")).as("events_hi"), sum(col("__t2")).as("exposure_hi"),
-        sum(col("__n9").cast(dec2)).as("__num9"),
-        sum(col("__d9").cast(dec2)).as("__den9"),
-        sum(col("__v9").cast(dec2)).as("__var9"))
+      .agg(sum(when(col("__bad"), 0L).otherwise(1L)).as("n_strata"),
+        sum(when(col("__bad"), 1L).otherwise(0L)).as("n_strata_dropped"),
+        sum(when(col("__bad"), 0L).otherwise(col("__c1"))).as("events_lo"),
+        sum(when(col("__bad"), 0L).otherwise(col("__t1"))).as("exposure_lo"),
+        sum(when(col("__bad"), 0L).otherwise(col("__c2"))).as("events_hi"),
+        sum(when(col("__bad"), 0L).otherwise(col("__t2"))).as("exposure_hi"),
+        sum(when(col("__bad"), 0L).otherwise(col("__n9")).cast(dec2)).as("__num9"),
+        sum(when(col("__bad"), 0L).otherwise(col("__d9")).cast(dec2)).as("__den9"),
+        sum(when(col("__bad"), 0L).otherwise(col("__v9")).cast(dec2)).as("__var9"))
     val two = col("__ngrps") === 2L
     val numD = col("__num9").cast("double") / 1e9d
     val denD = col("__den9").cast("double") / 1e9d
@@ -2646,9 +2659,10 @@ object Association {
       .withColumn("ci_lo", when(ok, exp(log(rr) - lit(z) * se)))
       .withColumn("ci_hi", when(ok, exp(log(rr) + lit(z) * se)))
       .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
-        col("n_strata") :+ col("events_lo") :+ col("exposure_lo") :+
-        col("events_hi") :+ col("exposure_hi") :+ col("rate_ratio_mh") :+
-        col("se_ln_rr") :+ col("ci_lo") :+ col("ci_hi"): _*)
+        col("n_strata") :+ col("n_strata_dropped") :+ col("events_lo") :+
+        col("exposure_lo") :+ col("events_hi") :+ col("exposure_hi") :+
+        col("rate_ratio_mh") :+ col("se_ln_rr") :+ col("ci_lo") :+
+        col("ci_hi"): _*)
   }
 
   /** Difference-in-differences (the canonical 2×2 quasi-experimental

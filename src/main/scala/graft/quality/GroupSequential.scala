@@ -106,13 +106,22 @@ object GroupSequential {
     * named spending function. Driver-side and deterministic, so the
     * solve is memoized per (K, α, spending) — query re-construction
     * (bench passes, plan audits) must not re-pay the O(K·G²) grid.
+    * ONLY this equally-spaced path caches: its key space is tiny
+    * (K ≤ 50 × a handful of αs × spending names), while
+    * [[boundariesAt]]'s observed, data-dependent fraction vectors
+    * would grow an unbounded map in a long-lived driver.
     */
   private val boundaryCache =
-    new java.util.concurrent.ConcurrentHashMap[(Seq[Double], Double, String), Seq[GsBoundary]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double, String), Seq[GsBoundary]]()
 
   def boundaries(k: Int, alpha: Double, spending: String): Seq[GsBoundary] = {
     require(k >= 1 && k <= 50, s"K must be in [1, 50]: $k")
-    boundariesAt((1 to k).map(_.toDouble / k), alpha, spending)
+    val key = (k, alpha, spending)
+    val hit = boundaryCache.get(key)
+    if (hit != null) return hit
+    val solved = boundariesAt((1 to k).map(_.toDouble / k), alpha, spending)
+    boundaryCache.putIfAbsent(key, solved)
+    solved
   }
 
   /** [[boundaries]] at ARBITRARY information fractions — the read real
@@ -122,14 +131,8 @@ object GroupSequential {
     * increasing in (0, 1], last element 1 for a full-spend design.
     */
   def boundariesAt(ts: Seq[Double], alpha: Double,
-      spending: String): Seq[GsBoundary] = {
-    val key = (ts, alpha, spending)
-    val hit = boundaryCache.get(key)
-    if (hit != null) return hit
-    val solved = solveBoundaries(ts, alpha, spending)
-    boundaryCache.putIfAbsent(key, solved)
-    solved
-  }
+      spending: String): Seq[GsBoundary] =
+    solveBoundaries(ts, alpha, spending)
 
   private def solveBoundaries(ts: Seq[Double], alpha: Double,
       spending: String): Seq[GsBoundary] = {

@@ -3678,6 +3678,78 @@ object CoreQueries {
       folded, abDesign, tau2 = abTau2, alpha = 0.05d))
   }
 
+  /** The q345 K-ARM per-unit fixture: the q326 unit/outcome/covariate
+    * construction with a FIVE-way split (user_id mod 20): designed arms
+    * A (8/20), B (6/20), C (4/20), D (1/20) plus off-design traffic E
+    * (1/20); the DESIGN claims A/B/C/D = 40/30/20/10, so D genuinely
+    * underdelivers (5.26% of designed traffic vs the claimed 10% — a
+    * real k-arm SRM violation) AND E is real unexpected traffic. The
+    * conversion threshold is ARM-DEPENDENT (B converts at max value ≥
+    * 200, D at ≥ 300, everyone else at ≥ 250), so the B-vs-A and D-vs-A
+    * monitors see REAL opposite-signed effects while C-vs-A is null —
+    * the BH battery has a genuine rejected/non-rejected mix
+    * (fixture-adequacy spec-pinned).
+    */
+  private def abPerUserK(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"),
+        max(col("value")).as("__maxv"))
+      .withColumn("arm",
+        when(col("user_id") % 20 < 8, "A")
+          .when(col("user_id") % 20 < 14, "B")
+          .when(col("user_id") % 20 < 18, "C")
+          .when(col("user_id") % 20 < 19, "D")
+          .otherwise("E"))
+      .withColumn("hit", coalesce(
+        col("__maxv") >= when(col("arm") === "B", 200d)
+          .when(col("arm") === "D", 300d).otherwise(250d),
+        lit(false)))
+      .withColumn("peek", col("user_id") % 6)
+
+  /** Spec access to the q345 k-arm fixture (fixture-adequacy pins). */
+  def abPerUserKForSpec(s: SparkSession, dir: String): DataFrame = abPerUserK(s, dir)
+
+  private val abDesignK =
+    Seq("A" -> 0.4, "B" -> 0.3, "C" -> 0.2, "D" -> 0.1)
+
+  /** The k-arm composed dashboard gate: the q326 chain generalized to
+    * 4 designed arms + a control — ONE (arm × peek) cell state feeding
+    * k-arm SRM → per-comparison CUPED → per-arm Wilson → per-comparison
+    * mSPRT → BH multiplicity across the k−1 always-valid p-values, one
+    * row per (peek, treatment arm). The oracle replays every stage AND
+    * the step-up adjustment from raw events.
+    */
+  def q345AbDashboardKArm(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    AbDashboard.abDashboardKArmFromCells(
+        AbDashboard.abCells(abPerUserK(s, dir), "arm", "peek", "y", "x", "hit"),
+        abDesignK, control = "A", tau2 = abTau2, alpha = 0.05d)
+      .select(col("peek"), col("arm"), col("grp_lo"), col("grp_hi"),
+        col("n_arms"), col("n_unexpected"),
+        round(col("srm_chi2"), 9).as("srm_chi2"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("theta"), 9).as("theta"), round(col("rho2"), 9).as("rho2"),
+        round(col("effect_raw"), 9).as("effect_raw"),
+        round(col("effect_cuped"), 9).as("effect_cuped"),
+        round(col("se_cuped"), 9).as("se_cuped"),
+        round(col("cuped_ci_lo"), 9).as("cuped_ci_lo"),
+        round(col("cuped_ci_hi"), 9).as("cuped_ci_hi"),
+        round(col("p_ctl"), 9).as("p_ctl"),
+        round(col("wilson_ctl_lo"), 9).as("wilson_ctl_lo"),
+        round(col("wilson_ctl_hi"), 9).as("wilson_ctl_hi"),
+        round(col("p_arm"), 9).as("p_arm"),
+        round(col("wilson_arm_lo"), 9).as("wilson_arm_lo"),
+        round(col("wilson_arm_hi"), 9).as("wilson_arm_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"),
+        col("p9"), col("bh_rank"), col("bh_m"), col("reject_fdr"))
+      .orderBy("peek", "arm")
+  }
+
   /** Power/MDE gate (two-proportion): the design questions answered
     * FROM THE SAME cell state the q326 dashboard reads — roll the
     * designed arms' (n, s_hit) up over peeks, then the pinned-z normal
@@ -3822,6 +3894,7 @@ object CoreQueries {
       .agg(sum("ev").as("events"), sum("hours").as("exposure"))
     Association.mhRateRatioFromCounts(counts, Nil)
       .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_strata"),
+        col("n_strata_dropped"),
         col("events_lo"), col("exposure_lo"), col("events_hi"),
         col("exposure_hi"),
         round(col("rate_ratio_mh"), 9).as("rate_ratio_mh"),

@@ -135,6 +135,113 @@ class AbDashboardSpec extends SparkSpec {
     }
   }
 
+  test("k-arm dashboard at k = 2 reproduces the two-arm dashboard column-for-column") {
+    val u = toDf(units(150, 3))
+    val design = Seq("A" -> 0.5, "B" -> 0.5)
+    val two = AbDashboard.abDashboardFromCells(cellsOf(u), design, tau2 = 0.25)
+      .orderBy("peek").collect()
+    val karm = AbDashboard.abDashboardKArmFromCells(
+      cellsOf(u), design, control = "A", tau2 = 0.25)
+      .orderBy("peek").collect()
+    assert(karm.length === two.length) // one treatment → one row per peek
+    val colMap = Seq("n_lo" -> "n_lo", "s_lo" -> "s_lo", "n_hi" -> "n_hi",
+      "s_hi" -> "s_hi", "n_unexpected" -> "n_unexpected",
+      "srm_chi2" -> "srm_chi2", "theta" -> "theta", "rho2" -> "rho2",
+      "effect_raw" -> "effect_raw", "effect_cuped" -> "effect_cuped",
+      "se_cuped" -> "se_cuped", "cuped_ci_lo" -> "cuped_ci_lo",
+      "cuped_ci_hi" -> "cuped_ci_hi", "p_ctl" -> "p_lo",
+      "wilson_ctl_lo" -> "wilson_lo_lo", "wilson_ctl_hi" -> "wilson_lo_hi",
+      "p_arm" -> "p_hi", "wilson_arm_lo" -> "wilson_hi_lo",
+      "wilson_arm_hi" -> "wilson_hi_hi", "delta" -> "delta",
+      "ln_lr9" -> "ln_lr9", "p_always_valid" -> "p_always_valid",
+      "reject" -> "reject")
+    for ((k, t) <- karm.zip(two)) {
+      assert(k.getAs[String]("arm") === "B")
+      assert(k.getAs[String]("grp_lo") === "A" && k.getAs[String]("grp_hi") === "B")
+      for ((kc, tc) <- colMap)
+        assert(k.get(k.fieldIndex(kc)) === t.get(t.fieldIndex(tc)), s"$kc vs $tc")
+      // a 1-comparison battery: m = 1, rank = 1
+      assert(k.getAs[Long]("bh_m") === 1L && k.getAs[Long]("bh_rank") === 1L)
+    }
+  }
+
+  test("k-arm orientation: a control that is NOT the lexical min keeps the house lo-hi sign") {
+    // control Z, treatment A → grp_lo = A (the treatment), grp_hi = Z;
+    // values must equal the two-arm dashboard on the same pair, which
+    // orients lo − hi by label regardless of which arm is control
+    val u = toDf(units(150, 3).map(t => if (t._2 == "B") t.copy(_2 = "Z") else t))
+    val design = Seq("Z" -> 0.5, "A" -> 0.5)
+    val two = AbDashboard.abDashboardFromCells(cellsOf(u), design, tau2 = 0.25)
+      .orderBy("peek").collect()
+    val karm = AbDashboard.abDashboardKArmFromCells(
+      cellsOf(u), design, control = "Z", tau2 = 0.25)
+      .orderBy("peek").collect()
+    for ((k, t) <- karm.zip(two)) {
+      assert(k.getAs[String]("arm") === "A")
+      assert(k.getAs[String]("grp_lo") === "A" && k.getAs[String]("grp_hi") === "Z")
+      for (c <- Seq("effect_cuped", "delta", "n_lo", "n_hi", "srm_chi2"))
+        assert(k.get(k.fieldIndex(c)) === t.get(t.fieldIndex(c)), c)
+      // the control's Wilson is now the HI side of the two-arm read
+      assert(k.get(k.fieldIndex("p_ctl")) === t.get(t.fieldIndex("p_hi")))
+      assert(k.get(k.fieldIndex("p_arm")) === t.get(t.fieldIndex("p_lo")))
+    }
+  }
+
+  test("k-arm BH multiplicity: a real effect rejects under FDR, a null one survives") {
+    // 3 arms: B converts almost always, C mirrors the control A
+    val u = toDf((0 until 600).map { i =>
+      val arm = Seq("A", "B", "C")(i % 3)
+      val peek = (i % 4).toLong
+      val x = (i % 5).toLong
+      val y = x + (i % 3).toLong
+      val hit = arm match {
+        case "B" => i % 10 != 0 // ~90%
+        case _   => i % 10 == 0 // ~10%
+      }
+      (i.toLong, arm, peek, y, x, hit)
+    })
+    val design = Seq("A" -> 1.0, "B" -> 1.0, "C" -> 1.0)
+    val rows = AbDashboard.abDashboardKArmFromCells(
+        cellsOf(u), design, control = "A", tau2 = 0.25)
+      .orderBy("peek", "arm").collect()
+    val last = rows.filter(_.getAs[Long]("peek") == 3L)
+    assert(last.map(_.getAs[String]("arm")).toSeq === Seq("B", "C"))
+    val byArm = last.map(r => r.getAs[String]("arm") -> r).toMap
+    assert(byArm("B").getAs[Boolean]("reject_fdr"), "the real effect pages")
+    assert(!byArm("C").getAs[Boolean]("reject_fdr"), "the null comparison stays quiet")
+    for (r <- last) assert(r.getAs[Long]("bh_m") === 2L)
+    assert(last.map(_.getAs[Long]("bh_rank")).toSet === Set(1L, 2L))
+    // the battery's SRM/unexpected columns repeat identically per peek
+    assert(byArm("B").getAs[Double]("srm_chi2") ===
+      byArm("C").getAs[Double]("srm_chi2"))
+  }
+
+  test("q345 k-arm gate fixture adequacy at the oracle SF") {
+    val cells = cellsOf(
+      CoreQueries.abPerUserKForSpec(spark, "/root/testdata/sf0.01")).collect()
+    val byArm = cells.groupBy(_.getAs[String]("arm"))
+    // all four designed arms AND the off-design arm flow
+    assert(byArm.keySet === Set("A", "B", "C", "D", "E"))
+    // every designed arm is live from peek 0 with n >= 2 (CUPED's ok
+    // guard needs n >= 2 on BOTH sides at every cumulative peek)
+    for (arm <- Seq("A", "B", "C", "D"))
+      assert(byArm(arm).exists(r => r.getAs[Long]("peek") == 0L &&
+        r.getAs[Long]("n") >= 2L), s"thin peek-0 cell $arm")
+    // the control and the shifted-threshold arm both convert strictly
+    // inside (0, n) overall — the monitors have real signal
+    for (arm <- Seq("A", "B")) {
+      val s = byArm(arm).map(_.getAs[Long]("s_hit")).sum
+      val n = byArm(arm).map(_.getAs[Long]("n")).sum
+      assert(s > 0L && s < n, s"degenerate conversions $arm")
+    }
+    // D genuinely underdelivers vs its claimed 10% of designed traffic
+    // (the k-arm SRM violation the fixture exists to exercise)
+    val designedN = Seq("A", "B", "C", "D")
+      .map(a => byArm(a).map(_.getAs[Long]("n")).sum).sum
+    val dShare = byArm("D").map(_.getAs[Long]("n")).sum.toDouble / designedN
+    assert(dShare < 0.08, s"D share $dShare should sit well below the claimed 0.10")
+  }
+
   test("gate fixture adequacy: every stage's defining case is exercised at the oracle SF") {
     // the r13 lesson: a gate whose fixture can't exercise the operator's
     // defining case is green but vacuous — pin the q326 fixture's teeth

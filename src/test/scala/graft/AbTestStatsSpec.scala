@@ -896,6 +896,36 @@ class AbTestStatsSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("rate_ratio_mh")))
   }
 
+  test("mhRateRatio: a malformed stratum (events with zero exposure) drops flagged, never biases") {
+    // s1 is clean; s2 has arm A reporting 7 events on 0 exposure — its
+    // c1·t2/T term would land ONLY in the numerator (one-sided bias)
+    val clean = Association.mhRateRatioFromCounts(
+      Seq(("s1", "A", 50L, 100L), ("s1", "B", 25L, 100L))
+        .toDF("stratum", "grp", "events", "exposure"), Nil).collect()(0)
+    val withBad = Association.mhRateRatioFromCounts(
+      Seq(("s1", "A", 50L, 100L), ("s1", "B", 25L, 100L),
+        ("s2", "A", 7L, 0L), ("s2", "B", 3L, 200L))
+        .toDF("stratum", "grp", "events", "exposure"), Nil).collect()(0)
+    assert(withBad.getAs[Long]("n_strata") === 1L)
+    assert(withBad.getAs[Long]("n_strata_dropped") === 1L)
+    assert(clean.getAs[Long]("n_strata_dropped") === 0L)
+    // pooled RR, se, and count totals all match the clean-only read
+    for (c <- Seq("rate_ratio_mh", "se_ln_rr", "ci_lo", "ci_hi"))
+      assert(withBad.getAs[Double](c) === clean.getAs[Double](c), c)
+    for (c <- Seq("events_lo", "exposure_lo", "events_hi", "exposure_hi"))
+      assert(withBad.getAs[Long](c) === clean.getAs[Long](c), c)
+    // an absent arm (0 events, 0 exposure) is NOT malformed: it
+    // self-cancels but stays counted
+    val absent = Association.mhRateRatioFromCounts(
+      Seq(("s1", "A", 50L, 100L), ("s1", "B", 25L, 100L),
+        ("s2", "B", 3L, 200L))
+        .toDF("stratum", "grp", "events", "exposure"), Nil).collect()(0)
+    assert(absent.getAs[Long]("n_strata") === 2L)
+    assert(absent.getAs[Long]("n_strata_dropped") === 0L)
+    assert(math.abs(absent.getAs[Double]("rate_ratio_mh") -
+      clean.getAs[Double]("rate_ratio_mh")) < 1e-9)
+  }
+
   // --- Difference-in-differences ---------------------------------------------
 
   test("diffInDiff: hand 2x2 golden — DiD = 3, se = sqrt(7)") {

@@ -38,6 +38,29 @@ class GroupSequentialSpec extends SparkSpec {
       assert(math.abs(got - pub) < 1e-3, s"K=2 got $got want $pub")
   }
 
+  test("K = 12 gate boundary vectors are pinned (solver regression cannot drift gate + oracle together)") {
+    // The q330/q331 oracles interpolate their boundary constants from
+    // this solver, so the DuckDB gate verifies only the data path — a
+    // solver regression would move gate and oracle identically. These
+    // literals are the exact vectors the r15 gates shipped with
+    // (captured from the anchored solver); any drift fails HERE.
+    val obfZ = Seq(7.676100223690981, 5.366557708692614, 4.333096944621097,
+      3.7166404968410887, 3.3012058624805176, 2.9987560702935494,
+      2.7666429126357053, 2.580130638666605, 2.4276677263630044,
+      2.2990318510332552, 2.1883614725433613, 2.093963057900293)
+    val pocZ = Seq(2.7118375888718207, 2.676783457289674, 2.6401200262400986,
+      2.6111751117359465, 2.5857712155929207, 2.5642114438999477,
+      2.54679765143705, 2.533261080049832, 2.519757244947883,
+      2.508729072130312, 2.499754518097727, 2.4902657038483245)
+    for ((got, want) <- GroupSequential.boundaries(12, 0.05, "obf").map(_.z).zip(obfZ))
+      assert(math.abs(got - want) < 1e-9, s"obf K=12 got $got want $want")
+    for ((got, want) <- GroupSequential.boundaries(12, 0.05, "pocock").map(_.z).zip(pocZ))
+      assert(math.abs(got - want) < 1e-9, s"pocock K=12 got $got want $want")
+    // full spend on both (the cumulative-spend invariant at the gate K)
+    assert(math.abs(GroupSequential.boundaries(12, 0.05, "obf").last.alphaSpent - 0.05) < 1e-12)
+    assert(math.abs(GroupSequential.boundaries(12, 0.05, "pocock").last.alphaSpent - 0.05) < 1e-12)
+  }
+
   test("Pocock-like boundaries: published first look, near-flat decreasing shape, full spend") {
     val bs = GroupSequential.boundaries(5, 0.05, "pocock")
     assert(math.abs(bs.head.z - 2.4380) < 1e-3) // ldbounds/gsDesign first look

@@ -18,9 +18,14 @@ class StoreCatalogSpec extends SparkSpec {
       .filter(m => m.group(2).contains("storePath:") ||
         m.group(2).contains("assignPath:"))
       .map(_.group(1)).toSet - "latestHllVersionBefore" // a reader, not a fold
-    val cataloged = StoreCatalog.All.map(_.fold).mkString(" ") + " " +
-      StoreCatalog.FoldAliases.keys.mkString(" ")
-    val missing = defs.filterNot(d => cataloged.contains(d))
+    // exact identifier-set membership, not substring containment: a
+    // future fold whose name is a substring of a cataloged fold string
+    // (e.g. `clusterStream` vs `semanticClusterStream`) must NOT pass
+    // vacuously
+    val cataloged: Set[String] =
+      (StoreCatalog.All.map(_.fold) ++ StoreCatalog.FoldAliases.keys)
+        .flatMap(_.split("\\W+")).filter(_.nonEmpty).toSet
+    val missing = defs.filterNot(cataloged.contains)
     assert(missing.isEmpty, s"uncataloged store folds: $missing")
     assert(defs.size >= 20, s"source parse degraded: only $defs")
   }
