@@ -3399,10 +3399,10 @@ object SparkEntry {
       |  CASE WHEN c.cok THEN round(c.adjeff - 1.959964 * c.se, 9) END AS cuped_ci_lo,
       |  CASE WHEN c.cok THEN round(c.adjeff + 1.959964 * c.se, 9) END AS cuped_ci_hi,
       |  round(wc.p, 9) AS p_ctl,
-      |  round(wc.center - wc.half, 9) AS wilson_ctl_lo,
+      |  round(wc.center - wc.half, 9) + 0.0 AS wilson_ctl_lo,
       |  round(wc.center + wc.half, 9) AS wilson_ctl_hi,
       |  round(wa.p, 9) AS p_arm,
-      |  round(wa.center - wa.half, 9) AS wilson_arm_lo,
+      |  round(wa.center - wa.half, 9) + 0.0 AS wilson_arm_lo,
       |  round(wa.center + wa.half, 9) AS wilson_arm_hi,
       |  CASE WHEN m.usable THEN round(m.delta, 9) END AS delta, m.ln_lr9,
       |  round(m.p_av, 9) AS p_always_valid,
