@@ -356,7 +356,8 @@ object SparkEntry {
     "q342_mh_rate_ratio" -> (CoreQueries.q342MhRateRatio(_, _)),
     "q343_drift_card" -> (CoreQueries.q343DriftCard(_, _)),
     "q344_drift_card_from_store" -> (CoreQueries.q344DriftCardFromStore(_, _)),
-    "q345_ab_dashboard_karm" -> (CoreQueries.q345AbDashboardKArm(_, _))
+    "q345_ab_dashboard_karm" -> (CoreQueries.q345AbDashboardKArm(_, _)),
+    "q346_scorecard" -> (CoreQueries.q346Scorecard(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -515,7 +516,8 @@ object SparkEntry {
     "q342_mh_rate_ratio" -> mhRateRatioOracle,
     "q343_drift_card" -> driftCardOracle,
     "q344_drift_card_from_store" -> driftCardOracle,
-    "q345_ab_dashboard_karm" -> abDashboardKArmOracle)
+    "q345_ab_dashboard_karm" -> abDashboardKArmOracle,
+    "q346_scorecard" -> scorecardOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3414,6 +3416,110 @@ object SparkEntry {
       |JOIN wil2 wa ON m.cmp = wa.arm AND m.peek = wa.peek
       |JOIN wil2 wc ON wc.arm = 'A' AND m.peek = wc.peek
       |ORDER BY m.peek, m.cmp""".stripMargin
+
+  /** q346 oracle: the multi-metric scorecard replayed from raw events —
+    * per-user metric booleans (two arm-shifted thresholds, three
+    * symmetric), ONE wide per-(arm, peek) counting pass, the metric
+    * unpivot on the bounded cell frame, the (metric × arm × peek)
+    * spine, the q299 mSPRT recursion per metric on per-peek increments,
+    * and the q320 BH step-up across the 5 monitor p-values per peek
+    * (nano p9 grid, exact HUGEINT step inequality, metric tie-break).
+    */
+  private lazy val scorecardOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(count(*) AS BIGINT) AS n_ev,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    max(value) AS maxv,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(user_id % 6 AS BIGINT) AS peek
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |pm AS (SELECT arm, peek,
+      |    CASE WHEN coalesce(maxv >= 250.0, false) THEN 1 ELSE 0 END AS h_conv,
+      |    CASE WHEN coalesce(maxv >= CASE WHEN arm = 'A' THEN 450.0
+      |      ELSE 250.0 END, false) THEN 1 ELSE 0 END AS h_conv_shift,
+      |    CASE WHEN x >= 3 THEN 1 ELSE 0 END AS h_even,
+      |    CASE WHEN y >= CASE WHEN arm = 'A' THEN 2 ELSE 3 END
+      |      THEN 1 ELSE 0 END AS h_odd_shift,
+      |    CASE WHEN n_ev >= 5 THEN 1 ELSE 0 END AS h_active
+      |  FROM pu),
+      |wide AS (SELECT arm, peek, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(h_active) AS BIGINT) AS s_active,
+      |    CAST(sum(h_conv) AS BIGINT) AS s_conv,
+      |    CAST(sum(h_conv_shift) AS BIGINT) AS s_conv_shift,
+      |    CAST(sum(h_even) AS BIGINT) AS s_even,
+      |    CAST(sum(h_odd_shift) AS BIGINT) AS s_odd_shift
+      |  FROM pm GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT 'm_active' AS metric, arm, peek, n, s_active AS s_hit FROM wide
+      |  UNION ALL SELECT 'm_conv', arm, peek, n, s_conv FROM wide
+      |  UNION ALL SELECT 'm_conv_shift', arm, peek, n, s_conv_shift FROM wide
+      |  UNION ALL SELECT 'm_even', arm, peek, n, s_even FROM wide
+      |  UNION ALL SELECT 'm_odd_shift', arm, peek, n, s_odd_shift FROM wide),
+      |spine AS (SELECT m.metric, a.arm, p.peek
+      |  FROM (SELECT DISTINCT metric FROM cells) m
+      |  CROSS JOIN (SELECT DISTINCT peek FROM cells) p
+      |  CROSS JOIN (SELECT * FROM (VALUES ('A'), ('B')) t(arm)) a),
+      |fullc AS (SELECT sp.metric, sp.arm, sp.peek,
+      |    coalesce(c.n, 0) AS n, coalesce(c.s_hit, 0) AS s_hit
+      |  FROM spine sp LEFT JOIN cells c
+      |  ON sp.metric = c.metric AND sp.arm = c.arm AND sp.peek = c.peek),
+      |mincr AS (SELECT metric, peek,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN n ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN s_hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN n ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN s_hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM fullc GROUP BY 1, 2),
+      |mt AS (SELECT metric, peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM mincr
+      |  WINDOW w AS (PARTITION BY metric ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |mv AS (SELECT *,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo AS DOUBLE) + CAST(s_hi AS DOUBLE)) /
+      |      (CAST(n_lo AS DOUBLE) + CAST(n_hi AS DOUBLE)) AS pp,
+      |    n_lo > 0 AND n_hi > 0 AND (s_lo + s_hi) > 0 AND
+      |      (s_lo + s_hi) < (n_lo + n_hi) AS usable
+      |  FROM mt),
+      |ml AS (SELECT *,
+      |    pp * (1 - pp) * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)) AS vv
+      |  FROM mv),
+      |mr AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.0625)) +
+      |      delta * delta * 0.0625 /
+      |        (2 * vv * (vv + 0.0625))) * 1e9) AS BIGINT) END AS ln_lr9
+      |  FROM ml),
+      |mb AS (SELECT *, max(ln_lr9) OVER (PARTITION BY metric ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM mr),
+      |mp AS (SELECT *,
+      |    CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |      ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END AS p_av
+      |  FROM mb),
+      |bh AS (SELECT *, CAST(round(p_av * 1e9) AS BIGINT) AS p9 FROM mp),
+      |bh2 AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY peek ORDER BY p9, metric) AS BIGINT)
+      |      AS bh_rank,
+      |    CAST(count(*) OVER (PARTITION BY peek) AS BIGINT) AS n_metrics
+      |  FROM bh),
+      |bh3 AS (SELECT *,
+      |    CAST(p9 AS HUGEINT) * n_metrics * 100 <=
+      |      CAST(bh_rank AS HUGEINT) * 5 * 1000000000 AS is_cand
+      |  FROM bh2),
+      |bh4 AS (SELECT *, max(CASE WHEN is_cand THEN bh_rank ELSE 0 END)
+      |    OVER (PARTITION BY peek) AS cut
+      |  FROM bh3)
+      |SELECT peek, metric, n_lo, s_lo, n_hi, s_hi,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta, ln_lr9,
+      |  round(p_av, 9) AS p_always_valid,
+      |  coalesce(best9 >= 2995732274, false) AS reject,
+      |  p9, bh_rank, n_metrics, bh_rank <= cut AS reject_fdr
+      |FROM bh4
+      |ORDER BY peek, metric""".stripMargin
 
   /** q330/q331 oracle, generated per spending shape: the q299 cumulative
     * count CTEs, z = Δ̂/√V in the Spark dag's float order, the nano |z|

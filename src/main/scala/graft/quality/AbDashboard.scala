@@ -352,4 +352,111 @@ object AbDashboard {
         col("delta"), col("ln_lr9"), col("p_always_valid"), col("reject"),
         col("p9"), col("bh_rank"), col("bh_m"), col("reject_fdr"))
   }
+
+  /** Per-(metric, arm, peek) conversion cells from per-UNIT rows carrying
+    * ONE BOOLEAN COLUMN PER GUARDRAIL METRIC — the multi-metric
+    * scorecard's standing state. The aggregation is ONE row-scale pass
+    * (M conditional sums, map-side combined); the metric dimension is
+    * unpivoted AFTERWARDS on the (arm × peek)-bounded frame, so M never
+    * multiplies the row-scale work. Rows with a NULL arm/peek/metric
+    * flag drop whole (the house complete-unit rule: a unit reports every
+    * metric or none). `n` repeats per metric by construction — the
+    * denominator every monitor shares. Additively mergeable
+    * ([[mergeScorecardCells]]), same fold contract as [[abCells]].
+    */
+  def scorecardCells(
+      perUnit: DataFrame,
+      armCol: String,
+      peekCol: String,
+      metricCols: Seq[String]
+  ): DataFrame = {
+    require(metricCols.nonEmpty, "need at least one metric column")
+    require(metricCols.distinct.size == metricCols.size,
+      s"duplicate metric columns: $metricCols")
+    val live = perUnit.filter(
+      (col(armCol).isNotNull && col(peekCol).isNotNull) &&
+        metricCols.map(col(_).isNotNull).reduce(_ && _))
+    val sums = metricCols.map(m =>
+      sum(when(col(m).cast("boolean"), 1L).otherwise(0L)).as(s"__s_$m"))
+    val wide = live
+      .groupBy(col(armCol).cast("string").as("arm"),
+        col(peekCol).cast("long").as("peek"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+    wide.select(col("arm"), col("peek"), col("__n"),
+        explode(array(metricCols.map(m =>
+          struct(lit(m).as("metric"), col(s"__s_$m").as("s_hit"))): _*)).as("__m"))
+      .select(col("__m.metric").as("metric"), col("arm"), col("peek"),
+        col("__n").as("n"), col("__m.s_hit").as("s_hit"))
+  }
+
+  /** Additive merge of two [[scorecardCells]] frames — fold == rebuild
+    * under any batch order (exact integer sums).
+    */
+  def mergeScorecardCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("metric"), col("arm"), col("peek"))
+      .agg(sum("n").as("n"), sum("s_hit").as("s_hit"))
+
+  /** The multi-metric SCORECARD read — the other half of the
+    * multiplicity story beside [[abDashboardKArmFromCells]]: a real
+    * experiment scorecard reads 10–50 guardrail metrics at once, and
+    * paging on each metric's own always-valid p fires false alarms at
+    * M times the per-metric rate. Per peek: the q299 mSPRT monitor per
+    * METRIC (keyed cumulative increments from the cell state, arm 1 =
+    * the lexical-min designed arm — the house orientation), then
+    * [[MultipleTesting.benjaminiHochberg]] across the M monitor
+    * p-values (battery = peek, nano p9 grid, metric tie-break):
+    * `reject_fdr` is the verdict column the scorecard pages on, beside
+    * the unadjusted `reject` for the single-metric reading.
+    *
+    * `arms` names the two designed arms; cells from other arms are
+    * ignored (traffic-level SRM is the dashboard's job — q326/q345 —
+    * not the per-metric scorecard's). The (metric × arm × peek) spine
+    * completes vanished cells with zeros so cumulative series stay
+    * aligned. SCALE: one row-scale pass upstream ([[scorecardCells]]);
+    * everything here runs on the (M × 2 × peeks)-bounded local frame.
+    * One row per (peek, metric), peek-then-metric ordered reads.
+    */
+  def scorecardFromCells(
+      cells: DataFrame,
+      arms: (String, String),
+      tau2: Double,
+      alpha: Double = 0.05d,
+      fdrNum: Int = 5,
+      fdrDen: Int = 100
+  ): DataFrame = {
+    require(arms._1 != arms._2, s"need two distinct arms: $arms")
+    val lo = if (arms._1 < arms._2) arms._1 else arms._2
+    val hi = if (arms._1 < arms._2) arms._2 else arms._1
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val local = materialize(
+      cells.filter(col("arm") === lo || col("arm") === hi))
+    // (metric × arm × peek) spine over the bounded frame
+    val metrics = local.select(col("metric")).distinct()
+    val peeks = local.select(col("peek")).distinct()
+    val armsDf = Seq(lo, hi).toDF("arm")
+    val full = metrics.crossJoin(peeks).crossJoin(broadcast(armsDf))
+      .join(local, Seq("metric", "arm", "peek"), "left")
+      .select(col("metric"), col("arm"), col("peek"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("s_hit"), lit(0L)).as("s_hit"))
+    // per-peek increments per metric, lo/hi oriented
+    val incr = full.groupBy(col("metric"), col("peek")).agg(
+      sum(when(col("arm") === lo, col("n")).otherwise(0L)).as("bn1"),
+      sum(when(col("arm") === lo, col("s_hit")).otherwise(0L)).as("bs1"),
+      sum(when(col("arm") === hi, col("n")).otherwise(0L)).as("bn2"),
+      sum(when(col("arm") === hi, col("s_hit")).otherwise(0L)).as("bs2"))
+    val mon = SequentialTests.msprtTwoProportion(incr, Seq("metric"), "peek",
+      "bn1", "bs1", "bn2", "bs2", tau2, alpha)
+    MultipleTesting.benjaminiHochberg(
+        mon.withColumn("p9", round(col("p_always_valid") * 1e9d).cast("long")),
+        Seq("peek"), Seq("metric"), "p9", fdrNum, fdrDen)
+      .select(col("peek"), col("metric"), col("n_lo"), col("s_lo"),
+        col("n_hi"), col("s_hi"), col("delta"), col("ln_lr9"),
+        col("p_always_valid"), col("reject"), col("p9"),
+        col("rank").cast("long").as("bh_rank"),
+        col("m").as("n_metrics"),
+        col("rejected").as("reject_fdr"))
+  }
 }

@@ -3750,6 +3750,60 @@ object CoreQueries {
       .orderBy("peek", "arm")
   }
 
+  /** The q346 multi-metric per-unit fixture: one row per user carrying
+    * FIVE guardrail-metric booleans over the parity arms and 6 peeks.
+    * Two metrics have ARM-DEPENDENT thresholds (real effects in opposite
+    * directions), three are arm-symmetric (null effects) — so the BH
+    * battery across metrics has genuine rejected/non-rejected structure
+    * (fixture-adequacy spec-pinned).
+    */
+  private def scorecardPerUser(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_ev"),
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"),
+        max(col("value")).as("__maxv"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      .withColumn("peek", col("user_id") % 6)
+      .withColumn("m_conv", coalesce(col("__maxv") >= 250d, lit(false)))
+      .withColumn("m_conv_shift", coalesce(
+        col("__maxv") >= when(col("arm") === "A", 450d).otherwise(250d),
+        lit(false)))
+      .withColumn("m_even", col("x") >= 3L)
+      .withColumn("m_odd_shift",
+        col("y") >= when(col("arm") === "A", 2L).otherwise(3L))
+      .withColumn("m_active", col("n_ev") >= 5L)
+
+  /** Spec access to the q346 scorecard fixture (fixture-adequacy pins). */
+  def scorecardPerUserForSpec(s: SparkSession, dir: String): DataFrame =
+    scorecardPerUser(s, dir)
+
+  private val scorecardMetrics =
+    Seq("m_active", "m_conv", "m_conv_shift", "m_even", "m_odd_shift")
+
+  /** The multi-metric scorecard gate: FIVE guardrail metrics' monitor
+    * p-values read from one (metric × arm × peek) cell state, the q299
+    * mSPRT per metric on per-peek increments, and BH applied across the
+    * M metrics within each peek — per-metric verdicts (`reject_fdr`)
+    * beside the unadjusted monitor columns. The oracle replays the
+    * whole chain from raw events including the step-up adjustment.
+    */
+  def q346Scorecard(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    val cells = AbDashboard.scorecardCells(
+      scorecardPerUser(s, dir), "arm", "peek", scorecardMetrics)
+    AbDashboard.scorecardFromCells(cells, ("A", "B"), tau2 = 0.0625d, alpha = 0.05d)
+      .select(col("peek"), col("metric"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"),
+        col("p9"), col("bh_rank"), col("n_metrics"), col("reject_fdr"))
+      .orderBy("peek", "metric")
+  }
+
   /** Power/MDE gate (two-proportion): the design questions answered
     * FROM THE SAME cell state the q326 dashboard reads — roll the
     * designed arms' (n, s_hit) up over peeks, then the pinned-z normal

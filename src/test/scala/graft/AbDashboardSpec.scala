@@ -242,6 +242,86 @@ class AbDashboardSpec extends SparkSpec {
     assert(dShare < 0.08, s"D share $dShare should sit well below the claimed 0.10")
   }
 
+  test("scorecardCells: one row-scale pass unpivots to per-metric cells; fold == rebuild") {
+    val u = (0 until 120).map { i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B", (i % 4).toLong,
+        i % 3 == 0, i % 5 == 0)
+    }.toDF("unit", "arm", "peek", "ma", "mb")
+    val cellsOf = (df: DataFrame) =>
+      AbDashboard.scorecardCells(df, "arm", "peek", Seq("ma", "mb"))
+    val all = cellsOf(u).orderBy("metric", "arm", "peek").collect()
+    // n repeats per metric (the shared denominator); s_hit is per metric
+    assert(all.map(_.getAs[String]("metric")).toSet === Set("ma", "mb"))
+    val byKey = all.map(r => (r.getAs[String]("metric"), r.getAs[String]("arm"),
+      r.getAs[Long]("peek")) -> r).toMap
+    assert(byKey(("ma", "A", 0L)).getAs[Long]("n") ===
+      byKey(("mb", "A", 0L)).getAs[Long]("n"))
+    // fold == rebuild over a 2-way split
+    val folded = AbDashboard.mergeScorecardCells(
+      cellsOf(u.filter(col("unit") % 2 === 0)),
+      cellsOf(u.filter(col("unit") % 2 =!= 0)))
+    assert(folded.orderBy("metric", "arm", "peek").collect().toSeq === all.toSeq)
+  }
+
+  test("single-metric scorecard equals the q299 monitor run directly; m = 1 battery") {
+    val u = toDf(units(150, 3))
+    val cells = AbDashboard.scorecardCells(
+      u.withColumn("m_hit", col("hit")), "arm", "peek", Seq("m_hit"))
+    val sc = AbDashboard.scorecardFromCells(cells, ("A", "B"), tau2 = 0.25)
+      .orderBy("peek").collect()
+    val incr = u.groupBy("peek").agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === "A" && col("hit"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("arm") === "B" && col("hit"), 1L).otherwise(0L)).as("s2"))
+    val mon = SequentialTests.msprtTwoProportion(incr, Nil, "peek",
+      "n1", "s1", "n2", "s2", tau2 = 0.25).orderBy("peek").collect()
+    for ((s, m) <- sc.zip(mon)) {
+      for (c <- Seq("n_lo", "s_lo", "n_hi", "s_hi", "delta", "ln_lr9",
+          "p_always_valid", "reject"))
+        assert(s.get(s.fieldIndex(c)) === m.get(m.fieldIndex(c)), c)
+      assert(s.getAs[Long]("n_metrics") === 1L && s.getAs[Long]("bh_rank") === 1L)
+    }
+  }
+
+  test("scorecard FDR: a real metric effect pages, null metrics stay quiet, BH never beats raw") {
+    val u = (0 until 800).map { i =>
+      val arm = if (i % 2 == 0) "A" else "B"
+      (i.toLong, arm, (i % 4).toLong,
+        arm == "B" || i % 10 == 0, // m_real: B ~100%, A ~10%
+        i % 7 == 0,                // m_null1: arm-symmetric
+        i % 3 == 0)                // m_null2: arm-symmetric
+    }.toDF("unit", "arm", "peek", "m_real", "m_null1", "m_null2")
+    val cells = AbDashboard.scorecardCells(u, "arm", "peek",
+      Seq("m_null1", "m_null2", "m_real"))
+    val rows = AbDashboard.scorecardFromCells(cells, ("A", "B"), tau2 = 0.25)
+      .filter(col("peek") === 3L).orderBy("metric").collect()
+    val byM = rows.map(r => r.getAs[String]("metric") -> r).toMap
+    assert(byM("m_real").getAs[Boolean]("reject_fdr"))
+    assert(!byM("m_null1").getAs[Boolean]("reject_fdr"))
+    assert(!byM("m_null2").getAs[Boolean]("reject_fdr"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_metrics") === 3L)
+      // FDR can only remove pages, never add: reject_fdr ⇒ raw p ≤ α·…
+      if (r.getAs[Boolean]("reject_fdr"))
+        assert(r.getAs[Long]("p9") <= 50000000L * r.getAs[Long]("bh_rank"))
+    }
+  }
+
+  test("q346 scorecard gate fixture adequacy at the oracle SF") {
+    val rows = CoreQueries.q346Scorecard(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 30) // 5 metrics × 6 peeks
+    val last = rows.filter(_.getAs[Long]("peek") == 5L)
+    // the shifted-threshold metric genuinely pages under FDR; at least
+    // one null metric stays quiet — the battery discriminates
+    assert(last.find(_.getAs[String]("metric") == "m_conv_shift")
+      .get.getAs[Boolean]("reject_fdr"), "the real effect pages")
+    assert(last.count(!_.getAs[Boolean]("reject_fdr")) >= 3,
+      "null metrics stay quiet")
+    // distinct p9s at the last peek: the BH ranking is non-vacuous
+    assert(last.map(_.getAs[Long]("p9")).distinct.length >= 2)
+  }
+
   test("gate fixture adequacy: every stage's defining case is exercised at the oracle SF") {
     // the r13 lesson: a gate whose fixture can't exercise the operator's
     // defining case is green but vacuous — pin the q326 fixture's teeth
