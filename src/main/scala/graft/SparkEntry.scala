@@ -357,7 +357,8 @@ object SparkEntry {
     "q343_drift_card" -> (CoreQueries.q343DriftCard(_, _)),
     "q344_drift_card_from_store" -> (CoreQueries.q344DriftCardFromStore(_, _)),
     "q345_ab_dashboard_karm" -> (CoreQueries.q345AbDashboardKArm(_, _)),
-    "q346_scorecard" -> (CoreQueries.q346Scorecard(_, _))
+    "q346_scorecard" -> (CoreQueries.q346Scorecard(_, _)),
+    "q347_cuped_multi" -> (CoreQueries.q347CupedMulti(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -517,7 +518,8 @@ object SparkEntry {
     "q343_drift_card" -> driftCardOracle,
     "q344_drift_card_from_store" -> driftCardOracle,
     "q345_ab_dashboard_karm" -> abDashboardKArmOracle,
-    "q346_scorecard" -> scorecardOracle)
+    "q346_scorecard" -> scorecardOracle,
+    "q347_cuped_multi" -> cupedMultiOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3520,6 +3522,122 @@ object SparkEntry {
       |  p9, bh_rank, n_metrics, bh_rank <= cut AS reject_fdr
       |FROM bh4
       |ORDER BY peek, metric""".stripMargin
+
+  /** q347 oracle: [[graft.quality.Association.cupedMulti]]'s
+    * two-covariate dag replayed — the per-user (x1, y, x2) CTE, per-arm
+    * HUGEINT moments from one pass, pooled central cross-products
+    * (exact), the Cramer solve and every downstream statistic in the
+    * Spark dag's float order (A/b cast double once, det/thetas/raw
+    * effects/Szz/Sz/variances as literal left-assoc chains).
+    */
+  private lazy val cupedMultiOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(count(DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS BIGINT)
+      |      AS x2,
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS arm
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id),
+      |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sx1x1,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS sx2x2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS sx1x2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS sx1y,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS sx2y
+      |  FROM pu GROUP BY 1),
+      |w AS (SELECT
+      |    max(CASE WHEN arm = 'false' THEN n END) AS n1,
+      |    max(CASE WHEN arm = 'false' THEN sy END) AS sy1,
+      |    max(CASE WHEN arm = 'false' THEN syy END) AS syy1,
+      |    max(CASE WHEN arm = 'false' THEN sx1 END) AS sx11,
+      |    max(CASE WHEN arm = 'false' THEN sx2 END) AS sx21,
+      |    max(CASE WHEN arm = 'false' THEN sx1x1 END) AS sx1x11,
+      |    max(CASE WHEN arm = 'false' THEN sx2x2 END) AS sx2x21,
+      |    max(CASE WHEN arm = 'false' THEN sx1x2 END) AS sx1x21,
+      |    max(CASE WHEN arm = 'false' THEN sx1y END) AS sx1y1,
+      |    max(CASE WHEN arm = 'false' THEN sx2y END) AS sx2y1,
+      |    max(CASE WHEN arm = 'true' THEN n END) AS n2,
+      |    max(CASE WHEN arm = 'true' THEN sy END) AS sy2,
+      |    max(CASE WHEN arm = 'true' THEN syy END) AS syy2,
+      |    max(CASE WHEN arm = 'true' THEN sx1 END) AS sx12,
+      |    max(CASE WHEN arm = 'true' THEN sx2 END) AS sx22,
+      |    max(CASE WHEN arm = 'true' THEN sx1x1 END) AS sx1x12,
+      |    max(CASE WHEN arm = 'true' THEN sx2x2 END) AS sx2x22,
+      |    max(CASE WHEN arm = 'true' THEN sx1x2 END) AS sx1x22,
+      |    max(CASE WHEN arm = 'true' THEN sx1y END) AS sx1y2,
+      |    max(CASE WHEN arm = 'true' THEN sx2y END) AS sx2y2
+      |  FROM m),
+      |c1 AS (SELECT *, CAST(n1 + n2 AS HUGEINT) AS nt,
+      |    sy1 + sy2 AS syt, syy1 + syy2 AS syyt,
+      |    sx11 + sx12 AS sx1t, sx21 + sx22 AS sx2t,
+      |    sx1x11 + sx1x12 AS sx1x1t, sx2x21 + sx2x22 AS sx2x2t,
+      |    sx1x21 + sx1x22 AS sx1x2t,
+      |    sx1y1 + sx1y2 AS sx1yt, sx2y1 + sx2y2 AS sx2yt
+      |  FROM w),
+      |c2 AS (SELECT *,
+      |    nt * sx1x1t - sx1t * sx1t AS a11,
+      |    nt * sx2x2t - sx2t * sx2t AS a22,
+      |    nt * sx1x2t - sx1t * sx2t AS a12,
+      |    nt * sx1yt - sx1t * syt AS b1,
+      |    nt * sx2yt - sx2t * syt AS b2,
+      |    nt * syyt - syt * syt AS varynum
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) -
+      |      CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) AS det
+      |  FROM c2),
+      |c4 AS (SELECT *,
+      |    (CAST(a22 AS DOUBLE) * CAST(b1 AS DOUBLE) -
+      |      CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE)) / det AS theta1,
+      |    (CAST(a11 AS DOUBLE) * CAST(b2 AS DOUBLE) -
+      |      CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE)) / det AS theta2,
+      |    CAST(sy1 * n2 - sy2 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS rawy,
+      |    CAST(sx11 * n2 - sx12 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS rawx1,
+      |    CAST(sx21 * n2 - sx22 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS rawx2
+      |  FROM c3),
+      |c5 AS (SELECT *,
+      |    rawy - theta1 * rawx1 - theta2 * rawx2 AS adjeff,
+      |    CAST(syy1 AS DOUBLE) + theta1 * theta1 * CAST(sx1x11 AS DOUBLE) +
+      |      theta2 * theta2 * CAST(sx2x21 AS DOUBLE) +
+      |      2 * theta1 * theta2 * CAST(sx1x21 AS DOUBLE) -
+      |      2 * theta1 * CAST(sx1y1 AS DOUBLE) -
+      |      2 * theta2 * CAST(sx2y1 AS DOUBLE) AS szz1,
+      |    CAST(sy1 AS DOUBLE) - theta1 * CAST(sx11 AS DOUBLE) -
+      |      theta2 * CAST(sx21 AS DOUBLE) AS sz1,
+      |    CAST(syy2 AS DOUBLE) + theta1 * theta1 * CAST(sx1x12 AS DOUBLE) +
+      |      theta2 * theta2 * CAST(sx2x22 AS DOUBLE) +
+      |      2 * theta1 * theta2 * CAST(sx1x22 AS DOUBLE) -
+      |      2 * theta1 * CAST(sx1y2 AS DOUBLE) -
+      |      2 * theta2 * CAST(sx2y2 AS DOUBLE) AS szz2,
+      |    CAST(sy2 AS DOUBLE) - theta1 * CAST(sx12 AS DOUBLE) -
+      |      theta2 * CAST(sx22 AS DOUBLE) AS sz2
+      |  FROM c4),
+      |c6 AS (SELECT *,
+      |    (CAST(n1 AS DOUBLE) * szz1 - sz1 * sz1) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) +
+      |    (CAST(n2 AS DOUBLE) * szz2 - sz2 * sz2) /
+      |      (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+      |      AS sev
+      |  FROM c5),
+      |c7 AS (SELECT *, sqrt(sev) AS se,
+      |    (theta1 * CAST(b1 AS DOUBLE) + theta2 * CAST(b2 AS DOUBLE)) /
+      |      CAST(varynum AS DOUBLE) AS rho2
+      |  FROM c6)
+      |SELECT 'false' AS grp_lo, 'true' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  n1 AS n_lo, n2 AS n_hi,
+      |  round(theta1, 9) AS theta1, round(theta2, 9) AS theta2,
+      |  round(rho2, 9) AS rho2, round(rawy, 9) AS effect_raw,
+      |  round(adjeff, 9) AS effect_cuped, round(se, 9) AS se_cuped,
+      |  round(adjeff - 1.959964 * se, 9) AS ci_lo,
+      |  round(adjeff + 1.959964 * se, 9) AS ci_hi
+      |FROM c7""".stripMargin
 
   /** q330/q331 oracle, generated per spending shape: the q299 cumulative
     * count CTEs, z = Δ̂/√V in the Spark dag's float order, the nano |z|

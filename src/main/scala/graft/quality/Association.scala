@@ -1608,6 +1608,148 @@ object Association {
         col("ci_lo") :+ col("ci_hi"): _*)
   }
 
+  /** CUPED with a VECTOR of pre-period covariates — the multivariate
+    * regression adjustment Deng, Xu, Kohavi & Walker 2013 §4 describe
+    * (and every large experiment platform runs in practice): adjust the
+    * metric by SEVERAL pre-period signals at once,
+    * y′ = y − θᵀ(x − x̄) with θ = Var(X)⁻¹ Cov(X, y) pooled, shrinking
+    * the effect variance by the multiple-R² of the covariates instead
+    * of one covariate's ρ².
+    *
+    * `xCols` supports ONE covariate (delegates to [[cuped]]'s q298 dag
+    * verbatim — the k = 1 reduction is exact by construction) or TWO.
+    * For k = 2 the normal-equations solve is CRAMER'S RULE over the
+    * EXACT DECIMAL central cross-products
+    * (A11 = nΣx1x1 − (Σx1)², A12, A22, b1 = nΣx1y − Σx1Σy, b2 — all
+    * exact integers from ONE moments aggregation); the determinant and
+    * θ components are fixed double dags over those exact pieces (a
+    * det of two exact ~10²⁰ integers would overflow DECIMAL(38,0), so
+    * the two multiplications land in doubles — deterministic, same
+    * rounding both engines). Emits theta1/theta2 (theta2 NULL at
+    * k = 1), rho2 = the achieved multiple-R² (θᵀb over the y central
+    * moment), effect_raw, effect_cuped, se_cuped and the 95% CI — the
+    * [[cupedFromMoments]] column contract widened by one component.
+    * NULL statistics when det(Var X) ≤ 0 (collinear or constant
+    * covariates — use fewer covariates) or either n < 2; ≠2 groups
+    * flagged via n_groups. SCALE: one moments aggregation (map-side
+    * combined) + the 2-label pivot; one row out per key set.
+    */
+  def cupedMulti(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      yCol: String,
+      xCols: Seq[String]
+  ): DataFrame = xCols match {
+    case Seq(x1) =>
+      val one = cuped(df, keyCols, groupCol, yCol, x1)
+      val g = keyCols.map(col)
+      one.select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("theta").as("theta1") :+
+        lit(null).cast("double").as("theta2") :+ col("rho2") :+
+        col("effect_raw") :+ col("effect_cuped") :+ col("se_cuped") :+
+        col("ci_lo") :+ col("ci_hi"): _*)
+    case Seq(x1, x2) =>
+      val g = keyCols.map(col)
+      val yD = col(yCol).cast("long").cast(dec)
+      val x1D = col(x1).cast("long").cast(dec)
+      val x2D = col(x2).cast("long").cast(dec)
+      val grpAgg = df
+        .filter(col(groupCol).isNotNull && col(yCol).isNotNull &&
+          col(x1).isNotNull && col(x2).isNotNull)
+        .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+        .agg(count(lit(1)).as("__n"),
+          sum(yD).as("__sy"), sum(yD * yD).as("__syy"),
+          sum(x1D).as("__sx1"), sum(x2D).as("__sx2"),
+          sum(x1D * x1D).as("__sx1x1"), sum(x2D * x2D).as("__sx2x2"),
+          sum(x1D * x2D).as("__sx1x2"),
+          sum(x1D * yD).as("__sx1y"), sum(x2D * yD).as("__sx2y"))
+      cupedMulti2FromMoments(grpAgg, keyCols)
+    case other => throw new IllegalArgumentException(
+      s"cupedMulti supports 1 or 2 covariates, got ${other.size}: $other")
+  }
+
+  /** [[cupedMulti]]'s two-covariate dag from a (possibly folded)
+    * per-(keys, grp) moment frame — columns `grp, __n, __sy, __syy,
+    * __sx1, __sx2, __sx1x1, __sx2x2, __sx1x2, __sx1y, __sx2y` with the
+    * sums exact DECIMAL(38,0) (the shape [[cupedMulti]]'s own
+    * aggregation emits and an additive store fold preserves).
+    */
+  def cupedMulti2FromMoments(grpAgg: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val moments = Seq("__n", "__sy", "__syy", "__sx1", "__sx2", "__sx1x1",
+      "__sx2x2", "__sx1x2", "__sx1y", "__sx2y")
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col(moments.head))).as(moments.head + "1"),
+        (moments.tail.map(m =>
+          max(when(col("grp") === col("grp_lo"), col(m))).as(m + "1")) ++
+         moments.map(m =>
+          max(when(col("grp") === col("grp_hi"), col(m))).as(m + "2"))): _*)
+    def t(m: String): Column = col(m + "1") + col(m + "2")
+    val two = col("__ngrps") === 2L
+    val nT = (col("__n1") + col("__n2")).cast(dec)
+    // exact central cross-products, pooled: the normal equations' pieces
+    val a11 = nT * t("__sx1x1") - t("__sx1") * t("__sx1")
+    val a22 = nT * t("__sx2x2") - t("__sx2") * t("__sx2")
+    val a12 = nT * t("__sx1x2") - t("__sx1") * t("__sx2")
+    val b1 = nT * t("__sx1y") - t("__sx1") * t("__sy")
+    val b2 = nT * t("__sx2y") - t("__sx2") * t("__sy")
+    val varYNum = nT * t("__syy") - t("__sy") * t("__sy")
+    // Cramer in doubles over the exact pieces (the det would overflow
+    // DECIMAL(38,0) at scale): fixed dags, same rounding both engines
+    val a11d = a11.cast("double"); val a22d = a22.cast("double")
+    val a12d = a12.cast("double"); val b1d = b1.cast("double")
+    val b2d = b2.cast("double")
+    val det = a11d * a22d - a12d * a12d
+    val theta1 = (a22d * b1d - a12d * b2d) / det
+    val theta2 = (a11d * b2d - a12d * b1d) / det
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val bothLive = col("__n1") > 0L && col("__n2") > 0L
+    def rawEff(m: String): Column =
+      (col(m + "1") * col("__n2").cast(dec) -
+        col(m + "2") * col("__n1").cast(dec)).cast("double") / (n1 * n2)
+    val rawY = rawEff("__sy")
+    val adjEff = rawY - theta1 * rawEff("__sx1") - theta2 * rawEff("__sx2")
+    // per-arm sample variance of z = y − θ1x1 − θ2x2 from the arm's own
+    // exact moments: Szz and Sz assembled in one fixed double dag each
+    def varAdj(side: String): Column = {
+      def c(m: String): Column = col(m + side).cast("double")
+      val szz = c("__syy") + theta1 * theta1 * c("__sx1x1") +
+        theta2 * theta2 * c("__sx2x2") +
+        lit(2d) * theta1 * theta2 * c("__sx1x2") -
+        lit(2d) * theta1 * c("__sx1y") - lit(2d) * theta2 * c("__sx2y")
+      val sz = c("__sy") - theta1 * c("__sx1") - theta2 * c("__sx2")
+      val nDd = c("__n")
+      (nDd * szz - sz * sz) / (nDd * nDd * (nDd - 1d))
+    }
+    val se = sqrt(varAdj("1") + varAdj("2"))
+    val rho2 = (theta1 * b1d + theta2 * b2d) / varYNum.cast("double")
+    val ok = two && col("__n1") >= 2L && col("__n2") >= 2L && det > lit(0d)
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("theta1", when(ok, theta1))
+      .withColumn("theta2", when(ok, theta2))
+      .withColumn("rho2", when(ok && varYNum > 0L, rho2))
+      .withColumn("effect_raw", when(two && bothLive, rawY))
+      .withColumn("effect_cuped", when(ok, adjEff))
+      .withColumn("se_cuped", when(ok, se))
+      .withColumn("ci_lo", when(ok, adjEff - lit(1.959964d) * se))
+      .withColumn("ci_hi", when(ok, adjEff + lit(1.959964d) * se))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("theta1") :+ col("theta2") :+
+        col("rho2") :+ col("effect_raw") :+ col("effect_cuped") :+
+        col("se_cuped") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
   /** Delta-method ratio-metric A/B (Deng, Knoblich & Lu 2018 — "Applying
     * the Delta method in metric analytics"): the CI for a RATIO metric
     * (clicks/views, bad-tokens/tokens, cost/query) randomized by UNIT

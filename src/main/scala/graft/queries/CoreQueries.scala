@@ -3957,6 +3957,36 @@ object CoreQueries {
         round(col("ci_hi"), 9).as("ci_hi"))
   }
 
+  /** Vector-CUPED gate: the q298 adjustment with TWO pre-period
+    * covariates — per-user even-event count AND distinct active hours
+    * jointly adjusting the odd-event outcome over the parity arms.
+    * The θ solve is Cramer over exact DECIMAL central cross-products;
+    * the oracle replays the whole normal-equations chain from raw
+    * events.
+    */
+  def q347CupedMulti(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val pu = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"),
+        countDistinct(floor(unix_timestamp(col("ts")) / 3600L)).as("x2"))
+      .withColumn("arm", (col("user_id") % 2 === 0).cast("string"))
+    Association.cupedMulti(pu, Nil, "arm", "y", Seq("x1", "x2"))
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("n_lo"), col("n_hi"),
+        round(col("theta1"), 9).as("theta1"),
+        round(col("theta2"), 9).as("theta2"),
+        round(col("rho2"), 9).as("rho2"),
+        round(col("effect_raw"), 9).as("effect_raw"),
+        round(col("effect_cuped"), 9).as("effect_cuped"),
+        round(col("se_cuped"), 9).as("se_cuped"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
+
   /** Difference-in-differences gate: parity groups × even/odd-hour
     * periods on floor(value) — the 2×2 cell means, the parallel-trends
     * DiD with its four-cell variance.

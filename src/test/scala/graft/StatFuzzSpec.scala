@@ -1171,6 +1171,50 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: cupedMulti theta vector, adjusted effect, se and R2 vs a naive normal-equations solve") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("cupedmulti", t)
+      val rows = (0 until 40 + r.nextInt(60)).map { _ =>
+        val x1 = r.nextInt(20).toLong
+        val x2 = r.nextInt(12).toLong
+        val arm = if (r.nextBoolean()) "A" else "B"
+        val y = x1 + 2L * x2 + r.nextInt(10).toLong + (if (arm == "A") 3L else 0L)
+        (arm, y, x1, x2)
+      }
+      val n = rows.size.toDouble
+      def mean(f: ((String, Long, Long, Long)) => Long) = rows.map(f).sum / n
+      val (my, m1, m2) = (mean(_._2), mean(_._3), mean(_._4))
+      // pooled central moments → naive 2×2 solve
+      val a11 = rows.map(p => (p._3 - m1) * (p._3 - m1)).sum
+      val a22 = rows.map(p => (p._4 - m2) * (p._4 - m2)).sum
+      val a12 = rows.map(p => (p._3 - m1) * (p._4 - m2)).sum
+      val b1 = rows.map(p => (p._3 - m1) * (p._2 - my)).sum
+      val b2 = rows.map(p => (p._4 - m2) * (p._2 - my)).sum
+      val det = a11 * a22 - a12 * a12
+      val th1 = (a22 * b1 - a12 * b2) / det
+      val th2 = (a11 * b2 - a12 * b1) / det
+      def arm(a: String) = rows.filter(_._1 == a)
+      def z(p: (String, Long, Long, Long)) = p._2 - th1 * p._3 - th2 * p._4
+      def meanZ(a: String) = arm(a).map(z).sum / arm(a).size
+      def varZ(a: String) = {
+        val zs = arm(a).map(z); val m = zs.sum / zs.size
+        zs.map(v => (v - m) * (v - m)).sum / (zs.size - 1)
+      }
+      val adjNaive = meanZ("A") - meanZ("B")
+      val seNaive = math.sqrt(varZ("A") / arm("A").size + varZ("B") / arm("B").size)
+      val syy = rows.map(p => (p._2 - my) * (p._2 - my)).sum
+      val row = Association.cupedMulti(rows.toDF("arm", "y", "x1", "x2"),
+        Nil, "arm", "y", Seq("x1", "x2")).collect()(0)
+      approx(row.getAs[Double]("theta1"), th1, s"cupedMulti theta1 trial $t")
+      approx(row.getAs[Double]("theta2"), th2, s"cupedMulti theta2 trial $t")
+      approx(row.getAs[Double]("effect_cuped"), adjNaive, s"cupedMulti effect trial $t")
+      approx(row.getAs[Double]("se_cuped"), seNaive, s"cupedMulti se trial $t")
+      approx(row.getAs[Double]("rho2"), (th1 * b1 + th2 * b2) / syy,
+        s"cupedMulti rho2 trial $t")
+    }
+  }
+
   // --- mSPRT ------------------------------------------------------------------------
 
   test("fuzz: mSPRT lnLR / always-valid p vs the direct mixture-likelihood computation") {

@@ -1350,6 +1350,64 @@ class TrendStatsSpec extends SparkSpec {
     assert(r3.getAs[Long]("n_groups") === 3L && r3.isNullAt(r3.fieldIndex("effect_cuped")))
   }
 
+  test("cupedMulti: hand-rational two-covariate golden, replayable term by term") {
+    import graft.quality.Association
+    // A: (y,x1,x2) ∈ {(1,1,0),(2,0,1),(3,1,1),(0,0,0)}; B: {(2,1,1),
+    // (1,0,0),(3,2,1),(2,1,2)}. Pooled exact pieces: nT=8, Sy=14,
+    // Sx1=Sx2=6, Sx1x1=Sx2x2=8, Sx1x2=6, Sx1y=Sx2y=14, Syy=32 →
+    // A11=A22=8·8−36=28, A12=8·6−36=12, b1=b2=8·14−6·14=28,
+    // det=28²−12²=640, θ1=θ2=(28·28−12·28)/640=448/640=0.7,
+    // R²=(0.7·28+0.7·28)/(8·32−14²)=39.2/60=49/75.
+    // Raw effects (lo−hi): y (6·4−8·4)/16=−0.5, x1=x2=−0.5 →
+    // adj=−0.5−0.7(−0.5)−0.7(−0.5)=0.2.
+    // SzzA=14+0.49·2+0.49·2+0.98·1−1.4·4−1.4·5=4.34, SzA=6−2.8=3.2 →
+    // varA=(4·4.34−3.2²)/48=7.12/48; SzzB=18+0.49·6·2+0.98·5−1.4·10
+    // −1.4·9=2.18, SzB=8−5.6=2.4 → varB=2.96/48; se=√0.21.
+    val rows = Seq(
+      ("A", 1L, 1L, 0L), ("A", 2L, 0L, 1L), ("A", 3L, 1L, 1L), ("A", 0L, 0L, 0L),
+      ("B", 2L, 1L, 1L), ("B", 1L, 0L, 0L), ("B", 3L, 2L, 1L), ("B", 2L, 1L, 2L))
+      .toDF("arm", "y", "x1", "x2")
+    val r = Association.cupedMulti(rows, Nil, "arm", "y", Seq("x1", "x2"))
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("theta1") - 0.7d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("theta2") - 0.7d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rho2") - 49d / 75d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("effect_raw") - (-0.5d)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("effect_cuped") - 0.2d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_cuped") - math.sqrt(0.21d)) < 1e-12)
+  }
+
+  test("cupedMulti: k = 1 reduces to the q298 dag exactly; collinear/constant covariates flag NULL") {
+    import graft.quality.Association
+    val rows = Seq(
+      ("A", 10L, 1L, 5L), ("A", 12L, 2L, 3L), ("A", 14L, 3L, 8L), ("A", 16L, 4L, 2L),
+      ("B", 9L, 1L, 7L), ("B", 11L, 2L, 1L), ("B", 13L, 3L, 9L), ("B", 15L, 4L, 4L))
+      .toDF("arm", "y", "x", "x2")
+    // k = 1: the delegate IS cuped's dag — bitwise-equal statistics
+    val one = Association.cupedMulti(rows, Nil, "arm", "y", Seq("x")).collect()(0)
+    val ref = Association.cuped(rows, Nil, "arm", "y", "x").collect()(0)
+    assert(one.getAs[Double]("theta1") === ref.getAs[Double]("theta"))
+    assert(one.isNullAt(one.fieldIndex("theta2")))
+    for (c <- Seq("rho2", "effect_raw", "effect_cuped", "se_cuped", "ci_lo", "ci_hi"))
+      assert(one.getAs[Double](c) === ref.getAs[Double](c), c)
+    // collinear pair (x2 = 2·x): det = 0 → NULL adjusted statistics,
+    // raw effect kept
+    val coll = rows.withColumn("x2", col("x") * 2L)
+    val rc = Association.cupedMulti(coll, Nil, "arm", "y", Seq("x", "x2")).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("theta1")) && rc.isNullAt(rc.fieldIndex("effect_cuped")))
+    assert(!rc.isNullAt(rc.fieldIndex("effect_raw")))
+    // a CONSTANT second covariate is also singular → NULL (use k = 1)
+    val const = rows.withColumn("x2", lit(7L))
+    val rk = Association.cupedMulti(const, Nil, "arm", "y", Seq("x", "x2")).collect()(0)
+    assert(rk.isNullAt(rk.fieldIndex("theta1")))
+    // adding a regressor never lowers in-sample R²: rho2(k=2) ≥ rho2(k=1)
+    val two = Association.cupedMulti(rows, Nil, "arm", "y", Seq("x", "x2")).collect()(0)
+    assert(two.getAs[Double]("rho2") >= ref.getAs[Double]("rho2") - 1e-12)
+    intercept[IllegalArgumentException] {
+      Association.cupedMulti(rows, Nil, "arm", "y", Seq("x", "x2", "y"))
+    }
+  }
+
   // --- mSPRT ------------------------------------------------------------------------
 
   test("msprt: null data never rejects, planted effect rejects, p is non-increasing") {
