@@ -1186,13 +1186,22 @@ object Profiler {
     * nano-integer comparison (never a float equality at a threshold);
     * the CvM sum rides the same per-bucket nano landing as the AD term
     * (order-free DECIMAL). NULL statistics when either side is empty.
-    * SCALE: two aggregations + one 1×1 join over the ≤ nBuckets+2-row
-    * frame — nothing row-scale.
+    * SCALE: the gap frame is MATERIALIZED ONCE as a local relation
+    * (≤ nBuckets+2 rows — the histogram-store bound, the house
+    * bounded-driver-fold idiom), so the stats and AD branches fan out
+    * from it and whatever row-scale chain produced the histogram
+    * executes exactly once — the one-read claim holds in the physical
+    * plan (plan-shape-locked: zero row-scale scans in the card read),
+    * not just the API. Then two aggregations + one 1×1 join over the
+    * bounded frame.
     */
   def edfDriftCard(cvm: DataFrame): DataFrame = {
+    val spark = cvm.sparkSession
+    import scala.jdk.CollectionConverters._
+    val local = spark.createDataFrame(cvm.collect().toSeq.asJava, cvm.schema)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withTot = cvm
+    val withTot = local
       .withColumn("__b", sum("n_base").over(all))
       .withColumn("__c", sum("n_cur").over(all))
     val bD = col("__b").cast("double"); val cD = col("__c").cast("double")
@@ -1223,7 +1232,7 @@ object Profiler {
       .withColumn("cvm_t", when(live, cvmT))
       .withColumn("cvm_reject", when(live,
         round(cvmT * 1e9d).cast("long") >= lit(461000000L)))
-    val ad = andersonDarling(cvm).select(col("a2"))
+    val ad = andersonDarling(local).select(col("a2"))
     withKs.crossJoin(broadcast(ad))
       .withColumn("ad_reject", when(col("a2").isNotNull,
         round(col("a2") * 1e9d).cast("long") >= lit(2492000000L)))

@@ -39,7 +39,13 @@ class PlanShapeSpec extends SparkSpec {
       requirePushedFilter: Option[String] = None,
       forbidSortMergeJoin: Boolean = false,
       forbidSortAggregate: Boolean = false,
-      forbidUdf: Boolean = false)
+      forbidUdf: Boolean = false,
+      // the one-read lock for composed store reads: the AQE final plan
+      // may contain at most this many row-scale relation scans (the
+      // bounded cell frame is materialized at construction, so the
+      // single row-scale pass runs there — a refactor that re-scans the
+      // source per stage fails here)
+      maxParquetScans: Int = Int.MaxValue)
 
   private val shapes = Seq(
     // filtered scan + grouped agg: the filter reaches the parquet reader,
@@ -791,7 +797,8 @@ class PlanShapeSpec extends SparkSpec {
     // stage fan-out — the bounded driver fold, arm × peek cardinality);
     // all remaining exchanges move the ≤ (arms × peeks)-row cell frame
     // through the four stage reads and the peek joins
-    Shape("q326_ab_dashboard", maxHash = 20, maxRange = 8, forbidUdf = true),
+    Shape("q326_ab_dashboard", maxHash = 20, maxRange = 8, forbidUdf = true,
+      maxParquetScans = 0),
     // from-store twin: the three batch arms' per-user + cell aggs + the
     // merge land in the SAME one-time materialization; the dashboard
     // stages downstream are identical
@@ -828,7 +835,7 @@ class PlanShapeSpec extends SparkSpec {
     // median / RMST / log-rank stages fan out over the (cohort ×
     // duration) cell frame
     Shape("q336_survival_dashboard", maxHash = 10, maxRange = 10,
-      forbidUdf = true),
+      forbidUdf = true, maxParquetScans = 0),
     Shape("q337_survival_dashboard_from_store", maxHash = 16, maxRange = 10,
       forbidUdf = true),
     // data card: three source-keyed scans (counts+digests, the rank
@@ -850,9 +857,26 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // EDF drift card: the q303 cvm chain feeding TWO bounded summary
     // aggs (stats + AD) joined 1×1
-    Shape("q343_drift_card", maxHash = 10, maxRange = 6, forbidUdf = true),
-    Shape("q344_drift_card_from_store", maxHash = 26, maxRange = 6,
-      forbidUdf = true)
+    // EDF drift card: the bounded gap frame materializes at construction
+    // (ONE execution of the upstream chain); the card read itself is two
+    // aggs + a 1x1 join over the local relation — zero shuffles, zero
+    // row-scale scans
+    Shape("q343_drift_card", maxHash = 0, maxRange = 2, forbidUdf = true,
+      maxParquetScans = 0),
+    Shape("q344_drift_card_from_store", maxHash = 0, maxRange = 2,
+      forbidUdf = true, maxParquetScans = 0),
+    // k-arm dashboard: every stage over the (arm x peek) local cell
+    // frame, per-comparison fan-out included; one row-scale pass at
+    // construction, none in the read
+    Shape("q345_ab_dashboard_karm", maxHash = 26, maxRange = 4,
+      minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0),
+    // multi-metric scorecard: monitor + BH over the (metric x arm x
+    // peek) local cell frame
+    Shape("q346_scorecard", maxHash = 5, maxRange = 2, forbidUdf = true,
+      maxParquetScans = 0),
+    // vector CUPED: ONE row-scale moments agg + the 2-label pivot
+    Shape("q347_cuped_multi", maxHash = 4, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true, maxParquetScans = 1)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
@@ -878,6 +902,11 @@ class PlanShapeSpec extends SparkSpec {
     if (s.forbidUdf)
       assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
         s"non-codegen UDF in the hot path\n$p")
+    if (s.maxParquetScans != Int.MaxValue) {
+      val scans = count(p, "Scan parquet")
+      assert(scans <= s.maxParquetScans,
+        s"expected <=${s.maxParquetScans} row-scale scans in the read plan, got $scans\n$p")
+    }
   }
 
   // The silent-interpreted-fallback guard: a UDF returning a case class
