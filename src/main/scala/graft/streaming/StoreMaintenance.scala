@@ -81,4 +81,42 @@ object StoreMaintenance {
       }
     }
   }
+
+  /** ONE maintenance pass over a deployment's standing stores — the
+    * executable form of [[StoreCatalog]]'s per-family prune contracts:
+    * `roots` maps catalog family names to that deployment's store
+    * paths, and each named family gets ITS layout's documented prune —
+    * [[pruneVersions]] for flat-versioned folds,
+    * [[pruneBucketVersions]] for bucket-versioned ones, and a
+    * documented no-op (returned as 0) for layouts with no version
+    * accumulation to reclaim (frozen snapshots rebuild wholesale;
+    * engine-watermark state is pruned by the stream itself; named
+    * tables clean via `StateStore.clean`). Returns pruned-version
+    * counts per family. Unknown family names throw — a typo must not
+    * silently leave a store growing. `keepLast` ≥ 2 preserves the
+    * strictly-below replay contract for every versioned family at
+    * once. A swept store still folds correctly on its next batch
+    * (spec-pinned: sweep then fold == rebuild).
+    */
+  def sweep(
+      spark: SparkSession,
+      roots: Map[String, String],
+      keepLast: Int = 2
+  ): Map[String, Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val byName = StoreCatalog.All.map(f => f.name -> f).toMap
+    roots.toSeq.sortBy(_._1).map { case (name, path) =>
+      val fam = byName.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown store family '$name'; cataloged: " +
+          byName.keys.toSeq.sorted.mkString(", ")))
+      val pruned: Long = fam.layout match {
+        case StoreCatalog.FlatVersioned =>
+          pruneVersions(spark, path, keepLast).size.toLong
+        case StoreCatalog.BucketVersioned =>
+          pruneBucketVersions(spark, path, keepLast).size.toLong
+        case _ => 0L
+      }
+      name -> pruned
+    }.toMap
+  }
 }

@@ -52,6 +52,51 @@ class StoreCatalogSpec extends SparkSpec {
     assert(StoreMaintenance.pruneVersions(spark, tmp, keepLast = 2) === Seq.empty)
   }
 
+  test("sweep applies each family's layout prune in one call; swept store still folds correctly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    // a REAL flat-versioned store: three bucket-count fold batches
+    val mem = MemoryStream[Long]
+    def batch(vals: Seq[Long]): Unit = {
+      mem.addData(vals: _*)
+      graft.streaming.StreamingOps.bucketCountsStream(
+        mem.toDF().toDF("v"), "v", s"$tmp/bc", s"$tmp/cp").awaitTermination(120000)
+    }
+    val b1 = Seq(1L, 2L, 2L, 3L); val b2 = Seq(2L, 5L, 5L); val b3 = Seq(1L, 7L)
+    batch(b1); batch(b2); batch(b3)
+    assert(StoreMaintenance.versions(spark, s"$tmp/bc").size === 3)
+    // a fabricated bucket-versioned store beside it
+    for ((b, v) <- Seq((0L, 1L), (0L, 4L), (0L, 9L), (2L, 3L)))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/spans/bucket=$b/v=$v"))
+    val pruned = StoreMaintenance.sweep(spark,
+      Map("bucket-counts" -> s"$tmp/bc", "span-store" -> s"$tmp/spans",
+        "ann-indexes" -> s"$tmp/ann"), keepLast = 2)
+    assert(pruned("bucket-counts") === 1L) // v of batch 0 reclaimed
+    assert(pruned("span-store") === 1L)    // bucket 0's oldest
+    assert(pruned("ann-indexes") === 0L)   // frozen snapshot: no-op
+    assert(StoreMaintenance.versions(spark, s"$tmp/bc").size === 2)
+    assert(StoreMaintenance.bucketVersions(spark, s"$tmp/spans") ===
+      Map(0L -> Seq(4L, 9L), 2L -> Seq(3L)))
+    // the swept store still satisfies fold == rebuild on the NEXT batch
+    val b4 = Seq(2L, 9L, 9L)
+    batch(b4)
+    val latest = graft.streaming.StreamingOps
+      .latestHllVersionBefore(spark, s"$tmp/bc", Long.MaxValue).get
+    val folded = spark.read.parquet(latest)
+    val rebuilt = graft.quality.Profiler.bucketCounts(
+      (b1 ++ b2 ++ b3 ++ b4).toDF("v"), "v")
+    assert(folded.orderBy("bucket").collect().toSeq ===
+      rebuilt.orderBy("bucket").collect().toSeq)
+    // a typo'd family fails loudly, never silently skips a store
+    intercept[IllegalArgumentException] {
+      StoreMaintenance.sweep(spark, Map("no-such-family" -> tmp))
+    }
+  }
+
   test("pruneBucketVersions reclaims per-bucket history independently") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bprune").toString
     for ((b, v) <- Seq((0L, 1L), (0L, 5L), (0L, 9L), (3L, 2L), (3L, 4L)))
