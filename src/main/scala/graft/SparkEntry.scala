@@ -358,7 +358,9 @@ object SparkEntry {
     "q344_drift_card_from_store" -> (CoreQueries.q344DriftCardFromStore(_, _)),
     "q345_ab_dashboard_karm" -> (CoreQueries.q345AbDashboardKArm(_, _)),
     "q346_scorecard" -> (CoreQueries.q346Scorecard(_, _)),
-    "q347_cuped_multi" -> (CoreQueries.q347CupedMulti(_, _))
+    "q347_cuped_multi" -> (CoreQueries.q347CupedMulti(_, _)),
+    "q348_scorecard_from_store" -> (CoreQueries.q348ScorecardFromStore(_, _)),
+    "q349_ab_karm_from_store" -> (CoreQueries.q349AbDashboardKArmFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -519,7 +521,11 @@ object SparkEntry {
     "q344_drift_card_from_store" -> driftCardOracle,
     "q345_ab_dashboard_karm" -> abDashboardKArmOracle,
     "q346_scorecard" -> scorecardOracle,
-    "q347_cuped_multi" -> cupedMultiOracle)
+    "q347_cuped_multi" -> cupedMultiOracle,
+    // the from-store twins fold to identical cells, so they share the
+    // direct reads' oracles verbatim (fold == rebuild IS the gate)
+    "q348_scorecard_from_store" -> scorecardOracle,
+    "q349_ab_karm_from_store" -> abDashboardKArmOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

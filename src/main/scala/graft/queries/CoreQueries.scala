@@ -3716,19 +3716,8 @@ object CoreQueries {
   private val abDesignK =
     Seq("A" -> 0.4, "B" -> 0.3, "C" -> 0.2, "D" -> 0.1)
 
-  /** The k-arm composed dashboard gate: the q326 chain generalized to
-    * 4 designed arms + a control — ONE (arm × peek) cell state feeding
-    * k-arm SRM → per-comparison CUPED → per-arm Wilson → per-comparison
-    * mSPRT → BH multiplicity across the k−1 always-valid p-values, one
-    * row per (peek, treatment arm). The oracle replays every stage AND
-    * the step-up adjustment from raw events.
-    */
-  def q345AbDashboardKArm(s: SparkSession, dir: String): DataFrame = {
-    import graft.quality.AbDashboard
-    AbDashboard.abDashboardKArmFromCells(
-        AbDashboard.abCells(abPerUserK(s, dir), "arm", "peek", "y", "x", "hit"),
-        abDesignK, control = "A", tau2 = abTau2, alpha = 0.05d)
-      .select(col("peek"), col("arm"), col("grp_lo"), col("grp_hi"),
+  private def abDashboardKArmSelect(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("arm"), col("grp_lo"), col("grp_hi"),
         col("n_arms"), col("n_unexpected"),
         round(col("srm_chi2"), 9).as("srm_chi2"),
         col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
@@ -3748,6 +3737,19 @@ object CoreQueries {
         round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"),
         col("p9"), col("bh_rank"), col("bh_m"), col("reject_fdr"))
       .orderBy("peek", "arm")
+
+  /** The k-arm composed dashboard gate: the q326 chain generalized to
+    * 4 designed arms + a control — ONE (arm × peek) cell state feeding
+    * k-arm SRM → per-comparison CUPED → per-arm Wilson → per-comparison
+    * mSPRT → BH multiplicity across the k−1 always-valid p-values, one
+    * row per (peek, treatment arm). The oracle replays every stage AND
+    * the step-up adjustment from raw events.
+    */
+  def q345AbDashboardKArm(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    abDashboardKArmSelect(AbDashboard.abDashboardKArmFromCells(
+      AbDashboard.abCells(abPerUserK(s, dir), "arm", "peek", "y", "x", "hit"),
+      abDesignK, control = "A", tau2 = abTau2, alpha = 0.05d))
   }
 
   /** The q346 multi-metric per-unit fixture: one row per user carrying
@@ -3784,6 +3786,14 @@ object CoreQueries {
   private val scorecardMetrics =
     Seq("m_active", "m_conv", "m_conv_shift", "m_even", "m_odd_shift")
 
+  private def scorecardSelect(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("metric"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"),
+        col("p9"), col("bh_rank"), col("n_metrics"), col("reject_fdr"))
+      .orderBy("peek", "metric")
+
   /** The multi-metric scorecard gate: FIVE guardrail metrics' monitor
     * p-values read from one (metric × arm × peek) cell state, the q299
     * mSPRT per metric on per-peek increments, and BH applied across the
@@ -3795,13 +3805,44 @@ object CoreQueries {
     import graft.quality.AbDashboard
     val cells = AbDashboard.scorecardCells(
       scorecardPerUser(s, dir), "arm", "peek", scorecardMetrics)
-    AbDashboard.scorecardFromCells(cells, ("A", "B"), tau2 = 0.0625d, alpha = 0.05d)
-      .select(col("peek"), col("metric"),
-        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
-        round(col("delta"), 9).as("delta"), col("ln_lr9"),
-        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"),
-        col("p9"), col("bh_rank"), col("n_metrics"), col("reject_fdr"))
-      .orderBy("peek", "metric")
+    scorecardSelect(AbDashboard.scorecardFromCells(
+      cells, ("A", "B"), tau2 = 0.0625d, alpha = 0.05d))
+  }
+
+  /** The q346 scorecard FROM THE STORE: the per-user frame split into
+    * three complete-unit batches (user_id mod 3), each batch's metric
+    * cells folded via
+    * [[graft.quality.AbDashboard.mergeScorecardCells]], the same
+    * one-read scorecard over the folded state — fold == rebuild under
+    * the q346 oracle verbatim.
+    */
+  def q348ScorecardFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    val pu = scorecardPerUser(s, dir)
+    def cellsOf(i: Int) = AbDashboard.scorecardCells(
+      pu.filter(col("user_id") % 3 === i), "arm", "peek", scorecardMetrics)
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      AbDashboard.mergeScorecardCells(acc, cellsOf(i))
+    }
+    scorecardSelect(AbDashboard.scorecardFromCells(
+      folded, ("A", "B"), tau2 = 0.0625d, alpha = 0.05d))
+  }
+
+  /** The q345 k-arm dashboard FROM THE STORE: three complete-unit
+    * batches folded via [[graft.quality.AbDashboard.mergeAbCells]],
+    * the same one-read k-arm chain over the folded state — fold ==
+    * rebuild under the q345 oracle verbatim.
+    */
+  def q349AbDashboardKArmFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    val pu = abPerUserK(s, dir)
+    def cellsOf(i: Int) = AbDashboard.abCells(
+      pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      AbDashboard.mergeAbCells(acc, cellsOf(i))
+    }
+    abDashboardKArmSelect(AbDashboard.abDashboardKArmFromCells(
+      folded, abDesignK, control = "A", tau2 = abTau2, alpha = 0.05d))
   }
 
   /** Power/MDE gate (two-proportion): the design questions answered

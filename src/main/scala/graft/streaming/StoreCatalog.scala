@@ -98,6 +98,9 @@ object StoreCatalog {
     StoreFamily("ab-cells", "StreamingOps.abCellsStream",
       "(arm, peek) unit/conversion counts + exact moments; arm×peek-bounded",
       FlatVersioned, "q327 from-store dashboard; AbDashboardSpec streaming fold"),
+    StoreFamily("scorecard-cells", "StreamingOps.scorecardCellsStream",
+      "(metric, arm, peek) unit/conversion counts; M×arm×peek-bounded",
+      FlatVersioned, "q348 from-store scorecard; AbDashboardSpec streaming fold"),
     StoreFamily("kendall-cells", "StreamingOps.kendallCellsStream",
       "(x, y) orderable cells; value-cardinality²-bounded", FlatVersioned,
       "tau-b from-cells reads"),

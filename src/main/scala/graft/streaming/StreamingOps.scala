@@ -1025,6 +1025,42 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming scorecard-cell fold — the multi-metric companion of
+    * [[abCellsStream]]: each micro-batch's per-(metric, arm, peek)
+    * conversion cells ([[graft.quality.AbDashboard.scorecardCells]] —
+    * ONE row-scale pass per batch, the metric unpivot on the bounded
+    * frame) merge additively into a versioned store, so the standing
+    * state answers the whole M-metric scorecard read
+    * ([[graft.quality.AbDashboard.scorecardFromCells]] — monitors + BH
+    * across metrics) at (M × arms × peeks) rows per version. Same
+    * complete-unit-per-batch contract and non-idempotent
+    * recompute-on-replay version discipline as [[abCellsStream]].
+    */
+  def scorecardCellsStream(
+      rows: DataFrame,
+      armCol: String,
+      peekCol: String,
+      metricCols: Seq[String],
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.AbDashboard.scorecardCells(
+          batch, armCol, peekCol, metricCols)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.AbDashboard.mergeScorecardCells(
+            s.read.parquet(p), bc)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Kendall cell fold — the τ-b companion of
     * [[contingencyStream]]: per-batch
     * [[graft.quality.Association.kendallCells]] (values keep their

@@ -263,6 +263,36 @@ class AbDashboardSpec extends SparkSpec {
     assert(folded.orderBy("metric", "arm", "peek").collect().toSeq === all.toSeq)
   }
 
+  test("streaming scorecardCellsStream fold equals the batch rebuild; the standing scorecard matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scstream").toString
+    val mem = MemoryStream[(Long, String, Long, Boolean, Boolean)]
+    def rows = mem.toDF().toDF("unit", "arm", "peek", "ma", "mb")
+    val mk = (n: Int, seed: Int) => (0 until n).map { i =>
+      (i.toLong + seed * 1000L, if ((i + seed) % 2 == 0) "A" else "B",
+        ((i * 3 + seed) % 4).toLong, (i + seed) % 3 == 0, (i + seed) % 5 == 0)
+    }
+    val b1 = mk(80, 1); val b2 = mk(60, 2)
+    mem.addData(b1: _*)
+    StreamingOps.scorecardCellsStream(rows, "arm", "peek", Seq("ma", "mb"),
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.scorecardCellsStream(rows, "arm", "peek", Seq("ma", "mb"),
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val store = spark.read.parquet(latest)
+    val rebuilt = AbDashboard.scorecardCells(
+      (b1 ++ b2).toDF("unit", "arm", "peek", "ma", "mb"), "arm", "peek", Seq("ma", "mb"))
+    assert(store.orderBy("metric", "arm", "peek").collect().toSeq ===
+      rebuilt.orderBy("metric", "arm", "peek").collect().toSeq)
+    // the standing state answers the same scorecard as the batch twin
+    assert(AbDashboard.scorecardFromCells(store, ("A", "B"), tau2 = 0.25)
+        .orderBy("peek", "metric").collect().toSeq ===
+      AbDashboard.scorecardFromCells(rebuilt, ("A", "B"), tau2 = 0.25)
+        .orderBy("peek", "metric").collect().toSeq)
+  }
+
   test("single-metric scorecard equals the q299 monitor run directly; m = 1 battery") {
     val u = toDf(units(150, 3))
     val cells = AbDashboard.scorecardCells(

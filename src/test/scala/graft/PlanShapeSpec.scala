@@ -876,7 +876,13 @@ class PlanShapeSpec extends SparkSpec {
       maxParquetScans = 0),
     // vector CUPED: ONE row-scale moments agg + the 2-label pivot
     Shape("q347_cuped_multi", maxHash = 4, maxRange = 2,
-      forbidSortMergeJoin = true, forbidUdf = true, maxParquetScans = 1)
+      forbidSortMergeJoin = true, forbidUdf = true, maxParquetScans = 1),
+    // from-store twins: the three batch folds run at construction; the
+    // read plans stay zero-row-scale like their direct arms
+    Shape("q348_scorecard_from_store", maxHash = 5, maxRange = 2,
+      forbidUdf = true, maxParquetScans = 0),
+    Shape("q349_ab_karm_from_store", maxHash = 26, maxRange = 4,
+      minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
