@@ -360,7 +360,8 @@ object SparkEntry {
     "q346_scorecard" -> (CoreQueries.q346Scorecard(_, _)),
     "q347_cuped_multi" -> (CoreQueries.q347CupedMulti(_, _)),
     "q348_scorecard_from_store" -> (CoreQueries.q348ScorecardFromStore(_, _)),
-    "q349_ab_karm_from_store" -> (CoreQueries.q349AbDashboardKArmFromStore(_, _))
+    "q349_ab_karm_from_store" -> (CoreQueries.q349AbDashboardKArmFromStore(_, _)),
+    "q350_qte" -> (CoreQueries.q350Qte(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -525,7 +526,8 @@ object SparkEntry {
     // the from-store twins fold to identical cells, so they share the
     // direct reads' oracles verbatim (fold == rebuild IS the gate)
     "q348_scorecard_from_store" -> scorecardOracle,
-    "q349_ab_karm_from_store" -> abDashboardKArmOracle)
+    "q349_ab_karm_from_store" -> abDashboardKArmOracle,
+    "q350_qte" -> qteOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1269,6 +1271,29 @@ object SparkEntry {
       |  CAST(c.n AS BIGINT) AS n_cur, b.p, b.qv AS v_base, c.qv AS v_cur,
       |  c.qv - b.qv AS shift
       |FROM q b JOIN q c ON b.g = c.g AND b.p = c.p AND b.h = 0 AND c.h = 1
+      |ORDER BY 1, 4""".stripMargin
+
+  /** q350 oracle: [[graft.operators.Quantiles.quantileTreatmentEffect]]
+    * replayed — per-(event_type, user-parity arm) ranks, the clamped
+    * (p·(n+1))//100 selections, the long-form pivot, qte = lo − hi
+    * ('false' is the lexical-lo arm).
+    */
+  private lazy val qteOracle: String =
+    """WITH ev AS (SELECT event_type AS g, user_id % 2 = 0 AS evn, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      |r AS (SELECT g, evn, v,
+      |    row_number() OVER (PARTITION BY g, evn ORDER BY v, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY g, evn) AS n FROM ev),
+      |ps(p) AS (VALUES (10), (25), (50), (75), (90)),
+      |q AS (SELECT g, evn, p, max(n) AS n,
+      |    max(CASE WHEN rn = greatest(1, least(n, (p * (n + 1)) // 100)) THEN v END) AS qv
+      |  FROM r CROSS JOIN ps GROUP BY 1, 2, 3)
+      |SELECT lo.g AS event_type, CAST(lo.n AS BIGINT) AS n_lo,
+      |  CAST(hi.n AS BIGINT) AS n_hi, lo.p, lo.qv AS v_lo, hi.qv AS v_hi,
+      |  lo.qv - hi.qv AS qte
+      |FROM q lo JOIN q hi ON lo.g = hi.g AND lo.p = hi.p
+      |  AND lo.evn = false AND hi.evn = true
       |ORDER BY 1, 4""".stripMargin
 
   /** q268 oracle: [[graft.text.CorpusLaws.mixtureDistanceMatrix]]

@@ -791,6 +791,47 @@ object Quantiles {
       .withColumn("shift", col("v_cur") - col("v_base"))
   }
 
+  /** Quantile TREATMENT effect (Doksum 1974's shift function read for
+    * experiments): per quantile p, each ARM's exact lower-rank value
+    * and their one-subtraction difference — WHERE the treatment moved
+    * the distribution, which a mean effect compresses away ("p50
+    * unchanged, p90 up 40%" is a tail effect no Welch t shows). A thin
+    * composition over [[quantileShift]]: the two arms are the two
+    * snapshots, with the lexical-HI arm fed as the base side so the
+    * shift lands oriented lo − hi by label (the house welchT sign).
+    * Same exact-rank contract as the whole family: lower-rank
+    * selections at clamped (p·(n+1)) div 100 — actual data values,
+    * engine-exact, no interpolation; NULL values filtered; a (keys)
+    * group missing either arm emits nothing (there is no effect to
+    * read). `arms` names the two arms explicitly (rows from other arms
+    * are ignored). Emits per (keys, p): n_lo, n_hi, v_lo, v_hi,
+    * qte = v_lo − v_hi. Hot-group/from-store paths: compose
+    * [[quantileShiftBucketed]] / [[quantileShiftFromCells]] the same
+    * way (arm-filtered sides — the cells are the valueCellsStream
+    * state keyed by arm).
+    */
+  def quantileTreatmentEffect(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      tieBreakCol: String,
+      arms: (String, String),
+      ps: Seq[Int] = Seq(10, 25, 50, 75, 90)
+  ): DataFrame = {
+    require(arms._1 != arms._2, s"need two distinct arms: $arms")
+    val lo = if (arms._1 < arms._2) arms._1 else arms._2
+    val hi = if (arms._1 < arms._2) arms._2 else arms._1
+    val grp = col(groupCol).cast("string")
+    quantileShift(
+        df.filter(grp === hi), df.filter(grp === lo),
+        keyCols, valueCol, tieBreakCol, ps)
+      .select((keyCols.map(col) :+ col("n_cur").as("n_lo") :+
+        col("n_base").as("n_hi") :+ col("p") :+
+        col("v_cur").as("v_lo") :+ col("v_base").as("v_hi") :+
+        col("shift").as("qte")): _*)
+  }
+
   /** Exact WEIGHTED median per group — the location read for weighted
     * corpora (mixture weights, token counts, importance weights), where
     * the unweighted median answers the wrong question: the median

@@ -2910,6 +2910,26 @@ object CoreQueries {
       .orderBy("event_type", "p")
   }
 
+  /** Quantile-treatment-effect gate: per event type, the p10–p90
+    * quantile gaps of milli-values between the user-parity arms —
+    * exact lower-rank selections per arm, qte oriented lo − hi by
+    * label (the welchT sign), long-form (keys, p) rows.
+    */
+  def q350Qte(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"),
+        (col("user_id") % 2 === 0).cast("string").as("arm"),
+        col("event_id"),
+        round(col("value") * 1000).cast("long").as("v_m"))
+    Quantiles.quantileTreatmentEffect(ev, Seq("event_type"), "arm",
+        "v_m", "event_id", ("false", "true"))
+      .select(col("event_type"), col("n_lo"), col("n_hi"), col("p"),
+        col("v_lo"), col("v_hi"), col("qte"))
+      .orderBy("event_type", "p")
+  }
+
   /** Skew-safe quantile-shift gate — [[graft.operators.Quantiles
     * .quantileShiftBucketed]] on the q267 shape: each side's target
     * ranks pinned to their value cells, only those cells' rows ranked,

@@ -882,7 +882,9 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q348_scorecard_from_store", maxHash = 5, maxRange = 2,
       forbidUdf = true, maxParquetScans = 0),
     Shape("q349_ab_karm_from_store", maxHash = 26, maxRange = 4,
-      minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0)
+      minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0),
+    // QTE: the q267 shape — one rank window per arm + the group-keyed join
+    Shape("q350_qte", maxHash = 4, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -265,6 +265,41 @@ class ScaleOpsSpec extends SparkSpec {
       == rows2set(Profiler.spearmanMatrix(md, Seq("g"), Seq("x", "y", "z"))))
   }
 
+  test("quantileTreatmentEffect: lo-hi orientation, pure-shift golden, missing-arm/extra-arm contracts") {
+    import graft.operators.Quantiles
+    // arm A = 1..10, arm B = A + 10 exactly: every quantile's qte is the
+    // pure location shift −10 (lo = A, qte = v_A − v_B)
+    val shifted = ((1 to 10).map(i => ("g1", "A", i.toLong, i.toLong)) ++
+      (1 to 10).map(i => ("g1", "B", (i + 10).toLong, (i + 100).toLong)))
+      .toDF("g", "arm", "v", "tb")
+    val r = Quantiles.quantileTreatmentEffect(
+      shifted, Seq("g"), "arm", "v", "tb", ("A", "B")).orderBy("p").collect()
+    assert(r.length === 5)
+    for (row <- r) {
+      assert(row.getAs[Long]("qte") === -10L, row.toString)
+      assert(row.getAs[Long]("n_lo") === 10L && row.getAs[Long]("n_hi") === 10L)
+      assert(row.getAs[Long]("v_lo") + 10L === row.getAs[Long]("v_hi"))
+    }
+    // definitional consistency: QTE == quantileShift with the hi arm as
+    // the base snapshot (same rank selections, renamed columns)
+    val viaShift = Quantiles.quantileShift(
+      shifted.filter($"arm" === "B"), shifted.filter($"arm" === "A"),
+      Seq("g"), "v", "tb").orderBy("p").collect()
+    for ((a, b) <- r.zip(viaShift)) {
+      assert(a.getAs[Long]("v_lo") === b.getAs[Long]("v_cur"))
+      assert(a.getAs[Long]("v_hi") === b.getAs[Long]("v_base"))
+      assert(a.getAs[Long]("qte") === b.getAs[Long]("shift"))
+    }
+    // arm order in `arms` doesn't matter; rows from a third arm are
+    // ignored; a group missing an arm emits nothing
+    val extra = shifted.unionAll(
+      Seq(("g1", "C", 999L, 500L), ("g2", "A", 1L, 600L)).toDF("g", "arm", "v", "tb"))
+    val r2 = Quantiles.quantileTreatmentEffect(
+      extra, Seq("g"), "arm", "v", "tb", ("B", "A")).collect()
+    assert(r2.length === 5 && r2.forall(_.getAs[String]("g") == "g1"))
+    assert(r2.map(_.getAs[Long]("qte")).toSet === Set(-10L))
+  }
+
   test("quantileShiftBucketed / quantileShiftFromCells equal the windowed arm on every edge shape") {
     import graft.operators.Quantiles
     // the q170 edge corpus, split into two snapshots by tie-break parity:
