@@ -361,7 +361,8 @@ object SparkEntry {
     "q347_cuped_multi" -> (CoreQueries.q347CupedMulti(_, _)),
     "q348_scorecard_from_store" -> (CoreQueries.q348ScorecardFromStore(_, _)),
     "q349_ab_karm_from_store" -> (CoreQueries.q349AbDashboardKArmFromStore(_, _)),
-    "q350_qte" -> (CoreQueries.q350Qte(_, _))
+    "q350_qte" -> (CoreQueries.q350Qte(_, _)),
+    "q351_yuen_t" -> (CoreQueries.q351YuenT(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -527,7 +528,8 @@ object SparkEntry {
     // direct reads' oracles verbatim (fold == rebuild IS the gate)
     "q348_scorecard_from_store" -> scorecardOracle,
     "q349_ab_karm_from_store" -> abDashboardKArmOracle,
-    "q350_qte" -> qteOracle)
+    "q350_qte" -> qteOracle,
+    "q351_yuen_t" -> yuenTOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1519,6 +1521,72 @@ object SparkEntry {
       |      (CAST(b9s AS DOUBLE) / CAST(w9s AS DOUBLE)), 9)
       |  END AS f
       |FROM f ORDER BY grp""".stripMargin
+
+  /** q351 oracle: [[graft.quality.Association.yuenT]] replayed —
+    * per-arm (value, event_id) ranks, g = (20n)//100, exact HUGEINT
+    * trimmed/winsorized sums with the g·(v_lo + v_hi) clamp mass, the
+    * winsorized variance numerators, and the t / Welch–Satterthwaite
+    * df dags in the Spark float order ('click' < 'view' = lo/hi).
+    */
+  private lazy val yuenTOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+      |r AS (SELECT grp, v,
+      |    row_number() OVER (PARTITION BY grp ORDER BY v, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY grp) AS n FROM ev),
+      |r2 AS (SELECT *, (20 * n) // 100 AS gg FROM r),
+      |ga AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+      |    CAST(max(gg) AS BIGINT) AS gg,
+      |    sum(CASE WHEN rn > gg AND rn <= n - gg
+      |      THEN CAST(v AS HUGEINT) ELSE 0 END) AS ts,
+      |    sum(CASE WHEN rn > gg AND rn <= n - gg
+      |      THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS tq,
+      |    max(CASE WHEN rn = gg + 1 THEN v END) AS vlo,
+      |    max(CASE WHEN rn = n - gg THEN v END) AS vhi
+      |  FROM r2 GROUP BY 1),
+      |gb AS (SELECT *, n - 2 * gg AS h,
+      |    ts + CAST(gg AS HUGEINT) * (CAST(vlo AS HUGEINT) + vhi) AS ws,
+      |    tq + CAST(gg AS HUGEINT) *
+      |      (CAST(vlo AS HUGEINT) * vlo + CAST(vhi AS HUGEINT) * vhi) AS wq
+      |  FROM ga),
+      |wide AS (SELECT
+      |    max(CASE WHEN grp = 'click' THEN n END) AS n1,
+      |    max(CASE WHEN grp = 'click' THEN gg END) AS g1,
+      |    max(CASE WHEN grp = 'click' THEN h END) AS h1,
+      |    max(CASE WHEN grp = 'click' THEN ts END) AS t1,
+      |    max(CASE WHEN grp = 'click' THEN ws END) AS ws1,
+      |    max(CASE WHEN grp = 'click' THEN wq END) AS wq1,
+      |    max(CASE WHEN grp = 'view' THEN n END) AS n2,
+      |    max(CASE WHEN grp = 'view' THEN gg END) AS g2,
+      |    max(CASE WHEN grp = 'view' THEN h END) AS h2,
+      |    max(CASE WHEN grp = 'view' THEN ts END) AS t2,
+      |    max(CASE WHEN grp = 'view' THEN ws END) AS ws2,
+      |    max(CASE WHEN grp = 'view' THEN wq END) AS wq2
+      |  FROM gb),
+      |f AS (SELECT *,
+      |    CAST(n1 AS HUGEINT) * wq1 - ws1 * ws1 AS vw1,
+      |    CAST(n2 AS HUGEINT) * wq2 - ws2 * ws2 AS vw2,
+      |    t1 * h2 - t2 * h1 AS diffnum
+      |  FROM wide),
+      |k AS (SELECT *,
+      |    CAST(vw1 AS DOUBLE) / CAST(n1 AS DOUBLE) /
+      |      (CAST(h1 AS DOUBLE) * (CAST(h1 AS DOUBLE) - 1.0)) AS se1,
+      |    CAST(vw2 AS DOUBLE) / CAST(n2 AS DOUBLE) /
+      |      (CAST(h2 AS DOUBLE) * (CAST(h2 AS DOUBLE) - 1.0)) AS se2
+      |  FROM f),
+      |z AS (SELECT *, se1 + se2 AS se FROM k)
+      |SELECT 'click' AS grp_lo, 'view' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  n1 AS n_lo, n2 AS n_hi, g1 AS g_lo, g2 AS g_hi, h1 AS h_lo, h2 AS h_hi,
+      |  round(CAST(t1 AS DOUBLE) / CAST(h1 AS DOUBLE), 9) AS mean_trim_lo,
+      |  round(CAST(t2 AS DOUBLE) / CAST(h2 AS DOUBLE), 9) AS mean_trim_hi,
+      |  round(CAST(diffnum AS DOUBLE) /
+      |    (CAST(h1 AS DOUBLE) * CAST(h2 AS DOUBLE)), 9) AS effect_trim,
+      |  round(CAST(diffnum AS DOUBLE) /
+      |    (CAST(h1 AS DOUBLE) * CAST(h2 AS DOUBLE)) / sqrt(se), 9) AS t,
+      |  round(se * se / (se1 * se1 / (CAST(h1 AS DOUBLE) - 1.0) +
+      |    se2 * se2 / (CAST(h2 AS DOUBLE) - 1.0)), 9) AS df
+      |FROM z""".stripMargin
 
   /** q279 oracle: [[graft.quality.Association.welchT]] replayed — the
     * q271 moments/pivot CTEs, v_i/n_i fixed dags, t and the

@@ -1405,6 +1405,139 @@ object Association {
         col("n") :+ col("k") :+ col("f"): _*)
   }
 
+  /** Yuen's t on trimmed means (Yuen 1974): the ROBUST two-group mean
+    * test the heavy-tail regime needs — Welch's t on raw means is
+    * dominated by the tail a 100 TB value column always has, and
+    * "cap at p1/p99 then t-test" ad-hockery has no sampling theory;
+    * Yuen's does: compare γ-TRIMMED means with the WINSORIZED variance
+    * (Tukey–McLaughlin), Welch–Satterthwaite df on the trimmed counts.
+    * Per arm with n values sorted, g = ⌊γn⌋ trimmed EACH side,
+    * h = n − 2g kept:
+    *
+    *   x̄t = Σ middle h values / h
+    *   s²w = winsorized sample variance (ends clamped to the g+1-th /
+    *         (n−g)-th values — the [[graft.operators.Quantiles.winsorize]]
+    *         clamp at exact ranks)
+    *   se²_i = s²wᵢ·(nᵢ−1) / (hᵢ(hᵢ−1)),  t = (x̄t₁ − x̄t₂)/√(se²₁+se²₂)
+    *   df = (se²₁+se²₂)² / (se⁴₁/(h₁−1) + se⁴₂/(h₂−1))
+    *
+    * γ = 0 (g = 0) reduces EXACTLY to [[welchT]] (spec-pinned) — the
+    * same way the winsorized variance reduces to the sample variance.
+    * Determinism: values cast long; per arm ONE rank window (value,
+    * tie-break — the house exact-rank discipline) feeding exact DECIMAL
+    * trimmed/winsorized sums (the clamp contribution is g·v_lo + g·v_hi
+    * added as exact integers); trimmed-mean difference is the exact
+    * cross product T₁h₂ − T₂h₁; t/df fixed dags at 9dp. Conventions:
+    * (grp_lo, grp_hi) = (min, max) label, effect oriented lo − hi,
+    * ≠2 groups flagged via n_groups with NULL statistics; NULL when
+    * either h < 2 or both winsorized variances are 0. SCALE: one rank
+    * window per (keys, grp) partition + one aggregation + the 2-label
+    * pivot — the [[graft.operators.Quantiles.winsorize]] cost class
+    * (hot groups: the winsorizeBucketed cell-prune layout supplies the
+    * same exact ranks; compose it upstream if a group outgrows a
+    * reducer sort).
+    */
+  def yuenT(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      tieBreakCol: String,
+      trimPct: Int = 20
+  ): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"need 0 <= trimPct < 50: $trimPct")
+    val g = keyCols.map(col)
+    val grp = col(groupCol).cast("string")
+    val part = Window.partitionBy((g :+ col("__grp")): _*)
+    val ordered = part.orderBy(col(valueCol), col(tieBreakCol))
+    val vD = col(valueCol).cast("long").cast(dec)
+    val ranked = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__grp", grp)
+      .select((g :+ col("__grp") :+ col(valueCol) :+ col(tieBreakCol)): _*)
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__g", expr(s"($trimPct * __n) div 100"))
+    val mid = col("__rn") > col("__g") && col("__rn") <= col("__n") - col("__g")
+    val grpAgg = ranked
+      .groupBy((g :+ col("__grp").as("grp")): _*)
+      .agg(
+        max(col("__n")).as("__n"),
+        max(col("__g")).as("__gg"),
+        sum(when(mid, vD).otherwise(lit(0L).cast(dec))).as("__ts"),
+        sum(when(mid, vD * vD).otherwise(lit(0L).cast(dec))).as("__tq"),
+        // the clamp bounds: the g+1-th and (n−g)-th order statistics
+        max(when(col("__rn") === col("__g") + 1L, vD)).as("__vlo"),
+        max(when(col("__rn") === col("__n") - col("__g"), vD)).as("__vhi"))
+      // winsorized sums: middle mass + g copies of each clamp bound,
+      // all exact DECIMAL
+      .withColumn("__h", col("__n") - lit(2L) * col("__gg"))
+      .withColumn("__ws",
+        col("__ts") + col("__gg").cast(dec) * (col("__vlo") + col("__vhi")))
+      .withColumn("__wq",
+        col("__tq") + col("__gg").cast(dec) *
+          (col("__vlo") * col("__vlo") + col("__vhi") * col("__vhi")))
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("__gg"))).as("__g1"),
+        max(when(col("grp") === col("grp_lo"), col("__h"))).as("__h1"),
+        max(when(col("grp") === col("grp_lo"), col("__ts"))).as("__t1"),
+        max(when(col("grp") === col("grp_lo"), col("__ws"))).as("__ws1"),
+        max(when(col("grp") === col("grp_lo"), col("__wq"))).as("__wq1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("__gg"))).as("__g2"),
+        max(when(col("grp") === col("grp_hi"), col("__h"))).as("__h2"),
+        max(when(col("grp") === col("grp_hi"), col("__ts"))).as("__t2"),
+        max(when(col("grp") === col("grp_hi"), col("__ws"))).as("__ws2"),
+        max(when(col("grp") === col("grp_hi"), col("__wq"))).as("__wq2"))
+    val two = col("__ngrps") === 2L
+    // winsorized variance numerators: n·Σw² − (Σw)², exact
+    val vw1 = col("__n1").cast(dec) * col("__wq1") - col("__ws1") * col("__ws1")
+    val vw2 = col("__n2").cast(dec) * col("__wq2") - col("__ws2") * col("__ws2")
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val h1 = col("__h1").cast("double"); val h2 = col("__h2").cast("double")
+    // se²_i = s²w·(n−1)/(h(h−1)) = V_w/(n(n−1)) · (n−1)/(h(h−1))
+    //       = V_w / n / (h(h−1)) — one exact numerator, two divisions
+    val se1 = vw1.cast("double") / n1 / (h1 * (h1 - 1d))
+    val se2 = vw2.cast("double") / n2 / (h2 * (h2 - 1d))
+    val se = se1 + se2
+    // trimmed-mean difference: exact cross product over the kept counts
+    val diffNum = col("__t1") * col("__h2").cast(dec) -
+      col("__t2") * col("__h1").cast(dec)
+    val tStat = diffNum.cast("double") / (h1 * h2) / sqrt(se)
+    val dfWs = se * se / (se1 * se1 / (h1 - 1d) + se2 * se2 / (h2 - 1d))
+    val ok = two && col("__h1") >= 2L && col("__h2") >= 2L && (vw1 + vw2) > 0L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("g_lo", when(two, col("__g1")))
+      .withColumn("g_hi", when(two, col("__g2")))
+      .withColumn("h_lo", when(two, col("__h1")))
+      .withColumn("h_hi", when(two, col("__h2")))
+      .withColumn("mean_trim_lo",
+        when(two && col("__h1") > 0L, col("__t1").cast("double") / h1))
+      .withColumn("mean_trim_hi",
+        when(two && col("__h2") > 0L, col("__t2").cast("double") / h2))
+      .withColumn("effect_trim",
+        when(two && col("__h1") > 0L && col("__h2") > 0L,
+          diffNum.cast("double") / (h1 * h2)))
+      .withColumn("t", when(ok, tStat))
+      .withColumn("df", when(ok, dfWs))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("g_lo") :+ col("g_hi") :+
+        col("h_lo") :+ col("h_hi") :+ col("mean_trim_lo") :+
+        col("mean_trim_hi") :+ col("effect_trim") :+ col("t") :+
+        col("df"): _*)
+  }
+
   /** Welch's t (Welch 1947): the two-group mean test that does NOT
     * assume equal variances — the inference companion of [[cohensD]]
     * (d sizes the gap, t/df test it) and the parametric sibling of

@@ -3057,6 +3057,28 @@ object CoreQueries {
         round(col("df"), 9).as("df"))
   }
 
+  /** Yuen trimmed-means t gate: the q279 click-vs-view comparison made
+    * ROBUST — 20%-trimmed means with the winsorized variance and
+    * Welch–Satterthwaite df on the kept counts, exact rank selections
+    * and DECIMAL sums throughout.
+    */
+  def q351YuenT(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view") && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v_m"))
+    Association.yuenT(ev, Nil, "event_type", "v_m", "event_id", trimPct = 20)
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("n_lo"), col("n_hi"), col("g_lo"), col("g_hi"),
+        col("h_lo"), col("h_hi"),
+        round(col("mean_trim_lo"), 9).as("mean_trim_lo"),
+        round(col("mean_trim_hi"), 9).as("mean_trim_hi"),
+        round(col("effect_trim"), 9).as("effect_trim"),
+        round(col("t"), 9).as("t"),
+        round(col("df"), 9).as("df"))
+  }
+
   /** Binned Cramér–von Mises gate: the INTEGRATED CDF gap on the q101
     * histogram shape (even vs odd users' event values) — per bucket the
     * exact cross-multiplied gap and combined mass; KS's max-gap blind

@@ -884,7 +884,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q349_ab_karm_from_store", maxHash = 26, maxRange = 4,
       minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0),
     // QTE: the q267 shape — one rank window per arm + the group-keyed join
-    Shape("q350_qte", maxHash = 4, forbidUdf = true)
+    Shape("q350_qte", maxHash = 4, forbidUdf = true),
+    // Yuen t: one rank window per arm partition + one agg + the 2-label
+    // pivot — the winsorize cost class
+    Shape("q351_yuen_t", maxHash = 4, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

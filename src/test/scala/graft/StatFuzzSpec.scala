@@ -814,6 +814,47 @@ class StatFuzzSpec extends SparkSpec {
 
   // --- Welch's t --------------------------------------------------------------------
 
+  test("fuzz: Yuen trimmed-means t vs a naive sort-trim-winsorize implementation") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("yuen", t)
+      val trim = Seq(10, 20, 25)(r.nextInt(3))
+      val rows = (0 until 24 + r.nextInt(60)).map { i =>
+        val arm = if (r.nextBoolean()) "A" else "B"
+        // heavy-ish tail: occasional large values
+        val v = (if (r.nextInt(10) == 0) 200 + r.nextInt(500)
+          else r.nextInt(30)).toLong + (if (arm == "A") 3L else 0L)
+        (arm, v, i.toLong)
+      }
+      def naive(a: String): Option[(Double, Double, Int, Int)] = {
+        val vs = rows.filter(_._1 == a).sortBy(p => (p._2, p._3)).map(_._2)
+        val n = vs.size
+        if (n == 0) return None
+        val g = trim * n / 100
+        val h = n - 2 * g
+        val mid = vs.slice(g, n - g)
+        val xt = mid.map(_.toDouble).sum / h
+        val wins = Seq.fill(g)(vs(g)) ++ mid ++ Seq.fill(g)(vs(n - g - 1))
+        val wm = wins.map(_.toDouble).sum / n
+        val s2w = wins.map(v => (v - wm) * (v - wm)).sum / (n - 1)
+        Some((xt, s2w * (n - 1) / (h.toDouble * (h - 1)), n, h))
+      }
+      (naive("A"), naive("B")) match {
+        case (Some((xt1, se1, _, h1)), Some((xt2, se2, _, h2)))
+            if h1 >= 2 && h2 >= 2 && se1 + se2 > 0 =>
+          val se = se1 + se2
+          val tN = (xt1 - xt2) / math.sqrt(se)
+          val dfN = se * se / (se1 * se1 / (h1 - 1) + se2 * se2 / (h2 - 1))
+          val row = Association.yuenT(rows.toDF("arm", "v", "tb"),
+            Nil, "arm", "v", "tb", trimPct = trim).collect()(0)
+          approx(row.getAs[Double]("mean_trim_lo"), xt1, s"yuen xt1 trial $t")
+          approx(row.getAs[Double]("t"), tN, s"yuen t trial $t")
+          approx(row.getAs[Double]("df"), dfN, s"yuen df trial $t")
+        case _ => ()
+      }
+    }
+  }
+
   test("fuzz: Welch t and Welch-Satterthwaite df vs the unequal-variance formulas") {
     import graft.quality.Association
     for (t <- 1 to Trials) {

@@ -761,6 +761,58 @@ class TrendStatsSpec extends SparkSpec {
 
   // --- Welch's t ---------------------------------------------------------------------
 
+  test("yuenT: hand-rational golden, g = 0 Welch reduction, outlier invariance, flags") {
+    import graft.quality.Association
+    // A = 1..10, B = A + 10, trim 20% → g = 2, h = 6: trimmed means
+    // 5.5/15.5; winsorized {3,3,3,4..8,8,8}: Σw = 55, Σw² = 345 →
+    // s²w = (10·345 − 55²)/90 = 85/18; se² = (85/18)·9/30 = 17/12 per
+    // arm → t = −10/√(17/6) = −√(600/17), df = 10 (equal se² halves)
+    val a = (1 to 10).map(i => ("A", i.toLong, i.toLong))
+    val b = (1 to 10).map(i => ("B", (i + 10).toLong, (i + 100).toLong))
+    val rows = (a ++ b).toDF("arm", "v", "tb")
+    val r = Association.yuenT(rows, Nil, "arm", "v", "tb", trimPct = 20)
+      .collect()(0)
+    assert(r.getAs[Long]("g_lo") === 2L && r.getAs[Long]("h_lo") === 6L)
+    assert(math.abs(r.getAs[Double]("mean_trim_lo") - 5.5d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_trim_hi") - 15.5d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("effect_trim") - (-10d)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t") - (-math.sqrt(600d / 17d))) < 1e-9)
+    assert(math.abs(r.getAs[Double]("df") - 10d) < 1e-9)
+    // g = 0 (trimPct below 10/n) reduces to Welch's t
+    val w = Association.welchT(rows, Nil, "arm", "v").collect()(0)
+    val y0 = Association.yuenT(rows, Nil, "arm", "v", "tb", trimPct = 5)
+      .collect()(0)
+    assert(y0.getAs[Long]("g_lo") === 0L)
+    assert(math.abs(y0.getAs[Double]("t") - w.getAs[Double]("t")) < 1e-9)
+    assert(math.abs(y0.getAs[Double]("df") - w.getAs[Double]("df")) < 1e-9)
+    // ROBUSTNESS: replacing arm B's max with a 100× outlier leaves
+    // Yuen's statistic bit-identical (the outlier is trimmed and its
+    // clamp bound unchanged) while Welch's t moves
+    val wild = rows.withColumn("v",
+      when(col("v") === 20L, 2000L).otherwise(col("v")))
+    val rw = Association.yuenT(wild, Nil, "arm", "v", "tb", trimPct = 20)
+      .collect()(0)
+    assert(rw.getAs[Double]("t") === r.getAs[Double]("t"))
+    assert(rw.getAs[Double]("df") === r.getAs[Double]("df"))
+    val ww = Association.welchT(wild, Nil, "arm", "v").collect()(0)
+    assert(math.abs(ww.getAs[Double]("t") - w.getAs[Double]("t")) > 1d)
+    // flags: a kept count below 2 (n = 3 at 40% trim → g = 1, h = 1)
+    // NULLs the statistics but keeps the trimmed mean
+    val tiny = (Seq(("A", 1L, 1L), ("A", 5L, 2L), ("A", 9L, 3L)) ++ b)
+      .toDF("arm", "v", "tb")
+    val rt = Association.yuenT(tiny, Nil, "arm", "v", "tb", trimPct = 40)
+      .collect()(0)
+    assert(rt.getAs[Long]("h_lo") === 1L)
+    assert(rt.isNullAt(rt.fieldIndex("t")))
+    assert(math.abs(rt.getAs[Double]("mean_trim_lo") - 5d) < 1e-12)
+    val three = rows.unionAll(Seq(("C", 1L, 999L)).toDF("arm", "v", "tb"))
+    val r3 = Association.yuenT(three, Nil, "arm", "v", "tb").collect()(0)
+    assert(r3.getAs[Long]("n_groups") === 3L && r3.isNullAt(r3.fieldIndex("t")))
+    intercept[IllegalArgumentException] {
+      Association.yuenT(rows, Nil, "arm", "v", "tb", trimPct = 50)
+    }
+  }
+
   test("welchT: hand golden t/df, 3-group flag, tiny-side NULL") {
     import graft.quality.Association
     // lo = [1,2,3] (var 1), hi = [2,4,6,8] (var 20/3):
