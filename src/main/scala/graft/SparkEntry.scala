@@ -362,7 +362,9 @@ object SparkEntry {
     "q348_scorecard_from_store" -> (CoreQueries.q348ScorecardFromStore(_, _)),
     "q349_ab_karm_from_store" -> (CoreQueries.q349AbDashboardKArmFromStore(_, _)),
     "q350_qte" -> (CoreQueries.q350Qte(_, _)),
-    "q351_yuen_t" -> (CoreQueries.q351YuenT(_, _))
+    "q351_yuen_t" -> (CoreQueries.q351YuenT(_, _)),
+    "q352_paired_t" -> (CoreQueries.q352PairedT(_, _)),
+    "q353_wilcoxon_signed_rank" -> (CoreQueries.q353WilcoxonSignedRank(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -529,7 +531,9 @@ object SparkEntry {
     "q348_scorecard_from_store" -> scorecardOracle,
     "q349_ab_karm_from_store" -> abDashboardKArmOracle,
     "q350_qte" -> qteOracle,
-    "q351_yuen_t" -> yuenTOracle)
+    "q351_yuen_t" -> yuenTOracle,
+    "q352_paired_t" -> pairedTOracle,
+    "q353_wilcoxon_signed_rank" -> wilcoxonSignedRankOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1587,6 +1591,63 @@ object SparkEntry {
       |  round(se * se / (se1 * se1 / (CAST(h1 AS DOUBLE) - 1.0) +
       |    se2 * se2 / (CAST(h2 AS DOUBLE) - 1.0)), 9) AS df
       |FROM z""".stripMargin
+
+  /** q352 oracle: [[graft.quality.Association.pairedT]] replayed —
+    * per-user exact even−odd differences, HUGEINT Σd/Σd², the
+    * t = Σd·√(n−1)/√(nΣd²−(Σd)²) dag in the Spark float order.
+    */
+  private lazy val pairedTOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) -
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(d) AS HUGEINT) AS sd,
+      |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd FROM pu),
+      |f AS (SELECT *, CAST(n AS HUGEINT) * sdd - sd * sd AS varnum FROM a)
+      |SELECT n,
+      |  round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_diff,
+      |  CAST(varnum AS VARCHAR) AS var_num,
+      |  CASE WHEN n >= 2 AND varnum > 0 THEN
+      |    round(CAST(sd AS DOUBLE) * sqrt(CAST(n AS DOUBLE) - 1.0) /
+      |      sqrt(CAST(varnum AS DOUBLE)), 9) END AS t,
+      |  CASE WHEN n >= 2 AND varnum > 0 THEN
+      |    round(CAST(n AS DOUBLE) - 1.0, 9) END AS df
+      |FROM f""".stripMargin
+
+  /** q353 oracle: [[graft.quality.Association.wilcoxonSignedRank]]
+    * replayed — the q352 difference CTE, zero drops counted, doubled
+    * average ranks over distinct |d| (cum window), exact HUGEINT
+    * 2W⁺ / tie / variance pieces, the quadrupled z form.
+    */
+  private lazy val wilcoxonSignedRankOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) -
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |z0 AS (SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero FROM pu),
+      |nz AS (SELECT d, abs(d) AS ad FROM pu WHERE d <> 0),
+      |vals AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tpos
+      |  FROM nz GROUP BY 1),
+      |rk AS (SELECT *, coalesce(sum(t) OVER (ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM vals),
+      |r2 AS (SELECT *, 2 * cum + t + 1 AS rr FROM rk),
+      |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+      |    sum(CAST(tpos AS HUGEINT) * rr) AS w2,
+      |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+      |  FROM r2),
+      |f AS (SELECT *,
+      |    2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties AS varnum,
+      |    2 * w2 - CAST(n AS HUGEINT) * (n + 1) AS znum FROM tot)
+      |SELECT n, (SELECT n_zero FROM z0) AS n_zero,
+      |  CAST(w2 AS VARCHAR) AS w2_plus, CAST(varnum AS VARCHAR) AS var_num,
+      |  CASE WHEN n > 0 AND varnum > 0 THEN
+      |    round(CAST(znum AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE) / 3.0), 9)
+      |  END AS z
+      |FROM f""".stripMargin
 
   /** q279 oracle: [[graft.quality.Association.welchT]] replayed — the
     * q271 moments/pivot CTEs, v_i/n_i fixed dags, t and the

@@ -1405,6 +1405,130 @@ object Association {
         col("n") :+ col("k") :+ col("f"): _*)
   }
 
+  /** Paired t-test (Student, the matched-units design): per UNIT both
+    * conditions are observed (pre/post the change, control/treatment
+    * prompt on the same document) and the between-unit variance —
+    * which [[welchT]] must carry — cancels in the per-unit difference:
+    * d = x − y, t = d̄/(s_d/√n), df = n − 1. The parametric member of
+    * the matched family beside [[mcnemar]] (binary) and
+    * [[wilcoxonSignedRank]] (ranks).
+    *
+    * Determinism: values cast long; n/Σd/Σd² are EXACT DECIMAL sums
+    * from ONE aggregation; t = Σd·√(n−1)/√(n·Σd² − (Σd)²) — exact
+    * integer pieces, two √s, one division — gated at 9dp. NULL t when
+    * n < 2 or the diffs are constant (zero variance — flagged, with
+    * the mean kept). Pairs with either side NULL drop. One row per key
+    * set. SCALE: one moments aggregation, map-side combined.
+    */
+  def pairedT(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val d = (col(xCol).cast("long") - col(yCol).cast("long")).cast(dec)
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(d).as("__sd"), sum(d * d).as("__sdd"))
+    val nD = col("n").cast(dec)
+    val varNum = nD * col("__sdd") - col("__sd") * col("__sd")
+    val nDd = col("n").cast("double")
+    val tStat = col("__sd").cast("double") * sqrt(nDd - 1d) /
+      sqrt(varNum.cast("double"))
+    val ok = col("n") >= 2L && varNum > 0L
+    agg
+      .withColumn("mean_diff",
+        when(col("n") > 0L, col("__sd").cast("double") / nDd))
+      .withColumn("var_num", varNum.cast("string"))
+      .withColumn("t", when(ok, tStat))
+      .withColumn("df", when(ok, nDd - 1d))
+      .select(g :+ col("n") :+ col("mean_diff") :+ col("var_num") :+
+        col("t") :+ col("df"): _*)
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945): the NONPARAMETRIC
+    * matched-pairs test — [[pairedT]] without the normality bet and
+    * [[mannWhitney]]'s within-unit sibling: rank the |d| of the
+    * nonzero per-unit differences (AVERAGE ranks on ties — the
+    * [[mannWhitney]] doubled-rank discipline, so every rank is an
+    * exact integer when doubled), W⁺ = Σ ranks of positive d, and the
+    * tie-corrected normal approximation
+    *
+    *   z = (4W⁺ − n(n+1)) / √((2n(n+1)(2n+1) − Σ(t³−t)) / 3)
+    *
+    * (the quadrupled form of the textbook W⁺ ∼ N(n(n+1)/4,
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48) — every piece an exact integer,
+    * ties over the |d| groups). Zero differences DROP (the
+    * standard discard treatment), counted in `n_zero` — flagged,
+    * never silent. Determinism: d cast long; per distinct |d| the
+    * doubled average rank 2·cum + t + 1 is exact; 2W⁺, the expectation
+    * and the variance numerator are exact DECIMAL integers; z is one
+    * division, gated at 9dp. NULL z when n = 0 or every |d| ties into
+    * one value leaves no variance. Emits n (nonzero pairs), n_zero,
+    * w2_plus / var_num (exact doubled integers as digit strings), z.
+    * SCALE: one per-unit diff projection + a |d|-cardinality rank
+    * fold (cumulative window over distinct |d| values — the
+    * [[mannWhitney]] cell shape), never a row sort.
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val diffs = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(g :+ (col(xCol).cast("long") - col(yCol).cast("long")).as("__d"): _*)
+    val zeros =
+      if (keyCols.isEmpty)
+        diffs.groupBy().agg(
+          sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      else
+        diffs.groupBy(g: _*).agg(
+          sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val nz = diffs.filter(col("__d") =!= 0L)
+      .withColumn("__ad", abs(col("__d")))
+    val vals = nz.groupBy(g :+ col("__ad"): _*)
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__tpos"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tD = col("__t").cast(dec)
+    val ranked = vals
+      .withColumn("__cum", coalesce(sum("__t").over(wCum), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__cum") + col("__t") + lit(1L))
+    val tot =
+      if (keyCols.isEmpty)
+        ranked.groupBy().agg(
+          sum("__t").as("n"),
+          sum(col("__tpos").cast(dec) * col("__r2").cast(dec)).as("__w2"),
+          sum(tD * tD * tD - tD).as("__ties"))
+      else
+        ranked.groupBy(g: _*).agg(
+          sum("__t").as("n"),
+          sum(col("__tpos").cast(dec) * col("__r2").cast(dec)).as("__w2"),
+          sum(tD * tD * tD - tD).as("__ties"))
+    val frame =
+      if (keyCols.isEmpty) tot.crossJoin(broadcast(zeros))
+      else tot.join(zeros, keyCols, "full_outer")
+    val nD = col("n").cast(dec)
+    val zNum = lit(2L).cast(dec) * col("__w2") - nD * (nD + 1)
+    val varNum = lit(2L).cast(dec) * nD * (nD + 1) * (nD * 2 + 1) - col("__ties")
+    val ok = col("n").isNotNull && col("n") > 0L && varNum > 0L
+    frame
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_zero", coalesce(col("n_zero"), lit(0L)))
+      .withColumn("w2_plus", col("__w2").cast("string"))
+      .withColumn("var_num", varNum.cast("string"))
+      .withColumn("z", when(ok,
+        zNum.cast("double") / sqrt(varNum.cast("double") / lit(3d))))
+      .select(g :+ col("n") :+ col("n_zero") :+ col("w2_plus") :+
+        col("var_num") :+ col("z"): _*)
+  }
+
   /** Yuen's t on trimmed means (Yuen 1974): the ROBUST two-group mean
     * test the heavy-tail regime needs — Welch's t on raw means is
     * dominated by the tail a 100 TB value column always has, and

@@ -3079,6 +3079,42 @@ object CoreQueries {
         round(col("df"), 9).as("df"))
   }
 
+  /** The paired-design per-user fixture: both "conditions" observed on
+    * every unit — the even-event and odd-event counts of the same user
+    * (the matched pre/post analogue; the between-user activity variance
+    * cancels in the difference).
+    */
+  private def pairedPerUser(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"))
+
+  /** Paired t gate: the per-user even-vs-odd event counts as matched
+    * conditions — exact Σd/Σd² moments, t = Σd·√(n−1)/√(nΣd²−(Σd)²),
+    * df = n − 1.
+    */
+  def q352PairedT(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    Association.pairedT(pairedPerUser(s, dir), Nil, "x", "y")
+      .select(col("n"), round(col("mean_diff"), 9).as("mean_diff"),
+        col("var_num"), round(col("t"), 9).as("t"),
+        round(col("df"), 9).as("df"))
+  }
+
+  /** Wilcoxon signed-rank gate: the same paired fixture through the
+    * tie-corrected rank test — zero diffs dropped flagged, doubled
+    * average ranks exact, the quadrupled z form.
+    */
+  def q353WilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    Association.wilcoxonSignedRank(pairedPerUser(s, dir), Nil, "x", "y")
+      .select(col("n"), col("n_zero"), col("w2_plus"), col("var_num"),
+        round(col("z"), 9).as("z"))
+  }
+
   /** Binned Cramér–von Mises gate: the INTEGRATED CDF gap on the q101
     * histogram shape (even vs odd users' event values) — per bucket the
     * exact cross-multiplied gap and combined mass; KS's max-gap blind

@@ -888,7 +888,13 @@ class PlanShapeSpec extends SparkSpec {
     // Yuen t: one rank window per arm partition + one agg + the 2-label
     // pivot — the winsorize cost class
     Shape("q351_yuen_t", maxHash = 4, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // paired t: ONE per-unit diff agg + one moments fold
+    Shape("q352_paired_t", maxHash = 2, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // signed rank: per-unit diffs + the |d|-cardinality rank fold
+    Shape("q353_wilcoxon_signed_rank", maxHash = 4, maxRange = 3,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

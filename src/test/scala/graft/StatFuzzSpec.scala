@@ -855,6 +855,48 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: Wilcoxon signed-rank vs a naive average-rank loop; paired t vs the direct formula") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("wilcoxon", t)
+      val pairs = (0 until 20 + r.nextInt(60)).map { _ =>
+        val x = r.nextInt(15).toLong
+        (x + r.nextInt(7).toLong - 2L, x)
+      }
+      val ds = pairs.map(p => p._1 - p._2).filter(_ != 0L)
+      if (ds.nonEmpty) {
+        // naive average ranks of |d|
+        val sorted = ds.map(math.abs).sorted
+        def avgRank(a: Long): Double = {
+          val lo = sorted.indexOf(a); val hi = sorted.lastIndexOf(a)
+          (lo + hi + 2) / 2.0
+        }
+        val wPlus = ds.filter(_ > 0).map(d => avgRank(math.abs(d))).sum
+        val n = ds.size
+        val ties = sorted.groupBy(identity).values
+          .map(g => g.size.toDouble).map(c => c * c * c - c).sum
+        val varW = n.toDouble * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+        val row = Association.wilcoxonSignedRank(
+          pairs.toDF("x", "y"), Nil, "x", "y").collect()(0)
+        assert(row.getAs[Long]("n") === n.toLong)
+        if (varW > 0) {
+          val zN = (wPlus - n.toDouble * (n + 1) / 4.0) / math.sqrt(varW)
+          approx(row.getAs[Double]("z"), zN, s"wilcoxon z trial $t")
+        }
+        // paired t vs the direct per-diff formula (all pairs, zeros kept)
+        val all = pairs.map(p => (p._1 - p._2).toDouble)
+        val m = all.sum / all.size
+        val s2 = all.map(d => (d - m) * (d - m)).sum / (all.size - 1)
+        if (s2 > 0) {
+          val tN = m / math.sqrt(s2 / all.size)
+          val rp = Association.pairedT(pairs.toDF("x", "y"), Nil, "x", "y")
+            .collect()(0)
+          approx(rp.getAs[Double]("t"), tN, s"paired t trial $t")
+        }
+      }
+    }
+  }
+
   test("fuzz: Welch t and Welch-Satterthwaite df vs the unequal-variance formulas") {
     import graft.quality.Association
     for (t <- 1 to Trials) {

@@ -813,6 +813,62 @@ class TrendStatsSpec extends SparkSpec {
     }
   }
 
+  test("pairedT: hand golden, unit-shift invariance, constant-diff flag") {
+    import graft.quality.Association
+    // d = {2, 3, 0, 3}: Σd = 8, Σd² = 22, varNum = 4·22 − 64 = 24 →
+    // t = 8·√3/√24 = 2√2, df = 3, mean 2
+    val rows = Seq((3L, 1L), (5L, 2L), (2L, 2L), (4L, 1L)).toDF("x", "y")
+    val r = Association.pairedT(rows, Nil, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("mean_diff") - 2d) < 1e-12)
+    assert(r.getAs[String]("var_num") === "24")
+    assert(math.abs(r.getAs[Double]("t") - 2d * math.sqrt(2d)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - 3d) < 1e-12)
+    // the paired design's whole point: a per-unit shift added to BOTH
+    // conditions cancels — t bit-identical
+    val shifted = Seq((1003L, 1001L), (205L, 202L), (52L, 52L), (9004L, 9001L))
+      .toDF("x", "y")
+    val rs = Association.pairedT(shifted, Nil, "x", "y").collect()(0)
+    assert(rs.getAs[Double]("t") === r.getAs[Double]("t"))
+    // constant diffs: zero variance → NULL t, mean kept
+    val const = Seq((5L, 2L), (8L, 5L), (10L, 7L)).toDF("x", "y")
+    val rc = Association.pairedT(const, Nil, "x", "y").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("t")))
+    assert(math.abs(rc.getAs[Double]("mean_diff") - 3d) < 1e-12)
+  }
+
+  test("wilcoxonSignedRank: hand goldens (distinct + tied + zero-dropped), sign antisymmetry") {
+    import graft.quality.Association
+    // diffs {+1,−2,+3,+4,+5}: W⁺ = 13 → 2W⁺ = 26, varNum = 660,
+    // z = 22/√220 = 11/√55
+    val a = Seq((2L, 1L), (0L, 2L), (4L, 1L), (5L, 1L), (6L, 1L)).toDF("x", "y")
+    val ra = Association.wilcoxonSignedRank(a, Nil, "x", "y").collect()(0)
+    assert(ra.getAs[Long]("n") === 5L && ra.getAs[Long]("n_zero") === 0L)
+    assert(ra.getAs[String]("w2_plus") === "26")
+    assert(ra.getAs[String]("var_num") === "660")
+    assert(math.abs(ra.getAs[Double]("z") - 11d / math.sqrt(55d)) < 1e-12)
+    // ties: diffs {+1,+1,−1,+2} — |1| average rank 2 (doubled 4),
+    // ties = 2⁴... Σ(t³−t) = 24, 2W⁺ = 16, varNum = 336, z = 12/√112
+    val b = Seq((2L, 1L), (3L, 2L), (0L, 1L), (4L, 2L)).toDF("x", "y")
+    val rb = Association.wilcoxonSignedRank(b, Nil, "x", "y").collect()(0)
+    assert(rb.getAs[String]("w2_plus") === "16")
+    assert(rb.getAs[String]("var_num") === "336")
+    assert(math.abs(rb.getAs[Double]("z") - 12d / math.sqrt(112d)) < 1e-12)
+    // zeros drop FLAGGED: diffs {0, 0, +5} → n = 1, n_zero = 2, z = 1
+    val c = Seq((1L, 1L), (7L, 7L), (6L, 1L)).toDF("x", "y")
+    val rc = Association.wilcoxonSignedRank(c, Nil, "x", "y").collect()(0)
+    assert(rc.getAs[Long]("n") === 1L && rc.getAs[Long]("n_zero") === 2L)
+    assert(math.abs(rc.getAs[Double]("z") - 1d) < 1e-12)
+    // antisymmetry: swapping the conditions negates z exactly
+    val rn = Association.wilcoxonSignedRank(a, Nil, "y", "x").collect()(0)
+    assert(rn.getAs[Double]("z") === -ra.getAs[Double]("z"))
+    // all-zero diffs: n = 0, NULL z, never a crash (ANSI)
+    val z0 = Association.wilcoxonSignedRank(
+      Seq((3L, 3L), (4L, 4L)).toDF("x", "y"), Nil, "x", "y").collect()(0)
+    assert(z0.getAs[Long]("n") === 0L && z0.getAs[Long]("n_zero") === 2L)
+    assert(z0.isNullAt(z0.fieldIndex("z")))
+  }
+
   test("welchT: hand golden t/df, 3-group flag, tiny-side NULL") {
     import graft.quality.Association
     // lo = [1,2,3] (var 1), hi = [2,4,6,8] (var 20/3):
