@@ -364,7 +364,9 @@ object SparkEntry {
     "q350_qte" -> (CoreQueries.q350Qte(_, _)),
     "q351_yuen_t" -> (CoreQueries.q351YuenT(_, _)),
     "q352_paired_t" -> (CoreQueries.q352PairedT(_, _)),
-    "q353_wilcoxon_signed_rank" -> (CoreQueries.q353WilcoxonSignedRank(_, _))
+    "q353_wilcoxon_signed_rank" -> (CoreQueries.q353WilcoxonSignedRank(_, _)),
+    "q354_paired_t_from_store" -> (CoreQueries.q354PairedTFromStore(_, _)),
+    "q355_wilcoxon_from_store" -> (CoreQueries.q355WilcoxonFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -533,7 +535,11 @@ object SparkEntry {
     "q350_qte" -> qteOracle,
     "q351_yuen_t" -> yuenTOracle,
     "q352_paired_t" -> pairedTOracle,
-    "q353_wilcoxon_signed_rank" -> wilcoxonSignedRankOracle)
+    "q353_wilcoxon_signed_rank" -> wilcoxonSignedRankOracle,
+    // from-store twins: the three-batch diff-cell fold merges to the
+    // identical cells, so they share the direct oracles verbatim
+    "q354_paired_t_from_store" -> pairedTOracle,
+    "q355_wilcoxon_from_store" -> wilcoxonSignedRankOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here

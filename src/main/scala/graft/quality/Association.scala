@@ -1425,13 +1425,49 @@ object Association {
       keyCols: Seq[String],
       xCol: String,
       yCol: String
+  ): DataFrame =
+    pairedTFromCells(pairedDiffCells(df, keyCols, xCol, yCol), keyCols)
+
+  /** The paired family's standing state: per-(keys, d) counts of the
+    * per-UNIT differences d = x − y (zeros INCLUDED — the signed-rank
+    * read needs its n_zero flag and the t read needs them in n).
+    * Additively mergeable ([[mergePairedDiffCells]], fold == rebuild);
+    * diff-cardinality-bounded. ONE cell store answers BOTH matched
+    * tests — [[pairedTFromCells]] and
+    * [[wilcoxonSignedRankFromCells]].
+    */
+  def pairedDiffCells(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
   ): DataFrame = {
     val g = keyCols.map(col)
-    val d = (col(xCol).cast("long") - col(yCol).cast("long")).cast(dec)
-    val agg = df
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .groupBy(g: _*)
-      .agg(count(lit(1)).as("n"), sum(d).as("__sd"), sum(d * d).as("__sdd"))
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(g :+ (col(xCol).cast("long") - col(yCol).cast("long")).as("d"): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Additive merge of two [[pairedDiffCells]] frames. */
+  def mergePairedDiffCells(
+      a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("d")): _*)
+      .agg(sum("c").as("c"))
+
+  /** [[pairedT]] from a (possibly folded) [[pairedDiffCells]] frame —
+    * the exact moments are Σc, Σc·d, Σc·d² over the bounded cell
+    * frame.
+    */
+  def pairedTFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val cD = col("c").cast(dec)
+    val dD = col("d").cast(dec)
+    val agg =
+      (if (keyCols.isEmpty) cells.groupBy() else cells.groupBy(g: _*))
+        .agg(sum("c").as("n"),
+          sum(cD * dD).as("__sd"),
+          sum(cD * dD * dD).as("__sdd"))
     val nD = col("n").cast(dec)
     val varNum = nD * col("__sdd") - col("__sd") * col("__sd")
     val nDd = col("n").cast("double")
@@ -1477,51 +1513,50 @@ object Association {
       keyCols: Seq[String],
       xCol: String,
       yCol: String
-  ): DataFrame = {
+  ): DataFrame =
+    wilcoxonSignedRankFromCells(
+      pairedDiffCells(df, keyCols, xCol, yCol), keyCols)
+
+  /** [[wilcoxonSignedRank]] from a (possibly folded)
+    * [[pairedDiffCells]] frame — zeros read from the d = 0 cell,
+    * |d| rank cells folded from the signed cells.
+    */
+  def wilcoxonSignedRankFromCells(
+      cells: DataFrame, keyCols: Seq[String]): DataFrame = {
     val g = keyCols.map(col)
-    val diffs = df
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(g :+ (col(xCol).cast("long") - col(yCol).cast("long")).as("__d"): _*)
-    val zeros =
-      if (keyCols.isEmpty)
-        diffs.groupBy().agg(
-          sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_zero"))
-      else
-        diffs.groupBy(g: _*).agg(
-          sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_zero"))
-    val nz = diffs.filter(col("__d") =!= 0L)
-      .withColumn("__ad", abs(col("__d")))
-    val vals = nz.groupBy(g :+ col("__ad"): _*)
-      .agg(count(lit(1)).as("__t"),
-        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__tpos"))
+    // ONE chain: the d = 0 cell rides the same |d| frame (ad = 0 sorts
+    // first, contributes nothing to ranks via the when-guards, and
+    // lands as n_zero in the final fold) — no zeros-branch join, so a
+    // folded upstream never re-executes per branch
+    val vals = cells
+      .groupBy(g :+ abs(col("d")).as("__ad"): _*)
+      .agg(sum("c").as("__t"),
+        sum(when(col("d") > 0L, col("c")).otherwise(0L)).as("__tpos"))
     val wCum = Window.partitionBy(g: _*).orderBy(col("__ad"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tD = col("__t").cast(dec)
+    val nzT = when(col("__ad") > 0L, col("__t")).otherwise(0L)
     val ranked = vals
-      .withColumn("__cum", coalesce(sum("__t").over(wCum), lit(0L)))
+      .withColumn("__cum", coalesce(sum(nzT).over(wCum), lit(0L)))
       .withColumn("__r2", lit(2L) * col("__cum") + col("__t") + lit(1L))
+    val tD = col("__t").cast(dec)
+    val nz = col("__ad") > 0L
+    val zeroD = lit(0L).cast(dec)
     val tot =
-      if (keyCols.isEmpty)
-        ranked.groupBy().agg(
-          sum("__t").as("n"),
-          sum(col("__tpos").cast(dec) * col("__r2").cast(dec)).as("__w2"),
-          sum(tD * tD * tD - tD).as("__ties"))
-      else
-        ranked.groupBy(g: _*).agg(
-          sum("__t").as("n"),
-          sum(col("__tpos").cast(dec) * col("__r2").cast(dec)).as("__w2"),
-          sum(tD * tD * tD - tD).as("__ties"))
-    val frame =
-      if (keyCols.isEmpty) tot.crossJoin(broadcast(zeros))
-      else tot.join(zeros, keyCols, "full_outer")
+      (if (keyCols.isEmpty) ranked.groupBy() else ranked.groupBy(g: _*))
+        .agg(
+          sum(when(nz, col("__t")).otherwise(0L)).as("n"),
+          sum(when(col("__ad") === 0L, col("__t")).otherwise(0L)).as("n_zero"),
+          sum(when(nz, col("__tpos").cast(dec) * col("__r2").cast(dec))
+            .otherwise(zeroD)).as("__w2"),
+          sum(when(nz, tD * tD * tD - tD).otherwise(zeroD)).as("__ties"))
     val nD = col("n").cast(dec)
     val zNum = lit(2L).cast(dec) * col("__w2") - nD * (nD + 1)
     val varNum = lit(2L).cast(dec) * nD * (nD + 1) * (nD * 2 + 1) - col("__ties")
     val ok = col("n").isNotNull && col("n") > 0L && varNum > 0L
-    frame
+    tot
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("n_zero", coalesce(col("n_zero"), lit(0L)))
-      .withColumn("w2_plus", col("__w2").cast("string"))
+      .withColumn("w2_plus", coalesce(col("__w2"), zeroD).cast("string"))
       .withColumn("var_num", varNum.cast("string"))
       .withColumn("z", when(ok,
         zNum.cast("double") / sqrt(varNum.cast("double") / lit(3d))))

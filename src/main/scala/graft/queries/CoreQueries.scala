@@ -3115,6 +3115,38 @@ object CoreQueries {
         round(col("z"), 9).as("z"))
   }
 
+  /** The q352/q353 reads FROM THE STORE: the paired fixture split into
+    * three complete-unit batches (user_id mod 3), each batch's diff
+    * cells folded via
+    * [[graft.quality.Association.mergePairedDiffCells]], then BOTH
+    * matched tests over the one folded state — fold == rebuild under
+    * the direct gates' oracles verbatim.
+    */
+  private def pairedDiffCellsFolded(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val pu = pairedPerUser(s, dir)
+    def cellsOf(i: Int) = Association.pairedDiffCells(
+      pu.filter(col("user_id") % 3 === i), Nil, "x", "y")
+    (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      Association.mergePairedDiffCells(acc, cellsOf(i), Nil)
+    }
+  }
+
+  def q354PairedTFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    Association.pairedTFromCells(pairedDiffCellsFolded(s, dir), Nil)
+      .select(col("n"), round(col("mean_diff"), 9).as("mean_diff"),
+        col("var_num"), round(col("t"), 9).as("t"),
+        round(col("df"), 9).as("df"))
+  }
+
+  def q355WilcoxonFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    Association.wilcoxonSignedRankFromCells(pairedDiffCellsFolded(s, dir), Nil)
+      .select(col("n"), col("n_zero"), col("w2_plus"), col("var_num"),
+        round(col("z"), 9).as("z"))
+  }
+
   /** Binned Cramér–von Mises gate: the INTEGRATED CDF gap on the q101
     * histogram shape (even vs odd users' event values) — per bucket the
     * exact cross-multiplied gap and combined mass; KS's max-gap blind

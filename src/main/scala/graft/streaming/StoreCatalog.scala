@@ -101,6 +101,10 @@ object StoreCatalog {
     StoreFamily("scorecard-cells", "StreamingOps.scorecardCellsStream",
       "(metric, arm, peek) unit/conversion counts; M×arm×peek-bounded",
       FlatVersioned, "q348 from-store scorecard; AbDashboardSpec streaming fold"),
+    StoreFamily("paired-diff-cells", "StreamingOps.pairedDiffCellsStream",
+      "per-difference counts (zeros included); diff-cardinality-bounded",
+      FlatVersioned,
+      "q354/q355 from-store paired tests; TrendStatsSpec streaming fold"),
     StoreFamily("kendall-cells", "StreamingOps.kendallCellsStream",
       "(x, y) orderable cells; value-cardinality²-bounded", FlatVersioned,
       "tau-b from-cells reads"),

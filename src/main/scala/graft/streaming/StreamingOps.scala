@@ -1061,6 +1061,39 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming paired-diff cell fold — the matched-design companion of
+    * [[abCellsStream]]: each micro-batch's per-d difference counts
+    * ([[graft.quality.Association.pairedDiffCells]]) merge additively
+    * into a versioned store, so ONE diff-cardinality-bounded state
+    * answers BOTH matched tests at any fold version
+    * ([[graft.quality.Association.pairedTFromCells]] and
+    * [[graft.quality.Association.wilcoxonSignedRankFromCells]]). Same
+    * complete-unit-per-batch contract and recompute-on-replay version
+    * discipline as [[abCellsStream]].
+    */
+  def pairedDiffCellsStream(
+      rows: DataFrame,
+      xCol: String,
+      yCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.Association.pairedDiffCells(batch, Nil, xCol, yCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.Association.mergePairedDiffCells(
+            s.read.parquet(p), bc, Nil)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming Kendall cell fold — the τ-b companion of
     * [[contingencyStream]]: per-batch
     * [[graft.quality.Association.kendallCells]] (values keep their

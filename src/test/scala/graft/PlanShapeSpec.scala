@@ -894,6 +894,11 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // signed rank: per-unit diffs + the |d|-cardinality rank fold
     Shape("q353_wilcoxon_signed_rank", maxHash = 4, maxRange = 3,
+      forbidUdf = true),
+    // from-store twins over the three-batch diff-cell fold
+    Shape("q354_paired_t_from_store", maxHash = 6, maxRange = 2,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q355_wilcoxon_from_store", maxHash = 8, maxRange = 3,
       forbidUdf = true)
   )
 

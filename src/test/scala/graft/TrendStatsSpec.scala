@@ -869,6 +869,43 @@ class TrendStatsSpec extends SparkSpec {
     assert(z0.isNullAt(z0.fieldIndex("z")))
   }
 
+  test("paired-diff cells: fold == rebuild; the streaming store answers both matched tests") {
+    import graft.quality.Association
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mk = (n: Int, seed: Int) => (0 until n).map { i =>
+      (i.toLong + seed * 1000L, (i % 7 + seed).toLong, (i % 5).toLong)
+    }
+    val b1 = mk(60, 1); val b2 = mk(50, 2)
+    val all = (b1 ++ b2).toDF("unit", "x", "y")
+    // batch fold == rebuild
+    val folded = Association.mergePairedDiffCells(
+      Association.pairedDiffCells(b1.toDF("unit", "x", "y"), Nil, "x", "y"),
+      Association.pairedDiffCells(b2.toDF("unit", "x", "y"), Nil, "x", "y"), Nil)
+    val rebuilt = Association.pairedDiffCells(all, Nil, "x", "y")
+    assert(folded.orderBy("d").collect().toSeq ===
+      rebuilt.orderBy("d").collect().toSeq)
+    // streaming fold equals the batch rebuild; the store answers both tests
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdstream").toString
+    val mem = MemoryStream[(Long, Long, Long)]
+    def rows = mem.toDF().toDF("unit", "x", "y")
+    mem.addData(b1: _*)
+    StreamingOps.pairedDiffCellsStream(rows, "x", "y",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.pairedDiffCellsStream(rows, "x", "y",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val store = spark.read.parquet(latest)
+    assert(store.orderBy("d").collect().toSeq ===
+      rebuilt.orderBy("d").collect().toSeq)
+    assert(Association.pairedTFromCells(store, Nil).collect().toSeq ===
+      Association.pairedT(all, Nil, "x", "y").collect().toSeq)
+    assert(Association.wilcoxonSignedRankFromCells(store, Nil).collect().toSeq ===
+      Association.wilcoxonSignedRank(all, Nil, "x", "y").collect().toSeq)
+  }
+
   test("welchT: hand golden t/df, 3-group flag, tiny-side NULL") {
     import graft.quality.Association
     // lo = [1,2,3] (var 1), hi = [2,4,6,8] (var 20/3):
