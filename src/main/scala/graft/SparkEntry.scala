@@ -366,7 +366,8 @@ object SparkEntry {
     "q352_paired_t" -> (CoreQueries.q352PairedT(_, _)),
     "q353_wilcoxon_signed_rank" -> (CoreQueries.q353WilcoxonSignedRank(_, _)),
     "q354_paired_t_from_store" -> (CoreQueries.q354PairedTFromStore(_, _)),
-    "q355_wilcoxon_from_store" -> (CoreQueries.q355WilcoxonFromStore(_, _))
+    "q355_wilcoxon_from_store" -> (CoreQueries.q355WilcoxonFromStore(_, _)),
+    "q356_tost_equivalence" -> (CoreQueries.q356Tost(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -539,7 +540,8 @@ object SparkEntry {
     // from-store twins: the three-batch diff-cell fold merges to the
     // identical cells, so they share the direct oracles verbatim
     "q354_paired_t_from_store" -> pairedTOracle,
-    "q355_wilcoxon_from_store" -> wilcoxonSignedRankOracle)
+    "q355_wilcoxon_from_store" -> wilcoxonSignedRankOracle,
+    "q356_tost_equivalence" -> tostOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1597,6 +1599,53 @@ object SparkEntry {
       |  round(se * se / (se1 * se1 / (CAST(h1 AS DOUBLE) - 1.0) +
       |    se2 * se2 / (CAST(h2 AS DOUBLE) - 1.0)), 9) AS df
       |FROM z""".stripMargin
+
+  /** q356 oracle: [[graft.quality.Association.tostTwoProportion]]
+    * replayed — per-user conversion, the two splits unioned, exact
+    * counts/cross-product delta, the unpooled Wald se, both one-sided
+    * z's, Φ through the SHARED phiSqlFragment (bitwise-equal to the
+    * operator's phiCol dag), and the pinned nano verdict compare.
+    */
+  private lazy val tostOracle: String = {
+    val phiL = graft.quality.GroupSequential.phiSqlFragment("zl")
+    val phiU = graft.quality.GroupSequential.phiSqlFragment("zu")
+    s"""WITH pu AS (SELECT user_id,
+      |    CASE WHEN max(CASE WHEN value >= 250 THEN 1 ELSE 0 END) > 0
+      |      THEN 1 ELSE 0 END AS hit
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |b AS (SELECT 'parity' AS split,
+      |    CAST(user_id % 2 = 0 AS VARCHAR) AS arm, hit FROM pu
+      |  UNION ALL SELECT 'third',
+      |    CAST(user_id % 3 = 0 AS VARCHAR), hit FROM pu),
+      |c AS (SELECT split, arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(hit) AS BIGINT) AS s
+      |  FROM b GROUP BY 1, 2),
+      |w AS (SELECT split,
+      |    max(CASE WHEN arm = 'false' THEN n END) AS n1,
+      |    max(CASE WHEN arm = 'false' THEN s END) AS s1,
+      |    max(CASE WHEN arm = 'true' THEN n END) AS n2,
+      |    max(CASE WHEN arm = 'true' THEN s END) AS s2
+      |  FROM c GROUP BY 1),
+      |f AS (SELECT *,
+      |    CAST(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS delta,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+      |  FROM w),
+      |k AS (SELECT *, sqrt(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE) +
+      |    p2 * (1.0 - p2) / CAST(n2 AS DOUBLE)) AS se FROM f),
+      |z AS (SELECT *, (delta + 0.15) / se AS zl, (0.15 - delta) / se AS zu
+      |  FROM k),
+      |p AS (SELECT *, 1.0 - $phiL AS pl, 1.0 - $phiU AS pu2 FROM z)
+      |SELECT split, 'false' AS grp_lo, 'true' AS grp_hi,
+      |  CAST(2 AS BIGINT) AS n_groups,
+      |  n1 AS n_lo, s1 AS s_lo, n2 AS n_hi, s2 AS s_hi,
+      |  round(delta, 9) AS delta, round(se, 9) AS se,
+      |  round(zl, 9) AS z_lower, round(zu, 9) AS z_upper,
+      |  round(greatest(pl, pu2), 9) AS p_tost,
+      |  CAST(round(least(zl, zu) * 1e9) AS BIGINT) >= 1644854000 AS equivalent
+      |FROM p ORDER BY split""".stripMargin
+  }
 
   /** q352 oracle: [[graft.quality.Association.pairedT]] replayed —
     * per-user exact even−odd differences, HUGEINT Σd/Σd², the

@@ -1405,6 +1405,117 @@ object Association {
         col("n") :+ col("k") :+ col("f"): _*)
   }
 
+  /** Pinned ONE-SIDED normal quantiles for the equivalence family —
+    * the q149 pinned-data rule: no erf inversion, explicit grid.
+    */
+  private val zOneSided: Map[Double, Double] = Map(
+    0.05 -> 1.644854d, 0.025 -> 1.959964d, 0.01 -> 2.326348d)
+
+  /** TOST equivalence test for two proportions (Schuirmann 1987's two
+    * one-sided tests): a dashboard can show "no significant
+    * difference" forever without ever showing EQUIVALENT — absence of
+    * evidence is not evidence of absence, and launch decisions
+    * ("the cheaper model is not worse by more than δ") need the
+    * latter. Declare the arms equivalent within ±`margin` iff BOTH
+    * one-sided tests reject:
+    *
+    *   z_L = (Δ̂ + δ)/se ≥ z_{1−α}  AND  z_U = (δ − Δ̂)/se ≥ z_{1−α}
+    *   p_tost = max(1 − Φ(z_L), 1 − Φ(z_U))
+    *
+    * with the UNPOOLED Wald se √(p̂₁(1−p̂₁)/n₁ + p̂₂(1−p̂₂)/n₂) (under
+    * equivalence the proportions are not assumed equal — pooling is
+    * the null of the wrong test). Φ evaluates IN-ENGINE as the
+    * [[GroupSequential.phiCol]] Column dag (codegen'd, no UDF) whose
+    * DuckDB rendering is bitwise-identical (the q335 discipline).
+    * Determinism: exact counts from ONE aggregation; Δ̂ the exact
+    * cross product; z's/p's fixed dags at 9dp; the verdict is a
+    * nano-integer compare of min(z_L, z_U) against the PINNED
+    * one-sided z (α ∈ {.05, .025, .01} — never a float equality).
+    * Conventions: (grp_lo, grp_hi) = (min, max) label, Δ̂ oriented
+    * lo − hi; ≠2 groups flags via n_groups; NULL statistics when an
+    * arm is empty or both arms are conversion-degenerate (se = 0).
+    * SCALE: one counting aggregation + the 2-label pivot.
+    */
+  def tostTwoProportion(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      hitCol: String,
+      margin: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(hitCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("n_pass"))
+    tostTwoProportionFromCounts(counts, keyCols, margin, alpha)
+  }
+
+  /** [[tostTwoProportion]] from a (possibly folded) per-(keys, grp)
+    * count frame — columns `grp, n, n_pass` (the
+    * [[wilsonFromCounts]] shape), so the same standing count state the
+    * dashboard's Wilson/monitor stages read also answers the
+    * equivalence question.
+    */
+  def tostTwoProportionFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      margin: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(margin > 0d, s"margin must be positive: $margin")
+    require(zOneSided.contains(alpha),
+      s"alpha must be one of ${zOneSided.keys.toSeq.sorted}: $alpha")
+    val bound9 = math.round(zOneSided(alpha) * 1e9d)
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = counts
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("n_pass"))).as("__s1"),
+        max(when(col("grp") === col("grp_hi"), col("n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("n_pass"))).as("__s2"))
+    val two = col("__ngrps") === 2L
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val delta = (col("__s1").cast(dec) * col("__n2").cast(dec) -
+      col("__s2").cast(dec) * col("__n1").cast(dec)).cast("double") / (n1 * n2)
+    val p1 = col("__s1").cast("double") / n1
+    val p2 = col("__s2").cast("double") / n2
+    val se = sqrt(p1 * (lit(1d) - p1) / n1 + p2 * (lit(1d) - p2) / n2)
+    val zL = (delta + lit(margin)) / se
+    val zU = (lit(margin) - delta) / se
+    val pL = lit(1d) - GroupSequential.phiCol(zL)
+    val pU = lit(1d) - GroupSequential.phiCol(zU)
+    // se > 0 iff at least one arm's conversions sit strictly inside (0, n)
+    val live = (col("__s1") > 0L && col("__s1") < col("__n1")) ||
+      (col("__s2") > 0L && col("__s2") < col("__n2"))
+    val ok = two && col("__n1") > 0L && col("__n2") > 0L && live
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("s_lo", when(two, col("__s1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("s_hi", when(two, col("__s2")))
+      .withColumn("delta", when(two && col("__n1") > 0L && col("__n2") > 0L, delta))
+      .withColumn("se", when(ok, se))
+      .withColumn("z_lower", when(ok, zL))
+      .withColumn("z_upper", when(ok, zU))
+      .withColumn("p_tost", when(ok, greatest(pL, pU)))
+      .withColumn("equivalent", when(ok,
+        round(least(zL, zU) * 1e9d).cast("long") >= bound9))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("s_lo") :+ col("n_hi") :+ col("s_hi") :+
+        col("delta") :+ col("se") :+ col("z_lower") :+ col("z_upper") :+
+        col("p_tost") :+ col("equivalent"): _*)
+  }
+
   /** Paired t-test (Student, the matched-units design): per UNIT both
     * conditions are observed (pre/post the change, control/treatment
     * prompt on the same document) and the between-unit variance —

@@ -3147,6 +3147,34 @@ object CoreQueries {
         round(col("z"), 9).as("z"))
   }
 
+  /** TOST equivalence gate: per-user conversion compared under TWO
+    * splits of the same corpus — the parity split (twin-like arms:
+    * genuinely EQUIVALENT at the ±0.15 margin) and the mod-3 split
+    * (unbalanced arms with a real −0.08 gap: NOT equivalent) — so the
+    * verdict column discriminates in both directions in one battery.
+    */
+  def q356Tost(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val pu = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(max(when(col("value") >= 250d, 1L).otherwise(0L)).as("__h"))
+      .withColumn("hit", col("__h") > 0L)
+    val both = pu.select(lit("parity").as("split"),
+        (col("user_id") % 2 === 0).cast("string").as("arm"), col("hit"))
+      .unionByName(pu.select(lit("third").as("split"),
+        (col("user_id") % 3 === 0).cast("string").as("arm"), col("hit")))
+    Association.tostTwoProportion(both, Seq("split"), "arm", "hit",
+        margin = 0.15d, alpha = 0.05d)
+      .select(col("split"), col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("delta"), 9).as("delta"), round(col("se"), 9).as("se"),
+        round(col("z_lower"), 9).as("z_lower"),
+        round(col("z_upper"), 9).as("z_upper"),
+        round(col("p_tost"), 9).as("p_tost"), col("equivalent"))
+      .orderBy("split")
+  }
+
   /** Binned Cramér–von Mises gate: the INTEGRATED CDF gap on the q101
     * histogram shape (even vs odd users' event values) — per bucket the
     * exact cross-multiplied gap and combined mass; KS's max-gap blind

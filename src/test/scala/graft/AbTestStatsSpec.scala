@@ -859,6 +859,59 @@ class AbTestStatsSpec extends SparkSpec {
     assert(one.isNullAt(one.fieldIndex("rate_lo")))
   }
 
+  test("TOST: hand golden both directions, the |delta| >= margin impossibility, degenerate NULLs") {
+    import graft.quality.{Association, GroupSequential}
+    // (n, s) = (100, 50) vs (100, 52): delta = −0.02,
+    // se = √(0.25/100 + 0.2496/100); margin 0.2 → equivalent,
+    // margin 0.05 → not
+    val counts = Seq(("A", 100L, 50L), ("B", 100L, 52L))
+      .toDF("grp", "n", "n_pass")
+    val se = math.sqrt(0.25 / 100 + 0.2496 / 100)
+    val eq = Association.tostTwoProportionFromCounts(counts, Nil, margin = 0.2)
+      .collect()(0)
+    assert(math.abs(eq.getAs[Double]("delta") - (-0.02)) < 1e-12)
+    assert(math.abs(eq.getAs[Double]("se") - se) < 1e-12)
+    assert(math.abs(eq.getAs[Double]("z_lower") - 0.18 / se) < 1e-9)
+    assert(math.abs(eq.getAs[Double]("z_upper") - 0.22 / se) < 1e-9)
+    assert(eq.getAs[Boolean]("equivalent"))
+    // p_tost is the larger one-sided p — the SAME Φ the driver solver
+    // evaluates (phiCol ≡ phi, pinned in GroupSequentialSpec)
+    assert(math.abs(eq.getAs[Double]("p_tost") -
+      (1d - GroupSequential.phi(0.18 / se))) < 1e-12)
+    val ne = Association.tostTwoProportionFromCounts(counts, Nil, margin = 0.05)
+      .collect()(0)
+    assert(!ne.getAs[Boolean]("equivalent"))
+    // |delta| >= margin can NEVER declare equivalence (min z <= 0)
+    val far = Seq(("A", 100L, 80L), ("B", 100L, 20L)).toDF("grp", "n", "n_pass")
+    val rf = Association.tostTwoProportionFromCounts(far, Nil, margin = 0.5)
+      .collect()(0)
+    assert(!rf.getAs[Boolean]("equivalent"))
+    assert(rf.getAs[Double]("z_lower") <= 0d || rf.getAs[Double]("z_upper") <= 0d)
+    // degenerate: both arms all-convert → se = 0 → NULL, never a crash
+    val degen = Seq(("A", 50L, 50L), ("B", 60L, 60L)).toDF("grp", "n", "n_pass")
+    val rd = Association.tostTwoProportionFromCounts(degen, Nil, margin = 0.1)
+      .collect()(0)
+    assert(rd.isNullAt(rd.fieldIndex("z_lower")))
+    assert(rd.isNullAt(rd.fieldIndex("equivalent")))
+    // one group flags; wrapper == from-counts
+    val one = Association.tostTwoProportionFromCounts(
+      Seq(("A", 50L, 25L)).toDF("grp", "n", "n_pass"), Nil, margin = 0.1)
+      .collect()(0)
+    assert(one.getAs[Long]("n_groups") === 1L && one.isNullAt(one.fieldIndex("p_tost")))
+    val rows = Seq(("A", true), ("A", false), ("B", true), ("B", true))
+      .toDF("arm", "hit")
+    assert(Association.tostTwoProportion(rows, Nil, "arm", "hit", 0.3).collect().toSeq ===
+      Association.tostTwoProportionFromCounts(
+        Seq(("A", 2L, 1L), ("B", 2L, 2L)).toDF("grp", "n", "n_pass"),
+        Nil, 0.3).collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Association.tostTwoProportionFromCounts(counts, Nil, margin = -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Association.tostTwoProportionFromCounts(counts, Nil, margin = 0.1, alpha = 0.07)
+    }
+  }
+
   test("mhRateRatio: one stratum reduces exactly to the crude rate ratio; hand pooled golden") {
     // single stratum: RR_MH = (c1·t2/T)/(c2·t1/T) = crude RR
     val one = Association.mhRateRatioFromCounts(

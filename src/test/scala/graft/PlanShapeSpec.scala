@@ -899,7 +899,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q354_paired_t_from_store", maxHash = 6, maxRange = 2,
       forbidSortMergeJoin = true, forbidUdf = true),
     Shape("q355_wilcoxon_from_store", maxHash = 8, maxRange = 3,
-      forbidUdf = true)
+      forbidUdf = true),
+    // TOST: per-user agg + the union'd split counts + 2-label pivots;
+    // Phi is a pure projection dag (the q335 discipline)
+    Shape("q356_tost_equivalence", maxHash = 6, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
