@@ -367,7 +367,8 @@ object SparkEntry {
     "q353_wilcoxon_signed_rank" -> (CoreQueries.q353WilcoxonSignedRank(_, _)),
     "q354_paired_t_from_store" -> (CoreQueries.q354PairedTFromStore(_, _)),
     "q355_wilcoxon_from_store" -> (CoreQueries.q355WilcoxonFromStore(_, _)),
-    "q356_tost_equivalence" -> (CoreQueries.q356Tost(_, _))
+    "q356_tost_equivalence" -> (CoreQueries.q356Tost(_, _)),
+    "q357_tost_mean" -> (CoreQueries.q357TostMean(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -541,7 +542,8 @@ object SparkEntry {
     // identical cells, so they share the direct oracles verbatim
     "q354_paired_t_from_store" -> pairedTOracle,
     "q355_wilcoxon_from_store" -> wilcoxonSignedRankOracle,
-    "q356_tost_equivalence" -> tostOracle)
+    "q356_tost_equivalence" -> tostOracle,
+    "q357_tost_mean" -> tostMeanOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1640,6 +1642,58 @@ object SparkEntry {
       |SELECT split, 'false' AS grp_lo, 'true' AS grp_hi,
       |  CAST(2 AS BIGINT) AS n_groups,
       |  n1 AS n_lo, s1 AS s_lo, n2 AS n_hi, s2 AS s_hi,
+      |  round(delta, 9) AS delta, round(se, 9) AS se,
+      |  round(zl, 9) AS z_lower, round(zu, 9) AS z_upper,
+      |  round(greatest(pl, pu2), 9) AS p_tost,
+      |  CAST(round(least(zl, zu) * 1e9) AS BIGINT) >= 1644854000 AS equivalent
+      |FROM p ORDER BY split""".stripMargin
+  }
+
+  /** q357 oracle: [[graft.quality.Association.tostMean]] replayed —
+    * the two splits unioned, exact HUGEINT moments per (split, arm),
+    * the welchT variance numerators and cross-product delta, the
+    * unpooled se, both one-sided z's, Φ via phiSqlFragment, the
+    * pinned nano verdict.
+    */
+  private lazy val tostMeanOracle: String = {
+    val phiL = graft.quality.GroupSequential.phiSqlFragment("zl")
+    val phiU = graft.quality.GroupSequential.phiSqlFragment("zu")
+    s"""WITH ev AS (SELECT event_type, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT 'parity' AS split,
+      |    CAST(event_id % 2 = 0 AS VARCHAR) AS arm, v FROM ev
+      |  UNION ALL SELECT 'type', CAST(event_type AS VARCHAR), v FROM ev
+      |    WHERE event_type IN ('click', 'view')),
+      |m AS (SELECT split, arm, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+      |  FROM b GROUP BY 1, 2),
+      |lab AS (SELECT *, min(arm) OVER (PARTITION BY split) AS grp_lo,
+      |    max(arm) OVER (PARTITION BY split) AS grp_hi FROM m),
+      |w AS (SELECT split, grp_lo, grp_hi,
+      |    max(CASE WHEN arm = grp_lo THEN n END) AS n1,
+      |    max(CASE WHEN arm = grp_lo THEN s END) AS s1,
+      |    max(CASE WHEN arm = grp_lo THEN q END) AS q1,
+      |    max(CASE WHEN arm = grp_hi THEN n END) AS n2,
+      |    max(CASE WHEN arm = grp_hi THEN s END) AS s2,
+      |    max(CASE WHEN arm = grp_hi THEN q END) AS q2
+      |  FROM lab GROUP BY 1, 2, 3),
+      |f AS (SELECT *,
+      |    CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS v1,
+      |    CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS v2,
+      |    CAST(s1 * n2 - s2 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS delta
+      |  FROM w),
+      |k AS (SELECT *, sqrt(CAST(v1 AS DOUBLE) /
+      |    (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) +
+      |    CAST(v2 AS DOUBLE) /
+      |    (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+      |    AS se FROM f),
+      |z AS (SELECT *, (delta + 4000.0) / se AS zl, (4000.0 - delta) / se AS zu
+      |  FROM k),
+      |p AS (SELECT *, 1.0 - $phiL AS pl, 1.0 - $phiU AS pu2 FROM z)
+      |SELECT split, grp_lo, grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  n1 AS n_lo, n2 AS n_hi,
       |  round(delta, 9) AS delta, round(se, 9) AS se,
       |  round(zl, 9) AS z_lower, round(zu, 9) AS z_upper,
       |  round(greatest(pl, pu2), 9) AS p_tost,

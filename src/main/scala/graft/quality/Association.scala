@@ -1516,6 +1516,90 @@ object Association {
         col("p_tost") :+ col("equivalent"): _*)
   }
 
+  /** [[tostTwoProportion]] for MEAN metrics (latency, cost, tokens per
+    * request: "not worse by more than δ units") — the same two
+    * one-sided tests on the Welch unpooled se from exact DECIMAL
+    * moments (v_i = (n_iΣx² − (Σx)²)/(n_i²(n_i−1)), the [[welchT]]
+    * fixed dags), Δ̂ the exact cross product, Φ in-engine, the pinned
+    * nano verdict. Same conventions and flags; NULL when either
+    * n_i < 2 or both variances are 0.
+    */
+  def tostMean(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      margin: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val vD = col(valueCol).cast("long").cast(dec)
+    val grpAgg = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(groupCol).cast("string").as("grp"): _*)
+      .agg(count(lit(1)).as("__n"), sum(vD).as("__s"), sum(vD * vD).as("__q"))
+    tostMeanFromMoments(grpAgg, keyCols, margin, alpha)
+  }
+
+  /** [[tostMean]] from a (possibly folded) per-(keys, grp) moment frame
+    * — columns `grp, __n, __s, __q` (the [[welchT]] aggregation shape).
+    */
+  def tostMeanFromMoments(
+      grpAgg: DataFrame,
+      keyCols: Seq[String],
+      margin: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(margin > 0d, s"margin must be positive: $margin")
+    require(zOneSided.contains(alpha),
+      s"alpha must be one of ${zOneSided.keys.toSeq.sorted}: $alpha")
+    val bound9 = math.round(zOneSided(alpha) * 1e9d)
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = grpAgg
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("__n"))).as("__n1"),
+        max(when(col("grp") === col("grp_lo"), col("__s"))).as("__s1"),
+        max(when(col("grp") === col("grp_lo"), col("__q"))).as("__q1"),
+        max(when(col("grp") === col("grp_hi"), col("__n"))).as("__n2"),
+        max(when(col("grp") === col("grp_hi"), col("__s"))).as("__s2"),
+        max(when(col("grp") === col("grp_hi"), col("__q"))).as("__q2"))
+    val two = col("__ngrps") === 2L
+    val n1D = col("__n1").cast(dec); val n2D = col("__n2").cast(dec)
+    val v1 = n1D * col("__q1") - col("__s1") * col("__s1")
+    val v2 = n2D * col("__q2") - col("__s2") * col("__s2")
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val delta = (col("__s1") * n2D - col("__s2") * n1D).cast("double") / (n1 * n2)
+    val se = sqrt(v1.cast("double") / (n1 * n1 * (n1 - 1d)) +
+      v2.cast("double") / (n2 * n2 * (n2 - 1d)))
+    val zL = (delta + lit(margin)) / se
+    val zU = (lit(margin) - delta) / se
+    val pL = lit(1d) - GroupSequential.phiCol(zL)
+    val pU = lit(1d) - GroupSequential.phiCol(zU)
+    val ok = two && col("__n1") >= 2L && col("__n2") >= 2L && (v1 + v2) > 0L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(two, col("__n1")))
+      .withColumn("n_hi", when(two, col("__n2")))
+      .withColumn("delta",
+        when(two && col("__n1") > 0L && col("__n2") > 0L, delta))
+      .withColumn("se", when(ok, se))
+      .withColumn("z_lower", when(ok, zL))
+      .withColumn("z_upper", when(ok, zU))
+      .withColumn("p_tost", when(ok, greatest(pL, pU)))
+      .withColumn("equivalent", when(ok,
+        round(least(zL, zU) * 1e9d).cast("long") >= bound9))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("delta") :+ col("se") :+
+        col("z_lower") :+ col("z_upper") :+ col("p_tost") :+
+        col("equivalent"): _*)
+  }
+
   /** Paired t-test (Student, the matched-units design): per UNIT both
     * conditions are observed (pre/post the change, control/treatment
     * prompt on the same document) and the between-unit variance —

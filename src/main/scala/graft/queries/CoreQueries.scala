@@ -3175,6 +3175,32 @@ object CoreQueries {
       .orderBy("split")
   }
 
+  /** TOST-mean gate: milli-value means under TWO comparisons — the
+    * event-id parity split of all events (twin-like: genuinely
+    * equivalent at the ±4000 milli margin) and click-vs-view (a real
+    * ~2.4-unit gap with similar se: not equivalent).
+    */
+  def q357TostMean(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v_m"))
+    val both = ev.select(lit("parity").as("split"),
+        (col("event_id") % 2 === 0).cast("string").as("arm"), col("v_m"))
+      .unionByName(ev.filter(col("event_type").isin("click", "view"))
+        .select(lit("type").as("split"), col("event_type").as("arm"), col("v_m")))
+    Association.tostMean(both, Seq("split"), "arm", "v_m",
+        margin = 4000d, alpha = 0.05d)
+      .select(col("split"), col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("n_lo"), col("n_hi"),
+        round(col("delta"), 9).as("delta"), round(col("se"), 9).as("se"),
+        round(col("z_lower"), 9).as("z_lower"),
+        round(col("z_upper"), 9).as("z_upper"),
+        round(col("p_tost"), 9).as("p_tost"), col("equivalent"))
+      .orderBy("split")
+  }
+
   /** Binned Cramér–von Mises gate: the INTEGRATED CDF gap on the q101
     * histogram shape (even vs odd users' event values) — per bucket the
     * exact cross-multiplied gap and combined mass; KS's max-gap blind

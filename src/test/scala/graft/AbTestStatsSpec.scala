@@ -912,6 +912,36 @@ class AbTestStatsSpec extends SparkSpec {
     }
   }
 
+  test("tostMean: hand golden both directions, zero-variance NULL, wrapper == from-moments") {
+    import graft.quality.{Association, GroupSequential}
+    // A {1,2,3} vs B {2,3,4}: delta = −1, se = √(2/3); margin 3 →
+    // z_L = 2/√(2/3) = √6, z_U = 4/√(2/3) → equivalent; margin 2 → not
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 2L), ("B", 3L), ("B", 4L)).toDF("arm", "v")
+    val se = math.sqrt(2d / 3d)
+    val eq = Association.tostMean(rows, Nil, "arm", "v", margin = 3d).collect()(0)
+    assert(math.abs(eq.getAs[Double]("delta") - (-1d)) < 1e-12)
+    assert(math.abs(eq.getAs[Double]("se") - se) < 1e-12)
+    assert(math.abs(eq.getAs[Double]("z_lower") - 2d / se) < 1e-9)
+    assert(eq.getAs[Boolean]("equivalent"))
+    assert(math.abs(eq.getAs[Double]("p_tost") -
+      (1d - GroupSequential.phi(2d / se))) < 1e-12)
+    val ne = Association.tostMean(rows, Nil, "arm", "v", margin = 2d).collect()(0)
+    assert(!ne.getAs[Boolean]("equivalent"))
+    // constant values both arms: zero variance → NULL verdict
+    val flat = Seq(("A", 5L), ("A", 5L), ("B", 5L), ("B", 5L)).toDF("arm", "v")
+    val rf = Association.tostMean(flat, Nil, "arm", "v", margin = 1d).collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("equivalent")))
+    // wrapper == from-moments on the welch moment shape
+    val moments = Seq(("A", 3L, 6L, 14L), ("B", 3L, 9L, 29L))
+      .toDF("grp", "__n", "__s", "__q")
+      .withColumn("__s", col("__s").cast("decimal(38,0)"))
+      .withColumn("__q", col("__q").cast("decimal(38,0)"))
+    assert(Association.tostMeanFromMoments(moments, Nil, margin = 3d)
+      .collect().toSeq ===
+      Association.tostMean(rows, Nil, "arm", "v", margin = 3d).collect().toSeq)
+  }
+
   test("mhRateRatio: one stratum reduces exactly to the crude rate ratio; hand pooled golden") {
     // single stratum: RR_MH = (c1·t2/T)/(c2·t1/T) = crude RR
     val one = Association.mhRateRatioFromCounts(

@@ -903,6 +903,8 @@ class PlanShapeSpec extends SparkSpec {
     // TOST: per-user agg + the union'd split counts + 2-label pivots;
     // Phi is a pure projection dag (the q335 discipline)
     Shape("q356_tost_equivalence", maxHash = 6, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q357_tost_mean", maxHash = 4, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 
