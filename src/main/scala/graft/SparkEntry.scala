@@ -368,7 +368,8 @@ object SparkEntry {
     "q354_paired_t_from_store" -> (CoreQueries.q354PairedTFromStore(_, _)),
     "q355_wilcoxon_from_store" -> (CoreQueries.q355WilcoxonFromStore(_, _)),
     "q356_tost_equivalence" -> (CoreQueries.q356Tost(_, _)),
-    "q357_tost_mean" -> (CoreQueries.q357TostMean(_, _))
+    "q357_tost_mean" -> (CoreQueries.q357TostMean(_, _)),
+    "q358_hodges_lehmann" -> (CoreQueries.q358HodgesLehmann(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -543,7 +544,8 @@ object SparkEntry {
     "q354_paired_t_from_store" -> pairedTOracle,
     "q355_wilcoxon_from_store" -> wilcoxonSignedRankOracle,
     "q356_tost_equivalence" -> tostOracle,
-    "q357_tost_mean" -> tostMeanOracle)
+    "q357_tost_mean" -> tostMeanOracle,
+    "q358_hodges_lehmann" -> hodgesLehmannOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1700,6 +1702,33 @@ object SparkEntry {
       |  CAST(round(least(zl, zu) * 1e9) AS BIGINT) >= 1644854000 AS equivalent
       |FROM p ORDER BY split""".stripMargin
   }
+
+  /** q358 oracle: [[graft.quality.Association.hodgesLehmann]] replayed
+    * — the q352 difference CTE, diff cells, the a ≤ b cell-pair grid
+    * with doubled HUGEINT weights (diagonal c(c+1), off-diagonal
+    * 2·c_a·c_b), per-s₂ sums, and the doubled lower-median rank
+    * selection 2·cum₂ ≥ T₂.
+    */
+  private lazy val hodgesLehmannOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) -
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |cells AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+      |pr AS (SELECT a.d AS da, a.c AS ca, b.d AS db, b.c AS cb
+      |  FROM cells a JOIN cells b ON a.d <= b.d),
+      |s AS (SELECT da + db AS s2,
+      |    sum(CASE WHEN da = db THEN CAST(ca AS HUGEINT) * (ca + 1)
+      |      ELSE 2 * CAST(ca AS HUGEINT) * cb END) AS w2s
+      |  FROM pr GROUP BY 1),
+      |r AS (SELECT *, sum(w2s) OVER (ORDER BY s2
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    sum(w2s) OVER () AS t2 FROM s)
+      |SELECT CAST(max(t2) AS VARCHAR) AS n_pairs2,
+      |  CAST(min(CASE WHEN 2 * cum2 >= t2 THEN s2 END) AS VARCHAR) AS hl2,
+      |  round(CAST(min(CASE WHEN 2 * cum2 >= t2 THEN s2 END) AS DOUBLE) / 2.0, 9)
+      |    AS hl
+      |FROM r""".stripMargin
 
   /** q352 oracle: [[graft.quality.Association.pairedT]] replayed —
     * per-user exact even−odd differences, HUGEINT Σd/Σd², the

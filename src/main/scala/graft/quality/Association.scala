@@ -1759,6 +1759,74 @@ object Association {
         col("var_num") :+ col("z"): _*)
   }
 
+  /** Hodges–Lehmann location estimate for the paired design (Hodges &
+    * Lehmann 1963): the EFFECT SIZE beside [[wilcoxonSignedRank]]'s
+    * test (the house test-plus-effect pairing rule) — the median of
+    * the n(n+1)/2 Walsh averages (dᵢ+dⱼ)/2, i ≤ j, the shift estimator
+    * the signed-rank test inverts: robust like the median, ~0.96
+    * efficient at the normal unlike it. Zeros INCLUDED (they are
+    * differences like any other — only the TEST discards them).
+    *
+    * EXACT at scale without materializing pairs per row: from the
+    * [[pairedDiffCells]] state the Walsh population is the CELL-PAIR
+    * grid — (a ≤ b) cell pairs weighted c_a·c_b (doubled; the diagonal
+    * c(c+1)), summed per DOUBLED Walsh value s₂ = d_a + d_b — a
+    * |d|-cardinality² frame (the kendall-cells bound), never n² rows.
+    * The lower median is the smallest s₂ whose doubled cumulative
+    * weight clears the doubled pair total (2·cum₂ ≥ T₂ = N(N+1) — the
+    * house (T+1) div 2 rank rule, exact integers end to end; hl is the
+    * one division s₂/2). Emits n_pairs2 = N(N+1) and hl2 (exact digit
+    * strings) plus hl; empty input yields NULLs, never a crash. SCALE:
+    * one cell self-join bounded by distinct-diff cardinality² + one
+    * cumulative window.
+    */
+  def hodgesLehmann(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame =
+    hodgesLehmannFromCells(pairedDiffCells(df, keyCols, xCol, yCol), keyCols)
+
+  /** [[hodgesLehmann]] from a (possibly folded) [[pairedDiffCells]]
+    * frame.
+    */
+  def hodgesLehmannFromCells(
+      cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val a = cells.select((g :+ col("d").as("__da") :+ col("c").as("__ca")): _*)
+    val b = cells.select((g :+ col("d").as("__db") :+ col("c").as("__cb")): _*)
+    val joined =
+      if (keyCols.isEmpty) a.join(b, col("__da") <= col("__db"))
+      else a.join(b, keyCols).filter(col("__da") <= col("__db"))
+    val caD = col("__ca").cast(dec); val cbD = col("__cb").cast(dec)
+    // doubled pair weight: diagonal c(c+1) (each value paired with
+    // itself and every later copy), off-diagonal 2·ca·cb
+    val w2 = when(col("__da") === col("__db"), caD * (caD + 1))
+      .otherwise(lit(2L).cast(dec) * caD * cbD)
+    val byS2 = joined
+      .withColumn("__s2", col("__da") + col("__db"))
+      .withColumn("__w2", w2)
+      .groupBy((g :+ col("__s2")): _*)
+      .agg(sum("__w2").as("__w2s"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__s2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = byS2
+      .withColumn("__cum2", sum("__w2s").over(wCum).cast(dec))
+      .withColumn("__t2", sum("__w2s").over(wKey).cast(dec))
+    val hit = lit(2L).cast(dec) * col("__cum2") >= col("__t2")
+    (if (keyCols.isEmpty) ranked.groupBy() else ranked.groupBy(g: _*))
+      .agg(
+        max(col("__t2")).as("__t2m"),
+        min(when(hit, col("__s2"))).as("__hl2"))
+      .withColumn("n_pairs2", col("__t2m").cast("string"))
+      .withColumn("hl2", col("__hl2").cast("string"))
+      .withColumn("hl", col("__hl2").cast("double") / lit(2d))
+      .select(g :+ col("n_pairs2") :+ col("hl2") :+ col("hl"): _*)
+  }
+
   /** Yuen's t on trimmed means (Yuen 1974): the ROBUST two-group mean
     * test the heavy-tail regime needs — Welch's t on raw means is
     * dominated by the tail a 100 TB value column always has, and

@@ -3201,6 +3201,16 @@ object CoreQueries {
       .orderBy("split")
   }
 
+  /** Hodges–Lehmann gate: the paired shift ESTIMATE beside q353's test
+    * — the lower-median Walsh average of the q352 per-user differences,
+    * exact from the diff-cell pair grid.
+    */
+  def q358HodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    Association.hodgesLehmann(pairedPerUser(s, dir), Nil, "x", "y")
+      .select(col("n_pairs2"), col("hl2"), round(col("hl"), 9).as("hl"))
+  }
+
   /** Binned Cramér–von Mises gate: the INTEGRATED CDF gap on the q101
     * histogram shape (even vs odd users' event values) — per bucket the
     * exact cross-multiplied gap and combined mass; KS's max-gap blind

@@ -905,7 +905,10 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q356_tost_equivalence", maxHash = 6, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true),
     Shape("q357_tost_mean", maxHash = 4, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // HL: per-user diff agg + the cell-pair grid + one cumulative window
+    Shape("q358_hodges_lehmann", maxHash = 6, maxRange = 3,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -897,6 +897,24 @@ class StatFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: Hodges-Lehmann vs the naive Walsh-average median") {
+    import graft.quality.Association
+    for (t <- 1 to Trials) {
+      val r = rng("hl", t)
+      val pairs = (0 until 10 + r.nextInt(40)).map { i =>
+        (i.toLong, r.nextInt(12).toLong, r.nextInt(12).toLong)
+      }
+      val ds = pairs.map(p => p._2 - p._3)
+      val walsh = (for (i <- ds.indices; j <- i until ds.size)
+        yield ds(i) + ds(j)).sorted // doubled averages
+      val lower2 = walsh((walsh.size + 1) / 2 - 1) // lower median, doubled
+      val row = Association.hodgesLehmann(
+        pairs.toDF("u", "x", "y"), Nil, "x", "y").collect()(0)
+      assert(row.getAs[String]("hl2") === lower2.toString, s"hl trial $t")
+      assert(row.getAs[Double]("hl") === lower2 / 2.0, s"hl/2 trial $t")
+    }
+  }
+
   test("fuzz: Welch t and Welch-Satterthwaite df vs the unequal-variance formulas") {
     import graft.quality.Association
     for (t <- 1 to Trials) {

@@ -906,6 +906,31 @@ class TrendStatsSpec extends SparkSpec {
       Association.wilcoxonSignedRank(all, Nil, "x", "y").collect().toSeq)
   }
 
+  test("hodgesLehmann: hand goldens (odd/even/tied), zeros included, store read matches") {
+    import graft.quality.Association
+    // diffs {1,2,3}: Walsh averages {1,1.5,2,2,2.5,3} → lower median 2
+    def hl(ds: Seq[Long]): org.apache.spark.sql.Row =
+      Association.hodgesLehmann(
+        ds.zipWithIndex.map { case (d, i) => (i.toLong, d, 0L) }
+          .toDF("u", "x", "y"), Nil, "x", "y").collect()(0)
+    val r1 = hl(Seq(1L, 2L, 3L))
+    assert(r1.getAs[String]("n_pairs2") === "12" && r1.getAs[Double]("hl") === 2d)
+    // even count {1,2,3,4}: 10 Walsh averages, lower median (rank 5) = 2.5
+    assert(hl(Seq(1L, 2L, 3L, 4L)).getAs[Double]("hl") === 2.5d)
+    // ties {1,1,3}: Walsh {1,1,1,2,2,3} → 1
+    assert(hl(Seq(1L, 1L, 3L)).getAs[Double]("hl") === 1d)
+    // zeros are DIFFERENCES like any other (only the test discards
+    // them): {0,0,4} → Walsh {0,0,0,2,2,4} → 0
+    assert(hl(Seq(0L, 0L, 4L)).getAs[Double]("hl") === 0d)
+    // the standing diff-cell store answers the same estimate
+    val pairs = (0 until 80).map(i => (i.toLong, (i % 9).toLong, (i % 4).toLong))
+    val cells = Association.pairedDiffCells(
+      pairs.toDF("u", "x", "y"), Nil, "x", "y")
+    assert(Association.hodgesLehmannFromCells(cells, Nil).collect().toSeq ===
+      Association.hodgesLehmann(pairs.toDF("u", "x", "y"), Nil, "x", "y")
+        .collect().toSeq)
+  }
+
   test("welchT: hand golden t/df, 3-group flag, tiny-side NULL") {
     import graft.quality.Association
     // lo = [1,2,3] (var 1), hi = [2,4,6,8] (var 20/3):
