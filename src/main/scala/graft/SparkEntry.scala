@@ -1566,20 +1566,22 @@ object SparkEntry {
       |    tq + CAST(gg AS HUGEINT) *
       |      (CAST(vlo AS HUGEINT) * vlo + CAST(vhi AS HUGEINT) * vhi) AS wq
       |  FROM ga),
-      |wide AS (SELECT
-      |    max(CASE WHEN grp = 'click' THEN n END) AS n1,
-      |    max(CASE WHEN grp = 'click' THEN gg END) AS g1,
-      |    max(CASE WHEN grp = 'click' THEN h END) AS h1,
-      |    max(CASE WHEN grp = 'click' THEN ts END) AS t1,
-      |    max(CASE WHEN grp = 'click' THEN ws END) AS ws1,
-      |    max(CASE WHEN grp = 'click' THEN wq END) AS wq1,
-      |    max(CASE WHEN grp = 'view' THEN n END) AS n2,
-      |    max(CASE WHEN grp = 'view' THEN gg END) AS g2,
-      |    max(CASE WHEN grp = 'view' THEN h END) AS h2,
-      |    max(CASE WHEN grp = 'view' THEN ts END) AS t2,
-      |    max(CASE WHEN grp = 'view' THEN ws END) AS ws2,
-      |    max(CASE WHEN grp = 'view' THEN wq END) AS wq2
-      |  FROM gb),
+      |lab AS (SELECT *, count(*) OVER () AS ngrps,
+      |    min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi FROM gb),
+      |wide AS (SELECT grp_lo, grp_hi, ngrps,
+      |    max(CASE WHEN grp = grp_lo THEN n END) AS n1,
+      |    max(CASE WHEN grp = grp_lo THEN gg END) AS g1,
+      |    max(CASE WHEN grp = grp_lo THEN h END) AS h1,
+      |    max(CASE WHEN grp = grp_lo THEN ts END) AS t1,
+      |    max(CASE WHEN grp = grp_lo THEN ws END) AS ws1,
+      |    max(CASE WHEN grp = grp_lo THEN wq END) AS wq1,
+      |    max(CASE WHEN grp = grp_hi THEN n END) AS n2,
+      |    max(CASE WHEN grp = grp_hi THEN gg END) AS g2,
+      |    max(CASE WHEN grp = grp_hi THEN h END) AS h2,
+      |    max(CASE WHEN grp = grp_hi THEN ts END) AS t2,
+      |    max(CASE WHEN grp = grp_hi THEN ws END) AS ws2,
+      |    max(CASE WHEN grp = grp_hi THEN wq END) AS wq2
+      |  FROM lab GROUP BY 1, 2, 3),
       |f AS (SELECT *,
       |    CAST(n1 AS HUGEINT) * wq1 - ws1 * ws1 AS vw1,
       |    CAST(n2 AS HUGEINT) * wq2 - ws2 * ws2 AS vw2,
@@ -1591,17 +1593,30 @@ object SparkEntry {
       |    CAST(vw2 AS DOUBLE) / CAST(n2 AS DOUBLE) /
       |      (CAST(h2 AS DOUBLE) * (CAST(h2 AS DOUBLE) - 1.0)) AS se2
       |  FROM f),
-      |z AS (SELECT *, se1 + se2 AS se FROM k)
-      |SELECT 'click' AS grp_lo, 'view' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
-      |  n1 AS n_lo, n2 AS n_hi, g1 AS g_lo, g2 AS g_hi, h1 AS h_lo, h2 AS h_hi,
-      |  round(CAST(t1 AS DOUBLE) / CAST(h1 AS DOUBLE), 9) AS mean_trim_lo,
-      |  round(CAST(t2 AS DOUBLE) / CAST(h2 AS DOUBLE), 9) AS mean_trim_hi,
-      |  round(CAST(diffnum AS DOUBLE) /
-      |    (CAST(h1 AS DOUBLE) * CAST(h2 AS DOUBLE)), 9) AS effect_trim,
-      |  round(CAST(diffnum AS DOUBLE) /
-      |    (CAST(h1 AS DOUBLE) * CAST(h2 AS DOUBLE)) / sqrt(se), 9) AS t,
-      |  round(se * se / (se1 * se1 / (CAST(h1 AS DOUBLE) - 1.0) +
-      |    se2 * se2 / (CAST(h2 AS DOUBLE) - 1.0)), 9) AS df
+      |-- the operator's guard branches, mirrored: ok needs two groups,
+      |-- h >= 2 each side, and a live pooled winsorized variance
+      |z AS (SELECT *, se1 + se2 AS se,
+      |    ngrps = 2 AND h1 >= 2 AND h2 >= 2 AND (vw1 + vw2) > 0 AS ok
+      |  FROM k)
+      |SELECT grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN n1 END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN n2 END AS n_hi,
+      |  CASE WHEN ngrps = 2 THEN g1 END AS g_lo,
+      |  CASE WHEN ngrps = 2 THEN g2 END AS g_hi,
+      |  CASE WHEN ngrps = 2 THEN h1 END AS h_lo,
+      |  CASE WHEN ngrps = 2 THEN h2 END AS h_hi,
+      |  CASE WHEN ngrps = 2 AND h1 > 0 THEN
+      |    round(CAST(t1 AS DOUBLE) / CAST(h1 AS DOUBLE), 9) END AS mean_trim_lo,
+      |  CASE WHEN ngrps = 2 AND h2 > 0 THEN
+      |    round(CAST(t2 AS DOUBLE) / CAST(h2 AS DOUBLE), 9) END AS mean_trim_hi,
+      |  CASE WHEN ngrps = 2 AND h1 > 0 AND h2 > 0 THEN
+      |    round(CAST(diffnum AS DOUBLE) /
+      |      (CAST(h1 AS DOUBLE) * CAST(h2 AS DOUBLE)), 9) END AS effect_trim,
+      |  CASE WHEN ok THEN round(CAST(diffnum AS DOUBLE) /
+      |    (CAST(h1 AS DOUBLE) * CAST(h2 AS DOUBLE)) / sqrt(se), 9) END AS t,
+      |  CASE WHEN ok THEN
+      |    round(se * se / (se1 * se1 / (CAST(h1 AS DOUBLE) - 1.0) +
+      |      se2 * se2 / (CAST(h2 AS DOUBLE) - 1.0)), 9) END AS df
       |FROM z""".stripMargin
 
   /** q356 oracle: [[graft.quality.Association.tostTwoProportion]]
@@ -1624,12 +1639,15 @@ object SparkEntry {
       |c AS (SELECT split, arm, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(hit) AS BIGINT) AS s
       |  FROM b GROUP BY 1, 2),
-      |w AS (SELECT split,
-      |    max(CASE WHEN arm = 'false' THEN n END) AS n1,
-      |    max(CASE WHEN arm = 'false' THEN s END) AS s1,
-      |    max(CASE WHEN arm = 'true' THEN n END) AS n2,
-      |    max(CASE WHEN arm = 'true' THEN s END) AS s2
-      |  FROM c GROUP BY 1),
+      |lab AS (SELECT *, count(*) OVER (PARTITION BY split) AS ngrps,
+      |    min(arm) OVER (PARTITION BY split) AS grp_lo,
+      |    max(arm) OVER (PARTITION BY split) AS grp_hi FROM c),
+      |w AS (SELECT split, grp_lo, grp_hi, ngrps,
+      |    max(CASE WHEN arm = grp_lo THEN n END) AS n1,
+      |    max(CASE WHEN arm = grp_lo THEN s END) AS s1,
+      |    max(CASE WHEN arm = grp_hi THEN n END) AS n2,
+      |    max(CASE WHEN arm = grp_hi THEN s END) AS s2
+      |  FROM lab GROUP BY 1, 2, 3, 4),
       |f AS (SELECT *,
       |    CAST(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS DOUBLE) /
       |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS delta,
@@ -1640,14 +1658,27 @@ object SparkEntry {
       |    p2 * (1.0 - p2) / CAST(n2 AS DOUBLE)) AS se FROM f),
       |z AS (SELECT *, (delta + 0.15) / se AS zl, (0.15 - delta) / se AS zu
       |  FROM k),
-      |p AS (SELECT *, 1.0 - $phiL AS pl, 1.0 - $phiU AS pu2 FROM z)
-      |SELECT split, 'false' AS grp_lo, 'true' AS grp_hi,
-      |  CAST(2 AS BIGINT) AS n_groups,
-      |  n1 AS n_lo, s1 AS s_lo, n2 AS n_hi, s2 AS s_hi,
-      |  round(delta, 9) AS delta, round(se, 9) AS se,
-      |  round(zl, 9) AS z_lower, round(zu, 9) AS z_upper,
-      |  round(greatest(pl, pu2), 9) AS p_tost,
-      |  CAST(round(least(zl, zu) * 1e9) AS BIGINT) >= 1644854000 AS equivalent
+      |-- the operator's guard branches, mirrored: live iff some arm's
+      |-- conversions sit strictly inside (0, n) (se > 0), ok gates every
+      |-- statistic so the oracle survives a degenerate fixture drift
+      |p AS (SELECT *, 1.0 - $phiL AS pl, 1.0 - $phiU AS pu2,
+      |    ngrps = 2 AND n1 > 0 AND n2 > 0 AND
+      |      ((s1 > 0 AND s1 < n1) OR (s2 > 0 AND s2 < n2)) AS ok
+      |  FROM z)
+      |SELECT split, grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN n1 END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN s1 END AS s_lo,
+      |  CASE WHEN ngrps = 2 THEN n2 END AS n_hi,
+      |  CASE WHEN ngrps = 2 THEN s2 END AS s_hi,
+      |  CASE WHEN ngrps = 2 AND n1 > 0 AND n2 > 0 THEN round(delta, 9) END
+      |    AS delta,
+      |  CASE WHEN ok THEN round(se, 9) END AS se,
+      |  CASE WHEN ok THEN round(zl, 9) END AS z_lower,
+      |  CASE WHEN ok THEN round(zu, 9) END AS z_upper,
+      |  CASE WHEN ok THEN round(greatest(pl, pu2), 9) END AS p_tost,
+      |  CASE WHEN ok THEN
+      |    CAST(round(least(zl, zu) * 1e9) AS BIGINT) >= 1644854000 END
+      |    AS equivalent
       |FROM p ORDER BY split""".stripMargin
   }
 
@@ -1670,16 +1701,17 @@ object SparkEntry {
       |m AS (SELECT split, arm, CAST(count(*) AS BIGINT) AS n,
       |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
       |  FROM b GROUP BY 1, 2),
-      |lab AS (SELECT *, min(arm) OVER (PARTITION BY split) AS grp_lo,
+      |lab AS (SELECT *, count(*) OVER (PARTITION BY split) AS ngrps,
+      |    min(arm) OVER (PARTITION BY split) AS grp_lo,
       |    max(arm) OVER (PARTITION BY split) AS grp_hi FROM m),
-      |w AS (SELECT split, grp_lo, grp_hi,
+      |w AS (SELECT split, grp_lo, grp_hi, ngrps,
       |    max(CASE WHEN arm = grp_lo THEN n END) AS n1,
       |    max(CASE WHEN arm = grp_lo THEN s END) AS s1,
       |    max(CASE WHEN arm = grp_lo THEN q END) AS q1,
       |    max(CASE WHEN arm = grp_hi THEN n END) AS n2,
       |    max(CASE WHEN arm = grp_hi THEN s END) AS s2,
       |    max(CASE WHEN arm = grp_hi THEN q END) AS q2
-      |  FROM lab GROUP BY 1, 2, 3),
+      |  FROM lab GROUP BY 1, 2, 3, 4),
       |f AS (SELECT *,
       |    CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS v1,
       |    CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS v2,
@@ -1693,13 +1725,23 @@ object SparkEntry {
       |    AS se FROM f),
       |z AS (SELECT *, (delta + 4000.0) / se AS zl, (4000.0 - delta) / se AS zu
       |  FROM k),
-      |p AS (SELECT *, 1.0 - $phiL AS pl, 1.0 - $phiU AS pu2 FROM z)
-      |SELECT split, grp_lo, grp_hi, CAST(2 AS BIGINT) AS n_groups,
-      |  n1 AS n_lo, n2 AS n_hi,
-      |  round(delta, 9) AS delta, round(se, 9) AS se,
-      |  round(zl, 9) AS z_lower, round(zu, 9) AS z_upper,
-      |  round(greatest(pl, pu2), 9) AS p_tost,
-      |  CAST(round(least(zl, zu) * 1e9) AS BIGINT) >= 1644854000 AS equivalent
+      |-- the operator's guard branches, mirrored: ok needs two groups,
+      |-- n >= 2 each side, and a live pooled variance
+      |p AS (SELECT *, 1.0 - $phiL AS pl, 1.0 - $phiU AS pu2,
+      |    ngrps = 2 AND n1 >= 2 AND n2 >= 2 AND (v1 + v2) > 0 AS ok
+      |  FROM z)
+      |SELECT split, grp_lo, grp_hi, CAST(ngrps AS BIGINT) AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN n1 END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN n2 END AS n_hi,
+      |  CASE WHEN ngrps = 2 AND n1 > 0 AND n2 > 0 THEN round(delta, 9) END
+      |    AS delta,
+      |  CASE WHEN ok THEN round(se, 9) END AS se,
+      |  CASE WHEN ok THEN round(zl, 9) END AS z_lower,
+      |  CASE WHEN ok THEN round(zu, 9) END AS z_upper,
+      |  CASE WHEN ok THEN round(greatest(pl, pu2), 9) END AS p_tost,
+      |  CASE WHEN ok THEN
+      |    CAST(round(least(zl, zu) * 1e9) AS BIGINT) >= 1644854000 END
+      |    AS equivalent
       |FROM p ORDER BY split""".stripMargin
   }
 
@@ -1763,8 +1805,8 @@ object SparkEntry {
       |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) -
       |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
-      |z0 AS (SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_zero FROM pu),
+      |z0 AS (SELECT coalesce(CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT), 0) AS n_zero FROM pu),
       |nz AS (SELECT d, abs(d) AS ad FROM pu WHERE d <> 0),
       |vals AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
       |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tpos
@@ -1773,9 +1815,12 @@ object SparkEntry {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
       |  FROM vals),
       |r2 AS (SELECT *, 2 * cum + t + 1 AS rr FROM rk),
-      |tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
-      |    sum(CAST(tpos AS HUGEINT) * rr) AS w2,
-      |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+      |-- the operator coalesces the degenerate (all-zero diffs) to
+      |-- n = 0 / w2 = 0 / ties = 0; mirror it so the gate survives
+      |-- fixture drift into the degenerate rather than NULL-diverging
+      |tot AS (SELECT coalesce(CAST(sum(t) AS BIGINT), 0) AS n,
+      |    coalesce(sum(CAST(tpos AS HUGEINT) * rr), 0) AS w2,
+      |    coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS ties
       |  FROM r2),
       |f AS (SELECT *,
       |    2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties AS varnum,

@@ -114,6 +114,14 @@ object AbDashboard {
     * aggregation upstream executes exactly once instead of once per
     * stage branch — the shape that makes the one-read claim true in
     * the physical plan, not just the API.
+    *
+    * EAGER-EXECUTION CONTRACT (inherited by every from-cells reader
+    * here): the upstream chain that produces `cells` — including any
+    * row-scale per-unit pass — runs AT CONSTRUCTION TIME of the
+    * dashboard frame, not at its first action; constructing the same
+    * read twice runs that chain twice, and the read cannot be composed
+    * lazily over cells that do not exist yet (inside a streaming
+    * foreachBatch, construct the read within the batch function).
     */
   private def materialize(cells: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._

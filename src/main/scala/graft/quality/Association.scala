@@ -1775,7 +1775,11 @@ object Association {
     * The lower median is the smallest s₂ whose doubled cumulative
     * weight clears the doubled pair total (2·cum₂ ≥ T₂ = N(N+1) — the
     * house (T+1) div 2 rank rule, exact integers end to end; hl is the
-    * one division s₂/2). Emits n_pairs2 = N(N+1) and hl2 (exact digit
+    * one division s₂/2). NOTE the R delta: on an EVEN pair count R's
+    * wilcox.test averages the two middle Walsh values where this takes
+    * the LOWER one — a deterministic, fuzz-pinned convention, so hl can
+    * sit half a Walsh-grid step below R's. Emits n_pairs2 = N(N+1) and
+    * hl2 (exact digit
     * strings) plus hl; empty input yields NULLs, never a crash. SCALE:
     * one cell self-join bounded by distinct-diff cardinality² + one
     * cumulative window.
@@ -2258,13 +2262,36 @@ object Association {
     val b2 = nT * t("__sx2y") - t("__sx2") * t("__sy")
     val varYNum = nT * t("__syy") - t("__sy") * t("__sy")
     // Cramer in doubles over the exact pieces (the det would overflow
-    // DECIMAL(38,0) at scale): fixed dags, same rounding both engines
-    val a11d = a11.cast("double"); val a22d = a22.cast("double")
-    val a12d = a12.cast("double"); val b1d = b1.cast("double")
-    val b2d = b2.cast("double")
-    val det = a11d * a22d - a12d * a12d
-    val theta1 = (a22d * b1d - a12d * b2d) / det
-    val theta2 = (a11d * b2d - a12d * b1d) / det
+    // DECIMAL(38,0) at scale): fixed dags, same rounding both engines.
+    // The pieces and thetas land as NAMED COLUMNS in two narrow
+    // projections before the wide output dag: inlining theta into the
+    // six varAdj/adjEff reuse sites blew the single consume function
+    // past Janino's 64 KB limit (whole-stage fallback); multiply-
+    // referenced non-cheap aliases block CollapseProject, so each
+    // projection codegens its own method. Same expression trees, same
+    // float order — the values are bitwise unchanged.
+    val staged = wide
+      .select(col("*"),
+        a11.cast("double").as("__a11d"), a22.cast("double").as("__a22d"),
+        a12.cast("double").as("__a12d"),
+        b1.cast("double").as("__b1d"), b2.cast("double").as("__b2d"))
+      .select(col("*"),
+        (col("__a11d") * col("__a22d") - col("__a12d") * col("__a12d"))
+          .as("__det"))
+      .select(col("*"),
+        // ANSI: the division only exists where ok (det > 0) can hold —
+        // a collinear/constant-covariate det = 0 row must NULL here,
+        // not divide (every consumer is when(ok, ...)-guarded anyway)
+        when(col("__det") > lit(0d),
+          (col("__a22d") * col("__b1d") - col("__a12d") * col("__b2d")) /
+            col("__det")).as("__theta1"),
+        when(col("__det") > lit(0d),
+          (col("__a11d") * col("__b2d") - col("__a12d") * col("__b1d")) /
+            col("__det")).as("__theta2"))
+    val det = col("__det")
+    val theta1 = col("__theta1")
+    val theta2 = col("__theta2")
+    val b1d = col("__b1d"); val b2d = col("__b2d")
     val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
     val bothLive = col("__n1") > 0L && col("__n2") > 0L
     def rawEff(m: String): Column =
@@ -2287,7 +2314,7 @@ object Association {
     val se = sqrt(varAdj("1") + varAdj("2"))
     val rho2 = (theta1 * b1d + theta2 * b2d) / varYNum.cast("double")
     val ok = two && col("__n1") >= 2L && col("__n2") >= 2L && det > lit(0d)
-    wide
+    staged
       .withColumn("n_groups", col("__ngrps"))
       .withColumn("n_lo", when(two, col("__n1")))
       .withColumn("n_hi", when(two, col("__n2")))

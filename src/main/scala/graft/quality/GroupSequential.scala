@@ -124,6 +124,23 @@ object GroupSequential {
     solved
   }
 
+  /** Bounded LRU for [[boundariesAt]]'s observed, data-dependent
+    * fraction vectors: a driver that re-reads the SAME real-fraction
+    * monitor (bench passes, dashboard refreshes) must not re-pay the
+    * O(K·G²) grid solve per call, but the key space is unbounded (any
+    * observed traffic split is a new key), so — unlike [[boundaries]]'
+    * tiny planned-grid map — this one evicts least-recently-used past
+    * 64 entries.
+    */
+  private val boundaryAtCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Seq[Double], Double, String), Seq[GsBoundary]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Seq[Double], Double, String), Seq[GsBoundary]])
+            : Boolean = size() > 64
+      })
+
   /** [[boundaries]] at ARBITRARY information fractions — the read real
     * dashboards need, where looks land at observed traffic fractions
     * rather than the planned grid (the Lan–DeMets point: the spending
@@ -131,8 +148,14 @@ object GroupSequential {
     * increasing in (0, 1], last element 1 for a full-spend design.
     */
   def boundariesAt(ts: Seq[Double], alpha: Double,
-      spending: String): Seq[GsBoundary] =
-    solveBoundaries(ts, alpha, spending)
+      spending: String): Seq[GsBoundary] = {
+    val key = (ts.toList, alpha, spending)
+    val hit = boundaryAtCache.get(key)
+    if (hit != null) return hit
+    val solved = solveBoundaries(ts, alpha, spending)
+    boundaryAtCache.put(key, solved)
+    solved
+  }
 
   private def solveBoundaries(ts: Seq[Double], alpha: Double,
       spending: String): Seq[GsBoundary] = {

@@ -1194,6 +1194,15 @@ object Profiler {
     * plan (plan-shape-locked: zero row-scale scans in the card read),
     * not just the API. Then two aggregations + one 1×1 join over the
     * bounded frame.
+    *
+    * EAGER-EXECUTION CONTRACT: the localization above runs the ENTIRE
+    * upstream chain (the row-scale histogram pass included) AT
+    * CONSTRUCTION TIME, not at the returned frame's first action —
+    * calling this twice on the same `cvm` runs that chain twice (cache
+    * the collected gap frame, or the returned card, if you re-read),
+    * and it cannot be composed lazily over inputs that do not exist
+    * yet (e.g. inside a streaming foreachBatch plan built ahead of
+    * data — construct the card INSIDE the batch function instead).
     */
   def edfDriftCard(cvm: DataFrame): DataFrame = {
     val spark = cvm.sparkSession
