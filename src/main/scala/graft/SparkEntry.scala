@@ -369,7 +369,9 @@ object SparkEntry {
     "q355_wilcoxon_from_store" -> (CoreQueries.q355WilcoxonFromStore(_, _)),
     "q356_tost_equivalence" -> (CoreQueries.q356Tost(_, _)),
     "q357_tost_mean" -> (CoreQueries.q357TostMean(_, _)),
-    "q358_hodges_lehmann" -> (CoreQueries.q358HodgesLehmann(_, _))
+    "q358_hodges_lehmann" -> (CoreQueries.q358HodgesLehmann(_, _)),
+    "q359_bayes_ab" -> (CoreQueries.q359BayesAb(_, _)),
+    "q360_bayes_ab_from_store" -> (CoreQueries.q360BayesAbFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -545,7 +547,9 @@ object SparkEntry {
     "q355_wilcoxon_from_store" -> wilcoxonSignedRankOracle,
     "q356_tost_equivalence" -> tostOracle,
     "q357_tost_mean" -> tostMeanOracle,
-    "q358_hodges_lehmann" -> hodgesLehmannOracle)
+    "q358_hodges_lehmann" -> hodgesLehmannOracle,
+    "q359_bayes_ab" -> bayesAbOracle,
+    "q360_bayes_ab_from_store" -> bayesAbOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1771,6 +1775,117 @@ object SparkEntry {
       |  round(CAST(min(CASE WHEN 2 * cum2 >= t2 THEN s2 END) AS DOUBLE) / 2.0, 9)
       |    AS hl
       |FROM r""".stripMargin
+
+  /** q359/q360 oracle: [[graft.quality.BayesAb.bayesAbKArmFromCells]]
+    * replayed END TO END from raw events — the q345 per-user/cell/spine
+    * /cumulative CTEs (counts only), then the full deterministic
+    * integration: the 2¹³ midpoint grid, the shared atanh-series ln
+    * fragment (bitwise-equal to the operator's lnOdd2NCol dag), the
+    * 1e12 ln landing, exact HUGEINT log-kernels with the max-shift,
+    * the 1e13-quantized pdf kernel, integer cumulative windows, the
+    * exact-integer CI rank selections (cum·200 ≥ W·5 / W·195), and the
+    * O(N) cumulative identities for P(beat) and both expected losses.
+    */
+  private lazy val bayesAbOracle: String = {
+    val lnx = graft.quality.BayesAb.lnOdd2NSqlFragment("u1")
+    val lnm = graft.quality.BayesAb.lnOdd2NSqlFragment("u2")
+    s"""WITH pu0 AS (SELECT user_id,
+      |    CASE WHEN user_id % 20 < 8 THEN 'A'
+      |      WHEN user_id % 20 < 14 THEN 'B'
+      |      WHEN user_id % 20 < 18 THEN 'C'
+      |      WHEN user_id % 20 < 19 THEN 'D' ELSE 'E' END AS arm,
+      |    CAST(user_id % 6 AS BIGINT) AS peek,
+      |    max(value) AS maxv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |pu AS (SELECT arm, peek,
+      |    CASE WHEN coalesce(maxv >= CASE WHEN arm = 'B' THEN 200.0
+      |      WHEN arm = 'D' THEN 300.0 ELSE 250.0 END, false)
+      |      THEN 1 ELSE 0 END AS hit
+      |  FROM pu0 WHERE arm IN ('A','B','C','D')),
+      |cells AS (SELECT arm, peek, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(hit) AS BIGINT) AS s_hit
+      |  FROM pu GROUP BY 1, 2),
+      |spine AS (SELECT a.arm, p.peek
+      |  FROM (VALUES ('A'), ('B'), ('C'), ('D')) a(arm)
+      |  CROSS JOIN (SELECT DISTINCT peek FROM cells) p),
+      |cum AS (SELECT arm, peek,
+      |    CAST(sum(coalesce(c.n, 0)) OVER w AS BIGINT) AS n,
+      |    CAST(sum(coalesce(c.s_hit, 0)) OVER w AS BIGINT) AS s_hit
+      |  FROM spine sp LEFT JOIN cells c USING (arm, peek)
+      |  WINDOW w AS (PARTITION BY arm ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |gr AS (SELECT c.arm, c.peek, c.n, c.s_hit, CAST(g.i AS BIGINT) AS i,
+      |    CAST(2 * g.i + 1 AS BIGINT) AS u1,
+      |    CAST(16384 - (2 * g.i + 1) AS BIGINT) AS u2,
+      |    c.s_hit AS am1, c.n - c.s_hit AS bm1
+      |  FROM cum c CROSS JOIN generate_series(0, 8191) g(i)),
+      |l AS (SELECT *,
+      |    CAST(round($lnx * 1e12) AS BIGINT) AS lnx12,
+      |    CAST(round($lnm * 1e12) AS BIGINT) AS lnm12
+      |  FROM gr),
+      |k AS (SELECT *, CAST(am1 AS HUGEINT) * lnx12 +
+      |    CAST(bm1 AS HUGEINT) * lnm12 AS lnw FROM l),
+      |k2 AS (SELECT *, lnw - max(lnw) OVER (PARTITION BY arm, peek) AS rel
+      |  FROM k),
+      |qq AS (SELECT *, CASE WHEN rel < -40000000000000 THEN 0
+      |    ELSE CAST(round(exp(CAST(rel AS DOUBLE) / 1e12) * 1e13) AS BIGINT)
+      |    END AS q FROM k2),
+      |cs AS (SELECT *,
+      |    CAST(coalesce(sum(q) OVER lt, 0) AS BIGINT) AS cumlt,
+      |    CAST(coalesce(sum(CAST(i AS HUGEINT) * q) OVER lt, 0) AS HUGEINT)
+      |      AS cumiq,
+      |    CAST(sum(q) OVER (PARTITION BY arm, peek) AS BIGINT) AS w
+      |  FROM qq
+      |  WINDOW lt AS (PARTITION BY arm, peek ORDER BY i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |st AS (SELECT arm, peek, max(n) AS n, max(s_hit) AS s_hit,
+      |    min(CASE WHEN CAST(cumlt + q AS HUGEINT) * 200 >=
+      |      CAST(w AS HUGEINT) * 5
+      |      THEN CAST(2 * i + 1 AS DOUBLE) / 16384.0 END) AS ci_lo,
+      |    min(CASE WHEN CAST(cumlt + q AS HUGEINT) * 200 >=
+      |      CAST(w AS HUGEINT) * 195
+      |      THEN CAST(2 * i + 1 AS DOUBLE) / 16384.0 END) AS ci_hi
+      |  FROM cs GROUP BY 1, 2),
+      |cmp AS (SELECT t.arm, t.peek,
+      |    sum(CAST(t.q AS HUGEINT) * (2 * CAST(c.cumlt AS HUGEINT) + c.q))
+      |      AS pb2,
+      |    sum(CAST(c.q AS HUGEINT) *
+      |      (CAST(t.i AS HUGEINT) * t.cumlt - t.cumiq)) AS lt2,
+      |    sum(CAST(t.q AS HUGEINT) *
+      |      (CAST(c.i AS HUGEINT) * c.cumlt - c.cumiq)) AS lc2,
+      |    max(t.w) AS wt, max(c.w) AS wc
+      |  FROM cs t JOIN cs c ON t.peek = c.peek AND t.i = c.i
+      |    AND t.arm <> 'A' AND c.arm = 'A'
+      |  GROUP BY 1, 2)
+      |SELECT t.peek, t.arm,
+      |  t.n AS n_arm, t.s_hit AS s_arm,
+      |  CAST(1 + t.s_hit AS BIGINT) AS a_arm,
+      |  CAST(1 + t.n - t.s_hit AS BIGINT) AS b_arm,
+      |  round(CAST(1 + t.s_hit AS DOUBLE) /
+      |    CAST((1 + t.s_hit) + (1 + t.n - t.s_hit) AS DOUBLE), 9)
+      |    AS post_mean_arm,
+      |  round(t.ci_lo, 9) AS ci_lo_arm, round(t.ci_hi, 9) AS ci_hi_arm,
+      |  c.n AS n_ctl, c.s_hit AS s_ctl,
+      |  CAST(1 + c.s_hit AS BIGINT) AS a_ctl,
+      |  CAST(1 + c.n - c.s_hit AS BIGINT) AS b_ctl,
+      |  round(CAST(1 + c.s_hit AS DOUBLE) /
+      |    CAST((1 + c.s_hit) + (1 + c.n - c.s_hit) AS DOUBLE), 9)
+      |    AS post_mean_ctl,
+      |  round(c.ci_lo, 9) AS ci_lo_ctl, round(c.ci_hi, 9) AS ci_hi_ctl,
+      |  round(CAST(m.pb2 AS DOUBLE) /
+      |    (2.0 * CAST(m.wt AS DOUBLE) * CAST(m.wc AS DOUBLE)), 9)
+      |    AS p_beat_ctl,
+      |  round(CAST(m.lt2 AS DOUBLE) /
+      |    (CAST(m.wt AS DOUBLE) * CAST(m.wc AS DOUBLE) * 8192.0), 9)
+      |    AS exp_loss_arm,
+      |  round(CAST(m.lc2 AS DOUBLE) /
+      |    (CAST(m.wt AS DOUBLE) * CAST(m.wc AS DOUBLE) * 8192.0), 9)
+      |    AS exp_loss_ctl
+      |FROM st t
+      |JOIN st c ON t.peek = c.peek AND c.arm = 'A' AND t.arm <> 'A'
+      |JOIN cmp m ON m.arm = t.arm AND m.peek = t.peek
+      |ORDER BY t.peek, t.arm""".stripMargin
+  }
 
   /** q352 oracle: [[graft.quality.Association.pairedT]] replayed —
     * per-user exact even−odd differences, HUGEINT Σd/Σd², the

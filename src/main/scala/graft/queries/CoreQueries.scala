@@ -4302,4 +4302,52 @@ object CoreQueries {
       .select(col("n_groups"), col("n_total"), col("j2"), col("ej4"),
         round(col("z"), 9).as("z"))
   }
+
+  private def bayesAbSelect(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("arm"),
+        col("n_arm"), col("s_arm"), col("a_arm"), col("b_arm"),
+        round(col("post_mean_arm"), 9).as("post_mean_arm"),
+        round(col("ci_lo_arm"), 9).as("ci_lo_arm"),
+        round(col("ci_hi_arm"), 9).as("ci_hi_arm"),
+        col("n_ctl"), col("s_ctl"), col("a_ctl"), col("b_ctl"),
+        round(col("post_mean_ctl"), 9).as("post_mean_ctl"),
+        round(col("ci_lo_ctl"), 9).as("ci_lo_ctl"),
+        round(col("ci_hi_ctl"), 9).as("ci_hi_ctl"),
+        round(col("p_beat_ctl"), 9).as("p_beat_ctl"),
+        round(col("exp_loss_arm"), 9).as("exp_loss_arm"),
+        round(col("exp_loss_ctl"), 9).as("exp_loss_ctl"))
+      .orderBy("peek", "arm")
+
+  /** The Bayesian k-arm A/B gate: Beta(1,1)-prior posteriors over the
+    * SAME (arm × peek) cell state the q345 dashboard reads — per
+    * (peek, treatment arm) the posterior means, 95% grid credible
+    * intervals, P(arm beats control) and both decisions' expected
+    * losses, by the deterministic 2¹³-point grid integration
+    * ([[graft.quality.BayesAb]]). The oracle replays the ENTIRE
+    * integration from raw events — the atanh-series ln, the quantized
+    * kernel, the integer cumulative identities, the rank-selected CI.
+    */
+  def q359BayesAb(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, BayesAb}
+    bayesAbSelect(BayesAb.bayesAbKArmFromCells(
+      AbDashboard.abCells(abPerUserK(s, dir), "arm", "peek", "y", "x", "hit"),
+      arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
+
+  /** The q359 Bayesian read FROM THE STORE: three complete-unit batches
+    * folded via [[graft.quality.AbDashboard.mergeAbCells]], the same
+    * one-read posterior chain over the folded state — fold == rebuild
+    * under the q359 oracle verbatim.
+    */
+  def q360BayesAbFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, BayesAb}
+    val pu = abPerUserK(s, dir)
+    def cellsOf(i: Int) = AbDashboard.abCells(
+      pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      AbDashboard.mergeAbCells(acc, cellsOf(i))
+    }
+    bayesAbSelect(BayesAb.bayesAbKArmFromCells(
+      folded, arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
 }

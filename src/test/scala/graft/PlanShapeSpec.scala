@@ -908,7 +908,14 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // HL: per-user diff agg + the cell-pair grid + one cumulative window
     Shape("q358_hodges_lehmann", maxHash = 6, maxRange = 3,
-      forbidUdf = true)
+      forbidUdf = true),
+    // Bayesian k-arm read: the ONE row-scale pass runs at construction
+    // (cell localization), so the read plan is grid windows + two
+    // bounded aggs + bounded joins with ZERO row-scale scans
+    Shape("q359_bayes_ab", maxHash = 8, maxRange = 1, forbidUdf = true,
+      maxParquetScans = 0),
+    Shape("q360_bayes_ab_from_store", maxHash = 8, maxRange = 1,
+      forbidUdf = true, maxParquetScans = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
