@@ -371,7 +371,9 @@ object SparkEntry {
     "q357_tost_mean" -> (CoreQueries.q357TostMean(_, _)),
     "q358_hodges_lehmann" -> (CoreQueries.q358HodgesLehmann(_, _)),
     "q359_bayes_ab" -> (CoreQueries.q359BayesAb(_, _)),
-    "q360_bayes_ab_from_store" -> (CoreQueries.q360BayesAbFromStore(_, _))
+    "q360_bayes_ab_from_store" -> (CoreQueries.q360BayesAbFromStore(_, _)),
+    "q361_cox_ph" -> (CoreQueries.q361CoxPh(_, _)),
+    "q362_cox_from_store" -> (CoreQueries.q362CoxFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -549,7 +551,9 @@ object SparkEntry {
     "q357_tost_mean" -> tostMeanOracle,
     "q358_hodges_lehmann" -> hodgesLehmannOracle,
     "q359_bayes_ab" -> bayesAbOracle,
-    "q360_bayes_ab_from_store" -> bayesAbOracle)
+    "q360_bayes_ab_from_store" -> bayesAbOracle,
+    "q361_cox_ph" -> coxPhOracle,
+    "q362_cox_from_store" -> coxPhOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1885,6 +1889,117 @@ object SparkEntry {
       |JOIN st c ON t.peek = c.peek AND c.arm = 'A' AND t.arm <> 'A'
       |JOIN cmp m ON m.arm = t.arm AND m.peek = t.peek
       |ORDER BY t.peek, t.arm""".stripMargin
+  }
+
+  /** q361/q362 oracle: [[graft.operators.Survival.coxPh]] replayed —
+    * the q285 subject CTE extended with the bucketed click covariate,
+    * covariate-keyed lifetime cells, the completed (z × t) risk grid
+    * with suffix n_risk and the shift z' = z − min z, then ALL NINE
+    * passes (8 Newton updates + the final evaluation) generated
+    * mechanically: per pass the 1e9-landed e^{βz'} kernel, exact
+    * HUGEINT S₀/S₁/S₂ sums, nano-landed per-event-time U/I terms
+    * (HAVING d > 0), the β update with the bad/I-positivity guards —
+    * every float op in the Spark dag's order.
+    */
+  private lazy val coxPhOracle: String = {
+    val header =
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |pu AS (SELECT user_id, min(h) AS f,
+        |    min(CASE WHEN event_type = 'purchase' THEN h END) AS p,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM e GROUP BY 1),
+        |subj AS (SELECT user_id,
+        |    CASE WHEN p IS NOT NULL AND p - f + 1 <= 96 THEN p - f + 1
+        |      ELSE 96 END AS t,
+        |    CASE WHEN p IS NOT NULL AND p - f + 1 <= 96 THEN 1 ELSE 0 END AS ev,
+        |    least(CAST(floor(k / 5.0) AS BIGINT), 6) AS z
+        |  FROM pu),
+        |cells AS (SELECT z, t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |zs AS (SELECT DISTINCT z FROM cells),
+        |tsd AS (SELECT DISTINCT t FROM cells),
+        |fullg AS (SELECT g.z, g.t, coalesce(cc.d, 0) AS d,
+        |    coalesce(cc.c, 0) AS c
+        |  FROM (SELECT z, t FROM zs CROSS JOIN tsd) g
+        |  LEFT JOIN cells cc USING (z, t)),
+        |risk AS (SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY z ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS r,
+        |    min(z) OVER () AS zmin, z - min(z) OVER () AS zp
+        |  FROM fullg),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n,
+        |    CAST(sum(d) AS BIGINT) AS n_events,
+        |    min(z) AS cov_min FROM cells)""".stripMargin
+    // one pass at the beta carried by CTE `src` (columns: beta):
+    // kernel -> per-event-time terms -> the U/I fold
+    def pass(k: Int, src: String): String = {
+      val bz = "(beta * CAST(zp AS DOUBLE))"
+      s"""jt$k AS (SELECT r.*, b.beta,
+        |    CASE WHEN $bz <= 30.0
+        |      THEN CAST(round(exp($bz) * 1e9) AS HUGEINT) END AS ez9,
+        |    CASE WHEN $bz > 30.0 THEN 1 ELSE 0 END AS ov
+        |  FROM risk r CROSS JOIN $src b),
+        |pt$k AS (SELECT t, max(beta) AS beta,
+        |    CAST(sum(d) AS BIGINT) AS dt,
+        |    sum(CAST(z AS HUGEINT) * d) AS s1t,
+        |    sum(CAST(zmin AS HUGEINT) * d) AS sm1t,
+        |    sum(CAST(r AS HUGEINT) * ez9) AS s0,
+        |    sum((CAST(r AS HUGEINT) * zp) * ez9) AS s1,
+        |    sum(((CAST(r AS HUGEINT) * zp) * zp) * ez9) AS s2,
+        |    CAST(sum(ov) AS BIGINT) AS bad
+        |  FROM jt$k GROUP BY 1 HAVING CAST(sum(d) AS BIGINT) > 0),
+        |ag$k AS (SELECT max(beta) AS beta,
+        |    sum(CAST(round((CAST(s1t - sm1t AS DOUBLE) -
+        |      CAST(dt AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)))
+        |      * 1e9) AS HUGEINT)) AS u9,
+        |    sum(CAST(round((CAST(dt AS DOUBLE) *
+        |      (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) -
+        |       (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) *
+        |       (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)))) * 1e9) AS HUGEINT))
+        |      AS i9,
+        |    CAST(sum(bad) AS BIGINT) AS bad
+        |  FROM pt$k)""".stripMargin
+    }
+    def step(k: Int): String =
+      s"""st$k AS (SELECT
+        |    CASE WHEN bad = 0 AND i9 > 0
+        |      THEN beta + CAST(u9 AS DOUBLE) / CAST(i9 AS DOUBLE) END AS beta,
+        |    CASE WHEN bad = 0 AND i9 > 0
+        |      THEN CAST(u9 AS DOUBLE) / CAST(i9 AS DOUBLE) END AS step
+        |  FROM ag$k)""".stripMargin
+    val iters = 8
+    val blocks = new StringBuilder
+    blocks.append(",\nb0 AS (SELECT 0.0 AS beta),\n")
+    blocks.append(pass(1, "b0")).append(",\n").append(step(1))
+    for (k <- 2 to iters)
+      blocks.append(",\n").append(pass(k, s"st${k - 1}"))
+        .append(",\n").append(step(k))
+    // pass 9 = the evaluation at beta-hat (no update)
+    blocks.append(",\n").append(pass(iters + 1, s"st$iters"))
+    header + blocks.toString +
+      s""",
+      |fin AS (SELECT ag${iters + 1}.beta AS betaf, ag${iters + 1}.i9 AS if9,
+      |    ag${iters + 1}.bad AS badf, st$iters.step AS lstep
+      |  FROM ag${iters + 1} CROSS JOIN st$iters),
+      |fin2 AS (SELECT *,
+      |    badf = 0 AND if9 > 0 AND betaf IS NOT NULL AS okf,
+      |    CAST(round(lstep * 1e9) AS BIGINT) AS ls9 FROM fin)
+      |SELECT tot.n, tot.n_events, tot.cov_min,
+      |  CAST(ag1.u9 AS VARCHAR) AS u0_9, CAST(ag1.i9 AS VARCHAR) AS i0_9,
+      |  CASE WHEN ag1.i9 > 0 THEN round(CAST(ag1.u9 AS DOUBLE) / 1e9 /
+      |    sqrt(CAST(ag1.i9 AS DOUBLE) / 1e9), 9) END AS z_score,
+      |  CASE WHEN okf THEN round(betaf, 9) END AS beta,
+      |  CASE WHEN okf THEN round(1.0 / sqrt(CAST(if9 AS DOUBLE) / 1e9), 9) END
+      |    AS se_beta,
+      |  CASE WHEN okf THEN round(exp(betaf), 9) END AS hr,
+      |  CASE WHEN okf THEN ls9 END AS last_step9,
+      |  CASE WHEN okf THEN ls9 = 0 ELSE false END AS converged,
+      |  CAST($iters AS INT) AS n_iter
+      |FROM tot CROSS JOIN ag1 CROSS JOIN fin2""".stripMargin
   }
 
   /** q352 oracle: [[graft.quality.Association.pairedT]] replayed —

@@ -123,7 +123,7 @@ object AbDashboard {
     * lazily over cells that do not exist yet (inside a streaming
     * foreachBatch, construct the read within the batch function).
     */
-  private[quality] def materialize(cells: DataFrame): DataFrame = {
+  private[graft] def materialize(cells: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     cells.sparkSession.createDataFrame(
       cells.collect().toSeq.asJava, cells.schema)

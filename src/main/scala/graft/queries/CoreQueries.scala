@@ -4334,6 +4334,72 @@ object CoreQueries {
       arms = Seq("A", "B", "C", "D"), control = "A"))
   }
 
+  /** The Cox fixture: the q285 survival subjects with an integer
+    * ACTIVITY covariate — click count bucketed to z = min(⌊k/5⌋, 6)
+    * (the bounded-cardinality covariate contract). Clicky users reach
+    * 'purchase' differently, so the fixture carries a genuine hazard
+    * gradient (fixture-adequacy spec-pinned: converged, i0 > 0).
+    */
+  private def coxSubjects(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val tp = col("__p") - col("__f") + 1L
+    val seen = col("__p").isNotNull && tp <= 96L
+    ev.groupBy("user_id")
+      .agg(min("h").as("__f"),
+        min(when(col("event_type") === "purchase", col("h"))).as("__p"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("__k"))
+      .select(col("user_id"),
+        when(seen, tp).otherwise(96L).as("duration"),
+        when(seen, 1L).otherwise(0L).as("event"),
+        least(floor(col("__k") / lit(5d)), lit(6d)).cast("long").as("z"))
+  }
+
+  /** Spec access to the q361 Cox fixture (fixture-adequacy pins). */
+  def coxSubjectsForSpec(s: SparkSession, dir: String): DataFrame =
+    coxSubjects(s, dir)
+
+  private def coxSelect(d: DataFrame): DataFrame =
+    d.select(col("n"), col("n_events"), col("cov_min"),
+      col("u0_9"), col("i0_9"),
+      round(col("z_score"), 9).as("z_score"),
+      round(col("beta"), 9).as("beta"),
+      round(col("se_beta"), 9).as("se_beta"),
+      round(col("hr"), 9).as("hr"),
+      col("last_step9"), col("converged"), col("n_iter"))
+
+  /** Cox proportional hazards gate: time-to-purchase hazard vs the
+    * bucketed click-activity covariate — 8 fixed Newton rounds on the
+    * Breslow partial likelihood over the completed (z × t) risk grid
+    * from the lifetime-cell store, plus the β = 0 score read. The
+    * oracle replays every pass: the exact S₀/S₁/S₂ kernel sums, the
+    * nano-landed per-event-time U/I terms, each β update, the final
+    * se/hr/convergence read.
+    */
+  def q361CoxPh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    coxSelect(Survival.coxPh(coxSubjects(s, dir), Nil,
+      "duration", "event", "z"))
+  }
+
+  /** The q361 Cox fit FROM THE STORE: the covariate-keyed lifetime
+    * cells folded from three complete-subject batches
+    * ([[graft.operators.Survival.mergeLifetimeCells]] keyed by z) —
+    * fold == rebuild under the q361 oracle verbatim.
+    */
+  def q362CoxFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = coxSubjects(s, dir)
+    def cellsOf(i: Int) = Survival.lifetimeCells(
+      subj.filter(col("user_id") % 3 === i), Seq("z"), "duration", "event")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      Survival.mergeLifetimeCells(acc, cellsOf(i), Seq("z"))
+    }
+    coxSelect(Survival.coxPhFromCells(folded, Nil, "z"))
+  }
+
   /** The q359 Bayesian read FROM THE STORE: three complete-unit batches
     * folded via [[graft.quality.AbDashboard.mergeAbCells]], the same
     * one-read posterior chain over the folded state — fold == rebuild

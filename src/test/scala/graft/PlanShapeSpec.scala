@@ -915,6 +915,12 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q359_bayes_ab", maxHash = 8, maxRange = 1, forbidUdf = true,
       maxParquetScans = 0),
     Shape("q360_bayes_ab_from_store", maxHash = 8, maxRange = 1,
+      forbidUdf = true, maxParquetScans = 0),
+    // Cox: the (z x t) risk grid localizes at construction; the nine
+    // Newton/evaluation passes re-aggregate the local relation only
+    Shape("q361_cox_ph", maxHash = 12, maxRange = 13, forbidUdf = true,
+      maxParquetScans = 0),
+    Shape("q362_cox_from_store", maxHash = 17, maxRange = 13,
       forbidUdf = true, maxParquetScans = 0)
   )
 
