@@ -373,7 +373,8 @@ object SparkEntry {
     "q359_bayes_ab" -> (CoreQueries.q359BayesAb(_, _)),
     "q360_bayes_ab_from_store" -> (CoreQueries.q360BayesAbFromStore(_, _)),
     "q361_cox_ph" -> (CoreQueries.q361CoxPh(_, _)),
-    "q362_cox_from_store" -> (CoreQueries.q362CoxFromStore(_, _))
+    "q362_cox_from_store" -> (CoreQueries.q362CoxFromStore(_, _)),
+    "q363_hl_two_sample" -> (CoreQueries.q363HlTwoSample(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -553,7 +554,8 @@ object SparkEntry {
     "q359_bayes_ab" -> bayesAbOracle,
     "q360_bayes_ab_from_store" -> bayesAbOracle,
     "q361_cox_ph" -> coxPhOracle,
-    "q362_cox_from_store" -> coxPhOracle)
+    "q362_cox_from_store" -> coxPhOracle,
+    "q363_hl_two_sample" -> hlTwoSampleOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2001,6 +2003,58 @@ object SparkEntry {
       |  CAST($iters AS INT) AS n_iter
       |FROM tot CROSS JOIN ag1 CROSS JOIN fin2""".stripMargin
   }
+
+  /** q363 oracle: [[graft.quality.Association.hodgesLehmannTwoSample]]
+    * replayed — integer value cells per arm, the (lo x hi) cell-pair
+    * difference grid with exact HUGEINT weights, ONE cumulative window,
+    * the lower-median selection 2*cum >= mn, the large-sample inversion
+    * rank k (the one float dag, Spark order), and the two CI order
+    * statistics cum >= k+1 / cum >= mn-k.
+    */
+  private lazy val hlTwoSampleOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CAST(floor(value) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+      |cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |lab AS (SELECT *, count(DISTINCT grp) OVER () AS ngrps,
+      |    min(grp) OVER () AS grp_lo, max(grp) OVER () AS grp_hi FROM cells),
+      |meta AS (SELECT grp_lo, grp_hi, CAST(max(ngrps) AS BIGINT) AS ngrps,
+      |    CAST(sum(CASE WHEN grp = grp_lo THEN c ELSE 0 END) AS BIGINT) AS m,
+      |    CAST(sum(CASE WHEN grp <> grp_lo THEN c ELSE 0 END) AS BIGINT) AS n
+      |  FROM lab GROUP BY 1, 2),
+      |pairs AS (SELECT a.v - b.v AS d,
+      |    sum(CAST(a.c AS HUGEINT) * b.c) AS w
+      |  FROM lab a JOIN lab b ON a.grp = a.grp_lo AND b.grp = b.grp_hi
+      |    AND b.ngrps = 2
+      |  GROUP BY 1),
+      |ranked AS (SELECT *, sum(w) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM pairs),
+      |j AS (SELECT r.*, m.m, m.n, CAST(m.m AS HUGEINT) * m.n AS mn,
+      |    greatest(0, CAST(floor(CAST(m.m AS DOUBLE) * CAST(m.n AS DOUBLE)
+      |      / 2.0 - 1.959964 * sqrt(CAST(m.m AS DOUBLE) * CAST(m.n AS DOUBLE)
+      |      * (CAST(m.m AS DOUBLE) + CAST(m.n AS DOUBLE) + 1.0) / 12.0))
+      |      AS BIGINT)) AS k
+      |  FROM ranked r CROSS JOIN meta m),
+      |sel AS (SELECT max(mn) AS mn, max(k) AS ka,
+      |    min(CASE WHEN 2 * cum >= mn THEN d END) AS hl,
+      |    min(CASE WHEN cum >= k + 1 THEN d END) AS cilo,
+      |    min(CASE WHEN cum >= mn - k THEN d END) AS cihi
+      |  FROM j)
+      |SELECT m.grp_lo, m.grp_hi, m.ngrps AS n_groups,
+      |  CASE WHEN m.ngrps = 2 AND m.m > 0 AND m.n > 0 THEN m.m END AS n_lo,
+      |  CASE WHEN m.ngrps = 2 AND m.m > 0 AND m.n > 0 THEN m.n END AS n_hi,
+      |  CASE WHEN m.ngrps = 2 AND m.m > 0 AND m.n > 0
+      |    THEN CAST(s.mn AS VARCHAR) END AS n_pairs,
+      |  CASE WHEN m.ngrps = 2 AND m.m > 0 AND m.n > 0 THEN s.ka END AS k_alpha,
+      |  CASE WHEN m.ngrps = 2 AND m.m > 0 AND m.n > 0
+      |    THEN round(CAST(s.hl AS DOUBLE), 9) END AS hl,
+      |  CASE WHEN m.ngrps = 2 AND m.m > 0 AND m.n > 0
+      |    THEN round(CAST(s.cilo AS DOUBLE), 9) END AS ci_lo,
+      |  CASE WHEN m.ngrps = 2 AND m.m > 0 AND m.n > 0
+      |    THEN round(CAST(s.cihi AS DOUBLE), 9) END AS ci_hi
+      |FROM meta m CROSS JOIN sel s""".stripMargin
 
   /** q352 oracle: [[graft.quality.Association.pairedT]] replayed —
     * per-user exact even−odd differences, HUGEINT Σd/Σd², the

@@ -1831,6 +1831,120 @@ object Association {
       .select(g :+ col("n_pairs2") :+ col("hl2") :+ col("hl"): _*)
   }
 
+  /** TWO-SAMPLE Hodges–Lehmann shift + CI (Hodges & Lehmann 1963;
+    * Bauer 1972 for the CI): the effect SIZE beside [[mannWhitney]]'s
+    * test (the house test-plus-effect pairing rule) — the median of the
+    * m·n cross-pair differences x − y, the shift estimator the MW test
+    * inverts, with the confidence interval from inverting the test:
+    * CI = [D₍ₖ₊₁₎, D₍ₘₙ₋ₖ₎] order statistics of the differences at
+    *
+    *   k = max(0, ⌊mn/2 − z_{α/2}·√(mn(m+n+1)/12)⌋)
+    *
+    * — the LARGE-SAMPLE normal inversion (Lehmann 1975 §5.4; z pinned
+    * 1.959964), with NO tie correction in σ and the house LOWER-median
+    * convention for the point estimate (R's wilcox.test averages the
+    * two middle differences on even mn and uses the exact distribution
+    * for small untied samples — documented deltas, both at most one
+    * difference-grid step).
+    *
+    * EXACT at scale without materializing pairs per row: from the
+    * [[rankCells]] state the difference population is the (lo-value ×
+    * hi-value) CELL-PAIR grid weighted c_lo·c_hi (the kendall-cells
+    * bound), summed per integer difference d = v_lo − v_hi (lo − hi,
+    * the [[welchT]] sign); the three rank selections (2·cum ≥ T,
+    * cum ≥ k+1, cum ≥ mn−k) are exact-integer comparisons on ONE
+    * cumulative window. k's dag is the only float (fixed, mirrored in
+    * the oracle). Emits per key set: grp_lo/grp_hi/n_groups/n_lo/n_hi,
+    * n_pairs (exact digit string), k_alpha, hl/ci_lo/ci_hi (integer-
+    * valued doubles on the value grid). ≠2 groups → NULL statistics via
+    * n_groups (the [[mannWhitney]] rule). SCALE: one cell-pair grid
+    * join bounded by distinct-value cardinality² + one window; never
+    * n² rows.
+    */
+  def hodgesLehmannTwoSample(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String
+  ): DataFrame =
+    hodgesLehmannTwoSampleFromCells(
+      rankCells(df.select(keyCols.map(col) :+ col(groupCol) :+
+        col(valueCol).cast("long").as("__vl"): _*), keyCols, groupCol, "__vl"),
+      keyCols)
+
+  /** [[hodgesLehmannTwoSample]] from a (possibly folded) [[rankCells]]
+    * frame with INTEGER values (cast long upstream — the house
+    * integer-units contract).
+    */
+  def hodgesLehmannTwoSampleFromCells(
+      cellsIn: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val cells = fromRankCells(cellsIn, keyCols)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val labeled = cells
+      .withColumn("__ngrps", size(collect_set(col("grp")).over(wKey)))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+    val meta = labeled
+      .groupBy(g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps"): _*)
+      .agg(
+        sum(when(col("grp") === col("grp_lo"), col("__c")).otherwise(0L)).as("__m"),
+        sum(when(col("grp") =!= col("grp_lo"), col("__c")).otherwise(0L)).as("__n"))
+    val lo = labeled.filter(col("grp") === col("grp_lo"))
+      .select(g :+ col("__v").cast("long").as("__va") :+ col("__c").as("__ca"): _*)
+    val hi = labeled.filter(col("__ngrps") === 2 && col("grp") === col("grp_hi"))
+      .select(g :+ col("__v").cast("long").as("__vb") :+ col("__c").as("__cb"): _*)
+    val pairs =
+      if (keyCols.isEmpty) lo.crossJoin(hi) else lo.join(hi, keyCols)
+    val byD = pairs
+      .withColumn("__d", col("__va") - col("__vb"))
+      .groupBy(g :+ col("__d"): _*)
+      .agg(sum(col("__ca").cast(dec) * col("__cb").cast(dec)).as("__w"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byD.withColumn("__cum", sum("__w").over(wCum).cast(dec))
+    val joined =
+      if (keyCols.isEmpty) ranked.crossJoin(broadcast(meta))
+      else ranked.join(broadcast(meta), keyCols)
+    val mD = col("__m").cast("double"); val nD2 = col("__n").cast("double")
+    val mn = col("__m").cast(dec) * col("__n").cast(dec)
+    // the large-sample inversion rank: one fixed float dag, floored to
+    // an exact integer, clamped at 0
+    val kAlpha = greatest(lit(0L),
+      floor(mD * nD2 / lit(2d) -
+        lit(1.959964d) * sqrt(mD * nD2 * (mD + nD2 + 1d) / lit(12d)))
+        .cast("long"))
+    val withK = joined.withColumn("__k", kAlpha)
+    val hlHit = lit(2L).cast(dec) * col("__cum") >= mn
+    val loHit = col("__cum") >= (col("__k") + 1L).cast(dec)
+    val hiHit = col("__cum") >= mn - col("__k").cast(dec)
+    // the rank selections live on the pair grid (empty off the 2-group
+    // path); the flag row comes from meta so ≠2 groups still emits
+    val sel = (if (keyCols.isEmpty) withK.groupBy() else withK.groupBy(g: _*))
+      .agg(
+        max(mn).as("__mn"), max(col("__k")).as("__ka"),
+        min(when(hlHit, col("__d"))).as("__hl"),
+        min(when(loHit, col("__d"))).as("__cilo"),
+        min(when(hiHit, col("__d"))).as("__cihi"))
+    val out =
+      if (keyCols.isEmpty) meta.join(sel, lit(true), "left_outer")
+      else meta.join(sel, keyCols, "left_outer")
+    val two = col("__ngrps") === 2 && col("__m") > 0L && col("__n") > 0L
+    out
+      .withColumn("n_groups", col("__ngrps").cast("long"))
+      .withColumn("n_lo", when(two, col("__m")))
+      .withColumn("n_hi", when(two, col("__n")))
+      .withColumn("n_pairs", when(two, col("__mn").cast("string")))
+      .withColumn("k_alpha", when(two, col("__ka")))
+      .withColumn("hl", when(two, col("__hl").cast("double")))
+      .withColumn("ci_lo", when(two, col("__cilo").cast("double")))
+      .withColumn("ci_hi", when(two, col("__cihi").cast("double")))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("n_pairs") :+ col("k_alpha") :+
+        col("hl") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
   /** Yuen's t on trimmed means (Yuen 1974): the ROBUST two-group mean
     * test the heavy-tail regime needs — Welch's t on raw means is
     * dominated by the tail a 100 TB value column always has, and

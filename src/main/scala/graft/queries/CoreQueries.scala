@@ -4400,6 +4400,26 @@ object CoreQueries {
     coxSelect(Survival.coxPhFromCells(folded, Nil, "z"))
   }
 
+  /** Two-sample Hodges–Lehmann gate: the shift effect size + inverted-MW
+    * CI beside the q221 Mann–Whitney test — click-vs-view on integer
+    * value units (floor(value): the q210 bucket-first discipline keeps
+    * the cell-pair grid value-range-bounded, CONSTANT in row count).
+    * The oracle replays the cell-pair grid, the lower-median and both
+    * CI rank selections, and the large-sample k dag.
+    */
+  def q363HlTwoSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "view"))
+      .select(col("event_type").cast("string").as("grp0"),
+        floor(col("value")).cast("long").as("v"))
+    Association.hodgesLehmannTwoSample(ev, Nil, "grp0", "v")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("n_pairs"), col("k_alpha"),
+        round(col("hl"), 9).as("hl"), round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
+
   /** The q359 Bayesian read FROM THE STORE: three complete-unit batches
     * folded via [[graft.quality.AbDashboard.mergeAbCells]], the same
     * one-read posterior chain over the folded state — fold == rebuild

@@ -921,7 +921,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q361_cox_ph", maxHash = 12, maxRange = 13, forbidUdf = true,
       maxParquetScans = 0),
     Shape("q362_cox_from_store", maxHash = 17, maxRange = 13,
-      forbidUdf = true, maxParquetScans = 0)
+      forbidUdf = true, maxParquetScans = 0),
+    // two-sample HL: value cells + the value-range-bounded pair grid +
+    // one cumulative window + the meta/selection fold
+    Shape("q363_hl_two_sample", maxHash = 6, maxRange = 4,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

@@ -931,6 +931,59 @@ class TrendStatsSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("hodgesLehmannTwoSample: hand golden, brute-force differential, flags") {
+    import graft.quality.Association
+    def run(xs: Seq[Long], ys: Seq[Long]): org.apache.spark.sql.Row =
+      Association.hodgesLehmannTwoSample(
+        (xs.map(("a", _)) ++ ys.map(("b", _))).toDF("grp0", "v"),
+        Nil, "grp0", "v").collect()(0)
+    // {1,2} vs {3,4}: diffs lo-hi sorted {-3,-2,-2,-1}, lower median -2;
+    // k = max(0, floor(2 - 1.959964*sqrt(20/12))) = 0 -> CI = [D(1), D(4)]
+    val r = run(Seq(1L, 2L), Seq(3L, 4L))
+    assert(r.getAs[String]("n_pairs") === "4")
+    assert(r.getAs[Long]("k_alpha") === 0L)
+    assert(r.getAs[Double]("hl") === -2d)
+    assert(r.getAs[Double]("ci_lo") === -3d)
+    assert(r.getAs[Double]("ci_hi") === -1d)
+    // brute force: enumerate all m*n differences and replay the three
+    // rank selections directly (independent of the cell-grid dag)
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 0 until 6) {
+      val xs = Seq.fill(3 + rnd.nextInt(12))(rnd.nextInt(8).toLong)
+      val ys = Seq.fill(3 + rnd.nextInt(12))(rnd.nextInt(8).toLong)
+      val ds = (for (x <- xs; y <- ys) yield x - y).sorted
+      val mn = ds.size
+      val k = math.max(0L, math.floor(mn / 2d - 1.959964 *
+        math.sqrt(mn.toDouble * (xs.size + ys.size + 1) / 12d)).toLong)
+      val got = run(xs, ys)
+      assert(got.getAs[Double]("hl") === ds((mn - 1) / 2).toDouble, s"hl trial $trial")
+      assert(got.getAs[Long]("k_alpha") === k, s"k trial $trial")
+      assert(got.getAs[Double]("ci_lo") === ds(k.toInt).toDouble, s"cilo trial $trial")
+      assert(got.getAs[Double]("ci_hi") === ds((mn - k - 1).toInt).toDouble,
+        s"cihi trial $trial")
+      assert(got.getAs[String]("n_pairs") === mn.toString)
+    }
+    // one group -> flag row with NULL statistics, never a crash
+    val one = Association.hodgesLehmannTwoSample(
+      Seq(("a", 1L), ("a", 2L)).toDF("grp0", "v"), Nil, "grp0", "v").collect()(0)
+    assert(one.getAs[Long]("n_groups") === 1L)
+    assert(one.isNullAt(one.fieldIndex("hl")))
+    // three groups -> n_groups flag, NULL statistics
+    val three = Association.hodgesLehmannTwoSample(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("grp0", "v"),
+      Nil, "grp0", "v").collect()(0)
+    assert(three.getAs[Long]("n_groups") === 3L)
+    assert(three.isNullAt(three.fieldIndex("hl")))
+    // from-cells fold == rebuild
+    val all = (0 until 60).map(i => (if (i % 2 == 0) "a" else "b", (i % 7).toLong))
+    val parts = all.zipWithIndex.groupBy(_._2 % 3).values.toSeq.map(p =>
+      Association.rankCells(p.map(_._1).toDF("grp0", "v"), Nil, "grp0", "v"))
+    val folded = parts.reduce(Association.mergeRankCells(_, _, Nil))
+    assert(Association.hodgesLehmannTwoSampleFromCells(folded, Nil).collect().toSeq ===
+      Association.hodgesLehmannTwoSample(all.toDF("grp0", "v"), Nil, "grp0", "v")
+        .collect().toSeq)
+  }
+
   test("welchT: hand golden t/df, 3-group flag, tiny-side NULL") {
     import graft.quality.Association
     // lo = [1,2,3] (var 1), hi = [2,4,6,8] (var 20/3):
