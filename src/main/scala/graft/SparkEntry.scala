@@ -374,7 +374,8 @@ object SparkEntry {
     "q360_bayes_ab_from_store" -> (CoreQueries.q360BayesAbFromStore(_, _)),
     "q361_cox_ph" -> (CoreQueries.q361CoxPh(_, _)),
     "q362_cox_from_store" -> (CoreQueries.q362CoxFromStore(_, _)),
-    "q363_hl_two_sample" -> (CoreQueries.q363HlTwoSample(_, _))
+    "q363_hl_two_sample" -> (CoreQueries.q363HlTwoSample(_, _)),
+    "q364_ab_karm_cuped2" -> (CoreQueries.q364AbKArmCuped2(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -555,7 +556,8 @@ object SparkEntry {
     "q360_bayes_ab_from_store" -> bayesAbOracle,
     "q361_cox_ph" -> coxPhOracle,
     "q362_cox_from_store" -> coxPhOracle,
-    "q363_hl_two_sample" -> hlTwoSampleOracle)
+    "q363_hl_two_sample" -> hlTwoSampleOracle,
+    "q364_ab_karm_cuped2" -> abKArm2Oracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -3833,6 +3835,262 @@ object SparkEntry {
       |JOIN cup c ON m.peek = c.peek
       |JOIN wilw w ON m.peek = w.peek
       |ORDER BY m.peek""".stripMargin
+
+  /** q364 oracle: the vector-CUPED k-arm dashboard replayed from raw
+    * events — the q345 chain (per-user units, two-covariate moment
+    * cells, spine, cumulative windows, k-arm SRM, Wilson, per-cmp
+    * mSPRT, BH) with the CUPED stage replaced by the q347 exact-Cramer
+    * two-covariate solve per (cmp, peek), guards included (cok needs
+    * det > 0 and both n ≥ 2).
+    */
+  private lazy val abKArm2Oracle: String =
+    """WITH pu0 AS (SELECT user_id,
+      |    CASE WHEN user_id % 20 < 8 THEN 'A'
+      |      WHEN user_id % 20 < 14 THEN 'B'
+      |      WHEN user_id % 20 < 18 THEN 'C'
+      |      WHEN user_id % 20 < 19 THEN 'D' ELSE 'E' END AS arm,
+      |    CAST(user_id % 6 AS BIGINT) AS peek,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(count(DISTINCT CASE WHEN ts IS NOT NULL
+      |      THEN CAST(floor(epoch(ts) / 3600) AS BIGINT) END) AS BIGINT) AS x2,
+      |    max(value) AS maxv
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |pu AS (SELECT arm, peek, x1, x2, y,
+      |    CASE WHEN coalesce(maxv >= CASE WHEN arm = 'B' THEN 200.0
+      |      WHEN arm = 'D' THEN 300.0 ELSE 250.0 END, false)
+      |      THEN 1 ELSE 0 END AS hit
+      |  FROM pu0),
+      |cells AS (SELECT arm, peek, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(hit) AS BIGINT) AS s_hit,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sx1x1,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS sx2x2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS sx1x2,
+      |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS sx1y,
+      |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS sx2y
+      |  FROM pu GROUP BY 1, 2),
+      |spine AS (SELECT a.arm, p.peek
+      |  FROM (SELECT DISTINCT arm FROM cells) a
+      |  CROSS JOIN (SELECT DISTINCT peek FROM cells) p),
+      |fullc AS (SELECT sp.arm, sp.peek,
+      |    coalesce(c.n, 0) AS n, coalesce(c.s_hit, 0) AS s_hit,
+      |    coalesce(c.sy, 0) AS sy, coalesce(c.syy, 0) AS syy,
+      |    coalesce(c.sx1, 0) AS sx1, coalesce(c.sx2, 0) AS sx2,
+      |    coalesce(c.sx1x1, 0) AS sx1x1, coalesce(c.sx2x2, 0) AS sx2x2,
+      |    coalesce(c.sx1x2, 0) AS sx1x2,
+      |    coalesce(c.sx1y, 0) AS sx1y, coalesce(c.sx2y, 0) AS sx2y
+      |  FROM spine sp LEFT JOIN cells c ON sp.arm = c.arm AND sp.peek = c.peek),
+      |cum AS (SELECT arm, peek,
+      |    CAST(sum(n) OVER w AS BIGINT) AS n,
+      |    CAST(sum(s_hit) OVER w AS BIGINT) AS s_hit,
+      |    CAST(sum(sy) OVER w AS HUGEINT) AS sy,
+      |    CAST(sum(syy) OVER w AS HUGEINT) AS syy,
+      |    CAST(sum(sx1) OVER w AS HUGEINT) AS sx1,
+      |    CAST(sum(sx2) OVER w AS HUGEINT) AS sx2,
+      |    CAST(sum(sx1x1) OVER w AS HUGEINT) AS sx1x1,
+      |    CAST(sum(sx2x2) OVER w AS HUGEINT) AS sx2x2,
+      |    CAST(sum(sx1x2) OVER w AS HUGEINT) AS sx1x2,
+      |    CAST(sum(sx1y) OVER w AS HUGEINT) AS sx1y,
+      |    CAST(sum(sx2y) OVER w AS HUGEINT) AS sx2y
+      |  FROM fullc
+      |  WINDOW w AS (PARTITION BY arm ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |srm AS (SELECT peek,
+      |    CAST(sum(CASE WHEN arm NOT IN ('A','B','C','D') THEN n ELSE 0 END)
+      |      AS BIGINT) AS n_unexpected,
+      |    CAST(sum(CASE WHEN arm IN ('A','B','C','D') THEN n ELSE 0 END)
+      |      AS DOUBLE) AS nd,
+      |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+      |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+      |    max(CASE WHEN arm = 'C' THEN n END) AS nc,
+      |    max(CASE WHEN arm = 'D' THEN n END) AS ndd
+      |  FROM cum GROUP BY 1),
+      |srm2 AS (SELECT peek, n_unexpected,
+      |    CAST(round((CAST(na AS DOUBLE) - nd * 0.4) *
+      |      (CAST(na AS DOUBLE) - nd * 0.4) / (nd * 0.4) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(nb AS DOUBLE) - nd * 0.3) *
+      |      (CAST(nb AS DOUBLE) - nd * 0.3) / (nd * 0.3) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(nc AS DOUBLE) - nd * 0.2) *
+      |      (CAST(nc AS DOUBLE) - nd * 0.2) / (nd * 0.2) * 1e9) AS BIGINT) +
+      |    CAST(round((CAST(ndd AS DOUBLE) - nd * 0.1) *
+      |      (CAST(ndd AS DOUBLE) - nd * 0.1) / (nd * 0.1) * 1e9) AS BIGINT) AS chi9
+      |  FROM srm),
+      |cmpm AS (SELECT * FROM (VALUES ('B'), ('C'), ('D')) t(cmp)),
+      |wide AS (SELECT m.cmp, c.peek,
+      |    max(CASE WHEN c.arm = 'A' THEN c.n END) AS n1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sy END) AS sy1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.syy END) AS syy1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx1 END) AS sx11,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx2 END) AS sx21,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx1x1 END) AS sx1x11,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx2x2 END) AS sx2x21,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx1x2 END) AS sx1x21,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx1y END) AS sx1y1,
+      |    max(CASE WHEN c.arm = 'A' THEN c.sx2y END) AS sx2y1,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.n END) AS n2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sy END) AS sy2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.syy END) AS syy2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx1 END) AS sx12,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx2 END) AS sx22,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx1x1 END) AS sx1x12,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx2x2 END) AS sx2x22,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx1x2 END) AS sx1x22,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx1y END) AS sx1y2,
+      |    max(CASE WHEN c.arm <> 'A' THEN c.sx2y END) AS sx2y2
+      |  FROM cum c JOIN cmpm m ON c.arm = m.cmp OR c.arm = 'A'
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT *, CAST(n1 + n2 AS HUGEINT) AS nt,
+      |    sy1 + sy2 AS syt, syy1 + syy2 AS syyt,
+      |    sx11 + sx12 AS sx1t, sx21 + sx22 AS sx2t,
+      |    sx1x11 + sx1x12 AS sx1x1t, sx2x21 + sx2x22 AS sx2x2t,
+      |    sx1x21 + sx1x22 AS sx1x2t,
+      |    sx1y1 + sx1y2 AS sx1yt, sx2y1 + sx2y2 AS sx2yt
+      |  FROM wide),
+      |c2 AS (SELECT *,
+      |    nt * sx1x1t - sx1t * sx1t AS a11,
+      |    nt * sx2x2t - sx2t * sx2t AS a22,
+      |    nt * sx1x2t - sx1t * sx2t AS a12,
+      |    nt * sx1yt - sx1t * syt AS b1,
+      |    nt * sx2yt - sx2t * syt AS b2,
+      |    nt * syyt - syt * syt AS varynum
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE) -
+      |      CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) AS det
+      |  FROM c2),
+      |c4 AS (SELECT *,
+      |    (CAST(a22 AS DOUBLE) * CAST(b1 AS DOUBLE) -
+      |      CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE)) / det AS theta1,
+      |    (CAST(a11 AS DOUBLE) * CAST(b2 AS DOUBLE) -
+      |      CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE)) / det AS theta2,
+      |    CAST(sy1 * n2 - sy2 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS rawy,
+      |    CAST(sx11 * n2 - sx12 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS rawx1,
+      |    CAST(sx21 * n2 - sx22 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS rawx2
+      |  FROM c3),
+      |c5 AS (SELECT *,
+      |    rawy - theta1 * rawx1 - theta2 * rawx2 AS adjeff,
+      |    CAST(syy1 AS DOUBLE) + theta1 * theta1 * CAST(sx1x11 AS DOUBLE) +
+      |      theta2 * theta2 * CAST(sx2x21 AS DOUBLE) +
+      |      2 * theta1 * theta2 * CAST(sx1x21 AS DOUBLE) -
+      |      2 * theta1 * CAST(sx1y1 AS DOUBLE) -
+      |      2 * theta2 * CAST(sx2y1 AS DOUBLE) AS szz1,
+      |    CAST(sy1 AS DOUBLE) - theta1 * CAST(sx11 AS DOUBLE) -
+      |      theta2 * CAST(sx21 AS DOUBLE) AS sz1,
+      |    CAST(syy2 AS DOUBLE) + theta1 * theta1 * CAST(sx1x12 AS DOUBLE) +
+      |      theta2 * theta2 * CAST(sx2x22 AS DOUBLE) +
+      |      2 * theta1 * theta2 * CAST(sx1x22 AS DOUBLE) -
+      |      2 * theta1 * CAST(sx1y2 AS DOUBLE) -
+      |      2 * theta2 * CAST(sx2y2 AS DOUBLE) AS szz2,
+      |    CAST(sy2 AS DOUBLE) - theta1 * CAST(sx12 AS DOUBLE) -
+      |      theta2 * CAST(sx22 AS DOUBLE) AS sz2
+      |  FROM c4),
+      |c6 AS (SELECT *,
+      |    (CAST(n1 AS DOUBLE) * szz1 - sz1 * sz1) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) +
+      |    (CAST(n2 AS DOUBLE) * szz2 - sz2 * sz2) /
+      |      (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+      |      AS sev
+      |  FROM c5),
+      |cup AS (SELECT *, sqrt(sev) AS se,
+      |    (theta1 * CAST(b1 AS DOUBLE) + theta2 * CAST(b2 AS DOUBLE)) /
+      |      CAST(varynum AS DOUBLE) AS rho2,
+      |    n1 >= 2 AND n2 >= 2 AND det > 0 AS cok,
+      |    n1 > 0 AND n2 > 0 AS bothlive
+      |  FROM c6),
+      |wil AS (SELECT peek, arm, n, s_hit,
+      |    CAST(s_hit AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE) AS dn
+      |  FROM cum WHERE arm IN ('A','B','C','D')),
+      |wil2 AS (SELECT *,
+      |    (p + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE))) / dn AS center,
+      |    1.959964 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) +
+      |      (1.959964 * 1.959964) /
+      |        (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / dn AS half
+      |  FROM wil),
+      |mincr AS (SELECT m.cmp, f.peek,
+      |    CAST(sum(CASE WHEN f.arm = 'A' THEN f.n ELSE 0 END) AS BIGINT) AS bn1,
+      |    CAST(sum(CASE WHEN f.arm = 'A' THEN f.s_hit ELSE 0 END) AS BIGINT) AS bs1,
+      |    CAST(sum(CASE WHEN f.arm = m.cmp THEN f.n ELSE 0 END) AS BIGINT) AS bn2,
+      |    CAST(sum(CASE WHEN f.arm = m.cmp THEN f.s_hit ELSE 0 END) AS BIGINT) AS bs2
+      |  FROM fullc f JOIN cmpm m ON f.arm = m.cmp OR f.arm = 'A'
+      |  GROUP BY 1, 2),
+      |mt AS (SELECT cmp, peek,
+      |    CAST(sum(bn1) OVER w AS BIGINT) AS n_lo,
+      |    CAST(sum(bs1) OVER w AS BIGINT) AS s_lo,
+      |    CAST(sum(bn2) OVER w AS BIGINT) AS n_hi,
+      |    CAST(sum(bs2) OVER w AS BIGINT) AS s_hi
+      |  FROM mincr
+      |  WINDOW w AS (PARTITION BY cmp ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |mv AS (SELECT *,
+      |    CAST(CAST(s_lo AS HUGEINT) * n_hi - CAST(s_hi AS HUGEINT) * n_lo AS DOUBLE) /
+      |      (CAST(n_lo AS DOUBLE) * CAST(n_hi AS DOUBLE)) AS delta,
+      |    (CAST(s_lo AS DOUBLE) + CAST(s_hi AS DOUBLE)) /
+      |      (CAST(n_lo AS DOUBLE) + CAST(n_hi AS DOUBLE)) AS pp,
+      |    n_lo > 0 AND n_hi > 0 AND (s_lo + s_hi) > 0 AND
+      |      (s_lo + s_hi) < (n_lo + n_hi) AS usable
+      |  FROM mt),
+      |ml AS (SELECT *,
+      |    pp * (1 - pp) * (1.0 / CAST(n_lo AS DOUBLE) + 1.0 / CAST(n_hi AS DOUBLE)) AS vv
+      |  FROM mv),
+      |mr AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.000244140625)) +
+      |      delta * delta * 0.000244140625 /
+      |        (2 * vv * (vv + 0.000244140625))) * 1e9) AS BIGINT) END AS ln_lr9
+      |  FROM ml),
+      |mb AS (SELECT *, max(ln_lr9) OVER (PARTITION BY cmp ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM mr),
+      |mp AS (SELECT *,
+      |    CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |      ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END AS p_av
+      |  FROM mb),
+      |bh AS (SELECT *, CAST(round(p_av * 1e9) AS BIGINT) AS p9 FROM mp),
+      |bh2 AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY peek ORDER BY p9, cmp) AS BIGINT)
+      |      AS bh_rank,
+      |    CAST(count(*) OVER (PARTITION BY peek) AS BIGINT) AS bh_m
+      |  FROM bh),
+      |bh3 AS (SELECT *,
+      |    CAST(p9 AS HUGEINT) * bh_m * 100 <=
+      |      CAST(bh_rank AS HUGEINT) * 5 * 1000000000 AS is_cand
+      |  FROM bh2),
+      |bh4 AS (SELECT *, max(CASE WHEN is_cand THEN bh_rank ELSE 0 END)
+      |    OVER (PARTITION BY peek) AS cut
+      |  FROM bh3)
+      |SELECT m.peek, m.cmp AS arm, 'A' AS grp_lo, m.cmp AS grp_hi,
+      |  CAST(4 AS BIGINT) AS n_arms, s.n_unexpected,
+      |  round(CAST(s.chi9 AS DOUBLE) / 1e9, 9) AS srm_chi2,
+      |  m.n_lo, m.s_lo, m.n_hi, m.s_hi,
+      |  CASE WHEN c.cok THEN round(c.theta1, 9) END AS theta1,
+      |  CASE WHEN c.cok THEN round(c.theta2, 9) END AS theta2,
+      |  CASE WHEN c.cok AND c.varynum > 0 THEN round(c.rho2, 9) END AS rho2,
+      |  CASE WHEN c.bothlive THEN round(c.rawy, 9) END AS effect_raw,
+      |  CASE WHEN c.cok THEN round(c.adjeff, 9) END AS effect_cuped,
+      |  CASE WHEN c.cok THEN round(c.se, 9) END AS se_cuped,
+      |  CASE WHEN c.cok THEN round(c.adjeff - 1.959964 * c.se, 9) END AS cuped_ci_lo,
+      |  CASE WHEN c.cok THEN round(c.adjeff + 1.959964 * c.se, 9) END AS cuped_ci_hi,
+      |  round(wc.p, 9) AS p_ctl,
+      |  round(wc.center - wc.half, 9) + 0.0 AS wilson_ctl_lo,
+      |  round(wc.center + wc.half, 9) AS wilson_ctl_hi,
+      |  round(wa.p, 9) AS p_arm,
+      |  round(wa.center - wa.half, 9) + 0.0 AS wilson_arm_lo,
+      |  round(wa.center + wa.half, 9) AS wilson_arm_hi,
+      |  CASE WHEN m.usable THEN round(m.delta, 9) END AS delta, m.ln_lr9,
+      |  round(m.p_av, 9) AS p_always_valid,
+      |  coalesce(m.best9 >= 2995732274, false) AS reject,
+      |  m.p9, m.bh_rank, m.bh_m, m.bh_rank <= m.cut AS reject_fdr
+      |FROM bh4 m
+      |JOIN srm2 s ON m.peek = s.peek
+      |JOIN cup c ON m.cmp = c.cmp AND m.peek = c.peek
+      |JOIN wil2 wa ON m.cmp = wa.arm AND m.peek = wa.peek
+      |JOIN wil2 wc ON wc.arm = 'A' AND m.peek = wc.peek
+      |ORDER BY m.peek, m.cmp""".stripMargin
 
   /** q345 oracle: the ENTIRE k-arm dashboard chain replayed from raw
     * events — per-user units on the 5-way user_id mod 20 split with the

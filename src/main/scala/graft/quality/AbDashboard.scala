@@ -266,28 +266,23 @@ object AbDashboard {
     * (arms × peeks)-bounded local cell frame. One row per
     * (peek, treatment arm), peek-then-arm ordered reads.
     */
-  def abDashboardKArmFromCells(
-      cells: DataFrame,
+  /** The shared k-arm stages (SRM / Wilson / mSPRT+BH) over the spined
+    * cumulative/increment frames — both k-arm dashboards compose these
+    * with their own CUPED stage. Returns (srm, wilArm, wilCtl, adj).
+    */
+  private def karmStages(
+      full: DataFrame,
+      cum: DataFrame,
       weights: Seq[(String, Double)],
       control: String,
+      cmps: DataFrame,
       tau2: Double,
-      alpha: Double = 0.05d,
-      fdrNum: Int = 5,
-      fdrDen: Int = 100
-  ): DataFrame = {
-    require(weights.size >= 2, s"need >= 2 designed arms: $weights")
-    require(weights.exists(_._1 == control),
-      s"control '$control' must be a designed arm: $weights")
-    val treatments = weights.map(_._1).filterNot(_ == control).sorted
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val local = materialize(cells)
-    val (full, cum) = spineCum(local, weights.map(_._1))
+      alpha: Double,
+      fdrNum: Int,
+      fdrDen: Int
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val designedArms = weights.map(_._1)
     val designed = col("arm").isin(designedArms: _*)
-    // the comparison spine: each treatment arm paired with the control
-    // (a tiny broadcast map over the bounded cell frame)
-    val cmps = broadcast(treatments.toDF("cmp"))
     val inCmp = col("arm") === col("cmp") || col("arm") === lit(control)
     // stage 1 — ONE k-arm SRM on the cumulative counts (all arms:
     // off-design traffic is the q306 n_unexpected read)
@@ -296,18 +291,6 @@ object AbDashboard {
       Seq("peek"), weights)
       .select(col("peek"), col("n_arms"), col("n_unexpected"),
         col("chi2").as("srm_chi2"))
-    // stage 2 — CUPED per (cmp, peek) on the {control, treatment}
-    // cumulative moments; the operator orients lo − hi by label itself
-    val cup = Association.cupedFromMoments(
-      cum.crossJoin(cmps).filter(inCmp)
-        .select(col("cmp"), col("peek"), col("arm").as("grp"),
-          col("n").as("__n"), col("sx").as("__sx"), col("sy").as("__sy"),
-          col("sxx").as("__sxx"), col("syy").as("__syy"), col("sxy").as("__sxy")),
-      Seq("cmp", "peek"))
-      .select(col("cmp"), col("peek"), col("grp_lo"), col("grp_hi"),
-        col("theta"), col("rho2"), col("effect_raw"), col("effect_cuped"),
-        col("se_cuped"),
-        col("ci_lo").as("cuped_ci_lo"), col("ci_hi").as("cuped_ci_hi"))
     // stage 3 — per-arm Wilson CIs once over the designed arms, then the
     // row's treatment beside the control
     val wil = Association.wilsonFromCounts(
@@ -344,6 +327,44 @@ object AbDashboard {
         col("p_always_valid"), col("reject"), col("p9"),
         col("rank").cast("long").as("bh_rank"), col("m").as("bh_m"),
         col("rejected").as("reject_fdr"))
+    (srm, wilArm, wilCtl, adj)
+  }
+
+  def abDashboardKArmFromCells(
+      cells: DataFrame,
+      weights: Seq[(String, Double)],
+      control: String,
+      tau2: Double,
+      alpha: Double = 0.05d,
+      fdrNum: Int = 5,
+      fdrDen: Int = 100
+  ): DataFrame = {
+    require(weights.size >= 2, s"need >= 2 designed arms: $weights")
+    require(weights.exists(_._1 == control),
+      s"control '$control' must be a designed arm: $weights")
+    val treatments = weights.map(_._1).filterNot(_ == control).sorted
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val local = materialize(cells)
+    val (full, cum) = spineCum(local, weights.map(_._1))
+    // the comparison spine: each treatment arm paired with the control
+    // (a tiny broadcast map over the bounded cell frame)
+    val cmps = broadcast(treatments.toDF("cmp"))
+    val inCmp = col("arm") === col("cmp") || col("arm") === lit(control)
+    val (srm, wilArm, wilCtl, adj) = karmStages(full, cum, weights, control,
+      cmps, tau2, alpha, fdrNum, fdrDen)
+    // stage 2 — CUPED per (cmp, peek) on the {control, treatment}
+    // cumulative moments; the operator orients lo − hi by label itself
+    val cup = Association.cupedFromMoments(
+      cum.crossJoin(cmps).filter(inCmp)
+        .select(col("cmp"), col("peek"), col("arm").as("grp"),
+          col("n").as("__n"), col("sx").as("__sx"), col("sy").as("__sy"),
+          col("sxx").as("__sxx"), col("syy").as("__syy"), col("sxy").as("__sxy")),
+      Seq("cmp", "peek"))
+      .select(col("cmp"), col("peek"), col("grp_lo"), col("grp_hi"),
+        col("theta"), col("rho2"), col("effect_raw"), col("effect_cuped"),
+        col("se_cuped"),
+        col("ci_lo").as("cuped_ci_lo"), col("ci_hi").as("cuped_ci_hi"))
     // one row per (peek, treatment): joins over (k−1)·peek-bounded frames
     adj
       .join(srm, Seq("peek"))
@@ -354,6 +375,139 @@ object AbDashboard {
         col("n_arms"), col("n_unexpected"), col("srm_chi2"),
         col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
         col("theta"), col("rho2"), col("effect_raw"), col("effect_cuped"),
+        col("se_cuped"), col("cuped_ci_lo"), col("cuped_ci_hi"),
+        col("p_ctl"), col("wilson_ctl_lo"), col("wilson_ctl_hi"),
+        col("p_arm"), col("wilson_arm_lo"), col("wilson_arm_hi"),
+        col("delta"), col("ln_lr9"), col("p_always_valid"), col("reject"),
+        col("p9"), col("bh_rank"), col("bh_m"), col("reject_fdr"))
+  }
+
+  /** Per-(arm, peek) TWO-COVARIATE experiment moment cells — [[abCells]]
+    * extended with the second pre-period covariate's cross-products,
+    * exactly the [[Association.cupedMulti2FromMoments]] moment shape
+    * plus the conversion count: n, s_hit, Σy, Σy², Σx₁, Σx₂, Σx₁²,
+    * Σx₂², Σx₁x₂, Σx₁y, Σx₂y (exact DECIMAL). Same unit/fold contract
+    * as [[abCells]]; additively mergeable ([[mergeAbCells2]]).
+    */
+  def abCells2(
+      perUnit: DataFrame,
+      armCol: String,
+      peekCol: String,
+      yCol: String,
+      x1Col: String,
+      x2Col: String,
+      hitCol: String
+  ): DataFrame = {
+    val yD = col(yCol).cast("long").cast(dec)
+    val x1D = col(x1Col).cast("long").cast(dec)
+    val x2D = col(x2Col).cast("long").cast(dec)
+    perUnit
+      .filter(col(armCol).isNotNull && col(peekCol).isNotNull &&
+        col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull && col(hitCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"),
+        col(peekCol).cast("long").as("peek"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(hitCol).cast("boolean"), 1L).otherwise(0L)).as("s_hit"),
+        sum(yD).as("sy"), sum(yD * yD).as("syy"),
+        sum(x1D).as("sx1"), sum(x2D).as("sx2"),
+        sum(x1D * x1D).as("sx1x1"), sum(x2D * x2D).as("sx2x2"),
+        sum(x1D * x2D).as("sx1x2"),
+        sum(x1D * yD).as("sx1y"), sum(x2D * yD).as("sx2y"))
+  }
+
+  /** Additive merge of two [[abCells2]] frames — fold == rebuild under
+    * any batch order (exact integer/DECIMAL sums, spec-pinned).
+    */
+  def mergeAbCells2(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("arm"), col("peek"))
+      .agg(sum("n").as("n"), sum("s_hit").as("s_hit"),
+        sum("sy").as("sy"), sum("syy").as("syy"),
+        sum("sx1").as("sx1"), sum("sx2").as("sx2"),
+        sum("sx1x1").as("sx1x1"), sum("sx2x2").as("sx2x2"),
+        sum("sx1x2").as("sx1x2"),
+        sum("sx1y").as("sx1y"), sum("sx2y").as("sx2y"))
+
+  private val moment2Cols = Seq("sy", "syy", "sx1", "sx2", "sx1x1",
+    "sx2x2", "sx1x2", "sx1y", "sx2y")
+
+  /** The [[spineCum]] twin for the two-covariate cell shape. */
+  private def spineCum2(local: DataFrame,
+      designedArms: Seq[String]): (DataFrame, DataFrame) = {
+    val spark = local.sparkSession
+    import spark.implicits._
+    val peeks = local.select(col("peek")).distinct()
+    val arms = local.select(col("arm")).distinct()
+      .unionByName(designedArms.toDF("arm")).distinct()
+    val zeroD = lit(0L).cast(dec)
+    val full = peeks.crossJoin(broadcast(arms))
+      .join(local, Seq("arm", "peek"), "left")
+      .select(Seq(col("arm"), col("peek"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("s_hit"), lit(0L)).as("s_hit")) ++
+        moment2Cols.map(m => coalesce(col(m), zeroD).as(m)): _*)
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.select(Seq(col("arm"), col("peek"),
+      sum("n").over(wCum).as("n"),
+      sum("s_hit").over(wCum).as("s_hit")) ++
+      moment2Cols.map(m => sum(m).over(wCum).cast(dec).as(m)): _*)
+    (full, cum)
+  }
+
+  /** [[abDashboardKArmFromCells]] with the TWO-COVARIATE variance
+    * reduction: the identical SRM → Wilson → mSPRT → BH chain from the
+    * same stages, with stage 2 =
+    * [[Association.cupedMulti2FromMoments]] per (cmp, peek) — the
+    * θ₁/θ₂ normal-equations adjustment over the cumulative
+    * two-covariate moments. Output shape matches the one-covariate
+    * dashboard with (theta1, theta2) in place of theta. Same unit,
+    * fold, eager-execution, and scale contracts.
+    */
+  def abDashboardKArm2FromCells(
+      cells: DataFrame,
+      weights: Seq[(String, Double)],
+      control: String,
+      tau2: Double,
+      alpha: Double = 0.05d,
+      fdrNum: Int = 5,
+      fdrDen: Int = 100
+  ): DataFrame = {
+    require(weights.size >= 2, s"need >= 2 designed arms: $weights")
+    require(weights.exists(_._1 == control),
+      s"control '$control' must be a designed arm: $weights")
+    val treatments = weights.map(_._1).filterNot(_ == control).sorted
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val local = materialize(cells)
+    val (full, cum) = spineCum2(local, weights.map(_._1))
+    val cmps = broadcast(treatments.toDF("cmp"))
+    val inCmp = col("arm") === col("cmp") || col("arm") === lit(control)
+    val (srm, wilArm, wilCtl, adj) = karmStages(full, cum, weights, control,
+      cmps, tau2, alpha, fdrNum, fdrDen)
+    // stage 2 — vector CUPED per (cmp, peek) on the {control, treatment}
+    // cumulative two-covariate moments
+    val cup = Association.cupedMulti2FromMoments(
+      cum.crossJoin(cmps).filter(inCmp)
+        .select(Seq(col("cmp"), col("peek"), col("arm").as("grp"),
+          col("n").as("__n")) ++
+          moment2Cols.map(m => col(m).as(s"__$m")): _*),
+      Seq("cmp", "peek"))
+      .select(col("cmp"), col("peek"), col("grp_lo"), col("grp_hi"),
+        col("theta1"), col("theta2"), col("rho2"), col("effect_raw"),
+        col("effect_cuped"), col("se_cuped"),
+        col("ci_lo").as("cuped_ci_lo"), col("ci_hi").as("cuped_ci_hi"))
+    adj
+      .join(srm, Seq("peek"))
+      .join(cup, Seq("cmp", "peek"))
+      .join(wilArm, Seq("cmp", "peek"))
+      .join(wilCtl, Seq("peek"))
+      .select(col("peek"), col("cmp").as("arm"), col("grp_lo"), col("grp_hi"),
+        col("n_arms"), col("n_unexpected"), col("srm_chi2"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        col("theta1"), col("theta2"), col("rho2"), col("effect_raw"),
+        col("effect_cuped"),
         col("se_cuped"), col("cuped_ci_lo"), col("cuped_ci_hi"),
         col("p_ctl"), col("wilson_ctl_lo"), col("wilson_ctl_hi"),
         col("p_arm"), col("wilson_arm_lo"), col("wilson_arm_hi"),

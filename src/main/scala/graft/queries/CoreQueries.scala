@@ -3887,6 +3887,37 @@ object CoreQueries {
   /** Spec access to the q345 k-arm fixture (fixture-adequacy pins). */
   def abPerUserKForSpec(s: SparkSession, dir: String): DataFrame = abPerUserK(s, dir)
 
+  /** The q364 two-covariate k-arm fixture: [[abPerUserK]] plus the
+    * q347 second covariate — distinct active hours per user (a genuine
+    * second pre-period signal, not collinear with the even-event
+    * count).
+    */
+  private def abPerUserK2(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("y"),
+        countDistinct(when(col("ts").isNotNull,
+          floor(unix_timestamp(col("ts")) / 3600L))).as("x2"),
+        max(col("value")).as("__maxv"))
+      .withColumn("arm",
+        when(col("user_id") % 20 < 8, "A")
+          .when(col("user_id") % 20 < 14, "B")
+          .when(col("user_id") % 20 < 18, "C")
+          .when(col("user_id") % 20 < 19, "D")
+          .otherwise("E"))
+      .withColumn("hit", coalesce(
+        col("__maxv") >= when(col("arm") === "B", 200d)
+          .when(col("arm") === "D", 300d).otherwise(250d),
+        lit(false)))
+      .withColumn("peek", col("user_id") % 6)
+
+  /** Spec access to the q364 fixture (fixture-adequacy pins). */
+  def abPerUserK2ForSpec(s: SparkSession, dir: String): DataFrame =
+    abPerUserK2(s, dir)
+
   private val abDesignK =
     Seq("A" -> 0.4, "B" -> 0.3, "C" -> 0.2, "D" -> 0.1)
 
@@ -3923,6 +3954,45 @@ object CoreQueries {
     import graft.quality.AbDashboard
     abDashboardKArmSelect(AbDashboard.abDashboardKArmFromCells(
       AbDashboard.abCells(abPerUserK(s, dir), "arm", "peek", "y", "x", "hit"),
+      abDesignK, control = "A", tau2 = abTau2, alpha = 0.05d))
+  }
+
+  private def abDashboardKArm2Select(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("arm"), col("grp_lo"), col("grp_hi"),
+        col("n_arms"), col("n_unexpected"),
+        round(col("srm_chi2"), 9).as("srm_chi2"),
+        col("n_lo"), col("s_lo"), col("n_hi"), col("s_hi"),
+        round(col("theta1"), 9).as("theta1"),
+        round(col("theta2"), 9).as("theta2"),
+        round(col("rho2"), 9).as("rho2"),
+        round(col("effect_raw"), 9).as("effect_raw"),
+        round(col("effect_cuped"), 9).as("effect_cuped"),
+        round(col("se_cuped"), 9).as("se_cuped"),
+        round(col("cuped_ci_lo"), 9).as("cuped_ci_lo"),
+        round(col("cuped_ci_hi"), 9).as("cuped_ci_hi"),
+        round(col("p_ctl"), 9).as("p_ctl"),
+        round(col("wilson_ctl_lo"), 9).as("wilson_ctl_lo"),
+        round(col("wilson_ctl_hi"), 9).as("wilson_ctl_hi"),
+        round(col("p_arm"), 9).as("p_arm"),
+        round(col("wilson_arm_lo"), 9).as("wilson_arm_lo"),
+        round(col("wilson_arm_hi"), 9).as("wilson_arm_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"),
+        col("p9"), col("bh_rank"), col("bh_m"), col("reject_fdr"))
+      .orderBy("peek", "arm")
+
+  /** The VECTOR-CUPED k-arm dashboard gate: the q345 chain with the
+    * variance reduction upgraded to TWO pre-period covariates
+    * (even-event count + distinct active hours) through the q347
+    * normal-equations dag per comparison — θ₁/θ₂ on the row beside the
+    * same SRM/Wilson/mSPRT/BH stages, all from ONE (arm × peek)
+    * two-covariate cell state. The oracle replays every stage
+    * including the exact-Cramer solve per (cmp, peek).
+    */
+  def q364AbKArmCuped2(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.AbDashboard
+    abDashboardKArm2Select(AbDashboard.abDashboardKArm2FromCells(
+      AbDashboard.abCells2(abPerUserK2(s, dir), "arm", "peek", "y", "x", "x2", "hit"),
       abDesignK, control = "A", tau2 = abTau2, alpha = 0.05d))
   }
 

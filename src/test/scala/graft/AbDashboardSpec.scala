@@ -352,6 +352,59 @@ class AbDashboardSpec extends SparkSpec {
     assert(last.map(_.getAs[Long]("p9")).distinct.length >= 2)
   }
 
+  test("vector-CUPED k-arm dashboard: shared stages pin q345 column-for-column; rho2 never drops; fold == rebuild") {
+    import graft.quality.AbDashboard
+    val sfDir = "/root/testdata/sf0.001"
+    val design = Seq("A" -> 0.4, "B" -> 0.3, "C" -> 0.2, "D" -> 0.1)
+    val pu1 = CoreQueries.abPerUserKForSpec(spark, sfDir)
+    val pu2 = CoreQueries.abPerUserK2ForSpec(spark, sfDir)
+    val one = AbDashboard.abDashboardKArmFromCells(
+      AbDashboard.abCells(pu1, "arm", "peek", "y", "x", "hit"),
+      design, "A", tau2 = 0.000244140625d).orderBy("peek", "arm").collect()
+    val two = AbDashboard.abDashboardKArm2FromCells(
+      AbDashboard.abCells2(pu2, "arm", "peek", "y", "x", "x2", "hit"),
+      design, "A", tau2 = 0.000244140625d).orderBy("peek", "arm").collect()
+    assert(one.length === two.length && one.nonEmpty)
+    // the SRM/Wilson/monitor/BH stages don't see the covariates: every
+    // shared non-CUPED column is identical
+    val shared = Seq("peek", "arm", "n_arms", "n_unexpected", "srm_chi2",
+      "n_lo", "s_lo", "n_hi", "s_hi", "p_ctl", "wilson_ctl_lo",
+      "wilson_ctl_hi", "p_arm", "wilson_arm_lo", "wilson_arm_hi",
+      "delta", "ln_lr9", "p_always_valid", "reject", "p9", "bh_rank",
+      "bh_m", "reject_fdr")
+    var comparedRho = 0
+    one.zip(two).foreach { case (a, b) =>
+      for (c <- shared)
+        assert(a.getAs[Any](c) === b.getAs[Any](c), s"column $c")
+      // nested OLS: in-sample R2 cannot decrease when a covariate is
+      // added (rho2 is the pooled regression R2) — where both defined
+      // (tiny early peeks of the 5%-traffic arm NULL their guards)
+      if (!a.isNullAt(a.fieldIndex("rho2")) && !b.isNullAt(b.fieldIndex("rho2"))) {
+        val r1 = a.getAs[Double]("rho2"); val r2 = b.getAs[Double]("rho2")
+        assert(r2 >= r1 - 1e-12, s"rho2 dropped: 1-cov $r1 vs 2-cov $r2")
+        assert(!b.isNullAt(b.fieldIndex("theta1")) &&
+          !b.isNullAt(b.fieldIndex("theta2")))
+        comparedRho += 1
+      }
+    }
+    assert(comparedRho >= 4, s"only $comparedRho live rho2 rows")
+    // the final peek's fully-cumulated B-vs-A comparison (the 30%-traffic
+    // arm) is defined; micro arms may stay NULL at this tiny SF
+    val maxPeek = two.map(_.getAs[Long]("peek")).max
+    val finalB = two.find(b => b.getAs[Long]("peek") == maxPeek &&
+      b.getAs[String]("arm") == "B").get
+    assert(!finalB.isNullAt(finalB.fieldIndex("theta1")) &&
+      !finalB.isNullAt(finalB.fieldIndex("theta2")), s"final B NULL: $finalB")
+    // fold == rebuild for the two-covariate cells
+    val whole = AbDashboard.abCells2(pu2, "arm", "peek", "y", "x", "x2", "hit")
+    def part(i: Int) = AbDashboard.abCells2(
+      pu2.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "x2", "hit")
+    val folded = (1 to 2).foldLeft(part(0))(
+      (acc, i) => AbDashboard.mergeAbCells2(acc, part(i)))
+    assert(folded.orderBy("arm", "peek").collect().toSeq ===
+      whole.orderBy("arm", "peek").collect().toSeq)
+  }
+
   test("gate fixture adequacy: every stage's defining case is exercised at the oracle SF") {
     // the r13 lesson: a gate whose fixture can't exercise the operator's
     // defining case is green but vacuous — pin the q326 fixture's teeth

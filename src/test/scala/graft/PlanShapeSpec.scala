@@ -925,7 +925,11 @@ class PlanShapeSpec extends SparkSpec {
     // two-sample HL: value cells + the value-range-bounded pair grid +
     // one cumulative window + the meta/selection fold
     Shape("q363_hl_two_sample", maxHash = 6, maxRange = 4,
-      forbidUdf = true)
+      forbidUdf = true),
+    // vector-CUPED k-arm: the q345 lock shape (same shared stages, the
+    // two-covariate Cramer stage adds projections, not exchanges)
+    Shape("q364_ab_karm_cuped2", maxHash = 26, maxRange = 4,
+      minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
