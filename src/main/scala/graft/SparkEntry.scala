@@ -375,7 +375,8 @@ object SparkEntry {
     "q361_cox_ph" -> (CoreQueries.q361CoxPh(_, _)),
     "q362_cox_from_store" -> (CoreQueries.q362CoxFromStore(_, _)),
     "q363_hl_two_sample" -> (CoreQueries.q363HlTwoSample(_, _)),
-    "q364_ab_karm_cuped2" -> (CoreQueries.q364AbKArmCuped2(_, _))
+    "q364_ab_karm_cuped2" -> (CoreQueries.q364AbKArmCuped2(_, _)),
+    "q365_effect_heterogeneity" -> (CoreQueries.q365EffectHeterogeneity(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -557,7 +558,8 @@ object SparkEntry {
     "q361_cox_ph" -> coxPhOracle,
     "q362_cox_from_store" -> coxPhOracle,
     "q363_hl_two_sample" -> hlTwoSampleOracle,
-    "q364_ab_karm_cuped2" -> abKArm2Oracle)
+    "q364_ab_karm_cuped2" -> abKArm2Oracle,
+    "q365_effect_heterogeneity" -> heterogeneityOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -4091,6 +4093,129 @@ object SparkEntry {
       |JOIN wil2 wa ON m.cmp = wa.arm AND m.peek = wa.peek
       |JOIN wil2 wc ON wc.arm = 'A' AND m.peek = wc.peek
       |ORDER BY m.peek, m.cmp""".stripMargin
+
+  /** q365 oracle: [[graft.quality.Association.heterogeneityCard]]
+    * replayed — per-user units with the arm-and-segment conversion
+    * threshold, per-(segment, arm) exact HUGEINT moments, the q298
+    * CUPED dag PER SEGMENT (theta/raw/adjusted/v1/v2 in the Spark
+    * float order, cok guards), then the q334 meta-analysis windows
+    * (segment-ordered cumulative float folds) and the per-segment
+    * join-back with the replicated panel.
+    */
+  private lazy val heterogeneityOracle: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    max(value) AS maxv,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    CAST((user_id // 2) % 4 AS VARCHAR) AS segment
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |pu2 AS (SELECT segment, arm, x,
+      |    coalesce(CAST(maxv >= CASE WHEN arm = 'B' AND
+      |      CAST(segment AS BIGINT) < 2 THEN 200.0 ELSE 250.0 END
+      |      AS BIGINT), 0) AS y
+      |  FROM pu),
+      |m AS (SELECT segment, arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pu2 GROUP BY 1, 2),
+      |wide AS (SELECT segment,
+      |    max(CASE WHEN arm = 'A' THEN n END) AS n1,
+      |    max(CASE WHEN arm = 'A' THEN sx END) AS sx1,
+      |    max(CASE WHEN arm = 'A' THEN sy END) AS sy1,
+      |    max(CASE WHEN arm = 'A' THEN sxx END) AS sxx1,
+      |    max(CASE WHEN arm = 'A' THEN syy END) AS syy1,
+      |    max(CASE WHEN arm = 'A' THEN sxy END) AS sxy1,
+      |    max(CASE WHEN arm = 'B' THEN n END) AS n2,
+      |    max(CASE WHEN arm = 'B' THEN sx END) AS sx2,
+      |    max(CASE WHEN arm = 'B' THEN sy END) AS sy2,
+      |    max(CASE WHEN arm = 'B' THEN sxx END) AS sxx2,
+      |    max(CASE WHEN arm = 'B' THEN syy END) AS syy2,
+      |    max(CASE WHEN arm = 'B' THEN sxy END) AS sxy2
+      |  FROM m GROUP BY 1),
+      |c1 AS (SELECT *, CAST(n1 + n2 AS HUGEINT) AS nt,
+      |    sx1 + sx2 AS sxt, sy1 + sy2 AS syt,
+      |    sxx1 + sxx2 AS sxxt, syy1 + syy2 AS syyt, sxy1 + sxy2 AS sxyt
+      |  FROM wide),
+      |c2 AS (SELECT *,
+      |    nt * sxyt - sxt * syt AS covnum,
+      |    nt * sxxt - sxt * sxt AS varxnum
+      |  FROM c1),
+      |c3 AS (SELECT *,
+      |    CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE) AS theta,
+      |    CAST(sy1 * n2 - sy2 * n1 AS DOUBLE) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS raweff,
+      |    CAST(sx1 * n2 - sx2 * n1 AS DOUBLE) AS xcross
+      |  FROM c2),
+      |c4 AS (SELECT *,
+      |    raweff - theta * xcross / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS adjeff,
+      |    (CAST(n1 AS DOUBLE) * (CAST(syy1 AS DOUBLE) - 2 * theta * CAST(sxy1 AS DOUBLE) +
+      |        theta * theta * CAST(sxx1 AS DOUBLE)) -
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE)) *
+      |      (CAST(sy1 AS DOUBLE) - theta * CAST(sx1 AS DOUBLE))) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |    (CAST(n2 AS DOUBLE) * (CAST(syy2 AS DOUBLE) - 2 * theta * CAST(sxy2 AS DOUBLE) +
+      |        theta * theta * CAST(sxx2 AS DOUBLE)) -
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE)) *
+      |      (CAST(sy2 AS DOUBLE) - theta * CAST(sx2 AS DOUBLE))) /
+      |      (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2,
+      |    n1 >= 2 AND n2 >= 2 AND varxnum > 0 AS cok
+      |  FROM c3),
+      |eff AS (SELECT segment,
+      |    CASE WHEN cok THEN adjeff END AS e,
+      |    CASE WHEN cok THEN sqrt(v1 + v2) END AS se
+      |  FROM c4),
+      |p1 AS (SELECT segment, e, se,
+      |    sum(1.0 / (se * se)) OVER wo AS sw,
+      |    sum(1.0 / (se * se) * e) OVER wo AS swe,
+      |    sum(1.0 / (se * se) * e * e) OVER wo AS swe2,
+      |    sum((1.0 / (se * se)) * (1.0 / (se * se))) OVER wo AS sww,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(row_number() OVER (ORDER BY segment) AS BIGINT) AS rn
+      |  FROM eff WHERE se IS NOT NULL AND se > 0 AND e IS NOT NULL
+      |  WINDOW wo AS (ORDER BY segment ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s1g AS (SELECT * FROM p1 WHERE rn = k),
+      |s2g AS (SELECT *,
+      |    swe / sw AS eff_f, sqrt(1.0 / sw) AS se_f,
+      |    swe2 - swe * swe / sw AS q, CAST(k AS DOUBLE) - 1.0 AS dfq
+      |  FROM s1g),
+      |s3g AS (SELECT *,
+      |    CASE WHEN q > dfq THEN (q - dfq) / q ELSE 0.0 END AS i2,
+      |    CASE WHEN q > dfq AND (sw - sww / sw) > 0
+      |      THEN (q - dfq) / (sw - sww / sw) ELSE 0.0 END AS tau2
+      |  FROM s2g),
+      |p2 AS (SELECT f.segment, f.e,
+      |    sum(1.0 / (f.se * f.se + g.tau2)) OVER wo AS swr,
+      |    sum(1.0 / (f.se * f.se + g.tau2) * f.e) OVER wo AS swre,
+      |    CAST(count(*) OVER () AS BIGINT) AS k2,
+      |    CAST(row_number() OVER (ORDER BY f.segment) AS BIGINT) AS rn
+      |  FROM eff f CROSS JOIN s3g g
+      |  WHERE f.se IS NOT NULL AND f.se > 0 AND f.e IS NOT NULL
+      |  WINDOW wo AS (ORDER BY f.segment ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |rnd AS (SELECT swre / swr AS eff_r, sqrt(1.0 / swr) AS se_r
+      |  FROM p2 WHERE rn = k2),
+      |drp AS (SELECT CAST(sum(CASE WHEN se IS NOT NULL AND se > 0 AND
+      |    e IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped FROM eff)
+      |SELECT f.segment,
+      |  round(f.e, 9) AS effect_seg, round(f.se, 9) AS se_seg,
+      |  CASE WHEN f.se IS NOT NULL AND f.se > 0 AND f.e IS NOT NULL
+      |    THEN round(f.e - 1.959964 * f.se, 9) END AS seg_ci_lo,
+      |  CASE WHEN f.se IS NOT NULL AND f.se > 0 AND f.e IS NOT NULL
+      |    THEN round(f.e + 1.959964 * f.se, 9) END AS seg_ci_hi,
+      |  coalesce(f.se IS NOT NULL AND f.se > 0 AND f.e IS NOT NULL, false)
+      |    AS included,
+      |  g.k AS n_strata, d.n_dropped,
+      |  round(g.eff_f, 9) AS effect_fixed, round(g.se_f, 9) AS se_fixed,
+      |  round(g.eff_f - 1.959964 * g.se_f, 9) AS ci_fixed_lo,
+      |  round(g.eff_f + 1.959964 * g.se_f, 9) AS ci_fixed_hi,
+      |  round(g.q, 9) AS q, CAST(g.dfq AS BIGINT) AS df,
+      |  round(g.i2, 9) AS i2, round(g.tau2, 9) AS tau2_dl,
+      |  round(r.eff_r, 9) AS effect_random, round(r.se_r, 9) AS se_random,
+      |  round(r.eff_r - 1.959964 * r.se_r, 9) AS ci_random_lo,
+      |  round(r.eff_r + 1.959964 * r.se_r, 9) AS ci_random_hi
+      |FROM eff f CROSS JOIN s3g g CROSS JOIN rnd r CROSS JOIN drp d
+      |ORDER BY f.segment""".stripMargin
 
   /** q345 oracle: the ENTIRE k-arm dashboard chain replayed from raw
     * events — per-user units on the 5-way user_id mod 20 split with the

@@ -3789,6 +3789,56 @@ object Association {
       (col("effect_random") + lit(z) * col("se_random")).as("ci_random_hi"): _*)
   }
 
+  /** The EFFECT-HETEROGENEITY card — "did the effect differ across
+    * segments", the subgroup read every experiment review asks after
+    * the topline: one row PER SEGMENT carrying that segment's effect
+    * and CI beside the replicated [[metaAnalysis]] panel (fixed/random
+    * pools, Cochran Q, I², DL τ²) across the segments — the
+    * Friedman/KW replicated-summary surface shape, so a dashboard
+    * renders the forest plot AND its heterogeneity verdict from one
+    * frame. Input is any per-segment effect frame (`segCol`,
+    * `effectCol`, `seCol` — e.g. the q298 CUPED read keyed by segment
+    * over segment-keyed ab-cells); segments with NULL effect or
+    * non-positive se are EXCLUDED from the pool (`included` = false,
+    * counted in n_dropped) but still emit their row. Determinism and
+    * scale are [[metaAnalysis]]'s (ordered cumulative float folds over
+    * the segment-bounded frame, mirrored by the oracle) plus one
+    * broadcast join back.
+    */
+  def heterogeneityCard(
+      effects: DataFrame,
+      keyCols: Seq[String],
+      segCol: String,
+      effectCol: String,
+      seCol: String,
+      z: Double = 1.959964d
+  ): DataFrame = {
+    val g = keyCols.map(col)
+    val summary = metaAnalysis(effects, keyCols, segCol, effectCol, seCol, z)
+    val inc = col("se_seg").isNotNull && col("se_seg") > 0d &&
+      col("effect_seg").isNotNull
+    val eff = effects.select(g :+ col(segCol).cast("string").as("segment") :+
+        col(effectCol).cast("double").as("effect_seg") :+
+        col(seCol).cast("double").as("se_seg"): _*)
+      .withColumn("included", inc)
+      .withColumn("seg_ci_lo", when(inc, col("effect_seg") - lit(z) * col("se_seg")))
+      .withColumn("seg_ci_hi", when(inc, col("effect_seg") + lit(z) * col("se_seg")))
+    // LEFT join: segments still emit their rows when the pool is empty
+    // (every segment dropped) — the panel columns NULL instead of the
+    // whole card vanishing
+    val joined =
+      if (keyCols.isEmpty) eff.join(broadcast(summary), lit(true), "left_outer")
+      else eff.join(broadcast(summary), keyCols, "left_outer")
+    joined.select(g :+ col("segment") :+ col("effect_seg") :+
+      col("se_seg") :+ col("seg_ci_lo") :+ col("seg_ci_hi") :+
+      col("included") :+ col("n_strata") :+ col("n_dropped") :+
+      col("effect_fixed") :+ col("se_fixed") :+
+      col("ci_fixed_lo") :+ col("ci_fixed_hi") :+
+      col("q") :+ col("df") :+ col("i2") :+ col("tau2_dl") :+
+      col("effect_random") :+ col("se_random") :+
+      col("ci_random_lo") :+ col("ci_random_hi"): _*)
+  }
+
   /** Intraclass correlation + design effect (one-way random effects —
     * Fisher's ANOVA estimator; Kish 1965 for deff): events cluster by
     * USER, documents by SOURCE — and a per-row test on clustered rows

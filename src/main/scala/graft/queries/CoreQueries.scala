@@ -3996,6 +3996,67 @@ object CoreQueries {
       abDesignK, control = "A", tau2 = abTau2, alpha = 0.05d))
   }
 
+  /** The q365 heterogeneity fixture: parity arms, user_id % 4 segments,
+    * and a conversion whose threshold is ARM-AND-SEGMENT dependent — B
+    * converts at max value ≥ 200 in segments 0/1 and at the common 250
+    * elsewhere, so the B-vs-A conversion effect is REAL in half the
+    * segments and null in the other half (genuine heterogeneity:
+    * Cochran Q fires, I² > 0 — fixture-adequacy spec-pinned).
+    */
+  private def hetPerUser(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        max(col("value")).as("__maxv"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      // the segment must be INDEPENDENT of the parity arm: user_id % 4
+      // would pin each segment to one arm (the div-2 quotient's parity
+      // classes cross both arms)
+      .withColumn("segment", expr("(user_id div 2) % 4").cast("string"))
+      .withColumn("y", coalesce(
+        (col("__maxv") >= when(col("arm") === "B" &&
+          expr("(user_id div 2) % 4") < 2, 200d)
+          .otherwise(250d)).cast("long"), lit(0L)))
+
+  /** Spec access to the q365 fixture (fixture-adequacy pins). */
+  def hetPerUserForSpec(s: SparkSession, dir: String): DataFrame =
+    hetPerUser(s, dir)
+
+  /** Effect-heterogeneity card gate: per-SEGMENT CUPED conversion
+    * effects (the q298 dag keyed by segment, pre-period even-event
+    * covariate) fed through the q334 meta-analysis panel — one row per
+    * segment with its effect/CI beside the replicated fixed/random
+    * pools, Cochran Q, I² and DL τ². The oracle replays the per-segment
+    * CUPED chain AND the heterogeneity test from raw events.
+    */
+  def q365EffectHeterogeneity(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val eff = Association.cuped(hetPerUser(s, dir), Seq("segment"),
+      "arm", "y", "x")
+    Association.heterogeneityCard(eff, Nil, "segment",
+        "effect_cuped", "se_cuped")
+      .select(col("segment"),
+        round(col("effect_seg"), 9).as("effect_seg"),
+        round(col("se_seg"), 9).as("se_seg"),
+        round(col("seg_ci_lo"), 9).as("seg_ci_lo"),
+        round(col("seg_ci_hi"), 9).as("seg_ci_hi"),
+        col("included"), col("n_strata"), col("n_dropped"),
+        round(col("effect_fixed"), 9).as("effect_fixed"),
+        round(col("se_fixed"), 9).as("se_fixed"),
+        round(col("ci_fixed_lo"), 9).as("ci_fixed_lo"),
+        round(col("ci_fixed_hi"), 9).as("ci_fixed_hi"),
+        round(col("q"), 9).as("q"), col("df"),
+        round(col("i2"), 9).as("i2"),
+        round(col("tau2_dl"), 9).as("tau2_dl"),
+        round(col("effect_random"), 9).as("effect_random"),
+        round(col("se_random"), 9).as("se_random"),
+        round(col("ci_random_lo"), 9).as("ci_random_lo"),
+        round(col("ci_random_hi"), 9).as("ci_random_hi"))
+      .orderBy("segment")
+  }
+
   /** The q346 multi-metric per-unit fixture: one row per user carrying
     * FIVE guardrail-metric booleans over the parity arms and 6 peeks.
     * Two metrics have ARM-DEPENDENT thresholds (real effects in opposite

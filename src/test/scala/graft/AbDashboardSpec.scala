@@ -405,6 +405,65 @@ class AbDashboardSpec extends SparkSpec {
       whole.orderBy("arm", "peek").collect().toSeq)
   }
 
+  test("heterogeneityCard: composition adds nothing, dropped segments stay visible, empty pool survives") {
+    // toy per-segment effects with one invalid (se = 0) segment
+    val eff = Seq(("s0", 0.10, 0.05), ("s1", 0.30, 0.08),
+      ("s2", -0.05, 0.06), ("s3", 0.00, 0.00))
+      .toDF("seg", "effect", "se")
+    val card = Association.heterogeneityCard(eff, Nil, "seg", "effect", "se")
+      .orderBy("segment").collect()
+    assert(card.length === 4)
+    // the panel columns ARE metaAnalysis's, replicated row-for-row
+    val meta = Association.metaAnalysis(eff, Nil, "seg", "effect", "se").collect()(0)
+    for (c <- Seq("n_strata", "n_dropped", "effect_fixed", "se_fixed", "q",
+        "df", "i2", "tau2_dl", "effect_random", "se_random"))
+      card.foreach(r => assert(r.get(r.fieldIndex(c)) === meta.get(meta.fieldIndex(c)), c))
+    assert(meta.getAs[Long]("n_strata") === 3L && meta.getAs[Long]("n_dropped") === 1L)
+    // the dropped segment still emits its row, flagged
+    val s3 = card.find(_.getAs[String]("segment") == "s3").get
+    assert(!s3.getAs[Boolean]("included"))
+    assert(s3.isNullAt(s3.fieldIndex("seg_ci_lo")))
+    assert(card.count(_.getAs[Boolean]("included")) === 3)
+    // every segment invalid: rows survive with a NULL panel
+    val dead = Association.heterogeneityCard(
+      Seq(("a", 0.1, 0.0), ("b", 0.2, 0.0)).toDF("seg", "effect", "se"),
+      Nil, "seg", "effect", "se").orderBy("segment").collect()
+    assert(dead.length === 2)
+    dead.foreach { r =>
+      assert(!r.getAs[Boolean]("included"))
+      assert(r.isNullAt(r.fieldIndex("effect_fixed")))
+    }
+  }
+
+  test("q365 heterogeneity gate fixture adequacy at the oracle SF") {
+    import graft.quality.Association
+    val pu = CoreQueries.hetPerUserForSpec(spark, "/root/testdata/sf0.01")
+    // segments cross BOTH arms (the collinearity trap this fixture
+    // originally fell into: user_id % 4 pins each segment to one arm)
+    val byArmSeg = pu.groupBy("segment", "arm").count().collect()
+    for (seg <- Seq("0", "1", "2", "3"); arm <- Seq("A", "B"))
+      assert(byArmSeg.exists(r => r.getAs[String]("segment") == seg &&
+        r.getAs[String]("arm") == arm && r.getAs[Long]("count") > 1L),
+        s"segment $seg missing arm $arm")
+    val card = Association.heterogeneityCard(
+      Association.cuped(pu, Seq("segment"), "arm", "y", "x"),
+      Nil, "segment", "effect_cuped", "se_cuped")
+      .orderBy("segment").collect()
+    assert(card.length === 4 && card.forall(_.getAs[Boolean]("included")))
+    // REAL heterogeneity: Q clears the chi2_3 0.05 critical value and
+    // I2 is substantial
+    assert(card(0).getAs[Double]("q") > 7.815d)
+    assert(card(0).getAs[Double]("i2") > 0.3d)
+    // the design: segments 0/1 carry a real (negative, lo-hi = A-B)
+    // effect, 2/3 are null
+    for (i <- Seq(0, 1))
+      assert(card(i).getAs[Double]("seg_ci_hi") < 0d, s"segment $i not real")
+    for (i <- Seq(2, 3)) {
+      assert(card(i).getAs[Double]("seg_ci_lo") < 0d, s"segment $i")
+      assert(card(i).getAs[Double]("seg_ci_hi") > 0d, s"segment $i")
+    }
+  }
+
   test("gate fixture adequacy: every stage's defining case is exercised at the oracle SF") {
     // the r13 lesson: a gate whose fixture can't exercise the operator's
     // defining case is green but vacuous — pin the q326 fixture's teeth

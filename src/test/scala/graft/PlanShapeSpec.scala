@@ -929,7 +929,11 @@ class PlanShapeSpec extends SparkSpec {
     // vector-CUPED k-arm: the q345 lock shape (same shared stages, the
     // two-covariate Cramer stage adds projections, not exchanges)
     Shape("q364_ab_karm_cuped2", maxHash = 26, maxRange = 4,
-      minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0)
+      minBroadcastJoin = 4, forbidUdf = true, maxParquetScans = 0),
+    // heterogeneity card: one moments agg, segment-bounded meta windows,
+    // one broadcast join back
+    Shape("q365_effect_heterogeneity", maxHash = 6, maxRange = 6,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
