@@ -376,7 +376,8 @@ object SparkEntry {
     "q362_cox_from_store" -> (CoreQueries.q362CoxFromStore(_, _)),
     "q363_hl_two_sample" -> (CoreQueries.q363HlTwoSample(_, _)),
     "q364_ab_karm_cuped2" -> (CoreQueries.q364AbKArmCuped2(_, _)),
-    "q365_effect_heterogeneity" -> (CoreQueries.q365EffectHeterogeneity(_, _))
+    "q365_effect_heterogeneity" -> (CoreQueries.q365EffectHeterogeneity(_, _)),
+    "q366_quantile_monitor" -> (CoreQueries.q366QuantileMonitor(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -559,7 +560,8 @@ object SparkEntry {
     "q362_cox_from_store" -> coxPhOracle,
     "q363_hl_two_sample" -> hlTwoSampleOracle,
     "q364_ab_karm_cuped2" -> abKArm2Oracle,
-    "q365_effect_heterogeneity" -> heterogeneityOracle)
+    "q365_effect_heterogeneity" -> heterogeneityOracle,
+    "q366_quantile_monitor" -> quantileMonitorOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -4216,6 +4218,53 @@ object SparkEntry {
       |  round(r.eff_r + 1.959964 * r.se_r, 9) AS ci_random_hi
       |FROM eff f CROSS JOIN s3g g CROSS JOIN rnd r CROSS JOIN drp d
       |ORDER BY f.segment""".stripMargin
+
+  /** q366 oracle:
+    * [[graft.quality.SequentialTests.quantileThresholdMonitor]]
+    * replayed — per-peek value cells, exceedance increments, cumulative
+    * counts, the q333 one-proportion mSPRT dag at p₀ = 0.05 (NOTE the
+    * variance constant is written (0.05 * (1.0 - 0.05)) — the
+    * operator's driver-side p₀(1−p₀) float op, NOT a 0.95 literal),
+    * the running-best evidence with the ln(20) nano boundary, and the
+    * exact clamped-rank threshold read.
+    */
+  private lazy val quantileMonitorOracle: String =
+    """WITH ev AS (SELECT CAST(floor(value) AS BIGINT) AS v,
+      |    CAST(event_id % 5 AS BIGINT) AS peek
+      |  FROM events WHERE value IS NOT NULL),
+      |cells AS (SELECT peek, v, CAST(count(*) AS BIGINT) AS w
+      |  FROM ev GROUP BY 1, 2),
+      |incr AS (SELECT peek, CAST(sum(w) AS BIGINT) AS bn,
+      |    CAST(sum(CASE WHEN v > 400 THEN w ELSE 0 END) AS BIGINT) AS bs
+      |  FROM cells GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(bn) OVER w AS BIGINT) AS n,
+      |    CAST(sum(bs) OVER w AS BIGINT) AS s
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (SELECT *,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - 0.05 AS delta,
+      |    (0.05 * (1.0 - 0.05)) / CAST(n AS DOUBLE) AS vv,
+      |    n > 0 AS usable
+      |  FROM cum),
+      |r1 AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.0625)) +
+      |      delta * delta * 0.0625 / (2 * vv * (vv + 0.0625))) * 1e9) AS BIGINT)
+      |    END AS ln_lr9
+      |  FROM d),
+      |b AS (SELECT *, max(ln_lr9) OVER (ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM r1),
+      |rk AS (SELECT *,
+      |    greatest(1, least(n, (95 * (n + 1)) // 100)) AS pr FROM b)
+      |SELECT peek, n, s,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta, ln_lr9,
+      |  round(CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
+      |  coalesce(best9 >= 2995732274, false) AS reject,
+      |  CAST(400 AS BIGINT) AS threshold,
+      |  CASE WHEN n > 0 THEN pr END AS p_rank,
+      |  CASE WHEN n > 0 THEN s > n - pr END AS q_above_threshold
+      |FROM rk ORDER BY peek""".stripMargin
 
   /** q345 oracle: the ENTIRE k-arm dashboard chain replayed from raw
     * events — per-user units on the 5-way user_id mod 20 split with the

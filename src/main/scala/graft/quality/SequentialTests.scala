@@ -325,4 +325,61 @@ object SequentialTests {
         col("sum_hi") :+ col("delta") :+ col("ln_lr9") :+
         col("p_always_valid") :+ col("reject"): _*)
   }
+
+  /** The ALWAYS-VALID QUANTILE monitor — "is p95 latency above T",
+    * sound under continuous peeking: the quantile claim REDUCES to a
+    * proportion by exact rank algebra on the house lower-rank rule
+    * r = clamp(1, n, (p·(n+1)) div 100):
+    *
+    *   Q_p(cumulative) > T  ⟺  #{x > T} > n − r     (exact integers)
+    *
+    * so threshold-crossing counts from the EXISTING per-peek
+    * [[graft.operators.Quantiles.valueCells]] store feed
+    * [[msprtOneProportion]] against p₀ = (100−p)/100 UNCHANGED — the
+    * always-valid p on the exceedance rate IS the peeking-sound
+    * monitor for the quantile claim, and the reduction identity is
+    * spec-pinned against the direct
+    * [[graft.operators.Quantiles.quantileShiftFromCells]] rank read.
+    *
+    * Input: per-(keys, peek) value cells `(v, w)` — that peek's batch
+    * increment (integer values by the q210 bucket-first contract).
+    * Emits per (keys, peek): cumulative n / s (exceedances), delta
+    * (p̂ − p₀), ln_lr9, p_always_valid, reject (the monitor columns),
+    * plus `threshold`, `p_rank` (the exact rank at the cumulative n)
+    * and `q_above_threshold` — the FIXED-HORIZON exact-rank read beside
+    * the monitor (the labeled-read convention the dashboard family
+    * uses). Determinism: exact integer counts; the mSPRT dag is the
+    * q333 nano chain. SCALE: one bounded aggregation over the
+    * value-cardinality cell frame + the peek-cardinality monitor
+    * windows; the row-scale pass is the upstream valueCells fold.
+    */
+  def quantileThresholdMonitor(
+      cells: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      threshold: Long,
+      p: Int,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(p >= 1 && p <= 99, s"percentile must be in [1, 99]: $p")
+    val g = keyCols.map(col)
+    val incr = cells
+      .groupBy(g :+ col(peekCol).as("peek"): _*)
+      .agg(sum(col("w").cast("long")).as("__bn"),
+        sum(when(col("v").cast("long") > threshold,
+          col("w").cast("long")).otherwise(0L)).as("__bs"))
+    val p0 = (100 - p) / 100.0d
+    val mon = msprtOneProportion(incr, keyCols, "peek", "__bn", "__bs",
+      p0, tau2, alpha)
+    val r = greatest(lit(1L), least(col("n"), expr(s"($p * (n + 1)) div 100")))
+    mon
+      .withColumn("threshold", lit(threshold))
+      .withColumn("p_rank", when(col("n") > 0L, r))
+      .withColumn("q_above_threshold",
+        when(col("n") > 0L, col("s") > col("n") - r))
+      .select(g :+ col("peek") :+ col("n") :+ col("s") :+ col("delta") :+
+        col("ln_lr9") :+ col("p_always_valid") :+ col("reject") :+
+        col("threshold") :+ col("p_rank") :+ col("q_above_threshold"): _*)
+  }
 }

@@ -4057,6 +4057,31 @@ object CoreQueries {
       .orderBy("segment")
   }
 
+  /** Always-valid quantile monitor gate: "is p95(value) above 400" —
+    * threshold-crossing counts from per-peek value cells feed the q333
+    * one-proportion mSPRT against p₀ = 0.05 (the exact-rank reduction:
+    * Q₉₅ > T ⟺ exceedances > n − rank), with the fixed-horizon
+    * exact-rank read beside the monitor. The fixture's p95 sits well
+    * above the threshold, so the monitor genuinely fires
+    * (fixture-adequacy spec-pinned).
+    */
+  def q366QuantileMonitor(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantiles
+    import graft.quality.SequentialTests
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(floor(col("value")).cast("long").as("v"),
+        (col("event_id") % 5).cast("long").as("peek"))
+    val cells = Quantiles.valueCells(ev, Seq("peek"), "v")
+    SequentialTests.quantileThresholdMonitor(cells, Nil, "peek",
+        threshold = 400L, p = 95, tau2 = 0.0625d, alpha = 0.05d)
+      .select(col("peek"), col("n"), col("s"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"),
+        col("threshold"), col("p_rank"), col("q_above_threshold"))
+      .orderBy("peek")
+  }
+
   /** The q346 multi-metric per-unit fixture: one row per user carrying
     * FIVE guardrail-metric booleans over the parity arms and 6 peeks.
     * Two metrics have ARM-DEPENDENT thresholds (real effects in opposite

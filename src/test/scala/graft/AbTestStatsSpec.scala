@@ -1098,6 +1098,59 @@ class AbTestStatsSpec extends SparkSpec {
     assert(wide.isNullAt(wide.fieldIndex("alpha")))
   }
 
+  test("quantileThresholdMonitor: the rank reduction equals the direct quantile read at the boundary") {
+    import graft.operators.Quantiles
+    import graft.quality.SequentialTests
+    val rnd = new scala.util.Random(20260817L)
+    // fuzz the exact identity Q_p > T <=> s > n - r on the house
+    // lower-rank rule, against the direct cell rank selection
+    for (trial <- 0 until 8) {
+      val p = Seq(50, 90, 95, 99)(trial % 4)
+      val vals = Seq.fill(20 + rnd.nextInt(200))(rnd.nextInt(50).toLong)
+      val t = rnd.nextInt(50).toLong
+      val cells = vals.map(v => (0L, v)).toDF("peek", "v")
+      val vc = Quantiles.valueCells(cells, Seq("peek"), "v")
+      val mon = SequentialTests.quantileThresholdMonitor(vc, Nil, "peek",
+        t, p, tau2 = 0.0625d).collect()(0)
+      // the direct read: the value at the clamped lower rank
+      val sorted = vals.sorted
+      val r = math.max(1L, math.min(vals.size.toLong,
+        (p.toLong * (vals.size + 1)) / 100L))
+      val qp = sorted((r - 1).toInt)
+      assert(mon.getAs[Boolean]("q_above_threshold") === (qp > t),
+        s"trial $trial p=$p t=$t qp=$qp")
+      assert(mon.getAs[Long]("p_rank") === r)
+      assert(mon.getAs[Long]("s") === vals.count(_ > t).toLong)
+    }
+  }
+
+  test("quantileThresholdMonitor: fires on a real exceedance shift, stays quiet at the null") {
+    import graft.operators.Quantiles
+    import graft.quality.SequentialTests
+    // 5 peeks x 400 values in 0..99: true p95 = 95-ish
+    val rows = for (peek <- 0L until 5L; i <- 0 until 400)
+      yield (peek, ((peek * 977 + i * 31) % 100).toLong)
+    val vc = Quantiles.valueCells(rows.toDF("peek", "v"), Seq("peek"), "v")
+    // threshold far below p95: exceedance ~20% >> 5% -> monitor fires
+    val hot = SequentialTests.quantileThresholdMonitor(vc, Nil, "peek",
+      threshold = 79L, p = 95, tau2 = 0.0625d).orderBy("peek").collect()
+    assert(hot.last.getAs[Boolean]("reject"))
+    assert(hot.last.getAs[Boolean]("q_above_threshold"))
+    assert(hot.last.getAs[Double]("p_always_valid") < 0.05d)
+    // threshold at the true p95 boundary: exceedance == 5% exactly ->
+    // no evidence ever accumulates
+    val cold = SequentialTests.quantileThresholdMonitor(vc, Nil, "peek",
+      threshold = 94L, p = 95, tau2 = 0.0625d).orderBy("peek").collect()
+    assert(cold.forall(!_.getAs[Boolean]("reject")))
+    // fold == rebuild: merged per-batch cells answer the same monitor
+    val parts = rows.zipWithIndex.groupBy(_._2 % 3).values.toSeq.map(b =>
+      Quantiles.valueCells(b.map(_._1).toDF("peek", "v"), Seq("peek"), "v"))
+    val folded = parts.reduce(Quantiles.mergeValueCells(_, _, Seq("peek")))
+    assert(SequentialTests.quantileThresholdMonitor(folded, Nil, "peek",
+        79L, 95, 0.0625d).orderBy("peek").collect().toSeq ===
+      hot.toSeq)
+  }
+
   test("jonckheereTerpstra: keyed variant computes per-key independently") {
     val df = Seq(("k1", "a", 1L), ("k1", "b", 2L), ("k1", "a", 2L), ("k1", "b", 3L),
       ("k2", "a", 5L), ("k2", "b", 5L)).toDF("key", "grp0", "v")

@@ -933,6 +933,9 @@ class PlanShapeSpec extends SparkSpec {
     // heterogeneity card: one moments agg, segment-bounded meta windows,
     // one broadcast join back
     Shape("q365_effect_heterogeneity", maxHash = 6, maxRange = 6,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // quantile monitor: one value-cell agg + the peek-bounded monitor
+    Shape("q366_quantile_monitor", maxHash = 2, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true)
   )
 
