@@ -1484,20 +1484,38 @@ object Association {
         max(when(col("grp") === col("grp_hi"), col("n_pass"))).as("__s2"))
     val two = col("__ngrps") === 2L
     val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
-    val delta = (col("__s1").cast(dec) * col("__n2").cast(dec) -
-      col("__s2").cast(dec) * col("__n1").cast(dec)).cast("double") / (n1 * n2)
-    val p1 = col("__s1").cast("double") / n1
-    val p2 = col("__s2").cast("double") / n2
-    val se = sqrt(p1 * (lit(1d) - p1) / n1 + p2 * (lit(1d) - p2) / n2)
-    val zL = (delta + lit(margin)) / se
-    val zU = (lit(margin) - delta) / se
+    // STAGED projections (the cupedMulti2 Janino discipline): delta/se
+    // then the z's land as named non-cheap columns, so the Φ dag isn't
+    // inlined once per reuse site — the single wide projection blew the
+    // 64 KB consume-function limit. Same trees, bitwise-same values.
+    val bothN = col("__n1") > 0L && col("__n2") > 0L
+    val staged = wide
+      .select(col("*"),
+        // ANSI: every staged division carries its own guard — the
+        // when(ok)-consumers used to shield these lazily
+        when(bothN,
+          (col("__s1").cast(dec) * col("__n2").cast(dec) -
+            col("__s2").cast(dec) * col("__n1").cast(dec)).cast("double") /
+            (n1 * n2)).as("__delta"),
+        when(bothN,
+          sqrt((col("__s1").cast("double") / n1) *
+              (lit(1d) - col("__s1").cast("double") / n1) / n1 +
+            (col("__s2").cast("double") / n2) *
+              (lit(1d) - col("__s2").cast("double") / n2) / n2)).as("__se"))
+      .select(col("*"),
+        when(col("__se") > lit(0d),
+          (col("__delta") + lit(margin)) / col("__se")).as("__zl"),
+        when(col("__se") > lit(0d),
+          (lit(margin) - col("__delta")) / col("__se")).as("__zu"))
+    val delta = col("__delta"); val se = col("__se")
+    val zL = col("__zl"); val zU = col("__zu")
     val pL = lit(1d) - GroupSequential.phiCol(zL)
     val pU = lit(1d) - GroupSequential.phiCol(zU)
     // se > 0 iff at least one arm's conversions sit strictly inside (0, n)
     val live = (col("__s1") > 0L && col("__s1") < col("__n1")) ||
       (col("__s2") > 0L && col("__s2") < col("__n2"))
     val ok = two && col("__n1") > 0L && col("__n2") > 0L && live
-    wide
+    staged
       .withColumn("n_groups", col("__ngrps"))
       .withColumn("n_lo", when(two, col("__n1")))
       .withColumn("s_lo", when(two, col("__s1")))
@@ -1574,15 +1592,30 @@ object Association {
     val v1 = n1D * col("__q1") - col("__s1") * col("__s1")
     val v2 = n2D * col("__q2") - col("__s2") * col("__s2")
     val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
-    val delta = (col("__s1") * n2D - col("__s2") * n1D).cast("double") / (n1 * n2)
-    val se = sqrt(v1.cast("double") / (n1 * n1 * (n1 - 1d)) +
-      v2.cast("double") / (n2 * n2 * (n2 - 1d)))
-    val zL = (delta + lit(margin)) / se
-    val zU = (lit(margin) - delta) / se
+    // STAGED projections (the cupedMulti2 Janino discipline) — the
+    // inlined Φ-per-reuse-site projection blew the 64 KB limit; same
+    // trees as named columns, bitwise-same values
+    val staged = wide
+      .select(col("*"),
+        // ANSI: every staged division carries its own guard — the
+        // when(ok)-consumers used to shield these lazily
+        when(col("__n1") > 0L && col("__n2") > 0L,
+          (col("__s1") * n2D - col("__s2") * n1D).cast("double") / (n1 * n2))
+          .as("__delta"),
+        when(col("__n1") >= 2L && col("__n2") >= 2L,
+          sqrt(v1.cast("double") / (n1 * n1 * (n1 - 1d)) +
+            v2.cast("double") / (n2 * n2 * (n2 - 1d)))).as("__se"))
+      .select(col("*"),
+        when(col("__se") > lit(0d),
+          (col("__delta") + lit(margin)) / col("__se")).as("__zl"),
+        when(col("__se") > lit(0d),
+          (lit(margin) - col("__delta")) / col("__se")).as("__zu"))
+    val delta = col("__delta"); val se = col("__se")
+    val zL = col("__zl"); val zU = col("__zu")
     val pL = lit(1d) - GroupSequential.phiCol(zL)
     val pU = lit(1d) - GroupSequential.phiCol(zU)
     val ok = two && col("__n1") >= 2L && col("__n2") >= 2L && (v1 + v2) > 0L
-    wide
+    staged
       .withColumn("n_groups", col("__ngrps"))
       .withColumn("n_lo", when(two, col("__n1")))
       .withColumn("n_hi", when(two, col("__n2")))

@@ -98,6 +98,10 @@ object StoreCatalog {
     StoreFamily("ab-cells", "StreamingOps.abCellsStream",
       "(arm, peek) unit/conversion counts + exact moments; arm×peek-bounded",
       FlatVersioned, "q327 from-store dashboard; AbDashboardSpec streaming fold"),
+    StoreFamily("ab-cells2", "StreamingOps.abCells2Stream",
+      "(arm, peek) counts + exact TWO-covariate moments; arm×peek-bounded",
+      FlatVersioned,
+      "q364 vector-CUPED k-arm dashboard; AbDashboardSpec streaming fold"),
     StoreFamily("scorecard-cells", "StreamingOps.scorecardCellsStream",
       "(metric, arm, peek) unit/conversion counts; M×arm×peek-bounded",
       FlatVersioned, "q348 from-store scorecard; AbDashboardSpec streaming fold"),

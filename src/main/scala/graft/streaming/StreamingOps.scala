@@ -1025,6 +1025,45 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming TWO-COVARIATE ab-cell fold — the vector-CUPED companion
+    * of [[abCellsStream]]: each micro-batch's per-(arm, peek)
+    * two-covariate moment cells
+    * ([[graft.quality.AbDashboard.abCells2]]) merge additively into a
+    * versioned store, so the standing state answers the q364
+    * vector-CUPED k-arm dashboard
+    * ([[graft.quality.AbDashboard.abDashboardKArm2FromCells]]) at
+    * (arms × peeks) rows per version. Same complete-unit-per-batch
+    * contract and recompute-on-replay version discipline as
+    * [[abCellsStream]].
+    */
+  def abCells2Stream(
+      rows: DataFrame,
+      armCol: String,
+      peekCol: String,
+      yCol: String,
+      x1Col: String,
+      x2Col: String,
+      hitCol: String,
+      storePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bc = graft.quality.AbDashboard.abCells2(
+          batch, armCol, peekCol, yCol, x1Col, x2Col, hitCol)
+        val merged = latestHllVersionBefore(s, storePath, batchId) match {
+          case Some(p) => graft.quality.AbDashboard.mergeAbCells2(
+            s.read.parquet(p), bc)
+          case None => bc
+        }
+        merged.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming scorecard-cell fold — the multi-metric companion of
     * [[abCellsStream]]: each micro-batch's per-(metric, arm, peek)
     * conversion cells ([[graft.quality.AbDashboard.scorecardCells]] —

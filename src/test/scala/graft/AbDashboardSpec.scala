@@ -405,6 +405,42 @@ class AbDashboardSpec extends SparkSpec {
       whole.orderBy("arm", "peek").collect().toSeq)
   }
 
+  test("streaming abCells2Stream fold equals the batch rebuild; the standing vector-CUPED dashboard matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ab2stream").toString
+    // toy two-covariate units: (unit, arm, peek, y, x1, x2, hit)
+    def units2(n: Int, seed: Int) = (0 until n).map { i =>
+      val arm = if ((i + seed) % 2 == 0) "A" else "B"
+      val peek = ((i * 3 + seed) % 4).toLong
+      val x1 = ((i * 7 + seed) % 5).toLong
+      val x2 = ((i * 13 + seed) % 4).toLong
+      val y = x1 + x2 + ((i * 11 + seed) % 3).toLong
+      (i.toLong, arm, peek, y, x1, x2, (i * 5 + seed) % 3 == 0)
+    }
+    val mem = MemoryStream[(Long, String, Long, Long, Long, Long, Boolean)]
+    val b1 = units2(80, 2); val b2 = units2(60, 5)
+    val rows = mem.toDF().toDF("unit", "arm", "peek", "y", "x1", "x2", "hit")
+    mem.addData(b1: _*)
+    StreamingOps.abCells2Stream(rows, "arm", "peek", "y", "x1", "x2", "hit",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    mem.addData(b2: _*)
+    StreamingOps.abCells2Stream(rows, "arm", "peek", "y", "x1", "x2", "hit",
+      s"$tmp/store", s"$tmp/cp").awaitTermination(120000)
+    val latest = StreamingOps.latestHllVersionBefore(spark, s"$tmp/store", Long.MaxValue).get
+    val store = spark.read.parquet(latest)
+    val all = (b1 ++ b2).toDF("unit", "arm", "peek", "y", "x1", "x2", "hit")
+    val rebuilt = AbDashboard.abCells2(all, "arm", "peek", "y", "x1", "x2", "hit")
+    assert(store.orderBy("arm", "peek").collect().toSeq ===
+      rebuilt.orderBy("arm", "peek").collect().toSeq)
+    // the standing state answers the same vector-CUPED dashboard
+    val design = Seq("A" -> 0.5, "B" -> 0.5)
+    assert(AbDashboard.abDashboardKArm2FromCells(store, design, "A", tau2 = 0.25)
+        .orderBy("peek").collect().toSeq ===
+      AbDashboard.abDashboardKArm2FromCells(rebuilt, design, "A", tau2 = 0.25)
+        .orderBy("peek").collect().toSeq)
+  }
+
   test("heterogeneityCard: composition adds nothing, dropped segments stay visible, empty pool survives") {
     // toy per-segment effects with one invalid (se = 0) segment
     val eff = Seq(("s0", 0.10, 0.05), ("s1", 0.30, 0.08),

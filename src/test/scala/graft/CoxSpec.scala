@@ -112,6 +112,50 @@ class CoxSpec extends SparkSpec {
     assert(!r1.getAs[Boolean]("converged"))
   }
 
+  test("coxPh: differential fuzz vs an independent driver-side Breslow Newton") {
+    // a from-scratch implementation over raw subject lists — no cells,
+    // no shifts, no quantization — converged fits must agree to ~1e-6
+    def reference(rows: Seq[(Long, Long, Long)]): (Double, Double) = {
+      val times = rows.filter(_._2 == 1L).map(_._1).distinct.sorted
+      def scoreInfo(b: Double): (Double, Double) = {
+        var u = 0d; var i = 0d
+        for (t <- times) {
+          val risk = rows.filter(_._1 >= t)
+          val ev = rows.filter(r => r._1 == t && r._2 == 1L)
+          val d = ev.size.toDouble
+          val s0 = risk.map(r => math.exp(b * r._3)).sum
+          val s1 = risk.map(r => r._3 * math.exp(b * r._3)).sum
+          val s2 = risk.map(r => r._3.toDouble * r._3 * math.exp(b * r._3)).sum
+          u += ev.map(_._3).sum - d * s1 / s0
+          i += d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+        }
+        (u, i)
+      }
+      var b = 0d
+      for (_ <- 1 to 40) { val (u, i) = scoreInfo(b); b += u / i }
+      val (_, iF) = scoreInfo(b)
+      (b, 1d / math.sqrt(iF))
+    }
+    val rnd = new scala.util.Random(29L)
+    var checked = 0
+    for (trial <- 0 until 6) {
+      val rows = (1 to 30 + rnd.nextInt(20)).map { _ =>
+        (rnd.nextInt(9) + 1L, if (rnd.nextInt(4) == 0) 0L else 1L,
+          rnd.nextInt(3).toLong)
+      }
+      val got = fit(rows)
+      if (got.getAs[Boolean]("converged")) {
+        val (b, se) = reference(rows)
+        assert(math.abs(got.getAs[Double]("beta") - b) < 1e-6,
+          s"trial $trial beta ${got.getAs[Double]("beta")} vs $b")
+        assert(math.abs(got.getAs[Double]("se_beta") - se) < 1e-6,
+          s"trial $trial se")
+        checked += 1
+      }
+    }
+    assert(checked >= 4, s"only $checked converged trials")
+  }
+
   test("coxPh: from-cells fold == rebuild; multi-level covariate runs the z^2 terms") {
     val rnd = new scala.util.Random(13L)
     val rows = (1 to 40).map { i =>
