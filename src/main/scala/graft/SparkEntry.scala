@@ -377,7 +377,9 @@ object SparkEntry {
     "q363_hl_two_sample" -> (CoreQueries.q363HlTwoSample(_, _)),
     "q364_ab_karm_cuped2" -> (CoreQueries.q364AbKArmCuped2(_, _)),
     "q365_effect_heterogeneity" -> (CoreQueries.q365EffectHeterogeneity(_, _)),
-    "q366_quantile_monitor" -> (CoreQueries.q366QuantileMonitor(_, _))
+    "q366_quantile_monitor" -> (CoreQueries.q366QuantileMonitor(_, _)),
+    "q367_bayes_mean" -> (CoreQueries.q367BayesMean(_, _)),
+    "q368_bayes_mean_from_store" -> (CoreQueries.q368BayesMeanFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -561,7 +563,9 @@ object SparkEntry {
     "q363_hl_two_sample" -> hlTwoSampleOracle,
     "q364_ab_karm_cuped2" -> abKArm2Oracle,
     "q365_effect_heterogeneity" -> heterogeneityOracle,
-    "q366_quantile_monitor" -> quantileMonitorOracle)
+    "q366_quantile_monitor" -> quantileMonitorOracle,
+    "q367_bayes_mean" -> bayesMeanOracle,
+    "q368_bayes_mean_from_store" -> bayesMeanOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1798,6 +1802,92 @@ object SparkEntry {
     * exact-integer CI rank selections (cum·200 ≥ W·5 / W·195), and the
     * O(N) cumulative identities for P(beat) and both expected losses.
     */
+  /** q367/q368 oracle: [[graft.quality.BayesMean.bayesMeanKArmFromCells]]
+    * replayed from raw events — the capped-value per-user fixture, the
+    * exact HUGEINT outcome moments per (arm, peek), the spine +
+    * cumulative window, then the closed-form normal-posterior chain in
+    * the operator's float order: the welchT variance dags, Δ's exact
+    * cross product, Φ via the shared Chebyshev-erfc fragment, φ as one
+    * engine exp over √(2π)'s correctly-rounded double, the two
+    * normal-loss integrals.
+    */
+  private lazy val bayesMeanOracle: String = {
+    val phiD = graft.quality.GroupSequential.phiSqlFragment("(d)")
+    val phiNegD = graft.quality.GroupSequential.phiSqlFragment("(-1.0 * d)")
+    s"""WITH ev AS (SELECT user_id, event_id, value,
+      |    CASE WHEN user_id % 20 < 8 THEN 'A'
+      |      WHEN user_id % 20 < 14 THEN 'B'
+      |      WHEN user_id % 20 < 18 THEN 'C'
+      |      WHEN user_id % 20 < 19 THEN 'D' ELSE 'E' END AS arm
+      |  FROM events WHERE user_id IS NOT NULL),
+      |pu AS (SELECT user_id, arm, CAST(user_id % 6 AS BIGINT) AS peek,
+      |    coalesce(sum(CASE WHEN value IS NOT NULL THEN
+      |      least(CAST(floor(value) AS BIGINT),
+      |        CASE WHEN arm = 'B' THEN 20 WHEN arm = 'D' THEN 200
+      |          ELSE 60 END) END), 0) AS y
+      |  FROM ev GROUP BY user_id, arm),
+      |cells AS (SELECT arm, peek, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pu WHERE arm IN ('A','B','C','D') GROUP BY 1, 2),
+      |spine AS (SELECT a.arm, p.peek
+      |  FROM (VALUES ('A'), ('B'), ('C'), ('D')) a(arm)
+      |  CROSS JOIN (SELECT DISTINCT peek FROM cells) p),
+      |cum AS (SELECT arm, peek,
+      |    CAST(sum(coalesce(c.n, 0)) OVER w AS BIGINT) AS n,
+      |    CAST(sum(coalesce(c.sy, 0)) OVER w AS HUGEINT) AS sy,
+      |    CAST(sum(coalesce(c.syy, 0)) OVER w AS HUGEINT) AS syy
+      |  FROM spine sp LEFT JOIN cells c USING (arm, peek)
+      |  WINDOW w AS (PARTITION BY arm ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st AS (SELECT arm, peek, n, sy,
+      |    CASE WHEN n > 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END
+      |      AS m,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS v
+      |  FROM cum),
+      |st2 AS (SELECT *,
+      |    CASE WHEN n >= 2 THEN CAST(v AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+      |        (CAST(n AS DOUBLE) - 1.0)) END AS se2
+      |  FROM st),
+      |st3 AS (SELECT *, sqrt(se2) AS se FROM st2),
+      |j AS (SELECT t.arm, t.peek,
+      |    t.n AS nt, t.sy AS syt, t.m AS mt, t.se2 AS se2t, t.se AS set_,
+      |    c.n AS nc, c.sy AS syc, c.m AS mc, c.se2 AS se2c, c.se AS sec,
+      |    CASE WHEN t.n > 0 AND c.n > 0 THEN
+      |      CAST(t.sy * CAST(c.n AS HUGEINT) -
+      |        c.sy * CAST(t.n AS HUGEINT) AS DOUBLE) /
+      |      (CAST(t.n AS DOUBLE) * CAST(c.n AS DOUBLE)) END AS delta,
+      |    CASE WHEN t.n >= 2 AND c.n >= 2 THEN sqrt(t.se2 + c.se2) END
+      |      AS sed
+      |  FROM st3 t JOIN st3 c ON t.peek = c.peek
+      |    AND t.arm <> 'A' AND c.arm = 'A'),
+      |j2 AS (SELECT *,
+      |    CASE WHEN sed > 0 THEN delta / sed END AS d,
+      |    nt >= 2 AND nc >= 2 AND sed > 0 AS ok
+      |  FROM j),
+      |j3 AS (SELECT *,
+      |    exp(-0.5 * d * d) / 2.5066282746310002 AS pdf
+      |  FROM j2)
+      |SELECT peek, arm, nt AS n_arm,
+      |  round(mt, 9) AS mean_arm, round(set_, 9) AS se_arm,
+      |  round(mt - 1.959964 * set_, 9) AS cred_lo_arm,
+      |  round(mt + 1.959964 * set_, 9) AS cred_hi_arm,
+      |  nc AS n_ctl,
+      |  round(mc, 9) AS mean_ctl, round(sec, 9) AS se_ctl,
+      |  round(mc - 1.959964 * sec, 9) AS cred_lo_ctl,
+      |  round(mc + 1.959964 * sec, 9) AS cred_hi_ctl,
+      |  round(delta, 9) AS delta,
+      |  CASE WHEN ok THEN round(sed, 9) END AS se_delta,
+      |  CASE WHEN ok THEN round($phiD, 9) END AS p_beat_ctl,
+      |  CASE WHEN ok THEN round(sed * pdf - delta * $phiNegD, 9) END
+      |    AS exp_loss_arm,
+      |  CASE WHEN ok THEN round(sed * pdf + delta * $phiD, 9) END
+      |    AS exp_loss_ctl,
+      |  ok
+      |FROM j3 ORDER BY peek, arm""".stripMargin
+  }
+
   private lazy val bayesAbOracle: String = {
     val lnx = graft.quality.BayesAb.lnOdd2NSqlFragment("u1")
     val lnm = graft.quality.BayesAb.lnOdd2NSqlFragment("u2")

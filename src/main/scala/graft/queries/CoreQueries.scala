@@ -4592,4 +4592,90 @@ object CoreQueries {
     bayesAbSelect(BayesAb.bayesAbKArmFromCells(
       folded, arms = Seq("A", "B", "C", "D"), control = "A"))
   }
+
+  /** The q367 MEAN-metric k-arm fixture: the q345 arm/peek split with a
+    * CONTINUOUS outcome whose mean genuinely depends on the arm — per
+    * user the sum of per-event values capped at an ARM-DEPENDENT level
+    * (the event values sit at median ≈ 35 / p90 ≈ 113, so B's cap of 20
+    * binds on most events → lower mean, D's 200 almost never → higher,
+    * everyone else 60), so B-vs-A and D-vs-A carry real opposite-signed
+    * mean shifts
+    * while C-vs-A is null (fixture-adequacy spec-pinned). Values land
+    * as floor(value) longs (the house long-cast rule); a user whose
+    * values are all NULL reads y = 0.
+    */
+  private def abPerUserMeanK(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("arm",
+        when(col("user_id") % 20 < 8, "A")
+          .when(col("user_id") % 20 < 14, "B")
+          .when(col("user_id") % 20 < 18, "C")
+          .when(col("user_id") % 20 < 19, "D")
+          .otherwise("E"))
+      .withColumn("__cap",
+        when(col("arm") === "B", 20L)
+          .when(col("arm") === "D", 200L).otherwise(60L))
+    ev.groupBy("user_id", "arm")
+      .agg(
+        coalesce(sum(when(col("value").isNotNull,
+          least(floor(col("value")).cast("long"), col("__cap")))), lit(0L))
+          .as("y"),
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("x"),
+        max(when(col("value") >= 250d, 1L).otherwise(0L)).as("__h"))
+      .withColumn("hit", coalesce(col("__h") > 0L, lit(false)))
+      .withColumn("peek", col("user_id") % 6)
+  }
+
+  /** Spec access to the q367 mean fixture (fixture-adequacy pins). */
+  def abPerUserMeanKForSpec(s: SparkSession, dir: String): DataFrame =
+    abPerUserMeanK(s, dir)
+
+  private def bayesMeanSelect(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("arm"), col("n_arm"),
+        round(col("mean_arm"), 9).as("mean_arm"),
+        round(col("se_arm"), 9).as("se_arm"),
+        round(col("cred_lo_arm"), 9).as("cred_lo_arm"),
+        round(col("cred_hi_arm"), 9).as("cred_hi_arm"),
+        col("n_ctl"),
+        round(col("mean_ctl"), 9).as("mean_ctl"),
+        round(col("se_ctl"), 9).as("se_ctl"),
+        round(col("cred_lo_ctl"), 9).as("cred_lo_ctl"),
+        round(col("cred_hi_ctl"), 9).as("cred_hi_ctl"),
+        round(col("delta"), 9).as("delta"),
+        round(col("se_delta"), 9).as("se_delta"),
+        round(col("p_beat_ctl"), 9).as("p_beat_ctl"),
+        round(col("exp_loss_arm"), 9).as("exp_loss_arm"),
+        round(col("exp_loss_ctl"), 9).as("exp_loss_ctl"), col("ok"))
+      .orderBy("peek", "arm")
+
+  /** Bayesian MEAN-metric read gate: per (arm, peek) the closed-form
+    * normal posterior over the ab-cells outcome moments — posterior
+    * mean + credible interval per arm, P(beat control) and both
+    * expected losses per comparison, Φ/φ in-engine. The oracle replays
+    * the moments, the welchT variance dags, and the closed forms.
+    */
+  def q367BayesMean(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, BayesMean}
+    bayesMeanSelect(BayesMean.bayesMeanKArmFromCells(
+      AbDashboard.abCells(abPerUserMeanK(s, dir), "arm", "peek", "y", "x",
+        "hit"),
+      arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
+
+  /** The q367 read FROM THE STORE: three complete-unit batches folded
+    * via [[graft.quality.AbDashboard.mergeAbCells]] — fold == rebuild
+    * under the q367 oracle verbatim.
+    */
+  def q368BayesMeanFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, BayesMean}
+    val pu = abPerUserMeanK(s, dir)
+    def cellsOf(i: Int) = AbDashboard.abCells(
+      pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      AbDashboard.mergeAbCells(acc, cellsOf(i))
+    }
+    bayesMeanSelect(BayesMean.bayesMeanKArmFromCells(
+      folded, arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
 }

@@ -936,7 +936,14 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // quantile monitor: one value-cell agg + the peek-bounded monitor
     Shape("q366_quantile_monitor", maxHash = 2, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Bayesian mean read: the q359 lock shape — cells localize at
+    // construction, the read is one cumulative window + bounded joins
+    // + closed-form projections, ZERO row-scale scans
+    Shape("q367_bayes_mean", maxHash = 6, maxRange = 2, forbidUdf = true,
+      maxParquetScans = 0),
+    Shape("q368_bayes_mean_from_store", maxHash = 6, maxRange = 2,
+      forbidUdf = true, maxParquetScans = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
