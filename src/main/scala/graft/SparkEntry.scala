@@ -379,7 +379,9 @@ object SparkEntry {
     "q365_effect_heterogeneity" -> (CoreQueries.q365EffectHeterogeneity(_, _)),
     "q366_quantile_monitor" -> (CoreQueries.q366QuantileMonitor(_, _)),
     "q367_bayes_mean" -> (CoreQueries.q367BayesMean(_, _)),
-    "q368_bayes_mean_from_store" -> (CoreQueries.q368BayesMeanFromStore(_, _))
+    "q368_bayes_mean_from_store" -> (CoreQueries.q368BayesMeanFromStore(_, _)),
+    "q369_ratio_delta" -> (CoreQueries.q369RatioDelta(_, _)),
+    "q370_ratio_delta_from_store" -> (CoreQueries.q370RatioDeltaFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -565,7 +567,9 @@ object SparkEntry {
     "q365_effect_heterogeneity" -> heterogeneityOracle,
     "q366_quantile_monitor" -> quantileMonitorOracle,
     "q367_bayes_mean" -> bayesMeanOracle,
-    "q368_bayes_mean_from_store" -> bayesMeanOracle)
+    "q368_bayes_mean_from_store" -> bayesMeanOracle,
+    "q369_ratio_delta" -> ratioDeltaOracle,
+    "q370_ratio_delta_from_store" -> ratioDeltaOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1886,6 +1890,93 @@ object SparkEntry {
       |    AS exp_loss_ctl,
       |  ok
       |FROM j3 ORDER BY peek, arm""".stripMargin
+  }
+
+  /** q369/q370 oracle:
+    * [[graft.quality.RatioMetric.ratioDeltaKArmFromCells]] replayed
+    * from raw events — the arm-dependent-numerator per-user fixture,
+    * the exact HUGEINT (y, x) moment set per (arm, peek), spine +
+    * cumulative window, then the delta-method chain in the operator's
+    * float order: the PSD quadratic form (clamped at 0 — DuckDB's sqrt
+    * errors on the −1e-16 rounding at true zero variance where Spark
+    * yields NaN), Δ's exact cross product, z, the Φ two-sided p, the
+    * pinned-z CI.
+    */
+  private lazy val ratioDeltaOracle: String = {
+    val phiAbsZ = graft.quality.GroupSequential.phiSqlFragment("(abs(z))")
+    s"""WITH ev AS (SELECT user_id, event_type, value,
+      |    CASE WHEN user_id % 20 < 8 THEN 'A'
+      |      WHEN user_id % 20 < 14 THEN 'B'
+      |      WHEN user_id % 20 < 18 THEN 'C'
+      |      WHEN user_id % 20 < 19 THEN 'D' ELSE 'E' END AS arm
+      |  FROM events WHERE user_id IS NOT NULL),
+      |pu AS (SELECT user_id, arm, CAST(user_id % 6 AS BIGINT) AS peek,
+      |    CAST(sum(CASE WHEN (CASE
+      |      WHEN arm = 'B' THEN event_type = 'click' AND value >= 30.0
+      |      WHEN arm = 'D' THEN event_type IN ('click', 'purchase')
+      |      ELSE event_type = 'click' END) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS y,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM ev GROUP BY user_id, arm),
+      |cells AS (SELECT arm, peek, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pu WHERE arm IN ('A','B','C','D') GROUP BY 1, 2),
+      |spine AS (SELECT a.arm, p.peek
+      |  FROM (VALUES ('A'), ('B'), ('C'), ('D')) a(arm)
+      |  CROSS JOIN (SELECT DISTINCT peek FROM cells) p),
+      |cum AS (SELECT arm, peek,
+      |    CAST(sum(coalesce(c.n, 0)) OVER w AS BIGINT) AS n,
+      |    CAST(sum(coalesce(c.sx, 0)) OVER w AS HUGEINT) AS sx,
+      |    CAST(sum(coalesce(c.sy, 0)) OVER w AS HUGEINT) AS sy,
+      |    CAST(sum(coalesce(c.sxx, 0)) OVER w AS HUGEINT) AS sxx,
+      |    CAST(sum(coalesce(c.syy, 0)) OVER w AS HUGEINT) AS syy,
+      |    CAST(sum(coalesce(c.sxy, 0)) OVER w AS HUGEINT) AS sxy
+      |  FROM spine sp LEFT JOIN cells c USING (arm, peek)
+      |  WINDOW w AS (PARTITION BY arm ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st AS (SELECT arm, peek, n, sx, sy,
+      |    CASE WHEN sx <> 0 THEN CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)
+      |      END AS r,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS vyy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS vxx,
+      |    CAST(n AS HUGEINT) * sxy - sy * sx AS vxy
+      |  FROM cum),
+      |st2 AS (SELECT *,
+      |    CASE WHEN n >= 2 AND sx <> 0 THEN greatest(
+      |      (CAST(vyy AS DOUBLE) - 2.0 * r * CAST(vxy AS DOUBLE) +
+      |        r * r * CAST(vxx AS DOUBLE)) /
+      |      ((CAST(n AS DOUBLE) - 1.0) * CAST(sx * sx AS DOUBLE)), 0.0)
+      |      END AS var
+      |  FROM st),
+      |j AS (SELECT t.arm, t.peek,
+      |    t.n AS nt, t.r AS rt, t.var AS vart, sqrt(t.var) AS set_,
+      |    c.n AS nc, c.r AS rc, c.var AS varc, sqrt(c.var) AS sec,
+      |    CASE WHEN t.sx <> 0 AND c.sx <> 0 THEN
+      |      CAST(t.sy * c.sx - c.sy * t.sx AS DOUBLE) /
+      |      (CAST(t.sx AS DOUBLE) * CAST(c.sx AS DOUBLE)) END AS delta,
+      |    CASE WHEN t.var IS NOT NULL AND c.var IS NOT NULL THEN
+      |      sqrt(t.var + c.var) END AS sed
+      |  FROM st2 t JOIN st2 c ON t.peek = c.peek
+      |    AND t.arm <> 'A' AND c.arm = 'A'),
+      |j2 AS (SELECT *,
+      |    CASE WHEN sed > 0 THEN delta / sed END AS z,
+      |    coalesce(nt >= 2 AND nc >= 2 AND sed > 0, false) AS ok
+      |  FROM j)
+      |SELECT peek, arm, nt AS n_arm,
+      |  round(rt, 9) AS ratio_arm, round(set_, 9) AS se_arm,
+      |  nc AS n_ctl, round(rc, 9) AS ratio_ctl, round(sec, 9) AS se_ctl,
+      |  round(delta, 9) AS delta,
+      |  CASE WHEN ok THEN round(sed, 9) END AS se_delta,
+      |  CASE WHEN ok THEN round(z, 9) END AS z,
+      |  CASE WHEN ok THEN round(2.0 * (1.0 - $phiAbsZ), 9) END AS p_value,
+      |  CASE WHEN ok THEN round(delta - 1.959964 * sed, 9) END AS ci_lo,
+      |  CASE WHEN ok THEN round(delta + 1.959964 * sed, 9) END AS ci_hi,
+      |  ok
+      |FROM j2 ORDER BY peek, arm""".stripMargin
   }
 
   private lazy val bayesAbOracle: String = {

@@ -4678,4 +4678,87 @@ object CoreQueries {
     bayesMeanSelect(BayesMean.bayesMeanKArmFromCells(
       folded, arms = Seq("A", "B", "C", "D"), control = "A"))
   }
+
+  /** The q369 RATIO-metric k-arm fixture: per user a clicks-per-view
+    * ratio whose NUMERATOR rule depends on the arm — B counts only
+    * clicks with value ≥ 30 (cuts roughly half against the median-35
+    * value distribution → genuinely lower CTR), D counts clicks AND
+    * purchases (higher), A/C/E count plain clicks — so B-vs-A and
+    * D-vs-A carry real opposite-signed ratio shifts while C-vs-A is
+    * null (adequacy spec-pinned). The denominator (views) is
+    * arm-independent. y = numerator, x = denominator: the abCells
+    * moment set IS the delta-method state.
+    */
+  private def abPerUserRatioK(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("arm",
+        when(col("user_id") % 20 < 8, "A")
+          .when(col("user_id") % 20 < 14, "B")
+          .when(col("user_id") % 20 < 18, "C")
+          .when(col("user_id") % 20 < 19, "D")
+          .otherwise("E"))
+    val isNum =
+      when(col("arm") === "B",
+        col("event_type") === "click" && col("value") >= 30d)
+        .when(col("arm") === "D",
+          col("event_type").isin("click", "purchase"))
+        .otherwise(col("event_type") === "click")
+    ev.groupBy("user_id", "arm")
+      .agg(
+        sum(when(isNum, 1L).otherwise(0L)).as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        max(when(col("value") >= 250d, 1L).otherwise(0L)).as("__h"))
+      .withColumn("hit", coalesce(col("__h") > 0L, lit(false)))
+      .withColumn("peek", col("user_id") % 6)
+  }
+
+  /** Spec access to the q369 ratio fixture (fixture-adequacy pins). */
+  def abPerUserRatioKForSpec(s: SparkSession, dir: String): DataFrame =
+    abPerUserRatioK(s, dir)
+
+  private def ratioDeltaSelect(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("arm"), col("n_arm"),
+        round(col("ratio_arm"), 9).as("ratio_arm"),
+        round(col("se_arm"), 9).as("se_arm"),
+        col("n_ctl"),
+        round(col("ratio_ctl"), 9).as("ratio_ctl"),
+        round(col("se_ctl"), 9).as("se_ctl"),
+        round(col("delta"), 9).as("delta"),
+        round(col("se_delta"), 9).as("se_delta"),
+        round(col("z"), 9).as("z"),
+        round(col("p_value"), 9).as("p_value"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"), col("ok"))
+      .orderBy("peek", "arm")
+
+  /** Ratio-metric delta-method gate: per (arm, peek) the user-level
+    * CTR read — r̂ = Σclicks/Σviews with the Deng–Knoblich–Lu variance
+    * over the ab-cells moment set, z/p/CI per comparison. The oracle
+    * replays the moments, the quadratic form, the exact Δ cross
+    * product, and the Φ p-value.
+    */
+  def q369RatioDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, RatioMetric}
+    ratioDeltaSelect(RatioMetric.ratioDeltaKArmFromCells(
+      AbDashboard.abCells(abPerUserRatioK(s, dir), "arm", "peek", "y", "x",
+        "hit"),
+      arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
+
+  /** The q369 read FROM THE STORE: three complete-unit batches folded
+    * via [[graft.quality.AbDashboard.mergeAbCells]] — fold == rebuild
+    * under the q369 oracle verbatim.
+    */
+  def q370RatioDeltaFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, RatioMetric}
+    val pu = abPerUserRatioK(s, dir)
+    def cellsOf(i: Int) = AbDashboard.abCells(
+      pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      AbDashboard.mergeAbCells(acc, cellsOf(i))
+    }
+    ratioDeltaSelect(RatioMetric.ratioDeltaKArmFromCells(
+      folded, arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
 }

@@ -943,6 +943,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q367_bayes_mean", maxHash = 6, maxRange = 2, forbidUdf = true,
       maxParquetScans = 0),
     Shape("q368_bayes_mean_from_store", maxHash = 6, maxRange = 2,
+      forbidUdf = true, maxParquetScans = 0),
+    // ratio delta read: same localized-cells shape as q367
+    Shape("q369_ratio_delta", maxHash = 6, maxRange = 2, forbidUdf = true,
+      maxParquetScans = 0),
+    Shape("q370_ratio_delta_from_store", maxHash = 6, maxRange = 2,
       forbidUdf = true, maxParquetScans = 0)
   )
 
