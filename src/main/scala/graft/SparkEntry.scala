@@ -381,7 +381,9 @@ object SparkEntry {
     "q367_bayes_mean" -> (CoreQueries.q367BayesMean(_, _)),
     "q368_bayes_mean_from_store" -> (CoreQueries.q368BayesMeanFromStore(_, _)),
     "q369_ratio_delta" -> (CoreQueries.q369RatioDelta(_, _)),
-    "q370_ratio_delta_from_store" -> (CoreQueries.q370RatioDeltaFromStore(_, _))
+    "q370_ratio_delta_from_store" -> (CoreQueries.q370RatioDeltaFromStore(_, _)),
+    "q371_cox_ph2" -> (CoreQueries.q371CoxPh2(_, _)),
+    "q372_cox2_from_store" -> (CoreQueries.q372Cox2FromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -569,7 +571,9 @@ object SparkEntry {
     "q367_bayes_mean" -> bayesMeanOracle,
     "q368_bayes_mean_from_store" -> bayesMeanOracle,
     "q369_ratio_delta" -> ratioDeltaOracle,
-    "q370_ratio_delta_from_store" -> ratioDeltaOracle)
+    "q370_ratio_delta_from_store" -> ratioDeltaOracle,
+    "q371_cox_ph2" -> coxPh2Oracle,
+    "q372_cox2_from_store" -> coxPh2Oracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2090,6 +2094,147 @@ object SparkEntry {
     * (HAVING d > 0), the β update with the bad/I-positivity guards —
     * every float op in the Spark dag's order.
     */
+  /** q371/q372 oracle: [[graft.operators.Survival.coxPh2FromCells]]
+    * replayed — the q361 chain widened to two covariates: the
+    * ((z, z2) PAIR × t) completed grid, per pass the six exact-HUGEINT
+    * risk sums, the six nano-landed U/I terms, the EXACT 2×2
+    * determinant/step numerators and one division each (the Cramer
+    * algebra, mechanically generated for all nine passes), and the 2-df
+    * score χ² in the operator's float order.
+    */
+  private lazy val coxPh2Oracle: String = {
+    val header =
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |pu AS (SELECT user_id, min(h) AS f,
+        |    min(CASE WHEN event_type = 'purchase' THEN h END) AS p,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM e GROUP BY 1),
+        |subj AS (SELECT user_id,
+        |    CASE WHEN p IS NOT NULL AND p - f + 1 <= 96 THEN p - f + 1
+        |      ELSE 96 END AS t,
+        |    CASE WHEN p IS NOT NULL AND p - f + 1 <= 96 THEN 1 ELSE 0 END AS ev,
+        |    least(CAST(floor(k / 5.0) AS BIGINT), 6) AS za,
+        |    least(CAST(floor(v / 10.0) AS BIGINT), 3) AS zb
+        |  FROM pu),
+        |cells AS (SELECT za, zb, t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2, 3),
+        |zs AS (SELECT DISTINCT za, zb FROM cells),
+        |tsd AS (SELECT DISTINCT t FROM cells),
+        |fullg AS (SELECT g.za, g.zb, g.t, coalesce(cc.d, 0) AS d,
+        |    coalesce(cc.c, 0) AS c
+        |  FROM (SELECT za, zb, t FROM zs CROSS JOIN tsd) g
+        |  LEFT JOIN cells cc USING (za, zb, t)),
+        |risk AS (SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY za, zb ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS r,
+        |    za - min(za) OVER () AS zap, zb - min(zb) OVER () AS zbp,
+        |    min(za) OVER () AS zamin, min(zb) OVER () AS zbmin
+        |  FROM fullg),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n,
+        |    CAST(sum(d) AS BIGINT) AS n_events,
+        |    min(za) AS cov1_min, min(zb) AS cov2_min FROM cells)""".stripMargin
+    // one pass at the (ba, bb) carried by CTE `src`: kernel -> per-t
+    // terms -> the U/I fold -> exact det/step numerators
+    def pass(k: Int, src: String): String = {
+      val bz = "(ba * CAST(zap AS DOUBLE) + bb * CAST(zbp AS DOUBLE))"
+      val r1a = "(CAST(s1a AS DOUBLE) / CAST(s0 AS DOUBLE))"
+      val r1b = "(CAST(s1b AS DOUBLE) / CAST(s0 AS DOUBLE))"
+      val r2aa = "(CAST(s2aa AS DOUBLE) / CAST(s0 AS DOUBLE))"
+      val r2ab = "(CAST(s2ab AS DOUBLE) / CAST(s0 AS DOUBLE))"
+      val r2bb = "(CAST(s2bb AS DOUBLE) / CAST(s0 AS DOUBLE))"
+      s"""jt$k AS (SELECT r.*, b.ba, b.bb,
+        |    CASE WHEN $bz <= 30.0
+        |      THEN CAST(round(exp($bz) * 1e9) AS HUGEINT) END AS ez9,
+        |    CASE WHEN $bz > 30.0 THEN 1 ELSE 0 END AS ov
+        |  FROM risk r CROSS JOIN $src b),
+        |pt$k AS (SELECT t, max(ba) AS ba, max(bb) AS bb,
+        |    CAST(sum(d) AS BIGINT) AS dt,
+        |    sum(CAST(zap AS HUGEINT) * d) AS s1at,
+        |    sum(CAST(zbp AS HUGEINT) * d) AS s1bt,
+        |    sum(CAST(r AS HUGEINT) * ez9) AS s0,
+        |    sum((CAST(r AS HUGEINT) * zap) * ez9) AS s1a,
+        |    sum((CAST(r AS HUGEINT) * zbp) * ez9) AS s1b,
+        |    sum(((CAST(r AS HUGEINT) * zap) * zap) * ez9) AS s2aa,
+        |    sum(((CAST(r AS HUGEINT) * zap) * zbp) * ez9) AS s2ab,
+        |    sum(((CAST(r AS HUGEINT) * zbp) * zbp) * ez9) AS s2bb,
+        |    CAST(sum(ov) AS BIGINT) AS bad
+        |  FROM jt$k GROUP BY 1 HAVING CAST(sum(d) AS BIGINT) > 0),
+        |ag$k AS (SELECT max(ba) AS ba, max(bb) AS bb,
+        |    sum(CAST(round((CAST(s1at AS DOUBLE) -
+        |      CAST(dt AS DOUBLE) * $r1a) * 1e9) AS HUGEINT)) AS ua9,
+        |    sum(CAST(round((CAST(s1bt AS DOUBLE) -
+        |      CAST(dt AS DOUBLE) * $r1b) * 1e9) AS HUGEINT)) AS ub9,
+        |    sum(CAST(round((CAST(dt AS DOUBLE) *
+        |      ($r2aa - $r1a * $r1a)) * 1e9) AS HUGEINT)) AS iaa9,
+        |    sum(CAST(round((CAST(dt AS DOUBLE) *
+        |      ($r2ab - $r1a * $r1b)) * 1e9) AS HUGEINT)) AS iab9,
+        |    sum(CAST(round((CAST(dt AS DOUBLE) *
+        |      ($r2bb - $r1b * $r1b)) * 1e9) AS HUGEINT)) AS ibb9,
+        |    CAST(sum(bad) AS BIGINT) AS bad
+        |  FROM pt$k),
+        |dt$k AS (SELECT *,
+        |    iaa9 * ibb9 - iab9 * iab9 AS det9,
+        |    ibb9 * ua9 - iab9 * ub9 AS na,
+        |    iaa9 * ub9 - iab9 * ua9 AS nb
+        |  FROM ag$k)""".stripMargin
+    }
+    def step(k: Int): String =
+      s"""st$k AS (SELECT
+        |    CASE WHEN bad = 0 AND det9 > 0 AND iaa9 > 0
+        |      THEN ba + CAST(na AS DOUBLE) / CAST(det9 AS DOUBLE) END AS ba,
+        |    CASE WHEN bad = 0 AND det9 > 0 AND iaa9 > 0
+        |      THEN bb + CAST(nb AS DOUBLE) / CAST(det9 AS DOUBLE) END AS bb,
+        |    CASE WHEN bad = 0 AND det9 > 0 AND iaa9 > 0
+        |      THEN CAST(na AS DOUBLE) / CAST(det9 AS DOUBLE) END AS stepa,
+        |    CASE WHEN bad = 0 AND det9 > 0 AND iaa9 > 0
+        |      THEN CAST(nb AS DOUBLE) / CAST(det9 AS DOUBLE) END AS stepb
+        |  FROM dt$k)""".stripMargin
+    val iters = 8
+    val blocks = new StringBuilder
+    blocks.append(",\nb0 AS (SELECT 0.0 AS ba, 0.0 AS bb),\n")
+    blocks.append(pass(1, "b0")).append(",\n").append(step(1))
+    for (k <- 2 to iters)
+      blocks.append(",\n").append(pass(k, s"st${k - 1}"))
+        .append(",\n").append(step(k))
+    blocks.append(",\n").append(pass(iters + 1, s"st$iters"))
+    header + blocks.toString +
+      s""",
+      |fin AS (SELECT d.ba AS baf, d.bb AS bbf,
+      |    d.iaa9 AS fiaa9, d.ibb9 AS fibb9, d.det9 AS fdet9,
+      |    d.bad AS badf, s.stepa AS lstepa, s.stepb AS lstepb
+      |  FROM dt${iters + 1} d CROSS JOIN st$iters s),
+      |fin2 AS (SELECT *,
+      |    badf = 0 AND fdet9 > 0 AND fiaa9 > 0 AND baf IS NOT NULL AS okf,
+      |    CAST(round(lstepa * 1e9) AS BIGINT) AS lsa9,
+      |    CAST(round(lstepb * 1e9) AS BIGINT) AS lsb9 FROM fin)
+      |SELECT tot.n, tot.n_events, tot.cov1_min, tot.cov2_min,
+      |  CAST(dt1.ua9 AS VARCHAR) AS u0a_9, CAST(dt1.ub9 AS VARCHAR) AS u0b_9,
+      |  CAST(dt1.det9 AS VARCHAR) AS det0_9,
+      |  CASE WHEN dt1.det9 > 0 AND dt1.iaa9 > 0 THEN
+      |    round((CAST(dt1.ua9 AS DOUBLE) * CAST(dt1.na AS DOUBLE) +
+      |      CAST(dt1.ub9 AS DOUBLE) * CAST(dt1.nb AS DOUBLE)) /
+      |      CAST(dt1.det9 AS DOUBLE) / 1e9, 9) END AS score_chi2,
+      |  CASE WHEN okf THEN round(baf, 9) END AS beta1,
+      |  CASE WHEN okf THEN round(sqrt(CAST(fibb9 AS DOUBLE) * 1e9 /
+      |    CAST(fdet9 AS DOUBLE)), 9) END AS se_beta1,
+      |  CASE WHEN okf THEN round(exp(baf), 9) END AS hr1,
+      |  CASE WHEN okf THEN round(bbf, 9) END AS beta2,
+      |  CASE WHEN okf THEN round(sqrt(CAST(fiaa9 AS DOUBLE) * 1e9 /
+      |    CAST(fdet9 AS DOUBLE)), 9) END AS se_beta2,
+      |  CASE WHEN okf THEN round(exp(bbf), 9) END AS hr2,
+      |  CASE WHEN okf THEN lsa9 END AS last_step_a9,
+      |  CASE WHEN okf THEN lsb9 END AS last_step_b9,
+      |  CASE WHEN okf THEN lsa9 = 0 AND lsb9 = 0 ELSE false END AS converged,
+      |  CAST($iters AS INT) AS n_iter
+      |FROM tot CROSS JOIN dt1 CROSS JOIN fin2""".stripMargin
+  }
+
   private lazy val coxPhOracle: String = {
     val header =
       """WITH e AS (SELECT user_id, event_type,

@@ -1163,4 +1163,218 @@ object Survival {
         col("se_beta"), col("hr"), col("last_step9"), col("converged"),
         col("n_iter")): _*)
   }
+
+  /** Cox proportional hazards with TWO integer covariates (the
+    * [[coxPh]] model widened the way real fits are run — "the effect
+    * of treatment CONTROLLING FOR activity"): λ(t|z₁,z₂) =
+    * λ₀(t)·e^{β₁z₁+β₂z₂}, β̂ maximizing the Breslow partial likelihood,
+    * fixed-round NEWTON with the 2×2 information solved by CRAMER (the
+    * cupedMulti2 exact-determinant discipline): per event time the
+    * risk sums S₀, S₁ = (S₁ₐ, S₁ᵦ), S₂ = [S₂ₐₐ S₂ₐᵦ; S₂ₐᵦ S₂ᵦᵦ] from
+    * 1e9-landed kernels e^{β₁z₁'+β₂z₂'} (both covariates SHIFTED to
+    * zero minimum — PL-invariant), the six nano-landed U/I terms
+    * summed order-free in DECIMAL, then
+    *
+    *   det₉ = I₉ₐₐ·I₉ᵦᵦ − I₉ₐᵦ²  (EXACT decimal — a collinear pair
+    *     gives det₉ = 0 exactly, never a rounding-noise fit),
+    *   Δₐ = (I₉ᵦᵦ·U₉ₐ − I₉ₐᵦ·U₉ᵦ)/det₉, Δᵦ symmetric (exact integer
+    *     numerators, one division each),
+    *   se_a = √(I₉ᵦᵦ·10⁹/det₉), se_b symmetric (the inverse diagonal),
+    *
+    * plus the β = 0 SCORE read: u0a_9/u0b_9/det0_9 exact digit
+    * strings and the 2-df score χ² = U₀ᵀI₀⁻¹U₀ (float, pinned order).
+    * CONTRACT: bounded-cardinality integer covariates (bucket first);
+    * β₁z₁' + β₂z₂' ≤ 30 or the `bad` flag NULLs the fit; NULL when no
+    * events, det₉ ≤ 0 (collinear or no variation), or the bound trips.
+    * `converged` = both 9dp-landed last steps exactly 0.
+    *
+    * SCALE: identical to [[coxPh]] — ONE row-scale counting
+    * aggregation; the completed ((z₁,z₂) × t) grid localizes once and
+    * the iters+1 passes re-aggregate a local relation.
+    */
+  def coxPh2(
+      df: DataFrame,
+      keyCols: Seq[String],
+      durationCol: String,
+      eventCol: String,
+      covCol1: String,
+      covCol2: String,
+      iters: Int = 8
+  ): DataFrame =
+    coxPh2FromCells(
+      lifetimeCells(df.filter(col(covCol1).isNotNull && col(covCol2).isNotNull),
+        keyCols ++ Seq(covCol1, covCol2), durationCol, eventCol),
+      keyCols, covCol1, covCol2, iters)
+
+  /** [[coxPh2]] from a (possibly folded) [[lifetimeCells]] frame whose
+    * key set is `keyCols ++ Seq(covCol1, covCol2)`.
+    */
+  def coxPh2FromCells(
+      cellsIn: DataFrame,
+      keyCols: Seq[String],
+      covCol1: String,
+      covCol2: String,
+      iters: Int = 8
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32]: $iters")
+    val dec = "decimal(38,0)"
+    val g = keyCols.map(col)
+    def keyed(a: DataFrame, b: DataFrame): DataFrame =
+      if (keyCols.isEmpty) a.crossJoin(broadcast(b)) else a.join(broadcast(b), keyCols)
+    def grouped(d: DataFrame, extra: Seq[Column] = Nil) =
+      if (keyCols.isEmpty && extra.isEmpty) d.groupBy() else d.groupBy(g ++ extra: _*)
+    val cells = cellsIn.select(g ++ Seq(
+      col(covCol1).cast("long").as("__za"), col(covCol2).cast("long").as("__zb"),
+      col("t"), col("n_event").cast("long").as("__d"),
+      col("n_censored").cast("long").as("__c")): _*)
+    // the completed ((za, zb) × t) grid — PAIRS actually present, not
+    // their cross product (absent combinations carry no risk mass)
+    val zs = cells.select(g ++ Seq(col("__za"), col("__zb")): _*).distinct()
+    val ts = cells.select(g :+ col("t"): _*).distinct()
+    val gridKeys = if (keyCols.isEmpty) zs.crossJoin(ts) else zs.join(ts, keyCols)
+    val full = gridKeys
+      .join(cells, keyCols ++ Seq("__za", "__zb", "t"), "left")
+      .select(g ++ Seq(col("__za"), col("__zb"), col("t"),
+        coalesce(col("__d"), lit(0L)).as("__d"),
+        coalesce(col("__c"), lit(0L)).as("__c")): _*)
+    val wRisk = Window.partitionBy(g ++ Seq(col("__za"), col("__zb")): _*)
+      .orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val riskAll = full
+      .withColumn("__r", sum(col("__d") + col("__c")).over(wRisk))
+      .withColumn("__zamin", min("__za").over(wKey))
+      .withColumn("__zbmin", min("__zb").over(wKey))
+      .withColumn("__zap", col("__za") - col("__zamin"))
+      .withColumn("__zbp", col("__zb") - col("__zbmin"))
+    val risk = graft.quality.AbDashboard.materialize(riskAll)
+    val totals = grouped(risk.filter(col("__d") + col("__c") > 0L))
+      .agg(sum(col("__d") + col("__c")).as("n"),
+        sum(col("__d")).as("n_events"),
+        max(col("__zamin")).as("cov1_min"),
+        max(col("__zbmin")).as("cov2_min"))
+    // one Newton/evaluation pass at the state's (ba, bb)
+    def pass(state: DataFrame): DataFrame = {
+      val bz = col("ba") * col("__zap").cast("double") +
+        col("bb") * col("__zbp").cast("double")
+      val ez9 = when(bz <= lit(30d), round(exp(bz) * 1e9d).cast(dec))
+      val zaD = col("__zap").cast(dec); val zbD = col("__zbp").cast(dec)
+      val joined = keyed(risk, state)
+        .withColumn("__ez9", ez9)
+        .withColumn("__over", when(bz > lit(30d), 1L).otherwise(0L))
+      val rD = col("__r").cast(dec)
+      val perT = grouped(joined, Seq(col("t")))
+        .agg(max("ba").as("ba"), max("bb").as("bb"),
+          sum("__d").as("__dt"),
+          sum(col("__zap").cast(dec) * col("__d").cast(dec)).as("__s1at"),
+          sum(col("__zbp").cast(dec) * col("__d").cast(dec)).as("__s1bt"),
+          sum(rD * col("__ez9")).as("__S0"),
+          sum(rD * zaD * col("__ez9")).as("__S1a"),
+          sum(rD * zbD * col("__ez9")).as("__S1b"),
+          sum(rD * zaD * zaD * col("__ez9")).as("__S2aa"),
+          sum(rD * zaD * zbD * col("__ez9")).as("__S2ab"),
+          sum(rD * zbD * zbD * col("__ez9")).as("__S2bb"),
+          sum("__over").as("__bad"))
+        .filter(col("__dt") > 0L)
+      val s0 = col("__S0").cast("double")
+      val r1a = col("__S1a").cast("double") / s0
+      val r1b = col("__S1b").cast("double") / s0
+      val r2aa = col("__S2aa").cast("double") / s0
+      val r2ab = col("__S2ab").cast("double") / s0
+      val r2bb = col("__S2bb").cast("double") / s0
+      val dD = col("__dt").cast("double")
+      val ua9 = round((col("__s1at").cast("double") - dD * r1a) * 1e9d).cast(dec)
+      val ub9 = round((col("__s1bt").cast("double") - dD * r1b) * 1e9d).cast(dec)
+      val iaa9 = round((dD * (r2aa - r1a * r1a)) * 1e9d).cast(dec)
+      val iab9 = round((dD * (r2ab - r1a * r1b)) * 1e9d).cast(dec)
+      val ibb9 = round((dD * (r2bb - r1b * r1b)) * 1e9d).cast(dec)
+      grouped(perT
+          .withColumn("__ua9", ua9).withColumn("__ub9", ub9)
+          .withColumn("__iaa9", iaa9).withColumn("__iab9", iab9)
+          .withColumn("__ibb9", ibb9))
+        .agg(max("ba").as("ba"), max("bb").as("bb"),
+          sum("__ua9").as("ua9"), sum("__ub9").as("ub9"),
+          sum("__iaa9").as("iaa9"), sum("__iab9").as("iab9"),
+          sum("__ibb9").as("ibb9"),
+          sum("__bad").as("bad"))
+    }
+    // EXACT determinant and step numerators in DECIMAL (~1e28 scale —
+    // inside DECIMAL(38,0) for the bounded-covariate contract)
+    def detOf(p: DataFrame): DataFrame = p
+      .withColumn("__det9",
+        col("iaa9") * col("ibb9") - col("iab9") * col("iab9"))
+      .withColumn("__na",
+        col("ibb9") * col("ua9") - col("iab9") * col("ub9"))
+      .withColumn("__nb",
+        col("iaa9") * col("ub9") - col("iab9") * col("ua9"))
+    def stepOf(p: DataFrame): DataFrame = {
+      val d = detOf(p)
+      val zeroD = lit(0L).cast(dec)
+      val ok = col("bad") === 0L && col("__det9") > zeroD &&
+        col("iaa9") > zeroD
+      val da = col("__na").cast("double") / col("__det9").cast("double")
+      val db = col("__nb").cast("double") / col("__det9").cast("double")
+      d.select(g ++ Seq(
+        when(ok, col("ba") + da).as("ba"),
+        when(ok, col("bb") + db).as("bb"),
+        when(ok, da).as("__stepa"), when(ok, db).as("__stepb")): _*)
+    }
+    val init = grouped(risk).agg(lit(0d).as("ba"), lit(0d).as("bb"))
+      .select(g ++ Seq(col("ba"), col("bb")): _*)
+    val first = pass(init)
+    val d0 = detOf(first)
+    val zeroD = lit(0L).cast(dec)
+    // 2-df score chi2 = U0' I0^-1 U0: exact-decimal pieces, float fold
+    val chi0 = (col("ua9").cast("double") * col("__na").cast("double") +
+      col("ub9").cast("double") * col("__nb").cast("double")) /
+      col("__det9").cast("double") / lit(1e9d)
+    val score = d0.select(g ++ Seq(
+      col("ua9").cast("string").as("u0a_9"),
+      col("ub9").cast("string").as("u0b_9"),
+      col("__det9").cast("string").as("det0_9"),
+      when(col("__det9") > zeroD && col("iaa9") > zeroD, chi0)
+        .as("score_chi2")): _*)
+    var state = stepOf(first)
+    for (_ <- 2 to iters) state = stepOf(pass(state))
+    val fin = detOf(pass(state.select(g ++ Seq(col("ba"), col("bb")): _*)))
+    val lastA9 = round(col("__stepa") * 1e9d).cast("long")
+    val lastB9 = round(col("__stepb") * 1e9d).cast("long")
+    val out = keyed(
+      keyed(totals, score),
+      fin.select(g ++ Seq(col("ba"), col("bb"),
+        col("iaa9").as("__fiaa9"), col("ibb9").as("__fibb9"),
+        col("__det9").as("__fdet9"), col("bad").as("__badf")): _*))
+    val withStep =
+      if (keyCols.isEmpty)
+        out.crossJoin(broadcast(state.select(col("__stepa"), col("__stepb"))))
+      else out.join(broadcast(
+        state.select(g ++ Seq(col("__stepa"), col("__stepb")): _*)), keyCols)
+    val seA = sqrt(col("__fibb9").cast("double") * lit(1e9d) /
+      col("__fdet9").cast("double"))
+    val seB = sqrt(col("__fiaa9").cast("double") * lit(1e9d) /
+      col("__fdet9").cast("double"))
+    withStep
+      .withColumn("__okf", col("__badf") === 0L &&
+        col("__fdet9") > zeroD && col("__fiaa9") > zeroD &&
+        col("ba").isNotNull)
+      .withColumn("beta1", when(col("__okf"), col("ba")))
+      .withColumn("beta2", when(col("__okf"), col("bb")))
+      .withColumn("se_beta1", when(col("__okf"), seA))
+      .withColumn("se_beta2", when(col("__okf"), seB))
+      .withColumn("hr1", when(col("__okf"), exp(col("ba"))))
+      .withColumn("hr2", when(col("__okf"), exp(col("bb"))))
+      .withColumn("last_step_a9", when(col("__okf"), lastA9))
+      .withColumn("last_step_b9", when(col("__okf"), lastB9))
+      .withColumn("converged",
+        when(col("__okf"), lastA9 === 0L && lastB9 === 0L)
+          .otherwise(lit(false)))
+      .withColumn("n_iter", lit(iters))
+      .select(g ++ Seq(col("n"), col("n_events"), col("cov1_min"),
+        col("cov2_min"), col("u0a_9"), col("u0b_9"), col("det0_9"),
+        col("score_chi2"), col("beta1"), col("se_beta1"), col("hr1"),
+        col("beta2"), col("se_beta2"), col("hr2"),
+        col("last_step_a9"), col("last_step_b9"), col("converged"),
+        col("n_iter")): _*)
+  }
 }

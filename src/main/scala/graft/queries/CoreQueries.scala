@@ -4761,4 +4761,73 @@ object CoreQueries {
     ratioDeltaSelect(RatioMetric.ratioDeltaKArmFromCells(
       folded, arms = Seq("A", "B", "C", "D"), control = "A"))
   }
+
+  /** The q371 two-covariate Cox fixture: the q361 subjects with a
+    * SECOND bounded covariate — view activity bucketed to
+    * z2 = min(⌊views/10⌋, 3). Click and view activity correlate but
+    * are not collinear (det₉ > 0 spec-pinned), so the fit reads the
+    * click-activity hazard gradient CONTROLLING FOR view volume.
+    */
+  private def coxSubjects2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val tp = col("__p") - col("__f") + 1L
+    val seen = col("__p").isNotNull && tp <= 96L
+    ev.groupBy("user_id")
+      .agg(min("h").as("__f"),
+        min(when(col("event_type") === "purchase", col("h"))).as("__p"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("__k"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("__v"))
+      .select(col("user_id"),
+        when(seen, tp).otherwise(96L).as("duration"),
+        when(seen, 1L).otherwise(0L).as("event"),
+        least(floor(col("__k") / lit(5d)), lit(6d)).cast("long").as("z"),
+        least(floor(col("__v") / lit(10d)), lit(3d)).cast("long").as("z2"))
+  }
+
+  /** Spec access to the q371 fixture (fixture-adequacy pins). */
+  def coxSubjects2ForSpec(s: SparkSession, dir: String): DataFrame =
+    coxSubjects2(s, dir)
+
+  private def cox2Select(d: DataFrame): DataFrame =
+    d.select(col("n"), col("n_events"), col("cov1_min"), col("cov2_min"),
+      col("u0a_9"), col("u0b_9"), col("det0_9"),
+      round(col("score_chi2"), 9).as("score_chi2"),
+      round(col("beta1"), 9).as("beta1"),
+      round(col("se_beta1"), 9).as("se_beta1"),
+      round(col("hr1"), 9).as("hr1"),
+      round(col("beta2"), 9).as("beta2"),
+      round(col("se_beta2"), 9).as("se_beta2"),
+      round(col("hr2"), 9).as("hr2"),
+      col("last_step_a9"), col("last_step_b9"), col("converged"),
+      col("n_iter"))
+
+  /** Two-covariate Cox gate: the adjusted hazard read — click-activity
+    * gradient controlling for view volume, 8 fixed Cramer-Newton
+    * rounds + the 2-df score read. The oracle replays all nine passes
+    * with the exact-determinant algebra.
+    */
+  def q371CoxPh2(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    cox2Select(Survival.coxPh2(coxSubjects2(s, dir), Nil,
+      "duration", "event", "z", "z2"))
+  }
+
+  /** The q371 fit FROM THE STORE: the (z, z2)-keyed lifetime cells
+    * folded from three complete-subject batches — fold == rebuild
+    * under the q371 oracle verbatim.
+    */
+  def q372Cox2FromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Survival
+    val subj = coxSubjects2(s, dir)
+    def cellsOf(i: Int) = Survival.lifetimeCells(
+      subj.filter(col("user_id") % 3 === i), Seq("z", "z2"),
+      "duration", "event")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      Survival.mergeLifetimeCells(acc, cellsOf(i), Seq("z", "z2"))
+    }
+    cox2Select(Survival.coxPh2FromCells(folded, Nil, "z", "z2"))
+  }
 }

@@ -177,4 +177,169 @@ class CoxSpec extends SparkSpec {
     assert(direct.toSeq === fromCells.toSeq)
     assert(direct.getAs[Boolean]("converged"))
   }
+
+  // --- two-covariate fits -----------------------------------------------
+
+  private def fit2(rows: Seq[(Long, Long, Long, Long)], iters: Int = 8) =
+    Survival.coxPh2(rows.toDF("duration", "event", "za", "zb"), Nil,
+      "duration", "event", "za", "zb", iters).collect()(0)
+
+  test("coxPh2: differential fuzz vs an independent driver-side 2D Breslow Newton") {
+    // from-scratch 2-covariate reference over raw subject lists — plain
+    // doubles, explicit 2x2 solve, no cells/shifts/quantization
+    def reference(rows: Seq[(Long, Long, Long, Long)])
+        : (Double, Double, Double, Double, Double) = {
+      val times = rows.filter(_._2 == 1L).map(_._1).distinct.sorted
+      def si(ba: Double, bb: Double) = {
+        var ua = 0d; var ub = 0d; var iaa = 0d; var iab = 0d; var ibb = 0d
+        for (t <- times) {
+          val risk = rows.filter(_._1 >= t)
+          val ev = rows.filter(r => r._1 == t && r._2 == 1L)
+          val d = ev.size.toDouble
+          def k(r: (Long, Long, Long, Long)) = math.exp(ba * r._3 + bb * r._4)
+          val s0 = risk.map(k).sum
+          val s1a = risk.map(r => r._3 * k(r)).sum
+          val s1b = risk.map(r => r._4 * k(r)).sum
+          val s2aa = risk.map(r => r._3.toDouble * r._3 * k(r)).sum
+          val s2ab = risk.map(r => r._3.toDouble * r._4 * k(r)).sum
+          val s2bb = risk.map(r => r._4.toDouble * r._4 * k(r)).sum
+          ua += ev.map(_._3).sum - d * s1a / s0
+          ub += ev.map(_._4).sum - d * s1b / s0
+          iaa += d * (s2aa / s0 - (s1a / s0) * (s1a / s0))
+          iab += d * (s2ab / s0 - (s1a / s0) * (s1b / s0))
+          ibb += d * (s2bb / s0 - (s1b / s0) * (s1b / s0))
+        }
+        (ua, ub, iaa, iab, ibb)
+      }
+      var ba = 0d; var bb = 0d
+      for (_ <- 1 to 40) {
+        val (ua, ub, iaa, iab, ibb) = si(ba, bb)
+        val det = iaa * ibb - iab * iab
+        ba += (ibb * ua - iab * ub) / det
+        bb += (iaa * ub - iab * ua) / det
+      }
+      val (_, _, iaa, iab, ibb) = si(ba, bb)
+      val det = iaa * ibb - iab * iab
+      (ba, bb, math.sqrt(ibb / det), math.sqrt(iaa / det), det)
+    }
+    val rnd = new scala.util.Random(31L)
+    var checked = 0
+    for (trial <- 0 until 6) {
+      val rows = (1 to 35 + rnd.nextInt(20)).map { _ =>
+        (rnd.nextInt(9) + 1L, if (rnd.nextInt(4) == 0) 0L else 1L,
+          rnd.nextInt(3).toLong, rnd.nextInt(2).toLong)
+      }
+      val got = fit2(rows)
+      if (got.getAs[Boolean]("converged")) {
+        val (ba, bb, sea, seb, _) = reference(rows)
+        assert(math.abs(got.getAs[Double]("beta1") - ba) < 1e-6,
+          s"trial $trial beta1 ${got.getAs[Double]("beta1")} vs $ba")
+        assert(math.abs(got.getAs[Double]("beta2") - bb) < 1e-6,
+          s"trial $trial beta2")
+        assert(math.abs(got.getAs[Double]("se_beta1") - sea) < 1e-6)
+        assert(math.abs(got.getAs[Double]("se_beta2") - seb) < 1e-6)
+        // the 2-df score chi2 at beta = 0, same reference machinery
+        val (ua, ub, iaa, iab, ibb) = {
+          // the beta = 0 pieces explicitly (kernels all 1)
+          val times = rows.filter(_._2 == 1L).map(_._1).distinct.sorted
+          var uaa = 0d; var ubb = 0d; var jaa = 0d; var jab = 0d; var jbb = 0d
+          for (t <- times) {
+            val risk = rows.filter(_._1 >= t)
+            val ev = rows.filter(q => q._1 == t && q._2 == 1L)
+            val d = ev.size.toDouble; val n = risk.size.toDouble
+            val s1a = risk.map(_._3).sum.toDouble
+            val s1b = risk.map(_._4).sum.toDouble
+            val s2aa = risk.map(q => q._3 * q._3).sum.toDouble
+            val s2ab = risk.map(q => q._3 * q._4).sum.toDouble
+            val s2bb = risk.map(q => q._4 * q._4).sum.toDouble
+            uaa += ev.map(_._3).sum - d * s1a / n
+            ubb += ev.map(_._4).sum - d * s1b / n
+            jaa += d * (s2aa / n - (s1a / n) * (s1a / n))
+            jab += d * (s2ab / n - (s1a / n) * (s1b / n))
+            jbb += d * (s2bb / n - (s1b / n) * (s1b / n))
+          }
+          (uaa, ubb, jaa, jab, jbb)
+        }
+        val det0 = iaa * ibb - iab * iab
+        val chi0 = (ua * (ibb * ua - iab * ub) + ub * (iaa * ub - iab * ua)) / det0
+        assert(math.abs(got.getAs[Double]("score_chi2") - chi0) < 1e-5,
+          s"trial $trial score ${got.getAs[Double]("score_chi2")} vs $chi0")
+        checked += 1
+      }
+    }
+    assert(checked >= 4, s"only $checked converged trials")
+  }
+
+  test("coxPh2: collinear covariates give det0 = 0 EXACTLY — fit NULLs, never noise") {
+    val rnd = new scala.util.Random(37L)
+    val rows = (1 to 30).map { _ =>
+      val z = rnd.nextInt(3).toLong
+      (rnd.nextInt(8) + 1L, if (rnd.nextInt(4) == 0) 0L else 1L, z, z)
+    }
+    val r = fit2(rows)
+    assert(BigInt(r.getAs[String]("det0_9")) === BigInt(0))
+    assert(r.isNullAt(r.fieldIndex("beta1")))
+    assert(r.isNullAt(r.fieldIndex("score_chi2")))
+    assert(!r.getAs[Boolean]("converged"))
+  }
+
+  test("coxPh2: covariate-order symmetry and shift invariance") {
+    val rnd = new scala.util.Random(41L)
+    val rows = (1 to 40).map { _ =>
+      (rnd.nextInt(9) + 1L, if (rnd.nextInt(4) == 0) 0L else 1L,
+        rnd.nextInt(3).toLong, rnd.nextInt(2).toLong)
+    }
+    val ab = fit2(rows)
+    val ba = Survival.coxPh2(rows.toDF("duration", "event", "za", "zb"),
+      Nil, "duration", "event", "zb", "za").collect()(0)
+    assert(ab.getAs[Double]("beta1") === ba.getAs[Double]("beta2"))
+    assert(ab.getAs[Double]("se_beta1") === ba.getAs[Double]("se_beta2"))
+    assert(ab.getAs[String]("u0a_9") === ba.getAs[String]("u0b_9"))
+    assert(ab.getAs[String]("det0_9") === ba.getAs[String]("det0_9"))
+    assert(ab.getAs[Double]("score_chi2") === ba.getAs[Double]("score_chi2"))
+    // PL shift invariance: za + 7, zb + 3 changes nothing but the mins
+    val sh = Survival.coxPh2(
+      rows.map(r => (r._1, r._2, r._3 + 7L, r._4 + 3L))
+        .toDF("duration", "event", "za", "zb"),
+      Nil, "duration", "event", "za", "zb").collect()(0)
+    assert(sh.getAs[Long]("cov1_min") === ab.getAs[Long]("cov1_min") + 7L)
+    assert(sh.getAs[Double]("beta1") === ab.getAs[Double]("beta1"))
+    assert(sh.getAs[Double]("beta2") === ab.getAs[Double]("beta2"))
+    assert(sh.getAs[String]("u0a_9") === ab.getAs[String]("u0a_9"))
+  }
+
+  test("coxPh2: from-cells fold == rebuild on the (za, zb)-keyed store") {
+    val rnd = new scala.util.Random(43L)
+    val rows = (1 to 45).map { _ =>
+      (rnd.nextInt(8) + 1L, if (rnd.nextInt(4) == 0) 0L else 1L,
+        rnd.nextInt(3).toLong, rnd.nextInt(2).toLong)
+    }
+    val df = rows.toDF("duration", "event", "za", "zb")
+    val direct = Survival.coxPh2(df, Nil, "duration", "event", "za", "zb")
+      .collect()(0)
+    val parts = rows.zipWithIndex.groupBy(_._2 % 3).values.toSeq
+      .map(p => Survival.lifetimeCells(
+        p.map(_._1).toDF("duration", "event", "za", "zb"),
+        Seq("za", "zb"), "duration", "event"))
+    val folded = parts.reduce(Survival.mergeLifetimeCells(_, _, Seq("za", "zb")))
+    val fromCells = Survival.coxPh2FromCells(folded, Nil, "za", "zb")
+      .collect()(0)
+    assert(direct.toSeq === fromCells.toSeq)
+    assert(direct.getAs[Boolean]("converged"))
+  }
+
+  test("coxPh2: q371 fixture adequacy — identifiable, converged, real click gradient") {
+    val subj = graft.queries.CoreQueries.coxSubjects2ForSpec(
+      spark, "/root/testdata/sf0.01")
+    val r = Survival.coxPh2(subj, Nil, "duration", "event", "z", "z2")
+      .collect()(0)
+    assert(BigInt(r.getAs[String]("det0_9")) > 0, "covariates must not be collinear")
+    assert(r.getAs[Boolean]("converged"), r.toString)
+    // the synthetic stream's real gradient: click volume associates with
+    // LATER purchase (beta1 ≈ −0.17 at sf0.01) — the pin is a genuine
+    // nonzero adjusted effect with a live 2-df score, not its sign
+    assert(r.getAs[Double]("beta1") < 0d, r.toString)
+    assert(r.getAs[Double]("score_chi2") > 1d, r.toString)
+    assert(r.getAs[Double]("se_beta1") > 0d && r.getAs[Double]("se_beta2") > 0d)
+  }
 }

@@ -948,6 +948,12 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q369_ratio_delta", maxHash = 6, maxRange = 2, forbidUdf = true,
       maxParquetScans = 0),
     Shape("q370_ratio_delta_from_store", maxHash = 6, maxRange = 2,
+      forbidUdf = true, maxParquetScans = 0),
+    // two-covariate Cox: the q361 lock shape — wider pass columns, same
+    // exchange structure
+    Shape("q371_cox_ph2", maxHash = 12, maxRange = 13, forbidUdf = true,
+      maxParquetScans = 0),
+    Shape("q372_cox2_from_store", maxHash = 17, maxRange = 13,
       forbidUdf = true, maxParquetScans = 0)
   )
 
