@@ -383,7 +383,8 @@ object SparkEntry {
     "q369_ratio_delta" -> (CoreQueries.q369RatioDelta(_, _)),
     "q370_ratio_delta_from_store" -> (CoreQueries.q370RatioDeltaFromStore(_, _)),
     "q371_cox_ph2" -> (CoreQueries.q371CoxPh2(_, _)),
-    "q372_cox2_from_store" -> (CoreQueries.q372Cox2FromStore(_, _))
+    "q372_cox2_from_store" -> (CoreQueries.q372Cox2FromStore(_, _)),
+    "q373_cliffs_delta" -> (CoreQueries.q373CliffsDelta(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -573,7 +574,8 @@ object SparkEntry {
     "q369_ratio_delta" -> ratioDeltaOracle,
     "q370_ratio_delta_from_store" -> ratioDeltaOracle,
     "q371_cox_ph2" -> coxPh2Oracle,
-    "q372_cox2_from_store" -> coxPh2Oracle)
+    "q372_cox2_from_store" -> coxPh2Oracle,
+    "q373_cliffs_delta" -> cliffsDeltaOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2094,6 +2096,97 @@ object SparkEntry {
     * (HAVING d > 0), the β update with the bad/I-positivity guards —
     * every float op in the Spark dag's order.
     */
+  /** q373 oracle: [[graft.quality.Association.cliffsDeltaFromCells]]
+    * replayed — value cells, the exact HUGEINT dominance and tie sums
+    * off one cumulative window, the 1e9-landed (d_v − δ)² deviation
+    * terms (the Brown–Forsythe split), Cliff's consistent variance and
+    * the asymmetric CI transformation in the operator's float order.
+    */
+  private lazy val cliffsDeltaOracle: String =
+    """WITH ev AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+      |    CAST(floor(value) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |    AND event_type IN ('click', 'view')),
+      |cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |lab AS (SELECT min(grp) AS grp_lo, max(grp) AS grp_hi,
+      |    CAST(count(DISTINCT grp) AS BIGINT) AS ngrps FROM cells),
+      |vals AS (SELECT l.grp_lo, l.grp_hi, l.ngrps, v,
+      |    CAST(sum(CASE WHEN grp = l.grp_lo THEN c ELSE 0 END) AS BIGINT)
+      |      AS tlo,
+      |    CAST(sum(CASE WHEN grp <> l.grp_lo THEN c ELSE 0 END) AS BIGINT)
+      |      AS thi
+      |  FROM cells CROSS JOIN lab l GROUP BY 1, 2, 3, 4),
+      |cum AS (SELECT *,
+      |    CAST(coalesce(sum(thi) OVER wlt, 0) AS BIGINT) AS hilt,
+      |    CAST(coalesce(sum(tlo) OVER wlt, 0) AS BIGINT) AS lolt,
+      |    CAST(sum(tlo) OVER () AS BIGINT) AS n1,
+      |    CAST(sum(thi) OVER () AS BIGINT) AS n2
+      |  FROM vals
+      |  WINDOW wlt AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |cum2 AS (SELECT *, n2 - hilt - thi AS higt, n1 - lolt - tlo AS logt
+      |  FROM cum),
+      |ds AS (SELECT *,
+      |    sum(CAST(tlo AS HUGEINT) * (hilt - higt)) OVER () AS D
+      |  FROM cum2),
+      |tm AS (SELECT *,
+      |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |      CAST(CAST(hilt - higt AS HUGEINT) * n1 - D AS DOUBLE) /
+      |      CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS qlo,
+      |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |      CAST(CAST(logt - lolt AS HUGEINT) * n2 - D AS DOUBLE) /
+      |      CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS qhi
+      |  FROM ds),
+      |agg AS (SELECT max(grp_lo) AS grp_lo, max(grp_hi) AS grp_hi,
+      |    max(ngrps) AS ngrps, max(n1) AS n1, max(n2) AS n2, max(D) AS D,
+      |    sum(CAST(tlo AS HUGEINT) * thi) AS T,
+      |    sum(CAST(round(CAST(tlo AS DOUBLE) * (qlo * qlo) * 1e9)
+      |      AS HUGEINT)) AS s1_9,
+      |    sum(CAST(round(CAST(thi AS DOUBLE) * (qhi * qhi) * 1e9)
+      |      AS HUGEINT)) AS s2_9
+      |  FROM tm),
+      |fx AS (SELECT *,
+      |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |      CAST(D AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+      |      END AS delta0,
+      |    CAST(s1_9 AS DOUBLE) / 1e9 AS s1,
+      |    CAST(s2_9 AS DOUBLE) / 1e9 AS s2,
+      |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS kf,
+      |    ngrps = 2 AND n1 >= 2 AND n2 >= 2 AS ok
+      |  FROM agg),
+      |fy AS (SELECT *,
+      |    CASE WHEN ok THEN delta0 END AS delta,
+      |    CASE WHEN ok THEN greatest(
+      |      (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * s1 +
+      |       CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * s2 -
+      |       (kf - CAST(T AS DOUBLE) - kf * (delta0 * delta0))) /
+      |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+      |       (CAST(n1 AS DOUBLE) - 1.0) * (CAST(n2 AS DOUBLE) - 1.0)),
+      |      0.0) END AS var
+      |  FROM fx),
+      |fz AS (SELECT *, sqrt(var) AS sd,
+      |    (1.0 - delta * delta) + (1.959964 * 1.959964) * var AS den,
+      |    sqrt(greatest(1.0 - 2.0 * (delta * delta) +
+      |      (delta * delta) * (delta * delta) +
+      |      (1.959964 * 1.959964) * var, 0.0)) AS rad
+      |  FROM fy)
+      |SELECT grp_lo, grp_hi, ngrps AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN n1 END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN n2 END AS n_hi,
+      |  CASE WHEN ngrps = 2 THEN CAST(D AS VARCHAR) END AS num_d,
+      |  CASE WHEN ngrps = 2 THEN CAST(T AS VARCHAR) END AS n_tied_pairs,
+      |  round(delta, 9) AS cliffs_delta,
+      |  CASE WHEN ok THEN round((delta + 1.0) / 2.0, 9) END AS cles,
+      |  round(var, 9) AS var_delta,
+      |  CASE WHEN ok THEN round(CASE WHEN den > 0 THEN
+      |    (delta - delta * delta * delta - 1.959964 * sd * rad) / den
+      |    ELSE delta END, 9) END AS ci_lo,
+      |  CASE WHEN ok THEN round(CASE WHEN den > 0 THEN
+      |    (delta - delta * delta * delta + 1.959964 * sd * rad) / den
+      |    ELSE delta END, 9) END AS ci_hi
+      |FROM fz""".stripMargin
+
   /** q371/q372 oracle: [[graft.operators.Survival.coxPh2FromCells]]
     * replayed — the q361 chain widened to two covariates: the
     * ((z, z2) PAIR × t) completed grid, per pass the six exact-HUGEINT

@@ -898,6 +898,158 @@ object Association {
         col("var_num") :+ col("z") :+ col("cliffs_delta"): _*)
   }
 
+  /** The ordinal effect-size card (Cliff 1993, 1996; the read R's
+    * effsize::cliff.delta prints beside a Mann–Whitney test): HOW BIG
+    * is the two-sample ordinal difference — Cliff's dominance
+    * δ = P(lo > hi) − P(lo < hi), the common-language effect size
+    * CLES = P(lo > hi) + ½P(lo = hi) = (δ+1)/2 (probability of
+    * superiority, ties split), Cliff's CONSISTENT variance estimate
+    *
+    *   var(δ̂) = (n₂²·Σᵢ(dᵢ.−δ̂)² + n₁²·Σⱼ(d.ⱼ−δ̂)² − Σᵢⱼ(dᵢⱼ−δ̂)²)
+    *            / (n₁n₂(n₁−1)(n₂−1))
+    *
+    * and the ASYMMETRIC CI from Cliff's transformation (respects the
+    * [−1, 1] bounds where a symmetric z-interval spills):
+    * (δ − δ³ ∓ z·s·√(1 − 2δ² + δ⁴ + z²s²)) / (1 − δ² + z²s²).
+    *
+    * EXACT at scale (no n₁×n₂ dominance matrix anywhere): all three
+    * Σ-terms collapse onto the VALUE-CELL frame — units sharing a value
+    * share their row/column dominance mean, so dᵢ. = (#hi<v − #hi>v)/n₂
+    * is constant per cell and each Σ is a cell-weighted sum off ONE
+    * value-ordered cumulative window; Σᵢⱼ(dᵢⱼ−δ̂)² reduces by the
+    * dominance identities to n₁n₂ − T − n₁n₂δ̂² with T the exact tied
+    * pair count. The dominance numerator Σᵢⱼdᵢⱼ and T are exact
+    * DECIMAL; the deviation TERMS pass through double and land at 1e9
+    * before an order-free DECIMAL sum (the Brown–Forsythe
+    * deviations-exact / terms-rounded split); δ̂, var, CI are fixed
+    * dags over the landed sums, gated at 9dp. The variance clamps at 0
+    * (the unbiased estimator can round below zero at degenerate δ̂ =
+    * ±1); δ̂ = ±1 with zero variance emits the point CI.
+    *
+    * ORIENTATION: lo = the lexicographically smaller label (the
+    * [[mannWhitney]] rule); δ here equals [[mannWhitneyFromCells]]'s
+    * `cliffs_delta` EXACTLY (spec-pinned). NULL statistics when
+    * n_groups ≠ 2 or either side has n < 2. SCALE: everything after
+    * the (group, value) count agg is value-cardinality bookkeeping
+    * (bucket continuous columns first — the rank-family contract).
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      valueCol: String,
+      alpha: Double = 0.05d
+  ): DataFrame =
+    cliffsDeltaFromCells(rankCells(df, keyCols, groupCol, valueCol),
+      keyCols, alpha)
+
+  /** [[cliffsDelta]] from a (possibly folded) [[rankCells]] frame. */
+  def cliffsDeltaFromCells(
+      cellsIn: DataFrame,
+      keyCols: Seq[String],
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(alpha == 0.05d, s"only the pinned alpha = 0.05 is supported: $alpha")
+    val z = 1.959964d
+    val g = keyCols.map(col)
+    val cells = fromRankCells(cellsIn, keyCols)
+    val wKeyAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val labeled = cells
+      .withColumn("grp_lo", min("grp").over(wKeyAll))
+      .withColumn("grp_hi", max("grp").over(wKeyAll))
+      .withColumn("__ngrps",
+        size(collect_set(col("grp")).over(wKeyAll)).cast("long"))
+    // per distinct value: counts on each side
+    val vals = labeled
+      .groupBy(g ++ Seq(col("grp_lo"), col("grp_hi"), col("__ngrps"),
+        col("__v")): _*)
+      .agg(sum(when(col("grp") === col("grp_lo"), col("__c"))
+          .otherwise(0L)).as("__tlo"),
+        sum(when(col("grp") =!= col("grp_lo"), col("__c"))
+          .otherwise(0L)).as("__thi"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = vals
+      .withColumn("__hilt", coalesce(sum("__thi").over(wCum), lit(0L)))
+      .withColumn("__lolt", coalesce(sum("__tlo").over(wCum), lit(0L)))
+      .withColumn("__n1", sum("__tlo").over(wKey))
+      .withColumn("__n2", sum("__thi").over(wKey))
+      .withColumn("__higt", col("__n2") - col("__hilt") - col("__thi"))
+      .withColumn("__logt", col("__n1") - col("__lolt") - col("__tlo"))
+    // the exact dominance numerator and tie count, then the deviation
+    // terms: exact DECIMAL deviations, 1e9-landed double terms (the
+    // brownForsythe split), order-free DECIMAL sums
+    val n1D = col("__n1").cast(dec); val n2D = col("__n2").cast(dec)
+    val dNum = (col("__tlo").cast(dec) *
+      (col("__hilt") - col("__higt")).cast(dec))
+    val tiedNum = col("__tlo").cast(dec) * col("__thi").cast(dec)
+    // the exact dominance sum lands on every cell row via one more
+    // window over the SAME key partition (no join back)
+    val back = cum.withColumn("__D", sum(dNum).over(wKey))
+    val kD = (n1D * n2D).cast("double")
+    // d_i. for a LO unit at v is (#hi<v − #hi>v)/n2; d_.j for a HI unit
+    // at w is (#lo>w − #lo<w)/n1 (the sign flips with the side — d_ij =
+    // sign(x_i − y_j) reads opposite ways along rows and columns)
+    val eLo = (col("__hilt") - col("__higt")).cast(dec) * n1D - col("__D")
+    val eHi = (col("__logt") - col("__lolt")).cast(dec) * n2D - col("__D")
+    // ANSI: a one-group key has k = 0 — the guard keeps the division
+    // from ever running there (ok masks the output anyway)
+    val bothLive = col("__n1") > 0L && col("__n2") > 0L
+    val qLo = when(bothLive, eLo.cast("double") / kD)
+    val qHi = when(bothLive, eHi.cast("double") / kD)
+    val termLo9 = round(col("__tlo").cast("double") * (qLo * qLo) * 1e9d)
+      .cast(dec)
+    val termHi9 = round(col("__thi").cast("double") * (qHi * qHi) * 1e9d)
+      .cast(dec)
+    val terms = back
+      .groupBy(g ++ Seq(col("grp_lo"), col("grp_hi"), col("__ngrps"),
+        col("__n1"), col("__n2"), col("__D")): _*)
+      .agg(sum(tiedNum).as("__T"),
+        sum(termLo9).as("__s1_9"), sum(termHi9).as("__s2_9"))
+    val n1F = col("__n1").cast("double"); val n2F = col("__n2").cast("double")
+    val kF = (n1D * n2D).cast("double")
+    val delta = col("__D").cast("double") / kF
+    val s1 = col("__s1_9").cast("double") / 1e9d
+    val s2 = col("__s2_9").cast("double") / 1e9d
+    val s3 = kF - col("__T").cast("double") - kF * (delta * delta)
+    val varRaw = (n2F * n2F * s1 + n1F * n1F * s2 - s3) /
+      (n1F * n2F * (n1F - 1d) * (n2F - 1d))
+    val ok = col("__ngrps") === 2L && col("__n1") >= 2L && col("__n2") >= 2L
+    val staged = terms
+      .withColumn("__delta", when(ok, delta))
+      .withColumn("__var", when(ok, greatest(varRaw, lit(0d))))
+      .withColumn("__sd", sqrt(col("__var")))
+    val d = col("__delta"); val sd = col("__sd"); val v = col("__var")
+    val zz = lit(z) * lit(z)
+    val den = (lit(1d) - d * d) + zz * v
+    val rad = sqrt(greatest(
+      lit(1d) - lit(2d) * (d * d) + (d * d) * (d * d) + zz * v, lit(0d)))
+    val ciLo = when(den > 0d,
+      (d - d * d * d - lit(z) * sd * rad) / den).otherwise(d)
+    val ciHi = when(den > 0d,
+      (d - d * d * d + lit(z) * sd * rad) / den).otherwise(d)
+    staged
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("n_lo", when(col("__ngrps") === 2L, col("__n1")))
+      .withColumn("n_hi", when(col("__ngrps") === 2L, col("__n2")))
+      .withColumn("num_d", when(col("__ngrps") === 2L,
+        col("__D").cast("string")))
+      .withColumn("n_tied_pairs", when(col("__ngrps") === 2L,
+        col("__T").cast("string")))
+      .withColumn("cliffs_delta", d)
+      .withColumn("cles", when(ok, (d + lit(1d)) / lit(2d)))
+      .withColumn("var_delta", v)
+      .withColumn("ci_lo", when(ok, ciLo))
+      .withColumn("ci_hi", when(ok, ciHi))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("n_lo") :+ col("n_hi") :+ col("num_d") :+
+        col("n_tied_pairs") :+ col("cliffs_delta") :+ col("cles") :+
+        col("var_delta") :+ col("ci_lo") :+ col("ci_hi"): _*)
+  }
+
   /** Brown–Forsythe test (Brown & Forsythe 1974): do k groups share a
     * SCALE — the robust (median-centered) Levene variance-equality
     * test, the dispersion companion of [[kruskalWallis]]'s location

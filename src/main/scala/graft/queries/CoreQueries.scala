@@ -4830,4 +4830,26 @@ object CoreQueries {
     }
     cox2Select(Survival.coxPh2FromCells(folded, Nil, "z", "z2"))
   }
+
+  /** Ordinal effect-size gate: Cliff's δ with the consistent variance
+    * and asymmetric CI beside the q221 Mann–Whitney test — the q363
+    * click-vs-view fixture on integer value units. The oracle replays
+    * the value cells, the exact dominance/tie sums, the 1e9-landed
+    * deviation terms, and the CI transformation.
+    */
+  def q373CliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "view"))
+      .select(col("event_type").cast("string").as("grp0"),
+        floor(col("value")).cast("long").as("v"))
+    Association.cliffsDelta(ev, Nil, "grp0", "v")
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"), col("n_lo"),
+        col("n_hi"), col("num_d"), col("n_tied_pairs"),
+        round(col("cliffs_delta"), 9).as("cliffs_delta"),
+        round(col("cles"), 9).as("cles"),
+        round(col("var_delta"), 9).as("var_delta"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+  }
 }

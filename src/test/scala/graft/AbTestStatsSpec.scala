@@ -1161,4 +1161,93 @@ class AbTestStatsSpec extends SparkSpec {
     assert(out(1).getAs[String]("j2") === "1")
     assert(out(1).isNullAt(out(1).fieldIndex("z")))
   }
+
+  // --- Cliff's delta card -----------------------------------------------
+
+  test("cliffsDelta: hand golden {1,2,3} vs {2,3,4} — delta = -5/9, var = 23/162") {
+    import graft.quality.Association
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(2L, 3L, 4L).map(("b", _)))
+      .toDF("grp", "v")
+    val r = Association.cliffsDelta(df, Nil, "grp", "v").collect()(0)
+    assert(r.getAs[String]("num_d") === "-5")
+    assert(r.getAs[String]("n_tied_pairs") === "2")
+    assert(math.abs(r.getAs[Double]("cliffs_delta") + 5d / 9d) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cles") - (1d - 5d / 9d) / 2d) < 1e-12)
+    // n2^2*S1 + n1^2*S2 - S3 = 42/9 + 42/9 - 38/9 = 46/9; /36 = 23/162
+    assert(math.abs(r.getAs[Double]("var_delta") - 23d / 162d) < 1e-9)
+    // the asymmetric CI respects the bounds
+    assert(r.getAs[Double]("ci_lo") >= -1d && r.getAs[Double]("ci_hi") <= 1d)
+    assert(r.getAs[Double]("ci_lo") < -5d / 9d &&
+      r.getAs[Double]("ci_hi") > -5d / 9d)
+  }
+
+  test("cliffsDelta: point estimate equals mannWhitney's cliffs_delta exactly; separation edge") {
+    import graft.quality.Association
+    val rnd = new scala.util.Random(20260820L)
+    val df = (0 until 120).map { _ =>
+      (if (rnd.nextBoolean()) "x" else "y", rnd.nextInt(12).toLong)
+    }.toDF("grp", "v")
+    val card = Association.cliffsDelta(df, Nil, "grp", "v").collect()(0)
+    val mw = Association.mannWhitney(df, Nil, "grp", "v").collect()(0)
+    assert(card.getAs[Double]("cliffs_delta") ===
+      mw.getAs[Double]("cliffs_delta"))
+    // complete separation: delta = -1 (lo all smaller), var 0, point CI
+    val sep = (Seq(1L, 2L).map(("a", _)) ++ Seq(5L, 6L).map(("b", _)))
+      .toDF("grp", "v")
+    val rs = Association.cliffsDelta(sep, Nil, "grp", "v").collect()(0)
+    assert(rs.getAs[Double]("cliffs_delta") === -1d)
+    assert(rs.getAs[Double]("var_delta") === 0d)
+    assert(rs.getAs[Double]("ci_lo") === -1d && rs.getAs[Double]("ci_hi") === -1d)
+  }
+
+  test("cliffsDelta: differential fuzz vs the brute-force dominance matrix") {
+    import graft.quality.Association
+    val rnd = new scala.util.Random(20260821L)
+    for (trial <- 0 until 5) {
+      val lo = Seq.fill(4 + rnd.nextInt(10))(rnd.nextInt(8).toLong)
+      val hi = Seq.fill(4 + rnd.nextInt(10))(rnd.nextInt(8).toLong)
+      val df = (lo.map(("a", _)) ++ hi.map(("b", _))).toDF("grp", "v")
+      val r = Association.cliffsDelta(df, Nil, "grp", "v").collect()(0)
+      val n1 = lo.size; val n2 = hi.size
+      val dij = for (x <- lo; y <- hi)
+        yield if (x > y) 1d else if (x < y) -1d else 0d
+      val delta = dij.sum / (n1 * n2)
+      val di = lo.map(x => hi.map(y =>
+        if (x > y) 1d else if (x < y) -1d else 0d).sum / n2)
+      val dj = hi.map(y => lo.map(x =>
+        if (x > y) 1d else if (x < y) -1d else 0d).sum / n1)
+      val s1 = di.map(d => (d - delta) * (d - delta)).sum
+      val s2 = dj.map(d => (d - delta) * (d - delta)).sum
+      val s3 = dij.map(d => (d - delta) * (d - delta)).sum
+      val v = math.max((n2.toDouble * n2 * s1 + n1.toDouble * n1 * s2 - s3) /
+        (n1.toDouble * n2 * (n1 - 1d) * (n2 - 1d)), 0d)
+      assert(math.abs(r.getAs[Double]("cliffs_delta") - delta) < 1e-12,
+        s"trial $trial delta")
+      assert(math.abs(r.getAs[Double]("var_delta") - v) < 1e-8,
+        s"trial $trial var ${r.getAs[Double]("var_delta")} vs $v")
+    }
+  }
+
+  test("cliffsDelta: guards — one group and n = 1 sides flag NULL; fold == rebuild") {
+    import graft.quality.Association
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("grp", "v")
+    val r1 = Association.cliffsDelta(one, Nil, "grp", "v").collect()(0)
+    assert(r1.getAs[Long]("n_groups") === 1L)
+    assert(r1.isNullAt(r1.fieldIndex("cliffs_delta")))
+    val thin = Seq(("a", 1L), ("b", 2L), ("b", 3L)).toDF("grp", "v")
+    val r2 = Association.cliffsDelta(thin, Nil, "grp", "v").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("var_delta"))) // n_lo = 1
+    // fold == rebuild on the shared rank-cell state
+    val rnd = new scala.util.Random(20260822L)
+    val rows = (0 until 90).map { i =>
+      (if (i % 2 == 0) "x" else "y", rnd.nextInt(10).toLong, i)
+    }
+    val df = rows.toDF("grp", "v", "i")
+    val direct = Association.cliffsDelta(df, Nil, "grp", "v").collect()(0)
+    val parts = (0 until 3).map(k =>
+      Association.rankCells(df.filter(col("i") % 3 === k), Nil, "grp", "v"))
+    val folded = parts.reduce(Association.mergeRankCells(_, _, Nil))
+    val fromCells = Association.cliffsDeltaFromCells(folded, Nil).collect()(0)
+    assert(direct.toSeq === fromCells.toSeq)
+  }
 }

@@ -954,7 +954,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q371_cox_ph2", maxHash = 12, maxRange = 13, forbidUdf = true,
       maxParquetScans = 0),
     Shape("q372_cox2_from_store", maxHash = 17, maxRange = 13,
-      forbidUdf = true, maxParquetScans = 0)
+      forbidUdf = true, maxParquetScans = 0),
+    // Cliff's delta card: value cells + one ordered cumulative window +
+    // the meta fold (the mannWhitney lock shape)
+    Shape("q373_cliffs_delta", maxHash = 4, maxRange = 4,
+      forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
