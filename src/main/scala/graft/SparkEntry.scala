@@ -384,7 +384,9 @@ object SparkEntry {
     "q370_ratio_delta_from_store" -> (CoreQueries.q370RatioDeltaFromStore(_, _)),
     "q371_cox_ph2" -> (CoreQueries.q371CoxPh2(_, _)),
     "q372_cox2_from_store" -> (CoreQueries.q372Cox2FromStore(_, _)),
-    "q373_cliffs_delta" -> (CoreQueries.q373CliffsDelta(_, _))
+    "q373_cliffs_delta" -> (CoreQueries.q373CliffsDelta(_, _)),
+    "q374_msprt_rate" -> (CoreQueries.q374MsprtRate(_, _)),
+    "q375_av_ci_rate" -> (CoreQueries.q375AvCiRate(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -575,7 +577,9 @@ object SparkEntry {
     "q370_ratio_delta_from_store" -> ratioDeltaOracle,
     "q371_cox_ph2" -> coxPh2Oracle,
     "q372_cox2_from_store" -> coxPh2Oracle,
-    "q373_cliffs_delta" -> cliffsDeltaOracle)
+    "q373_cliffs_delta" -> cliffsDeltaOracle,
+    "q374_msprt_rate" -> msprtRateOracle,
+    "q375_av_ci_rate" -> avCiRateOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -4012,6 +4016,99 @@ object SparkEntry {
       |      ln((vv + 0.000244140625) / (0.05 * 0.05 * vv))) AS radius
       |  FROM t)
       |SELECT peek, n_lo, s_lo, n_hi, s_hi,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta,
+      |  CASE WHEN usable THEN round(radius, 9) END AS radius,
+      |  CASE WHEN usable THEN round(delta - radius, 9) END AS ci_lo,
+      |  CASE WHEN usable THEN round(delta + radius, 9) END AS ci_hi
+      |FROM r ORDER BY peek""".stripMargin
+
+  /** q374 oracle: [[graft.quality.SequentialTests.msprtTwoRate]]
+    * replayed — arm-dependent incident thresholds, cumulative
+    * exposure/count sums, the exact-cross-product rate difference, the
+    * pooled-λ Poisson plug-in variance, the nano mixture-LR dag,
+    * running best, the exact ln(20) boundary.
+    */
+  private lazy val msprtRateOracle: String =
+    """WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even, value
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS be1,
+      |    CAST(sum(CASE WHEN ev_even AND value >= 150 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS bc1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS be2,
+      |    CAST(sum(CASE WHEN NOT ev_even AND value >= 170 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS bc2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(be1) OVER w AS BIGINT) AS e_lo,
+      |    CAST(sum(bc1) OVER w AS BIGINT) AS c_lo,
+      |    CAST(sum(be2) OVER w AS BIGINT) AS e_hi,
+      |    CAST(sum(bc2) OVER w AS BIGINT) AS c_hi
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    CAST(CAST(c_lo AS HUGEINT) * e_hi - CAST(c_hi AS HUGEINT) * e_lo AS DOUBLE) /
+      |      (CAST(e_lo AS DOUBLE) * CAST(e_hi AS DOUBLE)) AS delta,
+      |    (CAST(c_lo AS DOUBLE) + CAST(c_hi AS DOUBLE)) /
+      |      (CAST(e_lo AS DOUBLE) + CAST(e_hi AS DOUBLE)) AS lam,
+      |    e_lo > 0 AND e_hi > 0 AND (c_lo + c_hi) > 0 AS usable
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    lam * (1.0 / CAST(e_lo AS DOUBLE) + 1.0 / CAST(e_hi AS DOUBLE)) AS vv
+      |  FROM t),
+      |l AS (SELECT *,
+      |    CASE WHEN usable THEN CAST(round((0.5 * ln(vv / (vv + 0.000244140625)) +
+      |      delta * delta * 0.000244140625 /
+      |        (2 * vv * (vv + 0.000244140625))) * 1e9) AS BIGINT) END AS ln_lr9
+      |  FROM v),
+      |b AS (SELECT *, max(ln_lr9) OVER (ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best9 FROM l)
+      |SELECT peek, e_lo, c_lo, e_hi, c_hi,
+      |  CASE WHEN usable THEN round(delta, 9) END AS delta, ln_lr9,
+      |  round(CASE WHEN best9 IS NULL OR best9 <= 0 THEN 1.0
+      |    ELSE exp(-CAST(best9 AS DOUBLE) / 1e9) END, 9) AS p_always_valid,
+      |  coalesce(best9 >= 2995732274, false) AS reject
+      |FROM b ORDER BY peek""".stripMargin
+
+  /** q375 oracle: [[graft.quality.SequentialTests.alwaysValidCiTwoRate]]
+    * replayed — the q374 state and variance with the inversion radius
+    * (the q323 dag on the pooled-λ plug-in).
+    */
+  private lazy val avCiRateOracle: String =
+    """WITH ev AS (SELECT event_id % 12 AS peek,
+      |    user_id % 2 = 0 AS ev_even, value
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |incr AS (SELECT peek,
+      |    CAST(sum(CASE WHEN ev_even THEN 1 ELSE 0 END) AS BIGINT) AS be1,
+      |    CAST(sum(CASE WHEN ev_even AND value >= 150 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS bc1,
+      |    CAST(sum(CASE WHEN NOT ev_even THEN 1 ELSE 0 END) AS BIGINT) AS be2,
+      |    CAST(sum(CASE WHEN NOT ev_even AND value >= 170 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS bc2
+      |  FROM ev GROUP BY 1),
+      |cum AS (SELECT peek,
+      |    CAST(sum(be1) OVER w AS BIGINT) AS e_lo,
+      |    CAST(sum(bc1) OVER w AS BIGINT) AS c_lo,
+      |    CAST(sum(be2) OVER w AS BIGINT) AS e_hi,
+      |    CAST(sum(bc2) OVER w AS BIGINT) AS c_hi
+      |  FROM incr
+      |  WINDOW w AS (ORDER BY peek ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT *,
+      |    CAST(CAST(c_lo AS HUGEINT) * e_hi - CAST(c_hi AS HUGEINT) * e_lo AS DOUBLE) /
+      |      (CAST(e_lo AS DOUBLE) * CAST(e_hi AS DOUBLE)) AS delta,
+      |    (CAST(c_lo AS DOUBLE) + CAST(c_hi AS DOUBLE)) /
+      |      (CAST(e_lo AS DOUBLE) + CAST(e_hi AS DOUBLE)) AS lam,
+      |    e_lo > 0 AND e_hi > 0 AND (c_lo + c_hi) > 0 AS usable
+      |  FROM cum),
+      |v AS (SELECT *,
+      |    lam * (1.0 / CAST(e_lo AS DOUBLE) + 1.0 / CAST(e_hi AS DOUBLE)) AS vv
+      |  FROM t),
+      |r AS (SELECT *,
+      |    sqrt(vv * (vv + 0.000244140625) / 0.000244140625 *
+      |      ln((vv + 0.000244140625) / (0.05 * 0.05 * vv))) AS radius
+      |  FROM v)
+      |SELECT peek, e_lo, c_lo, e_hi, c_hi,
       |  CASE WHEN usable THEN round(delta, 9) END AS delta,
       |  CASE WHEN usable THEN round(radius, 9) END AS radius,
       |  CASE WHEN usable THEN round(delta - radius, 9) END AS ci_lo,

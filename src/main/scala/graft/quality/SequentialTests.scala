@@ -162,6 +162,109 @@ object SequentialTests {
         col("p_always_valid") :+ col("reject"): _*)
   }
 
+  /** mSPRT for a TWO-SAMPLE RATE (count-per-exposure — error rates,
+    * incidents per request-hour, crashes per session-minute): the
+    * count-metric member beside [[msprtTwoProportion]] (binary) and
+    * [[msprtMean]] (continuous), for the monitor a reliability
+    * dashboard actually runs. Incremental state per (keys, peek):
+    * that batch's integer EXPOSURE and event COUNT per arm (both
+    * additive — the exposure is whatever integer unit the pipeline
+    * meters: requests, hours, sessions). On the cumulative totals:
+    *
+    *   Δ̂ = C₁/E₁ − C₂/E₂ (exact cross product), and the POISSON
+    *   plug-in variance under pooling V = λ̂·(1/E₁ + 1/E₂),
+    *   λ̂ = (C₁+C₂)/(E₁+E₂) — the rate analogue of the pooled-p̂
+    *   variance (var of a Poisson rate estimate is λ/E)
+    *
+    * through the same mixture LR and running-best fold — p_always_valid
+    * is ≤ α at ANY peek under continuous peeking. Peeks with an empty
+    * exposure side or zero total counts carry NULL ln_lr9 (no
+    * evidence, never a guess). Determinism: exact long cumulative
+    * sums, the one fixed nano dag, exact-integer boundary comparison.
+    */
+  def msprtTwoRate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      e1Col: String, c1Col: String,
+      e2Col: String, c2Col: String,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(tau2 > 0d, s"tau2 must be positive: $tau2")
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(e1Col).cast("long").as("__de1") :+ col(c1Col).cast("long").as("__dc1") :+
+        col(e2Col).cast("long").as("__de2") :+ col(c2Col).cast("long").as("__dc2"): _*)
+      .withColumn("e_lo", sum("__de1").over(wCum))
+      .withColumn("c_lo", sum("__dc1").over(wCum))
+      .withColumn("e_hi", sum("__de2").over(wCum))
+      .withColumn("c_hi", sum("__dc2").over(wCum))
+    val e1 = col("e_lo").cast("double"); val e2 = col("e_hi").cast("double")
+    val c1 = col("c_lo").cast("double"); val c2 = col("c_hi").cast("double")
+    val delta = (col("c_lo").cast(dec) * col("e_hi").cast(dec) -
+      col("c_hi").cast(dec) * col("e_lo").cast(dec)).cast("double") / (e1 * e2)
+    val lamPool = (c1 + c2) / (e1 + e2)
+    val v = lamPool * (lit(1d) / e1 + lit(1d) / e2)
+    val usable = col("e_lo") > 0L && col("e_hi") > 0L &&
+      (col("c_lo") + col("c_hi")) > 0L
+    finish(cum, g, col("peek"), lnLr9(delta, v, tau2), usable, alpha)
+      .withColumn("delta", when(usable, delta))
+      .select(g :+ col("peek") :+ col("e_lo") :+ col("c_lo") :+ col("e_hi") :+
+        col("c_hi") :+ col("delta") :+ col("ln_lr9") :+
+        col("p_always_valid") :+ col("reject"): _*)
+  }
+
+  /** The always-valid confidence sequence dual of [[msprtTwoRate]] —
+    * the [[alwaysValidCiMean]] inversion on the pooled-λ̂ Poisson
+    * plug-in variance. Simultaneous coverage at any stopping rule; 0
+    * leaves the CI exactly when the peek's own ln Λ clears ln(1/α)
+    * (the duality, spec-asserted against [[msprtTwoRate]]).
+    */
+  def alwaysValidCiTwoRate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      peekCol: String,
+      e1Col: String, c1Col: String,
+      e2Col: String, c2Col: String,
+      tau2: Double,
+      alpha: Double = 0.05d
+  ): DataFrame = {
+    require(tau2 > 0d, s"tau2 must be positive: $tau2")
+    require(alpha > 0d && alpha < 1d, s"alpha must be in (0,1): $alpha")
+    val g = keyCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(g :+ col(peekCol).as("peek") :+
+        col(e1Col).cast("long").as("__de1") :+ col(c1Col).cast("long").as("__dc1") :+
+        col(e2Col).cast("long").as("__de2") :+ col(c2Col).cast("long").as("__dc2"): _*)
+      .withColumn("e_lo", sum("__de1").over(wCum))
+      .withColumn("c_lo", sum("__dc1").over(wCum))
+      .withColumn("e_hi", sum("__de2").over(wCum))
+      .withColumn("c_hi", sum("__dc2").over(wCum))
+    val e1 = col("e_lo").cast("double"); val e2 = col("e_hi").cast("double")
+    val c1 = col("c_lo").cast("double"); val c2 = col("c_hi").cast("double")
+    val delta = (col("c_lo").cast(dec) * col("e_hi").cast(dec) -
+      col("c_hi").cast(dec) * col("e_lo").cast(dec)).cast("double") / (e1 * e2)
+    val lamPool = (c1 + c2) / (e1 + e2)
+    val v = lamPool * (lit(1d) / e1 + lit(1d) / e2)
+    val t2 = lit(tau2)
+    val radius = sqrt(v * (v + t2) / t2 *
+      log((v + t2) / (lit(alpha) * lit(alpha) * v)))
+    val usable = col("e_lo") > 0L && col("e_hi") > 0L &&
+      (col("c_lo") + col("c_hi")) > 0L
+    cum
+      .withColumn("delta", when(usable, delta))
+      .withColumn("radius", when(usable, radius))
+      .withColumn("ci_lo", when(usable, delta - radius))
+      .withColumn("ci_hi", when(usable, delta + radius))
+      .select(g :+ col("peek") :+ col("e_lo") :+ col("c_lo") :+ col("e_hi") :+
+        col("c_hi") :+ col("delta") :+ col("radius") :+ col("ci_lo") :+
+        col("ci_hi"): _*)
+  }
+
   /** The ALWAYS-VALID CONFIDENCE SEQUENCE dual of [[msprtMean]] (Johari
     * et al.'s CI inversion): the set of effects δ₀ the mixture test
     * does NOT reject at peek n,

@@ -4831,6 +4831,63 @@ object CoreQueries {
     cox2Select(Survival.coxPh2FromCells(folded, Nil, "z", "z2"))
   }
 
+  /** The q374 12-peek rate-increment state: per peek each parity arm's
+    * event EXPOSURE and incident COUNT, with the incident threshold
+    * ARM-DEPENDENT (even users ≥ 150, odd ≥ 170 against the median-35
+    * value distribution) so the monitored rate gap is REAL and the
+    * monitor genuinely fires (adequacy spec-pinned); the equal-threshold
+    * variant stays quiet (spec-constructed).
+    */
+  private def rateIncrements(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("event_id") % 12).as("peek"),
+        (col("user_id") % 2 === 0).as("__even"), col("value"))
+    ev.groupBy("peek").agg(
+      sum(when(col("__even"), 1L).otherwise(0L)).as("e1"),
+      sum(when(col("__even") && col("value") >= 150d, 1L).otherwise(0L))
+        .as("c1"),
+      sum(when(!col("__even"), 1L).otherwise(0L)).as("e2"),
+      sum(when(!col("__even") && col("value") >= 170d, 1L).otherwise(0L))
+        .as("c2"))
+  }
+
+  /** Spec access to the q374 increment state (fixture-adequacy pins). */
+  def rateIncrementsForSpec(s: SparkSession, dir: String): DataFrame =
+    rateIncrements(s, dir)
+
+  /** Sequential rate-monitor gate: the Poisson count-per-exposure
+    * mSPRT — incidents per event between the parity arms, always-valid
+    * under continuous peeking. The oracle replays cumulative exposures/
+    * counts, the pooled-λ variance, the nano mixture-LR dag and the
+    * exact ln(20) boundary.
+    */
+  def q374MsprtRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    SequentialTests.msprtTwoRate(rateIncrements(s, dir), Nil, "peek",
+        "e1", "c1", "e2", "c2", tau2 = 0.000244140625d, alpha = 0.05d)
+      .select(col("peek"), col("e_lo"), col("c_lo"), col("e_hi"), col("c_hi"),
+        round(col("delta"), 9).as("delta"), col("ln_lr9"),
+        round(col("p_always_valid"), 9).as("p_always_valid"), col("reject"))
+      .orderBy("peek")
+  }
+
+  /** The always-valid confidence-sequence dual of q374 (rate
+    * difference): same state, the inversion radius, simultaneous
+    * coverage — the duality with the monitor is spec-asserted.
+    */
+  def q375AvCiRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.SequentialTests
+    SequentialTests.alwaysValidCiTwoRate(rateIncrements(s, dir), Nil, "peek",
+        "e1", "c1", "e2", "c2", tau2 = 0.000244140625d, alpha = 0.05d)
+      .select(col("peek"), col("e_lo"), col("c_lo"), col("e_hi"), col("c_hi"),
+        round(col("delta"), 9).as("delta"),
+        round(col("radius"), 9).as("radius"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+      .orderBy("peek")
+  }
+
   /** Ordinal effect-size gate: Cliff's δ with the consistent variance
     * and asymmetric CI beside the q221 Mann–Whitney test — the q363
     * click-vs-view fixture on integer value units. The oracle replays

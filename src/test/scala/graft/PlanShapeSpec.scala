@@ -958,7 +958,13 @@ class PlanShapeSpec extends SparkSpec {
     // Cliff's delta card: value cells + one ordered cumulative window +
     // the meta fold (the mannWhitney lock shape)
     Shape("q373_cliffs_delta", maxHash = 4, maxRange = 4,
-      forbidUdf = true)
+      forbidUdf = true),
+    // rate monitor + CI dual: one increment agg + the peek-bounded
+    // cumulative monitor (the q299/q323 lock shape)
+    Shape("q374_msprt_rate", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    Shape("q375_av_ci_rate", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

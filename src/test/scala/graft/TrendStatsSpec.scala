@@ -1667,6 +1667,86 @@ class TrendStatsSpec extends SparkSpec {
     assert(pm.zip(pm.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("msprtTwoRate: null quiet, planted rate gap fires, CI duality holds per peek") {
+    import graft.quality.SequentialTests
+    // symmetric rates: delta = 0, no evidence
+    val nullIncr = (0L to 7L).map(p => (p, 500L, 25L, 500L, 25L))
+      .toDF("pk", "e1", "c1", "e2", "c2")
+    val rn = SequentialTests.msprtTwoRate(nullIncr, Nil, "pk",
+      "e1", "c1", "e2", "c2", tau2 = 0.001, alpha = 0.05)
+      .orderBy("peek").collect()
+    assert(rn.forall(!_.getAs[Boolean]("reject")))
+    assert(rn.forall(_.getAs[Double]("p_always_valid") === 1d))
+    // a real rate gap (0.1 vs 0.05 per exposure unit) accumulates
+    val eff = (0L to 7L).map(p => (p, 500L, 50L, 500L, 25L))
+      .toDF("pk", "e1", "c1", "e2", "c2")
+    val re = SequentialTests.msprtTwoRate(eff, Nil, "pk",
+      "e1", "c1", "e2", "c2", tau2 = 0.001, alpha = 0.05)
+      .orderBy("peek").collect()
+    assert(re.last.getAs[Boolean]("reject"))
+    val ps = re.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 })
+    // duality with the confidence sequence: 0 outside the CI exactly
+    // when the peek's OWN lnLR clears ln(1/alpha)
+    val ci = SequentialTests.alwaysValidCiTwoRate(eff, Nil, "pk",
+      "e1", "c1", "e2", "c2", tau2 = 0.001, alpha = 0.05)
+      .orderBy("peek").collect()
+    val bound9 = math.round(math.log(1d / 0.05) * 1e9d)
+    re.zip(ci).foreach { case (m, c) =>
+      val own = m.getAs[Long]("ln_lr9")
+      val zeroOut = c.getAs[Double]("ci_lo") > 0d || c.getAs[Double]("ci_hi") < 0d
+      assert(zeroOut === (own >= bound9),
+        s"duality at peek ${m.getAs[Long]("peek")}: own $own, ci $c")
+    }
+    // differential: the lnLR dag vs a driver-side replication
+    re.foreach { r =>
+      val e1 = r.getAs[Long]("e_lo").toDouble; val e2 = r.getAs[Long]("e_hi").toDouble
+      val c1 = r.getAs[Long]("c_lo").toDouble; val c2 = r.getAs[Long]("c_hi").toDouble
+      val delta = (c1 * e2 - c2 * e1) / (e1 * e2)
+      val lam = (c1 + c2) / (e1 + e2)
+      val v = lam * (1d / e1 + 1d / e2)
+      val t2 = 0.001
+      val want = math.round((0.5 * math.log(v / (v + t2)) +
+        delta * delta * t2 / (2d * v * (v + t2))) * 1e9d)
+      assert(math.abs(r.getAs[Long]("ln_lr9") - want) <= 1L,
+        s"lnLR at peek ${r.getAs[Long]("peek")}")
+    }
+    // guards: an empty-exposure arm and an all-zero-count state carry
+    // NULL evidence and never reject
+    val degenerate = Seq((0L, 0L, 0L, 500L, 10L), (1L, 500L, 0L, 500L, 0L))
+      .toDF("pk", "e1", "c1", "e2", "c2")
+    val rd = SequentialTests.msprtTwoRate(degenerate, Nil, "pk",
+      "e1", "c1", "e2", "c2", tau2 = 0.001, alpha = 0.05)
+      .orderBy("peek").collect()
+    assert(rd(0).isNullAt(rd(0).fieldIndex("ln_lr9")))
+    assert(rd.forall(!_.getAs[Boolean]("reject")))
+  }
+
+  test("msprtTwoRate: q374 fixture genuinely fires; the equal-threshold null stays quiet") {
+    import graft.quality.SequentialTests
+    import graft.queries.CoreQueries
+    val out = CoreQueries.q374MsprtRate(spark, "/root/testdata/sf0.01").collect()
+    assert(out.last.getAs[Boolean]("reject"),
+      s"the arm-dependent incident gap must fire: ${out.last}")
+    // same threshold both arms, EVENT-level split (user-parity arms are
+    // not exchangeable on this data — clustered users shift the rates a
+    // hair, and that marginal crossing is real) -> quiet
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select((col("event_id") % 12).as("peek"),
+        (col("event_id") % 24 < 12).as("e"), col("value"))
+      .groupBy("peek").agg(
+        sum(when(col("e"), 1L).otherwise(0L)).as("e1"),
+        sum(when(col("e") && col("value") >= 150d, 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("e"), 1L).otherwise(0L)).as("e2"),
+        sum(when(!col("e") && col("value") >= 150d, 1L).otherwise(0L)).as("c2"))
+    val quiet = SequentialTests.msprtTwoRate(ev, Nil, "peek",
+      "e1", "c1", "e2", "c2", tau2 = 0.000244140625d, alpha = 0.05)
+      .orderBy("peek").collect()
+    assert(quiet.forall(!_.getAs[Boolean]("reject")),
+      s"equal thresholds must not fire: ${quiet.last}")
+  }
+
   test("msprt: empirical H0 crossing rate over 120 paths stays within the Ville alpha bound") {
     import graft.quality.SequentialTests
     // 120 independent null streams (both arms Bernoulli(0.4)), 15 peeks
