@@ -386,7 +386,8 @@ object SparkEntry {
     "q372_cox2_from_store" -> (CoreQueries.q372Cox2FromStore(_, _)),
     "q373_cliffs_delta" -> (CoreQueries.q373CliffsDelta(_, _)),
     "q374_msprt_rate" -> (CoreQueries.q374MsprtRate(_, _)),
-    "q375_av_ci_rate" -> (CoreQueries.q375AvCiRate(_, _))
+    "q375_av_ci_rate" -> (CoreQueries.q375AvCiRate(_, _)),
+    "q376_isotonic_fit" -> (CoreQueries.q376IsotonicFit(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -579,7 +580,8 @@ object SparkEntry {
     "q372_cox2_from_store" -> coxPh2Oracle,
     "q373_cliffs_delta" -> cliffsDeltaOracle,
     "q374_msprt_rate" -> msprtRateOracle,
-    "q375_av_ci_rate" -> avCiRateOracle)
+    "q375_av_ci_rate" -> avCiRateOracle,
+    "q376_isotonic_fit" -> isotonicOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -2845,6 +2847,40 @@ object SparkEntry {
       |g AS (SELECT c.*, t.nt, t.pt, t.nb,
       |    CAST(c.np AS HUGEINT) * 1000000000 - c.s9 AS gap9
       |  FROM cells c, tot t)""".stripMargin
+
+  /** q376 oracle: [[graft.operators.RankEval.isotonicCalibration]]
+    * replayed — the shared calibration cell CTEs, the occupied-bucket
+    * cumulative frame, the (j ≤ i ≤ k) triple minimax (every candidate
+    * average the same double division of the same exact integers), and
+    * the 1e9-landed pooled flag.
+    */
+  private lazy val isotonicOracle: String =
+    CalibCellCtes + """,
+      |occ AS (SELECT bucket, n, np, s9 FROM cells WHERE n > 0),
+      |cm AS (SELECT *,
+      |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+      |    CAST(sum(np) OVER w AS BIGINT) AS cp
+      |  FROM occ
+      |  WINDOW w AS (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tri AS (SELECT i.bucket AS bi, i.n, i.np, i.s9, j.bucket AS bj,
+      |    CAST(k.cp - (j.cp - j.np) AS DOUBLE) /
+      |      CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avgjk
+      |  FROM cm i
+      |  JOIN cm j ON j.bucket <= i.bucket
+      |  JOIN cm k ON k.bucket >= i.bucket),
+      |mj AS (SELECT bi, n, np, s9, bj, min(avgjk) AS m
+      |  FROM tri GROUP BY 1, 2, 3, 4, 5),
+      |fit AS (SELECT bi, n, np, s9, max(m) AS rate_iso
+      |  FROM mj GROUP BY 1, 2, 3, 4)
+      |SELECT bi AS bucket, n, np AS n_pos,
+      |  round(CAST(s9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 9) AS conf,
+      |  round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate_raw,
+      |  round(rate_iso, 9) AS rate_iso,
+      |  CAST(round(rate_iso * 1e9) AS BIGINT) <>
+      |    CAST(round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) AS BIGINT)
+      |    AS pooled
+      |FROM fit ORDER BY bucket""".stripMargin
 
   /** q309/q311 oracle: [[graft.operators.RankEval.expectedCalibrationError]]
     * replayed — exact |gap9| sums for ECE, per-bucket nano REL/RES terms

@@ -427,6 +427,89 @@ object RankEval {
         col("df"), col("chi2"))
   }
 
+  /** Isotonic (monotone) calibration fit from the SAME
+    * [[calibrationCells]] state — the RECALIBRATION MAP the
+    * [[expectedCalibrationError]] card says you need: the
+    * least-squares monotone-nondecreasing fit of the per-bucket
+    * positive rate against score order (Ayer et al. 1955's pool
+    * adjacent violators; Zadrozny & Elkan 2002 for classifier
+    * calibration).
+    *
+    * NOT the sequential PAVA sweep: the fit evaluates the CLOSED-FORM
+    * MINIMAX characterization
+    *
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} (P_k − P_{j−1}) / (N_k − N_{j−1})
+    *
+    * (cumulative positives P / counts N — Robertson, Wright & Dykstra
+    * 1988 §1.2), which is a pure max/min fold over (j, i, k) bucket
+    * triples — B³/6 rows on a BOUNDED bucket frame, no iteration, no
+    * order-dependent pooling state, and both engines replay it as two
+    * bounded joins + two extrema. Every candidate average is the same
+    * double division of the same exact integers in both engines, so
+    * the extrema pick identical values (ties in value are ties — only
+    * the value is read, never an argmin). Weighted-mean preservation
+    * (Σ n·fit = Σ n_pos — isotonic projection preserves the total) and
+    * minimax == sequential-PAVA are spec-pinned.
+    *
+    * Emits one row per OCCUPIED bucket in score order: bucket, n,
+    * n_pos, conf (mean score), rate_raw, rate_iso, pooled (did the fit
+    * move this bucket — a monotonicity violation lived here). The
+    * underflow/overflow buckets (−1 / nBuckets) participate in order —
+    * they ARE scores, just clipped ones.
+    *
+    * SCALE: the cell frame is bucket-bounded (≤ [[IsotonicMaxBuckets]],
+    * enforced) and localizes once ([[graft.quality.AbDashboard
+    * .materialize]] — the eager-execution contract); the triple frame
+    * is ≤ B³ local rows. The one row-scale pass is the upstream
+    * [[calibrationCells]] aggregation.
+    */
+  def isotonicCalibration(cells: DataFrame): DataFrame = {
+    val local = graft.quality.AbDashboard.materialize(
+      cells.filter(col("n") > 0L))
+    val b = local.count()
+    require(b <= IsotonicMaxBuckets,
+      s"isotonicCalibration is bounded at $IsotonicMaxBuckets buckets, got $b")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = local.select(col("bucket"), col("n"), col("n_pos"), col("s9"))
+      .withColumn("__cn", sum("n").over(w))
+      .withColumn("__cp", sum("n_pos").over(w))
+    val iFrame = cum.select(col("bucket").as("__i"), col("n"), col("n_pos"),
+      col("s9"))
+    val jFrame = cum.select(col("bucket").as("__j"),
+      (col("__cn") - col("n")).as("__nj"), (col("__cp") - col("n_pos")).as("__pj"))
+    val kFrame = cum.select(col("bucket").as("__k"),
+      col("__cn").as("__nk"), col("__cp").as("__pk"))
+    // (j <= i <= k) triples over the bounded local frame; every avg the
+    // same double division of the same exact longs in both engines
+    val triples = iFrame
+      .join(jFrame, col("__j") <= col("__i"))
+      .join(kFrame, col("__k") >= col("__i"))
+      .withColumn("__avg",
+        (col("__pk") - col("__pj")).cast("double") /
+          (col("__nk") - col("__nj")).cast("double"))
+    val innerMin = triples
+      .groupBy(col("__i"), col("n"), col("n_pos"), col("s9"), col("__j"))
+      .agg(min("__avg").as("__mj"))
+    val fit = innerMin
+      .groupBy(col("__i"), col("n"), col("n_pos"), col("s9"))
+      .agg(max("__mj").as("rate_iso"))
+    val nF = col("n").cast("double")
+    fit
+      .withColumn("conf", col("s9").cast("double") / 1e9d / nF)
+      .withColumn("rate_raw", col("n_pos").cast("double") / nF)
+      .withColumn("pooled",
+        round(col("rate_iso") * 1e9d).cast("long") =!=
+          round(col("rate_raw") * 1e9d).cast("long"))
+      .select(col("__i").as("bucket"), col("n"), col("n_pos"), col("conf"),
+        col("rate_raw"), col("rate_iso"), col("pooled"))
+  }
+
+  /** The [[isotonicCalibration]] bucket-cardinality bound: B³ local
+    * rows must stay trivially small.
+    */
+  val IsotonicMaxBuckets: Long = 128L
+
   /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
     * CATEGORICAL judges over the same items: with contingency counts
     * n_ab, marginals R_a / C_b and N items,

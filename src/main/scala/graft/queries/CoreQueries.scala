@@ -4888,6 +4888,24 @@ object CoreQueries {
       .orderBy("peek")
   }
 
+  /** Isotonic recalibration gate: the monotone fit of per-bucket
+    * positive rate over the q309 calibration cell state — the
+    * closed-form minimax evaluation over bounded bucket triples (no
+    * iteration). The oracle replays the cells, the cumulative frame,
+    * the (j ≤ i ≤ k) triple minimax, and the pooled flag.
+    */
+  def q376IsotonicFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankEval
+    val (preds, labels) = calibFrames(s, dir)
+    RankEval.isotonicCalibration(RankEval.calibrationCells(
+      preds, labels, "event_id", "score", "label", nBuckets = 10))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("conf"), 9).as("conf"),
+        round(col("rate_raw"), 9).as("rate_raw"),
+        round(col("rate_iso"), 9).as("rate_iso"), col("pooled"))
+      .orderBy("bucket")
+  }
+
   /** Ordinal effect-size gate: Cliff's δ with the consistent variance
     * and asymmetric CI beside the q221 Mann–Whitney test — the q363
     * click-vs-view fixture on integer value units. The oracle replays

@@ -964,7 +964,11 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q374_msprt_rate", maxHash = 2, maxRange = 3,
       forbidSortMergeJoin = true, forbidUdf = true),
     Shape("q375_av_ci_rate", maxHash = 2, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // isotonic fit: cells localize at construction; the read is two
+    // bounded nested-loop joins + two extrema groupings, zero scans
+    Shape("q376_isotonic_fit", maxHash = 6, maxRange = 3,
+      forbidUdf = true, maxParquetScans = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

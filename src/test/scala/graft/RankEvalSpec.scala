@@ -296,4 +296,99 @@ class RankEvalSpec extends SparkSpec {
     val or = RankEval.fleissKappa(one, "u", "l", m = 2).collect()(0)
     assert(or.isNullAt(or.fieldIndex("kappa")))
   }
+
+  // --- isotonic calibration ---------------------------------------------
+
+  private def isoCells(rows: Seq[(Long, Long, Long)]) = {
+    import org.apache.spark.sql.functions.col
+    rows.toDF("bucket", "n", "n_pos")
+      .withColumn("s9", (col("bucket") * col("n") * 100000000L)
+        .cast("decimal(38,0)"))
+  }
+
+  test("isotonic: hand golden — the classic 0/1/0.5 pooling") {
+    val out = RankEval.isotonicCalibration(isoCells(Seq(
+      (0L, 2L, 0L), (1L, 2L, 2L), (2L, 2L, 1L)))).orderBy("bucket").collect()
+    assert(out.map(_.getAs[Double]("rate_iso")).toSeq === Seq(0d, 0.75d, 0.75d))
+    assert(out.map(_.getAs[Boolean]("pooled")).toSeq ===
+      Seq(false, true, true))
+    assert(out.map(_.getAs[Double]("rate_raw")).toSeq === Seq(0d, 1d, 0.5d))
+  }
+
+  test("isotonic: already-monotone rates are fixed points; fit is always monotone; mean preserved") {
+    val mono = RankEval.isotonicCalibration(isoCells(Seq(
+      (0L, 4L, 0L), (1L, 4L, 1L), (2L, 4L, 2L), (3L, 4L, 4L))))
+      .orderBy("bucket").collect()
+    mono.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rate_iso") -
+        r.getAs[Double]("rate_raw")) < 1e-12)
+      assert(!r.getAs[Boolean]("pooled"))
+    }
+    val rnd = new scala.util.Random(20260823L)
+    for (trial <- 0 until 5) {
+      val rows = (0 until 6 + rnd.nextInt(6)).map { b =>
+        val n = 1L + rnd.nextInt(9)
+        (b.toLong, n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val out = RankEval.isotonicCalibration(isoCells(rows))
+        .orderBy("bucket").collect()
+      val fit = out.map(_.getAs[Double]("rate_iso"))
+      fit.zip(fit.tail).foreach { case (a, b) =>
+        assert(b >= a - 1e-12, s"trial $trial not monotone: ${fit.toSeq}") }
+      // the isotonic projection preserves the weighted total
+      val tot = out.map(r => r.getAs[Long]("n") * r.getAs[Double]("rate_iso")).sum
+      assert(math.abs(tot - rows.map(_._3).sum) < 1e-6,
+        s"trial $trial mean not preserved: $tot vs ${rows.map(_._3).sum}")
+    }
+  }
+
+  test("isotonic: minimax equals the sequential PAVA sweep (differential fuzz)") {
+    // independent driver-side pool-adjacent-violators over (n, sum)
+    def pava(rows: Seq[(Long, Long)]): Seq[Double] = {
+      case class Block(n: Long, s: Long)
+      val st = scala.collection.mutable.ArrayBuffer.empty[(Block, Int)]
+      for ((n, s) <- rows) {
+        var blk = Block(n, s); var cnt = 1
+        while (st.nonEmpty &&
+          st.last._1.s.toDouble / st.last._1.n >= blk.s.toDouble / blk.n) {
+          val (p, c) = st.remove(st.size - 1)
+          blk = Block(p.n + blk.n, p.s + blk.s); cnt += c
+        }
+        st.append((blk, cnt))
+      }
+      st.toSeq.flatMap { case (b, c) =>
+        Seq.fill(c)(b.s.toDouble / b.n) }
+    }
+    val rnd = new scala.util.Random(20260824L)
+    for (trial <- 0 until 6) {
+      val rows = (0 until 5 + rnd.nextInt(8)).map { b =>
+        val n = 1L + rnd.nextInt(12)
+        (b.toLong, n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val out = RankEval.isotonicCalibration(isoCells(rows))
+        .orderBy("bucket").collect()
+      val want = pava(rows.map(r => (r._2, r._3)))
+      out.map(_.getAs[Double]("rate_iso")).zip(want).zipWithIndex.foreach {
+        case ((got, w), i) =>
+          assert(math.abs(got - w) < 1e-12, s"trial $trial bucket $i: $got vs $w")
+      }
+    }
+  }
+
+  test("isotonic: the bucket-cardinality bound is enforced") {
+    val big = isoCells((0 until 200).map(b => (b.toLong, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      RankEval.isotonicCalibration(big)
+    }
+  }
+
+  test("isotonic: q376 fixture adequacy — a real violation pools at sf0.01") {
+    val out = graft.queries.CoreQueries.q376IsotonicFit(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.length >= 5)
+    val fit = out.map(_.getAs[Double]("rate_iso"))
+    fit.zip(fit.tail).foreach { case (a, b) => assert(b >= a - 1e-12) }
+    assert(out.exists(_.getAs[Boolean]("pooled")),
+      "the near-flat label rate must force real pooling")
+  }
 }
