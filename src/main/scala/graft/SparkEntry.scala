@@ -387,7 +387,10 @@ object SparkEntry {
     "q373_cliffs_delta" -> (CoreQueries.q373CliffsDelta(_, _)),
     "q374_msprt_rate" -> (CoreQueries.q374MsprtRate(_, _)),
     "q375_av_ci_rate" -> (CoreQueries.q375AvCiRate(_, _)),
-    "q376_isotonic_fit" -> (CoreQueries.q376IsotonicFit(_, _))
+    "q376_isotonic_fit" -> (CoreQueries.q376IsotonicFit(_, _)),
+    "q377_power_rate" -> (CoreQueries.q377PowerRate(_, _)),
+    "q378_ratio_cuped" -> (CoreQueries.q378RatioCuped(_, _)),
+    "q379_ratio_cuped_from_store" -> (CoreQueries.q379RatioCupedFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -581,7 +584,10 @@ object SparkEntry {
     "q373_cliffs_delta" -> cliffsDeltaOracle,
     "q374_msprt_rate" -> msprtRateOracle,
     "q375_av_ci_rate" -> avCiRateOracle,
-    "q376_isotonic_fit" -> isotonicOracle)
+    "q376_isotonic_fit" -> isotonicOracle,
+    "q377_power_rate" -> powerRateOracle,
+    "q378_ratio_cuped" -> ratioCupedOracle,
+    "q379_ratio_cuped_from_store" -> ratioCupedOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -5926,6 +5932,168 @@ object SparkEntry {
       |  CAST(ceil(2.0 * (pp * (1.0 - pp)) *
       |    ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
       |    (0.05 * 0.05)) AS BIGINT) AS n_required_per_arm
+      |FROM g""".stripMargin
+
+  /** q378/q379 oracle: [[graft.quality.RatioMetric.ratioCupedFromCells]]
+    * replayed — the split-period per-user fixture, the 14-moment
+    * HUGEINT cells per (cmp, arm), the 2-label pivot, then the
+    * delta-method linearization pieces, the within-arm pooled θ, and
+    * the optimal-θ variance identity in the operator's float order
+    * (V-terms generated mechanically).
+    */
+  private lazy val ratioCupedOracle: String = {
+    // V_ab for side s: CAST(n AS HUGEINT)*sab - sa*sb (exact)
+    def v(ab: String, a: String, b: String, s: String) =
+      s"(CAST(n$s AS HUGEINT) * $ab$s - $a$s * $b$s)"
+    def armPieces(s: String): String =
+      s"""    CASE WHEN sx$s <> 0 THEN CAST(sy$s AS DOUBLE) /
+        |      CAST(sx$s AS DOUBLE) END AS r$s,
+        |    CASE WHEN sq$s <> 0 THEN CAST(sp$s AS DOUBLE) /
+        |      CAST(sq$s AS DOUBLE) END AS rp$s""".stripMargin
+    def armStats(s: String): String = {
+      val live = s"n$s >= 2 AND sx$s <> 0 AND sq$s <> 0"
+      s"""    CASE WHEN $live THEN greatest(
+        |      (CAST(${v("syy", "sy", "sy", s)} AS DOUBLE) -
+        |        2.0 * r$s * CAST(${v("sxy", "sy", "sx", s)} AS DOUBLE) +
+        |        r$s * r$s * CAST(${v("sxx", "sx", "sx", s)} AS DOUBLE)) /
+        |      ((CAST(n$s AS DOUBLE) - 1.0) *
+        |        CAST(sx$s * sx$s AS DOUBLE)), 0.0) END AS v$s,
+        |    CASE WHEN $live THEN greatest(
+        |      (CAST(${v("spp", "sp", "sp", s)} AS DOUBLE) -
+        |        2.0 * rp$s * CAST(${v("sqp", "sp", "sq", s)} AS DOUBLE) +
+        |        rp$s * rp$s * CAST(${v("sqq", "sq", "sq", s)} AS DOUBLE)) /
+        |      ((CAST(n$s AS DOUBLE) - 1.0) *
+        |        CAST(sq$s * sq$s AS DOUBLE)), 0.0) END AS vp$s,
+        |    CASE WHEN $live THEN
+        |      (CAST(${v("syp", "sy", "sp", s)} AS DOUBLE) -
+        |        rp$s * CAST(${v("syq", "sy", "sq", s)} AS DOUBLE) -
+        |        r$s * CAST(${v("sxp", "sx", "sp", s)} AS DOUBLE) +
+        |        r$s * rp$s * CAST(${v("sxq", "sx", "sq", s)} AS DOUBLE)) /
+        |      ((CAST(n$s AS DOUBLE) - 1.0) *
+        |        CAST(sx$s * sq$s AS DOUBLE)) END AS cv$s""".stripMargin
+    }
+    val moms = Seq("n", "sy", "sx", "sp", "sq", "syy", "sxx", "sxy",
+      "spp", "sqq", "sqp", "syp", "syq", "sxp", "sxq")
+    def side(s: String, lbl: String) = moms.map(m =>
+      s"max(CASE WHEN grp = l.$lbl THEN $m END) AS $m$s").mkString(",\n|    ")
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
+      |    CASE WHEN user_id % 20 < 8 THEN 'A'
+      |      WHEN user_id % 20 < 14 THEN 'B'
+      |      WHEN user_id % 20 < 18 THEN 'C'
+      |      WHEN user_id % 20 < 19 THEN 'D' ELSE 'E' END AS arm
+      |  FROM events WHERE user_id IS NOT NULL),
+      |pu AS (SELECT user_id, arm,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 AND ((CASE
+      |      WHEN arm = 'B' THEN event_type = 'click' AND value >= 30.0
+      |      WHEN arm = 'D' THEN event_type IN ('click', 'purchase')
+      |      ELSE event_type = 'click' END) OR (user_id % 7 < 2 AND
+      |      event_type = 'purchase')) THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(sum(CASE WHEN event_id % 2 <> 0 AND event_type = 'view'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 AND (event_type = 'click'
+      |      OR (user_id % 7 < 2 AND event_type = 'purchase'))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 AND event_type = 'view'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS q
+      |  FROM ev GROUP BY 1, 2),
+      |un AS (SELECT 'AB' AS cmp, arm AS grp, y, x, p, q FROM pu
+      |    WHERE arm IN ('A', 'B')
+      |  UNION ALL SELECT 'AD', arm, y, x, p, q FROM pu
+      |    WHERE arm IN ('A', 'D')),
+      |cells AS (SELECT cmp, grp, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(x AS HUGEINT)) AS sx,
+      |    sum(CAST(p AS HUGEINT)) AS sp, sum(CAST(q AS HUGEINT)) AS sq,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(p AS HUGEINT) * p) AS spp,
+      |    sum(CAST(q AS HUGEINT) * q) AS sqq,
+      |    sum(CAST(q AS HUGEINT) * p) AS sqp,
+      |    sum(CAST(y AS HUGEINT) * p) AS syp,
+      |    sum(CAST(y AS HUGEINT) * q) AS syq,
+      |    sum(CAST(x AS HUGEINT) * p) AS sxp,
+      |    sum(CAST(x AS HUGEINT) * q) AS sxq
+      |  FROM un GROUP BY 1, 2),
+      |lab AS (SELECT cmp, min(grp) AS grp_lo, max(grp) AS grp_hi,
+      |    CAST(count(*) AS BIGINT) AS ngrps FROM cells GROUP BY 1),
+      |wide AS (SELECT c.cmp, l.grp_lo, l.grp_hi, l.ngrps,
+      |    ${side("1", "grp_lo")},
+      |    ${side("2", "grp_hi")}
+      |  FROM cells c JOIN lab l ON c.cmp = l.cmp
+      |  GROUP BY 1, 2, 3, 4),
+      |st0 AS (SELECT *,
+      |${armPieces("1")},
+      |${armPieces("2")}
+      |  FROM wide),
+      |st1 AS (SELECT *,
+      |${armStats("1")},
+      |${armStats("2")}
+      |  FROM st0),
+      |st2 AS (SELECT *,
+      |    CASE WHEN sx1 <> 0 AND sx2 <> 0 THEN
+      |      CAST(sy1 * sx2 - sy2 * sx1 AS DOUBLE) /
+      |      (CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)) END AS draw,
+      |    CASE WHEN sq1 <> 0 AND sq2 <> 0 THEN
+      |      CAST(sp1 * sq2 - sp2 * sq1 AS DOUBLE) /
+      |      (CAST(sq1 AS DOUBLE) * CAST(sq2 AS DOUBLE)) END AS dpre,
+      |    v1 + v2 AS vr, vp1 + vp2 AS vpre, cv1 + cv2 AS cov
+      |  FROM st1),
+      |st3 AS (SELECT *,
+      |    CASE WHEN vpre > 0 THEN cov / vpre END AS theta
+      |  FROM st2),
+      |st4 AS (SELECT *,
+      |    greatest(vr - cov * theta, 0.0) AS varc,
+      |    ngrps = 2 AND n1 >= 2 AND n2 >= 2 AND vpre > 0 AND
+      |      vr IS NOT NULL AND cov IS NOT NULL AS ok
+      |  FROM st3)
+      |SELECT cmp, grp_lo, grp_hi, ngrps AS n_groups,
+      |  CASE WHEN ngrps = 2 THEN n1 END AS n_lo,
+      |  CASE WHEN ngrps = 2 THEN n2 END AS n_hi,
+      |  CASE WHEN ngrps = 2 THEN round(r1, 9) END AS ratio_lo,
+      |  CASE WHEN ngrps = 2 THEN round(r2, 9) END AS ratio_hi,
+      |  CASE WHEN ngrps = 2 THEN round(draw, 9) END AS delta_raw,
+      |  CASE WHEN ngrps = 2 AND vr IS NOT NULL THEN round(sqrt(vr), 9) END
+      |    AS se_raw,
+      |  CASE WHEN ok THEN round(theta, 9) END AS theta,
+      |  CASE WHEN ok AND vr > 0 THEN
+      |    round((cov * cov) / (vpre * vr), 9) END AS rho2,
+      |  CASE WHEN ok THEN round(draw - theta * dpre, 9) END AS delta_cuped,
+      |  CASE WHEN ok THEN round(sqrt(varc), 9) END AS se_cuped,
+      |  CASE WHEN ok THEN
+      |    round(draw - theta * dpre - 1.959964 * sqrt(varc), 9) END AS ci_lo,
+      |  CASE WHEN ok THEN
+      |    round(draw - theta * dpre + 1.959964 * sqrt(varc), 9) END AS ci_hi
+      |FROM st4 ORDER BY cmp""".stripMargin
+  }
+
+  /** q377 oracle: [[graft.quality.Association.powerRateFromCounts]]
+    * replayed — parity-arm exposure/incident counts, the pooled-λ
+    * Poisson MDE and required-exposure dags at the pinned z literals.
+    */
+  private lazy val powerRateOracle: String =
+    """WITH c AS (SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS e1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value >= 150 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS e2,
+      |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND value >= 150 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS c2
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |f AS (SELECT *,
+      |    CAST(c1 + c2 AS DOUBLE) / CAST(e1 + e2 AS DOUBLE) AS lam
+      |  FROM c),
+      |g AS (SELECT *,
+      |    (1.959964 + 0.841621) * sqrt(lam * (1.0 / CAST(e1 AS DOUBLE) +
+      |      1.0 / CAST(e2 AS DOUBLE))) AS mde
+      |  FROM f)
+      |SELECT 'even' AS grp_lo, 'odd' AS grp_hi, CAST(2 AS BIGINT) AS n_groups,
+      |  e1 AS e_lo, e2 AS e_hi, round(lam, 9) AS lambda_pool,
+      |  round(mde, 9) AS mde_abs, round(mde / lam, 9) AS mde_rel,
+      |  CAST(ceil(2.0 * lam *
+      |    ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
+      |    (0.005 * 0.005)) AS BIGINT) AS e_required_per_arm
       |FROM g""".stripMargin
 
   /** q329 oracle: [[graft.quality.Association.powerMeanFromMoments]]

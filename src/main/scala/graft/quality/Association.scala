@@ -3509,6 +3509,64 @@ object Association {
     powerMeanFromMoments(moments, keyCols, targetMde, alpha, power)
   }
 
+  /** Power / MDE panel for a RATE metric A/B (count per exposure — the
+    * sizing question behind [[SequentialTests.msprtTwoRate]]'s monitor,
+    * with the Poisson plug-in variance in the [[powerTwoProportionFromCounts]]
+    * closed forms): from per-arm (exposure, count) state,
+    *
+    *   MDE(E)  = (z_{α/2} + z_{1−β}) · √(λ̄·(1/E₁ + 1/E₂)),
+    *   E(MDE)  = ⌈ 2·λ̄·(z_{α/2}+z_{1−β})² / MDE² ⌉  per arm,
+    *
+    * λ̄ = (C₁+C₂)/(E₁+E₂) the pooled rate (var of a Poisson rate
+    * estimate is λ/E). At power = 0.5 the MDE reduces exactly to the
+    * Wald radius (spec-pinned). Same pinned-z determinism, (lo, hi)
+    * orientation and NULL guards as the proportion panel; NULL when
+    * either exposure is 0 or no events at all. One row per key set.
+    */
+  def powerRateFromCounts(
+      counts: DataFrame,
+      keyCols: Seq[String],
+      targetMde: Double,
+      alpha: Double = 0.05d,
+      power: Double = 0.8d
+  ): DataFrame = {
+    require(targetMde > 0d, s"targetMde must be positive: $targetMde")
+    val (zs, zs2) = zSumCols(alpha, power)
+    val g = keyCols.map(col)
+    val wKey = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wide = counts
+      .withColumn("__ngrps", count(lit(1)).over(wKey))
+      .withColumn("grp_lo", min("grp").over(wKey))
+      .withColumn("grp_hi", max("grp").over(wKey))
+      .groupBy((g :+ col("grp_lo") :+ col("grp_hi") :+ col("__ngrps")): _*)
+      .agg(
+        max(when(col("grp") === col("grp_lo"), col("e"))).as("__e1"),
+        max(when(col("grp") === col("grp_lo"), col("c"))).as("__c1"),
+        max(when(col("grp") === col("grp_hi"), col("e"))).as("__e2"),
+        max(when(col("grp") === col("grp_hi"), col("c"))).as("__c2"))
+    val e1 = col("__e1").cast("double"); val e2 = col("__e2").cast("double")
+    val lamPool = (col("__c1") + col("__c2")).cast("double") /
+      (col("__e1") + col("__e2")).cast("double")
+    val mde = zs * sqrt(lamPool * (lit(1d) / e1 + lit(1d) / e2))
+    val eReq = ceil(lit(2d) * lamPool * zs2 /
+      (lit(targetMde) * lit(targetMde))).cast("long")
+    val two = col("__ngrps") === 2L
+    val live = two && col("__e1") > 0L && col("__e2") > 0L
+    val ok = live && (col("__c1") + col("__c2")) > 0L
+    wide
+      .withColumn("n_groups", col("__ngrps"))
+      .withColumn("e_lo", when(two, col("__e1")))
+      .withColumn("e_hi", when(two, col("__e2")))
+      .withColumn("lambda_pool", when(live, lamPool))
+      .withColumn("mde_abs", when(ok, mde))
+      .withColumn("mde_rel", when(ok, mde / lamPool))
+      .withColumn("e_required_per_arm", when(ok, eReq))
+      .select(g :+ col("grp_lo") :+ col("grp_hi") :+ col("n_groups") :+
+        col("e_lo") :+ col("e_hi") :+ col("lambda_pool") :+ col("mde_abs") :+
+        col("mde_rel") :+ col("e_required_per_arm"): _*)
+  }
+
   /** Poisson rate-ratio A/B (the classic two-rate comparison — e.g.
     * Rothman & Greenland's person-time methods): COUNT metrics with
     * EXPOSURE (crashes per active-hour, errors per request, purchases

@@ -4888,6 +4888,121 @@ object CoreQueries {
       .orderBy("peek")
   }
 
+  /** The q378 ratio-CUPED per-user fixture: current-period CTR (odd
+    * event_ids, the q369 arm-dependent numerator rules) beside the
+    * PRE-period CTR (even event_ids, arm-INDEPENDENT — it pre-dates
+    * the treatment), unioned into two 2-arm comparisons (A-vs-B and
+    * A-vs-D, opposite-signed effects). The synthetic users carry NO
+    * natural behavioral heterogeneity (measured: every split-half
+    * correlation ≈ 0), so the fixture builds a deterministic one —
+    * "premium" users (user_id % 7 < 2) count purchases in the
+    * numerator in BOTH periods — giving the halves a genuinely shared
+    * across-user ratio signal (rho2 adequacy spec-pinned).
+    */
+  private def ratioCupedPerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("arm",
+        when(col("user_id") % 20 < 8, "A")
+          .when(col("user_id") % 20 < 14, "B")
+          .when(col("user_id") % 20 < 18, "C")
+          .when(col("user_id") % 20 < 19, "D")
+          .otherwise("E"))
+    val prem = col("user_id") % 7 < 2
+    val isNum =
+      (when(col("arm") === "B",
+        col("event_type") === "click" && col("value") >= 30d)
+        .when(col("arm") === "D",
+          col("event_type").isin("click", "purchase"))
+        .otherwise(col("event_type") === "click")) ||
+        (prem && col("event_type") === "purchase")
+    val isNumPre = col("event_type") === "click" ||
+      (prem && col("event_type") === "purchase")
+    val cur = col("event_id") % 2 =!= 0
+    val pre = col("event_id") % 2 === 0
+    val pu = ev.groupBy("user_id", "arm")
+      .agg(
+        sum(when(cur && isNum, 1L).otherwise(0L)).as("y"),
+        sum(when(cur && col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(pre && isNumPre, 1L).otherwise(0L)).as("p"),
+        sum(when(pre && col("event_type") === "view", 1L).otherwise(0L))
+          .as("q"))
+    pu.filter(col("arm").isin("A", "B")).withColumn("cmp", lit("AB"))
+      .unionByName(
+        pu.filter(col("arm").isin("A", "D")).withColumn("cmp", lit("AD")))
+  }
+
+  /** Spec access to the q378 fixture (fixture-adequacy pins). */
+  def ratioCupedPerUserForSpec(s: SparkSession, dir: String): DataFrame =
+    ratioCupedPerUser(s, dir)
+
+  private def ratioCupedSelect(d: DataFrame): DataFrame =
+    d.select(col("cmp"), col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("n_lo"), col("n_hi"),
+        round(col("ratio_lo"), 9).as("ratio_lo"),
+        round(col("ratio_hi"), 9).as("ratio_hi"),
+        round(col("delta_raw"), 9).as("delta_raw"),
+        round(col("se_raw"), 9).as("se_raw"),
+        round(col("theta"), 9).as("theta"),
+        round(col("rho2"), 9).as("rho2"),
+        round(col("delta_cuped"), 9).as("delta_cuped"),
+        round(col("se_cuped"), 9).as("se_cuped"),
+        round(col("ci_lo"), 9).as("ci_lo"),
+        round(col("ci_hi"), 9).as("ci_hi"))
+      .orderBy("cmp")
+
+  /** Ratio-CUPED gate: the variance-reduced CTR read — current-period
+    * ratio difference adjusted by the pre-period ratio difference
+    * through the delta-method linearization, per comparison. The
+    * oracle replays the 14-moment cells and the whole chain.
+    */
+  def q378RatioCuped(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.RatioMetric
+    ratioCupedSelect(RatioMetric.ratioCupedFromCells(
+      RatioMetric.ratioCupedCells(ratioCupedPerUser(s, dir), Seq("cmp"),
+        "arm", "y", "x", "p", "q"),
+      Seq("cmp")))
+  }
+
+  /** The q378 read FROM THE STORE: three complete-unit batches folded
+    * via [[graft.quality.RatioMetric.mergeRatioCupedCells]] — fold ==
+    * rebuild under the q378 oracle verbatim.
+    */
+  def q379RatioCupedFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.RatioMetric
+    val pu = ratioCupedPerUser(s, dir)
+    def cellsOf(i: Int) = RatioMetric.ratioCupedCells(
+      pu.filter(col("user_id") % 3 === i), Seq("cmp"), "arm",
+      "y", "x", "p", "q")
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      RatioMetric.mergeRatioCupedCells(acc, cellsOf(i), Seq("cmp"))
+    }
+    ratioCupedSelect(RatioMetric.ratioCupedFromCells(folded, Seq("cmp")))
+  }
+
+  /** Rate power/MDE gate: the sizing panel behind the q374 rate
+    * monitor — pooled-λ Poisson MDE and required exposure per arm at
+    * the pinned z's. The oracle replays the counts and both closed
+    * forms.
+    */
+  def q377PowerRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Association
+    val counts = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(when(col("user_id") % 2 === 0, "even").otherwise("odd")
+        .as("grp"))
+      .agg(count(lit(1)).as("e"),
+        sum(when(col("value") >= 150d, 1L).otherwise(0L)).as("c"))
+    Association.powerRateFromCounts(counts, Nil, targetMde = 0.005d)
+      .select(col("grp_lo"), col("grp_hi"), col("n_groups"),
+        col("e_lo"), col("e_hi"),
+        round(col("lambda_pool"), 9).as("lambda_pool"),
+        round(col("mde_abs"), 9).as("mde_abs"),
+        round(col("mde_rel"), 9).as("mde_rel"),
+        col("e_required_per_arm"))
+  }
+
   /** Isotonic recalibration gate: the monotone fit of per-bucket
     * positive rate over the q309 calibration cell state — the
     * closed-form minimax evaluation over bounded bucket triples (no

@@ -714,6 +714,40 @@ class AbTestStatsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("powerRate: hand golden (λ̄ = 0.02, MDE 0.005 -> 12562 exposure per arm); Wald closure") {
+    // E = ⌈2·0.02·(1.959964+0.841621)²/0.005²⌉: 2·0.02·7.84888… /
+    // 0.000025 = 12558.2… → 12559-ish — computed below, not assumed
+    val counts = Seq(("A", 5000L, 100L), ("B", 5000L, 100L))
+      .toDF("grp", "e", "c")
+    val r = Association.powerRateFromCounts(
+      counts, Nil, targetMde = 0.005d).collect()(0)
+    assert(r.getAs[Double]("lambda_pool") === 0.02d)
+    val mde = zSum * math.sqrt(0.02 * (1.0 / 5000 + 1.0 / 5000))
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / 0.02) < 1e-12)
+    val eReq = math.ceil(2d * 0.02 * zSum * zSum / (0.005 * 0.005)).toLong
+    assert(r.getAs[Long]("e_required_per_arm") === eReq)
+    // at the required exposure the MDE sits at/under the target
+    val at = Association.powerRateFromCounts(
+      Seq(("A", eReq, eReq / 50), ("B", eReq, eReq / 50)).toDF("grp", "e", "c"),
+      Nil, targetMde = 0.005d).collect()(0)
+    assert(at.getAs[Double]("mde_abs") <= 0.005d + 1e-9)
+    // power = 0.5 -> the Wald radius exactly
+    val m50 = Association.powerRateFromCounts(
+      counts, Nil, targetMde = 0.005d, power = 0.5d).collect()(0)
+    val wald = 1.959964 * math.sqrt(0.02 * (1.0 / 5000 + 1.0 / 5000))
+    assert(math.abs(m50.getAs[Double]("mde_abs") - wald) < 1e-12)
+    // guards: zero counts and an empty-exposure arm flag NULL
+    val z = Association.powerRateFromCounts(
+      Seq(("A", 100L, 0L), ("B", 100L, 0L)).toDF("grp", "e", "c"),
+      Nil, targetMde = 0.005d).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("mde_abs")))
+    val e0 = Association.powerRateFromCounts(
+      Seq(("A", 100L, 5L), ("B", 0L, 0L)).toDF("grp", "e", "c"),
+      Nil, targetMde = 0.005d).collect()(0)
+    assert(e0.isNullAt(e0.fieldIndex("lambda_pool")))
+  }
+
   test("powerMean: hand moments golden (σ² = 2, MDE 1 -> 32 per arm)") {
     // A = {0,2}, B = {1,3}: V₁ = 2·4−4 = 4, V₂ = 2·10−16 = 4,
     // σ̂² = (4/2 + 4/2)/2 = 2; n = ⌈2·2·(z-sum)²⌉ = ⌈31.3955⌉ = 32 —

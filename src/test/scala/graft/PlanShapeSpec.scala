@@ -968,7 +968,17 @@ class PlanShapeSpec extends SparkSpec {
     // isotonic fit: cells localize at construction; the read is two
     // bounded nested-loop joins + two extrema groupings, zero scans
     Shape("q376_isotonic_fit", maxHash = 6, maxRange = 3,
-      forbidUdf = true, maxParquetScans = 0)
+      forbidUdf = true, maxParquetScans = 0),
+    // rate power panel: one counting agg + the 2-label pivot
+    Shape("q377_power_rate", maxHash = 2, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // ratio CUPED: one 14-moment agg + the keyed 2-label pivot + fixed
+    // dags (the cuped lock shape)
+    Shape("q378_ratio_cuped", maxHash = 4, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // from-store: three batch aggs + two merge folds + the pivot
+    Shape("q379_ratio_cuped_from_store", maxHash = 10, maxRange = 3,
+      forbidSortMergeJoin = true, forbidUdf = true)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {

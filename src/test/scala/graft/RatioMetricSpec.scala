@@ -167,6 +167,124 @@ class RatioMetricSpec extends SparkSpec {
       s"C should be null: ${byArm("C")}")
   }
 
+  // --- ratio CUPED ------------------------------------------------------
+
+  private def rcCells(rows: Seq[(String, Long, Long, Long, Long)]) = {
+    import graft.quality.RatioMetric
+    RatioMetric.ratioCupedCells(
+      rows.toDF("grp", "y", "x", "p", "q"), Nil, "grp", "y", "x", "p", "q")
+  }
+
+  /** independent driver-side ratio-CUPED over raw units. */
+  private def rcRef(rows: Seq[(String, Long, Long, Long, Long)])
+      : (Double, Double, Double, Double, Double) = {
+    val grps = rows.map(_._1).distinct.sorted
+    def pieces(gr: String): (Double, Double, Double, Double, Double) = {
+      val u = rows.filter(_._1 == gr)
+      val n = u.size.toDouble
+      val sy = u.map(_._2).sum.toDouble; val sx = u.map(_._3).sum.toDouble
+      val sp = u.map(_._4).sum.toDouble; val sq = u.map(_._5).sum.toDouble
+      val r = sy / sx; val rp = sp / sq
+      def vab(f: ((String, Long, Long, Long, Long)) => Double,
+          g2: ((String, Long, Long, Long, Long)) => Double,
+          sa: Double, sb: Double): Double =
+        n * u.map(z => f(z) * g2(z)).sum - sa * sb
+      val vyy = vab(_._2.toDouble, _._2.toDouble, sy, sy)
+      val vxx = vab(_._3.toDouble, _._3.toDouble, sx, sx)
+      val vxy = vab(_._2.toDouble, _._3.toDouble, sy, sx)
+      val vpp = vab(_._4.toDouble, _._4.toDouble, sp, sp)
+      val vqq = vab(_._5.toDouble, _._5.toDouble, sq, sq)
+      val vqp = vab(_._4.toDouble, _._5.toDouble, sp, sq)
+      val vyp = vab(_._2.toDouble, _._4.toDouble, sy, sp)
+      val vyq = vab(_._2.toDouble, _._5.toDouble, sy, sq)
+      val vxp = vab(_._3.toDouble, _._4.toDouble, sx, sp)
+      val vxq = vab(_._3.toDouble, _._5.toDouble, sx, sq)
+      val v = math.max((vyy - 2 * r * vxy + r * r * vxx) /
+        ((n - 1) * sx * sx), 0d)
+      val vp = math.max((vpp - 2 * rp * vqp + rp * rp * vqq) /
+        ((n - 1) * sq * sq), 0d)
+      val cv = (vyp - rp * vyq - r * vxp + r * rp * vxq) /
+        ((n - 1) * sx * sq)
+      (r, rp, v, vp, cv)
+    }
+    val (r1, rp1, v1, vp1, cv1) = pieces(grps(0))
+    val (r2, rp2, v2, vp2, cv2) = pieces(grps(1))
+    val theta = (cv1 + cv2) / (vp1 + vp2)
+    val draw = r1 - r2; val dpre = rp1 - rp2
+    val varc = math.max((v1 + v2) - (cv1 + cv2) * theta, 0d)
+    (theta, draw, draw - theta * dpre, math.sqrt(v1 + v2), math.sqrt(varc))
+  }
+
+  test("ratioCuped: differential fuzz vs the driver reference; never wider than raw") {
+    import graft.quality.RatioMetric
+    val rnd = new scala.util.Random(20260825L)
+    for (trial <- 0 until 5) {
+      // pre-period correlated with current by construction (shared base)
+      val rows = (0 until 30 + rnd.nextInt(30)).map { i =>
+        val base = 1 + rnd.nextInt(10)
+        val g = if (i % 2 == 0) "A" else "B"
+        (g, (base + rnd.nextInt(4)).toLong, (2 * base + rnd.nextInt(5)).toLong,
+          (base + rnd.nextInt(4)).toLong, (2 * base + rnd.nextInt(5)).toLong)
+      }
+      val got = RatioMetric.ratioCupedFromCells(rcCells(rows), Nil).collect()(0)
+      val (theta, draw, dc, seR, seC) = rcRef(rows)
+      assert(math.abs(got.getAs[Double]("theta") - theta) < 1e-10,
+        s"trial $trial theta")
+      assert(math.abs(got.getAs[Double]("delta_raw") - draw) < 1e-12)
+      assert(math.abs(got.getAs[Double]("delta_cuped") - dc) < 1e-10,
+        s"trial $trial cuped")
+      assert(math.abs(got.getAs[Double]("se_raw") - seR) < 1e-12)
+      assert(math.abs(got.getAs[Double]("se_cuped") - seC) < 1e-10)
+      // the optimal-theta algebra: adjusted never wider than raw
+      assert(got.getAs[Double]("se_cuped") <= got.getAs[Double]("se_raw") + 1e-12)
+    }
+  }
+
+  test("ratioCuped: identical periods give theta = 1, zero adjusted effect AND variance") {
+    import graft.quality.RatioMetric
+    val rnd = new scala.util.Random(20260826L)
+    val rows = (0 until 40).map { i =>
+      val y = 1L + rnd.nextInt(6); val x = 2L + rnd.nextInt(8)
+      (if (i % 2 == 0) "A" else "B", y, x, y, x)
+    }
+    val r = RatioMetric.ratioCupedFromCells(rcCells(rows), Nil).collect()(0)
+    assert(math.abs(r.getAs[Double]("theta") - 1d) < 1e-9)
+    assert(math.abs(r.getAs[Double]("delta_cuped")) < 1e-12)
+    assert(r.getAs[Double]("se_cuped") < 1e-9)
+    assert(math.abs(r.getAs[Double]("rho2") - 1d) < 1e-9)
+  }
+
+  test("ratioCuped: constant pre-period flags NULL (theta undefined), raw read survives") {
+    import graft.quality.RatioMetric
+    val rows = Seq(("A", 3L, 5L, 1L, 2L), ("A", 2L, 4L, 1L, 2L),
+      ("B", 4L, 5L, 1L, 2L), ("B", 1L, 3L, 1L, 2L))
+    val r = RatioMetric.ratioCupedFromCells(rcCells(rows), Nil).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("theta")))
+    assert(r.isNullAt(r.fieldIndex("delta_cuped")))
+    assert(!r.isNullAt(r.fieldIndex("delta_raw")))
+    assert(!r.isNullAt(r.fieldIndex("se_raw")))
+  }
+
+  test("ratioCuped: q378 fixture adequacy — real variance reduction, opposite-signed effects") {
+    val out = graft.queries.CoreQueries.q378RatioCuped(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.length === 2)
+    val byCmp = out.map(r => r.getAs[String]("cmp") -> r).toMap
+    byCmp.values.foreach { r =>
+      assert(r.getAs[Double]("rho2") > 0.05,
+        s"pre-period must genuinely predict: $r")
+      assert(r.getAs[Double]("se_cuped") < r.getAs[Double]("se_raw"))
+    }
+    assert(byCmp("AB").getAs[Double]("delta_cuped") > 0,
+      s"A beats B (B's numerator is cut): ${byCmp("AB")}")
+    assert(byCmp("AD").getAs[Double]("delta_cuped") < 0,
+      s"D beats A: ${byCmp("AD")}")
+    // fold == rebuild
+    val q379 = graft.queries.CoreQueries.q379RatioCupedFromStore(
+      spark, "/root/testdata/sf0.01").collect()
+    out.zip(q379).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
   test("ratioDelta: fold == rebuild over mergeAbCells") {
     val q369 = graft.queries.CoreQueries.q369RatioDelta(
       spark, "/root/testdata/sf0.001").collect()
