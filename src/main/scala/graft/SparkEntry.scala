@@ -390,7 +390,9 @@ object SparkEntry {
     "q376_isotonic_fit" -> (CoreQueries.q376IsotonicFit(_, _)),
     "q377_power_rate" -> (CoreQueries.q377PowerRate(_, _)),
     "q378_ratio_cuped" -> (CoreQueries.q378RatioCuped(_, _)),
-    "q379_ratio_cuped_from_store" -> (CoreQueries.q379RatioCupedFromStore(_, _))
+    "q379_ratio_cuped_from_store" -> (CoreQueries.q379RatioCupedFromStore(_, _)),
+    "q380_bayes_rate" -> (CoreQueries.q380BayesRate(_, _)),
+    "q381_bayes_rate_from_store" -> (CoreQueries.q381BayesRateFromStore(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -587,7 +589,9 @@ object SparkEntry {
     "q376_isotonic_fit" -> isotonicOracle,
     "q377_power_rate" -> powerRateOracle,
     "q378_ratio_cuped" -> ratioCupedOracle,
-    "q379_ratio_cuped_from_store" -> ratioCupedOracle)
+    "q379_ratio_cuped_from_store" -> ratioCupedOracle,
+    "q380_bayes_rate" -> bayesRateOracle,
+    "q381_bayes_rate_from_store" -> bayesRateOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -5933,6 +5937,100 @@ object SparkEntry {
       |    ((1.959964 + 0.841621) * (1.959964 + 0.841621)) /
       |    (0.05 * 0.05)) AS BIGINT) AS n_required_per_arm
       |FROM g""".stripMargin
+
+  /** q380/q381 oracle: [[graft.quality.BayesRate.bayesRateKArmFromCells]]
+    * replayed — the k-arm increment state, the conjugate integer
+    * posteriors, the landed-log term series (both α-variants on one
+    * j-frame), the 1e15-quantized terms, the three NB tail sums, and
+    * the loss dags in the operator's float order.
+    */
+  private lazy val bayesRateOracle: String =
+    """WITH ev AS (SELECT user_id, value,
+      |    CASE WHEN user_id % 20 < 8 THEN 'A'
+      |      WHEN user_id % 20 < 14 THEN 'B'
+      |      WHEN user_id % 20 < 18 THEN 'C'
+      |      WHEN user_id % 20 < 19 THEN 'D' ELSE 'E' END AS arm
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |inc AS (SELECT arm, CAST(user_id % 6 AS BIGINT) AS peek,
+      |    CAST(count(*) AS BIGINT) AS e,
+      |    CAST(sum(CASE WHEN value >= (CASE WHEN arm = 'B' THEN 170.0
+      |      WHEN arm = 'D' THEN 130.0 ELSE 150.0 END) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM ev WHERE arm IN ('A','B','C','D') GROUP BY 1, 2),
+      |spine AS (SELECT a.arm, p.peek
+      |  FROM (VALUES ('A'), ('B'), ('C'), ('D')) a(arm)
+      |  CROSS JOIN (SELECT DISTINCT peek FROM inc) p),
+      |cum AS (SELECT arm, peek,
+      |    CAST(sum(coalesce(i.e, 0)) OVER w AS BIGINT) AS e,
+      |    CAST(sum(coalesce(i.c, 0)) OVER w AS BIGINT) AS c
+      |  FROM spine sp LEFT JOIN inc i USING (arm, peek)
+      |  WINDOW w AS (PARTITION BY arm ORDER BY peek
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |post AS (SELECT *, 1 + c AS a_post, 1 + e AS b_post FROM cum),
+      |pair AS (SELECT t.arm, t.peek,
+      |    t.e AS e_arm, t.c AS c_arm, t.a_post AS at, t.b_post AS bt,
+      |    c.e AS e_ctl, c.c AS c_ctl, c.a_post AS ac, c.b_post AS bc
+      |  FROM post t JOIN post c ON t.peek = c.peek
+      |    AND t.arm <> 'A' AND c.arm = 'A'),
+      |base AS (SELECT *,
+      |    CAST(round(ln(CAST(bt AS DOUBLE) / CAST(bt + bc AS DOUBLE)) * 1e12)
+      |      AS BIGINT) AS lnp12,
+      |    CAST(round(ln(CAST(bc AS DOUBLE) / CAST(bt + bc AS DOUBLE)) * 1e12)
+      |      AS BIGINT) AS lnq12
+      |  FROM pair),
+      |jf AS (SELECT *, unnest(range(0, at + 1)) AS j FROM base),
+      |lr AS (SELECT *,
+      |    CASE WHEN j = 0 THEN 0 ELSE
+      |      CAST(round(ln((CAST(ac AS DOUBLE) + CAST(j AS DOUBLE) - 1.0) /
+      |        CAST(j AS DOUBLE)) * 1e12) AS BIGINT) END AS lra12,
+      |    CASE WHEN j = 0 THEN 0 ELSE
+      |      CAST(round(ln((CAST(ac AS DOUBLE) + CAST(j AS DOUBLE)) /
+      |        CAST(j AS DOUBLE)) * 1e12) AS BIGINT) END AS lrb12
+      |  FROM jf),
+      |wl AS (SELECT *,
+      |    sum(lra12 + lnp12) OVER wj - lnp12 + ac * lnq12 AS la12,
+      |    sum(lrb12 + lnp12) OVER wj - lnp12 + (ac + 1) * lnq12 AS lb12
+      |  FROM lr
+      |  WINDOW wj AS (PARTITION BY arm, peek ORDER BY j
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tm AS (SELECT *,
+      |    CASE WHEN la12 < -80000000000000 THEN 0 ELSE
+      |      CAST(round(exp(CAST(la12 AS DOUBLE) / 1e12) * 1e15) AS BIGINT)
+      |      END AS ta15,
+      |    CASE WHEN lb12 < -80000000000000 THEN 0 ELSE
+      |      CAST(round(exp(CAST(lb12 AS DOUBLE) / 1e12) * 1e15) AS BIGINT)
+      |      END AS tb15
+      |  FROM wl),
+      |agg AS (SELECT arm, peek, max(e_arm) AS e_arm, max(c_arm) AS c_arm,
+      |    max(at) AS at, max(bt) AS bt,
+      |    max(e_ctl) AS e_ctl, max(c_ctl) AS c_ctl,
+      |    max(ac) AS ac, max(bc) AS bc,
+      |    sum(CAST(CASE WHEN j < at THEN ta15 ELSE 0 END AS HUGEINT)) AS s0,
+      |    sum(CAST(ta15 AS HUGEINT)) AS s1,
+      |    sum(CAST(CASE WHEN j < at THEN tb15 ELSE 0 END AS HUGEINT)) AS s2
+      |  FROM tm GROUP BY 1, 2),
+      |fin AS (SELECT *,
+      |    CAST(s0 AS DOUBLE) / 1e15 AS p0,
+      |    CAST(s1 AS DOUBLE) / 1e15 AS p1,
+      |    CAST(s2 AS DOUBLE) / 1e15 AS p2,
+      |    CAST(at AS DOUBLE) / CAST(bt AS DOUBLE) AS mt,
+      |    CAST(ac AS DOUBLE) / CAST(bc AS DOUBLE) AS mc,
+      |    sqrt(CAST(at AS DOUBLE)) / CAST(bt AS DOUBLE) AS sdt,
+      |    sqrt(CAST(ac AS DOUBLE)) / CAST(bc AS DOUBLE) AS sdc
+      |  FROM agg)
+      |SELECT peek, arm, e_arm, c_arm,
+      |  at AS a_arm, bt AS b_arm,
+      |  round(mt, 9) AS post_mean_arm, round(sdt, 9) AS post_sd_arm,
+      |  round(mt - 1.959964 * sdt, 9) AS cred_lo_arm,
+      |  round(mt + 1.959964 * sdt, 9) AS cred_hi_arm,
+      |  e_ctl, c_ctl, ac AS a_ctl, bc AS b_ctl,
+      |  round(mc, 9) AS post_mean_ctl, round(sdc, 9) AS post_sd_ctl,
+      |  round(mc - 1.959964 * sdc, 9) AS cred_lo_ctl,
+      |  round(mc + 1.959964 * sdc, 9) AS cred_hi_ctl,
+      |  round(p0, 9) AS p_beat_ctl,
+      |  round(mc * (1.0 - p2) - mt * (1.0 - p1), 9) AS exp_loss_arm,
+      |  round(mt * p1 - mc * p2, 9) AS exp_loss_ctl
+      |FROM fin ORDER BY peek, arm""".stripMargin
 
   /** q378/q379 oracle: [[graft.quality.RatioMetric.ratioCupedFromCells]]
     * replayed — the split-period per-user fixture, the 14-moment

@@ -4981,6 +4981,90 @@ object CoreQueries {
     ratioCupedSelect(RatioMetric.ratioCupedFromCells(folded, Seq("cmp")))
   }
 
+  /** The q380 k-arm RATE increment state: per (arm, peek) each designed
+    * arm's event exposure and incident count, incident threshold
+    * ARM-DEPENDENT (B ≥ 170 → genuinely lower rate, D ≥ 130 → higher,
+    * A/C/E ≥ 150) so B-vs-A and D-vs-A carry real opposite-signed rate
+    * shifts while C-vs-A is null (adequacy spec-pinned).
+    */
+  private def ratePerArmK(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("arm",
+        when(col("user_id") % 20 < 8, "A")
+          .when(col("user_id") % 20 < 14, "B")
+          .when(col("user_id") % 20 < 18, "C")
+          .when(col("user_id") % 20 < 19, "D")
+          .otherwise("E"))
+      .withColumn("__thr",
+        when(col("arm") === "B", 170d)
+          .when(col("arm") === "D", 130d).otherwise(150d))
+    ev.groupBy(col("arm"), (col("user_id") % 6).as("peek"))
+      .agg(count(lit(1)).as("e"),
+        sum(when(col("value") >= col("__thr"), 1L).otherwise(0L)).as("c"))
+  }
+
+  /** Spec access to the q380 increment state (fixture-adequacy pins). */
+  def ratePerArmKForSpec(s: SparkSession, dir: String): DataFrame =
+    ratePerArmK(s, dir)
+
+  private def bayesRateSelect(d: DataFrame): DataFrame =
+    d.select(col("peek"), col("arm"), col("e_arm"), col("c_arm"),
+        col("a_arm"), col("b_arm"),
+        round(col("post_mean_arm"), 9).as("post_mean_arm"),
+        round(col("post_sd_arm"), 9).as("post_sd_arm"),
+        round(col("cred_lo_arm"), 9).as("cred_lo_arm"),
+        round(col("cred_hi_arm"), 9).as("cred_hi_arm"),
+        col("e_ctl"), col("c_ctl"), col("a_ctl"), col("b_ctl"),
+        round(col("post_mean_ctl"), 9).as("post_mean_ctl"),
+        round(col("post_sd_ctl"), 9).as("post_sd_ctl"),
+        round(col("cred_lo_ctl"), 9).as("cred_lo_ctl"),
+        round(col("cred_hi_ctl"), 9).as("cred_hi_ctl"),
+        round(col("p_beat_ctl"), 9).as("p_beat_ctl"),
+        round(col("exp_loss_arm"), 9).as("exp_loss_arm"),
+        round(col("exp_loss_ctl"), 9).as("exp_loss_ctl"))
+      .orderBy("peek", "arm")
+
+  /** Bayesian RATE read gate: Gamma–Poisson posteriors over the k-arm
+    * exposure/count state — P(beat control) and both expected losses
+    * by the exact negative-binomial tails. The oracle replays the
+    * landed-log series, the quantized terms, and all three sums.
+    */
+  def q380BayesRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.BayesRate
+    bayesRateSelect(BayesRate.bayesRateKArmFromCells(
+      ratePerArmK(s, dir), arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
+
+  /** The q380 read FROM THE STORE: three complete-user batches of
+    * increments folded additively — fold == rebuild under the q380
+    * oracle verbatim.
+    */
+  def q381BayesRateFromStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.BayesRate
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("arm",
+        when(col("user_id") % 20 < 8, "A")
+          .when(col("user_id") % 20 < 14, "B")
+          .when(col("user_id") % 20 < 18, "C")
+          .when(col("user_id") % 20 < 19, "D")
+          .otherwise("E"))
+      .withColumn("__thr",
+        when(col("arm") === "B", 170d)
+          .when(col("arm") === "D", 130d).otherwise(150d))
+    def cellsOf(i: Int) = ev.filter(col("user_id") % 3 === i)
+      .groupBy(col("arm"), (col("user_id") % 6).as("peek"))
+      .agg(count(lit(1)).as("e"),
+        sum(when(col("value") >= col("__thr"), 1L).otherwise(0L)).as("c"))
+    val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
+      acc.unionByName(cellsOf(i)).groupBy("arm", "peek")
+        .agg(sum("e").as("e"), sum("c").as("c"))
+    }
+    bayesRateSelect(BayesRate.bayesRateKArmFromCells(
+      folded, arms = Seq("A", "B", "C", "D"), control = "A"))
+  }
+
   /** Rate power/MDE gate: the sizing panel behind the q374 rate
     * monitor — pooled-λ Poisson MDE and required exposure per arm at
     * the pinned z's. The oracle replays the counts and both closed

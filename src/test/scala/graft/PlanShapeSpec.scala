@@ -978,7 +978,13 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // from-store: three batch aggs + two merge folds + the pivot
     Shape("q379_ratio_cuped_from_store", maxHash = 10, maxRange = 3,
-      forbidSortMergeJoin = true, forbidUdf = true)
+      forbidSortMergeJoin = true, forbidUdf = true),
+    // Gamma-Poisson rate read: increments localize at construction; the
+    // read is the generated j-series windows + one bounded agg
+    Shape("q380_bayes_rate", maxHash = 6, maxRange = 2, forbidUdf = true,
+      maxParquetScans = 0),
+    Shape("q381_bayes_rate_from_store", maxHash = 6, maxRange = 2,
+      forbidUdf = true, maxParquetScans = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
