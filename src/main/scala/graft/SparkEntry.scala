@@ -392,7 +392,8 @@ object SparkEntry {
     "q378_ratio_cuped" -> (CoreQueries.q378RatioCuped(_, _)),
     "q379_ratio_cuped_from_store" -> (CoreQueries.q379RatioCupedFromStore(_, _)),
     "q380_bayes_rate" -> (CoreQueries.q380BayesRate(_, _)),
-    "q381_bayes_rate_from_store" -> (CoreQueries.q381BayesRateFromStore(_, _))
+    "q381_bayes_rate_from_store" -> (CoreQueries.q381BayesRateFromStore(_, _)),
+    "q382_bayes_best" -> (CoreQueries.q382BayesBest(_, _))
   )
 
   /** DuckDB-compatible oracle SQL per query (same parquet tables). */
@@ -591,7 +592,8 @@ object SparkEntry {
     "q378_ratio_cuped" -> ratioCupedOracle,
     "q379_ratio_cuped_from_store" -> ratioCupedOracle,
     "q380_bayes_rate" -> bayesRateOracle,
-    "q381_bayes_rate_from_store" -> bayesRateOracle)
+    "q381_bayes_rate_from_store" -> bayesRateOracle,
+    "q382_bayes_best" -> bayesBestOracle)
 
   // lazy: entries interpolate/reference shared SQL vals declared LATER in
   // this object (Bm25OracleSql, QualityRefitCtes, …) — a strict val here
@@ -1999,6 +2001,56 @@ object SparkEntry {
       |  CASE WHEN ok THEN round(delta + 1.959964 * sed, 9) END AS ci_hi,
       |  ok
       |FROM j2 ORDER BY peek, arm""".stripMargin
+  }
+
+  /** q382 oracle: [[graft.quality.BayesAb.bayesBestKArmFromCells]]
+    * replayed — the q359 grid CTEs verbatim, then the k-wide (peek, i)
+    * pivot, the fixed-order half-tie cdf products, integer-rounded
+    * terms summed order-free, one division per arm.
+    */
+  private lazy val bayesBestOracle: String = {
+    val gridCtes = bayesAbOracle.substring(0,
+      bayesAbOracle.indexOf(",\nst AS"))
+    def cdf(a: String) =
+      s"(CAST(2 * c$a + q$a AS DOUBLE) / CAST(2 * w$a AS DOUBLE))"
+    def pivArm(a: String) =
+      s"""max(CASE WHEN arm = '$a' THEN q END) AS q$a,
+        |    max(CASE WHEN arm = '$a' THEN cumlt END) AS c$a,
+        |    max(CASE WHEN arm = '$a' THEN w END) AS w$a""".stripMargin
+    def term(t: String) = {
+      val prod = Seq("A", "B", "C", "D").filter(_ != t).map(cdf)
+        .mkString(" * ")
+      s"""sum(CAST(round(CAST(q$t AS DOUBLE) * ($prod)) AS HUGEINT))
+        |      AS s$t, max(w$t) AS wm$t""".stripMargin
+    }
+    gridCtes + s""",
+      |piv AS (SELECT peek, i,
+      |    ${pivArm("A")},
+      |    ${pivArm("B")},
+      |    ${pivArm("C")},
+      |    ${pivArm("D")}
+      |  FROM cs GROUP BY 1, 2),
+      |ag AS (SELECT peek,
+      |    ${term("A")},
+      |    ${term("B")},
+      |    ${term("C")},
+      |    ${term("D")}
+      |  FROM piv GROUP BY 1),
+      |un AS (
+      |  SELECT peek, 'A' AS arm,
+      |    CAST(sA AS DOUBLE) / CAST(wmA AS DOUBLE) AS p_best FROM ag
+      |  UNION ALL SELECT peek, 'B',
+      |    CAST(sB AS DOUBLE) / CAST(wmB AS DOUBLE) FROM ag
+      |  UNION ALL SELECT peek, 'C',
+      |    CAST(sC AS DOUBLE) / CAST(wmC AS DOUBLE) FROM ag
+      |  UNION ALL SELECT peek, 'D',
+      |    CAST(sD AS DOUBLE) / CAST(wmD AS DOUBLE) FROM ag)
+      |SELECT c.peek, u.arm, c.n, c.s_hit,
+      |  round(CAST(1 + c.s_hit AS DOUBLE) / CAST(2 + c.n AS DOUBLE), 9)
+      |    AS post_mean,
+      |  round(u.p_best, 9) AS p_best
+      |FROM un u JOIN cum c ON c.peek = u.peek AND c.arm = u.arm
+      |ORDER BY c.peek, u.arm""".stripMargin
   }
 
   private lazy val bayesAbOracle: String = {

@@ -177,6 +177,94 @@ object BayesAb {
         col("q"), col("cumlt"), col("cumiq"), col("w"))
   }
 
+  /** P(BEST): the genuinely multi-arm Bayesian column — per (arm,
+    * peek), the probability the arm's conversion rate is the HIGHEST
+    * of ALL k designed arms (what a k-arm launch review actually asks;
+    * pairwise P(beat control) answers a different question once k > 2
+    * and does not sum to anything). On the shared quantized grid,
+    *
+    *   P(best_t) = Σ_i q_t[i] · Π_{a≠t} cdf_a[i]  /  W_t,
+    *   cdf_a[i] = (2·cumlt_a[i] + q_a[i]) / (2·W_a)
+    *
+    * (grid ties split half each — the pairwise convention; for k = 2
+    * this IS the [[bayesAbKArmFromCells]] p_beat integral, spec-pinned
+    * to 1e-9). Determinism: the cdf products are fixed-order double
+    * dags over exact integers (arms order, skipping t, left-assoc —
+    * rendered identically in SQL); each grid term ROUNDS TO AN INTEGER
+    * before the sum (terms are ≤ q_t[i] ~ 10¹³, so the ±0.5 rounding is
+    * ≤ 4·10³ against W-scale 10¹⁶ sums — 9dp-invisible and ORDER-FREE),
+    * and P(best) is one division. Σ_t P(best_t) = 1 up to quantization
+    * (spec-pinned). Emits ALL designed arms (the best-read has no
+    * control side): peek, arm, n, s_hit, post_mean, p_best.
+    *
+    * SCALE: the same (arms × peeks × 2¹³) grid frame as the pairwise
+    * read, one (peek, i)-keyed k-wide pivot, one aggregation. k is
+    * bounded small (a design has 2–10 arms).
+    */
+  def bayesBestKArmFromCells(
+      cells: DataFrame,
+      arms: Seq[String],
+      a0: Long = 1L,
+      b0: Long = 1L
+  ): DataFrame = {
+    require(arms.distinct.size == arms.size && arms.size >= 2,
+      s"need >= 2 distinct designed arms: $arms")
+    require(a0 >= 1L && b0 >= 1L, s"integer prior must be proper: a0=$a0 b0=$b0")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val local = AbDashboard.materialize(
+      cells.filter(col("arm").isin(arms: _*)))
+    val peeks = local.select(col("peek")).distinct()
+    val armsDf = broadcast(arms.toDF("arm"))
+    val full = peeks.crossJoin(armsDf)
+      .join(local.select(col("arm"), col("peek"), col("n"), col("s_hit")),
+        Seq("arm", "peek"), "left")
+      .select(col("arm"), col("peek"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("s_hit"), lit(0L)).as("s_hit"))
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.select(col("arm"), col("peek"),
+      sum("n").over(wCum).as("n"), sum("s_hit").over(wCum).as("s_hit"))
+    val g = posteriorGrid(cum, a0, b0)
+    val pivCols = arms.flatMap { a =>
+      Seq(max(when(col("arm") === a, col("q"))).as(s"__q_$a"),
+        max(when(col("arm") === a, col("cumlt"))).as(s"__c_$a"),
+        max(when(col("arm") === a, col("w"))).as(s"__w_$a"))
+    }
+    val piv = g.groupBy(col("peek"), col("i"))
+      .agg(pivCols.head, pivCols.tail: _*)
+    def cdf(a: String) =
+      (lit(2L) * col(s"__c_$a") + col(s"__q_$a")).cast("double") /
+        (lit(2L) * col(s"__w_$a")).cast("double")
+    val termCols = arms.map { t =>
+      val prod = arms.filter(_ != t).map(cdf).reduce(_ * _)
+      sum(round(col(s"__q_$t").cast("double") * prod).cast(dec))
+        .as(s"__s_$t")
+    }
+    val wCols = arms.map(a => max(col(s"__w_$a")).as(s"__wm_$a"))
+    val agg = piv.groupBy(col("peek"))
+      .agg((termCols ++ wCols).head, (termCols ++ wCols).tail: _*)
+    // unpivot to (peek, arm, p_best) — ONE explode over a k-struct
+    // array (a union of per-arm selects would re-execute the whole
+    // grid chain once per arm)
+    val pairs = arms.map { t =>
+      struct(lit(t).as("arm"),
+        (col(s"__s_$t").cast("double") / col(s"__wm_$t").cast("double"))
+          .as("p_best"))
+    }
+    val perArm = agg
+      .select(col("peek"), explode(array(pairs: _*)).as("__kv"))
+      .select(col("peek"), col("__kv.arm").as("arm"),
+        col("__kv.p_best").as("p_best"))
+    cum
+      .withColumn("post_mean", (lit(a0) + col("s_hit")).cast("double") /
+        (lit(a0 + b0) + col("n")).cast("double"))
+      .join(perArm, Seq("peek", "arm"))
+      .select(col("peek"), col("arm"), col("n"), col("s_hit"),
+        col("post_mean"), col("p_best"))
+  }
+
   /** The k-arm Bayesian dashboard read from a (possibly folded)
     * [[AbDashboard.abCells]] frame: one row per (peek, treatment arm)
     * with both posteriors' summaries and the comparison integrals

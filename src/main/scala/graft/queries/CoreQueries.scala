@@ -4981,6 +4981,23 @@ object CoreQueries {
     ratioCupedSelect(RatioMetric.ratioCupedFromCells(folded, Seq("cmp")))
   }
 
+  /** P(best) gate: per (arm, peek) the probability the arm's conversion
+    * rate is the highest of ALL FOUR designed arms — the genuinely
+    * multi-arm Bayesian column on the q345 cell state. The oracle
+    * replays the grid, the k-wide pivot, the fixed-order cdf products,
+    * and the integer-rounded term sums.
+    */
+  def q382BayesBest(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.{AbDashboard, BayesAb}
+    BayesAb.bayesBestKArmFromCells(
+      AbDashboard.abCells(abPerUserK(s, dir), "arm", "peek", "y", "x", "hit"),
+      arms = Seq("A", "B", "C", "D"))
+      .select(col("peek"), col("arm"), col("n"), col("s_hit"),
+        round(col("post_mean"), 9).as("post_mean"),
+        round(col("p_best"), 9).as("p_best"))
+      .orderBy("peek", "arm")
+  }
+
   /** The q380 k-arm RATE increment state: per (arm, peek) each designed
     * arm's event exposure and incident count, incident threshold
     * ARM-DEPENDENT (B ≥ 170 → genuinely lower rate, D ≥ 130 → higher,

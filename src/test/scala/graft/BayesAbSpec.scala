@@ -197,6 +197,71 @@ class BayesAbSpec extends SparkSpec {
     }
   }
 
+  // --- P(best) ----------------------------------------------------------
+
+  test("bayesBest: k = 2 reduces to the pairwise p_beat; probabilities sum to 1") {
+    val cells = cellsOf(Seq(("C", 0L, 40L, 10L), ("T", 0L, 38L, 16L),
+      ("C", 1L, 30L, 9L), ("T", 1L, 25L, 12L)))
+    val best = BayesAb.bayesBestKArmFromCells(cells, Seq("C", "T"))
+      .orderBy("peek", "arm").collect()
+    val pair = run(cells, Seq("C", "T"), "C").orderBy("peek").collect()
+    assert(best.length === 4)
+    // T's P(best) == the pairwise P(T beats C); C's == the complement
+    for (p <- 0 to 1) {
+      val bT = best.filter(r => r.getAs[Long]("peek") == p &&
+        r.getAs[String]("arm") == "T")(0).getAs[Double]("p_best")
+      val bC = best.filter(r => r.getAs[Long]("peek") == p &&
+        r.getAs[String]("arm") == "C")(0).getAs[Double]("p_best")
+      val pb = pair(p).getAs[Double]("p_beat_ctl")
+      assert(math.abs(bT - pb) < 1e-9, s"peek $p: $bT vs pairwise $pb")
+      assert(math.abs(bT + bC - 1d) < 1e-9, s"peek $p sums to ${bT + bC}")
+    }
+  }
+
+  test("bayesBest: three empty arms split P(best) exactly three ways") {
+    val out = BayesAb.bayesBestKArmFromCells(
+      cellsOf(Seq(("A", 0L, 0L, 0L), ("B", 0L, 0L, 0L), ("C", 0L, 0L, 0L))),
+      Seq("A", "B", "C")).collect()
+    assert(out.length === 3)
+    out.foreach(r =>
+      assert(math.abs(r.getAs[Double]("p_best") - 1d / 3d) < 1e-6, r.toString))
+  }
+
+  test("bayesBest: exact rational differential on a 3-arm posterior") {
+    // P(X best) = ∫ f_X · F_Y · F_Z — the poly toolkit extends directly
+    def exactBest(a1: Int, b1: Int, a2: Int, b2: Int,
+        a3: Int, b3: Int): Double = {
+      val fX = betaPdf(a1, b1)
+      val inner = pMul(pMul(fX, pInt(betaPdf(a2, b2))), pInt(betaPdf(a3, b3)))
+      evalAt1(pInt(inner)).toDouble
+    }
+    val cells = cellsOf(Seq(("A", 0L, 6L, 2L), ("B", 0L, 5L, 3L),
+      ("C", 0L, 7L, 4L)))
+    val out = BayesAb.bayesBestKArmFromCells(cells, Seq("A", "B", "C"))
+      .collect().map(r => r.getAs[String]("arm") -> r.getAs[Double]("p_best"))
+      .toMap
+    // posteriors: A ~ Beta(3,5), B ~ Beta(4,3), C ~ Beta(5,4)
+    assert(math.abs(out("A") - exactBest(3, 5, 4, 3, 5, 4)) < 1e-5, out.toString)
+    assert(math.abs(out("B") - exactBest(4, 3, 3, 5, 5, 4)) < 1e-5)
+    assert(math.abs(out("C") - exactBest(5, 4, 3, 5, 4, 3)) < 1e-5)
+    assert(math.abs(out.values.sum - 1d) < 1e-6)
+  }
+
+  test("bayesBest: q382 fixture adequacy — B's lower threshold genuinely wins") {
+    val pu = graft.queries.CoreQueries.abPerUserKForSpec(
+      spark, "/root/testdata/sf0.01")
+    val cells = graft.quality.AbDashboard.abCells(
+      pu, "arm", "peek", "y", "x", "hit")
+    val out = BayesAb.bayesBestKArmFromCells(cells, Seq("A", "B", "C", "D"))
+      .filter(col("peek") === 5L).collect()
+    val byArm = out.map(r => r.getAs[String]("arm") -> r).toMap
+    assert(math.abs(out.map(_.getAs[Double]("p_best")).sum - 1d) < 1e-6)
+    assert(byArm("B").getAs[Double]("p_best") > 0.9,
+      s"B converts at >= 200 — it should dominate: ${byArm.mapValues(_.getAs[Double]("p_best"))}")
+    assert(byArm("D").getAs[Double]("p_best") < 0.05,
+      "D converts at >= 300 — it should be out of the race")
+  }
+
   test("bayesAb: empty-peek spine carries the prior (no NULLs, p_beat 1/2 at the gap)") {
     // arm T silent at peek 0, arrives at peek 1: peek-0 row reads the
     // prior against the control's posterior — live, never NULL

@@ -984,7 +984,10 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q380_bayes_rate", maxHash = 6, maxRange = 2, forbidUdf = true,
       maxParquetScans = 0),
     Shape("q381_bayes_rate_from_store", maxHash = 6, maxRange = 2,
-      forbidUdf = true, maxParquetScans = 0)
+      forbidUdf = true, maxParquetScans = 0),
+    // P(best): the q359 grid + one k-wide pivot + one agg, zero scans
+    Shape("q382_bayes_best", maxHash = 8, maxRange = 2, forbidUdf = true,
+      maxParquetScans = 0)
   )
 
   for (s <- shapes) test(s"plan shape: ${s.query}") {
