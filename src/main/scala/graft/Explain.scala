@@ -21,9 +21,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query '$name'; have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-    fn(spark, sfDir).explain("formatted")
+    // comma-separated names print one labeled plan each (single-JVM batch)
+    name.split(",").foreach { n =>
+      val fn = SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query '$n'; have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      println(s"[explain] ===== $n =====")
+      fn(spark, sfDir).explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,20 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(js.stageInfos.size)
+        starts.put(js.jobId, System.nanoTime())
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = starts.remove(je.jobId)
+        if (t0 != 0L) jobMs.addAndGet((System.nanoTime() - t0) / 1000000L)
+      }
+    })
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
@@ -32,10 +46,12 @@ object Probe {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.executedPlan // force optimize + physical planning
         val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
         val tag = if (i == 0) "warmup" else s"rep$i"
-        println(f"[probe] $name $tag: construct ${(t1 - t0) / 1e9}%.3f s, execute ${(t2 - t1) / 1e9}%.3f s")
+        println(f"[probe] $name $tag: construct ${(t1 - t0) / 1e9}%.3f s, plan ${(t2 - t1) / 1e9}%.3f s, run ${(t3 - t2) / 1e9}%.3f s, jobs ${jobs.getAndSet(0)}, stages ${stages.getAndSet(0)}, jobwall ${jobMs.getAndSet(0) / 1000.0}%.2f s")
       }
     }
     spark.stop()

@@ -1046,12 +1046,7 @@ object Survival {
       iters: Int = 8
   ): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters must be in [1, 32]: $iters")
-    val dec = "decimal(38,0)"
     val g = keyCols.map(col)
-    def keyed(a: DataFrame, b: DataFrame): DataFrame =
-      if (keyCols.isEmpty) a.crossJoin(broadcast(b)) else a.join(broadcast(b), keyCols)
-    def grouped(d: DataFrame, extra: Seq[Column] = Nil) =
-      if (keyCols.isEmpty && extra.isEmpty) d.groupBy() else d.groupBy(g ++ extra: _*)
     val cells = cellsIn.select(g ++ Seq(col(covCol).cast("long").as("__z"),
       col("t"), col("n_event").cast("long").as("__d"),
       col("n_censored").cast("long").as("__c")): _*)
@@ -1073,95 +1068,140 @@ object Survival {
       .withColumn("__r", sum(col("__d") + col("__c")).over(wRisk))
       .withColumn("__zmin", min("__z").over(wKey))
       .withColumn("__zp", col("__z") - col("__zmin"))
-    // localize ONCE: (z × t)-bounded, reused by iters+1 passes
-    val risk = graft.quality.AbDashboard.materialize(riskAll)
-    val totals = grouped(risk.filter(col("__d") + col("__c") > 0L))
-      .agg(sum(col("__d") + col("__c")).as("n"),
-        sum(col("__d")).as("n_events"),
-        max(col("__zmin")).as("cov_min"))
-    // one Newton/evaluation pass at the state's beta: per event time the
-    // nano-landed U/I terms from exact S0/S1/S2 sums, then the key fold
-    def pass(state: DataFrame): DataFrame = {
-      val bz = col("beta") * col("__zp").cast("double")
-      // ANSI: the kernel must not even be COMPUTED past the bound —
-      // e^{bz} for runaway bz overflows the DECIMAL cast before the
-      // bad flag could null it downstream
-      val ez9 = when(bz <= lit(30d), round(exp(bz) * 1e9d).cast(dec))
-      val zpD = col("__zp").cast(dec)
-      val joined = keyed(risk, state)
-        .withColumn("__ez9", ez9)
-        .withColumn("__over",
-          when(bz > lit(30d), 1L).otherwise(0L))
-      val perT = grouped(joined, Seq(col("t")))
-        .agg(max("beta").as("beta"),
-          sum("__d").as("__dt"),
-          sum(col("__z").cast(dec) * col("__d").cast(dec)).as("__s1t"),
-          sum(col("__zmin").cast(dec) * col("__d").cast(dec)).as("__sm1t"),
-          sum(col("__r").cast(dec) * col("__ez9")).as("__S0"),
-          sum(col("__r").cast(dec) * zpD * col("__ez9")).as("__S1"),
-          sum(col("__r").cast(dec) * zpD * zpD * col("__ez9")).as("__S2"),
-          sum("__over").as("__bad"))
-        .filter(col("__dt") > 0L)
-      // s1 on the SHIFTED covariate: Σ z'·d = Σ z·d − zmin·Σ d
-      val r1 = col("__S1").cast("double") / col("__S0").cast("double")
-      val r2 = col("__S2").cast("double") / col("__S0").cast("double")
-      val s1p = (col("__s1t") - col("__sm1t")).cast("double")
-      val dD = col("__dt").cast("double")
-      val u9 = round((s1p - dD * r1) * 1e9d).cast(dec)
-      val i9 = round((dD * (r2 - r1 * r1)) * 1e9d).cast(dec)
-      grouped(perT
-          .withColumn("__u9", u9)
-          .withColumn("__i9", i9))
-        .agg(max("beta").as("beta"),
-          sum("__u9").as("u9"), sum("__i9").as("i9"),
-          sum("__bad").as("bad"))
+    // localize ONCE: (z × t)-bounded, then fold the iters+1 Newton
+    // passes ON THE DRIVER over the collected grid (the chiSquareStat
+    // bounded-driver-fold idiom, r17 optimization): the lazily-composed
+    // engine dag ran 9 passes × (broadcast + two aggregations) as ~46
+    // scheduler jobs over a ≤(z × t)-row local relation — pure fixed
+    // cost at any scale. Every float/decimal op below replicates the
+    // engine expression IT REPLACED bit-for-bit (Round = HALF_UP on the
+    // shortest-decimal reading of the double, decimal sums = exact
+    // BigInt, decimal→double = correctly-rounded nearest), so the
+    // DuckDB oracle — which replays the same fixed dags — still hashes
+    // identically; the gates at both SFs and the differential fuzz pin
+    // that equivalence.
+    val riskRows = riskAll.collect()
+    val rs = riskAll.schema
+    val zi = rs.fieldIndex("__z"); val ti = rs.fieldIndex("t")
+    val di = rs.fieldIndex("__d"); val ci = rs.fieldIndex("__c")
+    val ri = rs.fieldIndex("__r"); val zmi = rs.fieldIndex("__zmin")
+    val zpi = rs.fieldIndex("__zp")
+    val kIdx = keyCols.map(rs.fieldIndex)
+    final case class Cell(z: Long, t: Long, d: Long, c: Long, r: Long,
+      zmin: Long, zp: Long)
+    def cellOf(r: org.apache.spark.sql.Row) = Cell(r.getLong(zi), r.getLong(ti),
+      r.getLong(di), r.getLong(ci), r.getLong(ri), r.getLong(zmi), r.getLong(zpi))
+    val groups: Seq[(Seq[Any], Seq[Cell])] =
+      if (keyCols.isEmpty) Seq(Seq.empty[Any] -> riskRows.toSeq.map(cellOf))
+      else riskRows.toSeq.groupBy(r => kIdx.map(r.get): Seq[Any])
+        .view.mapValues(_.map(cellOf)).toSeq
+        // a NULL key never equi-joins: the engine dag's inner joins
+        // dropped such groups, so the fold does too
+        .filter(!_._1.contains(null))
+    // (beta carried through the pass, ΣU₉, ΣI₉, Σbad) — None = SQL NULL
+    final case class Pass(beta: Option[Double], u9: Option[BigInt],
+      i9: Option[BigInt], bad: Option[Long])
+    def rnd0(x: Double): Double = // Spark Round(double, 0)
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def toDec(x: Double): BigInt = // Spark Cast(double → decimal(38,0))
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    def d2d(b: BigInt): Double = // Spark Cast(decimal → double)
+      new java.math.BigDecimal(b.bigInteger).doubleValue
+    def pass(rows: Seq[Cell], beta: Option[Double]): Pass = {
+      val perRow = rows.map { cl =>
+        val bz = beta.map(_ * cl.zp.toDouble)
+        val ez9 = bz.filter(_ <= 30d).map(b => toDec(rnd0(math.exp(b) * 1e9d)))
+        val over = if (bz.exists(_ > 30d)) 1L else 0L
+        (cl, ez9, over)
+      }
+      val terms = perRow.groupBy(_._1.t).valuesIterator.flatMap { grp =>
+        val dt = grp.iterator.map(_._1.d).sum
+        if (dt <= 0L) None else Some {
+          val s1t = grp.iterator.map(x => BigInt(x._1.z) * BigInt(x._1.d)).sum
+          val sm1t = grp.iterator.map(x => BigInt(x._1.zmin) * BigInt(x._1.d)).sum
+          val live = grp.filter(_._2.isDefined)
+          val bad = grp.iterator.map(_._3).sum
+          val u9i9: (Option[BigInt], Option[BigInt]) =
+            if (live.isEmpty) (None, None)
+            else {
+              val s0 = live.iterator.map(x => BigInt(x._1.r) * x._2.get).sum
+              val s1 = live.iterator.map(x => BigInt(x._1.r) * BigInt(x._1.zp) * x._2.get).sum
+              val s2 = live.iterator.map(x => BigInt(x._1.r) * BigInt(x._1.zp) * BigInt(x._1.zp) * x._2.get).sum
+              val s0d = d2d(s0)
+              val r1 = d2d(s1) / s0d
+              val r2 = d2d(s2) / s0d
+              val s1p = d2d(s1t - sm1t)
+              val dD = dt.toDouble
+              (Some(toDec(rnd0((s1p - dD * r1) * 1e9d))),
+                Some(toDec(rnd0((dD * (r2 - r1 * r1)) * 1e9d))))
+            }
+          (u9i9._1, u9i9._2, bad)
+        }
+      }.toSeq
+      if (terms.isEmpty) Pass(None, None, None, None)
+      else Pass(
+        if (beta.isDefined) beta else None,
+        Some(terms.flatMap(_._1)).filter(_.nonEmpty).map(_.sum),
+        Some(terms.flatMap(_._2)).filter(_.nonEmpty).map(_.sum),
+        Some(terms.iterator.map(_._3).sum))
     }
-    def stepOf(p: DataFrame): DataFrame = {
-      val ok = col("bad") === 0L && col("i9") > lit(0L).cast(dec)
-      val delta = col("u9").cast("double") / col("i9").cast("double")
-      p.select(g ++ Seq(when(ok, col("beta") + delta).as("beta"),
-        when(ok, delta).as("__step")): _*)
+    // stepOf: when(bad = 0 AND i9 > 0, beta + U/I) — else SQL NULL
+    def stepOf(p: Pass): (Option[Double], Option[Double]) = {
+      val ok = p.bad.contains(0L) && p.i9.exists(_ > 0)
+      if (!ok) (None, None)
+      else {
+        val delta = d2d(p.u9.get) / d2d(p.i9.get)
+        (p.beta.map(_ + delta), Some(delta))
+      }
     }
-    // seed beta = 0 from the LOCAL risk frame (seeding from the raw
-    // cells would drag one extra row-scale scan into the read plan)
-    val init = grouped(risk).agg(lit(0d).as("beta"))
-      .select(g :+ col("beta"): _*)
-    val first = pass(init)
-    val score = first.select(g ++ Seq(
-      col("u9").cast("string").as("u0_9"), col("i9").cast("string").as("i0_9"),
-      when(col("i9") > lit(0L).cast(dec),
-        col("u9").cast("double") / lit(1e9d) /
-          sqrt(col("i9").cast("double") / lit(1e9d))).as("z_score")): _*)
-    var state = stepOf(first)
-    for (_ <- 2 to iters) state = stepOf(pass(state))
-    // final evaluation at beta-hat: I for the se, the last step for the
-    // convergence read
-    val fin = pass(state.select(g :+ col("beta"): _*))
-    val lastStep9 = round(col("__step") * 1e9d).cast("long")
-    val okF = col("bad") === 0L && col("i9") > lit(0L).cast(dec) &&
-      col("beta").isNotNull
-    val out = keyed(
-      keyed(totals, score),
-      fin.select(g ++ Seq(col("beta"), col("i9").as("__if9"),
-        col("bad").as("__badf")): _*))
-    val withStep =
-      if (keyCols.isEmpty) out.crossJoin(broadcast(state.select(col("__step"))))
-      else out.join(broadcast(state.select(g :+ col("__step"): _*)), keyCols)
-    val seB = lit(1d) / sqrt(col("__if9").cast("double") / lit(1e9d))
-    withStep
-      .withColumn("__okf", col("__badf") === 0L &&
-        col("__if9") > lit(0L).cast(dec) && col("beta").isNotNull)
-      .withColumn("beta", when(col("__okf"), col("beta")))
-      .withColumn("se_beta", when(col("__okf"), seB))
-      .withColumn("hr", when(col("__okf"), exp(col("beta"))))
-      .withColumn("last_step9", when(col("__okf"), lastStep9))
-      .withColumn("converged",
-        when(col("__okf"), lastStep9 === 0L).otherwise(lit(false)))
-      .withColumn("n_iter", lit(iters))
-      .select(g ++ Seq(col("n"), col("n_events"), col("cov_min"),
-        col("u0_9"), col("i0_9"), col("z_score"), col("beta"),
-        col("se_beta"), col("hr"), col("last_step9"), col("converged"),
-        col("n_iter")): _*)
+    val outRows = groups.flatMap { case (key, rows) =>
+      val nz = rows.filter(cl => cl.d + cl.c > 0L)
+      // a keyed group with no data rows OR no event time (all censored)
+      // produced NO perT/fin rows in the engine dag, so the inner joins
+      // dropped it; replicate both drops (global keyCols=Nil keeps its
+      // one null-aggregate row either way)
+      val hasEventTime = rows.groupBy(_.t).valuesIterator
+        .exists(_.iterator.map(_.d).sum > 0L)
+      if (keyCols.nonEmpty && (nz.isEmpty || !hasEventTime)) None
+      else Some {
+        val n = if (nz.isEmpty) null else Long.box(nz.iterator.map(cl => cl.d + cl.c).sum)
+        val nEvents = if (nz.isEmpty) null else Long.box(nz.iterator.map(_.d).sum)
+        val covMin = if (nz.isEmpty) null else Long.box(nz.iterator.map(_.zmin).max)
+        val first = pass(rows, Some(0d))
+        val u09 = first.u9.map(_.toString).orNull
+        val i09 = first.i9.map(_.toString).orNull
+        val zScore: Any =
+          if (first.i9.exists(_ > 0))
+            first.u9.map(u => Double.box(d2d(u) / 1e9d / math.sqrt(d2d(first.i9.get) / 1e9d))).orNull
+          else null
+        var state = stepOf(first)
+        for (_ <- 2 to iters) state = stepOf(pass(rows, state._1))
+        val fin = pass(rows, state._1)
+        val okF = fin.bad.contains(0L) && fin.i9.exists(_ > 0) && fin.beta.isDefined
+        val last9 = if (okF) state._2.map(s => Long.box(rnd0(s * 1e9d).toLong)).orNull else null
+        val betaOut = if (okF) fin.beta.map(Double.box).orNull else null
+        val seOut = if (okF) Double.box(1d / math.sqrt(d2d(fin.i9.get) / 1e9d)) else null
+        val hrOut = if (okF) fin.beta.map(b => Double.box(math.exp(b))).orNull else null
+        val conv: Any =
+          if (!okF) Boolean.box(false)
+          else if (last9 == null) null // unreachable given okF ⇒ step defined
+          else Boolean.box(last9.asInstanceOf[java.lang.Long].longValue == 0L)
+        org.apache.spark.sql.Row.fromSeq(key ++ Seq(n, nEvents, covMin,
+          u09, i09, zScore, betaOut, seOut, hrOut, last9, conv, Int.box(iters)))
+      }
+    }
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(
+      keyCols.map(k => rs(rs.fieldIndex(k))) ++ Seq(
+        StructField("n", LongType), StructField("n_events", LongType),
+        StructField("cov_min", LongType), StructField("u0_9", StringType),
+        StructField("i0_9", StringType), StructField("z_score", DoubleType),
+        StructField("beta", DoubleType), StructField("se_beta", DoubleType),
+        StructField("hr", DoubleType), StructField("last_step9", LongType),
+        StructField("converged", BooleanType), StructField("n_iter", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    cellsIn.sparkSession.createDataFrame(outRows.asJava, outSchema)
   }
 
   /** Cox proportional hazards with TWO integer covariates (the
@@ -1217,12 +1257,7 @@ object Survival {
       iters: Int = 8
   ): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters must be in [1, 32]: $iters")
-    val dec = "decimal(38,0)"
     val g = keyCols.map(col)
-    def keyed(a: DataFrame, b: DataFrame): DataFrame =
-      if (keyCols.isEmpty) a.crossJoin(broadcast(b)) else a.join(broadcast(b), keyCols)
-    def grouped(d: DataFrame, extra: Seq[Column] = Nil) =
-      if (keyCols.isEmpty && extra.isEmpty) d.groupBy() else d.groupBy(g ++ extra: _*)
     val cells = cellsIn.select(g ++ Seq(
       col(covCol1).cast("long").as("__za"), col(covCol2).cast("long").as("__zb"),
       col("t"), col("n_event").cast("long").as("__d"),
@@ -1248,133 +1283,165 @@ object Survival {
       .withColumn("__zbmin", min("__zb").over(wKey))
       .withColumn("__zap", col("__za") - col("__zamin"))
       .withColumn("__zbp", col("__zb") - col("__zbmin"))
-    val risk = graft.quality.AbDashboard.materialize(riskAll)
-    val totals = grouped(risk.filter(col("__d") + col("__c") > 0L))
-      .agg(sum(col("__d") + col("__c")).as("n"),
-        sum(col("__d")).as("n_events"),
-        max(col("__zamin")).as("cov1_min"),
-        max(col("__zbmin")).as("cov2_min"))
-    // one Newton/evaluation pass at the state's (ba, bb)
-    def pass(state: DataFrame): DataFrame = {
-      val bz = col("ba") * col("__zap").cast("double") +
-        col("bb") * col("__zbp").cast("double")
-      val ez9 = when(bz <= lit(30d), round(exp(bz) * 1e9d).cast(dec))
-      val zaD = col("__zap").cast(dec); val zbD = col("__zbp").cast(dec)
-      val joined = keyed(risk, state)
-        .withColumn("__ez9", ez9)
-        .withColumn("__over", when(bz > lit(30d), 1L).otherwise(0L))
-      val rD = col("__r").cast(dec)
-      val perT = grouped(joined, Seq(col("t")))
-        .agg(max("ba").as("ba"), max("bb").as("bb"),
-          sum("__d").as("__dt"),
-          sum(col("__zap").cast(dec) * col("__d").cast(dec)).as("__s1at"),
-          sum(col("__zbp").cast(dec) * col("__d").cast(dec)).as("__s1bt"),
-          sum(rD * col("__ez9")).as("__S0"),
-          sum(rD * zaD * col("__ez9")).as("__S1a"),
-          sum(rD * zbD * col("__ez9")).as("__S1b"),
-          sum(rD * zaD * zaD * col("__ez9")).as("__S2aa"),
-          sum(rD * zaD * zbD * col("__ez9")).as("__S2ab"),
-          sum(rD * zbD * zbD * col("__ez9")).as("__S2bb"),
-          sum("__over").as("__bad"))
-        .filter(col("__dt") > 0L)
-      val s0 = col("__S0").cast("double")
-      val r1a = col("__S1a").cast("double") / s0
-      val r1b = col("__S1b").cast("double") / s0
-      val r2aa = col("__S2aa").cast("double") / s0
-      val r2ab = col("__S2ab").cast("double") / s0
-      val r2bb = col("__S2bb").cast("double") / s0
-      val dD = col("__dt").cast("double")
-      val ua9 = round((col("__s1at").cast("double") - dD * r1a) * 1e9d).cast(dec)
-      val ub9 = round((col("__s1bt").cast("double") - dD * r1b) * 1e9d).cast(dec)
-      val iaa9 = round((dD * (r2aa - r1a * r1a)) * 1e9d).cast(dec)
-      val iab9 = round((dD * (r2ab - r1a * r1b)) * 1e9d).cast(dec)
-      val ibb9 = round((dD * (r2bb - r1b * r1b)) * 1e9d).cast(dec)
-      grouped(perT
-          .withColumn("__ua9", ua9).withColumn("__ub9", ub9)
-          .withColumn("__iaa9", iaa9).withColumn("__iab9", iab9)
-          .withColumn("__ibb9", ibb9))
-        .agg(max("ba").as("ba"), max("bb").as("bb"),
-          sum("__ua9").as("ua9"), sum("__ub9").as("ub9"),
-          sum("__iaa9").as("iaa9"), sum("__iab9").as("iab9"),
-          sum("__ibb9").as("ibb9"),
-          sum("__bad").as("bad"))
+    // localize ONCE, then fold the iters+1 2-covariate Newton passes ON
+    // THE DRIVER over the collected ((za,zb) × t) grid — the same
+    // bounded-driver-fold rewrite as [[coxPhFromCells]] (r17
+    // optimization; see the determinism note there): every float/decimal
+    // op replicates the engine expression it replaced bit-for-bit, the
+    // Cramer determinant and step numerators stay EXACT BigInt.
+    val riskRows = riskAll.collect()
+    val rs = riskAll.schema
+    val ti = rs.fieldIndex("t")
+    val di = rs.fieldIndex("__d"); val ci = rs.fieldIndex("__c")
+    val ri = rs.fieldIndex("__r")
+    val zami = rs.fieldIndex("__zamin"); val zbmi = rs.fieldIndex("__zbmin")
+    val zapi = rs.fieldIndex("__zap"); val zbpi = rs.fieldIndex("__zbp")
+    val kIdx = keyCols.map(rs.fieldIndex)
+    final case class Cell(t: Long, d: Long, c: Long, r: Long,
+      zamin: Long, zbmin: Long, zap: Long, zbp: Long)
+    def cellOf(r: org.apache.spark.sql.Row) = Cell(r.getLong(ti),
+      r.getLong(di), r.getLong(ci), r.getLong(ri),
+      r.getLong(zami), r.getLong(zbmi), r.getLong(zapi), r.getLong(zbpi))
+    val groups: Seq[(Seq[Any], Seq[Cell])] =
+      if (keyCols.isEmpty) Seq(Seq.empty[Any] -> riskRows.toSeq.map(cellOf))
+      else riskRows.toSeq.groupBy(r => kIdx.map(r.get): Seq[Any])
+        .view.mapValues(_.map(cellOf)).toSeq
+        .filter(!_._1.contains(null)) // NULL keys never equi-join
+    final case class Pass(ba: Option[Double], bb: Option[Double],
+      ua9: Option[BigInt], ub9: Option[BigInt], iaa9: Option[BigInt],
+      iab9: Option[BigInt], ibb9: Option[BigInt], bad: Option[Long])
+    def rnd0(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def toDec(x: Double): BigInt =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    def d2d(b: BigInt): Double =
+      new java.math.BigDecimal(b.bigInteger).doubleValue
+    def pass(rows: Seq[Cell], ba: Option[Double], bb: Option[Double]): Pass = {
+      val perRow = rows.map { cl =>
+        // bz = ba*zap + bb*zbp — SQL null if either beta is null
+        val bz = for (a <- ba; b <- bb)
+          yield a * cl.zap.toDouble + b * cl.zbp.toDouble
+        val ez9 = bz.filter(_ <= 30d).map(b => toDec(rnd0(math.exp(b) * 1e9d)))
+        val over = if (bz.exists(_ > 30d)) 1L else 0L
+        (cl, ez9, over)
+      }
+      val terms = perRow.groupBy(_._1.t).valuesIterator.flatMap { grp =>
+        val dt = grp.iterator.map(_._1.d).sum
+        if (dt <= 0L) None else Some {
+          val s1at = grp.iterator.map(x => BigInt(x._1.zap) * BigInt(x._1.d)).sum
+          val s1bt = grp.iterator.map(x => BigInt(x._1.zbp) * BigInt(x._1.d)).sum
+          val live = grp.filter(_._2.isDefined)
+          val bad = grp.iterator.map(_._3).sum
+          if (live.isEmpty)
+            (None: Option[BigInt], None: Option[BigInt], None: Option[BigInt],
+              None: Option[BigInt], None: Option[BigInt], bad)
+          else {
+            val s0 = live.iterator.map(x => BigInt(x._1.r) * x._2.get).sum
+            val s1a = live.iterator.map(x => BigInt(x._1.r) * BigInt(x._1.zap) * x._2.get).sum
+            val s1b = live.iterator.map(x => BigInt(x._1.r) * BigInt(x._1.zbp) * x._2.get).sum
+            val s2aa = live.iterator.map(x => BigInt(x._1.r) * BigInt(x._1.zap) * BigInt(x._1.zap) * x._2.get).sum
+            val s2ab = live.iterator.map(x => BigInt(x._1.r) * BigInt(x._1.zap) * BigInt(x._1.zbp) * x._2.get).sum
+            val s2bb = live.iterator.map(x => BigInt(x._1.r) * BigInt(x._1.zbp) * BigInt(x._1.zbp) * x._2.get).sum
+            val s0d = d2d(s0)
+            val r1a = d2d(s1a) / s0d; val r1b = d2d(s1b) / s0d
+            val r2aa = d2d(s2aa) / s0d; val r2ab = d2d(s2ab) / s0d
+            val r2bb = d2d(s2bb) / s0d
+            val dD = dt.toDouble
+            (Some(toDec(rnd0((d2d(s1at) - dD * r1a) * 1e9d))),
+              Some(toDec(rnd0((d2d(s1bt) - dD * r1b) * 1e9d))),
+              Some(toDec(rnd0((dD * (r2aa - r1a * r1a)) * 1e9d))),
+              Some(toDec(rnd0((dD * (r2ab - r1a * r1b)) * 1e9d))),
+              Some(toDec(rnd0((dD * (r2bb - r1b * r1b)) * 1e9d))), bad)
+          }
+        }
+      }.toSeq
+      if (terms.isEmpty) Pass(None, None, None, None, None, None, None, None)
+      else Pass(ba, bb,
+        Some(terms.flatMap(_._1)).filter(_.nonEmpty).map(_.sum),
+        Some(terms.flatMap(_._2)).filter(_.nonEmpty).map(_.sum),
+        Some(terms.flatMap(_._3)).filter(_.nonEmpty).map(_.sum),
+        Some(terms.flatMap(_._4)).filter(_.nonEmpty).map(_.sum),
+        Some(terms.flatMap(_._5)).filter(_.nonEmpty).map(_.sum),
+        Some(terms.iterator.map(_._6).sum))
     }
-    // EXACT determinant and step numerators in DECIMAL (~1e28 scale —
-    // inside DECIMAL(38,0) for the bounded-covariate contract)
-    def detOf(p: DataFrame): DataFrame = p
-      .withColumn("__det9",
-        col("iaa9") * col("ibb9") - col("iab9") * col("iab9"))
-      .withColumn("__na",
-        col("ibb9") * col("ua9") - col("iab9") * col("ub9"))
-      .withColumn("__nb",
-        col("iaa9") * col("ub9") - col("iab9") * col("ua9"))
-    def stepOf(p: DataFrame): DataFrame = {
+    // EXACT determinant and step numerators (BigInt — the decimal dag)
+    final case class Det(det9: Option[BigInt], na: Option[BigInt], nb: Option[BigInt])
+    def detOf(p: Pass): Det = Det(
+      for (iaa <- p.iaa9; ibb <- p.ibb9; iab <- p.iab9) yield iaa * ibb - iab * iab,
+      for (ibb <- p.ibb9; ua <- p.ua9; iab <- p.iab9; ub <- p.ub9) yield ibb * ua - iab * ub,
+      for (iaa <- p.iaa9; ub <- p.ub9; iab <- p.iab9; ua <- p.ua9) yield iaa * ub - iab * ua)
+    def stepOf(p: Pass): (Option[Double], Option[Double], Option[Double], Option[Double]) = {
       val d = detOf(p)
-      val zeroD = lit(0L).cast(dec)
-      val ok = col("bad") === 0L && col("__det9") > zeroD &&
-        col("iaa9") > zeroD
-      val da = col("__na").cast("double") / col("__det9").cast("double")
-      val db = col("__nb").cast("double") / col("__det9").cast("double")
-      d.select(g ++ Seq(
-        when(ok, col("ba") + da).as("ba"),
-        when(ok, col("bb") + db).as("bb"),
-        when(ok, da).as("__stepa"), when(ok, db).as("__stepb")): _*)
+      val ok = p.bad.contains(0L) && d.det9.exists(_ > 0) && p.iaa9.exists(_ > 0)
+      if (!ok) (None, None, None, None)
+      else {
+        val da = d2d(d.na.get) / d2d(d.det9.get)
+        val db = d2d(d.nb.get) / d2d(d.det9.get)
+        (p.ba.map(_ + da), p.bb.map(_ + db), Some(da), Some(db))
+      }
     }
-    val init = grouped(risk).agg(lit(0d).as("ba"), lit(0d).as("bb"))
-      .select(g ++ Seq(col("ba"), col("bb")): _*)
-    val first = pass(init)
-    val d0 = detOf(first)
-    val zeroD = lit(0L).cast(dec)
-    // 2-df score chi2 = U0' I0^-1 U0: exact-decimal pieces, float fold
-    val chi0 = (col("ua9").cast("double") * col("__na").cast("double") +
-      col("ub9").cast("double") * col("__nb").cast("double")) /
-      col("__det9").cast("double") / lit(1e9d)
-    val score = d0.select(g ++ Seq(
-      col("ua9").cast("string").as("u0a_9"),
-      col("ub9").cast("string").as("u0b_9"),
-      col("__det9").cast("string").as("det0_9"),
-      when(col("__det9") > zeroD && col("iaa9") > zeroD, chi0)
-        .as("score_chi2")): _*)
-    var state = stepOf(first)
-    for (_ <- 2 to iters) state = stepOf(pass(state))
-    val fin = detOf(pass(state.select(g ++ Seq(col("ba"), col("bb")): _*)))
-    val lastA9 = round(col("__stepa") * 1e9d).cast("long")
-    val lastB9 = round(col("__stepb") * 1e9d).cast("long")
-    val out = keyed(
-      keyed(totals, score),
-      fin.select(g ++ Seq(col("ba"), col("bb"),
-        col("iaa9").as("__fiaa9"), col("ibb9").as("__fibb9"),
-        col("__det9").as("__fdet9"), col("bad").as("__badf")): _*))
-    val withStep =
-      if (keyCols.isEmpty)
-        out.crossJoin(broadcast(state.select(col("__stepa"), col("__stepb"))))
-      else out.join(broadcast(
-        state.select(g ++ Seq(col("__stepa"), col("__stepb")): _*)), keyCols)
-    val seA = sqrt(col("__fibb9").cast("double") * lit(1e9d) /
-      col("__fdet9").cast("double"))
-    val seB = sqrt(col("__fiaa9").cast("double") * lit(1e9d) /
-      col("__fdet9").cast("double"))
-    withStep
-      .withColumn("__okf", col("__badf") === 0L &&
-        col("__fdet9") > zeroD && col("__fiaa9") > zeroD &&
-        col("ba").isNotNull)
-      .withColumn("beta1", when(col("__okf"), col("ba")))
-      .withColumn("beta2", when(col("__okf"), col("bb")))
-      .withColumn("se_beta1", when(col("__okf"), seA))
-      .withColumn("se_beta2", when(col("__okf"), seB))
-      .withColumn("hr1", when(col("__okf"), exp(col("ba"))))
-      .withColumn("hr2", when(col("__okf"), exp(col("bb"))))
-      .withColumn("last_step_a9", when(col("__okf"), lastA9))
-      .withColumn("last_step_b9", when(col("__okf"), lastB9))
-      .withColumn("converged",
-        when(col("__okf"), lastA9 === 0L && lastB9 === 0L)
-          .otherwise(lit(false)))
-      .withColumn("n_iter", lit(iters))
-      .select(g ++ Seq(col("n"), col("n_events"), col("cov1_min"),
-        col("cov2_min"), col("u0a_9"), col("u0b_9"), col("det0_9"),
-        col("score_chi2"), col("beta1"), col("se_beta1"), col("hr1"),
-        col("beta2"), col("se_beta2"), col("hr2"),
-        col("last_step_a9"), col("last_step_b9"), col("converged"),
-        col("n_iter")): _*)
+    val outRows = groups.flatMap { case (key, rows) =>
+      val nz = rows.filter(cl => cl.d + cl.c > 0L)
+      val hasEventTime = rows.groupBy(_.t).valuesIterator
+        .exists(_.iterator.map(_.d).sum > 0L)
+      if (keyCols.nonEmpty && (nz.isEmpty || !hasEventTime)) None // see coxPhFromCells
+      else Some {
+        val n = if (nz.isEmpty) null else Long.box(nz.iterator.map(cl => cl.d + cl.c).sum)
+        val nEvents = if (nz.isEmpty) null else Long.box(nz.iterator.map(_.d).sum)
+        val cov1Min = if (nz.isEmpty) null else Long.box(nz.iterator.map(_.zamin).max)
+        val cov2Min = if (nz.isEmpty) null else Long.box(nz.iterator.map(_.zbmin).max)
+        val first = pass(rows, Some(0d), Some(0d))
+        val d0 = detOf(first)
+        val u0a = first.ua9.map(_.toString).orNull
+        val u0b = first.ub9.map(_.toString).orNull
+        val det0 = d0.det9.map(_.toString).orNull
+        // 2-df score chi2 = (Ua*na + Ub*nb) / det / 1e9 — float, pinned order
+        val chi0: Any =
+          if (d0.det9.exists(_ > 0) && first.iaa9.exists(_ > 0))
+            (for (ua <- first.ua9; na <- d0.na; ub <- first.ub9; nb <- d0.nb; det <- d0.det9)
+              yield Double.box((d2d(ua) * d2d(na) + d2d(ub) * d2d(nb)) / d2d(det) / 1e9d)).orNull
+          else null
+        var state = stepOf(first)
+        for (_ <- 2 to iters) state = stepOf(pass(rows, state._1, state._2))
+        val fin = pass(rows, state._1, state._2)
+        val dF = detOf(fin)
+        val okF = fin.bad.contains(0L) && dF.det9.exists(_ > 0) &&
+          fin.iaa9.exists(_ > 0) && fin.ba.isDefined
+        def ifOk(v: Option[Any]): Any = if (okF) v.orNull else null
+        val lastA9 = ifOk(state._3.map(s => Long.box(rnd0(s * 1e9d).toLong)))
+        val lastB9 = ifOk(state._4.map(s => Long.box(rnd0(s * 1e9d).toLong)))
+        val beta1 = ifOk(fin.ba.map(Double.box))
+        val beta2 = ifOk(fin.bb.map(Double.box))
+        val se1 = ifOk(Some(Double.box(
+          math.sqrt(d2d(fin.ibb9.getOrElse(BigInt(0))) * 1e9d / d2d(dF.det9.getOrElse(BigInt(1)))))))
+        val se2 = ifOk(Some(Double.box(
+          math.sqrt(d2d(fin.iaa9.getOrElse(BigInt(0))) * 1e9d / d2d(dF.det9.getOrElse(BigInt(1)))))))
+        val hr1 = ifOk(fin.ba.map(b => Double.box(math.exp(b))))
+        val hr2 = ifOk(fin.bb.map(b => Double.box(math.exp(b))))
+        val conv: Any =
+          if (!okF) Boolean.box(false)
+          else if (lastA9 == null || lastB9 == null) null // unreachable given okF
+          else Boolean.box(lastA9.asInstanceOf[java.lang.Long].longValue == 0L &&
+            lastB9.asInstanceOf[java.lang.Long].longValue == 0L)
+        org.apache.spark.sql.Row.fromSeq(key ++ Seq(n, nEvents, cov1Min,
+          cov2Min, u0a, u0b, det0, chi0, beta1, se1, hr1, beta2, se2, hr2,
+          lastA9, lastB9, conv, Int.box(iters)))
+      }
+    }
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(
+      keyCols.map(k => rs(rs.fieldIndex(k))) ++ Seq(
+        StructField("n", LongType), StructField("n_events", LongType),
+        StructField("cov1_min", LongType), StructField("cov2_min", LongType),
+        StructField("u0a_9", StringType), StructField("u0b_9", StringType),
+        StructField("det0_9", StringType), StructField("score_chi2", DoubleType),
+        StructField("beta1", DoubleType), StructField("se_beta1", DoubleType),
+        StructField("hr1", DoubleType), StructField("beta2", DoubleType),
+        StructField("se_beta2", DoubleType), StructField("hr2", DoubleType),
+        StructField("last_step_a9", LongType), StructField("last_step_b9", LongType),
+        StructField("converged", BooleanType), StructField("n_iter", IntegerType)))
+    import scala.jdk.CollectionConverters._
+    cellsIn.sparkSession.createDataFrame(outRows.asJava, outSchema)
   }
 }
