@@ -1824,7 +1824,7 @@ object SparkEntry {
     * replayed END TO END from raw events — the q345 per-user/cell/spine
     * /cumulative CTEs (counts only), then the full deterministic
     * integration: the 2¹³ midpoint grid, the shared atanh-series ln
-    * fragment (bitwise-equal to the operator's lnOdd2NCol dag), the
+    * fragment (bitwise-equal to the operator's lnOdd2N dag), the
     * 1e12 ln landing, exact HUGEINT log-kernels with the max-shift,
     * the 1e13-quantized pdf kernel, integer cumulative windows, the
     * exact-integer CI rank selections (cum·200 ≥ W·5 / W·195), and the

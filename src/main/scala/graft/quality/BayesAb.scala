@@ -1,7 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The Bayesian A/B read — the dashboard column stakeholders actually ask
@@ -18,24 +17,20 @@ import org.apache.spark.sql.functions._
   *     E[max(p_t − p_c, 0)] (Stucchio 2015's decision rule: ship when
   *     the ship-loss clears the care threshold)
   *
-  * by DETERMINISTIC numeric integration on a fixed midpoint grid — the
-  * same in-engine, no-UDF discipline as [[GroupSequential.phiCol]]:
-  * every transcendental is a FIXED Column dag with a character-identical
-  * DuckDB rendering, every sum an exact-integer sum, so the oracle
-  * replays the integration bit-for-bit.
+  * by DETERMINISTIC numeric integration on a fixed midpoint grid.
   *
-  * NUMERIC DESIGN (each step chosen so the two engines cannot diverge):
+  * NUMERIC DESIGN (each step chosen so the engines cannot diverge):
   *
   *   1. Midpoint grid x_i = (2i+1)/2N, N = [[gridN]] = 2¹³ — power-of-two
   *      denominator, so every x_i and 1−x_i is an EXACT double in both
   *      engines.
-  *   2. ln x_i and ln(1−x_i) via [[lnOdd2NCol]] — an atanh-series ln over
+  *   2. ln x_i and ln(1−x_i) via [[lnOdd2N]] — an atanh-series ln over
   *      the exact odd-numerator range reduction (u = m·2ʲ by integer
   *      CASE, never engine pow/log): pure +,*,/ on exact inputs, the
-  *      identical expression tree in Column and SQL ⇒ bitwise-equal
-  *      doubles (the phiCol/phiSqlFragment pairing). Each lands on the
-  *      1e-12 grid as a long.
-  *   3. The log-kernel (a−1)·lnx12 + (b−1)·lnm12 is EXACT DECIMAL integer
+  *      identical expression tree here and in SQL ⇒ bitwise-equal
+  *      doubles (the phiCol/phiSqlFragment pairing — see
+  *      [[lnOdd2NSqlFragment]]). Each lands on the 1e-12 grid as a long.
+  *   3. The log-kernel (a−1)·lnx12 + (b−1)·lnm12 is EXACT integer
   *      arithmetic; the max-shift normalizer is an exact max.
   *   4. The pdf kernel quantizes to q_i = round(e^{rel}·10¹³) — from here
   *      on every cumulative/normalizing/comparison sum is an
@@ -63,53 +58,62 @@ import org.apache.spark.sql.functions._
   * peek) reads P(beat) = 0.5 and the uniform CI rather than NULL — the
   * honest "no data yet" answer.
   *
-  * SCALE: the one row-scale pass is the upstream [[AbDashboard.abCells]]
-  * aggregation; the cells localize once ([[AbDashboard.materialize]] —
-  * the eager-execution contract documented there) and EVERYTHING here
-  * runs on the (arms × peeks × N)-bounded grid frame: three cumulative
-  * windows per (arm, peek) cell, one (peek, i)-keyed join of two bounded
-  * frames, two aggregations. At 100× data only the upstream pass grows.
+  * SCALE AND EXECUTION SHAPE (r17 optimization): the one row-scale pass
+  * is the upstream [[AbDashboard.abCells]] aggregation; the cells
+  * localize once (the [[AbDashboard.materialize]] eager-execution
+  * contract) and the (arms × peeks × N)-bounded grid work folds ON THE
+  * DRIVER over the collected cells — the bounded-driver-fold idiom
+  * (`chiSquareStat`, the Cox Newton). The previous in-engine grid dag
+  * (explode + three windows + a grid join + two aggregations) ran as
+  * ~17 scheduler jobs of fixed cost over the same bounded frame; the
+  * fold is the identical arithmetic (step-for-step: the same Round /
+  * integer-sum / cast ops the Column dag evaluated, which the DuckDB
+  * oracle replays) with zero scheduler round-trips. At 100× data only
+  * the upstream pass grows.
   */
 object BayesAb {
 
   /** Grid points per posterior: 2¹³ midpoints of [0, 1]. */
   val gridN: Int = 8192
 
-  private val dec = "decimal(38,0)"
   private val ln2 = 0.6931471805599453d // the correctly-rounded double of ln 2
 
-  /** ln(u / 2N) for an ODD integer u in [1, 2N−1] (2N = 2¹⁴), as a fixed
-    * Column dag: u = m·2ʲ with j by integer CASE (u odd ⇒ j ≤ 13, and
-    * m = u/2ʲ ∈ [1, 2) is an EXACT double), then the atanh series
+  /** ln(u / 2N) for an ODD integer u in [1, 2N−1] (2N = 2¹⁴): u = m·2ʲ
+    * with j by integer CASE (u odd ⇒ j ≤ 13, and m = u/2ʲ ∈ [1, 2) is an
+    * EXACT double), then the atanh series
     * ln m = 2t·(1 + t²/3 + … + t²⁴/25), t = (m−1)/(m+1) ≤ 1/3 (tail
     * < 10⁻¹³ — two decades below the 1e-12 landing grid), and
     * ln(u/2N) = 2t·S + (j − 14)·ln2. [[lnOdd2NSqlFragment]] renders the
     * identical expression for DuckDB; keep the two in lockstep (same
-    * coefficients as divisions, same association order).
+    * coefficients as divisions, same association order) — pure IEEE
+    * +,*,/ on exact inputs, so the JVM and DuckDB evaluate bitwise-equal
+    * doubles.
     */
-  def lnOdd2NCol(u: Column): Column = {
-    val j = when(u < 2L, 0d).when(u < 4L, 1d).when(u < 8L, 2d)
-      .when(u < 16L, 3d).when(u < 32L, 4d).when(u < 64L, 5d)
-      .when(u < 128L, 6d).when(u < 256L, 7d).when(u < 512L, 8d)
-      .when(u < 1024L, 9d).when(u < 2048L, 10d).when(u < 4096L, 11d)
-      .when(u < 8192L, 12d).otherwise(13d)
-    val p2 = when(u < 2L, 1d).when(u < 4L, 2d).when(u < 8L, 4d)
-      .when(u < 16L, 8d).when(u < 32L, 16d).when(u < 64L, 32d)
-      .when(u < 128L, 64d).when(u < 256L, 128d).when(u < 512L, 256d)
-      .when(u < 1024L, 512d).when(u < 2048L, 1024d).when(u < 4096L, 2048d)
-      .when(u < 8192L, 4096d).otherwise(8192d)
-    val m = u.cast("double") / p2
-    val t = (m - lit(1d)) / (m + lit(1d))
+  def lnOdd2N(u: Long): Double = {
+    val j: Double =
+      if (u < 2L) 0d else if (u < 4L) 1d else if (u < 8L) 2d
+      else if (u < 16L) 3d else if (u < 32L) 4d else if (u < 64L) 5d
+      else if (u < 128L) 6d else if (u < 256L) 7d else if (u < 512L) 8d
+      else if (u < 1024L) 9d else if (u < 2048L) 10d else if (u < 4096L) 11d
+      else if (u < 8192L) 12d else 13d
+    val p2: Double =
+      if (u < 2L) 1d else if (u < 4L) 2d else if (u < 8L) 4d
+      else if (u < 16L) 8d else if (u < 32L) 16d else if (u < 64L) 32d
+      else if (u < 128L) 64d else if (u < 256L) 128d else if (u < 512L) 256d
+      else if (u < 1024L) 512d else if (u < 2048L) 1024d else if (u < 4096L) 2048d
+      else if (u < 8192L) 4096d else 8192d
+    val m = u.toDouble / p2
+    val t = (m - 1d) / (m + 1d)
     val t2 = t * t
-    def inv(k: Int): Column = lit(1d) / lit(k.toDouble)
-    val s = lit(1d) + t2 * (inv(3) + t2 * (inv(5) + t2 * (inv(7) +
+    def inv(k: Int): Double = 1d / k.toDouble
+    val s = 1d + t2 * (inv(3) + t2 * (inv(5) + t2 * (inv(7) +
       t2 * (inv(9) + t2 * (inv(11) + t2 * (inv(13) + t2 * (inv(15) +
       t2 * (inv(17) + t2 * (inv(19) + t2 * (inv(21) + t2 * (inv(23) +
       t2 * inv(25))))))))))))
-    lit(2d) * t * s + (j - lit(14d)) * lit(ln2)
+    2d * t * s + (j - 14d) * ln2
   }
 
-  /** The DuckDB rendering of [[lnOdd2NCol]] over the SQL integer
+  /** The DuckDB rendering of [[lnOdd2N]] over the SQL integer
     * expression `u` (must be parenthesized or atomic).
     */
   def lnOdd2NSqlFragment(u: String): String = {
@@ -136,45 +140,90 @@ object BayesAb {
     s"(2.0 * $t * $s13 + ($j - 14.0) * $ln2)"
   }
 
-  /** The quantized posterior grid per (arm, peek): one row per grid
-    * index i with the pdf kernel q (10¹³-scaled long), its strict
-    * cumulative `cumlt`, the index-weighted strict cumulative `cumiq`
-    * (DECIMAL — exceeds long), and the normalizer `w`. Input: one row
-    * per (arm, peek) with CUMULATIVE counts `n`, `s_hit` (the spine —
-    * every designed arm present at every peek).
+  // ---- driver-side fold helpers (each replicates the engine op it
+  // replaced bit-for-bit; see the class doc's numeric design) ----------
+
+  private def rnd0(x: Double): Double = // Spark Round(double, 0)
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def b2d(b: BigInt): Double = // Spark Cast(decimal → double)
+    new java.math.BigDecimal(b.bigInteger).doubleValue
+
+  /** The quantized posterior grid of one (arm, peek) cell: q (10¹³-scaled
+    * long per grid index), strict cumulative cumlt, index-weighted strict
+    * cumulative cumiq (BigInt — exceeds long), normalizer w.
     */
-  private def posteriorGrid(cum: DataFrame, a0: Long, b0: Long): DataFrame = {
+  private final case class Grid(arm: String, peek: Long, n: Long, s: Long,
+    q: Array[Long], cumlt: Array[Long], cumiq: Array[BigInt], w: Long)
+
+  /** Per-i ln x_i and ln(1−x_i) landed at 1e-12 as longs — depend only
+    * on the grid index, computed once per call.
+    */
+  private def lnTables(): (Array[Long], Array[Long]) = {
     val twoN = 2L * gridN
-    val grid = cum
-      .withColumn("i", explode(sequence(lit(0), lit(gridN - 1))))
-      .withColumn("__u1", lit(2L) * col("i") + 1L)
-      .withColumn("__u2", lit(twoN) - col("__u1"))
-      .withColumn("__am1", lit(a0) - 1L + col("s_hit"))
-      .withColumn("__bm1", lit(b0) - 1L + col("n") - col("s_hit"))
-      .withColumn("__lnx12", round(lnOdd2NCol(col("__u1")) * 1e12d).cast("long"))
-      .withColumn("__lnm12", round(lnOdd2NCol(col("__u2")) * 1e12d).cast("long"))
-      .withColumn("__lnw",
-        col("__am1").cast(dec) * col("__lnx12").cast(dec) +
-          col("__bm1").cast(dec) * col("__lnm12").cast(dec))
-    val wCell = Window.partitionBy(col("arm"), col("peek"))
-    val wLt = Window.partitionBy(col("arm"), col("peek")).orderBy(col("i"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val rel = col("__lnw") - max(col("__lnw")).over(wCell)
-    val withQ = grid
-      .withColumn("__rel", rel)
-      // below e^-40 the 10^13-scaled kernel rounds to 0 — skip the exp
-      // (and keep the double cast inside the exact 2^53 range)
-      .withColumn("q", when(col("__rel") < lit(-40000000000000L).cast(dec), 0L)
-        .otherwise(round(exp(col("__rel").cast("double") / 1e12d) * 1e13d)
-          .cast("long")))
-    withQ
-      .withColumn("cumlt", coalesce(sum(col("q")).over(wLt), lit(0L)))
-      .withColumn("cumiq", coalesce(
-        sum((col("i").cast(dec) * col("q").cast(dec))).over(wLt),
-        lit(0L).cast(dec)))
-      .withColumn("w", sum(col("q")).over(wCell))
-      .select(col("arm"), col("peek"), col("n"), col("s_hit"), col("i"),
-        col("q"), col("cumlt"), col("cumiq"), col("w"))
+    val lnx = new Array[Long](gridN); val lnm = new Array[Long](gridN)
+    var i = 0
+    while (i < gridN) {
+      val u1 = 2L * i + 1L
+      lnx(i) = rnd0(lnOdd2N(u1) * 1e12d).toLong
+      lnm(i) = rnd0(lnOdd2N(twoN - u1) * 1e12d).toLong
+      i += 1
+    }
+    (lnx, lnm)
+  }
+
+  private def gridOf(arm: String, peek: Long, n: Long, s: Long,
+      a0: Long, b0: Long, lnx: Array[Long], lnm: Array[Long]): Grid = {
+    val am1 = a0 - 1L + s
+    val bm1 = b0 - 1L + n - s
+    // exact integer log-kernel, exact max shift
+    val lnw = new Array[BigInt](gridN)
+    var mx = BigInt(Long.MinValue)
+    var i = 0
+    while (i < gridN) {
+      val v = BigInt(am1) * BigInt(lnx(i)) + BigInt(bm1) * BigInt(lnm(i))
+      lnw(i) = v
+      if (i == 0 || v > mx) mx = v
+      i += 1
+    }
+    val cut = BigInt(-40000000000000L)
+    val q = new Array[Long](gridN)
+    val cumlt = new Array[Long](gridN)
+    val cumiq = new Array[BigInt](gridN)
+    var cl = 0L; var ci = BigInt(0); var w = 0L
+    i = 0
+    while (i < gridN) {
+      val rel = lnw(i) - mx
+      val qi =
+        if (rel < cut) 0L
+        else rnd0(math.exp(b2d(rel) / 1e12d) * 1e13d).toLong
+      q(i) = qi; cumlt(i) = cl; cumiq(i) = ci
+      cl += qi; ci += BigInt(i) * BigInt(qi); w += qi
+      i += 1
+    }
+    Grid(arm, peek, n, s, q, cumlt, cumiq, w)
+  }
+
+  /** Collected cells → the (arm × peek) spine with per-arm CUMULATIVE
+    * counts in peek order (the dashboard convention): one entry per
+    * designed arm at every observed peek, zero-filled where silent.
+    */
+  private def cumCells(cells: DataFrame, arms: Seq[String]): Seq[(String, Long, Long, Long)] = {
+    val rows = cells.filter(col("arm").isin(arms: _*))
+      .select(col("arm").cast("string"), col("peek").cast("long"),
+        col("n").cast("long"), col("s_hit").cast("long"))
+      .collect()
+    val byCell = rows.map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val peeks = rows.map(_.getLong(1)).distinct.sorted
+    arms.flatMap { a =>
+      var cn = 0L; var cs = 0L
+      peeks.map { p =>
+        val (dn, ds) = byCell.getOrElse((a, p), (0L, 0L))
+        cn += dn; cs += ds
+        (a, p, cn, cs)
+      }
+    }
   }
 
   /** P(BEST): the genuinely multi-arm Bayesian column — per (arm,
@@ -196,10 +245,6 @@ object BayesAb {
     * and P(best) is one division. Σ_t P(best_t) = 1 up to quantization
     * (spec-pinned). Emits ALL designed arms (the best-read has no
     * control side): peek, arm, n, s_hit, post_mean, p_best.
-    *
-    * SCALE: the same (arms × peeks × 2¹³) grid frame as the pairwise
-    * read, one (peek, i)-keyed k-wide pivot, one aggregation. k is
-    * bounded small (a design has 2–10 arms).
     */
   def bayesBestKArmFromCells(
       cells: DataFrame,
@@ -210,59 +255,47 @@ object BayesAb {
     require(arms.distinct.size == arms.size && arms.size >= 2,
       s"need >= 2 distinct designed arms: $arms")
     require(a0 >= 1L && b0 >= 1L, s"integer prior must be proper: a0=$a0 b0=$b0")
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val local = AbDashboard.materialize(
-      cells.filter(col("arm").isin(arms: _*)))
-    val peeks = local.select(col("peek")).distinct()
-    val armsDf = broadcast(arms.toDF("arm"))
-    val full = peeks.crossJoin(armsDf)
-      .join(local.select(col("arm"), col("peek"), col("n"), col("s_hit")),
-        Seq("arm", "peek"), "left")
-      .select(col("arm"), col("peek"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("s_hit"), lit(0L)).as("s_hit"))
-    val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = full.select(col("arm"), col("peek"),
-      sum("n").over(wCum).as("n"), sum("s_hit").over(wCum).as("s_hit"))
-    val g = posteriorGrid(cum, a0, b0)
-    val pivCols = arms.flatMap { a =>
-      Seq(max(when(col("arm") === a, col("q"))).as(s"__q_$a"),
-        max(when(col("arm") === a, col("cumlt"))).as(s"__c_$a"),
-        max(when(col("arm") === a, col("w"))).as(s"__w_$a"))
+    val cum = cumCells(cells, arms)
+    val (lnx, lnm) = lnTables()
+    val grids = cum.map { case (a, p, n, s) =>
+      (a, p) -> gridOf(a, p, n, s, a0, b0, lnx, lnm)
+    }.toMap
+    val peeks = cum.map(_._2).distinct.sorted
+    val outRows = peeks.flatMap { p =>
+      val byArm = arms.map(a => a -> grids((a, p)))
+      // Σ_i round(q_t[i] · Π_{a≠t} cdf_a[i]) and the per-arm division
+      val pBest: Map[String, Double] = arms.map { t =>
+        val others = arms.filter(_ != t).map(a => grids((a, p)))
+        val gt = grids((t, p))
+        var acc = BigInt(0)
+        var i = 0
+        while (i < gridN) {
+          // fixed-order double product over exact integers (arms order,
+          // left-assoc — the engine/SQL rendering)
+          var prod = 1d
+          var first = true
+          others.foreach { ga =>
+            val cdf = (2L * ga.cumlt(i) + ga.q(i)).toDouble / (2L * ga.w).toDouble
+            prod = if (first) cdf else prod * cdf
+            first = false
+          }
+          acc += BigDecimal(rnd0(gt.q(i).toDouble * prod)).toBigInt
+          i += 1
+        }
+        t -> b2d(acc) / gt.w.toDouble
+      }.toMap
+      byArm.map { case (a, g) =>
+        val postMean = (a0 + g.s).toDouble / (a0 + b0 + g.n).toDouble
+        org.apache.spark.sql.Row(p, a, g.n, g.s, postMean, pBest(a))
+      }
     }
-    val piv = g.groupBy(col("peek"), col("i"))
-      .agg(pivCols.head, pivCols.tail: _*)
-    def cdf(a: String) =
-      (lit(2L) * col(s"__c_$a") + col(s"__q_$a")).cast("double") /
-        (lit(2L) * col(s"__w_$a")).cast("double")
-    val termCols = arms.map { t =>
-      val prod = arms.filter(_ != t).map(cdf).reduce(_ * _)
-      sum(round(col(s"__q_$t").cast("double") * prod).cast(dec))
-        .as(s"__s_$t")
-    }
-    val wCols = arms.map(a => max(col(s"__w_$a")).as(s"__wm_$a"))
-    val agg = piv.groupBy(col("peek"))
-      .agg((termCols ++ wCols).head, (termCols ++ wCols).tail: _*)
-    // unpivot to (peek, arm, p_best) — ONE explode over a k-struct
-    // array (a union of per-arm selects would re-execute the whole
-    // grid chain once per arm)
-    val pairs = arms.map { t =>
-      struct(lit(t).as("arm"),
-        (col(s"__s_$t").cast("double") / col(s"__wm_$t").cast("double"))
-          .as("p_best"))
-    }
-    val perArm = agg
-      .select(col("peek"), explode(array(pairs: _*)).as("__kv"))
-      .select(col("peek"), col("__kv.arm").as("arm"),
-        col("__kv.p_best").as("p_best"))
-    cum
-      .withColumn("post_mean", (lit(a0) + col("s_hit")).cast("double") /
-        (lit(a0 + b0) + col("n")).cast("double"))
-      .join(perArm, Seq("peek", "arm"))
-      .select(col("peek"), col("arm"), col("n"), col("s_hit"),
-        col("post_mean"), col("p_best"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("peek", LongType), StructField("arm", StringType),
+      StructField("n", LongType), StructField("s_hit", LongType),
+      StructField("post_mean", DoubleType), StructField("p_best", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    cells.sparkSession.createDataFrame(outRows.asJava, schema)
   }
 
   /** The k-arm Bayesian dashboard read from a (possibly folded)
@@ -273,7 +306,6 @@ object BayesAb {
     * credible mass complement as an exact rational (default 5/100 →
     * 95% interval); endpoints are the smallest grid points whose
     * cumulative mass clears α/2 and 1−α/2 (grid-resolution quantiles).
-    * Peek/arm ordering is the caller's (one row per pair).
     */
   def bayesAbKArmFromCells(
       cells: DataFrame,
@@ -290,81 +322,78 @@ object BayesAb {
     require(a0 >= 1L && b0 >= 1L, s"integer prior must be proper: a0=$a0 b0=$b0")
     require(ciAlphaNum > 0 && ciAlphaNum < ciAlphaDen,
       s"ci alpha must be a rational in (0,1): $ciAlphaNum/$ciAlphaDen")
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val local = AbDashboard.materialize(
-      cells.filter(col("arm").isin(arms: _*)))
-    // (arm × peek) spine + cumulative counts per arm in peek order
-    val peeks = local.select(col("peek")).distinct()
-    val armsDf = broadcast(arms.toDF("arm"))
-    val full = peeks.crossJoin(armsDf)
-      .join(local.select(col("arm"), col("peek"), col("n"), col("s_hit")),
-        Seq("arm", "peek"), "left")
-      .select(col("arm"), col("peek"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("s_hit"), lit(0L)).as("s_hit"))
-    val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = full.select(col("arm"), col("peek"),
-      sum("n").over(wCum).as("n"), sum("s_hit").over(wCum).as("s_hit"))
-    val g = posteriorGrid(cum, a0, b0)
-    // per-(arm, peek) posterior summary: exact-integer rank selections
-    // for the CI, the exact closed-form posterior mean
-    val xI = (lit(2L) * col("i") + 1L).cast("double") / lit((2 * gridN).toDouble)
-    val den2 = lit(2L * ciAlphaDen).cast(dec)
-    val cumLe = (col("cumlt") + col("q")).cast(dec)
-    val wD = col("w").cast(dec)
-    val hitLo = cumLe * den2 >= wD * lit(ciAlphaNum.toLong).cast(dec)
-    val hitHi = cumLe * den2 >= wD * lit(2L * ciAlphaDen - ciAlphaNum).cast(dec)
-    val stats = g.groupBy(col("arm"), col("peek")).agg(
-      max("n").as("n"), max("s_hit").as("s_hit"),
-      min(when(hitLo, xI)).as("ci_lo"),
-      min(when(hitHi, xI)).as("ci_hi"))
-      .withColumn("a_post", lit(a0) + col("s_hit"))
-      .withColumn("b_post", lit(b0) + col("n") - col("s_hit"))
-      .withColumn("post_mean", col("a_post").cast("double") /
-        (col("a_post") + col("b_post")).cast("double"))
-    // comparison integrals: treatment grid beside the control grid at
-    // the same (peek, i) — O(N) cumulative-sum identities, exact sums
-    val t = g.filter(col("arm") =!= control)
-    val c = g.filter(col("arm") === control).select(
-      col("peek"), col("i"), col("q").as("__qc"), col("cumlt").as("__cltc"),
-      col("cumiq").as("__ciqc"), col("w").as("__wc"))
-    val joined = t.join(c, Seq("peek", "i"))
-    val qtD = col("q").cast(dec); val qcD = col("__qc").cast(dec)
-    val iD = col("i").cast(dec)
-    val cmp = joined.groupBy(col("arm"), col("peek")).agg(
-      sum(qtD * (lit(2L).cast(dec) * col("__cltc").cast(dec) + qcD)).as("__pb2"),
-      sum(qcD * (iD * col("cumlt").cast(dec) - col("cumiq"))).as("__lt2"),
-      sum(qtD * (iD * col("__cltc").cast(dec) - col("__ciqc"))).as("__lc2"),
-      max(col("w")).as("__wt"), max(col("__wc")).as("__wc2"))
-    val wtD = col("__wt").cast("double"); val wcD = col("__wc2").cast("double")
-    val read = cmp
-      .withColumn("p_beat_ctl",
-        col("__pb2").cast("double") / (lit(2d) * wtD * wcD))
-      .withColumn("exp_loss_arm",
-        col("__lt2").cast("double") / (wtD * wcD * lit(gridN.toDouble)))
-      .withColumn("exp_loss_ctl",
-        col("__lc2").cast("double") / (wtD * wcD * lit(gridN.toDouble)))
-    val armStats = stats.filter(col("arm") =!= control).select(
-      col("arm"), col("peek"), col("n").as("n_arm"), col("s_hit").as("s_arm"),
-      col("a_post").as("a_arm"), col("b_post").as("b_arm"),
-      col("post_mean").as("post_mean_arm"),
-      col("ci_lo").as("ci_lo_arm"), col("ci_hi").as("ci_hi_arm"))
-    val ctlStats = stats.filter(col("arm") === control).select(
-      col("peek"), col("n").as("n_ctl"), col("s_hit").as("s_ctl"),
-      col("a_post").as("a_ctl"), col("b_post").as("b_ctl"),
-      col("post_mean").as("post_mean_ctl"),
-      col("ci_lo").as("ci_lo_ctl"), col("ci_hi").as("ci_hi_ctl"))
-    armStats
-      .join(ctlStats, Seq("peek"))
-      .join(read.select(col("arm"), col("peek"), col("p_beat_ctl"),
-        col("exp_loss_arm"), col("exp_loss_ctl")), Seq("arm", "peek"))
-      .select(col("peek"), col("arm"),
-        col("n_arm"), col("s_arm"), col("a_arm"), col("b_arm"),
-        col("post_mean_arm"), col("ci_lo_arm"), col("ci_hi_arm"),
-        col("n_ctl"), col("s_ctl"), col("a_ctl"), col("b_ctl"),
-        col("post_mean_ctl"), col("ci_lo_ctl"), col("ci_hi_ctl"),
-        col("p_beat_ctl"), col("exp_loss_arm"), col("exp_loss_ctl"))
+    val cum = cumCells(cells, arms)
+    val (lnx, lnm) = lnTables()
+    val grids = cum.map { case (a, p, n, s) =>
+      (a, p) -> gridOf(a, p, n, s, a0, b0, lnx, lnm)
+    }.toMap
+    // per-cell posterior summary: exact-integer rank selections for the
+    // CI, the exact closed-form posterior mean
+    final case class Stats(n: Long, s: Long, aPost: Long, bPost: Long,
+      postMean: Double, ciLo: Double, ciHi: Double)
+    def statsOf(g: Grid): Stats = {
+      val den2 = BigInt(2L * ciAlphaDen)
+      val wD = BigInt(g.w)
+      val loTh = wD * BigInt(ciAlphaNum.toLong)
+      val hiTh = wD * BigInt(2L * ciAlphaDen - ciAlphaNum)
+      var ciLo = Double.NaN; var ciHi = Double.NaN
+      var foundLo = false; var foundHi = false
+      var i = 0
+      while (i < gridN && !(foundLo && foundHi)) {
+        val cumLe = BigInt(g.cumlt(i) + g.q(i)) * den2
+        val x = (2L * i + 1L).toDouble / (2 * gridN).toDouble
+        if (!foundLo && cumLe >= loTh) { ciLo = x; foundLo = true }
+        if (!foundHi && cumLe >= hiTh) { ciHi = x; foundHi = true }
+        i += 1
+      }
+      val aPost = a0 + g.s
+      val bPost = b0 + g.n - g.s
+      Stats(g.n, g.s, aPost, bPost,
+        aPost.toDouble / (aPost + bPost).toDouble, ciLo, ciHi)
+    }
+    val peeks = cum.map(_._2).distinct.sorted
+    val tArms = arms.filter(_ != control)
+    val outRows = peeks.flatMap { p =>
+      val gc = grids((control, p))
+      val sc = statsOf(gc)
+      tArms.map { t =>
+        val gt = grids((t, p))
+        val st = statsOf(gt)
+        // O(N) cumulative-sum identities, exact integer sums
+        var pb2 = BigInt(0); var lt2 = BigInt(0); var lc2 = BigInt(0)
+        var i = 0
+        while (i < gridN) {
+          val qt = BigInt(gt.q(i)); val qc = BigInt(gc.q(i))
+          pb2 += qt * (BigInt(2L) * BigInt(gc.cumlt(i)) + qc)
+          lt2 += qc * (BigInt(i) * BigInt(gt.cumlt(i)) - gt.cumiq(i))
+          lc2 += qt * (BigInt(i) * BigInt(gc.cumlt(i)) - gc.cumiq(i))
+          i += 1
+        }
+        val wtD = gt.w.toDouble; val wcD = gc.w.toDouble
+        val pBeat = b2d(pb2) / (2d * wtD * wcD)
+        val lossArm = b2d(lt2) / (wtD * wcD * gridN.toDouble)
+        val lossCtl = b2d(lc2) / (wtD * wcD * gridN.toDouble)
+        org.apache.spark.sql.Row(p, t,
+          st.n, st.s, st.aPost, st.bPost, st.postMean, st.ciLo, st.ciHi,
+          sc.n, sc.s, sc.aPost, sc.bPost, sc.postMean, sc.ciLo, sc.ciHi,
+          pBeat, lossArm, lossCtl)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("peek", LongType), StructField("arm", StringType),
+      StructField("n_arm", LongType), StructField("s_arm", LongType),
+      StructField("a_arm", LongType), StructField("b_arm", LongType),
+      StructField("post_mean_arm", DoubleType),
+      StructField("ci_lo_arm", DoubleType), StructField("ci_hi_arm", DoubleType),
+      StructField("n_ctl", LongType), StructField("s_ctl", LongType),
+      StructField("a_ctl", LongType), StructField("b_ctl", LongType),
+      StructField("post_mean_ctl", DoubleType),
+      StructField("ci_lo_ctl", DoubleType), StructField("ci_hi_ctl", DoubleType),
+      StructField("p_beat_ctl", DoubleType),
+      StructField("exp_loss_arm", DoubleType),
+      StructField("exp_loss_ctl", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    cells.sparkSession.createDataFrame(outRows.asJava, schema)
   }
 }
