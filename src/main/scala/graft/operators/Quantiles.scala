@@ -455,10 +455,21 @@ object Quantiles {
   ): DataFrame = {
     require(cells > 1, s"cells must be > 1: $cells")
     val g = keyCols.map(col)
-    val stats = df.groupBy(g: _*).agg(
+    // Truncate the input's lineage FIRST (r17 optimization, guide-
+    // endorsed plan cut): the scaffold references its input three times
+    // (the stats aggregation, the counts branch, the output join), so a
+    // lazy input subtree executes ~3× per scaffold — and chained
+    // scaffolds (the Spearman matrix ranks one column after another)
+    // compound that to ~3^k. One eager materialization of the projected
+    // input replaces the re-executions; the downstream joins carry
+    // explicit broadcast hints (nsJoin), so the LogicalRDD's missing
+    // size statistics cannot flip a join strategy (the PageRank
+    // localCheckpoint note).
+    val base = graft.plans.Lineage.truncate(df)
+    val stats = base.groupBy(g: _*).agg(
       min(col(valueCol)).as("__lo"),
       max(col(valueCol)).as("__hi"))
-    val celled = nsJoin(df, stats, keyCols)
+    val celled = nsJoin(base, stats, keyCols)
       .withColumn("__c", cellOf(valueCol, cells))
       .drop("__lo", "__hi")
     val counts = celled.groupBy((g :+ col("__c")): _*).agg(count(lit(1)).as("__cnt"))
