@@ -387,15 +387,29 @@ object GroupSequential {
     val z = delta / sqrt(v)
     val b = z * sqrt(t)
     val interim = usable && col("look") < k
-    def cp(theta: Column): Column = when(interim,
-      lit(1.0) - phiCol((lit(zAlpha) - b - theta * (lit(1.0) - t)) /
-        sqrt(lit(1.0) - t)))
+    // STAGE each Φ argument as a real column before it enters [[phiCol]]
+    // (r17 optimization): phiCol references its argument ~12× (the
+    // Chebyshev t appears ten times in the polynomial), so an inline
+    // argument tree — itself containing b and z substituted repeatedly —
+    // multiplied to tens of thousands of Catalyst nodes and cost ~2 s of
+    // driver-side analysis/optimization PER EXECUTION at any data scale.
+    // As staged columns the duplication copies attribute references;
+    // CollapseProject keeps non-cheap multi-use aliases staged. The
+    // float ops are UNCHANGED — same dag per value, same oracle.
+    // the `interim` guard stays ON the staged columns too: ANSI evaluates
+    // an unguarded division eagerly, and √(1−t) = 0 at the final look
+    def cpArg(theta: Column): Column = when(interim,
+      (lit(zAlpha) - b - theta * (lit(1.0) - t)) / sqrt(lit(1.0) - t))
+    def cp(arg: Column): Column = when(interim, lit(1.0) - phiCol(arg))
     cum
+      .withColumn("__a_null", cpArg(lit(0.0)))
+      .withColumn("__a_trend", cpArg(b / t))
+      .withColumn("__a_design", cpArg(lit(deltaDesign) / (sqrt(v) * sqrt(t))))
       .withColumn("t_frac", t)
       .withColumn("z", when(usable, z))
-      .withColumn("cp_null", cp(lit(0.0)))
-      .withColumn("cp_trend", cp(b / t))
-      .withColumn("cp_design", cp(lit(deltaDesign) / (sqrt(v) * sqrt(t))))
+      .withColumn("cp_null", cp(col("__a_null")))
+      .withColumn("cp_trend", cp(col("__a_trend")))
+      .withColumn("cp_design", cp(col("__a_design")))
       .select(g :+ col("peek") :+ col("look") :+ col("t_frac") :+
         col("n_lo") :+ col("s_lo") :+ col("n_hi") :+ col("s_hi") :+
         col("z") :+ col("cp_null") :+ col("cp_trend") :+ col("cp_design"): _*)
