@@ -82,88 +82,89 @@ object BayesMean {
     require(arms.distinct.size == arms.size && arms.size >= 2,
       s"need >= 2 distinct designed arms: $arms")
     require(arms.contains(control), s"control '$control' must be in $arms")
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val local = AbDashboard.materialize(
-      cells.filter(col("arm").isin(arms: _*)))
-    val peeks = local.select(col("peek")).distinct()
-    val armsDf = broadcast(arms.toDF("arm"))
-    val full = peeks.crossJoin(armsDf)
-      .join(local.select(col("arm"), col("peek"), col("n"), col("sy"),
-        col("syy")), Seq("arm", "peek"), "left")
-      .select(col("arm"), col("peek"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("sy"), lit(0L).cast(dec)).as("sy"),
-        coalesce(col("syy"), lit(0L).cast(dec)).as("syy"))
-    val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = full.select(col("arm"), col("peek"),
-      sum("n").over(wCum).as("n"),
-      sum("sy").over(wCum).as("sy"),
-      sum("syy").over(wCum).as("syy"))
-    // per-(arm, peek) posterior: staged projections (the cupedMulti2
-    // Janino discipline), every division inside its own ANSI guard
-    val nD = col("n").cast(dec)
-    val nF = col("n").cast("double")
-    val st = cum
-      .select(col("*"),
-        when(col("n") > 0L,
-          col("sy").cast("double") / nF).as("__m"),
-        (nD * col("syy") - col("sy") * col("sy")).as("__v"))
-      .select(col("*"),
-        when(col("n") >= 2L,
-          col("__v").cast("double") / (nF * nF * (nF - 1d))).as("__se2"))
-      .select(col("arm"), col("peek"), col("n"), col("sy"), col("__v"),
-        col("__m"), col("__se2"), sqrt(col("__se2")).as("__se"))
-    val t = st.filter(col("arm") =!= control).select(
-      col("arm"), col("peek"), col("n").as("n_arm"), col("sy").as("__syt"),
-      col("__v").as("__vt"), col("__m").as("mean_arm"),
-      col("__se2").as("__se2t"), col("__se").as("se_arm"))
-    val c = st.filter(col("arm") === control).select(
-      col("peek"), col("n").as("n_ctl"), col("sy").as("__syc"),
-      col("__v").as("__vc"), col("__m").as("mean_ctl"),
-      col("__se2").as("__se2c"), col("__se").as("se_ctl"))
-    val ntD = col("n_arm").cast(dec); val ncD = col("n_ctl").cast(dec)
-    val ntF = col("n_arm").cast("double"); val ncF = col("n_ctl").cast("double")
-    val joined = t.join(c, Seq("peek"))
-      .select(col("*"),
-        when(col("n_arm") > 0L && col("n_ctl") > 0L,
-          (col("__syt") * ncD - col("__syc") * ntD).cast("double") /
-            (ntF * ncF)).as("__delta"),
-        when(col("n_arm") >= 2L && col("n_ctl") >= 2L,
-          sqrt(col("__se2t") + col("__se2c"))).as("__sed"))
-      .select(col("*"),
-        when(col("__sed") > 0d, col("__delta") / col("__sed")).as("__d"))
-      .select(col("*"),
-        (exp(lit(-0.5d) * col("__d") * col("__d")) / lit(sqrt2Pi))
-          .as("__pdf"))
-    val ok = col("n_arm") >= 2L && col("n_ctl") >= 2L && col("__sed") > 0d
-    joined
-      .withColumn("cred_lo_arm",
-        col("mean_arm") - lit(z975) * col("se_arm"))
-      .withColumn("cred_hi_arm",
-        col("mean_arm") + lit(z975) * col("se_arm"))
-      .withColumn("cred_lo_ctl",
-        col("mean_ctl") - lit(z975) * col("se_ctl"))
-      .withColumn("cred_hi_ctl",
-        col("mean_ctl") + lit(z975) * col("se_ctl"))
-      .withColumn("delta", col("__delta"))
-      .withColumn("se_delta", when(ok, col("__sed")))
-      .withColumn("p_beat_ctl",
-        when(ok, GroupSequential.phiCol(col("__d"))))
-      .withColumn("exp_loss_arm", when(ok,
-        col("__sed") * col("__pdf") -
-          col("__delta") * GroupSequential.phiCol(lit(-1d) * col("__d"))))
-      .withColumn("exp_loss_ctl", when(ok,
-        col("__sed") * col("__pdf") +
-          col("__delta") * GroupSequential.phiCol(col("__d"))))
-      .withColumn("ok", ok)
-      .select(col("peek"), col("arm"),
-        col("n_arm"), col("mean_arm"), col("se_arm"),
-        col("cred_lo_arm"), col("cred_hi_arm"),
-        col("n_ctl"), col("mean_ctl"), col("se_ctl"),
-        col("cred_lo_ctl"), col("cred_hi_ctl"),
-        col("delta"), col("se_delta"), col("p_beat_ctl"),
-        col("exp_loss_arm"), col("exp_loss_ctl"), col("ok"))
+    // DRIVER FOLD over the collected cells (r17 optimization — the
+    // BayesAb/Cox bounded-driver-fold rewrite; see the class doc's SCALE
+    // note): the closed forms below replicate the replaced Column dag
+    // op-for-op — exact BigInt moment sums, correctly-rounded
+    // decimal→double casts, [[GroupSequential.phi]] (bitwise-equal to
+    // the phiCol dag the oracle renders), the same NULL guards.
+    val rows = cells.filter(col("arm").isin(arms: _*))
+      .select(col("arm").cast("string"), col("peek").cast("long"),
+        col("n").cast("long"), col("sy").cast(dec), col("syy").cast(dec))
+      .collect()
+    val byCell = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger))).toMap
+    val peeks = rows.map(_.getLong(1)).distinct.sorted
+    def b2d(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+    // cumulative per arm in peek order, then the per-cell posterior
+    final case class St(n: Long, sy: BigInt, m: Option[Double],
+      se2: Option[Double], se: Option[Double])
+    val st: Map[(String, Long), St] = arms.flatMap { a =>
+      var cn = 0L; var csy = BigInt(0); var csyy = BigInt(0)
+      peeks.map { p =>
+        val (dn, dsy, dsyy) = byCell.getOrElse((a, p), (0L, BigInt(0), BigInt(0)))
+        cn += dn; csy += dsy; csyy += dsyy
+        val nF = cn.toDouble
+        val m = if (cn > 0L) Some(b2d(csy) / nF) else None
+        val v = BigInt(cn) * csyy - csy * csy
+        val se2 = if (cn >= 2L) Some(b2d(v) / (nF * nF * (nF - 1d))) else None
+        (a, p) -> St(cn, csy, m, se2, se2.map(math.sqrt))
+      }
+    }.toMap
+    val phi = GroupSequential.phi _
+    val outRows = peeks.flatMap { p =>
+      val sc = st((control, p))
+      arms.filter(_ != control).map { a =>
+        val sa = st((a, p))
+        val ntF = sa.n.toDouble; val ncF = sc.n.toDouble
+        val delta =
+          if (sa.n > 0L && sc.n > 0L)
+            Some(b2d(sa.sy * BigInt(sc.n) - sc.sy * BigInt(sa.n)) / (ntF * ncF))
+          else None
+        val sed =
+          if (sa.n >= 2L && sc.n >= 2L)
+            Some(math.sqrt(sa.se2.get + sc.se2.get))
+          else None
+        val d = sed.filter(_ > 0d).map(s => delta.get / s)
+        val pdf = d.map(x => math.exp(-0.5d * x * x) / sqrt2Pi)
+        val okB = sa.n >= 2L && sc.n >= 2L && sed.exists(_ > 0d)
+        def ifOk(v: Option[Double]): Any =
+          if (okB) v.map(Double.box).orNull else null
+        org.apache.spark.sql.Row(p, a,
+          sa.n, sa.m.map(Double.box).orNull,
+          sa.se.map(Double.box).orNull,
+          sa.m.flatMap(m => sa.se.map(s => Double.box(m - z975 * s))).orNull,
+          sa.m.flatMap(m => sa.se.map(s => Double.box(m + z975 * s))).orNull,
+          sc.n, sc.m.map(Double.box).orNull,
+          sc.se.map(Double.box).orNull,
+          sc.m.flatMap(m => sc.se.map(s => Double.box(m - z975 * s))).orNull,
+          sc.m.flatMap(m => sc.se.map(s => Double.box(m + z975 * s))).orNull,
+          delta.map(Double.box).orNull,
+          ifOk(sed),
+          ifOk(d.map(phi)),
+          ifOk(for (s <- sed; dd <- d; pf <- pdf; dl <- delta)
+            yield s * pf - dl * phi(-1d * dd)),
+          ifOk(for (s <- sed; dd <- d; pf <- pdf; dl <- delta)
+            yield s * pf + dl * phi(dd)),
+          okB)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("peek", LongType), StructField("arm", StringType),
+      StructField("n_arm", LongType), StructField("mean_arm", DoubleType),
+      StructField("se_arm", DoubleType),
+      StructField("cred_lo_arm", DoubleType), StructField("cred_hi_arm", DoubleType),
+      StructField("n_ctl", LongType), StructField("mean_ctl", DoubleType),
+      StructField("se_ctl", DoubleType),
+      StructField("cred_lo_ctl", DoubleType), StructField("cred_hi_ctl", DoubleType),
+      StructField("delta", DoubleType), StructField("se_delta", DoubleType),
+      StructField("p_beat_ctl", DoubleType),
+      StructField("exp_loss_arm", DoubleType),
+      StructField("exp_loss_ctl", DoubleType),
+      StructField("ok", BooleanType)))
+    import scala.jdk.CollectionConverters._
+    cells.sparkSession.createDataFrame(outRows.asJava, schema)
   }
 }

@@ -76,107 +76,94 @@ object BayesRate {
       s"need >= 2 distinct designed arms: $arms")
     require(arms.contains(control), s"control '$control' must be in $arms")
     require(a0 >= 1L && b0 >= 1L, s"integer prior must be proper: a0=$a0 b0=$b0")
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val local = AbDashboard.materialize(
-      cells.filter(col("arm").isin(arms: _*)))
-    val peeks = local.select(col("peek")).distinct()
-    val armsDf = broadcast(arms.toDF("arm"))
-    val full = peeks.crossJoin(armsDf)
-      .join(local.select(col("arm"), col("peek"), col("e"), col("c")),
-        Seq("arm", "peek"), "left")
-      .select(col("arm"), col("peek"),
-        coalesce(col("e"), lit(0L)).as("e"),
-        coalesce(col("c"), lit(0L)).as("c"))
-    val wCum = Window.partitionBy(col("arm")).orderBy(col("peek"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = full.select(col("arm"), col("peek"),
-      sum("e").over(wCum).as("e"), sum("c").over(wCum).as("c"))
-      .withColumn("a_post", lit(a0) + col("c"))
-      .withColumn("b_post", lit(b0) + col("e"))
-    val t = cum.filter(col("arm") =!= control).select(col("arm"), col("peek"),
-      col("e").as("e_arm"), col("c").as("c_arm"),
-      col("a_post").as("at"), col("b_post").as("bt"))
-    val c = cum.filter(col("arm") === control).select(col("peek"),
-      col("e").as("e_ctl"), col("c").as("c_ctl"),
-      col("a_post").as("ac"), col("b_post").as("bc"))
-    val pair = t.join(c, Seq("peek"))
-    // p and its landed log are shared by every term; ln p computed ONCE
-    // per pair (p = bt/(bt+bc), an exact double division of longs)
-    val pD = col("bt").cast("double") / (col("bt") + col("bc")).cast("double")
-    val qD = col("bc").cast("double") / (col("bt") + col("bc")).cast("double")
-    val base = pair
-      .withColumn("__lnp12", round(log(pD) * 1e12d).cast("long"))
-      .withColumn("__lnq12", round(log(qD) * 1e12d).cast("long"))
-    // the j-frame: j = 0 .. at (one past at−1 — the extra term extends
-    // S0 into S1); series A (alpha = ac) and B (alpha = ac+1) ride the
-    // same rows
-    val jf = base.withColumn("__j",
-      explode(sequence(lit(0L), col("at"))))
-    // ln of the j-th ratio factor (j = 0 contributes nothing): landed
-    // engine logs, per series
-    val jD = col("__j").cast("double")
-    val lrA12 = when(col("__j") === 0L, lit(0L)).otherwise(
-      round(log((col("ac").cast("double") + jD - lit(1d)) / jD) * 1e12d)
-        .cast("long"))
-    val lrB12 = when(col("__j") === 0L, lit(0L)).otherwise(
-      round(log((col("ac").cast("double") + jD) / jD) * 1e12d).cast("long"))
-    val wJ = Window.partitionBy(col("arm"), col("peek")).orderBy(col("__j"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withL = jf
-      .withColumn("__la12",
-        sum(lrA12 + col("__lnp12")).over(wJ) - col("__lnp12") +
-          col("ac") * col("__lnq12"))
-      .withColumn("__lb12",
-        sum(lrB12 + col("__lnp12")).over(wJ) - col("__lnp12") +
-          (col("ac") + 1L) * col("__lnq12"))
-    // NOTE the −lnp12 correction: the cumulative includes j = 0's +lnp,
-    // which the j = 0 term (p^0) must not carry
-    val t15 = (l: org.apache.spark.sql.Column) =>
-      when(l < -80000000000000L, lit(0L)).otherwise(
-        round(exp(l.cast("double") / 1e12d) * 1e15d).cast("long"))
-    val terms = withL
-      .withColumn("__ta15", t15(col("__la12")))
-      .withColumn("__tb15", t15(col("__lb12")))
-    val agg = terms.groupBy(col("arm"), col("peek"), col("e_arm"),
-        col("c_arm"), col("at"), col("bt"), col("e_ctl"), col("c_ctl"),
-        col("ac"), col("bc"))
-      .agg(
-        sum(when(col("__j") < col("at"), col("__ta15")).otherwise(0L)
-          .cast(dec)).as("__s0"),
-        sum(col("__ta15").cast(dec)).as("__s1"),
-        sum(when(col("__j") < col("at"), col("__tb15")).otherwise(0L)
-          .cast(dec)).as("__s2"))
-    val p0 = col("__s0").cast("double") / 1e15d
-    val p1 = col("__s1").cast("double") / 1e15d
-    val p2 = col("__s2").cast("double") / 1e15d
-    val mT = col("at").cast("double") / col("bt").cast("double")
-    val mC = col("ac").cast("double") / col("bc").cast("double")
-    val sdT = sqrt(col("at").cast("double")) / col("bt").cast("double")
-    val sdC = sqrt(col("ac").cast("double")) / col("bc").cast("double")
-    agg
-      .withColumn("post_mean_arm", mT)
-      .withColumn("post_mean_ctl", mC)
-      .withColumn("post_sd_arm", sdT)
-      .withColumn("post_sd_ctl", sdC)
-      .withColumn("cred_lo_arm", mT - lit(z975) * sdT)
-      .withColumn("cred_hi_arm", mT + lit(z975) * sdT)
-      .withColumn("cred_lo_ctl", mC - lit(z975) * sdC)
-      .withColumn("cred_hi_ctl", mC + lit(z975) * sdC)
-      .withColumn("p_beat_ctl", p0)
-      // keep control: you forgo the arm's edge when the arm was better
-      .withColumn("exp_loss_ctl", mT * p1 - mC * p2)
-      // ship the arm: you lose the control's edge when control was
-      // better — E[max(λc−λt,0)] = mC(1−P2) − mT(1−P1)
-      .withColumn("exp_loss_arm",
-        mC * (lit(1d) - p2) - mT * (lit(1d) - p1))
-      .select(col("peek"), col("arm"),
-        col("e_arm"), col("c_arm"), col("at").as("a_arm"),
-        col("bt").as("b_arm"), col("post_mean_arm"), col("post_sd_arm"),
-        col("cred_lo_arm"), col("cred_hi_arm"),
-        col("e_ctl"), col("c_ctl"), col("ac").as("a_ctl"),
-        col("bc").as("b_ctl"), col("post_mean_ctl"), col("post_sd_ctl"),
-        col("cred_lo_ctl"), col("cred_hi_ctl"),
-        col("p_beat_ctl"), col("exp_loss_arm"), col("exp_loss_ctl"))
+    // DRIVER FOLD over the collected increments (r17 optimization — the
+    // BayesAb/Cox bounded-driver-fold rewrite): the tail-sum series ran
+    // as single-partition generated-j windows (the WindowExec
+    // one-partition shape) — pure fixed cost per read. Every landed log,
+    // quantized term and ordered cumulative below replicates the
+    // replaced Column dag op-for-op, so the oracle hashes unchanged.
+    val rows = cells.filter(col("arm").isin(arms: _*))
+      .select(col("arm").cast("string"), col("peek").cast("long"),
+        col("e").cast("long"), col("c").cast("long"))
+      .collect()
+    val byCell = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    val peeks = rows.map(_.getLong(1)).distinct.sorted
+    def rnd0(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def b2d(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
+    // cumulative posterior (a, b) per (arm, peek)
+    val cum: Map[(String, Long), (Long, Long, Long, Long)] = arms.flatMap { a =>
+      var ce = 0L; var cc = 0L
+      peeks.map { p =>
+        val (de, dc) = byCell.getOrElse((a, p), (0L, 0L))
+        ce += de; cc += dc
+        (a, p) -> (ce, cc, a0 + cc, b0 + ce)
+      }
+    }.toMap
+    val outRows = peeks.flatMap { p =>
+      val (eC, cC, ac, bc) = cum((control, p))
+      arms.filter(_ != control).map { a =>
+        val (eT, cT, at, bt) = cum((a, p))
+        val pD = bt.toDouble / (bt + bc).toDouble
+        val qD = bc.toDouble / (bt + bc).toDouble
+        val lnp12 = rnd0(math.log(pD) * 1e12d).toLong
+        val lnq12 = rnd0(math.log(qD) * 1e12d).toLong
+        // ordered cumulative of landed ratio logs, three tails at once
+        var s0 = BigInt(0); var s1 = BigInt(0); var s2 = BigInt(0)
+        var cumA = 0L; var cumB = 0L
+        var j = 0L
+        while (j <= at) {
+          val jD = j.toDouble
+          val lrA = if (j == 0L) 0L
+            else rnd0(math.log((ac.toDouble + jD - 1d) / jD) * 1e12d).toLong
+          val lrB = if (j == 0L) 0L
+            else rnd0(math.log((ac.toDouble + jD) / jD) * 1e12d).toLong
+          cumA += lrA + lnp12; cumB += lrB + lnp12
+          val la12 = cumA - lnp12 + ac * lnq12
+          val lb12 = cumB - lnp12 + (ac + 1L) * lnq12
+          def t15(l: Long): Long =
+            if (l < -80000000000000L) 0L
+            else rnd0(math.exp(l.toDouble / 1e12d) * 1e15d).toLong
+          val ta = t15(la12); val tb = t15(lb12)
+          if (j < at) { s0 += ta; s2 += tb }
+          s1 += ta
+          j += 1L
+        }
+        val p0 = b2d(s0) / 1e15d; val p1 = b2d(s1) / 1e15d
+        val p2 = b2d(s2) / 1e15d
+        val mT = at.toDouble / bt.toDouble
+        val mC = ac.toDouble / bc.toDouble
+        val sdT = math.sqrt(at.toDouble) / bt.toDouble
+        val sdC = math.sqrt(ac.toDouble) / bc.toDouble
+        org.apache.spark.sql.Row(p, a,
+          eT, cT, at, bt, mT, sdT,
+          mT - z975 * sdT, mT + z975 * sdT,
+          eC, cC, ac, bc, mC, sdC,
+          mC - z975 * sdC, mC + z975 * sdC,
+          p0,
+          // ship the arm: E[max(λc−λt,0)] = mC(1−P2) − mT(1−P1)
+          mC * (1d - p2) - mT * (1d - p1),
+          // keep control: you forgo the arm's edge when it was better
+          mT * p1 - mC * p2)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("peek", LongType), StructField("arm", StringType),
+      StructField("e_arm", LongType), StructField("c_arm", LongType),
+      StructField("a_arm", LongType), StructField("b_arm", LongType),
+      StructField("post_mean_arm", DoubleType), StructField("post_sd_arm", DoubleType),
+      StructField("cred_lo_arm", DoubleType), StructField("cred_hi_arm", DoubleType),
+      StructField("e_ctl", LongType), StructField("c_ctl", LongType),
+      StructField("a_ctl", LongType), StructField("b_ctl", LongType),
+      StructField("post_mean_ctl", DoubleType), StructField("post_sd_ctl", DoubleType),
+      StructField("cred_lo_ctl", DoubleType), StructField("cred_hi_ctl", DoubleType),
+      StructField("p_beat_ctl", DoubleType),
+      StructField("exp_loss_arm", DoubleType),
+      StructField("exp_loss_ctl", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    cells.sparkSession.createDataFrame(outRows.asJava, schema)
   }
 }
