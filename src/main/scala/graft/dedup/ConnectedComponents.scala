@@ -309,25 +309,29 @@ object ConnectedComponents {
       // in caller order, so the overlap changes nothing downstream
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(4, thresholds.size))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val futs = thresholds.map { t =>
-        scala.concurrent.Future {
-          val e = ckpt.filter(col("d") <= t.toDouble).select(col("src"), col("dst"))
-          val s = clusters(e)
-            .agg(
-              coalesce(sum("n_members"), lit(0L)).as("n_nodes"),
-              count(lit(1)).as("n_clusters"))
-            .collect()(0)
-          val nPairs = ckpt.filter(col("d") <= t.toDouble).count()
-          val (nNodes, nClusters) = (s.getLong(0), s.getLong(1))
-          val dup = if (nNodes > 0L) (nNodes - nClusters).toDouble / nNodes.toDouble else 0d
-          (t, nPairs, nNodes, nClusters, dup)
-        }
-      }
-      val out = futs.map(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
-      pool.shutdown()
+      val out =
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val futs = thresholds.map { t =>
+            scala.concurrent.Future {
+              val e = ckpt.filter(col("d") <= t.toDouble).select(col("src"), col("dst"))
+              val s = clusters(e)
+                .agg(
+                  coalesce(sum("n_members"), lit(0L)).as("n_nodes"),
+                  count(lit(1)).as("n_clusters"))
+                .collect()(0)
+              val nPairs = ckpt.filter(col("d") <= t.toDouble).count()
+              val (nNodes, nClusters) = (s.getLong(0), s.getLong(1))
+              val dup = if (nNodes > 0L) (nNodes - nClusters).toDouble / nNodes.toDouble else 0d
+              (t, nPairs, nNodes, nClusters, dup)
+            }
+          }
+          // a bounded wait so a wedged job cannot block the sweep forever;
+          // any failure/timeout propagates after the finally reclaims the pool
+          futs.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration(1, "h")))
+        } finally pool.shutdown()
       out.toDF("threshold", "n_pairs", "n_nodes", "n_clusters", "dup_factor")
     } finally freeLocalCheckpoint(ckpt)
   }

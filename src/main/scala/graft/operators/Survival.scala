@@ -1081,6 +1081,10 @@ object Survival {
     // identically; the gates at both SFs and the differential fuzz pin
     // that equivalence.
     val riskRows = riskAll.collect()
+    require(riskRows.length <= graft.quality.BayesAb.maxDriverCells,
+      s"coxPhFromCells: ${riskRows.length} risk-grid rows exceed the driver-fold " +
+        s"bound ${graft.quality.BayesAb.maxDriverCells} — the grid must stay " +
+        "(covariate levels x integer durations)-bounded per the operator contract")
     val rs = riskAll.schema
     val zi = rs.fieldIndex("__z"); val ti = rs.fieldIndex("t")
     val di = rs.fieldIndex("__d"); val ci = rs.fieldIndex("__c")
@@ -1290,6 +1294,10 @@ object Survival {
     // op replicates the engine expression it replaced bit-for-bit, the
     // Cramer determinant and step numerators stay EXACT BigInt.
     val riskRows = riskAll.collect()
+    require(riskRows.length <= graft.quality.BayesAb.maxDriverCells,
+      s"coxPh2FromCells: ${riskRows.length} risk-grid rows exceed the driver-fold " +
+        s"bound ${graft.quality.BayesAb.maxDriverCells} — the grid must stay " +
+        "(covariate levels x integer durations)-bounded per the operator contract")
     val rs = riskAll.schema
     val ti = rs.fieldIndex("t")
     val di = rs.fieldIndex("__d"); val ci = rs.fieldIndex("__c")

@@ -76,6 +76,15 @@ object BayesAb {
   /** Grid points per posterior: 2¹³ midpoints of [0, 1]. */
   val gridN: Int = 8192
 
+  /** Hard ceiling on rows any bounded-driver-fold operator may collect
+    * (BayesAb/BayesMean/BayesRate cells, the Cox risk grids). The
+    * operator contracts bound these frames by (arms × peeks) or
+    * (covariate levels × integer durations) — thousands, not millions —
+    * so hitting this means the contract was violated upstream; fail
+    * with a diagnosable error instead of a silent driver OOM at scale.
+    */
+  val maxDriverCells: Int = 4000000
+
   private val ln2 = 0.6931471805599453d // the correctly-rounded double of ln 2
 
   /** ln(u / 2N) for an ODD integer u in [1, 2N−1] (2N = 2¹⁴): u = m·2ʲ
@@ -214,7 +223,14 @@ object BayesAb {
       .select(col("arm").cast("string"), col("peek").cast("long"),
         col("n").cast("long"), col("s_hit").cast("long"))
       .collect()
+    require(rows.length <= maxDriverCells,
+      s"cumCells: ${rows.length} (arm, peek) cells exceed the driver-fold " +
+        s"bound $maxDriverCells — the cell frame must be (arms x peeks)-bounded " +
+        "per the operator contract")
     val byCell = rows.map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    require(byCell.size == rows.length,
+      "cumCells: duplicate (arm, peek) cells in input — the additive fold " +
+        "shape requires one increment row per cell")
     val peeks = rows.map(_.getLong(1)).distinct.sorted
     arms.flatMap { a =>
       var cn = 0L; var cs = 0L

@@ -92,9 +92,16 @@ object BayesMean {
       .select(col("arm").cast("string"), col("peek").cast("long"),
         col("n").cast("long"), col("sy").cast(dec), col("syy").cast(dec))
       .collect()
+    require(rows.length <= BayesAb.maxDriverCells,
+      s"bayesMeanKArmFromCells: ${rows.length} (arm, peek) cells exceed the " +
+        s"driver-fold bound ${BayesAb.maxDriverCells} — the cell frame must be " +
+        "(arms x peeks)-bounded per the operator contract")
     val byCell = rows.map(r => (r.getString(0), r.getLong(1)) ->
       (r.getLong(2), BigInt(r.getDecimal(3).toBigInteger),
         BigInt(r.getDecimal(4).toBigInteger))).toMap
+    require(byCell.size == rows.length,
+      "bayesMeanKArmFromCells: duplicate (arm, peek) cells in input — the " +
+        "additive fold shape requires one increment row per cell")
     val peeks = rows.map(_.getLong(1)).distinct.sorted
     def b2d(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue
     // cumulative per arm in peek order, then the per-cell posterior
@@ -165,6 +172,6 @@ object BayesMean {
       StructField("exp_loss_ctl", DoubleType),
       StructField("ok", BooleanType)))
     import scala.jdk.CollectionConverters._
-    cells.sparkSession.createDataFrame(outRows.asJava, schema)
+    cells.sparkSession.createDataFrame(outRows.toSeq.asJava, schema)
   }
 }

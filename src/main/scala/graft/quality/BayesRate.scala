@@ -86,8 +86,15 @@ object BayesRate {
       .select(col("arm").cast("string"), col("peek").cast("long"),
         col("e").cast("long"), col("c").cast("long"))
       .collect()
+    require(rows.length <= BayesAb.maxDriverCells,
+      s"bayesRateKArmFromCells: ${rows.length} (arm, peek) cells exceed the " +
+        s"driver-fold bound ${BayesAb.maxDriverCells} — the cell frame must be " +
+        "(arms x peeks)-bounded per the operator contract")
     val byCell = rows.map(r => (r.getString(0), r.getLong(1)) ->
       (r.getLong(2), r.getLong(3))).toMap
+    require(byCell.size == rows.length,
+      "bayesRateKArmFromCells: duplicate (arm, peek) cells in input — the " +
+        "additive fold shape requires one increment row per cell")
     val peeks = rows.map(_.getLong(1)).distinct.sorted
     def rnd0(x: Double): Double =
       if (x.isNaN || x.isInfinite) x
@@ -164,6 +171,6 @@ object BayesRate {
       StructField("exp_loss_arm", DoubleType),
       StructField("exp_loss_ctl", DoubleType)))
     import scala.jdk.CollectionConverters._
-    cells.sparkSession.createDataFrame(outRows.asJava, schema)
+    cells.sparkSession.createDataFrame(outRows.toSeq.asJava, schema)
   }
 }
