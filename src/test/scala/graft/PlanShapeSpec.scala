@@ -276,8 +276,13 @@ class PlanShapeSpec extends SparkSpec {
     // skew-safe spearman: stats/offsets attach as BROADCASTS, ranks are
     // per-(group, cell) windows, tie counts ride the same window as a
     // range frame -- more exchanges than q187's one, but none of them
-    // sorts a whole group on one reducer (the 100x hot-group claim)
-    Shape("q188_spearman_bucketed", maxHash = 10, minBroadcastJoin = 4,
+    // sorts a whole group on one reducer (the 100x hot-group claim).
+    // r17 scaffold-input truncate: the FIRST column's scaffold joins now
+    // execute inside the eager Lineage.truncate materialization of the
+    // second scaffold's input, so only the last scaffold's broadcasts
+    // remain in the final plan (the single-scaffold pins -- q189/q242/
+    // q243 -- still lock the per-scaffold broadcast shape directly)
+    Shape("q188_spearman_bucketed", maxHash = 10, minBroadcastJoin = 3,
       forbidSortMergeJoin = true, forbidUdf = true),
     // skew-safe gini: one scaffold + the map-side-partial reduction
     Shape("q189_gini_bucketed", maxHash = 6, minBroadcastJoin = 2,
@@ -307,9 +312,12 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortMergeJoin = true, forbidUdf = true),
     // skew-safe spearman matrix: one cell scaffold per column (stats +
     // counts + offsets + per-cell rank, all broadcasts) + the single
-    // moments aggregation -- no per-group reducer sort anywhere
+    // moments aggregation -- no per-group reducer sort anywhere. Post-
+    // r17 truncate, the first two columns' scaffold joins run inside
+    // the chained truncate materializations (see q188's note); the
+    // final plan keeps the last scaffold's broadcasts only
     Shape("q197_spearman_matrix_bucketed", maxHash = 15,
-      minBroadcastJoin = 6, forbidSortMergeJoin = true, forbidUdf = true),
+      minBroadcastJoin = 3, forbidSortMergeJoin = true, forbidUdf = true),
     // spearman sketch honesty chain: the bottom-k cut window + the
     // sample's rank windows + both moments aggs share group exchanges;
     // the est/exact join is group-sized
@@ -418,8 +426,10 @@ class PlanShapeSpec extends SparkSpec {
       forbidSortAggregate = true, forbidUdf = true),
     // bucketed Theil-Sen: the scaffold's stats/counts attach as
     // NULL-safe BROADCASTS (that is the point — no pair-set-sized
-    // sort-merge), target-cell prune before the one cell-local window
-    Shape("q220_theil_sen_bucketed", maxHash = 8, minBroadcastJoin = 6,
+    // sort-merge), target-cell prune before the one cell-local window.
+    // Post-r17 truncate one scaffold's joins moved into its input's
+    // eager materialization (see q188's note)
+    Shape("q220_theil_sen_bucketed", maxHash = 8, minBroadcastJoin = 5,
       forbidUdf = true),
     // Mann-Whitney (keyless gate): the KW cell/rank shape — value-
     // cardinality aggs, global distinct-value window + 1-row totals
