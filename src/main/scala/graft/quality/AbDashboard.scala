@@ -125,8 +125,12 @@ object AbDashboard {
     */
   private[graft] def materialize(cells: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    cells.sparkSession.createDataFrame(
-      cells.collect().toSeq.asJava, cells.schema)
+    val rows = cells.collect()
+    require(rows.length <= BayesAb.maxDriverCells,
+      s"materialize: ${rows.length} rows exceed the driver-fold bound " +
+        s"${BayesAb.maxDriverCells} — the frame must stay (arms x peeks)-" +
+        "bounded per the operator contract")
+    cells.sparkSession.createDataFrame(rows.toSeq.asJava, cells.schema)
   }
 
   /** The (arm × peek) spine + per-arm cumulative state over a local
@@ -135,6 +139,15 @@ object AbDashboard {
     * through every peek so cumulative windows see complete series.
     * Returns (full = per-peek increments on the spine, cum = cumulative
     * state per arm in peek order — the "dashboard at peek p").
+    *
+    * MEASURED AND LEFT LAZY (r18): materializing `full`/`cum` here (the
+    * q365 truncate pattern) was Probe-tested and reverted — the stage
+    * branches re-execute only LOCAL dags, which run as parallel AQE
+    * sub-stages inside the one read action, while the two eager collect
+    * jobs serialize into construction (q345 2.92→3.10 s, q364
+    * 3.21→3.43 s, q336 +0.28 s). Truncation pays when the re-executed
+    * subtree is row-scale (see [[Association.metaAnalysis]]); here the
+    * row-scale pass already localized at [[materialize]](cells).
     */
   private def spineCum(local: DataFrame,
       designedArms: Seq[String]): (DataFrame, DataFrame) = {
@@ -432,7 +445,9 @@ object AbDashboard {
   private val moment2Cols = Seq("sy", "syy", "sx1", "sx2", "sx1x1",
     "sx2x2", "sx1x2", "sx1y", "sx2y")
 
-  /** The [[spineCum]] twin for the two-covariate cell shape. */
+  /** The [[spineCum]] twin for the two-covariate cell shape (same
+    * measured-and-left-lazy note).
+    */
   private def spineCum2(local: DataFrame,
       designedArms: Seq[String]): (DataFrame, DataFrame) = {
     val spark = local.sparkSession

@@ -3962,10 +3962,18 @@ object Association {
   ): DataFrame = {
     val g = keyCols.map(col)
     val valid = col(seCol).isNotNull && col(seCol) > 0d && col(effectCol).isNotNull
-    val base = df.select(g :+ col(strataCol).cast("string").as("__st") :+
+    // Truncate the projected input's lineage ONCE (r18 optimization,
+    // guide §3.3): `base` feeds three branches (the fixed-effects pass,
+    // the τ²-carrying random-effects pass, the dropped-strata count), so
+    // a lazy upstream — typically a row-scale per-stratum effect
+    // aggregation like q365's CUPED — executed once per branch. The
+    // frame is strata-bounded after the projection; the only joins over
+    // it are already explicit broadcasts.
+    val base = graft.plans.Lineage.truncate(
+      df.select(g :+ col(strataCol).cast("string").as("__st") :+
         col(effectCol).cast("double").as("__e") :+
         col(seCol).cast("double").as("__se") :+
-        when(valid, 1L).otherwise(0L).as("__ok"): _*)
+        when(valid, 1L).otherwise(0L).as("__ok"): _*))
     val wOrd = Window.partitionBy(g: _*).orderBy(col("__st"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(g: _*)
@@ -4057,10 +4065,16 @@ object Association {
       z: Double = 1.959964d
   ): DataFrame = {
     val g = keyCols.map(col)
-    val summary = metaAnalysis(effects, keyCols, segCol, effectCol, seCol, z)
+    // one execution of the (typically row-scale) upstream effect
+    // aggregation: the card reads `effects` twice — the meta-analysis
+    // pool and the per-segment panel — so truncate the projected frame's
+    // lineage first (r18; see [[metaAnalysis]]'s note)
+    val effectsT = graft.plans.Lineage.truncate(
+      effects.select(g ++ Seq(col(segCol), col(effectCol), col(seCol)): _*))
+    val summary = metaAnalysis(effectsT, keyCols, segCol, effectCol, seCol, z)
     val inc = col("se_seg").isNotNull && col("se_seg") > 0d &&
       col("effect_seg").isNotNull
-    val eff = effects.select(g :+ col(segCol).cast("string").as("segment") :+
+    val eff = effectsT.select(g :+ col(segCol).cast("string").as("segment") :+
         col(effectCol).cast("double").as("effect_seg") :+
         col(seCol).cast("double").as("se_seg"): _*)
       .withColumn("included", inc)
