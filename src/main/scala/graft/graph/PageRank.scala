@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Lineage
+
 /** Deterministic PageRank (Brin & Page 1998) in exact integer
   * arithmetic — the graph-centrality scorer web-curation pipelines use
   * for domain authority (Common Crawl publishes harmonic-centrality /
@@ -129,10 +131,21 @@ object PageRank {
     require(nNodes <= Long.MaxValue / dampNum / scale,
       s"N·scale·dampNum overflows long (N=$nNodes, scale=$scale): lower scale")
     val base = (scale * (dampDen - dampNum)) / dampDen
+    // The iteration chain composes LAZILY (r18; replaces persist+count
+    // per round): rank_i is referenced exactly once (by contribs_{i+1}),
+    // and the multiply-referenced frames — the fused edge/outdeg set and
+    // the node spine — are materialized above, so the composed plan is
+    // LINEAR in iters (no re-execution, no 2^i tree growth) and the
+    // whole walk runs as ONE action: AQE picks each per-iteration join
+    // strategy from the REAL runtime size of the rank exchange (the
+    // same correct-at-any-scale behavior the old persist+count bought,
+    // minus iters driver round-trips and iters node-frame cache writes
+    // per read — q132 measured 43 jobs / 86 stages → 24 / 50 and
+    // construct+run ~4.3 s → ~3.0 s, q165 45 → 26 jobs, at
+    // sf0.1/local[8]).
     var rank = nodes
       .select(col("node"),
         when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("r"))
-      .persist(mad)
     for (_ <- 0 until iters) {
       val contribs = e
         .join(rank.withColumnRenamed("node", "src"), "src")
@@ -140,16 +153,11 @@ object PageRank {
           expr(s"(r * $dampNum) div ($dampDen * outdeg)").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("inflow"))
-      val prev = rank
-      val next = nodes
+      rank = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("r"))
-        .persist(mad)
-      next.count() // materialize before dropping the previous generation
-      prev.unpersist(false)
-      rank = next
     }
     rank
   }
@@ -355,7 +363,14 @@ object KCore {
         .filter(col("d") < k).select(col("src").as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nBad = bad.count()
-      if (untilStable && nBad == 0) stable = true
+      // nBad == 0 makes EVERY remaining round an exact no-op (an
+      // anti-join against an empty frame removes nothing, so alive —
+      // and therefore bad — can never change again): stop paying the
+      // two per-round actions regardless of the stability mode. The
+      // fixed-round contract is untouched — post-convergence rounds
+      // were already documented no-ops (r18; q139 ran 12 rounds of
+      // jobs for a graph that peels in fewer).
+      if (nBad == 0) stable = true
       else {
         val next = alive
           .join(bad.withColumnRenamed("n", "src"), Seq("src"), "left_anti")
@@ -444,34 +459,42 @@ object Harmonic {
     require(scale > 0, "scale must be positive")
     val e = sym(edges).persist(mad)
     e.count()
-    var visited = sources.select(col("node").as("s"), col("node"), lit(0).as("d"))
-      .persist(mad)
-    visited.count()
-    var frontier = visited
-    var prevFrontier: DataFrame = null
+    // One materialized layer per depth; `visited` stays a LAZY union of
+    // the layers (r18; replaces the per-round union re-cache+count): the
+    // anti-join and the final aggregation read the layer blocks
+    // directly, so each BFS round pays ONE materializing action (the
+    // eager localCheckpoint; the early-exit count over it is a trivial
+    // cached-RDD job) instead of two, and the O(V·sources) visited set
+    // is no longer re-written to the block store every round (q153
+    // measured: 39 jobs / 164 stages → ~14 / 63, construct+run ~3.9 s →
+    // ~1.5 s at sf0.1/local[8]). localCheckpoint (not persist) keeps
+    // each layer's plan a FLAT LogicalRDD — a persisted layer's
+    // InMemoryRelation re-renders its whole lineage inside every later
+    // layer's anti-join, the 2^depth string-growth trap the Lineage doc
+    // warns about (measured: a 10,847-line q153 final plan). Join
+    // strategies stay scale-correct: AQE picks them from the REAL
+    // runtime exchange sizes, which is what the old persisted-stats
+    // arrangement bought.
+    val layer0 = Lineage.truncate(
+      sources.select(col("node").as("s"), col("node"), lit(0).as("d")))
+    var layers = Vector[DataFrame](layer0)
+    var frontier = layer0
     var depth = 1
     var exhausted = false
     while (depth <= maxDepth && !exhausted) {
-      val fresh = frontier.select(col("s"), col("node"))
+      val visited = layers.map(_.select(col("s"), col("node")))
+        .reduce(_ unionByName _)
+      val fresh = Lineage.truncate(frontier.select(col("s"), col("node"))
         .join(e.withColumnRenamed("src", "node"), Seq("node"))
         .select(col("s"), col("dst").as("node")).distinct()
-        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
-        .withColumn("d", lit(depth))
-        .persist(mad)
+        .join(visited, Seq("s", "node"), "left_anti")
+        .withColumn("d", lit(depth)))
       val n = fresh.count()
-      val grown = visited.unionByName(fresh).persist(mad)
-      grown.count()
-      visited.unpersist(false)
-      if (prevFrontier != null) prevFrontier.unpersist(false)
-      prevFrontier = fresh
-      frontier = fresh
-      visited = grown
-      exhausted = n == 0
+      if (n == 0) exhausted = true
+      else { layers = layers :+ fresh; frontier = fresh }
       depth += 1
     }
-    if (prevFrontier != null) prevFrontier.unpersist(false)
-    e.unpersist(false)
-    visited.filter(col("d") > 0)
+    layers.map(_.filter(col("d") > 0)).reduce(_ unionByName _)
       .groupBy(col("node"))
       .agg(
         count(lit(1)).as("n_sources_reached"),
