@@ -113,9 +113,12 @@ object Quantiles {
   } else {
     require(k > 0, "k must be positive")
     val g = keyCols.map(col)
-    // lower-median rank selection over `sel`, scaffold layout
+    // lower-median rank selection over a PRE-TRUNCATED frame, scaffold
+    // layout (the frames below are each multiply referenced — by the
+    // scaffold AND by the deviation/outlier passes — so this operator
+    // owns the one materialization per frame; r18)
     def medianOf(frame: DataFrame, vCol: String, as: String): DataFrame = {
-      val s = cellScaffold(frame, keyCols, vCol, cells)
+      val s = cellScaffold(frame, keyCols, vCol, cells, truncateInput = false)
         .withColumn("__target", expr("(__n + 1) div 2"))
         .filter(col("__off") < col("__target") &&
           col("__target") <= col("__off") + col("__cnt"))
@@ -125,11 +128,13 @@ object Quantiles {
         .filter(col("__rk") === col("__target"))
         .select((g :+ col(vCol).as(as) :+ col("__n").as(s"__n_$as")): _*)
     }
-    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
-      .filter(col(valueCol).isNotNull)
+    val base = graft.plans.Lineage.truncate(
+      df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+        .filter(col(valueCol).isNotNull))
     val med = medianOf(base, valueCol, "med")
-    val withDev = base.join(broadcast(med), keyCols)
-      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val withDev = graft.plans.Lineage.truncate(
+      base.join(broadcast(med), keyCols)
+        .withColumn("__dev", abs(col(valueCol) - col("med"))))
     val mad = medianOf(withDev, "__dev", "mad")
     withDev.join(broadcast(mad.select((g :+ col("mad")): _*)), keyCols)
       .groupBy(g: _*)
@@ -187,8 +192,11 @@ object Quantiles {
       valueCol, tieBreakCol, k, cells).drop("__g1")
   } else {
     val g = keyCols.map(col)
-    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
-    val scaff = cellScaffold(base, keyCols, valueCol, cells)
+    // base feeds the scaffold AND the fence-filter join below: one
+    // materialization here instead of truncate + re-execution (r18)
+    val base = graft.plans.Lineage.truncate(
+      df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*))
+    val scaff = cellScaffold(base, keyCols, valueCol, cells, truncateInput = false)
       .withColumn("__t1", expr("(__n + 3) div 4"))
       .withColumn("__t3", expr("(3 * __n + 3) div 4"))
     val w = Window.partitionBy((g :+ col("__c")): _*)
@@ -320,11 +328,14 @@ object Quantiles {
     require(0 < loPct && loPct < hiPct && hiPct < 100,
       s"need 0 < loPct < hiPct < 100: $loPct, $hiPct")
     val g = keyCols.map(col)
-    val base = df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
-      .filter(col(valueCol).isNotNull)
+    // base feeds the scaffold AND the clamp join below: one
+    // materialization here instead of truncate + re-execution (r18)
+    val base = graft.plans.Lineage.truncate(
+      df.select((keyCols :+ valueCol :+ tieBreakCol).map(col): _*)
+        .filter(col(valueCol).isNotNull))
     def rankAt(p: Int) =
       greatest(lit(1L), least(col("__n"), expr(s"($p * (__n + 1)) div 100")))
-    val sc = cellScaffold(base, keyCols, valueCol, cells)
+    val sc = cellScaffold(base, keyCols, valueCol, cells, truncateInput = false)
       .withColumn("__rlo", rankAt(loPct))
       .withColumn("__rhi", rankAt(hiPct))
     def holds(r: Column) = r > col("__off") && r <= col("__off") + col("__cnt")
@@ -451,7 +462,8 @@ object Quantiles {
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
-      cells: Int
+      cells: Int,
+      truncateInput: Boolean = true
   ): DataFrame = {
     require(cells > 1, s"cells must be > 1: $cells")
     val g = keyCols.map(col)
@@ -464,8 +476,12 @@ object Quantiles {
     // input replaces the re-executions; the downstream joins carry
     // explicit broadcast hints (nsJoin), so the LogicalRDD's missing
     // size statistics cannot flip a join strategy (the PageRank
-    // localCheckpoint note).
-    val base = graft.plans.Lineage.truncate(df)
+    // localCheckpoint note). Callers that ALSO reference the same input
+    // outside the scaffold (madOutliersBucketed's deviation join,
+    // iqrOutliersBucketed/winsorizeBucketed's bound attachments)
+    // truncate it themselves once and pass truncateInput = false — one
+    // materialization instead of a truncate-plus-re-execution (r18).
+    val base = if (truncateInput) graft.plans.Lineage.truncate(df) else df
     val stats = base.groupBy(g: _*).agg(
       min(col(valueCol)).as("__lo"),
       max(col(valueCol)).as("__hi"))

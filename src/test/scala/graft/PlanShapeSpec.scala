@@ -518,8 +518,12 @@ class PlanShapeSpec extends SparkSpec {
     Shape("q240_vocab_churn", maxHash = 2, forbidUdf = true),
     // bucketed MAD: two scaffold passes (stats/counts/offsets attach as
     // NULL-safe broadcasts) + broadcast med/mad — no group-sized sort,
-    // no SMJ anywhere
-    Shape("q241_mad_bucketed", maxHash = 10, minBroadcastJoin = 8,
+    // no SMJ anywhere. r18: the base/deviation frames truncate once up
+    // front (each was re-executed by the scaffold AND the join-back),
+    // so the med scaffold's joins and the deviation broadcast run
+    // inside the truncate materializations; the final plan keeps the
+    // mad scaffold's broadcasts + the mad attach (see q188's note)
+    Shape("q241_mad_bucketed", maxHash = 10, minBroadcastJoin = 4,
       forbidSortMergeJoin = true, forbidUdf = true),
     // bucketed IQR: one scaffold pass + broadcast fences
     Shape("q242_iqr_bucketed", maxHash = 5, minBroadcastJoin = 3,
