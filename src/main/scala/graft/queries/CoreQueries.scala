@@ -826,7 +826,9 @@ object CoreQueries {
     */
   def q287KmFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subjects = survivalSubjects(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subjects = graft.plans.Lineage.truncate(survivalSubjects(s, dir))
     def batch(i: Int) = Survival.lifetimeCells(
       subjects.filter(col("user_id") % 3 === i), Nil, "duration", "event")
     val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
@@ -2317,7 +2319,9 @@ object CoreQueries {
     */
   def q337SurvivalDashboardFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subj = survivalSubjects(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subj = graft.plans.Lineage.truncate(survivalSubjects(s, dir))
       .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
     def cellsOf(i: Int) = Survival.lifetimeCells(
       subj.filter(col("user_id") % 3 === i), Seq("cohort"), "duration", "event")
@@ -2336,7 +2340,9 @@ object CoreQueries {
     */
   def q294LogRankFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subj = survivalSubjects(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subj = graft.plans.Lineage.truncate(survivalSubjects(s, dir))
       .withColumn("cohort", (col("user_id") % 2 === 0).cast("string"))
     def batch(i: Int) = Survival.lifetimeCells(
       subj.filter(col("user_id") % 3 === i), Seq("cohort"), "duration", "event")
@@ -2356,7 +2362,9 @@ object CoreQueries {
     */
   def q295RmstFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subj = survivalSubjects(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subj = graft.plans.Lineage.truncate(survivalSubjects(s, dir))
     def batch(i: Int) = Survival.lifetimeCells(
       subj.filter(col("user_id") % 3 === i), Nil, "duration", "event")
     val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
@@ -2403,7 +2411,9 @@ object CoreQueries {
     */
   def q301CifFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subj = competingSubjects(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subj = graft.plans.Lineage.truncate(competingSubjects(s, dir))
     def batch(i: Int) = Survival.lifetimeCellsByType(
       subj.filter(col("user_id") % 3 === i), Nil, "duration", "cause")
     val folded = (1 to 2).foldLeft(batch(0))((acc, i) =>
@@ -3124,7 +3134,8 @@ object CoreQueries {
     */
   private def pairedDiffCellsFolded(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.Association
-    val pu = pairedPerUser(s, dir)
+    // one execution of the row-scale per-unit aggregation (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(pairedPerUser(s, dir))
     def cellsOf(i: Int) = Association.pairedDiffCells(
       pu.filter(col("user_id") % 3 === i), Nil, "x", "y")
     (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -3545,7 +3556,9 @@ object CoreQueries {
     */
   def q313ConcordanceFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subj = survivalSubjects(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subj = graft.plans.Lineage.truncate(survivalSubjects(s, dir))
       .withColumn("risk", col("user_id") % 16)
     def batch(i: Int) = Survival.concordanceCells(
       subj.filter(col("user_id") % 3 === i), Nil, "risk", "duration", "event")
@@ -3842,7 +3855,9 @@ object CoreQueries {
     */
   def q327AbDashboardFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.AbDashboard
-    val pu = abPerUser(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(abPerUser(s, dir))
     def cellsOf(i: Int) = AbDashboard.abCells(
       pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
     val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -4148,7 +4163,9 @@ object CoreQueries {
     */
   def q348ScorecardFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.AbDashboard
-    val pu = scorecardPerUser(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(scorecardPerUser(s, dir))
     def cellsOf(i: Int) = AbDashboard.scorecardCells(
       pu.filter(col("user_id") % 3 === i), "arm", "peek", scorecardMetrics)
     val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -4165,7 +4182,9 @@ object CoreQueries {
     */
   def q349AbDashboardKArmFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.AbDashboard
-    val pu = abPerUserK(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(abPerUserK(s, dir))
     def cellsOf(i: Int) = AbDashboard.abCells(
       pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
     val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -4547,7 +4566,9 @@ object CoreQueries {
     */
   def q362CoxFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subj = coxSubjects(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subj = graft.plans.Lineage.truncate(coxSubjects(s, dir))
     def cellsOf(i: Int) = Survival.lifetimeCells(
       subj.filter(col("user_id") % 3 === i), Seq("z"), "duration", "event")
     val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -4583,7 +4604,9 @@ object CoreQueries {
     */
   def q360BayesAbFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.{AbDashboard, BayesAb}
-    val pu = abPerUserK(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(abPerUserK(s, dir))
     def cellsOf(i: Int) = AbDashboard.abCells(
       pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
     val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -4669,7 +4692,9 @@ object CoreQueries {
     */
   def q368BayesMeanFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.{AbDashboard, BayesMean}
-    val pu = abPerUserMeanK(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(abPerUserMeanK(s, dir))
     def cellsOf(i: Int) = AbDashboard.abCells(
       pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
     val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -4752,7 +4777,9 @@ object CoreQueries {
     */
   def q370RatioDeltaFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.{AbDashboard, RatioMetric}
-    val pu = abPerUserRatioK(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(abPerUserRatioK(s, dir))
     def cellsOf(i: Int) = AbDashboard.abCells(
       pu.filter(col("user_id") % 3 === i), "arm", "peek", "y", "x", "hit")
     val folded = (1 to 2).foldLeft(cellsOf(0)) { (acc, i) =>
@@ -4821,7 +4848,9 @@ object CoreQueries {
     */
   def q372Cox2FromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Survival
-    val subj = coxSubjects2(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val subj = graft.plans.Lineage.truncate(coxSubjects2(s, dir))
     def cellsOf(i: Int) = Survival.lifetimeCells(
       subj.filter(col("user_id") % 3 === i), Seq("z", "z2"),
       "duration", "event")
@@ -4971,7 +5000,9 @@ object CoreQueries {
     */
   def q379RatioCupedFromStore(s: SparkSession, dir: String): DataFrame = {
     import graft.quality.RatioMetric
-    val pu = ratioCupedPerUser(s, dir)
+    // one execution of the row-scale per-unit aggregation: the three
+    // batch cell passes below each referenced it (r18 truncate)
+    val pu = graft.plans.Lineage.truncate(ratioCupedPerUser(s, dir))
     def cellsOf(i: Int) = RatioMetric.ratioCupedCells(
       pu.filter(col("user_id") % 3 === i), Seq("cmp"), "arm",
       "y", "x", "p", "q")
