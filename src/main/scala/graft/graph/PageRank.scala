@@ -110,7 +110,20 @@ object PageRank {
     // aggregation over (dst, contribution)
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(deg, "src").localCheckpoint()
+    // Lay the fused edge/outdeg frame out by src ONCE — hash-partitioned
+    // AND sorted within partitions — before the checkpoint (r18):
+    // localCheckpoint preserves the physical partitioning/ordering on
+    // the LogicalRDD, so every iteration's rank join finds the edge side
+    // already exchange- and sort-free and shuffles ONLY the node-sized
+    // rank frame. Without this the lazily-composed walk re-shuffled and
+    // re-sorted the whole edge set once per iteration (5 runtime
+    // SortMergeJoins with both sides exchanged — the thing the old
+    // per-round broadcast hid locally but would not have survived at a
+    // scale where ranks outgrow the broadcast threshold anyway).
+    val e = e0.join(deg, "src")
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint()
     val nodesBase = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // __seed marks teleport targets: everyone for plain PageRank, the
